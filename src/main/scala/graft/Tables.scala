@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Path-based table loaders for the driver fixtures (TESTDATA.md).
+  *
+  * All engine tables are Parquet directories/files under a scale-factor
+  * dir; columnar scan + predicate/column pushdown come for free. At
+  * cluster scale the same loaders work against a distributed FS path.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Catalog existence probe (SURVEY §2 S2): the reference checks
+    * information_schema before querying (/root/reference/test_connection.py:36-42);
+    * for path-based tables the equivalent is file existence, for
+    * catalog tables `spark.catalog.tableExists`.
+    */
+  def tableExists(spark: SparkSession, dir: String, name: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$name.parquet")) ||
+      spark.catalog.tableExists(name)
+}

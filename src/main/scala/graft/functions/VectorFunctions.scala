@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance/similarity expressions over `ARRAY<FLOAT|DOUBLE>`
+  * columns, composed from Spark built-in higher-order functions so the
+  * whole pipeline stays inside Catalyst (pushdown, codegen, no UDF
+  * serialization).
+  *
+  * Mirrors the pgvector operator family the reference engine exposes:
+  * `<->` L2 (exercised at /root/reference/fever_multi_agent.py:71 and
+  * /root/reference/test_connection.py:93), plus `<=>` cosine, `<#>`
+  * inner product, `<+>` L1 which pgvector supports but the reference
+  * never calls (SURVEY §2.11).
+  *
+  * Determinism: inputs are cast to ARRAY<DOUBLE> before any arithmetic
+  * so Spark and the DuckDB oracle accumulate in the same precision and
+  * the same (index) order — fixed-dim sequential folds are
+  * order-stable (FIXTURES.md determinism rules).
+  */
+object VectorFunctions {
+
+  /** Cast to ARRAY<DOUBLE> — all distance math is double-precision. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Inner product: sum_i a_i*b_i. pgvector `<#>` is the NEGATIVE inner
+    * product; we expose the plain dot product and let callers negate.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared Euclidean distance (no sqrt — cheaper for pure ranking). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean (L2) distance — pgvector `<->`. */
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
+  /** Manhattan (L1) distance — pgvector `<+>`. */
+  def l1(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => abs(x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean norm of a vector. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine distance = 1 - cosine similarity — pgvector `<=>`. */
+  def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)
+
+  /** L2-normalize to a unit vector (null-safe on zero norm: returns the
+    * zero vector unchanged to avoid division by zero).
+    */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, toDouble(a))
+      .otherwise(transform(toDouble(a), x => x / n))
+  }
+
+  /** Dimension validation (SURVEY §7.3: Spark SQL has no fixed-dim
+    * vector type; dim mismatches must be caught by a cheap check).
+    */
+  def hasDim(a: Column, dim: Int): Column = size(a) === dim
+}

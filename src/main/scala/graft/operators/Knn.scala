@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Exact K-nearest-neighbor search, the reference engine's core query:
+  * `SELECT id, content, embedding <-> q AS distance ORDER BY distance
+  * LIMIT k` (/root/reference/fever_multi_agent.py:67-75,
+  * /root/reference/test_connection.py:89-97).
+  *
+  * Spark-first design notes (SURVEY §4):
+  *  - single-query top-k plans as `TakeOrderedAndProject` — a bounded
+  *    per-partition heap merged at the driver, never a global sort.
+  *    This is the shape that survives a 100 TB corpus: each of N
+  *    partitions returns k rows; the driver merges N*k.
+  *  - the query side is broadcast (one row / a few hundred rows), so
+  *    the "join" is map-side only — zero shuffle of the corpus.
+  *  - batch KNN (many queries) is a top-k-per-group: broadcast the
+  *    query set, compute distances map-side, then ONE shuffle keyed by
+  *    query id for the per-group top-k. For huge query sets, switch to
+  *    the LSH/IVF operators (approx) instead of widening this exact
+  *    cross product.
+  */
+object Knn {
+
+  /** Distance column for a supported metric name. For "cosine" and
+    * "dot" higher = closer, so we rank by the *negated* similarity to
+    * keep "smallest distance first" semantics uniform.
+    */
+  def distance(metric: String)(a: Column, b: Column): Column = metric match {
+    case "l2" => l2(a, b)
+    case "l2sq" => l2Sq(a, b)
+    case "l1" => l1(a, b)
+    case "cosine" => cosineDist(a, b)
+    case "dot" => -dot(a, b) // pgvector <#> negative inner product
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** Exact top-k rows of `corpus` nearest to the single query vector
+    * carried by the 1-row DataFrame `query` (column `queryVecCol`).
+    * Keeping the query as a DataFrame (instead of collecting to the
+    * driver) keeps the whole thing one lazy plan; Spark broadcasts the
+    * 1-row side automatically (BroadcastNestedLoopJoin).
+    *
+    * Output: corpus id + rounded distance, totally ordered
+    * (distance, id) for determinism (FIXTURES.md rules).
+    */
+  def topK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: DataFrame,
+      queryVecCol: String,
+      k: Int,
+      metric: String = "l2",
+      round6: Boolean = true): DataFrame = {
+    val d = distance(metric)(col(vecCol), col(queryVecCol))
+    val dist = if (round6) round(d, 6) else d
+    corpus
+      .crossJoin(broadcast(query.select(col(queryVecCol))))
+      .withColumn("distance", dist)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch exact KNN join (SURVEY §2 J2): top-k corpus neighbors per
+    * query row. `queries` is expected to be small relative to corpus
+    * (it is broadcast); the only shuffle is the window's hash
+    * repartition by query id.
+    *
+    * Self-matches (same id on both sides) are excluded when
+    * `excludeSelf` — the common dedup/similarity-join convention.
+    */
+  def knnJoin(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      metric: String = "l2",
+      excludeSelf: Boolean = false): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+    val filtered =
+      if (excludeSelf) joined.filter(col(corpusIdCol) =!= col(queryIdCol))
+      else joined
+    val w = Window
+      .partitionBy(col(queryIdCol))
+      .orderBy(col("distance").asc, col(corpusIdCol).asc)
+    filtered
+      .withColumn("distance",
+        round(distance(metric)(col(corpusVecCol), col(queryVecCol)), 6))
+      .select(col(queryIdCol), col(corpusIdCol), col("distance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col(queryIdCol).asc, col("rank").asc)
+  }
+}

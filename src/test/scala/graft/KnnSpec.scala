@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, Array(0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.0f, 2.0f)),
+    (3L, Array(3.0f, 3.0f))).toDF("vec_id", "embedding")
+
+  test("topK returns the k nearest, ordered, with rounded distances") {
+    val q = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("q_vec")
+    val got = Knn.topK(corpus, "vec_id", "embedding", q, "q_vec", 2, "l2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((0L, 0.0), (1L, 1.0)))
+  }
+
+  test("knnJoin yields top-k per query, self excluded, rank 1..k") {
+    val qs = corpus.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val got = Knn.knnJoin(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 2, metric = "l2", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.count(_._1 == 0L) === 2)
+    // nearest neighbor of 0 is 1 (d=1) then 2 (d=2)
+    assert(got.filter(_._1 == 0L).toSeq === Seq((0L, 1L, 1), (0L, 2L, 2)))
+    assert(got.forall { case (q, c, _) => q != c })
+  }
+
+  test("smoke on fixtures: flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    // queries without oracleSql get a weaker rows-only driver check —
+    // keep that set intentional (approx/ML ops only).
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set[String]()
+    assert(noOracle.subsetOf(allowed ++ SparkEntry.rowsOnly))
+  }
+}

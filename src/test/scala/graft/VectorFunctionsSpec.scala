@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(df: org.apache.spark.sql.DataFrame): Double =
+    df.collect()(0).getDouble(0)
+
+  test("l2 of known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 6.0f, 3.0f))).toDF("a", "b")
+    assert(math.abs(one(df.select(l2($"a", $"b"))) - 5.0) < 1e-12)
+    assert(one(df.select(l2Sq($"a", $"b"))) === 25.0)
+    assert(one(df.select(l1($"a", $"b"))) === 7.0)
+    assert(one(df.select(dot($"a", $"b"))) === 25.0)
+  }
+
+  test("cosine of orthogonal / parallel vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(2.0f, 0.0f), Array(5.0f, 0.0f))).toDF("a", "b")
+    val sims = df.select(cosineSim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 0.0) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("normalize yields unit norm; zero vector untouched") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f)), Tuple1(Array(0.0f, 0.0f))).toDF("a")
+    val norms = df.select(norm(normalize($"a"))).collect().map(_.getDouble(0))
+    assert(math.abs(norms(0) - 1.0) < 1e-12)
+    assert(norms(1) === 0.0)
+  }
+
+  test("distance axioms (property): identity, symmetry, non-negativity, cos in [-1,1]") {
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextFloat() * 20f - 10f)
+    val pairs = Seq.fill(50)((vec(), vec()))
+    val rows = pairs.toDF("a", "b").select(
+      l2($"a", $"a"), l2($"a", $"b"),
+      l2($"b", $"a"), l1($"a", $"b"),
+      cosineSim($"a", $"b")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === 0.0)
+      assert(r.getDouble(1) >= 0.0)
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9)
+      assert(r.getDouble(3) >= 0.0)
+      val cos = r.getDouble(4)
+      if (!cos.isNaN) assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
+}
