@@ -28,7 +28,11 @@ object Tables {
     * for path-based tables the equivalent is file existence, for
     * catalog tables `spark.catalog.tableExists`.
     */
-  def tableExists(spark: SparkSession, dir: String, name: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$name.parquet")) ||
-      spark.catalog.tableExists(name)
+  def tableExists(spark: SparkSession, dir: String, name: String): Boolean = {
+    // Resolve through the Hadoop FileSystem API so hdfs://, s3a:// etc.
+    // work, not just local paths (ADVICE r1).
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) || spark.catalog.tableExists(name)
+  }
 }

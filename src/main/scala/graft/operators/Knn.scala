@@ -48,6 +48,15 @@ object Knn {
     * Output: corpus id + rounded distance, totally ordered
     * (distance, id) for determinism (FIXTURES.md rules).
     */
+  /** Fail fast when an output column we are about to add would silently
+    * shadow an existing corpus column (ADVICE r1: `withColumn` overwrites).
+    */
+  private def requireFresh(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"corpus already has column(s) ${clash.mkString(", ")} — rename them or pass different output names")
+  }
+
   def topK(
       corpus: DataFrame,
       idCol: String,
@@ -57,20 +66,41 @@ object Knn {
       k: Int,
       metric: String = "l2",
       round6: Boolean = true): DataFrame = {
+    requireFresh(corpus, "distance")
     val d = distance(metric)(col(vecCol), col(queryVecCol))
     val dist = if (round6) round(d, 6) else d
     corpus
       .crossJoin(broadcast(query.select(col(queryVecCol))))
       .withColumn("distance", dist)
+      // NULL/dim-mismatched embeddings yield NULL distances (zip_with
+      // pads with null); Spark sorts NULLS FIRST ascending, so corrupt
+      // vectors would otherwise rank at the top while the DuckDB oracle
+      // (NULLS LAST) diverges. Drop them — a row with no comparable
+      // distance is not a neighbor (ADVICE r1).
+      .filter(col("distance").isNotNull)
       .select(col(idCol), col("distance"))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }
 
   /** Batch exact KNN join (SURVEY §2 J2): top-k corpus neighbors per
-    * query row. `queries` is expected to be small relative to corpus
-    * (it is broadcast); the only shuffle is the window's hash
-    * repartition by query id.
+    * query row, as a two-phase top-k that survives scale (VERDICT r1:
+    * the previous single-window version shuffled the full N×Q distance
+    * set into ONE reduce task per query — OOM/straggler at 100×).
+    *
+    * Phase 1 (map-side, zero shuffle of the corpus): the query set is
+    * broadcast (same contract as a broadcast hash join — the small
+    * side must fit in memory; route huge query sets through the
+    * LSH/IVF operators instead). Each corpus partition keeps a bounded
+    * k-heap PER QUERY, so at most `partitions × Q × k` candidate rows
+    * ever enter the shuffle — independent of corpus size N.
+    *
+    * Phase 2: one window over the reduced candidate set
+    * (≤ partitions × k rows per query) picks the global top-k.
+    *
+    * Distances are computed with primitive double loops (no
+    * interpreted HOF lambdas) and compared on the ROUNDED value + id —
+    * identical tie-semantics to the DuckDB oracle.
     *
     * Self-matches (same id on both sides) are excluded when
     * `excludeSelf` — the common dedup/similarity-join convention.
@@ -85,19 +115,97 @@ object Knn {
       k: Int,
       metric: String = "l2",
       excludeSelf: Boolean = false): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-    val filtered =
-      if (excludeSelf) joined.filter(col(corpusIdCol) =!= col(queryIdCol))
-      else joined
+    requireFresh(corpus, "distance", "rank")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // Broadcast-collect of the SMALL side only — exactly what a
+    // broadcast hash join does internally; the corpus never leaves the
+    // executors.
+    val qArr: Array[(Long, Array[Double])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .collect()
+    val bc = spark.sparkContext.broadcast(qArr)
+    val dist = scalaDistance(metric)
+
+    val candidates = corpus
+      .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded max-heap of the k best (roundedDist, id)
+        val ord = Ordering.Tuple2[Double, Long] // worst candidate at head
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (cid, cvec) =>
+          if (cvec != null) {
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, qvec) = qs(qi)
+              if (!(excludeSelf && cid == qid) && qvec != null &&
+                  qvec.length == cvec.length) {
+                val d = round6(dist(cvec, qvec))
+                val h = heaps(qi)
+                if (h.size < k) h.enqueue((d, cid))
+                else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (d, cid) => (qid, cid, d) }
+        }
+      }
+      .toDF(queryIdCol, corpusIdCol, "distance")
+
     val w = Window
       .partitionBy(col(queryIdCol))
-      .orderBy(col("distance").asc, col(corpusIdCol).asc)
-    filtered
-      .withColumn("distance",
-        round(distance(metric)(col(corpusVecCol), col(queryVecCol)), 6))
-      .select(col(queryIdCol), col(corpusIdCol), col("distance"))
+      .orderBy(col("distance").asc_nulls_last, col(corpusIdCol).asc)
+    candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col(queryIdCol).asc, col("rank").asc)
+  }
+
+  /** Round to 6 decimals with the SAME semantics as Spark's `round()`
+    * SQL function (shortest-decimal representation, HALF_UP) so the
+    * kernel-computed distances are bit-identical to what the
+    * expression-based `topK` and the DuckDB oracle produce. `math.rint`
+    * (HALF_EVEN on the binary value) would diverge on .5 boundaries.
+    */
+  private[graft] def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Plain-Scala distance kernels (index-ordered double accumulation —
+    * same fold order as the SQL `aggregate(zip_with(...))` composition
+    * and DuckDB's list_* functions).
+    */
+  private[graft] def scalaDistance(metric: String): (Array[Double], Array[Double]) => Double = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    metric match {
+      case "l2" => (a, b) => {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.sqrt(s)
+      }
+      case "l2sq" => (a, b) => {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+      }
+      case "l1" => (a, b) => {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }; s
+      }
+      case "cosine" => (a, b) => 1.0 - dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      case "dot" => (a, b) => -dot(a, b)
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
   }
 }
