@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
 import graft.operators.Knn
+import graft.pipeline.Fever
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +59,58 @@ object SparkEntry {
        |ORDER BY distance, vec_id LIMIT 5""".stripMargin
   private val qVecSql =
     "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+
+  /** Deterministic synthetic "LLM answer" per embeddings row, derived
+    * from the `label` fixture column — stands in for the generative
+    * boundary so the downstream F6/A2/A3 semantics are oracle-checkable.
+    * Index 3 contains BOTH labels to exercise the reference's
+    * SUPPORTS-first extraction order.
+    */
+  private val ansTexts = Seq(
+    "The evidence clearly supports the claim.",
+    "the data refutes this claim.",
+    "inconclusive evidence either way.",
+    "it both supports and refutes parts of the claim.")
+
+  private def synthAnswer(shift: Int): org.apache.spark.sql.Column =
+    element_at(array(ansTexts.map(lit): _*),
+      ((col("label") + shift) % 4 + 1).cast("int"))
+
+  /** DuckDB twin of synthAnswer. */
+  private def synthAnswerSql(shift: Int): String =
+    s"""CASE (label + $shift) % 4
+       | WHEN 0 THEN '${ansTexts(0)}' WHEN 1 THEN '${ansTexts(1)}'
+       | WHEN 2 THEN '${ansTexts(2)}' ELSE '${ansTexts(3)}' END""".stripMargin
+
+  /** DuckDB twin of Fever.extractLabel (F6 — order-preserving). */
+  private def extractSql(ans: String): String =
+    s"""CASE WHEN contains(upper($ans), 'SUPPORTS') THEN 'SUPPORTS'
+       | WHEN contains(upper($ans), 'REFUTES') THEN 'REFUTES'
+       | ELSE 'NOT ENOUGH INFO' END""".stripMargin
+
+  /** Three synthetic answers per row (shifts 0,1,3) → extracted labels,
+    * the input to the voting judge on both engines.
+    */
+  private val voteShifts = Seq(0, 0, 1) // 2-1 majorities (tie-break has its own unit test)
+  private def judgedCol: org.apache.spark.sql.Column =
+    Fever.majorityVote(array(
+      voteShifts.map(sh => Fever.extractLabel(synthAnswer(sh))): _*))
+  private val judgedSqlCte =
+    s"""v AS (SELECT label,
+       |  ${extractSql(synthAnswerSql(0))} AS v0,
+       |  ${extractSql(synthAnswerSql(0))} AS v1,
+       |  ${extractSql(synthAnswerSql(1))} AS v2
+       | FROM embeddings),
+       |c AS (SELECT label,
+       |  CAST(v0 = 'SUPPORTS' AS INT) + CAST(v1 = 'SUPPORTS' AS INT) + CAST(v2 = 'SUPPORTS' AS INT) AS cs,
+       |  CAST(v0 = 'REFUTES' AS INT) + CAST(v1 = 'REFUTES' AS INT) + CAST(v2 = 'REFUTES' AS INT) AS cr,
+       |  CAST(v0 = 'NOT ENOUGH INFO' AS INT) + CAST(v1 = 'NOT ENOUGH INFO' AS INT) + CAST(v2 = 'NOT ENOUGH INFO' AS INT) AS cn
+       | FROM v),
+       |j AS (SELECT label,
+       |  CASE WHEN cs >= cr AND cs >= cn THEN 'SUPPORTS'
+       |       WHEN cr >= cn THEN 'REFUTES'
+       |       ELSE 'NOT ENOUGH INFO' END AS judged
+       | FROM c)""".stripMargin
 
   // ---------------------------------------------------------------
   // queries (driver runs each via Verify at sf0.01)
@@ -123,6 +176,57 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
         k = 2, metric = "cosine", excludeSelf = true)
+    }),
+
+    // --- F6/F4/F5: verdict-label extraction over synthetic answers —
+    //     distribution of extracted labels (exercises the
+    //     both-labels-present SUPPORTS-first order quirk,
+    //     /root/reference/fever_multi_agent.py:170-175)
+    "pipeline_labels" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("verdict", Fever.extractLabel(synthAnswer(0)))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .orderBy(col("verdict"))),
+
+    // --- A2: majority-vote judge over 3 disagreeing answers/row
+    //     (/root/reference/fever_multi_agent.py:166-176)
+    "pipeline_vote" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("judged", judgedCol)
+        .groupBy(col("judged")).agg(count(lit(1)).as("n"))
+        .orderBy(col("judged"))),
+
+    // --- A3/A4/F13: accuracy of voted verdicts vs ground truth derived
+    //     from the label fixture (/root/reference/fever_multi_agent.py:275-296)
+    "pipeline_accuracy" -> ((s, dir) => {
+      val truth = element_at(
+        array(lit(Fever.Supports), lit(Fever.Refutes), lit(Fever.Nei)),
+        (col("label") % 3 + 1).cast("int"))
+      Fever.accuracy(
+        Tables.embeddings(s, dir)
+          .withColumn("truth", truth)
+          .withColumn("final", judgedCol),
+        "final", "truth")
+    }),
+
+    // --- F8/J2/P3: evidence-context assembly — top-3 neighbor snippets
+    //     per query, '[Doc i]' formatted, non-empty text only, positions
+    //     re-enumerated after the filter
+    //     (/root/reference/fever_multi_agent.py:81,126)
+    "context_assembly" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val nb = Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, metric = "l2", excludeSelf = true)
+      val withText = broadcast(nb)
+        .join(docs, nb("vec_id") === docs("doc_id"))
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("query_id"), col("rank"),
+          substring(col("text"), 1, 40).as("snippet"))
+      Fever.contextPerKey(withText, "query_id", "rank", "snippet")
+        .orderBy(col("query_id"))
     }),
 
     // --- vector dimension validation (SURVEY §7.3)
@@ -194,6 +298,46 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "pipeline_labels" ->
+      s"""WITH a AS (SELECT ${synthAnswerSql(0)} AS answer FROM embeddings)
+         |SELECT ${extractSql("answer")} AS verdict, count(*) AS n
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_vote" ->
+      s"""WITH $judgedSqlCte
+         |SELECT judged, count(*) AS n FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pipeline_accuracy" ->
+      s"""WITH $judgedSqlCte,
+         |t AS (SELECT judged,
+         |  CASE label % 3 WHEN 0 THEN 'SUPPORTS' WHEN 1 THEN 'REFUTES'
+         |    ELSE 'NOT ENOUGH INFO' END AS truth
+         | FROM j)
+         |SELECT
+         |  CAST(sum(CASE WHEN contains(upper(judged), upper(truth)) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  count(*) AS n_total,
+         |  round(CAST(sum(CASE WHEN contains(upper(judged), upper(truth)) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM t""".stripMargin,
+
+    "context_assembly" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d),
+        |t AS (SELECT r.query_id, r.rank, substring(doc.text, 1, 40) AS snippet
+        |      FROM r JOIN documents doc ON r.vec_id = doc.doc_id
+        |      WHERE r.rank <= 3 AND doc.text IS NOT NULL AND length(doc.text) > 0),
+        |p AS (SELECT query_id, snippet,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY rank) AS pos
+        |      FROM t)
+        |SELECT query_id,
+        |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
+        |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "knn_join_wide" ->
       """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+/** The non-deterministic boundary of the reference pipeline (SURVEY
+  * §2.10): text→vector embedding (/root/reference/fever_multi_agent.py:49-56)
+  * and the LLM stages answerer/judge/editor (`:130-217`). Both are
+  * modeled as plain traits applied via `mapPartitions` — the instance
+  * is constructed ONCE per partition (where a real implementation
+  * would load a model or open an HTTP client), then applied row-at-a-
+  * time. Offline/test implementations are fully deterministic; nothing
+  * here ever reaches the oracle-checked query path.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Deterministic offline embedder: coordinate i is a signed unit hash
+  * of (text, i), L2-normalized. Stable across JVMs (MurmurHash3 with a
+  * fixed seed), no network, no model files — the test stand-in for the
+  * reference's sentence-transformers call.
+  */
+final class HashEmbedder(val dim: Int = 64) extends Embedder {
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    var ss = 0.0
+    while (i < dim) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(text, i * 2654435761L.toInt)
+      v(i) = h.toFloat / Int.MaxValue // in [-1, 1]
+      ss += v(i) * v(i)
+      i += 1
+    }
+    val n = math.sqrt(ss).toFloat
+    if (n > 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+    v
+  }
+}
+
+/** A text→text stage (answerer / judge / editor in the reference). */
+trait TextTransform extends Serializable {
+  def apply(input: String): String
+}
+
+/** Editor stub — `light` polish is modeled as identity,
+  * `strong` academic rewrite as a deterministic template
+  * (/root/reference/fever_multi_agent.py:202-217).
+  */
+final class StubEditor(strength: String = "light") extends TextTransform {
+  def apply(input: String): String =
+    if (strength == "strong") s"[edited] $input" else input
+}
+
+/** Answerer stub: emits the reference's demanded `Label/Reasoning`
+  * shape (/root/reference/fever_multi_agent.py:132-151) with a
+  * deterministic verdict — a stable hash of (style, prompt) picks one
+  * of the three FEVER labels, so three styles genuinely disagree on
+  * some claims and the voting judge has real work to do in tests.
+  */
+final class StubAnswerer(style: String) extends TextTransform {
+  private val labels = Array(Fever.Supports, Fever.Refutes, Fever.Nei)
+  def apply(prompt: String): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(s"$style|$prompt", 42)
+    val label = labels(math.floorMod(h, 3))
+    s"Label: $label\nReasoning: deterministic stub ($style)"
+  }
+}
+
+object Boundary {
+
+  /** Append `outCol` = embedder(textCol) to every row. The embedder is
+    * built once per partition — the pattern that scales to a real
+    * model (load weights per executor task, stream rows through).
+    */
+  def withEmbedding(df: DataFrame, textCol: String, outCol: String,
+      mk: () => Embedder): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val e = mk()
+      it.map(r => Row.fromSeq(r.toSeq :+ e.embed(r.getString(idx))))
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol` = transform(inCol) to every row — one transform
+    * instance per partition (same lifecycle as withEmbedding).
+    */
+  def withTransformed(df: DataFrame, inCol: String, outCol: String,
+      mk: () => TextTransform): DataFrame = {
+    val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(inCol)
+    df.mapPartitions { it =>
+      val t = mk()
+      it.map(r => Row.fromSeq(r.toSeq :+ t(r.getString(idx))))
+    }(Encoders.row(schema))
+  }
+}

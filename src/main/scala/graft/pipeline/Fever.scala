@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The deterministic (non-LLM) semantics of the reference's FEVER
+  * fact-verification pipeline, re-expressed as Catalyst expressions and
+  * DataFrame operators (SURVEY §2 F6/F8/A2/A3/A4/F13, §2.10).
+  *
+  * The generative stages (answerer/judge-llm/editor) live behind the
+  * [[graft.pipeline.TextTransform]] boundary; everything here is pure
+  * expression logic that Catalyst folds into whole-stage codegen — no
+  * UDFs, no driver-side loops, so it scales with the scan.
+  */
+object Fever {
+
+  val Supports = "SUPPORTS"
+  val Refutes = "REFUTES"
+  val Nei = "NOT ENOUGH INFO"
+
+  /** F6 — verdict-label extraction, a 3-way ordered classify over an
+    * answer string. Preserves the reference's check ORDER
+    * (/root/reference/fever_multi_agent.py:170-175): SUPPORTS is
+    * tested first, so an answer containing BOTH labels yields
+    * SUPPORTS; anything else falls through to NOT ENOUGH INFO.
+    * Case-insensitive via upper() (F4) + substring containment (F5).
+    */
+  def extractLabel(answer: Column): Column = {
+    val up = upper(answer)
+    when(up.contains(Supports), Supports)
+      .when(up.contains(Refutes), Refutes)
+      .otherwise(Nei)
+  }
+
+  /** A2 — majority vote over an array of verdict labels (the
+    * reference's judge `mode="voting"`,
+    * /root/reference/fever_multi_agent.py:166-176). The reference's
+    * Python `max(set(labels), key=labels.count)` is first-wins on set
+    * iteration order — nondeterministic; we pin ties by the same
+    * precedence as F6 (SUPPORTS > REFUTES > NOT ENOUGH INFO), which
+    * keeps the single-label and tied cases consistent.
+    *
+    * Pure expression over a (tiny, fixed-domain) label array — no
+    * shuffle, evaluated row-at-a-time inside codegen.
+    */
+  def majorityVote(labels: Column): Column = {
+    def cnt(l: String): Column =
+      size(filter(labels, x => x === l))
+    val s = cnt(Supports)
+    val r = cnt(Refutes)
+    val n = cnt(Nei)
+    when(s >= r && s >= n, Supports)
+      .when(r >= n, Refutes)
+      .otherwise(Nei)
+  }
+
+  /** Generic mode-per-key (A2 at set level) for arbitrary label
+    * domains: one partial-aggregated shuffle on (key, label), then a
+    * window max with count-desc + label-asc tie-break. Scale-safe: the
+    * shuffle carries one row per distinct (key, label), not per input
+    * row (map-side combine).
+    */
+  def modePerKey(df: DataFrame, keyCol: String, labelCol: String): DataFrame = {
+    val counted = df.groupBy(col(keyCol), col(labelCol)).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("n").desc, col(labelCol).asc)
+    counted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col(labelCol).as("mode"), col("n"))
+  }
+
+  /** F8 — evidence-context assembly: `"\n\n".join("[Doc i] " + doc)`
+    * (/root/reference/fever_multi_agent.py:126,164) over an ARRAY of
+    * doc strings, 1-based index, in array order.
+    */
+  def assembleContext(docs: Column): Column =
+    array_join(
+      zip_with(docs, sequence(lit(1), size(docs)),
+        (d, i) => concat(lit("[Doc "), i, lit("] "), d)),
+      "\n\n")
+
+  /** F8 set-at-a-time: assemble one context string per key from a
+    * (key, rank, doc) relation — the shape knnJoin produces. The
+    * aggregation order of collect_list is nondeterministic, so we
+    * collect (rank, doc) structs and array_sort before joining —
+    * deterministic regardless of shuffle order. Positions are
+    * RE-enumerated 1..m after sorting, matching the reference, which
+    * enumerates the docs that SURVIVED the falsy-content filter
+    * (fever_multi_agent.py:81,126) — no gaps from dropped ranks.
+    */
+  def contextPerKey(df: DataFrame, keyCol: String, rankCol: String,
+      docCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(collect_list(struct(col(rankCol).as("r"), col(docCol).as("d"))).as("rd"))
+      .select(
+        col(keyCol),
+        array_join(
+          zip_with(array_sort(col("rd")), sequence(lit(1), size(col("rd"))),
+            (x, i) => concat(lit("[Doc "), i.cast("string"), lit("] "),
+              x.getField("d"))),
+          "\n\n").as("context"))
+
+  /** J3 — prediction↔ground-truth attach
+    * (/root/reference/fever_multi_agent.py:329): broadcast equi-join on
+    * the claim id; the label side is the small one.
+    */
+  def attachLabels(predictions: DataFrame, labels: DataFrame,
+      idCol: String): DataFrame =
+    predictions.join(broadcast(labels), idCol)
+
+  /** A3/A4/F13 — accuracy evaluation
+    * (/root/reference/fever_multi_agent.py:275-296): a prediction is
+    * correct when the ground-truth label is a substring of the
+    * upper-cased final answer (`:281-286` — the reference's own weak
+    * oracle, reproduced faithfully), accuracy = correct/total with the
+    * reference's explicit zero-guard (`:288`).
+    */
+  def isCorrect(finalAnswer: Column, groundTruth: Column): Column =
+    upper(finalAnswer).contains(upper(groundTruth))
+
+  def accuracy(df: DataFrame, finalCol: String, labelCol: String): DataFrame = {
+    val total = count(lit(1))
+    val correct = sum(when(isCorrect(col(finalCol), col(labelCol)), 1L).otherwise(0L))
+    df.agg(
+      correct.cast("bigint").as("n_correct"),
+      total.as("n_total"),
+      when(total > 0, round(correct.cast("double") / total, 6))
+        .otherwise(0.0).as("accuracy"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Knn
+
+/** Set-at-a-time re-expression of the reference's per-claim loop
+  * (/root/reference/fever_multi_agent.py:222-255,301-345 — SURVEY §3
+  * E2/E3): the Python `for claim: retrieve → answer ×3 → judge → edit`
+  * becomes ONE lazy plan — a batch KNN join, a grouped context
+  * assembly, three boundary transforms, and expression-level
+  * vote/extract — executed once at the sink. The only shuffles are the
+  * KNN candidate merge and the context groupBy.
+  */
+object FeverPipeline {
+
+  /** @param claims   (id LONG, claim STRING, label STRING) — S3 shape
+    * @param corpus   (vec_id LONG, embedding ARRAY<FLOAT>)
+    * @param docs     (doc_id LONG, text STRING)
+    * @return one row per claim:
+    *   (id, claim, label, context, answers ARRAY<STRING>, judged, final)
+    */
+  def run(
+      claims: DataFrame,
+      corpus: DataFrame,
+      docs: DataFrame,
+      embedder: () => Embedder,
+      k: Int = 5,
+      styles: Seq[String] = Seq("precise", "balanced", "creative"),
+      editorStrength: String = "light"): DataFrame = {
+
+    // (1) Retrieval: embed claims, batch-KNN against the corpus, attach
+    // doc text, assemble one context string per claim (F8).
+    val embedded = Boundary.withEmbedding(claims, "claim", "q_vec", embedder)
+      .select(col("id").as("query_id"), col("q_vec"))
+    val neighbors = Knn.knnJoin(corpus, "vec_id", "embedding",
+      embedded, "query_id", "q_vec", k = k, metric = "l2")
+    // docs side of the join is the big table at scale; the k·Q neighbor
+    // set is the small side — broadcast it (ADVICE r1 direction).
+    val withText = broadcast(neighbors)
+      .join(docs, neighbors("vec_id") === docs("doc_id"))
+      // Reference drops falsy content client-side (P3,
+      // fever_multi_agent.py:81)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val contexts = Fever.contextPerKey(withText, "query_id", "rank", "text")
+
+    // (2) Answerers ×styles over (claim + context) — the L1 boundary.
+    val prompted = claims
+      .join(contexts, claims("id") === contexts("query_id"), "left")
+      .withColumn("prompt",
+        concat_ws("\n\n", col("claim"), coalesce(col("context"), lit(""))))
+      .drop("query_id")
+    val answered = styles.zipWithIndex.foldLeft(prompted) { case (df, (style, i)) =>
+      Boundary.withTransformed(df, "prompt", s"answer_$i",
+        () => new StubAnswerer(style))
+    }
+    val answers = array(styles.indices.map(i => col(s"answer_$i")): _*)
+
+    // (3) Voting judge (A2 over F6-extracted labels) + editor boundary.
+    val judged = answered
+      .withColumn("answers", answers)
+      .withColumn("judged",
+        Fever.majorityVote(transform(answers, a => Fever.extractLabel(a))))
+    val edited = Boundary.withTransformed(judged, "judged", "final",
+      () => new StubEditor(editorStrength))
+
+    edited.select("id", "claim", "label", "context", "answers", "judged", "final")
+  }
+
+  /** E3 tail: accuracy of `final` vs ground-truth `label` (A3/F13). */
+  def evaluate(results: DataFrame): DataFrame =
+    Fever.accuracy(results, "final", "label")
+}

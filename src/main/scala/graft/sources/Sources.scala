@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Front/back doors of the reference pipeline (SURVEY §2 S3/S4/S5/S6).
+  *
+  * Schemas are EXPLICIT, never inferred — inference is a full extra
+  * pass over the data at scale and can flip types between runs.
+  */
+object Sources {
+
+  /** FEVER claims record (/root/reference/fever_multi_agent.py:268-272). */
+  val claimsSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("claim", StringType),
+    StructField("label", StringType)))
+
+  /** S3 — claims JSONL source: line-delimited JSON is Spark's native
+    * JSON format, so the reference's per-line `json.loads` loop
+    * (/root/reference/fever_multi_agent.py:260-273) is a plain
+    * schema'd read. `limit` mirrors the reference's head-N (T4); the
+    * read is ordered by file position within a single file, but we
+    * re-sort by id downstream wherever determinism matters.
+    */
+  def claimsJsonl(spark: SparkSession, path: String, limit: Int = Int.MaxValue): DataFrame = {
+    val df = spark.read.schema(claimsSchema).json(path)
+    if (limit == Int.MaxValue) df else df.limit(limit)
+  }
+
+  /** S4 — bulk ingest: the reference's `pg_restore` of a dump
+    * (/root/reference/setup.sh:73-77) maps to read→write.parquet.
+    * `sortWithinPartitions` by the id keeps row groups clustered for
+    * later min/max skipping; partition count controls file sizes at
+    * scale (aim ~128 MB per file).
+    */
+  def ingestParquet(df: DataFrame, outPath: String, sortCol: Option[String] = None,
+      numFiles: Option[Int] = None): Unit = {
+    val repart = numFiles.map(df.repartition).getOrElse(df)
+    val sorted = sortCol.map(repart.sortWithinPartitions(_)).getOrElse(repart)
+    sorted.write.mode("overwrite").parquet(outPath)
+  }
+
+  /** S5 — results JSON sink (/root/reference/fever_multi_agent.py:342-345).
+    * Distributed write: one JSONL part per partition. For the
+    * reference's single ordered golden file, coalesce(1) + orderBy
+    * first (only sane for small result sets — it serializes the write).
+    */
+  def writeResultsJson(df: DataFrame, outPath: String, singleFile: Boolean = false,
+      orderCol: Option[String] = None): Unit = {
+    val ordered = orderCol.map(c => df.orderBy(col(c))).getOrElse(df)
+    val out = if (singleFile) ordered.coalesce(1) else ordered
+    out.write.mode("overwrite").json(outPath)
+  }
+
+  /** S6 — console report sink (test_connection.py's formatted prints). */
+  def consoleReport(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = 80)
+}

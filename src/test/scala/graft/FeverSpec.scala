@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Fever
+
+/** Unit coverage of the deterministic FEVER pipeline semantics
+  * (SURVEY §2 F6/A2/F8/A3/F13), including the reference's ordering
+  * quirks that the oracle queries can't isolate.
+  */
+class FeverSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(s: String): String =
+    Seq(s).toDF("a").select(Fever.extractLabel($"a")).head().getString(0)
+
+  test("F6 label extraction: order quirk — SUPPORTS wins when both present") {
+    assert(extract("This clearly SUPPORTS the claim") === "SUPPORTS")
+    assert(extract("the evidence refutes it") === "REFUTES")
+    assert(extract("no idea") === "NOT ENOUGH INFO")
+    // the reference checks SUPPORTS FIRST (fever_multi_agent.py:170-175)
+    assert(extract("it REFUTES x but supports y") === "SUPPORTS")
+    assert(extract("") === "NOT ENOUGH INFO")
+  }
+
+  private def vote(ls: String*): String =
+    Seq(Tuple1(ls.toArray)).toDF("ls")
+      .select(Fever.majorityVote($"ls")).head().getString(0)
+
+  test("A2 majority vote: majorities and pinned tie-breaks") {
+    assert(vote("SUPPORTS", "SUPPORTS", "REFUTES") === "SUPPORTS")
+    assert(vote("REFUTES", "REFUTES", "NOT ENOUGH INFO") === "REFUTES")
+    assert(vote("NOT ENOUGH INFO", "NOT ENOUGH INFO", "SUPPORTS") === "NOT ENOUGH INFO")
+    // 1-1-1 tie → SUPPORTS (pinned to F6 precedence)
+    assert(vote("SUPPORTS", "REFUTES", "NOT ENOUGH INFO") === "SUPPORTS")
+    // R vs NEI tie (no SUPPORTS) → REFUTES
+    assert(vote("REFUTES", "NOT ENOUGH INFO") === "REFUTES")
+  }
+
+  test("A2 modePerKey: count-desc then label-asc tie-break, map-side combine") {
+    val df = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"),
+      (2L, "b"), (2L, "a") // tie → "a" (label asc)
+    ).toDF("k", "l")
+    val got = Fever.modePerKey(df, "k", "l")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "b", 2L -> "a"))
+  }
+
+  test("F8 context assembly: 1-based [Doc i] join, array order") {
+    val got = Seq(Tuple1(Array("alpha", "beta")))
+      .toDF("docs").select(Fever.assembleContext($"docs")).head().getString(0)
+    assert(got === "[Doc 1] alpha\n\n[Doc 2] beta")
+  }
+
+  test("F8 contextPerKey: re-enumerates after gaps, deterministic under shuffle") {
+    // ranks 2 and 5 (a filter dropped the rest) → positions 1, 2
+    val df = Seq((7L, 5, "tail"), (7L, 2, "head")).toDF("k", "rank", "d")
+      .repartition(4)
+    val got = Fever.contextPerKey(df, "k", "rank", "d").head().getString(1)
+    assert(got === "[Doc 1] head\n\n[Doc 2] tail")
+  }
+
+  test("A3 accuracy: substring oracle + zero-guard") {
+    val df = Seq(
+      ("Label: SUPPORTS — yes", "SUPPORTS"), // substring match
+      ("REFUTES", "SUPPORTS"),               // miss
+      ("not enough info", "NOT ENOUGH INFO") // case-insensitive match
+    ).toDF("final", "label")
+    val r = Fever.accuracy(df, "final", "label").head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.666667)
+    // F13 zero-guard: empty input → accuracy 0.0, not null
+    val z = Fever.accuracy(df.limit(0), "final", "label").head()
+    assert(z.getLong(1) === 0L && z.getDouble(2) === 0.0)
+  }
+}
