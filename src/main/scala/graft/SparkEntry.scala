@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.Knn
+import graft.operators.{Dedup, Knn}
 import graft.pipeline.Fever
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -229,6 +229,45 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // --- Dedup family (north-star): exact content dedup with
+    //     deterministic min-id representative. The fixture has no
+    //     exact dups, so we materialize copies in-query (ids shifted
+    //     +10000) and prove the originals win.
+    "dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactDedup(doubled, "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"), sum(col("doc_id")).as("id_checksum"))
+    }),
+
+    // --- Near-dedup: MinHash(32)+LSH(8 bands) candidates verified
+    //     with exact 3-gram-shingle Jaccard >= 0.5. Oracle is the
+    //     brute-force all-pairs Jaccard — equality also PROVES LSH
+    //     recall = 1.0 on the planted near-dup pairs.
+    "dedup_near" -> ((s, dir) =>
+      Dedup.nearDuplicates(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(col("text")) > 0),
+        "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 8,
+        threshold = 0.5)),
+
+    // --- Embedding near-dup: 20 globally-closest nearest-neighbor
+    //     pairs by cosine distance (each vector contributes its NN;
+    //     pair direction canonicalized). Reuses the scale-safe knnJoin.
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val nn = Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 1, metric = "cosine", excludeSelf = true)
+      nn.select(
+          least(col("query_id"), col("vec_id")).as("id_a"),
+          greatest(col("query_id"), col("vec_id")).as("id_b"),
+          col("distance"))
+        .distinct()
+        .orderBy(col("distance"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -338,6 +377,45 @@ object SparkEntry {
         |SELECT query_id,
         |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH doubled AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+        |rep AS (SELECT min(doc_id) AS rep_id FROM doubled GROUP BY text)
+        |SELECT count(*) AS n_unique, sum(rep_id) AS id_checksum FROM rep""".stripMargin,
+
+    "dedup_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id,
+        |        round(1.0 - list_cosine_similarity(b.x, a.x), 6) AS distance
+        |      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d),
+        |nn AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+        |         distance
+        |       FROM r WHERE rank = 1)
+        |SELECT DISTINCT id_a, id_b, distance FROM nn
+        |ORDER BY distance, id_a, id_b LIMIT 20""".stripMargin,
 
     "knn_join_wide" ->
       """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

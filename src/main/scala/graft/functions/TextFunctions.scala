@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis primitives for the LLM-data-pipeline extensions
+  * (north-star brief): tokenization, shingling, quality heuristics,
+  * language ID, fingerprinting. All pure Catalyst expressions — they
+  * inline into whole-stage codegen and scale with the scan, no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lower-cased, empties dropped. Split on a
+    * single space (not \\s+) so the DuckDB oracle (`string_split`)
+    * tokenizes identically; the empty-token filter makes runs of
+    * spaces equivalent anyway.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count heuristic: words + digits + punctuation
+    * runs counted separately (the usual ~chars/4 proxy is corpus
+    * dependent; this regex split is deterministic and cheap).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?U)(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)"), t => length(trim(t)) > 0))
+
+  /** Distinct word n-gram shingles ("a b c" strings). Texts with fewer
+    * than n tokens contribute their whole token join as one shingle so
+    * short docs still participate in similarity.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    array_distinct(
+      when(size(toks) >= n, grams)
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  /** Punctuation character ratio (Unicode-aware). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "(?U)[^\\p{Punct}]", ""))
+    when(length(text) > 0, round(punct.cast("double") / length(text), 6))
+      .otherwise(0.0)
+  }
+
+  /** Ratio of tokens that are stopwords (tiny fixed English list — a
+    * quality heuristic, not linguistics).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "it", "that", "this", "for", "on", "with", "as", "at", "be")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val sw = size(filter(toks, t => t.isin(stopwords: _*)))
+    when(size(toks) > 0, round(sw.cast("double") / size(toks), 6))
+      .otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length in a healthy band,
+    * punctuation not dominating, some stopwords present (prose-ness).
+    * Weights are heuristic; the value is its determinism.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text)
+    val lenScore = when(len >= 100 && len <= 10000, 1.0)
+      .when(len > 0, 0.5).otherwise(0.0)
+    val punctScore = when(punctRatio(text) < 0.1, 1.0).otherwise(0.5)
+    val swScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+  }
+
+  /** N-gram-profile language ID heuristic: score each candidate
+    * language by hits of its most frequent function words / character
+    * patterns; highest score wins, ties broken by language code. Tiny
+    * profile set — enough for the fixture's {en,de,es,fr,zh}.
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with "),
+    "es" -> Seq(" el ", " los ", " las ", " es ", " una ", " que "),
+    "fr" -> Seq(" le ", " les ", " est ", " une ", " dans ", " qui "))
+
+  def languageId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    // CJK characters dominate → zh, else best function-word profile
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
+    val scores = langProfiles.map { case (lang, markers) =>
+      val s = markers.map(m =>
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+          / m.length).reduce(_ + _)
+      (lang, s)
+    }
+    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      // strictly-greater keeps earlier (alphabetical) language on ties
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+    when(cjk * 2 > length(text), "zh").otherwise(best)
+  }
+
+  /** Rolling-hash document fingerprint: order-SENSITIVE 64-bit hash of
+    * the token stream (polynomial rolling hash, base 31), so permuted
+    * texts fingerprint differently while identical content is stable
+    * across runs/JVMs. Cheap content-identity key for exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+}

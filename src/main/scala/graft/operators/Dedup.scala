@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star brief): exact content dedup, MinHash+LSH near-dedup on
+  * word shingles, SimHash fingerprints, and exact n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-partitioned shuffle on the content key
+  *    with a min-id window — no join, no collect.
+  *  - near-dedup never goes quadratic: MinHash signatures are computed
+  *    map-side per row; candidate generation shuffles on (band, band
+  *    hash) so only same-bucket rows ever meet; exact Jaccard runs on
+  *    candidate pairs only. Known caveat: a degenerate bucket (many
+  *    boilerplate-identical docs) makes that bucket's self-join
+  *    quadratic — mitigate upstream with exact dedup first (it removes
+  *    identical texts, the usual cause) and/or a bucket-size cap.
+  *  - all hashes are xxhash64 (stable across JVMs/runs).
+  */
+object Dedup {
+
+  /** Content identity key — hash of the raw text. */
+  def contentKey(text: Column): Column = xxhash64(text)
+
+  /** Exact dedup: keep ONE row per distinct `textCol` value, the one
+    * with the smallest `idCol` (deterministic representative, unlike
+    * `dropDuplicates` which keeps an arbitrary row). One shuffle on
+    * the 64-bit content key; the full-text equality check inside the
+    * window partition guards the (vanishing) hash-collision case.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol)), col(textCol))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Duplicate-group stats: one row per text value occurring more than
+    * once — (representative id, copy count). Partial-aggregated.
+    */
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("rep_id"), col("n_copies"))
+
+  /** MinHash signature over a shingle array: k independent hash
+    * functions (xxhash64 seeded by slot), each taking the min over the
+    * row's shingles. Pure expressions, computed map-side.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))): _*)
+
+  /** LSH banding: candidate pairs whose signatures collide in at least
+    * one of `bands` bands of `rowsPerBand` hashes. Returns distinct
+    * (id_a, id_b) with id_a < id_b. The shuffle key is the band hash —
+    * corpus-size-linear, never all-pairs.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(col(shingleCol), numHashes)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * r + 1, r))): _*)
+    val buckets = df
+      .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      round(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)), 6))
+      .otherwise(0.0)
+
+  /** Near-duplicate pairs: MinHash+LSH candidates verified with exact
+    * shingle Jaccard >= threshold. Output (id_a, id_b, jaccard),
+    * totally ordered. End-to-end: map-side shingle+signature → banded
+    * shuffle → candidate pairs → two id-keyed joins to fetch shingle
+    * sets → exact verify. No stage is quadratic in corpus size.
+    *
+    * Band selection: with b bands of r = numHashes/b rows, the catch
+    * probability S-curve is centered near (1/b)^(1/r) — the default
+    * (b=8, r=4) targets J ≳ 0.6. For a LOW threshold, use more bands
+    * of fewer rows (b=32, r=1 catches J=0.4 with P≈1-(1-J)^32); for a
+    * high one, fewer wider bands cut candidate noise.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
+    val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands)
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
+    * cross join: TEST SCALE ONLY, never the production path.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol),
+      TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // -------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------
+
+  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** 64-bit SimHash over a shingle array: each shingle's hash votes
+    * ±1 per bit position; the fingerprint sets bits with positive
+    * vote sums. Near-identical shingle sets → small Hamming distance.
+    * Pure expressions (bitwise AND against a mask array — no
+    * per-lambda shift support needed).
+    */
+  def simhash(shingles: Column): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(bitMasks, m => when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(votes, bitMasks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming
+    * (<= 15). LSH by pigeonhole: fingerprints within Hamming d of each
+    * other agree on at least one of 4 16-bit chunks when d <= 3 — we
+    * always use 4 chunks, which is exact for maxHamming <= 3 and a
+    * recall-lossy heuristic above that (documented, standard practice).
+    * Same banding shuffle shape as MinHash LSH.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol),
+      simhash(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__fp"))
+    val chunks = array((0 until 4).map(c =>
+      shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val buckets = fp.select(col(idCol), col("__fp"),
+      posexplode(chunks).as(Seq("chunk", "val")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col("a.__fp"), col("b.__fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),   // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "spark engines process completely different content here"),
+    (5L, "xy")                                             // < n tokens
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-id representative only") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(0L, 2L, 3L, 4L, 5L))
+    val groups = Dedup.duplicateGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(groups.toSeq === Seq((0L, 2L)))
+  }
+
+  test("wordShingles: distinct n-grams; short docs fall back to whole join") {
+    val sh = docs.select(TextFunctions.wordShingles($"text", 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).contains("the quick brown") && sh(0).contains("lazy dog" ) === false)
+    assert(sh(5) === Seq("xy"))
+    // "the lazy dog" appears once though "the" repeats — distinct
+    assert(sh(0).distinct.length === sh(0).length)
+  }
+
+  test("jaccard: exact set similarity") {
+    val j = Seq((Array("a", "b", "c"), Array("b", "c", "d")))
+      .toDF("a", "b").select(Dedup.jaccard($"a", $"b")).head().getDouble(0)
+    assert(j === 0.5)
+  }
+
+  test("LSH near-dup finds exactly the brute-force pairs (recall check)") {
+    // low threshold → r=1 banding (see nearDuplicates scaladoc S-curve)
+    val lsh = Dedup.nearDuplicates(docs, "doc_id", "text",
+        numHashes = 32, bands = 32, threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    assert(lsh.toSet === exact.toSet)
+    assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
+  }
+
+  test("simhash: identical texts identical, near texts close, far texts far") {
+    val fp = docs.select(Dedup.simhash(TextFunctions.wordShingles($"text", 3)).as("f"))
+      .as[Long].collect()
+    assert(fp(0) === fp(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0), fp(2)) < ham(fp(0), fp(3)),
+      s"near-dup hamming ${ham(fp(0), fp(2))} must beat unrelated ${ham(fp(0), fp(3))}")
+    // deterministic across evaluations
+    val fp2 = docs.select(Dedup.simhash(TextFunctions.wordShingles($"text", 3)).as("f"))
+      .as[Long].collect()
+    assert(fp.toSeq === fp2.toSeq)
+  }
+
+  test("simhashPairs surfaces exact dup pairs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+  }
+}
