@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Ann, Dedup, Knn}
 import graft.pipeline.Fever
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -268,6 +268,31 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // --- ANN/IVF: KMeans index build + probe-ALL — probing every
+    //     inverted list must reproduce exact KNN bit-for-bit (the
+    //     oracle proves the IVF plumbing loses nothing); approximation
+    //     quality vs nprobe is covered by AnnSpec on clustered data.
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 8, seed = 42)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 3, nprobe = 8, metric = "l2")
+    }),
+
+    // --- ANN/LSH: hyperplane-bucketed approximate cosine KNN
+    //     (rows-only: bucket contents are hash-dependent; recall is
+    //     asserted in AnnSpec)
+    "ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Ann.annJoinCosine(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, numPlanes = 8, probeBits = 2)
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -288,7 +313,7 @@ object SparkEntry {
     * driver checks rows-only). Keep this set explicit so tests catch
     * accidentally-unoracled queries.
     */
-  def rowsOnly: Set[String] = Set()
+  def rowsOnly: Set[String] = Set("ann_cosine")
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -377,6 +402,20 @@ object SparkEntry {
         |SELECT query_id,
         |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    // probe-all IVF == exact KNN join (same oracle shape as knn_join)
+    "ann_ivf" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "dedup_exact" ->
       """WITH doubled AS (

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor operators — the 100 TB scale path the
+  * exact KNN operators can't provide (SURVEY §7.2 step 6; the
+  * reference's deployed engine supports ivfflat/hnsw indexes it never
+  * exercises, SURVEY §2.11 — batch index BUILD is Spark's sweet spot,
+  * low-latency serving is not and is delegated).
+  *
+  * Two families:
+  *  - Random-hyperplane LSH (cosine): signature/bucket assignment is a
+  *    pure map-side expression; probing joins query buckets to corpus
+  *    buckets — shuffle keyed by bucket, candidate set ≈ N/2^planes
+  *    per probe, then exact re-rank of candidates only.
+  *  - IVF (any metric): MLlib KMeans builds nlist centroids; the
+  *    corpus is written `partitionBy("cluster_id")` so a probe prunes
+  *    to nprobe partitions at the parquet SCAN (Catalyst partition
+  *    pruning — the probe reads nprobe/nlist of the data).
+  *
+  * Recall on clustered data tracks the probe fraction superlinearly;
+  * on uniform-random vectors (like the driver fixture) it approaches
+  * the probe fraction itself — tests assert both the mechanism and
+  * the probe-all == exact identity rather than a magic constant.
+  */
+object Ann {
+
+  /** Deterministic Gaussian hyperplanes (java.util.Random is spec'd —
+    * stable across JVMs).
+    */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(vec: Column, plane: Array[Double]): Column =
+    aggregate(
+      zip_with(vec.cast("array<double>"), typedlit(plane), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-bit LSH bucket (packed int) for a vector column: bit i =
+    * [v · plane_i >= 0]. Two vectors with small angle collide with
+    * high probability. Map-side only; also usable as a write-time
+    * partition column.
+    */
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    if (planes.isEmpty) lit(0) // degenerate: single bucket = exact scan
+    else planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Multi-probe bucket list for a query: its own bucket plus every
+    * bucket within Hamming distance `probeBits` of it (flip 0..probeBits
+    * sign bits — standard multi-probe LSH; probeBits=1 → planes+1
+    * probes).
+    */
+  private def probeBuckets(bucket: Int, numPlanes: Int, probeBits: Int): Seq[Int] = {
+    require(probeBits <= 2, "probeBits > 2 explodes the probe list; raise nprobe instead")
+    val one = (0 until numPlanes).map(i => bucket ^ (1 << i))
+    val two = if (probeBits >= 2)
+      for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+        yield bucket ^ (1 << i) ^ (1 << j)
+    else Seq.empty
+    (Seq(bucket) ++ (if (probeBits >= 1) one else Seq.empty) ++ two).distinct
+  }
+
+  /** Approximate batch KNN by cosine distance via hyperplane LSH:
+    * bucket the corpus map-side, expand each query to its multi-probe
+    * bucket list, join on bucket (the only shuffle), exact-re-rank the
+    * candidates per query. Same output shape as [[Knn.knnJoin]].
+    */
+  def annJoinCosine(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      numPlanes: Int = 12,
+      probeBits: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(corpusVecCol))).head().getInt(0)
+    val planes = hyperplanes(dim, numPlanes, seed)
+
+    val bucketed = corpus.withColumn("__bucket",
+      hyperplaneBucket(col(corpusVecCol), planes))
+
+    // queries are the small side: compute their buckets + probe lists
+    // driver-side (broadcast join below keeps the corpus map-side)
+    val qRows = queries
+      .withColumn("__qb", hyperplaneBucket(col(queryVecCol), planes))
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"), col("__qb"))
+      .as[(Long, Array[Double], Int)].collect()
+    val probes = qRows.flatMap { case (qid, qv, qb) =>
+      probeBuckets(qb, numPlanes, probeBits).map(b => (qid, qv, b))
+    }.toSeq.toDF(queryIdCol, queryVecCol, "__bucket")
+
+    val cand = bucketed.join(broadcast(probes), "__bucket")
+      .filter(col(corpusIdCol) =!= col(queryIdCol))
+      .withColumn("distance",
+        round(Knn.distance("cosine")(col(corpusVecCol), col(queryVecCol)), 6))
+      .filter(col("distance").isNotNull)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("distance").asc, col(corpusIdCol).asc)
+    cand
+      .select(col(queryIdCol), col(corpusIdCol), col("distance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col(queryIdCol), col("rank"))
+  }
+
+  // -------------------------------------------------------------
+  // IVF
+  // -------------------------------------------------------------
+
+  /** IVF index build: KMeans over a sample/full corpus → per-row
+    * cluster assignment. Returns (assigned corpus with `cluster_id`,
+    * centroids as plain arrays). Deterministic for a fixed seed and
+    * input partitioning.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L, maxIter: Int = 20): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feat = corpus.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cluster_id")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("__features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Persist an IVF-partitioned corpus: one parquet partition per
+    * cluster. A probe that filters `cluster_id IN (...)` is answered
+    * with Catalyst partition PRUNING — only nprobe/nlist of the bytes
+    * are read. This is the batch analogue of pgvector's ivfflat lists.
+    */
+  def ivfWrite(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** nprobe nearest centroid ids for one query vector (driver-side —
+    * centroids are nlist × dim, tiny by construction).
+    */
+  def nearestClusters(centers: Array[Array[Double]], query: Array[Double],
+      nprobe: Int): Seq[Int] = {
+    val d = Knn.scalaDistance("l2")
+    centers.zipWithIndex.map { case (c, i) => (d(c, query), i) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** IVF probe: exact top-k within the nprobe nearest inverted lists.
+    * Reading from an [[ivfWrite]] path, the `isin` filter prunes at
+    * the source — verify with .explain: PartitionFilters on
+    * cluster_id.
+    */
+  def ivfProbe(spark: SparkSession, path: String, centers: Array[Array[Double]],
+      idCol: String, vecCol: String, query: Array[Double], k: Int,
+      nprobe: Int, metric: String = "l2"): DataFrame = {
+    val clusters = nearestClusters(centers, query, nprobe)
+    val scan = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(clusters: _*))
+    val dist = round(Knn.distance(metric)(col(vecCol), typedlit(query)), 6)
+    scan
+      .withColumn("distance", dist)
+      .filter(col("distance").isNotNull)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch IVF probe over an in-memory assigned corpus: per-query
+    * probe lists explode to (query, cluster_id) pairs, the join on
+    * cluster_id hits only probed lists, exact window top-k re-ranks.
+    * The shuffle moves only probed-cluster rows, not the corpus.
+    */
+  def ivfProbeJoin(assigned: DataFrame, centers: Array[Array[Double]],
+      corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int, metric: String = "l2"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val probes = qRows.flatMap { case (qid, qv) =>
+      nearestClusters(centers, qv, nprobe).map(c => (qid, qv, c))
+    }.toSeq.toDF(queryIdCol, queryVecCol, "cluster_id")
+    val cand = assigned.join(broadcast(probes), "cluster_id")
+      .filter(col(corpusIdCol) =!= col(queryIdCol))
+      .withColumn("distance",
+        round(Knn.distance(metric)(col(corpusVecCol), col(queryVecCol)), 6))
+      .filter(col("distance").isNotNull)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("distance").asc, col(corpusIdCol).asc)
+    cand
+      .select(col(queryIdCol), col(corpusIdCol), col("distance"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col(queryIdCol), col("rank"))
+  }
+}

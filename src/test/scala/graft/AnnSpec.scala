@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Knn}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 10 tight clusters of 30 vectors in 16-dim — data where ANN recall
+    * targets are meaningful (the driver fixture is uniform-random,
+    * where recall necessarily tracks the probe fraction).
+    */
+  private lazy val clustered = {
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 30
+    } yield (c * 30L + i,
+      centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def recallAtK(got: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]]): Double = {
+    val per = exact.map { case (q, e) =>
+      got.get(q).map(g => g.toSet.intersect(e.toSet).size.toDouble / e.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+  private lazy val queries10 = clustered.filter($"vec_id" % 30 === 0)
+    .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+
+  private lazy val exactCosine = topkMap(Knn.knnJoin(clustered, "vec_id", "embedding",
+    queries10, "query_id", "q_vec", k = 5, metric = "cosine", excludeSelf = true))
+
+  test("LSH annJoinCosine: recall@5 >= 0.9 on clustered data") {
+    val ann = topkMap(Ann.annJoinCosine(clustered, "vec_id", "embedding",
+      queries10, "query_id", "q_vec", k = 5, numPlanes = 12, probeBits = 1))
+    val r = recallAtK(ann, exactCosine)
+    assert(r >= 0.9, s"recall@5 = $r")
+  }
+
+  test("LSH with zero planes degenerates to exact (identity check)") {
+    val ann = topkMap(Ann.annJoinCosine(clustered, "vec_id", "embedding",
+      queries10, "query_id", "q_vec", k = 5, numPlanes = 0, probeBits = 0))
+    assert(ann === exactCosine)
+  }
+
+  test("IVF probe-all equals exact; recall rises with nprobe") {
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
+      nlist = 10, seed = 42)
+    def ivf(nprobe: Int) = topkMap(Ann.ivfProbeJoin(assigned, centers,
+      "vec_id", "embedding", queries10, "query_id", "q_vec",
+      k = 5, nprobe = nprobe, metric = "cosine"))
+    val all = ivf(10)
+    assert(all === exactCosine, "nprobe = nlist must equal exact KNN")
+    val r2 = recallAtK(ivf(2), exactCosine)
+    assert(r2 >= 0.9, s"clustered data, nprobe=2/10: recall@5 = $r2")
+  }
+
+  test("IVF parquet layout: probe prunes partitions at the scan") {
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
+      nlist = 10, seed = 42)
+    val path = Files.createTempDirectory("graft_ivf").resolve("idx").toString
+    Ann.ivfWrite(assigned, path)
+    val q = clustered.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val probe = Ann.ivfProbe(spark, path, centers, "vec_id", "embedding",
+      q, k = 5, nprobe = 2)
+    // correctness: the query's own cluster is probed → its tight
+    // neighbors are found
+    val ids = probe.select("vec_id").as[Long].collect()
+    assert(ids.length === 5 && ids.forall(_ < 30))
+    // plan-level proof of pruning: PartitionFilters carries cluster_id
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"expected partition pruning in plan:\n$plan")
+  }
+}
