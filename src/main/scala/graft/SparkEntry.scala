@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Ann, Dedup, Knn}
 import graft.pipeline.Fever
 
@@ -293,6 +293,74 @@ object SparkEntry {
         k = 3, numPlanes = 8, probeBits = 2)
     }),
 
+    // --- Text analysis (north-star): per-language corpus stats
+    "text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"))
+        .orderBy(col("lang"))),
+
+    // --- Top-10 corpus terms (explode tokens → partial-agg count)
+    "text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)),
+
+    // --- Language-ID heuristic scored against the fixture's lang
+    //     column (n-gram/function-word profiles + CJK dominance)
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .withColumn("pred", TextFunctions.languageId(col("text")))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .cast("bigint").as("n_correct"))
+        .orderBy(col("lang"))),
+
+    // --- Doc quality heuristics per source (token/stopword stats)
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),
+          round(avg(TextFunctions.stopwordRatio(col("text"))), 6).as("avg_stopword_ratio"))
+        .orderBy(col("source"))
+        .limit(10)),
+
+    // --- Batch time-window aggregation over the events table
+    //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
+    //     analytics, no streaming runtime needed)
+    "events_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+        .limit(50)),
+
+    // --- F11 JSON field extraction from the props column
+    "events_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -402,6 +470,78 @@ object SparkEntry {
         |SELECT query_id,
         |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(avg(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0))), 6) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    "text_langid" -> {
+      val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
+        val hits = ms.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+          .mkString(" + ")
+        s"$hits AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH padded AS (
+         |  SELECT lang, text, ' ' || lower(text) || ' ' AS p FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |scored AS (
+         |  SELECT lang, text,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         |    $scoreSql
+         |  FROM padded),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+         |         ELSE (CASE WHEN m <= 0 THEN 'und' $pick ELSE 'und' END)
+         |    END AS pred
+         |  FROM (SELECT *, $maxExpr AS m FROM scored))
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "text_quality" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT source,
+         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |q AS (
+         |  SELECT source, len(toks) AS n_toks,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6)
+         |    ELSE 0.0 END AS sw_ratio
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(n_toks), 6) AS avg_tokens,
+         |  round(avg(sw_ratio), 6) AS avg_stopword_ratio
+         |FROM q GROUP BY source ORDER BY source LIMIT 10""".stripMargin
+    },
+
+    "events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 50""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // probe-all IVF == exact KNN join (same oracle shape as knn_join)
     "ann_ivf" ->

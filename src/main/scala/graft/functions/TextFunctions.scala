@@ -81,35 +81,45 @@ object TextFunctions {
     * patterns; highest score wins, ties broken by language code. Tiny
     * profile set — enough for the fixture's {en,de,es,fr,zh}.
     */
-  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq(" der ", " und ", " die ", " ist ", " nicht ", " das "),
     "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with "),
     "es" -> Seq(" el ", " los ", " las ", " es ", " una ", " que "),
     "fr" -> Seq(" le ", " les ", " est ", " une ", " dans ", " qui "))
 
+  /** Marker hit count via the replace-length trick (plain substring
+    * replace, no regex — byte-for-byte replicable in any SQL engine).
+    */
+  private def markerHits(padded: Column, m: String): Column =
+    (length(padded) - length(replace(padded, lit(m), lit("")))) / m.length
+
+  /** CJK character count (BMP unified-ideograph block). */
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[一-鿿]", ""))
+
   def languageId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    // CJK characters dominate → zh, else best function-word profile
-    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", ""))
     val scores = langProfiles.map { case (lang, markers) =>
-      val s = markers.map(m =>
-        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
-          / m.length).reduce(_ + _)
-      (lang, s)
+      (lang, markers.map(m => markerHits(padded, m)).reduce(_ + _))
     }
-    val best = scores.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
-      // strictly-greater keeps earlier (alphabetical) language on ties
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    // first language (profile order) attaining the strictly-positive max
+    val best = scores.foldLeft((lit("und"), lit(0).cast("double"))) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }._1
-    when(cjk * 2 > length(text), "zh").otherwise(best)
+    // CJK characters dominating the text wins outright
+    when(cjkCount(text) * 2 > length(text), "zh").otherwise(best)
   }
 
-  /** Rolling-hash document fingerprint: order-SENSITIVE 64-bit hash of
-    * the token stream (polynomial rolling hash, base 31), so permuted
-    * texts fingerprint differently while identical content is stable
-    * across runs/JVMs. Cheap content-identity key for exact dedup.
+  /** Rolling-hash document fingerprint: order-SENSITIVE hash of the
+    * token stream (polynomial rolling hash, base 31, mod 2^47), so
+    * permuted texts fingerprint differently while identical content is
+    * stable across runs/JVMs. The 47-bit field keeps every
+    * intermediate below 2^53 — no long overflow under ANSI mode.
     */
+  private val FpMod = 1L << 47
+
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(1125899906842597L % FpMod),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
 }

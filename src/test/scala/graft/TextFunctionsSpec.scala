@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("v")).head().getAs[T]("v")
+
+  test("tokens/tokenCount: lowercase, empties dropped") {
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "The  quick   Fox") === 3)
+    assert(one[Seq[String]](TextFunctions.tokens(col("t")), "A b  C")
+      === Seq("a", "b", "c"))
+  }
+
+  test("languageId: profile languages, CJK, und fallback") {
+    assert(one[String](TextFunctions.languageId(col("t")),
+      "the cat and the dog is in the house with food") === "en")
+    assert(one[String](TextFunctions.languageId(col("t")),
+      "der hund und die katze ist nicht da") === "de")
+    assert(one[String](TextFunctions.languageId(col("t")),
+      "el perro es una mascota que vive en los parques") === "es")
+    assert(one[String](TextFunctions.languageId(col("t")),
+      "le chien est une bête qui vit dans les parcs") === "fr")
+    assert(one[String](TextFunctions.languageId(col("t")),
+      "你好世界这是中文文本") === "zh")
+    assert(one[String](TextFunctions.languageId(col("t")), "xyzzy plugh") === "und")
+  }
+
+  test("punctRatio and stopwordRatio") {
+    assert(one[Double](TextFunctions.punctRatio(col("t")), "ab,.") === 0.5)
+    assert(one[Double](TextFunctions.punctRatio(col("t")), "") === 0.0)
+    // "the" and "of" are stopwords → 2/4
+    assert(one[Double](TextFunctions.stopwordRatio(col("t")), "the best of times") === 0.5)
+  }
+
+  test("fingerprint: deterministic, order-sensitive, content-keyed") {
+    val f1 = one[Long](TextFunctions.fingerprint(col("t")), "a b c")
+    val f2 = one[Long](TextFunctions.fingerprint(col("t")), "a b c")
+    val f3 = one[Long](TextFunctions.fingerprint(col("t")), "c b a")
+    assert(f1 === f2)
+    assert(f1 !== f3, "rolling hash must be order-sensitive")
+  }
+
+  test("qualityScore: prose beats noise") {
+    val prose = ("the quick brown fox jumps over the lazy dog and runs " * 5)
+    val noise = ";;;;!!!???...,,," // punctuation, no stopwords, short
+    assert(one[Double](TextFunctions.qualityScore(col("t")), prose) >
+      one[Double](TextFunctions.qualityScore(col("t")), noise))
+  }
+}
