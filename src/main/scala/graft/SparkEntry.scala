@@ -248,7 +248,7 @@ object SparkEntry {
       Dedup.nearDuplicates(
         Tables.documents(s, dir)
           .filter(col("text").isNotNull && length(col("text")) > 0),
-        "doc_id", "text", shingleLen = 3, numHashes = 32, bands = 8,
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 8,
         threshold = 0.5)),
 
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
@@ -361,6 +361,20 @@ object SparkEntry {
           max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // --- J3/entry shape: KNN result (small, broadcast) joined to the
+    //     documents table for content projection — the oracle-checked
+    //     twin of the flagship entry()
+    "doc_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      broadcast(Knn.topK(emb, "vec_id", "embedding",
+          queryVec(s, dir, 0), "q_vec", 5, "l2"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("distance"),
+          substring(col("text"), 1, 80).as("preview"))
+        .orderBy(col("distance"), col("vec_id"))
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -470,6 +484,14 @@ object SparkEntry {
         |SELECT query_id,
         |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "doc_join" ->
+      s"""WITH knn AS (
+         |  SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $qVecSql), 6) AS distance
+         |  FROM embeddings ORDER BY distance, vec_id LIMIT 5)
+         |SELECT k.vec_id, k.distance, substring(d.text, 1, 80) AS preview
+         |FROM knn k JOIN documents d ON k.vec_id = d.doc_id
+         |ORDER BY k.distance, k.vec_id""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,

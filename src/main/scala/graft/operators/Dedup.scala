@@ -50,27 +50,60 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .select(col("rep_id"), col("n_copies"))
 
-  /** MinHash signature over a shingle array: k independent hash
-    * functions (xxhash64 seeded by slot), each taking the min over the
-    * row's shingles. Pure expressions, computed map-side.
+  /** MinHash is computed in two stages so each piece of work happens
+    * ONCE: (1) each shingle gets a single string hash (the expensive
+    * part); (2) the k slot hashes derive from it with a multiply-add
+    * universal family in a 31-bit field (products stay < 2^53 — exact
+    * and ANSI-overflow-safe). Hashing a shingle k times with k seeds
+    * would cost k full string passes for the same statistical effect.
+    */
+  private val MinhashMod = 1L << 31
+
+  /** Deterministic (a, b) multiplier/offset pairs — java.util.Random
+    * is spec'd, stable across JVMs. `a` odd, < 2^20.
+    */
+  private def hashParams(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(0x5EED1234L)
+    Array.fill(numHashes)(
+      (rnd.nextInt((1 << 19) - 1).toLong * 2 + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Stage 1: one 31-bit hash per shingle. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MinhashMod)))
+
+  /** Stage 2: k-slot signature from pre-hashed shingles. */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    array(hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinhashMod))))
+    }.toIndexedSeq: _*)
+
+  /** Convenience one-shot signature. Inside an operator, prefer the
+    * staged projections (see lshCandidates) so stage 1 isn't inlined
+    * k times by expression substitution.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(shingles, s => xxhash64(lit(j), s)))): _*)
+    minhashFromHashes(shingleHashes(shingles), numHashes)
 
   /** LSH banding: candidate pairs whose signatures collide in at least
     * one of `bands` bands of `rowsPerBand` hashes. Returns distinct
     * (id_a, id_b) with id_a < id_b. The shuffle key is the band hash —
     * corpus-size-linear, never all-pairs.
+    *
+    * Staged as separate projections (hashes → signature → band
+    * explode); each alias is referenced more than once downstream, so
+    * CollapseProject keeps the stages and every expensive expression
+    * evaluates exactly once per row.
     */
   def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
-    val sig = minhashSignature(col(shingleCol), numHashes)
     val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(sig, b * r + 1, r))): _*)
+      xxhash64(lit(b), slice(col("__sig"), b * r + 1, r))): _*)
     val buckets = df
+      .select(col(idCol), shingleHashes(col(shingleCol)).as("__hs"))
+      .select(col(idCol), minhashFromHashes(col("__hs"), numHashes).as("__sig"))
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -102,10 +135,16 @@ object Dedup {
     * high one, fewer wider bands cut candidate noise.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // The shingle projection feeds three consumers (banding + both
+    // sides of the verify join); without persistence Catalyst would
+    // recompute the tokenize+shingle+hash work three times — at scale
+    // that, not the shuffle, dominates. MEMORY_AND_DISK so oversized
+    // corpora spill instead of OOM.
     val sh = df.select(col(idCol),
       TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands)
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
