@@ -24,28 +24,50 @@ object VectorFunctions {
   /** Cast to ARRAY<DOUBLE> — all distance math is double-precision. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
+  /** The fused-codegen [[graft.functions.expressions.VectorDistance]]
+    * expression is the default; set GRAFT_VECTOR_CODEGEN=false (env)
+    * or -Dgraft.vector.codegen=false to fall back to the built-in
+    * `aggregate(zip_with(...))` composition (identical numerics — the
+    * A/B switch exists for benchmarking and triage).
+    */
+  private def codegenEnabled: Boolean =
+    sys.env.get("GRAFT_VECTOR_CODEGEN")
+      .orElse(sys.props.get("graft.vector.codegen"))
+      .forall(_.toBoolean)
+
+  private def native(metric: String, a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.expressions.VectorDistance(metric,
+      GraftBridge.expression(toDouble(a)),
+      GraftBridge.expression(toDouble(b))))
+  }
+
   /** Inner product: sum_i a_i*b_i. pgvector `<#>` is the NEGATIVE inner
     * product; we expose the plain dot product and let callers negate.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
+    if (codegenEnabled) native("dot", a, b)
+    else aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),
       (acc, v) => acc + v)
 
   /** Squared Euclidean distance (no sqrt — cheaper for pure ranking). */
   def l2Sq(a: Column, b: Column): Column =
-    aggregate(
+    if (codegenEnabled) native("l2sq", a, b)
+    else aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, v) => acc + v)
 
   /** Euclidean (L2) distance — pgvector `<->`. */
-  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+  def l2(a: Column, b: Column): Column =
+    if (codegenEnabled) native("l2", a, b) else sqrt(l2Sq(a, b))
 
   /** Manhattan (L1) distance — pgvector `<+>`. */
   def l1(a: Column, b: Column): Column =
-    aggregate(
+    if (codegenEnabled) native("l1", a, b)
+    else aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => abs(x - y)),
       lit(0.0),
       (acc, v) => acc + v)
@@ -54,7 +76,9 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]. */
-  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineSim(a: Column, b: Column): Column =
+    if (codegenEnabled) native("cosine_sim", a, b)
+    else dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine distance = 1 - cosine similarity — pgvector `<=>`. */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)

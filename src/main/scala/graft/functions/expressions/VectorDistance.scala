@@ -1,0 +1,131 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Fused vector-distance Catalyst Expression — the one justified
+  * custom-codegen piece (SURVEY §4, §7.3): the built-in
+  * `aggregate(zip_with(...))` composition evaluates per-element with
+  * interpreted higher-order lambdas; this emits a primitive double
+  * while-loop via `doGenCode`, so the distance sits INSIDE whole-stage
+  * codegen with zero allocation per row.
+  *
+  * Metrics: l2, l2sq, l1, dot (raw inner product), cosine_sim.
+  * Numerics are IDENTICAL to the built-in composition (index-ordered
+  * double accumulation; cosine = dot/(sqrt(dot(a,a))*sqrt(dot(b,b)))),
+  * so oracle hash-matches are preserved whichever path is active.
+  *
+  * Null semantics (same observable results as the HOF composition,
+  * which nulls the whole fold when zip_with pads or hits a null
+  * element): null input, length mismatch, or any null element → null.
+  */
+case class VectorDistance(metric: String, left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs are guaranteed ARRAY<DOUBLE> by the VectorFunctions wrapper
+  // (explicit cast), so no ExpectsInputTypes (private[sql]) is needed.
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"vec_$metric"
+
+  VectorDistance.require(metric)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    metric match {
+      case "l2" | "l2sq" =>
+        var acc = 0.0; i = 0
+        while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+        if (metric == "l2") math.sqrt(acc) else acc
+      case "l1" =>
+        var acc = 0.0; i = 0
+        while (i < n) { acc += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
+        acc
+      case "dot" =>
+        var acc = 0.0; i = 0
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+        acc
+      case "cosine_sim" =>
+        var dd = 0.0; var na = 0.0; var nb = 0.0; i = 0
+        while (i < n) {
+          val xi = x.getDouble(i); val yi = y.getDouble(i)
+          dd += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+        }
+        dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val d = ctx.freshName("d")
+      val body = metric match {
+        case "l2" | "l2sq" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |  double $d = $a.getDouble($i) - $b.getDouble($i);
+             |  $acc += $d * $d;
+             |}
+             |if (!${ev.isNull}) ${ev.value} = ${if (metric == "l2") s"java.lang.Math.sqrt($acc)" else acc};
+             |""".stripMargin
+        case "l1" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |  $acc += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
+             |}
+             |if (!${ev.isNull}) ${ev.value} = $acc;
+             |""".stripMargin
+        case "dot" =>
+          s"""double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |  $acc += $a.getDouble($i) * $b.getDouble($i);
+             |}
+             |if (!${ev.isNull}) ${ev.value} = $acc;
+             |""".stripMargin
+        case "cosine_sim" =>
+          s"""double $acc = 0.0; double $na = 0.0; double $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |  double $d = $a.getDouble($i); double ${d}y = $b.getDouble($i);
+             |  $acc += $d * ${d}y; $na += $d * $d; $nb += ${d}y * ${d}y;
+             |}
+             |if (!${ev.isNull}) ${ev.value} = $acc / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+             |""".stripMargin
+      }
+      s"""int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $body
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorDistance {
+  val metrics: Set[String] = Set("l2", "l2sq", "l1", "dot", "cosine_sim")
+  private[expressions] def require(metric: String): Unit =
+    Predef.require(metrics.contains(metric), s"unknown metric: $metric")
+}
