@@ -375,6 +375,32 @@ object SparkEntry {
         .orderBy(col("distance"), col("vec_id"))
     }),
 
+    // --- Chunker (reference's chunk_id generator shape): explode each
+    //     doc into 200-char chunks; per-lang chunk stats
+    "text_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          posexplode(TextFunctions.chunk(col("text"), 200)).as(Seq("chunk_id", "chunk")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          round(avg(length(col("chunk"))), 6).as("avg_chunk_chars"),
+          max(col("chunk_id")).as("max_chunk_id"))
+        .orderBy(col("lang"))),
+
+    // --- Multi-way star join: revenue per nation (customer ⋈ orders ⋈
+    //     lineitem ⋈ nation) — dims broadcast, one shuffle per fact key
+    "q_nation_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -484,6 +510,29 @@ object SparkEntry {
         |SELECT query_id,
         |  string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "text_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    generate_subscripts(ch, 1) - 1 AS chunk_id, unnest(ch) AS chunk
+        |  FROM (SELECT doc_id, lang,
+        |          list_transform(range(0, CAST(ceil(length(text) / 200.0) AS INT)),
+        |            i -> substring(text, i * 200 + 1, 200)) AS ch
+        |        FROM documents WHERE text IS NOT NULL AND length(text) > 0))
+        |SELECT lang, count(*) AS n_chunks,
+        |  round(avg(length(chunk)), 6) AS avg_chunk_chars,
+        |  CAST(max(chunk_id) AS INT) AS max_chunk_id
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "doc_join" ->
       s"""WITH knn AS (

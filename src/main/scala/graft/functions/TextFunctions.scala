@@ -111,6 +111,16 @@ object TextFunctions {
     when(cjkCount(text) * 2 > length(text), "zh").otherwise(best)
   }
 
+  /** Fixed-size character chunker — the generator-shaped op implied by
+    * the reference's `chunk_id` column (its corpus was chunked before
+    * embedding, SURVEY §1.1). Returns the ordered array of chunks;
+    * explode with posexplode to get (chunk_id, chunk) rows.
+    */
+  def chunk(text: Column, chunkChars: Int): Column =
+    transform(
+      sequence(lit(0), floor((length(text) - 1) / chunkChars).cast("int")),
+      i => substring(text, (i * chunkChars + 1).cast("int"), lit(chunkChars)))
+
   /** Rolling-hash document fingerprint: order-SENSITIVE hash of the
     * token stream (polynomial rolling hash, base 31, mod 2^47), so
     * permuted texts fingerprint differently while identical content is

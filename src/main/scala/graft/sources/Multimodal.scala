@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (north-star brief): images/audio/video
+  * ride through the engine as opaque BINARY payloads plus a typed
+  * metadata struct; decode / feature-extraction / resize /
+  * frame-sampling are per-partition boundary transforms with the same
+  * lifecycle as [[graft.pipeline.Boundary]] (construct the decoder
+  * once per partition — where a real implementation loads its native
+  * codec — then stream rows through).
+  *
+  * The actual byte decoding is STUBBED (this environment has no
+  * image/audio libraries): [[HashFeatureDecoder]] derives a
+  * deterministic feature vector from the payload bytes, and the frame
+  * sampler slices the payload at fixed offsets. Everything
+  * Spark-facing — schema, nullability, partitioning, per-partition
+  * batching, column wiring — is real and tested; swapping in a true
+  * codec is a one-class change.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = true)))
+
+  /** Decoder boundary: bytes (+ metadata) → fixed-dim feature vector. */
+  trait MediaDecoder extends Serializable {
+    def dim: Int
+    def decode(payload: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in for a real decoder+encoder: features are
+    * seeded hashes of the payload bytes, L2-normalized. STUB — replace
+    * with a codec-backed implementation in production.
+    */
+  final class HashFeatureDecoder(val dim: Int = 32) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](dim)
+      var ss = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = scala.util.hashing.MurmurHash3.bytesHash(payload, i)
+        v(i) = h.toFloat / Int.MaxValue
+        ss += v(i) * v(i)
+        i += 1
+      }
+      val n = math.sqrt(ss).toFloat
+      if (n > 0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+      v
+    }
+  }
+
+  /** Append `outCol`: ARRAY<FLOAT> features decoded from `payloadCol`.
+    * Null payloads produce null features (kept, not dropped — callers
+    * filter). One decoder per partition.
+    */
+  def withFeatures(df: DataFrame, payloadCol: String, outCol: String,
+      mk: () => MediaDecoder): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(FloatType), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      val dec = mk()
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ (if (p == null) null else dec.decode(p)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling for video payloads: emit `n` evenly-spaced frames
+    * per row as (parent columns..., frame_idx INT, frame BINARY).
+    * STUB slicing (fixed-size byte windows) — a real implementation
+    * seeks keyframes; the EXPLODED row shape, ordering column and
+    * partition behavior are what downstream code depends on.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, n: Int): DataFrame = {
+    val schema = df.schema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("frame", BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        if (p == null || p.isEmpty) Iterator.empty
+        else {
+          val step = math.max(1, p.length / n)
+          (0 until math.min(n, p.length)).iterator.map { f =>
+            val start = f * step
+            val frame = p.slice(start, math.min(start + step, p.length))
+            Row.fromSeq(r.toSeq :+ f :+ frame)
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Payload "resize" stub: deterministic downsample of the byte
+    * stream to at most `maxBytes` (every k-th byte). Real impl:
+    * image scaling. Expression-only — stays in codegen.
+    */
+  def resizePayload(payload: org.apache.spark.sql.Column, maxBytes: Int): org.apache.spark.sql.Column =
+    when(payload.isNull, payload)
+      .otherwise(substring(payload, 1, maxBytes)) // binary substring = byte slice
+
+  /** Synthesize a deterministic media table from the documents fixture
+    * (text bytes as payloads) — lets multimodal plumbing be exercised
+    * without binary fixtures.
+    */
+  def synthesizeFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"), lit(1000).as("duration_ms")).as("meta"))
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, BinaryType, FloatType}
+
+import graft.sources.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.synthesizeFromDocs(Tables.documents(spark, sf0001))
+      .repartition(4)
+
+  test("synthesized media table matches the canonical schema shape") {
+    val f = media.schema.fields.map(x => (x.name, x.dataType.typeName)).toMap
+    assert(f("media_id") === "long" && f("payload") === "binary" && f("meta") === "struct")
+    assert(media.select("kind").distinct().as[String].collect().toSet
+      === Set("image", "audio", "video"))
+  }
+
+  test("withFeatures: per-partition decode appends ARRAY<FLOAT>, null-safe, deterministic") {
+    val withNull = media.union(
+      media.limit(1).withColumn("media_id", lit(-1L))
+        .withColumn("payload", lit(null).cast(BinaryType)))
+    val out = Multimodal.withFeatures(withNull, "payload", "features",
+      () => new Multimodal.HashFeatureDecoder(32))
+    assert(out.schema("features").dataType === ArrayType(FloatType))
+    // null payload → null features, kept
+    assert(out.filter($"media_id" === -1L).select($"features".isNull).head().getBoolean(0))
+    // decode is deterministic and unit-norm
+    val v1 = out.filter($"media_id" === 0L).select("features").head().getSeq[Float](0)
+    val v2 = Multimodal.withFeatures(media, "payload", "features",
+      () => new Multimodal.HashFeatureDecoder(32))
+      .filter($"media_id" === 0L).select("features").head().getSeq[Float](0)
+    assert(v1 === v2)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0f) < 1e-4)
+    // decoded features flow into the existing vector operators
+    val feats = out.filter($"features".isNotNull)
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val q = feats.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    assert(graft.operators.Knn.topK(feats, "vec_id", "embedding", q, "q_vec", 3, "cosine")
+      .count() === 3)
+  }
+
+  test("sampleFrames: n evenly-spaced byte windows, ordered frame_idx") {
+    val frames = Multimodal.sampleFrames(
+      media.filter($"kind" === "video"), "payload", n = 4)
+    assert(frames.schema.fieldNames.takeRight(2).toSeq === Seq("frame_idx", "frame"))
+    val one = frames.filter($"media_id" === media.filter($"kind" === "video")
+        .select(min("media_id")).head().getLong(0))
+      .select("frame_idx", "frame").collect()
+    assert(one.map(_.getInt(0)).toSeq === (0 until one.length))
+    assert(one.forall(r => r.get(1) != null))
+  }
+
+  test("resizePayload caps payload size, null passthrough") {
+    val out = media.withColumn("small", Multimodal.resizePayload($"payload", 16))
+    val lens = out.select(length($"small")).as[Int].collect()
+    assert(lens.forall(_ <= 16))
+  }
+}
