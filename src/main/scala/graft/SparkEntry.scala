@@ -401,6 +401,18 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))),
 
+    // --- Sessionization (batch twin of the streaming
+    //     flatMapGroupsWithState operator; 30-min gap): per-user
+    //     session rollup for the first 10 users
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventStreams.batchSessionize(
+          Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id")).limit(10)),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -607,6 +619,25 @@ object SparkEntry {
         |  count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 50""".stripMargin,
+
+    "events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |b AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b),
+        |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  max(n) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id LIMIT 10""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,

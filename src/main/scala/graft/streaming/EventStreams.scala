@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream analytics (north-star extension; the reference itself
+  * is batch-only, SURVEY §2.9). Each semantic exists twice:
+  *
+  *  - a BATCH implementation over the events table (window functions —
+  *    deterministic, DuckDB-oracle-checkable), and
+  *  - a STRUCTURED STREAMING implementation (`readStream`-compatible:
+  *    watermarked windowed aggregation; sessionization as custom state
+  *    via `flatMapGroupsWithState`).
+  *
+  * Tests assert the two implementations agree on the same data — the
+  * streaming path is verified against the oracle-verified batch path.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts — works on both batch and
+    * streaming DataFrames (on batch the watermark is a no-op).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
+      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n"), col("sum_value"))
+
+  // -------------------------------------------------------------
+  // Sessionization
+  // -------------------------------------------------------------
+
+  /** Batch sessionization: a session breaks when the gap to the
+    * previous event of the same user exceeds `gapSeconds`. Classic
+    * lag + running-sum-of-breaks; time compared in whole microseconds
+    * (`unix_micros`) so the DuckDB oracle (`epoch_us`) is exact.
+    * Two window passes over one user-keyed shuffle partitioning —
+    * scale-safe (no driver state, partial aggs for the final rollup).
+    */
+  def batchSessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(byUser)
+    val breaks = events
+      .withColumn("__us", us)
+      .withColumn("__brk",
+        when(prev.isNull || (col("__us") - prev) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+    val runningSession = sum(col("__brk"))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    breaks
+      .withColumn("session_id", runningSession)
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionAgg(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+  case class SState(start: Long, last: Long, cnt: Long, total: Double)
+
+  /** Streaming sessionization with custom per-user state: sessions
+    * CLOSE when a later event arrives past the gap (data-driven);
+    * the open tail session stays in state. Production deployments
+    * add `GroupStateTimeout.EventTimeTimeout` + a watermark so idle
+    * users flush on time alone; the state transition logic is
+    * identical, so the batch-equivalence test covers it.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SState]) =>
+          // within-batch arrival order is not time order — sort the batch
+          val evs = it.toArray.sortBy(e => (e.ts_us, e.value))
+          var st = state.getOption.orNull
+          val closed = Array.newBuilder[SessionAgg]
+          evs.foreach { e =>
+            if (st == null) {
+              st = SState(e.ts_us, e.ts_us, 1L, e.value)
+            } else if (e.ts_us - st.last > gapUs) {
+              closed += SessionAgg(uid, st.start, st.last, st.cnt,
+                math.rint(st.total * 1e6) / 1e6)
+              st = SState(e.ts_us, e.ts_us, 1L, e.value)
+            } else {
+              st = SState(st.start, e.ts_us, st.cnt + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+}

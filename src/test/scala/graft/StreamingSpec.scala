@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, SessionAgg}
+
+/** The streaming operators are verified by EQUIVALENCE with their
+  * oracle-checked batch twins on identical data — the strongest check
+  * available without a second streaming engine.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def microsTs(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  test("streaming windowed counts == batch windowed counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 500).map { i =>
+      (new java.sql.Timestamp(base + i * 137 * 1000L),
+        Seq("click", "view", "purchase")(i % 3), (i % 7).toDouble)
+    }
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(sdf, "ts", "event_type", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete)
+      .start()
+    stream.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wc")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.windowedCounts(
+        rows.toDF("ts", "event_type", "value"), "ts", "event_type", "1 hour", "2 hours")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming sessionization == batch sessionization (closed sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new java.util.Random(11)
+    // 20 users × bursts with >gap holes
+    val evs = for {
+      u <- 0L until 20L
+      burst <- 0 until 4
+      i <- 0 until (1 + rnd.nextInt(5))
+    } yield Ev(u,
+      (burst * 7200L + i * 60L + rnd.nextInt(30)) * 1000000L,
+      (u + burst + i).toDouble)
+
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStream(stream.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append)
+      .start()
+    // feed in two chunks to exercise cross-batch state
+    val (c1, c2) = evs.splitAt(evs.size / 2)
+    stream.addData(c1: _*)
+    q.processAllAvailable()
+    stream.addData(c2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess").as[SessionAgg].collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+
+    val batchDf = EventStreams.batchSessionize(
+      evs.toDF().withColumn("ts", timestamp_micros($"ts_us")),
+      "user_id", "ts", "ts_us", gapSeconds = 1800)
+    // batch sees ALL sessions; the streaming side's per-user tail
+    // session is still open in state — drop each user's last session
+    val batch = batchDf.collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).valuesIterator
+      .flatMap(ss => ss.sortBy(_._2).dropRight(1).toSeq).toSet
+
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+}
