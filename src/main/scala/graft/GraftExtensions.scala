@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.expressions.VectorDistance
+
+/** SQL-surface registration (SURVEY's preference (c): custom pieces
+  * plug in via SparkSessionExtensions): exposes the fused-codegen
+  * distance family to `spark.sql(...)` / `expr(...)` users as
+  * `vec_l2`, `vec_l2sq`, `vec_l1`, `vec_dot`, `vec_cosine_sim`.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    VectorDistance.metrics.foreach { metric =>
+      val name = s"vec_$metric"
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[VectorDistance].getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name expects exactly 2 array arguments")
+          val Seq(a, b) = children.map(Cast(_, ArrayType(DoubleType)))
+          VectorDistance(metric, a, b)
+        }))
+    }
+  }
+}

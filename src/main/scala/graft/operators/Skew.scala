@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys. First line of defense is AQE's
+  * runtime skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+  * on by default); these operators cover the cases AQE does not:
+  * broadcast-ineligible joins planned before stats exist, and
+  * aggregations whose per-key state (collect_list, large distinct
+  * sets) concentrates on one reducer even after partial aggregation.
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side gets a deterministic salt
+    * in [0, buckets); the small side is exploded `buckets`× so every
+    * (key, salt) pair still matches exactly once. A hot key's rows
+    * spread across `buckets` reducers instead of one. Join output is
+    * IDENTICAL to the unsalted join — salting only re-partitions work.
+    *
+    * The salt must distribute a single key's rows, so it cannot be a
+    * function of the key alone — seeded rand() (deterministic per
+    * partition layout, and the RESULT is salt-invariant regardless).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      buckets: Int, seed: Long = 42L): DataFrame = {
+    require(buckets > 0)
+    val salted = big.withColumn("__salt", (rand(seed) * buckets).cast("int"))
+    val exploded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(exploded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for ALGEBRAIC aggregates: phase 1
+    * aggregates (key, salt) groups — a hot key becomes `buckets`
+    * partial rows on different reducers; phase 2 merges the partials
+    * per key. Caller supplies both phases, e.g.
+    * phase1 = sum("v") as "s", phase2 = sum("s") as "total".
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], buckets: Int,
+      phase1: Seq[Column], phase2: Seq[Column], seed: Long = 42L): DataFrame = {
+    require(buckets > 0)
+    val keyRefs = keyCols.map(col)
+    df.withColumn("__salt", (rand(seed) * buckets).cast("int"))
+      .groupBy(keyRefs :+ col("__salt"): _*)
+      .agg(phase1.head, phase1.tail: _*)
+      .groupBy(keyRefs: _*)
+      .agg(phase2.head, phase2.tail: _*)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end check of the SparkSessionExtensions registration: a
+  * session built with GraftExtensions answers pure-SQL distance
+  * queries through the codegen expression.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_* functions are callable from spark.sql") {
+    val prev = spark // keep shared session to restore
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT
+          |  vec_l2(array(0.0, 3.0), array(4.0, 0.0)) AS l2,
+          |  vec_l2sq(array(0.0, 3.0), array(4.0, 0.0)) AS l2sq,
+          |  vec_l1(array(1.0, 2.0), array(3.0, 5.0)) AS l1,
+          |  vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS dot,
+          |  vec_cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS cos
+          |""".stripMargin).head()
+      assert(r.getDouble(0) === 5.0)
+      assert(r.getDouble(1) === 25.0)
+      assert(r.getDouble(2) === 5.0)
+      assert(r.getDouble(3) === 11.0)
+      assert(r.getDouble(4) === 1.0)
+      // float arrays cast through cleanly; dim mismatch → NULL
+      val r2 = s2.sql(
+        "SELECT vec_l2(array(CAST(1.0 AS FLOAT)), array(1.0)) AS ok, " +
+        "vec_l2(array(1.0), array(1.0, 2.0)) AS bad").head()
+      assert(r2.getDouble(0) === 0.0 && r2.isNullAt(1))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share key 0 — the shape that melts a single reducer
+  private lazy val skewed = (0 until 10000).map { i =>
+    (if (i % 10 == 0) i.toLong % 100 else 0L, i.toDouble)
+  }.toDF("k", "v")
+
+  private lazy val dim = (0L until 100L).map(k => (k, s"name_$k")).toDF("k", "name")
+
+  test("saltedJoin output equals the plain join") {
+    val plain = skewed.join(dim, "k")
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedJoin(skewed, dim, "k", buckets = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), round(sum("v"), 6).as("s"))
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("saltedAgg equals the plain aggregation") {
+    val plain = skewed.groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 6).as("total"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAgg(skewed, Seq("k"), buckets = 8,
+        phase1 = Seq(count(lit(1)).as("pn"), sum("v").as("ps")),
+        phase2 = Seq(sum("pn").as("n"), round(sum("ps"), 6).as("total")))
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+  }
+}
