@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan audits: the scale properties the operators claim
+  * (broadcast sides, bounded top-k, partial aggregation, column
+  * pruning, filter pushdown) pinned as assertions on the executed
+  * plan, so a regression that silently flips a join side or un-pushes
+  * a filter fails CI instead of melting a cluster later.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("single-query KNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
+    val p = plan("knn_l2")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("doc_join broadcasts the k-row KNN side") {
+    val p = plan("doc_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q1_agg does partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("q_sample prunes columns at the parquet scan") {
+    val p = plan("q_sample")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text>"),
+      s"scan should read only projected columns: $readSchema")
+  }
+
+  test("q_nonempty pushes the null filter to the scan") {
+    val p = plan("q_nonempty")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("IsNotNull"), s"expected pushed IsNotNull: $pushed")
+  }
+
+  test("knn_join's shuffled candidate set is partition-bounded, not N x Q") {
+    // the two-phase top-k runs the corpus through mapPartitions
+    // (object scan) and only the per-partition k-heap survivors reach
+    // the window — no Window directly over the joined corpus
+    val p = plan("knn_join")
+    assert(p.contains("MapPartitions"), p.take(900))
+    val windowIdx = p.indexOf("Window")
+    val mapIdx = p.indexOf("MapPartitions")
+    assert(windowIdx >= 0 && mapIdx > windowIdx,
+      "window must consume the reduced candidate set (MapPartitions below it)")
+  }
+
+  test("star join broadcasts the nation dimension") {
+    val p = plan("q_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+  }
+
+  test("events scan prunes to the projected columns") {
+    val p = plan("events_json")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"events_json should not read user_id: $readSchema")
+  }
+}
