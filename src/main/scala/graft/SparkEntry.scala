@@ -413,6 +413,27 @@ object SparkEntry {
           max(col("n_events")).as("max_session_events"))
         .orderBy(col("user_id")).limit(10)),
 
+    // --- Distinct aggregation (expand + two-phase agg)
+    "q_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    // --- Window rank-per-group: 2 highest-value orders per priority
+    "q_top_orders" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -619,6 +640,20 @@ object SparkEntry {
         |  count(*) AS n, round(sum(value), 6) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 50""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 2 ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "events_sessions" ->
       """WITH e AS (
