@@ -58,14 +58,18 @@ object FeverPipeline {
     val answers = array(styles.indices.map(i => col(s"answer_$i")): _*)
 
     // (3) Voting judge (A2 over F6-extracted labels) + editor boundary.
+    // answers_json mirrors the reference's json.dumps of the drafts for
+    // the judge prompt (F12, fever_multi_agent.py:182).
     val judged = answered
       .withColumn("answers", answers)
+      .withColumn("answers_json", to_json(answers))
       .withColumn("judged",
         Fever.majorityVote(transform(answers, a => Fever.extractLabel(a))))
     val edited = Boundary.withTransformed(judged, "judged", "final",
       () => new StubEditor(editorStrength))
 
-    edited.select("id", "claim", "label", "context", "answers", "judged", "final")
+    edited.select("id", "claim", "label", "context", "answers",
+      "answers_json", "judged", "final")
   }
 
   /** E3 tail: accuracy of `final` vs ground-truth `label` (A3/F13). */

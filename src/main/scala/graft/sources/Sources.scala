@@ -54,6 +54,16 @@ object Sources {
     out.write.mode("overwrite").json(outPath)
   }
 
-  /** S6 — console report sink (test_connection.py's formatted prints). */
-  def consoleReport(df: DataFrame, n: Int = 20): Unit = df.show(n, truncate = 80)
+  /** S6 — console report sink (test_connection.py's formatted prints).
+    * Double columns are formatted to 4 decimals with thousands
+    * separators (F9 — the reference's `distance:.4f` / `count:,`,
+    * test_connection.py:52,110). Presentation-only: never used on the
+    * oracle-checked query path.
+    */
+  def consoleReport(df: DataFrame, n: Int = 20): Unit =
+    df.select(df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        format_number(col(f.name), 4).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*).show(n, truncate = 80)
 }

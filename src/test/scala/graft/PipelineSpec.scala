@@ -77,6 +77,10 @@ class PipelineSpec extends SparkSpec {
     assert(r1.forall { case (_, j, f, c) =>
       Set("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")(j) && f == j && c.startsWith("[Doc 1] ")
     })
+    // F12: the drafts serialize to a parseable JSON array per claim
+    val aj = FeverPipeline.run(claims, corpus, docs, () => new HashEmbedder(64), k = 3)
+      .select("answers_json").head().getString(0)
+    assert(aj.startsWith("[") && aj.contains("Label:"))
     // accuracy is a multiple of 1/4 in [0,1]
     assert(a1 >= 0.0 && a1 <= 1.0 && (a1 * 4) == math.rint(a1 * 4))
   }
