@@ -274,8 +274,11 @@ object SparkEntry {
     //     quality vs nprobe is covered by AnnSpec on clustered data.
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // probe-ALL correctness is independent of clustering quality, so
+      // 2 KMeans iterations suffice here (AnnSpec's recall tests use
+      // full iterations where quality matters)
       val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
-        nlist = 8, seed = 42)
+        nlist = 8, seed = 42, maxIter = 2)
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Dedup, Knn}
+
+/** Property tests (SURVEY §5 item 2) for the pure kernels and
+  * expression semantics — axioms that hold for ALL inputs, not just
+  * fixtures. Raw ScalaCheck driver (no scalatest bridge on the
+  * offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Double]] = Gen.chooseNum(1, 16).flatMap(n =>
+    Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)).map(_.toArray))
+  private val pairGen: Gen[(Array[Double], Array[Double])] = for {
+    a <- vecGen
+    b <- Gen.listOfN(a.length, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
+  } yield (a, b)
+
+  test("scalaDistance axioms: identity, symmetry, non-negativity, L1>=L2") {
+    val l2 = Knn.scalaDistance("l2")
+    val l1 = Knn.scalaDistance("l1")
+    check(Prop.forAll(pairGen) { case (a, b) =>
+      l2(a, a) == 0.0 && l2(a, b) == l2(b, a) && l2(a, b) >= 0.0 &&
+        l1(a, b) >= l2(a, b) - 1e-9
+    })
+  }
+
+  test("cosine range and dot symmetry on non-zero vectors") {
+    val cos = Knn.scalaDistance("cosine")
+    val dot = Knn.scalaDistance("dot")
+    check(Prop.forAll(pairGen) { case (a, b) =>
+      val nz = a.exists(_ != 0.0) && b.exists(_ != 0.0)
+      !nz || {
+        val c = cos(a, b)
+        c >= -1e-9 && c <= 2.0 + 1e-9 &&
+          dot(a, b) == dot(b, a) && math.abs(cos(a, a)) < 1e-9
+      }
+    })
+  }
+
+  test("round6 matches java BigDecimal HALF_UP for all doubles") {
+    check(Prop.forAll(Gen.chooseNum(-1000.0, 1000.0)) { d =>
+      Knn.round6(d) == java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    })
+  }
+
+  test("kernel and expression distances agree on random float vectors") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // one Spark round-trip over a sampled batch (per-row Spark jobs in
+    // a forAll would be minutes, not seconds)
+    val pairs = Gen.listOfN(40, pairGen).sample.get
+    val df = pairs.map { case (a, b) =>
+      (a.map(_.toFloat), b.map(_.toFloat)) }.toDF("a", "b")
+    Seq("l2", "l1", "cosine", "dot").foreach { m =>
+      val expr = df.select(round(Knn.distance(m)($"a", $"b"), 6))
+        .collect().map(_.getDouble(0))
+      val kern = pairs.map { case (a, b) =>
+        Knn.round6(Knn.scalaDistance(m)(
+          a.map(_.toFloat.toDouble), b.map(_.toFloat.toDouble)))
+      }
+      expr.zip(kern).foreach { case (e, k) =>
+        assert(math.abs(e - k) < 1e-9, s"metric=$m expr=$e kernel=$k")
+      }
+    }
+  }
+
+  test("unknown metric fails fast everywhere") {
+    intercept[IllegalArgumentException](
+      Knn.distance("chebyshev")(lit(Array(1.0)), lit(Array(1.0))))
+    intercept[IllegalArgumentException](Knn.scalaDistance("chebyshev"))
+    intercept[IllegalArgumentException](
+      graft.functions.expressions.VectorDistance("nope", null, null))
+  }
+
+  test("jaccard bounds, symmetry, self-identity (expression-level, sampled)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val setGen = Gen.listOf(Gen.identifier).map(_.distinct.toArray)
+    val sets = Gen.listOfN(30, Gen.zip(setGen, setGen)).sample.get
+    val df = sets.toDF("a", "b")
+    val rows = df.select(Dedup.jaccard($"a", $"b").as("ab"),
+      Dedup.jaccard($"b", $"a").as("ba"),
+      Dedup.jaccard($"a", $"a").as("aa"), size($"a").as("na")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) === r.getDouble(1))
+      if (r.getInt(3) > 0) assert(r.getDouble(2) === 1.0)
+    }
+  }
+}
