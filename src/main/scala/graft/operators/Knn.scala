@@ -177,8 +177,13 @@ object Knn {
     * (HALF_EVEN on the binary value) would diverge on .5 boundaries.
     */
   private[graft] def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // NaN/±Inf pass through (BigDecimal.valueOf would throw) — same
+    // behavior as Spark's round(), which leaves non-finite values
+    // untouched; they sort last like in both engines' ORDER BY.
+    if (java.lang.Double.isFinite(d))
+      java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    else d
 
   /** Plain-Scala distance kernels (index-ordered double accumulation —
     * same fold order as the SQL `aggregate(zip_with(...))` composition
