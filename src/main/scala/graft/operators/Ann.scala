@@ -115,6 +115,34 @@ object Ann {
   }
 
   // -------------------------------------------------------------
+  // Scalar quantization (SQ8) — storage path
+  // -------------------------------------------------------------
+
+  /** Per-vector int8 scalar quantization: (min, scale, codes
+    * ARRAY<TINYINT>). 4× smaller than float32 at rest — at 100 TB the
+    * scan is usually storage-bound, so SQ8 + rerank on the exact
+    * float column for the top candidates is the standard recipe.
+    * Pure expressions; `dequantize` reverses with bounded error
+    * (≤ scale/2 per coordinate, see AnnSpec).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val lo = array_min(v)
+    val hi = array_max(v)
+    val scale = when(hi > lo, (hi - lo) / 255.0).otherwise(lit(1.0))
+    struct(
+      lo.cast("float").as("min"),
+      scale.cast("float").as("scale"),
+      transform(v, x => round((x - lo) / scale, 0).cast("int") - 128)
+        .cast("array<byte>").as("codes"))
+  }
+
+  def dequantize(q: Column): Column =
+    transform(q.getField("codes"),
+      c => ((c.cast("double") + 128.0) * q.getField("scale") + q.getField("min"))
+        .cast("float"))
+
+  // -------------------------------------------------------------
   // IVF
   // -------------------------------------------------------------
 

@@ -67,6 +67,29 @@ class AnnSpec extends SparkSpec {
     assert(r2 >= 0.9, s"clustered data, nprobe=2/10: recall@5 = $r2")
   }
 
+  test("SQ8 quantization: 4x smaller codes, bounded reconstruction error") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.select($"vec_id", $"embedding",
+      Ann.quantizeInt8($"embedding").as("q"))
+    val rows = q.select($"embedding", Ann.dequantize($"q").as("back"),
+        $"q.scale".as("scale"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val back = r.getSeq[Float](1)
+      val scale = r.getFloat(2)
+      assert(back.length === orig.length)
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale * 0.51 + 1e-6,
+          s"recon error ${math.abs(o - b)} > half-step $scale")
+      }
+    }
+    // codes really are bytes (8-bit storage)
+    assert(q.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("codes").dataType.simpleString === "array<tinyint>")
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)
