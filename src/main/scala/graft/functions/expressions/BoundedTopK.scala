@@ -1,0 +1,97 @@
+package graft.functions.expressions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate: keeps the k smallest (value, id) pairs in
+  * a max-at-head heap, merged MAP-SIDE like any other partial
+  * aggregate — the missing piece the window/row_number formulation of
+  * top-k-per-group can't provide (every row of a group must reach one
+  * reducer before row_number can rank; this aggregate's per-group
+  * state never exceeds k anywhere in the plan). Ties break on the
+  * smaller id, matching the engine's (distance, id) total order.
+  *
+  * Plans as ObjectHashAggregate. Result: ARRAY<STRUCT<distance
+  * DOUBLE, id BIGINT>> sorted ascending.
+  */
+case class BoundedTopK(
+    k: Int,
+    value: Expression,
+    id: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  private val ord = Ordering.Tuple2[Double, Long] // worst pair at head
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+    new mutable.PriorityQueue[(Double, Long)]()(ord)
+
+  override def update(buf: mutable.PriorityQueue[(Double, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+    val v = value.eval(input)
+    val i = id.eval(input)
+    if (v != null && i != null) {
+      insert(buf, (v.asInstanceOf[Double], i.asInstanceOf[Long]))
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
+      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  private def insert(buf: mutable.PriorityQueue[(Double, Long)],
+      pair: (Double, Long)): Unit = {
+    if (buf.size < k) buf.enqueue(pair)
+    else if (ord.lt(pair, buf.head)) { buf.dequeue(); buf.enqueue(pair) }
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    val sorted = buf.toArray.sorted(ord)
+    new GenericArrayData(sorted.map { case (d, i) =>
+      InternalRow(d, i)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (d, i) => bb.putDouble(d); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.enqueue((bb.getDouble, bb.getLong)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("distance", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(value, id)
+  override def prettyName: String = "bounded_topk"
+
+  override def withNewMutableAggBufferOffset(offset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedTopK =
+    copy(value = newChildren(0), id = newChildren(1))
+}

@@ -105,13 +105,11 @@ object Ann {
       .withColumn("distance",
         round(Knn.distance("cosine")(col(corpusVecCol), col(queryVecCol)), 6))
       .filter(col("distance").isNotNull)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("distance").asc, col(corpusIdCol).asc)
-    cand
       .select(col(queryIdCol), col(corpusIdCol), col("distance"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col(queryIdCol), col("rank"))
+    // no pair dedup needed: a corpus row has exactly one bucket and a
+    // query's probe list is distinct, so each (query, corpus) pair
+    // joins at most once
+    Knn.finishTopKPerGroup(cand, queryIdCol, corpusIdCol, k)
   }
 
   // -------------------------------------------------------------
@@ -225,12 +223,7 @@ object Ann {
       .withColumn("distance",
         round(Knn.distance(metric)(col(corpusVecCol), col(queryVecCol)), 6))
       .filter(col("distance").isNotNull)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("distance").asc, col(corpusIdCol).asc)
-    cand
       .select(col(queryIdCol), col(corpusIdCol), col("distance"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .orderBy(col(queryIdCol), col("rank"))
+    Knn.finishTopKPerGroup(cand, queryIdCol, corpusIdCol, k)
   }
 }

@@ -42,15 +42,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn_join's shuffled candidate set is partition-bounded, not N x Q") {
-    // the two-phase top-k runs the corpus through mapPartitions
-    // (object scan) and only the per-partition k-heap survivors reach
-    // the window — no Window directly over the joined corpus
+    // two-phase top-k: corpus → mapPartitions k-heaps, then a
+    // partially-aggregated bounded_topk (ObjectHashAggregate twice:
+    // partial map-side + final) — no Window, no per-query full sort
     val p = plan("knn_join")
     assert(p.contains("MapPartitions"), p.take(900))
-    val windowIdx = p.indexOf("Window")
-    val mapIdx = p.indexOf("MapPartitions")
-    assert(windowIdx >= 0 && mapIdx > windowIdx,
-      "window must consume the reduced candidate set (MapPartitions below it)")
+    assert(p.contains("bounded_topk"), p.take(900))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "bounded_topk must partial-aggregate map-side")
+    assert(!p.contains("Window"), "no window/global per-query sort expected")
   }
 
   test("star join broadcasts the nation dimension") {
