@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Knn}
+
+/** Scale probe: runs the core operators on synthetic data ~500–2000×
+  * the bench fixture (1M × 64-dim vectors, 200k documents) on the
+  * local worker, to demonstrate the plans hold when the data no
+  * longer fits the fixture regime — bounded memory per task, no
+  * single-reducer stages, wall-clock scaling roughly with work.
+  * Results are recorded in SCALE.md. Run:
+  *   sbt "runMain graft.ScaleProbe" (env: SPARK_GRAFT_CPUS)
+  *
+  * Data is generated deterministically IN THE EXECUTORS (seeded by
+  * row id) — the driver never materializes it.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dim = 64
+    val nVec = 1000000
+    val nDoc = 200000
+
+    val corpus = spark.range(nVec).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64($"id", i), lit(1000000L)) / 500000.0 - 1.0).cast("float"))
+          .as("embedding"))
+      .cache()
+
+    // 200k docs over a 1k-word vocab; every 100th doc is a near-copy
+    // of its predecessor (one token changed) → planted near-dups
+    val docs = spark.range(nDoc).select($"id".as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(39)), i =>
+            concat(lit("w"), pmod(xxhash64(
+              when(pmod($"id", lit(100)) === 99 && i =!= 0, $"id" - 1).otherwise($"id"),
+              i), lit(1000L))))).as("text"))
+      .cache()
+
+    def time[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""SCALE {"op":"$name","sec":$s%.2f,"result":"$r"}""")
+    }
+
+    corpus.count(); docs.count() // materialize caches
+
+    val q1 = corpus.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    time("topK_1M") {
+      Knn.topK(corpus, "vec_id", "embedding", q1, "q_vec", 10, "l2").collect().length
+    }
+
+    val qs = corpus.filter($"vec_id" % 5000 === 0) // 200 queries
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    time("knnJoin_1M_x200") {
+      Knn.knnJoin(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 10, metric = "l2", excludeSelf = true).count()
+    }
+
+    time("annCosine_1M_x200") {
+      Ann.annJoinCosine(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 10, numPlanes = 14, probeBits = 1).count()
+    }
+
+    time("ivf_build_probe_1M_x200") {
+      val (assigned, centers) = Ann.ivfAssign(corpus, "vec_id", "embedding",
+        nlist = 64, seed = 42, maxIter = 3)
+      Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 10, nprobe = 8, metric = "l2").count()
+    }
+
+    time("dedup_exact_200k") {
+      Dedup.exactDedup(docs, "doc_id", "text").count()
+    }
+
+    time("dedup_near_200k") {
+      Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 8, threshold = 0.5).count()
+    }
+
+    time("simhash_pairs_200k") {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    }
+
+    spark.stop()
+  }
+}

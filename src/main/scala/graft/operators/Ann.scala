@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate nearest-neighbor operators — the 100 TB scale path the
@@ -35,10 +34,11 @@ object Ann {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  // routes through the fused-codegen VectorDistance dot (ScaleProbe
+  // r2: interpreted HOF plane dots made LSH bucketing slower than the
+  // exact scan it was meant to beat)
   private def dotLit(vec: Column, plane: Array[Double]): Column =
-    aggregate(
-      zip_with(vec.cast("array<double>"), typedlit(plane), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot(vec, typedlit(plane))
 
   /** Sign-bit LSH bucket (packed int) for a vector column: bit i =
     * [v · plane_i >= 0]. Two vectors with small angle collide with

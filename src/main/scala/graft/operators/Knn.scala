@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -39,15 +38,6 @@ object Knn {
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
-  /** Exact top-k rows of `corpus` nearest to the single query vector
-    * carried by the 1-row DataFrame `query` (column `queryVecCol`).
-    * Keeping the query as a DataFrame (instead of collecting to the
-    * driver) keeps the whole thing one lazy plan; Spark broadcasts the
-    * 1-row side automatically (BroadcastNestedLoopJoin).
-    *
-    * Output: corpus id + rounded distance, totally ordered
-    * (distance, id) for determinism (FIXTURES.md rules).
-    */
   /** Fail fast when an output column we are about to add would silently
     * shadow an existing corpus column (ADVICE r1: `withColumn` overwrites).
     */
@@ -57,6 +47,15 @@ object Knn {
       s"corpus already has column(s) ${clash.mkString(", ")} — rename them or pass different output names")
   }
 
+  /** Exact top-k rows of `corpus` nearest to the single query vector
+    * carried by the 1-row DataFrame `query` (column `queryVecCol`).
+    * Keeping the query as a DataFrame (instead of collecting to the
+    * driver) keeps the whole thing one lazy plan; Spark broadcasts the
+    * 1-row side automatically (BroadcastNestedLoopJoin).
+    *
+    * Output: corpus id + rounded distance, totally ordered
+    * (distance, id) for determinism (FIXTURES.md rules).
+    */
   def topK(
       corpus: DataFrame,
       idCol: String,
@@ -95,8 +94,9 @@ object Knn {
     * k-heap PER QUERY, so at most `partitions × Q × k` candidate rows
     * ever enter the shuffle — independent of corpus size N.
     *
-    * Phase 2: one window over the reduced candidate set
-    * (≤ partitions × k rows per query) picks the global top-k.
+    * Phase 2: a map-side-partial bounded top-k AGGREGATE over the
+    * reduced candidate set picks the global top-k with O(k) state per
+    * query everywhere in the plan (see [[finishTopKPerGroup]]).
     *
     * Distances are computed with primitive double loops (no
     * interpreted HOF lambdas) and compared on the ROUNDED value + id —
