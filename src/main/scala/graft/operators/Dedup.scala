@@ -200,17 +200,57 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Kernel SimHash: same vote semantics as the expression version but
+    * computed in one primitive pass per row (the 64-bitmask HOF
+    * expression allocates a 64-array per shingle — ScaleProbe measured
+    * it as the dedup family's dominant constant). Hash family is
+    * MurmurHash3 (JVM-stable); SimHash values are engine-internal
+    * (rows-only), so the two implementations need not produce the same
+    * bits — only the same geometry.
+    */
+  private[operators] def simhashKernel(tokens: Array[String], n: Int): Long = {
+    // distinct word n-grams, mirroring TextFunctions.wordShingles
+    val shingles = new scala.collection.mutable.HashSet[String]
+    if (tokens.length >= n) {
+      var i = 0
+      while (i + n <= tokens.length) {
+        shingles += tokens.slice(i, i + n).mkString(" "); i += 1
+      }
+    } else shingles += tokens.mkString(" ")
+    val votes = new Array[Int](64)
+    shingles.foreach { s =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(s, 42).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(s, 7) & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming
     * (<= 15). LSH by pigeonhole: fingerprints within Hamming d of each
     * other agree on at least one of 4 16-bit chunks when d <= 3 — we
     * always use 4 chunks, which is exact for maxHamming <= 3 and a
     * recall-lossy heuristic above that (documented, standard practice).
-    * Same banding shuffle shape as MinHash LSH.
+    * Same banding shuffle shape as MinHash LSH. Fingerprints come from
+    * the primitive kernel (see simhashKernel).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol),
-      simhash(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__fp"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fp = df
+      .select(col(idCol).cast("long"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .as[(Long, Array[String])]
+      .map { case (id, toks) => (id, simhashKernel(toks, shingleLen)) }
+      .toDF(idCol, "__fp")
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val buckets = fp.select(col(idCol), col("__fp"),
