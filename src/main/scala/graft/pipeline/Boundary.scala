@@ -80,7 +80,12 @@ object Boundary {
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
       val e = mk()
-      it.map(r => Row.fromSeq(r.toSeq :+ e.embed(r.getString(idx))))
+      // null text → null vector (passthrough, like every engine column
+      // function) — a model call would otherwise NPE mid-job
+      it.map { r =>
+        val t = r.getString(idx)
+        Row.fromSeq(r.toSeq :+ (if (t == null) null else e.embed(t)))
+      }
     }(Encoders.row(schema))
   }
 
@@ -93,7 +98,10 @@ object Boundary {
     val idx = df.schema.fieldIndex(inCol)
     df.mapPartitions { it =>
       val t = mk()
-      it.map(r => Row.fromSeq(r.toSeq :+ t(r.getString(idx))))
+      it.map { r =>
+        val in = r.getString(idx)
+        Row.fromSeq(r.toSeq :+ (if (in == null) null else t(in)))
+      }
     }(Encoders.row(schema))
   }
 }

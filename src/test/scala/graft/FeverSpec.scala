@@ -61,6 +61,16 @@ class FeverSpec extends SparkSpec {
     assert(got === "[Doc 1] head\n\n[Doc 2] tail")
   }
 
+  test("J3 attachLabels: broadcast equi-join on the claim id") {
+    val preds = Seq((0L, "SUPPORTS"), (1L, "REFUTES")).toDF("id", "final")
+    val labels = Seq((0L, "SUPPORTS"), (1L, "NOT ENOUGH INFO"), (2L, "X"))
+      .toDF("id", "label")
+    val got = Fever.attachLabels(preds, labels, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((0L, "SUPPORTS", "SUPPORTS"),
+      (1L, "REFUTES", "NOT ENOUGH INFO")))
+  }
+
   test("A3 accuracy: substring oracle + zero-guard") {
     val df = Seq(
       ("Label: SUPPORTS — yes", "SUPPORTS"), // substring match

@@ -45,10 +45,14 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-5)
     assert(e.embed("other").toSeq !== v1.toSeq)
     // DataFrame plumbing: one column appended, embedder built per partition
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "t").repartition(2)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t").repartition(2)
     val out = Boundary.withEmbedding(df, "t", "v", () => new HashEmbedder(8))
     assert(out.schema.fieldNames.toSeq === Seq("id", "t", "v"))
-    assert(out.select(size($"v")).as[Int].collect().forall(_ === 8))
+    // null text → null vector, no crash (boundary is null-passthrough)
+    assert(out.filter($"id" === 3L).select($"v".isNull).head().getBoolean(0))
+    assert(out.filter($"v".isNotNull).select(size($"v")).as[Int].collect()
+      .forall(_ === 8))
   }
 
   test("E2E replay: identical results + exact accuracy across two runs") {
