@@ -268,6 +268,43 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // --- n-gram Jaccard dedup (the brute-force family member — a
+    //     distinct code path from the LSH route): exact 2-gram-shingle
+    //     Jaccard pairs over a bounded id range. TEST-SCALE query by
+    //     construction; the corpus-scale production path is
+    //     dedup_near's banded LSH.
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(col("text")) > 0 &&
+            col("doc_id") < 250),
+        "doc_id", "text", shingleLen = 2, threshold = 0.4)),
+
+    // --- SimHash near-dup pairs (rows-only: fingerprints are
+    //     MurmurHash3-seeded, engine-local; geometry/recall is asserted
+    //     in DedupSpec). Aggregated so the result is always one row.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(col("text")) > 0),
+          "doc_id", "text", shingleLen = 3, maxHamming = 12)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_a")).as("n_left"))),
+
+    // --- Rolling-hash document fingerprint (F-family content key;
+    //     order-sensitive). Hash VALUES are engine-local, so the oracle
+    //     checks the invariant instead: fingerprints are injective on
+    //     distinct token streams — per-lang distinct-fingerprint counts
+    //     must equal DuckDB's distinct normalized-token-stream counts.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_fingerprints"))
+        .orderBy(col("lang"))),
+
     // --- ANN/IVF: KMeans index build + probe-ALL — probing every
     //     inverted list must reproduce exact KNN bit-for-bit (the
     //     oracle proves the IVF plumbing loses nothing); approximation
@@ -457,7 +494,7 @@ object SparkEntry {
     * driver checks rows-only). Keep this set explicit so tests catch
     * accidentally-unoracled queries.
     */
-  def rowsOnly: Set[String] = Set("ann_cosine")
+  def rowsOnly: Set[String] = Set("ann_cosine", "dedup_simhash")
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -722,6 +759,34 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 250),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT array_to_string(
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0),
+        |    ' ')) AS n_fingerprints
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -116,11 +116,13 @@ object Dedup {
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) > 0,
-      round(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)), 6))
-      .otherwise(0.0)
+  def jaccard(a: Column, b: Column): Column = {
+    // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct-element shingle
+    // arrays), so one array_intersect pass instead of intersect+union
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union > 0, round(inter.cast("double") / union, 6)).otherwise(0.0)
+  }
 
   /** Near-duplicate pairs: MinHash+LSH candidates verified with exact
     * shingle Jaccard >= threshold. Output (id_a, id_b, jaccard),

@@ -54,6 +54,21 @@ object Sources {
     out.write.mode("overwrite").json(outPath)
   }
 
+  /** Bucketed table write: pre-shuffles rows into `numBuckets` by
+    * `bucketCol` at WRITE time so every later equi-join or aggregation
+    * on that key is exchange-free — the once-per-dataset shuffle that
+    * pays for itself at 100 TB (joins against other tables bucketed
+    * the same way need no Exchange on either side; see BucketingSpec's
+    * plan assertion). Bucketing needs the session catalog, hence
+    * saveAsTable rather than a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** S6 — console report sink (test_connection.py's formatted prints).
     * Double columns are formatted to 4 decimals with thousands
     * separators (F9 — the reference's `distance:.4f` / `count:,`,

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+/** Co-located joins via bucketing: two tables bucketed the same way
+  * on the join key must join WITHOUT a shuffle on either side — the
+  * write-time partitioning is reused across every downstream stage.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("equi-join of co-bucketed tables runs exchange-free") {
+    val orders = Tables.orders(spark, sf0001)
+    val lineitem = Tables.lineitem(spark, sf0001)
+    Sources.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Sources.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.substring(plan.indexOf("Join"))
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle the join key:\n$plan")
+      // and the result is still correct vs the plain join
+      val expected = orders
+        .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(joined.orderBy("o_orderpriority").collect().toSeq === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
