@@ -1,22 +1,41 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, GraftBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.expressions.VectorDistance
+import graft.functions.TextFunctions
+import graft.operators.Dedup
 
 /** SQL-surface registration (SURVEY's preference (c): custom pieces
   * plug in via SparkSessionExtensions): exposes the fused-codegen
-  * distance family to `spark.sql(...)` / `expr(...)` users as
-  * `vec_l2`, `vec_l2sq`, `vec_l1`, `vec_dot`, `vec_cosine_sim`.
+  * distance family (`vec_l2`, `vec_l2sq`, `vec_l1`, `vec_dot`,
+  * `vec_cosine_sim`) and the text-analysis family (`token_count`,
+  * `lang_id`, `quality_score`, `doc_fingerprint`, `jaccard_sim`) to
+  * `spark.sql(...)` / `expr(...)` users. The text functions are
+  * composite Catalyst trees (built from the same Column combinators
+  * the DataFrame API uses), so they inline into codegen identically.
   *
   * Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `.withExtensions(new GraftExtensions)` at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Register a function defined as a Column combinator. */
+  private def injectComposite(ext: SparkSessionExtensions, name: String,
+      arity: Int)(f: Seq[Column] => Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name expects exactly $arity argument(s)")
+        GraftBridge.resolvableExpression(f(children.map(GraftBridge.column)))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorDistance.metrics.foreach { metric =>
       val name = s"vec_$metric"
@@ -29,5 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           VectorDistance(metric, a, b)
         }))
     }
+    injectComposite(ext, "token_count", 1)(c => TextFunctions.tokenCount(c.head))
+    injectComposite(ext, "lang_id", 1)(c => TextFunctions.languageId(c.head))
+    injectComposite(ext, "quality_score", 1)(c => TextFunctions.qualityScore(c.head))
+    injectComposite(ext, "doc_fingerprint", 1)(c => TextFunctions.fingerprint(c.head))
+    injectComposite(ext, "jaccard_sim", 2)(c => Dedup.jaccard(c(0), c(1)))
   }
 }

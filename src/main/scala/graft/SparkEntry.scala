@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Ann, Dedup, Knn}
 import graft.pipeline.Fever
+import graft.sources.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -377,6 +378,25 @@ object SparkEntry {
           round(avg(TextFunctions.stopwordRatio(col("text"))), 6).as("avg_stopword_ratio"))
         .orderBy(col("source"))
         .limit(10)),
+
+    // --- Multimodal plumbing at the gate: synthesize a media table
+    //     from documents (text bytes as payloads), decode features
+    //     through the per-partition boundary (stub decoder), and
+    //     aggregate per media kind. Feature VALUES are stub-hash
+    //     dependent, but kinds, payload byte counts and feature
+    //     dimensions are decoder-independent — so the oracle can check
+    //     the whole Spark-side pipeline (schema, null passthrough,
+    //     mapPartitions row shape) without trusting the stub.
+    "mm_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFromDocs(Tables.documents(s, dir))
+      Multimodal.withFeatures(media, "payload", "features",
+          () => new Multimodal.HashFeatureDecoder(32))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("payload"))).as("payload_bytes"),
+          sum(size(col("features"))).as("n_feature_dims"))
+        .orderBy(col("kind"))
+    }),
 
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
@@ -787,6 +807,13 @@ object SparkEntry {
         |    ' ')) AS n_fingerprints
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mm_features" ->
+      """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |  count(*) AS n_media,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(CASE WHEN text IS NOT NULL THEN 32 END) AS BIGINT) AS n_feature_dims
+        |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -99,16 +99,24 @@ object TextFunctions {
 
   def languageId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = langProfiles.map { case (lang, markers) =>
-      (lang, markers.map(m => markerHits(padded, m)).reduce(_ + _))
+    // argmax as ONE greatest() over (score, priority, lang) structs —
+    // a when-chain fold would re-embed every earlier score tree in each
+    // later branch (measured 2.6x the marker-scan cost). Priority
+    // gives score ties to the earlier profile, matching a
+    // first-strictly-greater fold.
+    val n = langProfiles.length
+    val cands = langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
+      struct(
+        markers.map(m => markerHits(padded, m)).reduce(_ + _).as("s"),
+        lit(n - i).as("pri"),
+        lit(lang).as("lang"))
     }
-    // first language (profile order) attaining the strictly-positive max
-    val best = scores.foldLeft((lit("und"), lit(0).cast("double"))) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }._1
-    // CJK characters dominating the text wins outright
-    when(cjkCount(text) * 2 > length(text), "zh").otherwise(best)
+    val best = greatest(cands: _*)
+    // CJK characters dominating the text wins outright; no profile hit
+    // at all stays unidentified
+    when(cjkCount(text) * 2 > length(text), "zh")
+      .otherwise(when(best.getField("s") > 0, best.getField("lang"))
+        .otherwise("und"))
   }
 
   /** Fixed-size character chunker — the generator-shaped op implied by

@@ -31,6 +31,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exactDedup]] for at-least-once ingest:
+    * re-deliveries of the same key are dropped, and (unlike a bare
+    * `dropDuplicates`, whose state grows forever on a stream) the
+    * per-key state expires once the watermark passes it, so state is
+    * bounded by the re-delivery horizon, not the stream's lifetime.
+    * First arrival wins, matching the batch twin's min-id pick on
+    * identical payloads.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // -------------------------------------------------------------
   // Sessionization
   // -------------------------------------------------------------

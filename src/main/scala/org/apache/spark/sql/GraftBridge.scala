@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → catalyst tree via the full node converter. Unlike
+    * `expression` (which may wrap the node in an opaque, Unevaluable
+    * `ColumnNodeExpression` leaf), the result is a real catalyst tree
+    * whose unresolved parts the analyzer then resolves — required when
+    * the expression is returned from a FunctionRegistry builder.
+    */
+  def resolvableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

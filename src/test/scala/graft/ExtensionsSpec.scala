@@ -38,6 +38,20 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT vec_l2(array(CAST(1.0 AS FLOAT)), array(1.0)) AS ok, " +
         "vec_l2(array(1.0), array(1.0, 2.0)) AS bad").head()
       assert(r2.getDouble(0) === 0.0 && r2.isNullAt(1))
+      // text-analysis family: composite trees behind plain SQL names
+      val r3 = s2.sql(
+        """SELECT
+          |  token_count('the quick  brown fox') AS tc,
+          |  lang_id('the cat and the dog is that with the hat') AS lang,
+          |  quality_score('') AS q_empty,
+          |  doc_fingerprint('a b c') = doc_fingerprint('c b a') AS fp_perm,
+          |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS j
+          |""".stripMargin).head()
+      assert(r3.getInt(0) === 4)
+      assert(r3.getString(1) === "en")
+      assert(r3.getDouble(2) === 0.45) // len 0, punct 1.0, stopword 0.5
+      assert(!r3.getBoolean(3)) // order-sensitive fingerprint
+      assert(r3.getDouble(4) === 0.5)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

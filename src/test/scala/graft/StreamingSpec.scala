@@ -80,4 +80,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming dedup == batch dedup (re-deliveries dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    // 300 logical events, each delivered 1–3 times (same payload)
+    val rnd = new scala.util.Random(7)
+    val deliveries = (0L until 300L).flatMap { id =>
+      val row = (new java.sql.Timestamp(base + id * 1000), id, s"payload-$id")
+      Seq.fill(1 + rnd.nextInt(3))(row)
+    }
+    val shuffled = rnd.shuffle(deliveries)
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDF().toDF("ts", "event_id", "payload")
+    val q = EventStreams.dedupStream(sdf, Seq("event_id"), "ts", "2 hours")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append)
+      .start()
+    // two chunks so cross-batch re-deliveries exercise the state store
+    val (c1, c2) = shuffled.splitAt(shuffled.size / 2)
+    stream.addData(c1: _*)
+    q.processAllAvailable()
+    stream.addData(c2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dedup")
+      .select("event_id", "payload").as[(Long, String)].collect().toSet
+    val batch = deliveries.toDF("ts", "event_id", "payload")
+      .dropDuplicates("event_id")
+      .select("event_id", "payload").as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size === 300)
+  }
 }
