@@ -93,6 +93,21 @@ object ScaleProbe {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
     }
 
+    time("knnJoinCosine_1M_x200") {
+      Knn.knnJoin(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 10, metric = "cosine", excludeSelf = true).count()
+    }
+
+    time("languageId_200k") {
+      docs.groupBy(graft.functions.TextFunctions.languageId($"text").as("pred"))
+        .count().collect().map(_.getLong(1)).sum
+    }
+
+    time("fingerprint_200k") {
+      docs.select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+        .agg(count_distinct($"fp")).head().getLong(0)
+    }
+
     spark.stop()
   }
 }

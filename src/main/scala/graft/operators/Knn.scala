@@ -128,24 +128,37 @@ object Knn {
       .collect()
     val bc = spark.sparkContext.broadcast(qArr)
     val dist = scalaDistance(metric)
+    // cosine recomputes BOTH norms per pair — cache them per side
+    // (query norms once per partition, corpus norm once per row; the
+    // arithmetic order sqrt(dot(c,c)) * sqrt(dot(q,q)) is unchanged,
+    // so distances stay bit-identical to scalaDistance / the oracle)
+    val isCosine = metric == "cosine"
 
     val candidates = corpus
       .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = bc.value
+        val qNorms: Array[Double] =
+          if (isCosine)
+            qs.map { case (_, q) =>
+              if (q == null) 0.0 else math.sqrt(dotKernel(q, q)) }
+          else null
         // per-query bounded max-heap of the k best (roundedDist, id)
         val ord = Ordering.Tuple2[Double, Long] // worst candidate at head
         val heaps = Array.fill(qs.length)(
           new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
         it.foreach { case (cid, cvec) =>
           if (cvec != null) {
+            val cNorm = if (isCosine) math.sqrt(dotKernel(cvec, cvec)) else 0.0
             var qi = 0
             while (qi < qs.length) {
               val (qid, qvec) = qs(qi)
               if (!(excludeSelf && cid == qid) && qvec != null &&
                   qvec.length == cvec.length) {
-                val d = round6(dist(cvec, qvec))
+                val d = round6(
+                  if (isCosine) 1.0 - dotKernel(cvec, qvec) / (cNorm * qNorms(qi))
+                  else dist(cvec, qvec))
                 val h = heaps(qi)
                 if (h.size < k) h.enqueue((d, cid))
                 else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
@@ -218,11 +231,13 @@ object Knn {
     * same fold order as the SQL `aggregate(zip_with(...))` composition
     * and DuckDB's list_* functions).
     */
+  private[graft] def dotKernel(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
   private[graft] def scalaDistance(metric: String): (Array[Double], Array[Double]) => Double = {
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
+    val dot = dotKernel _
     metric match {
       case "l2" => (a, b) => {
         var s = 0.0; var i = 0

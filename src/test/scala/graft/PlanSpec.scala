@@ -64,4 +64,24 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("props") && !readSchema.contains("user_id"),
       s"events_json should not read user_id: $readSchema")
   }
+
+  test("mm_features prunes the doc scan despite the mapPartitions boundary") {
+    // the decode boundary is an opaque row transform; pruning must
+    // happen BEFORE it, at synthesizeFromDocs' projection — the scan
+    // should read only (doc_id, text), not lang/source/n_chars
+    val p = plan("mm_features")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"media synth should scan only doc_id+text: $readSchema")
+  }
+
+  test("text_langid is one codegen span over the scan (no extra exchange before the agg)") {
+    val p = plan("text_langid")
+    // marker scoring + argmax are pure expressions evaluated in the
+    // scan stage: exactly the grouped-agg shuffle (+ final sort),
+    // nothing else — and the agg is partial map-side
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(900))
+    assert(p.contains("partial_count"), p.take(900))
+  }
 }

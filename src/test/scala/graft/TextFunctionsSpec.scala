@@ -30,6 +30,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.languageId(col("t")), "xyzzy plugh") === "und")
   }
 
+  test("languageId: score ties go to the earlier profile (oracle parity)") {
+    // " der " (de) and " the " (en) each hit once — de is first in
+    // langProfiles, so it must win, matching the DuckDB oracle's
+    // first-match CASE over the greatest() score
+    assert(one[String](TextFunctions.languageId(col("t")), "der the") === "de")
+    // strictly more en hits must still beat the earlier de profile
+    assert(one[String](TextFunctions.languageId(col("t")), "der the and") === "en")
+  }
+
   test("punctRatio and stopwordRatio") {
     assert(one[Double](TextFunctions.punctRatio(col("t")), "ab,.") === 0.5)
     assert(one[Double](TextFunctions.punctRatio(col("t")), "") === 0.0)
