@@ -73,12 +73,21 @@ object ScaleProbe {
         k = 10, numPlanes = 14, probeBits = 1).count()
     }
 
-    time("ivf_build_probe_1M_x200") {
-      val (assigned, centers) = Ann.ivfAssign(corpus, "vec_id", "embedding",
-        nlist = 64, seed = 42, maxIter = 3)
-      Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",
+    // train centroids on a 5% sample (50k rows ≈ 780/list — well
+    // past convergence), assign the full corpus; stage-split timings
+    var ivf: (org.apache.spark.sql.DataFrame, Array[Array[Double]]) = null
+    time("ivf_train_1M") {
+      ivf = Ann.ivfAssign(corpus, "vec_id", "embedding",
+        nlist = 64, seed = 42, maxIter = 3, trainFraction = 0.05)
+      ivf._2.length
+    }
+    val assigned = ivf._1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("ivf_assign_1M") { assigned.count() }
+    time("ivf_probe_1M_x200") {
+      Ann.ivfProbeJoin(assigned, ivf._2, "vec_id", "embedding",
         qs, "query_id", "q_vec", k = 10, nprobe = 8, metric = "l2").count()
     }
+    assigned.unpersist()
 
     time("dedup_exact_200k") {
       Dedup.exactDedup(docs, "doc_id", "text").count()

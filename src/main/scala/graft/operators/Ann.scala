@@ -148,17 +148,28 @@ object Ann {
     * cluster assignment. Returns (assigned corpus with `cluster_id`,
     * centroids as plain arrays). Deterministic for a fixed seed and
     * input partitioning.
+    *
+    * `trainFraction` < 1 trains the centroids on a seeded sample and
+    * then assigns the FULL corpus — the standard IVF practice (faiss
+    * trains on ~30–100 points per list): centroid quality converges
+    * long before the full corpus is seen, while full-corpus kmeans‖
+    * init + iterations dominate build time at scale. Assignment
+    * itself stays exact and exhaustive either way.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, seed: Long = 42L, maxIter: Int = 20): (DataFrame, Array[Array[Double]]) = {
+      nlist: Int, seed: Long = 42L, maxIter: Int = 20,
+      trainFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val feat = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
+    val train =
+      if (trainFraction < 1.0) feat.sample(withReplacement = false, trainFraction, seed)
+      else feat
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cluster_id")
-      .fit(feat)
+      .fit(train)
     val assigned = model.transform(feat).drop("__features")
     (assigned, model.clusterCenters.map(_.toArray))
   }
@@ -201,10 +212,16 @@ object Ann {
       .limit(k)
   }
 
-  /** Batch IVF probe over an in-memory assigned corpus: per-query
-    * probe lists explode to (query, cluster_id) pairs, the join on
-    * cluster_id hits only probed lists, exact window top-k re-ranks.
-    * The shuffle moves only probed-cluster rows, not the corpus.
+  /** Batch IVF probe over an in-memory assigned corpus, as the same
+    * primitive per-partition kernel as [[Knn.knnJoin]] plus a probe
+    * membership test: each query carries a BitSet of its nprobe
+    * nearest lists; a corpus row pays a distance only for queries
+    * probing its list. Candidates are k-bounded per partition, then
+    * merged by the map-side-partial bounded top-k — never an exploded
+    * (row × probing-queries) join relation. (A previous version
+    * materialized that join: ~nprobe/nlist × N × Q rows through a
+    * Column-expression distance — measured 27 s vs ~3 s for this
+    * kernel at 1M × 200.)
     */
   def ivfProbeJoin(assigned: DataFrame, centers: Array[Array[Double]],
       corpusIdCol: String, corpusVecCol: String,
@@ -215,15 +232,47 @@ object Ann {
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
-    val probes = qRows.flatMap { case (qid, qv) =>
-      nearestClusters(centers, qv, nprobe).map(c => (qid, qv, c))
-    }.toSeq.toDF(queryIdCol, queryVecCol, "cluster_id")
-    val cand = assigned.join(broadcast(probes), "cluster_id")
-      .filter(col(corpusIdCol) =!= col(queryIdCol))
-      .withColumn("distance",
-        round(Knn.distance(metric)(col(corpusVecCol), col(queryVecCol)), 6))
-      .filter(col("distance").isNotNull)
-      .select(col(queryIdCol), col(corpusIdCol), col("distance"))
-    Knn.finishTopKPerGroup(cand, queryIdCol, corpusIdCol, k)
+    val probeBits: Array[java.util.BitSet] = qRows.map { case (_, qv) =>
+      val bs = new java.util.BitSet(centers.length)
+      if (qv != null) nearestClusters(centers, qv, nprobe).foreach(bs.set)
+      bs
+    }
+    val bc = spark.sparkContext.broadcast((qRows, probeBits))
+    val dist = Knn.scalaDistance(metric)
+
+    val candidates = assigned
+      .select(col("cluster_id").cast("int"), col(corpusIdCol).cast("long"),
+        col(corpusVecCol).cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        val (qs, bits) = bc.value
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (cluster, cid, cvec) =>
+          if (cvec != null) {
+            var qi = 0
+            while (qi < qs.length) {
+              if (bits(qi).get(cluster)) {
+                val (qid, qvec) = qs(qi)
+                if (cid != qid && qvec != null && qvec.length == cvec.length) {
+                  val d = Knn.round6(dist(cvec, qvec))
+                  val h = heaps(qi)
+                  if (h.size < k) h.enqueue((d, cid))
+                  else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (d, cid) => (qid, cid, d) }
+        }
+      }
+      .toDF(queryIdCol, corpusIdCol, "distance")
+
+    Knn.finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
   }
 }
