@@ -31,6 +31,34 @@ class KnnSpec extends SparkSpec {
     assert(got.forall { case (q, c, _) => q != c })
   }
 
+  test("knnJoin agrees with per-query topK on random vectors (cross-implementation)") {
+    // two independent code paths: topK = Column expressions +
+    // TakeOrderedAndProject; knnJoin = Scala kernel + bounded top-k
+    // aggregate. They must produce identical (id, distance) lists.
+    val rnd = new java.util.Random(13)
+    val big = (0L until 300L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qIds = 0L until 5L
+    for (metric <- Seq("l2", "cosine")) {
+      val joined = Knn.knnJoin(big, "vec_id", "embedding",
+          big.filter($"vec_id" < 5)
+            .select($"vec_id".as("query_id"), $"embedding".as("q_vec")),
+          "query_id", "q_vec", k = 3, metric = metric, excludeSelf = false)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+      for (qid <- qIds) {
+        val single = Knn.topK(big, "vec_id", "embedding",
+            big.filter($"vec_id" === qid).select($"embedding".as("q_vec")),
+            "q_vec", 3, metric)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(joined(qid) === single, s"metric=$metric query=$qid")
+      }
+    }
+  }
+
   test("smoke on fixtures: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
