@@ -115,6 +115,15 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct string shingles → distinct 64-bit identities. Exact
+    * Jaccard over these equals Jaccard over the strings up to 64-bit
+    * collisions (~n²/2⁶⁵ per doc ≈ 1e-14 at 1k shingles) while making
+    * the pairwise intersects compare primitive longs instead of
+    * hashing/equating full shingle strings per pair.
+    */
+  def shingleIds(shingles: Column): Column =
+    transform(shingles, s => xxhash64(s))
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct-element shingle
@@ -144,8 +153,12 @@ object Dedup {
     // recompute the tokenize+shingle+hash work three times — at scale
     // that, not the shuffle, dominates. MEMORY_AND_DISK so oversized
     // corpora spill instead of OOM.
+    // shingles are carried as 64-bit ids: the banding minhash and the
+    // exact-verify intersects both work on longs (lshCandidates'
+    // shingleHashes re-hashes the ids — hash-of-hash is still a valid
+    // minhash family)
     val sh = df.select(col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
+      shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands)
     pairs
@@ -163,7 +176,7 @@ object Dedup {
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol),
-      TextFunctions.wordShingles(col(textCol), shingleLen).as("__sh"))
+      shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
     val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
