@@ -494,6 +494,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
 
+    // --- End-to-end training-data curation (the north-star pipeline
+    //     shape, as ONE lazy plan): length band + prose gate (stopword
+    //     ratio, with a CJK escape hatch since zh has no spaces) →
+    //     exact dedup → language routing → per-language corpus stats.
+    //     Every stage is an already-oracle-checked operator; this query
+    //     checks their COMPOSITION end-to-end.
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .filter(length(col("text")).between(50, 20000))
+      val gated = docs.filter(
+        TextFunctions.stopwordRatio(col("text")) > 0.02 ||
+          TextFunctions.cjkCount(col("text")) * 2 > length(col("text")))
+      Dedup.exactDedup(gated, "doc_id", "text")
+        .withColumn("pred_lang", TextFunctions.languageId(col("text")))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("pred_lang"))
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -840,6 +862,47 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 2
         |ORDER BY query_id, rank""".stripMargin,
+
+    "corpus_pipeline" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
+        val hits = ms.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+          .mkString(" + ")
+        s"$hits AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, n_chars,
+         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0
+         |    AND length(text) BETWEEN 50 AND 20000),
+         |gated AS (
+         |  SELECT * FROM base
+         |  WHERE (CASE WHEN len(toks) > 0 THEN
+         |           round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6)
+         |         ELSE 0.0 END) > 0.02
+         |     OR cjk * 2 > length(text)),
+         |rep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         |ded AS (SELECT g.* FROM gated g JOIN rep r USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id, text, n_chars, toks, cjk, $scoreSql
+         |  FROM (SELECT *, ' ' || lower(text) || ' ' AS p FROM ded)),
+         |pred AS (
+         |  SELECT *,
+         |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+         |         ELSE (CASE WHEN m <= 0 THEN 'und' $pick ELSE 'und' END)
+         |    END AS pred_lang
+         |  FROM (SELECT *, $maxExpr AS m FROM scored))
+         |SELECT pred_lang, count(*) AS n_docs,
+         |  round(avg(len(toks)), 6) AS avg_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM pred GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+    },
 
     "vec_dim_check" ->
       """SELECT CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
