@@ -59,6 +59,31 @@ class KnnSpec extends SparkSpec {
     }
   }
 
+  test("edge cases: k beyond corpus, null vectors skipped, dim mismatch dropped") {
+    val q = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("q_vec")
+    // k larger than the corpus: all rows, still ordered
+    val all = Knn.topK(corpus, "vec_id", "embedding", q, "q_vec", 100, "l2")
+      .collect().map(_.getLong(0))
+    assert(all.toSeq === Seq(0L, 1L, 2L, 3L))
+    // null and dim-mismatched embeddings never surface as neighbors
+    val dirty = corpus.union(Seq(
+      (90L, null.asInstanceOf[Array[Float]]),
+      (91L, Array(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding"))
+    val got = Knn.topK(dirty, "vec_id", "embedding", q, "q_vec", 100, "l2")
+      .collect().map(_.getLong(0))
+    assert(!got.contains(90L) && !got.contains(91L))
+    val qs = dirty.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val joined = Knn.knnJoin(dirty, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 100, metric = "l2", excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!joined.exists { case (_, c) => c == 90L },
+      "null corpus vector must not be a neighbor")
+    assert(!joined.exists { case (q0, _) => q0 == 90L },
+      "null query vector must produce no rows")
+    // 3-dim query 91 only matches 3-dim corpus rows — none besides itself
+    assert(!joined.exists { case (q0, _) => q0 == 91L })
+  }
+
   test("smoke on fixtures: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
