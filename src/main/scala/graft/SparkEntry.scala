@@ -481,17 +481,23 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
 
-    // --- Window rank-per-group: 2 highest-value orders per priority
+    // --- Window rank-per-group: 2 highest-value orders per CUSTOMER.
+    //     Window partition keys must be high-cardinality to scale
+    //     (row_number has no partial aggregation — every partition
+    //     key's rows land on one reducer; the original per-priority
+    //     version funneled the whole table through 5 reducers).
+    //     Low-cardinality top-k goes through BoundedTopK instead.
     "q_top_orders" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderpriority"))
+        .partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, dir)
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 2)
-        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("totalprice"))
-        .orderBy(col("o_orderpriority"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+        .limit(50)
     }),
 
     // --- End-to-end training-data curation (the north-star pipeline
@@ -730,12 +736,13 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "q_top_orders" ->
-      """SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey,
+      """SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey,
         |  round(o_totalprice, 2) AS totalprice
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |      FROM orders)
-        |WHERE rnk <= 2 ORDER BY o_orderpriority, rnk""".stripMargin,
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey
+        |LIMIT 50""".stripMargin,
 
     "events_sessions" ->
       """WITH e AS (
