@@ -61,6 +61,11 @@ object ScaleProbe {
       Knn.topK(corpus, "vec_id", "embedding", q1, "q_vec", 10, "l2").collect().length
     }
 
+    time("sq8_topk_1M") {
+      Ann.topKSq8(corpus, "vec_id", "embedding", q1, "q_vec", 10, "l2")
+        .collect().length
+    }
+
     val qs = corpus.filter($"vec_id" % 5000 === 0) // 200 queries
       .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
     time("knnJoin_1M_x200") {

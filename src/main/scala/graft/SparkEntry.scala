@@ -161,6 +161,14 @@ object SparkEntry {
 
     // --- J2: batch KNN join — top-3 neighbors for each of the first 10
     //     vectors (self excluded)
+    // --- SQ8 compressed-scan search with exact rerank: shortlist on
+    //     the 4x-smaller int8 codes, rerank the shortlist on floats.
+    //     Oracle = the knn_l2 oracle — passing PROVES the compressed
+    //     path reproduces exact KNN bit-for-bit on the fixture.
+    "knn_sq8" -> ((s, dir) =>
+      Ann.topKSq8(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir, 0), "q_vec", 5, "l2")),
+
     "knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
@@ -567,6 +575,9 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "knn_l2" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // the SQ8+rerank path must reproduce exact KNN — same oracle
+    "knn_sq8" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),

@@ -140,6 +140,67 @@ object Ann {
       c => ((c.cast("double") + 128.0) * q.getField("scale") + q.getField("min"))
         .cast("float"))
 
+  /** SQ8 search with exact rerank — the standard compressed-corpus
+    * recipe: scan the 4×-smaller codes to shortlist `rerankFactor·k`
+    * candidates (codes decode inside the kernel's distance loop, no
+    * materialized float arrays), then rerank ONLY the shortlist on the
+    * float column with the same rounded expression as [[Knn.topK]].
+    * Whenever quantization error doesn't push a true top-k member past
+    * the shortlist boundary, the output is bit-identical to exact KNN
+    * — the `knn_sq8` oracle (same SQL as `knn_l2`) proves exactly that
+    * on the fixture. At 100 TB the scan is storage-bound, so reading
+    * a quarter of the bytes for the full pass and touching float
+    * vectors for only k·rerankFactor rows is the win.
+    */
+  def topKSq8(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      metric: String = "l2", rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv: Array[Double] = query
+      .select(col(queryVecCol).cast("array<double>"))
+      .as[Array[Double]].head()
+    val m = k * rerankFactor
+    val dist = Knn.scalaDistance(metric)
+    val bcq = spark.sparkContext.broadcast(qv)
+
+    val quant = corpus
+      .select(col(idCol).cast("long"), quantizeInt8(col(vecCol)).as("__q"))
+      .select(col(idCol), col("__q.min").as("__lo"),
+        col("__q.scale").as("__sc"), col("__q.codes").as("__codes"))
+      .as[(Long, Float, Float, Seq[Byte])] // ARRAY<TINYINT> decodes as Seq, not BINARY
+    val shortlist = quant.mapPartitions { it =>
+      val q = bcq.value
+      val buf = new Array[Double](q.length) // decode buffer, one per partition
+      val ord = Ordering.Tuple2[Double, Long]
+      val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
+      it.foreach { case (id, lo, sc, codes) =>
+        if (codes != null && codes.length == q.length) {
+          var i = 0
+          while (i < codes.length) {
+            buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
+          }
+          val d = dist(buf, q)
+          if (heap.size < m) heap.enqueue((d, id))
+          else if (ord.lt((d, id), heap.head)) { heap.dequeue(); heap.enqueue((d, id)) }
+        }
+      }
+      heap.iterator
+    }.toDF("__qdist", idCol)
+      .orderBy(col("__qdist"), col(idCol)).limit(m)
+
+    // exact rerank of the tiny shortlist only
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist.select(col(idCol))), idCol)
+      .crossJoin(broadcast(query.select(col(queryVecCol))))
+      .withColumn("distance",
+        round(Knn.distance(metric)(col(vecCol), col(queryVecCol)), 6))
+      .filter(col("distance").isNotNull)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------------
   // IVF
   // -------------------------------------------------------------

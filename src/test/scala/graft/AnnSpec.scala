@@ -90,6 +90,18 @@ class AnnSpec extends SparkSpec {
       .apply("codes").dataType.simpleString === "array<tinyint>")
   }
 
+  test("SQ8 shortlist + exact rerank reproduces exact KNN") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter($"vec_id" === 3).select($"embedding".as("q_vec"))
+    for (metric <- Seq("l2", "cosine")) {
+      val exact = Knn.topK(emb, "vec_id", "embedding", q, "q_vec", 5, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val sq8 = Ann.topKSq8(emb, "vec_id", "embedding", q, "q_vec", 5, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(sq8 === exact, s"metric=$metric")
+    }
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)
