@@ -75,10 +75,14 @@ object Sources {
     * test_connection.py:52,110). Presentation-only: never used on the
     * oracle-checked query path.
     */
-  def consoleReport(df: DataFrame, n: Int = 20): Unit =
+  /** The formatting projection, split out so F9 is unit-testable. */
+  def formatForReport(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.DoubleType)
         format_number(col(f.name), 4).as(f.name)
       else col(f.name)
-    }.toIndexedSeq: _*).show(n, truncate = 80)
+    }.toIndexedSeq: _*)
+
+  def consoleReport(df: DataFrame, n: Int = 20): Unit =
+    formatForReport(df).show(n, truncate = 80)
 }

@@ -114,4 +114,14 @@ class PipelineSpec extends SparkSpec {
     assert(Tables.tableExists(spark, sf0001, "lineitem"))
     assert(!Tables.tableExists(spark, sf0001, "nope_nothing"))
   }
+
+  test("F9/S6 report formatting: doubles to 4 decimals with thousands separators") {
+    // the reference's `distance:.4f` / `count:,` prints
+    // (test_connection.py:52,110)
+    val df = Seq((1234567L, 1234.56789, "x")).toDF("n", "d", "s")
+    val r = Sources.formatForReport(df).head()
+    assert(r.getLong(0) === 1234567L)     // non-doubles untouched
+    assert(r.getString(1) === "1,234.5679") // HALF_EVEN of format_number
+    assert(r.getString(2) === "x")
+  }
 }
