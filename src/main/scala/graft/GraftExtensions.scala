@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSessionExtensions}
+import org.apache.spark.sql.functions.array_distinct
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -52,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectComposite(ext, "lang_id", 1)(c => TextFunctions.languageId(c.head))
     injectComposite(ext, "quality_score", 1)(c => TextFunctions.qualityScore(c.head))
     injectComposite(ext, "doc_fingerprint", 1)(c => TextFunctions.fingerprint(c.head))
-    injectComposite(ext, "jaccard_sim", 2)(c => Dedup.jaccard(c(0), c(1)))
+    // Dedup.jaccard's one-pass |A∪B| formula assumes distinct-element
+    // arrays (true for shingle sets); SQL callers get arbitrary arrays,
+    // so dedupe first.
+    injectComposite(ext, "jaccard_sim", 2)(c =>
+      Dedup.jaccard(array_distinct(c(0)), array_distinct(c(1))))
   }
 }

@@ -52,6 +52,10 @@ class ExtensionsSpec extends SparkSpec {
       assert(r3.getDouble(2) === 0.45) // len 0, punct 1.0, stopword 0.5
       assert(!r3.getBoolean(3)) // order-sensitive fingerprint
       assert(r3.getDouble(4) === 0.5)
+      // duplicate elements must not skew the set semantics
+      val r4 = s2.sql(
+        "SELECT jaccard_sim(array('a','a','b'), array('b','b','c')) AS j").head()
+      assert(r4.getDouble(0) === 0.333333) // {a,b} vs {b,c}, rounded
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
