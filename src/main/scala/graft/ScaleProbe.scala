@@ -61,10 +61,15 @@ object ScaleProbe {
       Knn.topK(corpus, "vec_id", "embedding", q1, "q_vec", 10, "l2").collect().length
     }
 
+    // SQ8: build the compressed corpus once (storage path), search it
+    val sq8 = Ann.quantizeCorpus(corpus, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("sq8_build_1M") { sq8.count() }
     time("sq8_topk_1M") {
-      Ann.topKSq8(corpus, "vec_id", "embedding", q1, "q_vec", 10, "l2")
-        .collect().length
+      Ann.topKSq8Quantized(sq8, corpus, "vec_id", "embedding",
+        q1, "q_vec", 10, "l2").collect().length
     }
+    sq8.unpersist()
 
     val qs = corpus.filter($"vec_id" % 5000 === 0) // 200 queries
       .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))

@@ -140,6 +140,39 @@ object Ann {
       c => ((c.cast("double") + 128.0) * q.getField("scale") + q.getField("min"))
         .cast("float"))
 
+  /** Kernel SQ8 corpus build: the same per-vector (min, scale, codes)
+    * as [[quantizeInt8]] — double-precision lo/scale for code
+    * computation, float storage — in one primitive pass per row. The
+    * expression version's per-element HOF transform measured 85 s to
+    * quantize 1M×64; this builds in ~2 s. Build ONCE per corpus
+    * version, cache/write next to the index, search many times.
+    * `codes` is BINARY (one byte per dimension).
+    */
+  def quantizeCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        if (v == null || v.isEmpty) (id, 0f, 1f, null: Array[Byte])
+        else {
+          var lo = v(0); var hi = v(0)
+          var i = 1
+          while (i < v.length) {
+            if (v(i) < lo) lo = v(i); if (v(i) > hi) hi = v(i); i += 1
+          }
+          val sc = if (hi > lo) (hi - lo) / 255.0 else 1.0
+          val codes = new Array[Byte](v.length)
+          i = 0
+          while (i < v.length) {
+            codes(i) = (math.round((v(i) - lo) / sc) - 128).toByte; i += 1
+          }
+          (id, lo.toFloat, sc.toFloat, codes)
+        }
+      }
+      .toDF(idCol, "min", "scale", "codes")
+  }
+
   /** SQ8 search with exact rerank — the standard compressed-corpus
     * recipe: scan the 4×-smaller codes to shortlist `rerankFactor·k`
     * candidates (codes decode inside the kernel's distance loop, no
@@ -151,8 +184,21 @@ object Ann {
     * on the fixture. At 100 TB the scan is storage-bound, so reading
     * a quarter of the bytes for the full pass and touching float
     * vectors for only k·rerankFactor rows is the win.
+    *
+    * This convenience overload quantizes in-flight; the production
+    * path is `topKSq8Quantized(quantizeCorpus(...).cache(), ...)`.
     */
   def topKSq8(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      metric: String = "l2", rerankFactor: Int = 4): DataFrame =
+    topKSq8Quantized(quantizeCorpus(corpus, idCol, vecCol),
+      corpus, idCol, vecCol, query, queryVecCol, k, metric, rerankFactor)
+
+  /** Search a prebuilt [[quantizeCorpus]] frame; `corpus` supplies the
+    * float vectors for the exact rerank of the shortlist only.
+    */
+  def topKSq8Quantized(quant: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       metric: String = "l2", rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
@@ -164,29 +210,27 @@ object Ann {
     val dist = Knn.scalaDistance(metric)
     val bcq = spark.sparkContext.broadcast(qv)
 
-    val quant = corpus
-      .select(col(idCol).cast("long"), quantizeInt8(col(vecCol)).as("__q"))
-      .select(col(idCol), col("__q.min").as("__lo"),
-        col("__q.scale").as("__sc"), col("__q.codes").as("__codes"))
-      .as[(Long, Float, Float, Seq[Byte])] // ARRAY<TINYINT> decodes as Seq, not BINARY
-    val shortlist = quant.mapPartitions { it =>
-      val q = bcq.value
-      val buf = new Array[Double](q.length) // decode buffer, one per partition
-      val ord = Ordering.Tuple2[Double, Long]
-      val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
-      it.foreach { case (id, lo, sc, codes) =>
-        if (codes != null && codes.length == q.length) {
-          var i = 0
-          while (i < codes.length) {
-            buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
+    val shortlist = quant
+      .select(col(idCol).cast("long"), col("min"), col("scale"), col("codes"))
+      .as[(Long, Float, Float, Array[Byte])]
+      .mapPartitions { it =>
+        val q = bcq.value
+        val buf = new Array[Double](q.length) // decode buffer, one per partition
+        val ord = Ordering.Tuple2[Double, Long]
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
+        it.foreach { case (id, lo, sc, codes) =>
+          if (codes != null && codes.length == q.length) {
+            var i = 0
+            while (i < codes.length) {
+              buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
+            }
+            val d = dist(buf, q)
+            if (heap.size < m) heap.enqueue((d, id))
+            else if (ord.lt((d, id), heap.head)) { heap.dequeue(); heap.enqueue((d, id)) }
           }
-          val d = dist(buf, q)
-          if (heap.size < m) heap.enqueue((d, id))
-          else if (ord.lt((d, id), heap.head)) { heap.dequeue(); heap.enqueue((d, id)) }
         }
-      }
-      heap.iterator
-    }.toDF("__qdist", idCol)
+        heap.iterator
+      }.toDF("__qdist", idCol)
       .orderBy(col("__qdist"), col(idCol)).limit(m)
 
     // exact rerank of the tiny shortlist only
