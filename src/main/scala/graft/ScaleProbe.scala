@@ -78,6 +78,13 @@ object ScaleProbe {
         k = 10, metric = "l2", excludeSelf = true).count()
     }
 
+    time("sq8_knnJoin_1M_x200") {
+      val sq8b = Ann.quantizeCorpus(corpus, "vec_id", "embedding")
+      Ann.knnJoinSq8Quantized(sq8b, corpus, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 10, metric = "l2",
+        excludeSelf = true).count()
+    }
+
     time("annCosine_1M_x200") {
       Ann.annJoinCosine(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
         k = 10, numPlanes = 14, probeBits = 1).count()

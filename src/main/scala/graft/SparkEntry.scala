@@ -177,6 +177,18 @@ object SparkEntry {
         k = 3, metric = "l2", excludeSelf = true)
     }),
 
+    // --- Batch SQ8: the compressed-scan twin of knn_join — same
+    //     oracle, so passing proves batch-KNN parity on codes+rerank
+    "knn_join_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Ann.knnJoinSq8Quantized(
+        Ann.quantizeCorpus(emb, "vec_id", "embedding"), emb,
+        "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, metric = "l2", excludeSelf = true)
+    }),
+
     // --- J2 at width (VERDICT r1 #2): every vector is a query — the
     //     two-phase top-k must show no per-query single-reducer stage.
     "knn_join_wide" -> ((s, dir) => {
@@ -589,6 +601,20 @@ object SparkEntry {
          |  i -> abs(CAST(embedding[i] AS DOUBLE) - qv[i]))), 6) AS distance
          |FROM embeddings, q
          |ORDER BY distance, vec_id LIMIT 5""".stripMargin,
+
+    // batch SQ8 must reproduce the exact batch join — same oracle
+    "knn_join_sq8" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "knn_join" ->
       """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec

@@ -245,6 +245,85 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch SQ8 search — [[Knn.knnJoin]] over a [[quantizeCorpus]]
+    * frame: the compressed codes are scanned once for ALL queries
+    * (per-query m-heaps, decode buffer reused), the per-query
+    * shortlists merge through the bounded top-k aggregate, and only
+    * shortlist rows touch float vectors for the exact rerank. The
+    * 100 TB embedding-dedup shape: a 4×-smaller full scan, float I/O
+    * proportional to Q·k·rerankFactor. `knn_join_sq8` reuses the
+    * exact `knn_join` oracle — passing proves batch parity.
+    */
+  def knnJoinSq8Quantized(quant: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, metric: String = "l2", rerankFactor: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows: Array[(Long, Array[Double])] = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val m = k * rerankFactor
+    val qdist = Knn.scalaDistance(metric)
+    val bc = spark.sparkContext.broadcast(qRows)
+
+    val candidates = quant
+      .select(col(corpusIdCol).cast("long"), col("min"), col("scale"), col("codes"))
+      .as[(Long, Float, Float, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val dim = qs.collectFirst { case (_, v) if v != null => v.length }.getOrElse(0)
+        val buf = new Array[Double](dim)
+        val ord = Ordering.Tuple2[Double, Long]
+        val heaps = Array.fill(qs.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (cid, lo, sc, codes) =>
+          if (codes != null && codes.length == dim) {
+            var i = 0
+            while (i < codes.length) {
+              buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
+            }
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, qvec) = qs(qi)
+              if (!(excludeSelf && cid == qid) && qvec != null) {
+                val d = qdist(buf, qvec)
+                val h = heaps(qi)
+                if (h.size < m) h.enqueue((d, cid))
+                else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (_, cid) => (qs(qi)._1, cid) }
+        }
+      }
+      .toDF(queryIdCol, corpusIdCol) // ≤ partitions×Q×m rows, ids unique per scan
+
+    // exact rerank: fetch floats for shortlist rows only, kernel
+    // distance against the broadcast queries, bounded top-k per query
+    val reranked = corpus
+      .select(col(corpusIdCol).cast("long"), col(corpusVecCol).cast("array<double>"))
+      .join(broadcast(candidates), corpusIdCol)
+      .as[(Long, Array[Double], Long)]
+      .map { case (cid, cvec, qid) => (qid, cid, cvec) }
+      .mapPartitions { it =>
+        val byId = bc.value.toMap
+        val dist = Knn.scalaDistance(metric)
+        it.flatMap { case (qid, cid, cvec) =>
+          val qvec = byId(qid)
+          if (cvec != null && qvec != null && cvec.length == qvec.length)
+            Iterator.single((qid, cid, Knn.round6(dist(cvec, qvec))))
+          else Iterator.empty
+        }
+      }
+      .toDF(queryIdCol, corpusIdCol, "distance")
+    Knn.finishTopKPerGroup(reranked, queryIdCol, corpusIdCol, k)
+  }
+
   // -------------------------------------------------------------
   // IVF
   // -------------------------------------------------------------

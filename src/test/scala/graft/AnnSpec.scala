@@ -102,6 +102,21 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("batch SQ8 join reproduces exact knnJoin") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exact = rows(Knn.knnJoin(emb, "vec_id", "embedding",
+      qs, "query_id", "q_vec", k = 3, metric = "l2", excludeSelf = true))
+    val sq8 = rows(Ann.knnJoinSq8Quantized(
+      Ann.quantizeCorpus(emb, "vec_id", "embedding"), emb,
+      "vec_id", "embedding", qs, "query_id", "q_vec",
+      k = 3, metric = "l2", excludeSelf = true))
+    assert(sq8 === exact)
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)
