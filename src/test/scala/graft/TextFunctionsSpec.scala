@@ -39,6 +39,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](TextFunctions.languageId(col("t")), "der the and") === "en")
   }
 
+  test("subwordCount: words, digit runs and punctuation count separately") {
+    // "don't stop 42x" → don | ' | t | stop | 42x  (BPE-ish split at
+    // word/non-word boundaries; whitespace-only segments dropped;
+    // digits and letters are both \w so "42x" stays one segment)
+    assert(one[Int](TextFunctions.subwordCount(col("t")), "don't stop 42x") === 5)
+    assert(one[Int](TextFunctions.subwordCount(col("t")), "") === 0)
+    assert(one[Int](TextFunctions.subwordCount(col("t")), "abc") === 1)
+    // subwords >= whitespace tokens, always
+    assert(one[Int](TextFunctions.subwordCount(col("t")), "a,b c")
+      >= one[Int](TextFunctions.tokenCount(col("t")), "a,b c"))
+  }
+
   test("punctRatio and stopwordRatio") {
     assert(one[Double](TextFunctions.punctRatio(col("t")), "ab,.") === 0.5)
     assert(one[Double](TextFunctions.punctRatio(col("t")), "") === 0.0)
