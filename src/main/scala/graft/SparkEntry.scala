@@ -481,6 +481,20 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))),
 
+    // --- Second star join, covering the remaining fixture tables
+    //     (supplier, region): revenue per region through the
+    //     supplier→nation→region dimension chain, dims broadcast
+    "q_region_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("r_name"))),
+
     // --- Sessionization (batch twin of the streaming
     //     flatMapGroupsWithState operator; 30-min gap): per-user
     //     session rollup for the first 10 users
@@ -771,6 +785,16 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q_top_orders" ->
       """SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey,
