@@ -495,6 +495,20 @@ object SparkEntry {
           countDistinct(col("s_suppkey")).as("n_suppliers"))
         .orderBy(col("r_name"))),
 
+    // --- Part-table coverage: revenue by brand. Deliberately NO
+    //     broadcast hint — part is fact-sized at scale (1/30 of
+    //     lineitem), so the correct plan is a shuffle join on partkey
+    //     with AQE free to pick better when the side is actually small
+    "q_part_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+        .limit(10)),
+
     // --- Sessionization (batch twin of the streaming
     //     flatMapGroupsWithState operator; 30-min gap): per-user
     //     session rollup for the first 10 users
@@ -785,6 +799,14 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "q_part_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
 
     "q_region_revenue" ->
       """SELECT r_name,
