@@ -287,7 +287,10 @@ object Ann {
             var qi = 0
             while (qi < qs.length) {
               val (qid, qvec) = qs(qi)
-              if (!(excludeSelf && cid == qid) && qvec != null) {
+              // per-query dim guard, same contract as knnJoin — a
+              // mixed-dim query must be skipped, not crash the kernel
+              if (!(excludeSelf && cid == qid) && qvec != null &&
+                  qvec.length == dim) {
                 val d = qdist(buf, qvec)
                 val h = heaps(qi)
                 if (h.size < m) h.enqueue((d, cid))
