@@ -264,7 +264,9 @@ object Dedup {
       .select(col(idCol).cast("long"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .as[(Long, Array[String])]
-      .map { case (id, toks) => (id, simhashKernel(toks, shingleLen)) }
+      // null text → null token array: fingerprint as empty, don't NPE
+      .map { case (id, toks) =>
+        (id, simhashKernel(if (toks == null) Array.empty else toks, shingleLen)) }
       .toDF(idCol, "__fp")
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
