@@ -521,6 +521,28 @@ object SparkEntry {
           max(col("n_events")).as("max_session_events"))
         .orderBy(col("user_id")).limit(10)),
 
+    // --- As-of join (the canonical operator Spark lacks): each click
+    //     attaches the most recent prior purchase of the same user,
+    //     rolled up per user. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "events_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")) // unique (key, ts): determinism contract
+        .agg(max(col("value")).as("purchase_value"))
+      operators.AsOf.asofJoinBackward(clicks, purchases,
+          "user_id", "ts", Seq("purchase_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("asof_purchase_value").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_attributed"),
+          round(sum(coalesce(col("asof_purchase_value"), lit(0.0))), 6)
+            .as("sum_attr_value"))
+        .orderBy(col("user_id"))
+        .limit(30)
+    }),
+
     // --- Distinct aggregation (expand + two-phase agg)
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -799,6 +821,21 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "events_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, max(value) AS purchase_value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.user_id, p.purchase_value
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts)
+        |SELECT user_id, count(*) AS n_clicks,
+        |  CAST(sum(CASE WHEN purchase_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  round(sum(coalesce(purchase_value, 0.0)), 6) AS sum_attr_value
+        |FROM j GROUP BY user_id ORDER BY user_id LIMIT 30""".stripMargin,
 
     "q_part_revenue" ->
       """SELECT p_brand,

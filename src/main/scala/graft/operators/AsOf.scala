@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — "attach the most recent prior fact": for each
+  * left row, the right-side values from the latest right row of the
+  * same key with `right.ts <= left.ts` (the semantics of DuckDB's
+  * `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`, which is
+  * the oracle for the `events_asof` gate query).
+  *
+  * Spark has no ASOF relational operator; the Spark-first
+  * re-expression is the union-timeline trick: tag both sides, UNION
+  * them into one frame, and let ONE key-partitioned window pass carry
+  * the last non-null right value forward along each key's timeline
+  * (`last(ignoreNulls)` over unbounded-preceding..current). Right rows
+  * order BEFORE left rows at equal ts, so an exactly-simultaneous fact
+  * is visible (>= semantics). Left rows with no prior fact keep NULL.
+  *
+  * Scale shape: one shuffle on the key, O(1) window state per row,
+  * corpus-linear — never a per-left-row probe or a range cross join.
+  * The window partition key is the JOIN key (high-cardinality by
+  * construction: users, devices, symbols…).
+  *
+  * Determinism: callers must make (key, ts) unique on the RIGHT side
+  * (pre-aggregate duplicates) — with duplicates, which simultaneous
+  * right row wins is tie-broken by nothing.
+  */
+object AsOf {
+
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, rightValCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val otherLeft = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    require(otherLeft.intersect(rightValCols.map(prefix + _)).isEmpty,
+      s"left already has column(s) ${rightValCols.map(prefix + _).mkString(", ")}")
+
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        otherLeft.map(col) ++
+        rightValCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValCols.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = taggedLeft.unionByName(taggedRight).select(
+      col("*") +: rightValCols.map(c =>
+        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+
+    filled
+      .filter(col("__side") === 1)
+      .drop("__side")
+      .drop(rightValCols.map(c => s"__r_$c"): _*)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of: most recent prior fact, equal-ts visible, no-fact null") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 50L, "c"), (2L, 100L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 150L, 20.0), (2L, 300L, 30.0))
+      .toDF("k", "ts", "v")
+    val got = AsOf.asofJoinBackward(left, right, "k", "ts", Seq("v"))
+      .select("k", "ts", "tag", "asof_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got === Set(
+      (1L, 100L, "a", Some(10.0)), // fact at the same instant is visible (>=)
+      (1L, 200L, "b", Some(20.0)), // most recent prior wins, not the first
+      (1L, 50L, "c", None),        // nothing before it
+      (2L, 100L, "d", None)))      // key's only fact is later
+  }
+
+  test("as-of output keeps every left row (left-join semantics)") {
+    val left = (0L until 100L).map(i => (i % 5, i, i.toString)).toDF("k", "ts", "tag")
+    val right = Seq((0L, 10L, 1.0)).toDF("k", "ts", "v")
+    assert(AsOf.asofJoinBackward(left, right, "k", "ts", Seq("v")).count() === 100)
+  }
+}
