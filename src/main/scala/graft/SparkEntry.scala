@@ -543,6 +543,23 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // --- Range join (binned, never a nested-loop cross product):
+    //     events bucketed into 50-wide value bands synthesized
+    //     in-plan; oracle is DuckDB's inequality join
+    "events_range_join" -> ((s, dir) => {
+      val bands = s.range(10).select(
+        col("id").as("band_id"),
+        (col("id") * 50.0).as("lo"),
+        ((col("id") + 1) * 50.0).as("hi"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      operators.RangeJoin.pointInInterval(ev, bands,
+          "value", "lo", "hi", binWidth = 25.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("band_id"))
+    }),
+
     // --- Distinct aggregation (expand + two-phase agg)
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -821,6 +838,16 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "events_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, CAST(i * 50 AS DOUBLE) AS lo,
+        |    CAST((i + 1) * 50 AS DOUBLE) AS hi
+        |  FROM range(10) t(i))
+        |SELECT band_id, count(*) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "events_asof" ->
       """WITH clicks AS (

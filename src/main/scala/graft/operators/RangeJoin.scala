@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned range join — the second canonical operator Spark's planner
+  * handles badly: a plain `JOIN ON pt BETWEEN lo AND hi` plans as a
+  * nested-loop over the full cross product unless one side is
+  * broadcastable. The scale-safe re-expression materializes interval
+  * membership: each interval explodes into the fixed-width bins it
+  * covers, points hash to their single bin, and the bin equi-join
+  * (shuffled or broadcast, planner's choice) is verified by the exact
+  * containment predicate. Shuffle volume is
+  * `points + intervals × (span/binWidth + 1)` — never
+  * `points × intervals`. Pick `binWidth` near the typical interval
+  * span: wider bins = fewer interval replicas but more false
+  * candidates to filter.
+  */
+object RangeJoin {
+
+  /** Points matched to the half-open interval(s) [lo, hi) containing
+    * them. Output = point columns + interval columns (caller ensures
+    * disjoint names); points in no interval are dropped (inner).
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      ptCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binnedIntervals = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val binnedPoints = points.withColumn("__bin",
+      floor(col(ptCol) / binWidth).cast("long"))
+    binnedPoints.join(binnedIntervals, "__bin")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join == brute-force BETWEEN filter") {
+    val rnd = new java.util.Random(19)
+    val points = (0L until 500L).map(i => (i, rnd.nextDouble() * 100))
+      .toDF("pt_id", "v")
+    // overlapping intervals of varied width, including some empty hits
+    val intervals = (0L until 40L).map { i =>
+      val lo = rnd.nextDouble() * 95
+      (i, lo, lo + 0.5 + rnd.nextDouble() * 10)
+    }.toDF("iv_id", "lo", "hi")
+
+    for (binWidth <- Seq(1.0, 7.0, 50.0)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", binWidth)
+        .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = points.crossJoin(intervals)
+        .filter($"v" >= $"lo" && $"v" < $"hi")
+        .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"binWidth=$binWidth")
+      assert(expected.nonEmpty)
+    }
+  }
+
+  test("boundary semantics: lo inclusive, hi exclusive") {
+    val points = Seq((1L, 10.0), (2L, 20.0)).toDF("pt_id", "v")
+    val intervals = Seq((7L, 10.0, 20.0)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 5.0)
+      .select("pt_id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+}
