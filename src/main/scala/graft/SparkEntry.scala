@@ -560,6 +560,18 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    // --- Exact interpolated quantiles per group (percentile agg —
+    //     sort-based within group; for approximate-at-scale use
+    //     percentile_approx, which trades the sort for a sketch)
+    "events_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // --- Distinct aggregation (expand + two-phase agg)
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -838,6 +850,13 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "events_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_range_join" ->
       """WITH bands AS (
