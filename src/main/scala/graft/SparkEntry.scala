@@ -560,6 +560,26 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    // --- Rollup subtotals (GROUPING SETS family): per-(flag, status)
+    //     totals + per-flag subtotals + grand total in one pass.
+    //     Ordering must pin NULLS FIRST explicitly on the DuckDB side
+    //     (Spark asc = NULLS FIRST, DuckDB default = NULLS LAST).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
+
+    // --- Pivot (long → wide): docs per lang with one column per
+    //     source; explicit value list keeps the schema static
+    "docs_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3", "src4"))
+        .agg(count(lit(1)))
+        .orderBy(col("lang"))),
+
     // --- Exact interpolated quantiles per group (percentile agg —
     //     sort-based within group; for approximate-at-scale use
     //     percentile_approx, which trades the sort for a sketch)
@@ -850,6 +870,24 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // sum(CASE ... THEN 1 END) with no ELSE: empty pivot cells are
+    // NULL, matching Spark's pivot-of-count on absent combinations
+    "docs_pivot" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 END) AS BIGINT) AS src0,
+        |  CAST(sum(CASE WHEN source = 'src1' THEN 1 END) AS BIGINT) AS src1,
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 END) AS BIGINT) AS src2,
+        |  CAST(sum(CASE WHEN source = 'src3' THEN 1 END) AS BIGINT) AS src3,
+        |  CAST(sum(CASE WHEN source = 'src4' THEN 1 END) AS BIGINT) AS src4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "events_quantiles" ->
       """SELECT event_type,
