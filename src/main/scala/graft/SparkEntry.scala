@@ -560,6 +560,31 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    // --- Semi/anti joins: customers with and without orders — the
+    //     existence-join pair (plans as Left[Semi|Anti] hash joins,
+    //     never materializing the orders side's columns)
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders"))
+      semi.unionByName(anti).select(col("kind"), col("n")).orderBy(col("kind"))
+    }),
+
+    // --- Set operations: nations present on both sides vs customer-
+    //     only (INTERSECT / EXCEPT — both plan as aggregating joins)
+    "q_setops" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      val both = cn.intersect(sn).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("both"))
+      val custOnly = cn.except(sn).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("customer_only"))
+      both.unionByName(custOnly).select(col("kind"), col("n")).orderBy(col("kind"))
+    }),
+
     // --- Rollup subtotals (GROUPING SETS family): per-(flag, status)
     //     totals + per-flag subtotals + grand total in one pass.
     //     Ordering must pin NULLS FIRST explicitly on the DuckDB side
@@ -870,6 +895,24 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders', count(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY kind""".stripMargin,
+
+    "q_setops" ->
+      """SELECT 'both' AS kind, count(*) AS n FROM
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only', count(*) FROM
+        |  (SELECT c_nationkey AS nk FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY kind""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
