@@ -76,6 +76,27 @@ class PlanSpec extends SparkSpec {
       s"media synth should scan only doc_id+text: $readSchema")
   }
 
+  test("q_semi_anti plans existence joins, not inner joins") {
+    val p = plan("q_semi_anti")
+    assert(p.contains("LeftSemi"), p.take(900))
+    assert(p.contains("LeftAnti"), p.take(900))
+  }
+
+  test("events_range_join never falls back to a nested-loop cross product") {
+    val p = plan("events_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    // the bin equi-join may be broadcast or shuffled, but the range
+    // predicate must ride on an equi-join, not drive the join itself
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("events_asof is one window pass over one key shuffle") {
+    val p = plan("events_asof")
+    assert(p.contains("Window"), p.take(900))
+    assert("Window".r.findAllIn(p).size === 1,
+      "as-of must be a single window pass")
+  }
+
   test("text_langid is one codegen span over the scan (no extra exchange before the agg)") {
     val p = plan("text_langid")
     // marker scoring + argmax are pure expressions evaluated in the
