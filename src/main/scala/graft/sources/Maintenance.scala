@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dataset maintenance operations for parquet-backed tables — the ops
+  * layer every long-lived 100 TB dataset needs between queries:
+  * idempotent partition replacement, schema-evolved reads, and
+  * small-file compaction. All plain Spark, no table-format dependency.
+  */
+object Maintenance {
+
+  /** Replace ONLY the partitions present in `df`, leaving every other
+    * partition untouched (dynamic partition overwrite — the idempotent
+    * reprocess-one-day write). With the default STATIC mode an
+    * overwrite would drop the whole table; that foot-gun is why this
+    * helper pins the mode per-write instead of trusting session state.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read a parquet dataset whose files were written under EVOLVED
+    * schemas (columns added over time): `mergeSchema` unions the file
+    * schemas; rows from older files carry NULL in the newer columns.
+    * Spark's default read takes one file's schema and silently DROPS
+    * the others' extra columns — correctness, not convenience.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compact a small-file parquet directory to approximately
+    * `targetBytesPerFile` outputs. Small files are the silent scan
+    * killer at scale (per-file open/footer cost, starved vectorized
+    * reads); compaction is a full rewrite, so run it per partition,
+    * not per table. Returns the output file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(fsPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+    val df = spark.read.parquet(path)
+    // rewrite via a temp dir: reading and overwriting the same path in
+    // one job races the scan against the delete
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    files
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Maintenance
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = Files.createTempDirectory("graft-dyn").toString
+    val day1 = Seq((1L, "d1"), (2L, "d1")).toDF("id", "day")
+    val day2 = Seq((3L, "d2")).toDF("id", "day")
+    Maintenance.overwritePartitions(day1.union(day2), dir, Seq("day"))
+    // reprocess day2 with different content; day1 must survive
+    val day2v2 = Seq((30L, "d2"), (31L, "d2")).toDF("id", "day")
+    Maintenance.overwritePartitions(day2v2, dir, Seq("day"))
+    val got = spark.read.parquet(dir)
+      .select("id", "day").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")))
+  }
+
+  test("mergeSchema read unions evolved file schemas with null backfill") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=old")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.parquet(s"$dir/p=new")
+    val merged = Maintenance.readMerged(spark, dir)
+    assert(merged.columns.toSet === Set("id", "v1", "v2", "p"))
+    val oldRow = merged.filter($"id" === 1L).head()
+    assert(oldRow.isNullAt(oldRow.fieldIndex("v2")), "old rows backfill NULL")
+    // the default read would have dropped v2 entirely for the old file
+    assert(merged.filter($"v2".isNotNull).count() === 1)
+  }
+
+  test("compact rewrites a many-file directory into the target count, content intact") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.range(10000).select($"id", ($"id" % 7).as("k"))
+    df.repartition(40).write.parquet(dir) // 40 small files
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles === 40)
+    val before = spark.read.parquet(dir).agg(sum($"id"), count(lit(1))).head()
+    val n = Maintenance.compact(spark, dir, targetBytesPerFile = 1L << 30)
+    assert(n === 1 && parquetFiles === 1, "tiny table compacts to one file")
+    val after = spark.read.parquet(dir).agg(sum($"id"), count(lit(1))).head()
+    assert(after === before)
+  }
+}
