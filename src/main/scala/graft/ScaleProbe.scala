@@ -106,6 +106,31 @@ object ScaleProbe {
     }
     assigned.unpersist()
 
+    // as-of at probe scale: 1M events x 100k facts over 10k keys —
+    // one key shuffle + one window pass, never a per-row backward scan
+    time("asof_1M_x100k") {
+      val evs = spark.range(1000000).select(
+        pmod($"id", lit(10000)).as("k"), ($"id" * 7 % 1000000).as("ts"),
+        $"id".as("eid"))
+      val facts = spark.range(100000).select(
+        pmod($"id", lit(10000)).as("k"), ($"id" * 63 % 1000000).as("ts"),
+        ($"id" % 100).cast("double").as("v"))
+        .groupBy($"k", $"ts").agg(max($"v").as("v"))
+      graft.operators.AsOf.asofJoinBackward(evs, facts, "k", "ts", Seq("v"))
+        .count()
+    }
+
+    // binned range join: 1M points x 1k intervals, ~5M matches —
+    // shuffle is points + interval replicas, not the 1G cross product
+    time("rangeJoin_1M_x1k") {
+      val pts = spark.range(1000000).select(
+        $"id".as("pid"), ($"id" % 10007 * 0.0097).as("v"))
+      val ivs = spark.range(1000).select(
+        $"id".as("iid"), ($"id" * 0.097).as("lo"), ($"id" * 0.097 + 0.5).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(pts, ivs, "v", "lo", "hi",
+        binWidth = 0.5).count()
+    }
+
     time("dedup_exact_200k") {
       Dedup.exactDedup(docs, "doc_id", "text").count()
     }
