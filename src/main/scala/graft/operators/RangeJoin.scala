@@ -26,6 +26,9 @@ object RangeJoin {
       ptCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty,
+      s"points and intervals share column(s) ${clash.mkString(", ")} — rename before joining")
     val binnedIntervals = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),

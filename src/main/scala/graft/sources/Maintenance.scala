@@ -42,6 +42,11 @@ object Maintenance {
       targetBytesPerFile: Long = 128L * 1024 * 1024): Int = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a partitioned ROOT would read partition values as columns and
+    // rewrite them flattened away — refuse rather than corrupt layout
+    require(!fs.listStatus(fsPath).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$path looks like a partitioned root (key=value subdirs) — compact its leaf partitions instead")
     val bytes = fs.getContentSummary(fsPath).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
     val df = spark.read.parquet(path)

@@ -47,4 +47,14 @@ class MaintenanceSpec extends SparkSpec {
     val after = spark.read.parquet(dir).agg(sum($"id"), count(lit(1))).head()
     assert(after === before)
   }
+
+  test("compact refuses a partitioned root (would flatten the layout)") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/t"
+    Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+      .write.partitionBy("day").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partitioned root"))
+  }
 }
