@@ -377,9 +377,10 @@ object SparkEntry {
     // --- Language-ID heuristic scored against the fixture's lang
     //     column (n-gram/function-word profiles + CJK dominance)
     "text_langid" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .filter(col("text").isNotNull && length(col("text")) > 0)
-        .withColumn("pred", TextFunctions.languageId(col("text")))
+      TextFunctions.withLanguageId(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(col("text")) > 0),
+          "text", "pred")
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -657,8 +658,8 @@ object SparkEntry {
       val gated = docs.filter(
         TextFunctions.stopwordRatio(col("text")) > 0.02 ||
           TextFunctions.cjkCount(col("text")) * 2 > length(col("text")))
-      Dedup.exactDedup(gated, "doc_id", "text")
-        .withColumn("pred_lang", TextFunctions.languageId(col("text")))
+      TextFunctions.withLanguageId(
+          Dedup.exactDedup(gated, "doc_id", "text"), "text", "pred_lang")
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(TextFunctions.tokenCount(col("text"))), 6).as("avg_tokens"),

@@ -42,6 +42,23 @@ object Sources {
     sorted.write.mode("overwrite").parquet(outPath)
   }
 
+  /** CSV ingest with an EXPLICIT schema — the delimited-file front
+    * door (the reference restores a SQL dump; flat files arrive as
+    * CSV/TSV in practice). Schema inference is refused for the same
+    * reasons as JSONL: an extra full pass and run-to-run type flips.
+    * PERMISSIVE + a corrupt-record column quarantines malformed lines
+    * for inspection instead of silently dropping or failing the job.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("header", header)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** S5 — results JSON sink (/root/reference/fever_multi_agent.py:342-345).
     * Distributed write: one JSONL part per partition. For the
     * reference's single ordered golden file, coalesce(1) + orderBy

@@ -115,6 +115,23 @@ class PipelineSpec extends SparkSpec {
     assert(!Tables.tableExists(spark, sf0001, "nope_nothing"))
   }
 
+  test("CSV ingest: schema'd read, corrupt lines quarantined not dropped") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/claims.csv"),
+      "id,claim,label\n1,first claim,SUPPORTS\nnot_a_number,broken,?\n3,third claim,REFUTES\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("claim", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType)))
+    val df = Sources.readCsv(spark, s"$dir/claims.csv", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(good.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(bad.count() === 1)
+    assert(bad.select("_corrupt_record").as[String].head().contains("not_a_number"))
+  }
+
   test("F9/S6 report formatting: doubles to 4 decimals with thousands separators") {
     // the reference's `distance:.4f` / `count:,` prints
     // (test_connection.py:52,110)
