@@ -150,8 +150,8 @@ object ScaleProbe {
     }
 
     time("languageId_200k") {
-      docs.groupBy(graft.functions.TextFunctions.languageId($"text").as("pred"))
-        .count().collect().map(_.getLong(1)).sum
+      graft.functions.TextFunctions.withLanguageId(docs, "text", "pred")
+        .groupBy($"pred").count().collect().map(_.getLong(1)).sum
     }
 
     time("fingerprint_200k") {
