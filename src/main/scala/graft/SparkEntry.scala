@@ -199,6 +199,17 @@ object SparkEntry {
         k = 2, metric = "cosine", excludeSelf = true)
     }),
 
+    // --- J2 at FULL width (VERDICT r2 #8): the exact kernel with the
+    //     whole table as the query set — Q = 500 at the sf0.01 gate,
+    //     Q = 2000 at the sf0.1 bench, so round-over-round tracking
+    //     covers the kernel's Q-scaling dimension, not only k=3/Q=10.
+    "knn_join_full" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, metric = "l2", excludeSelf = true)
+    }),
+
     // --- F6/F4/F5: verdict-label extraction over synthetic answers —
     //     distribution of extracted labels (exercises the
     //     both-labels-present SUPPORTS-first order quirk,
@@ -250,6 +261,41 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // --- E2E FEVER pipeline as ONE lazy plan (VERDICT r2 #6): the
+    //     reference's whole claim-verification lifecycle —
+    //     retrieve (KNN) → assemble context → 3 answers (the
+    //     SQL-expressible synthAnswer stand-in for the generative
+    //     boundary) → extract labels → majority vote → compare to
+    //     ground truth — composed end-to-end and oracle-checked
+    //     per-query. PipelineSpec's replay test keeps covering the
+    //     stub-boundary variant of the same composition.
+    "pipeline_e2e" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val docs = Tables.documents(s, dir)
+      val claims = emb.filter(col("vec_id") < 5)
+      val qs = claims.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val nb = Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, metric = "l2", excludeSelf = true)
+      val withText = broadcast(nb)
+        .join(docs, nb("vec_id") === docs("doc_id"))
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("query_id"), col("rank"),
+          substring(col("text"), 1, 40).as("snippet"))
+      val ctx = Fever.contextPerKey(withText, "query_id", "rank", "snippet")
+      val truth = element_at(
+        array(lit(Fever.Supports), lit(Fever.Refutes), lit(Fever.Nei)),
+        (col("label") % 3 + 1).cast("int"))
+      ctx.join(broadcast(claims.select(col("vec_id").as("query_id"), col("label"))),
+          "query_id")
+        .withColumn("judged", judgedCol)
+        .select(col("query_id"),
+          length(col("context")).as("context_len"),
+          col("judged"),
+          truth.as("truth"),
+          when(col("judged") === truth, 1).otherwise(0).as("correct"))
+        .orderBy(col("query_id"))
+    }),
+
     // --- Dedup family (north-star): exact content dedup with
     //     deterministic min-id representative. The fixture has no
     //     exact dups, so we materialize copies in-query (ids shifted
@@ -274,12 +320,21 @@ object SparkEntry {
 
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
-    //     pair direction canonicalized). Reuses the scale-safe knnJoin.
+    //     pair direction canonicalized). Every vector is a query
+    //     (Q = N) — the exact-broadcast knnJoin CONTRACT forbids that
+    //     shape (it would collect the whole corpus to the driver;
+    //     VERDICT r2), so this routes through the SQ8 compressed scan
+    //     with chunked query broadcast: 4×-smaller full scan, driver
+    //     holds one query chunk at a time, float I/O only for the
+    //     rerank shortlist. The oracle is still EXACT NN pairs —
+    //     passing proves the compressed path loses nothing.
     "dedup_embedding" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      val nn = Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
-        k = 1, metric = "cosine", excludeSelf = true)
+      val nn = Ann.knnJoinSq8Chunked(
+        Ann.quantizeCorpus(emb, "vec_id", "embedding"), emb,
+        "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 1, metric = "cosine", rerankFactor = 8, excludeSelf = true)
       nn.select(
           least(col("query_id"), col("vec_id")).as("id_a"),
           greatest(col("query_id"), col("vec_id")).as("id_b"),
@@ -340,7 +395,8 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",
-        qs, "query_id", "q_vec", k = 3, nprobe = 8, metric = "l2")
+        qs, "query_id", "q_vec", k = 3, nprobe = 8, metric = "l2",
+        excludeSelf = true)
     }),
 
     // --- ANN/LSH: hyperplane-bucketed approximate cosine KNN
@@ -351,7 +407,42 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
       Ann.annJoinCosine(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
-        k = 3, numPlanes = 8, probeBits = 2)
+        k = 3, numPlanes = 8, probeBits = 2, excludeSelf = true)
+    }),
+
+    // --- LSH probe-all oracle (VERDICT r2 #4): numPlanes = 0
+    //     degenerates to a single bucket = an exact cosine scan, so the
+    //     SAME LSH plumbing (bucket assignment, bucket join, candidate
+    //     re-rank, bounded top-k) is value-checked against the exact
+    //     cosine KNN oracle; `ann_cosine` above keeps the approximate
+    //     rows-only configuration.
+    "ann_cosine_probeall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Ann.annJoinCosine(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, numPlanes = 0, probeBits = 0, excludeSelf = true)
+    }),
+
+    // --- IVF on-disk pruned path (VERDICT r2 #5): build the index,
+    //     WRITE the cluster-partitioned parquet layout, and answer the
+    //     probe from the written layout — with nprobe = nlist the read
+    //     path must reproduce exact KNN (same oracle as knn_l2), while
+    //     PlanSpec pins that the scan carries cluster_id
+    //     PartitionFilters (the actual 100 TB win: a real probe reads
+    //     nprobe/nlist of the bytes).
+    "ann_ivf_disk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 8, seed = 42, maxIter = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_gate")
+        .resolve("idx").toString
+      Ann.ivfWrite(assigned.select(col("vec_id"), col("embedding"), col("cluster_id")), path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfProbe(s, path, centers, "vec_id", "embedding",
+        q, k = 5, nprobe = 8, metric = "l2")
     }),
 
     // --- Text analysis (north-star): per-language corpus stats
@@ -618,6 +709,28 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // --- Approximate-percentile twin (VERDICT r2 #7): percentile_approx
+    //     (GK sketch — mergeable, no per-group sort) is the form that
+    //     scales; sketch output picks an actual element rather than
+    //     interpolating, so the oracle checks the error-bound invariant
+    //     (within 2% + 0.05 of the exact percentile) as INT flags next
+    //     to the exact, hash-stable columns.
+    "events_quantiles_approx" -> ((s, dir) => {
+      def exact(p: Double) = expr(s"percentile(value, $p)")
+      def ok(p: Double) =
+        (abs(expr(s"approx_percentile(value, $p, 10000)") - exact(p))
+          <= abs(exact(p)) * 0.02 + 0.05).cast("int")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(exact(0.5), 6).as("p50"),
+          ok(0.5).as("p50_ok"),
+          round(exact(0.9), 6).as("p90"),
+          ok(0.9).as("p90_ok"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- Distinct aggregation (expand + two-phase agg)
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -625,6 +738,26 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows"))),
+
+    // --- Approximate-distinct twin (SURVEY §2.4 north-star; VERDICT
+    //     r2 #7): at 100 TB `approx_count_distinct` (HLL++ sketch — one
+    //     pass, constant memory, mergeable map-side) is what users run
+    //     instead of the expand+two-phase exact form. Sketch VALUES are
+    //     engine-specific, so the oracle checks the error-bound
+    //     invariant: the approximation must land within 5% of the exact
+    //     count (rsd = 2%), reported as an INT flag next to the exact,
+    //     hash-stable columns.
+    "q_distinct_approx" -> ((s, dir) => {
+      def ok(c: String) =
+        (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c)))
+          <= countDistinct(col(c)) * 0.05).cast("int")
+      Tables.lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          ok("l_partkey").as("approx_parts_ok"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          ok("l_suppkey").as("approx_supps_ok"))
+    }),
 
     // --- Window rank-per-group: 2 highest-value orders per CUSTOMER.
     //     Window partition keys must be high-cardinality to scale
@@ -1031,12 +1164,106 @@ object SparkEntry {
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
+    // probe-all hyperplane LSH (numPlanes = 0 → one bucket) == exact
+    // cosine KNN join
+    "ann_cosine_probeall" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // probe-all (nprobe = nlist) read from the written IVF layout ==
+    // exact KNN — identical oracle to knn_l2
+    "ann_ivf_disk" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+
+    "knn_join_full" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // exact columns hash-checked; the approx sketch is checked as an
+    // error-bound flag that must evaluate to 1 on both engines
+    "q_distinct_approx" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  CAST(1 AS INT) AS approx_parts_ok,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(1 AS INT) AS approx_supps_ok
+        |FROM lineitem""".stripMargin,
+
+    "events_quantiles_approx" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  CAST(1 AS INT) AS p50_ok,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  CAST(1 AS INT) AS p90_ok,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "pipeline_e2e" ->
+      s"""WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, label
+         |            FROM embeddings WHERE vec_id < 5),
+         |d AS (SELECT qs.query_id, e.vec_id,
+         |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+         |      FROM embeddings e CROSS JOIN qs
+         |      WHERE e.vec_id <> qs.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+         |      FROM d),
+         |t AS (SELECT r.query_id, r.rank, substring(doc.text, 1, 40) AS snippet
+         |      FROM r JOIN documents doc ON r.vec_id = doc.doc_id
+         |      WHERE r.rank <= 3 AND doc.text IS NOT NULL AND length(doc.text) > 0),
+         |p AS (SELECT query_id, snippet,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rank) AS pos
+         |      FROM t),
+         |ctx AS (SELECT query_id,
+         |          string_agg('[Doc ' || pos || '] ' || snippet, E'\n\n' ORDER BY pos) AS context
+         |        FROM p GROUP BY query_id),
+         |v AS (SELECT query_id, label,
+         |        ${extractSql(synthAnswerSql(0))} AS v0,
+         |        ${extractSql(synthAnswerSql(0))} AS v1,
+         |        ${extractSql(synthAnswerSql(1))} AS v2
+         |      FROM qs),
+         |j AS (SELECT query_id, label,
+         |        CASE WHEN cs >= cr AND cs >= cn THEN 'SUPPORTS'
+         |             WHEN cr >= cn THEN 'REFUTES'
+         |             ELSE 'NOT ENOUGH INFO' END AS judged
+         |      FROM (SELECT query_id, label,
+         |              CAST(v0 = 'SUPPORTS' AS INT) + CAST(v1 = 'SUPPORTS' AS INT) + CAST(v2 = 'SUPPORTS' AS INT) AS cs,
+         |              CAST(v0 = 'REFUTES' AS INT) + CAST(v1 = 'REFUTES' AS INT) + CAST(v2 = 'REFUTES' AS INT) AS cr,
+         |              CAST(v0 = 'NOT ENOUGH INFO' AS INT) + CAST(v1 = 'NOT ENOUGH INFO' AS INT) + CAST(v2 = 'NOT ENOUGH INFO' AS INT) AS cn
+         |            FROM v)),
+         |f AS (SELECT query_id, judged,
+         |        CASE label % 3 WHEN 0 THEN 'SUPPORTS' WHEN 1 THEN 'REFUTES'
+         |          ELSE 'NOT ENOUGH INFO' END AS truth
+         |      FROM j)
+         |SELECT ctx.query_id, CAST(length(ctx.context) AS INT) AS context_len,
+         |  f.judged, f.truth,
+         |  CASE WHEN f.judged = f.truth THEN 1 ELSE 0 END AS correct
+         |FROM ctx JOIN f ON ctx.query_id = f.query_id
+         |ORDER BY ctx.query_id""".stripMargin,
+
     "dedup_exact" ->
       """WITH doubled AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 10000, text FROM documents),
         |rep AS (SELECT min(doc_id) AS rep_id FROM doubled GROUP BY text)
-        |SELECT count(*) AS n_unique, sum(rep_id) AS id_checksum FROM rep""".stripMargin,
+        |SELECT count(*) AS n_unique,
+        |  CAST(sum(rep_id) AS BIGINT) AS id_checksum FROM rep""".stripMargin,
 
     "dedup_near" ->
       """WITH t AS (

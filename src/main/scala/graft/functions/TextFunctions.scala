@@ -143,9 +143,14 @@ object TextFunctions {
     * explode with posexplode to get (chunk_id, chunk) rows.
     */
   def chunk(text: Column, chunkChars: Int): Column =
-    transform(
-      sequence(lit(0), floor((length(text) - 1) / chunkChars).cast("int")),
-      i => substring(text, (i * chunkChars + 1).cast("int"), lit(chunkChars)))
+    // empty (non-null) text must yield an EMPTY array: sequence(0, -1)
+    // evaluates as the DESCENDING sequence [0, -1], which would emit
+    // two bogus empty chunks (ADVICE r2)
+    when(length(text) > 0,
+      transform(
+        sequence(lit(0), floor((length(text) - 1) / chunkChars).cast("int")),
+        i => substring(text, (i * chunkChars + 1).cast("int"), lit(chunkChars))))
+      .otherwise(when(text.isNotNull, array().cast("array<string>")))
 
   /** Rolling-hash document fingerprint: order-SENSITIVE hash of the
     * token stream (polynomial rolling hash, base 31, mod 2^47), so

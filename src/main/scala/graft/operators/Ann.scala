@@ -81,7 +81,8 @@ object Ann {
       k: Int,
       numPlanes: Int = 12,
       probeBits: Int = 1,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      excludeSelf: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(corpusVecCol))).head().getInt(0)
@@ -100,8 +101,12 @@ object Ann {
       probeBuckets(qb, numPlanes, probeBits).map(b => (qid, qv, b))
     }.toSeq.toDF(queryIdCol, queryVecCol, "__bucket")
 
-    val cand = bucketed.join(broadcast(probes), "__bucket")
-      .filter(col(corpusIdCol) =!= col(queryIdCol))
+    // self-exclusion only on request: query ids may live in a different
+    // id space than corpus ids, where dropping an equal id silently
+    // loses a legitimate neighbor (ADVICE r2 — matches knnJoin)
+    val joined = bucketed.join(broadcast(probes), "__bucket")
+    val cand = (if (excludeSelf) joined.filter(col(corpusIdCol) =!= col(queryIdCol))
+                else joined)
       .withColumn("distance",
         round(Knn.distance("cosine")(col(corpusVecCol), col(queryVecCol)), 6))
       .filter(col("distance").isNotNull)
@@ -264,7 +269,61 @@ object Ann {
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
-    val m = k * rerankFactor
+    Knn.finishTopKPerGroup(
+      sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
+        qRows, queryIdCol, k * rerankFactor, metric, excludeSelf),
+      queryIdCol, corpusIdCol, k)
+  }
+
+  /** The whole-corpus-as-queries shape ([[knnJoinSq8Quantized]] at
+    * Q ≈ N — embedding NN-dedup, "NN per row"): semantics identical to
+    * `knnJoinSq8Quantized`, but the query side is streamed to the
+    * driver ONE PARTITION AT A TIME (`toLocalIterator`) and broadcast
+    * in `chunkSize`-bounded batches, so the driver never materializes
+    * the full query set — the scale-killer VERDICT r2 named in the
+    * Q = N `knnJoin` instantiation. Each chunk pays one scan of the
+    * 4×-smaller codes; the per-chunk (query, corpus, distance)
+    * shortlists union into ONE bounded top-k aggregate, so the final
+    * plan is still a single partial-aggregated reduction.
+    *
+    * Persist `quant` (and `corpus`) before calling when the query set
+    * spans multiple chunks — each chunk's scan re-reads them.
+    */
+  def knnJoinSq8Chunked(quant: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, metric: String = "l2", rerankFactor: Int = 4,
+      excludeSelf: Boolean = false, chunkSize: Int = 8192): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val qIt = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .toLocalIterator()
+    val batches = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
+      .grouped(chunkSize)
+      .map(chunk => sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
+        chunk.toArray, queryIdCol, k * rerankFactor, metric, excludeSelf))
+      .toSeq
+    val candidates =
+      if (batches.isEmpty)
+        spark.emptyDataset[(Long, Long, Double)]
+          .toDF(queryIdCol, corpusIdCol, "distance")
+      else batches.reduce(_.unionByName(_))
+    Knn.finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
+  }
+
+  /** Shared SQ8 core: compressed-scan shortlist + exact rerank for ONE
+    * broadcast batch of queries → (queryId, corpusId, distance) rows,
+    * ready for the bounded top-k finisher.
+    */
+  private def sq8RerankedBatch(quant: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, corpusVecCol: String,
+      qRows: Array[(Long, Array[Double])], queryIdCol: String,
+      m: Int, metric: String, excludeSelf: Boolean): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val qdist = Knn.scalaDistance(metric)
     val bc = spark.sparkContext.broadcast(qRows)
 
@@ -324,7 +383,7 @@ object Ann {
         }
       }
       .toDF(queryIdCol, corpusIdCol, "distance")
-    Knn.finishTopKPerGroup(reranked, queryIdCol, corpusIdCol, k)
+    reranked
   }
 
   // -------------------------------------------------------------
@@ -413,7 +472,8 @@ object Ann {
   def ivfProbeJoin(assigned: DataFrame, centers: Array[Array[Double]],
       corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, nprobe: Int, metric: String = "l2"): DataFrame = {
+      k: Int, nprobe: Int, metric: String = "l2",
+      excludeSelf: Boolean = false): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -442,7 +502,10 @@ object Ann {
             while (qi < qs.length) {
               if (bits(qi).get(cluster)) {
                 val (qid, qvec) = qs(qi)
-                if (cid != qid && qvec != null && qvec.length == cvec.length) {
+                // self-exclusion only on request (ADVICE r2): equal ids
+                // across distinct id spaces are legitimate neighbors
+                if (!(excludeSelf && cid == qid) && qvec != null &&
+                    qvec.length == cvec.length) {
                   val d = Knn.round6(dist(cvec, qvec))
                   val h = heaps(qi)
                   if (h.size < k) h.enqueue((d, cid))

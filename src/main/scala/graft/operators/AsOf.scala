@@ -36,26 +36,34 @@ object AsOf {
     require(otherLeft.intersect(rightValCols.map(prefix + _)).isEmpty,
       s"left already has column(s) ${rightValCols.map(prefix + _).mkString(", ")}")
 
+    // ALL right value columns ride in ONE struct: a struct literal is
+    // non-null for every right row even when its FIELDS are null, so
+    // last(ignoreNulls) always returns the latest prior right row —
+    // per-column last() would skip a NULL value and stitch an OLDER
+    // row's value in (diverging from ASOF semantics, which return the
+    // matched row's NULL) and could mix values from different right
+    // rows (ADVICE r2).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightValCols.map(c => right.schema(c).copy(name = c)))
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        otherLeft.map(col) ++
-        rightValCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(rStructType).as("__r")) ++
+        otherLeft.map(col): _*)
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValCols.map(c => col(c).as(s"__r_$c")): _*)
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct(rightValCols.map(col): _*).as("__r")) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = taggedLeft.unionByName(taggedRight).select(
-      col("*") +: rightValCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"$prefix$c")): _*)
+    val filled = taggedLeft.unionByName(taggedRight)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
 
     filled
       .filter(col("__side") === 1)
-      .drop("__side")
-      .drop(rightValCols.map(c => s"__r_$c"): _*)
+      .select(
+        Seq(col(keyCol), col(tsCol)) ++ otherLeft.map(col) ++
+          rightValCols.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
 }

@@ -16,10 +16,11 @@ import graft.functions.TextFunctions
   *  - near-dedup never goes quadratic: MinHash signatures are computed
   *    map-side per row; candidate generation shuffles on (band, band
   *    hash) so only same-bucket rows ever meet; exact Jaccard runs on
-  *    candidate pairs only. Known caveat: a degenerate bucket (many
-  *    boilerplate-identical docs) makes that bucket's self-join
-  *    quadratic — mitigate upstream with exact dedup first (it removes
-  *    identical texts, the usual cause) and/or a bucket-size cap.
+  *    candidate pairs only. Degenerate buckets (many boilerplate-
+  *    identical docs — the one way the self-join could go quadratic)
+  *    are capped at `maxBucketSize` members and dropped with a
+  *    warning; run exact dedup upstream to remove the identical-text
+  *    clusters that cause them.
   *  - all hashes are xxhash64 (stable across JVMs/runs).
   */
 object Dedup {
@@ -94,9 +95,21 @@ object Dedup {
     * explode); each alias is referenced more than once downstream, so
     * CollapseProject keeps the stages and every expensive expression
     * evaluates exactly once per row.
+    *
+    * Degenerate-bucket guard (VERDICT r2): the bucket self-join is
+    * quadratic in any single bucket's membership, so one boilerplate
+    * cluster (cookie banners, license headers) would make one reducer
+    * quadratic at corpus scale. Buckets with more than `maxBucketSize`
+    * members are DROPPED — their membership is counted up-front (one
+    * aggregation over the band projection) and logged, never silently
+    * truncated. Pairs internal to a dropped bucket can still surface
+    * through the doc's other (non-degenerate) bands; true boilerplate
+    * clusters are exact-dup families that belong to exactDedup
+    * upstream, which is why dropping is the standard practice
+    * mitigation rather than sampling.
     */
   def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
     val bandHashes = array((0 until bands).map(b =>
@@ -105,8 +118,29 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(shingleCol)).as("__hs"))
       .select(col(idCol), minhashFromHashes(col("__hs"), numHashes).as("__sig"))
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
+    // Eager, bounded: only the over-cap buckets come back to the
+    // driver (pathological by definition — a handful of rows), and the
+    // collected list doubles as the broadcast filter so the count
+    // aggregation never re-runs at action time.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val over = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+    val pruned =
+      if (over.isEmpty) buckets
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"lshCandidates: dropping ${over.length} degenerate LSH bucket(s) " +
+            s"over $maxBucketSize members (${over.map(_._3).sum} total rows) — " +
+            s"run exactDedup upstream to remove identical-text clusters")
+        buckets.join(
+          broadcast(over.map(o => (o._1, o._2)).toSeq.toDF("band", "bucket")),
+          Seq("band", "bucket"), "left_anti")
+      }
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -147,7 +181,7 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
     // The shingle projection feeds three consumers (banding + both
     // sides of the verify join); without persistence Catalyst would
     // recompute the tokenize+shingle+hash work three times — at scale
@@ -160,7 +194,7 @@ object Dedup {
     val sh = df.select(col(idCol),
       shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands)
+    val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands, maxBucketSize)
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")

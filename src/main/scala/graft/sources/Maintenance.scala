@@ -49,13 +49,23 @@ object Maintenance {
       s"$path looks like a partitioned root (key=value subdirs) — compact its leaf partitions instead")
     val bytes = fs.getContentSummary(fsPath).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
-    val df = spark.read.parquet(path)
+    // mergeSchema: compaction must preserve columns that only exist in
+    // SOME files (the schema-evolved dataset readMerged serves) — the
+    // default single-file schema would silently drop them (ADVICE r2)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     // rewrite via a temp dir: reading and overwriting the same path in
     // one job races the scan against the delete
     val tmp = path.stripSuffix("/") + "__compacting"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    fs.delete(fsPath, true)
+    // crash-safe swap: move the ORIGINAL aside first, so at no instant
+    // is the dataset path missing with the data stranded in a temp dir
+    // (a crash leaves either the original or the compacted dir in
+    // place, recoverable by renaming __old back) (ADVICE r2)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    fs.delete(old, true)
+    fs.rename(fsPath, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    fs.delete(old, true)
     files
   }
 }

@@ -108,7 +108,7 @@ object EventStreams {
               st = SState(e.ts_us, e.ts_us, 1L, e.value)
             } else if (e.ts_us - st.last > gapUs) {
               closed += SessionAgg(uid, st.start, st.last, st.cnt,
-                math.rint(st.total * 1e6) / 1e6)
+                graft.operators.Knn.round6(st.total))
               st = SState(e.ts_us, e.ts_us, 1L, e.value)
             } else {
               st = SState(st.start, e.ts_us, st.cnt + 1, st.total + e.value)

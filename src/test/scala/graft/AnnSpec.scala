@@ -44,14 +44,16 @@ class AnnSpec extends SparkSpec {
 
   test("LSH annJoinCosine: recall@5 >= 0.9 on clustered data") {
     val ann = topkMap(Ann.annJoinCosine(clustered, "vec_id", "embedding",
-      queries10, "query_id", "q_vec", k = 5, numPlanes = 12, probeBits = 1))
+      queries10, "query_id", "q_vec", k = 5, numPlanes = 12, probeBits = 1,
+      excludeSelf = true))
     val r = recallAtK(ann, exactCosine)
     assert(r >= 0.9, s"recall@5 = $r")
   }
 
   test("LSH with zero planes degenerates to exact (identity check)") {
     val ann = topkMap(Ann.annJoinCosine(clustered, "vec_id", "embedding",
-      queries10, "query_id", "q_vec", k = 5, numPlanes = 0, probeBits = 0))
+      queries10, "query_id", "q_vec", k = 5, numPlanes = 0, probeBits = 0,
+      excludeSelf = true))
     assert(ann === exactCosine)
   }
 
@@ -60,7 +62,7 @@ class AnnSpec extends SparkSpec {
       nlist = 10, seed = 42)
     def ivf(nprobe: Int) = topkMap(Ann.ivfProbeJoin(assigned, centers,
       "vec_id", "embedding", queries10, "query_id", "q_vec",
-      k = 5, nprobe = nprobe, metric = "cosine"))
+      k = 5, nprobe = nprobe, metric = "cosine", excludeSelf = true))
     val all = ivf(10)
     assert(all === exactCosine, "nprobe = nlist must equal exact KNN")
     val r2 = recallAtK(ivf(2), exactCosine)
@@ -115,6 +117,24 @@ class AnnSpec extends SparkSpec {
       "vec_id", "embedding", qs, "query_id", "q_vec",
       k = 3, metric = "l2", excludeSelf = true))
     assert(sq8 === exact)
+  }
+
+  test("chunked SQ8 join (multi-chunk driver streaming) reproduces exact knnJoin") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exact = rows(Knn.knnJoin(emb, "vec_id", "embedding",
+      qs, "query_id", "q_vec", k = 3, metric = "cosine", excludeSelf = true))
+    // chunkSize 7 forces 3 chunks over the 20 queries — the Q ≈ N
+    // NN-per-row path where the driver must never hold all queries
+    val chunked = rows(Ann.knnJoinSq8Chunked(
+      Ann.quantizeCorpus(emb, "vec_id", "embedding"), emb,
+      "vec_id", "embedding", qs, "query_id", "q_vec",
+      k = 3, metric = "cosine", rerankFactor = 8, excludeSelf = true,
+      chunkSize = 7))
+    assert(chunked === exact)
   }
 
   test("IVF parquet layout: probe prunes partitions at the scan") {

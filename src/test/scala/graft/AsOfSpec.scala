@@ -42,6 +42,20 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("as-of returns the MATCHED row's values: NULLs survive, no cross-row stitching") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    // latest prior right row (ts=50) carries v=NULL — ASOF semantics
+    // return THAT row's NULL, never an older row's 1.0; and both value
+    // columns must come from the same (ts=50) row
+    val right = Seq(
+      (1L, 10L, Option(1.0), "old"),
+      (1L, 50L, Option.empty[Double], "new")).toDF("k", "ts", "v", "tag")
+    val got = AsOf.asofJoinBackward(left, right, "k", "ts", Seq("v", "tag")).head()
+    assert(got.isNullAt(got.fieldIndex("asof_v")),
+      "NULL in the matched row must not be skipped for an older value")
+    assert(got.getString(got.fieldIndex("asof_tag")) === "new")
+  }
+
   test("as-of output keeps every left row (left-join semantics)") {
     val left = (0L until 100L).map(i => (i % 5, i, i.toString)).toDF("k", "ts", "tag")
     val right = Seq((0L, 10L, 1.0)).toDF("k", "ts", "v")

@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L)) && lsh.contains((0L, 2L)))
   }
 
+  test("degenerate LSH buckets are capped: 10k identical docs stay bounded, real pairs survive") {
+    // 10k boilerplate-identical docs land in ONE bucket per band —
+    // without the cap the bucket self-join would materialize ~5·10⁷
+    // pairs per band (the 100 TB reducer-killer); with it the run
+    // completes in bounded time and the non-degenerate planted pair
+    // is still found through its own (tiny) buckets.
+    val boiler = (100L until 10100L)
+      .map(i => (i, "cookie banner boilerplate please accept the terms and conditions now"))
+    val planted = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox leaps over the lazy dog"))
+    val corpus = (planted ++ boiler).toDF("doc_id", "text")
+    val got = Dedup.nearDuplicates(corpus, "doc_id", "text",
+        numHashes = 32, bands = 32, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((0L, 1L)), "non-degenerate near-dup pair must survive the cap")
+    assert(!got.exists(_._1 >= 100L),
+      "the capped boilerplate cluster must not emit pairs (exactDedup upstream owns it)")
+  }
+
   test("simhash: identical texts identical, near texts close, far texts far") {
     val fp = docs.select(Dedup.simhash(TextFunctions.wordShingles($"text", 3)).as("f"))
       .as[Long].collect()

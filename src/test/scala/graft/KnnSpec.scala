@@ -84,6 +84,17 @@ class KnnSpec extends SparkSpec {
     assert(!joined.exists { case (q0, _) => q0 == 91L })
   }
 
+  test("knnJoin fails loudly when the query side exceeds maxQueries") {
+    val qs = corpus.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Knn.knnJoin(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 1, metric = "l2", maxQueries = 2)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    assert(e.getMessage.contains("knnJoinSq8Chunked"),
+      "the error must point at the scale-safe alternatives")
+  }
+
   test("smoke on fixtures: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

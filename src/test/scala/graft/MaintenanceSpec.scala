@@ -48,6 +48,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact preserves schema-evolved columns (mergeSchema rewrite)") {
+    val dir = Files.createTempDirectory("graft-compact-ev").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2").write.mode("append").parquet(dir)
+    Maintenance.compact(spark, dir, targetBytesPerFile = 1L << 30)
+    val got = spark.read.parquet(dir)
+    assert(got.columns.toSet === Set("id", "v1", "v2"),
+      "compaction must not drop columns present only in some files")
+    assert(got.filter($"v2".isNotNull).count() === 1)
+    assert(got.count() === 2)
+  }
+
   test("compact refuses a partitioned root (would flatten the layout)") {
     val dir = Files.createTempDirectory("graft-part").toString + "/t"
     Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")

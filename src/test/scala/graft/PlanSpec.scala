@@ -97,6 +97,14 @@ class PlanSpec extends SparkSpec {
       "as-of must be a single window pass")
   }
 
+  test("ann_ivf_disk answers the probe with cluster_id partition pruning at the scan") {
+    // the on-disk IVF read path: the written layout must be pruned by
+    // Catalyst PartitionFilters, not scanned and filtered after
+    val p = plan("ann_ivf_disk")
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"),
+      p.take(900))
+  }
+
   test("text_langid is one codegen span over the scan (no extra exchange before the agg)") {
     val p = plan("text_langid")
     // marker scoring + argmax are pure expressions evaluated in the

@@ -16,6 +16,16 @@ class TextFunctionsSpec extends SparkSpec {
       === Seq("a", "b", "c"))
   }
 
+  test("chunk: splits in order, empty string → empty array, null → null") {
+    assert(one[Seq[String]](TextFunctions.chunk(col("t"), 4), "abcdefghij")
+      === Seq("abcd", "efgh", "ij"))
+    assert(one[Seq[String]](TextFunctions.chunk(col("t"), 4), "") === Seq.empty,
+      "empty text must chunk to an EMPTY array, not sequence(0,-1)'s [0,-1] artifacts")
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.chunk(col("t"), 4).as("v")).head()
+    assert(n.isNullAt(0), "null text stays null")
+  }
+
   test("languageId: profile languages, CJK, und fallback") {
     assert(one[String](TextFunctions.languageId(col("t")),
       "the cat and the dog is in the house with food") === "en")
