@@ -85,6 +85,26 @@ object ScaleProbe {
         excludeSelf = true).count()
     }
 
+    // NN-per-row (dedup_embedding shape): EVERY row is a query. The
+    // exact-broadcast knnJoin forbids this (maxQueries guard); the
+    // chunked SQ8 path streams the query side through the driver in
+    // 8192-row chunks (never the whole corpus at once) and scans the
+    // 4x-smaller codes once per chunk. O(N²) compute bounds the probe
+    // to 50k here; at 100 TB the approximate LSH/IVF operators take
+    // over, with this path as the exact-verify stage on candidates.
+    time("sq8_nn_per_row_50k") {
+      val sub = corpus.filter($"vec_id" < 50000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val subQ = sub.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+      val quant = Ann.quantizeCorpus(sub, "vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = Ann.knnJoinSq8Chunked(quant, sub, "vec_id", "embedding",
+        subQ, "query_id", "q_vec", k = 1, metric = "cosine",
+        rerankFactor = 8, excludeSelf = true, chunkSize = 8192).count()
+      quant.unpersist(); sub.unpersist()
+      n
+    }
+
     time("annCosine_1M_x200") {
       Ann.annJoinCosine(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
         k = 10, numPlanes = 14, probeBits = 1).count()

@@ -221,17 +221,14 @@ object Ann {
       .mapPartitions { it =>
         val q = bcq.value
         val buf = new Array[Double](q.length) // decode buffer, one per partition
-        val ord = Ordering.Tuple2[Double, Long]
-        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
+        val heap = new Knn.BoundedPairHeap(m)
         it.foreach { case (id, lo, sc, codes) =>
           if (codes != null && codes.length == q.length) {
             var i = 0
             while (i < codes.length) {
               buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
             }
-            val d = dist(buf, q)
-            if (heap.size < m) heap.enqueue((d, id))
-            else if (ord.lt((d, id), heap.head)) { heap.dequeue(); heap.enqueue((d, id)) }
+            heap.offer(dist(buf, q), id)
           }
         }
         heap.iterator
@@ -334,9 +331,7 @@ object Ann {
         val qs = bc.value
         val dim = qs.collectFirst { case (_, v) if v != null => v.length }.getOrElse(0)
         val buf = new Array[Double](dim)
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(qs.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        val heaps = Array.fill(qs.length)(new Knn.BoundedPairHeap(m))
         it.foreach { case (cid, lo, sc, codes) =>
           if (codes != null && codes.length == dim) {
             var i = 0
@@ -350,10 +345,7 @@ object Ann {
               // mixed-dim query must be skipped, not crash the kernel
               if (!(excludeSelf && cid == qid) && qvec != null &&
                   qvec.length == dim) {
-                val d = qdist(buf, qvec)
-                val h = heaps(qi)
-                if (h.size < m) h.enqueue((d, cid))
-                else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+                heaps(qi).offer(qdist(buf, qvec), cid)
               }
               qi += 1
             }
@@ -493,9 +485,7 @@ object Ann {
       .as[(Int, Long, Array[Double])]
       .mapPartitions { it =>
         val (qs, bits) = bc.value
-        val ord = Ordering.Tuple2[Double, Long]
-        val heaps = Array.fill(qs.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        val heaps = Array.fill(qs.length)(new Knn.BoundedPairHeap(k))
         it.foreach { case (cluster, cid, cvec) =>
           if (cvec != null) {
             var qi = 0
@@ -506,10 +496,9 @@ object Ann {
                 // across distinct id spaces are legitimate neighbors
                 if (!(excludeSelf && cid == qid) && qvec != null &&
                     qvec.length == cvec.length) {
-                  val d = Knn.round6(dist(cvec, qvec))
+                  val raw = dist(cvec, qvec)
                   val h = heaps(qi)
-                  if (h.size < k) h.enqueue((d, cid))
-                  else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+                  if (!Knn.cannotBeat(h, raw)) h.offer(Knn.round6(raw), cid)
                 }
               }
               qi += 1

@@ -118,27 +118,7 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(shingleCol)).as("__hs"))
       .select(col(idCol), minhashFromHashes(col("__hs"), numHashes).as("__sig"))
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
-    // Eager, bounded: only the over-cap buckets come back to the
-    // driver (pathological by definition — a handful of rows), and the
-    // collected list doubles as the broadcast filter so the count
-    // aggregation never re-runs at action time.
-    val spark = df.sparkSession
-    import spark.implicits._
-    val over = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucketSize)
-      .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
-    val pruned =
-      if (over.isEmpty) buckets
-      else {
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"lshCandidates: dropping ${over.length} degenerate LSH bucket(s) " +
-            s"over $maxBucketSize members (${over.map(_._3).sum} total rows) — " +
-            s"run exactDedup upstream to remove identical-text clusters")
-        buckets.join(
-          broadcast(over.map(o => (o._1, o._2)).toSeq.toDF("band", "bucket")),
-          Seq("band", "bucket"), "left_anti")
-      }
+    val pruned = capBuckets(buckets, "band", "bucket", maxBucketSize, "lshCandidates")
     val a = pruned.as("a")
     val b = pruned.as("b")
     a.join(b,
@@ -147,6 +127,35 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Shared degenerate-bucket guard for the banded self-join operators
+    * (MinHash LSH bands, SimHash chunks): drop buckets whose
+    * membership exceeds `maxBucketSize`, logging what was dropped —
+    * never a silent truncation. Eager but bounded: only the over-cap
+    * buckets come back to the driver (pathological by definition — a
+    * handful of rows), and the collected list doubles as the broadcast
+    * anti-join filter so the count aggregation never re-runs at action
+    * time.
+    */
+  private def capBuckets(buckets: DataFrame, bandCol: String, bucketCol: String,
+      maxBucketSize: Int, what: String): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val over = buckets.groupBy(col(bandCol), col(bucketCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+    if (over.isEmpty) buckets
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"$what: dropping ${over.length} degenerate bucket(s) " +
+          s"over $maxBucketSize members (${over.map(_._3).sum} total rows) — " +
+          s"run exactDedup upstream to remove identical-content clusters")
+      buckets.join(
+        broadcast(over.map(o => (o._1, o._2)).toSeq.toDF(bandCol, bucketCol)),
+        Seq(bandCol, bucketCol), "left_anti")
+    }
   }
 
   /** Distinct string shingles → distinct 64-bit identities. Exact
@@ -287,11 +296,15 @@ object Dedup {
     * other agree on at least one of 4 16-bit chunks when d <= 3 — we
     * always use 4 chunks, which is exact for maxHamming <= 3 and a
     * recall-lossy heuristic above that (documented, standard practice).
-    * Same banding shuffle shape as MinHash LSH. Fingerprints come from
-    * the primitive kernel (see simhashKernel).
+    * Same banding shuffle shape as MinHash LSH — including the same
+    * degenerate-bucket hazard (identical texts → identical
+    * fingerprints → one quadratic chunk bucket), so the same
+    * `maxBucketSize` cap applies (see [[capBuckets]]). Fingerprints
+    * come from the primitive kernel (see simhashKernel).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, maxHamming: Int = 3): DataFrame = {
+      shingleLen: Int = 3, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fp = df
@@ -304,8 +317,10 @@ object Dedup {
       .toDF(idCol, "__fp")
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val buckets = fp.select(col(idCol), col("__fp"),
-      posexplode(chunks).as(Seq("chunk", "val")))
+    val buckets = capBuckets(
+      fp.select(col(idCol), col("__fp"),
+        posexplode(chunks).as(Seq("chunk", "val"))),
+      "chunk", "val", maxBucketSize, "simhashPairs")
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b,

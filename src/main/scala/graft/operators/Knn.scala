@@ -155,10 +155,8 @@ object Knn {
             qs.map { case (_, q) =>
               if (q == null) 0.0 else math.sqrt(dotKernel(q, q)) }
           else null
-        // per-query bounded max-heap of the k best (roundedDist, id)
-        val ord = Ordering.Tuple2[Double, Long] // worst candidate at head
-        val heaps = Array.fill(qs.length)(
-          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        // per-query primitive bounded heap of the k best (roundedDist, id)
+        val heaps = Array.fill(qs.length)(new BoundedPairHeap(k))
         it.foreach { case (cid, cvec) =>
           if (cvec != null) {
             val cNorm = if (isCosine) math.sqrt(dotKernel(cvec, cvec)) else 0.0
@@ -167,12 +165,14 @@ object Knn {
               val (qid, qvec) = qs(qi)
               if (!(excludeSelf && cid == qid) && qvec != null &&
                   qvec.length == cvec.length) {
-                val d = round6(
+                val raw =
                   if (isCosine) 1.0 - dotKernel(cvec, qvec) / (cNorm * qNorms(qi))
-                  else dist(cvec, qvec))
+                  else dist(cvec, qvec)
                 val h = heaps(qi)
-                if (h.size < k) h.enqueue((d, cid))
-                else if (ord.lt((d, cid), h.head)) { h.dequeue(); h.enqueue((d, cid)) }
+                // comparisons happen in ROUNDED space (oracle tie
+                // parity); cannotBeat keeps the BigDecimal round off
+                // the hot path for the overwhelming reject majority
+                if (!cannotBeat(h, raw)) h.offer(round6(raw), cid)
               }
               qi += 1
             }
@@ -222,6 +222,65 @@ object Knn {
         GraftBridge.expression(value.cast("double")),
         GraftBridge.expression(id.cast("long"))).toAggregateExpression())
   }
+
+  /** Primitive bounded max-heap of the k smallest (distance, id) pairs
+    * — the hot-loop replacement for `PriorityQueue[(Double, Long)]`,
+    * whose per-offer tuple boxing dominated the kernel profiles
+    * (ScaleProbe r3: ~55 ns/pair across 2.5·10⁹ pairs). Two parallel
+    * primitive arrays, zero allocation per offer. Ordering matches
+    * `Ordering.Tuple2[Double, Long]` (java `Double.compare`: NaN ranks
+    * worst, -0.0 < 0.0), so swapping the heap changes no output.
+    * Root = WORST kept pair, so `isFull && headDist` gives kernels a
+    * branch-cheap admission pre-check.
+    */
+  private[graft] final class BoundedPairHeap(cap: Int) {
+    private val ds = new Array[Double](cap)
+    private val ids = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+    def isFull: Boolean = n == cap
+    /** Worst kept distance; only meaningful when size > 0. */
+    def headDist: Double = ds(0)
+    // (d1,i1) ranks strictly worse (further) than (d2,i2)
+    private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      c > 0 || (c == 0 && i1 > i2)
+    }
+    private def swap(a: Int, b: Int): Unit = {
+      val td = ds(a); ds(a) = ds(b); ds(b) = td
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+    /** Keep (d, id) if it is among the cap best seen so far. */
+    def offer(d: Double, id: Long): Unit =
+      if (n < cap) {
+        var i = n; ds(i) = d; ids(i) = id; n += 1
+        while (i > 0 && worse(ds(i), ids(i), ds((i - 1) / 2), ids((i - 1) / 2))) {
+          swap(i, (i - 1) / 2); i = (i - 1) / 2
+        }
+      } else if (worse(ds(0), ids(0), d, id)) {
+        ds(0) = d; ids(0) = id
+        var i = 0
+        var c = 1
+        while (c < n) {
+          if (c + 1 < n && worse(ds(c + 1), ids(c + 1), ds(c), ids(c))) c += 1
+          if (worse(ds(c), ids(c), ds(i), ids(i))) { swap(i, c); i = c; c = 2 * i + 1 }
+          else c = n // done sifting
+        }
+      }
+    /** Unordered drain (downstream re-sorts via the bounded top-k agg). */
+    def iterator: Iterator[(Double, Long)] =
+      (0 until n).iterator.map(i => (ds(i), ids(i)))
+  }
+
+  /** Admission pre-check for kernels that store ROUNDED distances:
+    * when the heap is full and the RAW distance exceeds the worst kept
+    * rounded distance by more than the rounding radius, round6(raw)
+    * is strictly worse too — skip the BigDecimal round entirely. With
+    * k ≪ N nearly every pair takes this branch, which removes the
+    * round from the hot loop (it dominated knnJoin's per-pair cost).
+    */
+  @inline private[operators] def cannotBeat(h: BoundedPairHeap, raw: Double): Boolean =
+    h.isFull && raw > h.headDist + 1e-6
 
   /** Round to 6 decimals with the SAME semantics as Spark's `round()`
     * SQL function (shortest-decimal representation, HALF_UP) so the

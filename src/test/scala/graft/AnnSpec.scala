@@ -137,6 +137,22 @@ class AnnSpec extends SparkSpec {
     assert(chunked === exact)
   }
 
+  test("chunked SQ8 == single-batch SQ8 with the whole corpus as queries (chunk boundaries lossless)") {
+    // stronger than comparing to exact KNN: whatever the quantization
+    // does, splitting the query side into chunks must change NOTHING
+    val qs = clustered.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val quant = Ann.quantizeCorpus(clustered, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val single = rows(Ann.knnJoinSq8Quantized(quant, clustered,
+      "vec_id", "embedding", qs, "query_id", "q_vec",
+      k = 3, metric = "l2", excludeSelf = true))
+    val chunked = rows(Ann.knnJoinSq8Chunked(quant, clustered,
+      "vec_id", "embedding", qs, "query_id", "q_vec",
+      k = 3, metric = "l2", excludeSelf = true, chunkSize = 64)) // 300 queries → 5 chunks
+    assert(chunked === single)
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)

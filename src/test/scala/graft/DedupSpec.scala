@@ -86,6 +86,16 @@ class DedupSpec extends SparkSpec {
     assert(fp.toSeq === fp2.toSeq)
   }
 
+  test("simhashPairs caps degenerate chunk buckets (identical fingerprints stay bounded)") {
+    // 10k identical docs → one fingerprint → every chunk bucket holds
+    // all 10k rows; uncapped that is 4 × ~5·10⁷ join pairs
+    val boiler = (100L until 10100L)
+      .map(i => (i, "cookie banner boilerplate please accept the terms and conditions now"))
+      .toDF("doc_id", "text")
+    val n = Dedup.simhashPairs(boiler, "doc_id", "text", maxHamming = 3).count()
+    assert(n === 0, "capped identical-fingerprint cluster must not emit pairs")
+  }
+
   test("simhashPairs surfaces exact dup pairs at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

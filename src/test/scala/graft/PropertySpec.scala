@@ -78,6 +78,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BoundedPairHeap == sort-take-cap under tuple ordering (ties, dups, NaN)") {
+    // heavy tie density on purpose: distances on a coarse grid
+    val entryGen = Gen.zip(
+      Gen.frequency(9 -> Gen.chooseNum(0, 30).map(_ / 10.0), 1 -> Gen.const(Double.NaN)),
+      Gen.chooseNum(0L, 50L))
+    check(Prop.forAll(Gen.listOf(entryGen), Gen.chooseNum(1, 8)) { (xs, cap) =>
+      val h = new Knn.BoundedPairHeap(cap)
+      xs.foreach { case (d, id) => h.offer(d, id) }
+      val got = h.iterator.toSeq.sorted(Ordering.Tuple2[Double, Long])
+      val exp = xs.sorted(Ordering.Tuple2[Double, Long]).take(cap)
+      // element-wise Double.compare: tuple == would make NaN != NaN
+      got.size == exp.size && got.zip(exp).forall { case ((d1, i1), (d2, i2)) =>
+        java.lang.Double.compare(d1, d2) == 0 && i1 == i2
+      }
+    })
+  }
+
   test("unknown metric fails fast everywhere") {
     intercept[IllegalArgumentException](
       Knn.distance("chebyshev")(lit(Array(1.0)), lit(Array(1.0))))
