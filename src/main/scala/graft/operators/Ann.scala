@@ -221,6 +221,8 @@ object Ann {
       .mapPartitions { it =>
         val q = bcq.value
         val buf = new Array[Double](q.length) // decode buffer, one per partition
+        val isCosine = metric == "cosine"
+        val qNorm = if (isCosine) math.sqrt(Knn.dotKernel(q, q)) else 0.0
         val heap = new Knn.BoundedPairHeap(m)
         it.foreach { case (id, lo, sc, codes) =>
           if (codes != null && codes.length == q.length) {
@@ -228,7 +230,14 @@ object Ann {
             while (i < codes.length) {
               buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
             }
-            heap.offer(dist(buf, q), id)
+            // cosine: query norm hoisted out of the row loop (same
+            // multiply order as scalaDistance — bit-identical)
+            val d =
+              if (isCosine)
+                1.0 - Knn.dotKernel(buf, q) /
+                  (math.sqrt(Knn.dotKernel(buf, buf)) * qNorm)
+              else dist(buf, q)
+            heap.offer(d, id)
           }
         }
         heap.iterator
@@ -322,6 +331,10 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qdist = Knn.scalaDistance(metric)
+    // cosine norm caching, same arithmetic order as scalaDistance /
+    // Knn.knnJoin (query norms once per partition, corpus norm once
+    // per decoded row) — scalaDistance would pay THREE dots per pair
+    val isCosine = metric == "cosine"
     val bc = spark.sparkContext.broadcast(qRows)
 
     val candidates = quant
@@ -331,6 +344,11 @@ object Ann {
         val qs = bc.value
         val dim = qs.collectFirst { case (_, v) if v != null => v.length }.getOrElse(0)
         val buf = new Array[Double](dim)
+        val qNorms: Array[Double] =
+          if (isCosine)
+            qs.map { case (_, q) =>
+              if (q == null) 0.0 else math.sqrt(Knn.dotKernel(q, q)) }
+          else null
         val heaps = Array.fill(qs.length)(new Knn.BoundedPairHeap(m))
         it.foreach { case (cid, lo, sc, codes) =>
           if (codes != null && codes.length == dim) {
@@ -338,6 +356,7 @@ object Ann {
             while (i < codes.length) {
               buf(i) = (codes(i) + 128).toDouble * sc + lo; i += 1
             }
+            val cNorm = if (isCosine) math.sqrt(Knn.dotKernel(buf, buf)) else 0.0
             var qi = 0
             while (qi < qs.length) {
               val (qid, qvec) = qs(qi)
@@ -345,7 +364,10 @@ object Ann {
               // mixed-dim query must be skipped, not crash the kernel
               if (!(excludeSelf && cid == qid) && qvec != null &&
                   qvec.length == dim) {
-                heaps(qi).offer(qdist(buf, qvec), cid)
+                val d =
+                  if (isCosine) 1.0 - Knn.dotKernel(buf, qvec) / (cNorm * qNorms(qi))
+                  else qdist(buf, qvec)
+                heaps(qi).offer(d, cid)
               }
               qi += 1
             }
@@ -478,6 +500,7 @@ object Ann {
     }
     val bc = spark.sparkContext.broadcast((qRows, probeBits))
     val dist = Knn.scalaDistance(metric)
+    val isCosine = metric == "cosine"
 
     val candidates = assigned
       .select(col("cluster_id").cast("int"), col(corpusIdCol).cast("long"),
@@ -485,9 +508,18 @@ object Ann {
       .as[(Int, Long, Array[Double])]
       .mapPartitions { it =>
         val (qs, bits) = bc.value
+        // cosine norm caching (query side per partition, corpus side
+        // per row) — same arithmetic order as scalaDistance, so
+        // distances stay bit-identical
+        val qNorms: Array[Double] =
+          if (isCosine)
+            qs.map { case (_, q) =>
+              if (q == null) 0.0 else math.sqrt(Knn.dotKernel(q, q)) }
+          else null
         val heaps = Array.fill(qs.length)(new Knn.BoundedPairHeap(k))
         it.foreach { case (cluster, cid, cvec) =>
           if (cvec != null) {
+            val cNorm = if (isCosine) math.sqrt(Knn.dotKernel(cvec, cvec)) else 0.0
             var qi = 0
             while (qi < qs.length) {
               if (bits(qi).get(cluster)) {
@@ -496,7 +528,9 @@ object Ann {
                 // across distinct id spaces are legitimate neighbors
                 if (!(excludeSelf && cid == qid) && qvec != null &&
                     qvec.length == cvec.length) {
-                  val raw = dist(cvec, qvec)
+                  val raw =
+                    if (isCosine) 1.0 - Knn.dotKernel(cvec, qvec) / (cNorm * qNorms(qi))
+                    else dist(cvec, qvec)
                   val h = heaps(qi)
                   if (!Knn.cannotBeat(h, raw)) h.offer(Knn.round6(raw), cid)
                 }

@@ -142,17 +142,22 @@ object Dedup {
       maxBucketSize: Int, what: String): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
-    val over = buckets.groupBy(col(bandCol), col(bucketCol))
+    // the bucket projection feeds THREE consumers (the membership
+    // count plus both sides of the self-join) — persist it or the
+    // signature/fingerprint work upstream evaluates three times
+    // (ScaleProbe: 4x wall on dedup_near without this)
+    val cached = buckets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val over = cached.groupBy(col(bandCol), col(bucketCol))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
-    if (over.isEmpty) buckets
+    if (over.isEmpty) cached
     else {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"$what: dropping ${over.length} degenerate bucket(s) " +
           s"over $maxBucketSize members (${over.map(_._3).sum} total rows) — " +
           s"run exactDedup upstream to remove identical-content clusters")
-      buckets.join(
+      cached.join(
         broadcast(over.map(o => (o._1, o._2)).toSeq.toDF(bandCol, bucketCol)),
         Seq(bandCol, bucketCol), "left_anti")
     }
