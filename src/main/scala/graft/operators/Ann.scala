@@ -82,7 +82,8 @@ object Ann {
       numPlanes: Int = 12,
       probeBits: Int = 1,
       seed: Long = 42L,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxQueries: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(corpusVecCol))).head().getInt(0)
@@ -97,6 +98,7 @@ object Ann {
       .withColumn("__qb", hyperplaneBucket(col(queryVecCol), planes))
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"), col("__qb"))
       .as[(Long, Array[Double], Int)].collect()
+    Knn.requireBroadcastable(qRows.length, maxQueries, "annJoinCosine")
     val probes = qRows.flatMap { case (qid, qv, qb) =>
       probeBuckets(qb, numPlanes, probeBits).map(b => (qid, qv, b))
     }.toSeq.toDF(queryIdCol, queryVecCol, "__bucket")
@@ -269,12 +271,13 @@ object Ann {
       corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, metric: String = "l2", rerankFactor: Int = 4,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, maxQueries: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows: Array[(Long, Array[Double])] = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
+    Knn.requireBroadcastable(qRows.length, maxQueries, "knnJoinSq8Quantized")
     Knn.finishTopKPerGroup(
       sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
         qRows, queryIdCol, k * rerankFactor, metric, excludeSelf),
@@ -487,12 +490,13 @@ object Ann {
       corpusIdCol: String, corpusVecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, nprobe: Int, metric: String = "l2",
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, maxQueries: Int = 65536): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
+    Knn.requireBroadcastable(qRows.length, maxQueries, "ivfProbeJoin")
     val probeBits: Array[java.util.BitSet] = qRows.map { case (_, qv) =>
       val bs = new java.util.BitSet(centers.length)
       if (qv != null) nearestClusters(centers, qv, nprobe).foreach(bs.set)

@@ -132,11 +132,7 @@ object Knn {
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .collect()
-    require(qArr.length <= maxQueries,
-      s"knnJoin query side exceeds maxQueries=$maxQueries rows — this exact " +
-        "operator broadcast-collects the query side; route corpus-sized query " +
-        "sets through Ann.knnJoinSq8Chunked (compressed scan, chunked " +
-        "broadcast) or the LSH/IVF operators, or raise maxQueries explicitly")
+    requireBroadcastable(qArr.length, maxQueries, "knnJoin")
     val bc = spark.sparkContext.broadcast(qArr)
     val dist = scalaDistance(metric)
     // cosine recomputes BOTH norms per pair — cache them per side
@@ -281,6 +277,19 @@ object Knn {
     */
   @inline private[operators] def cannotBeat(h: BoundedPairHeap, raw: Double): Boolean =
     h.isFull && raw > h.headDist + 1e-6
+
+  /** Shared oversized-query-set guard for every operator that
+    * broadcast-collects its query side (knnJoin, annJoinCosine,
+    * ivfProbeJoin, knnJoinSq8Quantized): fail LOUDLY before any
+    * broadcast or kernel work, naming the streaming alternative.
+    */
+  private[operators] def requireBroadcastable(n: Int, maxQueries: Int,
+      op: String): Unit =
+    require(n <= maxQueries,
+      s"$op query side exceeds maxQueries=$maxQueries rows — this operator " +
+        "broadcast-collects the query side; route corpus-sized query sets " +
+        "through Ann.knnJoinSq8Chunked (compressed scan, chunked broadcast), " +
+        "or raise maxQueries explicitly")
 
   /** Round to 6 decimals with the SAME semantics as Spark's `round()`
     * SQL function (shortest-decimal representation, HALF_UP) so the

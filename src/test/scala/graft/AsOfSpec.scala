@@ -21,23 +21,29 @@ class AsOfSpec extends SparkSpec {
       (2L, 100L, "d", None)))      // key's only fact is later
   }
 
-  test("as-of matches the brute-force max-prior-fact on random data") {
+  test("as-of matches the brute-force max-prior-fact on random data (incl. NULL values)") {
     val rnd = new java.util.Random(23)
     val left = (0L until 400L).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i))
       .toDF("k", "ts", "lid")
-    // unique (k, ts) on the right — the operator's determinism contract
+    // unique (k, ts) on the right (the operator's determinism
+    // contract); ~1 in 4 matched rows carries a NULL value — ASOF must
+    // return the matched row's NULL, never scan back past it
     val right = (0L until 300L).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toDouble))
       .toDF("k", "ts", "v")
       .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("v").as("v"))
+      .withColumn("v", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod($"ts", org.apache.spark.sql.functions.lit(4)) === 0, null)
+        .otherwise($"v"))
     val got = AsOf.asofJoinBackward(left, right, "k", "ts", Seq("v"))
       .select("lid", "asof_v").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     // brute force: for each left row, the right row with max ts <= left.ts
-    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rightRows = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
     val leftRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     leftRows.foreach { case (k, ts, lid) =>
       val prior = rightRows.filter(r => r._1 == k && r._2 <= ts)
-      val expected = if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3)
+      val expected = if (prior.isEmpty) None else prior.maxBy(_._2)._3
       assert(got(lid) === expected, s"k=$k ts=$ts")
     }
   }
