@@ -1,0 +1,92 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** Fused sign-bit LSH bucket: bit p of the result = [v · planes(p) ≥ 0].
+  * ONE pass over the input vector computes all plane dots — the
+  * previous per-plane [[VectorDistance]] composition re-read the
+  * ArrayData once per plane (numPlanes× the deserialization traffic on
+  * the corpus bucketing scan, the map-side stage LSH exists to keep
+  * cheap). The plane matrix rides into the generated class as a
+  * reference object, so the hot loop is primitive double arithmetic
+  * inside whole-stage codegen.
+  *
+  * Null semantics: null vector, null element, or dimension mismatch
+  * against the planes → null (such rows can never match a probe bucket;
+  * the query side coalesces to bucket 0 where an encoder needs a
+  * primitive — either way the row is dropped later by the null-distance
+  * filter, exactly as the per-plane composition behaved).
+  */
+case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+
+  require(planes.length <= 31, s"at most 31 planes fit a signed int bucket, got ${planes.length}")
+
+  private val dim = if (planes.isEmpty) 0 else planes(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (planes.nonEmpty && n != dim) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += x.getDouble(i) * pl(i); i += 1 }
+      if (acc >= 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pls = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val acc = ctx.freshName("acc")
+      val pl = ctx.freshName("pl")
+      val bucket = ctx.freshName("bucket")
+      s"""int $n = $a.numElements();
+         |if ($pls.length > 0 && $n != $pls[0].length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int $bucket = 0;
+         |    for (int $p = 0; $p < $pls.length; $p++) {
+         |      double[] $pl = $pls[$p];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += $a.getDouble($i) * $pl[$i];
+         |      }
+         |      if ($acc >= 0.0) $bucket |= (1 << $p);
+         |    }
+         |    ${ev.value} = $bucket;
+         |  }
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}

@@ -34,22 +34,23 @@ object Ann {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  // routes through the fused-codegen VectorDistance dot (ScaleProbe
-  // r2: interpreted HOF plane dots made LSH bucketing slower than the
-  // exact scan it was meant to beat)
-  private def dotLit(vec: Column, plane: Array[Double]): Column =
-    graft.functions.VectorFunctions.dot(vec, typedlit(plane))
-
   /** Sign-bit LSH bucket (packed int) for a vector column: bit i =
     * [v · plane_i >= 0]. Two vectors with small angle collide with
     * high probability. Map-side only; also usable as a write-time
-    * partition column.
+    * partition column. Backed by the fused
+    * [[graft.functions.expressions.HyperplaneBucket]] codegen
+    * expression — ONE vector read computes all plane dots (the earlier
+    * per-plane VectorDistance sum re-deserialized the array once per
+    * plane; before that, interpreted HOF dots made bucketing slower
+    * than the exact scan it was meant to beat).
     */
   def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
     if (planes.isEmpty) lit(0) // degenerate: single bucket = exact scan
-    else planes.zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    else {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(graft.functions.expressions.HyperplaneBucket(
+        GraftBridge.expression(vec.cast("array<double>")), planes))
+    }
 
   /** Multi-probe bucket list for a query: its own bucket plus every
     * bucket within Hamming distance `probeBits` of it (flip 0..probeBits
@@ -95,7 +96,10 @@ object Ann {
     // queries are the small side: compute their buckets + probe lists
     // driver-side (broadcast join below keeps the corpus map-side)
     val qRows = queries
-      .withColumn("__qb", hyperplaneBucket(col(queryVecCol), planes))
+      // coalesce: a null/mismatched query vector gets bucket 0 (its
+      // candidates die at the null-distance filter anyway) so the
+      // primitive-Int encoder below never sees a null
+      .withColumn("__qb", coalesce(hyperplaneBucket(col(queryVecCol), planes), lit(0)))
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"), col("__qb"))
       .as[(Long, Array[Double], Int)].collect()
     Knn.requireBroadcastable(qRows.length, maxQueries, "annJoinCosine")

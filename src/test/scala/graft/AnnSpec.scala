@@ -42,6 +42,26 @@ class AnnSpec extends SparkSpec {
   private lazy val exactCosine = topkMap(Knn.knnJoin(clustered, "vec_id", "embedding",
     queries10, "query_id", "q_vec", k = 5, metric = "cosine", excludeSelf = true))
 
+  test("HyperplaneBucket expression matches the per-plane sign-bit definition") {
+    val planes = Ann.hyperplanes(16, 12, seed = 3)
+    val rows = clustered.select($"vec_id",
+        Ann.hyperplaneBucket($"embedding", planes).as("b"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val vecs = clustered.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    vecs.foreach { case (id, v) =>
+      val expected = planes.zipWithIndex.foldLeft(0) { case (acc, (p, i)) =>
+        if (Knn.dotKernel(v, p) >= 0) acc | (1 << i) else acc
+      }
+      assert(rows(id) === expected, s"vec $id")
+    }
+    // null vector → null bucket; dim mismatch → null bucket
+    val edge = Seq((0L, null.asInstanceOf[Array[Float]]), (1L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Ann.hyperplaneBucket($"embedding", planes).as("b")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("LSH annJoinCosine: recall@5 >= 0.9 on clustered data") {
     val ann = topkMap(Ann.annJoinCosine(clustered, "vec_id", "embedding",
       queries10, "query_id", "q_vec", k = 5, numPlanes = 12, probeBits = 1,
