@@ -800,6 +800,34 @@ object SparkEntry {
         .orderBy(col("pred_lang"))
     }),
 
+    // --- Salted two-phase aggregation (skew tool promoted into the
+    //     gate): event_type is exactly the low-cardinality hot-key
+    //     shape saltedAgg exists for; the oracle is the PLAIN GROUP BY
+    //     — equality proves salting only re-partitions work, never
+    //     changes results
+    "events_skew_agg" -> ((s, dir) =>
+      operators.Skew.saltedAgg(Tables.events(s, dir), Seq("event_type"),
+          buckets = 8,
+          phase1 = Seq(sum(col("value")).as("__s"), count(lit(1)).as("__n")),
+          phase2 = Seq(round(sum(col("__s")), 6).as("sum_value"),
+            sum(col("__n")).cast("bigint").as("n")))
+        .orderBy(col("event_type"))),
+
+    // --- Salted equi-join (skew tool): fact side salted, dim side
+    //     exploded buckets×; oracle is the plain join — salt-invariance
+    //     checked cross-engine
+    "q_skew_join" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      operators.Skew.saltedJoin(Tables.lineitem(s, dir), sup, "l_suppkey",
+          buckets = 4)
+        .groupBy(col("s_nationkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // --- vector dimension validation (SURVEY §7.3)
     "vec_dim_check" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -1385,6 +1413,20 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM pred GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
     },
+
+    // plain GROUP BY / plain join — equality proves the salted
+    // two-phase forms change nothing but the partitioning
+    "events_skew_agg" ->
+      """SELECT event_type, round(sum(value), 6) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT s_nationkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "vec_dim_check" ->
       """SELECT CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
