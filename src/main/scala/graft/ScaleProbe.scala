@@ -105,6 +105,17 @@ object ScaleProbe {
       n
     }
 
+    // NN-per-row at the FULL 1M corpus via the distributed IVF
+    // self-join: no broadcast, no driver streaming — rows meet their
+    // candidates inside cluster partitions; work = N²·nprobe/nlist.
+    // 20× the corpus of the chunked-SQ8 probe above at comparable
+    // wall — the /nlist factor is the corpus-scale story.
+    time("ivf_nn_per_row_1M") {
+      Ann.nnSelfJoinIvf(corpus, "vec_id", "embedding", k = 1,
+        nlist = 512, nprobe = 1, metric = "cosine",
+        seed = 42, maxIter = 3, trainFraction = 0.05).count()
+    }
+
     time("annCosine_1M_x200") {
       Ann.annJoinCosine(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
         k = 10, numPlanes = 14, probeBits = 1).count()

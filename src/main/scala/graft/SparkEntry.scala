@@ -344,6 +344,26 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // --- Embedding NN dedup, fully-distributed IVF self-join form:
+    //     no query broadcast, no driver streaming — rows meet their
+    //     candidates inside their cluster partitions (the true
+    //     corpus-scale shape; work ÷ nlist). Probing ALL clusters
+    //     reproduces exact NN, so this reuses dedup_embedding's exact
+    //     oracle — hash equality proves the clustered plumbing loses
+    //     nothing.
+    "dedup_embedding_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nn = Ann.nnSelfJoinIvf(emb, "vec_id", "embedding", k = 1,
+        nlist = 8, nprobe = 8, metric = "cosine", maxIter = 2)
+      nn.select(
+          least(col("query_id"), col("vec_id")).as("id_a"),
+          greatest(col("query_id"), col("vec_id")).as("id_b"),
+          col("distance"))
+        .distinct()
+        .orderBy(col("distance"), col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
     // --- n-gram Jaccard dedup (the brute-force family member — a
     //     distinct code path from the LSH route): exact 2-gram-shingle
     //     Jaccard pairs over a bounded id range. TEST-SCALE query by
@@ -1346,6 +1366,21 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS payload_bytes,
         |  CAST(sum(CASE WHEN text IS NOT NULL THEN 32 END) AS BIGINT) AS n_feature_dims
         |FROM documents GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // probe-all IVF self-join == exact NN pairs — same oracle as
+    // dedup_embedding
+    "dedup_embedding_ivf" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |d AS (SELECT a.vec_id AS query_id, b.vec_id,
+        |        round(1.0 - list_cosine_similarity(b.x, a.x), 6) AS distance
+        |      FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d),
+        |nn AS (SELECT least(query_id, vec_id) AS id_a, greatest(query_id, vec_id) AS id_b,
+        |         distance
+        |       FROM r WHERE rank = 1)
+        |SELECT DISTINCT id_a, id_b, distance FROM nn
+        |ORDER BY distance, id_a, id_b LIMIT 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

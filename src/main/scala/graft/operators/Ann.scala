@@ -441,6 +441,99 @@ object Ann {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Fully-distributed NN-per-row self-join via IVF clusters — the
+    * corpus-scale embedding-dedup operator: every vector finds its
+    * approximate nearest neighbors WITHOUT any broadcast of the query
+    * side or driver involvement (the chunked SQ8 path still streams
+    * Q through the driver; this one never does).
+    *
+    * Shape: each row is a MEMBER of its home cluster and a QUERY in
+    * its `nprobe` nearest clusters; one shuffle groups rows by
+    * cluster; a per-cluster kernel runs bounded-heap top-k of that
+    * cluster's queries against its members; the global per-query merge
+    * is the usual map-side-partial bounded top-k. Work is
+    * ~N²·nprobe/nlist — the /nlist factor is what makes NN-dedup
+    * tractable at corpus scale — and parallelism is per-cluster.
+    * Memory: one cluster's members+queries must fit an executor task
+    * (pick nlist so N/nlist rows fit; ~8 MB at 16k × 64-dim).
+    *
+    * Probing ALL clusters (nprobe = nlist) reproduces exact KNN —
+    * the `dedup_embedding_ivf` gate query proves it against the same
+    * exact-NN oracle as `dedup_embedding`. Self-matches are always
+    * excluded (it is a self-join).
+    */
+  def nnSelfJoinIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int = 1, metric: String = "cosine",
+      seed: Long = 42L, maxIter: Int = 5,
+      trainFraction: Double = 1.0): DataFrame = {
+    val (assigned, centers) = ivfAssign(corpus, idCol, vecCol, nlist,
+      seed, maxIter, trainFraction)
+    nnSelfJoinAssigned(assigned, centers, idCol, vecCol, k, nprobe, metric)
+  }
+
+  /** [[nnSelfJoinIvf]] over a prebuilt [[ivfAssign]] result. */
+  def nnSelfJoinAssigned(assigned: DataFrame, centers: Array[Array[Double]],
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      metric: String = "cosine"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val dist = Knn.scalaDistance(metric)
+    val isCosine = metric == "cosine"
+    val np = math.min(nprobe, centers.length)
+
+    // role = false: member of the home cluster (candidate side);
+    // role = true: query in each of the row's nprobe nearest clusters.
+    // A query row in its own home cluster covers the nprobe=1 case.
+    val replicated = assigned
+      .select(col("cluster_id").cast("int"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .flatMap { case (home, id, v) =>
+        val member = Iterator.single((home, false, id, v))
+        val queries =
+          if (v == null) Iterator.empty
+          else nearestClusters(bcCenters.value, v, np).iterator
+            .map(c => (c, true, id, v))
+        member ++ queries
+      }
+
+    val candidates = replicated
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val queries = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, isQuery, id, v) =>
+          if (v != null) {
+            if (isQuery) queries += ((id, v)) else members += ((id, v))
+          }
+        }
+        val mNorms: Array[Double] =
+          if (isCosine) members.map(m => math.sqrt(Knn.dotKernel(m._2, m._2))).toArray
+          else null
+        queries.iterator.flatMap { case (qid, qv) =>
+          val qNorm = if (isCosine) math.sqrt(Knn.dotKernel(qv, qv)) else 0.0
+          val heap = new Knn.BoundedPairHeap(k)
+          var mi = 0
+          while (mi < members.length) {
+            val (cid, cv) = members(mi)
+            if (cid != qid && cv.length == qv.length) {
+              val raw =
+                if (isCosine) 1.0 - Knn.dotKernel(cv, qv) / (mNorms(mi) * qNorm)
+                else dist(cv, qv)
+              if (!Knn.cannotBeat(heap, raw)) heap.offer(Knn.round6(raw), cid)
+            }
+            mi += 1
+          }
+          heap.iterator.map { case (d, cid) => (qid, cid, d) }
+        }
+      }
+      .toDF(idCol + "__q", idCol, "distance")
+      .withColumnRenamed(idCol + "__q", "query_id")
+
+    Knn.finishTopKPerGroup(candidates, "query_id", idCol, k)
+  }
+
   /** Persist an IVF-partitioned corpus: one parquet partition per
     * cluster. A probe that filters `cluster_id IN (...)` is answered
     * with Catalyst partition PRUNING — only nprobe/nlist of the bytes

@@ -173,6 +173,23 @@ class AnnSpec extends SparkSpec {
     assert(chunked === single)
   }
 
+  test("IVF NN self-join: probe-all == exact; nprobe=1 recalls clustered NNs") {
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
+      nlist = 10, seed = 42)
+    def selfJoin(nprobe: Int) = topkMap(Ann.nnSelfJoinAssigned(
+      assigned, centers, "vec_id", "embedding", k = 5, nprobe = nprobe,
+      metric = "cosine"))
+    // probe-all: every pair meets — must reproduce exact KNN for the
+    // 10 reference queries (self always excluded: it's a self-join)
+    val all = selfJoin(10)
+    exactCosine.foreach { case (q, e) => assert(all(q) === e, s"query $q") }
+    // nprobe=1 on tightly clustered data: the NN lives in the home
+    // cluster, so recall stays high with 1/10 the pair work
+    val one = selfJoin(1)
+    val r = recallAtK(one.view.filterKeys(exactCosine.contains).toMap, exactCosine)
+    assert(r >= 0.9, s"nprobe=1 recall@5 = $r")
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)
