@@ -79,6 +79,53 @@ object EventStreams {
         round(sum(col("value")), 6).as("sum_value"))
   }
 
+  // -------------------------------------------------------------
+  // Streaming as-of (the streaming twin of AsOf.asofJoinBackward)
+  // -------------------------------------------------------------
+
+  /** One row of the unified fact/query timeline: `is_fact` rows update
+    * per-key state; query rows read it. `has_value` distinguishes a
+    * fact carrying NULL (ASOF must return the MATCHED row's NULL, same
+    * contract as the batch operator). Public top-level case classes:
+    * Janino-generated code cannot touch private nested accessors.
+    */
+  case class TRow(key: Long, ts_us: Long, is_fact: Boolean,
+      value: Double, has_value: Boolean)
+  case class AsOfRow(key: Long, ts_us: Long, asof_value: Option[Double])
+  case class FactState(ts_us: Long, value: Option[Double])
+
+  /** Streaming backward as-of: each query row attaches the most recent
+    * prior (ts <= query ts) fact of its key — per-key state is ONE
+    * fact, O(1) regardless of stream length. Facts order before
+    * queries at equal ts (>= semantics, like the batch twin). Batches
+    * must arrive in event-time order per key (same contract as
+    * [[sessionizeStream]]; production adds a watermark + event-time
+    * timeout for stragglers — the transition logic is identical, so
+    * the batch-equivalence test covers it).
+    */
+  def asofStream(rows: Dataset[TRow]): Dataset[AsOfRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FactState, AsOfRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[TRow], state: GroupState[FactState]) =>
+          // within-batch arrival order is not time order — sort; facts
+          // first at equal ts so a simultaneous fact is visible
+          val evs = it.toArray.sortBy(e => (e.ts_us, !e.is_fact))
+          var st = state.getOption.orNull
+          val out = Array.newBuilder[AsOfRow]
+          evs.foreach { e =>
+            if (e.is_fact)
+              st = FactState(e.ts_us, if (e.has_value) Some(e.value) else None)
+            else
+              out += AsOfRow(key, e.ts_us, if (st == null) None else st.value)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class SessionAgg(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, sum_value: Double)

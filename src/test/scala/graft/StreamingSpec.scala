@@ -81,6 +81,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming as-of == batch as-of (most recent prior fact, NULLs preserved)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new java.util.Random(31)
+    val facts = (for (u <- 0L until 20L; _ <- 0 until 15)
+      yield (u, rnd.nextInt(1000).toLong)).distinct
+      .map { case (u, ts) =>
+        // every 5th fact carries NULL — the matched row's NULL must
+        // surface, not an older fact's value
+        (u, ts, if (ts % 5 == 0) Option.empty[Double] else Some((u * 1000 + ts).toDouble)) }
+    val queries = (for (u <- 0L until 20L; _ <- 0 until 20)
+      yield (u, rnd.nextInt(1000).toLong)).distinct
+
+    val timeline = (facts.map { case (u, ts, v) =>
+        EventStreams.TRow(u, ts, is_fact = true, v.getOrElse(0.0), v.isDefined) } ++
+      queries.map { case (u, ts) =>
+        EventStreams.TRow(u, ts, is_fact = false, 0.0, has_value = false) })
+      .sortBy(_.ts_us)
+
+    val stream = MemoryStream[EventStreams.TRow]
+    val q = EventStreams.asofStream(stream.toDS())
+      .writeStream.format("memory").queryName("asof").outputMode(OutputMode.Append)
+      .start()
+    // two time-ordered chunks: queries in chunk 2 must see facts whose
+    // state was written by chunk 1
+    val (c1, c2) = timeline.splitAt(timeline.size / 2)
+    stream.addData(c1: _*)
+    q.processAllAvailable()
+    stream.addData(c2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof").as[EventStreams.AsOfRow].collect()
+      .map(r => ((r.key, r.ts_us), r.asof_value)).toMap
+
+    val batch = graft.operators.AsOf.asofJoinBackward(
+        queries.toDF("k", "ts"), facts.toDF("k", "ts", "v"), "k", "ts", Seq("v"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    assert(batch.values.exists(_.isEmpty) && batch.values.exists(_.nonEmpty),
+      "fixture must exercise both NULL and non-NULL attachments")
+  }
+
   test("streaming dedup == batch dedup (re-deliveries dropped)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
