@@ -751,6 +751,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- Running-window aggregates (§2.5 breadth beyond top-k):
+    //     per-user running sum + lag over the event timeline. The
+    //     window partition key is the high-cardinality user id; the
+    //     user_id filter pushes below the Window to the scan.
+    "events_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("run_value", round(sum(col("value"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)), 6))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"), col("run_value"), col("prev_type"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(50)
+    }),
+
+    // --- CUBE (all grouping-set combinations; completes the
+    //     rollup/pivot family)
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
+
     // --- Distinct aggregation (expand + two-phase agg)
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1113,6 +1140,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN source = 'src3' THEN 1 END) AS BIGINT) AS src3,
         |  CAST(sum(CASE WHEN source = 'src4' THEN 1 END) AS BIGINT) AS src4
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "events_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING), 6) AS run_value,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events WHERE user_id < 5
+        |ORDER BY user_id, event_id LIMIT 50""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "events_quantiles" ->
       """SELECT event_type,
