@@ -105,6 +105,13 @@ class PlanSpec extends SparkSpec {
       p.take(900))
   }
 
+  test("events_running pushes the partition-key filter below the Window to the scan") {
+    val p = plan("events_running")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("user_id"), s"user_id filter must reach the scan: $pushed")
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("text_langid is one codegen span over the scan (no extra exchange before the agg)") {
     val p = plan("text_langid")
     // marker scoring + argmax are pure expressions evaluated in the
