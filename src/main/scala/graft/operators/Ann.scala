@@ -542,6 +542,34 @@ object Ann {
   def ivfWrite(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** Persist a COMPLETE IVF index: the cluster-partitioned corpus via
+    * [[ivfWrite]] plus the centroids as a `_centroids` parquet subdir
+    * — without them a fresh session cannot route probes, so an index
+    * layout that omits them is not actually usable across sessions.
+    */
+  def ivfWriteIndex(assigned: DataFrame, centers: Array[Array[Double]],
+      path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    ivfWrite(assigned, path)
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_centroids")
+  }
+
+  /** Load the centroids written by [[ivfWriteIndex]], in cluster-id
+    * order, ready for [[ivfProbe]]/[[nearestClusters]] against the
+    * same path.
+    */
+  def ivfReadCenters(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(path.stripSuffix("/") + "/_centroids")
+      .select(col("cluster_id").cast("int"), col("centroid").cast("array<double>"))
+      .as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+  }
+
   /** nprobe nearest centroid ids for one query vector (driver-side —
     * centroids are nlist × dim, tiny by construction).
     */

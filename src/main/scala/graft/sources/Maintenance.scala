@@ -32,6 +32,30 @@ object Maintenance {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Compact every leaf partition of a `key=value`-partitioned root —
+    * the per-partition loop [[compact]]'s partitioned-root guard tells
+    * callers to run. Recurses through nested partition levels; each
+    * leaf is rewritten independently (a failure mid-way leaves other
+    * partitions untouched — compaction is idempotent per leaf).
+    * Returns (partitions compacted, total output files).
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(p) else parts.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    val ls = leaves(rootPath)
+    require(ls.nonEmpty && ls.head != rootPath,
+      s"$root is not a partitioned root — use compact() directly")
+    var files = 0
+    ls.foreach(l => files += compact(spark, l.toString, targetBytesPerFile))
+    (ls.size, files)
+  }
+
   /** Compact a small-file parquet directory to approximately
     * `targetBytesPerFile` outputs. Small files are the silent scan
     * killer at scale (per-file open/footer cost, starved vectorized

@@ -190,6 +190,24 @@ class AnnSpec extends SparkSpec {
     assert(r >= 0.9, s"nprobe=1 recall@5 = $r")
   }
 
+  test("ivfWriteIndex persists centroids: a fresh session can route probes") {
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
+      nlist = 10, seed = 42)
+    val path = Files.createTempDirectory("graft_ivf_idx").resolve("idx").toString
+    Ann.ivfWriteIndex(assigned, centers, path)
+    val loaded = Ann.ivfReadCenters(spark, path)
+    assert(loaded.length === centers.length)
+    centers.zip(loaded).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // the corpus read must NOT pick up the _centroids subdir
+    assert(spark.read.parquet(path).count() === clustered.count())
+    // probe using ONLY what was read back from disk
+    val q = clustered.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val ids = Ann.ivfProbe(spark, path, loaded, "vec_id", "embedding",
+      q, k = 5, nprobe = 2).select("vec_id").as[Long].collect()
+    assert(ids.length === 5 && ids.forall(_ < 30))
+  }
+
   test("IVF parquet layout: probe prunes partitions at the scan") {
     val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
       nlist = 10, seed = 42)

@@ -60,6 +60,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("compactPartitioned compacts each leaf; layout and content survive") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val df = spark.range(2000).select($"id",
+      (($"id" % 3).cast("string")).as("day"))
+    df.repartition(10).write.partitionBy("day").parquet(dir)
+    val before = spark.read.parquet(dir).agg(sum($"id"), count(lit(1))).head()
+    val (parts, files) = Maintenance.compactPartitioned(spark, dir,
+      targetBytesPerFile = 1L << 30)
+    assert(parts === 3 && files === 3, "one output file per tiny partition")
+    def leafFiles(day: String) = new java.io.File(s"$dir/day=$day").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(Seq("0", "1", "2").forall(leafFiles(_) === 1))
+    val after = spark.read.parquet(dir).agg(sum($"id"), count(lit(1))).head()
+    assert(after === before, "content intact, partition column still derived")
+  }
+
   test("compact refuses a partitioned root (would flatten the layout)") {
     val dir = Files.createTempDirectory("graft-part").toString + "/t"
     Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
