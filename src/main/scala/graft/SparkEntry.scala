@@ -457,11 +457,15 @@ object SparkEntry {
         nlist = 8, seed = 42, maxIter = 2)
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_gate")
         .resolve("idx").toString
-      Ann.ivfWrite(assigned.select(col("vec_id"), col("embedding"), col("cluster_id")), path)
+      // full index round trip: data + centroids persisted, probe routed
+      // with ONLY what a fresh session reads back from disk
+      Ann.ivfWriteIndex(
+        assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
+        centers, path)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
-      Ann.ivfProbe(s, path, centers, "vec_id", "embedding",
+      Ann.ivfProbe(s, path, Ann.ivfReadCenters(s, path), "vec_id", "embedding",
         q, k = 5, nprobe = 8, metric = "l2")
     }),
 

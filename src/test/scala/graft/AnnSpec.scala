@@ -157,6 +157,17 @@ class AnnSpec extends SparkSpec {
     assert(chunked === exact)
   }
 
+  test("chunked SQ8 with an empty query side returns an empty, well-typed frame") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val qs = emb.filter($"vec_id" < 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val out = Ann.knnJoinSq8Chunked(
+      Ann.quantizeCorpus(emb, "vec_id", "embedding"), emb,
+      "vec_id", "embedding", qs, "query_id", "q_vec", k = 3)
+    assert(out.columns.toSeq === Seq("query_id", "vec_id", "distance", "rank"))
+    assert(out.count() === 0)
+  }
+
   test("chunked SQ8 == single-batch SQ8 with the whole corpus as queries (chunk boundaries lossless)") {
     // stronger than comparing to exact KNN: whatever the quantization
     // does, splitting the query side into chunks must change NOTHING
