@@ -489,6 +489,38 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(10)),
 
+    // --- Heavy hitters via Count-Min Sketch (the approximate twin of
+    //     text_tokens — at 100 TB the exact token groupBy gives way to
+    //     a mergeable fixed-size sketch). The sketch VALUE is
+    //     engine-specific, so the hashed output carries the exact
+    //     top-10 counts plus an error-bound flag: CMS guarantees
+    //     estimate >= true and (w.h.p.) <= true + eps·N. Querying the
+    //     sketch is inherently driver-side (it IS the point: 10 lookups
+    //     against a KB-sized summary of the whole corpus).
+    "text_tokens_cms" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(10)
+      val eps = 0.001
+      val sketchBytes = toks
+        .select(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("s"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+      val nTotal = toks.count()
+      val bound = math.ceil(eps * nTotal).toLong
+      top.collect().toSeq
+        .map { r =>
+          val est = cms.estimateCount(r.getString(0))
+          (r.getString(0), r.getLong(1),
+            if (est >= r.getLong(1) && est <= r.getLong(1) + bound) 1 else 0)
+        }
+        .toDF("token", "n", "cms_ok")
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // --- Language-ID heuristic scored against the fixture's lang
     //     column (n-gram/function-word profiles + CJK dominance)
     "text_langid" -> ((s, dir) =>
@@ -1046,6 +1078,14 @@ object SparkEntry {
 
     "text_tokens" ->
       """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    // exact top-10 counts hash-checked; the sketch is checked as the
+    // CMS error-bound flag (estimate in [true, true + eps·N])
+    "text_tokens_cms" ->
+      """SELECT token, count(*) AS n, CAST(1 AS INT) AS cms_ok
         |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
