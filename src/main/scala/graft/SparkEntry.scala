@@ -708,6 +708,32 @@ object SparkEntry {
         .orderBy(col("band_id"))
     }),
 
+    // --- Bloom-filter semi-join pruning (the runtime-filter building
+    //     block: at 100 TB you ship a KB-sized bloom of the small
+    //     side's keys to the fact scan instead of shuffling the fact
+    //     table into the join). Filter VALUES are engine-specific, so
+    //     the oracle hashes the exact semi-join count and checks the
+    //     bloom invariants as flags: NO false negatives (every true
+    //     match passes) and false positives bounded by ~3× fpp of the
+    //     non-member population.
+    "q_bloom_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val bf = o.stat.bloomFilter("o_custkey", 5000, 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val nCust = c.count()
+      val nBloom = c.select(col("c_custkey").cast("long")).as[Long]
+        .mapPartitions { it => val f = bc.value; it.filter(f.mightContainLong) }
+        .count()
+      val nExact = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+      val fpBound = math.ceil((nCust - nExact) * 0.03).toLong
+      Seq((nExact,
+          if (nBloom >= nExact) 1 else 0,
+          if (nBloom - nExact <= fpBound) 1 else 0))
+        .toDF("n_with_orders", "no_false_negatives", "fp_bounded")
+    }),
+
     // --- Semi/anti joins: customers with and without orders — the
     //     existence-join pair (plans as Left[Semi|Anti] hash joins,
     //     never materializing the orders side's columns)
@@ -1148,6 +1174,14 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem""".stripMargin,
+
+    // exact semi-join count hash-checked; bloom invariants as flags
+    "q_bloom_join" ->
+      """SELECT count(*) AS n_with_orders,
+        |  CAST(1 AS INT) AS no_false_negatives,
+        |  CAST(1 AS INT) AS fp_bounded
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT 'with_orders' AS kind, count(*) AS n FROM customer c
