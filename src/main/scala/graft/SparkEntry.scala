@@ -547,6 +547,26 @@ object SparkEntry {
         .orderBy(col("source"))
         .limit(10)),
 
+    // --- Stratified sampling (corpus balancing — the curation step
+    //     that downsamples over-represented languages before
+    //     training). Which rows land in the sample is seeded-random
+    //     (engine-specific), so the hashed columns are the exact
+    //     per-language totals and a flag that the seeded sample size
+    //     sits within 4σ binomial bounds of the target fraction.
+    "docs_stratified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val sampled = docs.stat
+        .sampleBy("lang", langs.map(_ -> 0.5).toMap, 7L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - col("n_docs") * 0.5)
+            <= sqrt(col("n_docs") * 0.25) * 4 + 1).cast("int").as("sample_ok"))
+        .orderBy(col("lang"))
+    }),
+
     // --- Multimodal plumbing at the gate: synthesize a media table
     //     from documents (text bytes as payloads), decode features
     //     through the per-partition boundary (stub decoder), and
@@ -1479,6 +1499,12 @@ object SparkEntry {
         |    ' ')) AS n_fingerprints
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact per-lang totals hash-checked; the seeded sample is checked
+    // as a binomial-bounds flag
+    "docs_stratified" ->
+      """SELECT lang, count(*) AS n_docs, CAST(1 AS INT) AS sample_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "mm_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
