@@ -547,6 +547,27 @@ object SparkEntry {
         .orderBy(col("source"))
         .limit(10)),
 
+    // --- PII redaction (curation op: scrub emails before training).
+    //     The fixture has no emails, so deterministic synthetic ones
+    //     are appended in-plan (every 7th doc) on BOTH engines; the
+    //     oracle checks redacted-doc count and marker occurrences.
+    "text_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+      val aug = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact: user"), col("doc_id"),
+            lit("@example.com")))
+        .otherwise(col("text"))
+      val red = regexp_replace(aug, "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>")
+      docs.select(aug.as("aug"), red.as("red"))
+        .agg(
+          sum(when(col("aug") =!= col("red"), 1L).otherwise(0L))
+            .cast("bigint").as("n_redacted"),
+          ((sum(length(col("red")) - length(replace(col("red"), lit("<EMAIL>"), lit(""))))
+            / length(lit("<EMAIL>"))).cast("bigint")).as("n_emails"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // --- Stratified sampling (corpus balancing — the curation step
     //     that downsamples over-represented languages before
     //     training). Which rows land in the sample is seeded-random
@@ -1499,6 +1520,20 @@ object SparkEntry {
         |    ' ')) AS n_fingerprints
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_redact" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0
+        |           THEN text || ' contact: user' || doc_id || '@example.com'
+        |           ELSE text END AS aug
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT aug,
+        |        regexp_replace(aug, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS red
+        |      FROM a)
+        |SELECT CAST(sum(CASE WHEN aug <> red THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+        |  CAST(sum(length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS BIGINT) AS n_emails,
+        |  count(*) AS n_docs
+        |FROM r""".stripMargin,
 
     // exact per-lang totals hash-checked; the seeded sample is checked
     // as a binomial-bounds flag
