@@ -588,6 +588,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // --- Composite quality score per source (the gate/filter signal
+    //     corpus_pipeline thresholds on): length band + punctuation +
+    //     stopword prose-ness, each rounded per-row exactly as the
+    //     DuckDB twin does
+    "text_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .groupBy(col("source"))
+        .agg(
+          round(avg(TextFunctions.qualityScore(col("text"))), 6).as("avg_quality"),
+          round(avg(TextFunctions.punctRatio(col("text"))), 6).as("avg_punct_ratio"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))),
+
     // --- Multimodal plumbing at the gate: synthesize a media table
     //     from documents (text bytes as payloads), decode features
     //     through the per-partition boundary (stub decoder), and
@@ -1520,6 +1534,35 @@ object SparkEntry {
         |    ' ')) AS n_fingerprints
         |FROM documents WHERE text IS NOT NULL
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality_score" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT source, length(text) AS len,
+         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
+         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS np
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |q AS (
+         |  SELECT source,
+         |    CASE WHEN len > 0 THEN round(np::DOUBLE / len, 6) ELSE 0.0 END AS pr,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6)
+         |    ELSE 0.0 END AS sr,
+         |    len
+         |  FROM t),
+         |s AS (
+         |  SELECT source,
+         |    round(
+         |      (CASE WHEN len >= 100 AND len <= 10000 THEN 1.0
+         |            WHEN len > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |      (CASE WHEN sr > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality,
+         |    pr
+         |  FROM q)
+         |SELECT source, round(avg(quality), 6) AS avg_quality,
+         |  round(avg(pr), 6) AS avg_punct_ratio, count(*) AS n_docs
+         |FROM s GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "text_redact" ->
       """WITH a AS (
