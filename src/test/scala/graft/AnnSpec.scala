@@ -157,6 +157,20 @@ class AnnSpec extends SparkSpec {
     assert(chunked === exact)
   }
 
+  test("every broadcast-collecting ANN operator rejects oversized query sides") {
+    val qs = clustered.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val quant = Ann.quantizeCorpus(clustered, "vec_id", "embedding")
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id", "embedding",
+      nlist = 4, seed = 42, maxIter = 1)
+    def msg(f: => Any): String = intercept[IllegalArgumentException](f).getMessage
+    assert(msg(Ann.annJoinCosine(clustered, "vec_id", "embedding",
+      qs, "query_id", "q_vec", k = 1, maxQueries = 2)).contains("maxQueries"))
+    assert(msg(Ann.ivfProbeJoin(assigned, centers, "vec_id", "embedding",
+      qs, "query_id", "q_vec", k = 1, nprobe = 1, maxQueries = 2)).contains("maxQueries"))
+    assert(msg(Ann.knnJoinSq8Quantized(quant, clustered, "vec_id", "embedding",
+      qs, "query_id", "q_vec", k = 1, maxQueries = 2)).contains("maxQueries"))
+  }
+
   test("chunked SQ8 with an empty query side returns an empty, well-typed frame") {
     val emb = Tables.embeddings(spark, sf0001)
     val qs = emb.filter($"vec_id" < 0)

@@ -112,6 +112,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(600))
   }
 
+  test("dedup_embedding_ivf is a cluster-partitioned self-join — no broadcast of the query side") {
+    val p = plan("dedup_embedding_ivf")
+    assert(p.contains("MapGroups"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
   test("text_langid is one codegen span over the scan (no extra exchange before the agg)") {
     val p = plan("text_langid")
     // marker scoring + argmax are pure expressions evaluated in the
