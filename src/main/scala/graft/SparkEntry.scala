@@ -385,16 +385,35 @@ object SparkEntry {
             col("doc_id") < 250),
         "doc_id", "text", shingleLen = 2, threshold = 0.4)),
 
-    // --- SimHash near-dup pairs (rows-only: fingerprints are
-    //     MurmurHash3-seeded, engine-local; geometry/recall is asserted
-    //     in DedupSpec). Aggregated so the result is always one row.
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(
-          Tables.documents(s, dir)
-            .filter(col("text").isNotNull && length(col("text")) > 0),
-          "doc_id", "text", shingleLen = 3, maxHamming = 12)
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("id_a")).as("n_left"))),
+    // --- SimHash near-dup pairs, promoted out of rows-only (VERDICT
+    //     r3 #4) with planted pairs whose recovery is provable: every
+    //     doc gets an EXACT copy in-plan (id + 1000000, the text_redact
+    //     planting trick). Identical texts fingerprint identically
+    //     (hamming 0), identical fingerprints share all four 16-bit
+    //     chunks, so the pigeonhole candidate join MUST surface every
+    //     planted pair at any sf — planted recall is deterministically
+    //     1.0 even though fingerprint VALUES stay engine-local. The
+    //     hashed columns are the planted-pair count (= the doc count,
+    //     which DuckDB computes independently) plus the recall and
+    //     hamming-bound invariant flags; incidental fixture near-dup
+    //     pairs pass through the same operator but never satisfy
+    //     id_b - id_a = 1000000, so they can't pollute the count.
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val stats = Dedup.simhashPairs(planted, "doc_id", "text",
+          shingleLen = 3, maxHamming = 12)
+        .agg(
+          sum(when(col("id_b") - col("id_a") === 1000000, 1L).otherwise(0L))
+            .cast("bigint").as("n_planted_found"),
+          max(col("hamming")).as("__max_h"))
+      stats.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), col("n_planted_found"),
+          (col("n_planted_found") === col("n_docs")).cast("int").as("recall_ok"),
+          (col("__max_h") <= 12).cast("int").as("hamming_bounded"))
+    }),
 
     // --- Rolling-hash document fingerprint (F-family content key;
     //     order-sensitive). Hash VALUES are engine-local, so the oracle
@@ -428,15 +447,42 @@ object SparkEntry {
         excludeSelf = true)
     }),
 
-    // --- ANN/LSH: hyperplane-bucketed approximate cosine KNN
-    //     (rows-only: bucket contents are hash-dependent; recall is
-    //     asserted in AnnSpec)
+    // --- ANN/LSH under the genuinely APPROXIMATE configuration
+    //     (8 planes / 256 buckets, multi-probe), promoted out of
+    //     rows-only (VERDICT r3 #1) with planted queries whose recall
+    //     is provable: each query is a positively-SCALED copy of a
+    //     corpus vector built in-plan. Hyperplane buckets depend only
+    //     on sign(v·p), and sign is invariant under positive scaling,
+    //     so every query provably shares its source's bucket — the
+    //     approximate candidate set always contains the true cosine
+    //     NN (cosine is scale-invariant too: the source, at distance
+    //     0). The hashed output is therefore the REAL multi-probe LSH
+    //     answer, value-checked against DuckDB's genuine exact-NN
+    //     search over the same scaled queries, at any sf — plus an
+    //     in-plan recall flag against the exact kernel KNN (the
+    //     q_distinct_approx error-bound-flag pattern). abs() folds the
+    //     ±0.0 the two engines' rounding can produce to one bit
+    //     pattern.
     "ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val scale = lit(1.0) + col("vec_id") / 2.0 // 1.0–5.5, all positive
       val qs = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-      Ann.annJoinCosine(emb, "vec_id", "embedding", qs, "query_id", "q_vec",
-        k = 3, numPlanes = 8, probeBits = 2, excludeSelf = true)
+        .select((col("vec_id") + 100000).as("query_id"),
+          transform(col("embedding").cast("array<double>"), x => x * scale)
+            .as("q_vec"))
+      val approx = Ann.annJoinCosine(emb, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 1, numPlanes = 8, probeBits = 1)
+      val exact = Knn.knnJoin(emb, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 1, metric = "cosine")
+      approx.join(
+          exact.select(col("query_id"), col("vec_id").as("__exact_id"),
+            col("distance").as("__exact_d")),
+          "query_id")
+        .select(col("query_id"), col("vec_id"),
+          abs(col("distance")).as("distance"),
+          (col("vec_id") === col("__exact_id") &&
+            col("distance") === col("__exact_d")).cast("int").as("matches_exact"))
+        .orderBy(col("query_id"))
     }),
 
     // --- LSH probe-all oracle (VERDICT r2 #4): numPlanes = 0
@@ -1412,6 +1458,25 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the APPROXIMATE LSH config vs a genuine exact-NN search over the
+    // planted scale-perturbed queries: sign-based bucketing makes the
+    // planted recall provably 1.0 (see the query comment), so the
+    // approximate answer must equal DuckDB's exhaustive one
+    "ann_cosine" ->
+      """WITH qs AS (SELECT vec_id + 100000 AS query_id,
+        |              list_transform(CAST(embedding AS DOUBLE[]),
+        |                x -> x * (1.0 + vec_id / 2.0)) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, abs(distance) AS distance,
+        |  CAST(1 AS INT) AS matches_exact
+        |FROM r WHERE rank = 1
+        |ORDER BY query_id""".stripMargin,
 
     // probe-all hyperplane LSH (numPlanes = 0 → one bucket) == exact
     // cosine KNN join
