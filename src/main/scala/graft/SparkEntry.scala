@@ -1081,10 +1081,13 @@ object SparkEntry {
   )
 
   /** Queries intentionally WITHOUT a DuckDB oracle (approx/ML ops the
-    * driver checks rows-only). Keep this set explicit so tests catch
+    * driver checks rows-only). Empty since round 5: ann_cosine gained
+    * a planted-query exact-NN oracle (round 4) and dedup_simhash a
+    * planted-pair recall oracle (round 5) — every declared query is
+    * now value-checked. Keep the hook so tests catch
     * accidentally-unoracled queries.
     */
-  def rowsOnly: Set[String] = Set("ann_cosine", "dedup_simhash")
+  def rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -1617,6 +1620,22 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // SimHash fingerprint VALUES are engine-local (MurmurHash3), so the
+    // oracle checks the planted-pair invariants instead: every doc gets
+    // an exact in-plan copy at doc_id + 1000000; identical texts
+    // fingerprint identically, identical fingerprints share all four
+    // 16-bit pigeonhole chunks, so the candidate join surfaces every
+    // planted pair (hamming 0) deterministically — n_planted_found
+    // must equal the independently-computed doc count, recall is
+    // provably 1.0, and the operator's own filter bounds hamming.
+    "dedup_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_planted_found,
+        |  CAST(1 AS INT) AS recall_ok,
+        |  CAST(1 AS INT) AS hamming_bounded
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT lang, count(*) AS n_docs,
