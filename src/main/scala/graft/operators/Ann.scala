@@ -282,9 +282,10 @@ object Ann {
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])].collect()
     Knn.requireBroadcastable(qRows.length, maxQueries, "knnJoinSq8Quantized")
+    val bc = spark.sparkContext.broadcast(qRows)
     Knn.finishTopKPerGroup(
       sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
-        qRows, queryIdCol, k * rerankFactor, metric, excludeSelf),
+        bc, queryIdCol, k * rerankFactor, metric, excludeSelf),
       queryIdCol, corpusIdCol, k)
   }
 
@@ -299,8 +300,17 @@ object Ann {
     * shortlists union into ONE bounded top-k aggregate, so the final
     * plan is still a single partial-aggregated reduction.
     *
-    * Persist `quant` (and `corpus`) before calling when the query set
-    * spans multiple chunks — each chunk's scan re-reads them.
+    * Driver memory is bounded at ONE chunk (ADVICE r4): in the
+    * multi-chunk path each chunk's shortlist is materialized to
+    * executor storage (`localCheckpoint` — lineage-truncated,
+    * spillable) and the chunk's broadcast destroyed before the next
+    * chunk starts, so aggregate broadcast storage never exceeds one
+    * chunk. `quant`/`corpus` are persisted internally across the chunk
+    * scans (VERDICT r3 #8) and unpersisted before return. Caveat:
+    * `localCheckpoint` is non-replicated executor storage — losing an
+    * executor mid-build forfeits the run (acceptable for a batch
+    * dedup job; rerun). The single-chunk path keeps the plain
+    * one-broadcast lazy shape of [[knnJoinSq8Quantized]].
     */
   def knnJoinSq8Chunked(quant: DataFrame, corpus: DataFrame,
       corpusIdCol: String, corpusVecCol: String,
@@ -314,17 +324,42 @@ object Ann {
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .toLocalIterator()
-    val batches = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
+    val grouped = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
       .grouped(chunkSize)
-      .map(chunk => sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
-        chunk.toArray, queryIdCol, k * rerankFactor, metric, excludeSelf))
-      .toSeq
-    val candidates =
-      if (batches.isEmpty)
+    if (!grouped.hasNext)
+      return Knn.finishTopKPerGroup(
         spark.emptyDataset[(Long, Long, Double)]
-          .toDF(queryIdCol, corpusIdCol, "distance")
-      else batches.reduce(_.unionByName(_))
-    Knn.finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
+          .toDF(queryIdCol, corpusIdCol, "distance"),
+        queryIdCol, corpusIdCol, k)
+    val first = grouped.next().toArray
+    if (!grouped.hasNext) {
+      // single chunk ≡ knnJoinSq8Quantized: one broadcast, lazy plan
+      val bc = spark.sparkContext.broadcast(first)
+      return Knn.finishTopKPerGroup(
+        sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
+          bc, queryIdCol, k * rerankFactor, metric, excludeSelf),
+        queryIdCol, corpusIdCol, k)
+    }
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val quantP = quant.persist(lvl)
+    val corpusP = corpus.persist(lvl)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var chunk: Array[(Long, Array[Double])] = first
+    var more = true
+    while (more) {
+      val bc = spark.sparkContext.broadcast(chunk)
+      // eager: the checkpoint job runs NOW, so the broadcast can be
+      // destroyed before the next chunk's is created
+      batches += sq8RerankedBatch(quantP, corpusP, corpusIdCol, corpusVecCol,
+        bc, queryIdCol, k * rerankFactor, metric, excludeSelf)
+        .localCheckpoint(true)
+      bc.destroy()
+      if (grouped.hasNext) chunk = grouped.next().toArray else more = false
+    }
+    quantP.unpersist()
+    corpusP.unpersist()
+    Knn.finishTopKPerGroup(batches.reduce(_.unionByName(_)),
+      queryIdCol, corpusIdCol, k)
   }
 
   /** Shared SQ8 core: compressed-scan shortlist + exact rerank for ONE
@@ -333,7 +368,8 @@ object Ann {
     */
   private def sq8RerankedBatch(quant: DataFrame, corpus: DataFrame,
       corpusIdCol: String, corpusVecCol: String,
-      qRows: Array[(Long, Array[Double])], queryIdCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]],
+      queryIdCol: String,
       m: Int, metric: String, excludeSelf: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -342,7 +378,6 @@ object Ann {
     // Knn.knnJoin (query norms once per partition, corpus norm once
     // per decoded row) — scalaDistance would pay THREE dots per pair
     val isCosine = metric == "cosine"
-    val bc = spark.sparkContext.broadcast(qRows)
 
     val candidates = quant
       .select(col(corpusIdCol).cast("long"), col("min"), col("scale"), col("codes"))

@@ -107,6 +107,13 @@ object Dedup {
     * clusters are exact-dup families that belong to exactDedup
     * upstream, which is why dropping is the standard practice
     * mitigation rather than sampling.
+    *
+    * EAGER (ADVICE r4): construction runs the candidate-join job and
+    * returns the pair set MATERIALIZED (`localCheckpoint` — executor
+    * storage, lineage-truncated) so the internal bucket cache can be
+    * unpersisted before return instead of lingering for the session.
+    * The materialized result is corpus-linear (bucket-capped), far
+    * smaller than the bucket projection it replaces in storage.
     */
   def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
@@ -118,15 +125,19 @@ object Dedup {
       .select(col(idCol), shingleHashes(col(shingleCol)).as("__hs"))
       .select(col(idCol), minhashFromHashes(col("__hs"), numHashes).as("__sig"))
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
-    val pruned = capBuckets(buckets, "band", "bucket", maxBucketSize, "lshCandidates")
+    val (pruned, cached) =
+      capBuckets(buckets, "band", "bucket", maxBucketSize, "lshCandidates")
     val a = pruned.as("a")
     val b = pruned.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    cached.unpersist()
+    pairs
   }
 
   /** Shared degenerate-bucket guard for the banded self-join operators
@@ -136,10 +147,12 @@ object Dedup {
     * buckets come back to the driver (pathological by definition — a
     * handful of rows), and the collected list doubles as the broadcast
     * anti-join filter so the count aggregation never re-runs at action
-    * time.
+    * time. Returns (pruned, cached) — the CALLER must unpersist
+    * `cached` once the candidate join has materialized (ADVICE r4:
+    * the cache leaked for the session lifetime before).
     */
   private def capBuckets(buckets: DataFrame, bandCol: String, bucketCol: String,
-      maxBucketSize: Int, what: String): DataFrame = {
+      maxBucketSize: Int, what: String): (DataFrame, DataFrame) = {
     val spark = buckets.sparkSession
     import spark.implicits._
     // the bucket projection feeds THREE consumers (the membership
@@ -151,15 +164,16 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
-    if (over.isEmpty) cached
+    if (over.isEmpty) (cached, cached)
     else {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"$what: dropping ${over.length} degenerate bucket(s) " +
           s"over $maxBucketSize members (${over.map(_._3).sum} total rows) — " +
           s"run exactDedup upstream to remove identical-content clusters")
-      cached.join(
+      (cached.join(
         broadcast(over.map(o => (o._1, o._2)).toSeq.toDF(bandCol, bucketCol)),
-        Seq(bandCol, bucketCol), "left_anti")
+        Seq(bandCol, bucketCol), "left_anti"),
+        cached)
     }
   }
 
@@ -209,13 +223,18 @@ object Dedup {
       shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands, maxBucketSize)
-    pairs
+    // EAGER like lshCandidates (ADVICE r4): materialize the verified
+    // pairs (small — threshold-filtered) so the shingle cache can be
+    // dropped here instead of leaking for the session lifetime
+    val verified = pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    verified.orderBy(col("id_a"), col("id_b"))
   }
 
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
@@ -305,7 +324,10 @@ object Dedup {
     * degenerate-bucket hazard (identical texts → identical
     * fingerprints → one quadratic chunk bucket), so the same
     * `maxBucketSize` cap applies (see [[capBuckets]]). Fingerprints
-    * come from the primitive kernel (see simhashKernel).
+    * come from the primitive kernel (see simhashKernel). EAGER
+    * (ADVICE r4): construction runs the fingerprint+candidate jobs and
+    * returns materialized pairs; internal caches are dropped on
+    * return.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, maxHamming: Int = 3,
@@ -322,19 +344,23 @@ object Dedup {
       .toDF(idCol, "__fp")
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val buckets = capBuckets(
+    val (buckets, cached) = capBuckets(
       fp.select(col(idCol), col("__fp"),
         posexplode(chunks).as(Seq("chunk", "val"))),
       "chunk", "val", maxBucketSize, "simhashPairs")
     val a = buckets.as("a")
     val b = buckets.as("b")
-    a.join(b,
+    // EAGER like lshCandidates (ADVICE r4): materialize the hamming-
+    // filtered pairs so the bucket cache can be dropped here
+    val pairs = a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         hamming(col("a.__fp"), col("b.__fp")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    pairs.orderBy(col("id_a"), col("id_b"))
   }
 }

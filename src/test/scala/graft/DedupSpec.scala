@@ -101,4 +101,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
+
+  test("internal caches are dropped on return (ADVICE r4): only the " +
+      "materialized results stay resident") {
+    // Force ContextCleaner backlog out of the way, then measure: each
+    // operator call may leave AT MOST its own localCheckpoint blocks
+    // (the result it returned), never the internal shingle/bucket
+    // caches (2 extra MEMORY_AND_DISK entries each before the fix).
+    System.gc()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val near = Dedup.nearDuplicates(docs, "doc_id", "text", shingleLen = 2,
+      threshold = 0.4)
+    near.count()
+    val afterNear = spark.sparkContext.getPersistentRDDs.size
+    // nearDuplicates checkpoints the candidate set + the verified set
+    assert(afterNear - before <= 2,
+      s"nearDuplicates left ${afterNear - before} resident RDDs (caches leaked?)")
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    sim.count()
+    val afterSim = spark.sparkContext.getPersistentRDDs.size
+    assert(afterSim - afterNear <= 1,
+      s"simhashPairs left ${afterSim - afterNear} resident RDDs (caches leaked?)")
+  }
 }
