@@ -527,6 +527,38 @@ object SparkEntry {
         q, k = 5, nprobe = 8, metric = "l2")
     }),
 
+    // --- IVF incremental append (VERDICT r3 #5 — the living-corpus
+    //     op): build the index WITHOUT vec_id < 10, append those rows
+    //     via ivfAppend (assignment against the SAVED centroids read
+    //     back from disk), then answer a probe-all query FROM THE
+    //     APPENDED SET off the written layout. nprobe = nlist makes
+    //     the result exact over the union, so the oracle is the same
+    //     exact-KNN SQL as ann_ivf_disk — passing proves appended rows
+    //     land in readable cluster partitions and are routed exactly
+    //     like built rows (the query vector itself, vec_id 0, only
+    //     exists in the appended batch: distance 0 in row 1 is the
+    //     append working, not the build).
+    "ann_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") >= 10)
+      val (assigned, centers) = Ann.ivfAssign(base, "vec_id", "embedding",
+        nlist = 8, seed = 42, maxIter = 2)
+      val path = gateIndexPath(dir, "ivf_append_gate")
+      // overwrite clears any previous run's appended files too, so the
+      // gate is idempotent across Verify/Bench/test invocations
+      Ann.ivfWriteIndex(
+        assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
+        centers, path)
+      Ann.ivfAppend(
+        emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        path, "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfProbe(s, path, Ann.ivfReadCenters(s, path), "vec_id", "embedding",
+        q, k = 5, nprobe = 8, metric = "l2")
+    }),
+
     // --- Text analysis (north-star): per-language corpus stats
     "text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1499,6 +1531,12 @@ object SparkEntry {
     // probe-all (nprobe = nlist) read from the written IVF layout ==
     // exact KNN — identical oracle to knn_l2
     "ann_ivf_disk" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+
+    // probe-all over the BUILT-THEN-APPENDED layout == exact KNN over
+    // the union (= the whole table) — same oracle as ann_ivf_disk; the
+    // query vector lives only in the appended batch
+    "ann_ivf_append" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
 
     "knn_join_full" ->
