@@ -527,6 +527,35 @@ object SparkEntry {
         q, k = 5, nprobe = 8, metric = "l2")
     }),
 
+    // --- IVF probe against a PREBUILT layout (VERDICT r3 #6: the
+    //     ann_ivf_disk bench figure is dominated by the in-plan KMeans
+    //     + index write; the number users care about round-over-round
+    //     is the READ path). The build runs only when the layout is
+    //     missing or stale (row-count check) — in Bench that is the
+    //     untimed warmup, so the timed runs measure the probe alone:
+    //     centroid load, routing, pruned scan, top-k. Probe-all keeps
+    //     the result exact, so the gate reuses the exact-KNN oracle.
+    "ann_ivf_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = gateIndexPath(dir, "ivf_probe_bench")
+      val n = emb.count()
+      val ready =
+        try s.read.parquet(path).count() == n
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!ready) {
+        val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+          nlist = 8, seed = 42, maxIter = 2)
+        Ann.ivfWriteIndex(
+          assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
+          centers, path)
+      }
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfProbe(s, path, Ann.ivfReadCenters(s, path), "vec_id", "embedding",
+        q, k = 5, nprobe = 8, metric = "l2")
+    }),
+
     // --- IVF incremental append (VERDICT r3 #5 — the living-corpus
     //     op): build the index WITHOUT vec_id < 10, append those rows
     //     via ivfAppend (assignment against the SAVED centroids read
@@ -1537,6 +1566,11 @@ object SparkEntry {
     // the union (= the whole table) — same oracle as ann_ivf_disk; the
     // query vector lives only in the appended batch
     "ann_ivf_append" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+
+    // probe-all against the prebuilt layout == exact KNN (the build,
+    // when it runs at all, only changes WHERE the bytes are read from)
+    "ann_ivf_probe" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
 
     "knn_join_full" ->
