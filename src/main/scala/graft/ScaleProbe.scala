@@ -135,6 +135,24 @@ object ScaleProbe {
       Ann.ivfProbeJoin(assigned, ivf._2, "vec_id", "embedding",
         qs, "query_id", "q_vec", k = 10, nprobe = 8, metric = "l2").count()
     }
+
+    // incremental append: write the 1M index once, append a 10k batch
+    // — cost must scale with the BATCH (assign 10k + one partitioned
+    // append), not the 1M index
+    time("ivf_append_10k_to_1M") {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivf").resolve("idx").toString
+      Ann.ivfWriteIndex(assigned, ivf._2, path)
+      val t0 = System.nanoTime()
+      val batch = spark.range(nVec, nVec + 10000).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64($"id", i), lit(1000000L)) / 500000.0 - 1.0).cast("float"))
+          .as("embedding"))
+      Ann.ivfAppend(batch, path, "embedding")
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val total = spark.read.parquet(path).count()
+      f"append_only=$appendSec%.2fs total_rows=$total"
+    }
     assigned.unpersist()
 
     // as-of at probe scale: 1M events x 100k facts over 10k keys —

@@ -327,6 +327,25 @@ object SparkEntry {
         "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 8,
         threshold = 0.5)),
 
+    // --- Near-dup CLUSTERS: pairs → connected components → min-id
+    //     representative per doc. The step that makes dedup actionable
+    //     (A~B, B~C collapse to one survivor even when A~C was never
+    //     emitted). Pair config identical to dedup_near, whose oracle
+    //     equality already proves the Spark pair set == DuckDB's exact
+    //     Jaccard pair set — here DuckDB walks the same graph with a
+    //     recursive CTE, so component membership is value-checked
+    //     end-to-end.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicates(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(col("text")) > 0),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id_a", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
     //     pair direction canonicalized). Every vector is a query
@@ -1672,6 +1691,35 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact-Jaccard pair graph as dedup_near, then component
+    // membership by recursive transitive closure: rep = min reachable
+    // id (closure is bounded — near-dup components are small cliques)
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+        |SELECT u AS doc_id, least(u, mn) AS rep_id FROM m
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

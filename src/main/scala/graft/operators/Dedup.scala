@@ -237,6 +237,61 @@ object Dedup {
     verified.orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components of a duplicate-pair graph → canonical
+    * representative per member (min id in the component). The missing
+    * last step of every dedup pipeline: pair emitters
+    * ([[nearDuplicates]], [[simhashPairs]], embedding NN joins) find
+    * EDGES, but "keep one copy" is a property of the transitive
+    * CLUSTER — A~B and B~C must collapse A, B, C to one survivor even
+    * when A~C was never emitted.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * equi-join + one groupBy (two key shuffles) per round, data
+    * volume ∝ edges. Rounds needed = component DIAMETER, and near-dup
+    * components are quasi-cliques by construction (LSH emits most
+    * in-threshold pairs directly), so 2–4 rounds is typical at any
+    * corpus size; `maxIter` hard-bounds adversarial chains. Labels are
+    * `localCheckpoint`ed each round — the mandatory Spark idiom for
+    * iterative joins (unbounded lineage re-executes every prior round
+    * at each action and overwhelms the planner).
+    *
+    * Returns (idCol, rep_id) for every node APPEARING IN `pairs` —
+    * rows that were never paired are their own representative and are
+    * not repeated here (join back with a left join + coalesce).
+    * EAGER: convergence is detected by running the rounds now.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true) // re-read every round: materialize once
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep_id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("rep_id").as("__nrep")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("__nrep")).as("__nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep_id"), coalesce(col("__nmin"), col("rep_id"))).as("rep_id"),
+          (col("rep_id") > coalesce(col("__nmin"), col("rep_id"))).as("__chg"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.select(col("id"), col("rep_id"))
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component chain is longer than maxIter; raise it")
+    labels.select(col("id").as(aCol), col("rep_id"))
+  }
+
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
     * cross join: TEST SCALE ONLY, never the production path.
     */

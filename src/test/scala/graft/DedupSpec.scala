@@ -102,6 +102,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("connectedComponents: transitive chains collapse to the min id") {
+    // two components: a path 1-2, 2-3, 3-4 (1~4 never emitted) and a
+    // pair 10-11; node 99 never paired → absent from the mapping
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: maxIter bounds adversarial chains") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+    // and with enough rounds the same chain fully collapses
+    val ok = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 15)
+      .select("rep_id").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("internal caches are dropped on return (ADVICE r4): only the " +
       "materialized results stay resident") {
     // Force ContextCleaner backlog out of the way, then measure: each
