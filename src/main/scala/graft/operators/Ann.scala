@@ -341,8 +341,18 @@ object Ann {
         queryIdCol, corpusIdCol, k)
     }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val quantP = quant.persist(lvl)
-    val corpusP = corpus.persist(lvl)
+    // chunks run as SEQUENTIAL jobs, so each one must saturate the
+    // cluster on its own: a filtered/concentrated input (few non-empty
+    // partitions) would run every chunk's kernel at parallelism ~1 —
+    // measured 5× wall on the 50k NN-per-row probe. The id-hash
+    // spread (same law as sq8RerankedBatch's own) is applied BEFORE
+    // the persist so all chunk scans reuse one shuffle — and because
+    // it is the same deterministic row→partition law as the
+    // single-batch path, per-partition shortlists (and therefore
+    // results) stay bit-identical across paths.
+    val par = spark.sparkContext.defaultParallelism
+    val quantP = spreadById(quant, corpusIdCol).persist(lvl)
+    val corpusP = corpus.repartition(par).persist(lvl)
     val batches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var chunk: Array[(Long, Array[Double])] = first
     var more = true
@@ -351,7 +361,7 @@ object Ann {
       // eager: the checkpoint job runs NOW, so the broadcast can be
       // destroyed before the next chunk's is created
       batches += sq8RerankedBatch(quantP, corpusP, corpusIdCol, corpusVecCol,
-        bc, queryIdCol, k * rerankFactor, metric, excludeSelf)
+        bc, queryIdCol, k * rerankFactor, metric, excludeSelf, spread = false)
         .localCheckpoint(true)
       bc.destroy()
       if (grouped.hasNext) chunk = grouped.next().toArray else more = false
@@ -362,6 +372,19 @@ object Ann {
       queryIdCol, corpusIdCol, k)
   }
 
+  /** Deterministic id-hash spread of the codes scan: kernel-stage
+    * parallelism must not depend on upstream partitioning (a filtered
+    * cached corpus can concentrate all rows in 1–2 partitions), and
+    * because the per-partition shortlist is top-m PER PARTITION, every
+    * SQ8 path must use the SAME row→partition law or chunked vs
+    * single-batch results diverge on shortlist membership. Hash of the
+    * id column is a function of the DATA alone — stable across
+    * projections, caching, and input layout.
+    */
+  private def spreadById(quant: DataFrame, corpusIdCol: String): DataFrame =
+    quant.repartition(
+      quant.sparkSession.sparkContext.defaultParallelism, col(corpusIdCol))
+
   /** Shared SQ8 core: compressed-scan shortlist + exact rerank for ONE
     * broadcast batch of queries → (queryId, corpusId, distance) rows,
     * ready for the bounded top-k finisher.
@@ -370,7 +393,8 @@ object Ann {
       corpusIdCol: String, corpusVecCol: String,
       bc: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]],
       queryIdCol: String,
-      m: Int, metric: String, excludeSelf: Boolean): DataFrame = {
+      m: Int, metric: String, excludeSelf: Boolean,
+      spread: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qdist = Knn.scalaDistance(metric)
@@ -379,7 +403,9 @@ object Ann {
     // per decoded row) — scalaDistance would pay THREE dots per pair
     val isCosine = metric == "cosine"
 
-    val candidates = quant
+    // spread = false when the caller already applied spreadById (the
+    // multi-chunk path persists the spread copy once for all chunks)
+    val candidates = (if (spread) spreadById(quant, corpusIdCol) else quant)
       .select(col(corpusIdCol).cast("long"), col("min"), col("scale"), col("codes"))
       .as[(Long, Float, Float, Array[Byte])]
       .mapPartitions { it =>
