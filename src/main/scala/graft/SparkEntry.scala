@@ -346,6 +346,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- JL sign random projection: 64 → 16 dims with a
+    //     hash-regenerated ±1 matrix (zero shuffle, zero broadcast,
+    //     zero driver state — the 100 TB front-end that lets IVF/LSH
+    //     index 16 dims and rerank shortlists with the originals).
+    //     Projected VALUES are engine-local, so the hashed row checks
+    //     what is provable: exact row/dim accounting, bit-exact
+    //     linearity p(2x) = 2·p(x) (×2 only bumps fp exponents — a
+    //     wrong kernel can't fake it), and JL distance preservation
+    //     on all adjacent-id pairs within generous deterministic
+    //     bounds (ratio ∈ [0.2, 5] at outDim 16; chi-square tails put
+    //     violations out of reach for fixture-scale corpora).
+    "vec_project" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val scaled = base.select(col("vec_id"),
+        transform(col("v"), x => x * 2.0).as("v"))
+      val p1 = Ann.randomProject(base, "vec_id", "v", outDim = 16)
+      val p2 = Ann.randomProject(scaled, "vec_id", "v", outDim = 16)
+        .withColumnRenamed("projected", "p2")
+      val lin = p1.join(p2, "vec_id")
+        .agg(min(forall(
+            zip_with(col("p2"), col("projected"), (a, b) => a === b * 2.0),
+            x => x)).cast("int").as("linearity_ok"))
+      def adjacent(df: DataFrame, vcol: String) =
+        df.select((col("vec_id") + 1).as("vec_id"), col(vcol).as("__a"))
+          .join(df.select(col("vec_id"), col(vcol).as("__b")), "vec_id")
+          .select(col("vec_id"), Knn.distance("l2")(col("__a"), col("__b")).as("d"))
+      val ratios = adjacent(base, "v").withColumnRenamed("d", "d_orig")
+        .join(adjacent(p1, "projected").withColumnRenamed("d", "d_proj"), "vec_id")
+        .filter(col("d_orig") > 1e-9)
+        .agg(min(col("d_proj") / col("d_orig") between (0.2, 5.0))
+          .cast("int").as("distortion_ok"))
+      Tables.embeddings(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          max(size(col("embedding"))).as("dim_in"),
+          lit(16).as("dim_out"))
+        .crossJoin(lin).crossJoin(ratios)
+    }),
+
+    // --- Near-dup dedup APPLIED: the one-call survivors corpus
+    //     (pairs → components → keep min-id per cluster, singletons
+    //     pass through). Aggregated to a content checksum so the
+    //     oracle proves exactly WHICH rows survived, at any sf.
+    "dedup_near_apply" -> ((s, dir) =>
+      Dedup.dedupNear(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleLen = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
     //     pair direction canonicalized). Every vector is a query
@@ -1720,6 +1775,46 @@ object SparkEntry {
         |m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
         |SELECT u AS doc_id, least(u, mn) AS rep_id FROM m
         |ORDER BY doc_id""".stripMargin,
+
+    // projected values are engine-local; the provable invariants are
+    // exact accounting plus flags that must be 1 (see the query)
+    "vec_project" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(max(len(embedding)) AS INT) AS dim_in,
+        |  CAST(16 AS INT) AS dim_out,
+        |  CAST(1 AS INT) AS linearity_ok,
+        |  CAST(1 AS INT) AS distortion_ok
+        |FROM embeddings""".stripMargin,
+
+    // survivors = docs minus every component member above its min —
+    // same recursive closure as dedup_components, applied
+    "dedup_near_apply" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |nonrep AS (SELECT u FROM reach GROUP BY u HAVING min(v) < u)
+        |SELECT count(*) AS n_survivors,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM t WHERE doc_id NOT IN (SELECT u FROM nonrep)""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

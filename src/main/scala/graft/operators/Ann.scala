@@ -372,6 +372,68 @@ object Ann {
       queryIdCol, corpusIdCol, k)
   }
 
+  /** Sign random projection (Johnson–Lindenstrauss via Achlioptas'
+    * ±1 matrix): out(j) = Σᵢ v(i)·s(i,j) / √outDim with
+    * s(i,j) ∈ {±1} derived from a splitmix64 hash of (seed, i, j).
+    * The projection matrix is NEVER materialized — any executor
+    * regenerates any entry from the seed — so the op is one
+    * zero-shuffle map over the scan with no driver state and no
+    * broadcast: the ideal 100 TB shape. Pairwise distances are
+    * preserved within 1±ε w.h.p. for outDim = O(log n / ε²) — the
+    * standard cheap front-end that lets IVF/LSH/SQ8 work on 16–64
+    * dims instead of 768+ (project → index → rerank shortlists with
+    * the ORIGINAL vectors for exactness where it matters).
+    *
+    * Linearity is exact, not approximate: p(c·x) = c·p(x) bit-for-bit
+    * for powers of two (scaling by 2 only bumps fp exponents), which
+    * the `vec_project` gate exploits to value-check the kernel.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val invSqrt = 1.0 / math.sqrt(outDim.toDouble)
+        it.map { case (id, v) =>
+          if (v == null) (id, null: Array[Double])
+          else {
+            val out = new Array[Double](outDim)
+            var i = 0
+            while (i < v.length) {
+              val vi = v(i)
+              if (vi != 0.0) {
+                var j = 0
+                while (j < outDim) {
+                  val h = mix64(seed ^ (i.toLong << 20) ^ j.toLong)
+                  out(j) += (if ((h & 1L) == 0L) vi else -vi)
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            var j = 0
+            while (j < outDim) { out(j) *= invSqrt; j += 1 }
+            (id, out)
+          }
+        }
+      }
+      .toDF(idCol, "projected")
+  }
+
+  /** splitmix64 finalizer — the matrix-entry hash for
+    * [[randomProject]]. Engine-local (values are never compared
+    * across engines), JVM-stable.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic id-hash spread of the codes scan: kernel-stage
     * parallelism must not depend on upstream partitioning (a filtered
     * cached corpus can concentrate all rows in 1–2 partitions), and

@@ -292,6 +292,28 @@ object Dedup {
     labels.select(col("id").as(aCol), col("rep_id"))
   }
 
+  /** End-to-end near-dup dedup: emit pairs, resolve transitive
+    * clusters, keep ONE survivor per cluster (the min id), pass
+    * never-paired rows through untouched — the one-call form of the
+    * pipeline every training-data run needs
+    * ([[nearDuplicates]] → [[connectedComponents]] → anti-join).
+    * The final join broadcasts the component map when it is small
+    * (Catalyst decides — the map is |paired rows| ≤ pair count,
+    * usually a tiny fraction of the corpus) and falls back to a key
+    * shuffle otherwise; either way the corpus is scanned once.
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, shingleLen, numHashes,
+      bands, threshold, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id_a", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .filter(col("rep_id").isNull || col("rep_id") === col(idCol))
+      .drop("rep_id")
+  }
+
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
     * cross join: TEST SCALE ONLY, never the production path.
     */

@@ -113,6 +113,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupNear keeps min-id survivors, singletons pass through") {
+    val out = Dedup.dedupNear(docs, "doc_id", "text", shingleLen = 2,
+        threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0,1,2 are one near-dup cluster → 0 survives; 3,4 miss the 0.4
+    // bar (J = 3/8) and 5 is never paired → all three pass through
+    assert(out === Set(0L, 3L, 4L, 5L))
+  }
+
   test("connectedComponents: maxIter bounds adversarial chains") {
     val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
