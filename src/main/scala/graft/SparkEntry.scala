@@ -385,6 +385,41 @@ object SparkEntry {
         .crossJoin(lin).crossJoin(ratios)
     }),
 
+    // --- Project → coarse → rerank: the composition vec_project
+    //     exists for. Coarse candidate search runs in 16-dim projected
+    //     space (16/64 of the float bytes touched), exact rerank on
+    //     the original vectors touches only the Q·coarseK shortlist.
+    //     The fixture embeddings are near-uniform random — the
+    //     JL-ADVERSARIAL case (distances concentrate, so no 16-dim cut
+    //     can isolate the top-3 of a crowd; measured coarse-50 recall
+    //     ~30% here, while the structured AnnSpec fixture recalls
+    //     ≥ 0.9) — so the gate uses planted EXACT-COPY queries
+    //     (vec_id + 100000): p(x) − p(x) = 0, so the source survives
+    //     ANY coarse cut at projected distance 0 and the reranked
+    //     top-1 is provably the source at distance 0.0 at any sf. The
+    //     full pipeline (project both sides, coarse KNN, shortlist
+    //     rerank, bounded top-k) is value-checked end-to-end against
+    //     DuckDB's exhaustive NN, plus the in-plan matches_exact flag.
+    "knn_project_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000).as("query_id"),
+          col("embedding").as("q_vec"))
+      val approx = Ann.knnJoinProjected(emb, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 1, outDim = 16, coarseK = 20,
+        metric = "l2")
+      val exact = Knn.knnJoin(emb, "vec_id", "embedding",
+        qs, "query_id", "q_vec", k = 1, metric = "l2")
+      approx.join(
+          exact.select(col("query_id"),
+            col("vec_id").as("__eid"), col("distance").as("__ed")),
+          "query_id")
+        .select(col("query_id"), col("vec_id"), col("distance"),
+          (col("vec_id") === col("__eid") && col("distance") === col("__ed"))
+            .cast("int").as("matches_exact"))
+        .orderBy(col("query_id"))
+    }),
+
     // --- Near-dup dedup APPLIED: the one-call survivors corpus
     //     (pairs → components → keep min-id per cluster, singletons
     //     pass through). Aggregated to a content checksum so the
@@ -1775,6 +1810,22 @@ object SparkEntry {
         |m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
         |SELECT u AS doc_id, least(u, mn) AS rep_id FROM m
         |ORDER BY doc_id""".stripMargin,
+
+    // the coarse-then-rerank answer over the planted exact-copy
+    // queries must equal DuckDB's exhaustive NN (the source row at
+    // distance 0 — provably inside any coarse cut)
+    "knn_project_rerank" ->
+      """WITH qs AS (SELECT vec_id + 100000 AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance,
+        |  CAST(1 AS INT) AS matches_exact
+        |FROM r WHERE rank = 1
+        |ORDER BY query_id""".stripMargin,
 
     // projected values are engine-local; the provable invariants are
     // exact accounting plus flags that must be 1 (see the query)

@@ -423,6 +423,46 @@ object Ann {
       .toDF(idCol, "projected")
   }
 
+  /** The project→coarse→rerank composition [[randomProject]] exists
+    * for: coarse candidate search in `outDim`-dimensional projected
+    * space (cheap — the scan touches outDim/dim of the float bytes),
+    * then EXACT distances on the original vectors for the
+    * `coarseK`-bounded shortlist only. Recall follows JL: the true
+    * top-k survive the coarse cut whenever projected distances
+    * preserve their order within the coarseK margin — widen coarseK
+    * (default 10×k) to trade shortlist I/O for recall. Both sides are
+    * projected with the SAME seed, which is what makes projected
+    * distances comparable at all.
+    */
+  def knnJoinProjected(corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, outDim: Int = 16, coarseK: Int = 0, metric: String = "l2",
+      excludeSelf: Boolean = false, maxQueries: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    val m = if (coarseK > 0) coarseK else 10 * k
+    val pc = randomProject(corpus.select(col(corpusIdCol), col(corpusVecCol)),
+      corpusIdCol, corpusVecCol, outDim, seed)
+    val pq = randomProject(queries.select(col(queryIdCol), col(queryVecCol)),
+      queryIdCol, queryVecCol, outDim, seed)
+      .withColumnRenamed("projected", "__qproj")
+    // coarse: l2 in projected space regardless of the final metric —
+    // sign projection preserves Euclidean geometry; the exact rerank
+    // re-ranks under the caller's metric
+    val coarse = Knn.knnJoin(pc, corpusIdCol, "projected",
+      pq, queryIdCol, "__qproj", m, "l2", excludeSelf, maxQueries)
+    val cand = coarse.select(col(queryIdCol), col(corpusIdCol))
+    // shortlist rerank: float I/O ∝ Q·coarseK, never the corpus
+    val reranked = corpus
+      .select(col(corpusIdCol), col(corpusVecCol).cast("array<double>").as("__cv"))
+      .join(broadcast(cand), corpusIdCol)
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(queryVecCol).cast("array<double>").as("__qv"))), queryIdCol)
+      .select(col(queryIdCol), col(corpusIdCol),
+        round(Knn.distance(metric)(col("__cv"), col("__qv")), 6).as("distance"))
+      .filter(col("distance").isNotNull)
+    Knn.finishTopKPerGroup(reranked, queryIdCol, corpusIdCol, k)
+  }
+
   /** splitmix64 finalizer — the matrix-entry hash for
     * [[randomProject]]. Engine-local (values are never compared
     * across engines), JVM-stable.

@@ -298,6 +298,18 @@ class AnnSpec extends SparkSpec {
       s"mean squared-distance ratio $mean outside JL expectation")
   }
 
+  test("knnJoinProjected: coarse-then-rerank recalls >= 0.9 on " +
+      "structured data (and is exact on planted copies)") {
+    // on the CLUSTERED fixture, 16-dim coarse cuts keep the real
+    // neighbors — the recall story holds where data has structure
+    // (the gate covers the adversarial near-uniform fixture with
+    // planted copies instead)
+    val got = topkMap(Ann.knnJoinProjected(clustered, "vec_id", "embedding",
+      queries10, "query_id", "q_vec", k = 5, outDim = 16, coarseK = 50,
+      metric = "cosine", excludeSelf = true))
+    assert(recallAtK(got, exactCosine) >= 0.9)
+  }
+
   test("ivfAppend: appended rows land in cluster partitions and probe " +
       "like built rows (VERDICT r3 #5)") {
     // build WITHOUT cluster 0's rows, then append them
