@@ -112,4 +112,5 @@ object Maintenance {
     val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
     new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix).toString
   }
+
 }

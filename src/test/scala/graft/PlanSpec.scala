@@ -126,4 +126,28 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(900))
     assert(p.contains("partial_count"), p.take(900))
   }
+
+  test("randomProject is a zero-shuffle map over the scan") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.Ann.randomProject(
+        graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"projection must not shuffle — the matrix is hash-regenerated:\n${p.take(900)}")
+  }
+
+  test("knn_project_rerank's rerank stage broadcasts the shortlist and " +
+      "queries — never a cross product") {
+    val p = plan("knn_project_rerank")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+  }
+
+  test("ann_ivf_probe reads the prebuilt layout with cluster_id partition pruning") {
+    val p = plan("ann_ivf_probe")
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"), p.take(900))
+  }
 }
