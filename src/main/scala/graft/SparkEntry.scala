@@ -717,6 +717,40 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(10)),
 
+    // --- TF-IDF: the classic term-weighting composition — per-doc
+    //     term frequencies (one doc-term shuffle), document
+    //     frequencies (one term agg, |vocab|-sized → BROADCAST back
+    //     onto the doc-term relation, never a shuffle of the big
+    //     side), idf = ln(N / df), top-3 terms per sampled doc by a
+    //     bounded window. Every stage is corpus-linear; the join that
+    //     could have shuffled the doc-term relation is the broadcast.
+    "text_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val terms = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("__n").cast("double") / col("df")), 6)
+            .as("tfidf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.filter(col("doc_id") < 5)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // --- Heavy hitters via Count-Min Sketch (the approximate twin of
     //     text_tokens — at 100 TB the exact token groupBy gives way to
     //     a mergeable fixed-size sketch). The sketch VALUE is
@@ -1407,6 +1441,25 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS token
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
+
+    // same tokenize law as text_tokens; idf over the FULL corpus, top
+    // terms reported for the sampled docs
+    "text_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |n AS (SELECT count(*) AS n_docs FROM t),
+        |terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(n.n_docs::DOUBLE / dfq.df), 6) AS tfidf
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank
+        |      FROM sc WHERE doc_id < 5)
+        |SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])
