@@ -168,6 +168,18 @@ object SparkEntry {
     "knn_dot" -> knnQuery("dot"),
     "knn_l1" -> knnQuery("l1"),
 
+    // --- Filtered similarity search (the vector-DB `WHERE label = …
+    //     ORDER BY embedding <-> q LIMIT k` shape — pgvector's
+    //     metadata-filtered query, SURVEY §2.11). top-k WITHIN the
+    //     filtered set, not a post-filter of the unfiltered top-k
+    //     (which returns < k rows whenever the filter removes
+    //     neighbors). The label predicate reaches the parquet scan
+    //     (PushedFilters — plan-pinned), so at 100 TB row-group stats
+    //     skip non-matching data before any distance is paid.
+    "knn_filtered" -> ((s, dir) =>
+      Knn.topK(Tables.embeddings(s, dir).filter(col("label") === 3),
+        "vec_id", "embedding", queryVec(s, dir, 0), "q_vec", 5, "l2")),
+
     // --- J2: batch KNN join — top-3 neighbors for each of the first 10
     //     vectors (self excluded)
     // --- SQ8 compressed-scan search with exact rerank: shortlist on
@@ -663,6 +675,30 @@ object SparkEntry {
         .head().getSeq[Double](0).toArray
       Ann.ivfProbe(s, path, Ann.ivfReadCenters(s, path), "vec_id", "embedding",
         q, k = 5, nprobe = 8, metric = "l2")
+    }),
+
+    // --- Filtered search against the DISK layout: the index keeps its
+    //     metadata columns (label), and the probe applies the
+    //     predicate at the cluster-pruned scan (PartitionFilters on
+    //     cluster_id AND PushedFilters on label in one plan). Probe-all
+    //     keeps the result exact within the filtered set, so the
+    //     oracle is the same SQL as knn_filtered — passing proves the
+    //     indexed filtered path ≡ exact filtered KNN.
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 8, seed = 42, maxIter = 2)
+      val path = gateIndexPath(dir, "ivf_filter_gate")
+      Ann.ivfWriteIndex(
+        assigned.select(col("vec_id"), col("embedding"), col("label"),
+          col("cluster_id")),
+        centers, path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfProbe(s, path, Ann.ivfReadCenters(s, path), "vec_id", "embedding",
+        q, k = 5, nprobe = 8, metric = "l2",
+        pred = Some(col("label") === 3))
     }),
 
     // --- IVF incremental append (VERDICT r3 #5 — the living-corpus
@@ -1322,6 +1358,16 @@ object SparkEntry {
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // filtered search: top-k WITHIN the label slice
+    "knn_filtered" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $qVecSql), 6) AS distance
+         |FROM embeddings WHERE label = 3
+         |ORDER BY distance, vec_id LIMIT 5""".stripMargin,
+    // the indexed filtered path must reproduce exact filtered KNN
+    "ann_ivf_filtered" ->
+      s"""SELECT vec_id, round(list_distance(CAST(embedding AS DOUBLE[]), $qVecSql), 6) AS distance
+         |FROM embeddings WHERE label = 3
+         |ORDER BY distance, vec_id LIMIT 5""".stripMargin,
     "knn_dot" -> knnOracle(
       s"-list_inner_product(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_l1" ->

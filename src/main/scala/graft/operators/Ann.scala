@@ -851,15 +851,29 @@ object Ann {
     * Reading from an [[ivfWrite]] path, the `isin` filter prunes at
     * the source — verify with .explain: PartitionFilters on
     * cluster_id.
+    *
+    * `pred` is the FILTERED-search form (the vector-DB `WHERE label =
+    * … ORDER BY embedding <-> q LIMIT k` shape): a predicate on the
+    * layout's metadata columns, applied at the pruned scan so Parquet
+    * row-group stats skip non-matching data BEFORE any distance is
+    * paid (verify: PushedFilters in .explain). Post-filtering a plain
+    * top-k would instead return < k rows whenever the filter removes
+    * neighbors — this keeps top-k semantics within the filtered set.
+    * Caveat the literature calls out: at nprobe < nlist a highly
+    * selective predicate can empty the probed lists while matches
+    * exist elsewhere — raise nprobe as selectivity rises (recall is
+    * exact at nprobe = nlist, which is what the gate checks).
     */
   def ivfProbe(spark: SparkSession, path: String, centers: Array[Array[Double]],
       idCol: String, vecCol: String, query: Array[Double], k: Int,
-      nprobe: Int, metric: String = "l2"): DataFrame = {
+      nprobe: Int, metric: String = "l2",
+      pred: Option[Column] = None): DataFrame = {
     val clusters = nearestClusters(centers, query, nprobe, metric)
     val scan = spark.read.parquet(path)
       .filter(col("cluster_id").isin(clusters: _*))
+    val filtered = pred.fold(scan)(scan.filter)
     val dist = round(Knn.distance(metric)(col(vecCol), typedlit(query)), 6)
-    scan
+    filtered
       .withColumn("distance", dist)
       .filter(col("distance").isNotNull)
       .select(col(idCol), col("distance"))

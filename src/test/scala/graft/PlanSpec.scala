@@ -150,4 +150,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_ivf_probe")
     assert(p.contains("PartitionFilters") && p.contains("cluster_id"), p.take(900))
   }
+
+  test("knn_filtered pushes the label predicate to the parquet scan") {
+    // filtered similarity search: the metadata filter must reach the
+    // source (row-group stats skip) — not run after distances are paid
+    val p = plan("knn_filtered")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("label"), s"label filter must reach the scan: $pushed")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("ann_ivf_filtered combines partition pruning AND a pushed metadata filter") {
+    val p = plan("ann_ivf_filtered")
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"), p.take(900))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("label"), s"label filter must reach the scan: $pushed")
+  }
 }
