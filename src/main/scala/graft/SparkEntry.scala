@@ -62,6 +62,90 @@ object SparkEntry {
     sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
       s"/graft_$purpose/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Fixed lexical-order query terms shared by the BM25 gate queries
+    * and their DuckDB twins.
+    */
+  private val bm25Terms = Seq("hash", "spark", "vector")
+
+  /** Okapi BM25 (Lucene idf) top-k docs for [[bm25Terms]] — the
+    * lexical leg of hybrid retrieval. ONE tokenize pass: the
+    * (doc, term, tf) relation is cached and every statistic derives
+    * from it (doc lengths, avgdl/N, per-query-term df) — never a
+    * second corpus scan (the text_tokens_cms lesson). The query-term
+    * filter cuts the relation to ≤ |q| rows per doc BEFORE the
+    * doc-length join; df and the 1-row stats broadcast. Per-(doc,
+    * term) scores are single rows and the final doc score adds the
+    * per-term columns in a FIXED order, so no floating-point
+    * summation-order ambiguity exists between engines. Constants
+    * k1 = 1.2, b = 0.75 appear as the same decimal literals in the
+    * DuckDB twin (k1+1 pre-folded to 2.2, 1-b to 0.25) so both
+    * engines parse identical IEEE doubles — never a value one engine
+    * computed and the other parsed. The bounded result is eagerly
+    * localCheckpoint'ed inside the persist scope, so callers consume
+    * k rows without re-running the tokenize.
+    */
+  private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (k1, k1p1, b, oneMinusB) = (1.2, 2.2, 0.75, 0.25)
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      val dfreq = tf.filter(col("term").isin(bm25Terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.filter(col("term").isin(bm25Terms: _*))
+        .join(dl, "doc_id") // doc-keyed shuffle join of two tf-derived sides
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("term"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(k1p1)) /
+              (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
+            .as("ts"))
+      val perTerm = bm25Terms.map(t =>
+        coalesce(sum(when(col("term") === t, col("ts"))), lit(0.0)))
+      scored.groupBy(col("doc_id"))
+        .agg(round(perTerm.reduce(_ + _), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(k)
+        // force materialization inside the persist scope so unpersist
+        // doesn't race the caller's own action
+        .localCheckpoint(true)
+    } finally tf.unpersist()
+  }
+
+  /** The BM25 scoring pipeline as a DuckDB CTE chain ending in a
+    * relation `bm(doc_id, bm25)` — shared by the text_bm25 and
+    * hybrid_rrf twins. Integer columns are cast to DOUBLE before
+    * arithmetic (DuckDB would otherwise route int+decimal through
+    * exact DECIMAL math and diverge from Spark's doubles); the three
+    * term scores are added in the same fixed order as the Spark side.
+    */
+  private val bm25SqlCtes =
+    """t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM tf
+      |        WHERE term IN ('hash', 'spark', 'vector') GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |         ln(1.0 + (CAST(st.n_docs - dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |             (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS ts
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfq ON tf.term = dfq.term CROSS JOIN st
+      |       WHERE tf.term IN ('hash', 'spark', 'vector')),
+      |bm AS (SELECT doc_id,
+      |  round(coalesce(sum(CASE WHEN term = 'hash' THEN ts END), 0)
+      |      + coalesce(sum(CASE WHEN term = 'spark' THEN ts END), 0)
+      |      + coalesce(sum(CASE WHEN term = 'vector' THEN ts END), 0), 6) AS bm25
+      |FROM sc GROUP BY doc_id)""".stripMargin
+
   /** DuckDB oracle for the single-query KNN family. */
   private def knnOracle(distExpr: String): String =
     s"""SELECT vec_id, round($distExpr, 6) AS distance
@@ -787,6 +871,56 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // --- BM25 (Okapi/Lucene idf) relevance ranking — the lexical leg
+    //     of hybrid retrieval. ONE tokenize pass: the (doc, term, tf)
+    //     relation is cached and every statistic derives from it (doc
+    //     lengths, avgdl/N, per-query-term df) — never a second corpus
+    //     scan (the text_tokens_cms lesson). The query-term filter cuts
+    //     the relation to ≤ |q| rows per doc BEFORE the doc-length
+    //     join; df and the 1-row stats broadcast. Per-(doc, term)
+    //     scores are single rows and the final doc score adds the
+    //     per-term columns in a FIXED order, so no floating-point
+    //     summation-order ambiguity exists between engines.
+    "text_bm25" -> ((s, dir) => bm25TopK(s, dir, 10)),
+
+    // --- Hybrid retrieval: reciprocal-rank fusion (RRF, the pgvector
+    //     hybrid-search recipe) of the lexical BM25 ranking and the
+    //     exact cosine KNN ranking, joined on the shared corpus id.
+    //     Each leg is independently scale-shaped (BM25 corpus-linear,
+    //     KNN TakeOrderedAndProject) and bounded to k rows BEFORE
+    //     fusion, so the rank windows and the full-outer join operate
+    //     on ≤ k-row relations — constant work at any corpus size.
+    //     Ranks are assigned over ROUNDED scores with id tie-breaks in
+    //     both engines, and 1/(60+rank) terms are added lexical-first,
+    //     so fusion is bit-deterministic cross-engine.
+    "hybrid_rrf" -> ((s, dir) => {
+      // leg depth 100: docs ranked by BOTH legs (rrf ≈ 2/(60+r))
+      // dominate the fused top-10 on the fixture, so the hash checks
+      // the both-present fusion path, not just single-leg carryover
+      val kLeg = 100
+      val wBm = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bm25").desc, col("doc_id"))
+      val bm = bm25TopK(s, dir, kLeg)
+        .withColumn("rank_bm25", row_number().over(wBm))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .orderBy(col("distance").asc, col("vec_id"))
+      val vec = Knn.topK(Tables.embeddings(s, dir), "vec_id", "embedding",
+          queryVec(s, dir, 0), "q_vec", kLeg, "cosine")
+        .withColumn("rank_vec", row_number().over(wVec))
+      bm.select(col("doc_id"), col("rank_bm25"))
+        .join(vec.select(col("vec_id").as("doc_id"), col("rank_vec")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6)
+            .as("rrf"),
+          col("rank_bm25").cast("int").as("rank_bm25"),
+          col("rank_vec").cast("int").as("rank_vec"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // --- Heavy hitters via Count-Min Sketch (the approximate twin of
     //     text_tokens — at 100 TB the exact token groupBy gives way to
     //     a mergeable fixed-size sketch). The sketch VALUE is
@@ -1506,6 +1640,33 @@ object SparkEntry {
         |      FROM sc WHERE doc_id < 5)
         |SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // same tokenize law as text_tokens; see bm25SqlCtes for the
+    // cross-engine float-parity rules
+    "text_bm25" ->
+      s"""WITH $bm25SqlCtes
+         |SELECT doc_id, bm25 FROM bm
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // both legs rank over rounded scores with id tie-breaks; RRF terms
+    // added lexical-first, 60+rank forced through DOUBLE division
+    "hybrid_rrf" ->
+      s"""WITH $bm25SqlCtes,
+         |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+         |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |vd AS (SELECT vec_id AS doc_id,
+         |         round(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql), 6) AS distance
+         |       FROM embeddings),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS rank_vec
+         |       FROM vd ORDER BY distance, doc_id LIMIT 100),
+         |f AS (SELECT coalesce(bmr.doc_id, vr.doc_id) AS doc_id,
+         |        round(coalesce(1.0 / CAST(60 + bmr.rank_bm25 AS DOUBLE), 0)
+         |            + coalesce(1.0 / CAST(60 + vr.rank_vec AS DOUBLE), 0), 6) AS rrf,
+         |        CAST(bmr.rank_bm25 AS INT) AS rank_bm25,
+         |        CAST(vr.rank_vec AS INT) AS rank_vec
+         |      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
+         |SELECT doc_id, rrf, rank_bm25, rank_vec FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])
