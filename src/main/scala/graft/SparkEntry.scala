@@ -274,6 +274,27 @@ object SparkEntry {
       Ann.topKSq8(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir, 0), "q_vec", 5, "l2")),
 
+    // --- Product quantization, one tier below SQ8 on the compression
+    //     ladder (m=8 bytes per 64-dim vector = 32× vs float32): ADC
+    //     shortlist over the codes, exact float rerank. Oracles reuse
+    //     the exact-KNN SQL — passing proves the 32×-compressed path
+    //     reproduces exact KNN on the fixture, for both a separable
+    //     (l2) and a norm-corrected (cosine) metric.
+    "knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Ann.pqTrain(emb, "embedding", m = 8, ksub = 64)
+      Ann.topKPq(Ann.pqEncode(emb, "vec_id", "embedding", model), emb,
+        "vec_id", "embedding", queryVec(s, dir, 0), "q_vec", 5, model, "l2",
+        rerankFactor = 32)
+    }),
+    "knn_pq_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Ann.pqTrain(emb, "embedding", m = 8, ksub = 64)
+      Ann.topKPq(Ann.pqEncode(emb, "vec_id", "embedding", model), emb,
+        "vec_id", "embedding", queryVec(s, dir, 0), "q_vec", 5, model, "cosine",
+        rerankFactor = 32)
+    }),
+
     "knn_join" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 10)
@@ -1487,6 +1508,11 @@ object SparkEntry {
 
     "knn_l2" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // the PQ+rerank paths must reproduce exact KNN — same oracles
+    "knn_pq" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    "knn_pq_cosine" -> knnOracle(
+      s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),

@@ -355,4 +355,69 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
       s"expected partition pruning in plan:\n$plan")
   }
+
+  // -------------------------------------------------------------
+  // Product quantization
+  // -------------------------------------------------------------
+
+  test("pqEncode: m one-byte codes per row, NULL for bad vectors, codes within ksub") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Ann.pqTrain(emb, "embedding", m = 8, ksub = 32)
+    assert(model.dim === 64 && model.subDim === 8)
+    val withBad = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((9990L, null: Array[Float]),
+        (9991L, Array(1f, 2f))).toDF("vec_id", "embedding"))
+    val enc = Ann.pqEncode(withBad, "vec_id", "embedding", model).collect()
+    enc.foreach { r =>
+      val codes = r.get(1)
+      if (r.getLong(0) >= 9990L) assert(codes == null, s"bad vector must encode NULL")
+      else {
+        val cs = codes.asInstanceOf[Array[Byte]]
+        assert(cs.length === 8)
+        cs.foreach(c => assert(c + 128 >= 0 && c + 128 < 32, s"code out of ksub: $c"))
+      }
+    }
+  }
+
+  test("PQ ADC shortlist + exact rerank reproduces exact KNN on every metric") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = Ann.pqTrain(emb, "embedding", m = 8, ksub = 32)
+    val quant = Ann.pqEncode(emb, "vec_id", "embedding", model)
+    val q = emb.filter($"vec_id" === 3).select($"embedding".as("q_vec"))
+    for (metric <- Seq("l2", "cosine", "dot", "l1")) {
+      val exact = Knn.topK(emb, "vec_id", "embedding", q, "q_vec", 5, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pq = Ann.topKPq(quant, emb, "vec_id", "embedding", q, "q_vec",
+        5, model, metric, rerankFactor = 32)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pq === exact, s"metric=$metric")
+    }
+  }
+
+  test("PQ on clustered data: ADC ranking alone (no rerank margin) finds the tight cluster") {
+    // clustered fixture is 16-dim: m=4 subspaces. With rerankFactor=1
+    // the shortlist IS the answer set — this checks ADC ranking
+    // quality, not just the rerank's ability to fix it.
+    val model = Ann.pqTrain(clustered, "embedding", m = 4, ksub = 32)
+    val quant = Ann.pqEncode(clustered, "vec_id", "embedding", model)
+    val q = clustered.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    val got = Ann.topKPq(quant, clustered, "vec_id", "embedding", q, "q_vec",
+      5, model, "l2", rerankFactor = 1)
+      .select("vec_id").as[Long].collect()
+    assert(got.length === 5 && got.forall(_ < 30),
+      s"ADC top-5 should stay inside the query's tight cluster: ${got.toSeq}")
+  }
+
+  test("pqTrain is deterministic and rejects bad shapes") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val a = Ann.pqTrain(emb, "embedding", m = 4, ksub = 16, iters = 3)
+    val b = Ann.pqTrain(emb, "embedding", m = 4, ksub = 16, iters = 3)
+    assert(a.codebooks.flatten.flatten.toSeq === b.codebooks.flatten.flatten.toSeq)
+    intercept[IllegalArgumentException] {
+      Ann.pqTrain(emb, "embedding", m = 7) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      Ann.pqTrain(emb, "embedding", m = 8, ksub = 300) // > one byte
+    }
+  }
 }
