@@ -71,6 +71,20 @@ object ScaleProbe {
     }
     sq8.unpersist()
 
+    // PQ: one tier below SQ8 — 8 code bytes per 64-dim row (32× vs
+    // float32). Train on a 64k sample, encode the full corpus with a
+    // broadcast-codebook map, search with m table lookups per row.
+    val pqModel = Ann.pqTrain(corpus, "embedding", m = 8, ksub = 256,
+      maxSample = 65536, iters = 5)
+    val pq = Ann.pqEncode(corpus, "vec_id", "embedding", pqModel)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pq_encode_1M") { pq.count() }
+    time("pq_topk_1M") {
+      Ann.topKPq(pq, corpus, "vec_id", "embedding",
+        q1, "q_vec", 10, pqModel, "l2", rerankFactor = 16).collect().length
+    }
+    pq.unpersist()
+
     val qs = corpus.filter($"vec_id" % 5000 === 0) // 200 queries
       .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
     time("knnJoin_1M_x200") {

@@ -806,6 +806,27 @@ object SparkEntry {
         pred = Some(col("label") === 3))
     }),
 
+    // --- IVF-PQ: the full FAISS-style composition — coarse routing
+    //     prunes the scan to nprobe cluster partitions AND the scanned
+    //     bytes are 32×-compressed residual codes (the two pruning
+    //     axes multiply at 100 TB). The gate exercises the whole
+    //     lifecycle off disk: build → write (codes + _centroids + _pq
+    //     sidecars) → read model back fresh → probe-all → exact
+    //     rerank. Probe-all keeps the result exact, so the oracle is
+    //     the exact-KNN SQL.
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
+      val path = gateIndexPath(dir, "ivfpq_gate")
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfPqProbe(s, path, Ann.ivfPqReadModel(s, path), emb,
+        "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
+    }),
+
     // --- IVF incremental append (VERDICT r3 #5 — the living-corpus
     //     op): build the index WITHOUT vec_id < 10, append those rows
     //     via ivfAppend (assignment against the SAVED centroids read
@@ -1510,6 +1531,8 @@ object SparkEntry {
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // the PQ+rerank paths must reproduce exact KNN — same oracles
     "knn_pq" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    "ann_ivfpq" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_pq_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),

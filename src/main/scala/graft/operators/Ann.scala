@@ -608,6 +608,166 @@ object Ann {
       .limit(k)
   }
 
+  // -------------------------------------------------------------
+  // IVF-PQ: cluster-pruned ADC over residual codes (FAISS's
+  // billion-scale composition)
+  // -------------------------------------------------------------
+
+  /** A complete IVF-PQ index description: coarse centroids for
+    * routing/pruning + PQ codebooks trained on RESIDUALS
+    * (v − centroid[cluster]) — residuals concentrate around 0, so the
+    * same ksub centroids quantize them far more finely than raw
+    * vectors (the FAISS IVFPQ design; quantization error drops by
+    * roughly the cluster-radius factor).
+    */
+  case class IvfPqModel(centers: Array[Array[Double]], pq: PqModel)
+
+  /** Build an IVF-PQ index: coarse-assign (sampled KMeans), subtract
+    * the centroid, train PQ on the residuals, encode. Returns the
+    * encoded frame (id, cluster_id, pq_codes — m bytes + an int per
+    * row) and the model. L2 only — the FAISS default; for cosine,
+    * normalize vectors upstream (unit vectors make L2 ranking ≡
+    * cosine ranking).
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int, ksub: Int = 256, seed: Long = 42L,
+      maxIter: Int = 20, trainFraction: Double = 1.0,
+      maxSample: Int = 65536, pqIters: Int = 10): (DataFrame, IvfPqModel) = {
+    val (assigned, centers) = ivfAssign(corpus, idCol, vecCol, nlist,
+      seed, maxIter, trainFraction, "l2")
+    val residuals = residualFrame(assigned, idCol, vecCol, centers)
+    val pqModel = pqTrain(residuals, "__residual", m, ksub, seed,
+      maxSample, pqIters)
+    val encoded = pqEncode(
+      residuals, idCol, "__residual", pqModel)
+      .join(assigned.select(col(idCol), col("cluster_id")), idCol)
+    (encoded, IvfPqModel(centers, pqModel))
+  }
+
+  /** (id, cluster_id, __residual = v − centroid[cluster]) — one
+    * broadcast-centroid map over the assigned frame.
+    */
+  private def residualFrame(assigned: DataFrame, idCol: String,
+      vecCol: String, centers: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centers)
+    assigned
+      .select(col(idCol).cast("long"), col("cluster_id").cast("int"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, cl, v) =>
+          if (v == null || cl < 0 || cl >= cs.length || v.length != cs(cl).length)
+            (id, cl, null: Array[Double])
+          else {
+            val c = cs(cl)
+            val r = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+            (id, cl, r)
+          }
+        }
+      }
+      .toDF(idCol, "cluster_id", "__residual")
+  }
+
+  /** Persist the IVF-PQ index: codes partitioned by cluster (probes
+    * prune at the scan) plus `_centroids` and `_pq` sidecars —
+    * everything a fresh session needs to route and decode.
+    */
+  def ivfPqWriteIndex(encoded: DataFrame, model: IvfPqModel,
+      path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    ivfWrite(encoded, path)
+    model.centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_centroids")
+    val pqRows = for {
+      j <- 0 until model.pq.m
+      c <- 0 until model.pq.ksub
+    } yield (j, c, model.pq.codebooks(j)(c).toSeq)
+    pqRows.toDF("subspace", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_pq")
+  }
+
+  /** Load the [[ivfPqWriteIndex]] sidecars back. */
+  def ivfPqReadModel(spark: SparkSession, path: String): IvfPqModel = {
+    import spark.implicits._
+    val centers = ivfReadCenters(spark, path)
+    val pqRows = spark.read.parquet(path.stripSuffix("/") + "/_pq")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .as[(Int, Int, Array[Double])].collect()
+    val m = pqRows.map(_._1).max + 1
+    val ksub = pqRows.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](m, ksub)
+    pqRows.foreach { case (j, c, v) => books(j)(c) = v }
+    val dim = books(0)(0).length * m
+    IvfPqModel(centers, PqModel(dim, m, ksub, books))
+  }
+
+  /** IVF-PQ probe — the full composition: route to nprobe lists,
+    * prune the parquet scan to those cluster partitions, ADC-scan the
+    * m-byte residual codes (per-CLUSTER lookup tables from
+    * (q − centroid), built once per query on the driver — nprobe·m·
+    * ksub doubles), shortlist `rerankFactor·k`, exact-rerank on the
+    * float corpus. ||q − c − r||² is separable over subspaces of
+    * (q − c) vs r, so the row loop stays m table lookups. At 100 TB:
+    * reads nprobe/nlist of an already-32×-compressed layout — the two
+    * pruning axes multiply.
+    */
+  def ivfPqProbe(spark: SparkSession, path: String, model: IvfPqModel,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nprobe: Int,
+      rerankFactor: Int = 16): DataFrame = {
+    import spark.implicits._
+    require(query.length == model.pq.dim,
+      s"query dim ${query.length} != model dim ${model.pq.dim}")
+    val clusters = nearestClusters(model.centers, query, nprobe, "l2")
+    // per-cluster ADC tables over the residual space
+    val tables: Map[Int, Array[Array[Double]]] = clusters.map { cl =>
+      val c = model.centers(cl)
+      val qr = new Array[Double](query.length)
+      var i = 0
+      while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
+      cl -> adcTables(model.pq, qr, "l2")._1
+    }.toMap
+    val bc = spark.sparkContext.broadcast(tables)
+    val L = k * rerankFactor
+    val shortlist = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(clusters: _*))
+      .select(col(idCol).cast("long"), col("cluster_id").cast("int"),
+        col("pq_codes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val ts = bc.value
+        val heap = new Knn.BoundedPairHeap(L)
+        it.foreach { case (id, cl, codes) =>
+          val t = ts.getOrElse(cl, null)
+          if (t != null && codes != null && codes.length == t.length) {
+            var acc = 0.0
+            var j = 0
+            while (j < t.length) { acc += t(j)(codes(j) + 128); j += 1 }
+            heap.offer(acc, id)
+          }
+        }
+        heap.iterator
+      }.toDF("__qdist", idCol)
+      .orderBy(col("__qdist"), col(idCol)).limit(L)
+
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist.select(col(idCol))), idCol)
+      .withColumn("distance",
+        round(Knn.distance("l2")(col(vecCol), typedlit(query)), 6))
+      .filter(col("distance").isNotNull)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sign random projection (Johnson–Lindenstrauss via Achlioptas'
     * ±1 matrix): out(j) = Σᵢ v(i)·s(i,j) / √outDim with
     * s(i,j) ∈ {±1} derived from a splitmix64 hash of (seed, i, j).

@@ -408,6 +408,79 @@ class AnnSpec extends SparkSpec {
       s"ADC top-5 should stay inside the query's tight cluster: ${got.toSeq}")
   }
 
+  test("IVF-PQ: full disk lifecycle, probe-all ≡ exact, cluster pruning in the plan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 32, seed = 42, maxIter = 2)
+    val path = Files.createTempDirectory("graft_ivfpq").resolve("idx").toString
+    Ann.ivfPqWriteIndex(encoded, model, path)
+    // a fresh read of the sidecars reconstructs the model exactly
+    val back = Ann.ivfPqReadModel(spark, path)
+    assert(back.centers.flatten.toSeq === model.centers.flatten.toSeq)
+    assert(back.pq.codebooks.flatten.flatten.toSeq ===
+      model.pq.codebooks.flatten.flatten.toSeq)
+    val q = emb.filter($"vec_id" === 3)
+      .select($"embedding".cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val exact = Knn.topK(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" === 3).select($"embedding".as("q_vec")),
+      "q_vec", 5, "l2")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Ann.ivfPqProbe(spark, path, back, emb, "vec_id", "embedding",
+      q, k = 5, nprobe = 8, rerankFactor = 32)
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === exact)
+    // pruned probe reads only the routed partitions
+    val pruned = Ann.ivfPqProbe(spark, path, back, emb, "vec_id", "embedding",
+      q, k = 5, nprobe = 2, rerankFactor = 32)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"),
+      s"expected partition pruning:\n${plan.take(900)}")
+  }
+
+  test("IVF-PQ residual codes quantize finer than raw-vector PQ codes") {
+    // the reason IVFPQ encodes v − centroid: residuals concentrate, so
+    // the same code budget reconstructs with less error. Compare mean
+    // squared reconstruction error, same m/ksub, on the same corpus.
+    val emb = Tables.embeddings(spark, sf0001).limit(300)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
+    val rawModel = Ann.pqTrain(emb, "v", m = 8, ksub = 32)
+    val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "v",
+      nlist = 8, seed = 42, maxIter = 3)
+    def mse(errs: Seq[Double]): Double = errs.sum / errs.size
+    val rows = emb.as[(Long, Array[Double])].collect().toMap
+    val asg = assigned.select($"vec_id", $"cluster_id")
+      .as[(Long, Int)].collect().toMap
+    def recon(model: Ann.PqModel, vec: Array[Double]): Double = {
+      // encode-then-decode squared error, computed directly from the
+      // codebooks (nearest centroid per subspace)
+      val sd = model.subDim
+      var err = 0.0
+      for (j <- 0 until model.m) {
+        var best = Double.MaxValue
+        for (c <- 0 until model.ksub) {
+          var d = 0.0
+          for (i <- 0 until sd) {
+            val t = vec(j * sd + i) - model.codebooks(j)(c)(i); d += t * t
+          }
+          if (d < best) best = d
+        }
+        err += best
+      }
+      err
+    }
+    val (resModelFrame, ivfpq) = Ann.ivfPqBuild(emb, "vec_id", "v",
+      nlist = 8, m = 8, ksub = 32, seed = 42, maxIter = 3)
+    resModelFrame.count()
+    val rawErr = mse(rows.values.toSeq.map(v => recon(rawModel, v)))
+    val resErr = mse(rows.toSeq.map { case (id, v) =>
+      val c = centers(asg(id))
+      recon(ivfpq.pq, v.indices.map(i => v(i) - c(i)).toArray)
+    })
+    assert(resErr < rawErr,
+      f"residual MSE $resErr%.4f should beat raw MSE $rawErr%.4f")
+    emb.unpersist()
+  }
+
   test("pqTrain is deterministic and rejects bad shapes") {
     val emb = Tables.embeddings(spark, sf0001)
     val a = Ann.pqTrain(emb, "embedding", m = 4, ksub = 16, iters = 3)
