@@ -115,16 +115,24 @@ object Dedup {
     * The materialized result is corpus-linear (bucket-capped), far
     * smaller than the bucket projection it replaces in storage.
     */
-  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
+  /** The staged (id, band, bucket) band projection shared by
+    * [[lshCandidates]] and the incremental-index writer/prober.
+    */
+  private def bandBuckets(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val r = numHashes / bands
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("__sig"), b * r + 1, r))): _*)
-    val buckets = df
+    df
       .select(col(idCol), shingleHashes(col(shingleCol)).as("__hs"))
       .select(col(idCol), minhashFromHashes(col("__hs"), numHashes).as("__sig"))
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = bandBuckets(df, idCol, shingleCol, numHashes, bands)
     val (pruned, cached) =
       capBuckets(buckets, "band", "bucket", maxBucketSize, "lshCandidates")
     val a = pruned.as("a")
@@ -312,6 +320,96 @@ object Dedup {
     df.join(comps, Seq(idCol), "left")
       .filter(col("rep_id").isNull || col("rep_id") === col(idCol))
       .drop("rep_id")
+  }
+
+  // -------------------------------------------------------------
+  // Incremental near-dedup (the living-corpus path, like ivfAppend)
+  // -------------------------------------------------------------
+
+  /** Persist the near-dup LSH state of a corpus: the shingle-id sets
+    * (`/shingles`: id, __sh) and the band-bucket projection
+    * (`/buckets`: id, band, bucket) — everything a future batch needs
+    * to find its duplicates against this corpus WITHOUT re-shingling
+    * or re-banding it. Cost: the same map-side shingle+minhash pass
+    * `nearDuplicates` runs, paid once instead of per batch. At 100 TB
+    * the bucket table is the join spine — lay it out bucketed/sorted
+    * by (band, bucket) if batches are frequent, and the probe join
+    * needs no corpus-side shuffle at all.
+    */
+  def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleLen: Int = 3, numHashes: Int = 16,
+      bands: Int = 8): Unit = {
+    val sh = df.select(col(idCol),
+      shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(path.stripSuffix("/") + "/shingles")
+    bandBuckets(sh, idCol, "__sh", numHashes, bands)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/buckets")
+    sh.unpersist()
+  }
+
+  /** Incremental near-duplicate detection: find every near-dup pair
+    * the arrival of `batch` CREATES — batch×corpus pairs against the
+    * state saved at `path`, plus batch×batch pairs — then append the
+    * batch's own shingles/buckets to the index so the next batch sees
+    * this one as corpus. Never re-shingles, re-bands, or re-pairs the
+    * existing corpus: per-batch cost is the batch's own map-side work
+    * plus one (band, bucket)-keyed join against the stored bucket
+    * table and shingle fetches for verified candidates only. Same
+    * LSH config and exact-Jaccard verify as [[nearDuplicates]] — the
+    * `dedup_near_append` gate proves batch-then-probe emits exactly
+    * the exact-Jaccard pairs involving batch docs.
+    *
+    * Contract: batch ids must be disjoint from corpus ids (pairs are
+    * emitted id_a < id_b across the union id space). Re-running a
+    * failed batch appends duplicate index rows — make batches
+    * idempotent upstream (same caveat as [[Ann.ivfAppend]]).
+    */
+  def appendNearDuplicates(batch: DataFrame, idCol: String, textCol: String,
+      path: String, shingleLen: Int = 3, numHashes: Int = 16,
+      bands: Int = 8, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val root = path.stripSuffix("/")
+    val corpusSh = spark.read.parquet(root + "/shingles")
+    val corpusBk = spark.read.parquet(root + "/buckets")
+    val batchSh = batch.select(col(idCol),
+      shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawBatchBk = bandBuckets(batchSh, idCol, "__sh", numHashes, bands)
+    val (batchBk, bkCache) =
+      capBuckets(rawBatchBk, "band", "bucket", maxBucketSize, "appendNearDuplicates")
+    // batch × corpus candidates: keyed by (band, bucket) — the corpus
+    // side is READ, never re-computed; ids are disjoint by contract so
+    // normalization is a simple min/max
+    val bc = batchBk.as("n").join(corpusBk.as("o"),
+        col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
+      .select(least(col(s"n.$idCol"), col(s"o.$idCol")).as("id_a"),
+        greatest(col(s"n.$idCol"), col(s"o.$idCol")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // batch × batch candidates: the ordinary banded self-join
+    val bb = batchBk.as("a").join(batchBk.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val cand = bc.unionByName(bb).distinct()
+    // exact-Jaccard verify: shingles come from the batch (in flight)
+    // or the stored index — fetched for candidates only
+    val allSh = batchSh.unionByName(corpusSh)
+    val verified = cand
+      .join(allSh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(allSh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+    // the batch becomes corpus for the next arrival
+    batchSh.write.mode("append").parquet(root + "/shingles")
+    rawBatchBk.write.mode("append").parquet(root + "/buckets")
+    bkCache.unpersist()
+    batchSh.unpersist()
+    verified.orderBy(col("id_a"), col("id_b"))
   }
 
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
