@@ -146,6 +146,26 @@ object SparkEntry {
       |      + coalesce(sum(CASE WHEN term = 'vector' THEN ts END), 0), 6) AS bm25
       |FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** The BM25 CTE chain for the QUERY-RELATION form: same float-parity
+    * rules as [[bm25SqlCtes]], but the query-term filter comes from a
+    * `qt(query_id, term)` CTE the caller prepends instead of a fixed
+    * IN-list. Ends in `sc(doc_id, term, ts)`.
+    */
+  private val bm25JoinSqlCtes =
+    """t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS term
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM tf
+      |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |         ln(1.0 + (CAST(st.n_docs - dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |           ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |             (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS ts
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfq ON tf.term = dfq.term CROSS JOIN st)""".stripMargin
+
   /** DuckDB oracle for the single-query KNN family. */
   private def knnOracle(distExpr: String): String =
     s"""SELECT vec_id, round($distExpr, 6) AS distance
@@ -553,6 +573,27 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))),
 
+    // --- Incremental near-dedup (VERDICT r5 #1 — the living-corpus
+    //     path): build the LSH index on docs with doc_id >= 100, then
+    //     appendNearDuplicates the doc_id < 100 batch against the
+    //     STORED index (shingles + band buckets read back from disk,
+    //     never recomputed). The emitted pair set must equal DuckDB's
+    //     exact-Jaccard pairs involving batch ids — the same
+    //     build-then-append oracle shape as ann_ivf_append. Proves the
+    //     batch×corpus candidate join, the stored-spine read path, and
+    //     the union-side bucket cap end-to-end.
+    "dedup_near_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val path = gateIndexPath(dir, "neardup_append_gate")
+      Dedup.writeNearDupIndex(docs.filter(col("doc_id") >= 100),
+        "doc_id", "text", path, shingleLen = 3, numHashes = 16, bands = 8)
+      Dedup.appendNearDuplicates(docs.filter(col("doc_id") < 100),
+        "doc_id", "text", path, shingleLen = 3, numHashes = 16, bands = 8,
+        threshold = 0.5, batchToken = "gate_batch")
+    }),
+
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
     //     pair direction canonicalized). Every vector is a query
@@ -925,6 +966,22 @@ object SparkEntry {
     //     summation-order ambiguity exists between engines.
     "text_bm25" -> ((s, dir) => bm25TopK(s, dir, 10)),
 
+    // --- Batch BM25 join (VERDICT r5 #3): a QUERY RELATION × corpus —
+    //     the set-at-a-time form of the reference's per-claim retrieval
+    //     loop (fever_multi_agent.py:316-330) in the lexical domain.
+    //     Three fixed queries, one corpus tokenize pass, broadcast
+    //     query terms, bounded top-5 per query. The DuckDB twin
+    //     replicates the sorted-fold summation, so the gate is an
+    //     exact hash match.
+    "text_bm25_join" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "hash spark"), (1L, "vector index"),
+        (2L, "spark vector hash")).toDF("query_id", "qtext")
+      graft.operators.TextRank.bm25Join(
+        Tables.documents(s, dir), "doc_id", "text",
+        qs, "query_id", "qtext", k = 5)
+    }),
+
     // --- Hybrid retrieval: reciprocal-rank fusion (RRF, the pgvector
     //     hybrid-search recipe) of the lexical BM25 ranking and the
     //     exact cosine KNN ranking, joined on the shared corpus id.
@@ -961,6 +1018,47 @@ object SparkEntry {
           col("rank_vec").cast("int").as("rank_vec"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // --- Batch hybrid retrieval (VERDICT r5 #4): RRF fusion PER QUERY
+    //     over the batch forms of both legs — bm25Join (lexical) and
+    //     knnJoin (vector) — the set-at-a-time shape of the reference's
+    //     per-claim retrieval (fever_multi_agent.py:229). Each leg is
+    //     bounded to kLeg rows PER QUERY before fusion, so the fusion
+    //     join and the final window see ≤ Q·2·kLeg rows — constant per
+    //     query at any corpus size. Same rounding/tie/order rules as
+    //     hybrid_rrf, per query.
+    "hybrid_rrf_join" -> ((s, dir) => {
+      import s.implicits._
+      val kLeg = 100
+      val qtexts = Seq((0L, "hash spark"), (1L, "vector index"),
+        (2L, "spark vector hash")).toDF("query_id", "qtext")
+      val bm = graft.operators.TextRank.bm25Join(
+          Tables.documents(s, dir), "doc_id", "text",
+          qtexts, "query_id", "qtext", k = kLeg)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_bm25"))
+      val emb = Tables.embeddings(s, dir)
+      val qvecs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val vec = Knn.knnJoin(emb, "vec_id", "embedding",
+          qvecs, "query_id", "q_vec", k = kLeg, metric = "cosine")
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rank").as("rank_vec"))
+      val fused = bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_bm25")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6)
+            .as("rrf"),
+          col("rank_bm25").cast("int").as("rank_bm25"),
+          col("rank_vec").cast("int").as("rank_vec"))
+      // window over a ≤ 2·kLeg-per-query relation (bounded before
+      // fusion — the same justification as hybrid_rrf's windows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10).drop("__rn")
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
     // --- Heavy hitters via Count-Min Sketch (the approximate twin of
@@ -1697,6 +1795,24 @@ object SparkEntry {
          |SELECT doc_id, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    // batch form: per-(query, doc) scores fold per-term contributions
+    // in SORTED term order on both engines (Spark: sorted-array
+    // aggregate; DuckDB: list_reduce(list(ts ORDER BY term))) — exact
+    // float parity, no summation-order ambiguity
+    "text_bm25_join" ->
+      s"""WITH q AS (SELECT * FROM (VALUES (0, 'hash spark'), (1, 'vector index'),
+         |  (2, 'spark vector hash')) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
+         |         x -> length(x) > 0)) AS term FROM q),
+         |$bm25JoinSqlCtes,
+         |qs AS (SELECT qt.query_id, sc.doc_id,
+         |        round(list_reduce(list(sc.ts ORDER BY sc.term), (a, b) -> a + b), 6) AS bm25
+         |      FROM qt JOIN sc ON qt.term = sc.term GROUP BY qt.query_id, sc.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY bm25 DESC, doc_id) AS rank FROM qs)
+         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // both legs rank over rounded scores with id tie-breaks; RRF terms
     // added lexical-first, 60+rank forced through DOUBLE division
     "hybrid_rrf" ->
@@ -1716,6 +1832,42 @@ object SparkEntry {
          |      FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id)
          |SELECT doc_id, rrf, rank_bm25, rank_vec FROM f
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // per-query RRF: each leg ranked within its query partition over
+    // rounded scores with id tie-breaks, bounded to 100 BEFORE fusion,
+    // terms added lexical-first — same parity rules as hybrid_rrf
+    "hybrid_rrf_join" ->
+      s"""WITH q AS (SELECT * FROM (VALUES (0, 'hash spark'), (1, 'vector index'),
+         |  (2, 'spark vector hash')) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
+         |         x -> length(x) > 0)) AS term FROM q),
+         |$bm25JoinSqlCtes,
+         |qs AS (SELECT qt.query_id, sc.doc_id,
+         |        round(list_reduce(list(sc.ts ORDER BY sc.term), (a, b) -> a + b), 6) AS bm25
+         |      FROM qt JOIN sc ON qt.term = sc.term GROUP BY qt.query_id, sc.doc_id),
+         |bmr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY bm25 DESC, doc_id) AS rank_bm25 FROM qs),
+         |bmk AS (SELECT * FROM bmr WHERE rank_bm25 <= 100),
+         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+         |       FROM embeddings WHERE vec_id < 3),
+         |vd AS (SELECT qv.query_id, e.vec_id AS doc_id,
+         |         round(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.q_vec), 6) AS distance
+         |       FROM embeddings e CROSS JOIN qv),
+         |vr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY distance, doc_id) AS rank_vec FROM vd),
+         |vk AS (SELECT * FROM vr WHERE rank_vec <= 100),
+         |f AS (SELECT coalesce(b.query_id, v.query_id) AS query_id,
+         |        coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |        round(coalesce(1.0 / CAST(60 + b.rank_bm25 AS DOUBLE), 0)
+         |            + coalesce(1.0 / CAST(60 + v.rank_vec AS DOUBLE), 0), 6) AS rrf,
+         |        CAST(b.rank_bm25 AS INT) AS rank_bm25,
+         |        CAST(v.rank_vec AS INT) AS rank_vec
+         |      FROM bmk b FULL OUTER JOIN vk v
+         |        ON b.query_id = v.query_id AND b.doc_id = v.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
+         |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])
@@ -2175,6 +2327,28 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM t WHERE doc_id NOT IN (SELECT u FROM nonrep)""".stripMargin,
+
+    // every near-dup pair involving a batch doc (id < 100; id_a < id_b
+    // makes id_a < 100 the complete condition) — the append must find
+    // exactly what a full-corpus run would have found for those docs
+    "dedup_near_append" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |          len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.5 AND id_a < 100 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_jaccard" ->
       """WITH t AS (

@@ -108,12 +108,14 @@ object Dedup {
     * upstream, which is why dropping is the standard practice
     * mitigation rather than sampling.
     *
-    * EAGER (ADVICE r4): construction runs the candidate-join job and
-    * returns the pair set MATERIALIZED (`localCheckpoint` — executor
-    * storage, lineage-truncated) so the internal bucket cache can be
-    * unpersisted before return instead of lingering for the session.
-    * The materialized result is corpus-linear (bucket-capped), far
-    * smaller than the bucket projection it replaces in storage.
+    * EAGER when called STANDALONE (ADVICE r4): the public form runs
+    * the candidate-join job and returns the pair set MATERIALIZED
+    * (`localCheckpoint` — executor storage, lineage-truncated) so the
+    * internal bucket cache can be unpersisted before return instead of
+    * lingering for the session. Composed pipelines ([[nearDuplicates]])
+    * use the lazy internal form so the WHOLE pipeline materializes in
+    * ONE job, not one per stage (VERDICT r5: the per-stage eager
+    * checkpoints made `dedup_near` 4.9× slower).
     */
   /** The staged (id, band, bucket) band projection shared by
     * [[lshCandidates]] and the incremental-index writer/prober.
@@ -130,11 +132,18 @@ object Dedup {
       .select(col(idCol), posexplode(bandHashes).as(Seq("band", "bucket")))
   }
 
-  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
-      numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
+  /** Lazy candidate-pair plan + the bucket cache backing it. The
+    * CALLER must unpersist the returned cache once a result derived
+    * from the pair plan has materialized (checkpoint/write/collect) —
+    * unpersisting earlier recomputes the signature work per consumer,
+    * later leaks the cache for the session.
+    */
+  private def lshCandidatesLazy(df: DataFrame, idCol: String,
+      shingleCol: String, numHashes: Int, bands: Int, maxBucketSize: Int,
+      what: String): (DataFrame, DataFrame) = {
     val buckets = bandBuckets(df, idCol, shingleCol, numHashes, bands)
     val (pruned, cached) =
-      capBuckets(buckets, "band", "bucket", maxBucketSize, "lshCandidates")
+      capBuckets(buckets, "band", "bucket", maxBucketSize, what)
     val a = pruned.as("a")
     val b = pruned.as("b")
     val pairs = a.join(b,
@@ -143,9 +152,16 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-      .localCheckpoint(true)
+    (pairs, cached)
+  }
+
+  def lshCandidates(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int, bands: Int, maxBucketSize: Int = 1000): DataFrame = {
+    val (pairs, cached) = lshCandidatesLazy(df, idCol, shingleCol,
+      numHashes, bands, maxBucketSize, "lshCandidates")
+    val out = pairs.localCheckpoint(true)
     cached.unpersist()
-    pairs
+    out
   }
 
   /** Shared degenerate-bucket guard for the banded self-join operators
@@ -230,10 +246,14 @@ object Dedup {
     val sh = df.select(col(idCol),
       shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidates(sh, idCol, "__sh", numHashes, bands, maxBucketSize)
-    // EAGER like lshCandidates (ADVICE r4): materialize the verified
-    // pairs (small — threshold-filtered) so the shingle cache can be
-    // dropped here instead of leaking for the session lifetime
+    // ONE eager materialization for the WHOLE pipeline (VERDICT r5):
+    // the lazy candidate plan flows straight into the verify joins and
+    // a single localCheckpoint runs band→join→verify as one job, after
+    // which both internal caches drop deterministically (ADVICE r4).
+    // Checkpointing the candidates separately doubled the job count
+    // and made dedup_near 4.9× slower at the r5 bench.
+    val (pairs, bkCache) = lshCandidatesLazy(sh, idCol, "__sh", numHashes,
+      bands, maxBucketSize, "nearDuplicates")
     val verified = pairs
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), "id_b")
@@ -241,6 +261,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
+    bkCache.unpersist()
     sh.unpersist()
     verified.orderBy(col("id_a"), col("id_b"))
   }
@@ -326,63 +347,130 @@ object Dedup {
   // Incremental near-dedup (the living-corpus path, like ivfAppend)
   // -------------------------------------------------------------
 
+  /** Index layout: each committed batch (the initial corpus included)
+    * lives under `batches/<token>/{shingles,buckets}` with an empty
+    * `_COMMITTED` marker written LAST — a failure anywhere before the
+    * marker leaves an invisible partial directory, never an index
+    * where a doc has shingles but no buckets (ADVICE r5: the previous
+    * two bare appends were non-atomic). Readers union only committed
+    * batches; re-running a failed batch with the same token overwrites
+    * its directory, so retries are idempotent instead of duplicating
+    * rows.
+    */
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeIndexBatch(sh: DataFrame, idCol: String, numHashes: Int,
+      bands: Int, root: String, token: String): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"bad batch token: $token")
+    val spark = sh.sparkSession
+    val dir = s"$root/batches/$token"
+    val fs = indexFs(spark, root)
+    // clear any previous (possibly partial) attempt of this token
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    bandBuckets(sh, idCol, "__sh", numHashes, bands)
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+  }
+
+  private def committedDirs(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val fs = indexFs(spark, root)
+    val base = new org.apache.hadoop.fs.Path(s"$root/batches")
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_COMMITTED")))
+      .map(_.getPath.toString)
+  }
+
+  private def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      root: String, sub: String): DataFrame = {
+    val dirs = committedDirs(spark, root).map(d => s"$d/$sub")
+    require(dirs.nonEmpty, s"no committed index batches under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Persist the near-dup LSH state of a corpus: the shingle-id sets
-    * (`/shingles`: id, __sh) and the band-bucket projection
-    * (`/buckets`: id, band, bucket) — everything a future batch needs
+    * (`shingles`: id, __sh) and the band-bucket projection
+    * (`buckets`: id, band, bucket) — everything a future batch needs
     * to find its duplicates against this corpus WITHOUT re-shingling
     * or re-banding it. Cost: the same map-side shingle+minhash pass
     * `nearDuplicates` runs, paid once instead of per batch. At 100 TB
     * the bucket table is the join spine — lay it out bucketed/sorted
     * by (band, bucket) if batches are frequent, and the probe join
-    * needs no corpus-side shuffle at all.
+    * needs no corpus-side shuffle at all. Replaces the whole index at
+    * `path` (the base corpus is batch token `base`).
     */
   def writeNearDupIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 8): Unit = {
+    val root = path.stripSuffix("/")
+    indexFs(df.sparkSession, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
     val sh = df.select(col(idCol),
       shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.write.mode("overwrite").parquet(path.stripSuffix("/") + "/shingles")
-    bandBuckets(sh, idCol, "__sh", numHashes, bands)
-      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/buckets")
+    writeIndexBatch(sh, idCol, numHashes, bands, root, "base")
     sh.unpersist()
   }
 
   /** Incremental near-duplicate detection: find every near-dup pair
     * the arrival of `batch` CREATES — batch×corpus pairs against the
-    * state saved at `path`, plus batch×batch pairs — then append the
+    * state saved at `path`, plus batch×batch pairs — then commit the
     * batch's own shingles/buckets to the index so the next batch sees
     * this one as corpus. Never re-shingles, re-bands, or re-pairs the
     * existing corpus: per-batch cost is the batch's own map-side work
     * plus one (band, bucket)-keyed join against the stored bucket
     * table and shingle fetches for verified candidates only. Same
     * LSH config and exact-Jaccard verify as [[nearDuplicates]] — the
-    * `dedup_near_append` gate proves batch-then-probe emits exactly
+    * `dedup_near_append` gate proves build-then-append emits exactly
     * the exact-Jaccard pairs involving batch docs.
     *
+    * The degenerate-bucket cap runs on the UNION of stored and batch
+    * buckets (ADVICE r5: capping only the batch side left one
+    * boilerplate bucket in the index free to go quadratic against
+    * every future batch) — a bucket whose total membership exceeds
+    * `maxBucketSize` is dropped from BOTH sides of the candidate
+    * joins, matching [[nearDuplicates]]' drop-both-sides mitigation.
+    *
     * Contract: batch ids must be disjoint from corpus ids (pairs are
-    * emitted id_a < id_b across the union id space). Re-running a
-    * failed batch appends duplicate index rows — make batches
-    * idempotent upstream (same caveat as [[Ann.ivfAppend]]).
+    * emitted id_a < id_b across the union id space). `batchToken`
+    * names the batch's index directory: re-running a failed batch
+    * with the SAME token overwrites it (idempotent retry); the
+    * default empty token draws a random one (append-only semantics —
+    * dedupe retries upstream).
     */
   def appendNearDuplicates(batch: DataFrame, idCol: String, textCol: String,
       path: String, shingleLen: Int = 3, numHashes: Int = 16,
       bands: Int = 8, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, batchToken: String = ""): DataFrame = {
     val spark = batch.sparkSession
     val root = path.stripSuffix("/")
-    val corpusSh = spark.read.parquet(root + "/shingles")
-    val corpusBk = spark.read.parquet(root + "/buckets")
+    val token =
+      if (batchToken.nonEmpty) batchToken
+      else "b_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpusSh = readCommitted(spark, root, "shingles")
+    val corpusBk = readCommitted(spark, root, "buckets")
     val batchSh = batch.select(col(idCol),
       shingleIds(TextFunctions.wordShingles(col(textCol), shingleLen)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawBatchBk = bandBuckets(batchSh, idCol, "__sh", numHashes, bands)
-    val (batchBk, bkCache) =
-      capBuckets(rawBatchBk, "band", "bucket", maxBucketSize, "appendNearDuplicates")
+    // cap on the union: degeneracy is a property of a bucket's TOTAL
+    // membership, wherever its members came from
+    val (pruned, bkCache) = capBuckets(
+      rawBatchBk.withColumn("__new", lit(true))
+        .unionByName(corpusBk.select(col(idCol), col("band"), col("bucket"))
+          .withColumn("__new", lit(false))),
+      "band", "bucket", maxBucketSize, "appendNearDuplicates")
+    val batchBk = pruned.filter(col("__new")).drop("__new")
+    val keptCorpusBk = pruned.filter(!col("__new")).drop("__new")
     // batch × corpus candidates: keyed by (band, bucket) — the corpus
     // side is READ, never re-computed; ids are disjoint by contract so
     // normalization is a simple min/max
-    val bc = batchBk.as("n").join(corpusBk.as("o"),
+    val bc = batchBk.as("n").join(keptCorpusBk.as("o"),
         col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket"))
       .select(least(col(s"n.$idCol"), col(s"o.$idCol")).as("id_a"),
         greatest(col(s"n.$idCol"), col(s"o.$idCol")).as("id_b"))
@@ -404,10 +492,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
-    // the batch becomes corpus for the next arrival
-    batchSh.write.mode("append").parquet(root + "/shingles")
-    rawBatchBk.write.mode("append").parquet(root + "/buckets")
     bkCache.unpersist()
+    // the batch becomes corpus for the next arrival (marker-last)
+    writeIndexBatch(batchSh, idCol, numHashes, bands, root, token)
     batchSh.unpersist()
     verified.orderBy(col("id_a"), col("id_b"))
   }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical relevance ranking over a QUERY RELATION — the batch
+  * (set-at-a-time) form of BM25 retrieval. The reference's retrieval
+  * stage runs once per claim in a Python loop
+  * (/root/reference/fever_multi_agent.py:316-330); at 100 TB the honest
+  * Spark shape is N queries × corpus in ONE pass: tokenize the query
+  * relation, broadcast its (query, term) pairs, score the corpus-linear
+  * (doc, term) relation once, and bound every query's result to k rows
+  * with the map-side-partial top-k aggregate.
+  *
+  * Scale design:
+  *  - the corpus is tokenized ONCE into a (doc, term, tf) relation that
+  *    every statistic (doc length, avgdl/N, df) derives from — never a
+  *    second corpus scan.
+  *  - the query side is broadcast (guarded — route corpus-sized query
+  *    sets through a shuffle join variant instead); the corpus side
+  *    shuffles once, on the doc key, for the tf aggregation. No cross
+  *    product anywhere: docs meet only the query terms they contain.
+  *  - per-(query, doc) scores sum the per-term contributions in FIXED
+  *    term order (sorted fold), so no floating-point summation-order
+  *    ambiguity exists between engines — the `text_bm25_join` gate is
+  *    an exact DuckDB hash match, not a tolerance check.
+  */
+object TextRank {
+
+  /** Okapi BM25 (Lucene idf: ln(1 + (N − df + ½)/(df + ½))) top-k
+    * corpus docs PER QUERY ROW. Output: (queryIdCol, corpusIdCol,
+    * rank, bm25) — rank 1..k by (bm25 desc, id asc), bm25 rounded to
+    * 6 decimals. Only docs sharing ≥ 1 term with the query appear
+    * (BM25 of a no-overlap doc is 0 — not a neighbor).
+    *
+    * Constants k1 = 1.2, b = 0.75 are fixed and appear pre-folded as
+    * the same decimal literals (2.2, 0.25) in the DuckDB oracle twin,
+    * so both engines parse identical IEEE doubles.
+    */
+  def bm25Join(corpus: DataFrame, corpusIdCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, maxQueries: Int = 65536): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (k1, k1p1, b, oneMinusB) = (1.2, 2.2, 0.75, 0.25)
+    // Tokenize the query relation and collect DISTINCT (query, term)
+    // pairs — the guarded broadcast-side collect every batch operator
+    // here uses (knnJoin, ivfProbeJoin). Query tf is ignored — the
+    // standard short-query BM25 form.
+    val qt: Array[(Long, String)] = queries
+      .select(col(queryIdCol).cast("long"),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+      .as[(Long, String)].collect()
+    Knn.requireBroadcastable(qt.length, maxQueries, "bm25Join")
+    require(qt.nonEmpty, "bm25Join: query relation produced no terms")
+    val qtDf = broadcast(qt.toSeq.toDF(queryIdCol, "term"))
+    val termsDf = broadcast(qt.map(_._2).distinct.toSeq.toDF("term"))
+
+    // ONE tokenize pass over the corpus; the (doc, term, tf) relation
+    // feeds doc lengths, the global stats, df, and the scoring join
+    val tf = corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(corpusIdCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(corpusIdCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col(corpusIdCol)).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      // broadcast semi-join (not isin: a large query vocabulary would
+      // bloat codegen) cuts the relation to query terms BEFORE the
+      // doc-length join
+      val qtf = tf.join(termsDf, Seq("term"), "left_semi")
+      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = qtf
+        .join(dl, corpusIdCol) // doc-keyed join of two tf-derived sides
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats)) // 1-row stats frame
+        .select(col(corpusIdCol), col("term"),
+          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(k1p1)) /
+              (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
+            .as("ts"))
+      // replicate each (doc, term) score to the queries probing that
+      // term (broadcast join — never a corpus shuffle), then fold the
+      // per-term contributions in SORTED term order: bit-deterministic
+      // cross-engine (DuckDB twin: list_reduce(list(ts ORDER BY term)))
+      val perQuery = scored.join(qtDf, "term")
+        .groupBy(col(queryIdCol), col(corpusIdCol))
+        .agg(array_sort(collect_list(struct(col("term"), col("ts")))).as("__a"))
+        .select(col(queryIdCol), col(corpusIdCol),
+          round(aggregate(col("__a"), lit(0.0),
+            (acc, x) => acc + x.getField("ts")), 6).as("bm25"))
+      // bounded top-k per query (map-side-partial aggregate, never a
+      // window); ranking by -bm25 keeps (bm25 desc, id asc) semantics
+      Knn.finishTopKPerGroup(
+          perQuery.select(col(queryIdCol), col(corpusIdCol),
+            (-col("bm25")).as("distance")),
+          queryIdCol, corpusIdCol, k)
+        .select(col(queryIdCol), col(corpusIdCol), col("rank"),
+          (-col("distance")).as("bm25"))
+        // materialize inside the persist scope so unpersist doesn't
+        // race the caller's action (ONE checkpoint for the pipeline)
+        .localCheckpoint(true)
+    } finally tf.unpersist()
+  }
+}
