@@ -51,10 +51,17 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // VERDICT r6 #3: the driver records only the last ~2000 chars of
+    // stdout; full-precision doubles pushed the line to ~2300 chars and
+    // truncated the head (losing all ann_* figures two rounds running).
+    // 3-decimal rounding keeps the full 82-query line under ~1800 chars,
+    // and the total leads so it survives even if the tail shrinks.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

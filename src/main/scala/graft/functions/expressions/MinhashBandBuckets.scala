@@ -1,0 +1,123 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** One-pass kernel for the LSH band projection: shingle-id array →
+  * per-band bucket hashes, value-identical to the declarative
+  * `xxhash64(lit(b), slice(minhashFromHashes(shingleHashes(sh), k),
+  * b*r+1, r))` staging in `Dedup.bandBuckets` (pinned by DedupSpec
+  * "band-bucket kernel ≡ declarative") — the identity matters because
+  * the incremental near-dup index PERSISTS bucket values
+  * (`Dedup.writeNearDupIndex`), so kernel and declarative writers/
+  * probers must interoperate on disk.
+  *
+  * The declarative form walks the shingle array 1 + numHashes times
+  * through boxed HOF lambdas (`transform` + `array_min` each allocate
+  * per row); ProfileDedup put the banding stage at ~0.8 s of
+  * dedup_near's wall at sf0.1 after the [[ShingleIds]] kernel landed.
+  * Here: ONE pass maintaining numHashes running minima in a primitive
+  * long array — O(s·k) multiply-adds, zero allocation beyond the
+  * output.
+  *
+  * Value replication details:
+  *  - slot hash h' = pmod(xxhash64(id), 2^31): `xxhash64` of a LONG is
+  *    `XxHash64Function.hash(v, LongType, 42)`; pmod of a positive
+  *    modulus is `((x % m) + m) % m`;
+  *  - sig(k) = min over shingles of pmod(h'·a_k + b_k, 2^31) with the
+  *    (a, b) pairs from `Dedup.hashParams` (seeded java.util.Random —
+  *    JVM-stable);
+  *  - bucket(b) = the XxHash64 fold of (int b, then the band's r sig
+  *    values in order) starting at seed 42 — exactly how the
+  *    `xxhash64(lit(b), slice(sig, b*r+1, r))` expression folds its
+  *    children and array elements;
+  *  - empty/null shingle arrays make every `array_min` null, and the
+  *    hash fold SKIPS null elements, so bucket(b) degrades to the hash
+  *    of b alone — replicated here (cannot occur downstream of
+  *    [[ShingleIds]], which never returns an empty array, but the
+  *    expression honors the declarative semantics standalone).
+  */
+case class MinhashBandBuckets(child: Expression, numHashes: Int, bands: Int,
+    params: Array[(Long, Long)]) extends UnaryExpression {
+  require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+  require(params.length == numHashes, "one (a,b) pair per slot hash")
+
+  private val Mod = 1L << 31
+  private val rowsPerBand = numHashes / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_band_buckets"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_buckets needs array<bigint>, got ${other.catalogString}")
+    }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  def compute(sh: ArrayData): ArrayData = {
+    val k = numHashes
+    val mins = new Array[Long](k)
+    val n = if (sh == null) 0 else sh.numElements()
+    var any = false
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      any = true
+      // a null element under the declarative transform hashes to the
+      // seed itself (xxhash64(null) = 42), not to a skip
+      val raw =
+        if (sh.isNullAt(i)) 42L
+        else XxHash64Function.hash(sh.getLong(i), LongType, 42L)
+      val h = ((raw % Mod) + Mod) % Mod
+      var j = 0
+      while (j < k) {
+        val (a, b) = params(j)
+        val v = ((h * a + b) % Mod + Mod) % Mod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var band = 0
+    while (band < bands) {
+      var seed = XxHash64Function.hash(band, IntegerType, 42L)
+      if (any) {
+        var j = band * rowsPerBand
+        val end = j + rowsPerBand
+        while (j < end) {
+          seed = XxHash64Function.hash(mins(j), LongType, seed)
+          j += 1
+        }
+      }
+      out(band) = seed
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("bandBucketKernel", this, classOf[MinhashBandBuckets].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $self.compute(${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandBuckets =
+    copy(child = newChild)
+}

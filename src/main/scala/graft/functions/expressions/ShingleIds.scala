@@ -1,0 +1,121 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the dedup shingle projection: the distinct
+  * xxhash64 ids of a text's word n-gram shingles — semantically
+  * identical to `Dedup.shingleIds(TextFunctions.wordShingles(text, n))`
+  * but computed in a single primitive pass per row.
+  *
+  * The declarative composition is a per-row HOF pipeline whose
+  * `array_distinct` step compares shingle STRINGS pairwise — O(s²)
+  * string equality per document (s = shingle count) — and whose
+  * transform lambdas allocate an array per stage. ProfileDedup measured
+  * the projection alone at 2.2 s of dedup_near's 3.5 s wall at sf0.1;
+  * this kernel replaces it with tokenize → build each n-gram once →
+  * xxhash64 → long-hash-set dedupe, O(s·n) with primitive set inserts.
+  * Same precedent as [[graft.operators.Dedup.simhashKernel]] (3× at r4).
+  *
+  * Bit-compatibility (pinned by DedupSpec "kernel ≡ declarative"):
+  *  - lowercase is `UTF8String.toLowerCase` — exactly what `lower()`
+  *    evaluates, not locale-dependent `String.toLowerCase`;
+  *  - tokens split on a single space with empties dropped, matching
+  *    `TextFunctions.tokens`;
+  *  - texts with fewer than n tokens contribute their whole token join
+  *    as ONE shingle (`TextFunctions.wordShingles` fallback), so empty
+  *    text yields the id of "";
+  *  - ids are `XxHash64Function.hash(shingle, StringType, 42)` — the
+  *    exact evaluation of `xxhash64(shingle)`, so indexes written by
+  *    the declarative form stay readable ([[graft.operators.Dedup]]
+  *    incremental index durability);
+  *  - null text yields [42] (xxhash64's seed), matching the
+  *    declarative pipeline's null propagation through `array_join` →
+  *    `array(null)` → `xxhash64(null elem) = seed`. The result is
+  *    never null, so `nullable = false`.
+  *
+  * Output order is first occurrence; every consumer (minhash
+  * `array_min`, Jaccard `array_intersect` sizes) is set-semantic.
+  */
+case class ShingleIds(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_ids"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_ids needs a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): ArrayData = {
+    if (text == null) return new GenericArrayData(Array(42L))
+    val lowered = text.toLowerCase.toString
+    // single-space split + empty drop == TextFunctions.tokens (Java
+    // split drops trailing empties; the filter removes the rest)
+    val raw = lowered.split(" ")
+    var nToks = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nToks) = raw(i); nToks += 1 }
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    def add(s: String): Unit = {
+      val h = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+      if (seen.add(h)) out += h
+    }
+    if (nToks >= n) {
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i + n <= nToks) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(raw(i + j))
+          j += 1
+        }
+        add(sb.toString)
+        i += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder
+      i = 0
+      while (i < nToks) {
+        if (i > 0) sb.append(' ')
+        sb.append(raw(i))
+        i += 1
+      }
+      add(sb.toString)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("shingleIdsKernel", this, classOf[ShingleIds].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $self.compute(${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleIds =
+    copy(child = newChild)
+}

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, Tables}
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Scratch profiler for the dedup_near pipeline stages (VERDICT r6 #1). */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      mk.write.format("noop").mode("overwrite").save() // warmup
+      val ts = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-28s ${ts.min}%.3f s (${ts.map(t => f"$t%.3f").mkString(", ")})")
+    }
+
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingleIdsOf(col("text"), 3).as("__sh"))
+
+    time("tokenize_shingle_only")(sh)
+    time("lsh_candidates")(
+      Dedup.lshCandidates(sh, "doc_id", "__sh", 16, 8))
+    time("near_no_orderby") {
+      val pairs = Dedup.lshCandidates(sh, "doc_id", "__sh", 16, 8)
+      pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+    time("near_full")(
+      Dedup.nearDuplicates(docs, "doc_id", "text", 3, 16, 8, 0.5))
+  }
+}

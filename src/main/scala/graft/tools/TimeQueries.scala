@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftExtensions, SparkEntry}
+
+/** Ad-hoc per-query timer for perf iteration: same measurement
+  * discipline as [[graft.Bench]] (noop sink, one warmup, min of two
+  * timed runs) over an explicit query list, so a single family can be
+  * profiled without paying for the whole suite.
+  *
+  * Usage: runMain graft.tools.TimeQueries q1 q2 ...
+  */
+object TimeQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    args.foreach { name =>
+      materialize(name)
+      val timed = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        materialize(name)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[time] $name%-24s ${timed.min}%.3f s  (runs: ${timed.map(t => f"$t%.3f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}
