@@ -80,42 +80,40 @@ object SparkEntry {
     * k1 = 1.2, b = 0.75 appear as the same decimal literals in the
     * DuckDB twin (k1+1 pre-folded to 2.2, 1-b to 0.25) so both
     * engines parse identical IEEE doubles — never a value one engine
-    * computed and the other parsed. The bounded result is eagerly
-    * localCheckpoint'ed inside the persist scope, so callers consume
-    * k rows without re-running the tokenize.
+    * computed and the other parsed. Fully lazy: the tf aggregation
+    * subplan is shared by every consumer via ReuseExchange, so the
+    * tokenize runs once per action with no cache (VERDICT r6 #2).
     */
   private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val (k1, k1p1, b, oneMinusB) = (1.2, 2.2, 0.75, 0.25)
     val docs = Tables.documents(s, dir)
       .filter(col("text").isNotNull && length(col("text")) > 0)
+    // FULLY LAZY (VERDICT r6 #2, same reasoning as TextRank.bm25Join):
+    // the tf aggregation subplan is identical under every consumer, so
+    // ReuseExchange shares its one shuffle — no cache, no checkpoint,
+    // no extra jobs at query-construction time.
     val tf = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      val dfreq = tf.filter(col("term").isin(bm25Terms: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.filter(col("term").isin(bm25Terms: _*))
-        .join(dl, "doc_id") // doc-keyed shuffle join of two tf-derived sides
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("term"),
-          (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            ((col("tf") * lit(k1p1)) /
-              (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
-            .as("ts"))
-      val perTerm = bm25Terms.map(t =>
-        coalesce(sum(when(col("term") === t, col("ts"))), lit(0.0)))
-      scored.groupBy(col("doc_id"))
-        .agg(round(perTerm.reduce(_ + _), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(k)
-        // force materialization inside the persist scope so unpersist
-        // doesn't race the caller's own action
-        .localCheckpoint(true)
-    } finally tf.unpersist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.filter(col("term").isin(bm25Terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.filter(col("term").isin(bm25Terms: _*))
+      .join(dl, "doc_id") // doc-keyed shuffle join of two tf-derived sides
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1p1)) /
+            (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
+          .as("ts"))
+    val perTerm = bm25Terms.map(t =>
+      coalesce(sum(when(col("term") === t, col("ts"))), lit(0.0)))
+    scored.groupBy(col("doc_id"))
+      .agg(round(perTerm.reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** The BM25 scoring pipeline as a DuckDB CTE chain ending in a

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GraftExtensions, Tables}
+import graft.functions.TextFunctions
+
+/** Scratch profiler for the bm25Join pipeline stages (VERDICT r6 #2). */
+object ProfileBm25 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def docs = Tables.documents(spark, sfDir)
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      mk.write.format("noop").mode("overwrite").save()
+      val ts = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-28s ${ts.min}%.3f s (${ts.map(t => f"$t%.3f").mkString(", ")})")
+    }
+
+    time("tokenize_explode") {
+      docs.filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+    }
+    time("tf_agg") {
+      docs.filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    }
+    time("bm25join_current") {
+      graft.operators.TextRank.bm25Join(docs, "doc_id", "text",
+        Seq((0L, "hash spark"), (1L, "vector index"), (2L, "spark vector hash"))
+          .toDF("query_id", "qtext"),
+        "query_id", "qtext", k = 100)
+    }
+  }
+}
