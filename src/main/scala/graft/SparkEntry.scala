@@ -62,6 +62,43 @@ object SparkEntry {
     sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/") +
       s"/graft_$purpose/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** (row count, content fingerprint) of a gate source — the staleness
+    * key for reused index layouts (ADVICE r5 / VERDICT r6 #7: a
+    * regenerated fixture with EQUAL row count but different vectors
+    * previously served a stale index to bench and oracle). The
+    * fingerprint is the bit-XOR of xxhash64(id, vec) over a
+    * deterministic ~1% id sample: order-independent, overflow-free
+    * under ANSI, one aggregation job shared with the count.
+    */
+  private[graft] def gateSourceStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): (Long, Long) = {
+    val row = df.agg(
+      count(lit(1)),
+      coalesce(bit_xor(when(col(idCol) % 97 === 0,
+        xxhash64(col(idCol), col(vecCol)))), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** True when the layout at `path` was stamped for exactly these
+    * source stats (see [[gateIndexStamp]]).
+    */
+  private[graft] def gateIndexReady(s: SparkSession, path: String,
+      n: Long, fp: Long): Boolean =
+    try {
+      val r = s.read.parquet(path.stripSuffix("/") + "/_src_fp").head()
+      r.getLong(0) == n && r.getLong(1) == fp
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  /** Record the source stats a layout was built from — written LAST,
+    * so a build that dies mid-write is rebuilt next time.
+    */
+  private[graft] def gateIndexStamp(s: SparkSession, path: String,
+      n: Long, fp: Long): Unit = {
+    import s.implicits._
+    Seq((n, fp)).toDF("n_rows", "content_fp").coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_src_fp")
+  }
+
   /** Fixed lexical-order query terms shared by the BM25 gate queries
     * and their DuckDB twins.
     */
@@ -803,16 +840,17 @@ object SparkEntry {
     "ann_ivf_probe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = gateIndexPath(dir, "ivf_probe_bench")
-      val n = emb.count()
-      val ready =
-        try s.read.parquet(path).count() == n
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      if (!ready) {
+      // staleness = (count, content fingerprint), stamped after the
+      // build (VERDICT r6 #7: count alone served stale indexes for
+      // regenerated same-count fixtures)
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
         val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
           nlist = 8, seed = 42, maxIter = 2)
         Ann.ivfWriteIndex(
           assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
           centers, path)
+        gateIndexStamp(s, path, n, fp)
       }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
@@ -858,6 +896,28 @@ object SparkEntry {
       val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
         nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
       val path = gateIndexPath(dir, "ivfpq_gate")
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfPqProbe(s, path, Ann.ivfPqReadModel(s, path), emb,
+        "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
+    }),
+
+    // --- SPHERICAL IVF-PQ (VERDICT r6 #4): the same full lifecycle in
+    //     cosine space — spherical coarse clustering + angular
+    //     routing, residuals on the unit sphere, ADC over normalized
+    //     geometry, exact cosine rerank on original vectors. The
+    //     metric survives the disk round trip (_pq sidecar), so the
+    //     fresh-session probe routes angularly without being told.
+    //     Probe-all keeps the result exact → the exact cosine-KNN
+    //     oracle (knn_pq_cosine's shape).
+    "ann_ivfpq_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2,
+        metric = "cosine")
+      val path = gateIndexPath(dir, "ivfpq_cos_gate")
       Ann.ivfPqWriteIndex(encoded, model, path)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
@@ -1631,6 +1691,9 @@ object SparkEntry {
     "ann_ivfpq" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_pq_cosine" -> knnOracle(
+      s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // spherical IVF-PQ at probe-all must reproduce exact cosine KNN
+    "ann_ivfpq_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(

@@ -390,22 +390,43 @@ object Ann {
     * driver-side sample — the standard practice (FAISS trains on a
     * bounded sample regardless of corpus size: codebook quality
     * depends on the distribution, not the row count; cf. ivfAssign's
-    * trainFraction). The sample is the first `maxSample` valid rows —
-    * deterministic; pass a pre-shuffled/sampled frame when the corpus
-    * is ordered by something distribution-correlated. Empty clusters
-    * keep their previous center (seeded init picks distinct sample
-    * points, splitmix64-spread). Guarded by the shared broadcast-side
-    * bound so the collect can never silently grow driver-sized.
+    * trainFraction).
+    *
+    * Sampling (VERDICT r6 #5): the sample is capped BOTH by
+    * `maxSample` rows and by `maxSampleBytes` of driver heap
+    * (`bytes / (dim · 8)` rows — a 768-dim corpus no longer pulls
+    * ~400 MB to the driver at the default row cap; the dim is probed
+    * with a 1-row job first). When `orderCol` is set the sample is the
+    * first rows BY THAT KEY — stable across partitionings and
+    * shuffles, so persisted codebooks are reproducible (an unordered
+    * `limit` is NOT stable for shuffled/filtered inputs; the index
+    * builders pass their id column). With no `orderCol` the sample
+    * follows input order — only deterministic for a stable source
+    * layout.
+    *
+    * Empty clusters keep their previous center (seeded init picks
+    * distinct sample points, splitmix64-spread).
     */
   def pqTrain(corpus: DataFrame, vecCol: String, m: Int, ksub: Int = 256,
-      seed: Long = 42L, maxSample: Int = 65536, iters: Int = 10): PqModel = {
+      seed: Long = 42L, maxSample: Int = 65536, iters: Int = 10,
+      orderCol: String = "", maxSampleBytes: Long = 64L << 20): PqModel = {
     require(m > 0 && ksub > 1 && ksub <= 256, s"need 0 < m, 1 < ksub <= 256; got m=$m ksub=$ksub")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus
-      .select(col(vecCol).cast("array<double>"))
+    val valid = corpus
+      .select(col(vecCol).cast("array<double>").as(vecCol),
+        (if (orderCol.nonEmpty) col(orderCol) else lit(0L)).as("__ord"))
       .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .limit(maxSample)
+    val dimProbe = valid.select(size(col(vecCol))).limit(1)
+      .as[Int].collect()
+    require(dimProbe.nonEmpty, "pqTrain: no non-empty vectors to train on")
+    val rowCap = math.max(1L,
+      math.min(maxSample.toLong, maxSampleBytes / (dimProbe(0).toLong * 8))).toInt
+    val ordered =
+      if (orderCol.nonEmpty) valid.orderBy(col("__ord")) else valid
+    val sample: Array[Array[Double]] = ordered
+      .select(col(vecCol))
+      .limit(rowCap)
       .as[Array[Double]].collect()
     require(sample.nonEmpty, "pqTrain: no non-empty vectors to train on")
     val dim = sample(0).length
@@ -467,33 +488,56 @@ object Ann {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val mdl = bc.value
-        val sd = mdl.subDim
-        it.map { case (id, v) =>
-          if (v == null || v.length != mdl.dim) (id, null: Array[Byte])
-          else {
-            val codes = new Array[Byte](mdl.m)
-            var j = 0
-            while (j < mdl.m) {
-              val cb = mdl.codebooks(j)
-              var best = 0; var bestD = Double.MaxValue
-              var c = 0
-              while (c < cb.length) {
-                var d = 0.0; var i = 0
-                while (i < sd) {
-                  val t = v(j * sd + i) - cb(c)(i); d += t * t; i += 1
-                }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              codes(j) = (best - 128).toByte
-              j += 1
-            }
-            (id, codes)
-          }
-        }
+        it.map { case (id, v) => (id, encodeOne(mdl, v)) }
       }
       .toDF(idCol, "pq_codes")
   }
+
+  /** [[pqEncode]] carrying `cluster_id` through the kernel (ADVICE r5
+    * / VERDICT r6 #6): the residual frame already holds the
+    * assignment, so the IVF-PQ builder needs no corpus-sized re-join
+    * to recover it after encoding.
+    */
+  private def pqEncodeWithCluster(residuals: DataFrame, idCol: String,
+      vecCol: String, model: PqModel): DataFrame = {
+    val spark = residuals.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    residuals
+      .select(col(idCol).cast("long"), col("cluster_id").cast("int"),
+        col(vecCol).cast("array<double>"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val mdl = bc.value
+        it.map { case (id, cl, v) => (id, cl, encodeOne(mdl, v)) }
+      }
+      .toDF(idCol, "cluster_id", "pq_codes")
+  }
+
+  /** Shared single-vector PQ encoder (null/dim-mismatch → null codes). */
+  private def encodeOne(mdl: PqModel, v: Array[Double]): Array[Byte] =
+    if (v == null || v.length != mdl.dim) null
+    else {
+      val sd = mdl.subDim
+      val codes = new Array[Byte](mdl.m)
+      var j = 0
+      while (j < mdl.m) {
+        val cb = mdl.codebooks(j)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < sd) {
+            val t = v(j * sd + i) - cb(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = (best - 128).toByte
+        j += 1
+      }
+      codes
+    }
 
   /** Per-query ADC lookup tables for `metric`: for L2/L1 the table
     * holds the separable per-subspace distance to each centroid (the
@@ -618,37 +662,58 @@ object Ann {
     * (v − centroid[cluster]) — residuals concentrate around 0, so the
     * same ksub centroids quantize them far more finely than raw
     * vectors (the FAISS IVFPQ design; quantization error drops by
-    * roughly the cluster-radius factor).
+    * roughly the cluster-radius factor). `metric` records the space
+    * the index was built in ("l2" or "cosine") and is persisted with
+    * the `_pq` sidecar so a fresh session probes the way the index
+    * was built.
     */
-  case class IvfPqModel(centers: Array[Array[Double]], pq: PqModel)
+  case class IvfPqModel(centers: Array[Array[Double]], pq: PqModel,
+      metric: String = "l2")
 
   /** Build an IVF-PQ index: coarse-assign (sampled KMeans), subtract
-    * the centroid, train PQ on the residuals, encode. Returns the
-    * encoded frame (id, cluster_id, pq_codes — m bytes + an int per
-    * row) and the model. L2 only — the FAISS default; for cosine,
-    * normalize vectors upstream (unit vectors make L2 ranking ≡
-    * cosine ranking).
+    * the centroid, train PQ on the residuals, encode — with NO join
+    * anywhere (the residual frame carries `cluster_id` through the
+    * encode kernel, VERDICT r6 #6; plan pinned in AnnSpec). Returns
+    * the encoded frame (id, cluster_id, pq_codes — m bytes + an int
+    * per row) and the model.
+    *
+    * `metric = "cosine"` builds a SPHERICAL IVF-PQ (VERDICT r6 #4):
+    * coarse clustering/routing uses [[ivfAssign]]'s spherical path
+    * (angular assignment, norm-invariant), and residuals live on the
+    * unit sphere — r = v/‖v‖ − c[cluster] — so the PQ codebooks
+    * quantize normalized geometry where ADC's separable L2 over
+    * residual codes approximates ‖q̂ − v̂‖² = 2·cosineDist(q, v):
+    * L2 ranking in the normalized space IS cosine ranking. Distances
+    * returned to users are always exact-reranked on ORIGINAL vectors
+    * with the build metric (same discipline as ivfAssign). Zero-norm
+    * vectors have no direction — they encode to null codes and are
+    * skipped by the scan, matching the cosine-undefined convention.
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, m: Int, ksub: Int = 256, seed: Long = 42L,
       maxIter: Int = 20, trainFraction: Double = 1.0,
-      maxSample: Int = 65536, pqIters: Int = 10): (DataFrame, IvfPqModel) = {
+      maxSample: Int = 65536, pqIters: Int = 10,
+      metric: String = "l2"): (DataFrame, IvfPqModel) = {
+    require(metric == "l2" || metric == "cosine",
+      s"ivfPqBuild supports l2 and cosine, got $metric")
     val (assigned, centers) = ivfAssign(corpus, idCol, vecCol, nlist,
-      seed, maxIter, trainFraction, "l2")
-    val residuals = residualFrame(assigned, idCol, vecCol, centers)
+      seed, maxIter, trainFraction, metric)
+    val residuals = residualFrame(assigned, idCol, vecCol, centers,
+      normalizeFirst = metric == "cosine")
     val pqModel = pqTrain(residuals, "__residual", m, ksub, seed,
-      maxSample, pqIters)
-    val encoded = pqEncode(
-      residuals, idCol, "__residual", pqModel)
-      .join(assigned.select(col(idCol), col("cluster_id")), idCol)
-    (encoded, IvfPqModel(centers, pqModel))
+      maxSample, pqIters, orderCol = idCol)
+    val encoded = pqEncodeWithCluster(residuals, idCol, "__residual", pqModel)
+    (encoded, IvfPqModel(centers, pqModel, metric))
   }
 
   /** (id, cluster_id, __residual = v − centroid[cluster]) — one
-    * broadcast-centroid map over the assigned frame.
+    * broadcast-centroid map over the assigned frame. With
+    * `normalizeFirst` the vector is L2-normalized before subtraction
+    * (spherical residuals; zero-norm vectors → null residual).
     */
   private def residualFrame(assigned: DataFrame, idCol: String,
-      vecCol: String, centers: Array[Array[Double]]): DataFrame = {
+      vecCol: String, centers: Array[Array[Double]],
+      normalizeFirst: Boolean = false): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centers)
@@ -658,7 +723,8 @@ object Ann {
       .as[(Long, Int, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, cl, v) =>
+        it.map { case (id, cl, v0) =>
+          val v = if (normalizeFirst) normalizeKernel(v0) else v0
           if (v == null || cl < 0 || cl >= cs.length || v.length != cs(cl).length)
             (id, cl, null: Array[Double])
           else {
@@ -672,6 +738,20 @@ object Ann {
       }
       .toDF(idCol, "cluster_id", "__residual")
   }
+
+  /** v/‖v‖, or null for null/zero-norm input (no direction). */
+  private def normalizeKernel(v: Array[Double]): Array[Double] =
+    if (v == null) null
+    else {
+      val n = math.sqrt(Knn.dotKernel(v, v))
+      if (n == 0.0 || n.isNaN) null
+      else {
+        val out = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { out(i) = v(i) / n; i += 1 }
+        out
+      }
+    }
 
   /** Persist the IVF-PQ index: codes partitioned by cluster (probes
     * prune at the scan) plus `_centroids` and `_pq` sidecars —
@@ -688,16 +768,23 @@ object Ann {
     val pqRows = for {
       j <- 0 until model.pq.m
       c <- 0 until model.pq.ksub
-    } yield (j, c, model.pq.codebooks(j)(c).toSeq)
-    pqRows.toDF("subspace", "code", "centroid").coalesce(1)
+    } yield (j, c, model.pq.codebooks(j)(c).toSeq, model.metric)
+    pqRows.toDF("subspace", "code", "centroid", "metric").coalesce(1)
       .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_pq")
   }
 
-  /** Load the [[ivfPqWriteIndex]] sidecars back. */
+  /** Load the [[ivfPqWriteIndex]] sidecars back (metric defaults to
+    * "l2" for indexes written before the column existed).
+    */
   def ivfPqReadModel(spark: SparkSession, path: String): IvfPqModel = {
     import spark.implicits._
+    val raw = spark.read.parquet(path.stripSuffix("/") + "/_pq")
+    val metric =
+      if (raw.columns.contains("metric"))
+        raw.select(col("metric")).limit(1).as[String].collect().headOption.getOrElse("l2")
+      else "l2"
     val centers = ivfReadCenters(spark, path)
-    val pqRows = spark.read.parquet(path.stripSuffix("/") + "/_pq")
+    val pqRows = raw
       .select(col("subspace").cast("int"), col("code").cast("int"),
         col("centroid").cast("array<double>"))
       .as[(Int, Int, Array[Double])].collect()
@@ -706,7 +793,7 @@ object Ann {
     val books = Array.ofDim[Array[Double]](m, ksub)
     pqRows.foreach { case (j, c, v) => books(j)(c) = v }
     val dim = books(0)(0).length * m
-    IvfPqModel(centers, PqModel(dim, m, ksub, books))
+    IvfPqModel(centers, PqModel(dim, m, ksub, books), metric)
   }
 
   /** IVF-PQ probe — the full composition: route to nprobe lists,
@@ -726,13 +813,20 @@ object Ann {
     import spark.implicits._
     require(query.length == model.pq.dim,
       s"query dim ${query.length} != model dim ${model.pq.dim}")
-    val clusters = nearestClusters(model.centers, query, nprobe, "l2")
+    val isCosine = model.metric == "cosine"
+    // spherical index (VERDICT r6 #4): route angularly and take
+    // residuals against the NORMALIZED query — the codes are unit-
+    // sphere residuals, and separable L2 over them approximates
+    // ‖q̂ − v̂‖² which ranks exactly like cosine distance
+    val qEff = if (isCosine) normalizeKernel(query) else query
+    require(qEff != null, "ivfPqProbe: zero-norm query has no direction under cosine")
+    val clusters = nearestClusters(model.centers, query, nprobe, model.metric)
     // per-cluster ADC tables over the residual space
     val tables: Map[Int, Array[Array[Double]]] = clusters.map { cl =>
       val c = model.centers(cl)
-      val qr = new Array[Double](query.length)
+      val qr = new Array[Double](qEff.length)
       var i = 0
-      while (i < query.length) { qr(i) = query(i) - c(i); i += 1 }
+      while (i < qEff.length) { qr(i) = qEff(i) - c(i); i += 1 }
       cl -> adcTables(model.pq, qr, "l2")._1
     }.toMap
     val bc = spark.sparkContext.broadcast(tables)
@@ -758,10 +852,11 @@ object Ann {
       }.toDF("__qdist", idCol)
       .orderBy(col("__qdist"), col(idCol)).limit(L)
 
+    // exact rerank on ORIGINAL vectors with the build metric
     corpus.select(col(idCol), col(vecCol))
       .join(broadcast(shortlist.select(col(idCol))), idCol)
       .withColumn("distance",
-        round(Knn.distance("l2")(col(vecCol), typedlit(query)), 6))
+        round(Knn.distance(model.metric)(col(vecCol), typedlit(query)), 6))
       .filter(col("distance").isNotNull)
       .select(col(idCol), col("distance"))
       .orderBy(col("distance").asc, col(idCol).asc)

@@ -459,9 +459,17 @@ object Dedup {
       .map(_.getPath.toString)
   }
 
+  /** Union of committed batch data, optionally excluding one batch
+    * token — the prober excludes ITS OWN token so retrying a batch
+    * that already committed doesn't see its previous commit as corpus
+    * (ADVICE r6: the duplicate shingle rows doubled every verify-join
+    * output pair involving the batch).
+    */
   private def readCommitted(spark: org.apache.spark.sql.SparkSession,
-      root: String, sub: String): DataFrame = {
-    val dirs = committedDirs(spark, root).map(d => s"$d/$sub")
+      root: String, sub: String, excludeToken: String = ""): DataFrame = {
+    val dirs = committedDirs(spark, root)
+      .filterNot(d => excludeToken.nonEmpty && d.endsWith("/" + excludeToken))
+      .map(d => s"$d/$sub")
     require(dirs.nonEmpty, s"no committed index batches under $root")
     spark.read.parquet(dirs: _*)
   }
@@ -511,10 +519,19 @@ object Dedup {
     *
     * Contract: batch ids must be disjoint from corpus ids (pairs are
     * emitted id_a < id_b across the union id space). `batchToken`
-    * names the batch's index directory: re-running a failed batch
-    * with the SAME token overwrites it (idempotent retry); the
+    * names the batch's index directory: re-running a failed OR
+    * already-committed batch with the SAME token overwrites it and
+    * re-emits its pairs exactly once (the probe excludes its own
+    * token's prior commit from the corpus read — ADVICE r6); the
     * default empty token draws a random one (append-only semantics —
     * dedupe retries upstream).
+    *
+    * Appends must be SERIALIZED per index root (ADVICE r6 — the same
+    * contract as ivfAppend): two concurrent appends each read only the
+    * batches committed before they started, so neither sees the
+    * other's rows and their cross-batch pairs are silently missed;
+    * the `batches/` listing is also not transactional under
+    * concurrent writers. Run one append at a time per root.
     */
   def appendNearDuplicates(batch: DataFrame, idCol: String, textCol: String,
       path: String, shingleLen: Int = 3, numHashes: Int = 16,
@@ -525,8 +542,8 @@ object Dedup {
     val token =
       if (batchToken.nonEmpty) batchToken
       else "b_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val corpusSh = readCommitted(spark, root, "shingles")
-    val corpusBk = readCommitted(spark, root, "buckets")
+    val corpusSh = readCommitted(spark, root, "shingles", excludeToken = token)
+    val corpusBk = readCommitted(spark, root, "buckets", excludeToken = token)
     val batchSh = batch.select(col(idCol),
       shingleIdsOf(col(textCol), shingleLen).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

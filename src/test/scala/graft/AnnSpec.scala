@@ -493,4 +493,67 @@ class AnnSpec extends SparkSpec {
       Ann.pqTrain(emb, "embedding", m = 8, ksub = 300) // > one byte
     }
   }
+
+  test("pqTrain with orderCol: identical codebooks across partitionings, " +
+      "byte budget caps the sample (VERDICT r6 #5)") {
+    // the same corpus under two different physical layouts must train
+    // the same codebooks when the sample is keyed — an unordered limit
+    // is NOT stable under shuffles
+    for ((df, dim) <- Seq(
+        (Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding"), 64),
+        (clustered, 16))) {
+      val shuffled = df.repartition(13, $"vec_id" % 7)
+      val a = Ann.pqTrain(df, "embedding", m = 4, ksub = 8, iters = 2,
+        orderCol = "vec_id")
+      val b = Ann.pqTrain(shuffled, "embedding", m = 4, ksub = 8, iters = 2,
+        orderCol = "vec_id")
+      assert(a.codebooks.flatten.flatten.toSeq ===
+        b.codebooks.flatten.flatten.toSeq, s"dim=$dim layout-dependent sample")
+      // byte budget: dim·8 bytes per row → budget for exactly 100 rows
+      // must equal explicitly training on the first-100-by-id slice
+      val budget = Ann.pqTrain(df, "embedding", m = 4, ksub = 8, iters = 2,
+        orderCol = "vec_id", maxSampleBytes = dim.toLong * 8 * 100)
+      val explicit = Ann.pqTrain(df.orderBy($"vec_id").limit(100),
+        "embedding", m = 4, ksub = 8, iters = 2, orderCol = "vec_id")
+      assert(budget.codebooks.flatten.flatten.toSeq ===
+        explicit.codebooks.flatten.flatten.toSeq, s"dim=$dim byte cap wrong")
+    }
+  }
+
+  test("ivfPqBuild encodes with NO join (cluster_id rides the kernel)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (encoded, _) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 42, maxIter = 2)
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"encode path must not re-join the corpus:\n${plan.take(900)}")
+    assert(encoded.columns.toSeq === Seq("vec_id", "cluster_id", "pq_codes"))
+  }
+
+  test("spherical IVF-PQ: cosine disk lifecycle, probe-all ≡ exact cosine KNN " +
+      "on a heterogeneous-norm corpus") {
+    // scale each vector by a label-dependent factor: angular structure
+    // unchanged, norms spread 1×–16× — the case where L2 routing and
+    // angular routing disagree (the reason the spherical path exists)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id",
+        transform($"embedding".cast("array<double>"),
+          x => x * (lit(1.0) + ($"label" % 4) * 5.0)).as("embedding"))
+    val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 32, seed = 42, maxIter = 2, metric = "cosine")
+    val path = Files.createTempDirectory("graft_ivfpq_cos").resolve("idx").toString
+    Ann.ivfPqWriteIndex(encoded, model, path)
+    val back = Ann.ivfPqReadModel(spark, path)
+    assert(back.metric === "cosine", "metric must survive the disk round trip")
+    val q = emb.filter($"vec_id" === 3)
+      .select($"embedding").head().getSeq[Double](0).toArray
+    val exact = Knn.topK(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" === 3).select($"embedding".as("q_vec")),
+      "q_vec", 5, "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Ann.ivfPqProbe(spark, path, back, emb, "vec_id", "embedding",
+      q, k = 5, nprobe = 8, rerankFactor = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe === exact)
+  }
 }

@@ -235,8 +235,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("appendNearDuplicates: same batchToken retries idempotently " +
-      "(no duplicate index rows)") {
-    val base = Seq((10L, "completely different content about spark engines today"))
+      "(no duplicate index rows, no duplicate PAIRS on retry)") {
+    // base holds a near-dup of the batch doc, so the RETRY itself
+    // emits pairs — the case where a committed token's prior shingles
+    // would double every verify-join output row (ADVICE r6)
+    val base = Seq(
+      (10L, "completely different content about spark engines today"),
+      (11L, "the quick brown fox jumps over a lazy dog"))
       .toDF("doc_id", "text")
     val b1 = Seq((20L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
@@ -245,11 +250,20 @@ class DedupSpec extends SparkSpec {
     val path = tmpIndex("neardup_idem")
     Dedup.writeNearDupIndex(base, "doc_id", "text", path,
       shingleLen = 2, numHashes = 32, bands = 32)
-    Dedup.appendNearDuplicates(b1, "doc_id", "text", path, shingleLen = 2,
-      numHashes = 32, bands = 32, threshold = 0.4, batchToken = "t1").count()
-    // retry of the same batch overwrites batches/t1 instead of doubling it
-    Dedup.appendNearDuplicates(b1, "doc_id", "text", path, shingleLen = 2,
-      numHashes = 32, bands = 32, threshold = 0.4, batchToken = "t1").count()
+    val first = Dedup.appendNearDuplicates(b1, "doc_id", "text", path,
+        shingleLen = 2, numHashes = 32, bands = 32, threshold = 0.4,
+        batchToken = "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(first.toSeq === Seq((11L, 20L)), s"got ${first.toSeq}")
+    // retry of the same batch overwrites batches/t1 instead of
+    // doubling it, and emits the SAME pair set exactly once (the
+    // probe must not see t1's prior commit as corpus)
+    val retry = Dedup.appendNearDuplicates(b1, "doc_id", "text", path,
+        shingleLen = 2, numHashes = 32, bands = 32, threshold = 0.4,
+        batchToken = "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(retry.toSeq === Seq((11L, 20L)),
+      s"retry must re-emit each pair exactly once, got ${retry.toSeq}")
     val got = Dedup.appendNearDuplicates(probe, "doc_id", "text", path,
         shingleLen = 2, numHashes = 32, bands = 32, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

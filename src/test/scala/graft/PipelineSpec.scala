@@ -141,4 +141,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(1) === "1,234.5679") // HALF_EVEN of format_number
     assert(r.getString(2) === "x")
   }
+
+  test("gate index staleness keys on CONTENT, not just row count " +
+      "(VERDICT r6 #7): a regenerated same-count fixture triggers rebuild") {
+    val a = Seq((0L, Array(1f, 2f)), (97L, Array(3f, 4f)), (194L, Array(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    // same ids, same count — one sampled vector's content changed
+    val b = Seq((0L, Array(1f, 2f)), (97L, Array(3f, 9f)), (194L, Array(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    val (na, fa) = SparkEntry.gateSourceStats(a, "vec_id", "embedding")
+    val (nb, fb) = SparkEntry.gateSourceStats(b, "vec_id", "embedding")
+    assert(na === nb, "fixture must hold count constant")
+    assert(fa !== fb, "content change must move the fingerprint")
+    val path = Files.createTempDirectory("graft_fp").resolve("idx").toString
+    assert(!SparkEntry.gateIndexReady(spark, path, na, fa),
+      "missing layout must read as stale")
+    SparkEntry.gateIndexStamp(spark, path, na, fa)
+    assert(SparkEntry.gateIndexReady(spark, path, na, fa),
+      "stamped layout must read as ready for the same stats")
+    assert(!SparkEntry.gateIndexReady(spark, path, nb, fb),
+      "same-count content change must read as stale")
+  }
 }
