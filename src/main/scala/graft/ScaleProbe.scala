@@ -169,6 +169,27 @@ object ScaleProbe {
     }
     assigned.unpersist()
 
+    // IVF-PQ growth path (VERDICT r5 #9): build+write the compressed
+    // index once, then append a 10k batch — assignment + residual PQ
+    // encode against the SAVED sidecars, cost ∝ batch only
+    time("ivfpq_append_10k_to_1M") {
+      val (encoded, model) = Ann.ivfPqBuild(corpus, "vec_id", "embedding",
+        nlist = 64, m = 8, ksub = 256, seed = 42, maxIter = 5,
+        trainFraction = 0.05)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivfpq").resolve("idx").toString
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      val t0 = System.nanoTime()
+      val batch = spark.range(nVec, nVec + 10000).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64($"id", i), lit(1000000L)) / 500000.0 - 1.0).cast("float"))
+          .as("embedding"))
+      Ann.ivfPqAppend(batch, path, "vec_id", "embedding")
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      val total = spark.read.parquet(path).count()
+      f"append_only=$appendSec%.2fs total_rows=$total"
+    }
+
     // as-of at probe scale: 1M events x 100k facts over 10k keys —
     // one key shuffle + one window pass, never a per-row backward scan
     time("asof_1M_x100k") {

@@ -904,6 +904,35 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
     }),
 
+    // --- IVF-PQ incremental append (VERDICT r5 #9): build the
+    //     compressed index WITHOUT vec_id < 10, grow it via
+    //     ivfPqAppend (assignment + residual PQ encode against the
+    //     SAVED _centroids/_pq sidecars — the corpus is never
+    //     re-encoded), then answer a probe-all query FROM THE APPENDED
+    //     BATCH off the written layout. Probe-all + rerank keeps the
+    //     result exact over the union, so the oracle is the same
+    //     exact-KNN SQL as ann_ivfpq; the query vector (vec_id 0)
+    //     exists only in the appended batch, so distance 0 in row 1 is
+    //     the append working.
+    "ann_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (encoded, model) = Ann.ivfPqBuild(
+        emb.filter(col("vec_id") >= 10), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
+      val path = gateIndexPath(dir, "ivfpq_append_gate")
+      // overwrite clears any previous run's appended files too, so the
+      // gate is idempotent across Verify/Bench/test invocations
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      Ann.ivfPqAppend(
+        emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        path, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfPqProbe(s, path, Ann.ivfPqReadModel(s, path), emb,
+        "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
+    }),
+
     // --- SPHERICAL IVF-PQ (VERDICT r6 #4): the same full lifecycle in
     //     cosine space — spherical coarse clustering + angular
     //     routing, residuals on the unit sphere, ADC over normalized
@@ -1695,6 +1724,10 @@ object SparkEntry {
     // spherical IVF-PQ at probe-all must reproduce exact cosine KNN
     "ann_ivfpq_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // grown-by-append IVF-PQ at probe-all must reproduce exact KNN
+    // over the union
+    "ann_ivfpq_append" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),

@@ -1,0 +1,57 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen wrapper for the primitive SimHash kernel
+  * ([[graft.operators.Dedup.simhashKernel]]): text → 64-bit
+  * fingerprint in one expression, replacing the typed `.map` pipeline
+  * whose object codec (DeserializeToObject/SerializeFromObject)
+  * bracketed every fingerprint scan. Tokenization replicates
+  * `TextFunctions.tokens` (UTF8String lowercase, single-space split,
+  * empties dropped — the [[ShingleIds]] discipline); null text
+  * fingerprints as empty-token text, matching the map form's
+  * null-array guard.
+  */
+case class SimhashFp(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash_fp"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_fp needs a string column, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Long = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase.toString.split(" ").filter(_.nonEmpty)
+    graft.operators.Dedup.simhashKernel(toks, n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("simhashFpKernel", this, classOf[SimhashFp].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} =
+          $self.compute(${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashFp =
+    copy(child = newChild)
+}

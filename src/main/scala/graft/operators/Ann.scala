@@ -773,6 +773,31 @@ object Ann {
       .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_pq")
   }
 
+  /** Append a batch to a saved IVF-PQ index (VERDICT r5 #9 / r6 gap
+    * #2 — the last index layout that required a from-scratch rebuild
+    * to grow): read the `_centroids`/`_pq` sidecars, assign each new
+    * row against the FIXED centroids (the [[ivfAppend]] discipline —
+    * append never retrains; FAISS's add-after-train contract),
+    * residual-encode with the SAVED codebooks in the index's metric
+    * space, and append the m-byte codes to their cluster partitions.
+    * Per-batch cost is batch-linear map-side work plus the partitioned
+    * write — the existing corpus is never read or re-encoded. Appends
+    * must be serialized per index root (same contract as
+    * [[ivfAppend]] / appendNearDuplicates).
+    */
+  def ivfPqAppend(newRows: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = newRows.sparkSession
+    val model = ivfPqReadModel(spark, path)
+    val assigned = assignWithCenters(
+      newRows.select(col(idCol), col(vecCol)), vecCol,
+      model.centers, model.metric)
+    val residuals = residualFrame(assigned, idCol, vecCol, model.centers,
+      normalizeFirst = model.metric == "cosine")
+    pqEncodeWithCluster(residuals, idCol, "__residual", model.pq)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+  }
+
   /** Load the [[ivfPqWriteIndex]] sidecars back (metric defaults to
     * "l2" for indexes written before the column existed).
     */

@@ -109,16 +109,15 @@ object Dedup {
     * mitigation rather than sampling.
     *
     * FULLY LAZY (VERDICT r6 #1): the candidate plan carries NO
-    * persisted caches and NO eager jobs — the bucket cap is a window
-    * count over the same (band, bucket) partitioning the self-join
-    * needs, so one Exchange carries the whole map-side signature
-    * computation and `ReuseExchange` shares it between both join
-    * sides. The previous eager shape (persist + count/collect job +
-    * localCheckpoint job) cost three sequential jobs of fixed
-    * scheduling overhead per call — 4× the honest single-job wall at
-    * bench scale — and at 100 TB would have spilled a corpus-sized
-    * bucket cache to executor disks for work the shuffle files of the
-    * band Exchange already hold.
+    * persisted caches and NO eager jobs — candidates come from ONE
+    * (band, bucket)-keyed aggregation with in-group pair expansion
+    * (see [[lshCandidatesLazy]]), so the map-side signature work runs
+    * exactly once per action. The previous eager shape (persist +
+    * count/collect job + localCheckpoint job) cost three sequential
+    * jobs of fixed scheduling overhead per call — 4× the honest
+    * single-job wall at bench scale — and at 100 TB would have
+    * spilled a corpus-sized bucket cache to executor disks for work
+    * the band shuffle files already hold.
     */
   /** The staged (id, band, bucket) band projection shared by
     * [[lshCandidates]] and the incremental-index writer/prober.
@@ -135,6 +134,14 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** Codegen SimHash fingerprint of a text column — see
+    * [[graft.functions.expressions.SimhashFp]].
+    */
+  def simhashFpOf(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.SimhashFp(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
+
   /** Kernel band-bucket array (one long per band) — see
     * [[graft.functions.expressions.MinhashBandBuckets]].
     */
@@ -144,22 +151,42 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(shingleIds),
         numHashes, bands, hashParams(numHashes)))
 
-  /** Lazy candidate-pair plan: banded buckets → window-capped → banded
-    * self-join → distinct. Safe to compose — no caches to manage.
+  /** Lazy candidate-pair plan: banded buckets → ONE groupBy on the
+    * bucket key collecting the (capped) member list → in-group pair
+    * expansion with nested array transforms → distinct. Safe to
+    * compose — no caches to manage.
+    *
+    * Why aggregation + expansion instead of a bucket SELF-JOIN: the
+    * join reads the bucket relation twice, and AQE's exchange reuse
+    * does not reliably dedupe the two map stages (measured at the
+    * 200k-doc ScaleProbe: the banding work ran twice, plus a
+    * per-side window sort for the cap). The grouped form shuffles the
+    * SAME (band, bucket)-keyed data ONCE, caps on the collected list
+    * size (a degenerate bucket buffers linearly — the join it
+    * replaces would have been quadratic), and the quadratic pair
+    * expansion happens only inside ≤ maxBucketSize groups — the
+    * identical bound the capped join had.
     */
   private def lshCandidatesLazy(df: DataFrame, idCol: String,
       shingleCol: String, numHashes: Int, bands: Int, maxBucketSize: Int,
       what: String): DataFrame = {
+    ensureCapListener(df.sparkSession)
     val buckets = bandBuckets(df, idCol, shingleCol, numHashes, bands)
-    val pruned =
-      capBucketsLazy(buckets, "band", "bucket", maxBucketSize, what)
-    val a = pruned.as("a")
-    val b = pruned.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    val grouped = buckets.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col(idCol)).as("__m"))
+      // never a SILENT truncation (VERDICT r2): dropped member rows
+      // are counted in-plan and logged post-action by the listener
+      .observe(s"graft.cap.$what",
+        sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
+          .otherwise(0)).cast("long").as("dropped_rows"))
+      .filter(size(col("__m")) <= maxBucketSize)
+    grouped
+      .select(explode(flatten(transform(col("__m"), (x, i) =>
+        transform(slice(col("__m"), i + lit(2),
+            greatest(size(col("__m")) - i - 1, lit(0))),
+          y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -169,7 +196,8 @@ object Dedup {
       maxBucketSize, "lshCandidates")
 
   /** Sessions whose listenerManager already carries the cap-drop
-    * logger (see [[capBucketsLazy]]). Weakly keyed so a stopped
+    * logger (see the observe metrics in [[lshCandidatesLazy]] /
+    * [[simhashPairs]]). Weakly keyed so a stopped
     * session doesn't pin its listener registration forever.
     */
   private val capListenerSessions =
@@ -198,34 +226,6 @@ object Dedup {
       }
     }
 
-  /** Degenerate-bucket guard, LAZY form (VERDICT r6 #1): drop every
-    * member row of buckets whose membership exceeds `maxBucketSize`
-    * via a window count over (band, bucket) — the exact partitioning
-    * the downstream bucket self-join shuffles on, so the cap adds NO
-    * exchange, NO cache, and NO separate job: one shuffle computes
-    * signatures, the count, the filter, and feeds both join sides
-    * through `ReuseExchange`. A degenerate bucket costs the window a
-    * linear (spillable) buffer — the join it is protecting against
-    * would have been quadratic.
-    *
-    * Never a SILENT truncation (VERDICT r2): an `observe` metric
-    * counts dropped member rows in-plan and a per-session
-    * QueryExecutionListener logs any non-zero count after each action
-    * (the count may be observed once per plan consumer of the capped
-    * relation — it signals degeneracy, it is not an accounting total).
-    */
-  private def capBucketsLazy(buckets: DataFrame, bandCol: String,
-      bucketCol: String, maxBucketSize: Int, what: String): DataFrame = {
-    ensureCapListener(buckets.sparkSession)
-    val w = Window.partitionBy(col(bandCol), col(bucketCol))
-    buckets.withColumn("__bn", count(lit(1)).over(w))
-      .observe(s"graft.cap.$what",
-        sum(when(col("__bn") > maxBucketSize, 1L).otherwise(0L))
-          .as("dropped_rows"))
-      .filter(col("__bn") <= maxBucketSize)
-      .drop("__bn")
-  }
-
   /** Shared degenerate-bucket guard for the banded self-join operators
     * (MinHash LSH bands, SimHash chunks): drop buckets whose
     * membership exceeds `maxBucketSize`, logging what was dropped —
@@ -239,7 +239,7 @@ object Dedup {
     *
     * Used only by [[appendNearDuplicates]], whose lifecycle is eager
     * anyway (it commits the batch to disk before returning); the
-    * one-shot operators use [[capBucketsLazy]].
+    * one-shot operators cap in-plan on the collected member list.
     */
   private def capBuckets(buckets: DataFrame, bandCol: String, bucketCol: String,
       maxBucketSize: Int, what: String): (DataFrame, DataFrame) = {
@@ -642,7 +642,7 @@ object Dedup {
     * (rows-only), so the two implementations need not produce the same
     * bits — only the same geometry.
     */
-  private[operators] def simhashKernel(tokens: Array[String], n: Int): Long = {
+  private[graft] def simhashKernel(tokens: Array[String], n: Int): Long = {
     // distinct word n-grams, mirroring TextFunctions.wordShingles
     val shingles = new scala.collection.mutable.HashSet[String]
     if (tokens.length >= n) {
@@ -675,7 +675,7 @@ object Dedup {
     * Same banding shuffle shape as MinHash LSH — including the same
     * degenerate-bucket hazard (identical texts → identical
     * fingerprints → one quadratic chunk bucket), so the same
-    * `maxBucketSize` cap applies (see [[capBucketsLazy]]).
+    * `maxBucketSize` cap applies (grouped member-list cap).
     * Fingerprints come from the primitive kernel (see simhashKernel).
     * FULLY LAZY (VERDICT r6 #1): one plan, no caches — the chunk
     * Exchange carries the fingerprint computation once and both join
@@ -685,28 +685,35 @@ object Dedup {
       shingleLen: Int = 3, maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val fp = df
-      .select(col(idCol).cast("long"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .as[(Long, Array[String])]
-      // null text → null token array: fingerprint as empty, don't NPE
-      .map { case (id, toks) =>
-        (id, simhashKernel(if (toks == null) Array.empty else toks, shingleLen)) }
-      .toDF(idCol, "__fp")
+    // fingerprints come from the codegen kernel expression — no typed
+    // .map, so no object-codec stages bracket the scan
+    val fp = df.select(col(idCol).cast("long").as(idCol),
+      simhashFpOf(col(textCol), shingleLen).as("__fp"))
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val buckets = capBucketsLazy(
-      fp.select(col(idCol), col("__fp"),
-        posexplode(chunks).as(Seq("chunk", "val"))),
-      "chunk", "val", maxBucketSize, "simhashPairs")
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        hamming(col("a.__fp"), col("b.__fp")).as("hamming"))
+    ensureCapListener(spark)
+    // same grouped pair expansion as lshCandidatesLazy (ONE exchange,
+    // no self-join) — members carry (id, fp) so the hamming distance
+    // computes in-group
+    val grouped = fp
+      .select(col(idCol), col("__fp"), posexplode(chunks).as(Seq("chunk", "val")))
+      .groupBy(col("chunk"), col("val"))
+      .agg(collect_list(struct(col(idCol), col("__fp"))).as("__m"))
+      .observe("graft.cap.simhashPairs",
+        sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
+          .otherwise(0)).cast("long").as("dropped_rows"))
+      .filter(size(col("__m")) <= maxBucketSize)
+    grouped
+      .select(explode(flatten(transform(col("__m"), (x, i) =>
+        transform(slice(col("__m"), i + lit(2),
+            greatest(size(col("__m")) - i - 1, lit(0))),
+          y => struct(
+            least(x.getField(idCol), y.getField(idCol)).as("id_a"),
+            greatest(x.getField(idCol), y.getField(idCol)).as("id_b"),
+            hamming(x.getField("__fp"), y.getField("__fp")).as("hamming"))))))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.hamming").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))

@@ -530,6 +530,35 @@ class AnnSpec extends SparkSpec {
     assert(encoded.columns.toSeq === Seq("vec_id", "cluster_id", "pq_codes"))
   }
 
+  test("ivfPqAppend: appended rows are residual-encoded against the saved " +
+      "sidecars and probe like built rows — l2 AND cosine (VERDICT r5 #9)") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    for (metric <- Seq("l2", "cosine")) {
+      val (encoded, model) = Ann.ivfPqBuild(emb.filter($"vec_id" >= 10),
+        "vec_id", "embedding", nlist = 8, m = 8, ksub = 32, seed = 42,
+        maxIter = 2, metric = metric)
+      val path = Files.createTempDirectory(s"graft_ivfpq_app_$metric")
+        .resolve("idx").toString
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      Ann.ivfPqAppend(emb.filter($"vec_id" < 10), path, "vec_id", "embedding")
+      // query FROM the appended batch; probe-all + rerank must equal
+      // exact KNN over the union — and must include appended ids
+      val q = emb.filter($"vec_id" === 3)
+        .select($"embedding").head().getSeq[Double](0).toArray
+      val exact = Knn.topK(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" === 3).select($"embedding".as("q_vec")),
+        "q_vec", 5, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val probe = Ann.ivfPqProbe(spark, path, Ann.ivfPqReadModel(spark, path),
+        emb, "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(probe === exact, s"metric=$metric")
+      assert(probe.head._1 === 3L && probe.head._2 === 0.0,
+        s"metric=$metric: the appended query row itself must rank first")
+    }
+  }
+
   test("spherical IVF-PQ: cosine disk lifecycle, probe-all ≡ exact cosine KNN " +
       "on a heterogeneous-norm corpus") {
     // scale each vector by a label-dependent factor: angular structure
