@@ -1148,6 +1148,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // --- TF-IDF cosine document-similarity JOIN (the lexical twin of
+    //     dedup_embedding's NN pairs): inverted-index sparse dot
+    //     product over df-capped terms — pairs generated per term via
+    //     the same grouped in-bucket expansion as the LSH candidates,
+    //     never a doc×doc product. Exact DuckDB twin: idf on exact
+    //     integer ratios, norms and dots folded in sorted term order.
+    "text_sim_join" -> ((s, dir) =>
+      graft.operators.TextRank.tfidfSimJoin(
+        Tables.documents(s, dir).filter(col("doc_id") < 300),
+        "doc_id", "text", k = 15, maxDf = 50)),
+
     // --- Heavy hitters via Count-Min Sketch (the approximate twin of
     //     text_tokens — at 100 TB the exact token groupBy gives way to
     //     a mergeable fixed-size sketch). The sketch VALUE is
@@ -1906,6 +1917,31 @@ object SparkEntry {
          |        ORDER BY bm25 DESC, doc_id) AS rank FROM qs)
          |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // tf-idf cosine similarity join: every float op has one defined
+    // order in both engines (sorted-term folds; idf on exact integer
+    // ratios; per-(doc,term) normalization before the pair fold)
+    "text_sim_join" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |         x -> length(x) > 0)) AS term
+        |       FROM documents
+        |       WHERE doc_id < 300 AND text IS NOT NULL AND length(text) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 50),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+        |nrm AS (SELECT doc_id, sqrt(list_reduce(list(w * w ORDER BY term), (a, b) -> a + b)) AS norm
+        |        FROM w GROUP BY doc_id),
+        |u AS (SELECT w.doc_id, w.term, w.w / nrm.norm AS nw
+        |      FROM w JOIN nrm USING (doc_id) WHERE nrm.norm > 0),
+        |p AS (SELECT a.term, a.doc_id AS id_a, b.doc_id AS id_b, a.nw * b.nw AS prod
+        |      FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id),
+        |sc AS (SELECT id_a, id_b,
+        |        round(list_reduce(list(prod ORDER BY term), (x, y) -> x + y), 6) AS cosine
+        |       FROM p GROUP BY id_a, id_b)
+        |SELECT id_a, id_b, cosine FROM sc WHERE cosine > 0
+        |ORDER BY cosine DESC, id_a, id_b LIMIT 15""".stripMargin,
 
     // both legs rank over rounded scores with id tie-breaks; RRF terms
     // added lexical-first, 60+rank forced through DOUBLE division

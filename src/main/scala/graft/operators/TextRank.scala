@@ -112,4 +112,80 @@ object TextRank {
       .select(col(queryIdCol), col(corpusIdCol), col("rank"),
         (-col("distance")).as("bm25"))
   }
+
+  /** TF-IDF cosine document-similarity JOIN — the lexical complement
+    * to the embedding NN join (`Ann.nnSelfJoinIvf`): every doc pair
+    * sharing at least one (df-capped) term gets the cosine of their
+    * L2-normalized tf·idf vectors. The classic sparse inverted-index
+    * self-join: pairs are generated term-by-term (a term with df
+    * occurrences contributes df·(df−1)/2 candidate pairs), so the
+    * `maxDf` cutoff — drop terms appearing in more than maxDf docs —
+    * is the semantic AND the scale bound: stopword-frequency terms
+    * carry ~zero idf weight but quadratic pair cost, so pruning them
+    * is the standard practice (it is also what keeps the shuffle
+    * corpus-linear at 100 TB: Σ df² over KEPT terms, never N²).
+    *
+    * Output: (id_a, id_b, cosine) for id_a < id_b, cosine > 0, rounded
+    * to 6 decimals — totally ordered by (cosine desc, id_a, id_b),
+    * top `k` pairs. Cross-engine bit-determinism (the `text_sim_join`
+    * gate is an exact DuckDB hash match): idf = ln(N/df) on exact
+    * integer ratios, per-doc norms and per-pair dots are folded in
+    * SORTED term order, and the division by norms happens once per
+    * (doc, term) BEFORE the pair fold — every float op has one
+    * defined order in both engines.
+    */
+  def tfidfSimJoin(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Int = 100): DataFrame = {
+    // one tokenize pass; tf relation shared by df, norms, and scoring
+    // (ReuseExchange — same discipline as bm25Join)
+    val tf = corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val weighted = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    // per-doc L2 norm: fold w² in sorted term order (bit-deterministic)
+    val norms = weighted
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("term"), (col("w") * col("w")).as("w2"))))
+        .as("__a"))
+      .select(col(idCol),
+        sqrt(aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("w2")))
+          .as("norm"))
+    // a zero norm (every surviving term in every doc → idf 0) carries
+    // no direction — such docs can't rank, drop before the division
+    val unit = weighted.join(norms.filter(col("norm") > 0), idCol)
+      .select(col(idCol), col("term"), (col("w") / col("norm")).as("nw"))
+    // inverted-index pair generation: same grouped in-bucket expansion
+    // as the LSH candidates — ONE term-keyed aggregation, no self-join
+    val pairs = unit
+      .groupBy(col("term"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("nw"))).as("__m"))
+      .select(col("term"), explode(flatten(transform(col("__m"), (x, i) =>
+        transform(slice(col("__m"), i + lit(2),
+            greatest(size(col("__m")) - i - 1, lit(0))),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            (x.getField("nw") * y.getField("nw")).as("prod"))))))
+        .as("__p"))
+      .select(col("term"), col("__p.id_a").as("id_a"),
+        col("__p.id_b").as("id_b"), col("__p.prod").as("prod"))
+    pairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(array_sort(collect_list(struct(col("term"), col("prod")))).as("__a"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("prod")), 6).as("cosine"))
+      .filter(col("cosine") > 0)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
 }

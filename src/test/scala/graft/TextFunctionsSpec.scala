@@ -82,4 +82,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](TextFunctions.qualityScore(col("t")), prose) >
       one[Double](TextFunctions.qualityScore(col("t")), noise))
   }
+
+  test("tfidfSimJoin: identical-bag pair scores cosine 1.0, overlapping " +
+      "pair ranks above disjoint; df cap prunes ubiquitous terms") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "gamma beta alpha delta"),        // same bag as 0 → cosine 1
+      (2L, "alpha beta epsilon zeta"),       // partial overlap with 0/1
+      (3L, "eta theta iota kappa"),          // disjoint
+      (4L, "common common filler words"),
+      (5L, "common filler other things")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextRank
+      .tfidfSimJoin(docs, "doc_id", "text", k = 20, maxDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) === 1.0, s"identical bags must score 1.0: $got")
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) < 1.0 && got((0L, 2L)) > 0)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "disjoint doc must pair with nobody")
+    // with maxDf = 1 every shared term is pruned → no pairs at all
+    val pruned = graft.operators.TextRank
+      .tfidfSimJoin(docs, "doc_id", "text", k = 20, maxDf = 1).count()
+    assert(pruned === 0, "df cap must prune all shared terms")
+  }
 }
