@@ -1,0 +1,111 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Nearest-centroid assignment as a codegen expression: argmin of the
+  * routing distance (L2, or angular for cosine) over a broadcast-style
+  * reference-object centroid matrix — the IVF assignment step
+  * (`Ann.assignWithCenters`) without the row-encoder `.map` that
+  * previously deserialized and rebuilt EVERY corpus row through the
+  * generic Row codec (the dominant constant of the cosine-IVF build
+  * paths: nnSelfJoinIvf, ivfAppend, spherical ivfPqBuild).
+  *
+  * Semantics replicate the kernel map exactly (pinned in AnnSpec):
+  * ties break to the lowest cluster id; null/empty vectors and NaN
+  * routing distances (zero-norm cosine) never beat, so such rows land
+  * in cluster 0; a dimension mismatch scores like the kernel did
+  * (array index bounds are the caller's contract — centers and corpus
+  * share one dim).
+  *
+  * Cosine routing compares 1 − v·c/(‖v‖‖c‖); ‖c‖ is precomputed per
+  * centroid, ‖v‖ once per row — same arithmetic order as
+  * `Knn.scalaDistance("cosine")` composed with per-side norm caching.
+  */
+case class NearestCenter(child: Expression, centers: Array[Array[Double]],
+    metric: String) extends UnaryExpression {
+  require(metric == "l2" || metric == "cosine",
+    s"routing metric must be l2 or cosine, got $metric")
+  require(centers.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "nearest_center"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_center needs array<float|double>, got ${other.catalogString}")
+    }
+
+  // lazy: the child is unresolved at construction (withColumn hands us
+  // an UnresolvedAttribute); dataType is only legal after analysis
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val centerNorms: Array[Double] =
+    centers.map(c => math.sqrt(graft.operators.Knn.dotKernel(c, c)))
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[ArrayData])
+
+  def compute(arr: ArrayData): Int = {
+    if (arr == null) return 0
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val isCos = metric == "cosine"
+    val vNorm = if (isCos) math.sqrt(graft.operators.Knn.dotKernel(v, v)) else 0.0
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      if (ctr.length == n) {
+        var dot = 0.0
+        var acc = 0.0
+        var j = 0
+        if (isCos) {
+          while (j < n) { dot += v(j) * ctr(j); j += 1 }
+          acc = 1.0 - dot / (vNorm * centerNorms(c))
+        } else {
+          while (j < n) { val t = v(j) - ctr(j); acc += t * t; j += 1 }
+          acc = math.sqrt(acc)
+        }
+        // NaN (zero-norm cosine) never beats — row stays in cluster 0
+        if (acc < bestD) { bestD = acc; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("nearestCenterKernel", this, classOf[NearestCenter].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        int ${ev.value} =
+          $self.compute(${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenter =
+    copy(child = newChild)
+}

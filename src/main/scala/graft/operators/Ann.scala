@@ -1151,39 +1151,16 @@ object Ann {
     * [[ivfAppend]] both route through it.
     */
   def assignWithCenters(df: DataFrame, vecCol: String,
-      centers: Array[Array[Double]], metric: String = "l2"): DataFrame = {
-    val spark = df.sparkSession
-    val bcCenters = spark.sparkContext.broadcast(centers)
-    val dist = routingDistance(metric)
-    val vecIdx = df.schema.fieldIndex(vecCol)
-    val outSchema = df.schema.add("cluster_id", org.apache.spark.sql.types.IntegerType)
-    import org.apache.spark.sql.{Encoders, Row}
-    df.map { row =>
-      val raw = row.get(vecIdx)
-      val v: Array[Double] = raw match {
-        case null => null
-        case s: scala.collection.Seq[_] =>
-          s.iterator.map(_.asInstanceOf[Number].doubleValue()).toArray
-        case a: Array[_] =>
-          a.iterator.map(_.asInstanceOf[Number].doubleValue()).toArray
-        case other => throw new IllegalArgumentException(
-          s"$vecCol is not an array column: ${other.getClass}")
-      }
-      val cs = bcCenters.value
-      var best = 0
-      if (v != null && v.nonEmpty) {
-        var bestD = Double.PositiveInfinity
-        var i = 0
-        while (i < cs.length) {
-          val d = dist(cs(i), v)
-          // NaN (zero-norm cosine) never beats — row stays in cluster 0
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-      }
-      Row.fromSeq(row.toSeq :+ best)
-    }(Encoders.row(outSchema))
-  }
+      centers: Array[Array[Double]], metric: String = "l2"): DataFrame =
+    // codegen argmin expression — the previous row-encoder .map pushed
+    // every corpus row through the generic Row codec (the dominant
+    // constant of the cosine IVF build paths); the centroid matrix
+    // rides into the generated class as a reference object
+    df.withColumn("cluster_id",
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.NearestCenter(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          centers, if (metric == "cosine") "cosine" else "l2")))
 
   /** Routing distance for cluster assignment/probing: cosine metrics
     * route angularly (norm-invariant — the spherical fix), everything
