@@ -1148,6 +1148,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // --- Decontamination containment join: eval-set docs probed
+    //     against the training corpus by ASYMMETRIC shingle
+    //     containment |P∩C|/|P| (a short benchmark question fully
+    //     embedded in a long doc scores 1.0 where Jaccard vanishes).
+    //     Broadcast probe shingles, corpus-linear scan, map-side
+    //     partial counts. Exact DuckDB twin over string shingles.
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      Dedup.containmentJoin(
+        docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("probe_id"), col("text")),
+        "probe_id", "text", shingleLen = 2, minContainment = 0.1)
+    }),
+
     // --- TF-IDF cosine document-similarity JOIN (the lexical twin of
     //     dedup_embedding's NN pairs): inverted-index sparse dot
     //     product over df-capped terms — pairs generated per term via
@@ -1917,6 +1933,30 @@ object SparkEntry {
          |        ORDER BY bm25 DESC, doc_id) AS rank FROM qs)
          |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // containment decontamination: counts over string shingles ==
+    // counts over 64-bit shingle ids (collision odds ~1e-14 — the
+    // dedup_near precedent); single integer division, rounded
+    "text_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |probe AS (SELECT doc_id AS probe_id, sh FROM s WHERE doc_id < 5),
+        |corp AS (SELECT doc_id, sh FROM s WHERE doc_id >= 5),
+        |m AS (
+        |  SELECT p.probe_id, c.doc_id,
+        |    round(len(list_intersect(p.sh, c.sh))::DOUBLE / len(p.sh), 6) AS containment
+        |  FROM probe p JOIN corp c ON len(list_intersect(p.sh, c.sh)) > 0)
+        |SELECT probe_id, doc_id, containment FROM m WHERE containment >= 0.1
+        |ORDER BY probe_id, containment DESC, doc_id""".stripMargin,
 
     // tf-idf cosine similarity join: every float op has one defined
     // order in both engines (sorted-term folds; idf on exact integer

@@ -589,6 +589,57 @@ object Dedup {
     verified.orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Decontamination containment join — the eval-set leakage check
+    * every LLM training-data pipeline runs before training: for each
+    * PROBE document (the eval/benchmark set), find corpus documents
+    * containing at least `minContainment` of the probe's distinct
+    * word n-gram shingles. Containment |P ∩ C| / |P| is ASYMMETRIC —
+    * a short benchmark question fully embedded in a long training doc
+    * scores 1.0 where Jaccard would vanish, which is exactly why
+    * decontamination uses containment, not Jaccard.
+    *
+    * Scale shape: the corpus side is one map-side shingle pass joined
+    * on the 64-bit shingle id against the BROADCAST probe shingles
+    * (eval sets are small by nature — the guard fails loudly
+    * otherwise); shared-shingle counts partial-aggregate map-side.
+    * Corpus-linear, zero corpus shuffle beyond the aggregation; at
+    * 100 TB this is a scan with a broadcast hash join in it.
+    *
+    * Output: (probeIdCol, corpusIdCol, containment ∈ (0, 1] rounded
+    * to 6) ordered by (probe, containment desc, corpus id) — exact
+    * DuckDB hash twin (`text_contamination` gate; counts match the
+    * string-shingle oracle because shingle-id equality is shingle
+    * equality up to 64-bit collisions, the dedup_near precedent).
+    */
+  def containmentJoin(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, probes: DataFrame, probeIdCol: String,
+      probeTextCol: String, shingleLen: Int = 3,
+      minContainment: Double = 0.5, maxProbes: Int = 65536): DataFrame = {
+    require(corpusIdCol != probeIdCol,
+      "probe and corpus id columns must have distinct names (rename one side)")
+    val nProbes = probes.count()
+    require(nProbes <= maxProbes,
+      s"containmentJoin probe side has $nProbes rows (> maxProbes=$maxProbes) — " +
+        "the probe shingles are broadcast; for corpus-sized probe sets use " +
+        "nearDuplicates/lshCandidates instead")
+    val probeSh = probes.select(col(probeIdCol),
+      explode(shingleIdsOf(col(probeTextCol), shingleLen)).as("__sh"))
+    val probeSizes = probeSh.groupBy(col(probeIdCol))
+      .agg(count(lit(1)).as("__total"))
+    val corpusSh = corpus.select(col(corpusIdCol),
+      explode(shingleIdsOf(col(corpusTextCol), shingleLen)).as("__sh"))
+    corpusSh
+      .join(broadcast(probeSh), "__sh")
+      .groupBy(col(probeIdCol), col(corpusIdCol))
+      .agg(count(lit(1)).as("__shared"))
+      .join(broadcast(probeSizes), probeIdCol)
+      .select(col(probeIdCol), col(corpusIdCol),
+        round(col("__shared").cast("double") / col("__total"), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy(col(probeIdCol), col("containment").desc, col(corpusIdCol))
+  }
+
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
     * cross join: TEST SCALE ONLY, never the production path.
     */

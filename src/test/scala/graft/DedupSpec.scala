@@ -144,6 +144,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("containmentJoin: asymmetric leakage — embedded probe scores 1.0 " +
+      "where Jaccard would vanish; disjoint probes stay silent") {
+    val corpus = Seq(
+      (10L, "a very long training document that happens to contain the " +
+        "quick brown fox jumps over the lazy dog somewhere in its middle " +
+        "among many other unrelated words and sentences entirely"),
+      (11L, "the quick brown fox leaps over the lazy dog"),
+      (12L, "completely unrelated content about spark engines")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "nothing here overlaps with anything at all")
+    ).toDF("probe_id", "text")
+    val got = Dedup.containmentJoin(corpus, "doc_id", "text",
+        probes, "probe_id", "text", shingleLen = 3, minContainment = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every 3-shingle of probe 0 appears in doc 10 → containment 1.0,
+    // though Jaccard(probe0, doc10) is tiny (long doc)
+    assert(got((0L, 10L)) === 1.0, s"embedded probe must score 1.0: $got")
+    assert(got.contains((0L, 11L)) && got((0L, 11L)) < 1.0)
+    assert(!got.keySet.exists(_._1 == 1L), "disjoint probe must match nothing")
+    // oversized probe side fails loudly (broadcast guard)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentJoin(corpus, "doc_id", "text", probes, "probe_id",
+        "text", maxProbes = 1)
+    }
+    assert(e.getMessage.contains("maxProbes"))
+  }
+
   test("connectedComponents: transitive chains collapse to the min id") {
     // two components: a path 1-2, 2-3, 3-4 (1~4 never emitted) and a
     // pair 10-11; node 99 never paired → absent from the mapping
