@@ -1,0 +1,106 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
+
+/** Fused IVF-PQ residual encoder: (vector, cluster_id) → the m
+  * one-byte PQ codes of (v − centroid[cluster]) — or of
+  * (v/‖v‖ − centroid) for a spherical index — in ONE codegen pass.
+  * Replaces the two-stage typed-map pipeline (residual map →
+  * serialized 64-double array per row → encode map) that paid an
+  * object-codec round trip for every corpus row in `ivfPqBuild` /
+  * `ivfPqAppend`. The centroid matrix and codebooks ride into the
+  * generated class as reference objects.
+  *
+  * Null semantics (identical to residualFrame ∘ pqEncodeWithCluster,
+  * pinned by the unchanged ann_ivfpq* oracles): null vector, cluster
+  * out of range, dimension mismatch, or (spherical) zero-norm vector
+  * → NULL codes, which every ADC scan skips.
+  */
+case class PqEncodeResidual(left: Expression, right: Expression,
+    centers: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+    normalizeFirst: Boolean) extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_residual needs (array<float|double>, int), got $other")
+    }
+
+  @transient private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private val m = codebooks.length
+  private val subDim = if (m == 0) 0 else codebooks(0)(0).length
+
+  override def eval(input: InternalRow): Any = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    if (v == null || c == null) null
+    else compute(v.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+  }
+
+  def compute(arr: ArrayData, cl: Int): Array[Byte] = {
+    if (arr == null || cl < 0 || cl >= centers.length) return null
+    val ctr = centers(cl)
+    val n = arr.numElements()
+    if (n != ctr.length || n != m * subDim) return null
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    if (normalizeFirst) {
+      val nrm = math.sqrt(graft.operators.Knn.dotKernel(v, v))
+      if (nrm == 0.0 || nrm.isNaN) return null
+      i = 0
+      while (i < n) { v(i) = v(i) / nrm; i += 1 }
+    }
+    i = 0
+    while (i < n) { v(i) = v(i) - ctr(i); i += 1 }
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var k = 0
+        while (k < subDim) {
+          val t = v(j * subDim + k) - cb(c)(k); d += t * t; k += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = (best - 128).toByte
+      j += 1
+    }
+    codes
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncodeKernel", this, classOf[PqEncodeResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"""${ev.value} = $self.compute($v, $c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncodeResidual =
+    copy(left = newLeft, right = newRight)
+}

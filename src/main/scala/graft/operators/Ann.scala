@@ -493,26 +493,22 @@ object Ann {
       .toDF(idCol, "pq_codes")
   }
 
-  /** [[pqEncode]] carrying `cluster_id` through the kernel (ADVICE r5
-    * / VERDICT r6 #6): the residual frame already holds the
-    * assignment, so the IVF-PQ builder needs no corpus-sized re-join
-    * to recover it after encoding.
+  /** Fused residual-encode projection (ADVICE r5 / VERDICT r6 #6 +
+    * r7): (id, cluster_id, pq_codes) straight off the ASSIGNED frame —
+    * one codegen expression computes residual + codes per row, no
+    * join, no object codec, no intermediate serialized residual
+    * arrays. See [[graft.functions.expressions.PqEncodeResidual]].
     */
-  private def pqEncodeWithCluster(residuals: DataFrame, idCol: String,
-      vecCol: String, model: PqModel): DataFrame = {
-    val spark = residuals.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    residuals
-      .select(col(idCol).cast("long"), col("cluster_id").cast("int"),
-        col(vecCol).cast("array<double>"))
-      .as[(Long, Int, Array[Double])]
-      .mapPartitions { it =>
-        val mdl = bc.value
-        it.map { case (id, cl, v) => (id, cl, encodeOne(mdl, v)) }
-      }
-      .toDF(idCol, "cluster_id", "pq_codes")
-  }
+  private def pqEncodeResiduals(assigned: DataFrame, idCol: String,
+      vecCol: String, centers: Array[Array[Double]], pq: PqModel,
+      normalizeFirst: Boolean): DataFrame =
+    assigned.select(col(idCol).cast("long").as(idCol),
+      col("cluster_id").cast("int").as("cluster_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.PqEncodeResidual(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)),
+          org.apache.spark.sql.GraftBridge.expression(col("cluster_id").cast("int")),
+          centers, pq.codebooks, normalizeFirst)).as("pq_codes"))
 
   /** Shared single-vector PQ encoder (null/dim-mismatch → null codes). */
   private def encodeOne(mdl: PqModel, v: Array[Double]): Array[Byte] =
@@ -702,7 +698,8 @@ object Ann {
       normalizeFirst = metric == "cosine")
     val pqModel = pqTrain(residuals, "__residual", m, ksub, seed,
       maxSample, pqIters, orderCol = idCol)
-    val encoded = pqEncodeWithCluster(residuals, idCol, "__residual", pqModel)
+    val encoded = pqEncodeResiduals(assigned, idCol, vecCol, centers,
+      pqModel, normalizeFirst = metric == "cosine")
     (encoded, IvfPqModel(centers, pqModel, metric))
   }
 
@@ -792,9 +789,8 @@ object Ann {
     val assigned = assignWithCenters(
       newRows.select(col(idCol), col(vecCol)), vecCol,
       model.centers, model.metric)
-    val residuals = residualFrame(assigned, idCol, vecCol, model.centers,
+    pqEncodeResiduals(assigned, idCol, vecCol, model.centers, model.pq,
       normalizeFirst = model.metric == "cosine")
-    pqEncodeWithCluster(residuals, idCol, "__residual", model.pq)
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
