@@ -144,13 +144,17 @@ object TextRank {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = tf.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // idf folds into the TINY term frame before the broadcast, so the
+    // corpus path carries only equi-joins (no nested-loop node ever
+    // touches a corpus-sized relation — plan-pinned)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .crossJoin(nDocs)
+      .select(col("term"),
+        log(col("n_docs").cast("double") / col("df")).as("idf"))
     val weighted = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(nDocs))
-      .select(col(idCol), col("term"),
-        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .join(broadcast(idf), "term")
+      .select(col(idCol), col("term"), (col("tf") * col("idf")).as("w"))
     // per-doc L2 norm: fold w² in sorted term order (bit-deterministic)
     val norms = weighted
       .groupBy(col(idCol))

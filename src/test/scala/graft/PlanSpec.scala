@@ -166,4 +166,24 @@ class PlanSpec extends SparkSpec {
     val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("label"), s"label filter must reach the scan: $pushed")
   }
+
+  test("text_sim_join generates pairs by term aggregation — no doc×doc product") {
+    val p = plan("text_sim_join")
+    assert(!p.contains("CartesianProduct"),
+      "inverted-index pair generation must never cross-product docs")
+    // idf folds into the tiny term frame before broadcast: the corpus
+    // path is equi-joins only (the 1-row n_docs crossJoin lives inside
+    // the broadcast-side build, where AQE plans it as a broadcast NLJ
+    // over ≤vocab-size rows, never over the corpus)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the idf join must broadcast:\n${p.take(900)}")
+  }
+
+  test("text_contamination broadcasts the probe shingles — corpus side never shuffles for the join") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("SortMergeJoin"),
+      "the shingle join must be broadcast, not a corpus shuffle")
+  }
 }
