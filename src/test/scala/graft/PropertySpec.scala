@@ -118,4 +118,80 @@ class PropertySpec extends AnyFunSuite {
       if (r.getInt(3) > 0) assert(r.getDouble(2) === 1.0)
     }
   }
+
+  test("ShingleIds kernel ≡ declarative pipeline on RANDOM text (sampled)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // adversarial alphabet: unicode uppercase, runs of spaces, empties,
+    // punctuation — anything the lowercase/split/filter chain touches
+    val tokenGen = Gen.oneOf(
+      Gen.identifier, Gen.const(""), Gen.const("ÜBER"), Gen.const("Straße"),
+      Gen.const("a.b,c"), Gen.const("ΛΟΓΟΣ"), Gen.const("x"))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" ")).flatMap(t =>
+      Gen.oneOf(t, "  " + t + "   ", t.toUpperCase(java.util.Locale.ROOT)))
+    val texts = Gen.listOfN(60, textGen).sample.get
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.toDF("t")
+      val rows = df.select(
+          array_sort(Dedup.shingleIdsOf($"t", n)).as("k"),
+          array_sort(Dedup.shingleIds(
+            graft.functions.TextFunctions.wordShingles($"t", n))).as("d"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"kernel/declarative divergence at n=$n for text '$t'")
+      }
+    }
+  }
+
+  test("MinhashBandBuckets kernel ≡ declarative banding on RANDOM id arrays (sampled)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val arrGen = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.toArray)
+    val arrs = Gen.listOfN(40, arrGen).sample.get
+    for ((k, bands) <- Seq((16, 8), (8, 8), (32, 4))) {
+      val r = k / bands
+      val df = arrs.toDF("sh")
+      val rows = df.select(
+          Dedup.bandBucketsOf($"sh", k, bands).as("kern"),
+          { val sig = Dedup.minhashSignature($"sh", k)
+            array((0 until bands).map(b =>
+              xxhash64(lit(b), slice(sig, b * r + 1, r))): _*).as("decl") })
+        .collect()
+      rows.foreach { row =>
+        assert(row.getSeq[Long](0) === row.getSeq[Long](1),
+          s"banding divergence at k=$k bands=$bands")
+      }
+    }
+  }
+
+  test("NearestCenter expression ≡ brute-force argmin on RANDOM vectors (sampled)") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val dim = 6
+    val centers = Gen.listOfN(5,
+        Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0)).map(_.toArray))
+      .sample.get.toArray
+    val vg = Gen.listOfN(dim, Gen.chooseNum(-10.0, 10.0)).map(_.toArray)
+    val vecs = Gen.listOfN(50, vg).sample.get :+ Array.fill(dim)(0.0)
+    for (metric <- Seq("l2", "cosine")) {
+      val dist = Knn.scalaDistance(metric)
+      val expect = vecs.map { v =>
+        var best = 0; var bestD = Double.PositiveInfinity
+        centers.indices.foreach { i =>
+          val d = dist(centers(i), v)
+          if (d < bestD) { bestD = d; best = i }
+        }
+        best
+      }
+      val got = vecs.toDF("v").select(
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.expressions.NearestCenter(
+              org.apache.spark.sql.GraftBridge.expression($"v"),
+              centers, metric)).as("c"))
+        .collect().map(_.getInt(0))
+      assert(got.toSeq === expect, s"metric=$metric")
+    }
+  }
 }
