@@ -54,9 +54,12 @@ object Bench {
     // VERDICT r6 #3: the driver records only the last ~2000 chars of
     // stdout; full-precision doubles pushed the line to ~2300 chars and
     // truncated the head (losing all ann_* figures two rounds running).
-    // 3-decimal rounding keeps the full 82-query line under ~1800 chars,
-    // and the total leads so it survives even if the tail shrinks.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // The tail must also hold sbt's "[info] " prefix and its final
+    // "[success] Total time: …" line (~85 chars), so the budget is
+    // ~1915: at 86 queries, 2-decimal rounding keeps the line ~1835
+    // with headroom for more queries; the total leads so it survives
+    // even if the tail shrinks.
+    def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
