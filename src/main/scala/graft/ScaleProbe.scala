@@ -228,6 +228,45 @@ object ScaleProbe {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
     }
 
+    // decontamination: 100 "benchmark" docs (the planted near-copies
+    // 99, 199, …, 9999 — each a one-token edit of its predecessor, the
+    // predecessor staying in the corpus) probed against the remaining
+    // ~200k corpus — broadcast probe shingles, one corpus-linear scan
+    time("containment_100_x_200k") {
+      Dedup.containmentJoin(
+        docs.filter(pmod($"doc_id", lit(100)) =!= 99), "doc_id", "text",
+        docs.filter(pmod($"doc_id", lit(100)) === 99 && $"doc_id" < 10000)
+          .select($"doc_id".as("probe_id"), $"text"),
+        "probe_id", "text", shingleLen = 3, minContainment = 0.5).count()
+    }
+
+    // tf-idf similarity join over a DIFFUSE vocabulary (2M terms →
+    // df ≈ 4): the inverted-index shape at its intended operating
+    // point — pairs ∝ Σ df² over kept terms, corpus-linear-ish; the
+    // planted near-copies surface as the top-cosine pairs
+    time("tfidf_sim_200k_diffuse") {
+      val wide = spark.range(nDoc).select($"id".as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(39)), i =>
+            concat(lit("w"), pmod(xxhash64(
+              when(pmod($"id", lit(100)) === 99 && i =!= 0, $"id" - 1).otherwise($"id"),
+              i), lit(2000000L))))).as("text"))
+      graft.operators.TextRank.tfidfSimJoin(wide, "doc_id", "text",
+        k = 100, maxDf = 50).count()
+    }
+
+    // batch BM25: 200 queries against the 200k-doc corpus — broadcast
+    // query terms, ONE corpus tokenize, bounded top-k per query
+    time("bm25_join_200k_x200") {
+      val queries = spark.range(200).select($"id".as("query_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(3)), i =>
+            concat(lit("w"), pmod(xxhash64($"id" * 37 + 11, i), lit(1000L)))))
+          .as("qtext"))
+      graft.operators.TextRank.bm25Join(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10).count()
+    }
+
     time("knnJoinCosine_1M_x200") {
       Knn.knnJoin(corpus, "vec_id", "embedding", qs, "query_id", "q_vec",
         k = 10, metric = "cosine", excludeSelf = true).count()
