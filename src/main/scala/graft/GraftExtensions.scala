@@ -58,5 +58,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so dedupe first.
     injectComposite(ext, "jaccard_sim", 2)(c =>
       Dedup.jaccard(array_distinct(c(0)), array_distinct(c(1))))
+    // the r7 one-pass kernels: distinct word-shingle ids and the
+    // SimHash fingerprint, with the n-gram length as a literal int
+    injectComposite(ext, "shingle_ids", 2)(c =>
+      Dedup.shingleIdsOf(c(0), literalInt(c(1), "shingle_ids")))
+    injectComposite(ext, "simhash_fp", 2)(c =>
+      Dedup.simhashFpOf(c(0), literalInt(c(1), "simhash_fp")))
   }
+
+  /** Extract a literal int argument (the kernel expressions take the
+    * n-gram length as a constructor parameter, not a child).
+    */
+  private def literalInt(c: Column, fn: String): Int =
+    GraftBridge.resolvableExpression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer n-gram length, got $other")
+    }
 }

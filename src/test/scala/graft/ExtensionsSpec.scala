@@ -56,6 +56,23 @@ class ExtensionsSpec extends SparkSpec {
       val r4 = s2.sql(
         "SELECT jaccard_sim(array('a','a','b'), array('b','b','c')) AS j").head()
       assert(r4.getDouble(0) === 0.333333) // {a,b} vs {b,c}, rounded
+      // r7 kernel expressions behind SQL names: set-identical shingle
+      // ids for bag-identical texts; stable SimHash fingerprints
+      val r5 = s2.sql(
+        """SELECT
+          |  array_sort(shingle_ids('The quick brown fox', 2)) =
+          |    array_sort(shingle_ids('the  QUICK brown fox', 2)) AS sh_eq,
+          |  size(shingle_ids('a b c d', 2)) AS n_sh,
+          |  simhash_fp('the quick brown fox', 3) =
+          |    simhash_fp('THE QUICK  BROWN FOX', 3) AS fp_eq
+          |""".stripMargin).head()
+      assert(r5.getBoolean(0), "case/space-normalized shingles must match")
+      assert(r5.getInt(1) === 3)
+      assert(r5.getBoolean(2), "fingerprint must normalize case/spacing")
+      // non-literal n fails loudly
+      val e = intercept[Exception](
+        s2.sql("SELECT shingle_ids('x', 1 + 1)").head())
+      assert(e.getMessage.contains("literal"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
