@@ -1612,15 +1612,23 @@ object SparkEntry {
     //     count (rsd = 2%), reported as an INT flag next to the exact,
     //     hash-stable columns.
     "q_distinct_approx" -> ((s, dir) => {
-      def ok(c: String) =
-        (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c)))
-          <= countDistinct(col(c)) * 0.05).cast("int")
-      Tables.lineitem(s, dir)
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          ok("l_partkey").as("approx_parts_ok"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          ok("l_suppkey").as("approx_supps_ok"))
+      // per column: deduplicate FIRST (one partial-aggregated
+      // shuffle), then plain count + HLL over the distinct values —
+      // no distinct-aggregate anywhere, so no Expand multiplying the
+      // fact table. HLL is duplicate-insensitive by construction, so
+      // the sketch over distinct values is bit-identical to the
+      // sketch over raw rows. The two 1-row frames cross-join.
+      // (The previous combined multi-distinct agg Expand-multiplied
+      // all of lineitem ×3 before its shuffle.)
+      def one(c: String, nName: String, okName: String) = {
+        val d = Tables.lineitem(s, dir).select(col(c)).distinct()
+        d.agg(
+          count(lit(1)).as(nName),
+          (abs(approx_count_distinct(col(c), 0.02) - count(lit(1)))
+            <= count(lit(1)) * 0.05).cast("int").as(okName))
+      }
+      one("l_partkey", "n_parts", "approx_parts_ok")
+        .crossJoin(one("l_suppkey", "n_supps", "approx_supps_ok"))
     }),
 
     // --- Window rank-per-group: 2 highest-value orders per CUSTOMER.
