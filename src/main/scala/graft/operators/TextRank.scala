@@ -127,7 +127,10 @@ object TextRank {
     *
     * Output: (id_a, id_b, cosine) for id_a < id_b, cosine > 0, rounded
     * to 6 decimals — totally ordered by (cosine desc, id_a, id_b),
-    * top `k` pairs. Cross-engine bit-determinism (the `text_sim_join`
+    * top `k` pairs. Per-group aggregation state is bounded by a
+    * document's distinct-term count (norms) and by a pair's
+    * shared-term count (dots) — both bounded by document length,
+    * never by corpus size. Cross-engine bit-determinism (the `text_sim_join`
     * gate is an exact DuckDB hash match): idf = ln(N/df) on exact
     * integer ratios, per-doc norms and per-pair dots are folded in
     * SORTED term order, and the division by norms happens once per

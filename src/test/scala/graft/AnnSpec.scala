@@ -559,6 +559,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqReadModel defaults to l2 for sidecars written before the " +
+      "metric column existed (disk back-compat)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 42, maxIter = 2)
+    val path = Files.createTempDirectory("graft_ivfpq_old").resolve("idx").toString
+    Ann.ivfPqWriteIndex(encoded, model, path)
+    // rewrite the _pq sidecar WITHOUT the metric column — the pre-r7
+    // on-disk format
+    val pq = spark.read.parquet(s"$path/_pq")
+      .select($"subspace", $"code", $"centroid")
+    pq.write.mode("overwrite").parquet(s"$path/_pq_old")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_pq"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/_pq_old"),
+      new org.apache.hadoop.fs.Path(s"$path/_pq"))
+    val back = Ann.ivfPqReadModel(spark, path)
+    assert(back.metric === "l2")
+    assert(back.pq.codebooks.flatten.flatten.toSeq ===
+      model.pq.codebooks.flatten.flatten.toSeq)
+  }
+
   test("spherical IVF-PQ: cosine disk lifecycle, probe-all ≡ exact cosine KNN " +
       "on a heterogeneous-norm corpus") {
     // scale each vector by a label-dependent factor: angular structure
