@@ -904,6 +904,31 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
     }),
 
+    // --- IVF-PQ probe against a PREBUILT layout (the ann_ivf_probe
+    //     precedent): the lifecycle gates above are BUILD-dominated
+    //     (profiled at sf0.1: KMeans-led build ~2.6 s vs write 0.6 /
+    //     model read 0.3 / probe 0.34), so this gate gives the READ
+    //     path — the number users pay per query against a living
+    //     index — its own benched figure. Build runs only when the
+    //     (count, content-fingerprint) stamp says the layout is stale;
+    //     probe-all keeps the result exact → the exact-KNN oracle.
+    "ann_ivfpq_probe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = gateIndexPath(dir, "ivfpq_probe_bench")
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+          nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
+        Ann.ivfPqWriteIndex(encoded, model, path)
+        gateIndexStamp(s, path, n, fp)
+      }
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Ann.ivfPqProbe(s, path, Ann.ivfPqReadModel(s, path), emb,
+        "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
+    }),
+
     // --- IVF-PQ incremental append (VERDICT r5 #9): build the
     //     compressed index WITHOUT vec_id < 10, grow it via
     //     ivfPqAppend (assignment + residual PQ encode against the
@@ -1762,6 +1787,9 @@ object SparkEntry {
     // grown-by-append IVF-PQ at probe-all must reproduce exact KNN
     // over the union
     "ann_ivfpq_append" -> knnOracle(
+      s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // the prebuilt-layout probe must reproduce exact KNN too
+    "ann_ivfpq_probe" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(
