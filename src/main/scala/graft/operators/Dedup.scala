@@ -498,6 +498,13 @@ object Dedup {
     sh.unpersist()
   }
 
+  /** True when `path` holds at least one committed index batch —
+    * i.e. [[appendNearDuplicates]] can probe it.
+    */
+  def nearDupIndexExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    committedDirs(spark, path.stripSuffix("/")).nonEmpty
+
   /** Incremental near-duplicate detection: find every near-dup pair
     * the arrival of `batch` CREATES — batch×corpus pairs against the
     * state saved at `path`, plus batch×batch pairs — then commit the

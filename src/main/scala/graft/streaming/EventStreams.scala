@@ -165,4 +165,51 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  // -------------------------------------------------------------
+  // Continuous near-duplicate detection (the living-corpus index,
+  // fed by a stream)
+  // -------------------------------------------------------------
+
+  /** Streaming twin of the incremental near-dup index
+    * ([[graft.operators.Dedup.appendNearDuplicates]]): every
+    * micro-batch of arriving documents probes the on-disk LSH index
+    * for the near-dup pairs its arrival CREATES (batch×corpus and
+    * batch×batch), writes them under `pairsOut/batch_id=<n>`, and
+    * commits its own shingles/buckets so later batches see it as
+    * corpus. `foreachBatch` is the Structured Streaming idiom for
+    * stateful-on-disk sinks; the micro-batch id doubles as the
+    * idempotent index token AND the pairs partition, so a replayed
+    * batch (at-least-once semantics after a crash) overwrites its own
+    * index commit and its own pairs directory instead of duplicating
+    * either — effectively-once on both outputs. Micro-batches run
+    * sequentially, satisfying the index's serialized-append contract.
+    *
+    * The accumulated pair set across all batches equals the BATCH
+    * all-pairs result on the union of arrived documents (every pair
+    * is created by exactly one arrival — StreamingSpec pins this
+    * against the brute-force Jaccard oracle). Start the returned
+    * writer with a checkpoint location; read results with
+    * `spark.read.parquet(pairsOut)`.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsOut: String, shingleLen: Int = 3,
+      numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      // bootstrap an empty base on first contact (a crash before the
+      // first commit leaves no committed batch, so the redo path
+      // re-bootstraps over the partial directory)
+      if (!Dedup.nearDupIndexExists(spark, indexPath))
+        Dedup.writeNearDupIndex(batch.limit(0), idCol, textCol, indexPath,
+          shingleLen, numHashes, bands)
+      val pairs = Dedup.appendNearDuplicates(batch, idCol, textCol,
+        indexPath, shingleLen, numHashes, bands, threshold, maxBucketSize,
+        batchToken = f"stream_$batchId%012d")
+      pairs.write.mode("overwrite")
+        .parquet(pairsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      ()
+    }
 }

@@ -156,4 +156,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.size === 300)
   }
+
+  test("streaming near-dup (foreachBatch over the incremental index): " +
+      "accumulated pairs == batch all-pairs Jaccard on the arrived union") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over a lazy dog"),
+      (2L, "completely different content about spark engines today"),
+      (3L, "the quick brown fox leaps over the lazy dog"),   // ~ 0, 1
+      (4L, "completely different content about spark engines tonight"), // ~ 2
+      (5L, "unrelated text mentioning nothing similar at all"))
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_stream")
+    val (idx, pairsOut, ckpt) = (s"$tmp/idx", s"$tmp/pairs", s"$tmp/ckpt")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.nearDupStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, pairsOut, shingleLen = 2, numHashes = 32, bands = 32,
+        threshold = 0.4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // three arrivals: pairs must surface whichever side arrives later
+    stream.addData(all.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(all.slice(2, 4): _*)
+    q.processAllAvailable()
+    stream.addData(all.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(pairsOut)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.jaccardPairsExact(
+        all.toDF("doc_id", "text"), "doc_id", "text",
+        shingleLen = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.exists { case (a, b) => a < 2 && b >= 2 },
+      "fixture must create cross-batch pairs")
+    assert(streamed === batch,
+      s"streamed $streamed != batch $batch")
+  }
 }
