@@ -929,6 +929,29 @@ object SparkEntry {
         "vec_id", "embedding", q, k = 5, nprobe = 8, rerankFactor = 32)
     }),
 
+    // --- Batch IVF-PQ probe (the 100 TB batch-query shape): N
+    //     queries served by ONE scan of the nprobe-pruned compressed
+    //     layout — per-query residual ADC tables broadcast, bounded
+    //     ADC heaps, exact float rerank on shortlist rows only.
+    //     Reuses the stamped prebuilt layout; probe-all + rerank
+    //     keeps the result exact → the exhaustive batch-KNN oracle.
+    "ann_ivfpq_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = gateIndexPath(dir, "ivfpq_probe_bench")
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+          nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
+        Ann.ivfPqWriteIndex(encoded, model, path)
+        gateIndexStamp(s, path, n, fp)
+      }
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      Ann.ivfPqProbeJoin(s, path, Ann.ivfPqReadModel(s, path), emb,
+        "vec_id", "embedding", qs, "query_id", "q_vec",
+        k = 3, nprobe = 8, rerankFactor = 32)
+    }),
+
     // --- IVF-PQ incremental append (VERDICT r5 #9): build the
     //     compressed index WITHOUT vec_id < 10, grow it via
     //     ivfPqAppend (assignment + residual PQ encode against the
@@ -1791,6 +1814,18 @@ object SparkEntry {
     // the prebuilt-layout probe must reproduce exact KNN too
     "ann_ivfpq_probe" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // batch compressed probe at probe-all ≡ exhaustive batch KNN
+    // (self-matches included: distance 0 in rank 1 proves the scan)
+    "ann_ivfpq_join" ->
+      """WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(list_distance(CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, CAST(rank AS INT) AS rank, distance FROM r
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),

@@ -884,6 +884,102 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch IVF-PQ probe — top-k per query against the COMPRESSED
+    * layout, the 100 TB batch-query shape: routing happens driver-side
+    * on the tiny centroid matrix; per-(query, probed-cluster) residual
+    * ADC tables are precomputed and broadcast (Q·nprobe·m·ksub
+    * doubles — the query side is guarded like every broadcast-collect
+    * operator here); ONE scan of the nprobe-pruned, 32×-compressed
+    * codes serves ALL queries with a bounded ADC heap per query
+    * (partitions×Q×L candidate rows max); shortlists rerank exactly
+    * on float vectors fetched for shortlist rows only, and the
+    * map-side-partial bounded top-k finishes. Spherical indexes
+    * (metric = "cosine" in the model) route angularly and rerank by
+    * cosine on the ORIGINAL vectors, exactly like [[ivfPqProbe]].
+    */
+  def ivfPqProbeJoin(spark: SparkSession, path: String, model: IvfPqModel,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nprobe: Int, rerankFactor: Int = 16,
+      maxQueries: Int = 65536): DataFrame = {
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    Knn.requireBroadcastable(qRows.length, maxQueries, "ivfPqProbeJoin")
+    val isCosine = model.metric == "cosine"
+    val m = model.pq.m
+    // per query: residual ADC table for each probed cluster (zero-norm
+    // cosine queries and dim mismatches probe nothing)
+    val qTables: Array[(Long, Map[Int, Array[Array[Double]]])] =
+      qRows.map { case (qid, qv) =>
+        val qEff =
+          if (qv == null || qv.length != model.pq.dim) null
+          else if (isCosine) normalizeKernel(qv)
+          else qv
+        if (qEff == null) (qid, Map.empty[Int, Array[Array[Double]]])
+        else (qid, nearestClusters(model.centers, qv, nprobe, model.metric)
+          .map { cl =>
+            val c = model.centers(cl)
+            val qr = new Array[Double](qEff.length)
+            var i = 0
+            while (i < qEff.length) { qr(i) = qEff(i) - c(i); i += 1 }
+            cl -> adcTables(model.pq, qr, "l2")._1
+          }.toMap)
+      }
+    val probed = qTables.flatMap(_._2.keys).distinct.toSeq
+    require(probed.nonEmpty, "ivfPqProbeJoin: no valid query probes any cluster")
+    val bc = spark.sparkContext.broadcast(qTables)
+    val L = k * rerankFactor
+    val candidates = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed: _*))
+      .select(col(idCol).cast("long"), col("cluster_id").cast("int"),
+        col("pq_codes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val qt = bc.value
+        val heaps = Array.fill(qt.length)(new Knn.BoundedPairHeap(L))
+        it.foreach { case (cid, cl, codes) =>
+          if (codes != null && codes.length == m) {
+            var qi = 0
+            while (qi < qt.length) {
+              val t = qt(qi)._2.getOrElse(cl, null)
+              if (t != null) {
+                var acc = 0.0
+                var j = 0
+                while (j < m) { acc += t(j)(codes(j) + 128); j += 1 }
+                heaps(qi).offer(acc, cid)
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (d, cid) => (qt(qi)._1, cid, d) }
+        }
+      }
+      .toDF(queryIdCol, idCol, "__adc")
+    // exact rerank on ORIGINAL floats for shortlist rows only — the
+    // same broadcast-candidates shape as annJoinCosine's rerank
+    val qById = spark.sparkContext.broadcast(qRows.toMap)
+    val reranked = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .join(broadcast(candidates.select(col(queryIdCol), col(idCol))), idCol)
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val byId = qById.value
+        val dist = Knn.scalaDistance(model.metric)
+        it.flatMap { case (cid, cvec, qid) =>
+          val qvec = byId(qid)
+          if (cvec != null && qvec != null && cvec.length == qvec.length)
+            Iterator.single((qid, cid, Knn.round6(dist(cvec, qvec))))
+          else Iterator.empty
+        }
+      }
+      .toDF(queryIdCol, idCol, "distance")
+    Knn.finishTopKPerGroup(reranked, queryIdCol, idCol, k)
+  }
+
   /** Sign random projection (Johnson–Lindenstrauss via Achlioptas'
     * ±1 matrix): out(j) = Σᵢ v(i)·s(i,j) / √outDim with
     * s(i,j) ∈ {±1} derived from a splitmix64 hash of (seed, i, j).

@@ -559,6 +559,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqProbeJoin: batch compressed probe ≡ exact batch KNN at " +
+      "probe-all, l2 AND cosine") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val qs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    for (metric <- Seq("l2", "cosine")) {
+      val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 32, seed = 42, maxIter = 2, metric = metric)
+      val path = Files.createTempDirectory(s"graft_ivfpq_join_$metric")
+        .resolve("idx").toString
+      Ann.ivfPqWriteIndex(encoded, model, path)
+      val got = Ann.ivfPqProbeJoin(spark, path, Ann.ivfPqReadModel(spark, path),
+          emb, "vec_id", "embedding", qs, "query_id", "q_vec",
+          k = 3, nprobe = 8, rerankFactor = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val exact = Knn.knnJoin(emb, "vec_id", "embedding", qs, "query_id",
+          "q_vec", k = 3, metric = metric)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(got.toSeq === exact.toSeq, s"metric=$metric")
+    }
+  }
+
   test("ivfPqReadModel defaults to l2 for sidecars written before the " +
       "metric column existed (disk back-compat)") {
     val emb = Tables.embeddings(spark, sf0001)
