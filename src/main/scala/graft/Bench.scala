@@ -65,6 +65,17 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // full-precision copy into the repo working tree: the stdout line
+    // is tail-capture-constrained (~1915 chars), the file is not — the
+    // round snapshot commits it, so per-query figures stay recoverable
+    // however many gates the suite grows
+    try {
+      val detail = results
+        .map { case (k, v) => s"""  "$k": $v""" }
+        .mkString(s"""{\n  "total_sec": $total,\n  "sf": "$sfName",\n""", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+    } catch { case _: Exception => () } // best-effort: never fail the bench
     spark.stop()
   }
 }
