@@ -505,6 +505,40 @@ object Dedup {
       path: String): Boolean =
     committedDirs(spark, path.stripSuffix("/")).nonEmpty
 
+  /** Compact a near-dup index: consolidate every committed batch into
+    * ONE base batch at a FRESH root — after many appends (a streamed
+    * corpus accrues one directory per micro-batch) the probe join
+    * reads that many small parquet dirs; compaction rewrites the
+    * union as a single batch with the bucket spine REPARTITIONED on
+    * (band, bucket), the probe join's key, so subsequent batch probes
+    * scan a clustered spine. Pure consolidation: stored shingles and
+    * buckets are COPIED, never recomputed — no tokenize, no banding,
+    * no dependence on remembering the original (numHashes, bands)
+    * config, and bucket values stay bit-identical by construction.
+    *
+    * Crash-safe by the same marker-last discipline as every batch
+    * write, applied at a NEW root: an incomplete compaction is an
+    * invisible directory; the source index is never touched. Callers
+    * swap paths once the call returns (the Maintenance.compact
+    * pattern) — compacting IN PLACE is unsupported because no
+    * marker-only protocol can atomically replace N committed dirs.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String): Unit = {
+    val root = path.stripSuffix("/")
+    val out = outPath.stripSuffix("/")
+    require(out != root, "compact to a FRESH root, then swap paths")
+    val sh = readCommitted(spark, root, "shingles")
+    val bk = readCommitted(spark, root, "buckets")
+    val fs = indexFs(spark, out)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val dir = s"$out/batches/base"
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    bk.repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+  }
+
   /** Incremental near-duplicate detection: find every near-dup pair
     * the arrival of `batch` CREATES — batch×corpus pairs against the
     * state saved at `path`, plus batch×batch pairs — then commit the

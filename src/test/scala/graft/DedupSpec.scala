@@ -324,6 +324,43 @@ class DedupSpec extends SparkSpec {
       s"only the non-degenerate pair may emit, got ${got.toSeq}")
   }
 
+  test("compactNearDupIndex: consolidated index probes identically, " +
+      "one batch dir instead of many") {
+    val base = Seq(
+      (10L, "completely different content about spark engines today"),
+      (11L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((20L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((30L, "unrelated text mentioning nothing similar at all"))
+      .toDF("doc_id", "text")
+    val probe = Seq((40L, "the quick brown fox leaps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val path = tmpIndex("neardup_compact_src")
+    Dedup.writeNearDupIndex(base, "doc_id", "text", path,
+      shingleLen = 2, numHashes = 32, bands = 32)
+    Dedup.appendNearDuplicates(b1, "doc_id", "text", path, shingleLen = 2,
+      numHashes = 32, bands = 32, threshold = 0.4, batchToken = "t1").count()
+    Dedup.appendNearDuplicates(b2, "doc_id", "text", path, shingleLen = 2,
+      numHashes = 32, bands = 32, threshold = 0.4, batchToken = "t2").count()
+    val out = tmpIndex("neardup_compact_out")
+    Dedup.compactNearDupIndex(spark, path, out)
+    // one batch dir after compaction, three before
+    def batchDirs(p: String) = new java.io.File(s"$p/batches")
+      .listFiles().count(_.isDirectory)
+    assert(batchDirs(path) === 3 && batchDirs(out) === 1)
+    // the probe finds the same pairs against either root
+    def pairsAt(p: String) = Dedup.appendNearDuplicates(probe, "doc_id",
+        "text", p, shingleLen = 2, numHashes = 32, bands = 32,
+        threshold = 0.4, batchToken = "probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fromCompact = pairsAt(out)
+    val fromOriginal = pairsAt(path)
+    assert(fromCompact === fromOriginal,
+      s"compacted $fromCompact != original $fromOriginal")
+    assert(fromCompact.nonEmpty, "fixture must produce probe pairs")
+  }
+
   test("internal caches are dropped on return (ADVICE r4): only the " +
       "materialized results stay resident") {
     // Force ContextCleaner backlog out of the way, then measure: each
