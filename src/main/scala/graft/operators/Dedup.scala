@@ -176,7 +176,10 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("__m"))
       // never a SILENT truncation (VERDICT r2): dropped member rows
       // are counted in-plan and logged post-action by the listener
-      .observe(s"graft.cap.$what",
+      // per-call unique metric name: two capped operators composed in
+      // ONE query would otherwise collide on the CollectMetrics name
+      // (AnalysisException); the listener matches on the prefix
+      .observe(s"graft.cap.$what.${capMetricSeq.incrementAndGet()}",
         sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
           .otherwise(0)).cast("long").as("dropped_rows"))
       .filter(size(col("__m")) <= maxBucketSize)
@@ -200,6 +203,8 @@ object Dedup {
     * [[simhashPairs]]). Weakly keyed so a stopped
     * session doesn't pin its listener registration forever.
     */
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val capListenerSessions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
@@ -791,7 +796,7 @@ object Dedup {
       .select(col(idCol), col("__fp"), posexplode(chunks).as(Seq("chunk", "val")))
       .groupBy(col("chunk"), col("val"))
       .agg(collect_list(struct(col(idCol), col("__fp"))).as("__m"))
-      .observe("graft.cap.simhashPairs",
+      .observe(s"graft.cap.simhashPairs.${capMetricSeq.incrementAndGet()}",
         sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
           .otherwise(0)).cast("long").as("dropped_rows"))
       .filter(size(col("__m")) <= maxBucketSize)

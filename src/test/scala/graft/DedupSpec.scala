@@ -324,6 +324,17 @@ class DedupSpec extends SparkSpec {
       s"only the non-degenerate pair may emit, got ${got.toSeq}")
   }
 
+  test("two capped operators compose in ONE query (per-call observe " +
+      "metric names — no CollectMetrics collision)") {
+    val a = Dedup.nearDuplicates(docs, "doc_id", "text",
+      numHashes = 32, bands = 32, threshold = 0.3)
+    val b = Dedup.nearDuplicates(docs, "doc_id", "text",
+      numHashes = 32, bands = 32, threshold = 0.3)
+    // a fixed metric name made this union throw "multiple definitions
+    // of observed metrics" at analysis
+    assert(a.unionByName(b).distinct().count() === a.count())
+  }
+
   test("compactNearDupIndex: consolidated index probes identically, " +
       "one batch dir instead of many") {
     val base = Seq(
