@@ -42,6 +42,25 @@ object Sources {
     sorted.write.mode("overwrite").parquet(outPath)
   }
 
+  /** ORC round trip — the second columnar at-rest format Spark ships
+    * natively (warehouses that standardized on Hive/ORC hand data over
+    * in it; everything downstream here is format-agnostic once read).
+    * Same write discipline as [[ingestParquet]]: optional repartition
+    * to a target file count and within-partition sort for row-group
+    * locality; ORC gets the same predicate pushdown / column pruning
+    * treatment from the datasource V2 scan as parquet (PushedFilters
+    * in .explain).
+    */
+  def ingestOrc(df: DataFrame, outPath: String, sortCol: Option[String] = None,
+      numFiles: Option[Int] = None): Unit = {
+    val repart = numFiles.map(df.repartition).getOrElse(df)
+    val sorted = sortCol.map(repart.sortWithinPartitions(_)).getOrElse(repart)
+    sorted.write.mode("overwrite").orc(outPath)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV ingest with an EXPLICIT schema — the delimited-file front
     * door (the reference restores a SQL dump; flat files arrive as
     * CSV/TSV in practice). Schema inference is refused for the same

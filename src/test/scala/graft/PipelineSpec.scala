@@ -110,6 +110,22 @@ class PipelineSpec extends SparkSpec {
       src.agg(sum("doc_id")).head().getLong(0))
   }
 
+  test("ORC ingest round-trip: content intact, filters pushed to the scan") {
+    val tmp = Files.createTempDirectory("graft_orc")
+    val src = Tables.documents(spark, sf0001)
+    Sources.ingestOrc(src, tmp.resolve("docs").toString,
+      sortCol = Some("doc_id"), numFiles = Some(2))
+    val back = Sources.readOrc(spark, tmp.resolve("docs").toString)
+    assert(back.count() === src.count())
+    assert(back.agg(sum("doc_id")).head().getLong(0) ===
+      src.agg(sum("doc_id")).head().getLong(0))
+    // ORC gets the same pushdown treatment as parquet
+    val plan = back.filter(col("doc_id") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"expected pushed filter on the ORC scan:\n${plan.take(600)}")
+  }
+
   test("S2 catalog probe: present and absent tables") {
     assert(Tables.tableExists(spark, sf0001, "lineitem"))
     assert(!Tables.tableExists(spark, sf0001, "nope_nothing"))
