@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // so dedupe first.
     injectComposite(ext, "jaccard_sim", 2)(c =>
       Dedup.jaccard(array_distinct(c(0)), array_distinct(c(1))))
+    injectComposite(ext, "normalize_text", 1)(c =>
+      TextFunctions.normalizeText(c.head))
     // the r7 one-pass kernels: distinct word-shingle ids and the
     // SimHash fingerprint, with the n-gram length as a literal int
     injectComposite(ext, "shingle_ids", 2)(c =>

@@ -18,6 +18,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), " "), t => length(t) > 0)
 
+  /** Unicode canonicalization (NFC + lowercase + whitespace collapse)
+    * for mixed-provenance corpora — run upstream of shingling /
+    * fingerprinting so composed and decomposed encodings of the same
+    * text dedup together. See
+    * [[graft.functions.expressions.NormalizeText]].
+    */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.NormalizeText(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

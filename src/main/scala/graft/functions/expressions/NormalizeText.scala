@@ -1,0 +1,67 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode-robust text canonicalization for dedup preprocessing:
+  * NFC-normalize (composed form), lowercase, collapse whitespace runs
+  * to single spaces, trim. Multilingual corpora mix composed ("é",
+  * U+00E9) and decomposed ("e" + U+0301) encodings of the SAME text —
+  * byte-level shingle ids treat them as different documents, so
+  * near-dup recall silently drops on exactly the pairs a multilingual
+  * pipeline most needs. Run this upstream of [[ShingleIds]] /
+  * [[SimhashFp]] / `Dedup.contentKey` when provenance is mixed.
+  *
+  * Lowercase uses `UTF8String.toLowerCase` (what `lower()` evaluates —
+  * locale-independent), applied AFTER NFC so case folding sees
+  * composed code points. Whitespace collapse spans Unicode space
+  * separators and ASCII control whitespace (`\\s` + U+00A0/U+2007/…
+  * via `Character.isWhitespace` ∪ `isSpaceChar`), so NBSP-padded web
+  * text canonicalizes like space-padded text. Null in → null out.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "normalize_text"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"normalize_text needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString,
+      java.text.Normalizer.Form.NFC)
+    val lowered = UTF8String.fromString(nfc).toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if (Character.isWhitespace(c) || Character.isSpaceChar(c)) {
+        pendingSpace = sb.length() > 0
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("normalizeTextKernel", this, classOf[NormalizeText].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}

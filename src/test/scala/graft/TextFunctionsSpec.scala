@@ -83,6 +83,27 @@ class TextFunctionsSpec extends SparkSpec {
       one[Double](TextFunctions.qualityScore(col("t")), noise))
   }
 
+  test("normalizeText: composed ≡ decomposed unicode, NBSP/whitespace " +
+      "runs collapse, case folds — so mixed-provenance near-dups shingle together") {
+    val composed = "Caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "Cafe\u0301  re\u0301sume\u0301" // combining acute, double space
+    val nbsp = "caf\u00e9\u00a0r\u00e9sum\u00e9 "    // NBSP + trailing space
+    def norm(x: String) = one[String](TextFunctions.normalizeText(col("t")), x)
+    assert(norm(composed) === "caf\u00e9 r\u00e9sum\u00e9")
+    assert(norm(decomposed) === norm(composed),
+      "decomposed and composed encodings must canonicalize identically")
+    assert(norm(nbsp) === norm(composed), "NBSP must collapse like space")
+    assert(norm("") === "" && one[String](
+      TextFunctions.normalizeText(col("t")), "  a  ") === "a")
+    // the dedup path: shingle ids over normalized text now agree
+    val ids = Seq(composed, decomposed).toDF("t")
+      .select(array_sort(graft.operators.Dedup.shingleIdsOf(
+        TextFunctions.normalizeText(col("t")), 2)).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(ids(0) === ids(1),
+      "normalized shingle ids must match across encodings")
+  }
+
   test("tfidfSimJoin: identical-bag pair scores cosine 1.0, overlapping " +
       "pair ranks above disjoint; df cap prunes ubiquitous terms") {
     val docs = Seq(
