@@ -686,6 +686,73 @@ object Dedup {
       .orderBy(col(probeIdCol), col("containment").desc, col(corpusIdCol))
   }
 
+  /** Fuzzy (edit-distance) duplicate pairs over SHORT strings —
+    * titles, names, source labels: the character-level family member
+    * (MinHash/SimHash are token-level and blind to single-character
+    * typos in short fields; entity resolution needs Levenshtein).
+    *
+    * Scale shape — classic blocking, never all-pairs: candidates are
+    * pairs agreeing on a BLOCK KEY = (length bucket, first
+    * `prefixLen` normalized chars). Two strings within edit distance
+    * d differ in length by ≤ d, so comparing only same-bucket and
+    * adjacent-bucket lengths (bucket width = maxDistance) never loses
+    * a true pair ON LENGTH; the prefix block is the standard
+    * recall/cost trade (a typo INSIDE the prefix escapes the block —
+    * documented, like every blocking scheme). Verification is Spark's
+    * built-in `levenshtein` on the candidate pairs only; the same
+    * grouped in-bucket expansion as the LSH candidates bounds each
+    * block at `maxBlockSize` rows (over-cap blocks drop loudly via
+    * the observe metric).
+    *
+    * Output: (id_a, id_b, distance ≤ maxDistance), id_a < id_b,
+    * totally ordered. Comparison is on `normalizeText(strCol)` —
+    * case/whitespace/unicode-encoding differences don't count as
+    * edits.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDistance: Int = 2, prefixLen: Int = 2,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    ensureCapListener(df.sparkSession)
+    val norm = df.select(col(idCol),
+      TextFunctions.normalizeText(col(strCol)).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0)
+    // each row lands in its own length bucket AND the next one, so two
+    // rows within maxDistance of each other in length always share at
+    // least one bucket (width = maxDistance)
+    val bucketed = norm
+      .select(col(idCol), col("__s"),
+        (length(col("__s")) / maxDistance).cast("int").as("__lb"),
+        substring(col("__s"), 1, prefixLen).as("__px"))
+    val blocks = bucketed
+      .select(col(idCol), col("__s"), col("__px"),
+        explode(array(col("__lb"), col("__lb") + 1)).as("__lb"))
+      .groupBy(col("__lb"), col("__px"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("__s").as("s"))).as("__m"))
+      .observe(s"graft.cap.fuzzyPairs.${capMetricSeq.incrementAndGet()}",
+        sum(when(size(col("__m")) > maxBlockSize, size(col("__m")))
+          .otherwise(0)).cast("long").as("dropped_rows"))
+      .filter(size(col("__m")) <= maxBlockSize)
+    blocks
+      .select(explode(flatten(transform(col("__m"), (x, i) =>
+        transform(slice(col("__m"), i + lit(2),
+            greatest(size(col("__m")) - i - 1, lit(0))),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            // thresholded form: early-exits the DP and returns -1
+            // past maxDistance (hence the >= 0 filter below)
+            levenshtein(x.getField("s"), y.getField("s"), maxDistance)
+              .as("distance"))))))
+        .as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.distance").as("distance"))
+      .filter(col("distance") <= maxDistance && col("distance") >= 0)
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
     * cross join: TEST SCALE ONLY, never the production path.
     */

@@ -324,6 +324,38 @@ class DedupSpec extends SparkSpec {
       s"only the non-degenerate pair may emit, got ${got.toSeq}")
   }
 
+  test("fuzzyPairs: blocked levenshtein finds typo-distance pairs across " +
+      "length buckets; normalization folds case/unicode; no all-pairs") {
+    val rows = Seq(
+      (0L, "Apache Spark"),
+      (1L, "apache spark"),        // case only → distance 0
+      (2L, "Apache Sparc"),        // 1 edit
+      (3L, "Apache Sparkle"),      // 2 edits (insert 2) — length bucket boundary
+      (4L, "apaXhe spark"),        // 1 edit inside the doc, outside prefix
+      (5L, "Zpache Spark"),        // 1 edit INSIDE the prefix → blocked away
+      (6L, "completely different thing")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(rows, "doc_id", "text",
+        maxDistance = 2, prefixLen = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got((0L, 1L)) === 0, "case-only difference is distance 0 post-normalize")
+    assert(got((0L, 2L)) === 1 && got((0L, 4L)) === 1)
+    assert(got((0L, 3L)) === 2, "cross-length-bucket pair must survive blocking")
+    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L },
+      "prefix-block escape is the documented recall trade")
+    assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L })
+    // exhaustive twin on the blocked-reachable pairs: every emitted
+    // distance equals the unblocked levenshtein
+    val norm = rows.select($"doc_id",
+      graft.functions.TextFunctions.normalizeText($"text").as("s"))
+    val brute = norm.as("a").crossJoin(norm.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    got.foreach { case (pair, d) => assert(brute(pair) === d, s"pair $pair") }
+  }
+
   test("two capped operators compose in ONE query (per-call observe " +
       "metric names — no CollectMetrics collision)") {
     val a = Dedup.nearDuplicates(docs, "doc_id", "text",
