@@ -255,6 +255,27 @@ object ScaleProbe {
         k = 100, maxDf = 50).count()
     }
 
+    // fuzzy dedup: 200k short strings (titles), every 100th a
+    // one-character edit of its predecessor — blocking must find the
+    // planted 2k pairs without an all-pairs comparison
+    time("fuzzy_pairs_200k") {
+      val titles = spark.range(nDoc).select($"id".as("doc_id"),
+        concat(
+          concat_ws(" ",
+            transform(sequence(lit(0), lit(3)), i =>
+              concat(lit("w"), pmod(xxhash64(
+                when(pmod($"id", lit(100)) === 99, $"id" - 1).otherwise($"id"),
+                i), lit(50000L))))),
+          // the planted near-copy appends one char — edit distance 1
+          when(pmod($"id", lit(100)) === 99, lit("x")).otherwise(lit("")))
+          .as("text"))
+      // prefixLen must split finer than the corpus' shared prefixes
+      // or blocks blow the cap and drop (loudly — the observe metric
+      // warned at prefixLen=2, where "w"+digit gave 10 blocks)
+      Dedup.fuzzyPairs(titles, "doc_id", "text", maxDistance = 2,
+        prefixLen = 6).count()
+    }
+
     // batch BM25: 200 queries against the 200k-doc corpus — broadcast
     // query terms, ONE corpus tokenize, bounded top-k per query
     time("bm25_join_200k_x200") {
