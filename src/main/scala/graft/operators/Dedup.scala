@@ -8,7 +8,13 @@ import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north-star brief): exact content dedup, MinHash+LSH near-dedup on
-  * word shingles, SimHash fingerprints, and exact n-gram Jaccard.
+  * word shingles (one-shot and as an incremental on-disk index with
+  * append/compact lifecycle — see also the streaming twin,
+  * `EventStreams.nearDupStream`), SimHash fingerprints, exact n-gram
+  * Jaccard, fuzzy edit-distance pairs over short strings
+  * ([[fuzzyPairs]]), and the decontamination containment join
+  * ([[containmentJoin]]). Mixed-provenance corpora should
+  * canonicalize text first (`TextFunctions.normalizeText`).
   *
   * Scale design:
   *  - exact dedup is one hash-partitioned shuffle on the content key
