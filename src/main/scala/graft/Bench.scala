@@ -18,6 +18,11 @@ import org.apache.spark.sql.SparkSession
   *    observed steady state — because single-run numbers on a shared
   *    machine carry up to 2× scheduler/GC noise (observed across
   *    back-to-back bench invocations).
+  *
+  * Output line format (VERDICT r7 #1 — tail-budget compaction): the
+  * total is a float in seconds; per-query figures are parallel arrays
+  * `q` (sorted names) and `t_cs` (integer centiseconds, -1 = failed).
+  * Full-precision per-query seconds land in BENCH_DETAIL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,20 +56,24 @@ object Bench {
           name -> -1.0
       }
     }
-    // VERDICT r6 #3: the driver records only the last ~2000 chars of
-    // stdout; full-precision doubles pushed the line to ~2300 chars and
-    // truncated the head (losing all ann_* figures two rounds running).
-    // The tail must also hold sbt's "[info] " prefix and its final
-    // "[success] Total time: …" line (~85 chars), so the budget is
-    // ~1915: at 86 queries, 2-decimal rounding keeps the line ~1835
-    // with headroom for more queries; the total leads so it survives
-    // even if the tail shrinks.
+    // VERDICT r6 #3 / r7 #1: the driver records only the last ~2000
+    // chars of stdout (minus sbt's "[info] " prefix and its trailing
+    // "[success] Total time: …" line, ~85 chars → ~1915 budget). The
+    // 2-decimal per-query MAP hit ~1880 at 88 queries — zero headroom
+    // for new gates — so per VERDICT r7 task #1 the per-query figures
+    // are PARALLEL ARRAYS: `q` holds the sorted query names, `t_cs[i]`
+    // the steady-state time of q[i] in integer CENTISECONDS (the 2-3
+    // digit int is what buys the space; -1 = query failed). ~1720
+    // chars at 88 queries. The headline total stays a float in
+    // seconds and PRINTS FIRST so it survives any truncation;
+    // BENCH_DETAIL.json (committed) carries full-precision seconds.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val names = results.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val times = results.map { case (_, v) =>
+      if (v < 0) "-1" else math.round(v * 100).toString }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","q":$names,"t_cs":$times}""")
     // full-precision copy into the repo working tree: the stdout line
     // is tail-capture-constrained (~1915 chars), the file is not — the
     // round snapshot commits it, so per-query figures stay recoverable

@@ -269,11 +269,11 @@ object ScaleProbe {
           // the planted near-copy appends one char — edit distance 1
           when(pmod($"id", lit(100)) === 99, lit("x")).otherwise(lit("")))
           .as("text"))
-      // prefixLen must split finer than the corpus' shared prefixes
-      // or blocks blow the cap and drop (loudly — the observe metric
-      // warned at prefixLen=2, where "w"+digit gave 10 blocks)
-      Dedup.fuzzyPairs(titles, "doc_id", "text", maxDistance = 2,
-        prefixLen = 6).count()
+      // AUTO prefixLen (r8 default): the occupancy probe must derive a
+      // prefix finer than the corpus' shared "w"+digit heads — the
+      // regime where the old fixed prefixLen=2 collapsed recall (10
+      // blocks, all over cap, all dropped loudly)
+      Dedup.fuzzyPairs(titles, "doc_id", "text", maxDistance = 2).count()
     }
 
     // batch BM25: 200 queries against the 200k-doc corpus — broadcast

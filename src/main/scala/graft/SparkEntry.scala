@@ -67,14 +67,18 @@ object SparkEntry {
     * regenerated fixture with EQUAL row count but different vectors
     * previously served a stale index to bench and oracle). The
     * fingerprint is the bit-XOR of xxhash64(id, vec) over a
-    * deterministic ~1% id sample: order-independent, overflow-free
-    * under ANSI, one aggregation job shared with the count.
+    * deterministic ~1% sample keyed on xxhash64(id) — NOT on raw id
+    * arithmetic (ADVICE r7: an `id % 97` sample is correlated with the
+    * fixture's id layout, so an id-structured regeneration could fall
+    * entirely outside the sampled rows) — order-independent,
+    * overflow-free under ANSI, one aggregation job shared with the
+    * count.
     */
   private[graft] def gateSourceStats(df: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String): (Long, Long) = {
     val row = df.agg(
       count(lit(1)),
-      coalesce(bit_xor(when(col(idCol) % 97 === 0,
+      coalesce(bit_xor(when(pmod(xxhash64(col(idCol)), lit(97)) === 0,
         xxhash64(col(idCol), col(vecCol)))), lit(0L))).head()
     (row.getLong(0), row.getLong(1))
   }

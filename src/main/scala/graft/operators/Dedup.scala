@@ -196,6 +196,11 @@ object Dedup {
           y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b"))))))
         .as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      // duplicate-id input rows would otherwise surface as (id, id)
+      // self-pairs: the grouped expansion's least/greatest normalizes
+      // by list POSITION, not by the strict a.id < b.id the old
+      // self-join had (ADVICE r7) — fuzzyPairs guards identically
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
   }
 
@@ -533,14 +538,29 @@ object Dedup {
     * swap paths once the call returns (the Maintenance.compact
     * pattern) — compacting IN PLACE is unsupported because no
     * marker-only protocol can atomically replace N committed dirs.
+    *
+    * RETRY-TOKEN INVALIDATION (ADVICE r7): folding batches into token
+    * `base` erases [[appendNearDuplicates]]' exclude-own-token
+    * idempotency for those batches — a replay of a pre-compaction
+    * token against the compacted root sees its own prior rows as
+    * corpus and double-emits that batch's pairs. Compact only after
+    * every in-flight or replayable batch (including a stopped
+    * stream's last checkpointed micro-batch) is durably committed and
+    * will not be retried; `keepTokens` exempts tokens that may still
+    * replay (the streaming auto-compactor keeps the latest micro-batch
+    * token for exactly this reason).
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, outPath: String): Unit = {
+      path: String, outPath: String,
+      keepTokens: Set[String] = Set.empty): Unit = {
     val root = path.stripSuffix("/")
     val out = outPath.stripSuffix("/")
     require(out != root, "compact to a FRESH root, then swap paths")
-    val sh = readCommitted(spark, root, "shingles")
-    val bk = readCommitted(spark, root, "buckets")
+    val all = committedDirs(spark, root)
+    val (kept, folded) = all.partition(d => keepTokens.exists(t => d.endsWith("/" + t)))
+    require(folded.nonEmpty, s"no committed batches to fold under $root")
+    val sh = spark.read.parquet(folded.map(_ + "/shingles"): _*)
+    val bk = spark.read.parquet(folded.map(_ + "/buckets"): _*)
     val fs = indexFs(spark, out)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     val dir = s"$out/batches/base"
@@ -548,6 +568,16 @@ object Dedup {
     bk.repartition(col("band"), col("bucket"))
       .write.mode("overwrite").parquet(s"$dir/buckets")
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+    // replay-exempt batches copy through under their OWN tokens, so
+    // appendNearDuplicates' exclude-own-token idempotency still works
+    // for them at the new root (marker-last per copied batch)
+    kept.foreach { d =>
+      val token = d.substring(d.lastIndexOf('/') + 1)
+      val kd = s"$out/batches/$token"
+      spark.read.parquet(s"$d/shingles").write.mode("overwrite").parquet(s"$kd/shingles")
+      spark.read.parquet(s"$d/buckets").write.mode("overwrite").parquet(s"$kd/buckets")
+      fs.create(new org.apache.hadoop.fs.Path(s"$kd/_COMMITTED"), true).close()
+    }
   }
 
   /** Incremental near-duplicate detection: find every near-dup pair
@@ -710,26 +740,41 @@ object Dedup {
     * block at `maxBlockSize` rows (over-cap blocks drop loudly via
     * the observe metric).
     *
+    * `prefixLen = 0` (the default) DERIVES the prefix length from the
+    * data (VERDICT r7 #3: a FIXED short default degenerates on any
+    * corpus with shared prefixes — every block blows the cap and
+    * drops, collapsing recall loudly-but-completely): one bounded
+    * probe aggregation measures the max block occupancy at a ladder of
+    * candidate lengths and picks the SHORTEST whose largest block fits
+    * `maxBlockSize` — shortest = fewest prefix-typo escapes, i.e. max
+    * recall subject to no drops. The probe is one eager job over the
+    * (length-bucket, prefix) projection (ids not carried); pass an
+    * explicit `prefixLen` to keep the operator fully lazy when the
+    * corpus' prefix structure is known.
+    *
     * Output: (id_a, id_b, distance ≤ maxDistance), id_a < id_b,
     * totally ordered. Comparison is on `normalizeText(strCol)` —
     * case/whitespace/unicode-encoding differences don't count as
     * edits.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDistance: Int = 2, prefixLen: Int = 2,
+      maxDistance: Int = 2, prefixLen: Int = 0,
       maxBlockSize: Int = 1000): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(prefixLen >= 0, s"prefixLen must be >= 0 (0 = auto), got $prefixLen")
     ensureCapListener(df.sparkSession)
     val norm = df.select(col(idCol),
       TextFunctions.normalizeText(col(strCol)).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) > 0)
+    val px = if (prefixLen > 0) prefixLen
+      else derivePrefixLen(norm, maxDistance, maxBlockSize)
     // each row lands in its own length bucket AND the next one, so two
     // rows within maxDistance of each other in length always share at
     // least one bucket (width = maxDistance)
     val bucketed = norm
       .select(col(idCol), col("__s"),
         (length(col("__s")) / maxDistance).cast("int").as("__lb"),
-        substring(col("__s"), 1, prefixLen).as("__px"))
+        substring(col("__s"), 1, px).as("__px"))
     val blocks = bucketed
       .select(col(idCol), col("__s"), col("__px"),
         explode(array(col("__lb"), col("__lb") + 1)).as("__lb"))
@@ -757,6 +802,41 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Auto prefix-length probe for [[fuzzyPairs]]: measure the max
+    * (length-bucket, prefix) block occupancy — on the EXPLODED
+    * own+next bucket projection, exactly what the blocks will see —
+    * for a ladder of candidate prefix lengths in ONE aggregation pass,
+    * and return the shortest candidate whose largest block fits the
+    * cap. If even the longest candidate over-caps (a corpus of
+    * near-identical long strings), return it anyway: the cap then
+    * drops loudly via the observe metric, same as any degenerate
+    * block, and the log names the occupancy so the caller can raise
+    * the ladder or dedup exactly upstream first.
+    */
+  private val prefixLadder = Seq(2, 4, 6, 8, 10, 12, 16, 24)
+
+  private def derivePrefixLen(norm: DataFrame, maxDistance: Int,
+      maxBlockSize: Int): Int = {
+    val exploded = norm.select(col("__s"),
+        explode(array(
+          (length(col("__s")) / maxDistance).cast("int"),
+          (length(col("__s")) / maxDistance).cast("int") + 1)).as("__lb"))
+    val occ = exploded
+      .select(col("__lb"), explode(array(prefixLadder.map(p =>
+        struct(lit(p).as("p"), substring(col("__s"), 1, p).as("px"))): _*)).as("c"))
+      .groupBy(col("c.p").as("p"), col("__lb"), col("c.px"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("p")).agg(max(col("n")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = prefixLadder.find(p => occ.getOrElse(p, 0L) <= maxBlockSize)
+      .getOrElse(prefixLadder.last)
+    org.slf4j.LoggerFactory.getLogger(Dedup.getClass).info(
+      s"fuzzyPairs auto prefixLen=$chosen (max block occupancy " +
+        s"${occ.getOrElse(chosen, 0L)} vs cap $maxBlockSize; ladder " +
+        occ.toSeq.sortBy(_._1).map { case (p, n) => s"$p->$n" }.mkString(", ") + ")")
+    chosen
   }
 
   /** Brute-force exact Jaccard pairs — the LSH recall oracle. All-pairs
@@ -884,6 +964,8 @@ object Dedup {
         .as("__p"))
       .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
         col("__p.hamming").as("hamming"))
+      // drop duplicate-id self-pairs (ADVICE r7 — see lshCandidatesLazy)
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))

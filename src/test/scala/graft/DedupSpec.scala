@@ -356,6 +356,48 @@ class DedupSpec extends SparkSpec {
     got.foreach { case (pair, d) => assert(brute(pair) === d, s"pair $pair") }
   }
 
+  test("fuzzyPairs AUTO prefixLen survives a shared-prefix corpus with " +
+      "planted recall intact (VERDICT r7 #3 — the fixed-default trap)") {
+    // every string shares a 13-char head, so ANY prefix length <= 13
+    // puts the whole corpus in one block; the auto probe must climb
+    // the ladder past the shared head instead of dropping everything
+    val base = when(pmod($"id", lit(100)) === 99, $"id" - 1).otherwise($"id")
+    val rows = spark.range(3000).select($"id".as("doc_id"),
+      concat(lit("commonprefix-"),
+        lpad(pmod(xxhash64(base), lit(100000L)).cast("string"), 6, "0"),
+        when(pmod($"id", lit(100)) === 99, lit("x")).otherwise(lit("")))
+        .as("text"))
+    val got = Dedup.fuzzyPairs(rows, "doc_id", "text",
+        maxDistance = 2, maxBlockSize = 500) // prefixLen omitted → AUTO
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // all 30 planted append-one-char pairs (id-1, id) at distance 1
+    val planted = (99L until 3000L by 100L).map(i => (i - 1, i))
+    planted.foreach { p =>
+      assert(got.get(p).contains(1), s"planted pair $p missing/wrong: ${got.get(p)}")
+    }
+    // every emitted distance equals the unblocked levenshtein
+    val norm = rows.select($"doc_id",
+      graft.functions.TextFunctions.normalizeText($"text").as("s"))
+    val brute = norm.as("a").crossJoin(norm.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.s"), col("b.s")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    got.foreach { case (pair, d) => assert(brute(pair) === d, s"pair $pair") }
+    // the negative twin: a FIXED prefixLen=2 on this corpus drops the
+    // main-population blocks (over-cap, loudly via the cap metric) —
+    // every planted (base, copy) pair is lost; only the tiny
+    // appended-char length bucket survives to pair among itself
+    // (ScaleProbe pins the same collapse at 200k)
+    val collapsed = Dedup.fuzzyPairs(rows, "doc_id", "text",
+        maxDistance = 2, prefixLen = 2, maxBlockSize = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    planted.foreach { p =>
+      assert(!collapsed.contains(p),
+        s"planted pair $p should be lost at prefixLen=2 (over-cap block)")
+    }
+  }
+
   test("two capped operators compose in ONE query (per-call observe " +
       "metric names — no CollectMetrics collision)") {
     val a = Dedup.nearDuplicates(docs, "doc_id", "text",
