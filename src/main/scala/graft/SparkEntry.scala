@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Ann, Dedup, Knn}
 import graft.pipeline.Fever
-import graft.sources.Multimodal
+import graft.sources.{Multimodal, Sources}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -691,6 +691,30 @@ object SparkEntry {
             col("doc_id") < 250),
         "doc_id", "text", shingleLen = 2, threshold = 0.4)),
 
+    // --- Fuzzy edit-distance dedup pairs (VERDICT r7 #1 — the last
+    //     ungated operator). Short strings are synthesized in-plan on
+    //     BOTH engines ('rec-<id%60>-<id%7>'), planting 1-2-edit
+    //     families at every sf. Blocking is provably LOSSLESS on this
+    //     corpus — all strings share the 'rec-' head (the AUTO-derived
+    //     prefix stays inside it: max block 600 rows < cap) and the
+    //     length-bucket width equals maxDistance — so the blocked
+    //     operator must reproduce the all-pairs DuckDB levenshtein
+    //     twin EXACTLY. The per-distance aggregate (pair count + id
+    //     sums, ~2 rows) keeps the hash sensitive to the FULL pair
+    //     set, not a LIMIT prefix of it.
+    "dedup_fuzzy" -> ((s, dir) => {
+      val strs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("rec-"), (col("doc_id") % 60).cast("string"),
+            lit("-"), (col("doc_id") % 7).cast("string")).as("str"))
+      Dedup.fuzzyPairs(strs, "doc_id", "str", maxDistance = 2)
+        .groupBy(col("distance"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a")).as("sum_a"), sum(col("id_b")).as("sum_b"))
+        .orderBy(col("distance"))
+    }),
+
     // --- SimHash near-dup pairs, promoted out of rows-only (VERDICT
     //     r3 #4) with planted pairs whose recovery is provable: every
     //     doc gets an EXACT copy in-plan (id + 1000000, the text_redact
@@ -1366,6 +1390,30 @@ object SparkEntry {
           sum(length(col("payload"))).as("payload_bytes"),
           sum(size(col("features"))).as("n_feature_dims"))
         .orderBy(col("kind"))
+    }),
+
+    // --- ORC round trip at the gate (VERDICT r7 #8 — promoted out of
+    //     unit-only): documents ingested to ORC once per fixture
+    //     (content-fingerprint staleness stamp, same discipline as the
+    //     index gates), read BACK through the ORC scan, aggregated.
+    //     The parquet and ORC relations are identical by construction,
+    //     so the DuckDB twin reads the parquet table directly — a
+    //     hash match proves the ORC write+read path loses nothing.
+    "q_orc_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = gateIndexPath(dir, "orc")
+      val (n, fp) = gateSourceStats(docs, "doc_id", "text")
+      if (!gateIndexReady(s, path, n, fp)) {
+        Sources.ingestOrc(docs, path + "/data", sortCol = Some("doc_id"))
+        gateIndexStamp(s, path, n, fp)
+      }
+      Sources.readOrc(s, path + "/data")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
     }),
 
     // --- Batch time-window aggregation over the events table
@@ -2615,6 +2663,20 @@ object SparkEntry {
         |SELECT id_a, id_b, jaccard FROM p
         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // blocked fuzzyPairs vs the all-pairs levenshtein twin: lossless
+    // blocking on this corpus (shared 'rec-' head, length-bucket width
+    // = maxDistance), so the sets match exactly; normalizeText is the
+    // identity on these lowercase-ASCII strings
+    "dedup_fuzzy" ->
+      """WITH s AS (SELECT doc_id, 'rec-' || (doc_id % 60) || '-' || (doc_id % 7) AS str
+        |           FROM documents WHERE doc_id < 300),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(levenshtein(a.str, b.str) AS INT) AS distance
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT distance, count(*) AS n_pairs,
+        |  CAST(sum(id_a) AS BIGINT) AS sum_a, CAST(sum(id_b) AS BIGINT) AS sum_b
+        |FROM p WHERE distance <= 2 GROUP BY distance ORDER BY distance""".stripMargin,
+
     // SimHash fingerprint VALUES are engine-local (MurmurHash3), so the
     // oracle checks the planted-pair invariants instead: every doc gets
     // an exact in-plan copy at doc_id + 1000000; identical texts
@@ -2687,6 +2749,15 @@ object SparkEntry {
     "docs_stratified" ->
       """SELECT lang, count(*) AS n_docs, CAST(1 AS INT) AS sample_ok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // ORC round trip: the oracle reads the PARQUET documents table —
+    // identical relation — so a hash match proves the ORC path
+    "q_orc_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
