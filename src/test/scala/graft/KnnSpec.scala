@@ -31,6 +31,34 @@ class KnnSpec extends SparkSpec {
     assert(got.forall { case (q, c, _) => q != c })
   }
 
+  test("over-limit query side fails with the guard message WITHOUT a " +
+      "driver-scale collect (VERDICT r7 #4 — bounded pre-guard collect)") {
+    // 20M synthetic query rows with maxQueries=100: the pre-fix plain
+    // collect would materialize all 20M (id, vec) rows on the driver
+    // before the guard fired; the LIMIT-bounded collect stops the scan
+    // at 101 rows, so this fails in guard time even at absurd Q sizes
+    val huge = spark.range(20000000L).select($"id".as("query_id"),
+      array(lit(0.0f), lit(1.0f)).as("q_vec"))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException] {
+      Knn.knnJoin(corpus, "vec_id", "embedding", huge, "query_id", "q_vec",
+        k = 1, maxQueries = 100)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(e.getMessage.contains("maxQueries=100"), e.getMessage)
+    assert(sec < 20.0, f"guard took $sec%.1fs — the collect was not bounded")
+    // same contract through the bm25 path (its guard runs on a bounded
+    // id projection BEFORE the pair collect)
+    val hugeQ = spark.range(20000000L).select($"id".as("query_id"),
+      lit("hash spark").as("qtext"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.TextRank.bm25Join(
+        Seq((0L, "hash spark vector")).toDF("doc_id", "text"), "doc_id", "text",
+        hugeQ, "query_id", "qtext", k = 5, maxQueries = 100)
+    }
+    assert(e2.getMessage.contains("maxQueries=100"), e2.getMessage)
+  }
+
   test("knnJoin agrees with per-query topK on random vectors (cross-implementation)") {
     // two independent code paths: topK = Column expressions +
     // TakeOrderedAndProject; knnJoin = Scala kernel + bounded top-k
