@@ -113,6 +113,189 @@ object Multimodal {
     when(payload.isNull, payload)
       .otherwise(substring(payload, 1, maxBytes)) // binary substring = byte slice
 
+  // -------------------------------------------------------------
+  // Header-only decode (VERDICT r7 #5 — the honest stub made real):
+  // container type + intrinsic metadata from magic bytes, pure JVM.
+  // Dimensions/rates live in fixed header fields of every mainstream
+  // container, so no codec library is needed to read them; pixel /
+  // sample DECODE stays behind the stubbed MediaDecoder boundary
+  // (documented — this environment ships no image/audio codecs).
+  // -------------------------------------------------------------
+
+  /** Parsed header facts. `format` ∈ png | jpeg | gif | wav | unknown;
+    * fields not applicable to the container are 0.
+    */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+      sampleRate: Int, channels: Int)
+
+  private val UnknownHeader = MediaHeader("unknown", 0, 0, 0, 0)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(j => (b(i + j) & 0xFF) == s.charAt(j))
+
+  /** Parse a payload's header. Total function: malformed / truncated /
+    * unrecognized bytes return the `unknown` header, never throw —
+    * corrupt rows must flow through the pipeline to a filter, not kill
+    * the stage.
+    */
+  def parseHeader(b: Array[Byte]): MediaHeader = {
+    if (b == null || b.length < 12) return UnknownHeader
+    // PNG: 8-byte signature, IHDR chunk fixed at offset 8 (length=13,
+    // "IHDR", width BE32 @16, height BE32 @20)
+    if ((b(0) & 0xFF) == 0x89 && ascii(b, 1, "PNG") && b.length >= 24 &&
+        ascii(b, 12, "IHDR"))
+      return MediaHeader("png", be32(b, 16), be32(b, 20), 0, 0)
+    // GIF87a/89a: logical screen dims LE16 at 6/8
+    if (ascii(b, 0, "GIF8") && b.length >= 10)
+      return MediaHeader("gif", le16(b, 6), le16(b, 8), 0, 0)
+    // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
+    // +10, sample rate LE32 at +12 from the chunk id)
+    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 16 <= b.length)
+          return MediaHeader("wav", 0, 0, le32(b, i + 12), le16(b, i + 10))
+        if (size < 0) return UnknownHeader
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      return UnknownHeader
+    }
+    // JPEG: SOI then segment walk to the first SOFn (C0-CF minus the
+    // non-frame C4/C8/CC): height BE16 at +5, width BE16 at +7 from
+    // the marker byte
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xFF) != 0xFF) return UnknownHeader
+        var j = i
+        while (j < b.length && (b(j) & 0xFF) == 0xFF) j += 1 // fill bytes
+        if (j >= b.length) return UnknownHeader
+        val m = b(j) & 0xFF
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (j + 8 < b.length)
+            return MediaHeader("jpeg", be16(b, j + 6), be16(b, j + 4), 0, 0)
+          return UnknownHeader
+        } else if (m == 0xD9 || m == 0xDA) {
+          return UnknownHeader // hit end/scan data without a frame header
+        } else if (m >= 0xD0 && m <= 0xD8 || m == 0x01) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          if (j + 2 >= b.length) return UnknownHeader
+          i = j + 1 + be16(b, j + 1)
+        }
+      }
+      UnknownHeader
+    } else UnknownHeader
+  }
+
+  /** Append `outCol`: the parsed [[MediaHeader]] as a struct column.
+    * Same per-partition boundary shape as [[withFeatures]]; header
+    * parsing is pure function application, so this stays one narrow
+    * map stage over the scan.
+    */
+  def withHeaderMeta(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val h = if (p == null) null
+          else {
+            val m = parseHeader(p)
+            Row(m.format, m.width, m.height, m.sampleRate, m.channels)
+          }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(Encoders.row(schema))
+  }
+
+  // --- deterministic real-header builders (fixture synthesis + tests)
+
+  /** Minimal well-formed PNG: signature + IHDR with the given dims. */
+  def buildPng(w: Int, h: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(33)
+    o.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    o.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    o.putInt(w).putInt(h)
+    o.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    o.putInt(0) // CRC unchecked by header parse
+    o.array()
+  }
+
+  /** Minimal JPEG: SOI, APP0/JFIF, SOF0 with the given dims, EOI —
+    * the SOF sits AFTER a skippable segment so the walker is exercised.
+    */
+  def buildJpeg(w: Int, h: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(2 + 18 + 13 + 2)
+    o.put(0xFF.toByte).put(0xD8.toByte)
+    o.put(0xFF.toByte).put(0xE0.toByte).putShort(16.toShort)
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+    o.put(0xFF.toByte).put(0xC0.toByte).putShort(11.toShort)
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      .put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+    o.put(0xFF.toByte).put(0xD9.toByte)
+    o.array()
+  }
+
+  /** Minimal WAV: RIFF/WAVE with an fmt chunk carrying rate/channels. */
+  def buildWav(sampleRate: Int, channels: Int): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+    o.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16.toShort)
+    o.put("data".getBytes("US-ASCII")).putInt(0)
+    o.array()
+  }
+
+  /** Synthesize a media table whose payloads carry REAL container
+    * headers with id-derived intrinsics (image → PNG, video → JPEG
+    * keyframe, audio → WAV), so the header decode produces
+    * oracle-checkable facts: both engines recompute the same dims from
+    * the id formulas. Every 97th payload is corrupted (magic overwritten)
+    * to exercise the `unknown` path in-gate.
+    */
+  def synthesizeMediaBytes(docs: DataFrame): DataFrame = {
+    val withKind = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(3)).cast("int").as("__k"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    withKind.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val k = r.getInt(1)
+        val (kind, bytes) = k match {
+          case 0 => ("image", buildPng((id % 512 + 1).toInt, (id * 7 % 512 + 1).toInt))
+          case 1 => ("audio", buildWav((8000 + id % 8 * 4000).toInt, (1 + id % 2).toInt))
+          case _ => ("video", buildJpeg((id % 256 + 16).toInt, (id * 3 % 256 + 16).toInt))
+        }
+        if (id % 97 == 0) bytes(0) = 0x00.toByte // corrupt the magic
+        Row(id, kind, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Synthesize a deterministic media table from the documents fixture
     * (text bytes as payloads) — lets multimodal plumbing be exercised
     * without binary fixtures.

@@ -43,6 +43,57 @@ class MultimodalSpec extends SparkSpec {
       .count() === 3)
   }
 
+  test("parseHeader: real container headers yield exact intrinsics; " +
+      "malformed/truncated bytes degrade to 'unknown', never throw") {
+    import Multimodal.{parseHeader, buildPng, buildJpeg, buildWav, MediaHeader}
+    assert(parseHeader(buildPng(640, 480)) === MediaHeader("png", 640, 480, 0, 0))
+    // JPEG dims sit in a SOF0 AFTER the APP0 segment — exercises the
+    // segment walk, not just magic sniffing
+    assert(parseHeader(buildJpeg(320, 271)) === MediaHeader("jpeg", 320, 271, 0, 0))
+    assert(parseHeader(buildWav(44100, 2)) === MediaHeader("wav", 0, 0, 44100, 2))
+    // GIF logical screen (little-endian dims)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x01, 0xF0.toByte, 0x00, 0, 0, 0, 0)
+    assert(parseHeader(gif) === MediaHeader("gif", 320, 240, 0, 0))
+    // degradation paths
+    assert(parseHeader(null).format === "unknown")
+    assert(parseHeader(Array[Byte](1, 2, 3)).format === "unknown")
+    assert(parseHeader(buildPng(1, 1).take(20)).format === "unknown")
+    assert(parseHeader(buildJpeg(9, 9).take(6)).format === "unknown")
+    val corrupt = buildPng(9, 9); corrupt(0) = 0
+    assert(parseHeader(corrupt).format === "unknown")
+    // JPEG with scan data but no frame header
+    assert(parseHeader(Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 1, 2)
+      .map(_.toByte)).format === "unknown")
+  }
+
+  test("withHeaderMeta + synthesizeMediaBytes: decoded struct matches " +
+      "the id formulas per kind; corrupted payloads surface as unknown") {
+    val out = Multimodal.withHeaderMeta(
+        Multimodal.synthesizeMediaBytes(
+          spark.range(300).select($"id".as("doc_id"))),
+        "payload", "hdr")
+      .select($"media_id", $"kind", $"hdr.format", $"hdr.width",
+        $"hdr.height", $"hdr.sample_rate", $"hdr.channels")
+      .collect()
+    assert(out.length === 300)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 97 == 0) assert(r.getString(2) === "unknown", s"id=$id")
+      else (id % 3) match {
+        case 0 =>
+          assert(r.getString(1) === "image" && r.getString(2) === "png")
+          assert(r.getInt(3) === (id % 512 + 1) && r.getInt(4) === (id * 7 % 512 + 1))
+        case 1 =>
+          assert(r.getString(1) === "audio" && r.getString(2) === "wav")
+          assert(r.getInt(5) === (8000 + id % 8 * 4000) && r.getInt(6) === (1 + id % 2))
+        case _ =>
+          assert(r.getString(1) === "video" && r.getString(2) === "jpeg")
+          assert(r.getInt(3) === (id % 256 + 16) && r.getInt(4) === (id * 3 % 256 + 16))
+      }
+    }
+  }
+
   test("sampleFrames: n evenly-spaced byte windows, ordered frame_idx") {
     val frames = Multimodal.sampleFrames(
       media.filter($"kind" === "video"), "payload", n = 4)
