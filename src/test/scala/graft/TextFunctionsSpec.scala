@@ -126,4 +126,28 @@ class TextFunctionsSpec extends SparkSpec {
       .tfidfSimJoin(docs, "doc_id", "text", k = 20, maxDf = 1).count()
     assert(pruned === 0, "df cap must prune all shared terms")
   }
+
+  test("tfidfSimJoin prefix filter is LOSSLESS and bit-identical at/above " +
+      "the threshold (thresholded unfiltered twin on a random corpus)") {
+    // 400 docs over a small vocab → dense shared-term structure, many
+    // borderline cosines: a recall bug or a fold-order deviation in
+    // the verified path shows up as a set or value mismatch
+    val docs = spark.range(400).select($"id".as("doc_id"),
+      concat_ws(" ",
+        transform(sequence(lit(0), lit(11)), i =>
+          concat(lit("t"), pmod(xxhash64($"id" * 31 + i * 7), lit(120L)))))
+        .as("text"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (t <- Seq(0.2, 0.5)) {
+      val fast = asMap(graft.operators.TextRank
+        .tfidfSimJoin(docs, "doc_id", "text", k = 100000, maxDf = 60, minCosine = t))
+      val slow = asMap(graft.operators.TextRank
+        .tfidfSimJoin(docs, "doc_id", "text", k = 100000, maxDf = 60))
+        .filter { case (_, c) => c >= t }
+      assert(fast === slow,
+        s"threshold $t: prefix-filtered ${fast.size} pairs != unfiltered ${slow.size}")
+      assert(fast.nonEmpty, s"threshold $t fixture must produce pairs")
+    }
+  }
 }
