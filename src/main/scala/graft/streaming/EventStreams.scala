@@ -185,31 +185,93 @@ object EventStreams {
     * either — effectively-once on both outputs. Micro-batches run
     * sequentially, satisfying the index's serialized-append contract.
     *
+    * AUTO-COMPACTION (VERDICT r7 #7): a long-running stream accrues
+    * one batch directory per micro-batch; with `compactEvery` = N > 0
+    * the index is consolidated every N batches. The index lives in
+    * GENERATION subdirectories `<indexPath>/gen_<n>` (see
+    * [[nearDupStreamIndexRoot]]): compaction writes the NEXT
+    * generation fully (marker-last, crash-safe) and only then deletes
+    * superseded ones, so a crash at any point leaves a recoverable
+    * generation — recovery always selects the newest generation
+    * holding a committed batch. The CURRENT micro-batch's token is
+    * passed as compaction's `keepTokens`, so a checkpoint-replayed
+    * last batch keeps its exclude-own-token idempotency against the
+    * compacted root (the ADVICE r7 retry-invalidation hazard); a
+    * replay that finds its compaction already committed skips
+    * re-compacting and just overwrites its own kept directory.
+    *
     * The accumulated pair set across all batches equals the BATCH
     * all-pairs result on the union of arrived documents (every pair
     * is created by exactly one arrival — StreamingSpec pins this
-    * against the brute-force Jaccard oracle). Start the returned
-    * writer with a checkpoint location; read results with
-    * `spark.read.parquet(pairsOut)`.
+    * against the brute-force Jaccard oracle, compaction on and off).
+    * Start the returned writer with a checkpoint location; read
+    * results with `spark.read.parquet(pairsOut)`.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsOut: String, shingleLen: Int = 3,
       numHashes: Int = 16, bands: Int = 8, threshold: Double = 0.5,
-      maxBucketSize: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      maxBucketSize: Int = 1000,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.operators.Dedup
       val spark = batch.sparkSession
-      // bootstrap an empty base on first contact (a crash before the
-      // first commit leaves no committed batch, so the redo path
-      // re-bootstraps over the partial directory)
-      if (!Dedup.nearDupIndexExists(spark, indexPath))
-        Dedup.writeNearDupIndex(batch.limit(0), idCol, textCol, indexPath,
+      val base = indexPath.stripSuffix("/")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def genRoot(n: Long) = f"$base/gen_$n%012d"
+      def liveGens(): Seq[Long] = {
+        val p = new org.apache.hadoop.fs.Path(base)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("gen_"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
+          .filter(n => Dedup.nearDupIndexExists(spark, genRoot(n)))
+          .sorted
+      }
+      // bootstrap an empty base generation on first contact (a crash
+      // before the first commit leaves no committed batch, so the redo
+      // path re-bootstraps over the partial directory)
+      val cur = liveGens().lastOption.getOrElse {
+        Dedup.writeNearDupIndex(batch.limit(0), idCol, textCol, genRoot(0),
           shingleLen, numHashes, bands)
+        0L
+      }
+      val token = f"stream_$batchId%012d"
       val pairs = Dedup.appendNearDuplicates(batch, idCol, textCol,
-        indexPath, shingleLen, numHashes, bands, threshold, maxBucketSize,
-        batchToken = f"stream_$batchId%012d")
+        genRoot(cur), shingleLen, numHashes, bands, threshold, maxBucketSize,
+        batchToken = token)
       pairs.write.mode("overwrite")
         .parquet(pairsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+          batchId + 1 > cur) // a replay whose compaction already committed skips
+        Dedup.compactNearDupIndex(spark, genRoot(cur), genRoot(batchId + 1),
+          keepTokens = Set(token))
+      // GC superseded generations (also sweeps up after a crash that
+      // committed a compaction but died before cleanup)
+      val live = liveGens()
+      live.dropRight(1).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(genRoot(n)), true))
       ()
     }
+
+  /** The live generation root of a [[nearDupStream]] index — the path
+    * to hand to [[graft.operators.Dedup.appendNearDuplicates]] /
+    * `compactNearDupIndex` for out-of-band probes while the stream is
+    * stopped. Newest generation holding a committed batch.
+    */
+  def nearDupStreamIndexRoot(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[String] = {
+    import graft.operators.Dedup
+    val base = indexPath.stripSuffix("/")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(base)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
+      .map(n => f"$base/gen_$n%012d")
+      .filter(r => Dedup.nearDupIndexExists(spark, r))
+      .sorted.lastOption
+  }
 }

@@ -160,10 +160,14 @@ class PipelineSpec extends SparkSpec {
 
   test("gate index staleness keys on CONTENT, not just row count " +
       "(VERDICT r6 #7): a regenerated same-count fixture triggers rebuild") {
-    val a = Seq((0L, Array(1f, 2f)), (97L, Array(3f, 4f)), (194L, Array(5f, 6f)))
+    // ids 11/282/518 satisfy xxhash64(id) % 97 == 0 — members of the
+    // decorrelated fingerprint sample (ADVICE r7: the sample keys on
+    // the id's HASH, not id arithmetic, so id-structured fixture
+    // regenerations can't dodge it)
+    val a = Seq((11L, Array(1f, 2f)), (282L, Array(3f, 4f)), (518L, Array(5f, 6f)))
       .toDF("vec_id", "embedding")
     // same ids, same count — one sampled vector's content changed
-    val b = Seq((0L, Array(1f, 2f)), (97L, Array(3f, 9f)), (194L, Array(5f, 6f)))
+    val b = Seq((11L, Array(1f, 2f)), (282L, Array(3f, 9f)), (518L, Array(5f, 6f)))
       .toDF("vec_id", "embedding")
     val (na, fa) = SparkEntry.gateSourceStats(a, "vec_id", "embedding")
     val (nb, fb) = SparkEntry.gateSourceStats(b, "vec_id", "embedding")
