@@ -755,6 +755,13 @@ object Dedup {
     * explicit `prefixLen` to keep the operator fully lazy when the
     * corpus' prefix structure is known.
     *
+    * AUTO optimizes RECALL, not wall: blocks up to the cap are legal
+    * work, so the shortest cap-fitting prefix can cost the cap's
+    * quadratic worst case (ScaleProbe: 17 s at 200k under AUTO vs
+    * 1.2 s at a hand-tuned prefixLen=6 — same exact planted recall).
+    * To trade recall for wall, tighten `maxBlockSize` (which also
+    * drops degenerate blocks) or pass the explicit `prefixLen`.
+    *
     * Output: (id_a, id_b, distance ≤ maxDistance), id_a < id_b,
     * totally ordered. Comparison is on `normalizeText(strCol)` —
     * case/whitespace/unicode-encoding differences don't count as
