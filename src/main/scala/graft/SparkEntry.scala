@@ -1264,6 +1264,29 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         "doc_id", "text", k = 40, maxDf = 50, minCosine = 0.3)),
 
+    // --- Sequence packing (r8 — the pre-tokenization packing step of
+    //     every LLM training run): documents in doc_id order are
+    //     interval-packed into ~2048-token sequences via the
+    //     DISTRIBUTED two-phase prefix sum (range partition + bucket
+    //     offsets — never a SinglePartition global window,
+    //     plan-pinned). The DuckDB twin computes the same exclusive
+    //     cumsum with a plain window (fine at oracle scale); per-seq
+    //     stats hash-check assignment, offsets and conservation.
+    "text_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      graft.operators.Pack.packByBudget(docs, "doc_id",
+          TextFunctions.tokenCount(col("text")), budget = 2048L)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          min(col("seq_offset")).as("first_offset"))
+        .orderBy(col("seq_id"))
+        .limit(40)
+    }),
+
     // --- Heavy hitters via Count-Min Sketch (the approximate twin of
     //     text_tokens — at 100 TB the exact token groupBy gives way to
     //     a mergeable fixed-size sketch). The sketch VALUE is
@@ -2220,6 +2243,27 @@ object SparkEntry {
          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
          |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // interval packing: same exclusive cumsum + floor-division rule,
+    // computed with a plain window at oracle scale
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, tok, pre // 2048 AS seq_id, pre - (pre // 2048) * 2048 AS seq_offset
+        |  FROM c)
+        |SELECT seq_id, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(min(seq_offset) AS BIGINT) AS first_offset
+        |FROM s GROUP BY seq_id ORDER BY seq_id LIMIT 40""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])

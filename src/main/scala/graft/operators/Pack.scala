@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines (north-star brief):
+  * assign documents, taken in a deterministic total order, to
+  * fixed-token-budget SEQUENCES — the pre-tokenization packing step
+  * every LLM training run performs so short documents don't waste
+  * context-window padding. The packing rule is interval packing on
+  * the running token count: a document starts in the sequence
+  * `floor(exclusive_prefix_tokens / budget)` — deterministic,
+  * order-stable, and expressible identically in any SQL engine (the
+  * `text_pack` gate is an exact DuckDB hash match). Unlike bin-packing
+  * heuristics (first-fit etc.), interval packing needs no sequential
+  * state, so it parallelizes exactly; sequences can overflow by at
+  * most one document, the standard accepted slack.
+  *
+  * Scale design — the prefix sum is the whole problem: the naive form
+  * is a window over an EMPTY partition spec, which Spark plans as a
+  * SinglePartition exchange — every row through ONE reducer, the
+  * canonical scale-killer (plan-pinned absent here). [[withPrefixSum]]
+  * instead computes the classic two-phase distributed prefix sum:
+  * range-partition by the order key, per-partition running sums
+  * (window PARTITIONED by the range bucket — state bounded by
+  * partition size), plus one tiny per-partition partial-sum
+  * aggregation (#partitions rows) whose exclusive offsets broadcast
+  * back. EAGER in one bounded step: the partials collect is
+  * #partitions rows, never data.
+  */
+object Pack {
+
+  /** Append `outCol` = the EXCLUSIVE prefix sum of `valCol` over the
+    * total order of `orderCol` (sum of all values strictly before the
+    * row). Two-phase distributed form — no SinglePartition window.
+    * `orderCol` must be NUMERIC with distinct values (a total order);
+    * `numParts` controls the bucket count (defaults to the session
+    * shuffle parallelism).
+    *
+    * Buckets are contiguous key ranges computed as a PURE FUNCTION of
+    * the row (`width_bucket` over the key's min/max) — NOT
+    * `spark_partition_id` over a range repartition, whose sampled
+    * boundaries are not guaranteed identical between the partials
+    * action and the final plan (measured drift at 5k rows: offsets
+    * charged to the wrong bucket). Uniform-width buckets assume the
+    * key is roughly uniformly spread (true for ids); a skewed key
+    * concentrates rows in few buckets — state per window group is
+    * still bounded by that bucket's rows, parallelism just degrades.
+    */
+  def withPrefixSum(df: DataFrame, orderCol: String, valCol: Column,
+      outCol: String, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bounds = df.agg(
+      min(col(orderCol).cast("double")), max(col(orderCol).cast("double"))).head()
+    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty input
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val bucketed = df
+      .withColumn("__v", valCol.cast("long"))
+      .withColumn("__b",
+        width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi + 1.0), lit(p)))
+    // tiny: one row per occupied bucket; exclusive offsets driver-side
+    val partials = bucketed.groupBy(col("__b"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val prior = partials.map { case (b, s) => val off = acc; acc += s; (b, off) }
+    import spark.implicits._
+    val offDf = broadcast(prior.toSeq.toDF("__b", "__off"))
+    // bucket-local EXCLUSIVE running sum: window partitioned by the
+    // contiguous range bucket — per-group state bounded by bucket rows
+    val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(offDf, "__b")
+      .withColumn(outCol, coalesce(sum(col("__v")).over(w), lit(0L)) + col("__off"))
+      .drop("__b", "__v", "__off")
+  }
+
+  /** Interval packing: assign each document to sequence
+    * `floor(exclusive_prefix_tokens / budget)` in `orderCol` order,
+    * with `offsetCol` = the document's token offset within its
+    * sequence. Output adds (seqCol, offsetCol); token counts come
+    * from `tokenCol` (any integer expression — e.g.
+    * `TextFunctions.tokenCount`).
+    */
+  def packByBudget(df: DataFrame, orderCol: String, tokenCol: Column,
+      budget: Long, seqCol: String = "seq_id",
+      offsetCol: String = "seq_offset"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    withPrefixSum(df.withColumn("__tok", tokenCol.cast("long")),
+        orderCol, col("__tok"), "__pre")
+      .withColumn(seqCol, floor(col("__pre") / budget).cast("long"))
+      .withColumn(offsetCol, (col("__pre") - col(seqCol) * budget).cast("long"))
+      .drop("__pre", "__tok")
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pack
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withPrefixSum: two-phase distributed form equals the naive " +
+      "global-window cumsum on random data across partition counts") {
+    val df = spark.range(5000).select(
+      $"id".as("k"), (pmod(xxhash64($"id"), lit(100)) + 1).as("v"))
+    val naive = df.withColumn("pre",
+        coalesce(sum($"v").over(Window.orderBy($"k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"k", $"pre").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Pack.withPrefixSum(df, "k", $"v", "pre", numParts = parts)
+        .select($"k", $"pre").as[(Long, Long)].collect().toMap
+      assert(got === naive, s"parts=$parts")
+    }
+  }
+
+  test("packByBudget: seq ids nondecreasing in order, offsets within " +
+      "budget, totals conserved, overflow bounded by one document") {
+    val budget = 100L
+    val df = spark.range(1000).select(
+      $"id".as("doc_id"), (pmod(xxhash64($"id", lit(7)), lit(40)) + 1).as("tok"))
+    val packed = Pack.packByBudget(df, "doc_id", $"tok", budget)
+      .select($"doc_id", $"tok".cast("long"), $"seq_id", $"seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // seq ids follow document order and never skip backwards
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"seq regressed between ${a._1} and ${b._1}")
+    case _ => }
+    // every offset = exclusive prefix within the sequence, < budget
+    packed.foreach { case (id, _, _, off) =>
+      assert(off >= 0 && off < budget, s"doc $id offset $off")
+    }
+    // the exact semantic, replayed sequentially: seq = floor(exclusive
+    // prefix / budget), offset = prefix − seq·budget, for every doc in
+    // order — the distributed result must equal the one-pass reference
+    var pre = 0L
+    packed.foreach { case (id, tok, seq, off) =>
+      assert(seq === pre / budget, s"doc $id seq $seq != ${pre / budget}")
+      assert(off === pre - seq * budget, s"doc $id offset")
+      pre += tok
+    }
+  }
+}

@@ -13,6 +13,14 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("text_pack's prefix sum never plans a SinglePartition window " +
+      "(the two-phase distributed form — r8)") {
+    val p = plan("text_pack")
+    assert(!p.contains("SinglePartition"),
+      s"global single-reducer stage found:\n${p.take(800)}")
+    assert(p.contains("Window"), "the bucket-local window must exist")
+  }
+
   test("single-query KNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
     val p = plan("knn_l2")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
