@@ -1264,6 +1264,26 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         "doc_id", "text", k = 40, maxDf = 50, minCosine = 0.3)),
 
+    // --- Deterministic epoch shuffle (r8): seeded md5 permutation —
+    //     engine-portable by construction (hex-string order), so the
+    //     DuckDB twin reproduces the exact training order.
+    "docs_shuffle" -> ((s, dir) =>
+      graft.operators.TrainingOrder.seededShuffle(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", 42L)
+        .limit(20)),
+
+    // --- Weighted source interleave (r8): stride-scheduled mixture —
+    //     weight-4 source contributes 4 rows per weight-1 row, each
+    //     source internally seeded-shuffled, unlisted sources dropped.
+    "docs_interleave" -> ((s, dir) =>
+      graft.operators.TrainingOrder.interleaveByWeight(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0), seed = 42L)
+        .select(col("source"), col("doc_id"), col("vpos"))
+        .orderBy(col("vpos"), col("source"), col("doc_id"))
+        .limit(30)),
+
     // --- Sequence packing (r8 — the pre-tokenization packing step of
     //     every LLM training run): documents in doc_id order are
     //     interval-packed into ~2048-token sequences via the
@@ -2243,6 +2263,26 @@ object SparkEntry {
          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
          |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // md5 hex order is engine-portable — the twin reproduces the
+    // exact permutation
+    "docs_shuffle" ->
+      """SELECT doc_id, md5(doc_id || ':42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 20""".stripMargin,
+
+    // stride scheduling: rank within source (seeded-shuffle order)
+    // divided by weight, forced through DOUBLE division on both
+    // engines before the shared round
+    "docs_interleave" ->
+      """WITH d AS (SELECT doc_id, source, md5(doc_id || ':42') AS sk FROM documents),
+        |w AS (SELECT *, CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |                 WHEN 'src2' THEN 1.0 ELSE 0 END AS wt FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+        |      FROM w WHERE wt > 0),
+        |v AS (SELECT source, doc_id,
+        |        round(CAST(rk AS DOUBLE) / CAST(wt AS DOUBLE), 6) AS vpos FROM r)
+        |SELECT source, doc_id, vpos FROM v
+        |ORDER BY vpos, source, doc_id LIMIT 30""".stripMargin,
 
     // interval packing: same exclusive cumsum + floor-division rule,
     // computed with a plain window at oracle scale

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-order operators (north-star brief): the
+  * epoch-shuffle and source-mixture steps of an LLM data pipeline,
+  * made reproducible ACROSS ENGINES — ordering keys are md5 hex
+  * strings (identical bytes in any engine, unlike engine-local
+  * xxhash), so a training order produced here can be re-derived or
+  * audited anywhere, and the gates are exact DuckDB hash twins.
+  */
+object TrainingOrder {
+
+  /** Seeded shuffle key: md5 of "<id>:<seed>". Hex-string
+    * lexicographic order is engine-portable and uniform; changing the
+    * seed produces an independent permutation (new epoch).
+    */
+  def shuffleKey(id: Column, seed: Long): Column =
+    md5(concat(id.cast("string"), lit(":" + seed)))
+
+  /** Deterministic seeded shuffle: the epoch-reshuffle. A total
+    * order — ties broken by id — so the permutation is reproducible
+    * bit-for-bit. The sort is a range-partitioned global sort (Spark's
+    * standard distributed orderBy), not a single reducer.
+    */
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  /** Weighted source interleaving by STRIDE SCHEDULING: row r (1-based
+    * seeded-shuffle rank within its source) is scheduled at virtual
+    * position r / weight(source), and the mixture reads in virtual-
+    * position order — so a weight-4.0 source contributes 4 rows for
+    * every weight-1.0 row, deterministically, with each source's
+    * internal order itself a seeded shuffle. Sources absent from
+    * `weights` (or weighted 0) are DROPPED — the mixture is also the
+    * source filter. Output adds (shuffle_key, vpos); read it with
+    * `.orderBy(vpos, source, id)`.
+    *
+    * Scale note: the within-source rank is one row_number window per
+    * source — per-group state is one counter, but a source's rows
+    * funnel through one reducer for ranking. Fine up to very large
+    * sources; for a 100 TB single-source corpus, derive the rank with
+    * the bucketized two-phase prefix-count ([[Pack.withPrefixSum]]
+    * over 1s keyed by the shuffle key) instead.
+    */
+  def interleaveByWeight(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "interleaveByWeight needs at least one weight")
+    val sorted = weights.toSeq.sortBy(_._1)
+    val wexpr = sorted.tail
+      .foldLeft(when(col(sourceCol) === sorted.head._1, lit(sorted.head._2))) {
+        case (acc, (s, v)) => acc.when(col(sourceCol) === s, lit(v))
+      }
+      .otherwise(lit(0.0))
+    val bySource = Window.partitionBy(col(sourceCol))
+      .orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("__w", wexpr)
+      .filter(col("__w") > 0)
+      .withColumn("vpos",
+        round(row_number().over(bySource).cast("double") / col("__w"), 6))
+      .drop("__w")
+  }
+}

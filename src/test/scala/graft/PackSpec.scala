@@ -49,4 +49,23 @@ class PackSpec extends SparkSpec {
       pre += tok
     }
   }
+
+  test("interleaveByWeight: stride mixture delivers weight-proportional " +
+      "rows, drops unlisted sources, reproducible bit-for-bit") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(300).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(3))).as("source"))
+    def run() = TrainingOrder.interleaveByWeight(df, "source", "doc_id",
+        Map("s0" -> 3.0, "s1" -> 1.0), seed = 7L)
+      .orderBy($"vpos", $"source", $"doc_id")
+      .select($"source").as[String].collect().toSeq
+    val out = run()
+    assert(!out.contains("s2"), "unlisted source must be dropped")
+    assert(out.length === 200)
+    // stride scheduling: by virtual time t, s0 has delivered 3t rows
+    // to s1's t — the first 40 scheduled rows split ~30/10
+    val s0 = out.take(40).count(_ == "s0")
+    assert(s0 >= 28 && s0 <= 32, s"s0 got $s0 of the first 40 (want ~30)")
+    assert(out === run(), "mixture order must be reproducible")
+  }
 }
