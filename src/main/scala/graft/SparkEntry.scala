@@ -1264,6 +1264,20 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         "doc_id", "text", k = 40, maxDf = 50, minCosine = 0.3)),
 
+    // --- Repeated-n-gram ratio per source (r8): the Gopher-style
+    //     repetition quality signal — 1 − distinct/total word bigrams
+    //     per doc, aggregated per source. Pure expressions.
+    "text_repetition" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(TextFunctions.repetitionRatio(col("text"), 2)), 6)
+            .as("avg_repetition"),
+          max(TextFunctions.repetitionRatio(col("text"), 2)).as("max_repetition"))
+        .orderBy(col("source"))
+        .limit(20)),
+
     // --- Deterministic epoch shuffle (r8): seeded md5 permutation —
     //     engine-portable by construction (hex-string order), so the
     //     DuckDB twin reproduces the exact training order.
@@ -2263,6 +2277,25 @@ object SparkEntry {
          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
          |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // per-doc repetition computed with the same list pipeline, then
+    // the same per-row round before averaging
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      round(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1), 6)
+        |    ELSE 0.0 END AS rep
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(rep), 6) AS avg_repetition,
+        |  max(rep) AS max_repetition
+        |FROM g GROUP BY source ORDER BY source LIMIT 20""".stripMargin,
 
     // md5 hex order is engine-portable — the twin reproduces the
     // exact permutation

@@ -74,6 +74,23 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Repeated word-n-gram ratio in [0,1]: 1 − distinct/total n-grams
+    * (r8) — the standard repetition signal of quality-filter stacks
+    * (boilerplate loops, keyword stuffing and degenerate generations
+    * score high; clean prose near 0). Texts with fewer than n tokens
+    * score 0. Pure expressions, scales with the scan.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - (n - 1)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    when(total > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / total, 6))
+      .otherwise(0.0)
+  }
+
   /** Composite quality score in [0,1]: length in a healthy band,
     * punctuation not dominating, some stopwords present (prose-ness).
     * Weights are heuristic; the value is its determinism.

@@ -13,6 +13,18 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("text_sim_prefix verify join never cross-products corpus-sized " +
+      "relations (r8: candidate pairs explode-join the cached doc " +
+      "vectors on the id key)") {
+    val p = plan("text_sim_prefix")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only nested-loop join allowed is the broadcast 1-row stats
+    // frame (n_docs) — a corpus-side BroadcastNestedLoopJoin over a
+    // multi-row build would be the doc×doc hazard
+    assert(!p.contains("NestedLoopJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("text_pack's prefix sum never plans a SinglePartition window " +
       "(the two-phase distributed form — r8)") {
     val p = plan("text_pack")
