@@ -78,16 +78,20 @@ object TextFunctions {
     * (r8) — the standard repetition signal of quality-filter stacks
     * (boilerplate loops, keyword stuffing and degenerate generations
     * score high; clean prose near 0). Texts with fewer than n tokens
-    * score 0. Pure expressions, scales with the scan.
+    * score 0. The distinct count comes from the `ShingleIds` codegen
+    * kernel — O(len·n) 64-bit ids instead of the declarative
+    * O(len²) string-gram pipeline (measured 3.0→0.9 s at sf0.1);
+    * distinct-id count equals distinct-gram count up to 64-bit
+    * collisions (~len²/2⁶⁵ per doc — the dedup_near counts-parity
+    * precedent), so the DuckDB string twin still hash-matches.
     */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val total = size(toks) - (n - 1)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    val total = size(tokens(text)) - (n - 1)
+    val distinctGrams = size(org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.ShingleIds(
+        org.apache.spark.sql.GraftBridge.expression(text), n)))
     when(total > 0,
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") / total, 6))
+      round(lit(1.0) - distinctGrams.cast("double") / total, 6))
       .otherwise(0.0)
   }
 
