@@ -20,9 +20,10 @@ import org.apache.spark.sql.SparkSession
   *    back-to-back bench invocations).
   *
   * Output line format (VERDICT r7 #1 — tail-budget compaction): the
-  * total is a float in seconds; per-query figures are parallel arrays
-  * `q` (sorted names) and `t_cs` (integer centiseconds, -1 = failed).
-  * Full-precision per-query seconds land in BENCH_DETAIL.json.
+  * total is a float in seconds; `t_cs` holds integer centiseconds
+  * (-1 = failed) in SORTED query-name order, names omitted from
+  * stdout (they are the keys of the committed BENCH_DETAIL.json, in
+  * the same order, with full-precision seconds).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,22 +59,23 @@ object Bench {
     }
     // VERDICT r6 #3 / r7 #1: the driver records only the last ~2000
     // chars of stdout (minus sbt's "[info] " prefix and its trailing
-    // "[success] Total time: …" line, ~85 chars → ~1915 budget). The
-    // 2-decimal per-query MAP hit ~1880 at 88 queries — zero headroom
-    // for new gates — so per VERDICT r7 task #1 the per-query figures
-    // are PARALLEL ARRAYS: `q` holds the sorted query names, `t_cs[i]`
-    // the steady-state time of q[i] in integer CENTISECONDS (the 2-3
-    // digit int is what buys the space; -1 = query failed). ~1720
-    // chars at 88 queries. The headline total stays a float in
-    // seconds and PRINTS FIRST so it survives any truncation;
-    // BENCH_DETAIL.json (committed) carries full-precision seconds.
+    // "[success] Total time: …" line, ~85 chars → ~1915 budget). At 98
+    // queries even centisecond parallel arrays WITH names hit ~1904 —
+    // zero headroom — so the stdout line carries the figures WITHOUT
+    // the name array: `t_cs[i]` is the steady-state time in integer
+    // CENTISECONDS (-1 = failed) of the i-th query in SORTED-NAME
+    // order (`nq` = count). The names in that exact order are in the
+    // committed BENCH_DETAIL.json (insertion-ordered, full-precision
+    // seconds) and are the sorted keys of SparkEntry.queries /
+    // CORRECTNESS_r{N}.json. ~560 chars at 98 queries — headroom for
+    // hundreds of gates. The headline total stays a float in seconds
+    // and PRINTS FIRST so it survives any truncation.
     def fmt(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val names = results.map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val times = results.map { case (_, v) =>
       if (v < 0) "-1" else math.round(v * 100).toString }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","q":$names,"t_cs":$times}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","nq":${results.length},"names":"sorted; see BENCH_DETAIL.json","t_cs":$times}""")
     // full-precision copy into the repo working tree: the stdout line
     // is tail-capture-constrained (~1915 chars), the file is not — the
     // round snapshot commits it, so per-query figures stay recoverable

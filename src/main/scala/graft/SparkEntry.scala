@@ -1264,6 +1264,47 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         "doc_id", "text", k = 40, maxDf = 50, minCosine = 0.3)),
 
+    // --- Fuzzy dedup APPLIED (r8): the one-call survivors corpus for
+    //     the fuzzy family — fuzzyPairs edges → connectedComponents
+    //     transitive clusters → min-id survivors — mirroring
+    //     dedup_near_apply for the character-level member. Same
+    //     lossless in-plan 'rec-' fixture as dedup_fuzzy (maxDistance
+    //     = 1 keeps the DuckDB recursive closure small); the oracle
+    //     replays pairs + closure + survivor pick exactly.
+    "dedup_fuzzy_apply" -> ((s, dir) => {
+      val strs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("rec-"), (col("doc_id") % 60).cast("string"),
+            lit("-"), (col("doc_id") % 7).cast("string")).as("str"))
+      val pairs = Dedup.fuzzyPairs(strs, "doc_id", "str", maxDistance = 1)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id_a", "doc_id")
+      strs.join(comps, Seq("doc_id"), "left")
+        .filter(col("rep_id").isNull || col("rep_id") === col("doc_id"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    // --- Encoding-damage scan (r8): U+FFFD / stray-control ratio —
+    //     the drop-or-repair signal for crawled corpora. The fixture
+    //     is clean, so deterministic damage is planted in-plan on
+    //     BOTH engines (every 11th doc gets two replacement chars).
+    "text_encoding" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val aug = when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit("��")))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), TextFunctions.mojibakeRatio(aug).as("__r"))
+        .agg(
+          sum(when(col("__r") > 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_damaged"),
+          round(avg(col("__r")), 6).as("avg_ratio"),
+          round(max(col("__r")), 6).as("max_ratio"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // --- Repeated-n-gram ratio per source (r8): the Gopher-style
     //     repetition quality signal — 1 − distinct/total word bigrams
     //     per doc, aggregated per source. Pure expressions.
@@ -2281,6 +2322,47 @@ object SparkEntry {
          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
          |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // pairs + recursive-CTE closure + min-id survivor pick — the
+    // dedup_components precedent applied to the levenshtein graph
+    "dedup_fuzzy_apply" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, 'rec-' || (doc_id % 60) || '-' || (doc_id % 7) AS str
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.str, b.str) <= 1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+        |rep AS (SELECT u AS doc_id, least(u, mn) AS rep_id FROM m),
+        |surv AS (SELECT s.doc_id FROM s LEFT JOIN rep USING (doc_id)
+        |         WHERE rep_id IS NULL OR rep_id = s.doc_id)
+        |SELECT count(*) AS n_survivors,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM surv""".stripMargin,
+
+    // the fixture is control-char-free (verified), so the planted
+    // U+FFFD chars are the only damage — counted with the
+    // replace-length trick, same per-row round
+    "text_encoding" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || chr(65533) || chr(65533)
+        |         ELSE text END AS aug
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |r AS (SELECT doc_id,
+        |        round((length(aug) - length(replace(aug, chr(65533), '')))::DOUBLE
+        |              / length(aug), 6) AS ratio
+        |      FROM a)
+        |SELECT CAST(sum(CASE WHEN ratio > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged,
+        |  round(avg(ratio), 6) AS avg_ratio,
+        |  round(max(ratio), 6) AS max_ratio,
+        |  count(*) AS n_docs
+        |FROM r""".stripMargin,
 
     // per-doc repetition computed with the same list pipeline, then
     // the same per-row round before averaging

@@ -127,6 +127,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(pruned === 0, "df cap must prune all shared terms")
   }
 
+  test("repetitionRatio and mojibakeRatio: planted signals score as " +
+      "computed by hand; clean/short inputs score 0") {
+    val rows = Seq(
+      (0L, "a b c d"),                    // 4 tokens, 3 distinct bigrams → 0
+      (1L, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
+      (2L, "x"),                          // < n tokens → 0
+      (3L, "clean text here"),
+      (4L, "bad �� end")        // 2 of 10 chars damaged
+    ).toDF("id", "t")
+    val got = rows.select($"id",
+        graft.functions.TextFunctions.repetitionRatio($"t", 2).as("rep"),
+        graft.functions.TextFunctions.mojibakeRatio($"t").as("moj"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 === 0.0 && got(1L)._1 === 0.666667)
+    assert(got(2L)._1 === 0.0 && got(3L)._2 === 0.0)
+    assert(got(4L)._2 === 0.2) // 2/10
+  }
+
   test("tfidfSimJoin prefix filter is LOSSLESS and bit-identical at/above " +
       "the threshold (thresholded unfiltered twin on a random corpus)") {
     // 400 docs over a small vocab → dense shared-term structure, many
