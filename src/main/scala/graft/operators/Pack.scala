@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * `text_pack` gate is an exact DuckDB hash match). Unlike bin-packing
   * heuristics (first-fit etc.), interval packing needs no sequential
   * state, so it parallelizes exactly; sequences can overflow by at
-  * most one document, the standard accepted slack.
+  * most one document, the standard accepted margin.
   *
   * Scale design — the prefix sum is the whole problem: the naive form
   * is a window over an EMPTY partition spec, which Spark plans as a

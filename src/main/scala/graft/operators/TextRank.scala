@@ -164,7 +164,7 @@ object TextRank {
     * path and the DuckDB twin (absent terms add an exact 0.0; all
     * weights are positive, so no -0.0 hazard), keeping the thresholded
     * path bit-identical too (`text_sim_prefix` gate). The bound
-    * carries 1e-9 slack so float noise can only over-index, never
+    * carries 1e-9 margin so float noise can only over-index, never
     * drop a borderline pair. Scale shape: one tokenize into the
     * cached tf projection, one cached per-doc-vector aggregation,
     * the collapsed pair expansion, and one corpus scan for
@@ -284,7 +284,7 @@ object TextRank {
     */
   private def prefixFilteredPairs(docv: DataFrame, idCol: String,
       k: Int, minCosine: Double): DataFrame = {
-      // squared threshold with slack, in UNNORMALIZED w² space:
+      // squared threshold with margin, in UNNORMALIZED w² space:
       // nw²-tail ≥ T² ⟺ w²-tail ≥ T²·norm²
       val tSq = {
         val s = math.max(minCosine - 1e-9, 0.0); s * s
