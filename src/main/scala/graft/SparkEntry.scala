@@ -1264,6 +1264,29 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         "doc_id", "text", k = 40, maxDf = 50, minCosine = 0.3)),
 
+    // --- Column profiler (r8): the ANALYZE/profiling pass every
+    //     pipeline runs on arrival — per-column null count, distinct
+    //     count, min/max — computed in ONE aggregation pass then
+    //     unpivoted via stack(). Exact ndv at gate scale (the Expand
+    //     it plans is the q_distinct_approx lesson — at 100 TB swap
+    //     countDistinct for approx_count_distinct, one pass, no
+    //     Expand).
+    "docs_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("bigint").as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")))
+      docs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', ${c}__nulls, ${c}__ndv, ${c}__min, ${c}__max").mkString(", ") +
+            ") as (col_name, n_nulls, n_distinct, min_val, max_val)"))
+        .orderBy(col("col_name"))
+    }),
+
     // --- Fuzzy dedup APPLIED (r8): the one-call survivors corpus for
     //     the fuzzy family — fuzzyPairs edges → connectedComponents
     //     transitive clusters → min-id survivors — mirroring
@@ -2322,6 +2345,20 @@ object SparkEntry {
          |        ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |SELECT query_id, doc_id, rrf, rank_bm25, rank_vec
          |FROM r WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
+
+    // one UNION ALL branch per profiled column; numeric min/max cast
+    // to VARCHAR after the aggregate on both engines
+    "docs_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(branch)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     // pairs + recursive-CTE closure + min-id survivor pick — the
     // dedup_components precedent applied to the levenshtein graph
