@@ -308,6 +308,18 @@ object ScaleProbe {
         k = 10, metric = "cosine", excludeSelf = true).count()
     }
 
+    // training-order mixture with ONE dominant source (90% of 1M rows)
+    // — the realistic corpus shape where the r8 per-source row_number
+    // window funneled 900k rows through one reducer; the r9 two-phase
+    // rank spreads the work over 256 contiguous key buckets
+    time("interleave_1M_90pct_one_source") {
+      val mix = spark.range(1000000).select($"id".as("doc_id"),
+        when(pmod($"id", lit(10)) < 9, lit("srcA")).otherwise(lit("srcB"))
+          .as("source"))
+      graft.operators.TrainingOrder.interleaveByWeight(mix, "source",
+        "doc_id", Map("srcA" -> 4.0, "srcB" -> 1.0), seed = 42L).count()
+    }
+
     time("languageId_200k") {
       graft.functions.TextFunctions.withLanguageId(docs, "text", "pred")
         .groupBy($"pred").count().collect().map(_.getLong(1)).sum

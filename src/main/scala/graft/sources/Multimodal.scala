@@ -172,8 +172,8 @@ object Multimodal {
       return UnknownHeader
     }
     // JPEG: SOI then segment walk to the first SOFn (C0-CF minus the
-    // non-frame C4/C8/CC): height BE16 at +5, width BE16 at +7 from
-    // the marker byte
+    // non-frame C4/C8/CC): marker byte at j, length BE16 at j+1..2,
+    // precision at j+3, height BE16 at j+4, width BE16 at j+6
     if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
       var i = 2
       while (i + 3 < b.length) {

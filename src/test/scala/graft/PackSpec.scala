@@ -50,6 +50,50 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("interleaveByWeight: two-phase bucketed rank equals the naive " +
+      "per-source row_number window bit-for-bit (r9 scale-safe form)") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(3))).as("source"))
+    val got = TrainingOrder.interleaveByWeight(df, "source", "doc_id",
+        Map("s0" -> 3.0, "s1" -> 1.0), seed = 7L)
+      .select($"doc_id", $"vpos").as[(Long, Double)].collect().toMap
+    val w = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
+    val ref = df
+      .withColumn("shuffle_key",
+        md5(concat($"doc_id".cast("string"), lit(":7"))))
+      .withColumn("__w",
+        when($"source" === "s0", 3.0).when($"source" === "s1", 1.0)
+          .otherwise(0.0))
+      .filter($"__w" > 0)
+      .withColumn("vpos",
+        round(row_number().over(w).cast("double") / $"__w", 6))
+      .select($"doc_id", $"vpos").as[(Long, Double)].collect().toMap
+    assert(got === ref)
+  }
+
+  test("reserved-column collisions and null contract violations fail " +
+      "loudly with named messages (r9, ADVICE r8)") {
+    import graft.operators.TrainingOrder
+    val bad = spark.range(10).select($"id".as("doc_id"),
+      lit("x").as("shuffle_key"), lit("s0").as("source"))
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingOrder.seededShuffle(bad, "doc_id", 1L)
+    }
+    assert(e1.getMessage.contains("shuffle_key"))
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingOrder.interleaveByWeight(bad, "source", "doc_id",
+        Map("s0" -> 1.0))
+    }
+    assert(e2.getMessage.contains("shuffle_key"))
+    val nulls = spark.range(10).select(
+      when($"id" === 3, null).otherwise($"id").as("k"), lit(1L).as("v"))
+    val e3 = intercept[IllegalArgumentException] {
+      Pack.withPrefixSum(nulls, "k", $"v", "pre")
+    }
+    assert(e3.getMessage.contains("null"))
+  }
+
   test("interleaveByWeight: stride mixture delivers weight-proportional " +
       "rows, drops unlisted sources, reproducible bit-for-bit") {
     import graft.operators.TrainingOrder

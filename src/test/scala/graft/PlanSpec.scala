@@ -33,6 +33,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "the bucket-local window must exist")
   }
 
+  test("docs_interleave's rank window is bucket-partitioned — no " +
+      "per-source single-reducer window remains (r9, VERDICT r8 #3)") {
+    val p = plan("docs_interleave")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "expected the rank window in the plan")
+    winLines.foreach(l => assert(l.contains("__b"),
+      s"window not partitioned by the key bucket: ${l.take(300)}"))
+  }
+
   test("single-query KNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
     val p = plan("knn_l2")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))

@@ -134,7 +134,7 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
       (2L, "x"),                          // < n tokens → 0
       (3L, "clean text here"),
-      (4L, "bad �� end")        // 2 of 10 chars damaged
+      (4L, "bad \uFFFD\uFFFD end") // 2 of 10 chars damaged
     ).toDF("id", "t")
     val got = rows.select($"id",
         graft.functions.TextFunctions.repetitionRatio($"t", 2).as("rep"),

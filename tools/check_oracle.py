@@ -30,12 +30,14 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            got_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
+            got_cols = list(got_rel.columns)
+            got_types = [str(t) for t in got_rel.types]
             got = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
@@ -46,6 +48,18 @@ def main(sf_dir, out_dir):
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        # driver hashes TYPED output: an oracle HUGEINT vs Spark BIGINT
+        # hash-mismatches even when every value agrees (r3 dedup_exact,
+        # r8 text_pack). Compare DuckDB-side types column-by-column so
+        # that class fails locally before it fails at the driver.
+        gt = [got_types[i] for i in gi]
+        et = [exp_types[i] for i in ei]
+        if gt != et:
+            diffs = [(c, a, b) for c, a, b in
+                     zip(sorted(got_cols), gt, et) if a != b]
+            print(f"FAIL {name}: TYPE mismatch {diffs} (spark vs oracle)")
             n_fail += 1
             continue
         g = norm([tuple(r[i] for i in gi) for r in got])
