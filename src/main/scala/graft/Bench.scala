@@ -14,10 +14,13 @@ import org.apache.spark.sql.SparkSession
   *    lets Catalyst prune the projections being measured);
   *  - queries run in sorted-name order so numbers are comparable
   *    across rounds;
-  *  - the reported figure is the MIN of two timed runs — the best
-  *    observed steady state — because single-run numbers on a shared
-  *    machine carry up to 2× scheduler/GC noise (observed across
-  *    back-to-back bench invocations).
+  *  - the reported figure is the MIN across TWO END-TO-END SUITE
+  *    passes (VERDICT r8 #4): back-to-back per-query repeats cannot
+  *    see through a minutes-long machine-load burst — it inflates a
+  *    contiguous alphabetical block of queries in place. Two full
+  *    passes sample each query ~minutes apart, so a burst during one
+  *    pass is erased by the other; per-query min across passes keeps
+  *    the best observed steady state with zero extra machinery.
   *
   * Output line format (VERDICT r7 #1 — tail-budget compaction): the
   * total is a float in seconds; `t_cs` holds integer centiseconds
@@ -42,20 +45,25 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // two end-to-end passes over the sorted suite; pass 1 gives each
+    // query an untimed warmup first, pass 2 is already warm
+    def timedRun(name: String, warmup: Boolean): Double =
       try {
-        materialize(name) // warmup: session/codegen/IO caches
-        val timed = Seq.fill(2) {
-          val t0 = System.nanoTime()
-          materialize(name)
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> timed.min
+        if (warmup) materialize(name) // session/codegen/IO caches
+        val t0 = System.nanoTime()
+        materialize(name)
+        (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          -1.0
       }
+    val pass1 = names.map(n => n -> timedRun(n, warmup = true)).toMap
+    val pass2 = names.map(n => n -> timedRun(n, warmup = false)).toMap
+    val results = names.map { n =>
+      val ok = Seq(pass1(n), pass2(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     // VERDICT r6 #3 / r7 #1: the driver records only the last ~2000
     // chars of stdout (minus sbt's "[info] " prefix and its trailing
