@@ -1287,6 +1287,30 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // --- Profiler quantiles (r9, VERDICT r8 #6): per-numeric-column
+    //     p50/p95 — the other half of an ANALYZE pass, and the stats
+    //     that feed skew-aware planning. Spark side is
+    //     percentile_approx (the mergeable one-pass GK sketch — the
+    //     100 TB shape, no sort); at gate scale accuracy=1e6 makes the
+    //     sketch exact, so the DuckDB twin computes the same rank
+    //     definition explicitly (element at rank ceil(p·n), 1-based)
+    //     and the gate is a hash match.
+    "docs_profile_q" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cols = Seq("doc_id", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        percentile_approx(col(c).cast("double"), lit(0.5), lit(1000000))
+          .as(s"${c}__p50"),
+        percentile_approx(col(c).cast("double"), lit(0.95), lit(1000000))
+          .as(s"${c}__p95")))
+      docs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${cols.length}, " + cols.map(c =>
+            s"'$c', ${c}__p50, ${c}__p95").mkString(", ") +
+            ") as (col_name, p50, p95)"))
+        .orderBy(col("col_name"))
+    }),
+
     // --- Fuzzy dedup APPLIED (r8): the one-call survivors corpus for
     //     the fuzzy family — fuzzyPairs edges → connectedComponents
     //     transitive clusters → min-id survivors — mirroring
@@ -2360,6 +2384,21 @@ object SparkEntry {
            |  CAST(max($c) AS VARCHAR) AS max_val
            |FROM documents""".stripMargin
       Seq("doc_id", "lang", "source", "n_chars").map(branch)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    // quantiles via the explicit rank rule Spark's exact-accuracy GK
+    // sketch implements: element at 1-based rank ceil(p·n) over the
+    // non-null sorted column
+    "docs_profile_q" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(min(CASE WHEN rk = ceil(0.5 * n) THEN $c END) AS DOUBLE) AS p50,
+           |  CAST(min(CASE WHEN rk = ceil(0.95 * n) THEN $c END) AS DOUBLE) AS p95
+           |FROM (SELECT $c, row_number() OVER (ORDER BY $c) AS rk,
+           |        count(*) OVER () AS n
+           |      FROM documents WHERE $c IS NOT NULL)""".stripMargin
+      Seq("doc_id", "n_chars").map(branch)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
 
