@@ -1601,6 +1601,26 @@ object SparkEntry {
         .orderBy(col("kind"), col("format"))
     }),
 
+    // --- Pixel-level decode (r9): REAL pixels from real bytes — the
+    //     payloads are well-formed 24-bit BMPs built in-plan with
+    //     closed-form (id, x, y) pixel values, decoded by the pure-JVM
+    //     BMP parser (bottom-up rows, BGR, 4-byte padding), and the
+    //     oracle recomputes the per-image channel means from the pixel
+    //     formulas via generate_series. Every 19th payload is
+    //     magic-corrupted → format 'unknown', null stats.
+    "mm_pixels" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBmpBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withBmpPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
     //     analytics, no streaming runtime needed)
@@ -3125,6 +3145,31 @@ object SparkEntry {
         |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
         |  CAST(sum(rate) AS BIGINT) AS sum_rate, CAST(sum(ch) AS BIGINT) AS sum_ch
         |FROM m GROUP BY kind, format ORDER BY kind, format""".stripMargin,
+
+    // per-image channel means recomputed from the closed-form pixel
+    // values over a generated (x, y) grid — both engines sum the same
+    // exact integers and divide by the same count
+    "mm_pixels" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id + 7 * x.g + 13 * y.g) % 256) AS mr,
+        |    avg((i.media_id * 3 + 5 * x.g + 11 * y.g) % 256) AS mg,
+        |    avg((i.media_id * 5 + 3 * x.g + 17 * y.g) % 256) AS mb
+        |  FROM ids i, generate_series(0, 7) AS x(g), generate_series(0, 6) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN 'unknown' ELSE 'bmp' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) ORDER BY media_id""".stripMargin,
 
     "mm_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,

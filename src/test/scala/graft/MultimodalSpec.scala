@@ -94,6 +94,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeBmp: positional pixel correctness through the bottom-up " +
+      "BGR padded layout; unsupported/corrupt/forged bytes → null (r9)") {
+    import Multimodal.{buildBmp, decodeBmp}
+    // w=3 → rowSize 12 with 3 pad bytes: exercises padding; pixel
+    // (x, y) planted as distinct channel values keyed by position
+    val img = decodeBmp(buildBmp(3, 2, (x, y) => (10 * x + y, 100 + x, 200 + y)))
+    assert(img.width === 3 && img.height === 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val o = (y * 3 + x) * 3
+      assert((img.rgb(o) & 0xFF) === 10 * x + y, s"R at ($x,$y)")
+      assert((img.rgb(o + 1) & 0xFF) === 100 + x, s"G at ($x,$y)")
+      assert((img.rgb(o + 2) & 0xFF) === 200 + y, s"B at ($x,$y)")
+    }
+    assert(decodeBmp(null) === null)
+    assert(decodeBmp(Array[Byte](1, 2, 3)) === null)
+    val truncated = buildBmp(4, 4, (_, _) => (1, 2, 3)).take(60)
+    assert(decodeBmp(truncated) === null)
+    val badMagic = buildBmp(2, 2, (_, _) => (1, 2, 3)); badMagic(0) = 0
+    assert(decodeBmp(badMagic) === null)
+    // forged dimension header must refuse, not allocate
+    val forged = buildBmp(2, 2, (_, _) => (1, 2, 3))
+    val bb = java.nio.ByteBuffer.wrap(forged)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1 << 20) // width = 1M
+    assert(decodeBmp(forged) === null)
+  }
+
+  test("BmpFeatureDecoder: features computed from REAL decoded pixel " +
+      "values, flowing through the withFeatures boundary (r9)") {
+    import Multimodal.{buildBmp, BmpFeatureDecoder}
+    // constant-color image → exact channel means
+    val red = buildBmp(5, 4, (_, _) => (200, 40, 90))
+    val f = new BmpFeatureDecoder().decode(red)
+    assert(math.abs(f(0) - 200f / 255) < 1e-6)
+    assert(math.abs(f(1) - 40f / 255) < 1e-6)
+    assert(math.abs(f(2) - 90f / 255) < 1e-6)
+    assert(math.abs(f(3) - (0.299 * 200 + 0.587 * 40 + 0.114 * 90) / 255) < 1e-6)
+    assert(new BmpFeatureDecoder().decode(Array[Byte](9, 9)) === null)
+    val bmpMedia = spark.range(8).select($"id".as("media_id"),
+        lit(1).as("k"))
+      .mapPartitions { it =>
+        it.map(r => org.apache.spark.sql.Row(r.getLong(0),
+          Multimodal.synthBmpPayload(r.getLong(0))))
+      }(org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload", BinaryType)))))
+    val out = Multimodal.withFeatures(bmpMedia, "payload", "features",
+      () => new BmpFeatureDecoder)
+    assert(out.filter($"features".isNotNull).count() === 8)
+  }
+
   test("sampleFrames: n evenly-spaced byte windows, ordered frame_idx") {
     val frames = Multimodal.sampleFrames(
       media.filter($"kind" === "video"), "payload", n = 4)
