@@ -40,6 +40,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the hybrid_rrf leg-rank windows are k-bounded (≤100 rows) by a
+    // LIMIT before the window, so WindowExec's single-partition
+    // warning is a false alarm here and would spam every bench pass;
+    // a literal partition key can't silence it (Spark 4's
+    // EliminateWindowPartitions folds it away), so demote the logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

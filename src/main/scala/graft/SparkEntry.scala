@@ -1160,6 +1160,12 @@ object SparkEntry {
       // dominate the fused top-10 on the fixture, so the hash checks
       // the both-present fusion path, not just single-leg carryover
       val kLeg = 100
+      // legs are LIMITed to kLeg=100 rows before ranking, so the
+      // single-partition window is the intended (bounded) plan; a
+      // literal partition key would not silence WindowExec's
+      // "No Partition Defined" warning because Spark 4's
+      // EliminateWindowPartitions folds foldable keys away — the
+      // harness mains demote that logger instead (Bench/Verify)
       val wBm = org.apache.spark.sql.expressions.Window
         .orderBy(col("bm25").desc, col("doc_id"))
       val bm = bm25TopK(s, dir, kLeg)

@@ -731,36 +731,41 @@ object Dedup {
     * typos in short fields; entity resolution needs Levenshtein).
     *
     * Scale shape — classic blocking, never all-pairs: candidates are
-    * pairs agreeing on a BLOCK KEY = (length bucket, first
-    * `prefixLen` normalized chars). Two strings within edit distance
-    * d differ in length by ≤ d, so comparing only same-bucket and
-    * adjacent-bucket lengths (bucket width = maxDistance) never loses
-    * a true pair ON LENGTH; the prefix block is the standard
-    * recall/cost trade (a typo INSIDE the prefix escapes the block —
-    * documented, like every blocking scheme). Verification is Spark's
+    * pairs agreeing on EITHER of two block keys (r9, VERDICT r8 #8 —
+    * two-segment OR-blocking): (length bucket, first `prefixLen`
+    * chars) OR (length bucket, LAST `prefixLen` chars). Two strings
+    * within edit distance d differ in length by ≤ d, so comparing only
+    * same-bucket and adjacent-bucket lengths (bucket width =
+    * maxDistance) never loses a true pair ON LENGTH. The two segments
+    * make SINGLE-EDIT pairs immune to segment placement whenever the
+    * string is long enough that head and tail don't overlap
+    * (len ≥ 2·prefixLen + maxDistance): one edit cannot touch both
+    * disjoint regions — a head-region edit leaves the last-k suffix
+    * byte-identical (suffixes are stable under front insertions), a
+    * tail-region edit leaves the head intact — so at least one key
+    * agrees. Pairs spending edits in BOTH segments (needs distance ≥
+    * 2) remain the documented blocking trade. Verification is Spark's
     * built-in `levenshtein` on the candidate pairs only; the same
     * grouped in-bucket expansion as the LSH candidates bounds each
     * block at `maxBlockSize` rows (over-cap blocks drop loudly via
     * the observe metric).
     *
-    * `prefixLen = 0` (the default) DERIVES the prefix length from the
+    * `prefixLen = 0` (the default) DERIVES the segment length from the
     * data (VERDICT r7 #3: a FIXED short default degenerates on any
     * corpus with shared prefixes — every block blows the cap and
     * drops, collapsing recall loudly-but-completely): one bounded
-    * probe aggregation measures the max block occupancy at a ladder of
-    * candidate lengths and picks the SHORTEST whose largest block fits
-    * `maxBlockSize` — shortest = fewest prefix-typo escapes, i.e. max
-    * recall subject to no drops. The probe is one eager job over the
-    * (length-bucket, prefix) projection (ids not carried); pass an
-    * explicit `prefixLen` to keep the operator fully lazy when the
-    * corpus' prefix structure is known.
-    *
-    * AUTO optimizes RECALL, not wall: blocks up to the cap are legal
-    * work, so the shortest cap-fitting prefix can cost the cap's
-    * quadratic worst case (ScaleProbe: 17 s at 200k under AUTO vs
-    * 1.2 s at a hand-tuned prefixLen=6 — same exact planted recall).
-    * To trade recall for wall, tighten `maxBlockSize` (which also
-    * drops degenerate blocks) or pass the explicit `prefixLen`.
+    * probe aggregation measures, at a ladder of candidate lengths,
+    * the max block occupancy AND the total candidate-comparison work
+    * (Σ n·(n−1)/2 over both key sides), then picks the shortest
+    * cap-fitting candidate whose work also fits `autoWorkBudget` —
+    * falling back to the min-work cap-fitting entry when none does
+    * (r8's AUTO optimized recall alone and accepted the cap's
+    * quadratic worst case: 17 s at the 200k probe; the work bound cuts
+    * that to the budget while two-segment rescue keeps single-edit
+    * recall independent of the chosen length). The probe is one eager
+    * job over the keyed projection (ids not carried); pass an explicit
+    * `prefixLen` to keep the operator fully lazy when the corpus'
+    * prefix structure is known.
     *
     * Output: (id_a, id_b, distance ≤ maxDistance), id_a < id_b,
     * totally ordered. Comparison is on `normalizeText(strCol)` —
@@ -769,7 +774,8 @@ object Dedup {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDistance: Int = 2, prefixLen: Int = 0,
-      maxBlockSize: Int = 1000): DataFrame = {
+      maxBlockSize: Int = 1000,
+      autoWorkBudget: Long = 10000000L): DataFrame = {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(prefixLen >= 0, s"prefixLen must be >= 0 (0 = auto), got $prefixLen")
     ensureCapListener(df.sparkSession)
@@ -777,18 +783,27 @@ object Dedup {
       TextFunctions.normalizeText(col(strCol)).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) > 0)
     val px = if (prefixLen > 0) prefixLen
-      else derivePrefixLen(norm, maxDistance, maxBlockSize)
+      else derivePrefixLen(norm, maxDistance, maxBlockSize, autoWorkBudget)
     // each row lands in its own length bucket AND the next one, so two
     // rows within maxDistance of each other in length always share at
-    // least one bucket (width = maxDistance)
+    // least one bucket (width = maxDistance); each (bucket, row) then
+    // carries BOTH segment keys, tagged by side so head blocks never
+    // merge with tail blocks
     val bucketed = norm
       .select(col(idCol), col("__s"),
         (length(col("__s")) / maxDistance).cast("int").as("__lb"),
-        substring(col("__s"), 1, px).as("__px"))
+        array(
+          struct(lit(0).as("side"), substring(col("__s"), 1, px).as("seg")),
+          struct(lit(1).as("side"),
+            col("__s").substr(greatest(length(col("__s")) - px + 1, lit(1)),
+              lit(px)).as("seg"))).as("__keys"))
     val blocks = bucketed
-      .select(col(idCol), col("__s"), col("__px"),
+      .select(col(idCol), col("__s"), col("__keys"),
         explode(array(col("__lb"), col("__lb") + 1)).as("__lb"))
-      .groupBy(col("__lb"), col("__px"))
+      .select(col(idCol), col("__s"), col("__lb"),
+        explode(col("__keys")).as("__k"))
+      .groupBy(col("__lb"), col("__k.side").as("__side"),
+        col("__k.seg").as("__px"))
       .agg(collect_list(struct(col(idCol).as("id"), col("__s").as("s"))).as("__m"))
       .observe(s"graft.cap.fuzzyPairs.${capMetricSeq.incrementAndGet()}",
         sum(when(size(col("__m")) > maxBlockSize, size(col("__m")))
@@ -814,38 +829,54 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Auto prefix-length probe for [[fuzzyPairs]]: measure the max
-    * (length-bucket, prefix) block occupancy — on the EXPLODED
-    * own+next bucket projection, exactly what the blocks will see —
-    * for a ladder of candidate prefix lengths in ONE aggregation pass,
-    * and return the shortest candidate whose largest block fits the
-    * cap. If even the longest candidate over-caps (a corpus of
-    * near-identical long strings), return it anyway: the cap then
-    * drops loudly via the observe metric, same as any degenerate
-    * block, and the log names the occupancy so the caller can raise
-    * the ladder or dedup exactly upstream first.
+  /** Auto segment-length probe for [[fuzzyPairs]]: measure, on the
+    * EXPLODED own+next bucket × both-key-sides projection (exactly
+    * what the blocks will see), the max block occupancy AND the total
+    * candidate work Σ n·(n−1)/2 for a ladder of candidate lengths in
+    * ONE aggregation pass. Choose the shortest cap-fitting candidate
+    * whose work fits the budget; if none fits the budget, the
+    * cap-fitting candidate with MINIMUM work (r8 behavior was
+    * shortest-cap-fitting alone — recall-first but accepting the
+    * cap's quadratic worst case; with two-segment rescue, single-edit
+    * recall no longer depends on the chosen length, so work is the
+    * right tiebreak). If even the longest candidate over-caps (a
+    * corpus of near-identical long strings), return it anyway: the cap
+    * then drops loudly via the observe metric, and the log names the
+    * occupancy so the caller can raise the ladder or dedup exactly
+    * upstream first.
     */
   private val prefixLadder = Seq(2, 4, 6, 8, 10, 12, 16, 24)
 
   private def derivePrefixLen(norm: DataFrame, maxDistance: Int,
-      maxBlockSize: Int): Int = {
+      maxBlockSize: Int, workBudget: Long): Int = {
     val exploded = norm.select(col("__s"),
         explode(array(
           (length(col("__s")) / maxDistance).cast("int"),
           (length(col("__s")) / maxDistance).cast("int") + 1)).as("__lb"))
-    val occ = exploded
-      .select(col("__lb"), explode(array(prefixLadder.map(p =>
-        struct(lit(p).as("p"), substring(col("__s"), 1, p).as("px"))): _*)).as("c"))
-      .groupBy(col("c.p").as("p"), col("__lb"), col("c.px"))
+    val stats = exploded
+      .select(col("__lb"), explode(array(prefixLadder.flatMap(p => Seq(
+        struct(lit(p).as("p"), lit(0).as("side"),
+          substring(col("__s"), 1, p).as("px")),
+        struct(lit(p).as("p"), lit(1).as("side"),
+          col("__s").substr(greatest(length(col("__s")) - p + 1, lit(1)),
+            lit(p)).as("px")))): _*)).as("c"))
+      .groupBy(col("c.p").as("p"), col("c.side").as("side"),
+        col("__lb"), col("c.px"))
       .agg(count(lit(1)).as("n"))
-      .groupBy(col("p")).agg(max(col("n")).as("mx"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chosen = prefixLadder.find(p => occ.getOrElse(p, 0L) <= maxBlockSize)
+      .groupBy(col("p")).agg(max(col("n")).as("mx"),
+        (sum(col("n") * (col("n") - 1)) / 2).cast("long").as("work"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val capFit = prefixLadder.filter(p =>
+      stats.get(p).exists(_._1 <= maxBlockSize))
+    val chosen = capFit.find(p => stats(p)._2 <= workBudget)
+      .orElse(capFit.sortBy(p => stats(p)._2).headOption)
       .getOrElse(prefixLadder.last)
     org.slf4j.LoggerFactory.getLogger(Dedup.getClass).info(
       s"fuzzyPairs auto prefixLen=$chosen (max block occupancy " +
-        s"${occ.getOrElse(chosen, 0L)} vs cap $maxBlockSize; ladder " +
-        occ.toSeq.sortBy(_._1).map { case (p, n) => s"$p->$n" }.mkString(", ") + ")")
+        s"${stats.get(chosen).fold(0L)(_._1)} vs cap $maxBlockSize, " +
+        s"work ${stats.get(chosen).fold(0L)(_._2)} vs budget $workBudget; " +
+        "ladder " + stats.toSeq.sortBy(_._1)
+          .map { case (p, (n, w)) => s"$p->occ=$n,work=$w" }.mkString(", ") + ")")
     chosen
   }
 

@@ -177,10 +177,7 @@ object TextRank {
       k: Int, maxDf: Int = 100, minCosine: Double = 0.0): DataFrame = {
     // one tokenize pass; tf relation shared by df, norms, and scoring
     // (ReuseExchange — same discipline as bm25Join)
-    val tf = corpus
-      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(corpus, idCol, textCol)
     val nDocs = tf.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
     // idf folds into the TINY term frame before the broadcast, so the
@@ -246,29 +243,7 @@ object TextRank {
       // frame is the localCheckpoint of the ≤ k result rows.
       val tfC = tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val idfDf = tfC.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .crossJoin(tfC.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs")))
-          .select(col("term"), col("df"),
-            log(col("n_docs").cast("double") / col("df")).as("idf"))
-        // LAMBDA HYGIENE (the 7× lesson of this path's first cut): a
-        // staged column referenced ONCE gets inlined by CollapseProject —
-        // harmless at row level, catastrophic inside an array lambda,
-        // where an inlined fold re-evaluates per ELEMENT (O(len²)
-        // interpreted ops per doc). Every lambda below therefore
-        // references only its own element / literals; per-row scalars
-        // (norms, thresholds) are combined OUTSIDE lambdas or kept
-        // doubly-referenced so the stage survives.
-        val docv = tfC.join(broadcast(idfDf), "term")
-          .select(col(idCol), col("term"),
-            (col("tf") * col("idf")).as("w"), col("df"))
-          .groupBy(col(idCol))
-          .agg(array_sort(collect_list(
-            struct(col("term"), col("w"), col("df")))).as("__arr"))
-          .select(col(idCol), col("__arr"),
-            sqrt(aggregate(col("__arr"), lit(0.0),
-              (acc, x) => acc + x.getField("w") * x.getField("w"))).as("__norm"))
-          .filter(col("__norm") > 0)
+        val docv = docVectorsFromTf(tfC, idCol, maxDf)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           prefixFilteredPairs(docv, idCol, k, minCosine)
@@ -277,13 +252,56 @@ object TextRank {
     }
   }
 
-  /** The candidate-generation + verification half of the thresholded
-    * [[tfidfSimJoin]], over a (cached) per-doc vector relation
-    * (idCol, __arr: array<struct<term,w,df>> term-ASC, __norm).
-    * EAGER: returns the localCheckpoint of the ≤ k result rows.
+  /** One tokenize pass → the (id, term, tf) relation every tf-idf /
+    * BM25 statistic derives from. Shared by both sim-join paths and
+    * the scale probes.
     */
-  private def prefixFilteredPairs(docv: DataFrame, idCol: String,
-      k: Int, minCosine: Double): DataFrame = {
+  private[graft] def termFrequencies(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-doc tf-idf vector relation (idCol, __arr: array<struct<term,
+    * w, df>> term-ASC, __norm > 0) from a (preferably cached) tf
+    * relation — the input to [[prefixFilteredPairs]].
+    *
+    * LAMBDA HYGIENE (the 7× lesson of this path's first cut): a
+    * staged column referenced ONCE gets inlined by CollapseProject —
+    * harmless at row level, catastrophic inside an array lambda,
+    * where an inlined fold re-evaluates per ELEMENT (O(len²)
+    * interpreted ops per doc). Every lambda here and below therefore
+    * references only its own element / literals; per-row scalars
+    * (norms, thresholds) are combined OUTSIDE lambdas or kept
+    * doubly-referenced so the stage survives.
+    */
+  private[graft] def docVectorsFromTf(tf: DataFrame, idCol: String,
+      maxDf: Int): DataFrame = {
+    val idfDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(tf.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs")))
+      .select(col("term"), col("df"),
+        log(col("n_docs").cast("double") / col("df")).as("idf"))
+    tf.join(broadcast(idfDf), "term")
+      .select(col(idCol), col("term"),
+        (col("tf") * col("idf")).as("w"), col("df"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(
+        struct(col("term"), col("w"), col("df")))).as("__arr"))
+      .select(col(idCol), col("__arr"),
+        sqrt(aggregate(col("__arr"), lit(0.0),
+          (acc, x) => acc + x.getField("w") * x.getField("w"))).as("__norm"))
+      .filter(col("__norm") > 0)
+  }
+
+  /** Candidate (id_a, id_b) pairs from prefix-indexed entries only —
+    * the lossless pruning core of the thresholded path, exposed
+    * (package-private) so scale probes can measure the candidate count
+    * the filter actually generates.
+    */
+  private[graft] def prefixIndexedCandidates(docv: DataFrame,
+      idCol: String, minCosine: Double): DataFrame = {
       // squared threshold with margin, in UNNORMALIZED w² space:
       // nw²-tail ≥ T² ⟺ w²-tail ≥ T²·norm²
       val tSq = {
@@ -321,7 +339,7 @@ object TextRank {
         .select(col(idCol), col("__e.term").as("term"))
       // candidate pairs from indexed entries only — groups are ≤ df ≤
       // maxDf members, same bounded expansion as the unfiltered path
-      val cand = kept
+      kept
         .groupBy(col("term"))
         .agg(collect_list(col(idCol)).as("__m"))
         .select(explode(flatten(transform(col("__m"), (x, i) =>
@@ -332,9 +350,19 @@ object TextRank {
         .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
         .filter(col("id_a") =!= col("id_b"))
         .distinct()
-        // the candidate set is ≤ pairs-above-threshold + boundary
-        // noise — tiny; checkpointing it stops the verify join's
-        // broadcast build from re-executing the generation chain
+  }
+
+  /** The candidate-generation + verification half of the thresholded
+    * [[tfidfSimJoin]] — see [[prefixIndexedCandidates]] for the
+    * pruning core. EAGER: returns the localCheckpoint of the ≤ k
+    * result rows.
+    */
+  private def prefixFilteredPairs(docv: DataFrame, idCol: String,
+      k: Int, minCosine: Double): DataFrame = {
+      // the candidate set is ≤ pairs-above-threshold + boundary
+      // noise — tiny; checkpointing it stops the verify join's
+      // broadcast build from re-executing the generation chain
+      val cand = prefixIndexedCandidates(docv, idCol, minCosine)
         .localCheckpoint(true)
       // exact verification on the FULL vectors: normalization happens
       // AT THE FOLD, per term, as (w_a/norm_a)·(w_b/norm_b) — the same

@@ -329,10 +329,10 @@ class DedupSpec extends SparkSpec {
     val rows = Seq(
       (0L, "Apache Spark"),
       (1L, "apache spark"),        // case only → distance 0
-      (2L, "Apache Sparc"),        // 1 edit
+      (2L, "Apache Sparc"),        // 1 edit (inside the TAIL segment)
       (3L, "Apache Sparkle"),      // 2 edits (insert 2) — length bucket boundary
-      (4L, "apaXhe spark"),        // 1 edit inside the doc, outside prefix
-      (5L, "Zpache Spark"),        // 1 edit INSIDE the prefix → blocked away
+      (4L, "apaXhe spark"),        // 1 edit in the middle, outside both segments
+      (5L, "Zpache Spark"),        // 1 edit INSIDE the head prefix
       (6L, "completely different thing")
     ).toDF("doc_id", "text")
     val got = Dedup.fuzzyPairs(rows, "doc_id", "text",
@@ -341,8 +341,16 @@ class DedupSpec extends SparkSpec {
     assert(got((0L, 1L)) === 0, "case-only difference is distance 0 post-normalize")
     assert(got((0L, 2L)) === 1 && got((0L, 4L)) === 1)
     assert(got((0L, 3L)) === 2, "cross-length-bucket pair must survive blocking")
-    assert(!got.keySet.exists { case (a, b) => a == 5L || b == 5L },
-      "prefix-block escape is the documented recall trade")
+    // r9 two-segment rescue: a single edit inside the head prefix
+    // leaves the tail suffix intact, so the tail key recovers the
+    // pair that head-only blocking (r8) lost
+    assert(got((0L, 5L)) === 1, "head-edit pair must be rescued by the tail key")
+    assert(got((1L, 5L)) === 1)
+    assert(got((4L, 5L)) === 2, "head-edit + middle-edit pair shares the tail key")
+    // edits in BOTH segments (head z + tail c) remain the documented
+    // two-edit blocking trade — no key agrees
+    assert(!got.contains((2L, 5L)),
+      "both-segment edits are the remaining documented escape")
     assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L })
     // exhaustive twin on the blocked-reachable pairs: every emitted
     // distance equals the unblocked levenshtein
