@@ -1398,6 +1398,37 @@ object SparkEntry {
         .orderBy(col("vpos"), col("source"), col("doc_id"))
         .limit(30)),
 
+    // --- Per-source quota sampling (r9): cap each listed source at N
+    //     docs chosen by seeded-shuffle order — corpus curation's
+    //     "at most N per domain" step. Quota-pruned two-phase rank:
+    //     buckets past the quota never reach a window, unlisted
+    //     sources are dropped. md5 order makes the DuckDB twin exact.
+    "docs_quota" -> ((s, dir) =>
+      graft.operators.TrainingOrder.quotaSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Map("src0" -> 5L, "src1" -> 3L, "src2" -> 12L), seed = 42L)
+        .select(col("source"), col("doc_id"), col("shuffle_key"))
+        .orderBy(col("source"), col("shuffle_key"), col("doc_id"))),
+
+    // --- Per-source token-budget selection (r9): walk each source in
+    //     seeded-shuffle order, keep docs while the EXCLUSIVE running
+    //     token total is under budget (crossing doc kept — the
+    //     interval-packing margin). tok_pre in the output is the
+    //     selection evidence, oracle-checked running sum by running
+    //     sum. Budget-pruned two-phase prefix sum per source.
+    "docs_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      graft.operators.TrainingOrder.selectByTokenBudget(docs,
+          "source", "doc_id", col("tok"),
+          Map("src0" -> 400L, "src1" -> 150L, "src3" -> 700L), seed = 42L)
+        .select(col("source"), col("doc_id"), col("tok"), col("tok_pre"))
+        .orderBy(col("source"), col("tok_pre"), col("doc_id"))
+    }),
+
     // --- Sequence packing (r8 — the pre-tokenization packing step of
     //     every LLM training run): documents in doc_id order are
     //     interval-packed into ~2048-token sequences via the
@@ -1624,6 +1655,27 @@ object SparkEntry {
           round(col("px.mean_r"), 6).as("mean_r"),
           round(col("px.mean_g"), 6).as("mean_g"),
           round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Real SAMPLE decode for audio (r9 — the WAV-PCM sibling of
+    //     mm_pixels): payloads are well-formed 16-bit PCM WAV bytes
+    //     whose rate / sample count / sample values are closed-form in
+    //     the id, decoded back to actual samples by the pure-JVM PCM
+    //     parser; the oracle recomputes mean/rms/peak from the
+    //     formulas alone. Every 19th payload is corrupted in-plan to
+    //     pin the total-function degrade path.
+    "mm_samples" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withWavSampleStats(media, "payload", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
         .orderBy(col("media_id"))
     }),
 
@@ -2508,6 +2560,34 @@ object SparkEntry {
         |SELECT source, doc_id, vpos FROM v
         |ORDER BY vpos, source, doc_id LIMIT 30""".stripMargin,
 
+    // same md5 order; quota cut expressed as a plain per-source
+    // row_number at oracle scale
+    "docs_quota" ->
+      """WITH d AS (SELECT doc_id, source, md5(doc_id || ':42') AS sk
+        |           FROM documents WHERE source IN ('src0','src1','src2')),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+        |      FROM d)
+        |SELECT source, doc_id, sk AS shuffle_key FROM r
+        |WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 12 END
+        |ORDER BY source, shuffle_key, doc_id""".stripMargin,
+
+    // exclusive per-source running token sum (window form at oracle
+    // scale); CAST keeps DuckDB's window-SUM HUGEINT off the output
+    "docs_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, md5(doc_id || ':42') AS sk,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS tok
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |    AND source IN ('src0','src1','src3')),
+        |p AS (
+        |  SELECT *, CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_pre
+        |  FROM t)
+        |SELECT source, doc_id, tok, tok_pre FROM p
+        |WHERE tok_pre < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 150 ELSE 700 END
+        |ORDER BY source, tok_pre, doc_id""".stripMargin,
+
     // interval packing: same exclusive cumsum + floor-division rule,
     // computed with a plain window at oracle scale
     "text_pack" ->
@@ -3176,6 +3256,31 @@ object SparkEntry {
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mg, 6) END AS mean_g,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // PCM sample stats recomputed from the closed-form sample values
+    // (the mm_pixels trick for audio)
+    "mm_samples" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 7 + 3 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (
+        |  SELECT i.media_id, (i.media_id * 31 + g.g * 17) % 2001 - 1000 AS v
+        |  FROM ids i, generate_series(0, 9) AS g(g) WHERE g.g < i.n),
+        |a AS (
+        |  SELECT media_id, count(*) AS n_samples, avg(v) AS mean_amp,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms, max(abs(v)) AS peak
+        |  FROM s GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(8000 + (i.media_id % 8) * 1000 AS INT) END AS sample_rate,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM ids i JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
 
     "mm_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,

@@ -80,15 +80,8 @@ object TrainingOrder {
       .withColumn("__b",
         conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
     // phase 1: per-(source, bucket) counts — ≤ |weights|×256 rows
-    val partials = keyed.groupBy(col("__src"), col("__b")).count()
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offsets = partials.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (s, b, c) =>
-        val off = acc; acc += c; (s, b, off)
-      }
-    }
-    val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
+    val offDf = broadcast(
+      bucketOffsets(keyed, count(lit(1))).toDF("__src", "__b", "__off"))
     // phase 2: bucket-local rank + broadcast exclusive offset
     val wloc = Window.partitionBy(col("__src"), col("__b"))
       .orderBy(col("shuffle_key"), col(idCol))
@@ -97,5 +90,144 @@ object TrainingOrder {
         round((col("__off") + row_number().over(wloc)).cast("double")
           / col("__w"), 6))
       .drop("__w", "__b", "__off", "__src")
+  }
+
+  /** Internal: (source → per-bucket exclusive offsets) from a keyed
+    * frame carrying (__src, __b, __m) where __m is the bucket measure
+    * (row count, token sum, ...). One tiny driver collect — ≤
+    * #sources × 256 rows, a statistic, never data. Shared by
+    * [[interleaveByWeight]]'s siblings below.
+    */
+  private def bucketOffsets(keyed: DataFrame,
+      measure: Column): Seq[(String, Int, Long)] = {
+    val partials = keyed.groupBy(col("__src"), col("__b"))
+      .agg(measure.as("__m"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    partials.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (s, b, c) =>
+        val off = acc; acc += c; (s, b, off)
+      }
+    }
+  }
+
+  /** Per-source QUOTA SAMPLING: keep the first `quota(source)` rows of
+    * each source in seeded-shuffle order — the "cap every domain at N
+    * documents" step of corpus curation, deterministic and
+    * engine-reproducible (md5 order, like [[seededShuffle]]). Sources
+    * absent from `quotas` are DROPPED (the sample is also the source
+    * filter, matching [[interleaveByWeight]]). Output keeps the input
+    * columns plus `shuffle_key`.
+    *
+    * Scale design — same two-phase bucket machinery as
+    * [[interleaveByWeight]] (no per-source single-reducer window), plus
+    * quota pruning: buckets whose exclusive offset is already ≥ the
+    * source's quota are dropped BEFORE the rank window ever sees them,
+    * so the ranking work is ∝ selected rows (+ one boundary bucket per
+    * source), not corpus size — sampling 1M docs out of 100 TB ranks
+    * ~1M rows, never the corpus.
+    */
+  def quotaSample(df: DataFrame, sourceCol: String, idCol: String,
+      quotas: Map[String, Long], seed: Long = 42L): DataFrame = {
+    require(quotas.nonEmpty, "quotaSample needs at least one quota")
+    require(!df.columns.contains("shuffle_key"),
+      "quotaSample outputs a 'shuffle_key' column; the input already " +
+        "has one — rename it first (withColumn would silently replace it)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = quotas.toSeq.sortBy(_._1)
+    val qexpr = sorted.tail
+      .foldLeft(when(col(sourceCol) === sorted.head._1, lit(sorted.head._2))) {
+        case (acc, (s, v)) => acc.when(col(sourceCol) === s, lit(v))
+      }
+      .otherwise(lit(0L))
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("__q", qexpr)
+      .filter(col("__q") > 0)
+      .withColumn("__src", col(sourceCol).cast("string"))
+      .withColumn("__b",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
+    val offsets = bucketOffsets(keyed, count(lit(1)))
+      .filter { case (s, _, off) => off < quotas(s) } // quota pruning
+    val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
+    val wloc = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(offDf, Seq("__src", "__b"))
+      .withColumn("__rk", col("__off") + row_number().over(wloc))
+      .filter(col("__rk") <= col("__q"))
+      .drop("__q", "__b", "__off", "__rk", "__src")
+  }
+
+  /** Per-source TOKEN-BUDGET selection: walk each source in
+    * seeded-shuffle order and keep documents while the EXCLUSIVE
+    * running token total is still under `budgets(source)` — the
+    * "take ~1B tokens per source" subset step of training-mix
+    * construction. Same interval-packing margin convention as
+    * [[Pack.packByBudget]]: the document that crosses the budget is
+    * KEPT (overshoot ≤ one document), so every source with any data
+    * yields at least one document. Sources absent from `budgets` are
+    * dropped. Output adds (shuffle_key, tok_pre) where `tok_pre` is
+    * the exclusive prefix token count — the selection evidence, and
+    * directly oracle-checkable.
+    *
+    * Scale design: the per-source prefix sum is the two-phase bucket
+    * form (per-(source, bucket) token sums → driver exclusive offsets
+    * → bucket-local window), with budget pruning exactly like
+    * [[quotaSample]]: buckets starting at-or-past the budget never
+    * reach the window, so work is ∝ selected tokens, not corpus size.
+    * Token counts must be non-null (loud contract, checked on the
+    * same pass that computes the bucket sums).
+    */
+  def selectByTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: Column, budgets: Map[String, Long],
+      seed: Long = 42L): DataFrame = {
+    require(budgets.nonEmpty, "selectByTokenBudget needs at least one budget")
+    val reserved = Seq("shuffle_key", "tok_pre").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"selectByTokenBudget outputs ${reserved.mkString(", ")}; the input " +
+        "already has such column(s) — rename them first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = budgets.toSeq.sortBy(_._1)
+    val bexpr = sorted.tail
+      .foldLeft(when(col(sourceCol) === sorted.head._1, lit(sorted.head._2))) {
+        case (acc, (s, v)) => acc.when(col(sourceCol) === s, lit(v))
+      }
+      .otherwise(lit(0L))
+    val keyed = df.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("__budget", bexpr)
+      .filter(col("__budget") > 0)
+      .withColumn("__t", tokenCol.cast("long"))
+      .withColumn("__src", col(sourceCol).cast("string"))
+      .withColumn("__b",
+        conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
+    // bucket token sums + null-contract check on the SAME pass
+    val partials = keyed.groupBy(col("__src"), col("__b"))
+      .agg(sum(col("__t")).as("__m"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("__nulls"))
+      .collect()
+    val nulls = partials.map(r => r.getLong(3)).sum
+    require(nulls == 0,
+      s"selectByTokenBudget: tokenCol has $nulls null(s) — token counts " +
+        "must be non-null (filter or default them upstream)")
+    val offsets = partials
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (s, b, c) =>
+          val off = acc; acc += c; (s, b, off)
+        }
+      }
+      .filter { case (s, _, off) => off < budgets(s) } // budget pruning
+    val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
+    // bucket-local EXCLUSIVE running token sum + broadcast offset
+    val wloc = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(offDf, Seq("__src", "__b"))
+      .withColumn("tok_pre",
+        col("__off") + coalesce(sum(col("__t")).over(wloc), lit(0L)))
+      .filter(col("tok_pre") < col("__budget"))
+      .drop("__budget", "__t", "__b", "__off", "__src")
   }
 }

@@ -410,6 +410,149 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  // -------------------------------------------------------------
+  // Sample-level decode (r9 — audio parity with the BMP pixel path):
+  // 16-bit PCM WAV is pure byte layout like uncompressed BMP, so its
+  // SAMPLES decode on the plain JVM with no codec library. One fully
+  // real format per modality: BMP → pixels, WAV PCM → samples;
+  // compressed formats stay behind the documented stub boundary.
+  // -------------------------------------------------------------
+
+  /** Decoded PCM audio: interleaved 16-bit samples. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** Decode a 16-bit integer-PCM WAV payload. Total function:
+    * malformed / truncated / unsupported (non-PCM codec, non-16-bit,
+    * implausible channel count) bytes return null, never throw.
+    * Chunk sizes are untrusted: a data size pointing past the payload
+    * rejects the row rather than reading garbage, and the allocation
+    * is bounded by the actual payload length by construction.
+    */
+  def decodeWavPcm(b: Array[Byte]): WavAudio = {
+    if (b == null || b.length < 44) return null
+    if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return null
+    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return null
+      if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+        val codec = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+        fmtOk = codec == 1 && bits == 16 && channels >= 1 && channels <= 8 &&
+          rate > 0
+      } else if (ascii(b, i, "data")) {
+        if (!fmtOk) return null // fmt must precede data (spec ordering)
+        if (i + 8 + size > b.length) return null // forged size
+        val n = size / 2
+        val out = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          out(j) = le16(b, i + 8 + j * 2).toShort
+          j += 1
+        }
+        return WavAudio(rate, channels, out)
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    null
+  }
+
+  /** Append `outCol`: per-payload sample statistics decoded from real
+    * 16-bit PCM WAV bytes — struct(format, sample_rate, channels,
+    * n_samples, mean_amp, rms, peak). Non-WAV / corrupt payloads
+    * decode as format='unknown' with null stats. Same narrow
+    * per-partition boundary as [[withBmpPixelStats]]: one map stage
+    * over the scan, no shuffle.
+    */
+  def withWavSampleStats(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("peak", LongType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val a = decodeWavPcm(p)
+            if (a == null || a.samples.isEmpty)
+              Row("unknown", null, null, null, null, null, null)
+            else {
+              var s = 0L; var ss = 0L; var pk = 0L
+              var i = 0
+              while (i < a.samples.length) {
+                val v = a.samples(i).toLong
+                s += v; ss += v * v
+                val av = math.abs(v); if (av > pk) pk = av
+                i += 1
+              }
+              val n = a.samples.length.toLong
+              Row("wav", a.sampleRate, a.channels, n,
+                s.toDouble / n, math.sqrt(ss.toDouble / n), pk)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Well-formed 16-bit PCM WAV carrying the given samples. */
+  def buildWavPcm(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val o = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    o.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16.toShort)
+    o.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(o.putShort)
+    o.array()
+  }
+
+  /** Deterministic PCM payload for media id `id`: rate, sample count
+    * and every sample value are closed-form in (id, i), so an oracle
+    * can recompute the decoded statistics from the formulas alone (the
+    * synthBmpPayload trick for audio).
+    */
+  def synthWavPayload(id: Long): Array[Byte] = {
+    val n = (id % 7 + 3).toInt
+    val samples = Array.tabulate(n)(i =>
+      ((id * 31 + i * 17) % 2001 - 1000).toShort)
+    buildWavPcm((8000 + id % 8 * 1000).toInt, 1, samples)
+  }
+
+  /** Synthesize a PCM WAV media table from doc ids; every 19th payload
+    * has its magic overwritten so the corrupt path is exercised
+    * in-gate.
+    */
+  def synthesizeWavBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthWavPayload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
   // --- deterministic real-header builders (fixture synthesis + tests)
 
   /** Minimal well-formed PNG: signature + IHDR with the given dims. */

@@ -158,6 +158,67 @@ class MultimodalSpec extends SparkSpec {
     assert(one.forall(r => r.get(1) != null))
   }
 
+  test("decodeWavPcm: positional sample correctness through the RIFF " +
+      "chunk walk; malformed/truncated/forged bytes → null (r9)") {
+    import Multimodal.{buildWavPcm, decodeWavPcm}
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768)
+    val a = decodeWavPcm(buildWavPcm(16000, 2, samples))
+    assert(a.sampleRate === 16000 && a.channels === 2)
+    assert(a.samples.toSeq === samples.toSeq)
+    assert(decodeWavPcm(null) === null)
+    assert(decodeWavPcm(Array[Byte](1, 2, 3)) === null)
+    val truncated = buildWavPcm(8000, 1, samples).take(50)
+    assert(decodeWavPcm(truncated) === null)
+    val badMagic = buildWavPcm(8000, 1, samples); badMagic(0) = 0
+    assert(decodeWavPcm(badMagic) === null)
+    // forged data-chunk size pointing past the payload must refuse
+    val forged = buildWavPcm(8000, 1, samples)
+    java.nio.ByteBuffer.wrap(forged)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 24) // data size = 16M
+    assert(decodeWavPcm(forged) === null)
+    // non-PCM codec (0x11 IMA ADPCM) and 8-bit depth are unsupported
+    val codec = buildWavPcm(8000, 1, samples)
+    java.nio.ByteBuffer.wrap(codec)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 0x11.toShort)
+    assert(decodeWavPcm(codec) === null)
+    val depth = buildWavPcm(8000, 1, samples)
+    java.nio.ByteBuffer.wrap(depth)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(34, 8.toShort)
+    assert(decodeWavPcm(depth) === null)
+  }
+
+  test("withWavSampleStats: stats computed from REAL decoded samples " +
+      "through the per-partition boundary; corrupt rows degrade (r9)") {
+    import Multimodal.{synthWavPayload, decodeWavPcm}
+    // synth payload round-trips through the decoder to the closed form
+    val a = decodeWavPcm(synthWavPayload(5L))
+    assert(a.sampleRate === (8000 + 5 % 8 * 1000).toInt)
+    assert(a.samples.toSeq ===
+      (0 until (5 % 7 + 3).toInt).map(i => ((5 * 31 + i * 17) % 2001 - 1000).toShort))
+    val media = Multimodal.synthesizeWavBytes(
+      spark.range(40).select($"id".as("doc_id")))
+    val out = Multimodal.withWavSampleStats(media, "payload", "au")
+      .select($"media_id", $"au.format", $"au.n_samples", $"au.rms",
+        $"au.peak")
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 40)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 19 == 0) {
+        assert(r.getString(1) === "unknown" && r.isNullAt(2), s"id=$id")
+      } else {
+        val vals = (0 until (id % 7 + 3).toInt)
+          .map(i => (id * 31 + i * 17) % 2001 - 1000)
+        assert(r.getString(1) === "wav")
+        assert(r.getLong(2) === vals.length.toLong, s"id=$id")
+        val rms = math.sqrt(vals.map(v => v.toDouble * v).sum / vals.length)
+        assert(math.abs(r.getDouble(3) - rms) < 1e-9, s"id=$id rms")
+        assert(r.getLong(4) === vals.map(math.abs).max, s"id=$id peak")
+      }
+    }
+  }
+
   test("resizePayload caps payload size, null passthrough") {
     val out = media.withColumn("small", Multimodal.resizePayload($"payload", 16))
     val lens = out.select(length($"small")).as[Int].collect()

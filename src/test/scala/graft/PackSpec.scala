@@ -94,6 +94,81 @@ class PackSpec extends SparkSpec {
     assert(e3.getMessage.contains("null"))
   }
 
+  test("quotaSample: bucket-pruned two-phase cut equals the naive " +
+      "per-source row_number quota bit-for-bit; unlisted sources drop (r9)") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(3000).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(4))).as("source"))
+    val quotas = Map("s0" -> 17L, "s1" -> 500L, "s2" -> 1L)
+    val got = TrainingOrder.quotaSample(df, "source", "doc_id", quotas,
+        seed = 9L)
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    val w = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
+    val ref = df
+      .withColumn("shuffle_key",
+        md5(concat($"doc_id".cast("string"), lit(":9"))))
+      .filter($"source".isin(quotas.keys.toSeq: _*))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= when($"source" === "s0", 17L)
+        .when($"source" === "s1", 500L).otherwise(1L))
+      .select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.count(_._1 == "s0") === 17)
+    assert(got.count(_._1 == "s1") === 500)
+    assert(got.count(_._1 == "s2") === 1)
+    assert(!got.exists(_._1 == "s3"), "unlisted source must be dropped")
+    // quota larger than the source keeps everything
+    val all = TrainingOrder.quotaSample(df, "source", "doc_id",
+      Map("s0" -> 100000L), seed = 9L).count()
+    assert(all === 750)
+  }
+
+  test("selectByTokenBudget: exclusive running-sum cut equals the naive " +
+      "window form; crossing doc kept; null tokens fail loudly (r9)") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(800).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(3))).as("source"),
+      (pmod(xxhash64($"id", lit(3)), lit(50)) + 1).as("tok"))
+    val budgets = Map("s0" -> 300L, "s1" -> 1L)
+    val got = TrainingOrder.selectByTokenBudget(df, "source", "doc_id",
+        $"tok", budgets, seed = 4L)
+      .select($"source", $"doc_id", $"tok_pre")
+      .as[(String, Long, Long)].collect()
+    val w = Window.partitionBy($"source").orderBy($"shuffle_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = df
+      .withColumn("shuffle_key",
+        md5(concat($"doc_id".cast("string"), lit(":4"))))
+      .filter($"source".isin("s0", "s1"))
+      .withColumn("tok_pre", coalesce(sum($"tok").over(w), lit(0L)))
+      .filter($"tok_pre" < when($"source" === "s0", 300L).otherwise(1L))
+      .select($"source", $"doc_id", $"tok_pre")
+      .as[(String, Long, Long)].collect()
+    assert(got.toSet === ref.toSet)
+    // budget=1 still yields exactly one doc (the crossing doc is kept)
+    assert(got.count(_._1 == "s1") === 1)
+    // overshoot ≤ one document: total minus last doc's tokens < budget
+    val toks = df.select($"doc_id", $"tok").as[(Long, Long)].collect().toMap
+    val s0 = got.filter(_._1 == "s0").sortBy(_._3)
+    val s0total = s0.map(r => toks(r._2)).sum
+    assert(s0total >= 300L - 50 && s0.last._3 < 300L)
+    // null token contract
+    val nulls = df.withColumn("tok",
+      when($"doc_id" === 7, lit(null)).otherwise($"tok"))
+    val e = intercept[IllegalArgumentException] {
+      TrainingOrder.selectByTokenBudget(nulls, "source", "doc_id",
+        $"tok", budgets, seed = 4L).count()
+    }
+    assert(e.getMessage.contains("null"))
+    // reserved output columns collide loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingOrder.quotaSample(
+        df.withColumn("shuffle_key", lit("x")), "source", "doc_id",
+        Map("s0" -> 1L))
+    }
+    assert(e2.getMessage.contains("shuffle_key"))
+  }
+
   test("interleaveByWeight: stride mixture delivers weight-proportional " +
       "rows, drops unlisted sources, reproducible bit-for-bit") {
     import graft.operators.TrainingOrder

@@ -43,6 +43,20 @@ class PlanSpec extends SparkSpec {
       s"window not partitioned by the key bucket: ${l.take(300)}"))
   }
 
+  test("docs_quota / docs_budget windows are bucket-partitioned — the " +
+      "quota/budget cut never funnels a source through one reducer (r9)") {
+    for (q <- Seq("docs_quota", "docs_budget")) {
+      val p = plan(q)
+      val winLines = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(winLines.nonEmpty, s"$q: expected the rank window in the plan")
+      winLines.foreach(l => assert(l.contains("__b"),
+        s"$q: window not partitioned by the key bucket: ${l.take(300)}"))
+      assert(!p.contains("SinglePartition"),
+        s"$q: global single-reducer stage found:\n${p.take(800)}")
+    }
+  }
+
   test("single-query KNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
     val p = plan("knn_l2")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
