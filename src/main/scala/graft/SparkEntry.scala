@@ -633,6 +633,26 @@ object SparkEntry {
         threshold = 0.5, batchToken = "gate_batch")
     }),
 
+    // --- Incremental EXACT dedup (r9 — the exact sibling of
+    //     dedup_near_append): docs ≥100 form the persisted content-key
+    //     index (two independent hashes, 24 bytes/doc, no text);
+    //     docs <100 arrive as the new crawl batch — rows survive iff
+    //     their key is absent from the index and they are the
+    //     batch-minimal representative. The oracle recomputes the
+    //     same anti-join semantics on raw text.
+    "dedup_exact_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = gateIndexPath(dir, "exact_append_gate")
+      Dedup.writeExactDedupIndex(
+        docs.filter(col("doc_id") >= 100), "text", path)
+      Dedup.appendExactDedup(docs.filter(col("doc_id") < 100),
+          "doc_id", "text", path)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
     //     pair direction canonicalized). Every vector is a query
@@ -1083,6 +1103,29 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(10)),
 
+    // --- BPE-ish token counting (r9): tokenizer-shaped counts from
+    //     the engine-portable regex (contraction suffixes / letter
+    //     runs / single digits / punctuation runs — no lookarounds,
+    //     so Java regex and RE2 extract identical streams and the
+    //     oracle twins it exactly). Per-source totals + the
+    //     bpe/whitespace inflation ratio — the budgeting number a
+    //     mix designer actually uses. Pure codegen'd expressions,
+    //     scan-bounded.
+    "text_tokens_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__ws"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("__bpe"))
+        .filter(col("__ws") > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws")).as("ws_tokens"),
+          sum(col("__bpe")).as("bpe_tokens"),
+          round(avg(col("__bpe").cast("double") / col("__ws")), 6)
+            .as("avg_ratio"))
+        .orderBy(col("source"))),
+
     // --- TF-IDF: the classic term-weighting composition — per-doc
     //     term frequencies (one doc-term shuffle), document
     //     frequencies (one term agg, |vocab|-sized → BROADCAST back
@@ -1427,6 +1470,34 @@ object SparkEntry {
           Map("src0" -> 400L, "src1" -> 150L, "src3" -> 700L), seed = 42L)
         .select(col("source"), col("doc_id"), col("tok"), col("tok_pre"))
         .orderBy(col("source"), col("tok_pre"), col("doc_id"))
+    }),
+
+    // --- End-to-end training-mix curation (r9 composite, ONE lazy
+    //     plan): per-source quota cap → per-source token-budget
+    //     selection → interval packing into 512-token sequences —
+    //     the corpus_pipeline pattern applied to the curation side.
+    //     Every stage is an already-oracled operator; this gate checks
+    //     their COMPOSITION. The same seed re-keys identically between
+    //     stages, so the DuckDB twin chains the three window forms
+    //     over one md5 key.
+    "docs_mix_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      val quotaed = graft.operators.TrainingOrder.quotaSample(docs,
+          "source", "doc_id",
+          Map("src0" -> 40L, "src1" -> 25L, "src2" -> 30L), seed = 11L)
+        .drop("shuffle_key")
+      val selected = graft.operators.TrainingOrder.selectByTokenBudget(
+          quotaed, "source", "doc_id", col("tok"),
+          Map("src0" -> 900L, "src1" -> 400L, "src2" -> 700L), seed = 11L)
+        .drop("shuffle_key", "tok_pre")
+      graft.operators.Pack.packByBudget(selected, "doc_id", col("tok"),
+          budget = 512L)
+        .select(col("source"), col("doc_id"), col("tok"),
+          col("seq_id"), col("seq_offset"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- Sequence packing (r8 — the pre-tokenization packing step of
@@ -2276,6 +2347,22 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 10""".stripMargin,
 
+    // same portable regex (RE2-safe: no lookarounds); sums CAST off
+    // DuckDB's HUGEINT
+    "text_tokens_bpe" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  round(avg(CAST(bpe AS DOUBLE) / ws), 6) AS avg_ratio
+        |FROM (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]|[^a-z0-9\s'']+')) AS BIGINT) AS bpe
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |WHERE ws > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // same tokenize law as text_tokens; idf over the FULL corpus, top
     // terms reported for the sampled docs
     "text_tfidf" ->
@@ -2587,6 +2674,38 @@ object SparkEntry {
         |SELECT source, doc_id, tok, tok_pre FROM p
         |WHERE tok_pre < CASE source WHEN 'src0' THEN 400 WHEN 'src1' THEN 150 ELSE 700 END
         |ORDER BY source, tok_pre, doc_id""".stripMargin,
+
+    // the three window forms chained over one md5 key: quota
+    // row_number cut → exclusive per-source token sum cut → global
+    // exclusive sum + floor division (every sum CAST off HUGEINT)
+    "docs_mix_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(doc_id || ':11') AS sk,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS tok
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |    AND source IN ('src0','src1','src2')),
+        |q AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rk
+        |  FROM d),
+        |qq AS (
+        |  SELECT doc_id, source, sk, tok FROM q
+        |  WHERE rk <= CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 25 ELSE 30 END),
+        |b AS (
+        |  SELECT *, CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_pre
+        |  FROM qq),
+        |bb AS (
+        |  SELECT doc_id, source, tok FROM b
+        |  WHERE tok_pre < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 400 ELSE 700 END),
+        |p AS (
+        |  SELECT *, CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM bb)
+        |SELECT source, doc_id, tok,
+        |  CAST(pre // 512 AS BIGINT) AS seq_id,
+        |  CAST(pre - (pre // 512) * 512 AS BIGINT) AS seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // interval packing: same exclusive cumsum + floor-division rule,
     // computed with a plain window at oracle scale
@@ -3071,6 +3190,22 @@ object SparkEntry {
     // every near-dup pair involving a batch doc (id < 100; id_a < id_b
     // makes id_a < 100 the complete condition) — the append must find
     // exactly what a full-corpus run would have found for those docs
+    // raw-text anti-join twin of the key-index probe: prior = distinct
+    // texts of docs >= 100, batch survivors are absent-from-prior AND
+    // batch-minimal per text
+    "dedup_exact_append" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |prior AS (SELECT DISTINCT text FROM d WHERE doc_id >= 100),
+        |batch AS (SELECT * FROM d WHERE doc_id < 100),
+        |fresh AS (SELECT b.* FROM batch b ANTI JOIN prior p USING (text)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+        |  FROM fresh)
+        |SELECT doc_id, source FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_near_append" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks

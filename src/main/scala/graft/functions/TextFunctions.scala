@@ -39,6 +39,22 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?U)(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)"), t => length(trim(t)) > 0))
 
+  /** BPE-ish token count with an ENGINE-PORTABLE regex — no
+    * lookarounds, ASCII classes, leftmost-first alternation only, so
+    * Java regex (Spark) and RE2 (DuckDB) extract identical token
+    * streams and an oracle can twin it exactly (unlike
+    * [[subwordCount]], whose lookbehind/lookahead RE2 cannot run).
+    * Tokenizer-shaped splits on lowercased text: contraction
+    * suffixes ('s 't 're 've 'm 'll 'd), letter runs, SINGLE digits
+    * (the modern digit-split convention), punctuation runs.
+    * Whitespace and unmatched bytes (e.g. a lone apostrophe) are
+    * skipped by extraction in both engines.
+    */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]|[^a-z0-9\\s']+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
   /** Distinct word n-gram shingles ("a b c" strings). Texts with fewer
     * than n tokens contribute their whole token join as one shingle so
     * short docs still participate in similarity.

@@ -48,6 +48,51 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Persist the exact-dedup content-key index for
+    * [[appendExactDedup]]: one row per distinct text —
+    * (k1, k2) = (xxhash64(text), md5(text)). TWO independent hashes
+    * (192 bits joint) stand in for the full-text collision guard
+    * [[exactDedup]] runs in-partition: the index never stores text,
+    * so a same-k1 collision across the batch boundary must be caught
+    * by k2 — joint-collision odds are negligible at any corpus size,
+    * where 64 bits alone reach ~3% birthday odds at 10^12 docs. Index
+    * cost: 24 bytes per distinct doc, no text shipped or stored.
+    */
+  def writeExactDedupIndex(df: DataFrame, textCol: String,
+      path: String): Unit =
+    df.select(contentKey(col(textCol)).as("k1"), md5(col(textCol)).as("k2"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental exact dedup — the "each crawl snapshot dedups
+    * against everything already ingested" shape. A batch row survives
+    * iff its content key is ABSENT from the persisted index AND it is
+    * the smallest-id representative of its text within the batch (the
+    * [[exactDedup]] rule batch-locally); surviving keys are appended,
+    * so the next batch sees them. Scale: the index probe is a
+    * key-only LEFT ANTI join (one shuffle on the hash keys — the
+    * index side carries 24 bytes/row, never text), batch-local dedup
+    * is the usual one-shuffle window; nothing is ever driver-side.
+    */
+  def appendExactDedup(batch: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(path)
+    val keyed = batch.withColumn("__k1", contentKey(col(textCol)))
+      .withColumn("__k2", md5(col(textCol)))
+    val fresh = keyed.join(idx,
+      keyed("__k1") === idx("k1") && keyed("__k2") === idx("k2"),
+      "left_anti")
+    // materialize BEFORE appending keys (the appendNearDuplicates
+    // marker-last discipline): a lazy result re-probing the GROWN
+    // index on the caller's action would anti-join the batch against
+    // its own keys and return nothing
+    val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
+    out.select(col("__k1").as("k1"), col("__k2").as("k2"))
+      .write.mode("append").parquet(path)
+    out.drop("__k1", "__k2")
+  }
+
   /** Duplicate-group stats: one row per text value occurring more than
     * once — (representative id, copy count). Partial-aggregated.
     */

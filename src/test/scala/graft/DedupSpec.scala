@@ -212,6 +212,32 @@ class DedupSpec extends SparkSpec {
     d.resolve("idx").toString
   }
 
+  test("appendExactDedup: index keys drop cross-batch copies, the " +
+      "batch-minimal rule dedups within the batch, the index grows (r9)") {
+    val path = tmpIndex("exact_append")
+    Dedup.writeExactDedupIndex(Seq(
+      (100L, "already ingested doc"),
+      (101L, "another prior doc")).toDF("doc_id", "text"), "text", path)
+    // batch 1: one cross-batch dup (drops), one in-batch dup pair
+    // (min id survives), one fresh singleton
+    val got1 = Dedup.appendExactDedup(Seq(
+        (3L, "already ingested doc"),
+        (7L, "fresh batch doc"),
+        (5L, "fresh batch doc"),
+        (9L, "lone new doc")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 === Seq(5L, 9L))
+    // batch 2: sees batch 1's survivors as corpus (the index grew)
+    val got2 = Dedup.appendExactDedup(Seq(
+        (11L, "fresh batch doc"),
+        (12L, "lone new doc"),
+        (13L, "genuinely new in batch two")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 === Seq(13L))
+  }
+
   test("appendNearDuplicates finds batch×corpus AND batch×batch pairs " +
       "against the stored index") {
     // corpus: 2,3,4; batch: 0,1 — 0~1 (batch×batch), 0~2 and 1~2

@@ -57,6 +57,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("docs_mix_pack: the quota → budget → pack composition plans " +
+      "with no SinglePartition stage end-to-end (r9)") {
+    val p = plan("docs_mix_pack")
+    assert(!p.contains("SinglePartition"),
+      s"global single-reducer stage found:\n${p.take(800)}")
+  }
+
   test("single-query KNN plans as TakeOrderedAndProject (bounded heap, no global sort)") {
     val p = plan("knn_l2")
     assert(p.contains("TakeOrderedAndProject"), p.take(600))

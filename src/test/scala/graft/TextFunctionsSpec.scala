@@ -61,6 +61,23 @@ class TextFunctionsSpec extends SparkSpec {
       >= one[Int](TextFunctions.tokenCount(col("t")), "a,b c"))
   }
 
+  test("bpeTokenCount: contraction suffixes, letter runs, SINGLE " +
+      "digits, punctuation runs; lone apostrophes skipped (r9)") {
+    // "Don't stop, 42x!" → don | 't | stop | , | 4 | 2 | x | !  — the
+    // contraction suffix is ONE token, each digit is its own token
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "Don't stop, 42x!") === 8)
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "") === 0)
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "abc") === 1)
+    // a lone apostrophe matches nothing (skipped by extraction)
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "a ' b") === 2)
+    // 's not after a letter still lexes as the suffix alternative
+    // (leftmost-first in BOTH Java regex and RE2 — the portability
+    // property the oracle twin depends on)
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "'s") === 1)
+    // punctuation runs collapse to one token; digits never join them
+    assert(one[Int](TextFunctions.bpeTokenCount(col("t")), "!?. 77") === 3)
+  }
+
   test("punctRatio and stopwordRatio") {
     assert(one[Double](TextFunctions.punctRatio(col("t")), "ab,.") === 0.5)
     assert(one[Double](TextFunctions.punctRatio(col("t")), "") === 0.0)
