@@ -1454,6 +1454,25 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("shuffle_key"))
         .orderBy(col("source"), col("shuffle_key"), col("doc_id"))),
 
+    // --- Deterministic train/val/test split (r9): per-row band
+    //     assignment from the seeded 32-bit md5 key against INTEGER
+    //     thresholds (round(cum·2^32)) — engine-portable with no
+    //     float-boundary hazard, no shuffle/window/state (pure map
+    //     over the scan; any row's membership is recomputable from
+    //     (id, seed) alone). Output pins per-(split, source) counts
+    //     AND the exact membership via the doc_id sum fingerprint.
+    "docs_split" -> ((s, dir) =>
+      graft.operators.TrainingOrder.assignSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 42L)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("split_k")).as("min_k"),
+          max(col("split_k")).as("max_k"))
+        .orderBy(col("split"), col("source"))),
+
     // --- Per-source token-budget selection (r9): walk each source in
     //     seeded-shuffle order, keep docs while the EXCLUSIVE running
     //     token total is under budget (crossing doc kept — the
@@ -2657,6 +2676,24 @@ object SparkEntry {
         |SELECT source, doc_id, sk AS shuffle_key FROM r
         |WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 12 END
         |ORDER BY source, shuffle_key, doc_id""".stripMargin,
+
+    // same integer band thresholds: round(0.9·2^32) = 3865470566,
+    // round(0.95·2^32) = 4080218931; k parsed from the same md5 hex
+    "docs_split" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 8)) AS UBIGINT) AS BIGINT) AS split_k
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, split_k,
+        |    CASE WHEN split_k < 3865470566 THEN 'train'
+        |         WHEN split_k < 4080218931 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM k)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  min(split_k) AS min_k, max(split_k) AS max_k
+        |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin,
 
     // exclusive per-source running token sum (window form at oracle
     // scale); CAST keeps DuckDB's window-SUM HUGEINT off the output

@@ -230,4 +230,40 @@ object TrainingOrder {
       .filter(col("tok_pre") < col("__budget"))
       .drop("__budget", "__t", "__b", "__off", "__src")
   }
+
+  /** Deterministic named-fraction SPLIT (train/val/test): each row
+    * maps to the band containing its seeded 32-bit key
+    * k = int(md5_key[0:8], 16) — engine-portable (the [[shuffleKey]]
+    * md5 trick), stable under repartitioning and insertion order, and
+    * per-row independent: NO shuffle, window, or state — a pure map
+    * over the scan, so membership of any row can be recomputed from
+    * (id, seed) alone years later. Band i covers
+    * [round(cum_{i-1}·2^32), round(cum_i·2^32)) — INTEGER thresholds,
+    * so band edges are exact and an oracle on another engine computes
+    * the identical assignment with no float-boundary hazard; the last
+    * band absorbs k < 2^32 so no row is unassigned. Fractions must
+    * sum to 1 (loud `require`). Output adds (split, split_k) — the
+    * key is the assignment evidence.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.forall(_._2 > 0),
+      s"split fractions must be positive, got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val reserved = Seq("split", "split_k").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"assignSplit outputs ${reserved.mkString(", ")}; the input " +
+        "already has such column(s) — rename them first")
+    val kcol = conv(substring(shuffleKey(col(idCol), seed), 1, 8), 16, 10)
+      .cast("long")
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 4294967296.0))
+    val expr = splits.zip(thresholds).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case (((name, _), thr), acc) =>
+        when(kcol < thr, name).otherwise(acc)
+      }
+    df.withColumn("split_k", kcol).withColumn("split", expr)
+  }
 }

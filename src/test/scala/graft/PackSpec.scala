@@ -169,6 +169,52 @@ class PackSpec extends SparkSpec {
     assert(e2.getMessage.contains("shuffle_key"))
   }
 
+  test("assignSplit: integer-threshold bands, per-row recomputable, " +
+      "fraction-proportional, loud contracts (r9)") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(20000).select($"id".as("doc_id"))
+    val got = TrainingOrder.assignSplit(df, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 42L)
+    val counts = got.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 20000L, "every row must be assigned")
+    assert(math.abs(counts("train") - 18000.0) < 18000.0 * 0.05)
+    assert(counts("val") > 600 && counts("val") < 1400)
+    assert(counts("test") > 600 && counts("test") < 1400)
+    // per-row recomputable: the k < round(cum·2^32) rule replayed
+    val rows = got.select($"split_k", $"split").as[(Long, String)].collect()
+    rows.foreach { case (k, s) =>
+      val expect =
+        if (k < 3865470566L) "train"
+        else if (k < 4080218931L) "val" else "test"
+      assert(s === expect, s"k=$k")
+    }
+    // a different seed is an independent assignment, same seed exact
+    val re = TrainingOrder.assignSplit(df, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 42L)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val other = TrainingOrder.assignSplit(df, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 43L)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val same = got.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    assert(re === same, "same seed must reproduce bit-for-bit")
+    assert(other.count { case (id, s) => same(id) != s } > 1000,
+      "different seed must reassign a meaningful share")
+    // contracts: fractions must sum to 1, be positive, no collisions
+    intercept[IllegalArgumentException] {
+      TrainingOrder.assignSplit(df, "doc_id", Seq("a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOrder.assignSplit(df, "doc_id",
+        Seq("a" -> 1.5, "b" -> -0.5))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOrder.assignSplit(df.withColumn("split", lit("x")),
+        "doc_id", Seq("a" -> 1.0))
+    }
+  }
+
   test("interleaveByWeight: stride mixture delivers weight-proportional " +
       "rows, drops unlisted sources, reproducible bit-for-bit") {
     import graft.operators.TrainingOrder
