@@ -159,15 +159,19 @@ object Multimodal {
     if (ascii(b, 0, "GIF8") && b.length >= 10)
       return MediaHeader("gif", le16(b, 6), le16(b, 8), 0, 0)
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
-    // +10, sample rate LE32 at +12 from the chunk id)
+    // +10, sample rate LE32 at +12 from the chunk id). The walk runs
+    // in Long: chunk sizes are untrusted, and a size near Int.MaxValue
+    // must step the cursor past the payload (loop exit), not wrap it
+    // negative into an out-of-bounds read.
     if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
-      var i = 12
+      var i = 12L
       while (i + 8 <= b.length) {
-        val size = le32(b, i + 4)
-        if (ascii(b, i, "fmt ") && i + 16 <= b.length)
-          return MediaHeader("wav", 0, 0, le32(b, i + 12), le16(b, i + 10))
+        val ii = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+        val size = le32(b, ii + 4)
+        if (ascii(b, ii, "fmt ") && ii + 16 <= b.length)
+          return MediaHeader("wav", 0, 0, le32(b, ii + 12), le16(b, ii + 10))
         if (size < 0) return UnknownHeader
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        i += 8L + size + (size & 1) // chunks are word-aligned
       }
       return UnknownHeader
     }
@@ -433,30 +437,35 @@ object Multimodal {
     if (b == null || b.length < 44) return null
     if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return null
     var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
-    var i = 12
+    // The chunk walk and every size-vs-payload comparison run in Long:
+    // chunk sizes are untrusted, and a size near Int.MaxValue must
+    // reject the row (or step past the payload and exit the loop), not
+    // wrap an Int sum negative into a passed guard + 2 GB allocation.
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
+      val ii = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val size = le32(b, ii + 4)
       if (size < 0) return null
-      if (ascii(b, i, "fmt ") && i + 8 + 16 <= b.length) {
-        val codec = le16(b, i + 8)
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
+      if (ascii(b, ii, "fmt ") && i + 8 + 16 <= b.length) {
+        val codec = le16(b, ii + 8)
+        channels = le16(b, ii + 10)
+        rate = le32(b, ii + 12)
+        bits = le16(b, ii + 22)
         fmtOk = codec == 1 && bits == 16 && channels >= 1 && channels <= 8 &&
           rate > 0
-      } else if (ascii(b, i, "data")) {
+      } else if (ascii(b, ii, "data")) {
         if (!fmtOk) return null // fmt must precede data (spec ordering)
-        if (i + 8 + size > b.length) return null // forged size
+        if (i + 8L + size > b.length) return null // forged size (Long compare)
         val n = size / 2
         val out = new Array[Short](n)
         var j = 0
         while (j < n) {
-          out(j) = le16(b, i + 8 + j * 2).toShort
+          out(j) = le16(b, ii + 8 + j * 2).toShort
           j += 1
         }
         return WavAudio(rate, channels, out)
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
     null
   }

@@ -188,6 +188,31 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWavPcm(depth) === null)
   }
 
+  test("RIFF chunk walks reject Int-overflow chunk sizes without " +
+      "throwing: sizes near Int.MaxValue in any chunk position (r10)") {
+    import Multimodal.{buildWavPcm, decodeWavPcm, parseHeader}
+    val samples = Array[Short](1, 2, 3, 4)
+    // data-chunk size 0x7FFFFF00: i + 8 + size wraps negative in Int —
+    // the Long-arithmetic guard must reject, not allocate ~2 GB
+    val forgedData = buildWavPcm(8000, 1, samples)
+    java.nio.ByteBuffer.wrap(forgedData)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 0x7FFFFF00)
+    assert(decodeWavPcm(forgedData) === null)
+    assert(parseHeader(forgedData).format === "wav") // fmt precedes data
+    // a LEADING junk chunk with size near Int.MaxValue: the walk step
+    // 8 + size + (size & 1) wraps negative in Int — both walks must
+    // step past the payload and give up, not read out of bounds
+    val o = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(56)
+      .put("WAVE".getBytes("US-ASCII"))
+    o.put("JUNK".getBytes("US-ASCII")).putInt(0x7FFFFFFD)
+    while (o.hasRemaining) o.put(0.toByte)
+    val hugeJunk = o.array()
+    assert(decodeWavPcm(hugeJunk) === null)
+    assert(parseHeader(hugeJunk).format === "unknown")
+  }
+
   test("withWavSampleStats: stats computed from REAL decoded samples " +
       "through the per-partition boundary; corrupt rows degrade (r9)") {
     import Multimodal.{synthWavPayload, decodeWavPcm}
