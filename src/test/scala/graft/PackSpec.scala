@@ -169,6 +169,48 @@ class PackSpec extends SparkSpec {
     assert(e2.getMessage.contains("shuffle_key"))
   }
 
+  test("broadcast config dispatch: many-source maps keep the plan " +
+      "constant-size; bucketHexDigits widths agree bit-for-bit (r10)") {
+    import graft.operators.TrainingOrder
+    // 400 sources — the replaced when-chain form would fold 400 whens
+    // into every row's evaluation; the broadcast join must not
+    val df = spark.range(4000).select($"id".as("doc_id"),
+      concat(lit("d"), pmod($"id", lit(400))).as("source"))
+    val ws = (0 until 400).map(i => s"d$i" -> (1.0 + i % 5)).toMap
+    val got = TrainingOrder.interleaveByWeight(df, "source", "doc_id", ws,
+      seed = 3L)
+    assert(got.count() === 4000)
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("CASE WHEN"),
+      "weight dispatch must be a broadcast join, not a when-chain")
+    // bucket width is a parameter; every width gives the same ranks
+    // (bucket-prefix + in-bucket key order = global key order)
+    val vDefault = got.select($"doc_id", $"vpos")
+      .as[(Long, Double)].collect().toMap
+    for (d <- Seq(1, 3)) {
+      val vd = TrainingOrder.interleaveByWeight(df, "source", "doc_id", ws,
+          seed = 3L, bucketHexDigits = d)
+        .select($"doc_id", $"vpos").as[(Long, Double)].collect().toMap
+      assert(vd === vDefault, s"hexDigits=$d")
+    }
+    // quota + budget dispatch likewise join-based at many sources:
+    // 10 rows per source → quota 5 keeps 2000; 4-token docs against
+    // budget 10 keep exclusive prefixes 0,4,8 → 3 per source
+    val qs = (0 until 400).map(i => s"d$i" -> 5L).toMap
+    assert(TrainingOrder.quotaSample(df, "source", "doc_id", qs,
+      seed = 3L).count() === 2000)
+    assert(TrainingOrder.quotaSample(df, "source", "doc_id", qs,
+      seed = 3L, bucketHexDigits = 4).count() === 2000)
+    val bs = (0 until 400).map(i => s"d$i" -> 10L).toMap
+    assert(TrainingOrder.selectByTokenBudget(
+      df.withColumn("tok", lit(4L)), "source", "doc_id", $"tok", bs,
+      seed = 3L).count() === 1200)
+    intercept[IllegalArgumentException] {
+      TrainingOrder.interleaveByWeight(df, "source", "doc_id", ws,
+        seed = 3L, bucketHexDigits = 5)
+    }
+  }
+
   test("assignSplit: integer-threshold bands, per-row recomputable, " +
       "fraction-proportional, loud contracts (r9)") {
     import graft.operators.TrainingOrder
