@@ -1748,6 +1748,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- PNG pixel decode (r10, VERDICT r9 #3): payloads are
+    //     well-formed non-interlaced 8-bit truecolor PNGs built
+    //     in-plan — zlib-compressed scanlines with the per-row filter
+    //     type cycling through all five standard filters (incl.
+    //     Paeth), pixel values closed-form in (id, x, y) — inflated
+    //     and un-filtered by the pure-JVM decoder; the oracle
+    //     recomputes the channel means from the formulas. BOTH
+    //     degrade paths are planted: every 19th payload magic-
+    //     corrupted (dispatch failure), every 13th with a zeroed zlib
+    //     CMF byte (inflate failure) → 'unknown'.
+    "mm_pixels_png" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Real SAMPLE decode for audio (r9 — the WAV-PCM sibling of
     //     mm_pixels): payloads are well-formed 16-bit PCM WAV bytes
     //     whose rate / sample count / sample values are closed-form in
@@ -3428,6 +3451,34 @@ object SparkEntry {
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mg, 6) END AS mean_g,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels oracle with the PNG corrupt-id predicate: the
+    // pixel formulas are identical (same synth grid), only the
+    // degrade set differs (magic %19 OR zlib %13)
+    "mm_pixels_png" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id + 7 * x.g + 13 * y.g) % 256) AS mr,
+        |    avg((i.media_id * 3 + 5 * x.g + 11 * y.g) % 256) AS mg,
+        |    avg((i.media_id * 5 + 3 * x.g + 17 * y.g) % 256) AS mb
+        |  FROM ids i, generate_series(0, 7) AS x(g), generate_series(0, 6) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // PCM sample stats recomputed from the closed-form sample values
     // (the mm_pixels trick for audio)

@@ -188,6 +188,78 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeWavPcm(depth) === null)
   }
 
+  test("decodePng: positional pixel correctness through all five " +
+      "filter types; unsupported/corrupt/truncated bytes → null (r10)") {
+    import Multimodal.{buildPngPixels, decodePng}
+    val fn = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256, (x * 91 + y * 53) % 256)
+    // h = 7 with rowFilter y % 5 exercises None/Sub/Up/Average/Paeth
+    val img = decodePng(buildPngPixels(4, 7, fn, y => y % 5))
+    assert(img.width === 4 && img.height === 7)
+    for (y <- 0 until 7; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      assert((img.rgb(o) & 0xFF) === (x * 37 + y * 11) % 256, s"r($x,$y)")
+      assert((img.rgb(o + 1) & 0xFF) === (x * 5 + y * 3) % 256, s"g($x,$y)")
+      assert((img.rgb(o + 2) & 0xFF) === (x * 91 + y * 53) % 256, s"b($x,$y)")
+    }
+    // the filter choice must not change the decoded raster
+    for (f <- 0 to 4) {
+      val alt = decodePng(buildPngPixels(4, 7, fn, _ => f))
+      assert(alt.rgb.toSeq === img.rgb.toSeq, s"filter $f")
+    }
+    // degrade paths, all null and none throwing
+    assert(decodePng(null) === null)
+    assert(decodePng(Array[Byte](1, 2, 3)) === null)
+    val base = buildPngPixels(4, 7, fn, y => y % 5)
+    val badMagic = base.clone(); badMagic(0) = 0x00
+    assert(decodePng(badMagic) === null)
+    assert(decodePng(base.take(base.length - 20)) === null) // truncated
+    val badZlib = base.clone(); badZlib(41) = 0x00 // IDAT data starts at 41
+    assert(decodePng(badZlib) === null)
+    // unsupported IHDR variants (CRCs unchecked, so patch in place)
+    val palette = base.clone(); palette(25) = 3
+    assert(decodePng(palette) === null)
+    val deep = base.clone(); deep(24) = 16
+    assert(decodePng(deep) === null)
+    val interlaced = base.clone(); interlaced(28) = 1
+    assert(decodePng(interlaced) === null)
+  }
+
+  test("withPixelStats: container dispatch on magic — BMP and PNG both " +
+      "decode real pixels to the same stats; others degrade (r10)") {
+    import Multimodal._
+    val media = synthesizePngBytes(
+      spark.range(60).select($"id".as("doc_id")))
+    val out = withPixelStats(media, "payload", "px")
+      .select($"media_id", $"px.format", $"px.n_px", $"px.mean_r")
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 60)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 19 == 0 || id % 13 == 0) {
+        assert(r.getString(1) === "unknown" && r.isNullAt(2), s"id=$id")
+      } else {
+        val w = id % 6 + 2; val h = id * 3 % 5 + 2
+        assert(r.getString(1) === "png", s"id=$id")
+        assert(r.getLong(2) === w * h, s"id=$id")
+        val mr = (for (x <- 0L until w; y <- 0L until h)
+          yield (id + 7 * x + 13 * y) % 256).sum.toDouble / (w * h)
+        assert(math.abs(r.getDouble(3) - mr) < 1e-9, s"id=$id")
+      }
+    }
+    // a BMP payload through the same boundary reports format 'bmp'
+    // with the identical stats the BMP-only path computes
+    val bmpMedia = synthesizeBmpBytes(
+      spark.range(20).select($"id".as("doc_id")))
+    val viaDispatch = withPixelStats(bmpMedia, "payload", "px")
+      .select($"media_id", $"px.format", $"px.mean_r", $"px.mean_g")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+    val viaBmp = withBmpPixelStats(bmpMedia, "payload", "px")
+      .select($"media_id", $"px.format", $"px.mean_r", $"px.mean_g")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3)))
+    assert(viaDispatch.toSet === viaBmp.toSet)
+  }
+
   test("RIFF chunk walks reject Int-overflow chunk sizes without " +
       "throwing: sizes near Int.MaxValue in any chunk position (r10)") {
     import Multimodal.{buildWavPcm, decodeWavPcm, parseHeader}
