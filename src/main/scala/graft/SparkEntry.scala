@@ -1771,6 +1771,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Perceptual image near-dup (r10, VERDICT r9 #2): every base
+    //     image (18×16 BMP, nonlinear closed-form pixels) has a
+    //     planted perturbed copy (+9 on red at ~5 pixel positions);
+    //     dHash (9×8 luma-grid difference hash, integer cross-
+    //     multiplied cell-mean comparisons) is computed from DECODED
+    //     pixels, pairs come from the SimHash pigeonhole band
+    //     machinery, and the oracle recomputes the ENTIRE hash — grid
+    //     pooling, luma, bit assembly — from the pixel formulas in
+    //     SQL, then takes all pairs with hamming ≤ 3. Copies must
+    //     pair with their sources; unrelated images must not.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizeDHashBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val hashed = Multimodal.withDHash(media, "payload", "dhash")
+      Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
+    }),
+
     // --- Real SAMPLE decode for audio (r9 — the WAV-PCM sibling of
     //     mm_pixels): payloads are well-formed 16-bit PCM WAV bytes
     //     whose rate / sample count / sample values are closed-form in
@@ -3451,6 +3468,50 @@ object SparkEntry {
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mg, 6) END AS mean_g,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the FULL perceptual-hash recomputation in SQL: pixels from the
+    // closed-form formulas (with the +9 red bump on perturbed copies),
+    // BT.601 integer luma, 2×2 cell pooling (18×16 → 9×8 grid, so
+    // cell sums compare directly), difference bits, 64-bit assembly,
+    // then exact all-pairs hamming ≤ 3 over the 80 fingerprints
+    "mm_phash_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    CASE WHEN i.pert AND (x.g * 16 + y.g) % 61 = 0
+        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67) *
+        |             (i.base * 131 + x.g * 29 + y.g * 67)) % 256 + 9) % 256
+        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67) *
+        |            (i.base * 131 + x.g * 29 + y.g * 67)) % 256 END AS r,
+        |    ((i.base * 113 + x.g * 41 + y.g * 59) *
+        |     (i.base * 113 + x.g * 41 + y.g * 59)) % 256 AS g,
+        |    ((i.base * 173 + x.g * 37 + y.g * 71) *
+        |     (i.base * 173 + x.g * 37 + y.g * 71)) % 256 AS b
+        |  FROM ids i, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS s
+        |  FROM px GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  -- bit 63 can't be built as 1::BIGINT << 63 (DuckDB raises a
+        |  -- signed-shift overflow); spell it as BIGINT min. Bits are
+        |  -- distinct, so the sum IS the two's-complement 64-bit word.
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_pixels oracle with the PNG corrupt-id predicate: the
     // pixel formulas are identical (same synth grid), only the

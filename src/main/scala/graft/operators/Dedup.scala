@@ -1020,11 +1020,31 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
     // fingerprints come from the codegen kernel expression — no typed
     // .map, so no object-codec stages bracket the scan
     val fp = df.select(col(idCol).cast("long").as(idCol),
       simhashFpOf(col(textCol), shingleLen).as("__fp"))
+    fingerprintPairs(fp, idCol, "__fp", maxHamming, maxBucketSize)
+  }
+
+  /** Near-dup pairs among 64-bit fingerprints by Hamming distance —
+    * the pigeonhole band machinery extracted from [[simhashPairs]]
+    * (r10) so ANY 64-bit perceptual fingerprint uses it: text SimHash,
+    * image dHash ([[graft.sources.Multimodal.dHash]]), audio
+    * signatures. Fingerprints within Hamming d agree on ≥1 of 4
+    * 16-bit chunks when d ≤ 3 (exact; a recall-lossy heuristic
+    * above that). One (chunk, value) aggregation with grouped
+    * in-bucket pair expansion — never a fp×fp self-join; over-cap
+    * buckets are dropped loudly via the `observe()` cap metric. Null
+    * fingerprints (undecodable media) are skipped. Output:
+    * (id_a, id_b, hamming), id_a < id_b, distinct, ordered.
+    */
+  def fingerprintPairs(fpDf: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val spark = fpDf.sparkSession
+    val fp = fpDf.select(col(idCol).cast("long").as(idCol),
+        col(fpCol).cast("long").as("__fp"))
+      .filter(col("__fp").isNotNull)
     val chunks = array((0 until 4).map(c =>
       shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     ensureCapListener(spark)

@@ -669,6 +669,118 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------
+  // Perceptual image hash (r10, VERDICT r9 #2): the multimodal twin
+  // of text near-dedup. dHash — 9×8 grid resample of the decoded
+  // luma raster, 64-bit difference hash (bit = "is the cell left of
+  // me darker?") — is robust to small pixel perturbations,
+  // re-encoding and minor brightness shifts, and its Hamming distance
+  // clusters near-duplicate images. Candidate generation reuses the
+  // SimHash pigeonhole band machinery (Dedup.fingerprintPairs), so
+  // image near-dup at corpus scale has the same bucketed, capped,
+  // never-all-pairs shape as text near-dup.
+  // -------------------------------------------------------------
+
+  /** 64-bit difference hash of a decoded raster. The raster is
+    * average-pooled onto a 9-column × 8-row luma grid (pixel (x, y) →
+    * cell (x·9/w, y·8/h) — block partition, every pixel counted
+    * once); bit gy·8+gx is set iff cell (gx, gy) has strictly lower
+    * mean luma than cell (gx+1, gy). Luma is the integer-scaled
+    * BT.601 weighting 299·R + 587·G + 114·B, and cell means compare
+    * by cross-multiplied integer sums — no division, no floats, so
+    * any engine recomputes identical bits from the same pixels.
+    * Images smaller than the grid (w < 9 or h < 8) return null: a
+    * meaningful difference hash needs at least one pixel per cell.
+    */
+  def dHash(img: RasterImage): java.lang.Long = {
+    if (img == null || img.width < 9 || img.height < 8) return null
+    val w = img.width; val h = img.height
+    val sums = new Array[Long](72) // 9 cols × 8 rows
+    val cnts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 9 / w
+        val o = (y * w + x) * 3
+        val lum = 299L * (img.rgb(o) & 0xFF) + 587L * (img.rgb(o + 1) & 0xFF) +
+          114L * (img.rgb(o + 2) & 0xFF)
+        sums(gy * 9 + gx) += lum
+        cnts(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var fp = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = gy * 9 + gx
+        // mean(a) < mean(a+1) via cross-multiplication (integer-exact)
+        if (sums(a) * cnts(a + 1) < sums(a + 1) * cnts(a))
+          fp |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    fp
+  }
+
+  /** Append `outCol`: LONG dHash decoded from BMP/PNG payloads (magic
+    * dispatch, like [[withPixelStats]]); undecodable or sub-grid
+    * payloads yield null. One narrow map stage over the scan.
+    */
+  def withDHash(df: DataFrame, payloadCol: String, outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, LongType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val fp: java.lang.Long = if (p == null || p.length < 2) null
+          else dHash(if ((p(0) & 0xFF) == 0x89) decodePng(p) else decodeBmp(p))
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic 18×16 BMP whose pixels are the closed-form
+    * nonlinear (squared) formulas below — nonlinearity matters: a
+    * linear gradient would give every image nearly the same dHash.
+    * `perturb` additionally bumps the red channel by +9 (mod 256) at
+    * the ~5 pixel positions where x·16+y ≡ 0 (mod 61) — a small
+    * perturbation that a perceptual hash must shrug off.
+    */
+  def synthDHashPayload(baseId: Long, perturb: Boolean): Array[Byte] =
+    buildBmp(18, 16, (x, y) => {
+      val r0 = { val t = baseId * 131 + x * 29L + y * 67L; (t * t) % 256 }
+      val r = if (perturb && (x * 16 + y) % 61 == 0) (r0 + 9) % 256 else r0
+      val g = { val t = baseId * 113 + x * 41L + y * 59L; (t * t) % 256 }
+      val b = { val t = baseId * 173 + x * 37L + y * 71L; (t * t) % 256 }
+      (r.toInt, g.toInt, b.toInt)
+    })
+
+  /** Fixture for the perceptual near-dup gate: for every input doc id
+    * the ORIGINAL image (media_id = id) plus a PERTURBED COPY
+    * (media_id = id + 1000, same pixels except the planted ~5-pixel
+    * red bump). Near-dup over this table must pair each copy with its
+    * source and nothing else.
+    */
+  def synthesizeDHashBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        Iterator(
+          Row(id, synthDHashPayload(id, perturb = false)),
+          Row(id + 1000L, synthDHashPayload(id, perturb = true)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
   // Sample-level decode (r9 — audio parity with the BMP pixel path):
   // 16-bit PCM WAV is pure byte layout like uncompressed BMP, so its
   // SAMPLES decode on the plain JVM with no codec library. One fully

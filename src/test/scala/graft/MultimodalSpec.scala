@@ -260,6 +260,56 @@ class MultimodalSpec extends SparkSpec {
     assert(viaDispatch.toSet === viaBmp.toSet)
   }
 
+  test("dHash: perturbation-robust 64-bit difference hash — planted " +
+      "copies within hamming 3, unrelated images far, sub-grid null (r10)") {
+    import Multimodal._
+    import java.lang.Long.bitCount
+    val pairs = (0L until 40L).map { id =>
+      val a = dHash(decodeBmp(synthDHashPayload(id, perturb = false)))
+      val b = dHash(decodeBmp(synthDHashPayload(id, perturb = true)))
+      (id, a.longValue, b.longValue)
+    }
+    pairs.foreach { case (id, a, b) =>
+      assert(bitCount(a ^ b) <= 3, s"copy of $id drifted: ${bitCount(a ^ b)}")
+    }
+    // unrelated base images: expected hamming ~32; anything ≤ 3 would
+    // make the gate's negative claim vacuous
+    for (Seq((i, a, _), (j, c, _)) <- pairs.combinations(2))
+      assert(bitCount(a ^ c) > 3, s"unrelated $i/$j too close")
+    // dHash is pure pixel geometry: the same raster through PNG bytes
+    // must hash identically to the BMP bytes
+    val img = decodeBmp(synthDHashPayload(3, perturb = false))
+    val png = buildPngPixels(img.width, img.height, (x, y) => {
+      val o = (y * img.width + x) * 3
+      ((img.rgb(o) & 0xFF), (img.rgb(o + 1) & 0xFF), (img.rgb(o + 2) & 0xFF))
+    }, y => y % 5)
+    assert(dHash(decodePng(png)) === dHash(img))
+    // sub-grid images and undecodable bytes yield null
+    assert(dHash(decodeBmp(buildBmp(8, 8, (_, _) => (1, 2, 3)))) === null)
+    assert(dHash(null) === null)
+  }
+
+  test("withDHash + fingerprintPairs: end-to-end perceptual near-dup " +
+      "equals brute-force hamming ≤ 3 over the decoded fingerprints (r10)") {
+    import Multimodal._
+    val media = synthesizeDHashBytes(
+      spark.range(40).select($"id".as("doc_id")))
+    val hashed = withDHash(media, "payload", "dhash")
+    val got = graft.operators.Dedup
+      .fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute force over the same fingerprints
+    val fps = hashed.select($"media_id", $"dhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (i, a) <- fps; (j, b) <- fps if i < j
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (i, j)).toSet
+    assert(got === want)
+    // every planted copy found its source
+    for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
+  }
+
   test("RIFF chunk walks reject Int-overflow chunk sizes without " +
       "throwing: sizes near Int.MaxValue in any chunk position (r10)") {
     import Multimodal.{buildWavPcm, decodeWavPcm, parseHeader}
