@@ -1340,10 +1340,15 @@ object SparkEntry {
     //     p50/p95 — the other half of an ANALYZE pass, and the stats
     //     that feed skew-aware planning. Spark side is
     //     percentile_approx (the mergeable one-pass GK sketch — the
-    //     100 TB shape, no sort); at gate scale accuracy=1e6 makes the
-    //     sketch exact, so the DuckDB twin computes the same rank
-    //     definition explicitly (element at rank ceil(p·n), 1-based)
-    //     and the gate is a hash match.
+    //     100 TB shape, no sort); the GK sketch is EXACT only while
+    //     n_nonnull <= accuracy, so the hash match holds at any
+    //     fixture with <= 1e6 docs (sf0.1 has ~60k). If a future
+    //     fixture crosses 1e6 rows this gate goes approximate BY
+    //     DESIGN — raise the accuracy literal with the fixture, or
+    //     expect a value mismatch that is a known limitation, not a
+    //     regression (ADVICE r9 #5). The DuckDB twin computes the
+    //     same rank definition explicitly (element at rank
+    //     ceil(p·n), 1-based) and the gate is a hash match.
     "docs_profile_q" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val cols = Seq("doc_id", "n_chars")
@@ -1517,6 +1522,42 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("tok"),
           col("seq_id"), col("seq_offset"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- Sharded training-output writer (r10, VERDICT r9 #4): the
+    //     curation chain's last mile — fixed-token-budget shards, one
+    //     file per shard in doc_id order, manifest (rows / tokens /
+    //     key range / md5-sum checksum) computed FROM THE WRITTEN
+    //     FILES and written last. The gate validates the layout
+    //     (recompute-vs-manifest `*_ok` flags) and hashes the manifest
+    //     facts; the DuckDB twin re-derives every fact — interval
+    //     packing via window cumsum, the 32-bit md5-prefix checksum —
+    //     from the fixture, so a write→read round trip that dropped,
+    //     duplicated or reordered ANY row would break a flag or a
+    //     checksum. Layout reuse via the _src_fp stamp (q_orc_scan
+    //     pattern); validation itself reruns every time.
+    "docs_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      val path = gateIndexPath(dir, "shards_gate")
+      val (n, fp) = gateSourceStats(docs, "doc_id", "tok")
+      val ck = Seq("doc_id", "source", "tok")
+      if (!gateIndexReady(s, path, n, fp)) {
+        graft.operators.Shards.writeShards(docs, "doc_id", "tok",
+          tokensPerShard = 4096L, path + "/layout", ck)
+        gateIndexStamp(s, path, n, fp)
+      }
+      graft.operators.Shards.validateShards(s, path + "/layout",
+          "doc_id", "tok", ck)
+        .select(col("shard_id"), col("n_rows"), col("sum_tokens"),
+          col("min_key"), col("max_key"), col("checksum"),
+          col("rows_ok").cast("int").as("rows_ok"),
+          col("tokens_ok").cast("int").as("tokens_ok"),
+          col("range_ok").cast("int").as("range_ok"),
+          col("checksum_ok").cast("int").as("checksum_ok"))
+        .orderBy(col("shard_id"))
     }),
 
     // --- Sequence packing (r8 — the pre-tokenization packing step of
@@ -2804,6 +2845,33 @@ object SparkEntry {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(min(seq_offset) AS BIGINT) AS first_offset
         |FROM s GROUP BY seq_id ORDER BY seq_id LIMIT 40""".stripMargin,
+
+    // every manifest fact re-derived from the fixture: interval
+    // packing (window cumsum + floor division) and the 32-bit
+    // md5-prefix checksum summed per shard (UBIGINT sum CAST off
+    // HUGEINT); the ok flags are literal TRUE — any round-trip
+    // infidelity flips them on the Spark side
+    "docs_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |p AS (
+        |  SELECT *, CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pre
+        |  FROM t),
+        |a AS (
+        |  SELECT doc_id, source, tok, CAST(pre // 4096 AS BIGINT) AS shard_id
+        |  FROM p)
+        |SELECT shard_id, count(*) AS n_rows,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_key, max(doc_id) AS max_key,
+        |  CAST(sum(CAST(concat('0x',
+        |    substr(md5(doc_id || ':' || source || ':' || tok), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum,
+        |  CAST(1 AS INT) AS rows_ok, CAST(1 AS INT) AS tokens_ok,
+        |  CAST(1 AS INT) AS range_ok, CAST(1 AS INT) AS checksum_ok
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sharded training-output writer (VERDICT r9 #4) — the last mile of
+  * the curation chain: after quota/budget selection and packing
+  * ([[TrainingOrder]], [[Pack]]), a training run consumes the corpus
+  * as FIXED-TOKEN-BUDGET SHARDS, each a single file whose rows are in
+  * training order, plus a MANIFEST attesting per-shard row count,
+  * token sum, key range and a content checksum — so a trainer can
+  * stream shards sequentially, resume at shard granularity, and
+  * detect truncated or corrupted shards before feeding them.
+  *
+  * Reference behavior anchor: the reference pipeline materializes its
+  * retrieval corpus in one PostgreSQL table and trusts the store
+  * (fever_multi_agent.py:61-78, table setup + bulk insert); at 100 TB
+  * an output relation IS files, so integrity must travel with them —
+  * hence the manifest.
+  *
+  * Scale shape:
+  *  - Shard ASSIGNMENT is interval packing on the distributed
+  *    two-phase prefix sum ([[Pack.packByBudget]]) — no
+  *    SinglePartition window, no driver data pass.
+  *  - The WRITE is ONE shuffle (hash on shard_id) so each shard's
+  *    rows meet in one task and emerge as ONE file, sorted by the
+  *    order key (parquet preserves row order). Per-task work is
+  *    bounded: a shard holds at most `tokensPerShard` tokens plus
+  *    one crossing document (the interval-packing margin).
+  *  - The MANIFEST is computed FROM THE WRITTEN FILES (it attests
+  *    what is on disk, not what the plan intended) in one
+  *    map-side-combining aggregation over the partition column, and
+  *    is written LAST — a data directory without `_manifest` is an
+  *    incomplete write and must be rebuilt (marker-last commit, the
+  *    [[Dedup.appendExactDedup]] pattern).
+  *  - The CHECKSUM is engine-portable (the [[TrainingOrder]] md5
+  *    convention): per row the first 8 md5 hex digits of the
+  *    ':'-joined checksum columns as a 32-bit integer, summed per
+  *    shard — order-insensitive, overflow-free in 64 bits below ~4e9
+  *    rows per shard, and recomputable bit-for-bit by any engine
+  *    (the `docs_shards` gate's DuckDB twin recomputes it from the
+  *    fixture formulas).
+  */
+object Shards {
+
+  /** Per-row 32-bit engine-portable content key over `cols`, the
+    * summand of the shard checksum: int(md5(c1 || ':' || c2 ...)[0:8],
+    * 16). Null columns render as empty string (concat_ws skips them)
+    * — include only non-null columns or normalize upstream.
+    */
+  def rowChecksum(cols: Seq[String]): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(":", cols.map(c => col(c).cast("string")): _*)),
+      1, 8), 16, 10).cast("long")
+
+  /** Append `shard_id` / `shard_tok_offset`: interval packing of the
+    * `orderCol` total order into `tokensPerShard`-token shards —
+    * [[Pack.packByBudget]] with shard-sized budgets. Same
+    * deterministic-input contract as Pack (numeric non-null distinct
+    * `orderCol`, non-null tokens).
+    */
+  def assignShards(df: DataFrame, orderCol: String, tokenCol: String,
+      tokensPerShard: Long): DataFrame =
+    Pack.packByBudget(df, orderCol, col(tokenCol), tokensPerShard,
+      seqCol = "shard_id", offsetCol = "shard_tok_offset")
+
+  private def manifestSchema: StructType = StructType(Seq(
+    StructField("shard_id", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("sum_tokens", LongType, nullable = false),
+    StructField("min_key", LongType, nullable = true),
+    StructField("max_key", LongType, nullable = true),
+    StructField("checksum", LongType, nullable = true)))
+
+  /** Shard-facts aggregation shared by the writer (manifest build)
+    * and [[validateShards]] (recompute) — ONE definition so the two
+    * can never drift.
+    */
+  private def shardFacts(data: DataFrame, orderCol: String,
+      tokenCol: String, checksumCols: Seq[String]): DataFrame =
+    data.groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(tokenCol).cast("long")).as("sum_tokens"),
+        min(col(orderCol).cast("long")).as("min_key"),
+        max(col(orderCol).cast("long")).as("max_key"),
+        sum(rowChecksum(checksumCols)).as("checksum"))
+
+  /** Write `df` as fixed-token-budget shards under `path` and return
+    * the manifest. Layout:
+    * {{{
+    *   path/data/shard_id=N/   one parquet file per shard, rows in
+    *                           orderCol order
+    *   path/_manifest/         written LAST (commit marker)
+    * }}}
+    * `checksumCols` are the columns whose values the manifest
+    * checksum covers (default: orderCol + tokenCol). Overwrites any
+    * previous layout at `path`; the stale manifest is deleted FIRST,
+    * so a writer that dies mid-write leaves the layout visibly
+    * incomplete rather than attested-but-wrong.
+    */
+  def writeShards(df: DataFrame, orderCol: String, tokenCol: String,
+      tokensPerShard: Long, path: String,
+      checksumCols: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val ck = if (checksumCols.nonEmpty) checksumCols
+      else Seq(orderCol, tokenCol)
+    val base = path.stripSuffix("/")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_manifest"), true)
+    assignShards(df, orderCol, tokenCol, tokensPerShard)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(orderCol))
+      .write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$base/data")
+    // manifest FROM the written files — attests disk content
+    val mf =
+      try shardFacts(spark.read.parquet(s"$base/data"), orderCol, tokenCol, ck)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // empty input: partitionBy wrote no files; attest emptiness
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+      }
+    mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
+    spark.read.parquet(s"$base/_manifest")
+  }
+
+  /** Read the shard data back. Refuses a layout with no manifest —
+    * that is a write that never committed. `shard_id` comes back as
+    * LONG regardless of partition-column type inference.
+    */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    val base = path.stripSuffix("/")
+    val mf = manifest(spark, base) // fails loudly if absent
+    if (mf.head(1).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("shard_id", LongType, nullable = true))))
+    else
+      spark.read.parquet(s"$base/data")
+        .withColumn("shard_id", col("shard_id").cast("long"))
+  }
+
+  /** The manifest as written. */
+  def manifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path.stripSuffix("/") + "/_manifest")
+
+  /** Integrity check: recompute every manifest fact from the shard
+    * files and compare. Output: one row per shard id present on
+    * EITHER side — manifest facts, recomputed facts, and per-fact
+    * `*_ok` flags (a shard missing from one side fails all flags via
+    * null-safe equality). A trainer runs this before consuming a
+    * layout; at scale it is one partition-pruned scan + a per-shard
+    * aggregation, no shuffle beyond the groupBy.
+    */
+  def validateShards(spark: SparkSession, path: String, orderCol: String,
+      tokenCol: String, checksumCols: Seq[String] = Nil): DataFrame = {
+    val base = path.stripSuffix("/")
+    val ck = if (checksumCols.nonEmpty) checksumCols
+      else Seq(orderCol, tokenCol)
+    val mf = manifest(spark, base)
+    val got =
+      try shardFacts(spark.read.parquet(s"$base/data"), orderCol, tokenCol, ck)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
+      }
+    val g = got.columns.filter(_ != "shard_id")
+      .foldLeft(got)((d, c) => d.withColumnRenamed(c, s"got_$c"))
+    mf.join(g, Seq("shard_id"), "full_outer")
+      .withColumn("rows_ok", col("n_rows") <=> col("got_n_rows"))
+      .withColumn("tokens_ok", col("sum_tokens") <=> col("got_sum_tokens"))
+      .withColumn("range_ok",
+        col("min_key") <=> col("got_min_key") &&
+          col("max_key") <=> col("got_max_key"))
+      .withColumn("checksum_ok", col("checksum") <=> col("got_checksum"))
+  }
+}

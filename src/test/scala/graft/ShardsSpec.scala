@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Shards
+
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(n: Int) = spark.range(n).select(
+    $"id".as("doc_id"),
+    concat(lit("src"), pmod($"id", lit(3))).as("source"),
+    (pmod(xxhash64($"id", lit(5)), lit(40)) + 1).as("tok"))
+
+  private def tmp(): String =
+    Files.createTempDirectory("shards_spec").toString
+
+  test("writeShards: manifest facts equal brute force; one file per " +
+      "shard; rows within each shard file are in key order") {
+    val path = tmp()
+    val df = fixture(500)
+    val mf = Shards.writeShards(df, "doc_id", "tok", 300L, path,
+      Seq("doc_id", "source", "tok"))
+    // brute-force shard assignment + facts from the same input
+    val rows = df.orderBy($"doc_id")
+      .select($"doc_id", $"source", $"tok").as[(Long, String, Long)].collect()
+    var pre = 0L
+    val assigned = rows.map { case (id, src, tok) =>
+      val shard = pre / 300L; pre += tok; (shard, id, src, tok) }
+    val want = assigned.groupBy(_._1).map { case (sid, g) =>
+      val ck = g.map { case (_, id, src, tok) =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$id:$src:$tok".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+      }.sum
+      (sid, (g.length.toLong, g.map(_._4).sum, g.map(_._2).min,
+        g.map(_._2).max, ck))
+    }
+    val got = mf.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === want)
+    // layout: exactly one parquet file per shard, keys sorted inside
+    for (sid <- want.keys) {
+      val dir = new java.io.File(s"$path/data/shard_id=$sid")
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"shard $sid")
+      val ids = spark.read.parquet(parts.head.getPath)
+        .select($"doc_id").as[Long].collect()
+      assert(ids.toSeq === ids.sorted.toSeq, s"shard $sid unsorted")
+    }
+  }
+
+  test("readShards round-trips the pre-write relation; validateShards " +
+      "all-ok on intact layout, flags flip on a tampered shard file") {
+    val path = tmp()
+    val df = fixture(400)
+    Shards.writeShards(df, "doc_id", "tok", 250L, path,
+      Seq("doc_id", "source", "tok"))
+    val back = Shards.readShards(spark, path)
+      .select($"doc_id", $"source", $"tok").as[(Long, String, Long)]
+      .collect().toSet
+    val orig = df.select($"doc_id", $"source", $"tok")
+      .as[(Long, String, Long)].collect().toSet
+    assert(back === orig)
+    val v = Shards.validateShards(spark, path, "doc_id", "tok",
+      Seq("doc_id", "source", "tok"))
+    assert(v.filter(!$"rows_ok" || !$"tokens_ok" || !$"range_ok" ||
+      !$"checksum_ok").isEmpty)
+    // tamper: drop one shard's file entirely — rows/checksum must flip
+    // for that shard only
+    val dir = new java.io.File(s"$path/data/shard_id=1")
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    val v2 = Shards.validateShards(spark, path, "doc_id", "tok",
+      Seq("doc_id", "source", "tok")).cache()
+    try {
+      assert(v2.filter($"shard_id" === 1 && !$"rows_ok" && !$"checksum_ok")
+        .count() === 1L)
+      assert(v2.filter($"shard_id" =!= 1 && (!$"rows_ok" || !$"checksum_ok"))
+        .isEmpty)
+    } finally v2.unpersist()
+  }
+
+  test("marker-last commit: a layout without _manifest refuses to read; " +
+      "overwrite deletes the stale manifest first; empty input writes " +
+      "an empty attested manifest") {
+    val path = tmp()
+    Shards.writeShards(fixture(100), "doc_id", "tok", 500L, path)
+    // simulate a writer dying between data and manifest: manifest gone
+    val mfDir = new java.io.File(s"$path/_manifest")
+    mfDir.listFiles().foreach(_.delete()); mfDir.delete()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Shards.readShards(spark, path).collect()
+    }
+    // a fresh write recommits; read works again
+    Shards.writeShards(fixture(100), "doc_id", "tok", 500L, path)
+    assert(Shards.readShards(spark, path).count() === 100L)
+    // empty input: empty manifest, empty read-back, no exception
+    val empty = tmp()
+    val mf = Shards.writeShards(fixture(100).filter($"doc_id" < 0),
+      "doc_id", "tok", 500L, empty)
+    assert(mf.isEmpty)
+    assert(Shards.readShards(spark, empty).isEmpty)
+  }
+}
