@@ -1289,6 +1289,24 @@ object SparkEntry {
         "probe_id", "text", shingleLen = 2, minContainment = 0.1)
     }),
 
+    // --- Inverted-index decontamination (r10, VERDICT r9 #5): the
+    //     beyond-broadcast form — probe and corpus postings meet in a
+    //     shuffle equi-join partitioned on the 64-bit shingle id, no
+    //     probe broadcast, no probe-count bound, so eval suites far
+    //     past containmentJoin's guard sweep in one pass. Same
+    //     containment semantics; different probe split than
+    //     text_contamination so the two gates are independent
+    //     fixtures. DuckDB twin recomputes over string shingles.
+    "text_contamination_inv" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      Dedup.containmentJoinInverted(
+        docs.filter(col("doc_id") >= 8), "doc_id", "text",
+        docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("probe_id"), col("text")),
+        "probe_id", "text", shingleLen = 2, minContainment = 0.1)
+    }),
+
     // --- TF-IDF cosine document-similarity JOIN (the lexical twin of
     //     dedup_embedding's NN pairs): inverted-index sparse dot
     //     product over df-capped terms — pairs generated per term via
@@ -2525,6 +2543,32 @@ object SparkEntry {
         |  FROM t),
         |probe AS (SELECT doc_id AS probe_id, sh FROM s WHERE doc_id < 5),
         |corp AS (SELECT doc_id, sh FROM s WHERE doc_id >= 5),
+        |m AS (
+        |  SELECT p.probe_id, c.doc_id,
+        |    round(len(list_intersect(p.sh, c.sh))::DOUBLE / len(p.sh), 6) AS containment
+        |  FROM probe p JOIN corp c ON len(list_intersect(p.sh, c.sh)) > 0)
+        |SELECT probe_id, doc_id, containment FROM m WHERE containment >= 0.1
+        |ORDER BY probe_id, containment DESC, doc_id""".stripMargin,
+
+    // inverted-index decontamination: same string-shingle containment
+    // as text_contamination, probe split at doc_id < 8 — the Spark
+    // side runs the no-broadcast shuffle equi-join form, which must
+    // agree with this all-pairs recomputation exactly (no cap fires
+    // at fixture df)
+    "text_contamination_inv" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM t),
+        |probe AS (SELECT doc_id AS probe_id, sh FROM s WHERE doc_id < 8),
+        |corp AS (SELECT doc_id, sh FROM s WHERE doc_id >= 8),
         |m AS (
         |  SELECT p.probe_id, c.doc_id,
         |    round(len(list_intersect(p.sh, c.sh))::DOUBLE / len(p.sh), 6) AS containment

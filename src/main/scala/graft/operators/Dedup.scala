@@ -770,6 +770,69 @@ object Dedup {
       .orderBy(col(probeIdCol), col("containment").desc, col(corpusIdCol))
   }
 
+  /** Inverted-index decontamination (VERDICT r9 #5) — the same
+    * asymmetric containment as [[containmentJoin]] with NO probe
+    * broadcast and NO probe-count bound: both sides explode to
+    * (id, shingle-id) postings and meet in a shuffle equi-join
+    * PARTITIONED ON THE SHINGLE ID (the [[graft.operators.TextRank]]
+    * inverted-index shape), so a full eval-suite sweep — millions of
+    * probe rows, far past `containmentJoin`'s broadcast guard — is two
+    * shingle scans plus shuffles keyed on (shingle) and
+    * (probe, corpus), all map-side-combining aggregations.
+    *
+    * Hot-shingle cap: a shingle occurring in P probe docs and C corpus
+    * docs fans the join out by P×C rows; stop-word n-grams make that
+    * product quadratic while carrying no contamination signal.
+    * Corpus shingles with document frequency > `maxPostings` are
+    * therefore dropped BEFORE the join — loudly, via the same
+    * `graft.cap.*` observe metric + session listener as the LSH
+    * bucket caps; dropped shingles can only UNDER-count `__shared`
+    * (containment is under-estimated, never inflated). At the default
+    * cap this fires only on degenerate corpora; set
+    * `maxPostings = Int.MaxValue` for the exact result.
+    *
+    * Output contract is identical to [[containmentJoin]] — on any
+    * input where no cap fires the two operators agree row-for-row
+    * (unit-pinned; the `text_contamination_inv` gate shares the
+    * broadcast gate's DuckDB oracle shape).
+    */
+  def containmentJoinInverted(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, probes: DataFrame, probeIdCol: String,
+      probeTextCol: String, shingleLen: Int = 3,
+      minContainment: Double = 0.5, maxPostings: Int = 1 << 20): DataFrame = {
+    require(corpusIdCol != probeIdCol,
+      "probe and corpus id columns must have distinct names (rename one side)")
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    ensureCapListener(corpus.sparkSession)
+    val probeSh = probes.select(col(probeIdCol),
+      explode(shingleIdsOf(col(probeTextCol), shingleLen)).as("__sh"))
+    val probeSizes = probeSh.groupBy(col(probeIdCol))
+      .agg(count(lit(1)).as("__total"))
+    val corpusSh = corpus.select(col(corpusIdCol),
+      explode(shingleIdsOf(col(corpusTextCol), shingleLen)).as("__sh"))
+    // corpus df per shingle: map-side partial agg shrinks the shuffle
+    // to one row per distinct shingle; the kept-shingle relation comes
+    // out partitioned on __sh, which the join below reuses
+    val keptSh = corpusSh.groupBy(col("__sh"))
+      .agg(count(lit(1)).as("__df"))
+      .observe(s"graft.cap.containmentInverted.${capMetricSeq.incrementAndGet()}",
+        sum(when(col("__df") > maxPostings, col("__df")).otherwise(0))
+          .cast("long").as("dropped_rows"))
+      .filter(col("__df") <= maxPostings)
+      .select(col("__sh"))
+    corpusSh
+      .join(keptSh, "__sh")
+      .join(probeSh, "__sh") // shuffle equi-join on shingle id — no broadcast
+      .groupBy(col(probeIdCol), col(corpusIdCol))
+      .agg(count(lit(1)).as("__shared"))
+      .join(probeSizes, probeIdCol) // AQE may broadcast if small; correct either way
+      .select(col(probeIdCol), col(corpusIdCol),
+        round(col("__shared").cast("double") / col("__total"), 6)
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+      .orderBy(col(probeIdCol), col("containment").desc, col(corpusIdCol))
+  }
+
   /** Fuzzy (edit-distance) duplicate pairs over SHORT strings —
     * titles, names, source labels: the character-level family member
     * (MinHash/SimHash are token-level and blind to single-character

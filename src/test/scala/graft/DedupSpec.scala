@@ -173,6 +173,44 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxProbes"))
   }
 
+  test("containmentJoinInverted agrees with the broadcast form row-for-row; " +
+      "accepts a probe side past the broadcast guard; hot-shingle cap " +
+      "only under-counts") {
+    val corpus = Seq(
+      (10L, "a very long training document that happens to contain the " +
+        "quick brown fox jumps over the lazy dog somewhere in its middle " +
+        "among many other unrelated words and sentences entirely"),
+      (11L, "the quick brown fox leaps over the lazy dog"),
+      (12L, "completely unrelated content about spark engines")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "nothing here overlaps with anything at all")
+    ).toDF("probe_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bc = rows(Dedup.containmentJoin(corpus, "doc_id", "text",
+      probes, "probe_id", "text", shingleLen = 3, minContainment = 0.3))
+    val inv = rows(Dedup.containmentJoinInverted(corpus, "doc_id", "text",
+      probes, "probe_id", "text", shingleLen = 3, minContainment = 0.3))
+    assert(inv === bc, "inverted form must equal the broadcast form")
+    // the probe side that the broadcast guard REFUSES (maxProbes=1)
+    // runs fine here — there is no probe bound to trip
+    assert(rows(Dedup.containmentJoinInverted(corpus, "doc_id", "text",
+      probes, "probe_id", "text", shingleLen = 3, minContainment = 0.3,
+      maxPostings = 1 << 20)).nonEmpty)
+    // maxPostings=1: every shingle shared by >1 corpus doc drops →
+    // containment can only shrink, never grow
+    val capped = rows(Dedup.containmentJoinInverted(corpus, "doc_id", "text",
+      probes, "probe_id", "text", shingleLen = 3, minContainment = 0.0,
+      maxPostings = 1)).map(t => (t._1, t._2) -> t._3).toMap
+    val full = rows(Dedup.containmentJoinInverted(corpus, "doc_id", "text",
+      probes, "probe_id", "text", shingleLen = 3, minContainment = 0.0,
+      maxPostings = 1 << 20)).map(t => (t._1, t._2) -> t._3).toMap
+    capped.foreach { case (k, v) =>
+      assert(v <= full(k) + 1e-9, s"cap inflated containment at $k") }
+  }
+
   test("connectedComponents: transitive chains collapse to the min id") {
     // two components: a path 1-2, 2-3, 3-4 (1~4 never emitted) and a
     // pair 10-11; node 99 never paired → absent from the mapping
