@@ -1868,6 +1868,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Audio fingerprint near-dup (r10, VERDICT r9 #6 — the WAV
+    //     sibling of mm_phash_pairs): every base clip (5200-sample
+    //     16-bit PCM WAV, quantized closed-form envelope) has a
+    //     planted GAIN-SCALED copy (×2 + a one-window bump) and a
+    //     TIME-SHIFTED copy (3 samples of leading silence); the
+    //     65-window energy-difference fingerprint is computed from
+    //     DECODED samples, pairs come from the same pigeonhole band
+    //     machinery as dHash/SimHash, and the oracle recomputes the
+    //     ENTIRE fingerprint — samples, window energies, bit assembly
+    //     — from the payload formulas in SQL, then takes all pairs
+    //     with hamming ≤ 3. Copies must pair with their sources;
+    //     unrelated clips (min cross-id hamming 6 on this fixture)
+    //     must not.
+    "mm_audio_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioFpBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val fp = Multimodal.withAudioFingerprint(media, "payload", "afp")
+      Dedup.fingerprintPairs(fp, "media_id", "afp", maxHamming = 3)
+    }),
+
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
     //     analytics, no streaming runtime needed)
@@ -3619,6 +3639,51 @@ object SparkEntry {
         |  FROM cells a JOIN cells b
         |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
         |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the FULL audio-fingerprint recomputation in SQL: samples from
+    // the closed-form payload formulas (variant 1 = gain ×2 + bump
+    // window, variant 2 = 3-sample shift via the effective index ei),
+    // 65 per-window energy sums, difference bits, 64-bit assembly
+    // (same bit-63 BIGINT-min trick as mm_phash_pairs), then exact
+    // all-pairs hamming ≤ 3 over the 120 fingerprints
+    "mm_audio_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, 1 FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, 2 FROM documents WHERE doc_id < 40),
+        |idx AS (
+        |  SELECT i.media_id, i.base, i.variant, s.i AS i,
+        |    CASE WHEN i.variant = 2 THEN s.i - 3 ELSE s.i END AS ei
+        |  FROM ids i, generate_series(0, 5199) AS s(i)),
+        |smp AS (
+        |  SELECT media_id, i // 80 AS w,
+        |    CASE WHEN ei < 0 THEN 0 ELSE
+        |      (CASE WHEN variant = 1 THEN 2 ELSE 1 END) *
+        |      (200 * (2 * ((base*379 + base*base*101 + (ei//80)*(ei//80)*29
+        |                    + (ei//80)*17 + (ei//80)*base*7) % 997 % 4)
+        |              + (ei//80) % 2 + 1)
+        |       + (base + ei*13) % 7)
+        |      + CASE WHEN variant = 1 AND i // 80 = base % 63
+        |             THEN 400 ELSE 0 END
+        |    END AS v
+        |  FROM idx),
+        |en AS (
+        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.e >= b.e THEN 0
+        |        WHEN a.w = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << a.w END) AS BIGINT) AS f
+        |  FROM en a JOIN en b ON a.media_id = b.media_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 GROUP BY a.media_id)
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.media_id < b.media_id

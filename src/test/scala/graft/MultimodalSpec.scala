@@ -310,6 +310,58 @@ class MultimodalSpec extends SparkSpec {
     for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
   }
 
+  test("audioFingerprint: gain-exact, shift-absorbed 64-bit energy " +
+      "signature — planted copies within hamming 3, unrelated clips " +
+      "far, sub-window null (r10)") {
+    import Multimodal._
+    import java.lang.Long.bitCount
+    def fp(id: Long, v: Int): Long =
+      audioFingerprint(decodeWavPcm(synthAudioFpPayload(id, v))).longValue
+    val trios = (0L until 40L).map(id => (id, fp(id, 0), fp(id, 1), fp(id, 2)))
+    trios.foreach { case (id, base, gain, shift) =>
+      assert(bitCount(base ^ gain) <= 3, s"gain copy of $id drifted")
+      // the 3-sample shift is absorbed EXACTLY by the quantized margins
+      assert(base === shift, s"shift copy of $id drifted")
+    }
+    // unrelated base clips: min cross-id hamming on this fixture is 6;
+    // anything ≤ 3 would make the gate's negative claim vacuous
+    for (Seq((i, a, _, _), (j, b, _, _)) <- trios.combinations(2))
+      assert(bitCount(a ^ b) > 3, s"unrelated $i/$j too close")
+    // EXACT integer gain scaling is fingerprint-invariant by
+    // construction (energies scale by c², comparisons unchanged) —
+    // on an arbitrary signal, not just the fixture
+    val arb = Array.tabulate(650)(i => ((i * i * 37 + i * 5) % 3000 - 1500).toShort)
+    val scaled = arb.map(s => (s * 3).toShort)
+    assert(audioFingerprint(WavAudio(8000, 1, arb)) ===
+      audioFingerprint(WavAudio(8000, 1, scaled)))
+    // fewer than 65 samples (one per window) → null; null-safe
+    assert(audioFingerprint(WavAudio(8000, 1, new Array[Short](64))) === null)
+    assert(audioFingerprint(null) === null)
+  }
+
+  test("withAudioFingerprint + fingerprintPairs: end-to-end audio " +
+      "near-dup equals brute-force hamming ≤ 3 over the decoded " +
+      "fingerprints; every planted copy pairs with its source (r10)") {
+    import Multimodal._
+    val media = synthesizeAudioFpBytes(
+      spark.range(20).select($"id".as("doc_id")))
+    val hashed = withAudioFingerprint(media, "payload", "afp")
+    val got = graft.operators.Dedup
+      .fingerprintPairs(hashed, "media_id", "afp", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fps = hashed.select($"media_id", $"afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (i, a) <- fps; (j, b) <- fps if i < j
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (i, j)).toSet
+    assert(got === want)
+    for (id <- 0L until 20L) {
+      assert(got.contains((id, id + 1000L)), s"gain copy id=$id")
+      assert(got.contains((id, id + 2000L)), s"shift copy id=$id")
+    }
+  }
+
   test("RIFF chunk walks reject Int-overflow chunk sizes without " +
       "throwing: sizes near Int.MaxValue in any chunk position (r10)") {
     import Multimodal.{buildWavPcm, decodeWavPcm, parseHeader}
