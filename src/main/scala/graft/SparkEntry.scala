@@ -1188,6 +1188,21 @@ object SparkEntry {
         qs, "query_id", "qtext", k = 5)
     }),
 
+    // --- Beyond-broadcast BM25 (r10 — the retrieval twin of
+    //     text_contamination_inv): identical scoring to bm25Join with
+    //     NO query broadcast and NO query bound — postings meet in a
+    //     shuffle equi-join partitioned on the term, so query-log-
+    //     sized relations score in one pass. Different query fixture
+    //     than text_bm25_join so the two gates are independent.
+    "text_bm25_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((0L, "hash index"), (1L, "spark analytics"),
+        (2L, "vector"), (3L, "index hash spark")).toDF("query_id", "qtext")
+      graft.operators.TextRank.bm25JoinShuffle(
+        Tables.documents(s, dir), "doc_id", "text",
+        qs, "query_id", "qtext", k = 5)
+    }),
+
     // --- Hybrid retrieval: reciprocal-rank fusion (RRF, the pgvector
     //     hybrid-search recipe) of the lexical BM25 ranking and the
     //     exact cosine KNN ranking, joined on the shared corpus id.
@@ -2535,6 +2550,25 @@ object SparkEntry {
       s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
          |  FROM (VALUES (0, 'hash spark'), (1, 'vector index'),
          |  (2, 'spark vector hash')) AS q(query_id, qtext)),
+         |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
+         |         x -> length(x) > 0)) AS term FROM q),
+         |$bm25JoinSqlCtes,
+         |qs AS (SELECT qt.query_id, sc.doc_id,
+         |        round(list_reduce(list(sc.ts ORDER BY sc.term), (a, b) -> a + b), 6) AS bm25
+         |      FROM qt JOIN sc ON qt.term = sc.term GROUP BY qt.query_id, sc.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY bm25 DESC, doc_id) AS rank FROM qs)
+         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // beyond-broadcast BM25: same scoring CTEs as text_bm25_join —
+    // the Spark side runs the term-partitioned shuffle equi-join form,
+    // which must agree with the broadcast form's oracle shape exactly
+    // (no cap fires at fixture df)
+    "text_bm25_shuffle" ->
+      s"""WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |  FROM (VALUES (0, 'hash index'), (1, 'spark analytics'),
+         |  (2, 'vector'), (3, 'index hash spark')) AS q(query_id, qtext)),
          |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(lower(qtext), ' '),
          |         x -> length(x) > 0)) AS term FROM q),
          |$bm25JoinSqlCtes,

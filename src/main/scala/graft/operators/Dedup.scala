@@ -259,13 +259,13 @@ object Dedup {
     * [[simhashPairs]]). Weakly keyed so a stopped
     * session doesn't pin its listener registration forever.
     */
-  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[operators] val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private val capListenerSessions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
 
-  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+  private[operators] def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
     capListenerSessions.synchronized {
       if (capListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
         spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {

@@ -115,6 +115,92 @@ object TextRank {
         (-col("distance")).as("bm25"))
   }
 
+  /** Beyond-broadcast BM25 (r10 — the retrieval twin of
+    * [[graft.operators.Dedup.containmentJoinInverted]]): identical
+    * scoring to [[bm25Join]] with NO query broadcast and NO
+    * query-count bound. Both sides explode to (id, term) postings and
+    * meet in a shuffle equi-join PARTITIONED ON THE TERM, so a
+    * corpus-sized query relation — a full eval-suite sweep, a
+    * query-log replay — scores in one pass of term-keyed shuffles with
+    * map-side-combining aggregations.
+    *
+    * Hot-term cap: a term appearing in Q queries and D corpus docs
+    * fans the scoring join out by Q×D rows; stop words make that
+    * product quadratic while contributing ~zero idf. Corpus terms with
+    * document frequency > `maxDf` are therefore dropped BEFORE the
+    * join — loudly, via the `graft.cap.*` observe metric — removing
+    * their (near-zero) contribution from affected scores; at the
+    * default cap this fires only on degenerate corpora, and
+    * `maxDf = Int.MaxValue` gives the exact result.
+    *
+    * Output contract is identical to [[bm25Join]] — on any input where
+    * no cap fires the two operators agree row-for-row (unit-pinned;
+    * the `text_bm25_shuffle` gate shares the broadcast gate's DuckDB
+    * oracle shape).
+    */
+  def bm25JoinShuffle(corpus: DataFrame, corpusIdCol: String,
+      textCol: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int, maxDf: Int = 1 << 20): DataFrame = {
+    require(corpusIdCol != queryIdCol,
+      "query and corpus id columns must have distinct names (rename one side)")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    Dedup.ensureCapListener(corpus.sparkSession)
+    val (k1, k1p1, b, oneMinusB) = (1.2, 2.2, 0.75, 0.25)
+    val qt = queries
+      .select(col(queryIdCol).cast("long").as(queryIdCol),
+        explode(TextFunctions.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+    // same one-tokenize-pass tf relation as bm25Join — every statistic
+    // derives from it, never a second corpus scan
+    val tf = corpus
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(corpusIdCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(corpusIdCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(corpusIdCol)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // df per term over the FULL corpus (identical values to bm25Join,
+    // where the semi-join to query terms happens first — a term's df
+    // is corpus-wide either way); the map-side partial agg shrinks the
+    // term shuffle to one row per distinct term, and the cap drops
+    // quadratic-fanout stop terms loudly BEFORE any join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .observe(s"graft.cap.bm25Shuffle.${Dedup.capMetricSeq.incrementAndGet()}",
+        sum(when(col("df") > maxDf, col("df")).otherwise(0))
+          .cast("long").as("dropped_rows"))
+      .filter(col("df") <= maxDf)
+    // shuffle semi-join (the broadcast form's termsDf prune, without
+    // the broadcast): scoring work below is ∝ postings of QUERY terms,
+    // not the whole corpus vocabulary. dl/stats/df still derive from
+    // the FULL tf relation — doc length and corpus-wide df don't
+    // change with the query set.
+    val qtf = tf.join(qt.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val scored = qtf
+      .join(dfreq, "term") // term-keyed; also prunes over-cap terms
+      .join(dl, corpusIdCol)
+      .crossJoin(broadcast(stats)) // 1-row stats frame
+      .select(col(corpusIdCol), col("term"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(k1p1)) /
+            (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
+          .as("ts"))
+    // the beyond-broadcast move: postings meet in a shuffle equi-join
+    // on the term — work ∝ matching (query, doc) postings, no
+    // broadcast, no driver hop, no query bound
+    val perQuery = scored.join(qt, "term")
+      .groupBy(col(queryIdCol), col(corpusIdCol))
+      .agg(array_sort(collect_list(struct(col("term"), col("ts")))).as("__a"))
+      .select(col(queryIdCol), col(corpusIdCol),
+        round(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("ts")), 6).as("bm25"))
+    Knn.finishTopKPerGroup(
+        perQuery.select(col(queryIdCol), col(corpusIdCol),
+          (-col("bm25")).as("distance")),
+        queryIdCol, corpusIdCol, k)
+      .select(col(queryIdCol), col(corpusIdCol), col("rank"),
+        (-col("distance")).as("bm25"))
+  }
+
   /** TF-IDF cosine document-similarity JOIN — the lexical complement
     * to the embedding NN join (`Ann.nnSelfJoinIvf`): every doc pair
     * sharing at least one (df-capped) term gets the cosine of their

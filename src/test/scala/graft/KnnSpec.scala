@@ -59,6 +59,46 @@ class KnnSpec extends SparkSpec {
     assert(e2.getMessage.contains("maxQueries=100"), e2.getMessage)
   }
 
+  test("bm25JoinShuffle agrees with the broadcast form row-for-row; " +
+      "accepts a query side past the broadcast guard; hot-term cap " +
+      "drops stop-term contributions (r10)") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "spark shuffles the fox data across the cluster"),
+      (12L, "quick analytics over columnar data"),
+      (13L, "the the the dog dog lazy")).toDF("doc_id", "text")
+    val qs = Seq((0L, "quick fox"), (1L, "lazy dog data"), (2L, "spark"))
+      .toDF("query_id", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val bc = rows(graft.operators.TextRank.bm25Join(
+      docs, "doc_id", "text", qs, "query_id", "qtext", k = 3))
+    val sh = rows(graft.operators.TextRank.bm25JoinShuffle(
+      docs, "doc_id", "text", qs, "query_id", "qtext", k = 3))
+    assert(sh === bc, "shuffle form must equal the broadcast form")
+    // a query side the broadcast guard REFUSES (maxQueries default
+    // 65536) runs fine here — there is no query bound to trip. 100k
+    // one-term queries: every query scores the docs containing "fox".
+    val hugeQ = spark.range(100000L).select($"id".as("query_id"),
+      lit("fox").as("qtext"))
+    val big = graft.operators.TextRank.bm25JoinShuffle(
+      docs, "doc_id", "text", hugeQ, "query_id", "qtext", k = 3)
+    assert(big.count() === 200000L) // 100k queries × 2 fox docs
+    // maxDf=1: every term in >1 doc drops; "the"-dominated scores
+    // vanish, single-doc terms survive — scores only lose terms
+    val capped = rows(graft.operators.TextRank.bm25JoinShuffle(
+      docs, "doc_id", "text", qs, "query_id", "qtext", k = 3, maxDf = 1))
+    // dropping a term can only REMOVE (query, doc) matches, never add
+    val fullPairs = sh.map(t => (t._1, t._2)).toSet
+    assert(capped.map(t => (t._1, t._2)).forall(fullPairs.contains))
+    // "spark" appears in exactly one doc → survives the cap intact,
+    // with the same score the uncapped run gave it (df=1 unchanged)
+    assert(capped.filter(_._1 == 2L).map(_._2) === Seq(11L))
+    val sparkScore = sh.find(t => t._1 == 2L && t._2 == 11L).get._4
+    assert(capped.find(t => t._1 == 2L && t._2 == 11L).get._4 === sparkScore)
+  }
+
   test("knnJoin agrees with per-query topK on random vectors (cross-implementation)") {
     // two independent code paths: topK = Column expressions +
     // TakeOrderedAndProject; knnJoin = Scala kernel + bounded top-k
