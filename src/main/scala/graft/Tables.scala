@@ -19,17 +19,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark rejects by default — read it as a long (session conf) and
-    * convert ns → µs TimestampType with exact integer division
-    * (`div`, not `/`: double division loses precision above 2^53 ns).
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations — parquet TIMESTAMP(NANOS) (which Spark rejects by
+    * default; read as long via the session conf and convert ns → µs
+    * with exact integer division — `div`, not `/`: double division
+    * loses precision above 2^53 ns) and plain timestamp[us] without
+    * timezone. Dispatch on the scanned schema so both read to the
+    * same session-UTC TimestampType column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => // ns since epoch
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive µs; session tz is UTC → identity
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
