@@ -1845,6 +1845,32 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- JPEG pixel decode (r11 — closes the last raster-format
+    //     stub): payloads are well-formed baseline JPEGs (T.81 SOF0)
+    //     built in-plan — DC-only 8×8 blocks over all-ones quant
+    //     tables, so IDCT is EXACT (a constant block's only nonzero
+    //     coefficient is DC = 8·(v−128) and IDCT of DC-only is DC/8;
+    //     chroma solid 128 makes YCbCr→RGB the identity). Coding
+    //     variant (grayscale / 4:4:4 / 4:2:0) and restart interval
+    //     cycle by id, exercising Huffman entropy decode, byte
+    //     stuffing, RST markers and edge-block cropping — none change
+    //     the pixels, so the oracle recomputes the channel means from
+    //     the lumaBlock formula alone. Degrades planted: every 19th
+    //     magic-corrupted, every 13th rewritten SOF0→SOF2
+    //     (progressive — must be refused, not misdecoded).
+    "mm_pixels_jpeg" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Perceptual image near-dup (r10, VERDICT r9 #2): every base
     //     image (18×16 BMP, nonlinear closed-form pixels) has a
     //     planted perturbed copy (+9 on red at ~5 pixel positions);
@@ -3749,6 +3775,34 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
         |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
         |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels oracle for JPEG: decoded pixel (x, y) is
+    // lumaBlock(x//8, y//8) on all three channels for every coding
+    // variant (DC-only blocks decode bit-exactly; restart markers
+    // change the bitstream, never the pixels), so the mean is the
+    // average of the closed-form block values over the w×h crop
+    "mm_pixels_jpeg" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id * 11 + 23 * (x.g // 8) + 41 * (y.g // 8)) % 256) AS m
+        |  FROM ids i, generate_series(0, 23) AS x(g), generate_series(0, 21) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'jpeg' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
 

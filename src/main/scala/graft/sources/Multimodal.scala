@@ -422,8 +422,8 @@ object Multimodal {
   // dependencies — the zlib stream inflates via java.util.zip.Inflater
   // and the five standard scanline filters (None/Sub/Up/Average/Paeth)
   // are closed-form byte arithmetic. This closes the "real crawls are
-  // PNG, not BMP" gap; JPEG remains the documented stub boundary (DCT
-  // entropy decode is a dependency-shaped cliff).
+  // PNG, not BMP" gap; baseline JPEG decode landed in r11 (next
+  // section), so all three raster formats now decode real pixels.
   // -------------------------------------------------------------
 
   /** Decode a non-interlaced 8-bit truecolor (color type 2) PNG
@@ -517,9 +517,9 @@ object Multimodal {
   }
 
   /** Append `outCol`: per-payload pixel statistics with container
-    * dispatch on the magic bytes — BMP and PNG payloads decode their
-    * REAL pixels (`decodeBmp` / [[decodePng]]); anything else is
-    * format='unknown' with null stats. Output struct matches
+    * dispatch on the magic bytes — BMP, PNG and JPEG payloads decode
+    * their REAL pixels (`decodeBmp` / [[decodePng]] / [[decodeJpeg]]);
+    * anything else is format='unknown' with null stats. Output struct matches
     * [[withBmpPixelStats]]; same narrow per-partition boundary, one
     * map stage over the scan, no shuffle.
     */
@@ -540,7 +540,12 @@ object Multimodal {
         val stats = if (p == null) null
           else {
             val isPng = p.length > 1 && (p(0) & 0xFF) == 0x89
-            val img = if (isPng) decodePng(p) else decodeBmp(p)
+            val isJpg = !isPng && p.length > 2 &&
+              (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+            val img =
+              if (isPng) decodePng(p)
+              else if (isJpg) decodeJpeg(p)
+              else decodeBmp(p)
             if (img == null) Row("unknown", null, null, null, null, null, null)
             else {
               var sr = 0L; var sg = 0L; var sb = 0L
@@ -551,7 +556,8 @@ object Multimodal {
                 i += 3
               }
               val n = img.width.toLong * img.height
-              Row(if (isPng) "png" else "bmp", img.width, img.height, n,
+              Row(if (isPng) "png" else if (isJpg) "jpeg" else "bmp",
+                img.width, img.height, n,
                 sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
             }
           }
@@ -662,6 +668,539 @@ object Multimodal {
           while (j + 8 <= bytes.length && !ascii(bytes, j + 4, "IDAT"))
             j += 12 + be32(bytes, j)
           bytes(j + 8) = 0x00.toByte
+        }
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
+  // JPEG pixel decode (r11): baseline sequential DCT JPEG (ITU-T
+  // T.81, SOF0) decoded with public knowledge and zero new
+  // dependencies — the canonical Huffman decode (T.81 F.2.2), the
+  // byte-stuffed entropy stream, zigzag dequantization and a
+  // double-precision separable IDCT are plain JVM arithmetic. This
+  // closes the last declared multimodal stub: real crawls are
+  // JPEG-dominated. Supported: 8-bit baseline, 1 (grayscale) or 3
+  // (YCbCr) components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0,
+  // replication upsampling), restart intervals. Progressive (SOF2),
+  // hierarchical, arithmetic-coded and 12-bit frames return null
+  // (documented unsupported), as does any malformed / truncated
+  // payload — total function, never throws.
+  // -------------------------------------------------------------
+
+  /** Natural-order raster index for each zigzag position k
+    * (T.81 Figure A.6; index = v·8 + u).
+    */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: IdctA(u)(x) = C(u)/2 · cos((2x+1)·u·π/16), so
+    * f(x,y) = Σu Σv IdctA(u)(x)·IdctA(v)(y)·F(u,v) (T.81 A.3.3).
+    */
+  private val IdctA: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Shared malformed-payload signal for the JPEG decode path: thrown
+    * by the entropy decoder on any structural violation, caught once
+    * at the [[decodeJpeg]] boundary → null. Stackless singleton — the
+    * degrade path allocates nothing.
+    */
+  private object JpegMalformed
+    extends RuntimeException with scala.util.control.NoStackTrace
+
+  /** Canonical Huffman table (T.81 C.2): decode via the standard
+    * mincode/maxcode/valptr walk, one bit at a time.
+    */
+  private final class JpegHuff(bits: Array[Int], vals: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        if (bits(l - 1) > 0) maxcode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(i: Int): Int =
+      if (i < 0 || i >= vals.length) throw JpegMalformed else vals(i) & 0xFF
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Decode a baseline JPEG payload to RGB pixels. Total function:
+    * malformed / truncated / unsupported bytes return null, never
+    * throw. Dimensions capped at [[MaxBmpDim]] like the other raster
+    * decoders (headers are untrusted bytes).
+    */
+  def decodeJpeg(b: Array[Byte]): RasterImage = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return null
+    try decodeJpegUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeJpegUnsafe(b: Array[Byte]): RasterImage = {
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored in DQT
+    val qtSeen = new Array[Boolean](4)
+    val dcTab = new Array[JpegHuff](4)
+    val acTab = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var w = 0; var h = 0; var nComp = 0
+    val compId = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3); val compAc = new Array[Int](3)
+    var sofSeen = false
+    var scanStart = -1
+    var i = 2
+
+    def seglen(at: Int): Int = {
+      if (at + 2 > b.length) throw JpegMalformed
+      val len = ((b(at) & 0xFF) << 8) | (b(at + 1) & 0xFF)
+      if (len < 2 || at + len > b.length) throw JpegMalformed
+      len
+    }
+
+    while (scanStart < 0) {
+      if (i + 2 > b.length) return null
+      if ((b(i) & 0xFF) != 0xFF) return null
+      var m = b(i + 1) & 0xFF
+      while (m == 0xFF) { // fill bytes before the marker code
+        i += 1
+        if (i + 2 > b.length) return null
+        m = b(i + 1) & 0xFF
+      }
+      i += 2
+      m match {
+        case 0xC0 => // SOF0 — baseline sequential DCT
+          val len = seglen(i)
+          if ((b(i + 2) & 0xFF) != 8) return null // precision
+          h = ((b(i + 3) & 0xFF) << 8) | (b(i + 4) & 0xFF)
+          w = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
+          nComp = b(i + 7) & 0xFF
+          if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
+          if (nComp != 1 && nComp != 3) return null
+          if (len < 8 + nComp * 3) return null
+          var c = 0
+          while (c < nComp) {
+            compId(c) = b(i + 8 + c * 3) & 0xFF
+            val hv = b(i + 9 + c * 3) & 0xFF
+            compH(c) = hv >> 4; compV(c) = hv & 0xF
+            compQ(c) = b(i + 10 + c * 3) & 0xFF
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return null
+            if (compQ(c) > 3) return null
+            c += 1
+          }
+          sofSeen = true
+          i += len
+        case 0xC4 => // DHT — possibly several tables in one segment
+          val len = seglen(i)
+          val end = i + len
+          var j = i + 2
+          while (j < end) {
+            if (j + 17 > end) return null
+            val tcth = b(j) & 0xFF
+            val tc = tcth >> 4; val th = tcth & 0xF
+            if (tc > 1 || th > 3) return null
+            val bits = new Array[Int](16)
+            var n = 0; var l = 0
+            while (l < 16) { bits(l) = b(j + 1 + l) & 0xFF; n += bits(l); l += 1 }
+            if (n > 256 || j + 17 + n > end) return null
+            val vals = java.util.Arrays.copyOfRange(b, j + 17, j + 17 + n)
+            val tab = new JpegHuff(bits, vals)
+            if (tc == 0) dcTab(th) = tab else acTab(th) = tab
+            j += 17 + n
+          }
+          i += len
+        case 0xDB => // DQT — possibly several tables in one segment
+          val len = seglen(i)
+          val end = i + len
+          var j = i + 2
+          while (j < end) {
+            val pqtq = b(j) & 0xFF
+            val pq = pqtq >> 4; val tq = pqtq & 0xF
+            if (pq > 1 || tq > 3) return null
+            val step = if (pq == 0) 1 else 2
+            if (j + 1 + 64 * step > end) return null
+            var k = 0
+            while (k < 64) {
+              qt(tq)(k) =
+                if (pq == 0) b(j + 1 + k) & 0xFF
+                else ((b(j + 1 + k * 2) & 0xFF) << 8) | (b(j + 2 + k * 2) & 0xFF)
+              k += 1
+            }
+            qtSeen(tq) = true
+            j += 1 + 64 * step
+          }
+          i += len
+        case 0xDD => // DRI
+          val len = seglen(i)
+          if (len < 4) return null
+          restartInterval = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+          i += len
+        case 0xDA => // SOS — interleaved scan over all frame components
+          if (!sofSeen) return null
+          val len = seglen(i)
+          val ns = b(i + 2) & 0xFF
+          if (ns != nComp || len < 6 + ns * 2) return null
+          var c = 0
+          while (c < ns) {
+            val cs = b(i + 3 + c * 2) & 0xFF
+            val tdta = b(i + 4 + c * 2) & 0xFF
+            var f = 0; var fi = -1
+            while (f < nComp) { if (compId(f) == cs) fi = f; f += 1 }
+            if (fi != c) return null // scan must list components in frame order
+            compDc(c) = tdta >> 4; compAc(c) = tdta & 0xF
+            if (compDc(c) > 3 || compAc(c) > 3) return null
+            c += 1
+          }
+          scanStart = i + len
+          i = scanStart
+        case 0xD8 | 0xD9 => return null // stray SOI / EOI before scan
+        case rst if rst >= 0xD0 && rst <= 0xD7 => return null // stray RST
+        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+            0xCD | 0xCE | 0xCF =>
+          return null // extended / progressive / lossless / arithmetic frames
+        case 0x01 => () // TEM — standalone, no length
+        case _ => i += seglen(i) // APPn / COM / other length-bearing segments
+      }
+    }
+
+    var hmax = 1; var vmax = 1
+    var c = 0
+    while (c < nComp) {
+      if (!qtSeen(compQ(c))) return null
+      if (dcTab(compDc(c)) == null || acTab(compAc(c)) == null) return null
+      hmax = math.max(hmax, compH(c)); vmax = math.max(vmax, compV(c))
+      c += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = new Array[Int](3); val planeH = new Array[Int](3)
+    val plane = new Array[Array[Byte]](3)
+    c = 0
+    while (c < nComp) {
+      planeW(c) = mcusX * compH(c) * 8
+      planeH(c) = mcusY * compV(c) * 8
+      plane(c) = new Array[Byte](planeW(c) * planeH(c))
+      c += 1
+    }
+
+    // entropy-coded segment: byte-stuffed bit reader (F.2.2.5)
+    var pos = scanStart
+    var bitBuf = 0; var bitCnt = 0
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) throw JpegMalformed
+        val byte0 = b(pos) & 0xFF; pos += 1
+        if (byte0 == 0xFF) {
+          if (pos >= b.length) throw JpegMalformed
+          if ((b(pos) & 0xFF) != 0x00) throw JpegMalformed // marker mid-entropy
+          pos += 1 // stuffed zero after a literal 0xFF data byte
+        }
+        bitBuf = byte0; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def huffDecode(tab: JpegHuff): Int = {
+      var l = 1; var code = nextBit()
+      while (code > tab.maxcode(l)) {
+        l += 1
+        if (l > 16) throw JpegMalformed
+        code = (code << 1) | nextBit()
+      }
+      tab.value(tab.valptr(l) + code - tab.mincode(l))
+    }
+
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    val dcPred = new Array[Int](3)
+
+    def decodeBlock(ci: Int, destX: Int, destY: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val q = qt(compQ(ci))
+      val t = huffDecode(dcTab(compDc(ci)))
+      if (t > 15) throw JpegMalformed
+      dcPred(ci) += extend(receive(t), t)
+      coef(0) = dcPred(ci) * q(0)
+      var k = 1
+      var done = false
+      while (!done && k < 64) {
+        val rs = huffDecode(acTab(compAc(ci)))
+        val r = rs >> 4; val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 else done = true // ZRL vs EOB
+        } else {
+          k += r
+          if (k > 63) throw JpegMalformed
+          coef(ZigZag(k)) = extend(receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      // separable IDCT: tmp(u)(y) = Σv IdctA(v)(y)·F(u,v)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 8) {
+          var s2 = 0.0; var v = 0
+          while (v < 8) { s2 += IdctA(v)(y) * coef(u + 8 * v); v += 1 }
+          tmp(u)(y) = s2
+          y += 1
+        }
+        u += 1
+      }
+      val pw = planeW(ci)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var s3 = 0.0; var u2 = 0
+          while (u2 < 8) { s3 += IdctA(u2)(xx) * tmp(u2)(yy); u2 += 1 }
+          plane(ci)((destY + yy) * pw + destX + xx) =
+            clamp255(math.round(s3).toInt + 128).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    val totalMcus = mcusX * mcusY
+    var mcu = 0
+    var rstIdx = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bitCnt = 0 // discard pad bits to the byte boundary
+        if (pos + 2 > b.length) throw JpegMalformed
+        if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFF) != 0xD0 + rstIdx)
+          throw JpegMalformed
+        pos += 2
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < nComp) {
+        var by = 0
+        while (by < compV(ci)) {
+          var bx = 0
+          while (bx < compH(ci)) {
+            decodeBlock(ci, (mx * compH(ci) + bx) * 8, (my * compV(ci) + by) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // upsample (replication) + color convert (BT.601, T.871 rounding)
+    val out = new Array[Byte](w * h * 3)
+    if (nComp == 1) {
+      val p0 = plane(0); val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = p0(y * pw + x)
+          val o = (y * w + x) * 3
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = plane(0)((y * compV(0) / vmax) * planeW(0) +
+            x * compH(0) / hmax) & 0xFF
+          val cb = (plane(1)((y * compV(1) / vmax) * planeW(1) +
+            x * compH(1) / hmax) & 0xFF) - 128
+          val cr = (plane(2)((y * compV(2) / vmax) * planeW(2) +
+            x * compH(2) / hmax) & 0xFF) - 128
+          val o = (y * w + x) * 3
+          out(o) = clamp255(math.round(yv + 1.402 * cr).toInt).toByte
+          out(o + 1) = clamp255(
+            math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt).toByte
+          out(o + 2) = clamp255(math.round(yv + 1.772 * cb).toInt).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    RasterImage(w, h, out)
+  }
+
+  /** Entropy bit writer with T.81 byte stuffing (a literal 0xFF data
+    * byte is followed by 0x00).
+    */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0; private var cnt = 0
+    def bit(v: Int): Unit = {
+      buf = (buf << 1) | (v & 1); cnt += 1
+      if (cnt == 8) {
+        out.write(buf & 0xFF)
+        if ((buf & 0xFF) == 0xFF) out.write(0x00)
+        buf = 0; cnt = 0
+      }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >> k) & 1); k -= 1 }
+    }
+    def pad(): Unit = while (cnt != 0) bit(1)
+  }
+
+  // Compact canonical Huffman tables for the fixture encoder (NOT the
+  // T.81 Annex K examples — but decoded by the same canonical walk any
+  // T.81 reader uses, so fixtures are valid JPEGs): DC = twelve 4-bit
+  // codes for categories 0..11 (code == category), AC = a single
+  // 1-bit code 0 for EOB.
+  private val FixDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val FixDcVals: Array[Byte] = Array.tabulate(12)(_.toByte)
+  private val FixAcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val FixAcVals: Array[Byte] = Array(0x00)
+
+  /** Well-formed baseline JPEG whose decode is BIT-EXACT: all-ones
+    * quantization tables and DC-only blocks (each 8×8 luma block is
+    * the solid value `lumaBlock(bx, by)`; chroma is a solid 128, so
+    * YCbCr→RGB is the identity). A constant block's only nonzero
+    * coefficient is DC = 8·(value−128), and IDCT of a DC-only block
+    * is exactly DC/8 — integer in, integer out, no quantization loss.
+    * `variant`: 0 = grayscale, 1 = YCbCr 4:4:4, 2 = YCbCr 4:2:0.
+    * Pixel (x, y) of the decoded image is lumaBlock(x/8, y/8) on all
+    * three channels for every variant. `restartInterval` > 0 emits a
+    * DRI segment and byte-aligned RSTn markers (cycling D0–D7) with
+    * DC-predictor resets every that-many MCUs, exercising the
+    * decoder's restart machinery in-fixture.
+    */
+  def buildJpegSolid(w: Int, h: Int, variant: Int,
+      lumaBlock: (Int, Int) => Int, restartInterval: Int = 0): Array[Byte] = {
+    require(variant >= 0 && variant <= 2, s"variant $variant")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8)
+    marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT table 0, 8-bit, all ones
+    var k = 0
+    while (k < 64) { u8(1); k += 1 }
+    marker(0xC4); u16(2 + (1 + 16 + 12) + (1 + 16 + 1)) // DHT: DC 0 + AC 0
+    u8(0x00); FixDcBits.foreach(u8); FixDcVals.foreach(v => u8(v & 0xFF))
+    u8(0x10); FixAcBits.foreach(u8); FixAcVals.foreach(v => u8(v & 0xFF))
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    val nc = if (variant == 0) 1 else 3
+    marker(0xC0); u16(8 + nc * 3); u8(8); u16(h); u16(w); u8(nc) // SOF0
+    u8(1); u8(if (variant == 2) 0x22 else 0x11); u8(0)
+    if (nc == 3) { u8(2); u8(0x11); u8(0); u8(3); u8(0x11); u8(0) }
+    marker(0xDA); u16(6 + nc * 2); u8(nc) // SOS
+    var ci = 1
+    while (ci <= nc) { u8(ci); u8(0x00); ci += 1 }
+    u8(0); u8(63); u8(0)
+    val bw = new JpegBitWriter(out)
+    val smax = if (variant == 2) 2 else 1
+    val mcusX = (w + 8 * smax - 1) / (8 * smax)
+    val mcusY = (h + 8 * smax - 1) / (8 * smax)
+    var dcY = 0
+    def encodeBlock(dc: Int, prev: Int): Unit = {
+      val diff = dc - prev
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      bw.bits(t, 4) // DC category code == category (canonical, len 4)
+      if (t > 0) bw.bits(if (diff < 0) diff - 1 else diff, t)
+      bw.bit(0) // EOB (1-bit AC code)
+    }
+    var mcu = 0
+    var rstIdx = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.pad() // byte-align, then the restart marker resets predictors
+        marker(0xD0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        dcY = 0
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var by = 0
+      while (by < smax) {
+        var bx = 0
+        while (bx < smax) {
+          val dc = 8 * (lumaBlock(mx * smax + bx, my * smax + by) - 128)
+          encodeBlock(dc, dcY); dcY = dc
+          bx += 1
+        }
+        by += 1
+      }
+      if (nc == 3) { encodeBlock(0, 0); encodeBlock(0, 0) } // chroma = 128
+      mcu += 1
+    }
+    bw.pad()
+    marker(0xD9)
+    out.toByteArray
+  }
+
+  /** Deterministic JPEG payload for media id `id`: dims, the coding
+    * variant (grayscale / 4:4:4 / 4:2:0 by id%3), the restart
+    * interval (id%4 MCUs; 0 = none) and the per-block solid values
+    * are closed-form in the id, so the oracle recomputes the decoded
+    * channel means from the formulas alone — restart markers change
+    * the bitstream, never the pixels.
+    */
+  def synthJpegPayload(id: Long): Array[Byte] = {
+    val w = (id % 21 + 4).toInt
+    val h = (id * 5 % 19 + 4).toInt
+    buildJpegSolid(w, h, (id % 3).toInt,
+      (bx, by) => ((id * 11 + 23L * bx + 41L * by) % 256).toInt,
+      restartInterval = (id % 4).toInt)
+  }
+
+  /** Synthesize a JPEG media table from doc ids, with BOTH degrade
+    * paths planted: every 19th payload has its magic overwritten
+    * (container-dispatch failure) and every 13th has its SOF0 marker
+    * rewritten to SOF2 (progressive — a well-formed frame type the
+    * baseline decoder must refuse, not misdecode).
+    */
+  def synthesizeJpegBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthJpegPayload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        else if (id % 13 == 0) {
+          var j = 2
+          while (j + 1 < bytes.length &&
+              !((bytes(j) & 0xFF) == 0xFF && (bytes(j + 1) & 0xFF) == 0xC0))
+            j += 1
+          bytes(j + 1) = 0xC2.toByte
         }
         Row(id, bytes)
       }
@@ -1080,6 +1619,334 @@ object Multimodal {
           Row(id, synthAudioFpPayload(id, 0)),
           Row(id + 1000L, synthAudioFpPayload(id, 1)),
           Row(id + 2000L, synthAudioFpPayload(id, 2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
+  // Y4M video decode (r11): real FRAMES from a real public container,
+  // completing the modality triple — BMP/PNG/JPEG rasters and WAV PCM
+  // already decode real payload bytes; video now does too. YUV4MPEG2
+  // ("Y4M", the mjpegtools interchange format) is an ASCII header
+  // line "YUV4MPEG2 W<w> H<h> F<num>:<den> [I?] [A?:?] [C<tag>]\n"
+  // followed per frame by "FRAME[params]\n" + raw planar YCbCr bytes
+  // (Y then Cb then Cr, chroma sized by the C tag) — fully parseable
+  // pure-JVM, no codec dependency. The reference treats video as an
+  // opaque embedded blob (fever_multi_agent.py stores only text +
+  // vectors); this engine decodes the frames where the container
+  // allows it and keeps the per-partition narrow-boundary shape: one
+  // map stage over the scan, no shuffle, payloads never leave their
+  // partition.
+  // -------------------------------------------------------------
+
+  /** Decoded Y4M clip: luma planes only (one `w*h` byte array per
+    * frame — what stats and fingerprints consume); chroma is length-
+    * validated during the walk and skipped, `colorspace` records the
+    * subsampling so a consumer can re-walk the payload for chroma.
+    */
+  final case class Y4mVideo(width: Int, height: Int, fpsNum: Int,
+      fpsDen: Int, colorspace: String, lumaFrames: Array[Array[Byte]])
+
+  /** Frame-count cap for untrusted payloads (with MaxBmpDim² luma
+    * planes this already bounds a single decoded clip ≪ executor
+    * memory; real crawls chunk long videos upstream).
+    */
+  val MaxY4mFrames = 4096
+
+  /** Chroma plane size (bytes, per plane) for a Y4M colorspace tag,
+    * or -1 if the tag / dims combination is unsupported. C420* needs
+    * even w and h, C422 even w; Cmono has no chroma planes.
+    */
+  private def y4mChromaPlane(cs: String, w: Int, h: Int): Int = cs match {
+    case "C420" | "C420jpeg" | "C420mpeg2" | "C420paldv" =>
+      if (w % 2 != 0 || h % 2 != 0) -1 else (w / 2) * (h / 2)
+    case "C422" => if (w % 2 != 0) -1 else (w / 2) * h
+    case "C444" => w * h
+    case "Cmono" => 0
+    case _ => -1
+  }
+
+  /** Decode a YUV4MPEG2 payload. Total function: malformed, truncated
+    * (including a cut mid-frame), unsupported-colorspace or oversized
+    * bytes return null, never throw. Zero-frame streams are refused —
+    * every well-formed clip this engine handles carries pixels.
+    */
+  def decodeY4m(b: Array[Byte]): Y4mVideo = {
+    if (b == null || b.length < 10) return null
+    try decodeY4mUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeY4mUnsafe(b: Array[Byte]): Y4mVideo = {
+    val magic = "YUV4MPEG2"
+    var i = 0
+    while (i < 9) {
+      if (b(i) != magic.charAt(i).toByte) return null
+      i += 1
+    }
+    var eol = 9
+    while (eol < b.length && b(eol) != 0x0A) eol += 1
+    if (eol >= b.length || eol - 9 > 1024) return null
+    var w = -1; var h = -1; var fn = -1; var fd = -1
+    var cs = "C420jpeg" // the spec's default when no C tag is present
+    val header = new String(b, 9, eol - 9, java.nio.charset.StandardCharsets.US_ASCII)
+    header.split(" ").iterator.filter(_.nonEmpty).foreach { tok =>
+      tok.charAt(0) match {
+        case 'W' => w = tok.substring(1).toInt
+        case 'H' => h = tok.substring(1).toInt
+        case 'F' =>
+          val sl = tok.indexOf(':')
+          if (sl < 2) return null
+          fn = tok.substring(1, sl).toInt
+          fd = tok.substring(sl + 1).toInt
+        case 'C' => cs = tok
+        case 'I' | 'A' | 'X' => () // interlacing / aspect / extension: skipped
+        case _ => return null
+      }
+    }
+    if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
+    if (fn <= 0 || fd <= 0) return null
+    val chroma = y4mChromaPlane(cs, w, h)
+    if (chroma < 0) return null
+    val lumaLen = w * h
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = eol + 1
+    while (pos < b.length) {
+      if (frames.length >= MaxY4mFrames) return null
+      var j = 0
+      while (j < 5) { // "FRAME"
+        if (pos + j >= b.length || b(pos + j) != "FRAME".charAt(j).toByte)
+          return null
+        j += 1
+      }
+      var feol = pos + 5
+      while (feol < b.length && b(feol) != 0x0A) feol += 1
+      if (feol >= b.length || feol - pos > 1024) return null
+      pos = feol + 1
+      if (pos + lumaLen + 2L * chroma > b.length) return null // cut mid-frame
+      frames += java.util.Arrays.copyOfRange(b, pos, pos + lumaLen)
+      pos += lumaLen + 2 * chroma
+    }
+    if (frames.isEmpty) null
+    else Y4mVideo(w, h, fn, fd, cs, frames.toArray)
+  }
+
+  /** One row per SAMPLED frame: (media_id, format, width, height,
+    * fps_num, fps_den, n_frames, frame_idx, mean_y) with mean luma
+    * computed from the REAL decoded plane; at most `sampleN` evenly
+    * spaced frames (first and last always included) so per-row output
+    * stays bounded no matter how long the clip is. Malformed payloads
+    * emit ONE degrade row (format 'unknown', null stats) — corrupt
+    * crawl rows stay visible downstream instead of vanishing. Narrow
+    * per-partition map, no shuffle.
+    */
+  def videoFrameStats(df: DataFrame, payloadCol: String,
+      sampleN: Int = 8): DataFrame = {
+    require(sampleN >= 1, s"sampleN $sampleN")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("fps_num", IntegerType, nullable = true),
+      StructField("fps_den", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("mean_y", DoubleType, nullable = true)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val v = decodeY4m(r.get(pIdx).asInstanceOf[Array[Byte]])
+        if (v == null)
+          Iterator(Row(id, "unknown", null, null, null, null, null, null, null))
+        else {
+          val nF = v.lumaFrames.length
+          val n = math.min(sampleN, nF)
+          val idxs =
+            if (n == 1) Array(0)
+            else Array.tabulate(n)(i => ((i.toLong * (nF - 1)) / (n - 1)).toInt)
+              .distinct
+          idxs.iterator.map { t =>
+            val plane = v.lumaFrames(t)
+            var s = 0L; var k = 0
+            while (k < plane.length) { s += plane(k) & 0xFF; k += 1 }
+            Row(id, "y4m", v.width, v.height, v.fpsNum, v.fpsDen, nF, t,
+              s.toDouble / plane.length)
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** 64-bit perceptual fingerprint of a whole clip: the dHash grid
+    * comparison applied to the TEMPORAL SUM of luma — each pixel
+    * position's luma summed over every frame, average-pooled onto the
+    * same 9×8 grid as [[dHash]], bit gy·8+gx set iff cell (gx, gy)
+    * has strictly lower mean than cell (gx+1, gy). Integer sums and
+    * cross-multiplied comparisons (no division, no floats), so any
+    * engine recomputes identical bits from the same planes; robust to
+    * the same perturbation classes as dHash plus frame-local noise
+    * (a changed pixel in one frame is averaged over the clip). Clips
+    * smaller than the grid return null. Per-cell pixel count must
+    * stay below ~2^31 for the cross-multiply to fit a Long — true for
+    * any clip within [[MaxBmpDim]]²×[[MaxY4mFrames]] / 72 cells.
+    */
+  def videoDHash(v: Y4mVideo): java.lang.Long = {
+    if (v == null || v.width < 9 || v.height < 8 || v.lumaFrames.isEmpty)
+      return null
+    val w = v.width; val h = v.height
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var t = 0
+    while (t < v.lumaFrames.length) {
+      val plane = v.lumaFrames(t)
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = gy * 9 + x * 9 / w
+          sums(c) += plane(y * w + x) & 0xFF
+          cnts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      t += 1
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = gy * 9 + gx
+        if (sums(a) * cnts(a + 1) < sums(a + 1) * cnts(a))
+          bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    java.lang.Long.valueOf(bits)
+  }
+
+  /** Append `outCol`: [[videoDHash]] of the decoded Y4M payload (null
+    * for malformed / sub-grid clips). Same narrow per-partition
+    * boundary as [[withDHash]]; feed the result to
+    * `Dedup.fingerprintPairs` for banded candidate generation —
+    * video near-dup at corpus scale has the same bucketed, capped,
+    * never-all-pairs shape as text SimHash and image dHash.
+    */
+  def withVideoDHash(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, LongType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val fp = videoDHash(decodeY4m(r.get(idx).asInstanceOf[Array[Byte]]))
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Well-formed Y4M payload: header with the given colorspace tag,
+    * `nFrames` frames of closed-form luma (chroma planes are solid
+    * 0x80 — neutral, skipped by the decoder anyway).
+    */
+  def buildY4m(w: Int, h: Int, colorspace: String, nFrames: Int,
+      luma: (Int, Int, Int) => Int, fpsNum: Int = 25,
+      fpsDen: Int = 1): Array[Byte] = {
+    val chroma = y4mChromaPlane(colorspace, w, h)
+    require(chroma >= 0, s"colorspace $colorspace with ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 $colorspace\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var t = 0
+    while (t < nFrames) {
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out.write(luma(x, y, t) & 0xFF); x += 1 }
+        y += 1
+      }
+      var k = 0
+      while (k < 2 * chroma) { out.write(0x80); k += 1 }
+      t += 1
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic Y4M payload for media id `id`: even dims, frame
+    * count, colorspace (cycling all four supported chroma layouts)
+    * and fps are closed-form in the id, as is every luma value —
+    * luma(x, y, t) = (id·11 + 3x + 5y + 31t) mod 256 — so an oracle
+    * recomputes per-frame means from the formulas alone.
+    */
+  def synthY4mPayload(id: Long): Array[Byte] = {
+    val w = 2 * (id % 8 + 2).toInt            // 4..18, even
+    val h = 2 * ((id * 3) % 7 + 2).toInt      // 4..16, even
+    val nF = (id % 6 + 2).toInt               // 2..7
+    val cs = Seq("C420jpeg", "C422", "C444", "Cmono")((id % 4).toInt)
+    buildY4m(w, h, cs, nF,
+      (x, y, t) => ((id * 11 + 3L * x + 5L * y + 31L * t) % 256).toInt,
+      fpsNum = (id % 5 + 1).toInt, fpsDen = 1)
+  }
+
+  /** Fixture for the video frame-stats gate: every 19th payload is
+    * magic-corrupted (container-dispatch failure) and every 13th has
+    * its last 5 bytes dropped (a frame cut mid-plane — the truncation
+    * class real crawls produce), pinning both degrade paths in-plan.
+    */
+  def synthesizeY4mBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthY4mPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 0x00.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic clip for the video near-dup fixture: fixed 18×16
+    * (the dHash fixture geometry — 2×2 cell pooling), 5 frames,
+    * C420jpeg, nonlinear closed-form luma; `perturb` bumps luma by +9
+    * at ~7 sparse (x, y, t) positions — a "few changed
+    * pixels across a few frames" edit that the temporal-summed dHash
+    * must absorb.
+    */
+  def synthVideoFpPayload(baseId: Long, perturb: Boolean): Array[Byte] =
+    buildY4m(18, 16, "C420jpeg", 5, { (x, y, t) =>
+      val v = baseId * 131 + x * 29L + y * 67L + t * 53L
+      val base = ((v * v) % 256).toInt
+      if (perturb && (x * 16 + y + t * 288) % 211 == 0) (base + 9) % 256
+      else base
+    })
+
+  /** Fixture for the video near-dup gate: the ORIGINAL clip
+    * (media_id = id) plus a PERTURBED copy (media_id = id + 1000).
+    * Near-dup over this table must pair each copy with its source and
+    * nothing else.
+    */
+  def synthesizeVideoFpBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        Iterator(
+          Row(id, synthVideoFpPayload(id, perturb = false)),
+          Row(id + 1000L, synthVideoFpPayload(id, perturb = true)))
       }
     }(Encoders.row(schema))
   }

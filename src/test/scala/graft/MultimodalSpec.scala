@@ -423,4 +423,124 @@ class MultimodalSpec extends SparkSpec {
     val lens = out.select(length($"small")).as[Int].collect()
     assert(lens.forall(_ <= 16))
   }
+
+  test("decodeJpeg: bit-exact round-trip through the baseline entropy " +
+      "decoder for grayscale / 4:4:4 / 4:2:0, with and without restart " +
+      "markers; edge blocks cropped (r11)") {
+    import Multimodal.{buildJpegSolid, decodeJpeg}
+    val fn = (bx: Int, by: Int) => (11 + 23 * bx + 41 * by) % 256
+    for {
+      variant <- 0 to 2
+      (w, h) <- Seq((8, 8), (16, 24), (13, 9), (20, 17)) // incl. non-×8, non-×16
+      ri <- Seq(0, 1, 3)
+    } {
+      val img = decodeJpeg(buildJpegSolid(w, h, variant, fn, ri))
+      assert(img != null, s"variant=$variant ${w}x$h ri=$ri")
+      assert(img.width === w && img.height === h)
+      for (y <- 0 until h; x <- 0 until w; ch <- 0 to 2) {
+        val got = img.rgb((y * w + x) * 3 + ch) & 0xFF
+        assert(got === fn(x / 8, y / 8),
+          s"variant=$variant ${w}x$h ri=$ri px($x,$y) ch$ch")
+      }
+    }
+  }
+
+  test("decodeJpeg: AC coefficients, zigzag and IDCT agree with a " +
+      "direct T.81 A.3.3 reference implementation (r11)") {
+    // Hand-crafted single-block grayscale JPEG with custom tables:
+    // DC cat codes 0..11 at 4 bits; AC table adds symbol 0x01
+    // (run 0, size 1) so one AC coefficient can be planted at
+    // zigzag position 1 (= F(u=1, v=0)).
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8)
+    marker(0xDB); u16(2 + 1 + 64); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    // DHT: DC {cat t → 4-bit code t}; AC {len1 code0 = EOB,
+    // len2 code10 = 0x01}
+    marker(0xC4); u16(2 + (1 + 16 + 12) + (1 + 16 + 2))
+    u8(0x00); u8(0); u8(0); u8(0); u8(12); (0 until 12).foreach(_ => u8(0))
+    (0 until 12).foreach(u8)
+    u8(0x10); u8(1); u8(1); (0 until 14).foreach(_ => u8(0))
+    u8(0x00); u8(0x01)
+    marker(0xC0); u16(11); u8(8); u16(8); u16(8); u8(1); u8(1); u8(0x11); u8(0)
+    marker(0xDA); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy: DC diff = 40 (cat 6, bits 101000), then AC 0x01 with
+    // value +1 (code 10, bit 1), then EOB (bit 0); pad with 1s
+    // bits: 0110 101000 10 1 0 + pad → 0110 1010 0010 1011 (2 bytes)
+    u8(0x6A); u8(0x2B)
+    marker(0xD9)
+    val img = Multimodal.decodeJpeg(out.toByteArray)
+    assert(img != null && img.width === 8 && img.height === 8)
+    // reference: direct 2D IDCT of F(0,0)=40, F(1,0)=1 (quant all 1s)
+    def cc(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val f = 0.25 * (cc(0) * cc(0) * 40.0 *
+          math.cos((2 * x + 1) * 0 * math.Pi / 16) *
+          math.cos((2 * y + 1) * 0 * math.Pi / 16) +
+        cc(1) * cc(0) * 1.0 *
+          math.cos((2 * x + 1) * 1 * math.Pi / 16) *
+          math.cos((2 * y + 1) * 0 * math.Pi / 16))
+      val expected = math.max(0, math.min(255, math.round(f).toInt + 128))
+      assert((img.rgb((y * 8 + x) * 3) & 0xFF) === expected, s"px($x,$y)")
+    }
+  }
+
+  test("decodeJpeg: malformed / truncated / unsupported payloads → " +
+      "null, never throw (r11)") {
+    import Multimodal.{buildJpegSolid, decodeJpeg}
+    val base = buildJpegSolid(16, 16, 1, (bx, by) => (bx * 31 + by * 7) % 256)
+    assert(decodeJpeg(null) === null)
+    assert(decodeJpeg(Array[Byte](1, 2, 3)) === null)
+    val badMagic = base.clone(); badMagic(0) = 0x00
+    assert(decodeJpeg(badMagic) === null)
+    assert(decodeJpeg(base.take(base.length / 2)) === null) // truncated scan
+    assert(decodeJpeg(base.take(20)) === null) // truncated header
+    // progressive frame type must be refused, not misdecoded
+    var j = 2
+    while (!((base(j) & 0xFF) == 0xFF && (base(j + 1) & 0xFF) == 0xC0)) j += 1
+    val sof2 = base.clone(); sof2(j + 1) = 0xC2.toByte
+    assert(decodeJpeg(sof2) === null)
+    // 12-bit precision refused
+    val deep = base.clone(); deep(j + 4) = 12.toByte
+    assert(decodeJpeg(deep) === null)
+    // entropy stream cut right after SOS still degrades, not throws
+    var s = 2
+    while (!((base(s) & 0xFF) == 0xFF && (base(s + 1) & 0xFF) == 0xDA)) s += 1
+    assert(decodeJpeg(base.take(s + 12)) === null)
+  }
+
+  test("withPixelStats: jpeg payloads dispatch on the SOI magic and " +
+      "decode real pixels; planted degrade paths report unknown (r11)") {
+    import Multimodal._
+    val media = synthesizeJpegBytes(
+      spark.range(60).select($"id".as("doc_id")))
+    val out = withPixelStats(media, "payload", "px")
+      .select($"media_id", $"px.format", $"px.width", $"px.height",
+        $"px.mean_r", $"px.mean_g", $"px.mean_b")
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 60)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 19 == 0 || id % 13 == 0) {
+        assert(r.getString(1) === "unknown" && r.isNullAt(2), s"id=$id")
+      } else {
+        val w = id % 21 + 4; val h = id * 5 % 19 + 4
+        assert(r.getString(1) === "jpeg", s"id=$id")
+        assert(r.getInt(2) === w && r.getInt(3) === h, s"id=$id")
+        val mean = (for (x <- 0L until w; y <- 0L until h)
+          yield (id * 11 + 23 * (x / 8) + 41 * (y / 8)) % 256)
+          .sum.toDouble / (w * h)
+        for (ch <- 4 to 6)
+          assert(math.abs(r.getDouble(ch) - mean) < 1e-9, s"id=$id ch=$ch")
+      }
+    }
+    // the real JPEG bytes also satisfy the existing header parser
+    val hdr = withHeaderMeta(media.filter($"media_id" === 1L), "payload", "hdr")
+      .select($"hdr.format", $"hdr.width", $"hdr.height").head()
+    assert(hdr.getString(0) === "jpeg")
+    assert(hdr.getInt(1) === 1 % 21 + 4 && hdr.getInt(2) === 5 % 19 + 4)
+  }
 }
