@@ -1950,6 +1950,26 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // --- MJPEG-in-AVI frame sampling (r11 — the COMPRESSED video
+    //     container): each movi '00dc' chunk is a complete baseline
+    //     JPEG decoded through the real entropy decoder, reduced to
+    //     BT.601 luma (block-solid fixtures decode to r=g=b=v, whose
+    //     integer luma is exactly v, so the oracle stays closed-form).
+    //     Dims / frame count / JPEG coding variant / restart interval
+    //     cycle by id; even ids carry the rational NTSC 30000/1001
+    //     fps a float field would mangle. Three degrade classes
+    //     planted: magic corrupt (%19), movi cut short (%13), and a
+    //     progressive frame inside a well-formed container (%11).
+    "mm_frames_avi" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAviBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.videoFrameStats(media, "payload")
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"), col("frame_idx"),
+          round(col("mean_y"), 6).as("mean_y"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // --- Video perceptual near-dup (r11 — the clip sibling of
     //     mm_phash_pairs/mm_audio_pairs): every base clip (18×16×5
     //     Y4M, nonlinear closed-form luma) has a planted copy with +9
@@ -3811,6 +3831,40 @@ object SparkEntry {
         |SELECT i.media_id, 'y4m' AS format, CAST(i.w AS INT) AS width,
         |  CAST(i.h AS INT) AS height, CAST(i.fn AS INT) AS fps_num,
         |  CAST(1 AS INT) AS fps_den, CAST(i.nf AS INT) AS n_frames,
+        |  CAST(f.t AS INT) AS frame_idx, round(f.m, 6) AS mean_y
+        |FROM ids i JOIN bad b USING (media_id) JOIN fr f USING (media_id)
+        |WHERE NOT b.c
+        |UNION ALL
+        |SELECT media_id, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM bad WHERE c
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the mm_frames oracle for AVI: decoded pixel (x, y) of frame t is
+    // lumaBlock(x//8, y//8, t) for every coding variant (DC-only
+    // blocks decode bit-exactly; BT.601 luma of r=g=b=v is v), so the
+    // per-frame mean is the average of the closed-form block values
+    // over the w×h crop; three degrade classes share one unknown row
+    "mm_frames_avi" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 12 + 5 AS w,
+        |    (doc_id * 3) % 11 + 5 AS h, doc_id % 5 + 2 AS nf,
+        |    CASE WHEN doc_id % 2 = 0 THEN 30000 ELSE doc_id % 25 + 5 END AS fn,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1001 ELSE 1 END AS fd
+        |  FROM documents WHERE doc_id < 60),
+        |bad AS (SELECT media_id,
+        |    media_id % 19 = 0 OR media_id % 13 = 0 OR media_id % 11 = 0 AS c
+        |  FROM ids),
+        |fr AS (
+        |  SELECT i.media_id, t.g AS t,
+        |    avg((i.media_id * 11 + 23 * (x.g // 8) + 41 * (y.g // 8)
+        |         + 31 * t.g) % 256) AS m
+        |  FROM ids i, generate_series(0, 5) AS t(g),
+        |       generate_series(0, 15) AS x(g), generate_series(0, 14) AS y(g)
+        |  WHERE t.g < i.nf AND x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id, t.g)
+        |SELECT i.media_id, 'avi' AS format, CAST(i.w AS INT) AS width,
+        |  CAST(i.h AS INT) AS height, CAST(i.fn AS INT) AS fps_num,
+        |  CAST(i.fd AS INT) AS fps_den, CAST(i.nf AS INT) AS n_frames,
         |  CAST(f.t AS INT) AS frame_idx, round(f.m, 6) AS mean_y
         |FROM ids i JOIN bad b USING (media_id) JOIN fr f USING (media_id)
         |WHERE NOT b.c

@@ -1639,13 +1639,17 @@ object Multimodal {
   // partition.
   // -------------------------------------------------------------
 
-  /** Decoded Y4M clip: luma planes only (one `w*h` byte array per
-    * frame — what stats and fingerprints consume); chroma is length-
-    * validated during the walk and skipped, `colorspace` records the
-    * subsampling so a consumer can re-walk the payload for chroma.
+  /** Decoded video clip, container-independent: luma planes only
+    * (one `w*h` byte array per frame — what stats and fingerprints
+    * consume). For Y4M, chroma is length-validated during the walk
+    * and skipped and `colorspace` records the subsampling; for
+    * MJPEG-AVI, luma is BT.601-weighted from the decoded RGB frames
+    * and `colorspace` is "mjpeg". `format` is the container tag that
+    * flows into per-frame stats rows.
     */
-  final case class Y4mVideo(width: Int, height: Int, fpsNum: Int,
-      fpsDen: Int, colorspace: String, lumaFrames: Array[Array[Byte]])
+  final case class VideoClip(format: String, width: Int, height: Int,
+      fpsNum: Int, fpsDen: Int, colorspace: String,
+      lumaFrames: Array[Array[Byte]])
 
   /** Frame-count cap for untrusted payloads (with MaxBmpDim² luma
     * planes this already bounds a single decoded clip ≪ executor
@@ -1671,13 +1675,13 @@ object Multimodal {
     * bytes return null, never throw. Zero-frame streams are refused —
     * every well-formed clip this engine handles carries pixels.
     */
-  def decodeY4m(b: Array[Byte]): Y4mVideo = {
+  def decodeY4m(b: Array[Byte]): VideoClip = {
     if (b == null || b.length < 10) return null
     try decodeY4mUnsafe(b)
     catch { case scala.util.control.NonFatal(_) => null }
   }
 
-  private def decodeY4mUnsafe(b: Array[Byte]): Y4mVideo = {
+  private def decodeY4mUnsafe(b: Array[Byte]): VideoClip = {
     val magic = "YUV4MPEG2"
     var i = 0
     while (i < 9) {
@@ -1728,7 +1732,7 @@ object Multimodal {
       pos += lumaLen + 2 * chroma
     }
     if (frames.isEmpty) null
-    else Y4mVideo(w, h, fn, fd, cs, frames.toArray)
+    else VideoClip("y4m", w, h, fn, fd, cs, frames.toArray)
   }
 
   /** One row per SAMPLED frame: (media_id, format, width, height,
@@ -1758,7 +1762,7 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(idIdx)
-        val v = decodeY4m(r.get(pIdx).asInstanceOf[Array[Byte]])
+        val v = decodeVideo(r.get(pIdx).asInstanceOf[Array[Byte]])
         if (v == null)
           Iterator(Row(id, "unknown", null, null, null, null, null, null, null))
         else {
@@ -1772,7 +1776,7 @@ object Multimodal {
             val plane = v.lumaFrames(t)
             var s = 0L; var k = 0
             while (k < plane.length) { s += plane(k) & 0xFF; k += 1 }
-            Row(id, "y4m", v.width, v.height, v.fpsNum, v.fpsDen, nF, t,
+            Row(id, v.format, v.width, v.height, v.fpsNum, v.fpsDen, nF, t,
               s.toDouble / plane.length)
           }
         }
@@ -1793,7 +1797,7 @@ object Multimodal {
     * stay below ~2^31 for the cross-multiply to fit a Long — true for
     * any clip within [[MaxBmpDim]]²×[[MaxY4mFrames]] / 72 cells.
     */
-  def videoDHash(v: Y4mVideo): java.lang.Long = {
+  def videoDHash(v: VideoClip): java.lang.Long = {
     if (v == null || v.width < 9 || v.height < 8 || v.lumaFrames.isEmpty)
       return null
     val w = v.width; val h = v.height
@@ -1844,10 +1848,22 @@ object Multimodal {
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
-        val fp = videoDHash(decodeY4m(r.get(idx).asInstanceOf[Array[Byte]]))
+        val fp = videoDHash(decodeVideo(r.get(idx).asInstanceOf[Array[Byte]]))
         Row.fromSeq(r.toSeq :+ fp)
       }
     }(Encoders.row(schema))
+  }
+
+  /** Container dispatch for video payloads on the magic bytes: Y4M
+    * ("YUV4MPEG2") and MJPEG-in-AVI ("RIFF…AVI "); anything else —
+    * including a RIFF that is a WAV — is null. Mirror of the raster
+    * dispatch in [[withPixelStats]].
+    */
+  def decodeVideo(b: Array[Byte]): VideoClip = {
+    if (b == null || b.length < 12) return null
+    if (b(0) == 'Y'.toByte && b(1) == 'U'.toByte) decodeY4m(b)
+    else if (ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")) decodeAviMjpeg(b)
+    else null
   }
 
   /** Well-formed Y4M payload: header with the given colorspace tag,
@@ -1947,6 +1963,220 @@ object Multimodal {
         Iterator(
           Row(id, synthVideoFpPayload(id, perturb = false)),
           Row(id + 1000L, synthVideoFpPayload(id, perturb = true)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
+  // MJPEG-in-AVI decode (r11): the second video container, and the
+  // first COMPRESSED one — each '##dc' chunk inside the RIFF 'movi'
+  // list is a complete baseline JPEG, decoded frame-by-frame through
+  // [[decodeJpeg]] and reduced to BT.601 luma planes, so every video
+  // operator (frame stats, temporal dHash, near-dup pairing) works
+  // unchanged over both containers via [[decodeVideo]]. The RIFF walk
+  // reuses the WAV walk's discipline: unsigned 32-bit sizes widened
+  // to Long before any bound check (a forged size near UInt.MaxValue
+  // must not wrap), word-aligned chunk stepping, total function.
+  // -------------------------------------------------------------
+
+  /** Decode an MJPEG-in-AVI payload: fps from the 'vids' stream
+    * header (dwRate/dwScale), frames from the 'movi' '##dc'/'##db'
+    * chunks. Null on: malformed RIFF, any frame that fails JPEG
+    * decode (a progressive frame inside the container degrades the
+    * clip, not just the frame — partial clips are worse than loudly
+    * absent ones for dedup), inconsistent frame dims, zero frames,
+    * missing/zero fps, or more than [[MaxY4mFrames]] frames.
+    */
+  def decodeAviMjpeg(b: Array[Byte]): VideoClip = {
+    if (b == null || b.length < 24) return null
+    if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "AVI ")) return null
+    try decodeAviUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeAviUnsafe(b: Array[Byte]): VideoClip = {
+    def u32(i: Int): Long = le32(b, i) & 0xFFFFFFFFL
+    var fpsNum = -1; var fpsDen = -1
+    var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 12L
+    while (pos + 8 <= b.length) {
+      val size = u32(pos.toInt + 4)
+      val dataStart = pos + 8
+      val dataEnd = dataStart + size
+      if (dataEnd > b.length) return null
+      if (ascii(b, pos.toInt, "LIST") && size >= 4) {
+        val listType = dataStart.toInt
+        if (ascii(b, listType, "hdrl")) {
+          // find LIST 'strl' → 'strh' with fccType 'vids' for the fps
+          var p = dataStart + 4
+          while (p + 8 <= dataEnd) {
+            val ssz = u32(p.toInt + 4)
+            val sEnd = p + 8 + ssz
+            if (sEnd > dataEnd) return null
+            if (ascii(b, p.toInt, "LIST") && ssz >= 4 &&
+                ascii(b, p.toInt + 8, "strl")) {
+              var q = p + 12
+              while (q + 8 <= sEnd) {
+                val qsz = u32(q.toInt + 4)
+                val qEnd = q + 8 + qsz
+                if (qEnd > sEnd) return null
+                if (ascii(b, q.toInt, "strh") && qsz >= 28 &&
+                    ascii(b, q.toInt + 8, "vids")) {
+                  fpsDen = le32(b, q.toInt + 8 + 20) // dwScale
+                  fpsNum = le32(b, q.toInt + 8 + 24) // dwRate
+                }
+                q = qEnd + (qsz & 1L)
+              }
+            }
+            p = sEnd + (ssz & 1L)
+          }
+        } else if (ascii(b, listType, "movi")) {
+          var p = dataStart + 4
+          while (p + 8 <= dataEnd) {
+            val csz = u32(p.toInt + 4)
+            val cEnd = p + 8 + csz
+            if (cEnd > dataEnd) return null
+            // video frame chunk '##dc'/'##db' (## = stream number)
+            if (b(p.toInt + 2) == 'd'.toByte &&
+                (b(p.toInt + 3) == 'c'.toByte || b(p.toInt + 3) == 'b'.toByte)) {
+              if (frames.length >= MaxY4mFrames) return null
+              val img = decodeJpeg(java.util.Arrays.copyOfRange(
+                b, p.toInt + 8, cEnd.toInt))
+              if (img == null) return null
+              if (w < 0) { w = img.width; h = img.height }
+              else if (img.width != w || img.height != h) return null
+              val plane = new Array[Byte](w * h)
+              var i = 0; var o = 0
+              while (o < plane.length) {
+                plane(o) = (((img.rgb(i) & 0xFF) * 299 +
+                  (img.rgb(i + 1) & 0xFF) * 587 +
+                  (img.rgb(i + 2) & 0xFF) * 114) / 1000).toByte
+                i += 3; o += 1
+              }
+              frames += plane
+            }
+            p = cEnd + (csz & 1L)
+          }
+        }
+      }
+      pos = dataEnd + (size & 1L)
+    }
+    if (frames.isEmpty || fpsNum <= 0 || fpsDen <= 0) null
+    else VideoClip("avi", w, h, fpsNum, fpsDen, "mjpeg", frames.toArray)
+  }
+
+  /** Well-formed single-video-stream MJPEG AVI: RIFF('AVI '
+    * LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' '00dc'…))
+    * with the canonical 56-byte avih/strh and a BITMAPINFOHEADER
+    * strf; each element of `frames` must be a complete JPEG payload.
+    */
+  def buildAviMjpeg(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fpsNum > 0 && fpsDen > 0, s"fps $fpsNum:$fpsDen")
+    def mk(body: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); body(o); o.toByteArray
+    }
+    def u16l(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+    }
+    def u32l(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xFF).toInt); o.write(((v >> 8) & 0xFF).toInt)
+      o.write(((v >> 16) & 0xFF).toInt); o.write(((v >> 24) & 0xFF).toInt)
+    }
+    def fcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = mk { o =>
+      fcc(o, id); u32l(o, data.length.toLong); o.write(data)
+      if (data.length % 2 != 0) o.write(0) // word alignment pad
+    }
+    def list(typ: String, data: Array[Byte]): Array[Byte] = mk { o =>
+      fcc(o, "LIST"); u32l(o, data.length + 4L); fcc(o, typ); o.write(data)
+    }
+    val strh = mk { o =>
+      fcc(o, "vids"); fcc(o, "MJPG")
+      u32l(o, 0); u16l(o, 0); u16l(o, 0) // flags, priority, language
+      u32l(o, 0)                         // initial frames
+      u32l(o, fpsDen.toLong)             // dwScale
+      u32l(o, fpsNum.toLong)             // dwRate
+      u32l(o, 0); u32l(o, frames.length.toLong) // start, length
+      u32l(o, frames.map(_.length.toLong).max)  // suggested buffer
+      u32l(o, 0xFFFFFFFFL); u32l(o, 0)   // quality (-1), sample size
+      u16l(o, 0); u16l(o, 0); u16l(o, w); u16l(o, h) // rcFrame
+    }
+    val strf = mk { o =>
+      u32l(o, 40); u32l(o, w.toLong); u32l(o, h.toLong)
+      u16l(o, 1); u16l(o, 24); fcc(o, "MJPG")
+      u32l(o, w.toLong * h * 3); u32l(o, 0); u32l(o, 0); u32l(o, 0); u32l(o, 0)
+    }
+    val avih = mk { o =>
+      u32l(o, 1000000L * fpsDen / fpsNum) // µs per frame
+      u32l(o, 0); u32l(o, 0); u32l(o, 0)  // max bytes/sec, padding, flags
+      u32l(o, frames.length.toLong); u32l(o, 0); u32l(o, 1) // total, init, streams
+      u32l(o, frames.map(_.length.toLong).max)
+      u32l(o, w.toLong); u32l(o, h.toLong)
+      u32l(o, 0); u32l(o, 0); u32l(o, 0); u32l(o, 0) // reserved
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    mk { o =>
+      fcc(o, "RIFF"); u32l(o, hdrl.length + movi.length + 4L); fcc(o, "AVI ")
+      o.write(hdrl); o.write(movi)
+    }
+  }
+
+  /** Deterministic MJPEG-AVI payload for media id `id`: dims, frame
+    * count, fps (a rational 30000/1001 on even ids — the NTSC case a
+    * naive float fps would mangle), JPEG coding variant and restart
+    * interval are closed-form in the id, as is every frame's per-block
+    * solid value — lumaBlock(bx, by, t) = (id·11 + 23bx + 41by + 31t)
+    * mod 256 — and DC-only blocks with neutral chroma decode to
+    * r=g=b=v, whose BT.601 luma is exactly v, so an oracle recomputes
+    * per-frame means from the block formula alone.
+    */
+  def synthAviPayload(id: Long): Array[Byte] = {
+    val w = (id % 12 + 5).toInt
+    val h = ((id * 3) % 11 + 5).toInt
+    val nF = (id % 5 + 2).toInt
+    val (fn, fd) =
+      if (id % 2 == 0) (30000, 1001) else ((id % 25 + 5).toInt, 1)
+    val frames = (0 until nF).map { t =>
+      buildJpegSolid(w, h, (id % 3).toInt,
+        (bx, by) => ((id * 11 + 23L * bx + 41L * by + 31L * t) % 256).toInt,
+        restartInterval = (id % 4).toInt)
+    }
+    buildAviMjpeg(w, h, fn, fd, frames)
+  }
+
+  /** Fixture for the AVI frame-stats gate, three degrade classes
+    * planted in-plan: every 19th payload magic-corrupted, every 13th
+    * cut 5 bytes short (the movi list then claims more than the
+    * payload holds), every 11th with one frame rewritten SOF0→SOF2 (a
+    * progressive frame inside a well-formed container — the frame
+    * decoder must refuse it and the clip must degrade loudly).
+    */
+  def synthesizeAviBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthAviPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 0x00.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5)
+          else if (id % 11 == 0) {
+            var j = 12
+            while (j + 1 < bytes.length &&
+                !((bytes(j) & 0xFF) == 0xFF && (bytes(j + 1) & 0xFF) == 0xC0))
+              j += 1
+            bytes(j + 1) = 0xC2.toByte
+            bytes
+          } else bytes
+        Row(id, out)
       }
     }(Encoders.row(schema))
   }

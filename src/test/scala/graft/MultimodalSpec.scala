@@ -664,6 +664,81 @@ class MultimodalSpec extends SparkSpec {
     assert(videoDHash(null) === null)
   }
 
+  test("decodeAviMjpeg: frames decoded through the real JPEG entropy " +
+      "decoder from the RIFF movi walk; fps from the vids stream " +
+      "header; malformed / truncated / progressive-frame payloads → " +
+      "null (r11)") {
+    import Multimodal._
+    // block-solid frames decode to r=g=b=v, so luma is exactly v
+    val frames = (0 until 3).map { t =>
+      buildJpegSolid(10, 9, t % 3, (bx, by) => (50 + 20 * bx + 10 * by + 7 * t) % 256)
+    }
+    val clip = decodeAviMjpeg(buildAviMjpeg(10, 9, 30000, 1001, frames))
+    assert(clip != null)
+    assert(clip.format === "avi" && clip.width === 10 && clip.height === 9)
+    assert(clip.fpsNum === 30000 && clip.fpsDen === 1001)
+    assert(clip.lumaFrames.length === 3)
+    for (t <- 0 until 3; y <- 0 until 9; x <- 0 until 10)
+      assert((clip.lumaFrames(t)(y * 10 + x) & 0xFF) ===
+        (50 + 20 * (x / 8) + 10 * (y / 8) + 7 * t) % 256, s"($x,$y,$t)")
+    // decodeVideo dispatch: AVI and Y4M both route; WAV RIFF does not
+    assert(decodeVideo(buildAviMjpeg(10, 9, 25, 1, frames.take(1))) != null)
+    assert(decodeVideo(buildWavPcm(8000, 1, Array.fill[Short](4)(0))) === null)
+    val good = synthAviPayload(7)
+    assert(decodeVideo(good) != null)
+    // every truncation point either refuses or never over-reads
+    for (cut <- 1 until good.length by 3)
+      assert(decodeAviMjpeg(java.util.Arrays.copyOfRange(good, 0, cut)) === null)
+    // a progressive frame inside a well-formed container kills the clip
+    val prog = synthAviPayload(7)
+    var j = 12
+    while (!((prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0)) j += 1
+    prog(j + 1) = 0xC2.toByte
+    assert(decodeAviMjpeg(prog) === null)
+    // frames with inconsistent dims kill the clip
+    assert(decodeAviMjpeg(buildAviMjpeg(10, 9, 25, 1, Seq(
+      buildJpegSolid(10, 9, 0, (_, _) => 50),
+      buildJpegSolid(9, 9, 0, (_, _) => 50)))) === null)
+    assert(decodeAviMjpeg(null) === null)
+    // forged movi chunk size near UInt.MaxValue must not wrap
+    val forged = buildAviMjpeg(10, 9, 25, 1, Seq(frames.head))
+    val moviAt = { // find 'movi', then the '00dc' size field after it
+      var k = 0
+      while (!(forged(k) == 'm'.toByte && forged(k + 1) == 'o'.toByte &&
+        forged(k + 2) == 'v'.toByte && forged(k + 3) == 'i'.toByte)) k += 1
+      k + 4 + 4 // skip 'movi' + '00dc' fourcc
+    }
+    for (i <- 0 until 4) forged(moviAt + i) = 0xFF.toByte
+    assert(decodeAviMjpeg(forged) === null)
+  }
+
+  test("videoFrameStats + videoDHash are container-independent: an AVI " +
+      "and a Y4M of the same luma planes produce identical stats and " +
+      "fingerprints (r11)") {
+    import Multimodal._
+    // 18×16, 5 frames: same closed-form BLOCK-solid luma through both
+    // containers (block-solid so the JPEG path is exact)
+    def lum(x: Int, y: Int, t: Int): Int =
+      (37 + 23 * (x / 8) + 41 * (y / 8) + 31 * t) % 256
+    val y4m = buildY4m(18, 16, "C420jpeg", 5, lum)
+    val avi = buildAviMjpeg(18, 16, 25, 1, (0 until 5).map(t =>
+      buildJpegSolid(18, 16, 1, (bx, by) => lum(bx * 8, by * 8, t))))
+    val va = decodeVideo(avi); val vy = decodeVideo(y4m)
+    assert(va.lumaFrames.length === vy.lumaFrames.length)
+    for (t <- 0 until 5)
+      assert(va.lumaFrames(t).toSeq === vy.lumaFrames(t).toSeq, s"frame $t")
+    assert(videoDHash(va) === videoDHash(vy))
+    val media = Seq((1L, avi), (2L, y4m)).toDF("media_id", "payload")
+    val rows = videoFrameStats(media, "payload")
+      .select($"media_id", $"format", $"frame_idx", $"mean_y")
+      .orderBy($"media_id", $"frame_idx").collect()
+    assert(rows.length === 10)
+    val (aRows, yRows) = rows.partition(_.getLong(0) == 1L)
+    assert(aRows.map(_.getString(1)).distinct.toSeq === Seq("avi"))
+    assert(yRows.map(_.getString(1)).distinct.toSeq === Seq("y4m"))
+    assert(aRows.map(_.getDouble(3)).toSeq === yRows.map(_.getDouble(3)).toSeq)
+  }
+
   test("withVideoDHash + fingerprintPairs: end-to-end video near-dup " +
       "equals brute-force hamming ≤ 3; every planted copy pairs with " +
       "its source (r11)") {
