@@ -1871,6 +1871,30 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- GIF pixel decode (r11 — the fourth raster format, and the
+    //     LZW one): payloads are well-formed single-image GIFs built
+    //     in-plan — palette channels and the index raster are
+    //     closed-form in the id, pixels go through the REAL
+    //     variable-width LZW codec, interlacing (every 5th), GIF87a/
+    //     89a (by parity, 89a adding a skipped extension block) and a
+    //     planted WRONG global table beside the correct local one
+    //     (every 7th — precedence must hold) all cycle by id; none of
+    //     them change the pixels, so the oracle recomputes channel
+    //     means from the palette/index formulas alone. Every 19th
+    //     payload magic-corrupted, every 13th truncated.
+    "mm_pixels_gif" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGifBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Perceptual image near-dup (r10, VERDICT r9 #2): every base
     //     image (18×16 BMP, nonlinear closed-form pixels) has a
     //     planted perturbed copy (+9 on red at ~5 pixel positions);
@@ -3963,6 +3987,40 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_r,
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_g,
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels oracle for GIF: pixel (x, y) is
+    // palette[(id + 3x + 5y) mod n] with both the palette channels and
+    // the index closed-form in the id; interlace, version and the
+    // local-table case reorder or re-route storage, never pixels
+    "mm_pixels_gif" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 9 + 3 AS w,
+        |    (doc_id * 7) % 8 + 3 AS h,
+        |    CAST(1 AS BIGINT) << (doc_id % 6 + 3) AS n
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((((i.media_id + 3 * x.g + 5 * y.g) % i.n) * 7
+        |         + i.media_id) % 256) AS mr,
+        |    avg((((i.media_id + 3 * x.g + 5 * y.g) % i.n) * 11
+        |         + 3 * i.media_id) % 256) AS mg,
+        |    avg((((i.media_id + 3 * x.g + 5 * y.g) % i.n) * 13
+        |         + 5 * i.media_id) % 256) AS mb
+        |  FROM ids i, generate_series(0, 10) AS x(g), generate_series(0, 9) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'gif' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
 

@@ -542,9 +542,11 @@ object Multimodal {
             val isPng = p.length > 1 && (p(0) & 0xFF) == 0x89
             val isJpg = !isPng && p.length > 2 &&
               (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+            val isGif = !isPng && !isJpg && p.length > 3 && ascii(p, 0, "GIF8")
             val img =
               if (isPng) decodePng(p)
               else if (isJpg) decodeJpeg(p)
+              else if (isGif) decodeGif(p)
               else decodeBmp(p)
             if (img == null) Row("unknown", null, null, null, null, null, null)
             else {
@@ -556,7 +558,8 @@ object Multimodal {
                 i += 3
               }
               val n = img.width.toLong * img.height
-              Row(if (isPng) "png" else if (isJpg) "jpeg" else "bmp",
+              Row(if (isPng) "png" else if (isJpg) "jpeg"
+                  else if (isGif) "gif" else "bmp",
                 img.width, img.height, n,
                 sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
             }
@@ -1619,6 +1622,361 @@ object Multimodal {
           Row(id, synthAudioFpPayload(id, 0)),
           Row(id + 1000L, synthAudioFpPayload(id, 1)),
           Row(id + 2000L, synthAudioFpPayload(id, 2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
+  // GIF pixel decode (r11): the fourth raster format, and the LZW
+  // one — GIF87a/89a per the public specification: logical screen
+  // descriptor, global/local color tables (local takes precedence),
+  // extension-block skipping, the four-pass interlace row order, and
+  // a full variable-width LZW decoder (clear/EOI codes, KwKwK
+  // self-reference, deferred code-width growth, 12-bit table cap) in
+  // plain JVM arithmetic. Scope boundary: the FIRST image descriptor,
+  // which must cover the full logical screen (animated GIFs would
+  // need frame composition over disposal methods — out of scope,
+  // documented, refused as null rather than misdecoded).
+  // -------------------------------------------------------------
+
+  /** Decode a GIF payload to RGB pixels. Total function: malformed /
+    * truncated / unsupported bytes return null, never throw.
+    */
+  def decodeGif(b: Array[Byte]): RasterImage = {
+    if (b == null || b.length < 13) return null
+    if (!ascii(b, 0, "GIF8") ||
+      !(b(4) == '7'.toByte || b(4) == '9'.toByte) || b(5) != 'a'.toByte)
+      return null
+    try decodeGifUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeGifUnsafe(b: Array[Byte]): RasterImage = {
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
+    val packed = b(10) & 0xFF
+    var pos = 13
+    var gct: Array[Byte] = null
+    var gctN = 0
+    if ((packed & 0x80) != 0) {
+      gctN = 1 << ((packed & 7) + 1)
+      if (pos + 3 * gctN > b.length) return null
+      gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * gctN)
+      pos += 3 * gctN
+    }
+    while (pos < b.length) {
+      (b(pos) & 0xFF) match {
+        case 0x3B => return null // trailer before any image
+        case 0x21 => // extension: label byte then sub-blocks to a 0 terminator
+          pos += 2
+          var sz = if (pos < b.length) b(pos) & 0xFF else return null
+          while (sz != 0) {
+            pos += sz + 1
+            if (pos >= b.length) return null
+            sz = b(pos) & 0xFF
+          }
+          pos += 1
+        case 0x2C => // image descriptor
+          if (pos + 10 > b.length) return null
+          val left = le16(b, pos + 1); val top = le16(b, pos + 3)
+          val iw = le16(b, pos + 5); val ih = le16(b, pos + 7)
+          val ip = b(pos + 9) & 0xFF
+          if (left != 0 || top != 0 || iw != w || ih != h) return null
+          val interlaced = (ip & 0x40) != 0
+          pos += 10
+          var pal = gct; var palN = gctN
+          if ((ip & 0x80) != 0) {
+            palN = 1 << ((ip & 7) + 1)
+            if (pos + 3 * palN > b.length) return null
+            pal = java.util.Arrays.copyOfRange(b, pos, pos + 3 * palN)
+            pos += 3 * palN
+          }
+          if (pal == null) return null
+          if (pos >= b.length) return null
+          val mcs = b(pos) & 0xFF
+          pos += 1
+          if (mcs < 2 || mcs > 8) return null
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var sz = if (pos < b.length) b(pos) & 0xFF else return null
+          while (sz != 0) {
+            if (pos + sz + 1 > b.length) return null
+            data.write(b, pos + 1, sz)
+            pos += sz + 1
+            if (pos >= b.length) return null
+            sz = b(pos) & 0xFF
+          }
+          val idxs = lzwDecode(data.toByteArray, mcs, w * h)
+          if (idxs == null) return null
+          // palette mapping in de-interlaced row order
+          val rowOrder = new Array[Int](h)
+          if (interlaced) {
+            var k = 0
+            for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+              var y = start
+              while (y < h) { rowOrder(k) = y; k += 1; y += step }
+            }
+          } else {
+            var y = 0
+            while (y < h) { rowOrder(y) = y; y += 1 }
+          }
+          val out = new Array[Byte](w * h * 3)
+          var k = 0
+          var r = 0
+          while (r < h) {
+            val y = rowOrder(r)
+            var x = 0
+            while (x < w) {
+              val ix = idxs(k) & 0xFF
+              if (ix >= palN) return null
+              val o = (y * w + x) * 3
+              out(o) = pal(ix * 3); out(o + 1) = pal(ix * 3 + 1)
+              out(o + 2) = pal(ix * 3 + 2)
+              k += 1; x += 1
+            }
+            r += 1
+          }
+          return RasterImage(w, h, out)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** Variable-width GIF-flavor LZW decode to exactly `expected` index
+    * bytes, or null on any structural violation (bad code, output
+    * over/underrun, missing data). Width grows when the table fills
+    * the current code space (to 12 bits max; adds stop at 4096 —
+    * "deferred clear" streams keep decoding, per the spec's
+    * compatibility note).
+    */
+  private[graft] def lzwDecode(data: Array[Byte], mcs: Int,
+      expected: Int): Array[Byte] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outN = 0
+    var next = eoi + 1
+    var width = mcs + 1
+    var prev = -1
+    var bitPos = 0
+    val nBits = data.length * 8
+    val stack = new Array[Byte](4097)
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= eoi + 1) c = prefix(c)
+      c.toByte
+    }
+    while (true) {
+      if (bitPos + width > nBits) return null // ran out before EOI
+      // LSB-first bit packing
+      var code = 0; var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        code |= ((data(bit >> 3) >> (bit & 7)) & 1) << k
+        k += 1
+      }
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = mcs + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outN == expected) out else null
+      } else {
+        var sp = 0
+        if (code < next && code < clear) {
+          stack(sp) = code.toByte; sp = 1
+        } else if (code < next) {
+          if (code < eoi + 1) return null // clear/eoi can't be chained
+          var c = code
+          while (c >= eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          stack(sp) = c.toByte; sp += 1
+        } else if (code == next && prev >= 0) {
+          // KwKwK: prev's expansion followed by prev's first byte
+          stack(sp) = firstByte(prev); sp = 1
+          var c = prev
+          while (c >= eoi + 1) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          stack(sp) = c.toByte; sp += 1
+        } else return null
+        if (outN + sp > expected) return null // output overrun
+        while (sp > 0) { sp -= 1; out(outN) = stack(sp); outN += 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = firstByte(code)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    null // unreachable
+  }
+
+  /** GIF-flavor LZW encode (true compression, not the clear-code-only
+    * "uncompressed" trick). Width bookkeeping MIRRORS THE DECODER's
+    * table counter, not the encoder's own: the decoder adds one entry
+    * per data code after the first, so the emitted width for each
+    * code tracks `eoi + 1 + (dataCodes − 1)` against the current code
+    * space — including the final flush code, after which the decoder
+    * still adds an entry before reading EOI.
+    */
+  private[graft] def lzwEncode(idxs: Array[Byte], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accN = 0
+    var width = mcs + 1
+    var decNext = eoi + 1 // the DECODER's table size after each emit
+    var dataCodes = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accN; accN += width
+      while (accN >= 8) { out.write((acc & 0xFF).toInt); acc >>= 8; accN -= 8 }
+    }
+    def emitData(code: Int): Unit = {
+      emit(code)
+      dataCodes += 1
+      if (dataCodes > 1 && decNext < 4096) {
+        decNext += 1
+        if (decNext == (1 << width) && width < 12) width += 1
+      }
+    }
+    emit(clear)
+    if (idxs.nonEmpty) {
+      val table = new java.util.HashMap[Long, Integer]()
+      var encNext = eoi + 1
+      var cur: Int = idxs(0) & 0xFF
+      var i = 1
+      while (i < idxs.length) {
+        val c = idxs(i) & 0xFF
+        val key = cur.toLong << 12 | c
+        val hit = table.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emitData(cur)
+          if (encNext < 4096) { table.put(key, encNext); encNext += 1 }
+          cur = c
+        }
+        i += 1
+      }
+      emitData(cur)
+    }
+    emit(eoi)
+    if (accN > 0) out.write((acc & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** Well-formed single-image GIF with an indexed-color raster:
+    * `palette` is `n×3` RGB bytes (n a power of two in 4..256),
+    * `pix(x, y)` yields palette indices, rows are stored in interlaced
+    * order when asked, pixels go through the real LZW encoder, and
+    * `garbageGct` plants a WRONG global table next to the correct
+    * LOCAL one to prove precedence. GIF89a payloads carry a graphic
+    * control extension (exercising block skipping); 87a do not.
+    */
+  def buildGif(w: Int, h: Int, palette: Array[Byte],
+      pix: (Int, Int) => Int, interlaced: Boolean = false,
+      version89: Boolean = true, garbageGct: Boolean = false): Array[Byte] = {
+    val n = palette.length / 3
+    require(n >= 4 && (n & (n - 1)) == 0 && n <= 256, s"palette size $n")
+    val bits = 31 - Integer.numberOfLeadingZeros(n) // log2
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write((if (version89) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0x80 | (bits - 1)) // GCT present, size 2^bits
+    out.write(0); out.write(0)   // background index, aspect
+    var i = 0
+    while (i < palette.length) {
+      out.write(if (garbageGct) ~palette(i) & 0xFF else palette(i) & 0xFF)
+      i += 1
+    }
+    if (version89) { // graphic control extension: skipped by the decoder
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); u16(0); out.write(0); out.write(0)
+    }
+    out.write(0x2C); u16(0); u16(0); u16(w); u16(h)
+    out.write((if (garbageGct) 0x80 | (bits - 1) else 0) |
+      (if (interlaced) 0x40 else 0))
+    if (garbageGct) { // the CORRECT palette, locally
+      var j = 0
+      while (j < palette.length) { out.write(palette(j) & 0xFF); j += 1 }
+    }
+    val rowOrder = new Array[Int](h)
+    if (interlaced) {
+      var k = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var y = start
+        while (y < h) { rowOrder(k) = y; k += 1; y += step }
+      }
+    } else {
+      var y = 0
+      while (y < h) { rowOrder(y) = y; y += 1 }
+    }
+    val idxs = new Array[Byte](w * h)
+    var k = 0
+    var r = 0
+    while (r < h) {
+      var x = 0
+      while (x < w) { idxs(k) = pix(x, rowOrder(r)).toByte; k += 1; x += 1 }
+      r += 1
+    }
+    val mcs = math.max(2, bits)
+    out.write(mcs)
+    val lzw = lzwEncode(idxs, mcs)
+    var off = 0
+    while (off < lzw.length) {
+      val sz = math.min(255, lzw.length - off)
+      out.write(sz); out.write(lzw, off, sz)
+      off += sz
+    }
+    out.write(0)    // sub-block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic GIF payload for media id `id`: dims, palette size
+    * (8..256 colors), interlacing (every 5th), version (87a/89a by
+    * parity) and the garbage-GCT/local-table case (every 7th) are
+    * closed-form in the id, as are the palette channels —
+    * pal(i) = ((i·7+id) mod 256, (i·11+3id) mod 256, (i·13+5id) mod
+    * 256) — and the index raster pix(x, y) = (id + 3x + 5y) mod n,
+    * so an oracle recomputes the decoded channel means from the
+    * formulas alone (interlacing reorders storage, never pixels).
+    */
+  def synthGifPayload(id: Long): Array[Byte] = {
+    val w = (id % 9 + 3).toInt
+    val h = ((id * 7) % 8 + 3).toInt
+    val bits = (id % 6 + 3).toInt // 3..8 → 8..256 colors
+    val n = 1 << bits
+    val palette = new Array[Byte](3 * n)
+    var i = 0
+    while (i < n) {
+      palette(3 * i) = ((i * 7 + id) % 256).toByte
+      palette(3 * i + 1) = ((i * 11 + 3 * id) % 256).toByte
+      palette(3 * i + 2) = ((i * 13 + 5 * id) % 256).toByte
+      i += 1
+    }
+    buildGif(w, h, palette, (x, y) => ((id + 3 * x + 5 * y) % n).toInt,
+      interlaced = id % 5 == 0, version89 = id % 2 == 0,
+      garbageGct = id % 7 == 0)
+  }
+
+  /** Fixture for the GIF pixel gate: every 19th payload magic-
+    * corrupted, every 13th cut 5 bytes short (truncating the LZW
+    * stream / trailer), pinning both degrade paths in-plan.
+    */
+  def synthesizeGifBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthGifPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 0x00.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5)
+          else bytes
+        Row(id, out)
       }
     }(Encoders.row(schema))
   }

@@ -544,6 +544,111 @@ class MultimodalSpec extends SparkSpec {
     assert(hdr.getInt(1) === 1 % 21 + 4 && hdr.getInt(2) === 5 % 19 + 4)
   }
 
+  test("lzwDecode/lzwEncode: the GIF variable-width LZW pair — hand " +
+      "vector with KwKwK, width growth to 12 bits on round-trips, " +
+      "structural violations → null (r11)") {
+    import Multimodal._
+    // indices [1,1,1,1,1] @ mcs=2 encode canonically to codes
+    // [clear=4, 1, 6(KwKwK), 6, eoi=5] at width 3 → bytes 8C 5D
+    val hand = Array[Byte](0x8C.toByte, 0x5D)
+    assert(lzwDecode(hand, 2, 5).toSeq === Seq[Byte](1, 1, 1, 1, 1))
+    assert(lzwEncode(Array[Byte](1, 1, 1, 1, 1), 2).toSeq === hand.toSeq)
+    // round-trips across palette widths and data shapes, including
+    // runs long enough to push the code width up several times
+    for (mcs <- Seq(2, 4, 8); n <- Seq(40, 1000, 6000)) {
+      val idxs = Array.tabulate[Byte](n) { i =>
+        val m = (1 << mcs) - 1
+        (((i * i) / 7 + i / 13) & m).toByte // runs + variation
+      }
+      val rt = lzwDecode(lzwEncode(idxs, mcs), mcs, n)
+      assert(rt != null && rt.toSeq === idxs.toSeq, s"mcs=$mcs n=$n")
+    }
+    // truncated stream (EOI unreachable), wrong expected count, and
+    // an out-of-range code are all refused
+    val enc = lzwEncode(Array.tabulate[Byte](64)(i => (i % 4).toByte), 2)
+    assert(lzwDecode(java.util.Arrays.copyOfRange(enc, 0, enc.length - 1), 2, 64) === null)
+    assert(lzwDecode(enc, 2, 63) === null)
+    assert(lzwDecode(enc, 2, 65) === null)
+    assert(lzwDecode(Array[Byte](0x7C.toByte), 2, 1) === null) // code 7 > next after clear
+  }
+
+  test("decodeGif: positional pixel correctness through palette, LZW, " +
+      "interlace and local-table precedence; malformed / truncated / " +
+      "animated payloads → null (r11)") {
+    import Multimodal._
+    val pal = Array.tabulate[Byte](3 * 8)(i => (i * 17 + 3).toByte)
+    def pix(x: Int, y: Int): Int = (x + 2 * y) % 8
+    for (inter <- Seq(false, true); v89 <- Seq(false, true);
+         garb <- Seq(false, true)) {
+      val img = decodeGif(buildGif(7, 5, pal, pix, interlaced = inter,
+        version89 = v89, garbageGct = garb))
+      assert(img != null, s"inter=$inter v89=$v89 garb=$garb")
+      assert(img.width === 7 && img.height === 5)
+      for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3)
+        assert((img.rgb((y * 7 + x) * 3 + c) & 0xFF) ===
+          (((pix(x, y) * 3 + c) * 17 + 3) & 0xFF),
+          s"($x,$y,$c) inter=$inter garb=$garb")
+    }
+    // fixture formulas round-trip positionally too (one id from each
+    // class: plain, interlaced, garbage-GCT, 87a, interlaced+garbage)
+    for (id <- Seq(3L, 5L, 7L, 14L, 35L)) {
+      val img = decodeGif(synthGifPayload(id))
+      val n = 1 << (id % 6 + 3).toInt
+      val w = (id % 9 + 3).toInt; val h = ((id * 7) % 8 + 3).toInt
+      assert(img.width === w && img.height === h, s"id=$id")
+      for (y <- 0 until h; x <- 0 until w) {
+        val ix = ((id + 3 * x + 5 * y) % n).toInt
+        assert((img.rgb((y * w + x) * 3) & 0xFF) === ((ix * 7 + id) % 256).toInt, s"id=$id ($x,$y)")
+        assert((img.rgb((y * w + x) * 3 + 1) & 0xFF) === ((ix * 11 + 3 * id) % 256).toInt)
+        assert((img.rgb((y * w + x) * 3 + 2) & 0xFF) === ((ix * 13 + 5 * id) % 256).toInt)
+      }
+    }
+    // degrade paths: every truncation refuses except dropping ONLY the
+    // trailer byte (the image is complete by then — lenient, like
+    // every mainstream GIF reader)
+    val good = synthGifPayload(3)
+    for (cut <- 1 until good.length - 1 by 2)
+      assert(decodeGif(java.util.Arrays.copyOfRange(good, 0, cut)) === null, s"cut=$cut")
+    assert(decodeGif(java.util.Arrays.copyOfRange(good, 0, good.length - 1)) != null)
+    assert(decodeGif(null) === null)
+    assert(decodeGif("GIF88a".getBytes("US-ASCII") ++ good.drop(6)) === null)
+    // a sub-frame first image (animation-style) is refused, not misdecoded
+    val sub = buildGif(7, 5, pal, pix)
+    // patch the image descriptor's width field (descriptor starts after
+    // header 13 + GCT 24 = at the 0x2C byte; GIF87a default here)
+    val dIdx = sub.indexOf(0x2C.toByte)
+    assert(dIdx > 0)
+    sub(dIdx + 5) = 6 // iw 7 → 6
+    assert(decodeGif(sub) === null)
+  }
+
+  test("withPixelStats: gif payloads dispatch on the GIF8 magic and " +
+      "decode real pixels; planted degrade paths report unknown (r11)") {
+    import Multimodal._
+    val media = synthesizeGifBytes(spark.range(60).select($"id".as("doc_id")))
+    val rows = withPixelStats(media, "payload", "px")
+      .select($"media_id", $"px.format", $"px.mean_r", $"px.mean_g", $"px.mean_b")
+      .orderBy($"media_id").collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 19 == 0 || id % 13 == 0) {
+        assert(r.getString(1) === "unknown", s"id=$id")
+        assert(r.isNullAt(2))
+      } else {
+        assert(r.getString(1) === "gif", s"id=$id")
+        val n = 1 << (id % 6 + 3).toInt
+        val w = (id % 9 + 3).toInt; val h = ((id * 7) % 8 + 3).toInt
+        val px = for (y <- 0 until h; x <- 0 until w)
+          yield ((id + 3 * x + 5 * y) % n).toInt
+        def mean(f: Int => Long): Double = px.map(f(_).toDouble).sum / px.size
+        assert(math.abs(r.getDouble(2) - mean(ix => (ix * 7 + id) % 256)) < 1e-9, s"id=$id r")
+        assert(math.abs(r.getDouble(3) - mean(ix => (ix * 11 + 3 * id) % 256)) < 1e-9)
+        assert(math.abs(r.getDouble(4) - mean(ix => (ix * 13 + 5 * id) % 256)) < 1e-9)
+      }
+    }
+  }
+
   test("decodeY4m: positional luma correctness through the frame walk " +
       "for all four chroma layouts; malformed / truncated / " +
       "unsupported payloads → null, never throw (r11)") {
