@@ -1912,6 +1912,27 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- Incremental perceptual near-dup (r11 — the cross-batch form
+    //     of mm_phash_pairs, for ANY 64-bit media fingerprint): the
+    //     ORIGINAL images form the persisted fingerprint index (16
+    //     bytes a row, never payload bytes); the perturbed copies
+    //     arrive as the new crawl batch and must pair with their
+    //     indexed sources through the (chunk, value) band join —
+    //     corpus read, not re-fingerprinted; shuffle ∝ batch. The
+    //     oracle recomputes every fingerprint from the payload
+    //     formulas and keeps exactly the pairs touching the batch.
+    "mm_phash_append" -> ((s, dir) => {
+      val media = Multimodal.synthesizeDHashBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val hashed = Multimodal.withDHash(media, "payload", "dhash")
+      val path = gateIndexPath(dir, "phash_append_gate")
+      Dedup.writeFingerprintIndex(
+        hashed.filter(col("media_id") < 1000), "media_id", "dhash", path)
+      Dedup.appendFingerprintPairs(
+        hashed.filter(col("media_id") >= 1000), "media_id", "dhash", path,
+        maxHamming = 3, batchToken = "gate_batch")
+    }),
+
     // --- Real SAMPLE decode for audio (r9 — the WAV-PCM sibling of
     //     mm_pixels): payloads are well-formed 16-bit PCM WAV bytes
     //     whose rate / sample count / sample values are closed-form in
@@ -3786,6 +3807,45 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_phash_pairs oracle restricted to pairs that touch the
+    // appended batch (ids ≥ 1000 are the batch; id_a < id_b makes
+    // "id_b ≥ 1000" exactly the touching predicate)
+    "mm_phash_append" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    CASE WHEN i.pert AND (x.g * 16 + y.g) % 61 = 0
+        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67) *
+        |             (i.base * 131 + x.g * 29 + y.g * 67)) % 256 + 9) % 256
+        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67) *
+        |            (i.base * 131 + x.g * 29 + y.g * 67)) % 256 END AS r,
+        |    ((i.base * 113 + x.g * 41 + y.g * 59) *
+        |     (i.base * 113 + x.g * 41 + y.g * 59)) % 256 AS g,
+        |    ((i.base * 173 + x.g * 37 + y.g * 71) *
+        |     (i.base * 173 + x.g * 37 + y.g * 71)) % 256 AS b
+        |  FROM ids i, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS s
+        |  FROM px GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3 AND b.media_id >= 1000
         |ORDER BY id_a, id_b""".stripMargin,
 
     // the FULL audio-fingerprint recomputation in SQL: samples from

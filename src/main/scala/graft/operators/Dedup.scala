@@ -1108,8 +1108,7 @@ object Dedup {
     val fp = fpDf.select(col(idCol).cast("long").as(idCol),
         col(fpCol).cast("long").as("__fp"))
       .filter(col("__fp").isNotNull)
-    val chunks = array((0 until 4).map(c =>
-      shiftright(col("__fp"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunks = fpChunksOf(col("__fp"))
     ensureCapListener(spark)
     // same grouped pair expansion as lshCandidatesLazy (ONE exchange,
     // no self-join) — members carry (id, fp) so the hamming distance
@@ -1138,5 +1137,104 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The 4×16-bit pigeonhole chunks of a 64-bit fingerprint (shared
+    * by the one-shot and incremental pair operators — the band layout
+    * IS the on-disk index contract, so it must not drift between
+    * them).
+    */
+  private def fpChunksOf(fp: Column): Column = array((0 until 4).map(c =>
+    shiftright(fp, c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
+  /** Persist the fingerprint index of a base corpus at `path` (batch
+    * token `base`), replacing whatever was there: just (id, __fp) —
+    * 16 bytes a row, never payload bytes; bands recompute from the
+    * fingerprint with four shifts on read. The media itself never
+    * enters the index, which is what makes incremental MEDIA dedup
+    * cheap: a 100 TB image corpus indexes into ~10 GB of longs.
+    */
+  def writeFingerprintIndex(fpDf: DataFrame, idCol: String,
+      fpCol: String, path: String): Unit = {
+    val root = path.stripSuffix("/")
+    indexFs(fpDf.sparkSession, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    writeFpBatch(fpDf.select(col(idCol).cast("long").as(idCol),
+      col(fpCol).cast("long").as("__fp")).filter(col("__fp").isNotNull),
+      idCol, root, "base")
+  }
+
+  private def writeFpBatch(fp: DataFrame, idCol: String, root: String,
+      token: String): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"bad batch token: $token")
+    val dir = s"$root/batches/$token"
+    val fs = indexFs(fp.sparkSession, root)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fp.write.mode("overwrite").parquet(s"$dir/fps")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+  }
+
+  /** Incremental perceptual near-dup — the cross-batch form of
+    * [[fingerprintPairs]] for any 64-bit fingerprint (image dHash,
+    * audio energy signature, video temporal dHash, text SimHash):
+    * pair a new crawl batch against the persisted corpus index AND
+    * against itself, then commit the batch into the index
+    * (marker-last, like [[appendNearDuplicates]] — a crashed append
+    * leaves no partial corpus state, and retrying a committed token
+    * excludes its own previous commit). Batch ids must be disjoint
+    * from corpus ids (same contract as the other append operators).
+    *
+    * Scale shape: the corpus side is READ (never re-fingerprinted),
+    * the join spine is the (chunk, value) band key, the bucket cap is
+    * enforced on TOTAL membership (batch ∪ corpus — degeneracy is a
+    * property of the bucket, not of who filled it) with over-cap
+    * buckets dropped loudly via the `observe()` metric, and shuffle
+    * is ∝ batch + matched buckets, not corpus.
+    */
+  def appendFingerprintPairs(batch: DataFrame, idCol: String,
+      fpCol: String, path: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000, batchToken: String = ""): DataFrame = {
+    val spark = batch.sparkSession
+    val root = path.stripSuffix("/")
+    val token =
+      if (batchToken.nonEmpty) batchToken
+      else "b_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpusFp = readCommitted(spark, root, "fps", excludeToken = token)
+    val batchFp = batch.select(col(idCol).cast("long").as(idCol),
+        col(fpCol).cast("long").as("__fp"))
+      .filter(col("__fp").isNotNull)
+    ensureCapListener(spark)
+    def bands(fp: DataFrame, isNew: Boolean): DataFrame = fp
+      .select(col(idCol), col("__fp"),
+        posexplode(fpChunksOf(col("__fp"))).as(Seq("chunk", "val")))
+      .withColumn("__new", lit(isNew))
+    val (pruned, cache) = capBuckets(
+      bands(batchFp, isNew = true).unionByName(bands(corpusFp, isNew = false)),
+      "chunk", "val", maxBucketSize, "appendFingerprintPairs")
+    val nb = pruned.filter(col("__new"))
+    val ob = pruned.filter(!col("__new"))
+    // batch × corpus: band equi-join, hamming verifies in-row (the
+    // fingerprint IS the content — no second fetch join, unlike the
+    // shingle-verified near-dup append)
+    val bc = nb.as("n").join(ob.as("o"),
+        col("n.chunk") === col("o.chunk") && col("n.val") === col("o.val"))
+      .select(least(col(s"n.$idCol"), col(s"o.$idCol")).as("id_a"),
+        greatest(col(s"n.$idCol"), col(s"o.$idCol")).as("id_b"),
+        hamming(col("n.__fp"), col("o.__fp")).as("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+    // batch × batch: the ordinary banded self-join
+    val bb = nb.as("a").join(nb.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        hamming(col("a.__fp"), col("b.__fp")).as("hamming"))
+    val out = bc.unionByName(bb)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .localCheckpoint(true)
+    cache.unpersist()
+    // the batch becomes corpus for the next arrival (marker-last)
+    writeFpBatch(batchFp, idCol, root, token)
+    out.orderBy(col("id_a"), col("id_b"))
   }
 }

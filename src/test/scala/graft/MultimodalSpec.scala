@@ -769,6 +769,56 @@ class MultimodalSpec extends SparkSpec {
     assert(videoDHash(null) === null)
   }
 
+  test("appendFingerprintPairs: cross-batch media near-dup against a " +
+      "persisted index — batch pairs with indexed corpus and itself, " +
+      "a second batch sees both, a committed-token retry is stable (r11)") {
+    import Multimodal._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fp_append").toString
+    val docs = spark.range(40).select($"id".as("doc_id"))
+    val all = withDHash(synthesizeDHashBytes(docs), "payload", "dhash")
+      .select($"media_id", $"dhash").as[(Long, Long)].collect().toMap
+    def df(ids: Iterable[Long]) =
+      ids.map(i => (i, all(i))).toSeq.toDF("media_id", "dhash")
+    // corpus = originals; batch 1 = copies of ids 0..19; batch 2 =
+    // copies of ids 20..39
+    graft.operators.Dedup.writeFingerprintIndex(
+      df(0L until 40L), "media_id", "dhash", root)
+    val b1 = graft.operators.Dedup.appendFingerprintPairs(
+      df((0L until 20L).map(_ + 1000L)), "media_id", "dhash", root,
+      maxHamming = 3, batchToken = "b1")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth: all close pairs touching batch 1
+    def close(a: Long, b: Long): Boolean =
+      java.lang.Long.bitCount(all(a) ^ all(b)) <= 3
+    val ids0 = (0L until 40L) ++ (0L until 20L).map(_ + 1000L)
+    val want1 = (for {
+      a <- ids0; b <- ids0 if a < b && close(a, b)
+      if a >= 1000L || b >= 1000L
+    } yield (a, b)).toSet
+    assert(b1 === want1)
+    for (id <- 0L until 20L) assert(b1.contains((id, id + 1000L)))
+    // batch 2 pairs against corpus AND batch 1 (now part of the index)
+    val b2 = graft.operators.Dedup.appendFingerprintPairs(
+      df((20L until 40L).map(_ + 1000L)), "media_id", "dhash", root,
+      maxHamming = 3, batchToken = "b2")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val idsAll = (0L until 40L) ++ (0L until 40L).map(_ + 1000L)
+    val want2 = (for {
+      a <- idsAll; b <- idsAll if a < b && close(a, b)
+      if a >= 1020L || b >= 1020L
+    } yield (a, b)).toSet
+    assert(b2 === want2)
+    for (id <- 20L until 40L) assert(b2.contains((id, id + 1000L)))
+    // retrying a committed token must exclude its own previous commit
+    val b2retry = graft.operators.Dedup.appendFingerprintPairs(
+      df((20L until 40L).map(_ + 1000L)), "media_id", "dhash", root,
+      maxHamming = 3, batchToken = "b2")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(b2retry === want2)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("decodeAviMjpeg: frames decoded through the real JPEG entropy " +
       "decoder from the RIFF movi walk; fps from the vids stream " +
       "header; malformed / truncated / progressive-frame payloads → " +
