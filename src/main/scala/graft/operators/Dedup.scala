@@ -1174,6 +1174,38 @@ object Dedup {
     fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
   }
 
+  /** Compact a fingerprint index: consolidate every committed batch
+    * into ONE base batch at a FRESH root (marker-last), with
+    * `keepTokens` batches copied through under their own tokens so a
+    * checkpoint-replayed appender keeps its exclude-own-token
+    * idempotency — the [[compactNearDupIndex]] discipline for the
+    * 16-byte-per-row fingerprint layout. The consolidated rows are
+    * range-laid-out by fingerprint so band probes of a hot region
+    * cluster reads.
+    */
+  def compactFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      keepTokens: Set[String] = Set.empty): Unit = {
+    val root = path.stripSuffix("/")
+    val out = outPath.stripSuffix("/")
+    require(out != root, "compact to a FRESH root, then swap paths")
+    val all = committedDirs(spark, root)
+    val (kept, folded) = all.partition(d => keepTokens.exists(t => d.endsWith("/" + t)))
+    require(folded.nonEmpty, s"no committed batches to fold under $root")
+    val fp = spark.read.parquet(folded.map(_ + "/fps"): _*)
+    val fs = indexFs(spark, out)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val dir = s"$out/batches/base"
+    fp.sortWithinPartitions("__fp").write.mode("overwrite").parquet(s"$dir/fps")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+    kept.foreach { d =>
+      val token = d.substring(d.lastIndexOf('/') + 1)
+      val kd = s"$out/batches/$token"
+      spark.read.parquet(s"$d/fps").write.mode("overwrite").parquet(s"$kd/fps")
+      fs.create(new org.apache.hadoop.fs.Path(s"$kd/_COMMITTED"), true).close()
+    }
+  }
+
   /** Incremental perceptual near-dup — the cross-batch form of
     * [[fingerprintPairs]] for any 64-bit fingerprint (image dHash,
     * audio energy signature, video temporal dHash, text SimHash):

@@ -274,4 +274,61 @@ object EventStreams {
       .filter(r => Dedup.nearDupIndexExists(spark, r))
       .sorted.lastOption
   }
+
+  // -------------------------------------------------------------
+  // Continuous MEDIA near-dup (the fingerprint twin of nearDupStream)
+  // -------------------------------------------------------------
+
+  /** Streaming twin of the incremental fingerprint index
+    * ([[graft.operators.Dedup.appendFingerprintPairs]]): every
+    * micro-batch of arriving (id, 64-bit fingerprint) rows — image
+    * dHash, audio signature, video temporal dHash, computed upstream
+    * by the per-partition decoders — probes the on-disk index for
+    * the pairs its arrival CREATES, writes them under
+    * `pairsOut/batch_id=<n>`, and commits its own fingerprints so
+    * later batches see it as corpus. Identical crash/replay
+    * discipline to [[nearDupStream]]: batch id as idempotent token
+    * and pairs partition (effectively-once on both outputs),
+    * generation-directory auto-compaction every `compactEvery`
+    * micro-batches with the current token replay-exempt, newest
+    * committed generation selected on recovery.
+    */
+  def fingerprintStream(media: DataFrame, idCol: String, fpCol: String,
+      indexPath: String, pairsOut: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      val base = indexPath.stripSuffix("/")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def genRoot(n: Long) = f"$base/gen_$n%012d"
+      def liveGens(): Seq[Long] = {
+        val p = new org.apache.hadoop.fs.Path(base)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("gen_"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("gen_").toLong).toOption)
+          .filter(n => Dedup.nearDupIndexExists(spark, genRoot(n)))
+          .sorted
+      }
+      val cur = liveGens().lastOption.getOrElse {
+        Dedup.writeFingerprintIndex(batch.limit(0), idCol, fpCol, genRoot(0))
+        0L
+      }
+      val token = f"stream_$batchId%012d"
+      val pairs = Dedup.appendFingerprintPairs(batch, idCol, fpCol,
+        genRoot(cur), maxHamming, maxBucketSize, batchToken = token)
+      pairs.write.mode("overwrite")
+        .parquet(pairsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+          batchId + 1 > cur)
+        Dedup.compactFingerprintIndex(spark, genRoot(cur), genRoot(batchId + 1),
+          keepTokens = Set(token))
+      val live = liveGens()
+      live.dropRight(1).foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(genRoot(n)), true))
+      ()
+    }
 }

@@ -249,4 +249,46 @@ class StreamingSpec extends SparkSpec {
       .count(_.isDirectory)
     assert(dirs <= 4, s"$dirs batch dirs after compaction")
   }
+
+  test("fingerprintStream (media near-dup twin, compactEvery=3): " +
+      "accumulated pairs == batch fingerprintPairs on the arrived " +
+      "union; one live compacted generation (r11)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Multimodal
+    // 20 base images, each with a perturbed copy — interleave arrival
+    // so most (base, copy) pairs span micro-batches
+    val fps = Multimodal.withDHash(
+        Multimodal.synthesizeDHashBytes(
+          spark.range(20).select($"id".as("doc_id"))),
+        "payload", "dhash")
+      .select($"media_id", $"dhash").as[(Long, Long)].collect()
+      .sortBy { case (id, _) => (id % 1000, id) } // 0,1000,1,1001,…
+    val tmp = java.nio.file.Files.createTempDirectory("fp_stream")
+    val (idx, pairsOut, ckpt) = (s"$tmp/idx", s"$tmp/pairs", s"$tmp/ckpt")
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.streaming.EventStreams.fingerprintStream(
+        stream.toDF().toDF("media_id", "dhash"), "media_id", "dhash",
+        idx, pairsOut, maxHamming = 3, compactEvery = 3)
+      .option("checkpointLocation", ckpt)
+      .start()
+    fps.grouped(7).foreach { g => // 6 micro-batches
+      stream.addData(g: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(pairsOut)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.Dedup.fingerprintPairs(
+        fps.toSeq.toDF("media_id", "dhash"), "media_id", "dhash",
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch.size === 20, s"fixture: every copy pairs its base ($batch)")
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+    // compaction kept one live generation with bounded batch dirs
+    val root = graft.streaming.EventStreams
+      .nearDupStreamIndexRoot(spark, idx).get
+    val dirs = new java.io.File(s"$root/batches").listFiles()
+      .count(_.isDirectory)
+    assert(dirs <= 3, s"$dirs batch dirs after compaction")
+  }
 }
