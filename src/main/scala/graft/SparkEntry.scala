@@ -1871,6 +1871,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Image quality statistics (r11 — the image sibling of
+    //     text_quality): per decodable payload, BT.601 integer-luma
+    //     mean, population variance, dark/bright pixel fractions and
+    //     distinct-luma count from the REAL decoded pixels — the
+    //     signals a curation pipeline filters junk images on (solid
+    //     tiles, burns, limited palettes). The oracle recomputes every
+    //     signal from the closed-form channel formulas; corrupt
+    //     payloads surface as 'unknown' with null stats.
+    "mm_quality" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBmpBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withImageQuality(media, "payload", "q")
+        .select(col("media_id"), col("q.format").as("format"),
+          col("q.n_px").as("n_px"),
+          round(col("q.mean_luma"), 6).as("mean_luma"),
+          round(col("q.var_luma"), 6).as("var_luma"),
+          round(col("q.p_dark"), 6).as("p_dark"),
+          round(col("q.p_bright"), 6).as("p_bright"),
+          col("q.n_distinct_luma").as("n_distinct_luma"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- GIF pixel decode (r11 — the fourth raster format, and the
     //     LZW one): payloads are well-formed single-image GIFs built
     //     in-plan — palette channels and the index raster are
@@ -4048,6 +4070,40 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_g,
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_quality oracle: BT.601 integer luma per pixel from the
+    // closed-form BMP channel formulas, then mean / population
+    // variance / dark / bright / distinct-count per image — identical
+    // double arithmetic on both sides (sums of small ints are exact)
+    "mm_quality" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    (299 * ((i.media_id + 7 * x.g + 13 * y.g) % 256)
+        |     + 587 * ((i.media_id * 3 + 5 * x.g + 11 * y.g) % 256)
+        |     + 114 * ((i.media_id * 5 + 3 * x.g + 17 * y.g) % 256)) // 1000 AS l
+        |  FROM ids i, generate_series(0, 6) AS x(g), generate_series(0, 5) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h),
+        |st AS (
+        |  SELECT media_id, count(*) AS n, avg(l) AS m,
+        |    avg(l * l) - avg(l) * avg(l) AS v,
+        |    avg(CASE WHEN l < 16 THEN 1.0 ELSE 0.0 END) AS pd,
+        |    avg(CASE WHEN l > 239 THEN 1.0 ELSE 0.0 END) AS pb,
+        |    CAST(count(DISTINCT l) AS INT) AS nd
+        |  FROM px GROUP BY media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 AS c FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'bmp' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(s.n AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_luma,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.v, 6) END AS var_luma,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.pd, 6) END AS p_dark,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.pb, 6) END AS p_bright,
+        |  CASE WHEN b.c THEN NULL ELSE s.nd END AS n_distinct_luma
+        |FROM ids i JOIN st s USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // the mm_pixels oracle for GIF: pixel (x, y) is

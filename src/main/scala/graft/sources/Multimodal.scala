@@ -539,15 +539,7 @@ object Multimodal {
         val p = r.get(idx).asInstanceOf[Array[Byte]]
         val stats = if (p == null) null
           else {
-            val isPng = p.length > 1 && (p(0) & 0xFF) == 0x89
-            val isJpg = !isPng && p.length > 2 &&
-              (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
-            val isGif = !isPng && !isJpg && p.length > 3 && ascii(p, 0, "GIF8")
-            val img =
-              if (isPng) decodePng(p)
-              else if (isJpg) decodeJpeg(p)
-              else if (isGif) decodeGif(p)
-              else decodeBmp(p)
+            val (fmt, img) = decodeRasterTagged(p)
             if (img == null) Row("unknown", null, null, null, null, null, null)
             else {
               var sr = 0L; var sg = 0L; var sb = 0L
@@ -558,15 +550,108 @@ object Multimodal {
                 i += 3
               }
               val n = img.width.toLong * img.height
-              Row(if (isPng) "png" else if (isJpg) "jpeg"
-                  else if (isGif) "gif" else "bmp",
-                img.width, img.height, n,
+              Row(fmt, img.width, img.height, n,
                 sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
             }
           }
         Row.fromSeq(r.toSeq :+ stats)
       }
     }(Encoders.row(schema))
+  }
+
+  /** Raster container dispatch on the magic bytes — the single place
+    * every raster consumer routes through (pixel stats, quality,
+    * dHash): PNG, JPEG, GIF, BMP. Returns (formatTag, image-or-null);
+    * the tag reflects the CONTAINER even when decode fails, so
+    * callers can distinguish "jpeg we could not decode" from "bytes
+    * we do not recognize" where they need to.
+    */
+  private def decodeRasterTagged(p: Array[Byte]): (String, RasterImage) = {
+    val isPng = p.length > 1 && (p(0) & 0xFF) == 0x89
+    val isJpg = !isPng && p.length > 2 &&
+      (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
+    val isGif = !isPng && !isJpg && p.length > 3 && ascii(p, 0, "GIF8")
+    if (isPng) ("png", decodePng(p))
+    else if (isJpg) ("jpeg", decodeJpeg(p))
+    else if (isGif) ("gif", decodeGif(p))
+    else ("bmp", decodeBmp(p))
+  }
+
+  /** Append `outCol`: image-quality statistics for curation — the
+    * image sibling of the text quality score. Per decodable payload:
+    * format, dims, pixel count, and four signals computed from the
+    * REAL decoded pixels' BT.601 integer luma — mean, population
+    * variance (near-zero = solid/flat images, the classic junk
+    * class), dark/bright pixel fractions (p_dark: luma < 16,
+    * p_bright: luma > 239 — scanner burns, black placeholder tiles),
+    * and the distinct-luma count (tiny values = synthetic/limited
+    * palettes). Undecodable payloads get format 'unknown' and null
+    * stats — visible downstream, never dropped silently. Policy
+    * (what to filter on) stays with the caller: [[filterImages]] is
+    * the common min-pixels + min-variance form. Narrow per-partition
+    * map, no shuffle.
+    */
+  def withImageQuality(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("mean_luma", DoubleType),
+      StructField("var_luma", DoubleType),
+      StructField("p_dark", DoubleType),
+      StructField("p_bright", DoubleType),
+      StructField("n_distinct_luma", IntegerType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val (fmt, img) = decodeRasterTagged(p)
+            if (img == null)
+              Row("unknown", null, null, null, null, null, null, null, null)
+            else {
+              var s = 0L; var s2 = 0L; var dark = 0L; var bright = 0L
+              val seen = new Array[Boolean](256)
+              var nd = 0
+              var i = 0
+              while (i < img.rgb.length) {
+                val l = ((img.rgb(i) & 0xFF) * 299 +
+                  (img.rgb(i + 1) & 0xFF) * 587 +
+                  (img.rgb(i + 2) & 0xFF) * 114) / 1000
+                s += l; s2 += l.toLong * l
+                if (l < 16) dark += 1
+                if (l > 239) bright += 1
+                if (!seen(l)) { seen(l) = true; nd += 1 }
+                i += 3
+              }
+              val n = img.width.toLong * img.height
+              val mean = s.toDouble / n
+              Row(fmt, img.width, img.height, n, mean,
+                s2.toDouble / n - mean * mean,
+                dark.toDouble / n, bright.toDouble / n, nd)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Keep rows whose payload decodes to an image with at least
+    * `minPx` pixels and luma variance at least `minVar` — the
+    * baseline junk-image filter (placeholder tiles, solid fills,
+    * sub-thumbnail crops) a training-data pipeline runs before
+    * fingerprinting. Composition of [[withImageQuality]] and a
+    * filter; the stats column does not survive.
+    */
+  def filterImages(df: DataFrame, payloadCol: String, minPx: Long,
+      minVar: Double): DataFrame = {
+    val tag = "__imgq"
+    withImageQuality(df, payloadCol, tag)
+      .filter(col(s"$tag.n_px") >= minPx && col(s"$tag.var_luma") >= minVar)
+      .drop(tag)
   }
 
   /** Well-formed non-interlaced 8-bit truecolor PNG with pixels from

@@ -769,6 +769,50 @@ class MultimodalSpec extends SparkSpec {
     assert(videoDHash(null) === null)
   }
 
+  test("withImageQuality + filterImages: luma stats from REAL decoded " +
+      "pixels across all four raster formats; the junk filter drops " +
+      "flat and sub-size images and keeps textured ones (r11)") {
+    import Multimodal._
+    // a flat gray BMP, a textured BMP, a textured PNG, a tiny 1×1
+    val flat = buildBmp(6, 6, (_, _) => (128, 128, 128))
+    val tex = buildBmp(6, 6, (x, y) => (40 * x, 40 * y, (x + y) * 20))
+    val png = buildPngPixels(5, 4, (x, y) => (x * 50, y * 60, 30), _ => 0)
+    val tiny = buildBmp(1, 1, (_, _) => (200, 10, 77))
+    val media = Seq((1L, flat), (2L, tex), (3L, png), (4L, tiny),
+      (5L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val rows = withImageQuality(media, "payload", "q")
+      .select($"media_id", $"q.format", $"q.n_px", $"q.mean_luma",
+        $"q.var_luma", $"q.p_dark", $"q.p_bright", $"q.n_distinct_luma")
+      .orderBy($"media_id").collect()
+    def luma(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
+    // flat: every pixel luma 128 → var 0, one distinct value
+    assert(rows(0).getString(1) === "bmp" && rows(0).getLong(2) === 36L)
+    assert(rows(0).getDouble(4) === 0.0 && rows(0).getInt(7) === 1)
+    assert(rows(0).getDouble(3) === 128.0)
+    // textured: recompute all five signals directly
+    val ls = for (y <- 0 until 6; x <- 0 until 6)
+      yield luma(40 * x, 40 * y, (x + y) * 20)
+    val mean = ls.sum.toDouble / 36
+    assert(math.abs(rows(1).getDouble(3) - mean) < 1e-9)
+    assert(math.abs(rows(1).getDouble(4) -
+      (ls.map(l => l.toDouble * l).sum / 36 - mean * mean)) < 1e-9)
+    assert(rows(1).getDouble(5) === ls.count(_ < 16).toDouble / 36)
+    assert(rows(1).getDouble(6) === ls.count(_ > 239).toDouble / 36)
+    assert(rows(1).getInt(7) === ls.distinct.size)
+    // png routes through the same luma math
+    assert(rows(2).getString(1) === "png")
+    val pls = for (y <- 0 until 4; x <- 0 until 5) yield luma(x * 50, y * 60, 30)
+    assert(math.abs(rows(2).getDouble(3) - pls.sum.toDouble / 20) < 1e-9)
+    // tiny decodes; garbage degrades
+    assert(rows(3).getLong(2) === 1L && rows(3).getDouble(4) === 0.0)
+    assert(rows(4).getString(1) === "unknown" && rows(4).isNullAt(2))
+    // the filter: textured survives, flat (var 0) and tiny (n_px) and
+    // undecodable do not
+    val kept = filterImages(media, "payload", minPx = 4, minVar = 1.0)
+      .select($"media_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("appendFingerprintPairs: cross-batch media near-dup against a " +
       "persisted index — batch pairs with indexed corpus and itself, " +
       "a second batch sees both, a committed-token retry is stable (r11)") {
