@@ -1893,6 +1893,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Thumbnail pipeline (r11 — the standardize-the-crawl step):
+    //     decode (any raster container) → integer box-downsample to
+    //     ≤3×3 → re-encode as a REAL filter-0 PNG → decode AGAIN
+    //     through the zlib inflater → pixel stats. The whole
+    //     encode/decode round trip sits inside ONE lazy plan, so the
+    //     oracle (recomputing the floor block means from the channel
+    //     formulas) certifies the PNG ENCODER too, not just the
+    //     decoders. Corrupt sources yield a null thumbnail column —
+    //     null-struct stats downstream, distinct from 'unknown'.
+    "mm_thumbnail" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBmpBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val thumbs = Multimodal.withThumbnail(media, "payload", "thumb", maxDim = 3)
+      Multimodal.withPixelStats(thumbs, "thumb", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- GIF pixel decode (r11 — the fourth raster format, and the
     //     LZW one): payloads are well-formed single-image GIFs built
     //     in-plan — palette channels and the index raster are
@@ -4104,6 +4127,42 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(s.pb, 6) END AS p_bright,
         |  CASE WHEN b.c THEN NULL ELSE s.nd END AS n_distinct_luma
         |FROM ids i JOIN st s USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_thumbnail oracle: per-axis factors fx = ceil(w/3),
+    // fy = ceil(h/3), edge remainder cropped, block value =
+    // floor-mean of the fx×fy source block per channel (integer-exact
+    // on both engines), then channel averages over the thumbnail.
+    // Corrupt sources have a NULL stats struct (null thumbnail
+    // column), not 'unknown'
+    "mm_thumbnail" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |fz AS (SELECT media_id, w, h,
+        |    (w + 2) // 3 AS fx, (h + 2) // 3 AS fy FROM ids),
+        |blocks AS (
+        |  SELECT z.media_id, x.g // z.fx AS bx, y.g // z.fy AS by,
+        |    sum((z.media_id + 7 * x.g + 13 * y.g) % 256) // (z.fx * z.fy) AS br,
+        |    sum((z.media_id * 3 + 5 * x.g + 11 * y.g) % 256) // (z.fx * z.fy) AS bg,
+        |    sum((z.media_id * 5 + 3 * x.g + 17 * y.g) % 256) // (z.fx * z.fy) AS bb
+        |  FROM fz z, generate_series(0, 6) AS x(g), generate_series(0, 5) AS y(g)
+        |  WHERE x.g < (z.w // z.fx) * z.fx AND y.g < (z.h // z.fy) * z.fy
+        |  GROUP BY z.media_id, x.g // z.fx, y.g // z.fy, z.fx, z.fy),
+        |st AS (SELECT media_id, count(*) AS n,
+        |    avg(br) AS mr, avg(bg) AS mg, avg(bb) AS mb
+        |  FROM blocks GROUP BY media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 AS c FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN NULL ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(z.w // z.fx AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(z.h // z.fy AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(s.n AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.mb, 6) END AS mean_b
+        |FROM ids i JOIN fz z USING (media_id) JOIN st s USING (media_id)
+        |  JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // the mm_pixels oracle for GIF: pixel (x, y) is

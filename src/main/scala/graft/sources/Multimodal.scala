@@ -654,6 +654,88 @@ object Multimodal {
       .drop(tag)
   }
 
+  /** Box-average downsample by integer factors `fx`/`fy` per axis:
+    * output pixel (X, Y) is the per-channel integer mean (floor) of
+    * the fx×fy source block at (X·fx, Y·fy); the edge remainder
+    * (source dims mod factor) is cropped. Per-AXIS factors so a long
+    * thin image never collapses an axis to zero when the other one
+    * drives the reduction. Integer in, integer out — any engine
+    * recomputes identical bytes from the same source pixels, which is
+    * what lets a DuckDB twin verify a resize. fx = fy = 1 is identity.
+    */
+  def downsampleImage(img: RasterImage, fx: Int, fy: Int): RasterImage = {
+    require(fx >= 1 && fy >= 1, s"factors $fx x $fy")
+    if (img == null) return null
+    val w2 = img.width / fx; val h2 = img.height / fy
+    if (w2 < 1 || h2 < 1) return null
+    val out = new Array[Byte](w2 * h2 * 3)
+    val ff = fx * fy
+    var yy = 0
+    while (yy < h2) {
+      var xx = 0
+      while (xx < w2) {
+        var sr = 0; var sg = 0; var sb = 0
+        var dy = 0
+        while (dy < fy) {
+          var dx = 0
+          while (dx < fx) {
+            val o = ((yy * fy + dy) * img.width + xx * fx + dx) * 3
+            sr += img.rgb(o) & 0xFF; sg += img.rgb(o + 1) & 0xFF
+            sb += img.rgb(o + 2) & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        val o2 = (yy * w2 + xx) * 3
+        out(o2) = (sr / ff).toByte; out(o2 + 1) = (sg / ff).toByte
+        out(o2 + 2) = (sb / ff).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+    RasterImage(w2, h2, out)
+  }
+
+  /** Append `outCol`: the payload re-encoded as a PNG thumbnail with
+    * both dimensions ≤ `maxDim` — decode (any of the four raster
+    * containers), box-downsample by the smallest integer factor that
+    * fits ([[downsampleImage]] semantics), re-encode as a REAL
+    * filter-0 truecolor PNG ([[buildPngPixels]] — valid for any PNG
+    * reader, not just ours). The standardize-the-crawl step of a
+    * multimodal pipeline: whatever arrived (BMP/PNG/JPEG/GIF, any
+    * size), what flows on is small same-format bytes. Undecodable or
+    * sub-factor payloads yield null. Narrow per-partition map, no
+    * shuffle; payloads never leave their partition.
+    */
+  def withThumbnail(df: DataFrame, payloadCol: String, outCol: String,
+      maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim $maxDim")
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val thumb: Array[Byte] = if (p == null) null
+          else {
+            val (_, img) = decodeRasterTagged(p)
+            if (img == null) null
+            else {
+              val fx = (img.width + maxDim - 1) / maxDim
+              val fy = (img.height + maxDim - 1) / maxDim
+              val small = downsampleImage(img, fx, fy)
+              if (small == null) null
+              else buildPngPixels(small.width, small.height, (x, y) => {
+                val o = (y * small.width + x) * 3
+                (small.rgb(o) & 0xFF, small.rgb(o + 1) & 0xFF,
+                  small.rgb(o + 2) & 0xFF)
+              }, _ => 0)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ thumb)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Well-formed non-interlaced 8-bit truecolor PNG with pixels from
     * `rgb(x, y)` and row y filtered with `rowFilter(y)` ∈ 0..4 — the
     * encoder applies the exact inverse of each decode filter, so a

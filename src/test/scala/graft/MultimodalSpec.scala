@@ -813,6 +813,44 @@ class MultimodalSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("downsampleImage + withThumbnail: exact floor block means, edge " +
+      "crop, PNG re-encode round-trips positionally, f=1 identity, " +
+      "undecodable → null (r11)") {
+    import Multimodal._
+    // 7×5 source, factor 2 → 3×2 thumbnail, right column + bottom row
+    // cropped; verify every output pixel against the hand block mean
+    val src = decodeBmp(buildBmp(7, 5, (x, y) => (x * 30, y * 40, x + y)))
+    val small = downsampleImage(src, 2, 2)
+    assert(small.width === 3 && small.height === 2)
+    for (yy <- 0 until 2; xx <- 0 until 2; c <- 0 until 3) {
+      val vals = for (dy <- 0 until 2; dx <- 0 until 2) yield {
+        val (x, y) = (xx * 2 + dx, yy * 2 + dy)
+        Seq(x * 30, y * 40, x + y)(c)
+      }
+      assert((small.rgb((yy * 3 + xx) * 3 + c) & 0xFF) === vals.sum / 4,
+        s"($xx,$yy,$c)")
+    }
+    assert(downsampleImage(src, 1, 1).rgb.toSeq === src.rgb.toSeq) // identity
+    assert(downsampleImage(decodeBmp(buildBmp(3, 3, (_, _) => (1, 2, 3))), 4, 1) === null)
+    // per-axis factors: a 7x2 strip under maxDim=3 keeps its short axis
+    val strip = downsampleImage(
+      decodeBmp(buildBmp(7, 2, (x, y) => (x, y, 9))), 3, 1)
+    assert(strip.width === 2 && strip.height === 2)
+    // the thumbnail column is a REAL PNG: decode it back and compare
+    // against the direct downsample
+    val media = Seq(
+      (1L, buildBmp(7, 5, (x, y) => (x * 30, y * 40, x + y))),
+      (2L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val rows = withThumbnail(media, "payload", "thumb", maxDim = 3)
+      .select($"media_id", $"thumb").orderBy($"media_id").collect()
+    val png = rows(0).getAs[Array[Byte]](1)
+    val dec = decodePng(png)
+    val want = downsampleImage(src, 3, 2) // fx = ceil(7/3), fy = ceil(5/3)
+    assert(dec.width === want.width && dec.height === want.height)
+    assert(dec.rgb.toSeq === want.rgb.toSeq)
+    assert(rows(1).isNullAt(1))
+  }
+
   test("appendFingerprintPairs: cross-batch media near-dup against a " +
       "persisted index — batch pairs with indexed corpus and itself, " +
       "a second batch sees both, a committed-token retry is stable (r11)") {
