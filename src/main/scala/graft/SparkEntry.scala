@@ -1957,6 +1957,25 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- Media curation pipeline (r11 — the composition gate for the
+    //     image family, the corpus_pipeline pattern): junk filter
+    //     (luma variance over REAL decoded pixels — the solid tiles
+    //     score exactly 0 and drop) → perceptual hash → banded pair
+    //     generation → connected components → min-id survivors, ONE
+    //     lazy chain. Expected survivors: exactly the originals (the
+    //     perturbed copies pair away, the solids never reach the
+    //     hasher). The oracle recomputes the variance filter AND the
+    //     full fingerprint pipeline in SQL.
+    "mm_pipeline" -> ((s, dir) => {
+      val media = Multimodal.synthesizeCurationMediaBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val clean = Multimodal.filterImages(media, "payload",
+        minPx = 100, minVar = 1.0)
+      val hashed = Multimodal.withDHash(clean, "payload", "dhash")
+      Dedup.dedupByFingerprint(hashed, "media_id", "dhash", maxHamming = 3)
+        .select(col("media_id")).orderBy(col("media_id"))
+    }),
+
     // --- Incremental perceptual near-dup (r11 — the cross-batch form
     //     of mm_phash_pairs, for ANY 64-bit media fingerprint): the
     //     ORIGINAL images form the persisted fingerprint index (16
@@ -3853,6 +3872,57 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_pipeline oracle: luma variance recomputed for ALL 120
+    // images (textured pass ≥1, solid tiles are exactly 0 and fail),
+    // then the full fingerprint pipeline over the survivors of the
+    // filter, survivors = quality-pass ids that are nobody's id_b
+    // (pairs here are disjoint (id, id+1000) — proven exact by the
+    // mm_phash_pairs gate — so min-rep and not-an-id_b coincide)
+    "mm_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    CASE WHEN i.pert AND (x.g * 16 + y.g) % 61 = 0
+        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67) *
+        |             (i.base * 131 + x.g * 29 + y.g * 67)) % 256 + 9) % 256
+        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67) *
+        |            (i.base * 131 + x.g * 29 + y.g * 67)) % 256 END AS r,
+        |    ((i.base * 113 + x.g * 41 + y.g * 59) *
+        |     (i.base * 113 + x.g * 41 + y.g * 59)) % 256 AS g,
+        |    ((i.base * 173 + x.g * 37 + y.g * 71) *
+        |     (i.base * 173 + x.g * 37 + y.g * 71)) % 256 AS b
+        |  FROM t i, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)),
+        |lum AS (
+        |  SELECT media_id, (299 * r + 587 * g + 114 * b) // 1000 AS l FROM px
+        |  UNION ALL
+        |  SELECT doc_id + 5000, (doc_id * 37 + 50) % 200 + 20
+        |  FROM documents, generate_series(0, 287) AS s(g) WHERE doc_id < 40),
+        |pass AS (
+        |  SELECT media_id FROM lum GROUP BY media_id
+        |  HAVING avg(l * l) - avg(l) * avg(l) >= 1.0),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS s
+        |  FROM px WHERE media_id IN (SELECT media_id FROM pass)
+        |  GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT p.media_id FROM pass p
+        |WHERE p.media_id NOT IN (
+        |  SELECT b.media_id FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3)
+        |ORDER BY p.media_id""".stripMargin,
 
     // the mm_phash_pairs oracle restricted to pairs that touch the
     // appended batch (ids ≥ 1000 are the batch; id_a < id_b makes

@@ -1139,6 +1139,23 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Apply form of [[fingerprintPairs]] — the media twin of
+    * [[dedupNear]]: connected components over the pair graph, keep
+    * the min-id representative of each cluster, everything unpaired
+    * survives untouched. Null-fingerprint rows (undecodable media)
+    * survive — dropping them is the quality filter's decision, not
+    * dedup's.
+    */
+  def dedupByFingerprint(df: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = fingerprintPairs(df, idCol, fpCol, maxHamming, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id_a", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .filter(col("rep_id").isNull || col("rep_id") === col(idCol))
+      .drop("rep_id")
+  }
+
   /** The 4×16-bit pigeonhole chunks of a 64-bit fingerprint (shared
     * by the one-shot and incremental pair operators — the band layout
     * IS the on-disk index contract, so it must not drift between

@@ -2492,6 +2492,29 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Fixture for the media curation-pipeline gate: per doc id, the
+    * ORIGINAL textured image (media_id = id), a PERTURBED near-dup
+    * copy (id + 1000), and a SOLID junk tile (id + 5000 — constant
+    * r=g=b, luma variance exactly 0, the placeholder-tile class the
+    * quality filter exists to drop). A quality→dedup chain over this
+    * table must keep exactly the originals.
+    */
+  def synthesizeCurationMediaBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val c = ((id * 37 + 50) % 200 + 20).toInt
+        Iterator(
+          Row(id, synthDHashPayload(id, perturb = false)),
+          Row(id + 1000L, synthDHashPayload(id, perturb = true)),
+          Row(id + 5000L, buildBmp(18, 16, (_, _) => (c, c, c))))
+      }
+    }(Encoders.row(schema))
+  }
+
   // -------------------------------------------------------------
   // MJPEG-in-AVI decode (r11): the second video container, and the
   // first COMPRESSED one — each '##dc' chunk inside the RIFF 'movi'

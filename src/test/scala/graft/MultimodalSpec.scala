@@ -901,6 +901,24 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("dedupByFingerprint: transitive clusters resolve to ONE min-id " +
+      "survivor; unpaired and null-fingerprint rows pass through (r11)") {
+    val L = 0x0F0F0F0F0F0F0F0FL
+    // chain: 1~2 (h=1), 2~3 (h=2), 1~3 (h=3) → one cluster {1,2,3};
+    // 4 is far; 5 has no fingerprint (undecodable media)
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(L)),
+      (2L, java.lang.Long.valueOf(L ^ 1L)),
+      (3L, java.lang.Long.valueOf(L ^ 6L)),
+      (4L, java.lang.Long.valueOf(~L)),
+      (5L, null.asInstanceOf[java.lang.Long]))
+      .toDF("media_id", "fp")
+    val kept = graft.operators.Dedup
+      .dedupByFingerprint(rows, "media_id", "fp", maxHamming = 3)
+      .select($"media_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("decodeAviMjpeg: frames decoded through the real JPEG entropy " +
       "decoder from the RIFF movi walk; fps from the vids stream " +
       "header; malformed / truncated / progressive-frame payloads → " +
