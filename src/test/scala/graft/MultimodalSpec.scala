@@ -901,6 +901,49 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("decoder totality fuzz: every media decoder returns a value or " +
+      "null — never throws — on random bytes and on bit-flipped / " +
+      "truncated / spliced mutants of valid payloads (r11)") {
+    import Multimodal._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+      ("bmp", decodeBmp _), ("png", decodePng _), ("jpeg", decodeJpeg _),
+      ("gif", decodeGif _), ("y4m", decodeY4m _), ("avi", decodeAviMjpeg _),
+      ("wav", decodeWavPcm _), ("header", parseHeader _),
+      ("video", decodeVideo _))
+    val seeds: Seq[Array[Byte]] = Seq(
+      synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
+      synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
+      synthWavPayload(7))
+    def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
+      case 0 => // bit flips
+        val m = b.clone()
+        for (_ <- 0 to rnd.nextInt(8))
+          m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        m
+      case 1 => b.take(rnd.nextInt(b.length + 1)) // truncate
+      case 2 => // splice two payloads
+        val o = seeds(rnd.nextInt(seeds.length))
+        b.take(rnd.nextInt(b.length + 1)) ++ o.drop(rnd.nextInt(o.length + 1))
+      case _ => // overwrite a random window
+        val m = b.clone()
+        val at = rnd.nextInt(m.length)
+        for (i <- at until math.min(m.length, at + 1 + rnd.nextInt(16)))
+          m(i) = rnd.nextInt(256).toByte
+        m
+    }
+    val payloads =
+      (1 to 400).map(n => Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)) ++
+      (1 to 1600).map(_ => mutate(seeds(rnd.nextInt(seeds.length))))
+    for (p <- payloads; (name, dec) <- decoders) {
+      try dec(p)
+      catch { case e: Throwable =>
+        fail(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage} " +
+          s"on ${p.length} bytes [${p.take(24).map(x => f"${x & 0xFF}%02x").mkString(" ")}…]")
+      }
+    }
+  }
+
   test("dedupByFingerprint: transitive clusters resolve to ONE min-id " +
       "survivor; unpaired and null-fingerprint rows pass through (r11)") {
     val L = 0x0F0F0F0F0F0F0F0FL
