@@ -2018,6 +2018,31 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Audio standardize pipeline (r11 — the audio sibling of
+    //     mm_thumbnail): decode multi-channel PCM (negative samples
+    //     included — the truncating-division path is exercised, not
+    //     dodged) → downmix to mono → box-decimate to ≤4 kHz →
+    //     re-encode as REAL WAV bytes → decode AGAIN → sample stats.
+    //     One lazy plan, so the oracle (recomputing downmix and
+    //     decimation sample-by-sample in SQL) certifies the WAV
+    //     ENCODER too. Corrupt sources yield a null standardized
+    //     column — null-struct stats downstream.
+    "mm_audio_std" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioStdBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val std = Multimodal.withAudioStandardize(media, "payload", "std",
+        maxRate = 4000)
+      Multimodal.withWavSampleStats(std, "std", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Audio fingerprint near-dup (r10, VERDICT r9 #6 — the WAV
     //     sibling of mm_phash_pairs): every base clip (5200-sample
     //     16-bit PCM WAV, quantized closed-form envelope) has a
@@ -4268,6 +4293,43 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // the mm_audio_std oracle: mono(i) = truncdiv(Σ_ch sample, ch),
+    // out(j) = truncdiv(Σ_window mono, f) with the window remainder
+    // cropped — DuckDB's // truncates toward zero exactly like the
+    // engine's Long division, so negative PCM values agree too
+    "mm_audio_std" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 2 + 1 AS ch,
+        |    8000 + (doc_id % 8) * 1000 AS rate, doc_id % 9 + 4 AS n,
+        |    (8000 + (doc_id % 8) * 1000 + 3999) // 4000 AS f
+        |  FROM documents WHERE doc_id < 60),
+        |mono AS (
+        |  SELECT i.media_id, s.g AS i,
+        |    sum((i.media_id * 31 + s.g * 17 + c.g * 7) % 2001 - 1000) // i.ch AS v
+        |  FROM ids i, generate_series(0, 11) AS s(g), generate_series(0, 1) AS c(g)
+        |  WHERE s.g < i.n AND c.g < i.ch
+        |  GROUP BY i.media_id, s.g, i.ch),
+        |outp AS (
+        |  SELECT m.media_id, m.i // z.f AS j, sum(m.v) // z.f AS v
+        |  FROM mono m JOIN ids z USING (media_id)
+        |  WHERE m.i < (z.n // z.f) * z.f
+        |  GROUP BY m.media_id, m.i // z.f, z.f),
+        |a AS (
+        |  SELECT media_id, count(*) AS n_samples, avg(v) AS mean_amp,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms, max(abs(v)) AS peak
+        |  FROM outp GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE 'wav' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(i.rate // i.f AS INT) END AS sample_rate,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM ids i JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
 
     // PCM sample stats recomputed from the closed-form sample values
     // (the mm_pixels trick for audio)

@@ -1590,6 +1590,112 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Downmix to mono and box-decimate by an integer factor — the
+    * audio sibling of [[downsampleImage]]: per frame, channels
+    * average to one sample; per `factor`-window of mono samples, the
+    * window averages to one output sample; edge remainders (partial
+    * frames, partial windows) are cropped and the output rate is
+    * `sampleRate / factor`. All divisions TRUNCATE toward zero
+    * (matching SQL integer division on negative PCM values), so any
+    * engine recomputes identical samples — what lets a DuckDB twin
+    * verify a resample. factor = 1 on mono input is the identity.
+    */
+  def downmixDecimate(a: WavAudio, factor: Int): WavAudio = {
+    require(factor >= 1, s"factor $factor")
+    if (a == null || a.channels < 1 || a.sampleRate < factor) return null
+    val frames = a.samples.length / a.channels
+    val outN = frames / factor
+    if (outN < 1) return null
+    val out = new Array[Short](outN)
+    var j = 0
+    while (j < outN) {
+      var s = 0L
+      var i = j * factor
+      while (i < (j + 1) * factor) {
+        var ssum = 0L; var c = 0
+        while (c < a.channels) { ssum += a.samples(i * a.channels + c); c += 1 }
+        s += ssum / a.channels
+        i += 1
+      }
+      out(j) = (s / factor).toShort
+      j += 1
+    }
+    WavAudio(a.sampleRate / factor, 1, out)
+  }
+
+  /** Append `outCol`: the payload re-encoded as mono 16-bit PCM WAV
+    * with sample rate ≤ `maxRate` — decode, downmix + decimate by the
+    * smallest integer factor that fits ([[downmixDecimate]]
+    * semantics), re-encode ([[buildWavPcm]] — valid for any WAV
+    * reader). The standardize-the-crawl step for audio: whatever
+    * arrived (any rate, any channel count), what flows on is small
+    * mono bytes. Undecodable or sub-factor payloads yield null.
+    * Narrow per-partition map, no shuffle.
+    */
+  def withAudioStandardize(df: DataFrame, payloadCol: String,
+      outCol: String, maxRate: Int): DataFrame = {
+    require(maxRate >= 1, s"maxRate $maxRate")
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val std: Array[Byte] = if (p == null) null
+          else {
+            val a = decodeWavPcm(p)
+            if (a == null) null
+            else {
+              val f = (a.sampleRate + maxRate - 1) / maxRate
+              val d = downmixDecimate(a, f)
+              if (d == null) null
+              else buildWavPcm(d.sampleRate, 1, d.samples)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ std)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic multi-channel PCM payload for the standardize
+    * gate: channel count (1/2 by parity), rate, frame count and every
+    * interleaved sample value are closed-form in the id —
+    * sample(frame i, channel ch) = (id·31 + i·17 + ch·7) mod 2001 −
+    * 1000 (negative values included: the truncating-division path
+    * must be exercised, not dodged).
+    */
+  def synthAudioStdPayload(id: Long): Array[Byte] = {
+    val ch = (id % 2 + 1).toInt
+    val n = (id % 9 + 4).toInt
+    val samples = new Array[Short](n * ch)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        samples(i * ch + c) = ((id * 31 + i * 17 + c * 7) % 2001 - 1000).toShort
+        c += 1
+      }
+      i += 1
+    }
+    buildWavPcm((8000 + id % 8 * 1000).toInt, ch, samples)
+  }
+
+  /** Fixture for the audio standardize gate; every 19th payload
+    * magic-corrupted.
+    */
+  def synthesizeAudioStdBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthAudioStdPayload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Well-formed 16-bit PCM WAV carrying the given samples. */
   def buildWavPcm(sampleRate: Int, channels: Int,
       samples: Array[Short]): Array[Byte] = {

@@ -901,6 +901,35 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("downmixDecimate + withAudioStandardize: exact truncating " +
+      "downmix/decimation, WAV re-encode round-trips sample-exact, " +
+      "sub-factor and undecodable → null (r11)") {
+    import Multimodal._
+    // stereo, 7 frames, negative values included; factor 3 → 2 samples
+    val inter = Array[Short](-7, 4, 10, -3, 5, 5, -9, 2, 8, 8, 1, -1, 0, 6)
+    val a = decodeWavPcm(buildWavPcm(12000, 2, inter))
+    val d = downmixDecimate(a, 3)
+    assert(d.sampleRate === 4000 && d.channels === 1)
+    val mono = inter.grouped(2).map(p => (p(0) + p(1)).toLong / 2).toArray
+    val want = (0 until 2).map(j => (mono(3 * j) + mono(3 * j + 1) + mono(3 * j + 2)) / 3)
+    assert(d.samples.toSeq === want.map(_.toShort))
+    // identity on mono factor 1
+    val m1 = decodeWavPcm(buildWavPcm(8000, 1, Array[Short](5, -5, 9)))
+    assert(downmixDecimate(m1, 1).samples.toSeq === Seq[Short](5, -5, 9))
+    // sub-factor clip refuses
+    assert(downmixDecimate(m1, 4) === null)
+    assert(downmixDecimate(null, 2) === null)
+    // end-to-end: standardized column is REAL WAV with the exact samples
+    val media = Seq((1L, buildWavPcm(12000, 2, inter)),
+      (2L, Array[Byte](3, 3, 3))).toDF("media_id", "payload")
+    val rows = withAudioStandardize(media, "payload", "std", maxRate = 4000)
+      .select($"media_id", $"std").orderBy($"media_id").collect()
+    val rt = decodeWavPcm(rows(0).getAs[Array[Byte]](1))
+    assert(rt.sampleRate === 4000 && rt.channels === 1)
+    assert(rt.samples.toSeq === want.map(_.toShort))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("decoder totality fuzz: every media decoder returns a value or " +
       "null — never throws — on random bytes and on bit-flipped / " +
       "truncated / spliced mutants of valid payloads (r11)") {
