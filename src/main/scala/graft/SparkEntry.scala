@@ -2104,6 +2104,28 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // --- Video poster extraction (r11 — the video→image bridge):
+    //     middle frame's luma → grayscale PNG thumbnail (per-axis
+    //     box-downsample to ≤4×4) → decoded AGAIN by the image
+    //     pixel-stats operator, which never learns video exists. The
+    //     oracle recomputes the middle-frame block floor-means from
+    //     the closed-form luma formula; both Y4M degrade classes
+    //     surface as a null poster column.
+    "mm_poster" -> ((s, dir) => {
+      val media = Multimodal.synthesizeY4mBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val posters = Multimodal.withVideoPoster(media, "payload", "poster",
+        maxDim = 4)
+      Multimodal.withPixelStats(posters, "poster", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Video perceptual near-dup (r11 — the clip sibling of
     //     mm_phash_pairs/mm_audio_pairs): every base clip (18×16×5
     //     Y4M, nonlinear closed-form luma) has a planted copy with +9
@@ -4096,6 +4118,39 @@ object SparkEntry {
         |SELECT media_id, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM bad WHERE c
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the mm_poster oracle: middle frame t = nf // 2, per-axis factors
+    // fx = ceil(w/4) / fy = ceil(h/4), block value = floor-mean of the
+    // fx×fy luma block, channel means all equal (grayscale poster)
+    "mm_poster" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 2 * (doc_id % 8 + 2) AS w,
+        |    2 * ((doc_id * 3) % 7 + 2) AS h, (doc_id % 6 + 2) // 2 AS t
+        |  FROM documents WHERE doc_id < 60),
+        |fz AS (SELECT media_id, w, h, t,
+        |    (w + 3) // 4 AS fx, (h + 3) // 4 AS fy FROM ids),
+        |blocks AS (
+        |  SELECT z.media_id, x.g // z.fx AS bx, y.g // z.fy AS by,
+        |    sum((z.media_id * 11 + 3 * x.g + 5 * y.g + 31 * z.t) % 256)
+        |      // (z.fx * z.fy) AS bv
+        |  FROM fz z, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)
+        |  WHERE x.g < (z.w // z.fx) * z.fx AND y.g < (z.h // z.fy) * z.fy
+        |  GROUP BY z.media_id, x.g // z.fx, y.g // z.fy, z.fx, z.fy),
+        |st AS (SELECT media_id, count(*) AS n, avg(bv) AS m
+        |  FROM blocks GROUP BY media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN NULL ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(z.w // z.fx AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(z.h // z.fy AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(s.n AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_b
+        |FROM ids i JOIN fz z USING (media_id) JOIN st s USING (media_id)
+        |  JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // the FULL video-fingerprint recomputation in SQL: luma from the
     // closed-form payload formulas (including the sparse (x,y,t)

@@ -2497,6 +2497,52 @@ object Multimodal {
     else null
   }
 
+  /** Append `outCol`: the clip's POSTER — the middle frame's luma as
+    * a grayscale PNG thumbnail with both dims ≤ `maxDim` — bridging
+    * the video and image families: posters flow into every image
+    * operator (pixel stats, dHash near-dup, quality filter) without
+    * those operators knowing video exists. Works over both containers
+    * via [[decodeVideo]]; per-axis integer box-downsample
+    * ([[downsampleImage]] semantics); undecodable or sub-factor clips
+    * yield null. Narrow per-partition map, no shuffle.
+    */
+  def withVideoPoster(df: DataFrame, payloadCol: String, outCol: String,
+      maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim $maxDim")
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val poster: Array[Byte] = if (p == null) null
+          else {
+            val v = decodeVideo(p)
+            if (v == null) null
+            else {
+              val plane = v.lumaFrames(v.lumaFrames.length / 2)
+              val rgb = new Array[Byte](v.width * v.height * 3)
+              var i = 0
+              while (i < plane.length) {
+                rgb(3 * i) = plane(i); rgb(3 * i + 1) = plane(i)
+                rgb(3 * i + 2) = plane(i)
+                i += 1
+              }
+              val fx = (v.width + maxDim - 1) / maxDim
+              val fy = (v.height + maxDim - 1) / maxDim
+              val small = downsampleImage(RasterImage(v.width, v.height, rgb), fx, fy)
+              if (small == null) null
+              else buildPngPixels(small.width, small.height, (x, y) => {
+                val o = (y * small.width + x) * 3
+                (small.rgb(o) & 0xFF, small.rgb(o + 1) & 0xFF,
+                  small.rgb(o + 2) & 0xFF)
+              }, _ => 0)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ poster)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Well-formed Y4M payload: header with the given colorspace tag,
     * `nFrames` frames of closed-form luma (chroma planes are solid
     * 0x80 — neutral, skipped by the decoder anyway).

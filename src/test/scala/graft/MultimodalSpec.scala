@@ -901,6 +901,24 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("withVideoPoster: middle-frame luma as a grayscale PNG " +
+      "thumbnail, byte-identical to the direct downsample; posters " +
+      "flow into image operators unchanged (r11)") {
+    import Multimodal._
+    val clip = buildY4m(18, 16, "C444", 5, (x, y, t) => (3 * x + 5 * y + 31 * t) % 256)
+    val media = Seq((1L, clip), (2L, Array[Byte](7, 7))).toDF("media_id", "payload")
+    val rows = withVideoPoster(media, "payload", "poster", maxDim = 4)
+      .select($"media_id", $"poster").orderBy($"media_id").collect()
+    val dec = decodePng(rows(0).getAs[Array[Byte]](1))
+    // direct recompute: frame t=2, luma replicated to RGB, factors 5/4
+    val v = decodeY4m(clip)
+    val rgb = v.lumaFrames(2).flatMap(b => Array(b, b, b))
+    val want = downsampleImage(RasterImage(18, 16, rgb), 5, 4)
+    assert(dec.width === want.width && dec.height === want.height)
+    assert(dec.rgb.toSeq === want.rgb.toSeq)
+    assert(rows(1).isNullAt(1))
+  }
+
   test("downmixDecimate + withAudioStandardize: exact truncating " +
       "downmix/decimation, WAV re-encode round-trips sample-exact, " +
       "sub-factor and undecodable → null (r11)") {
