@@ -237,4 +237,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the shingle join must be broadcast, not a corpus shuffle")
   }
+
+  test("media decode gates stay NARROW — scan → per-partition map, the " +
+      "only exchange is the final presentation sort (r11): a decode " +
+      "chain that grows a join or aggregate shuffle would ship payload " +
+      "bytes across the cluster") {
+    for (g <- Seq("mm_pixels_jpeg", "mm_pixels_gif", "mm_quality",
+        "mm_frames", "mm_frames_avi", "mm_thumbnail", "mm_audio_std",
+        "mm_poster")) {
+      val p = plan(g)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$g has $exchanges exchanges:\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$g grew a join:\n${p.take(900)}")
+      assert(!p.contains("HashAggregate"),
+        s"$g grew an aggregate:\n${p.take(900)}")
+    }
+  }
 }
