@@ -1871,6 +1871,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- EXIF metadata extraction (r11 — the metadata sibling of
+    //     pixel decode): APP1 TIFF walk through BOTH byte orders
+    //     (endianness by id parity), inline and offset-addressed
+    //     values, orientation/make/model/datetime closed-form in the
+    //     id. Three degrade classes: no EXIF block (%13), corrupt
+    //     magic (%19), and a forged IFD0 offset pointing past the
+    //     block (%11) — all must surface as has_exif=false, never
+    //     throw, never misread.
+    "mm_exif" -> ((s, dir) => {
+      val media = Multimodal.synthesizeExifJpegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withExifMeta(media, "payload", "x")
+        .select(col("media_id"), col("x.has_exif").as("has_exif"),
+          col("x.orientation").as("orientation"), col("x.make").as("make"),
+          col("x.model").as("model"), col("x.datetime").as("datetime"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Image quality statistics (r11 — the image sibling of
     //     text_quality): per decodable payload, BT.601 integer-luma
     //     mean, population variance, dark/bright pixel fractions and
@@ -4244,6 +4262,24 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // the mm_exif oracle: fields recomputed from the id formulas;
+    // the three degrade classes (absent block, corrupt magic, forged
+    // IFD offset) collapse to has_exif=false with null fields
+    "mm_exif" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    doc_id % 13 = 0 OR doc_id % 19 = 0 OR doc_id % 11 = 0 AS bad
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT media_id,
+        |  NOT bad AS has_exif,
+        |  CASE WHEN bad THEN NULL ELSE CAST(media_id % 8 + 1 AS INT) END AS orientation,
+        |  CASE WHEN bad THEN NULL ELSE 'CAM' || (media_id % 10) END AS make,
+        |  CASE WHEN bad THEN NULL ELSE 'MOD' || (media_id % 7) END AS model,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE '2026:01:' || (10 + media_id % 19) || ' ' ||
+        |            (10 + media_id % 13) || ':00:00' END AS datetime
+        |FROM ids ORDER BY media_id""".stripMargin,
 
     // the mm_quality oracle: BT.601 integer luma per pixel from the
     // closed-form BMP channel formulas, then mean / population

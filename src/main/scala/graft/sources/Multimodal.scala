@@ -1900,6 +1900,227 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------
+  // EXIF metadata extraction (r11): the metadata sibling of pixel
+  // decode — real crawl pipelines read orientation / camera / capture
+  // time from JPEG APP1 EXIF blocks (a TIFF structure: byte-order
+  // mark, IFD0 entry walk) as routinely as they decode pixels. Both
+  // endiannesses (II/MM), inline and offset-addressed values, all
+  // bounds-checked against forged offsets; scope boundary: IFD0's
+  // mainstream tags (Make 0x010F, Model 0x0110, Orientation 0x0112,
+  // DateTime 0x0132) — the EXIF sub-IFD (exposure etc.) is walked
+  // over, not into (documented).
+  // -------------------------------------------------------------
+
+  /** Extracted EXIF fields; `hasExif` false (all fields null) when
+    * the payload carries no APP1 EXIF block or a malformed one.
+    */
+  final case class ExifMeta(hasExif: Boolean, orientation: Integer,
+      make: String, model: String, dateTime: String)
+
+  private val NoExif = ExifMeta(hasExif = false, null, null, null, null)
+
+  /** Extract EXIF metadata from a JPEG payload. Total function —
+    * malformed / absent EXIF degrades to [[NoExif]], never throws.
+    */
+  def parseExif(b: Array[Byte]): ExifMeta = {
+    if (b == null || b.length < 4) return NoExif
+    if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return NoExif
+    try parseExifUnsafe(b)
+    catch { case scala.util.control.NonFatal(_) => NoExif }
+  }
+
+  private def parseExifUnsafe(b: Array[Byte]): ExifMeta = {
+    // JPEG segment walk to the APP1 "Exif\0\0" block
+    var i = 2
+    var app1 = -1; var app1End = -1
+    while (app1 < 0) {
+      if (i + 4 > b.length) return NoExif
+      if ((b(i) & 0xFF) != 0xFF) return NoExif
+      val m = b(i + 1) & 0xFF
+      if (m == 0xDA || m == 0xD9) return NoExif // scan/EOI: no EXIF seen
+      val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+      if (len < 2 || i + 2 + len > b.length) return NoExif
+      if (m == 0xE1 && len >= 10 && ascii(b, i + 4, "Exif") &&
+          b(i + 8) == 0 && b(i + 9) == 0) {
+        app1 = i + 10; app1End = i + 2 + len
+      }
+      i += 2 + len
+    }
+    // TIFF header at app1: byte order, magic 42, IFD0 offset
+    val t = app1
+    if (t + 8 > app1End) return NoExif
+    val le =
+      if (b(t) == 'I'.toByte && b(t + 1) == 'I'.toByte) true
+      else if (b(t) == 'M'.toByte && b(t + 1) == 'M'.toByte) false
+      else return NoExif
+    def u16at(p: Int): Int = {
+      if (p + 2 > app1End) throw JpegMalformed
+      if (le) le16(b, p) else be16(b, p)
+    }
+    def u32at(p: Int): Long = {
+      if (p + 4 > app1End) throw JpegMalformed
+      (if (le) le32(b, p) else be32(b, p)) & 0xFFFFFFFFL
+    }
+    if (u16at(t + 2) != 42) return NoExif
+    val ifd0 = u32at(t + 4)
+    if (ifd0 < 8 || t + ifd0 + 2 > app1End) return NoExif
+    val e0 = t + ifd0.toInt
+    val n = u16at(e0)
+    if (n > 256) return NoExif
+    var orientation: Integer = null
+    var make: String = null; var model: String = null
+    var dateTime: String = null
+    def asciiValue(p: Int, count: Long): String = {
+      // count includes the NUL; value inline when ≤ 4 bytes else at offset
+      if (count < 1 || count > 4096) return null
+      val at = if (count <= 4) p else t + u32at(p).toInt
+      if (at < t || at + count > app1End) return null
+      val len = count.toInt - 1
+      var k = 0
+      while (k < len) { if (b(at + k) == 0) return null; k += 1 }
+      if (b(at + len) != 0) return null
+      new String(b, at, len, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    var k = 0
+    while (k < n) {
+      val ep = e0 + 2 + k * 12
+      if (ep + 12 > app1End) return NoExif
+      val tag = u16at(ep); val typ = u16at(ep + 2)
+      val count = u32at(ep + 4)
+      tag match {
+        case 0x010F if typ == 2 => make = asciiValue(ep + 8, count)
+        case 0x0110 if typ == 2 => model = asciiValue(ep + 8, count)
+        case 0x0112 if typ == 3 && count == 1 =>
+          val v = u16at(ep + 8) // SHORT: first two bytes of the field
+          if (v >= 1 && v <= 8) orientation = Integer.valueOf(v)
+        case 0x0132 if typ == 2 => dateTime = asciiValue(ep + 8, count)
+        case _ => () // unknown / sub-IFD pointer: walked over, not into
+      }
+      k += 1
+    }
+    ExifMeta(hasExif = true, orientation, make, model, dateTime)
+  }
+
+  /** Append `outCol`: EXIF struct per payload — the first metadata a
+    * crawl keeps alongside pixels. Narrow per-partition map.
+    */
+  def withExifMeta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("has_exif", BooleanType, nullable = false),
+      StructField("orientation", IntegerType),
+      StructField("make", StringType),
+      StructField("model", StringType),
+      StructField("datetime", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val m = parseExif(p)
+        Row.fromSeq(r.toSeq :+
+          Row(m.hasExif, m.orientation, m.make, m.model, m.dateTime))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Insert an APP1 EXIF block (TIFF IFD0 with Make / Model /
+    * Orientation / DateTime) right after a JPEG payload's SOI.
+    * `littleEndian` picks the TIFF byte order; values are laid out
+    * after the IFD with correct inline-vs-offset encoding, so the
+    * block is valid for ANY EXIF reader.
+    */
+  def insertExif(jpeg: Array[Byte], littleEndian: Boolean,
+      orientation: Int, make: String, model: String,
+      dateTime: String): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+      else { tiff.write((v >> 8) & 0xFF); tiff.write(v & 0xFF) }
+    def u32(v: Long): Unit =
+      if (littleEndian) { tiff.write((v & 0xFF).toInt); tiff.write(((v >> 8) & 0xFF).toInt)
+        tiff.write(((v >> 16) & 0xFF).toInt); tiff.write(((v >> 24) & 0xFF).toInt) }
+      else { tiff.write(((v >> 24) & 0xFF).toInt); tiff.write(((v >> 16) & 0xFF).toInt)
+        tiff.write(((v >> 8) & 0xFF).toInt); tiff.write((v & 0xFF).toInt) }
+    tiff.write(if (littleEndian) 'I' else 'M')
+    tiff.write(if (littleEndian) 'I' else 'M')
+    u16(42); u32(8) // IFD0 at offset 8
+    val entries = Seq[(Int, Int, Array[Byte])](
+      (0x010F, 2, (make + " ").getBytes("US-ASCII")),
+      (0x0110, 2, (model + " ").getBytes("US-ASCII")),
+      (0x0112, 3, null), // SHORT, inline
+      (0x0132, 2, (dateTime + " ").getBytes("US-ASCII")))
+    u16(entries.length)
+    var valOff = 8 + 2 + entries.length * 12 + 4 // after the next-IFD word
+    val tail = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (tag, typ, data) =>
+      u16(tag); u16(typ)
+      if (data == null) { // orientation SHORT count 1, value inline
+        u32(1); u16(orientation); u16(0)
+      } else {
+        u32(data.length.toLong)
+        if (data.length <= 4) {
+          data.foreach(x => tiff.write(x & 0xFF))
+          var pad = data.length
+          while (pad < 4) { tiff.write(0); pad += 1 }
+        } else {
+          u32(valOff.toLong)
+          tail.write(data); valOff += data.length
+        }
+      }
+    }
+    u32(0) // no next IFD
+    tiff.write(tail.toByteArray)
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val len = 2 + 6 + t.length
+    seg.write((len >> 8) & 0xFF); seg.write(len & 0xFF)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(t)
+    val out = new Array[Byte](jpeg.length + seg.size())
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(seg.toByteArray, 0, out, 2, seg.size())
+    System.arraycopy(jpeg, 2, out, 2 + seg.size(), jpeg.length - 2)
+    out
+  }
+
+  /** Fixture for the EXIF gate: JPEG payloads with closed-form EXIF
+    * fields, endianness by parity. Every 13th payload carries NO
+    * EXIF block (has_exif false), every 19th is magic-corrupted, and
+    * every 11th has its IFD0 offset forged past the block (the
+    * malformed-metadata class — must degrade to has_exif false, not
+    * throw and not misread).
+    */
+  def synthesizeExifJpegBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = synthJpegPayload(id)
+        val bytes =
+          if (id % 13 == 0) base
+          else insertExif(base, littleEndian = id % 2 == 0,
+            orientation = (id % 8 + 1).toInt,
+            make = s"CAM${id % 10}", model = s"MOD${id % 7}",
+            dateTime = f"2026:01:${10 + id % 19}%d ${10 + id % 13}%d:00:00")
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        else if (id % 11 == 0 && id % 13 != 0) {
+          // forge IFD0 offset: bytes 4..7 of the TIFF block (after
+          // FFD8 FFE1 len "Exif\0\0") → point far past the segment
+          val t = 2 + 4 + 6
+          bytes(t + 4) = 0xFF.toByte; bytes(t + 5) = 0xFF.toByte
+          bytes(t + 6) = 0x00.toByte; bytes(t + 7) = 0x00.toByte
+        }
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  // -------------------------------------------------------------
   // GIF pixel decode (r11): the fourth raster format, and the LZW
   // one — GIF87a/89a per the public specification: logical screen
   // descriptor, global/local color tables (local takes precedence),

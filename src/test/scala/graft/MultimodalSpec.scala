@@ -901,6 +901,34 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("parseExif: APP1 TIFF walk through both byte orders, inline and " +
+      "offset values; absent / forged / truncated blocks degrade to " +
+      "has_exif=false, and the decoder still reads the pixels (r11)") {
+    import Multimodal._
+    for (le <- Seq(true, false)) {
+      val jpg = insertExif(synthJpegPayload(4), littleEndian = le,
+        orientation = 6, make = "CamX", model = "M9", dateTime = "2026:01:02 03:04:05")
+      val m = parseExif(jpg)
+      assert(m.hasExif && m.orientation === 6 && m.make === "CamX" &&
+        m.model === "M9" && m.dateTime === "2026:01:02 03:04:05", s"le=$le")
+      // inline ASCII: a ≤4-byte value ("AB\0") lives in the field itself
+      val short = parseExif(insertExif(synthJpegPayload(4), le, 1, "AB", "C", "2026:01:02 03:04:05"))
+      assert(short.make === "AB" && short.model === "C", s"le=$le")
+      // the EXIF block must not break pixel decode
+      assert(decodeJpeg(jpg) != null, s"le=$le")
+      // every truncation of the EXIF segment degrades, never throws
+      for (cut <- 2 until 40)
+        assert(!parseExif(java.util.Arrays.copyOfRange(jpg, 0, cut)).hasExif)
+    }
+    assert(!parseExif(synthJpegPayload(4)).hasExif) // no APP1 at all
+    assert(!parseExif(null).hasExif)
+    // forged IFD offset — the fixture's %11 class
+    val forged = insertExif(synthJpegPayload(4), littleEndian = true,
+      1, "A", "B", "2026:01:02 03:04:05")
+    forged(2 + 4 + 6 + 4) = 0xFF.toByte; forged(2 + 4 + 6 + 5) = 0xFF.toByte
+    assert(!parseExif(forged).hasExif)
+  }
+
   test("withVideoPoster: middle-frame luma as a grayscale PNG " +
       "thumbnail, byte-identical to the direct downsample; posters " +
       "flow into image operators unchanged (r11)") {
@@ -957,7 +985,7 @@ class MultimodalSpec extends SparkSpec {
       ("bmp", decodeBmp _), ("png", decodePng _), ("jpeg", decodeJpeg _),
       ("gif", decodeGif _), ("y4m", decodeY4m _), ("avi", decodeAviMjpeg _),
       ("wav", decodeWavPcm _), ("header", parseHeader _),
-      ("video", decodeVideo _))
+      ("video", decodeVideo _), ("exif", parseExif _))
     val seeds: Seq[Array[Byte]] = Seq(
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
