@@ -1889,6 +1889,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- EXIF orientation normalization (r11 — the canonical-pose
+    //     step): decode, auto-rotate per the APP1 orientation (the
+    //     8-value index permutation; absent/forged EXIF = identity),
+    //     re-encode as PNG, decode AGAIN for stats. Orientations 5–8
+    //     swap the reported dims; every orientation is a pixel
+    //     PERMUTATION so the channel means must equal the unrotated
+    //     closed-form means exactly — the oracle pins both.
+    "mm_orient" -> ((s, dir) => {
+      val media = Multimodal.synthesizeExifJpegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val norm = Multimodal.withNormalizedImage(media, "payload", "norm")
+      Multimodal.withPixelStats(norm, "norm", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Image quality statistics (r11 — the image sibling of
     //     text_quality): per decodable payload, BT.601 integer-luma
     //     mean, population variance, dark/bright pixel fractions and
@@ -4280,6 +4301,38 @@ object SparkEntry {
         |       ELSE '2026:01:' || (10 + media_id % 19) || ' ' ||
         |            (10 + media_id % 13) || ':00:00' END AS datetime
         |FROM ids ORDER BY media_id""".stripMargin,
+
+    // the mm_orient oracle: orientation o = id%8+1 applies only when
+    // the EXIF block survives (%13 absent, %11 forged → identity);
+    // o ≥ 5 swaps dims; the means are permutation-invariant so they
+    // equal the unrotated closed-form block means
+    "mm_orient" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 21 + 4 AS w,
+        |    (doc_id * 5) % 19 + 4 AS h, doc_id % 8 + 1 AS o,
+        |    doc_id % 13 = 0 OR doc_id % 11 = 0 AS noexif,
+        |    doc_id % 19 = 0 AS corrupt
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id * 11 + 23 * (x.g // 8) + 41 * (y.g // 8)) % 256) AS m
+        |  FROM ids i, generate_series(0, 23) AS x(g), generate_series(0, 21) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |dim AS (SELECT media_id,
+        |    CASE WHEN noexif OR o < 5 THEN w ELSE h END AS ow,
+        |    CASE WHEN noexif OR o < 5 THEN h ELSE w END AS oh
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN i.corrupt THEN NULL ELSE 'png' END AS format,
+        |  CASE WHEN i.corrupt THEN NULL ELSE CAST(d.ow AS INT) END AS w,
+        |  CASE WHEN i.corrupt THEN NULL ELSE CAST(d.oh AS INT) END AS h,
+        |  CASE WHEN i.corrupt THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN i.corrupt THEN NULL ELSE round(p.m, 6) END AS mean_r,
+        |  CASE WHEN i.corrupt THEN NULL ELSE round(p.m, 6) END AS mean_g,
+        |  CASE WHEN i.corrupt THEN NULL ELSE round(p.m, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN dim d USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     // the mm_quality oracle: BT.601 integer luma per pixel from the
     // closed-form BMP channel formulas, then mean / population

@@ -2086,6 +2086,74 @@ object Multimodal {
     out
   }
 
+  /** Apply an EXIF orientation (1..8) to decoded pixels — the
+    * auto-rotate every pipeline runs before hashing or training, so
+    * the same photo stored sideways and upright dedups together.
+    * Pure index permutation (1 identity, 2 mirror-H, 3 rotate-180,
+    * 4 mirror-V, 5 transpose, 6 rotate-90-CW, 7 transverse,
+    * 8 rotate-270-CW; 5–8 swap dims), bytes untouched. Unknown
+    * orientation values pass through unchanged.
+    */
+  def applyOrientation(img: RasterImage, orientation: Int): RasterImage = {
+    if (img == null || orientation <= 1 || orientation > 8) return img
+    val w = img.width; val h = img.height
+    val swap = orientation >= 5
+    val w2 = if (swap) h else w; val h2 = if (swap) w else h
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        val si = (sy * w + sx) * 3; val di = (y * w2 + x) * 3
+        out(di) = img.rgb(si); out(di + 1) = img.rgb(si + 1)
+        out(di + 2) = img.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    RasterImage(w2, h2, out)
+  }
+
+  /** Append `outCol`: the payload decoded, auto-rotated per its EXIF
+    * orientation (absent/malformed EXIF means identity), and
+    * re-encoded as a REAL PNG — the canonical-pose step upstream of
+    * perceptual dedup. Undecodable payloads yield null. Narrow
+    * per-partition map, no shuffle.
+    */
+  def withNormalizedImage(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val norm: Array[Byte] = if (p == null) null
+          else {
+            val (_, img) = decodeRasterTagged(p)
+            if (img == null) null
+            else {
+              val o = parseExif(p).orientation
+              val rot = applyOrientation(img, if (o == null) 1 else o.intValue())
+              buildPngPixels(rot.width, rot.height, (x, y) => {
+                val i = (y * rot.width + x) * 3
+                (rot.rgb(i) & 0xFF, rot.rgb(i + 1) & 0xFF, rot.rgb(i + 2) & 0xFF)
+              }, _ => 0)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ norm)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Fixture for the EXIF gate: JPEG payloads with closed-form EXIF
     * fields, endianness by parity. Every 13th payload carries NO
     * EXIF block (has_exif false), every 19th is magic-corrupted, and

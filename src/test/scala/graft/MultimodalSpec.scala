@@ -929,6 +929,52 @@ class MultimodalSpec extends SparkSpec {
     assert(!parseExif(forged).hasExif)
   }
 
+  test("applyOrientation: all eight EXIF poses positionally correct on " +
+      "a labeled grid; involutions hold; withNormalizedImage " +
+      "auto-rotates through the PNG round trip (r11)") {
+    import Multimodal._
+    // 3×2 grid, pixel (x, y) labeled r = 10x + y
+    val src = decodeBmp(buildBmp(3, 2, (x, y) => (10 * x + y, 0, 0)))
+    def at(img: RasterImage, x: Int, y: Int): Int =
+      img.rgb((y * img.width + x) * 3) & 0xFF
+    // hand tables: orientation → expected label at output (x, y)
+    val o6 = applyOrientation(src, 6) // rotate 90 CW: (x,y) ← src(y, h-1-x)
+    assert(o6.width === 2 && o6.height === 3)
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(at(o6, x, y) === 10 * y + (1 - x), s"o6 ($x,$y)")
+    val o8 = applyOrientation(src, 8) // rotate 270 CW: (x,y) ← src(w-1-y, x)
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(at(o8, x, y) === 10 * (2 - y) + x, s"o8 ($x,$y)")
+    val o3 = applyOrientation(src, 3)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(at(o3, x, y) === 10 * (2 - x) + (1 - y), s"o3 ($x,$y)")
+    val o2 = applyOrientation(src, 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(at(o2, x, y) === 10 * (2 - x) + y, s"o2 ($x,$y)")
+    val o5 = applyOrientation(src, 5) // transpose
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(at(o5, x, y) === 10 * y + x, s"o5 ($x,$y)")
+    // involutions / inverses
+    def eq(a: RasterImage, b: RasterImage): Boolean =
+      a.width == b.width && a.height == b.height && a.rgb.sameElements(b.rgb)
+    for (o <- Seq(2, 3, 4, 5, 7))
+      assert(eq(applyOrientation(applyOrientation(src, o), o), src), s"o=$o")
+    assert(eq(applyOrientation(applyOrientation(src, 6), 8), src))
+    assert(eq(applyOrientation(src, 1), src))
+    // end-to-end: an orientation-6 JPEG normalizes to the rotated pixels
+    val jpg = insertExif(
+      Multimodal.buildJpegSolid(10, 9, 0, (bx, by) => 30 + 20 * bx + 10 * by),
+      littleEndian = true, orientation = 6, make = "A", model = "B",
+      dateTime = "2026:01:02 03:04:05")
+    val media = Seq((1L, jpg)).toDF("media_id", "payload")
+    val norm = withNormalizedImage(media, "payload", "norm")
+      .select($"norm").head().getAs[Array[Byte]](0)
+    val want = applyOrientation(decodeJpeg(jpg), 6)
+    val got = decodePng(norm)
+    assert(got.width === want.width && got.height === want.height)
+    assert(got.rgb.toSeq === want.rgb.toSeq)
+  }
+
   test("withVideoPoster: middle-frame luma as a grayscale PNG " +
       "thumbnail, byte-identical to the direct downsample; posters " +
       "flow into image operators unchanged (r11)") {
