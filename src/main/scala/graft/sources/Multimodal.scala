@@ -2047,10 +2047,10 @@ object Multimodal {
     tiff.write(if (littleEndian) 'I' else 'M')
     u16(42); u32(8) // IFD0 at offset 8
     val entries = Seq[(Int, Int, Array[Byte])](
-      (0x010F, 2, (make + " ").getBytes("US-ASCII")),
-      (0x0110, 2, (model + " ").getBytes("US-ASCII")),
+      (0x010F, 2, make.getBytes("US-ASCII") :+ 0.toByte),
+      (0x0110, 2, model.getBytes("US-ASCII") :+ 0.toByte),
       (0x0112, 3, null), // SHORT, inline
-      (0x0132, 2, (dateTime + " ").getBytes("US-ASCII")))
+      (0x0132, 2, dateTime.getBytes("US-ASCII") :+ 0.toByte))
     u16(entries.length)
     var valOff = 8 + 2 + entries.length * 12 + 4 // after the next-IFD word
     val tail = new java.io.ByteArrayOutputStream()
