@@ -2165,6 +2165,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Animated GIF as video (r11 — the third video container):
+    //     full-screen frames through the real LZW codec, fps from the
+    //     graphic control extension's centisecond delay as the
+    //     rational 100/delay, frames reduced to BT.601 luma of their
+    //     palette colors — so animated GIFs flow through the SAME
+    //     frame-stats and temporal-hash operators as Y4M and AVI.
+    //     Degrades: magic corrupt (%19), cut mid-frame (%13).
+    "mm_frames_gif" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGifVideoBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.videoFrameStats(media, "payload")
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("fps_num"), col("fps_den"), col("n_frames"), col("frame_idx"),
+          round(col("mean_y"), 6).as("mean_y"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // --- Video perceptual near-dup (r11 — the clip sibling of
     //     mm_phash_pairs/mm_audio_pairs): every base clip (18×16×5
     //     Y4M, nonlinear closed-form luma) has a planted copy with +9
@@ -4116,6 +4133,41 @@ object SparkEntry {
         |SELECT i.media_id, 'y4m' AS format, CAST(i.w AS INT) AS width,
         |  CAST(i.h AS INT) AS height, CAST(i.fn AS INT) AS fps_num,
         |  CAST(1 AS INT) AS fps_den, CAST(i.nf AS INT) AS n_frames,
+        |  CAST(f.t AS INT) AS frame_idx, round(f.m, 6) AS mean_y
+        |FROM ids i JOIN bad b USING (media_id) JOIN fr f USING (media_id)
+        |WHERE NOT b.c
+        |UNION ALL
+        |SELECT media_id, 'unknown', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM bad WHERE c
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the mm_frames oracle for animated GIF: pixel (x, y, t) routes
+    // through the closed-form palette — luma is the BT.601 integer
+    // combination of the three channel formulas at index
+    // (id + 3x + 5y + 11t) mod n — and fps is the rational 100/delay
+    "mm_frames_gif" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 9 + 3 AS w,
+        |    (doc_id * 7) % 8 + 3 AS h, doc_id % 5 + 2 AS nf,
+        |    CAST(1 AS BIGINT) << (doc_id % 4 + 3) AS n, doc_id % 7 + 2 AS d
+        |  FROM documents WHERE doc_id < 60),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids),
+        |fr AS (
+        |  SELECT i.media_id, t.g AS t,
+        |    avg((299 * ((((i.media_id + 3 * x.g + 5 * y.g + 11 * t.g) % i.n) * 7
+        |                 + i.media_id) % 256)
+        |       + 587 * ((((i.media_id + 3 * x.g + 5 * y.g + 11 * t.g) % i.n) * 11
+        |                 + 3 * i.media_id) % 256)
+        |       + 114 * ((((i.media_id + 3 * x.g + 5 * y.g + 11 * t.g) % i.n) * 13
+        |                 + 5 * i.media_id) % 256)) // 1000) AS m
+        |  FROM ids i, generate_series(0, 5) AS t(g),
+        |       generate_series(0, 10) AS x(g), generate_series(0, 9) AS y(g)
+        |  WHERE t.g < i.nf AND x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id, t.g)
+        |SELECT i.media_id, 'gif' AS format, CAST(i.w AS INT) AS width,
+        |  CAST(i.h AS INT) AS height, CAST(100 AS INT) AS fps_num,
+        |  CAST(i.d AS INT) AS fps_den, CAST(i.nf AS INT) AS n_frames,
         |  CAST(f.t AS INT) AS frame_idx, round(f.m, 6) AS mean_y
         |FROM ids i JOIN bad b USING (media_id) JOIN fr f USING (media_id)
         |WHERE NOT b.c

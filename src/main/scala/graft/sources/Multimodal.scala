@@ -2214,6 +2214,52 @@ object Multimodal {
   }
 
   private def decodeGifUnsafe(b: Array[Byte]): RasterImage = {
+    val r = gifWalkUnsafe(b, maxFrames = 1)
+    if (r == null) null else r._1.head
+  }
+
+  /** Decode an ANIMATED (or single-frame) GIF as a video clip: every
+    * image descriptor must cover the full logical screen (the
+    * no-composition subset — frames with disposal-dependent partial
+    * updates are refused as null, not misdecoded), frames reduce to
+    * BT.601 luma from their palette colors, and fps comes from the
+    * first graphic control extension's delay (centiseconds; the
+    * mainstream 10 cs default when absent) as the rational
+    * 100/delay. Total function.
+    */
+  def decodeGifVideo(b: Array[Byte]): VideoClip = {
+    if (b == null || b.length < 13) return null
+    if (!ascii(b, 0, "GIF8") ||
+      !(b(4) == '7'.toByte || b(4) == '9'.toByte) || b(5) != 'a'.toByte)
+      return null
+    try {
+      val r = gifWalkUnsafe(b, MaxY4mFrames + 1)
+      if (r == null || r._1.length > MaxY4mFrames) return null
+      val frames = r._1
+      val w = frames.head.width; val h = frames.head.height
+      val lumas = frames.map { f =>
+        val plane = new Array[Byte](w * h)
+        var i = 0; var o = 0
+        while (o < plane.length) {
+          plane(o) = (((f.rgb(i) & 0xFF) * 299 + (f.rgb(i + 1) & 0xFF) * 587 +
+            (f.rgb(i + 2) & 0xFF) * 114) / 1000).toByte
+          i += 3; o += 1
+        }
+        plane
+      }.toArray
+      val d = if (r._2 <= 0) 10 else r._2
+      VideoClip("gif", w, h, 100, d, "palette", lumas)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Shared GIF block walk: up to `maxFrames` full-frame images (each
+    * stopping condition of the single-image reader preserved —
+    * maxFrames = 1 never parses past the first image), plus the first
+    * graphic control extension delay in centiseconds (-1 when
+    * absent). Null on any structural violation or zero frames.
+    */
+  private def gifWalkUnsafe(b: Array[Byte],
+      maxFrames: Int): (scala.collection.mutable.ArrayBuffer[RasterImage], Int) = {
     val w = le16(b, 6); val h = le16(b, 8)
     if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
     val packed = b(10) & 0xFF
@@ -2226,13 +2272,24 @@ object Multimodal {
       gct = java.util.Arrays.copyOfRange(b, pos, pos + 3 * gctN)
       pos += 3 * gctN
     }
-    while (pos < b.length) {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[RasterImage]
+    var delayCs = -1
+    var done = false
+    while (!done && frames.length < maxFrames && pos < b.length) {
       (b(pos) & 0xFF) match {
-        case 0x3B => return null // trailer before any image
+        case 0x3B => // trailer: null before any image, clean end after
+          if (frames.isEmpty) return null
+          done = true
         case 0x21 => // extension: label byte then sub-blocks to a 0 terminator
+          val label = if (pos + 1 < b.length) b(pos + 1) & 0xFF else return null
           pos += 2
+          var first = true
           var sz = if (pos < b.length) b(pos) & 0xFF else return null
           while (sz != 0) {
+            if (label == 0xF9 && first && sz >= 3 && delayCs < 0 &&
+                pos + 3 < b.length)
+              delayCs = le16(b, pos + 2) // GCE: packed, delayLo, delayHi
+            first = false
             pos += sz + 1
             if (pos >= b.length) return null
             sz = b(pos) & 0xFF
@@ -2268,6 +2325,7 @@ object Multimodal {
             if (pos >= b.length) return null
             sz = b(pos) & 0xFF
           }
+          pos += 1
           val idxs = lzwDecode(data.toByteArray, mcs, w * h)
           if (idxs == null) return null
           // palette mapping in de-interlaced row order
@@ -2298,11 +2356,11 @@ object Multimodal {
             }
             r += 1
           }
-          return RasterImage(w, h, out)
+          frames += RasterImage(w, h, out)
         case _ => return null
       }
     }
-    null
+    if (frames.isEmpty) null else (frames, delayCs)
   }
 
   /** Variable-width GIF-flavor LZW decode to exactly `expected` index
@@ -2492,6 +2550,98 @@ object Multimodal {
     out.write(0)    // sub-block terminator
     out.write(0x3B) // trailer
     out.toByteArray
+  }
+
+  /** Well-formed ANIMATED GIF: netscape-free minimal animation — one
+    * graphic control extension (carrying `delayCs`) before each of
+    * `nFrames` full-screen frames, every frame through the real LZW
+    * encoder against the shared global palette.
+    */
+  def buildGifAnim(w: Int, h: Int, palette: Array[Byte], nFrames: Int,
+      pix: (Int, Int, Int) => Int, delayCs: Int): Array[Byte] = {
+    val n = palette.length / 3
+    require(n >= 4 && (n & (n - 1)) == 0 && n <= 256, s"palette size $n")
+    require(nFrames >= 1, s"nFrames $nFrames")
+    val bits = 31 - Integer.numberOfLeadingZeros(n)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0x80 | (bits - 1)); out.write(0); out.write(0)
+    var i = 0
+    while (i < palette.length) { out.write(palette(i) & 0xFF); i += 1 }
+    val mcs = math.max(2, bits)
+    var t = 0
+    while (t < nFrames) {
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); u16(delayCs); out.write(0); out.write(0) // GCE
+      out.write(0x2C); u16(0); u16(0); u16(w); u16(h); out.write(0)
+      val idxs = new Array[Byte](w * h)
+      var k = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { idxs(k) = pix(x, y, t).toByte; k += 1; x += 1 }
+        y += 1
+      }
+      out.write(mcs)
+      val lzw = lzwEncode(idxs, mcs)
+      var off = 0
+      while (off < lzw.length) {
+        val sz = math.min(255, lzw.length - off)
+        out.write(sz); out.write(lzw, off, sz)
+        off += sz
+      }
+      out.write(0)
+      t += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Deterministic animated-GIF payload for media id `id`: dims,
+    * frame count, palette size, per-frame delay and the index raster
+    * pix(x, y, t) = (id + 3x + 5y + 11t) mod n are closed-form in the
+    * id, palette channels as in [[synthGifPayload]] — an oracle
+    * recomputes per-frame BT.601 luma means from the formulas alone.
+    */
+  def synthGifVideoPayload(id: Long): Array[Byte] = {
+    val w = (id % 9 + 3).toInt
+    val h = ((id * 7) % 8 + 3).toInt
+    val nF = (id % 5 + 2).toInt
+    val bits = (id % 4 + 3).toInt
+    val n = 1 << bits
+    val palette = new Array[Byte](3 * n)
+    var i = 0
+    while (i < n) {
+      palette(3 * i) = ((i * 7 + id) % 256).toByte
+      palette(3 * i + 1) = ((i * 11 + 3 * id) % 256).toByte
+      palette(3 * i + 2) = ((i * 13 + 5 * id) % 256).toByte
+      i += 1
+    }
+    buildGifAnim(w, h, palette, nF,
+      (x, y, t) => ((id + 3 * x + 5 * y + 11 * t) % n).toInt,
+      delayCs = (id % 7 + 2).toInt)
+  }
+
+  /** Fixture for the animated-GIF frame-stats gate; every 19th
+    * payload magic-corrupted, every 13th cut 5 bytes short.
+    */
+  def synthesizeGifVideoBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthGifVideoPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 0x00.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Deterministic GIF payload for media id `id`: dims, palette size
@@ -2775,14 +2925,16 @@ object Multimodal {
   }
 
   /** Container dispatch for video payloads on the magic bytes: Y4M
-    * ("YUV4MPEG2") and MJPEG-in-AVI ("RIFF…AVI "); anything else —
-    * including a RIFF that is a WAV — is null. Mirror of the raster
-    * dispatch in [[withPixelStats]].
+    * ("YUV4MPEG2"), MJPEG-in-AVI ("RIFF…AVI ") and animated GIF
+    * ("GIF8…", every frame full-screen); anything else — including a
+    * RIFF that is a WAV — is null. Mirror of the raster dispatch in
+    * [[withPixelStats]].
     */
   def decodeVideo(b: Array[Byte]): VideoClip = {
     if (b == null || b.length < 12) return null
     if (b(0) == 'Y'.toByte && b(1) == 'U'.toByte) decodeY4m(b)
     else if (ascii(b, 0, "RIFF") && ascii(b, 8, "AVI ")) decodeAviMjpeg(b)
+    else if (ascii(b, 0, "GIF8")) decodeGifVideo(b)
     else null
   }
 

@@ -622,6 +622,40 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeGif(sub) === null)
   }
 
+  test("decodeGifVideo: animated GIFs decode every full-screen frame " +
+      "through the LZW codec with GCE-delay fps; single-image decode " +
+      "still reads only the first frame; degrades → null (r11)") {
+    import Multimodal._
+    val pal = Array.tabulate[Byte](3 * 8)(i => (i * 19 + 5).toByte)
+    def pix(x: Int, y: Int, t: Int): Int = (x + 2 * y + 3 * t) % 8
+    val anim = buildGifAnim(6, 5, pal, 4, pix, delayCs = 7)
+    val v = decodeGifVideo(anim)
+    assert(v != null && v.format === "gif")
+    assert(v.width === 6 && v.height === 5 && v.lumaFrames.length === 4)
+    assert(v.fpsNum === 100 && v.fpsDen === 7)
+    for (t <- 0 until 4; y <- 0 until 5; x <- 0 until 6) {
+      val ix = pix(x, y, t)
+      val want = ((pal(ix * 3) & 0xFF) * 299 + (pal(ix * 3 + 1) & 0xFF) * 587 +
+        (pal(ix * 3 + 2) & 0xFF) * 114) / 1000
+      assert((v.lumaFrames(t)(y * 6 + x) & 0xFF) === want, s"($x,$y,$t)")
+    }
+    // decodeVideo dispatches GIF; the image reader still takes frame 0
+    assert(decodeVideo(anim) != null)
+    val first = decodeGif(anim)
+    assert(first != null && first.width === 6)
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert((first.rgb((y * 6 + x) * 3) & 0xFF) === (pal(pix(x, y, 0) * 3) & 0xFF))
+    // fixture formulas round-trip
+    val fv = decodeGifVideo(synthGifVideoPayload(9))
+    assert(fv.lumaFrames.length === (9 % 5 + 2) && fv.fpsDen === (9 % 7 + 2))
+    // degrades
+    assert(decodeGifVideo(null) === null)
+    val cut = synthGifVideoPayload(9)
+    assert(decodeGifVideo(java.util.Arrays.copyOfRange(cut, 0, cut.length - 5)) === null)
+    val bad = synthGifVideoPayload(9); bad(0) = 0
+    assert(decodeGifVideo(bad) === null)
+  }
+
   test("withPixelStats: gif payloads dispatch on the GIF8 magic and " +
       "decode real pixels; planted degrade paths report unknown (r11)") {
     import Multimodal._
