@@ -2200,6 +2200,19 @@ object SparkEntry {
       Dedup.fingerprintPairs(fp, "media_id", "vfp", maxHamming = 3)
     }),
 
+    // --- CROSS-CONTAINER video dedup (r11): the same clip stored as
+    //     raw Y4M and as an animated GIF (256-gray palette → decoded
+    //     luma bit-identical) must pair at hamming ZERO through the
+    //     temporal hash — format-blind near-dup, what makes video
+    //     dedup usable on a mixed crawl. The oracle computes ONE
+    //     fingerprint per clip content and emits every twin pair.
+    "mm_video_xcontainer" -> ((s, dir) => {
+      val media = Multimodal.synthesizeXContainerVideoBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val fp = Multimodal.withVideoDHash(media, "payload", "vfp")
+      Dedup.fingerprintPairs(fp, "media_id", "vfp", maxHamming = 3)
+    }),
+
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
     //     analytics, no streaming runtime needed)
@@ -4026,6 +4039,39 @@ object SparkEntry {
         |  SELECT b.media_id FROM fp a JOIN fp b ON a.media_id < b.media_id
         |  WHERE bit_count(xor(a.f, b.f)) <= 3)
         |ORDER BY p.media_id""".stripMargin,
+
+    // the mm_video_xcontainer oracle: both containers decode to the
+    // SAME luma planes, so one fingerprint per clip CONTENT (the
+    // unperturbed closed-form formula) serves both ids; twin pairs
+    // land at hamming 0, unrelated clips stay far
+    "mm_video_xcontainer" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    ((i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53) *
+        |     (i.base * 131 + x.g * 29 + y.g * 67 + t.g * 53)) % 256 AS l
+        |  FROM ids i, generate_series(0, 17) AS x(g),
+        |       generate_series(0, 15) AS y(g), generate_series(0, 4) AS t(g)),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy, sum(l) AS s
+        |  FROM px GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_phash_pairs oracle restricted to pairs that touch the
     // appended batch (ids ≥ 1000 are the batch; id_a < id_b makes

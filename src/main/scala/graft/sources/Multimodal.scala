@@ -3066,6 +3066,34 @@ object Multimodal {
       else base
     })
 
+  /** Fixture for the CROSS-CONTAINER video near-dup gate: the same
+    * clip content stored twice — as raw Y4M (media_id = id) and as an
+    * animated GIF with a 256-gray palette (media_id = id + 1000,
+    * pal(i) = (i,i,i) whose BT.601 luma is exactly i, so the decoded
+    * luma planes are bit-identical across containers). Temporal-hash
+    * dedup over the union must pair every clip with its other-format
+    * twin at hamming 0 — format-blind near-dup, the property that
+    * makes video dedup usable on a mixed crawl at all.
+    */
+  def synthesizeXContainerVideoBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val grayPal = Array.tabulate[Byte](768)(i => (i / 3).toByte)
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        def lum(x: Int, y: Int, t: Int): Int = {
+          val v = id * 131 + x * 29L + y * 67L + t * 53L
+          ((v * v) % 256).toInt
+        }
+        Iterator(
+          Row(id, buildY4m(18, 16, "C420jpeg", 5, lum)),
+          Row(id + 1000L, buildGifAnim(18, 16, grayPal, 5, lum, delayCs = 4)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Fixture for the video near-dup gate: the ORIGINAL clip
     * (media_id = id) plus a PERTURBED copy (media_id = id + 1000).
     * Near-dup over this table must pair each copy with its source and
