@@ -1996,6 +1996,26 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- Corpus-level line dedup (r11 — the C4/RefinedWeb cleaning
+    //     step): line-structured docs built in-plan with heavy
+    //     cross-document line duplication (23 distinct lines across
+    //     ~350 occurrences); each distinct line's FIRST corpus
+    //     occurrence survives, documents reassemble from surviving
+    //     lines in order, fully-duplicated documents come back EMPTY
+    //     (visible, not vanished). The oracle replays the same
+    //     first-occurrence window in SQL.
+    "docs_dedup_lines" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0), pmod(col("doc_id"), lit(4)) + 1),
+            j => concat(lit("line "),
+              pmod(col("doc_id") * 5 + j * 3, lit(23)).cast("string"))))
+            .as("text"))
+      Dedup.dedupLines(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Media curation pipeline (r11 — the composition gate for the
     //     image family, the corpus_pipeline pattern): junk filter
     //     (luma variance over REAL decoded pixels — the solid tiles
@@ -3988,6 +4008,27 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the docs_dedup_lines oracle: the same first-occurrence window
+    // over the closed-form line keys, reassembled with an ordered
+    // string_agg; LEFT JOIN keeps fully-duplicated docs as ''
+    "docs_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nl
+        |  FROM documents WHERE doc_id < 100),
+        |lines AS (
+        |  SELECT d.doc_id, j.g AS pos, (d.doc_id * 5 + j.g * 3) % 23 AS k
+        |  FROM d, generate_series(0, 5) AS j(g) WHERE j.g < d.nl),
+        |win AS (
+        |  SELECT doc_id, pos, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |reb AS (
+        |  SELECT doc_id, string_agg('line ' || k, chr(10) ORDER BY pos) AS text
+        |  FROM win WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the mm_pipeline oracle: luma variance recomputed for ALL 120
     // images (textured pass ≥1, solid tiles are exactly 0 and fail),

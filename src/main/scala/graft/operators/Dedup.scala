@@ -1139,6 +1139,40 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus-level exact LINE dedup — the C4/RefinedWeb cleaning step:
+    * split every document on `delim`, keep each distinct line's FIRST
+    * occurrence in (id, position) order corpus-wide, drop every later
+    * occurrence (boilerplate headers, navigation chrome, repeated
+    * disclaimers — the line-granular duplication document-level dedup
+    * cannot see), and reassemble documents from their surviving lines
+    * in original order. Documents whose every line was seen earlier
+    * come back EMPTY, not missing — a curation pipeline filters them
+    * by length where it chooses to.
+    *
+    * Scale shape: one shuffle keyed by the line value for the
+    * first-occurrence window (rank work per line ∝ its duplicate
+    * count, never corpus size), one partial-aggregated shuffle to
+    * reassemble; no driver state, no collect.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__line")).orderBy(col(idCol), col("__pos"))
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        delim).as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+  }
+
   /** Apply form of [[fingerprintPairs]] — the media twin of
     * [[dedupNear]]: connected components over the pair graph, keep
     * the min-id representative of each cluster, everything unpaired

@@ -540,4 +540,27 @@ class DedupSpec extends SparkSpec {
     assert(afterSim - afterNear <= 1,
       s"simhashPairs left ${afterSim - afterNear} resident RDDs (caches leaked?)")
   }
+
+  test("dedupLines: corpus-wide first occurrence survives, in-doc and " +
+      "cross-doc repeats drop, fully-duplicated docs come back EMPTY " +
+      "in-place, order preserved (r11)") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha"),  // in-doc repeat of alpha
+      (2L, "beta\ngamma"),         // beta seen in doc 1
+      (3L, "alpha\nbeta"),         // nothing new → empty
+      (4L, "delta"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "gamma"),
+      (3L, ""),
+      (4L, "delta")))
+    // a custom delimiter with regex metacharacters must be literal
+    val dot = Seq((1L, "a.b.a"), (2L, "b.c")).toDF("doc_id", "text")
+    val outDot = graft.operators.Dedup.dedupLines(dot, "doc_id", "text", delim = ".")
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(outDot === Seq((1L, "a.b"), (2L, "c")))
+  }
 }
