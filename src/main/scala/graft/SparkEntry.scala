@@ -2016,6 +2016,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Line dedup with the boilerplate cap (r11): same fixture,
+    //     maxOccurrences = 3 — a line repeated corpus-wide more than
+    //     3 times is dropped ENTIRELY (even its first occurrence),
+    //     the RefinedWeb boilerplate policy; rarer lines keep their
+    //     first occurrence as in docs_dedup_lines. Same line-keyed
+    //     shuffle carries both decisions.
+    "docs_dedup_lines_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat_ws("\n", transform(
+            sequence(lit(0), pmod(col("doc_id"), lit(4)) + 1),
+            j => concat(lit("line "),
+              pmod(col("doc_id") * 5 + j * 3, lit(23)).cast("string"))))
+            .as("text"))
+      Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Media curation pipeline (r11 — the composition gate for the
     //     image family, the corpus_pipeline pattern): junk filter
     //     (luma variance over REAL decoded pixels — the solid tiles
@@ -4026,6 +4044,28 @@ object SparkEntry {
         |reb AS (
         |  SELECT doc_id, string_agg('line ' || k, chr(10) ORDER BY pos) AS text
         |  FROM win WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the docs_dedup_lines oracle with the occurrence cap: lines with
+    // more than 3 corpus occurrences vanish entirely, others keep
+    // their first occurrence
+    "docs_dedup_lines_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nl
+        |  FROM documents WHERE doc_id < 100),
+        |lines AS (
+        |  SELECT d.doc_id, j.g AS pos, (d.doc_id * 5 + j.g * 3) % 23 AS k
+        |  FROM d, generate_series(0, 5) AS j(g) WHERE j.g < d.nl),
+        |win AS (
+        |  SELECT doc_id, pos, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS cnt
+        |  FROM lines),
+        |reb AS (
+        |  SELECT doc_id, string_agg('line ' || k, chr(10) ORDER BY pos) AS text
+        |  FROM win WHERE rn = 1 AND cnt <= 3 GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -1155,14 +1155,23 @@ object Dedup {
     * reassemble; no driver state, no collect.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      delim: String = "\n"): DataFrame = {
+      delim: String = "\n", maxOccurrences: Int = Int.MaxValue): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences $maxOccurrences")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__line")).orderBy(col(idCol), col("__pos"))
-    val kept = lines.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__line"))
+    val w = part.orderBy(col(idCol), col("__pos"))
+    // boilerplate policy rides the SAME line-keyed partition: a line
+    // occurring more than `maxOccurrences` times corpus-wide is
+    // dropped ENTIRELY (navigation chrome, cookie banners — keeping
+    // even one copy per corpus is keeping noise), otherwise the first
+    // occurrence survives
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(part))
+      .filter(col("__rn") === 1 && col("__cnt") <= maxOccurrences)
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(

@@ -562,5 +562,12 @@ class DedupSpec extends SparkSpec {
     val outDot = graft.operators.Dedup.dedupLines(dot, "doc_id", "text", delim = ".")
       .orderBy($"doc_id").as[(Long, String)].collect().toSeq
     assert(outDot === Seq((1L, "a.b"), (2L, "c")))
+    // occurrence cap: "x" appears 3 times corpus-wide → dropped
+    // ENTIRELY at maxOccurrences=2; "y" (2 times) keeps its first
+    val capped = graft.operators.Dedup.dedupLines(
+      Seq((1L, "x\ny"), (2L, "x\ny"), (3L, "x\nz")).toDF("doc_id", "text"),
+      "doc_id", "text", maxOccurrences = 2)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(capped === Seq((1L, "y"), (2L, ""), (3L, "z")))
   }
 }
