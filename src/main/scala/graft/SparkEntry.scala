@@ -1996,6 +1996,18 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- Intra-doc word-run collapse (r11 — the repetition TRIM next
+    //     to the repetition score): runs of the same consecutive word
+    //     shrink to at most 2 occurrences, judged on the REAL fixture
+    //     text (which carries natural short runs); the oracle replays
+    //     the same original-position predecessor test in SQL.
+    "text_collapse_runs" -> ((s, dir) => {
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextFunctions.collapseWordRuns(col("text"), maxRun = 2).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Corpus-level line dedup (r11 — the C4/RefinedWeb cleaning
     //     step): line-structured docs built in-plan with heavy
     //     cross-document line duplication (23 distinct lines across
@@ -4026,6 +4038,23 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the text_collapse_runs oracle: word g (1-based) survives iff
+    // g ≤ 2 or one of its two predecessors differs, replayed over the
+    // split of the REAL fixture text
+    "text_collapse_runs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents WHERE doc_id < 200),
+        |w AS (
+        |  SELECT d.doc_id, g.g AS g, d.ws[g.g] AS w, d.ws AS ws
+        |  FROM d, generate_series(1, 600) AS g(g)
+        |  WHERE g.g <= len(d.ws)),
+        |kept AS (
+        |  SELECT doc_id, g, w FROM w
+        |  WHERE g <= 2 OR NOT (w = ws[g - 1] AND ws[g - 1] = ws[g - 2]))
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY g) AS text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the docs_dedup_lines oracle: the same first-occurrence window
     // over the closed-form line keys, reassembled with an ordered

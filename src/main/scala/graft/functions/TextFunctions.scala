@@ -224,4 +224,26 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L % FpMod),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
+
+  /** Collapse runs of the same consecutive word to at most `maxRun`
+    * occurrences — the intra-document repetition TRIM next to the
+    * repetition SCORE ([[repetitionRatio]]): looping generations and
+    * stutter artifacts ("buy now buy now buy now …" is n-gram scope;
+    * "now now now now" is this one) shrink to a bounded echo instead
+    * of dominating the token budget. Whole-stage-codegen HOFs over
+    * the split array — a word survives iff it is within the first
+    * `maxRun` positions or at least one of its `maxRun` predecessors
+    * differs (positions judged on the ORIGINAL array, which collapses
+    * any longer run to exactly `maxRun`). Null-safe: null text stays
+    * null.
+    */
+  def collapseWordRuns(text: Column, maxRun: Int = 2): Column = {
+    require(maxRun >= 1, s"maxRun $maxRun")
+    val ws = split(text, " ")
+    array_join(
+      filter(ws, (w, i) => i < lit(maxRun) ||
+        exists(sequence(lit(1), lit(maxRun)),
+          k => !(element_at(ws, i + lit(1) - k) <=> w))),
+      " ")
+  }
 }

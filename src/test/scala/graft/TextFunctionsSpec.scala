@@ -185,4 +185,26 @@ class TextFunctionsSpec extends SparkSpec {
       assert(fast.nonEmpty, s"threshold $t fixture must produce pairs")
     }
   }
+
+  test("collapseWordRuns: runs shrink to maxRun on original positions, " +
+      "non-runs untouched, null passes through (r11)") {
+    import graft.functions.TextFunctions.collapseWordRuns
+    val rows = Seq(
+      (1L, "a a a a b b c a"),
+      (2L, "x y x y x"),       // alternation: no run, untouched
+      (3L, "w w w w w w"),     // one long run
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", collapseWordRuns($"t", maxRun = 2).as("c"),
+        collapseWordRuns($"t", maxRun = 1).as("c1"))
+      .orderBy($"id").collect()
+    assert(rows(0).getString(1) === "a a b b c a")
+    assert(rows(0).getString(2) === "a b c a")
+    assert(rows(1).getString(1) === "x y x y x")
+    assert(rows(2).getString(1) === "w w")
+    assert(rows(2).getString(2) === "w")
+    assert(rows(3).getString(1) === "")
+    assert(rows(4).isNullAt(1))
+  }
 }
