@@ -238,6 +238,17 @@ class PlanSpec extends SparkSpec {
       "the shingle join must be broadcast, not a corpus shuffle")
   }
 
+  test("docs_dedup_lines: the first-occurrence window is LINE-keyed — " +
+      "never a SinglePartition stage — and the reassembly aggregate " +
+      "partial-aggregates map-side (r11)") {
+    val p = plan("docs_dedup_lines")
+    assert(!p.contains("SinglePartition"),
+      s"global single-reducer stage found:\n${p.take(900)}")
+    assert(p.contains("Window"), "the line-keyed window must exist")
+    assert(p.contains("partial_"),
+      s"reassembly must partial-aggregate:\n${p.take(900)}")
+  }
+
   test("media decode gates stay NARROW — scan → per-partition map, the " +
       "only exchange is the final presentation sort (r11): a decode " +
       "chain that grows a join or aggregate shuffle would ship payload " +
