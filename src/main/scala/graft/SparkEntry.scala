@@ -1955,6 +1955,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Thumbnail over COMPRESSED input (r11 — the mm_thumbnail
+    //     chain with the source routed through the real JPEG entropy
+    //     decoder instead of raw BMP bytes): decode → per-axis box-
+    //     downsample → PNG encode → decode → stats, block floor-means
+    //     recomputed from the DC-block formula. Both JPEG degrade
+    //     classes (magic %19, progressive %13) surface as the null
+    //     stats struct.
+    "mm_thumbnail_jpeg" -> ((s, dir) => {
+      val media = Multimodal.synthesizeJpegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val thumbs = Multimodal.withThumbnail(media, "payload", "thumb", maxDim = 4)
+      Multimodal.withPixelStats(thumbs, "thumb", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- GIF pixel decode (r11 — the fourth raster format, and the
     //     LZW one): payloads are well-formed single-image GIFs built
     //     in-plan — palette channels and the index raster are
@@ -4608,6 +4629,39 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(s.mr, 6) END AS mean_r,
         |  CASE WHEN b.c THEN NULL ELSE round(s.mg, 6) END AS mean_g,
         |  CASE WHEN b.c THEN NULL ELSE round(s.mb, 6) END AS mean_b
+        |FROM ids i JOIN fz z USING (media_id) JOIN st s USING (media_id)
+        |  JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_thumbnail oracle over the JPEG fixture: source pixel
+    // (x, y) is the DC-block value (all channels equal), factors
+    // fx = ceil(w/4) / fy = ceil(h/4), edge remainder cropped, block
+    // value = floor-mean of the fx×fy source block
+    "mm_thumbnail_jpeg" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 21 + 4 AS w, (doc_id * 5) % 19 + 4 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |fz AS (SELECT media_id, w, h,
+        |    (w + 3) // 4 AS fx, (h + 3) // 4 AS fy FROM ids),
+        |blocks AS (
+        |  SELECT z.media_id, x.g // z.fx AS bx, y.g // z.fy AS by,
+        |    sum((z.media_id * 11 + 23 * (x.g // 8) + 41 * (y.g // 8)) % 256)
+        |      // (z.fx * z.fy) AS bv
+        |  FROM fz z, generate_series(0, 23) AS x(g), generate_series(0, 21) AS y(g)
+        |  WHERE x.g < (z.w // z.fx) * z.fx AND y.g < (z.h // z.fy) * z.fy
+        |  GROUP BY z.media_id, x.g // z.fx, y.g // z.fy, z.fx, z.fy),
+        |st AS (SELECT media_id, count(*) AS n, avg(bv) AS m
+        |  FROM blocks GROUP BY media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN NULL ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w // z.fx AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h // z.fy AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(s.n AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(s.m, 6) END AS mean_b
         |FROM ids i JOIN fz z USING (media_id) JOIN st s USING (media_id)
         |  JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
