@@ -1149,10 +1149,20 @@ object Dedup {
     * come back EMPTY, not missing — a curation pipeline filters them
     * by length where it chooses to.
     *
-    * Scale shape: one shuffle keyed by the line value for the
-    * first-occurrence window (rank work per line ∝ its duplicate
-    * count, never corpus size), one partial-aggregated shuffle to
-    * reassemble; no driver state, no collect.
+    * Non-id/text input columns pass through unchanged (the operator
+    * rewrites `textCol` in place, like [[dedupByFingerprint]]).
+    *
+    * Scale shape (VERDICT r11 #1 — skew-immune by construction): the
+    * first-occurrence winner and the corpus-wide occurrence count come
+    * from ONE `groupBy(line).agg(min(struct(id,pos)), count)` — both
+    * aggregates take map-side partial aggregation, so the operator's
+    * own target input (a boilerplate line present in ~every document:
+    * cookie banners, "© 2024 …") reduces to one row per map task
+    * BEFORE the shuffle instead of funneling billions of occurrences
+    * through a single line-partitioned window reducer. The winner row
+    * carries (id, pos, line) directly, so no join back to the exploded
+    * lines is needed; one more partial-aggregated shuffle reassembles
+    * documents. No driver state, no collect.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", maxOccurrences: Int = Int.MaxValue): DataFrame = {
@@ -1160,26 +1170,28 @@ object Dedup {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
-    val part = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__line"))
-    val w = part.orderBy(col(idCol), col("__pos"))
-    // boilerplate policy rides the SAME line-keyed partition: a line
+    // boilerplate policy rides the SAME line-keyed aggregation: a line
     // occurring more than `maxOccurrences` times corpus-wide is
     // dropped ENTIRELY (navigation chrome, cookie banners — keeping
     // even one copy per corpus is keeping noise), otherwise the first
-    // occurrence survives
+    // occurrence in (id, pos) order survives — min(struct) compares
+    // fields left-to-right, exactly the old window's orderBy(id, pos)
     val kept = lines
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(part))
-      .filter(col("__rn") === 1 && col("__cnt") <= maxOccurrences)
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") <= maxOccurrences)
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__pos").as("__pos"), col("__line"))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line")),
         delim).as(textCol))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(df.columns.map(col): _*)
   }
 
   /** Apply form of [[fingerprintPairs]] — the media twin of

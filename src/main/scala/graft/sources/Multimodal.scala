@@ -912,10 +912,16 @@ object Multimodal {
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
-  /** Decode a baseline JPEG payload to RGB pixels. Total function:
-    * malformed / truncated / unsupported bytes return null, never
-    * throw. Dimensions capped at [[MaxBmpDim]] like the other raster
-    * decoders (headers are untrusted bytes).
+  /** Decode a baseline (SOF0) or progressive (SOF2, r12) JPEG payload
+    * to RGB pixels. Total function: malformed / truncated /
+    * unsupported bytes return null, never throw. Dimensions capped at
+    * [[MaxBmpDim]] like the other raster decoders (headers are
+    * untrusted bytes); progressive frames additionally cap total
+    * pixels at [[MaxProgressivePixels]] because progressive decode
+    * must hold EVERY coefficient of the frame resident until EOI
+    * (4 bytes/coefficient/component — the cap bounds one task's
+    * buffer at ~48 MB for 4:4:4, where baseline streams block by
+    * block and needs no such cap).
     */
   def decodeJpeg(b: Array[Byte]): RasterImage = {
     if (b == null || b.length < 4) return null
@@ -923,6 +929,13 @@ object Multimodal {
     try decodeJpegUnsafe(b)
     catch { case scala.util.control.NonFatal(_) => null }
   }
+
+  /** Coefficient-memory bound for progressive decode: 2²² pixels
+    * (4 MP). A progressive frame larger than this returns null —
+    * documented stub boundary, same honesty discipline as the
+    * compressed-codec cliffs.
+    */
+  val MaxProgressivePixels: Long = 1L << 22
 
   private def decodeJpegUnsafe(b: Array[Byte]): RasterImage = {
     val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored in DQT
@@ -936,7 +949,20 @@ object Multimodal {
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3); val compAc = new Array[Int](3)
     var sofSeen = false
+    var progressive = false
+    var eoiSeen = false
+    var nScans = 0
     var scanStart = -1
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
+    val planeW = new Array[Int](3); val planeH = new Array[Int](3)
+    val plane = new Array[Array[Byte]](3)
+    // progressive only: the FULL raw-coefficient store per component
+    // (natural order within each 64-int block, padded block grid) —
+    // a progressive frame's scans each carry part of every block, so
+    // nothing can be reconstructed until EOI (why MaxProgressivePixels
+    // bounds this path and not baseline)
+    val coefStore = new Array[Array[Int]](3)
     var i = 2
 
     def seglen(at: Int): Int = {
@@ -946,7 +972,256 @@ object Multimodal {
       len
     }
 
-    while (scanStart < 0) {
+    // entropy-coded segment: byte-stuffed bit reader (F.2.2.5) —
+    // hoisted above the marker loop because progressive scans decode
+    // INSIDE it (one SOS per coefficient band/approximation pass)
+    var pos = 0
+    var bitBuf = 0; var bitCnt = 0
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) throw JpegMalformed
+        val byte0 = b(pos) & 0xFF; pos += 1
+        if (byte0 == 0xFF) {
+          if (pos >= b.length) throw JpegMalformed
+          if ((b(pos) & 0xFF) != 0x00) throw JpegMalformed // marker mid-entropy
+          pos += 1 // stuffed zero after a literal 0xFF data byte
+        }
+        bitBuf = byte0; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    def huffDecode(tab: JpegHuff): Int = {
+      var l = 1; var code = nextBit()
+      while (code > tab.maxcode(l)) {
+        l += 1
+        if (l > 16) throw JpegMalformed
+        code = (code << 1) | nextBit()
+      }
+      tab.value(tab.valptr(l) + code - tab.mincode(l))
+    }
+    def expectRst(rstIdx: Int): Unit = {
+      bitCnt = 0 // discard pad bits to the byte boundary
+      if (pos + 2 > b.length) throw JpegMalformed
+      if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFF) != 0xD0 + rstIdx)
+        throw JpegMalformed
+      pos += 2
+    }
+
+    val coef = new Array[Int](64)
+    val tmp = Array.ofDim[Double](8, 8)
+    val dcPred = new Array[Int](3)
+
+    // separable IDCT of the dequantized `coef` block into plane `ci`
+    def idctToPlane(ci: Int, destX: Int, destY: Int): Unit = {
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < 8) {
+          var s2 = 0.0; var v = 0
+          while (v < 8) { s2 += IdctA(v)(y) * coef(u + 8 * v); v += 1 }
+          tmp(u)(y) = s2
+          y += 1
+        }
+        u += 1
+      }
+      val pw = planeW(ci)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          var s3 = 0.0; var u2 = 0
+          while (u2 < 8) { s3 += IdctA(u2)(xx) * tmp(u2)(yy); u2 += 1 }
+          plane(ci)((destY + yy) * pw + destX + xx) =
+            clamp255(math.round(s3).toInt + 128).toByte
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    // one baseline data unit: Huffman entropy decode + dequant + IDCT
+    def decodeBlock(ci: Int, destX: Int, destY: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val q = qt(compQ(ci))
+      val t = huffDecode(dcTab(compDc(ci)))
+      if (t > 15) throw JpegMalformed
+      dcPred(ci) += extend(receive(t), t)
+      coef(0) = dcPred(ci) * q(0)
+      var k = 1
+      var done = false
+      while (!done && k < 64) {
+        val rs = huffDecode(acTab(compAc(ci)))
+        val r = rs >> 4; val s = rs & 0xF
+        if (s == 0) {
+          if (r == 15) k += 16 else done = true // ZRL vs EOB
+        } else {
+          k += r
+          if (k > 63) throw JpegMalformed
+          coef(ZigZag(k)) = extend(receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      idctToPlane(ci, destX, destY)
+    }
+
+    // ---- progressive scan decode (T.81 Annex G, r12) ----
+    // scanComp: frame component indices of the scan's components;
+    // td/ta: the scan's Huffman table ids; (ss, se): spectral band;
+    // ah/al: successive-approximation bit positions. Coefficients land
+    // RAW (shifted by al) in coefStore; dequant + IDCT wait for EOI.
+    def progScan(scanComp: Array[Int], td: Array[Int], ta: Array[Int],
+        ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      var eobrun = 0
+      java.util.Arrays.fill(dcPred, 0)
+      val ns = scanComp.length
+
+      def dcUnit(si: Int, arr: Array[Int], base: Int): Unit =
+        if (ah == 0) { // first DC scan: diff-coded at reduced precision
+          val t = huffDecode(dcTab(td(si)))
+          if (t > 15) throw JpegMalformed
+          dcPred(si) += extend(receive(t), t)
+          arr(base) = dcPred(si) << al
+        } else { // refinement: one raw bit per block (G.1.2.1)
+          if (nextBit() == 1) arr(base) |= (1 << al)
+        }
+
+      def acFirstUnit(arr: Array[Int], base: Int, tab: JpegHuff): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = huffDecode(tab)
+          val r = rs >> 4; val s = rs & 0xF
+          if (s == 0) {
+            if (r < 15) { // EOBn: 2^r - 1 + appended bits FURTHER blocks
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += receive(r)
+              k = se + 1
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) throw JpegMalformed
+            arr(base + ZigZag(k)) = extend(receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      // correction bit for a coefficient with nonzero history
+      // (G.1.2.3) — zero-history coefficients carry NO bit here
+      def refineNonzero(arr: Array[Int], idx: Int, bit: Int): Unit =
+        if (arr(idx) != 0 && nextBit() == 1 && (arr(idx) & bit) == 0)
+          arr(idx) += (if (arr(idx) >= 0) bit else -bit)
+
+      def acRefineUnit(arr: Array[Int], base: Int, tab: JpegHuff): Unit = {
+        val bit = 1 << al
+        var k = ss
+        if (eobrun > 0) { // inside an EOB run: corrections only
+          while (k <= se) { refineNonzero(arr, base + ZigZag(k), bit); k += 1 }
+          eobrun -= 1
+          return
+        }
+        while (k <= se) {
+          val rs = huffDecode(tab)
+          var r = rs >> 4; val s = rs & 0xF
+          var newval = 0
+          var eob = false
+          if (s == 0) {
+            if (r < 15) { // EOBn INCLUDES this block in refinement
+              eobrun = 1 << r
+              if (r > 0) eobrun += receive(r)
+              eob = true
+            } // else ZRL: skip 16 zero-HISTORY coefficients
+          } else {
+            if (s != 1) throw JpegMalformed // refinement codes 1 bit max
+            newval = if (nextBit() == 1) bit else -bit
+          }
+          if (eob) {
+            while (k <= se) { refineNonzero(arr, base + ZigZag(k), bit); k += 1 }
+            eobrun -= 1
+          } else {
+            // advance past r zero-history coefficients (correcting
+            // nonzero ones for free), then place the new value
+            var placed = false
+            while (!placed && k <= se) {
+              val idx = base + ZigZag(k)
+              if (arr(idx) != 0) refineNonzero(arr, idx, bit)
+              else if (r == 0) { if (newval != 0) arr(idx) = newval; placed = true }
+              else r -= 1
+              k += 1
+            }
+            if (!placed && s != 0) throw JpegMalformed // value ran off the band
+          }
+        }
+      }
+
+      def unitOf(si: Int, arr: Array[Int], base: Int): Unit =
+        if (ss == 0) dcUnit(si, arr, base)
+        else if (ah == 0) acFirstUnit(arr, base, acTab(ta(si)))
+        else acRefineUnit(arr, base, acTab(ta(si)))
+
+      if (ns == 1) {
+        // non-interleaved: data units cover ceil(component px / 8),
+        // NOT the MCU-padded grid (T.81 A.2.2); rows still use the
+        // padded stride so block addresses agree with DC scans
+        val ci = scanComp(0)
+        val bw = (w * compH(ci) + 8 * hmax - 1) / (8 * hmax)
+        val bh = (h * compV(ci) + 8 * vmax - 1) / (8 * vmax)
+        val stride = mcusX * compH(ci)
+        val arr = coefStore(ci)
+        val total = bw * bh
+        var unit = 0
+        var rstIdx = 0
+        while (unit < total) {
+          if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+            expectRst(rstIdx); rstIdx = (rstIdx + 1) & 7
+            java.util.Arrays.fill(dcPred, 0); eobrun = 0
+          }
+          unitOf(0, arr, ((unit / bw) * stride + unit % bw) * 64)
+          unit += 1
+        }
+      } else {
+        // interleaved (DC) scan over the frame MCU grid
+        val total = mcusX * mcusY
+        var mcu = 0
+        var rstIdx = 0
+        while (mcu < total) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            expectRst(rstIdx); rstIdx = (rstIdx + 1) & 7
+            java.util.Arrays.fill(dcPred, 0); eobrun = 0
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < ns) {
+            val ci = scanComp(si)
+            val stride = mcusX * compH(ci)
+            val arr = coefStore(ci)
+            var by = 0
+            while (by < compV(ci)) {
+              var bx = 0
+              while (bx < compH(ci)) {
+                unitOf(si, arr,
+                  ((my * compV(ci) + by) * stride + mx * compH(ci) + bx) * 64)
+                bx += 1
+              }
+              by += 1
+            }
+            si += 1
+          }
+          mcu += 1
+        }
+      }
+    }
+
+    while (scanStart < 0 && !eoiSeen) {
       if (i + 2 > b.length) return null
       if ((b(i) & 0xFF) != 0xFF) return null
       var m = b(i + 1) & 0xFF
@@ -957,13 +1232,16 @@ object Multimodal {
       }
       i += 2
       m match {
-        case 0xC0 => // SOF0 — baseline sequential DCT
+        case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive (r12)
+          if (sofSeen) return null // one frame per payload
+          progressive = m == 0xC2
           val len = seglen(i)
           if ((b(i + 2) & 0xFF) != 8) return null // precision
           h = ((b(i + 3) & 0xFF) << 8) | (b(i + 4) & 0xFF)
           w = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
           nComp = b(i + 7) & 0xFF
           if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
+          if (progressive && w.toLong * h > MaxProgressivePixels) return null
           if (nComp != 1 && nComp != 3) return null
           if (len < 8 + nComp * 3) return null
           var c = 0
@@ -975,6 +1253,20 @@ object Multimodal {
             if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
               return null
             if (compQ(c) > 3) return null
+            hmax = math.max(hmax, compH(c)); vmax = math.max(vmax, compV(c))
+            c += 1
+          }
+          // geometry + buffers are fixed at SOF for both frame types
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          c = 0
+          while (c < nComp) {
+            planeW(c) = mcusX * compH(c) * 8
+            planeH(c) = mcusY * compV(c) * 8
+            plane(c) = new Array[Byte](planeW(c) * planeH(c))
+            if (progressive)
+              coefStore(c) =
+                new Array[Int](mcusX * compH(c) * mcusY * compV(c) * 64)
             c += 1
           }
           sofSeen = true
@@ -1024,169 +1316,136 @@ object Multimodal {
           if (len < 4) return null
           restartInterval = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
           i += len
-        case 0xDA => // SOS — interleaved scan over all frame components
+        case 0xDA => // SOS — baseline: the one interleaved scan;
+          // progressive: one of several band/approximation scans
           if (!sofSeen) return null
           val len = seglen(i)
           val ns = b(i + 2) & 0xFF
-          if (ns != nComp || len < 6 + ns * 2) return null
+          if (ns < 1 || ns > nComp || len < 6 + ns * 2) return null
+          if (!progressive && ns != nComp) return null
+          val scanComp = new Array[Int](ns)
+          val td = new Array[Int](ns); val ta = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val cs = b(i + 3 + c * 2) & 0xFF
             val tdta = b(i + 4 + c * 2) & 0xFF
             var f = 0; var fi = -1
             while (f < nComp) { if (compId(f) == cs) fi = f; f += 1 }
-            if (fi != c) return null // scan must list components in frame order
-            compDc(c) = tdta >> 4; compAc(c) = tdta & 0xF
-            if (compDc(c) > 3 || compAc(c) > 3) return null
+            if (fi < 0) return null
+            if (!progressive && fi != c) return null // frame order (baseline)
+            if (c > 0 && fi <= scanComp(c - 1)) return null // order + dups
+            scanComp(c) = fi
+            td(c) = tdta >> 4; ta(c) = tdta & 0xF
+            if (td(c) > 3 || ta(c) > 3) return null
+            compDc(fi) = td(c); compAc(fi) = ta(c) // baseline path reads these
             c += 1
           }
-          scanStart = i + len
-          i = scanStart
-        case 0xD8 | 0xD9 => return null // stray SOI / EOI before scan
+          if (!progressive) {
+            scanStart = i + len
+            i = scanStart
+          } else {
+            val ss = b(i + 3 + ns * 2) & 0xFF
+            val se = b(i + 4 + ns * 2) & 0xFF
+            val ahal = b(i + 5 + ns * 2) & 0xFF
+            val ah = ahal >> 4; val al = ahal & 0xF
+            // Annex G scan-header constraints: DC scans are band (0,0)
+            // (a baseline-style (0,63) header inside a SOF2 frame is
+            // MALFORMED progressive — refused, exactly what the %13
+            // SOF0→SOF2-rewritten degrade fixtures plant); AC scans
+            // are single-component; refinements step one bit at a time
+            if (ss == 0) { if (se != 0) return null }
+            else if (ns != 1 || se < ss || se > 63) return null
+            if (ah > 13 || al > 13 || (ah != 0 && ah != al + 1)) return null
+            if (ss == 0 && ah == 0) {
+              var s2 = 0
+              while (s2 < ns) { if (dcTab(td(s2)) == null) return null; s2 += 1 }
+            }
+            if (ss > 0 && acTab(ta(0)) == null) return null
+            pos = i + len
+            bitBuf = 0; bitCnt = 0
+            progScan(scanComp, td, ta, ss, se, ah, al)
+            nScans += 1
+            // resync: the entropy tail ends at the next marker (skip
+            // pad bits and stuffed 0xFF00 pairs)
+            bitCnt = 0
+            var p = pos
+            while (p + 1 < b.length &&
+                !((b(p) & 0xFF) == 0xFF && (b(p + 1) & 0xFF) != 0x00)) p += 1
+            if (p + 1 >= b.length) return null // no EOI after last scan
+            i = p
+          }
+        case 0xD9 => // EOI — terminates a progressive frame's scan set
+          if (!progressive || nScans == 0) return null
+          eoiSeen = true
+        case 0xD8 => return null // stray SOI
         case rst if rst >= 0xD0 && rst <= 0xD7 => return null // stray RST
-        case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+        case 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
             0xCD | 0xCE | 0xCF =>
-          return null // extended / progressive / lossless / arithmetic frames
+          return null // extended / lossless / arithmetic frames
         case 0x01 => () // TEM — standalone, no length
         case _ => i += seglen(i) // APPn / COM / other length-bearing segments
       }
     }
 
-    var hmax = 1; var vmax = 1
-    var c = 0
-    while (c < nComp) {
-      if (!qtSeen(compQ(c))) return null
-      if (dcTab(compDc(c)) == null || acTab(compAc(c)) == null) return null
-      hmax = math.max(hmax, compH(c)); vmax = math.max(vmax, compV(c))
-      c += 1
-    }
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val planeW = new Array[Int](3); val planeH = new Array[Int](3)
-    val plane = new Array[Array[Byte]](3)
-    c = 0
-    while (c < nComp) {
-      planeW(c) = mcusX * compH(c) * 8
-      planeH(c) = mcusY * compV(c) * 8
-      plane(c) = new Array[Byte](planeW(c) * planeH(c))
-      c += 1
-    }
-
-    // entropy-coded segment: byte-stuffed bit reader (F.2.2.5)
-    var pos = scanStart
-    var bitBuf = 0; var bitCnt = 0
-
-    def nextBit(): Int = {
-      if (bitCnt == 0) {
-        if (pos >= b.length) throw JpegMalformed
-        val byte0 = b(pos) & 0xFF; pos += 1
-        if (byte0 == 0xFF) {
-          if (pos >= b.length) throw JpegMalformed
-          if ((b(pos) & 0xFF) != 0x00) throw JpegMalformed // marker mid-entropy
-          pos += 1 // stuffed zero after a literal 0xFF data byte
-        }
-        bitBuf = byte0; bitCnt = 8
-      }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
-    }
-    def receive(n: Int): Int = {
-      var v = 0; var k = 0
-      while (k < n) { v = (v << 1) | nextBit(); k += 1 }
-      v
-    }
-    def extend(v: Int, t: Int): Int =
-      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
-    def huffDecode(tab: JpegHuff): Int = {
-      var l = 1; var code = nextBit()
-      while (code > tab.maxcode(l)) {
-        l += 1
-        if (l > 16) throw JpegMalformed
-        code = (code << 1) | nextBit()
-      }
-      tab.value(tab.valptr(l) + code - tab.mincode(l))
-    }
-
-    val coef = new Array[Int](64)
-    val tmp = Array.ofDim[Double](8, 8)
-    val dcPred = new Array[Int](3)
-
-    def decodeBlock(ci: Int, destX: Int, destY: Int): Unit = {
-      java.util.Arrays.fill(coef, 0)
-      val q = qt(compQ(ci))
-      val t = huffDecode(dcTab(compDc(ci)))
-      if (t > 15) throw JpegMalformed
-      dcPred(ci) += extend(receive(t), t)
-      coef(0) = dcPred(ci) * q(0)
-      var k = 1
-      var done = false
-      while (!done && k < 64) {
-        val rs = huffDecode(acTab(compAc(ci)))
-        val r = rs >> 4; val s = rs & 0xF
-        if (s == 0) {
-          if (r == 15) k += 16 else done = true // ZRL vs EOB
-        } else {
-          k += r
-          if (k > 63) throw JpegMalformed
-          coef(ZigZag(k)) = extend(receive(s), s) * q(k)
-          k += 1
-        }
-      }
-      // separable IDCT: tmp(u)(y) = Σv IdctA(v)(y)·F(u,v)
-      var u = 0
-      while (u < 8) {
-        var y = 0
-        while (y < 8) {
-          var s2 = 0.0; var v = 0
-          while (v < 8) { s2 += IdctA(v)(y) * coef(u + 8 * v); v += 1 }
-          tmp(u)(y) = s2
-          y += 1
-        }
-        u += 1
-      }
-      val pw = planeW(ci)
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          var s3 = 0.0; var u2 = 0
-          while (u2 < 8) { s3 += IdctA(u2)(xx) * tmp(u2)(yy); u2 += 1 }
-          plane(ci)((destY + yy) * pw + destX + xx) =
-            clamp255(math.round(s3).toInt + 128).toByte
-          xx += 1
-        }
-        yy += 1
-      }
-    }
-
-    val totalMcus = mcusX * mcusY
-    var mcu = 0
-    var rstIdx = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        bitCnt = 0 // discard pad bits to the byte boundary
-        if (pos + 2 > b.length) throw JpegMalformed
-        if ((b(pos) & 0xFF) != 0xFF || (b(pos + 1) & 0xFF) != 0xD0 + rstIdx)
-          throw JpegMalformed
-        pos += 2
-        rstIdx = (rstIdx + 1) & 7
-        java.util.Arrays.fill(dcPred, 0)
-      }
-      val mx = mcu % mcusX; val my = mcu / mcusX
-      var ci = 0
-      while (ci < nComp) {
-        var by = 0
-        while (by < compV(ci)) {
-          var bx = 0
-          while (bx < compH(ci)) {
-            decodeBlock(ci, (mx * compH(ci) + bx) * 8, (my * compV(ci) + by) * 8)
-            bx += 1
+    if (progressive) {
+      // scans complete at EOI: dequantize + IDCT every block of every
+      // component from the coefficient store
+      var c = 0
+      while (c < nComp) { if (!qtSeen(compQ(c))) return null; c += 1 }
+      c = 0
+      while (c < nComp) {
+        val arr = coefStore(c)
+        val q = qt(compQ(c))
+        val bw = mcusX * compH(c)
+        val nBlk = bw * mcusY * compV(c)
+        var blk = 0
+        while (blk < nBlk) {
+          val base = blk * 64
+          var k = 0
+          while (k < 64) {
+            coef(ZigZag(k)) = arr(base + ZigZag(k)) * q(k)
+            k += 1
           }
-          by += 1
+          idctToPlane(c, (blk % bw) * 8, (blk / bw) * 8)
+          blk += 1
         }
-        ci += 1
+        c += 1
       }
-      mcu += 1
+    } else {
+      var c = 0
+      while (c < nComp) {
+        if (!qtSeen(compQ(c))) return null
+        if (dcTab(compDc(c)) == null || acTab(compAc(c)) == null) return null
+        c += 1
+      }
+      pos = scanStart
+      bitBuf = 0; bitCnt = 0
+      val totalMcus = mcusX * mcusY
+      var mcu = 0
+      var rstIdx = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          expectRst(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var ci = 0
+        while (ci < nComp) {
+          var by = 0
+          while (by < compV(ci)) {
+            var bx = 0
+            while (bx < compH(ci)) {
+              decodeBlock(ci, (mx * compH(ci) + bx) * 8,
+                (my * compV(ci) + by) * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
     }
 
     // upsample (replication) + color convert (BT.601, T.871 rounding)
@@ -1372,6 +1631,191 @@ object Multimodal {
             j += 1
           bytes(j + 1) = 0xC2.toByte
         }
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  // AC Huffman table for the progressive fixture encoder: fifteen
+  // 4-bit canonical codes (code k = value k<<4) — the EOBn family
+  // EOB0..EOB14, all any T.81 Annex G decoder needs for DC-only
+  // blocks (every AC band is one end-of-band run).
+  private val ProgAcBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Byte] = Array.tabulate(15)(r => (r << 4).toByte)
+
+  /** Well-formed PROGRESSIVE (SOF2) JPEG whose decode is BIT-EXACT —
+    * the [[buildJpegSolid]] contract re-expressed as an Annex G scan
+    * script: all-ones quantization, DC-only solid blocks, and six
+    * scans exercising every progressive decode path — interleaved DC
+    * first at Al=1 (diffs at reduced precision), per-component AC
+    * first scans at Al=1 (pure EOBn runs), an interleaved DC
+    * refinement supplying bit 0, and per-component AC refinements
+    * (EOBn runs through the correction-bit walk). `restartInterval`
+    * > 0 plants byte-aligned RSTn markers in EVERY scan (EOB runs
+    * never cross a restart). Pixel (x, y) decodes to
+    * lumaBlock(x/8, y/8) on all three channels for every variant —
+    * identical to the baseline fixture, so the two coding paths
+    * cross-check each other.
+    */
+  def buildJpegProgSolid(w: Int, h: Int, variant: Int,
+      lumaBlock: (Int, Int) => Int, restartInterval: Int = 0): Array[Byte] = {
+    require(variant >= 0 && variant <= 2, s"variant $variant")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8)
+    marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT table 0, 8-bit, all ones
+    var k = 0
+    while (k < 64) { u8(1); k += 1 }
+    marker(0xC4); u16(2 + (1 + 16 + 12) + (1 + 16 + 15)) // DHT: DC 0 + AC 0
+    u8(0x00); FixDcBits.foreach(u8); FixDcVals.foreach(v => u8(v & 0xFF))
+    u8(0x10); ProgAcBits.foreach(u8); ProgAcVals.foreach(v => u8(v & 0xFF))
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    val nc = if (variant == 0) 1 else 3
+    marker(0xC2); u16(8 + nc * 3); u8(8); u16(h); u16(w); u8(nc) // SOF2
+    u8(1); u8(if (variant == 2) 0x22 else 0x11); u8(0)
+    if (nc == 3) { u8(2); u8(0x11); u8(0); u8(3); u8(0x11); u8(0) }
+    val smax = if (variant == 2) 2 else 1
+    val compHs = Array(smax, 1, 1) // luma carries the max factors
+    val mcusX = (w + 8 * smax - 1) / (8 * smax)
+    val mcusY = (h + 8 * smax - 1) / (8 * smax)
+    def lumaDc(bx: Int, by: Int): Int = 8 * (lumaBlock(bx, by) - 128)
+    def sosHeader(ncs: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + ncs * 2); u8(ncs)
+      var ci = 1
+      while (ci <= ncs) { u8(ci); u8(0x00); ci += 1 }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    def sosHeaderOne(cid: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(8); u8(1); u8(cid); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    // interleaved DC scan walk (shared by the first and refinement
+    // scans): `enc(ci, bx, by)` emits one data unit's bits
+    def dcScanWalk(enc: (Int, Int, Int) => Unit, bw: JpegBitWriter,
+        onRestart: () => Unit): Unit = {
+      var mcu = 0
+      var rstIdx = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.pad(); marker(0xD0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+          onRestart()
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var by = 0
+        while (by < smax) {
+          var bx = 0
+          while (bx < smax) {
+            enc(0, mx * smax + bx, my * smax + by)
+            bx += 1
+          }
+          by += 1
+        }
+        if (nc == 3) { enc(1, 0, 0); enc(2, 0, 0) }
+        mcu += 1
+      }
+      bw.pad()
+    }
+
+    // --- scan 1: DC first, interleaved, Al=1 (diffs on dc >> 1)
+    sosHeader(nc, 0, 0, 0, 1)
+    locally {
+      val bw = new JpegBitWriter(out)
+      val pred = new Array[Int](3)
+      dcScanWalk((ci, bx, by) => {
+        val v = if (ci == 0) lumaDc(bx, by) >> 1 else 0
+        val diff = v - pred(ci); pred(ci) = v
+        val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        bw.bits(t, 4)
+        if (t > 0) bw.bits(if (diff < 0) diff - 1 else diff, t)
+      }, bw, () => java.util.Arrays.fill(pred, 0))
+    }
+
+    // per-component AC scan of pure EOBn runs (first and refinement
+    // passes emit the SAME bits for all-zero AC bands)
+    def acScan(cid: Int, ci: Int, ah: Int, al: Int): Unit = {
+      sosHeaderOne(cid, 1, 63, ah, al)
+      val bwU = (w * compHs(ci) + 8 * smax - 1) / (8 * smax)
+      val bhU = (h * compHs(ci) + 8 * smax - 1) / (8 * smax)
+      val total = bwU * bhU
+      val bw = new JpegBitWriter(out)
+      var done = 0
+      var rstIdx = 0
+      while (done < total) {
+        val segEnd =
+          if (restartInterval > 0)
+            math.min(total, (done / restartInterval + 1) * restartInterval)
+          else total
+        var run = segEnd - done
+        while (run > 0) { // EOBn covers [2^r, 2^(r+1)-1] data units
+          var r = 31 - Integer.numberOfLeadingZeros(run)
+          if (r > 14) r = 14
+          val take = math.min(run, (1 << (r + 1)) - 1)
+          bw.bits(r, 4)
+          if (r > 0) bw.bits(take - (1 << r), r)
+          run -= take
+        }
+        done = segEnd
+        if (done < total) {
+          bw.pad(); marker(0xD0 + rstIdx); rstIdx = (rstIdx + 1) & 7
+        }
+      }
+      bw.pad()
+    }
+    var c = 0
+    while (c < nc) { acScan(c + 1, c, 0, 1); c += 1 } // scans 2..: AC first
+
+    // --- DC refinement: bit 0 of each block's coefficient
+    sosHeader(nc, 0, 0, 1, 0)
+    locally {
+      val bw = new JpegBitWriter(out)
+      dcScanWalk((ci, bx, by) =>
+        bw.bit(if (ci == 0) lumaDc(bx, by) & 1 else 0),
+        bw, () => ())
+    }
+
+    c = 0
+    while (c < nc) { acScan(c + 1, c, 1, 0); c += 1 } // AC refinements
+
+    marker(0xD9)
+    out.toByteArray
+  }
+
+  /** Deterministic PROGRESSIVE JPEG payload for media id `id` — the
+    * [[synthJpegPayload]] formulas (dims, variant, restart interval,
+    * block values) re-encoded through the Annex G scan script, so the
+    * two fixtures decode to IDENTICAL pixels.
+    */
+  def synthJpegProgPayload(id: Long): Array[Byte] = {
+    val w = (id % 21 + 4).toInt
+    val h = (id * 5 % 19 + 4).toInt
+    buildJpegProgSolid(w, h, (id % 3).toInt,
+      (bx, by) => ((id * 11 + 23L * bx + 41L * by) % 256).toInt,
+      restartInterval = (id % 4).toInt)
+  }
+
+  /** Synthesize a progressive-JPEG media table from doc ids, with two
+    * degrade classes planted: every 19th payload has its magic
+    * overwritten (container-dispatch failure) and every 13th is
+    * TRUNCATED to half its bytes (the partially-fetched crawl file —
+    * entropy data or the EOI goes missing mid-frame; decode must
+    * return null, never a partial image).
+    */
+  def synthesizeJpegProgBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val full = synthJpegProgPayload(id)
+        val bytes =
+          if (id % 19 == 0) { full(0) = 0x00.toByte; full }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length / 2)
+          else full
         Row(id, bytes)
       }
     }(Encoders.row(schema))

@@ -498,7 +498,10 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeJpeg(badMagic) === null)
     assert(decodeJpeg(base.take(base.length / 2)) === null) // truncated scan
     assert(decodeJpeg(base.take(20)) === null) // truncated header
-    // progressive frame type must be refused, not misdecoded
+    // a BASELINE scan script inside a SOF2 frame is MALFORMED
+    // progressive (a progressive DC scan must be band (0,0), not
+    // (0,63)) — refused, not misdecoded, even now that well-formed
+    // progressive frames decode (r12)
     var j = 2
     while (!((base(j) & 0xFF) == 0xFF && (base(j + 1) & 0xFF) == 0xC0)) j += 1
     val sof2 = base.clone(); sof2(j + 1) = 0xC2.toByte
@@ -510,6 +513,95 @@ class MultimodalSpec extends SparkSpec {
     var s = 2
     while (!((base(s) & 0xFF) == 0xFF && (base(s + 1) & 0xFF) == 0xDA)) s += 1
     assert(decodeJpeg(base.take(s + 12)) === null)
+  }
+
+  test("decodeJpeg progressive: Annex G scan scripts (spectral " +
+      "selection + successive approximation, restart markers in every " +
+      "scan) decode BIT-EXACTLY to the baseline fixture's pixels " +
+      "across all coding variants (r12)") {
+    import Multimodal._
+    // the two fixture encoders share dims/variant/restart/block
+    // formulas, so the progressive path cross-checks against the
+    // independently-green baseline path, id by id
+    for (id <- 0L until 120L) {
+      val prog = decodeJpeg(synthJpegProgPayload(id))
+      val base = decodeJpeg(synthJpegPayload(id))
+      assert(prog != null && base != null, s"id=$id")
+      assert(prog.width === base.width && prog.height === base.height, s"id=$id")
+      assert(java.util.Arrays.equals(prog.rgb, base.rgb), s"id=$id")
+    }
+    // wide dims: multi-MCU rows with edge-block cropping, every variant
+    for (variant <- 0 to 2; ri <- Seq(0, 3)) {
+      val fn = (bx: Int, by: Int) => (37 + 61 * bx + 13 * by) % 256
+      val p = decodeJpeg(buildJpegProgSolid(37, 22, variant, fn, ri))
+      assert(p != null, s"variant=$variant ri=$ri")
+      for (y <- 0 until 22; x <- 0 until 37; ch <- 0 to 2)
+        assert((p.rgb((y * 37 + x) * 3 + ch) & 0xFF) === fn(x / 8, y / 8),
+          s"variant=$variant ri=$ri px($x,$y) ch$ch")
+    }
+  }
+
+  test("decodeJpeg progressive: differential against the JDK ImageIO " +
+      "progressive JPEG codec on real-content grayscale images (r12)") {
+    // TEST-ONLY oracle: java.desktop's ImageIO writes a progressive
+    // JPEG with its own scan script (spectral selection + successive
+    // approximation chosen by the encoder, standard tables, real AC
+    // coefficients) and decodes it back; our from-scratch decoder
+    // must read the SAME bitstream to the same pixels within IDCT
+    // rounding (±2/sample — grayscale avoids chroma-upsampling
+    // differences, which are interpolation-policy, not correctness).
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val rnd = new scala.util.Random(0xBEEF)
+    for (trial <- 0 until 6) {
+      val w = 24 + rnd.nextInt(40); val h = 24 + rnd.nextInt(40)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth gradient + speckle: real AC energy in many bands
+        val v = (96 + 40 * math.sin(x / 5.0) + 40 * math.cos(y / 7.0) +
+          rnd.nextInt(32)).toInt.max(0).min(255)
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val bytes = baos.toByteArray
+      // the writer really did emit a progressive (SOF2) frame
+      assert((2 until bytes.length - 1).exists(k =>
+        (bytes(k) & 0xFF) == 0xFF && (bytes(k + 1) & 0xFF) == 0xC2),
+        s"trial=$trial: ImageIO did not write SOF2")
+      val ours = Multimodal.decodeJpeg(bytes)
+      assert(ours != null, s"trial=$trial: our decoder refused ImageIO output")
+      assert(ours.width === w && ours.height === h, s"trial=$trial")
+      val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val a = ours.rgb((y * w + x) * 3) & 0xFF
+        val b = ref.getRaster.getSample(x, y, 0)
+        worst = math.max(worst, math.abs(a - b))
+      }
+      assert(worst <= 2, s"trial=$trial ${w}x$h: worst |Δ| = $worst")
+    }
+  }
+
+  test("decodeJpeg progressive: truncations, the coefficient-memory " +
+      "cap, and corrupt paths all return null, never throw (r12)") {
+    import Multimodal._
+    val good = synthJpegProgPayload(7)
+    assert(decodeJpeg(good) != null)
+    // a progressive frame needs its EOI: EVERY proper prefix refuses
+    for (cut <- 1 until good.length by 2)
+      assert(decodeJpeg(java.util.Arrays.copyOf(good, cut)) === null, s"cut=$cut")
+    // the MaxProgressivePixels cap: > 2^22 px refuses at the header
+    // (coefficient store would not be bounded), baseline has no cap
+    assert(2100L * 2100L > MaxProgressivePixels)
+    assert(decodeJpeg(buildJpegProgSolid(2100, 2100, 0, (_, _) => 80)) === null)
+    assert(decodeJpeg(buildJpegSolid(2100, 2100, 0, (_, _) => 80)) != null)
   }
 
   test("withPixelStats: jpeg payloads dispatch on the SOI magic and " +
@@ -1068,6 +1160,7 @@ class MultimodalSpec extends SparkSpec {
       ("video", decodeVideo _), ("exif", parseExif _))
     val seeds: Seq[Array[Byte]] = Seq(
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
+      synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
       synthWavPayload(7))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
@@ -1142,7 +1235,8 @@ class MultimodalSpec extends SparkSpec {
     // every truncation point either refuses or never over-reads
     for (cut <- 1 until good.length by 3)
       assert(decodeAviMjpeg(java.util.Arrays.copyOfRange(good, 0, cut)) === null)
-    // a progressive frame inside a well-formed container kills the clip
+    // a SOF2-rewritten frame (baseline scan script in a progressive
+    // frame header — malformed progressive) kills the clip
     val prog = synthAviPayload(7)
     var j = 12
     while (!((prog(j) & 0xFF) == 0xFF && (prog(j + 1) & 0xFF) == 0xC0)) j += 1
