@@ -225,6 +225,46 @@ object TextFunctions {
     aggregate(tokens(text), lit(1125899906842597L % FpMod),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(FpMod)), lit(FpMod)))
 
+  /** HTML entity decode table shared by [[stripHtml]] and its DuckDB
+    * oracle twin: plain substring replaces (no regex), `&amp;` LAST so
+    * double-encoded entities ("&amp;lt;") decode one level per the
+    * HTML spec, never two.
+    */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** The block-excision regex of [[stripHtml]]: script/style elements
+    * vanish WITH their content (their bodies are code, not prose, and
+    * routinely contain bare `<`/`>` that would desync a naive tag
+    * strip), as do comments. Engine-portable: RE2-safe (inline (?is)
+    * flags, non-greedy, no lookaround, no backreferences) so the
+    * DuckDB twin runs the identical pattern.
+    */
+  val htmlBlockPattern: String =
+    "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->"
+
+  /** Strip HTML to text — the step every web crawl needs BEFORE any
+    * text operator (line dedup, quality, shingles) applies: excise
+    * script/style/comment blocks, drop all remaining tags (replaced
+    * by a space so adjacent words don't fuse), decode the common
+    * named/numeric entities ([[htmlEntities]] — decoded AFTER tag
+    * removal, so entity-encoded angle brackets stay text, exactly the
+    * HTML semantics), collapse whitespace, trim. Declared boundary:
+    * arbitrary numeric character references (&#x2026;) and exotic
+    * named entities pass through untouched, and a malformed dangling
+    * `<` with no closing `>` stays text — the cleaning contract is
+    * deterministic and engine-replicable, not a browser parser.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Collapse runs of the same consecutive word to at most `maxRun`
     * occurrences — the intra-document repetition TRIM next to the
     * repetition SCORE ([[repetitionRatio]]): looping generations and

@@ -207,4 +207,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(3).getString(1) === "")
     assert(rows(4).isNullAt(1))
   }
+
+  test("stripHtml: script/style bodies vanish whole (bare '<' inside " +
+      "cannot desync), tags drop, entities decode ONE level, dangling " +
+      "'<' stays text, null passes through (r12)") {
+    import graft.functions.TextFunctions.stripHtml
+    val rows = Seq(
+      // script body with bare < and quotes; style block; comment
+      (1L, "<p>a</p><script>if (1 < 2) { x(\"&\"); }</script><style>p{c:d}</style><!-- z -->b"),
+      // entity decode one level: &amp;lt; → &lt; (text), &lt; → <
+      (2L, "A &amp;lt;b&gt; &lt;i&gt; &quot;q&quot; &apos;s&apos; &#39;t&#39; &nbsp;B"),
+      // attribute-laden and uppercase tags; whitespace collapse
+      (3L, "<DIV CLASS=\"x\">a\n\n  b</DIV>\t<br/>c"),
+      // dangling '<' with no '>' is TEXT, not a tag
+      (4L, "1 < 2 and a<b stays"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", stripHtml($"t").as("s")).orderBy($"id").collect()
+    assert(rows(0).getString(1) === "a b")
+    assert(rows(1).getString(1) === "A &lt;b> <i> \"q\" 's' 't' B")
+    assert(rows(2).getString(1) === "a b c")
+    assert(rows(3).getString(1) === "1 < 2 and a<b stays")
+    assert(rows(4).getString(1) === "")
+    assert(rows(5).isNullAt(1))
+  }
 }
