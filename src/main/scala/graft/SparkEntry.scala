@@ -1951,6 +1951,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Paletted PNG pixel decode (r12 — VERDICT r11 missing #4):
+    //     color type 3 at all four bit depths (1/2/4/8 cycling by
+    //     id%4) — PLTE triples and the packed index raster are
+    //     closed-form in the id, indices go through the real
+    //     inflate → un-filter → MSB-first unpack → palette lookup
+    //     chain. Degrades: every 19th magic-corrupted, every 13th has
+    //     PLTE renamed to an ancillary chunk (palette image with no
+    //     palette → null, never a misindex).
+    "mm_pixels_png_plte" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngPaletteBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- PROGRESSIVE JPEG pixel decode (r12 — VERDICT r11 missing
     //     #1): the same closed-form DC-block payloads re-encoded as
     //     SOF2 Annex G scan scripts — interleaved DC first at Al=1,
@@ -4667,6 +4688,36 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_r,
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_g,
         |  CASE WHEN b.c THEN NULL ELSE round(p.m, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels oracle for PALETTED PNG: pixel (x, y) is
+    // palette[(id + x + 3y) mod 2^depth] with the palette channels
+    // closed-form in (id, index) — the mean recomputes through the
+    // same index arithmetic the packed raster encodes
+    "mm_pixels_png_plte" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 9 + 2 AS w, (doc_id * 3) % 7 + 2 AS h,
+        |    CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 16 ELSE 256 END AS n
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id * 7 + 13 * ((i.media_id + x.g + 3 * y.g) % i.n)) % 256) AS mr,
+        |    avg((i.media_id * 3 + 29 * ((i.media_id + x.g + 3 * y.g) % i.n)) % 256) AS mg,
+        |    avg((i.media_id * 11 + 41 * ((i.media_id + x.g + 3 * y.g) % i.n)) % 256) AS mb
+        |  FROM ids i, generate_series(0, 9) AS x(g), generate_series(0, 7) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
 

@@ -216,13 +216,98 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePng(base.take(base.length - 20)) === null) // truncated
     val badZlib = base.clone(); badZlib(41) = 0x00 // IDAT data starts at 41
     assert(decodePng(badZlib) === null)
-    // unsupported IHDR variants (CRCs unchecked, so patch in place)
+    // unsupported IHDR variants (CRCs unchecked, so patch in place);
+    // color type 3 is SUPPORTED since r12 but this payload has no
+    // PLTE chunk, so it still refuses — for the missing-palette reason
     val palette = base.clone(); palette(25) = 3
     assert(decodePng(palette) === null)
     val deep = base.clone(); deep(24) = 16
     assert(decodePng(deep) === null)
     val interlaced = base.clone(); interlaced(28) = 1
     assert(decodePng(interlaced) === null)
+  }
+
+  test("decodePng palette: PLTE lookup at all four bit depths with " +
+      "MSB-first unpacking and partial trailing row bytes; missing " +
+      "palette / out-of-range index → null; bit-exact against the JDK " +
+      "ImageIO indexed-PNG codec (r12)") {
+    import Multimodal._
+    for (depth <- Seq(1, 2, 4, 8)) {
+      val n = 1 << depth
+      val pal = Array.tabulate(n)(k =>
+        (((7 * k + 3) % 256) << 16) | (((29 * k + 1) % 256) << 8) | ((41 * k + 5) % 256))
+      val w = 11; val h = 6 // 11 px: partial trailing byte at depth 1/2/4
+      val img = decodePng(buildPngPalette(w, h, depth, pal, (x, y) => (x + 2 * y) % n))
+      assert(img != null && img.width === w && img.height === h, s"depth=$depth")
+      for (y <- 0 until h; x <- 0 until w) {
+        val k = (x + 2 * y) % n
+        val o = (y * w + x) * 3
+        assert((img.rgb(o) & 0xFF) === (7 * k + 3) % 256, s"d$depth r($x,$y)")
+        assert((img.rgb(o + 1) & 0xFF) === (29 * k + 1) % 256, s"d$depth g($x,$y)")
+        assert((img.rgb(o + 2) & 0xFF) === (41 * k + 5) % 256, s"d$depth b($x,$y)")
+      }
+    }
+    // a palette SMALLER than the depth's code space is legal while
+    // indices stay in range…
+    val pal4 = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030)
+    assert(decodePng(buildPngPalette(4, 4, 8, pal4.take(2),
+      (x, y) => (x + y) % 2)) != null)
+    // …but an index past the palette must refuse, never misread: keep
+    // payload A's IDAT (indices up to 3) and splice in payload B's
+    // 2-entry PLTE
+    def chunkOf(p: Array[Byte], typ: String): Array[Byte] = {
+      var j = 8
+      while (!(p(j + 4) == typ(0).toByte && p(j + 5) == typ(1).toByte &&
+          p(j + 6) == typ(2).toByte && p(j + 7) == typ(3).toByte))
+        j += 12 + java.nio.ByteBuffer.wrap(p, j, 4).getInt
+      java.util.Arrays.copyOfRange(p, j,
+        j + 12 + java.nio.ByteBuffer.wrap(p, j, 4).getInt)
+    }
+    val a = buildPngPalette(5, 3, 8, pal4, (x, y) => 3)
+    val b = buildPngPalette(5, 3, 8, pal4.take(2), (_, _) => 1)
+    val spliced = a.take(8) ++ chunkOf(a, "IHDR") ++ chunkOf(b, "PLTE") ++
+      chunkOf(a, "IDAT") ++ chunkOf(a, "IEND")
+    assert(decodePng(spliced) === null)
+    // the %13 degrade: PLTE renamed to an ancillary chunk → no palette
+    val noPlte = synthPngPalettePayload(5).clone()
+    locally {
+      var j = 8
+      while (!(noPlte(j + 4) == 'P'.toByte && noPlte(j + 5) == 'L'.toByte))
+        j += 12 + java.nio.ByteBuffer.wrap(noPlte, j, 4).getInt
+      noPlte(j + 4) = 'X'.toByte
+    }
+    assert(decodePng(noPlte) === null)
+    // TEST-ONLY differential: the JDK ImageIO PNG codec writes REAL
+    // indexed PNGs (4-bit via TYPE_BYTE_BINARY, 8-bit via
+    // TYPE_BYTE_INDEXED); PNG is lossless, so our decode must be
+    // BIT-exact against the BufferedImage source
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    for ((depth, imgType) <- Seq(
+        4 -> BufferedImage.TYPE_BYTE_BINARY,
+        8 -> BufferedImage.TYPE_BYTE_INDEXED)) {
+      val n = 1 << depth
+      val rs = Array.tabulate(n)(k => ((37 * k + 11) % 256).toByte)
+      val gs = Array.tabulate(n)(k => ((53 * k + 7) % 256).toByte)
+      val bs = Array.tabulate(n)(k => ((91 * k + 3) % 256).toByte)
+      val cm = new IndexColorModel(depth, n, rs, gs, bs)
+      val w = 13; val h = 9
+      val bi = new BufferedImage(w, h, imgType, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, (x * 3 + y * 5) % n)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", baos)
+      val bytes = baos.toByteArray
+      assert((bytes(25) & 0xFF) === 3, s"ImageIO did not write color type 3")
+      val ours = decodePng(bytes)
+      assert(ours != null && ours.width === w && ours.height === h, s"depth=$depth")
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = bi.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((ours.rgb(o) & 0xFF) === ((rgb >> 16) & 0xFF), s"d$depth r($x,$y)")
+        assert((ours.rgb(o + 1) & 0xFF) === ((rgb >> 8) & 0xFF), s"d$depth g($x,$y)")
+        assert((ours.rgb(o + 2) & 0xFF) === (rgb & 0xFF), s"d$depth b($x,$y)")
+      }
+    }
   }
 
   test("withPixelStats: container dispatch on magic — BMP and PNG both " +
@@ -1161,6 +1246,7 @@ class MultimodalSpec extends SparkSpec {
     val seeds: Seq[Array[Byte]] = Seq(
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
       synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
+      synthPngPalettePayload(7), synthPngPalettePayload(2), // 8- + 4-bit PLTE (r12)
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
       synthWavPayload(7))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
