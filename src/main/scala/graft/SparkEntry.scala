@@ -2407,6 +2407,24 @@ object SparkEntry {
       Dedup.fingerprintPairs(fp, "media_id", "vfp", maxHamming = 3)
     }),
 
+    // --- Keyframe-anchored scene detection (r12 — VERDICT r11 #8,
+    //     the trim-robust sampling videoFrameStats' even spacing
+    //     can't give): every doc yields a multi-scene Y4M clip AND
+    //     its first-scene-trimmed twin; luma-delta segmentation must
+    //     recover the planted boundaries exactly (sub-threshold
+    //     per-frame jitter never splits a scene, ≥45-luma scene cuts
+    //     always do). The oracle replays the scene inventory from the
+    //     id formulas; trim-robust PAIRING (twin scenes at hamming 0)
+    //     is pinned in MultimodalSpec on the scene_dhash column.
+    "mm_video_scenes" -> ((s, dir) => {
+      val media = Multimodal.synthesizeSceneY4mBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      Multimodal.withVideoScenes(media, "payload")
+        .select(col("media_id"), col("scene_idx"), col("start_frame"),
+          col("scene_frames"), col("n_frames"))
+        .orderBy(col("media_id"), col("scene_idx"))
+    }),
+
     // --- Batch time-window aggregation over the events table
     //     (1-hour tumbling windows via window(); SURVEY §2.9 — batch
     //     analytics, no streaming runtime needed)
@@ -4348,6 +4366,27 @@ object SparkEntry {
         |  SELECT b.media_id FROM fp a JOIN fp b ON a.media_id < b.media_id
         |  WHERE bit_count(xor(a.f, b.f)) <= 3)
         |ORDER BY p.media_id""".stripMargin,
+
+    // the mm_video_scenes oracle: the scene inventory from the id
+    // formulas — full clip (media_id = id): id%3+2 scenes of id%2+2
+    // frames; trimmed twin (id+1000): one scene fewer, same length
+    "mm_video_scenes" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 3 + 2 AS ns, doc_id % 2 + 2 AS fpf
+        |  FROM documents WHERE doc_id < 40),
+        |ids AS (
+        |  SELECT doc_id AS media_id, ns, fpf FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000, ns - 1, fpf FROM base),
+        |sc AS (
+        |  SELECT i.media_id, s.g AS scene_idx, s.g * i.fpf AS start_frame,
+        |    i.fpf AS scene_frames, i.ns * i.fpf AS n_frames
+        |  FROM ids i, generate_series(0, 3) AS s(g) WHERE s.g < i.ns)
+        |SELECT media_id, CAST(scene_idx AS INT) AS scene_idx,
+        |  CAST(start_frame AS INT) AS start_frame,
+        |  CAST(scene_frames AS INT) AS scene_frames,
+        |  CAST(n_frames AS INT) AS n_frames
+        |FROM sc ORDER BY media_id, scene_idx""".stripMargin,
 
     // the mm_video_xcontainer oracle: both containers decode to the
     // SAME luma planes, so one fingerprint per clip CONTENT (the

@@ -1,0 +1,102 @@
+package graft.functions.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** `collect_list` with a HARD buffer bound of `cap + 1` elements —
+  * the degenerate-bucket guard the banded self-join operators need
+  * (VERDICT r12): the plain `collect_list(...).filter(size <= cap)`
+  * shape is only bounded AFTER the fact — the over-cap bucket (one
+  * dHash shared by a billion solid-color images, one SimHash shared
+  * by a boilerplate-dominated crawl) still materializes its ENTIRE
+  * membership in one aggregation buffer before the filter can drop
+  * it. This aggregate truncates in `update` AND `merge`, so no
+  * buffer anywhere in the plan — map side, shuffle, reduce side —
+  * ever holds more than cap + 1 elements, while `cap + 1` elements
+  * arriving still marks the group as over-cap.
+  *
+  * Callers pair it with `count(lit(1))` in the same aggregation: the
+  * count (map-side partial, skew-immune) carries the TRUE membership
+  * for the observe()-metric accounting and the drop filter; a group
+  * whose count is ≤ cap was never truncated, so its list is complete
+  * and order-insensitive downstream pair expansion sees exactly the
+  * `collect_list` result.
+  *
+  * Element type is generic (ids, (id, fp) structs, (id, text)
+  * structs); serialization projects the buffer through an
+  * UnsafeProjection over ARRAY<childType>, the same strategy Spark's
+  * own Collect uses. Plans as ObjectHashAggregate.
+  */
+case class CollectListCapped(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]] {
+
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty[Any]
+
+  override def update(buf: mutable.ArrayBuffer[Any],
+      input: InternalRow): mutable.ArrayBuffer[Any] = {
+    if (buf.length <= cap) { // bound: cap + 1 marks over-cap
+      val v = child.eval(input)
+      if (v != null) buf += InternalRow.copyValue(v)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.ArrayBuffer[Any],
+      other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+    var i = 0
+    while (buf.length <= cap && i < other.length) {
+      buf += other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[Any]): Any =
+    new GenericArrayData(buf.toArray)
+
+  @transient private lazy val bufType = ArrayType(child.dataType, containsNull = false)
+  @transient private lazy val proj =
+    UnsafeProjection.create(Array[DataType](bufType))
+
+  override def serialize(buf: mutable.ArrayBuffer[Any]): Array[Byte] =
+    proj(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val buf = createAggregationBuffer()
+    val dt = child.dataType
+    var i = 0
+    while (i < arr.numElements()) {
+      buf += InternalRow.copyValue(arr.get(i, dt))
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "collect_list_capped"
+
+  override def withNewMutableAggBufferOffset(offset: Int): CollectListCapped =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CollectListCapped =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectListCapped =
+    copy(child = newChildren(0))
+}

@@ -218,22 +218,38 @@ object Dedup {
     * expansion happens only inside ≤ maxBucketSize groups — the
     * identical bound the capped join had.
     */
+  /** Column handle for the
+    * [[graft.functions.expressions.CollectListCapped]] bounded
+    * aggregate — buffer never exceeds cap + 1 elements anywhere in
+    * the plan (r12: the plain collect_list form materialized the
+    * whole degenerate bucket before the size filter could drop it —
+    * an OOM shape at a billion identical fingerprints). Pair with
+    * count(lit(1)) for the true membership.
+    */
+  private def collectCapped(e: Column, cap: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.CollectListCapped(
+        org.apache.spark.sql.GraftBridge.expression(e), cap)
+        .toAggregateExpression())
+
   private def lshCandidatesLazy(df: DataFrame, idCol: String,
       shingleCol: String, numHashes: Int, bands: Int, maxBucketSize: Int,
       what: String): DataFrame = {
     ensureCapListener(df.sparkSession)
     val buckets = bandBuckets(df, idCol, shingleCol, numHashes, bands)
     val grouped = buckets.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col(idCol)).as("__m"))
+      .agg(collectCapped(col(idCol), maxBucketSize).as("__m"),
+        count(lit(1)).as("__n"))
       // never a SILENT truncation (VERDICT r2): dropped member rows
-      // are counted in-plan and logged post-action by the listener
+      // are counted in-plan (count is map-side partial — skew-immune)
+      // and logged post-action by the listener
       // per-call unique metric name: two capped operators composed in
       // ONE query would otherwise collide on the CollectMetrics name
       // (AnalysisException); the listener matches on the prefix
       .observe(s"graft.cap.$what.${capMetricSeq.incrementAndGet()}",
-        sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
-          .otherwise(0)).cast("long").as("dropped_rows"))
-      .filter(size(col("__m")) <= maxBucketSize)
+        sum(when(col("__n") > maxBucketSize, col("__n"))
+          .otherwise(0L)).cast("long").as("dropped_rows"))
+      .filter(col("__n") <= maxBucketSize)
     grouped
       .select(explode(flatten(transform(col("__m"), (x, i) =>
         transform(slice(col("__m"), i + lit(2),
@@ -912,11 +928,13 @@ object Dedup {
         explode(col("__keys")).as("__k"))
       .groupBy(col("__lb"), col("__k.side").as("__side"),
         col("__k.seg").as("__px"))
-      .agg(collect_list(struct(col(idCol).as("id"), col("__s").as("s"))).as("__m"))
+      .agg(collectCapped(struct(col(idCol).as("id"), col("__s").as("s")),
+          maxBlockSize).as("__m"),
+        count(lit(1)).as("__n"))
       .observe(s"graft.cap.fuzzyPairs.${capMetricSeq.incrementAndGet()}",
-        sum(when(size(col("__m")) > maxBlockSize, size(col("__m")))
-          .otherwise(0)).cast("long").as("dropped_rows"))
-      .filter(size(col("__m")) <= maxBlockSize)
+        sum(when(col("__n") > maxBlockSize, col("__n"))
+          .otherwise(0L)).cast("long").as("dropped_rows"))
+      .filter(col("__n") <= maxBlockSize)
     blocks
       .select(explode(flatten(transform(col("__m"), (x, i) =>
         transform(slice(col("__m"), i + lit(2),
@@ -1116,11 +1134,12 @@ object Dedup {
     val grouped = fp
       .select(col(idCol), col("__fp"), posexplode(chunks).as(Seq("chunk", "val")))
       .groupBy(col("chunk"), col("val"))
-      .agg(collect_list(struct(col(idCol), col("__fp"))).as("__m"))
+      .agg(collectCapped(struct(col(idCol), col("__fp")), maxBucketSize).as("__m"),
+        count(lit(1)).as("__n"))
       .observe(s"graft.cap.simhashPairs.${capMetricSeq.incrementAndGet()}",
-        sum(when(size(col("__m")) > maxBucketSize, size(col("__m")))
-          .otherwise(0)).cast("long").as("dropped_rows"))
-      .filter(size(col("__m")) <= maxBucketSize)
+        sum(when(col("__n") > maxBucketSize, col("__n"))
+          .otherwise(0L)).cast("long").as("dropped_rows"))
+      .filter(col("__n") <= maxBucketSize)
     grouped
       .select(explode(flatten(transform(col("__m"), (x, i) =>
         transform(slice(col("__m"), i + lit(2),

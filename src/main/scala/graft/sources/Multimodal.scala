@@ -3434,6 +3434,117 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Scene starts by mean-absolute luma delta: frame t (t ≥ 1)
+    * starts a new scene iff the mean per-pixel |luma(t) − luma(t−1)|
+    * exceeds `threshold`; frame 0 always starts scene 0. Compression
+    * noise and small motion sit well under a threshold of ~24 while
+    * cuts jump the whole luma distribution — the standard cheap
+    * keyframe heuristic. Deterministic integer sums, so any engine
+    * recomputes identical boundaries from the same planes.
+    */
+  def sceneStarts(v: VideoClip, threshold: Double): Array[Int] = {
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var t = 1
+    while (t < v.lumaFrames.length) {
+      val a = v.lumaFrames(t - 1); val b = v.lumaFrames(t)
+      var s = 0L; var k = 0
+      while (k < a.length) { s += math.abs((a(k) & 0xFF) - (b(k) & 0xFF)); k += 1 }
+      if (s.toDouble / a.length > threshold) starts += t
+      t += 1
+    }
+    starts.toArray
+  }
+
+  /** One row per DETECTED scene — keyframe-anchored sampling (r12,
+    * VERDICT r11 #8), the trim-robust alternative to
+    * [[videoFrameStats]]' even spacing: (media_id, format, n_frames,
+    * scene_idx, start_frame, scene_frames, scene_dhash), where
+    * scene_dhash is [[videoDHash]] over that scene's frames only.
+    * Content-anchored: a clip trimmed by whole scenes yields
+    * IDENTICAL hashes for its surviving scenes (start_frame shifts,
+    * the hash doesn't), so per-scene fingerprints pair trimmed twins
+    * at hamming 0 through [[graft.operators.Dedup.fingerprintPairs]]
+    * — where the whole-clip temporal-sum hash drifts with every cut.
+    * Malformed payloads emit ONE degrade row (format 'unknown', null
+    * stats). Narrow per-partition map, no shuffle.
+    */
+  def withVideoScenes(df: DataFrame, payloadCol: String,
+      threshold: Double = 24.0): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("scene_idx", IntegerType, nullable = true),
+      StructField("start_frame", IntegerType, nullable = true),
+      StructField("scene_frames", IntegerType, nullable = true),
+      StructField("scene_dhash", LongType, nullable = true)))
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val v = decodeVideo(r.get(pIdx).asInstanceOf[Array[Byte]])
+        if (v == null)
+          Iterator(Row(id, "unknown", null, null, null, null, null))
+        else {
+          val starts = sceneStarts(v, threshold)
+          val nF = v.lumaFrames.length
+          starts.iterator.zipWithIndex.map { case (start, s) =>
+            val end = if (s + 1 < starts.length) starts(s + 1) else nF
+            val sub = VideoClip(v.format, v.width, v.height,
+              v.fpsNum, v.fpsDen, v.colorspace,
+              java.util.Arrays.copyOfRange(v.lumaFrames, start, end))
+            Row(id, v.format, nF, s, start, end - start, videoDHash(sub))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Multi-scene Y4M payload for the scene gate: `id%3+2 − drop`
+    * scenes of `id%2+2` frames each at 18×16 C420jpeg. Scene CONTENT
+    * is indexed globally (scene s of the trimmed twin equals scene
+    * s+drop of the full clip, frame-for-frame): per-scene luma base
+    * 30 + ((id+3s) mod 4)·56 — consecutive scenes differ by ≥ 56,
+    * and the scene-dependent spatial pattern spans < 24, so the
+    * boundary delta is ≥ 33 per pixel, provably over the detection
+    * threshold — plus a ±1 jitter on the scene-LOCAL frame index
+    * (well under the threshold, so jitter never splits a scene). The
+    * spatial gradient's period varies with s, so different scenes
+    * carry different dHashes, not just different brightness (a
+    * constant offset would be invisible to cell comparisons).
+    */
+  def synthSceneY4mPayload(id: Long, drop: Int): Array[Byte] = {
+    val fpf = (id % 2 + 2).toInt
+    val nScenes = (id % 3 + 2).toInt - drop
+    require(nScenes >= 1, s"id=$id drop=$drop")
+    buildY4m(18, 16, "C420jpeg", nScenes * fpf, (x, y, t) => {
+      val s = t / fpf + drop // global CONTENT scene index
+      val u = t % fpf        // scene-local frame index
+      30 + ((id + 3L * s) % 4).toInt * 56 +
+        ((x / 2) * (7 + s % 3) + 3 * (y / 2)) % 24 + (u + x) % 2
+    })
+  }
+
+  /** Scene-gate media table: each doc id yields the FULL multi-scene
+    * clip (media_id = id) and its first-scene-TRIMMED twin
+    * (media_id = id + 1000) — the re-upload-with-the-intro-cut shape
+    * trim-robust dedup exists for.
+    */
+  def synthesizeSceneY4mBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        Iterator(
+          Row(id, synthSceneY4mPayload(id, 0)),
+          Row(id + 1000L, synthSceneY4mPayload(id, 1)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** 64-bit perceptual fingerprint of a whole clip: the dHash grid
     * comparison applied to the TEMPORAL SUM of luma — each pixel
     * position's luma summed over every frame, average-pooled onto the

@@ -569,5 +569,52 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", maxOccurrences = 2)
       .orderBy($"doc_id").as[(Long, String)].collect().toSeq
     assert(capped === Seq((1L, "y"), (2L, ""), (3L, "z")))
+    // non-id/text columns pass through unchanged (ADVICE r11), in the
+    // input column order
+    val wide = graft.operators.Dedup.dedupLines(
+      Seq((1L, "alpha", "en"), (2L, "alpha", "de")).toDF("doc_id", "text", "lang"),
+      "doc_id", "text")
+    assert(wide.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(wide.orderBy($"doc_id").as[(Long, String, String)].collect().toSeq ===
+      Seq((1L, "alpha", "en"), (2L, "", "de")))
+  }
+
+  test("CollectListCapped: the aggregation buffer truncates at cap+1 " +
+      "in update AND merge — an over-cap group never materializes its " +
+      "membership — while the paired count carries true size (r12)") {
+    def capped(e: org.apache.spark.sql.Column, cap: Int) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.CollectListCapped(
+          org.apache.spark.sql.GraftBridge.expression(e), cap)
+          .toAggregateExpression())
+    val df = spark.range(10).select(lit(1L).as("g"), $"id")
+      .union(spark.range(3).select(lit(2L).as("g"), $"id"))
+    for (parts <- Seq(1, 8)) { // single-buffer and partial-merge paths
+      val out = df.repartition(parts)
+        .groupBy($"g").agg(capped($"id", 3).as("m"), count(lit(1)).as("n"))
+        .orderBy($"g").collect()
+      // over-cap group: exactly cap+1 elements survive (the overflow
+      // marker), true membership rides the count
+      assert(out(0).getSeq[Long](1).length === 4, s"parts=$parts")
+      assert(out(0).getSeq[Long](1).toSet.subsetOf((0L until 10L).toSet))
+      assert(out(0).getLong(2) === 10, s"parts=$parts")
+      // under-cap group: COMPLETE list, order-insensitive
+      assert(out(1).getSeq[Long](1).toSet === Set(0L, 1L, 2L), s"parts=$parts")
+      assert(out(1).getLong(2) === 3, s"parts=$parts")
+    }
+    // struct elements (the (id, text) fuzzy-block shape) serialize
+    // through the shuffle too
+    val sdf = spark.range(6).select(lit(1L).as("g"),
+      struct($"id", concat(lit("t"), $"id").as("s")).as("e"))
+    val sout = sdf.repartition(4).groupBy($"g")
+      .agg(capped($"e", 2).as("m"), count(lit(1)).as("n")).collect()
+    assert(sout(0).getSeq[org.apache.spark.sql.Row](1).length === 3)
+    assert(sout(0).getLong(2) === 6)
+    // banded operators still produce identical results under the cap:
+    // 50 IDENTICAL fingerprints at cap 10 → all four band buckets
+    // degenerate → dropped loudly, zero pairs, bounded buffers
+    val fps = spark.range(50).select($"id".as("media_id"), lit(7L).as("fp"))
+    assert(graft.operators.Dedup.fingerprintPairs(
+      fps, "media_id", "fp", maxHamming = 3, maxBucketSize = 10).count() === 0L)
   }
 }

@@ -1278,6 +1278,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("withVideoScenes: luma-delta segmentation recovers the planted " +
+      "boundaries (sub-threshold jitter never splits a scene); a " +
+      "first-scene-trimmed twin's surviving scenes hash IDENTICALLY " +
+      "and pair at hamming 0 through fingerprintPairs (r12)") {
+    import Multimodal._
+    val media = synthesizeSceneY4mBytes(
+      spark.range(8).select($"id".as("doc_id")))
+    val rows = withVideoScenes(media, "payload")
+      .select($"media_id", $"scene_idx", $"start_frame", $"scene_frames",
+        $"scene_dhash")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    for (id <- 0L until 8L) {
+      val ns = (id % 3 + 2).toInt; val fpf = (id % 2 + 2).toInt
+      // boundary inventory: exactly the planted scene grid
+      for (s <- 0 until ns) {
+        val (start, len, _) = rows((id, s))
+        assert(start === s * fpf && len === fpf, s"id=$id s=$s")
+      }
+      assert(!rows.contains((id, ns)), s"id=$id: phantom scene")
+      // trim robustness: twin scene s ≡ full scene s+1, hash-equal
+      for (s <- 0 until ns - 1)
+        assert(rows((id + 1000, s))._3 === rows((id, s + 1))._3, s"id=$id s=$s")
+      assert(!rows.contains((id + 1000, ns - 1)), s"id=$id: twin too long")
+    }
+    // the scene hashes pair trimmed twins at hamming 0 end-to-end:
+    // key each scene as media_id·16 + scene_idx, every twin scene
+    // must surface as an exact pair with its full-clip original
+    val sceneFp = withVideoScenes(media, "payload")
+      .select(($"media_id" * 16 + $"scene_idx").as("sid"), $"scene_dhash")
+    val pairs = graft.operators.Dedup
+      .fingerprintPairs(sceneFp, "sid", "scene_dhash", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 0L until 8L; s <- 0 until (id % 3 + 2).toInt - 1)
+      assert(pairs.contains((id * 16 + s + 1, (id + 1000) * 16 + s)),
+        s"id=$id s=$s: twin scene did not pair")
+    // threshold edge: a jitter-only clip (no cuts) is ONE scene
+    val flat = decodeVideo(buildY4m(18, 16, "C420jpeg", 6,
+      (x, y, t) => 90 + (x / 2 + y / 2) % 24 + (t + x) % 2))
+    assert(sceneStarts(flat, 24.0).toSeq === Seq(0))
+    // malformed payloads degrade to one 'unknown' row
+    val bad = withVideoScenes(
+      media.withColumn("payload", lit(Array[Byte](1, 2, 3))), "payload")
+      .select($"format").distinct().collect().map(_.getString(0)).toSeq
+    assert(bad === Seq("unknown"))
+  }
+
   test("dedupByFingerprint: transitive clusters resolve to ONE min-id " +
       "survivor; unpaired and null-fingerprint rows pass through (r11)") {
     val L = 0x0F0F0F0F0F0F0F0FL

@@ -238,13 +238,19 @@ class PlanSpec extends SparkSpec {
       "the shingle join must be broadcast, not a corpus shuffle")
   }
 
-  test("docs_dedup_lines: the first-occurrence window is LINE-keyed — " +
-      "never a SinglePartition stage — and the reassembly aggregate " +
-      "partial-aggregates map-side (r11)") {
+  test("docs_dedup_lines: skew-immune shape (r12, VERDICT r11 #1) — " +
+      "the first-occurrence winner comes from a line-keyed groupBy " +
+      "whose min/count PARTIAL-aggregate map-side, there is NO window " +
+      "anywhere (a line-partitioned window would funnel a boilerplate " +
+      "line present in every doc through one reducer), and no " +
+      "SinglePartition stage") {
     val p = plan("docs_dedup_lines")
     assert(!p.contains("SinglePartition"),
       s"global single-reducer stage found:\n${p.take(900)}")
-    assert(p.contains("Window"), "the line-keyed window must exist")
+    assert(!p.contains("Window"),
+      "the window form is the skew trap the r12 rewrite removed")
+    assert(p.contains("partial_min"),
+      s"the first-occurrence winner must partial-aggregate:\n${p.take(900)}")
     assert(p.contains("partial_"),
       s"reassembly must partial-aggregate:\n${p.take(900)}")
   }
