@@ -1741,6 +1741,35 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
+    // --- URL canonicalization (r12 — the same-page-many-spellings
+    //     step of crawl curation): six raw spellings are planted per
+    //     id group — mixed-case authority, explicit default port,
+    //     tracking params (mid, leading, lone), fragment, www prefix
+    //     — and must collapse to ONE canonical form per content
+    //     group. The oracle replays the identical RE2-safe chain
+    //     (backreference syntax aside) in DuckDB.
+    "text_urls" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      val k = (col("doc_id") / 6).cast("long")
+      val raw = when(col("doc_id") % 6 === 0,
+          concat(lit("https://WWW.Example.com/Path?id="), k))
+        .when(col("doc_id") % 6 === 1,
+          concat(lit("https://www.example.com:443/Path?id="), k))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("https://example.com/Path?id="), k,
+            lit("&utm_source=news&fbclid=XYZ#frag")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("https://www.example.com/Path?utm_campaign=a&id="), k))
+        .when(col("doc_id") % 6 === 4,
+          concat(lit("http://Other.net:80/item/"), k))
+        .otherwise(concat(lit("http://other.net/item/"), k,
+          lit("?ref=sidebar")))
+      val canon = TextFunctions.canonicalUrl(raw)
+      d.select(col("doc_id"), canon.as("url"),
+          TextFunctions.urlHost(canon).as("host"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- HTML boilerplate strip (r12 — VERDICT r11 missing #2, the
     //     step every web crawl needs before ANY text operator): real
     //     fixture text is wrapped in-plan with the hostile parts of a
@@ -2187,6 +2216,31 @@ object SparkEntry {
               pmod(col("doc_id") * 5 + j * 3, lit(23)).cast("string"))))
             .as("text"))
       Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Incremental corpus line dedup (r12 — the dedupLines append
+    //     twin): a sparse base corpus (ids 200..239, every 3rd)
+    //     indexes its distinct lines; the batch (ids < 100, the
+    //     docs_dedup_lines fixture) then cleans against base + itself
+    //     — lines already indexed drop even as batch-first
+    //     occurrences, fresh lines keep exactly one batch copy. The
+    //     oracle replays both memberships in SQL.
+    "docs_dedup_lines_append" -> ((s, dir) => {
+      def lineDocs(d: DataFrame) = d.select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0), pmod(col("doc_id"), lit(4)) + 1),
+          j => concat(lit("line "),
+            pmod(col("doc_id") * 5 + j * 3, lit(23)).cast("string"))))
+          .as("text"))
+      val base = lineDocs(Tables.documents(s, dir)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 240 &&
+          col("doc_id") % 3 === 0))
+      val batch = lineDocs(Tables.documents(s, dir).filter(col("doc_id") < 100))
+      val path = gateIndexPath(dir, "lines_append_gate")
+      Dedup.writeLineIndex(base, "text", path)
+      Dedup.appendDedupLines(batch, "doc_id", "text", path,
+          batchToken = "gate")
         .orderBy(col("doc_id"))
     }),
 
@@ -4106,6 +4160,43 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM r""".stripMargin,
 
+    // the text_urls oracle: the identical canonicalization chain —
+    // fragment, tracking params (mid/leading/lone), lowercased
+    // scheme+authority, default ports, www, bare-root slash — with
+    // DuckDB's \1 backreference syntax
+    "text_urls" ->
+      """WITH d AS (SELECT doc_id, doc_id // 6 AS k
+        |  FROM documents WHERE doc_id < 120),
+        |raw AS (SELECT doc_id, CASE doc_id % 6
+        |    WHEN 0 THEN 'https://WWW.Example.com/Path?id=' || k
+        |    WHEN 1 THEN 'https://www.example.com:443/Path?id=' || k
+        |    WHEN 2 THEN 'https://example.com/Path?id=' || k || '&utm_source=news&fbclid=XYZ#frag'
+        |    WHEN 3 THEN 'https://www.example.com/Path?utm_campaign=a&id=' || k
+        |    WHEN 4 THEN 'http://Other.net:80/item/' || k
+        |    ELSE 'http://other.net/item/' || k || '?ref=sidebar' END AS u
+        |  FROM d),
+        |c1 AS (SELECT doc_id, regexp_replace(
+        |    regexp_replace(u, '#.*', '', 'g'),
+        |    '&(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*', '', 'g') AS u FROM raw),
+        |c3 AS (SELECT doc_id, regexp_replace(
+        |    regexp_replace(u, '\?(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*&', '?', 'g'),
+        |    '\?(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS u FROM c1),
+        |c4 AS (SELECT doc_id,
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+        |    substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS u
+        |  FROM c3),
+        |c6 AS (SELECT doc_id, regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(u, '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),
+        |      '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
+        |    '^(https?://)www\.', '\1', 'g') AS u FROM c4),
+        |c7 AS (SELECT doc_id,
+        |    regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\1', 'g') AS u
+        |  FROM c6)
+        |SELECT doc_id, u AS url,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
+        |FROM c7 ORDER BY doc_id""".stripMargin,
+
     // the text_html oracle: the IDENTICAL RE2-safe strip chain —
     // block excision, tag removal, entity replaces in table order
     // (&amp; last), whitespace collapse — over the same planted page
@@ -4312,6 +4403,36 @@ object SparkEntry {
         |reb AS (
         |  SELECT doc_id, string_agg('line ' || k, chr(10) ORDER BY pos) AS text
         |  FROM win WHERE rn = 1 AND cnt <= 3 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the docs_dedup_lines_append oracle: base distinct-line
+    // membership from the id formulas, then the batch-local
+    // first-occurrence window minus indexed lines
+    "docs_dedup_lines_append" ->
+      """WITH bd AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nl
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 240 AND doc_id % 3 = 0),
+        |bl AS (
+        |  SELECT DISTINCT (d.doc_id * 5 + j.g * 3) % 23 AS k
+        |  FROM bd d, generate_series(0, 5) AS j(g) WHERE j.g < d.nl),
+        |d AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS nl
+        |  FROM documents WHERE doc_id < 100),
+        |lines AS (
+        |  SELECT d.doc_id, j.g AS pos, (d.doc_id * 5 + j.g * 3) % 23 AS k
+        |  FROM d, generate_series(0, 5) AS j(g) WHERE j.g < d.nl),
+        |win AS (
+        |  SELECT doc_id, pos, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |keep AS (
+        |  SELECT doc_id, pos, k FROM win
+        |  WHERE rn = 1 AND k NOT IN (SELECT k FROM bl)),
+        |reb AS (
+        |  SELECT doc_id, string_agg('line ' || k, chr(10) ORDER BY pos) AS text
+        |  FROM keep GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -265,6 +265,46 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Tracking-parameter alternation shared by [[canonicalUrl]] and
+    * its oracle twin (RE2-safe, no lookaround).
+    */
+  val urlTrackingParams: String = "(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)"
+
+  /** Canonical URL for dedup/grouping — the same-page-many-spellings
+    * step of crawl curation: drop the fragment, strip tracking
+    * parameters ([[urlTrackingParams]]), lowercase scheme+authority
+    * (path/query case is significant and preserved), drop default
+    * ports (http:80, https:443), drop a leading `www.`, and collapse
+    * a bare-root trailing slash. Declared boundary: query parameters
+    * are NOT reordered and percent-encoding is NOT normalized — the
+    * chain is deterministic regex, engine-replicable, not a URL
+    * parser. Apply before exact URL dedup or per-domain grouping.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    // non-first tracking params, then a first param with a successor,
+    // then a lone first param
+    val t1 = regexp_replace(noFrag, s"&$urlTrackingParams=[^&]*", "")
+    val t2 = regexp_replace(t1, s"\\?$urlTrackingParams=[^&]*&", "?")
+    val t3 = regexp_replace(t2, s"\\?$urlTrackingParams=[^&]*$$", "")
+    // lowercase ONLY scheme://authority; keep the rest byte-for-byte
+    val prefix = regexp_extract(t3, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rebuilt = concat(lower(prefix),
+      t3.substr(length(prefix) + 1, lit(Int.MaxValue)))
+    val noPort = regexp_replace(
+      regexp_replace(rebuilt, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+  }
+
+  /** Registered domain-ish host of a canonicalized URL (lowercased,
+    * port stripped) — the per-domain grouping key quota/blocklist
+    * policies join on.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+
   /** Collapse runs of the same consecutive word to at most `maxRun`
     * occurrences — the intra-document repetition TRIM next to the
     * repetition SCORE ([[repetitionRatio]]): looping generations and

@@ -1213,6 +1213,91 @@ object Dedup {
       .select(df.columns.map(col): _*)
   }
 
+  /** Persist the LINE index of a base corpus at `path` (batch token
+    * `base`), replacing whatever was there: one 8-byte xxhash64 per
+    * DISTINCT line — never line text (a 100 TB corpus' distinct-line
+    * set indexes into hash-sized parquet). 64-bit identity stands in
+    * for the line value with the usual ~n²/2⁶⁵ collision odds (the
+    * shingle-id precedent); a collision drops one distinct line.
+    */
+  def writeLineIndex(df: DataFrame, textCol: String, path: String,
+      delim: String = "\n"): Unit = {
+    val root = path.stripSuffix("/")
+    indexFs(df.sparkSession, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    writeLineBatch(
+      df.select(explode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as("__line"))
+        .select(xxhash64(col("__line")).as("lhash")).distinct(),
+      root, "base")
+  }
+
+  private def writeLineBatch(lh: DataFrame, root: String,
+      token: String): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"bad batch token: $token")
+    val dir = s"$root/batches/$token"
+    val fs = indexFs(lh.sparkSession, root)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    lh.write.mode("overwrite").parquet(s"$dir/lines")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
+  }
+
+  /** Incremental corpus-level line dedup — [[dedupLines]] in the
+    * "each crawl snapshot cleans against everything already ingested"
+    * shape (r12): a batch line survives iff its hash is ABSENT from
+    * the persisted line index AND it is the batch's first occurrence
+    * in (id, pos) order (the [[dedupLines]] rule batch-locally);
+    * documents reassemble from surviving lines in original order
+    * (fully-deduplicated docs come back EMPTY, not missing); the
+    * batch's fresh distinct line hashes then commit under
+    * `batchToken` — marker-last, so a crashed append leaves no
+    * partial corpus state, and retrying a committed token excludes
+    * its own previous commit. The boilerplate occurrence CAP is
+    * deliberately absent here: corpus-wide counts aren't resolvable
+    * per batch — cap at compaction time instead.
+    *
+    * Scale shape: the index probe is a hash-only LEFT ANTI join
+    * (8 bytes/row on the corpus side), the batch-local winner is the
+    * skew-immune line-keyed groupBy of [[dedupLines]] (map-side
+    * partials), and the index grows by the batch's fresh distinct
+    * lines only.
+    */
+  def appendDedupLines(batch: DataFrame, idCol: String, textCol: String,
+      path: String, delim: String = "\n", batchToken: String = ""): DataFrame = {
+    val spark = batch.sparkSession
+    val root = path.stripSuffix("/")
+    val token =
+      if (batchToken.nonEmpty) batchToken
+      else "b_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpus = readCommitted(spark, root, "lines", excludeToken = token)
+    val lines = batch.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("__pos", "__line")))
+    val kept = lines
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__pos").as("__pos"), col("__line"),
+        xxhash64(col("__line")).as("__lh"))
+      .join(corpus.select(col("lhash").as("__lh")), Seq("__lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")),
+        delim).as(textCol))
+    // materialize BEFORE committing the batch's lines (the
+    // appendExactDedup marker-last discipline): a lazy result probing
+    // the GROWN index on the caller's action would anti-join the
+    // batch against its own lines and return nothing
+    val out = batch.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col(textCol), lit("")))
+      .select(batch.columns.map(col): _*)
+      .localCheckpoint(true)
+    writeLineBatch(kept.select(col("__lh").as("lhash")), root, token)
+    out
+  }
+
   /** Apply form of [[fingerprintPairs]] — the media twin of
     * [[dedupNear]]: connected components over the pair graph, keep
     * the min-id representative of each cluster, everything unpaired

@@ -579,6 +579,31 @@ class DedupSpec extends SparkSpec {
       Seq((1L, "alpha", "en"), (2L, "", "de")))
   }
 
+  test("appendDedupLines: batch lines drop against the persisted " +
+      "index AND batch-locally; fresh lines commit; a committed token " +
+      "retried excludes its own commit (idempotent); the cross-batch " +
+      "chain sees earlier batches (r12)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lines_append").toString + "/idx"
+    val base = Seq((100L, "alpha\nbeta")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeLineIndex(base, "text", path)
+    // batch 1: alpha indexed → drops; gamma repeats in-batch → one copy
+    val b1 = Seq((1L, "alpha\ngamma"), (2L, "gamma\ndelta")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, token: String) =
+      graft.operators.Dedup.appendDedupLines(df, "doc_id", "text", path,
+        batchToken = token).orderBy($"doc_id")
+        .as[(Long, String)].collect().toSeq
+    val r1 = run(b1, "t1")
+    assert(r1 === Seq((1L, "gamma"), (2L, "delta")))
+    // same token retried: identical result (its own commit excluded)
+    assert(run(b1, "t1") === r1)
+    // batch 2 under a new token: sees base AND batch 1's lines
+    val r2 = run(Seq((3L, "beta\ndelta\nepsilon")).toDF("doc_id", "text"), "t2")
+    assert(r2 === Seq((3L, "epsilon")))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(path).getParentFile)
+  }
+
   test("CollectListCapped: the aggregation buffer truncates at cap+1 " +
       "in update AND merge — an over-cap group never materializes its " +
       "membership — while the paired count carries true size (r12)") {

@@ -208,6 +208,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(4).isNullAt(1))
   }
 
+  test("canonicalUrl: fragment, tracking params (mid/leading/lone), " +
+      "case of scheme+authority ONLY, default ports, www, bare-root " +
+      "slash; path/query case and param order preserved (r12)") {
+    import graft.functions.TextFunctions.{canonicalUrl, urlHost}
+    val rows = Seq(
+      (1L, "https://WWW.Example.com/Path?id=7#frag"),
+      (2L, "https://www.example.com:443/Path?id=7"),
+      (3L, "https://example.com/Path?id=7&utm_source=n&fbclid=z"),
+      (4L, "https://example.com/Path?utm_campaign=a&id=7"),
+      (5L, "https://example.com/Path?utm_campaign=a"), // lone tracking param
+      (6L, "http://Other.net:80/"),                    // default port + bare root
+      (7L, "http://other.net:8080/x"),                 // NON-default port kept
+      (8L, "HTTPS://example.com/CaseKept?Q=Mixed"),
+      (9L, "no-scheme relative text"))
+      .toDF("id", "u")
+      .select($"id", canonicalUrl($"u").as("c"),
+        urlHost(canonicalUrl($"u")).as("h"))
+      .orderBy($"id").collect()
+    assert(rows(0).getString(1) === "https://example.com/Path?id=7")
+    assert(rows(1).getString(1) === "https://example.com/Path?id=7")
+    assert(rows(2).getString(1) === "https://example.com/Path?id=7")
+    assert(rows(3).getString(1) === "https://example.com/Path?id=7")
+    assert(rows(4).getString(1) === "https://example.com/Path")
+    assert(rows(5).getString(1) === "http://other.net")
+    assert(rows(6).getString(1) === "http://other.net:8080/x")
+    assert(rows(7).getString(1) === "https://example.com/CaseKept?Q=Mixed")
+    assert(rows(8).getString(1) === "no-scheme relative text") // untouched
+    assert(rows(0).getString(2) === "example.com")
+    assert(rows(6).getString(2) === "other.net") // host never carries the port
+  }
+
   test("stripHtml: script/style bodies vanish whole (bare '<' inside " +
       "cannot desync), tags drop, entities decode ONE level, dangling " +
       "'<' stays text, null passes through (r12)") {
