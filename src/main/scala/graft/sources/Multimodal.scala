@@ -426,18 +426,20 @@ object Multimodal {
   // section), so all three raster formats now decode real pixels.
   // -------------------------------------------------------------
 
-  /** Decode a non-interlaced truecolor (color type 2, 8-bit) or
-    * PALETTED (color type 3, bit depth 1/2/4/8 — r12, VERDICT r11
-    * missing #4) PNG payload to RGB pixels. Total function:
-    * malformed / truncated / unsupported (grayscale, alpha, 16-bit,
-    * interlaced) bytes return null, never throw — including corrupt
-    * zlib streams (DataFormatException is caught → null), chunk sizes
-    * near Int.MaxValue (the chunk walk runs in Long), missing PLTE,
-    * and indices past the palette. Ancillary chunks (incl. tRNS —
-    * output is opaque RGB) are skipped; CRCs are not verified (decode
-    * correctness is checked against pixel values, and a CRC pass
-    * would reject only rows the filter stage should see, not save
-    * any).
+  /** Decode a non-interlaced PNG payload to RGB pixels — every 8-bit
+    * color type (r12): grayscale (0), truecolor (2), PALETTED (3 — at
+    * bit depths 1/2/4/8), gray+alpha (4) and RGBA (6). Alpha channels
+    * are DROPPED, not composited (PNG alpha is non-premultiplied, so
+    * the RGB samples are the true colors; compositing policy belongs
+    * to the caller). Total function: malformed / truncated /
+    * unsupported (16-bit, interlaced) bytes return null, never throw
+    * — including corrupt zlib streams (DataFormatException is caught
+    * → null), chunk sizes near Int.MaxValue (the chunk walk runs in
+    * Long), missing PLTE, and indices past the palette. Ancillary
+    * chunks (incl. tRNS — output is opaque RGB) are skipped; CRCs are
+    * not verified (decode correctness is checked against pixel
+    * values, and a CRC pass would reject only rows the filter stage
+    * should see, not save any).
     */
   def decodePng(b: Array[Byte]): RasterImage = {
     if (b == null || b.length < 45) return null
@@ -461,7 +463,7 @@ object Multimodal {
         val inter = b(ii + 20) & 0xFF
         if (comp != 0 || filt != 0 || inter != 0) return null
         val supported =
-          (color == 2 && depth == 8) ||
+          ((color == 0 || color == 2 || color == 4 || color == 6) && depth == 8) ||
           (color == 3 && (depth == 1 || depth == 2 || depth == 4 || depth == 8))
         if (!supported) return null
         if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
@@ -481,9 +483,13 @@ object Multimodal {
     if (!sawIhdr || !sawEnd || idat.size == 0) return null
     if (color == 3 && palette == null) return null
     // inflate the filtered scanlines: h rows of (1 filter byte +
-    // rowBytes) — rowBytes is 3w for truecolor, ceil(w·depth/8) for
-    // palette indices
-    val rowBytes = if (color == 2) w * 3 else (w * depth + 7) / 8
+    // rowBytes) — rowBytes is channels·w for the 8-bit color types,
+    // ceil(w·depth/8) for packed palette indices
+    val channels = color match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+    }
+    val rowBytes =
+      if (color == 3) (w * depth + 7) / 8 else w * channels
     val raw = new Array[Byte]((rowBytes + 1) * h)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -499,9 +505,10 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // un-filter: a = left (bpp bytes back — 3 for truecolor, 1 for
-    // packed indices per the PNG spec), b = up, c = upper-left
-    val bpp = if (color == 2) 3 else 1
+    // un-filter: a = left (bpp bytes back — the pixel's byte width
+    // for the 8-bit color types, 1 for packed indices per the PNG
+    // spec), b = up, c = upper-left
+    val bpp = if (color == 3) 1 else channels
     val out = new Array[Byte](rowBytes * h)
     var y = 0
     while (y < h) {
@@ -531,6 +538,27 @@ object Multimodal {
       y += 1
     }
     if (color == 2) return RasterImage(w, h, out)
+    if (color != 3) {
+      // channel extraction for gray / gray+alpha / RGBA: replicate
+      // gray to three channels, drop alpha
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      var o = 0
+      val n = w * h
+      var px = 0
+      while (px < n) {
+        if (channels <= 2) {
+          val v = out(p)
+          rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        } else {
+          rgb(o) = out(p); rgb(o + 1) = out(p + 1); rgb(o + 2) = out(p + 2)
+        }
+        p += channels
+        o += 3
+        px += 1
+      }
+      return RasterImage(w, h, rgb)
+    }
     // palette expansion: indices packed MSB-first at `depth` bits
     val nPal = palette.length / 3
     val rgb = new Array[Byte](w * h * 3)
@@ -867,6 +895,96 @@ object Multimodal {
             j += 12 + be32(bytes, j)
           bytes(j + 4) = 'X'.toByte // PLTE → XLTE: skipped as ancillary
         }
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Well-formed non-interlaced 8-bit PNG of color type 0 (gray),
+    * 4 (gray+alpha) or 6 (RGBA): `samples(x, y)` supplies the
+    * pixel's channel values, every row filter 0, correct CRCs (r12).
+    */
+  def buildPngChannels(w: Int, h: Int, colorType: Int,
+      samples: (Int, Int) => Array[Int]): Array[Byte] = {
+    val channels = colorType match {
+      case 0 => 1; case 4 => 2; case 6 => 4
+      case c => throw new IllegalArgumentException(s"colorType $c")
+    }
+    val rowBytes = w * channels
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (rowBytes + 1)) = 0 // filter: None
+      for (x <- 0 until w) {
+        val s = samples(x, y)
+        require(s.length == channels, s"${s.length} samples at ($x,$y)")
+        var c = 0
+        while (c < channels) {
+          raw(y * (rowBytes + 1) + 1 + x * channels + c) = s(c).toByte
+          c += 1
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zn = 0
+    while (!defl.finished()) zn += defl.deflate(zbuf, zn, zbuf.length - zn)
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val o = java.nio.ByteBuffer.allocate(12 + data.length)
+      o.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      o.putInt(crc.getValue.toInt)
+      o.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zn)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Deterministic gray / gray+alpha / RGBA PNG payload for media id
+    * `id` (color type cycles 0/4/6 by id%3): channel values are
+    * closed-form, alpha is planted but must be DROPPED by decode —
+    * the oracle's means ignore it.
+    */
+  def synthPngTypedPayload(id: Long): Array[Byte] = {
+    val w = (id % 7 + 2).toInt
+    val h = (id * 5 % 6 + 2).toInt
+    def gray(x: Int, y: Int): Int = ((id * 9 + 5L * x + 7L * y) % 256).toInt
+    (id % 3) match {
+      case 0 => buildPngChannels(w, h, 0, (x, y) => Array(gray(x, y)))
+      case 1 => buildPngChannels(w, h, 4,
+        (x, y) => Array(gray(x, y), ((id + x + 2L * y) % 256).toInt))
+      case _ => buildPngChannels(w, h, 6, (x, y) => Array(
+        ((id + 7L * x + 13L * y) % 256).toInt,
+        ((id * 3 + 5L * x + 11L * y) % 256).toInt,
+        ((id * 5 + 3L * x + 17L * y) % 256).toInt,
+        ((id + 2L * x + y) % 256).toInt))
+    }
+  }
+
+  /** Synthesize a gray/gray+alpha/RGBA PNG media table from doc ids:
+    * every 19th magic-corrupted, every 13th truncated to half its
+    * bytes (the partial crawl fetch).
+    */
+  def synthesizePngTypedBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val full = synthPngTypedPayload(id)
+        val bytes =
+          if (id % 19 == 0) { full(0) = 0x00.toByte; full }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length / 2)
+          else full
         Row(id, bytes)
       }
     }(Encoders.row(schema))

@@ -310,6 +310,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng color types 0/4/6: gray replicates to RGB, alpha " +
+      "channels are DROPPED (never composited, never misstrided); " +
+      "bit-exact against the JDK ImageIO codec for gray and RGBA " +
+      "sources (r12)") {
+    import Multimodal._
+    // closed-form positional checks across all three types
+    for (ct <- Seq(0, 4, 6)) {
+      val w = 9; val h = 5
+      val img = decodePng(buildPngChannels(w, h, ct, (x, y) => ct match {
+        case 0 => Array((x * 31 + y * 7) % 256)
+        case 4 => Array((x * 31 + y * 7) % 256, (x + y) % 256)
+        case _ => Array((x * 31 + y * 7) % 256, (x * 5 + y) % 256,
+          (x + y * 11) % 256, (x * 2 + y * 3) % 256)
+      }))
+      assert(img != null && img.width === w && img.height === h, s"ct=$ct")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert((img.rgb(o) & 0xFF) === (x * 31 + y * 7) % 256, s"ct=$ct r($x,$y)")
+        if (ct <= 4)
+          assert((img.rgb(o + 1) & 0xFF) === (x * 31 + y * 7) % 256, s"ct=$ct g($x,$y)")
+        else {
+          assert((img.rgb(o + 1) & 0xFF) === (x * 5 + y) % 256, s"g($x,$y)")
+          assert((img.rgb(o + 2) & 0xFF) === (x + y * 11) % 256, s"b($x,$y)")
+        }
+      }
+    }
+    // TEST-ONLY differential: ImageIO writes real gray (color 0) and
+    // RGBA (color 6) PNGs; lossless → bit-exact, alpha ignored
+    import java.awt.image.BufferedImage
+    for ((imgType, wantRgb) <- Seq(
+        BufferedImage.TYPE_BYTE_GRAY -> false,
+        BufferedImage.TYPE_INT_ARGB -> true)) {
+      val w = 14; val h = 8
+      val bi = new BufferedImage(w, h, imgType)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (wantRgb)
+          bi.setRGB(x, y, ((40 + x * 11 + y) % 200 << 24) |
+            ((x * 17 + y * 3) % 256 << 16) | ((x * 7 + y * 29) % 256 << 8) |
+            ((x + y * 13) % 256))
+        else bi.getRaster.setSample(x, y, 0, (x * 19 + y * 5) % 256)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", baos)
+      val ours = decodePng(baos.toByteArray)
+      assert(ours != null && ours.width === w && ours.height === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        if (wantRgb) {
+          val rgb = bi.getRGB(x, y)
+          assert((ours.rgb(o) & 0xFF) === ((rgb >> 16) & 0xFF), s"r($x,$y)")
+          assert((ours.rgb(o + 1) & 0xFF) === ((rgb >> 8) & 0xFF), s"g($x,$y)")
+          assert((ours.rgb(o + 2) & 0xFF) === (rgb & 0xFF), s"b($x,$y)")
+        } else {
+          // compare RAW raster samples: TYPE_BYTE_GRAY is a LINEAR
+          // color space, so getRGB would apply a linear→sRGB curve
+          // the PNG bytes don't carry
+          val v = bi.getRaster.getSample(x, y, 0)
+          assert((ours.rgb(o) & 0xFF) === v, s"gray($x,$y)")
+          assert((ours.rgb(o + 1) & 0xFF) === v, s"gray g($x,$y)")
+        }
+      }
+    }
+    // truncation refuses at every cut
+    val good = synthPngTypedPayload(5)
+    for (cut <- 1 until good.length by 7)
+      assert(decodePng(java.util.Arrays.copyOf(good, cut)) === null, s"cut=$cut")
+  }
+
   test("withPixelStats: container dispatch on magic — BMP and PNG both " +
       "decode real pixels to the same stats; others degrade (r10)") {
     import Multimodal._
@@ -1247,6 +1315,7 @@ class MultimodalSpec extends SparkSpec {
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
       synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
       synthPngPalettePayload(7), synthPngPalettePayload(2), // 8- + 4-bit PLTE (r12)
+      synthPngTypedPayload(4), synthPngTypedPayload(5), // gray+alpha, RGBA (r12)
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
       synthWavPayload(7))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
