@@ -2001,6 +2001,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- ADAM7-interlaced PNG pixel decode (r12): the mm_pixels_png
+    //     dims/formulas re-encoded through the seven-pass interlace —
+    //     pass-independent un-filtering + scatter must reproduce the
+    //     same pixels the sequential layout does (the oracle is the
+    //     mm_pixels_png means verbatim). Degrades: %19 magic,
+    //     %13 truncation.
+    "mm_pixels_png_adam7" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngAdam7Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Gray / gray+alpha / RGBA PNG pixel decode (r12 — the
     //     remaining 8-bit color types, closing decodePng to "every
     //     8-bit type + all palette depths"): channel values are
@@ -4819,6 +4838,33 @@ object SparkEntry {
     // pixel formulas are identical (same synth grid), only the
     // degrade set differs (magic %19 OR zlib %13)
     "mm_pixels_png" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg((i.media_id + 7 * x.g + 13 * y.g) % 256) AS mr,
+        |    avg((i.media_id * 3 + 5 * x.g + 11 * y.g) % 256) AS mg,
+        |    avg((i.media_id * 5 + 3 * x.g + 17 * y.g) % 256) AS mb
+        |  FROM ids i, generate_series(0, 7) AS x(g), generate_series(0, 6) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels_png oracle VERBATIM for the Adam7 payloads (r12):
+    // interlacing reorders the bytes, never the pixels
+    "mm_pixels_png_adam7" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id % 6 + 2 AS w, (doc_id * 3) % 5 + 2 AS h
         |  FROM documents WHERE doc_id < 60),

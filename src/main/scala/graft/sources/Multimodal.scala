@@ -431,8 +431,10 @@ object Multimodal {
     * bit depths 1/2/4/8), gray+alpha (4) and RGBA (6). Alpha channels
     * are DROPPED, not composited (PNG alpha is non-premultiplied, so
     * the RGB samples are the true colors; compositing policy belongs
-    * to the caller). Total function: malformed / truncated /
-    * unsupported (16-bit, interlaced) bytes return null, never throw
+    * to the caller). Adam7 INTERLACED images decode too (r12): each
+    * of the seven passes un-filters independently and scatters to the
+    * full grid. Total function: malformed / truncated / unsupported
+    * (16-bit) bytes return null, never throw
     * — including corrupt zlib streams (DataFormatException is caught
     * → null), chunk sizes near Int.MaxValue (the chunk walk runs in
     * Long), missing PLTE, and indices past the palette. Ancillary
@@ -448,6 +450,7 @@ object Multimodal {
     while (s < 8) { if ((b(s) & 0xFF) != sig(s)) return null; s += 1 }
     var w = 0; var h = 0; var sawIhdr = false; var sawEnd = false
     var color = -1; var depth = 0
+    var interlaced = false
     var palette: Array[Byte] = null // raw PLTE RGB triples
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8L
@@ -461,7 +464,8 @@ object Multimodal {
         depth = b(ii + 16) & 0xFF; color = b(ii + 17) & 0xFF
         val comp = b(ii + 18) & 0xFF; val filt = b(ii + 19) & 0xFF
         val inter = b(ii + 20) & 0xFF
-        if (comp != 0 || filt != 0 || inter != 0) return null
+        if (comp != 0 || filt != 0 || inter > 1) return null
+        interlaced = inter == 1
         val supported =
           ((color == 0 || color == 2 || color == 4 || color == 6) && depth == 8) ||
           (color == 3 && (depth == 1 || depth == 2 || depth == 4 || depth == 8))
@@ -482,15 +486,29 @@ object Multimodal {
     }
     if (!sawIhdr || !sawEnd || idat.size == 0) return null
     if (color == 3 && palette == null) return null
-    // inflate the filtered scanlines: h rows of (1 filter byte +
-    // rowBytes) — rowBytes is channels·w for the 8-bit color types,
-    // ceil(w·depth/8) for packed palette indices
+    // pass geometry: the non-interlaced image is ONE full-coverage
+    // pass; Adam7 (r12) is the standard seven (xStart, yStart,
+    // xStep, yStep) sub-grids, each an independently filtered
+    // sub-image whose pixels scatter back to the full grid
     val channels = color match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
     }
-    val rowBytes =
-      if (color == 3) (w * depth + 7) / 8 else w * channels
-    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passRowBytes(pw: Int): Int =
+      if (color == 3) (pw * depth + 7) / 8 else pw * channels
+    // inflate the filtered scanlines of ALL passes: each non-empty
+    // pass contributes passH rows of (1 filter byte + passRowBytes)
+    var rawLen = 0L
+    for ((xs, ys, xstep, ystep) <- passes) {
+      val pw = if (w > xs) (w - xs + xstep - 1) / xstep else 0
+      val ph = if (h > ys) (h - ys + ystep - 1) / ystep else 0
+      if (pw > 0 && ph > 0) rawLen += ph.toLong * (passRowBytes(pw) + 1)
+    }
+    if (rawLen > Int.MaxValue) return null
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0
@@ -505,79 +523,100 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return null
     } finally inf.end()
-    // un-filter: a = left (bpp bytes back — the pixel's byte width
-    // for the 8-bit color types, 1 for packed indices per the PNG
-    // spec), b = up, c = upper-left
+    // un-filter each pass independently (a = left by bpp — the
+    // pixel's byte width, 1 for packed indices per the PNG spec; up /
+    // upper-left stay WITHIN the pass), then unpack samples and
+    // scatter them to the full grid: one byte per pixel for palette
+    // indices, `channels` bytes otherwise
     val bpp = if (color == 3) 1 else channels
-    val out = new Array[Byte](rowBytes * h)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * (rowBytes + 1)) & 0xFF
-      if (f > 4) return null
-      val rs = y * (rowBytes + 1) + 1
-      val os = y * rowBytes
-      var x = 0
-      while (x < rowBytes) {
-        val a = if (x >= bpp) out(os + x - bpp) & 0xFF else 0
-        val up = if (y > 0) out(os - rowBytes + x) & 0xFF else 0
-        val c = if (x >= bpp && y > 0) out(os - rowBytes + x - bpp) & 0xFF else 0
-        val pred = f match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case 4 => // Paeth
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+    val spp = if (color == 3) 1 else channels
+    val samples = new Array[Byte](w * h * spp)
+    var passOff = 0
+    for ((xs, ys, xstep, ystep) <- passes) {
+      val pw = if (w > xs) (w - xs + xstep - 1) / xstep else 0
+      val ph = if (h > ys) (h - ys + ystep - 1) / ystep else 0
+      if (pw > 0 && ph > 0) {
+        val prb = passRowBytes(pw)
+        val rec = new Array[Byte](prb * ph)
+        var y = 0
+        while (y < ph) {
+          val f = raw(passOff + y * (prb + 1)) & 0xFF
+          if (f > 4) return null
+          val rs = passOff + y * (prb + 1) + 1
+          val os = y * prb
+          var x = 0
+          while (x < prb) {
+            val a = if (x >= bpp) rec(os + x - bpp) & 0xFF else 0
+            val up = if (y > 0) rec(os - prb + x) & 0xFF else 0
+            val c = if (x >= bpp && y > 0) rec(os - prb + x - bpp) & 0xFF else 0
+            val pred = f match {
+              case 0 => 0
+              case 1 => a
+              case 2 => up
+              case 3 => (a + up) / 2
+              case 4 => // Paeth
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+            }
+            rec(os + x) = ((raw(rs + x) & 0xFF) + pred).toByte
+            x += 1
+          }
+          // scatter this pass row's samples into the full grid
+          val gy = ys + y * ystep
+          var px = 0
+          while (px < pw) {
+            val gx = xs + px * xstep
+            if (color == 3) {
+              val bitPos = px * depth
+              val byteV = rec(os + (bitPos >> 3)) & 0xFF
+              samples(gy * w + gx) =
+                ((byteV >> (8 - depth - (bitPos & 7))) & ((1 << depth) - 1)).toByte
+            } else {
+              var ch = 0
+              while (ch < channels) {
+                samples((gy * w + gx) * channels + ch) = rec(os + px * channels + ch)
+                ch += 1
+              }
+            }
+            px += 1
+          }
+          y += 1
         }
-        out(os + x) = ((raw(rs + x) & 0xFF) + pred).toByte
-        x += 1
+        passOff += ph * (prb + 1)
       }
-      y += 1
     }
-    if (color == 2) return RasterImage(w, h, out)
+    if (color == 2) return RasterImage(w, h, samples)
+    val rgb = new Array[Byte](w * h * 3)
     if (color != 3) {
       // channel extraction for gray / gray+alpha / RGBA: replicate
       // gray to three channels, drop alpha
-      val rgb = new Array[Byte](w * h * 3)
-      var p = 0
-      var o = 0
+      var p = 0; var o = 0; var px = 0
       val n = w * h
-      var px = 0
       while (px < n) {
         if (channels <= 2) {
-          val v = out(p)
+          val v = samples(p)
           rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
         } else {
-          rgb(o) = out(p); rgb(o + 1) = out(p + 1); rgb(o + 2) = out(p + 2)
+          rgb(o) = samples(p); rgb(o + 1) = samples(p + 1)
+          rgb(o + 2) = samples(p + 2)
         }
-        p += channels
-        o += 3
-        px += 1
+        p += channels; o += 3; px += 1
       }
       return RasterImage(w, h, rgb)
     }
-    // palette expansion: indices packed MSB-first at `depth` bits
+    // palette lookup on the unpacked index bytes
     val nPal = palette.length / 3
-    val rgb = new Array[Byte](w * h * 3)
-    val mask = (1 << depth) - 1
-    y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val bitPos = x * depth
-        val byteV = out(y * rowBytes + (bitPos >> 3)) & 0xFF
-        val idx = (byteV >> (8 - depth - (bitPos & 7))) & mask
-        if (idx >= nPal) return null // index past the palette
-        val o = (y * w + x) * 3
-        rgb(o) = palette(idx * 3)
-        rgb(o + 1) = palette(idx * 3 + 1)
-        rgb(o + 2) = palette(idx * 3 + 2)
-        x += 1
-      }
-      y += 1
+    var px2 = 0
+    val n2 = w * h
+    while (px2 < n2) {
+      val idx = samples(px2) & 0xFF
+      if (idx >= nPal) return null // index past the palette
+      rgb(px2 * 3) = palette(idx * 3)
+      rgb(px2 * 3 + 1) = palette(idx * 3 + 1)
+      rgb(px2 * 3 + 2) = palette(idx * 3 + 2)
+      px2 += 1
     }
     RasterImage(w, h, rgb)
   }
@@ -946,6 +985,86 @@ object Multimodal {
       .map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zn)) ++
       chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Well-formed ADAM7-interlaced 8-bit truecolor PNG: the seven
+    * standard passes in order, every pass row filter 0, correct CRCs
+    * (r12) — valid for any PNG reader.
+    */
+  def buildPngAdam7(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    for ((xs, ys, xstep, ystep) <- passes) {
+      val pw = if (w > xs) (w - xs + xstep - 1) / xstep else 0
+      val ph = if (h > ys) (h - ys + ystep - 1) / ystep else 0
+      if (pw > 0 && ph > 0) {
+        for (y <- 0 until ph) {
+          rawOut.write(0) // filter: None
+          for (x <- 0 until pw) {
+            val (r, g, bl) = rgb(xs + x * xstep, ys + y * ystep)
+            rawOut.write(r & 0xFF); rawOut.write(g & 0xFF); rawOut.write(bl & 0xFF)
+          }
+        }
+      }
+    }
+    val raw = rawOut.toByteArray
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zn = 0
+    while (!defl.finished()) zn += defl.deflate(zbuf, zn, zbuf.length - zn)
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val o = java.nio.ByteBuffer.allocate(12 + data.length)
+      o.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      o.putInt(crc.getValue.toInt)
+      o.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(1.toByte)
+      .array()
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zn)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Deterministic Adam7 payload for media id `id` — the
+    * [[synthPngPayload]] dims and pixel formulas re-encoded
+    * interlaced, so interlacing changes the bytes, never the pixels.
+    */
+  def synthPngAdam7Payload(id: Long): Array[Byte] = {
+    val w = (id % 6 + 2).toInt
+    val h = (id * 3 % 5 + 2).toInt
+    buildPngAdam7(w, h, (x, y) => (
+      ((id + 7L * x + 13L * y) % 256).toInt,
+      ((id * 3 + 5L * x + 11L * y) % 256).toInt,
+      ((id * 5 + 3L * x + 17L * y) % 256).toInt))
+  }
+
+  /** Synthesize an Adam7-interlaced PNG media table from doc ids:
+    * every 19th magic-corrupted, every 13th truncated to half.
+    */
+  def synthesizePngAdam7Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val full = synthPngAdam7Payload(id)
+        val bytes =
+          if (id % 19 == 0) { full(0) = 0x00.toByte; full }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length / 2)
+          else full
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Deterministic gray / gray+alpha / RGBA PNG payload for media id

@@ -223,8 +223,67 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePng(palette) === null)
     val deep = base.clone(); deep(24) = 16
     assert(decodePng(deep) === null)
+    // an IHDR claiming Adam7 over sequential-layout data: the pass
+    // stream length cannot match → refused (r12: well-formed Adam7
+    // decodes; a LYING header still cannot)
     val interlaced = base.clone(); interlaced(28) = 1
     assert(decodePng(interlaced) === null)
+  }
+
+  test("decodePng Adam7: seven-pass interlaced images decode to the " +
+      "same pixels as their sequential twins; bit-exact against the " +
+      "JDK ImageIO interlaced writer (r12)") {
+    import Multimodal._
+    // interlaced vs sequential twins over the same formulas — every
+    // fixture id, including single-pixel-pass edge dims
+    for (id <- 0L until 40L) {
+      val a = decodePng(synthPngAdam7Payload(id))
+      val b = decodePng(synthPngPayload(id))
+      assert(a != null && b != null, s"id=$id")
+      assert(a.width === b.width && a.height === b.height, s"id=$id")
+      assert(java.util.Arrays.equals(a.rgb, b.rgb), s"id=$id")
+    }
+    // dims exercising every pass emptiness combination
+    for ((w, h) <- Seq((1, 1), (2, 1), (1, 2), (3, 3), (8, 8), (9, 10), (17, 5))) {
+      val fn = (x: Int, y: Int) =>
+        ((x * 37 + y * 11) % 256, (x * 5 + y * 3) % 256, (x * 91 + y * 53) % 256)
+      val img = decodePng(buildPngAdam7(w, h, fn))
+      assert(img != null && img.width === w && img.height === h, s"${w}x$h")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val (r, g, bl) = fn(x, y)
+        assert((img.rgb(o) & 0xFF) === r && (img.rgb(o + 1) & 0xFF) === g &&
+          (img.rgb(o + 2) & 0xFF) === bl, s"${w}x$h px($x,$y)")
+      }
+    }
+    // TEST-ONLY differential: ImageIO writes REAL Adam7 (progressive
+    // mode on the PNG writer) with its own filter choices per pass
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val w = 21; val h = 13
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 17 + y * 3) % 256 << 16) |
+        ((x * 7 + y * 29) % 256 << 8) | ((x + y * 13) % 256))
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(bi, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    assert((bytes(28) & 0xFF) === 1, "ImageIO did not write interlace=1")
+    val ours = decodePng(bytes)
+    assert(ours != null && ours.width === w && ours.height === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((ours.rgb(o) & 0xFF) === ((rgb >> 16) & 0xFF), s"r($x,$y)")
+      assert((ours.rgb(o + 1) & 0xFF) === ((rgb >> 8) & 0xFF), s"g($x,$y)")
+      assert((ours.rgb(o + 2) & 0xFF) === (rgb & 0xFF), s"b($x,$y)")
+    }
   }
 
   test("decodePng palette: PLTE lookup at all four bit depths with " +
@@ -1316,6 +1375,7 @@ class MultimodalSpec extends SparkSpec {
       synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
       synthPngPalettePayload(7), synthPngPalettePayload(2), // 8- + 4-bit PLTE (r12)
       synthPngTypedPayload(4), synthPngTypedPayload(5), // gray+alpha, RGBA (r12)
+      synthPngAdam7Payload(7), // interlaced (r12)
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
       synthWavPayload(7))
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
