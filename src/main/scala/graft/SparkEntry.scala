@@ -1698,6 +1698,43 @@ object SparkEntry {
         .orderBy(col("source"))
         .limit(10)),
 
+    // --- Gopher rule stack (r12 — Rae et al. 2021 §A1.1, the
+    //     standard first-pass crawl filter reused by RefinedWeb /
+    //     Dolma / FineWeb): word-count band, mean word length,
+    //     alpha-word floor, symbol ratio, bullet/ellipsis line
+    //     shapes, stop-word floor — every signal ONE codegen
+    //     projection ([[TextFunctions.gopherFlags]]). Degenerate
+    //     docs are planted on id strides so each rule actually
+    //     fires: %11 a symbol/number table (alpha+symbol+stopword),
+    //     %13 a six-line bullet nav (bullet), %17 trailing teaser
+    //     lines (ellipsis). Per-rule failure counts + pass count per
+    //     source, oracle replays the identical CASE + list-lambda
+    //     chain.
+    "text_gopher" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val bullets = (1 to 6).map(i => s"- item $i").mkString("\n")
+      val planted = when(col("doc_id") % 11 === 0,
+          lit("### 123 456 #### 789 ### 00 11 22 33 44 55 66 77 ###"))
+        .when(col("doc_id") % 13 === 0, lit(bullets))
+        .when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit("\nread more...\nsee also...\nnext...")))
+        .otherwise(col("text"))
+      val g = TextFunctions.gopherFlags(planted, minWords = 10)
+      docs.select(col("source"), g.as("g"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("g.pass").cast("long")).as("n_pass"),
+          sum(col("g.fail_words").cast("long")).as("n_fail_words"),
+          sum(col("g.fail_mean_len").cast("long")).as("n_fail_mean_len"),
+          sum(col("g.fail_alpha").cast("long")).as("n_fail_alpha"),
+          sum(col("g.fail_symbol").cast("long")).as("n_fail_symbol"),
+          sum(col("g.fail_bullet").cast("long")).as("n_fail_bullet"),
+          sum(col("g.fail_ellipsis").cast("long")).as("n_fail_ellipsis"),
+          sum(col("g.fail_stopword").cast("long")).as("n_fail_stopword"))
+        .orderBy(col("source"))
+    }),
+
     // --- PII redaction (curation op: scrub PII before training) over
     //     the three patterns every curation pipeline scrubs — emails,
     //     phone numbers, IPv4 addresses (r12 widened per VERDICT r11
@@ -3639,6 +3676,56 @@ object SparkEntry {
          |  round(avg(n_toks), 6) AS avg_tokens,
          |  round(avg(sw_ratio), 6) AS avg_stopword_ratio
          |FROM q GROUP BY source ORDER BY source LIMIT 10""".stripMargin
+    },
+
+    // the text_gopher oracle: identical plants (same CASE order), the
+    // identical tokenization (newline/tab → space, single-space
+    // split, empty drop) and line split, every rule replayed with
+    // list lambdas + the replace-length marker trick
+    "text_gopher" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      val bullets = (1 to 6).map(i => s"'- item $i'").mkString(" || chr(10) || ")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 11 = 0 THEN '### 123 456 #### 789 ### 00 11 22 33 44 55 66 77 ###'
+         |         WHEN doc_id % 13 = 0 THEN $bullets
+         |         WHEN doc_id % 17 = 0 THEN text || chr(10) || 'read more...' || chr(10) || 'see also...' || chr(10) || 'next...'
+         |         ELSE text END AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |f AS (
+         |  SELECT source, t,
+         |    list_filter(string_split(lower(replace(replace(t, chr(10), ' '), chr(9), ' ')), ' '), x -> length(x) > 0) AS toks,
+         |    list_filter(string_split(t, chr(10)), l -> length(l) > 0) AS ls
+         |  FROM d),
+         |m AS (
+         |  SELECT source, len(toks) AS nw,
+         |    CASE WHEN len(toks) > 0 THEN round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks), 6) ELSE 0.0 END AS alpha,
+         |    CASE WHEN len(toks) > 0 THEN round(((length(t) - length(replace(t, '...', ''))) / 3 + length(t) - length(replace(t, '#', '')))::DOUBLE / len(toks), 6) ELSE 0.0 END AS sym,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS bullet,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS ell,
+         |    len(list_filter(toks, x -> list_contains([$sw], x))) AS nsw
+         |  FROM f),
+         |r AS (
+         |  SELECT source,
+         |    NOT (nw BETWEEN 10 AND 100000) AS f_words,
+         |    NOT (mwl BETWEEN 3.0 AND 10.0) AS f_mlen,
+         |    alpha < 0.8 AS f_alpha,
+         |    sym > 0.1 AS f_sym,
+         |    bullet > 0.9 AS f_bullet,
+         |    ell > 0.3 AS f_ell,
+         |    nsw < 2 AS f_sw
+         |  FROM m)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT f_words AND NOT f_mlen AND NOT f_alpha AND NOT f_sym AND NOT f_bullet AND NOT f_ell AND NOT f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+         |  CAST(sum(CASE WHEN f_mlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_len,
+         |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+         |  CAST(sum(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+         |  CAST(sum(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bullet,
+         |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
+         |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
 
     "events_window" ->

@@ -326,4 +326,131 @@ object TextFunctions {
           k => !(element_at(ws, i + lit(1) - k) <=> w))),
       " ")
   }
+
+  // ------------------------------------------------------------------
+  // Gopher-style document quality rules (r12) — the repetition-free
+  // half of the rule stack from Rae et al. 2021 (Gopher, §A1.1), the
+  // de-facto standard first-pass filter of crawl curation (reused by
+  // MassiveText, RefinedWeb, Dolma, FineWeb). Every signal is a pure
+  // Catalyst column expression over ONE tokenization — whole-stage
+  // codegen, scales with the scan, and every rule has an exact DuckDB
+  // twin (list lambdas + the replace-length marker trick), so the
+  // gate hash-checks per-rule failure counts, not just a pass flag.
+  // Reference behavior being generalized: the reference pipeline
+  // filters rows only by embedding-dim validity
+  // (fever_multi_agent.py:131-150); a 100 TB text corpus needs the
+  // document-shaped equivalent before any of it is worth embedding.
+  // ------------------------------------------------------------------
+
+  /** Whitespace-normalized tokens for the Gopher rules: newlines and
+    * tabs become spaces BEFORE the single-space split, so multi-line
+    * docs tokenize per word (plain [[tokens]] would glue
+    * "end.\nStart" into one token). Same empty-drop + lowercase as
+    * [[tokens]]; DuckDB twin is two chr() replaces + string_split.
+    */
+  def gopherTokens(text: Column): Column =
+    filter(split(lower(translate(text, "\n\t", "  ")), " "),
+      t => length(t) > 0)
+
+  /** Mean word length in characters (0 for empty docs). Gopher keeps
+    * docs whose mean is in [3, 10] — shorter means symbol soup,
+    * longer means minified blobs / URL lists.
+    */
+  def meanWordLength(text: Column): Column = {
+    val toks = gopherTokens(text)
+    when(size(toks) > 0,
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(toks), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of words containing at least one alphabetic character
+    * (Gopher keeps ≥ 0.8): number tables and markup dumps fail.
+    */
+  def alphaWordRatio(text: Column): Column = {
+    val toks = gopherTokens(text)
+    when(size(toks) > 0,
+        round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+          size(toks), 6))
+      .otherwise(0.0)
+  }
+
+  /** Hash-or-ellipsis symbol count per word (Gopher drops > 0.1):
+    * the replace-length marker trick (plain substring replace — no
+    * regex), "..." counted before "#" so they never overlap.
+    */
+  def symbolWordRatio(text: Column): Column = {
+    val toks = gopherTokens(text)
+    val ell = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val hash = length(text) - length(replace(text, lit("#"), lit("")))
+    when(size(toks) > 0,
+        round((ell + hash).cast("double") / size(toks), 6))
+      .otherwise(0.0)
+  }
+
+  /** Non-empty lines of a doc (newline split, blanks dropped) — the
+    * unit of the two line-shape rules below.
+    */
+  private def gopherLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+
+  /** Fraction of lines that start like a bullet item ("- ", "* ",
+    * "• "). Gopher drops docs over 0.9 — nav menus and link farms.
+    */
+  def bulletLineRatio(text: Column): Column = {
+    val ls = gopherLines(text)
+    when(size(ls) > 0,
+        round(size(filter(ls, l => l.like("- %") || l.like("* %") ||
+          l.like("• %"))).cast("double") / size(ls), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of lines ending in an ellipsis ("..." or "…") — the
+    * truncated-teaser signature of listing pages. Gopher drops docs
+    * over 0.3.
+    */
+  def ellipsisLineRatio(text: Column): Column = {
+    val ls = gopherLines(text)
+    when(size(ls) > 0,
+        round(size(filter(ls, l => l.like("%...") || l.like("%…")))
+          .cast("double") / size(ls), 6))
+      .otherwise(0.0)
+  }
+
+  /** Count of stop-word token occurrences (the [[stopwords]] list).
+    * Gopher's prose-ness floor requires ≥ 2 — pure symbol/number
+    * streams have none.
+    */
+  def stopwordHits(text: Column): Column =
+    size(filter(gopherTokens(text), t => t.isin(stopwords: _*)))
+
+  /** The Gopher rule verdict as one struct column: per-rule boolean
+    * flags (true = rule FAILED) plus the combined `pass`. Thresholds
+    * are the published ones, with the word-count floor lowered to a
+    * parameter (the paper's 50 assumes web pages; fixture docs are
+    * shorter). One struct so a curation chain computes the whole
+    * stack in a single projection and filters or audits per rule.
+    */
+  def gopherFlags(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val nWords = size(gopherTokens(text))
+    val fWords = !nWords.between(minWords, maxWords)
+    val fMeanLen = !meanWordLength(text).between(3.0, 10.0)
+    val fAlpha = alphaWordRatio(text) < 0.8
+    val fSymbol = symbolWordRatio(text) > 0.1
+    val fBullet = bulletLineRatio(text) > 0.9
+    val fEllipsis = ellipsisLineRatio(text) > 0.3
+    val fStopword = stopwordHits(text) < 2
+    struct(
+      nWords.as("n_words"),
+      fWords.as("fail_words"),
+      fMeanLen.as("fail_mean_len"),
+      fAlpha.as("fail_alpha"),
+      fSymbol.as("fail_symbol"),
+      fBullet.as("fail_bullet"),
+      fEllipsis.as("fail_ellipsis"),
+      fStopword.as("fail_stopword"),
+      (!fWords && !fMeanLen && !fAlpha && !fSymbol && !fBullet &&
+        !fEllipsis && !fStopword).as("pass"))
+  }
 }

@@ -263,4 +263,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(4).getString(1) === "")
     assert(rows(5).isNullAt(1))
   }
+
+  test("gopherFlags: every rule fires on its planted degenerate and " +
+      "clean prose passes (r12 — Rae et al. 2021 \u00a7A1.1 thresholds)") {
+    import graft.functions.TextFunctions.gopherFlags
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find a quiet place for a long nap today") // 24 words
+    val rows = Seq(
+      (1L, prose),                                        // passes all
+      (2L, "short text only"),                            // word-count floor
+      (3L, "### 12 34 #### 56 ### 78 90 11 22 33 44 55"), // alpha+symbol+stopword
+      (4L, (1 to 12).map(i => s"- item $i").mkString("\n") +
+        "\nthe one and only prose line is here now with it that this " +
+        "for on with as at be the and of is that with the and of is"), // bullet
+      (5L, prose + "\nread more...\nsee also...\nnext up..."), // ellipsis
+      (6L, List.fill(12)("internationalization").mkString(" ") +
+        " the of"))                                       // mean word length
+      .toDF("id", "t")
+      .select($"id", gopherFlags($"t", minWords = 10).as("g"))
+      .orderBy($"id").collect()
+    def g(i: Int, f: String): Boolean =
+      rows(i).getStruct(1).getAs[Boolean](f)
+    assert(g(0, "pass")); assert(rows(0).getStruct(1).getAs[Int]("n_words") === 24)
+    assert(!g(1, "pass") && g(1, "fail_words"))
+    assert(g(2, "fail_alpha") && g(2, "fail_symbol") && g(2, "fail_stopword"))
+    assert(g(3, "fail_bullet") && !g(3, "fail_stopword"))
+    assert(g(4, "fail_ellipsis") && !g(4, "fail_bullet"))
+    assert(g(5, "fail_mean_len"))
+  }
 }
