@@ -668,6 +668,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Bloom-fronted incremental exact dedup (r12 — the
+    //     snapshot-vs-everything shape at the scale where the seen-
+    //     keys index dwarfs every batch): a PARTITIONED bloom layer
+    //     (cogroup per slice — never a driver-size broadcast) routes
+    //     definitely-new rows past the index anti-join; only
+    //     maybe-duplicates pay the exact check, so the result is
+    //     EXACT and reuses an exact oracle. Cross-snapshot dups are
+    //     planted on the %9 stride (text keyed by doc_id % 40 — 9
+    //     and 40 coprime, so every batch plant has a corpus twin);
+    //     survivors are hash-checked, the bloom's no-false-negative
+    //     guarantee and fpp bound ride along as exactly-recomputed
+    //     flags (the q_bloom_join convention — filter bit patterns
+    //     are engine-specific, invariants are not).
+    "dedup_bloom_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      def plant(d: DataFrame) = d.withColumn("text",
+        when(col("doc_id") % 9 === 0,
+            concat(lit("PLANTED DUP "), pmod(col("doc_id"), lit(40L))))
+          .otherwise(col("text")))
+        .select(col("doc_id"), col("text"))
+      val corpus = plant(docs.filter(col("doc_id") < 400))
+      val batch = plant(docs.filter(col("doc_id") >= 400 && col("doc_id") < 800))
+      val idxPath = gateIndexPath(dir, "bloom_gate_keys")
+      val bloomPath = gateIndexPath(dir, "bloom_gate_bloom")
+      Dedup.writeExactDedupIndex(corpus, "text", idxPath)
+      Dedup.writeBloomIndex(corpus, "text", bloomPath, parts = 8)
+      // invariant flags BEFORE the append mutates the bloom layer
+      val probed = Dedup.bloomProbe(batch, "text", bloomPath)
+        .select(col("doc_id"), col("text"), col("__maybe")).cache()
+      val inCorpus = probed.join(corpus.select(col("text")).distinct(),
+        Seq("text"), "left_semi")
+      val nBatch = probed.count()
+      val nMaybe = probed.filter(col("__maybe")).count()
+      val nDup = inCorpus.count()
+      val missedDup = inCorpus.filter(!col("__maybe")).count() // must be 0
+      probed.unpersist()
+      val survivors = Dedup.appendExactDedupBloom(batch, "doc_id", "text",
+        idxPath, bloomPath)
+      val nSurvived = survivors.count()
+      val fpBound = math.ceil((nBatch - nDup) * 0.03).toLong
+      Seq((nBatch, nDup, nSurvived,
+          if (missedDup == 0) 1 else 0,
+          if (nMaybe - nDup <= fpBound) 1 else 0))
+        .toDF("n_batch", "n_dup_vs_corpus", "n_survived",
+          "no_false_negatives", "fp_bounded")
+    }),
+
     // --- Embedding near-dup: 20 globally-closest nearest-neighbor
     //     pairs by cosine distance (each vector contributes its NN;
     //     pair direction canonicalized). Every vector is a query
@@ -4150,6 +4199,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
         |  FROM fresh)
         |SELECT doc_id, source FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // the dedup_bloom_index oracle: identical plants, exact
+    // cross-snapshot anti join + batch-local min-id rule; the bloom's
+    // invariants (no false negatives, fpp-bounded positives) are
+    // exactly recomputed Spark-side and ride as literal flags (the
+    // q_bloom_join convention — bloom BIT PATTERNS are
+    // engine-specific, the guarantees are not)
+    "dedup_bloom_index" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'PLANTED DUP ' || (doc_id % 40)
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |corpus AS (SELECT * FROM d WHERE doc_id < 400),
+        |batch AS (SELECT * FROM d WHERE doc_id >= 400 AND doc_id < 800),
+        |fresh AS (SELECT b.* FROM batch b
+        |          WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text))
+        |SELECT
+        |  (SELECT count(*) FROM batch) AS n_batch,
+        |  (SELECT count(*) FROM batch b
+        |     WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text))
+        |    AS n_dup_vs_corpus,
+        |  (SELECT count(DISTINCT text) FROM fresh) AS n_survived,
+        |  CAST(1 AS INT) AS no_false_negatives,
+        |  CAST(1 AS INT) AS fp_bounded""".stripMargin,
 
     "dedup_near_append" ->
       """WITH t AS (

@@ -93,6 +93,176 @@ object Dedup {
     out.drop("__k1", "__k2")
   }
 
+  // ------------------------------------------------------------------
+  // Partitioned Bloom membership layer (r12) — an accelerator in
+  // front of the exact-key index for the cross-snapshot shape. At
+  // 100 TB the seen-keys index is itself TBs; anti-joining every new
+  // crawl snapshot against all of it shuffles the whole index per
+  // batch even though almost every batch key is NEW. The fix is the
+  // classic one (e.g. Impala/Spark runtime filters, log-structured
+  // storage): a Bloom filter answers "definitely new" cheaply, and
+  // only the maybe-duplicate minority (true dups + fpp of the rest)
+  // pays the exact anti-join. Unlike `q_bloom_join`'s driver-built
+  // broadcast bloom, this layer is PARTITIONED — `parts` independent
+  // blooms keyed by pmod(contentKey, parts), met via cogroup, so the
+  // aggregate filter can be arbitrarily large (10B keys at 1% fpp is
+  // ~12 GB — far beyond broadcast) while each task deserializes only
+  // its own slice. Correctness NEVER depends on the bloom: it is a
+  // derived cache of the exact index (rebuildable via
+  // [[writeBloomIndexFromKeys]]), and updates write the bloom BEFORE
+  // the exact index appends — a bloom that over-contains merely
+  // sends extra rows to the exact check, while an under-containing
+  // bloom would let duplicates through, so the commit order makes
+  // the failure mode safe.
+  // ------------------------------------------------------------------
+
+  /** Bloom partition id of a content key. */
+  private def bloomPart(k1: Column, parts: Int): Column =
+    pmod(k1, lit(parts.toLong)).cast("int")
+
+  private def bloomBytes(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  private def bloomFrom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Build the partitioned bloom index over a corpus' content keys:
+    * `parts` rows of (part, parts, bloom bytes), each bloom holding
+    * the keys with pmod(key, parts) == part. Each bloom is sized for
+    * expectedItems/parts (corpus row count when -1 — an upper bound
+    * on distinct keys, the `q_bloom_join` sizing rule, so realized
+    * fpp stays ≤ configured at any scale). One shuffle of 8-byte
+    * keys; bloom construction is per-partition streaming — no key
+    * set is ever held whole.
+    */
+  def writeBloomIndex(df: DataFrame, textCol: String, path: String,
+      parts: Int = 64, expectedItems: Long = -1L,
+      fpp: Double = 0.01): Unit =
+    writeBloomIndexFromKeys(
+      df.select(contentKey(col(textCol)).as("k1")),
+      path, parts,
+      if (expectedItems > 0) expectedItems else math.max(df.count(), 1L), fpp)
+
+  /** [[writeBloomIndex]] from an 8-byte key frame (column `k1`) —
+    * also the REBUILD path from a [[writeExactDedupIndex]] index
+    * after an interrupted bloom update: the bloom is derived state,
+    * the key index is the truth.
+    */
+  def writeBloomIndexFromKeys(keys: DataFrame, path: String, parts: Int,
+      expectedItems: Long, fpp: Double): Unit = {
+    require(parts > 0, s"parts $parts")
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val perPart = math.max(expectedItems / parts, 1000L)
+    keys.select(bloomPart(col("k1"), parts).as("part"), col("k1"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(perPart, fpp)
+        it.foreach(kv => bf.putLong(kv._2))
+        (p, parts, bloomBytes(bf))
+      }
+      .toDF("part", "parts", "bloom")
+      .repartition(1) // parts rows of ~m/parts bits — a handful of files
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Probe the partitioned bloom index: the input plus `__k1` (content
+    * key) and `__maybe` — false means DEFINITELY not in the indexed
+    * corpus (bloom guarantee), true means probably-in (exact check
+    * required). Scale shape: the batch shuffles once on the bloom
+    * partition key and meets its bloom slice via cogroup — each task
+    * deserializes one bloom, never the whole filter; a part with no
+    * bloom row (empty at build) marks all its rows definitely-new.
+    */
+  def bloomProbe(batch: DataFrame, textCol: String, path: String): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val blooms = spark.read.parquet(path)
+    val parts = blooms.select(col("parts")).limit(1).as[Int].collect() match {
+      case Array(p) => p
+      case _ => throw new IllegalStateException(s"empty bloom index at $path")
+    }
+    val keyed = batch.withColumn("__k1", contentKey(col(textCol)))
+    val outSchema = keyed.schema.add("__maybe", org.apache.spark.sql.types.BooleanType)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val kIdx = keyed.schema.fieldIndex("__k1")
+    val kvBatch = keyed.groupByKey(
+      r => ((r.getLong(kIdx) % parts + parts) % parts).toInt)
+    val kvBloom = blooms.select(col("part"), col("bloom"))
+      .as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    kvBatch.cogroup(kvBloom) { (_, rows, bs) =>
+      val bf = bs.buffered.headOption.map(b => bloomFrom(b._2))
+      rows.map { r =>
+        val maybe = bf.exists(_.mightContainLong(r.getLong(kIdx)))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
+      }
+    }
+  }
+
+  /** Incremental exact dedup through the bloom layer —
+    * [[appendExactDedup]] for the snapshot-vs-everything shape where
+    * the index dwarfs the batch. Definitely-new rows (bloom-negative)
+    * BYPASS the index anti-join entirely; only maybe-duplicates join
+    * the exact key index (both hashes — the bloom narrows work, the
+    * 192-bit check decides). Commit order: new keys go into the
+    * blooms FIRST (over-containing bloom = safe, just more exact
+    * checks), then append to the key index; an interruption between
+    * the two leaves a conservative bloom, and
+    * [[writeBloomIndexFromKeys]] restores tightness from the index.
+    */
+  def appendExactDedupBloom(batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, bloomPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val probed = bloomProbe(batch, textCol, bloomPath)
+      .withColumn("__k2", md5(col(textCol)))
+    val definiteNew = probed.filter(!col("__maybe"))
+    val maybe = probed.filter(col("__maybe"))
+    val checkedNew = maybe.join(idx,
+      maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+    val fresh = definiteNew.unionByName(checkedNew)
+    val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
+    // blooms first (see commit-order note), then the key index
+    val blooms = spark.read.parquet(bloomPath)
+    import spark.implicits._
+    val parts = blooms.select(col("parts")).limit(1).as[Int].head()
+    val newKeys = out.select(bloomPart(col("__k1"), parts).as("part"),
+      col("__k1").as("k1")).as[(Int, Long)]
+    val kvBloom = blooms.select(col("part"), col("bloom"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val updated = newKeys.groupByKey(_._1)
+      .cogroup(kvBloom) { (p, ks, bs) =>
+        bs.buffered.headOption match {
+          case Some((_, bytes)) =>
+            val bf = bloomFrom(bytes)
+            var any = false
+            ks.foreach { k => bf.putLong(k._2); any = true }
+            if (any) Iterator((p, parts, bloomBytes(bf)))
+            else Iterator((p, parts, bytes)) // untouched slice passes through
+          case None =>
+            // a part that was empty at build time: grow a fresh slice
+            val bf = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+            var any = false
+            ks.foreach { k => bf.putLong(k._2); any = true }
+            if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
+        }
+      }
+      .toDF("part", "parts", "bloom")
+      .repartition(1)
+      .localCheckpoint(true) // materialize before overwriting what it reads
+    updated.write.mode("overwrite").parquet(bloomPath)
+    out.select(col("__k1").as("k1"), col("__k2").as("k2"))
+      .write.mode("append").parquet(indexPath)
+    out.drop("__k1", "__k2", "__maybe")
+  }
+
   /** Duplicate-group stats: one row per text value occurring more than
     * once — (representative id, copy count). Partial-aggregated.
     */

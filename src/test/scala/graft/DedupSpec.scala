@@ -642,4 +642,44 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.fingerprintPairs(
       fps, "media_id", "fp", maxHamming = 3, maxBucketSize = 10).count() === 0L)
   }
+
+  test("partitioned bloom layer: probe has NO false negatives, the " +
+      "bloom-fronted append is exact, grows the layer for the next " +
+      "batch, and rebuilds from the key index (r12)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_spec")
+    val idx = s"$base/keys"; val bl = s"$base/bloom"
+    val corpus = spark.range(200)
+      .select($"id".as("doc_id"), concat(lit("corpus text "), $"id").as("text"))
+    // batch: ids 200-299 fresh, 300-349 duplicate corpus texts 0-49,
+    // plus an intra-batch dup pair (both new)
+    val batch = spark.range(200, 300)
+      .select($"id".as("doc_id"), concat(lit("batch text "), $"id").as("text"))
+      .union(spark.range(300, 350)
+        .select($"id".as("doc_id"), concat(lit("corpus text "), $"id" - 300).as("text")))
+      .union(Seq((350L, "twin batch text"), (351L, "twin batch text"))
+        .toDF("doc_id", "text"))
+    Dedup.writeExactDedupIndex(corpus, "text", idx)
+    Dedup.writeBloomIndex(corpus, "text", bl, parts = 4)
+    val probed = Dedup.bloomProbe(batch, "text", bl)
+    // every true duplicate MUST probe maybe (bloom guarantee)
+    assert(probed.filter($"doc_id" >= 300 && $"doc_id" < 350 && !$"__maybe")
+      .count() === 0L)
+    // fresh keys are overwhelmingly definite-new (fpp 1% — 0 expected
+    // false positives among 102 fresh; allow a few)
+    assert(probed.filter($"doc_id" < 300 && !$"__maybe").count() >= 95L)
+    val out1 = Dedup.appendExactDedupBloom(batch, "doc_id", "text", idx, bl)
+    val ids1 = out1.select("doc_id").as[Long].collect().sorted
+    assert(ids1.toSeq === ((200L until 300L) :+ 350L))
+    assert(out1.columns.toSeq === Seq("doc_id", "text"))
+    // the layer GREW: replaying the same batch yields nothing new
+    assert(Dedup.appendExactDedupBloom(batch, "doc_id", "text", idx, bl)
+      .count() === 0L)
+    // rebuild-from-truth path (interrupted update recovery): a fresh
+    // bloom from the key index classifies identically
+    val bl2 = s"$base/bloom2"
+    Dedup.writeBloomIndexFromKeys(
+      spark.read.parquet(idx).select($"k1"), bl2, parts = 4,
+      expectedItems = 400L, fpp = 0.01)
+    assert(Dedup.bloomProbe(batch, "text", bl2).filter(!$"__maybe").count() === 0L)
+  }
 }
