@@ -763,6 +763,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // --- SemDeDup (r12 — Abbas et al. 2023): semantic prune by the
+    //     released implementation's argsort rule — within a cluster,
+    //     most-prototypical-first order, prune on cosine ≥ 0.98 to
+    //     any EARLIER member. Near-twins are planted as SCALED copies
+    //     (×1.01 — cosine exactly 1 to their original, same angular
+    //     cluster) of vec_id < 30 under shifted ids; centroids are
+    //     DETERMINISTIC for the oracle (the first 4 vectors — the
+    //     F10 bounded-collect convention), so DuckDB replays
+    //     assignment (raw argmin, ties to low centroid id — the
+    //     NearestCenter contract) and the round6-ed prune decisions
+    //     exactly. Production path is [[Ann.semDedup]] with trained
+    //     KMeans centroids; this gate pins the kernel.
+    "dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val twins = base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("v"), x => x * lit(1.01d)).as("v"))
+      val corpus = base.unionByName(twins)
+      val centers = base.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("v")).as[Array[Double]].collect()
+      val assigned = Ann.assignWithCenters(corpus, "v", centers, "cosine")
+      Ann.semDedupAssigned(assigned, centers, "vec_id", "v",
+          simThreshold = 0.98)
+        .orderBy(col("vec_id"))
+    }),
+
     // --- n-gram Jaccard dedup (the brute-force family member — a
     //     distinct code path from the LSH route): exact 2-gram-shingle
     //     Jaccard pairs over a bounded id range. TEST-SCALE query by
@@ -5437,6 +5465,37 @@ object SparkEntry {
         |       FROM r WHERE rank = 1)
         |SELECT DISTINCT id_a, id_b, distance FROM nn
         |ORDER BY distance, id_a, id_b LIMIT 20""".stripMargin,
+
+    // the dedup_semantic oracle: identical scaled-twin plants and
+    // deterministic first-4 centroids; assignment replays the
+    // NearestCenter contract (raw angular argmin, ties to the lowest
+    // centroid id), prototypicality order and the ≥ 0.98 prune both
+    // compare ROUND6-ed cosines — the decision boundary is identical
+    // in both engines
+    "dedup_semantic" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |twins AS (SELECT vec_id + 100000 AS vec_id,
+        |            list_transform(v, x -> x * 1.01) AS v
+        |          FROM base WHERE vec_id < 30),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |asg0 AS (SELECT s.vec_id, s.v, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id
+        |             ORDER BY 1.0 - list_cosine_similarity(s.v, c.cv), c.cid) AS rn
+        |         FROM corpus s CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, v, cid FROM asg0 WHERE rn = 1),
+        |ord AS (SELECT a.vec_id, a.v, a.cid,
+        |          row_number() OVER (PARTITION BY a.cid
+        |            ORDER BY round(list_cosine_similarity(a.v, c.cv), 6) DESC,
+        |              a.vec_id) AS pos
+        |        FROM asg a JOIN cents c ON a.cid = c.cid)
+        |SELECT x.vec_id, CAST(x.cid AS INT) AS cluster_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM ord y
+        |    WHERE y.cid = x.cid AND y.pos < x.pos
+        |      AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.98)
+        |    THEN 0 ELSE 1 END AS keep,
+        |  CAST(1 AS INT) AS checked
+        |FROM ord x ORDER BY x.vec_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -1352,6 +1352,109 @@ object Ann {
     Knn.finishTopKPerGroup(candidates, "query_id", idCol, k)
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic dedup by embedding:
+    * cluster the corpus, order each cluster by prototypicality
+    * (cosine similarity to the cluster centroid, descending, id
+    * ascending), and PRUNE a row iff some EARLIER row in that order
+    * is a near-twin (cosine ≥ `simThreshold`). This is the released
+    * implementation's argsort rule (prior-in-order, not
+    * prior-among-kept) — deterministic and engine-replayable, unlike
+    * a greedy sequential sweep. Both the ordering similarity and the
+    * pairwise similarity are rounded to 6 decimals before comparing,
+    * so the decision replays bit-identically in the DuckDB oracle.
+    *
+    * Scale shape (the point of the clustering): candidates meet ONLY
+    * inside their cluster — one shuffle on cluster_id, per-cluster
+    * O(s²/2) kernel with early exit, work ÷ nlist vs the corpus
+    * pairwise scan. Clusters above `maxClusterSize` pass through
+    * UNPRUNED with checked = 0 (conservative — dedup never drops
+    * unverified rows) and a loud warning: at 100 TB pick nlist so
+    * N/nlist fits a task, exactly the [[nnSelfJoinIvf]] sizing rule.
+    *
+    * Returns (idCol, cluster_id, keep, checked) — 1/0 ints.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double, nlist: Int, seed: Long = 42L,
+      maxIter: Int = 5, trainFraction: Double = 1.0,
+      maxClusterSize: Int = 1 << 16): DataFrame = {
+    val (assigned, centers) = ivfAssign(corpus, idCol, vecCol, nlist,
+      seed, maxIter, trainFraction, "cosine")
+    semDedupAssigned(assigned, centers, idCol, vecCol, simThreshold,
+      maxClusterSize)
+  }
+
+  /** [[semDedup]] over a prebuilt assignment (cluster_id column) and
+    * centroid matrix — also the deterministic-centroid gate path.
+    */
+  def semDedupAssigned(assigned: DataFrame, centers: Array[Array[Double]],
+      idCol: String, vecCol: String, simThreshold: Double,
+      maxClusterSize: Int = 1 << 16): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val thr = simThreshold
+    assigned
+      .select(col("cluster_id").cast("int"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long] // all ids — over-cap rows must still pass through
+        var overflow = false
+        it.foreach { case (_, id, v) =>
+          if (v != null) {
+            ids += id
+            if (members.length < maxClusterSize && !overflow) members += ((id, v))
+            else { overflow = true; members.clear() } // free the vectors — pass-through needs none
+          }
+        }
+        if (overflow) {
+          // conservative pass-through; truncating the dominator scan
+          // would make keep/prune depend on arrival order
+          org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
+            s"semDedup: cluster $cid exceeds maxClusterSize=$maxClusterSize — " +
+              "passed through unpruned (checked=0); raise nlist")
+          ids.iterator.map(id => (id, cid, 1, 0))
+        } else {
+          val c = bcCenters.value(cid)
+          val cNorm = math.sqrt(Knn.dotKernel(c, c))
+          val n = members.length
+          val norms = new Array[Double](n)
+          val proto = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val v = members(i)._2
+            norms(i) = math.sqrt(Knn.dotKernel(v, v))
+            proto(i) = Knn.round6(Knn.dotKernel(v, c) / (norms(i) * cNorm))
+            i += 1
+          }
+          val order = (0 until n).sortBy(j => (-proto(j), members(j)._1))
+          val keep = new Array[Boolean](n)
+          var oi = 0
+          while (oi < n) {
+            val j = order(oi)
+            var dominated = false
+            var pi = 0
+            while (pi < oi && !dominated) {
+              val p = order(pi)
+              val sim = Knn.round6(
+                Knn.dotKernel(members(j)._2, members(p)._2) /
+                  (norms(j) * norms(p)))
+              if (sim >= thr) dominated = true
+              pi += 1
+            }
+            keep(j) = !dominated
+            oi += 1
+          }
+          members.iterator.zipWithIndex.map { case ((id, _), ix) =>
+            (id, cid, if (keep(ix)) 1 else 0, 1)
+          }
+        }
+      }
+      .toDF(idCol, "cluster_id", "keep", "checked")
+  }
+
   /** Persist an IVF-partitioned corpus: one parquet partition per
     * cluster. A probe that filters `cluster_id IN (...)` is answered
     * with Catalyst partition PRUNING — only nprobe/nlist of the bytes

@@ -631,4 +631,49 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(probe === exact)
   }
+
+  test("semDedup: scaled near-twins prune to one survivor (the more " +
+      "prototypical / lower-id member), distinct vectors all keep, " +
+      "over-cap clusters pass through unpruned with checked=0 (r12)") {
+    // two well-separated directions, three near-twins around each:
+    // exact copies and a scaled copy (cosine 1), plus one far vector
+    val rows = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(1.01, 0.0, 0.0)),   // scaled twin of 0
+      (2L, Array(0.0, 1.0, 0.0)),
+      (3L, Array(0.0, 2.0, 0.0)),    // scaled twin of 2
+      (4L, Array(0.0, 0.98, 0.26)),  // cos ≈ 0.966 to 2 — BELOW 0.98, kept
+      (5L, Array(0.7, 0.7, 0.0))     // between the axes
+    ).toDF("vec_id", "v")
+    val centers = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val assigned = Ann.assignWithCenters(rows, "v", centers, "cosine")
+    val out = Ann.semDedupAssigned(assigned, centers, "vec_id", "v", 0.98)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(out(0) === ((1, 1)))  // prototypical rep of its twin pair
+    assert(out(1) === ((0, 1)))  // pruned: same angle, higher id
+    assert(out(2) === ((1, 1)))
+    assert(out(3) === ((0, 1)))  // scaled twin pruned
+    assert(out(4) === ((1, 1)))  // 0.966 < 0.98 — survives
+    assert(out(5) === ((1, 1)))
+    // over-cap cluster: conservative pass-through, nothing dropped
+    val big = spark.range(50).select($"id".as("vec_id"),
+      array(lit(1.0), lit(0.0)).as("v"))
+    val bigAssigned = Ann.assignWithCenters(big, "v",
+      Array(Array(1.0, 0.0)), "cosine")
+    val passed = Ann.semDedupAssigned(bigAssigned, Array(Array(1.0, 0.0)),
+      "vec_id", "v", 0.98, maxClusterSize = 10).collect()
+    assert(passed.length === 50)
+    assert(passed.forall(r => r.getInt(2) === 1 && r.getInt(3) === 0))
+    // end-to-end with TRAINED centroids: planted exact copies always
+    // land in one cluster and exactly one of each pair survives
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val twins = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"v")
+    val sd = Ann.semDedup(emb.unionByName(twins), "vec_id", "v",
+      simThreshold = 0.98, nlist = 4, maxIter = 2)
+    val pruned = sd.filter($"keep" === 0).count()
+    assert(pruned === 10L, s"exactly the 10 planted copies prune, got $pruned")
+    assert(sd.filter($"checked" === 0).count() === 0L)
+  }
 }
