@@ -1685,6 +1685,51 @@ object SparkEntry {
         .orderBy(col("shard_id"))
     }),
 
+    // --- Tar shard containers (r12 — the WebDataset convention:
+    //     multimodal corpora ship as tar shards, one task per shard).
+    //     Documents are packed as UTF-8 members into 4 deterministic
+    //     tars (zeroed mtime/uid/gid, name-sorted members — any
+    //     engine recomputes identical bytes) and read BACK through
+    //     the binaryFile + USTAR walk; per-member shard/name/size and
+    //     a content md5 hash-check the full write→parse round trip
+    //     against the fixture text the members came from.
+    "docs_tar_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      val df = docs.select(
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+      val base = gateIndexPath(dir, "tar_gate")
+      graft.sources.Containers.writeTarShards(df, "shard_id", "name",
+        "content", base)
+      graft.sources.Containers.readTarShards(s, s"$base/data/*.tar")
+        .select(col("shard"), col("name"), col("size"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("name"))
+    }),
+
+    // --- Tar shard manifest (r12): committed LAST, computed FROM the
+    //     written tars — per-shard member count, payload bytes, and
+    //     the engine-portable name:size checksum, all recomputable by
+    //     the oracle from the fixture formulas alone.
+    "docs_tar_manifest" -> ((s, dir) => {
+      val base = gateIndexPath(dir, "tar_gate") // written by docs_tar_shards…
+      val docs = Tables.documents(s, dir)       // …but never rely on gate order
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      val df = docs.select(
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+      graft.sources.Containers.writeTarShards(df, "shard_id", "name",
+          "content", base)
+        .orderBy(col("shard"))
+    }),
+
     // --- Sequence packing (r8 — the pre-tokenization packing step of
     //     every LLM training run): documents in doc_id order are
     //     interval-packed into ~2048-token sequences via the
@@ -3699,6 +3744,35 @@ object SparkEntry {
         |  CAST(1 AS INT) AS rows_ok, CAST(1 AS INT) AS tokens_ok,
         |  CAST(1 AS INT) AS range_ok, CAST(1 AS INT) AS checksum_ok
         |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // the docs_tar_shards oracle: every member the tar round trip
+    // must yield, straight from the fixture formulas — shard file
+    // from the id hash, member name from the id, size and md5 from
+    // the UTF-8 text bytes
+    "docs_tar_shards" ->
+      """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.tar' AS shard,
+        |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
+        |ORDER BY name""".stripMargin,
+
+    // the docs_tar_manifest oracle: per-shard facts of the attested
+    // layout (member count, payload bytes, name:size checksum — the
+    // docs_shards md5 idiom)
+    "docs_tar_manifest" ->
+      """WITH m AS (
+        |  SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.tar' AS shard,
+        |    'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS size
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200)
+        |SELECT shard, count(*) AS n_members,
+        |  CAST(sum(size) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(name || ':' || size), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
     // exact top-10 counts hash-checked; the sketch is checked as the
     // CMS error-bound flag (estimate in [true, true + eps·N])

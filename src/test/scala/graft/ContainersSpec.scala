@@ -1,0 +1,121 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Containers
+
+class ContainersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def payload(i: Int): Array[Byte] =
+    Array.tabulate[Byte]((i * 37) % 1300 + 1)(j => ((i * 131 + j * 7) % 256).toByte)
+
+  private lazy val rows = (0 until 23).map { i =>
+    (i % 3L, f"sub/doc-$i%04d.bin", payload(i))
+  }
+
+  test("tar shard round trip: binary payloads byte-identical, members " +
+      "sorted by name within shard, manifest attests written content (r12)") {
+    val base = Files.createTempDirectory("graft_tar").toString
+    val df = rows.toDF("shard_id", "name", "content")
+    val mf = Containers.writeTarShards(df, "shard_id", "name", "content", base)
+    assert(mf.count() === 3)
+    assert(mf.agg(sum($"n_members")).head().getLong(0) === 23L)
+    val back = Containers.readTarShards(spark, s"$base/data/*.tar")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](3))).toSeq
+    assert(back.length === 23)
+    val byName = back.map(e => e._2 -> e._3).toMap
+    rows.foreach { case (_, n, b) =>
+      assert(java.util.Arrays.equals(byName(n), b), s"payload mismatch $n") }
+    // member order inside each shard file is name-sorted
+    back.groupBy(_._1).foreach { case (s, es) =>
+      assert(es.map(_._2) === es.map(_._2).sorted, s"unsorted members in $s") }
+    // manifest checksum matches an independent recompute
+    val expectCk = Containers.readTarShards(spark, s"$base/data/*.tar")
+      .groupBy($"shard")
+      .agg(sum(graft.operators.Shards.rowChecksum(Seq("name", "size"))).as("ck"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mf.collect().foreach(r =>
+      assert(r.getAs[Long]("checksum") === expectCk(r.getString(0))))
+  }
+
+  test("tar shard determinism and gzip twin: same rows → byte-identical " +
+      "shards; .tar.gz round-trips by magic detection (r12)") {
+    val df = rows.toDF("shard_id", "name", "content")
+    val a = Files.createTempDirectory("graft_tar_a").toString
+    val b = Files.createTempDirectory("graft_tar_b").toString
+    Containers.writeTarShards(df, "shard_id", "name", "content", a)
+    Containers.writeTarShards(df, "shard_id", "name", "content", b)
+    for (i <- 0 until 3) {
+      val fa = Files.readAllBytes(Paths.get(f"$a/data/shard-$i%05d.tar"))
+      val fb = Files.readAllBytes(Paths.get(f"$b/data/shard-$i%05d.tar"))
+      assert(java.util.Arrays.equals(fa, fb), s"shard $i not deterministic")
+    }
+    val g = Files.createTempDirectory("graft_tar_gz").toString
+    val mfg = Containers.writeTarShards(df, "shard_id", "name", "content", g,
+      gzip = true)
+    assert(mfg.agg(sum($"n_members")).head().getLong(0) === 23L)
+    val back = Containers.readTarShards(spark, s"$g/data/*.tar.gz")
+    assert(back.count() === 23L)
+    // gzip shards are smaller than the plain tar of the same rows AND
+    // carry the gzip magic (the detector keys on bytes, not suffix)
+    val gz0 = Files.readAllBytes(Paths.get(s"$g/data/shard-00000.tar.gz"))
+    assert((gz0(0) & 0xff) === 0x1f && (gz0(1) & 0xff) === 0x8b)
+  }
+
+  test("external GNU tar reads our shards (when present)") {
+    val exe = Seq("/bin/tar", "/usr/bin/tar").find(p => new java.io.File(p).exists())
+    assume(exe.isDefined)
+    val base = Files.createTempDirectory("graft_tar_ext").toString
+    Containers.writeTarShards(rows.toDF("shard_id", "name", "content"),
+      "shard_id", "name", "content", base)
+    val listed = scala.sys.process.Process(
+      Seq(exe.get, "-tf", s"$base/data/shard-00000.tar")).!!.trim
+      .split('\n').toSeq
+    val expected = rows.filter(_._1 == 0L).map(_._2).sorted
+    assert(listed === expected)
+  }
+
+  test("strict parse throws on corruption; lenient salvages the prefix; " +
+      "GNU long names resolve; directories and PAX blocks are skipped") {
+    // craft: dir header, long-name pair, one regular member, pax 'x' block
+    val bos = new ByteArrayOutputStream()
+    def put(h: Array[Byte], body: Array[Byte]): Unit = {
+      bos.write(h); bos.write(body)
+      val pad = (512 - body.length % 512) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    put(Containers.tarHeader("adir/", 0, typeflag = '5'), Array.emptyByteArray)
+    val longName = "deep/" + ("x" * 120) + "/leaf.bin"
+    val nameBytes = longName.getBytes("UTF-8") :+ 0.toByte // NUL-terminated
+    put(Containers.tarHeader("././@LongLink", nameBytes.length.toLong,
+      typeflag = 'L'), nameBytes)
+    put(Containers.tarHeader(longName.take(100), 3), Array[Byte](1, 2, 3))
+    val paxBody = "17 path=ignored/p\n".getBytes("UTF-8")
+    put(Containers.tarHeader("pax", paxBody.length.toLong, typeflag = 'x'), paxBody)
+    put(Containers.tarHeader("plain.bin", 2), Array[Byte](9, 8))
+    bos.write(new Array[Byte](1024))
+    val ok = Containers.parseShardBytes(bos.toByteArray).toSeq
+    assert(ok.map(_.name) === Seq(longName, "plain.bin"))
+    assert(ok.head.bytes.toSeq === Seq[Byte](1, 2, 3))
+    // corrupt the SECOND member's header: strict throws, lenient stops
+    val corrupt = bos.toByteArray.clone()
+    // offset of plain.bin's header: dir(512) + L(512+512) + leaf(512+512) + pax(512+512);
+    // flipping a NAME byte breaks the stored header checksum
+    corrupt(512 * 7) = 'Q'
+    intercept[IllegalArgumentException] {
+      Containers.parseShardBytes(corrupt).toSeq
+    }
+    val salvaged = Containers.parseShardBytes(corrupt, lenient = true).toSeq
+    assert(salvaged.map(_.name) === Seq(longName))
+    // the writer refuses names over 100 bytes — long-name EMIT is out
+    // of the deterministic contract
+    intercept[IllegalArgumentException] {
+      Containers.tarHeader("y" * 101, 1)
+    }
+  }
+}
