@@ -1857,6 +1857,48 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- BPE training (r12 — Sennrich et al. 2016, the real merge
+    //     learner beside the bpeTokenCount proxy): the corpus is a
+    //     closed-form plant (per doc: m3×"ab" + m2×"cdcd" +
+    //     "ef abd cdc fe", m3 = id%3+1, m2 = id%2+1) whose merge
+    //     sequence is hand-derivable — (c,d) 240 > (a,b) 180 >
+    //     (cd,cd) 90 > the 60-count FOUR-WAY TIE broken
+    //     lexicographically to (ab,d) — so the oracle recomputes
+    //     every rank's pair count from the id formulas (robust to
+    //     fixture row population, unlike literal VALUES). Training
+    //     runs on the distributed word histogram: one corpus pass,
+    //     then per-merge one aggregation over vocab-sized data.
+    "text_bpe_merges" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("ef abd cdc fe")).as("text"))
+      operators.Bpe.train(corpus, "text", numMerges = 4)
+        .orderBy(col("rank"))
+    }),
+
+    // --- BPE encoding (r12): the learned table applied back to the
+    //     corpus through the broadcast min-rank apply loop. The plant
+    //     makes every apply path closed-form: full merges ("ab",
+    //     "cdcd", "abd" — the last through the rank-3 tie winner),
+    //     partial merges ("cdc" → cd c), and untouched words ("ef",
+    //     "fe" — (e,f) never ranked) — so token count AND the joined
+    //     token stream replay exactly from the id formulas.
+    "text_bpe" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("ef abd cdc fe")).as("text"))
+      val ranks = operators.Bpe.rankMap(
+        operators.Bpe.train(corpus, "text", numMerges = 4))
+      operators.Bpe.withBpeTokens(corpus, "text", ranks, "toks")
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          array_join(col("toks"), " ").as("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- PII redaction (curation op: scrub PII before training) over
     //     the three patterns every curation pipeline scrubs — emails,
     //     phone numbers, IPv4 addresses (r12 widened per VERDICT r11
@@ -3878,6 +3920,33 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the text_bpe_merges oracle: the hand-derived merge ladder with
+    // every pair count recomputed from the plant formulas — per doc
+    // (c,d) appears 2·m2+1 times (m2 "cdcd" words + "cdc"), (a,b)
+    // m3+1 times after merge 0, (cd,cd) m2 times, (ab,d) once (the
+    // 60-count tie broken lexicographically)
+    "text_bpe_merges" ->
+      """WITH d AS (
+        |  SELECT doc_id % 3 + 1 AS m3, doc_id % 2 + 1 AS m2
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT CAST(0 AS INT) AS rank, 'c' AS "left", 'd' AS "right",
+        |  CAST(sum(2 * m2 + 1) AS BIGINT) AS pair_count FROM d
+        |UNION ALL SELECT 1, 'a', 'b', CAST(sum(m3 + 1) AS BIGINT) FROM d
+        |UNION ALL SELECT 2, 'cd', 'cd', CAST(sum(m2) AS BIGINT) FROM d
+        |UNION ALL SELECT 3, 'ab', 'd', CAST(count(*) AS BIGINT) FROM d
+        |ORDER BY rank""".stripMargin,
+
+    // the text_bpe oracle: closed-form tokenization of the planted
+    // corpus under the derived table — "ab"/"cdcd"/"abd" merge whole,
+    // "cdc" stops at [cd, c], "ef"/"fe" never merge
+    "text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + doc_id % 2 + 9 AS INT) AS n_tokens,
+        |  repeat('ab ', CAST(doc_id % 3 + 1 AS INT)) ||
+        |    repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT)) ||
+        |    'e f abd cd c f e' AS tokens
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "events_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Byte-pair encoding, trained and applied as Spark operators (r12) —
+  * the tokenizer step every training pipeline runs over its whole
+  * corpus. The existing [[TextFunctions.bpeTokenCount]] is the cheap
+  * regex PROXY; this is the real thing: learn a merge table from the
+  * corpus (Sennrich et al. 2016), then encode text with it.
+  *
+  * Scale design:
+  *  - Training runs on the WORD HISTOGRAM, not the corpus: one
+  *    corpus-scale aggregation collapses 100 TB of text into a
+  *    distinct-word table (Heaps' law: ~10^7–10^8 rows — vocab-sized,
+  *    not corpus-sized), and every merge iteration after that is one
+  *    map + one pair-count aggregation over THAT table. k merges = k
+  *    small jobs; the corpus is read exactly once. Production trains
+  *    on a sampled histogram (`sampleFraction`) — the standard
+  *    practice, since pair statistics converge long before full
+  *    coverage.
+  *  - The per-iteration argmax is a bounded single-row collect
+  *    (orderBy … limit 1), deterministic: count desc, then (left,
+  *    right) lexicographic — ties cannot flap between runs.
+  *  - ENCODING is embarrassingly parallel: the merge table broadcasts
+  *    (a vocab is KBs–MBs), each row tokenizes in place — scales with
+  *    the scan like the media decoders.
+  *
+  * Semantics (pinned in BpeSpec): pre-tokens are
+  * [[TextFunctions.bpePattern]] matches of the lowercased text (the
+  * engine-portable pre-tokenizer already gated by `text_tokens`
+  * proxies); symbols start as single characters (no end-of-word
+  * marker — documented divergence from subword-nmt's `</w>`);
+  * training merges ALL leftmost non-overlapping occurrences per step;
+  * encoding repeatedly merges the lowest-rank pair present (the
+  * subword-nmt / HF apply loop).
+  */
+object Bpe {
+
+  /** (word, count) histogram over the [[TextFunctions.bpePattern]]
+    * pre-tokens — the one corpus-scale pass of BPE training.
+    */
+  def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(TextFunctions.bpePattern), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge all leftmost non-overlapping (l, r) adjacencies. */
+  private[graft] def mergePair(s: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` merges from the corpus. Returns (rank, left,
+    * right, pair_count) in rank order; stops early when the best
+    * remaining pair falls below `minCount`. `sampleFraction` < 1
+    * trains on a deterministic hash sample of the histogram (seeded
+    * by the word itself — stable across runs and engines).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, sampleFraction: Double = 1.0): DataFrame = {
+    require(numMerges > 0, s"numMerges $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist0 = wordHistogram(df, textCol)
+    val hist = if (sampleFraction >= 1.0) hist0
+      else hist0.filter(pmod(xxhash64(col("word")), lit(1000000L)) <
+        (sampleFraction * 1000000L).toLong)
+    var words = hist.as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .persist()
+    words.count() // materialize before the loop measures pairs
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words
+        .flatMap { case (s, c) =>
+          if (s.length < 2) Iterator.empty
+          else s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1) // bounded single-row collect — the argmax
+        .collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minCount =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((rank, l, r, c))
+          val prev = words
+          val mapped = prev.map { case (s, cnt) => (mergePair(s, l, r), cnt) }
+          // every 8 merges, cut the lineage chain (k can be large);
+          // localCheckpoint materializes eagerly, persist+count else
+          words = if (rank % 8 == 7) mapped.localCheckpoint(true)
+            else { val p = mapped.persist(); p.count(); p }
+          prev.unpersist()
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Encode one pre-token with the ranked merge map: repeatedly merge
+    * every occurrence of the lowest-rank pair present (the
+    * subword-nmt apply loop).
+    */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < bestRank) { bestRank = rk; bl = syms(i); br = syms(i + 1) }
+        i += 1
+      }
+      if (bl == null) continue = false
+      else {
+        syms = mergePair(syms, bl, br)
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Ranked merge map from a [[train]] result (driver-side — a merge
+    * table is vocab-sized, KBs to MBs).
+    */
+  def rankMap(merges: DataFrame): Map[(String, String), Int] =
+    merges.select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+
+  /** Append `outCol`: the BPE token array of `textCol` under the
+    * merge table (null text → null). Merge map broadcasts; encoding
+    * is a narrow per-partition map — scales with the scan.
+    */
+  def withBpeTokens(df: DataFrame, textCol: String,
+      ranks: Map[(String, String), Int], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(StringType), nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val bc = spark.sparkContext.broadcast(ranks)
+    val pattern = TextFunctions.bpePattern.r
+    df.mapPartitions { it =>
+      val rk = bc.value
+      it.map { r =>
+        val t = r.get(idx)
+        val toks: Seq[String] =
+          if (t == null) null
+          else pattern.findAllIn(t.asInstanceOf[String].toLowerCase(java.util.Locale.ROOT))
+            .flatMap(w => encodeWord(w, rk)).toSeq
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+}

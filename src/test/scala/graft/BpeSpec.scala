@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergePair: leftmost non-overlapping — a run of three merges " +
+      "to [aa, a], not [a, aa]") {
+    assert(Bpe.mergePair(Array("a", "a", "a"), "a", "a").toSeq === Seq("aa", "a"))
+    assert(Bpe.mergePair(Array("a", "b", "a", "b"), "a", "b").toSeq
+      === Seq("ab", "ab"))
+    assert(Bpe.mergePair(Array("x"), "a", "b").toSeq === Seq("x"))
+  }
+
+  test("encodeWord: the min-rank apply loop — a LOWER-rank pair " +
+      "created by a merge is taken before a higher-rank one present " +
+      "from the start") {
+    // ranks: (e,s) 0, (est,s)?? craft: word "lowest": (w,e) 2, (e,s) 0,
+    // (es,t) 1 → es first, then est, then (w, est)? not ranked → stop
+    val ranks = Map(("e", "s") -> 0, ("es", "t") -> 1, ("w", "e") -> 2)
+    assert(Bpe.encodeWord("lowest", ranks).toSeq
+      === Seq("l", "o", "w", "est"))
+    // without (e,s), (w,e) applies instead
+    assert(Bpe.encodeWord("lowest", Map(("w", "e") -> 2)).toSeq
+      === Seq("l", "o", "we", "s", "t"))
+    // unknown symbols stay single characters
+    assert(Bpe.encodeWord("zq", Map(("a", "b") -> 0)).toSeq === Seq("z", "q"))
+  }
+
+  test("train: hand-derived ladder incl. the lexicographic tie-break; " +
+      "minCount stops early; encoding round-trips the learned table") {
+    val corpus = spark.range(60).select($"id".as("doc_id"),
+      concat(expr("repeat('ab ', CAST(id % 3 + 1 AS INT))"),
+        expr("repeat('cdcd ', CAST(id % 2 + 1 AS INT))"),
+        lit("ef abd cdc fe")).as("text"))
+    val merges = Bpe.train(corpus, "text", numMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges === Seq((0, "c", "d", 240L), (1, "a", "b", 180L),
+      (2, "cd", "cd", 90L), (3, "ab", "d", 60L)))
+    // minCount above every remaining pair halts before numMerges
+    val few = Bpe.train(corpus, "text", numMerges = 10, minCount = 100L)
+    assert(few.count() === 2L) // only (c,d) 240 and (a,b) 180 clear 100
+    // apply: full merges, the partial "cdc", untouched "ef"/"fe"
+    val ranks = Bpe.rankMap(Bpe.train(corpus, "text", numMerges = 4))
+    val toks = Bpe.withBpeTokens(
+        Seq((1L, "ab cdcd abd cdc ef fe"), (2L, null.asInstanceOf[String]))
+          .toDF("id", "text"),
+        "text", ranks, "toks")
+      .orderBy($"id").collect()
+    assert(toks(0).getSeq[String](2)
+      === Seq("ab", "cdcd", "abd", "cd", "c", "e", "f", "f", "e"))
+    assert(toks(0).schema.fieldNames.toSeq === Seq("id", "text", "toks"))
+    assert(toks(1).isNullAt(2), "null text must yield null tokens")
+  }
+
+  test("train runs on the histogram: a word repeated across many docs " +
+      "costs one vocab row, and sampleFraction keeps determinism") {
+    val corpus = spark.range(500).select(
+      concat(lit("hello world wide web "), lit("tail"), $"id" % 7).as("text"))
+    assert(Bpe.wordHistogram(corpus, "text")
+      .count() === 4 + 7 + 1) // hello/world/wide/web + 7 tails + digit runs?
+    val a = Bpe.train(corpus, "text", 3, sampleFraction = 0.8)
+      .collect().toSeq
+    val b = Bpe.train(corpus, "text", 3, sampleFraction = 0.8)
+      .collect().toSeq
+    assert(a === b, "hash-sampled training must be run-stable")
+  }
+}
