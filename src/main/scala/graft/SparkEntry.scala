@@ -2545,6 +2545,50 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- G.711 companded audio decode (r12 — the telephony/VoIP
+    //     slice of a crawled audio corpus): payloads alternate μ-law
+    //     (even ids) and A-law (odd ids), every ENCODED byte
+    //     closed-form in (id, i); the decoder expands through the
+    //     published ITU-T arithmetic and the oracle replays that
+    //     arithmetic — complement/xor, segment shift, sign
+    //     convention (μ sign-negative vs A sign-positive) — in SQL
+    //     over the same byte formulas. Every 19th payload corrupted.
+    "mm_audio_g711" -> ((s, dir) => {
+      val media = Multimodal.synthesizeG711Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withWavSampleStats(media, "payload", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- IMA ADPCM decode (r12 — the 4-bit nibble codec of WAV
+    //     voice recordings): mono/stereo blocks whose step index is 0
+    //     and nibbles all zero — step 7 >> 3 = 0, so each block
+    //     decodes to its header predictor repeated, closed-form in
+    //     (id, block, channel). Pins block walk, per-channel 4-byte
+    //     headers, word interleave and the header-sample accounting;
+    //     the nonzero adder ladder is pinned by hand-derived
+    //     sequences in MultimodalSpec. Every 19th payload corrupted.
+    "mm_audio_adpcm" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAdpcmBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withWavSampleStats(media, "payload", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Audio standardize pipeline (r11 — the audio sibling of
     //     mm_thumbnail): decode multi-channel PCM (negative samples
     //     included — the truncating-division path is exercised, not
@@ -5580,6 +5624,79 @@ object SparkEntry {
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL
         |       ELSE CAST(8000 + (i.media_id % 8) * 1000 AS INT) END AS sample_rate,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM ids i JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the mm_audio_g711 oracle: the ITU-T expansion replayed in SQL —
+    // μ-law on the complemented byte (sign bit set → NEGATIVE),
+    // A-law on the 0x55-xored byte (sign bit set → POSITIVE)
+    "mm_audio_g711" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 9 + 40 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |e AS (
+        |  SELECT i.media_id, (i.media_id * 13 + g.g * 7) % 256 AS u
+        |  FROM ids i, generate_series(0, 48) AS g(g) WHERE g.g < i.n),
+        |dec AS (
+        |  SELECT media_id,
+        |    CASE WHEN media_id % 2 = 0 THEN
+        |      CASE WHEN (255 - u) >= 128 THEN
+        |        -(((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8))) - 132)
+        |      ELSE
+        |        (((((255 - u) % 16) * 8 + 132) * (1 << (((255 - u) // 16) % 8))) - 132)
+        |      END
+        |    ELSE
+        |      CASE WHEN (xor(u, 85) % 128) // 16 = 0 THEN
+        |        CASE WHEN xor(u, 85) >= 128
+        |          THEN (xor(u, 85) % 16) * 16 + 8
+        |          ELSE -((xor(u, 85) % 16) * 16 + 8) END
+        |      ELSE
+        |        CASE WHEN xor(u, 85) >= 128
+        |          THEN ((xor(u, 85) % 16) * 16 + 264) * (1 << ((xor(u, 85) % 128) // 16 - 1))
+        |          ELSE -(((xor(u, 85) % 16) * 16 + 264) * (1 << ((xor(u, 85) % 128) // 16 - 1))) END
+        |      END
+        |    END AS v
+        |  FROM e),
+        |a AS (
+        |  SELECT media_id, count(*) AS n_samples, avg(v) AS mean_amp,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms, max(abs(v)) AS peak
+        |  FROM dec GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM ids i JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the mm_audio_adpcm oracle: two blocks × (1 header sample + 8
+    // zero-nibble repeats) per channel, every sample the closed-form
+    // block/channel predictor
+    "mm_audio_adpcm" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 2 + 1 AS ch
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (
+        |  SELECT i.media_id, i.ch,
+        |    (i.media_id * 211 + b.b * 97 + c.c * 53) % 4001 - 2000 AS pred
+        |  FROM ids i, generate_series(0, 1) AS b(b), generate_series(0, 1) AS c(c)
+        |  WHERE c.c < i.ch),
+        |s AS (SELECT media_id, pred AS v FROM p, generate_series(1, 9)),
+        |a AS (
+        |  SELECT media_id, count(*) AS n_samples, avg(v) AS mean_amp,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms, max(abs(v)) AS peak
+        |  FROM s GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN 'unknown' ELSE 'wav' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(8000 AS INT) END AS sample_rate,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(i.ch AS INT) END AS channels,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL
         |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,

@@ -2325,10 +2325,97 @@ object Multimodal {
     * rejects the row rather than reading garbage, and the allocation
     * is bounded by the actual payload length by construction.
     */
+  /** G.711 μ-law byte → linear 16-bit sample (ITU-T closed form:
+    * magnitude ((mant·8 + 0x84) << exp) − 0x84, sign bit of the
+    * COMPLEMENTED code word). Pure integer arithmetic — an oracle
+    * replays it in SQL.
+    */
+  def mulawToLinear(u: Int): Short = {
+    val x = ~u & 0xff
+    val mag = ((((x & 0x0f) << 3) + 0x84) << ((x >> 4) & 7)) - 0x84
+    (if ((x & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** G.711 A-law byte → linear 16-bit sample (even bits inverted by
+    * 0x55; segment 0 is linear +8, higher segments shift; A-law's
+    * sign bit SET means positive).
+    */
+  def alawToLinear(a0: Int): Short = {
+    val a = (a0 ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val mant = a & 0x0f
+    val mag =
+      if (seg == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) mag else -mag).toShort
+  }
+
+  private val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one IMA-ADPCM block's worth of data for every channel:
+    * per channel a 4-byte header (predictor int16 — emitted as the
+    * block's first sample — plus the step index), then the nibble
+    * stream in 4-byte words per channel, low nibble first, channels
+    * interleaved word-wise; output is frame-interleaved like PCM.
+    */
+  private def adpcmDecodeBlock(b: Array[Byte], off: Int, blockAlign: Int,
+      channels: Int, out: Array[Short], outOff: Int): Unit = {
+    val pred = new Array[Int](channels)
+    val index = new Array[Int](channels)
+    var c = 0
+    while (c < channels) {
+      val h = off + c * 4
+      pred(c) = le16(b, h).toShort.toInt
+      index(c) = math.min(88, math.max(0, b(h + 2) & 0xff))
+      out(outOff + c) = pred(c).toShort // header predictor = sample 0
+      c += 1
+    }
+    val dataBytes = blockAlign - 4 * channels
+    val perChanNibbles = dataBytes * 2 / channels
+    var w = 0 // 4-byte word group index per channel
+    val words = perChanNibbles / 8
+    while (w < words) {
+      c = 0
+      while (c < channels) {
+        val base = off + 4 * channels + (w * channels + c) * 4
+        var k = 0
+        while (k < 8) {
+          val byte = b(base + k / 2) & 0xff
+          val n = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+          val step = AdpcmStepTable(index(c))
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          pred(c) = if ((n & 8) != 0) pred(c) - diff else pred(c) + diff
+          if (pred(c) > 32767) pred(c) = 32767
+          if (pred(c) < -32768) pred(c) = -32768
+          index(c) = math.min(88, math.max(0, index(c) + AdpcmIndexTable(n & 7)))
+          val frame = w * 8 + k + 1 // +1: the header sample leads
+          out(outOff + frame * channels + c) = pred(c).toShort
+          k += 1
+        }
+        c += 1
+      }
+      w += 1
+    }
+  }
+
   def decodeWavPcm(b: Array[Byte]): WavAudio = {
     if (b == null || b.length < 44) return null
     if (!ascii(b, 0, "RIFF") || !ascii(b, 8, "WAVE")) return null
-    var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+    var rate = 0; var channels = 0; var bits = 0; var codec = 0
+    var blockAlign = 0; var fmtOk = false
     // The chunk walk and every size-vs-payload comparison run in Long:
     // chunk sizes are untrusted, and a size near Int.MaxValue must
     // reject the row (or step past the payload and exit the loop), not
@@ -2339,23 +2426,55 @@ object Multimodal {
       val size = le32(b, ii + 4)
       if (size < 0) return null
       if (ascii(b, ii, "fmt ") && i + 8 + 16 <= b.length) {
-        val codec = le16(b, ii + 8)
+        codec = le16(b, ii + 8)
         channels = le16(b, ii + 10)
         rate = le32(b, ii + 12)
+        blockAlign = le16(b, ii + 20)
         bits = le16(b, ii + 22)
-        fmtOk = codec == 1 && bits == 16 && channels >= 1 && channels <= 8 &&
-          rate > 0
+        val chOk = channels >= 1 && channels <= 8 && rate > 0
+        // codec 1 = linear PCM16, 6 = G.711 A-law, 7 = G.711 μ-law,
+        // 17 = IMA ADPCM (nibble stream in 4-byte words per channel)
+        fmtOk = chOk && (codec match {
+          case 1 => bits == 16
+          case 6 | 7 => bits == 8
+          case 17 => bits == 4 && blockAlign >= 4 * channels + 4 * channels &&
+            (blockAlign - 4 * channels) % (4 * channels) == 0
+          case _ => false
+        })
       } else if (ascii(b, ii, "data")) {
         if (!fmtOk) return null // fmt must precede data (spec ordering)
         if (i + 8L + size > b.length) return null // forged size (Long compare)
-        val n = size / 2
-        val out = new Array[Short](n)
-        var j = 0
-        while (j < n) {
-          out(j) = le16(b, ii + 8 + j * 2).toShort
-          j += 1
+        codec match {
+          case 1 =>
+            val n = size / 2
+            val out = new Array[Short](n)
+            var j = 0
+            while (j < n) {
+              out(j) = le16(b, ii + 8 + j * 2).toShort
+              j += 1
+            }
+            return WavAudio(rate, channels, out)
+          case 6 | 7 =>
+            val out = new Array[Short](size)
+            var j = 0
+            if (codec == 7) while (j < size) {
+              out(j) = mulawToLinear(b(ii + 8 + j) & 0xff); j += 1
+            } else while (j < size) {
+              out(j) = alawToLinear(b(ii + 8 + j) & 0xff); j += 1
+            }
+            return WavAudio(rate, channels, out)
+          case 17 =>
+            val blocks = size / blockAlign // a ragged tail block is dropped
+            val spbPerChan = 1 + (blockAlign - 4 * channels) * 2 / channels
+            val out = new Array[Short](blocks * spbPerChan * channels)
+            var blk = 0
+            while (blk < blocks) {
+              adpcmDecodeBlock(b, ii + 8 + blk * blockAlign, blockAlign,
+                channels, out, blk * spbPerChan * channels)
+              blk += 1
+            }
+            return WavAudio(rate, channels, out)
         }
-        return WavAudio(rate, channels, out)
       }
       i += 8L + size + (size & 1) // chunks are word-aligned
     }
@@ -2554,6 +2673,99 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = synthWavPayload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** RIFF/WAVE wrapper around an ALREADY-ENCODED data payload —
+    * the fixture builder for the compressed-codec decode paths
+    * (G.711, IMA ADPCM); [[buildWavPcm]] stays the linear-PCM form.
+    */
+  def buildWavRaw(sampleRate: Int, channels: Int, codec: Int, bits: Int,
+      blockAlign: Int, data: Array[Byte]): Array[Byte] = {
+    val o = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    o.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(codec.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    o.put("data".getBytes("US-ASCII")).putInt(data.length)
+    o.put(data)
+    o.array()
+  }
+
+  /** Deterministic G.711 payload: codec alternates μ-law (even id) /
+    * A-law (odd id); every ENCODED byte is closed-form in (id, i), so
+    * an oracle replays the published expansion arithmetic in SQL to
+    * recompute the decoded statistics.
+    */
+  def synthG711Payload(id: Long): Array[Byte] = {
+    val n = (id % 9 + 40).toInt
+    val enc = Array.tabulate(n)(i => ((id * 13 + i * 7) % 256).toByte)
+    buildWavRaw(8000, 1, if (id % 2 == 0) 7 else 6, 8, 1, enc)
+  }
+
+  /** G.711 media table (the [[synthesizeWavBytes]] shape); every 19th
+    * payload magic-corrupted for the degrade path.
+    */
+  def synthesizeG711Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthG711Payload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic IMA-ADPCM payload: channels alternate 1/2 by id;
+    * two blocks of one 4-byte data word per channel, every nibble
+    * ZERO with step index 0 — step 7 >> 3 is 0, so each block's
+    * samples all equal its header predictor, which is closed-form in
+    * (id, block, channel). Pins the block walk, per-channel headers,
+    * word interleave and sample accounting with SQL-recomputable
+    * output; the nonzero-nibble adder arithmetic is pinned by
+    * hand-derived sequences in MultimodalSpec.
+    */
+  def synthAdpcmPayload(id: Long): Array[Byte] = {
+    val channels = (id % 2 + 1).toInt
+    val blockAlign = 4 * channels + 4 * channels // one data word per channel
+    val blocks = 2
+    val data = new Array[Byte](blocks * blockAlign)
+    var b = 0
+    while (b < blocks) {
+      var c = 0
+      while (c < channels) {
+        val pred = ((id * 211 + b * 97 + c * 53) % 4001 - 2000).toInt
+        val off = b * blockAlign + c * 4
+        data(off) = (pred & 0xff).toByte
+        data(off + 1) = ((pred >> 8) & 0xff).toByte
+        data(off + 2) = 0 // step index 0
+        data(off + 3) = 0
+        c += 1
+      }
+      b += 1
+    }
+    buildWavRaw(8000, channels, 17, 4, blockAlign, data)
+  }
+
+  /** IMA-ADPCM media table; every 19th payload magic-corrupted. */
+  def synthesizeAdpcmBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthAdpcmPayload(id)
         if (id % 19 == 0) bytes(0) = 0x00.toByte
         Row(id, bytes)
       }

@@ -1377,7 +1377,9 @@ class MultimodalSpec extends SparkSpec {
       synthPngTypedPayload(4), synthPngTypedPayload(5), // gray+alpha, RGBA (r12)
       synthPngAdam7Payload(7), // interlaced (r12)
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
-      synthWavPayload(7))
+      synthWavPayload(7),
+      synthG711Payload(6), synthG711Payload(7), // mu + A law (r12)
+      synthAdpcmPayload(6), synthAdpcmPayload(7)) // mono + stereo IMA (r12)
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // bit flips
         val m = b.clone()
@@ -1568,5 +1570,56 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(got === want)
     for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
+  }
+
+  test("G.711 expansion: published extreme/silence code points and the " +
+      "sign conventions (mu complement-negative, A xor-positive) (r12)") {
+    import Multimodal._
+    assert(mulawToLinear(0xFF) === 0)       // mu silence
+    assert(mulawToLinear(0x7F) === 0)       // negative zero folds to 0
+    assert(mulawToLinear(0x80) === 32124)   // mu max positive
+    assert(mulawToLinear(0x00) === -32124)  // mu max negative
+    assert(alawToLinear(0xD5) === 8)        // A silence (+8)
+    assert(alawToLinear(0x55) === -8)
+    assert(alawToLinear(0xAA) === 32256)    // A max positive
+    assert(alawToLinear(0x2A) === -32256)
+    // full WAV path: an A-law payload round-trips through decodeWavPcm
+    val enc = Array.tabulate(50)(i => ((i * 7 + 3) % 256).toByte)
+    val wav = buildWavRaw(8000, 1, 6, 8, 1, enc)
+    val a = decodeWavPcm(wav)
+    assert(a.sampleRate === 8000 && a.channels === 1)
+    assert(a.samples.toSeq === enc.toSeq.map(b => alawToLinear(b & 0xff)))
+  }
+
+  test("IMA ADPCM: hand-derived adder ladder (positive and sign-bit " +
+      "nibbles), stereo word interleave, ragged tail block dropped (r12)") {
+    import Multimodal._
+    def block(pred: Int, index: Int, dataBytes: Array[Byte]): Array[Byte] =
+      Array[Byte]((pred & 0xff).toByte, ((pred >> 8) & 0xff).toByte,
+        index.toByte, 0.toByte) ++ dataBytes
+    // mono, one word: nibbles 5,0,0,… from byte 0x05 at step index 8
+    val wav1 = buildWavRaw(8000, 1, 17, 4, 8,
+      block(100, 8, Array[Byte](0x05, 0, 0, 0)))
+    assert(decodeWavPcm(wav1).samples.toSeq ===
+      Seq[Short](100, 122, 124, 126, 128, 130, 132, 133, 134))
+    // sign-bit nibble: byte0 = 0xD5 → n0 = 5, n1 = 0xD (subtract)
+    val wav2 = buildWavRaw(8000, 1, 17, 4, 8,
+      block(100, 8, Array[Byte](0xD5.toByte, 0, 0, 0)))
+    assert(decodeWavPcm(wav2).samples.toSeq ===
+      Seq[Short](100, 122, 92, 96, 99, 102, 105, 107, 109))
+    // stereo: ch0 words decode as wav1's ladder, ch1 stays flat at its
+    // predictor (zero nibbles, index 0); output frame-interleaved
+    val stereoBlock = block(100, 8, Array.emptyByteArray) ++
+      block(-7, 0, Array.emptyByteArray) ++
+      Array[Byte](0x05, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0)
+    val wav3 = buildWavRaw(8000, 2, 17, 4, 16, stereoBlock)
+    val s3 = decodeWavPcm(wav3).samples.toSeq
+    assert(s3.zipWithIndex.filter(_._2 % 2 == 0).map(_._1) ===
+      Seq[Short](100, 122, 124, 126, 128, 130, 132, 133, 134))
+    assert(s3.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).forall(_ == -7))
+    // a ragged trailing half-block is dropped, not misread
+    val ragged = buildWavRaw(8000, 1, 17, 4, 8,
+      block(100, 8, Array[Byte](0x05, 0, 0, 0)) ++ Array[Byte](1, 2, 3))
+    assert(decodeWavPcm(ragged).samples.length === 9)
   }
 }
