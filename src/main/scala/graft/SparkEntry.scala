@@ -2241,6 +2241,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- 16-bit PNG pixel decode (r12 — the photography/scientific
+    //     depth): gray/truecolor/RGBA cycle by id, every sample's
+    //     HIGH byte the closed-form 8-bit value and its LOW byte a
+    //     different formula — averaging, rounding or little-endian
+    //     reads would all hash-mismatch, pinning the spec 13.12
+    //     high-byte reduction exactly. Degrades: %19 magic, %13
+    //     truncation.
+    "mm_pixels_png16" -> ((s, dir) => {
+      val media = Multimodal.synthesizePng16Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- PROGRESSIVE JPEG pixel decode (r12 — VERDICT r11 missing
     //     #1): the same closed-form DC-block payloads re-encoded as
     //     SOF2 Annex G scan scripts — interleaved DC first at Al=1,
@@ -5339,6 +5359,37 @@ object SparkEntry {
         |        ELSE (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256 END) AS mg,
         |    avg(CASE WHEN i.k = 2 THEN (i.media_id * 5 + 3 * x.g + 17 * y.g) % 256
         |        ELSE (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256 END) AS mb
+        |  FROM ids i, generate_series(0, 8) AS x(g), generate_series(0, 6) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels_png16 oracle: the HIGH-byte formulas only — the
+    // low-byte formula must never leak into the means
+    "mm_pixels_png16" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 7 + 2 AS w,
+        |    (doc_id * 5) % 6 + 2 AS h, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg(CASE WHEN i.k = 0 THEN (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256
+        |        ELSE (i.media_id + 7 * x.g + 13 * y.g) % 256 END) AS mr,
+        |    avg(CASE WHEN i.k = 0 THEN (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256
+        |        ELSE (i.media_id * 3 + 5 * x.g + 11 * y.g) % 256 END) AS mg,
+        |    avg(CASE WHEN i.k = 0 THEN (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256
+        |        ELSE (i.media_id * 5 + 3 * x.g + 17 * y.g) % 256 END) AS mb
         |  FROM ids i, generate_series(0, 8) AS x(g), generate_series(0, 6) AS y(g)
         |  WHERE x.g < i.w AND y.g < i.h
         |  GROUP BY i.media_id),

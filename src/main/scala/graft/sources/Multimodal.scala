@@ -467,7 +467,8 @@ object Multimodal {
         if (comp != 0 || filt != 0 || inter > 1) return null
         interlaced = inter == 1
         val supported =
-          ((color == 0 || color == 2 || color == 4 || color == 6) && depth == 8) ||
+          ((color == 0 || color == 2 || color == 4 || color == 6) &&
+            (depth == 8 || depth == 16)) ||
           (color == 3 && (depth == 1 || depth == 2 || depth == 4 || depth == 8))
         if (!supported) return null
         if (w <= 0 || h <= 0 || w > MaxBmpDim || h > MaxBmpDim) return null
@@ -497,8 +498,9 @@ object Multimodal {
       if (!interlaced) Array((0, 0, 1, 1))
       else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val bps = if (color == 3) 1 else depth / 8 // bytes per sample (16-bit: 2)
     def passRowBytes(pw: Int): Int =
-      if (color == 3) (pw * depth + 7) / 8 else pw * channels
+      if (color == 3) (pw * depth + 7) / 8 else pw * channels * bps
     // inflate the filtered scanlines of ALL passes: each non-empty
     // pass contributes passH rows of (1 filter byte + passRowBytes)
     var rawLen = 0L
@@ -528,7 +530,7 @@ object Multimodal {
     // upper-left stay WITHIN the pass), then unpack samples and
     // scatter them to the full grid: one byte per pixel for palette
     // indices, `channels` bytes otherwise
-    val bpp = if (color == 3) 1 else channels
+    val bpp = if (color == 3) 1 else channels * bps
     val spp = if (color == 3) 1 else channels
     val samples = new Array[Byte](w * h * spp)
     var passOff = 0
@@ -576,7 +578,10 @@ object Multimodal {
             } else {
               var ch = 0
               while (ch < channels) {
-                samples((gy * w + gx) * channels + ch) = rec(os + px * channels + ch)
+                // 16-bit samples are big-endian; the high byte IS the
+                // standard 16 -> 8 reduction (PNG spec 13.12)
+                samples((gy * w + gx) * channels + ch) =
+                  rec(os + (px * channels + ch) * bps)
                 ch += 1
               }
             }
@@ -944,12 +949,14 @@ object Multimodal {
     * pixel's channel values, every row filter 0, correct CRCs (r12).
     */
   def buildPngChannels(w: Int, h: Int, colorType: Int,
-      samples: (Int, Int) => Array[Int]): Array[Byte] = {
+      samples: (Int, Int) => Array[Int], depth: Int = 8): Array[Byte] = {
+    require(depth == 8 || depth == 16, s"depth $depth")
     val channels = colorType match {
-      case 0 => 1; case 4 => 2; case 6 => 4
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case c => throw new IllegalArgumentException(s"colorType $c")
     }
-    val rowBytes = w * channels
+    val bps = depth / 8
+    val rowBytes = w * channels * bps
     val raw = new Array[Byte]((rowBytes + 1) * h)
     for (y <- 0 until h) {
       raw(y * (rowBytes + 1)) = 0 // filter: None
@@ -958,7 +965,11 @@ object Multimodal {
         require(s.length == channels, s"${s.length} samples at ($x,$y)")
         var c = 0
         while (c < channels) {
-          raw(y * (rowBytes + 1) + 1 + x * channels + c) = s(c).toByte
+          val o = y * (rowBytes + 1) + 1 + (x * channels + c) * bps
+          if (bps == 2) { // big-endian 16-bit sample
+            raw(o) = ((s(c) >> 8) & 0xff).toByte
+            raw(o + 1) = (s(c) & 0xff).toByte
+          } else raw(o) = s(c).toByte
           c += 1
         }
       }
@@ -979,12 +990,57 @@ object Multimodal {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h)
-      .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
+      .put(depth.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte)
       .put(0.toByte).array()
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte) ++
       chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zn)) ++
       chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Deterministic 16-bit PNG payload (r12): color types cycle
+    * gray/truecolor/RGBA by id; every 16-bit sample's HIGH byte is
+    * the same closed-form the 8-bit fixtures use while the LOW byte
+    * is a DIFFERENT formula — so a decoder that averaged, rounded,
+    * or read little-endian would hash-mismatch, and the high-byte
+    * reduction (PNG spec 13.12) is pinned exactly.
+    */
+  def synthPng16Payload(id: Long): Array[Byte] = {
+    val w = (id % 7 + 2).toInt
+    val h = (id * 5 % 6 + 2).toInt
+    def hi(mul: Long, xm: Long, ym: Long)(x: Int, y: Int): Int =
+      (((id * mul + xm * x + ym * y) % 256) * 256 +
+        (id * 31 + x * 3 + y * 19) % 256).toInt
+    (id % 3) match {
+      case 0 => buildPngChannels(w, h, 0,
+        (x, y) => Array(hi(9, 5, 7)(x, y)), depth = 16)
+      case 1 => buildPngChannels(w, h, 2, (x, y) => Array(
+        hi(1, 7, 13)(x, y), hi(3, 5, 11)(x, y), hi(5, 3, 17)(x, y)),
+        depth = 16)
+      case _ => buildPngChannels(w, h, 6, (x, y) => Array(
+        hi(1, 7, 13)(x, y), hi(3, 5, 11)(x, y), hi(5, 3, 17)(x, y),
+        hi(7, 2, 1)(x, y)), depth = 16)
+    }
+  }
+
+  /** 16-bit PNG media table: every 19th magic-corrupted, every 13th
+    * truncated to half its bytes.
+    */
+  def synthesizePng16Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val full = synthPng16Payload(id)
+        val bytes =
+          if (id % 19 == 0) { full(0) = 0x00.toByte; full }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length / 2)
+          else full
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Well-formed ADAM7-interlaced 8-bit truecolor PNG: the seven

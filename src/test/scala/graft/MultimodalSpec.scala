@@ -1379,7 +1379,8 @@ class MultimodalSpec extends SparkSpec {
       synthGifPayload(7), synthY4mPayload(7), synthAviPayload(7),
       synthWavPayload(7),
       synthG711Payload(6), synthG711Payload(7), // mu + A law (r12)
-      synthAdpcmPayload(6), synthAdpcmPayload(7)) // mono + stereo IMA (r12)
+      synthAdpcmPayload(6), synthAdpcmPayload(7), // mono + stereo IMA (r12)
+      synthPng16Payload(6), synthPng16Payload(7)) // 16-bit PNG (r12)
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // bit flips
         val m = b.clone()
@@ -1570,6 +1571,36 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(got === want)
     for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
+  }
+
+  test("16-bit PNG: the high byte of every big-endian sample is the " +
+      "decoded 8-bit value — low bytes never leak (spec 13.12) — for " +
+      "gray, truecolor and RGBA; JDK ImageIO agrees on USHORT gray (r12)") {
+    import Multimodal._
+    // truecolor 16-bit: high bytes form a known gradient, low bytes noise
+    val img = decodePng(buildPngChannels(4, 3, 2,
+      (x, y) => Array((x * 16 + y) * 256 + 201, (x + y) * 256 + 77,
+        (y * 40) * 256 + 255), depth = 16))
+    assert(img.width === 4 && img.height === 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      assert((img.rgb(o) & 0xff) === x * 16 + y, s"r($x,$y)")
+      assert((img.rgb(o + 1) & 0xff) === x + y, s"g($x,$y)")
+      assert((img.rgb(o + 2) & 0xff) === y * 40, s"b($x,$y)")
+    }
+    // differential: the JDK's 16-bit gray PNG writer round-trips to
+    // the same high bytes through OUR decoder (test-only oracle)
+    val bi = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bi.getRaster.setSample(x, y, 0, (x * 37 + y * 113) * 256 + 123)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val ours = decodePng(bos.toByteArray)
+    assert(ours != null, "JDK 16-bit gray PNG must decode")
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((ours.rgb((y * 5 + x) * 3) & 0xff) === ((x * 37 + y * 113) & 0xff),
+        s"($x,$y)")
   }
 
   test("G.711 expansion: published extreme/silence code points and the " +
