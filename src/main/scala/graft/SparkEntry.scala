@@ -1685,6 +1685,34 @@ object SparkEntry {
         .orderBy(col("shard_id"))
     }),
 
+    // --- Gzip JSONL round trip (r12 — the interchange format crawl
+    //     corpora arrive in): documents write as .jsonl.gz members
+    //     (file-per-task parallelism — gzip is not splittable) and
+    //     read back through the explicit-schema path; count, byte
+    //     volume and an id:text checksum hash-check the full
+    //     serialize→compress→inflate→parse loop against the fixture.
+    "docs_jsonl_gz" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = gateIndexPath(dir, "jsonl_gz_gate")
+      graft.sources.Sources.writeJsonl(docs, path, gzip = true,
+        numFiles = Some(4))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.readJsonl(s, path, schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).cast("bigint").as("text_bytes"),
+          sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), col("text"))), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+    }),
+
     // --- Tar shard containers (r12 — the WebDataset convention:
     //     multimodal corpora ship as tar shards, one task per shard).
     //     Documents are packed as UTF-8 members into 4 deterministic
@@ -1855,6 +1883,41 @@ object SparkEntry {
           sum(col("g.fail_ellipsis").cast("long")).as("n_fail_ellipsis"),
           sum(col("g.fail_stopword").cast("long")).as("n_fail_stopword"))
         .orderBy(col("source"))
+    }),
+
+    // --- Compression-ratio quality signal (r12 — the byte-structure
+    //     junk detector of curation stacks, e.g. Dolma's zlib rule;
+    //     orthogonal to the n-gram repetition score): deflate bytes /
+    //     raw bytes via the codegen DeflateSize kernel. Deflate
+    //     OUTPUT is zlib-specific, so the gate's contract is the
+    //     CLASSIFICATION with wide margins: planted boilerplate loops
+    //     (%7 — 600 bytes of 5-char repeats, ratio ≈ 0.03) must all
+    //     fall under 0.2 and planted high-entropy hex chains (%5 —
+    //     128 md5 chars, ratio ≈ 0.6+) must all clear 0.4; the oracle
+    //     states those counts as the exact planted populations, so
+    //     one misclassified doc hash-mismatches.
+    "text_deflate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val planted = when(col("doc_id") % 7 === 0, expr("repeat('spam ', 120)"))
+        .when(col("doc_id") % 5 === 0,
+          concat(md5(col("doc_id").cast("string")),
+            md5((col("doc_id") + 1).cast("string")),
+            md5((col("doc_id") + 2).cast("string")),
+            md5((col("doc_id") + 3).cast("string"))))
+        .otherwise(col("text"))
+      val r = TextFunctions.deflateRatio(planted)
+      val isJunk = col("doc_id") % 7 === 0
+      val isRand = col("doc_id") % 5 === 0 && col("doc_id") % 7 =!= 0
+      docs.select(isJunk.as("j"), isRand.as("x"), r.as("r"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("j"), 1L).otherwise(0L)).as("n_junk"),
+          sum(when(col("j") && col("r") < 0.2, 1L).otherwise(0L))
+            .as("n_junk_low"),
+          sum(when(col("x"), 1L).otherwise(0L)).as("n_rand"),
+          sum(when(col("x") && col("r") > 0.4, 1L).otherwise(0L))
+            .as("n_rand_mid"))
     }),
 
     // --- BPE training (r12 — Sennrich et al. 2016, the real merge
@@ -3851,6 +3914,15 @@ object SparkEntry {
         |  CAST(1 AS INT) AS range_ok, CAST(1 AS INT) AS checksum_ok
         |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
+    // the docs_jsonl_gz oracle: the round trip must surrender exactly
+    // the fixture rows — count, UTF-8 byte volume, id:text checksum
+    "docs_jsonl_gz" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
     // the docs_tar_shards oracle: every member the tar round trip
     // must yield, straight from the fixture formulas — shard file
     // from the id hash, member name from the id, size and md5 from
@@ -3984,6 +4056,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the text_deflate oracle: deflate bytes are zlib-specific, but
+    // the wide-margin classification is not — every planted
+    // population must classify whole, so the oracle states the exact
+    // planted counts
+    "text_deflate" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_junk,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_junk_low,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rand,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rand_mid
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
 
     // the text_bpe_merges oracle: the hand-derived merge ladder with
     // every pair count recomputed from the plant formulas — per doc

@@ -327,6 +327,24 @@ object TextFunctions {
       " ")
   }
 
+  /** DEFLATE-compressed UTF-8 byte size — see
+    * [[graft.functions.expressions.DeflateSize]].
+    */
+  def deflateSize(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.DeflateSize(
+        org.apache.spark.sql.GraftBridge.expression(text), level))
+
+  /** Compression ratio in (0, ~1.05]: deflated bytes / raw UTF-8
+    * bytes (r12 — the byte-structure junk detector: boilerplate
+    * loops crush toward 0, prose sits ~0.4–0.6, random-ish payloads
+    * near 1). Empty/null text → null. Thresholds, not exact sizes,
+    * are the contract — see [[expressions.DeflateSize]].
+    */
+  def deflateRatio(text: Column): Column =
+    when(octet_length(text) > 0,
+      round(deflateSize(text).cast("double") / octet_length(text), 6))
+
   // ------------------------------------------------------------------
   // Gopher-style document quality rules (r12) — the repetition-free
   // half of the rule stack from Rae et al. 2021 (Gopher, §A1.1), the

@@ -1,0 +1,67 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DEFLATE-compressed byte size of a string's UTF-8 bytes — the
+  * kernel of the compression-ratio quality signal (r12): natural
+  * prose deflates to ~0.4–0.6 of its size, boilerplate loops and
+  * generator stutter crush toward 0, and already-compressed or
+  * random-ish payloads stay near 1 — the standard cheap
+  * junk/repetition detector of curation stacks (e.g. Dolma's
+  * zlib-ratio rule), orthogonal to the n-gram repetition score
+  * (which needs word structure; this sees BYTE structure).
+  *
+  * Fixed level + strategy so the value is deterministic for a given
+  * zlib build; the classification gates compare against thresholds
+  * with wide margins, never exact sizes, so a zlib version bump
+  * cannot flip them. A thread-local reused `Deflater` (reset per
+  * value) keeps per-row cost at the compress itself; the codegen
+  * callback keeps the expression inside whole-stage codegen like
+  * [[NormalizeText]].
+  */
+case class DeflateSize(child: Expression, level: Int = 6)
+    extends UnaryExpression {
+  require(level >= 0 && level <= 9, s"deflate level $level")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deflate_size"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflate_size needs a string column, got ${child.dataType.catalogString}")
+
+  @transient private lazy val local =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(level, false)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("deflateSizeKernel", this, classOf[DeflateSize].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSize =
+    copy(child = newChild)
+}

@@ -29,6 +29,29 @@ object Sources {
     if (limit == Int.MaxValue) df else df.limit(limit)
   }
 
+  /** Write a frame as (optionally gzip-compressed) JSONL — the
+    * interchange format crawl corpora actually arrive in (r12).
+    * `.jsonl.gz` is the Common-Crawl-derivative convention: gzip is
+    * NOT splittable, so at 100 TB the parallelism unit is the FILE —
+    * many ~100 MB-1 GB members (numFiles), one task each, exactly how
+    * Spark's text source schedules them.
+    */
+  def writeJsonl(df: DataFrame, outPath: String, gzip: Boolean = false,
+      numFiles: Option[Int] = None): Unit =
+    numFiles.map(df.repartition).getOrElse(df)
+      .write.mode("overwrite")
+      .option("compression", if (gzip) "gzip" else "none")
+      .json(outPath)
+
+  /** Read JSONL (gzip members inflate transparently) with an EXPLICIT
+    * schema — corpus-scale reads must never pay the infer-scan, and a
+    * schema mismatch should surface as nulls in known columns, not a
+    * silently widened schema.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S4 — bulk ingest: the reference's `pg_restore` of a dump
     * (/root/reference/setup.sh:73-77) maps to read→write.parquet.
     * `sortWithinPartitions` by the id keeps row groups clustered for

@@ -264,6 +264,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("deflateRatio: boilerplate loops crush toward 0, prose sits in " +
+      "the middle band, hex noise compresses worst; empty/null → null " +
+      "(r12 — threshold contract, never exact zlib sizes)") {
+    import graft.functions.TextFunctions.deflateRatio
+    val rows = Seq(
+      (1L, "spam " * 120),
+      (2L, "the quick brown fox jumps over the lazy dog and then takes " +
+        "a long nap under the old oak tree while birds sing above " * 3),
+      (3L, { val r = new scala.util.Random(42)
+        Seq.fill(128)(r.nextInt(16).toHexString).mkString }),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", deflateRatio($"t").as("r")).orderBy($"id").collect()
+    assert(rows(0).getDouble(1) < 0.1)
+    val prose = rows(1).getDouble(1)
+    assert(prose > 0.2 && prose < 0.8, s"prose ratio $prose")
+    assert(rows(2).getDouble(1) > prose)
+    assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
+  }
+
   test("gopherFlags: every rule fires on its planted degenerate and " +
       "clean prose passes (r12 — Rae et al. 2021 \u00a7A1.1 thresholds)") {
     import graft.functions.TextFunctions.gopherFlags
