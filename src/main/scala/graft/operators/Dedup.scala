@@ -167,8 +167,12 @@ object Dedup {
         (p, parts, bloomBytes(bf))
       }
       .toDF("part", "parts", "bloom")
-      .repartition(1) // parts rows of ~m/parts bits — a handful of files
-      .write.mode("overwrite").parquet(path)
+      .repartition(1)
+      // one directory per slice: incremental updates then OVERWRITE
+      // ONLY the touched slices (dynamic partition overwrite) — at
+      // 10B keys the layer is ~12 GB, and a batch must not rewrite
+      // the parts it never touched
+      .write.mode("overwrite").partitionBy("part").parquet(path)
   }
 
   /** Probe the partitioned bloom index: the input plus `__k1` (content
@@ -218,15 +222,35 @@ object Dedup {
     * [[writeBloomIndexFromKeys]] restores tightness from the index.
     */
   def appendExactDedupBloom(batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, bloomPath: String): DataFrame = {
+      indexPath: String, bloomPath: String,
+      broadcastMaybeLimit: Long = 1000000L): DataFrame = {
     val spark = batch.sparkSession
     val idx = spark.read.parquet(indexPath)
     val probed = bloomProbe(batch, textCol, bloomPath)
       .withColumn("__k2", md5(col(textCol)))
+      .localCheckpoint(true) // probe once; reused by both sides below
     val definiteNew = probed.filter(!col("__maybe"))
     val maybe = probed.filter(col("__maybe"))
-    val checkedNew = maybe.join(idx,
-      maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+    // The whole point of the bloom layer is that the INDEX (TBs at
+    // corpus scale) is never reshuffled per batch. The maybe-side is
+    // tiny (true dupes + fpp of the rest), so when it fits a
+    // broadcast, the exact check flips to broadcast joins: the index
+    // streams MAP-SIDE through a broadcast semi (which of these few
+    // keys does it contain?), and the anti against that small result
+    // is a broadcast too — zero index shuffle end to end. A
+    // degenerate batch (mostly duplicates) falls back to the shuffle
+    // anti-join.
+    val maybeKeys = maybe.select(col("__k1"), col("__k2")).distinct()
+    val checkedNew =
+      if (maybe.limit((broadcastMaybeLimit + 1).toInt).count() <= broadcastMaybeLimit) {
+        val dupKeys = idx.join(broadcast(maybeKeys),
+          idx("k1") === maybeKeys("__k1") && idx("k2") === maybeKeys("__k2"),
+          "left_semi")
+        maybe.join(broadcast(dupKeys),
+          maybe("__k1") === dupKeys("k1") && maybe("__k2") === dupKeys("k2"),
+          "left_anti")
+      } else maybe.join(idx,
+        maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
     val fresh = definiteNew.unionByName(checkedNew)
     val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
     // blooms first (see commit-order note), then the key index
@@ -239,25 +263,24 @@ object Dedup {
       .as[(Int, Array[Byte])].groupByKey(_._1)
     val updated = newKeys.groupByKey(_._1)
       .cogroup(kvBloom) { (p, ks, bs) =>
-        bs.buffered.headOption match {
-          case Some((_, bytes)) =>
-            val bf = bloomFrom(bytes)
-            var any = false
-            ks.foreach { k => bf.putLong(k._2); any = true }
-            if (any) Iterator((p, parts, bloomBytes(bf)))
-            else Iterator((p, parts, bytes)) // untouched slice passes through
-          case None =>
-            // a part that was empty at build time: grow a fresh slice
-            val bf = org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
-            var any = false
-            ks.foreach { k => bf.putLong(k._2); any = true }
-            if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
+        // emit ONLY touched slices — dynamic partition overwrite below
+        // replaces just their directories, the rest of the layer is
+        // never rewritten
+        val bf = bs.buffered.headOption match {
+          case Some((_, bytes)) => bloomFrom(bytes)
+          case None => // a part that was empty at build time
+            org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
         }
+        var any = false
+        ks.foreach { k => bf.putLong(k._2); any = true }
+        if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
       }
       .toDF("part", "parts", "bloom")
       .repartition(1)
       .localCheckpoint(true) // materialize before overwriting what it reads
-    updated.write.mode("overwrite").parquet(bloomPath)
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(bloomPath)
     out.select(col("__k1").as("k1"), col("__k2").as("k2"))
       .write.mode("append").parquet(indexPath)
     out.drop("__k1", "__k2", "__maybe")
