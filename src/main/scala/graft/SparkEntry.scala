@@ -1885,6 +1885,51 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- Outlink extraction (r12 — the edge-list producer of the
+    //     crawl link graph): hostile-ish pages planted in-plan — an
+    //     absolute double-quoted link, a single-quoted link with a
+    //     query, and (every 3rd doc) a relative href that must come
+    //     through verbatim. Document order within each quote class,
+    //     position carried by posexplode; the oracle extracts the
+    //     identical lists with the same RE2-safe patterns.
+    "text_links" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 80)
+      val html = concat(
+        lit("<html><body><a href=\"https://site"),
+        pmod(col("doc_id"), lit(7L)),
+        lit(".example.com/p/"), col("doc_id"), lit("\">x</a>"),
+        lit("<a class='l' href='http://other.net/q?id="), col("doc_id"),
+        lit("'>y</a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/rel/skip\">z</a>")).otherwise(lit("")),
+        lit("</body></html>"))
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.extractLinks(html)).as(Seq("pos", "link")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // --- PageRank over a planted link graph (r12 — the
+    //     quality-weighting signal of crawl curation; the reference's
+    //     corpus is a flat table, a 100 TB crawl is a graph): 100
+    //     nodes, out-degree 2 by id formulas, every 10th node
+    //     DANGLING (its mass redistributes uniformly — the
+    //     stochastic-matrix fix, exercised, not dodged), 5
+    //     iterations at d = 0.85. The oracle replays all five
+    //     iterations as chained CTEs with the identical IEEE
+    //     expression shape.
+    "docs_pagerank" -> ((s, dir) => {
+      val nodes = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"))
+      val out = nodes.filter(col("id") % 10 =!= 0)
+      val edges = out.select(col("id").as("src"),
+          pmod(col("id") * 2 + 1, lit(100L)).as("dst"))
+        .unionByName(out.select(col("id").as("src"),
+          pmod(col("id") * 3 + 7, lit(100L)).as("dst")))
+      operators.Graphs.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("id"))
+    }),
+
     // --- Compression-ratio quality signal (r12 — the byte-structure
     //     junk detector of curation stacks, e.g. Dolma's zlib rule;
     //     orthogonal to the n-gram repetition score): deflate bytes /
@@ -4055,6 +4100,52 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the text_links oracle: identical plants, identical RE2-safe
+    // extraction patterns, double-quote matches before single-quote
+    "text_links" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |h AS (SELECT doc_id,
+        |  '<html><body><a href="https://site' || (doc_id % 7) || '.example.com/p/' || doc_id || '">x</a>' ||
+        |  '<a class=''l'' href=''http://other.net/q?id=' || doc_id || '''>y</a>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<a href="/rel/skip">z</a>' ELSE '' END ||
+        |  '</body></html>' AS html FROM d),
+        |l AS (SELECT doc_id,
+        |  list_concat(regexp_extract_all(html, 'href="([^"]+)"', 1),
+        |              regexp_extract_all(html, 'href=''([^'']+)''', 1)) AS links
+        |  FROM h)
+        |SELECT doc_id, CAST(g.g - 1 AS INT) AS pos, links[g.g] AS link
+        |FROM l, generate_series(1, 4) AS g(g) WHERE g.g <= len(links)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // the docs_pagerank oracle: the five iterations unrolled as
+    // chained CTEs — same vertex-set definition (union of endpoints),
+    // same dangling-mass redistribution, same IEEE expression shape
+    // ((1 - 0.85) / N computed with the identical operation order)
+    "docs_pagerank" -> {
+      def iter(k: Int) =
+        s"""c$k AS (SELECT e.dst AS id, sum(p.pr / deg.d) AS c
+           |  FROM e JOIN p${k - 1} p ON e.src = p.id
+           |  JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |m$k AS (SELECT coalesce(sum(p.pr), 0) AS m
+           |  FROM p${k - 1} p ANTI JOIN deg ON deg.src = p.id),
+           |p$k AS (SELECT v.id,
+           |    (1 - 0.85) / (SELECT count(*) FROM v) + 0.85 *
+           |      (coalesce(c.c, 0) +
+           |        (SELECT m FROM m$k) / (SELECT count(*) FROM v)) AS pr
+           |  FROM v LEFT JOIN c$k c USING (id))""".stripMargin
+      s"""WITH n AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+         |o AS (SELECT id FROM n WHERE id % 10 <> 0),
+         |e AS (SELECT id AS src, (id * 2 + 1) % 100 AS dst FROM o
+         |      UNION ALL SELECT id, (id * 3 + 7) % 100 FROM o),
+         |v AS (SELECT DISTINCT src AS id FROM e
+         |      UNION SELECT DISTINCT dst FROM e),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |p0 AS (SELECT id, 1.0 / (SELECT count(*) FROM v) AS pr FROM v),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id""".stripMargin
     },
 
     // the text_deflate oracle: deflate bytes are zlib-specific, but

@@ -327,6 +327,20 @@ object TextFunctions {
       " ")
   }
 
+  /** Outlink extraction from raw HTML (r12): href values in double
+    * then single quotes, in document order within each quote class —
+    * the edge-list producer for the crawl link graph
+    * ([[graft.operators.Graphs.pageRank]]) and for URL-frontier
+    * dedup ([[canonicalUrl]] downstream). RE2-safe negated-class
+    * patterns, so a DuckDB twin extracts the identical list.
+    * Relative links are returned as-is (resolution needs the page's
+    * base URL — caller's join).
+    */
+  def extractLinks(html: Column): Column =
+    concat(
+      regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1)),
+      regexp_extract_all(html, lit("href='([^']+)'"), lit(1)))
+
   /** DEFLATE-compressed UTF-8 byte size — see
     * [[graft.functions.expressions.DeflateSize]].
     */

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for crawl curation (r12): PageRank over the
+  * document/host graph — the standard quality-weighting signal
+  * (Common-Crawl-style host ranking; harmonic/PageRank centrality is
+  * what crawl curation uses to pick which domains deserve budget).
+  * The reference has no graph surface (its corpus is a flat table);
+  * a 100 TB crawl is a graph first.
+  *
+  * Scale design:
+  *  - The edge table is hash-partitioned on `src` ONCE and persisted;
+  *    every iteration joins the (vertex-sized) rank frame to it and
+  *    partial-aggregates contributions map-side on `dst` — shuffle
+  *    volume per iteration is O(vertices), never O(edges).
+  *  - Dangling mass (vertices with no outlinks — crawl frontiers are
+  *    full of them) is ONE scalar aggregate per iteration,
+  *    redistributed uniformly: the standard stochastic-matrix fix,
+  *    not an afterthought.
+  *  - Ranks localCheckpoint every few iterations — an 80-iteration
+  *    lineage would otherwise make the final action replan the whole
+  *    history.
+  *  - Arithmetic is plain IEEE double in a fixed expression shape, so
+  *    an oracle can replay iterations exactly ((1 − d)/N is computed
+  *    with the same operation order in both engines).
+  */
+object Graphs {
+
+  /** PageRank. `edges` = (srcCol, dstCol) directed pairs (duplicate
+    * edges count double — dedup upstream if that is not intended);
+    * vertices are the union of endpoints. Returns (id, pr) — pr sums
+    * to ~1 over the graph. `iterations` fixed (the batch-curation
+    * convention: rank stability beyond ~20 iterations is far below
+    * quality-threshold granularity).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .persist()
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    val n = vertices.count()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .persist()
+    val base = (1.0 - damping) / n
+    var pr = vertices.select(col("id"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      // rank mass per outlink; vertices with no outlinks are dangling
+      val withDeg = pr.join(outDeg, pr("id") === outDeg("src"), "left")
+        .select(col("id"), col("pr"), col("out_deg"))
+      val danglingMass = withDeg.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+      val contribs = e.join(withDeg.filter(col("out_deg").isNotNull),
+          e("src") === withDeg("id"))
+        .select(col("dst").as("id"),
+          (col("pr") / col("out_deg")).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("c")) // map-side partial on dst
+      val next = vertices.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("pr"))
+      val prev = pr
+      pr = if (it % 5 == 4) next.localCheckpoint(true)
+        else { val p = next.persist(); p.count(); p }
+      prev.unpersist() // next is materialized — the old ranks can go
+      it += 1
+    }
+    val out = pr.localCheckpoint(true)
+    e.unpersist(); vertices.unpersist(); outDeg.unpersist()
+    out
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a uniform ring keeps the uniform fixed point; a star " +
+      "with a dangling hub matches the hand-computed first iteration; " +
+      "mass conserves (r12)") {
+    // ring 0→1→…→9→0: pr stays exactly 1/N at every iteration
+    val ring = spark.range(10).select($"id".as("src"),
+      pmod($"id" + 1, lit(10L)).as("dst"))
+    val rpr = Graphs.pageRank(ring, "src", "dst", iterations = 7)
+      .collect().map(_.getDouble(1))
+    assert(rpr.length === 10)
+    rpr.foreach(p => assert(math.abs(p - 0.1) < 1e-12))
+    // star: 1..4 → 0; 0 has NO outlinks (dangling). Hand-computed
+    // iteration 1: mass(0)=0.2 redistributes; pr(0)=0.03+0.85*(0.8+
+    // 0.04)=0.744, leaves 0.064 each
+    val star = (1L to 4L).map(i => (i, 0L)).toDF("src", "dst")
+    val spr = Graphs.pageRank(star, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(spr(0L) - 0.744) < 1e-12)
+    (1L to 4L).foreach(i => assert(math.abs(spr(i) - 0.064) < 1e-12))
+    // mass conservation on an irregular graph with dangling nodes
+    val out = spark.range(100).filter($"id" % 10 =!= 0)
+    val edges = out.select($"id".as("src"), pmod($"id" * 2 + 1, lit(100L)).as("dst"))
+      .union(out.select($"id".as("src"), pmod($"id" * 3 + 7, lit(100L)).as("dst")))
+    val total = Graphs.pageRank(edges, "src", "dst", iterations = 6)
+      .agg(sum($"pr")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
+  }
+
+  test("extractLinks: double then single quotes in document order, " +
+      "relative hrefs verbatim, no-link and null pages (r12)") {
+    import graft.functions.TextFunctions.extractLinks
+    val rows = Seq(
+      (1L, "<a href='http://a/1'>x</a> <a href=\"http://b/2\">y</a>" +
+        "<a href=\"/rel\">z</a>"),
+      (2L, "no links here"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select($"id", extractLinks($"h").as("l")).orderBy($"id").collect()
+    assert(rows(0).getSeq[String](1) === Seq("http://b/2", "/rel", "http://a/1"))
+    assert(rows(1).getSeq[String](1) === Seq.empty)
+    assert(rows(2).isNullAt(1))
+  }
+}
