@@ -1685,6 +1685,31 @@ object SparkEntry {
         .orderBy(col("shard_id"))
     }),
 
+    // --- WARC ingestion (r12 — ISO 28500, what Common Crawl actually
+    //     ships): each payload is a two-record WARC file (warcinfo +
+    //     HTTP-200 response wrapping fixture text in HTML), even ids
+    //     plain, odd ids the member-per-record gzip convention
+    //     (GZIPInputStream walks concatenated members), every 19th
+    //     corrupted (lenient parse yields zero records, never
+    //     throws). The chain is the real ingestion edge end-to-end:
+    //     WARC walk → HTTP header strip → stripHtml → text; the
+    //     oracle recomputes URI, status and the stripped text from
+    //     the fixture text with the stripHtmlSql twin.
+    "docs_warc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 80)
+        .select(col("doc_id"), col("text"))
+      val payloads = graft.sources.Warc.synthesizeWarcDocs(
+        docs, "doc_id", "text")
+      graft.sources.Warc.recordsFromColumn(payloads, "doc_id", "payload",
+          lenient = true)
+        .filter(col("record_type") === "response")
+        .select(col("doc_id"), col("target_uri"), col("http_status"),
+          TextFunctions.stripHtml(decode(col("payload"), "UTF-8"))
+            .as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Gzip JSONL round trip (r12 — the interchange format crawl
     //     corpora arrive in): documents write as .jsonl.gz members
     //     (file-per-task parallelism — gzip is not splittable) and
@@ -3958,6 +3983,20 @@ object SparkEntry {
         |  CAST(1 AS INT) AS rows_ok, CAST(1 AS INT) AS tokens_ok,
         |  CAST(1 AS INT) AS range_ok, CAST(1 AS INT) AS checksum_ok
         |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    // the docs_warc oracle: response records for every uncorrupted id
+    // — URI and status from the fixture formulas, text through the
+    // stripHtmlSql twin of the same HTML wrapper
+    "docs_warc" -> {
+      val html = "'<html><head><title>T</title></head><body><p>' || text || '</p></body></html>'"
+      s"""SELECT doc_id,
+         |  'https://ex.com/doc/' || doc_id AS target_uri,
+         |  'HTTP/1.1 200 OK' AS http_status,
+         |  ${stripHtmlSql(html)} AS text
+         |FROM documents
+         |WHERE text IS NOT NULL AND doc_id < 80 AND doc_id % 19 <> 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the docs_jsonl_gz oracle: the round trip must surrender exactly
     // the fixture rows — count, UTF-8 byte volume, id:text checksum

@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) — the format 100 TB text corpora actually arrive
+  * in: Common Crawl ships crawl snapshots as `.warc.gz` files whose
+  * records are independently-gzipped members concatenated into one
+  * file. This is the INGESTION EDGE of the whole curation chain in
+  * this repo: WARC → HTTP payload → [[graft.functions.TextFunctions
+  * .stripHtml]] → line dedup / quality / shingles.
+  *
+  * Scale shape: one `binaryFile` task per WARC file (the Common
+  * Crawl parallelism unit — files are ~1 GB by convention; per-record
+  * gzip members make the FILE non-splittable but cheap to stream),
+  * records stream through an executor-side walk — nothing is
+  * collected. `GZIPInputStream` reads concatenated members
+  * transparently, so member-per-record and whole-file gzip both
+  * inflate through the same path.
+  *
+  * The writer emits byte-DETERMINISTIC records (fixed WARC-Date
+  * param, sorted-by-construction header order, CRLF discipline) so
+  * fixtures are closed-form and any engine recomputes identical
+  * bytes — the [[Containers]] tar discipline applied to WARC.
+  */
+object Warc {
+
+  final case class WarcRecord(warcType: String, targetUri: String,
+    headers: Map[String, String], body: Array[Byte])
+
+  private val CRLF = "\r\n"
+
+  // ---------------------------------------------------------------- read
+
+  /** Read one CRLF-terminated ASCII line; null at EOF. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, buf: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return false
+      off += n
+    }
+    true
+  }
+
+  /** Walk a (plain) WARC stream. Strict: malformed version lines,
+    * unparseable Content-Length or truncated bodies throw; `lenient`
+    * stops at the first damage with a warning (salvage mode).
+    */
+  def parseWarc(in: InputStream, lenient: Boolean = false): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+
+      private def fail(msg: String): Unit =
+        if (lenient) {
+          org.slf4j.LoggerFactory.getLogger(Warc.getClass)
+            .warn(s"warc salvage stop: $msg")
+          done = true
+        } else throw new IllegalArgumentException(s"corrupt warc: $msg")
+
+      private def advance(): Unit = try {
+        advanceInner()
+      } catch {
+        // a damaged gzip member surfaces as an IOException mid-read
+        case e: java.io.IOException => fail(s"io: ${e.getMessage}")
+      }
+
+      private def advanceInner(): Unit = {
+        // skip blank separator lines between records
+        var line = readLine(in)
+        while (line != null && line.isEmpty) line = readLine(in)
+        if (line == null) { done = true; return }
+        if (!line.startsWith("WARC/")) { fail(s"bad version line: $line"); return }
+        val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var h = readLine(in)
+        while (h != null && h.nonEmpty) {
+          val ix = h.indexOf(':')
+          if (ix <= 0) { fail(s"bad header: $h"); return }
+          headers(h.substring(0, ix).trim.toLowerCase(java.util.Locale.ROOT)) =
+            h.substring(ix + 1).trim
+          h = readLine(in)
+        }
+        if (h == null) { fail("eof in headers"); return }
+        val len = headers.get("content-length").flatMap(s =>
+          scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+        if (len < 0 || len > Int.MaxValue) { fail(s"bad content-length"); return }
+        val body = new Array[Byte](len.toInt)
+        if (!readFully(in, body)) { fail("truncated body"); return }
+        nextRec = WarcRecord(
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          headers.toMap, body)
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Parse one WARC file's bytes; gzip (whole-file or the Common
+    * Crawl member-per-record convention) inflates transparently —
+    * `GZIPInputStream` walks concatenated members.
+    */
+  def parseWarcBytes(bytes: Array[Byte],
+      lenient: Boolean = false): Iterator[WarcRecord] = {
+    val raw: InputStream = new ByteArrayInputStream(bytes)
+    parseWarc(if (isGzip(bytes)) new GZIPInputStream(raw) else raw, lenient)
+  }
+
+  /** Split an HTTP message body off a response record's payload:
+    * (status line, payload bytes after the first CRLFCRLF). Records
+    * without an HTTP preamble return ("", whole body).
+    */
+  def httpPayload(body: Array[Byte]): (String, Array[Byte]) = {
+    if (body.length < 5 ||
+        !new String(body, 0, 5, StandardCharsets.US_ASCII).startsWith("HTTP/"))
+      return ("", body)
+    var i = 0
+    while (i + 3 < body.length) {
+      if (body(i) == '\r' && body(i + 1) == '\n' &&
+          body(i + 2) == '\r' && body(i + 3) == '\n') {
+        val eol = {
+          var j = 0
+          while (j < i && body(j) != '\r') j += 1
+          j
+        }
+        return (new String(body, 0, eol, StandardCharsets.US_ASCII),
+          java.util.Arrays.copyOfRange(body, i + 4, body.length))
+      }
+      i += 1
+    }
+    ("", body)
+  }
+
+  private val readSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("record_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("http_status", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Read WARC files under `glob`: one row per record — (file,
+    * record type, target URI, HTTP status line, payload with HTTP
+    * headers stripped). One binaryFile task per file.
+    */
+  def readWarc(spark: SparkSession, glob: String,
+      lenient: Boolean = false): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(readSchema)
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val file = r.getString(0).split('/').last
+        parseWarcBytes(r.getAs[Array[Byte]](1), lenient).map { rec =>
+          val (status, payload) = httpPayload(rec.body)
+          org.apache.spark.sql.Row(file, rec.warcType, rec.targetUri,
+            status, payload)
+        }
+      }
+  }
+
+  /** Parse a BINARY COLUMN of WARC payloads (the in-plan fixture
+    * shape of the media gates): one row per record, carrying the
+    * source row's `idCol`. Narrow per-partition map — scales with
+    * the scan like the media decoders.
+    */
+  def recordsFromColumn(df: DataFrame, idCol: String, payloadCol: String,
+      lenient: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("record_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("http_status", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.flatMap { r =>
+      val id = r.getLong(iIdx)
+      val p = r.get(pIdx).asInstanceOf[Array[Byte]]
+      if (p == null) Iterator.empty
+      else parseWarcBytes(p, lenient).map { rec =>
+        val (status, payload) = httpPayload(rec.body)
+        org.apache.spark.sql.Row(id, rec.warcType, rec.targetUri,
+          status, payload)
+      }
+    }
+  }
+
+  /** Deterministic WARC fixture over document rows: each payload is
+    * one warcinfo record + one HTTP-200 response wrapping the doc's
+    * text in a small HTML page; even ids are plain concatenation,
+    * odd ids the Common Crawl member-per-record gzip; every 19th
+    * payload has its first byte corrupted (lenient parse must yield
+    * zero records, never throw).
+    */
+  def synthesizeWarcDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = docs.schema.fieldIndex(idCol)
+    val tIdx = docs.schema.fieldIndex(textCol)
+    docs.map { r =>
+      val id = r.getLong(iIdx)
+      val text = r.getString(tIdx)
+      val html = "<html><head><title>T</title></head><body><p>" + text +
+        "</p></body></html>"
+      val info = buildRecord("warcinfo", "",
+        "software: graft\r\n".getBytes(StandardCharsets.UTF_8))
+      val resp = buildResponse(s"https://ex.com/doc/$id", html)
+      val bytes =
+        if (id % 2 == 0) info ++ resp
+        else gzipMembers(Seq(info, resp))
+      if (id % 19 == 0) bytes(0) = 'X'.toByte
+      org.apache.spark.sql.Row(id, bytes)
+    }
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** One deterministic WARC record (version 1.0, fixed-date param,
+    * fixed header order). `extraHeaders` append after the standard
+    * four in given order.
+    */
+  def buildRecord(warcType: String, targetUri: String, body: Array[Byte],
+      date: String = "2026-01-01T00:00:00Z",
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val sb = new StringBuilder()
+    sb.append("WARC/1.0").append(CRLF)
+    sb.append("WARC-Type: ").append(warcType).append(CRLF)
+    if (targetUri.nonEmpty)
+      sb.append("WARC-Target-URI: ").append(targetUri).append(CRLF)
+    sb.append("WARC-Date: ").append(date).append(CRLF)
+    extraHeaders.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append(CRLF) }
+    sb.append("Content-Length: ").append(body.length).append(CRLF)
+    sb.append(CRLF)
+    sb.toString.getBytes(StandardCharsets.US_ASCII) ++ body ++
+      (CRLF + CRLF).getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** An HTTP 200 response record wrapping `html` (the Common Crawl
+    * response-record shape).
+    */
+  def buildResponse(uri: String, html: String,
+      date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val payload = html.getBytes(StandardCharsets.UTF_8)
+    val http = ("HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      s"Content-Length: ${payload.length}" + CRLF + CRLF)
+      .getBytes(StandardCharsets.US_ASCII)
+    buildRecord("response", uri, http ++ payload, date)
+  }
+
+  /** Gzip each record as its OWN member and concatenate — the Common
+    * Crawl `.warc.gz` convention (records independently inflatable).
+    */
+  def gzipMembers(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+}

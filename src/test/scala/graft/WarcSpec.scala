@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRecords: Seq[Array[Byte]] = Seq(
+    Warc.buildRecord("warcinfo", "", "software: graft\r\n".getBytes("UTF-8")),
+    Warc.buildResponse("https://a.example/1", "<p>first page</p>"),
+    Warc.buildResponse("https://a.example/2", "<p>second &amp; page</p>"))
+
+  test("readWarc: plain and member-per-record gzip files through " +
+      "binaryFile, HTTP headers stripped, warcinfo carried (r12)") {
+    val dir = Files.createTempDirectory("graft_warc")
+    Files.write(dir.resolve("plain.warc"),
+      mkRecords.reduce(_ ++ _))
+    Files.write(dir.resolve("multi.warc.gz"),
+      Warc.gzipMembers(mkRecords))
+    val rows = Warc.readWarc(spark, s"$dir/*").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    assert(rows.length === 6)
+    for (f <- Seq("plain.warc", "multi.warc.gz")) {
+      val fr = rows.filter(_._1 == f).sortBy(_._3)
+      assert(fr.map(_._2).sorted.toSeq === Seq("response", "response", "warcinfo"))
+      val resp = fr.filter(_._2 == "response")
+      assert(resp.map(_._3).toSeq ===
+        Seq("https://a.example/1", "https://a.example/2"))
+      assert(resp.forall(_._4 == "HTTP/1.1 200 OK"))
+      assert(resp.map(_._5).toSeq ===
+        Seq("<p>first page</p>", "<p>second &amp; page</p>"))
+      // warcinfo has no HTTP preamble: status empty, body whole
+      val info = fr.find(_._2 == "warcinfo").get
+      assert(info._4 === "" && info._5 === "software: graft\r\n")
+    }
+  }
+
+  test("strict parse throws on a damaged record; lenient salvages the " +
+      "prefix — for both a broken version line and a damaged gzip " +
+      "member mid-stream (r12)") {
+    val plain = mkRecords.reduce(_ ++ _)
+    val broken = plain.clone(); broken(0) = 'X'
+    intercept[IllegalArgumentException] {
+      Warc.parseWarcBytes(broken).toSeq
+    }
+    assert(Warc.parseWarcBytes(broken, lenient = true).toSeq.isEmpty)
+    // damage the SECOND record's version line: first survives
+    val secondAt = mkRecords.head.length
+    val mid = plain.clone(); mid(secondAt) = 'Q'
+    assert(Warc.parseWarcBytes(mid, lenient = true)
+      .toSeq.map(_.warcType) === Seq("warcinfo"))
+    // gzip: corrupt a byte inside the second member's deflate stream
+    val gz = Warc.gzipMembers(mkRecords)
+    val m1 = Warc.gzipMembers(Seq(mkRecords.head)).length
+    val gzBad = gz.clone(); gzBad(m1 + 20) = (gzBad(m1 + 20) ^ 0x5f).toByte
+    val salvaged = Warc.parseWarcBytes(gzBad, lenient = true).toSeq
+    assert(salvaged.map(_.warcType).startsWith(Seq("warcinfo")))
+    assert(salvaged.length < 3, "the damaged tail must not parse whole")
+  }
+
+  test("httpPayload: no preamble passes through; header-only response " +
+      "yields empty payload; binary bodies survive") {
+    val (s1, p1) = Warc.httpPayload("no http here".getBytes("UTF-8"))
+    assert(s1 === "" && new String(p1, "UTF-8") === "no http here")
+    val (s2, p2) = Warc.httpPayload(
+      "HTTP/1.1 404 Not Found\r\nX: y\r\n\r\n".getBytes("US-ASCII"))
+    assert(s2 === "HTTP/1.1 404 Not Found" && p2.isEmpty)
+    val bin = Array[Byte](0, 1, 2, -1)
+    val (s3, p3) = Warc.httpPayload(
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII") ++ bin)
+    assert(s3 === "HTTP/1.1 200 OK" && p3.toSeq === bin.toSeq)
+  }
+}
