@@ -1910,6 +1910,66 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- robots.txt parsing (r12 — RFC 9309, the corpus-membership
+    //     gate of crawl compliance): four hostile-ish robots bodies —
+    //     comments, Crawl-delay noise, a named group that must beat
+    //     the catch-all, an other-bot-only file that must yield NO
+    //     rules, an empty Disallow (= allow all), a multi-agent
+    //     run — parse executor-side into the (host, rule_idx, allow,
+    //     prefix) table the filter joins on. Oracle: the expected
+    //     rule rows as literals (the parser is the thing under test).
+    "text_robots_rules" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "# corpus policy\nUser-agent: graftbot\n" +
+          "Disallow: /private # inline comment\nAllow: /private/ok\n" +
+          "Crawl-delay: 10\n\nUser-agent: *\nDisallow: /\n"),
+        ("b.example", "User-agent: *\nDisallow: /tmp\nDisallow:\n" +
+          "Allow: /tmp/pub\nSitemap: https://b.example/s.xml\n"),
+        ("c.example", "User-agent: otherbot\nDisallow: /\n"),
+        ("d.example", "User-agent: graftbot\nUser-agent: otherbot\n" +
+          "Disallow: /both\n"))
+        .toDF("host", "body")
+      operators.UrlPolicy.parseRobots(robots, "host", "body",
+          agent = "graftbot")
+        .orderBy(col("host"), col("rule_idx"))
+    }),
+
+    // --- robots.txt filtering (r12): planted URLs over the four
+    //     hosts × six path shapes hit every decision branch —
+    //     longest-prefix wins (/private/ok/p allowed INSIDE the
+    //     disallowed /private), empty-prefix allow-all, no-rules
+    //     host, multi-agent group, tie rules — with input
+    //     multiplicity preserved. The oracle states each (host, path)
+    //     branch's verdict from the id formulas.
+    "docs_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "User-agent: graftbot\nDisallow: /private\n" +
+          "Allow: /private/ok\n\nUser-agent: *\nDisallow: /\n"),
+        ("b.example", "User-agent: *\nDisallow: /tmp\nDisallow:\n" +
+          "Allow: /tmp/pub\n"),
+        ("c.example", "User-agent: otherbot\nDisallow: /\n"),
+        ("d.example", "User-agent: graftbot\nUser-agent: otherbot\n" +
+          "Disallow: /both\n"))
+        .toDF("host", "body")
+      val rules = operators.UrlPolicy.parseRobots(robots, "host", "body",
+        agent = "graftbot")
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 160)
+      val host = element_at(
+        array(lit("a.example"), lit("b.example"), lit("c.example"),
+          lit("d.example")),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+      val path = element_at(
+        array(lit("/"), lit("/private/ok/p"), lit("/private/z"),
+          lit("/tmp/pub/q"), lit("/tmp/z"), lit("/both/r")),
+        (pmod(col("doc_id"), lit(6L)) + 1).cast("int"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"), host, path).as("url"))
+      operators.UrlPolicy.applyRobots(urls, "url", rules)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Outlink extraction (r12 — the edge-list producer of the
     //     crawl link graph): hostile-ish pages planted in-plan — an
     //     absolute double-quoted link, a single-quoted link with a
@@ -4140,6 +4200,35 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the text_robots_rules oracle: the expected rule table as
+    // literals — named group beats catch-all (a), empty Disallow
+    // becomes an empty-prefix Allow (b), other-bot-only yields
+    // nothing (c), multi-agent runs share rules (d)
+    "text_robots_rules" ->
+      """SELECT * FROM (VALUES
+        |  ('a.example', CAST(0 AS INT), false, '/private'),
+        |  ('a.example', 1, true, '/private/ok'),
+        |  ('b.example', 0, false, '/tmp'),
+        |  ('b.example', 1, true, ''),
+        |  ('b.example', 2, true, '/tmp/pub'),
+        |  ('d.example', 0, false, '/both'))
+        |  AS t(host, rule_idx, allow, prefix)
+        |ORDER BY host, rule_idx""".stripMargin,
+
+    // the docs_robots_filter oracle: each (host-branch, path-branch)
+    // verdict from the id formulas — blocked exactly when a.example
+    // sees /private/z, b.example /tmp/z, d.example /both/r
+    "docs_robots_filter" ->
+      """SELECT doc_id,
+        |  'https://' ||
+        |    ['a.example','b.example','c.example','d.example'][(doc_id % 4) + 1] ||
+        |    ['/','/private/ok/p','/private/z','/tmp/pub/q','/tmp/z','/both/r'][(doc_id % 6) + 1]
+        |    AS url,
+        |  NOT ((doc_id % 4 = 0 AND doc_id % 6 = 2) OR
+        |       (doc_id % 4 = 1 AND doc_id % 6 = 4) OR
+        |       (doc_id % 4 = 3 AND doc_id % 6 = 5)) AS robots_allow
+        |FROM documents WHERE doc_id < 160 ORDER BY doc_id""".stripMargin,
 
     // the text_links oracle: identical plants, identical RE2-safe
     // extraction patterns, double-quote matches before single-quote

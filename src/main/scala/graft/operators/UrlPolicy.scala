@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** robots.txt compliance for crawl curation (r12): a training corpus
+  * built from a crawl must be filterable by the host's robots policy
+  * (REP, RFC 9309) — the "should this URL's content be in the corpus
+  * at all" gate that runs before any text operator.
+  *
+  * Scale shape: robots.txt is CONFIG-SHAPED data (one small file per
+  * host — millions of hosts, KBs each), so rules parse executor-side
+  * into a (host, prefix, allow) table that joins the URL table on
+  * host; the longest-prefix decision is a per-URL aggregation over
+  * its few matching rules (map-side combinable max_by). The rules
+  * side is host-partitioned with the URLs — no skew beyond the
+  * hosts' own URL skew.
+  */
+object UrlPolicy {
+
+  /** Parse robots.txt bodies into (host, rule_idx, allow, prefix):
+    * the RFC 9309 subset that decides corpus membership — group
+    * selection by User-agent (exact token match or `*`; the most
+    * specific matching group wins, `*` only when no named group
+    * matches), Allow/Disallow path prefixes, blank-line group
+    * separation, `#` comments. Sitemap/Crawl-delay lines are
+    * ignored. Empty Disallow ("allow all") parses as an empty
+    * prefix Allow rule.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "graftbot"): DataFrame = {
+    val spark = robots.sparkSession
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("rule_idx", IntegerType, nullable = false),
+      StructField("allow", BooleanType, nullable = false),
+      StructField("prefix", StringType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    val hIdx = robots.schema.fieldIndex(hostCol)
+    val bIdx = robots.schema.fieldIndex(bodyCol)
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    robots.flatMap { r =>
+      val host = r.getString(hIdx)
+      val body = r.getString(bIdx)
+      if (host == null || body == null) Iterator.empty
+      else {
+        // group the file: runs of User-agent lines open a group whose
+        // rules run until the next User-agent run (RFC 9309 §2.1)
+        final case class Group(agents: Seq[String], rules: Seq[(Boolean, String)])
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+        var agents = Vector.empty[String]
+        var rules = Vector.empty[(Boolean, String)]
+        var inAgentRun = false
+        def flush(): Unit = {
+          if (agents.nonEmpty) groups += Group(agents, rules)
+          agents = Vector.empty; rules = Vector.empty
+        }
+        body.split('\n').foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val ix = line.indexOf(':')
+          if (ix > 0) {
+            val key = line.substring(0, ix).trim.toLowerCase(java.util.Locale.ROOT)
+            val value = line.substring(ix + 1).trim
+            key match {
+              case "user-agent" =>
+                if (!inAgentRun) { flush(); inAgentRun = true }
+                agents :+= value.toLowerCase(java.util.Locale.ROOT)
+              case "allow" =>
+                inAgentRun = false; rules :+= ((true, value))
+              case "disallow" =>
+                inAgentRun = false
+                // empty Disallow means "allow all" (RFC 9309 §2.2.2)
+                rules :+= (if (value.isEmpty) (true, "") else (false, value))
+              case _ => inAgentRun = false // sitemap, crawl-delay, …
+            }
+          }
+        }
+        flush()
+        // group selection: a named match beats the catch-all
+        val chosen = groups.find(_.agents.contains(agentLc))
+          .orElse(groups.find(_.agents.contains("*")))
+        chosen.iterator.flatMap(_.rules.iterator.zipWithIndex.map {
+          case ((allow, prefix), i) => Row(host, i, allow, prefix)
+        })
+      }
+    }
+  }
+
+  /** Filter a URL table by parsed rules: longest-prefix match
+    * decides; on equal length Allow wins (the RFC 9309 tie rule);
+    * no matching rule (or no rules for the host) allows. `$`-anchors
+    * and `*`-wildcards inside rule paths are NOT interpreted
+    * (documented subset — they are rare and a conservative literal
+    * reading only over-blocks). Returns the input plus `robots_allow`.
+    */
+  def applyRobots(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val host = graft.functions.TextFunctions.urlHost(col(urlCol))
+    val rawPath =
+      regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
+    val path = when(length(rawPath) > 0, rawPath).otherwise(lit("/"))
+    val keyed = urls.withColumn("__host", host).withColumn("__path", path)
+    // decide per DISTINCT (host, path), then join the decision back —
+    // the operator must preserve input multiplicity (the r11
+    // dedupLines-narrowing lesson: never silently reshape the frame)
+    val pages = keyed.select(col("__host"), col("__path")).distinct()
+    val decisions = pages.join(rules,
+        pages("__host") === rules("host") &&
+          startswith(col("__path"), rules("prefix")))
+      .groupBy(col("__host"), col("__path"))
+      .agg(
+        // longest prefix wins; Allow beats Disallow at equal length
+        max_by(col("allow"),
+          struct(length(col("prefix")), col("allow").cast("int")))
+          .as("__allow"))
+    keyed.join(decisions, Seq("__host", "__path"), "left")
+      .withColumn("robots_allow", coalesce(col("__allow"), lit(true)))
+      .drop("__host", "__path", "__allow")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.UrlPolicy
+
+class UrlPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parseRobots: CRLF bodies, case-insensitive agent match, " +
+      "named group beats catch-all, rules close an agent run (r12)") {
+    val robots = Seq(
+      ("x.example", "User-Agent: GraftBot\r\nDisallow: /a\r\n" +
+        "User-agent: late\r\nDisallow: /b\r\n"),
+      ("y.example", "user-agent: *\ndisallow: /c\n"))
+      .toDF("host", "body")
+    val rules = UrlPolicy.parseRobots(robots, "host", "body", "graftbot")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2),
+        r.getString(3))).toSeq.sorted
+    // the second User-agent run on x opens a NEW group (the Disallow
+    // between them closed the first run), so /b belongs to 'late'
+    assert(rules === Seq(("x.example", 0, false, "/a"),
+      ("y.example", 0, false, "/c")))
+  }
+
+  test("applyRobots: equal-length tie goes to Allow, multiplicity " +
+      "preserved, query strings count as path, defaults allow (r12)") {
+    val robots = Seq(("t.example",
+      "User-agent: *\nDisallow: /dir\nAllow: /dir\nDisallow: /q?x=\n"))
+      .toDF("host", "body")
+    val rules = UrlPolicy.parseRobots(robots, "host", "body")
+    val urls = Seq(
+      (1L, "https://t.example/dir/page"),  // tie at /dir → Allow
+      (2L, "https://t.example/dir/page"),  // duplicate row survives
+      (3L, "https://t.example/q?x=1"),     // query string matches prefix
+      (4L, "https://t.example"),           // bare root → '/' → no rule
+      (5L, "https://unknown.example/a"))   // host without rules
+      .toDF("id", "url")
+    val out = UrlPolicy.applyRobots(urls, "url", rules)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSeq === Seq((1L, true), (2L, true), (3L, false),
+      (4L, true), (5L, true)))
+    assert(out.length === 5, "duplicate input rows must survive")
+  }
+}
