@@ -1764,6 +1764,29 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // --- Zip shard containers (r12 — the other container datasets
+    //     actually ship in): same member plant as the tar gate,
+    //     written as DEFLATED zip shards (fixed local timestamp — no
+    //     timezone dependence) and read back through the streaming
+    //     ZipInputStream walk; same per-member round-trip check.
+    "docs_zip_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      val df = docs.select(
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"),
+          lit(".txt")).as("name"),
+        encode(col("text"), "UTF-8").as("content"))
+      val base = gateIndexPath(dir, "zip_gate")
+      graft.sources.Containers.writeZipShards(df, "shard_id", "name",
+        "content", base)
+      graft.sources.Containers.readZipShards(s, s"$base/data/*.zip")
+        .select(col("shard"), col("name"), col("size"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("name"))
+    }),
+
     // --- Tar shard manifest (r12): committed LAST, computed FROM the
     //     written tars — per-shard member count, payload bytes, and
     //     the engine-portable name:size checksum, all recomputable by
@@ -4073,6 +4096,17 @@ object SparkEntry {
     // the UTF-8 text bytes
     "docs_tar_shards" ->
       """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.tar' AS shard,
+        |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
+        |ORDER BY name""".stripMargin,
+
+    // the docs_zip_shards oracle: the tar oracle with the .zip shard
+    // naming — the member inventory is container-independent
+    "docs_zip_shards" ->
+      """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.zip' AS shard,
         |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
         |  md5(text) AS content_md5

@@ -320,4 +320,123 @@ object Containers {
     */
   def tarManifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path.stripSuffix("/") + "/_manifest")
+
+  // ---------------------------------------------------------------- zip
+
+  /** Walk a zip's members via the streaming reader (local headers +
+    * data descriptors — no central-directory seek, so it composes
+    * with any InputStream). Directories skip; strict corruption
+    * throws, `lenient` stops at the first damage.
+    */
+  def parseZipBytes(bytes: Array[Byte],
+      lenient: Boolean = false): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private val zin = new java.util.zip.ZipInputStream(
+        new ByteArrayInputStream(bytes))
+      private var nextEntry: TarEntry = null
+      private var done = false
+
+      private def advance(): Unit =
+        try {
+          var e = zin.getNextEntry
+          while (e != null && e.isDirectory) e = zin.getNextEntry
+          if (e == null) { done = true; return }
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = zin.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+          nextEntry = TarEntry(e.getName, bos.toByteArray)
+        } catch {
+          case ex @ (_: java.util.zip.ZipException | _: EOFException |
+              _: java.io.IOException) =>
+            if (lenient) {
+              org.slf4j.LoggerFactory.getLogger(Containers.getClass)
+                .warn(s"zip salvage stop: ${ex.getMessage}")
+              done = true
+            } else throw new IllegalArgumentException(
+              s"corrupt zip: ${ex.getMessage}")
+        }
+
+      override def hasNext: Boolean = {
+        if (nextEntry == null && !done) advance()
+        nextEntry != null
+      }
+      override def next(): TarEntry = {
+        if (!hasNext) throw new NoSuchElementException
+        val e = nextEntry; nextEntry = null; e
+      }
+    }
+
+  /** [[readTarShards]] for zip shards. */
+  def readZipShards(spark: SparkSession, glob: String,
+      lenient: Boolean = false): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(readSchema)
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val shard = r.getString(0).split('/').last
+        parseZipBytes(r.getAs[Array[Byte]](1), lenient).map(e =>
+          org.apache.spark.sql.Row(shard, e.name, e.bytes.length.toLong, e.bytes))
+      }
+  }
+
+  /** [[writeTarShards]] for zip: one `shard-<id>.zip` per shard,
+    * members name-sorted, DEFLATED at level 6 with a FIXED local
+    * timestamp (`setTimeLocal` — no timezone dependence). Zip bytes
+    * are deterministic within a zlib build (weaker than tar's
+    * byte-exact-anywhere contract — documented); the manifest is
+    * computed from parsed content, which is exact everywhere.
+    */
+  def writeZipShards(df: DataFrame, shardCol: String, nameCol: String,
+      contentCol: String, path: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_manifest"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/data"))
+    df.select(col(shardCol).cast("long").as("__shard"),
+        col(nameCol).cast("string").as("__name"),
+        col(contentCol).cast("binary").as("__content"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__name"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var current: java.util.zip.ZipOutputStream = null
+        var currentShard = Long.MinValue
+        val stamp = java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 0)
+        def close(): Unit = if (current != null) {
+          current.finish(); current.close(); current = null
+        }
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != currentShard || current == null) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(
+              f"$base/data/shard-$shard%05d.zip")
+            current = new java.util.zip.ZipOutputStream(
+              p.getFileSystem(hconf.value).create(p, true))
+            current.setLevel(6)
+            currentShard = shard
+          }
+          val e = new java.util.zip.ZipEntry(r.getString(1))
+          e.setTimeLocal(stamp)
+          current.putNextEntry(e)
+          current.write(r.getAs[Array[Byte]](2))
+          current.closeEntry()
+        }
+        close()
+      }
+    val back = readZipShards(spark, s"$base/data/*.zip")
+    val mf = back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("size")).as("sum_bytes"),
+        sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
+          .as("checksum"))
+    mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
+    spark.read.parquet(s"$base/_manifest")
+  }
 }

@@ -67,6 +67,35 @@ class ContainersSpec extends SparkSpec {
     assert((gz0(0) & 0xff) === 0x1f && (gz0(1) & 0xff) === 0x8b)
   }
 
+  test("zip shards: round trip through the streaming walk, members " +
+      "name-sorted, manifest attests parsed content; strict corruption " +
+      "throws, lenient salvages (r12)") {
+    val base = Files.createTempDirectory("graft_zip").toString
+    val df = rows.toDF("shard_id", "name", "content")
+    val mf = Containers.writeZipShards(df, "shard_id", "name", "content", base)
+    assert(mf.count() === 3)
+    assert(mf.agg(sum($"n_members")).head().getLong(0) === 23L)
+    val back = Containers.readZipShards(spark, s"$base/data/*.zip")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](3))).toSeq
+    assert(back.length === 23)
+    val byName = back.map(e => e._2 -> e._3).toMap
+    rows.foreach { case (_, n, b) =>
+      assert(java.util.Arrays.equals(byName(n), b), s"zip payload mismatch $n") }
+    back.groupBy(_._1).foreach { case (sh, es) =>
+      assert(es.map(_._2) === es.map(_._2).sorted, s"unsorted members in $sh") }
+    // strict corruption throws, lenient yields the parseable prefix
+    val zb = Files.readAllBytes(Paths.get(s"$base/data/shard-00000.zip"))
+    // truncate mid-data (the partial-fetch class): the streaming
+    // walk hits EOF inside a deflate stream
+    val bad = zb.take(zb.length / 2)
+    intercept[IllegalArgumentException] {
+      Containers.parseZipBytes(bad).foreach(_ => ())
+    }
+    val salvaged = Containers.parseZipBytes(bad, lenient = true).toSeq
+    assert(salvaged.length < byName.count(_ => true))
+  }
+
   test("external GNU tar reads our shards (when present)") {
     val exe = Seq("/bin/tar", "/usr/bin/tar").find(p => new java.io.File(p).exists())
     assume(exe.isDefined)
