@@ -1710,6 +1710,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Crawl-to-corpus composition (r12 — the whole ingestion
+    //     chain as ONE lazy plan): WARC walk → HTTP strip →
+    //     stripHtml → PII redaction → exact corpus dedup. Plants:
+    //     %9 docs carry an identical boilerplate page (exact dedup
+    //     keeps the first), other %7 docs an email (redacts), %19
+    //     payloads corrupt (lenient parse drops them). The oracle
+    //     replays every stage — the per-stage twins composed — so a
+    //     regression ANYWHERE in the chain hash-mismatches here even
+    //     if each stage's own gate still passes on its narrower
+    //     fixture.
+    "pipeline_crawl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 120)
+      val content = when(col("doc_id") % 9 === 0,
+          lit("shared boilerplate page body"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact: user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit(""))))
+      val payloads = graft.sources.Warc.synthesizeWarcDocs(
+        docs.select(col("doc_id"), content.as("text")), "doc_id", "text")
+      val stripped = graft.sources.Warc
+        .recordsFromColumn(payloads, "doc_id", "payload", lenient = true)
+        .filter(col("record_type") === "response")
+        .select(col("doc_id"),
+          regexp_replace(
+            TextFunctions.stripHtml(decode(col("payload"), "UTF-8")),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>").as("text"))
+      Dedup.exactDedup(stripped, "doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Gzip JSONL round trip (r12 — the interchange format crawl
     //     corpora arrive in): documents write as .jsonl.gz members
     //     (file-per-task parallelism — gzip is not splittable) and
@@ -4079,6 +4113,34 @@ object SparkEntry {
          |FROM documents
          |WHERE text IS NOT NULL AND doc_id < 80 AND doc_id % 19 <> 0
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // the pipeline_crawl oracle: every stage twin composed — content
+    // plants, the WARC fixture's HTML wrapper through stripHtmlSql,
+    // the email redaction, the min-id exact-dedup window, the token
+    // count
+    "pipeline_crawl" -> {
+      val wrapped = "'<html><head><title>T</title></head><body><p>' || t || '</p></body></html>'"
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id < 120 AND doc_id % 19 <> 0),
+         |c AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+         |      THEN 'shared boilerplate page body'
+         |      ELSE text || CASE WHEN doc_id % 7 = 0
+         |        THEN ' contact: user' || doc_id || '@example.com'
+         |        ELSE '' END END AS t
+         |  FROM d),
+         |s AS (SELECT doc_id, ${stripHtmlSql(wrapped)} AS t FROM c),
+         |r AS (SELECT doc_id, regexp_replace(t,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS t FROM s),
+         |w AS (SELECT doc_id, t,
+         |    row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM r)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(t), ' '),
+         |    x -> length(x) > 0)) AS INT) AS n_tokens,
+         |  t AS text
+         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
     // the docs_jsonl_gz oracle: the round trip must surrender exactly
