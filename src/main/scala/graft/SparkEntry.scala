@@ -1710,6 +1710,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- WARC shard export (r12 — the write symmetry of the
+    //     ingestion edge): documents emit as member-per-record
+    //     .warc.gz shards (URI-ordered, fixed-date deterministic
+    //     records) and read BACK through the binaryFile walk; shard
+    //     assignment, URIs, statuses and payload md5s hash-check the
+    //     build→gzip→inflate→parse loop against fixture formulas.
+    "docs_warc_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      val df = docs.select(
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        concat(lit("https://ex.com/doc/"),
+          lpad(col("doc_id").cast("string"), 6, "0")).as("uri"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val base = gateIndexPath(dir, "warc_gate")
+      graft.sources.Warc.writeWarcShards(df, "shard_id", "uri", "html",
+        base, gzip = true)
+      graft.sources.Warc.readWarc(s, s"$base/data/*.warc.gz")
+        .filter(col("record_type") === "response")
+        .select(col("file").as("shard"), col("target_uri"),
+          col("http_status"), md5(col("payload")).as("payload_md5"))
+        .orderBy(col("target_uri"))
+    }),
+
     // --- Crawl-to-corpus composition (r12 — the whole ingestion
     //     chain as ONE lazy plan): WARC walk → HTTP strip →
     //     stripHtml → PII redaction → exact corpus dedup. Plants:
@@ -4114,6 +4139,17 @@ object SparkEntry {
          |WHERE text IS NOT NULL AND doc_id < 80 AND doc_id % 19 <> 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the docs_warc_shards oracle: shard file from the id hash, URI
+    // from the id, payload md5 from the HTML wrapper formula
+    "docs_warc_shards" ->
+      """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.warc.gz' AS shard,
+        |  'https://ex.com/doc/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS target_uri,
+        |  'HTTP/1.1 200 OK' AS http_status,
+        |  md5('<p>' || text || '</p>') AS payload_md5
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
+        |ORDER BY target_uri""".stripMargin,
 
     // the pipeline_crawl oracle: every stage twin composed — content
     // plants, the WARC fixture's HTML wrapper through stripHtmlSql,

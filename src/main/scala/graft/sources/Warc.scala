@@ -299,4 +299,62 @@ object Warc {
     }
     out.toByteArray
   }
+
+  /** Write (uri, html) rows as WARC shard files — the export
+    * symmetry of [[readWarc]] and the [[Containers.writeTarShards]]
+    * discipline applied to WARC: one shuffle on the shard id, one
+    * `shard-<id>.warc[.gz]` per shard with records in URI order
+    * (deterministic bytes — fixed WARC-Date, member-per-record gzip
+    * when `gzip`), manifest computed FROM the written files and
+    * committed LAST.
+    */
+  def writeWarcShards(df: DataFrame, shardCol: String, uriCol: String,
+      htmlCol: String, path: String, gzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_manifest"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/data"))
+    val ext = if (gzip) ".warc.gz" else ".warc"
+    val gz = gzip
+    df.select(col(shardCol).cast("long").as("__shard"),
+        col(uriCol).cast("string").as("__uri"),
+        col(htmlCol).cast("string").as("__html"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__uri"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var current: java.io.OutputStream = null
+        var currentShard = Long.MinValue
+        def close(): Unit = if (current != null) {
+          current.close(); current = null
+        }
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != currentShard || current == null) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(
+              f"$base/data/shard-$shard%05d$ext")
+            current = p.getFileSystem(hconf.value).create(p, true)
+            currentShard = shard
+          }
+          val rec = buildResponse(r.getString(1), r.getString(2))
+          if (gz) current.write(gzipMembers(Seq(rec)))
+          else current.write(rec)
+        }
+        close()
+      }
+    val back = readWarc(spark, s"$base/data/*$ext")
+      .filter(col("record_type") === "response")
+    val mf = back.groupBy(col("file").as("shard"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(octet_length(col("payload"))).as("sum_bytes"),
+        sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
+          .as("checksum"))
+    mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
+    spark.read.parquet(s"$base/_manifest")
+  }
 }

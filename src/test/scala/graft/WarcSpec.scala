@@ -61,6 +61,31 @@ class WarcSpec extends SparkSpec {
     assert(salvaged.length < 3, "the damaged tail must not parse whole")
   }
 
+  test("writeWarcShards: URI-ordered member-per-record shards round-trip " +
+      "through readWarc, manifest attests written records (r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_sh").toString
+    val df = (0 until 17).map(i =>
+        (i % 3L, f"https://s.example/p/$i%03d", s"<p>body $i</p>"))
+      .toDF("shard_id", "uri", "html")
+    val mf = Warc.writeWarcShards(df, "shard_id", "uri", "html", dir,
+      gzip = true)
+    assert(mf.count() === 3)
+    assert(mf.agg(org.apache.spark.sql.functions.sum($"n_records"))
+      .head().getLong(0) === 17L)
+    val back = Warc.readWarc(spark, s"$dir/data/*.warc.gz")
+      .filter($"record_type" === "response")
+      .collect().map(r => (r.getString(0), r.getString(2),
+        new String(r.getAs[Array[Byte]](4), "UTF-8")))
+    assert(back.length === 17)
+    back.foreach { case (_, uri, body) =>
+      val i = uri.takeRight(3).toInt
+      assert(body === s"<p>body $i</p>", uri)
+    }
+    // records inside each shard file are URI-ordered
+    back.groupBy(_._1).foreach { case (f, rs) =>
+      assert(rs.map(_._2).toSeq === rs.map(_._2).sorted, s"unsorted $f") }
+  }
+
   test("httpPayload: no preamble passes through; header-only response " +
       "yields empty payload; binary bodies survive") {
     val (s1, p1) = Warc.httpPayload("no http here".getBytes("UTF-8"))
