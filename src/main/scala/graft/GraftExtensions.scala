@@ -66,6 +66,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Dedup.shingleIdsOf(c(0), literalInt(c(1), "shingle_ids")))
     injectComposite(ext, "simhash_fp", 2)(c =>
       Dedup.simhashFpOf(c(0), literalInt(c(1), "simhash_fp")))
+    // the r12 curation family: boilerplate strip, URL normalization,
+    // outlink extraction, the Gopher verdict struct, the deflate
+    // junk signal
+    injectComposite(ext, "strip_html", 1)(c => TextFunctions.stripHtml(c.head))
+    injectComposite(ext, "canonical_url", 1)(c =>
+      TextFunctions.canonicalUrl(c.head))
+    injectComposite(ext, "url_host", 1)(c => TextFunctions.urlHost(c.head))
+    injectComposite(ext, "extract_links", 1)(c =>
+      TextFunctions.extractLinks(c.head))
+    injectComposite(ext, "gopher_flags", 1)(c =>
+      TextFunctions.gopherFlags(c.head))
+    injectComposite(ext, "deflate_ratio", 1)(c =>
+      TextFunctions.deflateRatio(c.head))
   }
 
   /** Extract a literal int argument (the kernel expressions take the

@@ -73,6 +73,22 @@ class ExtensionsSpec extends SparkSpec {
       val e = intercept[Exception](
         s2.sql("SELECT shingle_ids('x', 1 + 1)").head())
       assert(e.getMessage.contains("literal"))
+      // the r12 curation family behind SQL names
+      val r6 = s2.sql(
+        """SELECT
+          |  strip_html('<p>a &amp; b</p>') AS sh,
+          |  canonical_url('https://WWW.Ex.com:443/P?id=1&utm_source=x#f') AS cu,
+          |  url_host('https://sub.ex.com/a') AS uh,
+          |  size(extract_links('<a href="http://x/1">l</a>')) AS nl,
+          |  gopher_flags('short words only').fail_words AS gf,
+          |  deflate_ratio(repeat('spam ', 200)) AS dr
+          |""".stripMargin).head()
+      assert(r6.getString(0) === "a & b")
+      assert(r6.getString(1) === "https://ex.com/P?id=1")
+      assert(r6.getString(2) === "sub.ex.com")
+      assert(r6.getInt(3) === 1)
+      assert(r6.getBoolean(4), "3 words is under the 50-word floor")
+      assert(r6.getDouble(5) < 0.1)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
