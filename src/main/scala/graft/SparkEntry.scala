@@ -2097,6 +2097,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- n-gram LM perplexity scoring (r12 — the CCNet/RedPajama
+    //     quality filter, dependency-free core): a char-trigram
+    //     conditional model with add-one smoothing trains on the
+    //     clean fixture docs (one counting pass — the model is
+    //     alphabet-bounded), then every doc scores by mean log-prob;
+    //     %13 docs score with planted hex junk and must land far
+    //     below the prose band. The oracle recomputes EVERY
+    //     probability — gram counts, continued-context counts,
+    //     alphabet size, the smoothing arithmetic, the backoff for
+    //     unseen grams — from the same corpus in SQL.
+    "text_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) >= 3 &&
+          col("doc_id") < 150)
+      val clean = docs.filter(col("doc_id") % 13 =!= 0)
+      val scoreSet = docs.withColumn("text",
+        when(col("doc_id") % 13 === 0,
+            concat(md5(col("doc_id").cast("string")),
+              md5((col("doc_id") + 7).cast("string"))))
+          .otherwise(col("text")))
+      val lm = operators.NgramLm.train(clean, "text")
+      operators.NgramLm.withLogProb(scoreSet, "doc_id", "text", lm)
+        .select(col("doc_id"), round(col("avg_logp"), 6).as("avg_logp"),
+          col("n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Compression-ratio quality signal (r12 — the byte-structure
     //     junk detector of curation stacks, e.g. Dolma's zlib rule;
     //     orthogonal to the n-gram repetition score): deflate bytes /
@@ -4407,6 +4434,45 @@ object SparkEntry {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id""".stripMargin
     },
+
+    // the text_perplexity oracle: the whole model recomputed in SQL —
+    // lateral char-gram extraction, gram and continued-context
+    // counts, the distinct-char alphabet, ln((c+1)/(ctx+V)) with
+    // left-join backoff (ln, not log — DuckDB's log is base 10)
+    "text_perplexity" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 3 AND doc_id < 150),
+        |clean AS (SELECT lower(text) AS t FROM d WHERE doc_id % 13 <> 0),
+        |grams AS (
+        |  SELECT substr(t, g.g, 3) AS gram
+        |  FROM clean, generate_series(1, 2000) AS g(g)
+        |  WHERE g.g <= length(t) - 2),
+        |counts AS (SELECT gram, count(*) AS c_gram FROM grams GROUP BY gram),
+        |ctx AS (SELECT substr(gram, 1, 2) AS c2, sum(c_gram) AS c_ctx
+        |        FROM counts GROUP BY 1),
+        |alpha AS (
+        |  SELECT count(DISTINCT substr(t, g.g, 1)) AS v
+        |  FROM clean, generate_series(1, 2000) AS g(g)
+        |  WHERE g.g <= length(t)),
+        |sc AS (
+        |  SELECT doc_id, lower(CASE WHEN doc_id % 13 = 0
+        |    THEN md5(CAST(doc_id AS VARCHAR)) || md5(CAST(doc_id + 7 AS VARCHAR))
+        |    ELSE text END) AS t
+        |  FROM d),
+        |sg AS (
+        |  SELECT doc_id, substr(t, g.g, 3) AS gram
+        |  FROM sc, generate_series(1, 2000) AS g(g)
+        |  WHERE g.g <= length(t) - 2),
+        |j AS (
+        |  SELECT sg.doc_id,
+        |    ln((coalesce(c.c_gram, 0) + 1)::DOUBLE /
+        |       (coalesce(x.c_ctx, 0) + (SELECT v FROM alpha))) AS lp
+        |  FROM sg LEFT JOIN counts c USING (gram)
+        |  LEFT JOIN ctx x ON x.c2 = substr(sg.gram, 1, 2))
+        |SELECT doc_id, round(avg(lp), 6) AS avg_logp,
+        |  count(*) AS n_grams
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the text_deflate oracle: deflate bytes are zlib-specific, but
     // the wide-margin classification is not — every planted

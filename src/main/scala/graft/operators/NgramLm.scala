@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character n-gram language-model quality scoring (r12) — the
+  * perplexity filter of CCNet/RedPajama-class curation: train a tiny
+  * LM on a trusted reference corpus, score every crawl document by
+  * its mean log-probability, drop the tail. KenLM itself is a
+  * dependency cliff; a char-level conditional n-gram model with
+  * add-one smoothing is the dependency-free core of the idea, fully
+  * engine-replayable (pure counting + log arithmetic — a DuckDB twin
+  * recomputes every probability).
+  *
+  * Model: P(cₙ | c₁…cₙ₋₁) = (count(gram) + 1) / (count(context) + V),
+  * where context counts sum over CONTINUED positions only (derived
+  * from the gram table itself — no second corpus pass) and V is the
+  * corpus alphabet size. Text is lowercased first.
+  *
+  * Scale shape:
+  *  - TRAINING is one corpus pass: explode char n-grams, one counting
+  *    aggregation (map-side combining); the model is alphabet-bounded
+  *    (≤ |Σ|ⁿ rows — KBs to low MBs), the classic
+  *    huge-corpus → tiny-model collapse, same as [[Bpe.train]].
+  *  - SCORING broadcasts the model both ways (gram and context
+  *    tables) and aggregates per doc — one shuffle keyed by doc id,
+  *    partial-aggregated.
+  */
+object NgramLm {
+
+  /** Char n-grams of lower(text) as an array column (positions
+    * 1..len−n+1), the shared extraction of train and score.
+    */
+  private def charGrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    // guard short docs: sequence(1, len−n+1) would run DESCENDING for
+    // len < n (Spark sequences reverse when start > stop)
+    when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+      .otherwise(array())
+  }
+
+  /** Train the model: returns (gram, n_gram count, ctx count, logp).
+    * `logp` is ln((c(gram)+1) / (c(ctx)+V)). The alphabet size V
+    * rides on every row (constant column) so scorers need no side
+    * channel.
+    */
+  def train(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"n $n")
+    val grams = df.select(explode(charGrams(col(textCol), n)).as("gram"))
+      .filter(length(col("gram")) === n) // short docs contribute nothing
+    val counts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c_gram"))
+    val ctx = counts
+      .groupBy(substring(col("gram"), 1, n - 1).as("ctx"))
+      .agg(sum(col("c_gram")).as("c_ctx"))
+    val alphabet = df.select(
+        explode(split(lower(col(textCol)), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .agg(count_distinct(col("ch"))).head().getLong(0)
+    counts
+      .withColumn("ctx", substring(col("gram"), 1, n - 1))
+      .join(ctx, "ctx")
+      .select(col("gram"), col("c_gram"), col("c_ctx"),
+        log((col("c_gram") + 1).cast("double") /
+          (col("c_ctx") + alphabet)).as("logp"),
+        lit(alphabet).as("v"))
+  }
+
+  /** Score documents: mean log-probability of the doc's char n-grams
+    * under the model — unseen grams back off through their context
+    * ((0+1)/(c(ctx)+V)), unseen contexts to 1/V. Returns the input
+    * plus `avg_logp` (null for docs shorter than n chars) and
+    * `n_grams`. Model and context tables broadcast.
+    */
+  def withLogProb(df: DataFrame, idCol: String, textCol: String,
+      lm: DataFrame, n: Int = 3): DataFrame = {
+    val v = lm.select(col("v")).limit(1).head().getLong(0)
+    val ctxTable = lm.select(substring(col("gram"), 1, n - 1).as("ctx"),
+        col("c_ctx")).distinct()
+    val exploded = df.select(col(idCol).as("__id"),
+        explode(charGrams(col(textCol), n)).as("gram"))
+      .filter(length(col("gram")) === n)
+      .withColumn("ctx", substring(col("gram"), 1, n - 1))
+    val scored = exploded
+      .join(broadcast(lm.select(col("gram"), col("c_gram"))), Seq("gram"), "left")
+      .join(broadcast(ctxTable), Seq("ctx"), "left")
+      .select(col("__id"),
+        log((coalesce(col("c_gram"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c_ctx"), lit(0L)) + v)).as("lp"))
+      .groupBy(col("__id"))
+      .agg(avg(col("lp")).as("avg_logp"), count(lit(1)).as("n_grams"))
+    df.join(scored, df(idCol) === scored("__id"), "left")
+      .drop("__id")
+  }
+}

@@ -285,6 +285,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(3).isNullAt(1) && rows(4).isNullAt(1))
   }
 
+  test("NgramLm: probabilities normalize per seen context, unseen " +
+      "grams back off, junk scores far below in-domain text, short " +
+      "docs yield null (r12)") {
+    import graft.operators.NgramLm
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, "the cat sat on the mat " * 3)).toDF("id", "text")
+    val lm = NgramLm.train(corpus, "text")
+    val rows = lm.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val v = lm.head().getLong(4)
+    assert(v === 10) // t h e space c a s o n m
+    // P sums ≤ 1 per context over SEEN grams (smoothing mass reserved)
+    val byCtx = rows.toSeq.groupBy(_._1.take(2))
+    byCtx.foreach { case (c2, gs) =>
+      val pSum = gs.map { case (_, (_, _, lp)) => math.exp(lp) }.sum
+      assert(pSum <= 1.0 + 1e-9, s"ctx $c2 sums $pSum")
+    }
+    // " ca" appears as often as its context continues to 'a'… spot
+    // check one exact probability: gram "the" count vs ctx "th"
+    val (cg, cc, lp) = rows("the")
+    assert(math.abs(lp - math.log((cg + 1.0) / (cc + v))) < 1e-12)
+    val scored = NgramLm.withLogProb(
+      Seq((1L, "the cat sat on the mat"), (2L, "zqxvkwjzzqxvkwjz"),
+        (3L, "ab"), (4L, null.asInstanceOf[String]))
+        .toDF("id", "text"),
+      "id", "text", lm)
+      .orderBy(org.apache.spark.sql.functions.col("id")).collect()
+    val inDomain = scored(0).getAs[Double]("avg_logp")
+    val junk = scored(1).getAs[Double]("avg_logp")
+    assert(inDomain > junk + 1.0,
+      s"in-domain $inDomain must beat junk $junk clearly")
+    assert(scored(2).isNullAt(scored(2).fieldIndex("avg_logp")), "2 chars < n")
+    assert(scored(3).isNullAt(scored(3).fieldIndex("avg_logp")))
+  }
+
   test("gopherFlags: every rule fires on its planted degenerate and " +
       "clean prose passes (r12 — Rae et al. 2021 \u00a7A1.1 thresholds)") {
     import graft.functions.TextFunctions.gopherFlags
