@@ -2097,6 +2097,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // --- Temperature mixture weights (r12 — the mT5/UniMax
+    //     pretraining-mix rule: p ∝ size^(1/T)): per-source TOKEN
+    //     masses re-weighted at T = 2, with the resulting 2048-slot
+    //     quota each source would receive — the oracle recomputes the
+    //     power/normalize arithmetic and the quota rounding from the
+    //     same corpus.
+    "docs_mix_temperature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      operators.TrainingOrder.temperatureWeights(docs, "source",
+          TextFunctions.tokenCount(col("text")), temperature = 2.0)
+        .select(col("source"), col("n"),
+          round(col("weight"), 6).as("weight"),
+          round(col("weight") * 2048).cast("long").as("n_quota"))
+        .orderBy(col("source"))
+    }),
+
     // --- n-gram LM perplexity scoring (r12 — the CCNet/RedPajama
     //     quality filter, dependency-free core): a char-trigram
     //     conditional model with add-one smoothing trains on the
@@ -4434,6 +4451,21 @@ object SparkEntry {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT id, round(pr, 6) AS pr FROM p5 ORDER BY id""".stripMargin
     },
+
+    // the docs_mix_temperature oracle: token masses per source,
+    // size^(1/2) normalization, the 2048-slot quota rounding
+    "docs_mix_temperature" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    sum(CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS DOUBLE)) AS n
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |  GROUP BY source),
+        |t AS (SELECT source, n, pow(n, 0.5) AS s FROM m)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  round(s / (SELECT sum(s) FROM t), 6) AS weight,
+        |  CAST(round(s / (SELECT sum(s) FROM t) * 2048) AS BIGINT) AS n_quota
+        |FROM t ORDER BY source""".stripMargin,
 
     // the text_perplexity oracle: the whole model recomputed in SQL —
     // lateral char-gram extraction, gram and continued-context

@@ -112,6 +112,29 @@ object TrainingOrder {
     * dispatch is the broadcast config join (r10) — plan size is
     * independent of |weights|.
     */
+  /** Temperature-scaled mixture weights (r12 — the multilingual/
+    * multi-source pretraining-mix rule of mT5/UniMax lineage):
+    * p(source) ∝ size^(1/T), normalized. T = 1 reproduces
+    * proportional sampling, T → ∞ flattens to uniform — the knob
+    * that keeps a 90%-English crawl from drowning the tail without
+    * discarding its head. `sizeCol` is what "size" means (docs via
+    * lit(1), tokens via a count column). One partial-aggregated pass
+    * over the corpus; the result is sources-sized — feed it to
+    * [[interleaveByWeight]] / [[quotaSample]] /
+    * [[selectByTokenBudget]] as the weight table.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+      sizeCol: Column, temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature $temperature")
+    val sized = df.groupBy(col(sourceCol))
+      .agg(sum(sizeCol.cast("double")).as("n"))
+    val scaled = sized.select(col(sourceCol), col("n"),
+      pow(col("n"), 1.0 / temperature).as("__s"))
+    val total = scaled.agg(sum(col("__s"))).head().getDouble(0)
+    scaled.select(col(sourceCol), col("n").cast("long").as("n"),
+      (col("__s") / total).as("weight"))
+  }
+
   def interleaveByWeight(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], seed: Long = 42L,
       bucketHexDigits: Int = 2): DataFrame = {

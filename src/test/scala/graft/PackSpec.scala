@@ -275,4 +275,29 @@ class PackSpec extends SparkSpec {
     assert(s0 >= 28 && s0 <= 32, s"s0 got $s0 of the first 40 (want ~30)")
     assert(out === run(), "mixture order must be reproducible")
   }
+
+  test("temperatureWeights: T=1 is proportional, T=2 compresses the " +
+      "ratio to its square root, T large flattens toward uniform; " +
+      "weights sum to 1 and compose with quotaSample (r12)") {
+    import graft.operators.TrainingOrder
+    val df = spark.range(1000).select($"id".as("doc_id"),
+      when($"id" % 10 < 9, lit("big")).otherwise(lit("small")).as("source"))
+    def w(t: Double): Map[String, Double] =
+      TrainingOrder.temperatureWeights(df, "source", lit(1), t)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val w1 = w(1.0)
+    assert(math.abs(w1("big") - 0.9) < 1e-12 &&
+      math.abs(w1("small") - 0.1) < 1e-12)
+    val w2 = w(2.0)
+    assert(math.abs(w2("big") / w2("small") - 3.0) < 1e-9) // sqrt(9)
+    val wInf = w(1000.0)
+    assert(math.abs(wInf("big") - 0.5) < 1e-3)
+    assert(math.abs(w2.values.sum - 1.0) < 1e-12)
+    // the weight table drives the existing samplers unchanged
+    val quota = w2.map { case (k, v) => k -> math.round(v * 100) }
+    val sel = TrainingOrder.quotaSample(df, "source", "doc_id", quota, 42L)
+    val got = sel.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("big") === quota("big") && got("small") === quota("small"))
+  }
 }
