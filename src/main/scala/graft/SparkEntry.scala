@@ -2928,6 +2928,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Fractional audio resampling (r12 — 44.1 kHz → 16 kHz has no
+    //     integer factor; this is the linear-interp complement of the
+    //     box decimation): mm_samples' closed-form PCM payloads
+    //     (rates 8–15 kHz by id) resample to 3 kHz — exact integer
+    //     position split + floor(x+0.5) rounding, so the oracle
+    //     recomputes every OUTPUT SAMPLE from the input formulas —
+    //     then re-encode as WAV and decode again for stats. %19
+    //     corrupt payloads surface as null structs.
+    "mm_audio_resample" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val res = Multimodal.withAudioResample(media, "payload", "rs",
+        toRate = 3000)
+      Multimodal.withWavSampleStats(res, "rs", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Audio standardize pipeline (r11 — the audio sibling of
     //     mm_thumbnail): decode multi-channel PCM (negative samples
     //     included — the truncating-division path is exercised, not
@@ -6208,6 +6231,43 @@ object SparkEntry {
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL
         |       ELSE CAST(8000 + (i.media_id % 8) * 1000 AS INT) END AS sample_rate,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL
+        |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM ids i JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the mm_audio_resample oracle: every OUTPUT sample recomputed —
+    // exact integer position split (k·fr)//3000 + remainder, the
+    // same double interpolation order, floor(x+0.5) rounding
+    "mm_audio_resample" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 7 + 3 AS n,
+        |    8000 + (doc_id % 8) * 1000 AS fr
+        |  FROM documents WHERE doc_id < 60),
+        |o AS (SELECT media_id, n, fr, (n - 1) * 3000 // fr + 1 AS m FROM ids),
+        |k AS (
+        |  SELECT o.media_id, o.fr, g.g AS k
+        |  FROM o, generate_series(0, 5) AS g(g) WHERE g.g < o.m),
+        |v AS (
+        |  SELECT media_id,
+        |    CASE WHEN (k * fr) % 3000 = 0
+        |      THEN (media_id * 31 + ((k * fr) // 3000) * 17) % 2001 - 1000
+        |      ELSE CAST(floor(
+        |        ((media_id * 31 + ((k * fr) // 3000) * 17) % 2001 - 1000)
+        |        + (((k * fr) % 3000) / 3000.0) *
+        |          (((media_id * 31 + ((k * fr) // 3000 + 1) * 17) % 2001 - 1000)
+        |           - ((media_id * 31 + ((k * fr) // 3000) * 17) % 2001 - 1000))
+        |        + 0.5) AS INT) END AS v
+        |  FROM k),
+        |a AS (
+        |  SELECT media_id, count(*) AS n_samples, avg(v) AS mean_amp,
+        |    sqrt(avg(CAST(v AS DOUBLE) * v)) AS rms, max(abs(v)) AS peak
+        |  FROM v GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE 'wav' END AS format,
+        |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE CAST(3000 AS INT) END AS sample_rate,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL
         |       ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
         |  CASE WHEN i.media_id % 19 = 0 THEN NULL ELSE round(a.mean_amp, 6) END AS mean_amp,

@@ -2735,6 +2735,65 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Linear-interpolation resampling to an arbitrary target rate
+    * (r12) — the fractional-ratio complement of the integer
+    * box-decimation in the standardize pipeline (44.1 kHz → 16 kHz
+    * is ratio 2.75625; no integer factor exists). Output position k
+    * reads input position k·from/to, kept EXACT as integer index
+    * (k·from)/to plus remainder; the interpolated value rounds
+    * half-up via floor(x + 0.5) — every step replayable in SQL
+    * (floor(x+0.5) sidesteps the round-half-away-from-zero
+    * divergence on negative samples). Mono only — downmix first
+    * ([[withAudioStandardize]]'s contract).
+    */
+  def resampleLinear(samples: Array[Short], fromRate: Int,
+      toRate: Int): Array[Short] = {
+    require(fromRate > 0 && toRate > 0, s"rates $fromRate -> $toRate")
+    if (samples.isEmpty) return Array.emptyShortArray
+    val n = samples.length
+    val m = ((n - 1).toLong * toRate / fromRate).toInt + 1
+    val out = new Array[Short](m)
+    var k = 0
+    while (k < m) {
+      val num = k.toLong * fromRate
+      val idx = (num / toRate).toInt
+      val rem = num % toRate
+      out(k) =
+        if (rem == 0) samples(idx)
+        else {
+          val frac = rem.toDouble / toRate
+          val x = samples(idx) + frac * (samples(idx + 1) - samples(idx))
+          math.floor(x + 0.5).toInt.toShort
+        }
+      k += 1
+    }
+    out
+  }
+
+  /** Append `outCol`: the payload's PCM decoded, linearly resampled
+    * to `toRate`, and re-encoded as REAL mono WAV bytes (the
+    * standardize discipline — the oracle certifies the encoder too).
+    * Multi-channel or undecodable payloads yield null.
+    */
+  def withAudioResample(df: DataFrame, payloadCol: String, outCol: String,
+      toRate: Int): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val out: Array[Byte] = if (p == null) null
+          else {
+            val a = decodeWavPcm(p)
+            if (a == null || a.channels != 1) null
+            else buildWavPcm(toRate, 1,
+              resampleLinear(a.samples, a.sampleRate, toRate))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** RIFF/WAVE wrapper around an ALREADY-ENCODED data payload —
     * the fixture builder for the compressed-codec decode paths
     * (G.711, IMA ADPCM); [[buildWavPcm]] stays the linear-PCM form.

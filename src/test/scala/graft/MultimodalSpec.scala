@@ -1603,6 +1603,33 @@ class MultimodalSpec extends SparkSpec {
         s"($x,$y)")
   }
 
+  test("resampleLinear: identity at equal rates, exact half-way " +
+      "interpolation, half-up rounding on NEGATIVE values, upsampling, " +
+      "and the non-mono/corrupt null contract (r12)") {
+    import Multimodal._
+    val s8 = Array[Short](0, 100, -100, 50)
+    assert(resampleLinear(s8, 8000, 8000).toSeq === s8.toSeq)
+    // 8000 -> 4000: positions 0, 2 (exact) — plain decimation
+    assert(resampleLinear(s8, 8000, 4000).toSeq === Seq[Short](0, -100))
+    // 4000 -> 8000: midpoints interpolate; -100..50 midpoint -25;
+    // 100..-100 midpoint 0; floor(x+0.5) keeps exact values
+    assert(resampleLinear(s8, 4000, 8000).toSeq ===
+      Seq[Short](0, 50, 100, 0, -100, -25, 50))
+    // half-up on negatives: midpoint of 0 and -5 is -2.5 -> -2
+    assert(resampleLinear(Array[Short](0, -5), 4000, 8000).toSeq ===
+      Seq[Short](0, -2, -5))
+    // full column path: stereo payloads refuse (downmix first)
+    val stereo = buildWavPcm(8000, 2, Array[Short](1, 2, 3, 4))
+    val mono = buildWavPcm(8000, 1, Array[Short](10, 20, 30))
+    val df = Seq((1L, mono), (2L, stereo), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "p")
+    val out = withAudioResample(df, "p", "rs", toRate = 4000)
+      .orderBy($"id").collect()
+    val back = decodeWavPcm(out(0).getAs[Array[Byte]]("rs"))
+    assert(back.sampleRate === 4000 && back.samples.toSeq === Seq[Short](10, 30))
+    assert(out(1).isNullAt(2) && out(2).isNullAt(2))
+  }
+
   test("G.711 expansion: published extreme/silence code points and the " +
       "sign conventions (mu complement-negative, A xor-positive) (r12)") {
     import Multimodal._
