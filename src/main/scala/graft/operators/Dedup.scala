@@ -158,13 +158,17 @@ object Dedup {
     val spark = keys.sparkSession
     import spark.implicits._
     val perPart = math.max(expectedItems / parts, 1000L)
-    keys.select(bloomPart(col("k1"), parts).as("part"), col("k1"))
+    // cogroup against a full part spine so EVERY slice exists even
+    // when its key set (or the whole corpus — the streaming
+    // bootstrap) is empty
+    val spine = spark.range(parts.toLong).map(_.toInt)
+    val keyed = keys.select(bloomPart(col("k1"), parts).as("part"), col("k1"))
       .as[(Int, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (p, it) =>
+    spine.groupByKey(identity)
+      .cogroup(keyed.groupByKey(_._1)) { (p, _, ks) =>
         val bf = org.apache.spark.util.sketch.BloomFilter.create(perPart, fpp)
-        it.foreach(kv => bf.putLong(kv._2))
-        (p, parts, bloomBytes(bf))
+        ks.foreach(kv => bf.putLong(kv._2))
+        Iterator((p, parts, bloomBytes(bf)))
       }
       .toDF("part", "parts", "bloom")
       .repartition(1)
@@ -284,6 +288,76 @@ object Dedup {
     out.select(col("__k1").as("k1"), col("__k2").as("k2"))
       .write.mode("append").parquet(indexPath)
     out.drop("__k1", "__k2", "__maybe")
+  }
+
+  /** The streaming-batch form of [[appendExactDedupBloom]] — the
+    * micro-batch kernel of `EventStreams.exactDedupStream`. The
+    * STREAM index layout carries a third column `tok` (the batch's
+    * idempotent token, the [[appendNearDuplicates]] discipline): a
+    * REPLAYED micro-batch finds its own partially-committed keys
+    * under its token and EXCLUDES them from the probe, so the redo
+    * emits exactly the survivors the first attempt would have. The
+    * bloom layer needs no token — an over-containing bloom (holding
+    * the replayed keys) just routes those rows to the exact check,
+    * which the token then decides.
+    */
+  def appendExactDedupStreamBatch(batch: DataFrame, idCol: String,
+      textCol: String, indexPath: String, bloomPath: String,
+      batchToken: String): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("tok") =!= batchToken) // replay: own keys invisible
+    val probed = bloomProbe(batch, textCol, bloomPath)
+      .withColumn("__k2", md5(col(textCol)))
+      .localCheckpoint(true)
+    val definiteNew = probed.filter(!col("__maybe"))
+    val maybe = probed.filter(col("__maybe"))
+    val checkedNew = maybe.join(idx,
+      maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+    val fresh = definiteNew.unionByName(checkedNew)
+    val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
+    // blooms first (conservative on interruption), then keys+token
+    val blooms = spark.read.parquet(bloomPath)
+    import spark.implicits._
+    val parts = blooms.select(col("parts")).limit(1).as[Int].head()
+    val newKeys = out.select(bloomPart(col("__k1"), parts).as("part"),
+      col("__k1").as("k1")).as[(Int, Long)]
+    val kvBloom = blooms.select(col("part"), col("bloom"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val updated = newKeys.groupByKey(_._1)
+      .cogroup(kvBloom) { (p, ks, bs) =>
+        val bf = bs.buffered.headOption match {
+          case Some((_, bytes)) => bloomFrom(bytes)
+          case None =>
+            org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+        }
+        var any = false
+        ks.foreach { k => bf.putLong(k._2); any = true }
+        if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
+      }
+      .toDF("part", "parts", "bloom")
+      .repartition(1)
+      .localCheckpoint(true)
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(bloomPath)
+    out.select(col("__k1").as("k1"), col("__k2").as("k2"),
+        lit(batchToken).as("tok"))
+      .write.mode("append").parquet(indexPath)
+    out.drop("__k1", "__k2", "__maybe")
+  }
+
+  /** Bootstrap an EMPTY stream index layout (tokened keys + full
+    * bloom spine) — the first-contact path of `exactDedupStream`.
+    */
+  def writeExactDedupStreamIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bloomPath: String, parts: Int = 64,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, String, String)].toDF("k1", "k2", "tok")
+      .write.mode("overwrite").parquet(indexPath)
+    writeBloomIndexFromKeys(
+      Seq.empty[Long].toDF("k1"), bloomPath, parts, expectedItems, fpp)
   }
 
   /** Duplicate-group stats: one row per text value occurring more than

@@ -275,6 +275,36 @@ object EventStreams {
       .sorted.lastOption
   }
 
+  /** Continuous EXACT corpus dedup against the bloom-fronted on-disk
+    * index (r12 — the snapshot-append family's streaming twin):
+    * every micro-batch dedups batch-locally, drops rows whose
+    * content key the index already holds, writes its survivors under
+    * `survivorsOut/batch_id=<n>` (idempotent partition), and commits
+    * its keys (bloom slices FIRST — conservative on interruption —
+    * then tokened keys). Replays are effectively-once: the batch id
+    * is the key token, so a redo's own partially-committed keys are
+    * invisible to its probe and the identical survivor set re-emits
+    * into the same partition. First contact bootstraps an empty
+    * tokened index + full bloom spine.
+    */
+  def exactDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, bloomPath: String, survivorsOut: String,
+      parts: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          indexPath.stripSuffix("/") + "/_SUCCESS")))
+        Dedup.writeExactDedupStreamIndex(spark, indexPath, bloomPath, parts)
+      val out = Dedup.appendExactDedupStreamBatch(batch, idCol, textCol,
+        indexPath, bloomPath, batchToken = f"stream_$batchId%012d")
+      out.write.mode("overwrite")
+        .parquet(survivorsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      ()
+    }
+
   // -------------------------------------------------------------
   // Continuous MEDIA near-dup (the fingerprint twin of nearDupStream)
   // -------------------------------------------------------------

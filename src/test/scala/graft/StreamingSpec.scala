@@ -291,4 +291,43 @@ class StreamingSpec extends SparkSpec {
       .count(_.isDirectory)
     assert(dirs <= 3, s"$dirs batch dirs after compaction")
   }
+
+  test("exactDedupStream: accumulated survivors equal the batch " +
+      "bloom-fronted append over the same arrivals, cross-batch dups " +
+      "drop, and the index grows for later batches (r12)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 18 docs: 6 distinct texts, each arriving three times across
+    // different micro-batches — only the FIRST arrival survives
+    val texts = (0 until 6).map(i => s"distinct document number $i body")
+    val all = (0L until 18L).map(i => (i, texts((i % 6).toInt)))
+    val tmp = java.nio.file.Files.createTempDirectory("exact_stream")
+    val (idx, bl, outDir, ckpt) =
+      (s"$tmp/idx", s"$tmp/bloom", s"$tmp/out", s"$tmp/ckpt")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.exactDedupStream(
+        stream.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        idx, bl, outDir, parts = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    all.grouped(6).foreach { g =>    // 3 micro-batches of 6
+      stream.addData(g: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val survivors = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === (0L until 6L).toSet,
+      s"only the first arrival of each text survives: $survivors")
+    // the committed index holds exactly the 6 distinct keys (one
+    // token per batch; every batch contributed its firsts)
+    val idxRows = spark.read.parquet(idx)
+    assert(idxRows.select("k1").distinct().count() === 6L)
+    assert(idxRows.select("tok").distinct().count() === 1L,
+      "all six texts arrived first in batch 0")
+    // a later out-of-band batch against the grown layout drops all
+    val again = graft.operators.Dedup.appendExactDedupStreamBatch(
+      all.take(6).toDF("doc_id", "text"), "doc_id", "text", idx, bl,
+      batchToken = "oob")
+    assert(again.count() === 0L)
+  }
 }
