@@ -228,6 +228,8 @@ object Dedup {
   def appendExactDedupBloom(batch: DataFrame, idCol: String, textCol: String,
       indexPath: String, bloomPath: String,
       broadcastMaybeLimit: Long = 1000000L): DataFrame = {
+    require(broadcastMaybeLimit >= 0 && broadcastMaybeLimit < Int.MaxValue,
+      s"broadcastMaybeLimit $broadcastMaybeLimit")
     val spark = batch.sparkSession
     val idx = spark.read.parquet(indexPath)
     val probed = bloomProbe(batch, textCol, bloomPath)

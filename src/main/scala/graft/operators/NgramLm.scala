@@ -75,7 +75,15 @@ object NgramLm {
     * `n_grams`. Model and context tables broadcast.
     */
   def withLogProb(df: DataFrame, idCol: String, textCol: String,
-      lm: DataFrame, n: Int = 3): DataFrame = {
+      lm: DataFrame, n: Int = 3, maxModelRows: Long = 10000000L): DataFrame = {
+    // the broadcast contract: char n-gram models are alphabet-bounded
+    // for alphabetic scripts, but a CJK corpus at n=3 can blow past
+    // broadcastability — fail loudly instead of melting the driver
+    // (lower n, or train on a hash sample)
+    val rows = lm.limit((maxModelRows + 1).toInt).count()
+    require(rows <= maxModelRows,
+      s"model has > $maxModelRows rows — too large to broadcast; " +
+        "lower n or sample the training corpus")
     val v = lm.select(col("v")).limit(1).head().getLong(0)
     val ctxTable = lm.select(substring(col("gram"), 1, n - 1).as("ctx"),
         col("c_ctx")).distinct()
