@@ -4406,13 +4406,13 @@ object SparkEntry {
     // nothing (c), multi-agent runs share rules (d)
     "text_robots_rules" ->
       """SELECT * FROM (VALUES
-        |  ('a.example', CAST(0 AS INT), false, '/private'),
-        |  ('a.example', 1, true, '/private/ok'),
-        |  ('b.example', 0, false, '/tmp'),
-        |  ('b.example', 1, true, ''),
-        |  ('b.example', 2, true, '/tmp/pub'),
-        |  ('d.example', 0, false, '/both'))
-        |  AS t(host, rule_idx, allow, prefix)
+        |  ('a.example', CAST(0 AS INT), false, '/private', '^/private'),
+        |  ('a.example', 1, true, '/private/ok', '^/private/ok'),
+        |  ('b.example', 0, false, '/tmp', '^/tmp'),
+        |  ('b.example', 1, true, '', '^'),
+        |  ('b.example', 2, true, '/tmp/pub', '^/tmp/pub'),
+        |  ('d.example', 0, false, '/both', '^/both'))
+        |  AS t(host, rule_idx, allow, prefix, pattern)
         |ORDER BY host, rule_idx""".stripMargin,
 
     // the docs_robots_filter oracle: each (host-branch, path-branch)
@@ -5166,12 +5166,19 @@ object SparkEntry {
         |    WHEN 4 THEN 'http://Other.net:80/item/' || k
         |    ELSE 'http://other.net/item/' || k || '?ref=sidebar' END AS u
         |  FROM d),
-        |c1 AS (SELECT doc_id, regexp_replace(
-        |    regexp_replace(u, '#.*', '', 'g'),
-        |    '&(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*', '', 'g') AS u FROM raw),
-        |c3 AS (SELECT doc_id, regexp_replace(
-        |    regexp_replace(u, '\?(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*&', '?', 'g'),
-        |    '\?(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS u FROM c1),
+        |c0 AS (SELECT doc_id, regexp_replace(u, '#.*', '', 'g') AS u FROM raw),
+        |c1 AS (SELECT doc_id, regexp_extract(u, '^([^?]*)', 1) AS b,
+        |    CASE WHEN length(u) > length(regexp_extract(u, '^([^?]*)', 1))
+        |      THEN substr(u, length(regexp_extract(u, '^([^?]*)', 1)) + 2)
+        |      ELSE '' END AS q
+        |  FROM c0),
+        |c2 AS (SELECT doc_id, b, regexp_replace(regexp_replace(regexp_replace(q,
+        |    '&(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*', '', 'g'),
+        |    '^(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*&', '', 'g'),
+        |    '^(?:utm_[a-zA-Z0-9_]+|gclid|fbclid|ref)=[^&]*$', '', 'g') AS q
+        |  FROM c1),
+        |c3 AS (SELECT doc_id,
+        |    b || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS u FROM c2),
         |c4 AS (SELECT doc_id,
         |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
         |    substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1) AS u

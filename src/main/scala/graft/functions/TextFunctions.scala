@@ -282,11 +282,17 @@ object TextFunctions {
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    // non-first tracking params, then a first param with a successor,
-    // then a lone first param
-    val t1 = regexp_replace(noFrag, s"&$urlTrackingParams=[^&]*", "")
-    val t2 = regexp_replace(t1, s"\\?$urlTrackingParams=[^&]*&", "?")
-    val t3 = regexp_replace(t2, s"\\?$urlTrackingParams=[^&]*$$", "")
+    // tracking params are stripped from the QUERY STRING ONLY — a
+    // literal '&ref=' inside a path segment (legal per RFC 3986) must
+    // not collapse two distinct pages (r12 review). RE2-safe split:
+    // everything before the first '?' passes through untouched.
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = noFrag.substr(length(base) + 2, lit(Int.MaxValue))
+    val q1 = regexp_replace(query, s"&$urlTrackingParams=[^&]*", "")
+    val q2 = regexp_replace(q1, s"^$urlTrackingParams=[^&]*&", "")
+    val q3 = regexp_replace(q2, s"^$urlTrackingParams=[^&]*$$", "")
+    val t3 = concat(base,
+      when(length(q3) > 0, concat(lit("?"), q3)).otherwise(lit("")))
     // lowercase ONLY scheme://authority; keep the rest byte-for-byte
     val prefix = regexp_extract(t3, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val rebuilt = concat(lower(prefix),

@@ -1401,21 +1401,24 @@ object Ann {
       .flatMapGroups { (cid, it) =>
         val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long] // all ids — over-cap rows must still pass through
+        val nullIds = scala.collection.mutable.ArrayBuffer.empty[Long]
         var overflow = false
         it.foreach { case (_, id, v) =>
-          if (v != null) {
+          if (v == null) nullIds += id // unverifiable, NEVER dropped
+          else {
             ids += id
             if (members.length < maxClusterSize && !overflow) members += ((id, v))
             else { overflow = true; members.clear() } // free the vectors — pass-through needs none
           }
         }
+        val nullRows = nullIds.iterator.map(id => (id, cid, 1, 0))
         if (overflow) {
           // conservative pass-through; truncating the dominator scan
           // would make keep/prune depend on arrival order
           org.slf4j.LoggerFactory.getLogger(Ann.getClass).warn(
             s"semDedup: cluster $cid exceeds maxClusterSize=$maxClusterSize — " +
               "passed through unpruned (checked=0); raise nlist")
-          ids.iterator.map(id => (id, cid, 1, 0))
+          ids.iterator.map(id => (id, cid, 1, 0)) ++ nullRows
         } else {
           val c = bcCenters.value(cid)
           val cNorm = math.sqrt(Knn.dotKernel(c, c))
@@ -1449,7 +1452,7 @@ object Ann {
           }
           members.iterator.zipWithIndex.map { case ((id, _), ix) =>
             (id, cid, if (keep(ix)) 1 else 0, 1)
-          }
+          } ++ nullRows
         }
       }
       .toDF(idCol, "cluster_id", "keep", "checked")

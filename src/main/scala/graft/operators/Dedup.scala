@@ -171,7 +171,7 @@ object Dedup {
         Iterator((p, parts, bloomBytes(bf)))
       }
       .toDF("part", "parts", "bloom")
-      .repartition(1)
+      .repartition(col("part")) // one slice per task — never a 12 GB single-task funnel
       // one directory per slice: incremental updates then OVERWRITE
       // ONLY the touched slices (dynamic partition overwrite) — at
       // 10B keys the layer is ~12 GB, and a batch must not rewrite
@@ -282,7 +282,7 @@ object Dedup {
         if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
       }
       .toDF("part", "parts", "bloom")
-      .repartition(1)
+      .repartition(col("part"))
       .localCheckpoint(true) // materialize before overwriting what it reads
     updated.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -338,7 +338,7 @@ object Dedup {
         if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
       }
       .toDF("part", "parts", "bloom")
-      .repartition(1)
+      .repartition(col("part"))
       .localCheckpoint(true)
     updated.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1549,20 +1549,24 @@ object Dedup {
         col("__first").getField("__pos").as("__pos"), col("__line"),
         xxhash64(col("__line")).as("__lh"))
       .join(corpus.select(col("lhash").as("__lh")), Seq("__lh"), "left_anti")
+      // materialize ONCE: the reassembly below and the line-index
+      // commit both consume this plan — without the checkpoint the
+      // explode + winner groupBy + corpus anti-join ran twice per
+      // batch (r12 review)
+      .localCheckpoint(true)
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line")),
         delim).as(textCol))
-    // materialize BEFORE committing the batch's lines (the
-    // appendExactDedup marker-last discipline): a lazy result probing
-    // the GROWN index on the caller's action would anti-join the
-    // batch against its own lines and return nothing
+    // kept is checkpointed above, so the result plan reads materialized
+    // rows — not the index — and stays correct even when the caller
+    // acts after the line commit below (the marker-last discipline
+    // with one materialization instead of two)
     val out = batch.drop(textCol).join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col(textCol), lit("")))
       .select(batch.columns.map(col): _*)
-      .localCheckpoint(true)
     writeLineBatch(kept.select(col("__lh").as("lhash")), root, token)
     out
   }

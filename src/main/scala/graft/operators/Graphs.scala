@@ -77,6 +77,7 @@ object Graphs {
       it += 1
     }
     val out = pr.localCheckpoint(true)
+    pr.unpersist() // the last iteration's cache must not outlive the call
     e.unpersist(); vertices.unpersist(); outDeg.unpersist()
     out
   }

@@ -20,14 +20,32 @@ import org.apache.spark.sql.types._
   */
 object UrlPolicy {
 
-  /** Parse robots.txt bodies into (host, rule_idx, allow, prefix):
-    * the RFC 9309 subset that decides corpus membership — group
-    * selection by User-agent (exact token match or `*`; the most
-    * specific matching group wins, `*` only when no named group
-    * matches), Allow/Disallow path prefixes, blank-line group
-    * separation, `#` comments. Sitemap/Crawl-delay lines are
-    * ignored. Empty Disallow ("allow all") parses as an empty
-    * prefix Allow rule.
+  /** Translate a robots rule path into the regex its RFC 9309 §2.2.3
+    * matcher means: literal chunks quoted, `*` → `.*`, a TRAILING `$`
+    * anchors the end; always anchored at the path start.
+    */
+  private[graft] def rulePattern(rulePath: String): String = {
+    val (core, anchored) =
+      if (rulePath.endsWith("$")) (rulePath.dropRight(1), true)
+      else (rulePath, false)
+    val quoted = core.split("\\*", -1)
+      .map(chunk => chunk.flatMap {
+        case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => "\\" + c
+        case c => c.toString
+      })
+      .mkString(".*")
+    "^" + quoted + (if (anchored) "$" else "")
+  }
+
+  /** Parse robots.txt bodies into (host, rule_idx, allow, prefix,
+    * pattern): the RFC 9309 subset that decides corpus membership —
+    * group selection by User-agent (exact token match or `*`; ALL
+    * named-matching groups' rules COMBINE per §2.2.1, the catch-all
+    * only when no named group matches), Allow/Disallow paths with
+    * `*` wildcards and trailing `$` anchors compiled to `pattern`,
+    * blank-line group separation, `#` comments. Sitemap/Crawl-delay
+    * lines are ignored. Empty Disallow ("allow all") parses as an
+    * empty-prefix Allow rule.
     */
   def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "graftbot"): DataFrame = {
@@ -36,7 +54,8 @@ object UrlPolicy {
       StructField("host", StringType, nullable = false),
       StructField("rule_idx", IntegerType, nullable = false),
       StructField("allow", BooleanType, nullable = false),
-      StructField("prefix", StringType, nullable = false)))
+      StructField("prefix", StringType, nullable = false),
+      StructField("pattern", StringType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
     val hIdx = robots.schema.fieldIndex(hostCol)
     val bIdx = robots.schema.fieldIndex(bodyCol)
@@ -78,22 +97,27 @@ object UrlPolicy {
           }
         }
         flush()
-        // group selection: a named match beats the catch-all
-        val chosen = groups.find(_.agents.contains(agentLc))
-          .orElse(groups.find(_.agents.contains("*")))
-        chosen.iterator.flatMap(_.rules.iterator.zipWithIndex.map {
-          case ((allow, prefix), i) => Row(host, i, allow, prefix)
-        })
+        // group selection: ALL named-matching groups combine
+        // (RFC 9309 §2.2.1 — concatenated/generated files repeat the
+        // same agent); the catch-all only when no named group matches
+        val named = groups.filter(_.agents.contains(agentLc))
+        val chosen =
+          if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+        chosen.iterator.flatMap(_.rules.iterator).zipWithIndex.map {
+          case ((allow, prefix), i) =>
+            Row(host, i, allow, prefix, rulePattern(prefix))
+        }
       }
     }
   }
 
-  /** Filter a URL table by parsed rules: longest-prefix match
-    * decides; on equal length Allow wins (the RFC 9309 tie rule);
-    * no matching rule (or no rules for the host) allows. `$`-anchors
-    * and `*`-wildcards inside rule paths are NOT interpreted
-    * (documented subset — they are rare and a conservative literal
-    * reading only over-blocks). Returns the input plus `robots_allow`.
+  /** Filter a URL table by parsed rules: the longest (most-octets)
+    * matching RULE PATH decides; on equal length Allow wins (the
+    * RFC 9309 tie rules); no matching rule (or no rules for the
+    * host) allows. Matching honors `*` wildcards and trailing `$`
+    * anchors via the compiled `pattern` column (a literal reading
+    * would render wildcard Disallows inert — UNDER-blocking).
+    * Returns the input plus `robots_allow`, multiplicity preserved.
     */
   def applyRobots(urls: DataFrame, urlCol: String,
       rules: DataFrame): DataFrame = {
@@ -108,7 +132,7 @@ object UrlPolicy {
     val pages = keyed.select(col("__host"), col("__path")).distinct()
     val decisions = pages.join(rules,
         pages("__host") === rules("host") &&
-          startswith(col("__path"), rules("prefix")))
+          regexp_like(col("__path"), rules("pattern")))
       .groupBy(col("__host"), col("__path"))
       .agg(
         // longest prefix wins; Allow beats Disallow at equal length

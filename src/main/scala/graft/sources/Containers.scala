@@ -142,6 +142,12 @@ object Containers {
         val typeflag = hdr(156).toChar
         val isFile = typeflag == '0' || typeflag == 0.toChar
         val isLongName = typeflag == 'L' // GNU long-name extension
+        if (isFile && size > Int.MaxValue.toLong) {
+          // a REGULAR member too large for the in-memory walk must
+          // not vanish silently (the strict contract); lenient mode
+          // stops here rather than skipping corpus content
+          fail(f"member larger than 2 GiB ($size%d bytes)"); return
+        }
         if ((isFile || isLongName) && size <= Int.MaxValue.toLong) {
           val body = new Array[Byte](size.toInt)
           if (!readFully(in, body)) { fail("truncated member body"); return }
@@ -258,6 +264,19 @@ object Containers {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** Shared empty-layout manifest schema: an empty input is a VALID
+    * overwrite — the writer must attest emptiness, not crash after
+    * deleting the previous layout (the Shards.writeShards precedent).
+    */
+  private def emptyManifest(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("shard", StringType, nullable = true),
+        StructField("n_members", LongType, nullable = true),
+        StructField("sum_bytes", LongType, nullable = true),
+        StructField("checksum", LongType, nullable = true))))
+
   /** Write (name, content) rows as tar shards under `path/data/`,
     * grouped by `shardCol` (assign upstream — hash, range, or
     * [[graft.operators.Shards.assignShards]]-style budget packing),
@@ -304,13 +323,17 @@ object Containers {
         }
         close()
       }
-    // manifest FROM the written shards (attests disk content), LAST
-    val back = readTarShards(spark, s"$base/data/*$ext")
-    val mf = back.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("size")).as("sum_bytes"),
-        sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
-          .as("checksum"))
+    // manifest FROM the written shards (attests disk content), LAST;
+    // an empty input wrote no files — attest emptiness, never crash
+    val mf =
+      try readTarShards(spark, s"$base/data/*$ext")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("size")).as("sum_bytes"),
+          sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
+            .as("checksum"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        emptyManifest(spark) }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }
@@ -430,12 +453,15 @@ object Containers {
         }
         close()
       }
-    val back = readZipShards(spark, s"$base/data/*.zip")
-    val mf = back.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_members"),
-        sum(col("size")).as("sum_bytes"),
-        sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
-          .as("checksum"))
+    val mf =
+      try readZipShards(spark, s"$base/data/*.zip")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("size")).as("sum_bytes"),
+          sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
+            .as("checksum"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        emptyManifest(spark) }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }

@@ -37,16 +37,19 @@ object Warc {
 
   // ---------------------------------------------------------------- read
 
-  /** Read one CRLF-terminated ASCII line; null at EOF. */
+  /** Read one CRLF-terminated line, decoded as UTF-8 (ISO 28500
+    * headers are UTF-8 — byte-as-char reading would mojibake a
+    * non-ASCII WARC-Target-URI); null at EOF.
+    */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(96)
+    val buf = new ByteArrayOutputStream(96)
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def readFully(in: InputStream, buf: Array[Byte]): Boolean = {
@@ -347,13 +350,23 @@ object Warc {
         }
         close()
       }
-    val back = readWarc(spark, s"$base/data/*$ext")
-      .filter(col("record_type") === "response")
-    val mf = back.groupBy(col("file").as("shard"))
-      .agg(count(lit(1)).as("n_records"),
-        sum(octet_length(col("payload"))).as("sum_bytes"),
-        sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
-          .as("checksum"))
+    // empty input: attest emptiness, never crash post-delete
+    val mf =
+      try readWarc(spark, s"$base/data/*$ext")
+        .filter(col("record_type") === "response")
+        .groupBy(col("file").as("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(octet_length(col("payload"))).as("sum_bytes"),
+          sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
+            .as("checksum"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("shard", StringType, nullable = true),
+            StructField("n_records", LongType, nullable = true),
+            StructField("sum_bytes", LongType, nullable = true),
+            StructField("checksum", LongType, nullable = true)))) }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }

@@ -221,7 +221,9 @@ class TextFunctionsSpec extends SparkSpec {
       (6L, "http://Other.net:80/"),                    // default port + bare root
       (7L, "http://other.net:8080/x"),                 // NON-default port kept
       (8L, "HTTPS://example.com/CaseKept?Q=Mixed"),
-      (9L, "no-scheme relative text"))
+      (9L, "no-scheme relative text"),
+      (10L, "https://e.com/a&ref=b/c"),     // & in PATH: not a tracking param
+      (11L, "https://e.com/x?id=2&ref=y"))  // & in QUERY: stripped
       .toDF("id", "u")
       .select($"id", canonicalUrl($"u").as("c"),
         urlHost(canonicalUrl($"u")).as("h"))
@@ -235,6 +237,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(6).getString(1) === "http://other.net:8080/x")
     assert(rows(7).getString(1) === "https://example.com/CaseKept?Q=Mixed")
     assert(rows(8).getString(1) === "no-scheme relative text") // untouched
+    assert(rows(9).getString(1) === "https://e.com/a&ref=b/c",
+      "a literal & in the path must never be treated as a tracking param")
+    assert(rows(10).getString(1) === "https://e.com/x?id=2")
     assert(rows(0).getString(2) === "example.com")
     assert(rows(6).getString(2) === "other.net") // host never carries the port
   }

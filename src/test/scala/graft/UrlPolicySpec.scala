@@ -43,4 +43,29 @@ class UrlPolicySpec extends SparkSpec {
       (4L, true), (5L, true)))
     assert(out.length === 5, "duplicate input rows must survive")
   }
+
+  test("RFC 9309 corrections (r12 review): ALL same-agent groups " +
+      "combine, * wildcards and trailing $ anchors match — a literal " +
+      "reading would leave wildcard Disallows inert") {
+    val robots = Seq(("w.example",
+      "User-agent: graftbot\nDisallow: /a\n\n" +
+        "User-agent: graftbot\nDisallow: /*.php\n" +
+        "Disallow: /exact$\nAllow: /a/ok\n"))
+      .toDF("host", "body")
+    val rules = UrlPolicy.parseRobots(robots, "host", "body", "graftbot")
+    // both graftbot groups' rules present, indices contiguous
+    assert(rules.count() === 4)
+    val urls = Seq(
+      (1L, "https://w.example/a/page"),      // group-1 disallow
+      (2L, "https://w.example/b/x.php"),     // wildcard disallow fires
+      (3L, "https://w.example/b/x.phpx"),    // .php not at a boundary — still matches /*.php (substring semantics)
+      (4L, "https://w.example/exact"),       // $-anchored: exact path blocked
+      (5L, "https://w.example/exactly"),     // anchor prevents prefix over-block
+      (6L, "https://w.example/a/ok/page"))   // longer Allow beats /a
+    .toDF("id", "url")
+    val got = UrlPolicy.applyRobots(urls, "url", rules)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.toSeq === Seq((1L, false), (2L, false), (3L, false),
+      (4L, false), (5L, true), (6L, true)))
+  }
 }
