@@ -1769,6 +1769,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Media THROUGH WARC (r12 — the multimodal crawl chain):
+    //     the mm_phash_pairs fixtures (closed-form BMPs + perturbed
+    //     twins) travel as image/bmp HTTP response bodies inside
+    //     member-gzipped WARC records, parse back out, decode,
+    //     dHash, and pair. The oracle is mm_phash_pairs' verbatim —
+    //     hash equality proves the container transport is LOSSLESS
+    //     for binary payloads (header split, gzip members, byte
+    //     bodies), not just for text.
+    "pipeline_crawl_media" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))
+      implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Encoders.row(schema)
+      val payloads = base.flatMap { r =>
+        val id = r.getLong(0)
+        Seq(id -> Multimodal.synthDHashPayload(id, perturb = false),
+            (id + 1000L) -> Multimodal.synthDHashPayload(id, perturb = true))
+          .map { case (mid, bmp) =>
+            org.apache.spark.sql.Row(mid,
+              graft.sources.Warc.gzipMembers(Seq(
+                graft.sources.Warc.buildResponseBytes(
+                  s"https://img.example/$mid.bmp", "image/bmp", bmp))))
+          }
+      }
+      val imgs = graft.sources.Warc.recordsFromColumn(payloads,
+          "media_id", "payload")
+        .filter(col("record_type") === "response")
+        .select(col("media_id"), col("payload"))
+      val hashed = Multimodal.withDHash(imgs, "payload", "dhash")
+      Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
+    }),
+
     // --- Gzip JSONL round trip (r12 — the interchange format crawl
     //     corpora arrive in): documents write as .jsonl.gz members
     //     (file-per-task parallelism — gzip is not splittable) and
@@ -3533,6 +3570,49 @@ object SparkEntry {
     * accidentally-unoracled queries.
     */
   def rowsOnly: Set[String] = Set.empty
+
+  /** The dHash-pairs oracle, shared by mm_phash_pairs and the
+    * WARC-transport composition (pipeline_crawl_media): identical
+    * fixtures, identical expected pairs.
+    */
+  private lazy val phashPairsOracle: String =
+    """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
+        |px AS (
+        |  SELECT i.media_id, x.g AS x, y.g AS y,
+        |    CASE WHEN i.pert AND (x.g * 16 + y.g) % 61 = 0
+        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67) *
+        |             (i.base * 131 + x.g * 29 + y.g * 67)) % 256 + 9) % 256
+        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67) *
+        |            (i.base * 131 + x.g * 29 + y.g * 67)) % 256 END AS r,
+        |    ((i.base * 113 + x.g * 41 + y.g * 59) *
+        |     (i.base * 113 + x.g * 41 + y.g * 59)) % 256 AS g,
+        |    ((i.base * 173 + x.g * 37 + y.g * 71) *
+        |     (i.base * 173 + x.g * 37 + y.g * 71)) % 256 AS b
+        |  FROM ids i, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)),
+        |cells AS (
+        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy,
+        |    sum(299 * r + 587 * g + 114 * b) AS s
+        |  FROM px GROUP BY media_id, x // 2, y // 2),
+        |fp AS (
+        |  -- bit 63 can't be built as 1::BIGINT << 63 (DuckDB raises a
+        |  -- signed-shift overflow); spell it as BIGINT min. Bits are
+        |  -- distinct, so the sum IS the two's-complement 64-bit word.
+        |  SELECT a.media_id,
+        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
+        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+        |  WHERE a.gx < 8 GROUP BY a.media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -5306,44 +5386,10 @@ object SparkEntry {
     // BT.601 integer luma, 2×2 cell pooling (18×16 → 9×8 grid, so
     // cell sums compare directly), difference bits, 64-bit assembly,
     // then exact all-pairs hamming ≤ 3 over the 80 fingerprints
-    "mm_phash_pairs" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS pert
-        |  FROM documents WHERE doc_id < 40
-        |  UNION ALL
-        |  SELECT doc_id + 1000, doc_id, TRUE FROM documents WHERE doc_id < 40),
-        |px AS (
-        |  SELECT i.media_id, x.g AS x, y.g AS y,
-        |    CASE WHEN i.pert AND (x.g * 16 + y.g) % 61 = 0
-        |      THEN (((i.base * 131 + x.g * 29 + y.g * 67) *
-        |             (i.base * 131 + x.g * 29 + y.g * 67)) % 256 + 9) % 256
-        |      ELSE ((i.base * 131 + x.g * 29 + y.g * 67) *
-        |            (i.base * 131 + x.g * 29 + y.g * 67)) % 256 END AS r,
-        |    ((i.base * 113 + x.g * 41 + y.g * 59) *
-        |     (i.base * 113 + x.g * 41 + y.g * 59)) % 256 AS g,
-        |    ((i.base * 173 + x.g * 37 + y.g * 71) *
-        |     (i.base * 173 + x.g * 37 + y.g * 71)) % 256 AS b
-        |  FROM ids i, generate_series(0, 17) AS x(g), generate_series(0, 15) AS y(g)),
-        |cells AS (
-        |  SELECT media_id, x // 2 AS gx, y // 2 AS gy,
-        |    sum(299 * r + 587 * g + 114 * b) AS s
-        |  FROM px GROUP BY media_id, x // 2, y // 2),
-        |fp AS (
-        |  -- bit 63 can't be built as 1::BIGINT << 63 (DuckDB raises a
-        |  -- signed-shift overflow); spell it as BIGINT min. Bits are
-        |  -- distinct, so the sum IS the two's-complement 64-bit word.
-        |  SELECT a.media_id,
-        |    CAST(sum(CASE WHEN a.s >= b.s THEN 0
-        |        WHEN a.gy * 8 + a.gx = 63 THEN -9223372036854775807 - 1
-        |        ELSE CAST(1 AS BIGINT) << (a.gy * 8 + a.gx) END) AS BIGINT) AS f
-        |  FROM cells a JOIN cells b
-        |    ON a.media_id = b.media_id AND b.gx = a.gx + 1 AND b.gy = a.gy
-        |  WHERE a.gx < 8 GROUP BY a.media_id)
-        |SELECT a.media_id AS id_a, b.media_id AS id_b,
-        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-        |FROM fp a JOIN fp b ON a.media_id < b.media_id
-        |WHERE bit_count(xor(a.f, b.f)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "mm_phash_pairs" -> phashPairsOracle,
+    // identical fixtures arriving THROUGH gzipped WARC response
+    // records — transport must be lossless, so the oracle is the same
+    "pipeline_crawl_media" -> phashPairsOracle,
 
     // the text_collapse_runs oracle: word g (1-based) survives iff
     // g ≤ 2 or one of its two predecessors differs, replayed over the

@@ -278,18 +278,26 @@ object Warc {
       (CRLF + CRLF).getBytes(StandardCharsets.US_ASCII)
   }
 
-  /** An HTTP 200 response record wrapping `html` (the Common Crawl
-    * response-record shape).
+  /** An HTTP 200 response record around arbitrary payload bytes —
+    * the shape a crawled image/audio/video body arrives in.
     */
-  def buildResponse(uri: String, html: String,
+  def buildResponseBytes(uri: String, contentType: String,
+      payload: Array[Byte],
       date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
-    val payload = html.getBytes(StandardCharsets.UTF_8)
     val http = ("HTTP/1.1 200 OK" + CRLF +
-      "Content-Type: text/html" + CRLF +
+      s"Content-Type: $contentType" + CRLF +
       s"Content-Length: ${payload.length}" + CRLF + CRLF)
       .getBytes(StandardCharsets.US_ASCII)
     buildRecord("response", uri, http ++ payload, date)
   }
+
+  /** An HTTP 200 response record wrapping `html` (the Common Crawl
+    * response-record shape).
+    */
+  def buildResponse(uri: String, html: String,
+      date: String = "2026-01-01T00:00:00Z"): Array[Byte] =
+    buildResponseBytes(uri, "text/html",
+      html.getBytes(StandardCharsets.UTF_8), date)
 
   /** Gzip each record as its OWN member and concatenate — the Common
     * Crawl `.warc.gz` convention (records independently inflatable).
