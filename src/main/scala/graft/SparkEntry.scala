@@ -2597,6 +2597,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Uncompressed TIFF pixel decode (r12 — completes the raster
+    //     family): BOTH byte orders, gray BlackIsZero / RGB /
+    //     gray WhiteIsZero (stored inverted — decode must invert
+    //     back), single- and multi-strip layouts with
+    //     offset-addressed tag arrays, all cycling by id over the
+    //     png_types closed-form pixels. Degrades: %19 magic, %13
+    //     truncation (the IFD lives at the tail, so truncation is a
+    //     structural test, not just missing pixels).
+    "mm_pixels_tiff" -> ((s, dir) => {
+      val media = Multimodal.synthesizeTiffBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- 16-bit PNG pixel decode (r12 — the photography/scientific
     //     depth): gray/truecolor/RGBA cycle by id, every sample's
     //     HIGH byte the closed-form 8-bit value and its LOW byte a
@@ -5975,6 +5996,38 @@ object SparkEntry {
         |  FROM ids)
         |SELECT i.media_id,
         |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels_tiff oracle: the png_types closed forms — gray
+    // for k=0, RGB formulas for k=1, and k=2 decodes BACK to gray
+    // (WhiteIsZero stored inverted)
+    "mm_pixels_tiff" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 7 + 2 AS w,
+        |    (doc_id * 5) % 6 + 2 AS h, doc_id % 3 AS k
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg(CASE WHEN i.k = 1 THEN (i.media_id + 7 * x.g + 13 * y.g) % 256
+        |        ELSE (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256 END) AS mr,
+        |    avg(CASE WHEN i.k = 1 THEN (i.media_id * 3 + 5 * x.g + 11 * y.g) % 256
+        |        ELSE (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256 END) AS mg,
+        |    avg(CASE WHEN i.k = 1 THEN (i.media_id * 5 + 3 * x.g + 17 * y.g) % 256
+        |        ELSE (i.media_id * 9 + 5 * x.g + 7 * y.g) % 256 END) AS mb
+        |  FROM ids i, generate_series(0, 8) AS x(g), generate_series(0, 6) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'tiff' END AS format,
         |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
         |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
         |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,

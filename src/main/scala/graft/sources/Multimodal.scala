@@ -681,10 +681,226 @@ object Multimodal {
     val isJpg = !isPng && p.length > 2 &&
       (p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8
     val isGif = !isPng && !isJpg && p.length > 3 && ascii(p, 0, "GIF8")
+    val isTif = !isPng && !isJpg && !isGif && p.length > 3 &&
+      ((p(0) == 'I'.toByte && p(1) == 'I'.toByte && (p(2) & 0xFF) == 42) ||
+       (p(0) == 'M'.toByte && p(1) == 'M'.toByte && (p(3) & 0xFF) == 42))
     if (isPng) ("png", decodePng(p))
     else if (isJpg) ("jpeg", decodeJpeg(p))
     else if (isGif) ("gif", decodeGif(p))
+    else if (isTif) ("tiff", decodeTiff(p))
     else ("bmp", decodeBmp(p))
+  }
+
+  /** Deterministic uncompressed TIFF builder for fixtures: both byte
+    * orders, gray/RGB, WhiteIsZero exercise, multi-strip layout with
+    * offset-addressed tag arrays. Valid for any baseline TIFF reader.
+    */
+  def buildTiff(w: Int, h: Int, photometric: Int, le: Boolean,
+      rowsPerStrip: Int, sample: (Int, Int, Int) => Int): Array[Byte] = {
+    val spp = if (photometric == 2) 3 else 1
+    val rowBytes = w * spp
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val pixBytes = rowBytes * h
+    val bo = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+    // layout: 8B header | pixel strips | IFD | external arrays
+    val ifdAt = 8 + pixBytes
+    val nEntries = 9
+    val ifdSize = 2 + nEntries * 12 + 4
+    val extAt = ifdAt + ifdSize
+    // external arrays: strip offsets (LONG) + strip counts (LONG)
+    val extSize = if (nStrips > 1) nStrips * 8 else 0
+    val out = java.nio.ByteBuffer.allocate(extAt + extSize).order(bo)
+    out.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    out.putShort(42.toShort).putInt(ifdAt)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until spp)
+      out.put(sample(x, y, c).toByte)
+    def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
+      out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) { out.putShort(value.toShort); out.putShort(0.toShort) }
+      else out.putInt(value.toInt)
+    }
+    val stripOff0 = 8
+    val lastRows = h - (nStrips - 1) * rowsPerStrip
+    out.putShort(nEntries.toShort)
+    entry(256, 3, 1, w)                    // ImageWidth
+    entry(257, 3, 1, h)                    // ImageLength
+    entry(258, 3, 1, 8)                    // BitsPerSample
+    entry(259, 3, 1, 1)                    // Compression: none
+    entry(262, 3, 1, photometric)          // Photometric
+    if (nStrips > 1) entry(273, 4, nStrips, extAt)
+    else entry(273, 4, 1, stripOff0)       // StripOffsets
+    entry(277, 3, 1, spp)                  // SamplesPerPixel
+    entry(278, 3, 1, rowsPerStrip)         // RowsPerStrip
+    if (nStrips > 1) entry(279, 4, nStrips, extAt + nStrips * 4)
+    else entry(279, 4, 1, pixBytes)        // StripByteCounts
+    out.putInt(0)                          // next IFD: none
+    if (nStrips > 1) {
+      for (sIdx <- 0 until nStrips)
+        out.putInt(stripOff0 + sIdx * rowsPerStrip * rowBytes)
+      for (sIdx <- 0 until nStrips)
+        out.putInt(rowBytes *
+          (if (sIdx == nStrips - 1) lastRows else rowsPerStrip))
+    }
+    out.array()
+  }
+
+  /** Deterministic TIFF payload: byte order, photometric
+    * (BlackIsZero gray / WhiteIsZero gray / RGB) and strip layout
+    * cycle by id; pixels are the png_types closed forms.
+    */
+  def synthTiffPayload(id: Long): Array[Byte] = {
+    val w = (id % 7 + 2).toInt
+    val h = (id * 5 % 6 + 2).toInt
+    def g(x: Int, y: Int): Int = ((id * 9 + 5L * x + 7L * y) % 256).toInt
+    def rgbS(x: Int, y: Int, c: Int): Int = c match {
+      case 0 => ((id + 7L * x + 13L * y) % 256).toInt
+      case 1 => ((id * 3 + 5L * x + 11L * y) % 256).toInt
+      case _ => ((id * 5 + 3L * x + 17L * y) % 256).toInt
+    }
+    val rps = if (id % 2 == 0) h else 2 // single vs multi strip
+    (id % 3) match {
+      case 0 => buildTiff(w, h, 1, le = id % 4 < 2, rps, (x, y, _) => g(x, y))
+      case 1 => buildTiff(w, h, 2, le = id % 4 < 2, rps, rgbS)
+      case _ => // WhiteIsZero stores the INVERSE so decode yields g
+        buildTiff(w, h, 0, le = id % 4 < 2, rps, (x, y, _) => 255 - g(x, y))
+    }
+  }
+
+  /** TIFF media table: every 19th magic-corrupted, every 13th
+    * truncated to half its bytes.
+    */
+  def synthesizeTiffBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val full = synthTiffPayload(id)
+        val bytes =
+          if (id % 19 == 0) { full(0) = 0x00.toByte; full }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(full, full.length / 2)
+          else full
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Baseline UNCOMPRESSED TIFF decode (r12 — completes the raster
+    * family: BMP/PNG/JPEG/GIF/TIFF): both byte orders, 8-bit
+    * gray (BlackIsZero AND the inverted WhiteIsZero), RGB and RGBA
+    * (alpha dropped), chunky planar config, multi-strip layouts
+    * (inline or offset-addressed tag arrays). Compressed TIFFs,
+    * planar or non-8-bit samples return null — the documented
+    * boundary; the IFD walk itself is the same machinery the EXIF
+    * parser runs inside APP1. Total function: malformed structures
+    * return null, never throw.
+    */
+  def decodeTiff(b: Array[Byte]): RasterImage = {
+    if (b == null || b.length < 8) return null
+    val le =
+      if (b(0) == 'I'.toByte && b(1) == 'I'.toByte) true
+      else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte) false
+      else return null
+    try decodeTiffUnsafe(b, le)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeTiffUnsafe(b: Array[Byte], le: Boolean): RasterImage = {
+    def u16(p: Int): Int = {
+      if (p < 0 || p + 2 > b.length) throw JpegMalformed
+      if (le) le16(b, p) else be16(b, p)
+    }
+    def u32(p: Int): Long = {
+      if (p < 0 || p + 4 > b.length) throw JpegMalformed
+      (if (le) le32(b, p) else be32(b, p)) & 0xFFFFFFFFL
+    }
+    if (u16(2) != 42) return null
+    val ifd0 = u32(4)
+    if (ifd0 > Int.MaxValue - 2) return null
+    val base = ifd0.toInt
+    val nEntries = u16(base)
+    if (nEntries <= 0 || nEntries > 512) return null
+    // tag -> (type, count, valueOffsetPos): values read lazily
+    var width = -1; var height = -1; var compression = 1
+    var photometric = -1; var spp = 1; var rowsPerStrip = Int.MaxValue
+    var bitsOk = true
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var planar = 1
+    def intValues(typ: Int, count: Long, vpos: Int): Array[Long] = {
+      if (count <= 0 || count > 65536) throw JpegMalformed
+      val elemSize = typ match {
+        case 3 => 2; case 4 => 4; case _ => throw JpegMalformed
+      }
+      val total = elemSize * count
+      val at = if (total <= 4) vpos else u32(vpos).toInt
+      Array.tabulate(count.toInt)(i =>
+        if (elemSize == 2) u16(at + i * 2).toLong else u32(at + i * 4))
+    }
+    var e = 0
+    while (e < nEntries) {
+      val p = base + 2 + e * 12
+      val tag = u16(p); val typ = u16(p + 4 - 2); val count = u32(p + 4)
+      val vpos = p + 8
+      tag match {
+        case 256 => width = intValues(typ, 1, vpos)(0).toInt
+        case 257 => height = intValues(typ, 1, vpos)(0).toInt
+        case 258 => bitsOk = intValues(typ, count, vpos).forall(_ == 8L)
+        case 259 => compression = intValues(typ, 1, vpos)(0).toInt
+        case 262 => photometric = intValues(typ, 1, vpos)(0).toInt
+        case 273 => stripOffsets = intValues(typ, count, vpos)
+        case 277 => spp = intValues(typ, 1, vpos)(0).toInt
+        case 278 => rowsPerStrip = intValues(typ, 1, vpos)(0).toInt
+        case 279 => stripCounts = intValues(typ, count, vpos)
+        case 284 => planar = intValues(typ, 1, vpos)(0).toInt
+        case _ => ()
+      }
+      e += 1
+    }
+    if (width <= 0 || height <= 0 || width > MaxBmpDim || height > MaxBmpDim)
+      return null
+    if (compression != 1 || planar != 1 || !bitsOk) return null
+    if (stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length) return null
+    val gray = photometric == 0 || photometric == 1
+    if (!gray && photometric != 2) return null
+    if (gray && spp != 1) return null
+    if (!gray && spp != 3 && spp != 4) return null
+    // concatenate strips into the chunky sample stream
+    val need = width.toLong * height * spp
+    if (need > Int.MaxValue) return null
+    val px = new Array[Byte](need.toInt)
+    var filled = 0
+    var si = 0
+    while (si < stripOffsets.length && filled < px.length) {
+      val off = stripOffsets(si); val len = stripCounts(si)
+      if (off + len > b.length || len < 0) return null
+      val take = math.min(len, (px.length - filled).toLong).toInt
+      System.arraycopy(b, off.toInt, px, filled, take)
+      filled += take
+      si += 1
+    }
+    if (filled != px.length) return null
+    val rgb = new Array[Byte](width * height * 3)
+    var i = 0; var o = 0
+    val n = width * height
+    var k = 0
+    while (k < n) {
+      if (gray) {
+        val v0 = px(i) & 0xFF
+        val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero inverts
+        rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+        i += 1
+      } else {
+        rgb(o) = px(i); rgb(o + 1) = px(i + 1); rgb(o + 2) = px(i + 2)
+        i += spp // alpha (spp = 4) dropped
+      }
+      o += 3
+      k += 1
+    }
+    RasterImage(width, height, rgb)
   }
 
   /** Append `outCol`: image-quality statistics for curation — the

@@ -1369,7 +1369,8 @@ class MultimodalSpec extends SparkSpec {
       ("bmp", decodeBmp _), ("png", decodePng _), ("jpeg", decodeJpeg _),
       ("gif", decodeGif _), ("y4m", decodeY4m _), ("avi", decodeAviMjpeg _),
       ("wav", decodeWavPcm _), ("header", parseHeader _),
-      ("video", decodeVideo _), ("exif", parseExif _))
+      ("video", decodeVideo _), ("exif", parseExif _),
+      ("tiff", decodeTiff _))
     val seeds: Seq[Array[Byte]] = Seq(
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
       synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
@@ -1380,7 +1381,8 @@ class MultimodalSpec extends SparkSpec {
       synthWavPayload(7),
       synthG711Payload(6), synthG711Payload(7), // mu + A law (r12)
       synthAdpcmPayload(6), synthAdpcmPayload(7), // mono + stereo IMA (r12)
-      synthPng16Payload(6), synthPng16Payload(7)) // 16-bit PNG (r12)
+      synthPng16Payload(6), synthPng16Payload(7), // 16-bit PNG (r12)
+      synthTiffPayload(6), synthTiffPayload(7), synthTiffPayload(8)) // TIFF (r12)
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // bit flips
         val m = b.clone()
@@ -1571,6 +1573,49 @@ class MultimodalSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(got === want)
     for (id <- 0L until 40L) assert(got.contains((id, id + 1000L)), s"id=$id")
+  }
+
+  test("TIFF: both byte orders, multi-strip offset-addressed arrays, " +
+      "WhiteIsZero inversion; JDK ImageIO's uncompressed writer " +
+      "round-trips through OUR decoder (r12)") {
+    import Multimodal._
+    // hand-checked: 3x2 RGB little-endian, two strips of 1 row
+    val t = decodeTiff(buildTiff(3, 2, 2, le = true, 1,
+      (x, y, c) => x * 50 + y * 25 + c * 5))
+    assert(t.width === 3 && t.height === 2)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      assert((t.rgb((y * 3 + x) * 3 + c) & 0xff) === x * 50 + y * 25 + c * 5)
+    // WhiteIsZero: stored inverse decodes back
+    val wz = decodeTiff(buildTiff(2, 2, 0, le = false, 2,
+      (x, y, _) => 255 - (x * 10 + y * 3)))
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((wz.rgb((y * 2 + x) * 3) & 0xff) === x * 10 + y * 3)
+    // differential: the JDK TIFF writer (uncompressed default param)
+    val bi = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5)
+      bi.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "tiff", bos)
+    val ours = decodeTiff(bos.toByteArray)
+    assert(ours != null, "JDK uncompressed TIFF must decode")
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val o = (y * 5 + x) * 3
+      assert((ours.rgb(o) & 0xff) === x * 40, s"r($x,$y)")
+      assert((ours.rgb(o + 1) & 0xff) === y * 60, s"g($x,$y)")
+      assert((ours.rgb(o + 2) & 0xff) === x + y, s"b($x,$y)")
+    }
+    // compressed TIFFs are the documented boundary: null, not garbage
+    val pw = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val pp = pw.getDefaultWriteParam
+    pp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    pp.setCompressionType("LZW")
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos2)
+    pw.setOutput(ios)
+    pw.write(null, new javax.imageio.IIOImage(bi, null, null), pp)
+    ios.close()
+    assert(decodeTiff(bos2.toByteArray) === null)
   }
 
   test("16-bit PNG: the high byte of every big-endian sample is the " +
