@@ -225,6 +225,57 @@ object Dedup {
     * the two leaves a conservative bloom, and
     * [[writeBloomIndexFromKeys]] restores tightness from the index.
     */
+  /** The maybe-side exact check shared by the batch and streaming
+    * append kernels: broadcast-flipped when the maybe set fits (index
+    * scans MAP-SIDE, zero index shuffle), shuffle anti-join fallback
+    * for degenerate batches.
+    */
+  private def exactCheckMaybe(maybe: DataFrame, idx: DataFrame,
+      broadcastMaybeLimit: Long): DataFrame = {
+    val maybeKeys = maybe.select(col("__k1"), col("__k2")).distinct()
+    if (maybe.limit((broadcastMaybeLimit + 1).toInt).count() <= broadcastMaybeLimit) {
+      val dupKeys = idx.join(broadcast(maybeKeys),
+        idx("k1") === maybeKeys("__k1") && idx("k2") === maybeKeys("__k2"),
+        "left_semi")
+      maybe.join(broadcast(dupKeys),
+        maybe("__k1") === dupKeys("k1") && maybe("__k2") === dupKeys("k2"),
+        "left_anti")
+    } else maybe.join(idx,
+      maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+  }
+
+  /** Commit the survivors' keys into the bloom layer: only TOUCHED
+    * slices re-emit and dynamic partition overwrite rewrites just
+    * their directories. Shared by the batch and streaming kernels.
+    */
+  private def commitBloomSlices(spark: org.apache.spark.sql.SparkSession,
+      out: DataFrame, bloomPath: String): Unit = {
+    import spark.implicits._
+    val blooms = spark.read.parquet(bloomPath)
+    val parts = blooms.select(col("parts")).limit(1).as[Int].head()
+    val newKeys = out.select(bloomPart(col("__k1"), parts).as("part"),
+      col("__k1").as("k1")).as[(Int, Long)]
+    val kvBloom = blooms.select(col("part"), col("bloom"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val updated = newKeys.groupByKey(_._1)
+      .cogroup(kvBloom) { (p, ks, bs) =>
+        val bf = bs.buffered.headOption match {
+          case Some((_, bytes)) => bloomFrom(bytes)
+          case None =>
+            org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
+        }
+        var any = false
+        ks.foreach { k => bf.putLong(k._2); any = true }
+        if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
+      }
+      .toDF("part", "parts", "bloom")
+      .repartition(col("part"))
+      .localCheckpoint(true) // materialize before overwriting what it reads
+    updated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(bloomPath)
+  }
+
   def appendExactDedupBloom(batch: DataFrame, idCol: String, textCol: String,
       indexPath: String, bloomPath: String,
       broadcastMaybeLimit: Long = 1000000L): DataFrame = {
@@ -240,53 +291,13 @@ object Dedup {
     // The whole point of the bloom layer is that the INDEX (TBs at
     // corpus scale) is never reshuffled per batch. The maybe-side is
     // tiny (true dupes + fpp of the rest), so when it fits a
-    // broadcast, the exact check flips to broadcast joins: the index
-    // streams MAP-SIDE through a broadcast semi (which of these few
-    // keys does it contain?), and the anti against that small result
-    // is a broadcast too — zero index shuffle end to end. A
-    // degenerate batch (mostly duplicates) falls back to the shuffle
-    // anti-join.
-    val maybeKeys = maybe.select(col("__k1"), col("__k2")).distinct()
-    val checkedNew =
-      if (maybe.limit((broadcastMaybeLimit + 1).toInt).count() <= broadcastMaybeLimit) {
-        val dupKeys = idx.join(broadcast(maybeKeys),
-          idx("k1") === maybeKeys("__k1") && idx("k2") === maybeKeys("__k2"),
-          "left_semi")
-        maybe.join(broadcast(dupKeys),
-          maybe("__k1") === dupKeys("k1") && maybe("__k2") === dupKeys("k2"),
-          "left_anti")
-      } else maybe.join(idx,
-        maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+    // broadcast, the exact check flips to broadcast joins (see
+    // exactCheckMaybe) — zero index shuffle end to end.
+    val checkedNew = exactCheckMaybe(maybe, idx, broadcastMaybeLimit)
     val fresh = definiteNew.unionByName(checkedNew)
     val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
     // blooms first (see commit-order note), then the key index
-    val blooms = spark.read.parquet(bloomPath)
-    import spark.implicits._
-    val parts = blooms.select(col("parts")).limit(1).as[Int].head()
-    val newKeys = out.select(bloomPart(col("__k1"), parts).as("part"),
-      col("__k1").as("k1")).as[(Int, Long)]
-    val kvBloom = blooms.select(col("part"), col("bloom"))
-      .as[(Int, Array[Byte])].groupByKey(_._1)
-    val updated = newKeys.groupByKey(_._1)
-      .cogroup(kvBloom) { (p, ks, bs) =>
-        // emit ONLY touched slices — dynamic partition overwrite below
-        // replaces just their directories, the rest of the layer is
-        // never rewritten
-        val bf = bs.buffered.headOption match {
-          case Some((_, bytes)) => bloomFrom(bytes)
-          case None => // a part that was empty at build time
-            org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
-        }
-        var any = false
-        ks.foreach { k => bf.putLong(k._2); any = true }
-        if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
-      }
-      .toDF("part", "parts", "bloom")
-      .repartition(col("part"))
-      .localCheckpoint(true) // materialize before overwriting what it reads
-    updated.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(bloomPath)
+    commitBloomSlices(spark, out, bloomPath)
     out.select(col("__k1").as("k1"), col("__k2").as("k2"))
       .write.mode("append").parquet(indexPath)
     out.drop("__k1", "__k2", "__maybe")
@@ -314,35 +325,13 @@ object Dedup {
       .localCheckpoint(true)
     val definiteNew = probed.filter(!col("__maybe"))
     val maybe = probed.filter(col("__maybe"))
-    val checkedNew = maybe.join(idx,
-      maybe("__k1") === idx("k1") && maybe("__k2") === idx("k2"), "left_anti")
+    // micro-batches are small: the broadcast-flipped check (index
+    // scans map-side) matters MOST here — shared with the batch path
+    val checkedNew = exactCheckMaybe(maybe, idx, 1000000L)
     val fresh = definiteNew.unionByName(checkedNew)
     val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
     // blooms first (conservative on interruption), then keys+token
-    val blooms = spark.read.parquet(bloomPath)
-    import spark.implicits._
-    val parts = blooms.select(col("parts")).limit(1).as[Int].head()
-    val newKeys = out.select(bloomPart(col("__k1"), parts).as("part"),
-      col("__k1").as("k1")).as[(Int, Long)]
-    val kvBloom = blooms.select(col("part"), col("bloom"))
-      .as[(Int, Array[Byte])].groupByKey(_._1)
-    val updated = newKeys.groupByKey(_._1)
-      .cogroup(kvBloom) { (p, ks, bs) =>
-        val bf = bs.buffered.headOption match {
-          case Some((_, bytes)) => bloomFrom(bytes)
-          case None =>
-            org.apache.spark.util.sketch.BloomFilter.create(1000L, 0.01)
-        }
-        var any = false
-        ks.foreach { k => bf.putLong(k._2); any = true }
-        if (any) Iterator((p, parts, bloomBytes(bf))) else Iterator.empty
-      }
-      .toDF("part", "parts", "bloom")
-      .repartition(col("part"))
-      .localCheckpoint(true)
-    updated.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(bloomPath)
+    commitBloomSlices(spark, out, bloomPath)
     out.select(col("__k1").as("k1"), col("__k2").as("k2"),
         lit(batchToken).as("tok"))
       .write.mode("append").parquet(indexPath)
@@ -356,10 +345,14 @@ object Dedup {
       indexPath: String, bloomPath: String, parts: Int = 64,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
     import spark.implicits._
-    Seq.empty[(Long, String, String)].toDF("k1", "k2", "tok")
-      .write.mode("overwrite").parquet(indexPath)
+    // bloom FIRST, index LAST: bootstrap-detection probes the index
+    // _SUCCESS marker, so the LAST-written artifact must be the one
+    // probed — a crash between the two re-bootstraps cleanly instead
+    // of wedging every retry on a missing bloom layer
     writeBloomIndexFromKeys(
       Seq.empty[Long].toDF("k1"), bloomPath, parts, expectedItems, fpp)
+    Seq.empty[(Long, String, String)].toDF("k1", "k2", "tok")
+      .write.mode("overwrite").parquet(indexPath)
   }
 
   /** Duplicate-group stats: one row per text value occurring more than

@@ -80,6 +80,8 @@ object NgramLm {
     // for alphabetic scripts, but a CJK corpus at n=3 can blow past
     // broadcastability — fail loudly instead of melting the driver
     // (lower n, or train on a hash sample)
+    require(maxModelRows > 0 && maxModelRows < Int.MaxValue,
+      s"maxModelRows $maxModelRows")
     val rows = lm.limit((maxModelRows + 1).toInt).count()
     require(rows <= maxModelRows,
       s"model has > $maxModelRows rows — too large to broadcast; " +

@@ -142,12 +142,15 @@ object Containers {
         val typeflag = hdr(156).toChar
         val isFile = typeflag == '0' || typeflag == 0.toChar
         val isLongName = typeflag == 'L' // GNU long-name extension
-        if (isFile && size > Int.MaxValue.toLong) {
+        if (isFile && (size < 0 || size > Int.MaxValue.toLong)) {
+          // size < 0: a base-256 field long enough to wrap Long —
+          // forged or hostile; same loud refusal as the 2 GiB bound
           // a REGULAR member too large for the in-memory walk must
           // not vanish silently (the strict contract); lenient mode
           // stops here rather than skipping corpus content
-          fail(f"member larger than 2 GiB ($size%d bytes)"); return
+          fail(f"member size out of range ($size%d bytes)"); return
         }
+        if (size < 0) { fail(f"negative member size"); return }
         if ((isFile || isLongName) && size <= Int.MaxValue.toLong) {
           val body = new Array[Byte](size.toInt)
           if (!readFully(in, body)) { fail("truncated member body"); return }
@@ -264,6 +267,19 @@ object Containers {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** True iff the shard glob matches at least one file — the
+    * explicit emptiness probe that keeps the empty-manifest fallback
+    * from swallowing UNRELATED read failures (r12 review: a broad
+    * AnalysisException catch could attest an empty corpus over data
+    * that is on disk).
+    */
+  private def globNonEmpty(spark: SparkSession, glob: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(p)
+    st != null && st.nonEmpty
+  }
+
   /** Shared empty-layout manifest schema: an empty input is a VALID
     * overwrite — the writer must attest emptiness, not crash after
     * deleting the previous layout (the Shards.writeShards precedent).
@@ -324,16 +340,16 @@ object Containers {
         close()
       }
     // manifest FROM the written shards (attests disk content), LAST;
-    // an empty input wrote no files — attest emptiness, never crash
+    // an empty input wrote no files — attest emptiness explicitly
+    // (never a broad catch that could mask real read failures)
     val mf =
-      try readTarShards(spark, s"$base/data/*$ext")
+      if (!globNonEmpty(spark, s"$base/data/*$ext")) emptyManifest(spark)
+      else readTarShards(spark, s"$base/data/*$ext")
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("size")).as("sum_bytes"),
           sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
             .as("checksum"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        emptyManifest(spark) }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }
@@ -454,14 +470,13 @@ object Containers {
         close()
       }
     val mf =
-      try readZipShards(spark, s"$base/data/*.zip")
+      if (!globNonEmpty(spark, s"$base/data/*.zip")) emptyManifest(spark)
+      else readZipShards(spark, s"$base/data/*.zip")
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("size")).as("sum_bytes"),
           sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
             .as("checksum"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        emptyManifest(spark) }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }

@@ -824,7 +824,7 @@ object Multimodal {
     if (nEntries <= 0 || nEntries > 512) return null
     // tag -> (type, count, valueOffsetPos): values read lazily
     var width = -1; var height = -1; var compression = 1
-    var photometric = -1; var spp = 1; var rowsPerStrip = Int.MaxValue
+    var photometric = -1; var spp = 1
     var bitsOk = true
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
@@ -852,7 +852,7 @@ object Multimodal {
         case 262 => photometric = intValues(typ, 1, vpos)(0).toInt
         case 273 => stripOffsets = intValues(typ, count, vpos)
         case 277 => spp = intValues(typ, 1, vpos)(0).toInt
-        case 278 => rowsPerStrip = intValues(typ, 1, vpos)(0).toInt
+        // 278 RowsPerStrip: reassembly keys on offsets+counts alone
         case 279 => stripCounts = intValues(typ, count, vpos)
         case 284 => planar = intValues(typ, 1, vpos)(0).toInt
         case _ => ()
@@ -2967,7 +2967,9 @@ object Multimodal {
     require(fromRate > 0 && toRate > 0, s"rates $fromRate -> $toRate")
     if (samples.isEmpty) return Array.emptyShortArray
     val n = samples.length
-    val m = ((n - 1).toLong * toRate / fromRate).toInt + 1
+    val mL = (n - 1).toLong * toRate / fromRate + 1
+    require(mL <= Int.MaxValue, s"resampled length $mL overflows") // caller nulls
+    val m = mL.toInt
     val out = new Array[Short](m)
     var k = 0
     while (k < m) {
@@ -2999,11 +3001,13 @@ object Multimodal {
       it.map { r =>
         val p = r.get(idx).asInstanceOf[Array[Byte]]
         val out: Array[Byte] = if (p == null) null
-          else {
+          else try {
             val a = decodeWavPcm(p)
             if (a == null || a.channels != 1) null
             else buildWavPcm(toRate, 1,
               resampleLinear(a.samples, a.sampleRate, toRate))
+          } catch { // out-of-contract sizes degrade, never abort the job
+            case scala.util.control.NonFatal(_) => null
           }
         Row.fromSeq(r.toSeq :+ out)
       }

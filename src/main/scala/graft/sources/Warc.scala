@@ -358,23 +358,27 @@ object Warc {
         }
         close()
       }
-    // empty input: attest emptiness, never crash post-delete
+    // empty input: attest emptiness EXPLICITLY (a broad catch could
+    // mask real read failures as an empty corpus)
+    val globPath = new org.apache.hadoop.fs.Path(s"$base/data/*$ext")
+    val globFs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyShard = Option(globFs.globStatus(globPath)).exists(_.nonEmpty)
     val mf =
-      try readWarc(spark, s"$base/data/*$ext")
-        .filter(col("record_type") === "response")
-        .groupBy(col("file").as("shard"))
-        .agg(count(lit(1)).as("n_records"),
-          sum(octet_length(col("payload"))).as("sum_bytes"),
-          sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
-            .as("checksum"))
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      if (!anyShard)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
             StructField("shard", StringType, nullable = true),
             StructField("n_records", LongType, nullable = true),
             StructField("sum_bytes", LongType, nullable = true),
-            StructField("checksum", LongType, nullable = true)))) }
+            StructField("checksum", LongType, nullable = true))))
+      else readWarc(spark, s"$base/data/*$ext")
+        .filter(col("record_type") === "response")
+        .groupBy(col("file").as("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(octet_length(col("payload"))).as("sum_bytes"),
+          sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
+            .as("checksum"))
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
     spark.read.parquet(s"$base/_manifest")
   }

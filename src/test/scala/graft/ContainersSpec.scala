@@ -147,4 +147,21 @@ class ContainersSpec extends SparkSpec {
       Containers.tarHeader("y" * 101, 1)
     }
   }
+
+  test("empty-input shard writers attest emptiness (r12 review): a " +
+      "re-run that filtered to zero rows replaces the layout with an " +
+      "EMPTY committed manifest instead of crashing post-delete") {
+    val base = Files.createTempDirectory("graft_tar_empty").toString
+    val df = rows.toDF("shard_id", "name", "content")
+    assert(Containers.writeTarShards(df, "shard_id", "name", "content", base)
+      .count() === 3)
+    val mfEmpty = Containers.writeTarShards(df.limit(0), "shard_id", "name",
+      "content", base)
+    assert(mfEmpty.count() === 0, "empty manifest attests zero shards")
+    assert(Containers.tarManifest(spark, base).count() === 0,
+      "the committed manifest is the empty one")
+    val zipBase = Files.createTempDirectory("graft_zip_empty").toString
+    assert(Containers.writeZipShards(df.limit(0), "shard_id", "name",
+      "content", zipBase).count() === 0)
+  }
 }
