@@ -1584,6 +1584,30 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("shuffle_key"))
         .orderBy(col("source"), col("shuffle_key"), col("doc_id"))),
 
+    // --- Domain-level crawl budget (r12 — the per-host quota every
+    //     polite large-scale crawl enforces, composed from three
+    //     operators in ONE plan): messy URL spellings (mixed-case
+    //     authority, default port, tracking param) normalize through
+    //     canonicalUrl → urlHost into the host key, and quotaSample
+    //     takes each host's budget (one host's quota exceeds its
+    //     supply — takes all). EXACT membership oracle: the md5
+    //     shuffle-key ranking replays in SQL, and the host column
+    //     must equal its closed form — a mis-normalized URL would
+    //     land in the wrong quota group and hash-mismatch.
+    "docs_domain_quota" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      val raw = concat(lit("https://WWW.Host"), pmod(col("doc_id"), lit(5L)),
+        lit(".example.com:443/p/"), col("doc_id"), lit("?utm_source=x"))
+      val host = TextFunctions.urlHost(TextFunctions.canonicalUrl(raw))
+      val keyed = docs.select(col("doc_id"), host.as("host"))
+      graft.operators.TrainingOrder.quotaSample(keyed, "host", "doc_id",
+          Map("host0.example.com" -> 10L, "host1.example.com" -> 25L,
+            "host2.example.com" -> 5L, "host3.example.com" -> 200L,
+            "host4.example.com" -> 15L), seed = 7L)
+        .select(col("host"), col("doc_id"), col("shuffle_key"))
+        .orderBy(col("host"), col("shuffle_key"), col("doc_id"))
+    }),
+
     // --- Deterministic train/val/test split (r9): per-row band
     //     assignment from the seeded 32-bit md5 key against INTEGER
     //     thresholds (round(cum·2^32)) — engine-portable with no
@@ -4178,6 +4202,23 @@ object SparkEntry {
         |SELECT source, doc_id, sk AS shuffle_key FROM r
         |WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 12 END
         |ORDER BY source, shuffle_key, doc_id""".stripMargin,
+
+    // the docs_domain_quota oracle: hosts from the id formula (the
+    // normalization chain must land exactly there), md5 ranking, the
+    // over-supplied host takes all of its 80 docs
+    "docs_domain_quota" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'host' || (doc_id % 5) || '.example.com' AS host,
+        |    md5(doc_id || ':7') AS sk
+        |  FROM documents WHERE doc_id < 400),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY sk, doc_id) AS rk
+        |      FROM d)
+        |SELECT host, doc_id, sk AS shuffle_key FROM r
+        |WHERE rk <= CASE host
+        |  WHEN 'host0.example.com' THEN 10 WHEN 'host1.example.com' THEN 25
+        |  WHEN 'host2.example.com' THEN 5 WHEN 'host3.example.com' THEN 200
+        |  ELSE 15 END
+        |ORDER BY host, shuffle_key, doc_id""".stripMargin,
 
     // same integer band thresholds: round(0.9·2^32) = 3865470566,
     // round(0.95·2^32) = 4080218931; k parsed from the same md5 hex
