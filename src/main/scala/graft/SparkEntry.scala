@@ -1584,6 +1584,32 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("shuffle_key"))
         .orderBy(col("source"), col("shuffle_key"), col("doc_id"))),
 
+    // --- 13-gram decontamination (r12 — the GPT-3/PaLM convention:
+    //     a benchmark item is contaminated if it shares ANY 13-token
+    //     window with a training doc): probes lift a real 13-token
+    //     window from every 15th doc (plus fresh items that must
+    //     match nothing), and the containment join runs at
+    //     shingleLen 13 with an any-overlap threshold. The oracle
+    //     scans every corpus doc's contiguous 13-token windows for
+    //     the probe window — exact membership, single-shingle probes
+    //     make containment exactly 1.
+    "text_contamination_13g" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300 &&
+          size(TextFunctions.tokens(col("text"))) >= 20)
+      val probes = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 100000L).as("probe_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 5, 13), " ")
+            .as("ptext"))
+        .unionByName(s.range(5).select((col("id") + 200000L).as("probe_id"),
+          concat(lit("benchmark question number "), col("id"),
+            lit(" with fresh unique wording that matches nothing in this corpus"))
+            .as("ptext")))
+      Dedup.containmentJoin(docs, "doc_id", "text", probes, "probe_id",
+          "ptext", shingleLen = 13, minContainment = 0.01)
+        .orderBy(col("probe_id"), col("doc_id"))
+    }),
+
     // --- Domain-level crawl budget (r12 — the per-host quota every
     //     polite large-scale crawl enforces, composed from three
     //     operators in ONE plan): messy URL spellings (mixed-case
@@ -4202,6 +4228,29 @@ object SparkEntry {
         |SELECT source, doc_id, sk AS shuffle_key FROM r
         |WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 12 END
         |ORDER BY source, shuffle_key, doc_id""".stripMargin,
+
+    // the text_contamination_13g oracle: every corpus doc's
+    // contiguous 13-token windows scanned for each probe's lifted
+    // window; fresh probes match nothing; single-shingle probes give
+    // containment exactly 1
+    "text_contamination_13g" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 20),
+        |p AS (
+        |  SELECT doc_id + 100000 AS probe_id,
+        |    array_to_string(t[5:17], ' ') AS w
+        |  FROM dd WHERE doc_id % 15 = 0),
+        |m AS (
+        |  SELECT p.probe_id, dd.doc_id
+        |  FROM p, dd, generate_series(1, 2000) AS g(g)
+        |  WHERE g.g <= len(dd.t) - 12
+        |    AND array_to_string(dd.t[g.g : g.g + 12], ' ') = p.w
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, doc_id, CAST(1.0 AS DOUBLE) AS containment
+        |FROM m ORDER BY probe_id, doc_id""".stripMargin,
 
     // the docs_domain_quota oracle: hosts from the id formula (the
     // normalization chain must land exactly there), md5 ranking, the
