@@ -316,7 +316,9 @@ object Dedup {
     */
   def appendExactDedupStreamBatch(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, bloomPath: String,
-      batchToken: String): DataFrame = {
+      batchToken: String, broadcastMaybeLimit: Long = 1000000L): DataFrame = {
+    require(broadcastMaybeLimit >= 0 && broadcastMaybeLimit < Int.MaxValue,
+      s"broadcastMaybeLimit $broadcastMaybeLimit")
     val spark = batch.sparkSession
     val idx = spark.read.parquet(indexPath)
       .filter(col("tok") =!= batchToken) // replay: own keys invisible
@@ -327,7 +329,7 @@ object Dedup {
     val maybe = probed.filter(col("__maybe"))
     // micro-batches are small: the broadcast-flipped check (index
     // scans map-side) matters MOST here — shared with the batch path
-    val checkedNew = exactCheckMaybe(maybe, idx, 1000000L)
+    val checkedNew = exactCheckMaybe(maybe, idx, broadcastMaybeLimit)
     val fresh = definiteNew.unionByName(checkedNew)
     val out = exactDedup(fresh, idCol, textCol).localCheckpoint(true)
     // blooms first (conservative on interruption), then keys+token

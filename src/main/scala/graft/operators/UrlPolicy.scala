@@ -135,9 +135,11 @@ object UrlPolicy {
           regexp_like(col("__path"), rules("pattern")))
       .groupBy(col("__host"), col("__path"))
       .agg(
-        // longest prefix wins; Allow beats Disallow at equal length
+        // longest rule wins by OCTETS (RFC 9309 §2.2.2 compares
+        // octets, not characters — multi-byte paths rank higher);
+        // Allow beats Disallow at equal length
         max_by(col("allow"),
-          struct(length(col("prefix")), col("allow").cast("int")))
+          struct(octet_length(col("prefix")), col("allow").cast("int")))
           .as("__allow"))
     keyed.join(decisions, Seq("__host", "__path"), "left")
       .withColumn("robots_allow", coalesce(col("__allow"), lit(true)))

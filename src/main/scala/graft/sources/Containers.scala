@@ -142,16 +142,15 @@ object Containers {
         val typeflag = hdr(156).toChar
         val isFile = typeflag == '0' || typeflag == 0.toChar
         val isLongName = typeflag == 'L' // GNU long-name extension
-        if (isFile && (size < 0 || size > Int.MaxValue.toLong)) {
-          // size < 0: a base-256 field long enough to wrap Long —
-          // forged or hostile; same loud refusal as the 2 GiB bound
-          // a REGULAR member too large for the in-memory walk must
-          // not vanish silently (the strict contract); lenient mode
-          // stops here rather than skipping corpus content
+        // a negative size (base-256 field long enough to wrap Long) is
+        // forged or hostile; a regular/long-name member beyond the
+        // in-memory bound must not vanish silently (strict contract) —
+        // lenient mode stops rather than skipping corpus content
+        if (size < 0) { fail("negative member size"); return }
+        if ((isFile || isLongName) && size > Int.MaxValue.toLong) {
           fail(f"member size out of range ($size%d bytes)"); return
         }
-        if (size < 0) { fail(f"negative member size"); return }
-        if ((isFile || isLongName) && size <= Int.MaxValue.toLong) {
+        if (isFile || isLongName) {
           val body = new Array[Byte](size.toInt)
           if (!readFully(in, body)) { fail("truncated member body"); return }
           skipFully(in, padded - size)
@@ -273,7 +272,7 @@ object Containers {
     * AnalysisException catch could attest an empty corpus over data
     * that is on disk).
     */
-  private def globNonEmpty(spark: SparkSession, glob: String): Boolean = {
+  private[sources] def globNonEmpty(spark: SparkSession, glob: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.globStatus(p)

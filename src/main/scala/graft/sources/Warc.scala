@@ -359,12 +359,9 @@ object Warc {
         close()
       }
     // empty input: attest emptiness EXPLICITLY (a broad catch could
-    // mask real read failures as an empty corpus)
-    val globPath = new org.apache.hadoop.fs.Path(s"$base/data/*$ext")
-    val globFs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyShard = Option(globFs.globStatus(globPath)).exists(_.nonEmpty)
+    // mask real read failures as an empty corpus) — shared probe
     val mf =
-      if (!anyShard)
+      if (!Containers.globNonEmpty(spark, s"$base/data/*$ext"))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(
