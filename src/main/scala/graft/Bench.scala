@@ -53,6 +53,17 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // the r12 bench-stderr stack fragment, identified (VERDICT r12
+    // #3): resolving any GLOB read path (the tar/zip/warc shard
+    // gates), Spark probes the literal glob string for a streaming
+    // `_spark_metadata` dir; FileStreamSink.hasMetadata catches the
+    // inevitable FileNotFoundException and logs it AT WARN WITH THE
+    // FULL STACK ("Assume no metadata directory…"), then proceeds.
+    // Benign by construction — demote to ERROR so a real throw in
+    // the harness can't hide behind it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

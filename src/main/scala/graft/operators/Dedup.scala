@@ -320,8 +320,11 @@ object Dedup {
     require(broadcastMaybeLimit >= 0 && broadcastMaybeLimit < Int.MaxValue,
       s"broadcastMaybeLimit $broadcastMaybeLimit")
     val spark = batch.sparkSession
+    // null-safe: only THIS batch's token is excluded — a null tok
+    // (keys migrated from the untokened layout) must stay visible,
+    // and plain =!= would drop it under three-valued logic.
     val idx = spark.read.parquet(indexPath)
-      .filter(col("tok") =!= batchToken) // replay: own keys invisible
+      .filter(!(col("tok") <=> lit(batchToken)))
     val probed = bloomProbe(batch, textCol, bloomPath)
       .withColumn("__k2", md5(col(textCol)))
       .localCheckpoint(true)

@@ -51,32 +51,42 @@ object Graphs {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
       .persist()
     val base = (1.0 - damping) / n
-    var pr = vertices.select(col("id"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
+    // the rank frame CARRIES out_deg (null = dangling) so each
+    // iteration needs neither the outDeg join nor a second driver
+    // action: the dangling-mass aggregate below IS the materializing
+    // action on the persisted/checkpoint-marked frame — one job per
+    // iteration, not two (r12 review: 2k jobs for k iterations had
+    // scheduling latency dominating at high iteration counts).
+    def materializeAndDangling(frame: DataFrame): Double =
+      frame.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+    var pr = vertices.join(outDeg, vertices("id") === outDeg("src"), "left")
+      .select(col("id"), lit(1.0 / n).as("pr"), col("out_deg"))
+      .persist()
+    var danglingMass = materializeAndDangling(pr)
     var it = 0
     while (it < iterations) {
-      // rank mass per outlink; vertices with no outlinks are dangling
-      val withDeg = pr.join(outDeg, pr("id") === outDeg("src"), "left")
-        .select(col("id"), col("pr"), col("out_deg"))
-      val danglingMass = withDeg.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
-      val contribs = e.join(withDeg.filter(col("out_deg").isNotNull),
-          e("src") === withDeg("id"))
+      val contribs = e.join(pr.filter(col("out_deg").isNotNull),
+          e("src") === pr("id"))
         .select(col("dst").as("id"),
           (col("pr") / col("out_deg")).as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("c")) // map-side partial on dst
       val next = vertices.join(contribs, Seq("id"), "left")
+        .join(outDeg, vertices("id") === outDeg("src"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("pr"))
+            (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("pr"),
+          col("out_deg"))
       val prev = pr
-      pr = if (it % 5 == 4) next.localCheckpoint(true)
-        else { val p = next.persist(); p.count(); p }
+      // non-eager localCheckpoint: the dangling aggregate is what
+      // materializes it, same as the persist branch — still one job
+      pr = if (it % 5 == 4) next.localCheckpoint(false) else next.persist()
+      danglingMass = materializeAndDangling(pr)
       prev.unpersist() // next is materialized — the old ranks can go
       it += 1
     }
-    val out = pr.localCheckpoint(true)
+    val out = pr.select(col("id"), col("pr")).localCheckpoint(true)
     pr.unpersist() // the last iteration's cache must not outlive the call
     e.unpersist(); vertices.unpersist(); outDeg.unpersist()
     out

@@ -73,9 +73,16 @@ object NgramLm {
     * ((0+1)/(c(ctx)+V)), unseen contexts to 1/V. Returns the input
     * plus `avg_logp` (null for docs shorter than n chars) and
     * `n_grams`. Model and context tables broadcast.
+    *
+    * CONTRACT: `idCol` must be unique per row (the per-doc scores
+    * join back on it — a duplicated id would fan rows out; same
+    * contract as [[Ann.semDedup]]), and the input must not already
+    * carry the working column `__id` (checked).
     */
   def withLogProb(df: DataFrame, idCol: String, textCol: String,
       lm: DataFrame, n: Int = 3, maxModelRows: Long = 10000000L): DataFrame = {
+    require(!df.columns.contains("__id"),
+      "withLogProb uses working column __id; rename it first")
     // the broadcast contract: char n-gram models are alphabet-bounded
     // for alphabetic scripts, but a CJK corpus at n=3 can blow past
     // broadcastability — fail loudly instead of melting the driver

@@ -130,7 +130,11 @@ object TrainingOrder {
       .agg(sum(sizeCol.cast("double")).as("n"))
     val scaled = sized.select(col(sourceCol), col("n"),
       pow(col("n"), 1.0 / temperature).as("__s"))
-    val total = scaled.agg(sum(col("__s"))).head().getDouble(0)
+    val total = Option(scaled.agg(sum(col("__s"))).head()
+        .getAs[java.lang.Double](0)).map(_.doubleValue).getOrElse(0.0)
+    require(total > 0,
+      "temperatureWeights: corpus is empty or has zero total size — " +
+        "no mixture weights are derivable")
     scaled.select(col(sourceCol), col("n").cast("long").as("n"),
       (col("__s") / total).as("weight"))
   }

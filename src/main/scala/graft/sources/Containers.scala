@@ -266,6 +266,51 @@ object Containers {
     if (pad > 0) out.write(new Array[Byte](pad))
   }
 
+  /** Open `finalPath` for writing via a task-attempt temp file that
+    * is renamed into place by the returned commit thunk: only a
+    * COMPLETE shard file is ever visible under its final name, so a
+    * speculative or retried task attempt can no longer interleave
+    * bytes with a zombie attempt writing the same shard (r12 review).
+    * Shard content is deterministic by construction (sorted members,
+    * fixed stamps), so when the rename loses the race — the other
+    * attempt already committed an identical complete file — the temp
+    * is simply discarded. The `.inprogress-*` suffix keeps temps out
+    * of the `*.tar`/`*.zip`/`*.warc*` manifest and read globs.
+    */
+  private[sources] def createCommitted(
+      hconf: org.apache.hadoop.conf.Configuration,
+      finalPath: org.apache.hadoop.fs.Path)
+      : (java.io.OutputStream, () => Unit) = {
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = new org.apache.hadoop.fs.Path(finalPath.getParent,
+      s"${finalPath.getName}.inprogress-$attempt")
+    val fs = finalPath.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    val commit = () => {
+      if (!fs.rename(tmp, finalPath)) {
+        if (!fs.exists(finalPath))
+          throw new java.io.IOException(
+            s"commit rename $tmp -> $finalPath failed")
+        fs.delete(tmp, false) // lost the race to a complete twin
+      }
+      ()
+    }
+    (out, commit)
+  }
+
+  /** Delete stale `.inprogress-*` temps under the shard data dir —
+    * leftovers of failed attempts whose retry committed under a
+    * different attempt id.
+    */
+  private[sources] def cleanInProgress(spark: SparkSession,
+      dataDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dataDir/*.inprogress-*")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.globStatus(p)
+    if (st != null) st.foreach(s => fs.delete(s.getPath, false))
+  }
+
   /** True iff the shard glob matches at least one file — the
     * explicit emptiness probe that keeps the empty-manifest fallback
     * from swallowing UNRELATED read failures (r12 review: a broad
@@ -319,10 +364,12 @@ object Containers {
       .sortWithinPartitions(col("__shard"), col("__name"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var current: java.io.OutputStream = null
+        var currentCommit: () => Unit = null
         var currentShard = Long.MinValue
         def close(): Unit = if (current != null) {
           current.write(new Array[Byte](2 * BlockSize)) // end-of-archive
           current.close(); current = null
+          currentCommit(); currentCommit = null
         }
         it.foreach { r =>
           val shard = r.getLong(0)
@@ -330,14 +377,16 @@ object Containers {
             close()
             val p = new org.apache.hadoop.fs.Path(
               f"$base/data/shard-$shard%05d$ext")
-            val raw = p.getFileSystem(hconf.value).create(p, true)
+            val (raw, commit) = createCommitted(hconf.value, p)
             current = if (gz) new java.util.zip.GZIPOutputStream(raw) else raw
+            currentCommit = commit
             currentShard = shard
           }
           writeEntry(current, r.getString(1), r.getAs[Array[Byte]](2))
         }
         close()
       }
+    cleanInProgress(spark, s"$base/data")
     // manifest FROM the written shards (attests disk content), LAST;
     // an empty input wrote no files — attest emptiness explicitly
     // (never a broad catch that could mask real read failures)
@@ -444,10 +493,12 @@ object Containers {
       .sortWithinPartitions(col("__shard"), col("__name"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var current: java.util.zip.ZipOutputStream = null
+        var currentCommit: () => Unit = null
         var currentShard = Long.MinValue
         val stamp = java.time.LocalDateTime.of(2000, 1, 1, 0, 0, 0)
         def close(): Unit = if (current != null) {
           current.finish(); current.close(); current = null
+          currentCommit(); currentCommit = null
         }
         it.foreach { r =>
           val shard = r.getLong(0)
@@ -455,9 +506,10 @@ object Containers {
             close()
             val p = new org.apache.hadoop.fs.Path(
               f"$base/data/shard-$shard%05d.zip")
-            current = new java.util.zip.ZipOutputStream(
-              p.getFileSystem(hconf.value).create(p, true))
+            val (raw, commit) = createCommitted(hconf.value, p)
+            current = new java.util.zip.ZipOutputStream(raw)
             current.setLevel(6)
+            currentCommit = commit
             currentShard = shard
           }
           val e = new java.util.zip.ZipEntry(r.getString(1))
@@ -468,6 +520,7 @@ object Containers {
         }
         close()
       }
+    cleanInProgress(spark, s"$base/data")
     val mf =
       if (!globNonEmpty(spark, s"$base/data/*.zip")) emptyManifest(spark)
       else readZipShards(spark, s"$base/data/*.zip")

@@ -274,7 +274,10 @@ object Warc {
       sb.append(k).append(": ").append(v).append(CRLF) }
     sb.append("Content-Length: ").append(body.length).append(CRLF)
     sb.append(CRLF)
-    sb.toString.getBytes(StandardCharsets.US_ASCII) ++ body ++
+    // UTF-8, matching the reader (ISO 28500 headers are UTF-8):
+    // ASCII-only headers are byte-identical either way, but a
+    // non-ASCII WARC-Target-URI must survive the round trip.
+    sb.toString.getBytes(StandardCharsets.UTF_8) ++ body ++
       (CRLF + CRLF).getBytes(StandardCharsets.US_ASCII)
   }
 
@@ -339,9 +342,11 @@ object Warc {
       .sortWithinPartitions(col("__shard"), col("__uri"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         var current: java.io.OutputStream = null
+        var currentCommit: () => Unit = null
         var currentShard = Long.MinValue
         def close(): Unit = if (current != null) {
           current.close(); current = null
+          currentCommit(); currentCommit = null
         }
         it.foreach { r =>
           val shard = r.getLong(0)
@@ -349,7 +354,9 @@ object Warc {
             close()
             val p = new org.apache.hadoop.fs.Path(
               f"$base/data/shard-$shard%05d$ext")
-            current = p.getFileSystem(hconf.value).create(p, true)
+            val (raw, commit) = Containers.createCommitted(hconf.value, p)
+            current = raw
+            currentCommit = commit
             currentShard = shard
           }
           val rec = buildResponse(r.getString(1), r.getString(2))
@@ -358,6 +365,7 @@ object Warc {
         }
         close()
       }
+    Containers.cleanInProgress(spark, s"$base/data")
     // empty input: attest emptiness EXPLICITLY (a broad catch could
     // mask real read failures as an empty corpus) — shared probe
     val mf =

@@ -34,6 +34,43 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
   }
 
+  test("pageRank: ONE driver action per iteration (r13 — the dangling " +
+      "aggregate IS the materializing action; pinned via SQL-execution " +
+      "count delta between 2 and 4 iterations)") {
+    class ExecCounter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          n.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    def execsFor(iters: Int): Int = {
+      val c = new ExecCounter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        val edges = spark.range(50).select($"id".as("src"),
+          pmod($"id" * 7 + 3, lit(50L)).as("dst"))
+        Graphs.pageRank(edges, "src", "dst", iterations = iters)
+        // drain the async listener bus: poll until the count is stable
+        var prev = -1; var cur = c.n.get(); var spins = 0
+        while (cur != prev && spins < 50) {
+          prev = cur; Thread.sleep(100); cur = c.n.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(c)
+    }
+    // 2 vs 4 iterations keeps both runs off the every-5th
+    // localCheckpoint branch, whose checkpoint-marking wrapper posts
+    // a (zero-job) SQLExecutionStart of its own
+    val j2 = execsFor(2)
+    val j4 = execsFor(4)
+    assert(j4 - j2 === 2,
+      s"expected exactly 1 driver action per extra iteration: " +
+        s"$j2 executions at 2 iters, $j4 at 4")
+  }
+
   test("extractLinks: double then single quotes in document order, " +
       "relative hrefs verbatim, no-link and null pages (r12)") {
     import graft.functions.TextFunctions.extractLinks
