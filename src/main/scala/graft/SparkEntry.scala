@@ -2305,6 +2305,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Byte-level BPE training (r13 — the GPT-2-class tokenizer:
+    //     byte-alphabet symbols through the public byte↔unicode
+    //     bijection, NO case folding, leading space rides as Ġ).
+    //     Plant: "Ab "×m3 + "éé "×m2 + "Abé X" per doc — the ladder
+    //     is hand-derivable: (Ã,©) Σ(2m2+1)=240 (the two é bytes) >
+    //     (A,b) Σ(m3+1)=180 (case preserved) > (Ġ,Ab) Σm3=120 (the
+    //     space-attachment convention) > the 90-count TIE between
+    //     (Ã©,Ã©) and (Ġ,Ã©), broken by UTF-8 byte order
+    //     (C3… < C4…). Oracle recomputes every count from the id
+    //     formulas, mapped symbols as verbatim UTF-8 literals.
+    "text_bpe_bytes_merges" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('Ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('éé ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("Abé X")).as("text"))
+      operators.Bpe.trainBytes(corpus, "text", numMerges = 4)
+        .orderBy(col("rank"))
+    }),
+
+    // --- Byte-level BPE encoding + exact round trip (r13): the
+    //     learned table applied back (case-sensitive — lowercase
+    //     'ab' would NOT merge), and decode(encode(text)) compared
+    //     byte-for-byte IN the hashed result: roundtrip_ok is
+    //     computed in-engine and must be 1 on every row.
+    "text_bpe_bytes" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('Ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('éé ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("Abé X")).as("text"))
+      val ranks = operators.Bpe.rankMap(
+        operators.Bpe.trainBytes(corpus, "text", numMerges = 4))
+      val toks = operators.Bpe.withBpeByteTokens(corpus, "text", ranks, "toks")
+      operators.Bpe.withDecoded(toks, "toks", "back")
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          array_join(col("toks"), " ").as("tokens"),
+          (col("back") === col("text")).cast("int").as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- PII redaction (curation op: scrub PII before training) over
     //     the three patterns every curation pipeline scrubs — emails,
     //     phone numbers, IPv4 addresses (r12 widened per VERDICT r11
@@ -4757,6 +4798,34 @@ object SparkEntry {
         |  repeat('ab ', CAST(doc_id % 3 + 1 AS INT)) ||
         |    repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT)) ||
         |    'e f abd cd c f e' AS tokens
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // the text_bpe_bytes_merges oracle: the byte-mode ladder with
+    // every pair count recomputed from the plant formulas; symbols
+    // are in the GPT-2 mapped space (é = bytes C3 A9 → 'Ã','©';
+    // space → 'Ġ'); the rank-3 tie (Ã©,Ã©) vs (Ġ,Ã©) at Σm2=90
+    // breaks on UTF-8 byte order
+    "text_bpe_bytes_merges" ->
+      """WITH d AS (
+        |  SELECT doc_id % 3 + 1 AS m3, doc_id % 2 + 1 AS m2
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT CAST(0 AS INT) AS rank, 'Ã' AS "left", '©' AS "right",
+        |  CAST(sum(2 * m2 + 1) AS BIGINT) AS pair_count FROM d
+        |UNION ALL SELECT 1, 'A', 'b', CAST(sum(m3 + 1) AS BIGINT) FROM d
+        |UNION ALL SELECT 2, 'Ġ', 'Ab', CAST(sum(m3) AS BIGINT) FROM d
+        |UNION ALL SELECT 3, 'Ã©', 'Ã©', CAST(sum(m2) AS BIGINT) FROM d
+        |ORDER BY rank""".stripMargin,
+
+    // the text_bpe_bytes oracle: closed-form byte-mode tokenization —
+    // "Ab" merges whole, each " Ab" to ĠAb, each " éé" to [Ġ, Ã©Ã©],
+    // " Abé" to [ĠAb, Ã©], " X" to [Ġ, X]; round trip asserted 1
+    "text_bpe_bytes" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 2 * (doc_id % 2) + 7 AS INT) AS n_tokens,
+        |  'Ab' || repeat(' ĠAb', CAST(doc_id % 3 AS INT)) ||
+        |    repeat(' Ġ Ã©Ã©', CAST(doc_id % 2 + 1 AS INT)) ||
+        |    ' ĠAb Ã© Ġ X' AS tokens,
+        |  CAST(1 AS INT) AS roundtrip_ok
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     "events_window" ->

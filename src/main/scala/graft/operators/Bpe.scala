@@ -71,16 +71,31 @@ object Bpe {
     */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, sampleFraction: Double = 1.0): DataFrame = {
-    require(numMerges > 0, s"numMerges $numMerges")
     val spark = df.sparkSession
     import spark.implicits._
-    val hist0 = wordHistogram(df, textCol)
-    val hist = if (sampleFraction >= 1.0) hist0
-      else hist0.filter(pmod(xxhash64(col("word")), lit(1000000L)) <
-        (sampleFraction * 1000000L).toLong)
-    var words = hist.as[(String, Long)]
+    val words = sampleHistogram(wordHistogram(df, textCol), sampleFraction)
+      .as[(String, Long)]
       .map { case (w, c) => (w.map(_.toString).toArray, c) }
-      .persist()
+    trainOnSymbols(spark, words, numMerges, minCount)
+  }
+
+  private def sampleHistogram(hist: DataFrame,
+      sampleFraction: Double): DataFrame =
+    if (sampleFraction >= 1.0) hist
+    else hist.filter(pmod(xxhash64(col("word")), lit(1000000L)) <
+      (sampleFraction * 1000000L).toLong)
+
+  /** The merge-training loop over an already-symbolized word
+    * histogram — shared by the char-level [[train]] and the
+    * byte-level [[trainBytes]] (the symbol alphabet is the ONLY
+    * difference between the two modes).
+    */
+  private def trainOnSymbols(spark: org.apache.spark.sql.SparkSession,
+      words0: org.apache.spark.sql.Dataset[(Array[String], Long)],
+      numMerges: Int, minCount: Long): DataFrame = {
+    require(numMerges > 0, s"numMerges $numMerges")
+    import spark.implicits._
+    var words = words0.persist()
     words.count() // materialize before the loop measures pairs
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -171,6 +186,135 @@ object Bpe {
           else pattern.findAllIn(t.asInstanceOf[String].toLowerCase(java.util.Locale.ROOT))
             .flatMap(w => encodeWord(w, rk)).toSeq
         Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+
+  // ------------------------------------------------- byte-level mode
+  // The GPT-2-class tokenizer (r13): symbols are the 256 BYTES of the
+  // UTF-8 text, no case folding — so any Unicode input always
+  // encodes (byte fallback), case information survives, and
+  // decode(encode(x)) == x exactly. Bytes are represented as single
+  // printable chars through the public GPT-2 byte↔unicode bijection
+  // (printable ASCII/Latin-1 bytes map to themselves, the rest to
+  // U+0100+k), which lets ALL the merge machinery above — mergePair,
+  // encodeWord, the trainOnSymbols loop — carry over unchanged: a
+  // byte symbol IS a one-char string.
+
+  /** GPT-2 byte→char bijection: bytes '!'..'~', '¡'..'¬', '®'..'ÿ'
+    * map to themselves; the remaining 68 map to U+0100, U+0101, … in
+    * byte order (space = 0x20 → 'Ġ', the leading-space marker).
+    */
+  private[graft] val byteToChar: Array[Char] = {
+    val printable = ((0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (printable(b)) arr(b) = b.toChar
+      else { arr(b) = (0x100 + n).toChar; n += 1 }
+    }
+    arr
+  }
+  private[graft] val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** UTF-8 bytes of `word`, one mapped char per byte. Injective. */
+  private[graft] def byteize(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteToChar(b & 0xff)))
+    sb.toString
+  }
+
+  /** Inverse of [[byteize]] over a token stream: mapped chars back to
+    * bytes, then UTF-8 decode — `decodeTokens(encode(x)) == x` for
+    * any input (pinned in BpeSpec).
+    */
+  def decodeTokens(toks: Seq[String]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    toks.foreach(_.foreach(c => out.write(charToByte(c) & 0xff)))
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The GPT-2 pre-tokenizer pattern (contractions, space-prefixed
+    * letter/digit/punct runs, whitespace), Java-regex semantics
+    * (`\s` is ASCII whitespace; a Unicode space falls to the punct
+    * class — declared convention). Alternation order matters and is
+    * leftmost-first in both engines. Total: every char of any input
+    * is consumed by exactly one match, so the concatenation of a
+    * row's pre-tokens is the row — the round-trip root.
+    */
+  val bpeBytePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Byte-level word histogram: [[bpeBytePattern]] pre-tokens of the
+    * RAW text (no lowercasing), byteized. One corpus-scale pass; the
+    * byteize map runs on the vocab-sized distinct table, not the
+    * corpus.
+    */
+  def wordHistogramBytes(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(bpeBytePattern), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) => (byteize(w), c) } // injective — no regroup
+      .toDF("word", "cnt")
+  }
+
+  /** [[train]] in byte-level mode: same merge loop, byte-symbol
+    * alphabet, case preserved. Returned left/right are in the mapped
+    * char space ('Ġ' = leading space).
+    */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, sampleFraction: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = sampleHistogram(wordHistogramBytes(df, textCol), sampleFraction)
+      .as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+    trainOnSymbols(spark, words, numMerges, minCount)
+  }
+
+  /** [[withBpeTokens]] in byte-level mode: raw text, byte pattern,
+    * byteized symbols. Tokens come out in the mapped char space —
+    * [[decodeTokens]] inverts a stream of them to the exact input.
+    */
+  def withBpeByteTokens(df: DataFrame, textCol: String,
+      ranks: Map[(String, String), Int], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(StringType), nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val bc = spark.sparkContext.broadcast(ranks)
+    val pattern = bpeBytePattern.r
+    df.mapPartitions { it =>
+      val rk = bc.value
+      it.map { r =>
+        val t = r.get(idx)
+        val toks: Seq[String] =
+          if (t == null) null
+          else pattern.findAllIn(t.asInstanceOf[String])
+            .flatMap(w => encodeWord(byteize(w), rk)).toSeq
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol` = [[decodeTokens]] of the token array in
+    * `toksCol` (null → null) — the library decode path, and what the
+    * `text_bpe_bytes` gate uses to hash-check the round trip.
+    */
+  def withDecoded(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StringType, nullable = true)
+    val idx = df.schema.fieldIndex(toksCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val decoded =
+          if (r.isNullAt(idx)) null
+          else decodeTokens(r.getSeq[String](idx))
+        Row.fromSeq(r.toSeq :+ decoded)
       }
     }(Encoders.row(schema))
   }

@@ -57,6 +57,70 @@ class BpeSpec extends SparkSpec {
     assert(toks(1).isNullAt(2), "null text must yield null tokens")
   }
 
+  test("byte mode: byte↔char bijection covers all 256 bytes; " +
+      "decode(encode) is identity incl. multi-byte UTF-8 (r13)") {
+    assert(Bpe.byteToChar.distinct.length === 256)
+    (0 until 256).foreach { b =>
+      assert((Bpe.charToByte(Bpe.byteToChar(b)) & 0xff) === b)
+    }
+    assert(Bpe.byteToChar(0x20) === 'Ġ') // space → Ġ
+    assert(Bpe.byteToChar('A'.toInt) === 'A') // printable maps to self
+    val nasty = "Ab\tcafé — ÿ 日本語 😀 end\n"
+    assert(Bpe.decodeTokens(Seq(Bpe.byteize(nasty))) === nasty)
+  }
+
+  test("byte mode: the pre-tokenizer is total — concatenating a " +
+      "row's pre-tokens reproduces the row byte-for-byte (r13)") {
+    val pat = Bpe.bpeBytePattern.r
+    Seq("Hello, world!  It's fine.",
+        "tabs\tand\nnewlines \u00A0 nbsp 12x3",
+        " leading and trailing   ",
+        "😀😀 emoji runs",
+        "").foreach { s =>
+      assert(pat.findAllIn(s).mkString === s, s"not total on: $s")
+    }
+  }
+
+  test("trainBytes: hand-derived byte ladder — space attaches as Ġ, " +
+      "é splits to Ã©, the 90-count tie breaks on UTF-8 byte order " +
+      "(r13)") {
+    val corpus = spark.range(60).select($"id".as("doc_id"),
+      concat(expr("repeat('Ab ', CAST(id % 3 + 1 AS INT))"),
+        expr("repeat('éé ', CAST(id % 2 + 1 AS INT))"),
+        lit("Abé X")).as("text"))
+    val merges = Bpe.trainBytes(corpus, "text", numMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges === Seq(
+      (0, "Ã", "©", 240L),          // (Ã, ©) — the é bytes
+      (1, "A", "b", 180L),                    // case PRESERVED
+      (2, "Ġ", "Ab", 120L),              // leading space joins
+      (3, "Ã©", "Ã©", 90L))) // tie: Ã© < Ġ in UTF-8
+  }
+
+  test("withBpeByteTokens: case-sensitive encode, byte fallback for " +
+      "unseen Unicode, and withDecoded round-trips exactly (r13)") {
+    val corpus = spark.range(60).select($"id".as("doc_id"),
+      concat(expr("repeat('Ab ', CAST(id % 3 + 1 AS INT))"),
+        expr("repeat('éé ', CAST(id % 2 + 1 AS INT))"),
+        lit("Abé X")).as("text"))
+    val ranks = Bpe.rankMap(Bpe.trainBytes(corpus, "text", numMerges = 4))
+    val df = Seq(
+        (1L, "Ab ab éé"),  // "Ab" learned; "ab" is NOT
+        (2L, "日本 heh"),    // CJK never seen — byte fallback
+        (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val toks = Bpe.withDecoded(
+        Bpe.withBpeByteTokens(df, "text", ranks, "toks"), "toks", "back")
+      .orderBy($"id").collect()
+    assert(toks(0).getSeq[String](2).take(3)
+      === Seq("Ab", "Ġ", "a")) // lowercase 'ab' stays unmerged
+    assert(toks(0).getString(3) === "Ab ab éé")
+    assert(toks(1).getSeq[String](2).nonEmpty, "unseen Unicode must encode")
+    assert(toks(1).getString(3) === "日本 heh")
+    assert(toks(2).isNullAt(2) && toks(2).isNullAt(3))
+  }
+
   test("train runs on the histogram: a word repeated across many docs " +
       "costs one vocab row, and sampleFraction keeps determinism") {
     val corpus = spark.range(500).select(
