@@ -2649,6 +2649,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Paletted PNG with tRNS transparency (r13): entry 0 is a
+    //     transparent background whose stored RGB is garbage — the
+    //     decoder must composite to white so transparent-background
+    //     twins pair in dHash; entry 1 composites partial alpha 51
+    //     round-half-up; entries past the tRNS length stay opaque.
+    //     Degrades: %19 magic, %13 tRNS misordered after IDAT (spec
+    //     violation → null, never half-applied).
+    "mm_pixels_png_trns" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngTrnsBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- ADAM7-interlaced PNG pixel decode (r12): the mm_pixels_png
     //     dims/formulas re-encoded through the seven-pass interlace —
     //     pass-independent un-filtering + scatter must reproduce the
@@ -6117,6 +6137,42 @@ object SparkEntry {
         |    avg((i.media_id * 3 + 29 * ((i.media_id + x.g + 3 * y.g) % i.n)) % 256) AS mg,
         |    avg((i.media_id * 11 + 41 * ((i.media_id + x.g + 3 * y.g) % i.n)) % 256) AS mb
         |  FROM ids i, generate_series(0, 9) AS x(g), generate_series(0, 7) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h
+        |  GROUP BY i.media_id),
+        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'png' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
+    // the mm_pixels oracle for tRNS: per-pixel value by palette slot
+    // (x+y)%4 — slot 0 transparent → 255 (white), slot 1 composites
+    // alpha 51 round-half-up ((c*51 + 255*204 + 127) // 255), slots
+    // 2–3 are the plte formulas verbatim (opaque past tRNS length)
+    "mm_pixels_png_trns" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 7 + 2 AS w,
+        |    (doc_id * 3) % 5 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |px AS (
+        |  SELECT i.media_id,
+        |    avg(CASE (x.g + y.g) % 4 WHEN 0 THEN 255
+        |      WHEN 1 THEN ((i.media_id * 7 + 13) % 256 * 51 + 52147) // 255
+        |      ELSE (i.media_id * 7 + 13 * ((x.g + y.g) % 4)) % 256 END) AS mr,
+        |    avg(CASE (x.g + y.g) % 4 WHEN 0 THEN 255
+        |      WHEN 1 THEN ((i.media_id * 3 + 29) % 256 * 51 + 52147) // 255
+        |      ELSE (i.media_id * 3 + 29 * ((x.g + y.g) % 4)) % 256 END) AS mg,
+        |    avg(CASE (x.g + y.g) % 4 WHEN 0 THEN 255
+        |      WHEN 1 THEN ((i.media_id * 11 + 41) % 256 * 51 + 52147) // 255
+        |      ELSE (i.media_id * 11 + 41 * ((x.g + y.g) % 4)) % 256 END) AS mb
+        |  FROM ids i, generate_series(0, 8) AS x(g), generate_series(0, 6) AS y(g)
         |  WHERE x.g < i.w AND y.g < i.h
         |  GROUP BY i.media_id),
         |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c

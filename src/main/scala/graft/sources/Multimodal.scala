@@ -438,7 +438,15 @@ object Multimodal {
     * — including corrupt zlib streams (DataFormatException is caught
     * → null), chunk sizes near Int.MaxValue (the chunk walk runs in
     * Long), missing PLTE, and indices past the palette. Ancillary
-    * chunks (incl. tRNS — output is opaque RGB) are skipped; CRCs are
+    * chunks are skipped, with one exception (r13): a PALETTED tRNS
+    * chunk is honored — per-entry alpha composited over WHITE with
+    * round-half-up integer arithmetic — because the palette RGB
+    * under a transparent index is encoder-arbitrary garbage, and
+    * transparent-background twins of the same logo must decode to
+    * the same pixels to pair in dHash dedup. (RGBA/gray+alpha stay
+    * alpha-DROPPED: their stored samples are true colors; and the
+    * gray/truecolor tRNS color-KEY form stays skipped — the stored
+    * pixel there is a real color already.) CRCs are
     * not verified (decode correctness is checked against pixel
     * values, and a CRC pass would reject only rows the filter stage
     * should see, not save any).
@@ -452,6 +460,7 @@ object Multimodal {
     var color = -1; var depth = 0
     var interlaced = false
     var palette: Array[Byte] = null // raw PLTE RGB triples
+    var trns: Array[Byte] = null // paletted per-entry alpha (tRNS)
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8L
     while (i + 8 <= b.length && !sawEnd) {
@@ -480,9 +489,15 @@ object Multimodal {
       } else if (ascii(b, ii + 4, "IDAT")) {
         if (!sawIhdr) return null
         idat.write(b, ii + 8, len)
+      } else if (ascii(b, ii + 4, "tRNS") && color == 3) {
+        // PNG spec ordering: after PLTE, before IDAT; at most one
+        // alpha byte per palette entry (the rest default opaque)
+        if (palette == null || idat.size > 0) return null
+        if (len > palette.length / 3) return null
+        trns = java.util.Arrays.copyOfRange(b, ii + 8, ii + 8 + len)
       } else if (ascii(b, ii + 4, "IEND")) {
         sawEnd = true
-      } // ancillary chunks (tEXt, pHYs, tRNS, ...) are skipped
+      } // other ancillary chunks (tEXt, pHYs, gray/RGB tRNS) skipped
       i += 12L + len
     }
     if (!sawIhdr || !sawEnd || idat.size == 0) return null
@@ -618,9 +633,21 @@ object Multimodal {
     while (px2 < n2) {
       val idx = samples(px2) & 0xFF
       if (idx >= nPal) return null // index past the palette
-      rgb(px2 * 3) = palette(idx * 3)
-      rgb(px2 * 3 + 1) = palette(idx * 3 + 1)
-      rgb(px2 * 3 + 2) = palette(idx * 3 + 2)
+      val a = if (trns != null && idx < trns.length) trns(idx) & 0xFF else 255
+      if (a == 255) {
+        rgb(px2 * 3) = palette(idx * 3)
+        rgb(px2 * 3 + 1) = palette(idx * 3 + 1)
+        rgb(px2 * 3 + 2) = palette(idx * 3 + 2)
+      } else {
+        // composite over white, round half up: the entry RGB under a
+        // (partially) transparent index is encoder-arbitrary
+        var ch = 0
+        while (ch < 3) {
+          val c = palette(idx * 3 + ch) & 0xFF
+          rgb(px2 * 3 + ch) = ((c * a + 255 * (255 - a) + 127) / 255).toByte
+          ch += 1
+        }
+      }
       px2 += 1
     }
     RasterImage(w, h, rgb)
@@ -1072,10 +1099,12 @@ object Multimodal {
     * correct CRCs — valid for any PNG reader (r12).
     */
   def buildPngPalette(w: Int, h: Int, depth: Int, palette: Array[Int],
-      idx: (Int, Int) => Int): Array[Byte] = {
+      idx: (Int, Int) => Int, trns: Array[Int] = null): Array[Byte] = {
     require(depth == 1 || depth == 2 || depth == 4 || depth == 8, s"depth $depth")
     require(palette.nonEmpty && palette.length <= (1 << depth),
       s"palette ${palette.length} entries at depth $depth")
+    require(trns == null || trns.length <= palette.length,
+      s"tRNS ${trns.length} entries > palette ${palette.length}")
     val rowBytes = (w * depth + 7) / 8
     val raw = new Array[Byte]((rowBytes + 1) * h)
     for (y <- 0 until h) {
@@ -1108,9 +1137,12 @@ object Multimodal {
       .array()
     val plte = palette.flatMap(p =>
       Array(((p >> 16) & 0xFF).toByte, ((p >> 8) & 0xFF).toByte, (p & 0xFF).toByte))
+    val trnsChunk =
+      if (trns == null) Array.empty[Byte]
+      else chunk("tRNS", trns.map(a => (a & 0xFF).toByte))
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++ trnsChunk ++
       chunk("IDAT", zbuf.take(zn)) ++ chunk("IEND", Array.empty[Byte])
   }
 
@@ -1156,6 +1188,62 @@ object Multimodal {
           bytes(j + 4) = 'X'.toByte // PLTE → XLTE: skipped as ancillary
         }
         Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic paletted-PNG-with-tRNS payload (r13): 4 palette
+    * entries on the plte closed forms; entry 0 is a TRANSPARENT
+    * background whose stored RGB is therefore arbitrary (the formula
+    * value — the decoder must ignore it and composite to white),
+    * entry 1 carries partial alpha 51, entries 2–3 are beyond the
+    * tRNS length and must stay opaque.
+    */
+  def synthPngTrnsPayload(id: Long): Array[Byte] = {
+    val w = (id % 7 + 2).toInt
+    val h = (id * 3 % 5 + 2).toInt
+    val pal = Array.tabulate(4) { k =>
+      (((id * 7 + 13L * k) % 256).toInt << 16) |
+        (((id * 3 + 29L * k) % 256).toInt << 8) |
+        ((id * 11 + 41L * k) % 256).toInt
+    }
+    buildPngPalette(w, h, 8, pal, (x, y) => (x + y) % 4,
+      trns = Array(0, 51))
+  }
+
+  /** Synthesize the tRNS media table: every 19th payload magic-
+    * corrupted, every 13th has its tRNS and IDAT chunks SWAPPED —
+    * the PNG-spec ordering violation (tRNS must precede IDAT) that
+    * decodePng must refuse as null, never half-apply.
+    */
+  def synthesizePngTrnsBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthPngTrnsPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 0x00.toByte; bytes }
+          else if (id % 13 == 0) {
+            // chunk walk, reassemble with tRNS after IDAT
+            val chunks = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Array[Byte])]
+            var j = 8
+            while (j + 8 <= bytes.length) {
+              val len = be32(bytes, j)
+              val typ = new String(bytes, j + 4, 4, "US-ASCII")
+              chunks += ((typ,
+                java.util.Arrays.copyOfRange(bytes, j, j + 12 + len)))
+              j += 12 + len
+            }
+            val (trnsC, rest) = chunks.partition(_._1 == "tRNS")
+            val (tail, head) = rest.partition(_._1 == "IEND")
+            bytes.take(8) ++
+              (head ++ trnsC ++ tail).flatMap(_._2).toArray
+          } else bytes
+        Row(id, out)
       }
     }(Encoders.row(schema))
   }

@@ -327,6 +327,47 @@ class MultimodalSpec extends SparkSpec {
     val spliced = a.take(8) ++ chunkOf(a, "IHDR") ++ chunkOf(b, "PLTE") ++
       chunkOf(a, "IDAT") ++ chunkOf(a, "IEND")
     assert(decodePng(spliced) === null)
+    // ---- tRNS per-entry alpha (r13): the PAIRING property that
+    // motivates it — the same logo over a transparent background
+    // (whose palette RGB is encoder-arbitrary garbage) and over an
+    // opaque white background must decode to IDENTICAL pixels
+    locally {
+      val logoIdx = (x: Int, y: Int) => if ((x + y) % 3 == 0) 1 else 0
+      val transparent = buildPngPalette(8, 6, 8,
+        Array(0x35A17B, 0x000000), logoIdx, trns = Array(0)) // garbage bg, a=0
+      val white = buildPngPalette(8, 6, 8,
+        Array(0xFFFFFF, 0x000000), logoIdx) // true white bg, no tRNS
+      val ti = decodePng(transparent); val wi = decodePng(white)
+      assert(ti != null && wi != null)
+      assert(ti.rgb.toSeq === wi.rgb.toSeq,
+        "transparent-background twin must pair with the white one")
+      // partial alpha composites round-half-up over white:
+      // c=100,200,40 at a=51 → 224,244,212
+      val part = decodePng(buildPngPalette(2, 1, 8,
+        Array((100 << 16) | (200 << 8) | 40, 0x010203),
+        (x, _) => x, trns = Array(51))) // entry 1 beyond tRNS → opaque
+      assert(part.rgb.take(3).map(_ & 0xFF).toSeq === Seq(224, 244, 212))
+      assert(part.rgb.drop(3).map(_ & 0xFF).toSeq === Seq(1, 2, 3),
+        "entries past the tRNS length stay opaque")
+      // malformed: more alpha entries than palette entries → null
+      // (CRCs are unchecked, so splice a raw oversized tRNS chunk in)
+      def rawChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val o = java.nio.ByteBuffer.allocate(12 + data.length)
+        o.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        o.putInt(0) // CRC unchecked by decodePng
+        o.array()
+      }
+      val base = buildPngPalette(4, 3, 8, pal4.take(2), (x, y) => (x + y) % 2)
+      val over = base.take(8) ++ chunkOf(base, "IHDR") ++
+        chunkOf(base, "PLTE") ++ rawChunk("tRNS", Array[Byte](0, 0, 0)) ++
+        chunkOf(base, "IDAT") ++ chunkOf(base, "IEND")
+      assert(decodePng(over) === null, "tRNS longer than palette")
+      // malformed: tRNS after IDAT (spec ordering) → null
+      val late = base.take(8) ++ chunkOf(base, "IHDR") ++
+        chunkOf(base, "PLTE") ++ chunkOf(base, "IDAT") ++
+        rawChunk("tRNS", Array[Byte](0)) ++ chunkOf(base, "IEND")
+      assert(decodePng(late) === null, "tRNS after IDAT")
+    }
     // the %13 degrade: PLTE renamed to an ancillary chunk → no palette
     val noPlte = synthPngPalettePayload(5).clone()
     locally {
