@@ -61,11 +61,41 @@ object SparkEntry {
   private def stripHtmlSql(e: String): String = {
     val noBlocks =
       s"regexp_replace($e, '${TextFunctions.htmlBlockPattern}', ' ', 'g')"
-    val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
+    visibleSql(noBlocks)
+  }
+
+  /** DuckDB twin of the tag-drop + entity-decode + collapse tail
+    * shared by stripHtml and extractMain — generated from the SAME
+    * entity table.
+    */
+  private def visibleSql(e: String): String = {
+    val noTags = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
     val decoded = TextFunctions.htmlEntities.foldLeft(noTags) {
       case (c, (k, v)) => s"replace($c, '$k', '${v.replace("'", "''")}')"
     }
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.extractMain]] —
+    * generated from the SAME chrome/block/anchor pattern tables and
+    * entity table the Spark HOF chain uses, so the two engines
+    * cannot drift (r13; the stripHtmlSql precedent).
+    */
+  private def extractMainSql(e: String, minChars: Int = 25,
+      maxLinkDensity: Double = 0.4): String = {
+    val noBlocks =
+      s"regexp_replace($e, '${TextFunctions.htmlBlockPattern}', ' ', 'g')"
+    val noChrome =
+      s"regexp_replace($noBlocks, '${TextFunctions.mainChromePattern}', ' ', 'g')"
+    val blocks =
+      s"string_split_regex($noChrome, '${TextFunctions.mainBlockSplitPattern}')"
+    val noAnchors =
+      s"regexp_replace(x, '${TextFunctions.anchorSpanPattern}', ' ', 'g')"
+    val scored = s"list_transform($blocks, x -> struct_pack(" +
+      s"v := ${visibleSql("x")}, nv := ${visibleSql(noAnchors)}))"
+    val kept = s"list_filter($scored, m -> length(m.v) >= $minChars " +
+      s"AND (length(m.v) - length(m.nv)) <= $maxLinkDensity * length(m.v))"
+    s"array_to_string(list_transform($kept, m -> m.v), chr(10))"
   }
 
   /** Fixed, per-fixture scratch path for gate queries that persist an
@@ -1819,6 +1849,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Crawl composition with MAIN-CONTENT extraction (r13 — the
+    //     pipeline_crawl variant the extractMain operator exists
+    //     for): the WARC page carries per-site chrome (nav menu +
+    //     footer) around the content; stripHtml alone would keep
+    //     that chrome text in every doc (the in-plan flags pin it),
+    //     extractMain drops it, and the rest of the chain (email
+    //     redaction → exact dedup → token count) runs on clean text.
+    "pipeline_crawl_main" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 120)
+      val content = when(col("doc_id") % 9 === 0,
+          lit("shared boilerplate page body"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact: user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit(""))))
+      val injected = concat(
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/m\">Menu</a> " +
+          "<a href=\"/c\">Contact</a></nav><p>"), content,
+        lit("</p><footer>Copyright legal footer prose long enough to " +
+          "pass length.</footer>"))
+      val payloads = graft.sources.Warc.synthesizeWarcDocs(
+        docs.select(col("doc_id"), injected.as("text")), "doc_id", "text")
+      val page = decode(col("payload"), "UTF-8")
+      val stripped = graft.sources.Warc
+        .recordsFromColumn(payloads, "doc_id", "payload", lenient = true)
+        .filter(col("record_type") === "response")
+        .select(col("doc_id"),
+          regexp_replace(TextFunctions.extractMain(page),
+            "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>").as("text"),
+          contains(TextFunctions.stripHtml(page), lit("Home Menu Contact"))
+            .cast("int").as("strip_has_chrome"),
+          contains(TextFunctions.extractMain(page), lit("Home Menu Contact"))
+            .cast("int").as("main_has_chrome"))
+      Dedup.exactDedup(stripped, "doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"), col("text"),
+          col("strip_has_chrome"), col("main_has_chrome"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Media THROUGH WARC (r12 — the multimodal crawl chain):
     //     the mm_phash_pairs fixtures (closed-form BMPs + perturbed
     //     twins) travel as image/bmp HTTP response bodies inside
@@ -2438,6 +2509,43 @@ object SparkEntry {
         lit("</p><div>Tom &amp; Jerry &amp;lt;3 &lt;ok&gt; &quot;q&quot;" +
           "&nbsp;end</div></body></html>"))
       docs.select(col("doc_id"), TextFunctions.stripHtml(html).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Main-content extraction (r13 — the trafilatura/jusText
+    //     class step): planted template page with every block class —
+    //     nav menu, header banner, sidebar link list, sub-threshold
+    //     promo div, the REAL article (doc text + a long paragraph
+    //     with one inline link at low density), a link farm, and a
+    //     footer that would PASS the length rule if not hard-dropped.
+    //     Expected survivors: only the two article paragraphs. The
+    //     in-plan contrast flags pin the motivating property: the nav
+    //     text IS in stripHtml's output and is NOT in extractMain's.
+    "text_extract_main" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 100 && col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style>" +
+          "</head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav>" +
+          "<header><h1>Site Chrome Banner</h1></header>" +
+          "<aside><ul><li><a href=\"/r1\">Related article one</a></li>" +
+          "<li><a href=\"/r2\">Related article two</a></li></ul></aside>" +
+          "<div>Short promo.</div><article><p>"), col("text"),
+        lit("</p><p>Second paragraph of genuine prose with an inline " +
+          "<a href=\"/ref\">reference link</a> that keeps density low " +
+          "because the sentence is long.</p></article>" +
+          "<div><a href=\"/x\">More</a> <a href=\"/y\">Links</a> " +
+          "<a href=\"/z\">Here</a></div>" +
+          "<footer>Copyright 2026 Example Corp. All rights reserved in " +
+          "legal prose.</footer></body></html>"))
+      docs.select(col("doc_id"),
+          TextFunctions.extractMain(html).as("main"),
+          contains(TextFunctions.stripHtml(html), lit("Home About Contact"))
+            .cast("int").as("strip_has_chrome"),
+          contains(TextFunctions.extractMain(html), lit("Home About Contact"))
+            .cast("int").as("main_has_chrome"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4498,6 +4606,43 @@ object SparkEntry {
          |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
+    // the pipeline_crawl_main oracle: pipeline_crawl's stage twins
+    // with the chrome-injected page and extractMainSql in place of
+    // stripHtmlSql; flags replay through both twins
+    "pipeline_crawl_main" -> {
+      val page = "'<html><head><title>T</title></head><body><p>' || " +
+        "'<nav><a href=\"/\">Home</a> <a href=\"/m\">Menu</a> " +
+        "<a href=\"/c\">Contact</a></nav><p>' || t || " +
+        "'</p><footer>Copyright legal footer prose long enough to " +
+        "pass length.</footer>' || '</p></body></html>'"
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND doc_id < 120 AND doc_id % 19 <> 0),
+         |c AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+         |      THEN 'shared boilerplate page body'
+         |      ELSE text || CASE WHEN doc_id % 7 = 0
+         |        THEN ' contact: user' || doc_id || '@example.com'
+         |        ELSE '' END END AS t
+         |  FROM d),
+         |p AS (SELECT doc_id, $page AS html FROM c),
+         |s AS (SELECT doc_id,
+         |    regexp_replace(${extractMainSql("html")},
+         |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g') AS t,
+         |    CAST(contains(${stripHtmlSql("html")}, 'Home Menu Contact')
+         |      AS INT) AS strip_has_chrome,
+         |    CAST(contains(${extractMainSql("html")}, 'Home Menu Contact')
+         |      AS INT) AS main_has_chrome
+         |  FROM p),
+         |w AS (SELECT doc_id, t, strip_has_chrome, main_has_chrome,
+         |    row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM s)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(t), ' '),
+         |    x -> length(x) > 0)) AS INT) AS n_tokens,
+         |  t AS text, strip_has_chrome, main_has_chrome
+         |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     // the docs_jsonl_gz oracle: the round trip must surrender exactly
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
     "docs_jsonl_gz" ->
@@ -5490,6 +5635,39 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL)
         |SELECT doc_id, ${stripHtmlSql("html")} AS text
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_extract_main oracle: the generated extractMainSql
+    // twin (same chrome/block/anchor/entity tables) over the same
+    // planted template page; the contrast flags replay through the
+    // respective twins
+    "text_extract_main" -> {
+      val html =
+        """'<html><head><title>T</title><style>p{color:red}</style>' ||
+          |'</head><body>' ||
+          |'<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+          |'<a href="/contact">Contact</a></nav>' ||
+          |'<header><h1>Site Chrome Banner</h1></header>' ||
+          |'<aside><ul><li><a href="/r1">Related article one</a></li>' ||
+          |'<li><a href="/r2">Related article two</a></li></ul></aside>' ||
+          |'<div>Short promo.</div><article><p>' || text ||
+          |'</p><p>Second paragraph of genuine prose with an inline ' ||
+          |'<a href="/ref">reference link</a> that keeps density low ' ||
+          |'because the sentence is long.</p></article>' ||
+          |'<div><a href="/x">More</a> <a href="/y">Links</a> ' ||
+          |'<a href="/z">Here</a></div>' ||
+          |'<footer>Copyright 2026 Example Corp. All rights reserved in ' ||
+          |'legal prose.</footer></body></html>'"""
+          .stripMargin.replace("\n", "\n        ")
+      s"""WITH d AS (
+        |  SELECT doc_id, $html AS html
+        |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL)
+        |SELECT doc_id, ${extractMainSql("html")} AS main,
+        |  CAST(contains(${stripHtmlSql("html")}, 'Home About Contact')
+        |    AS INT) AS strip_has_chrome,
+        |  CAST(contains(${extractMainSql("html")}, 'Home About Contact')
+        |    AS INT) AS main_has_chrome
+        |FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // the docs_html_clean oracle: strip chain + the docs_dedup_lines
     // first-occurrence window over the stripped lines

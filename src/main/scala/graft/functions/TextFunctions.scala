@@ -265,6 +265,83 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The hard-drop chrome excision of [[extractMain]]: HTML5
+    * semantic chrome elements vanish WITH their content. Declared
+    * boundary: a nested same-name element cuts at the FIRST close
+    * tag (non-greedy, no recursion) — deterministic, RE2-safe.
+    */
+  val mainChromePattern: String =
+    "(?is)<nav\\b[^>]*>.*?</nav>|<header\\b[^>]*>.*?</header>|" +
+      "<footer\\b[^>]*>.*?</footer>|<aside\\b[^>]*>.*?</aside>|" +
+      "<form\\b[^>]*>.*?</form>"
+
+  /** The block segmentation boundary of [[extractMain]]: any
+    * block-level open/close tag splits the page into candidate
+    * blocks (RE2-safe, shared with the SQL twin).
+    */
+  val mainBlockSplitPattern: String =
+    "(?is)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|" +
+      "td|th|section|article|main|blockquote|pre|figure|figcaption|" +
+      "hr|br)\\b[^>]*>"
+
+  /** Anchor-span excision for the link-density metric (RE2-safe). */
+  val anchorSpanPattern: String = "(?is)<a\\b[^>]*>.*?</a>"
+
+  /** The [[stripHtml]] tail over an already-block-free fragment:
+    * drop tags, decode entities in table order, collapse whitespace.
+    */
+  private def visibleText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (cc, (e, v)) =>
+      replace(cc, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Main-content extraction (r13) — the trafilatura/jusText-class
+    * step the production curation stacks (RefinedWeb, FineWeb,
+    * Dolma) run where [[stripHtml]] is not enough: corpus-level line
+    * dedup removes only boilerplate that repeats VERBATIM
+    * corpus-wide, so per-site navigation menus, sidebars and footers
+    * survive a plain strip and pollute quality signals, shingles and
+    * perplexity. Deterministic rules, engine-replayable (the
+    * stripHtmlSql generated-twin precedent):
+    *
+    *  1. excise script/style/comments ([[htmlBlockPattern]]);
+    *  2. hard-drop the HTML5 semantic chrome elements
+    *     ([[mainChromePattern]] — nav, header, footer, aside, form);
+    *  3. segment the rest into blocks at block-level tag boundaries
+    *     ([[mainBlockSplitPattern]]);
+    *  4. score each block's visible text: keep iff at least
+    *     `minChars` chars AND link density (chars contributed by
+    *     `<a>` spans / total chars, both measured after the
+    *     [[stripHtml]] tail) is at most `maxLinkDensity`;
+    *  5. join surviving blocks with newlines.
+    *
+    * The whole chain is Catalyst HOFs over the split array — one
+    * whole-stage-codegen expression tree, no UDF, scales with the
+    * scan. Null html → null. Declared boundary: not a browser parser
+    * — malformed nesting follows the regex semantics above.
+    */
+  def extractMain(html: Column, minChars: Int = 25,
+      maxLinkDensity: Double = 0.4): Column = {
+    require(minChars >= 1, s"minChars $minChars")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity $maxLinkDensity")
+    val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
+    val noChrome = regexp_replace(noBlocks, mainChromePattern, " ")
+    val blocks = split(noChrome, mainBlockSplitPattern)
+    val scored = transform(blocks, b => struct(
+      visibleText(b).as("v"),
+      visibleText(regexp_replace(b, anchorSpanPattern, " ")).as("nv")))
+    val kept = filter(scored, m =>
+      length(m.getField("v")) >= minChars &&
+        (length(m.getField("v")) - length(m.getField("nv")))
+          .cast("double") <= lit(maxLinkDensity) *
+          length(m.getField("v")).cast("double"))
+    array_join(transform(kept, m => m.getField("v")), "\n")
+  }
+
   /** Tracking-parameter alternation shared by [[canonicalUrl]] and
     * its oracle twin (RE2-safe, no lookaround).
     */

@@ -269,6 +269,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("extractMain: chrome elements drop even when LONG, link farms " +
+      "drop by density, inline links in prose survive, short blocks " +
+      "drop, nested chrome cuts at first close, null → null (r13)") {
+    import graft.functions.TextFunctions.extractMain
+    val article = "This paragraph is certainly long enough to clear the " +
+      "twenty-five character floor."
+    val rows = Seq(
+      // a footer that would PASS the length rule is still hard-dropped
+      (1L, s"<footer>Legal text long enough to pass any length rule " +
+        s"easily, twice over and then some.</footer><p>$article</p>"),
+      // link farm: long enough, but density 1 → dropped
+      (2L, "<div><a href=\"/a\">First very long link text here</a> " +
+        "<a href=\"/b\">Second very long link text</a></div>" +
+        s"<p>$article</p>"),
+      // inline link inside prose survives (density low)
+      (3L, "<p>Prose around <a href=\"/r\">a link</a> where the " +
+        "surrounding sentence carries far more characters.</p>"),
+      // sub-threshold block drops
+      (4L, s"<div>Too short.</div><p>$article</p>"),
+      // nested nav: cut at the FIRST </nav> (declared boundary) — the
+      // trailing text after the inner close leaks as its own block
+      // and drops by length
+      (5L, s"<nav>a<nav>b</nav>menu</nav><p>$article</p>"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select($"id", extractMain($"h").as("m")).orderBy($"id").collect()
+    assert(rows(0).getString(1) === article)
+    assert(rows(1).getString(1) === article)
+    assert(rows(2).getString(1) === "Prose around a link where the " +
+      "surrounding sentence carries far more characters.")
+    assert(rows(3).getString(1) === article)
+    assert(rows(4).getString(1) === article)
+    assert(rows(5).isNullAt(1))
+  }
+
   test("deflateRatio: boilerplate loops crush toward 0, prose sits in " +
       "the middle band, hex noise compresses worst; empty/null → null " +
       "(r12 — threshold contract, never exact zlib sizes)") {
