@@ -175,6 +175,30 @@ object Multimodal {
       }
       return UnknownHeader
     }
+    // WebP: RIFF....WEBP; VP8L dims are 14-bit fields after the 0x2F
+    // signature byte; VP8X carries canvas-1 as LE24 pairs; lossy VP8
+    // dims live past the 3-byte frame tag + 0x9d012a start code
+    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WEBP")) {
+      if (ascii(b, 12, "VP8L") && b.length >= 25 &&
+          (b(20) & 0xFF) == 0x2F) {
+        val bits = le32(b, 21)
+        return MediaHeader("webp", (bits & 0x3FFF) + 1,
+          ((bits >> 14) & 0x3FFF) + 1, 0, 0)
+      }
+      if (ascii(b, 12, "VP8X") && b.length >= 30) {
+        val w = ((b(24) & 0xFF) | ((b(25) & 0xFF) << 8) |
+          ((b(26) & 0xFF) << 16)) + 1
+        val h = ((b(27) & 0xFF) | ((b(28) & 0xFF) << 8) |
+          ((b(29) & 0xFF) << 16)) + 1
+        return MediaHeader("webp", w, h, 0, 0)
+      }
+      if (ascii(b, 12, "VP8 ") && b.length >= 30 &&
+          (b(23) & 0xFF) == 0x9D && (b(24) & 0xFF) == 0x01 &&
+          (b(25) & 0xFF) == 0x2A)
+        return MediaHeader("webp", le16(b, 26) & 0x3FFF,
+          le16(b, 28) & 0x3FFF, 0, 0)
+      return UnknownHeader
+    }
     // JPEG: SOI then segment walk to the first SOFn (C0-CF minus the
     // non-frame C4/C8/CC): marker byte at j, length BE16 at j+1..2,
     // precision at j+3, height BE16 at j+4, width BE16 at j+6
@@ -711,12 +735,20 @@ object Multimodal {
     val isTif = !isPng && !isJpg && !isGif && p.length > 3 &&
       ((p(0) == 'I'.toByte && p(1) == 'I'.toByte && (p(2) & 0xFF) == 42) ||
        (p(0) == 'M'.toByte && p(1) == 'M'.toByte && (p(3) & 0xFF) == 42))
+    val isWebp = !isPng && !isJpg && !isGif && !isTif &&
+      ascii(p, 0, "RIFF") && ascii(p, 8, "WEBP")
     if (isPng) ("png", decodePng(p))
     else if (isJpg) ("jpeg", decodeJpeg(p))
     else if (isGif) ("gif", decodeGif(p))
     else if (isTif) ("tiff", decodeTiff(p))
+    else if (isWebp) ("webp", Webp.decodeWebp(p))
     else ("bmp", decodeBmp(p))
   }
+
+  /** WebP decode — VP8L lossless in full; lossy VP8 is the
+    * documented null boundary. See [[Webp]].
+    */
+  def decodeWebp(p: Array[Byte]): RasterImage = Webp.decodeWebp(p)
 
   /** Deterministic uncompressed TIFF builder for fixtures: both byte
     * orders, gray/RGB, WhiteIsZero exercise, multi-strip layout with
@@ -1244,6 +1276,64 @@ object Multimodal {
               (head ++ trnsC ++ tail).flatMap(_._2).toArray
           } else bytes
         Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic VP8L WebP payload for media id `id` (r13): the
+    * encoder variant cycles by id%6 — plain literals, subtract-green,
+    * 20-color palette, 4-color palette (pixel bundling), whole-row
+    * LZ77 references (short-map distances at narrow widths, linear
+    * codes at wide), color cache — while the PIXELS stay closed-form
+    * in the id, so one oracle formula covers every encoding path.
+    */
+  def synthWebpPayload(id: Long): Array[Byte] = {
+    val w = (id % 9 + 2).toInt
+    val h = (id * 3 % 7 + 2).toInt
+    val v = (id % 6).toInt
+    def rgb(r: Long, g: Long, b: Long): Int =
+      0xFF000000 | (((r % 256).toInt) << 16) | (((g % 256).toInt) << 8) |
+        ((b % 256).toInt)
+    def plainPx(x: Int, y: Int): Int =
+      rgb(id * 7 + x * 13 + y * 31, id * 3 + x * 5 + y * 17,
+        id * 11 + x * 3 + y * 7)
+    def palPx(m: Int)(x: Int, y: Int): Int = {
+      val k = (x + 2 * y + id) % m
+      rgb(id * 7 + 13 * k, id * 3 + 29 * k, id * 11 + 41 * k)
+    }
+    def cachePx(x: Int, y: Int): Int = {
+      val k = (x * y + x + id) % 4
+      rgb(id * 7 + 13 * k, id * 3 + 29 * k, id * 11 + 41 * k)
+    }
+    v match {
+      case 0 => Webp.buildWebpLossless(w, h, plainPx)
+      case 1 => Webp.buildWebpLossless(w, h, plainPx, subtractGreen = true)
+      case 2 => Webp.buildWebpLossless(w, h, palPx(20), usePalette = true)
+      case 3 => Webp.buildWebpLossless(w, h, palPx(4), usePalette = true)
+      case 4 => Webp.buildWebpLossless(w, h, (x, _) => plainPx(x, 0),
+        rowCopy = true)
+      case _ => Webp.buildWebpLossless(w, h, cachePx, cacheBits = 4)
+    }
+  }
+
+  /** Synthesize the WebP media table: every 19th payload magic-
+    * corrupted ('unknown'), every 13th a LOSSY VP8 payload — the
+    * documented null boundary surfaced in-gate (container recognized,
+    * pixels null → 'unknown' stats row).
+    */
+  def synthesizeWebpBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (id % 19 == 0) {
+            val b = synthWebpPayload(id); b(0) = 0x00.toByte; b
+          } else if (id % 13 == 0) Webp.buildWebpLossyStub()
+          else synthWebpPayload(id)
+        Row(id, bytes)
       }
     }(Encoders.row(schema))
   }

@@ -1,0 +1,952 @@
+package graft.sources
+
+/** WebP decode (r13) — VP8L lossless, from scratch against the
+  * public WebP Lossless Bitstream Specification (RFC 9649 §3).
+  * WebP is the most common post-2015 web image format; without it
+  * the crawl-side quality filters and dHash dedup silently drop a
+  * large slice of a real corpus (the progressive-JPEG argument of
+  * r12, one format further).
+  *
+  * Scope: the complete VP8L feature set — canonical Huffman codes
+  * (simple and code-length-coded), meta-Huffman entropy images,
+  * color cache, LZ77 backward references incl. the 120-entry short
+  * distance map, and all four transforms (predictor with its 14
+  * modes, cross-color, subtract-green, color-indexing incl. pixel
+  * bundling). Lossy VP8 is the DOCUMENTED NULL BOUNDARY (a DCT
+  * codec family of its own, like H.264 on the video side): the
+  * container tags as 'webp', decode yields null, quality filters
+  * see the format without pixels. Alpha is dropped, not composited
+  * (stored VP8L RGB samples are true colors — the RGBA-PNG policy).
+  *
+  * Total function discipline: malformed, truncated, over-sized or
+  * internally inconsistent payloads return null, never throw. The
+  * reference engine has no media surface (fever_multi_agent.py:1
+  * is text-only); this is pipeline scope per BASELINE.json.
+  */
+object Webp {
+
+  /** Same pixel cap as the JPEG/BMP decoders (4 MP) — one crawl row
+    * must never allocate unbounded memory on a forged header.
+    */
+  private val MaxPixels = 1 << 22
+  private val MaxDim = 1 << 14 // VP8L dims are 14-bit by format
+
+  // ------------------------------------------------------------ RIFF
+
+  /** Decode a WebP payload to RGB, or null. Dispatches the RIFF
+    * chunk walk: VP8L → lossless decode; VP8 (lossy) → null
+    * (documented boundary); VP8X → walk on (animations refuse, a
+    * wrapped VP8L decodes; the ALPH chunk applies to lossy only and
+    * is ignored).
+    */
+  def decodeWebp(b: Array[Byte]): Multimodal.RasterImage = {
+    try decodeWebpInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def isFourcc(b: Array[Byte], i: Int, s: String): Boolean =
+    i + 4 <= b.length && (0 until 4).forall(j => (b(i + j) & 0xFF) == s.charAt(j))
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  private def decodeWebpInner(b: Array[Byte]): Multimodal.RasterImage = {
+    if (b == null || b.length < 20) return null
+    if (!isFourcc(b, 0, "RIFF") || !isFourcc(b, 8, "WEBP")) return null
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4).toLong & 0xFFFFFFFFL
+      val payloadStart = ii + 8
+      if (payloadStart + size > b.length) return null
+      if (isFourcc(b, ii, "VP8L")) {
+        return decodeVp8l(b, payloadStart, (payloadStart + size).toInt)
+      } else if (isFourcc(b, ii, "VP8 ")) {
+        return null // lossy VP8: the documented null boundary
+      } else if (isFourcc(b, ii, "VP8X")) {
+        if (size < 10) return null
+        if ((b(payloadStart) & 0x02) != 0) return null // animation
+        // fall through: keep walking for a VP8L chunk
+      }
+      i += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    null
+  }
+
+  // ------------------------------------------------- bitstream reader
+
+  /** LSB-first bit reader over [start, end) — the VP8L convention:
+    * the first bit of a byte is its least significant. Reading past
+    * the end raises (caught at the decode boundary).
+    */
+  private final class BitReader(b: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    private var bit = 0
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        if (pos >= end) throw new IllegalStateException("eof")
+        v |= (((b(pos) >> bit) & 1) << i)
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+    def readBit(): Int = readBits(1)
+  }
+
+  // ------------------------------------------------- canonical Huffman
+
+  /** Canonical prefix code over `lengths` (RFC 1951 assignment:
+    * codes ordered by (length, symbol), first-read bit is the code's
+    * most significant). A single used symbol is the 0-bit code; any
+    * other code must be COMPLETE (Kraft sum exactly 1) or the
+    * payload is refused.
+    */
+  private final class Huffman(lengths: Array[Int]) {
+    private val maxLen = lengths.max
+    val singleSymbol: Int = {
+      var cnt = 0; var sym = -1
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) > 0) { cnt += 1; sym = s }; s += 1
+      }
+      if (cnt == 1) sym else -1
+    }
+    require(maxLen > 0, "empty code")
+    require(maxLen <= 15, s"code length $maxLen")
+    private val counts = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) counts(l) += 1)
+    if (singleSymbol < 0) {
+      // completeness: sum of 2^(maxLen - l) over symbols == 2^maxLen
+      var kraft = 0L
+      var l = 1
+      while (l <= maxLen) { kraft += counts(l).toLong << (maxLen - l); l += 1 }
+      require(kraft == (1L << maxLen), "incomplete huffman code")
+    }
+    private val sorted: Array[Int] = {
+      val offs = new Array[Int](maxLen + 2)
+      var l = 1
+      while (l <= maxLen) { offs(l + 1) = offs(l) + counts(l); l += 1 }
+      val out = new Array[Int](offs(maxLen + 1))
+      val cursor = offs.clone()
+      var s = 0
+      while (s < lengths.length) {
+        val len = lengths(s)
+        if (len > 0) { out(cursor(len)) = s; cursor(len) += 1 }
+        s += 1
+      }
+      out
+    }
+    def next(br: BitReader): Int = {
+      if (singleSymbol >= 0) return singleSymbol
+      var code = 0; var first = 0; var index = 0; var l = 1
+      while (l <= maxLen) {
+        code = (code << 1) | br.readBit()
+        val c = counts(l)
+        if (code - first < c) return sorted(index + code - first)
+        index += c
+        first = (first + c) << 1
+        l += 1
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  /** The code-length-code symbol order of the spec. */
+  private[sources] val ClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one Huffman code (simple two-symbol or code-length-coded)
+    * for an alphabet of `alphabetSize` symbols.
+    */
+  private def readHuffmanCode(br: BitReader, alphabetSize: Int): Huffman = {
+    if (br.readBit() == 1) {
+      // simple: 1 or 2 symbols given literally
+      val numSymbols = br.readBit() + 1
+      val first8 = br.readBit() == 1
+      val s0 = br.readBits(if (first8) 8 else 1)
+      val lengths = new Array[Int](alphabetSize)
+      require(s0 < alphabetSize, "simple symbol out of range")
+      if (numSymbols == 1) lengths(s0) = 1
+      else {
+        val s1 = br.readBits(8)
+        require(s1 < alphabetSize && s1 != s0, "simple symbols invalid")
+        lengths(s0) = 1; lengths(s1) = 1
+      }
+      new Huffman(lengths)
+    } else {
+      val numCl = 4 + br.readBits(4)
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(ClOrder(i)) = br.readBits(3); i += 1 }
+      val clTree = new Huffman(clLengths)
+      // optional bound on the number of coded length ops
+      var maxSymbol =
+        if (br.readBit() == 1) {
+          val lengthNBits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(lengthNBits)
+        } else alphabetSize
+      val lengths = new Array[Int](alphabetSize)
+      var prev = 8
+      var symbol = 0
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val codeLen = clTree.next(br)
+        if (codeLen < 16) {
+          lengths(symbol) = codeLen; symbol += 1
+          if (codeLen != 0) prev = codeLen
+        } else {
+          val (repeat, value) = codeLen match {
+            case 16 => (3 + br.readBits(2), prev)
+            case 17 => (3 + br.readBits(3), 0)
+            case _ => (11 + br.readBits(7), 0)
+          }
+          require(symbol + repeat <= alphabetSize, "repeat overflow")
+          var r = 0
+          while (r < repeat) { lengths(symbol) = value; symbol += 1; r += 1 }
+        }
+      }
+      new Huffman(lengths)
+    }
+  }
+
+  // ------------------------------------------------- LZ77 helpers
+
+  /** LZ77 prefix decode: code < 4 → code+1; else the (2+parity)
+    * <<extra scheme with extra bits from the stream.
+    */
+  private def prefixValue(br: BitReader, code: Int): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      ((2 + (code & 1)) << extra) + br.readBits(extra) + 1
+    }
+
+  /** The 120 short distance codes → (dx, dy) neighborhood offsets:
+    * all previous-pixel offsets with dy in 0..7, dx in -7..8,
+    * ordered by squared euclidean distance, larger dy first within a
+    * tie, positive dx before negative (matches libwebp's
+    * kCodeToPlane table — spot-pinned in WebpSpec).
+    */
+  val DistanceMap: Array[(Int, Int)] = {
+    val cands = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx > 0
+    } yield (dx, dy)
+    cands.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, -dy, if (dx < 0) 1 else 0)
+    }.toArray
+  }
+
+  /** distance_code → linear pixel distance at row width `w`. */
+  private def planeCodeToDistance(w: Int, code: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = DistanceMap(code - 1)
+      val d = dy * w + dx
+      if (d >= 1) d else 1
+    }
+
+  private def cacheKey(pix: Int, bits: Int): Int =
+    (0x1e35a7bd * pix) >>> (32 - bits)
+
+  // ------------------------------------------------- transforms
+
+  private final case class Transform(kind: Int, bits: Int,
+      data: Array[Int], xsize: Int)
+
+  private def subSample(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  // ------------------------------------------------- VP8L top level
+
+  def decodeVp8l(b: Array[Byte], start: Int,
+      end: Int): Multimodal.RasterImage = {
+    if (end - start < 5) return null
+    val br = new BitReader(b, start, end)
+    if (br.readBits(8) != 0x2F) return null
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    br.readBit() // alpha hint
+    if (br.readBits(3) != 0) return null // version
+    if (w > MaxDim || h > MaxDim || w.toLong * h > MaxPixels) return null
+    val argb = decodeImageStream(br, w, h, level0 = true)
+    if (argb == null) return null
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val v = argb(p)
+      rgb(p * 3) = ((v >> 16) & 0xFF).toByte
+      rgb(p * 3 + 1) = ((v >> 8) & 0xFF).toByte
+      rgb(p * 3 + 2) = (v & 0xFF).toByte
+      p += 1
+    }
+    Multimodal.RasterImage(w, h, rgb)
+  }
+
+  /** One image stream (spec §6): [transforms if level0] → color
+    * cache → Huffman codes (meta-Huffman if level0) → LZ77/ARGB
+    * data → inverse transforms in reverse read order.
+    */
+  private def decodeImageStream(br: BitReader, w0: Int, h: Int,
+      level0: Boolean): Array[Int] = {
+    var w = w0
+    val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
+    if (level0) {
+      val seen = new Array[Boolean](4)
+      while (br.readBit() == 1) {
+        val kind = br.readBits(2)
+        require(!seen(kind), "transform repeated")
+        seen(kind) = true
+        kind match {
+          case 0 | 1 => // predictor / cross-color: per-tile sub-image
+            val bits = br.readBits(3) + 2
+            val data = decodeImageStream(br,
+              subSample(w, bits), subSample(h, bits), level0 = false)
+            require(data != null, "transform data")
+            transforms += Transform(kind, bits, data, w)
+          case 2 => // subtract green: no data
+            transforms += Transform(2, 0, null, w)
+          case _ => // color indexing: palette + width bundling
+            val n = br.readBits(8) + 1
+            val deltas = decodeImageStream(br, n, 1, level0 = false)
+            require(deltas != null, "palette data")
+            val palette = new Array[Int](n)
+            var acc = 0
+            var i = 0
+            while (i < n) { // entries are per-channel delta-coded
+              acc = addPixels(acc, deltas(i)); palette(i) = acc; i += 1
+            }
+            val bundleBits =
+              if (n > 16) 0 else if (n > 4) 1 else if (n > 2) 2 else 3
+            transforms += Transform(3, bundleBits, palette, w)
+            w = subSample(w, bundleBits)
+        }
+      }
+    }
+    val cacheBits = if (br.readBit() == 1) br.readBits(4) else 0
+    require(cacheBits <= 11, "cache bits")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    // meta-Huffman entropy image (level0 only)
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    if (level0 && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      metaImg = decodeImageStream(br,
+        subSample(w, metaBits), subSample(h, metaBits), level0 = false)
+      require(metaImg != null, "meta huffman image")
+    }
+    val numGroups =
+      if (metaImg == null) 1
+      else metaImg.map(p => ((p >> 8) & 0xFFFF) + 1).max
+    require(numGroups <= 1024, "meta group count")
+    val alphabets =
+      Array(256 + 24 + cacheSize, 256, 256, 256, 40)
+    val groups = Array.fill(numGroups) {
+      alphabets.map(a => readHuffmanCode(br, a))
+    }
+    val n = w * h
+    val out = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    val metaW = if (metaImg != null) subSample(w, metaBits) else 0
+    var pos = 0
+    var group = groups(0)
+    var lastTileX = -1; var lastTileY = -1
+    while (pos < n) {
+      val x = pos % w; val y = pos / w
+      if (metaImg != null) {
+        val tx = x >> metaBits; val ty = y >> metaBits
+        if (tx != lastTileX || ty != lastTileY) {
+          group = groups((metaImg(ty * metaW + tx) >> 8) & 0xFFFF)
+          lastTileX = tx; lastTileY = ty
+        }
+      }
+      val s = group(0).next(br)
+      if (s < 256) { // literal ARGB
+        val g = s
+        val r = group(1).next(br)
+        val bl = group(2).next(br)
+        val a = group(3).next(br)
+        val pix = (a << 24) | (r << 16) | (g << 8) | bl
+        out(pos) = pix
+        if (cache != null) cache(cacheKey(pix, cacheBits)) = pix
+        pos += 1
+      } else if (s < 280) { // LZ77 backward reference
+        val length = prefixValue(br, s - 256)
+        val distCode = prefixValue(br, group(4).next(br))
+        val dist = planeCodeToDistance(w, distCode)
+        require(dist <= pos && pos + length <= n, "lz77 out of range")
+        var k = 0
+        while (k < length) {
+          val pix = out(pos - dist)
+          out(pos) = pix
+          if (cache != null) cache(cacheKey(pix, cacheBits)) = pix
+          pos += 1; k += 1
+        }
+        lastTileX = -1 // force group re-lookup after a copy
+      } else { // color-cache hit
+        require(cache != null && s - 280 < cacheSize, "cache index")
+        out(pos) = cache(s - 280)
+        pos += 1
+      }
+    }
+    // inverse transforms, reverse read order
+    var result = out
+    var curW = w
+    var t = transforms.length - 1
+    while (t >= 0) {
+      val tr = transforms(t)
+      tr.kind match {
+        case 0 => inversePredictor(result, curW, h, tr.bits, tr.data)
+        case 1 => inverseColorTransform(result, curW, h, tr.bits, tr.data)
+        case 2 => inverseSubtractGreen(result)
+        case _ =>
+          result = inverseColorIndex(result, curW, h, tr.bits, tr.data,
+            tr.xsize)
+          curW = tr.xsize
+      }
+      t -= 1
+    }
+    result
+  }
+
+  /** Per-channel byte-wise add (mod 256 each channel). */
+  private def addPixels(a: Int, b: Int): Int =
+    (((a >>> 24) + (b >>> 24)) & 0xFF) << 24 |
+      ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16 |
+      ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8 |
+      (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+
+  private def avg2(a: Int, b: Int): Int = {
+    def c(sh: Int) = ((((a >>> sh) & 0xFF) + ((b >>> sh) & 0xFF)) / 2) << sh
+    c(24) | c(16) | c(8) | c(0)
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubtractFull(a: Int, b: Int, c: Int): Int = {
+    def ch(sh: Int) = clamp255(
+      ((a >>> sh) & 0xFF) + ((b >>> sh) & 0xFF) - ((c >>> sh) & 0xFF)) << sh
+    ch(24) | ch(16) | ch(8) | ch(0)
+  }
+
+  private def clampAddSubtractHalf(a: Int, b: Int): Int = {
+    // per channel: clamp(ave + (ave - b) / 2), C-style truncation
+    def ch(sh: Int) = {
+      val av = (a >>> sh) & 0xFF; val bv = (b >>> sh) & 0xFF
+      clamp255(av + (av - bv) / 2) << sh
+    }
+    ch(24) | ch(16) | ch(8) | ch(0)
+  }
+
+  private def select(l: Int, t: Int, tl: Int): Int = {
+    def ch(p: Int, sh: Int) = (p >>> sh) & 0xFF
+    val pa = ch(l, 24) + ch(t, 24) - ch(tl, 24)
+    val pr = ch(l, 16) + ch(t, 16) - ch(tl, 16)
+    val pg = ch(l, 8) + ch(t, 8) - ch(tl, 8)
+    val pb = ch(l, 0) + ch(t, 0) - ch(tl, 0)
+    val pL = math.abs(pa - ch(l, 24)) + math.abs(pr - ch(l, 16)) +
+      math.abs(pg - ch(l, 8)) + math.abs(pb - ch(l, 0))
+    val pT = math.abs(pa - ch(t, 24)) + math.abs(pr - ch(t, 16)) +
+      math.abs(pg - ch(t, 8)) + math.abs(pb - ch(t, 0))
+    if (pL < pT) l else t
+  }
+
+  /** Predictor transform inverse: residual + per-tile-mode predictor,
+    * per-channel mod 256. First pixel predicts opaque black, row 0
+    * predicts L, column 0 predicts T; TR of the last column is the
+    * leftmost pixel of the SAME row (the spec's linear-memory rule).
+    */
+  private def inversePredictor(p: Array[Int], w: Int, h: Int,
+      bits: Int, tiles: Array[Int]): Unit = {
+    val tileW = subSample(w, bits)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) p(pos - 1) // L
+          else if (x == 0) p(pos - w) // T
+          else {
+            val mode =
+              (tiles((y >> bits) * tileW + (x >> bits)) >> 8) & 0xFF
+            val l = p(pos - 1)
+            val t = p(pos - w)
+            val tl = p(pos - w - 1)
+            val tr = p(pos - w + 1) // x==w-1 wraps to row start by design
+            mode match {
+              case 0 => 0xFF000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => avg2(avg2(l, tr), t)
+              case 6 => avg2(l, tl)
+              case 7 => avg2(l, t)
+              case 8 => avg2(tl, t)
+              case 9 => avg2(t, tr)
+              case 10 => avg2(avg2(l, tl), avg2(t, tr))
+              case 11 => select(l, t, tl)
+              case 12 => clampAddSubtractFull(l, t, tl)
+              case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+              case _ => throw new IllegalStateException("predictor mode")
+            }
+          }
+        p(pos) = addPixels(p(pos), pred)
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Cross-color transform inverse: per-tile signed 3.5 fixed-point
+    * multipliers; red_to_blue applies to the RECONSTRUCTED red.
+    * Tile element channels: blue = green_to_red, green =
+    * green_to_blue, red = red_to_blue.
+    */
+  private def inverseColorTransform(p: Array[Int], w: Int, h: Int,
+      bits: Int, tiles: Array[Int]): Unit = {
+    val tileW = subSample(w, bits)
+    def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = tiles((y >> bits) * tileW + (x >> bits))
+        val g2r = e & 0xFF
+        val g2b = (e >> 8) & 0xFF
+        val r2b = (e >> 16) & 0xFF
+        val v = p(pos)
+        val g = (v >> 8) & 0xFF
+        val r = (((v >> 16) & 0xFF) + delta(g2r, g)) & 0xFF
+        val b = ((v & 0xFF) + delta(g2b, g) + delta(r2b, r)) & 0xFF
+        p(pos) = (v & 0xFF00FF00.toInt) | (r << 16) | b
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def inverseSubtractGreen(p: Array[Int]): Unit = {
+    var i = 0
+    while (i < p.length) {
+      val v = p(i)
+      val g = (v >> 8) & 0xFF
+      val r = (((v >> 16) & 0xFF) + g) & 0xFF
+      val b = ((v & 0xFF) + g) & 0xFF
+      p(i) = (v & 0xFF00FF00.toInt) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  // ================================================= fixture encoder
+  // Deterministic VP8L writer for gate/spec fixtures (the buildPng /
+  // buildTiff discipline): literal-only, subtract-green, palette
+  // (incl. pixel bundling), whole-row LZ77 references and color-
+  // cache variants — enough surface to exercise every decoder path
+  // with closed-form pixel oracles. Valid for any VP8L reader.
+
+  /** LSB-first bit writer (the VP8L convention). */
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        acc |= (((v >> i) & 1) << nbits)
+        nbits += 1
+        if (nbits == 8) { out.write(acc); acc = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    /** A canonical Huffman code: first-read bit = MSB of the code. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (nbits > 0) { out.write(acc); acc = 0; nbits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** RFC 1951 canonical code assignment from lengths. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val maxLen = lengths.max
+    val counts = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) counts(l) += 1)
+    val next = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) {
+      code = (code + (if (l > 1) counts(l - 1) else 0)) << 1
+      next(l) = code
+      l += 1
+    }
+    val codes = new Array[Int](lengths.length)
+    var s = 0
+    while (s < lengths.length) {
+      if (lengths(s) > 0) { codes(s) = next(lengths(s)); next(lengths(s)) += 1 }
+      s += 1
+    }
+    codes
+  }
+
+  /** Complete balanced code over the used symbols: with n used and
+    * L = ceil(log2 n), the first 2^L - n symbols (ascending) get
+    * length L-1, the rest L — Kraft sum exactly 1.
+    */
+  private def balancedLengths(used: Seq[Int], alphabet: Int): Array[Int] = {
+    val lens = new Array[Int](alphabet)
+    val sorted = used.sorted
+    val n = sorted.length
+    if (n == 1) { lens(sorted.head) = 1; return lens } // caller-guarded
+    var bigL = 1
+    while ((1 << bigL) < n) bigL += 1
+    val short = (1 << bigL) - n
+    sorted.zipWithIndex.foreach { case (s, i) =>
+      lens(s) = if (i < short) bigL - 1 else bigL
+    }
+    lens
+  }
+
+  /** Emit one Huffman code: simple form when at most two used
+    * symbols all under 256, else the code-length-coded form (zero
+    * runs via 17/18, literals otherwise, CL code padded to two
+    * symbols so it is never a single-symbol tree).
+    */
+  private def writeHuffman(bw: BitWriter, lengths: Array[Int]): Unit = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.length <= 2 && used.forall(_ < 256) && used.nonEmpty) {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(used.length - 1, 1)
+      if (used.length == 1) {
+        val s = used.head
+        if (s < 2) { bw.writeBits(0, 1); bw.writeBits(s, 1) }
+        else { bw.writeBits(1, 1); bw.writeBits(s, 8) }
+      } else {
+        bw.writeBits(1, 1); bw.writeBits(used(0), 8)
+        bw.writeBits(used(1), 8)
+      }
+      return
+    }
+    bw.writeBits(0, 1) // code-length-coded
+    // ops: literals and zero runs; trailing zeros truncate, which
+    // the max_symbol field then declares (the decoder would
+    // otherwise keep reading CL symbols into the pixel data)
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var truncated = false
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var run = 0
+        while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+        if (i + run == lengths.length) {
+          truncated = true
+          i += run
+        } else {
+          var left = run
+          while (left >= 11) {
+            val take = math.min(left, 138)
+            ops += ((18, 7, take - 11)); left -= take
+          }
+          if (left >= 3) { ops += ((17, 3, left - 3)); left = 0 }
+          while (left > 0) { ops += ((0, 0, 0)); left -= 1 }
+          i += run
+        }
+      } else {
+        ops += ((lengths(i), 0, 0)); i += 1
+      }
+    }
+    var clUsed: Seq[Int] = ops.map(_._1).distinct.sorted.toSeq
+    if (clUsed.length == 1) // pad: a complete 2-symbol CL tree
+      clUsed = (clUsed :+ (if (clUsed.head == 0) 1 else 0)).sorted
+    val clLens = balancedLengths(clUsed, 19)
+    val clCodes = canonicalCodes(clLens)
+    val numCl = (1 to ClOrder.length)
+      .find(n => ClOrder.drop(n).forall(clLens(_) == 0)).getOrElse(19)
+    val numClClamped = math.max(numCl, 4)
+    bw.writeBits(numClClamped - 4, 4)
+    var j = 0
+    while (j < numClClamped) {
+      bw.writeBits(clLens(ClOrder(j)), 3); j += 1
+    }
+    if (truncated) {
+      // max_symbol = number of coded CL ops; the rest default to 0
+      bw.writeBits(1, 1)
+      val v = ops.length - 2
+      require(v >= 0, "max_symbol underflow")
+      val k = (0 to 7).find(k => v < (1 << (2 + 2 * k)))
+        .getOrElse(throw new IllegalStateException("max_symbol range"))
+      bw.writeBits(k, 3)
+      bw.writeBits(v, 2 + 2 * k)
+    } else bw.writeBits(0, 1)
+    ops.foreach { case (sym, extraBits, extraVal) =>
+      bw.writeCode(clCodes(sym), clLens(sym))
+      if (extraBits > 0) bw.writeBits(extraVal, extraBits)
+    }
+  }
+
+  /** Forward LZ77 prefix encode: value → (code, extraBits, extraVal). */
+  private def prefixEncode(v: Int): (Int, Int, Int) =
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      val x = v - 1
+      val n = 31 - Integer.numberOfLeadingZeros(x)
+      val second = (x >> (n - 1)) & 1
+      (2 * n + second, n - 1, x & ((1 << (n - 1)) - 1))
+    }
+
+  private sealed trait Op
+  private final case class Lit(argb: Int) extends Op
+  /** `distCode` is the on-wire distance CODE (1..120 = neighborhood
+    * map, else linear distance + 120).
+    */
+  private final case class Copy(len: Int, distCode: Int) extends Op
+  private final case class CacheHit(idx: Int) extends Op
+
+  private lazy val distanceCodeOf: Map[(Int, Int), Int] =
+    DistanceMap.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+
+  /** Forward distance→code: the short neighborhood code when the
+    * offset maps (and `forceLong` is off — the long form is always
+    * legal), else linear + 120.
+    */
+  private def distCodeFor(dist: Int, w: Int, forceLong: Boolean): Int = {
+    if (!forceLong) {
+      var dy = dist / w
+      var dx = dist % w
+      if (dx > 8 && w - dx <= 7) { dy += 1; dx -= w }
+      distanceCodeOf.get((dx, dy)) match {
+        case Some(c) => return c
+        case None =>
+      }
+    }
+    dist + 120
+  }
+
+  /** Emit an op stream with its five freshly-derived Huffman codes —
+    * shared by the main image and the palette sub-stream.
+    */
+  private def writeCodedOps(bw: BitWriter, ops: Seq[Op],
+      cacheBits: Int): Unit = {
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenUsed = ops.map {
+      case Lit(p) => (p >> 8) & 0xFF
+      case Copy(len, _) => 256 + prefixEncode(len)._1
+      case CacheHit(idx) => 280 + idx
+    }.distinct
+    def chanUsed(sh: Int) = ops.collect {
+      case Lit(p) => (p >>> sh) & 0xFF
+    }.distinct
+    val distUsed = ops.collect {
+      case Copy(_, d) => prefixEncode(d)._1
+    }.distinct
+    def lensFor(used: Seq[Int], alphabet: Int): Array[Int] =
+      if (used.isEmpty) { // unused code: 1-symbol tree on symbol 0
+        val l = new Array[Int](alphabet); l(0) = 1; l
+      } else balancedLengths(used, alphabet)
+    val greenLens = lensFor(greenUsed, 256 + 24 + cacheSize)
+    val redLens = lensFor(chanUsed(16), 256)
+    val blueLens = lensFor(chanUsed(0), 256)
+    val alphaLens = lensFor(chanUsed(24), 256)
+    val distLens = lensFor(distUsed, 40)
+    Seq(greenLens, redLens, blueLens, alphaLens, distLens)
+      .foreach(writeHuffman(bw, _))
+    // a single-symbol code is a ZERO-bit code on the wire (the
+    // decoder returns the symbol without consuming bits)
+    def emitLens(lens: Array[Int]): Array[Int] =
+      if (lens.count(_ > 0) == 1) new Array[Int](lens.length) else lens
+    val greenE = emitLens(greenLens); val redE = emitLens(redLens)
+    val blueE = emitLens(blueLens); val alphaE = emitLens(alphaLens)
+    val distE = emitLens(distLens)
+    val gc = canonicalCodes(greenLens); val rc = canonicalCodes(redLens)
+    val bc = canonicalCodes(blueLens); val ac = canonicalCodes(alphaLens)
+    val dc = canonicalCodes(distLens)
+    ops.foreach {
+      case Lit(p) =>
+        val g = (p >> 8) & 0xFF
+        bw.writeCode(gc(g), greenE(g))
+        val r = (p >> 16) & 0xFF; bw.writeCode(rc(r), redE(r))
+        val b = p & 0xFF; bw.writeCode(bc(b), blueE(b))
+        val a = (p >>> 24) & 0xFF; bw.writeCode(ac(a), alphaE(a))
+      case Copy(len, distCode) =>
+        val (lc, leb, lev) = prefixEncode(len)
+        bw.writeCode(gc(256 + lc), greenE(256 + lc))
+        if (leb > 0) bw.writeBits(lev, leb)
+        val (dcc, deb, dev) = prefixEncode(distCode)
+        bw.writeCode(dc(dcc), distE(dcc))
+        if (deb > 0) bw.writeBits(dev, deb)
+      case CacheHit(idx) =>
+        bw.writeCode(gc(280 + idx), greenE(280 + idx))
+    }
+  }
+
+  /** Build a VP8L WebP payload over `pix(x, y)` ARGB values.
+    * Variants: `subtractGreen` applies that transform;
+    * `usePalette` color-indexes (distinct colors <= 256, bundling
+    * kicks in under 17); `cacheBits` > 0 runs the color cache with
+    * greedy hits; `rowCopy` encodes identical rows 1..h-1 as LZ77
+    * references to the row above (requires all rows equal).
+    */
+  def buildWebpLossless(w: Int, h: Int, pix: (Int, Int) => Int,
+      subtractGreen: Boolean = false, usePalette: Boolean = false,
+      cacheBits: Int = 0, rowCopy: Boolean = false): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= MaxDim && h <= MaxDim)
+    require(!(usePalette && subtractGreen), "one transform per fixture")
+    val full = Array.tabulate(h, w)((y, x) => pix(x, y)).flatten
+    val bw = new BitWriter
+    bw.writeBits(0x2F, 8)
+    bw.writeBits(w - 1, 14); bw.writeBits(h - 1, 14)
+    bw.writeBits(0, 1) // alpha hint
+    bw.writeBits(0, 3) // version
+    // ---- transforms (read order = write order)
+    var data = full
+    var dataW = w
+    if (subtractGreen) {
+      bw.writeBits(1, 1); bw.writeBits(2, 2)
+      data = data.map { p =>
+        val g = (p >> 8) & 0xFF
+        val r = (((p >> 16) & 0xFF) - g) & 0xFF
+        val b = ((p & 0xFF) - g) & 0xFF
+        (p & 0xFF00FF00.toInt) | (r << 16) | b
+      }
+    }
+    if (usePalette) {
+      val colors = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      data.foreach(p => if (!colors.contains(p)) colors(p) = colors.size)
+      val n = colors.size
+      require(n <= 256, s"palette overflow: $n colors")
+      bw.writeBits(1, 1); bw.writeBits(3, 2)
+      bw.writeBits(n - 1, 8)
+      val palette = colors.keys.toArray
+      // palette sub-stream: per-channel delta-coded n x 1 image
+      val deltas = palette.indices.map { i =>
+        val prev = if (i == 0) 0 else palette(i - 1)
+        subPixels(palette(i), prev)
+      }
+      bw.writeBits(0, 1) // palette stream: no color cache
+      writeCodedOps(bw, deltas.map(Lit(_)), 0)
+      val bundleBits = if (n > 16) 0 else if (n > 4) 1 else if (n > 2) 2 else 3
+      val perPixel = 1 << bundleBits
+      val idxBits = 8 >> bundleBits
+      val packedW = subSample(w, bundleBits)
+      val packed = new Array[Int](packedW * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val idx = colors(data(y * w + x))
+          val at = y * packedW + x / perPixel
+          val green = ((packed(at) >> 8) & 0xFF) |
+            (idx << (idxBits * (x % perPixel)))
+          packed(at) = 0xFF000000 | (green << 8)
+          x += 1
+        }
+        y += 1
+      }
+      data = packed; dataW = packedW
+    }
+    bw.writeBits(0, 1) // end of transforms
+    // ---- entropy header
+    if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
+    else bw.writeBits(0, 1)
+    bw.writeBits(0, 1) // no meta-Huffman
+    // ---- ops
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
+    if (rowCopy) {
+      require(!usePalette && cacheBits == 0, "rowCopy fixture is plain")
+      require((1 until h).forall(y => (0 until dataW).forall(x =>
+        data(y * dataW + x) == data(x))), "rowCopy needs equal rows")
+      (0 until dataW).foreach(x => ops += Lit(data(x)))
+      // wide rows force the linear dist+120 form; narrow ones ride
+      // the short neighborhood map — both decoder paths exercised
+      val dcode = distCodeFor(dataW, dataW, forceLong = dataW > 8)
+      var left = dataW * (h - 1)
+      while (left > 0) { // length prefix caps at 4096 per ref
+        val take = math.min(left, 4096)
+        ops += Copy(take, dcode); left -= take
+      }
+    } else if (cacheBits > 0) {
+      val cache = new Array[Int](1 << cacheBits)
+      val seen = new Array[Boolean](1 << cacheBits)
+      data.foreach { p =>
+        val k = cacheKey(p, cacheBits)
+        if (seen(k) && cache(k) == p) ops += CacheHit(k)
+        else { ops += Lit(p); cache(k) = p; seen(k) = true }
+      }
+    } else data.foreach(p => ops += Lit(p))
+    writeCodedOps(bw, ops.toSeq, cacheBits)
+    wrapRiff(bw.bytes)
+  }
+
+  /** Per-channel byte-wise subtract (mod 256) — the palette delta. */
+  private def subPixels(a: Int, b: Int): Int =
+    (((a >>> 24) - (b >>> 24)) & 0xFF) << 24 |
+      ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16 |
+      ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8 |
+      (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+
+  /** RIFF/WEBP/VP8L container around a VP8L bitstream. */
+  def wrapRiff(vp8l: Array[Byte]): Array[Byte] = {
+    val pad = vp8l.length & 1
+    val o = java.nio.ByteBuffer.allocate(20 + vp8l.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(12 + vp8l.length + pad)
+    o.put("WEBP".getBytes("US-ASCII"))
+    o.put("VP8L".getBytes("US-ASCII")).putInt(vp8l.length)
+    o.put(vp8l)
+    o.array()
+  }
+
+  /** A minimal LOSSY-WebP-shaped payload (VP8 chunk) — the
+    * documented null boundary's fixture.
+    */
+  def buildWebpLossyStub(): Array[Byte] = {
+    val body = new Array[Byte](16) // VP8 frame tag bytes, content unread
+    val o = java.nio.ByteBuffer.allocate(20 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII")).putInt(12 + body.length)
+    o.put("WEBP".getBytes("US-ASCII"))
+    o.put("VP8 ".getBytes("US-ASCII")).putInt(body.length)
+    o.put(body)
+    o.array()
+  }
+
+  /** Color-indexing inverse: green channel is the palette index;
+    * with <=16 colors several indices bundle into one packed pixel
+    * (low bits first). An out-of-range index in a REAL pixel refuses
+    * (like the PNG palette rule); row-padding indices are ignored.
+    */
+  private def inverseColorIndex(packed: Array[Int], packedW: Int,
+      h: Int, bundleBits: Int, palette: Array[Int],
+      fullW: Int): Array[Int] = {
+    val out = new Array[Int](fullW * h)
+    val perPixel = 1 << bundleBits
+    val idxBits = 8 >> bundleBits
+    val idxMask = (1 << idxBits) - 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < fullW) {
+        val packedPix = packed(y * packedW + x / perPixel)
+        val green = (packedPix >> 8) & 0xFF
+        val idx = (green >> (idxBits * (x % perPixel))) & idxMask
+        require(idx < palette.length, "palette index")
+        out(y * fullW + x) = palette(idx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

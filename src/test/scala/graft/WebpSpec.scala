@@ -1,0 +1,183 @@
+package graft
+
+import graft.sources.{Multimodal, Webp}
+
+class WebpSpec extends SparkSpec {
+
+  private def px(x: Int, y: Int): Int =
+    0xFF000000 | (((x * 7 + y * 13) % 256) << 16) |
+      (((x * 3 + y * 29) % 256) << 8) | ((x * 11 + y * 41) % 256)
+
+  private def assertPixels(name: String, w: Int, h: Int,
+      pix: (Int, Int) => Int, bytes: Array[Byte]): Unit = {
+    val img = Webp.decodeWebp(bytes)
+    assert(img != null, s"$name decoded null")
+    assert(img.width === w && img.height === h, name)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val got = ((img.rgb(o) & 0xFF) << 16) | ((img.rgb(o + 1) & 0xFF) << 8) |
+        (img.rgb(o + 2) & 0xFF)
+      assert(got === (pix(x, y) & 0xFFFFFF), s"$name ($x,$y)")
+    }
+  }
+
+  test("VP8L round trips: plain literals, simple two-symbol codes, " +
+      "subtract-green, 20- and 4- and 2-color palettes (bundling), " +
+      "row-copy LZ77 wide (linear distances) and narrow (the short " +
+      "distance map), color cache (r13)") {
+    assertPixels("plain", 9, 7, px, Webp.buildWebpLossless(9, 7, px))
+    def bi(x: Int, y: Int): Int =
+      if ((x + y) % 2 == 0) 0xFF102030 else 0xFFAABBCC
+    assertPixels("simple", 5, 4, bi, Webp.buildWebpLossless(5, 4, bi))
+    assertPixels("subgreen", 8, 6, px,
+      Webp.buildWebpLossless(8, 6, px, subtractGreen = true))
+    def pal20(x: Int, y: Int): Int =
+      0xFF000000 | ((((x + 2 * y) % 20) * 12) << 8) | ((x + 2 * y) % 20)
+    assertPixels("pal20", 10, 6, pal20,
+      Webp.buildWebpLossless(10, 6, pal20, usePalette = true))
+    def pal4(x: Int, y: Int): Int =
+      Array(0xFF112233, 0xFF445566, 0xFF778899, 0xFFAABB00)((x + 3 * y) % 4)
+    assertPixels("pal4", 11, 5, pal4,
+      Webp.buildWebpLossless(11, 5, pal4, usePalette = true))
+    assertPixels("pal2", 13, 3, bi,
+      Webp.buildWebpLossless(13, 3, bi, usePalette = true))
+    def row(x: Int, y: Int): Int = px(x, 0)
+    assertPixels("rowcopy-wide", 200, 5, row,
+      Webp.buildWebpLossless(200, 5, row, rowCopy = true))
+    assertPixels("rowcopy-narrow", 7, 6, row,
+      Webp.buildWebpLossless(7, 6, row, rowCopy = true))
+    def few(x: Int, y: Int): Int =
+      Array(0xFF0000FF, 0xFF00FF00, 0xFFFF0000, 0xFF808080)((x * y + x) % 4)
+    assertPixels("cache", 16, 9, few,
+      Webp.buildWebpLossless(16, 9, few, cacheBits = 4))
+  }
+
+  test("hand-assembled VP8L bitstreams decode — independent of the " +
+      "fixture encoder, so a shared encoder/decoder misassumption " +
+      "cannot self-verify (r13)") {
+    // local LSB-first bit appender, independent of Webp.BitWriter
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0; var nb = 0
+    def wb(v: Int, n: Int): Unit = for (i <- 0 until n) {
+      acc |= ((v >> i) & 1) << nb; nb += 1
+      if (nb == 8) { out += acc.toByte; acc = 0; nb = 0 }
+    }
+    def flush(): Array[Byte] = {
+      if (nb > 0) { out += acc.toByte; acc = 0; nb = 0 }
+      out.toArray
+    }
+    // 1x2 image, both pixels ARGB FF112233, every code single-symbol
+    // (zero bits per pixel):
+    wb(0x2F, 8)        // signature
+    wb(0, 14); wb(1, 14) // w-1=0, h-1=1
+    wb(0, 1); wb(0, 3) // alpha hint, version
+    wb(0, 1)           // no transforms
+    wb(0, 1)           // no color cache
+    wb(0, 1)           // no meta-huffman
+    // green 0x22, red 0x11, blue 0x33, alpha 0xFF: simple 1-symbol
+    for (s <- Seq(0x22, 0x11, 0x33, 0xFF)) {
+      wb(1, 1); wb(0, 1); wb(1, 1); wb(s, 8)
+    }
+    wb(1, 1); wb(0, 1); wb(0, 1); wb(0, 1) // distance: 1-bit symbol 0
+    // data: zero bits — all codes single-symbol
+    val one = Webp.wrapRiff(flush())
+    assertPixels("hand-1x2", 1, 2, (_, _) => 0xFF112233, one)
+    // 2x1 image with a real data bit: green alternates {0x20, 0xBB}
+    // via a 2-symbol code (canonical: 0x20 -> bit 0, 0xBB -> bit 1)
+    out.clear()
+    wb(0x2F, 8)
+    wb(1, 14); wb(0, 14)
+    wb(0, 1); wb(0, 3)
+    wb(0, 1); wb(0, 1); wb(0, 1)
+    wb(1, 1); wb(1, 1); wb(1, 1); wb(0x20, 8); wb(0xBB, 8) // green pair
+    for (s <- Seq(0x10, 0x30, 0xFF)) { // red, blue, alpha single
+      wb(1, 1); wb(0, 1); wb(1, 1); wb(s, 8)
+    }
+    wb(1, 1); wb(0, 1); wb(0, 1); wb(0, 1) // distance single
+    wb(0, 1); wb(1, 1) // pixel greens: 0x20 then 0xBB
+    val two = Webp.wrapRiff(flush())
+    assertPixels("hand-2x1", 2, 1,
+      (x, _) => if (x == 0) 0xFF102030 else 0xFF10BB30, two)
+  }
+
+  test("short-distance map: 120 distinct previous-pixel offsets, " +
+      "spot-pinned against libwebp's kCodeToPlane values (r13)") {
+    val m = Webp.DistanceMap
+    assert(m.length === 120)
+    assert(m.distinct.length === 120)
+    // spot pins: (code-1) -> (dx, dy); kCodeToPlane nibbles decode as
+    // (8 - low, high)
+    assert(m(0) === ((0, 1)))    // 0x18
+    assert(m(1) === ((1, 0)))    // 0x07
+    assert(m(2) === ((1, 1)))    // 0x17
+    assert(m(3) === ((-1, 1)))   // 0x19
+    assert(m(22) === ((0, 4)))   // 0x48
+    assert(m(39) === ((5, 0)))   // 0x03
+    assert(m(72) === ((0, 7)))   // 0x78
+    assert(m(96) === ((8, 0)))   // 0x00
+    assert(m(101) === ((8, 1)))  // 0x10
+    assert(m(118) === ((8, 6)))  // 0x60
+    assert(m(119) === ((8, 7)))  // 0x70
+    // every offset references a previously-decoded pixel
+    m.foreach { case (dx, dy) => assert(dy > 0 || dx > 0) }
+  }
+
+  test("boundaries: lossy VP8 is the documented null, VP8X animation " +
+      "refuses, truncation / magic / version / dimension forgeries " +
+      "are null, and the raster dispatch tags 'webp' (r13)") {
+    assert(Webp.decodeWebp(Webp.buildWebpLossyStub()) === null)
+    val good = Webp.buildWebpLossless(9, 7, px)
+    assert(Webp.decodeWebp(good) != null)
+    assert(Webp.decodeWebp(good.take(good.length / 2)) === null)
+    val corrupt = good.clone(); corrupt(0) = 'X'.toByte
+    assert(Webp.decodeWebp(corrupt) === null)
+    // version bits forged to nonzero: byte 20 is the 0x2F signature,
+    // dims follow; version lives at bit offsets 37..39 of the payload
+    val badVer = good.clone()
+    badVer(20 + 4) = (badVer(24) | 0x40).toByte // bit 37 of payload
+    assert(Webp.decodeWebp(badVer) === null)
+    // parseHeader: VP8L dims without a full decode
+    val hdr = Multimodal.parseHeader(good)
+    assert(hdr.format === "webp" && hdr.width === 9 && hdr.height === 7)
+    // unknown payloads stay unknown
+    assert(Multimodal.parseHeader("RIFFxxxxWEBP".getBytes).format
+      === "unknown")
+  }
+
+  test("decoder totality fuzz over WebP payloads: random and mutated " +
+      "bytes never throw (r13)") {
+    val rnd = new scala.util.Random(0x3EB1)
+    val seeds = Seq(
+      Webp.buildWebpLossless(9, 7, px),
+      Webp.buildWebpLossless(10, 6, (x, y) =>
+        0xFF000000 | ((((x + 2 * y) % 20) * 12) << 8) | ((x + 2 * y) % 20),
+        usePalette = true),
+      Webp.buildWebpLossless(7, 6, (x, _) => px(x, 0), rowCopy = true),
+      Webp.buildWebpLossless(16, 9, (x, y) =>
+        Array(0xFF0000FF, 0xFF00FF00, 0xFFFF0000, 0xFF808080)((x * y + x) % 4),
+        cacheBits = 4),
+      Webp.buildWebpLossyStub())
+    for (i <- 0 until 400) {
+      val b =
+        if (i % 4 == 0) Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte)
+        else {
+          val s = seeds(rnd.nextInt(seeds.length)).clone()
+          rnd.nextInt(3) match {
+            case 0 =>
+              for (_ <- 0 to rnd.nextInt(8))
+                s(rnd.nextInt(s.length)) =
+                  (s(rnd.nextInt(s.length)) ^ (1 << rnd.nextInt(8))).toByte
+              s
+            case 1 => s.take(rnd.nextInt(s.length + 1))
+            case _ =>
+              val at = rnd.nextInt(s.length)
+              for (j <- at until math.min(s.length, at + 1 + rnd.nextInt(16)))
+                s(j) = rnd.nextInt(256).toByte
+              s
+          }
+        }
+      Webp.decodeWebp(b) // value or null, never a throw
+      Multimodal.parseHeader(b)
+    }
+  }
+}
