@@ -52,6 +52,78 @@ object Sources {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Write a frame as `.jsonl.zst` shards (r13 — how modern corpora
+    * actually ship: Dolma, RedPajama-v2). Spark's JSON sink has no
+    * zstd codec, so rows serialize through `Dataset.toJSON` and
+    * stream through the runtime's zstd codec (zstd-jni — shipped by
+    * Spark itself for shuffle/parquet compression; platform-codec
+    * status like the JDK's gzip). zstd frames are NOT splittable:
+    * the 100 TB parallelism unit is the FILE — `numFiles` many
+    * ~100 MB–1 GB shards, one task each. Shards commit via
+    * task-attempt temp + rename (the Containers discipline), so
+    * speculative attempts cannot interleave.
+    */
+  def writeJsonlZst(df: DataFrame, outPath: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles")
+    val spark = df.sparkSession
+    val base = outPath.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.toJSON.repartition(numFiles).foreachPartition {
+      (it: Iterator[String]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$base/part-$pid%05d.jsonl.zst")
+          val (raw, commit) = Containers.createCommitted(hconf.value, p)
+          val z = new com.github.luben.zstd.ZstdOutputStream(raw)
+          it.foreach { line =>
+            z.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            z.write('\n')
+          }
+          z.close()
+          commit()
+        }
+    }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read `.jsonl.zst` with an EXPLICIT schema (the [[readJsonl]]
+    * contract): one binaryFile task per shard, whole-frame
+    * decompress (files are sized by the writer to fit), `from_json`
+    * per line — schema mismatches surface as nulls in known columns.
+    * Concatenated frames decode like gzip members (continuous mode);
+    * the decompress stream is CLOSED eagerly per file — zstd-jni
+    * holds native memory a lazy iterator would leak.
+    */
+  def readJsonlZst(spark: SparkSession, glob: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(glob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val z = new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        z.setContinuous(true)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(z,
+            java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) out += line
+          line = reader.readLine()
+        }
+        reader.close()
+        out
+      }
+    lines.select(from_json(col("value"), schema).as("r")).select("r.*")
+  }
+
   /** S4 — bulk ingest: the reference's `pg_restore` of a dump
     * (/root/reference/setup.sh:73-77) maps to read→write.parquet.
     * `sortWithinPartitions` by the id keeps row groups clustered for

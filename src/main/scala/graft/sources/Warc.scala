@@ -125,9 +125,22 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
+  /** zstd frame magic 0xFD2FB528, little-endian on disk. */
+  private def isZstd(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd
+
   /** Parse one WARC file's bytes; gzip (whole-file or the Common
     * Crawl member-per-record convention) inflates transparently —
-    * `GZIPInputStream` walks concatenated members.
+    * `GZIPInputStream` walks concatenated members. `.warc.zst`
+    * (r13): whole-stream zstd frames decode through the runtime's
+    * zstd codec (zstd-jni, shipped by Spark itself for shuffle and
+    * parquet — the same platform-codec status as the JDK's gzip);
+    * concatenated frames stream through via the continuous mode.
+    * Declared boundary: the warcio dictionary-compressed `.warc.zst`
+    * variant (skippable dictionary frame) is not supported — its
+    * frames fail to decode and surface as zero records under
+    * lenient parse, never a crash.
     */
   def parseWarcBytes(bytes: Array[Byte],
       lenient: Boolean = false): Iterator[WarcRecord] = {
@@ -135,9 +148,14 @@ object Warc {
     // the header walk reads byte-at-a-time; unbuffered that costs a
     // synchronized inflater call PER CHARACTER on gzip input (~6x on
     // the 100k-payload probe)
-    parseWarc(if (isGzip(bytes))
-      new java.io.BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
-    else raw, lenient)
+    parseWarc(
+      if (isGzip(bytes))
+        new java.io.BufferedInputStream(new GZIPInputStream(raw), 1 << 16)
+      else if (isZstd(bytes)) {
+        val z = new com.github.luben.zstd.ZstdInputStream(raw)
+        z.setContinuous(true) // concatenated frames, like gzip members
+        new java.io.BufferedInputStream(z, 1 << 16)
+      } else raw, lenient)
   }
 
   /** Split an HTTP message body off a response record's payload:

@@ -38,6 +38,63 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test(".warc.zst: whole-stream and concatenated-frame zstd files " +
+      "parse like their gzip twins; jsonl.zst round-trips, and the " +
+      "REAL zstd CLI decodes our shards / we decode its (r13)") {
+    import com.github.luben.zstd.{ZstdInputStream, ZstdOutputStream}
+    def zst(payloads: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      payloads.foreach { p => // one frame per call — concatenated
+        val z = new ZstdOutputStream(out)
+        z.write(p); z.close()
+      }
+      out.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_warc_zst")
+    Files.write(dir.resolve("whole.warc.zst"), zst(Seq(mkRecords.reduce(_ ++ _))))
+    Files.write(dir.resolve("frames.warc.zst"), zst(mkRecords))
+    val rows = Warc.readWarc(spark, s"$dir/*.warc.zst").collect()
+    assert(rows.length === 6)
+    assert(rows.count(_.getString(1) == "response") === 4)
+    // jsonl.zst round trip through the Spark writer/reader
+    val docs = (1L to 200L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val out = Files.createTempDirectory("graft_jsonl_zst").toString
+    graft.sources.Sources.writeJsonlZst(docs, out, numFiles = 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = graft.sources.Sources
+      .readJsonlZst(spark, s"$out/*.jsonl.zst", schema)
+    assert(back.count() === 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum($"doc_id"))
+      .head().getLong(0) === (1L to 200L).sum)
+    // interop with upstream zstd, when the CLI is present: our
+    // shards must be plain zstd frames it can decode, and its output
+    // must read back through readJsonlZst
+    val cli = new java.io.File("/root/miniconda/bin/zstd")
+    if (cli.canExecute) {
+      val shard = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".jsonl.zst")).head
+      val p1 = new ProcessBuilder(cli.getPath, "-d", "-c", shard.getPath)
+        .redirectErrorStream(true).start()
+      val text = new String(p1.getInputStream.readAllBytes(), "UTF-8")
+      assert(p1.waitFor() === 0 && text.contains("\"text\""))
+      val plain = Files.createTempFile("graft_cli", ".jsonl")
+      Files.writeString(plain, "{\"doc_id\": 7, \"text\": \"from cli\"}\n")
+      val cliDir = Files.createTempDirectory("graft_cli_zst")
+      val zpath = cliDir.resolve("cli.jsonl.zst")
+      val p2 = new ProcessBuilder(cli.getPath, "-q", "-o",
+        zpath.toString, plain.toString).start()
+      assert(p2.waitFor() === 0)
+      val r = graft.sources.Sources
+        .readJsonlZst(spark, zpath.toString, schema).collect()
+      assert(r.length === 1 && r(0).getLong(0) === 7L
+        && r(0).getString(1) === "from cli")
+    }
+  }
+
   test("strict parse throws on a damaged record; lenient salvages the " +
       "prefix — for both a broken version line and a damaged gzip " +
       "member mid-stream (r12)") {
