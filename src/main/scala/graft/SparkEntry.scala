@@ -2201,6 +2201,35 @@ object SparkEntry {
         .orderBy(col("host"), col("rule_idx"))
     }),
 
+    // --- robots.txt crawl metadata (r13 — VERDICT r12 stretch #9):
+    //     Crawl-delay joins group selection (named over catch-all,
+    //     MAX across combined named groups — conservative politeness;
+    //     unparseable values ignored), Sitemap lines collect
+    //     file-wide in document order (group-independent, incl. from
+    //     groups that do NOT match the agent). The quota composer
+    //     can weight per-host budgets by crawl_delay.
+    "text_robots_meta" -> ((s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("a.example", "Sitemap: https://a.example/root.xml\n" +
+          "User-agent: graftbot\nDisallow: /x\nCrawl-delay: 10\n\n" +
+          "User-agent: *\nCrawl-delay: 2\n" +
+          "Sitemap: https://a.example/star.xml\n"),
+        ("b.example", "User-agent: *\nCrawl-delay: 1.5\n" +
+          "Sitemap: https://b.example/s.xml\n"),
+        ("c.example", "User-agent: otherbot\nCrawl-delay: 99\n" +
+          "Sitemap: https://c.example/s.xml\n"),
+        ("d.example", "User-agent: graftbot\nCrawl-delay: 3\n" +
+          "Crawl-delay: fast\n\nUser-agent: graftbot\nCrawl-delay: 7\n"),
+        ("e.example", "User-agent: *\nDisallow: /tmp\n"))
+        .toDF("host", "body")
+      operators.UrlPolicy.parseRobotsMeta(robots, "host", "body",
+          agent = "graftbot")
+        .select(col("host"), col("crawl_delay"),
+          array_join(col("sitemaps"), " ").as("sitemaps"))
+        .orderBy(col("host"))
+    }),
+
     // --- robots.txt filtering (r12): planted URLs over the four
     //     hosts × six path shapes hit every decision branch —
     //     longest-prefix wins (/private/ok/p allowed INSIDE the
@@ -4852,6 +4881,23 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the text_robots_meta oracle: per-host metadata literals —
+    // named delay beats catch-all (a: 10 not 2), catch-all applies
+    // when no named group (b), a non-matching group's delay is null
+    // but its sitemap still collects (c), combined named groups take
+    // the max with the unparseable value ignored (d: 7), absent →
+    // null/empty (e)
+    "text_robots_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('a.example', CAST(10 AS DOUBLE),
+        |    'https://a.example/root.xml https://a.example/star.xml'),
+        |  ('b.example', CAST(1.5 AS DOUBLE), 'https://b.example/s.xml'),
+        |  ('c.example', CAST(NULL AS DOUBLE), 'https://c.example/s.xml'),
+        |  ('d.example', CAST(7 AS DOUBLE), ''),
+        |  ('e.example', CAST(NULL AS DOUBLE), ''))
+        |  AS t(host, crawl_delay, sitemaps)
+        |ORDER BY host""".stripMargin,
 
     // the text_robots_rules oracle: the expected rule table as
     // literals — named group beats catch-all (a), empty Disallow

@@ -44,8 +44,9 @@ object UrlPolicy {
     * only when no named group matches), Allow/Disallow paths with
     * `*` wildcards and trailing `$` anchors compiled to `pattern`,
     * blank-line group separation, `#` comments. Sitemap/Crawl-delay
-    * lines are ignored. Empty Disallow ("allow all") parses as an
-    * empty-prefix Allow rule.
+    * lines are ignored here — [[parseRobotsMeta]] surfaces them as
+    * the per-host crawl-metadata frame. Empty Disallow ("allow all")
+    * parses as an empty-prefix Allow rule.
     */
   def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "graftbot"): DataFrame = {
@@ -107,6 +108,81 @@ object UrlPolicy {
           case ((allow, prefix), i) =>
             Row(host, i, allow, prefix, rulePattern(prefix))
         }
+      }
+    }
+  }
+
+  /** Per-host crawl metadata from robots.txt (r13 — the lines
+    * [[parseRobots]] deliberately skips): `crawl_delay` (seconds,
+    * null when absent/unparseable; when several selected groups
+    * carry one, the MAXIMUM wins — the conservative politeness
+    * reading) and `sitemaps` (all Sitemap lines in document order —
+    * they are group-INDEPENDENT per the sitemaps.org convention,
+    * collected from the whole file). Group selection for the delay
+    * follows [[parseRobots]]: all named-matching groups, else the
+    * `*` groups. One row per host; hosts with a null body drop.
+    * Feed `crawl_delay` to the per-host budget composer
+    * (`quotaSample` weighting) and `sitemaps` to frontier seeding.
+    */
+  def parseRobotsMeta(robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "graftbot"): DataFrame = {
+    val spark = robots.sparkSession
+    val schema = StructType(Seq(
+      StructField("host", StringType, nullable = false),
+      StructField("crawl_delay", DoubleType, nullable = true),
+      StructField("sitemaps", ArrayType(StringType, containsNull = false),
+        nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(schema)
+    val hIdx = robots.schema.fieldIndex(hostCol)
+    val bIdx = robots.schema.fieldIndex(bodyCol)
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    robots.flatMap { r =>
+      val host = r.getString(hIdx)
+      val body = r.getString(bIdx)
+      if (host == null || body == null) Iterator.empty
+      else {
+        final case class Group(agents: Seq[String], delays: Seq[Double])
+        val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+        val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+        var agents = Vector.empty[String]
+        var delays = Vector.empty[Double]
+        var inAgentRun = false
+        def flush(): Unit = {
+          if (agents.nonEmpty) groups += Group(agents, delays)
+          agents = Vector.empty; delays = Vector.empty
+        }
+        body.split('\n').foreach { raw =>
+          val line = raw.takeWhile(_ != '#').trim
+          val ix = line.indexOf(':')
+          if (ix > 0) {
+            val key = line.substring(0, ix).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            val value = line.substring(ix + 1).trim
+            key match {
+              case "user-agent" =>
+                if (!inAgentRun) { flush(); inAgentRun = true }
+                agents :+= value.toLowerCase(java.util.Locale.ROOT)
+              case "crawl-delay" =>
+                inAgentRun = false
+                try { delays :+= value.toDouble }
+                catch { case _: NumberFormatException => } // ignored
+              case "sitemap" =>
+                // group-independent: collected file-wide, any case
+                inAgentRun = false
+                if (value.nonEmpty) sitemaps += value
+              case _ => inAgentRun = false // allow, disallow, …
+            }
+          }
+        }
+        flush()
+        val named = groups.filter(_.agents.contains(agentLc))
+        val chosen =
+          if (named.nonEmpty) named else groups.filter(_.agents.contains("*"))
+        val delay = chosen.flatMap(_.delays) match {
+          case ds if ds.nonEmpty => java.lang.Double.valueOf(ds.max)
+          case _ => null
+        }
+        Iterator.single(Row(host, delay, sitemaps.toSeq))
       }
     }
   }
