@@ -261,7 +261,7 @@ class PlanSpec extends SparkSpec {
       "bytes across the cluster") {
     for (g <- Seq("mm_pixels_jpeg", "mm_pixels_gif", "mm_quality",
         "mm_frames", "mm_frames_avi", "mm_thumbnail", "mm_audio_std",
-        "mm_poster")) {
+        "mm_poster", "mm_pixels_webp", "mm_pixels_png_trns")) { // r13
       val p = plan(g)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= 1, s"$g has $exchanges exchanges:\n${p.take(900)}")
@@ -270,6 +270,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("HashAggregate"),
         s"$g grew an aggregate:\n${p.take(900)}")
     }
+  }
+
+  test("text_extract_main is scan → projection (r13): the whole block " +
+      "segmentation + density scoring chain is ONE codegen'd " +
+      "projection — no shuffle beyond the presentation sort, no join, " +
+      "no aggregate, no UDF") {
+    val p = plan("text_extract_main")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"extract_main grew shuffles:\n${p.take(900)}")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      p.take(900))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "the chain must stay native expressions (HOF lambdas are native " +
+        "Catalyst, though outside whole-stage codegen)")
   }
 
   test("text_gopher is ONE partial-aggregated pass (r12): every rule " +
