@@ -2472,6 +2472,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Model-based quality classification (r13 — the fastText-
+    //     style filter of CCNet/LLaMA-class stacks, in deterministic
+    //     engine-replayable form): multinomial Naive Bayes with
+    //     add-one smoothing, trained on a planted good/bad split
+    //     (every 4th doc gets a spam tail), scored back over the same
+    //     frame. The oracle replays TRAINING (class token counts,
+    //     vocab, smoothing) and SCORING (per-doc delta sums, bias)
+    //     from the plant — no seeds, no SGD, exact hash.
+    "text_nb_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200 && col("text").isNotNull)
+      val labeled = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(col("text"),
+            lit(" buy cheap click now buy cheap click now")))
+          .otherwise(col("text")).as("t"),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("bad"))
+          .otherwise(lit("good")).as("label"))
+      val model = operators.TextClassifier.trainNaiveBayes(
+        labeled, "t", "label", posLabel = "good")
+      operators.TextClassifier.withNbScore(
+          labeled, "doc_id", "t", model, "nb_score")
+        .select(col("doc_id"), round(col("nb_score"), 6).as("nb_score"),
+          col("nb_score_pos").cast("int").as("nb_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- PII redaction (curation op: scrub PII before training) over
     //     the three patterns every curation pipeline scrubs — emails,
     //     phone numbers, IPv4 addresses (r12 widened per VERDICT r11
@@ -5066,6 +5093,46 @@ object SparkEntry {
         |    repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT)) ||
         |    'e f abd cd c f e' AS tokens
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // the text_nb_quality oracle: the WHOLE NB pipeline replayed —
+    // plant, per-class token counts, vocab size, add-one smoothed
+    // per-word delta (one division then one ln per side, the exact
+    // Spark expression shape), per-doc delta sum + doc-prior bias
+    "text_nb_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' buy cheap click now buy cheap click now'
+        |      ELSE text END AS t,
+        |    doc_id % 4 <> 0 AS pos
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_filter(string_split(lower(t), ' '),
+        |      x -> length(x) > 0)) AS word
+        |  FROM d),
+        |cnt AS (SELECT word,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+        |  FROM tok GROUP BY word),
+        |tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+        |    count(*) AS v FROM cnt),
+        |nd AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+        |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg FROM d),
+        |delta AS (SELECT word,
+        |    ln(CAST(c_pos + 1 AS DOUBLE) / CAST(t.t_pos + t.v AS DOUBLE)) -
+        |    ln(CAST(c_neg + 1 AS DOUBLE) / CAST(t.t_neg + t.v AS DOUBLE))
+        |      AS dl
+        |  FROM cnt, tot t),
+        |sc AS (SELECT tok.doc_id, sum(delta.dl) AS s
+        |  FROM tok JOIN delta USING (word) GROUP BY tok.doc_id)
+        |SELECT d.doc_id,
+        |  round(ln(CAST(n.n_pos AS DOUBLE)) - ln(CAST(n.n_neg AS DOUBLE))
+        |    + coalesce(sc.s, 0), 6) AS nb_score,
+        |  CAST(ln(CAST(n.n_pos AS DOUBLE)) - ln(CAST(n.n_neg AS DOUBLE))
+        |    + coalesce(sc.s, 0) > 0 AS INT) AS nb_pos
+        |FROM d CROSS JOIN nd n LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the text_bpe_bytes_merges oracle: the byte-mode ladder with
     // every pair count recomputed from the plant formulas; symbols

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Model-based quality classification (r13) — the deterministic form
+  * of the fastText-style linear text classifier every production
+  * curation stack runs (CCNet's perplexity buckets feed one; the
+  * LLaMA/RedPajama pipelines filter on a fastText quality score):
+  * multinomial Naive Bayes over whitespace unigrams with add-one
+  * smoothing. Deterministic and engine-replayable by construction —
+  * no SGD, no seed, same counts → same model, so a DuckDB oracle can
+  * replay training AND scoring exactly (the distinctive graft
+  * discipline; a fastText binary could not be hash-checked).
+  *
+  * Scale shape:
+  *  - TRAINING is one corpus-scale pass: explode to (word, class)
+  *    counts with map-side partial aggregation; the result is
+  *    VOCAB-sized (Heaps' law), never corpus-sized. Totals fold in
+  *    as a broadcast 1-row stats frame (the established pattern).
+  *  - SCORING is scan-shaped: explode → broadcast model join →
+  *    per-doc partial-aggregated sum. No shuffle of the corpus
+  *    beyond the per-doc aggregation of its own tokens.
+  *
+  * The log-likelihood-ratio formulation stores ONE `delta` per word
+  * (log p(w|pos) − log p(w|neg)); a document's score is
+  * bias + Σ_tokens delta(w), positive ⇒ the positive class. The
+  * reference has no classifier surface; this is pipeline scope per
+  * BASELINE.json (quality filtering before training).
+  */
+object TextClassifier {
+
+  /** A trained model: `words` = (word, delta) — vocab-sized;
+    * `bias` = log(n_pos_docs) − log(n_neg_docs); `unseenDelta` =
+    * the delta of a word absent from training (smoothing floor).
+    */
+  final case class NbModel(words: DataFrame, bias: Double,
+      unseenDelta: Double)
+
+  /** Train multinomial NB with add-one smoothing. `posLabel` rows
+    * are the positive class; every other label is negative. Both
+    * classes must be present (checked). Tokenization is
+    * [[TextFunctions.tokens]] (lowercased whitespace unigrams — the
+    * engine-portable convention).
+    */
+  def trainNaiveBayes(df: DataFrame, textCol: String, labelCol: String,
+      posLabel: String): NbModel = {
+    val toks = df.select(
+        (col(labelCol) === posLabel).as("__pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+    val counts = toks.groupBy(col("word"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+      .persist()
+    val totals = counts.agg(
+        sum(col("c_pos")).as("t_pos"), sum(col("c_neg")).as("t_neg"),
+        count(lit(1)).as("v"))
+      .head()
+    val (tPos, tNeg, v) =
+      (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    require(tPos > 0 && tNeg > 0,
+      "trainNaiveBayes needs tokens in BOTH classes " +
+        s"(pos=$tPos neg=$tNeg tokens)")
+    val docs = df.agg(
+        sum(when(col(labelCol) === posLabel, 1L).otherwise(0L)),
+        sum(when(col(labelCol) === posLabel, 0L).otherwise(1L)))
+      .head()
+    val (nPos, nNeg) = (docs.getLong(0), docs.getLong(1))
+    require(nPos > 0 && nNeg > 0,
+      s"trainNaiveBayes needs docs in BOTH classes (pos=$nPos neg=$nNeg)")
+    // one double division then one log per side — the exact shape the
+    // oracle twin replays (ln((c+1)/(t+V)))
+    val words = counts.select(col("word"),
+      (log((col("c_pos") + 1).cast("double") / (tPos + v).toDouble) -
+        log((col("c_neg") + 1).cast("double") / (tNeg + v).toDouble))
+        .as("delta"))
+    val bias = math.log(nPos.toDouble) - math.log(nNeg.toDouble)
+    val unseen = math.log(1.0 / (tPos + v)) - math.log(1.0 / (tNeg + v))
+    counts.unpersist()
+    NbModel(words, bias, unseen)
+  }
+
+  /** Append `outCol` = bias + Σ delta over the doc's tokens (unseen
+    * words contribute `unseenDelta`; an EMPTY/null doc scores just
+    * the bias) and `outCol`_pos = score > 0. CONTRACT (the
+    * [[NgramLm.withLogProb]] discipline): `idCol` unique per row,
+    * no pre-existing `__id` column (checked). Model broadcast —
+    * vocab-sized; `maxModelRows` bounds it loudly.
+    */
+  def withNbScore(df: DataFrame, idCol: String, textCol: String,
+      model: NbModel, outCol: String,
+      maxModelRows: Long = 10000000L): DataFrame = {
+    require(!df.columns.contains("__id"),
+      "withNbScore uses working column __id; rename it first")
+    require(maxModelRows > 0 && maxModelRows < Int.MaxValue,
+      s"maxModelRows $maxModelRows")
+    val rows = model.words.limit((maxModelRows + 1).toInt).count()
+    require(rows <= maxModelRows,
+      s"model has > $maxModelRows rows — too large to broadcast")
+    val exploded = df.select(col(idCol).as("__id"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+    val scored = exploded
+      .join(broadcast(model.words), Seq("word"), "left")
+      .select(col("__id"),
+        coalesce(col("delta"), lit(model.unseenDelta)).as("d"))
+      .groupBy(col("__id"))
+      .agg(sum(col("d")).as("__sum")) // map-side partial per doc
+    df.join(scored, df(idCol) === scored("__id"), "left")
+      .withColumn(outCol,
+        lit(model.bias) + coalesce(col("__sum"), lit(0.0)))
+      .withColumn(s"${outCol}_pos", col(outCol) > 0)
+      .drop("__id", "__sum")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextClassifier
+
+class TextClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainNaiveBayes: hand-computed deltas, bias and smoothing on " +
+      "a four-doc corpus; scoring separates the classes and handles " +
+      "unseen words and empty docs (r13)") {
+    // pos: "good fine", "good"  → t_pos = 3 (good:2, fine:1)
+    // neg: "bad", "bad awful"   → t_neg = 3 (bad:2, awful:1)
+    // vocab = {good, fine, bad, awful} → V = 4
+    val corpus = Seq(
+      (1L, "good fine", "good"), (2L, "good", "good"),
+      (3L, "bad", "bad"), (4L, "bad awful", "bad"))
+      .toDF("id", "t", "label")
+    val m = TextClassifier.trainNaiveBayes(corpus, "t", "label", "good")
+    val deltas = m.words.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def d(cp: Long, cn: Long): Double =
+      math.log((cp + 1).toDouble / 7) - math.log((cn + 1).toDouble / 7)
+    assert(math.abs(deltas("good") - d(2, 0)) < 1e-12)
+    assert(math.abs(deltas("fine") - d(1, 0)) < 1e-12)
+    assert(math.abs(deltas("bad") - d(0, 2)) < 1e-12)
+    assert(math.abs(deltas("awful") - d(0, 1)) < 1e-12)
+    assert(math.abs(m.bias - 0.0) < 1e-12) // 2 vs 2 docs
+    assert(math.abs(m.unseenDelta - 0.0) < 1e-12) // symmetric totals
+    // scoring: training docs classify correctly; an unseen-word doc
+    // scores exactly bias + 2*unseen = 0 here; empty/null score bias
+    val test = Seq(
+      (10L, "good good fine"), (11L, "awful bad bad"),
+      (12L, "zebra qux"), (13L, ""), (14L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val scored = TextClassifier
+      .withNbScore(test, "id", "t", m, "s")
+      .orderBy($"id").collect()
+    assert(scored(0).getDouble(2) > 0 && scored(0).getBoolean(3))
+    assert(scored(1).getDouble(2) < 0 && !scored(1).getBoolean(3))
+    assert(math.abs(scored(2).getDouble(2)) < 1e-12) // all unseen
+    assert(math.abs(scored(3).getDouble(2)) < 1e-12) // empty → bias
+    assert(math.abs(scored(4).getDouble(2)) < 1e-12) // null → bias
+    // multiplicity: input row count preserved
+    assert(scored.length === 5)
+  }
+
+  test("trainNaiveBayes refuses single-class corpora; withNbScore " +
+      "rejects an __id collision and an over-sized model (r13)") {
+    val oneClass = Seq((1L, "a b", "good"), (2L, "c", "good"))
+      .toDF("id", "t", "label")
+    intercept[IllegalArgumentException] {
+      TextClassifier.trainNaiveBayes(oneClass, "t", "label", "good")
+    }
+    val corpus = Seq((1L, "x", "good"), (2L, "y", "bad"))
+      .toDF("id", "t", "label")
+    val m = TextClassifier.trainNaiveBayes(corpus, "t", "label", "good")
+    intercept[IllegalArgumentException] {
+      TextClassifier.withNbScore(
+        Seq((1L, "x", "z")).toDF("id", "t", "__id"), "id", "t", m, "s")
+    }
+    intercept[IllegalArgumentException] {
+      TextClassifier.withNbScore(
+        Seq((1L, "x")).toDF("id", "t"), "id", "t", m, "s",
+        maxModelRows = 1L)
+    }
+  }
+}
