@@ -2327,6 +2327,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- UniMax epoch-capped mixture (r13 — Chung et al. 2023, the
+    //     fairness refinement over temperature sampling): planted
+    //     source sizes 80/40/20/20 docs (by doc_id%8 over the dense
+    //     0..159 range), budget 200 at <=2 epochs. Hand-derivable
+    //     water-fill, ascending: code/wiki hit their 40-doc epoch cap,
+    //     books and web split the freed budget at 60 each — epochs
+    //     2 / 2 / 1.5 / 0.75, all exactly representable doubles.
+    "docs_mix_unimax" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 160)
+      val src = when(pmod(col("doc_id"), lit(8L)) < 4, lit("web"))
+        .when(pmod(col("doc_id"), lit(8L)) < 6, lit("books"))
+        .when(pmod(col("doc_id"), lit(8L)) === 6, lit("wiki"))
+        .otherwise(lit("code"))
+      operators.TrainingOrder.unimaxBudgets(
+          docs.select(col("doc_id"), src.as("source")), "source", lit(1.0),
+          totalBudget = 200.0, maxEpochs = 2.0)
+        .orderBy(col("source"))
+    }),
+
     // --- n-gram LM perplexity scoring (r12 — the CCNet/RedPajama
     //     quality filter, dependency-free core): a char-trigram
     //     conditional model with add-one smoothing trains on the
@@ -5015,6 +5034,23 @@ object SparkEntry {
         |  round(s / (SELECT sum(s) FROM t), 6) AS weight,
         |  CAST(round(s / (SELECT sum(s) FROM t) * 2048) AS BIGINT) AS n_quota
         |FROM t ORDER BY source""".stripMargin,
+
+    // the docs_mix_unimax oracle: the hand-derived water-fill over
+    // the planted 80/40/20/20 sizes at budget 200, epoch cap 2 —
+    // ascending: code 40 (capped), wiki 40 (capped), books 60,
+    // web 60; every figure an exact double
+    "docs_mix_unimax" ->
+      """SELECT * FROM (VALUES
+        |  ('books', CAST(40 AS DOUBLE), CAST(60 AS DOUBLE),
+        |    CAST(1.5 AS DOUBLE)),
+        |  ('code', CAST(20 AS DOUBLE), CAST(40 AS DOUBLE),
+        |    CAST(2 AS DOUBLE)),
+        |  ('web', CAST(80 AS DOUBLE), CAST(60 AS DOUBLE),
+        |    CAST(0.75 AS DOUBLE)),
+        |  ('wiki', CAST(20 AS DOUBLE), CAST(40 AS DOUBLE),
+        |    CAST(2 AS DOUBLE)))
+        |  AS t(source, n, budget, epochs)
+        |ORDER BY source""".stripMargin,
 
     // the text_perplexity oracle: the whole model recomputed in SQL —
     // lateral char-gram extraction, gram and continued-context

@@ -139,6 +139,52 @@ object TrainingOrder {
       (col("__s") / total).as("weight"))
   }
 
+  /** UniMax budget allocation (r13 — Chung et al. 2023, the fairness
+    * refinement OVER temperature sampling): distribute `totalBudget`
+    * (tokens/docs, the unit of `sizeCol`) across sources processed in
+    * ASCENDING size order — each source takes the minimum of its
+    * epoch cap (`size * maxEpochs`) and the fair share of what
+    * remains. Small sources never repeat past `maxEpochs` (the
+    * overfitting guard temperature scaling lacks) and freed budget
+    * flows to larger sources. Equivalent to water-filling with
+    * per-source capacity size·maxEpochs; the sequential form here is
+    * the paper's.
+    *
+    * Scale shape: one partial-aggregated corpus pass to the
+    * SOURCES-sized table, then a driver loop over it (sources are
+    * tens-to-thousands; `maxSources` bounds the collect loudly).
+    * Returns (source, n, budget, epochs) — feed `budget`-derived
+    * weights to [[interleaveByWeight]] / [[selectByTokenBudget]].
+    * Ties in size break on source name — run-stable.
+    */
+  def unimaxBudgets(df: DataFrame, sourceCol: String, sizeCol: Column,
+      totalBudget: Double, maxEpochs: Double,
+      maxSources: Int = 100000): DataFrame = {
+    require(totalBudget > 0, s"totalBudget $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs $maxEpochs")
+    require(maxSources > 0, s"maxSources $maxSources")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sized = df.groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(coalesce(sum(sizeCol.cast("double")), lit(0.0)).as("n"))
+    val rows = sized.limit(maxSources + 1).collect()
+    require(rows.length <= maxSources,
+      s"more than $maxSources sources — unimaxBudgets collects the " +
+        "sources table; raise maxSources if that is intended")
+    val srcs = rows.map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (s, n) => (n, s) }
+    var remainingBudget = totalBudget
+    var remaining = srcs.length
+    val out = srcs.map { case (s, n) =>
+      val fair = remainingBudget / remaining
+      val b = math.min(n * maxEpochs, fair)
+      remainingBudget -= b
+      remaining -= 1
+      (s, n, b, if (n > 0) b / n else 0.0)
+    }
+    out.toSeq.toDF("source", "n", "budget", "epochs")
+  }
+
   def interleaveByWeight(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], seed: Long = 42L,
       bucketHexDigits: Int = 2): DataFrame = {

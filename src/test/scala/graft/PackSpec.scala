@@ -300,4 +300,39 @@ class PackSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("big") === quota("big") && got("small") === quota("small"))
   }
+
+  test("unimaxBudgets: epoch caps bind ascending and freed budget " +
+      "flows up; budget conserves at min(B, sum of caps); abundant " +
+      "budget caps everyone; empty-input and guard refusals (r13)") {
+    import graft.operators.TrainingOrder
+    // sizes: a=10, b=30, c=60; E=2 → caps 20/60/120
+    val df = spark.range(100).select($"id",
+      when($"id" % 10 === 0, lit("a"))
+        .when($"id" % 10 < 4, lit("b")).otherwise(lit("c")).as("source"))
+    def alloc(budget: Double, e: Double): Map[String, (Double, Double)] =
+      TrainingOrder.unimaxBudgets(df, "source", lit(1.0), budget, e)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3))))
+        .toMap
+    // B=90: a fair=30 → capped 20; b fair=35 → capped... cap 60>35 →
+    // 35; c gets 35. Conservation: 20+35+35 = 90
+    val t = alloc(90.0, 2.0)
+    assert(t("a") === ((20.0, 2.0)))
+    assert(t("b") === ((35.0, 35.0 / 30)))
+    assert(t("c") === ((35.0, 35.0 / 60)))
+    assert(math.abs(t.values.map(_._1).sum - 90.0) < 1e-9)
+    // abundant budget: everyone at cap, total = sum of caps (200)
+    val big = alloc(10000.0, 2.0)
+    assert(big("a")._1 === 20.0 && big("b")._1 === 60.0
+      && big("c")._1 === 120.0)
+    assert(big.values.forall(_._2 === 2.0)) // all at max epochs
+    // guards
+    intercept[IllegalArgumentException] {
+      TrainingOrder.unimaxBudgets(df, "source", lit(1.0), 0.0, 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingOrder.unimaxBudgets(df, "source", lit(1.0), 10.0, 2.0,
+        maxSources = 1)
+    }
+  }
 }
