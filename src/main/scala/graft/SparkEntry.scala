@@ -2590,6 +2590,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- SURT keys (r13 — the web-archive sort key: Common Crawl's
+    //     CDX urlkey / Wayback convention): canonicalize, reverse the
+    //     host labels comma-joined, ')' + path?query. The plant
+    //     exercises multi-label hosts, a query kept, a bare root
+    //     (keeps '/'), and a host that needs canonicalization first
+    //     (case + www). Sorted SURT keys cluster a domain's pages —
+    //     the property per-domain range scans at 100 TB rely on.
+    "text_surt" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      val k = (col("doc_id") / 4).cast("long")
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("https://docs.example.com/guide/"), k))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("https://a.b.example.net/p?id="), k))
+        .when(col("doc_id") % 4 === 2, lit("https://example.org/"))
+        .otherwise(concat(lit("HTTP://WWW.Shop.COM/Item/"), k))
+      d.select(col("doc_id"), TextFunctions.surtKey(raw).as("surt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- CDXJ crawl-index parse (r13 — the cdx-*.gz lines crawl
+    //     selection reads BEFORE touching WARC bytes): urlkey,
+    //     14-digit timestamp, JSON fields with the format's
+    //     stringified numerics cast to types; every 19th line is
+    //     malformed and must yield null fields, never a crash.
+    "docs_cdxj" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val k = col("doc_id")
+      val hour = lpad(pmod(k, lit(24L)).cast("string"), 2, "0")
+      val line = when(pmod(k, lit(19L)) === 0, lit("not a cdxj line"))
+        .otherwise(concat(
+          lit("com,example)/doc/"), k,
+          lit(" 20260101"), hour, lit("0000 "),
+          lit("{\"url\": \"https://example.com/doc/"), k,
+          lit("\", \"mime\": \"text/html\", \"status\": \"200\", "),
+          lit("\"digest\": \"sha1:FIXED\", \"length\": \""), k * 100 + 7,
+          lit("\", \"offset\": \""), k * 1000,
+          lit("\", \"filename\": \"crawl-00.warc.gz\"}")))
+      graft.sources.Sources.parseCdxj(
+          d.select(col("doc_id"), line.as("line")), "line")
+        .select(col("doc_id"), col("urlkey"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("url"), col("status"), col("length"), col("offset"),
+          col("filename"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- HTML boilerplate strip (r12 — VERDICT r11 missing #2, the
     //     step every web crawl needs before ANY text operator): real
     //     fixture text is wrapped in-plan with the hostile parts of a
@@ -5824,6 +5871,38 @@ object SparkEntry {
         |SELECT doc_id, u AS url,
         |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host
         |FROM c7 ORDER BY doc_id""".stripMargin,
+
+    // the text_surt oracle: hand-derived SURT strings per plant
+    // branch — the host reversal, query preservation, bare-root '/',
+    // and the canonicalize-first branch (case + www stripped)
+    "text_surt" ->
+      """SELECT doc_id, CASE doc_id % 4
+        |  WHEN 0 THEN 'com,example,docs)/guide/' || (doc_id // 4)
+        |  WHEN 1 THEN 'net,example,b,a)/p?id=' || (doc_id // 4)
+        |  WHEN 2 THEN 'org,example)/'
+        |  ELSE 'com,shop)/Item/' || (doc_id // 4) END AS surt
+        |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin,
+
+    // the docs_cdxj oracle: field reconstruction from the plant
+    // formulas; malformed %19 lines are all-null
+    "docs_cdxj" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE 'com,example)/doc/' || doc_id END AS urlkey,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE '2026-01-01 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |      || ':00:00' END AS ts,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE 'https://example.com/doc/' || doc_id END AS url,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE CAST(200 AS INT) END AS status,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE CAST(doc_id * 100 + 7 AS BIGINT) END AS length,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE CAST(doc_id * 1000 AS BIGINT) END AS offset,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE 'crawl-00.warc.gz' END AS filename
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // the text_html oracle: the IDENTICAL RE2-safe strip chain —
     // block excision, tag removal, entity replaces in table order

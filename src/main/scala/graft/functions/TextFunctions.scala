@@ -388,6 +388,28 @@ object TextFunctions {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
 
+  /** SURT key (r13) — the Sort-friendly URI Reordering Transform the
+    * web-archive world keys on (Common Crawl's CDX `urlkey`, Wayback
+    * indexes): canonicalize ([[canonicalUrl]] — lowercased authority,
+    * no www/fragment/tracking/default-port), then reverse the host
+    * labels comma-joined and append `)` + path?query —
+    * `https://docs.example.com/g?id=1` → `com,example,docs)/g?id=1`.
+    * Sorting SURT keys clusters a registered domain's pages together,
+    * which is what makes per-domain range scans and prefix quotas
+    * work on a 100 TB URL table. A bare root keeps the `/`.
+    * Declared boundary: our canonicalization, not Common Crawl's full
+    * urlkey normalizer (session-param stripping beyond the tracking
+    * table and query-param sorting are not applied).
+    */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalUrl(url)
+    val host = urlHost(canon)
+    val rest = regexp_replace(canon,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"),
+      when(length(rest) > 0, rest).otherwise(lit("/")))
+  }
+
   /** Collapse runs of the same consecutive word to at most `maxRun`
     * occurrences — the intra-document repetition TRIM next to the
     * repetition SCORE ([[repetitionRatio]]): looping generations and

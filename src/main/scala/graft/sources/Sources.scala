@@ -124,6 +124,40 @@ object Sources {
     lines.select(from_json(col("value"), schema).as("r")).select("r.*")
   }
 
+  /** Parse CDXJ crawl-index lines (r13) — the Common Crawl / Wayback
+    * `cdx-*.gz` convention: `<urlkey> <14-digit timestamp> <json>`.
+    * A crawl-selection pipeline reads these to pick WARC offsets
+    * before touching payload bytes. Appends `urlkey`, `ts` (parsed,
+    * session-UTC) and the typed JSON fields (url, mime, status,
+    * digest, length, offset, filename — numerics cast from the
+    * format's string values). Malformed lines yield null fields and
+    * flow to a filter, never a crash. All native expressions —
+    * scan-shaped, no UDF.
+    */
+  def parseCdxj(df: DataFrame, lineCol: String): DataFrame = {
+    val pat = "^(\\S+) (\\d{14}) (\\{.*\\})$"
+    val key = regexp_extract(col(lineCol), pat, 1)
+    val ts = regexp_extract(col(lineCol), pat, 2)
+    val js = regexp_extract(col(lineCol), pat, 3)
+    val schema = StructType(Seq(
+      StructField("url", StringType), StructField("mime", StringType),
+      StructField("status", StringType), StructField("digest", StringType),
+      StructField("length", StringType), StructField("offset", StringType),
+      StructField("filename", StringType)))
+    df.withColumn("urlkey", when(length(key) > 0, key))
+      .withColumn("ts",
+        to_timestamp(when(length(ts) > 0, ts), "yyyyMMddHHmmss"))
+      .withColumn("__cdx", from_json(js, schema))
+      .withColumn("url", col("__cdx.url"))
+      .withColumn("mime", col("__cdx.mime"))
+      .withColumn("status", col("__cdx.status").try_cast("int"))
+      .withColumn("digest", col("__cdx.digest"))
+      .withColumn("length", col("__cdx.length").try_cast("long"))
+      .withColumn("offset", col("__cdx.offset").try_cast("long"))
+      .withColumn("filename", col("__cdx.filename"))
+      .drop("__cdx")
+  }
+
   /** S4 — bulk ingest: the reference's `pg_restore` of a dump
     * (/root/reference/setup.sh:73-77) maps to read→write.parquet.
     * `sortWithinPartitions` by the id keeps row groups clustered for

@@ -269,6 +269,58 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("surtKey: host labels reverse after canonicalization (port, " +
+      "tracking, fragment, www, case all stripped first), query " +
+      "survives, bare root keeps '/', null passes through (r13)") {
+    import graft.functions.TextFunctions.surtKey
+    val rows = Seq(
+      (1L, "https://Docs.Example.com:443/a?id=1&utm_source=x#f"),
+      (2L, "http://example.com/"),
+      (3L, "https://www.shop.net/Item/9?ref=side"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "u")
+      .select($"id", surtKey($"u").as("s")).orderBy($"id").collect()
+    assert(rows(0).getString(1) === "com,example,docs)/a?id=1")
+    assert(rows(1).getString(1) === "com,example)/")
+    assert(rows(2).getString(1) === "net,shop)/Item/9")
+    assert(rows(3).isNullAt(1))
+    // the clustering property SURT exists for: one domain's keys sort
+    // adjacently even when subdomains interleave alphabetically
+    val keys = Seq("https://z.alpha.org/1", "https://beta.com/x",
+        "https://a.alpha.org/2")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "u").select(surtKey($"u").as("s"))
+      .collect().map(_.getString(0)).sorted
+    assert(keys(0).startsWith("com,beta") ||
+      (keys(0).startsWith("org,alpha") && keys(1).startsWith("org,alpha")))
+    assert(keys.count(_.startsWith("org,alpha")) === 2)
+    assert(keys.indexWhere(_.startsWith("org,alpha")) +1 ===
+      keys.lastIndexWhere(_.startsWith("org,alpha")),
+      "a domain's keys must be adjacent in sorted order")
+  }
+
+  test("parseCdxj: well-formed lines parse with typed casts; " +
+      "malformed / truncated / bad-timestamp lines yield nulls (r13)") {
+    import graft.sources.Sources
+    val df = Seq(
+      (1L, "com,ex)/a 20260101120000 {\"url\": \"https://ex.com/a\", " +
+        "\"status\": \"200\", \"length\": \"123\", \"offset\": \"456\", " +
+        "\"filename\": \"f.warc.gz\"}"),
+      (2L, "garbage"),
+      (3L, "com,ex)/b 2026 {\"url\": \"x\"}"), // short timestamp
+      (4L, "com,ex)/c 20260101120000 {\"status\": \"abc\"}")) // bad int
+      .toDF("id", "line")
+    val out = Sources.parseCdxj(df, "line").orderBy($"id").collect()
+    assert(out(0).getAs[String]("urlkey") === "com,ex)/a")
+    assert(out(0).getAs[Int]("status") === 200)
+    assert(out(0).getAs[Long]("length") === 123L)
+    assert(out(0).getAs[String]("filename") === "f.warc.gz")
+    assert(out(1).isNullAt(out(1).fieldIndex("urlkey")))
+    assert(out(2).isNullAt(out(2).fieldIndex("urlkey")))
+    assert(out(3).isNullAt(out(3).fieldIndex("status")), "bad int → null")
+    assert(out(3).getAs[String]("urlkey") === "com,ex)/c")
+  }
+
   test("extractMain: chrome elements drop even when LONG, link farms " +
       "drop by density, inline links in prose survive, short blocks " +
       "drop, nested chrome cuts at first close, null → null (r13)") {
