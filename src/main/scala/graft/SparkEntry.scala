@@ -1426,6 +1426,26 @@ object SparkEntry {
         "probe_id", "text", shingleLen = 2, minContainment = 0.1)
     }),
 
+    // --- Fuzzy decontamination (r13 — the near-dup companion of the
+    //     exact passes): an EDITED eval twin (three tokens appended)
+    //     keeps shingle Jaccard ≈ 0.9 to its source doc; both sides
+    //     hash into one banded LSH space, cross-side candidates
+    //     verify with exact Jaccard ≥ 0.7. The oracle brute-forces
+    //     string-shingle Jaccard over every (probe, corpus) pair —
+    //     the fixed hash family makes LSH's catches deterministic,
+    //     and at J ≥ 0.7 with 16 bands of 2 the miss mass is 2e-5.
+    "text_contamination_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 300)
+      val probes = docs.filter(pmod(col("doc_id"), lit(10L)) === 7)
+        .select((col("doc_id") + 100000L).as("eval_id"),
+          concat(col("text"), lit(" benchmark answer key")).as("text"))
+      Dedup.fuzzyContaminationJoin(docs, "doc_id", "text",
+        probes, "eval_id", "text", shingleLen = 3,
+        numHashes = 32, bands = 16, threshold = 0.7)
+    }),
+
     // --- Inverted-index decontamination (r10, VERDICT r9 #5): the
     //     beyond-broadcast form — probe and corpus postings meet in a
     //     shuffle equi-join partitioned on the 64-bit shingle id, no
@@ -4314,6 +4334,42 @@ object SparkEntry {
         |  FROM probe p JOIN corp c ON len(list_intersect(p.sh, c.sh)) > 0)
         |SELECT probe_id, doc_id, containment FROM m WHERE containment >= 0.1
         |ORDER BY probe_id, containment DESC, doc_id""".stripMargin,
+
+    // the text_contamination_fuzzy oracle: brute-force string-shingle
+    // Jaccard over every (edited probe, corpus doc) pair at the same
+    // 3-gram convention (short-doc whole-join fallback), round-then-
+    // filter at 0.7 like the engine
+    "text_contamination_fuzzy" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300),
+        |ct AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS toks FROM d),
+        |cs AS (SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM ct),
+        |pt AS (SELECT doc_id + 100000 AS eval_id,
+        |    list_filter(string_split(lower(text || ' benchmark answer key'),
+        |      ' '), x -> length(x) > 0) AS toks
+        |  FROM d WHERE doc_id % 10 = 7),
+        |ps AS (SELECT eval_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+        |  FROM pt),
+        |m AS (
+        |  SELECT p.eval_id, c.doc_id,
+        |    round(len(list_intersect(p.sh, c.sh))::DOUBLE /
+        |      (len(p.sh) + len(c.sh) - len(list_intersect(p.sh, c.sh))), 6)
+        |      AS jaccard
+        |  FROM ps p CROSS JOIN cs c)
+        |SELECT eval_id, doc_id, jaccard FROM m
+        |WHERE jaccard >= 0.7
+        |ORDER BY eval_id, jaccard DESC, doc_id""".stripMargin,
 
     // inverted-index decontamination: same string-shingle containment
     // as text_contamination, probe split at doc_id < 8 — the Spark

@@ -173,6 +173,31 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxProbes"))
   }
 
+  test("fuzzyContaminationJoin: an edited eval twin is caught where " +
+      "whole-window matching degrades, unrelated docs stay silent, " +
+      "corpus-corpus pairs never emit, typed ids come back (r13)") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long meadow beyond the old farm fence line"
+    val corpus = Seq(
+      (10L, base),
+      (11L, base), // an exact corpus-internal dup — must NOT emit
+      (12L, "completely unrelated content about spark engines and " +
+        "columnar execution pipelines at large scale everywhere")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (900L, base + " answer option d"), // edited twin of 10/11
+      (901L, "nothing here overlaps with anything in the corpus at all " +
+        "not even one shingle of three")
+    ).toDF("eval_id", "text")
+    val got = Dedup.fuzzyContaminationJoin(corpus, "doc_id", "text",
+        probes, "eval_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val pairs = got.map(_._1).toSet
+    assert(pairs === Set((900L, 10L), (900L, 11L)),
+      s"edited twin must hit both copies and nothing else: ${got.toSeq}")
+    got.foreach { case (_, j) => assert(j > 0.8 && j < 1.0) }
+  }
+
   test("containmentJoinInverted agrees with the broadcast form row-for-row; " +
       "accepts a probe side past the broadcast guard; hot-shingle cap " +
       "only under-counts") {
