@@ -3358,6 +3358,27 @@ object SparkEntry {
     //     arithmetic — complement/xor, segment shift, sign
     //     convention (μ sign-negative vs A sign-positive) — in SQL
     //     over the same byte formulas. Every 19th payload corrupted.
+    // --- FLAC decode (r13 — the lossless audio interchange format,
+    //     completing the audio family the way TIFF completed raster):
+    //     six variants cycle by id — constant, verbatim, fixed-order-2
+    //     with rice partitions, LPC order 1, stereo independent,
+    //     stereo mid/side — over closed-form samples; one oracle
+    //     formula checks every subframe/assignment decode path.
+    //     Degrade: %19 magic → unknown.
+    "mm_audio_flac" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFlacBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withAudioSampleStats(media, "payload", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_audio_g711" -> ((s, dir) => {
       val media = Multimodal.synthesizeG711Bytes(
         Tables.documents(s, dir).filter(col("doc_id") < 60))
@@ -7160,6 +7181,47 @@ object SparkEntry {
     // the mm_audio_g711 oracle: the ITU-T expansion replayed in SQL —
     // μ-law on the complemented byte (sign bit set → NEGATIVE),
     // A-law on the 0x55-xored byte (sign bit set → POSITIVE)
+    // the mm_audio_flac oracle: closed-form sample stats per id%6
+    // variant — const (192 samples of one value), mono linear-
+    // congruential samples (verbatim/fixed/LPC decode to the same
+    // pixels... samples), stereo = the union of both channel formulas
+    "mm_audio_flac" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 AS v
+        |  FROM documents WHERE doc_id < 60),
+        |samp AS (
+        |  SELECT i.media_id, ((i.media_id * 31 + g.g * 17) % 2000) - 1000 AS s
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v >= 1
+        |  UNION ALL
+        |  SELECT i.media_id, ((i.media_id * 13 + g.g * 23) % 2000) - 1000
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v IN (4, 5)
+        |  UNION ALL
+        |  SELECT i.media_id, ((i.media_id * 37) % 2000) - 1000
+        |  FROM ids i, generate_series(0, 191) AS g(g) WHERE i.v = 0),
+        |a AS (SELECT media_id, count(*) AS n_samples, avg(s) AS mean_amp,
+        |    sqrt(avg(CAST(s AS DOUBLE) * s)) AS rms, max(abs(s)) AS peak
+        |  FROM samp GROUP BY media_id),
+        |r AS (SELECT media_id, v,
+        |    CASE v WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |      WHEN 3 THEN 44100 ELSE 48000 END AS rate,
+        |    CASE WHEN v >= 4 THEN 2 ELSE 1 END AS ch
+        |  FROM ids)
+        |SELECT r.media_id,
+        |  CASE WHEN r.media_id % 19 = 0 THEN 'unknown' ELSE 'flac' END AS format,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(r.rate AS INT) END AS sample_rate,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(r.ch AS INT) END AS channels,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM r JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
+
     "mm_audio_g711" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id % 9 + 40 AS n

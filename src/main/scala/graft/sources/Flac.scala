@@ -1,0 +1,533 @@
+package graft.sources
+
+/** FLAC decode (r13) — native-container FLAC to PCM, from scratch
+  * against the public spec (RFC 9639). FLAC is the lossless audio
+  * interchange format the way TIFF/PNG are for rasters; the audio
+  * family (PCM WAV, G.711, IMA ADPCM) gets its lossless-compressed
+  * member so crawl-side audio stats/fingerprints stop silently
+  * dropping `.flac` payloads.
+  *
+  * Scope: the frame machinery in full — constant / verbatim / fixed
+  * (orders 0–4) / LPC (orders 1–32) subframes, Rice-coded residual
+  * partitions (4- and 5-bit parameters, escape-to-raw), all four
+  * channel assignments (independent, left/side, right/side,
+  * mid/side), wasted bits, both blocking strategies, the UTF-8
+  * frame-number coding, and the blocksize/sample-rate header tables
+  * with their end-of-header literal forms. Declared boundaries:
+  * sample sizes 8/12/16 bits decode ([[Multimodal.WavAudio]] carries
+  * 16-bit samples; 20/24/32-bit streams return null rather than
+  * silently truncate), and CRC-8/CRC-16 are parsed but not verified
+  * (the PNG-CRC precedent: correctness is pinned on decoded sample
+  * values; a CRC pass would only reject rows the decode stage
+  * already sees).
+  *
+  * Total function: malformed / truncated / reserved-coded payloads
+  * return null, never throw.
+  */
+object Flac {
+
+  private val MaxSamples = 1 << 24 // ~16M samples ≈ 32 MB of shorts
+
+  /** MSB-first bit reader (the FLAC convention — opposite of VP8L). */
+  private final class BitReader(b: Array[Byte], start: Int) {
+    var pos: Int = start
+    private var bit = 0
+    def bytePos: Int = pos
+    def aligned: Boolean = bit == 0
+    def alignToByte(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    def readBit(): Int = {
+      if (pos >= b.length) throw new IllegalStateException("eof")
+      val v = (b(pos) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readBitsLong(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      if (n == 0) 0
+      else if ((v & (1 << (n - 1))) != 0) v - (1 << n)
+      else v
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        if (q > (1 << 24)) throw new IllegalStateException("unary runaway")
+      }
+      q
+    }
+    def atEnd: Boolean = pos >= b.length || (pos == b.length - 1 && bit > 0)
+  }
+
+  /** Decode a FLAC payload to interleaved 16-bit PCM, or null. */
+  def decodeFlac(b: Array[Byte]): Multimodal.WavAudio = {
+    try decodeInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeInner(b: Array[Byte]): Multimodal.WavAudio = {
+    if (b == null || b.length < 42) return null
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'))
+      return null
+    // metadata block walk to the end; STREAMINFO is mandatory first
+    var i = 4
+    var siRate = 0; var siChannels = 0; var siBps = 0
+    var first = true
+    var last = false
+    while (!last) {
+      if (i + 4 > b.length) return null
+      val hdr = b(i) & 0xFF
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7F
+      val len = ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) |
+        (b(i + 3) & 0xFF)
+      if (first) {
+        if (typ != 0 || len != 34) return null // STREAMINFO first
+        val o = i + 4
+        if (o + 34 > b.length) return null
+        siRate = ((b(o + 10) & 0xFF) << 12) | ((b(o + 11) & 0xFF) << 4) |
+          ((b(o + 12) & 0xFF) >> 4)
+        siChannels = ((b(o + 12) >> 1) & 0x07) + 1
+        siBps = (((b(o + 12) & 0x01) << 4) | ((b(o + 13) & 0xFF) >> 4)) + 1
+        first = false
+      }
+      i += 4 + len
+      if (i > b.length) return null
+    }
+    if (siRate <= 0 || siRate > 655350) return null
+    val out = new java.util.ArrayList[Array[Array[Int]]]()
+    var total = 0L
+    var channels = -1
+    var rate = -1
+    val br = new BitReader(b, i)
+    while (!br.atEnd && br.pos < b.length) {
+      val fr = decodeFrame(br, siRate, siBps)
+      if (fr == null) return null
+      val (fRate, samples) = fr
+      if (channels < 0) { channels = samples.length; rate = fRate }
+      else if (samples.length != channels || fRate != rate) return null
+      total += samples(0).length.toLong * channels
+      if (total > MaxSamples) return null
+      out.add(samples)
+    }
+    if (out.isEmpty || channels <= 0) return null
+    val flat = new Array[Short](total.toInt)
+    var o = 0
+    val it = out.iterator()
+    while (it.hasNext) {
+      val chans = it.next()
+      val n = chans(0).length
+      var s = 0
+      while (s < n) {
+        var c = 0
+        while (c < channels) {
+          val v = chans(c)(s)
+          if (v < Short.MinValue || v > Short.MaxValue) return null
+          flat(o) = v.toShort; o += 1; c += 1
+        }
+        s += 1
+      }
+    }
+    Multimodal.WavAudio(rate, channels, flat)
+  }
+
+  /** One frame → (sample rate, per-channel sample arrays). */
+  private def decodeFrame(br: BitReader, siRate: Int,
+      siBps: Int): (Int, Array[Array[Int]]) = {
+    if (br.readBits(14) != 0x3FFE) return null // sync
+    if (br.readBit() != 0) return null // reserved
+    br.readBit() // blocking strategy (both parse the same here)
+    val bsCode = br.readBits(4)
+    val srCode = br.readBits(4)
+    val chAssign = br.readBits(4)
+    val ssCode = br.readBits(3)
+    if (br.readBit() != 0) return null // reserved
+    // UTF-8-coded frame/sample number (up to 7 bytes / 36 bits)
+    val lead = br.readBits(8)
+    var extra = 0
+    var l = lead
+    while ((l & 0x80) != 0) { extra += 1; l <<= 1; l &= 0xFF }
+    if (extra == 1 || extra > 7) return null
+    var k = 0 // continuation bytes: extra - 1 for multi-byte leads
+    while (k < math.max(0, extra - 1)) {
+      if ((br.readBits(8) & 0xC0) != 0x80) return null
+      k += 1
+    }
+    val blockSize = bsCode match {
+      case 0 => return null // reserved
+      case 1 => 192
+      case n if n >= 2 && n <= 5 => 576 << (n - 2)
+      case 6 => br.readBits(8) + 1
+      case 7 => br.readBits(16) + 1
+      case n => 256 << (n - 8)
+    }
+    val rate = srCode match {
+      case 0 => siRate
+      case 1 => 88200
+      case 2 => 176400
+      case 3 => 192000
+      case 4 => 8000
+      case 5 => 16000
+      case 6 => 22050
+      case 7 => 24000
+      case 8 => 32000
+      case 9 => 44100
+      case 10 => 48000
+      case 11 => 96000
+      case 12 => br.readBits(8) * 1000
+      case 13 => br.readBits(16)
+      case 14 => br.readBits(16) * 10
+      case _ => return null
+    }
+    val bps = ssCode match {
+      case 0 => siBps
+      case 1 => 8
+      case 2 => 12
+      case 4 => 16
+      case 5 | 6 | 7 => return null // 20/24/32-bit: declared boundary
+      case _ => return null // reserved
+    }
+    if (bps > 16) return null
+    br.readBits(8) // CRC-8 (parsed, not verified)
+    if (blockSize <= 0 || blockSize > 65536) return null
+    val nChan = if (chAssign < 8) chAssign + 1
+      else if (chAssign <= 10) 2
+      else return null
+    val chans = new Array[Array[Int]](nChan)
+    var c = 0
+    while (c < nChan) {
+      // side channels carry one extra bit of range
+      val sideBit = chAssign match {
+        case 8 => if (c == 1) 1 else 0 // left/side
+        case 9 => if (c == 0) 1 else 0 // right/side
+        case 10 => if (c == 1) 1 else 0 // mid/side
+        case _ => 0
+      }
+      chans(c) = decodeSubframe(br, blockSize, bps + sideBit)
+      if (chans(c) == null) return null
+      c += 1
+    }
+    br.alignToByte()
+    br.readBits(16) // CRC-16 (parsed, not verified)
+    // undo stereo decorrelation
+    chAssign match {
+      case 8 => // left/side: R = L - side
+        var s = 0
+        while (s < blockSize) {
+          chans(1)(s) = chans(0)(s) - chans(1)(s); s += 1
+        }
+      case 9 => // right/side: L = R + side
+        var s = 0
+        while (s < blockSize) {
+          val side = chans(0)(s)
+          chans(0)(s) = chans(1)(s) + side; s += 1
+        }
+      case 10 => // mid/side
+        var s = 0
+        while (s < blockSize) {
+          val mid = chans(0)(s); val side = chans(1)(s)
+          val mid2 = (mid << 1) | (side & 1)
+          chans(0)(s) = (mid2 + side) >> 1
+          chans(1)(s) = (mid2 - side) >> 1
+          s += 1
+        }
+      case _ =>
+    }
+    (rate, chans)
+  }
+
+  private def decodeSubframe(br: BitReader, blockSize: Int,
+      bps0: Int): Array[Int] = {
+    if (br.readBit() != 0) return null // padding
+    val typ = br.readBits(6)
+    val wasted =
+      if (br.readBit() == 1) br.readUnary() + 1 else 0
+    val bps = bps0 - wasted
+    if (bps <= 0 || bps > 17) return null
+    val out: Array[Int] =
+      if (typ == 0) { // constant
+        val v = br.readSigned(bps)
+        Array.fill(blockSize)(v)
+      } else if (typ == 1) { // verbatim
+        Array.fill(blockSize)(br.readSigned(bps))
+      } else if (typ >= 8 && typ <= 12) { // fixed predictor
+        val order = typ - 8
+        if (order > blockSize) return null
+        val s = new Array[Int](blockSize)
+        var i = 0
+        while (i < order) { s(i) = br.readSigned(bps); i += 1 }
+        val res = decodeResidual(br, blockSize, order)
+        if (res == null) return null
+        while (i < blockSize) {
+          val pred = order match {
+            case 0 => 0
+            case 1 => s(i - 1)
+            case 2 => 2 * s(i - 1) - s(i - 2)
+            case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+            case _ => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+          }
+          s(i) = res(i - order) + pred
+          i += 1
+        }
+        s
+      } else if (typ >= 32) { // LPC, order 1..32
+        val order = typ - 31
+        if (order > blockSize) return null
+        val s = new Array[Int](blockSize)
+        var i = 0
+        while (i < order) { s(i) = br.readSigned(bps); i += 1 }
+        val precision = br.readBits(4) + 1
+        if (precision == 16) return null // 1111 reserved
+        val shift = br.readSigned(5)
+        if (shift < 0) return null
+        val coefs = new Array[Int](order)
+        var j = 0
+        while (j < order) { coefs(j) = br.readSigned(precision); j += 1 }
+        val res = decodeResidual(br, blockSize, order)
+        if (res == null) return null
+        while (i < blockSize) {
+          var acc = 0L
+          var j2 = 0
+          while (j2 < order) {
+            acc += coefs(j2).toLong * s(i - 1 - j2); j2 += 1
+          }
+          s(i) = res(i - order) + (acc >> shift).toInt
+          i += 1
+        }
+        s
+      } else return null // reserved subframe types
+    if (wasted > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = out(i) << wasted; i += 1 }
+    }
+    out
+  }
+
+  /** Rice-partitioned residual: method 0 = 4-bit params (escape 15),
+    * method 1 = 5-bit (escape 31); escape → fixed-width raw samples.
+    */
+  private def decodeResidual(br: BitReader, blockSize: Int,
+      order: Int): Array[Int] = {
+    val method = br.readBits(2)
+    if (method > 1) return null
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val po = br.readBits(4)
+    val partitions = 1 << po
+    if (blockSize % partitions != 0) return null
+    val perPart = blockSize >> po
+    val out = new Array[Int](blockSize - order)
+    var o = 0
+    var p = 0
+    while (p < partitions) {
+      val n = if (p == 0) perPart - order else perPart
+      if (n < 0) return null
+      val param = br.readBits(paramBits)
+      if (param == escape) {
+        val raw = br.readBits(5)
+        var s = 0
+        while (s < n) { out(o) = br.readSigned(raw); o += 1; s += 1 }
+      } else {
+        var s = 0
+        while (s < n) {
+          val q = br.readUnary()
+          val r = br.readBits(param)
+          val v = (q << param) | r
+          out(o) = (v >>> 1) ^ -(v & 1) // zigzag
+          o += 1; s += 1
+        }
+      }
+      p += 1
+    }
+    out
+  }
+
+  // ================================================= fixture encoder
+  // Deterministic FLAC writer for gate/spec fixtures (the buildPng
+  // discipline): constant / verbatim / fixed-order / LPC subframes,
+  // Rice residuals at chosen partition orders, all four channel
+  // assignments. Valid for any FLAC reader modulo the unchecked
+  // CRC bytes (written as zero — decoders that verify CRCs need
+  // real ones; ours documents the boundary).
+
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def writeBit(v: Int): Unit = {
+      acc = (acc << 1) | (v & 1); nb += 1
+      if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+    }
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit((v >> i) & 1); i -= 1 }
+    }
+    def writeSigned(v: Int, n: Int): Unit =
+      writeBits(v & ((1 << n) - 1), n)
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def alignToByte(): Unit = while (nb != 0) writeBit(0)
+    def bytes: Array[Byte] = { alignToByte(); out.toByteArray }
+  }
+
+  /** Encode one channel's residual as a single Rice partition (po 0)
+    * or `1 << po` partitions, parameter chosen per partition from the
+    * mean magnitude.
+    */
+  private def writeResidual(bw: BitWriter, res: Array[Int], order: Int,
+      blockSize: Int, po: Int): Unit = {
+    bw.writeBits(0, 2) // method 0: 4-bit params
+    bw.writeBits(po, 4)
+    val partitions = 1 << po
+    val perPart = blockSize >> po
+    var o = 0
+    var p = 0
+    while (p < partitions) {
+      val n = if (p == 0) perPart - order else perPart
+      var mean = 0L
+      var s = 0
+      while (s < n) { mean += math.abs(res(o + s).toLong); s += 1 }
+      var param = 0
+      val avg = if (n > 0) mean / n else 0
+      while ((1L << param) < avg + 1 && param < 14) param += 1
+      bw.writeBits(param, 4)
+      s = 0
+      while (s < n) {
+        val v = res(o + s)
+        val zz = (v << 1) ^ (v >> 31)
+        bw.writeUnary(zz >>> param)
+        bw.writeBits(zz & ((1 << param) - 1), param)
+        s += 1
+      }
+      o += n
+      p += 1
+    }
+  }
+
+  /** Write one subframe. `mode`: 0 constant (requires all-equal),
+    * 1 verbatim, 2 fixed order 2, 3 LPC order 1 (coef 1, shift 0 —
+    * the identity predictor through the LPC path).
+    */
+  private def writeSubframe(bw: BitWriter, samples: Array[Int],
+      bps: Int, mode: Int, po: Int): Unit = {
+    bw.writeBit(0)
+    mode match {
+      case 0 =>
+        require(samples.forall(_ == samples(0)), "constant subframe")
+        bw.writeBits(0, 6); bw.writeBit(0)
+        bw.writeSigned(samples(0), bps)
+      case 1 =>
+        bw.writeBits(1, 6); bw.writeBit(0)
+        samples.foreach(bw.writeSigned(_, bps))
+      case 2 =>
+        val order = 2
+        bw.writeBits(8 + order, 6); bw.writeBit(0)
+        samples.take(order).foreach(bw.writeSigned(_, bps))
+        val res = (order until samples.length).map(i =>
+          samples(i) - (2 * samples(i - 1) - samples(i - 2))).toArray
+        writeResidual(bw, res, order, samples.length, po)
+      case _ =>
+        val order = 1
+        bw.writeBits(32 + order - 1, 6); bw.writeBit(0)
+        samples.take(order).foreach(bw.writeSigned(_, bps))
+        bw.writeBits(3, 4) // precision 4
+        bw.writeSigned(0, 5) // shift 0
+        bw.writeSigned(1, 4) // coefficient [1] → pred = prev
+        val res = (order until samples.length).map(i =>
+          samples(i) - samples(i - 1)).toArray
+        writeResidual(bw, res, order, samples.length, po)
+    }
+  }
+
+  /** Build a FLAC payload from interleaved 16-bit samples.
+    * `chAssign`: 0-based independent when < 8, or 8/9/10 for
+    * left-side/right-side/mid-side (stereo only). `modes` selects
+    * the subframe type per channel (see [[writeSubframe]]).
+    */
+  def buildFlac(rate: Int, channels: Int, samples: Array[Short],
+      blockSize: Int = 192, chAssign: Int = -1,
+      modes: Seq[Int] = Seq(1), po: Int = 0): Array[Byte] = {
+    require(channels >= 1 && channels <= 8)
+    require(samples.length % channels == 0)
+    require(blockSize >= 16 && blockSize <= 256 &&
+      samples.length / channels % blockSize == 0,
+      "fixture frames must tile the sample count; 8-bit blocksize form")
+    val assign = if (chAssign >= 8) { require(channels == 2); chAssign }
+      else channels - 1
+    val nFrames = samples.length / channels / blockSize
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO, last-metadata flag set
+    val si = new BitWriter
+    si.writeBits(blockSize, 16); si.writeBits(blockSize, 16)
+    si.writeBits(0, 24); si.writeBits(0, 24)
+    si.writeBits(rate, 20)
+    si.writeBits(channels - 1, 3)
+    si.writeBits(16 - 1, 5)
+    si.writeBits(0, 4)
+    si.writeBits((samples.length / channels), 32) // low 32 of 36
+    (0 until 16).foreach(_ => si.writeBits(0, 8)) // md5 unverified
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(si.bytes)
+    var f = 0
+    while (f < nFrames) {
+      val bw = new BitWriter
+      bw.writeBits(0x3FFE, 14)
+      bw.writeBit(0) // reserved
+      bw.writeBit(0) // fixed blocksize strategy
+      bw.writeBits(6, 4) // blocksize: 8-bit at end of header
+      bw.writeBits(0, 4) // sample rate from STREAMINFO
+      bw.writeBits(assign, 4)
+      bw.writeBits(4, 3) // 16-bit samples
+      bw.writeBit(0)
+      require(f < 128, "fixture frame numbers stay 1-byte UTF-8")
+      bw.writeBits(f, 8)
+      bw.writeBits(blockSize - 1, 8)
+      bw.writeBits(0, 8) // CRC-8: unchecked boundary
+      // gather per-channel samples for this frame
+      val chans = Array.tabulate(channels, blockSize) { (c, s) =>
+        samples((f * blockSize + s) * channels + c).toInt
+      }
+      val coded: Array[Array[Int]] = assign match {
+        case 8 => Array(chans(0),
+          Array.tabulate(blockSize)(s => chans(0)(s) - chans(1)(s)))
+        case 9 => Array(
+          Array.tabulate(blockSize)(s => chans(0)(s) - chans(1)(s)),
+          chans(1))
+        case 10 => Array(
+          Array.tabulate(blockSize)(s => (chans(0)(s) + chans(1)(s)) >> 1),
+          Array.tabulate(blockSize)(s => chans(0)(s) - chans(1)(s)))
+        case _ => chans
+      }
+      var c = 0
+      while (c < coded.length) {
+        val sideBit = assign match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        }
+        writeSubframe(bw, coded(c), 16 + sideBit,
+          modes(c % modes.length), po)
+        c += 1
+      }
+      bw.alignToByte()
+      bw.writeBits(0, 16) // CRC-16: unchecked boundary
+      out.write(bw.bytes)
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -2976,6 +2976,105 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** FLAC decode — the lossless-compressed member of the audio
+    * family. See [[Flac]].
+    */
+  def decodeFlac(p: Array[Byte]): WavAudio = Flac.decodeFlac(p)
+
+  /** [[withWavSampleStats]] with container dispatch (r13): RIFF/WAVE
+    * payloads decode through the PCM/G.711/ADPCM path, `fLaC`
+    * payloads through the FLAC frame decoder; the format tag carries
+    * the container. Same stats struct, same narrow per-partition
+    * boundary.
+    */
+  def withAudioSampleStats(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_amp", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("peak", LongType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val isFlac = p.length > 4 && p(0) == 'f' && p(1) == 'L' &&
+              p(2) == 'a' && p(3) == 'C'
+            val fmt = if (isFlac) "flac" else "wav"
+            val a = if (isFlac) Flac.decodeFlac(p) else decodeWavPcm(p)
+            if (a == null || a.samples.isEmpty)
+              Row("unknown", null, null, null, null, null, null)
+            else {
+              var s = 0L; var ss = 0L; var pk = 0L
+              var i = 0
+              while (i < a.samples.length) {
+                val v = a.samples(i).toLong
+                s += v; ss += v * v
+                val av = math.abs(v); if (av > pk) pk = av
+                i += 1
+              }
+              val n = a.samples.length.toLong
+              Row(fmt, a.sampleRate, a.channels, n,
+                s.toDouble / n, math.sqrt(ss.toDouble / n), pk)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic FLAC payload for media id `id` (r13): the
+    * subframe/assignment variant cycles by id%6 — constant, mono
+    * verbatim, mono fixed-order-2 (rice partitions at order 2), mono
+    * LPC order 1, stereo independent, stereo mid/side — over
+    * closed-form samples, so one oracle formula covers every decode
+    * path (the WebP discipline, audio side).
+    */
+  def synthFlacPayload(id: Long): Array[Byte] = {
+    val n = 384 // two 192-sample frames
+    def sa(i: Int): Short = (((id * 31 + i * 17) % 2000) - 1000).toShort
+    def sb(i: Int): Short = (((id * 13 + i * 23) % 2000) - 1000).toShort
+    (id % 6).toInt match {
+      case 0 =>
+        val v = (((id * 37) % 2000) - 1000).toShort
+        Flac.buildFlac(8000, 1, Array.fill(192)(v), modes = Seq(0))
+      case 1 => Flac.buildFlac(16000, 1, Array.tabulate(n)(sa),
+        modes = Seq(1))
+      case 2 => Flac.buildFlac(22050, 1, Array.tabulate(n)(sa),
+        modes = Seq(2), po = 2)
+      case 3 => Flac.buildFlac(44100, 1, Array.tabulate(n)(sa),
+        modes = Seq(3))
+      case 4 => Flac.buildFlac(48000, 2,
+        Array.tabulate(n * 2)(i => if (i % 2 == 0) sa(i / 2) else sb(i / 2)),
+        modes = Seq(1, 2))
+      case _ => Flac.buildFlac(48000, 2,
+        Array.tabulate(n * 2)(i => if (i % 2 == 0) sa(i / 2) else sb(i / 2)),
+        chAssign = 10, modes = Seq(2, 2))
+    }
+  }
+
+  /** Synthesize the FLAC media table; every 19th payload magic-
+    * corrupted → 'unknown'.
+    */
+  def synthesizeFlacBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthFlacPayload(id)
+        if (id % 19 == 0) bytes(0) = 0x00.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Downmix to mono and box-decimate by an integer factor — the
     * audio sibling of [[downsampleImage]]: per frame, channels
     * average to one sample; per `factor`-window of mono samples, the

@@ -1,0 +1,154 @@
+package graft
+
+import graft.sources.{Flac, Multimodal}
+
+class FlacSpec extends SparkSpec {
+
+  private def sig(i: Int): Short =
+    ((math.sin(i * 0.1) * 9000).toInt + (i % 7) * 11).toShort
+
+  private def check(name: String, rate: Int, ch: Int,
+      samples: Array[Short], bytes: Array[Byte]): Unit = {
+    val a = Flac.decodeFlac(bytes)
+    assert(a != null, s"$name decoded null")
+    assert(a.sampleRate === rate && a.channels === ch, name)
+    assert(a.samples.toSeq === samples.toSeq, name)
+  }
+
+  test("FLAC round trips: constant / verbatim / fixed-order-2 (rice " +
+      "partitions at order 0 and 2) / LPC subframes; stereo " +
+      "independent, left-side, right-side, mid-side (r13)") {
+    val n = 384
+    val mono = Array.tabulate(n)(sig)
+    check("verbatim", 8000, 1, mono, Flac.buildFlac(8000, 1, mono))
+    check("fixed2", 8000, 1, mono,
+      Flac.buildFlac(8000, 1, mono, modes = Seq(2)))
+    check("fixed2-po2", 8000, 1, mono,
+      Flac.buildFlac(8000, 1, mono, modes = Seq(2), po = 2))
+    check("lpc1", 8000, 1, mono,
+      Flac.buildFlac(8000, 1, mono, modes = Seq(3)))
+    val const = Array.fill(192)(1234.toShort)
+    check("const", 44100, 1, const,
+      Flac.buildFlac(44100, 1, const, modes = Seq(0)))
+    val stereo = Array.tabulate(n * 2)(i =>
+      if (i % 2 == 0) sig(i / 2) else (sig(i / 2) / 3).toShort)
+    check("indep", 48000, 2, stereo,
+      Flac.buildFlac(48000, 2, stereo, modes = Seq(1, 2)))
+    check("leftside", 48000, 2, stereo,
+      Flac.buildFlac(48000, 2, stereo, chAssign = 8, modes = Seq(2, 2)))
+    check("rightside", 48000, 2, stereo,
+      Flac.buildFlac(48000, 2, stereo, chAssign = 9, modes = Seq(2, 2)))
+    check("midside", 48000, 2, stereo,
+      Flac.buildFlac(48000, 2, stereo, chAssign = 10, modes = Seq(2, 3)))
+    // extreme values survive mid/side (side needs the 17th bit)
+    val ext = Array[Short](Short.MinValue, Short.MaxValue,
+      -1, 1, 0, -32767) ++ Array.fill(378)(0.toShort)
+    val extSt = Array.tabulate(384 * 2)(i =>
+      if (i % 2 == 0) ext(i / 2) else (-ext(i / 2)).toShort)
+    check("midside-extremes", 8000, 2, extSt,
+      Flac.buildFlac(8000, 2, extSt, chAssign = 10, modes = Seq(1, 1)))
+  }
+
+  test("hand-assembled FLAC streams decode — independent of the " +
+      "fixture encoder (r13): a constant frame, and a wasted-bits " +
+      "subframe whose samples shift back up") {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0; var nb = 0
+    def wb(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nb += 1
+        if (nb == 8) { out += acc.toByte; acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = while (nb != 0) wb(0, 1)
+    def streaminfo(): Unit = {
+      wb(0x80, 8); wb(34, 24) // last-block flag, type 0, length 34
+      wb(192, 16); wb(192, 16) // min/max blocksize
+      wb(0, 24); wb(0, 24) // frame sizes unknown
+      wb(8000, 20) // sample rate
+      wb(0, 3) // channels - 1
+      wb(15, 5) // bps - 1
+      wb(0, 4); wb(0, 32) // total samples
+      (0 until 16).foreach(_ => wb(0, 8)) // md5
+    }
+    def frameHeader(): Unit = {
+      wb(0x3FFE, 14); wb(0, 1); wb(0, 1)
+      wb(1, 4) // blocksize code 1 = 192
+      wb(4, 4) // sample rate code 4 = 8000
+      wb(0, 4) // 1 channel
+      wb(4, 3); wb(0, 1) // 16-bit, reserved
+      wb(0, 8) // frame number 0 (1-byte UTF-8)
+      wb(0, 8) // CRC-8 (unchecked)
+    }
+    // stream 1: one constant subframe of value -5
+    out ++= "fLaC".getBytes("US-ASCII"); streaminfo(); frameHeader()
+    wb(0, 1); wb(0, 6); wb(0, 1) // pad, type constant, no wasted bits
+    wb(-5 & 0xFFFF, 16)
+    align(); wb(0, 16) // CRC-16 (unchecked)
+    val one = Flac.decodeFlac(out.toArray)
+    assert(one != null && one.sampleRate === 8000 && one.channels === 1)
+    assert(one.samples.toSeq === Seq.fill(192)(-5.toShort))
+    // stream 2: constant subframe with ONE wasted bit — the stored
+    // 15-bit value 3 must come back as 6
+    out.clear(); acc = 0; nb = 0
+    out ++= "fLaC".getBytes("US-ASCII"); streaminfo(); frameHeader()
+    wb(0, 1); wb(0, 6)
+    wb(1, 1) // wasted-bits flag
+    wb(1, 1) // unary 0 -> wasted = 1
+    wb(3, 15) // 15-bit constant
+    align(); wb(0, 16)
+    val two = Flac.decodeFlac(out.toArray)
+    assert(two != null && two.samples.toSeq === Seq.fill(192)(6.toShort))
+  }
+
+  test("FLAC boundaries: truncation / magic / reserved codes / " +
+      "24-bit null; the audio dispatch tags flac vs wav; totality " +
+      "fuzz never throws (r13)") {
+    val mono = Array.tabulate(384)(sig)
+    val good = Flac.buildFlac(8000, 1, mono)
+    assert(Flac.decodeFlac(good) != null)
+    assert(Flac.decodeFlac(good.take(good.length / 2)) === null)
+    val bad = good.clone(); bad(0) = 'X'.toByte
+    assert(Flac.decodeFlac(bad) === null)
+    // dispatch: flac payloads tag 'flac', wav payloads 'wav'
+    import spark.implicits._
+    val wav = Multimodal.buildWavPcm(8000, 1, Array.tabulate(64)(sig))
+    val rows = Multimodal.withAudioSampleStats(
+        Seq((1L, good), (2L, wav), (3L, "junk".getBytes ++ good))
+          .toDF("id", "payload"), "payload", "au")
+      .orderBy($"id").collect()
+    assert(rows(0).getStruct(2).getString(0) === "flac")
+    assert(rows(1).getStruct(2).getString(0) === "wav")
+    assert(rows(2).getStruct(2).getString(0) === "unknown")
+    // fuzz: bit flips, truncations, splices — value or null only
+    val rnd = new scala.util.Random(0xF1AC)
+    val seeds = Seq(good,
+      Flac.buildFlac(48000, 2, Array.tabulate(768)(i => sig(i / 2)),
+        chAssign = 10, modes = Seq(2, 2)),
+      Flac.buildFlac(8000, 1, mono, modes = Seq(2), po = 2))
+    for (i <- 0 until 300) {
+      val b =
+        if (i % 4 == 0)
+          Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte)
+        else {
+          val s = seeds(rnd.nextInt(seeds.length)).clone()
+          rnd.nextInt(3) match {
+            case 0 =>
+              for (_ <- 0 to rnd.nextInt(8))
+                s(rnd.nextInt(s.length)) =
+                  (s(rnd.nextInt(s.length)) ^ (1 << rnd.nextInt(8))).toByte
+              s
+            case 1 => s.take(rnd.nextInt(s.length + 1))
+            case _ =>
+              val at = rnd.nextInt(s.length)
+              for (j <- at until math.min(s.length, at + 1 + rnd.nextInt(16)))
+                s(j) = rnd.nextInt(256).toByte
+              s
+          }
+        }
+      Flac.decodeFlac(b)
+    }
+  }
+}

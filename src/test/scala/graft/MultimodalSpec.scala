@@ -1411,7 +1411,8 @@ class MultimodalSpec extends SparkSpec {
       ("gif", decodeGif _), ("y4m", decodeY4m _), ("avi", decodeAviMjpeg _),
       ("wav", decodeWavPcm _), ("header", parseHeader _),
       ("video", decodeVideo _), ("exif", parseExif _),
-      ("tiff", decodeTiff _), ("webp", decodeWebp _))
+      ("tiff", decodeTiff _), ("webp", decodeWebp _),
+      ("flac", decodeFlac _))
     val seeds: Seq[Array[Byte]] = Seq(
       synthBmpPayload(7), synthPngPayload(7), synthJpegPayload(7),
       synthJpegProgPayload(7), synthJpegProgPayload(9), // 4:4:4 + gray prog (r12)
@@ -1426,7 +1427,9 @@ class MultimodalSpec extends SparkSpec {
       synthTiffPayload(6), synthTiffPayload(7), synthTiffPayload(8), // TIFF (r12)
       synthWebpPayload(6), synthWebpPayload(8), synthWebpPayload(9), // WebP (r13):
       synthWebpPayload(10), synthWebpPayload(11), // palette/bundle/rowcopy/cache
-      synthPngTrnsPayload(7)) // paletted tRNS (r13)
+      synthPngTrnsPayload(7), // paletted tRNS (r13)
+      synthFlacPayload(2), synthFlacPayload(4), // fixed/stereo FLAC (r13)
+      synthFlacPayload(5)) // mid/side FLAC (r13)
     def mutate(b: Array[Byte]): Array[Byte] = rnd.nextInt(4) match {
       case 0 => // bit flips
         val m = b.clone()
