@@ -175,6 +175,15 @@ object Multimodal {
       }
       return UnknownHeader
     }
+    // FLAC: fLaC magic, STREAMINFO rate (20 bits at byte 18) and
+    // channels (3 bits after) — the header-only twin of decodeFlac
+    if (ascii(b, 0, "fLaC") && b.length >= 42) {
+      val rate = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) |
+        ((b(20) & 0xFF) >> 4)
+      val ch = ((b(20) >> 1) & 0x07) + 1
+      if (rate > 0) return MediaHeader("flac", 0, 0, rate, ch)
+      return UnknownHeader
+    }
     // WebP: RIFF....WEBP; VP8L dims are 14-bit fields after the 0x2F
     // signature byte; VP8X carries canvas-1 as LE24 pairs; lossy VP8
     // dims live past the 3-byte frame tag + 0x9d012a start code

@@ -122,6 +122,11 @@ class FlacSpec extends SparkSpec {
     assert(rows(0).getStruct(2).getString(0) === "flac")
     assert(rows(1).getStruct(2).getString(0) === "wav")
     assert(rows(2).getStruct(2).getString(0) === "unknown")
+    // parseHeader reads STREAMINFO without a frame decode
+    val hdr = Multimodal.parseHeader(
+      Flac.buildFlac(48000, 2, Array.tabulate(768)(i => sig(i / 2))))
+    assert(hdr.format === "flac" && hdr.sampleRate === 48000 &&
+      hdr.channels === 2)
     // fuzz: bit flips, truncations, splices — value or null only
     val rnd = new scala.util.Random(0xF1AC)
     val seeds = Seq(good,
