@@ -2717,6 +2717,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Within-document line dedup (r13 — the in-doc companion of
+    //     the corpus-wide docs_dedup_lines): a page repeating its own
+    //     boilerplate keeps one copy of each non-empty line, empties
+    //     (paragraph breaks) always survive. Plant: READ MORE chrome
+    //     three times + a repeated para line; expected text is
+    //     closed-form.
+    "text_dedup_lines_within" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 120 && col("text").isNotNull)
+      val page = concat_ws("\n",
+        lit("READ MORE"), col("text"), lit(""), lit("READ MORE"),
+        concat(lit("para "), pmod(col("doc_id"), lit(5L))), lit(""),
+        lit("READ MORE"), concat(lit("para "), pmod(col("doc_id"), lit(5L))))
+      docs.select(col("doc_id"),
+          TextFunctions.dedupLinesWithin(page).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- HTML strip → corpus line dedup, composed (r12): the
     //     crawl-cleaning chain as ONE lazy plan. Every doc carries the
     //     same cookie-banner div plus one of 7 shared paragraphs;
@@ -6029,6 +6047,16 @@ object SparkEntry {
         |    AS INT) AS main_has_chrome
         |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    // the text_dedup_lines_within oracle: the surviving lines are
+    // closed-form — first READ MORE, the doc text, the paragraph
+    // break, the para line, the second break; later repeats drop
+    "text_dedup_lines_within" ->
+      """SELECT doc_id,
+        |  'READ MORE' || chr(10) || text || chr(10) || chr(10) ||
+        |  'para ' || (doc_id % 5) || chr(10) AS text
+        |FROM documents WHERE doc_id < 120 AND text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // the docs_html_clean oracle: strip chain + the docs_dedup_lines
     // first-occurrence window over the stripped lines

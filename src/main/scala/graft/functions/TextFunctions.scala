@@ -410,6 +410,27 @@ object TextFunctions {
       when(length(rest) > 0, rest).otherwise(lit("/")))
   }
 
+  /** WITHIN-document line dedup (r13) — the in-doc companion of the
+    * corpus-wide `Dedup.dedupLines`: a page that repeats its own
+    * boilerplate ("read more", cookie lines, pagination chrome many
+    * times in ONE document) keeps only the first occurrence of each
+    * non-empty line; EMPTY lines always survive, so paragraph
+    * structure is preserved. Pure whole-plan HOFs over the split
+    * array (no UDF, no shuffle — rides the scan); per-doc quadratic
+    * in LINE count, which is bounded by document size, not corpus
+    * size. Null → null.
+    */
+  def dedupLinesWithin(text: Column): Column = {
+    val lines = split(text, "\n")
+    // keep line i iff it is empty or no identical line precedes it
+    // (filter's index is 0-based; slice is 1-based with length i =
+    // exactly the lines before position i)
+    array_join(
+      filter(lines, (l, i) =>
+        l === lit("") || array_position(slice(lines, lit(1), i), l) === 0),
+      "\n")
+  }
+
   /** Collapse runs of the same consecutive word to at most `maxRun`
     * occurrences — the intra-document repetition TRIM next to the
     * repetition SCORE ([[repetitionRatio]]): looping generations and

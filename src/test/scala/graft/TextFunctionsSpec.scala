@@ -269,6 +269,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("dedupLinesWithin: first occurrence survives, later repeats " +
+      "drop, EMPTY lines always keep (paragraph structure), single " +
+      "line and null pass through (r13)") {
+    import graft.functions.TextFunctions.dedupLinesWithin
+    val rows = Seq(
+      (1L, "a\nb\na\n\nb\n\nc\na"),
+      (2L, "only line"),
+      (3L, "\n\n"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", dedupLinesWithin($"t").as("d")).orderBy($"id").collect()
+    assert(rows(0).getString(1) === "a\nb\n\n\nc")
+    assert(rows(1).getString(1) === "only line")
+    assert(rows(2).getString(1) === "\n\n", "empties all survive")
+    assert(rows(3).isNullAt(1))
+  }
+
   test("surtKey: host labels reverse after canonicalization (port, " +
       "tracking, fragment, www, case all stripped first), query " +
       "survives, bare root keeps '/', null passes through (r13)") {
