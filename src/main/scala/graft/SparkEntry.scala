@@ -2717,6 +2717,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Overlapping token-window chunking (r13 — the RAG/embedding
+    //     convention the char chunker cannot express): windows of 12
+    //     tokens every 8 (4-token overlap), posexploded to
+    //     (doc_id, chunk_id) rows; the oracle replays window count,
+    //     starts, clipping of the final window, and the ≤window
+    //     single-chunk case from the same token lists.
+    "text_chunk_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 150 && col("text").isNotNull)
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("text"), 12, 8)))
+        .select(col("doc_id"), col("pos").as("chunk_id"),
+          col("col").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // --- Within-document line dedup (r13 — the in-doc companion of
     //     the corpus-wide docs_dedup_lines): a page repeating its own
     //     boilerplate keeps one copy of each non-empty line, empties
@@ -6047,6 +6063,25 @@ object SparkEntry {
         |    AS INT) AS main_has_chrome
         |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    // the text_chunk_tokens oracle: same windows from the same token
+    // lists — n<=12 is one chunk, else ceil((n-12)/8)+1 windows at
+    // 8-token stride, each 12 tokens (the last clipping); case and
+    // token order preserved, single-space rejoin
+    "text_chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 150 AND text IS NOT NULL),
+        |n AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 12 THEN 1
+        |      ELSE CAST(ceil((len(toks) - 12) / 8.0) AS INT) + 1 END AS nc
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, g.g AS chunk_id,
+        |    array_to_string(toks[g.g * 8 + 1 : g.g * 8 + 12], ' ') AS chunk
+        |  FROM n, generate_series(0, 999) AS g(g) WHERE g.g < nc)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the text_dedup_lines_within oracle: the surviving lines are
     // closed-form — first READ MORE, the doc text, the paragraph

@@ -203,6 +203,30 @@ object TextFunctions {
     * embedding, SURVEY §1.1). Returns the ordered array of chunks;
     * explode with posexplode to get (chunk_id, chunk) rows.
     */
+  /** Overlapping TOKEN-window chunker (r13) — the RAG/embedding
+    * convention the char [[chunk]] cannot express: windows of
+    * `window` whitespace tokens starting every `stride` tokens
+    * (stride < window ⇒ overlap = window − stride tokens carries
+    * context across boundaries). Case and inner spacing are
+    * PRESERVED (single-space rejoin — the tokens-twin convention);
+    * a doc of ≤ window tokens is one chunk; the last window clips.
+    * Empty text → empty array; null → null. Pure HOFs — rides the
+    * scan; posexplode for (chunk_id, chunk) rows.
+    */
+  def chunkTokens(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1, s"window $window")
+    require(stride >= 1 && stride <= window,
+      s"stride $stride must be in [1, window=$window]")
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("int") + 1)
+    when(n > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        k => array_join(slice(toks, k * stride + 1, lit(window)), " ")))
+      .otherwise(when(text.isNotNull, array().cast("array<string>")))
+  }
+
   def chunk(text: Column, chunkChars: Int): Column =
     // empty (non-null) text must yield an EMPTY array: sequence(0, -1)
     // evaluates as the DESCENDING sequence [0, -1], which would emit

@@ -269,6 +269,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("chunkTokens: overlap carries context, last window clips, " +
+      "short doc is one chunk, case/spacing preserved, empty/null " +
+      "pass through; stride guard (r13)") {
+    import graft.functions.TextFunctions.chunkTokens
+    val rows = Seq(
+      (1L, "A b c d e f g h"), // 8 tokens: win 4 stride 2 → 3 chunks
+      (2L, "x y"), // ≤ window → one chunk
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", chunkTokens($"t", 4, 2).as("c")).orderBy($"id").collect()
+    assert(rows(0).getSeq[String](1) ===
+      Seq("A b c d", "c d e f", "e f g h"))
+    assert(rows(1).getSeq[String](1) === Seq("x y"))
+    assert(rows(2).getSeq[String](1) === Seq.empty)
+    assert(rows(3).isNullAt(1))
+    // 9 tokens: the last window clips to the final token
+    val clip = Seq((1L, "1 2 3 4 5 6 7 8 9")).toDF("id", "t")
+      .select(chunkTokens($"t", 4, 4).as("c")).head().getSeq[String](0)
+    assert(clip === Seq("1 2 3 4", "5 6 7 8", "9"))
+    intercept[IllegalArgumentException] {
+      chunkTokens($"t", 4, 5) // stride > window
+    }
+  }
+
   test("dedupLinesWithin: first occurrence survives, later repeats " +
       "drop, EMPTY lines always keep (paragraph structure), single " +
       "line and null pass through (r13)") {
