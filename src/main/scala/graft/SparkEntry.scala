@@ -2717,6 +2717,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Sentence segmentation (r13 — the pre-chunking boundary
+    //     rule): fixture text wrapped with planted sentence structure
+    //     (terminator runs, a question, a trailing fragment), split
+    //     and posexploded; the oracle runs the IDENTICAL RE2 pattern.
+    "text_sentences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 150 && col("text").isNotNull)
+      val page = concat(lit("First things first. "), col("text"),
+        lit("?! Really... Is that so? trailing fragment"))
+      docs.select(col("doc_id"),
+          posexplode(TextFunctions.splitSentences(page)))
+        .select(col("doc_id"), col("pos").as("sentence_id"),
+          col("col").as("sentence"))
+        .orderBy(col("doc_id"), col("sentence_id"))
+    }),
+
     // --- Overlapping token-window chunking (r13 — the RAG/embedding
     //     convention the char chunker cannot express): windows of 12
     //     tokens every 8 (4-token overlap), posexploded to
@@ -6062,6 +6078,27 @@ object SparkEntry {
         |  CAST(contains(${extractMainSql("html")}, 'Home About Contact')
         |    AS INT) AS main_has_chrome
         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // the text_sentences oracle: the IDENTICAL RE2 extraction over
+    // the same planted page, trimmed, empties dropped, positions via
+    // the generate_series walk
+    "text_sentences" -> {
+      val pat = TextFunctions.sentencePattern
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    'First things first. ' || text ||
+        |    '?! Really... Is that so? trailing fragment' AS page
+        |  FROM documents WHERE doc_id < 150 AND text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(page, '$pat'), x -> trim(x)),
+        |      x -> length(x) > 0) AS ss
+        |  FROM d)
+        |SELECT doc_id, CAST(g.g AS INT) AS sentence_id,
+        |  ss[g.g + 1] AS sentence
+        |FROM l, generate_series(0, 99) AS g(g) WHERE g.g < len(ss)
+        |ORDER BY doc_id, sentence_id""".stripMargin
     },
 
     // the text_chunk_tokens oracle: same windows from the same token

@@ -203,6 +203,25 @@ object TextFunctions {
     * embedding, SURVEY §1.1). Returns the ordered array of chunks;
     * explode with posexplode to get (chunk_id, chunk) rows.
     */
+  /** Rule-based sentence segmentation (r13) — the pre-chunking step
+    * embedding pipelines run so windows do not cut mid-sentence:
+    * maximal runs up to a terminator run ([.!?]+) become sentences
+    * (terminators kept with their sentence), a trailing fragment
+    * without a terminator is its own sentence, results trimmed,
+    * empties dropped. RE2-safe single extraction — no lookarounds,
+    * so the DuckDB twin runs the identical pattern. Declared
+    * boundary: deterministic rules, not linguistics — "Dr. Smith"
+    * splits at the abbreviation dot. Null → null.
+    */
+  val sentencePattern: String = "[^.!?]*[.!?]+|[^.!?]+"
+
+  def splitSentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit(sentencePattern), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
   /** Overlapping TOKEN-window chunker (r13) — the RAG/embedding
     * convention the char [[chunk]] cannot express: windows of
     * `window` whitespace tokens starting every `stride` tokens

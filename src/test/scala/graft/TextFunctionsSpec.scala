@@ -269,6 +269,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows(5).isNullAt(1))
   }
 
+  test("splitSentences: terminator runs stay with their sentence, " +
+      "trailing fragments survive, abbreviation split is the declared " +
+      "boundary, empty/null pass through (r13)") {
+    import graft.functions.TextFunctions.splitSentences
+    val rows = Seq(
+      (1L, "One. Two?! Three... and a tail"),
+      (2L, "No terminator at all"),
+      (3L, "Dr. Smith arrived."), // declared boundary: splits at Dr.
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", splitSentences($"t").as("s")).orderBy($"id").collect()
+    assert(rows(0).getSeq[String](1) ===
+      Seq("One.", "Two?!", "Three...", "and a tail"))
+    assert(rows(1).getSeq[String](1) === Seq("No terminator at all"))
+    assert(rows(2).getSeq[String](1) === Seq("Dr.", "Smith arrived."))
+    assert(rows(3).getSeq[String](1) === Seq.empty)
+    assert(rows(4).isNullAt(1))
+  }
+
   test("chunkTokens: overlap carries context, last window clips, " +
       "short doc is one chunk, case/spacing preserved, empty/null " +
       "pass through; stride guard (r13)") {
