@@ -71,11 +71,15 @@ object TextClassifier {
     require(nPos > 0 && nNeg > 0,
       s"trainNaiveBayes needs docs in BOTH classes (pos=$nPos neg=$nNeg)")
     // one double division then one log per side — the exact shape the
-    // oracle twin replays (ln((c+1)/(t+V)))
+    // oracle twin replays (ln((c+1)/(t+V))). The model MATERIALIZES
+    // (vocab-sized localCheckpoint) before the counts cache drops —
+    // a lazy plan here would re-run the corpus aggregation at every
+    // later scoring broadcast.
     val words = counts.select(col("word"),
       (log((col("c_pos") + 1).cast("double") / (tPos + v).toDouble) -
         log((col("c_neg") + 1).cast("double") / (tNeg + v).toDouble))
         .as("delta"))
+      .localCheckpoint(true)
     val bias = math.log(nPos.toDouble) - math.log(nNeg.toDouble)
     val unseen = math.log(1.0 / (tPos + v)) - math.log(1.0 / (tNeg + v))
     counts.unpersist()
