@@ -791,18 +791,78 @@ object Webp {
     }
   }
 
+  /** Forward predictor residuals for a SINGLE-tile transform of
+    * `mode` — the exact mirror of the decoder's edge rules (first
+    * pixel black, row 0 L, column 0 T, TR of the last column wraps
+    * to the row start in linear memory).
+    */
+  private def predictorResiduals(full: Array[Int], w: Int, h: Int,
+      mode: Int): Array[Int] = {
+    val out = new Array[Int](full.length)
+    var pos = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0xFF000000
+          else if (y == 0) full(pos - 1)
+          else if (x == 0) full(pos - w)
+          else {
+            val l = full(pos - 1); val t = full(pos - w)
+            val tl = full(pos - w - 1); val tr = full(pos - w + 1)
+            mode match {
+              case 0 => 0xFF000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => avg2(avg2(l, tr), t)
+              case 6 => avg2(l, tl)
+              case 7 => avg2(l, t)
+              case 8 => avg2(tl, t)
+              case 9 => avg2(t, tr)
+              case 10 => avg2(avg2(l, tl), avg2(t, tr))
+              case 11 => select(l, t, tl)
+              case 12 => clampAddSubtractFull(l, t, tl)
+              case _ => clampAddSubtractHalf(avg2(l, t), tl)
+            }
+          }
+        out(pos) = subPixels(full(pos), pred)
+        pos += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Build a VP8L WebP payload over `pix(x, y)` ARGB values.
     * Variants: `subtractGreen` applies that transform;
     * `usePalette` color-indexes (distinct colors <= 256, bundling
     * kicks in under 17); `cacheBits` > 0 runs the color cache with
     * greedy hits; `rowCopy` encodes identical rows 1..h-1 as LZ77
-    * references to the row above (requires all rows equal).
+    * references to the row above (requires all rows equal);
+    * `predictorMode` >= 0 applies the predictor transform with that
+    * mode in ONE tile; `crossColor` applies the cross-color
+    * transform with the given (g2r, g2b, r2b) element in one tile;
+    * `useMeta` routes the data through a one-group meta-Huffman
+    * entropy image. One pixel transform per fixture (checked); meta
+    * composes with any.
     */
   def buildWebpLossless(w: Int, h: Int, pix: (Int, Int) => Int,
       subtractGreen: Boolean = false, usePalette: Boolean = false,
-      cacheBits: Int = 0, rowCopy: Boolean = false): Array[Byte] = {
+      cacheBits: Int = 0, rowCopy: Boolean = false,
+      predictorMode: Int = -1,
+      crossColor: Option[(Int, Int, Int)] = None,
+      useMeta: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1 && w <= MaxDim && h <= MaxDim)
-    require(!(usePalette && subtractGreen), "one transform per fixture")
+    require(Seq(usePalette, subtractGreen, predictorMode >= 0,
+      crossColor.nonEmpty).count(identity) <= 1,
+      "one pixel transform per fixture")
+    require(predictorMode < 14, s"predictor mode $predictorMode")
+    require(w <= 512 && h <= 512 || (predictorMode < 0 &&
+      crossColor.isEmpty && !useMeta),
+      "single-tile transforms need dims <= 512")
     val full = Array.tabulate(h, w)((y, x) => pix(x, y)).flatten
     val bw = new BitWriter
     bw.writeBits(0x2F, 8)
@@ -812,6 +872,30 @@ object Webp {
     // ---- transforms (read order = write order)
     var data = full
     var dataW = w
+    if (predictorMode >= 0) {
+      bw.writeBits(1, 1); bw.writeBits(0, 2)
+      bw.writeBits(7, 3) // size_bits 9: one 512x512 tile
+      // tile sub-image: one pixel, mode in the green channel
+      bw.writeBits(0, 1) // no color cache in the sub-stream
+      writeCodedOps(bw, Seq(Lit(0xFF000000 | (predictorMode << 8))), 0)
+      data = predictorResiduals(data, w, h, predictorMode)
+    }
+    crossColor.foreach { case (g2r, g2b, r2b) =>
+      bw.writeBits(1, 1); bw.writeBits(1, 2)
+      bw.writeBits(7, 3) // one tile
+      bw.writeBits(0, 1)
+      writeCodedOps(bw, Seq(Lit(0xFF000000 | ((r2b & 0xFF) << 16) |
+        ((g2b & 0xFF) << 8) | (g2r & 0xFF))), 0)
+      def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+      data = data.map { p =>
+        val g = (p >> 8) & 0xFF
+        val r = (p >> 16) & 0xFF
+        val b = p & 0xFF
+        val r2 = (r - delta(g2r, g)) & 0xFF
+        val b2 = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+        (p & 0xFF00FF00.toInt) | (r2 << 16) | b2
+      }
+    }
     if (subtractGreen) {
       bw.writeBits(1, 1); bw.writeBits(2, 2)
       data = data.map { p =>
@@ -860,7 +944,15 @@ object Webp {
     // ---- entropy header
     if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
     else bw.writeBits(0, 1)
-    bw.writeBits(0, 1) // no meta-Huffman
+    if (useMeta) {
+      // one-group meta-Huffman: a single 512x512 tile whose entropy
+      // image pixel carries meta index 0 — exercises the decoder's
+      // group-routing path without changing the coded data
+      bw.writeBits(1, 1)
+      bw.writeBits(7, 3) // meta bits 9
+      bw.writeBits(0, 1) // meta sub-stream: no color cache
+      writeCodedOps(bw, Seq(Lit(0xFF000000)), 0) // (r<<8|g) = 0
+    } else bw.writeBits(0, 1) // no meta-Huffman
     // ---- ops
     val ops = scala.collection.mutable.ArrayBuffer.empty[Op]
     if (rowCopy) {

@@ -52,6 +52,27 @@ class WebpSpec extends SparkSpec {
       Webp.buildWebpLossless(16, 9, few, cacheBits = 4))
   }
 
+  test("VP8L transform coverage: ALL 14 predictor modes round-trip " +
+      "(incl. the last-column TR wrap and Select/ClampAddSubtract " +
+      "arithmetic), cross-color elements, and the meta-Huffman " +
+      "group routing (r13)") {
+    for (mode <- 0 to 13) {
+      assertPixels(s"predictor-$mode", 9, 7, px,
+        Webp.buildWebpLossless(9, 7, px, predictorMode = mode))
+    }
+    // cross-color: positive, negative (int8) and zero multipliers
+    for (e <- Seq((0, 0, 0), (32, -16, 80), (-128, 127, -1))) {
+      assertPixels(s"crosscolor-$e", 8, 6, px,
+        Webp.buildWebpLossless(8, 6, px, crossColor = Some(e)))
+    }
+    // meta-Huffman routing, alone and over a predictor transform
+    assertPixels("meta", 9, 7, px,
+      Webp.buildWebpLossless(9, 7, px, useMeta = true))
+    assertPixels("meta+predictor", 9, 7, px,
+      Webp.buildWebpLossless(9, 7, px, predictorMode = 11,
+        useMeta = true))
+  }
+
   test("hand-assembled VP8L bitstreams decode — independent of the " +
       "fixture encoder, so a shared encoder/decoder misassumption " +
       "cannot self-verify (r13)") {
