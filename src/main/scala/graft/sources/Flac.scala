@@ -388,7 +388,7 @@ object Flac {
     * mean magnitude.
     */
   private def writeResidual(bw: BitWriter, res: Array[Int], order: Int,
-      blockSize: Int, po: Int): Unit = {
+      blockSize: Int, po: Int, escapeRaw: Int = 0): Unit = {
     bw.writeBits(0, 2) // method 0: 4-bit params
     bw.writeBits(po, 4)
     val partitions = 1 << po
@@ -397,20 +397,28 @@ object Flac {
     var p = 0
     while (p < partitions) {
       val n = if (p == 0) perPart - order else perPart
-      var mean = 0L
-      var s = 0
-      while (s < n) { mean += math.abs(res(o + s).toLong); s += 1 }
-      var param = 0
-      val avg = if (n > 0) mean / n else 0
-      while ((1L << param) < avg + 1 && param < 14) param += 1
-      bw.writeBits(param, 4)
-      s = 0
-      while (s < n) {
-        val v = res(o + s)
-        val zz = (v << 1) ^ (v >> 31)
-        bw.writeUnary(zz >>> param)
-        bw.writeBits(zz & ((1 << param) - 1), param)
-        s += 1
+      if (escapeRaw > 0) {
+        // escape partition: parameter 15, then fixed-width raw values
+        bw.writeBits(15, 4)
+        bw.writeBits(escapeRaw, 5)
+        var s = 0
+        while (s < n) { bw.writeSigned(res(o + s), escapeRaw); s += 1 }
+      } else {
+        var mean = 0L
+        var s = 0
+        while (s < n) { mean += math.abs(res(o + s).toLong); s += 1 }
+        var param = 0
+        val avg = if (n > 0) mean / n else 0
+        while ((1L << param) < avg + 1 && param < 14) param += 1
+        bw.writeBits(param, 4)
+        s = 0
+        while (s < n) {
+          val v = res(o + s)
+          val zz = (v << 1) ^ (v >> 31)
+          bw.writeUnary(zz >>> param)
+          bw.writeBits(zz & ((1 << param) - 1), param)
+          s += 1
+        }
       }
       o += n
       p += 1
@@ -419,11 +427,34 @@ object Flac {
 
   /** Write one subframe. `mode`: 0 constant (requires all-equal),
     * 1 verbatim, 2 fixed order 2, 3 LPC order 1 (coef 1, shift 0 —
-    * the identity predictor through the LPC path).
+    * the identity predictor through the LPC path), 4/5/6 fixed
+    * orders 1/3/4, 7 LPC order 2 (coefs [2, -1], the fixed-2
+    * polynomial through real coefficient decode), 8 fixed order 0
+    * with ESCAPE partitions (raw 17-bit residuals — covers side
+    * channels).
     */
   private def writeSubframe(bw: BitWriter, samples: Array[Int],
       bps: Int, mode: Int, po: Int): Unit = {
     bw.writeBit(0)
+    def fixedRes(order: Int): Array[Int] =
+      (order until samples.length).map { i =>
+        val pred = order match {
+          case 0 => 0
+          case 1 => samples(i - 1)
+          case 2 => 2 * samples(i - 1) - samples(i - 2)
+          case 3 => 3 * samples(i - 1) - 3 * samples(i - 2) +
+            samples(i - 3)
+          case _ => 4 * samples(i - 1) - 6 * samples(i - 2) +
+            4 * samples(i - 3) - samples(i - 4)
+        }
+        samples(i) - pred
+      }.toArray
+    def writeFixed(order: Int, escapeRaw: Int = 0): Unit = {
+      bw.writeBits(8 + order, 6); bw.writeBit(0)
+      samples.take(order).foreach(bw.writeSigned(_, bps))
+      writeResidual(bw, fixedRes(order), order, samples.length, po,
+        escapeRaw)
+    }
     mode match {
       case 0 =>
         require(samples.forall(_ == samples(0)), "constant subframe")
@@ -432,13 +463,19 @@ object Flac {
       case 1 =>
         bw.writeBits(1, 6); bw.writeBit(0)
         samples.foreach(bw.writeSigned(_, bps))
-      case 2 =>
+      case 2 => writeFixed(2)
+      case 4 => writeFixed(1)
+      case 5 => writeFixed(3)
+      case 6 => writeFixed(4)
+      case 7 =>
         val order = 2
-        bw.writeBits(8 + order, 6); bw.writeBit(0)
+        bw.writeBits(32 + order - 1, 6); bw.writeBit(0)
         samples.take(order).foreach(bw.writeSigned(_, bps))
-        val res = (order until samples.length).map(i =>
-          samples(i) - (2 * samples(i - 1) - samples(i - 2))).toArray
-        writeResidual(bw, res, order, samples.length, po)
+        bw.writeBits(2, 4) // precision 3
+        bw.writeSigned(0, 5) // shift 0
+        bw.writeSigned(2, 3); bw.writeSigned(-1, 3) // pred = 2a - b
+        writeResidual(bw, fixedRes(2), order, samples.length, po)
+      case 8 => writeFixed(0, escapeRaw = 17)
       case _ =>
         val order = 1
         bw.writeBits(32 + order - 1, 6); bw.writeBit(0)

@@ -49,6 +49,26 @@ class FlacSpec extends SparkSpec {
       Flac.buildFlac(8000, 2, extSt, chAssign = 10, modes = Seq(1, 1)))
   }
 
+  test("FLAC subframe coverage: fixed orders 1/3/4, LPC order 2 with " +
+      "real coefficients, and the Rice ESCAPE partition (raw " +
+      "fixed-width residuals) all round-trip (r13)") {
+    val mono = Array.tabulate(384)(sig)
+    for ((mode, name) <- Seq(4 -> "fixed1", 5 -> "fixed3", 6 -> "fixed4",
+        7 -> "lpc2", 8 -> "escape")) {
+      check(name, 8000, 1, mono,
+        Flac.buildFlac(8000, 1, mono, modes = Seq(mode)))
+    }
+    // escape partitions at partition order 2, and inside a stereo
+    // mid/side frame (the side channel's 17-bit residual range)
+    check("escape-po2", 8000, 1, mono,
+      Flac.buildFlac(8000, 1, mono, modes = Seq(8), po = 2))
+    val extSt = Array.tabulate(384 * 2)(i =>
+      if (i % 2 == 0) (if (i / 2 == 0) Short.MinValue else sig(i / 2))
+      else (if (i / 2 == 0) Short.MaxValue else (-sig(i / 2)).toShort))
+    check("escape-midside", 8000, 2, extSt,
+      Flac.buildFlac(8000, 2, extSt, chAssign = 10, modes = Seq(8, 8)))
+  }
+
   test("hand-assembled FLAC streams decode — independent of the " +
       "fixture encoder (r13): a constant frame, and a wasted-bits " +
       "subframe whose samples shift back up") {
