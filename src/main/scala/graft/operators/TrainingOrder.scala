@@ -171,6 +171,10 @@ object TrainingOrder {
     require(rows.length <= maxSources,
       s"more than $maxSources sources — unimaxBudgets collects the " +
         "sources table; raise maxSources if that is intended")
+    require(rows.forall(!_.isNullAt(0)),
+      "unimaxBudgets: null source value — filter or label it upstream " +
+        "(a null key would silently merge with nothing and break the " +
+        "deterministic tie order)")
     val srcs = rows.map(r => (r.getString(0), r.getDouble(1)))
       .sortBy { case (s, n) => (n, s) }
     var remainingBudget = totalBudget
