@@ -228,11 +228,25 @@ object Bpe {
 
   /** Inverse of [[byteize]] over a token stream: mapped chars back to
     * bytes, then UTF-8 decode — `decodeTokens(encode(x)) == x` for
-    * any input (pinned in BpeSpec).
+    * any input (pinned in BpeSpec). A token character outside the
+    * 256-entry byte↔char bijection (another tokenizer's vocab, a
+    * corrupted token array) returns null — the media decoders'
+    * null-degrade discipline, not a task failure (r14, ADVICE).
     */
   def decodeTokens(toks: Seq[String]): String = {
     val out = new java.io.ByteArrayOutputStream()
-    toks.foreach(_.foreach(c => out.write(charToByte(c) & 0xff)))
+    val it = toks.iterator
+    while (it.hasNext) {
+      val tok = it.next()
+      var i = 0
+      while (i < tok.length) {
+        charToByte.get(tok.charAt(i)) match {
+          case Some(b) => out.write(b & 0xff)
+          case None => return null
+        }
+        i += 1
+      }
+    }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 

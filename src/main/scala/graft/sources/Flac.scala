@@ -110,15 +110,27 @@ object Flac {
     var channels = -1
     var rate = -1
     val br = new BitReader(b, i)
-    while (!br.atEnd && br.pos < b.length) {
-      val fr = decodeFrame(br, siRate, siBps)
-      if (fr == null) return null
-      val (fRate, samples) = fr
-      if (channels < 0) { channels = samples.length; rate = fRate }
-      else if (samples.length != channels || fRate != rate) return null
-      total += samples(0).length.toLong * channels
-      if (total > MaxSamples) return null
-      out.add(samples)
+    var stop = false
+    while (!stop && !br.atEnd && br.pos < b.length) {
+      // Frames are byte-aligned; once at least one frame has decoded,
+      // trailing bytes that cannot start a frame (no 0x3FFE sync —
+      // padding, an appended ID3v1 tag, truncated junk) end the
+      // stream cleanly instead of nulling the whole file (r14,
+      // ADVICE). A sync-shaped byte pair that then fails to parse
+      // still nulls — mid-stream corruption is not trailing junk.
+      val canSync = br.pos + 1 < b.length && (b(br.pos) & 0xFF) == 0xFF &&
+        (b(br.pos + 1) & 0xFC) == 0xF8
+      if (!canSync && !out.isEmpty) stop = true
+      else {
+        val fr = decodeFrame(br, siRate, siBps)
+        if (fr == null) return null
+        val (fRate, samples) = fr
+        if (channels < 0) { channels = samples.length; rate = fRate }
+        else if (samples.length != channels || fRate != rate) return null
+        total += samples(0).length.toLong * channels
+        if (total > MaxSamples) return null
+        out.add(samples)
+      }
     }
     if (out.isEmpty || channels <= 0) return null
     val flat = new Array[Short](total.toInt)

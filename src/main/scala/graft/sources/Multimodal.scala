@@ -175,9 +175,15 @@ object Multimodal {
       }
       return UnknownHeader
     }
-    // FLAC: fLaC magic, STREAMINFO rate (20 bits at byte 18) and
-    // channels (3 bits after) — the header-only twin of decodeFlac
+    // FLAC: fLaC magic, then the first metadata block MUST be
+    // STREAMINFO (type 0, length 34 — checked, so a malformed first
+    // block refuses like decodeFlac instead of reading garbage at
+    // fixed offsets; r14, ADVICE): rate is 20 bits at byte 18,
+    // channels the 3 bits after — the header-only twin of decodeFlac
     if (ascii(b, 0, "fLaC") && b.length >= 42) {
+      val blockLen = ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) |
+        (b(7) & 0xFF)
+      if ((b(4) & 0x7F) != 0 || blockLen != 34) return UnknownHeader
       val rate = ((b(18) & 0xFF) << 12) | ((b(19) & 0xFF) << 4) |
         ((b(20) & 0xFF) >> 4)
       val ch = ((b(20) >> 1) & 0x07) + 1

@@ -1016,8 +1016,11 @@ object Webp {
 
   /** Color-indexing inverse: green channel is the palette index;
     * with <=16 colors several indices bundle into one packed pixel
-    * (low bits first). An out-of-range index in a REAL pixel refuses
-    * (like the PNG palette rule); row-padding indices are ignored.
+    * (low bits first). An out-of-range index substitutes transparent
+    * black 0x00000000 — the RFC 9649 §4.2.3 prescription (and
+    * libwebp behavior) — rather than refusing the image; after the
+    * alpha-drop policy that pixel reads as black (r14, ADVICE).
+    * Row-padding indices are ignored.
     */
   private def inverseColorIndex(packed: Array[Int], packedW: Int,
       h: Int, bundleBits: Int, palette: Array[Int],
@@ -1033,8 +1036,8 @@ object Webp {
         val packedPix = packed(y * packedW + x / perPixel)
         val green = (packedPix >> 8) & 0xFF
         val idx = (green >> (idxBits * (x % perPixel))) & idxMask
-        require(idx < palette.length, "palette index")
-        out(y * fullW + x) = palette(idx)
+        out(y * fullW + x) =
+          if (idx < palette.length) palette(idx) else 0x00000000
         x += 1
       }
       y += 1

@@ -133,4 +133,15 @@ class BpeSpec extends SparkSpec {
       .collect().toSeq
     assert(a === b, "hash-sampled training must be run-stable")
   }
+
+  test("decodeTokens null-degrades on characters outside the byte " +
+      "bijection instead of failing the task (r14, ADVICE)") {
+    assert(Bpe.decodeTokens(Seq("ab", "\u0500cd")) === null)
+    assert(Bpe.decodeTokens(Seq("hello")) === "hello")
+    val df = Seq((1L, Seq("hi")), (2L, Seq("x\u0777"))).toDF("id", "toks")
+    val rows = Bpe.withDecoded(df, "toks", "back")
+      .orderBy($"id").select($"back").collect()
+    assert(rows(0).getString(0) === "hi")
+    assert(rows(1).isNullAt(0))
+  }
 }

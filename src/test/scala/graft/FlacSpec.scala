@@ -176,4 +176,23 @@ class FlacSpec extends SparkSpec {
       Flac.decodeFlac(b)
     }
   }
+
+  test("trailing bytes after the last frame (padding / ID3v1 junk) " +
+      "end the stream cleanly once a frame has decoded; sync-shaped " +
+      "mid-stream corruption still nulls (r14, ADVICE)") {
+    val mono = Array.tabulate(384)(sig)
+    val good = Flac.buildFlac(8000, 1, mono)
+    // appended ID3v1-style tag: no 0x3FFE sync, ignored
+    val id3 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    check("trailing-id3", 8000, 1, mono, good ++ id3)
+    // zero padding after the last frame, ignored
+    check("trailing-pad", 8000, 1, mono, good ++ new Array[Byte](7))
+    // sync-shaped junk (0xFF 0xF8...) that fails to parse: null —
+    // that is mid-stream corruption, not trailing junk
+    val syncJunk = Array(0xFF.toByte, 0xF8.toByte, 0x00.toByte)
+    assert(Flac.decodeFlac(good ++ syncJunk) === null)
+    // junk before ANY frame decodes still nulls (no frames yet)
+    val si = good.take(42) // fLaC + STREAMINFO block
+    assert(Flac.decodeFlac(si ++ id3) === null)
+  }
 }

@@ -1772,4 +1772,18 @@ class MultimodalSpec extends SparkSpec {
       block(100, 8, Array[Byte](0x05, 0, 0, 0)) ++ Array[Byte](1, 2, 3))
     assert(decodeWavPcm(ragged).samples.length === 9)
   }
+
+  test("FLAC parseHeader refuses a first metadata block that is not " +
+      "STREAMINFO instead of reading garbage intrinsics (r14, ADVICE)") {
+    import Multimodal.parseHeader
+    val good = graft.sources.Flac.buildFlac(8000, 1,
+      Array.tabulate(192)(i => ((i % 50) - 25).toShort))
+    assert(parseHeader(good).format === "flac")
+    val wrongType = good.clone()
+    wrongType(4) = (wrongType(4) | 0x04).toByte // block type 0 -> 4
+    assert(parseHeader(wrongType).format === "unknown")
+    val wrongLen = good.clone()
+    wrongLen(7) = 35.toByte // STREAMINFO length must be 34
+    assert(parseHeader(wrongLen).format === "unknown")
+  }
 }

@@ -201,4 +201,48 @@ class WebpSpec extends SparkSpec {
       Multimodal.parseHeader(b)
     }
   }
+
+  test("out-of-range palette index substitutes transparent black " +
+      "(RFC 9649 prescription) instead of refusing (r14, ADVICE)") {
+    // hand-assembled: 2x1 image, color-indexing with a 5-entry
+    // palette (bundleBits=1, 4-bit indices), packed green 0x70 ->
+    // index 0 at x=0, index 7 (out of range) at x=1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0; var nb = 0
+    def wb(v: Int, n: Int): Unit = for (i <- 0 until n) {
+      acc |= ((v >> i) & 1) << nb; nb += 1
+      if (nb == 8) { out += acc.toByte; acc = 0; nb = 0 }
+    }
+    def flush(): Array[Byte] = {
+      if (nb > 0) { out += acc.toByte; acc = 0; nb = 0 }
+      out.toArray
+    }
+    wb(0x2F, 8)          // signature
+    wb(1, 14); wb(0, 14) // w-1=1, h-1=0
+    wb(0, 1); wb(0, 3)   // alpha hint, version
+    // color-indexing transform, 5 entries
+    wb(1, 1); wb(3, 2); wb(4, 8)
+    // palette sub-stream (5x1): entry0 FF102030, deltas 0 after
+    wb(0, 1)             // no color cache
+    // two-symbol codes {0x00, ch}: 0x00 -> bit 0, ch -> bit 1
+    for (ch <- Seq(0x20, 0x10, 0x30, 0xFF)) {
+      wb(1, 1); wb(1, 1); wb(1, 1); wb(0x00, 8); wb(ch, 8)
+    }
+    wb(1, 1); wb(0, 1); wb(0, 1); wb(0, 1) // distance single-symbol
+    wb(0xF, 4)           // entry 0: g=1,r=1,b=1,a=1 bits
+    wb(0, 16)            // entries 1..4: all-zero deltas
+    wb(0, 1)             // end transform list
+    // main stream: packed 1x1
+    wb(0, 1)             // no color cache
+    wb(0, 1)             // no meta-huffman
+    wb(1, 1); wb(0, 1); wb(1, 1); wb(0x70, 8) // green single 0x70
+    for (_ <- 0 until 3) { wb(1, 1); wb(0, 1); wb(1, 1); wb(0, 8) }
+    wb(1, 1); wb(0, 1); wb(0, 1); wb(0, 1) // distance single
+    val img = Webp.decodeWebp(Webp.wrapRiff(flush()))
+    assert(img != null, "oob-palette image refused")
+    assert(img.width === 2 && img.height === 1)
+    val px = img.rgb.map(_ & 0xFF)
+    assert(px.toSeq === Seq(0x10, 0x20, 0x30, 0, 0, 0),
+      "x=0 palette[0], x=1 transparent-black substitution")
+  }
 }
