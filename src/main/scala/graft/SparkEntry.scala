@@ -1446,6 +1446,32 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.7)
     }),
 
+    // --- Semantic decontamination (r14, VERDICT r13 missing #3): a
+    //     PARAPHRASED eval item shares no n-gram with its corpus twin
+    //     and slips every lexical pass; its embedding does not. Probes
+    //     are planted as SCALED copies (×1.02 — cosine exactly 1 at
+    //     round6, the dedup_semantic discipline) of every 10th
+    //     embedding under shifted ids; centroids are DETERMINISTIC
+    //     (first 4 vectors — the F10 bounded-collect convention), so
+    //     DuckDB replays corpus assignment (angular argmin, ties to
+    //     low centroid id), probe replication to its nprobe=2 nearest
+    //     clusters, and every round-6 cosine ≥ 0.995 decision.
+    //     Production path is [[Ann.semContaminationJoin]] with trained
+    //     KMeans centroids; this gate pins the kernel.
+    "text_contamination_sem" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val probes = base.filter(pmod(col("vec_id"), lit(10L)) === 3)
+        .select((col("vec_id") + 500000L).as("eval_id"),
+          transform(col("v"), x => x * lit(1.02d)).as("v"))
+      val centers = base.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("v")).as[Array[Double]].collect()
+      val assigned = Ann.assignWithCenters(base, "v", centers, "cosine")
+      Ann.semContaminationAssigned(assigned, centers, "vec_id", "v",
+        probes, "eval_id", "v", simThreshold = 0.995, nprobe = 2)
+    }),
+
     // --- Inverted-index decontamination (r10, VERDICT r9 #5): the
     //     beyond-broadcast form — probe and corpus postings meet in a
     //     shuffle equi-join partitioned on the 64-bit shingle id, no
@@ -4441,6 +4467,33 @@ object SparkEntry {
         |SELECT eval_id, doc_id, jaccard FROM m
         |WHERE jaccard >= 0.7
         |ORDER BY eval_id, jaccard DESC, doc_id""".stripMargin,
+
+    // the text_contamination_sem oracle: deterministic centroids →
+    // corpus angular argmin (ties to low centroid id — the
+    // NearestCenter contract), probes replicated to their 2 nearest
+    // clusters, round-6 cosine ≥ 0.995 inside shared clusters only
+    "text_contamination_sem" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id + 500000 AS eval_id,
+        |             list_transform(v, x -> x * 1.02) AS v
+        |           FROM base WHERE vec_id % 10 = 3),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 4),
+        |casg0 AS (SELECT b.vec_id, b.v, c.cid,
+        |            row_number() OVER (PARTITION BY b.vec_id
+        |              ORDER BY 1.0 - list_cosine_similarity(b.v, c.cv), c.cid) AS rn
+        |          FROM base b CROSS JOIN cents c),
+        |casg AS (SELECT vec_id, v, cid FROM casg0 WHERE rn = 1),
+        |pasg0 AS (SELECT p.eval_id, p.v, c.cid,
+        |            row_number() OVER (PARTITION BY p.eval_id
+        |              ORDER BY 1.0 - list_cosine_similarity(p.v, c.cv), c.cid) AS rn
+        |          FROM probes p CROSS JOIN cents c),
+        |pasg AS (SELECT eval_id, v, cid FROM pasg0 WHERE rn <= 2),
+        |pairs AS (SELECT DISTINCT p.eval_id, m.vec_id,
+        |            round(list_cosine_similarity(p.v, m.v), 6) AS similarity
+        |          FROM pasg p JOIN casg m ON p.cid = m.cid)
+        |SELECT eval_id, vec_id, similarity FROM pairs
+        |WHERE similarity >= 0.995
+        |ORDER BY eval_id, similarity DESC, vec_id""".stripMargin,
 
     // inverted-index decontamination: same string-shingle containment
     // as text_contamination, probe split at doc_id < 8 — the Spark

@@ -676,4 +676,50 @@ class AnnSpec extends SparkSpec {
     assert(pruned === 10L, s"exactly the 10 planted copies prune, got $pruned")
     assert(sd.filter($"checked" === 0).count() === 0L)
   }
+
+  test("semContaminationJoin: probe-all reproduces the exact threshold " +
+      "join; scaled paraphrase twins are always caught; over-cap " +
+      "clusters skip loudly; null vectors never pair (r14)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // probes: scaled copies (cosine exactly 1 to their source) of
+    // every 7th vector, plus a null-vector probe
+    val probes = emb.filter($"vec_id" % 7 === 2)
+      .select(($"vec_id" + 9000L).as("eval_id"),
+        transform($"v", x => x * lit(1.05d)).as("v"))
+      .unionByName(Seq((9999L, null: Array[Double])).toDF("eval_id", "v"))
+    val nTwins = emb.filter($"vec_id" % 7 === 2).count()
+    // probing ALL clusters = the brute-force corpus x probe join
+    val all = Ann.semContaminationJoin(emb, "vec_id", "v",
+      probes, "eval_id", "v", simThreshold = 0.99,
+      nlist = 4, nprobe = 4, maxIter = 2)
+    val exact = probes.filter($"v".isNotNull).as[(Long, Array[Double])]
+      .collect().flatMap { case (pid, pv) =>
+        emb.as[(Long, Array[Double])].collect().flatMap { case (cid, cv) =>
+          val sim = Knn.round6(Knn.dotKernel(pv, cv) /
+            (math.sqrt(Knn.dotKernel(pv, pv)) *
+             math.sqrt(Knn.dotKernel(cv, cv))))
+          if (sim >= 0.99) Some((pid, cid, sim)) else None
+        }
+      }.toSet
+    assert(all.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === exact)
+    // every planted twin pairs with its source at similarity 1.0
+    val caught = all.filter($"similarity" === 1.0d)
+      .filter($"eval_id" - 9000L === $"vec_id").count()
+    assert(caught === nTwins, s"twins caught $caught of $nTwins")
+    // nprobe=1 (home cluster only) still catches every twin: the twin
+    // shares its source's angular position, hence its home cluster
+    val home = Ann.semContaminationJoin(emb, "vec_id", "v",
+      probes, "eval_id", "v", simThreshold = 0.99,
+      nlist = 4, nprobe = 1, maxIter = 2)
+    assert(home.filter($"similarity" === 1.0d)
+      .filter($"eval_id" - 9000L === $"vec_id").count() === nTwins)
+    // over-cap: the single cluster overflows -> zero pairs, loud skip
+    val over = Ann.semContaminationAssigned(
+      Ann.assignWithCenters(emb, "v", Array(Array.fill(8)(1.0)), "cosine"),
+      Array(Array.fill(8)(1.0)), "vec_id", "v", probes, "eval_id", "v",
+      simThreshold = 0.99, nprobe = 1, maxClusterSize = 3)
+    assert(over.count() === 0L)
+  }
 }
