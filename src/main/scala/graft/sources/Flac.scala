@@ -13,10 +13,13 @@ package graft.sources
   * channel assignments (independent, left/side, right/side,
   * mid/side), wasted bits, both blocking strategies, the UTF-8
   * frame-number coding, and the blocksize/sample-rate header tables
-  * with their end-of-header literal forms. Declared boundaries:
-  * sample sizes 8/12/16 bits decode ([[Multimodal.WavAudio]] carries
-  * 16-bit samples; 20/24/32-bit streams return null rather than
-  * silently truncate), and CRC-8/CRC-16 are parsed but not verified
+  * with their end-of-header literal forms. Sample sizes 8/12/16/20/
+  * 24 bits decode sample-exactly into [[Multimodal.PcmAudio]] (r14 —
+  * 24-bit is the archival-audio standard; [[decodeFlac]] folds deep
+  * streams to the 16-bit [[Multimodal.WavAudio]] monitoring carrier
+  * by arithmetic shift). Declared boundaries: 32-bit streams return
+  * null (their side channel needs 33-bit arithmetic — widen to Long
+  * if they ever matter), and CRC-8/CRC-16 are parsed but not verified
   * (the PNG-CRC precedent: correctness is pinned on decoded sample
   * values; a CRC pass would only reject rows the decode stage
   * already sees).
@@ -26,7 +29,7 @@ package graft.sources
   */
 object Flac {
 
-  private val MaxSamples = 1 << 24 // ~16M samples ≈ 32 MB of shorts
+  private val MaxSamples = 1 << 24 // ~16M samples ≈ 64 MB of ints
 
   /** MSB-first bit reader (the FLAC convention — opposite of VP8L). */
   private final class BitReader(b: Array[Byte], start: Int) {
@@ -69,13 +72,34 @@ object Flac {
     def atEnd: Boolean = pos >= b.length || (pos == b.length - 1 && bit > 0)
   }
 
-  /** Decode a FLAC payload to interleaved 16-bit PCM, or null. */
+  /** Decode a FLAC payload to interleaved 16-bit PCM, or null.
+    * Streams deeper than 16 bits (20/24) fold to 16-bit by
+    * arithmetic right-shift — the standard monitoring reduction —
+    * so fingerprints/downmix stay total over archival audio; the
+    * sample-exact wide surface is [[decodeFlacPcm]] (r14).
+    */
   def decodeFlac(b: Array[Byte]): Multimodal.WavAudio = {
+    val a = decodeFlacPcm(b)
+    if (a == null) null
+    else {
+      val shift = math.max(0, a.bitDepth - 16)
+      val out = new Array[Short](a.samples.length)
+      var i = 0
+      while (i < out.length) { out(i) = (a.samples(i) >> shift).toShort; i += 1 }
+      Multimodal.WavAudio(a.sampleRate, a.channels, out)
+    }
+  }
+
+  /** Decode a FLAC payload to wide interleaved PCM (8/12/16/20/24-bit
+    * sample sizes; 32-bit stays the declared boundary — its side
+    * channel needs 33 bits), or null.
+    */
+  def decodeFlacPcm(b: Array[Byte]): Multimodal.PcmAudio = {
     try decodeInner(b)
     catch { case scala.util.control.NonFatal(_) => null }
   }
 
-  private def decodeInner(b: Array[Byte]): Multimodal.WavAudio = {
+  private def decodeInner(b: Array[Byte]): Multimodal.PcmAudio = {
     if (b == null || b.length < 42) return null
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'))
       return null
@@ -105,6 +129,7 @@ object Flac {
       if (i > b.length) return null
     }
     if (siRate <= 0 || siRate > 655350) return null
+    if (siBps > 24) return null // 32-bit: declared boundary
     val out = new java.util.ArrayList[Array[Array[Int]]]()
     var total = 0L
     var channels = -1
@@ -133,7 +158,10 @@ object Flac {
       }
     }
     if (out.isEmpty || channels <= 0) return null
-    val flat = new Array[Short](total.toInt)
+    // reconstructed samples must fit the stream's declared depth —
+    // a valid encoder cannot emit wider values; wider means corrupt
+    val lo = -(1 << (siBps - 1)); val hi = (1 << (siBps - 1)) - 1
+    val flat = new Array[Int](total.toInt)
     var o = 0
     val it = out.iterator()
     while (it.hasNext) {
@@ -144,13 +172,13 @@ object Flac {
         var c = 0
         while (c < channels) {
           val v = chans(c)(s)
-          if (v < Short.MinValue || v > Short.MaxValue) return null
-          flat(o) = v.toShort; o += 1; c += 1
+          if (v < lo || v > hi) return null
+          flat(o) = v; o += 1; c += 1
         }
         s += 1
       }
     }
-    Multimodal.WavAudio(rate, channels, flat)
+    Multimodal.PcmAudio(rate, channels, siBps, flat)
   }
 
   /** One frame → (sample rate, per-channel sample arrays). */
@@ -206,10 +234,12 @@ object Flac {
       case 1 => 8
       case 2 => 12
       case 4 => 16
-      case 5 | 6 | 7 => return null // 20/24/32-bit: declared boundary
+      case 5 => 20 // r14: wide sample sizes decode
+      case 6 => 24
+      case 7 => return null // 32-bit: declared boundary (33-bit side)
       case _ => return null // reserved
     }
-    if (bps > 16) return null
+    if (bps > 24) return null
     br.readBits(8) // CRC-8 (parsed, not verified)
     if (blockSize <= 0 || blockSize > 65536) return null
     val nChan = if (chAssign < 8) chAssign + 1
@@ -265,7 +295,7 @@ object Flac {
     val wasted =
       if (br.readBit() == 1) br.readUnary() + 1 else 0
     val bps = bps0 - wasted
-    if (bps <= 0 || bps > 17) return null
+    if (bps <= 0 || bps > 25) return null // 24-bit + side bit ceiling
     val out: Array[Int] =
       if (typ == 0) { // constant
         val v = br.readSigned(bps)
@@ -487,7 +517,7 @@ object Flac {
         bw.writeSigned(0, 5) // shift 0
         bw.writeSigned(2, 3); bw.writeSigned(-1, 3) // pred = 2a - b
         writeResidual(bw, fixedRes(2), order, samples.length, po)
-      case 8 => writeFixed(0, escapeRaw = 17)
+      case 8 => writeFixed(0, escapeRaw = math.min(bps + 1, 31))
       case _ =>
         val order = 1
         bw.writeBits(32 + order - 1, 6); bw.writeBit(0)
@@ -508,8 +538,25 @@ object Flac {
     */
   def buildFlac(rate: Int, channels: Int, samples: Array[Short],
       blockSize: Int = 192, chAssign: Int = -1,
+      modes: Seq[Int] = Seq(1), po: Int = 0): Array[Byte] =
+    buildFlacPcm(rate, channels, 16, samples.map(_.toInt),
+      blockSize, chAssign, modes, po)
+
+  /** [[buildFlac]] at an explicit sample depth (8/12/16/20/24) over
+    * wide samples — the 24-bit fixture path (r14). Callers must keep
+    * samples within the declared depth's signed range.
+    */
+  def buildFlacPcm(rate: Int, channels: Int, bps: Int,
+      samples: Array[Int], blockSize: Int = 192, chAssign: Int = -1,
       modes: Seq[Int] = Seq(1), po: Int = 0): Array[Byte] = {
     require(channels >= 1 && channels <= 8)
+    val ssCode = bps match {
+      case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
+      case d => throw new IllegalArgumentException(s"bps $d")
+    }
+    val halfRange = 1 << (bps - 1)
+    require(samples.forall(v => v >= -halfRange && v < halfRange),
+      s"samples exceed $bps-bit range")
     require(samples.length % channels == 0)
     require(blockSize >= 16 && blockSize <= 256 &&
       samples.length / channels % blockSize == 0,
@@ -525,7 +572,7 @@ object Flac {
     si.writeBits(0, 24); si.writeBits(0, 24)
     si.writeBits(rate, 20)
     si.writeBits(channels - 1, 3)
-    si.writeBits(16 - 1, 5)
+    si.writeBits(bps - 1, 5)
     si.writeBits(0, 4)
     si.writeBits((samples.length / channels), 32) // low 32 of 36
     (0 until 16).foreach(_ => si.writeBits(0, 8)) // md5 unverified
@@ -540,7 +587,7 @@ object Flac {
       bw.writeBits(6, 4) // blocksize: 8-bit at end of header
       bw.writeBits(0, 4) // sample rate from STREAMINFO
       bw.writeBits(assign, 4)
-      bw.writeBits(4, 3) // 16-bit samples
+      bw.writeBits(ssCode, 3)
       bw.writeBit(0)
       require(f < 128, "fixture frame numbers stay 1-byte UTF-8")
       bw.writeBits(f, 8)
@@ -548,7 +595,7 @@ object Flac {
       bw.writeBits(0, 8) // CRC-8: unchecked boundary
       // gather per-channel samples for this frame
       val chans = Array.tabulate(channels, blockSize) { (c, s) =>
-        samples((f * blockSize + s) * channels + c).toInt
+        samples((f * blockSize + s) * channels + c)
       }
       val coded: Array[Array[Int]] = assign match {
         case 8 => Array(chans(0),
@@ -568,7 +615,7 @@ object Flac {
           case 9 => if (c == 0) 1 else 0
           case _ => 0
         }
-        writeSubframe(bw, coded(c), 16 + sideBit,
+        writeSubframe(bw, coded(c), bps + sideBit,
           modes(c % modes.length), po)
         c += 1
       }

@@ -124,7 +124,7 @@ class FlacSpec extends SparkSpec {
   }
 
   test("FLAC boundaries: truncation / magic / reserved codes / " +
-      "24-bit null; the audio dispatch tags flac vs wav; totality " +
+      "32-bit null; the audio dispatch tags flac vs wav; totality " +
       "fuzz never throws (r13)") {
     val mono = Array.tabulate(384)(sig)
     val good = Flac.buildFlac(8000, 1, mono)
@@ -194,5 +194,86 @@ class FlacSpec extends SparkSpec {
     // junk before ANY frame decodes still nulls (no frames yet)
     val si = good.take(42) // fLaC + STREAMINFO block
     assert(Flac.decodeFlac(si ++ id3) === null)
+  }
+
+  test("wide-depth FLAC (r14): 24-bit and 20-bit streams round-trip " +
+      "sample-exactly through every subframe family; mid/side carries " +
+      "the 25-bit side channel; decodeFlac folds by arithmetic " +
+      "shift; 32-bit stays the null boundary") {
+    def sa(i: Int): Int = ((i * 1709L % 2000001L) - 1000000L).toInt
+    def sb(i: Int): Int = ((i * 1709L % 1000001L) - 500000L).toInt
+    def sc(i: Int): Int = ((7 + i * 911L) % 2000001L - 1000000L).toInt
+    def checkPcm(name: String, rate: Int, ch: Int, depth: Int,
+        samples: Array[Int], bytes: Array[Byte]): Unit = {
+      val a = Flac.decodeFlacPcm(bytes)
+      assert(a != null, s"$name decoded null")
+      assert(a.sampleRate === rate && a.channels === ch &&
+        a.bitDepth === depth, name)
+      assert(a.samples.toSeq === samples.toSeq, name)
+    }
+    val mono = Array.tabulate(384)(sa)
+    // 24-bit: constant / verbatim / fixed-2 (rice po 2) / LPC-1
+    checkPcm("const24", 96000, 1, 24, Array.fill(192)(-999999),
+      Flac.buildFlacPcm(96000, 1, 24, Array.fill(192)(-999999),
+        modes = Seq(0)))
+    checkPcm("verbatim24", 44100, 1, 24, mono,
+      Flac.buildFlacPcm(44100, 1, 24, mono, modes = Seq(1)))
+    checkPcm("fixed24", 48000, 1, 24, mono,
+      Flac.buildFlacPcm(48000, 1, 24, mono, modes = Seq(2), po = 2))
+    checkPcm("lpc24", 48000, 1, 24, mono,
+      Flac.buildFlacPcm(48000, 1, 24, mono, modes = Seq(3)))
+    // 20-bit LPC
+    val mono20 = Array.tabulate(384)(sb)
+    checkPcm("lpc20", 96000, 1, 20, mono20,
+      Flac.buildFlacPcm(96000, 1, 20, mono20, modes = Seq(3)))
+    // 24-bit stereo mid/side: side = L - R spans 25 bits of range
+    val stereo = Array.tabulate(768)(i =>
+      if (i % 2 == 0) sa(i / 2) else sc(i / 2))
+    checkPcm("midside24", 192000, 2, 24, stereo,
+      Flac.buildFlacPcm(192000, 2, 24, stereo, chAssign = 10,
+        modes = Seq(2, 2)))
+    // decodeFlac monitoring fold: 24-bit >> 8, exact on 16-bit
+    val folded = Flac.decodeFlac(
+      Flac.buildFlacPcm(44100, 1, 24, mono, modes = Seq(1)))
+    assert(folded != null)
+    assert(folded.samples.toSeq === mono.map(v => (v >> 8).toShort).toSeq)
+    // hand-assembled 24-bit constant stream, independent of the
+    // fixture encoder (the r13 discipline at the new depth)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0; var nb = 0
+    def wb(v: Int, n: Int): Unit = for (k <- (n - 1) to 0 by -1) {
+      acc = (acc << 1) | ((v >> k) & 1); nb += 1
+      if (nb == 8) { out += acc.toByte; acc = 0; nb = 0 }
+    }
+    def align(): Unit = while (nb != 0) wb(0, 1)
+    out ++= "fLaC".getBytes("US-ASCII")
+    wb(0x80, 8); wb(34, 24) // last-metadata STREAMINFO
+    wb(192, 16); wb(192, 16); wb(0, 24); wb(0, 24)
+    wb(8000, 20); wb(0, 3) // 1 channel
+    wb(23, 5) // bps - 1 = 23 -> 24-bit
+    wb(0, 4); wb(0, 32) // total samples
+    for (_ <- 0 until 16) wb(0, 8) // md5
+    wb(0x3FFE, 14); wb(0, 1); wb(0, 1) // sync, reserved, fixed strategy
+    wb(6, 4) // blocksize: 8-bit at end of header
+    wb(0, 4) // rate from STREAMINFO
+    wb(0, 4) // 1 channel independent
+    wb(6, 3); wb(0, 1) // 24-bit, reserved
+    wb(0, 8) // frame 0
+    wb(191, 8) // blocksize - 1
+    wb(0, 8) // CRC-8 (unchecked)
+    wb(0, 1); wb(0, 6); wb(0, 1) // pad, constant, no wasted bits
+    wb(-70000 & 0xFFFFFF, 24)
+    align(); wb(0, 16) // CRC-16 (unchecked)
+    val hand = Flac.decodeFlacPcm(out.toArray)
+    assert(hand != null && hand.bitDepth === 24)
+    assert(hand.samples.toSeq === Seq.fill(192)(-70000))
+    assert(Flac.decodeFlac(out.toArray).samples.toSeq ===
+      Seq.fill(192)((-70000 >> 8).toShort))
+    // 32-bit: null boundary — STREAMINFO bps-1 spans byte 20 LSB
+    // (bit 4, already 1 for 23) and byte 21's high nibble: 7 -> 15
+    // rewrites 23 to 31, i.e. declares a 32-bit stream
+    val out32 = out.toArray.clone()
+    out32(21) = ((out32(21) & 0x0F) | 0xF0).toByte
+    assert(Flac.decodeFlacPcm(out32) === null)
   }
 }
