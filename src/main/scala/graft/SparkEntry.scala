@@ -2222,6 +2222,44 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- Quality-attribute EXPORT (r14, VERDICT r13 missing #4 —
+    //     the Dolma attribute-record convention): every per-doc
+    //     quality signal (gopher rule stack, repetition, langid,
+    //     stopword/punct/mojibake ratios, composite score) composed
+    //     by ONE operator into the standard per-doc record instead
+    //     of ad-hoc per-gate assembly. The oracle replays EVERY
+    //     per-doc value — both tokenizations (plain vs
+    //     newline-normalized gopher), each rule threshold, the
+    //     langid argmax with its cjk override and tie order. The
+    //     struct form is this gate; the JSONL sidecar form
+    //     round-trips in AttributesSpec. deflate_ratio rides the
+    //     struct but not the gate hash (deflate bytes are
+    //     zlib-version-specific — the text_deflate classification
+    //     gate owns that contract).
+    "docs_attributes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Attributes
+        .withQualityAttributes(docs, "text", "attrs", minWords = 10)
+        .select(col("doc_id"),
+          col("attrs.n_chars").as("n_chars"),
+          col("attrs.n_tokens").as("n_tokens"),
+          col("attrs.gopher.pass").as("gopher_pass"),
+          col("attrs.gopher.fail_words").as("fail_words"),
+          col("attrs.gopher.fail_mean_len").as("fail_mean_len"),
+          col("attrs.gopher.fail_alpha").as("fail_alpha"),
+          col("attrs.gopher.fail_symbol").as("fail_symbol"),
+          col("attrs.gopher.fail_bullet").as("fail_bullet"),
+          col("attrs.gopher.fail_ellipsis").as("fail_ellipsis"),
+          col("attrs.gopher.fail_stopword").as("fail_stopword"),
+          col("attrs.repetition_2gram").as("repetition_2gram"),
+          col("attrs.lang").as("lang"),
+          col("attrs.stopword_ratio").as("stopword_ratio"),
+          col("attrs.punct_ratio").as("punct_ratio"),
+          col("attrs.mojibake_ratio").as("mojibake_ratio"),
+          col("attrs.quality_score").as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- robots.txt parsing (r12 — RFC 9309, the corpus-membership
     //     gate of crawl compliance): four hostile-ish robots bodies —
     //     comments, Crawl-delay noise, a named group that must beat
@@ -5176,6 +5214,88 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the docs_attributes oracle: every per-doc signal replayed —
+    // plain tokens (stopword/repetition) vs newline-normalized gopher
+    // tokens, each gopher threshold, RE2 \p{P} for Java (?U)\p{Punct},
+    // the langid marker-hit argmax with cjk override and profile-order
+    // tie break, and the composite score's CASE weights
+    "docs_attributes" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
+        val hits = ms.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+          .mkString(" + ")
+        s"$hits AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      // the max alias must NOT collide with the m CTE below — s_de =
+      // m would resolve to the CTE's row struct
+      val pick = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
+         |    list_filter(string_split(lower(replace(replace(text, chr(10), ' '), chr(9), ' ')), ' '), x -> length(x) > 0) AS gtoks,
+         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+         |  FROM d WHERE text IS NOT NULL AND length(text) > 0),
+         |m AS (
+         |  SELECT doc_id, text, toks, p, cjk,
+         |    len(gtoks) AS nw,
+         |    CASE WHEN len(gtoks) > 0 THEN round(list_sum(list_transform(gtoks, x -> length(x)))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(gtoks) > 0 THEN round(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS alpha,
+         |    CASE WHEN len(gtoks) > 0 THEN round(((length(text) - length(replace(text, '...', ''))) / 3 + length(text) - length(replace(text, '#', '')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS sym,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS bullet,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS ell,
+         |    len(list_filter(gtoks, x -> list_contains([$sw], x))) AS nsw,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      round(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1), 6)
+         |    ELSE 0.0 END AS rep,
+         |    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6) ELSE 0.0 END AS swr,
+         |    round((length(text) - length(regexp_replace(text, '\\p{P}', '', 'g')))::DOUBLE / length(text), 6) AS punct,
+         |    round((length(text) - length(regexp_replace(text, '[\\x{FFFD}\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]', '', 'g')))::DOUBLE / length(text), 6) AS moji
+         |  FROM f),
+         |lng AS (
+         |  SELECT doc_id,
+         |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+         |         ELSE (CASE WHEN mx <= 0 THEN 'und' $pick ELSE 'und' END)
+         |    END AS lang
+         |  FROM (SELECT *, $maxExpr AS mx
+         |        FROM (SELECT doc_id, text, cjk, $scoreSql FROM m))),
+         |r AS (
+         |  SELECT m.doc_id, length(m.text) AS n_chars, len(m.toks) AS n_toks,
+         |    NOT (m.nw BETWEEN 10 AND 100000) AS f_words,
+         |    NOT (m.mwl BETWEEN 3.0 AND 10.0) AS f_mlen,
+         |    m.alpha < 0.8 AS f_alpha,
+         |    m.sym > 0.1 AS f_sym,
+         |    m.bullet > 0.9 AS f_bullet,
+         |    m.ell > 0.3 AS f_ell,
+         |    m.nsw < 2 AS f_sw,
+         |    m.rep, l.lang, m.swr, m.punct, m.moji,
+         |    round(CAST((CASE WHEN length(m.text) BETWEEN 100 AND 10000 THEN 1.0
+         |             WHEN length(m.text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+         |          (CASE WHEN m.punct < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |          (CASE WHEN m.swr > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+         |          AS DOUBLE), 6) AS q
+         |  FROM m JOIN lng l USING (doc_id))
+         |SELECT d.doc_id,
+         |  CAST(r.n_chars AS INT) AS n_chars,
+         |  CAST(r.n_toks AS INT) AS n_tokens,
+         |  (NOT r.f_words AND NOT r.f_mlen AND NOT r.f_alpha AND NOT r.f_sym
+         |    AND NOT r.f_bullet AND NOT r.f_ell AND NOT r.f_sw) AS gopher_pass,
+         |  r.f_words AS fail_words, r.f_mlen AS fail_mean_len,
+         |  r.f_alpha AS fail_alpha, r.f_sym AS fail_symbol,
+         |  r.f_bullet AS fail_bullet, r.f_ell AS fail_ellipsis,
+         |  r.f_sw AS fail_stopword,
+         |  r.rep AS repetition_2gram, r.lang,
+         |  r.swr AS stopword_ratio, r.punct AS punct_ratio,
+         |  r.moji AS mojibake_ratio, r.q AS quality_score
+         |FROM d LEFT JOIN r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // the text_robots_meta oracle: per-host metadata literals —

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Attributes
+
+class AttributesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withQualityAttributes: one projection, no shuffle; null/empty " +
+      "text rows carry a null struct (r14)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (2L, null: String),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Attributes.withQualityAttributes(docs, "text", "attrs",
+      minWords = 5)
+    val rows = out.orderBy($"doc_id").collect()
+    assert(!rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(2) && rows(2).isNullAt(2))
+    val a = rows(0).getStruct(2)
+    assert(a.getAs[Int]("n_chars") === 55)
+    assert(a.getAs[String]("lang") === "en")
+    // plan shape: a quality-attribute scan must stay scan -> project
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "attributes projection shuffled")
+  }
+
+  test("attributesRecords: Dolma-shaped records round-trip through " +
+      "writeJsonl; spans cover the whole doc; langid exports as a " +
+      "dynamic per-language key; extraScores ride along (r14)") {
+    val docs = Seq(
+      (10L, "the cat and the dog sat on the mat with the hat they like", 0.5),
+      (11L, null: String, 0.25)).toDF("doc_id", "text", "nb_score")
+    val jsonl = Attributes.attributesRecords(docs, "doc_id", "text",
+      minWords = 5, extraScores = Seq("nb_score"))
+    val dir = java.nio.file.Files.createTempDirectory("attr_jsonl")
+      .toString + "/out"
+    graft.sources.Sources.writeJsonl(jsonl, dir, gzip = false,
+      numFiles = Some(1))
+    // read back through Spark's JSON reader: the records must parse
+    // as the Dolma attribute shape with id + attributes map
+    val back = spark.read
+      .schema("id STRING, attributes MAP<STRING, ARRAY<ARRAY<DOUBLE>>>")
+      .json(dir)
+    val byId = back.collect().map(r =>
+      r.getString(0) -> r.getMap[String, scala.collection.Seq[Any]](1)).toMap
+    assert(byId.keySet === Set("10", "11"))
+    val attrs = byId("10")
+    def spans(k: String): List[List[Double]] = attrs(k).toList
+      .map(_.asInstanceOf[scala.collection.Seq[Double]].toList)
+    // whole-doc span [0, n_chars, score]
+    val n = 57.0
+    assert(spans("graft__langid__en") === List(List(0.0, n, 1.0)))
+    assert(spans("graft__gopher__pass").head.take(2) === List(0.0, n))
+    assert(spans("graft__nb_score") === List(List(0.0, n, 0.5)))
+    assert(attrs.keySet.count(_.startsWith("graft__gopher__")) === 8)
+    assert(attrs.contains("graft__deflate_ratio"))
+    assert(attrs.contains("graft__repetition_2gram"))
+    // null text: empty attribute map, id still addressable
+    assert(byId("11").isEmpty)
+    // stopword ratio span value replays the column function
+    val swr = docs.filter($"doc_id" === 10L)
+      .select(graft.functions.TextFunctions.stopwordRatio($"text"))
+      .head().getDouble(0)
+    assert(spans("graft__stopword_ratio") === List(List(0.0, n, swr)))
+  }
+}
