@@ -3646,6 +3646,25 @@ object SparkEntry {
       Dedup.fingerprintPairs(fp, "media_id", "afp", maxHamming = 3)
     }),
 
+    // --- BANDED audio near-dup (r14, VERDICT r13 missing #5 — the
+    //     chromaprint-class gap): the single equal-count fingerprint
+    //     re-indexes every window under a prefix trim, so a re-cut
+    //     upload never pairs; fixed-length windows + one 64-bit
+    //     sub-fingerprint per anchor realign on shared anchors.
+    //     Fixture: original (67 windows) + a two-window PREFIX-TRIM
+    //     copy + the same trim at gain ×3; every pair must meet at
+    //     hamming 0 through the realigned anchors. %19 base ids
+    //     corrupt all three payloads — no pairs. The oracle
+    //     recomputes every sample, window energy, anchor
+    //     sub-fingerprint and the min-hamming pair table in SQL.
+    "mm_audio_pairs_banded" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioBandedBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 40))
+      val fp = Multimodal.withAudioFingerprintsBanded(
+        media, "payload", "afps", windowSamples = 80, strideWindows = 1)
+      Dedup.audioPairsBanded(fp, "media_id", "afps", maxHamming = 3)
+    }),
+
     // --- Video frame sampling + per-frame stats (r11 — completes the
     //     modality triple's REAL-decode story: rasters, PCM audio and
     //     now container video). Payloads are well-formed YUV4MPEG2
@@ -6647,6 +6666,59 @@ object SparkEntry {
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // the mm_audio_pairs_banded oracle: closed-form samples per
+    // (base, variant) with the trim riding the effective index, 80-
+    // sample window energies, one sub-fingerprint per anchor (same
+    // bit-63 BIGINT-min trick), min hamming over every anchor pair
+    "mm_audio_pairs_banded" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
+        |  FROM documents WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, 1 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, 2 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
+        |meta AS (
+        |  SELECT media_id, base,
+        |    CASE variant WHEN 0 THEN 0 ELSE 160 END AS off,
+        |    CASE variant WHEN 2 THEN 3 ELSE 1 END AS gain,
+        |    CASE variant WHEN 0 THEN 5360 ELSE 5200 END AS n
+        |  FROM ids),
+        |smp AS (
+        |  SELECT m.media_id, s.i // 80 AS w,
+        |    m.gain * (200 * (2 * ((m.base*421 + m.base*m.base*113
+        |        + ((s.i + m.off)//80)*((s.i + m.off)//80)*31
+        |        + ((s.i + m.off)//80)*19
+        |        + ((s.i + m.off)//80)*m.base*11) % 991 % 4)
+        |      + ((s.i + m.off)//80) % 2 + 1)
+        |      + (m.base + (s.i + m.off)*17) % 7) AS v
+        |  FROM meta m, generate_series(0, 5359) AS s(i) WHERE s.i < m.n),
+        |en AS (
+        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
+        |anch AS (
+        |  SELECT m.media_id, g.g AS k
+        |  FROM meta m, generate_series(0, 2) AS g(g)
+        |  WHERE g.g <= m.n // 80 - 65),
+        |fp AS (
+        |  SELECT a.media_id, a.k,
+        |    CAST(sum(CASE WHEN ea.e >= eb.e THEN 0
+        |        WHEN ea.w - a.k = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (ea.w - a.k) END) AS BIGINT) AS f
+        |  FROM anch a
+        |  JOIN en ea ON ea.media_id = a.media_id
+        |    AND ea.w BETWEEN a.k AND a.k + 63
+        |  JOIN en eb ON eb.media_id = a.media_id AND eb.w = ea.w + 1
+        |  GROUP BY a.media_id, a.k),
+        |p AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    min(bit_count(xor(x.f, y.f))) AS h
+        |  FROM fp x JOIN fp y ON x.media_id < y.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        |FROM p WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     // the mm_phash_pairs oracle restricted to pairs that touch the
     // appended batch (ids ≥ 1000 are the batch; id_a < id_b makes
     // "id_b ≥ 1000" exactly the touching predicate)
@@ -6730,6 +6802,59 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_audio_pairs_banded oracle: closed-form samples per
+    // (base, variant) with the trim riding the effective index, 80-
+    // sample window energies, one sub-fingerprint per anchor (same
+    // bit-63 BIGINT-min trick), min hamming over every anchor pair
+    "mm_audio_pairs_banded" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
+        |  FROM documents WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, 1 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, 2 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
+        |meta AS (
+        |  SELECT media_id, base,
+        |    CASE variant WHEN 0 THEN 0 ELSE 160 END AS off,
+        |    CASE variant WHEN 2 THEN 3 ELSE 1 END AS gain,
+        |    CASE variant WHEN 0 THEN 5360 ELSE 5200 END AS n
+        |  FROM ids),
+        |smp AS (
+        |  SELECT m.media_id, s.i // 80 AS w,
+        |    m.gain * (200 * (2 * ((m.base*421 + m.base*m.base*113
+        |        + ((s.i + m.off)//80)*((s.i + m.off)//80)*31
+        |        + ((s.i + m.off)//80)*19
+        |        + ((s.i + m.off)//80)*m.base*11) % 991 % 4)
+        |      + ((s.i + m.off)//80) % 2 + 1)
+        |      + (m.base + (s.i + m.off)*17) % 7) AS v
+        |  FROM meta m, generate_series(0, 5359) AS s(i) WHERE s.i < m.n),
+        |en AS (
+        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
+        |anch AS (
+        |  SELECT m.media_id, g.g AS k
+        |  FROM meta m, generate_series(0, 2) AS g(g)
+        |  WHERE g.g <= m.n // 80 - 65),
+        |fp AS (
+        |  SELECT a.media_id, a.k,
+        |    CAST(sum(CASE WHEN ea.e >= eb.e THEN 0
+        |        WHEN ea.w - a.k = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (ea.w - a.k) END) AS BIGINT) AS f
+        |  FROM anch a
+        |  JOIN en ea ON ea.media_id = a.media_id
+        |    AND ea.w BETWEEN a.k AND a.k + 63
+        |  JOIN en eb ON eb.media_id = a.media_id AND eb.w = ea.w + 1
+        |  GROUP BY a.media_id, a.k),
+        |p AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    min(bit_count(xor(x.f, y.f))) AS h
+        |  FROM fp x JOIN fp y ON x.media_id < y.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        |FROM p WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_frames oracle: per-frame mean luma recomputed from the
     // closed-form plane formula (dims / frame count / fps are id
@@ -6899,6 +7024,59 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_audio_pairs_banded oracle: closed-form samples per
+    // (base, variant) with the trim riding the effective index, 80-
+    // sample window energies, one sub-fingerprint per anchor (same
+    // bit-63 BIGINT-min trick), min hamming over every anchor pair
+    "mm_audio_pairs_banded" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
+        |  FROM documents WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000, doc_id, 1 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000, doc_id, 2 FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
+        |meta AS (
+        |  SELECT media_id, base,
+        |    CASE variant WHEN 0 THEN 0 ELSE 160 END AS off,
+        |    CASE variant WHEN 2 THEN 3 ELSE 1 END AS gain,
+        |    CASE variant WHEN 0 THEN 5360 ELSE 5200 END AS n
+        |  FROM ids),
+        |smp AS (
+        |  SELECT m.media_id, s.i // 80 AS w,
+        |    m.gain * (200 * (2 * ((m.base*421 + m.base*m.base*113
+        |        + ((s.i + m.off)//80)*((s.i + m.off)//80)*31
+        |        + ((s.i + m.off)//80)*19
+        |        + ((s.i + m.off)//80)*m.base*11) % 991 % 4)
+        |      + ((s.i + m.off)//80) % 2 + 1)
+        |      + (m.base + (s.i + m.off)*17) % 7) AS v
+        |  FROM meta m, generate_series(0, 5359) AS s(i) WHERE s.i < m.n),
+        |en AS (
+        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
+        |anch AS (
+        |  SELECT m.media_id, g.g AS k
+        |  FROM meta m, generate_series(0, 2) AS g(g)
+        |  WHERE g.g <= m.n // 80 - 65),
+        |fp AS (
+        |  SELECT a.media_id, a.k,
+        |    CAST(sum(CASE WHEN ea.e >= eb.e THEN 0
+        |        WHEN ea.w - a.k = 63 THEN -9223372036854775807 - 1
+        |        ELSE CAST(1 AS BIGINT) << (ea.w - a.k) END) AS BIGINT) AS f
+        |  FROM anch a
+        |  JOIN en ea ON ea.media_id = a.media_id
+        |    AND ea.w BETWEEN a.k AND a.k + 63
+        |  JOIN en eb ON eb.media_id = a.media_id AND eb.w = ea.w + 1
+        |  GROUP BY a.media_id, a.k),
+        |p AS (
+        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |    min(bit_count(xor(x.f, y.f))) AS h
+        |  FROM fp x JOIN fp y ON x.media_id < y.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        |FROM p WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_pixels oracle with the PNG corrupt-id predicate: the
     // pixel formulas are identical (same synth grid), only the

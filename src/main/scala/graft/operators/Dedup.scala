@@ -1491,6 +1491,30 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup pairs among MULTI-anchor fingerprint arrays (r14 —
+    * the banded-audio companion of [[fingerprintPairs]]): each row
+    * carries an ARRAY<LONG> of sub-fingerprints
+    * ([[graft.sources.Multimodal.audioFingerprintsBanded]]); two
+    * rows pair at the MINIMUM Hamming distance over every anchor
+    * combination that the pigeonhole banding surfaces. Exactness
+    * carries over: any anchor pair within Hamming ≤ 3 shares a
+    * 16-bit chunk and is found, so the reported minimum equals the
+    * true minimum whenever that minimum is ≤ 3 — a prefix-trimmed
+    * copy whose windows realign pairs at distance 0 through ANY
+    * shared anchor. Same single-exchange shape (the explode adds
+    * anchors-per-row fanout, bounded by clip length / stride); null
+    * arrays (undecodable media) skip.
+    */
+  def audioPairsBanded(fpDf: DataFrame, idCol: String, fpsCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    fingerprintPairs(
+      fpDf.filter(col(fpsCol).isNotNull)
+        .select(col(idCol), explode(col(fpsCol)).as("__afp")),
+      idCol, "__afp", maxHamming, maxBucketSize)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Corpus-level exact LINE dedup — the C4/RefinedWeb cleaning step:
     * split every document on `delim`, keep each distinct line's FIRST
     * occurrence in (id, position) order corpus-wide, drop every later

@@ -3535,6 +3535,81 @@ object Multimodal {
     fp
   }
 
+  /** Banded multi-anchor audio fingerprints (r14, VERDICT r13
+    * missing #5 — the chromaprint-class gap): [[audioFingerprint]]'s
+    * single equal-count signature re-indexes every window under a
+    * PREFIX TRIM, so a clipped intro or a re-cut upload never pairs.
+    * This variant uses FIXED-length windows (`windowSamples`) and
+    * emits one 64-bit energy-difference sub-fingerprint per anchor
+    * `k` (every `strideWindows` windows) over windows k..k+64 —
+    * audio trimmed or extended by an integer number of windows
+    * REALIGNS on the shared anchors, where the sub-fingerprints
+    * match exactly (gain invariance carries over unchanged: energies
+    * scale by c², comparisons survive). Trims that are not a window
+    * multiple remain the documented granularity bound. Null, or
+    * fewer than 65 full windows → null.
+    */
+  def audioFingerprintsBanded(a: WavAudio, windowSamples: Int = 80,
+      strideWindows: Int = 1): Array[Long] = {
+    if (a == null || a.samples == null || windowSamples <= 0 ||
+      strideWindows <= 0) return null
+    val m = a.samples.length / windowSamples
+    if (m < 65) return null
+    val e = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      var s = 0L
+      var j = w * windowSamples
+      val end = j + windowSamples
+      while (j < end) {
+        val v = a.samples(j).toLong
+        s += v * v
+        j += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var k = 0
+    while (k + 65 <= m) {
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(k + b) < e(k + b + 1)) fp |= 1L << b
+        b += 1
+      }
+      out += fp
+      k += strideWindows
+    }
+    out.toArray
+  }
+
+  /** Append `outCol`: ARRAY<LONG> banded audio sub-fingerprints
+    * ([[audioFingerprintsBanded]]) decoded from WAV or FLAC payloads
+    * (FLAC through the 16-bit monitoring fold); undecodable or
+    * too-short payloads yield null. One narrow map over the scan.
+    */
+  def withAudioFingerprintsBanded(df: DataFrame, payloadCol: String,
+      outCol: String, windowSamples: Int = 80,
+      strideWindows: Int = 1): DataFrame = {
+    val schema = df.schema.add(outCol, ArrayType(LongType), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val fps: Array[Long] =
+          if (p == null) null
+          else {
+            val isFlac = p.length > 4 && p(0) == 'f' && p(1) == 'L' &&
+              p(2) == 'a' && p(3) == 'C'
+            val a = if (isFlac) Flac.decodeFlac(p) else decodeWavPcm(p)
+            audioFingerprintsBanded(a, windowSamples, strideWindows)
+          }
+        Row.fromSeq(r.toSeq :+ fps)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol`: LONG audio fingerprint decoded from 16-bit PCM
     * WAV payloads ([[decodeWavPcm]] → [[audioFingerprint]]);
     * undecodable or sub-65-sample payloads yield null. One narrow map
@@ -3623,6 +3698,53 @@ object Multimodal {
           Row(id, synthAudioFpPayload(id, 0)),
           Row(id + 1000L, synthAudioFpPayload(id, 1)),
           Row(id + 2000L, synthAudioFpPayload(id, 2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic PCM payload for the BANDED audio fingerprint gate
+    * (r14): 67 windows × 80 samples, the level sequence a 2-bit hash
+    * of (base, window) so different ids decorrelate. Variant 0 is the
+    * full clip; variant 1 TRIMS the first two windows (160 samples) —
+    * the re-cut-upload case the single fingerprint cannot pair;
+    * variant 2 is the same trim at gain ×3 (both invariances
+    * composed).
+    */
+  def synthAudioBandedPayload(baseId: Long, variant: Int): Array[Byte] = {
+    def amp(w: Int): Long = {
+      val h = (baseId * 421 + baseId * baseId * 113 +
+        w.toLong * w * 31 + w * 19L + w.toLong * baseId * 11) % 991 % 4
+      200L * (2 * h + w % 2 + 1)
+    }
+    def s0(i: Int): Long = amp(i / 80) + (baseId + i * 17L) % 7
+    val (off, gain, n) = variant match {
+      case 0 => (0, 1L, 5360)
+      case 1 => (160, 1L, 5200)
+      case _ => (160, 3L, 5200)
+    }
+    buildWavPcm(16000, 1,
+      Array.tabulate(n)(i => (gain * s0(i + off)).toShort))
+  }
+
+  /** Fixture for the banded audio near-dup gate: original + prefix-
+    * trimmed copy + trimmed-and-gain-scaled copy per doc id; every
+    * 19th BASE id magic-corrupts all three payloads (degrade path —
+    * those ids must produce no pairs at all).
+    */
+  def synthesizeAudioBandedBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        def p(v: Int): Array[Byte] = {
+          val b = synthAudioBandedPayload(id, v)
+          if (id % 19 == 0) b(0) = 0x00.toByte
+          b
+        }
+        Iterator(Row(id, p(0)), Row(id + 1000L, p(1)),
+          Row(id + 2000L, p(2)))
       }
     }(Encoders.row(schema))
   }

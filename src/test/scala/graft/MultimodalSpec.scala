@@ -1786,4 +1786,51 @@ class MultimodalSpec extends SparkSpec {
     wrongLen(7) = 35.toByte // STREAMINFO length must be 34
     assert(parseHeader(wrongLen).format === "unknown")
   }
+
+  test("banded audio fingerprints (r14): a prefix trim of a whole " +
+      "number of windows realigns on shared anchors at hamming 0 " +
+      "(with and without gain), the single fingerprint does NOT pair " +
+      "it, non-multiple trims stay unmatched, short/null audio nulls") {
+    import Multimodal.{WavAudio, audioFingerprint, audioFingerprintsBanded}
+    def sig(i: Int): Short =
+      ((math.sin(i * 0.05) * 4000).toInt + (i % 11) * 13).toShort
+    val full = Array.tabulate(67 * 80)(sig)
+    val a = WavAudio(16000, 1, full)
+    val trimmed = WavAudio(16000, 1, full.drop(160)) // two windows
+    val gained = WavAudio(16000, 1,
+      full.drop(160).map(v => (v * 3).toShort))
+    val fa = audioFingerprintsBanded(a, 80, 1)
+    val ft = audioFingerprintsBanded(trimmed, 80, 1)
+    val fg = audioFingerprintsBanded(gained, 80, 1)
+    assert(fa.length === 3 && ft.length === 1 && fg.length === 1)
+    // anchor 2 of the full clip == anchor 0 of the trimmed clip
+    assert(fa(2) === ft(0))
+    assert(ft(0) === fg(0)) // gain invariance
+    // the single equal-count fingerprint does NOT survive the trim
+    assert(audioFingerprint(a) !== audioFingerprint(trimmed))
+    // a non-window-multiple trim (documented granularity bound) does
+    // not realign exactly
+    val off = WavAudio(16000, 1, full.drop(40))
+    assert(!audioFingerprintsBanded(off, 80, 1).contains(fa(2)))
+    // floors
+    assert(audioFingerprintsBanded(null, 80, 1) === null)
+    assert(audioFingerprintsBanded(
+      WavAudio(16000, 1, new Array[Short](64 * 80)), 80, 1) === null)
+    // end-to-end: pairs through the banding machinery at min hamming
+    import spark.implicits._
+    val media = Multimodal.synthesizeAudioBandedBytes(
+      spark.range(8).select($"id".as("doc_id")))
+    val fp = Multimodal.withAudioFingerprintsBanded(
+      media, "payload", "afps", 80, 1)
+    val pairs = graft.operators.Dedup.audioPairsBanded(
+        fp, "media_id", "afps", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (id <- 1L until 8L) { // id 0 is the %19 corrupt stride
+      assert(pairs.contains((id, id + 1000L)), s"trim pair $id")
+      assert(pairs.contains((id, id + 2000L)), s"gain+trim pair $id")
+      assert(pairs.contains((id + 1000L, id + 2000L)), s"copy pair $id")
+    }
+    assert(!pairs.exists(p => p._1 == 0L || p._2 == 1000L),
+      "corrupted base id produced pairs")
+  }
 }
