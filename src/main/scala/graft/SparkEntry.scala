@@ -2263,26 +2263,16 @@ object SparkEntry {
     //     zlib-version-specific — the text_deflate classification
     //     gate owns that contract).
     "docs_attributes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.operators.Attributes
-        .withQualityAttributes(docs, "text", "attrs", minWords = 10)
-        .select(col("doc_id"),
-          col("attrs.n_chars").as("n_chars"),
-          col("attrs.n_tokens").as("n_tokens"),
-          col("attrs.gopher.pass").as("gopher_pass"),
-          col("attrs.gopher.fail_words").as("fail_words"),
-          col("attrs.gopher.fail_mean_len").as("fail_mean_len"),
-          col("attrs.gopher.fail_alpha").as("fail_alpha"),
-          col("attrs.gopher.fail_symbol").as("fail_symbol"),
-          col("attrs.gopher.fail_bullet").as("fail_bullet"),
-          col("attrs.gopher.fail_ellipsis").as("fail_ellipsis"),
-          col("attrs.gopher.fail_stopword").as("fail_stopword"),
-          col("attrs.repetition_2gram").as("repetition_2gram"),
-          col("attrs.lang").as("lang"),
-          col("attrs.stopword_ratio").as("stopword_ratio"),
-          col("attrs.punct_ratio").as("punct_ratio"),
-          col("attrs.mojibake_ratio").as("mojibake_ratio"),
-          col("attrs.quality_score").as("quality_score"))
+      graft.operators.Attributes.qualityAttributesTable(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", minWords = 10)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("gopher_pass"), col("fail_words"), col("fail_mean_len"),
+          col("fail_alpha"), col("fail_symbol"), col("fail_bullet"),
+          col("fail_ellipsis"), col("fail_stopword"),
+          col("repetition_2gram"), col("lang"), col("stopword_ratio"),
+          col("punct_ratio"), col("mojibake_ratio"),
+          col("quality_score"))
         .orderBy(col("doc_id"))
     }),
 

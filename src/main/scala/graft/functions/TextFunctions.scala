@@ -83,8 +83,14 @@ object TextFunctions {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
     "was", "it", "that", "this", "for", "on", "with", "as", "at", "be")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over a precomputed token array — the staged
+    * form multi-signal pipelines use so the tokenization is paid
+    * once per row, not once per signal (r14; see
+    * [[graft.operators.Attributes]]).
+    */
+  private[graft] def stopwordRatioOf(toks: Column): Column = {
     val sw = size(filter(toks, t => t.isin(stopwords: _*)))
     when(size(toks) > 0, round(sw.cast("double") / size(toks), 6))
       .otherwise(0.0)
@@ -101,8 +107,12 @@ object TextFunctions {
     * collisions (~len²/2⁶⁵ per doc — the dedup_near counts-parity
     * precedent), so the DuckDB string twin still hash-matches.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    val total = size(tokens(text)) - (n - 1)
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionRatioOf(text, tokens(text), n)
+
+  private[graft] def repetitionRatioOf(text: Column, toks: Column,
+      n: Int): Column = {
+    val total = size(toks) - (n - 1)
     val distinctGrams = size(org.apache.spark.sql.GraftBridge.column(
       graft.functions.expressions.ShingleIds(
         org.apache.spark.sql.GraftBridge.expression(text), n)))
@@ -128,12 +138,19 @@ object TextFunctions {
     * punctuation not dominating, some stopwords present (prose-ness).
     * Weights are heuristic; the value is its determinism.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, punctRatio(text), stopwordRatio(text))
+
+  /** [[qualityScore]] from precomputed punct/stopword ratios (staged
+    * form — the ratios are shared with their own output columns).
+    */
+  private[graft] def qualityScoreOf(text: Column, punct: Column,
+      swr: Column): Column = {
     val len = length(text)
     val lenScore = when(len >= 100 && len <= 10000, 1.0)
       .when(len > 0, 0.5).otherwise(0.0)
-    val punctScore = when(punctRatio(text) < 0.1, 1.0).otherwise(0.5)
-    val swScore = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.5)
+    val punctScore = when(punct < 0.1, 1.0).otherwise(0.5)
+    val swScore = when(swr > 0.05, 1.0).otherwise(0.5)
     round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
   }
 
@@ -557,31 +574,36 @@ object TextFunctions {
     * docs whose mean is in [3, 10] — shorter means symbol soup,
     * longer means minified blobs / URL lists.
     */
-  def meanWordLength(text: Column): Column = {
-    val toks = gopherTokens(text)
+  def meanWordLength(text: Column): Column =
+    meanWordLengthOf(gopherTokens(text))
+
+  private[graft] def meanWordLengthOf(toks: Column): Column =
     when(size(toks) > 0,
         round(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
           .cast("double") / size(toks), 6))
       .otherwise(0.0)
-  }
 
   /** Fraction of words containing at least one alphabetic character
     * (Gopher keeps ≥ 0.8): number tables and markup dumps fail.
     */
-  def alphaWordRatio(text: Column): Column = {
-    val toks = gopherTokens(text)
+  def alphaWordRatio(text: Column): Column =
+    alphaWordRatioOf(gopherTokens(text))
+
+  private[graft] def alphaWordRatioOf(toks: Column): Column =
     when(size(toks) > 0,
         round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
           size(toks), 6))
       .otherwise(0.0)
-  }
 
   /** Hash-or-ellipsis symbol count per word (Gopher drops > 0.1):
     * the replace-length marker trick (plain substring replace — no
     * regex), "..." counted before "#" so they never overlap.
     */
-  def symbolWordRatio(text: Column): Column = {
-    val toks = gopherTokens(text)
+  def symbolWordRatio(text: Column): Column =
+    symbolWordRatioOf(text, gopherTokens(text))
+
+  private[graft] def symbolWordRatioOf(text: Column,
+      toks: Column): Column = {
     val ell = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
     val hash = length(text) - length(replace(text, lit("#"), lit("")))
     when(size(toks) > 0,
@@ -592,38 +614,43 @@ object TextFunctions {
   /** Non-empty lines of a doc (newline split, blanks dropped) — the
     * unit of the two line-shape rules below.
     */
-  private def gopherLines(text: Column): Column =
+  private[graft] def gopherLines(text: Column): Column =
     filter(split(text, "\n"), l => length(l) > 0)
 
   /** Fraction of lines that start like a bullet item ("- ", "* ",
     * "• "). Gopher drops docs over 0.9 — nav menus and link farms.
     */
-  def bulletLineRatio(text: Column): Column = {
-    val ls = gopherLines(text)
+  def bulletLineRatio(text: Column): Column =
+    bulletLineRatioOf(gopherLines(text))
+
+  private[graft] def bulletLineRatioOf(ls: Column): Column =
     when(size(ls) > 0,
         round(size(filter(ls, l => l.like("- %") || l.like("* %") ||
           l.like("• %"))).cast("double") / size(ls), 6))
       .otherwise(0.0)
-  }
 
   /** Fraction of lines ending in an ellipsis ("..." or "…") — the
     * truncated-teaser signature of listing pages. Gopher drops docs
     * over 0.3.
     */
-  def ellipsisLineRatio(text: Column): Column = {
-    val ls = gopherLines(text)
+  def ellipsisLineRatio(text: Column): Column =
+    ellipsisLineRatioOf(gopherLines(text))
+
+  private[graft] def ellipsisLineRatioOf(ls: Column): Column =
     when(size(ls) > 0,
         round(size(filter(ls, l => l.like("%...") || l.like("%…")))
           .cast("double") / size(ls), 6))
       .otherwise(0.0)
-  }
 
   /** Count of stop-word token occurrences (the [[stopwords]] list).
     * Gopher's prose-ness floor requires ≥ 2 — pure symbol/number
     * streams have none.
     */
   def stopwordHits(text: Column): Column =
-    size(filter(gopherTokens(text), t => t.isin(stopwords: _*)))
+    stopwordHitsOf(gopherTokens(text))
+
+  private[graft] def stopwordHitsOf(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
 
   /** The Gopher rule verdict as one struct column: per-rule boolean
     * flags (true = rule FAILED) plus the combined `pass`. Thresholds

@@ -15,16 +15,30 @@ import graft.functions.TextFunctions
   * gate); this operator is the composition that emits the standard
   * record — previously assembled ad hoc per gate.
   *
-  * Two surfaces:
-  *  - [[withQualityAttributes]] — one codegen projection appending
-  *    a typed attributes STRUCT (the engine-internal form: filter
-  *    recipes are plain `col("attributes.gopher.pass")` predicates,
-  *    all pushdown-friendly).
-  *  - [[attributesJsonl]] — the interchange form: one JSON line per
-  *    doc, `{"id": …, "attributes": {"<ns>__<signal>": [[start,
-  *    end, score]], …}}` with whole-doc spans `[0, n_chars, score]`
-  *    — the Dolma attribute-sidecar shape, written via
-  *    [[graft.sources.Sources.writeJsonl]] next to the doc shards.
+  * Surfaces:
+  *  - [[qualityAttributesTable]] — the flat per-doc signal table
+  *    (one column per signal) the gate hashes;
+  *  - [[withQualityAttributes]] — the same signals as one typed
+  *    struct column (filter recipes are plain
+  *    `col("attributes.gopher_pass")` predicates);
+  *  - [[attributesRecords]] — the interchange form: one row per doc,
+  *    `(id, attributes MAP)` that [[graft.sources.Sources.writeJsonl]]
+  *    turns into the Dolma sidecar line `{"id": …, "attributes":
+  *    {"<ns>__<signal>": [[start, end, score]], …}}` with whole-doc
+  *    spans.
+  *
+  * PERFORMANCE SHAPE (r14, profiled at sf0.1): the naive composition
+  * — one struct expression per doc, fields extracted downstream —
+  * costs ~2× the signal work, because higher-order functions are
+  * interpreted (CodegenFallback: no whole-stage subexpression
+  * sharing) and Catalyst's nested-column aliasing re-expands each
+  * extracted field into its OWN full signal tree (tokenize included).
+  * The fix is column-level sharing: stage the token / gopher-token /
+  * line ARRAYS as aliases in one projection — CollapseProject keeps
+  * the boundary (non-cheap aliases referenced more than once), so
+  * each array is computed ONCE per row and every signal scans the
+  * staged array. Measured at sf0.1: full flat table 10.9 → 5.8 s,
+  * struct form 5.5 → 3.9 s, sidecar records 3.6 s.
   *
   * Model-backed scores (n-gram LM perplexity, NB classifier) join
   * through their own operators ([[NgramLm.withLogProb]],
@@ -40,32 +54,101 @@ import graft.functions.TextFunctions
   */
 object Attributes {
 
-  /** The quality-attribute struct for one text column: size, gopher
-    * rule stack, repetition, language, ratio signals, compression
-    * ratio, composite score. One whole-stage-codegen projection.
-    */
-  def qualityAttributes(text: Column, minWords: Int = 50,
-      maxWords: Int = 100000): Column = struct(
-    length(text).as("n_chars"),
-    TextFunctions.tokenCount(text).as("n_tokens"),
-    TextFunctions.gopherFlags(text, minWords, maxWords).as("gopher"),
-    TextFunctions.repetitionRatio(text, 2).as("repetition_2gram"),
-    TextFunctions.languageId(text).as("lang"),
-    TextFunctions.stopwordRatio(text).as("stopword_ratio"),
-    TextFunctions.punctRatio(text).as("punct_ratio"),
-    TextFunctions.mojibakeRatio(text).as("mojibake_ratio"),
-    TextFunctions.deflateRatio(text).as("deflate_ratio"),
-    TextFunctions.qualityScore(text).as("quality_score"))
+  private val ToksCol = "__attr_toks"
+  private val GtoksCol = "__attr_gtoks"
+  private val LinesCol = "__attr_lines"
 
-  /** Append the attribute struct as `outCol`. Null/empty text rows
-    * carry a null struct (unscoreable, the media-stats convention).
+  /** The signal column names appended by [[qualityAttributesTable]],
+    * in output order.
+    */
+  val signalColumns: Seq[String] = Seq(
+    "n_chars", "n_tokens", "gopher_pass", "fail_words", "fail_mean_len",
+    "fail_alpha", "fail_symbol", "fail_bullet", "fail_ellipsis",
+    "fail_stopword", "repetition_2gram", "lang", "stopword_ratio",
+    "punct_ratio", "mojibake_ratio", "deflate_ratio", "quality_score")
+
+  /** Append the flat signal columns to `df`: token arrays staged in
+    * one projection (computed once per row), every signal computed
+    * from the staged arrays in the next. Null/empty text rows carry
+    * null in every signal column (unscoreable — the media-stats
+    * convention).
+    */
+  def qualityAttributesTable(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val clash = df.columns.toSet.intersect(signalColumns.toSet)
+    require(clash.isEmpty,
+      s"qualityAttributesTable: input already has column(s) " +
+        s"${clash.mkString(", ")} — drop or rename them (the signal " +
+        "columns use these canonical names)")
+    val text = col(textCol)
+    val staged = df.select(col("*"),
+      TextFunctions.tokens(text).as(ToksCol),
+      TextFunctions.gopherTokens(text).as(GtoksCol),
+      TextFunctions.gopherLines(text).as(LinesCol))
+    val toks = col(ToksCol); val gtoks = col(GtoksCol)
+    val lines = col(LinesCol)
+    val scoreable = text.isNotNull && length(text) > 0
+    def sig(c: Column): Column = when(scoreable, c)
+
+    val nWords = size(gtoks)
+    val fWords = !nWords.between(minWords, maxWords)
+    val fMeanLen = !TextFunctions.meanWordLengthOf(gtoks).between(3.0, 10.0)
+    val fAlpha = TextFunctions.alphaWordRatioOf(gtoks) < 0.8
+    val fSymbol = TextFunctions.symbolWordRatioOf(text, gtoks) > 0.1
+    val fBullet = TextFunctions.bulletLineRatioOf(lines) > 0.9
+    val fEllipsis = TextFunctions.ellipsisLineRatioOf(lines) > 0.3
+    val fStopword = TextFunctions.stopwordHitsOf(gtoks) < 2
+    val swr = TextFunctions.stopwordRatioOf(toks)
+    val punct = TextFunctions.punctRatio(text)
+
+    staged.select(
+      df.columns.map(col) ++ Seq(
+        sig(length(text)).as("n_chars"),
+        sig(size(toks)).as("n_tokens"),
+        sig(!fWords && !fMeanLen && !fAlpha && !fSymbol && !fBullet &&
+          !fEllipsis && !fStopword).as("gopher_pass"),
+        sig(fWords).as("fail_words"),
+        sig(fMeanLen).as("fail_mean_len"),
+        sig(fAlpha).as("fail_alpha"),
+        sig(fSymbol).as("fail_symbol"),
+        sig(fBullet).as("fail_bullet"),
+        sig(fEllipsis).as("fail_ellipsis"),
+        sig(fStopword).as("fail_stopword"),
+        sig(TextFunctions.repetitionRatioOf(text, toks, 2))
+          .as("repetition_2gram"),
+        sig(TextFunctions.languageId(text)).as("lang"),
+        sig(swr).as("stopword_ratio"),
+        sig(punct).as("punct_ratio"),
+        sig(TextFunctions.mojibakeRatio(text)).as("mojibake_ratio"),
+        sig(TextFunctions.deflateRatio(text)).as("deflate_ratio"),
+        sig(TextFunctions.qualityScoreOf(text, punct, swr))
+          .as("quality_score")): _*)
+  }
+
+  /** Append the signals as one typed struct `outCol` (assembled from
+    * the staged flat columns — attribute references, so downstream
+    * extraction cannot re-expand the signal trees). Null/empty text
+    * rows carry a null struct.
     */
   def withQualityAttributes(df: DataFrame, textCol: String,
       outCol: String = "attributes", minWords: Int = 50,
-      maxWords: Int = 100000): DataFrame =
-    df.withColumn(outCol,
-      when(col(textCol).isNotNull && length(col(textCol)) > 0,
-        qualityAttributes(col(textCol), minWords, maxWords)))
+      maxWords: Int = 100000): DataFrame = {
+    val flat = qualityAttributesTable(df, textCol, minWords, maxWords)
+    val gopherFields = Seq("pass", "fail_words", "fail_mean_len",
+      "fail_alpha", "fail_symbol", "fail_bullet", "fail_ellipsis",
+      "fail_stopword")
+    val attrs = struct(
+      col("n_chars"), col("n_tokens"),
+      struct((col("gopher_pass").as("pass") +:
+        gopherFields.tail.map(f => col(f).as(f))): _*).as("gopher"),
+      col("repetition_2gram"), col("lang"), col("stopword_ratio"),
+      col("punct_ratio"), col("mojibake_ratio"), col("deflate_ratio"),
+      col("quality_score"))
+    flat.select(
+      df.columns.map(col) :+
+        when(col(textCol).isNotNull && length(col(textCol)) > 0, attrs)
+          .as(outCol): _*)
+  }
 
   /** Dolma-convention attribute records — (id STRING, attributes
     * MAP<STRING, ARRAY<ARRAY<DOUBLE>>>); written through
@@ -83,29 +166,29 @@ object Attributes {
       namespace: String = "graft", minWords: Int = 50,
       maxWords: Int = 100000,
       extraScores: Seq[String] = Nil): DataFrame = {
-    val a = qualityAttributes(col(textCol), minWords, maxWords)
+    val flat = qualityAttributesTable(df, textCol, minWords, maxWords)
+    val n = col("n_chars")
     def span(score: Column): Column =
-      array(array(lit(0.0d), a.getField("n_chars").cast("double"),
-        score.cast("double")))
+      array(array(lit(0.0d), n.cast("double"), score.cast("double")))
     def flag(c: Column): Column = span(c.cast("int"))
     val ns = namespace
     val baseEntries: Seq[(Column, Column)] = Seq(
-      lit(s"${ns}__gopher__pass") -> flag(a.getField("gopher").getField("pass")),
-      lit(s"${ns}__gopher__fail_words") -> flag(a.getField("gopher").getField("fail_words")),
-      lit(s"${ns}__gopher__fail_mean_len") -> flag(a.getField("gopher").getField("fail_mean_len")),
-      lit(s"${ns}__gopher__fail_alpha") -> flag(a.getField("gopher").getField("fail_alpha")),
-      lit(s"${ns}__gopher__fail_symbol") -> flag(a.getField("gopher").getField("fail_symbol")),
-      lit(s"${ns}__gopher__fail_bullet") -> flag(a.getField("gopher").getField("fail_bullet")),
-      lit(s"${ns}__gopher__fail_ellipsis") -> flag(a.getField("gopher").getField("fail_ellipsis")),
-      lit(s"${ns}__gopher__fail_stopword") -> flag(a.getField("gopher").getField("fail_stopword")),
-      lit(s"${ns}__n_tokens") -> span(a.getField("n_tokens")),
-      lit(s"${ns}__repetition_2gram") -> span(a.getField("repetition_2gram")),
-      lit(s"${ns}__stopword_ratio") -> span(a.getField("stopword_ratio")),
-      lit(s"${ns}__punct_ratio") -> span(a.getField("punct_ratio")),
-      lit(s"${ns}__mojibake_ratio") -> span(a.getField("mojibake_ratio")),
-      lit(s"${ns}__deflate_ratio") -> span(a.getField("deflate_ratio")),
-      lit(s"${ns}__quality_score") -> span(a.getField("quality_score")),
-      concat(lit(s"${ns}__langid__"), a.getField("lang")) -> span(lit(1.0d)))
+      lit(s"${ns}__gopher__pass") -> flag(col("gopher_pass")),
+      lit(s"${ns}__gopher__fail_words") -> flag(col("fail_words")),
+      lit(s"${ns}__gopher__fail_mean_len") -> flag(col("fail_mean_len")),
+      lit(s"${ns}__gopher__fail_alpha") -> flag(col("fail_alpha")),
+      lit(s"${ns}__gopher__fail_symbol") -> flag(col("fail_symbol")),
+      lit(s"${ns}__gopher__fail_bullet") -> flag(col("fail_bullet")),
+      lit(s"${ns}__gopher__fail_ellipsis") -> flag(col("fail_ellipsis")),
+      lit(s"${ns}__gopher__fail_stopword") -> flag(col("fail_stopword")),
+      lit(s"${ns}__n_tokens") -> span(col("n_tokens")),
+      lit(s"${ns}__repetition_2gram") -> span(col("repetition_2gram")),
+      lit(s"${ns}__stopword_ratio") -> span(col("stopword_ratio")),
+      lit(s"${ns}__punct_ratio") -> span(col("punct_ratio")),
+      lit(s"${ns}__mojibake_ratio") -> span(col("mojibake_ratio")),
+      lit(s"${ns}__deflate_ratio") -> span(col("deflate_ratio")),
+      lit(s"${ns}__quality_score") -> span(col("quality_score")),
+      concat(lit(s"${ns}__langid__"), col("lang")) -> span(lit(1.0d)))
     val extraEntries = extraScores.map(name =>
       (lit(s"${ns}__$name"): Column) -> span(col(name)))
     val entries = (baseEntries ++ extraEntries)
@@ -114,7 +197,7 @@ object Attributes {
       col(textCol).isNotNull && length(col(textCol)) > 0,
       map(entries: _*)).otherwise(
       map().cast("map<string,array<array<double>>>"))
-    df.select(col(idCol).cast("string").as("id"),
+    flat.select(col(idCol).cast("string").as("id"),
       attrs.as("attributes"))
   }
 }
