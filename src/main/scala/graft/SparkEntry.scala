@@ -3063,6 +3063,27 @@ object SparkEntry {
     //     over closed-form pixels, so ONE oracle formula checks every
     //     decode path. Degrades: %19 magic → unknown; %13 a LOSSY VP8
     //     payload — the documented null boundary surfaced in-gate.
+    // --- PDF text extraction (r14 — the dominant non-HTML document
+    //     format of a real crawl's text mass; ISO 32000 reader from
+    //     scratch): six reader paths cycle by id — raw content
+    //     stream, FlateDecode, ASCIIHex filter + hex strings,
+    //     ASCII85 + TJ word-kerning (spaces from kerning
+    //     adjustments), three pages through a NESTED page tree,
+    //     Flate + TJ + hex over two pages — while the text stays
+    //     closed-form in (id, page, line), so one oracle formula
+    //     checks the FULL extracted string for every path.
+    //     Degrades: %19 magic, %13 truncated past the object table.
+    "mm_pdf_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizePdfBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPdfText(media, "payload", "pd")
+        .select(col("media_id"), col("pd.format").as("format"),
+          col("pd.n_pages").as("n_pages"),
+          col("pd.n_chars").as("n_chars"),
+          col("pd.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_pixels_webp" -> ((s, dir) => {
       val media = Multimodal.synthesizeWebpBytes(
         Tables.documents(s, dir).filter(col("doc_id") < 60))
@@ -6655,6 +6676,44 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_pdf_text oracle: the full extracted text recomputed —
+    // 3 closed-form lines per page joined by newline, pages joined
+    // by a blank line, page count by variant
+    "mm_pdf_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 AS v
+        |  FROM documents WHERE doc_id < 60),
+        |meta AS (
+        |  SELECT media_id,
+        |    CASE v WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END AS np
+        |  FROM ids),
+        |ln AS (
+        |  SELECT m.media_id, p.g AS p, l.g AS l,
+        |    'doc ' || m.media_id || ' pg ' || p.g || ' ln ' || l.g ||
+        |      ' w' || ((m.media_id * 7 + p.g * 3 + l.g) % 97) AS line
+        |  FROM meta m, generate_series(0, 2) AS p(g),
+        |       generate_series(0, 2) AS l(g)
+        |  WHERE p.g < m.np),
+        |pg AS (
+        |  SELECT media_id, p, string_agg(line, chr(10) ORDER BY l) AS ptext
+        |  FROM ln GROUP BY media_id, p),
+        |txt AS (
+        |  SELECT media_id,
+        |    string_agg(ptext, chr(10) || chr(10) ORDER BY p) AS text
+        |  FROM pg GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'pdf' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(m.np AS INT) END AS n_pages,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN meta m USING (media_id)
+        |  JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_audio_pairs_banded oracle: closed-form samples per
     // (base, variant) with the trim riding the effective index, 80-

@@ -158,6 +158,10 @@ object Multimodal {
     // GIF87a/89a: logical screen dims LE16 at 6/8
     if (ascii(b, 0, "GIF8") && b.length >= 10)
       return MediaHeader("gif", le16(b, 6), le16(b, 8), 0, 0)
+    // PDF: %PDF- magic (r14 — documents ride the media dispatch; no
+    // raster intrinsics, the text surface is withPdfText)
+    if (ascii(b, 0, "%PDF-"))
+      return MediaHeader("pdf", 0, 0, 0, 0)
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
     // +10, sample rate LE32 at +12 from the chunk id). The walk runs
     // in Long: chunk sizes are untrusted, and a size near Int.MaxValue
@@ -3158,6 +3162,81 @@ object Multimodal {
         val bytes = synthFlac24Payload(id)
         if (id % 19 == 0) bytes(0) = 0x00.toByte
         Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol`: PDF text-extraction struct (n_pages, n_chars,
+    * text) decoded by the pure-JVM [[Pdf.extractText]] reader;
+    * malformed / encrypted / undecodable payloads yield an
+    * 'unknown' row ([[withPixelStats]]' degrade convention). One
+    * narrow map over the scan — the decode-path shape shared by
+    * every media operator (PlanSpec-pinned family).
+    */
+  def withPdfText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_pages", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Pdf.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("pdf", t.nPages, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic PDF payload for media id `id` (r14): six reader
+    * paths cycle by id%6 — raw content stream, FlateDecode,
+    * ASCIIHex filter + hex strings, ASCII85 + TJ word-kerning,
+    * three pages through a NESTED page tree, and Flate + TJ + hex
+    * over two pages — while the TEXT stays closed-form in
+    * (id, page, line), so one oracle formula covers every path.
+    */
+  def synthPdfPayload(id: Long): Array[Byte] = {
+    def line(p: Int, l: Int): String =
+      s"doc $id pg $p ln $l w${(id * 7 + p * 3 + l) % 97}"
+    def page(p: Int): Seq[String] = (0 until 3).map(l => line(p, l))
+    (id % 6).toInt match {
+      case 0 => Pdf.buildPdf(Seq(page(0)))
+      case 1 => Pdf.buildPdf(Seq(page(0)), flate = true)
+      case 2 => Pdf.buildPdf(Seq(page(0)), asciiHex = true,
+        hexStrings = true)
+      case 3 => Pdf.buildPdf(Seq(page(0)), ascii85 = true, useTJ = true)
+      case 4 => Pdf.buildPdf((0 until 3).map(page), nestedKids = true)
+      case _ => Pdf.buildPdf((0 until 2).map(page), flate = true,
+        useTJ = true, hexStrings = true)
+    }
+  }
+
+  /** Synthesize the PDF media table: every 19th payload magic-
+    * corrupted, every 13th truncated to its first 10 bytes (magic
+    * intact, zero complete objects) — both must degrade to
+    * 'unknown', never throw.
+    */
+  def synthesizePdfBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthPdfPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(1) = 'X'.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOf(bytes, 10)
+          else bytes
+        Row(id, out)
       }
     }(Encoders.row(schema))
   }

@@ -1,0 +1,983 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/** PDF text extraction (r14) — from scratch against the public spec
+  * (ISO 32000-1 / PDF 1.7). PDF is the dominant document format of a
+  * real crawl's non-HTML text mass (papers, reports, books); without
+  * it a training-data pipeline silently drops that slice the way it
+  * dropped `.webp` images before r13. The reference engine has no
+  * document surface (fever_multi_agent.py:1 is table-only); pipeline
+  * scope per BASELINE.json.
+  *
+  * Architecture — repair-mode first: objects are found by scanning
+  * the byte stream for `N G obj … endobj` (what production
+  * extractors fall back to on damaged files), so broken or absent
+  * xref tables never block extraction; object streams
+  * (/Type/ObjStm — where PDF 1.5+ keeps most objects) are unpacked
+  * through the same scan. The page tree walks /Root → /Pages →
+  * /Kids in declared order (inter-page text order is the tree
+  * order, not file order).
+  *
+  * Content interpretation: BT…ET text blocks; Tj / ' / " / TJ show
+  * ops; Td / TD / T* / ' / " start a new output line; TJ kerning
+  * adjustments ≤ −180 thousandths insert a space (the word-gap
+  * convention). String decode: fonts with a /ToUnicode CMap map
+  * through its bfchar/bfrange entries (1- or 2-byte codes — this is
+  * the interoperable path for composite fonts); simple fonts
+  * without one decode as Latin-1 (the WinAnsi/Standard printable
+  * range). Codes a CMap does not cover are skipped.
+  *
+  * Filters: FlateDecode (with PNG predictors 10–15 via
+  * /DecodeParms), ASCIIHexDecode, ASCII85Decode. Declared
+  * boundaries: LZW/CCITT/JBIG2/DCT/JPX streams are not decoded (the
+  * raster members are images; an LZW content stream nulls that
+  * page's contribution), encrypted documents return null
+  * (/Encrypt in any trailer dict), and Type0 fonts WITHOUT
+  * /ToUnicode contribute nothing (no glyph→text ground truth
+  * exists in the file).
+  *
+  * Total function: malformed / truncated payloads return null,
+  * never throw.
+  */
+object Pdf {
+
+  private val MaxBytes = 64 << 20 // one crawl row must stay bounded
+  private val MaxObjects = 1 << 16
+  private val MaxPages = 4096
+  private val MaxTextChars = 4 << 20
+
+  /** Extracted document text: page count and the concatenated text
+    * (pages joined with \n\n — the page-break convention).
+    */
+  final case class PdfText(nPages: Int, text: String)
+
+  // ------------------------------------------------------ object ADT
+
+  private sealed trait Obj
+  private case object PNull extends Obj
+  private final case class PBool(v: Boolean) extends Obj
+  private final case class PNum(v: Double) extends Obj
+  private final case class PStr(bytes: Array[Byte]) extends Obj
+  private final case class PName(v: String) extends Obj
+  private final case class PArr(items: Vector[Obj]) extends Obj
+  private final case class PDict(m: Map[String, Obj]) extends Obj
+  private final case class PRef(num: Int, gen: Int) extends Obj
+  private final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  // ------------------------------------------------------- lexer
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Cursor-based parser over a byte window. */
+  private final class Parser(b: Array[Byte], var pos: Int, val end: Int) {
+    def eof: Boolean = pos >= end
+    def peek: Int = if (eof) -1 else b(pos) & 0xFF
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = b(pos) & 0xFF
+        if (isWs(c)) pos += 1
+        else if (c == '%') { // comment to EOL
+          while (!eof && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    /** Parse one object at the cursor (after skipWs). Streams are
+      * NOT consumed here — `obj N G obj <dict> stream` handling is
+      * the caller's (needs /Length resolution policy).
+      */
+    def parseObj(depth: Int): Obj = {
+      require(depth < 64, "pdf nesting")
+      skipWs()
+      require(!eof, "pdf eof")
+      val c = peek
+      if (c == '/') parseName()
+      else if (c == '(') parseLiteralString()
+      else if (c == '<') {
+        if (pos + 1 < end && b(pos + 1) == '<') parseDict(depth)
+        else parseHexString()
+      } else if (c == '[') {
+        pos += 1
+        val items = Vector.newBuilder[Obj]
+        var n = 0
+        skipWs()
+        while (!eof && peek != ']') {
+          items += parseObj(depth + 1)
+          n += 1
+          require(n < 65536, "pdf array size")
+          skipWs()
+        }
+        require(!eof, "pdf array eof")
+        pos += 1
+        PArr(items.result())
+      } else if (c == 't' && lookahead("true")) { pos += 4; PBool(true) }
+      else if (c == 'f' && lookahead("false")) { pos += 5; PBool(false) }
+      else if (c == 'n' && lookahead("null")) { pos += 4; PNull }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        parseNumberOrRef()
+      } else throw new IllegalStateException(s"pdf token $c")
+    }
+
+    def lookahead(s: String): Boolean =
+      pos + s.length <= end &&
+        (0 until s.length).forall(i => b(pos + i) == s.charAt(i))
+
+    def parseName(): PName = {
+      pos += 1 // '/'
+      val sb = new java.lang.StringBuilder
+      while (!eof && !isWs(peek) && !isDelim(peek)) {
+        val c = peek
+        if (c == '#' && pos + 2 < end) { // #xx hex escape in names
+          val h = Integer.parseInt(
+            new String(b, pos + 1, 2, "US-ASCII"), 16)
+          sb.append(h.toChar); pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    def parseLiteralString(): PStr = {
+      pos += 1 // '('
+      val out = new java.io.ByteArrayOutputStream
+      var depth = 1
+      while (depth > 0) {
+        require(!eof, "pdf string eof")
+        val c = b(pos) & 0xFF; pos += 1
+        if (c == '\\') {
+          require(!eof, "pdf escape eof")
+          val e = b(pos) & 0xFF; pos += 1
+          e match {
+            case 'n' => out.write('\n')
+            case 'r' => out.write('\r')
+            case 't' => out.write('\t')
+            case 'b' => out.write('\b')
+            case 'f' => out.write('\f')
+            case '(' => out.write('(')
+            case ')' => out.write(')')
+            case '\\' => out.write('\\')
+            case '\r' => // line continuation; eat optional \n
+              if (!eof && b(pos) == '\n') pos += 1
+            case '\n' => // line continuation
+            case d if d >= '0' && d <= '7' => // \ooo (1-3 digits)
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && !eof && b(pos) >= '0' && b(pos) <= '7') {
+                v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+              }
+              out.write(v & 0xFF)
+            case other => out.write(other) // spec: backslash dropped
+          }
+        } else if (c == '(') { depth += 1; out.write(c) }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c) }
+        else out.write(c)
+      }
+      PStr(out.toByteArray)
+    }
+
+    def parseHexString(): PStr = {
+      pos += 1 // '<'
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      var done = false
+      while (!done) {
+        require(!eof, "pdf hex eof")
+        val c = b(pos) & 0xFF; pos += 1
+        if (c == '>') {
+          if (hi >= 0) out.write(hi << 4) // odd count: low nibble 0
+          done = true
+        } else if (!isWs(c)) {
+          val v = Character.digit(c, 16)
+          require(v >= 0, "pdf hex digit")
+          if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    def parseDict(depth: Int): PDict = {
+      pos += 2 // '<<'
+      val m = Map.newBuilder[String, Obj]
+      skipWs()
+      var n = 0
+      while (!(peek == '>' && pos + 1 < end && b(pos + 1) == '>')) {
+        require(!eof, "pdf dict eof")
+        require(peek == '/', "pdf dict key")
+        val k = parseName().v
+        val v = parseObj(depth + 1)
+        m += k -> v
+        n += 1
+        require(n < 4096, "pdf dict size")
+        skipWs()
+      }
+      pos += 2
+      PDict(m.result())
+    }
+
+    /** number, or `N G R` reference (backtracks when not a ref). */
+    def parseNumberOrRef(): Obj = {
+      val start = pos
+      val n1 = parseNumber()
+      val save = pos
+      skipWs()
+      if (!eof && peek >= '0' && peek <= '9' &&
+        n1.v == math.floor(n1.v) && n1.v >= 0) {
+        try {
+          val n2 = parseNumber()
+          skipWs()
+          if (!eof && peek == 'R' &&
+            (pos + 1 >= end || isWs(b(pos + 1) & 0xFF) ||
+              isDelim(b(pos + 1) & 0xFF)) &&
+            n2.v == math.floor(n2.v) && n2.v >= 0) {
+            pos += 1
+            return PRef(n1.v.toInt, n2.v.toInt)
+          }
+        } catch { case _: Exception => () }
+        pos = save
+        n1
+      } else { pos = save; n1 }
+      // (re-read below keeps the cursor consistent on the backtrack)
+    }
+
+    def parseNumber(): PNum = {
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      while (!eof && ((peek >= '0' && peek <= '9') || peek == '.')) pos += 1
+      require(pos > start, "pdf number")
+      PNum(new String(b, start, pos - start, "US-ASCII").toDouble)
+    }
+  }
+
+  // ------------------------------------------------------- filters
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished && !inf.needsInput) {
+      val n = inf.inflate(buf)
+      if (n == 0 && !inf.finished) {
+        require(!inf.needsInput && !inf.needsDictionary, "zlib stall")
+      }
+      out.write(buf, 0, n)
+      require(out.size <= MaxBytes, "pdf stream size")
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** PNG predictor inverse (/Predictor >= 10): per-row filter byte
+    * then Sub/Up/Average/Paeth per PNG — the xref/object-stream
+    * convention. bpp = ceil(colors·bpc/8) components per pixel.
+    */
+  private def unpredictPng(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = columns * colors * bpc / 8
+    require(rowLen > 0 && data.length % (rowLen + 1) == 0, "png rows")
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xFF
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xFF
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xFF else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+          case _ => throw new IllegalStateException("png filter")
+        }
+        out(dst + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF; i += 1
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val v = Character.digit(c, 16)
+        require(v >= 0, "hex digit")
+        if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF; i += 1
+      if (c == '~') done = true // ~> terminator
+      else if (c == 'z' && n == 0) out.write(new Array[Byte](4))
+      else if (!isWs(c)) {
+        require(c >= '!' && c <= 'u', "a85 char")
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.write(((tuple >> 24) & 0xFF).toInt)
+          out.write(((tuple >> 16) & 0xFF).toInt)
+          out.write(((tuple >> 8) & 0xFF).toInt)
+          out.write((tuple & 0xFF).toInt)
+          tuple = 0; n = 0
+        }
+      }
+    }
+    if (n > 0) { // partial group: pad with 'u', emit n-1 bytes
+      require(n >= 2, "a85 tail")
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bytes = Array(((tuple >> 24) & 0xFF).toByte,
+        ((tuple >> 16) & 0xFF).toByte, ((tuple >> 8) & 0xFF).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  // --------------------------------------------------- document
+
+  private final class Doc(val objects: Map[Int, Obj]) {
+    def resolve(o: Obj, depth: Int = 0): Obj = o match {
+      case PRef(n, _) if depth < 32 =>
+        resolve(objects.getOrElse(n, PNull), depth + 1)
+      case PRef(_, _) => PNull
+      case other => other
+    }
+    def dict(o: Obj): Option[PDict] = resolve(o) match {
+      case d: PDict => Some(d)
+      case PStream(d, _) => Some(d)
+      case _ => None
+    }
+    def get(d: PDict, k: String): Obj = resolve(d.m.getOrElse(k, PNull))
+
+    /** Fully-decoded stream bytes, or None when a filter is outside
+      * the supported set (the declared boundary).
+      */
+    def streamData(s: PStream): Option[Array[Byte]] = {
+      val filters: Seq[String] = get(s.dict, "Filter") match {
+        case PName(n) => Seq(n)
+        case PArr(items) => items.map(resolve(_)).collect {
+          case PName(n) => n
+        }
+        case _ => Nil
+      }
+      val parmsList: Seq[Obj] = get(s.dict, "DecodeParms") match {
+        case d: PDict => Seq(d)
+        case PArr(items) => items
+        case _ => Seq.fill(filters.length)(PNull)
+      }
+      var data = s.raw
+      var i = 0
+      while (i < filters.length) {
+        filters(i) match {
+          case "FlateDecode" | "Fl" =>
+            data = inflate(data)
+            dict(parmsList.lift(i).getOrElse(PNull)).foreach { p =>
+              val pred = num(get(p, "Predictor")).getOrElse(1.0).toInt
+              if (pred >= 10) {
+                val cols = num(get(p, "Columns")).getOrElse(1.0).toInt
+                val colors = num(get(p, "Colors")).getOrElse(1.0).toInt
+                val bpc = num(get(p, "BitsPerComponent")).getOrElse(8.0).toInt
+                data = unpredictPng(data, cols, colors, bpc)
+              } else require(pred == 1, "tiff predictor") // boundary
+            }
+          case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
+          case _ => return None // LZW/DCT/CCITT/JBIG2/JPX: boundary
+        }
+        i += 1
+      }
+      Some(data)
+    }
+  }
+
+  private def num(o: Obj): Option[Double] = o match {
+    case PNum(v) => Some(v)
+    case _ => None
+  }
+
+  /** Scan the file for `N G obj … endobj` and build the object map;
+    * object streams unpack recursively. Later definitions win (the
+    * incremental-update convention: appended objects override).
+    */
+  private def scanObjects(b: Array[Byte]): Map[Int, Obj] = {
+    val objects = mutable.Map.empty[Int, Obj]
+    var i = 0
+    var count = 0
+    while (i + 3 < b.length) {
+      // find "obj" keyword preceded by "N G "
+      if (b(i) == 'o' && b(i + 1) == 'b' && b(i + 2) == 'j' &&
+        (i + 3 >= b.length || isWs(b(i + 3) & 0xFF) ||
+          isDelim(b(i + 3) & 0xFF))) {
+        // walk back over "N G "
+        var j = i - 1
+        while (j >= 0 && isWs(b(j) & 0xFF)) j -= 1
+        val genEnd = j + 1
+        while (j >= 0 && b(j) >= '0' && b(j) <= '9') j -= 1
+        val genStart = j + 1
+        while (j >= 0 && isWs(b(j) & 0xFF)) j -= 1
+        val numEnd = j + 1
+        while (j >= 0 && b(j) >= '0' && b(j) <= '9') j -= 1
+        val numStart = j + 1
+        if (genEnd > genStart && numEnd > numStart &&
+          (j < 0 || isWs(b(j) & 0xFF) || isDelim(b(j) & 0xFF))) {
+          val objNum = try {
+            new String(b, numStart, numEnd - numStart, "US-ASCII").toInt
+          } catch { case _: Exception => -1 }
+          if (objNum >= 0) {
+            count += 1
+            require(count <= MaxObjects, "pdf object count")
+            // on success the scanner JUMPS past the parsed body —
+            // compressed stream bytes can contain accidental
+            // "N G obj" shapes, and objects cannot start inside
+            // another object's extent
+            var jumpTo = i + 3
+            try {
+              val p = new Parser(b, i + 3, b.length)
+              val body = p.parseObj(0)
+              p.skipWs()
+              val stored: Obj = body match {
+                case d: PDict if p.lookahead("stream") =>
+                  // raw stream bytes run to the matching "endstream"
+                  var s = p.pos + 6
+                  if (s < b.length && b(s) == '\r') s += 1
+                  if (s < b.length && b(s) == '\n') s += 1
+                  val e = indexOf(b, "endstream", s)
+                  if (e < 0) d
+                  else {
+                    var e2 = e
+                    // strip the EOL preceding endstream
+                    if (e2 > s && b(e2 - 1) == '\n') e2 -= 1
+                    if (e2 > s && b(e2 - 1) == '\r') e2 -= 1
+                    jumpTo = e + 9
+                    PStream(d, java.util.Arrays.copyOfRange(b, s, e2))
+                  }
+                case _ =>
+                  jumpTo = p.pos
+                  body
+              }
+              objects(objNum) = stored
+            } catch { case scala.util.control.NonFatal(_) => () }
+            i = math.max(jumpTo, i + 3)
+          } else i += 3
+        } else i += 3
+      } else i += 1
+    }
+    // unpack object streams (/Type /ObjStm): N pairs of
+    // "objnum offset" then the objects at First+offset
+    val doc0 = new Doc(objects.toMap)
+    objects.toMap.foreach {
+      case (_, s @ PStream(d, _))
+        if doc0.get(d, "Type") == PName("ObjStm") =>
+        try {
+          doc0.streamData(s).foreach { data =>
+            val n = num(doc0.get(d, "N")).getOrElse(0.0).toInt
+            val first = num(doc0.get(d, "First")).getOrElse(0.0).toInt
+            val hp = new Parser(data, 0, math.min(first, data.length))
+            var k = 0
+            while (k < math.min(n, MaxObjects)) {
+              val on = hp.parseNumber().v.toInt
+              hp.skipWs()
+              val off = hp.parseNumber().v.toInt
+              hp.skipWs()
+              try {
+                val op = new Parser(data, first + off, data.length)
+                val o = op.parseObj(0)
+                if (!objects.contains(on)) objects(on) = o
+              } catch { case scala.util.control.NonFatal(_) => () }
+              k += 1
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
+    objects.toMap
+  }
+
+  private def indexOf(b: Array[Byte], s: String, from: Int): Int = {
+    var i = math.max(0, from)
+    val n = s.length
+    while (i + n <= b.length) {
+      var k = 0
+      while (k < n && b(i + k) == s.charAt(k)) k += 1
+      if (k == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  // --------------------------------------------------- fonts
+
+  /** Per-font decode state: a ToUnicode CMap (code → string, with
+    * the code byte-length from its codespace) or simple Latin-1.
+    */
+  private final case class FontDec(codeBytes: Int,
+      cmap: Map[Int, String]) {
+    def decode(bytes: Array[Byte], out: java.lang.StringBuilder): Unit = {
+      if (cmap == null) { // simple font: Latin-1 printable
+        var i = 0
+        while (i < bytes.length) {
+          out.append((bytes(i) & 0xFF).toChar)
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i + codeBytes <= bytes.length) {
+          var code = 0
+          var k = 0
+          while (k < codeBytes) { code = (code << 8) | (bytes(i + k) & 0xFF); k += 1 }
+          cmap.get(code).foreach(out.append)
+          i += codeBytes
+        }
+      }
+    }
+  }
+  private val SimpleFont = FontDec(1, null)
+
+  /** Parse a ToUnicode CMap: codespacerange (for the code width),
+    * bfchar and bfrange sections. UTF-16BE destination strings.
+    */
+  private def parseToUnicode(data: Array[Byte]): FontDec = {
+    val p = new Parser(data, 0, data.length)
+    var codeBytes = 1
+    val map = mutable.Map.empty[Int, String]
+    def hexVal(s: PStr): Int = {
+      var v = 0
+      s.bytes.foreach(b => v = (v << 8) | (b & 0xFF))
+      v
+    }
+    def utf16(s: PStr): String =
+      new String(s.bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    var tokensSeen = 0
+    while (!p.eof && tokensSeen < (1 << 20)) {
+      tokensSeen += 1
+      p.skipWs()
+      if (p.eof) ()
+      else {
+        val c = p.peek
+        if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          try p.parseObj(0)
+          catch { case _: Exception => p.pos += 1 }
+        } else {
+          // bare keyword
+          val start = p.pos
+          while (!p.eof && !isWs(p.peek) && !isDelim(p.peek)) p.pos += 1
+          val kw = new String(data, start, p.pos - start, "US-ASCII")
+          kw match {
+            case "begincodespacerange" =>
+              p.skipWs()
+              if (p.peek == '<') {
+                val lo = p.parseHexString()
+                codeBytes = math.max(1, math.min(2, lo.bytes.length))
+                // consume to endcodespacerange
+                while (!p.eof && !p.lookahead("endcodespacerange")) p.pos += 1
+              }
+            case "beginbfchar" =>
+              var go = true
+              while (go && !p.eof) {
+                p.skipWs()
+                if (p.lookahead("endbfchar")) { p.pos += 9; go = false }
+                else if (p.peek == '<') {
+                  val src = p.parseHexString()
+                  p.skipWs()
+                  val dst = p.parseObj(0)
+                  dst match {
+                    case s: PStr => map(hexVal(src)) = utf16(s)
+                    case _ => ()
+                  }
+                } else go = false
+              }
+            case "beginbfrange" =>
+              var go = true
+              while (go && !p.eof) {
+                p.skipWs()
+                if (p.lookahead("endbfrange")) { p.pos += 10; go = false }
+                else if (p.peek == '<') {
+                  val lo = p.parseHexString()
+                  p.skipWs()
+                  val hi = p.parseHexString()
+                  p.skipWs()
+                  val dst = p.parseObj(0)
+                  val loV = hexVal(lo); val hiV = hexVal(hi)
+                  require(hiV - loV < 65536, "bfrange size")
+                  dst match {
+                    case s: PStr =>
+                      val base = utf16(s)
+                      if (base.nonEmpty) {
+                        val baseCp = base.codePointAt(0)
+                        var code = loV
+                        while (code <= hiV) {
+                          map(code) = new String(
+                            Character.toChars(baseCp + (code - loV)))
+                          code += 1
+                        }
+                      }
+                    case PArr(items) =>
+                      var code = loV
+                      items.foreach {
+                        case s: PStr if code <= hiV =>
+                          map(code) = utf16(s); code += 1
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                } else go = false
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+    FontDec(codeBytes, map.toMap)
+  }
+
+  // --------------------------------------------------- content
+
+  /** Interpret one page's content stream(s), appending decoded text.
+    * Returns false when a content stream was undecodable (boundary
+    * filter) — the page contributes nothing.
+    */
+  private def pageText(doc: Doc, page: PDict,
+      out: java.lang.StringBuilder): Boolean = {
+    // fonts: /Resources /Font → name → FontDec
+    val fonts = mutable.Map.empty[String, FontDec]
+    doc.dict(doc.get(page, "Resources")).foreach { res =>
+      doc.dict(doc.get(res, "Font")).foreach { fd =>
+        fd.m.keys.foreach { fname =>
+          doc.dict(doc.get(fd, fname)).foreach { f =>
+            val dec = doc.resolve(f.m.getOrElse("ToUnicode", PNull)) match {
+              case s: PStream =>
+                doc.streamData(s).map(parseToUnicode).getOrElse(SimpleFont)
+              case _ =>
+                doc.get(f, "Subtype") match {
+                  case PName("Type0") => FontDec(2, Map.empty) // boundary
+                  case _ => SimpleFont
+                }
+            }
+            fonts(fname) = dec
+          }
+        }
+      }
+    }
+    val contents: Seq[PStream] = doc.resolve(page.m.getOrElse("Contents", PNull)) match {
+      case s: PStream => Seq(s)
+      case PArr(items) => items.map(doc.resolve(_)).collect {
+        case s: PStream => s
+      }
+      case _ => Nil
+    }
+    if (contents.isEmpty) return true
+    val datas = contents.map(doc.streamData)
+    if (datas.exists(_.isEmpty)) return false
+    val data = datas.flatMap(_.get.toSeq :+ '\n'.toByte).toArray
+
+    var font: FontDec = SimpleFont
+    val operands = mutable.ArrayBuffer.empty[Obj]
+    val p = new Parser(data, 0, data.length)
+    def show(o: Obj): Unit = o match {
+      case s: PStr =>
+        font.decode(s.bytes, out)
+        require(out.length <= MaxTextChars, "pdf text size")
+      case _ => ()
+    }
+    def newline(): Unit =
+      if (out.length > 0 && out.charAt(out.length - 1) != '\n')
+        out.append('\n')
+    var steps = 0
+    while (!p.eof && steps < (1 << 22)) {
+      steps += 1
+      p.skipWs()
+      if (!p.eof) {
+        val c = p.peek
+        if (c == '/' || c == '(' || c == '<' || c == '[' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          try operands += p.parseObj(0)
+          catch { case scala.util.control.NonFatal(_) => p.pos += 1 }
+        } else if (c == '{' || c == '}' || c == ']' || c == ')' || c == '>') {
+          p.pos += 1 // stray delimiters in damaged streams: skip
+        } else {
+          val start = p.pos
+          while (!p.eof && !isWs(p.peek) && !isDelim(p.peek)) p.pos += 1
+          val op = new String(data, start, p.pos - start, "US-ASCII")
+          op match {
+            case "Tf" =>
+              operands.headOption match {
+                case Some(PName(f)) if operands.length >= 2 =>
+                  font = fonts.getOrElse(f, SimpleFont)
+                case _ =>
+                  if (operands.length >= 2) operands(operands.length - 2) match {
+                    case PName(f) => font = fonts.getOrElse(f, SimpleFont)
+                    case _ => ()
+                  }
+              }
+            case "Tj" => operands.lastOption.foreach(show)
+            case "'" => newline(); operands.lastOption.foreach(show)
+            case "\"" => newline(); operands.lastOption.foreach(show)
+            case "TJ" => operands.lastOption match {
+              case Some(PArr(items)) =>
+                items.foreach {
+                  case s: PStr => show(s)
+                  case PNum(v) =>
+                    if (v <= -180 &&
+                      out.length > 0 && out.charAt(out.length - 1) != ' ' &&
+                      out.charAt(out.length - 1) != '\n') out.append(' ')
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            case "Td" | "TD" | "T*" => newline()
+            case "ET" => newline()
+            case _ => () // all positioning/graphics ops: no text effect
+          }
+          operands.clear()
+        }
+      }
+    }
+    true
+  }
+
+  // --------------------------------------------------- entry point
+
+  /** Extract document text, or null for malformed / encrypted /
+    * page-tree-less payloads.
+    */
+  def extractText(b: Array[Byte]): PdfText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): PdfText = {
+    if (b == null || b.length < 8 || b.length > MaxBytes) return null
+    if (!(b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' &&
+      b(4) == '-')) return null
+    // encryption: any trailer dict with /Encrypt refuses (boundary)
+    if (indexOf(b, "/Encrypt", 0) >= 0) return null
+    val objects = scanObjects(b)
+    if (objects.isEmpty) return null
+    val doc = new Doc(objects)
+    // catalog: the object with /Type /Catalog (repair-mode root find)
+    val catalog = objects.values.flatMap(doc.dict(_)).find(d =>
+      doc.get(d, "Type") == PName("Catalog"))
+    val pagesRoot = catalog.flatMap(c => doc.dict(c.m.getOrElse("Pages", PNull)))
+    val rootDict = pagesRoot.getOrElse(return null)
+    // walk the page tree in Kids order
+    val pages = mutable.ArrayBuffer.empty[PDict]
+    def walk(d: PDict, depth: Int): Unit = {
+      if (depth > 32 || pages.length >= MaxPages) return
+      doc.get(d, "Type") match {
+        case PName("Page") => pages += d
+        case _ =>
+          doc.resolve(d.m.getOrElse("Kids", PNull)) match {
+            case PArr(kids) => kids.foreach { k =>
+              doc.dict(k).foreach(walk(_, depth + 1))
+            }
+            case _ => ()
+          }
+      }
+    }
+    walk(rootDict, 0)
+    if (pages.isEmpty) return null
+    val out = new java.lang.StringBuilder
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      if (i > 0) {
+        // page separator: exactly one blank line
+        while (out.length > 0 && out.charAt(out.length - 1) == '\n')
+          out.setLength(out.length - 1)
+        if (out.length > 0) out.append("\n\n")
+      }
+      pageText(doc, pg, out)
+    }
+    // trim trailing newlines (the ET/newline convention leaves one)
+    while (out.length > 0 && out.charAt(out.length - 1) == '\n')
+      out.setLength(out.length - 1)
+    PdfText(pages.length, out.toString)
+  }
+
+  // ============================================== fixture encoder
+
+  /** Deterministic single-font PDF writer for gate/spec fixtures
+    * (the buildPng discipline): classic xref table, Helvetica, one
+    * content stream per page. `variant` options exercise the reader
+    * paths: raw vs Flate vs ASCIIHex vs ASCII85 content streams, Tj
+    * vs TJ-with-kerning show ops, literal vs hex strings, and a
+    * nested page tree. Valid for any PDF reader.
+    */
+  def buildPdf(pages: Seq[Seq[String]], flate: Boolean = false,
+      asciiHex: Boolean = false, ascii85: Boolean = false,
+      useTJ: Boolean = false, hexStrings: Boolean = false,
+      nestedKids: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    val offsets = mutable.ArrayBuffer.empty[(Int, Int)] // objnum -> offset
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def wb(b: Array[Byte]): Unit = out.write(b)
+    w("%PDF-1.4\n%âãÏÓ\n")
+
+    val nPages = pages.length
+    // object numbering: 1 catalog, 2 pages root, 3 font,
+    // 4..3+n page dicts, 4+n..3+2n content streams,
+    // then optional intermediate nodes for nestedKids
+    val catalogN = 1; val pagesN = 2; val fontN = 3
+    def pageN(i: Int) = 4 + i
+    def contN(i: Int) = 4 + nPages + i
+    val midN = 4 + 2 * nPages // nested intermediate node
+
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += ((n, out.size))
+      w(s"$n 0 obj\n"); body; w("\nendobj\n")
+    }
+    obj(catalogN) { w(s"<< /Type /Catalog /Pages $pagesN 0 R >>") }
+    if (nestedKids && nPages >= 2) {
+      // root holds [page0, mid]; mid holds the rest
+      obj(pagesN) {
+        w(s"<< /Type /Pages /Kids [${pageN(0)} 0 R $midN 0 R] " +
+          s"/Count $nPages >>")
+      }
+      obj(midN) {
+        val kids = (1 until nPages).map(i => s"${pageN(i)} 0 R").mkString(" ")
+        w(s"<< /Type /Pages /Parent $pagesN 0 R /Kids [$kids] " +
+          s"/Count ${nPages - 1} >>")
+      }
+    } else obj(pagesN) {
+      val kids = (0 until nPages).map(i => s"${pageN(i)} 0 R").mkString(" ")
+      w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
+    }
+    obj(fontN) {
+      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding >>")
+    }
+    for (i <- 0 until nPages) obj(pageN(i)) {
+      w(s"<< /Type /Page /Parent $pagesN 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontN 0 R >> >> " +
+        s"/Contents ${contN(i)} 0 R >>")
+    }
+    def escape(s: String): String =
+      s.flatMap {
+        case '(' => "\\("
+        case ')' => "\\)"
+        case '\\' => "\\\\"
+        case c => c.toString
+      }
+    def hex(s: String): String =
+      s.getBytes("ISO-8859-1").map(b => f"${b & 0xFF}%02X").mkString
+    for (i <- 0 until nPages) {
+      val lines = pages(i)
+      val sb = new StringBuilder
+      sb.append("BT /F1 12 Tf 72 720 Td\n")
+      lines.zipWithIndex.foreach { case (line, li) =>
+        if (li > 0) sb.append("0 -14 Td\n")
+        if (useTJ) {
+          // words shown separately, gaps as kerning adjustments
+          val words = line.split(" ", -1)
+          val parts = words.zipWithIndex.map { case (wd, k) =>
+            val s = if (hexStrings) s"<${hex(wd)}>" else s"(${escape(wd)})"
+            if (k == 0) s else s"-250 $s"
+          }
+          sb.append(parts.mkString("[", " ", "] TJ\n"))
+        } else {
+          val s = if (hexStrings) s"<${hex(line)}>" else s"(${escape(line)})"
+          sb.append(s + " Tj\n")
+        }
+      }
+      sb.append("ET")
+      var data = sb.toString.getBytes("ISO-8859-1")
+      var filter = ""
+      if (flate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(data); d.finish()
+        val buf = new Array[Byte](data.length * 2 + 64)
+        val n = d.deflate(buf); d.end()
+        data = java.util.Arrays.copyOf(buf, n)
+        filter = " /Filter /FlateDecode"
+      } else if (asciiHex) {
+        data = (data.map(b => f"${b & 0xFF}%02X").mkString + ">")
+          .getBytes("US-ASCII")
+        filter = " /Filter /ASCIIHexDecode"
+      } else if (ascii85) {
+        data = a85Encode(data)
+        filter = " /Filter /ASCII85Decode"
+      }
+      obj(contN(i)) {
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        wb(data)
+        w("\nendstream")
+      }
+    }
+    // classic xref + trailer
+    val xrefAt = out.size
+    val maxObj = offsets.map(_._1).max
+    val table = offsets.toMap
+    w(s"xref\n0 ${maxObj + 1}\n")
+    w("0000000000 65535 f \n")
+    for (n <- 1 to maxObj) {
+      val off = table.getOrElse(n, 0)
+      w(f"$off%010d 00000 n \n")
+    }
+    w(s"trailer\n<< /Size ${maxObj + 1} /Root $catalogN 0 R >>\n")
+    w(s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private[sources] def a85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var t = 0L
+      for (k <- 0 until 4) t = (t << 8) | (data(i + k) & 0xFF)
+      if (t == 0) out.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var v = t
+        for (k <- 4 to 0 by -1) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+        out.append(cs)
+      }
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var t = 0L
+      for (k <- 0 until 4)
+        t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xFF else 0)
+      val cs = new Array[Char](5)
+      var v = t
+      for (k <- 4 to 0 by -1) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      out.append(new String(cs, 0, rem + 1))
+    }
+    out.append("~>")
+    out.toString.getBytes("US-ASCII")
+  }
+}

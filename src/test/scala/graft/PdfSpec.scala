@@ -1,0 +1,179 @@
+package graft
+
+import graft.sources.{Multimodal, Pdf}
+
+class PdfSpec extends SparkSpec {
+
+  private def pageLines(n: Int): Seq[Seq[String]] =
+    (0 until n).map(p => (0 until 3).map(l => s"page $p line $l words"))
+
+  test("PDF round trips: raw / Flate / ASCIIHex+hex-strings / " +
+      "ASCII85+TJ / nested page tree / combined — extracted text " +
+      "equals the authored lines for every reader path (r14)") {
+    def expect(n: Int): String =
+      pageLines(n).map(_.mkString("\n")).mkString("\n\n")
+    val variants = Seq(
+      ("raw", Pdf.buildPdf(pageLines(1)), 1),
+      ("flate", Pdf.buildPdf(pageLines(1), flate = true), 1),
+      ("ahx", Pdf.buildPdf(pageLines(1), asciiHex = true,
+        hexStrings = true), 1),
+      ("a85-tj", Pdf.buildPdf(pageLines(1), ascii85 = true,
+        useTJ = true), 1),
+      ("nested", Pdf.buildPdf(pageLines(3), nestedKids = true), 3),
+      ("combined", Pdf.buildPdf(pageLines(2), flate = true,
+        useTJ = true, hexStrings = true), 2))
+    variants.foreach { case (name, bytes, n) =>
+      val t = Pdf.extractText(bytes)
+      assert(t != null, s"$name extracted null")
+      assert(t.nPages === n, name)
+      assert(t.text === expect(n), name)
+    }
+    // header dispatch
+    assert(Multimodal.parseHeader(variants.head._2).format === "pdf")
+  }
+
+  test("hand-assembled PDF decodes independently of the fixture " +
+      "builder: octal escapes, nested parens, comments, ' operator, " +
+      "a page with no /Type through the Kids walk (r14)") {
+    val content = "BT /F1 10 Tf 10 700 Td\n" +
+      "(It\\0509s \\(nested\\) A\\101) Tj\n" + // \051 = ')', \101 = 'A'
+      "(next line) '\n" +
+      "ET"
+    val pdf = ("%PDF-1.1\n% a comment line\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val t = Pdf.extractText(pdf)
+    assert(t != null && t.nPages === 1)
+    assert(t.text === "It(9s (nested) AA\nnext line")
+  }
+
+  test("ToUnicode CMap: bfchar and bfrange map 2-byte codes; codes " +
+      "outside the map are skipped; a Type0 font WITHOUT ToUnicode " +
+      "contributes nothing (r14)") {
+    val cmap = "/CIDInit /ProcSet findresource begin\n" +
+      "begincmap\n" +
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      "2 beginbfchar <0041> <0048> <0042> <0069> endbfchar\n" +
+      "1 beginbfrange <0050> <0052> <006C> endbfrange\n" +
+      "endcmap end\n"
+    val content = "BT /F1 10 Tf 10 700 Td <00410042005000510052FFFF> Tj ET"
+    def doc(withCmap: Boolean): Array[Byte] = {
+      val fnt = if (withCmap)
+        "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"
+      else "<< /Type /Font /Subtype /Type0 >>"
+      ("%PDF-1.4\n" +
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+        "3 0 obj << /Type /Page /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >> endobj\n" +
+        s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n" +
+        s"5 0 obj $fnt endobj\n" +
+        s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream endobj\n" +
+        "trailer << /Size 7 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    }
+    val t = Pdf.extractText(doc(withCmap = true))
+    assert(t != null && t.text === "Hilmn") // FFFF unmapped: skipped
+    val t2 = Pdf.extractText(doc(withCmap = false))
+    assert(t2 != null && t2.text === "") // Type0 sans CMap: boundary
+  }
+
+  test("object streams (/Type/ObjStm): objects packed in a Flate " +
+      "stream are found; an unsupported content filter nulls only " +
+      "that page's contribution (r14)") {
+    // page + font objects live INSIDE an object stream
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val o5 = "<< /Type /Font /Subtype /Type1 >>"
+    val header = s"3 0 5 ${o3.length + 1} " // pairs (objnum offset)
+    val inner = header + o3 + " " + o5
+    val headerLen = header.length
+    val d = new java.util.zip.Deflater()
+    val raw = inner.getBytes("ISO-8859-1")
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf); d.end()
+    val packed = java.util.Arrays.copyOf(buf, n)
+    val content = "BT 10 700 Td (objstm text) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream endobj\n")
+    w(s"7 0 obj << /Type /ObjStm /N 2 /First $headerLen " +
+      s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(packed)
+    w("\nendstream endobj\n")
+    w("trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    val t = Pdf.extractText(out.toByteArray)
+    assert(t != null && t.nPages === 1, "objstm page found")
+    assert(t.text === "objstm text")
+
+    // LZW content stream: the page contributes nothing, no throw
+    val content2 = "unused"
+    val lzwDoc = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content2.length} /Filter /LZWDecode >>\n" +
+      s"stream\n$content2\nendstream endobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes("ISO-8859-1")
+    val t2 = Pdf.extractText(lzwDoc)
+    assert(t2 != null && t2.nPages === 1 && t2.text === "")
+  }
+
+  test("PDF boundaries: encryption refuses, magic/truncation null, " +
+      "totality fuzz never throws; the media gate fixture degrades " +
+      "exactly on its strides (r14)") {
+    val enc = new String(Pdf.buildPdf(pageLines(1)), "ISO-8859-1")
+      .replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 9 0 R")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(enc) === null)
+    assert(Pdf.extractText(null) === null)
+    assert(Pdf.extractText("%PDF-1.4\njunk".getBytes) === null)
+    assert(Pdf.extractText("not a pdf at all".getBytes) === null)
+    // fuzz: flips, truncations, splices over every builder variant
+    val rnd = new scala.util.Random(0x9DF0)
+    val seeds = Seq(
+      Pdf.buildPdf(pageLines(2), flate = true),
+      Pdf.buildPdf(pageLines(1), ascii85 = true, useTJ = true),
+      Pdf.buildPdf(pageLines(3), nestedKids = true, asciiHex = true,
+        hexStrings = true))
+    for (i <- 0 until 200) {
+      val b =
+        if (i % 4 == 0)
+          Array.fill(rnd.nextInt(300) + 1)(rnd.nextInt(256).toByte)
+        else {
+          val s = seeds(rnd.nextInt(seeds.length)).clone()
+          rnd.nextInt(3) match {
+            case 0 =>
+              for (_ <- 0 to rnd.nextInt(8))
+                s(rnd.nextInt(s.length)) =
+                  (s(rnd.nextInt(s.length)) ^ (1 << rnd.nextInt(8))).toByte
+              s
+            case 1 => s.take(rnd.nextInt(s.length + 1))
+            case _ =>
+              val at = rnd.nextInt(s.length)
+              for (j <- at until math.min(s.length, at + 1 + rnd.nextInt(32)))
+                s(j) = rnd.nextInt(256).toByte
+              s
+          }
+        }
+      Pdf.extractText(b) // value or null, never throw
+    }
+    // gate fixture degrade strides
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.synthesizePdfBytes(
+      spark.range(40).select(col("id").as("doc_id")))
+    val rows = Multimodal.withPdfText(media, "payload", "pd")
+      .select(col("media_id"), col("pd.format")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 40L).foreach { id =>
+      val expected =
+        if (id % 19 == 0 || id % 13 == 0) "unknown" else "pdf"
+      assert(rows(id) === expected, s"id $id")
+    }
+  }
+}
