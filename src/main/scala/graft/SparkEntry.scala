@@ -3084,6 +3084,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Netpbm raster decode (r14 — the P1-P6 family: the
+    //     simplest interchange rasters, common in ML dataset dumps):
+    //     six kinds cycle by id — ASCII bitmap/gray/rgb, packed
+    //     bitmap, binary gray, and binary rgb at maxval 1000 (2-byte
+    //     samples scaled round-half-up) — over closed-form pixels.
+    //     Degrades: %19 magic, %13 truncated inside the header.
+    "mm_pixels_pnm" -> ((s, dir) => {
+      val media = Multimodal.synthesizePnmBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPixelStats(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.width").as("w"), col("px.height").as("h"),
+          col("px.n_px").as("n_px"),
+          round(col("px.mean_r"), 6).as("mean_r"),
+          round(col("px.mean_g"), 6).as("mean_g"),
+          round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     "mm_pixels_webp" -> ((s, dir) => {
       val media = Multimodal.synthesizeWebpBytes(
         Tables.documents(s, dir).filter(col("doc_id") < 60))
@@ -6676,6 +6695,50 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_pixels_pnm oracle: per-channel means recomputed from
+    // the closed-form formulas per id%6 kind — bitmap 255*(1-bit),
+    // gray/rgb mod-256, and the 2-byte maxval-1000 kind through the
+    // same round-half-up scale (v*510 + 1000) // 2000
+    "mm_pixels_pnm" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 AS v,
+        |    doc_id % 9 + 2 AS w, (doc_id * 3) % 7 + 2 AS h
+        |  FROM documents WHERE doc_id < 60),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids),
+        |px AS (
+        |  SELECT i.media_id, i.v, x.g AS x, y.g AS y
+        |  FROM ids i, generate_series(0, 10) AS x(g),
+        |       generate_series(0, 8) AS y(g)
+        |  WHERE x.g < i.w AND y.g < i.h),
+        |ch AS (
+        |  SELECT media_id, v, x, y, c.g AS c,
+        |    CASE
+        |      WHEN v IN (0, 3) THEN 255 * (1 - (x + y + media_id) % 2)
+        |      WHEN v IN (1, 4) THEN (media_id * 7 + x * 13 + y * 31) % 256
+        |      WHEN v = 2 THEN (media_id * 7 + x * 13 + y * 31 + c.g * 41) % 256
+        |      ELSE (((media_id * 7 + x * 13 + y * 31 + c.g * 41) % 1001) * 510 + 1000) // 2000
+        |    END AS val
+        |  FROM px, generate_series(0, 2) AS c(g)),
+        |m AS (
+        |  SELECT media_id,
+        |    avg(CASE WHEN c = 0 THEN val END) AS mr,
+        |    avg(CASE WHEN c = 1 THEN val END) AS mg,
+        |    avg(CASE WHEN c = 2 THEN val END) AS mb
+        |  FROM ch GROUP BY media_id)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'pnm' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.c THEN NULL ELSE round(m.mr, 6) END AS mean_r,
+        |  CASE WHEN b.c THEN NULL ELSE round(m.mg, 6) END AS mean_g,
+        |  CASE WHEN b.c THEN NULL ELSE round(m.mb, 6) END AS mean_b
+        |FROM ids i JOIN bad b USING (media_id) JOIN m USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_pdf_text oracle: the full extracted text recomputed —
     // 3 closed-form lines per page joined by newline, pages joined

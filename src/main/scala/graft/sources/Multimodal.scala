@@ -756,11 +756,16 @@ object Multimodal {
        (p(0) == 'M'.toByte && p(1) == 'M'.toByte && (p(3) & 0xFF) == 42))
     val isWebp = !isPng && !isJpg && !isGif && !isTif &&
       ascii(p, 0, "RIFF") && ascii(p, 8, "WEBP")
+    val isPnm = !isPng && !isJpg && !isGif && !isTif && !isWebp &&
+      p.length > 2 && p(0) == 'P' && p(1) >= '1' && p(1) <= '6' &&
+      (p(2) == ' ' || p(2) == '\n' || p(2) == '\r' || p(2) == '\t' ||
+        p(2) == '#')
     if (isPng) ("png", decodePng(p))
     else if (isJpg) ("jpeg", decodeJpeg(p))
     else if (isGif) ("gif", decodeGif(p))
     else if (isTif) ("tiff", decodeTiff(p))
     else if (isWebp) ("webp", Webp.decodeWebp(p))
+    else if (isPnm) ("pnm", decodePnm(p))
     else ("bmp", decodeBmp(p))
   }
 
@@ -768,6 +773,217 @@ object Multimodal {
     * documented null boundary. See [[Webp]].
     */
   def decodeWebp(p: Array[Byte]): RasterImage = Webp.decodeWebp(p)
+
+  /** Netpbm decode (r14) — the full P1–P6 family of the simplest
+    * raster interchange format (common in ML dataset dumps and
+    * scientific tooling): ASCII (P1 bitmap / P2 gray / P3 rgb) and
+    * binary (P4 packed bitmap / P5 gray / P6 rgb) rasters, '#'
+    * comments anywhere in the header, and 2-byte big-endian samples
+    * when maxval > 255 — scaled to 8-bit round-half-up
+    * ((v·255·2 + maxval) / (2·maxval), the exact convention an
+    * oracle replays). PBM semantics: 1 = black. Total function:
+    * malformed / truncated payloads return null.
+    */
+  def decodePnm(p: Array[Byte]): RasterImage = {
+    try decodePnmInner(p)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodePnmInner(p: Array[Byte]): RasterImage = {
+    if (p == null || p.length < 7 || p(0) != 'P') return null
+    val kind = p(1) - '0'
+    if (kind < 1 || kind > 6) return null
+    var pos = 2
+    def isSp(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f'
+    // header token reader: whitespace-separated decimal ints with
+    // '#'-to-EOL comments
+    def nextInt(): Int = {
+      var go = true
+      while (go) {
+        if (pos >= p.length) throw new IllegalStateException("pnm eof")
+        if (isSp(p(pos))) pos += 1
+        else if (p(pos) == '#') {
+          while (pos < p.length && p(pos) != '\n') pos += 1
+        } else go = false
+      }
+      var v = 0L
+      val start = pos
+      while (pos < p.length && p(pos) >= '0' && p(pos) <= '9') {
+        v = v * 10 + (p(pos) - '0')
+        if (v > Int.MaxValue) throw new IllegalStateException("pnm int")
+        pos += 1
+      }
+      if (pos == start) throw new IllegalStateException("pnm token")
+      v.toInt
+    }
+    val w = nextInt(); val h = nextInt()
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 22)) return null
+    val isBitmap = kind == 1 || kind == 4
+    val maxval = if (isBitmap) 1 else nextInt()
+    if (maxval <= 0 || maxval > 65535) return null
+    val twoByte = maxval > 255
+    def scale(v: Int): Int = {
+      if (v > maxval) return -1
+      if (maxval == 255) v
+      else (v * 255 * 2 + maxval) / (2 * maxval)
+    }
+    val channels = if (kind == 3 || kind == 6) 3 else 1
+    val rgb = new Array[Byte](w * h * 3)
+    def put(i: Int, v: Int): Boolean = {
+      if (v < 0) return false
+      rgb(i * 3) = v.toByte; rgb(i * 3 + 1) = v.toByte
+      rgb(i * 3 + 2) = v.toByte
+      true
+    }
+    if (kind <= 3) { // ASCII rasters
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        if (kind == 1) {
+          val bit = nextInt()
+          if (bit > 1) return null
+          if (!put(i, (1 - bit) * 255)) return null // 1 = black
+        } else if (kind == 2) {
+          if (!put(i, scale(nextInt()))) return null
+        } else {
+          var c = 0
+          while (c < 3) {
+            val v = scale(nextInt())
+            if (v < 0) return null
+            rgb(i * 3 + c) = v.toByte
+            c += 1
+          }
+        }
+        i += 1
+      }
+    } else { // binary rasters: exactly ONE whitespace after header
+      if (pos >= p.length || !isSp(p(pos))) return null
+      pos += 1
+      if (kind == 4) { // packed bits, rows byte-aligned
+        val rowBytes = (w + 7) / 8
+        if (pos + rowBytes.toLong * h > p.length) return null
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = p(pos + y * rowBytes + x / 8) & 0xFF
+            val bit = (b >> (7 - x % 8)) & 1
+            put(y * w + x, (1 - bit) * 255)
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val bps = if (twoByte) 2 else 1
+        val need = w.toLong * h * channels * bps
+        if (pos + need > p.length) return null
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          var c = 0
+          while (c < channels) {
+            val v =
+              if (twoByte) ((p(pos) & 0xFF) << 8) | (p(pos + 1) & 0xFF)
+              else p(pos) & 0xFF
+            pos += bps
+            val sv = scale(v)
+            if (sv < 0) return null
+            if (channels == 1) { if (!put(i, sv)) return null }
+            else rgb(i * 3 + c) = sv.toByte
+            c += 1
+          }
+          i += 1
+        }
+      }
+    }
+    RasterImage(w, h, rgb)
+  }
+
+  /** Deterministic Netpbm payload for media id `id` (r14): the six
+    * kinds cycle by id%6 — P1 ASCII bitmap, P2 ASCII gray, P3 ASCII
+    * rgb, P4 packed bitmap, P5 binary gray, and P6 binary rgb at
+    * maxval 1000 (the 2-byte big-endian + scaling path) — over
+    * closed-form pixels, so one oracle formula covers every parse
+    * path.
+    */
+  def synthPnmPayload(id: Long): Array[Byte] = {
+    val w = (id % 9 + 2).toInt
+    val h = (id * 3 % 7 + 2).toInt
+    def bit(x: Int, y: Int, c: Int): Int = ((x + y + id) % 2).toInt
+    def gray(x: Int, y: Int, c: Int): Int =
+      ((id * 7 + x * 13 + y * 31) % 256).toInt
+    def rgb(x: Int, y: Int, c: Int): Int =
+      ((id * 7 + x * 13 + y * 31 + c * 41) % 256).toInt
+    def wide(x: Int, y: Int, c: Int): Int =
+      ((id * 7 + x * 13 + y * 31 + c * 41) % 1001).toInt
+    (id % 6).toInt match {
+      case 0 => buildPnm(1, w, h, bit)
+      case 1 => buildPnm(2, w, h, gray)
+      case 2 => buildPnm(3, w, h, rgb)
+      case 3 => buildPnm(4, w, h, bit)
+      case 4 => buildPnm(5, w, h, gray)
+      case _ => buildPnm(6, w, h, wide, maxval = 1000)
+    }
+  }
+
+  /** Synthesize the Netpbm media table: every 19th payload magic-
+    * corrupted, every 13th truncated inside the header — both
+    * degrade to 'unknown'.
+    */
+  def synthesizePnmBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthPnmPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 6)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic Netpbm writer for fixtures: `kind` 1–6,
+    * `sample(x, y, c)` in [0, maxval] (channel 0 only for gray/
+    * bitmap kinds; bitmap kinds use 0/1 with 1 = black). Headers
+    * carry a comment line — the parser path real files exercise.
+    */
+  def buildPnm(kind: Int, w: Int, h: Int,
+      sample: (Int, Int, Int) => Int, maxval: Int = 255): Array[Byte] = {
+    require(kind >= 1 && kind <= 6, s"pnm kind $kind")
+    val out = new java.io.ByteArrayOutputStream
+    def ws(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val isBitmap = kind == 1 || kind == 4
+    ws(s"P$kind\n# graft fixture\n$w $h\n")
+    if (!isBitmap) ws(s"$maxval\n")
+    val channels = if (kind == 3 || kind == 6) 3 else 1
+    if (kind <= 3) {
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until channels)
+        ws(s"${sample(x, y, c)}\n")
+    } else if (kind == 4) {
+      val rowBytes = (w + 7) / 8
+      for (y <- 0 until h) {
+        val row = new Array[Byte](rowBytes)
+        for (x <- 0 until w)
+          if (sample(x, y, 0) != 0)
+            row(x / 8) = (row(x / 8) | (0x80 >> (x % 8))).toByte
+        out.write(row)
+      }
+    } else {
+      val twoByte = maxval > 255
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until channels) {
+        val v = sample(x, y, c)
+        if (twoByte) { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+        else out.write(v & 0xFF)
+      }
+    }
+    out.toByteArray
+  }
 
   /** Deterministic uncompressed TIFF builder for fixtures: both byte
     * orders, gray/RGB, WhiteIsZero exercise, multi-strip layout with

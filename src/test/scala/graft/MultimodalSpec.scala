@@ -1833,4 +1833,39 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 0L || p._2 == 1000L),
       "corrupted base id produced pairs")
   }
+
+  test("Netpbm P1-P6 (r14): ASCII and binary kinds round-trip, PBM " +
+      "1 = black, header comments parse, maxval-1000 samples scale " +
+      "round-half-up, truncation/magic null") {
+    import Multimodal.{buildPnm, decodePnm}
+    def gray(x: Int, y: Int, c: Int): Int = (x * 13 + y * 31) % 256
+    def rgb(x: Int, y: Int, c: Int): Int = (x * 13 + y * 31 + c * 41) % 256
+    // gray kinds agree across ASCII and binary
+    val g2 = decodePnm(buildPnm(2, 5, 4, gray))
+    val g5 = decodePnm(buildPnm(5, 5, 4, gray))
+    assert(g2 != null && g5 != null)
+    assert(g2.rgb.toSeq === g5.rgb.toSeq)
+    assert((g2.rgb(3 * (1 + 5 * 2)) & 0xFF) === gray(1, 2, 0))
+    // rgb kinds agree across ASCII and binary
+    val c3 = decodePnm(buildPnm(3, 4, 3, rgb))
+    val c6 = decodePnm(buildPnm(6, 4, 3, rgb))
+    assert(c3.rgb.toSeq === c6.rgb.toSeq)
+    assert((c3.rgb(3 * (2 + 4 * 1) + 2) & 0xFF) === rgb(2, 1, 2))
+    // bitmaps: 1 = black -> 0; ASCII and packed agree
+    def bit(x: Int, y: Int, c: Int): Int = (x + y) % 2
+    val b1 = decodePnm(buildPnm(1, 9, 3, bit)) // width not byte-aligned
+    val b4 = decodePnm(buildPnm(4, 9, 3, bit))
+    assert(b1.rgb.toSeq === b4.rgb.toSeq)
+    assert((b1.rgb(0) & 0xFF) === 255 && (b1.rgb(3) & 0xFF) === 0)
+    // 2-byte samples scale round-half-up: 1000 -> 255, 500 -> 128
+    val wv = decodePnm(buildPnm(5, 2, 1,
+      (x, _, _) => if (x == 0) 1000 else 500, maxval = 1000))
+    assert((wv.rgb(0) & 0xFF) === 255 && (wv.rgb(3) & 0xFF) === 128)
+    // degrade: truncation, magic, oversized value in ASCII
+    assert(decodePnm(buildPnm(6, 3, 3, rgb).take(6)) === null)
+    val bad = buildPnm(2, 3, 3, gray); bad(0) = 'X'
+    assert(decodePnm(bad) === null)
+    assert(decodePnm("P2\n2 1\n255\n300 1\n".getBytes) === null)
+    assert(decodePnm(null) === null)
+  }
 }
