@@ -3084,6 +3084,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- EPUB text extraction (r14 — the book-corpus slice; OCF
+    //     zip + OPF spine + XHTML, composed from the existing zip
+    //     reader and the stripHtml semantics mirrored JVM-side):
+    //     chapter counts cycle 1/2/3, the nav document rides the
+    //     manifest always and the SPINE on even ids — excluded from
+    //     text either way; bodies carry an entity so the decode
+    //     order (strip then entities) is pinned. Full extracted
+    //     text hash-checked. Degrades: %19 magic, %13 truncation.
+    "mm_epub_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeEpubBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withEpubText(media, "payload", "eb")
+        .select(col("media_id"), col("eb.format").as("format"),
+          col("eb.n_docs").as("n_docs"),
+          col("eb.n_chars").as("n_chars"),
+          col("eb.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Netpbm raster decode (r14 — the P1-P6 family: the
     //     simplest interchange rasters, common in ML dataset dumps):
     //     six kinds cycle by id — ASCII bitmap/gray/rgb, packed
@@ -6695,6 +6714,35 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_epub_text oracle: each chapter's stripped text rebuilt
+    // closed-form — heading + body with the &amp; entity decoded —
+    // chapters joined by a blank line
+    "mm_epub_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |ch AS (
+        |  SELECT i.media_id, c.g AS c,
+        |    'Chapter ' || c.g || ' book ' || i.media_id ||
+        |      ' chapter ' || c.g || ' word' ||
+        |      ((i.media_id * 5 + c.g) % 89) || ' & more' AS ctext
+        |  FROM ids i, generate_series(0, 2) AS c(g) WHERE c.g < i.n),
+        |txt AS (
+        |  SELECT media_id,
+        |    string_agg(ctext, chr(10) || chr(10) ORDER BY c) AS text
+        |  FROM ch GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'epub' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_docs,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_pixels_pnm oracle: per-channel means recomputed from
     // the closed-form formulas per id%6 kind — bitmap 255*(1-bit),

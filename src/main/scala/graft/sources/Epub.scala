@@ -1,0 +1,211 @@
+package graft.sources
+
+/** EPUB text extraction (r14) — the book-corpus member of the
+  * document family: an EPUB is a ZIP container (OCF, the public
+  * EPUB 3 / IDPF spec) holding `META-INF/container.xml` → an OPF
+  * package document → a SPINE of XHTML content documents in reading
+  * order. Books are a premium training-data slice; without this the
+  * pipeline sees `.epub` payloads as opaque zip bytes.
+  *
+  * Composition over new machinery: the container walks through
+  * [[Containers.parseZipBytes]] (the existing streaming zip reader)
+  * and each content document strips to text through the EXACT
+  * [[graft.functions.TextFunctions.stripHtml]] semantics (same
+  * block-excision pattern, tag strip, entity table, whitespace
+  * collapse — mirrored here on the JVM side so per-row extraction
+  * and the SQL column function agree byte-for-byte).
+  *
+  * Navigation documents (`properties="nav"` manifest items) are
+  * excluded from the text — tables of contents are chrome, not
+  * prose. The OPF is read at the attribute level (manifest item
+  * id/href, spine idref order) with quote-insensitive regexes — the
+  * deterministic-convention stance of the HTML helpers, not a full
+  * XML parser (namespaces/doctype indirection pass through
+  * untouched). Declared boundaries: encrypted OCF
+  * (`META-INF/encryption.xml` present) refuses; a spine item whose
+  * member is missing or undecodable contributes nothing.
+  *
+  * Total function: malformed / truncated payloads return null.
+  */
+object Epub {
+
+  private val MaxBytes = 256 << 20
+  private val MaxDocs = 4096
+
+  /** Extracted book text: spine-document count and the text (spine
+    * docs joined with \n\n, reading order).
+    */
+  final case class EpubText(nDocs: Int, text: String)
+
+  /** JVM-side mirror of [[graft.functions.TextFunctions.stripHtml]]
+    * — identical pattern set, entity table and collapse, so the
+    * column function's SQL twin replays this too.
+    */
+  private[sources] def stripHtmlString(html: String): String = {
+    val noBlocks = html.replaceAll(
+      graft.functions.TextFunctions.htmlBlockPattern, " ")
+    val noTags = noBlocks.replaceAll("<[^>]*>", " ")
+    val decoded = graft.functions.TextFunctions.htmlEntities
+      .foldLeft(noTags) { case (s, (e, v)) => s.replace(e, v) }
+    decoded.replaceAll("\\s+", " ").trim
+  }
+
+  private def attr(tag: String, name: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile(name + "\\s*=\\s*[\"']([^\"']*)[\"']",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(tag)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  private def tags(xml: String, tagName: String): Iterator[String] = {
+    val m = java.util.regex.Pattern
+      .compile("<" + tagName + "\\b[^>]*>",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    new Iterator[String] {
+      private var nextTag: String = null
+      def hasNext: Boolean = {
+        if (nextTag == null && m.find()) nextTag = m.group()
+        nextTag != null
+      }
+      def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val t = nextTag; nextTag = null; t
+      }
+    }
+  }
+
+  /** Resolve `href` against the directory of `base` (both
+    * zip-internal paths), normalizing `..` segments.
+    */
+  private def resolve(base: String, href: String): String = {
+    val dir = base.lastIndexOf('/') match {
+      case -1 => ""
+      case i => base.substring(0, i + 1)
+    }
+    val raw = (dir + href).split('/').toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    raw.foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    out.mkString("/")
+  }
+
+  /** Extract the book text, or null for malformed / encrypted /
+    * container-less payloads.
+    */
+  def extractText(b: Array[Byte]): EpubText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): EpubText = {
+    if (b == null || b.length < 22 || b.length > MaxBytes) return null
+    if (!(b(0) == 'P' && b(1) == 'K')) return null
+    val members = scala.collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+    try Containers.parseZipBytes(b).foreach { e =>
+      if (members.size < MaxDocs * 4) members(e.name) = e.bytes
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    if (members.contains("META-INF/encryption.xml")) return null // DRM
+    val container = members.get("META-INF/container.xml")
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(return null)
+    val opfPath = tags(container, "rootfile")
+      .flatMap(attr(_, "full-path")).toSeq.headOption
+      .getOrElse(return null)
+    val opf = members.get(opfPath)
+      .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      .getOrElse(return null)
+    // manifest: id -> (href, isNav)
+    val manifest = tags(opf, "item").flatMap { t =>
+      for { id <- attr(t, "id"); href <- attr(t, "href") } yield
+        id -> (href, attr(t, "properties").exists(_.contains("nav")))
+    }.toMap
+    val spine = tags(opf, "itemref").flatMap(attr(_, "idref")).toVector
+    if (spine.isEmpty) return null
+    val docs = spine.take(MaxDocs).flatMap { idref =>
+      manifest.get(idref) match {
+        case Some((href, isNav)) if !isNav =>
+          members.get(resolve(opfPath, href)).map(bytes =>
+            stripHtmlString(
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        case _ => None
+      }
+    }
+    if (docs.isEmpty) return null
+    EpubText(docs.length, docs.filter(_.nonEmpty).mkString("\n\n"))
+  }
+
+  // ============================================== fixture encoder
+
+  /** Deterministic EPUB writer for gate/spec fixtures: standard OCF
+    * layout (stored `mimetype` first, container.xml, an OPF under
+    * `OEBPS/` with a nav document excluded from the spine text),
+    * one XHTML content document per chapter. Valid for any EPUB
+    * reader.
+    */
+  def buildEpub(chapters: Seq[String], includeNav: Boolean = true,
+      navInSpine: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String, stored: Boolean = false): Unit = {
+      val data = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+      if (stored) {
+        e.setMethod(java.util.zip.ZipOutputStream.STORED)
+        e.setSize(data.length)
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        e.setCrc(crc.getValue)
+      }
+      zip.putNextEntry(e)
+      zip.write(data)
+      zip.closeEntry()
+    }
+    put("mimetype", "application/epub+zip", stored = true)
+    put("META-INF/container.xml",
+      """<?xml version="1.0"?>
+        |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        |  <rootfiles>
+        |    <rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>
+        |  </rootfiles>
+        |</container>""".stripMargin)
+    val items = chapters.indices.map(i =>
+      s"""<item id="ch$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""")
+    val navItem = if (includeNav)
+      Seq("""<item id="nav" href="nav.xhtml" properties="nav" media-type="application/xhtml+xml"/>""")
+    else Nil
+    val spine = chapters.indices.map(i => s"""<itemref idref="ch$i"/>""") ++
+      (if (navInSpine && includeNav) Seq("""<itemref idref="nav"/>""") else Nil)
+    put("OEBPS/content.opf",
+      s"""<?xml version="1.0"?>
+         |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+         |  <metadata><dc:title xmlns:dc="http://purl.org/dc/elements/1.1/">Fixture</dc:title></metadata>
+         |  <manifest>
+         |    ${(items ++ navItem).mkString("\n    ")}
+         |  </manifest>
+         |  <spine>
+         |    ${spine.mkString("\n    ")}
+         |  </spine>
+         |</package>""".stripMargin)
+    if (includeNav)
+      put("OEBPS/nav.xhtml",
+        "<html><body><nav epub:type=\"toc\"><ol>" +
+          chapters.indices.map(i =>
+            s"""<li><a href="ch$i.xhtml">Chapter $i</a></li>""").mkString +
+          "</ol></nav></body></html>")
+    chapters.zipWithIndex.foreach { case (text, i) =>
+      put(s"OEBPS/ch$i.xhtml",
+        s"""<?xml version="1.0"?>
+           |<html xmlns="http://www.w3.org/1999/xhtml"><head>
+           |<title></title><style>p { margin: 0; }</style>
+           |<script>var x = 1 < 2;</script></head>
+           |<body><h1>Chapter $i</h1><p>$text</p></body></html>""".stripMargin)
+    }
+    zip.close()
+    bos.toByteArray
+  }
+}

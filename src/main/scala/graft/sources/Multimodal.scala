@@ -162,6 +162,11 @@ object Multimodal {
     // raster intrinsics, the text surface is withPdfText)
     if (ascii(b, 0, "%PDF-"))
       return MediaHeader("pdf", 0, 0, 0, 0)
+    // EPUB: zip local header whose FIRST member is the OCF stored
+    // mimetype (name at 30, content at 38 — the spec layout)
+    if (b.length >= 58 && b(0) == 'P' && b(1) == 'K' &&
+        ascii(b, 30, "mimetype") && ascii(b, 38, "application/epub+zip"))
+      return MediaHeader("epub", 0, 0, 0, 0)
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
     // +10, sample rate LE32 at +12 from the chunk id). The walk runs
     // in Long: chunk sizes are untrusted, and a size near Int.MaxValue
@@ -3407,6 +3412,67 @@ object Multimodal {
             else Row("pdf", t.nPages, t.text.length, t.text)
           }
         Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol`: EPUB text-extraction struct (n_docs, n_chars,
+    * text) via the pure-JVM [[Epub.extractText]] reader; malformed /
+    * encrypted payloads yield 'unknown'. One narrow map over the
+    * scan.
+    */
+  def withEpubText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_docs", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Epub.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("epub", t.nDocs, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic EPUB payload for media id `id` (r14): chapter
+    * count cycles 1/2/3 by id%3, nav documents ride the manifest on
+    * every variant and the SPINE on id%2==0 (excluded from text
+    * either way); chapter bodies carry an &amp; entity so the strip
+    * semantics are exercised. Text closed-form in (id, chapter).
+    */
+  def synthEpubPayload(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    val chapters = (0 until n).map(c =>
+      s"book $id chapter $c word${(id * 5 + c) % 89} &amp; more")
+    Epub.buildEpub(chapters, includeNav = true, navInSpine = id % 2 == 0)
+  }
+
+  /** Synthesize the EPUB media table: every 19th payload magic-
+    * corrupted, every 13th truncated mid-archive — both degrade to
+    * 'unknown'.
+    */
+  def synthesizeEpubBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthEpubPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 40)
+          else bytes
+        Row(id, out)
       }
     }(Encoders.row(schema))
   }

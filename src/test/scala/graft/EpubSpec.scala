@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.{Epub, Multimodal}
+
+class EpubSpec extends SparkSpec {
+
+  test("EPUB round trips: chapters extract in spine order with the " +
+      "stripHtml semantics (script/style excised, entities decoded " +
+      "after tag strip); nav documents never contribute, whether in " +
+      "the spine or not (r14)") {
+    val chapters = Seq("first body &amp; text", "second body")
+    def expect: String =
+      "Chapter 0 first body & text\n\nChapter 1 second body"
+    val plain = Epub.extractText(Epub.buildEpub(chapters))
+    assert(plain != null && plain.nDocs === 2)
+    assert(plain.text === expect)
+    val navSpine = Epub.extractText(
+      Epub.buildEpub(chapters, navInSpine = true))
+    assert(navSpine != null && navSpine.nDocs === 2)
+    assert(navSpine.text === expect)
+    assert(Multimodal.parseHeader(Epub.buildEpub(chapters)).format
+      === "epub")
+  }
+
+  test("EPUB boundaries: DRM refuses, missing container / magic / " +
+      "truncation null, relative hrefs resolve against the OPF dir, " +
+      "fuzz never throws (r14)") {
+    // DRM: inject META-INF/encryption.xml
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    // replay buildEpub structure with an encryption.xml added
+    val base = Epub.buildEpub(Seq("secret"))
+    graft.sources.Containers.parseZipBytes(base).foreach(e =>
+      put(e.name, new String(e.bytes, "UTF-8")))
+    put("META-INF/encryption.xml", "<encryption/>")
+    zip.close()
+    assert(Epub.extractText(bos.toByteArray) === null)
+    // missing container.xml
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val zip2 = new java.util.zip.ZipOutputStream(bos2)
+    zip2.putNextEntry(new java.util.zip.ZipEntry("whatever.txt"))
+    zip2.write("x".getBytes); zip2.closeEntry(); zip2.close()
+    assert(Epub.extractText(bos2.toByteArray) === null)
+    // magic / truncation / null
+    val b = Epub.buildEpub(Seq("one"))
+    val bad = b.clone(); bad(0) = 'X'
+    assert(Epub.extractText(bad) === null)
+    assert(Epub.extractText(java.util.Arrays.copyOf(b, 40)) === null)
+    assert(Epub.extractText(null) === null)
+    // ../-relative href resolution: content at top level, OPF nested
+    val bos3 = new java.io.ByteArrayOutputStream()
+    val zip3 = new java.util.zip.ZipOutputStream(bos3)
+    def put3(name: String, content: String): Unit = {
+      zip3.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip3.write(content.getBytes("UTF-8")); zip3.closeEntry()
+    }
+    put3("META-INF/container.xml",
+      """<container><rootfiles><rootfile full-path="a/b/pkg.opf"/></rootfiles></container>""")
+    put3("a/b/pkg.opf",
+      """<package><manifest>
+        |<item id="c" href="../../top.xhtml" media-type="application/xhtml+xml"/>
+        |</manifest><spine><itemref idref="c"/></spine></package>""".stripMargin)
+    put3("top.xhtml", "<html><body><p>rooted text</p></body></html>")
+    zip3.close()
+    val t = Epub.extractText(bos3.toByteArray)
+    assert(t != null && t.text === "rooted text")
+    // fuzz
+    val rnd = new scala.util.Random(0xE9B)
+    for (i <- 0 until 150) {
+      val s = b.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) =
+              (s(rnd.nextInt(s.length)) ^ (1 << rnd.nextInt(8))).toByte
+          Epub.extractText(s)
+        case 1 => Epub.extractText(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Epub.extractText(
+          Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+}
