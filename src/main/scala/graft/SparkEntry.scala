@@ -2276,6 +2276,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Attribute-sidecar FILTERING (r14 — the consume half of
+    //     the Dolma convention, completing docs_attributes' export
+    //     half): the sidecar is WRITTEN (attributesRecords →
+    //     writeJsonl), read back with the enforced schema, and the
+    //     recipe predicate (gopher pass AND quality ≥ 0.7 AND
+    //     langid en) evaluates over sidecar SCORES only — signals
+    //     are not recomputed, which is the entire point of the
+    //     attribute-file convention. The oracle recomputes the
+    //     predicate from the raw text, so a sidecar round trip that
+    //     dropped or altered any score surfaces as a row diff.
+    "docs_attr_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val path = gateIndexPath(dir, "attr_sidecar_gate")
+      graft.sources.Sources.writeJsonl(
+        graft.operators.Attributes.attributesRecords(
+          docs, "doc_id", "text", minWords = 10),
+        path, gzip = false, numFiles = Some(2))
+      val sidecar = graft.operators.Attributes.readAttributes(s, path)
+      import graft.operators.Attributes.attributeScore
+      graft.operators.Attributes.filterBySidecar(docs, "doc_id", sidecar,
+          a => attributeScore(a, "graft__gopher__pass") === 1.0d &&
+            attributeScore(a, "graft__quality_score") >= 0.7d &&
+            attributeScore(a, "graft__langid__en") === 1.0d)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- robots.txt parsing (r12 — RFC 9309, the corpus-membership
     //     gate of crawl compliance): four hostile-ish robots bodies —
     //     comments, Crawl-delay noise, a named group that must beat
@@ -5308,6 +5335,63 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the docs_attr_filter oracle: the recipe predicate recomputed
+    // from raw text — gopher pass (minWords 10), composite quality
+    // >= 0.7, langid 'en' — over the same replayed signal chain as
+    // docs_attributes
+    "docs_attr_filter" -> {
+      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+      val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
+        val hits = ms.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+          .mkString(" + ")
+        s"$hits AS s_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val pick = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+      s"""WITH f AS (
+         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
+         |    list_filter(string_split(lower(replace(replace(text, chr(10), ' '), chr(9), ' ')), ' '), x -> length(x) > 0) AS gtoks,
+         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |m AS (
+         |  SELECT doc_id, text, toks, p, cjk,
+         |    len(gtoks) AS nw,
+         |    CASE WHEN len(gtoks) > 0 THEN round(list_sum(list_transform(gtoks, x -> length(x)))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(gtoks) > 0 THEN round(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS alpha,
+         |    CASE WHEN len(gtoks) > 0 THEN round(((length(text) - length(replace(text, '...', ''))) / 3 + length(text) - length(replace(text, '#', '')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS sym,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS bullet,
+         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS ell,
+         |    len(list_filter(gtoks, x -> list_contains([$sw], x))) AS nsw,
+         |    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6) ELSE 0.0 END AS swr,
+         |    round((length(text) - length(regexp_replace(text, '\\p{P}', '', 'g')))::DOUBLE / length(text), 6) AS punct
+         |  FROM f),
+         |lng AS (
+         |  SELECT doc_id,
+         |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+         |         ELSE (CASE WHEN mx <= 0 THEN 'und' $pick ELSE 'und' END)
+         |    END AS lang
+         |  FROM (SELECT *, $maxExpr AS mx
+         |        FROM (SELECT doc_id, text, cjk, $scoreSql FROM m))),
+         |r AS (
+         |  SELECT m.doc_id, l.lang,
+         |    (m.nw BETWEEN 10 AND 100000) AND (m.mwl BETWEEN 3.0 AND 10.0)
+         |      AND m.alpha >= 0.8 AND m.sym <= 0.1 AND m.bullet <= 0.9
+         |      AND m.ell <= 0.3 AND m.nsw >= 2 AS gpass,
+         |    round(CAST((CASE WHEN length(m.text) BETWEEN 100 AND 10000 THEN 1.0
+         |             WHEN length(m.text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+         |          (CASE WHEN m.punct < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+         |          (CASE WHEN m.swr > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+         |          AS DOUBLE), 6) AS q
+         |  FROM m JOIN lng l USING (doc_id))
+         |SELECT doc_id FROM r
+         |WHERE gpass AND q >= 0.7 AND lang = 'en'
+         |ORDER BY doc_id""".stripMargin
     },
 
     // the docs_attributes oracle: every per-doc signal replayed —

@@ -200,4 +200,48 @@ object Attributes {
     flat.select(col(idCol).cast("string").as("id"),
       attrs.as("attributes"))
   }
+
+  /** The sidecar's JSONL schema — what [[readAttributes]] enforces
+    * (corpus-scale reads never pay the infer-scan).
+    */
+  val sidecarSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("attributes",
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))))
+
+  /** Read a Dolma attribute sidecar (as written by
+    * [[attributesRecords]] → writeJsonl) back as (id, attributes).
+    */
+  def readAttributes(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(sidecarSchema).json(path)
+
+  /** The first-span SCORE of attribute `key` from a sidecar
+    * `attributes` map column — null when absent (docs with no text
+    * export an empty map, so score predicates drop them naturally).
+    */
+  def attributeScore(attrCol: Column, key: String): Column =
+    element_at(element_at(element_at(attrCol, key), 1), 3)
+
+  /** The filter-decision half of the Dolma convention (the reason
+    * the sidecar exists): join `docs` to a previously-written
+    * attribute sidecar by id and keep rows whose `predicate` over
+    * [[attributeScore]] columns holds. Signals are NOT recomputed —
+    * a recipe change re-runs this cheap join, not the signal scan.
+    * Shape: one shuffle join on the id (broadcast when the sidecar
+    * is small; at corpus scale both sides bucket by id upstream).
+    */
+  def filterBySidecar(docs: DataFrame, idCol: String,
+      sidecar: DataFrame, predicate: Column => Column): DataFrame = {
+    val side = sidecar.select(col("id"), col("attributes").as("__attrs"))
+    docs.join(side, docs(idCol).cast("string") === side("id"))
+      .filter(predicate(col("__attrs")))
+      .drop("id", "__attrs")
+  }
 }

@@ -65,4 +65,25 @@ class AttributesSpec extends SparkSpec {
       .head().getDouble(0)
     assert(spans("graft__stopword_ratio") === List(List(0.0, n, swr)))
   }
+
+  test("filterBySidecar: recipe predicates evaluate over sidecar " +
+      "scores only; docs with empty attribute maps drop naturally " +
+      "(r14)") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog run on the hill at dawn with a pack of friends and it is a fine day for all of them to be out in the sun " * 2),
+      (2L, "### 1 2 ### 3 4 ###"),
+      (3L, null: String)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("attr_fb")
+      .toString + "/side"
+    graft.sources.Sources.writeJsonl(
+      Attributes.attributesRecords(docs, "doc_id", "text", minWords = 5),
+      dir, gzip = false, numFiles = Some(1))
+    val sidecar = Attributes.readAttributes(spark, dir)
+    import Attributes.attributeScore
+    val kept = Attributes.filterBySidecar(docs, "doc_id", sidecar,
+        a => attributeScore(a, "graft__gopher__pass") === 1.0d &&
+          attributeScore(a, "graft__langid__en") === 1.0d)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L), s"kept $kept")
+  }
 }
