@@ -3111,6 +3111,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- MP3 frame-header metadata (r14 — the crawl metadata an
+    //     audio corpus needs without touching the patent-encumbered
+    //     decode side: rate/channels/frames/duration/mean-bitrate
+    //     from the public ISO 11172-3 header layout): sample rates
+    //     cycle the table, mono on even ids, CBR 128 on id%4==0 vs
+    //     a VBR bitrate-index cycle, ID3v2 prefixes on id%3==0 and
+    //     ID3v1 trailers on id%5==0. The oracle replays the bitrate
+    //     table, frame walk, integer duration and the mean. Degrades:
+    //     %19 magic, %13 mid-frame truncation.
+    "mm_audio_mp3_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMp3Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withMp3Meta(media, "payload", "m3")
+        .select(col("media_id"), col("m3.format").as("format"),
+          col("m3.sample_rate").as("sample_rate"),
+          col("m3.channels").as("channels"),
+          col("m3.n_frames").as("n_frames"),
+          col("m3.duration_ms").as("duration_ms"),
+          round(col("m3.kbps_mean"), 6).as("kbps_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- EPUB text extraction (r14 — the book-corpus slice; OCF
     //     zip + OPF spine + XHTML, composed from the existing zip
     //     reader and the stripHtml semantics mirrored JVM-side):
@@ -6798,6 +6820,38 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_audio_mp3_meta oracle: the MPEG-1 Layer III bitrate
+    // table as a list literal, per-frame kbps from the id formulas,
+    // integer duration, plain mean
+    "mm_audio_mp3_meta" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 + 3 AS n,
+        |    [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS rate,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch
+        |  FROM documents WHERE doc_id < 60),
+        |fr AS (
+        |  SELECT i.media_id, k.g AS k,
+        |    CASE WHEN i.media_id % 4 = 0 THEN 128
+        |      ELSE [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+        |        [CAST((i.media_id + k.g) % 14 AS INT) + 1] END AS kbps
+        |  FROM ids i, generate_series(0, 9) AS k(g) WHERE k.g < i.n),
+        |agg AS (
+        |  SELECT media_id, count(*) AS nf, avg(kbps) AS mk
+        |  FROM fr GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'mp3' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.rate AS INT) END AS sample_rate,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.ch AS INT) END AS channels,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(a.nf AS INT) END AS n_frames,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(a.nf * 1152 * 1000 // i.rate AS BIGINT) END AS duration_ms,
+        |  CASE WHEN b.c THEN NULL ELSE round(a.mk, 6) END AS kbps_mean
+        |FROM ids i JOIN agg a USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_epub_text oracle: each chapter's stripped text rebuilt
     // closed-form — heading + body with the &amp; entity decoded —

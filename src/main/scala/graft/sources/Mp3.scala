@@ -1,0 +1,133 @@
+package graft.sources
+
+/** MP3 frame-HEADER metadata (r14) — MPEG-1 Audio Layer III frame
+  * headers per the public ISO/IEC 11172-3 layout: sync walk, the
+  * 14-entry bitrate table, the 3-entry sample-rate table, padding,
+  * channel mode, 1152 samples/frame. This yields the crawl metadata
+  * an audio corpus needs (duration, rate, channels, CBR/VBR mean
+  * bitrate) WITHOUT decoding audio — the synthesis filterbank /
+  * huffman decode side stays out of scope (the H.264 stance on the
+  * audio side; headers are pure layout). ID3v2 prefixes skip by
+  * their syncsafe size; an ID3v1 "TAG" trailer (128 bytes) and
+  * trailing junk after the last frame end the walk cleanly (the
+  * FLAC r14 convention).
+  *
+  * Declared boundaries: MPEG-2/2.5 and Layers I/II return null
+  * (different tables and frame math — add when a corpus needs
+  * them), as do free-format bitrate (index 0) and reserved codes.
+  * Total function: malformed payloads return null, never throw.
+  */
+object Mp3 {
+
+  /** kbps for MPEG-1 Layer III bitrate indices 1–14. */
+  private[sources] val BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** Hz for MPEG-1 sample-rate indices 0–2. */
+  private[sources] val SampleRateHz: Array[Int] = Array(44100, 48000, 32000)
+
+  private val SamplesPerFrame = 1152
+  private val MaxFrames = 1 << 20
+
+  /** Parsed stream metadata: `durationMs` is
+    * n_frames·1152·1000 / sampleRate in integer arithmetic;
+    * `kbpsMean` is the plain mean of per-frame bitrates (equals the
+    * bitrate for CBR), rounded to 6 decimals.
+    */
+  final case class Mp3Meta(sampleRate: Int, channels: Int,
+      nFrames: Int, durationMs: Long, kbpsMean: Double)
+
+  def parseMeta(b: Array[Byte]): Mp3Meta = {
+    try parseInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def parseInner(b: Array[Byte]): Mp3Meta = {
+    if (b == null || b.length < 4) return null
+    var pos = 0
+    // ID3v2: "ID3" + version(2) + flags + syncsafe 28-bit size
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      pos = 10 + size
+      if (pos >= b.length) return null
+    }
+    var rate = -1; var channels = -1
+    var nFrames = 0
+    var kbpsSum = 0L
+    var stop = false
+    while (!stop && pos + 4 <= b.length) {
+      val h0 = b(pos) & 0xFF; val h1 = b(pos + 1) & 0xFF
+      val isSync = h0 == 0xFF && (h1 & 0xE0) == 0xE0
+      if (!isSync) {
+        // trailing junk / ID3v1 trailer after >= 1 frame: clean stop
+        if (nFrames > 0) stop = true else return null
+      } else {
+        val version = (h1 >> 3) & 0x03 // 3 = MPEG-1
+        val layer = (h1 >> 1) & 0x03   // 1 = Layer III
+        if (version != 3 || layer != 1) return null // declared boundary
+        val h2 = b(pos + 2) & 0xFF
+        val brIdx = (h2 >> 4) & 0x0F
+        val srIdx = (h2 >> 2) & 0x03
+        val padding = (h2 >> 1) & 0x01
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+        val h3 = b(pos + 3) & 0xFF
+        val chMode = (h3 >> 6) & 0x03 // 3 = mono
+        val ch = if (chMode == 3) 1 else 2
+        val sr = SampleRateHz(srIdx)
+        if (rate < 0) { rate = sr; channels = ch }
+        else if (rate != sr || channels != ch) return null
+        val kbps = BitrateKbps(brIdx)
+        val frameSize = 144 * (kbps * 1000) / sr + padding
+        if (frameSize < 4 || pos + frameSize > b.length) return null
+        kbpsSum += kbps
+        nFrames += 1
+        if (nFrames > MaxFrames) return null
+        pos += frameSize
+      }
+    }
+    if (nFrames == 0 || rate <= 0) return null
+    val durationMs = nFrames.toLong * SamplesPerFrame * 1000L / rate
+    val mean = math.rint(kbpsSum.toDouble / nFrames * 1e6) / 1e6
+    Mp3Meta(rate, channels, nFrames, durationMs, mean)
+  }
+
+  // ============================================== fixture encoder
+
+  /** Deterministic MPEG-1 Layer III frame-sequence writer for
+    * fixtures: one header + zero payload per frame (`bitrateIdx`
+    * per frame for VBR), optional ID3v2 prefix and ID3v1 trailer.
+    * Headers are valid for any MP3 parser; payloads are silence-
+    * shaped zeros (we parse headers, not audio).
+    */
+  def buildMp3(srIdx: Int, mono: Boolean, frames: Seq[Int],
+      id3v2Bytes: Int = 0, id3v1: Boolean = false): Array[Byte] = {
+    require(srIdx >= 0 && srIdx <= 2, s"srIdx $srIdx")
+    require(frames.forall(i => i >= 1 && i <= 14), "bitrate indices")
+    val out = new java.io.ByteArrayOutputStream
+    if (id3v2Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      out.write((id3v2Bytes >> 21) & 0x7F)
+      out.write((id3v2Bytes >> 14) & 0x7F)
+      out.write((id3v2Bytes >> 7) & 0x7F)
+      out.write(id3v2Bytes & 0x7F)
+      out.write(new Array[Byte](id3v2Bytes))
+    }
+    val sr = SampleRateHz(srIdx)
+    frames.foreach { brIdx =>
+      val kbps = BitrateKbps(brIdx)
+      val frameSize = 144 * (kbps * 1000) / sr // padding 0
+      out.write(0xFF)
+      out.write(0xE0 | (3 << 3) | (1 << 1) | 1) // MPEG-1, Layer III, no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // padding 0, private 0
+      out.write(if (mono) 0xC0 else 0x40) // mono / joint stereo
+      out.write(new Array[Byte](frameSize - 4))
+    }
+    if (id3v1) {
+      out.write("TAG".getBytes("US-ASCII"))
+      out.write(new Array[Byte](125))
+    }
+    out.toByteArray
+  }
+}

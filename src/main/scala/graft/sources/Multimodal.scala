@@ -167,6 +167,25 @@ object Multimodal {
     if (b.length >= 58 && b(0) == 'P' && b(1) == 'K' &&
         ascii(b, 30, "mimetype") && ascii(b, 38, "application/epub+zip"))
       return MediaHeader("epub", 0, 0, 0, 0)
+    // MP3: ID3v2 prefix or a bare MPEG-1 Layer III sync — rate and
+    // channels from the FIRST frame header (the cheap header-only
+    // contract; the frame-walk surface is withMp3Meta)
+    locally {
+      var o = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3')
+        o = 10 + (((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+          ((b(8) & 0x7F) << 7) | (b(9) & 0x7F))
+      // h1 = 1111 101x: sync tail + MPEG-1 (11) + Layer III (01)
+      if (o >= 0 && o + 4 <= b.length && (b(o) & 0xFF) == 0xFF &&
+          (b(o + 1) & 0xFE) == 0xFA) {
+        val srIdx = (b(o + 2) >> 2) & 0x03
+        if (srIdx < 3) {
+          val ch = if (((b(o + 3) >> 6) & 0x03) == 3) 1 else 2
+          return MediaHeader("mp3", 0, 0,
+            Array(44100, 48000, 32000)(srIdx), ch)
+        }
+      }
+    }
     // WAV: RIFF....WAVE, then chunk walk for "fmt " (channels LE16 at
     // +10, sample rate LE32 at +12 from the chunk id). The walk runs
     // in Long: chunk sizes are untrusted, and a size near Int.MaxValue
@@ -3471,6 +3490,76 @@ object Multimodal {
         val out =
           if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
           else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 40)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol`: MP3 frame-header metadata struct via
+    * [[Mp3.parseMeta]] (rate, channels, frame count, duration,
+    * mean bitrate — the crawl metadata, no audio decode); malformed
+    * / non-MPEG1-LayerIII payloads yield 'unknown'.
+    */
+  def withMp3Meta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("kbps_mean", DoubleType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Mp3.parseMeta(p)
+            if (m == null) Row("unknown", null, null, null, null, null)
+            else Row("mp3", m.sampleRate, m.channels, m.nFrames,
+              m.durationMs, m.kbpsMean)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic MP3 payload for media id `id` (r14): sample rate
+    * cycles the 3-entry table, mono on even ids, 3-7 frames; CBR at
+    * 128 kbps on id%4==0, otherwise a VBR bitrate-index cycle;
+    * ID3v2 prefix on id%3==0 and ID3v1 trailer on id%5==0 — all
+    * closed-form.
+    */
+  def synthMp3Payload(id: Long): Array[Byte] = {
+    val n = (id % 5 + 3).toInt
+    val frames =
+      if (id % 4 == 0) Seq.fill(n)(9) // CBR 128 kbps
+      else (0 until n).map(k => ((id + k) % 14 + 1).toInt)
+    Mp3.buildMp3((id % 3).toInt, mono = id % 2 == 0, frames,
+      id3v2Bytes = if (id % 3 == 0) 40 else 0,
+      id3v1 = id % 5 == 0)
+  }
+
+  /** Synthesize the MP3 media table: every 19th payload magic-
+    * corrupted, every 13th truncated INSIDE the first frame header
+    * region (a truncation after N complete frames is legitimately
+    * parseable — the trailing-junk tolerance — so the degrade plant
+    * must cut before any frame completes) — both degrade to
+    * 'unknown'.
+    */
+  def synthesizeMp3Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthMp3Payload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 5)
           else bytes
         Row(id, out)
       }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.{Mp3, Multimodal}
+
+class Mp3Spec extends SparkSpec {
+
+  test("MP3 frame-header metadata: the canonical 128kbps/44.1 header " +
+      "parses (0xFFFB90..), VBR means average per-frame bitrates, " +
+      "ID3v2 prefixes and ID3v1 trailers skip, a truncation after N " +
+      "complete frames parses as N frames (r14)") {
+    // canonical CBR: 3 frames of index 9 (= 128 kbps) at 44100 joint
+    val cbr = Mp3.buildMp3(0, mono = false, Seq(9, 9, 9))
+    // the famous header byte pattern: FF FB 90 ..
+    assert((cbr(0) & 0xFF) === 0xFF && (cbr(1) & 0xFF) === 0xFB)
+    assert((cbr(2) & 0xFF) === 0x90)
+    val m = Mp3.parseMeta(cbr)
+    assert(m != null)
+    assert(m.sampleRate === 44100 && m.channels === 2 && m.nFrames === 3)
+    assert(m.kbpsMean === 128.0)
+    assert(m.durationMs === 3L * 1152 * 1000 / 44100)
+    // VBR: indices 5 (64) and 11 (192) average to 128
+    val vbr = Mp3.parseMeta(Mp3.buildMp3(1, mono = true, Seq(5, 11)))
+    assert(vbr.sampleRate === 48000 && vbr.channels === 1)
+    assert(vbr.kbpsMean === 128.0)
+    // ID3v2 prefix + ID3v1 trailer both skip
+    val wrapped = Mp3.parseMeta(
+      Mp3.buildMp3(2, mono = true, Seq(9, 9), id3v2Bytes = 64,
+        id3v1 = true))
+    assert(wrapped != null && wrapped.sampleRate === 32000 &&
+      wrapped.nFrames === 2)
+    // truncation AFTER complete frames: the prefix is a valid
+    // shorter stream (what real parsers do) — n_frames reflects it
+    val frameSize = 144 * 128000 / 44100
+    val cut = Mp3.parseMeta(java.util.Arrays.copyOf(cbr, frameSize * 2))
+    assert(cut != null && cut.nFrames === 2)
+    // parseHeader first-frame contract
+    val hdr = Multimodal.parseHeader(cbr)
+    assert(hdr.format === "mp3" && hdr.sampleRate === 44100 &&
+      hdr.channels === 2)
+  }
+
+  test("MP3 boundaries: MPEG-2 / Layer II / free-format / reserved " +
+      "codes and mid-header truncation null; fuzz never throws (r14)") {
+    val good = Mp3.buildMp3(0, mono = false, Seq(9, 9))
+    def mut(i: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(i) = v.toByte; b
+    }
+    assert(Mp3.parseMeta(mut(1, 0xF2)) === null) // MPEG-2 version
+    assert(Mp3.parseMeta(mut(1, 0xFD)) === null) // Layer II
+    assert(Mp3.parseMeta(mut(2, 0x00)) === null) // free-format bitrate
+    assert(Mp3.parseMeta(mut(2, 0xF0)) === null) // bitrate index 15
+    assert(Mp3.parseMeta(mut(2, 0x9C)) === null) // samplerate index 3
+    assert(Mp3.parseMeta(java.util.Arrays.copyOf(good, 5)) === null)
+    assert(Mp3.parseMeta(null) === null)
+    assert(Mp3.parseMeta("junk bytes".getBytes) === null)
+    val rnd = new scala.util.Random(0x3303)
+    for (i <- 0 until 200) {
+      val b =
+        if (i % 3 == 0)
+          Array.fill(rnd.nextInt(600) + 1)(rnd.nextInt(256).toByte)
+        else {
+          val s = good.clone()
+          for (_ <- 0 to rnd.nextInt(6))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          if (i % 3 == 1) s.take(rnd.nextInt(s.length + 1)) else s
+        }
+      Mp3.parseMeta(b) // value or null, never throw
+    }
+  }
+}
