@@ -1578,6 +1578,77 @@ object Ann {
       .orderBy(col(probeIdCol), col("similarity").desc, col(corpusIdCol))
   }
 
+  /** Persist the STATIC probe side of a streaming semantic-
+    * decontamination screen (r14 — the streaming twin's setup step):
+    * the eval-suite probes replicated to their `nprobe` nearest
+    * clusters, written partitioned by cluster_id, plus the centroid
+    * matrix under `_centroids` (the [[ivfWriteIndex]] sidecar
+    * convention, readable by [[ivfReadCenters]]). The probe set is
+    * fixed per benchmark release, so this runs once; every arriving
+    * micro-batch screens against it via [[semContaminationScreen]].
+    */
+  def semContaminationWriteProbes(probes: DataFrame, probeIdCol: String,
+      probeVecCol: String, centers: Array[Array[Double]], nprobe: Int,
+      path: String): Unit = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val bcCenters = spark.sparkContext.broadcast(centers)
+    val np = math.min(nprobe, centers.length)
+    probes
+      .select(col(probeIdCol).cast("long"),
+        col(probeVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        if (v == null) Iterator.empty
+        else nearestClusters(bcCenters.value, v, np, "cosine").iterator
+          .map(c => (c, id, v))
+      }
+      .toDF("cluster_id", probeIdCol, probeVecCol)
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(path.stripSuffix("/") + "/probes")
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + "/_centroids")
+  }
+
+  /** Screen a (micro-)batch of corpus rows against a persisted
+    * [[semContaminationWriteProbes]] layout: assign rows to their
+    * home cluster with the SAVED centroids (no retrain — the
+    * [[ivfAppend]] discipline), join to the probe rows of matching
+    * clusters, keep round-6 cosine ≥ `simThreshold`. The probe side
+    * is eval-suite-sized — Spark broadcasts it; output matches the
+    * batch operator's (probeIdCol, corpusIdCol, similarity) contract
+    * at nprobe-as-written.
+    */
+  def semContaminationScreen(batch: DataFrame, idCol: String,
+      vecCol: String, path: String, simThreshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val centers = ivfReadCenters(spark, path)
+    val probes = spark.read.parquet(path.stripSuffix("/") + "/probes")
+    val probeIdCol = probes.columns
+      .filterNot(c => c == "cluster_id" || c == idCol)
+      .headOption.getOrElse(
+        throw new IllegalArgumentException("probe layout columns"))
+    require(probeIdCol != idCol,
+      "probe and corpus id columns must have distinct names")
+    val probeVecCol = probes.columns
+      .filterNot(c => c == "cluster_id" || c == probeIdCol).head
+    val assigned = assignWithCenters(
+      batch.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>").as("__v")),
+      "__v", centers, "cosine")
+    // bround = HALF_EVEN, matching the batch kernel's math.rint
+    val sim = bround(graft.functions.VectorFunctions.cosineSim(
+      col("__v"), col(probeVecCol).cast("array<double>")), 6)
+    assigned
+      .join(broadcast(probes), "cluster_id")
+      .withColumn("similarity", sim)
+      .filter(col("similarity") >= simThreshold)
+      .select(col(probeIdCol), col(idCol), col("similarity"))
+      .orderBy(col(probeIdCol), col("similarity").desc, col(idCol))
+  }
+
   /** Persist an IVF-partitioned corpus: one parquet partition per
     * cluster. A probe that filters `cluster_id IN (...)` is answered
     * with Catalyst partition PRUNING — only nprobe/nlist of the bytes

@@ -361,4 +361,31 @@ object EventStreams {
         fs.delete(new org.apache.hadoop.fs.Path(genRoot(n)), true))
       ()
     }
+
+  // -------------------------------------------------------------
+  // Continuous semantic decontamination (the streaming twin of
+  // Ann.semContaminationJoin)
+  // -------------------------------------------------------------
+
+  /** Screen every arriving micro-batch of (id, embedding) corpus
+    * rows against a PERSISTED eval-suite probe layout
+    * ([[graft.operators.Ann.semContaminationWriteProbes]] — run once
+    * per benchmark release): rows assign to their home cluster via
+    * the saved centroids, meet the probes of matching clusters, and
+    * contaminated pairs (round-6 cosine ≥ threshold) land under
+    * `pairsOut/batch_id=<n>` — the idempotent-partition replay
+    * discipline of the other streaming twins. The probe side is
+    * static, so no index mutation, no generation machinery: a
+    * replayed batch rewrites the identical partition.
+    */
+  def semContaminationStream(docs: DataFrame, idCol: String,
+      vecCol: String, probesPath: String, simThreshold: Double,
+      pairsOut: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Ann.semContaminationScreen(batch, idCol, vecCol,
+          probesPath, simThreshold)
+        .write.mode("overwrite")
+        .parquet(pairsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      ()
+    }
 }

@@ -330,4 +330,44 @@ class StreamingSpec extends SparkSpec {
       batchToken = "oob")
     assert(again.count() === 0L)
   }
+
+  test("semContaminationStream: accumulated streamed pairs == the " +
+      "batch screen over the arrived union; scaled twins caught " +
+      "across micro-batch boundaries (r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // probes: scaled copies of every 6th vector (cosine exactly 1)
+    val probes = emb.filter($"vec_id" % 6 === 1)
+      .select(($"vec_id" + 7000L).as("eval_id"),
+        transform($"v", x => x * lit(1.03d)).as("v"))
+    val centers = emb.filter($"vec_id" < 4).orderBy("vec_id")
+      .select($"v").as[Array[Double]].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("sem_stream")
+    val (layout, pairsOut, ckpt) = (s"$tmp/probes", s"$tmp/pairs", s"$tmp/ckpt")
+    Ann.semContaminationWriteProbes(probes, "eval_id", "v", centers,
+      nprobe = 2, layout)
+    val rows = emb.as[(Long, Array[Double])].collect()
+    val stream = MemoryStream[(Long, Array[Double])]
+    val q = graft.streaming.EventStreams.semContaminationStream(
+        stream.toDF().toDF("vec_id", "v"), "vec_id", "v",
+        layout, simThreshold = 0.995, pairsOut)
+      .option("checkpointLocation", ckpt)
+      .start()
+    rows.grouped(math.max(1, rows.length / 4)).foreach { g =>
+      stream.addData(g: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(pairsOut)
+      .select("eval_id", "vec_id").as[(Long, Long)].collect().toSet
+    val batch = Ann.semContaminationScreen(emb, "vec_id", "v",
+        layout, simThreshold = 0.995)
+      .select("eval_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+    // every planted twin caught
+    val nTwins = emb.filter($"vec_id" % 6 === 1).count()
+    assert(streamed.count { case (e, c) => e - 7000L == c } === nTwins)
+  }
 }
