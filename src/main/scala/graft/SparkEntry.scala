@@ -3111,6 +3111,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- DOCX text extraction (r14 — the office-document slice;
+    //     OOXML zip + word/document.xml <w:t> runs in <w:p>
+    //     paragraphs, ECMA-376): paragraph counts cycle 1-3, each
+    //     paragraph split across two runs (the real-document shape)
+    //     with an entity round trip. Full text hash-checked.
+    //     Degrades: %19 magic, %13 truncation.
+    "mm_docx_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeDocxBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withDocxText(media, "payload", "dx")
+        .select(col("media_id"), col("dx.format").as("format"),
+          col("dx.n_paragraphs").as("n_paragraphs"),
+          col("dx.n_chars").as("n_chars"),
+          col("dx.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- MP3 frame-header metadata (r14 — the crawl metadata an
     //     audio corpus needs without touching the patent-encumbered
     //     decode side: rate/channels/frames/duration/mean-bitrate
@@ -6820,6 +6837,32 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the mm_docx_text oracle: paragraphs rebuilt closed-form and
+    // joined with newlines
+    "mm_docx_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |para AS (
+        |  SELECT i.media_id, p.g AS p,
+        |    'memo ' || i.media_id || ' para ' || p.g || ' item' ||
+        |      ((i.media_id * 11 + p.g) % 83) || ' & done' AS ptext
+        |  FROM ids i, generate_series(0, 2) AS p(g) WHERE p.g < i.n),
+        |txt AS (
+        |  SELECT media_id, string_agg(ptext, chr(10) ORDER BY p) AS text
+        |  FROM para GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'docx' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_paragraphs,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_audio_mp3_meta oracle: the MPEG-1 Layer III bitrate
     // table as a list literal, per-frame kbps from the id formulas,

@@ -1,0 +1,110 @@
+package graft.sources
+
+/** DOCX text extraction (r14) — the office-document slice of a
+  * crawl's text mass, alongside PDF and EPUB: a DOCX is an OOXML
+  * zip (ECMA-376, public) whose body text lives in
+  * `word/document.xml` as `<w:t>` runs inside `<w:p>` paragraphs.
+  *
+  * Convention (regex-level, like the EPUB/OPF reader — not a full
+  * XML parser): paragraphs split on `<w:p>` open tags and join with
+  * newlines; within a paragraph every `<w:t …>…</w:t>` run
+  * concatenates in order, `<w:br/>` becomes a newline and
+  * `<w:tab/>` a tab; the five XML entities decode. Headers,
+  * footers, comments and embedded objects are out of the body
+  * stream and deliberately excluded. DRM/encrypted OOXML is an OLE
+  * container, not a zip — it fails the magic and nulls.
+  *
+  * Total function: malformed / truncated payloads return null.
+  */
+object Docx {
+
+  private val MaxBytes = 256 << 20
+
+  /** Extracted body text: paragraph count and paragraphs joined
+    * with \n (empty paragraphs dropped).
+    */
+  final case class DocxText(nParagraphs: Int, text: String)
+
+  private val ParaSplit = java.util.regex.Pattern.compile("<w:p[ />]")
+  private val RunPat = java.util.regex.Pattern.compile(
+    "<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:br\\s*/>|<w:tab\\s*/>",
+    java.util.regex.Pattern.DOTALL)
+
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  def extractText(b: Array[Byte]): DocxText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): DocxText = {
+    if (b == null || b.length < 22 || b.length > MaxBytes) return null
+    if (!(b(0) == 'P' && b(1) == 'K')) return null
+    var doc: String = null
+    try Containers.parseZipBytes(b).foreach { e =>
+      if (e.name == "word/document.xml")
+        doc = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    if (doc == null) return null
+    val paras = ParaSplit.split(doc).drop(1) // before the first <w:p>: prolog
+    val texts = paras.toSeq.map { p =>
+      val m = RunPat.matcher(p)
+      val sb = new java.lang.StringBuilder
+      while (m.find()) {
+        val run = m.group(1)
+        if (run != null) sb.append(decodeEntities(run))
+        else if (m.group().startsWith("<w:br")) sb.append('\n')
+        else sb.append('\t')
+      }
+      sb.toString
+    }
+    if (texts.isEmpty) return null
+    DocxText(texts.length, texts.filter(_.nonEmpty).mkString("\n"))
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal standard-layout DOCX writer for fixtures:
+    * [Content_Types].xml + _rels/.rels + word/document.xml, one
+    * `<w:p>` per paragraph with the text split into two `<w:t>`
+    * runs (the multi-run shape real documents have). Valid for any
+    * OOXML reader.
+    */
+  def buildDocx(paragraphs: Seq[String]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+      zip.putNextEntry(e)
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |  <Default Extension="xml" ContentType="application/xml"/>
+        |  <Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+        |</Types>""".stripMargin)
+    put("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+        |</Relationships>""".stripMargin)
+    val body = paragraphs.map { p =>
+      val (a, bTail) = p.splitAt(p.length / 2)
+      s"""<w:p><w:r><w:t xml:space="preserve">${esc(a)}</w:t></w:r>""" +
+        s"""<w:r><w:t xml:space="preserve">${esc(bTail)}</w:t></w:r></w:p>"""
+    }.mkString
+    put("word/document.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        s"<w:body>$body</w:body></w:document>")
+    zip.close()
+    bos.toByteArray
+  }
+}

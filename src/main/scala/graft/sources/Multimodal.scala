@@ -167,6 +167,12 @@ object Multimodal {
     if (b.length >= 58 && b(0) == 'P' && b(1) == 'K' &&
         ascii(b, 30, "mimetype") && ascii(b, 38, "application/epub+zip"))
       return MediaHeader("epub", 0, 0, 0, 0)
+    // OOXML (docx/xlsx/pptx): zip whose first member is
+    // [Content_Types].xml — the package-format tag; the docx text
+    // surface is withDocxText
+    if (b.length >= 50 && b(0) == 'P' && b(1) == 'K' &&
+        ascii(b, 30, "[Content_Types].xml"))
+      return MediaHeader("ooxml", 0, 0, 0, 0)
     // MP3: ID3v2 prefix or a bare MPEG-1 Layer III sync — rate and
     // channels from the FIRST frame header (the cheap header-only
     // contract; the frame-walk surface is withMp3Meta)
@@ -3560,6 +3566,61 @@ object Multimodal {
         val out =
           if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
           else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 5)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Append `outCol`: DOCX body-text struct via
+    * [[Docx.extractText]]; malformed payloads yield 'unknown'.
+    */
+  def withDocxText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_paragraphs", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Docx.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("docx", t.nParagraphs, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic DOCX payload for media id `id` (r14): 1-3
+    * paragraphs by id%3, each closed-form in (id, p), with an
+    * ampersand so entity escape/decode round-trips.
+    */
+  def synthDocxPayload(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    Docx.buildDocx((0 until n).map(p =>
+      s"memo $id para $p item${(id * 11 + p) % 83} & done"))
+  }
+
+  /** Synthesize the DOCX media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeDocxBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthDocxPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 40)
           else bytes
         Row(id, out)
       }

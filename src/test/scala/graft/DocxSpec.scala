@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.{Docx, Multimodal}
+
+class DocxSpec extends SparkSpec {
+
+  test("DOCX round trips: paragraphs in order, multi-run text " +
+      "reassembles, entities decode, w:br and w:tab render; " +
+      "parseHeader tags ooxml (r14)") {
+    val paras = Seq("first paragraph & more", "second <tagged> text")
+    val t = Docx.extractText(Docx.buildDocx(paras))
+    assert(t != null && t.nParagraphs === 2)
+    assert(t.text === "first paragraph & more\nsecond <tagged> text")
+    assert(Multimodal.parseHeader(Docx.buildDocx(paras)).format === "ooxml")
+    // hand-assembled document.xml with br/tab and attribute-bearing
+    // w:t, independent of the builder
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(("""<w:document><w:body>""" +
+      """<w:p><w:r><w:t xml:space="preserve">a</w:t></w:r>""" +
+      """<w:br/><w:r><w:t>b</w:t></w:r><w:tab/><w:r><w:t>c</w:t></w:r></w:p>""" +
+      """<w:p/>""" + // empty paragraph drops from text, counts in n
+      """<w:p><w:r><w:t>last</w:t></w:r></w:p>""" +
+      """</w:body></w:document>""").getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    val h = Docx.extractText(bos.toByteArray)
+    assert(h != null && h.nParagraphs === 3)
+    assert(h.text === "a\nb\tc\nlast")
+  }
+
+  test("DOCX boundaries: missing document.xml / magic / truncation " +
+      "null; fuzz never throws (r14)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("other.xml"))
+    zip.write("<x/>".getBytes); zip.closeEntry(); zip.close()
+    assert(Docx.extractText(bos.toByteArray) === null)
+    val good = Docx.buildDocx(Seq("body"))
+    val bad = good.clone(); bad(0) = 'X'
+    assert(Docx.extractText(bad) === null)
+    assert(Docx.extractText(java.util.Arrays.copyOf(good, 30)) === null)
+    assert(Docx.extractText(null) === null)
+    val rnd = new scala.util.Random(0xD0C5)
+    for (i <- 0 until 150) {
+      val s = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          Docx.extractText(s)
+        case 1 => Docx.extractText(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Docx.extractText(
+          Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+}
