@@ -1215,10 +1215,18 @@ object Ann {
     val train =
       if (trainFraction < 1.0) feat.sample(withReplacement = false, trainFraction, seed)
       else feat
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__features").setPredictionCol("cluster_id")
-      .fit(train)
+    // persist the train features for the fit (r14): k-means|| init
+    // alone runs several full passes, and MLlib does not cache its
+    // input — without this every init step and Lloyd iteration
+    // recomputes the normalize + array_to_vector pipeline (and
+    // whatever produced the corpus upstream)
+    val trainP = train.select(col("__features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = try new KMeans()
+        .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+        .setFeaturesCol("__features").setPredictionCol("cluster_id")
+        .fit(trainP)
+      finally trainP.unpersist()
     val centers = model.clusterCenters.map(_.toArray)
     // cosine: assign with the same cosine-argmin kernel the probe
     // router uses — MLlib's transform assigns by L2 in the normalized
