@@ -2248,6 +2248,33 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- License detection (r14 — the code-corpus curation gate:
+    //     permissive-license filtering before training, The Stack
+    //     convention): headers plant by id%8 — a machine-readable
+    //     SPDX tag, five canonical phrase families (MIT / Apache /
+    //     BSD-3 vs BSD-2 by the neither-the-name clause / GPL-3),
+    //     an SPDX EXPRESSION (labels as written, NOT permissive),
+    //     and a bare document (unknown). The oracle rebuilds the
+    //     planted text and replays the tag-wins + ordered-phrase
+    //     CASE chain and the permissive set.
+    "docs_license" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val header = element_at(array(
+        lit("// SPDX-License-Identifier: MIT\n"),
+        lit("/* Permission is hereby granted, free of charge, to any person */\n"),
+        lit("// Licensed under the Apache License, Version 2.0 (the License)\n"),
+        lit("# Redistribution and use in source and binary forms... Neither the name of X\n"),
+        lit("# Redistribution and use in source and binary forms, with or without\n"),
+        lit("// This program is free software: GNU General Public License, version 3\n"),
+        lit("// SPDX-License-Identifier: Apache-2.0 OR MIT\n"),
+        lit("")), (pmod(col("doc_id"), lit(8L)) + 1).cast("int"))
+      val planted = docs.withColumn("text",
+        when(col("text").isNotNull, concat(header, col("text"))))
+      graft.operators.License.withLicense(planted, "text")
+        .select(col("doc_id"), col("license"), col("permissive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Quality-attribute EXPORT (r14, VERDICT r13 missing #4 —
     //     the Dolma attribute-record convention): every per-doc
     //     quality signal (gopher rule stack, repetition, langid,
@@ -5383,6 +5410,58 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the docs_license oracle: planted headers rebuilt, the SPDX
+    // extraction and the ordered phrase CASE replayed over the
+    // lowercased 4000-char head, the permissive set as a literal
+    "docs_license" ->
+      """WITH hdr AS (
+        |  SELECT doc_id, text,
+        |    ['// SPDX-License-Identifier: MIT' || chr(10),
+        |     '/* Permission is hereby granted, free of charge, to any person */' || chr(10),
+        |     '// Licensed under the Apache License, Version 2.0 (the License)' || chr(10),
+        |     '# Redistribution and use in source and binary forms... Neither the name of X' || chr(10),
+        |     '# Redistribution and use in source and binary forms, with or without' || chr(10),
+        |     '// This program is free software: GNU General Public License, version 3' || chr(10),
+        |     '// SPDX-License-Identifier: Apache-2.0 OR MIT' || chr(10),
+        |     ''][CAST(doc_id % 8 AS INT) + 1] AS h
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NOT NULL THEN h || text END AS t
+        |  FROM hdr),
+        |det AS (
+        |  SELECT doc_id, t,
+        |    trim(regexp_extract(t, 'SPDX-License-Identifier:[ \t]*([^\r\n]+)', 1)) AS spdx,
+        |    lower(substring(t, 1, 4000)) AS head
+        |  FROM pt),
+        |lab AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN t IS NULL THEN NULL
+        |      WHEN length(spdx) > 0 THEN spdx
+        |      WHEN head LIKE '%permission is hereby granted, free of charge%' THEN 'MIT'
+        |      WHEN head LIKE '%apache license, version 2.0%' THEN 'Apache-2.0'
+        |      WHEN head LIKE '%redistribution and use in source and binary forms%'
+        |        AND head LIKE '%neither the name%' THEN 'BSD-3-Clause'
+        |      WHEN head LIKE '%redistribution and use in source and binary forms%' THEN 'BSD-2-Clause'
+        |      WHEN head LIKE '%this is free and unencumbered software%' THEN 'Unlicense'
+        |      WHEN head LIKE '%permission to use, copy, modify, and/or distribute this software%' THEN 'ISC'
+        |      WHEN head LIKE '%gnu lesser general public license%'
+        |        AND head LIKE '%version 3%' THEN 'LGPL-3.0'
+        |      WHEN head LIKE '%gnu lesser general public license%' THEN 'LGPL-2.1'
+        |      WHEN head LIKE '%gnu general public license%'
+        |        AND head LIKE '%version 3%' THEN 'GPL-3.0'
+        |      WHEN head LIKE '%gnu general public license%' THEN 'GPL-2.0'
+        |      WHEN head LIKE '%mozilla public license%'
+        |        AND head LIKE '%2.0%' THEN 'MPL-2.0'
+        |      ELSE 'unknown' END AS license
+        |  FROM det)
+        |SELECT doc_id, license,
+        |  CASE WHEN t IS NULL THEN NULL
+        |    ELSE license IN ('MIT', 'Apache-2.0', 'BSD-2-Clause',
+        |      'BSD-3-Clause', 'ISC', 'Unlicense', '0BSD', 'Zlib') END
+        |    AS permissive
+        |FROM lab ORDER BY doc_id""".stripMargin,
 
     // the docs_attr_filter oracle: the recipe predicate recomputed
     // from raw text — gopher pass (minWords 10), composite quality

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** License detection (r14) — the code-corpus curation gate: open
+  * dataset pipelines (The Stack, StarCoder-class) filter source
+  * files to permissive licenses before training, and the signal is
+  * a deterministic scan of the file's header text: an explicit
+  * `SPDX-License-Identifier:` tag when present (the machine-readable
+  * convention), else canonical license-text phrases. Everything here
+  * is plain lowercase substring / one RE2-safe extraction — an
+  * oracle replays every decision in SQL.
+  *
+  * Conventions (declared): the SPDX tag wins over phrase evidence;
+  * phrase checks run in the [[phraseRules]] order and the FIRST hit
+  * labels the file (the order puts more-specific phrases before
+  * generic ones — BSD before its GPL-adjacent wording, version-3
+  * GPL before version-2); files with neither are `unknown`.
+  * `permissive` covers MIT / Apache-2.0 / BSD-2/3-Clause / ISC /
+  * Unlicense (MPL-2.0 is weak-copyleft — NOT permissive; GPL/LGPL
+  * are copyleft). SPDX expressions (`MIT OR Apache-2.0`) take the
+  * raw expression string as the label and classify permissive only
+  * when the expression is a single known-permissive id.
+  */
+object License {
+
+  /** Detection phrases per license id, in evaluation order. All
+    * lowercase; matched against the lowercased head of the file.
+    */
+  val phraseRules: Seq[(String, Seq[String])] = Seq(
+    "MIT" -> Seq("permission is hereby granted, free of charge"),
+    "Apache-2.0" -> Seq("apache license, version 2.0"),
+    "BSD-3-Clause" -> Seq(
+      "redistribution and use in source and binary forms",
+      "neither the name"),
+    "BSD-2-Clause" -> Seq(
+      "redistribution and use in source and binary forms"),
+    "Unlicense" -> Seq("this is free and unencumbered software"),
+    "ISC" -> Seq(
+      "permission to use, copy, modify, and/or distribute this software"),
+    "LGPL-3.0" -> Seq("gnu lesser general public license",
+      "version 3"),
+    "LGPL-2.1" -> Seq("gnu lesser general public license"),
+    "GPL-3.0" -> Seq("gnu general public license", "version 3"),
+    "GPL-2.0" -> Seq("gnu general public license"),
+    "MPL-2.0" -> Seq("mozilla public license", "2.0"))
+
+  /** License ids classified permissive for the curation filter. */
+  val permissiveIds: Set[String] = Set(
+    "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "ISC",
+    "Unlicense", "0BSD", "Zlib")
+
+  /** RE2-safe SPDX tag extraction: the identifier text after
+    * `SPDX-License-Identifier:` to end of line, trimmed. Case of the
+    * tag keyword follows the SPDX spec (exact); the id keeps its
+    * written case.
+    */
+  val spdxPattern: String = "SPDX-License-Identifier:[ \\t]*([^\\r\\n]+)"
+
+  /** The detected license id column: SPDX tag if present, else the
+    * first phrase-rule hit over the lowercased first `headChars`
+    * characters, else 'unknown'. Pure expressions, one projection.
+    */
+  def licenseId(text: Column, headChars: Int = 4000): Column = {
+    val spdx = trim(regexp_extract(text, spdxPattern, 1))
+    val head = lower(substring(text, 1, headChars))
+    val phrase = phraseRules.reverse.foldLeft(lit("unknown")) {
+      case (acc, (id, phrases)) =>
+        when(phrases.map(p => head.contains(lit(p))).reduce(_ && _),
+          lit(id)).otherwise(acc)
+    }
+    when(length(spdx) > 0, spdx).otherwise(phrase)
+  }
+
+  /** Permissive classification of a [[licenseId]] value. */
+  def isPermissive(license: Column): Column =
+    license.isin(permissiveIds.toSeq: _*)
+
+  /** Append `license` and `permissive` columns. */
+  def withLicense(df: DataFrame, textCol: String,
+      headChars: Int = 4000): DataFrame = {
+    val id = licenseId(col(textCol), headChars)
+    df.withColumn("license",
+        when(col(textCol).isNotNull, id))
+      .withColumn("permissive",
+        when(col(textCol).isNotNull, isPermissive(col("license"))))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.License
+
+class LicenseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("license detection: SPDX tag wins over phrases, ordered phrase " +
+      "rules (BSD-3 before BSD-2, LGPL before GPL, version-3 before " +
+      "version-2), SPDX expressions label as written but are not " +
+      "permissive, detection stops at headChars (r14)") {
+    def lic(text: String): (String, Boolean) = {
+      val r = License.withLicense(Seq((1L, text)).toDF("id", "text"), "text")
+        .select($"license", $"permissive").head()
+      (r.getString(0), r.getBoolean(1))
+    }
+    // SPDX beats a contradicting phrase
+    assert(lic("// SPDX-License-Identifier: GPL-3.0-only\n" +
+      "Permission is hereby granted, free of charge") ===
+      ("GPL-3.0-only", false))
+    assert(lic("Permission is hereby granted, free of charge, ...") ===
+      ("MIT", true))
+    assert(lic("Licensed under the Apache License, Version 2.0") ===
+      ("Apache-2.0", true))
+    // BSD-3 needs the neither-the-name clause; BSD-2 without it
+    assert(lic("Redistribution and use in source and binary forms ... " +
+      "Neither the name of the project") === ("BSD-3-Clause", true))
+    assert(lic("Redistribution and use in source and binary forms") ===
+      ("BSD-2-Clause", true))
+    // LGPL wins over the generic GPL phrase; version 3 over 2
+    assert(lic("GNU Lesser General Public License, version 3")._1 ===
+      "LGPL-3.0")
+    assert(lic("GNU General Public License version 3") ===
+      ("GPL-3.0", false))
+    assert(lic("GNU General Public License, version 2") ===
+      ("GPL-2.0", false))
+    assert(lic("Mozilla Public License 2.0") === ("MPL-2.0", false))
+    assert(lic("This is free and unencumbered software released") ===
+      ("Unlicense", true))
+    // SPDX expression: raw label, not a single permissive id
+    assert(lic("# SPDX-License-Identifier: MIT OR GPL-3.0") ===
+      ("MIT OR GPL-3.0", false))
+    // no evidence
+    assert(lic("just some prose about nothing") === ("unknown", false))
+    // detection stops at headChars: a phrase buried past the head
+    val buried = ("x" * 5000) +
+      "Permission is hereby granted, free of charge"
+    assert(lic(buried)._1 === "unknown")
+    // null text: null columns
+    val r = License.withLicense(
+        Seq((1L, null: String)).toDF("id", "text"), "text")
+      .select($"license", $"permissive").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
