@@ -2248,6 +2248,29 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- Markdown → text (r14 — the GitHub/docs corpus member of
+    //     the strip family, beside stripHtml/extractMain): one
+    //     markdown document per doc_id exercising every rule —
+    //     headings, images before links, fence lines (content KEPT —
+    //     code is corpus text), bullet/numbered/blockquote markers,
+    //     horizontal rules, bold pairs and inline backticks. The
+    //     rule list is SHARED verbatim with the oracle (markdownRules
+    //     — the langProfiles discipline), so the declared semantics
+    //     replay rule-for-rule in SQL.
+    "text_markdown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val md = concat(
+        lit("# Title "), id,
+        lit("\n\nIntro [link "), id, lit("](http://x) and ![img "), id,
+        lit("](y.png)\n\n```\ncode_line "), id,
+        lit("\n```\n- item "), id, lit("\n1. step "), id,
+        lit("\n> quote "), id, lit("\n---\n**bold"), id,
+        lit("** and `tick` end"))
+      docs.select(id, TextFunctions.stripMarkdown(md).as("text"))
+        .orderBy(id)
+    }),
+
     // --- License detection (r14 — the code-corpus curation gate:
     //     permissive-license filtering before training, The Stack
     //     convention): headers plant by id%8 — a machine-readable
@@ -5409,6 +5432,36 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ellipsis,
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the text_markdown oracle: the same markdown built closed-form
+    // and the SAME rule list replayed (patterns verbatim from
+    // markdownRules; {1} maps to RE2's rewrite group syntax)
+    "text_markdown" -> {
+      val chain = TextFunctions.markdownRules.foldLeft("md") {
+        case (expr, (pat, rep)) =>
+          val sqlRep = rep.replace("{1}", "\\1")
+          s"regexp_replace($expr, '$pat', '$sqlRep', 'g')"
+      }
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    '# Title ' || doc_id ||
+         |    chr(10) || chr(10) || 'Intro [link ' || doc_id ||
+         |    '](http://x) and ![img ' || doc_id ||
+         |    '](y.png)' || chr(10) || chr(10) || '```' || chr(10) ||
+         |    'code_line ' || doc_id ||
+         |    chr(10) || '```' || chr(10) || '- item ' || doc_id ||
+         |    chr(10) || '1. step ' || doc_id ||
+         |    chr(10) || '> quote ' || doc_id ||
+         |    chr(10) || '---' || chr(10) || '**bold' || doc_id ||
+         |    '** and struckcode end' AS md0
+         |  FROM documents),
+         |m AS (SELECT doc_id, replace(md0, 'struckcode', chr(96) || 'tick' || chr(96)) AS md FROM src)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace($chain, '\n{3,}',
+         |      chr(10) || chr(10), 'g'),
+         |    '(?s)^\\s+|\\s+$$', '', 'g') AS text
+         |FROM m ORDER BY doc_id""".stripMargin
     },
 
     // the docs_license oracle: planted headers rebuilt, the SPDX

@@ -316,6 +316,45 @@ object TextFunctions {
     * `<` with no closing `>` stays text — the cleaning contract is
     * deterministic and engine-replicable, not a browser parser.
     */
+  /** Markdown → text rules (r14): RE2-safe (inline (?m), no
+    * lookaround, no backreferences in patterns) and shared verbatim
+    * with the SQL twin — the replacement marker `{1}` maps to the
+    * engine's capture syntax ($1 Spark, \\1 DuckDB). Order matters:
+    * images before links (the leading `!`), structural line markers
+    * after the inline forms. Declared conventions: fence LINES are
+    * removed and fenced content KEPT (code is corpus text); inline
+    * backticks and doubled emphasis (** / __) strip, single * _ ~
+    * stay (snake_case and math survive); horizontal-rule lines of
+    * dashes vanish via the list/heading passes only when marked —
+    * a plain `---` line strips to empty through the hr rule.
+    */
+  val markdownRules: Seq[(String, String)] = Seq(
+    "(?m)^(?:```|~~~)[^\n]*$" -> "",            // code-fence lines
+    "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "{1}",    // images -> alt text
+    "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "{1}",     // links -> link text
+    "(?m)^#{1,6}[ \\t]+" -> "",                // heading markers
+    "(?m)^[ \\t]*>[ \\t]?" -> "",            // blockquote markers
+    "(?m)^[ \\t]*[-*+][ \\t]+" -> "",        // bullet markers
+    "(?m)^[ \\t]*[0-9]+\\.[ \\t]+" -> "",  // numbered markers
+    "(?m)^[-_]{3,}[ \\t]*$" -> "",             // horizontal rules
+    "\\*\\*|__|`" -> "")                     // bold pairs, inline code
+
+  /** Strip Markdown to text: the [[markdownRules]] fold plus the
+    * final blank-line collapse and trim. Inline in whole-stage
+    * codegen like [[stripHtml]]; the oracle replays the identical
+    * rule list.
+    */
+  def stripMarkdown(md: Column): Column = {
+    val stripped = markdownRules.foldLeft(md) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep.replace("{1}", "$1"))
+    }
+    // trim() strips spaces only - boundary whitespace incl.
+    // newlines needs the regex form (RE2-safe, twin-shared)
+    regexp_replace(
+      regexp_replace(stripped, "\\n{3,}", "\n\n"),
+      "(?s)^\\s+|\\s+$", "")
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")

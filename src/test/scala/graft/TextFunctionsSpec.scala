@@ -499,4 +499,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(g(4, "fail_ellipsis") && !g(4, "fail_bullet"))
     assert(g(5, "fail_mean_len"))
   }
+
+  test("stripMarkdown (r14): headings/links/images/fences/markers/" +
+      "rules/bold/backticks strip, fenced CONTENT and single " +
+      "underscores survive, blank runs collapse") {
+    def strip(md: String): String =
+      Seq(Tuple1(md)).toDF("md")
+        .select(TextFunctions.stripMarkdown($"md")).head().getString(0)
+    val md = "# Head\n\nSee [docs](http://d) and ![logo](l.png)\n\n" +
+      "```scala\nval snake_case = 1\n```\n" +
+      "- first\n2. second\n> quoted\n---\n**bold** `tick` it\n"
+    val out = strip(md)
+    assert(out === "Head\n\nSee docs and logo\n\nval snake_case = 1\n" +
+      "\nfirst\nsecond\nquoted\n\nbold tick it")
+    // single emphasis/underscore stays (snake_case, math)
+    assert(strip("a_b * c") === "a_b * c")
+    // blank-run collapse
+    assert(strip("a\n\n\n\n\nb") === "a\n\nb")
+  }
 }
