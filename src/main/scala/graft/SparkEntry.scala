@@ -2248,6 +2248,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- RSS/Atom feed extraction (r14 — the syndication slice:
+    //     per-item clean text beats the page chrome around it): RSS
+    //     on even ids (CDATA descriptions), Atom on odd (href
+    //     links), item counts cycling 1-3, an entity in every
+    //     description; %19 ids are NOT feeds and degrade to one
+    //     unknown row. The oracle rebuilds every exploded item row.
+    "docs_feed" -> ((s, dir) => {
+      import s.implicits._
+      val feeds = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.Sources.synthFeedText(id)))
+        .toDF("doc_id", "text")
+      graft.sources.Sources.withFeedItems(feeds, "text")
+        .select(col("doc_id"), col("feed_format"), col("feed_title"),
+          col("item_idx"), col("item_title"), col("item_link"),
+          col("item_desc"))
+        .orderBy(col("doc_id"), col("item_idx"))
+    }),
+
     // --- Markdown → text (r14 — the GitHub/docs corpus member of
     //     the strip family, beside stripHtml/extractMain): one
     //     markdown document per doc_id exercising every rule —
@@ -5433,6 +5451,30 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the docs_feed oracle: every exploded item row rebuilt from
+    // the id formulas; the &amp; entity decodes on both feed paths
+    "docs_feed" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |good AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS n FROM ids
+        |  WHERE doc_id % 19 <> 0),
+        |item AS (
+        |  SELECT g.doc_id, k.g AS k
+        |  FROM good g, generate_series(0, 2) AS k(g) WHERE k.g < g.n)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'channel ' || doc_id
+        |    ELSE 'feed ' || doc_id END AS feed_title,
+        |  CAST(k AS INT) AS item_idx,
+        |  'item ' || doc_id || '-' || k || ' title' AS item_title,
+        |  'http://ex.com/' || doc_id || '/' || k AS item_link,
+        |  'summary ' || doc_id || '-' || k || ' body & tail' AS item_desc
+        |FROM item
+        |UNION ALL
+        |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id, item_idx""".stripMargin,
 
     // the text_markdown oracle: the same markdown built closed-form
     // and the SAME rule list replayed (patterns verbatim from

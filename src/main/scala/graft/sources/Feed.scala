@@ -1,0 +1,137 @@
+package graft.sources
+
+/** RSS / Atom feed extraction (r14) — the syndication slice of a
+  * crawl: feed XML carries clean per-item (title, link, summary)
+  * text that makes better corpus material than the page chrome
+  * around it. RSS 2.0 `<item>` and Atom `<entry>` both parse; the
+  * reader is regex-level over the public formats (the OPF/DOCX
+  * stance — deterministic conventions, not a namespace-aware XML
+  * parser): first-tag-content per field, CDATA unwrapped, the five
+  * XML entities decoded, inner markup in descriptions stripped with
+  * the [[graft.functions.TextFunctions.stripHtml]] semantics.
+  * Atom links read the `href` attribute of the first `<link>`;
+  * RSS links read the `<link>` element text.
+  *
+  * Total function: non-feed / malformed text returns null.
+  */
+object Feed {
+
+  private val MaxItems = 4096
+
+  final case class FeedItem(title: String, link: String,
+      description: String)
+  final case class ParsedFeed(format: String, title: String,
+      items: Seq[FeedItem])
+
+  private def tagContent(xml: String, tag: String): String = {
+    val m = java.util.regex.Pattern
+      .compile(s"<$tag(?:\\s[^>]*)?>(.*?)</$tag>",
+        java.util.regex.Pattern.DOTALL |
+          java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    if (m.find()) m.group(1) else null
+  }
+
+  private def attrOfFirst(xml: String, tag: String,
+      attr: String): String = {
+    val t = java.util.regex.Pattern
+      .compile(s"<$tag\\b[^>]*>", java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    if (!t.find()) return null
+    val a = java.util.regex.Pattern
+      .compile(attr + "\\s*=\\s*[\"']([^\"']*)[\"']",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(t.group())
+    if (a.find()) a.group(1) else null
+  }
+
+  private def clean(s: String): String = {
+    if (s == null) return null
+    val noCdata = s.replaceAll("(?s)<!\\[CDATA\\[(.*?)\\]\\]>", "$1")
+    Epub.stripHtmlString(noCdata)
+  }
+
+  /** Parse one feed document, or null when it is neither RSS nor
+    * Atom (no `<rss`/`<feed` root, or no channel/feed title and no
+    * items).
+    */
+  def parseFeed(xml: String): ParsedFeed = {
+    try parseInner(xml)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def splitBlocks(xml: String, tag: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find() && out.length < MaxItems) out += m.group(1)
+    out.toSeq
+  }
+
+  private def parseInner(xml: String): ParsedFeed = {
+    if (xml == null || xml.length < 16) return null
+    val head = xml.substring(0, math.min(512, xml.length)).toLowerCase
+    val isRss = head.contains("<rss")
+    val isAtom = !isRss && head.contains("<feed")
+    if (!isRss && !isAtom) return null
+    if (isRss) {
+      val channel = tagContent(xml, "channel")
+      if (channel == null) return null
+      // channel title = the first <title> BEFORE the first <item>
+      val preItems = channel.split("(?i)<item[ >]", 2)(0)
+      val items = splitBlocks(channel, "item").map { it =>
+        FeedItem(clean(tagContent(it, "title")),
+          clean(tagContent(it, "link")),
+          clean(tagContent(it, "description")))
+      }
+      if (items.isEmpty && tagContent(preItems, "title") == null) return null
+      ParsedFeed("rss", clean(tagContent(preItems, "title")), items)
+    } else {
+      val preEntries = xml.split("(?i)<entry[ >]", 2)(0)
+      val items = splitBlocks(xml, "entry").map { e =>
+        val link = attrOfFirst(e, "link", "href") match {
+          case null => clean(tagContent(e, "link"))
+          case href => href
+        }
+        val desc = tagContent(e, "summary") match {
+          case null => tagContent(e, "content")
+          case sum => sum
+        }
+        FeedItem(clean(tagContent(e, "title")), link, clean(desc))
+      }
+      if (items.isEmpty && tagContent(preEntries, "title") == null) return null
+      ParsedFeed("atom", clean(tagContent(preEntries, "title")), items)
+    }
+  }
+
+  // ============================================== fixture encoder
+
+  /** Deterministic RSS 2.0 document for fixtures. */
+  def buildRss(feedTitle: String,
+      items: Seq[(String, String, String)]): String =
+    s"""<?xml version="1.0"?>
+       |<rss version="2.0"><channel>
+       |<title>$feedTitle</title>
+       |<link>http://example.com/</link>
+       |""".stripMargin +
+      items.map { case (t, l, d) =>
+        s"<item><title>$t</title><link>$l</link>" +
+          s"<description><![CDATA[$d]]></description></item>\n"
+      }.mkString +
+      "</channel></rss>\n"
+
+  /** Deterministic Atom document for fixtures. */
+  def buildAtom(feedTitle: String,
+      items: Seq[(String, String, String)]): String =
+    s"""<?xml version="1.0"?>
+       |<feed xmlns="http://www.w3.org/2005/Atom">
+       |<title>$feedTitle</title>
+       |""".stripMargin +
+      items.map { case (t, l, d) =>
+        s"""<entry><title>$t</title><link href="$l"/>""" +
+          s"<summary>$d</summary></entry>\n"
+      }.mkString +
+      "</feed>\n"
+}

@@ -250,4 +250,54 @@ object Sources {
 
   def consoleReport(df: DataFrame, n: Int = 20): Unit =
     formatForReport(df).show(n, truncate = 80)
+
+  /** Explode RSS/Atom feed documents into per-item rows (r14 — see
+    * [[Feed]]): each parseable feed contributes one row per item
+    * (or a single null-item row when empty); non-feed text degrades
+    * to one 'unknown' row. Input columns pass through; appended:
+    * (feed_format, feed_title, item_idx, item_title, item_link,
+    * item_desc). One narrow flatMap over the scan.
+    */
+  def withFeedItems(df: DataFrame, textCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("feed_format", StringType),
+      StructField("feed_title", StringType),
+      StructField("item_idx", IntegerType),
+      StructField("item_title", StringType),
+      StructField("item_link", StringType),
+      StructField("item_desc", StringType)))
+    val idx = df.schema.fieldIndex(textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val t = r.get(idx).asInstanceOf[String]
+        val parsed = if (t == null) null else Feed.parseFeed(t)
+        if (parsed == null)
+          Iterator.single(Row.fromSeq(
+            r.toSeq ++ Seq("unknown", null, null, null, null, null)))
+        else if (parsed.items.isEmpty)
+          Iterator.single(Row.fromSeq(r.toSeq ++
+            Seq(parsed.format, parsed.title, null, null, null, null)))
+        else parsed.items.iterator.zipWithIndex.map { case (item, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(parsed.format, parsed.title,
+            i, item.title, item.link, item.description))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic feed fixture text for doc id `id`: RSS on even
+    * ids (CDATA descriptions), Atom on odd (href links), item count
+    * cycling 1-3, every field closed-form; %19 ids are NOT feeds.
+    */
+  def synthFeedText(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no feed markup"
+    val n = (id % 3 + 1).toInt
+    val items = (0 until n).map(k => (
+      s"item $id-$k title",
+      s"http://ex.com/$id/$k",
+      s"summary $id-$k body &amp; tail"))
+    if (id % 2 == 0) Feed.buildRss(s"channel $id", items)
+    else Feed.buildAtom(s"feed $id", items)
+  }
 }

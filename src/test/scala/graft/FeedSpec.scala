@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.Feed
+
+class FeedSpec extends SparkSpec {
+
+  test("RSS and Atom parse: items in order, CDATA unwraps, entities " +
+      "decode, inner markup strips, Atom href links, summary falls " +
+      "back to content; non-feeds null (r14)") {
+    val rss = Feed.parseFeed(Feed.buildRss("my channel", Seq(
+      ("a title", "http://a", "body <b>bold</b> &amp; plain"),
+      ("b title", "http://b", "second"))))
+    assert(rss != null && rss.format === "rss")
+    assert(rss.title === "my channel")
+    assert(rss.items.map(_.title) === Seq("a title", "b title"))
+    assert(rss.items.head.description === "body bold & plain")
+    assert(rss.items.head.link === "http://a")
+    val atom = Feed.parseFeed(Feed.buildAtom("my feed", Seq(
+      ("x", "http://x", "sum &amp; text"))))
+    assert(atom != null && atom.format === "atom")
+    assert(atom.title === "my feed")
+    assert(atom.items.head.link === "http://x")
+    assert(atom.items.head.description === "sum & text")
+    // Atom content fallback when no summary
+    val withContent = Feed.parseFeed(
+      """<feed><title>t</title><entry><title>e</title>""" +
+        """<link href="http://c"/><content>full body</content></entry></feed>""")
+    assert(withContent.items.head.description === "full body")
+    // channel title is the one BEFORE items (item titles never leak)
+    val tricky = Feed.parseFeed(
+      "<rss><channel><title>chan</title><item><title>it</title>" +
+        "</item></channel></rss>")
+    assert(tricky.title === "chan" && tricky.items.head.title === "it")
+    // non-feeds
+    assert(Feed.parseFeed("just prose") === null)
+    assert(Feed.parseFeed(null) === null)
+    assert(Feed.parseFeed("<html><body>nope</body></html>") === null)
+  }
+
+  test("withFeedItems: explode shape — N rows per feed, one null-item " +
+      "row for empty feeds, one unknown row for non-feeds (r14)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Feed.buildRss("c", Seq(("t0", "l0", "d0"), ("t1", "l1", "d1")))),
+      (2L, "<feed><title>empty</title></feed>"),
+      (3L, "not a feed at all"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = graft.sources.Sources.withFeedItems(df, "text")
+      .select($"doc_id", $"feed_format", $"item_idx", $"item_title")
+      .orderBy($"doc_id", $"item_idx").collect()
+    assert(out.length === 5)
+    assert(out(0).getLong(0) === 1L && out(0).getInt(2) === 0)
+    assert(out(1).getString(3) === "t1")
+    assert(out(2).getString(1) === "atom" && out(2).isNullAt(2))
+    assert(out(3).getString(1) === "unknown")
+    assert(out(4).getString(1) === "unknown")
+  }
+}
