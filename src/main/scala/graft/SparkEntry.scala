@@ -2248,6 +2248,37 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- Extract→dedup COMPOSITION (r14 — the pipeline story the
+    //     format readers exist for): 40 PDF payloads whose ids 20-39
+    //     carry byte-DIFFERENT documents with IDENTICAL extracted
+    //     text as ids 0-19 (the re-rendered-upload case — container
+    //     dedup cannot pair them, text dedup must), extracted
+    //     through the full reader then exact-deduped; exactly the
+    //     20 low-id representatives survive. The oracle rebuilds the
+    //     texts and replays the min-id-per-content rule.
+    "mm_pdf_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          // ids >= 20 re-render the SAME pages through a DIFFERENT
+          // encoder variant: flate vs the plain/variant cycle, so
+          // payload bytes differ while extracted text matches
+          val pages = (0 until 2).map(p => (0 until 2).map(l =>
+            s"shared doc ${id % 20} pg $p ln $l"))
+          val payload =
+            if (id < 20) graft.sources.Pdf.buildPdf(pages)
+            else graft.sources.Pdf.buildPdf(pages, flate = true,
+              useTJ = true)
+          (id, payload)
+        }.toDF("media_id", "payload")
+      val texts = Multimodal.withPdfText(media, "payload", "pd")
+        .filter(col("pd.format") === "pdf")
+        .select(col("media_id"), col("pd.text").as("text"))
+      Dedup.exactDedup(texts, "media_id", "text")
+        .orderBy(col("media_id"))
+    }),
+
     // --- RSS/Atom feed extraction (r14 — the syndication slice:
     //     per-item clean text beats the page chrome around it): RSS
     //     on even ids (CDATA descriptions), Atom on odd (href
@@ -5451,6 +5482,23 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN f_sw THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // the mm_pdf_dedup oracle: the shared texts rebuilt closed-form
+    // (2 pages x 2 lines, page break = blank line), min id per
+    // content survives — exactly ids 0-19
+    "mm_pdf_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id FROM documents WHERE doc_id < 20),
+        |ln AS (
+        |  SELECT i.media_id, p.g AS p,
+        |    'shared doc ' || i.media_id || ' pg ' || p.g || ' ln 0' ||
+        |      chr(10) ||
+        |    'shared doc ' || i.media_id || ' pg ' || p.g || ' ln 1'
+        |      AS ptext
+        |  FROM ids i, generate_series(0, 1) AS p(g))
+        |SELECT media_id,
+        |  string_agg(ptext, chr(10) || chr(10) ORDER BY p) AS text
+        |FROM ln GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // the docs_feed oracle: every exploded item row rebuilt from
     // the id formulas; the &amp; entity decodes on both feed paths
