@@ -2297,6 +2297,75 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("item_idx"))
     }),
 
+    // --- MediaWiki dump → per-page rows (r14 — the Wikipedia-dump
+    //     corpus source; the reference's own FEVER corpus is cut from
+    //     these dumps): dumps plant per doc_id (page count cycling
+    //     1-3, ns 14 on the category tail page, redirects on the %5
+    //     lattice, &amp; escapes decoding in the body), parse through
+    //     the full reader, explode to per-page rows. %19 ids are not
+    //     dumps and keep one all-null-page row (visible, not
+    //     dropped). The oracle rebuilds every expected row
+    //     closed-form. Narrow plan: scan → flatMap, the only
+    //     exchange is the presentation sort.
+    "docs_wikidump" -> ((s, dir) => {
+      import s.implicits._
+      val dumps = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.WikiDump.synthDumpText(id)))
+        .toDF("doc_id", "text")
+      graft.sources.Sources.withWikiPages(dumps, "text")
+        .select(col("doc_id"), col("page_idx"), col("page_title"),
+          col("page_ns"), col("page_id"), col("page_redirect"),
+          col("page_text"))
+        .orderBy(col("doc_id"), col("page_idx"))
+    }),
+
+    // --- Subtitle cues (r14 — the speech-transcript slice of a
+    //     video-derived corpus): SRT on even ids (comma millis,
+    //     counters starting at 7 — positional idx wins over the
+    //     counter, the format's restart quirk), WebVTT on odd
+    //     (header + NOTE block skipped, dot millis, cue settings
+    //     ignored, inline <i> tags stripped), cue count cycling 1-3,
+    //     timings closed-form. %19 ids are not subtitles and keep
+    //     one all-null-cue row. The oracle rebuilds every expected
+    //     cue row.
+    "docs_subtitles" -> ((s, dir) => {
+      import s.implicits._
+      val subs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.Subtitles.synthSubtitleText(id)))
+        .toDF("doc_id", "text")
+      graft.sources.Sources.withSubtitleCues(subs, "text")
+        .select(col("doc_id"), col("sub_format"), col("cue_idx"),
+          col("cue_start_ms"), col("cue_end_ms"), col("cue_text"))
+        .orderBy(col("doc_id"), col("cue_idx"))
+    }),
+
+    // --- Wikitext → text (r14 — the Wikipedia member of the strip
+    //     family): one wiki document per doc_id exercising every
+    //     rule — an infobox template, heading fences, bold quote
+    //     runs, piped + bare internal links, a File link with a
+    //     piped caption (dropped whole, BEFORE the link rules), a
+    //     self-closing and a footnote <ref>, an HTML comment, a
+    //     list marker, a table (all lines dropped), external links
+    //     with and without text, a magic word, ONE nesting level of
+    //     templates (the two-pass rule), and an &amp; entity. The
+    //     rule list is SHARED verbatim with the oracle
+    //     (wikitextRules — the markdownRules discipline).
+    "text_wikitext" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val wt = concat(
+        lit("{{Infobox|name=N"), id, lit("}}\n== Heading "), id,
+        lit(" ==\n'''Bold''' intro [[Target|label "), id,
+        lit("]] and [[Plain "), id,
+        lit("]].<ref name=\"a\" /> fact<ref>cite "), id,
+        lit("</ref><!-- hide -->\n[[File:pic"), id,
+        lit(".png|thumb|cap]]\n* item "), id,
+        lit("\n{| class=\"t\"\n| cell\n|}\nSee [http://x.org ext "), id,
+        lit("] also [http://y.org].\n__TOC__\nOuter {{a|in {{b}}}} t &amp; u"))
+      docs.select(id, TextFunctions.stripWikitext(wt).as("text"))
+        .orderBy(id)
+    }),
+
     // --- Markdown → text (r14 — the GitHub/docs corpus member of
     //     the strip family, beside stripHtml/extractMain): one
     //     markdown document per doc_id exercising every rule —
@@ -5523,6 +5592,96 @@ object SparkEntry {
         |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, item_idx""".stripMargin,
+
+    // the docs_wikidump oracle: every expected page row rebuilt
+    // closed-form from the planted recipe (the docs_feed shape);
+    // the parsed body carries DECODED entities (&amp; -> &) and the
+    // raw wikitext quotes (chr(39) triples)
+    "docs_wikidump" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |good AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS n FROM ids
+        |  WHERE doc_id % 19 <> 0),
+        |page AS (
+        |  SELECT g.doc_id, g.n, k.g AS k
+        |  FROM good g, generate_series(0, 2) AS k(g) WHERE k.g < g.n)
+        |SELECT doc_id,
+        |  CAST(k AS INT) AS page_idx,
+        |  'Page ' || doc_id || '-' || k AS page_title,
+        |  CAST(CASE WHEN n = 3 AND k = 2 THEN 14 ELSE 0 END AS INT) AS page_ns,
+        |  doc_id * 10 + k AS page_id,
+        |  CASE WHEN (doc_id + k) % 5 = 0
+        |    THEN 'Target ' || (doc_id * 10 + k) END AS page_redirect,
+        |  repeat(chr(39), 3) || 'Lead ' || doc_id || '-' || k ||
+        |    repeat(chr(39), 3) || ' body & [[Link ' || doc_id ||
+        |    '|label ' || k || ']] tail' AS page_text
+        |FROM page
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the docs_subtitles oracle: expected cue rows rebuilt
+    // closed-form — format by parity, positional idx, timings from
+    // the k*2000 + (id%7)*10 lattice, two text lines joined by \n
+    "docs_subtitles" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |good AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS n FROM ids
+        |  WHERE doc_id % 19 <> 0),
+        |cue AS (
+        |  SELECT g.doc_id, k.g AS k
+        |  FROM good g, generate_series(0, 2) AS k(g) WHERE k.g < g.n)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS sub_format,
+        |  CAST(k AS INT) AS cue_idx,
+        |  k * 2000 + (doc_id % 7) * 10 AS cue_start_ms,
+        |  k * 2000 + (doc_id % 7) * 10 + 1500 AS cue_end_ms,
+        |  'line ' || doc_id || '-' || k || ' one' || chr(10) ||
+        |    'line ' || doc_id || '-' || k || ' two' AS cue_text
+        |FROM cue
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id, cue_idx""".stripMargin,
+
+    // the text_wikitext oracle: the same wiki document built
+    // closed-form and the SAME rule list replayed (patterns verbatim
+    // from wikitextRules with SQL quote-doubling, then the
+    // htmlEntities chain in table order, then the shared tail)
+    "text_wikitext" -> {
+      def sq(s: String) = s.replace("'", "''")
+      val chain0 = TextFunctions.wikitextRules.foldLeft("wt") {
+        case (expr, (pat, rep)) =>
+          val sqlRep = sq(rep.replace("{1}", "\\1"))
+          s"regexp_replace($expr, '${sq(pat)}', '$sqlRep', 'g')"
+      }
+      val chain = TextFunctions.htmlEntities.foldLeft(chain0) {
+        case (expr, (e, v)) => s"replace($expr, '${sq(e)}', '${sq(v)}')"
+      }
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    '{{Infobox|name=N' || doc_id || '}}' || chr(10) ||
+         |    '== Heading ' || doc_id || ' ==' || chr(10) ||
+         |    q3 || 'Bold' || q3 || ' intro [[Target|label ' || doc_id ||
+         |    ']] and [[Plain ' || doc_id ||
+         |    ']].<ref name="a" /> fact<ref>cite ' || doc_id ||
+         |    '</ref><!-- hide -->' || chr(10) ||
+         |    '[[File:pic' || doc_id || '.png|thumb|cap]]' || chr(10) ||
+         |    '* item ' || doc_id || chr(10) ||
+         |    '{| class="t"' || chr(10) || '| cell' || chr(10) ||
+         |    '|}' || chr(10) ||
+         |    'See [http://x.org ext ' || doc_id ||
+         |    '] also [http://y.org].' || chr(10) ||
+         |    '__TOC__' || chr(10) ||
+         |    'Outer {{a|in {{b}}}} t &amp; u' AS wt
+         |  FROM documents, (SELECT repeat(chr(39), 3) AS q3))
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace($chain, '\n{3,}',
+         |      chr(10) || chr(10), 'g'),
+         |    '(?s)^\\s+|\\s+$$', '', 'g') AS text
+         |FROM src ORDER BY doc_id""".stripMargin
+    },
 
     // the text_markdown oracle: the same markdown built closed-form
     // and the SAME rule list replayed (patterns verbatim from

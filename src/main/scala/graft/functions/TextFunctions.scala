@@ -355,6 +355,73 @@ object TextFunctions {
       "(?s)^\\s+|\\s+$", "")
   }
 
+  /** Wikitext → text rules (r14) — the Wikipedia-dump member of the
+    * strip family (stripHtml / extractMain / stripMarkdown): the
+    * WikiExtractor-class cleaning every public LLM corpus applies to
+    * MediaWiki markup. RE2-safe (inline (?m)/(?s)/(?is) flags only,
+    * no lookaround, no backreferences) and shared VERBATIM with the
+    * SQL twin; `{1}` maps to each engine's capture syntax.
+    *
+    * Ordered conventions (each a deliberate, documented choice):
+    *  - comments and `<ref>` footnotes (self-closing first) vanish
+    *    WITH content — citations are metadata, not prose;
+    *  - `{{template}}` calls vanish; the innermost-match rule runs
+    *    TWICE, so one nesting level resolves exactly and deeper
+    *    nesting (rare outside infoboxes, which are single-depth
+    *    dropped either way) leaves a brace residue rather than
+    *    eating prose — the fail-closed direction;
+    *  - `[[File:|Image:|Category:]]` links drop whole (captions are
+    *    not body prose; a nested `[[..]]` inside a caption is a
+    *    declared boundary — the class excludes `[`/`]`);
+    *  - piped links keep display text (everything after the FIRST
+    *    pipe), bare links keep the target; external `[url text]`
+    *    keeps text, bare `[url]` drops;
+    *  - table lines (`{|`, `|}`, `|...`, `!...`) drop whole — cell
+    *    soup harms quality signals more than it feeds tokens;
+    *  - heading `=` fences strip from line edges, content stays;
+    *  - `*#;:` list markers strip, items stay; `__MAGICWORDS__`
+    *    drop; bold/italic quote runs (`''`+) strip; leftover HTML
+    *    tags become spaces (the stripHtml tag rule).
+    */
+  val wikitextRules: Seq[(String, String)] = Seq(
+    "(?s)<!--.*?-->" -> "",                        // comments
+    "(?is)<ref[^>]*/>" -> "",                    // self-closing refs
+    "(?is)<ref[^>]*>.*?</ref>" -> "",              // footnote refs
+    "(?s)\\{\\{[^{}]*\\}\\}" -> "",              // templates (innermost)
+    "(?s)\\{\\{[^{}]*\\}\\}" -> "",              // second pass: 1 nest level
+    "(?is)\\[\\[(?:File|Image|Category):[^\\[\\]]*\\]\\]" -> "", // media/cat links
+    "\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]" -> "{1}", // piped link -> label
+    "\\[\\[([^\\[\\]]*)\\]\\]" -> "{1}",           // bare link -> target
+    "\\[https?://[^ \\]]*[ \\t]+([^\\]]*)\\]" -> "{1}", // ext link -> text
+    "\\[https?://[^ \\]]*\\]" -> "",               // bare ext link
+    "(?m)^\\{\\|[^\n]*$|^\\|\\}[^\n]*$" -> "",     // table open/close lines
+    "(?m)^[|!][^\n]*$" -> "",                      // table row/cell lines
+    "(?m)^={1,6}[ \\t]*" -> "",                    // heading open fence
+    "(?m)[ \\t]*={1,6}[ \\t]*$" -> "",             // heading close fence
+    "(?m)^[*#;:]+[ \\t]*" -> "",                   // list markers
+    "__[A-Z]+__" -> "",                            // magic words
+    "'{2,}" -> "",                                 // bold/italic quotes
+    "<[^>]*>" -> " ",                              // leftover HTML tags
+    "[ \\t]{2,}" -> " ",                           // intra-line space runs
+    "(?m)[ \\t]+$" -> "")                          // trailing line space
+
+  /** Strip MediaWiki wikitext to text: the [[wikitextRules]] fold,
+    * then entity decode in [[htmlEntities]] table order, then the
+    * stripMarkdown tail (blank-line collapse + regex trim). Pure
+    * codegen'd projection; the oracle replays the identical chain.
+    */
+  def stripWikitext(wt: Column): Column = {
+    val stripped = wikitextRules.foldLeft(wt) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep.replace("{1}", "$1"))
+    }
+    val decoded = htmlEntities.foldLeft(stripped) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    regexp_replace(
+      regexp_replace(decoded, "\\n{3,}", "\n\n"),
+      "(?s)^\\s+|\\s+$", "")
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")

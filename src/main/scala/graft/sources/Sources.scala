@@ -286,6 +286,69 @@ object Sources {
     }(Encoders.row(schema))
   }
 
+  /** Explode MediaWiki dump XML in `textCol` into per-page rows
+    * (the [[withFeedItems]] shape): original columns plus
+    * (page_idx, page_title, page_ns, page_id, page_redirect,
+    * page_text). Documents with no parseable page keep ONE row with
+    * the page columns null, so non-dump rows are visible, not
+    * silently dropped. Narrow scan → per-partition flatMap — no
+    * shuffle; at 100 TB the dump bytes never cross the network.
+    */
+  def withWikiPages(df: DataFrame, textCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("page_idx", IntegerType),
+      StructField("page_title", StringType),
+      StructField("page_ns", IntegerType),
+      StructField("page_id", LongType),
+      StructField("page_redirect", StringType),
+      StructField("page_text", StringType)))
+    val idx = df.schema.fieldIndex(textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val t = r.get(idx).asInstanceOf[String]
+        val pages = WikiDump.parseDump(t)
+        if (pages == null || pages.isEmpty)
+          Iterator.single(Row.fromSeq(
+            r.toSeq ++ Seq(null, null, null, null, null, null)))
+        else pages.iterator.zipWithIndex.map { case (p, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(i, p.title, p.ns, p.pageId,
+            p.redirect, p.text))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Explode SRT/WebVTT subtitle text in `textCol` into per-cue rows
+    * (the [[withWikiPages]] shape): original columns plus
+    * (sub_format, cue_idx, cue_start_ms, cue_end_ms, cue_text).
+    * Non-subtitle rows keep ONE row with the cue columns null.
+    * Narrow: scan → per-partition flatMap, no shuffle.
+    */
+  def withSubtitleCues(df: DataFrame, textCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sub_format", StringType),
+      StructField("cue_idx", IntegerType),
+      StructField("cue_start_ms", LongType),
+      StructField("cue_end_ms", LongType),
+      StructField("cue_text", StringType)))
+    val idx = df.schema.fieldIndex(textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val t = r.get(idx).asInstanceOf[String]
+        val parsed = Subtitles.parseSubtitles(t)
+        if (parsed == null)
+          Iterator.single(Row.fromSeq(
+            r.toSeq ++ Seq(null, null, null, null, null)))
+        else parsed.cues.iterator.map { c =>
+          Row.fromSeq(r.toSeq ++ Seq(parsed.format, c.idx, c.startMs,
+            c.endMs, c.text))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic feed fixture text for doc id `id`: RSS on even
     * ids (CDATA descriptions), Atom on odd (href links), item count
     * cycling 1-3, every field closed-form; %19 ids are NOT feeds.

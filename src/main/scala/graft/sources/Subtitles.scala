@@ -1,0 +1,120 @@
+package graft.sources
+
+/** Subtitle extraction (r14) — SRT and WebVTT, the two open caption
+  * formats video-derived text corpora arrive in (YouTube-style
+  * transcripts are the classic speech slice of public LLM mixtures;
+  * the formats are plain text with a public layout). Cues parse to
+  * (idx, start_ms, end_ms, text); inline markup (`<i>`, `<c.cls>`,
+  * `<00:00:01.000>` karaoke stamps) strips from cue text, multi-line
+  * cue text joins with a single `\n`.
+  *
+  * Format detection: a `WEBVTT` first-line header → vtt (dot millis,
+  * optional hours, optional cue ids, NOTE/STYLE/REGION blocks
+  * skipped, cue settings after the end stamp ignored); otherwise
+  * cues with comma-millis arrows → srt (numeric counters ignored —
+  * the emitted idx is POSITIONAL, deduplicating the format quirk
+  * where counters restart or skip). Total function: text with no
+  * parseable cue arrow → null (not a subtitle document).
+  *
+  * Scale shape: the reader is a per-row pure function — scan →
+  * flatMap, no shuffle; 100 TB of transcripts never cross the
+  * network for parsing.
+  */
+object Subtitles {
+
+  private val MaxCues = 65536
+
+  final case class Cue(idx: Int, startMs: Long, endMs: Long,
+      text: String)
+  final case class ParsedSubs(format: String, cues: Seq[Cue])
+
+  // hh:mm:ss,mmm (srt) or [hh:]mm:ss.mmm (vtt); group order:
+  // optional hours, minutes, seconds, millis
+  private val stampPat = java.util.regex.Pattern.compile(
+    "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})")
+  private val arrowPat = java.util.regex.Pattern.compile(
+    "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{1,2})([.,])(\\d{3})\\s*-->\\s*" +
+      "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{1,2})[.,](\\d{3})")
+
+  private def ms(h: String, m: String, s: String, f: String): Long = {
+    val hh = if (h == null) 0L else h.toLong
+    ((hh * 60 + m.toLong) * 60 + s.toLong) * 1000 + f.toLong
+  }
+
+  private[sources] def cleanCueText(s: String): String = {
+    // inline tags (<i>, </c>, karaoke <00:00:01.000>) out, the five
+    // XML entities decoded (&amp; last), surrounding space trimmed
+    val noTags = s.replaceAll("<[^>]*>", "")
+    WikiDump.xmlUnescape(noTags).trim
+  }
+
+  /** Parse one subtitle document, or null when no cue arrow parses.
+    * Blocks split on blank lines; within a block the FIRST line
+    * containing an arrow is the timing line — lines above it (an
+    * SRT counter or a VTT cue id) are ignored, lines below are cue
+    * text. Vtt NOTE/STYLE/REGION blocks and the header block skip.
+    */
+  def parseSubtitles(text: String): ParsedSubs = {
+    if (text == null) return null
+    val isVtt = text.stripPrefix("﻿").startsWith("WEBVTT")
+    val blocks = text.split("\\r?\\n\\s*\\r?\\n")
+    val cues = scala.collection.mutable.ArrayBuffer.empty[Cue]
+    var bi = 0
+    while (bi < blocks.length && cues.length < MaxCues) {
+      val lines = blocks(bi).split("\\r?\\n")
+      val ti = lines.indexWhere(_.contains("-->"))
+      if (ti >= 0) {
+        // a NOTE/STYLE/REGION block whose PROSE contains an arrow is
+        // still metadata — the block marker is its first line
+        val blockHead = lines.head.trim
+        if (!(isVtt && (blockHead.startsWith("NOTE") ||
+            blockHead.startsWith("STYLE") ||
+            blockHead.startsWith("REGION")))) {
+          val m = arrowPat.matcher(lines(ti))
+          if (m.find()) {
+            val start = ms(m.group(1), m.group(2), m.group(3), m.group(5))
+            val end = ms(m.group(6), m.group(7), m.group(8), m.group(9))
+            val body = lines.drop(ti + 1).map(cleanCueText)
+              .filter(_.nonEmpty).mkString("\n")
+            cues += Cue(cues.length, start, end, body)
+          }
+        }
+      }
+      bi += 1
+    }
+    if (cues.isEmpty) null
+    else ParsedSubs(if (isVtt) "vtt" else "srt", cues.toSeq)
+  }
+
+  /** Deterministic subtitle fixture for doc id `id`: SRT on even ids
+    * (comma millis, counters starting at 7 — the positional-idx
+    * quirk), WebVTT on odd (header, dot millis, a NOTE block, cue
+    * settings, inline <i> tags), cue count cycling 1–3, timing
+    * closed-form: cue k runs [k*2000 + id%7*10, k*2000 + 1500 +
+    * id%7*10). Ids where id % 19 == 0 are NOT subtitles.
+    */
+  def synthSubtitleText(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no cues"
+    val n = (id % 3 + 1).toInt
+    val off = (id % 7) * 10
+    def st(msv: Long, sep: String): String = {
+      val hh = msv / 3600000; val mm = msv / 60000 % 60
+      val ss = msv / 1000 % 60; val f = msv % 1000
+      f"$hh%02d:$mm%02d:$ss%02d$sep$f%03d"
+    }
+    if (id % 2 == 0) {
+      (0 until n).map { k =>
+        val a = k * 2000L + off
+        s"${k + 7}\n${st(a, ",")} --> ${st(a + 1500, ",")}\n" +
+          s"line $id-$k one\nline $id-$k two"
+      }.mkString("\n\n")
+    } else {
+      val cues = (0 until n).map { k =>
+        val a = k * 2000L + off
+        s"${st(a, ".")} --> ${st(a + 1500, ".")} align:start\n" +
+          s"<i>line $id-$k one</i>\nline $id-$k two"
+      }.mkString("\n\n")
+      s"WEBVTT\n\nNOTE created $id\n\n$cues"
+    }
+  }
+}

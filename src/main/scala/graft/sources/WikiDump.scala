@@ -1,0 +1,136 @@
+package graft.sources
+
+/** MediaWiki XML dump extraction (r14) — the Wikipedia slice of a
+  * training corpus: the `pages-articles` dump format (the public
+  * `<mediawiki><page>…` layout every wiki export shares) read into
+  * per-page rows. Wikipedia is a member of essentially every public
+  * LLM pretraining mixture (The Pile, RedPajama, Dolma, FineWeb-Edu
+  * all carry it), and the dump is its canonical distribution form —
+  * the reference pipeline's corpus (FEVER) is itself derived from
+  * these dumps, so this is the reference's OWN upstream format.
+  *
+  * Reader stance matches [[Feed]]/Epub OPF: regex-level over the
+  * documented element layout (first-tag-content per field, DOTALL,
+  * case-sensitive tags as the dump schema prescribes), NOT a
+  * namespace-aware XML parser — deterministic and engine-replayable.
+  * Per page: `<title>`, `<ns>`, `<id>` (the PAGE id — the first
+  * `<id>` before `<revision>`), an optional `<redirect title=…/>`,
+  * and the LAST `<revision>`'s `<text>` (dumps carry one revision in
+  * the articles export; history exports carry many and the newest is
+  * last). The five XML entities decode in the text/title; wikitext
+  * markup is left intact — [[graft.functions.TextFunctions.stripWikitext]]
+  * is the separate, composable cleaning step.
+  *
+  * Total function: text with no `<page>` element yields no pages;
+  * `parseDump` returns null for null input. Page count per document
+  * is capped (the [[Feed]] MaxItems discipline) — a dump is normally
+  * one file with many pages, so the cap only guards pathological
+  * single-string payloads.
+  */
+object WikiDump {
+
+  private val MaxPages = 65536
+
+  final case class WikiPage(title: String, ns: Int, pageId: Long,
+      redirect: String, text: String)
+
+  private val pagePat = java.util.regex.Pattern
+    .compile("<page>(.*?)</page>", java.util.regex.Pattern.DOTALL)
+  private val revPat = java.util.regex.Pattern
+    .compile("<revision>(.*?)</revision>", java.util.regex.Pattern.DOTALL)
+  private val textPat = java.util.regex.Pattern
+    .compile("<text[^>]*>(.*?)</text>", java.util.regex.Pattern.DOTALL)
+  private val redirectPat = java.util.regex.Pattern
+    .compile("<redirect\\s[^>]*title\\s*=\\s*\"([^\"]*)\"")
+
+  private def firstTag(s: String, tag: String): String = {
+    val m = java.util.regex.Pattern
+      .compile(s"<$tag>(.*?)</$tag>", java.util.regex.Pattern.DOTALL)
+      .matcher(s)
+    if (m.find()) m.group(1) else null
+  }
+
+  /** Decode the five XML entities — &amp; LAST so `&amp;lt;` stays
+    * the literal text `&lt;` (the double-escape the dump format
+    * produces for wikitext that itself contains entities).
+    */
+  private[sources] def xmlUnescape(s: String): String = {
+    if (s == null) return null
+    s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&")
+  }
+
+  /** All pages of one dump string, in document order. Null input →
+    * null; no `<page>` elements → empty. A page missing its
+    * `<title>` or page `<id>` is skipped (malformed, fail-closed);
+    * a page with no revision text carries text = null.
+    */
+  def parseDump(xml: String): Seq[WikiPage] = {
+    if (xml == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[WikiPage]
+    val m = pagePat.matcher(xml)
+    while (m.find() && out.length < MaxPages) {
+      val body = m.group(1)
+      val title = xmlUnescape(firstTag(body, "title"))
+      // the page id is the first <id> OUTSIDE <revision>: take the
+      // prefix up to the first revision open tag
+      val head = {
+        val i = body.indexOf("<revision>")
+        if (i >= 0) body.substring(0, i) else body
+      }
+      val idStr = firstTag(head, "id")
+      val nsStr = firstTag(head, "ns")
+      if (title != null && idStr != null &&
+          idStr.trim.nonEmpty && idStr.trim.forall(_.isDigit)) {
+        val rm = redirectPat.matcher(head)
+        val redirect = if (rm.find()) xmlUnescape(rm.group(1)) else null
+        // last revision wins (history dumps list oldest first)
+        var revBody: String = null
+        val rvm = revPat.matcher(body)
+        while (rvm.find()) revBody = rvm.group(1)
+        val text = if (revBody == null) null else {
+          val tm = textPat.matcher(revBody)
+          if (tm.find()) xmlUnescape(tm.group(1)) else null
+        }
+        val ns = if (nsStr != null && nsStr.trim.nonEmpty &&
+          nsStr.trim.forall(_.isDigit)) nsStr.trim.toInt else 0
+        out += WikiPage(title, ns, idStr.trim.toLong, redirect, text)
+      }
+    }
+    out.toSeq
+  }
+
+  /** Deterministic dump fixture (tests + the gate oracle's planted
+    * recipe): page count cycles 1–3 by `id % 3`, page k of document
+    * id carries page_id = id*10+k, ns 0 except the last page of
+    * 3-page documents (ns 14, a Category page), a redirect on
+    * pages where (id+k) % 5 == 0, and wikitext body exercising the
+    * escape path (`&amp;` in source → `&` in parsed text). Ids
+    * where id % 19 == 0 are NOT dumps (no page element).
+    */
+  def synthDumpText(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no dump markup"
+    val n = (id % 3 + 1).toInt
+    val pages = (0 until n).map { k =>
+      val ns = if (n == 3 && k == 2) 14 else 0
+      val redirect =
+        if ((id + k) % 5 == 0)
+          s"""<redirect title="Target ${id * 10 + k}" />"""
+        else ""
+      s"""  <page>
+         |    <title>Page $id-$k</title>
+         |    <ns>$ns</ns>
+         |    <id>${id * 10 + k}</id>
+         |    $redirect
+         |    <revision>
+         |      <id>${id * 100 + k}</id>
+         |      <text xml:space="preserve">'''Lead $id-$k''' body &amp; [[Link $id|label $k]] tail</text>
+         |    </revision>
+         |  </page>""".stripMargin
+    }
+    s"""<mediawiki xml:lang="en">
+       |${pages.mkString("\n")}
+       |</mediawiki>""".stripMargin
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources.Subtitles
+
+class SubtitlesSpec extends SparkSpec {
+
+  test("SRT parse: comma millis, counters ignored (positional idx), " +
+      "multi-line text joins with \\n, hours optional nowhere (srt " +
+      "always carries hours) (r14)") {
+    val srt = "7\n00:00:01,000 --> 00:00:04,250\nfirst line\nsecond\n\n" +
+      "9\n01:02:03,004 --> 01:02:05,006\nlater"
+    val p = Subtitles.parseSubtitles(srt)
+    assert(p != null && p.format === "srt")
+    assert(p.cues.length === 2)
+    assert(p.cues(0).idx === 0 && p.cues(0).startMs === 1000L &&
+      p.cues(0).endMs === 4250L)
+    assert(p.cues(0).text === "first line\nsecond")
+    assert(p.cues(1).idx === 1 &&
+      p.cues(1).startMs === (3600L + 120 + 3) * 1000 + 4)
+  }
+
+  test("WebVTT parse: header and NOTE/STYLE blocks skip (even with " +
+      "an arrow in prose), dot millis, optional hours, cue ids and " +
+      "settings ignored, inline tags strip, entities decode (r14)") {
+    val vtt = "WEBVTT\n\nNOTE timing 00:01.000 --> 00:02.000 in prose\n\n" +
+      "STYLE\n::cue { color: red }\n\n" +
+      "intro-cue\n00:01.500 --> 00:03.000 align:start position:10%\n" +
+      "<i>styled</i> &amp; <c.cls>classed</c>\n\n" +
+      "00:00:05.000 --> 00:00:06.000\nplain"
+    val p = Subtitles.parseSubtitles(vtt)
+    assert(p != null && p.format === "vtt")
+    assert(p.cues.length === 2)
+    assert(p.cues(0).startMs === 1500L && p.cues(0).endMs === 3000L)
+    assert(p.cues(0).text === "styled & classed")
+    assert(p.cues(1).startMs === 5000L)
+  }
+
+  test("totality: null/no-arrow/prose -> null; karaoke stamps strip " +
+      "as tags; empty text lines drop (r14)") {
+    assert(Subtitles.parseSubtitles(null) === null)
+    assert(Subtitles.parseSubtitles("just prose, no cues") === null)
+    assert(Subtitles.parseSubtitles("WEBVTT\n\nNOTE only") === null)
+    val k = Subtitles.parseSubtitles(
+      "1\n00:00:01,000 --> 00:00:02,000\n<00:00:01.200>word\n\n")
+    assert(k.cues.head.text === "word")
+  }
+
+  test("withSubtitleCues explode shape + fixture round trip: cue " +
+      "rows per document, all-null row for non-subtitles (r14)") {
+    import spark.implicits._
+    val df = Seq(
+      (2L, Subtitles.synthSubtitleText(2L)),  // srt, 3 cues (2%3+1)
+      (3L, Subtitles.synthSubtitleText(3L)),  // vtt, 1 cue
+      (19L, Subtitles.synthSubtitleText(19L)) // not subtitles
+    ).toDF("doc_id", "text")
+    val out = graft.sources.Sources.withSubtitleCues(df, "text")
+      .select($"doc_id", $"sub_format", $"cue_idx", $"cue_start_ms",
+        $"cue_text")
+      .orderBy($"doc_id", $"cue_idx").collect()
+    assert(out.length === 5)
+    assert(out(0).getString(1) === "srt" && out(0).getInt(2) === 0 &&
+      out(0).getLong(3) === 20L)
+    assert(out(2).getLong(3) === 4020L)
+    assert(out(3).getString(1) === "vtt" &&
+      out(3).getLong(3) === 30L &&
+      out(3).getString(4) === "line 3-0 one\nline 3-0 two")
+    assert(out(4).getLong(0) === 19L && out(4).isNullAt(1))
+  }
+}

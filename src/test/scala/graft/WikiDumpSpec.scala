@@ -1,0 +1,112 @@
+package graft
+
+import graft.sources.WikiDump
+import graft.functions.TextFunctions
+
+class WikiDumpSpec extends SparkSpec {
+
+  test("parseDump: pages in order, page id is the FIRST id outside " +
+      "revision, last revision wins, redirect + ns read, entities " +
+      "decode with &amp; last (r14)") {
+    val dump =
+      """<mediawiki>
+        |  <page>
+        |    <title>Alpha &amp; Beta</title>
+        |    <ns>0</ns>
+        |    <id>42</id>
+        |    <revision><id>900</id>
+        |      <text xml:space="preserve">old body</text>
+        |    </revision>
+        |    <revision><id>901</id>
+        |      <text xml:space="preserve">new &lt;b&gt; body &amp;amp; tail</text>
+        |    </revision>
+        |  </page>
+        |  <page>
+        |    <title>Redir</title>
+        |    <ns>14</ns>
+        |    <id>43</id>
+        |    <redirect title="Alpha &amp; Beta" />
+        |    <revision><id>902</id>
+        |      <text>#REDIRECT [[Alpha &amp; Beta]]</text>
+        |    </revision>
+        |  </page>
+        |</mediawiki>""".stripMargin
+    val pages = WikiDump.parseDump(dump)
+    assert(pages.length === 2)
+    assert(pages(0).title === "Alpha & Beta")
+    assert(pages(0).pageId === 42L)
+    assert(pages(0).ns === 0)
+    assert(pages(0).redirect === null)
+    // last revision wins; &amp;amp; double-escape decodes ONCE
+    assert(pages(0).text === "new <b> body &amp; tail")
+    assert(pages(1).pageId === 43L)
+    assert(pages(1).ns === 14)
+    assert(pages(1).redirect === "Alpha & Beta")
+  }
+
+  test("parseDump totality: null -> null, no pages -> empty, " +
+      "malformed page (no id / non-numeric id / no title) skipped, " +
+      "revision without text carries null text (r14)") {
+    assert(WikiDump.parseDump(null) === null)
+    assert(WikiDump.parseDump("just prose").isEmpty)
+    assert(WikiDump.parseDump("<mediawiki></mediawiki>").isEmpty)
+    val bad = WikiDump.parseDump(
+      "<page><title>NoId</title><ns>0</ns></page>" +
+        "<page><title>BadId</title><id>x9</id></page>" +
+        "<page><ns>0</ns><id>7</id></page>" +
+        "<page><title>Ok</title><id>8</id><revision><id>1</id>" +
+        "</revision></page>")
+    assert(bad.length === 1)
+    assert(bad.head.title === "Ok" && bad.head.pageId === 8L)
+    assert(bad.head.text === null)
+  }
+
+  test("withWikiPages explode shape: N rows per dump in page order, " +
+      "one all-null-page row for non-dumps and null text (r14)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, WikiDump.synthDumpText(1L)),  // 1 % 3 + 1 = 2 pages
+      (3L, "not a dump"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val out = graft.sources.Sources.withWikiPages(df, "text")
+      .select($"doc_id", $"page_idx", $"page_title", $"page_id")
+      .orderBy($"doc_id", $"page_idx").collect()
+    assert(out.length === 4)
+    assert(out(0).getLong(0) === 1L && out(0).getInt(1) === 0 &&
+      out(0).getString(2) === "Page 1-0" && out(0).getLong(3) === 10L)
+    assert(out(1).getInt(1) === 1 && out(1).getLong(3) === 11L)
+    assert(out(2).getLong(0) === 3L && out(2).isNullAt(1) &&
+      out(2).isNullAt(2))
+    assert(out(3).getLong(0) === 4L && out(3).isNullAt(1))
+  }
+
+  test("stripWikitext rules: each construct strips per the declared " +
+      "convention; one template nesting level resolves; deeper " +
+      "nesting leaves residue (fail-closed) (r14)") {
+    import spark.implicits._
+    def strip(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextFunctions.stripWikitext(org.apache.spark.sql.functions.col("t")))
+        .collect()(0).getString(0)
+    assert(strip("{{Infobox|a=1}}rest") === "rest")
+    assert(strip("a {{t|in {{u}}}} b") === "a b")
+    // two levels of nesting: residue stays, prose survives
+    assert(strip("a {{t|{{u|{{v}}}}}} b").contains("a "))
+    assert(strip("== Head ==\nbody") === "Head\nbody")
+    assert(strip("'''bold''' and ''it''") === "bold and it")
+    assert(strip("[[Target|Label]]") === "Label")
+    assert(strip("[[Plain link]]") === "Plain link")
+    assert(strip("[[File:x.png|thumb|cap]]done") === "done")
+    assert(strip("[[Category:Things]]x") === "x")
+    assert(strip("a<ref>cite</ref> b<ref name=\"n\" /> c") === "a b c")
+    assert(strip("k <!-- gone --> t") === "k t")
+    assert(strip("{| class=\"w\"\n|-\n| cell\n|}\nafter") === "after")
+    assert(strip("* one\n# two\n; term\n: def") ===
+      "one\ntwo\nterm\ndef")
+    assert(strip("[http://x.org label text] e") === "label text e")
+    assert(strip("[http://x.org] e") === "e")
+    assert(strip("__NOTOC__x") === "x")
+    assert(strip("a &amp; b &lt;c&gt;") === "a & b <c>")
+    assert(strip("a <span>b</span> c") === "a b c")
+  }
+}
