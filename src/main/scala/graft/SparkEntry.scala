@@ -2366,6 +2366,36 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- LaTeX → text (r14 — the arXiv member of the strip family):
+    //     one document per doc_id exercising every rule — comment
+    //     lines and inline comments, preamble drop-with-arg
+    //     commands, keep-arg sectioning/emphasis with ONE level of
+    //     command nesting (the two-pass rule), equation environment
+    //     and $-math dropped whole, cite/ref machinery dropped,
+    //     itemize markers, escaped specials, forced breaks, ties,
+    //     verbatim content KEPT. Rule list SHARED verbatim with the
+    //     oracle (latexRules).
+    "text_latex" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val tex = concat(
+        lit("% comment line\n\\documentclass[11pt]{article}\n" +
+          "\\usepackage{amsmath}\n\\begin{document}\n\\section{Intro "),
+        id,
+        lit("}\nText \\textbf{bold "), id,
+        lit("} and \\emph{\\textit{deep "), id,
+        lit("}} rest. % note\nEq \\begin{equation}e=mc^2\\end{equation}" +
+          " done.\nInline $x+"), id,
+        lit("$ gone, display $$y_"), id,
+        lit("$$ gone.\nCite \\cite[p.7]{knuth} and \\ref{sec:1} vanish.\n" +
+          "\\begin{itemize}\n\\item one "), id,
+        lit("\n\\end{itemize}\nEscaped 50\\% \\& co\\_op \\#"), id,
+        lit(".\nBreak a\\\\b tilde~c.\n\\begin{verbatim}\ncode "), id,
+        lit("\n\\end{verbatim}\n\\end{document}"))
+      docs.select(id, TextFunctions.stripLatex(tex).as("text"))
+        .orderBy(id)
+    }),
+
     // --- Markdown → text (r14 — the GitHub/docs corpus member of
     //     the strip family, beside stripHtml/extractMain): one
     //     markdown document per doc_id exercising every rule —
@@ -5676,6 +5706,48 @@ object SparkEntry {
          |    '__TOC__' || chr(10) ||
          |    'Outer {{a|in {{b}}}} t &amp; u' AS wt
          |  FROM documents, (SELECT repeat(chr(39), 3) AS q3))
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace($chain, '\n{3,}',
+         |      chr(10) || chr(10), 'g'),
+         |    '(?s)^\\s+|\\s+$$', '', 'g') AS text
+         |FROM src ORDER BY doc_id""".stripMargin
+    },
+
+    // the text_latex oracle: the same LaTeX document built
+    // closed-form (backslashes are literal in SQL strings) and the
+    // SAME rule list replayed (latexRules verbatim, then the shared
+    // tail)
+    "text_latex" -> {
+      def sq(s: String) = s.replace("'", "''")
+      val chain = TextFunctions.latexRules.foldLeft("tex") {
+        case (expr, (pat, rep)) =>
+          val sqlRep = sq(rep.replace("{1}", "\\1"))
+          s"regexp_replace($expr, '${sq(pat)}', '$sqlRep', 'g')"
+      }
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    '% comment line' || chr(10) ||
+         |    '\\documentclass[11pt]{article}' || chr(10) ||
+         |    '\\usepackage{amsmath}' || chr(10) ||
+         |    '\\begin{document}' || chr(10) ||
+         |    '\\section{Intro ' || doc_id || '}' || chr(10) ||
+         |    'Text \\textbf{bold ' || doc_id ||
+         |    '} and \\emph{\\textit{deep ' || doc_id ||
+         |    '}} rest. % note' || chr(10) ||
+         |    'Eq \\begin{equation}e=mc^2\\end{equation} done.' || chr(10) ||
+         |    'Inline $$x+' || doc_id || '$$ gone, display $$$$y_' ||
+         |    doc_id || '$$$$ gone.' || chr(10) ||
+         |    'Cite \\cite[p.7]{knuth} and \\ref{sec:1} vanish.' || chr(10) ||
+         |    '\\begin{itemize}' || chr(10) ||
+         |    '\\item one ' || doc_id || chr(10) ||
+         |    '\\end{itemize}' || chr(10) ||
+         |    'Escaped 50\\% \\& co\\_op \\#' || doc_id || '.' || chr(10) ||
+         |    'Break a\\\\b tilde~c.' || chr(10) ||
+         |    '\\begin{verbatim}' || chr(10) ||
+         |    'code ' || doc_id || chr(10) ||
+         |    '\\end{verbatim}' || chr(10) ||
+         |    '\\end{document}' AS tex
+         |  FROM documents)
          |SELECT doc_id,
          |  regexp_replace(regexp_replace($chain, '\n{3,}',
          |      chr(10) || chr(10), 'g'),

@@ -422,6 +422,69 @@ object TextFunctions {
       "(?s)^\\s+|\\s+$", "")
   }
 
+  /** LaTeX → text rules (r14) — the arXiv member of the strip family
+    * (the detex/pandoc-plain class of cleaning the public science
+    * corpora run). RE2-safe, shared VERBATIM with the SQL twin,
+    * `{1}` maps to the engine capture syntax. Ordered conventions:
+    *  - full-line then inline `%` comments drop (`\%` is protected
+    *    by the not-backslash guard class and unescapes at the end);
+    *  - verbatim MARKERS drop, verbatim content is KEPT (code is
+    *    corpus text — the markdown fence convention);
+    *  - display-math / float environments (equation, align,
+    *    eqnarray, gather, displaymath, figure, table, tabular,
+    *    tikzpicture, starred forms) drop WHOLE — equations and cell
+    *    soup harm quality signals; then `$$…$$` and single-line
+    *    `$…$` math drops;
+    *  - reference-machinery commands drop WITH their argument
+    *    (cite/ref/label/graphics/input/usepackage/…), remaining
+    *    `\begin{…}`/`\end{…}` markers drop, and the GENERIC
+    *    `\cmd[opt]{arg}` keeps its argument — run TWICE so one
+    *    level of command nesting resolves (the wikitext template
+    *    discipline); a BARE `{group}` inside an argument defers to
+    *    the final brace cleanup instead (deterministic, documented);
+    *  - `\\` becomes a line break, leftover bare commands drop,
+    *    escaped specials (`\% \& \_ \#`) unescape, `~` becomes a
+    *    space, stray braces drop, space runs collapse.
+    */
+  val latexRules: Seq[(String, String)] = Seq(
+    "(?m)^%[^\n]*\n?" -> "",                     // full-line comments
+    "([^\\\\])%[^\n]*" -> "{1}",                 // inline comments
+    "\\\\begin\\{verbatim\\}|\\\\end\\{verbatim\\}" -> "", // verbatim markers
+    ("(?s)" + Seq("equation\\*?", "align\\*?", "eqnarray\\*?",
+      "gather\\*?", "displaymath", "figure\\*?", "table\\*?",
+      "tabular", "tikzpicture")
+      .map(e => s"\\\\begin\\{$e\\}.*?\\\\end\\{$e\\}")
+      .mkString("|")) -> "",                     // math/float environments
+    "(?s)\\$\\$.*?\\$\\$" -> "",                 // display math
+    "\\$[^$\n]*\\$" -> "",                       // inline math
+    ("\\\\(?:cite|citep|citet|label|ref|eqref|pageref|" +
+      "includegraphics|input|include|usepackage|documentclass|" +
+      "bibliography|bibliographystyle|vspace|hspace)\\*?" +
+      "(?:\\[[^\\]]*\\])?\\{[^{}]*\\}") -> "",   // drop-with-arg commands
+    "\\\\(?:begin|end)\\{[a-zA-Z*]+\\}" -> "",   // leftover env markers
+    "\\\\[a-zA-Z]+\\*?(?:\\[[^\\]]*\\])?\\{([^{}]*)\\}" -> "{1}", // keep arg
+    "\\\\[a-zA-Z]+\\*?(?:\\[[^\\]]*\\])?\\{([^{}]*)\\}" -> "{1}", // 2nd: 1 nest
+    "\\\\\\\\\\*?" -> "\n",                      // \\ line breaks
+    "\\\\[a-zA-Z]+\\*?(?:\\[[^\\]]*\\])?" -> "", // bare commands
+    "\\\\([%&_#$])" -> "{1}",                    // escaped specials
+    "~" -> " ",                                  // non-breaking space
+    "[{}]" -> "",                                // stray group braces
+    "[ \\t]{2,}" -> " ",                         // intra-line space runs
+    "(?m)[ \\t]+$" -> "")                        // trailing line space
+
+  /** Strip LaTeX to text: the [[latexRules]] fold plus the shared
+    * tail (blank-line collapse + regex trim). Pure codegen'd
+    * projection; the oracle replays the identical chain.
+    */
+  def stripLatex(tex: Column): Column = {
+    val stripped = latexRules.foldLeft(tex) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep.replace("{1}", "$1"))
+    }
+    regexp_replace(
+      regexp_replace(stripped, "\\n{3,}", "\n\n"),
+      "(?s)^\\s+|\\s+$", "")
+  }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html, htmlBlockPattern, " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")

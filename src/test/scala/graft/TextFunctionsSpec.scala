@@ -517,4 +517,28 @@ class TextFunctionsSpec extends SparkSpec {
     // blank-run collapse
     assert(strip("a\n\n\n\n\nb") === "a\n\nb")
   }
+
+  test("stripLatex (r14): comments/preamble/math/cite-ref drop, " +
+      "keep-arg commands keep text through one nesting level, " +
+      "verbatim content and escaped specials survive") {
+    def strip(tex: String): String =
+      Seq(Tuple1(tex)).toDF("tex")
+        .select(TextFunctions.stripLatex($"tex")).head().getString(0)
+    assert(strip("% whole line\nkeep") === "keep")
+    assert(strip("text % tail note") === "text")
+    assert(strip("\\section{Intro} body") === "Intro body")
+    assert(strip("\\emph{\\textit{deep}} x") === "deep x")
+    assert(strip("a \\begin{equation}e=mc^2\\end{equation} b") === "a b")
+    assert(strip("a $x+1$ b $$y$$ c") === "a b c")
+    assert(strip("see \\cite[p.3]{k} and \\ref{s} end") === "see and end")
+    assert(strip("\\begin{itemize}\n\\item one\n\\end{itemize}") === "one")
+    assert(strip("50\\% \\& co\\_op \\#9") === "50% & co_op #9")
+    assert(strip("a\\\\b and x~y") === "a\nb and x y")
+    assert(strip("\\begin{verbatim}\ncode_x\n\\end{verbatim}") === "code_x")
+    // a bare {group} defers to the brace cleanup (documented)
+    assert(strip("\\emph{em {nested} tail} z") === "em nested tail z")
+    // \documentclass/\usepackage preamble vanishes with arguments
+    assert(strip("\\documentclass[11pt]{article}\n\\usepackage{x}\nbody")
+      === "body")
+  }
 }
