@@ -3356,6 +3356,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Ogg container metadata (r14 — the open-audio sibling of
+    //     mm_audio_mp3_meta): RFC 3533 page walk + Vorbis/Opus id
+    //     headers. Vorbis on even ids / Opus on odd, rates cycle
+    //     5-entry tables, mono/stereo alternates on the id/2
+    //     lattice, 1-3 audio pages behind a BOS id page and a
+    //     granule −1 comment page (which must NOT count toward
+    //     duration); the last granule carries an id%997 tail so the
+    //     integer division is exercised; Opus durations subtract
+    //     pre-skip at 48 kHz. Degrades: %19 capture corrupt, %13
+    //     truncated inside the BOS header.
+    "mm_audio_ogg_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeOggBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withOggMeta(media, "payload", "og")
+        .select(col("media_id"), col("og.format").as("format"),
+          col("og.sample_rate").as("sample_rate"),
+          col("og.channels").as("channels"),
+          col("og.n_pages").as("n_pages"),
+          col("og.duration_ms").as("duration_ms"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- EPUB text extraction (r14 — the book-corpus slice; OCF
     //     zip + OPF spine + XHTML, composed from the existing zip
     //     reader and the stripHtml semantics mirrored JVM-side):
@@ -7355,6 +7377,35 @@ object SparkEntry {
         |    ELSE CAST(a.nf * 1152 * 1000 // i.rate AS BIGINT) END AS duration_ms,
         |  CASE WHEN b.c THEN NULL ELSE round(a.mk, 6) END AS kbps_mean
         |FROM ids i JOIN agg a USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_audio_ogg_meta oracle: rate tables as list literals,
+    // page count n+2 (id + comment + audio pages), duration by the
+    // codec's integer formula (Opus pre-skip cancels by design)
+    "mm_audio_ogg_meta" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN [8000,16000,22050,44100,48000][CAST(doc_id % 5 AS INT) + 1]
+        |      ELSE [8000,12000,16000,24000,48000][CAST(doc_id % 5 AS INT) + 1]
+        |    END AS rate,
+        |    CAST((doc_id // 2) % 2 + 1 AS INT) AS ch
+        |  FROM documents WHERE doc_id < 60),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown'
+        |    WHEN i.media_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.rate AS INT) END AS sample_rate,
+        |  CASE WHEN b.c THEN NULL ELSE i.ch END AS channels,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n + 2 AS INT) END AS n_pages,
+        |  CASE WHEN b.c THEN NULL
+        |    WHEN i.media_id % 2 = 0
+        |      THEN CAST((i.n * i.rate + i.media_id % 997) * 1000 // i.rate AS BIGINT)
+        |    ELSE CAST((i.n * 48000 + i.media_id % 997) * 1000 // 48000 AS BIGINT)
+        |  END AS duration_ms
+        |FROM ids i JOIN bad b USING (media_id)
         |ORDER BY i.media_id""".stripMargin,
 
     // the mm_epub_text oracle: each chapter's stripped text rebuilt

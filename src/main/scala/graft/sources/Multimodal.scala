@@ -3572,6 +3572,87 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Append `outCol`: Ogg container metadata struct via
+    * [[Ogg.parseMeta]] (codec, rate, channels, page count,
+    * duration from granule positions — layout-only, no audio
+    * decode); malformed / non-Vorbis-non-Opus payloads yield
+    * 'unknown'.
+    */
+  def withOggMeta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_pages", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Ogg.parseMeta(p)
+            if (m == null) Row("unknown", null, null, null, null)
+            else Row(m.codec, m.sampleRate, m.channels, m.nPages,
+              m.durationMs)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic Ogg payload for media id `id` (r14): Vorbis on
+    * even ids, Opus on odd; rate cycles a 5-entry table; channels
+    * alternate mono/stereo on the id/2 lattice (so BOTH codecs see
+    * both widths); 1-3 audio pages; the last audio
+    * granule carries an id%997 fractional tail so the integer
+    * duration division is exercised; a granule −1 comment page
+    * rides every stream (must not count toward duration).
+    */
+  def synthOggPayload(id: Long): Array[Byte] = {
+    val nAudio = (id % 3 + 1).toInt
+    val channels = ((id / 2) % 2 + 1).toInt
+    val serial = (id * 2654435761L % 100000).toInt
+    if (id % 2 == 0) {
+      val rate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt)
+      val granules = (1 to nAudio).map(k =>
+        if (k == nAudio) k.toLong * rate + id % 997 else k.toLong * rate)
+      Ogg.buildStream(Ogg.vorbisIdPacket(channels, rate),
+        Array[Byte](0x03) ++ "vorbis".getBytes("US-ASCII"),
+        granules, serial)
+    } else {
+      val inputRate = Array(8000, 12000, 16000, 24000, 48000)((id % 5).toInt)
+      val preSkip = (312 + id % 100).toInt
+      val granules = (1 to nAudio).map(k =>
+        preSkip + k.toLong * 48000 +
+          (if (k == nAudio) id % 997 else 0L))
+      Ogg.buildStream(Ogg.opusHeadPacket(channels, preSkip, inputRate),
+        "OpusTags".getBytes("US-ASCII"), granules, serial)
+    }
+  }
+
+  /** Synthesize the Ogg media table: %19 capture-corrupted, %13
+    * truncated inside the BOS page header — both degrade to
+    * 'unknown'.
+    */
+  def synthesizeOggBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthOggPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 12)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol`: DOCX body-text struct via
     * [[Docx.extractText]]; malformed payloads yield 'unknown'.
     */

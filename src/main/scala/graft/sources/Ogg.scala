@@ -1,0 +1,188 @@
+package graft.sources
+
+/** Ogg container metadata (r14) — RFC 3533 page walk plus the
+  * Vorbis I / Opus (RFC 7845) identification headers: codec, sample
+  * rate, channels, page count and duration from granule positions.
+  * This is the crawl-metadata stance of [[Mp3]]: the audio DECODE
+  * side of Vorbis/Opus (MDCT, range coding) stays out of scope;
+  * the container and id-header layouts are pure public structure.
+  *
+  * Page walk: "OggS" capture + version 0, 64-bit LE granule
+  * position, 32-bit serial/sequence, segment-table lacing for the
+  * body length. The CRC field is read past, NOT verified — a
+  * declared boundary: metadata extraction is layout-only, transport
+  * integrity is upstream's job (the MP3 stance; a wrong CRC in a
+  * real file would not change any emitted field).
+  *
+  * Codec detection is the FIRST packet of the FIRST (BOS) page:
+  * `\x01vorbis` → channels at offset 11, rate LE32 at 12 (Vorbis I
+  * §4.2.2 layout); `OpusHead` → channels at 9, pre-skip LE16 at 10,
+  * INPUT sample rate LE32 at 12 (RFC 7845 §5.1 — the rate field is
+  * informational; Opus always times granules at 48 kHz).
+  *
+  * Duration: the last page with granule ≠ -1 wins. Vorbis granules
+  * count PCM samples at the stream rate → ms = granule·1000/rate
+  * (integer). Opus granules count 48 kHz samples INCLUDING pre-skip
+  * → ms = max(0, granule − preSkip)·1000/48000.
+  *
+  * Total function: no valid BOS page / unknown codec / truncated
+  * page → null; trailing non-page bytes after ≥1 complete page end
+  * the walk cleanly (the FLAC/MP3 r14 convention).
+  */
+object Ogg {
+
+  private val MaxPages = 1 << 20
+
+  final case class OggMeta(codec: String, sampleRate: Int,
+      channels: Int, nPages: Int, durationMs: Long)
+
+  def parseMeta(b: Array[Byte]): OggMeta = {
+    try parseInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+      ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+
+  private def le64(b: Array[Byte], p: Int): Long =
+    le32(b, p) | (le32(b, p + 4) << 32)
+
+  private def parseInner(b: Array[Byte]): OggMeta = {
+    if (b == null || b.length < 28) return null
+    var pos = 0
+    var nPages = 0
+    var codec: String = null
+    var rate = -1; var channels = -1; var preSkip = 0
+    var lastGranule = -1L
+    var stop = false
+    while (!stop && pos + 27 <= b.length && nPages < MaxPages) {
+      val isCapture = b(pos) == 'O' && b(pos + 1) == 'g' &&
+        b(pos + 2) == 'g' && b(pos + 3) == 'S' && b(pos + 4) == 0
+      if (!isCapture) {
+        if (nPages > 0) stop = true else return null
+      } else {
+        val granule = le64(b, pos + 6)
+        val nSegs = b(pos + 26) & 0xFF
+        if (pos + 27 + nSegs > b.length) return null
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) {
+          bodyLen += b(pos + 27 + i) & 0xFF; i += 1
+        }
+        val bodyPos = pos + 27 + nSegs
+        if (bodyPos + bodyLen > b.length) return null
+        if (nPages == 0) {
+          // BOS page: identify the codec from the first packet
+          if (bodyLen >= 30 && b(bodyPos) == 0x01 &&
+              new String(b, bodyPos + 1, 6, "US-ASCII") == "vorbis") {
+            // Vorbis I id header: version LE32 must be 0
+            if (le32(b, bodyPos + 7) != 0L) return null
+            codec = "vorbis"
+            channels = b(bodyPos + 11) & 0xFF
+            rate = le32(b, bodyPos + 12).toInt
+          } else if (bodyLen >= 19 &&
+              new String(b, bodyPos, 8, "US-ASCII") == "OpusHead") {
+            codec = "opus"
+            channels = b(bodyPos + 9) & 0xFF
+            preSkip = ((b(bodyPos + 10) & 0xFF) |
+              ((b(bodyPos + 11) & 0xFF) << 8))
+            rate = le32(b, bodyPos + 12).toInt
+          } else return null
+          if (rate <= 0 || channels <= 0) return null
+        }
+        if (granule != -1L) lastGranule = granule
+        nPages += 1
+        pos = bodyPos + bodyLen
+      }
+    }
+    if (nPages == 0) return null
+    val durMs =
+      if (lastGranule < 0) 0L
+      else if (codec == "vorbis") lastGranule * 1000L / rate
+      else math.max(0L, lastGranule - preSkip) * 1000L / 48000L
+    OggMeta(codec, rate, channels, nPages, durMs)
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture builders (tests + the gate synthesizer) — real page
+  // lacing incl. the 255-continuation rule; the CRC field is
+  // written zero (the parser's declared non-verification boundary).
+  // ---------------------------------------------------------------
+
+  /** One page holding one whole packet. */
+  private[graft] def buildPage(packet: Array[Byte], granule: Long,
+      serial: Int, seq: Int, headerType: Int): Array[Byte] = {
+    val lacing = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var rem = packet.length
+    while (rem >= 255) { lacing += 255; rem -= 255 }
+    lacing += rem // final segment < 255 ends the packet
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('O'); out.write('g'); out.write('g'); out.write('S')
+    out.write(0) // version
+    out.write(headerType)
+    var g = granule
+    (0 until 8).foreach { _ => out.write((g & 0xFF).toInt); g >>= 8 }
+    var s = serial.toLong & 0xFFFFFFFFL
+    (0 until 4).foreach { _ => out.write((s & 0xFF).toInt); s >>= 8 }
+    var q = seq.toLong
+    (0 until 4).foreach { _ => out.write((q & 0xFF).toInt); q >>= 8 }
+    (0 until 4).foreach { _ => out.write(0) } // CRC (unverified)
+    out.write(lacing.length)
+    lacing.foreach(out.write)
+    out.write(packet)
+    out.toByteArray
+  }
+
+  private def le32b(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Vorbis I identification-header packet (30 bytes). */
+  private[graft] def vorbisIdPacket(channels: Int,
+      rate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x01); out.write("vorbis".getBytes("US-ASCII"))
+    out.write(le32b(0)) // version
+    out.write(channels)
+    out.write(le32b(rate))
+    out.write(le32b(0)); out.write(le32b(0)); out.write(le32b(0))
+    out.write(0xB8) // blocksizes 2^8 / 2^11
+    out.write(0x01) // framing bit
+    out.toByteArray
+  }
+
+  /** OpusHead identification packet (19 bytes, mapping family 0). */
+  private[graft] def opusHeadPacket(channels: Int, preSkip: Int,
+      inputRate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OpusHead".getBytes("US-ASCII"))
+    out.write(1) // version
+    out.write(channels)
+    out.write(preSkip & 0xFF); out.write((preSkip >> 8) & 0xFF)
+    out.write(le32b(inputRate))
+    out.write(0); out.write(0) // output gain
+    out.write(0) // mapping family
+    out.toByteArray
+  }
+
+  /** A whole fixture stream: id header page (BOS, granule 0), a
+    * comment page (granule -1 — must NOT count toward duration),
+    * then one audio page per granule in `granules`.
+    */
+  private[graft] def buildStream(idPacket: Array[Byte],
+      commentPacket: Array[Byte], granules: Seq[Long],
+      serial: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(buildPage(idPacket, 0L, serial, 0, 0x02))
+    out.write(buildPage(commentPacket, -1L, serial, 1, 0x00))
+    granules.zipWithIndex.foreach { case (g, i) =>
+      val last = i == granules.length - 1
+      val body = Array.tabulate[Byte](20)(j =>
+        ((serial + i * 31 + j) & 0x7F).toByte)
+      out.write(buildPage(body, g, serial, 2 + i,
+        if (last) 0x04 else 0x00))
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.Ogg
+
+class OggSpec extends SparkSpec {
+
+  // a hand-assembled one-page Vorbis stream, independent of the
+  // fixture builder: OggS v0, BOS, granule 1000 LE, serial 7,
+  // seq 0, zero CRC, one 30-byte segment = the id header
+  private def handVorbisPage(rate: Int, ch: Int,
+      granule: Long): Array[Byte] = {
+    val idPkt = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, // version
+        ch.toByte,
+        (rate & 0xFF).toByte, ((rate >> 8) & 0xFF).toByte,
+        ((rate >> 16) & 0xFF).toByte, ((rate >> 24) & 0xFF).toByte) ++
+      Array.fill[Byte](12)(0) ++ Array[Byte](0xB8.toByte, 0x01)
+    val hdr = new Array[Byte](27)
+    hdr(0) = 'O'; hdr(1) = 'g'; hdr(2) = 'g'; hdr(3) = 'S'
+    hdr(4) = 0; hdr(5) = 0x02
+    var g = granule
+    (0 until 8).foreach { i => hdr(6 + i) = (g & 0xFF).toByte; g >>= 8 }
+    hdr(14) = 7 // serial LE
+    hdr(26) = 1 // one segment
+    hdr ++ Array[Byte](idPkt.length.toByte) ++ idPkt
+  }
+
+  test("hand-assembled Vorbis page parses: capture walk, LE fields, " +
+      "granule duration at the stream rate (r14)") {
+    val m = Ogg.parseMeta(handVorbisPage(44100, 2, 44100L))
+    assert(m != null && m.codec === "vorbis")
+    assert(m.sampleRate === 44100 && m.channels === 2)
+    assert(m.nPages === 1 && m.durationMs === 1000L)
+  }
+
+  test("full stream: comment page granule -1 does not drive " +
+      "duration, last audio granule wins, page count exact (r14)") {
+    val s = Ogg.buildStream(Ogg.vorbisIdPacket(1, 8000),
+      Array[Byte](0x03) ++ "vorbis".getBytes("US-ASCII"),
+      Seq(8000L, 20000L), 99)
+    val m = Ogg.parseMeta(s)
+    assert(m.codec === "vorbis" && m.nPages === 4)
+    assert(m.durationMs === 2500L)
+  }
+
+  test("Opus: input rate reported, duration at 48 kHz minus " +
+      "pre-skip, clamped at zero (r14)") {
+    val s = Ogg.buildStream(Ogg.opusHeadPacket(2, 312, 16000),
+      "OpusTags".getBytes("US-ASCII"), Seq(312L + 96000L), 5)
+    val m = Ogg.parseMeta(s)
+    assert(m.codec === "opus" && m.sampleRate === 16000)
+    assert(m.channels === 2 && m.durationMs === 2000L)
+    // granule below pre-skip clamps to 0, never negative
+    val tiny = Ogg.buildStream(Ogg.opusHeadPacket(1, 1000, 48000),
+      "OpusTags".getBytes("US-ASCII"), Seq(500L), 5)
+    assert(Ogg.parseMeta(tiny).durationMs === 0L)
+  }
+
+  test("lacing: a packet >= 255 bytes spans 255-continuation " +
+      "segments and the page body length sums correctly (r14)") {
+    val big = Array.tabulate[Byte](600)(i => (i % 100).toByte)
+    val page = Ogg.buildPage(big, 123L, 1, 0, 0x02)
+    // 600 = 255 + 255 + 90 -> 3 lacing values
+    assert((page(26) & 0xFF) === 3)
+    // not a known codec -> parseMeta refuses (first packet rules)
+    assert(Ogg.parseMeta(page) === null)
+  }
+
+  test("totality: null/garbage/truncated-BOS null; trailing junk " +
+      "after >= 1 page stops cleanly; version != 0 refuses (r14)") {
+    assert(Ogg.parseMeta(null) === null)
+    assert(Ogg.parseMeta("not an ogg at all padding".getBytes) === null)
+    val good = handVorbisPage(8000, 1, 8000L)
+    assert(Ogg.parseMeta(java.util.Arrays.copyOf(good, 12)) === null)
+    val withJunk = good ++ "ID3v1-ish trailing junk".getBytes
+    val m = Ogg.parseMeta(withJunk)
+    assert(m != null && m.nPages === 1 && m.durationMs === 1000L)
+    val badVer = good.clone(); badVer(4) = 1
+    assert(Ogg.parseMeta(badVer) === null)
+  }
+}
