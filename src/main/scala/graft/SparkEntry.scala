@@ -3865,11 +3865,15 @@ object SparkEntry {
     // --- Wide-depth FLAC decode (r14 — VERDICT r13 missing #2:
     //     24-bit is the archival-audio standard and the previous
     //     null boundary): 24-bit constant / verbatim / fixed-order-2
-    //     / stereo mid-side (25-bit side channel) and a 20-bit LPC
-    //     stride cycle by id%5; sample magnitudes genuinely exceed
-    //     16 bits, every square-sum stays under 2^53, so the stats
-    //     replay EXACTLY in SQL. bit_depth rides the stats struct.
-    //     Degrade: %19 magic → unknown.
+    //     / stereo mid-side (25-bit side channel), a 20-bit LPC
+    //     stride, and a 32-bit mid/side stride (33-bit side channel
+    //     through Long subframe arithmetic — the LAST depth
+    //     boundary, closed late-r14) cycle by id%6; sample
+    //     magnitudes genuinely exceed the previous depth line and
+    //     every square-sum is exactly representable in a Double
+    //     (power-of-two amplitudes on the 32-bit stride), so the
+    //     stats replay EXACTLY in SQL. bit_depth rides the stats
+    //     struct. Degrade: %19 magic → unknown.
     "mm_audio_flac24" -> ((s, dir) => {
       val media = Multimodal.synthesizeFlac24Bytes(
         Tables.documents(s, dir).filter(col("doc_id") < 60))
@@ -8576,12 +8580,13 @@ object SparkEntry {
         |FROM r JOIN a USING (media_id) ORDER BY media_id""".stripMargin,
 
     // the mm_audio_flac24 oracle: wide-depth closed-form stats per
-    // id%5 variant — every sample magnitude past 16 bits, every
-    // square-sum under 2^53, so DOUBLE accumulation is exact in both
-    // engines
+    // id%6 variant — every sample magnitude past the previous depth
+    // line, every square-sum exactly representable in a DOUBLE
+    // (under 2^53, or small-mantissa multiples of 2^52 for the
+    // 32-bit stride), so accumulation is exact in both engines
     "mm_audio_flac24" ->
       """WITH ids AS (
-        |  SELECT doc_id AS media_id, doc_id % 5 AS v
+        |  SELECT doc_id AS media_id, doc_id % 6 AS v
         |  FROM documents WHERE doc_id < 60),
         |samp AS (
         |  SELECT i.media_id, ((i.media_id * 31 + g.g * 1709) % 2000001) - 1000000 AS s
@@ -8594,15 +8599,25 @@ object SparkEntry {
         |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v = 3
         |  UNION ALL
         |  SELECT i.media_id, ((i.media_id * 37) % 2000001) - 1000000
-        |  FROM ids i, generate_series(0, 191) AS g(g) WHERE i.v = 0),
+        |  FROM ids i, generate_series(0, 191) AS g(g) WHERE i.v = 0
+        |  UNION ALL
+        |  SELECT i.media_id,
+        |    (CASE WHEN (i.media_id + g.g) % 4 < 2 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN g.g % 2 = 0 THEN 134217728 ELSE 67108864 END)
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v = 5
+        |  UNION ALL
+        |  SELECT i.media_id,
+        |    -((CASE WHEN (i.media_id + g.g) % 4 < 2 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN g.g % 2 = 0 THEN 134217728 ELSE 67108864 END))
+        |  FROM ids i, generate_series(0, 383) AS g(g) WHERE i.v = 5),
         |a AS (SELECT media_id, count(*) AS n_samples, avg(s) AS mean_amp,
         |    sqrt(avg(CAST(s AS DOUBLE) * s)) AS rms, max(abs(s)) AS peak
         |  FROM samp GROUP BY media_id),
         |r AS (SELECT media_id, v,
         |    CASE v WHEN 0 THEN 96000 WHEN 1 THEN 44100 WHEN 2 THEN 48000
-        |      WHEN 3 THEN 96000 ELSE 192000 END AS rate,
-        |    CASE WHEN v = 4 THEN 2 ELSE 1 END AS ch,
-        |    CASE WHEN v = 3 THEN 20 ELSE 24 END AS depth
+        |      WHEN 3 THEN 96000 WHEN 5 THEN 48000 ELSE 192000 END AS rate,
+        |    CASE WHEN v IN (4, 5) THEN 2 ELSE 1 END AS ch,
+        |    CASE v WHEN 3 THEN 20 WHEN 5 THEN 32 ELSE 24 END AS depth
         |  FROM ids)
         |SELECT r.media_id,
         |  CASE WHEN r.media_id % 19 = 0 THEN 'unknown' ELSE 'flac' END AS format,

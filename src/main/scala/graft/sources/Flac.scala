@@ -14,12 +14,12 @@ package graft.sources
   * mid/side), wasted bits, both blocking strategies, the UTF-8
   * frame-number coding, and the blocksize/sample-rate header tables
   * with their end-of-header literal forms. Sample sizes 8/12/16/20/
-  * 24 bits decode sample-exactly into [[Multimodal.PcmAudio]] (r14 —
-  * 24-bit is the archival-audio standard; [[decodeFlac]] folds deep
-  * streams to the 16-bit [[Multimodal.WavAudio]] monitoring carrier
-  * by arithmetic shift). Declared boundaries: 32-bit streams return
-  * null (their side channel needs 33-bit arithmetic — widen to Long
-  * if they ever matter), and CRC-8/CRC-16 are parsed but not verified
+  * 24/32 bits decode sample-exactly into [[Multimodal.PcmAudio]]
+  * (r14 — 24-bit is the archival-audio standard; 32-bit rides Long
+  * subframe arithmetic since its side channel needs 33 bits;
+  * [[decodeFlac]] folds deep streams to the 16-bit
+  * [[Multimodal.WavAudio]] monitoring carrier by arithmetic shift).
+  * Declared boundary: CRC-8/CRC-16 are parsed but not verified
   * (the PNG-CRC precedent: correctness is pinned on decoded sample
   * values; a CRC pass would only reject rows the decode stage
   * already sees).
@@ -54,6 +54,12 @@ object Flac {
       var v = 0L; var i = 0
       while (i < n) { v = (v << 1) | readBit(); i += 1 }
       v
+    }
+    def readSignedL(n: Int): Long = {
+      val v = readBitsLong(n)
+      if (n == 0) 0L
+      else if ((v & (1L << (n - 1))) != 0) v - (1L << n)
+      else v
     }
     def readSigned(n: Int): Int = {
       val v = readBits(n)
@@ -90,9 +96,9 @@ object Flac {
     }
   }
 
-  /** Decode a FLAC payload to wide interleaved PCM (8/12/16/20/24-bit
-    * sample sizes; 32-bit stays the declared boundary — its side
-    * channel needs 33 bits), or null.
+  /** Decode a FLAC payload to wide interleaved PCM
+    * (8/12/16/20/24/32-bit sample sizes — subframes run in Long so
+    * the 33-bit side channel of 32-bit stereo is exact), or null.
     */
   def decodeFlacPcm(b: Array[Byte]): Multimodal.PcmAudio = {
     try decodeInner(b)
@@ -129,8 +135,8 @@ object Flac {
       if (i > b.length) return null
     }
     if (siRate <= 0 || siRate > 655350) return null
-    if (siBps > 24) return null // 32-bit: declared boundary
-    val out = new java.util.ArrayList[Array[Array[Int]]]()
+    if (siBps > 32) return null // STREAMINFO caps at 32
+    val out = new java.util.ArrayList[Array[Array[Long]]]()
     var total = 0L
     var channels = -1
     var rate = -1
@@ -160,7 +166,7 @@ object Flac {
     if (out.isEmpty || channels <= 0) return null
     // reconstructed samples must fit the stream's declared depth —
     // a valid encoder cannot emit wider values; wider means corrupt
-    val lo = -(1 << (siBps - 1)); val hi = (1 << (siBps - 1)) - 1
+    val lo = -(1L << (siBps - 1)); val hi = (1L << (siBps - 1)) - 1
     val flat = new Array[Int](total.toInt)
     var o = 0
     val it = out.iterator()
@@ -173,7 +179,7 @@ object Flac {
         while (c < channels) {
           val v = chans(c)(s)
           if (v < lo || v > hi) return null
-          flat(o) = v; o += 1; c += 1
+          flat(o) = v.toInt; o += 1; c += 1
         }
         s += 1
       }
@@ -183,7 +189,7 @@ object Flac {
 
   /** One frame → (sample rate, per-channel sample arrays). */
   private def decodeFrame(br: BitReader, siRate: Int,
-      siBps: Int): (Int, Array[Array[Int]]) = {
+      siBps: Int): (Int, Array[Array[Long]]) = {
     if (br.readBits(14) != 0x3FFE) return null // sync
     if (br.readBit() != 0) return null // reserved
     br.readBit() // blocking strategy (both parse the same here)
@@ -236,16 +242,16 @@ object Flac {
       case 4 => 16
       case 5 => 20 // r14: wide sample sizes decode
       case 6 => 24
-      case 7 => return null // 32-bit: declared boundary (33-bit side)
+      case 7 => 32 // r14: 32-bit decodes (Long side arithmetic)
       case _ => return null // reserved
     }
-    if (bps > 24) return null
+    if (bps > 32) return null
     br.readBits(8) // CRC-8 (parsed, not verified)
     if (blockSize <= 0 || blockSize > 65536) return null
     val nChan = if (chAssign < 8) chAssign + 1
       else if (chAssign <= 10) 2
       else return null
-    val chans = new Array[Array[Int]](nChan)
+    val chans = new Array[Array[Long]](nChan)
     var c = 0
     while (c < nChan) {
       // side channels carry one extra bit of range
@@ -289,30 +295,30 @@ object Flac {
   }
 
   private def decodeSubframe(br: BitReader, blockSize: Int,
-      bps0: Int): Array[Int] = {
+      bps0: Int): Array[Long] = {
     if (br.readBit() != 0) return null // padding
     val typ = br.readBits(6)
     val wasted =
       if (br.readBit() == 1) br.readUnary() + 1 else 0
     val bps = bps0 - wasted
-    if (bps <= 0 || bps > 25) return null // 24-bit + side bit ceiling
-    val out: Array[Int] =
+    if (bps <= 0 || bps > 33) return null // 32-bit + side bit ceiling
+    val out: Array[Long] =
       if (typ == 0) { // constant
-        val v = br.readSigned(bps)
+        val v = br.readSignedL(bps)
         Array.fill(blockSize)(v)
       } else if (typ == 1) { // verbatim
-        Array.fill(blockSize)(br.readSigned(bps))
+        Array.fill(blockSize)(br.readSignedL(bps))
       } else if (typ >= 8 && typ <= 12) { // fixed predictor
         val order = typ - 8
         if (order > blockSize) return null
-        val s = new Array[Int](blockSize)
+        val s = new Array[Long](blockSize)
         var i = 0
-        while (i < order) { s(i) = br.readSigned(bps); i += 1 }
+        while (i < order) { s(i) = br.readSignedL(bps); i += 1 }
         val res = decodeResidual(br, blockSize, order)
         if (res == null) return null
         while (i < blockSize) {
           val pred = order match {
-            case 0 => 0
+            case 0 => 0L
             case 1 => s(i - 1)
             case 2 => 2 * s(i - 1) - s(i - 2)
             case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
@@ -325,9 +331,9 @@ object Flac {
       } else if (typ >= 32) { // LPC, order 1..32
         val order = typ - 31
         if (order > blockSize) return null
-        val s = new Array[Int](blockSize)
+        val s = new Array[Long](blockSize)
         var i = 0
-        while (i < order) { s(i) = br.readSigned(bps); i += 1 }
+        while (i < order) { s(i) = br.readSignedL(bps); i += 1 }
         val precision = br.readBits(4) + 1
         if (precision == 16) return null // 1111 reserved
         val shift = br.readSigned(5)
@@ -343,7 +349,7 @@ object Flac {
           while (j2 < order) {
             acc += coefs(j2).toLong * s(i - 1 - j2); j2 += 1
           }
-          s(i) = res(i - order) + (acc >> shift).toInt
+          s(i) = res(i - order) + (acc >> shift)
           i += 1
         }
         s
@@ -359,7 +365,7 @@ object Flac {
     * method 1 = 5-bit (escape 31); escape → fixed-width raw samples.
     */
   private def decodeResidual(br: BitReader, blockSize: Int,
-      order: Int): Array[Int] = {
+      order: Int): Array[Long] = {
     val method = br.readBits(2)
     if (method > 1) return null
     val paramBits = if (method == 0) 4 else 5
@@ -368,7 +374,7 @@ object Flac {
     val partitions = 1 << po
     if (blockSize % partitions != 0) return null
     val perPart = blockSize >> po
-    val out = new Array[Int](blockSize - order)
+    val out = new Array[Long](blockSize - order)
     var o = 0
     var p = 0
     while (p < partitions) {
@@ -378,14 +384,14 @@ object Flac {
       if (param == escape) {
         val raw = br.readBits(5)
         var s = 0
-        while (s < n) { out(o) = br.readSigned(raw); o += 1; s += 1 }
+        while (s < n) { out(o) = br.readSignedL(raw); o += 1; s += 1 }
       } else {
         var s = 0
         while (s < n) {
           val q = br.readUnary()
-          val r = br.readBits(param)
-          val v = (q << param) | r
-          out(o) = (v >>> 1) ^ -(v & 1) // zigzag
+          val r = br.readBitsLong(param)
+          val v = (q.toLong << param) | r
+          out(o) = (v >>> 1) ^ -(v & 1L) // zigzag
           o += 1; s += 1
         }
       }
@@ -416,8 +422,15 @@ object Flac {
     }
     def writeSigned(v: Int, n: Int): Unit =
       writeBits(v & ((1 << n) - 1), n)
-    def writeUnary(q: Int): Unit = {
-      var i = 0
+    def writeBitsL(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def writeSignedL(v: Long, n: Int): Unit =
+      writeBitsL(v & ((1L << n) - 1), n)
+    def writeUnary(q: Long): Unit = {
+      require(q >= 0 && q < (1L << 24), "unary runaway (fixture)")
+      var i = 0L
       while (i < q) { writeBit(0); i += 1 }
       writeBit(1)
     }
@@ -429,7 +442,7 @@ object Flac {
     * or `1 << po` partitions, parameter chosen per partition from the
     * mean magnitude.
     */
-  private def writeResidual(bw: BitWriter, res: Array[Int], order: Int,
+  private def writeResidual(bw: BitWriter, res: Array[Long], order: Int,
       blockSize: Int, po: Int, escapeRaw: Int = 0): Unit = {
     bw.writeBits(0, 2) // method 0: 4-bit params
     bw.writeBits(po, 4)
@@ -444,11 +457,11 @@ object Flac {
         bw.writeBits(15, 4)
         bw.writeBits(escapeRaw, 5)
         var s = 0
-        while (s < n) { bw.writeSigned(res(o + s), escapeRaw); s += 1 }
+        while (s < n) { bw.writeSignedL(res(o + s), escapeRaw); s += 1 }
       } else {
         var mean = 0L
         var s = 0
-        while (s < n) { mean += math.abs(res(o + s).toLong); s += 1 }
+        while (s < n) { mean += math.abs(res(o + s)); s += 1 }
         var param = 0
         val avg = if (n > 0) mean / n else 0
         while ((1L << param) < avg + 1 && param < 14) param += 1
@@ -456,9 +469,9 @@ object Flac {
         s = 0
         while (s < n) {
           val v = res(o + s)
-          val zz = (v << 1) ^ (v >> 31)
+          val zz = (v << 1) ^ (v >> 63)
           bw.writeUnary(zz >>> param)
-          bw.writeBits(zz & ((1 << param) - 1), param)
+          bw.writeBitsL(zz & ((1L << param) - 1), param)
           s += 1
         }
       }
@@ -475,10 +488,10 @@ object Flac {
     * with ESCAPE partitions (raw 17-bit residuals — covers side
     * channels).
     */
-  private def writeSubframe(bw: BitWriter, samples: Array[Int],
+  private def writeSubframe(bw: BitWriter, samples: Array[Long],
       bps: Int, mode: Int, po: Int): Unit = {
     bw.writeBit(0)
-    def fixedRes(order: Int): Array[Int] =
+    def fixedRes(order: Int): Array[Long] =
       (order until samples.length).map { i =>
         val pred = order match {
           case 0 => 0
@@ -493,7 +506,7 @@ object Flac {
       }.toArray
     def writeFixed(order: Int, escapeRaw: Int = 0): Unit = {
       bw.writeBits(8 + order, 6); bw.writeBit(0)
-      samples.take(order).foreach(bw.writeSigned(_, bps))
+      samples.take(order).foreach(bw.writeSignedL(_, bps))
       writeResidual(bw, fixedRes(order), order, samples.length, po,
         escapeRaw)
     }
@@ -501,10 +514,10 @@ object Flac {
       case 0 =>
         require(samples.forall(_ == samples(0)), "constant subframe")
         bw.writeBits(0, 6); bw.writeBit(0)
-        bw.writeSigned(samples(0), bps)
+        bw.writeSignedL(samples(0), bps)
       case 1 =>
         bw.writeBits(1, 6); bw.writeBit(0)
-        samples.foreach(bw.writeSigned(_, bps))
+        samples.foreach(bw.writeSignedL(_, bps))
       case 2 => writeFixed(2)
       case 4 => writeFixed(1)
       case 5 => writeFixed(3)
@@ -512,7 +525,7 @@ object Flac {
       case 7 =>
         val order = 2
         bw.writeBits(32 + order - 1, 6); bw.writeBit(0)
-        samples.take(order).foreach(bw.writeSigned(_, bps))
+        samples.take(order).foreach(bw.writeSignedL(_, bps))
         bw.writeBits(2, 4) // precision 3
         bw.writeSigned(0, 5) // shift 0
         bw.writeSigned(2, 3); bw.writeSigned(-1, 3) // pred = 2a - b
@@ -521,7 +534,7 @@ object Flac {
       case _ =>
         val order = 1
         bw.writeBits(32 + order - 1, 6); bw.writeBit(0)
-        samples.take(order).foreach(bw.writeSigned(_, bps))
+        samples.take(order).foreach(bw.writeSignedL(_, bps))
         bw.writeBits(3, 4) // precision 4
         bw.writeSigned(0, 5) // shift 0
         bw.writeSigned(1, 4) // coefficient [1] → pred = prev
@@ -542,9 +555,9 @@ object Flac {
     buildFlacPcm(rate, channels, 16, samples.map(_.toInt),
       blockSize, chAssign, modes, po)
 
-  /** [[buildFlac]] at an explicit sample depth (8/12/16/20/24) over
-    * wide samples — the 24-bit fixture path (r14). Callers must keep
-    * samples within the declared depth's signed range.
+  /** [[buildFlac]] at an explicit sample depth (8/12/16/20/24/32)
+    * over wide samples — the deep fixture path (r14). Callers must
+    * keep samples within the declared depth's signed range.
     */
   def buildFlacPcm(rate: Int, channels: Int, bps: Int,
       samples: Array[Int], blockSize: Int = 192, chAssign: Int = -1,
@@ -552,9 +565,10 @@ object Flac {
     require(channels >= 1 && channels <= 8)
     val ssCode = bps match {
       case 8 => 1; case 12 => 2; case 16 => 4; case 20 => 5; case 24 => 6
+      case 32 => 7
       case d => throw new IllegalArgumentException(s"bps $d")
     }
-    val halfRange = 1 << (bps - 1)
+    val halfRange = 1L << (bps - 1)
     require(samples.forall(v => v >= -halfRange && v < halfRange),
       s"samples exceed $bps-bit range")
     require(samples.length % channels == 0)
@@ -595,9 +609,9 @@ object Flac {
       bw.writeBits(0, 8) // CRC-8: unchecked boundary
       // gather per-channel samples for this frame
       val chans = Array.tabulate(channels, blockSize) { (c, s) =>
-        samples((f * blockSize + s) * channels + c)
+        samples((f * blockSize + s) * channels + c).toLong
       }
-      val coded: Array[Array[Int]] = assign match {
+      val coded: Array[Array[Long]] = assign match {
         case 8 => Array(chans(0),
           Array.tabulate(blockSize)(s => chans(0)(s) - chans(1)(s)))
         case 9 => Array(

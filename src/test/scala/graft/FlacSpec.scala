@@ -199,7 +199,7 @@ class FlacSpec extends SparkSpec {
   test("wide-depth FLAC (r14): 24-bit and 20-bit streams round-trip " +
       "sample-exactly through every subframe family; mid/side carries " +
       "the 25-bit side channel; decodeFlac folds by arithmetic " +
-      "shift; 32-bit stays the null boundary") {
+      "shift; 32-bit decodes through Long subframe arithmetic") {
     def sa(i: Int): Int = ((i * 1709L % 2000001L) - 1000000L).toInt
     def sb(i: Int): Int = ((i * 1709L % 1000001L) - 500000L).toInt
     def sc(i: Int): Int = ((7 + i * 911L) % 2000001L - 1000000L).toInt
@@ -269,11 +269,54 @@ class FlacSpec extends SparkSpec {
     assert(hand.samples.toSeq === Seq.fill(192)(-70000))
     assert(Flac.decodeFlac(out.toArray).samples.toSeq ===
       Seq.fill(192)((-70000 >> 8).toShort))
-    // 32-bit: null boundary — STREAMINFO bps-1 spans byte 20 LSB
-    // (bit 4, already 1 for 23) and byte 21's high nibble: 7 -> 15
-    // rewrites 23 to 31, i.e. declares a 32-bit stream
+    // 32-bit declared in STREAMINFO (bps-1 spans byte 20 LSB and
+    // byte 21's high nibble: 23 -> 31) over a 24-bit-coded frame:
+    // decodes at the declared depth (r14 — the old null boundary)
     val out32 = out.toArray.clone()
     out32(21) = ((out32(21) & 0x0F) | 0xF0).toByte
-    assert(Flac.decodeFlacPcm(out32) === null)
+    val wide = Flac.decodeFlacPcm(out32)
+    assert(wide != null && wide.bitDepth === 32)
+    assert(wide.samples.toSeq === Seq.fill(192)(-70000))
+  }
+
+  test("32-bit FLAC (r14): full-range samples round-trip through " +
+      "verbatim/fixed/LPC; mid/side rides the 33-bit side channel; " +
+      "the monitoring fold shifts by 16") {
+    // full 32-bit swing: alternate near Int.MinValue/MaxValue so
+    // L - R side values exceed 32 bits (the Long-arithmetic proof)
+    def sw(i: Int): Int =
+      (((i * 2654435761L) % 4294967296L) - 2147483648L).toInt
+    val mono = Array.tabulate(384)(sw)
+    def check(name: String, samples: Array[Int],
+        bytes: Array[Byte], ch: Int = 1): Unit = {
+      val a = Flac.decodeFlacPcm(bytes)
+      assert(a != null, s"$name decoded null")
+      assert(a.bitDepth === 32 && a.channels === ch, name)
+      assert(a.samples.toSeq === samples.toSeq, name)
+    }
+    check("verbatim32", mono,
+      Flac.buildFlacPcm(48000, 1, 32, mono, modes = Seq(1)))
+    check("fixed32", mono,
+      Flac.buildFlacPcm(48000, 1, 32, mono, modes = Seq(2), po = 2))
+    check("lpc32", mono,
+      Flac.buildFlacPcm(48000, 1, 32, mono, modes = Seq(3)))
+    // mid/side stereo: extremes of both signs -> side needs 33 bits
+    val stereo = Array.tabulate(768)(i =>
+      if (i % 2 == 0) sw(i / 2) else -sw(i / 2) - 1)
+    check("midside32", stereo,
+      Flac.buildFlacPcm(96000, 2, 32, stereo, chAssign = 10,
+        modes = Seq(1, 1)), ch = 2)
+    // left/side + right/side at full swing
+    check("leftside32", stereo,
+      Flac.buildFlacPcm(96000, 2, 32, stereo, chAssign = 8,
+        modes = Seq(1, 1)), ch = 2)
+    check("rightside32", stereo,
+      Flac.buildFlacPcm(96000, 2, 32, stereo, chAssign = 9,
+        modes = Seq(1, 1)), ch = 2)
+    // the monitoring fold: 32-bit >> 16
+    val folded = Flac.decodeFlac(
+      Flac.buildFlacPcm(48000, 1, 32, mono, modes = Seq(1)))
+    assert(folded.samples.toSeq ===
+      mono.map(v => (v >> 16).toShort).toSeq)
   }
 }
