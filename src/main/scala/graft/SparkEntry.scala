@@ -2319,6 +2319,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- Wikipedia curation chain, composed (r14 — the mm_pdf_dedup
+    //     discipline for the dump path): dump parse → ARTICLE filter
+    //     (ns 0, non-redirect — the standard corpus cut) →
+    //     stripWikitext → corpus-wide exact dedup, all ONE lazy
+    //     plan. Page bodies collide on the page_id%9 lattice (the
+    //     mirror-farm case: same article under many page ids), with
+    //     an &amp;amp; double-escape pinning the XML-then-wikitext
+    //     decode layering; survivors are the 9 lowest page_ids among
+    //     filtered articles. The oracle replays filter + strip
+    //     (closed-form) + min-id group.
+    "docs_wiki_clean" -> ((s, dir) => {
+      import s.implicits._
+      val dumps = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.WikiDump.synthDumpTextShared(id)))
+        .toDF("doc_id", "text")
+      val pages = graft.sources.Sources.withWikiPages(dumps, "text")
+        .filter(col("page_ns") === 0 && col("page_redirect").isNull &&
+          col("page_text").isNotNull)
+        .select(col("page_id"),
+          TextFunctions.stripWikitext(col("page_text")).as("text"))
+      Dedup.exactDedup(pages, "page_id", "text")
+        .orderBy(col("page_id"))
+    }),
+
     // --- Subtitle cues (r14 — the speech-transcript slice of a
     //     video-derived corpus): SRT on even ids (comma millis,
     //     counters starting at 7 — positional idx wins over the
@@ -5676,6 +5701,28 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the docs_wiki_clean oracle: planted page lattice rebuilt, the
+    // article filter replayed (ns/redirect conditions from the
+    // synthDumpTextShared recipe), stripped text written closed-form
+    // (the rules' effect on the planted body), min-page_id per text
+    "docs_wiki_clean" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 100 AND doc_id % 19 <> 0),
+        |page AS (
+        |  SELECT d.doc_id, k.g AS k, d.doc_id % 3 + 1 AS n,
+        |    d.doc_id * 10 + k.g AS page_id
+        |  FROM ids d, generate_series(0, 2) AS k(g)
+        |  WHERE k.g < d.doc_id % 3 + 1),
+        |art AS (
+        |  SELECT page_id, page_id % 9 AS m FROM page
+        |  WHERE NOT (n = 3 AND k = 2) AND (doc_id + k) % 5 <> 0),
+        |txt AS (
+        |  SELECT page_id,
+        |    'Shared ' || m || ' quote & label ' || m AS text FROM art)
+        |SELECT min(page_id) AS page_id, text FROM txt GROUP BY text
+        |ORDER BY page_id""".stripMargin,
 
     // the docs_subtitles oracle: expected cue rows rebuilt
     // closed-form — format by parity, positional idx, timings from

@@ -101,6 +101,38 @@ object WikiDump {
     out.toSeq
   }
 
+  /** [[synthDumpText]]'s layout with a COLLIDING body lattice for
+    * the curation-chain gate: page page_id carries wikitext whose
+    * STRIPPED text depends only on page_id % 9, so cross-document
+    * exact dedup has real work (mirrors of the same article under
+    * different page ids — the Wikipedia mirror-farm case).
+    */
+  def synthDumpTextShared(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no dump markup"
+    val n = (id % 3 + 1).toInt
+    val pages = (0 until n).map { k =>
+      val ns = if (n == 3 && k == 2) 14 else 0
+      val m = (id * 10 + k) % 9
+      val redirect =
+        if ((id + k) % 5 == 0)
+          s"""<redirect title="Target ${id * 10 + k}" />"""
+        else ""
+      s"""  <page>
+         |    <title>Page $id-$k</title>
+         |    <ns>$ns</ns>
+         |    <id>${id * 10 + k}</id>
+         |    $redirect
+         |    <revision>
+         |      <id>${id * 100 + k}</id>
+         |      <text xml:space="preserve">'''Shared $m''' quote &amp;amp; [[T|label $m]]</text>
+         |    </revision>
+         |  </page>""".stripMargin
+    }
+    s"""<mediawiki xml:lang="en">
+       |${pages.mkString("\n")}
+       |</mediawiki>""".stripMargin
+  }
+
   /** Deterministic dump fixture (tests + the gate oracle's planted
     * recipe): page count cycles 1–3 by `id % 3`, page k of document
     * id carries page_id = id*10+k, ns 0 except the last page of
