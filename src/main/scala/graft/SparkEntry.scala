@@ -3403,6 +3403,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- ID3v2 text frames (r14 — the catalog metadata of the
+    //     audio-corpus slice): v2.3 on even ids (plain big-endian
+    //     frame sizes, TYER), v2.4 on odd (syncsafe sizes, TDRC →
+    //     leading 4 digits), all four text encodings cycling by
+    //     id%4 over ASCII content, real MP3 frames behind the tag.
+    //     %19 is a BARE MP3 (format 'none' — metadata absence is
+    //     data), %13 truncates inside the tag (null → 'none').
+    "mm_audio_id3" -> ((s, dir) => {
+      val media = Multimodal.synthesizeId3Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withId3Tags(media, "payload", "i3")
+        .select(col("media_id"), col("i3.format").as("format"),
+          col("i3.version").as("version"),
+          col("i3.title").as("title"),
+          col("i3.artist").as("artist"),
+          col("i3.album").as("album"),
+          col("i3.year").as("year"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- EPUB text extraction (r14 — the book-corpus slice; OCF
     //     zip + OPF spine + XHTML, composed from the existing zip
     //     reader and the stripHtml semantics mirrored JVM-side):
@@ -7397,6 +7417,26 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
         |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_audio_id3 oracle: tag fields from the id formulas;
+    // both degrade lattices land on 'none' with null fields
+    "mm_audio_id3" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id,
+        |    doc_id % 19 = 0 OR doc_id % 13 = 0 AS c
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT media_id,
+        |  CASE WHEN c THEN 'none' ELSE 'id3' END AS format,
+        |  CASE WHEN c THEN NULL
+        |    WHEN media_id % 2 = 0 THEN 3 ELSE 4 END AS version,
+        |  CASE WHEN c THEN NULL ELSE 'track ' || media_id END AS title,
+        |  CASE WHEN c THEN NULL
+        |    ELSE 'artist ' || (media_id % 7) END AS artist,
+        |  CASE WHEN c THEN NULL
+        |    ELSE 'album ' || (media_id % 5) END AS album,
+        |  CASE WHEN c THEN NULL
+        |    ELSE CAST(1990 + media_id % 30 AS VARCHAR) END AS year
+        |FROM ids ORDER BY media_id""".stripMargin,
 
     // the mm_audio_mp3_meta oracle: the MPEG-1 Layer III bitrate
     // table as a list literal, per-frame kbps from the id formulas,

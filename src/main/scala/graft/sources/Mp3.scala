@@ -130,4 +130,148 @@ object Mp3 {
     }
     out.toByteArray
   }
+
+  // =========================================================== ID3v2
+  // Text-frame extraction (r14) — the title/artist/album/year
+  // metadata an audio corpus catalogs by, per the public id3v2.3 /
+  // id3v2.4 informal standards: 10-byte header with a syncsafe tag
+  // size, 10-byte frame headers (plain big-endian frame sizes in
+  // v2.3, syncsafe in v2.4), text frames led by an encoding byte
+  // (0 Latin-1, 1 UTF-16 with BOM, 2 UTF-16BE, 3 UTF-8). Declared
+  // boundaries: ID3v2.2 (6-byte frame headers), the unsynchronisation
+  // flag, and per-frame compression/encryption return null — rare in
+  // the wild and each a different byte stream.
+
+  /** Parsed tag: `version` is the major (3 or 4); absent frames ride
+    * as null fields; `year` is TYER (v2.3) or the leading 4 digits
+    * of TDRC (v2.4).
+    */
+  final case class Id3Tags(version: Int, title: String,
+      artist: String, album: String, year: String)
+
+  def parseId3(b: Array[Byte]): Id3Tags = {
+    try id3Inner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeText(b: Array[Byte], off: Int, len: Int): String = {
+    if (len <= 0) return null
+    val enc = b(off) & 0xFF
+    val body = java.util.Arrays.copyOfRange(b, off + 1, off + len)
+    val s = enc match {
+      case 0 => new String(body, "ISO-8859-1")
+      case 1 => new String(body, "UTF-16") // BOM-led
+      case 2 => new String(body, "UTF-16BE")
+      case 3 => new String(body, "UTF-8")
+      case _ => return null
+    }
+    // text frames terminate with encoding-width NULs; trailing
+    // terminators are not content
+    val t = s.replaceAll("\u0000+$", "")
+    if (t.isEmpty) null else t
+  }
+
+  private def id3Inner(b: Array[Byte]): Id3Tags = {
+    if (b == null || b.length < 10) return null
+    if (!(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return null
+    val ver = b(3) & 0xFF
+    if (ver != 3 && ver != 4) return null // v2.2 / future: boundary
+    val flags = b(5) & 0xFF
+    if ((flags & 0x80) != 0) return null // unsynchronisation: boundary
+    val size = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+      ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+    val end = math.min(10 + size, b.length)
+    var pos = 10
+    if ((flags & 0x40) != 0) {
+      // extended header: skip by its own size field (v2.3 size
+      // excludes itself +4; v2.4 syncsafe includes itself)
+      if (pos + 4 > end) return null
+      val eh =
+        if (ver == 4) ((b(pos) & 0x7F) << 21) | ((b(pos + 1) & 0x7F) << 14) |
+          ((b(pos + 2) & 0x7F) << 7) | (b(pos + 3) & 0x7F)
+        else (((b(pos) & 0xFF) << 24) | ((b(pos + 1) & 0xFF) << 16) |
+          ((b(pos + 2) & 0xFF) << 8) | (b(pos + 3) & 0xFF)) + 4
+      pos += eh
+    }
+    var title: String = null; var artist: String = null
+    var album: String = null; var year: String = null
+    var stop = false
+    while (!stop && pos + 10 <= end) {
+      if (b(pos) == 0) stop = true // padding region
+      else {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val fsize =
+          if (ver == 4) ((b(pos + 4) & 0x7F) << 21) |
+            ((b(pos + 5) & 0x7F) << 14) | ((b(pos + 6) & 0x7F) << 7) |
+            (b(pos + 7) & 0x7F)
+          else ((b(pos + 4) & 0xFF) << 24) | ((b(pos + 5) & 0xFF) << 16) |
+            ((b(pos + 6) & 0xFF) << 8) | (b(pos + 7) & 0xFF)
+        val fflags = b(pos + 9) & 0xFF
+        if (fsize <= 0 || pos + 10 + fsize > end) return null
+        // compression / encryption (v2.3 bit layout; v2.4 moves the
+        // bits but both live in the second flag byte's high region)
+        if ((fflags & 0xCC) != 0) return null
+        id match {
+          case "TIT2" => title = decodeText(b, pos + 10, fsize)
+          case "TPE1" => artist = decodeText(b, pos + 10, fsize)
+          case "TALB" => album = decodeText(b, pos + 10, fsize)
+          case "TYER" if ver == 3 => year = decodeText(b, pos + 10, fsize)
+          case "TDRC" if ver == 4 =>
+            val t = decodeText(b, pos + 10, fsize)
+            year = if (t != null && t.length >= 4) t.substring(0, 4) else t
+          case _ => // other frames skip
+        }
+        pos += 10 + fsize
+      }
+    }
+    if (!stop) {
+      // the walk must end at the tag boundary or in zero padding;
+      // a non-zero tail too short for a frame header is a
+      // truncated/corrupt tag, not a parsed one
+      var p = pos
+      while (p < end) {
+        if (b(p) != 0) return null
+        p += 1
+      }
+    }
+    Id3Tags(ver, title, artist, album, year)
+  }
+
+  /** Fixture ID3v2 tag (v2.3 or v2.4) holding the four text frames
+    * at a chosen encoding (0/1/2/3), padded to `pad` extra bytes.
+    */
+  private[graft] def buildId3(ver: Int, enc: Int, title: String,
+      artist: String, album: String, year: String,
+      pad: Int = 16): Array[Byte] = {
+    require(ver == 3 || ver == 4)
+    def encode(s: String): Array[Byte] = {
+      val body = enc match {
+        case 0 => s.getBytes("ISO-8859-1")
+        case 1 => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+          s.getBytes("UTF-16BE")
+        case 2 => s.getBytes("UTF-16BE")
+        case _ => s.getBytes("UTF-8")
+      }
+      Array(enc.toByte) ++ body
+    }
+    def frame(id: String, s: String): Array[Byte] = {
+      val body = encode(s)
+      val n = body.length
+      val sz =
+        if (ver == 4) Array(((n >> 21) & 0x7F).toByte,
+          ((n >> 14) & 0x7F).toByte, ((n >> 7) & 0x7F).toByte,
+          (n & 0x7F).toByte)
+        else Array(((n >> 24) & 0xFF).toByte, ((n >> 16) & 0xFF).toByte,
+          ((n >> 8) & 0xFF).toByte, (n & 0xFF).toByte)
+      id.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++ body
+    }
+    val yearId = if (ver == 3) "TYER" else "TDRC"
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album) ++ frame(yearId, year) ++
+      new Array[Byte](pad)
+    val n = frames.length
+    Array[Byte]('I', 'D', '3', ver.toByte, 0, 0,
+      ((n >> 21) & 0x7F).toByte, ((n >> 14) & 0x7F).toByte,
+      ((n >> 7) & 0x7F).toByte, (n & 0x7F).toByte) ++ frames
+  }
 }

@@ -3672,6 +3672,77 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Append `outCol`: ID3v2 text-frame struct via [[Mp3.parseId3]]
+    * (version, title, artist, album, year); payloads with no
+    * parseable tag (including bare MP3s) yield 'none' with null
+    * fields — absence of catalog metadata is data, not an error.
+    */
+  def withId3Tags(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("version", IntegerType),
+      StructField("title", StringType),
+      StructField("artist", StringType),
+      StructField("album", StringType),
+      StructField("year", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Mp3.parseId3(p)
+            if (t == null) Row("none", null, null, null, null, null)
+            else Row("id3", t.version, t.title, t.artist, t.album,
+              t.year)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic tagged-MP3 payload for media id `id` (r14):
+    * ID3v2.3 on even ids (TYER year), v2.4 on odd (TDRC, syncsafe
+    * frame sizes), text encoding cycling all four codes by id%4
+    * (the ASCII field content makes every encoding decode to the
+    * same string — the oracle compares VALUES, the unit specs pin
+    * the byte paths), followed by real MP3 frames.
+    */
+  def synthId3Payload(id: Long): Array[Byte] = {
+    val tag = Mp3.buildId3(
+      ver = if (id % 2 == 0) 3 else 4,
+      enc = (id % 4).toInt,
+      title = s"track $id",
+      artist = s"artist ${id % 7}",
+      album = s"album ${id % 5}",
+      year = (1990 + id % 30).toString)
+    tag ++ Mp3.buildMp3((id % 3).toInt, mono = id % 2 == 0,
+      Seq(9, 9, 9))
+  }
+
+  /** Synthesize the tagged-MP3 media table: %19 carries NO tag
+    * (bare MP3 → 'none' — metadata absence is data), %13 truncated
+    * inside the tag (→ 'none' through the null degrade).
+    */
+  def synthesizeId3Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val out =
+          if (id % 19 == 0) Mp3.buildMp3((id % 3).toInt,
+            mono = id % 2 == 0, Seq(9, 9, 9))
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOf(synthId3Payload(id), 30)
+          else synthId3Payload(id)
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol`: DOCX body-text struct via
     * [[Docx.extractText]]; malformed payloads yield 'unknown'.
     */

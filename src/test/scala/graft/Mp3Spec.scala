@@ -67,4 +67,53 @@ class Mp3Spec extends SparkSpec {
       Mp3.parseMeta(b) // value or null, never throw
     }
   }
+
+  test("ID3v2 text frames (r14): v2.3 big-endian and v2.4 syncsafe " +
+      "frame sizes, all four encodings decode, TDRC year prefix, " +
+      "padding stops the walk, unknown frames skip") {
+    for (ver <- Seq(3, 4); enc <- 0 to 3) {
+      val t = Mp3.parseId3(Mp3.buildId3(ver, enc,
+        "Ti tle", "Art", "Alb", if (ver == 3) "2001" else "2001-07-04"))
+      assert(t != null && t.version === ver, s"v$ver e$enc")
+      assert(t.title === "Ti tle" && t.artist === "Art" &&
+        t.album === "Alb", s"v$ver e$enc")
+      assert(t.year === "2001", s"v$ver e$enc")
+    }
+    // a tag followed by MP3 frames: parseId3 reads the tag,
+    // parseMeta still skips it and reads the frames
+    val both = Mp3.buildId3(3, 0, "T", "A", "B", "1999") ++
+      Mp3.buildMp3(0, mono = true, Seq(9, 9))
+    assert(Mp3.parseId3(both).title === "T")
+    val meta = Mp3.parseMeta(both)
+    assert(meta != null && meta.nFrames === 2)
+  }
+
+  test("ID3v2 boundaries: v2.2/unsync/compressed-frame/truncated " +
+      "null; bare MP3 (no tag) null; fuzz never throws (r14)") {
+    val good = Mp3.buildId3(3, 0, "T", "A", "B", "1999")
+    assert(Mp3.parseId3(good) != null)
+    val v22 = good.clone(); v22(3) = 2
+    assert(Mp3.parseId3(v22) === null)
+    val unsync = good.clone(); unsync(5) = 0x80.toByte
+    assert(Mp3.parseId3(unsync) === null)
+    // first frame's second flag byte: offset 10 (frame hdr) + 9
+    val comp = good.clone(); comp(19) = 0x80.toByte
+    assert(Mp3.parseId3(comp) === null)
+    assert(Mp3.parseId3(java.util.Arrays.copyOf(good, 25)) === null)
+    assert(Mp3.parseId3(Mp3.buildMp3(0, mono = true, Seq(9))) === null)
+    assert(Mp3.parseId3(null) === null)
+    val rnd = new scala.util.Random(0x1d31)
+    for (i <- 0 until 200) {
+      val b =
+        if (i % 3 == 0)
+          Array.fill(rnd.nextInt(300) + 1)(rnd.nextInt(256).toByte)
+        else {
+          val s = good.clone()
+          for (_ <- 0 to rnd.nextInt(6))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          if (i % 3 == 1) s.take(rnd.nextInt(s.length + 1)) else s
+        }
+      Mp3.parseId3(b) // value or null, never throw
+    }
+  }
 }
