@@ -2053,6 +2053,59 @@ object SparkEntry {
             .cast("long")).as("checksum"))
     }),
 
+    // --- .jsonl.bz2 round trip (r14 — the Wikipedia-dump/archival
+    //     codec, and the ONE splittable compressed JSONL: Hadoop's
+    //     BZip2Codec splits at block magics, so a single 100 GB
+    //     shard still parallelizes across tasks; the read side is
+    //     the NATIVE json reader, zero custom code): write via
+    //     commons-compress (Spark's own jars), read back, same
+    //     count/bytes/checksum aggregate as the zst gate.
+    "docs_jsonl_bz2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = gateIndexPath(dir, "jsonl_bz2_gate")
+      graft.sources.Sources.writeJsonlBz2(docs, path, numFiles = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.readJsonlBz2(s, path, schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).cast("bigint").as("text_bytes"),
+          sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), col("text"))), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+    }),
+
+    // --- .jsonl.xz round trip (r14 — the highest-ratio shipped
+    //     codec; file-as-unit like zstd): XZ/LZMA2 streams through
+    //     the xz library in Spark's jars, read back whole-frame per
+    //     shard.
+    "docs_jsonl_xz" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = gateIndexPath(dir, "jsonl_xz_gate")
+      graft.sources.Sources.writeJsonlXz(docs, path, numFiles = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.readJsonlXz(s, s"$path/*.jsonl.xz", schema)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).cast("bigint").as("text_bytes"),
+          sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), col("text"))), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+    }),
+
     // --- Tar shard containers (r12 — the WebDataset convention:
     //     multimodal corpora ship as tar shards, one task per shard).
     //     Documents are packed as UTF-8 members into 4 deterministic
@@ -5502,6 +5555,22 @@ object SparkEntry {
     // the docs_jsonl_zst oracle: identical to the gz one — the
     // fixture inventory is codec-independent
     "docs_jsonl_zst" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
+    // the docs_jsonl_bz2 / docs_jsonl_xz oracles: the zst aggregate
+    // verbatim — the round trip must be lossless whatever the codec
+    "docs_jsonl_bz2" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
+    "docs_jsonl_xz" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
         |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))

@@ -124,6 +124,117 @@ object Sources {
     lines.select(from_json(col("value"), schema).as("r")).select("r.*")
   }
 
+  /** Write a frame as `.jsonl.bz2` shards (r14). bzip2 is the codec
+    * Wikipedia dumps and many archival corpora actually ship in, and
+    * it is the ONE compressed JSONL form that is SPLITTABLE: Hadoop's
+    * BZip2Codec seeks block magics mid-file, so at 100 TB a single
+    * large shard still parallelizes across tasks — gzip/zstd shards
+    * parallelize only per FILE. Codec: commons-compress, shipped in
+    * Spark's own jars (the zstd-jni platform-codec precedent).
+    * Shards commit via task-attempt temp + rename.
+    */
+  def writeJsonlBz2(df: DataFrame, outPath: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles")
+    val spark = df.sparkSession
+    val base = outPath.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.toJSON.repartition(numFiles).foreachPartition {
+      (it: Iterator[String]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$base/part-$pid%05d.jsonl.bz2")
+          val (raw, commit) = Containers.createCommitted(hconf.value, p)
+          val z = new org.apache.commons.compress.compressors.bzip2
+            .BZip2CompressorOutputStream(raw)
+          it.foreach { line =>
+            z.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            z.write('\n')
+          }
+          z.close()
+          commit()
+        }
+    }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read `.jsonl.bz2` with an EXPLICIT schema. This is the NATIVE
+    * path ([[readJsonl]] verbatim): Hadoop's codec factory inflates
+    * `.bz2` transparently inside the JSON line reader AND splits
+    * within files at block boundaries — no custom reader to
+    * maintain, full within-file parallelism.
+    */
+  def readJsonlBz2(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Write a frame as `.jsonl.xz` shards (r14) — LZMA2 via the xz
+    * library Spark ships. Highest ratio of the shipped codecs; NOT
+    * splittable, so the parallelism unit is the file (the zstd
+    * stance: size shards so one fits a task).
+    */
+  def writeJsonlXz(df: DataFrame, outPath: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles $numFiles")
+    val spark = df.sparkSession
+    val base = outPath.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.toJSON.repartition(numFiles).foreachPartition {
+      (it: Iterator[String]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$base/part-$pid%05d.jsonl.xz")
+          val (raw, commit) = Containers.createCommitted(hconf.value, p)
+          val z = new org.tukaani.xz.XZOutputStream(raw,
+            new org.tukaani.xz.LZMA2Options(3))
+          it.foreach { line =>
+            z.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            z.write('\n')
+          }
+          z.close()
+          commit()
+        }
+    }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read `.jsonl.xz` with an EXPLICIT schema — the [[readJsonlZst]]
+    * shape: one binaryFile task per shard, whole-frame decompress,
+    * `from_json` per line; the stream closes eagerly per file.
+    */
+  def readJsonlXz(spark: SparkSession, glob: String,
+      schema: StructType): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.format("binaryFile").load(glob)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val z = new org.tukaani.xz.XZInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(z,
+            java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) out += line
+          line = reader.readLine()
+        }
+        reader.close()
+        out
+      }
+    lines.select(from_json(col("value"), schema).as("r")).select("r.*")
+  }
+
   /** Parse CDXJ crawl-index lines (r13) — the Common Crawl / Wayback
     * `cdx-*.gz` convention: `<urlkey> <14-digit timestamp> <json>`.
     * A crawl-selection pipeline reads these to pick WARC offsets

@@ -95,6 +95,47 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("jsonl.bz2 and jsonl.xz round trips (r14): the bz2 read path " +
+      "is Hadoop's own codec (an implementation INDEPENDENT of the " +
+      "commons-compress writer — cross-engine interop by " +
+      "construction); CLI interop when the tools exist") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val outB = Files.createTempDirectory("graft_jsonl_bz2").toString
+    graft.sources.Sources.writeJsonlBz2(docs, outB, numFiles = 3)
+    val backB = graft.sources.Sources.readJsonlBz2(spark, outB, schema)
+    assert(backB.count() === 200)
+    assert(backB.agg(org.apache.spark.sql.functions.sum($"doc_id"))
+      .head().getLong(0) === (1L to 200L).sum)
+    val outX = Files.createTempDirectory("graft_jsonl_xz").toString
+    graft.sources.Sources.writeJsonlXz(docs, outX, numFiles = 3)
+    val backX = graft.sources.Sources
+      .readJsonlXz(spark, s"$outX/*.jsonl.xz", schema)
+    assert(backX.count() === 200)
+    assert(backX.agg(org.apache.spark.sql.functions.sum($"doc_id"))
+      .head().getLong(0) === (1L to 200L).sum)
+    // CLI interop where available: upstream tools must decode our
+    // shards (plain format streams, nothing bespoke)
+    for ((tool, d, ext) <- Seq(("bzip2", outB, ".jsonl.bz2"),
+        ("xz", outX, ".jsonl.xz"))) {
+      val cli = Seq("/usr/bin/", "/bin/", "/root/miniconda/bin/")
+        .map(p => new java.io.File(p + tool)).find(_.canExecute)
+      cli.foreach { c =>
+        val shard = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(ext)).head
+        val p = new ProcessBuilder(c.getPath, "-d", "-c", shard.getPath)
+          .redirectErrorStream(true).start()
+        val text = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        assert(p.waitFor() === 0 && text.contains("\"text\""), tool)
+      }
+    }
+  }
+
   test("strict parse throws on a damaged record; lenient salvages the " +
       "prefix — for both a broken version line and a damaged gzip " +
       "member mid-stream (r12)") {
