@@ -2106,6 +2106,35 @@ object SparkEntry {
             .cast("long")).as("checksum"))
     }),
 
+    // --- .xml.bz2 Wikipedia dump files end-to-end (r14 — the form
+    //     dumps actually ship in; the reference's FEVER corpus comes
+    //     from exactly these): per-id dumps concatenate into 4
+    //     bz2-compressed shard files (distributed writer, committed
+    //     renames), read back through binaryFile + whole-stream
+    //     decompress + the full dump parser. The oracle rebuilds
+    //     every page row from the synthDumpText recipe.
+    "docs_wikidump_bz2" -> ((s, dir) => {
+      import s.implicits._
+      val path = gateIndexPath(dir, "wikidump_bz2_gate")
+      val shards = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+        .map(id => (id % 4, id))
+        .toDF("shard", "doc_id")
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (shard, ids) =>
+          (shard, ids.map(graft.sources.WikiDump.synthDumpText)
+            .mkString("\n"))
+        }.toDF("shard", "xml")
+      graft.sources.Sources.writeBz2TextFiles(
+        shards.repartition(4, col("shard")), path, "wiki", ".xml.bz2")
+      graft.sources.Sources.readWikiPagesBz2(s, s"$path/*.xml.bz2")
+        .select(col("page_id"), col("page_title"), col("page_ns"),
+          col("page_redirect"), col("page_text"))
+        .orderBy(col("page_id"))
+    }),
+
     // --- Tar shard containers (r12 — the WebDataset convention:
     //     multimodal corpora ship as tar shards, one task per shard).
     //     Documents are packed as UTF-8 members into 4 deterministic
@@ -5560,6 +5589,28 @@ object SparkEntry {
         |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
         |    AS UBIGINT)) AS BIGINT) AS checksum
         |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
+    // the docs_wikidump_bz2 oracle: page rows from the planted
+    // recipe (the docs_wikidump oracle keyed by page_id alone —
+    // shard packing must not change WHAT parses)
+    "docs_wikidump_bz2" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
+        |page AS (
+        |  SELECT d.doc_id, k.g AS k, d.doc_id % 3 + 1 AS n,
+        |    d.doc_id * 10 + k.g AS page_id
+        |  FROM ids d, generate_series(0, 2) AS k(g)
+        |  WHERE k.g < d.doc_id % 3 + 1)
+        |SELECT page_id,
+        |  'Page ' || doc_id || '-' || k AS page_title,
+        |  CAST(CASE WHEN n = 3 AND k = 2 THEN 14 ELSE 0 END AS INT) AS page_ns,
+        |  CASE WHEN (doc_id + k) % 5 = 0
+        |    THEN 'Target ' || page_id END AS page_redirect,
+        |  repeat(chr(39), 3) || 'Lead ' || doc_id || '-' || k ||
+        |    repeat(chr(39), 3) || ' body & [[Link ' || doc_id ||
+        |    '|label ' || k || ']] tail' AS page_text
+        |FROM page ORDER BY page_id""".stripMargin,
 
     // the docs_jsonl_bz2 / docs_jsonl_xz oracles: the zst aggregate
     // verbatim — the round trip must be lossless whatever the codec

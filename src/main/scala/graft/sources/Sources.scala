@@ -235,6 +235,70 @@ object Sources {
     lines.select(from_json(col("value"), schema).as("r")).select("r.*")
   }
 
+  /** Write one bz2-compressed text file per (shard, text) row of
+    * `df` — the dump-fixture writer: distributed (one file per row,
+    * written by the task holding it), task-attempt-rename commits.
+    */
+  def writeBz2TextFiles(df: DataFrame, outPath: String,
+      prefix: String, suffix: String): Unit = {
+    val spark = df.sparkSession
+    val base = outPath.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val shardIdx = df.schema.fieldIndex("shard")
+    val textIdx = df.schema.fieldIndex("xml")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(
+          f"$base/$prefix-${r.getLong(shardIdx)}%02d$suffix")
+        val (raw, commit) = Containers.createCommitted(hconf.value, p)
+        val z = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(raw)
+        z.write(r.getString(textIdx).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        z.close()
+        commit()
+      }
+    }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read `.xml.bz2` MediaWiki dump FILES into per-page rows — the
+    * form Wikipedia dumps actually ship in (`pages-articles.xml.bz2`,
+    * the reference corpus's own upstream). One binaryFile task per
+    * file, whole-stream bzip2 decompress (commons-compress;
+    * multi-stream mode so concatenated members read through), then
+    * [[WikiDump.parseDump]]. Columns: (file, page_idx, page_title,
+    * page_ns, page_id, page_redirect, page_text). At 100 TB the
+    * parallelism unit is the file; split the monolithic dump with
+    * the standard multistream form first.
+    */
+  def readWikiPagesBz2(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val z = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(
+            new java.io.ByteArrayInputStream(bytes), true)
+        val xml = new String(z.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        z.close()
+        val pages = WikiDump.parseDump(xml)
+        if (pages == null) Iterator.empty
+        else pages.iterator.zipWithIndex.map { case (p, i) =>
+          (path, i, p.title, p.ns, p.pageId, p.redirect, p.text)
+        }
+      }
+      .toDF("file", "page_idx", "page_title", "page_ns", "page_id",
+        "page_redirect", "page_text")
+  }
+
   /** Parse CDXJ crawl-index lines (r13) — the Common Crawl / Wayback
     * `cdx-*.gz` convention: `<urlkey> <14-digit timestamp> <json>`.
     * A crawl-selection pipeline reads these to pick WARC offsets
