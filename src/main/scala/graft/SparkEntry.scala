@@ -2401,6 +2401,49 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- HTML head metadata (r14 — the crawl-catalog fields read
+    //     before body text): title (entity-decoded, whitespace-
+    //     collapsed), meta description in BOTH attribute orders
+    //     (name-first on id%3==0, content-first on 1, ABSENT on 2),
+    //     og:title (%4), canonical link (%6), html lang (%7), quote
+    //     kind alternating by parity. The oracle rebuilds every
+    //     field closed-form from the lattices.
+    "docs_html_meta" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val q = when(pmod(id, lit(2L)) === 0, lit("\"")).otherwise(lit("'"))
+      val desc = when(pmod(id, lit(3L)) === 0,
+          concat(lit("<meta name="), q, lit("description"), q,
+            lit(" content="), q, lit("desc "), id, q, lit(">")))
+        .when(pmod(id, lit(3L)) === 1,
+          concat(lit("<meta content="), q, lit("desc "), id, q,
+            lit(" name="), q, lit("description"), q, lit(">")))
+        .otherwise(lit(""))
+      val og = when(pmod(id, lit(4L)) =!= 0,
+        concat(lit("<meta property="), q, lit("og:title"), q,
+          lit(" content="), q, lit("OG "), id, q, lit(">")))
+        .otherwise(lit(""))
+      val canon = when(pmod(id, lit(6L)) =!= 0,
+        concat(lit("<link rel="), q, lit("canonical"), q,
+          lit(" href="), q, lit("http://ex.com/"), id, q, lit(">")))
+        .otherwise(lit(""))
+      val htmlTag = when(pmod(id, lit(7L)) =!= 0,
+        concat(lit("<html lang="), q, lit("en-US"), q, lit(">")))
+        .otherwise(lit("<html>"))
+      val html = concat(htmlTag,
+        lit("<head><title> Page &amp;\n Title "), id,
+        lit(" </title>"), desc, og, canon,
+        lit("</head><body>corpus body</body></html>"))
+      docs.select(id,
+          TextFunctions.pageMetadata(html).as("m"))
+        .select(id, col("m.title").as("title"),
+          col("m.description").as("description"),
+          col("m.og_title").as("og_title"),
+          col("m.canonical").as("canonical"),
+          col("m.lang").as("lang"))
+        .orderBy(id)
+    }),
+
     // --- Wikipedia curation chain, composed (r14 — the mm_pdf_dedup
     //     discipline for the dump path): dump parse → ARTICLE filter
     //     (ns 0, non-redirect — the standard corpus cut) →
@@ -3502,6 +3545,22 @@ object SparkEntry {
           col("i3.artist").as("artist"),
           col("i3.album").as("album"),
           col("i3.year").as("year"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Charset detection + transcode (r14 — the raw-bytes → text
+    //     boundary of crawl ingestion): six strides by id%6 — plain
+    //     UTF-8, the three BOMs (consumed, not emitted), ISO-8859-1
+    //     behind <meta charset>, windows-1252 behind http-equiv —
+    //     each with non-ASCII whose BYTES differ per encoding, so a
+    //     wrong detection cannot hash right. Detection precedence
+    //     (bom > meta > default) rides the source column.
+    "docs_charset" -> ((s, dir) => {
+      val media = Multimodal.synthesizeCharsetBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 120))
+      Multimodal.withDecodedText(media, "payload", "cd")
+        .select(col("media_id"), col("cd.charset").as("charset"),
+          col("cd.source").as("source"), col("cd.text").as("text"))
         .orderBy(col("media_id"))
     }),
 
@@ -5842,6 +5901,20 @@ object SparkEntry {
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
 
+    // the docs_html_meta oracle: every field straight from the
+    // planted lattices — title decoded and collapsed closed-form
+    "docs_html_meta" ->
+      """SELECT doc_id,
+        |  'Page & Title ' || doc_id AS title,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE 'desc ' || doc_id END AS description,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL
+        |    ELSE 'OG ' || doc_id END AS og_title,
+        |  CASE WHEN doc_id % 6 = 0 THEN NULL
+        |    ELSE 'http://ex.com/' || doc_id END AS canonical,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'en-US' END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the docs_wiki_clean oracle: planted page lattice rebuilt, the
     // article filter replayed (ns/redirect conditions from the
     // synthDumpTextShared recipe), stripped text written closed-form
@@ -7537,6 +7610,28 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
         |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY i.media_id""".stripMargin,
+
+    // the docs_charset oracle: stride fields closed-form; é is
+    // chr(233), € chr(8364) — the non-ASCII proof characters
+    "docs_charset" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 6 AS v
+        |  FROM documents WHERE doc_id < 120),
+        |base AS (
+        |  SELECT media_id, v,
+        |    'caf' || chr(233) || ' doc ' || media_id AS body
+        |  FROM ids)
+        |SELECT media_id,
+        |  CASE v WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'UTF-8'
+        |    WHEN 2 THEN 'UTF-16LE' WHEN 3 THEN 'UTF-16BE'
+        |    WHEN 4 THEN 'ISO-8859-1' ELSE 'windows-1252' END AS charset,
+        |  CASE WHEN v = 0 THEN 'default'
+        |    WHEN v IN (1, 2, 3) THEN 'bom' ELSE 'meta' END AS source,
+        |  CASE WHEN v <= 3 THEN body
+        |    WHEN v = 4 THEN '<meta charset="ISO-8859-1">' || body
+        |    ELSE '<meta http-equiv="Content-Type" content="text/html; charset=windows-1252">'
+        |      || body || ' ' || chr(8364) || ' price' END AS text
+        |FROM base ORDER BY media_id""".stripMargin,
 
     // the mm_audio_id3 oracle: tag fields from the id formulas;
     // both degrade lattices land on 'none' with null fields

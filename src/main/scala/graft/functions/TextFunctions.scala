@@ -696,6 +696,49 @@ object TextFunctions {
       regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1)),
       regexp_extract_all(html, lit("href='([^']+)'"), lit(1)))
 
+  /** HTML head metadata (r14) — the crawl-side catalog fields every
+    * curation stack reads before touching body text: `<title>`,
+    * meta description, OpenGraph title, the canonical link and the
+    * html lang attribute. Pure regexp_extract projection (RE2-safe,
+    * engine-replayable): attribute pairs match in BOTH orders
+    * (name-then-content and content-then-name — the real-web split),
+    * single- and double-quoted values; absent fields are null, the
+    * title is entity-decoded and whitespace-collapsed (stripHtml's
+    * tail). Declared boundaries: unquoted attribute values and
+    * values containing the other quote kind defer to the regex
+    * classes; a <base href> does not resolve the canonical.
+    */
+  def pageMetadata(html: Column): Column = {
+    def attr2(tag: String, keyAttr: String, key: String,
+        valAttr: String): Column = {
+      def pat(q: String): Seq[String] = Seq(
+        // key-then-value
+        s"(?is)<$tag\\s[^>]*$keyAttr\\s*=\\s*[\"']$key[\"'][^>]*" +
+          s"$valAttr\\s*=\\s*$q",
+        // value-then-key
+        s"(?is)<$tag\\s[^>]*$valAttr\\s*=\\s*$q[^>]*" +
+          s"$keyAttr\\s*=\\s*[\"']$key[\"']")
+      val pats = pat("\"([^\"]*)\"") ++ pat("'([^']*)'")
+      val cands = pats.map(p => nullif(regexp_extract(html, p, 1), lit("")))
+      coalesce(cands: _*)
+    }
+    val title = {
+      val raw = regexp_extract(html, "(?is)<title[^>]*>([^<]*)</title>", 1)
+      val decoded = htmlEntities.foldLeft(raw: Column) { case (c, (e, v)) =>
+        replace(c, lit(e), lit(v))
+      }
+      nullif(trim(regexp_replace(decoded, "\\s+", " ")), lit(""))
+    }
+    struct(
+      title.as("title"),
+      attr2("meta", "name", "description", "content").as("description"),
+      attr2("meta", "property", "og:title", "content").as("og_title"),
+      attr2("link", "rel", "canonical", "href").as("canonical"),
+      nullif(regexp_extract(html,
+        "(?is)<html[^>]*\\slang\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+        lit("")).as("lang"))
+  }
+
   /** DEFLATE-compressed UTF-8 byte size — see
     * [[graft.functions.expressions.DeflateSize]].
     */

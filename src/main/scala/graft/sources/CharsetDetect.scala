@@ -1,0 +1,75 @@
+package graft.sources
+
+/** Charset detection + transcode (r14) — the step between raw crawl
+  * payload bytes and every text operator in this library: HTML
+  * ships in whatever encoding the origin served, and reading it all
+  * as UTF-8 silently mangles the long tail (the mojibake the
+  * quality signals then have to catch). Detection precedence is the
+  * WHATWG-encoding-sniffing shape, deterministic and total:
+  *
+  *  1. BOM wins: UTF-8 (EF BB BF), UTF-16LE (FF FE), UTF-16BE
+  *     (FE FF) — the BOM is consumed, not emitted as text;
+  *  2. else a `<meta charset=…>` or `http-equiv Content-Type …
+  *     charset=…` declaration inside the first 1024 bytes (scanned
+  *     as ISO-8859-1, the ASCII-superset convention) — unknown or
+  *     unsupported names fall through;
+  *  3. else UTF-8 assumed (the modern-web default).
+  *
+  * Decode always succeeds: malformed sequences substitute U+FFFD
+  * (REPLACE), never throw — a transcoding stage that nulls whole
+  * documents on one bad byte loses more corpus than it protects.
+  * `source` records which rule fired ('bom' / 'meta' / 'default')
+  * so downstream filters can weight trust accordingly.
+  */
+object CharsetDetect {
+
+  final case class DecodedText(charset: String, source: String,
+      text: String)
+
+  private val metaCharsetPat = java.util.regex.Pattern.compile(
+    "(?i)<meta\\s+[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
+
+  /** Detect + decode. Null input → null. */
+  def decode(b: Array[Byte]): DecodedText = {
+    try decodeInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def decodeWith(b: Array[Byte], off: Int,
+      cs: java.nio.charset.Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off))
+      .toString
+  }
+
+  private def decodeInner(b: Array[Byte]): DecodedText = {
+    if (b == null) return null
+    if (b.length >= 3 && (b(0) & 0xFF) == 0xEF && (b(1) & 0xFF) == 0xBB &&
+        (b(2) & 0xFF) == 0xBF)
+      return DecodedText("UTF-8", "bom",
+        decodeWith(b, 3, java.nio.charset.StandardCharsets.UTF_8))
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xFE)
+      return DecodedText("UTF-16LE", "bom",
+        decodeWith(b, 2, java.nio.charset.StandardCharsets.UTF_16LE))
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      return DecodedText("UTF-16BE", "bom",
+        decodeWith(b, 2, java.nio.charset.StandardCharsets.UTF_16BE))
+    // meta scan over the ASCII-superset view of the head
+    val head = new String(b, 0, math.min(1024, b.length), "ISO-8859-1")
+    val m = metaCharsetPat.matcher(head)
+    if (m.find()) {
+      val name = m.group(1)
+      try {
+        val cs = java.nio.charset.Charset.forName(name)
+        return DecodedText(cs.name(), "meta", decodeWith(b, 0, cs))
+      } catch {
+        case _: java.nio.charset.UnsupportedCharsetException |
+             _: java.nio.charset.IllegalCharsetNameException => // fall through
+      }
+    }
+    DecodedText("UTF-8", "default",
+      decodeWith(b, 0, java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

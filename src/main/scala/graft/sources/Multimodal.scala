@@ -3743,6 +3743,74 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Append `outCol`: charset-detected transcode struct via
+    * [[CharsetDetect.decode]] (charset, source, text) — the
+    * raw-bytes → text boundary every downstream text operator
+    * assumes. Null payloads yield a null struct; decode itself is
+    * total (U+FFFD substitution, never a throw).
+    */
+  def withDecodedText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("charset", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val d = CharsetDetect.decode(p)
+            if (d == null) null else Row(d.charset, d.source, d.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic encoded-text payload for media id `id` (r14):
+    * six strides by id%6 — plain UTF-8 (default rule), UTF-8 BOM,
+    * UTF-16LE/BE BOMs, ISO-8859-1 behind a `<meta charset>` and
+    * windows-1252 behind an http-equiv declaration — each carrying
+    * non-ASCII content whose bytes DIFFER across the encodings
+    * (é everywhere, € on the cp1252 stride), so a wrong detection
+    * cannot hash right.
+    */
+  def synthCharsetPayload(id: Long): Array[Byte] = {
+    val base = s"café doc $id"
+    (id % 6).toInt match {
+      case 0 => base.getBytes("UTF-8")
+      case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        base.getBytes("UTF-8")
+      case 2 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        base.getBytes("UTF-16LE")
+      case 3 => Array[Byte](0xFE.toByte, 0xFF.toByte) ++
+        base.getBytes("UTF-16BE")
+      case 4 =>
+        (s"""<meta charset="ISO-8859-1">$base""").getBytes("ISO-8859-1")
+      case _ =>
+        (s"""<meta http-equiv="Content-Type" content="text/html; """ +
+          s"""charset=windows-1252">$base € price""")
+          .getBytes("windows-1252")
+    }
+  }
+
+  /** Synthesize the encoded-text media table (no degrade lattice:
+    * decode is total by design — totality is pinned in unit fuzz).
+    */
+  def synthesizeCharsetBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthCharsetPayload(id))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol`: DOCX body-text struct via
     * [[Docx.extractText]]; malformed payloads yield 'unknown'.
     */

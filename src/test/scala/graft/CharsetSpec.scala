@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.CharsetDetect
+
+class CharsetSpec extends SparkSpec {
+
+  test("detection precedence: BOM beats meta, meta beats default; " +
+      "BOMs are consumed; bytes transcode correctly per charset (r14)") {
+    // UTF-16LE BOM with a (misleading) meta declaration inside: BOM wins
+    val misleading = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "<meta charset=\"ISO-8859-1\">x".getBytes("UTF-16LE")
+    val d = CharsetDetect.decode(misleading)
+    assert(d.charset === "UTF-16LE" && d.source === "bom")
+    assert(d.text === "<meta charset=\"ISO-8859-1\">x")
+    // latin-1 é byte (0xE9) under a meta declaration
+    val latin = "<meta charset=ISO-8859-1>café".getBytes("ISO-8859-1")
+    val dl = CharsetDetect.decode(latin)
+    assert(dl.charset === "ISO-8859-1" && dl.source === "meta")
+    assert(dl.text.endsWith("café"))
+    // cp1252 euro (0x80) via http-equiv
+    val cp = ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+      "charset=windows-1252\">€").getBytes("windows-1252")
+    val dc = CharsetDetect.decode(cp)
+    assert(dc.charset === "windows-1252" && dc.text.endsWith("€"))
+    // UTF-8 BOM consumed
+    val bom8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "plain".getBytes("UTF-8")
+    assert(CharsetDetect.decode(bom8).text === "plain")
+    // no BOM, no meta -> assumed UTF-8
+    val d8 = CharsetDetect.decode("café".getBytes("UTF-8"))
+    assert(d8.charset === "UTF-8" && d8.source === "default")
+    assert(d8.text === "café")
+  }
+
+  test("totality: unsupported/illegal meta names fall through to " +
+      "UTF-8, malformed bytes substitute U+FFFD, null -> null, " +
+      "fuzz never throws (r14)") {
+    val bogus = CharsetDetect.decode(
+      "<meta charset=\"no-such-cs-999\">hi".getBytes("US-ASCII"))
+    assert(bogus.charset === "UTF-8" && bogus.source === "default")
+    val illegal = CharsetDetect.decode(
+      "<meta charset=x.:y>hi".getBytes("US-ASCII"))
+    assert(illegal.charset === "UTF-8")
+    // an invalid UTF-8 sequence decodes with replacement, not null
+    val bad = CharsetDetect.decode(Array[Byte](
+      'a'.toByte, 0xC3.toByte, 0x28.toByte, 'b'.toByte))
+    assert(bad != null && bad.text.contains("�") &&
+      bad.text.startsWith("a") && bad.text.endsWith("b"))
+    assert(CharsetDetect.decode(null) === null)
+    assert(CharsetDetect.decode(Array.emptyByteArray).text === "")
+    val rnd = new scala.util.Random(0xC5)
+    for (_ <- 0 until 300) {
+      val b = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      assert(CharsetDetect.decode(b) != null) // total
+    }
+  }
+
+  test("pageMetadata: both attribute orders, both quote kinds, " +
+      "entity-decoded collapsed titles, absent fields null (r14)") {
+    import spark.implicits._
+    def meta(html: String): org.apache.spark.sql.Row =
+      Seq(Tuple1(html)).toDF("h")
+        .select(graft.functions.TextFunctions
+          .pageMetadata($"h").as("m"))
+        .select("m.*").head()
+    val full = meta("<html lang='en-GB'><head>" +
+      "<title> A &amp;\n B </title>" +
+      "<meta content='the desc' name='description'>" +
+      "<meta property=\"og:title\" content=\"og here\">" +
+      "<link href='http://c.x/p' rel='canonical'>" +
+      "</head></html>")
+    assert(full.getString(0) === "A & B")
+    assert(full.getString(1) === "the desc")
+    assert(full.getString(2) === "og here")
+    assert(full.getString(3) === "http://c.x/p")
+    assert(full.getString(4) === "en-GB")
+    val bare = meta("<html><body>no head</body></html>")
+    assert((0 to 4).forall(bare.isNullAt))
+  }
+}
