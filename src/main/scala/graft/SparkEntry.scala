@@ -2401,6 +2401,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- NFKC compatibility folding (r14 — the lossy sibling of
+    //     normalizeText, for dedup keys / language ID): ligatures
+    //     (ﬁ ﬃ), fullwidth Latin and digits (the CJK-context text
+    //     that defeats ASCII-keyed dedup), superscripts, vulgar
+    //     fractions (→ fraction slash), NBSP. The oracle writes the
+    //     expected fold closed-form from the public Unicode
+    //     compatibility tables — two independent statements of the
+    //     same mapping.
+    "text_nfkc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val id = col("doc_id")
+      val in = concat(
+        // U+FB01 fi, fullwidth A/1, superscript 2, vulgar half,
+        // a REAL NBSP, U+FB03 ffi - written as escapes for review
+        lit("\uFB01le \uFF21\uFF11 x\u00B2 \u00BD a\u00A0b o\uFB03ce "),
+        id)
+      docs.select(id, TextFunctions.nfkcFold(in).as("text"))
+        .orderBy(id)
+    }),
+
     // --- HTML head metadata (r14 — the crawl-catalog fields read
     //     before body text): title (entity-decoded, whitespace-
     //     collapsed), meta description in BOTH attribute orders
@@ -5900,6 +5920,15 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the text_nfkc oracle: expected folds written closed-form from
+    // the public Unicode compatibility tables — ligatures expand,
+    // fullwidth -> ASCII, superscript -> digit, the vulgar half ->
+    // 1 + FRACTION SLASH (chr 8260) + 2, NBSP -> space
+    "text_nfkc" ->
+      """SELECT doc_id,
+        |  'file A1 x2 1' || chr(8260) || '2 a b office ' || doc_id AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the docs_html_meta oracle: every field straight from the
     // planted lattices — title decoded and collapsed closed-form

@@ -29,6 +29,17 @@ object TextFunctions {
       graft.functions.expressions.NormalizeText(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** NFKC compatibility folding (ligatures, fullwidth forms,
+    * superscripts, NBSP) — the lossy-by-design sibling of
+    * [[normalizeText]]: fold for dedup keys / language ID, keep the
+    * original for corpus text. See
+    * [[graft.functions.expressions.NfkcFold]].
+    */
+  def nfkcFold(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.NfkcFold(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

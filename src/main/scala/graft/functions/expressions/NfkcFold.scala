@@ -1,0 +1,54 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFKC compatibility folding (r14) — the normalization step
+  * [[NormalizeText]]'s canonical NFC deliberately does NOT do:
+  * compatibility decompositions fold PRESENTATION variants to their
+  * plain forms — ligatures (ﬁ → fi), fullwidth forms (Ａ → A, the
+  * CJK-context Latin that defeats ASCII-keyed dedup and language
+  * ID), superscripts (² → 2), circled/enclosed characters, NBSP →
+  * space. Crawl text is full of these; tokenizers, shingles and
+  * quality signals all see them as distinct code points unless
+  * folded. Kept SEPARATE from [[NormalizeText]] because NFKC is
+  * lossy by design (1² and 12 collide after folding) — a pipeline
+  * opts in per use: fold for dedup keys and language ID, keep the
+  * original for the corpus text itself.
+  *
+  * Pure JDK `java.text.Normalizer` NFKC (the Unicode-conformant
+  * implementation shipped with the JVM). Null in → null out; the
+  * expression participates in whole-stage codegen via the
+  * kernel-reference pattern (the [[NormalizeText]] precedent).
+  */
+case class NfkcFold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfkc_fold"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nfkc_fold needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFKC))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nfkcFoldKernel", this,
+      classOf[NfkcFold].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcFold =
+    copy(child = newChild)
+}

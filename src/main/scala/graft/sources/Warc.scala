@@ -71,12 +71,20 @@ object Warc {
       private var nextRec: WarcRecord = null
       private var done = false
 
-      private def fail(msg: String): Unit =
+      private def fail(msg: String): Unit = {
+        // the offending line is corrupt INPUT — it can carry raw
+        // binary (NULs from a damaged gzip member) that must never
+        // reach a log stream verbatim: sanitize to printable ASCII
+        // and cap the length (r14 — a NUL in the bench harness's
+        // captured stdout breaks text-mode consumers downstream)
+        val clean = msg.map(c =>
+          if (c >= ' ' && c < 127) c else '?').take(120)
         if (lenient) {
           org.slf4j.LoggerFactory.getLogger(Warc.getClass)
-            .warn(s"warc salvage stop: $msg")
+            .warn(s"warc salvage stop: $clean")
           done = true
-        } else throw new IllegalArgumentException(s"corrupt warc: $msg")
+        } else throw new IllegalArgumentException(s"corrupt warc: $clean")
+      }
 
       private def advance(): Unit = try {
         advanceInner()

@@ -541,4 +541,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(strip("\\documentclass[11pt]{article}\n\\usepackage{x}\nbody")
       === "body")
   }
+
+  test("nfkcFold (r14): ligatures expand, fullwidth folds to ASCII, " +
+      "superscripts to digits, NBSP to space; NFC-only content is " +
+      "unchanged; null passes through") {
+    def fold(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextFunctions.nfkcFold($"t")).head().getString(0)
+    assert(fold("\uFB01le o\uFB03ce") === "file office")
+    assert(fold("\uFF21\uFF11\uFF41") === "A1a")
+    assert(fold("x\u00B2") === "x2")
+    assert(fold("a\u00A0b") === "a b")
+    assert(fold("\u00BD") === "1\u20442")
+    // canonical-only text unchanged; composed stays composed
+    assert(fold("café plain") === "café plain")
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextFunctions.nfkcFold($"t")).head()
+    assert(n.isNullAt(0))
+  }
 }
