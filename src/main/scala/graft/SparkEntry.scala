@@ -2401,6 +2401,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- CSV dialect sniffing (r14 — the step before read.csv can
+    //     be trusted on found tabular data): delimiter cycles
+    //     , \t ; | by id%4, a QUOTED field containing the delimiter
+    //     on id%5==0 (the count-consistency proof: a naive split
+    //     would break), header unless id%3==0 (all-numeric first
+    //     row → fail-closed headerless), 2+id%3 columns. %19 ids
+    //     are prose → all-null dialect. The oracle restates the
+    //     lattice closed-form.
+    "docs_csv_sniff" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val d = graft.sources.CsvSniff.sniff(
+            graft.sources.CsvSniff.synthCsvText(id))
+          if (d == null)
+            (id, null: String, null: String,
+              null.asInstanceOf[java.lang.Boolean],
+              null.asInstanceOf[java.lang.Integer])
+          else (id, d.delimiter, d.quote,
+            java.lang.Boolean.valueOf(d.hasHeader),
+            java.lang.Integer.valueOf(d.nCols))
+        }
+        .toDF("doc_id", "delimiter", "quote", "has_header", "n_cols")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- NFKC compatibility folding (r14 — the lossy sibling of
     //     normalizeText, for dedup keys / language ID): ligatures
     //     (ﬁ ﬃ), fullwidth Latin and digits (the CJK-context text
@@ -5920,6 +5946,22 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the docs_csv_sniff oracle: the planting lattice restated —
+    // delimiter by id%4 (tab is chr(9)), quote on the %5 lattice,
+    // header iff a header row was planted, column count by id%3
+    "docs_csv_sniff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE [',', chr(9), ';', '|'][CAST(doc_id % 4 AS INT) + 1]
+        |  END AS delimiter,
+        |  CASE WHEN doc_id % 19 = 0 OR doc_id % 5 <> 0 THEN NULL
+        |    ELSE '"' END AS quote,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE doc_id % 3 <> 0 END AS has_header,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE CAST(2 + doc_id % 3 AS INT) END AS n_cols
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the text_nfkc oracle: expected folds written closed-form from
     // the public Unicode compatibility tables — ligatures expand,

@@ -1,0 +1,117 @@
+package graft.sources
+
+/** CSV dialect sniffing (r14) — the step before `spark.read.csv`
+  * can be trusted on found data: crawled/uploaded tabular files
+  * carry no dialect declaration, and reading a `;`-separated or
+  * tab-separated file with the comma default silently yields one
+  * garbage column. The sniffer is the python-csv-Sniffer-class
+  * heuristic, restated deterministically:
+  *
+  *  - candidate delimiters `, \t ; |` score by FIELD-COUNT
+  *    CONSISTENCY over the first 32 non-empty lines, splitting with
+  *    a double-quote-aware state machine (`""` escapes inside
+  *    quoted fields); a delimiter qualifies only if every sampled
+  *    line yields the SAME count > 1;
+  *  - ties break toward the larger field count, then candidate
+  *    order (comma first — the de-facto prior);
+  *  - `quote` is `"` iff any sampled field is quote-wrapped under
+  *    the chosen delimiter, else null;
+  *  - `has_header` iff the first line has NO numeric-looking field
+  *    and some later line has at least one (the classic
+  *    names-then-values shape); all-text tables stay headerless —
+  *    fail-closed, a wrongly-assumed header drops a data row.
+  *
+  * Total: null/empty text or no qualifying delimiter → null (not a
+  * delimited table). Per-row pure function — scan → narrow map.
+  */
+object CsvSniff {
+
+  final case class Dialect(delimiter: String, quote: String,
+      hasHeader: Boolean, nCols: Int)
+
+  private val Candidates = Seq(',', '\t', ';', '|')
+  private val SampleLines = 32
+
+  /** Quote-aware split; `""` inside a quoted field is an escaped
+    * quote. A lone opening quote runs to end-of-line (the lenient
+    * convention every CSV reader shares).
+    */
+  private[graft] def splitQuoted(line: String,
+      delim: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQ = false
+        } else cur.append(c)
+      } else {
+        if (c == '"' && cur.length() == 0) inQ = true
+        else if (c == delim) { out += cur.toString; cur.setLength(0) }
+        else cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  private def numericLike(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && t.matches("[+-]?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
+  }
+
+  def sniff(text: String): Dialect = {
+    if (text == null) return null
+    val lines = text.split("\r?\n").iterator
+      .filter(_.nonEmpty).take(SampleLines).toArray
+    if (lines.isEmpty) return null
+    var best: (Char, Int) = null
+    for (d <- Candidates) {
+      val counts = lines.map(l => splitQuoted(l, d).length)
+      if (counts.head > 1 && counts.forall(_ == counts.head)) {
+        if (best == null || counts.head > best._2) best = (d, counts.head)
+      }
+    }
+    if (best == null) return null
+    val (delim, nCols) = best
+    val rows = lines.map(l => splitQuoted(l, delim))
+    // quote detection: a double quote OPENING a field (start of
+    // line or right after the delimiter) — a stray quote mid-field
+    // is content, not dialect
+    val openQuote = java.util.regex.Pattern.compile(
+      "(?:^|" + java.util.regex.Pattern.quote(delim.toString) + ")\"")
+    val quoted = lines.exists(l => openQuote.matcher(l).find())
+    val headerless = rows.head.exists(numericLike)
+    val laterNumeric = rows.iterator.drop(1).exists(_.exists(numericLike))
+    Dialect(delim.toString, if (quoted) "\"" else null,
+      !headerless && laterNumeric, nCols)
+  }
+
+  /** Deterministic tabular fixture for doc id `id`: delimiter
+    * cycles `, \t ; |` by id%4, a quoted field CONTAINING the
+    * delimiter on id%5==0 rows-sets (the count-consistency proof),
+    * a header row unless id%3==0 (all-numeric), 3 data rows,
+    * 2 + id%3 columns. Ids where id % 19 == 0 are prose, not
+    * tables.
+    */
+  def synthCsvText(id: Long): String = {
+    if (id % 19 == 0) return s"just prose document $id with no table"
+    val d = Candidates((id % 4).toInt)
+    val nCols = (2 + id % 3).toInt
+    val header = (0 until nCols).map(c => s"col_$c").mkString(d.toString)
+    val rows = (0 until 3).map { r =>
+      (0 until nCols).map { c =>
+        if (c == 0 && id % 5 == 0) "\"a" + d + "b\""
+        else (id * 7 + r * 3 + c).toString
+      }.mkString(d.toString)
+    }
+    if (id % 3 == 0) rows.mkString("\n")
+    else (header +: rows).mkString("\n")
+  }
+}

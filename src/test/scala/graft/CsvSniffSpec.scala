@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.CsvSniff
+
+class CsvSniffSpec extends SparkSpec {
+
+  test("splitQuoted: delimiter inside quotes survives, doubled " +
+      "quote escapes, lone opening quote runs to EOL (r14)") {
+    assert(CsvSniff.splitQuoted("a,b,c", ',').toSeq === Seq("a", "b", "c"))
+    assert(CsvSniff.splitQuoted("\"a,b\",c", ',').toSeq === Seq("a,b", "c"))
+    assert(CsvSniff.splitQuoted("\"he said \"\"hi\"\"\",x", ',').toSeq ===
+      Seq("he said \"hi\"", "x"))
+    assert(CsvSniff.splitQuoted("\"open,runs", ',').toSeq === Seq("open,runs"))
+    assert(CsvSniff.splitQuoted("a||b", '|').toSeq === Seq("a", "", "b"))
+  }
+
+  test("sniff: delimiter by consistency (quoted delimiters do not " +
+      "break the count), quote detected at field openings only, " +
+      "header vs all-numeric vs all-text conventions (r14)") {
+    val semi = CsvSniff.sniff("name;score\nalice;10\nbob;20")
+    assert(semi.delimiter === ";" && semi.quote === null)
+    assert(semi.hasHeader && semi.nCols === 2)
+    val tsv = CsvSniff.sniff("a\tb\tc\n1\t2\t3")
+    assert(tsv.delimiter === "\t" && tsv.nCols === 3)
+    val quoted = CsvSniff.sniff("id,title\n1,\"a, b\"\n2,plain")
+    assert(quoted.delimiter === "," && quoted.quote === "\"")
+    assert(quoted.hasHeader && quoted.nCols === 2)
+    // a stray quote mid-field is content, not dialect
+    assert(CsvSniff.sniff("a,5\"6\nb,7").quote === null)
+    // all-numeric first line: headerless
+    assert(!CsvSniff.sniff("1,2\n3,4").hasHeader)
+    // all-text table: fail-closed headerless
+    assert(!CsvSniff.sniff("a,b\nc,d\ne,f").hasHeader)
+    // prose / single-column / empty -> null
+    assert(CsvSniff.sniff("just a sentence of prose") === null)
+    assert(CsvSniff.sniff("one\ntwo\nthree") === null)
+    assert(CsvSniff.sniff("") === null)
+    assert(CsvSniff.sniff(null) === null)
+    // inconsistent counts disqualify
+    assert(CsvSniff.sniff("a,b\nc,d,e") === null)
+  }
+
+  test("fixture round trip + fuzz totality (r14)") {
+    for (id <- 1L to 60L if id % 19 != 0) {
+      val d = CsvSniff.sniff(CsvSniff.synthCsvText(id))
+      assert(d != null, s"id $id")
+      assert(d.nCols === (2 + id % 3).toInt, s"id $id")
+      assert(d.hasHeader === (id % 3 != 0), s"id $id")
+      assert((d.quote != null) === (id % 5 == 0), s"id $id")
+    }
+    val rnd = new scala.util.Random(0xC57)
+    for (_ <- 0 until 300) {
+      val s = (0 until rnd.nextInt(6)).map(_ =>
+        (0 until rnd.nextInt(30)).map(_ =>
+          ",;|\t\"ax1\n"(rnd.nextInt(9))).mkString).mkString("\n")
+      CsvSniff.sniff(s) // value or null, never throw
+    }
+  }
+}
