@@ -272,6 +272,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r14 source explodes and strips stay NARROW — dump pages, " +
+      "subtitle cues, charset transcode, ID3/Ogg metadata are scan → " +
+      "per-partition map; the strip family and head-metadata are pure " +
+      "projections; the only exchange anywhere is the presentation " +
+      "sort") {
+    for (g <- Seq("docs_wikidump", "docs_subtitles", "docs_charset",
+        "mm_audio_ogg_meta", "mm_audio_id3", "text_wikitext",
+        "text_latex", "text_nfkc", "docs_html_meta")) {
+      val p = plan(g)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$g has $exchanges exchanges:\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$g grew a join:\n${p.take(900)}")
+      assert(!p.contains("HashAggregate"),
+        s"$g grew an aggregate:\n${p.take(900)}")
+      assert(!p.contains("BatchEvalPython"), s"$g left native execution")
+    }
+    // the wiki curation chain composes the above WITH dedup: exactly
+    // the dedup window's shuffle on top of the presentation sort
+    val wc = plan("docs_wiki_clean")
+    assert(wc.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"wiki_clean grew extra shuffles:\n${wc.take(900)}")
+    assert(!wc.contains("SortMergeJoin") && !wc.contains("BroadcastHashJoin"),
+      wc.take(900))
+  }
+
   test("text_extract_main is scan → projection (r13): the whole block " +
       "segmentation + density scoring chain is ONE codegen'd " +
       "projection — no shuffle beyond the presentation sort, no join, " +
