@@ -40,6 +40,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming wiki-page and subtitle-cue explodes == batch (r14): " +
+      "the stateless source ops run unchanged on streaming frames — " +
+      "arriving dumps/transcripts explode per micro-batch with no " +
+      "state, spanning micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ids = (1L to 60L)
+    // wiki dumps
+    val ws = MemoryStream[(Long, String)]
+    val wq = graft.sources.Sources.withWikiPages(
+        ws.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("wiki_st")
+      .outputMode(OutputMode.Append).start()
+    val wikiRows = ids.map(id =>
+      (id, graft.sources.WikiDump.synthDumpText(id)))
+    ws.addData(wikiRows.take(25): _*)  // split across two batches
+    wq.processAllAvailable()
+    ws.addData(wikiRows.drop(25): _*)
+    wq.processAllAvailable()
+    wq.stop()
+    val wStreamed = spark.table("wiki_st")
+      .orderBy("doc_id", "page_idx").collect().toSeq
+    val wBatch = graft.sources.Sources.withWikiPages(
+        wikiRows.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id", "page_idx").collect().toSeq
+    assert(wStreamed === wBatch && wBatch.size > ids.size)
+    // subtitles
+    val ss = MemoryStream[(Long, String)]
+    val sq = graft.sources.Sources.withSubtitleCues(
+        ss.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("subs_st")
+      .outputMode(OutputMode.Append).start()
+    val subRows = ids.map(id =>
+      (id, graft.sources.Subtitles.synthSubtitleText(id)))
+    ss.addData(subRows.take(30): _*)
+    sq.processAllAvailable()
+    ss.addData(subRows.drop(30): _*)
+    sq.processAllAvailable()
+    sq.stop()
+    val sStreamed = spark.table("subs_st")
+      .orderBy("doc_id", "cue_idx").collect().toSeq
+    val sBatch = graft.sources.Sources.withSubtitleCues(
+        subRows.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id", "cue_idx").collect().toSeq
+    assert(sStreamed === sBatch && sBatch.size > ids.size)
+  }
+
   test("streaming sessionization == batch sessionization (closed sessions)") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new java.util.Random(11)
