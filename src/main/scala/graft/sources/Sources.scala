@@ -218,8 +218,13 @@ object Sources {
     val lines = spark.read.format("binaryFile").load(glob)
       .select(col("content")).as[Array[Byte]]
       .flatMap { bytes =>
-        val z = new org.tukaani.xz.XZInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        // decompressConcatenated: a shard assembled by appending .xz
+        // members (the cat-of-files convention gzip/zstd also allow)
+        // must read through ALL members, not silently stop at the
+        // first stream footer
+        val z = new org.apache.commons.compress.compressors.xz
+          .XZCompressorInputStream(
+            new java.io.ByteArrayInputStream(bytes), true)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(z,
             java.nio.charset.StandardCharsets.UTF_8), 1 << 16)

@@ -119,6 +119,25 @@ class WarcSpec extends SparkSpec {
     assert(backX.count() === 200)
     assert(backX.agg(org.apache.spark.sql.functions.sum($"doc_id"))
       .head().getLong(0) === (1L to 200L).sum)
+    // concatenated members read through (the gzip/zstd cat-of-files
+    // convention): two xz streams appended = all rows
+    val catDir = Files.createTempDirectory("graft_xz_cat")
+    val m1 = new java.io.ByteArrayOutputStream()
+    val z1 = new org.tukaani.xz.XZOutputStream(m1,
+      new org.tukaani.xz.LZMA2Options(3))
+    z1.write("{\"doc_id\": 501, \"text\": \"m1\"}\n".getBytes("UTF-8"))
+    z1.close()
+    val m2 = new java.io.ByteArrayOutputStream()
+    val z2 = new org.tukaani.xz.XZOutputStream(m2,
+      new org.tukaani.xz.LZMA2Options(3))
+    z2.write("{\"doc_id\": 502, \"text\": \"m2\"}\n".getBytes("UTF-8"))
+    z2.close()
+    Files.write(catDir.resolve("cat.jsonl.xz"),
+      m1.toByteArray ++ m2.toByteArray)
+    val catBack = graft.sources.Sources
+      .readJsonlXz(spark, s"$catDir/*.jsonl.xz", schema).collect()
+    assert(catBack.length === 2)
+    assert(catBack.map(_.getLong(0)).sorted.toSeq === Seq(501L, 502L))
     // CLI interop where available: upstream tools must decode our
     // shards (plain format streams, nothing bespoke)
     for ((tool, d, ext) <- Seq(("bzip2", outB, ".jsonl.bz2"),
