@@ -887,6 +887,31 @@ object SparkEntry {
           (col("__max_h") <= 12).cast("int").as("hamming_bounded"))
     }),
 
+    // --- Exact repeated-SPAN dedup (r14 — the Lee-et-al substring
+    //     family member: span-granular duplication that doc- and
+    //     line-level dedup cannot see). Planted lattice: every doc is
+    //     "u<id> v<id> ... w<id>" with a 6-token block shared by the
+    //     %3 docs (cross-doc case: only the min doc keeps it) and a
+    //     5-token phrase repeated TWICE in the %5 docs (within-doc +
+    //     cross-doc case: doc 0 keeps one copy, every other %5 doc
+    //     loses both). k=4 grams; the oracle replays the whole
+    //     algorithm — grams by VALUE (collision-free, independent of
+    //     the Spark side's xxhash64 gram ids), winner = first
+    //     (doc_id, pos), coverage, reassembly.
+    "dedup_spans" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = Tables.documents(s, dir).select(id,
+        concat(
+          lit("u"), id, lit(" v"), id,
+          when(pmod(id, lit(3L)) === 0,
+            lit(" cms one two three four five")).otherwise(lit("")),
+          lit(" w"), id,
+          when(pmod(id, lit(5L)) === 0,
+            lit(" p q r s t p q r s t")).otherwise(lit(""))).as("text"))
+      Dedup.dedupSpans(planted, "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Rolling-hash document fingerprint (F-family content key;
     //     order-sensitive). Hash VALUES are engine-local, so the oracle
     //     checks the invariant instead: fingerprints are injective on
@@ -7119,6 +7144,44 @@ object SparkEntry {
         |  CAST(1 AS INT) AS hamming_bounded
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin,
+
+    // the dedup_spans oracle: the FULL algorithm replayed from the
+    // same planted lattice — k=4 grams by VALUE (independent of the
+    // Spark side's xxhash64 gram identity), winner = row_number over
+    // (doc_id, pos), removed-token coverage, reassembly in token
+    // order with fully-removed docs EMPTY
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'u'||doc_id||' v'||doc_id
+        |    || CASE WHEN doc_id%3=0 THEN ' cms one two three four five'
+        |       ELSE '' END
+        |    || ' w'||doc_id
+        |    || CASE WHEN doc_id%5=0 THEN ' p q r s t p q r s t'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+        |g AS (SELECT doc_id, g1.pos AS pos, g1.gv AS gv FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-2),
+        |    i -> {'pos': i-1, 'gv': array_to_string(ts[i:i+3], chr(1))}))
+        |    AS g1
+        |  FROM t)),
+        |w AS (SELECT doc_id, pos,
+        |        row_number() OVER (PARTITION BY gv ORDER BY doc_id, pos)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY gv) AS cnt FROM g),
+        |remx AS (SELECT doc_id, unnest([pos, pos+1, pos+2, pos+3]) AS ti
+        |         FROM w WHERE cnt >= 2 AND rn > 1),
+        |rem AS (SELECT DISTINCT doc_id, ti FROM remx),
+        |tok AS (SELECT doc_id, t1.ti AS ti, t1.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+        |    i -> {'ti': i-1, 'tok': ts[i]})) AS t1 FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.ti, tok.tok FROM tok
+        |         LEFT JOIN rem USING(doc_id, ti) WHERE rem.ti IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text, '') AS text
+        |FROM d LEFT JOIN agg USING(doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT lang, count(*) AS n_docs,

@@ -1806,4 +1806,107 @@ object Dedup {
     writeFpBatch(batchFp, idCol, root, token)
     out.orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Exact repeated-SPAN dedup (the Lee-et-al exact-substring family
+    * member, k-gram-fingerprint form): remove every later occurrence
+    * of any k-token window that appears `minCount`+ times corpus-wide
+    * — the span-granular duplication that document-level dedup cannot
+    * see (a quoted passage, a license header mid-file, a template
+    * paragraph pasted into otherwise-distinct pages) and that
+    * line-level dedup misses whenever the copy does not align on line
+    * boundaries. The reference engine has no counterpart; this is the
+    * 100 TB extension set (north-star brief).
+    *
+    * Semantics (all well-defined, all replayed by the gate oracle):
+    *  - tokens are the text split on single spaces with empties
+    *    dropped, CASE-PRESERVING (unlike the shingle family, which
+    *    lowercases its keys: this operator rewrites text, so the
+    *    token stream must round-trip);
+    *  - a k-gram occurrence survives iff its gram occurs fewer than
+    *    `minCount` times corpus-wide, OR it is the gram's FIRST
+    *    occurrence in (id, pos) order (min(struct) — the
+    *    [[dedupLines]] winner rule at span granularity); grams
+    *    occurring more than `maxOccurrences` times are boilerplate
+    *    and lose even their first copy (the [[dedupLines]] cap);
+    *  - a token is removed iff it is covered by ANY non-surviving
+    *    occurrence's [pos, pos+k) window — so the second copy of a
+    *    long duplicated passage vanishes wholly (every gram inside it
+    *    is a loser) while the first copy stands (every gram a
+    *    winner), and an interior edit splits the duplication into the
+    *    two exactly-repeated flanks;
+    *  - output text is the surviving tokens joined by single spaces —
+    *    token-stream semantics, UNIFORMLY (untouched documents come
+    *    back space-normalized too, so "was deduped" is not encoded in
+    *    whitespace); documents whose every token was removed come
+    *    back EMPTY, not missing; texts of fewer than k tokens carry
+    *    no gram and always survive whole.
+    *
+    * Gram identity is xxhash64 over the window joined with U+0001
+    * (the shingle-id 64-bit-identity precedent: a collision merges
+    * two distinct grams and over-removes one window; ~n²/2⁶⁵ odds).
+    *
+    * Scale shape: gram occurrences are a per-row projection + explode
+    * (∝ corpus token count, the MinHash shingle budget); the
+    * winner/count statistics come from ONE `groupBy(gh)` whose
+    * min(struct)+count both take map-side partial aggregation (the
+    * boilerplate gram that occurs everywhere collapses to one row per
+    * map task BEFORE the shuffle — the [[dedupLines]] skew argument);
+    * losers re-meet their statistics on the gh-keyed join (fan-out =
+    * real removal work); covered-token positions dedupe with partial
+    * aggregation; and ONLY touched documents pay the explode +
+    * reassembly shuffle — the untouched majority of a lightly-
+    * duplicated corpus is a narrow projection. No driver state, no
+    * collect.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Int = 2,
+      maxOccurrences: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(maxOccurrences >= minCount,
+      s"maxOccurrences $maxOccurrences < minCount $minCount")
+    val spaceToks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val base = df.select(col(idCol).as("__id"), spaceToks.as("__toks"))
+    val grams = base.select(col("__id"),
+        explode(when(size(col("__toks")) >= k,
+            transform(sequence(lit(0), size(col("__toks")) - k),
+              i => struct(i.cast("int").as("pos"),
+                xxhash64(array_join(
+                  slice(col("__toks"), i + 1, lit(k)), "\u0001")).as("gh"))))
+          .otherwise(array().cast("array<struct<pos:int,gh:bigint>>")))
+          .as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.gh").as("__gh"))
+    val stats = grams.groupBy(col("__gh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    // non-surviving occurrences: every occurrence of an over-cap
+    // gram, else every occurrence that is not the (id, pos) winner
+    val losers = grams.join(stats, Seq("__gh"))
+      .filter(col("__cnt") > maxOccurrences ||
+        struct(col("__id"), col("__pos")) =!= col("__w"))
+    val covered = losers
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__ti"))
+      .distinct()
+    val touched = covered.select(col("__id")).distinct()
+    val touchedToks = base.join(touched, Seq("__id"))
+      .select(col("__id"), posexplode(col("__toks")).as(Seq("__ti", "__tok")))
+    val keptAgg = touchedToks
+      .join(covered, Seq("__id", "__ti"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__ti"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__newtext"))
+    // every touched doc gets a row even when fully removed (EMPTY,
+    // not missing — keptAgg alone would drop it)
+    val rebuilt = touched.join(keptAgg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__newtext"), lit("")).as("__newtext"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        coalesce(col("__newtext"), array_join(spaceToks, " ")))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -707,4 +707,77 @@ class DedupSpec extends SparkSpec {
       expectedItems = 400L, fpp = 0.01)
     assert(Dedup.bloomProbe(batch, "text", bl2).filter(!$"__maybe").count() === 0L)
   }
+
+  test("dedupSpans: later copies of duplicated k-grams vanish, first " +
+      "copy stands, within-doc repeats self-dedup, short/untouched " +
+      "docs survive space-normalized") {
+    val corpus = Seq(
+      // doc 0 and doc 2 share an interior 6-token passage; doc 0 wins
+      (0L, "a0 b0 ONE TWO THREE FOUR FIVE SIX c0"),
+      (2L, "a2  b2 ONE TWO THREE FOUR FIVE SIX c2"),   // double space too
+      // within-doc repetition: second copy of the 5-token phrase goes
+      (3L, "x y z w v x y z w v"),
+      // fewer than k tokens: never touched
+      (4L, "t1 t2 t3"),
+      // no duplication anywhere: survives (normalized)
+      (5L, "q5 r5 s5 t5 u5 v5")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(corpus, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(out(0L) === "a0 b0 ONE TWO THREE FOUR FIVE SIX c0")
+    assert(out(2L) === "a2 b2 c2")                 // span removed, ws normalized
+    assert(out(3L) === "x y z w v")                // second copy self-deduped
+    assert(out(4L) === "t1 t2 t3")
+    assert(out(5L) === "q5 r5 s5 t5 u5 v5")
+    // passthrough columns + schema stability
+    val withExtra = corpus.withColumn("lang", lit("en"))
+    val out2 = Dedup.dedupSpans(withExtra, "doc_id", "text", k = 4)
+    assert(out2.columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(out2.filter($"lang" =!= "en").count() === 0L)
+  }
+
+  test("dedupSpans: a doc that is one big duplicated span comes back " +
+      "EMPTY; maxOccurrences drops boilerplate grams entirely") {
+    val corpus = Seq(
+      (0L, "p q r s t"),
+      (1L, "p q r s t"),          // exact dup, all tokens covered -> ""
+      (2L, "p q r s t"),
+      (3L, "solo doc nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(corpus, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(out(0L) === "p q r s t")   // the winner keeps its copy
+    assert(out(1L) === "")
+    assert(out(2L) === "")
+    assert(out(3L) === "solo doc nothing shared")
+    // cap = 2 < the 3 occurrences: even the winner loses its copy
+    val capped = Dedup.dedupSpans(corpus, "doc_id", "text", k = 4,
+        maxOccurrences = 2L)
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(capped(0L) === "" && capped(1L) === "" && capped(2L) === "")
+    assert(capped(3L) === "solo doc nothing shared")
+  }
+
+  test("dedupSpans: interior edit splits a duplication into exactly " +
+      "the repeated flanks; empty and null-free contracts hold") {
+    // doc 1 repeats doc 0 but with one token edited in the middle:
+    // both flanks around the edit are >= k and go; the edited token
+    // plus its k-1 neighbors on each side (grams spanning the edit
+    // are unique) stay
+    val corpus = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (1L, "w1 w2 w3 w4 w5 EDIT w7 w8 w9 w10 w11")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(corpus, "doc_id", "text", k = 4)
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(out(0L) === "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")
+    // in doc 1: grams entirely inside "w1..w5" (starts 0,1) and
+    // inside "w7..w11" (starts 6,7) are duplicated -> cover tokens
+    // 0..4 and 6..10; EDIT (pos 5) survives alone
+    assert(out(1L) === "EDIT")
+    // empty text round-trips empty
+    val e = Dedup.dedupSpans(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 4).as[(Long, String)].collect()
+    assert(e.toSeq === Seq((9L, "")))
+  }
 }
