@@ -378,6 +378,18 @@ object SparkEntry {
       Ann.topKSq8(Tables.embeddings(s, dir), "vec_id", "embedding",
         queryVec(s, dir, 0), "q_vec", 5, "l2")),
 
+    // --- Binary (sign-bit) quantization, the floor of the
+    //     compression ladder (1 bit/dim = 32× vs float32): Hamming
+    //     shortlist over packed codes, exact float rerank. The
+    //     fixture embeddings are NOT direction-clustered (true-
+    //     neighbor Hamming ≈ 23-27 of 64), so the gate runs a
+    //     generous rerankFactor — oracle equality with the exact-KNN
+    //     SQL proves the shortlist+rerank contract, the honest
+    //     statement of what 1-bit codes give on uncentered data.
+    "ann_binary" -> ((s, dir) =>
+      Ann.topKBinary(Tables.embeddings(s, dir), "vec_id", "embedding",
+        queryVec(s, dir, 0), "q_vec", 5, "cosine", rerankFactor = 40)),
+
     // --- Product quantization, one tier below SQ8 on the compression
     //     ladder (m=8 bytes per 64-dim vector = 32× vs float32): ADC
     //     shortlist over the codes, exact float rerank. Oracles reuse
@@ -4906,6 +4918,10 @@ object SparkEntry {
     // the SQ8+rerank path must reproduce exact KNN — same oracle
     "knn_sq8" -> knnOracle(
       s"list_distance(CAST(embedding AS DOUBLE[]), $qVecSql)"),
+    // the 1-bit Hamming shortlist + rerank must reproduce exact
+    // cosine KNN — same oracle as knn_cosine
+    "ann_binary" -> knnOracle(
+      s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     "knn_cosine" -> knnOracle(
       s"1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), $qVecSql)"),
     // filtered search: top-k WITHIN the label slice

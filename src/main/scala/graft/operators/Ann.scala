@@ -371,6 +371,116 @@ object Ann {
   }
 
   // -------------------------------------------------------------
+  // Binary (1-bit) quantization — the floor of the compression
+  // ladder: float32 → SQ8 (4×) → PQ (m bytes) → sign bits (32×,
+  // 1 bit/dim)
+  // -------------------------------------------------------------
+
+  /** Sign-bit binary codes: bit d is set iff `v(d) > 0`, packed
+    * little-endian (dimension d lives in word d/64, bit d%64) into
+    * ⌈dim/64⌉ longs. For centered/normalized embedding spaces the
+    * Hamming distance between sign codes is a monotone proxy for the
+    * angle (each agreeing sign is a half-space agreement — the
+    * hyperplane-LSH argument with the coordinate axes as planes), so
+    * a Hamming shortlist + exact rerank reproduces exact cosine KNN
+    * whenever the 32× quantization doesn't push a true top-k member
+    * past the shortlist boundary — the SQ8/PQ gate discipline, proved
+    * by `ann_binary`'s oracle being the exact-KNN SQL.
+    *
+    * At 100 TB this is the cheapest first pass that still scans the
+    * whole corpus: 1 bit per dimension (a 768-dim vector is 96 bytes)
+    * and the distance is XOR + popcount — no float math until the
+    * k·rerankFactor rerank rows. Null/empty/mismatched vectors carry
+    * null codes and never shortlist.
+    */
+  def binarizeCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        if (v == null || v.isEmpty) (id, null: Array[Long])
+        else (id, binarizeKernel(v))
+      }
+      .toDF(idCol, "bits")
+  }
+
+  private[graft] def binarizeKernel(v: Array[Double]): Array[Long] = {
+    val words = new Array[Long]((v.length + 63) >> 6)
+    var d = 0
+    while (d < v.length) {
+      if (v(d) > 0.0) words(d >> 6) |= 1L << (d & 63)
+      d += 1
+    }
+    words
+  }
+
+  private[graft] def hammingKernel(a: Array[Long], b: Array[Long]): Int = {
+    var h = 0
+    var i = 0
+    while (i < a.length) {
+      h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1
+    }
+    h
+  }
+
+  /** Binary search with exact rerank — convenience overload that
+    * binarizes in-flight; the production path is
+    * `topKBinaryQuantized(binarizeCorpus(...).cache(), ...)`.
+    */
+  def topKBinary(corpus: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      metric: String = "cosine", rerankFactor: Int = 8): DataFrame =
+    topKBinaryQuantized(binarizeCorpus(corpus, idCol, vecCol),
+      corpus, idCol, vecCol, query, queryVecCol, k, metric, rerankFactor)
+
+  /** Search a prebuilt [[binarizeCorpus]] frame: scan the 32×-smaller
+    * codes for the `k·rerankFactor` smallest Hamming distances (ties
+    * by id — deterministic), then rerank ONLY the shortlist on the
+    * float column with the same rounded expression as `Knn.topK`.
+    * The scan is XOR+popcount per row; per-partition heaps merge
+    * through one `orderBy(limit)` on m rows (the SQ8 shape).
+    */
+  def topKBinaryQuantized(bits: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      metric: String = "cosine", rerankFactor: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qv: Array[Double] = query
+      .select(col(queryVecCol).cast("array<double>"))
+      .as[Array[Double]].head()
+    val m = k * rerankFactor
+    val qBits = binarizeKernel(qv)
+    val bcq = spark.sparkContext.broadcast(qBits)
+
+    val shortlist = bits
+      .select(col(idCol).cast("long"), col("bits"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val q = bcq.value
+        val heap = new Knn.BoundedPairHeap(m)
+        it.foreach { case (id, words) =>
+          if (words != null && words.length == q.length)
+            heap.offer(hammingKernel(words, q).toDouble, id)
+        }
+        heap.iterator
+      }.toDF("__hamming", idCol)
+      .orderBy(col("__hamming"), col(idCol)).limit(m)
+
+    // exact rerank of the tiny shortlist only (the SQ8 rerank block)
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist.select(col(idCol))), idCol)
+      .crossJoin(broadcast(query.select(col(queryVecCol))))
+      .withColumn("distance",
+        round(Knn.distance(metric)(col(vecCol), col(queryVecCol)), 6))
+      .filter(col("distance").isNotNull)
+      .select(col(idCol), col("distance"))
+      .orderBy(col("distance").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------
   // Product quantization (PQ) — the storage half of IVF-PQ
   // -------------------------------------------------------------
 

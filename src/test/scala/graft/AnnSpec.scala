@@ -722,4 +722,39 @@ class AnnSpec extends SparkSpec {
       simThreshold = 0.99, nprobe = 1, maxClusterSize = 3)
     assert(over.count() === 0L)
   }
+
+  test("binary quantization: packing layout, hamming kernel, and " +
+      "shortlist+rerank == exact KNN on clustered data") {
+    // packing: dimension d -> word d/64, bit d%64, set iff v(d) > 0
+    val v = Array.fill(70)(0.0)
+    v(0) = 1.0; v(63) = 2.0; v(64) = 0.5; v(69) = -3.0
+    val w = Ann.binarizeKernel(v)
+    assert(w.length === 2)
+    assert(w(0) === ((1L << 0) | (1L << 63)))
+    assert(w(1) === 1L)                      // dim 64 -> word 1 bit 0
+    // zero is NOT positive: all-zero vector -> all-zero words
+    assert(Ann.binarizeKernel(Array.fill(3)(0.0)).forall(_ === 0L))
+    assert(Ann.hammingKernel(w, Array(0L, 0L)) === 3)
+    assert(Ann.hammingKernel(w, w) === 0)
+
+    // on sign-clustered data the 1-bit shortlist + exact rerank
+    // reproduces exact cosine KNN at a modest rerank factor
+    val q = queries10.filter($"query_id" === 0L)
+    val exact = graft.operators.Knn.topK(clustered, "vec_id", "embedding",
+      q, "q_vec", 10, "cosine").select("vec_id", "distance").collect().toSeq
+    val bin = Ann.topKBinary(clustered, "vec_id", "embedding",
+      q, "q_vec", 10, "cosine", rerankFactor = 4)
+      .select("vec_id", "distance").collect().toSeq
+    assert(bin === exact)
+    // prebuilt-codes path is the same result; null vectors never
+    // shortlist and never null the scan
+    val withNull = clustered.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val bits = Ann.binarizeCorpus(withNull, "vec_id", "embedding")
+    assert(bits.filter($"vec_id" === 999L).select("bits").head().isNullAt(0))
+    val bin2 = Ann.topKBinaryQuantized(bits, withNull, "vec_id", "embedding",
+      q, "q_vec", 10, "cosine", rerankFactor = 4)
+      .select("vec_id", "distance").collect().toSeq
+    assert(bin2 === exact)
+  }
 }
