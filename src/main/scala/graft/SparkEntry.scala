@@ -2416,6 +2416,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("item_idx"))
     }),
 
+    // --- Sitemap protocol → per-entry rows (r14 — the frontier
+    //     complement to the robots Sitemap directive): %7 ids are
+    //     sitemapindex fan-out files, %19 ids are not sitemaps
+    //     (visible 'unknown' rows), the rest urlsets with optional
+    //     lastmod/changefreq/priority on planted lattices and
+    //     entity-escaped locs (decoded by the parser — the oracle
+    //     writes the DECODED url). Narrow scan → flatMap plan.
+    "docs_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      val maps = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.Sources.synthSitemapText(id)))
+        .toDF("doc_id", "text")
+      graft.sources.Sources.withSitemapEntries(maps, "text")
+        .select(col("doc_id"), col("sitemap_format"), col("entry_idx"),
+          col("entry_loc"), col("entry_lastmod"),
+          col("entry_changefreq"), col("entry_priority"))
+        .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+
     // --- MediaWiki dump → per-page rows (r14 — the Wikipedia-dump
     //     corpus source; the reference's own FEVER corpus is cut from
     //     these dumps): dumps plant per doc_id (page count cycling
@@ -3995,6 +4014,27 @@ object SparkEntry {
               pmod(col("doc_id") * 5 + j * 3, lit(23)).cast("string"))))
             .as("text"))
       Dedup.dedupLines(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Paragraph-mode corpus dedup (r14 — the Dolma default
+    //     granularity): dedupLines with delim = blank line, so
+    //     multi-LINE paragraphs dedup as units (the same paragraph
+    //     pasted into many pages survives once, in the min-(id, pos)
+    //     doc) while line-level near-misses inside a paragraph stay.
+    //     Planted: a unique 2-line lead paragraph per doc, a shared
+    //     2-line paragraph in the %2 docs (doc 0 keeps it), and a
+    //     "tail <id%7>" paragraph shared per residue class (ids 0..6
+    //     each win theirs). Oracle replays split/winner/reassembly.
+    "docs_dedup_paragraphs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).filter(id < 100)
+        .select(id, concat(
+          lit("own "), id, lit(" first\nown "), id, lit(" second"),
+          when(pmod(id, lit(2L)) === 0,
+            lit("\n\nshared para alpha\nshared beta")).otherwise(lit("")),
+          lit("\n\ntail "), pmod(id, lit(7L))).as("text"))
+      Dedup.dedupLines(docs, "doc_id", "text", delim = "\n\n")
         .orderBy(col("doc_id"))
     }),
 
@@ -5960,6 +6000,42 @@ object SparkEntry {
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, item_idx""".stripMargin,
 
+    // the docs_sitemap oracle: every expected entry row rebuilt
+    // closed-form from the planted lattices (the docs_feed shape) —
+    // urlset entries with their optional-field lattices, index
+    // entries, and the %19 'unknown' rows; locs are the DECODED urls
+    "docs_sitemap" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |uset AS (
+        |  SELECT i.doc_id, k.g AS k
+        |  FROM ids i, generate_series(0, 2) AS k(g)
+        |  WHERE i.doc_id % 19 <> 0 AND i.doc_id % 7 <> 0
+        |    AND k.g < i.doc_id % 3 + 1),
+        |idx AS (
+        |  SELECT i.doc_id, k.g AS k
+        |  FROM ids i, generate_series(0, 1) AS k(g)
+        |  WHERE i.doc_id % 19 <> 0 AND i.doc_id % 7 = 0
+        |    AND k.g < i.doc_id % 2 + 1)
+        |SELECT doc_id, 'urlset' AS sitemap_format,
+        |  CAST(k AS INT) AS entry_idx,
+        |  'http://ex.com/'||doc_id||'/page?k='||k||'&x=1' AS entry_loc,
+        |  CASE WHEN k % 2 = 0 THEN '2026-0'||(k+1)||'-15' END
+        |    AS entry_lastmod,
+        |  CASE WHEN k % 3 = 0 THEN 'daily' END AS entry_changefreq,
+        |  CAST(CASE WHEN k % 2 = 1 THEN (doc_id % 10) / 10.0 END
+        |    AS DOUBLE) AS entry_priority
+        |FROM uset
+        |UNION ALL
+        |SELECT doc_id, 'sitemapindex', CAST(k AS INT),
+        |  'http://ex.com/'||doc_id||'/sitemap'||k||'.xml',
+        |  CASE WHEN k % 2 = 0 THEN '2026-0'||(k+1)||'-01' END,
+        |  NULL, NULL
+        |FROM idx
+        |UNION ALL
+        |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL
+        |FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id, entry_idx""".stripMargin,
+
     // the docs_wikidump oracle: every expected page row rebuilt
     // closed-form from the planted recipe (the docs_feed shape);
     // the parsed body carries DECODED entities (&amp; -> &) and the
@@ -7577,6 +7653,32 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM d LEFT JOIN reb r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the docs_dedup_paragraphs oracle: the planted paragraphs
+    // rebuilt, split on the blank line, winner = first (doc_id, pos)
+    // per paragraph VALUE, reassembled in position order
+    "docs_dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'own '||doc_id||' first'||chr(10)||'own '||doc_id||' second'
+        |    || CASE WHEN doc_id%2=0 THEN
+        |         chr(10)||chr(10)||'shared para alpha'||chr(10)||'shared beta'
+        |       ELSE '' END
+        |    || chr(10)||chr(10)||'tail '||doc_id%7 AS text
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (SELECT doc_id, p1.pos AS pos, p1.para AS para FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1),
+        |    i -> {'pos': i-1, 'para': ps[i]})) AS p1
+        |  FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps
+        |        FROM d))),
+        |w AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+        |          AS rn FROM p),
+        |agg AS (SELECT doc_id,
+        |          string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+        |        FROM w WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text, '') AS text
+        |FROM d LEFT JOIN agg USING(doc_id) ORDER BY doc_id""".stripMargin,
 
     // the docs_dedup_lines oracle with the occurrence cap: lines with
     // more than 3 corpus occurrences vanish entirely, others keep

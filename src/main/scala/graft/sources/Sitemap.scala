@@ -1,0 +1,134 @@
+package graft.sources
+
+/** Sitemap protocol parsing (r14) — the crawl-frontier complement to
+  * robots.txt support (`UrlPolicy.parseRobots` already surfaces the
+  * `Sitemap:` directive; this reads what that URL serves). The public
+  * sitemaps.org protocol has two document kinds: `<urlset>` (leaf —
+  * per-URL `<url>` entries with loc / lastmod / changefreq /
+  * priority) and `<sitemapindex>` (fan-out — `<sitemap>` entries
+  * whose locs are further sitemap URLs). Both parse to one entry
+  * row shape, discriminated by `kind` (`url` vs `sitemap`), so a
+  * frontier builder can iterate an index without a second code path.
+  *
+  * Reader discipline (the Feed/OPF stance): regex-level over the
+  * public format, not a namespace-aware XML parser — first-tag
+  * content per field, case-insensitive tags, XML entities decoded in
+  * `loc` (the protocol REQUIRES entity-escaped URLs, so `&amp;` in a
+  * query string is the common case). `loc`-less entries are skipped
+  * (a loc is the entry); `priority` outside [0, 1] or non-numeric is
+  * null, never a refusal. Entries cap at the protocol's own 50,000
+  * limit. Total function: non-sitemap / malformed text returns null.
+  */
+object Sitemap {
+
+  /** The protocol's own per-file entry limit. */
+  private val MaxEntries = 50000
+
+  final case class SitemapEntry(loc: String, lastmod: String,
+      changefreq: String, priority: java.lang.Double)
+  final case class ParsedSitemap(format: String, entries: Seq[SitemapEntry])
+
+  private def tagContent(xml: String, tag: String): String = {
+    val m = java.util.regex.Pattern
+      .compile(s"<$tag(?:\\s[^>]*)?>(.*?)</$tag>",
+        java.util.regex.Pattern.DOTALL |
+          java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    if (m.find()) m.group(1).trim else null
+  }
+
+  private def splitBlocks(xml: String, tag: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile(s"(?s)<$tag(?:\\s[^>]*)?>(.*?)</$tag>",
+        java.util.regex.Pattern.CASE_INSENSITIVE)
+      .matcher(xml)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find() && out.length < MaxEntries) out += m.group(1)
+    out.toSeq
+  }
+
+  private def decodeEntities(s: String): String =
+    if (s == null) null
+    else s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+
+  private val Freqs = Set("always", "hourly", "daily", "weekly",
+    "monthly", "yearly", "never")
+
+  /** Parse one sitemap document, or null when it is neither a urlset
+    * nor a sitemapindex.
+    */
+  def parseSitemap(xml: String): ParsedSitemap = {
+    try parseInner(xml)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def parseInner(xml: String): ParsedSitemap = {
+    if (xml == null || xml.length < 16) return null
+    val head = xml.substring(0, math.min(1024, xml.length)).toLowerCase
+    val isIndex = head.contains("<sitemapindex")
+    val isUrlset = !isIndex && head.contains("<urlset")
+    if (!isIndex && !isUrlset) return null
+    val blockTag = if (isIndex) "sitemap" else "url"
+    val entries = splitBlocks(xml, blockTag).flatMap { b =>
+      val loc = decodeEntities(tagContent(b, "loc"))
+      if (loc == null || loc.isEmpty) None
+      else {
+        val freqRaw = tagContent(b, "changefreq")
+        val freq =
+          if (freqRaw == null) null
+          else {
+            val f = freqRaw.toLowerCase
+            if (Freqs.contains(f)) f else null
+          }
+        val prio: java.lang.Double =
+          if (isIndex) null
+          else tagContent(b, "priority") match {
+            case null => null
+            case p =>
+              try {
+                val d = java.lang.Double.parseDouble(p)
+                if (d >= 0.0 && d <= 1.0) java.lang.Double.valueOf(d)
+                else null
+              } catch { case _: NumberFormatException => null }
+          }
+        Some(SitemapEntry(loc, tagContent(b, "lastmod"),
+          if (isIndex) null else freq, prio))
+      }
+    }
+    ParsedSitemap(if (isIndex) "sitemapindex" else "urlset", entries)
+  }
+
+  // ============================================== fixture encoders
+
+  /** Deterministic urlset document for fixtures; None fields omit
+    * their tag. Locs are entity-escaped as the protocol requires.
+    */
+  def buildUrlset(urls: Seq[(String, Option[String], Option[String],
+      Option[Double])]): String =
+    """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      "\n" +
+      urls.map { case (loc, lastmod, freq, prio) =>
+        "<url><loc>" + escape(loc) + "</loc>" +
+          lastmod.map(l => s"<lastmod>$l</lastmod>").getOrElse("") +
+          freq.map(f => s"<changefreq>$f</changefreq>").getOrElse("") +
+          prio.map(p => s"<priority>$p</priority>").getOrElse("") +
+          "</url>\n"
+      }.mkString + "</urlset>\n"
+
+  /** Deterministic sitemapindex document for fixtures. */
+  def buildIndex(sitemaps: Seq[(String, Option[String])]): String =
+    """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      "\n" +
+      sitemaps.map { case (loc, lastmod) =>
+        "<sitemap><loc>" + escape(loc) + "</loc>" +
+          lastmod.map(l => s"<lastmod>$l</lastmod>").getOrElse("") +
+          "</sitemap>\n"
+      }.mkString + "</sitemapindex>\n"
+
+  private def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
+}

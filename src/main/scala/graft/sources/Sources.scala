@@ -466,6 +466,44 @@ object Sources {
     }(Encoders.row(schema))
   }
 
+  /** Explode sitemap XML documents into per-entry rows (r14 — see
+    * [[Sitemap]]): a `<urlset>` contributes one row per `<url>`, a
+    * `<sitemapindex>` one row per child `<sitemap>` (same shape,
+    * discriminated by `sitemap_format`, so a frontier iterates an
+    * index with no second code path); an entry-less sitemap keeps a
+    * single null-entry row; non-sitemap text degrades to 'unknown'.
+    * Input columns pass through; appended: (sitemap_format,
+    * entry_idx, entry_loc, entry_lastmod, entry_changefreq,
+    * entry_priority). One narrow flatMap over the scan.
+    */
+  def withSitemapEntries(df: DataFrame, textCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sitemap_format", StringType),
+      StructField("entry_idx", IntegerType),
+      StructField("entry_loc", StringType),
+      StructField("entry_lastmod", StringType),
+      StructField("entry_changefreq", StringType),
+      StructField("entry_priority", DoubleType)))
+    val idx = df.schema.fieldIndex(textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val t = r.get(idx).asInstanceOf[String]
+        val parsed = if (t == null) null else Sitemap.parseSitemap(t)
+        if (parsed == null)
+          Iterator.single(Row.fromSeq(
+            r.toSeq ++ Seq("unknown", null, null, null, null, null)))
+        else if (parsed.entries.isEmpty)
+          Iterator.single(Row.fromSeq(r.toSeq ++
+            Seq(parsed.format, null, null, null, null, null)))
+        else parsed.entries.iterator.zipWithIndex.map { case (e, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(parsed.format, i, e.loc,
+            e.lastmod, e.changefreq, e.priority))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Explode MediaWiki dump XML in `textCol` into per-page rows
     * (the [[withFeedItems]] shape): original columns plus
     * (page_idx, page_title, page_ns, page_id, page_redirect,
@@ -542,5 +580,31 @@ object Sources {
       s"summary $id-$k body &amp; tail"))
     if (id % 2 == 0) Feed.buildRss(s"channel $id", items)
     else Feed.buildAtom(s"feed $id", items)
+  }
+
+  /** Deterministic sitemap document per doc_id for the docs_sitemap
+    * gate: %19 ids are not sitemaps; %7 ids are sitemapindex files
+    * (1 + id%2 child sitemaps, lastmod on even children); the rest
+    * are urlsets (1 + id%3 urls, lastmod on even entries, changefreq
+    * on %3 entries, priority on odd entries, and every loc carries an
+    * entity-escaped query string — the protocol's required escaping,
+    * decoded back by the parser).
+    */
+  def synthSitemapText(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no sitemap markup"
+    if (id % 7 == 0) {
+      val n = (id % 2 + 1).toInt
+      Sitemap.buildIndex((0 until n).map(k =>
+        (s"http://ex.com/$id/sitemap$k.xml",
+          if (k % 2 == 0) Some(s"2026-0${k + 1}-01") else None)))
+    } else {
+      val n = (id % 3 + 1).toInt
+      Sitemap.buildUrlset((0 until n).map { k =>
+        (s"http://ex.com/$id/page?k=$k&x=1",
+          if (k % 2 == 0) Some(s"2026-0${k + 1}-15") else None,
+          if (k % 3 == 0) Some("daily") else None,
+          if (k % 2 == 1) Some((id % 10) / 10.0) else None)
+      })
+    }
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Sitemap, Sources}
+
+/** Hand-written sitemap documents (independent of the fixture
+  * builders) through the parser, plus the explode plumbing.
+  */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("urlset: fields parse, entities decode, loc-less entries " +
+      "skip, bad priority/changefreq null") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url>
+        |  <loc>http://a.example/x?a=1&amp;b=2</loc>
+        |  <lastmod>2026-01-02</lastmod>
+        |  <changefreq>WEEKLY</changefreq>
+        |  <priority>0.8</priority>
+        | </url>
+        | <url><lastmod>2026-01-03</lastmod></url>
+        | <url>
+        |  <loc>http://a.example/y</loc>
+        |  <changefreq>sometimes</changefreq>
+        |  <priority>3.5</priority>
+        | </url>
+        |</urlset>""".stripMargin
+    val p = Sitemap.parseSitemap(xml)
+    assert(p.format === "urlset")
+    assert(p.entries.length === 2)            // loc-less entry skipped
+    val e0 = p.entries(0)
+    assert(e0.loc === "http://a.example/x?a=1&b=2")   // entity decoded
+    assert(e0.lastmod === "2026-01-02")
+    assert(e0.changefreq === "weekly")        // case-folded to the enum
+    assert(e0.priority === 0.8)
+    val e1 = p.entries(1)
+    assert(e1.loc === "http://a.example/y")
+    assert(e1.changefreq === null)            // not a protocol value
+    assert(e1.priority === null)              // out of [0, 1]
+  }
+
+  test("sitemapindex parses to the same entry shape; non-sitemap and " +
+      "tiny inputs refuse; empty urlset keeps zero entries") {
+    val idx =
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap><loc>http://a.example/s1.xml</loc>
+        |<lastmod>2026-02-01</lastmod></sitemap>
+        |<sitemap><loc>http://a.example/s2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val p = Sitemap.parseSitemap(idx)
+    assert(p.format === "sitemapindex")
+    assert(p.entries.map(_.loc) ===
+      Seq("http://a.example/s1.xml", "http://a.example/s2.xml"))
+    assert(p.entries(0).lastmod === "2026-02-01")
+    assert(p.entries.forall(e => e.changefreq == null && e.priority == null))
+    assert(Sitemap.parseSitemap("<html><body>nope</body></html>") === null)
+    assert(Sitemap.parseSitemap(null) === null)
+    assert(Sitemap.parseSitemap("<u/>") === null)
+    val empty = Sitemap.parseSitemap(
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"></urlset>")
+    assert(empty.format === "urlset" && empty.entries.isEmpty)
+  }
+
+  test("withSitemapEntries: per-entry rows, empty keeps one null-entry " +
+      "row, non-sitemap degrades to unknown, passthrough columns") {
+    val docs = Seq(
+      (1L, Sitemap.buildUrlset(Seq(
+        ("http://ex.com/a?x=1&y=2", Some("2026-03-01"), Some("daily"),
+          Some(0.5)),
+        ("http://ex.com/b", None, None, None)))),
+      (2L, "<urlset xmlns=\"x\"></urlset>"),
+      (3L, "just prose"),
+      (4L, Sitemap.buildIndex(Seq(("http://ex.com/s.xml", None))))
+    ).toDF("doc_id", "text")
+    val out = Sources.withSitemapEntries(docs, "text")
+      .orderBy($"doc_id", $"entry_idx")
+    assert(out.columns.take(2).toSeq === Seq("doc_id", "text"))
+    val rows = out.select("doc_id", "sitemap_format", "entry_idx",
+        "entry_loc", "entry_priority").collect()
+    assert(rows.length === 5)
+    assert(rows(0).getString(1) === "urlset" && rows(0).getInt(2) === 0)
+    assert(rows(0).getString(3) === "http://ex.com/a?x=1&y=2")
+    assert(rows(0).getDouble(4) === 0.5)
+    assert(rows(1).getString(3) === "http://ex.com/b" && rows(1).isNullAt(4))
+    assert(rows(2).getString(1) === "urlset" && rows(2).isNullAt(2))
+    assert(rows(3).getString(1) === "unknown")
+    assert(rows(4).getString(1) === "sitemapindex"
+      && rows(4).getString(3) === "http://ex.com/s.xml")
+  }
+}
