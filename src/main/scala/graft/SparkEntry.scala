@@ -2457,6 +2457,22 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- RTF text extraction (r14 — the legacy-office member of the
+    //     document family, PDF/DOCX/EPUB/RTF): 1+id%3 paragraphs,
+    //     \uN-escaped é on even paragraphs, an en dash on the %4
+    //     lattice, escaped braces on the %5 lattice; %19 ids are not
+    //     RTF → null. RtfSpec's hand-written documents keep the
+    //     parser independent of the fixture builder; the oracle
+    //     restates the expected text closed-form.
+    "docs_rtf" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map(id => (id, graft.sources.Rtf.extractText(
+          graft.sources.Rtf.synthRtfText(id))))
+        .toDF("doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- CSV dialect sniffing (r14 — the step before read.csv can
     //     be trusted on found tabular data): delimiter cycles
     //     , \t ; | by id%4, a QUOTED field containing the delimiter
@@ -6063,6 +6079,30 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the docs_rtf oracle: the expected paragraph text restated
+    // closed-form from the planting lattices (é = chr(233), en dash
+    // = chr(8211)), newline-joined; %19 ids null
+    "docs_rtf" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |good AS (SELECT doc_id, doc_id % 3 + 1 AS n FROM ids
+        |         WHERE doc_id % 19 <> 0),
+        |para AS (SELECT g.doc_id, k.g AS k
+        |         FROM good g, generate_series(0, 2) AS k(g)
+        |         WHERE k.g < g.n),
+        |pt AS (SELECT doc_id, k,
+        |  'para '||doc_id||'-'||k
+        |  || CASE WHEN k % 2 = 0 THEN ' caf'||chr(233) ELSE '' END
+        |  || CASE WHEN doc_id % 4 = 0 AND k = 0
+        |       THEN ' a'||chr(8211)||'b' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 AND k = 0
+        |       THEN ' {lit}' ELSE '' END AS t
+        |  FROM para)
+        |SELECT doc_id, string_agg(t, chr(10) ORDER BY k) AS text
+        |FROM pt GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, NULL FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the docs_csv_sniff oracle: the planting lattice restated —
     // delimiter by id%4 (tab is chr(9)), quote on the %5 lattice,

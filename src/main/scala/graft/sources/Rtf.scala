@@ -1,0 +1,188 @@
+package graft.sources
+
+/** RTF text extraction (r14) — the legacy-office member of the
+  * document-format family (PDF / DOCX / EPUB / RTF), read from
+  * scratch against the public RTF specification (Word RTF 1.9.1
+  * layout: `{...}` groups, `\controlword` with an optional numeric
+  * parameter and one optional space delimiter, `\'hh` code-page
+  * escapes, `\uN` Unicode with `\ucN`-counted fallback text,
+  * `\binN` raw binary runs).
+  *
+  * Conventions (each pinned by RtfSpec):
+  *  - non-content destinations are skipped as whole groups:
+  *    `fonttbl colortbl stylesheet info pict header footer footnote`,
+  *    plus EVERY `{\*\...}` group (the spec's own rule: `\*` marks a
+  *    destination readers may ignore — and text extraction wants
+  *    none of them);
+  *  - `\par` and `\line` emit a newline, `\tab` a tab; the
+  *    typographic symbol words map to their Unicode characters
+  *    (em/en dash, left/right quotes, bullet), `\~` to NBSP and
+  *    `\_` to the non-breaking hyphen;
+  *  - `\'hh` decodes through windows-1252 (the RTF default ANSI
+  *    code page — 0x93 is a curly quote, NOT the latin-1 control
+  *    char; RtfSpec discriminates exactly this);
+  *  - `\uN` emits the BMP code point (negatives wrap by 65536 as
+  *    the signed-16-bit spec encoding), then the next `uc` fallback
+  *    characters (default 1, `\ucN`-set, group-scoped) are skipped —
+  *    `\'hh` escapes count as ONE fallback character;
+  *  - `\binN` skips exactly N raw bytes even inside skipped groups;
+  *  - raw CR/LF in the file are ignored (spec: writers line-wrap at
+  *    will); unknown control words and symbols are formatting and
+  *    contribute nothing.
+  *
+  * Total function: anything not starting with `{\rtf`, oversized
+  * input, or a parse crash returns null.
+  */
+object Rtf {
+
+  /** Input cap — RTF is a text format; a larger payload is almost
+    * certainly not a document (the Docx MaxBytes stance).
+    */
+  private val MaxChars = 8 << 20
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  private val SkipDestinations = Set("fonttbl", "colortbl", "stylesheet",
+    "info", "pict", "header", "footer", "footnote")
+
+  private val SymbolWords: Map[String, Char] = Map(
+    "par" -> '\n', "line" -> '\n', "tab" -> '\t',
+    "emdash" -> '—', "endash" -> '–',
+    "lquote" -> '‘', "rquote" -> '’',
+    "ldblquote" -> '“', "rdblquote" -> '”',
+    "bullet" -> '•')
+
+  /** Extract the text of one RTF document, or null when `s` is not
+    * RTF / is malformed.
+    */
+  def extractText(s: String): String = {
+    try extractInner(s)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(s: String): String = {
+    if (s == null || s.length > MaxChars || !s.startsWith("{\\rtf"))
+      return null
+    val out = new java.lang.StringBuilder
+    var skip = false
+    var uc = 1
+    var pendingSkip = 0
+    // group stack: (skip, uc) restored at '}'
+    val stSkip = new java.util.ArrayDeque[java.lang.Boolean]()
+    val stUc = new java.util.ArrayDeque[java.lang.Integer]()
+    val n = s.length
+    var i = 0
+
+    def emit(ch: Char): Unit =
+      if (!skip) {
+        if (pendingSkip > 0) pendingSkip -= 1 else out.append(ch)
+      }
+    def emitCp(cp: Int): Unit =
+      if (!skip) {
+        if (pendingSkip > 0) pendingSkip -= 1 else out.appendCodePoint(cp)
+      }
+
+    while (i < n) {
+      s.charAt(i) match {
+        case '{' =>
+          stSkip.push(skip); stUc.push(uc); i += 1
+        case '}' =>
+          if (!stSkip.isEmpty) { skip = stSkip.pop(); uc = stUc.pop() }
+          i += 1
+        case '\r' | '\n' => i += 1
+        case '\\' if i + 1 < n =>
+          val c2 = s.charAt(i + 1)
+          if (c2 == '\'') {
+            if (i + 3 < n) {
+              val hv = Integer.parseInt(s.substring(i + 2, i + 4), 16)
+              emit(new String(Array(hv.toByte), Cp1252).charAt(0))
+              i += 4
+            } else i = n
+          } else if (c2 == '\\' || c2 == '{' || c2 == '}') {
+            emit(c2); i += 2
+          } else if (c2 == '~') { emit('\u00A0'); i += 2 }
+          else if (c2 == '_') { emit('\u2011'); i += 2 }
+          else if (c2 == '*') { skip = true; i += 2 }
+          else if (c2.isLetter) {
+            var j = i + 1
+            while (j < n && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var neg = false
+            var k = j
+            if (k < n && s.charAt(k) == '-') { neg = true; k += 1 }
+            var numStart = k
+            while (k < n && s.charAt(k).isDigit) k += 1
+            val hasNum = k > numStart
+            val num0 =
+              if (!hasNum) 0L
+              else {
+                // parameters are 16/32-bit ints; cap the parse so a
+                // pathological digit run cannot overflow
+                val digits = s.substring(numStart, math.min(k, numStart + 10))
+                digits.toLong
+              }
+            val num = if (neg) -num0 else num0
+            // one optional space is part of the delimiter
+            if (k < n && s.charAt(k) == ' ') k += 1
+            i = k
+            word match {
+              case "u" =>
+                val cp = (if (num < 0) num + 65536 else num).toInt & 0xFFFF
+                emitCp(cp)
+                if (!skip) pendingSkip = uc
+              case "uc" => uc = math.max(0, num.toInt)
+              case "bin" =>
+                // raw bytes follow the delimiter — skip them even in
+                // skipped groups (they are not RTF syntax)
+                i = math.min(n.toLong, i + math.max(0L, num)).toInt
+              case w if SymbolWords.contains(w) => emit(SymbolWords(w))
+              case w if SkipDestinations.contains(w) => skip = true
+              case _ => () // formatting word: contributes nothing
+            }
+          } else i += 2 // unknown control symbol
+        case '\\' => i = n // trailing lone backslash
+        case ch =>
+          emit(ch); i += 1
+      }
+    }
+    out.toString
+  }
+
+  // ============================================== fixture encoder
+
+  /** Deterministic RTF document for fixtures: escapes `\{}`, keeps
+    * ASCII printable as-is, encodes other BMP chars as `\uN?`.
+    */
+  def buildRtf(paragraphs: Seq[String]): String = {
+    val body = paragraphs.map { p =>
+      val b = new StringBuilder
+      p.foreach {
+        case c @ ('\\' | '{' | '}') => b.append('\\').append(c)
+        case c if c >= 0x20 && c < 0x7F => b.append(c)
+        case c => b.append("\\u").append(c.toInt).append('?')
+      }
+      b.toString
+    }.mkString("\\par ")
+    "{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Times;}}" +
+      "{\\colortbl;\\red1\\green2\\blue3;}" +
+      "{\\*\\generator graft;}\\f0\\fs24 " + body + "}"
+  }
+
+  /** Deterministic RTF document per doc_id for the docs_rtf gate:
+    * %19 ids are not RTF (null text); 1 + id%3 paragraphs, non-ASCII
+    * (é via `\uN?`) on even paragraphs, an en dash on the %4 lattice,
+    * escaped braces on the %5 lattice. The spec's hand-written
+    * documents keep the parser independent of this builder.
+    */
+  def synthRtfText(id: Long): String = {
+    if (id % 19 == 0) return s"plain document $id with no rtf"
+    val n = (id % 3 + 1).toInt
+    val paras = (0 until n).map { k =>
+      "para " + id + "-" + k +
+        (if (k % 2 == 0) " café" else "") +
+        (if (id % 4 == 0 && k == 0) " a–b" else "") +
+        (if (id % 5 == 0 && k == 0) " {lit}" else "")
+    }
+    buildRtf(paras)
+  }
+}

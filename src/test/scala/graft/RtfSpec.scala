@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Rtf
+
+/** Hand-written RTF documents (independent of the fixture builder)
+  * through the extractor — the discipline that keeps builder and
+  * parser from sharing a misassumption.
+  */
+class RtfSpec extends AnyFunSuite {
+
+  test("groups, destinations, and the \\* rule: only body text survives") {
+    val rtf = """{\rtf1\ansi\deff0""" +
+      """{\fonttbl{\f0\froman Times New Roman;}{\f1\fswiss Arial;}}""" +
+      """{\colortbl;\red255\green0\blue0;}""" +
+      """{\stylesheet{\s0 Normal;}}""" +
+      """{\info{\title secret title}{\author secret author}}""" +
+      """{\*\generator Writer 7;}""" +
+      """\f0\fs24 Hello \b bold\b0  world.\par Second paragraph.}"""
+    assert(Rtf.extractText(rtf) ===
+      "Hello bold world.\nSecond paragraph.")
+  }
+
+  test("escapes: \\'hh is windows-1252 (0x93 is a curly quote, not a " +
+      "control char), brace/backslash escapes, symbol words") {
+    val rtf = """{\rtf1\ansi \'93quoted\'94 caf\'e9 \{x\} a\\b""" +
+      """\emdash c\endash d\tab e\bullet f\line g}"""
+    assert(Rtf.extractText(rtf) ===
+      "“quoted” café {x} a\\b—c–d\te•f\ng")
+  }
+
+  // "\\" + "u" so the RTF \uN sequences can never collide with
+  // Scala's own source-level unicode escapes
+  private val U = "\\" + "u"
+
+  test("\\uN with \\ucN fallback skipping: default 1, explicit 2, " +
+      "hex escapes count as one fallback char, negatives wrap") {
+    // default uc=1: one fallback char skipped (8211 = en dash)
+    assert(Rtf.extractText("{\\rtf1 x" + U + "8211?y}") === "x–y")
+    // uc=2: two fallback chars skipped, including a \'hh escape
+    assert(Rtf.extractText("{\\rtf1\\uc2 x" + U + "8212ab y}") === "x— y")
+    assert(Rtf.extractText("{\\rtf1\\uc2 x" + U + "8212a\\'e9y}") === "x—y")
+    // negative parameter encodes code points >= 0x8000
+    assert(Rtf.extractText("{\\rtf1 " + U + "-176?}") === "ｐ")
+    // uc is group-scoped: restored at '}' (65='A', 66='B')
+    assert(Rtf.extractText("{\\rtf1 {\\uc2 " + U + "65ab}" + U + "66c}")
+      === "AB")
+  }
+
+  test("\\binN skips raw bytes even when they contain braces; " +
+      "raw CR/LF are ignored; non-RTF refuses") {
+    assert(Rtf.extractText("{\\rtf1 a\\bin5 }}}{{b}") === "ab")
+    assert(Rtf.extractText("{\\rtf1 li\r\nne}") === "line")
+    assert(Rtf.extractText("plain text") === null)
+    assert(Rtf.extractText(null) === null)
+    assert(Rtf.extractText("{\\rtx1 nope}") === null)
+  }
+
+  test("builder round trip: buildRtf documents decode to their " +
+      "paragraphs, newline-joined") {
+    val paras = Seq("plain ascii", "brace {x} and \\slash", "café – ok")
+    assert(Rtf.extractText(Rtf.buildRtf(paras)) === paras.mkString("\n"))
+    assert(Rtf.extractText(Rtf.buildRtf(Seq(""))) === "")
+  }
+}
