@@ -2042,6 +2042,23 @@ object SparkEntry {
     //     read back through the explicit-schema path; count, byte
     //     volume and an id:text checksum hash-check the full
     //     serialize→compress→inflate→parse loop against the fixture.
+    // --- Avro container ingest/export (r14 — the remaining
+    //     interchange format in the S4 bulk family): write the
+    //     documents slice as sharded .avro containers (task-attempt-
+    //     rename commits), read back through the platform's
+    //     splittable avro input format with a forced multi-split
+    //     hint, and hash the full round trip against the raw table.
+    //     AvroSpec adds a hand-assembled container decoded
+    //     independently of the library writer.
+    "docs_avro" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val path = gateIndexPath(dir, "avro_gate")
+      graft.sources.Avro.writeAvro(docs, path)
+      graft.sources.Avro.readAvro(s, path, minPartitions = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     "docs_jsonl_gz" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("doc_id") < 300)
@@ -5775,6 +5792,12 @@ object SparkEntry {
     },
 
     // the docs_jsonl_gz oracle: the round trip must surrender exactly
+    // the docs_avro oracle: the avro write+read round trip must
+    // reproduce the raw table slice exactly
+    "docs_avro" ->
+      """SELECT doc_id, text, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
     "docs_jsonl_gz" ->
       """SELECT count(*) AS n_docs,

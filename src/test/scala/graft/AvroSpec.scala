@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Avro
+
+class AvroSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_avro").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("write/read round trip over the full supported type surface, " +
+      "nullables included") {
+    val df = Seq(
+      (1L, Some("alpha"), 1.5d, true, Array[Byte](1, 2, 3),
+        Seq("a", "b")),
+      (2L, None, -0.25d, false, Array[Byte](), Seq.empty[String])
+    ).toDF("id", "name", "score", "flag", "payload", "tags")
+      .withColumn("small", col("id").cast("int"))
+      .withColumn("f", col("score").cast("float"))
+    val dir = tmpDir() + "/t1"
+    Avro.writeAvro(df, dir)
+    val back = Avro.readAvro(spark, dir)
+    assert(back.schema.fieldNames.sorted === df.schema.fieldNames.sorted)
+    val got = back.orderBy("id").collect()
+    assert(got.length === 2)
+    val r1 = back.filter($"id" === 1L).head()
+    assert(r1.getAs[String]("name") === "alpha")
+    assert(r1.getAs[Double]("score") === 1.5d)
+    assert(r1.getAs[Boolean]("flag") === true)
+    assert(r1.getAs[Array[Byte]]("payload").toSeq === Seq[Byte](1, 2, 3))
+    assert(r1.getAs[Seq[String]]("tags") === Seq("a", "b"))
+    assert(r1.getAs[Int]("small") === 1)
+    val r2 = back.filter($"id" === 2L).head()
+    assert(r2.isNullAt(r2.fieldIndex("name")))
+    assert(r2.getAs[Seq[String]]("tags") === Seq.empty)
+  }
+
+  test("splittability: ONE container file fans out across splits with " +
+      "exactly-once rows (the 100 TB within-file parallelism)") {
+    val n = 5000
+    val df = spark.range(n).select($"id",
+      concat(lit("text for row "), $"id").as("text")).coalesce(1)
+    val dir = tmpDir() + "/t2"
+    Avro.writeAvro(df, dir)
+    // one part file written
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 1)
+    val back = Avro.readAvro(spark, dir, minPartitions = 8)
+    assert(back.rdd.getNumPartitions >= 4)   // the file actually split
+    assert(back.count() === n)                // no row lost at a boundary
+    assert(back.select("id").distinct().count() === n) // none duplicated
+  }
+
+  test("hand-assembled container (independent of the avro library " +
+      "writer) decodes: magic, metadata map, sync-marked block, " +
+      "zigzag varints") {
+    val out = new java.io.ByteArrayOutputStream()
+    def vint(l: Long): Unit = {           // zigzag + base-128 varint
+      var z = (l << 1) ^ (l >> 63)
+      while ((z & ~0x7FL) != 0) { out.write(((z & 0x7F) | 0x80).toInt); z >>>= 7 }
+      out.write(z.toInt)
+    }
+    def vstr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); vint(b.length.toLong); out.write(b)
+    }
+    out.write(Array[Byte]('O', 'b', 'j', 1))
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[""" +
+        """{"name":"id","type":"long"},{"name":"s","type":"string"}]}"""
+    vint(2L)                               // metadata map: 2 entries
+    vstr("avro.schema"); vstr(schemaJson)
+    vstr("avro.codec"); vstr("null")
+    vint(0L)                               // end of map
+    val sync = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    out.write(sync)
+    val saved = out.toByteArray
+    out.reset()
+    vint(3L); vstr("one")                  // record (id=3, s="one")
+    vint(-4L); vstr("two")                 // negative id zigzags
+    vint(0L); vstr("")                     // zero + empty string
+    val payload = out.toByteArray
+    out.reset(); out.write(saved)
+    vint(3L)                               // block: 3 records
+    vint(payload.length.toLong)            // block byte size
+    out.write(payload)
+    out.write(sync)
+    val dir = tmpDir() + "/t3"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "hand.avro"), out.toByteArray)
+    val back = Avro.readAvro(spark, dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(back === Seq((-4L, "two"), (0L, ""), (3L, "one")))
+  }
+
+  test("fail-closed schema surface: maps/records refuse loudly on " +
+      "read, unsupported spark types refuse on write; empty dir " +
+      "refuses") {
+    val dir = tmpDir() + "/t4"
+    // a map-typed field must refuse at schema time
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[""" +
+        """{"name":"m","type":{"type":"map","values":"long"}}]}""")
+    val e = intercept[IllegalArgumentException] {
+      Avro.sparkType(schema.getField("m").schema(), "m")
+    }
+    assert(e.getMessage.contains("declared boundary"))
+    val bad = Seq((1L, Map("a" -> 1L))).toDF("id", "m")
+    val e2 = intercept[IllegalArgumentException] {
+      Avro.avroSchema(bad.schema)
+    }
+    assert(e2.getMessage.contains("unsupported spark type"))
+    val e3 = intercept[IllegalArgumentException] {
+      Avro.readAvro(spark, dir + "/nothing")
+    }
+    assert(e3.getMessage.contains("no avro files"))
+  }
+}
