@@ -924,6 +924,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Incremental span dedup (r14 — the dedupSpans append twin):
+    //     a base corpus ("b<i> p q r s t e<i>", ids < 10) indexes
+    //     its distinct k-grams; the batch (the dedup_spans lattice)
+    //     then cleans against base + itself — occurrences of
+    //     corpus-held grams drop EVEN as batch winners (doc 0 loses
+    //     the whole repeated phrase it wins in the one-shot gate),
+    //     batch-internal duplication keeps its first occurrence. The
+    //     index rebuilds and the batch token is FIXED, so re-runs
+    //     replay identically. The oracle replays both memberships.
+    "dedup_spans_append" -> ((s, dir) => {
+      val id = col("doc_id")
+      val baseCorpus = Tables.documents(s, dir).filter(id < 10)
+        .select((id + 2000L).as("doc_id"),
+          concat(lit("b"), id, lit(" p q r s t e"), id).as("text"))
+      val path = gateIndexPath(dir, "span_idx_gate")
+      Dedup.writeSpanIndex(baseCorpus, "text", 4, path)
+      val batch = Tables.documents(s, dir).select(id,
+        concat(
+          lit("u"), id, lit(" v"), id,
+          when(pmod(id, lit(3L)) === 0,
+            lit(" cms one two three four five")).otherwise(lit("")),
+          lit(" w"), id,
+          when(pmod(id, lit(5L)) === 0,
+            lit(" p q r s t p q r s t")).otherwise(lit(""))).as("text"))
+      Dedup.appendDedupSpans(batch, "doc_id", "text", 4, path,
+          batchToken = "gate")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Rolling-hash document fingerprint (F-family content key;
     //     order-sensitive). Hash VALUES are engine-local, so the oracle
     //     checks the invariant instead: fingerprints are injective on
@@ -7327,6 +7356,51 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY gv) AS cnt FROM g),
         |remx AS (SELECT doc_id, unnest([pos, pos+1, pos+2, pos+3]) AS ti
         |         FROM w WHERE cnt >= 2 AND rn > 1),
+        |rem AS (SELECT DISTINCT doc_id, ti FROM remx),
+        |tok AS (SELECT doc_id, t1.ti AS ti, t1.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),
+        |    i -> {'ti': i-1, 'tok': ts[i]})) AS t1 FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.ti, tok.tok FROM tok
+        |         LEFT JOIN rem USING(doc_id, ti) WHERE rem.ti IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.text, '') AS text
+        |FROM d LEFT JOIN agg USING(doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the dedup_spans_append oracle: both memberships replayed — the
+    // base corpus' distinct gram VALUES, the batch lattice's grams
+    // with (doc_id, pos) winners, removal = corpus hit OR batch
+    // loser, coverage, reassembly
+    "dedup_spans_append" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'u'||doc_id||' v'||doc_id
+        |    || CASE WHEN doc_id%3=0 THEN ' cms one two three four five'
+        |       ELSE '' END
+        |    || ' w'||doc_id
+        |    || CASE WHEN doc_id%5=0 THEN ' p q r s t p q r s t'
+        |       ELSE '' END AS text
+        |  FROM documents),
+        |cts AS (SELECT string_split('b'||doc_id||' p q r s t e'||doc_id,
+        |          ' ') AS ts
+        |        FROM documents WHERE doc_id < 10),
+        |cg AS (SELECT DISTINCT g1 AS gv FROM (
+        |  SELECT unnest(list_transform(range(1, len(ts)-2),
+        |    i -> array_to_string(ts[i:i+3], chr(1)))) AS g1 FROM cts)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM d),
+        |g AS (SELECT doc_id, g1.pos AS pos, g1.gv AS gv FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)-2),
+        |    i -> {'pos': i-1, 'gv': array_to_string(ts[i:i+3], chr(1))}))
+        |    AS g1
+        |  FROM t)),
+        |w AS (SELECT doc_id, pos, gv,
+        |        row_number() OVER (PARTITION BY gv ORDER BY doc_id, pos)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY gv) AS cnt FROM g),
+        |wc AS (SELECT w.*, (cg.gv IS NOT NULL) AS incorp
+        |       FROM w LEFT JOIN cg USING(gv)),
+        |remx AS (SELECT doc_id, unnest([pos, pos+1, pos+2, pos+3]) AS ti
+        |         FROM wc WHERE incorp OR (cnt >= 2 AND rn > 1)),
         |rem AS (SELECT DISTINCT doc_id, ti FROM remx),
         |tok AS (SELECT doc_id, t1.ti AS ti, t1.tok AS tok FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, len(ts)+1),

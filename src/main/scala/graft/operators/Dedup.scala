@@ -1865,17 +1865,8 @@ object Dedup {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     require(maxOccurrences >= minCount,
       s"maxOccurrences $maxOccurrences < minCount $minCount")
-    val spaceToks = filter(split(col(textCol), " "), t => t =!= lit(""))
-    val base = df.select(col(idCol).as("__id"), spaceToks.as("__toks"))
-    val grams = base.select(col("__id"),
-        explode(when(size(col("__toks")) >= k,
-            transform(sequence(lit(0), size(col("__toks")) - k),
-              i => struct(i.cast("int").as("pos"),
-                xxhash64(array_join(
-                  slice(col("__toks"), i + 1, lit(k)), "\u0001")).as("gh"))))
-          .otherwise(array().cast("array<struct<pos:int,gh:bigint>>")))
-          .as("__g"))
-      .select(col("__id"), col("__g.pos").as("__pos"), col("__g.gh").as("__gh"))
+    val base = spanToks(df, idCol, textCol)
+    val grams = spanGramOccs(base, k)
     val stats = grams.groupBy(col("__gh"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__w"),
         count(lit(1)).as("__cnt"))
@@ -1885,6 +1876,43 @@ object Dedup {
     val losers = grams.join(stats, Seq("__gh"))
       .filter(col("__cnt") > maxOccurrences ||
         struct(col("__id"), col("__pos")) =!= col("__w"))
+    spanRebuild(df, base, losers, idCol, textCol, k)
+  }
+
+  /** Case-preserving single-space tokens as (`__id`, `__toks`) — the
+    * [[dedupSpans]] tokenization (empties dropped, case KEPT so the
+    * token stream round-trips).
+    */
+  private def spanToks(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      filter(split(col(textCol), " "), t => t =!= lit("")).as("__toks"))
+
+  /** Every k-gram occurrence of a [[spanToks]] frame as
+    * (`__id`, `__pos`, `__gh`) — xxhash64 over the U+0001-joined
+    * window (the dedupSpans gram identity).
+    */
+  private def spanGramOccs(base: DataFrame, k: Int): DataFrame =
+    base.select(col("__id"),
+        explode(when(size(col("__toks")) >= k,
+            transform(sequence(lit(0), size(col("__toks")) - k),
+              i => struct(i.cast("int").as("pos"),
+                xxhash64(array_join(
+                  slice(col("__toks"), i + 1, lit(k)), "\u0001")).as("gh"))))
+          .otherwise(array().cast("array<struct<pos:int,gh:bigint>>")))
+          .as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"),
+        col("__g.gh").as("__gh"))
+
+  /** Rebuild documents from the tokens NOT covered by any loser
+    * occurrence's [pos, pos+k) window; only touched documents pay
+    * the explode + reassembly shuffle, untouched ones are a narrow
+    * space-normalizing projection (the dedupSpans output contract:
+    * token-stream text, fully-removed docs EMPTY not missing).
+    */
+  private def spanRebuild(df: DataFrame, base: DataFrame,
+      losers: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     val covered = losers
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__ti"))
@@ -1904,9 +1932,92 @@ object Dedup {
     val rebuilt = touched.join(keptAgg, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__newtext"), lit("")).as("__newtext"))
+    val spaceToks = filter(split(col(textCol), " "), t => t =!= lit(""))
     df.join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol,
         coalesce(col("__newtext"), array_join(spaceToks, " ")))
       .select(df.columns.map(col): _*)
+  }
+
+  /** Persist the SPAN (k-gram) index of a base corpus at `path`
+    * (batch token `base`), replacing whatever was there: one 8-byte
+    * gram hash per DISTINCT k-gram — never text (the
+    * [[writeLineIndex]] stance at span granularity; a collision
+    * over-removes one window with the usual shingle-id odds).
+    */
+  def writeSpanIndex(df: DataFrame, textCol: String, k: Int,
+      path: String): Unit = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    val root = path.stripSuffix("/")
+    indexFs(df.sparkSession, root)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = spanToks(
+      df.withColumn("__rowid", monotonically_increasing_id()),
+      "__rowid", textCol)
+    writeGramBatch(
+      spanGramOccs(base, k).select(col("__gh").as("gh")).distinct(),
+      root, "base")
+  }
+
+  /** Incremental span dedup — [[dedupSpans]] in the "each crawl
+    * snapshot cleans against everything already ingested" shape
+    * (the [[appendDedupLines]] discipline at span granularity): a
+    * batch k-gram occurrence is a LOSER iff its gram is in the
+    * persisted index (every occurrence goes — the corpus already
+    * carries that span) or it is a batch-duplicated gram's non-first
+    * occurrence; tokens covered by losers are removed, documents
+    * reassemble in order, and the batch's FRESH distinct gram hashes
+    * then commit under `batchToken` — marker-last, retry-idempotent
+    * (a committed token excludes its own previous commit on replay).
+    *
+    * Scale shape: the index probe is a hash-only left join on 8-byte
+    * rows keyed by the gram hash; the winner statistics are the
+    * skew-immune gram-keyed groupBy of [[dedupSpans]]; the
+    * distinct-gram frame is checkpointed ONCE so the output plan and
+    * the index commit don't recompute the gram scan twice; the index
+    * grows by fresh grams only.
+    */
+  def appendDedupSpans(batch: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String, minCount: Int = 2,
+      batchToken: String = ""): DataFrame = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spark = batch.sparkSession
+    val root = path.stripSuffix("/")
+    val token =
+      if (batchToken.nonEmpty) batchToken
+      else "b_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val corpus = readCommitted(spark, root, "grams", excludeToken = token)
+      .select(col("gh").as("__gh")).distinct()
+    val base = spanToks(batch, idCol, textCol)
+    val grams = spanGramOccs(base, k)
+    // one row per distinct batch gram: winner, count, corpus flag —
+    // materialized ONCE for both the removal plan and the commit
+    val stats = grams.groupBy(col("__gh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__w"),
+        count(lit(1)).as("__cnt"))
+      .join(corpus.withColumn("__inCorpus", lit(true)), Seq("__gh"), "left")
+      .withColumn("__inCorpus", coalesce(col("__inCorpus"), lit(false)))
+      .localCheckpoint(true)
+    val losers = grams.join(
+        stats.filter(col("__inCorpus") || col("__cnt") >= minCount),
+        Seq("__gh"))
+      .filter(col("__inCorpus") ||
+        struct(col("__id"), col("__pos")) =!= col("__w"))
+    val out = spanRebuild(batch, base, losers, idCol, textCol, k)
+    writeGramBatch(
+      stats.filter(!col("__inCorpus")).select(col("__gh").as("gh")),
+      root, token)
+    out
+  }
+
+  private def writeGramBatch(gh: DataFrame, root: String,
+      token: String): Unit = {
+    require(token.matches("[A-Za-z0-9._-]+"), s"bad batch token: $token")
+    val dir = s"$root/batches/$token"
+    val fs = indexFs(gh.sparkSession, root)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    gh.write.mode("overwrite").parquet(s"$dir/grams")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_COMMITTED"), true).close()
   }
 }

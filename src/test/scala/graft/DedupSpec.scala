@@ -758,6 +758,48 @@ class DedupSpec extends SparkSpec {
     assert(capped(3L) === "solo doc nothing shared")
   }
 
+  test("appendDedupSpans: a batch cleans against the persisted gram " +
+      "index AND itself; the index grows by fresh grams; a replayed " +
+      "token is idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_spanidx").toString
+    val path = s"$dir/idx"
+    val baseCorpus = Seq(
+      (100L, "b1 p q r s t e1"),
+      (101L, "b2 other stuff here now")
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(baseCorpus, "text", 4, path)
+    val batch = Seq(
+      (0L, "x p q r s t y"),    // interior grams live in the corpus
+      (1L, "x p q r s t y"),    // exact batch-internal dup of doc 0
+      (2L, "fresh unique alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Dedup.appendDedupSpans(batch, "doc_id", "text", 4, path,
+        batchToken = "t1")
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    // doc 0: (p q r s)@1 and (q r s t)@2 are corpus grams -> cover
+    // tokens 1..5; the flanking grams are batch-dups WON by doc 0
+    assert(out(0L) === "x y")
+    // doc 1: every gram is a corpus hit or a batch-loser -> empty
+    assert(out(1L) === "")
+    // doc 2: nothing shared -> unchanged
+    assert(out(2L) === "fresh unique alpha beta gamma")
+    // replaying token t1 excludes its own previous commit: same result
+    // (run BEFORE any further batch commits — the idempotency contract
+    // is against the token's own commit, not later corpus growth)
+    val replay = Dedup.appendDedupSpans(batch, "doc_id", "text", 4, path,
+        batchToken = "t1")
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(replay === out)
+    // the index grew by doc 2's fresh grams: a later batch carrying
+    // the same text now loses it wholly
+    val later = Seq((3L, "fresh unique alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.appendDedupSpans(later, "doc_id", "text", 4, path,
+      batchToken = "t2").as[(Long, String)].collect().toMap
+    assert(out2(3L) === "")
+  }
+
   test("dedupSpans: interior edit splits a duplication into exactly " +
       "the repeated flanks; empty and null-free contracts hold") {
     // doc 1 repeats doc 0 but with one token edited in the middle:
