@@ -2503,6 +2503,45 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_idx"))
     }),
 
+    // --- Term blocklist (r14 — the C4 badwords exclusion pass):
+    //     "Umbra" (uppercase — pins the folding) on the %4 lattice,
+    //     the PHRASE "wolf den" on %6, "red fox" on %9, planted in
+    //     that text order so position picks the winner on overlap
+    //     lattices. The oracle restates the decision closed-form.
+    "docs_blocked_terms" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).select(id,
+        concat(
+          lit("alpha "), id,
+          when(pmod(id, lit(4L)) === 0, lit(" Umbra")).otherwise(lit("")),
+          lit(" mid "), id,
+          when(pmod(id, lit(6L)) === 0, lit(" wolf den")).otherwise(lit("")),
+          when(pmod(id, lit(9L)) === 0, lit(" red fox")).otherwise(lit("")),
+          lit(" tail "), id).as("text"))
+      graft.operators.Blocklist.flagBlockedTerms(docs, "text",
+          Seq("umbra", "wolf den", "red fox"))
+        .select(id, col("blocked_term"))
+        .orderBy(id)
+    }),
+
+    // --- Domain blocklist (r14 — the UT1 convention: a listed
+    //     domain blocks its subdomains): hosts s<id%3>.d<id%7>.com;
+    //     the list holds d3.com, the MORE specific s2.d3.com, and
+    //     s1.d2.com — the %3/%7 lattices exercise subdomain blocking
+    //     and the most-specific-suffix tie-break. Oracle closed-form.
+    "docs_blocked_domains" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).select(id,
+        concat(lit("http://s"), pmod(id, lit(3L)), lit(".d"),
+          pmod(id, lit(7L)), lit(".com/p"), id).as("url"))
+      val domains = Seq("d3.com", "s2.d3.com", "s1.d2.com").toDF("domain")
+      graft.operators.Blocklist.flagBlockedDomains(docs, "doc_id", "url",
+          domains, "domain")
+        .select(id, col("blocked_domain"))
+        .orderBy(id)
+    }),
+
     // --- RTF text extraction (r14 — the legacy-office member of the
     //     document family, PDF/DOCX/EPUB/RTF): 1+id%3 paragraphs,
     //     \uN-escaped é on even paragraphs, an en dash on the %4
@@ -6131,6 +6170,27 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, page_idx""".stripMargin,
+
+    // the docs_blocked_terms oracle: the decision restated — the
+    // planted text orders umbra before wolf den before red fox, so
+    // the earliest-position rule resolves every overlap lattice
+    "docs_blocked_terms" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'umbra'
+        |       WHEN doc_id % 6 = 0 THEN 'wolf den'
+        |       WHEN doc_id % 9 = 0 THEN 'red fox'
+        |  END AS blocked_term
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the docs_blocked_domains oracle: suffix membership restated —
+    // s2.d3.com wins over its own parent d3.com by specificity
+    "docs_blocked_domains" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 3 THEN 's2.d3.com'
+        |       WHEN doc_id % 7 = 3 THEN 'd3.com'
+        |       WHEN doc_id % 3 = 1 AND doc_id % 7 = 2 THEN 's1.d2.com'
+        |  END AS blocked_domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the docs_rtf oracle: the expected paragraph text restated
     // closed-form from the planting lattices (é = chr(233), en dash

@@ -1,0 +1,117 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** First blocked term of a text against a fixed term list — the
+  * C4-badwords-style scan (`Blocklist.flagBlockedTerms`): terms are
+  * lowercase token SEQUENCES, a document matches when a term appears
+  * as consecutive tokens of the lowercased single-space token stream
+  * (the `TextFunctions.tokens` tokenization; punctuation is part of
+  * a token — strip upstream where the corpus needs it).
+  *
+  * Result is the matching term at the EARLIEST token position, ties
+  * to the LONGEST term, then lexicographic — deterministic and
+  * restatable in SQL (padded-`contains` positions order the same
+  * way). Null text / no match → null.
+  *
+  * One pass per row: candidates bucket by first token in a hash map
+  * built once per expression instance, so the scan is
+  * O(tokens + candidate checks), not O(tokens × terms) — the list
+  * can carry hundreds of entries (the public badwords lists do)
+  * without a 400-branch codegen tree (the ShingleIds kernel
+  * precedent).
+  */
+case class BlockedTerm(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "empty blocklist")
+
+  // term token sequences, lowercased; empties refused loudly
+  @transient private lazy val termToks: Array[(Array[String], String)] =
+    terms.map { t =>
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      require(toks.nonEmpty, s"blank blocklist term: '$t'")
+      (toks, toks.mkString(" "))
+    }.toArray
+
+  @transient private lazy val byFirst
+      : java.util.HashMap[String, Array[(Array[String], String)]] = {
+    val m = new java.util.HashMap[String, Array[(Array[String], String)]]()
+    termToks.groupBy(_._1.head).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "blocked_term"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"blocked_term needs a string column, got ${child.dataType.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any =
+    compute(child.eval(input).asInstanceOf[UTF8String])
+
+  def compute(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val raw = text.toLowerCase.toString.split(" ")
+    var nToks = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nToks) = raw(i); nToks += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < nToks) {
+      val cands = byFirst.get(raw(i))
+      if (cands != null) {
+        // all candidates at this earliest position; best = longest
+        // term string, then lexicographically smallest
+        var best: String = null
+        var c = 0
+        while (c < cands.length) {
+          val (toks, full) = cands(c)
+          if (i + toks.length <= nToks) {
+            var j = 1
+            var ok = true
+            while (ok && j < toks.length) {
+              if (raw(i + j) != toks(j)) ok = false
+              j += 1
+            }
+            if (ok && (best == null || full.length > best.length ||
+                (full.length == best.length && full < best)))
+              best = full
+          }
+          c += 1
+        }
+        if (best != null) return UTF8String.fromString(best)
+      }
+      i += 1
+    }
+    null
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("blockedTermKernel", this,
+      classOf[BlockedTerm].getName)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+          $self.compute(${childGen.isNull} ? null : ${childGen.value});
+        boolean ${ev.isNull} = ${ev.value} == null;
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlockedTerm =
+    copy(child = newChild)
+}

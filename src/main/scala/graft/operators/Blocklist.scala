@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Blocklist curation (r14) — the two standard exclusion passes a
+  * public-web training corpus runs before anything else sees the
+  * text:
+  *
+  *  - **term blocklists** (the C4 "badwords" convention): a document
+  *    is excluded when any list entry appears as consecutive tokens.
+  *    Matching runs in the [[graft.functions.expressions.BlockedTerm]]
+  *    kernel — one pass per row against a first-token-bucketed map,
+  *    list size hundreds of entries without a giant codegen tree.
+  *    The match is reported (earliest position, longest term,
+  *    lexicographic tie-break), not just a boolean — exclusion
+  *    decisions need an audit trail.
+  *  - **domain blocklists** (the UT1 convention: a listed domain
+  *    blocks itself AND every subdomain): the URL host explodes to
+  *    its suffix chain (`a.b.c` → `a.b.c`, `b.c`, `c` — bounded by
+  *    label count) and joins the blocklist frame on the suffix, so
+  *    the list can be MILLIONS of domains (UT1's adult list is) and
+  *    Spark picks broadcast vs shuffle; the most specific (longest)
+  *    matched suffix is reported.
+  *
+  * Both flag operators append a match column and keep every row —
+  * the `filter*` forms drop flagged rows. Scale shape: term matching
+  * is a narrow projection; domain matching is one explode (≤ label
+  * count per row) + one equi-join + one id-keyed partial-aggregated
+  * groupBy.
+  */
+object Blocklist {
+
+  /** First blocked term of `text` (see
+    * [[graft.functions.expressions.BlockedTerm]]); null when clean.
+    */
+  def firstBlockedTerm(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.BlockedTerm(
+        org.apache.spark.sql.GraftBridge.expression(text), terms))
+
+  /** Append `flagCol` = the first blocked term (null = clean). */
+  def flagBlockedTerms(df: DataFrame, textCol: String,
+      terms: Seq[String], flagCol: String = "blocked_term"): DataFrame =
+    df.withColumn(flagCol, firstBlockedTerm(col(textCol), terms))
+
+  /** Keep only documents with no blocked term. */
+  def filterBlockedTerms(df: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame =
+    df.filter(firstBlockedTerm(col(textCol), terms).isNull)
+
+  /** Host suffix chain of a URL column: `a.b.c` → [`a.b.c`, `b.c`,
+    * `c`] — the UT1 "domain blocks its subdomains" join key set.
+    */
+  def hostSuffixes(url: Column): Column = {
+    val labels = split(TextFunctions.urlHost(url), "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** Append `flagCol` = the most specific blocklisted domain suffix
+    * of the URL's host (null = clean). `domains` is a one-column
+    * frame of lowercase domains (`domainCol`) — joined, not
+    * broadcast-collected, so million-entry lists stay distributed.
+    * `idCol` must be unique per row (the join-back key).
+    */
+  def flagBlockedDomains(df: DataFrame, idCol: String, urlCol: String,
+      domains: DataFrame, domainCol: String,
+      flagCol: String = "blocked_domain"): DataFrame = {
+    val suffixes = df.select(col(idCol).as("__bid"),
+        explode(hostSuffixes(col(urlCol))).as("__suffix"))
+      .filter(col("__suffix") =!= "")
+    val matched = suffixes
+      .join(domains.select(lower(col(domainCol)).as("__suffix")).distinct(),
+        Seq("__suffix"))
+      .groupBy(col("__bid"))
+      .agg(max(struct(length(col("__suffix")).as("l"),
+        col("__suffix").as("d"))).as("__m"))
+      .select(col("__bid").as(idCol),
+        col("__m").getField("d").as(flagCol))
+    df.join(matched, Seq(idCol), "left")
+  }
+
+  /** Keep only rows whose URL host matches no blocklisted domain. */
+  def filterBlockedDomains(df: DataFrame, idCol: String, urlCol: String,
+      domains: DataFrame, domainCol: String): DataFrame = {
+    val flagged = flagBlockedDomains(df, idCol, urlCol, domains,
+      domainCol, "__graft_bd")
+    flagged.filter(col("__graft_bd").isNull).drop("__graft_bd")
+  }
+}

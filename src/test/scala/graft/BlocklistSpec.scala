@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Blocklist
+
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("wolf", "wolf den", "umbra", "red fox")
+
+  test("term kernel: consecutive-token phrases, case-folding, " +
+      "earliest-position then longest-term tie-breaks, punctuation " +
+      "is part of a token") {
+    val rows = Seq(
+      (0L, "clean text nothing here"),
+      (1L, "the UMBRA is early and wolf den later"),  // umbra first
+      (2L, "a wolf den appeared"),         // wolf AND wolf den @ same pos
+      (3L, "a lone wolf appeared"),        // only the single token
+      (4L, "red  fox with doubled space"), // empties drop -> still match
+      (5L, "umbra. punctuated"),           // 'umbra.' != 'umbra'
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = Blocklist.flagBlockedTerms(rows, "text", terms)
+      .orderBy($"id").select("blocked_term").collect()
+      .map(r => Option(r.getString(0)).orNull)
+    assert(got.toSeq === Seq(null, "umbra", "wolf den", "wolf",
+      "red fox", null, null))
+    // filter keeps the clean rows only
+    assert(Blocklist.filterBlockedTerms(rows, "text", terms)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(0L, 5L, 6L))
+    // blank terms refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.expressions.BlockedTerm(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        Seq("ok", "  "))
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    }
+    assert(e.getMessage.contains("blank blocklist term"))
+  }
+
+  test("domain blocklist: a listed domain blocks its subdomains, the " +
+      "most specific suffix is reported, clean hosts stay null") {
+    val urls = Seq(
+      (0L, "http://a.bad.example/x"),       // parent 'bad.example' listed
+      (1L, "https://bad.example/y"),        // exact
+      (2L, "http://deep.sub.bad.example/z"),
+      (3L, "http://good.example/ok"),
+      (4L, "http://very.bad.example/w")     // 'very.bad.example' AND
+                                            // 'bad.example' -> longest
+    ).toDF("id", "url")
+    val domains = Seq("bad.example", "very.bad.example", "unused.tld")
+      .toDF("domain")
+    val flagged = Blocklist.flagBlockedDomains(urls, "id", "url",
+        domains, "domain")
+      .orderBy($"id").select("blocked_domain").collect()
+      .map(r => Option(r.getString(0)).orNull)
+    assert(flagged.toSeq === Seq("bad.example", "bad.example",
+      "bad.example", null, "very.bad.example"))
+    assert(Blocklist.filterBlockedDomains(urls, "id", "url",
+        domains, "domain")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    // passthrough: flag form keeps every row and the input columns
+    val all = Blocklist.flagBlockedDomains(urls, "id", "url",
+      domains, "domain")
+    assert(all.count() === 5L)
+    assert(all.columns.toSeq === Seq("id", "url", "blocked_domain"))
+  }
+}
