@@ -3115,6 +3115,31 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // --- Unigram-LM tokenizer (r14 — the SentencePiece-family
+    //     member next to BPE): train on a motif-planted corpus whose
+    //     EM convergence is analyzable — frequent whole words within
+    //     maxPieceLen become single pieces with overwhelming margin
+    //     ("ababab", "cdcd"), the over-length word must split at its
+    //     dominant motif ("wxyzwxyz" → wxyz wxyz; seed frequency 2×
+    //     any competing split point), single chars survive pruning —
+    //     then Viterbi-encode each doc. A %2 lattice varies the word
+    //     set per doc; the oracle restates the segmentation
+    //     closed-form from the convergence argument (UnigramSpec
+    //     pins the same convergence in isolation).
+    "text_unigram" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).select(id,
+        concat(lit("ababab cdcd"),
+          when(pmod(id, lit(2L)) === 0, lit(" wxyzwxyz"))
+            .otherwise(lit("")),
+          lit(" q")).as("text"))
+      val model = operators.Unigram.train(docs, "text", vocabSize = 24,
+        maxPieceLen = 6, emIters = 2)
+      operators.Unigram.withUnigramTokens(docs, "text", model)
+        .select(id, array_join(col("unigram_tokens"), " ").as("toks"))
+        .orderBy(id)
+    }),
+
     // --- BPE encoding (r12): the learned table applied back to the
     //     corpus through the broadcast min-rank apply loop. The plant
     //     makes every apply path closed-form: full merges ("ab",
@@ -6782,6 +6807,16 @@ object SparkEntry {
     // (c,d) appears 2·m2+1 times (m2 "cdcd" words + "cdc"), (a,b)
     // m3+1 times after merge 0, (cd,cd) m2 times, (ab,d) once (the
     // 60-count tie broken lexicographically)
+    // the text_unigram oracle: the converged segmentation restated
+    // closed-form — whole-word pieces for in-length motifs, the
+    // dominant-motif split for the over-length word, the single char
+    "text_unigram" ->
+      """SELECT doc_id,
+        |  'ababab cdcd'
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' wxyz wxyz' ELSE '' END
+        |  || ' q' AS toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_bpe_merges" ->
       """WITH d AS (
         |  SELECT doc_id % 3 + 1 AS m3, doc_id % 2 + 1 AS m2

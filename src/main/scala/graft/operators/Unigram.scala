@@ -1,0 +1,299 @@
+package graft.operators
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Unigram-LM tokenizer training and encoding (r14) — the
+  * SentencePiece-family member next to char/byte BPE (Kudo 2018,
+  * "Subword Regularization": seed a large candidate vocabulary,
+  * run EM over all segmentations, prune to the target size, encode
+  * by Viterbi). Where BPE greedily merges pairs, the unigram model
+  * OWNS a probability per piece and segments by likelihood — the
+  * tokenizer family the major published models split between.
+  *
+  * Scale design (the [[Bpe]] discipline):
+  *  - training runs on the WORD HISTOGRAM — one corpus-scale
+  *    aggregation collapses the corpus to distinct pre-tokens with
+  *    counts (Heaps-law-sized), and every EM iteration after that is
+  *    one flatMap + one piece-keyed aggregation over that table with
+  *    the current piece table BROADCAST (a vocab is KBs–MBs);
+  *  - the per-iteration M-step collect is vocab-bounded (≤ seedSize
+  *    rows — the NB-classifier / BPE-argmax precedent);
+  *  - ENCODING is embarrassingly parallel: broadcast pieces, each
+  *    row segments in place.
+  *
+  * Semantics (pinned in UnigramSpec):
+  *  - pre-tokens are [[TextFunctions.bpePattern]] matches of the
+  *    lowercased text — the same pre-tokenizer as BPE, and like the
+  *    BPE operators there is NO word marker (documented divergence
+  *    from SentencePiece's ▁ convention);
+  *  - the seed vocabulary is the `seedSize` most frequent substrings
+  *    (length ≤ `maxPieceLen`, frequency = sum of word counts,
+  *    ties lexicographic) PLUS every corpus character — single
+  *    characters are never pruned, so segmentation always covers;
+  *  - EM expected counts come from the exact forward–backward sum
+  *    over ALL segmentations of each histogram word; single
+  *    characters get a tiny additive smoothing (1e-6) so coverage
+  *    survives zero-expectation rounds; zero-expectation multi-char
+  *    pieces drop immediately;
+  *  - pruning removes the lowest-log-prob multi-char pieces (ties
+  *    lexicographic), keeping `shrinkKeep` of them per round, until
+  *    the vocabulary fits `vocabSize`; a final EM polish follows;
+  *  - Viterbi ties break to FEWER tokens, then to the longer
+  *    trailing piece — deterministic across runs;
+  *  - characters unseen in training encode as themselves (copy-
+  *    through at a floor log-prob), so decode-by-concatenation is
+  *    EXACT on any input — the round trip is pinned in the gate.
+  */
+object Unigram {
+
+  private val CharSmoothing = 1e-6
+  private val FloorLp = -100.0
+
+  /** Train a unigram piece table. Returns (piece, logprob), logprob
+    * descending then piece ascending. `vocabSize` bounds the TOTAL
+    * table (single chars included); `sampleFraction` < 1 trains on
+    * the [[Bpe]]-style deterministic hash sample of the histogram.
+    */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 6, emIters: Int = 2, shrinkKeep: Double = 0.75,
+      seedSize: Int = 1 << 16, sampleFraction: Double = 1.0): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen $maxPieceLen")
+    require(emIters >= 1, s"emIters $emIters")
+    require(shrinkKeep > 0 && shrinkKeep < 1, s"shrinkKeep $shrinkKeep")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = Bpe.wordHistogram(df, textCol)
+    val sampled =
+      if (sampleFraction >= 1.0) hist
+      else hist.filter(
+        (pmod(xxhash64(col("word")), lit(1000000L)) / lit(1000000.0))
+          < sampleFraction)
+    val words = sampled.as[(String, Long)].cache()
+    try {
+      var pieces = seedVocab(words, maxPieceLen, seedSize)
+      val nChars = pieces.keysIterator.count(_.length == 1)
+      val targetMulti = math.max(0, vocabSize - nChars)
+      var multi = pieces.size - nChars
+      while (multi > targetMulti) {
+        var it = 0
+        while (it < emIters) { pieces = emStep(words, pieces, maxPieceLen); it += 1 }
+        val nDrop = math.min(
+          math.ceil(multi * (1.0 - shrinkKeep)).toInt.max(1),
+          multi - targetMulti)
+        val dropped = pieces.iterator.filter(_._1.length > 1).toArray
+          .sortBy { case (p, lp) => (lp, p) }
+          .take(nDrop).map(_._1).toSet
+        pieces = pieces.filter { case (p, _) => !dropped.contains(p) }
+        multi = pieces.size - nChars
+      }
+      var it = 0
+      while (it < emIters) { pieces = emStep(words, pieces, maxPieceLen); it += 1 }
+      pieces.toSeq.sortBy { case (p, lp) => (-lp, p) }
+        .toDF("piece", "logprob")
+    } finally words.unpersist()
+  }
+
+  /** The `seedSize` most frequent substrings (≤ maxPieceLen) plus
+    * every corpus character, with normalized frequency log-probs.
+    */
+  private def seedVocab(
+      words: org.apache.spark.sql.Dataset[(String, Long)],
+      maxPieceLen: Int, seedSize: Int): Map[String, Double] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val subs = words.flatMap { case (w, c) =>
+      for {
+        j <- 0 until w.length
+        i <- (j + 1) to math.min(w.length, j + maxPieceLen)
+      } yield (w.substring(j, i), c)
+    }.toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("freq"))
+    val top = subs.orderBy(col("freq").desc, col("piece").asc)
+      .limit(seedSize).as[(String, Long)].collect()
+    val chars = subs.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val all = (top ++ chars).toMap // char freq overrides keep one entry
+    val total = all.valuesIterator.map(_.toDouble).sum
+    require(total > 0, "empty corpus: nothing to train a tokenizer on")
+    all.map { case (p, f) => (p, math.log(f.toDouble / total)) }
+  }
+
+  /** One EM round: exact forward–backward expected piece counts over
+    * every histogram word (count-weighted), then renormalize.
+    */
+  private def emStep(
+      words: org.apache.spark.sql.Dataset[(String, Long)],
+      pieces: Map[String, Double], maxPieceLen: Int): Map[String, Double] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(pieces)
+    val maxL = maxPieceLen
+    val ecounts = words.mapPartitions { it =>
+      val p = bc.value
+      val acc = new java.util.HashMap[String, java.lang.Double]()
+      it.foreach { case (w, cnt) =>
+        accumulateExpectations(w, cnt, p, maxL, acc)
+      }
+      acc.entrySet().iterator().asScala
+        .map(e => (e.getKey, e.getValue.doubleValue()))
+    }.toDF("piece", "ep")
+      .groupBy(col("piece")).agg(sum(col("ep")).as("e"))
+      .as[(String, Double)].collect()
+    val known = ecounts.filter { case (p, _) => pieces.contains(p) }
+    val smoothed = known.map { case (p, e) =>
+      (p, if (p.length == 1) e + CharSmoothing else e)
+    }.filter(_._2 > 0)
+    // chars with NO expectation row still survive via smoothing
+    val missingChars = pieces.keysIterator
+      .filter(p => p.length == 1 && !smoothed.exists(_._1 == p))
+      .map(p => (p, CharSmoothing)).toArray
+    val all = smoothed ++ missingChars
+    val total = all.iterator.map(_._2).sum
+    all.iterator.map { case (p, e) => (p, math.log(e / total)) }.toMap
+  }
+
+  /** Exact forward–backward over one word's segmentation lattice,
+    * adding count-weighted expected piece occurrences into `acc`.
+    */
+  private def accumulateExpectations(w: String, cnt: Long,
+      p: Map[String, Double], maxL: Int,
+      acc: java.util.HashMap[String, java.lang.Double]): Unit = {
+    val n = w.length
+    if (n == 0) return
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxL)
+      while (j < i) {
+        if (alpha(j) != Double.NegativeInfinity) {
+          val lp = p.getOrElse(w.substring(j, i),
+            if (i - j == 1) FloorLp else Double.NegativeInfinity)
+          if (lp != Double.NegativeInfinity)
+            alpha(i) = logAdd(alpha(i), alpha(j) + lp)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) return // uncoverable: contribute nothing
+    beta(n) = 0.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      val lim = math.min(n, j2 + maxL)
+      while (i2 <= lim) {
+        if (beta(i2) != Double.NegativeInfinity) {
+          val lp = p.getOrElse(w.substring(j2, i2),
+            if (i2 - j2 == 1) FloorLp else Double.NegativeInfinity)
+          if (lp != Double.NegativeInfinity)
+            beta(j2) = logAdd(beta(j2), lp + beta(i2))
+        }
+        i2 += 1
+      }
+      j2 -= 1
+    }
+    i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxL)
+      while (j < i) {
+        val sub = w.substring(j, i)
+        if (p.contains(sub) && alpha(j) != Double.NegativeInfinity &&
+            beta(i) != Double.NegativeInfinity) {
+          val e = math.exp(alpha(j) + p(sub) + beta(i) - z) * cnt
+          if (e > 0) acc.merge(sub, java.lang.Double.valueOf(e),
+            (a, b) => java.lang.Double.valueOf(a + b))
+        }
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a > b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Viterbi segmentation of one pre-token: maximize summed log-prob;
+    * ties break to fewer tokens, then to the longer trailing piece.
+    * Characters absent from the table copy through at [[FloorLp]].
+    */
+  private[graft] def encodeWord(word: String, pieces: Map[String, Double],
+      maxPieceLen: Int): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val score = Array.fill(n + 1)(Double.NegativeInfinity)
+    val toks = Array.fill(n + 1)(Int.MaxValue)
+    val back = Array.fill(n + 1)(-1)
+    score(0) = 0.0; toks(0) = 0
+    var i = 1
+    while (i <= n) {
+      var len = 1
+      val lim = math.min(i, maxPieceLen)
+      while (len <= lim) {
+        val j = i - len
+        if (score(j) != Double.NegativeInfinity) {
+          val sub = word.substring(j, i)
+          val lp = pieces.getOrElse(sub,
+            if (len == 1) FloorLp else Double.NegativeInfinity)
+          if (lp != Double.NegativeInfinity) {
+            val s = score(j) + lp
+            val t = toks(j) + 1
+            // strictly better score; or equal score with fewer
+            // tokens; or both equal with a longer trailing piece
+            // (len ascends, so '>' on len means replace)
+            if (s > score(i) || (s == score(i) &&
+                (t < toks(i) || (t == toks(i) && len > i - back(i))))) {
+              score(i) = s; toks(i) = t; back(i) = j
+            }
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { out += word.substring(back(pos), pos); pos = back(pos) }
+    out.reverseIterator.toArray
+  }
+
+  /** Tokenize `textCol` with a trained piece table (broadcast):
+    * appended `outCol` is the token array over the BPE pre-token
+    * stream. Decode is exact concatenation (unknown chars copy
+    * through).
+    */
+  def withUnigramTokens(df: DataFrame, textCol: String,
+      model: DataFrame, outCol: String = "unigram_tokens",
+      maxPieceLen: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = model.select(col("piece").cast("string"),
+        col("logprob").cast("double"))
+      .as[(String, Double)].collect().toMap
+    val bc = spark.sparkContext.broadcast(pieces)
+    val maxL = maxPieceLen
+    val pat = TextFunctions.bpePattern
+    val enc = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val m = java.util.regex.Pattern.compile(pat)
+          .matcher(text.toLowerCase)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) out ++= encodeWord(m.group(), bc.value, maxL)
+        out.toArray
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("viterbi: likelihood wins, ties prefer fewer tokens, unknown " +
+      "chars copy through, decode is exact concatenation") {
+    val p1 = Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0)
+    assert(Unigram.encodeWord("abab", p1, 6).toSeq === Seq("ab", "ab"))
+    // exact tie between [ab] (-2) and [a, b] (-2): fewer tokens win
+    val p2 = Map("ab" -> -2.0, "a" -> -1.0, "b" -> -1.0)
+    assert(Unigram.encodeWord("ab", p2, 6).toSeq === Seq("ab"))
+    // unknown char copies through at the floor
+    assert(Unigram.encodeWord("axb", Map("a" -> -1.0, "b" -> -1.0), 6)
+      .toSeq === Seq("a", "x", "b"))
+    // round trip: concatenation reproduces the word, always
+    for (w <- Seq("", "a", "zzzz", "mixed123"))
+      assert(Unigram.encodeWord(w,
+        Map("m" -> -1.0, "i" -> -1.0), 4).mkString === w)
+  }
+
+  test("training converges to the motif pieces: frequent whole words " +
+      "become single tokens, an over-length word splits at its motif, " +
+      "and training is deterministic") {
+    val docs = (0L until 60L).map(i =>
+      (i, "ababab cdcd wxyzwxyz q")).toDF("doc_id", "text")
+    val model = Unigram.train(docs, "text", vocabSize = 24,
+      maxPieceLen = 6, emIters = 2)
+    val pieces = model.as[(String, Double)].collect().toMap
+    assert(pieces.contains("ababab"))
+    assert(pieces.contains("cdcd"))
+    assert(pieces.contains("wxyz"))
+    // every single corpus char survives pruning
+    for (c <- "abcdwxyzq") assert(pieces.contains(c.toString))
+    assert(pieces.size <= 24)
+    val toks = Unigram.withUnigramTokens(docs, "text", model)
+      .filter($"doc_id" === 0L)
+      .select(array_join(col("unigram_tokens"), " ")).head().getString(0)
+    assert(toks === "ababab cdcd wxyz wxyz q")
+    // determinism: a second training run yields the identical table
+    val model2 = Unigram.train(docs, "text", vocabSize = 24,
+      maxPieceLen = 6, emIters = 2)
+    assert(model2.as[(String, Double)].collect().toSeq ===
+      model.as[(String, Double)].collect().toSeq)
+  }
+
+  test("null text yields null tokens; empty corpus refuses loudly") {
+    val docs = Seq((0L, "aa bb"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = Unigram.train(docs.filter($"text".isNotNull), "text",
+      vocabSize = 8, maxPieceLen = 4)
+    val out = Unigram.withUnigramTokens(docs, "text", model)
+      .orderBy($"doc_id").select("unigram_tokens").collect()
+    assert(out(0).getSeq[String](0).mkString("") === "aabb")
+    assert(out(1).isNullAt(0))
+    val e = intercept[IllegalArgumentException] {
+      Unigram.train(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "text", vocabSize = 8)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+}
