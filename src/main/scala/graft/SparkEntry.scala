@@ -2637,8 +2637,15 @@ object SparkEntry {
         lit("<head><title> Page &amp;\n Title "), id,
         lit(" </title>"), desc, og, canon,
         lit("</head><body>corpus body</body></html>"))
-      docs.select(id,
-          TextFunctions.pageMetadata(html).as("m"))
+      // Stage the fixture HTML ONCE (multi-referenced non-cheap
+      // alias — CollapseProject keeps the boundary, the Attributes
+      // discipline): inlined, the five metadata regexes each carry
+      // their own copy of the synthesis tree and the generated Java
+      // exceeds Janino's method limit — codegen fails and the whole
+      // stage silently runs interpreted (plus a stderr plan dump).
+      docs.select(id, html.as("__page_html"))
+        .select(id,
+          TextFunctions.pageMetadata(col("__page_html")).as("m"))
         .select(id, col("m.title").as("title"),
           col("m.description").as("description"),
           col("m.og_title").as("og_title"),
