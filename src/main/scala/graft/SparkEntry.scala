@@ -1953,6 +1953,72 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // --- WET ingestion (r14 — the Common Crawl conversion-record
+    //     sidecar most public text corpora actually start from: the
+    //     crawl's own plain-text extraction): each payload is
+    //     warcinfo + one conversion record carrying the doc text
+    //     verbatim, identified-language header on %5!=0 ids (the
+    //     null case must survive), odd ids member-per-record gzip,
+    //     every 19th corrupted (lenient → zero records). The oracle
+    //     restates uri/language/text from the fixture formulas.
+    "docs_wet" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val payloads = graft.sources.WetWat.synthesizeWetDocs(
+        docs, "doc_id", "text")
+      graft.sources.WetWat.wetFromColumn(payloads, "doc_id", "payload",
+          lenient = true)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- WAT ingestion (r14 — the metadata-record sidecar: parsed
+    //     head + outlink list without touching payload bytes, the
+    //     link-graph input): envelope JSON is read SPARK-SIDE by
+    //     codegen'd JSON-path expressions (writer and reader are
+    //     independent implementations). Plants: title carries an
+    //     embedded quote AND newline (a writer-escape or read-unescape
+    //     bug cannot hash green), %7 ids have NO title (null
+    //     survives), each link list ends with a non-anchor IMG@/src
+    //     entry extraction must drop, odd ids gzip, %19 corrupt.
+    "docs_wat" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 120).select(col("doc_id"))
+      val payloads = graft.sources.WetWat.synthesizeWatDocs(docs, "doc_id")
+      val recs = graft.sources.WetWat.watFromColumn(
+        payloads, "doc_id", "payload", lenient = true)
+      graft.sources.WetWat.watHtmlMetadata(recs, "json")
+        .select(col("doc_id"), col("target_uri"), col("title"),
+          size(col("links")).as("n_links"),
+          array_join(col("links"), ",").as("links"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- WET shard export (r14 — the write symmetry: curated text
+    //     re-emitted in the format the next pipeline ingests):
+    //     URI-ordered deterministic conversion records as
+    //     .warc.wet.gz shards, read BACK through the binaryFile walk;
+    //     shard file, URI, null language (the writer emits none) and
+    //     text md5 hash-check the build→gzip→inflate→parse loop.
+    "docs_wet_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      val df = docs.select(
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        concat(lit("https://ex.com/doc/"),
+          lpad(col("doc_id").cast("string"), 6, "0")).as("uri"),
+        col("text"))
+      val base = gateIndexPath(dir, "wet_gate")
+      graft.sources.WetWat.writeWetShards(df, "shard_id", "uri", "text",
+        base, gzip = true)
+      graft.sources.WetWat.readWet(s, s"$base/data/*.warc.wet.gz")
+        .select(col("file").as("shard"), col("target_uri"),
+          col("language"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("target_uri"))
+    }),
+
     // --- Crawl-to-corpus composition (r12 — the whole ingestion
     //     chain as ONE lazy plan): WARC walk → HTTP strip →
     //     stripHtml → PII redaction → exact corpus dedup. Plants:
@@ -5822,6 +5888,51 @@ object SparkEntry {
         |  'https://ex.com/doc/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS target_uri,
         |  'HTTP/1.1 200 OK' AS http_status,
         |  md5('<p>' || text || '</p>') AS payload_md5
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
+        |ORDER BY target_uri""".stripMargin,
+
+    // the docs_wet oracle: conversion rows for every uncorrupted id —
+    // uri, language and text restated from the fixture formulas
+    "docs_wet" ->
+      """SELECT doc_id,
+        |  'https://ex.com/doc/' || doc_id AS target_uri,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'eng' ELSE 'deu' END AS language,
+        |  text
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id < 100 AND doc_id % 19 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the docs_wat oracle: title (quote + newline through the JSON
+    // round trip, null on %7), anchor-only link list closed-form by
+    // id % 4
+    "docs_wat" ->
+      """SELECT doc_id,
+        |  'https://ex.com/doc/' || doc_id AS target_uri,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'W "t"' || chr(10) || ' ' || doc_id END AS title,
+        |  CAST(doc_id % 4 AS INT) AS n_links,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN ''
+        |    WHEN 1 THEN 'https://out.ex.com/' || doc_id || '/0'
+        |    WHEN 2 THEN 'https://out.ex.com/' || doc_id || '/0,' ||
+        |      'https://out.ex.com/' || doc_id || '/1'
+        |    ELSE 'https://out.ex.com/' || doc_id || '/0,' ||
+        |      'https://out.ex.com/' || doc_id || '/1,' ||
+        |      'https://out.ex.com/' || doc_id || '/2'
+        |  END AS links
+        |FROM documents
+        |WHERE doc_id < 120 AND doc_id % 19 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the docs_wet_shards oracle: shard file from the id hash, URI
+    // from the id, no language header on export, text md5
+    "docs_wet_shards" ->
+      """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.warc.wet.gz' AS shard,
+        |  'https://ex.com/doc/' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS target_uri,
+        |  CAST(NULL AS VARCHAR) AS language,
+        |  md5(text) AS text_md5
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY target_uri""".stripMargin,

@@ -1,0 +1,377 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WET / WAT — the two Common Crawl SIDECAR formats next to the raw
+  * `.warc.gz` snapshots, and the ones a 100 TB TEXT pipeline actually
+  * reads first:
+  *
+  *  - **WET** (`*.warc.wet.gz`): WARC files whose records are
+  *    `WARC-Type: conversion` — the crawl's own plain-text extraction
+  *    of each response, one text body per URL. Most public LLM
+  *    corpora (C4, the Pile's CC slice, RefinedWeb's starting point)
+  *    begin from WET, not WARC: the HTML strip is already paid.
+  *  - **WAT** (`*.warc.wat.gz`): WARC files whose records are
+  *    `WARC-Type: metadata` with a JSON envelope body
+  *    (`Envelope.Payload-Metadata.HTTP-Response-Metadata.
+  *    HTML-Metadata`) carrying the parsed head (title) and the
+  *    outbound link list — the input to link-graph work (PageRank
+  *    over hosts, [[graft.operators.Graphs]]) WITHOUT touching
+  *    payload bytes.
+  *
+  * Both are plain WARC containers, so ingestion reuses the
+  * [[Warc]] walker byte-for-byte (member-per-record gzip, lenient
+  * salvage, UTF-8 headers). What this module adds is the
+  * record-kind selection, the text/JSON decode, and — for WAT — the
+  * envelope extraction done SPARK-SIDE with codegen'd JSON-path
+  * expressions (`get_json_object` / `from_json`), not a hand parser:
+  * the envelope is ordinary JSON and Catalyst already evaluates
+  * paths in whole-stage codegen.
+  *
+  * Scale shape: identical to [[Warc.readWarc]] — one binaryFile task
+  * per file (the Common Crawl parallelism unit), a narrow
+  * per-partition record walk, then pure projections. Nothing
+  * collects; link explosion is bounded by each page's own outlink
+  * count.
+  *
+  * Writers emit byte-deterministic records (the [[Warc.buildRecord]]
+  * fixed-date discipline) so fixtures are closed-form; the WET shard
+  * writer is the export symmetry — curated text re-emitted in the
+  * format the next pipeline ingests.
+  */
+object WetWat {
+
+  // ---------------------------------------------------------------- WET
+
+  /** One deterministic WET conversion record. `language` (the
+    * `WARC-Identified-Content-Language` convention of modern crawls)
+    * is omitted when null.
+    */
+  def buildConversion(uri: String, text: String,
+      language: String = null,
+      date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val extra = Seq("Content-Type" -> "text/plain") ++
+      Option(language).map("WARC-Identified-Content-Language" -> _)
+    Warc.buildRecord("conversion", uri,
+      text.getBytes(StandardCharsets.UTF_8), date, extra)
+  }
+
+  private def wetRows(idVal: Any, bytes: Array[Byte], lenient: Boolean) =
+    if (bytes == null) Iterator.empty
+    else Warc.parseWarcBytes(bytes, lenient)
+      .filter(_.warcType == "conversion")
+      .map { rec =>
+        org.apache.spark.sql.Row(idVal, rec.targetUri,
+          rec.headers.getOrElse("warc-identified-content-language", null),
+          new String(rec.body, StandardCharsets.UTF_8))
+      }
+
+  private def wetSchema(idField: StructField) = StructType(Seq(
+    idField,
+    StructField("target_uri", StringType, nullable = false),
+    StructField("language", StringType, nullable = true),
+    StructField("text", StringType, nullable = false)))
+
+  /** Read WET files under `glob`: one row per conversion record —
+    * (file, target URI, identified language or null, plain text).
+    * Non-conversion records (the leading warcinfo) are skipped.
+    */
+  def readWet(spark: SparkSession, glob: String,
+      lenient: Boolean = false): DataFrame = {
+    val schema = wetSchema(StructField("file", StringType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        wetRows(r.getString(0).split('/').last,
+          r.getAs[Array[Byte]](1), lenient)
+      }
+  }
+
+  /** WET records from a BINARY COLUMN of payloads (the in-plan
+    * fixture shape): (id, target_uri, language, text) per conversion
+    * record. Narrow per-partition map.
+    */
+  def wetFromColumn(df: DataFrame, idCol: String, payloadCol: String,
+      lenient: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val schema = wetSchema(StructField(idCol, LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.flatMap { r =>
+      wetRows(r.getLong(iIdx), r.get(pIdx).asInstanceOf[Array[Byte]], lenient)
+    }
+  }
+
+  /** Deterministic WET fixture over document rows: each payload is
+    * one warcinfo + one conversion record carrying the doc text
+    * verbatim; ids %5 != 0 carry an identified-language header ("eng"
+    * / "deu" by id parity — the null case must survive); odd ids use
+    * member-per-record gzip; every 19th payload is corrupted (lenient
+    * parse yields zero records).
+    */
+  def synthesizeWetDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = docs.schema.fieldIndex(idCol)
+    val tIdx = docs.schema.fieldIndex(textCol)
+    docs.map { r =>
+      val id = r.getLong(iIdx)
+      val text = r.getString(tIdx)
+      val lang =
+        if (id % 5 == 0) null else if (id % 2 == 0) "eng" else "deu"
+      val info = Warc.buildRecord("warcinfo", "",
+        "software: graft\r\n".getBytes(StandardCharsets.UTF_8))
+      val conv = buildConversion(s"https://ex.com/doc/$id", text, lang)
+      val bytes =
+        if (id % 2 == 0) info ++ conv
+        else Warc.gzipMembers(Seq(info, conv))
+      if (id % 19 == 0) bytes(0) = 'X'.toByte
+      org.apache.spark.sql.Row(id, bytes)
+    }
+  }
+
+  /** Write (uri, text) rows as WET shard files — curated text
+    * re-exported in the format the next pipeline stage ingests. Same
+    * contract as [[Warc.writeWarcShards]]: one shuffle on the shard
+    * id, URI-ordered deterministic conversion records per
+    * `shard-<id>.warc.wet[.gz]`, manifest computed FROM the written
+    * files and committed last.
+    */
+  def writeWetShards(df: DataFrame, shardCol: String, uriCol: String,
+      textCol: String, path: String, gzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_manifest"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/data"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/data"))
+    val ext = if (gzip) ".warc.wet.gz" else ".warc.wet"
+    val gz = gzip
+    df.select(col(shardCol).cast("long").as("__shard"),
+        col(uriCol).cast("string").as("__uri"),
+        col(textCol).cast("string").as("__text"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__uri"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        var current: java.io.OutputStream = null
+        var currentCommit: () => Unit = null
+        var currentShard = Long.MinValue
+        def close(): Unit = if (current != null) {
+          current.close(); current = null
+          currentCommit(); currentCommit = null
+        }
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != currentShard || current == null) {
+            close()
+            val p = new org.apache.hadoop.fs.Path(
+              f"$base/data/shard-$shard%05d$ext")
+            val (raw, commit) = Containers.createCommitted(hconf.value, p)
+            current = raw
+            currentCommit = commit
+            currentShard = shard
+          }
+          val rec = buildConversion(r.getString(1), r.getString(2))
+          if (gz) current.write(Warc.gzipMembers(Seq(rec)))
+          else current.write(rec)
+        }
+        close()
+      }
+    Containers.cleanInProgress(spark, s"$base/data")
+    val mf =
+      if (!Containers.globNonEmpty(spark, s"$base/data/*$ext"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("shard", StringType, nullable = true),
+            StructField("n_records", LongType, nullable = true),
+            StructField("sum_chars", LongType, nullable = true),
+            StructField("checksum", LongType, nullable = true))))
+      else readWet(spark, s"$base/data/*$ext")
+        .groupBy(col("file").as("shard"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
+            .as("checksum"))
+    mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
+    spark.read.parquet(s"$base/_manifest")
+  }
+
+  // ---------------------------------------------------------------- WAT
+
+  /** Minimal JSON string escape (quote, backslash, control chars) —
+    * the writer half only; reading goes through Catalyst's own JSON
+    * machinery.
+    */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One deterministic WAT metadata record: the Common Crawl envelope
+    * shape down to the HTML-Metadata head title and `A@/href` link
+    * list (exactly the fields the extraction surface reads; the real
+    * envelope carries more siblings, which [[watHtmlMetadata]] never
+    * touches — unknown JSON is skipped by path evaluation, not an
+    * error).
+    */
+  def buildWatRecord(uri: String, title: String, links: Seq[String],
+      date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val linkJson = links.map(u =>
+      s"""{"path":"A@/href","url":"${jsonEscape(u)}"}""").mkString(",")
+    val titleJson =
+      if (title == null) "" else s""""Title":"${jsonEscape(title)}""""
+    val json =
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${jsonEscape(uri)}"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+        s"""{"Head":{$titleJson},"Links":[$linkJson]}}}}}"""
+    Warc.buildRecord("metadata", uri,
+      json.getBytes(StandardCharsets.UTF_8), date,
+      Seq("Content-Type" -> "application/json"))
+  }
+
+  private def watSchema(idField: StructField) = StructType(Seq(
+    idField,
+    StructField("target_uri", StringType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  /** WAT metadata records from a BINARY COLUMN of payloads:
+    * (id, target_uri, envelope json string). Pair with
+    * [[watHtmlMetadata]] for the parsed fields.
+    */
+  def watFromColumn(df: DataFrame, idCol: String, payloadCol: String,
+      lenient: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val schema = watSchema(StructField(idCol, LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    df.flatMap { r =>
+      val p = r.get(pIdx).asInstanceOf[Array[Byte]]
+      if (p == null) Iterator.empty
+      else Warc.parseWarcBytes(p, lenient)
+        .filter(_.warcType == "metadata")
+        .map { rec =>
+          org.apache.spark.sql.Row(r.getLong(iIdx), rec.targetUri,
+            new String(rec.body, StandardCharsets.UTF_8))
+        }
+    }
+  }
+
+  /** Read WAT files under `glob`: (file, target_uri, json) per
+    * metadata record.
+    */
+  def readWat(spark: SparkSession, glob: String,
+      lenient: Boolean = false): DataFrame = {
+    val schema = watSchema(StructField("file", StringType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .flatMap { r =>
+        val p = r.getAs[Array[Byte]](1)
+        if (p == null) Iterator.empty
+        else Warc.parseWarcBytes(p, lenient)
+          .filter(_.warcType == "metadata")
+          .map { rec =>
+            org.apache.spark.sql.Row(r.getString(0).split('/').last,
+              rec.targetUri,
+              new String(rec.body, StandardCharsets.UTF_8))
+          }
+      }
+  }
+
+  private val HtmlMetaPath =
+    "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata"
+
+  /** Envelope extraction as PURE JSON-path projections over the
+    * `jsonCol` string (codegen'd — no hand JSON parser on the read
+    * side, so writer and reader stay independent implementations):
+    * appends `title` (head title, null when absent) and `links`
+    * (the `A@/href` outlink URL array, empty when none).
+    */
+  def watHtmlMetadata(df: DataFrame, jsonCol: String): DataFrame = {
+    val linkType = ArrayType(StructType(Seq(
+      StructField("path", StringType),
+      StructField("url", StringType))))
+    df.withColumn("title",
+        get_json_object(col(jsonCol), s"$HtmlMetaPath.Head.Title"))
+      .withColumn("links",
+        coalesce(
+          filter(
+            transform(
+              from_json(get_json_object(col(jsonCol), s"$HtmlMetaPath.Links"),
+                linkType),
+              l => when(l.getField("path") === "A@/href", l.getField("url"))),
+            u => u.isNotNull),
+          array().cast(ArrayType(StringType))))
+  }
+
+  /** Deterministic WAT fixture over document rows: one warcinfo + one
+    * metadata record per doc. Title is `W "t" <id>` with an embedded
+    * quote and newline — escaped by the writer, unescaped by the JSON
+    * path read, so a quoting bug cannot hash green — except ids %7==0
+    * which carry NO title (null must survive); outlinks are
+    * `https://out.ex.com/<id>/<j>` for j < id%4 plus one non-anchor
+    * (`IMG@/src`) entry that extraction must drop; odd ids gzip, %19
+    * corrupt.
+    */
+  def synthesizeWatDocs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val iIdx = docs.schema.fieldIndex(idCol)
+    docs.map { r =>
+      val id = r.getLong(iIdx)
+      val title = if (id % 7 == 0) null else "W \"t\"\n " + id
+      val links = (0L until id % 4).map(j => s"https://out.ex.com/$id/$j")
+      val uri = s"https://ex.com/doc/$id"
+      val linkJson = (links.map(u =>
+        s"""{"path":"A@/href","url":"${jsonEscape(u)}"}""") :+
+        s"""{"path":"IMG@/src","url":"https://img.ex.com/$id.png"}""")
+        .mkString(",")
+      val titleJson =
+        if (title == null) "" else s""""Title":"${jsonEscape(title)}""""
+      val json =
+        s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${jsonEscape(uri)}"},""" +
+          s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+          s"""{"Head":{$titleJson},"Links":[$linkJson]}}}}}"""
+      val info = Warc.buildRecord("warcinfo", "",
+        "software: graft\r\n".getBytes(StandardCharsets.UTF_8))
+      val meta = Warc.buildRecord("metadata", uri,
+        json.getBytes(StandardCharsets.UTF_8),
+        extraHeaders = Seq("Content-Type" -> "application/json"))
+      val bytes =
+        if (id % 2 == 0) info ++ meta
+        else Warc.gzipMembers(Seq(info, meta))
+      if (id % 19 == 0) bytes(0) = 'X'.toByte
+      org.apache.spark.sql.Row(id, bytes)
+    }
+  }
+}

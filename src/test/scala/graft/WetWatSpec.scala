@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Warc, WetWat}
+
+class WetWatSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-assembled WET bytes — written against ISO 28500 + the
+  // Common Crawl WET conventions directly, NOT through the builders,
+  // so a shared writer/reader misassumption cannot pass
+  private def handWet: Array[Byte] = {
+    def rec(headers: String, body: String): Array[Byte] =
+      (s"WARC/1.0\r\n${headers}Content-Length: " +
+        s"${body.getBytes(StandardCharsets.UTF_8).length}\r\n\r\n$body\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8)
+    rec("WARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n",
+      "software: other\r\n") ++
+      rec("WARC-Type: conversion\r\n" +
+        "WARC-Target-URI: https://h.example/a\r\n" +
+        "WARC-Identified-Content-Language: fra\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n",
+        "Bonjour le monde") ++
+      rec("WARC-Type: conversion\r\n" +
+        "WARC-Target-URI: https://h.example/b\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n",
+        "no language header") ++
+      rec("WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://h.example/c\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n",
+        "HTTP/1.1 200 OK\r\n\r\nnot a conversion record")
+  }
+
+  test("wetFromColumn: hand-assembled stream — conversion records " +
+      "only, language header optional, UTF-8 text") {
+    val df = Seq((1L, handWet)).toDF("id", "payload")
+    val rows = WetWat.wetFromColumn(df, "id", "payload")
+      .orderBy("target_uri").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      ("https://h.example/a", "fra", "Bonjour le monde"),
+      ("https://h.example/b", null, "no language header")))
+  }
+
+  test("readWet: file walk over plain and gzip-member files; lenient " +
+      "corrupt payload yields zero records") {
+    val dir = Files.createTempDirectory("graft_wet")
+    Files.write(dir.resolve("plain.warc.wet"), handWet)
+    Files.write(dir.resolve("gz.warc.wet.gz"),
+      Warc.gzipMembers(Seq(
+        WetWat.buildConversion("https://h.example/z", "zz zz", "eng"))))
+    val bad = handWet.clone(); bad(0) = 'X'.toByte
+    Files.write(dir.resolve("bad.warc.wet"), bad)
+    val rows = WetWat.readWet(spark, s"$dir/*", lenient = true)
+      .orderBy("target_uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      ("plain.warc.wet", "https://h.example/a", "Bonjour le monde"),
+      ("plain.warc.wet", "https://h.example/b", "no language header"),
+      ("gz.warc.wet.gz", "https://h.example/z", "zz zz")))
+  }
+
+  test("writeWetShards: round trip — URI-ordered shards, manifest " +
+      "from the written files, empty input attested") {
+    val dir = Files.createTempDirectory("graft_wet_sh").toString
+    val df = Seq(
+      (0L, "https://e/2", "beta"), (0L, "https://e/1", "alpha"),
+      (1L, "https://e/3", "gamma"))
+      .toDF("shard", "uri", "text")
+    val mf = WetWat.writeWetShards(df, "shard", "uri", "text",
+      s"$dir/w", gzip = true)
+    assert(mf.count() === 2)
+    assert(mf.agg(sum("n_records")).head.getLong(0) === 3L)
+    val back = WetWat.readWet(spark, s"$dir/w/data/*.warc.wet.gz")
+      .orderBy("file", "target_uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    assert(back.toSeq === Seq(
+      ("shard-00000.warc.wet.gz", "https://e/1", "alpha"),
+      ("shard-00000.warc.wet.gz", "https://e/2", "beta"),
+      ("shard-00001.warc.wet.gz", "https://e/3", "gamma")))
+    val empty = WetWat.writeWetShards(df.limit(0), "shard", "uri",
+      "text", s"$dir/empty", gzip = true)
+    assert(empty.count() === 0)
+  }
+
+  test("watHtmlMetadata: hand-written envelope — title unescapes, " +
+      "non-anchor links dropped, absent pieces degrade to null/empty") {
+    val full =
+      """{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w/1"},
+        |"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{
+        |"Head":{"Title":"A \"q\"\nB","Metas":[{"name":"x"}]},
+        |"Links":[{"path":"A@/href","url":"https://w/out1"},
+        |{"path":"IMG@/src","url":"https://w/img.png"},
+        |{"path":"A@/href","url":"https://w/out2"}]}}}}}""".stripMargin
+        .replace("\n", "") // source-formatting newlines only: the
+        // title's \" and \n are literal JSON escapes in the
+        // triple-quoted text and must round-trip through the read
+    val noTitle =
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":
+        |{"HTML-Metadata":{"Head":{},"Links":[]}}}}}"""
+        .stripMargin.replace("\n", "")
+    val noMeta = """{"Envelope":{"Payload-Metadata":{}}}"""
+    val df = Seq((1L, full), (2L, noTitle), (3L, noMeta))
+      .toDF("id", "json")
+    val rows = WetWat.watHtmlMetadata(df, "json")
+      .select(col("id"), col("title"), col("links"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) === "A \"q\"\nB")
+    assert(rows(0).getSeq[String](2) ===
+      Seq("https://w/out1", "https://w/out2"))
+    assert(rows(1).isNullAt(1) && rows(1).getSeq[String](2).isEmpty)
+    assert(rows(2).isNullAt(1) && rows(2).getSeq[String](2).isEmpty)
+  }
+
+  test("watFromColumn: metadata records selected from a mixed stream") {
+    val payload = Warc.buildRecord("warcinfo", "",
+      "software: x\r\n".getBytes(StandardCharsets.UTF_8)) ++
+      WetWat.buildWatRecord("https://w/1", "T1",
+        Seq("https://w/o1", "https://w/o2"))
+    val df = Seq((7L, payload)).toDF("id", "payload")
+    val out = WetWat.watHtmlMetadata(
+        WetWat.watFromColumn(df, "id", "payload"), "json")
+      .select(col("id"), col("target_uri"), col("title"),
+        col("links")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 7L)
+    assert(out(0).getString(1) === "https://w/1")
+    assert(out(0).getString(2) === "T1")
+    assert(out(0).getSeq[String](3) === Seq("https://w/o1", "https://w/o2"))
+  }
+}
