@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Code-corpus secret detection + redaction (r14) — the
+  * machine-credential sibling of the PII pass (`text_redact`'s
+  * email/phone/IP scrub): code corpora (The Stack convention) scrub
+  * COMMITTED CREDENTIALS before training, both to avoid regurgitating
+  * live keys and because key material is noise tokens. Patterns are
+  * the public, structurally-recognizable credential shapes
+  * (fixed-prefix vendor tokens, PEM blocks, JWTs, URL-embedded
+  * passwords, quoted keyword assignments) — detect-secrets-class
+  * regex rules, NOT entropy scanning (entropy flags hashes and UUIDs
+  * wholesale; the fixed-shape rules are the high-precision core every
+  * scanner ships).
+  *
+  * [[secretRules]] is RE2-safe (inline (?i)/(?s) flags only, no
+  * lookaround, no backreferences) and shared VERBATIM with the SQL
+  * twin (the markdownRules/langProfiles discipline) — the oracle
+  * replays the identical ordered list. Detection is fold-consistent:
+  * rule i evaluates on text with rules 0..i-1 already redacted, so
+  * the PEM block rule (first) consumes a key body before the
+  * token-shaped rules ever see it — kinds and counts report exactly
+  * what redaction rewrites.
+  *
+  * Scale shape: every surface is a pure codegen'd projection
+  * (rlike / regexp_count / regexp_replace) — no shuffle, no state;
+  * the scan rides the document scan.
+  */
+object Secrets {
+
+  /** Ordered (kind, RE2-safe pattern). Conventions:
+    *  - `private_key` spans the whole PEM block ((?s) body) — the
+    *    key material between the markers must not survive;
+    *  - vendor token rules require the full documented shape
+    *    (prefix + length + charset), so prose mentioning "AKIA" or a
+    *    short `xoxb-` fragment does not flag;
+    *  - `url_credentials` requires `user:pass@` — a plain authority
+    *    or a port (`host:8080/`) has no `@` and never matches;
+    *  - `keyword_secret` requires a QUOTED 8-64 char value after an
+    *    assignment (`api_key = "..."`) — `token_count = 5` and
+    *    unquoted config prose stay clean (the false-positive
+    *    direction is dropped docs, so the rule is conservative).
+    */
+  val secretRules: Seq[(String, String)] = Seq(
+    "private_key" ->
+      ("(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+        ".*?-----END [A-Z ]*PRIVATE KEY-----"),
+    "aws_access_key" -> "\\bAKIA[0-9A-Z]{16}\\b",
+    "github_token" -> "\\bgh[pousr]_[A-Za-z0-9]{36}\\b",
+    "slack_token" -> "\\bxox[baprs]-[A-Za-z0-9-]{10,48}\\b",
+    "google_api_key" -> "\\bAIza[0-9A-Za-z_-]{35}\\b",
+    "jwt" ->
+      "\\beyJ[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{8,}\\.[A-Za-z0-9_-]{4,}\\b",
+    "url_credentials" -> "://[^/\\s:@]{1,64}:[^/\\s:@]{1,64}@",
+    "keyword_secret" ->
+      ("(?i)\\b(?:api[_-]?key|secret|token|passwd|password)\\b" +
+        "\\s*[:=]\\s*[\"'][^\"'\\s]{8,64}[\"']"))
+
+  /** Redaction marker for `kind` — fixed shape so downstream counts
+    * can recover per-kind hits from redacted text.
+    */
+  def marker(kind: String): String = s"<SECRET:$kind>"
+
+  /** Text with every [[secretRules]] match replaced by its kind
+    * marker, in rule order.
+    */
+  def redactSecrets(text: Column): Column =
+    secretRules.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, marker(kind))
+    }
+
+  /** `text` with the FIRST `i` rules redacted — detection for rule i
+    * runs on this, so kinds/counts agree exactly with what
+    * [[redactSecrets]] rewrites: a JWT inside a PEM key body is one
+    * `private_key`, never a second `jwt` (the fold already consumed
+    * it). Catalyst's common-subexpression elimination shares the
+    * prefix chains across the per-rule flags.
+    */
+  private def staged(text: Column, i: Int): Column =
+    secretRules.take(i).foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, marker(kind))
+    }
+
+  /** The kinds [[redactSecrets]] would rewrite, in rule order (empty
+    * array when clean) — the audit-trail column.
+    */
+  def secretKinds(text: Column): Column =
+    filter(
+      array(secretRules.zipWithIndex.map { case ((kind, pat), i) =>
+        when(staged(text, i).rlike(pat), lit(kind))
+      }: _*),
+      k => k.isNotNull)
+
+  /** Total match count across all rules, each counted on its staged
+    * text (the [[redactSecrets]] fold semantics).
+    */
+  def secretCount(text: Column): Column =
+    secretRules.zipWithIndex.map { case ((_, pat), i) =>
+      regexp_count(staged(text, i), lit(pat))
+    }.reduce(_ + _).cast("int")
+
+  /** Append `secret_kinds` (array) and `n_secrets` (int) — the flag
+    * form: every row kept, decisions downstream.
+    */
+  def withSecretScan(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("secret_kinds", secretKinds(col(textCol)))
+      .withColumn("n_secrets", secretCount(col(textCol)))
+
+  /** Drop documents containing ANY secret — the conservative
+    * code-corpus curation default (redaction leaves truncated keys a
+    * model can still half-learn; The Stack drops or masks, and the
+    * drop form composes with [[redactSecrets]] for the mask form).
+    */
+  def filterSecrets(df: DataFrame, textCol: String): DataFrame =
+    df.filter(secretCount(col(textCol)) === 0)
+}
