@@ -98,6 +98,77 @@ object SparkEntry {
     s"array_to_string(list_transform($kept, m -> m.v), chr(10))"
   }
 
+  /** The attribute-signal CTE chain shared by the docs_attributes and
+    * corpus-report oracles (r14): `base` provides the d projection
+    * (must expose doc_id and text; extra columns like source ride
+    * along for the caller's final SELECT). Yields CTEs d → f (staged
+    * arrays) → m (signal scalars) → lng (language pick) → r (per-doc
+    * signal row keyed by doc_id) — generated from the SAME stopword /
+    * language-profile tables the Spark expressions use.
+    */
+  private def attributeSignalCtes(base: String): String = {
+    val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
+    val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
+      val hits = ms.map(m =>
+        s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
+        .mkString(" + ")
+      s"$hits AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TextFunctions.langProfiles.map(_._1)
+    val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    // the max alias must NOT collide with the m CTE below — s_de =
+    // m would resolve to the CTE's row struct
+    val pick = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH d AS ($base),
+       |f AS (
+       |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+       |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+       |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
+       |    list_filter(string_split(lower(replace(replace(text, chr(10), ' '), chr(9), ' ')), ' '), x -> length(x) > 0) AS gtoks,
+       |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+       |  FROM d WHERE text IS NOT NULL AND length(text) > 0),
+       |m AS (
+       |  SELECT doc_id, text, toks, p, cjk,
+       |    len(gtoks) AS nw,
+       |    CASE WHEN len(gtoks) > 0 THEN round(list_sum(list_transform(gtoks, x -> length(x)))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS mwl,
+       |    CASE WHEN len(gtoks) > 0 THEN round(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS alpha,
+       |    CASE WHEN len(gtoks) > 0 THEN round(((length(text) - length(replace(text, '...', ''))) / 3 + length(text) - length(replace(text, '#', '')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS sym,
+       |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS bullet,
+       |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS ell,
+       |    len(list_filter(gtoks, x -> list_contains([$sw], x))) AS nsw,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      round(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1), 6)
+       |    ELSE 0.0 END AS rep,
+       |    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6) ELSE 0.0 END AS swr,
+       |    round((length(text) - length(regexp_replace(text, '\\p{P}', '', 'g')))::DOUBLE / length(text), 6) AS punct,
+       |    round((length(text) - length(regexp_replace(text, '[\\x{FFFD}\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]', '', 'g')))::DOUBLE / length(text), 6) AS moji
+       |  FROM f),
+       |lng AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
+       |         ELSE (CASE WHEN mx <= 0 THEN 'und' $pick ELSE 'und' END)
+       |    END AS lang
+       |  FROM (SELECT *, $maxExpr AS mx
+       |        FROM (SELECT doc_id, text, cjk, $scoreSql FROM m))),
+       |r AS (
+       |  SELECT m.doc_id, length(m.text) AS n_chars, len(m.toks) AS n_toks,
+       |    NOT (m.nw BETWEEN 10 AND 100000) AS f_words,
+       |    NOT (m.mwl BETWEEN 3.0 AND 10.0) AS f_mlen,
+       |    m.alpha < 0.8 AS f_alpha,
+       |    m.sym > 0.1 AS f_sym,
+       |    m.bullet > 0.9 AS f_bullet,
+       |    m.ell > 0.3 AS f_ell,
+       |    m.nsw < 2 AS f_sw,
+       |    m.rep, l.lang, m.swr, m.punct, m.moji,
+       |    round(CAST((CASE WHEN length(m.text) BETWEEN 100 AND 10000 THEN 1.0
+       |             WHEN length(m.text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
+       |          (CASE WHEN m.punct < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
+       |          (CASE WHEN m.swr > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
+       |          AS DOUBLE), 6) AS q
+       |  FROM m JOIN lng l USING (doc_id))""".stripMargin
+  }
+
   /** Fixed, per-fixture scratch path for gate queries that persist an
     * index layout: one stable directory per (purpose, sf dir) that
     * overwriting writers reuse — repeated Verify/Bench/test runs leave
@@ -2898,6 +2969,32 @@ object SparkEntry {
           col("punct_ratio"), col("mojibake_ratio"),
           col("quality_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- Dataset-card corpus report (r14 — the per-SOURCE aggregate
+    //     view of the attribute signals): doc/char/token volume,
+    //     unscoreable count, gopher-pass count, distinct languages,
+    //     mean quality, ONE partial-aggregated groupBy over the
+    //     signal scan. The oracle wraps the IDENTICAL signal CTE
+    //     chain (attributeSignalCtes — shared with docs_attributes)
+    //     in the per-source GROUP BY.
+    "docs_corpus_report" -> ((s, dir) => {
+      graft.operators.CorpusReport.bySource(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text")),
+          "source", "text", minWords = 10)
+        .orderBy(col("source"))
+    }),
+
+    // --- Language-mix rows of the card (r14): (source, lang,
+    //     n_docs); lang is null for unscoreable docs — they stay
+    //     countable in the composition table.
+    "docs_report_langs" -> ((s, dir) => {
+      graft.operators.CorpusReport.langBreakdown(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text")),
+          "source", "text")
+        .orderBy(col("source"), col("lang"))
     }),
 
     // --- Attribute-sidecar FILTERING (r14 — the consume half of
@@ -6705,66 +6802,7 @@ object SparkEntry {
     // the langid marker-hit argmax with cjk override and profile-order
     // tie break, and the composite score's CASE weights
     "docs_attributes" -> {
-      val sw = TextFunctions.stopwords.map(s => s"'$s'").mkString(", ")
-      val scoreSql = TextFunctions.langProfiles.map { case (lang, ms) =>
-        val hits = ms.map(m =>
-          s"(length(p) - length(replace(p, '$m', ''))) / ${m.length}")
-          .mkString(" + ")
-        s"$hits AS s_$lang"
-      }.mkString(",\n    ")
-      val langs = TextFunctions.langProfiles.map(_._1)
-      val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-      // the max alias must NOT collide with the m CTE below — s_de =
-      // m would resolve to the CTE's row struct
-      val pick = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
-      s"""WITH d AS (SELECT doc_id, text FROM documents),
-         |f AS (
-         |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
-         |    length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
-         |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS toks,
-         |    list_filter(string_split(lower(replace(replace(text, chr(10), ' '), chr(9), ' ')), ' '), x -> length(x) > 0) AS gtoks,
-         |    list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
-         |  FROM d WHERE text IS NOT NULL AND length(text) > 0),
-         |m AS (
-         |  SELECT doc_id, text, toks, p, cjk,
-         |    len(gtoks) AS nw,
-         |    CASE WHEN len(gtoks) > 0 THEN round(list_sum(list_transform(gtoks, x -> length(x)))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS mwl,
-         |    CASE WHEN len(gtoks) > 0 THEN round(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS alpha,
-         |    CASE WHEN len(gtoks) > 0 THEN round(((length(text) - length(replace(text, '...', ''))) / 3 + length(text) - length(replace(text, '#', '')))::DOUBLE / len(gtoks), 6) ELSE 0.0 END AS sym,
-         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS bullet,
-         |    CASE WHEN len(ls) > 0 THEN round(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…'))::DOUBLE / len(ls), 6) ELSE 0.0 END AS ell,
-         |    len(list_filter(gtoks, x -> list_contains([$sw], x))) AS nsw,
-         |    CASE WHEN len(toks) >= 2 THEN
-         |      round(1.0 - len(list_distinct(list_transform(range(1, len(toks)),
-         |        i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1), 6)
-         |    ELSE 0.0 END AS rep,
-         |    CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, x -> list_contains([$sw], x)))::DOUBLE / len(toks), 6) ELSE 0.0 END AS swr,
-         |    round((length(text) - length(regexp_replace(text, '\\p{P}', '', 'g')))::DOUBLE / length(text), 6) AS punct,
-         |    round((length(text) - length(regexp_replace(text, '[\\x{FFFD}\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}]', '', 'g')))::DOUBLE / length(text), 6) AS moji
-         |  FROM f),
-         |lng AS (
-         |  SELECT doc_id,
-         |    CASE WHEN cjk * 2 > length(text) THEN 'zh'
-         |         ELSE (CASE WHEN mx <= 0 THEN 'und' $pick ELSE 'und' END)
-         |    END AS lang
-         |  FROM (SELECT *, $maxExpr AS mx
-         |        FROM (SELECT doc_id, text, cjk, $scoreSql FROM m))),
-         |r AS (
-         |  SELECT m.doc_id, length(m.text) AS n_chars, len(m.toks) AS n_toks,
-         |    NOT (m.nw BETWEEN 10 AND 100000) AS f_words,
-         |    NOT (m.mwl BETWEEN 3.0 AND 10.0) AS f_mlen,
-         |    m.alpha < 0.8 AS f_alpha,
-         |    m.sym > 0.1 AS f_sym,
-         |    m.bullet > 0.9 AS f_bullet,
-         |    m.ell > 0.3 AS f_ell,
-         |    m.nsw < 2 AS f_sw,
-         |    m.rep, l.lang, m.swr, m.punct, m.moji,
-         |    round(CAST((CASE WHEN length(m.text) BETWEEN 100 AND 10000 THEN 1.0
-         |             WHEN length(m.text) > 0 THEN 0.5 ELSE 0.0 END) * 0.4 +
-         |          (CASE WHEN m.punct < 0.1 THEN 1.0 ELSE 0.5 END) * 0.3 +
-         |          (CASE WHEN m.swr > 0.05 THEN 1.0 ELSE 0.5 END) * 0.3
-         |          AS DOUBLE), 6) AS q
-         |  FROM m JOIN lng l USING (doc_id))
+      s"""${attributeSignalCtes("SELECT doc_id, text FROM documents")}
          |SELECT d.doc_id,
          |  CAST(r.n_chars AS INT) AS n_chars,
          |  CAST(r.n_toks AS INT) AS n_tokens,
@@ -6779,6 +6817,36 @@ object SparkEntry {
          |  r.moji AS mojibake_ratio, r.q AS quality_score
          |FROM d LEFT JOIN r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // the docs_corpus_report oracle: the identical signal CTE chain,
+    // wrapped in the per-source GROUP BY (gopher pass recomputed from
+    // the flag columns; the gate's minWords=10 matches the chain)
+    "docs_corpus_report" -> {
+      s"""${attributeSignalCtes("SELECT doc_id, source, text FROM documents")}
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r.n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unscoreable,
+         |  CAST(sum(r.n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(r.n_toks) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CASE WHEN NOT r.f_words AND NOT r.f_mlen AND NOT r.f_alpha
+         |    AND NOT r.f_sym AND NOT r.f_bullet AND NOT r.f_ell AND NOT r.f_sw
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |  count(DISTINCT r.lang) AS n_langs,
+         |  round(avg(r.q), 6) AS mean_quality
+         |FROM d LEFT JOIN r USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
+    },
+
+    // the docs_report_langs oracle: the language-mix rows — lang null
+    // for unscoreable docs (they stay countable)
+    "docs_report_langs" -> {
+      s"""${attributeSignalCtes("SELECT doc_id, source, text FROM documents")}
+         |SELECT d.source, r.lang, count(*) AS n_docs
+         |FROM d LEFT JOIN r USING (doc_id)
+         |GROUP BY d.source, r.lang
+         |ORDER BY d.source, r.lang""".stripMargin
     },
 
     // the text_robots_meta oracle: per-host metadata literals —

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-card corpus reporting (r14) — the per-SOURCE aggregate
+  * view of the per-DOC signals in [[Attributes]]: every released
+  * corpus ships a composition table (docs / tokens / quality /
+  * language mix per source), and at 100 TB it is also the
+  * OPERATIONAL view — a source whose gopher-pass rate collapses
+  * between crawl snapshots is a scraper regression, caught here
+  * before a mixer consumes it.
+  *
+  * Both surfaces are ONE partial-aggregated `groupBy` over the
+  * signal projection ([[Attributes.qualityAttributesTable]] — a pure
+  * per-row scan): map-side combine reduces each partition to
+  * #sources rows before the shuffle, so the exchange is
+  * sources-sized, never corpus-sized. No window, no join, no
+  * collect.
+  *
+  * Reference has no curation surface (fever_multi_agent.py is
+  * query-only); pipeline scope per BASELINE.json.
+  */
+object CorpusReport {
+
+  /** One dataset-card row per source: doc/char/token volume,
+    * unscoreable (null/empty text) count, gopher-pass count,
+    * distinct identified languages, mean quality (round-6 — the
+    * signal's own rounding discipline).
+    */
+  def bySource(df: DataFrame, sourceCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    Attributes.qualityAttributesTable(df, textCol, minWords, maxWords)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+          .as("n_unscoreable"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L))
+          .as("n_gopher_pass"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("quality_score")), 6).as("mean_quality"))
+
+  /** The language-mix rows of the card: (source, lang, n_docs) —
+    * lang is null for unscoreable docs (they stay countable).
+    */
+  def langBreakdown(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    Attributes.qualityAttributesTable(df, textCol)
+      .groupBy(col(sourceCol).as("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CorpusReport
+
+class CorpusReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a", "the quick brown fox jumps over the lazy dog and then " +
+      "the fox sleeps all day long in the warm sun with friends"),
+    (2L, "a", null: String),
+    (3L, "a", ""),
+    (4L, "b", "und zwar der die das und nicht mit sich auch auf eine " +
+      "der die das und der die das mit sich auch"))
+    .toDF("doc_id", "source", "text")
+
+  test("bySource: unscoreable rows counted but excluded from signal " +
+      "sums; volumes exact per source") {
+    val rows = CorpusReport.bySource(docs, "source", "text",
+        minWords = 5).orderBy("source").collect()
+    assert(rows.length === 2)
+    val a = rows(0)
+    assert(a.getString(0) === "a")
+    assert(a.getLong(1) === 3L)     // n_docs includes null + empty
+    assert(a.getLong(2) === 2L)     // both unscoreable
+    assert(a.getLong(4) === 23L)    // sum_tokens: scoreable doc only
+    assert(a.getLong(6) === 1L)     // n_langs: one identified language
+    val b = rows(1)
+    assert(b.getString(0) === "b" && b.getLong(1) === 1L &&
+      b.getLong(2) === 0L)
+  }
+
+  test("langBreakdown: null-lang group carries the unscoreable docs") {
+    val rows = CorpusReport.langBreakdown(docs, "source", "text")
+      .orderBy("source", "lang").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+    assert(rows.count(_._1 == "a") === 2) // null group + en
+    assert(rows.contains(("a", null, 2L)))
+    assert(rows.filter(_._1 == "b").map(_._2).toSeq === Seq("de"))
+  }
+
+  test("report is one partial-aggregated groupBy: no window, no " +
+      "SinglePartition stage") {
+    val plan = CorpusReport.bySource(docs, "source", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("partial"))
+  }
+}
