@@ -3310,6 +3310,51 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- WordPiece training (r14 — the BERT-family member completing
+    //     the subword trio): merges ranked by LIKELIHOOD score
+    //     count(lr)/(count(l)·count(r)), which INVERTS BPE's
+    //     frequency order among exclusive pairs (score = 1/count) —
+    //     the plant pins exactly that: "ab"×(4+id%2) is the most
+    //     frequent word yet (a,##b) merges LAST; the rarer exclusive
+    //     (c,##d) first; the shared-e pair (e,##f) beats its tie twin
+    //     (e,##g) lexicographically and the e-count drop re-scores
+    //     (e,##g) above (a,##b). The oracle computes every count and
+    //     score from the id formulas.
+    "text_wordpiece_merges" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('ab ', CAST(doc_id % 2 + 4 AS INT))"),
+            lit("cd ef eg")).as("text"))
+      operators.WordPiece.train(corpus, "text", numMerges = 4)
+        .select(col("rank"), col("left"), col("right"), col("merged"),
+          col("pair_count"), round(col("score"), 8).as("score"))
+        .orderBy(col("rank"))
+    }),
+
+    // --- WordPiece encoding (r14): greedy longest-match-first with
+    //     ## continuation over the learned vocab — full pieces
+    //     ("ab", "cd"), longest-prefix stops ("cdc" → cd ##c,
+    //     "abd" → ab ##d), char fallback in reverse order ("dcba"),
+    //     and the BERT whole-word [UNK] rule for out-of-alphabet
+    //     words ("xq", odd ids' "q2" digit mix). Closed-form per id.
+    "text_wordpiece" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(expr("repeat('ab ', CAST(doc_id % 2 + 4 AS INT))"),
+            lit("cd ef eg")).as("text"))
+      val merges = operators.WordPiece.train(corpus, "text", numMerges = 4)
+      val pieces = operators.WordPiece.vocab(corpus, "text", merges)
+      val eval = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(lit("ab cd cdc abd dcba xq"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, lit(" eg ef"))
+              .otherwise(lit(" qqq"))).as("text"))
+      operators.WordPiece.withWordpieceTokens(eval, "text", pieces, "toks")
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          array_join(col("toks"), " ").as("tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- BPE encoding (r12): the learned table applied back to the
     //     corpus through the broadcast min-rank apply loop. The plant
     //     makes every apply path closed-form: full merges ("ab",
@@ -7059,6 +7104,32 @@ object SparkEntry {
         |  repeat('ab ', CAST(doc_id % 3 + 1 AS INT)) ||
         |    repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT)) ||
         |    'e f abd cd c f e' AS tokens
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // the text_wordpiece_merges oracle: every count and likelihood
+    // score from the id formulas — the rarer exclusive pair (c,##d)
+    // at 1/n beats the frequent (a,##b) at 1/cab (the BPE inversion),
+    // the (e,##f)/(e,##g) tie breaks on "right", and merging ef drops
+    // the e-count so (e,##g) re-scores to 1/n
+    "text_wordpiece_merges" ->
+      """WITH c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(doc_id % 2 + 4) AS BIGINT) AS cab
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT CAST(0 AS INT) AS rank, 'c' AS "left", '##d' AS "right",
+        |  'cd' AS merged, n AS pair_count, round(1.0 / n, 8) AS score FROM c
+        |UNION ALL SELECT 1, 'e', '##f', 'ef', n, round(1.0 / (2 * n), 8) FROM c
+        |UNION ALL SELECT 2, 'e', '##g', 'eg', n, round(1.0 / n, 8) FROM c
+        |UNION ALL SELECT 3, 'a', '##b', 'ab', cab, round(1.0 / cab, 8) FROM c
+        |ORDER BY rank""".stripMargin,
+
+    // the text_wordpiece oracle: the greedy longest-match encode
+    // restated closed-form per id parity
+    "text_wordpiece" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 13 ELSE 12 END AS INT) AS n_tokens,
+        |  'ab cd cd ##c ab ##d d ##c ##b ##a [UNK]' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ' eg ef' ELSE ' [UNK]' END AS tokens
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
 
     // the text_nb_quality oracle: the WHOLE NB pipeline replayed —

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** WordPiece tokenizer (r14) — the BERT-family member completing the
+  * subword trio next to [[Bpe]] (frequency-merge) and [[Unigram]]
+  * (EM-prune): training greedily merges the pair with the highest
+  * LIKELIHOOD gain, score(l, r) = count(lr) / (count(l) · count(r))
+  * (Schuster & Nakajima 2012; the published BERT recipe), and
+  * encoding is greedy longest-match-first with `##` continuation
+  * pieces.
+  *
+  * The score is the semantic split from BPE and the thing the gate
+  * pins: two exclusive symbols score count/(count·count) = 1/count,
+  * so among exclusive pairs the RARER one merges FIRST — the exact
+  * inversion of BPE's frequency order. A frequency-merge bug cannot
+  * hash green against the likelihood oracle.
+  *
+  * Scale design (the [[Bpe]] discipline verbatim): training runs on
+  * the distinct-word histogram (one corpus-scale pass, Heaps-law
+  * sized); each merge is one pair-count aggregation joined with the
+  * symbol-count aggregation — both vocab-sized — and a bounded
+  * 1-row argmax collect; encoding broadcasts the vocab and maps
+  * per-partition.
+  *
+  * Semantics (pinned in WordPieceSpec):
+  *  - pre-tokens are [[TextFunctions.bpePattern]] matches of the
+  *    lowercased text (the char-level family's pre-tokenizer);
+  *  - word symbols are first char + `##`-prefixed rest; a merge
+  *    yields l + r-sans-`##` (so `##a`+`##b` = `##ab`);
+  *  - argmax ties break score desc, then (left, right) lexicographic
+  *    — deterministic across runs and engines;
+  *  - encoding consumes the longest vocab piece at each position
+  *    (`##`-form after the first); if any position has NO match the
+  *    WHOLE word becomes `[UNK]` (the BERT rule — a half-tokenized
+  *    word is worse than an unknown).
+  */
+object WordPiece {
+
+  val Unk = "[UNK]"
+
+  /** Symbolize a word the WordPiece way. */
+  private[graft] def symbolize(w: String): Array[String] =
+    w.zipWithIndex.map { case (ch, i) =>
+      if (i == 0) ch.toString else "##" + ch
+    }.toArray
+
+  private[graft] def mergedPiece(l: String, r: String): String =
+    l + (if (r.startsWith("##")) r.substring(2) else r)
+
+  /** Merge all leftmost non-overlapping (l, r) adjacencies into
+    * [[mergedPiece]].
+    */
+  private[graft] def mergePair(s: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+        out += mergedPiece(l, r); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` merges. Returns (rank, left, right, merged,
+    * pair_count, score) in rank order; stops early when no remaining
+    * pair reaches `minCount` occurrences.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, sampleFraction: Double = 1.0): DataFrame = {
+    require(numMerges > 0, s"numMerges $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist0 = Bpe.wordHistogram(df, textCol)
+    val hist =
+      if (sampleFraction >= 1.0) hist0
+      else hist0.filter(pmod(xxhash64(col("word")), lit(1000000L)) <
+        (sampleFraction * 1000000L).toLong)
+    var words = hist.as[(String, Long)]
+      .map { case (w, c) => (symbolize(w), c) }
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Double)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // symbol and pair counts from the SAME snapshot of the words
+      // table — both vocab-sized aggregates
+      val syms = words.flatMap { case (s, c) => s.iterator.map(_ -> c) }
+        .toDF("sym", "c").groupBy(col("sym")).agg(sum(col("c")).as("scnt"))
+      val top = words
+        .flatMap { case (s, c) =>
+          if (s.length < 2) Iterator.empty
+          else s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, c))
+        }
+        .toDF("l", "r", "c")
+        .groupBy(col("l"), col("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .join(syms.select(col("sym").as("l"), col("scnt").as("lc")), "l")
+        .join(syms.select(col("sym").as("r"), col("scnt").as("rc")), "r")
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt").cast("double") /
+            (col("lc").cast("double") * col("rc").cast("double")))
+            .as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1) // bounded single-row collect — the argmax
+        .collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minCount =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((rank, l, r, mergedPiece(l, r), row.getLong(2),
+            row.getDouble(3)))
+          val prev = words
+          val mapped = prev.map { case (s, c) => (mergePair(s, l, r), c) }
+          words = if (rank % 8 == 7) mapped.localCheckpoint(true)
+            else { val p = mapped.persist(); p.count(); p }
+          prev.unpersist()
+          rank += 1
+        case _ => exhausted = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count",
+      "score")
+  }
+
+  /** The encode vocabulary: every single-char piece of the corpus
+    * alphabet (both word-initial and `##` forms) plus the learned
+    * merged pieces — driver-side, vocab-sized (the [[Bpe.rankMap]]
+    * status).
+    */
+  def vocab(df: DataFrame, textCol: String, merges: DataFrame): Set[String] = {
+    val chars = df.select(explode(split(lower(col(textCol)), ""))
+        .as("ch"))
+      .filter(length(col("ch")) === 1)
+      .distinct().collect().map(_.getString(0))
+    val base = chars.flatMap(c => Seq(c, "##" + c)).toSet
+    base ++ merges.select(col("merged")).collect().map(_.getString(0))
+  }
+
+  /** Greedy longest-match-first encode of one pre-token; any
+    * unmatchable position makes the whole word [[Unk]].
+    */
+  private[graft] def encodeWord(word: String,
+      vocab: Set[String]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      var j = word.length
+      var piece: String = null
+      while (piece == null && j > i) {
+        val cand =
+          (if (i == 0) "" else "##") + word.substring(i, j)
+        if (vocab.contains(cand)) piece = cand else j -= 1
+      }
+      if (piece == null) return Array(Unk)
+      out += piece
+      i = j
+    }
+    out.toArray
+  }
+
+  /** Append `outCol`: the WordPiece token array of `textCol` under
+    * `pieces` (null text → null). Vocab broadcasts; narrow
+    * per-partition map.
+    */
+  def withWordpieceTokens(df: DataFrame, textCol: String,
+      pieces: Set[String], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(StringType), nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val bc = spark.sparkContext.broadcast(pieces)
+    val pattern = TextFunctions.bpePattern.r
+    df.mapPartitions { it =>
+      val v = bc.value
+      it.map { r =>
+        val t = r.get(idx)
+        val toks: Seq[String] =
+          if (t == null) null
+          else pattern
+            .findAllIn(t.asInstanceOf[String].toLowerCase(java.util.Locale.ROOT))
+            .flatMap(w => encodeWord(w, v)).toSeq
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+}

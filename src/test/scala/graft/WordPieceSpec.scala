@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.WordPiece
+
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("symbolize and mergedPiece: ## continuation discipline") {
+    assert(WordPiece.symbolize("abc").toSeq === Seq("a", "##b", "##c"))
+    assert(WordPiece.mergedPiece("a", "##b") === "ab")
+    assert(WordPiece.mergedPiece("##a", "##b") === "##ab")
+    assert(WordPiece.mergePair(
+      Array("a", "##b", "##a", "##b"), "##a", "##b").toSeq ===
+      Seq("a", "##b", "##ab"))
+  }
+
+  test("train: likelihood score inverts BPE frequency order — the " +
+      "rare exclusive pair merges before the frequent one") {
+    // "ab" 10x, "cd" 2x: BPE would merge (a,##b) first; WordPiece
+    // scores 1/10 vs 1/2 and must pick (c,##d)
+    val docs = Seq((1L, ("ab " * 10) + "cd cd")).toDF("id", "text")
+    val m = WordPiece.train(docs, "text", numMerges = 2)
+      .orderBy("rank")
+      .select("left", "right", "merged", "pair_count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq(
+      ("c", "##d", "cd", 2L), ("a", "##b", "ab", 10L)))
+  }
+
+  test("train: denominator uses CURRENT symbol counts — a shared " +
+      "symbol re-scores after its other pair merges") {
+    // e appears in both ef and eg (4x each): both score 1/8; after
+    // (e,##f) wins the tie, e's count halves and (e,##g) scores 1/4
+    val docs = Seq((1L, "ef ef ef ef eg eg eg eg ab ab ab ab ab ab " +
+      "ab ab ab ab ab ab ab ab ab ab")).toDF("id", "text")
+    val m = WordPiece.train(docs, "text", numMerges = 3)
+      .orderBy("rank").select("merged", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(m.map(_._1).toSeq === Seq("ef", "eg", "ab"))
+    assert(math.abs(m(0)._2 - 4.0 / (8 * 4)) < 1e-12)
+    assert(math.abs(m(1)._2 - 4.0 / (4 * 4)) < 1e-12)
+  }
+
+  test("encodeWord: greedy longest match, ## after first position, " +
+      "whole-word [UNK] on any unmatchable position") {
+    val v = Set("a", "##a", "b", "##b", "c", "##c", "d", "##d",
+      "ab", "cd")
+    assert(WordPiece.encodeWord("ab", v).toSeq === Seq("ab"))
+    assert(WordPiece.encodeWord("cdc", v).toSeq === Seq("cd", "##c"))
+    assert(WordPiece.encodeWord("dcba", v).toSeq ===
+      Seq("d", "##c", "##b", "##a"))
+    // 'x' unmatchable mid-word: the WHOLE word is [UNK], not [a, ?]
+    assert(WordPiece.encodeWord("axb", v).toSeq === Seq(WordPiece.Unk))
+  }
+
+  test("withWordpieceTokens: null text carries null; vocab includes " +
+      "corpus chars in both forms") {
+    val corpus = Seq((1L, "ab ab cd")).toDF("id", "text")
+    val merges = WordPiece.train(corpus, "text", numMerges = 1)
+    val pieces = WordPiece.vocab(corpus, "text", merges)
+    assert(pieces.contains("a") && pieces.contains("##a"))
+    val eval = Seq((1L, "ba dc"), (2L, null: String)).toDF("id", "text")
+    val rows = WordPiece.withWordpieceTokens(eval, "text", pieces, "t")
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[String](2) === Seq("b", "##a", "d", "##c"))
+    assert(rows(1).isNullAt(2))
+  }
+}
