@@ -2090,6 +2090,43 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // --- WET curation pipeline, composed (r14 — the realistic
+    //     CC-snapshot front half in ONE lazy plan): WET parse (%19
+    //     corrupt payloads drop) → URL canonicalization (three raw
+    //     spellings per page group — cased www authority, explicit
+    //     :443, tracking param + fragment — must collapse) → quality
+    //     attributes → the standard recipe filter (gopher pass +
+    //     langid en) → same-page exact dedup on the canonical URL
+    //     (min doc_id representative). The oracle composes the
+    //     attribute CTE chain with the closed-form canonical formula
+    //     and the min-id window.
+    "pipeline_wet" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val payloads = graft.sources.WetWat.synthesizeWetDocs(
+        docs, "doc_id", "text",
+        uriFor = id => {
+          val k = id / 3
+          (id % 3) match {
+            case 0 => s"https://WWW.Ex.com/p?id=$k"
+            case 1 => s"https://ex.com:443/p?id=$k"
+            case _ => s"https://ex.com/p?id=$k&utm_source=news#frag"
+          }
+        })
+      val recs = graft.sources.WetWat.wetFromColumn(
+          payloads, "doc_id", "payload", lenient = true)
+        .select(col("doc_id"),
+          TextFunctions.canonicalUrl(col("target_uri")).as("canon_url"),
+          col("text"))
+      val attrs = graft.operators.Attributes.qualityAttributesTable(
+          recs, "text", minWords = 10)
+        .filter(col("gopher_pass") && col("lang") === "en")
+        .select(col("doc_id"), col("canon_url"), col("n_tokens"))
+      Dedup.exactDedup(attrs, "doc_id", "canon_url")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Crawl-to-corpus composition (r12 — the whole ingestion
     //     chain as ONE lazy plan): WARC walk → HTTP strip →
     //     stripHtml → PII redaction → exact corpus dedup. Plants:
@@ -6103,6 +6140,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id < 120 AND doc_id % 19 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the pipeline_wet oracle: every stage twin composed — the WET
+    // fixture's corrupt drop, the canonical URL as a closed-form
+    // formula (independent derivation from the canonicalization
+    // rules), the attribute CTE chain for gopher + langid, the
+    // min-id same-page window
+    "pipeline_wet" -> {
+      val base = "SELECT doc_id, text FROM documents WHERE text IS " +
+        "NOT NULL AND doc_id < 150 AND doc_id % 19 <> 0"
+      s"""${attributeSignalCtes(base)},
+         |u AS (
+         |  SELECT d.doc_id,
+         |    'https://ex.com/p?id=' || (d.doc_id // 3) AS canon_url,
+         |    r.n_toks, r.lang,
+         |    (NOT r.f_words AND NOT r.f_mlen AND NOT r.f_alpha
+         |     AND NOT r.f_sym AND NOT r.f_bullet AND NOT r.f_ell
+         |     AND NOT r.f_sw) AS gpass
+         |  FROM d JOIN r USING (doc_id)),
+         |flt AS (SELECT * FROM u WHERE gpass AND lang = 'en'),
+         |w AS (SELECT *, min(doc_id) OVER (PARTITION BY canon_url) AS keeper
+         |      FROM flt)
+         |SELECT doc_id, canon_url, CAST(n_toks AS INT) AS n_tokens
+         |FROM w WHERE doc_id = keeper ORDER BY doc_id""".stripMargin
+    },
 
     // the docs_wet_shards oracle: shard file from the id hash, URI
     // from the id, no language header on export, text md5

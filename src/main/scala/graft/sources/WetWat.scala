@@ -118,7 +118,8 @@ object WetWat {
     * parse yields zero records).
     */
   def synthesizeWetDocs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      uriFor: Long => String = id => s"https://ex.com/doc/$id"): DataFrame = {
     val spark = docs.sparkSession
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -134,7 +135,7 @@ object WetWat {
         if (id % 5 == 0) null else if (id % 2 == 0) "eng" else "deu"
       val info = Warc.buildRecord("warcinfo", "",
         "software: graft\r\n".getBytes(StandardCharsets.UTF_8))
-      val conv = buildConversion(s"https://ex.com/doc/$id", text, lang)
+      val conv = buildConversion(uriFor(id), text, lang)
       val bytes =
         if (id % 2 == 0) info ++ conv
         else Warc.gzipMembers(Seq(info, conv))
