@@ -2655,6 +2655,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("entry_idx"))
     }),
 
+    // --- Crawl-frontier builder, composed (r14): per-host sitemap +
+    //     robots.txt → the deduped, policy-filtered URL frontier in
+    //     ONE lazy plan. Each host lists every page TWICE (clean +
+    //     XML-escaped tracking-param spelling — the protocol mandates
+    //     entity escaping) so canonicalization must collapse them;
+    //     even hosts' robots disallow /p/0 (the page-0 rows drop),
+    //     odd hosts carry the empty-Disallow allow-all form. Output
+    //     is one (surt_key, url) row per allowed page, SURT-ordered —
+    //     the key layout a 100 TB frontier range-scans on. The
+    //     oracle restates the surviving frontier closed-form.
+    "pipeline_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = Tables.documents(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id")).as[Long]
+        .map { h =>
+          val cnt = (h % 4 + 3).toInt
+          val entries = (0 until cnt).flatMap { j =>
+            Seq(s"<url><loc>https://h$h.ex.com/p/$j</loc></url>",
+              s"<url><loc>https://h$h.ex.com/p/$j" +
+                "?utm_source=news&amp;utm_medium=x</loc></url>")
+          }.mkString
+          val robots =
+            if (h % 2 == 0) "User-agent: *\nDisallow: /p/0\n"
+            else "User-agent: *\nDisallow:\n"
+          (h, s"h$h.ex.com",
+            s"""<?xml version="1.0"?><urlset>$entries</urlset>""", robots)
+        }.toDF("host_id", "host", "xml", "robots")
+      val entries = graft.sources.Sources.withSitemapEntries(
+          hosts.select(col("host_id"), col("host"), col("xml")), "xml")
+        .filter(col("entry_loc").isNotNull)
+        .select(col("host_id"),
+          TextFunctions.canonicalUrl(col("entry_loc")).as("url"))
+      val rules = graft.operators.UrlPolicy.parseRobots(
+        hosts.select(col("host"), col("robots")), "host", "robots")
+      graft.operators.UrlPolicy.applyRobots(entries, "url", rules)
+        .filter(col("robots_allow"))
+        .select(TextFunctions.surtKey(col("url")).as("surt_key"),
+          col("url"))
+        .distinct()
+        .orderBy(col("surt_key"))
+    }),
+
     // --- MediaWiki dump → per-page rows (r14 — the Wikipedia-dump
     //     corpus source; the reference's own FEVER corpus is cut from
     //     these dumps): dumps plant per doc_id (page count cycling
@@ -6524,6 +6566,20 @@ object SparkEntry {
         |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // the pipeline_frontier oracle: the surviving frontier restated
+    // closed-form — per host the page range, minus page 0 on
+    // even-host robots, one row per page (the two sitemap spellings
+    // collapse), SURT-keyed and SURT-ordered
+    "pipeline_frontier" ->
+      """WITH d AS (
+        |  SELECT doc_id AS h, unnest(range(doc_id % 4 + 3)) AS j
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT 'com,ex,h' || h || ')/p/' || j AS surt_key,
+        |  'https://h' || h || '.ex.com/p/' || j AS url
+        |FROM d
+        |WHERE NOT (h % 2 = 0 AND j = 0)
+        |ORDER BY surt_key""".stripMargin,
 
     // the docs_wikidump oracle: every expected page row rebuilt
     // closed-form from the planted recipe (the docs_feed shape);
