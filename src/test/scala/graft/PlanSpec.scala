@@ -363,4 +363,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"the prune must not be a pairwise join:\n${p.take(900)}")
   }
+
+  test("r14 wave-7 shapes: docs_secrets is scan → projection (only the " +
+      "presentation sort); docs_wet/docs_wat stay NARROW; pipeline_wet " +
+      "adds exactly the dedup window's shuffle, never a payload join; " +
+      "docs_corpus_report is one partial-aggregated groupBy") {
+    for (q <- Seq("docs_secrets", "docs_wet", "docs_wat")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q grew shuffles:\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(900)}")
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(900)}")
+    }
+    val pw = plan("pipeline_wet")
+    assert(!pw.contains("Join"), pw.take(900))
+    assert(pw.contains("Window"), "exact dedup's min-id window must exist")
+    assert(!pw.contains("SinglePartition"), pw.take(900))
+    val pr = plan("docs_corpus_report")
+    assert(pr.contains("partial"),
+      s"report must map-side combine:\n${pr.take(900)}")
+    assert(!pr.contains("Window") && !pr.contains("Join"), pr.take(900))
+  }
+
+  test("pipeline_frontier: the robots decision joins per DISTINCT " +
+      "(host, path) and the sitemap explode stays narrow — no " +
+      "cartesian product, no SinglePartition stage") {
+    val p = plan("pipeline_frontier")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("SinglePartition"), p.take(900))
+  }
 }
