@@ -2262,6 +2262,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- TFRecord round trip (r14 — the tf.train.Example export the
+    //     TensorFlow side of a training stack consumes, framing and
+    //     proto wire format both from scratch): write the documents
+    //     slice as framed Examples (masked-CRC32C records, sorted
+    //     feature keys), read back under the DECLARED schema (the
+    //     format carries none), hash against the raw table.
+    //     TfRecordSpec pins the hand-assembled wire bytes and the
+    //     public crc32c check vector.
+    "docs_tfrecord" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val path = gateIndexPath(dir, "tfrecord_gate")
+      graft.sources.TfRecord.writeTfRecords(docs, path)
+      graft.sources.TfRecord.readTfRecords(s, s"$path/*.tfrecord",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- TFRecord float-list round trip (r14): embeddings through
+    //     the packed FloatList encoding — float32 bits must survive
+    //     exactly (the proto carrier IS float32, so no precision is
+    //     lost on this path; DoubleType refuses at schema time).
+    "vec_tfrecord" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val path = gateIndexPath(dir, "tfrecord_vec_gate")
+      graft.sources.TfRecord.writeTfRecords(vecs, path)
+      graft.sources.TfRecord.readTfRecords(s, s"$path/*.tfrecord",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)))))
+        .orderBy(col("vec_id"))
+    }),
+
     "docs_jsonl_gz" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("doc_id") < 300)
@@ -6289,6 +6333,18 @@ object SparkEntry {
     "docs_avro" ->
       """SELECT doc_id, text, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the docs_tfrecord oracle: the framed-Example round trip must
+    // reproduce the raw table slice exactly
+    "docs_tfrecord" ->
+      """SELECT doc_id, text, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the vec_tfrecord oracle: float32 bits must survive the packed
+    // FloatList round trip exactly
+    "vec_tfrecord" ->
+      """SELECT vec_id, embedding
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
 
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
     "docs_jsonl_gz" ->

@@ -1,0 +1,426 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** TFRecord + `tf.train.Example` (r14) — the export format
+  * TensorFlow-side training stacks consume, implemented from scratch
+  * against the two public layouts:
+  *
+  *  - **TFRecord framing**: per record, an 8-byte little-endian
+  *    length, the masked CRC32C of those length bytes, the payload,
+  *    and the masked CRC32C of the payload. The mask is the
+  *    documented `rotr(crc, 15) + 0xa282ead8`; CRC32C (Castagnoli)
+  *    comes from the JDK's own `java.util.zip.CRC32C`, pinned in
+  *    TfRecordSpec against the public `crc32c("123456789") =
+  *    0xe3069283` test vector.
+  *  - **`tf.train.Example` wire format**: a protobuf message tree
+  *    (Example → Features → map<string, Feature> → BytesList /
+  *    FloatList / Int64List), encoded and decoded by a minimal
+  *    varint/wire reader-writer here — no protobuf dependency. The
+  *    writer emits map entries in SORTED key order (protobuf leaves
+  *    map order unspecified; fixing it makes shard bytes
+  *    deterministic); the reader skips unknown fields by wire type,
+  *    so files with extra feature kinds degrade per-field, not
+  *    per-file.
+  *
+  * Schema surface (fail-closed, the Avro discipline): long / string
+  * / binary / float / array<long> / array<float>. Int64List and
+  * FloatList are the proto's only numeric carriers — doubles would
+  * silently lose precision, so DoubleType REFUSES at schema time
+  * rather than quietly narrowing. Missing features read as null;
+  * null values write as an ABSENT feature (the TF convention).
+  *
+  * Scale shape: TFRecord has no sync marker, so files are not
+  * splittable — parallelism is file-per-task (the gzip-JSONL
+  * stance), and the writer shards one `.tfrecord` per partition with
+  * the task-attempt-rename commit. Size partitions upstream so one
+  * shard is a sensible task.
+  */
+object TfRecord {
+
+  // ------------------------------------------------------- framing
+
+  private def maskedCrc(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C()
+    c.update(bytes, off, len)
+    Integer.rotateRight(c.getValue.toInt, 15) + 0xa282ead8
+  }
+
+  /** One framed record: length, masked length-crc, data, masked
+    * data-crc (all little-endian).
+    */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(16 + data.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putLong(data.length.toLong)
+    out.putInt(maskedCrc(out.array(), 0, 8))
+    out.put(data)
+    out.putInt(maskedCrc(data, 0, data.length))
+    out.array()
+  }
+
+  /** Walk framed records in `bytes`. Strict by default (CRC mismatch,
+    * truncation, or oversize length throws); `lenient` stops cleanly
+    * at the first damage — records before it survive (the WARC
+    * salvage stance).
+    */
+  def parseFrames(bytes: Array[Byte],
+      lenient: Boolean = false): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pos = 0
+      private var nextRec: Array[Byte] = null
+      private var done = false
+
+      private def fail(msg: String): Unit =
+        if (lenient) done = true
+        else throw new IllegalArgumentException(s"corrupt tfrecord: $msg")
+
+      private def advance(): Unit = {
+        if (pos >= bytes.length) { done = true; return }
+        if (pos + 12 > bytes.length) { fail("truncated header"); return }
+        val bb = ByteBuffer.wrap(bytes, pos, 12)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val len = bb.getLong
+        val lenCrc = bb.getInt
+        if (maskedCrc(bytes, pos, 8) != lenCrc) {
+          fail("length crc mismatch"); return
+        }
+        if (len < 0 || len > Int.MaxValue - 16 ||
+            pos + 12 + len + 4 > bytes.length) {
+          fail(s"bad length $len"); return
+        }
+        val data = java.util.Arrays.copyOfRange(
+          bytes, pos + 12, pos + 12 + len.toInt)
+        val dataCrc = ByteBuffer.wrap(bytes, pos + 12 + len.toInt, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (maskedCrc(data, 0, data.length) != dataCrc) {
+          fail("data crc mismatch"); return
+        }
+        pos += 12 + len.toInt + 4
+        nextRec = data
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  // ------------------------------------- minimal proto wire codec
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def writeLenDelim(out: ByteArrayOutputStream, field: Int,
+      payload: Array[Byte]): Unit = {
+    writeVarint(out, (field << 3) | 2)
+    writeVarint(out, payload.length.toLong)
+    out.write(payload)
+  }
+
+  /** Encode one Feature message for a Spark value of `dt`. */
+  private def encodeFeature(dt: DataType, v: Any): Array[Byte] = {
+    val list = new ByteArrayOutputStream()
+    val kindField = dt match {
+      case LongType =>
+        val packed = new ByteArrayOutputStream()
+        writeVarint(packed, v.asInstanceOf[Long])
+        writeLenDelim(list, 1, packed.toByteArray) // packed int64s
+        3
+      case ArrayType(LongType, _) =>
+        val packed = new ByteArrayOutputStream()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(x => writeVarint(packed, x.asInstanceOf[Long]))
+        writeLenDelim(list, 1, packed.toByteArray)
+        3
+      case FloatType =>
+        val packed = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        packed.putFloat(v.asInstanceOf[Float])
+        writeLenDelim(list, 1, packed.array())
+        2
+      case ArrayType(FloatType, _) =>
+        val s = v.asInstanceOf[scala.collection.Seq[Any]]
+        val packed = ByteBuffer.allocate(4 * s.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        s.foreach(x => packed.putFloat(x.asInstanceOf[Float]))
+        writeLenDelim(list, 1, packed.array())
+        2
+      case StringType =>
+        writeLenDelim(list, 1,
+          v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+        1
+      case BinaryType =>
+        writeLenDelim(list, 1, v.asInstanceOf[Array[Byte]])
+        1
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported spark type $other for tf.Example — int64/" +
+            "float/bytes lists are the proto's only carriers " +
+            "(DoubleType would silently narrow; cast explicitly)")
+    }
+    val feat = new ByteArrayOutputStream()
+    writeLenDelim(feat, kindField, list.toByteArray)
+    feat.toByteArray
+  }
+
+  /** Encode one row as a `tf.train.Example`, features in SORTED name
+    * order (deterministic bytes). Null values are ABSENT features.
+    */
+  def encodeExample(schema: StructType, row: Row): Array[Byte] = {
+    val features = new ByteArrayOutputStream()
+    schema.fields.zipWithIndex.sortBy(_._1.name).foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val entry = new ByteArrayOutputStream()
+        writeLenDelim(entry, 1,
+          f.name.getBytes(StandardCharsets.UTF_8))       // key
+        writeLenDelim(entry, 2, encodeFeature(f.dataType, row.get(i)))
+        writeLenDelim(features, 1, entry.toByteArray)    // map entry
+      }
+    }
+    val example = new ByteArrayOutputStream()
+    writeLenDelim(example, 1, features.toByteArray)      // Features
+    example.toByteArray
+  }
+
+  private final class WireReader(bytes: Array[Byte], var pos: Int,
+      val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var b = 0
+      do {
+        require(pos < end, "truncated varint")
+        b = bytes(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def lenDelim(): (Int, Int) = { // (offset, length)
+      val len = varint().toInt
+      require(len >= 0 && pos + len <= end, "truncated field")
+      val off = pos; pos += len; (off, len)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => require(pos + 8 <= end, "truncated fixed64"); pos += 8
+      case 2 => lenDelim()
+      case 5 => require(pos + 4 <= end, "truncated fixed32"); pos += 4
+      case w => throw new IllegalArgumentException(s"wire type $w")
+    }
+  }
+
+  /** Decode the value of feature `name` from an encoded Example under
+    * `dt`; null when the feature is absent. Unknown sibling fields
+    * skip by wire type.
+    */
+  private def decodeFeature(bytes: Array[Byte], name: String,
+      dt: DataType): Any = {
+    val top = new WireReader(bytes, 0, bytes.length)
+    var featuresSpan: (Int, Int) = null
+    while (top.hasMore) {
+      val tag = top.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) featuresSpan = top.lenDelim()
+      else top.skip((tag & 7).toInt)
+    }
+    if (featuresSpan == null) return null
+    val fr = new WireReader(bytes, featuresSpan._1,
+      featuresSpan._1 + featuresSpan._2)
+    while (fr.hasMore) {
+      val tag = fr.varint()
+      if ((tag >> 3) == 1 && (tag & 7) == 2) {
+        val (eOff, eLen) = fr.lenDelim()
+        val er = new WireReader(bytes, eOff, eOff + eLen)
+        var key: String = null
+        var featSpan: (Int, Int) = null
+        while (er.hasMore) {
+          val t = er.varint()
+          (t >> 3, t & 7) match {
+            case (1, 2) =>
+              val (o, l) = er.lenDelim()
+              key = new String(bytes, o, l, StandardCharsets.UTF_8)
+            case (2, 2) => featSpan = er.lenDelim()
+            case (_, w) => er.skip(w.toInt)
+          }
+        }
+        if (key == name && featSpan != null)
+          return decodeKind(bytes, featSpan._1, featSpan._2, dt)
+      } else fr.skip((tag & 7).toInt)
+    }
+    null
+  }
+
+  private def decodeKind(bytes: Array[Byte], off: Int, len: Int,
+      dt: DataType): Any = {
+    val r = new WireReader(bytes, off, off + len)
+    var span: (Int, Int) = null
+    var kind = -1
+    while (r.hasMore) {
+      val tag = r.varint()
+      if ((tag & 7) == 2 && (tag >> 3) >= 1 && (tag >> 3) <= 3) {
+        kind = (tag >> 3).toInt; span = r.lenDelim()
+      } else r.skip((tag & 7).toInt)
+    }
+    if (span == null) return null
+    val lr = new WireReader(bytes, span._1, span._1 + span._2)
+    // the value list payload: field 1 inside BytesList/FloatList/
+    // Int64List (packed for the numeric kinds)
+    dt match {
+      case LongType =>
+        require(kind == 3, s"feature kind $kind, schema wants int64")
+        var out: Any = null
+        while (lr.hasMore) {
+          val t = lr.varint()
+          if ((t >> 3) == 1 && (t & 7) == 2) {
+            val (o, l) = lr.lenDelim()
+            val vr = new WireReader(bytes, o, o + l)
+            if (vr.hasMore) out = vr.varint()
+          } else if ((t >> 3) == 1 && (t & 7) == 0) {
+            out = lr.varint() // unpacked form
+          } else lr.skip((t & 7).toInt)
+        }
+        out
+      case ArrayType(LongType, _) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (lr.hasMore) {
+          val t = lr.varint()
+          if ((t >> 3) == 1 && (t & 7) == 2) {
+            val (o, l) = lr.lenDelim()
+            val vr = new WireReader(bytes, o, o + l)
+            while (vr.hasMore) acc += vr.varint()
+          } else if ((t >> 3) == 1 && (t & 7) == 0) {
+            acc += lr.varint()
+          } else lr.skip((t & 7).toInt)
+        }
+        acc.toSeq
+      case FloatType =>
+        require(kind == 2, s"feature kind $kind, schema wants float")
+        val acc = readFloats(bytes, lr)
+        if (acc.isEmpty) null else acc.head
+      case ArrayType(FloatType, _) =>
+        require(kind == 2, s"feature kind $kind, schema wants floats")
+        readFloats(bytes, lr)
+      case StringType =>
+        require(kind == 1, s"feature kind $kind, schema wants bytes")
+        var out: Any = null
+        while (lr.hasMore) {
+          val t = lr.varint()
+          if ((t >> 3) == 1 && (t & 7) == 2) {
+            val (o, l) = lr.lenDelim()
+            out = new String(bytes, o, l, StandardCharsets.UTF_8)
+          } else lr.skip((t & 7).toInt)
+        }
+        out
+      case BinaryType =>
+        require(kind == 1, s"feature kind $kind, schema wants bytes")
+        var out: Any = null
+        while (lr.hasMore) {
+          val t = lr.varint()
+          if ((t >> 3) == 1 && (t & 7) == 2) {
+            val (o, l) = lr.lenDelim()
+            out = java.util.Arrays.copyOfRange(bytes, o, o + l)
+          } else lr.skip((t & 7).toInt)
+        }
+        out
+      case other =>
+        throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private def readFloats(bytes: Array[Byte],
+      lr: WireReader): Seq[Float] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Float]
+    while (lr.hasMore) {
+      val t = lr.varint()
+      if ((t >> 3) == 1 && (t & 7) == 2) {
+        val (o, l) = lr.lenDelim()
+        val bb = ByteBuffer.wrap(bytes, o, l)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        while (bb.remaining() >= 4) acc += bb.getFloat
+      } else if ((t >> 3) == 1 && (t & 7) == 5) {
+        // unpacked fixed32 form
+        val bb = ByteBuffer.wrap(bytes, lr.pos, 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        acc += bb.getFloat
+        lr.skip(5)
+      } else lr.skip((t & 7).toInt)
+    }
+    acc.toSeq
+  }
+
+  private def checkSchema(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType | StringType | BinaryType | FloatType => ()
+        case ArrayType(LongType, _) | ArrayType(FloatType, _) => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported spark type $other at '${f.name}' for tfrecord " +
+            "— int64/float/bytes lists are the proto's only carriers")
+      }
+    }
+
+  // ---------------------------------------------------------- API
+
+  /** Write `df` as one `.tfrecord` shard per partition under
+    * `path/part-NNNNN.tfrecord` (task-attempt-rename commits), each
+    * row one framed `tf.train.Example` with sorted feature keys.
+    */
+  def writeTfRecords(df: DataFrame, path: String): Unit = {
+    checkSchema(df.schema)
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val schema = df.schema
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(
+          f"$base/part-$pid%05d.tfrecord")
+        val (raw, commit) = Containers.createCommitted(hconf.value, p)
+        it.foreach(r => raw.write(frame(encodeExample(schema, r))))
+        raw.close()
+        commit()
+      }
+    }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read `.tfrecord` files under `glob` with a DECLARED schema (the
+    * format carries none): one row per framed Example, missing
+    * features null. File-per-task parallelism (no sync marker — the
+    * format is not splittable).
+    */
+  def readTfRecords(spark: SparkSession, glob: String,
+      schema: StructType, lenient: Boolean = false): DataFrame = {
+    checkSchema(schema)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    val fields = schema.fields
+    spark.read.format("binaryFile").load(glob)
+      .select(col("content"))
+      .flatMap { r =>
+        parseFrames(r.getAs[Array[Byte]](0), lenient).map { data =>
+          Row.fromSeq(fields.toIndexedSeq.map(f =>
+            decodeFeature(data, f.name, f.dataType)))
+        }
+      }
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.TfRecord
+
+class TfRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the platform CRC32C is Castagnoli: the public check vector " +
+      "crc32c('123456789') = 0xe3069283") {
+    val c = new java.util.zip.CRC32C()
+    c.update("123456789".getBytes("ASCII"))
+    assert(c.getValue === 0xe3069283L)
+  }
+
+  test("frame/parseFrames round trip; corrupt data crc refuses " +
+      "strictly and salvages leniently; truncation stops cleanly") {
+    val rs = Seq("alpha", "b", "").map(_.getBytes("UTF-8"))
+    val bytes = rs.map(TfRecord.frame).reduce(_ ++ _)
+    assert(TfRecord.parseFrames(bytes).map(new String(_, "UTF-8")).toSeq ===
+      Seq("alpha", "b", ""))
+    // flip the payload byte of the SECOND record (first frame is
+    // 12 header + 5 data + 4 crc = 21 bytes, then 12 header)
+    val bad = bytes.clone()
+    bad(21 + 12) = 'X'.toByte
+    intercept[IllegalArgumentException] {
+      TfRecord.parseFrames(bad).toSeq
+    }
+    val salvaged = TfRecord.parseFrames(bad, lenient = true)
+      .map(new String(_, "UTF-8")).toSeq
+    assert(salvaged === Seq("alpha"))
+    val trunc = bytes.take(bytes.length - 2)
+    assert(TfRecord.parseFrames(trunc, lenient = true)
+      .map(new String(_, "UTF-8")).toSeq === Seq("alpha", "b"))
+  }
+
+  test("encodeExample emits the hand-derivable wire bytes (sorted " +
+      "keys, packed int64) and decodes independently") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val enc = TfRecord.encodeExample(schema, Row(5L, "hi"))
+    // hand-assembled from the proto wire rules:
+    //   Example{1: Features{1: entry{1:"a", 2: Feature{3: Int64List
+    //   {1: packed[5]}}}, 1: entry{1:"b", 2: Feature{1: BytesList
+    //   {1: "hi"}}}}}
+    val hand = Array[Int](
+      0x0a, 0x19,
+      0x0a, 0x0a, 0x0a, 0x01, 'a', 0x12, 0x05, 0x1a, 0x03, 0x0a,
+      0x01, 0x05,
+      0x0a, 0x0b, 0x0a, 0x01, 'b', 0x12, 0x06, 0x0a, 0x04, 0x0a,
+      0x02, 'h', 'i').map(_.toByte)
+    assert(enc.toSeq === hand.toSeq)
+  }
+
+  test("all supported types round-trip through write/read; null " +
+      "writes as absent and reads back null; schema order is free") {
+    val dir = Files.createTempDirectory("graft_tfrec").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("txt", StringType),
+      StructField("blob", BinaryType),
+      StructField("f", FloatType),
+      StructField("ls", ArrayType(LongType)),
+      StructField("fs", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, "héllo", Array[Byte](0, 1, 0x7f), 1.5f,
+        Seq(1L, -2L, 300L), Seq(0.25f, -8f)),
+      Row(2L, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    TfRecord.writeTfRecords(df, s"$dir/t")
+    // read with a REORDERED schema — features are keyed, not positional
+    val back = TfRecord.readTfRecords(spark, s"$dir/t/*.tfrecord",
+        StructType(schema.fields.reverse.toIndexedSeq))
+      .orderBy("id").collect()
+    assert(back.length === 2)
+    val r0 = back(0)
+    assert(r0.getAs[Long]("id") === 1L)
+    assert(r0.getAs[String]("txt") === "héllo")
+    assert(r0.getAs[Array[Byte]]("blob").toSeq === Seq[Byte](0, 1, 0x7f))
+    assert(r0.getAs[Float]("f") === 1.5f)
+    assert(r0.getAs[Seq[Long]]("ls") === Seq(1L, -2L, 300L))
+    assert(r0.getAs[Seq[Float]]("fs") === Seq(0.25f, -8f))
+    val r1 = back(1)
+    assert(r1.getAs[Long]("id") === 2L)
+    Seq("txt", "blob", "f", "ls", "fs").foreach(c =>
+      assert(r1.isNullAt(r1.fieldIndex(c)), s"$c should be null"))
+  }
+
+  test("DoubleType refuses loudly at schema time (no silent float " +
+      "narrowing); unknown extra features are skipped on read") {
+    val df = Seq((1L, 0.5)).toDF("id", "d")
+    intercept[IllegalArgumentException] {
+      TfRecord.writeTfRecords(df, "/tmp/never")
+    }
+    // a record with an extra feature the schema doesn't name
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val enc = TfRecord.encodeExample(schema, Row(9L, "x"))
+    val dir = Files.createTempDirectory("graft_tfrec2")
+    Files.write(dir.resolve("one.tfrecord"), TfRecord.frame(enc))
+    val back = TfRecord.readTfRecords(spark, s"$dir/*.tfrecord",
+      StructType(Seq(StructField("b", StringType),
+        StructField("missing", LongType)))).collect()
+    assert(back.length === 1)
+    assert(back(0).getString(0) === "x")
+    assert(back(0).isNullAt(1))
+  }
+}
