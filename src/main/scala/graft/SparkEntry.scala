@@ -2286,6 +2286,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Cross-snapshot diff (r14 — the incremental-crawl scheduler
+    //     input): two snapshots derived from the fixture (%11 ids
+    //     absent from OLD → added, %7 absent from NEW → removed,
+    //     %5 content-bumped → changed, %77 ids in neither), classified
+    //     by a hash-first full-outer join — payload bytes never
+    //     shuffle. The oracle restates the lattice closed-form.
+    "docs_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val oldSnap = base.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = base.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.SnapshotDiff.diffSnapshots(
+          oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("key"))
+    }),
+
     // --- TFRecord float-list round trip (r14): embeddings through
     //     the packed FloatList encoding — float32 bits must survive
     //     exactly (the proto carrier IS float32, so no precision is
@@ -6345,6 +6365,20 @@ object SparkEntry {
     "vec_tfrecord" ->
       """SELECT vec_id, embedding
         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
+    // the docs_snapshot_diff oracle: the planted lattice restated —
+    // added (%11 missing from old), removed (%7 missing from new),
+    // changed (%5 bump), %77 ids in neither snapshot
+    "docs_snapshot_diff" ->
+      """SELECT doc_id AS key,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'added'
+        |       WHEN doc_id % 7 = 0 THEN 'removed'
+        |       WHEN doc_id % 5 = 0 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND NOT (doc_id % 7 = 0 AND doc_id % 11 = 0)
+        |ORDER BY key""".stripMargin,
 
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
     "docs_jsonl_gz" ->

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-snapshot diff (r14) — the "what changed between crawl
+  * snapshots" operator an incremental 100 TB pipeline schedules
+  * everything else around: re-extract and re-score only `added` +
+  * `changed` pages, retire `removed` ones from the index, skip the
+  * `unchanged` bulk (in practice the overwhelming majority, which is
+  * the entire economics of incremental crawling).
+  *
+  * Scale shape: contents are hashed FIRST (xxhash64 — the
+  * [[Dedup.contentKey]] identity), so the full-outer join shuffles
+  * (key, 8-byte hash) rows, never payload bytes; one keyed exchange
+  * per side. Contract: `keyCol` is unique per snapshot (the
+  * post-dedup SURT/canonical-URL state) — duplicate keys would
+  * multiply through the join, so dedup upstream.
+  */
+object SnapshotDiff {
+
+  /** One row per key present in either snapshot:
+    * (key, status ∈ added | removed | changed | unchanged).
+    */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("key"),
+      xxhash64(col(contentCol)).as("__old_h"))
+    val n = newSnap.select(col(keyCol).as("key"),
+      xxhash64(col(contentCol)).as("__new_h"))
+    o.join(n, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("__old_h").isNull, "added")
+          .when(col("__new_h").isNull, "removed")
+          .when(col("__old_h") =!= col("__new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The per-status counts — the snapshot-over-snapshot health row
+    * an operator dashboards (a `changed` spike is a template rollout,
+    * an `added` collapse is a frontier regression).
+    */
+  def diffSummary(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, contentCol: String): DataFrame =
+    diffSnapshots(oldSnap, newSnap, keyCol, contentCol)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SnapshotDiff
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldSnap = Seq(
+    (1L, "same"), (2L, "old body"), (3L, "goes away"))
+    .toDF("key", "content")
+  private val newSnap = Seq(
+    (1L, "same"), (2L, "new body"), (4L, "brand new"))
+    .toDF("key", "content")
+
+  test("diffSnapshots classifies all four statuses") {
+    val rows = SnapshotDiff.diffSnapshots(oldSnap, newSnap,
+        "key", "content")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"),
+      (4L, "added")))
+  }
+
+  test("diffSummary partial-aggregates the status counts") {
+    val m = SnapshotDiff.diffSummary(oldSnap, newSnap, "key", "content")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("payload bytes never shuffle: the join inputs project the " +
+      "8-byte content hash, not the content column") {
+    val p = SnapshotDiff.diffSnapshots(oldSnap, newSnap,
+      "key", "content").queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    // content must be hashed below every exchange — no raw content
+    // attribute crosses a shuffle boundary
+    exchanges.foreach(l => assert(!l.contains("content#"),
+      s"content crossed a shuffle: ${l.take(200)}"))
+  }
+}
