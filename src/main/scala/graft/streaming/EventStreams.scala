@@ -305,6 +305,47 @@ object EventStreams {
       ()
     }
 
+  /** Streaming twin of the composed WET curation pipeline (r14,
+    * `pipeline_wet`): every arriving micro-batch of raw WET payloads
+    * parses (lenient — corrupt members drop), canonicalizes its URLs,
+    * passes the quality recipe (gopher + langid en), and same-page
+    * dedups against the PERSISTED URL index — so a page recrawled in
+    * a later batch (or fetched under a new tracking-param spelling)
+    * never re-enters the corpus. Survivors land under
+    * `survivorsOut/batch_id=<n>` (idempotent partitions, the
+    * exactDedupStream replay discipline).
+    */
+  def wetCurateStream(payloads: DataFrame, idCol: String,
+      payloadCol: String, indexPath: String, bloomPath: String,
+      survivorsOut: String, parts: Int = 64):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    payloads.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Attributes, Dedup}
+      val spark = batch.sparkSession
+      val recs = graft.sources.WetWat.wetFromColumn(
+          batch, idCol, payloadCol, lenient = true)
+        .select(col(idCol),
+          graft.functions.TextFunctions.canonicalUrl(col("target_uri"))
+            .as("canon_url"),
+          col("text"))
+      val kept = Attributes.qualityAttributesTable(recs, "text",
+          minWords = 10)
+        .filter(col("gopher_pass") && col("lang") === "en")
+        .select(col(idCol), col("canon_url"), col("n_tokens"))
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(
+          indexPath.stripSuffix("/") + "/_SUCCESS")))
+        Dedup.writeExactDedupStreamIndex(spark, indexPath, bloomPath, parts)
+      val out = Dedup.appendExactDedupStreamBatch(kept, idCol,
+        "canon_url", indexPath, bloomPath,
+        batchToken = f"wet_$batchId%012d")
+      out.write.mode("overwrite")
+        .parquet(survivorsOut.stripSuffix("/") + s"/batch_id=$batchId")
+      ()
+    }
+
   // -------------------------------------------------------------
   // Continuous MEDIA near-dup (the fingerprint twin of nearDupStream)
   // -------------------------------------------------------------

@@ -417,4 +417,63 @@ class StreamingSpec extends SparkSpec {
     val nTwins = emb.filter($"vec_id" % 6 === 1).count()
     assert(streamed.count { case (e, c) => e - 7000L == c } === nTwins)
   }
+
+  test("wetCurateStream: accumulated survivors == the composed batch " +
+      "WET pipeline on the arrived union; a page recrawled in a later " +
+      "batch under a different URL spelling drops at the index (r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextFunctions
+    import graft.operators.{Attributes, Dedup}
+    import graft.sources.WetWat
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"text".isNotNull && $"doc_id" < 60)
+      .select($"doc_id", $"text")
+    def uriFor(id: Long): String = {
+      val k = id / 3
+      (id % 3) match {
+        case 0 => s"https://WWW.Ex.com/p?id=$k"
+        case 1 => s"https://ex.com:443/p?id=$k"
+        case _ => s"https://ex.com/p?id=$k&utm_source=news#frag"
+      }
+    }
+    val payloads = WetWat.synthesizeWetDocs(docs, "doc_id", "text",
+        uriFor = uriFor _)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val tmp = java.nio.file.Files.createTempDirectory("wet_stream")
+    val (idx, bl, outDir, ckpt) =
+      (s"$tmp/idx", s"$tmp/bloom", s"$tmp/out", s"$tmp/ckpt")
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.wetCurateStream(
+        stream.toDF().toDF("doc_id", "payload"), "doc_id", "payload",
+        idx, bl, outDir, parts = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    // ids ascend across batches, so the cross-batch winner is the
+    // min-id representative — the batch twin's rule
+    payloads.grouped(math.max(1, payloads.length / 3)).foreach { g =>
+      stream.addData(g.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "canon_url", "n_tokens")
+      .as[(Long, String, Int)].collect().toSet
+    // the batch twin on the arrived union
+    val recs = WetWat.wetFromColumn(
+        WetWat.synthesizeWetDocs(docs, "doc_id", "text", uriFor = uriFor _),
+        "doc_id", "payload", lenient = true)
+      .select($"doc_id",
+        TextFunctions.canonicalUrl($"target_uri").as("canon_url"),
+        $"text")
+    val batch = Dedup.exactDedup(
+        Attributes.qualityAttributesTable(recs, "text", minWords = 10)
+          .filter($"gopher_pass" && $"lang" === "en")
+          .select($"doc_id", $"canon_url", $"n_tokens"),
+        "doc_id", "canon_url")
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed === batch,
+      s"streamed ${streamed.size} != batch ${batch.size}")
+    assert(batch.nonEmpty, "the twin must exercise real survivors")
+  }
 }
