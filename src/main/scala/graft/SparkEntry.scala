@@ -2286,6 +2286,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Z-address computation (r14 — the layout-optimization
+    //     kernel): the exact bit-interleave of two bucketed columns,
+    //     a pure codegen'd shift/mask chain. The oracle runs the
+    //     IDENTICALLY-GENERATED shift expression in DuckDB (same
+    //     bits/arity parameters — the twin cannot drift); the
+    //     end-to-end layout geometry (per-file min/max boxes) is
+    //     pinned in LayoutSpec.
+    "q_zorder" -> ((s, dir) => {
+      val id = col("doc_id")
+      Tables.documents(s, dir)
+        .select(id, pmod(id, lit(256L)).as("a"),
+          pmod(id * 37L, lit(256L)).as("b"))
+        .select(id, col("a"), col("b"),
+          graft.operators.Layout.zValue(Seq(col("a"), col("b")),
+            bits = 8).as("z"))
+        .orderBy(id)
+    }),
+
     // --- Cross-snapshot diff (r14 — the incremental-crawl scheduler
     //     input): two snapshots derived from the fixture (%11 ids
     //     absent from OLD → added, %7 absent from NEW → removed,
@@ -6365,6 +6383,15 @@ object SparkEntry {
     "vec_tfrecord" ->
       """SELECT vec_id, embedding
         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
+    // the q_zorder oracle: the identically-generated interleave
+    // expression (same bits/arity) over the same bucket formulas
+    "q_zorder" -> {
+      val z = graft.operators.Layout.zValueSql(Seq("a", "b"), bits = 8)
+      s"""WITH d AS (SELECT doc_id, doc_id % 256 AS a,
+         |  (doc_id * 37) % 256 AS b FROM documents)
+         |SELECT doc_id, a, b, $z AS z FROM d ORDER BY doc_id""".stripMargin
+    },
 
     // the docs_snapshot_diff oracle: the planted lattice restated —
     // added (%11 missing from old), removed (%7 missing from new),

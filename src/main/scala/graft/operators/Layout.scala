@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout optimization (r14) — Z-order clustering, the
+  * Delta/Iceberg `OPTIMIZE ZORDER BY` idea as a plain operator: sort
+  * rows along a space-filling curve over several columns so parquet
+  * row-group min/max statistics prune MULTI-dimensional range
+  * queries. A linear sort gives one column perfect locality and the
+  * others none; the Z-curve gives every keyed column locality
+  * ~√(file count) (2-D), which at 100 TB is the difference between
+  * scanning one dimension's slice of the corpus and scanning a small
+  * box — LayoutSpec pins exactly that file-statistics geometry.
+  *
+  * Two layers:
+  *  - [[zValue]] — the exact bit-interleave of already-bucketed
+  *    non-negative ints, a pure codegen'd expression (shift/mask/or
+  *    chain) with an identically-generated SQL twin;
+  *  - [[zOrderBy]] — the end-to-end layout pass: per-column bucket
+  *    ids from DRIVER-SIDE approx-quantile boundaries (config-sized
+  *    — never a rank window, which would funnel the table through
+  *    one reducer), interleave, then `repartitionByRange` +
+  *    `sortWithinPartitions` on the z-value. One range shuffle — the
+  *    same cost as any global sort, paid once at write time.
+  */
+object Layout {
+
+  /** Interleave the low `bits` bits of each column (col k owns bit
+    * positions k, k+n, k+2n, …): the Z-address. Inputs must be
+    * non-negative and fit in `bits` bits ([[bucketize]] guarantees
+    * both); n·bits must fit a long.
+    */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, s"z-order needs >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63, s"$n cols x $bits bits > 63")
+    val terms = for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * n + k)
+    terms.reduce(_ + _) // disjoint bit positions: + is |
+  }
+
+  /** The DuckDB twin of [[zValue]] — generated from the same
+    * (bits, arity) parameters so the two engines cannot drift.
+    */
+  def zValueSql(cols: Seq[String], bits: Int = 16): String = {
+    val n = cols.length
+    val terms = for {
+      i <- 0 until bits
+      (c, k) <- cols.zipWithIndex
+    } yield s"((($c >> $i) & 1) << ${i * n + k})"
+    terms.mkString(" + ")
+  }
+
+  /** Bucket a column into [0, 2^bits) by DRIVER-SIDE approx-quantile
+    * boundaries: the boundary array is 2^bits − 1 values (KBs,
+    * broadcast as a literal), the per-row bucket id is `#boundaries
+    * <= value` — a codegen'd HOF scan, no window, no shuffle.
+    */
+  def bucketize(df: DataFrame, colName: String, bits: Int): Column = {
+    val nBuckets = 1 << bits
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = df.stat.approxQuantile(colName, qs, 0.001)
+    val arr = array(bounds.toIndexedSeq.map(lit): _*)
+    size(filter(arr, b => col(colName).cast("double") >= b)).cast("long")
+  }
+
+  /** Rewrite `df` into Z-order over `colNames`: bucket each column,
+    * interleave, range-partition + sort on the z-address. The output
+    * is what a layout-optimizing writer persists; `numPartitions`
+    * sizes the files.
+    */
+  def zOrderBy(df: DataFrame, colNames: Seq[String], bits: Int = 8,
+      numPartitions: Int = 0): DataFrame = {
+    val buckets = colNames.map(c => bucketize(df, c, bits))
+    val z = zValue(buckets, bits).as("__z")
+    val withZ = df.withColumn("__z", z)
+    val parts =
+      if (numPartitions > 0) withZ.repartitionByRange(numPartitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    parts.sortWithinPartitions(col("__z")).drop("__z")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly: col k owns positions " +
+      "k, k+n, k+2n") {
+    // a = 0b101, b = 0b011, bits=3 -> bit layout (lsb first)
+    // a0=1,b0=1,a1=0,b1=1,a2=1,b2=0 -> 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), bits = 3))
+      .head().getLong(0)
+    assert(z === 27L)
+    // 3 columns: each of value 1 -> low 3 bits set
+    val z3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b"), col("c")), bits = 2))
+      .head().getLong(0)
+    assert(z3 === 7L)
+  }
+
+  test("bucketize spreads a uniform column across all 2^bits buckets " +
+      "without a window or shuffle") {
+    val df = spark.range(1000).select($"id".cast("double").as("v"))
+    val bucketed = df.select(Layout.bucketize(df, "v", 2).as("b"))
+    val counts = bucketed.groupBy("b").count().orderBy("b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    counts.foreach { case (_, c) =>
+      assert(c > 150 && c < 350, s"skewed bucket: $counts") }
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"),
+      plan.take(600))
+  }
+
+  test("zOrderBy gives EVERY keyed column per-file locality — the " +
+      "row-group pruning geometry a linear sort only gives its " +
+      "leading column") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // a 64x64 uniform grid
+    val grid = spark.range(4096).select(
+      ($"id" % 64).cast("double").as("x"),
+      ($"id" / 64).cast("double").as("y"))
+    Layout.zOrderBy(grid, Seq("x", "y"), bits = 6, numPartitions = 16)
+      .write.mode("overwrite").parquet(s"$dir/z")
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(s"$dir/linear")
+    def fileStats(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val zs = fileStats(s"$dir/z")
+    val ls = fileStats(s"$dir/linear")
+    assert(zs.length === 16 && ls.length === 16)
+    // the measure that matters is PRUNING POWER: how many files'
+    // min/max stats intersect a thin slice on each dimension. (A
+    // couple of z files straddle a high-order curve-bit flip and span
+    // one dimension — inherent to the curve — so per-file box
+    // assertions would be wrong; the slice count is what a scan pays.)
+    def touching(stats: Seq[(Double, Double, Double, Double)],
+        dim: String, lo: Double, hi: Double): Int = stats.count {
+      case (x0, x1, y0, y1) =>
+        if (dim == "x") x0 <= hi && x1 >= lo else y0 <= hi && y1 >= lo
+    }
+    // linear-by-x: a y-slice touches EVERY file (y spans the grid)
+    assert(touching(ls.toSeq, "y", 0.0, 7.0) === 16,
+      s"linear layout should not prune y: ${ls.toSeq}")
+    // z-order: thin slices on EITHER dimension touch a minority of
+    // files (y holds the curve's top bit, so its locality is a notch
+    // tighter than x's — both prune, linear prunes only x)
+    assert(touching(zs.toSeq, "y", 0.0, 7.0) <= 6,
+      s"z layout must prune y slices: ${zs.toSeq}")
+    assert(touching(zs.toSeq, "x", 0.0, 7.0) <= 8,
+      s"z layout must prune x slices: ${zs.toSeq}")
+  }
+}
