@@ -2286,6 +2286,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Shard compaction round trip (r14 — the small-files
+    //     maintenance pass): the documents slice fragmented into 64
+    //     tiny files, compacted to the byte-target count with
+    //     doc_id clustering preserved, read back row-identical.
+    //     CompactSpec pins the file counts and the min/max clustering
+    //     geometry.
+    "docs_compact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val frag = gateIndexPath(dir, "compact_frag")
+      val out = gateIndexPath(dir, "compact_out")
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      graft.operators.Shards.compactParquet(s, frag, out,
+        targetBytes = 1L << 20, orderCol = Some("doc_id"))
+      s.read.parquet(out).orderBy(col("doc_id"))
+    }),
+
     // --- Z-address computation (r14 — the layout-optimization
     //     kernel): the exact bit-interleave of two bucketed columns,
     //     a pure codegen'd shift/mask chain. The oracle runs the
@@ -2735,6 +2752,35 @@ object SparkEntry {
           col("entry_loc"), col("entry_lastmod"),
           col("entry_changefreq"), col("entry_priority"))
         .orderBy(col("doc_id"), col("entry_idx"))
+    }),
+
+    // --- Politeness fetch schedule (r14 — the step after the
+    //     frontier): per-host Crawl-delay (2.5 s on %3==0 hosts,
+    //     absent → the 1 s default on %3==1, 0.5 s on %3==2) turns
+    //     the URL list into per-host fetch slots — rank within host ×
+    //     delay, window partitioned BY HOST (per-host sequencing IS
+    //     the politeness semantics). The oracle restates every slot
+    //     closed-form.
+    "pipeline_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id")).as[Long]
+        .map { h =>
+          val robots = "User-agent: *\n" + ((h % 3) match {
+            case 0L => "Crawl-delay: 2.5\nDisallow:\n"
+            case 1L => "Disallow:\n"
+            case _ => "Crawl-delay: 0.5\nDisallow:\n"
+          })
+          (h, s"h$h.ex.com", robots)
+        }.toDF("host_id", "host", "robots")
+      val meta = graft.operators.UrlPolicy.parseRobotsMeta(
+        hosts.select(col("host"), col("robots")), "host", "robots")
+      val urls = hosts.select(col("host_id")).as[Long].flatMap { h =>
+        (0 until (h % 4 + 2).toInt).map(j => s"https://h$h.ex.com/p/$j")
+      }.toDF("url")
+      graft.operators.UrlPolicy.fetchSchedule(urls, "url", meta)
+        .select(col("host"), col("url"), col("slot_ms"))
+        .orderBy(col("host"), col("url"))
     }),
 
     // --- Crawl-frontier builder, composed (r14): per-host sitemap +
@@ -6384,6 +6430,12 @@ object SparkEntry {
       """SELECT vec_id, embedding
         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
 
+    // the docs_compact oracle: compaction must surrender exactly the
+    // fragmented rows
+    "docs_compact" ->
+      """SELECT doc_id, text, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // the q_zorder oracle: the identically-generated interleave
     // expression (same bits/arity) over the same bucket formulas
     "q_zorder" -> {
@@ -6683,6 +6735,18 @@ object SparkEntry {
         |SELECT doc_id, 'unknown', NULL, NULL, NULL, NULL, NULL
         |FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, entry_idx""".stripMargin,
+
+    // the pipeline_fetch_schedule oracle: every slot closed-form —
+    // rank within host × the host's declared (or default) delay
+    "pipeline_fetch_schedule" ->
+      """WITH d AS (
+        |  SELECT doc_id AS h, unnest(range(doc_id % 4 + 2)) AS j
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT 'h' || h || '.ex.com' AS host,
+        |  'https://h' || h || '.ex.com/p/' || j AS url,
+        |  CAST(j * (CASE h % 3 WHEN 0 THEN 2500 WHEN 1 THEN 1000
+        |            ELSE 500 END) AS BIGINT) AS slot_ms
+        |FROM d ORDER BY host, url""".stripMargin,
 
     // the pipeline_frontier oracle: the surviving frontier restated
     // closed-form — per host the page range, minus page 0 on

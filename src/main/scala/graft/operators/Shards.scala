@@ -142,6 +142,50 @@ object Shards {
         .withColumn("shard_id", col("shard_id").cast("long"))
   }
 
+  /** Compact a fragmented parquet directory (r14 — the small-files
+    * problem: a streaming sink or over-parallel writer leaves
+    * thousands of KB-sized files whose per-file open/footer cost
+    * dominates every later scan; at 100 TB, compaction is a
+    * scheduled maintenance pass). Target file count =
+    * ceil(total bytes / targetBytes), bounded below by 1.
+    *
+    *  - with `orderCol`: `repartitionByRange` + in-partition sort —
+    *    one range shuffle, and the output keeps min/max CLUSTERING on
+    *    that column (a compaction that destroys pruning stats is a
+    *    regression disguised as a cleanup);
+    *  - without: `coalesce` — NO shuffle; existing partitions merge
+    *    in place, which is the cheap path when row order is free.
+    *
+    * Writes to `outPath` (never in place — the swap is the caller's
+    * atomic rename/pointer flip), returns (n_files_in, n_files_out,
+    * n_rows) for the maintenance log.
+    */
+  def compactParquet(spark: SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      orderCol: Option[String] = None): DataFrame = {
+    require(targetBytes > 0, s"targetBytes $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(inPath.stripSuffix("/") + "/*.parquet"))
+    require(files != null && files.nonEmpty, s"no parquet under $inPath")
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val data = spark.read.parquet(inPath)
+    val compacted = orderCol match {
+      case Some(c) =>
+        data.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => data.coalesce(nOut)
+    }
+    compacted.write.mode("overwrite").parquet(outPath)
+    val outFiles = fs.globStatus(new org.apache.hadoop.fs.Path(
+      outPath.stripSuffix("/") + "/*.parquet"))
+    import spark.implicits._
+    Seq((files.length.toLong, outFiles.length.toLong,
+      spark.read.parquet(outPath).count()))
+      .toDF("n_files_in", "n_files_out", "n_rows")
+  }
+
   /** The manifest as written. */
   def manifest(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path.stripSuffix("/") + "/_manifest")

@@ -187,6 +187,32 @@ object UrlPolicy {
     }
   }
 
+  /** Politeness fetch schedule (r14 — the step after the frontier is
+    * built): assign every URL a per-host fetch slot, `slot_ms` =
+    * rank-within-host × the host's Crawl-delay (from
+    * [[parseRobotsMeta]]; `defaultDelaySec` where the host declares
+    * none). The window partitions by HOST — per-host sequencing is
+    * the politeness SEMANTICS, so a giant host genuinely serializes
+    * (that is the point, not a skew bug); hosts are many, so the
+    * partition count is the scale axis. Delay frame joins on host
+    * (broadcast-or-shuffle by stats). URL order within a host is
+    * lexicographic — deterministic across runs.
+    */
+  def fetchSchedule(frontier: DataFrame, urlCol: String,
+      delays: DataFrame, defaultDelaySec: Double = 1.0): DataFrame = {
+    val host = graft.functions.TextFunctions.urlHost(col(urlCol))
+    val keyed = frontier.withColumn("host", host)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(urlCol))
+    keyed.join(delays.select(col("host"), col("crawl_delay")),
+        Seq("host"), "left")
+      .withColumn("slot_ms",
+        ((row_number().over(w) - 1).cast("long") *
+          (coalesce(col("crawl_delay"), lit(defaultDelaySec)) * 1000)
+            .cast("long")))
+      .drop("crawl_delay")
+  }
+
   /** Filter a URL table by parsed rules: the longest (most-octets)
     * matching RULE PATH decides; on equal length Allow wins (the
     * RFC 9309 tie rules); no matching rule (or no rules for the

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Shards
+
+class CompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactParquet hits the byte-target file count, preserves " +
+      "every row, and keeps min/max clustering on the order column") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val data = spark.range(20000).select($"id",
+      concat(lit("body "), $"id").as("text"))
+    data.repartition(50).write.parquet(s"$dir/frag")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragBytes = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/frag/*.parquet"))
+      .map(_.getLen).sum
+    val target = fragBytes / 4 + 1 // want ~4 output files
+    val m = Shards.compactParquet(spark, s"$dir/frag", s"$dir/out",
+      target, orderCol = Some("id")).head()
+    assert(m.getLong(0) === 50L)
+    assert(m.getLong(1) <= 5L && m.getLong(1) >= 3L,
+      s"expected ~4 files, got ${m.getLong(1)}")
+    assert(m.getLong(2) === 20000L)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 20000L)
+    assert(back.agg(sum($"id")).head().getLong(0) ===
+      data.agg(sum($"id")).head().getLong(0))
+    // clustering: per-file id ranges must be (near-)disjoint — the
+    // range repartition keeps pruning stats compaction-worthy
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(lo2 > hi1, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ => ()
+    }
+  }
+
+  test("the no-order path coalesces without a shuffle and still " +
+      "lands every row") {
+    val dir = Files.createTempDirectory("graft_compact2").toString
+    spark.range(5000).select($"id").repartition(40)
+      .write.parquet(s"$dir/frag")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/frag/*.parquet"))
+      .map(_.getLen).sum
+    val m = Shards.compactParquet(spark, s"$dir/frag", s"$dir/out",
+      bytes / 2 + 1).head()
+    assert(m.getLong(1) <= 3L)
+    assert(m.getLong(2) === 5000L)
+  }
+
+  test("empty or missing input refuses loudly") {
+    intercept[IllegalArgumentException] {
+      Shards.compactParquet(spark, "/tmp/graft_compact_nope",
+        "/tmp/graft_compact_nope_out", 1L << 20)
+    }
+  }
+}
