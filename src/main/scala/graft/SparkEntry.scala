@@ -4170,6 +4170,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Legacy Word .doc text extraction (r14 — OLE2/CFB container
+    //     + MS-DOC piece table, both from scratch against the public
+    //     specs): each fixture has TWO pieces — windows-1252
+    //     "compressed" (CP1252-only é, paragraph mark → \n, the fc
+    //     bit-30 halved-offset rule) and UTF-16 (a non-Latin-1 BMP
+    //     char) — routed through 1Table. The oracle restates the
+    //     extracted text closed-form. Degrades: %19 magic, %13
+    //     truncation mid-container.
+    "mm_doc_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeDocBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withDocText(media, "payload", "dc")
+        .select(col("media_id"), col("dc.format").as("format"),
+          col("dc.n_pieces").as("n_pieces"),
+          col("dc.n_chars").as("n_chars"),
+          col("dc.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- MP3 frame-header metadata (r14 — the crawl metadata an
     //     audio corpus needs without touching the patent-encumbered
     //     decode side: rate/channels/frames/duration/mean-bitrate
@@ -8765,6 +8784,26 @@ object SparkEntry {
         |  CASE WHEN c THEN NULL
         |    ELSE CAST(1990 + media_id % 30 AS VARCHAR) END AS year
         |FROM ids ORDER BY media_id""".stripMargin,
+
+    // the mm_doc_text oracle: both pieces restated closed-form —
+    // CP1252 é, the paragraph mark as chr(10), the UTF-16 BMP char
+    "mm_doc_text" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |t AS (SELECT media_id,
+        |  'nota ' || media_id || ' café' || chr(10) ||
+        |    'uni ✓ ' || media_id || ' tail' AS txt
+        |  FROM ids),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT t.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'doc' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(2 AS INT) END AS n_pieces,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.txt) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.txt END AS text
+        |FROM t JOIN bad b USING (media_id)
+        |ORDER BY t.media_id""".stripMargin,
 
     // the mm_audio_mp3_meta oracle: the MPEG-1 Layer III bitrate
     // table as a list literal, per-frame kbps from the id formulas,

@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** OLE2 / Compound File Binary (MS-CFB, public spec) — the container
+  * every legacy Office format ships in: a little FAT filesystem in a
+  * file. Sectors (512 B for the ubiquitous version-3 files) chain
+  * through a FAT; streams smaller than the 4096-byte cutoff live in
+  * 64-byte MINI sectors inside the root entry's "mini stream",
+  * chained through a separate miniFAT; the directory is a chain of
+  * 128-byte entries (UTF-16 names, red-black sibling links this
+  * reader deliberately ignores — a linear walk of the directory
+  * chain sees every entry and cannot be wedged by corrupt tree
+  * links).
+  *
+  * Read surface: [[parseCfb]] → name → bytes (exact `streamSize`,
+  * allocation padding trimmed). Total function: malformed input
+  * returns null rather than throwing (the media-decoder discipline);
+  * cycles are broken by bounding every chain walk at the sector
+  * count.
+  *
+  * The fixture writer emits version-3 files with streams padded to
+  * full sectors (spec-valid — sizes are exact in the directory);
+  * CfbSpec hand-assembles a MINI-stream file independently, so the
+  * miniFAT read path is pinned against the spec, not against this
+  * writer.
+  */
+object Cfb {
+
+  private val Magic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1,
+    0x1a, 0xe1).map(_.toByte)
+  private val EndOfChain = 0xfffffffeL
+  private val MaxStream = 256 << 20
+
+  final case class CfbEntry(name: String, objectType: Int,
+    bytes: Array[Byte])
+
+  /** Parse a CFB container: every directory entry, streams
+    * materialized (storage/root entries carry empty bytes). Null on
+    * malformed input.
+    */
+  def parseCfb(b: Array[Byte]): Seq[CfbEntry] = {
+    try parseInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 2).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort & 0xffff
+  private def u32(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt & 0xffffffffL
+  private def u64(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+
+  private def parseInner(b: Array[Byte]): Seq[CfbEntry] = {
+    if (b == null || b.length < 512) return null
+    if (!(0 until 8).forall(i => b(i) == Magic(i))) return null
+    if (u16(b, 28) != 0xfffe) return null // byte order mark
+    val sectorShift = u16(b, 30)
+    if (sectorShift != 9 && sectorShift != 12) return null
+    val ss = 1 << sectorShift
+    val miniShift = u16(b, 32)
+    if (miniShift != 6) return null
+    val miniCutoff = u32(b, 56)
+    val nSectors = (b.length - 512) / ss
+    if (nSectors <= 0) return null
+
+    def sectorAt(n: Long): Int = {
+      val off = 512 + n * ss
+      if (n < 0 || off + ss > b.length) -1 else off.toInt
+    }
+
+    // FAT via the header DIFAT (109 entries) + DIFAT sector chain
+    val nFat = u32(b, 44)
+    val fatSectors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < 109 && fatSectors.length < nFat) {
+      val s = u32(b, 76 + i * 4)
+      if (s < 0xfffffffcL) fatSectors += s
+      i += 1
+    }
+    var difat = u32(b, 68)
+    var difatGuard = 0
+    while (difat < 0xfffffffcL && fatSectors.length < nFat &&
+        difatGuard <= nSectors) {
+      val off = sectorAt(difat)
+      if (off < 0) return null
+      var j = 0
+      while (j < ss / 4 - 1 && fatSectors.length < nFat) {
+        val s = u32(b, off + j * 4)
+        if (s < 0xfffffffcL) fatSectors += s
+        j += 1
+      }
+      difat = u32(b, off + ss - 4)
+      difatGuard += 1
+    }
+    val fat = new Array[Long](nSectors)
+    java.util.Arrays.fill(fat, EndOfChain)
+    var fi = 0
+    fatSectors.foreach { fs =>
+      val off = sectorAt(fs)
+      if (off < 0) return null
+      var j = 0
+      while (j < ss / 4) {
+        if (fi < nSectors) fat(fi) = u32(b, off + j * 4)
+        fi += 1; j += 1
+      }
+    }
+
+    def readChain(start: Long, size: Long): Array[Byte] = {
+      if (size < 0 || size > MaxStream) return null
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(size, 1 << 20).toInt)
+      var s = start
+      var guard = 0
+      while (s < 0xfffffffcL && out.size() < size) {
+        if (guard > nSectors) return null // cycle
+        val off = sectorAt(s)
+        if (off < 0) return null
+        val take = math.min(ss.toLong, size - out.size()).toInt
+        out.write(b, off, take)
+        if (s >= nSectors) return null
+        s = fat(s.toInt)
+        guard += 1
+      }
+      if (out.size() < size) null else out.toByteArray
+    }
+
+    // directory chain
+    val dirBytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      var s = u32(b, 48)
+      var guard = 0
+      while (s < 0xfffffffcL) {
+        if (guard > nSectors) return null
+        val off = sectorAt(s)
+        if (off < 0) return null
+        out.write(b, off, ss)
+        if (s >= nSectors) return null
+        s = fat(s.toInt)
+        guard += 1
+      }
+      out.toByteArray
+    }
+    if (dirBytes.length < 128) return null
+
+    final case class DirEnt(name: String, objType: Int, start: Long,
+      size: Long)
+    val entries = (0 until dirBytes.length / 128).flatMap { k =>
+      val off = k * 128
+      val nameLen = u16(dirBytes, off + 64)
+      val objType = dirBytes(off + 66) & 0xff
+      if (objType == 0 || nameLen < 2 || nameLen > 64) None
+      else {
+        val name = new String(dirBytes, off, nameLen - 2,
+          StandardCharsets.UTF_16LE)
+        Some(DirEnt(name, objType, u32(dirBytes, off + 116),
+          u64(dirBytes, off + 120)))
+      }
+    }
+    val root = entries.find(_.objType == 5).getOrElse(return null)
+
+    // miniFAT + the root's mini stream
+    val nMini = u32(b, 64)
+    lazy val miniFatBytes =
+      if (nMini == 0) Array.emptyByteArray
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        var s = u32(b, 60)
+        var guard = 0
+        while (s < 0xfffffffcL) {
+          if (guard > nSectors) return null
+          val off = sectorAt(s)
+          if (off < 0) return null
+          out.write(b, off, ss)
+          if (s >= nSectors) return null
+          s = fat(s.toInt)
+          guard += 1
+        }
+        out.toByteArray
+      }
+    lazy val miniStream = readChain(root.start, root.size)
+
+    def readMiniChain(start: Long, size: Long): Array[Byte] = {
+      if (miniStream == null) return null
+      val nMiniSectors = miniStream.length / 64
+      val out = new java.io.ByteArrayOutputStream(size.toInt)
+      var s = start
+      var guard = 0
+      while (s < 0xfffffffcL && out.size() < size) {
+        if (guard > nMiniSectors + 1) return null
+        if (s < 0 || (s + 1) * 64 > miniStream.length ||
+            (s.toInt * 4 + 4) > miniFatBytes.length) return null
+        val take = math.min(64L, size - out.size()).toInt
+        out.write(miniStream, s.toInt * 64, take)
+        s = u32(miniFatBytes, s.toInt * 4)
+        guard += 1
+      }
+      if (out.size() < size) null else out.toByteArray
+    }
+
+    entries.map { e =>
+      val bytes =
+        if (e.objType != 2) Array.emptyByteArray
+        else if (e.size < miniCutoff) {
+          val r = readMiniChain(e.start, e.size)
+          if (r == null) return null else r
+        } else {
+          val r = readChain(e.start, e.size)
+          if (r == null) return null else r
+        }
+      CfbEntry(e.name, e.objType, bytes)
+    }
+  }
+
+  /** Named stream bytes, or null when absent / malformed. */
+  def stream(b: Array[Byte], name: String): Array[Byte] = {
+    val es = parseCfb(b)
+    if (es == null) null
+    else es.find(e => e.objectType == 2 && e.name == name)
+      .map(_.bytes).orNull
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal version-3 CFB writer for fixtures: every stream padded
+    * to whole 512-byte sectors (sizes exact in the directory), no
+    * mini stream, one FAT sector (~128 sectors of capacity — plenty
+    * for fixtures), header DIFAT only.
+    */
+  def buildCfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    require(streams.nonEmpty && streams.size <= 3, "fixture writer")
+    val ss = 512
+    def sectorsOf(n: Int) = (n + ss - 1) / ss
+    val dirSectors = sectorsOf((streams.size + 1) * 128)
+    // layout: [FAT][directory...][stream1...][stream2...]
+    val fatSector = 0L
+    val dirStart = 1L
+    var next = dirStart + dirSectors
+    val starts = streams.map { case (_, bts) =>
+      val s = next; next += math.max(1, sectorsOf(bts.length)); s
+    }
+    val total = next
+    require(total <= ss / 4, "fixture writer: one FAT sector")
+
+    val out = ByteBuffer.allocate(512 + total.toInt * ss)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // header
+    out.put(Magic)
+    out.position(24)
+    out.putShort(0x003e.toShort) // minor
+    out.putShort(0x0003.toShort) // major 3
+    out.putShort(0xfffe.toShort) // byte order
+    out.putShort(9.toShort)      // sector shift
+    out.putShort(6.toShort)      // mini shift
+    out.position(44)
+    out.putInt(1)                // FAT sectors
+    out.putInt(dirStart.toInt)   // first directory sector
+    out.position(56)
+    // cutoff 0: this writer allocates EVERY stream in regular
+    // sectors, and the cutoff field is what declares that choice —
+    // a 4096 cutoff here would point readers at a mini stream that
+    // does not exist
+    out.putInt(0)                // mini cutoff
+    out.putInt(0xfffffffe)       // first miniFAT
+    out.putInt(0)                // miniFAT count
+    out.putInt(0xfffffffe)       // first DIFAT
+    out.putInt(0)                // DIFAT count
+    out.putInt(0)                // DIFAT[0] = FAT sector 0
+    while (out.position() < 512) out.putInt(0xffffffff) // free DIFAT slots
+
+    // FAT sector (sector 0)
+    val fat = ByteBuffer.allocate(ss).order(ByteOrder.LITTLE_ENDIAN)
+    fat.putInt(0xfffffffd) // sector 0: FATSECT
+    // directory chain
+    for (k <- 0 until dirSectors)
+      fat.putInt(if (k == dirSectors - 1) 0xfffffffe
+        else (dirStart + k + 1).toInt)
+    // stream chains
+    streams.zip(starts).foreach { case ((_, bts), st) =>
+      val n = math.max(1, sectorsOf(bts.length))
+      for (k <- 0 until n)
+        fat.putInt(if (k == n - 1) 0xfffffffe else (st + k + 1).toInt)
+    }
+    while (fat.position() < ss) fat.putInt(0xffffffff)
+
+    // directory: root + streams (linear; sibling links minimal)
+    val dir = ByteBuffer.allocate(dirSectors * ss)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def entry(name: String, objType: Int, child: Int, left: Int,
+        right: Int, start: Long, size: Long): Unit = {
+      val base = dir.position()
+      val utf16 = name.getBytes(StandardCharsets.UTF_16LE)
+      require(utf16.length <= 62, s"name too long: $name")
+      dir.put(utf16)
+      dir.position(base + 64)
+      dir.putShort((utf16.length + 2).toShort)
+      dir.put(objType.toByte)
+      dir.put(1.toByte) // black
+      dir.putInt(left)
+      dir.putInt(right)
+      dir.putInt(child)
+      dir.position(base + 116)
+      dir.putInt(start.toInt)
+      dir.putLong(size)
+      dir.position(base + 128)
+    }
+    entry("Root Entry", 5, 1, -1, -1, 0xfffffffeL, 0L)
+    streams.zipWithIndex.foreach { case ((name, bts), k) =>
+      val right = if (k < streams.size - 1) k + 2 else -1
+      entry(name, 2, -1, -1, right, starts(k), bts.length.toLong)
+    }
+    while (dir.position() < dir.capacity()) dir.put(0.toByte)
+
+    out.position(512)
+    out.put(fat.array())
+    out.put(dir.array())
+    streams.zip(starts).foreach { case ((_, bts), _) =>
+      val padded = math.max(1, sectorsOf(bts.length)) * ss
+      out.put(bts)
+      out.put(new Array[Byte](padded - bts.length))
+    }
+    out.array()
+  }
+}

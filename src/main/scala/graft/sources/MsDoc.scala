@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Legacy Word binary `.doc` text extraction (r14) — the remaining
+  * big office format after PDF/DOCX/EPUB/RTF, read from scratch
+  * against the public MS-DOC spec. A `.doc` is a [[Cfb]] container;
+  * the text lives as PIECES: the `WordDocument` stream carries the
+  * FIB header and raw character runs, the `0Table`/`1Table` stream
+  * (picked by the FIB's `fWhichTblStm` flag) carries the CLX whose
+  * piece table (PlcPcd) maps character positions to file offsets —
+  * each piece independently either 8-bit windows-1252 ("compressed",
+  * fc bit 30 set, real offset = fc/2) or UTF-16LE. Fast-saved
+  * documents scatter text across many out-of-order pieces, which is
+  * exactly why naive "scan for strings" extractors corrupt them —
+  * the piece walk is the correct path.
+  *
+  * Conventions (pinned in MsDocSpec):
+  *  - only the MAIN document range extracts (`ccpText` chars —
+  *    footnotes/headers/annotations live past it and are excluded);
+  *  - control mapping: CR (0x0D, the paragraph mark) and vertical
+  *    tab (0x0B, line break) → \n; cell/row marks (0x07) → \t; page
+  *    breaks (0x0C) → \n; field characters (0x13/0x14/0x15), the
+  *    embedded-object marker (0x01) and pictures (0x08) drop;
+  *  - encrypted documents (`fEncrypted`, FIB flag bit 8) return
+  *    null LOUDLY-typed as unreadable rather than garbage;
+  *  - any structural damage (missing streams, truncated CLX,
+  *    inconsistent piece ranges) nulls the document — the media
+  *    decoders' total-function discipline.
+  */
+object MsDoc {
+
+  final case class DocText(nPieces: Int, text: String)
+
+  private val Cp1252: Charset = Charset.forName("windows-1252")
+  private val MaxChars = 64 << 20
+
+  def extractText(b: Array[Byte]): DocText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 2).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort & 0xffff
+  private def u32(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt & 0xffffffffL
+
+  private def extractInner(b: Array[Byte]): DocText = {
+    val word = Cfb.stream(b, "WordDocument")
+    if (word == null || word.length < 512) return null
+    if (u16(word, 0) != 0xa5ec) return null // wIdent
+    val flags = u16(word, 10)
+    if ((flags & 0x0100) != 0) return null // fEncrypted
+    val whichTbl = if ((flags & 0x0200) != 0) "1Table" else "0Table"
+    val table = Cfb.stream(b, whichTbl)
+    if (table == null) return null
+    val ccpText = u32(word, 0x4c)
+    if (ccpText <= 0 || ccpText > MaxChars) return null
+    val fcClx = u32(word, 0x1a2)
+    val lcbClx = u32(word, 0x1a6)
+    if (lcbClx <= 0 || fcClx + lcbClx > table.length) return null
+
+    // CLX: Prc entries (0x01 + cb + grpprl) then the Pcdt (0x02)
+    var p = fcClx.toInt
+    val clxEnd = (fcClx + lcbClx).toInt
+    while (p < clxEnd && table(p) == 0x01) {
+      val cb = u16(table, p + 1)
+      p += 3 + cb
+    }
+    if (p >= clxEnd || table(p) != 0x02) return null
+    val lcbPlc = u32(table, p + 1)
+    val plcOff = p + 5
+    if (lcbPlc < 4 + 12 || plcOff + lcbPlc > clxEnd) return null
+    val nPieces = ((lcbPlc - 4) / 12).toInt
+    if (nPieces <= 0) return null
+    val cps = (0 to nPieces).map(i => u32(table, plcOff + i * 4))
+    if (cps.head != 0 || cps.sliding(2).exists(s => s(1) < s(0)))
+      return null
+    val pcdBase = plcOff + (nPieces + 1) * 4
+
+    val sb = new java.lang.StringBuilder()
+    var piece = 0
+    var remaining = ccpText
+    while (piece < nPieces && remaining > 0) {
+      val pcd = pcdBase + piece * 8
+      val fcRaw = u32(table, pcd + 2)
+      val compressed = (fcRaw & 0x40000000L) != 0
+      val fc = (fcRaw & 0x3fffffffL) / (if (compressed) 2 else 1)
+      val nChars = math.min(cps(piece + 1) - cps(piece), remaining)
+      val byteLen = nChars * (if (compressed) 1 else 2)
+      if (fc + byteLen > word.length) return null
+      val raw =
+        if (compressed)
+          new String(word, fc.toInt, byteLen.toInt, Cp1252)
+        else
+          new String(word, fc.toInt, byteLen.toInt,
+            StandardCharsets.UTF_16LE)
+      raw.foreach {
+        case '\r' | '\u000b' | '\u000c' => sb.append('\n')
+        case '\u0007' => sb.append('\t')
+        case '\u0013' | '\u0014' | '\u0015' | '\u0001' |
+             '\u0008' => ()
+        case c => sb.append(c)
+      }
+      remaining -= nChars
+      piece += 1
+    }
+    if (remaining > 0) return null // pieces don't cover ccpText
+    DocText(nPieces, sb.toString)
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal Word97 fixture: FIB + two pieces — the first
+    * windows-1252 "compressed" (including a CP1252-only character),
+    * the second UTF-16 — routed through `1Table` (fWhichTblStm set).
+    * Exercises both piece encodings and the fc bit-30 offset rule.
+    */
+  def buildDoc(textCp1252: String, textUtf16: String): Array[Byte] = {
+    val t1 = textCp1252.getBytes(Cp1252)
+    val t2 = textUtf16.getBytes(StandardCharsets.UTF_16LE)
+    val c1 = textCp1252.length.toLong
+    val c2 = textUtf16.length.toLong
+
+    val word = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    word.putShort(0, 0xa5ec.toShort)        // wIdent
+    word.putShort(2, 0x00c1.toShort)        // nFib (Word 97)
+    word.putShort(10, 0x0200.toShort)       // fWhichTblStm = 1
+    word.putShort(0x20, 14.toShort)         // csw
+    word.putShort(0x3e, 22.toShort)         // cslw
+    word.putInt(0x4c, (c1 + c2).toInt)      // ccpText
+    word.putShort(0x98, 0x005d.toShort)     // cbRgFcLcb (Word 97)
+    word.putInt(0x1a2, 0)                   // fcClx (in 1Table)
+    word.position(1024); word.put(t1)
+    word.position(2048); word.put(t2)
+
+    // CLX: one Prc (exercises the skip) + Pcdt with two pieces
+    val prc = Array[Byte](0x01, 0x02, 0x00, 0x2a, 0x2a)
+    val plcBytes = 3 * 4 + 2 * 8 // cps + pcds = 28
+    val clx = ByteBuffer.allocate(prc.length + 5 + plcBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    clx.put(prc)
+    clx.put(0x02.toByte)
+    clx.putInt(plcBytes) // Pcdt.lcb = PlcPcd size; n = (lcb-4)/12
+    clx.putInt(0); clx.putInt(c1.toInt); clx.putInt((c1 + c2).toInt)
+    // PCD 1: compressed at byte offset 1024 -> fc = 2048 | bit30
+    clx.putShort(0.toShort); clx.putInt(0x40000000 | 2048)
+    clx.putShort(0.toShort)
+    // PCD 2: UTF-16 at byte offset 2048
+    clx.putShort(0.toShort); clx.putInt(2048); clx.putShort(0.toShort)
+    val clxBytes = clx.array()
+    word.putInt(0x1a6, clxBytes.length)     // lcbClx
+
+    val table = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    table.put(clxBytes)
+
+    Cfb.buildCfb(Seq(
+      "WordDocument" -> word.array(),
+      "1Table" -> table.array()))
+  }
+}

@@ -3866,6 +3866,61 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Legacy Word `.doc` text extraction column (r14 — see
+    * [[MsDoc]]): (format, n_pieces, n_chars, text); unreadable or
+    * encrypted payloads degrade to 'unknown'.
+    */
+  def withDocText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_pieces", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = MsDoc.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("doc", t.nPieces, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic `.doc` payload for media id `id` (r14): two
+    * pieces — windows-1252 compressed with a CP1252-only character
+    * and a paragraph mark, then UTF-16 with a non-Latin-1 BMP
+    * character — so both piece encodings, the fc bit-30 offset rule
+    * and the control mapping are all on the hashed path.
+    */
+  def synthDocPayload(id: Long): Array[Byte] =
+    MsDoc.buildDoc(s"nota $id café\r", s"uni ✓ $id tail")
+
+  /** Synthesize the `.doc` media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeDocBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthDocPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 700)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic PDF payload for media id `id` (r14): six reader
     * paths cycle by id%6 — raw content stream, FlateDecode,
     * ASCIIHex filter + hex strings, ASCII85 + TJ word-kerning,

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import graft.sources.{Cfb, MsDoc}
+
+class MsDocSpec extends SparkSpec {
+
+  test("Cfb round trip: writer output parses, stream bytes exact, " +
+      "truncation and magic damage null") {
+    val a = ("alpha " * 200).getBytes("UTF-8") // > 1 sector
+    val b = "beta".getBytes("UTF-8")
+    val cfb = Cfb.buildCfb(Seq("S1" -> a, "S2" -> b))
+    assert(Cfb.stream(cfb, "S1").toSeq === a.toSeq)
+    assert(Cfb.stream(cfb, "S2").toSeq === b.toSeq)
+    assert(Cfb.stream(cfb, "S3") === null)
+    val bad = cfb.clone(); bad(0) = 'X'.toByte
+    assert(Cfb.parseCfb(bad) === null)
+    assert(Cfb.parseCfb(cfb.take(600)) === null)
+  }
+
+  test("Cfb mini-stream path: a hand-assembled file (written against " +
+      "MS-CFB directly, NOT via the fixture writer, which never " +
+      "emits mini streams) reads small streams through the miniFAT") {
+    // layout: sector 0 FAT, 1 directory, 2 miniFAT, 3 mini stream.
+    // One stream "tiny" of 70 bytes (< 4096 cutoff): mini sectors 0,1
+    // of the root's mini stream.
+    val ss = 512
+    val buf = ByteBuffer.allocate(512 + 4 * ss)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte))
+    buf.position(24)
+    buf.putShort(0x3e.toShort); buf.putShort(3.toShort)
+    buf.putShort(0xfffe.toShort); buf.putShort(9.toShort)
+    buf.putShort(6.toShort)
+    buf.position(44)
+    buf.putInt(1)          // 1 FAT sector
+    buf.putInt(1)          // directory at sector 1
+    buf.position(56)
+    buf.putInt(4096)       // mini cutoff
+    buf.putInt(2)          // miniFAT at sector 2
+    buf.putInt(1)          // 1 miniFAT sector
+    buf.putInt(0xfffffffe); buf.putInt(0)
+    buf.putInt(0)          // DIFAT[0] = sector 0
+    while (buf.position() < 512) buf.putInt(0xffffffff)
+    // FAT: 0=FATSECT, 1..3 end-of-chain
+    buf.putInt(0xfffffffd); buf.putInt(0xfffffffe)
+    buf.putInt(0xfffffffe); buf.putInt(0xfffffffe)
+    while (buf.position() < 512 + ss) buf.putInt(0xffffffff)
+    // directory: root (child 1, mini stream at sector 3, size 128),
+    // then "tiny" (mini start 0, size 70)
+    def dirEntry(name: String, typ: Int, start: Int, size: Long,
+        child: Int): Unit = {
+      val base = buf.position()
+      val n = name.getBytes(StandardCharsets.UTF_16LE)
+      buf.put(n)
+      buf.position(base + 64)
+      buf.putShort((n.length + 2).toShort)
+      buf.put(typ.toByte); buf.put(1.toByte)
+      buf.putInt(-1); buf.putInt(-1); buf.putInt(child)
+      buf.position(base + 116)
+      buf.putInt(start); buf.putLong(size)
+      buf.position(base + 128)
+    }
+    dirEntry("Root Entry", 5, 3, 128L, 1)
+    dirEntry("tiny", 2, 0, 70L, -1)
+    buf.position(512 + 2 * ss)
+    // miniFAT: mini sector 0 -> 1, 1 -> end
+    buf.putInt(1); buf.putInt(0xfffffffe)
+    while (buf.position() < 512 + 3 * ss) buf.putInt(0xffffffff)
+    // mini stream (sector 3): 70 payload bytes across two 64-byte
+    // mini sectors
+    val payload = (0 until 70).map(i => (i % 251).toByte).toArray
+    buf.position(512 + 3 * ss)
+    buf.put(payload)
+    val got = Cfb.stream(buf.array(), "tiny")
+    assert(got != null && got.toSeq === payload.toSeq)
+  }
+
+  test("MsDoc: both piece encodings extract, paragraph mark maps to " +
+      "newline, CP1252 and BMP chars survive") {
+    val doc = MsDoc.buildDoc("café one\r", "two ✓ end")
+    val t = MsDoc.extractText(doc)
+    assert(t != null)
+    assert(t.nPieces === 2)
+    assert(t.text === "café one\ntwo ✓ end")
+  }
+
+  test("MsDoc: control mapping — cell marks tab, line breaks newline, " +
+      "field/object markers drop") {
+    val doc = MsDoc.buildDoc("a\u0007b\u000bc", "de\u0013f\u0014g\u0015")
+    val t = MsDoc.extractText(doc)
+    assert(t.text === "a\tb\nc" + "defg")
+  }
+
+  test("MsDoc: encrypted flag refuses; ccpText cuts footnote tail; " +
+      "0Table routing honored when fWhichTblStm is clear") {
+    val base = MsDoc.buildDoc("main\r", "tail")
+    // WordDocument content begins at sector 2 (FAT, dir, then data):
+    val wordOff = 512 + 2 * 512
+    // encrypted: set fEncrypted (bit 8) in the FIB flags
+    val enc = base.clone()
+    enc(wordOff + 11) = (enc(wordOff + 11) | 0x01).toByte
+    assert(MsDoc.extractText(enc) === null)
+    // ccpText smaller than the pieces: only the first 4 chars emit
+    val cut = base.clone()
+    val bb = ByteBuffer.wrap(cut, wordOff + 0x4c, 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4)
+    assert(MsDoc.extractText(cut).text === "main")
+    // clear fWhichTblStm AND rename the table stream to 0Table: the
+    // reader must follow the flag to the renamed stream
+    val zero = base.clone()
+    zero(wordOff + 11) = (zero(wordOff + 11) & ~0x02).toByte
+    val oneTable = "1Table".getBytes(StandardCharsets.UTF_16LE)
+    val idx = indexOf(zero, oneTable)
+    assert(idx > 0, "1Table directory name not found")
+    zero(idx) = '0'.toByte
+    val t = MsDoc.extractText(zero)
+    assert(t != null && t.text === "main\ntail")
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}
