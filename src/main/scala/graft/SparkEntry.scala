@@ -4170,6 +4170,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- ODT text extraction (r14 — the OASIS OpenDocument member
+    //     of the office family): zip + content.xml text:p paragraphs
+    //     with spans, paragraph counts cycling 1-3, entity round
+    //     trip. Whitespace MARKUP (tab/line-break/space-run elements)
+    //     is pinned in OdtSpec with hand-written XML. Degrades: %19
+    //     magic, %13 truncation.
+    "mm_odt_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeOdtBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withOdtText(media, "payload", "od")
+        .select(col("media_id"), col("od.format").as("format"),
+          col("od.n_paragraphs").as("n_paragraphs"),
+          col("od.n_chars").as("n_chars"),
+          col("od.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Legacy Word .doc text extraction (r14 — OLE2/CFB container
     //     + MS-DOC piece table, both from scratch against the public
     //     specs): each fixture has TWO pieces — windows-1252
@@ -8736,6 +8753,32 @@ object SparkEntry {
         |  FROM ids)
         |SELECT i.media_id,
         |  CASE WHEN b.c THEN 'unknown' ELSE 'docx' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_paragraphs,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_odt_text oracle: paragraphs rebuilt closed-form (the
+    // docx shape with the odf plant formulas)
+    "mm_odt_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |para AS (
+        |  SELECT i.media_id, p.g AS p,
+        |    'odf ' || i.media_id || ' para ' || p.g || ' item' ||
+        |      ((i.media_id * 13 + p.g) % 89) || ' & fin' AS ptext
+        |  FROM ids i, generate_series(0, 2) AS p(g) WHERE p.g < i.n),
+        |txt AS (
+        |  SELECT media_id, string_agg(ptext, chr(10) ORDER BY p) AS text
+        |  FROM para GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'odt' END AS format,
         |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_paragraphs,
         |  CASE WHEN b.c THEN NULL
         |    ELSE CAST(length(t.text) AS INT) END AS n_chars,

@@ -3921,6 +3921,62 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** ODT text extraction column (r14 — see [[Odt]]): (format,
+    * n_paragraphs, n_chars, text); non-text ODF and malformed
+    * payloads degrade to 'unknown'.
+    */
+  def withOdtText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_paragraphs", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Odt.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("odt", t.nParagraphs, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic ODT payload (r14): 1-3 paragraphs by id%3, each
+    * split across a span (the real-document shape) with an ampersand
+    * entity round trip.
+    */
+  def synthOdtPayload(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    Odt.buildOdt((0 until n).map(p =>
+      s"odf $id para $p item${(id * 13 + p) % 89} & fin"))
+  }
+
+  /** Synthesize the ODT media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeOdtBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthOdtPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 40)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic PDF payload for media id `id` (r14): six reader
     * paths cycle by id%6 — raw content stream, FlateDecode,
     * ASCIIHex filter + hex strings, ASCII85 + TJ word-kerning,

@@ -1,0 +1,124 @@
+package graft.sources
+
+/** ODT text extraction (r14) — the OpenDocument member of the
+  * office-document family (ODF is the public OASIS standard;
+  * LibreOffice's native format and a steady slice of any document
+  * crawl): an ODT is a zip whose body lives in `content.xml` as
+  * `<text:p>` paragraphs and `<text:h>` headings.
+  *
+  * Conventions (the Docx regex-level stance, pinned in OdtSpec):
+  *  - paragraphs and headings both yield text blocks, joined with
+  *    newlines, document order preserved;
+  *  - `<text:tab/>` → tab, `<text:line-break/>` → newline,
+  *    `<text:s/>` → one space and `<text:s text:c="N"/>` → N spaces
+  *    (ODF collapses literal space runs — the markup IS the
+  *    whitespace);
+  *  - every other tag inside a paragraph drops (spans contribute
+  *    their content), the five XML entities decode AFTER tag
+  *    removal;
+  *  - the `mimetype` member, when present, must declare an ODF text
+  *    document — a spreadsheet/presentation nulls rather than
+  *    yielding its XML soup;
+  *  - malformed/truncated payloads null (total function).
+  */
+object Odt {
+
+  private val MaxBytes = 256 << 20
+
+  final case class OdtText(nParagraphs: Int, text: String)
+
+  private val ParaPat = java.util.regex.Pattern.compile(
+    "<text:(p|h)[ >].*?</text:\\1>", java.util.regex.Pattern.DOTALL)
+  private val SpacePat = java.util.regex.Pattern.compile(
+    "<text:s(?:\\s+text:c=\"(\\d+)\")?\\s*/>")
+
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  def extractText(b: Array[Byte]): OdtText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): OdtText = {
+    if (b == null || b.length < 22 || b.length > MaxBytes) return null
+    if (!(b(0) == 'P' && b(1) == 'K')) return null
+    var content: String = null
+    var mimetype: String = null
+    try Containers.parseZipBytes(b).foreach { e =>
+      if (e.name == "content.xml")
+        content = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      else if (e.name == "mimetype")
+        mimetype = new String(e.bytes,
+          java.nio.charset.StandardCharsets.US_ASCII)
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    if (content == null) return null
+    if (mimetype != null &&
+        mimetype.trim != "application/vnd.oasis.opendocument.text")
+      return null
+    val m = ParaPat.matcher(content)
+    val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      var p = m.group()
+      // strip the enclosing open/close tags
+      p = p.substring(p.indexOf('>') + 1, p.lastIndexOf('<'))
+      p = p.replace("<text:tab/>", "\t")
+        .replace("<text:line-break/>", "\n")
+      val sm = SpacePat.matcher(p)
+      val sb = new StringBuffer()
+      while (sm.find()) {
+        val n = Option(sm.group(1)).map(_.toInt).getOrElse(1)
+        sm.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(" " * n))
+      }
+      sm.appendTail(sb)
+      p = sb.toString.replaceAll("<[^>]*>", "")
+      paras += decodeEntities(p)
+    }
+    if (paras.isEmpty) return null
+    OdtText(paras.length, paras.filter(_.nonEmpty).mkString("\n"))
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal ODF text writer for fixtures: STORED `mimetype` first
+    * (the ODF packaging rule), then `content.xml` with one
+    * `<text:p>` per paragraph (a `<text:span>` wraps part of each —
+    * the real-document shape).
+    */
+  def buildOdt(paragraphs: Seq[String]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    val mime = "application/vnd.oasis.opendocument.text"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val me = new java.util.zip.ZipEntry("mimetype")
+    me.setMethod(java.util.zip.ZipEntry.STORED)
+    me.setSize(mime.length)
+    val crc = new java.util.zip.CRC32(); crc.update(mime)
+    me.setCrc(crc.getValue)
+    me.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+    zip.putNextEntry(me); zip.write(mime); zip.closeEntry()
+    val body = paragraphs.map { p =>
+      val (a, b) = p.splitAt(p.length / 2)
+      s"<text:p text:style-name=\"P1\">${esc(a)}" +
+        s"<text:span text:style-name=\"T1\">${esc(b)}</text:span></text:p>"
+    }.mkString
+    val content =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<office:document-content """ +
+        """xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" """ +
+        """xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">""" +
+        s"<office:body><office:text>$body</office:text></office:body>" +
+        "</office:document-content>"
+    val ce = new java.util.zip.ZipEntry("content.xml")
+    ce.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+    zip.putNextEntry(ce)
+    zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zip.closeEntry()
+    zip.close()
+    bos.toByteArray
+  }
+}

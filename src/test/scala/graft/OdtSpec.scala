@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.Odt
+
+class OdtSpec extends SparkSpec {
+
+  test("builder round trip: spans contribute content, entities " +
+      "decode, headings and paragraphs both extract") {
+    val t = Odt.extractText(Odt.buildOdt(Seq("alpha & beta", "two")))
+    assert(t != null && t.nParagraphs === 2)
+    assert(t.text === "alpha & beta\ntwo")
+  }
+
+  test("whitespace MARKUP is the whitespace: hand-written content.xml " +
+      "with tab / line-break / space-run elements and a heading") {
+    val xml =
+      """<?xml version="1.0"?><office:document-content>""" +
+        "<office:body><office:text>" +
+        "<text:h text:outline-level=\"1\">Title &amp; more</text:h>" +
+        "<text:p>a<text:tab/>b<text:line-break/>c</text:p>" +
+        "<text:p>x<text:s text:c=\"3\"/>y<text:s/>z</text:p>" +
+        "</office:text></office:body></office:document-content>"
+    val bytes = buildZip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" -> xml))
+    val t = Odt.extractText(bytes)
+    assert(t != null && t.nParagraphs === 3)
+    assert(t.text === "Title & more\na\tb\nc\nx   y z")
+  }
+
+  test("a non-text ODF (spreadsheet mimetype) nulls instead of " +
+      "yielding XML soup; truncation nulls") {
+    val xml = "<office:document-content><office:body><office:text>" +
+      "<text:p>cells</text:p></office:text></office:body>" +
+      "</office:document-content>"
+    val ods = buildZip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.spreadsheet",
+      "content.xml" -> xml))
+    assert(Odt.extractText(ods) === null)
+    val good = Odt.buildOdt(Seq("hello"))
+    assert(Odt.extractText(good.take(30)) === null)
+  }
+
+  private def buildZip(entries: Seq[(String, String)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    bos.toByteArray
+  }
+}
