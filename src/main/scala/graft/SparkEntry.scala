@@ -4170,6 +4170,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Legacy PowerPoint .ppt text extraction (r14 — the second
+    //     CFB office format; MS-PPT record walk): 1-3 text blocks by
+    //     id%3, UTF-16 atoms (non-Latin-1 char + the CR line
+    //     separator mapping) on even blocks, windows-1252 byte atoms
+    //     (é) on odd, an unknown atom skipped by length inside every
+    //     slide container. Degrades: %19 magic, %13 truncation.
+    "mm_ppt_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizePptBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPptText(media, "payload", "pp")
+        .select(col("media_id"), col("pp.format").as("format"),
+          col("pp.n_atoms").as("n_atoms"),
+          col("pp.n_chars").as("n_chars"),
+          col("pp.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- ODT text extraction (r14 — the OASIS OpenDocument member
     //     of the office family): zip + content.xml text:p paragraphs
     //     with spans, paragraph counts cycling 1-3, entity round
@@ -8754,6 +8771,35 @@ object SparkEntry {
         |SELECT i.media_id,
         |  CASE WHEN b.c THEN 'unknown' ELSE 'docx' END AS format,
         |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_paragraphs,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_ppt_text oracle: blocks rebuilt closed-form — UTF-16
+    // blocks carry the check mark and the CR→newline mapping, ANSI
+    // blocks the é
+    "mm_ppt_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |blk AS (
+        |  SELECT i.media_id, p.g AS p,
+        |    'deck ' || i.media_id || ' blk ' || p.g || ' w' ||
+        |      ((i.media_id * 17 + p.g) % 91) ||
+        |      CASE WHEN p.g % 2 = 0
+        |        THEN ' ✓' || chr(10) || 'next' ELSE ' é' END AS btext
+        |  FROM ids i, generate_series(0, 2) AS p(g) WHERE p.g < i.n),
+        |txt AS (
+        |  SELECT media_id, string_agg(btext, chr(10) ORDER BY p) AS text
+        |  FROM blk GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'ppt' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_atoms,
         |  CASE WHEN b.c THEN NULL
         |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
         |  CASE WHEN b.c THEN NULL ELSE t.text END AS text

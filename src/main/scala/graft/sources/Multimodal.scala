@@ -3921,6 +3921,64 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Legacy PowerPoint `.ppt` text extraction column (r14 — see
+    * [[Ppt]]): (format, n_atoms, n_chars, text); encrypted or
+    * malformed decks degrade to 'unknown'.
+    */
+  def withPptText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_atoms", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Ppt.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("ppt", t.nAtoms, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic `.ppt` payload (r14): 1-3 text blocks by id%3 —
+    * UTF-16 atoms (with a non-Latin-1 char and a CR line separator)
+    * on even block indexes, windows-1252 byte atoms (with é) on odd.
+    */
+  def synthPptPayload(id: Long): Array[Byte] = {
+    val n = (id % 3 + 1).toInt
+    Ppt.buildPpt((0 until n).map { j =>
+      val base = s"deck $id blk $j w${(id * 17 + j) % 91}"
+      if (j % 2 == 0) base + " ✓\rnext" else base + " é"
+    })
+  }
+
+  /** Synthesize the `.ppt` media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizePptBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthPptPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 700)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** ODT text extraction column (r14 — see [[Odt]]): (format,
     * n_paragraphs, n_chars, text); non-text ODF and malformed
     * payloads degrade to 'unknown'.

@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Legacy PowerPoint `.ppt` text extraction (r14) — the second
+  * CFB-container office format (MS-PPT, public spec): slide text
+  * lives in the `PowerPoint Document` stream as TextCharsAtom
+  * (UTF-16LE) and TextBytesAtom (single-byte ANSI) records inside
+  * nested container records.
+  *
+  * Reader: a recursive record walk — each record is an 8-byte header
+  * (version/instance u16, type u16, length u32); a version nibble of
+  * 0xF marks a CONTAINER whose payload is more records. Text atoms
+  * collect in stream order (the slide order of the authoring
+  * writer), one block per atom, joined with newlines; the CR that
+  * PPT uses as its line separator maps to \n. Everything else is
+  * skipped by length — unknown atoms cannot desync the walk.
+  *
+  * Boundaries (pinned in PptSpec): encrypted decks (the
+  * CryptSession10Container, type 0x2F14, anywhere in the stream)
+  * null; structural damage (a record length past its parent) nulls —
+  * the total-function discipline.
+  */
+object Ppt {
+
+  final case class PptText(nAtoms: Int, text: String)
+
+  private val Cp1252: Charset = Charset.forName("windows-1252")
+  private val TextCharsAtom = 0x0fa0
+  private val TextBytesAtom = 0x0fa8
+  private val CryptContainer = 0x2f14
+
+  def extractText(b: Array[Byte]): PptText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): PptText = {
+    val doc = Cfb.stream(b, "PowerPoint Document")
+    if (doc == null || doc.length < 8) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!walk(doc, 0, doc.length, out, 0)) return null
+    if (out.isEmpty) return null
+    PptText(out.length,
+      out.map(_.replace("\r", "\n")).filter(_.nonEmpty).mkString("\n"))
+  }
+
+  /** Walk records in [off, end); false on structural damage or
+    * encryption. Depth-bounded (containers nest shallowly in real
+    * decks; 32 is far past any legal nesting).
+    */
+  private def walk(b: Array[Byte], off: Int, end: Int,
+      out: scala.collection.mutable.ArrayBuffer[String],
+      depth: Int): Boolean = {
+    if (depth > 32) return false
+    var p = off
+    while (p + 8 <= end) {
+      val verInst = ByteBuffer.wrap(b, p, 2)
+        .order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+      val recType = ByteBuffer.wrap(b, p + 2, 2)
+        .order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+      val len = ByteBuffer.wrap(b, p + 4, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+      if (len > end - p - 8) return false
+      val body = p + 8
+      if (recType == CryptContainer) return false
+      if ((verInst & 0x000f) == 0x000f) {
+        if (!walk(b, body, body + len.toInt, out, depth + 1))
+          return false
+      } else if (recType == TextCharsAtom) {
+        out += new String(b, body, len.toInt, StandardCharsets.UTF_16LE)
+      } else if (recType == TextBytesAtom) {
+        out += new String(b, body, len.toInt, Cp1252)
+      }
+      p = body + len.toInt
+    }
+    p == end || p + 8 > end // trailing padding shorter than a header
+  }
+
+  // ============================================== fixture encoder
+
+  private def rec(verInst: Int, recType: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(8 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(verInst.toShort)
+    out.putShort(recType.toShort)
+    out.putInt(body.length)
+    out.put(body)
+    out.array()
+  }
+
+  /** Minimal deck fixture: a document container holding one slide
+    * container per entry — UTF-16 atoms on even indexes, ANSI byte
+    * atoms on odd (both decode paths on the hashed path), plus an
+    * unknown atom the walk must skip by length.
+    */
+  def buildPpt(blocks: Seq[String]): Array[Byte] = {
+    val slides = blocks.zipWithIndex.map { case (t, i) =>
+      val atom =
+        if (i % 2 == 0)
+          rec(0x0000, TextCharsAtom, t.getBytes(StandardCharsets.UTF_16LE))
+        else
+          rec(0x0000, TextBytesAtom, t.getBytes(Cp1252))
+      val noise = rec(0x0000, 0x03e8, Array[Byte](1, 2, 3, 4))
+      rec(0x000f, 0x03ee, noise ++ atom) // SlideContainer
+    }
+    val document = rec(0x000f, 0x03e8, slides.flatten.toArray)
+    Cfb.buildCfb(Seq(
+      "Current User" -> Array[Byte](0, 0, 0, 0),
+      "PowerPoint Document" -> document))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.{Cfb, Ppt}
+
+class PptSpec extends SparkSpec {
+
+  test("builder round trip: both atom encodings, CR maps to newline, " +
+      "unknown atoms skipped by length") {
+    val t = Ppt.extractText(Ppt.buildPpt(Seq("one ✓\rtwo", "ansi é")))
+    assert(t != null && t.nAtoms === 2)
+    assert(t.text === "one ✓\ntwo\nansi é")
+  }
+
+  test("hand-assembled record stream (written against MS-PPT " +
+      "directly): nested containers walk, atoms collect in order") {
+    def rec(verInst: Int, typ: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(verInst.toShort); b.putShort(typ.toShort)
+      b.putInt(body.length); b.put(body); b.array()
+    }
+    val inner = rec(0x000f, 0x03ee,
+      rec(0, 0x0fa0, "deep".getBytes("UTF-16LE")))
+    val flat = rec(0, 0x0fa8, "flat".getBytes("windows-1252"))
+    val doc = rec(0x000f, 0x03e8, inner ++ flat)
+    val cfb = Cfb.buildCfb(Seq("PowerPoint Document" -> doc))
+    val t = Ppt.extractText(cfb)
+    assert(t != null && t.nAtoms === 2)
+    assert(t.text === "deep\nflat")
+  }
+
+  test("encryption container refuses; a record length past its " +
+      "parent nulls instead of desyncing") {
+    def rec(verInst: Int, typ: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(verInst.toShort); b.putShort(typ.toShort)
+      b.putInt(body.length); b.put(body); b.array()
+    }
+    val crypt = rec(0x000f, 0x2f14, Array[Byte](0, 0, 0, 0)) ++
+      rec(0, 0x0fa8, "secret".getBytes("windows-1252"))
+    assert(Ppt.extractText(
+      Cfb.buildCfb(Seq("PowerPoint Document" -> crypt))) === null)
+    // a record claiming more bytes than remain
+    val liar = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    liar.putShort(0.toShort); liar.putShort(0x0fa8.toShort)
+    liar.putInt(9999); liar.putInt(0)
+    assert(Ppt.extractText(
+      Cfb.buildCfb(Seq("PowerPoint Document" -> liar.array()))) === null)
+  }
+}
