@@ -4170,6 +4170,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Legacy Excel .xls text extraction (r14 — the third CFB
+    //     office format; BIFF8 SST + LabelSst): three shared strings
+    //     (rich Latin-1 é with skipped runs, UTF-16 ✓, plain) across
+    //     four cells in two rows, one string referenced twice — the
+    //     shared-string table semantics on the hashed path. Degrades:
+    //     %19 magic, %13 truncation.
+    "mm_xls_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeXlsBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withXlsText(media, "payload", "xl")
+        .select(col("media_id"), col("xl.format").as("format"),
+          col("xl.n_cells").as("n_cells"),
+          col("xl.n_chars").as("n_chars"),
+          col("xl.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Legacy PowerPoint .ppt text extraction (r14 — the second
     //     CFB office format; MS-PPT record walk): 1-3 text blocks by
     //     id%3, UTF-16 atoms (non-Latin-1 char + the CR line
@@ -8776,6 +8793,29 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
         |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_xls_text oracle: the two grid rows restated — cells
+    // tab-joined, rows newline-joined, the doubly-referenced string
+    // appearing in both rows
+    "mm_xls_text" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |t AS (SELECT media_id,
+        |  'sum ' || media_id || ' é total' || chr(9) ||
+        |    'cell ✓ ' || media_id || chr(10) ||
+        |    'plain ' || media_id || chr(9) ||
+        |    'sum ' || media_id || ' é total' AS txt
+        |  FROM ids),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT t.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'xls' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(4 AS INT) END AS n_cells,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.txt) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.txt END AS text
+        |FROM t JOIN bad b USING (media_id)
+        |ORDER BY t.media_id""".stripMargin,
 
     // the mm_ppt_text oracle: blocks rebuilt closed-form — UTF-16
     // blocks carry the check mark and the CR→newline mapping, ANSI

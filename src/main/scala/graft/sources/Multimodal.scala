@@ -3979,6 +3979,62 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Legacy Excel `.xls` text extraction column (r14 — see [[Xls]]):
+    * (format, n_cells, n_chars, text); encrypted or malformed
+    * workbooks degrade to 'unknown'.
+    */
+  def withXlsText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_cells", IntegerType),
+      StructField("n_chars", IntegerType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val t = Xls.extractText(p)
+            if (t == null) Row("unknown", null, null, null)
+            else Row("xls", t.nCells, t.text.length, t.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic `.xls` payload (r14): three SST strings — rich
+    * Latin-1 with é (runs skipped), UTF-16 with a non-Latin-1 char,
+    * plain — referenced by four cells over two rows, one string
+    * referenced TWICE (the shared-string semantics).
+    */
+  def synthXlsPayload(id: Long): Array[Byte] =
+    Xls.buildXls(
+      Seq(s"sum $id é total", s"cell ✓ $id", s"plain $id"),
+      Seq((0, 0, 0), (0, 1, 1), (1, 0, 2), (1, 1, 0)))
+
+  /** Synthesize the `.xls` media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeXlsBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthXlsPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 700)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** ODT text extraction column (r14 — see [[Odt]]): (format,
     * n_paragraphs, n_chars, text); non-text ODF and malformed
     * payloads degrade to 'unknown'.

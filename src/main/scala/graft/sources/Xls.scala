@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Legacy Excel `.xls` text extraction (r14) — the third CFB office
+  * format (MS-XLS / BIFF8, public spec): cell strings live ONCE in
+  * the workbook-global SST (shared string table) record; each text
+  * cell is a LabelSst record referencing an SST index. Extraction
+  * is therefore two passes over the `Workbook` stream's record
+  * sequence (u16 opcode, u16 length, payload): collect the SST,
+  * then walk the worksheet substreams (each opened by its own BOF)
+  * resolving LabelSst cells.
+  *
+  * Conventions (pinned in XlsSpec):
+  *  - SST strings parse the XLUnicodeRichExtendedString layout —
+  *    compressed (Latin-1, high bytes zero — the BIFF rule, NOT
+  *    cp1252) or UTF-16LE per string, rich-run and ext-block
+  *    payloads skipped by their declared sizes;
+  *  - cells emit per worksheet substream in (row, col) order, cells
+  *    joined with tabs, rows with newlines, sheets with newlines —
+  *    a deterministic serialization of the grid text;
+  *  - declared boundaries: Continue-split SSTs (a string table
+  *    larger than one 8224-byte record) and pre-BIFF8 `Book`
+  *    streams null rather than mis-decode; encrypted workbooks
+  *    (FilePass record 0x002F) null.
+  */
+object Xls {
+
+  final case class XlsText(nCells: Int, text: String)
+
+  private val RecSst = 0x00fc
+  private val RecLabelSst = 0x00fd
+  private val RecBof = 0x0809
+  private val RecFilePass = 0x002f
+
+  def extractText(b: Array[Byte]): XlsText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 2).order(ByteOrder.LITTLE_ENDIAN)
+      .getShort & 0xffff
+  private def u32(b: Array[Byte], off: Int): Long =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt & 0xffffffffL
+
+  private def parseSst(b: Array[Byte], off: Int, len: Int): Seq[String] = {
+    val end = off + len
+    val cstUnique = u32(b, off + 4)
+    if (cstUnique > 1000000) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = off + 8
+    var i = 0L
+    while (i < cstUnique) {
+      if (p + 3 > end) return null // Continue-split SST: boundary
+      val cch = u16(b, p)
+      val flags = b(p + 2) & 0xff
+      p += 3
+      val fHigh = (flags & 0x01) != 0
+      val fExt = (flags & 0x04) != 0
+      val fRich = (flags & 0x08) != 0
+      var cRun = 0
+      var cbExt = 0L
+      if (fRich) { if (p + 2 > end) return null; cRun = u16(b, p); p += 2 }
+      if (fExt) { if (p + 4 > end) return null; cbExt = u32(b, p); p += 4 }
+      val nBytes = cch * (if (fHigh) 2 else 1)
+      if (p + nBytes > end) return null
+      out += (if (fHigh)
+        new String(b, p, nBytes, StandardCharsets.UTF_16LE)
+      else
+        new String(b, p, nBytes, StandardCharsets.ISO_8859_1))
+      p += nBytes + cRun * 4 + cbExt.toInt
+      if (p > end) return null
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def extractInner(b: Array[Byte]): XlsText = {
+    val wb = Cfb.stream(b, "Workbook")
+    if (wb == null || wb.length < 4) return null
+    // pass 1: SST + encryption probe; pass 2 needs substream order
+    var sst: Seq[String] = null
+    final case class Cell(sheet: Int, row: Int, col: Int, isst: Long)
+    val cells = scala.collection.mutable.ArrayBuffer.empty[Cell]
+    var p = 0
+    var sheet = -1 // globals substream is sheet -1
+    if (u16(wb, 0) != RecBof) return null
+    while (p + 4 <= wb.length) {
+      val op = u16(wb, p)
+      val len = u16(wb, p + 2)
+      val body = p + 4
+      if (body + len > wb.length) return null
+      op match {
+        case RecFilePass => return null // encrypted
+        case RecBof => sheet += 1
+        case RecSst =>
+          if (len < 8) return null
+          sst = parseSst(wb, body, len)
+          if (sst == null) return null
+        case RecLabelSst =>
+          if (len < 10) return null
+          cells += Cell(sheet, u16(wb, body), u16(wb, body + 2),
+            u32(wb, body + 6))
+        case _ => ()
+      }
+      p = body + len
+    }
+    if (sst == null || cells.isEmpty) return null
+    val resolved = cells.map { c =>
+      if (c.isst >= sst.length) return null
+      (c.sheet, c.row, c.col, sst(c.isst.toInt))
+    }.sortBy(t => (t._1, t._2, t._3))
+    val text = resolved.groupBy(t => (t._1, t._2)).toSeq.sortBy(_._1)
+      .map(_._2.map(_._4).mkString("\t")).mkString("\n")
+    XlsText(cells.length, text)
+  }
+
+  // ============================================== fixture encoder
+
+  private def rec(op: Int, body: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(4 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putShort(op.toShort)
+    out.putShort(body.length.toShort)
+    out.put(body)
+    out.array()
+  }
+
+  private def bofBody: Array[Byte] = {
+    val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(0x0600.toShort) // BIFF8
+    b.putShort(0x0005.toShort) // workbook globals (type ignored)
+    b.array()
+  }
+
+  /** Minimal BIFF8 fixture: globals substream with an SST whose odd
+    * indexes are UTF-16 (fHighByte) and index 0 additionally RICH
+    * (two formatting runs the reader must skip), one worksheet
+    * substream of LabelSst cells referencing the SST.
+    */
+  def buildXls(strings: Seq[String],
+      cells: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val sstBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(cells.length); hdr.putInt(strings.length)
+      out.write(hdr.array())
+      strings.zipWithIndex.foreach { case (s, i) =>
+        val high = i % 2 == 1
+        val rich = i == 0
+        val flags = (if (high) 1 else 0) | (if (rich) 8 else 0)
+        val chars =
+          if (high) s.getBytes(StandardCharsets.UTF_16LE)
+          else s.getBytes(StandardCharsets.ISO_8859_1)
+        val head = ByteBuffer.allocate(3 + (if (rich) 2 else 0))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        head.putShort(s.length.toShort)
+        head.put(flags.toByte)
+        if (rich) head.putShort(2.toShort) // two runs
+        out.write(head.array())
+        out.write(chars)
+        if (rich) out.write(new Array[Byte](8)) // 2 runs x 4 bytes
+      }
+      out.toByteArray
+    }
+    val cellRecs = cells.map { case (row, col, isst) =>
+      val b = ByteBuffer.allocate(10).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(row.toShort); b.putShort(col.toShort)
+      b.putShort(15.toShort) // ixfe
+      b.putInt(isst)
+      rec(RecLabelSst, b.array())
+    }
+    val stream = rec(RecBof, bofBody) ++ rec(RecSst, sstBody) ++
+      rec(0x000a, Array.emptyByteArray) ++ // EOF
+      rec(RecBof, bofBody) ++ cellRecs.flatten ++
+      rec(0x000a, Array.emptyByteArray)
+    Cfb.buildCfb(Seq("Workbook" -> stream))
+  }
+}

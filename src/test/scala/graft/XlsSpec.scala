@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.{Cfb, Xls}
+
+class XlsSpec extends SparkSpec {
+
+  test("builder round trip: rich runs skipped, both encodings, grid " +
+      "serialization in (sheet, row, col) order, shared references") {
+    val t = Xls.extractText(Xls.buildXls(
+      Seq("rich é", "wide ✓", "plain"),
+      // cells deliberately OUT of order: the reader must sort
+      Seq((1, 1, 0), (0, 1, 1), (0, 0, 0), (1, 0, 2))))
+    assert(t != null && t.nCells === 4)
+    assert(t.text === "rich é\twide ✓\nplain\trich é")
+  }
+
+  test("encrypted workbooks (FilePass) and out-of-range SST indexes " +
+      "null; truncation nulls") {
+    def rec(op: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(op.toShort); b.putShort(body.length.toShort)
+      b.put(body); b.array()
+    }
+    val bof = rec(0x0809, new Array[Byte](8))
+    val filePass = rec(0x002f, new Array[Byte](6))
+    val enc = Cfb.buildCfb(Seq("Workbook" -> (bof ++ filePass)))
+    assert(Xls.extractText(enc) === null)
+    // LabelSst pointing past the SST
+    val base = Xls.buildXls(Seq("only"), Seq((0, 0, 5)))
+    assert(Xls.extractText(base) === null)
+    val good = Xls.buildXls(Seq("only"), Seq((0, 0, 0)))
+    assert(Xls.extractText(good).text === "only")
+    assert(Xls.extractText(good.take(600)) === null)
+  }
+
+  test("a Continue-split SST is the declared boundary: a string " +
+      "claiming more chars than the record holds nulls, never " +
+      "mis-decodes") {
+    def rec(op: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(op.toShort); b.putShort(body.length.toShort)
+      b.put(body); b.array()
+    }
+    val bof = rec(0x0809, new Array[Byte](8))
+    val sst = {
+      val b = ByteBuffer.allocate(8 + 3 + 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1); b.putInt(1)
+      b.putShort(50.toShort) // claims 50 chars...
+      b.put(0.toByte)
+      b.putShort(0x6161.toShort) // ...but carries 2 bytes
+      rec(0x00fc, b.array())
+    }
+    val cfb = Cfb.buildCfb(Seq("Workbook" -> (bof ++ sst)))
+    assert(Xls.extractText(cfb) === null)
+  }
+}
