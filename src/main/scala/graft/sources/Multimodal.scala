@@ -173,6 +173,29 @@ object Multimodal {
     if (b.length >= 50 && b(0) == 'P' && b(1) == 'K' &&
         ascii(b, 30, "[Content_Types].xml"))
       return MediaHeader("ooxml", 0, 0, 0, 0)
+    // ODF (odt/ods/odp): zip whose first member is the stored
+    // mimetype (the ODF packaging rule); the odt text surface is
+    // withOdtText
+    if (b.length >= 58 && b(0) == 'P' && b(1) == 'K' &&
+        ascii(b, 30, "mimetype") &&
+        ascii(b, 38, "application/vnd.oasis.opendocument"))
+      return MediaHeader("odf", 0, 0, 0, 0)
+    // OLE2/CFB (doc/xls/ppt and everything else legacy Office):
+    // discriminated by the directory names (the full parse runs —
+    // acceptable for a probe over a payload already in memory; the
+    // text surfaces re-parse anyway)
+    if ((b(0) & 0xFF) == 0xD0 && (b(1) & 0xFF) == 0xCF &&
+        (b(2) & 0xFF) == 0x11 && (b(3) & 0xFF) == 0xE0) {
+      val entries = Cfb.parseCfb(b)
+      val names =
+        if (entries == null) Set.empty[String] else entries.map(_.name).toSet
+      val fmt =
+        if (names.contains("WordDocument")) "doc"
+        else if (names.contains("Workbook")) "xls"
+        else if (names.contains("PowerPoint Document")) "ppt"
+        else "cfb"
+      return MediaHeader(fmt, 0, 0, 0, 0)
+    }
     // MP3: ID3v2 prefix or a bare MPEG-1 Layer III sync — rate and
     // channels from the FIRST frame header (the cheap header-only
     // contract; the frame-walk surface is withMp3Meta)

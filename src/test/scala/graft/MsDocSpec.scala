@@ -122,6 +122,21 @@ class MsDocSpec extends SparkSpec {
     assert(t != null && t.text === "main\ntail")
   }
 
+  test("parseHeader tags the CFB family: doc/xls/ppt by directory " +
+      "names, odf by the stored mimetype") {
+    import graft.sources.{Multimodal, Odt, Ppt, Xls}
+    assert(Multimodal.parseHeader(
+      MsDoc.buildDoc("a\r", "b")).format === "doc")
+    assert(Multimodal.parseHeader(
+      Xls.buildXls(Seq("s"), Seq((0, 0, 0)))).format === "xls")
+    assert(Multimodal.parseHeader(
+      Ppt.buildPpt(Seq("t"))).format === "ppt")
+    assert(Multimodal.parseHeader(
+      Odt.buildOdt(Seq("p"))).format === "odf")
+    assert(Multimodal.parseHeader(
+      Cfb.buildCfb(Seq("Else" -> Array[Byte](1)))).format === "cfb")
+  }
+
   private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i <= hay.length - needle.length) {
