@@ -4170,6 +4170,37 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Cross-format office dedup (r14 — the "same report
+    //     re-uploaded as docx AND doc AND odt AND rtf" case container
+    //     dedup cannot pair): groups of four ids share one text, each
+    //     id rendered in a ROTATING format ((id + group) % 4, so the
+    //     surviving min-id carries every format across the corpus);
+    //     the universal withOfficeText dispatcher extracts all four
+    //     in ONE pass and exact dedup keeps the min id per text. The
+    //     oracle restates survivors closed-form.
+    "mm_office_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long].map { id =>
+          val g = id / 4
+          val t = s"report $g alpha item${g % 59} beta"
+          val bytes = ((id + g) % 4) match {
+            case 0L => graft.sources.Docx.buildDocx(Seq(t))
+            case 1L => graft.sources.MsDoc.buildDoc(t, "")
+            case 2L => graft.sources.Odt.buildOdt(Seq(t))
+            case _ => graft.sources.Rtf.buildRtf(Seq(t))
+              .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      val texts = Multimodal.withOfficeText(payloads, "payload", "of")
+        .select(col("doc_id"), col("of.format").as("format"),
+          col("of.text").as("text"))
+        .filter(col("text").isNotNull)
+      Dedup.exactDedup(texts, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Legacy Excel .xls text extraction (r14 — the third CFB
     //     office format; BIFF8 SST + LabelSst): three shared strings
     //     (rich Latin-1 é with skipped runs, UTF-16 ✓, plain) across
@@ -8793,6 +8824,17 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
         |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_office_dedup oracle: survivors are the min id of each
+    // 4-id group, format rotating with the group, text closed-form
+    "mm_office_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id // 4 AS g FROM documents
+        |  WHERE doc_id < 120 AND doc_id % 4 = 0)
+        |SELECT g * 4 AS doc_id,
+        |  ['docx', 'doc', 'odt', 'rtf'][CAST(g % 4 AS INT) + 1] AS format,
+        |  'report ' || g || ' alpha item' || (g % 59) || ' beta' AS text
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the mm_xls_text oracle: the two grid rows restated — cells
     // tab-joined, rows newline-joined, the doubly-referenced string

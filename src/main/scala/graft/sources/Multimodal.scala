@@ -173,6 +173,10 @@ object Multimodal {
     if (b.length >= 50 && b(0) == 'P' && b(1) == 'K' &&
         ascii(b, 30, "[Content_Types].xml"))
       return MediaHeader("ooxml", 0, 0, 0, 0)
+    // RTF: the literal {\rtf magic; the text surface is
+    // Rtf.extractText (via withOfficeText's dispatch)
+    if (ascii(b, 0, "{\\rtf"))
+      return MediaHeader("rtf", 0, 0, 0, 0)
     // ODF (odt/ods/odp): zip whose first member is the stored
     // mimetype (the ODF packaging rule); the odt text surface is
     // withOdtText
@@ -3998,6 +4002,60 @@ object Multimodal {
           else if (id % 13 == 0) java.util.Arrays.copyOf(bytes, 700)
           else bytes
         Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Universal office-document text (r14): dispatch on the
+    * [[parseHeader]] container tag to the right extractor — docx /
+    * doc / odt / ppt / xls / pdf / rtf — and report (format, text).
+    * The "whatever office file the crawl handed us" operator: a
+    * mixed-format corpus extracts in ONE pass with no per-format
+    * branching upstream, which is what makes the cross-format
+    * dedup composition (`mm_office_dedup`) a single plan. A payload
+    * whose container tag matches but whose extraction fails reports
+    * ('unknown', null) — total function.
+    */
+  def withOfficeText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("text", StringType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val tag = parseHeader(p).format
+            val (fmt, text) = tag match {
+              case "ooxml" =>
+                val t = Docx.extractText(p)
+                if (t == null) (null, null) else ("docx", t.text)
+              case "doc" =>
+                val t = MsDoc.extractText(p)
+                if (t == null) (null, null) else ("doc", t.text)
+              case "odf" =>
+                val t = Odt.extractText(p)
+                if (t == null) (null, null) else ("odt", t.text)
+              case "ppt" =>
+                val t = Ppt.extractText(p)
+                if (t == null) (null, null) else ("ppt", t.text)
+              case "xls" =>
+                val t = Xls.extractText(p)
+                if (t == null) (null, null) else ("xls", t.text)
+              case "pdf" =>
+                val t = Pdf.extractText(p)
+                if (t == null) (null, null) else ("pdf", t.text)
+              case "rtf" =>
+                val t = Rtf.extractText(new String(p,
+                  java.nio.charset.Charset.forName("windows-1252")))
+                if (t == null) (null, null) else ("rtf", t)
+              case _ => (null, null)
+            }
+            if (fmt == null) Row("unknown", null) else Row(fmt, text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
       }
     }(Encoders.row(schema))
   }
