@@ -8272,19 +8272,19 @@ object SparkEntry {
     "docs_secrets" -> {
       def q(p: String) = p.replace("'", "''")
       val rules = graft.operators.Secrets.secretRules
-      // staged(i): aug with rules 0..i-1 redacted — rule i detects on
-      // this (the fold-consistent semantics of Secrets.secretKinds)
-      def staged(i: Int): String =
-        rules.take(i).foldLeft("aug") { case (acc, (k, p)) =>
-          s"regexp_replace($acc, '${q(p)}', '<SECRET:$k>', 'g')"
-        }
-      val kindsCsv = rules.zipWithIndex.map { case ((k, p), i) =>
-        s"CASE WHEN regexp_matches(${staged(i)}, '${q(p)}') THEN '$k' END"
+      // detection reads the redacted text (the Secrets marker
+      // semantics): one 8-replace fold, kinds by marker presence,
+      // counts by marker occurrences
+      val red = rules.foldLeft("aug") { case (acc, (k, p)) =>
+        s"regexp_replace($acc, '${q(p)}', '<SECRET:$k>', 'g')"
+      }
+      val kindsCsv = rules.map { case (k, _) =>
+        s"CASE WHEN contains(red, '<SECRET:$k>') THEN '$k' END"
       }.mkString("concat_ws(',', ", ", ", ")")
-      val nSecrets = rules.zipWithIndex.map { case ((_, p), i) =>
-        s"len(regexp_extract_all(${staged(i)}, '${q(p)}'))"
+      val nSecrets = rules.map { case (k, _) =>
+        val m = s"<SECRET:$k>"
+        s"(length(red) - length(replace(red, '$m', ''))) / ${m.length}"
       }.mkString(" + ")
-      val red = staged(rules.length)
       s"""WITH a AS (SELECT doc_id, text ||
          |  CASE WHEN doc_id % 5 = 0 THEN ' api_key = "sk' || lpad(CAST(doc_id AS VARCHAR), 14, '0') || '"' ELSE '' END ||
          |  CASE WHEN doc_id % 7 = 0 THEN ' postgres://admin:pw' || doc_id || '@db.ex.com/prod' ELSE '' END ||
@@ -8295,12 +8295,13 @@ object SparkEntry {
          |  CASE WHEN doc_id % 23 = 0 THEN ' AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') ELSE '' END ||
          |  CASE WHEN doc_id % 29 = 0 THEN ' AIza' || lpad(CAST(doc_id AS VARCHAR), 35, '0') ELSE '' END
          |  AS aug
-         |  FROM documents WHERE text IS NOT NULL)
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id, $red AS red FROM a)
          |SELECT doc_id,
          |  $kindsCsv AS kinds,
          |  CAST($nSecrets AS INT) AS n_secrets,
-         |  md5($red) AS redacted_md5
-         |FROM a ORDER BY doc_id""".stripMargin
+         |  md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     // the text_urls oracle: the identical canonicalization chain —

@@ -71,35 +71,40 @@ object Secrets {
       regexp_replace(c, pat, marker(kind))
     }
 
-  /** `text` with the FIRST `i` rules redacted — detection for rule i
-    * runs on this, so kinds/counts agree exactly with what
-    * [[redactSecrets]] rewrites: a JWT inside a PEM key body is one
-    * `private_key`, never a second `jwt` (the fold already consumed
-    * it). Catalyst's common-subexpression elimination shares the
-    * prefix chains across the per-rule flags.
+  /** Detection reads the REDACTED text (r14 perf: one 8-replace fold
+    * instead of per-rule staged regex passes — the fold already
+    * encodes which rule consumed which span, so marker presence IS
+    * fold-consistent detection: a JWT inside a PEM key body was
+    * rewritten by the PEM rule and only `<SECRET:private_key>`
+    * appears). Caveat, accepted and documented: source text that
+    * already contains a literal marker string counts as a detection
+    * — such text is secret-scanner OUTPUT, and excluding it from a
+    * training corpus is the right call anyway.
     */
-  private def staged(text: Column, i: Int): Column =
-    secretRules.take(i).foldLeft(text) { case (c, (kind, pat)) =>
-      regexp_replace(c, pat, marker(kind))
-    }
+  private def markerCount(red: Column, kind: String): Column =
+    ((length(red) - length(replace(red, lit(marker(kind)), lit("")))) /
+      marker(kind).length).cast("int")
 
-  /** The kinds [[redactSecrets]] would rewrite, in rule order (empty
-    * array when clean) — the audit-trail column.
+  /** The kinds [[redactSecrets]] rewrote, in rule order (empty array
+    * when clean) — the audit-trail column.
     */
-  def secretKinds(text: Column): Column =
+  def secretKinds(text: Column): Column = {
+    val red = redactSecrets(text)
     filter(
-      array(secretRules.zipWithIndex.map { case ((kind, pat), i) =>
-        when(staged(text, i).rlike(pat), lit(kind))
+      array(secretRules.map { case (kind, _) =>
+        when(contains(red, lit(marker(kind))), lit(kind))
       }: _*),
       k => k.isNotNull)
+  }
 
-  /** Total match count across all rules, each counted on its staged
-    * text (the [[redactSecrets]] fold semantics).
+  /** Total rewrite count across all rules (markers counted on the
+    * redacted text — the [[redactSecrets]] fold semantics).
     */
-  def secretCount(text: Column): Column =
-    secretRules.zipWithIndex.map { case ((_, pat), i) =>
-      regexp_count(staged(text, i), lit(pat))
-    }.reduce(_ + _).cast("int")
+  def secretCount(text: Column): Column = {
+    val red = redactSecrets(text)
+    secretRules.map { case (kind, _) => markerCount(red, kind) }
+      .reduce(_ + _).cast("int")
+  }
 
   /** Append `secret_kinds` (array) and `n_secrets` (int) — the flag
     * form: every row kept, decisions downstream.
