@@ -43,6 +43,50 @@ object CorpusReport {
         countDistinct(col("lang")).as("n_langs"),
         round(avg(col("quality_score")), 6).as("mean_quality"))
 
+  /** MERGEABLE per-(source, lang) partials of the card — the
+    * streaming/incremental form: each crawl batch aggregates ONLY
+    * its own rows (batch-sized work) into a tiny partials frame, and
+    * [[rollupPartials]] folds any number of them into the current
+    * card. Distinct-language counting survives the merge because the
+    * partial grain IS (source, lang); the mean folds as
+    * (Σ quality, n scoreable).
+    */
+  def partials(df: DataFrame, sourceCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    Attributes.qualityAttributesTable(df, textCol, minWords, maxWords)
+      .groupBy(col(sourceCol).as("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L))
+          .as("n_unscoreable"),
+        coalesce(sum(col("n_chars")).cast("bigint"), lit(0L))
+          .as("sum_chars"),
+        coalesce(sum(col("n_tokens")).cast("bigint"), lit(0L))
+          .as("sum_tokens"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L))
+          .as("n_gopher_pass"),
+        coalesce(sum(col("quality_score")), lit(0.0d)).as("sum_quality"),
+        sum(when(col("quality_score").isNotNull, 1L).otherwise(0L))
+          .as("n_scoreable"))
+
+  /** Fold [[partials]] frames (any number of batches unioned or read
+    * back from a ledger) into the card [[bySource]] computes in one
+    * shot. Integer columns are exact; `mean_quality` is
+    * Σ quality / n scoreable — the same quantity as the batch avg,
+    * up to floating summation order.
+    */
+  def rollupPartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("source"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_unscoreable")).as("n_unscoreable"),
+        sum(col("sum_chars")).as("sum_chars"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        sum(col("n_gopher_pass")).as("n_gopher_pass"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("sum_quality")) /
+          sum(col("n_scoreable")), 6).as("mean_quality"))
+
   /** The language-mix rows of the card: (source, lang, n_docs) —
     * lang is null for unscoreable (null/empty text) docs, which stay
     * countable. Computes ONLY the language signal (the same

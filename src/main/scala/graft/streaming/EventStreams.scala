@@ -346,6 +346,31 @@ object EventStreams {
       ()
     }
 
+  /** Streaming dataset-card (r14 — the operational twin of
+    * `CorpusReport.bySource`): each micro-batch aggregates ONLY its
+    * own rows into the mergeable (source, lang) partials and lands
+    * them under `ledgerPath/batch_id=<n>` (idempotent partitions);
+    * the CURRENT card is the rollup of the tiny ledger, rewritten at
+    * `reportOut` after every batch. Per-batch work is batch-sized;
+    * the rollup reads partials (sources × langs × batches rows),
+    * never the corpus — the shape that keeps a 100 TB card current.
+    */
+  def corpusReportStream(docs: DataFrame, sourceCol: String,
+      textCol: String, ledgerPath: String, reportOut: String,
+      minWords: Int = 50):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.operators.CorpusReport.partials(batch, sourceCol, textCol,
+          minWords)
+        .write.mode("overwrite")
+        .parquet(ledgerPath.stripSuffix("/") + s"/batch_id=$batchId")
+      graft.operators.CorpusReport.rollupPartials(
+          spark.read.parquet(ledgerPath))
+        .write.mode("overwrite").parquet(reportOut)
+      ()
+    }
+
   // -------------------------------------------------------------
   // Continuous MEDIA near-dup (the fingerprint twin of nearDupStream)
   // -------------------------------------------------------------

@@ -476,4 +476,43 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} != batch ${batch.size}")
     assert(batch.nonEmpty, "the twin must exercise real survivors")
   }
+
+  test("corpusReportStream: the rolled-up ledger card == the one-shot " +
+      "batch card on the arrived union (means up to float summation " +
+      "order) — per-batch work stays batch-sized (r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CorpusReport
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tmp = java.nio.file.Files.createTempDirectory("report_stream")
+    val (ledger, out, ckpt) = (s"$tmp/ledger", s"$tmp/out", s"$tmp/ckpt")
+    val stream = MemoryStream[(String, String)]
+    val q = EventStreams.corpusReportStream(
+        stream.toDF().toDF("source", "text"), "source", "text",
+        ledger, out, minWords = 10)
+      .option("checkpointLocation", ckpt)
+      .start()
+    docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+      stream.addData(g.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(out)
+      .orderBy("source").collect()
+    val batch = CorpusReport.bySource(
+        Tables.documents(spark, "/root/testdata/sf0.001")
+          .select($"source", $"text"),
+        "source", "text", minWords = 10)
+      .orderBy("source").collect()
+    assert(streamed.length === batch.length && batch.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getString(0) === b.getString(0))
+      (1 to 5).foreach(i => assert(s.getLong(i) === b.getLong(i),
+        s"col $i for ${s.getString(0)}"))
+      assert(s.getLong(6) === b.getLong(6), "n_langs")
+      assert(math.abs(s.getDouble(7) - b.getDouble(7)) < 1e-6,
+        s"mean_quality for ${s.getString(0)}")
+    }
+  }
 }
