@@ -2024,6 +2024,65 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // --- Email ingestion (r14 — RFC 5322 + MIME from scratch;
+    //     mailing-list archives are a standing corpus source): body
+    //     paths cycle by id%4 — plain UTF-8, quoted-printable
+    //     ISO-8859-1 (é as =E9), base64 UTF-8 (wrapped lines), and
+    //     multipart/alternative where the HTML part comes FIRST and
+    //     the reader must take the text/plain leaf. Subjects on %3
+    //     are RFC 2047 B-encoded words. %19 payloads are not mail →
+    //     'unknown'. The oracle restates every field closed-form.
+    "docs_eml" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long].map { id =>
+          val v = (id % 4).toInt
+          val body = v match {
+            case 0 => s"plain $id café ✓"
+            case 1 => s"qp $id café"
+            case 2 => s"b64 $id café ✓"
+            case _ => s"alt $id pick plain"
+          }
+          val subject =
+            if (id % 3 == 0) s"Enc ✓ $id" else s"Sub $id"
+          val bytes =
+            if (id % 19 == 0) s"no headers here $id".getBytes("UTF-8")
+            else graft.sources.Mail.buildEml(subject,
+              s"user$id@ex.com", s"D$id", body, v,
+              encSubject = id % 3 == 0)
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.sources.Sources.withEmlText(payloads, "payload", "em")
+        .select(col("doc_id"), col("em.format").as("format"),
+          col("em.subject").as("subject"),
+          col("em.from_addr").as("from_addr"),
+          col("em.date").as("date_hdr"),
+          col("em.text").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- mbox explode (r14 — the archive form mailing lists ship
+    //     in): 1-3 messages per mbox by id%3, each with an
+    //     mboxrd-quoted >From line that must unescape; %19 ids are
+    //     not mboxes and keep one all-null-message row. The oracle
+    //     rebuilds every message row.
+    "docs_mbox" -> ((s, dir) => {
+      import s.implicits._
+      val boxes = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long].map { id =>
+          val text =
+            if (id % 19 == 0) s"not a mailbox $id"
+            else graft.sources.Mail.buildMbox(
+              (0 until (id % 3 + 1).toInt).map(k =>
+                (s"m$k of $id", s"text $k in $id")))
+          (id, text)
+        }.toDF("doc_id", "text")
+      graft.sources.Sources.withMboxMessages(boxes, "text")
+        .select(col("doc_id"), col("msg_idx"), col("subject"),
+          col("msg_text").as("text"))
+        .orderBy(col("doc_id"), col("msg_idx"))
+    }),
+
     // --- WET ingestion (r14 — the Common Crawl conversion-record
     //     sidecar most public text corpora actually start from: the
     //     crawl's own plain-text extraction): each payload is
@@ -6377,6 +6436,45 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY target_uri""".stripMargin,
+
+    // the docs_eml oracle: every field closed-form by body variant
+    "docs_eml" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, CAST(doc_id % 4 AS INT) AS v
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 19 = 0 THEN 'unknown' ELSE 'eml' END AS format,
+        |  CASE WHEN id % 19 = 0 THEN NULL
+        |       WHEN id % 3 = 0 THEN 'Enc ✓ ' || id
+        |       ELSE 'Sub ' || id END AS subject,
+        |  CASE WHEN id % 19 = 0 THEN NULL
+        |       ELSE 'user' || id || '@ex.com' END AS from_addr,
+        |  CASE WHEN id % 19 = 0 THEN NULL ELSE 'D' || id END AS date_hdr,
+        |  CASE WHEN id % 19 = 0 THEN NULL
+        |       WHEN v = 0 THEN 'plain ' || id || ' café ✓'
+        |       WHEN v = 1 THEN 'qp ' || id || ' café'
+        |       WHEN v = 2 THEN 'b64 ' || id || ' café ✓'
+        |       ELSE 'alt ' || id || ' pick plain' END AS text
+        |FROM ids ORDER BY doc_id""".stripMargin,
+
+    // the docs_mbox oracle: every message row rebuilt — the
+    // mboxrd-unescaped From line rides every body
+    "docs_mbox" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |m AS (
+        |  SELECT i.doc_id, k.g AS k
+        |  FROM ids i, generate_series(0, 2) AS k(g)
+        |  WHERE i.doc_id % 19 <> 0 AND k.g < i.n)
+        |SELECT doc_id, CAST(k AS INT) AS msg_idx,
+        |  'm' || k || ' of ' || doc_id AS subject,
+        |  'text ' || k || ' in ' || doc_id || chr(10) ||
+        |    'From the depths' AS text
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL FROM ids WHERE doc_id % 19 = 0
+        |ORDER BY doc_id, msg_idx""".stripMargin,
 
     // the docs_wet oracle: conversion rows for every uncorrupted id —
     // uri, language and text restated from the fixture formulas

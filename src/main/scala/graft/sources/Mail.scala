@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.util.Base64
+
+/** Email ingestion (r14) — mailing-list and newsgroup archives are a
+  * standing public-corpus source (the classic LM mixes all carry
+  * one), and they arrive as RFC 5322 messages: singly (`.eml`) or
+  * concatenated in mbox files. Implemented from scratch against the
+  * public RFCs:
+  *
+  *  - **headers** (RFC 5322): CRLF or LF tolerant, folded
+  *    continuation lines unfold to one space, names
+  *    case-insensitive; Subject/From decode RFC 2047 encoded-words
+  *    (`=?charset?B|Q?…?=`, B = base64, Q = quoted-printable with
+  *    `_` as space), adjacent encoded-words joining WITHOUT
+  *    separating whitespace (the RFC 2047 §6.2 rule);
+  *  - **MIME** (RFC 2045/2046): multipart bodies walk parts by the
+  *    boundary parameter recursively and takes the FIRST text/plain
+  *    leaf (multipart/alternative lists plainest first, so this is
+  *    the standard reader choice); non-multipart text bodies
+  *    decode directly; a message with no text/plain leaf yields a
+  *    null body, never HTML soup;
+  *  - **transfer encodings**: 7bit/8bit/binary pass through,
+  *    quoted-printable (soft breaks, `=XX`), base64 (whitespace
+  *    tolerated); charset from the Content-Type parameter (quoted or
+  *    bare), defaulting to US-ASCII-compatible UTF-8;
+  *  - **mbox**: messages split on `From ` separator lines, and
+  *    `>From` quoting unescapes per the mboxrd convention (one `>`
+  *    stripped from `^>+From ` body lines).
+  *
+  * Total functions: malformed input nulls (the media-decoder
+  * discipline).
+  */
+object Mail {
+
+  final case class MailText(subject: String, from: String,
+    date: String, text: String)
+
+  def parseEml(b: Array[Byte]): MailText = {
+    try parseInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  // ----------------------------------------------------------- util
+
+  private def charsetOf(name: String): Charset = {
+    val n = if (name == null) "UTF-8" else name.trim
+    try Charset.forName(n)
+    catch { case scala.util.control.NonFatal(_) => StandardCharsets.UTF_8 }
+  }
+
+  private[graft] def decodeQp(s: String, underscoreSpace: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=' && i + 2 < s.length &&
+          s.charAt(i + 1) == '\r' && s.charAt(i + 2) == '\n') {
+        i += 3 // soft break CRLF
+      } else if (c == '=' && i + 1 < s.length && s.charAt(i + 1) == '\n') {
+        i += 2 // soft break LF
+      } else if (c == '=' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        out.write(Integer.parseInt(hex, 16))
+        i += 3
+      } else if (c == '_' && underscoreSpace) {
+        out.write(' '); i += 1
+      } else { out.write(c.toInt); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  private val EncodedWord = java.util.regex.Pattern.compile(
+    "=\\?([^?]+)\\?([bBqQ])\\?([^?]*)\\?=")
+
+  /** RFC 2047 header decode: encoded-words expand, adjacent
+    * encoded-words join without the whitespace between them.
+    */
+  private[graft] def decodeHeader(h: String): String = {
+    if (h == null) return null
+    // drop whitespace BETWEEN adjacent encoded-words (§6.2)
+    val joined = h.replaceAll("\\?=\\s+=\\?", "?==?")
+    val m = EncodedWord.matcher(joined)
+    val sb = new StringBuffer()
+    while (m.find()) {
+      val cs = charsetOf(m.group(1))
+      val bytes = m.group(2).toLowerCase match {
+        case "b" => Base64.getMimeDecoder.decode(m.group(3))
+        case _ => decodeQp(m.group(3), underscoreSpace = true)
+      }
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(new String(bytes, cs)))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  // --------------------------------------------------------- parse
+
+  private final case class Part(headers: Map[String, String],
+    body: String)
+
+  /** Split raw text into (headers map, body) at the first empty
+    * line; folded header lines unfold.
+    */
+  private def splitMessage(raw: String): Part = {
+    val sep = {
+      val a = raw.indexOf("\r\n\r\n")
+      val b = raw.indexOf("\n\n")
+      if (a < 0 && b < 0) -1
+      else if (a < 0) b else if (b < 0) a
+      else math.min(a, b)
+    }
+    if (sep < 0) return null
+    val headText = raw.substring(0, sep)
+    val body = raw.substring(raw.indexOf('\n', sep + 1) match {
+      case i if raw.startsWith("\r\n\r\n", sep) => sep + 4
+      case _ => sep + 2
+    })
+    val unfolded = headText.replaceAll("\r?\n[ \t]+", " ")
+    val headers = unfolded.split("\r?\n").flatMap { line =>
+      val ix = line.indexOf(':')
+      if (ix <= 0) None
+      else Some(line.substring(0, ix).trim
+        .toLowerCase(java.util.Locale.ROOT) ->
+        line.substring(ix + 1).trim)
+    }.toMap
+    Part(headers, body)
+  }
+
+  private def param(headerValue: String, name: String): String = {
+    if (headerValue == null) return null
+    val m = java.util.regex.Pattern.compile(
+      "(?i)" + name + "\\s*=\\s*(\"([^\"]*)\"|[^;\\s]+)")
+      .matcher(headerValue)
+    if (!m.find()) null
+    else if (m.group(2) != null) m.group(2) else m.group(1)
+  }
+
+  private def mediaType(headers: Map[String, String]): String = {
+    val ct = headers.getOrElse("content-type", "text/plain")
+    ct.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Decode one leaf body per its transfer encoding + charset. */
+  private def decodeBody(headers: Map[String, String],
+      body: String): String = {
+    val cte = headers.getOrElse("content-transfer-encoding", "7bit")
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    val cs = charsetOf(param(headers.getOrElse("content-type", null),
+      "charset"))
+    cte match {
+      case "base64" =>
+        new String(Base64.getMimeDecoder.decode(
+          body.replaceAll("\\s", "")), cs)
+      case "quoted-printable" =>
+        new String(decodeQp(body, underscoreSpace = false), cs)
+      case _ =>
+        // 7bit/8bit/binary: re-decode through the declared charset
+        new String(body.getBytes(StandardCharsets.ISO_8859_1), cs)
+    }
+  }
+
+  /** First text/plain leaf of a (possibly nested multipart) body. */
+  private def textPlainOf(headers: Map[String, String],
+      body: String, depth: Int): String = {
+    if (depth > 8) return null
+    val mt = mediaType(headers)
+    if (mt == "text/plain") return decodeBody(headers, body)
+    if (!mt.startsWith("multipart/")) return null
+    val boundary = param(headers.getOrElse("content-type", null),
+      "boundary")
+    if (boundary == null) return null
+    val parts = body.split(
+      java.util.regex.Pattern.quote("--" + boundary))
+    // parts(0) is the preamble; the terminator piece starts with --
+    var i = 1
+    while (i < parts.length) {
+      val p = parts(i)
+      if (!p.startsWith("--")) {
+        val trimmed = p.replaceAll("^\r?\n", "")
+        val sub = splitMessage(trimmed)
+        if (sub != null) {
+          val t = textPlainOf(sub.headers, sub.body, depth + 1)
+          if (t != null) return t
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  private def parseInner(b: Array[Byte]): MailText = {
+    if (b == null || b.length < 8) return null
+    // headers are ASCII by spec; 8-bit bodies re-decode per charset,
+    // so the latin-1 view is byte-faithful
+    val raw = new String(b, StandardCharsets.ISO_8859_1)
+    val msg = splitMessage(raw)
+    if (msg == null || !msg.headers.contains("from")) return null
+    val text = textPlainOf(msg.headers, msg.body, 0)
+    MailText(
+      decodeHeader(msg.headers.getOrElse("subject", null)),
+      decodeHeader(msg.headers.getOrElse("from", null)),
+      msg.headers.getOrElse("date", null),
+      if (text == null) null
+      else text.replace("\r\n", "\n").replaceAll("\\s+$", ""))
+  }
+
+  // ---------------------------------------------------------- mbox
+
+  /** Split an mbox into raw messages (the `From ` separator-line
+    * convention) and unescape mboxrd `>From` quoting in each.
+    */
+  def splitMbox(text: String): Seq[String] = {
+    if (text == null || !text.startsWith("From ")) return null
+    val lines = text.split("\n", -1)
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+    lines.foreach { line =>
+      if (line.startsWith("From ")) msgs += new StringBuilder
+      else if (msgs.nonEmpty) {
+        val un =
+          if (line.matches("^>+From .*")) line.substring(1) else line
+        msgs.last.append(un).append('\n')
+      }
+    }
+    msgs.toSeq.map(_.toString)
+  }
+
+  // ============================================== fixture encoders
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  /** One deterministic message: `variant` picks the body path —
+    * 0 plain UTF-8, 1 quoted-printable ISO-8859-1, 2 base64 UTF-8,
+    * 3 multipart/alternative (HTML first, plain second — the reader
+    * must take the plain leaf). `encSubject` wraps the subject in an
+    * RFC 2047 B-encoded word.
+    */
+  def buildEml(subject: String, from: String, date: String,
+      bodyText: String, variant: Int,
+      encSubject: Boolean = false): Array[Byte] = {
+    val subj =
+      if (encSubject) s"=?UTF-8?B?${b64(subject)}?=" else subject
+    val head = s"From: $from\r\nTo: list@ex.com\r\nDate: $date\r\n" +
+      s"Subject: $subj\r\nMIME-Version: 1.0\r\n"
+    val msg = variant match {
+      case 0 =>
+        head + "Content-Type: text/plain; charset=\"UTF-8\"\r\n\r\n" +
+          bodyText
+      case 1 =>
+        val qp = bodyText.getBytes(Charset.forName("ISO-8859-1"))
+          .map { byte =>
+            val c = byte & 0xff
+            if (c == '=' || c > 126 || c < 32 && c != '\n' && c != '\r')
+              f"=$c%02X"
+            else c.toChar.toString
+          }.mkString
+        head + "Content-Type: text/plain; charset=ISO-8859-1\r\n" +
+          "Content-Transfer-Encoding: quoted-printable\r\n\r\n" + qp
+      case 2 =>
+        head + "Content-Type: text/plain; charset=UTF-8\r\n" +
+          "Content-Transfer-Encoding: base64\r\n\r\n" +
+          b64(bodyText).grouped(60).mkString("\r\n")
+      case _ =>
+        head + "Content-Type: multipart/alternative; " +
+          "boundary=\"b0unD\"\r\n\r\npreamble\r\n" +
+          "--b0unD\r\nContent-Type: text/html\r\n\r\n" +
+          s"<p>${bodyText}</p>\r\n" +
+          "--b0unD\r\nContent-Type: text/plain; charset=UTF-8\r\n\r\n" +
+          bodyText + "\r\n--b0unD--\r\n"
+    }
+    msg.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Deterministic mbox of `msgs` (subject, body) pairs; bodies get
+    * an mboxrd-quoted `>From the depths` line so the unescape is on
+    * the read path.
+    */
+  def buildMbox(msgs: Seq[(String, String)]): String =
+    msgs.zipWithIndex.map { case ((subj, body), i) =>
+      s"From sender$i@ex.com Thu Jan  1 00:00:0$i 2026\n" +
+        s"From: sender$i@ex.com\nDate: D$i\nSubject: $subj\n" +
+        "Content-Type: text/plain; charset=UTF-8\n\n" +
+        body + "\n>From the depths\n"
+    }.mkString
+}

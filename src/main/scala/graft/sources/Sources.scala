@@ -431,6 +431,70 @@ object Sources {
   def consoleReport(df: DataFrame, n: Int = 20): Unit =
     formatForReport(df).show(n, truncate = 80)
 
+  /** Email extraction column (r14 — see [[Mail]]): (format, subject,
+    * from_addr, date, text) from an RFC 5322 payload; malformed
+    * input degrades to 'unknown'.
+    */
+  def withEmlText(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, StructType(Seq(
+        StructField("format", StringType),
+        StructField("subject", StringType),
+        StructField("from_addr", StringType),
+        StructField("date", StringType),
+        StructField("text", StringType))), nullable = true))
+    val idx = df.schema.fieldIndex(payloadCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Mail.parseEml(p)
+            if (m == null) Row("unknown", null, null, null, null)
+            else Row("eml", m.subject, m.from, m.date, m.text)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Explode mbox documents into per-message rows (r14 — see
+    * [[Mail.splitMbox]]): original columns plus (msg_idx, subject,
+    * from_addr, msg_date, msg_text — prefixed so they cannot clash
+    * with the source frame's own text column); non-mbox text keeps
+    * one all-null row. One narrow flatMap over the scan.
+    */
+  def withMboxMessages(df: DataFrame, textCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("msg_idx", IntegerType),
+      StructField("subject", StringType),
+      StructField("from_addr", StringType),
+      StructField("msg_date", StringType),
+      StructField("msg_text", StringType)))
+    val idx = df.schema.fieldIndex(textCol)
+    import org.apache.spark.sql.{Encoders, Row}
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val t = r.get(idx).asInstanceOf[String]
+        val msgs = if (t == null) null else Mail.splitMbox(t)
+        if (msgs == null || msgs.isEmpty)
+          Iterator.single(Row.fromSeq(
+            r.toSeq ++ Seq(null, null, null, null, null)))
+        else msgs.iterator.zipWithIndex.map { case (raw, i) =>
+          val m = Mail.parseEml(
+            raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          if (m == null)
+            Row.fromSeq(r.toSeq ++ Seq(i, null, null, null, null))
+          else
+            Row.fromSeq(r.toSeq ++ Seq(i, m.subject, m.from, m.date,
+              m.text))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Explode RSS/Atom feed documents into per-item rows (r14 — see
     * [[Feed]]): each parseable feed contributes one row per item
     * (or a single null-item row when empty); non-feed text degrades

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.Mail
+
+class MailSpec extends SparkSpec {
+
+  private def eml(s: String): Array[Byte] =
+    s.stripMargin.replace("\n", "\r\n").getBytes("ISO-8859-1")
+
+  test("hand-written message: folded headers unfold, Q-encoded word " +
+      "with underscores decodes, adjacent encoded-words join") {
+    val m = Mail.parseEml(eml(
+      """From: a@ex.com
+        |Subject: =?ISO-8859-1?Q?caf=E9_time?=
+        |	=?ISO-8859-1?Q?_again?=
+        |Date: D1
+        |Content-Type: text/plain
+        |
+        |hello body"""))
+    assert(m != null)
+    assert(m.subject === "café time again")
+    assert(m.text === "hello body")
+  }
+
+  test("nested multipart: mixed wrapping alternative, the text/plain " +
+      "leaf wins over the html part; no-plain messages yield null " +
+      "text, never html") {
+    val nested = eml(
+      """From: b@ex.com
+        |Subject: s
+        |Content-Type: multipart/mixed; boundary=OUTER
+        |
+        |--OUTER
+        |Content-Type: multipart/alternative; boundary="inner"
+        |
+        |--inner
+        |Content-Type: text/html
+        |
+        |<b>nope</b>
+        |--inner
+        |Content-Type: text/plain; charset="windows-1252"
+        |Content-Transfer-Encoding: quoted-printable
+        |
+        |deep =93quoted=94 win
+        |--inner--
+        |--OUTER--""")
+    val m = Mail.parseEml(nested)
+    assert(m.text === "deep “quoted” win")
+    val htmlOnly = Mail.parseEml(eml(
+      """From: c@ex.com
+        |Content-Type: text/html
+        |
+        |<p>just markup</p>"""))
+    assert(htmlOnly != null && htmlOnly.text === null)
+  }
+
+  test("base64 body with wrapped lines; 8-bit body re-decodes " +
+      "through the declared charset") {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString("wrapped ✓ body".getBytes("UTF-8"))
+      .grouped(8).mkString("\r\n")
+    val m = Mail.parseEml(eml(
+      s"""From: d@ex.com
+         |Content-Type: text/plain; charset=UTF-8
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64"""))
+    assert(m.text === "wrapped ✓ body")
+  }
+
+  test("decodeQp: soft breaks vanish, =XX decodes, underscores only " +
+      "in header mode") {
+    assert(new String(Mail.decodeQp("a=\r\nb=20c", underscoreSpace = false),
+      "ASCII") === "ab c")
+    assert(new String(Mail.decodeQp("x_y", underscoreSpace = true),
+      "ASCII") === "x y")
+    assert(new String(Mail.decodeQp("x_y", underscoreSpace = false),
+      "ASCII") === "x_y")
+  }
+
+  test("splitMbox: From_ separators, mboxrd unescape, non-mbox null") {
+    val msgs = Mail.splitMbox(Mail.buildMbox(
+      Seq(("s0", "b0"), ("s1", "b1"))))
+    assert(msgs.length === 2)
+    assert(msgs(0).contains("From the depths"))
+    assert(!msgs(0).contains(">From the depths"))
+    assert(Mail.splitMbox("just text") === null)
+  }
+}
