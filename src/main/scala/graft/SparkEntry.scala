@@ -2024,6 +2024,42 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // --- Jupyter notebook extraction (r14 — the code-corpus source
+    //     The Stack-class pipelines convert to scripts; nbformat 4
+    //     via pure Catalyst JSON expressions): the source field is
+    //     an ARRAY of lines on even ids and ONE STRING on odd — both
+    //     shapes in mixed notebooks, relying on partial-result JSON
+    //     parsing plus the per-cell coalesce; markdown cells strip
+    //     through stripMarkdown, raw cells drop, %19 non-JSON →
+    //     nulls. Oracle closed-form per id parity.
+    "docs_ipynb" -> ((s, dir) => {
+      import s.implicits._
+      val nbs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"not a notebook $id"
+            else {
+              val md = s"""{"cell_type":"markdown","source":""" +
+                s"""["# Title $id\\n","some *note* $id"]}"""
+              val codes = (0 until (id % 2 + 1).toInt).map { k =>
+                if (id % 2 == 0)
+                  s"""{"cell_type":"code","source":""" +
+                    s"""["x = $id\\n","print(x + $k)"],"outputs":[]}"""
+                else
+                  s"""{"cell_type":"code","source":"y = $id + $k","outputs":[]}"""
+              }
+              val raw = """{"cell_type":"raw","source":"skip me"}"""
+              s"""{"cells":[$md,${(codes :+ raw).mkString(",")}],""" +
+                s""""nbformat":4,"nbformat_minor":5,"metadata":{}}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      nbs.select(col("doc_id"),
+          TextFunctions.notebookCode(col("json")).as("code"),
+          TextFunctions.notebookText(col("json")).as("md_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Email ingestion (r14 — RFC 5322 + MIME from scratch;
     //     mailing-list archives are a standing corpus source): body
     //     paths cycle by id%4 — plain UTF-8, quoted-printable
@@ -6436,6 +6472,21 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY target_uri""".stripMargin,
+
+    // the docs_ipynb oracle: code and markdown text closed-form by
+    // id parity (array-source vs string-source notebooks)
+    "docs_ipynb" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 100)
+        |SELECT id AS doc_id,
+        |  CASE WHEN id % 19 = 0 THEN NULL
+        |       WHEN id % 2 = 0 THEN 'x = ' || id || chr(10) || 'print(x + 0)'
+        |       ELSE 'y = ' || id || ' + 0' || chr(10) || chr(10) ||
+        |            'y = ' || id || ' + 1' END AS code,
+        |  CASE WHEN id % 19 = 0 THEN NULL
+        |       ELSE 'Title ' || id || chr(10) || 'some *note* ' || id
+        |  END AS md_text
+        |FROM ids ORDER BY doc_id""".stripMargin,
 
     // the docs_eml oracle: every field closed-form by body variant
     "docs_eml" ->

@@ -904,4 +904,59 @@ object TextFunctions {
       (!fWords && !fMeanLen && !fAlpha && !fSymbol && !fBullet &&
         !fEllipsis && !fStopword).as("pass"))
   }
+
+  // ------------------------------------------------ Jupyter notebooks
+
+  /** Jupyter notebook cells as (cell_type, src) structs (r14) — the
+    * code-corpus source The Stack-class pipelines convert to scripts.
+    * Pure Catalyst JSON expressions (get_json_object + from_json —
+    * codegen'd, no hand parser): nbformat 4's `source` field is
+    * EITHER an array of line strings or one string, so two typed
+    * reads coalesce per cell (the array wins when it parses). Null /
+    * non-notebook JSON (no cells or no nbformat marker) → null.
+    */
+  private def notebookCells(json: Column): Column = {
+    import org.apache.spark.sql.types._
+    val arrForm = ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", ArrayType(StringType)))))
+    val strForm = ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", StringType))))
+    val rawCells = get_json_object(json, "$.cells")
+    val a = from_json(rawCells, arrForm)
+    val s = from_json(rawCells, strForm)
+    val zipped = transform(a, (c, i) =>
+      struct(c.getField("cell_type").as("t"),
+        coalesce(
+          when(c.getField("source").isNotNull,
+            array_join(c.getField("source"), "")),
+          element_at(s, (i + 1).cast("int")).getField("source"))
+          .as("src")))
+    when(get_json_object(json, "$.nbformat").isNotNull &&
+      rawCells.isNotNull, zipped)
+  }
+
+  private def cellJoin(json: Column, cellType: String): Column = {
+    val cells = notebookCells(json)
+    when(cells.isNotNull,
+      array_join(
+        transform(
+          filter(cells, c =>
+            c.getField("t") === cellType && c.getField("src").isNotNull),
+          c => c.getField("src")),
+        "\n\n"))
+  }
+
+  /** The notebook's code cells joined with blank lines — the
+    * script-conversion form a code corpus trains on.
+    */
+  def notebookCode(json: Column): Column = cellJoin(json, "code")
+
+  /** The notebook's markdown cells through [[stripMarkdown]] — the
+    * prose half, ready for the text-quality stack.
+    */
+  def notebookText(json: Column): Column =
+    when(cellJoin(json, "markdown").isNotNull,
+      stripMarkdown(cellJoin(json, "markdown")))
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+class NotebookSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(json: String): (String, String) = {
+    val r = Seq(Tuple1(json)).toDF("j")
+      .select(TextFunctions.notebookCode(col("j")).as("c"),
+        TextFunctions.notebookText(col("j")).as("m"))
+      .head()
+    (if (r.isNullAt(0)) null else r.getString(0),
+      if (r.isNullAt(1)) null else r.getString(1))
+  }
+
+  test("MIXED source shapes in one notebook: array-of-lines and " +
+      "plain-string cells both extract (the nbformat wobble real " +
+      "notebooks have)") {
+    val nb =
+      """{"cells":[
+        |{"cell_type":"markdown","source":["# T\n","*em* body"]},
+        |{"cell_type":"code","source":["a = 1\n","a"]},
+        |{"cell_type":"code","source":"b = 2"},
+        |{"cell_type":"raw","source":"skip"}
+        |],"nbformat":4}""".stripMargin.replace("\n", "")
+    val (code, md) = run(nb)
+    assert(code === "a = 1\na\n\nb = 2")
+    assert(md === "T\n*em* body")
+  }
+
+  test("non-notebooks degrade: no cells, no nbformat marker, or " +
+      "broken JSON all null; empty cell lists yield empty strings") {
+    assert(run("""{"nbformat":4}""") === (null, null))
+    assert(run("""{"cells":[]}""") === (null, null))
+    assert(run("not json at all") === (null, null))
+    assert(run("""{"cells":[],"nbformat":4}""") === ("", ""))
+  }
+}
