@@ -2024,6 +2024,27 @@ object SparkEntry {
         .orderBy(col("target_uri"))
     }),
 
+    // --- 7z archive ingest (r14 — the remaining archive format with
+    //     found-data mass, via the platform's commons-compress +
+    //     xz libs): 1-3 UTF-8 members per archive (non-ASCII on the
+    //     hashed path), LZMA2-compressed by the export symmetry and
+    //     read back; %19 archives have a corrupted start-header CRC
+    //     and salvage to zero members. The oracle rebuilds every
+    //     member row.
+    "docs_7z" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir).filter(col("doc_id") < 80)
+        .select(col("doc_id")).as[Long].flatMap { id =>
+          val entries = (0 until (id % 3 + 1).toInt).map(k =>
+            (s"m$k.txt", s"member $k of $id café".getBytes("UTF-8")))
+          val bytes = graft.sources.Containers.build7z(entries)
+          if (id % 19 == 0) bytes(10) = 'X'.toByte
+          graft.sources.Containers.parse7zBytes(bytes, lenient = true)
+            .map(e => (id, e.name, new String(e.bytes, "UTF-8")))
+        }.toDF("doc_id", "name", "text")
+      rows.orderBy(col("doc_id"), col("name"))
+    }),
+
     // --- Jupyter notebook extraction (r14 — the code-corpus source
     //     The Stack-class pipelines convert to scripts; nbformat 4
     //     via pure Catalyst JSON expressions): the source field is
@@ -6472,6 +6493,19 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY target_uri""".stripMargin,
+
+    // the docs_7z oracle: every member row rebuilt; corrupt archives
+    // contribute nothing
+    "docs_7z" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 80 AND doc_id % 19 <> 0),
+        |m AS (
+        |  SELECT i.doc_id, k.g AS k
+        |  FROM ids i, generate_series(0, 2) AS k(g) WHERE k.g < i.n)
+        |SELECT doc_id, 'm' || k || '.txt' AS name,
+        |  'member ' || k || ' of ' || doc_id || ' café' AS text
+        |FROM m ORDER BY doc_id, name""".stripMargin,
 
     // the docs_ipynb oracle: code and markdown text closed-form by
     // id parity (array-source vs string-source notebooks)

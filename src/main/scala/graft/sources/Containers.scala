@@ -454,6 +454,75 @@ object Containers {
       }
     }
 
+  // ---------------------------------------------------------------- 7z
+
+  /** Walk a 7z archive's members (r14) — the remaining archive
+    * format with real found-data mass after zip/tar/rar (rar is
+    * proprietary and stays out). Reading goes through the PLATFORM's
+    * commons-compress SevenZFile (with the xz library it delegates
+    * LZMA/LZMA2 to — both ship in Spark's own jars, the same
+    * platform-codec status as gzip/bz2/zstd/xz). Directories and
+    * anti-items skip; encrypted archives and corruption yield zero
+    * members under `lenient`, a loud refusal otherwise.
+    */
+  def parse7zBytes(bytes: Array[Byte],
+      lenient: Boolean = false): Seq[TarEntry] = {
+    try {
+      val f = org.apache.commons.compress.archivers.sevenz.SevenZFile
+        .builder()
+        .setSeekableByteChannel(
+          new org.apache.commons.compress.utils.SeekableInMemoryByteChannel(
+            bytes))
+        .get()
+      try {
+        val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+        var e = f.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && !e.isAntiItem) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = f.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = f.read(buf) }
+            out += TarEntry(e.getName, bos.toByteArray)
+          }
+          e = f.getNextEntry
+        }
+        out.toSeq
+      } finally f.close()
+    } catch {
+      case ex: Exception if lenient =>
+        org.slf4j.LoggerFactory.getLogger(Containers.getClass)
+          .warn(s"7z salvage stop: ${String.valueOf(ex.getMessage)
+            .map(c => if (c >= ' ' && c < 127) c else '?').take(120)}")
+        Seq.empty
+      case ex: Exception =>
+        throw new IllegalArgumentException(s"corrupt 7z: ${ex.getMessage}")
+    }
+  }
+
+  /** Build a 7z archive (LZMA2) — the export symmetry, through the
+    * same platform library.
+    */
+  def build7z(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ch = new org.apache.commons.compress.utils
+      .SeekableInMemoryByteChannel()
+    val out = new org.apache.commons.compress.archivers.sevenz
+      .SevenZOutputFile(ch)
+    entries.foreach { case (name, bytes) =>
+      val e = new org.apache.commons.compress.archivers.sevenz
+        .SevenZArchiveEntry()
+      e.setName(name)
+      e.setDirectory(false)
+      // fixed timestamp: deterministic fixture bytes
+      e.setLastModifiedDate(new java.util.Date(946684800000L))
+      out.putArchiveEntry(e)
+      out.write(bytes)
+      out.closeArchiveEntry()
+    }
+    out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+
   /** [[readTarShards]] for zip shards. */
   def readZipShards(spark: SparkSession, glob: String,
       lenient: Boolean = false): DataFrame = {
