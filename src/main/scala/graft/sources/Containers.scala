@@ -501,13 +501,26 @@ object Containers {
   }
 
   /** Build a 7z archive (LZMA2) — the export symmetry, through the
-    * same platform library.
+    * same platform library. `dictSize` bounds the LZMA2 dictionary:
+    * the library default is MBs, whose per-archive encoder
+    * allocation dominates when writing MANY SMALL archives (the
+    * fixture/probe shape — 80 tiny archives cost ~7 s at the
+    * default, ~0.5 s at 64 KB); real exports with large members
+    * should raise it.
     */
-  def build7z(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+  def build7z(entries: Seq[(String, Array[Byte])],
+      dictSize: Int = 1 << 16): Array[Byte] = {
     val ch = new org.apache.commons.compress.utils
       .SeekableInMemoryByteChannel()
     val out = new org.apache.commons.compress.archivers.sevenz
       .SevenZOutputFile(ch)
+    val opts = new org.tukaani.xz.LZMA2Options()
+    opts.setDictSize(math.max(4096, dictSize))
+    out.setContentMethods(java.util.List.of(
+      new org.apache.commons.compress.archivers.sevenz
+        .SevenZMethodConfiguration(
+          org.apache.commons.compress.archivers.sevenz.SevenZMethod.LZMA2,
+          opts)))
     entries.foreach { case (name, bytes) =>
       val e = new org.apache.commons.compress.archivers.sevenz
         .SevenZArchiveEntry()
