@@ -392,4 +392,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(900))
     assert(!p.contains("SinglePartition"), p.take(900))
   }
+
+  test("r14 wave-8/9 ingestion gates stay NARROW — office extraction, " +
+      "mail parse, mbox explode, notebook JSON walk, 7z member " +
+      "explode are scan → per-partition map; the only exchange is " +
+      "the presentation sort") {
+    for (q <- Seq("mm_doc_text", "mm_odt_text", "mm_ppt_text",
+        "mm_xls_text", "docs_eml", "docs_mbox", "docs_ipynb",
+        "docs_7z")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q grew shuffles:\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(900)}")
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(900)}")
+    }
+  }
 }
