@@ -2457,23 +2457,42 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
-    // --- TFRecord float-list round trip (r14): embeddings through
-    //     the packed FloatList encoding — float32 bits must survive
-    //     exactly (the proto carrier IS float32, so no precision is
-    //     lost on this path; DoubleType refuses at schema time).
+    // --- TFRecord float-list round trip (r14; scalarized r15): the
+    //     packed FloatList carrier IS float32, so bits must survive
+    //     exactly. The result is SCALAR per row — the driver harness
+    //     sorts rows through pandas, which cannot order an
+    //     array<float> column (r14's one red). `n_exact` counts
+    //     element-wise null-safe-equal matches between the
+    //     round-tripped and ORIGINAL arrays (float equality is bit
+    //     equality off NaN, and the oracle asserts n_exact = dim, so
+    //     a single flipped ulp anywhere goes red); `checksum` is
+    //     floor(x*1e6) summed — exact IEEE double arithmetic both
+    //     engines reproduce bit-for-bit from the raw parquet.
     "vec_tfrecord" -> ((s, dir) => {
       val vecs = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 200)
         .select(col("vec_id"), col("embedding"))
       val path = gateIndexPath(dir, "tfrecord_vec_gate")
       graft.sources.TfRecord.writeTfRecords(vecs, path)
-      graft.sources.TfRecord.readTfRecords(s, s"$path/*.tfrecord",
+      val rt = graft.sources.TfRecord.readTfRecords(s, s"$path/*.tfrecord",
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("vec_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("embedding",
               org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.FloatType)))))
+      rt.alias("rt")
+        .join(vecs.alias("orig"), Seq("vec_id"))
+        .select(col("vec_id"),
+          size(col("rt.embedding")).cast("long").as("dim"),
+          aggregate(
+            zip_with(col("rt.embedding"), col("orig.embedding"),
+              (a, b) => when(a <=> b, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("n_exact"),
+          aggregate(col("rt.embedding"), lit(0L),
+            (acc, x) => acc +
+              floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+            .as("checksum"))
         .orderBy(col("vec_id"))
     }),
 
@@ -3836,13 +3855,18 @@ object SparkEntry {
         plant(19, lit(" xoxb-"), pad(12)),
         plant(23, lit(" AKIA"), pad(16)),
         plant(29, lit(" AIza"), pad(35)))
+      // the fold is staged ONCE (r15, ADVICE): kinds, count and the
+      // redacted hash all derive from the same 8-replace evaluation
       docs.select(id, aug.as("aug"))
         .select(id,
-          array_join(graft.operators.Secrets.secretKinds(col("aug")), ",")
-            .as("kinds"),
-          graft.operators.Secrets.secretCount(col("aug")).as("n_secrets"),
-          md5(graft.operators.Secrets.redactSecrets(col("aug"))
-            .cast("binary")).as("redacted_md5"))
+          graft.operators.Secrets.redactSecrets(col("aug")).as("__red"))
+        .select(id,
+          array_join(
+            graft.operators.Secrets.secretKindsOfRedacted(col("__red")),
+            ",").as("kinds"),
+          graft.operators.Secrets.secretCountOfRedacted(col("__red"))
+            .as("n_secrets"),
+          md5(col("__red").cast("binary")).as("redacted_md5"))
         .orderBy(id)
     }),
 
@@ -4515,6 +4539,27 @@ object SparkEntry {
           round(col("px.mean_r"), 6).as("mean_r"),
           round(col("px.mean_g"), 6).as("mean_g"),
           round(col("px.mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Lossy-VP8 frame-header metadata (r15, VERDICT: the
+    //     majority real-web WebP flavor must surface dimensions for
+    //     crawl-scale size/aspect filters even though pixel decode
+    //     stays the documented null boundary). The 10 uncompressed
+    //     header bytes (RFC 6386 §9.1) parse to kind/dims/scale/
+    //     version/show/part_len; %19 magic, %13 start-code and %7
+    //     interframe plants refuse to 'unknown'.
+    "mm_webp_lossy_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWebpLossyBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 80))
+      Multimodal.withWebpLossyMeta(media, "payload", "m")
+        .select(col("media_id"), col("m.kind").as("kind"),
+          col("m.width").as("w"), col("m.height").as("h"),
+          col("m.x_scale").as("x_scale"),
+          col("m.y_scale").as("y_scale"),
+          col("m.version").as("version"),
+          col("m.show_frame").as("show_frame"),
+          col("m.part_len").as("part_len"))
         .orderBy(col("media_id"))
     }),
 
@@ -6709,9 +6754,17 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the vec_tfrecord oracle: float32 bits must survive the packed
-    // FloatList round trip exactly
+    // FloatList round trip exactly — the oracle asserts n_exact = dim
+    // (every element bit-identical to the raw parquet) and recomputes
+    // the floor(x*1e6) checksum from the raw floats with the same
+    // exact IEEE double arithmetic
     "vec_tfrecord" ->
-      """SELECT vec_id, embedding
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(len(embedding) AS BIGINT) AS n_exact,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |    AS BIGINT) AS checksum
         |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
 
     // the docs_compact oracle: compaction must surrender exactly the
@@ -9860,8 +9913,9 @@ object SparkEntry {
     // the mm_pixels oracle for WebP: pixel formulas by id%6 variant
     // (plain/subtract-green/row-copy share the linear form — row-copy
     // pins y=0; the palette and cache variants share the k-slot form
-    // with their own k), means replayed exactly; %19 magic and %13
-    // lossy-VP8 rows are 'unknown' (the documented lossy boundary)
+    // with their own k), means replayed exactly; %19 magic rows are
+    // 'unknown'; %13 lossy-VP8 rows report kind + the header dims
+    // (null means — pixels stay the documented boundary; r15)
     "mm_pixels_webp" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id % 9 + 2 AS w,
@@ -9887,18 +9941,44 @@ object SparkEntry {
         |  FROM ids i, generate_series(0, 10) AS x(g), generate_series(0, 8) AS y(g)
         |  WHERE x.g < i.w AND y.g < i.h
         |  GROUP BY i.media_id),
-        |bad AS (SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |bad AS (SELECT media_id, media_id % 19 = 0 AS magic,
+        |  media_id % 19 <> 0 AND media_id % 13 = 0 AS lossy
         |  FROM ids)
         |SELECT i.media_id,
-        |  CASE WHEN b.c THEN 'unknown' ELSE 'webp' END AS format,
-        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w AS INT) END AS w,
-        |  CASE WHEN b.c THEN NULL ELSE CAST(i.h AS INT) END AS h,
-        |  CASE WHEN b.c THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
-        |  CASE WHEN b.c THEN NULL ELSE round(p.mr, 6) END AS mean_r,
-        |  CASE WHEN b.c THEN NULL ELSE round(p.mg, 6) END AS mean_g,
-        |  CASE WHEN b.c THEN NULL ELSE round(p.mb, 6) END AS mean_b
+        |  CASE WHEN b.magic THEN 'unknown'
+        |       WHEN b.lossy THEN 'webp_lossy' ELSE 'webp' END AS format,
+        |  CASE WHEN b.magic THEN NULL ELSE CAST(i.w AS INT) END AS w,
+        |  CASE WHEN b.magic THEN NULL ELSE CAST(i.h AS INT) END AS h,
+        |  CASE WHEN b.magic THEN NULL ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+        |  CASE WHEN b.magic OR b.lossy THEN NULL ELSE round(p.mr, 6) END AS mean_r,
+        |  CASE WHEN b.magic OR b.lossy THEN NULL ELSE round(p.mg, 6) END AS mean_g,
+        |  CASE WHEN b.magic OR b.lossy THEN NULL ELSE round(p.mb, 6) END AS mean_b
         |FROM ids i JOIN px p USING (media_id) JOIN bad b USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // the mm_webp_lossy_meta oracle: the planted frame-header fields
+    // restated closed-form; %19 magic, %13 start-code and %7
+    // interframe rows refuse to 'unknown'
+    "mm_webp_lossy_meta" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    doc_id % 19 = 0 OR doc_id % 13 = 0 OR doc_id % 7 = 0 AS bad
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT media_id,
+        |  CASE WHEN bad THEN 'unknown' ELSE 'webp_lossy' END AS kind,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id * 37 % 16000 + 1 AS INT) END AS w,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id * 53 % 16000 + 1 AS INT) END AS h,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id % 3 AS INT) END AS x_scale,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id % 2 AS INT) END AS y_scale,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id % 4 AS INT) END AS version,
+        |  CASE WHEN bad THEN NULL ELSE TRUE END AS show_frame,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(media_id % 100 + 1 AS INT) END AS part_len
+        |FROM ids ORDER BY media_id""".stripMargin,
 
     // the mm_pixels oracle for tRNS: per-pixel value by palette slot
     // (x+y)%4 — slot 0 transparent → 255 (white), slot 1 composites

@@ -85,33 +85,48 @@ object Secrets {
     ((length(red) - length(replace(red, lit(marker(kind)), lit("")))) /
       marker(kind).length).cast("int")
 
-  /** The kinds [[redactSecrets]] rewrote, in rule order (empty array
-    * when clean) — the audit-trail column.
+  /** [[secretKinds]] over text ALREADY redacted by [[redactSecrets]]
+    * — callers projecting several secret columns stage the fold once
+    * and derive from it (r15, ADVICE: the 8-replace fold must not
+    * run 2-3× per row in one scan).
     */
-  def secretKinds(text: Column): Column = {
-    val red = redactSecrets(text)
+  def secretKindsOfRedacted(red: Column): Column =
     filter(
       array(secretRules.map { case (kind, _) =>
         when(contains(red, lit(marker(kind))), lit(kind))
       }: _*),
       k => k.isNotNull)
-  }
+
+  /** [[secretCount]] over already-redacted text. */
+  def secretCountOfRedacted(red: Column): Column =
+    secretRules.map { case (kind, _) => markerCount(red, kind) }
+      .reduce(_ + _).cast("int")
+
+  /** The kinds [[redactSecrets]] rewrote, in rule order (empty array
+    * when clean) — the audit-trail column.
+    */
+  def secretKinds(text: Column): Column =
+    secretKindsOfRedacted(redactSecrets(text))
 
   /** Total rewrite count across all rules (markers counted on the
     * redacted text — the [[redactSecrets]] fold semantics).
     */
-  def secretCount(text: Column): Column = {
-    val red = redactSecrets(text)
-    secretRules.map { case (kind, _) => markerCount(red, kind) }
-      .reduce(_ + _).cast("int")
-  }
+  def secretCount(text: Column): Column =
+    secretCountOfRedacted(redactSecrets(text))
 
   /** Append `secret_kinds` (array) and `n_secrets` (int) — the flag
-    * form: every row kept, decisions downstream.
+    * form: every row kept, decisions downstream. The redaction fold
+    * is staged ONCE behind a multi-referenced alias (the __page_html
+    * discipline — CollapseProject keeps the boundary), so both
+    * outputs read the same evaluation.
     */
   def withSecretScan(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("secret_kinds", secretKinds(col(textCol)))
-      .withColumn("n_secrets", secretCount(col(textCol)))
+    df.withColumn("__secret_red", redactSecrets(col(textCol)))
+      .withColumn("secret_kinds",
+        secretKindsOfRedacted(col("__secret_red")))
+      .withColumn("n_secrets",
+        secretCountOfRedacted(col("__secret_red")))
+      .drop("__secret_red")
 
   /** Drop documents containing ANY secret — the conservative
     * code-corpus curation default (redaction leaves truncated keys a

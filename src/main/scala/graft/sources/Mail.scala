@@ -105,19 +105,13 @@ object Mail {
     * line; folded header lines unfold.
     */
   private def splitMessage(raw: String): Part = {
-    val sep = {
-      val a = raw.indexOf("\r\n\r\n")
-      val b = raw.indexOf("\n\n")
-      if (a < 0 && b < 0) -1
-      else if (a < 0) b else if (b < 0) a
-      else math.min(a, b)
-    }
-    if (sep < 0) return null
-    val headText = raw.substring(0, sep)
-    val body = raw.substring(raw.indexOf('\n', sep + 1) match {
-      case i if raw.startsWith("\r\n\r\n", sep) => sep + 4
-      case _ => sep + 2
-    })
+    // the separator is the first blank line in ANY line-ending mix —
+    // real mailboxes mix \r\n and \n, and a "\n\r\n" blank line must
+    // not null an otherwise-readable message (r15, ADVICE)
+    val m = java.util.regex.Pattern.compile("\r?\n\r?\n").matcher(raw)
+    if (!m.find()) return null
+    val headText = raw.substring(0, m.start())
+    val body = raw.substring(m.end())
     val unfolded = headText.replaceAll("\r?\n[ \t]+", " ")
     val headers = unfolded.split("\r?\n").flatMap { line =>
       val ix = line.indexOf(':')
@@ -172,14 +166,20 @@ object Mail {
     val boundary = param(headers.getOrElse("content-type", null),
       "boundary")
     if (boundary == null) return null
+    // RFC 2046 §5.1.1: a delimiter is only valid at line start, and
+    // the boundary token must be followed by transport padding + EOL
+    // (or -- for the close delimiter) — an unanchored split truncates
+    // on delimiter-shaped text mid-line or on a longer sibling
+    // boundary sharing this one as a prefix (r15, ADVICE)
     val parts = body.split(
-      java.util.regex.Pattern.quote("--" + boundary))
+      "(?m)^--" + java.util.regex.Pattern.quote(boundary) +
+        "(?=--|[ \\t]*$)")
     // parts(0) is the preamble; the terminator piece starts with --
     var i = 1
     while (i < parts.length) {
       val p = parts(i)
       if (!p.startsWith("--")) {
-        val trimmed = p.replaceAll("^\r?\n", "")
+        val trimmed = p.replaceAll("^[ \\t]*\r?\n", "")
         val sub = splitMessage(trimmed)
         if (sub != null) {
           val t = textPlainOf(sub.headers, sub.body, depth + 1)

@@ -777,8 +777,17 @@ object Multimodal {
         val stats = if (p == null) null
           else {
             val (fmt, img) = decodeRasterTagged(p)
-            if (img == null) Row("unknown", null, null, null, null, null, null)
-            else {
+            if (img == null) {
+              // lossy VP8 has no pixel path (documented boundary) but
+              // its 10 uncompressed header bytes carry real dims —
+              // size/aspect filters must not silently drop the
+              // majority real-web WebP flavor (r15, VERDICT)
+              val lh = if (fmt == "webp") Webp.lossyHeader(p) else null
+              if (lh != null)
+                Row("webp_lossy", lh.width, lh.height,
+                  lh.width.toLong * lh.height, null, null, null)
+              else Row("unknown", null, null, null, null, null, null)
+            } else {
               var sr = 0L; var sg = 0L; var sb = 0L
               var i = 0
               while (i < img.rgb.length) {
@@ -830,6 +839,42 @@ object Multimodal {
     * documented null boundary. See [[Webp]].
     */
   def decodeWebp(p: Array[Byte]): RasterImage = Webp.decodeWebp(p)
+
+  /** Append `outCol`: the lossy-VP8 frame-header metadata struct
+    * (kind, dims + 2-bit scale hints, bitstream version, show_frame,
+    * first-partition size — RFC 6386 §9.1). kind='webp_lossy' when
+    * the 10 uncompressed header bytes parse; anything else (lossless,
+    * interframe, bad start code, corrupt magic) is 'unknown' with
+    * null fields. Same narrow map-over-scan shape as every decode
+    * surface: no shuffle, one stage.
+    */
+  def withWebpLossyMeta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("kind", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("x_scale", IntegerType),
+      StructField("y_scale", IntegerType),
+      StructField("version", IntegerType),
+      StructField("show_frame", BooleanType),
+      StructField("part_len", IntegerType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val meta = if (p == null) null
+          else {
+            val lh = Webp.lossyHeader(p)
+            if (lh == null)
+              Row("unknown", null, null, null, null, null, null, null)
+            else Row("webp_lossy", lh.width, lh.height, lh.xScale,
+              lh.yScale, lh.version, lh.showFrame, lh.firstPartLen)
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(Encoders.row(schema))
+  }
 
   /** Netpbm decode (r14) — the full P1–P6 family of the simplest
     * raster interchange format (common in ML dataset dumps and
@@ -1609,9 +1654,10 @@ object Multimodal {
   }
 
   /** Synthesize the WebP media table: every 19th payload magic-
-    * corrupted ('unknown'), every 13th a LOSSY VP8 payload — the
-    * documented null boundary surfaced in-gate (container recognized,
-    * pixels null → 'unknown' stats row).
+    * corrupted ('unknown'), every 13th a LOSSY VP8 payload with a
+    * REAL 10-byte frame header carrying the same id-derived dims —
+    * pixels stay the documented null boundary but the stats row
+    * reports kind 'webp_lossy' + dimensions (r15, VERDICT).
     */
   def synthesizeWebpBytes(docs: DataFrame): DataFrame = {
     val schema = StructType(Seq(
@@ -1623,8 +1669,42 @@ object Multimodal {
         val bytes =
           if (id % 19 == 0) {
             val b = synthWebpPayload(id); b(0) = 0x00.toByte; b
-          } else if (id % 13 == 0) Webp.buildWebpLossyStub()
+          } else if (id % 13 == 0)
+            Webp.buildWebpLossy((id % 9 + 2).toInt, (id * 3 % 7 + 2).toInt)
           else synthWebpPayload(id)
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Synthesize the lossy-WebP header-metadata table for the
+    * `mm_webp_lossy_meta` gate: valid keyframes cycle version,
+    * scale hints and partition size by id over 14-bit-wide dims;
+    * %19 corrupts the RIFF magic, %13 the start code, %7 plants an
+    * interframe (no dims in the bitstream) — all three refuse to
+    * 'unknown'.
+    */
+  def synthesizeWebpLossyBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (id * 37 % 16000 + 1).toInt
+        val h = (id * 53 % 16000 + 1).toInt
+        val bytes =
+          if (id % 19 == 0) {
+            val b = Webp.buildWebpLossy(w, h)
+            b(0) = 0x00.toByte; b
+          } else if (id % 13 == 0)
+            Webp.buildWebpLossy(w, h, goodStartCode = false)
+          else if (id % 7 == 0)
+            Webp.buildWebpLossy(w, h, keyframe = false)
+          else Webp.buildWebpLossy(w, h,
+            version = (id % 4).toInt,
+            xScale = (id % 3).toInt, yScale = (id % 2).toInt,
+            firstPartLen = (id % 100 + 1).toInt)
         Row(id, bytes)
       }
     }(Encoders.row(schema))

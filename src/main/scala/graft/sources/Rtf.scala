@@ -88,6 +88,10 @@ object Rtf {
           stSkip.push(skip); stUc.push(uc); i += 1
         case '}' =>
           if (!stSkip.isEmpty) { skip = stSkip.pop(); uc = stUc.pop() }
+          // \uN's fallback counter must not outlive its group: a \uN
+          // just before '}' would otherwise swallow visible chars
+          // emitted AFTER the group closes (r15, ADVICE)
+          pendingSkip = 0
           i += 1
         case '\r' | '\n' => i += 1
         case '\\' if i + 1 < n =>

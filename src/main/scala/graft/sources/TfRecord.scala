@@ -294,6 +294,10 @@ object TfRecord {
         }
         out
       case ArrayType(LongType, _) =>
+        // same fail-closed contract as the scalar case: a BytesList/
+        // FloatList payload read as packed varints yields garbage
+        // longs, not a loud refusal (r15, ADVICE)
+        require(kind == 3, s"feature kind $kind, schema wants int64s")
         val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (lr.hasMore) {
           val t = lr.varint()

@@ -33,6 +33,13 @@ object Warc {
   final case class WarcRecord(warcType: String, targetUri: String,
     headers: Map[String, String], body: Array[Byte])
 
+  /** JVM-wide salvage-stop counter: the first stop logs at WARN,
+    * repeats at debug (r15 — the per-task-per-iteration WARN flooded
+    * the bench tail).
+    */
+  private[sources] val salvageStops =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val CRLF = "\r\n"
 
   // ---------------------------------------------------------------- read
@@ -80,8 +87,15 @@ object Warc {
         val clean = msg.map(c =>
           if (c >= ' ' && c < 127) c else '?').take(120)
         if (lenient) {
-          org.slf4j.LoggerFactory.getLogger(Warc.getClass)
-            .warn(s"warc salvage stop: $clean")
+          // salvage stops are EXPECTED on crawl-grade input; one WARN
+          // per JVM is signal, one per task per bench iteration is a
+          // log flood (r14 bench tail). First stop warns, repeats go
+          // to debug.
+          val log = org.slf4j.LoggerFactory.getLogger(Warc.getClass)
+          if (Warc.salvageStops.getAndIncrement() == 0L)
+            log.warn(s"warc salvage stop: $clean " +
+              "(further salvage stops logged at debug)")
+          else log.debug(s"warc salvage stop: $clean")
           done = true
         } else throw new IllegalArgumentException(s"corrupt warc: $clean")
       }

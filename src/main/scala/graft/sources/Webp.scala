@@ -1014,6 +1014,107 @@ object Webp {
     o.array()
   }
 
+  // ------------------------------------------- lossy VP8 frame header
+
+  /** Parsed lossy (VP8) frame header — RFC 6386 §9.1. `xScale`/
+    * `yScale` are the 2-bit upscale hints packed above the 14-bit
+    * dimensions; `firstPartLen` is the 19-bit size of the first
+    * compressed partition.
+    */
+  final case class LossyHeader(width: Int, height: Int,
+    xScale: Int, yScale: Int, version: Int, showFrame: Boolean,
+    firstPartLen: Int)
+
+  /** Parse the UNCOMPRESSED 10-byte VP8 keyframe header of a lossy
+    * WebP: 3-byte frame tag (keyframe bit, version, show_frame,
+    * first-partition size), the 0x9D012A start code, then 14-bit
+    * width/height with 2-bit scale hints — RFC 6386 §9.1. No
+    * probability tables are involved, so crawl-scale size/aspect
+    * filters see REAL dimensions for the majority real-web WebP
+    * flavor even though pixel decode stays the documented null
+    * boundary (r15, VERDICT). Interframes (keyframe bit set) carry
+    * no start code or dims and cannot stand alone in a still image
+    * — refused, like any malformed payload: null, never throw.
+    */
+  def lossyHeader(b: Array[Byte]): LossyHeader = {
+    try lossyHeaderInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def lossyHeaderInner(b: Array[Byte]): LossyHeader = {
+    if (b == null || b.length < 20) return null
+    if (!isFourcc(b, 0, "RIFF") || !isFourcc(b, 8, "WEBP")) return null
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4).toLong & 0xFFFFFFFFL
+      val p = ii + 8
+      if (p + size > b.length) return null
+      if (isFourcc(b, ii, "VP8 ")) {
+        if (size < 10) return null
+        val tag = (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+          ((b(p + 2) & 0xFF) << 16)
+        if ((tag & 1) != 0) return null // interframe: no dims to read
+        if ((b(p + 3) & 0xFF) != 0x9D || (b(p + 4) & 0xFF) != 0x01 ||
+            (b(p + 5) & 0xFF) != 0x2A) return null
+        val w16 = (b(p + 6) & 0xFF) | ((b(p + 7) & 0xFF) << 8)
+        val h16 = (b(p + 8) & 0xFF) | ((b(p + 9) & 0xFF) << 8)
+        val w = w16 & 0x3FFF
+        val h = h16 & 0x3FFF
+        if (w == 0 || h == 0) return null
+        return LossyHeader(w, h, w16 >>> 14, h16 >>> 14,
+          (tag >> 1) & 7, ((tag >> 4) & 1) == 1, tag >>> 5)
+      } else if (isFourcc(b, ii, "VP8X")) {
+        if (size < 10) return null
+        if ((b(p) & 0x02) != 0) return null // animation
+        // fall through: keep walking for the VP8 chunk
+      } else if (isFourcc(b, ii, "VP8L")) {
+        return null // lossless: not this surface
+      }
+      i += 8 + size + (size & 1)
+    }
+    null
+  }
+
+  /** Fixture builder: a lossy VP8 still whose 10 uncompressed header
+    * bytes are REAL (frame tag, start code, 14-bit dims + scale
+    * hints) over an opaque stand-in DCT body — the decodable part of
+    * the format is exactly the part built. `goodStartCode=false` and
+    * `keyframe=false` plant the refusal paths.
+    */
+  def buildWebpLossy(w: Int, h: Int, version: Int = 0,
+      xScale: Int = 0, yScale: Int = 0, keyframe: Boolean = true,
+      goodStartCode: Boolean = true, firstPartLen: Int = 11): Array[Byte] = {
+    require(w >= 1 && w <= 0x3FFF && h >= 1 && h <= 0x3FFF, s"dims $w x $h")
+    require(firstPartLen >= 0 && firstPartLen < (1 << 19), "partLen")
+    val body = new Array[Byte](10 + firstPartLen)
+    val tag = (if (keyframe) 0 else 1) | ((version & 7) << 1) |
+      (1 << 4) | (firstPartLen << 5)
+    body(0) = (tag & 0xFF).toByte
+    body(1) = ((tag >> 8) & 0xFF).toByte
+    body(2) = ((tag >> 16) & 0xFF).toByte
+    body(3) = (if (goodStartCode) 0x9D else 0x00).toByte
+    body(4) = 0x01
+    body(5) = 0x2A
+    body(6) = (w & 0xFF).toByte
+    body(7) = (((w >> 8) & 0x3F) | ((xScale & 3) << 6)).toByte
+    body(8) = (h & 0xFF).toByte
+    body(9) = (((h >> 8) & 0x3F) | ((yScale & 3) << 6)).toByte
+    var j = 10
+    while (j < body.length) { // opaque partition bytes, never read
+      body(j) = ((j * 31 + w * 7 + h) & 0xFF).toByte
+      j += 1
+    }
+    val o = java.nio.ByteBuffer.allocate(20 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    o.put("RIFF".getBytes("US-ASCII"))
+      .putInt(12 + body.length + (body.length & 1))
+    o.put("WEBP".getBytes("US-ASCII"))
+    o.put("VP8 ".getBytes("US-ASCII")).putInt(body.length)
+    o.put(body)
+    o.array()
+  }
+
   /** Color-indexing inverse: green channel is the palette index;
     * with <=16 colors several indices bundle into one packed pixel
     * (low bits first). An out-of-range index substitutes transparent

@@ -78,6 +78,34 @@ class MailSpec extends SparkSpec {
       "ASCII") === "x_y")
   }
 
+  test("mixed line endings: a \\n\\r\\n blank line still splits " +
+      "headers from body (r15, ADVICE)") {
+    val raw = "From: a@ex.com\nSubject: s\nContent-Type: text/plain" +
+      "\n\r\nbody here"
+    val m = Mail.parseEml(raw.getBytes("ISO-8859-1"))
+    assert(m != null)
+    assert(m.text === "body here")
+  }
+
+  test("multipart delimiters only count at LINE START, and a longer " +
+      "sibling boundary sharing this one as a prefix does not split " +
+      "(r15, ADVICE)") {
+    val m = Mail.parseEml(eml(
+      """From: c@ex.com
+        |Subject: s
+        |Content-Type: multipart/mixed; boundary=AB
+        |
+        |--AB
+        |Content-Type: text/plain
+        |
+        |text with --AB mid-line stays whole
+        |--ABX line: longer token, not our delimiter
+        |--AB--"""))
+    assert(m != null)
+    assert(m.text === "text with --AB mid-line stays whole\n" +
+      "--ABX line: longer token, not our delimiter")
+  }
+
   test("splitMbox: From_ separators, mboxrd unescape, non-mbox null") {
     val msgs = Mail.splitMbox(Mail.buildMbox(
       Seq(("s0", "b0"), ("s1", "b1"))))

@@ -48,6 +48,15 @@ class RtfSpec extends AnyFunSuite {
       === "AB")
   }
 
+  test("\\uN immediately before '}' must not swallow text emitted " +
+      "after the group closes (r15, ADVICE)") {
+    // \u65='A' with uc=1 but NO fallback char before '}': the pending
+    // skip dies with its group, so 'b' outside survives
+    assert(Rtf.extractText("{\\rtf1 {" + U + "65}b}") === "Ab")
+    // same at top level nesting depth 2
+    assert(Rtf.extractText("{\\rtf1 x{{" + U + "66}y}z}") === "xByz")
+  }
+
   test("\\binN skips raw bytes even when they contain braces; " +
       "raw CR/LF are ignored; non-RTF refuses") {
     assert(Rtf.extractText("{\\rtf1 a\\bin5 }}}{{b}") === "ab")

@@ -93,6 +93,25 @@ class TfRecordSpec extends SparkSpec {
       assert(r1.isNullAt(r1.fieldIndex(c)), s"$c should be null"))
   }
 
+  test("array<long> read under a FloatList feature refuses loudly " +
+      "instead of decoding payload bytes as garbage varints " +
+      "(r15, ADVICE)") {
+    val wschema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType))))
+    val enc = TfRecord.encodeExample(wschema, Row(1L, Seq(1.5f, 2.5f)))
+    val dir = Files.createTempDirectory("graft_tfrec_kind")
+    Files.write(dir.resolve("one.tfrecord"), TfRecord.frame(enc))
+    val e = intercept[Exception] {
+      TfRecord.readTfRecords(spark, s"$dir/*.tfrecord",
+        StructType(Seq(StructField("v", ArrayType(LongType)))))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) ""
+      else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(e).contains("schema wants int64s"))
+  }
+
   test("DoubleType refuses loudly at schema time (no silent float " +
       "narrowing); unknown extra features are skipped on read") {
     val df = Seq((1L, 0.5)).toDF("id", "d")

@@ -165,6 +165,51 @@ class WebpSpec extends SparkSpec {
       === "unknown")
   }
 
+  test("lossyHeader: a HAND-ASSEMBLED VP8 keyframe header parses " +
+      "dims/scale/version/show/part_len; interframe, bad start code, " +
+      "truncation and lossless refuse; pixels stay null (r15)") {
+    // hand-assembled, independent of buildWebpLossy: RIFF + WEBP +
+    // 'VP8 ' chunk whose body is the 10 uncompressed header bytes
+    // for a 641x303 v2 keyframe, show_frame=1, first part 77 bytes,
+    // xScale=1 yScale=3
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    val tag = 0 | (2 << 1) | (1 << 4) | (77 << 5) // key, v2, show, 77
+    val body = Array[Byte](
+      (tag & 0xFF).toByte, ((tag >> 8) & 0xFF).toByte,
+      ((tag >> 16) & 0xFF).toByte,
+      0x9D.toByte, 0x01, 0x2A,
+      (641 & 0xFF).toByte, ((641 >> 8) | (1 << 6)).toByte, // w=641 xs=1
+      (303 & 0xFF).toByte, ((303 >> 8) | (3 << 6)).toByte) // h=303 ys=3
+    val file = "RIFF".getBytes("US-ASCII") ++ le32(12 + body.length) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8 ".getBytes("US-ASCII") ++
+      le32(body.length) ++ body
+    val lh = Webp.lossyHeader(file)
+    assert(lh != null)
+    assert(lh.width === 641 && lh.height === 303)
+    assert(lh.xScale === 1 && lh.yScale === 3)
+    assert(lh.version === 2 && lh.showFrame && lh.firstPartLen === 77)
+    assert(Webp.decodeWebp(file) === null) // pixels stay the boundary
+    // interframe bit set: no dims in the bitstream → refuse
+    val inter = file.clone(); inter(20) = (inter(20) | 1).toByte
+    assert(Webp.lossyHeader(inter) === null)
+    // forged start code → refuse
+    val badSc = file.clone(); badSc(23) = 0x00
+    assert(Webp.lossyHeader(badSc) === null)
+    // truncated inside the header → refuse (never throw)
+    assert(Webp.lossyHeader(file.take(26)) === null)
+    // lossless payloads are not this surface; the stub has no header
+    assert(Webp.lossyHeader(Webp.buildWebpLossless(9, 7, px)) === null)
+    assert(Webp.lossyHeader(Webp.buildWebpLossyStub()) === null)
+    // the builder round-trips through the parser
+    val built = Webp.buildWebpLossy(12345, 1, version = 3,
+      xScale = 2, yScale = 1, firstPartLen = 3)
+    val bh = Webp.lossyHeader(built)
+    assert(bh.width === 12345 && bh.height === 1 && bh.version === 3)
+    assert(bh.xScale === 2 && bh.yScale === 1 && bh.firstPartLen === 3)
+  }
+
   test("decoder totality fuzz over WebP payloads: random and mutated " +
       "bytes never throw (r13)") {
     val rnd = new scala.util.Random(0x3EB1)

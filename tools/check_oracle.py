@@ -21,6 +21,35 @@ def norm(rows):
     return out
 
 
+def nested_cols(cols, types):
+    """Columns the DRIVER's pandas-side sort cannot order (r14
+    vec_tfrecord: sort_values on an array column dies on unhashable
+    numpy.ndarray). Refuse them HERE so the class fails locally."""
+    bad = []
+    for c, t in zip(cols, types):
+        tu = str(t).upper()
+        if "[]" in tu or tu.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            bad.append((c, str(t)))
+    return bad
+
+
+def selftest():
+    """`--selftest`: the refusal must fire on an array-typed column
+    and stay quiet on scalars."""
+    con = duckdb.connect()
+    rel = con.sql("SELECT 1 AS id, [CAST(1.0 AS FLOAT)] AS embedding")
+    bad = nested_cols(list(rel.columns), [str(t) for t in rel.types])
+    assert bad == [("embedding", "FLOAT[]")], f"array refusal broken: {bad}"
+    rel2 = con.sql("SELECT 1 AS id, 'x' AS s, CAST(1.5 AS DOUBLE) AS d")
+    ok = nested_cols(list(rel2.columns), [str(t) for t in rel2.types])
+    assert ok == [], f"scalar false positive: {ok}"
+    rel3 = con.sql("SELECT {'a': 1} AS st")
+    assert nested_cols(list(rel3.columns),
+                       [str(t) for t in rel3.types]), "struct refusal broken"
+    print("selftest PASS (array/struct refused, scalars clean)")
+    return 0
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +70,16 @@ def main(sf_dir, out_dir):
             exp = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        # the driver's pandas-side row sort cannot order nested
+        # (array/struct/map) columns — refuse them outright
+        bad = (nested_cols(got_cols, got_types) +
+               nested_cols(exp_cols, exp_types))
+        if bad:
+            print(f"FAIL {name}: nested result columns the driver "
+                  f"harness cannot sort: {bad} — scalarize (checksum "
+                  f"discipline)")
             n_fail += 1
             continue
         # driver sorts columns by name before hashing
@@ -81,4 +120,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
