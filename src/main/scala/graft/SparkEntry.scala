@@ -4310,13 +4310,14 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // --- Cross-format office dedup (r14 — the "same report
-    //     re-uploaded as docx AND doc AND odt AND rtf" case container
-    //     dedup cannot pair): groups of four ids share one text, each
-    //     id rendered in a ROTATING format ((id + group) % 4, so the
-    //     surviving min-id carries every format across the corpus);
-    //     the universal withOfficeText dispatcher extracts all four
-    //     in ONE pass and exact dedup keeps the min id per text. The
+    // --- Cross-format office dedup (r14; extended r15 to the OOXML
+    //     successors — the "same report re-uploaded as docx AND doc
+    //     AND odt AND rtf AND xlsx AND pptx" case container dedup
+    //     cannot pair): groups of four ids share one text, each id
+    //     rendered in a ROTATING format ((id + group) % 6, so every
+    //     format appears as a survivor across the corpus); the
+    //     universal withOfficeText dispatcher extracts all six in
+    //     ONE pass and exact dedup keeps the min id per text. The
     //     oracle restates survivors closed-form.
     "mm_office_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -4324,12 +4325,15 @@ object SparkEntry {
         .select(col("doc_id")).as[Long].map { id =>
           val g = id / 4
           val t = s"report $g alpha item${g % 59} beta"
-          val bytes = ((id + g) % 4) match {
+          val bytes = ((id + g) % 6) match {
             case 0L => graft.sources.Docx.buildDocx(Seq(t))
             case 1L => graft.sources.MsDoc.buildDoc(t, "")
             case 2L => graft.sources.Odt.buildOdt(Seq(t))
-            case _ => graft.sources.Rtf.buildRtf(Seq(t))
+            case 3L => graft.sources.Rtf.buildRtf(Seq(t))
               .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+            case 4L => graft.sources.Xlsx.buildXlsx(Seq(t),
+              Seq((0, 0, graft.sources.Xlsx.Shared(0))))
+            case _ => graft.sources.Pptx.buildPptx(Seq(Seq(t)))
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
@@ -4355,6 +4359,40 @@ object SparkEntry {
           col("xl.n_cells").as("n_cells"),
           col("xl.n_chars").as("n_chars"),
           col("xl.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Modern Excel .xlsx text extraction (r15, VERDICT — the
+    //     far-more-common post-2010 successor of BIFF8): the .xls
+    //     grid re-expressed in OOXML — three shared strings (the
+    //     middle one RICH two-run with a phonetic span that must
+    //     drop), one referenced twice, plus an inline string and a
+    //     raw numeric cell. Degrades: %19 magic, %13 truncation.
+    "mm_xlsx_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizeXlsxBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withXlsxText(media, "payload", "xx")
+        .select(col("media_id"), col("xx.format").as("format"),
+          col("xx.n_cells").as("n_cells"),
+          col("xx.n_chars").as("n_chars"),
+          col("xx.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Modern PowerPoint .pptx text extraction (r15, VERDICT):
+    //     1-3 slides by id%3 written in REVERSE package order (the
+    //     numeric slide ordering is on the hashed path), two
+    //     paragraphs per slide split across two <a:t> runs each,
+    //     entity round trip + a non-Latin-1 char. Degrades: %19
+    //     magic, %13 truncation.
+    "mm_pptx_text" -> ((s, dir) => {
+      val media = Multimodal.synthesizePptxBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withPptxText(media, "payload", "px")
+        .select(col("media_id"), col("px.format").as("format"),
+          col("px.n_slides").as("n_slides"),
+          col("px.n_chars").as("n_chars"),
+          col("px.text").as("text"))
         .orderBy(col("media_id"))
     }),
 
@@ -9063,13 +9101,15 @@ object SparkEntry {
         |ORDER BY i.media_id""".stripMargin,
 
     // the mm_office_dedup oracle: survivors are the min id of each
-    // 4-id group, format rotating with the group, text closed-form
+    // 4-id group (id = 4g, so format index (4g+g)%6 = 5g%6 — all six
+    // formats survive across the corpus), text closed-form
     "mm_office_dedup" ->
       """WITH g AS (
         |  SELECT doc_id // 4 AS g FROM documents
         |  WHERE doc_id < 120 AND doc_id % 4 = 0)
         |SELECT g * 4 AS doc_id,
-        |  ['docx', 'doc', 'odt', 'rtf'][CAST(g % 4 AS INT) + 1] AS format,
+        |  ['docx', 'doc', 'odt', 'rtf', 'xlsx', 'pptx']
+        |    [CAST(5 * g % 6 AS INT) + 1] AS format,
         |  'report ' || g || ' alpha item' || (g % 59) || ' beta' AS text
         |FROM g ORDER BY doc_id""".stripMargin,
 
@@ -9095,6 +9135,58 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.txt END AS text
         |FROM t JOIN bad b USING (media_id)
         |ORDER BY t.media_id""".stripMargin,
+
+    // the mm_xlsx_text oracle: the grid restated — cells tab-joined,
+    // rows newline-joined; the rich shared string reassembles, the
+    // phonetic span drops, inline and numeric cells contribute
+    "mm_xlsx_text" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |t AS (SELECT media_id,
+        |  'sum ' || media_id || ' é total' || chr(9) ||
+        |    'cell ✓ ' || media_id || chr(9) ||
+        |    'in ' || media_id || ' ok' || chr(10) ||
+        |    '3.5' || chr(9) || 'plain ' || media_id || chr(9) ||
+        |    'sum ' || media_id || ' é total' AS txt
+        |  FROM ids),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT t.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'xlsx' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(6 AS INT) END AS n_cells,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.txt) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.txt END AS text
+        |FROM t JOIN bad b USING (media_id)
+        |ORDER BY t.media_id""".stripMargin,
+
+    // the mm_pptx_text oracle: slides rebuilt closed-form in slide-
+    // NUMBER order (the package wrote them reversed), two paragraphs
+    // per slide with the entity round trip
+    "mm_pptx_text" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 + 1 AS n
+        |  FROM documents WHERE doc_id < 60),
+        |sl AS (
+        |  SELECT i.media_id, p.g AS p,
+        |    'slide ' || i.media_id || '.' || p.g || ' head item' ||
+        |      ((i.media_id * 13 + p.g) % 77) || chr(10) ||
+        |      'note & ' || p.g || ' ✓' AS stext
+        |  FROM ids i, generate_series(0, 2) AS p(g) WHERE p.g < i.n),
+        |txt AS (
+        |  SELECT media_id, string_agg(stext, chr(10) ORDER BY p) AS text
+        |  FROM sl GROUP BY media_id),
+        |bad AS (
+        |  SELECT media_id, media_id % 19 = 0 OR media_id % 13 = 0 AS c
+        |  FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'pptx' END AS format,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(i.n AS INT) END AS n_slides,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(length(t.text) AS INT) END AS n_chars,
+        |  CASE WHEN b.c THEN NULL ELSE t.text END AS text
+        |FROM ids i JOIN txt t USING (media_id) JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_ppt_text oracle: blocks rebuilt closed-form — UTF-16
     // blocks carry the check mark and the CR→newline mapping, ANSI

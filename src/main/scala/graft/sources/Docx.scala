@@ -26,8 +26,13 @@ object Docx {
   final case class DocxText(nParagraphs: Int, text: String)
 
   private val ParaSplit = java.util.regex.Pattern.compile("<w:p[ />]")
+  // the self-closing <w:t .../> alternative comes FIRST: matched the
+  // other way round its '/' hides inside the attribute wildcard and
+  // the lazy body swallows every sibling run up to the next real
+  // </w:t> (r15 — found building the Xlsx/Pptx readers)
   private val RunPat = java.util.regex.Pattern.compile(
-    "<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:br\\s*/>|<w:tab\\s*/>",
+    "<w:t(?:\\s[^>]*)?/>|<w:br\\s*/>|<w:tab\\s*/>|" +
+      "<w:t(?:\\s[^>]*)?>(.*?)</w:t>",
     java.util.regex.Pattern.DOTALL)
 
   private def decodeEntities(s: String): String =
@@ -56,7 +61,8 @@ object Docx {
         val run = m.group(1)
         if (run != null) sb.append(decodeEntities(run))
         else if (m.group().startsWith("<w:br")) sb.append('\n')
-        else sb.append('\t')
+        else if (m.group().startsWith("<w:tab")) sb.append('\t')
+        // a self-closing <w:t/> contributes nothing
       }
       sb.toString
     }

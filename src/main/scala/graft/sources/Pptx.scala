@@ -1,0 +1,133 @@
+package graft.sources
+
+/** PPTX text extraction (r15) — the modern successor of the CFB
+  * `.ppt` record stream (VERDICT r14: the OOXML tag routed only
+  * docx). A PPTX is an OOXML zip (ECMA-376, public): slide text
+  * lives in `ppt/slides/slideN.xml` as DrawingML `<a:t>` runs inside
+  * `<a:p>` paragraphs.
+  *
+  * Convention (regex-level, the Docx discipline): slides order by
+  * their number N (the package order is arbitrary); within a slide
+  * every `<a:p>` paragraph's `<a:t>` runs concatenate in order and
+  * `<a:br/>` becomes a newline; paragraphs join with newlines,
+  * slides join with newlines (empty paragraphs/slides drop); the
+  * five XML entities decode. Speaker notes (`ppt/notesSlides/`) are
+  * presenter-side, not shown content — deliberately excluded, like
+  * Docx excludes headers/footers.
+  *
+  * Total function: malformed / truncated / non-pptx payloads return
+  * null (a zip without slide members is some OTHER OOXML — the
+  * dispatcher's chain tries the right sibling).
+  */
+object Pptx {
+
+  private val MaxBytes = 256 << 20
+
+  /** Extracted deck text: slide count and the newline-joined text. */
+  final case class PptxText(nSlides: Int, text: String)
+
+  private val SlideName =
+    java.util.regex.Pattern.compile("ppt/slides/slide(\\d+)\\.xml")
+  // self-closing alternatives first — the Xlsx.SiPat rationale: the
+  // open-tag branch would otherwise swallow siblings after <a:p/>
+  private val ParaPat = java.util.regex.Pattern.compile(
+    "<a:p(?:\\s[^>]*)?/>|<a:p(?:\\s[^>]*)?>(.*?)</a:p>",
+    java.util.regex.Pattern.DOTALL)
+  private val RunPat = java.util.regex.Pattern.compile(
+    "<a:t(?:\\s[^>]*)?/>|<a:br\\s*/>|<a:t(?:\\s[^>]*)?>(.*?)</a:t>",
+    java.util.regex.Pattern.DOTALL)
+
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  def extractText(b: Array[Byte]): PptxText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): PptxText = {
+    if (b == null || b.length < 22 || b.length > MaxBytes) return null
+    if (!(b(0) == 'P' && b(1) == 'K')) return null
+    val slides = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    try Containers.parseZipBytes(b).foreach { e =>
+      val m = SlideName.matcher(e.name)
+      if (m.matches())
+        slides += ((m.group(1).toInt,
+          new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    if (slides.isEmpty) return null // not a deck: some other OOXML
+    val slideTexts = slides.sortBy(_._1).toSeq.map { case (_, xml) =>
+      val pm = ParaPat.matcher(xml)
+      val paras = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pm.find()) {
+        val rm = RunPat.matcher(
+          if (pm.group(1) == null) "" else pm.group(1))
+        val sb = new java.lang.StringBuilder
+        while (rm.find()) {
+          val run = rm.group(1)
+          if (run != null) sb.append(decodeEntities(run))
+          else if (rm.group().startsWith("<a:br")) sb.append('\n')
+          // a self-closing <a:t/> contributes nothing
+        }
+        if (sb.length > 0) paras += sb.toString
+      }
+      paras.mkString("\n")
+    }.filter(_.nonEmpty)
+    PptxText(slides.length, slideTexts.mkString("\n"))
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal standard-layout PPTX writer for fixtures: content types
+    * + rels + presentation + one slideN.xml per slide (each a list
+    * of paragraphs, every paragraph split across two `<a:t>` runs —
+    * the real-deck shape). Slide numbers are written in REVERSE
+    * package order so extraction's numeric ordering is exercised.
+    */
+  def buildPptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+      zip.putNextEntry(e)
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    val overrides = slides.indices.map { i =>
+      s"""<Override PartName="/ppt/slides/slide${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>"""
+    }.mkString
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>""" +
+        overrides + "</Types>")
+    put("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>
+        |</Relationships>""".stripMargin)
+    put("ppt/presentation.xml",
+      """<?xml version="1.0"?>""" +
+        """<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"/>""")
+    // reverse package order: slide numbering must drive extraction
+    slides.zipWithIndex.reverse.foreach { case (paras, i) =>
+      val body = paras.map { p =>
+        val (a, b2) = p.splitAt(p.length / 2)
+        s"""<a:p><a:r><a:t>${esc(a)}</a:t></a:r>""" +
+          s"""<a:r><a:t>${esc(b2)}</a:t></a:r></a:p>"""
+      }.mkString
+      put(s"ppt/slides/slide${i + 1}.xml",
+        """<?xml version="1.0"?>""" +
+          """<p:sld xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" """ +
+          """xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main">""" +
+          s"""<p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""")
+    }
+    zip.close()
+    bos.toByteArray
+  }
+}

@@ -1,0 +1,235 @@
+package graft.sources
+
+/** XLSX text extraction (r15) — the modern successor of BIFF8 `.xls`
+  * and the far more common spreadsheet format in post-2010 crawls
+  * (VERDICT r14: the OOXML tag routed only docx). An XLSX is an
+  * OOXML zip (ECMA-376, public): shared strings live in
+  * `xl/sharedStrings.xml` as ordered `<si>` items, sheet cells in
+  * `xl/worksheets/sheetN.xml` as `<c>` elements whose `t` attribute
+  * picks the value semantics.
+  *
+  * Convention (regex-level, the Docx/Odt/Epub discipline — not a
+  * full XML parser):
+  *  - an `<si>` item's text is its `<t>` runs concatenated (plain or
+  *    rich `<r>` form); phonetic `<rPh>` spans are EXCLUDED (they
+  *    are furigana hints, not cell content);
+  *  - cell text by `t`: `s` → shared-string index, `inlineStr` → the
+  *    inner `<is>` `<t>` runs, `str`/`b`/`e`/absent (numeric) → the
+  *    raw `<v>` text verbatim (the stored value IS the text — no
+  *    number formatting is applied, documented);
+  *  - layout: cells tab-joined within a `<row>` in document order,
+  *    rows newline-joined, sheets (ordered by their number)
+  *    newline-joined — the `.xls` extractor's grid convention, so
+  *    the same workbook saved in either format dedups exactly;
+  *  - the five XML entities decode; empty cells drop.
+  *
+  * Total function: malformed / truncated / non-xlsx payloads return
+  * null (a zip without `xl/` sheet members is some OTHER OOXML —
+  * the dispatcher's chain tries the right sibling).
+  */
+object Xlsx {
+
+  private val MaxBytes = 256 << 20
+
+  /** Extracted grid text: contributing cell count and the
+    * tab/newline-joined grid.
+    */
+  final case class XlsxText(nCells: Int, text: String)
+
+  private val SheetName =
+    java.util.regex.Pattern.compile("xl/worksheets/sheet(\\d+)\\.xml")
+  // self-closing alternatives come FIRST in every element pattern:
+  // matched the other way round, <x attr/> would satisfy the open-tag
+  // branch (its '/' hides inside the attribute wildcard) and the lazy
+  // body would swallow every sibling up to the next real close tag
+  private val SiPat = java.util.regex.Pattern.compile(
+    "<si(?:\\s[^>]*)?/>|<si(?:\\s[^>]*)?>(.*?)</si>",
+    java.util.regex.Pattern.DOTALL)
+  private val RphPat = java.util.regex.Pattern.compile(
+    "<rPh(?:\\s[^>]*)?>.*?</rPh>", java.util.regex.Pattern.DOTALL)
+  private val TPat = java.util.regex.Pattern.compile(
+    "<t(?:\\s[^>]*)?/>|<t(?:\\s[^>]*)?>(.*?)</t>",
+    java.util.regex.Pattern.DOTALL)
+  private val RowPat = java.util.regex.Pattern.compile(
+    "<row(?:\\s[^>]*)?/>|<row(?:\\s[^>]*)?>(.*?)</row>",
+    java.util.regex.Pattern.DOTALL)
+  private val CellPat = java.util.regex.Pattern.compile(
+    "<c(\\s[^>]*)?/>|<c(\\s[^>]*)?>(.*?)</c>",
+    java.util.regex.Pattern.DOTALL)
+  private val TypeAttr = java.util.regex.Pattern.compile(
+    "\\bt\\s*=\\s*\"([^\"]*)\"")
+  private val VPat = java.util.regex.Pattern.compile(
+    "<v(?:\\s[^>]*)?>(.*?)</v>", java.util.regex.Pattern.DOTALL)
+  private val IsPat = java.util.regex.Pattern.compile(
+    "<is(?:\\s[^>]*)?>(.*?)</is>", java.util.regex.Pattern.DOTALL)
+
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+
+  /** All `<t>` run contents of `xml`, phonetic spans removed. */
+  private def tRuns(xml: String): String = {
+    val clean = RphPat.matcher(xml).replaceAll("")
+    val m = TPat.matcher(clean)
+    val sb = new java.lang.StringBuilder
+    while (m.find()) {
+      val g = m.group(1)
+      if (g != null) sb.append(decodeEntities(g))
+    }
+    sb.toString
+  }
+
+  def extractText(b: Array[Byte]): XlsxText = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): XlsxText = {
+    if (b == null || b.length < 22 || b.length > MaxBytes) return null
+    if (!(b(0) == 'P' && b(1) == 'K')) return null
+    var sstXml: String = null
+    val sheets = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    try Containers.parseZipBytes(b).foreach { e =>
+      if (e.name == "xl/sharedStrings.xml")
+        sstXml = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val m = SheetName.matcher(e.name)
+        if (m.matches())
+          sheets += ((m.group(1).toInt,
+            new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    if (sheets.isEmpty) return null // not a workbook: some other OOXML
+    val sst: IndexedSeq[String] =
+      if (sstXml == null) IndexedSeq.empty
+      else {
+        val m = SiPat.matcher(sstXml)
+        val acc = scala.collection.immutable.IndexedSeq.newBuilder[String]
+        // a self-closing <si/> still occupies an index slot
+        while (m.find())
+          acc += (if (m.group(1) == null) "" else tRuns(m.group(1)))
+        acc.result()
+      }
+    var nCells = 0
+    val sheetTexts = sheets.sortBy(_._1).toSeq.map { case (_, xml) =>
+      val rm = RowPat.matcher(xml)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rm.find()) {
+        val cm = CellPat.matcher(
+          if (rm.group(1) == null) "" else rm.group(1))
+        val cells = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (cm.find()) {
+          val attrs = if (cm.group(1) != null) cm.group(1)
+            else if (cm.group(2) != null) cm.group(2) else ""
+          val inner = if (cm.group(3) != null) cm.group(3) else ""
+          val ta = TypeAttr.matcher(attrs)
+          val t = if (ta.find()) ta.group(1) else ""
+          val text = t match {
+            case "s" =>
+              val vm = VPat.matcher(inner)
+              if (!vm.find()) null
+              else {
+                val idx = vm.group(1).trim.toInt
+                if (idx >= 0 && idx < sst.length) sst(idx) else null
+              }
+            case "inlineStr" =>
+              val im = IsPat.matcher(inner)
+              if (im.find()) tRuns(im.group(1)) else null
+            case _ =>
+              val vm = VPat.matcher(inner)
+              if (vm.find()) decodeEntities(vm.group(1)) else null
+          }
+          if (text != null && text.nonEmpty) { cells += text; nCells += 1 }
+        }
+        if (cells.nonEmpty) rows += cells.mkString("\t")
+      }
+      rows.mkString("\n")
+    }.filter(_.nonEmpty)
+    XlsxText(nCells, sheetTexts.mkString("\n"))
+  }
+
+  // ============================================== fixture encoder
+
+  /** Minimal standard-layout XLSX writer for fixtures: content
+    * types + rels + workbook + sharedStrings + one sheet. `cells`
+    * are (row, col, kind) in grid order where kind is a [[Cell]];
+    * odd shared-string items render in the RICH two-run form with a
+    * planted `<rPh>` phonetic span (which extraction must drop).
+    */
+  sealed trait Cell
+  final case class Shared(idx: Int) extends Cell
+  final case class Inline(s: String) extends Cell
+  final case class Num(v: String) extends Cell
+
+  def buildXlsx(strings: Seq[String],
+      cells: Seq[(Int, Int, Cell)]): Array[Byte] = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTimeLocal(java.time.LocalDateTime.of(2000, 1, 1, 0, 0))
+      zip.putNextEntry(e)
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |  <Default Extension="xml" ContentType="application/xml"/>
+        |  <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |  <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |  <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin)
+    put("_rels/.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" """ +
+        """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    val sis = strings.zipWithIndex.map { case (s, i) =>
+      if (i % 2 == 1) {
+        // rich form: two runs + a phonetic span extraction must drop
+        val (a, b2) = s.splitAt(s.length / 2)
+        s"""<si><r><rPr><b/></rPr><t xml:space="preserve">${esc(a)}</t></r>""" +
+          s"""<r><t xml:space="preserve">${esc(b2)}</t></r>""" +
+          s"""<rPh sb="0" eb="1"><t>ghost</t></rPh></si>"""
+      } else s"""<si><t xml:space="preserve">${esc(s)}</t></si>"""
+    }.mkString
+    put("xl/sharedStrings.xml",
+      s"""<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.length}" uniqueCount="${strings.length}">$sis</sst>""")
+    def colRef(c: Int): String = {
+      var n = c
+      val sb = new StringBuilder
+      while (n >= 0) { sb.insert(0, ('A' + n % 26).toChar); n = n / 26 - 1 }
+      sb.toString
+    }
+    val rowsXml = cells.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (r, cs) =>
+        val cellsXml = cs.sortBy(_._2).map { case (_, c, k) =>
+          val ref = s"${colRef(c)}${r + 1}"
+          k match {
+            case Shared(i) => s"""<c r="$ref" t="s"><v>$i</v></c>"""
+            case Inline(s) =>
+              s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(s)}</t></is></c>"""
+            case Num(v) => s"""<c r="$ref"><v>${esc(v)}</v></c>"""
+          }
+        }.mkString
+        s"""<row r="${r + 1}">$cellsXml</row>"""
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$rowsXml</sheetData></worksheet>""")
+    zip.close()
+    bos.toByteArray
+  }
+}

@@ -29,6 +29,22 @@ class DocxSpec extends SparkSpec {
     assert(h.text === "a\nb\tc\nlast")
   }
 
+  test("self-closing <w:t .../> with attributes contributes nothing " +
+      "and never swallows sibling runs (r15 — the alternation-order " +
+      "bug found building the Xlsx/Pptx readers)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(("""<w:document><w:body><w:p>""" +
+      """<w:r><w:t>a</w:t></w:r>""" +
+      """<w:r><w:t xml:space="preserve"/></w:r>""" +
+      """<w:r><w:t>b</w:t></w:r>""" +
+      """</w:p></w:body></w:document>""").getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    val h = Docx.extractText(bos.toByteArray)
+    assert(h != null && h.text === "ab")
+  }
+
   test("DOCX boundaries: missing document.xml / magic / truncation " +
       "null; fuzz never throws (r14)") {
     val bos = new java.io.ByteArrayOutputStream()

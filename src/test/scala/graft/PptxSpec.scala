@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.{Multimodal, Pptx}
+
+class PptxSpec extends SparkSpec {
+
+  test("PPTX round trips: slides in NUMBER order despite reverse " +
+      "package order, multi-run paragraphs reassemble, entities " +
+      "decode; parseHeader tags ooxml (r15)") {
+    val b = Pptx.buildPptx(Seq(
+      Seq("first & slide", "second line"),
+      Seq("deck <two>")))
+    val t = Pptx.extractText(b)
+    assert(t != null && t.nSlides === 2)
+    assert(t.text === "first & slide\nsecond line\ndeck <two>")
+    assert(Multimodal.parseHeader(b).format === "ooxml")
+  }
+
+  test("hand-assembled slide XML independent of the builder: a:br " +
+      "renders a newline, self-closing a:p and a:t contribute " +
+      "nothing and never swallow siblings, slide10 sorts after " +
+      "slide2 (r15)") {
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zip = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(n))
+        zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+      }
+      zip.close(); bos.toByteArray
+    }
+    val b = zipOf(
+      "ppt/slides/slide10.xml" ->
+        """<p:sld><a:p><a:r><a:t>ten</a:t></a:r></a:p></p:sld>""",
+      "ppt/slides/slide2.xml" ->
+        ("""<p:sld><a:p><a:r><a:t>a</a:t></a:r><a:br/>""" +
+          """<a:r><a:t lang="en"/></a:r>""" + // self-closing with attr
+          """<a:r><a:t>b</a:t></a:r></a:p>""" +
+          """<a:p/>""" + // self-closing paragraph
+          """<a:p><a:r><a:t>c</a:t></a:r></a:p></p:sld>"""))
+    val t = Pptx.extractText(b)
+    assert(t != null && t.nSlides === 2)
+    assert(t.text === "a\nb\nc\nten")
+  }
+
+  test("PPTX boundaries: no slide members (another OOXML) / magic / " +
+      "truncation null; fuzz never throws (r15)") {
+    assert(Pptx.extractText(
+      graft.sources.Docx.buildDocx(Seq("nope"))) === null)
+    val good = Multimodal.synthPptxPayload(8L)
+    assert(good.length > 700) // the %13 truncation plant must bite
+    val bad = good.clone(); bad(0) = 'X'
+    assert(Pptx.extractText(bad) === null)
+    assert(Pptx.extractText(java.util.Arrays.copyOf(good, 700)) === null)
+    assert(Pptx.extractText(null) === null)
+    val rnd = new scala.util.Random(0x99D7)
+    for (_ <- 0 until 150) {
+      val s = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          Pptx.extractText(s)
+        case 1 => Pptx.extractText(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Pptx.extractText(
+          Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+
+  test("office dispatcher routes all three OOXML members: docx, " +
+      "xlsx, pptx through withOfficeText in one pass (r15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, graft.sources.Docx.buildDocx(Seq("w text"))),
+      (2L, graft.sources.Xlsx.buildXlsx(Seq("x text"),
+        Seq((0, 0, graft.sources.Xlsx.Shared(0))))),
+      (3L, Pptx.buildPptx(Seq(Seq("p text")))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.withOfficeText(rows, "payload", "of")
+      .select(col("doc_id"), col("of.format"), col("of.text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "docx", "w text"),
+      (2L, "xlsx", "x text"), (3L, "pptx", "p text")))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.sources.{Multimodal, Xlsx}
+
+class XlsxSpec extends SparkSpec {
+
+  test("XLSX round trips: shared strings (plain + rich with a " +
+      "dropped phonetic span), double reference, inline string, raw " +
+      "numeric cell; tab/newline grid layout; parseHeader tags " +
+      "ooxml (r15)") {
+    val b = Xlsx.buildXlsx(
+      Seq("alpha & one", "rich <two>"),
+      Seq((0, 0, Xlsx.Shared(0)), (0, 1, Xlsx.Shared(1)),
+        (1, 0, Xlsx.Inline("in-line ✓")), (1, 1, Xlsx.Num("42")),
+        (1, 2, Xlsx.Shared(0))))
+    val t = Xlsx.extractText(b)
+    assert(t != null && t.nCells === 5)
+    assert(t.text ===
+      "alpha & one\trich <two>\nin-line ✓\t42\talpha & one")
+    assert(Multimodal.parseHeader(b).format === "ooxml")
+  }
+
+  test("hand-assembled sheet + sharedStrings independent of the " +
+      "builder: multi-sheet numeric ORDER, self-closing cells skip, " +
+      "out-of-range sst index drops the cell, empty <t/> runs (r15)") {
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zip = new java.util.zip.ZipOutputStream(bos)
+      entries.foreach { case (n, c) =>
+        zip.putNextEntry(new java.util.zip.ZipEntry(n))
+        zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+      }
+      zip.close(); bos.toByteArray
+    }
+    // sheet10 stored BEFORE sheet2: numeric order must win (2 < 10)
+    val b = zipOf(
+      "xl/worksheets/sheet10.xml" ->
+        ("""<worksheet><sheetData>""" +
+          """<row r="1"><c r="A1" t="s"><v>1</v></c></row>""" +
+          """</sheetData></worksheet>"""),
+      "xl/sharedStrings.xml" ->
+        ("""<sst><si><t>zero</t></si>""" +
+          """<si><r><t>on</t></r><r><t>e</t></r>""" +
+          """<rPh sb="0" eb="1"><t>KANA</t></rPh></si>""" +
+          """<si><t/></si></sst>"""),
+      "xl/worksheets/sheet2.xml" ->
+        ("""<worksheet><sheetData>""" +
+          """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"/>""" +
+          """<c r="C1" t="s"><v>99</v></c>""" + // out of range: drops
+          """<c r="D1" t="s"><v>2</v></c>""" + // empty <t/>: drops
+          """<c r="E1"><v>3.25</v></c></row>""" +
+          """</sheetData></worksheet>"""))
+    val t = Xlsx.extractText(b)
+    assert(t != null && t.nCells === 3)
+    assert(t.text === "zero\t3.25\none")
+  }
+
+  test("XLSX boundaries: no sheet members (another OOXML) / magic / " +
+      "truncation null; fuzz never throws (r15)") {
+    // a DOCX is a zip but not a workbook — must refuse so the
+    // dispatcher chain can route it
+    assert(Xlsx.extractText(
+      graft.sources.Docx.buildDocx(Seq("nope"))) === null)
+    val good = Multimodal.synthXlsxPayload(7L)
+    assert(good.length > 700) // the %13 truncation plant must bite
+    val bad = good.clone(); bad(0) = 'X'
+    assert(Xlsx.extractText(bad) === null)
+    assert(Xlsx.extractText(java.util.Arrays.copyOf(good, 700)) === null)
+    assert(Xlsx.extractText(null) === null)
+    val rnd = new scala.util.Random(0x15C4)
+    for (_ <- 0 until 150) {
+      val s = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          Xlsx.extractText(s)
+        case 1 => Xlsx.extractText(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Xlsx.extractText(
+          Array.fill(rnd.nextInt(200) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+}
