@@ -3300,17 +3300,42 @@ object SparkEntry {
     //     zlib-version-specific — the text_deflate classification
     //     gate owns that contract).
     "docs_attributes" -> ((s, dir) => {
-      graft.operators.Attributes.qualityAttributesTable(
+      // r15 (VERDICT #8): the suite's most expensive gate spent its
+      // time on a global ORDER BY + 17-column table write that
+      // existed only for output determinism. Scalarized to the
+      // checksum discipline: per-row md5 over the canonical signal
+      // string (every field null-sentineled so null patterns cannot
+      // alias; ratios as round(x*1e6) scaled ints — both engines
+      // compute them from the SAME round(…,6) doubles), summed. Any
+      // single-signal drift on any row still goes red; no sort, no
+      // wide write. The full table surface remains
+      // Attributes.qualityAttributesTable (docs_attr_filter,
+      // corpus report ride it).
+      val t = graft.operators.Attributes.qualityAttributesTable(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "text", minWords = 10)
-        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-          col("gopher_pass"), col("fail_words"), col("fail_mean_len"),
-          col("fail_alpha"), col("fail_symbol"), col("fail_bullet"),
-          col("fail_ellipsis"), col("fail_stopword"),
-          col("repetition_2gram"), col("lang"), col("stopword_ratio"),
-          col("punct_ratio"), col("mojibake_ratio"),
-          col("quality_score"))
-        .orderBy(col("doc_id"))
+      def f(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit("~"))
+      def r6(c: org.apache.spark.sql.Column) =
+        coalesce(round(c * 1000000).cast("bigint").cast("string"),
+          lit("~"))
+      val canon = concat_ws(":",
+        f(col("doc_id")), f(col("n_chars")), f(col("n_tokens")),
+        f(col("gopher_pass").cast("int")),
+        f(col("fail_words").cast("int")),
+        f(col("fail_mean_len").cast("int")),
+        f(col("fail_alpha").cast("int")),
+        f(col("fail_symbol").cast("int")),
+        f(col("fail_bullet").cast("int")),
+        f(col("fail_ellipsis").cast("int")),
+        f(col("fail_stopword").cast("int")),
+        r6(col("repetition_2gram")), f(col("lang")),
+        r6(col("stopword_ratio")), r6(col("punct_ratio")),
+        r6(col("mojibake_ratio")), r6(col("quality_score")))
+      t.agg(count(lit(1)).as("n_docs"),
+        count(col("n_chars")).as("n_scored"),
+        sum(conv(substring(md5(canon), 1, 8), 16, 10).cast("long"))
+          .as("checksum"))
     }),
 
     // --- Dataset-card corpus report (r14 — the per-SOURCE aggregate
@@ -7518,23 +7543,45 @@ object SparkEntry {
     // plain tokens (stopword/repetition) vs newline-normalized gopher
     // tokens, each gopher threshold, RE2 \p{P} for Java (?U)\p{Punct},
     // the langid marker-hit argmax with cjk override and profile-order
-    // tie break, and the composite score's CASE weights
+    // tie break, and the composite score's CASE weights — folded into
+    // the SAME canonical per-row string + md5 checksum the gate sums
+    // (r15: the sorted 17-column table existed only for output
+    // determinism; a drift in any signal on any row still mismatches)
     "docs_attributes" -> {
       s"""${attributeSignalCtes("SELECT doc_id, text FROM documents")}
-         |SELECT d.doc_id,
-         |  CAST(r.n_chars AS INT) AS n_chars,
-         |  CAST(r.n_toks AS INT) AS n_tokens,
-         |  (NOT r.f_words AND NOT r.f_mlen AND NOT r.f_alpha AND NOT r.f_sym
-         |    AND NOT r.f_bullet AND NOT r.f_ell AND NOT r.f_sw) AS gopher_pass,
-         |  r.f_words AS fail_words, r.f_mlen AS fail_mean_len,
-         |  r.f_alpha AS fail_alpha, r.f_sym AS fail_symbol,
-         |  r.f_bullet AS fail_bullet, r.f_ell AS fail_ellipsis,
-         |  r.f_sw AS fail_stopword,
-         |  r.rep AS repetition_2gram, r.lang,
-         |  r.swr AS stopword_ratio, r.punct AS punct_ratio,
-         |  r.moji AS mojibake_ratio, r.q AS quality_score
-         |FROM d LEFT JOIN r USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |, c AS (
+         |  SELECT r.n_chars AS nc,
+         |    concat_ws(':',
+         |      COALESCE(CAST(d.doc_id AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.n_chars AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.n_toks AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST((NOT r.f_words AND NOT r.f_mlen
+         |        AND NOT r.f_alpha AND NOT r.f_sym AND NOT r.f_bullet
+         |        AND NOT r.f_ell AND NOT r.f_sw) AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_words AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_mlen AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_alpha AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_sym AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_bullet AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_ell AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(r.f_sw AS INT) AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(round(r.rep * 1000000) AS BIGINT)
+         |        AS VARCHAR), '~'),
+         |      COALESCE(r.lang, '~'),
+         |      COALESCE(CAST(CAST(round(r.swr * 1000000) AS BIGINT)
+         |        AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(round(r.punct * 1000000) AS BIGINT)
+         |        AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(round(r.moji * 1000000) AS BIGINT)
+         |        AS VARCHAR), '~'),
+         |      COALESCE(CAST(CAST(round(r.q * 1000000) AS BIGINT)
+         |        AS VARCHAR), '~')) AS canon
+         |  FROM d LEFT JOIN r USING (doc_id))
+         |SELECT count(*) AS n_docs,
+         |  count(nc) AS n_scored,
+         |  CAST(sum(CAST(concat('0x', substr(md5(canon), 1, 8))
+         |    AS UBIGINT)) AS BIGINT) AS checksum
+         |FROM c""".stripMargin
     },
 
     // the docs_corpus_report oracle: the identical signal CTE chain,

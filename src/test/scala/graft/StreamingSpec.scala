@@ -515,4 +515,84 @@ class StreamingSpec extends SparkSpec {
         s"mean_quality for ${s.getString(0)}")
     }
   }
+
+  test("streaming mail (eml + mbox explode) and notebook extraction " +
+      "== batch (r15): the per-row total-function extractors run " +
+      "unchanged on streaming frames across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ids = (1L to 40L)
+    // eml: binary payloads, all four body-encoding variants
+    val emlRows = ids.map { id =>
+      val v = (id % 4).toInt
+      (id, graft.sources.Mail.buildEml(s"Sub $id", s"u$id@ex.com",
+        s"D$id", s"body $id café ✓", v, encSubject = id % 3 == 0))
+    }
+    val es = MemoryStream[(Long, Array[Byte])]
+    val eq = graft.sources.Sources.withEmlText(
+        es.toDF().toDF("doc_id", "payload"), "payload", "em")
+      .select($"doc_id", $"em.subject", $"em.from_addr", $"em.text")
+      .writeStream.format("memory").queryName("eml_st")
+      .outputMode(OutputMode.Append).start()
+    es.addData(emlRows.take(17): _*)
+    eq.processAllAvailable()
+    es.addData(emlRows.drop(17): _*)
+    eq.processAllAvailable()
+    eq.stop()
+    val eStreamed = spark.table("eml_st").orderBy("doc_id").collect().toSeq
+    val eBatch = graft.sources.Sources.withEmlText(
+        emlRows.toDF("doc_id", "payload"), "payload", "em")
+      .select($"doc_id", $"em.subject", $"em.from_addr", $"em.text")
+      .orderBy("doc_id").collect().toSeq
+    assert(eStreamed === eBatch && eBatch.size === ids.size)
+    // mbox: 1-3 messages explode per arriving archive
+    val mboxRows = ids.map { id =>
+      (id, graft.sources.Mail.buildMbox(
+        (0 until (id % 3 + 1).toInt).map(k =>
+          (s"m$k of $id", s"text $k in $id"))))
+    }
+    val ms = MemoryStream[(Long, String)]
+    val mq = graft.sources.Sources.withMboxMessages(
+        ms.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("mbox_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(mboxRows.take(23): _*)
+    mq.processAllAvailable()
+    ms.addData(mboxRows.drop(23): _*)
+    mq.processAllAvailable()
+    mq.stop()
+    val mStreamed = spark.table("mbox_st")
+      .orderBy("doc_id", "msg_idx").collect().toSeq
+    val mBatch = graft.sources.Sources.withMboxMessages(
+        mboxRows.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id", "msg_idx").collect().toSeq
+    assert(mStreamed === mBatch && mBatch.size > ids.size)
+    // notebooks: pure Catalyst expressions project per micro-batch
+    val nbRows = ids.map { id =>
+      val md = s"""{"cell_type":"markdown","source":["# T $id"]}"""
+      val code =
+        s"""{"cell_type":"code","source":"x = $id","outputs":[]}"""
+      (id, s"""{"cells":[$md,$code],"nbformat":4,"metadata":{}}""")
+    }
+    val ns = MemoryStream[(Long, String)]
+    val nq = ns.toDF().toDF("doc_id", "json")
+      .select($"doc_id",
+        graft.functions.TextFunctions.notebookCode($"json").as("code"),
+        graft.functions.TextFunctions.notebookText($"json").as("md"))
+      .writeStream.format("memory").queryName("nb_st")
+      .outputMode(OutputMode.Append).start()
+    ns.addData(nbRows.take(11): _*)
+    nq.processAllAvailable()
+    ns.addData(nbRows.drop(11): _*)
+    nq.processAllAvailable()
+    nq.stop()
+    val nStreamed = spark.table("nb_st").orderBy("doc_id").collect().toSeq
+    val nBatch = nbRows.toDF("doc_id", "json")
+      .select($"doc_id",
+        graft.functions.TextFunctions.notebookCode($"json").as("code"),
+        graft.functions.TextFunctions.notebookText($"json").as("md"))
+      .orderBy("doc_id").collect().toSeq
+    assert(nStreamed === nBatch && nBatch.size === ids.size)
+    nBatch.foreach(r => assert(r.getString(1) != null))
+  }
 }
