@@ -2140,6 +2140,100 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("msg_idx"))
     }),
 
+    // --- Chat-JSONL turn explode (r15 — the instruction-tuning
+    //     corpus arrival shape, ShareGPT/OpenAI convention): pure
+    //     Catalyst from_json + posexplode; conversations carry an
+    //     optional system turn (%3) and 1-2 user/assistant pairs by
+    //     id%2; %19 payloads are not JSON and contribute NO rows
+    //     (posexplode of the null parse). The oracle rebuilds every
+    //     turn row closed-form.
+    "chat_turns" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"not chat json $id"
+            else {
+              val sys =
+                if (id % 3 == 0)
+                  Seq(s"""{"role":"system","content":"be concise $id"}""")
+                else Seq.empty
+              val pairs = (0 until (id % 2 + 1).toInt).flatMap { p =>
+                Seq(
+                  s"""{"role":"user","content":"ask $id q$p about item${(id * 7 + p) % 43}"}""",
+                  s"""{"role":"assistant","content":"ans $id a$p value ${(id * 11 + p) % 37}"}""")
+              }
+              s"""{"messages":[${(sys ++ pairs).mkString(",")}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      graft.operators.Chat.explodeTurns(convs, "doc_id", "json")
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
+    // --- Chat validation + ChatML assembly (r15): the renderer's
+    //     precondition (optional system, strict user/assistant
+    //     alternation, non-empty contents) and the template text
+    //     that actually trains. %7 ids swap the first assistant to
+    //     a second consecutive user (invalid), %19 ids are not JSON
+    //     (invalid, null stats); valid rows render ChatML.
+    "chat_assemble" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"not chat json $id"
+            else {
+              val sys =
+                if (id % 3 == 0)
+                  Seq(s"""{"role":"system","content":"be concise $id"}""")
+                else Seq.empty
+              val role0 = if (id % 7 == 0) "user" else "assistant"
+              val pairs = (0 until (id % 2 + 1).toInt).flatMap { p =>
+                val ar = if (p == 0) role0 else "assistant"
+                Seq(
+                  s"""{"role":"user","content":"ask $id q$p about item${(id * 7 + p) % 43}"}""",
+                  s"""{"role":"$ar","content":"ans $id a$p value ${(id * 11 + p) % 37}"}""")
+              }
+              s"""{"messages":[${(sys ++ pairs).mkString(",")}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      val turns = graft.operators.Chat.parseTurns(col("json"))
+      convs
+        .select(col("doc_id"), turns.as("t"))
+        .select(col("doc_id"),
+          graft.operators.Chat.validAlternation(col("t")).as("valid"),
+          graft.operators.Chat.turnStats(col("t")).as("st"),
+          when(graft.operators.Chat.validAlternation(col("t")),
+            graft.operators.Chat.renderChatML(col("t"))).as("text"))
+        .select(col("doc_id"), col("valid"),
+          col("st.n_turns").as("n_turns"),
+          col("st.n_user").as("n_user"),
+          col("st.n_assistant").as("n_assistant"),
+          col("st.content_chars").as("content_chars"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- DSIR-style hashed importance selection (r15 — data
+    //     selection via importance resampling, Xie et al. 2023): fit
+    //     md5-bucketed unigram distributions over the src1 TARGET
+    //     slice and the raw corpus, score every document by its
+    //     summed micro-log ratio (integer — no float-order drift),
+    //     keep the top 100 (score desc, id asc). The oracle replays
+    //     hash, smoothing, flooring and the TopK verbatim.
+    "text_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.operators.Dsir.selectByImportance(
+          docs, docs.filter(col("source") === "src1"),
+          "doc_id", "text", keep = 100)
+        .select(col("doc_id"), col("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+    }),
+
     // --- WET ingestion (r14 — the Common Crawl conversion-record
     //     sidecar most public text corpora actually start from: the
     //     crawl's own plain-text extraction): each payload is
@@ -4894,6 +4988,22 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- DCT perceptual hash near-dup (r15 — the frequency-domain
+    //     sibling of dHash, invariant to GLOBAL tonal shifts by
+    //     exact mean-centering): 20 triples of 64×64 PNGs — base, a
+    //     +12-brightness copy that must pair at hamming 0 (the
+    //     centering makes the DCT input bit-identical), and an
+    //     unrelated pattern that must stay unpaired. Slopes are
+    //     group-dependent because offset-only variation is exactly
+    //     what the hash ignores. The oracle states the planted pair
+    //     lattice closed-form.
+    "mm_dcthash_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizePHashBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val hashed = Multimodal.withPHash(media, "payload", "phash")
+      Dedup.fingerprintPairs(hashed, "media_id", "phash", maxHamming = 3)
+    }),
+
     // --- Intra-doc word-run collapse (r11 — the repetition TRIM next
     //     to the repetition score): runs of the same consecutive word
     //     shrink to at most 2 occurrences, judged on the REAL fixture
@@ -6668,6 +6778,119 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, NULL, NULL, NULL FROM ids WHERE doc_id % 19 = 0
         |ORDER BY doc_id, msg_idx""".stripMargin,
+
+    // the chat_turns oracle: every turn row rebuilt closed-form —
+    // optional system turn (%3), 1-2 user/assistant pairs by id%2,
+    // %19 conversations contribute no rows (the null parse)
+    "chat_turns" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 2 + 1 AS k,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 19 <> 0),
+        |sys AS (
+        |  SELECT id, 0 AS turn_idx, 'system' AS role,
+        |    'be concise ' || id AS content
+        |  FROM ids WHERE so = 1),
+        |pairs AS (
+        |  SELECT i.id, i.so + p.g * 2 AS uidx, p.g AS p
+        |  FROM ids i, generate_series(0, 1) AS p(g) WHERE p.g < i.k),
+        |u AS (
+        |  SELECT id, uidx AS turn_idx, 'user' AS role,
+        |    'ask ' || id || ' q' || p || ' about item' ||
+        |      ((id * 7 + p) % 43) AS content
+        |  FROM pairs),
+        |a AS (
+        |  SELECT id, uidx + 1 AS turn_idx, 'assistant' AS role,
+        |    'ans ' || id || ' a' || p || ' value ' ||
+        |      ((id * 11 + p) % 37) AS content
+        |  FROM pairs)
+        |SELECT id AS doc_id, CAST(turn_idx AS INT) AS turn_idx, role,
+        |  content
+        |FROM (SELECT * FROM sys UNION ALL SELECT * FROM u
+        |      UNION ALL SELECT * FROM a)
+        |ORDER BY doc_id, turn_idx""".stripMargin,
+
+    // the chat_assemble oracle: validity lattice (%19 not-JSON →
+    // all-null, %7 double-user → invalid with stats), stats and the
+    // ChatML rendering rebuilt closed-form
+    "chat_assemble" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 2 + 1 AS k,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so,
+        |    doc_id % 19 = 0 AS nj, doc_id % 7 = 0 AS inv
+        |  FROM documents WHERE doc_id < 120),
+        |pc AS (
+        |  SELECT i.id,
+        |    string_agg('<|im_start|>user' || chr(10) || 'ask ' || i.id ||
+        |      ' q' || p.g || ' about item' || ((i.id * 7 + p.g) % 43) ||
+        |      '<|im_end|>' || chr(10) || '<|im_start|>assistant' ||
+        |      chr(10) || 'ans ' || i.id || ' a' || p.g || ' value ' ||
+        |      ((i.id * 11 + p.g) % 37) || '<|im_end|>' || chr(10),
+        |      '' ORDER BY p.g) AS ptext,
+        |    sum(length('ask ' || i.id || ' q' || p.g || ' about item' ||
+        |        ((i.id * 7 + p.g) % 43)) +
+        |      length('ans ' || i.id || ' a' || p.g || ' value ' ||
+        |        ((i.id * 11 + p.g) % 37))) AS pchars
+        |  FROM ids i, generate_series(0, 1) AS p(g) WHERE p.g < i.k
+        |  GROUP BY i.id),
+        |r AS (
+        |  SELECT i.id, i.nj, i.inv, i.so, i.k,
+        |    CASE WHEN i.so = 1 THEN 'be concise ' || i.id END AS sysc,
+        |    pc.ptext, pc.pchars
+        |  FROM ids i JOIN pc ON pc.id = i.id)
+        |SELECT id AS doc_id,
+        |  (NOT nj AND NOT inv) AS valid,
+        |  CASE WHEN nj THEN NULL ELSE CAST(so + 2 * k AS INT) END
+        |    AS n_turns,
+        |  CASE WHEN nj THEN NULL
+        |    ELSE CAST(k + CASE WHEN inv THEN 1 ELSE 0 END AS INT) END
+        |    AS n_user,
+        |  CASE WHEN nj THEN NULL
+        |    ELSE CAST(k - CASE WHEN inv THEN 1 ELSE 0 END AS INT) END
+        |    AS n_assistant,
+        |  CASE WHEN nj THEN NULL
+        |    ELSE CAST(COALESCE(length(sysc), 0) + pchars AS BIGINT) END
+        |    AS content_chars,
+        |  CASE WHEN nj OR inv THEN NULL
+        |    ELSE COALESCE('<|im_start|>system' || chr(10) || sysc ||
+        |      '<|im_end|>' || chr(10), '') || ptext END AS text
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the text_dsir oracle: the full selection replayed — identical
+    // md5 hash buckets, add-one smoothing, micro-log flooring,
+    // integer score sums and the (score desc, id) TopK
+    "text_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT)
+        |      % 8192 AS INT) AS bucket
+        |  FROM toks),
+        |tc AS (SELECT bucket, count(*) AS c FROM b
+        |  WHERE source = 'src1' GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM b WHERE source = 'src1') AS tt,
+        |  (SELECT count(*) FROM b) AS rt),
+        |ratio AS (
+        |  SELECT g.range AS bucket,
+        |    CAST(floor(ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 8192))
+        |        * 1000000) AS BIGINT)
+        |      - CAST(floor(ln((COALESCE(rc.c, 0) + 1.0) / (tot.rt + 8192))
+        |        * 1000000) AS BIGINT) AS w
+        |  FROM range(8192) g
+        |    LEFT JOIN tc ON tc.bucket = g.range
+        |    LEFT JOIN rc ON rc.bucket = g.range
+        |    CROSS JOIN tot),
+        |sc AS (
+        |  SELECT b.doc_id, CAST(sum(r.w) AS BIGINT) AS s
+        |  FROM b JOIN ratio r USING (bucket) GROUP BY b.doc_id)
+        |SELECT doc_id, s AS dsir_score FROM sc
+        |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
 
     // the docs_wet oracle: conversion rows for every uncorrupted id —
     // uri, language and text restated from the fixture formulas
@@ -8896,6 +9119,15 @@ object SparkEntry {
     // cell sums compare directly), difference bits, 64-bit assembly,
     // then exact all-pairs hamming ≤ 3 over the 80 fingerprints
     "mm_phash_pairs" -> phashPairsOracle,
+
+    // the mm_dcthash_pairs oracle: the planted lattice — each
+    // brightness-shifted copy pairs with its base at hamming 0 (the
+    // exact-centering invariance), nothing else pairs
+    "mm_dcthash_pairs" ->
+      """SELECT doc_id AS id_a, doc_id + 1 AS id_b,
+        |  CAST(0 AS INT) AS hamming
+        |FROM documents WHERE doc_id < 60 AND doc_id % 3 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
     // identical fixtures arriving THROUGH gzipped WARC response
     // records — transport must be lossless, so the oracle is the same
     "pipeline_crawl_media" -> phashPairsOracle,

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Conversation (SFT / chat) dataset operators (r15) — the
+  * instruction-tuning slice of a training-data pipeline. Post-
+  * pretraining corpora arrive as chat JSONL (the ShareGPT/OpenAI
+  * convention: `{"messages":[{"role":…,"content":…},…]}`), and the
+  * pipeline needs to (a) explode turns for per-role analysis and
+  * dedup, (b) validate the role protocol before the renderer ever
+  * sees a conversation, and (c) assemble the template text that
+  * actually trains.
+  *
+  * Everything here is PURE Catalyst (`from_json` + higher-order
+  * array functions) — codegen'd projections that ride the scan with
+  * no shuffle and no UDF, the notebook-reader discipline: at 100 TB
+  * the chat-JSONL parse is a per-row map, exactly like any other
+  * decode surface.
+  *
+  * Reference scope: the reference engine is text-only retrieval
+  * (fever_multi_agent.py drives a fixed prompt template); template
+  * ASSEMBLY here is the same string-building boundary, kept
+  * deterministic and model-free per BASELINE.json.
+  */
+object Chat {
+
+  /** `messages` element schema: role + content, extra keys ignored
+    * under partial-result parsing.
+    */
+  val turnSchema: StructType = new StructType()
+    .add("role", StringType).add("content", StringType)
+
+  private val convSchema: StructType =
+    new StructType().add("messages", ArrayType(turnSchema))
+
+  /** The turns array of one chat-JSON document, or null when the
+    * payload is not parseable chat JSON (PERMISSIVE partial results:
+    * a `messages` that is not an array nulls, a missing key nulls).
+    */
+  def parseTurns(json: Column): Column =
+    from_json(json, convSchema).getField("messages")
+
+  /** Explode to (idCol, turn_idx, role, content) — conversations
+    * that fail to parse contribute no rows (posexplode of null).
+    */
+  def explodeTurns(df: DataFrame, idCol: String,
+      jsonCol: String): DataFrame =
+    df.select(col(idCol), posexplode(parseTurns(col(jsonCol))))
+      .select(col(idCol), col("pos").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("content"))
+
+  /** Strict role-protocol validity over a turns array: an optional
+    * single leading `system` turn, then `user`/`assistant` strictly
+    * alternating starting with `user` and ending with `assistant`
+    * (≥1 full pair), every content non-null and non-empty. Null
+    * turns (unparseable JSON) are invalid. The conservative gate a
+    * renderer requires — a double-user or truncated-final-user
+    * conversation trains the model to answer itself.
+    */
+  def validAlternation(turns: Column): Column = {
+    val body = when(
+      size(turns) > 0 &&
+        turns.getItem(0).getField("role") === "system",
+      slice(turns, lit(2), size(turns))).otherwise(turns)
+    val ok = size(body) >= 2 && pmod(size(body), lit(2)) === 0 &&
+      forall(
+        zip_with(body, sequence(lit(0), size(body) - 1), (m, i) =>
+          m.getField("role") ===
+            when(pmod(i, lit(2)) === 0, "user").otherwise("assistant") &&
+            m.getField("content").isNotNull &&
+            length(m.getField("content")) > 0),
+        x => x)
+    when(turns.isNull, lit(false)).otherwise(coalesce(ok, lit(false)))
+  }
+
+  /** Render the ChatML-convention training text of a turns array:
+    * `<|im_start|>role\ncontent<|im_end|>\n` per turn, concatenated
+    * in order. Null for null turns.
+    */
+  def renderChatML(turns: Column): Column =
+    when(turns.isNull, lit(null).cast(StringType)).otherwise(
+      array_join(
+        transform(turns, m =>
+          concat(lit("<|im_start|>"), m.getField("role"), lit("\n"),
+            coalesce(m.getField("content"), lit("")),
+            lit("<|im_end|>\n"))),
+        ""))
+
+  /** Per-conversation stats struct: n_turns, n_user, n_assistant,
+    * n_system, content_chars. Null for null turns.
+    */
+  def turnStats(turns: Column): Column = {
+    def nRole(r: String) =
+      size(filter(turns, m => m.getField("role") === r))
+    when(turns.isNull, lit(null).cast(new StructType()
+      .add("n_turns", IntegerType).add("n_user", IntegerType)
+      .add("n_assistant", IntegerType).add("n_system", IntegerType)
+      .add("content_chars", LongType)))
+      .otherwise(struct(
+        size(turns).as("n_turns"),
+        nRole("user").as("n_user"),
+        nRole("assistant").as("n_assistant"),
+        nRole("system").as("n_system"),
+        aggregate(turns, lit(0L), (acc, m) =>
+          acc + coalesce(length(m.getField("content")).cast("long"),
+            lit(0L))).as("content_chars")))
+  }
+
+  /** Keep only conversations whose turns pass [[validAlternation]]
+    * — the renderer's precondition as a corpus filter.
+    */
+  def filterValid(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(validAlternation(parseTurns(col(jsonCol))))
+}

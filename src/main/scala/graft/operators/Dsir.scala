@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style hashed importance scoring (r15) — data selection for
+  * language models via importance resampling (Xie et al. 2023,
+  * public): fit hashed-unigram distributions over a small TARGET
+  * (in-domain) sample and the RAW corpus, score every raw document
+  * by its summed per-token log-likelihood ratio, and keep the top
+  * slice. The standard "make the web corpus look like the target
+  * domain" selection step between dedup and mixing.
+  *
+  * Engine-portable determinism (the checksum discipline): the hash
+  * bucket is md5-derived (`conv(substr(md5(tok),1,8))` mod B — both
+  * engines compute the identical bucket), and the per-bucket log
+  * ratio is FLOORED TO MICRO-LOG INTEGERS once, so document scores
+  * are exact integer sums — no float summation-order drift between
+  * Spark and the SQL twin.
+  *
+  * Scale shape: fitting is one explode + one bucket-grouped count
+  * per distribution (result bounded by `nBuckets`); the ratio table
+  * collects at `nBuckets` longs (the vocab-sized-collect precedent —
+  * 8k entries, not corpus-sized) and ships to executors as ONE
+  * array literal; scoring is then a pure codegen projection over
+  * the scan — no join, no shuffle, no state. At 100 TB the corpus
+  * is read exactly twice (fit + score), both embarrassingly
+  * parallel.
+  */
+object Dsir {
+
+  val DefaultBuckets = 8192
+
+  /** Whitespace tokens of lowered text — the tokenization the SQL
+    * twin replays verbatim.
+    */
+  def tokensOf(text: Column): Column =
+    filter(split(lower(text), " "), t => length(t) > 0)
+
+  /** md5-derived hash bucket in [0, nBuckets) — identical in DuckDB
+    * as `CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) % B`.
+    */
+  def hashBucket(token: Column, nBuckets: Int): Column =
+    (conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+      % nBuckets).cast("int")
+
+  /** Hashed-unigram counts: (bucket, cnt), at most `nBuckets` rows.
+    * One explode + one partial-aggregated groupBy.
+    */
+  def fitHashedCounts(df: DataFrame, textCol: String,
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokensOf(col(textCol))).as("tok"))
+      .select(hashBucket(col("tok"), nBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The per-bucket scaled log-likelihood-ratio table:
+    * `floor(ln((t_b+1)/(tTot+B)) * 1e6) - floor(ln((r_b+1)/(rTot+B))
+    * * 1e6)` with add-one smoothing — micro-log integers, exactly
+    * reproducible by the SQL twin. Collected driver-side: the
+    * result is `nBuckets`-bounded by construction (8k longs), never
+    * corpus-sized.
+    */
+  def logRatioTable(target: DataFrame, raw: DataFrame,
+      textCol: String, nBuckets: Int = DefaultBuckets): Array[Long] = {
+    def countsOf(df: DataFrame): (Map[Int, Long], Long) = {
+      val rows = fitHashedCounts(df, textCol, nBuckets).collect()
+      val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (m, m.values.sum)
+    }
+    val (tc, tTot) = countsOf(target)
+    val (rc, rTot) = countsOf(raw)
+    def microLog(c: Long, tot: Long): Long =
+      math.floor(math.log((c + 1).toDouble / (tot + nBuckets).toDouble)
+        * 1e6).toLong
+    Array.tabulate(nBuckets) { b =>
+      microLog(tc.getOrElse(b, 0L), tTot) -
+        microLog(rc.getOrElse(b, 0L), rTot)
+    }
+  }
+
+  /** Append `scoreCol`: the document's summed micro-log importance
+    * weight (bigint). Token-less or null text is UNSCOREABLE (null),
+    * never zero — micro-log sums of real documents are usually
+    * negative, so a zero would rank an empty document above the
+    * whole corpus. Pure projection over the scan — the ratio table
+    * rides the plan as one array literal.
+    */
+  def withImportanceScore(df: DataFrame, textCol: String,
+      ratios: Array[Long], scoreCol: String): DataFrame = {
+    val nBuckets = ratios.length
+    val table = lit(ratios)
+    val toks = tokensOf(col(textCol))
+    df.withColumn(scoreCol,
+      when(toks.isNull || size(toks) === 0, lit(null))
+        .otherwise(aggregate(
+          transform(toks, t =>
+            element_at(table, hashBucket(t, nBuckets) + 1)),
+          lit(0L), (acc, v) => acc + v)))
+  }
+
+  /** The composed selection: score `raw` against `target` and keep
+    * the `keep` highest-scoring documents (score desc, id asc — a
+    * deterministic total order). Fit + score + ONE TopK (no global
+    * sort: Spark plans orderBy+limit as TakeOrderedAndProject).
+    */
+  def selectByImportance(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, keep: Int,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val ratios = logRatioTable(target, raw, textCol, nBuckets)
+    withImportanceScore(raw, textCol, ratios, "dsir_score")
+      .filter(col("dsir_score").isNotNull) // unscoreable never selects
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(keep)
+  }
+}

@@ -3075,6 +3075,133 @@ object Multimodal {
     fp
   }
 
+  /** DCT perceptual hash (r15) — the frequency-domain sibling of
+    * [[dHash]], robust to exactly the class of edits a gradient hash
+    * is not: GLOBAL tonal shifts. Pipeline: crop to multiples of 32,
+    * 32×32 integer luma-SUM cells (equal pixel counts by the crop),
+    * exact mean-centering (cell sums and their total are integers
+    * below 2^53, and /1024 is a power-of-two division — all exact in
+    * doubles), 2D DCT-II, the low-frequency 8×8 block thresholded at
+    * its median (mean of the 32nd/33rd order statistics). The
+    * centering makes a uniform brightness shift BIT-EXACTLY
+    * invariant: +s on every channel adds n·1000·s to every cell sum
+    * and exactly that to the mean, so the centered block — and
+    * therefore every DCT input bit — is identical. Null for images
+    * smaller than 32×32.
+    */
+  def pHashDct(img: RasterImage): java.lang.Long = {
+    if (img == null || img.width < 32 || img.height < 32) return null
+    val w = img.width - img.width % 32
+    val h = img.height - img.height % 32
+    val sums = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val gy = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val gx = x * 32 / w
+        val o = (y * img.width + x) * 3
+        sums(gy * 32 + gx) += 299L * (img.rgb(o) & 0xFF) +
+          587L * (img.rgb(o + 1) & 0xFF) + 114L * (img.rgb(o + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 1024) { tot += sums(i); i += 1 }
+    val mean = tot.toDouble / 1024.0
+    val cell = new Array[Double](1024)
+    i = 0
+    while (i < 1024) { cell(i) = sums(i).toDouble - mean; i += 1 }
+    // 2D DCT-II of the centered block, low-frequency 8×8 corner only
+    val coeffs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 32) {
+          val cy = math.cos((2 * yy + 1) * v * math.Pi / 64.0)
+          var xx = 0
+          while (xx < 32) {
+            acc += cell(yy * 32 + xx) *
+              math.cos((2 * xx + 1) * u * math.Pi / 64.0) * cy
+            xx += 1
+          }
+          yy += 1
+        }
+        coeffs(v * 8 + u) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coeffs.sorted
+    val med = (sorted(31) + sorted(32)) / 2.0
+    var fp = 0L
+    i = 0
+    while (i < 64) {
+      if (coeffs(i) > med) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** Append `outCol`: LONG [[pHashDct]] decoded through the raster
+    * dispatch; undecodable or sub-32×32 payloads yield null. One
+    * narrow map stage over the scan.
+    */
+  def withPHash(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, LongType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val fp: java.lang.Long = if (p == null || p.length < 2) null
+          else pHashDct(decodeRasterTagged(p)._2)
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Synthesize the pHash media table: triples per group g — base
+    * (3g, id-seeded 64×64 PNG), a +12-brightness copy (3g+1; must
+    * pair with base at hamming 0 by the centering invariance) and an
+    * unrelated pattern (3g+2; must stay unpaired). Channel formulas
+    * keep values ≤ 230 so the shift never clips.
+    */
+  def synthesizePHashBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val g = id / 3
+        val shift = if (id % 3 == 1) 12 else 0
+        // slopes are GROUP-dependent (not just offsets — a uniform
+        // luma offset is exactly what the hash is invariant to, so
+        // offset-only group variation would alias every group)
+        val png =
+          if (id % 3 == 2)
+            buildPngChannels(64, 64, 2, (x, y) => Array(
+              ((g * 31 + (1 + g % 4) * x * x + 3 * y) % 200 + 10).toInt,
+              ((g * 17 + 2 * x + (1 + g % 3) * y * y) % 200 + 10).toInt,
+              ((g * 7 + x * y) % 200 + 10).toInt))
+          else
+            buildPngChannels(64, 64, 2, (x, y) => Array(
+              ((g * 13 + (3 + g % 5) * x + (7 + g % 3) * y) % 200
+                + 10 + shift).toInt,
+              ((g * 29 + (2 + g % 4) * x + (5 + g % 5) * y) % 200
+                + 10 + shift).toInt,
+              ((g * 5 + x + (4 + g % 7) * y) % 200 + 10 + shift).toInt))
+        Row(id, png)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol`: LONG dHash decoded from BMP/PNG payloads (magic
     * dispatch, like [[withPixelStats]]); undecodable or sub-grid
     * payloads yield null. One narrow map stage over the scan.

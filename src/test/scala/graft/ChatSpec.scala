@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Chat
+
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def turnsOf(json: String) =
+    Seq(json).toDF("j").select(Chat.parseTurns(col("j")).as("t"))
+
+  private def validOf(json: String): Boolean =
+    Seq(json).toDF("j")
+      .select(Chat.validAlternation(Chat.parseTurns(col("j"))))
+      .collect()(0).getBoolean(0)
+
+  test("parseTurns + explodeTurns: roles/contents in order, extra " +
+      "keys ignored, malformed JSON contributes no rows (r15)") {
+    val rows = Seq(
+      (1L, """{"messages":[{"role":"user","content":"hi","x":1},""" +
+        """{"role":"assistant","content":"yo"}]}"""),
+      (2L, "not json at all"),
+      (3L, """{"messages":"not an array"}"""))
+      .toDF("doc_id", "json")
+    val got = Chat.explodeTurns(rows, "doc_id", "json")
+      .orderBy("doc_id", "turn_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    assert(got.toSeq === Seq((1L, 0, "user", "hi"),
+      (1L, 1, "assistant", "yo")))
+  }
+
+  test("validAlternation: the full lattice — valid with/without " +
+      "system, double-user, assistant-first, ends-with-user, empty " +
+      "content, system-only, empty array, malformed (r15)") {
+    def msgs(pairs: (String, String)*) =
+      s"""{"messages":[${pairs.map { case (r, c) =>
+        s"""{"role":"$r","content":"$c"}"""
+      }.mkString(",")}]}"""
+    assert(validOf(msgs("user" -> "q", "assistant" -> "a")))
+    assert(validOf(msgs("system" -> "s", "user" -> "q",
+      "assistant" -> "a")))
+    assert(validOf(msgs("user" -> "q1", "assistant" -> "a1",
+      "user" -> "q2", "assistant" -> "a2")))
+    assert(!validOf(msgs("user" -> "q1", "user" -> "q2",
+      "assistant" -> "a")))
+    assert(!validOf(msgs("assistant" -> "a", "user" -> "q")))
+    assert(!validOf(msgs("user" -> "q", "assistant" -> "a",
+      "user" -> "dangling")))
+    assert(!validOf(msgs("user" -> "q", "assistant" -> "")))
+    assert(!validOf(msgs("system" -> "s")))
+    assert(!validOf("""{"messages":[]}"""))
+    assert(!validOf("definitely not json"))
+  }
+
+  test("renderChatML + turnStats: the template text and the count " +
+      "struct; null turns render/stat null (r15)") {
+    val df = turnsOf(
+      """{"messages":[{"role":"system","content":"s"},""" +
+        """{"role":"user","content":"q"},""" +
+        """{"role":"assistant","content":"aa"}]}""")
+      .select(Chat.renderChatML(col("t")).as("r"),
+        Chat.turnStats(col("t")).as("st"))
+    val row = df.collect()(0)
+    assert(row.getString(0) ===
+      "<|im_start|>system\ns<|im_end|>\n" +
+        "<|im_start|>user\nq<|im_end|>\n" +
+        "<|im_start|>assistant\naa<|im_end|>\n")
+    val st = row.getStruct(1)
+    assert(st.getInt(0) === 3 && st.getInt(1) === 1 &&
+      st.getInt(2) === 1 && st.getInt(3) === 1 && st.getLong(4) === 4L)
+    val nulls = turnsOf("nope")
+      .select(Chat.renderChatML(col("t")), Chat.turnStats(col("t")))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("filterValid keeps exactly the protocol-clean conversations; " +
+      "the projection stays codegen (no UDF in the plan) (r15)") {
+    val rows = Seq(
+      (1L, """{"messages":[{"role":"user","content":"q"},""" +
+        """{"role":"assistant","content":"a"}]}"""),
+      (2L, """{"messages":[{"role":"user","content":"q"}]}"""),
+      (3L, "junk"))
+      .toDF("doc_id", "json")
+    val kept = Chat.filterValid(rows, "json")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L))
+    val plan = Chat.explodeTurns(rows, "doc_id", "json")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
+      plan)
+  }
+}

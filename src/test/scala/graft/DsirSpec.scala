@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashBucket is the md5-derived engine-portable bucket: " +
+      "matches a direct JVM md5 computation, stays in [0, B) (r15)") {
+    val toks = Seq("alpha", "beta", "the", "café").toDF("t")
+    val got = toks.select(col("t"),
+      Dsir.hashBucket(col("t"), 8192).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def expected(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = md.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 8192).toInt
+    }
+    got.foreach { case (t, b) =>
+      assert(b === expected(t), t)
+      assert(b >= 0 && b < 8192)
+    }
+  }
+
+  test("selectByImportance: documents dense in the target domain's " +
+      "tokens outrank the rest; scores are integer micro-log sums; " +
+      "empty text is unscoreable (null, never a zero that outranks " +
+      "negative real scores) (r15)") {
+    // target speaks 'quantum flux'; raw mixes it with 'sports ball'
+    val target = Seq.tabulate(20)(i =>
+      (1000L + i, s"quantum flux $i quantum entanglement"))
+      .toDF("doc_id", "text")
+    val raw = (Seq.tabulate(10)(i =>
+        (i.toLong, "quantum flux paper quantum theory")) ++
+      Seq.tabulate(10)(i =>
+        (100L + i, "sports ball game sports score")) ++
+      Seq((500L, ""))).toDF("doc_id", "text")
+    val got = Dsir.selectByImportance(raw, target, "doc_id", "text",
+        keep = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === (0L until 10L).toSet, s"got $got")
+    // scores: the quantum docs strictly above the sports docs
+    val ratios = Dsir.logRatioTable(target, raw, "text")
+    val scored = Dsir.withImportanceScore(raw, "text", ratios, "s")
+      .select(col("doc_id"), col("s")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
+      .toMap
+    assert(scored(0L).longValue > scored(100L).longValue)
+    assert(scored(500L) === null) // unscoreable, not 0
+    // identical docs score identically (pure function of text)
+    assert(scored(0L) === scored(9L))
+  }
+
+  test("scoring is a pure projection: no join, no shuffle in the " +
+      "scored plan (the ratio table rides as one literal) (r15)") {
+    val target = Seq((1L, "a b")).toDF("doc_id", "text")
+    val raw = Seq((2L, "a c"), (3L, "b d")).toDF("doc_id", "text")
+    val ratios = Dsir.logRatioTable(target, raw, "text", nBuckets = 64)
+    val plan = Dsir.withImportanceScore(raw, "text", ratios, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}

@@ -513,6 +513,39 @@ class MultimodalSpec extends SparkSpec {
     assert(viaDispatch.toSet === viaBmp.toSet)
   }
 
+  test("pHashDct: BIT-EXACT invariance to uniform brightness shifts " +
+      "(the mean-centering argument), sensitivity to structure, " +
+      "crop-to-32 handling, sub-32 nulls (r15)") {
+    def img(w: Int, h: Int, f: (Int, Int) => Int): Multimodal.RasterImage = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y)
+        rgb((y * w + x) * 3) = v.toByte
+        rgb((y * w + x) * 3 + 1) = ((v + 7) % 256).toByte
+        rgb((y * w + x) * 3 + 2) = ((v * 3) % 256).toByte
+      }
+      Multimodal.RasterImage(w, h, rgb)
+    }
+    val base = img(64, 64, (x, y) => (5 * x + 11 * y) % 200 + 10)
+    val shifted = {
+      val c = img(64, 64, (x, y) => (5 * x + 11 * y) % 200 + 10)
+      val rgb = c.rgb.clone()
+      var i = 0
+      while (i < rgb.length) { rgb(i) = (rgb(i) + 12).toByte; i += 1 }
+      Multimodal.RasterImage(64, 64, rgb)
+    }
+    val other = img(64, 64, (x, y) => (x * x + 3 * y * y) % 200 + 10)
+    val hb = Multimodal.pHashDct(base)
+    assert(hb === Multimodal.pHashDct(shifted)) // exact, not approx
+    assert(java.lang.Long.bitCount(
+      hb ^ Multimodal.pHashDct(other)) > 3)
+    // non-multiple dims crop; sub-32 refuses
+    assert(Multimodal.pHashDct(img(65, 70,
+      (x, y) => (5 * x + 11 * y) % 200 + 10)) != null)
+    assert(Multimodal.pHashDct(img(31, 64, (_, _) => 50)) === null)
+    assert(Multimodal.pHashDct(null) === null)
+  }
+
   test("dHash: perturbation-robust 64-bit difference hash — planted " +
       "copies within hamming 3, unrelated images far, sub-grid null (r10)") {
     import Multimodal._
