@@ -4988,6 +4988,20 @@ object SparkEntry {
       Dedup.fingerprintPairs(hashed, "media_id", "dhash", maxHamming = 3)
     }),
 
+    // --- Audio activity segmentation (r15 — the silence-trim /
+    //     voice-activity step of a speech-data pipeline): mono 8 kHz
+    //     clips with planted near-silent windows (w%5 ∈ {2,3});
+    //     windows judge activity by integer cross-multiplied mean
+    //     |amplitude| and maximal active runs explode to segment
+    //     rows. %19 magic rows contribute nothing. The oracle
+    //     rebuilds the islands gaps-and-islands style.
+    "mm_audio_segments" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudioSegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withAudioSegments(media, "payload")
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
     // --- DCT perceptual hash near-dup (r15 — the frequency-domain
     //     sibling of dHash, invariant to GLOBAL tonal shifts by
     //     exact mean-centering): 20 triples of 64×64 PNGs — base, a
@@ -9119,6 +9133,29 @@ object SparkEntry {
     // cell sums compare directly), difference bits, 64-bit assembly,
     // then exact all-pairs hamming ≤ 3 over the 80 fingerprints
     "mm_phash_pairs" -> phashPairsOracle,
+
+    // the mm_audio_segments oracle: active windows are w%5 ∉ {2,3};
+    // maximal runs rebuilt gaps-and-islands, frame offsets ×160
+    "mm_audio_segments" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, (doc_id % 3 + 2) * 5 AS nw
+        |  FROM documents WHERE doc_id < 60 AND doc_id % 19 <> 0),
+        |w AS (
+        |  SELECT i.media_id, g.g AS w
+        |  FROM ids i, generate_series(0, 19) AS g(g)
+        |  WHERE g.g < i.nw AND (g.g % 5) NOT IN (2, 3)),
+        |isl AS (
+        |  SELECT media_id, w,
+        |    w - row_number() OVER (PARTITION BY media_id ORDER BY w)
+        |      AS grp
+        |  FROM w)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY min(w))
+        |    - 1 AS INT) AS seg_idx,
+        |  CAST(min(w) * 160 AS BIGINT) AS start_sample,
+        |  CAST((max(w) + 1) * 160 AS BIGINT) AS end_sample
+        |FROM isl GROUP BY media_id, grp
+        |ORDER BY media_id, seg_idx""".stripMargin,
 
     // the mm_dcthash_pairs oracle: the planted lattice — each
     // brightness-shifted copy pairs with its base at hamming 0 (the

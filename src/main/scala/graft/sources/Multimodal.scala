@@ -4902,6 +4902,104 @@ object Multimodal {
     * purpose). Null / sub-65-sample audio returns null: one sample per
     * window is the floor for a meaningful signature.
     */
+  /** Energy-based audio activity segments (r15) — the
+    * silence-trim / voice-activity step a speech-data pipeline runs
+    * before transcription or fingerprinting (long silence is dead
+    * weight at 100 TB, and clip boundaries feed the sampler).
+    * Windows of `windowSamples` FRAMES judge activity by mean
+    * absolute amplitude over all channel samples, integer-exact via
+    * cross-multiplication (`sumAbs >= threshold * count` — an
+    * oracle replays it in SQL); maximal runs of active windows are
+    * the segments, as (startSample, endSample) frame offsets
+    * (end exclusive). Null input → null.
+    */
+  def audioSegments(a: WavAudio, windowSamples: Int = 160,
+      threshold: Int = 50): Array[(Long, Long)] = {
+    if (a == null || a.channels <= 0 || windowSamples <= 0) return null
+    val frames = a.samples.length / a.channels
+    val nW = (frames + windowSamples - 1) / windowSamples
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var segStart = -1L
+    var w = 0
+    while (w < nW) {
+      val f0 = w * windowSamples
+      val f1 = math.min(frames, f0 + windowSamples)
+      var sumAbs = 0L
+      var i = f0 * a.channels
+      val end = f1 * a.channels
+      while (i < end) {
+        sumAbs += math.abs(a.samples(i).toLong)
+        i += 1
+      }
+      val active = sumAbs >= threshold.toLong * (end - f0 * a.channels)
+      if (active && segStart < 0) segStart = f0.toLong
+      if (!active && segStart >= 0) {
+        segs += ((segStart, f0.toLong)); segStart = -1L
+      }
+      w += 1
+    }
+    if (segStart >= 0) segs += ((segStart, frames.toLong))
+    segs.toArray
+  }
+
+  /** Explode to (idCol, seg_idx, start_sample, end_sample) —
+    * undecodable payloads contribute no rows (the chat_turns
+    * convention). One narrow flatMap over the scan.
+    */
+  def withAudioSegments(df: DataFrame, payloadCol: String,
+      windowSamples: Int = 160, threshold: Int = 50): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val base = StructType(df.schema.filterNot(_.name == payloadCol))
+    val schema = base.add("seg_idx", IntegerType)
+      .add("start_sample", LongType).add("end_sample", LongType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val segs =
+          if (p == null) null
+          else audioSegments(decodeWavPcm(p), windowSamples, threshold)
+        val keep = r.toSeq.zipWithIndex.collect {
+          case (v, i) if i != idx => v
+        }
+        if (segs == null) Iterator.empty
+        else segs.iterator.zipWithIndex.map { case ((s, e), i) =>
+          // Seq[Any]: a bare Seq(i, s, e) would unify Int to Long
+          // and break the declared IntegerType for seg_idx
+          Row.fromSeq(keep ++ Seq[Any](i, s, e))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Synthesize the activity-segment media table: mono 8 kHz clips
+    * of (id%3+2)×5 exact 160-frame windows; windows with w%5 ∈
+    * {2,3} are near-silent (|v| ≤ 3), the rest loud (|v| ≥ 500) —
+    * the island structure is closed-form for the oracle. %19 magic
+    * → no rows.
+    */
+  def synthesizeAudioSegBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nW = (id % 3 + 2).toInt * 5
+        val samples = Array.tabulate(nW * 160) { i =>
+          val w = i / 160
+          if (w % 5 == 2 || w % 5 == 3) ((i % 7) - 3).toShort
+          else {
+            val mag = 500 + (i * 13 + id).toInt % 200
+            (if (i % 2 == 0) mag else -mag).toShort
+          }
+        }
+        val bytes = buildWavPcm(8000, 1, samples)
+        if (id % 19 == 0) bytes(0) = 'X'.toByte
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
+  }
+
   def audioFingerprint(a: WavAudio): java.lang.Long = {
     if (a == null || a.samples == null || a.samples.length < 65) return null
     val cnt = a.samples.length / 65

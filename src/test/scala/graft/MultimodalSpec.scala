@@ -546,6 +546,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.pHashDct(null) === null)
   }
 
+  test("audioSegments: integer threshold judgment, island merging, " +
+      "partial tail window, stereo channel fold, trailing-active " +
+      "close, null (r15)") {
+    def wav(samples: Array[Short], ch: Int = 1) =
+      Multimodal.WavAudio(8000, ch, samples)
+    // loud / silent / loud → two segments, the second closes at EOF
+    val a = wav(Array.tabulate(480)(i =>
+      if (i >= 160 && i < 320) 0.toShort else 600.toShort))
+    assert(Multimodal.audioSegments(a).toSeq ===
+      Seq((0L, 160L), (320L, 480L)))
+    // partial tail window: 80 loud frames after one silent window
+    val b = wav(Array.fill(160)(0.toShort) ++ Array.fill(80)(600.toShort))
+    assert(Multimodal.audioSegments(b).toSeq === Seq((160L, 240L)))
+    // stereo fold: loud left + silent right = mean 300 >= 50 → active
+    val c = wav(Array.tabulate(320)(i =>
+      if (i % 2 == 0) 600.toShort else 0.toShort), ch = 2)
+    assert(Multimodal.audioSegments(c).toSeq === Seq((0L, 160L)))
+    // exactly at the threshold counts as active (>=, cross-mult)
+    val d = wav(Array.fill(160)(50.toShort))
+    assert(Multimodal.audioSegments(d).toSeq === Seq((0L, 160L)))
+    val e = wav(Array.fill(160)(49.toShort))
+    assert(Multimodal.audioSegments(e).toSeq === Seq.empty)
+    assert(Multimodal.audioSegments(null) === null)
+  }
+
   test("dHash: perturbation-robust 64-bit difference hash — planted " +
       "copies within hamming 3, unrelated images far, sub-grid null (r10)") {
     import Multimodal._
