@@ -2216,6 +2216,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Corpus-wide top-k bigrams (r15 — the vocabulary report a
+    //     dataset card cites): lowered whitespace tokens, bigrams
+    //     space-joined, one explode → partial-aggregated count →
+    //     TopK; ties break on the gram. The oracle replays the same
+    //     tokenization and window.
+    "text_top_ngrams" -> ((s, dir) => {
+      graft.functions.TextFunctions.topNgrams(
+          Tables.documents(s, dir).select(col("text")),
+          "text", n = 2, k = 25)
+        .orderBy(col("cnt").desc, col("ngram"))
+    }),
+
+    // --- Encoded-blob detection (r15 — code corpora strip giant
+    //     inline base64/hex payloads): %5 ids get a planted base64
+    //     run and %7 a hex run (both length 64+id%20); the
+    //     RE2-safe rules are shared verbatim with the oracle, which
+    //     replays the identical strip-and-measure.
+    "text_blobs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 200)
+      val id = col("doc_id")
+      val b64 = when(id % 5 === 0,
+        concat(lit(" "), rpad(lit("QUJD"), (lit(64) + id % 20).cast("int"), lit("Zm9v")), lit("=="))).otherwise(lit(""))
+      val hexr = when(id % 7 === 0,
+        concat(lit(" "), rpad(lit("deadbeef"), (lit(64) + id % 20).cast("int"),
+          lit("0123456789abcdef")))).otherwise(lit(""))
+      val aug = concat(col("text"), b64, hexr)
+      graft.functions.TextFunctions.withBlobStats(
+          docs.select(id, aug.as("aug")), "aug")
+        .select(id, col("base64_blob_chars"), col("hex_blob_chars"))
+        .orderBy(id)
+    }),
+
     // --- DSIR-style hashed importance selection (r15 — data
     //     selection via importance resampling, Xie et al. 2023): fit
     //     md5-bucketed unigram distributions over the src1 TARGET
@@ -6869,6 +6902,43 @@ object SparkEntry {
         |    ELSE COALESCE('<|im_start|>system' || chr(10) || sysc ||
         |      '<|im_end|>' || chr(10), '') || ptext END AS text
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the text_top_ngrams oracle: same tokenization, same bigram
+    // window, same (count desc, gram) TopK
+    "text_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT ts[i.g + 1] || ' ' || ts[i.g + 2] AS ngram
+        |  FROM toks, generate_series(0, 200) AS i(g)
+        |  WHERE len(ts) >= 2 AND i.g <= len(ts) - 2)
+        |SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram
+        |ORDER BY cnt DESC, ngram LIMIT 25""".stripMargin,
+
+    // the text_blobs oracle: the identical planted augmentation and
+    // the identical RE2-safe strip-and-measure rules (the hex run
+    // also counts toward base64 — hex is a subset alphabet — and
+    // both engines agree because both replay the same rules)
+    "text_blobs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' ||
+        |      rpad('QUJD', CAST(64 + doc_id % 20 AS INT), 'Zm9v') || '=='
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' ' ||
+        |      rpad('deadbeef', CAST(64 + doc_id % 20 AS INT),
+        |        '0123456789abcdef')
+        |      ELSE '' END AS aug
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 200)
+        |SELECT doc_id,
+        |  CAST(length(aug) - length(regexp_replace(aug,
+        |    '[A-Za-z0-9+/=]{64,}', '', 'g')) AS INT) AS base64_blob_chars,
+        |  CAST(length(aug) - length(regexp_replace(aug,
+        |    '[0-9a-fA-F]{64,}', '', 'g')) AS INT) AS hex_blob_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the text_dsir oracle: the full selection replayed — identical
     // md5 hash buckets, add-one smoothing, micro-log flooring,

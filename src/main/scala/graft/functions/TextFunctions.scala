@@ -959,4 +959,70 @@ object TextFunctions {
   def notebookText(json: Column): Column =
     when(cellJoin(json, "markdown").isNotNull,
       stripMarkdown(cellJoin(json, "markdown")))
+
+  // ------------------------------------------------ n-gram vocabulary
+
+  /** Corpus-wide top-k n-grams (r15) — the vocabulary report a
+    * dataset card cites and the seed list tokenizer debugging
+    * starts from. Tokens are lowered whitespace words (the Dsir /
+    * attributes tokenization, SQL-replayable); n-grams join with a
+    * single space. One explode → partial-aggregated count →
+    * TakeOrderedAndProject (no global sort): the exchange carries
+    * only (ngram, partial count) rows, and at 100 TB the reduce side
+    * is vocabulary-sized, not corpus-sized.
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"n=$n k=$k")
+    val toks = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    val grams =
+      if (n == 1) toks
+      else
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    df.filter(col(textCol).isNotNull && size(toks) >= n)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------- blob detection
+
+  /** Encoded-blob rules (r15) — code corpora strip giant inline
+    * base64/hex payloads before training (they are noise tokens and
+    * can smuggle binaries). RE2-safe, shared VERBATIM with the SQL
+    * twin (the secretRules discipline). A run must be ≥64 chars —
+    * natural words and short hashes stay clean.
+    */
+  val blobRules: Seq[(String, String)] = Seq(
+    "base64" -> "[A-Za-z0-9+/=]{64,}",
+    "hex" -> "[0-9a-fA-F]{64,}")
+
+  /** Append `<kind>_blob_chars` INT columns: characters consumed by
+    * each blob rule (length minus the rule-stripped length — the
+    * oracle replays the identical regexp_replace). Pure codegen
+    * projection.
+    */
+  def withBlobStats(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    blobRules.foldLeft(df) { case (d, (kind, pat)) =>
+      d.withColumn(s"${kind}_blob_chars",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), pat, ""))).cast("int"))
+    }
+
+  /** Drop documents whose blob chars exceed `maxRatioPct` percent of
+    * the text (integer cross-multiplication — no float thresholds).
+    */
+  def filterBlobs(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxRatioPct: Int = 20): org.apache.spark.sql.DataFrame = {
+    val cleaned = blobRules.foldLeft(col(textCol)) {
+      case (c, (_, pat)) => regexp_replace(c, pat, "")
+    }
+    df.filter(
+      (length(col(textCol)) - length(cleaned)) * 100 <=
+        length(col(textCol)) * maxRatioPct)
+  }
 }

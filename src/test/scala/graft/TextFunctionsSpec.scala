@@ -559,4 +559,40 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.nfkcFold($"t")).head()
     assert(n.isNullAt(0))
   }
+
+  test("topNgrams: bigram counts with (count desc, gram) ties, " +
+      "unigram form, short docs skipped (r15)") {
+    val docs = Seq("a b a b c", "a b", "x", "", null)
+      .map(Tuple1(_)).toDF("text")
+    val bi = TextFunctions.topNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(bi === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    val uni = TextFunctions.topNgrams(docs, "text", n = 1, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(uni === Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("blob detection: 64+ base64/hex runs measured, short runs " +
+      "and natural words stay clean; filterBlobs integer-ratio " +
+      "threshold (r15)") {
+    val b64 = "QUJD" * 20 // 80 chars of base64 alphabet
+    val hex = "deadbeef" * 9 // 72 hex chars (also base64-alphabet)
+    val rows = Seq(
+      (1L, s"hello world $b64 tail"),
+      (2L, s"checksum ${"ab12" * 8} short"), // 32 chars: under 64
+      (3L, s"two $hex blobs"),
+      (4L, "plain words only here"))
+      .toDF("doc_id", "text")
+    val m = TextFunctions.withBlobStats(rows, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("base64_blob_chars"),
+          r.getAs[Int]("hex_blob_chars"))).toMap
+    assert(m(1L) === ((80, 0)))
+    assert(m(2L) === ((0, 0)))
+    assert(m(3L) === ((72, 72))) // hex alphabet is a base64 subset
+    assert(m(4L) === ((0, 0)))
+    val kept = TextFunctions.filterBlobs(rows, "text", maxRatioPct = 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+  }
 }
