@@ -2216,6 +2216,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Token-window chunking (r15 — the context-window prep step
+    //     of every LM data loader): 40-token windows, 10-token
+    //     overlap (stride 30); redundant tails drop (a start past
+    //     n−overlap adds nothing), short docs yield exactly one
+    //     chunk. One projection + posexplode; the oracle replays
+    //     starts and slices with the same arithmetic.
+    "text_chunk_windows" -> ((s, dir) => {
+      graft.operators.Chunk.chunkByTokens(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && col("doc_id") < 300)
+            .select(col("doc_id"), col("text")),
+          "text", maxTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // --- Corpus-wide top-k bigrams (r15 — the vocabulary report a
     //     dataset card cites): lowered whitespace tokens, bigrams
     //     space-joined, one explode → partial-aggregated count →
@@ -6902,6 +6917,28 @@ object SparkEntry {
         |    ELSE COALESCE('<|im_start|>system' || chr(10) || sysc ||
         |      '<|im_end|>' || chr(10), '') || ptext END AS text
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the text_chunk_windows oracle: same tokenization, same
+    // stride-30 starts with the redundant-tail filter, same
+    // 1-indexed inclusive slices (list_slice clamps like slice)
+    "text_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 300),
+        |st AS (
+        |  SELECT doc_id, ts, g.g * 30 AS s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY g.g) - 1
+        |      AS chunk_idx
+        |  FROM toks, generate_series(0, 30) AS g(g)
+        |  WHERE len(ts) > 0 AND g.g <= (len(ts) - 1) // 30
+        |    AND (g.g = 0 OR g.g * 30 < len(ts) - 10))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(least(len(ts) - s, 40) AS INT) AS n_tokens,
+        |  array_to_string(list_slice(ts, s + 1, s + 40), ' ')
+        |    AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the text_top_ngrams oracle: same tokenization, same bigram
     // window, same (count desc, gram) TopK

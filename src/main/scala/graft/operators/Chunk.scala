@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-window document chunking (r15) — the context-window prep
+  * step between curation and training: long documents split into
+  * overlapping windows of at most `maxTokens` whitespace tokens with
+  * `overlap` tokens carried across boundaries (the stride-window
+  * convention of every LM data loader).
+  *
+  * Chunk starts are `0, stride, 2·stride, …` (stride = maxTokens −
+  * overlap); a start past `n − overlap` emits nothing (its tokens
+  * are already fully inside the previous window) except start 0, so
+  * short documents yield exactly one chunk and no chunk is
+  * redundant. The whole operator is ONE pure Catalyst projection +
+  * posexplode — no UDF, no shuffle, rides the scan at any scale; an
+  * oracle replays starts and slices with the same arithmetic.
+  */
+object Chunk {
+
+  /** Explode to (idCol…, chunk_idx, n_tokens, chunk_text). Null or
+    * token-less text contributes no rows.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, maxTokens: Int,
+      overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val toks = filter(split(lower(col(textCol)), " "),
+      t => length(t) > 0)
+    val n = size(toks)
+    // candidate starts cover every multiple of stride below n; the
+    // filter drops redundant tails (start > 0 and nothing new past
+    // the previous window's overlap)
+    val starts = filter(
+      transform(
+        // Column./ is double division — truncate back for sequence
+        sequence(lit(0), ((n - 1) / stride).cast("int")),
+        i => i * stride),
+      s => s === 0 || s < n - overlap)
+    val chunks = transform(starts, s =>
+      struct(
+        least(n - s, lit(maxTokens)).as("n_tokens"),
+        array_join(slice(toks, s + 1, lit(maxTokens)), " ")
+          .as("text")))
+    df.filter(col(textCol).isNotNull && n > 0)
+      .withColumn("__chunks", chunks)
+      .select(col("*"), posexplode(col("__chunks")))
+      .select(
+        (df.columns.filterNot(_ == textCol).map(col) ++ Seq(
+          col("pos").as("chunk_idx"),
+          col("col.n_tokens").as("n_tokens"),
+          col("col.text").as("chunk_text"))): _*)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Chunk
+
+class ChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunksOf(text: String, max: Int, ov: Int) =
+    Chunk.chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", max, ov)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+
+  test("chunkByTokens: stride windows with overlap, redundant tail " +
+      "dropped, short doc = one chunk, empty/null = no rows (r15)") {
+    val ten = (0 until 10).map(i => s"t$i").mkString(" ")
+    // n=10, max=8, ov=4, stride=4: starts 0,4 — start 8 is redundant
+    // (8 >= 10-4), so two chunks, the second the 6-token tail
+    assert(chunksOf(ten, 8, 4) === Seq(
+      (0, 8, (0 until 8).map(i => s"t$i").mkString(" ")),
+      (1, 6, (4 until 10).map(i => s"t$i").mkString(" "))))
+    // short doc: exactly one chunk
+    assert(chunksOf("a b c", 8, 4) === Seq((0, 3, "a b c")))
+    // exact multiple: n=8, max=8 → one chunk only
+    assert(chunksOf((0 until 8).map(i => s"t$i").mkString(" "), 8, 4)
+      === Seq((0, 8, (0 until 8).map(i => s"t$i").mkString(" "))))
+    // no overlap: clean partition
+    assert(chunksOf(ten, 5, 0) === Seq(
+      (0, 5, (0 until 5).map(i => s"t$i").mkString(" ")),
+      (1, 5, (5 until 10).map(i => s"t$i").mkString(" "))))
+    // tokens lower-case; empty and null contribute nothing
+    assert(chunksOf("A  B", 4, 1) === Seq((0, 2, "a b")))
+    val none = Chunk.chunkByTokens(
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text"),
+      "text", 8, 4).count()
+    assert(none === 0L)
+    intercept[IllegalArgumentException] {
+      Chunk.chunkByTokens(Seq((1L, "x")).toDF("doc_id", "text"),
+        "text", 4, 4)
+    }
+  }
+
+  test("the chunk plan is a pure projection + generate: no shuffle, " +
+      "no UDF (r15)") {
+    val plan = Chunk.chunkByTokens(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("UDF"), plan)
+  }
+}
