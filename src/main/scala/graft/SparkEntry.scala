@@ -4546,6 +4546,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- Spreadsheet → markdown linearization (r15 — the
+    //     tabular-to-text step a text model trains on): the xlsx
+    //     grid extraction composed with gridToMarkdown — header row,
+    //     --- separator, pipe-joined body. Degrades follow the xlsx
+    //     fixture (%19/%13 → null markdown).
+    "mm_xlsx_markdown" -> ((s, dir) => {
+      val media = Multimodal.synthesizeXlsxBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withXlsxText(media, "payload", "xx")
+        .select(col("media_id"),
+          graft.functions.TextFunctions.gridToMarkdown(col("xx.text"))
+            .as("md"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Modern PowerPoint .pptx text extraction (r15, VERDICT):
     //     1-3 slides by id%3 written in REVERSE package order (the
     //     numeric slide ordering is on the hashed path), two
@@ -9582,6 +9597,38 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE t.txt END AS text
         |FROM t JOIN bad b USING (media_id)
         |ORDER BY t.media_id""".stripMargin,
+
+    // the mm_xlsx_markdown oracle: the grid text rebuilt closed-form
+    // (the mm_xlsx_text formulas) then linearized with the same
+    // header/separator/body construction
+    "mm_xlsx_markdown" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |t AS (SELECT media_id,
+        |  'sum ' || media_id || ' é total' || chr(9) ||
+        |    'cell ✓ ' || media_id || chr(9) ||
+        |    'in ' || media_id || ' ok' || chr(10) ||
+        |    '3.5' || chr(9) || 'plain ' || media_id || chr(9) ||
+        |    'sum ' || media_id || ' é total' AS txt
+        |  FROM ids),
+        |md AS (SELECT media_id,
+        |  array_to_string(list_concat(
+        |    ['| ' || replace(string_split(txt, chr(10))[1], chr(9),
+        |       ' | ') || ' |',
+        |     '|' || repeat(' --- |',
+        |       len(string_split(string_split(txt, chr(10))[1],
+        |         chr(9))))],
+        |    list_transform(list_slice(string_split(txt, chr(10)), 2,
+        |        len(string_split(txt, chr(10)))),
+        |      l -> '| ' || replace(l, chr(9), ' | ') || ' |')),
+        |    chr(10)) AS md
+        |  FROM t),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT m.media_id,
+        |  CASE WHEN b.c THEN NULL ELSE m.md END AS md
+        |FROM md m JOIN bad b USING (media_id)
+        |ORDER BY m.media_id""".stripMargin,
 
     // the mm_pptx_text oracle: slides rebuilt closed-form in slide-
     // NUMBER order (the package wrote them reversed), two paragraphs

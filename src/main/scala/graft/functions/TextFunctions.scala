@@ -988,6 +988,35 @@ object TextFunctions {
       .limit(k)
   }
 
+  // ------------------------------------------- table linearization
+
+  /** Tab/newline grid → GitHub-flavored markdown table (r15) — the
+    * tabular-to-text step that turns extracted spreadsheet grids
+    * (the Xlsx/Xls layout convention) into the serialized form a
+    * text model trains on: first row is the header, then the `---`
+    * separator, then body rows, cells pipe-joined. Pure Catalyst;
+    * null/empty grids are null. Cells containing literal pipes are
+    * the caller's problem (the extractors never emit them from cell
+    * boundaries).
+    */
+  def gridToMarkdown(grid: Column): Column = {
+    val lines = split(grid, "\n")
+    def rowMd(line: Column): Column =
+      concat(lit("| "), array_join(split(line, "\t"), " | "),
+        lit(" |"))
+    val sep = concat(lit("|"),
+      array_join(
+        transform(split(element_at(lines, 1), "\t"), _ => lit(" --- ")),
+        "|"),
+      lit("|"))
+    when(grid.isNull || length(grid) === 0, lit(null))
+      .otherwise(array_join(
+        concat(
+          array(rowMd(element_at(lines, 1)), sep),
+          transform(slice(lines, lit(2), size(lines)), l => rowMd(l))),
+        "\n"))
+  }
+
   // ------------------------------------------------- blob detection
 
   /** Encoded-blob rules (r15) — code corpora strip giant inline

@@ -595,4 +595,30 @@ class StreamingSpec extends SparkSpec {
     assert(nStreamed === nBatch && nBatch.size === ids.size)
     nBatch.foreach(r => assert(r.getString(1) != null))
   }
+
+  test("streaming chat-turn explode == batch (r15): the pure-Catalyst " +
+      "conversation parse runs unchanged on streaming frames") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 30L).map { id =>
+      (id, s"""{"messages":[{"role":"user","content":"q $id"},""" +
+        s"""{"role":"assistant","content":"a $id"}]}""")
+    }
+    val cs = MemoryStream[(Long, String)]
+    val cq = graft.operators.Chat.explodeTurns(
+        cs.toDF().toDF("doc_id", "json"), "doc_id", "json")
+      .writeStream.format("memory").queryName("chat_st")
+      .outputMode(OutputMode.Append).start()
+    cs.addData(rows.take(13): _*)
+    cq.processAllAvailable()
+    cs.addData(rows.drop(13): _*)
+    cq.processAllAvailable()
+    cq.stop()
+    val streamed = spark.table("chat_st")
+      .orderBy("doc_id", "turn_idx").collect().toSeq
+    val batch = graft.operators.Chat.explodeTurns(
+        rows.toDF("doc_id", "json"), "doc_id", "json")
+      .orderBy("doc_id", "turn_idx").collect().toSeq
+    assert(streamed === batch && batch.size === rows.size * 2)
+  }
 }

@@ -572,6 +572,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(uni === Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("gridToMarkdown: header + separator + body rows, single-row " +
+      "grid still gets a separator, null/empty null (r15)") {
+    def md(grid: String): String = {
+      val r = Seq(Tuple1(grid)).toDF("g")
+        .select(TextFunctions.gridToMarkdown($"g")).head()
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(md("a\tb\nc\td") ===
+      "| a | b |\n| --- | --- |\n| c | d |")
+    assert(md("only\theader") === "| only | header |\n| --- | --- |")
+    assert(md("solo") === "| solo |\n| --- |")
+    assert(md("") === null)
+    assert(md(null) === null)
+  }
+
   test("blob detection: 64+ base64/hex runs measured, short runs " +
       "and natural words stay clean; filterBlobs integer-ratio " +
       "threshold (r15)") {
