@@ -2216,6 +2216,54 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Sentence segmentation (r15 — the unit under sentence-level
+    //     dedup and PII windows): planted 1-4 sentences per id with
+    //     cycling terminators ("." "!" "?" "..."); the marker-insert
+    //     split keeps punctuation with its sentence and consumes the
+    //     whitespace. The oracle restates the plant.
+    "text_sentences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      val id = col("doc_id")
+      val nS = id % 4 + 1
+      val puncts = Seq(".", "!", "?", "...")
+      val parts = (0 until 4).map { j =>
+        when(lit(j) < nS,
+          concat(lit("Sent "), id, lit(s" $j has item"),
+            (id * 7 + j) % 31, lit(puncts(j) + " ")))
+          .otherwise(lit(""))
+      }
+      graft.functions.TextFunctions.withSentences(
+          docs.select(id, trim(concat(parts: _*)).as("text")), "text")
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
+
+    // --- Composed chat curation (r15 — the SFT sibling of
+    //     pipeline_wet): parse → protocol filter (%19 not-JSON, %7
+    //     double-user drop) → ChatML render → corpus-wide exact
+    //     dedup (ids pair up per conversation group g = id/2), ONE
+    //     lazy plan. The oracle restates survivors closed-form.
+    "pipeline_chat" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id")).as[Long].map { id =>
+          val g = id / 2
+          val json =
+            if (id % 19 == 0) s"broken $id"
+            else {
+              val ar = if (id % 7 == 0) "user" else "assistant"
+              s"""{"messages":[{"role":"user","content":"share q $g item${(g * 7) % 43}"},""" +
+                s"""{"role":"$ar","content":"share a $g val ${(g * 11) % 37}"}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      val turns = graft.operators.Chat.parseTurns(col("json"))
+      val rendered = graft.operators.Chat.filterValid(convs, "json")
+        .select(col("doc_id"),
+          graft.operators.Chat.renderChatML(turns).as("text"))
+      Dedup.exactDedup(rendered, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Token-window chunking (r15 — the context-window prep step
     //     of every LM data loader): 40-token windows, 10-token
     //     overlap (stride 30); redundant tails drop (a start past
@@ -6932,6 +6980,38 @@ object SparkEntry {
         |    ELSE COALESCE('<|im_start|>system' || chr(10) || sysc ||
         |      '<|im_end|>' || chr(10), '') || ptext END AS text
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the text_sentences oracle: the planted sentences restated —
+    // punctuation stays with its sentence, inter-sentence
+    // whitespace is consumed by the split
+    "text_sentences" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS n
+        |  FROM documents WHERE doc_id < 150),
+        |s AS (
+        |  SELECT i.doc_id, j.g AS j,
+        |    'Sent ' || i.doc_id || ' ' || j.g || ' has item' ||
+        |      ((i.doc_id * 7 + j.g) % 31) ||
+        |      CASE j.g WHEN 0 THEN '.' WHEN 1 THEN '!'
+        |        WHEN 2 THEN '?' ELSE '...' END AS sentence
+        |  FROM ids i, generate_series(0, 3) AS j(g) WHERE j.g < i.n)
+        |SELECT doc_id, CAST(j AS INT) AS sent_idx, sentence
+        |FROM s ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // the pipeline_chat oracle: survivors are the min VALID id of
+    // each conversation group (validity = not %19, not %7), text
+    // the ChatML rendering rebuilt closed-form
+    "pipeline_chat" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, doc_id // 2 AS g FROM documents
+        |  WHERE doc_id < 240 AND doc_id % 19 <> 0 AND doc_id % 7 <> 0),
+        |surv AS (SELECT g, min(id) AS doc_id FROM v GROUP BY g)
+        |SELECT doc_id,
+        |  '<|im_start|>user' || chr(10) || 'share q ' || g ||
+        |    ' item' || (g * 7 % 43) || '<|im_end|>' || chr(10) ||
+        |  '<|im_start|>assistant' || chr(10) || 'share a ' || g ||
+        |    ' val ' || (g * 11 % 37) || '<|im_end|>' || chr(10) AS text
+        |FROM surv ORDER BY doc_id""".stripMargin,
 
     // the text_chunk_windows oracle: same tokenization, same
     // stride-30 starts with the redundant-tail filter, same

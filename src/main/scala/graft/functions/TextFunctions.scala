@@ -988,6 +988,36 @@ object TextFunctions {
       .limit(k)
   }
 
+  // ---------------------------------------- sentence segmentation
+
+  /** Sentence segmentation (r15) — the unit under sentence-level
+    * dedup, PII windows and quality scoring. Convention (marker
+    * insert + split, because neither engine's shared regex subset
+    * has lookbehind): a sentence ends at a `[.!?]+` run followed by
+    * whitespace; the punctuation stays WITH its sentence, the
+    * whitespace is consumed. No abbreviation guard — "Dr. Smith"
+    * splits (documented; the guard needs a dictionary, not a
+    * regex). Sentences trim; empties drop.
+    */
+  def sentencesOf(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, "([.!?]+)\\s+",
+            "$1\u0001"), "\u0001"),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** Explode to (df columns sans text, sent_idx, sentence). */
+  def withSentences(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__sents", sentencesOf(col(textCol)))
+      .select(col("*"), posexplode(col("__sents")))
+      .select(
+        (df.columns.filterNot(_ == textCol).map(col) ++ Seq(
+          col("pos").as("sent_idx"),
+          col("col").as("sentence"))): _*)
+
   // ------------------------------------------- table linearization
 
   /** Tab/newline grid → GitHub-flavored markdown table (r15) — the

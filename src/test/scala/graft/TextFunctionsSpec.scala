@@ -572,6 +572,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(uni === Seq(("a", 3L), ("b", 3L)))
   }
 
+  test("sentencesOf: punctuation stays with its sentence, ellipsis " +
+      "runs split once, unterminated tails survive, empties drop " +
+      "(r15)") {
+    def sents(t: String): Seq[String] =
+      Seq(Tuple1(t)).toDF("t")
+        .select(TextFunctions.sentencesOf($"t")).head()
+        .getSeq[String](0)
+    assert(sents("One here. Two there! Three?") ===
+      Seq("One here.", "Two there!", "Three?"))
+    assert(sents("Wait... really? yes") ===
+      Seq("Wait...", "really?", "yes"))
+    // documented limitation: no abbreviation dictionary
+    assert(sents("Dr. Smith left.") === Seq("Dr.", "Smith left."))
+    assert(sents("no punct at all") === Seq("no punct at all"))
+    assert(sents("") === Seq.empty)
+  }
+
   test("gridToMarkdown: header + separator + body rows, single-row " +
       "grid still gets a separator, null/empty null (r15)") {
     def md(grid: String): String = {
