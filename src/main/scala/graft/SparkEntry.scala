@@ -2312,6 +2312,55 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- Fill-in-the-middle transform (r15 wave 3 — the infill
+    //     objective's data rewrite, Bavarian et al. 2022): 60% of
+    //     docs (id%10<6) split at two id-derived cut points into
+    //     PSM <pre>P<suf>S<mid>M; the rest pass through verbatim.
+    //     One pure projection, no shuffle; the oracle replays the
+    //     cut arithmetic and slices verbatim.
+    "text_fim" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Fim.withFim(docs, "doc_id", "text",
+          rate10 = 6, minChars = 20)
+        .select(col("doc_id"), col("fim_applied"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Code-corpus quality signals (r15 wave 3 — the StarCoder-
+    //     class line-geometry / alnum-density / comment-density /
+    //     autogen-marker filter): %4 ids get planted comment lines,
+    //     %6 a minified-style long line, %9 a mixed-case DO NOT EDIT
+    //     banner. All signals integer counts over one projection;
+    //     the keep predicate is integer cross-multiplied. The
+    //     comment regex is shared verbatim with the oracle.
+    "text_code_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 220)
+      val id = col("doc_id")
+      val comments = when(id % 4 === 0,
+        concat(lit("\n// planted note "), id,
+          lit("\n  # indented directive"))).otherwise(lit(""))
+      val longLine = when(id % 6 === 0,
+        concat(lit("\n"), rpad(lit("let x="), (lit(120) + id % 50).cast("int"),
+          lit("ab12")))).otherwise(lit(""))
+      val banner = when(id % 9 === 0,
+        lit("\n// Auto-Generated by graft tool; DO NOT EDIT")).otherwise(lit(""))
+      val aug = concat(col("text"), comments, longLine, banner)
+      graft.operators.CodeQuality.withSignals(
+          docs.select(id, aug.as("aug")), "aug")
+        .select(id, col("n_lines"), col("max_line_chars"),
+          col("total_line_chars"), col("alnum_chars"),
+          col("comment_lines"), col("autogen"),
+          graft.operators.CodeQuality.keepFromSignals(
+            col("n_lines"), col("max_line_chars"),
+            col("total_line_chars"), col("alnum_chars"), col("autogen"),
+            length(col("aug")), maxLineChars = 150, meanLineChars = 100,
+            minAlnumPct = 25).as("keep"))
+        .orderBy(id)
+    }),
+
     // --- DSIR-style hashed importance selection (r15 — data
     //     selection via importance resampling, Xie et al. 2023): fit
     //     md5-bucketed unigram distributions over the src1 TARGET
@@ -7071,6 +7120,79 @@ object SparkEntry {
         |  CAST(length(aug) - length(regexp_replace(aug,
         |    '[0-9a-fA-F]{64,}', '', 'g')) AS INT) AS hex_blob_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_fim oracle: eligibility, both id-derived cut points
+    // and the PSM slice order replayed with the same integer
+    // arithmetic (cuts only computed for eligible rows, so the
+    // mod-by-(n-1) never sees a degenerate denominator)
+    "text_fim" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 250),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    (n >= 20 AND doc_id % 10 < 6) AS elig,
+        |    CASE WHEN n >= 20
+        |      THEN CAST(1 + (doc_id * 7919) % (n - 1) AS INT) END AS a,
+        |    CASE WHEN n >= 20
+        |      THEN CAST(1 + (doc_id * 104729) % (n - 1) AS INT) END AS b
+        |  FROM d)
+        |SELECT doc_id, elig AS fim_applied,
+        |  CASE WHEN elig THEN
+        |    '<|fim_prefix|>' || substr(text, 1, least(a, b)) ||
+        |    '<|fim_suffix|>' ||
+        |      substr(text, greatest(a, b) + 1, n - greatest(a, b)) ||
+        |    '<|fim_middle|>' ||
+        |      substr(text, least(a, b) + 1, greatest(a, b) - least(a, b))
+        |  ELSE text END AS text
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the text_code_quality oracle: the plants restated, every
+    // signal recomputed over the same line split (trailing empties
+    // kept by both engines), the comment regex shared verbatim, the
+    // keep predicate cross-multiplied identically
+    "text_code_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || '// planted note ' ||
+        |      doc_id || chr(10) || '  # indented directive'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(10) ||
+        |      rpad('let x=', CAST(120 + doc_id % 50 AS INT), 'ab12')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+        |      '// Auto-Generated by graft tool; DO NOT EDIT'
+        |      ELSE '' END AS aug
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 220),
+        |s AS (
+        |  SELECT doc_id, aug,
+        |    CAST(len(string_split(aug, chr(10))) AS INT) AS n_lines,
+        |    CAST(COALESCE(list_max(list_transform(
+        |      string_split(aug, chr(10)), x -> length(x))), 0) AS INT)
+        |      AS max_line_chars,
+        |    CAST(COALESCE(list_sum(list_transform(
+        |      string_split(aug, chr(10)), x -> length(x))), 0) AS BIGINT)
+        |      AS total_line_chars,
+        |    CAST(length(aug) - length(regexp_replace(aug,
+        |      '[A-Za-z0-9]', '', 'g')) AS INT) AS alnum_chars,
+        |    CAST(len(list_filter(string_split(aug, chr(10)),
+        |      x -> regexp_matches(x, '^[ \t]*(//|#|--|\*|/\*)'))) AS INT)
+        |      AS comment_lines,
+        |    (lower(aug) LIKE '%auto-generated%' OR
+        |     lower(aug) LIKE '%autogenerated%' OR
+        |     lower(aug) LIKE '%do not edit%' OR
+        |     lower(aug) LIKE '%generated by%' OR
+        |     lower(aug) LIKE '%@generated%') AS autogen
+        |  FROM d)
+        |SELECT doc_id, n_lines, max_line_chars, total_line_chars,
+        |  alnum_chars, comment_lines, autogen,
+        |  (max_line_chars <= 150 AND
+        |   total_line_chars <= CAST(n_lines AS BIGINT) * 100 AND
+        |   CAST(alnum_chars AS BIGINT) * 100 >=
+        |     CAST(length(aug) AS BIGINT) * 25 AND
+        |   NOT autogen) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the text_dsir oracle: the full selection replayed — identical
     // md5 hash buckets, add-one smoothing, micro-log flooring,

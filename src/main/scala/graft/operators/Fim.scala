@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fill-in-the-middle (FIM) transformation (r15 wave 3) — the
+  * document-level rewrite that teaches a causal LM to infill
+  * (Bavarian et al. 2022, "Efficient Training of Language Models to
+  * Fill in the Middle", public). A deterministic fraction of
+  * documents is split at two pseudo-random character positions into
+  * (prefix, middle, suffix) and re-serialized with sentinel tokens
+  * in PSM order (`<pre>prefix<suf>suffix<mid>middle`) or SPM order
+  * (`<pre><suf>suffix<mid>prefix middle` — the "suffix-first"
+  * variant of the paper's §3; we keep the sentinel-prefix framing of
+  * the public SantaCoder recipe: suffix block first, then prefix and
+  * middle concatenated after the middle sentinel).
+  *
+  * Scale shape: ONE pure-Catalyst projection — split positions are
+  * integer arithmetic on (id, length), slices are `substr`, the
+  * whole transform rides the scan with no shuffle, no UDF, no
+  * driver state. At 100 TB this is a map over the corpus, exactly
+  * as cheap as reading it.
+  *
+  * Determinism (the oracle discipline): split positions derive from
+  * the document ID and length only — `1 + (id·7919) mod (n−1)` and
+  * `1 + (id·104729) mod (n−1)` — both engines replay them with the
+  * same integer arithmetic; no RNG state anywhere. Eligibility is
+  * `id mod 10 < rate10` (a deterministic "50% of documents" knob),
+  * plus a minimum length so degenerate slices never occur.
+  *
+  * Reference scope: the reference engine (fever_multi_agent.py)
+  * assembles prompt strings client-side; this is the same
+  * string-assembly boundary applied corpus-wide, model-free.
+  */
+object Fim {
+
+  val PrefixTok = "<|fim_prefix|>"
+  val SuffixTok = "<|fim_suffix|>"
+  val MiddleTok = "<|fim_middle|>"
+
+  /** The two cut positions for a (id, n)-document, each in
+    * [1, n−1] — so prefix and (middle+suffix) are both non-empty;
+    * a == b yields an empty middle, which the infill objective
+    * tolerates (the model learns to emit EOT immediately).
+    */
+  private def cuts(id: Column, n: Column): (Column, Column) = {
+    val span = (n - 1).cast("long")
+    val a = (pmod(id * 7919L, span) + 1L).cast("int")
+    val b = (pmod(id * 104729L, span) + 1L).cast("int")
+    (least(a, b), greatest(a, b))
+  }
+
+  /** Adds `fim_applied` and rewrites `textCol`: eligible documents
+    * (non-null, length ≥ minChars, `id mod 10 < rate10`) become
+    * PSM `<pre>P<suf>S<mid>M`; SPM mode (`spm = true`) becomes
+    * `<pre><suf>S<mid>P||M`. Ineligible rows pass through verbatim
+    * with `fim_applied = false`.
+    */
+  def withFim(df: DataFrame, idCol: String, textCol: String,
+      rate10: Int = 5, minChars: Int = 20,
+      spm: Boolean = false): DataFrame = {
+    val id = col(idCol).cast("long")
+    val t = col(textCol)
+    val n = length(t)
+    val eligible = t.isNotNull && n >= minChars &&
+      pmod(id, lit(10L)) < rate10
+    val (lo, hi) = cuts(id, n)
+    val prefix = t.substr(lit(1), lo)
+    val middle = t.substr(lo + 1, hi - lo)
+    val suffix = t.substr(hi + 1, n - hi)
+    val rewritten =
+      if (spm)
+        concat(lit(PrefixTok), lit(SuffixTok), suffix, lit(MiddleTok),
+          prefix, middle)
+      else
+        concat(lit(PrefixTok), prefix, lit(SuffixTok), suffix,
+          lit(MiddleTok), middle)
+    df.withColumn("fim_applied", eligible)
+      .withColumn(textCol, when(eligible, rewritten).otherwise(t))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Fim
+import org.apache.spark.sql.functions._
+
+class FimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fimOf(id: Long, text: String, rate10: Int = 10,
+      spm: Boolean = false): (Boolean, String) = {
+    val r = Fim.withFim(Seq((id, text)).toDF("doc_id", "text"),
+      "doc_id", "text", rate10 = rate10, minChars = 10, spm = spm)
+      .select("fim_applied", "text").head()
+    (r.getBoolean(0), r.getString(1))
+  }
+
+  test("withFim: PSM slices reassemble to the original text (r15w3)") {
+    val text = "0123456789abcdefghij" // n=20
+    val (applied, out) = fimOf(3L, text)
+    assert(applied)
+    // parse the three sections back out
+    val pre = out.stripPrefix(Fim.PrefixTok)
+    val Array(prefix, rest) = pre.split(java.util.regex.Pattern.quote(Fim.SuffixTok), 2)
+    val Array(suffix, middle) = rest.split(java.util.regex.Pattern.quote(Fim.MiddleTok), 2)
+    assert(out.startsWith(Fim.PrefixTok))
+    assert(prefix + middle + suffix === text)
+    assert(prefix.nonEmpty) // cut points live in [1, n-1]
+    // cut arithmetic: a = 1 + (3*7919) % 19 = 1 + 23757%19
+    val a = (1 + (3L * 7919) % 19).toInt
+    val b = (1 + (3L * 104729) % 19).toInt
+    assert(prefix === text.substring(0, math.min(a, b)))
+    assert(suffix === text.substring(math.max(a, b)))
+  }
+
+  test("withFim: SPM order is <pre><suf>S<mid>P||M and reassembles") {
+    val text = "0123456789abcdefghij"
+    val (applied, out) = fimOf(7L, text, spm = true)
+    assert(applied)
+    assert(out.startsWith(Fim.PrefixTok + Fim.SuffixTok))
+    val rest = out.stripPrefix(Fim.PrefixTok + Fim.SuffixTok)
+    val Array(suffix, preMid) = rest.split(java.util.regex.Pattern.quote(Fim.MiddleTok), 2)
+    assert(preMid + suffix === text)
+  }
+
+  test("withFim: ineligible rows pass through verbatim") {
+    // rate gate: id%10 >= rate10
+    val (a1, t1) = fimOf(17L, "0123456789abcdefghij", rate10 = 5)
+    assert(!a1 && t1 === "0123456789abcdefghij")
+    // length gate: n < minChars
+    val (a2, t2) = fimOf(2L, "short")
+    assert(!a2 && t2 === "short")
+    // null survives as null, not applied
+    val r = Fim.withFim(Seq((4L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", rate10 = 10, minChars = 10)
+      .select("fim_applied", "text").head()
+    assert(!r.getBoolean(0) && r.isNullAt(1))
+  }
+
+  test("withFim: equal cut points yield an empty middle, never a crash") {
+    // find an id where a == b for n = 11 (span 10)
+    val n = 11
+    val id = (1L to 400L).find { i =>
+      (i * 7919) % (n - 1) == (i * 104729) % (n - 1)
+    }.get
+    val text = "x" * n
+    val (applied, out) = fimOf(id, text)
+    assert(applied)
+    assert(out.endsWith(Fim.MiddleTok)) // middle empty
+  }
+
+  test("withFim: one codegen'd projection, no shuffle (plan pin)") {
+    val df = Fim.withFim(Seq((1L, "abc")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+}
