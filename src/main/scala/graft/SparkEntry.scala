@@ -2264,6 +2264,93 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Preference-pair (DPO) protocol validation (r15 wave 3):
+    //     JSONL {prompt, chosen, rejected}; %19 ids are not JSON
+    //     (all-null, invalid), %11 a chosen==rejected tie (invalid —
+    //     zero preference signal), %7 an empty rejected (invalid);
+    //     the rest are valid. Lengths prove field extraction.
+    "chat_preference" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"broken pref $id"
+            else {
+              val chosen = s"good a $id val${(id * 11) % 37}"
+              val rejected =
+                if (id % 11 == 0) chosen
+                else if (id % 7 == 0) ""
+                else s"bad a $id val${(id * 13) % 41}"
+              s"""{"prompt":"pref q $id item${(id * 7) % 43}","chosen":"$chosen","rejected":"$rejected"}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      graft.operators.Preference.withPair(pairs, "json")
+        .select(col("doc_id"), col("valid"),
+          length(col("prompt")).as("len_prompt"),
+          length(col("chosen")).as("len_chosen"),
+          length(col("rejected")).as("len_rejected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Composed preference curation (r15 wave 3 — the DPO
+    //     sibling of pipeline_chat): parse → protocol filter →
+    //     PROMPT-level exact dedup in one lazy plan. Prompts repeat
+    //     per group g = id/3; survivors are each group's min VALID
+    //     id. The oracle restates survivors closed-form.
+    "pipeline_preference" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Tables.documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id")).as[Long].map { id =>
+          val g = id / 3
+          val json =
+            if (id % 19 == 0) s"broken pref $id"
+            else {
+              val chosen = s"good a $g val${(g * 11) % 37}"
+              val rejected =
+                if (id % 11 == 0) chosen
+                else s"bad a $g val${(g * 13) % 41}"
+              s"""{"prompt":"pref q $g item${(g * 7) % 43}","chosen":"$chosen","rejected":"$rejected"}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      val valid = graft.operators.Preference.withPair(
+        graft.operators.Preference.filterValid(pairs, "json"), "json")
+      graft.operators.Preference.dedupByPrompt(valid, "doc_id")
+        .select(col("doc_id"), col("prompt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- SFT loss-mask spans (r15 wave 3): per-turn [start, end)
+    //     char offsets within the rendered ChatML and the
+    //     assistant-only loss flag — the offsets a loader needs to
+    //     zero non-assistant loss. Same plant as chat_turns; the
+    //     running offset is a per-conversation window prefix sum
+    //     (partition-parallel, never a global sort).
+    "chat_loss_mask" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"not chat json $id"
+            else {
+              val sys =
+                if (id % 3 == 0)
+                  Seq(s"""{"role":"system","content":"be concise $id"}""")
+                else Seq.empty
+              val pairs = (0 until (id % 2 + 1).toInt).flatMap { p =>
+                Seq(
+                  s"""{"role":"user","content":"ask $id q$p about item${(id * 7 + p) % 43}"}""",
+                  s"""{"role":"assistant","content":"ans $id a$p value ${(id * 11 + p) % 37}"}""")
+              }
+              s"""{"messages":[${(sys ++ pairs).mkString(",")}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      graft.operators.Chat.lossMaskSpans(convs, "doc_id", "json")
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
     // --- Token-window chunking (r15 — the context-window prep step
     //     of every LM data loader): 40-token windows, 10-token
     //     overlap (stride 30); redundant tails drop (a start past
@@ -7061,6 +7148,85 @@ object SparkEntry {
         |  '<|im_start|>assistant' || chr(10) || 'share a ' || g ||
         |    ' val ' || (g * 11 % 37) || '<|im_end|>' || chr(10) AS text
         |FROM surv ORDER BY doc_id""".stripMargin,
+
+    // the chat_preference oracle: the validity lattice (%19 not-JSON
+    // → all-null fields, %11 tie, %7 empty rejected) and every field
+    // length restated closed-form
+    "chat_preference" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, doc_id % 19 = 0 AS nj,
+        |    doc_id % 11 = 0 AS tie, doc_id % 7 = 0 AS er
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (
+        |  SELECT id, nj, tie, er,
+        |    'pref q ' || id || ' item' || (id * 7 % 43) AS prompt,
+        |    'good a ' || id || ' val' || (id * 11 % 37) AS chosen,
+        |    CASE WHEN tie THEN 'good a ' || id || ' val' || (id * 11 % 37)
+        |      WHEN er THEN ''
+        |      ELSE 'bad a ' || id || ' val' || (id * 13 % 41) END AS rejected
+        |  FROM d)
+        |SELECT id AS doc_id,
+        |  (NOT nj AND NOT tie AND NOT er) AS valid,
+        |  CASE WHEN nj THEN NULL ELSE CAST(length(prompt) AS INT) END
+        |    AS len_prompt,
+        |  CASE WHEN nj THEN NULL ELSE CAST(length(chosen) AS INT) END
+        |    AS len_chosen,
+        |  CASE WHEN nj THEN NULL ELSE CAST(length(rejected) AS INT) END
+        |    AS len_rejected
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the pipeline_preference oracle: survivors = min VALID id per
+    // prompt group g = id//3 (validity = not %19, not %11; the %7
+    // empty-rejected plant is absent in this fixture), prompt
+    // restated closed-form
+    "pipeline_preference" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, doc_id // 3 AS g FROM documents
+        |  WHERE doc_id < 240 AND doc_id % 19 <> 0 AND doc_id % 11 <> 0),
+        |surv AS (SELECT g, min(id) AS doc_id FROM v GROUP BY g)
+        |SELECT doc_id,
+        |  'pref q ' || g || ' item' || (g * 7 % 43) AS prompt
+        |FROM surv ORDER BY doc_id""".stripMargin,
+
+    // the chat_loss_mask oracle: the chat_turns closed-form rebuild
+    // + the rendered-turn length (24 + |role| + |content|) prefix-
+    // summed per conversation; loss = assistant
+    "chat_loss_mask" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 2 + 1 AS k,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS so
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 19 <> 0),
+        |sys AS (
+        |  SELECT id, 0 AS turn_idx, 'system' AS role,
+        |    'be concise ' || id AS content
+        |  FROM ids WHERE so = 1),
+        |pairs AS (
+        |  SELECT i.id, i.so + p.g * 2 AS uidx, p.g AS p
+        |  FROM ids i, generate_series(0, 1) AS p(g) WHERE p.g < i.k),
+        |u AS (
+        |  SELECT id, uidx AS turn_idx, 'user' AS role,
+        |    'ask ' || id || ' q' || p || ' about item' ||
+        |      ((id * 7 + p) % 43) AS content
+        |  FROM pairs),
+        |a AS (
+        |  SELECT id, uidx + 1 AS turn_idx, 'assistant' AS role,
+        |    'ans ' || id || ' a' || p || ' value ' ||
+        |      ((id * 11 + p) % 37) AS content
+        |  FROM pairs),
+        |t AS (
+        |  SELECT id, turn_idx, role,
+        |    24 + length(role) + length(content) AS rlen
+        |  FROM (SELECT * FROM sys UNION ALL SELECT * FROM u
+        |        UNION ALL SELECT * FROM a))
+        |SELECT id AS doc_id, CAST(turn_idx AS INT) AS turn_idx, role,
+        |  CAST(COALESCE(sum(rlen) OVER (PARTITION BY id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_char,
+        |  CAST(sum(rlen) OVER (PARTITION BY id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS end_char,
+        |  role = 'assistant' AS loss
+        |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
 
     // the text_chunk_windows oracle: same tokenization, same
     // stride-30 starts with the redundant-tail filter, same

@@ -113,4 +113,30 @@ object Chat {
     */
   def filterValid(df: DataFrame, jsonCol: String): DataFrame =
     df.filter(validAlternation(parseTurns(col(jsonCol))))
+
+  /** Per-turn LOSS-MASK spans within the [[renderChatML]] output —
+    * the offsets an SFT loader needs to zero the loss everywhere
+    * except assistant turns: (idCol, turn_idx, role, start_char,
+    * end_char, loss), where [start_char, end_char) is the 0-based
+    * span of the whole rendered turn block
+    * (`<|im_start|>role\ncontent<|im_end|>\n`, 24 + |role| +
+    * |content| chars) and `loss = role == "assistant"`.
+    *
+    * Scale shape: one keyed window per CONVERSATION (the running
+    * offset is a per-group prefix sum) — partition-parallel across
+    * conversations, never a global sort.
+    */
+  def lossMaskSpans(df: DataFrame, idCol: String,
+      jsonCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rlen = (lit(24L) + length(col("role")) +
+      coalesce(length(col("content")), lit(0))).cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    explodeTurns(df, idCol, jsonCol)
+      .withColumn("start_char", coalesce(sum(rlen).over(w), lit(0L)))
+      .withColumn("end_char", col("start_char") + rlen)
+      .withColumn("loss", col("role") === "assistant")
+      .drop("content")
+  }
 }

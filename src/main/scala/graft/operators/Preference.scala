@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Preference-pair (RLHF / DPO) dataset operators (r15 wave 3) —
+  * the post-SFT slice of a training-data pipeline. Preference
+  * corpora arrive as JSONL `{"prompt":…,"chosen":…,"rejected":…}`
+  * (the public DPO/Anthropic-HH convention), and before a trainer
+  * sees them the pipeline must (a) validate the pair protocol —
+  * all three fields present and non-empty, chosen ≠ rejected (a
+  * tie carries zero preference signal and a degenerate DPO loss),
+  * and (b) dedup by PROMPT — repeated prompts leak across
+  * train/eval splits and over-weight their preference direction.
+  *
+  * Pure Catalyst (`from_json` + projections); dedup reuses the
+  * corpus-wide [[Dedup.exactDedup]] discipline (hash-partitioned
+  * window, min-id survivor), so the 100 TB shape is one keyed
+  * shuffle for the dedup and a scan-riding map for everything else.
+  */
+object Preference {
+
+  val pairSchema: StructType = new StructType()
+    .add("prompt", StringType)
+    .add("chosen", StringType)
+    .add("rejected", StringType)
+
+  /** The parsed pair struct, or null when not parseable JSON. */
+  def parsePair(json: Column): Column = from_json(json, pairSchema)
+
+  /** Pair-protocol validity: parseable, all fields non-null and
+    * non-empty, chosen strictly different from rejected.
+    */
+  def pairValid(p: Column): Column = {
+    def ok(f: String) =
+      p.getField(f).isNotNull && length(p.getField(f)) > 0
+    when(p.isNull, lit(false)).otherwise(
+      coalesce(ok("prompt") && ok("chosen") && ok("rejected") &&
+        p.getField("chosen") =!= p.getField("rejected"), lit(false)))
+  }
+
+  /** Project the pair open: prompt / chosen / rejected / valid
+    * columns appended (fields null when unparseable).
+    */
+  def withPair(df: DataFrame, jsonCol: String): DataFrame = {
+    val p = parsePair(col(jsonCol))
+    df.withColumn("prompt", p.getField("prompt"))
+      .withColumn("chosen", p.getField("chosen"))
+      .withColumn("rejected", p.getField("rejected"))
+      .withColumn("valid", pairValid(p))
+  }
+
+  /** Keep only protocol-valid pairs. */
+  def filterValid(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(pairValid(parsePair(col(jsonCol))))
+
+  /** Prompt-level exact dedup over an already-projected frame:
+    * min-id survivor per distinct prompt (the [[Dedup.exactDedup]]
+    * semantics on the prompt column).
+    */
+  def dedupByPrompt(df: DataFrame, idCol: String,
+      promptCol: String = "prompt"): DataFrame =
+    Dedup.exactDedup(df, idCol, promptCol)
+}

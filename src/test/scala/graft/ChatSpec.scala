@@ -92,4 +92,34 @@ class ChatSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF"),
       plan)
   }
+
+  test("lossMaskSpans: spans tile the rendered ChatML exactly and " +
+      "loss marks assistant turns only (r15w3)") {
+    val json = """{"messages":[""" +
+      """{"role":"system","content":"sys"},""" +
+      """{"role":"user","content":"hello"},""" +
+      """{"role":"assistant","content":"world!"}]}"""
+    val df = Seq((7L, json)).toDF("doc_id", "json")
+    val rows = Chat.lossMaskSpans(df, "doc_id", "json")
+      .orderBy("turn_idx")
+      .select("turn_idx", "role", "start_char", "end_char", "loss")
+      .collect()
+    val rendered = df.select(
+      Chat.renderChatML(Chat.parseTurns(col("json"))).as("t"))
+      .head().getString(0)
+    // spans are contiguous from 0 and end at the rendered length
+    assert(rows.head.getLong(2) === 0L)
+    assert(rows.last.getLong(3) === rendered.length.toLong)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) === b.getLong(2)) }
+    // each span slices exactly its rendered turn block
+    val span1 = rendered.substring(rows(1).getLong(2).toInt,
+      rows(1).getLong(3).toInt)
+    assert(span1 === "<|im_start|>user\nhello<|im_end|>\n")
+    assert(rows.map(_.getBoolean(4)).toSeq === Seq(false, false, true))
+    // unparseable conversations contribute no rows
+    assert(Chat.lossMaskSpans(
+      Seq((1L, "junk")).toDF("doc_id", "json"), "doc_id", "json")
+      .count() === 0L)
+  }
 }

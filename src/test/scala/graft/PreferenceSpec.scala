@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Preference
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def validOf(json: String): Boolean =
+    Seq((1L, json)).toDF("doc_id", "json")
+      .select(Preference.pairValid(Preference.parsePair(col("json")))
+        .as("v")).head().getBoolean(0)
+
+  test("pairValid: the full validity lattice (r15w3)") {
+    assert(validOf(
+      """{"prompt":"q","chosen":"a","rejected":"b"}"""))
+    // tie: chosen == rejected carries no preference signal
+    assert(!validOf("""{"prompt":"q","chosen":"a","rejected":"a"}"""))
+    // empty / missing fields
+    assert(!validOf("""{"prompt":"","chosen":"a","rejected":"b"}"""))
+    assert(!validOf("""{"prompt":"q","chosen":"","rejected":"b"}"""))
+    assert(!validOf("""{"prompt":"q","chosen":"a","rejected":""}"""))
+    assert(!validOf("""{"prompt":"q","chosen":"a"}"""))
+    // not JSON at all
+    assert(!validOf("not json"))
+    // extra keys are ignored, not fatal
+    assert(validOf(
+      """{"prompt":"q","chosen":"a","rejected":"b","meta":7}"""))
+  }
+
+  test("withPair: fields project open, unparseable rows null") {
+    val df = Seq(
+      (1L, """{"prompt":"p1","chosen":"c1","rejected":"r1"}"""),
+      (2L, "broken")).toDF("doc_id", "json")
+    val rows = Preference.withPair(df, "json")
+      .select("doc_id", "prompt", "chosen", "rejected", "valid")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) === "p1" && rows(0).getBoolean(4))
+    assert(rows(1).isNullAt(1) && !rows(1).getBoolean(4))
+  }
+
+  test("dedupByPrompt: min-id survivor per distinct prompt") {
+    val df = Seq(
+      (5L, "shared prompt", "c5"), (2L, "shared prompt", "c2"),
+      (9L, "unique prompt", "c9")).toDF("doc_id", "prompt", "chosen")
+    val kept = Preference.dedupByPrompt(df, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L))
+  }
+
+  test("filterValid composes with dedup in one lazy plan, no UDF") {
+    val df = Seq(
+      (1L, """{"prompt":"p","chosen":"a","rejected":"b"}"""),
+      (2L, """{"prompt":"p","chosen":"a","rejected":"a"}"""),
+      (3L, """{"prompt":"p","chosen":"x","rejected":"y"}"""))
+      .toDF("doc_id", "json")
+    val out = Preference.dedupByPrompt(
+      Preference.withPair(Preference.filterValid(df, "json"), "json"),
+      "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+}
