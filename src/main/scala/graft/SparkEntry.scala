@@ -523,6 +523,21 @@ object SparkEntry {
         k = 3, metric = "l2", excludeSelf = true)
     }),
 
+    // --- Hard-negative mining (r15 wave 3 — the contrastive-
+    //     training data step, DPR-style): for each query vector,
+    //     the 3 nearest corpus vectors with a DIFFERENT label —
+    //     same-label (positive-class) pairs are skipped inside the
+    //     kernel, never materialized. Oracle = brute-force cosine
+    //     with the label-mismatch predicate.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_vec"), col("label").as("q_label"))
+      Knn.hardNegatives(emb, "vec_id", "embedding", "label",
+        qs, "query_id", "q_vec", "q_label", k = 3, metric = "cosine")
+    }),
+
     // --- F6/F4/F5: verdict-label extraction over synthetic answers —
     //     distribution of extracted labels (exercises the
     //     both-labels-present SUPPORTS-first order quirk,
@@ -6285,6 +6300,26 @@ object SparkEntry {
         |      FROM embeddings e CROSS JOIN qs
         |      WHERE e.vec_id <> qs.query_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+        |      FROM d)
+        |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the emb_hard_negatives oracle: brute-force cosine with the
+    // label-mismatch predicate — the kernel's skipped pairs must
+    // exactly equal the SQL WHERE
+    "emb_hard_negatives" ->
+      """WITH qs AS (SELECT vec_id AS query_id,
+        |              CAST(embedding AS DOUBLE[]) AS q_vec,
+        |              label AS q_label
+        |            FROM embeddings WHERE vec_id < 10),
+        |d AS (SELECT qs.query_id, e.vec_id,
+        |        round(1.0 - list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), qs.q_vec), 6) AS distance
+        |      FROM embeddings e CROSS JOIN qs
+        |      WHERE e.vec_id <> qs.query_id AND e.label <> qs.q_label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY distance, vec_id) AS rank
         |      FROM d)
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3

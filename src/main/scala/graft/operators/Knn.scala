@@ -181,6 +181,85 @@ object Knn {
     finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training
+    * (r15 wave 3): for each query, the k NEAREST corpus vectors
+    * whose label DIFFERS from the query's — the near-miss negatives
+    * a contrastive loss learns most from (the public in-batch /
+    * mined-negatives recipe of DPR, Karpukhin et al. 2020). Same
+    * two-phase shape as [[knnJoin]]: broadcast the small query side
+    * (with labels), per-partition k-bounded heaps over the corpus
+    * with the same-label pairs skipped in the kernel (never
+    * materialized), then the map-side-combining bounded top-k
+    * aggregate. Self-pairs are excluded by id as well — a duplicate
+    * of the query with a different label must still surface, but
+    * the query itself never does.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      corpusLabelCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      queryLabelCol: String,
+      k: Int,
+      metric: String = "cosine",
+      maxQueries: Int = 65536): DataFrame = {
+    requireFresh(corpus, "distance", "rank")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val qArr: Array[(Long, Array[Double], Long)] = collectQuerySide(
+      queries.select(col(queryIdCol).cast("long"),
+        col(queryVecCol).cast("array<double>"),
+        col(queryLabelCol).cast("long"))
+        .as[(Long, Array[Double], Long)], maxQueries, "hardNegatives")
+    val bc = spark.sparkContext.broadcast(qArr)
+    val dist = scalaDistance(metric)
+    val isCosine = metric == "cosine"
+
+    val candidates = corpus
+      .select(col(corpusIdCol).cast("long"),
+        col(corpusVecCol).cast("array<double>"),
+        col(corpusLabelCol).cast("long"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val qNorms: Array[Double] =
+          if (isCosine)
+            qs.map { case (_, q, _) =>
+              if (q == null) 0.0 else math.sqrt(dotKernel(q, q)) }
+          else null
+        val heaps = Array.fill(qs.length)(new BoundedPairHeap(k))
+        it.foreach { case (cid, cvec, clabel) =>
+          if (cvec != null) {
+            val cNorm = if (isCosine) math.sqrt(dotKernel(cvec, cvec)) else 0.0
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, qvec, qlabel) = qs(qi)
+              if (cid != qid && clabel != qlabel && qvec != null &&
+                  qvec.length == cvec.length) {
+                val raw =
+                  if (isCosine) 1.0 - dotKernel(cvec, qvec) / (cNorm * qNorms(qi))
+                  else dist(cvec, qvec)
+                val h = heaps(qi)
+                if (!cannotBeat(h, raw)) h.offer(round6(raw), cid)
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
+          h.iterator.map { case (d, cid) => (qid, cid, d) }
+        }
+      }
+      .toDF(queryIdCol, corpusIdCol, "distance")
+
+    finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
+  }
+
   /** Shared top-k-per-group finisher over a (query, corpus, distance)
     * candidate relation: a bounded top-k AGGREGATE, not a window.
     * row_number() needs every candidate of a group on one reducer

@@ -163,6 +163,30 @@ class KnnSpec extends SparkSpec {
       "the error must point at the scale-safe alternatives")
   }
 
+  test("hardNegatives: same-label pairs skipped in-kernel, self " +
+      "excluded by id, cross-label duplicates surface at d=0 (r15w3)") {
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f), 1L), // query, label 1
+      (1L, Array(1.0f, 0.0f), 1L), // exact dup, SAME label → never
+      (2L, Array(1.0f, 0.0f), 2L), // exact dup, other label → rank 1, d=0
+      (3L, Array(0.9f, 0.1f), 2L), // near, other label → rank 2
+      (4L, Array(-1.0f, 0.0f), 3L) // far, other label → rank 3
+    ).toDF("vec_id", "embedding", "label")
+    val qs = labeled.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val got = Knn.hardNegatives(labeled, "vec_id", "embedding", "label",
+        qs, "query_id", "q_vec", "q_label", k = 3, metric = "cosine")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq === Seq((2L, 1), (3L, 2), (4L, 3)))
+    // the same-label duplicate (id 1) and the query itself (id 0)
+    // never appear even with k larger than the candidate set
+    val wide = Knn.hardNegatives(labeled, "vec_id", "embedding", "label",
+        qs, "query_id", "q_vec", "q_label", k = 10, metric = "l2")
+      .collect().map(_.getLong(1)).toSet
+    assert(wide === Set(2L, 3L, 4L))
+  }
+
   test("smoke on fixtures: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
