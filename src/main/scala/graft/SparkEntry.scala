@@ -2743,6 +2743,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Megatron-style .bin/.idx indexed token dataset (r15
+    //     wave 3 — the mmap surface a pretraining loader actually
+    //     reads): every doc hash-tokenized (md5 buckets, engine-
+    //     portable), written as uint16 shard pairs, read BACK
+    //     through the idx pointers/sizes/doc-index, and
+    //     aggregate-checksummed. The oracle recomputes the same
+    //     tokenization closed-form — any framing, pointer or
+    //     byte-order bug breaks the totals.
+    "docs_tokbin" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(graft.sources.TokBin.hashTokenIds(col("text"))
+          .as("tokens"))
+      val path = gateIndexPath(dir, "tokbin_gate")
+      graft.sources.TokBin.writeIndexed(docs, "tokens", path)
+      graft.sources.TokBin.readIndexed(s, path)
+        .groupBy(col("shard"))
+        .agg(first(col("n_docs")).as("docs"),
+          count(lit(1)).as("seqs"),
+          sum(size(col("tokens"))).as("toks"),
+          sum(aggregate(col("tokens"), lit(0L), (a, x) => a + x))
+            .as("cksum"))
+        .agg(sum(col("seqs")).cast("long").as("n_seqs"),
+          sum(col("docs")).cast("long").as("n_docs"),
+          sum(col("toks")).cast("long").as("n_tokens"),
+          sum(col("cksum")).cast("long").as("token_checksum"))
+    }),
+
     // --- Shard compaction round trip (r14 — the small-files
     //     maintenance pass): the documents slice fragmented into 64
     //     tiny files, compacted to the byte-target count with
@@ -7577,6 +7605,24 @@ object SparkEntry {
     "docs_tfrecord" ->
       """SELECT doc_id, text, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the docs_tokbin oracle: the identical md5-bucket tokenization
+    // recomputed closed-form — the Spark side's totals come off the
+    // DISK round trip, so equality proves framing, sizes, pointers,
+    // doc-index and the uint16 byte order all survived
+    "docs_tokbin" ->
+      """WITH t AS (
+        |  SELECT list_transform(
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0),
+        |    x -> CAST(CAST(concat('0x', substr(md5(x), 1, 8)) AS UBIGINT)
+        |      % 65536 AS BIGINT)) AS toks
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_seqs, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(list_sum(toks) AS BIGINT)) AS BIGINT)
+        |    AS token_checksum
+        |FROM t""".stripMargin,
 
     // the vec_tfrecord oracle: float32 bits must survive the packed
     // FloatList round trip exactly — the oracle asserts n_exact = dim

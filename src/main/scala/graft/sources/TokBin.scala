@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Megatron-LM / fairseq indexed token dataset (r15 wave 3) — the
+  * `.bin`/`.idx` pair every Megatron-class pretraining loader mmaps,
+  * implemented from scratch against the PUBLIC layout
+  * (NVIDIA/Megatron-LM `indexed_dataset.py`, Apache-2.0; originally
+  * fairseq — the "MMapIndexedDataset" flavor):
+  *
+  *  - **`.idx`**: 9-byte magic `MMIDIDX\0\0`, `uint64 LE` version
+  *    (= 1), one dtype-code byte (the public table; `8` = uint16,
+  *    `4` = int32 are the token-id carriers), `int64 LE` sequence
+  *    count, `int64 LE` document-index length, then `int32[n]`
+  *    sizes (token count per sequence), `int64[n]` pointers (BYTE
+  *    offset of each sequence in the `.bin`), and the `int64[d]`
+  *    document index (sequence ordinals of document starts,
+  *    0-led and count-terminated — `d = docs + 1`).
+  *  - **`.bin`**: the token ids themselves, dtype little-endian,
+  *    concatenated in sequence order. Nothing else — ids, text and
+  *    provenance live upstream; the format is the loader's mmap
+  *    surface.
+  *
+  * Fail-closed (the TfRecord/Avro discipline): a token id outside
+  * the declared dtype's range REFUSES at write time (silent
+  * truncation would corrupt every downstream batch); magic/version/
+  * dtype mismatches and size/pointer inconsistencies REFUSE at read
+  * time.
+  *
+  * Scale shape: one shard pair per partition with task-attempt-
+  * rename commits (the TfRecord stance); reading is file-per-task —
+  * an `.idx` is sizes+pointers only, and the `.bin` slices by
+  * pointer, so a 100 TB corpus parallelizes by shard with zero
+  * cross-file state.
+  */
+object TokBin {
+
+  val Magic: Array[Byte] =
+    "MMIDIDX".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](0, 0)
+
+  /** Public dtype codes (the subset that carries token ids). */
+  val DtypeUint16 = 8
+  val DtypeInt32 = 4
+
+  private def bytesPer(dtype: Int): Int = dtype match {
+    case DtypeUint16 => 2
+    case DtypeInt32 => 4
+    case d => throw new IllegalArgumentException(
+      s"unsupported tokbin dtype code $d — token ids carry as " +
+        "uint16 (code 8) or int32 (code 4)")
+  }
+
+  /** The smallest carrier for a vocab: uint16 through 65536 ids,
+    * int32 beyond.
+    */
+  def dtypeFor(vocabSize: Int): Int =
+    if (vocabSize <= 65536) DtypeUint16 else DtypeInt32
+
+  /** Engine-portable hashed token ids of a text column: lowered
+    * whitespace tokens, md5-bucketed into [0, vocab) — the
+    * [[graft.operators.Dsir]] hash, so DuckDB replays every id.
+    */
+  def hashTokenIds(text: Column, vocab: Int = 65536): Column =
+    transform(graft.functions.TextFunctions.tokens(text),
+      t => (conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        % vocab).cast("int"))
+
+  // ------------------------------------------------------ encoding
+
+  /** Encode one shard: (binBytes, idxBytes) for `seqs`, one
+    * document per sequence (the document index is 0..n).
+    */
+  def encodeShard(seqs: Seq[Array[Int]], dtype: Int): (Array[Byte], Array[Byte]) = {
+    val bp = bytesPer(dtype)
+    val totalToks = seqs.iterator.map(_.length.toLong).sum
+    require(totalToks * bp <= Int.MaxValue - 64,
+      s"shard too large ($totalToks tokens) — repartition upstream")
+    val bin = ByteBuffer.allocate((totalToks * bp).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    seqs.foreach { s =>
+      s.foreach { t =>
+        dtype match {
+          case DtypeUint16 =>
+            require(t >= 0 && t <= 0xffff,
+              s"token id $t outside uint16 — declare int32 (code 4)")
+            bin.putShort((t & 0xffff).toShort)
+          case DtypeInt32 => bin.putInt(t)
+        }
+      }
+    }
+    val n = seqs.length
+    val idx = ByteBuffer.allocate(
+      Magic.length + 8 + 1 + 8 + 8 + 4 * n + 8 * n + 8 * (n + 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    idx.put(Magic)
+    idx.putLong(1L)                    // version
+    idx.put(dtype.toByte)
+    idx.putLong(n.toLong)              // sequence count
+    idx.putLong((n + 1).toLong)        // doc-index length
+    seqs.foreach(s => idx.putInt(s.length))
+    var ptr = 0L
+    seqs.foreach { s => idx.putLong(ptr); ptr += s.length.toLong * bp }
+    (0 to n).foreach(i => idx.putLong(i.toLong))
+    (bin.array(), idx.array())
+  }
+
+  /** Decode an `.idx`: (dtype, sizes, pointers, docIdx). Refuses on
+    * bad magic/version/dtype or a truncated layout.
+    */
+  def decodeIdx(bytes: Array[Byte]): (Int, Array[Int], Array[Long], Array[Long]) = {
+    require(bytes.length >= Magic.length + 8 + 1 + 8 + 8,
+      "truncated tokbin idx header")
+    require(Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "bad tokbin magic — not an MMIDIDX index")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(Magic.length)
+    val version = bb.getLong
+    require(version == 1L, s"unsupported tokbin version $version")
+    val dtype = bb.get().toInt
+    bytesPer(dtype) // validates the code
+    val n = bb.getLong
+    val d = bb.getLong
+    require(n >= 0 && n <= Int.MaxValue && d >= 0 && d <= Int.MaxValue,
+      s"implausible tokbin counts n=$n d=$d")
+    require(bytes.length.toLong ==
+      Magic.length + 8 + 1 + 8 + 8 + 4 * n + 8 * n + 8 * d,
+      "tokbin idx length disagrees with its counts")
+    val sizes = Array.fill(n.toInt)(bb.getInt)
+    val pointers = Array.fill(n.toInt)(bb.getLong)
+    val docIdx = Array.fill(d.toInt)(bb.getLong)
+    (dtype, sizes, pointers, docIdx)
+  }
+
+  /** Slice sequence `i` out of a `.bin` given its idx triple. */
+  def sliceSeq(bin: Array[Byte], dtype: Int, size: Int,
+      pointer: Long): Array[Int] = {
+    val bp = bytesPer(dtype)
+    require(pointer >= 0 && pointer + size.toLong * bp <= bin.length,
+      s"tokbin pointer $pointer/size $size outside bin of ${bin.length}")
+    val bb = ByteBuffer.wrap(bin, pointer.toInt, size * bp)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      out(i) = dtype match {
+        case DtypeUint16 => bb.getShort & 0xffff
+        case DtypeInt32 => bb.getInt
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------- API
+
+  /** Write `df`'s `tokensCol` (array<int>) as one `part-NNNNN.bin` +
+    * `part-NNNNN.idx` pair per non-empty partition under `path`.
+    * One document per row (the document index is the identity run).
+    */
+  def writeIndexed(df: DataFrame, tokensCol: String, path: String,
+      dtype: Int = DtypeUint16): Unit = {
+    bytesPer(dtype)
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.select(col(tokensCol).cast("array<int>"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val seqs = it.map { r =>
+            val s = r.getSeq[Int](0)
+            require(s != null, "null token sequence — filter upstream")
+            s.toArray
+          }.toSeq
+          val (bin, idx) = encodeShard(seqs, dtype)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          for ((ext, bytes) <- Seq("bin" -> bin, "idx" -> idx)) {
+            val p = new org.apache.hadoop.fs.Path(
+              f"$base/part-$pid%05d.$ext")
+            val (raw, commit) = Containers.createCommitted(hconf.value, p)
+            raw.write(bytes)
+            raw.close()
+            commit()
+          }
+        }
+      }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read every shard pair under `base`: (shard, seq_idx, n_docs,
+    * tokens) — `n_docs` is the shard's document count repeated per
+    * row (the doc-index round-trip surface). File-per-task via the
+    * idx/bin join on the shard stem.
+    */
+  def readIndexed(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val stem = (c: Column) =>
+      regexp_replace(element_at(split(c, "/"), -1), "\\.(idx|bin)$", "")
+    val idx = spark.read.format("binaryFile").load(s"$base/*.idx")
+      .select(stem(col("path")).as("shard"), col("content").as("idx"))
+    val bin = spark.read.format("binaryFile").load(s"$base/*.bin")
+      .select(stem(col("path")).as("shard"), col("content").as("bin"))
+    idx.join(bin, "shard")
+      .as[(String, Array[Byte], Array[Byte])]
+      .flatMap { case (shard, idxBytes, binBytes) =>
+        val (dtype, sizes, pointers, docIdx) = decodeIdx(idxBytes)
+        val nDocs = (docIdx.length - 1).max(0)
+        sizes.indices.iterator.map { i =>
+          (shard, i, nDocs, sliceSeq(binBytes, dtype, sizes(i), pointers(i)))
+        }
+      }
+      .toDF("shard", "seq_idx", "n_docs", "tokens")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.TokBin
+import org.apache.spark.sql.functions._
+
+class TokBinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encodeShard/decodeIdx: the public MMIDIDX layout, hand-checked " +
+      "(r15w3)") {
+    val seqs = Seq(Array(1, 2, 3), Array.empty[Int], Array(65535))
+    val (bin, idx) = TokBin.encodeShard(seqs, TokBin.DtypeUint16)
+    // bin: 4 uint16 LE values
+    assert(bin.length === 8)
+    val bb = ByteBuffer.wrap(bin).order(ByteOrder.LITTLE_ENDIAN)
+    assert(Seq.fill(4)(bb.getShort & 0xffff) === Seq(1, 2, 3, 65535))
+    // idx: hand-walk the header
+    assert(idx.slice(0, 7).map(_.toChar).mkString === "MMIDIDX")
+    assert(idx(7) === 0.toByte && idx(8) === 0.toByte)
+    val ib = ByteBuffer.wrap(idx).order(ByteOrder.LITTLE_ENDIAN)
+    ib.position(9)
+    assert(ib.getLong === 1L)                 // version
+    assert(ib.get() === TokBin.DtypeUint16.toByte)
+    assert(ib.getLong === 3L)                 // seq count
+    assert(ib.getLong === 4L)                 // doc-index length
+    val (dtype, sizes, pointers, docIdx) = TokBin.decodeIdx(idx)
+    assert(dtype === TokBin.DtypeUint16)
+    assert(sizes.toSeq === Seq(3, 0, 1))
+    assert(pointers.toSeq === Seq(0L, 6L, 6L)) // byte offsets
+    assert(docIdx.toSeq === Seq(0L, 1L, 2L, 3L))
+    // slices round-trip, the empty sequence included
+    assert(TokBin.sliceSeq(bin, dtype, 3, 0L).toSeq === Seq(1, 2, 3))
+    assert(TokBin.sliceSeq(bin, dtype, 0, 6L).toSeq === Seq())
+    assert(TokBin.sliceSeq(bin, dtype, 1, 6L).toSeq === Seq(65535))
+  }
+
+  test("int32 dtype carries ids beyond uint16; dtypeFor picks the " +
+      "smallest carrier") {
+    assert(TokBin.dtypeFor(65536) === TokBin.DtypeUint16)
+    assert(TokBin.dtypeFor(65537) === TokBin.DtypeInt32)
+    val (bin, idx) = TokBin.encodeShard(
+      Seq(Array(70000, 5)), TokBin.DtypeInt32)
+    val (dt, sizes, ptrs, _) = TokBin.decodeIdx(idx)
+    assert(TokBin.sliceSeq(bin, dt, sizes(0), ptrs(0)).toSeq ===
+      Seq(70000, 5))
+  }
+
+  test("fail-closed: out-of-range uint16 id, bad magic, bad version, " +
+      "inconsistent counts all refuse") {
+    intercept[IllegalArgumentException] {
+      TokBin.encodeShard(Seq(Array(65536)), TokBin.DtypeUint16)
+    }
+    intercept[IllegalArgumentException] {
+      TokBin.encodeShard(Seq(Array(-1)), TokBin.DtypeUint16)
+    }
+    val (_, idx) = TokBin.encodeShard(Seq(Array(1)), TokBin.DtypeUint16)
+    val badMagic = idx.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException] { TokBin.decodeIdx(badMagic) }
+    val badVer = idx.clone(); badVer(9) = 9.toByte
+    intercept[IllegalArgumentException] { TokBin.decodeIdx(badVer) }
+    intercept[IllegalArgumentException] {
+      TokBin.decodeIdx(idx.dropRight(4)) // truncated layout
+    }
+  }
+
+  test("writeIndexed/readIndexed: disk round trip preserves every " +
+      "sequence, empty sequences and the per-shard doc count") {
+    val dir = java.nio.file.Files.createTempDirectory("tokbin").toString
+    val df = Seq(
+      Tuple1(Seq(5, 6, 7)), Tuple1(Seq.empty[Int]), Tuple1(Seq(65535, 0)))
+      .toDF("tokens").coalesce(1)
+    TokBin.writeIndexed(df, "tokens", dir)
+    val back = TokBin.readIndexed(spark, dir)
+      .orderBy("shard", "seq_idx")
+      .select("seq_idx", "n_docs", "tokens")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(back.toSeq === Seq(
+      (0, 3, Seq(5, 6, 7)), (1, 3, Seq()), (2, 3, Seq(65535, 0))))
+  }
+
+  test("hashTokenIds: pure projection, ids inside the vocab") {
+    val ids = Seq(Tuple1("Hello WORLD hello"))
+      .toDF("text")
+      .select(TokBin.hashTokenIds(col("text"), 65536).as("t"))
+    val got = ids.head().getSeq[Int](0)
+    assert(got.length === 3 && got.forall(i => i >= 0 && i < 65536))
+    // case-folded duplicates hash identically
+    assert(got(0) === got(2))
+    val plan = ids.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
