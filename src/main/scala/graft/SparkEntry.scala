@@ -2481,6 +2481,22 @@ object SparkEntry {
         .orderBy(col("dsir_score").desc, col("doc_id"))
     }),
 
+    // --- Interpolated Kneser-Ney bigram LM scoring (r15 wave 3 —
+    //     the KenLM-class smoothing, one tier above the add-one
+    //     char LM): trained on the full corpus, scoring ids < 100;
+    //     scores are exact integer micro-log sums (the Dsir
+    //     discipline), docs without bigrams unscoreable (null).
+    //     The oracle replays counts, discounting, continuation
+    //     smoothing and flooring with the same evaluation order.
+    "text_kneser_ney" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+      val model = graft.operators.KneserNey.train(all, "text")
+      graft.operators.KneserNey.scoreDocs(
+          all.filter(col("doc_id") < 100), "doc_id", "text", model)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- WET ingestion (r14 — the Common Crawl conversion-record
     //     sidecar most public text corpora actually start from: the
     //     crawl's own plain-text extraction): each payload is
@@ -7458,6 +7474,49 @@ object SparkEntry {
         |  FROM b JOIN ratio r USING (bucket) GROUP BY b.doc_id)
         |SELECT doc_id, s AS dsir_score FROM sc
         |ORDER BY dsir_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // the text_kneser_ney oracle: the full KN replay — bigram /
+    // context / continuation counts off the same tokenization, the
+    // same D=0.75 discount, add-one continuation smoothing, micro-
+    // log flooring, and the unscoreable-null convention
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS v
+        |  FROM toks),
+        |bg AS (SELECT w, v, count(*) AS c_wv FROM bi GROUP BY w, v),
+        |ctx AS (SELECT w, CAST(sum(c_wv) AS BIGINT) AS c_w,
+        |          count(*) AS n1w FROM bg GROUP BY w),
+        |cnt AS (SELECT v, count(*) AS n1rev FROM bg GROUP BY v),
+        |tot AS (SELECT (SELECT count(*) FROM bg) AS b,
+        |  (SELECT count(DISTINCT t) FROM
+        |    (SELECT unnest(ts) AS t FROM toks)) AS vv),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CAST(floor(ln(CASE WHEN ctx.w IS NULL
+        |      THEN (COALESCE(cnt.n1rev, 0) + 1.0) / (tot.b + tot.vv)
+        |      ELSE greatest(COALESCE(bg.c_wv, 0) - 0.75, 0.0) / ctx.c_w
+        |        + 0.75 * ctx.n1w / ctx.c_w *
+        |          ((COALESCE(cnt.n1rev, 0) + 1.0) / (tot.b + tot.vv))
+        |      END) * 1000000) AS BIGINT) AS contrib
+        |  FROM (SELECT doc_id, w, v FROM bi WHERE doc_id < 100) s
+        |  LEFT JOIN bg USING (w, v)
+        |  LEFT JOIN ctx USING (w)
+        |  LEFT JOIN cnt USING (v)
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, count(*) AS nb,
+        |          CAST(sum(contrib) AS BIGINT) AS ks
+        |        FROM sc GROUP BY doc_id)
+        |SELECT i.doc_id, CAST(COALESCE(agg.nb, 0) AS INT) AS n_bigrams,
+        |  agg.ks AS kn_score
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) i
+        |  LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the docs_wet oracle: conversion rows for every uncorrupted id —
     // uri, language and text restated from the fixture formulas

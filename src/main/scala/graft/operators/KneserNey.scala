@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney word-bigram language model (r15 wave 3)
+  * — the smoothing KenLM actually ships (Kneser & Ney 1995; Chen &
+  * Goodman 1999, both public), one tier above the add-one char LM
+  * in [[NgramLm]]: the continuation distribution scores a word by
+  * HOW MANY contexts it follows, not how often — the classic
+  * "San Francisco" correction where a frequent-but-bound word
+  * ("francisco") stops inflating unseen-bigram mass.
+  *
+  * Model quantities (all exact counts):
+  *  - `c(wv)` bigram counts; `c(w·)` context totals;
+  *    `N1+(w·)` distinct continuations per context;
+  *    `N1+(·v)` distinct contexts per continuation;
+  *    `B` distinct bigram types; `V` unigram vocabulary size.
+  *  - `P(v|w) = max(c(wv) − D, 0)/c(w·) + D·N1+(w·)/c(w·) · Pc(v)`
+  *    with discount `D = 0.75` and the continuation distribution
+  *    add-one smoothed for total coverage (the documented
+  *    deviation from textbook KN, which zeroes unseen words):
+  *    `Pc(v) = (N1+(·v) + 1) / (B + V)`. Unseen contexts back off
+  *    to `Pc(v)` alone.
+  *
+  * Document scores are the [[Dsir]] micro-log discipline: per
+  * bigram `floor(ln(P)·10⁶)` as an INTEGER, summed — no float
+  * summation-order drift, every probability replayable in the
+  * DuckDB twin with the same arithmetic evaluation order.
+  *
+  * Scale shape: training is one explode + three counting
+  * aggregations (map-side combining; the model is
+  * bigram-type-bounded — the huge-corpus → small-model collapse);
+  * scoring is one explode + three keyed joins against the model +
+  * one per-doc aggregation. No driver-side model state beyond the
+  * two scalar totals (B, V).
+  */
+object KneserNey {
+
+  /** ln-scale micro units (the Dsir constant). */
+  val MicroLog = 1000000L
+
+  private def bigramPairs(text: Column): Column = {
+    val toks = graft.functions.TextFunctions.tokens(text)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("w"), b.as("v")))
+  }
+
+  /** The trained model: bigram counts, per-context aggregates,
+    * per-continuation aggregates, and the two scalar totals.
+    */
+  final case class Model(
+      bigrams: DataFrame,  // (w, v, c_wv)
+      contexts: DataFrame, // (w, c_w, n1w)
+      cont: DataFrame,     // (v, n1rev)
+      nBigramTypes: Long,  // B
+      vocab: Long)         // V
+
+  /** Train on `df.textCol` (lowered whitespace tokens). One corpus
+    * pass for the bigram stream; the context/continuation tables
+    * derive from the bigram-type table (never a second pass). The
+    * two totals are the only driver-side values.
+    */
+  def train(df: DataFrame, textCol: String): Model = {
+    val bi = df.filter(col(textCol).isNotNull)
+      .select(explode(bigramPairs(col(textCol))).as("p"))
+      .select(col("p.w").as("w"), col("p.v").as("v"))
+    val bigrams = bi.groupBy(col("w"), col("v"))
+      .agg(count(lit(1)).as("c_wv"))
+    val contexts = bigrams.groupBy(col("w"))
+      .agg(sum(col("c_wv")).as("c_w"), count(lit(1)).as("n1w"))
+    val cont = bigrams.groupBy(col("v"))
+      .agg(count(lit(1)).as("n1rev"))
+    val totalsRow = df.filter(col(textCol).isNotNull)
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("t"))
+      .agg(count_distinct(col("t")).as("v")).head()
+    val b = bigrams.count()
+    Model(bigrams, contexts, cont, b, totalsRow.getLong(0))
+  }
+
+  /** The per-bigram probability column, evaluated in the EXACT
+    * operation order the oracle replays: max(c−D,0)/cw +
+    * (D·n1w/cw)·pc, pc = (n1rev+1)/(B+V); unseen context → pc.
+    */
+  private def probCol(cWv: Column, cW: Column, n1w: Column,
+      n1rev: Column, b: Long, v: Long): Column = {
+    val d = lit(0.75)
+    val pc = (coalesce(n1rev, lit(0L)).cast("double") + 1.0) /
+      lit((b + v).toDouble)
+    when(cW.isNull, pc).otherwise(
+      greatest(coalesce(cWv, lit(0L)).cast("double") - d, lit(0.0)) /
+        cW.cast("double") +
+        d * n1w.cast("double") / cW.cast("double") * pc)
+  }
+
+  /** Score documents: (idCol, n_bigrams, kn_score) where kn_score =
+    * Σ floor(ln(P)·10⁶) over the doc's bigrams (exact integer sum)
+    * and docs with no bigrams (< 2 tokens, or null text) are
+    * UNSCOREABLE — null score, never a fake zero that would outrank
+    * real (negative) scores.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      m: Model): DataFrame = {
+    val docBi = docs
+      .select(col(idCol), explode_outer(bigramPairs(col(textCol))).as("p"))
+      .select(col(idCol), col("p.w").as("w"), col("p.v").as("v"))
+    val joined = docBi
+      .join(m.bigrams, Seq("w", "v"), "left")
+      .join(m.contexts, Seq("w"), "left")
+      .join(m.cont, Seq("v"), "left")
+    val contrib = when(col("w").isNull, lit(null).cast("long"))
+      .otherwise(floor(log(probCol(col("c_wv"), col("c_w"), col("n1w"),
+        col("n1rev"), m.nBigramTypes, m.vocab)) * MicroLog).cast("long"))
+    joined
+      .select(col(idCol), col("w"), contrib.as("contrib"))
+      .groupBy(col(idCol))
+      .agg(count(col("w")).cast("int").as("n_bigrams"),
+        sum(col("contrib")).as("kn_score"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.KneserNey
+import org.apache.spark.sql.functions._
+
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: bigrams (a,b), (a,c), (d,b) → B = 3 types, V = {a,b,c,d}
+  private lazy val corpus =
+    Seq((1L, "a b"), (2L, "a c"), (3L, "d b")).toDF("doc_id", "text")
+  private lazy val model = KneserNey.train(corpus, "text")
+
+  private def scoreOf(text: String): (Int, Option[Long]) = {
+    val r = KneserNey.scoreDocs(
+      Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text", model)
+      .head()
+    (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+  }
+
+  private def micro(p: Double): Long =
+    math.floor(math.log(p) * 1e6).toLong
+
+  test("train: bigram/context/continuation counts and totals (r15w3)") {
+    assert(model.nBigramTypes === 3L && model.vocab === 4L)
+    val ctx = model.contexts.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ctx === Map("a" -> (2L, 2L), "d" -> (1L, 1L)))
+    val cont = model.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont === Map("b" -> 2L, "c" -> 1L))
+  }
+
+  test("scoreDocs: seen bigram — discount + continuation mass by hand") {
+    // P(b|a) = max(1−.75,0)/2 + (.75·2/2)·((2+1)/(3+4))
+    val p = 0.25 / 2 + 0.75 * 2 / 2 * (3.0 / 7)
+    assert(scoreOf("a b") === ((1, Some(micro(p)))))
+  }
+
+  test("scoreDocs: unseen bigram under a seen context keeps only the " +
+      "continuation term; unseen continuation gets the add-one floor") {
+    // P(z|a): c(az)=0 → first term 0; Pc(z) = (0+1)/(3+4)
+    val p = 0.0 + 0.75 * 2 / 2 * (1.0 / 7)
+    assert(scoreOf("a z") === ((1, Some(micro(p)))))
+  }
+
+  test("scoreDocs: unseen context backs off to the continuation " +
+      "distribution alone") {
+    // P(b|z) = Pc(b) = (2+1)/(3+4)
+    assert(scoreOf("z b") === ((1, Some(micro(3.0 / 7)))))
+  }
+
+  test("scoreDocs: the Kneser-Ney property — continuation DIVERSITY, " +
+      "not frequency, drives unseen-bigram mass") {
+    // 'b' continues 2 distinct contexts, 'c' only 1, though both
+    // could be made arbitrarily frequent: under an unseen context,
+    // b must outscore c.
+    val (_, Some(sb)) = scoreOf("z b"): @unchecked
+    val (_, Some(sc)) = scoreOf("z c"): @unchecked
+    assert(sb > sc)
+  }
+
+  test("scoreDocs: docs without bigrams are unscoreable (null), " +
+      "never a fake zero") {
+    assert(scoreOf("solo") === ((0, None)))
+    assert(scoreOf("") === ((0, None)))
+    val r = KneserNey.scoreDocs(
+      Seq((9L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text", model).head()
+    assert(r.getInt(1) === 0 && r.isNullAt(2))
+  }
+
+  test("scoreDocs: multi-bigram scores are exact integer sums") {
+    val (n, Some(s)) = scoreOf("a b a c"): @unchecked
+    assert(n === 3)
+    val pab = 0.25 / 2 + 0.75 * 2 / 2 * (3.0 / 7)
+    // P(a|b): context b unseen as context → Pc(a) = (0+1)/7
+    val pba = 1.0 / 7
+    val pac = 0.25 / 2 + 0.75 * 2 / 2 * (2.0 / 7)
+    assert(s === micro(pab) + micro(pba) + micro(pac))
+  }
+}
