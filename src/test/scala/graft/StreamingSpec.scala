@@ -621,4 +621,72 @@ class StreamingSpec extends SparkSpec {
       .orderBy("doc_id", "turn_idx").collect().toSeq
     assert(streamed === batch && batch.size === rows.size * 2)
   }
+
+  test("streaming FIM / code-quality / preference projections == batch " +
+      "(r15w3): the stateless-op discipline for the wave-3 operators") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // FIM rewrite across micro-batch boundaries
+    val fimRows = (1L to 24L).map(id =>
+      (id, s"document $id body with enough characters to be eligible"))
+    val fs = MemoryStream[(Long, String)]
+    val fq = graft.operators.Fim.withFim(
+        fs.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        rate10 = 7, minChars = 20)
+      .writeStream.format("memory").queryName("fim_st")
+      .outputMode(OutputMode.Append).start()
+    fs.addData(fimRows.take(11): _*)
+    fq.processAllAvailable()
+    fs.addData(fimRows.drop(11): _*)
+    fq.processAllAvailable()
+    fq.stop()
+    val fStreamed = spark.table("fim_st").orderBy("doc_id").collect().toSeq
+    val fBatch = graft.operators.Fim.withFim(
+        fimRows.toDF("doc_id", "text"), "doc_id", "text",
+        rate10 = 7, minChars = 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(fStreamed === fBatch)
+    assert(fBatch.exists(_.getBoolean(2)) &&
+      fBatch.exists(!_.getBoolean(2)))
+
+    // code-quality signals
+    val cqRows = (1L to 20L).map(id =>
+      (id, s"line one $id\n// comment $id\n" + "x" * (id.toInt * 7)))
+    val cs2 = MemoryStream[(Long, String)]
+    val cq2 = graft.operators.CodeQuality.withSignals(
+        cs2.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("cq_st")
+      .outputMode(OutputMode.Append).start()
+    cs2.addData(cqRows.take(7): _*)
+    cq2.processAllAvailable()
+    cs2.addData(cqRows.drop(7): _*)
+    cq2.processAllAvailable()
+    cq2.stop()
+    assert(spark.table("cq_st").orderBy("doc_id").collect().toSeq ===
+      graft.operators.CodeQuality.withSignals(
+        cqRows.toDF("doc_id", "text"), "text")
+        .orderBy("doc_id").collect().toSeq)
+
+    // preference-pair projection, invalid rows included
+    val prRows = (1L to 20L).map { id =>
+      val json =
+        if (id % 5 == 0) "broken"
+        else s"""{"prompt":"p$id","chosen":"c$id","rejected":"r$id"}"""
+      (id, json)
+    }
+    val ps = MemoryStream[(Long, String)]
+    val pq = graft.operators.Preference.withPair(
+        ps.toDF().toDF("doc_id", "json"), "json")
+      .writeStream.format("memory").queryName("pref_st")
+      .outputMode(OutputMode.Append).start()
+    ps.addData(prRows.take(9): _*)
+    pq.processAllAvailable()
+    ps.addData(prRows.drop(9): _*)
+    pq.processAllAvailable()
+    pq.stop()
+    assert(spark.table("pref_st").orderBy("doc_id").collect().toSeq ===
+      graft.operators.Preference.withPair(
+        prRows.toDF("doc_id", "json"), "json")
+        .orderBy("doc_id").collect().toSeq)
+  }
 }
