@@ -2329,8 +2329,8 @@ object SparkEntry {
             }
           (id, json)
         }.toDF("doc_id", "json")
-      val valid = graft.operators.Preference.withPair(
-        graft.operators.Preference.filterValid(pairs, "json"), "json")
+      val valid = graft.operators.Preference.withPair(pairs, "json")
+        .filter(col("valid")) // ONE from_json evaluation (staged fold)
       graft.operators.Preference.dedupByPrompt(valid, "doc_id")
         .select(col("doc_id"), col("prompt"))
         .orderBy(col("doc_id"))

@@ -67,8 +67,13 @@ object KneserNey {
     val bi = df.filter(col(textCol).isNotNull)
       .select(explode(bigramPairs(col(textCol))).as("p"))
       .select(col("p.w").as("w"), col("p.v").as("v"))
+    // the bigram-TYPE table is the model's spine: three aggregates,
+    // a count and the scoring join all read it — persist the
+    // vocab-bounded result instead of re-exploding the corpus per
+    // consumer (the r14 IVF train-feature-persist lesson)
     val bigrams = bi.groupBy(col("w"), col("v"))
       .agg(count(lit(1)).as("c_wv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contexts = bigrams.groupBy(col("w"))
       .agg(sum(col("c_wv")).as("c_w"), count(lit(1)).as("n1w"))
     val cont = bigrams.groupBy(col("v"))
@@ -77,7 +82,7 @@ object KneserNey {
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as("t"))
       .agg(count_distinct(col("t")).as("v")).head()
-    val b = bigrams.count()
+    val b = bigrams.count() // also materializes the persist
     Model(bigrams, contexts, cont, b, totalsRow.getLong(0))
   }
 

@@ -51,7 +51,11 @@ object Preference {
       .withColumn("valid", pairValid(p))
   }
 
-  /** Keep only protocol-valid pairs. */
+  /** Keep only protocol-valid pairs. When the projected fields are
+    * ALSO needed, prefer `withPair(df).filter(col("valid"))` — one
+    * `from_json` evaluation instead of two (the staged-fold
+    * discipline from [[Secrets]]).
+    */
   def filterValid(df: DataFrame, jsonCol: String): DataFrame =
     df.filter(pairValid(parsePair(col(jsonCol))))
 
