@@ -2842,6 +2842,31 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // --- Snapshot APPLY (r15 wave 4 — the CDC upsert closing the
+    //     incremental loop): diff(old, new) joined to the new
+    //     payloads becomes the changeset; applying it to OLD must
+    //     reproduce NEW row-for-row. The oracle restates the new
+    //     snapshot closed-form — the whole loop (hash diff → join →
+    //     anti-join → union) has to be lossless to hash green.
+    "docs_snapshot_apply" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val oldSnap = base.filter(pmod(col("doc_id"), lit(11L)) =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newSnap = base.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val changes = graft.operators.SnapshotDiff.diffSnapshots(
+          oldSnap, newSnap, "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+        .withColumnRenamed("key", "doc_id")
+        .join(newSnap, Seq("doc_id"), "left")
+      graft.operators.SnapshotDiff.applySnapshotDiff(
+          oldSnap, changes, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- TFRecord float-list round trip (r14; scalarized r15): the
     //     packed FloatList carrier IS float32, so bits must survive
     //     exactly. The result is SCALAR per row — the driver harness
@@ -5163,6 +5188,28 @@ object SparkEntry {
         .select(col("media_id"), col("x.has_exif").as("has_exif"),
           col("x.orientation").as("orientation"), col("x.make").as("make"),
           col("x.model").as("model"), col("x.datetime").as("datetime"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- EXIF PII scrub (r15 wave 4 — the allowlist rebuild):
+    //     GPS-bearing JPEGs (%3==0, both byte orders) through
+    //     scrubExif — GPS and unknown tags gone BY CONSTRUCTION,
+    //     the retained surface (orientation/make/model/datetime)
+    //     intact, corrupt payloads pass through. Before/after
+    //     parses of the same bytes prove it end-to-end.
+    "mm_exif_scrub" -> ((s, dir) => {
+      val media = Multimodal.synthesizeGpsJpegBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      val before = Multimodal.withExifMeta(media, "payload", "b")
+      val scrubbed = Multimodal.withScrubbedExif(before, "payload", "clean")
+      Multimodal.withExifMeta(scrubbed, "clean", "a")
+        .select(col("media_id"),
+          col("b.has_exif").as("had_exif"),
+          col("b.has_gps").as("had_gps"),
+          col("a.has_exif").as("has_exif_after"),
+          col("a.has_gps").as("has_gps_after"),
+          col("a.orientation").as("orientation_after"),
+          col("a.make").as("make_after"))
         .orderBy(col("media_id"))
     }),
 
@@ -7725,6 +7772,16 @@ object SparkEntry {
         |WHERE text IS NOT NULL
         |  AND NOT (doc_id % 7 = 0 AND doc_id % 11 = 0)
         |ORDER BY key""".stripMargin,
+
+    // the docs_snapshot_apply oracle: the NEW snapshot restated
+    // closed-form — apply(old, diff ⋈ new) must reproduce it exactly
+    "docs_snapshot_apply" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |    AS text
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
     "docs_jsonl_gz" ->
@@ -11225,6 +11282,28 @@ object SparkEntry {
         |       ELSE '2026:01:' || (10 + media_id % 19) || ' ' ||
         |            (10 + media_id % 13) || ':00:00' END AS datetime
         |FROM ids ORDER BY media_id""".stripMargin,
+
+    // the mm_exif_scrub oracle: plants restated — %19 corrupt
+    // passthrough, %3 lattice (GPS / plain / none); GPS never
+    // survives, the allowlisted surface always does
+    "mm_exif_scrub" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id % 19 = 0 AS corrupt,
+        |    doc_id % 3 AS k
+        |  FROM documents WHERE doc_id < 60),
+        |f AS (
+        |  SELECT media_id, corrupt,
+        |    (NOT corrupt AND k <> 2) AS he, (NOT corrupt AND k = 0) AS hg
+        |  FROM ids)
+        |SELECT media_id,
+        |  he AS had_exif,
+        |  hg AS had_gps,
+        |  he AS has_exif_after,
+        |  FALSE AS has_gps_after,
+        |  CASE WHEN he THEN CAST(media_id % 8 + 1 AS INT) END
+        |    AS orientation_after,
+        |  CASE WHEN he THEN 'CAM' || (media_id % 10) END AS make_after
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // the mm_orient oracle: orientation o = id%8+1 applies only when
     // the EXIF block survives (%13 absent, %11 forged → identity);

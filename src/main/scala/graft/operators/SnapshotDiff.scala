@@ -45,4 +45,26 @@ object SnapshotDiff {
     diffSnapshots(oldSnap, newSnap, keyCol, contentCol)
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
+
+  /** APPLY a changeset to a snapshot — the CDC upsert/delete step
+    * that closes the incremental loop: `changes` carries
+    * (keyCol, contentCol, status ∈ added|changed|removed); rows of
+    * `oldSnap` whose key the changeset touches are dropped, the
+    * non-removed changeset rows are appended. By construction
+    * `applySnapshotDiff(old, diff ⋈ new) == new` — the round-trip
+    * identity the gate pins.
+    *
+    * Scale shape: one left-anti join on the key (hash-partitioned;
+    * content bytes never shuffle on the old side beyond the join's
+    * key exchange) + a union — the overwhelming `unchanged` bulk is
+    * NOT in the changeset and flows through untouched.
+    */
+  def applySnapshotDiff(oldSnap: DataFrame, changes: DataFrame,
+      keyCol: String, contentCol: String): DataFrame = {
+    val touched = changes.select(col(keyCol)).distinct()
+    oldSnap.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(
+        changes.filter(col("status") =!= "removed")
+          .select(col(keyCol), col(contentCol)))
+  }
 }

@@ -5254,9 +5254,12 @@ object Multimodal {
 
   /** Extracted EXIF fields; `hasExif` false (all fields null) when
     * the payload carries no APP1 EXIF block or a malformed one.
+    * `hasGps` marks an IFD0 GPS-IFD pointer (tag 0x8825) — the PII
+    * surface [[scrubExif]] removes.
     */
   final case class ExifMeta(hasExif: Boolean, orientation: Integer,
-      make: String, model: String, dateTime: String)
+      make: String, model: String, dateTime: String,
+      hasGps: Boolean = false)
 
   private val NoExif = ExifMeta(hasExif = false, null, null, null, null)
 
@@ -5323,6 +5326,7 @@ object Multimodal {
       new String(b, at, len, java.nio.charset.StandardCharsets.US_ASCII)
     }
     var k = 0
+    var gps = false
     while (k < n) {
       val ep = e0 + 2 + k * 12
       if (ep + 12 > app1End) return NoExif
@@ -5335,11 +5339,12 @@ object Multimodal {
           val v = u16at(ep + 8) // SHORT: first two bytes of the field
           if (v >= 1 && v <= 8) orientation = Integer.valueOf(v)
         case 0x0132 if typ == 2 => dateTime = asciiValue(ep + 8, count)
+        case 0x8825 => gps = true // GPS sub-IFD pointer: the PII flag
         case _ => () // unknown / sub-IFD pointer: walked over, not into
       }
       k += 1
     }
-    ExifMeta(hasExif = true, orientation, make, model, dateTime)
+    ExifMeta(hasExif = true, orientation, make, model, dateTime, gps)
   }
 
   /** Append `outCol`: EXIF struct per payload — the first metadata a
@@ -5352,14 +5357,17 @@ object Multimodal {
       StructField("orientation", IntegerType),
       StructField("make", StringType),
       StructField("model", StringType),
-      StructField("datetime", StringType))), nullable = true)
+      StructField("datetime", StringType),
+      StructField("has_gps", BooleanType, nullable = false))),
+      nullable = true)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
         val p = r.get(idx).asInstanceOf[Array[Byte]]
         val m = parseExif(p)
         Row.fromSeq(r.toSeq :+
-          Row(m.hasExif, m.orientation, m.make, m.model, m.dateTime))
+          Row(m.hasExif, m.orientation, m.make, m.model, m.dateTime,
+            m.hasGps))
       }
     }(Encoders.row(schema))
   }
@@ -5387,11 +5395,16 @@ object Multimodal {
     tiff.write(if (littleEndian) 'I' else 'M')
     tiff.write(if (littleEndian) 'I' else 'M')
     u16(42); u32(8) // IFD0 at offset 8
-    val entries = Seq[(Int, Int, Array[Byte])](
-      (0x010F, 2, make.getBytes("US-ASCII") :+ 0.toByte),
-      (0x0110, 2, model.getBytes("US-ASCII") :+ 0.toByte),
-      (0x0112, 3, null), // SHORT, inline
-      (0x0132, 2, dateTime.getBytes("US-ASCII") :+ 0.toByte))
+    // absent fields (null strings / orientation outside 1..8) simply
+    // omit their entry — the scrub rebuild reinserts only what the
+    // original carried. Tags stay in ascending IFD order.
+    val entries = Seq[Option[(Int, Int, Array[Byte])]](
+      Option(make).map(v => (0x010F, 2, v.getBytes("US-ASCII") :+ 0.toByte)),
+      Option(model).map(v => (0x0110, 2, v.getBytes("US-ASCII") :+ 0.toByte)),
+      if (orientation >= 1 && orientation <= 8)
+        Some((0x0112, 3, null)) else None, // SHORT, inline
+      Option(dateTime).map(v => (0x0132, 2, v.getBytes("US-ASCII") :+ 0.toByte))
+    ).flatten
     u16(entries.length)
     var valOff = 8 + 2 + entries.length * 12 + 4 // after the next-IFD word
     val tail = new java.io.ByteArrayOutputStream()
@@ -5425,6 +5438,186 @@ object Multimodal {
     System.arraycopy(seg.toByteArray, 0, out, 2, seg.size())
     System.arraycopy(jpeg, 2, out, 2 + seg.size(), jpeg.length - 2)
     out
+  }
+
+  /** Insert an APP1 EXIF block that ALSO carries a GPS sub-IFD —
+    * IFD0 with Make / Model / Orientation / DateTime plus the GPS
+    * pointer (tag 0x8825, LONG), the pointed IFD holding
+    * GPSLatitude / GPSLongitude as degree-minute-second RATIONAL
+    * triples. The fixture side of [[scrubExif]]: real-camera
+    * uploads carry exactly this block, and it is the PII a
+    * training-data pipeline must strip.
+    */
+  def insertExifGps(jpeg: Array[Byte], littleEndian: Boolean,
+      orientation: Int, make: String, model: String, dateTime: String,
+      latDms: (Int, Int, Int), lonDms: (Int, Int, Int)): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xFF) == 0xFF &&
+      (jpeg(1) & 0xFF) == 0xD8, "not a JPEG")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (littleEndian) { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+      else { tiff.write((v >> 8) & 0xFF); tiff.write(v & 0xFF) }
+    def u32(v: Long): Unit =
+      if (littleEndian) { tiff.write((v & 0xFF).toInt); tiff.write(((v >> 8) & 0xFF).toInt)
+        tiff.write(((v >> 16) & 0xFF).toInt); tiff.write(((v >> 24) & 0xFF).toInt) }
+      else { tiff.write(((v >> 24) & 0xFF).toInt); tiff.write(((v >> 16) & 0xFF).toInt)
+        tiff.write(((v >> 8) & 0xFF).toInt); tiff.write((v & 0xFF).toInt) }
+    tiff.write(if (littleEndian) 'I' else 'M')
+    tiff.write(if (littleEndian) 'I' else 'M')
+    u16(42); u32(8)
+    val strEntries = Seq(
+      (0x010F, make.getBytes("US-ASCII") :+ 0.toByte),
+      (0x0110, model.getBytes("US-ASCII") :+ 0.toByte),
+      (0x0132, dateTime.getBytes("US-ASCII") :+ 0.toByte))
+    val n0 = strEntries.length + 2 // + orientation + GPS pointer
+    val ifd0Size = 2 + n0 * 12 + 4
+    val tailStart = 8 + ifd0Size
+    val tailLen = strEntries.map { case (_, d) =>
+      if (d.length <= 4) 0 else d.length }.sum
+    val gpsIfdOff = tailStart + tailLen
+    // IFD0, ascending tag order: 010F, 0110, 0112, 0132, 8825
+    u16(n0)
+    var valOff = tailStart
+    val tail = new java.io.ByteArrayOutputStream()
+    def strEntry(tag: Int, data: Array[Byte]): Unit = {
+      u16(tag); u16(2); u32(data.length.toLong)
+      if (data.length <= 4) {
+        data.foreach(x => tiff.write(x & 0xFF))
+        var pad = data.length
+        while (pad < 4) { tiff.write(0); pad += 1 }
+      } else { u32(valOff.toLong); tail.write(data); valOff += data.length }
+    }
+    strEntry(0x010F, strEntries(0)._2)
+    strEntry(0x0110, strEntries(1)._2)
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0)
+    strEntry(0x0132, strEntries(2)._2)
+    u16(0x8825); u16(4); u32(1); u32(gpsIfdOff.toLong)
+    u32(0) // no next IFD
+    tiff.write(tail.toByteArray)
+    // GPS IFD: GPSLatitude (2) + GPSLongitude (4), RATIONAL ×3 each
+    val gpsValsOff = gpsIfdOff + 2 + 2 * 12 + 4
+    u16(2)
+    u16(0x0002); u16(5); u32(3); u32(gpsValsOff.toLong)
+    u16(0x0004); u16(5); u32(3); u32(gpsValsOff.toLong + 24)
+    u32(0)
+    for (v <- Seq(latDms._1, latDms._2, latDms._3,
+        lonDms._1, lonDms._2, lonDms._3)) {
+      u32(v.toLong); u32(1L) // numerator / denominator
+    }
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xFF); seg.write(0xE1)
+    val len = 2 + 6 + t.length
+    seg.write((len >> 8) & 0xFF); seg.write(len & 0xFF)
+    seg.write("Exif".getBytes("US-ASCII")); seg.write(0); seg.write(0)
+    seg.write(t)
+    val out = new Array[Byte](jpeg.length + seg.size())
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(seg.toByteArray, 0, out, 2, seg.size())
+    System.arraycopy(jpeg, 2, out, 2 + seg.size(), jpeg.length - 2)
+    out
+  }
+
+  /** Remove every APP1 "Exif" segment from a JPEG byte stream;
+    * pixels, other segments and the scan are untouched. Total
+    * function — non-JPEG or structurally damaged input passes
+    * through verbatim (copy from the first unparseable offset on).
+    */
+  def stripExifApp1(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 ||
+      (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return b
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write(0xFF); out.write(0xD8)
+    var i = 2
+    var done = false
+    while (!done) {
+      if (i >= b.length) done = true
+      else if (i + 4 > b.length || (b(i) & 0xFF) != 0xFF) {
+        out.write(b, i, b.length - i); done = true
+      } else {
+        val m = b(i + 1) & 0xFF
+        if (m == 0xDA || m == 0xD9) { // scan / EOI: copy the rest
+          out.write(b, i, b.length - i); done = true
+        } else {
+          val len = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+          if (len < 2 || i + 2 + len > b.length) {
+            out.write(b, i, b.length - i); done = true
+          } else {
+            val isExif = m == 0xE1 && len >= 10 &&
+              ascii(b, i + 4, "Exif") && b(i + 8) == 0 && b(i + 9) == 0
+            if (!isExif) out.write(b, i, 2 + len)
+            i += 2 + len
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** EXIF PII scrub — the ALLOWLIST rebuild every public image
+    * pipeline runs before training (GPS position is direct location
+    * PII; stripping only the GPS tag in place leaves unknown
+    * maker-note PII behind): drop the whole APP1 block and reinsert
+    * ONLY the retained surface (orientation — needed for
+    * auto-rotate — make, model, datetime). GPS and every unknown
+    * tag are gone by construction. Pixels byte-identical. Total
+    * function: non-JPEG input passes through verbatim.
+    */
+  def scrubExif(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 ||
+      (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return b
+    val m = parseExif(b)
+    val stripped = stripExifApp1(b)
+    if (!m.hasExif) stripped
+    else insertExif(stripped, littleEndian = true,
+      orientation = if (m.orientation == null) 0 else m.orientation.intValue,
+      make = m.make, model = m.model, dateTime = m.dateTime)
+  }
+
+  /** Append `outCol`: the scrubbed payload. Narrow per-partition
+    * map — the scan-shaped PII pass.
+    */
+  def withScrubbedExif(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, BinaryType, nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(r.toSeq :+ scrubExif(p))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** GPS-bearing EXIF fixture set: %19 corrupt (scrub must pass
+    * through), else id%3 picks GPS-EXIF / plain-EXIF / no-EXIF.
+    */
+  def synthesizeGpsJpegBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val base = synthJpegPayload(id)
+        val bytes =
+          if (id % 19 == 0) { val c = base.clone(); c(0) = 0x00.toByte; c }
+          else if (id % 3 == 0)
+            insertExifGps(base, littleEndian = id % 2 == 0,
+              orientation = (id % 8 + 1).toInt,
+              make = s"CAM${id % 10}", model = s"MOD${id % 7}",
+              dateTime = f"2026:02:${10 + id % 19}%d 12:00:00",
+              latDms = ((id % 90).toInt, (id % 60).toInt, (id % 59).toInt),
+              lonDms = ((id % 180).toInt, (id * 7 % 60).toInt, (id * 11 % 59).toInt))
+          else if (id % 3 == 1)
+            insertExif(base, littleEndian = id % 2 == 0,
+              orientation = (id % 8 + 1).toInt,
+              make = s"CAM${id % 10}", model = s"MOD${id % 7}",
+              dateTime = f"2026:02:${10 + id % 19}%d 12:00:00")
+          else base
+        Row(id, bytes)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Apply an EXIF orientation (1..8) to decoded pixels — the

@@ -1366,6 +1366,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!parseExif(forged).hasExif)
   }
 
+  test("scrubExif: GPS gone, allowlisted surface preserved, pixels " +
+      "byte-identical, idempotent; non-JPEG passes through (r15w4)") {
+    import Multimodal._
+    for (le <- Seq(true, false)) {
+      val jpg = insertExifGps(synthJpegPayload(4), littleEndian = le,
+        orientation = 6, make = "CamX", model = "M9",
+        dateTime = "2026:01:02 03:04:05",
+        latDms = (52, 12, 41), lonDms = (13, 24, 55))
+      val before = parseExif(jpg)
+      assert(before.hasExif && before.hasGps, s"le=$le")
+      assert(before.make === "CamX" && before.orientation === 6, s"le=$le")
+      val clean = scrubExif(jpg)
+      val after = parseExif(clean)
+      assert(after.hasExif && !after.hasGps, s"le=$le")
+      assert(after.orientation === 6 && after.make === "CamX" &&
+        after.model === "M9" &&
+        after.dateTime === "2026:01:02 03:04:05", s"le=$le")
+      // pixels survive bit-for-bit
+      val p0 = decodeJpeg(jpg); val p1 = decodeJpeg(clean)
+      assert(p0 != null && p1 != null &&
+        java.util.Arrays.equals(p0.rgb, p1.rgb), s"le=$le")
+      // idempotent
+      assert(java.util.Arrays.equals(scrubExif(clean), clean), s"le=$le")
+    }
+    // no EXIF at all: scrub = strip = same pixels, still no EXIF
+    val plain = synthJpegPayload(4)
+    assert(!parseExif(scrubExif(plain)).hasExif)
+    assert(decodeJpeg(scrubExif(plain)) != null)
+    // non-JPEG passthrough, null-safe
+    val junk = Array[Byte](1, 2, 3)
+    assert(scrubExif(junk) eq junk)
+    assert(scrubExif(null) == null)
+    // plain insertExif never reports GPS
+    assert(!parseExif(insertExif(plain, littleEndian = true, 1,
+      "A", "B", "2026:01:02 03:04:05")).hasGps)
+  }
+
   test("applyOrientation: all eight EXIF poses positionally correct on " +
       "a labeled grid; involutions hold; withNormalizedImage " +
       "auto-rotates through the PNG round trip (r11)") {

@@ -24,6 +24,25 @@ class SnapshotDiffSpec extends SparkSpec {
       (4L, "added")))
   }
 
+  test("applySnapshotDiff: apply(old, diff ⋈ new) == new — the CDC " +
+      "round-trip identity; unchanged rows flow through untouched " +
+      "(r15w4)") {
+    val changes = SnapshotDiff.diffSnapshots(oldSnap, newSnap,
+        "key", "content")
+      .filter(col("status") =!= "unchanged")
+      .join(newSnap, Seq("key"), "left")
+    val applied = SnapshotDiff.applySnapshotDiff(oldSnap, changes,
+        "key", "content")
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(applied.toSeq === Seq(
+      (1L, "same"), (2L, "new body"), (4L, "brand new")))
+    // an empty changeset is the identity
+    val empty = changes.filter(lit(false))
+      .select(col("key"), col("content"), col("status"))
+    assert(SnapshotDiff.applySnapshotDiff(oldSnap, empty, "key", "content")
+      .orderBy("key").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("diffSummary partial-aggregates the status counts") {
     val m = SnapshotDiff.diffSummary(oldSnap, newSnap, "key", "content")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
