@@ -1864,6 +1864,24 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("doc_id"))
     }),
 
+    // --- Decontamination EVIDENCE spans (r15 wave 4 — the audit
+    //     report: WHICH window matched and WHERE): same plant as
+    //     the 13-gram gate (probes are token slices 5..17 of %15
+    //     docs, so the planted first_token_idx is 4), evidence =
+    //     the matched gram text at its first corpus position.
+    "text_contamination_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300 &&
+          size(TextFunctions.tokens(col("text"))) >= 20)
+      val probes = docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 100000L).as("probe_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 5, 13), " ")
+            .as("ptext"))
+      Dedup.containmentEvidence(docs, "doc_id", "text", probes,
+          "probe_id", "ptext", shingleLen = 13)
+        .orderBy(col("probe_id"), col("doc_id"))
+    }),
+
     // --- Domain-level crawl budget (r12 — the per-host quota every
     //     polite large-scale crawl enforces, composed from three
     //     operators in ONE plan): messy URL spellings (mixed-case
@@ -6940,6 +6958,35 @@ object SparkEntry {
         |    AND array_to_string(dd.t[g.g : g.g + 12], ' ') = p.w
         |  GROUP BY 1, 2)
         |SELECT probe_id, doc_id, CAST(1.0 AS DOUBLE) AS containment
+        |FROM m ORDER BY probe_id, doc_id""".stripMargin,
+
+    // the text_contamination_spans oracle: positional corpus windows
+    // (the range/list_transform zip), the same probe grams, count /
+    // first position / arg_min evidence per matched pair
+    "text_contamination_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        |dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 20),
+        |p AS (
+        |  SELECT DISTINCT doc_id + 100000 AS probe_id,
+        |    array_to_string(t[5:17], ' ') AS gram
+        |  FROM dd WHERE doc_id % 15 = 0),
+        |cg AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(t) - 12)) AS pos,
+        |    unnest(list_transform(range(0, len(t) - 12),
+        |      i -> array_to_string(t[i + 1 : i + 13], ' '))) AS gram
+        |  FROM dd),
+        |m AS (
+        |  SELECT p.probe_id, cg.doc_id,
+        |    CAST(count(*) AS INT) AS n_matched,
+        |    CAST(min(cg.pos) AS INT) AS first_token_idx,
+        |    arg_min(cg.gram, cg.pos) AS evidence
+        |  FROM cg JOIN p USING (gram)
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, doc_id, n_matched, first_token_idx, evidence
         |FROM m ORDER BY probe_id, doc_id""".stripMargin,
 
     // the docs_domain_quota oracle: hosts from the id formula (the

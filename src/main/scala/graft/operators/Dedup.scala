@@ -1053,6 +1053,52 @@ object Dedup {
       .orderBy(col(probeIdCol), col("containment").desc, col(corpusIdCol))
   }
 
+  /** Decontamination EVIDENCE spans (r15 wave 4) — the audit sibling
+    * of [[containmentJoin]]: a contamination report that names WHICH
+    * window matched and WHERE is reviewable and actionable (cut the
+    * span, not the document); a bare score is neither. One row per
+    * (probe, contaminated doc): the shared-window count, the FIRST
+    * matching token index (0-based, in the lowered-whitespace token
+    * stream — the normalization both engines share) and the matched
+    * n-gram text itself.
+    *
+    * Scale shape: identical to [[containmentJoin]] — probe shingles
+    * broadcast (bounded by maxProbes), corpus shingles stream
+    * through one broadcast-hash join, per-pair aggregation with
+    * map-side combining; positions ride the shingle rows as ints.
+    */
+  def containmentEvidence(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, probes: DataFrame, probeIdCol: String,
+      probeTextCol: String, shingleLen: Int = 13,
+      maxProbes: Int = 65536): DataFrame = {
+    require(corpusIdCol != probeIdCol,
+      "probe and corpus id columns must have distinct names (rename one side)")
+    val nProbes = probes.select(col(probeIdCol)).limit(maxProbes + 1).count()
+    require(nProbes <= maxProbes,
+      s"containmentEvidence probe side exceeds maxProbes=$maxProbes rows")
+    def posShingles(text: Column): Column = {
+      val toks = graft.functions.TextFunctions.tokens(text)
+      when(size(toks) >= shingleLen,
+          transform(sequence(lit(0), size(toks) - shingleLen), i =>
+            struct(i.as("pos"),
+              array_join(slice(toks, i + 1, lit(shingleLen)), " ").as("gram"))))
+        .otherwise(array())
+    }
+    val probeSh = probes
+      .select(col(probeIdCol), explode(posShingles(col(probeTextCol))).as("s"))
+      .select(col(probeIdCol), col("s.gram").as("__gram")).distinct()
+    val corpusSh = corpus
+      .select(col(corpusIdCol), explode(posShingles(col(corpusTextCol))).as("s"))
+      .select(col(corpusIdCol), col("s.pos").as("__pos"),
+        col("s.gram").as("__gram"))
+    corpusSh
+      .join(broadcast(probeSh), "__gram")
+      .groupBy(col(probeIdCol), col(corpusIdCol))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        min(col("__pos")).as("first_token_idx"),
+        min_by(col("__gram"), col("__pos")).as("evidence"))
+  }
+
   /** Fuzzy decontamination (r13) — the MinHash/Jaccard companion of
     * [[containmentJoin]]: an EDITED eval twin (a few words changed or
     * appended) shifts every n-gram window that spans an edit, so

@@ -144,6 +144,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("containmentEvidence: names the matched gram and its first token " +
+      "index; repeats counted; silent on clean docs (r15w4)") {
+    val corpus = Seq(
+      (10L, "Alpha beta GAMMA delta epsilon zeta"), // gram at idx 2
+      (11L, "x y x y x y"),                         // "x y" at 0,2,4
+      (12L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (0L, "gamma delta epsilon"),
+      (1L, "x y")
+    ).toDF("probe_id", "text")
+    val got3 = Dedup.containmentEvidence(corpus, "doc_id", "text",
+        probes.filter($"probe_id" === 0L), "probe_id", "text",
+        shingleLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    assert(got3.toSeq === Seq((0L, 10L, 1, 2, "gamma delta epsilon")))
+    val got2 = Dedup.containmentEvidence(corpus, "doc_id", "text",
+        probes.filter($"probe_id" === 1L), "probe_id", "text",
+        shingleLen = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got2.toSeq === Seq((11L, 3, 0)))
+  }
+
   test("containmentJoin: asymmetric leakage — embedded probe scores 1.0 " +
       "where Jaccard would vanish; disjoint probes stay silent") {
     val corpus = Seq(
