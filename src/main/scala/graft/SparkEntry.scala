@@ -2885,6 +2885,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- T5/UL2 span corruption (r15 wave 4 — Raffel et al. 2020's
+    //     denoising objective as a data rewrite): docs >= 30 chars
+    //     get two id-derived spans (one per outer third, 1-8 chars)
+    //     replaced by sentinels in the INPUT; the TARGET is the
+    //     sentinel-joined span contents. Shorter/null docs pass
+    //     through with a null target. ONE pure projection; the
+    //     oracle replays the integer span arithmetic and slices
+    //     verbatim, so a single off-by-one anywhere goes red.
+    "text_span_corrupt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Fim.spanCorrupt(docs, "doc_id", "text",
+          minChars = 30)
+        .select(col("doc_id"), col("corrupted"), col("input"),
+          col("target"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- Q/A pair mining (r15 wave 4 — the FAQ-page SFT bootstrap:
+    //     naturally-occurring question/answer line pairs ARE
+    //     instruction data): %5 ids get a clean planted pair, %7 a
+    //     chained question whose question-successor must NOT pair.
+    //     The pair array is filtered BEFORE posexplode so indices
+    //     stay contiguous; the oracle replays the same line-pair
+    //     lattice over the same plants.
+    "text_qa_pairs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pair5 = when(id % 5 === 0,
+        concat(lit("\nIs doc "), id, lit(" useful?"),
+          lit("\nYes: answer "), id, lit("."))).otherwise(lit(""))
+      val chain7 = when(id % 7 === 0,
+        concat(lit("\nFirst question "), id, lit("?"),
+          lit("\nChained question?"),
+          lit("\n  Final answer "), id, lit("  "))).otherwise(lit(""))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 400)
+        .select(id, concat(col("text"), pair5, chain7).as("text"))
+      graft.functions.TextFunctions.withQaPairs(docs, "doc_id", "text")
+        .orderBy(id, col("pair_idx"))
+    }),
+
     // --- TFRecord float-list round trip (r14; scalarized r15): the
     //     packed FloatList carrier IS float32, so bits must survive
     //     exactly. The result is SCALAR per row — the driver harness
@@ -7485,6 +7527,69 @@ object SparkEntry {
         |      substr(text, least(a, b) + 1, greatest(a, b) - least(a, b))
         |  ELSE text END AS text
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the text_span_corrupt oracle: eligibility, both outer-third
+    // span starts/lengths and the sentinel splice replayed with the
+    // same integer arithmetic (spans only computed for eligible
+    // rows, so third-8 never sees a degenerate modulus)
+    "text_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 250),
+        |c AS (
+        |  SELECT doc_id, text, n, n >= 30 AS elig,
+        |    CAST(floor(n / 3) AS INT) AS third FROM d),
+        |e AS (
+        |  SELECT doc_id, text, n, elig,
+        |    CASE WHEN elig
+        |      THEN CAST((doc_id * 7919) % (third - 8) AS INT) END AS s1,
+        |    CASE WHEN elig THEN CAST(doc_id % 8 + 1 AS INT) END AS l1,
+        |    CASE WHEN elig THEN third * 2 +
+        |      CAST((doc_id * 104729) % (third - 8) AS INT) END AS s2,
+        |    CASE WHEN elig
+        |      THEN CAST((doc_id * 13) % 8 + 1 AS INT) END AS l2
+        |  FROM c)
+        |SELECT doc_id, elig AS corrupted,
+        |  CASE WHEN elig THEN
+        |    substr(text, 1, s1) || '<extra_id_0>' ||
+        |    substr(text, s1 + l1 + 1, s2 - s1 - l1) || '<extra_id_1>' ||
+        |    substr(text, s2 + l2 + 1, n - s2 - l2)
+        |  ELSE text END AS input,
+        |  CASE WHEN elig THEN
+        |    '<extra_id_0>' || substr(text, s1 + 1, l1) ||
+        |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
+        |  END AS target
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_qa_pairs oracle: the plants restated, the same
+    // consecutive-line-pair lattice (question trims to '?', answer
+    // trims non-empty and non-question) over the same '\n' split
+    // with empties kept; parallel unnests zip the filtered pair
+    // list with its 0-based index
+    "text_qa_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Is doc ' ||
+        |      doc_id || ' useful?' || chr(10) || 'Yes: answer ' ||
+        |      doc_id || '.' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'First question '
+        |      || doc_id || '?' || chr(10) || 'Chained question?' ||
+        |      chr(10) || '  Final answer ' || doc_id || '  '
+        |      ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 400),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |f AS (SELECT doc_id, ls,
+        |  list_filter(range(1, len(ls)),
+        |    i -> trim(ls[i]) LIKE '%?' AND length(trim(ls[i+1])) > 0
+        |         AND trim(ls[i+1]) NOT LIKE '%?') AS keep
+        |  FROM l),
+        |e AS (SELECT doc_id, ls,
+        |  unnest(range(len(keep))) AS pi, unnest(keep) AS li
+        |  FROM f)
+        |SELECT doc_id, CAST(pi AS INT) AS pair_idx,
+        |  trim(ls[li]) AS question, trim(ls[li + 1]) AS answer
+        |FROM e ORDER BY doc_id, pair_idx""".stripMargin,
 
     // the text_code_quality oracle: the plants restated, every
     // signal recomputed over the same line split (trailing empties

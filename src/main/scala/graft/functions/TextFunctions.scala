@@ -693,6 +693,36 @@ object TextFunctions {
       " ")
   }
 
+  /** Q/A pair mining (r15 wave 4) — the SFT-data bootstrap that
+    * harvests naturally-occurring question/answer line pairs from a
+    * pretraining corpus (the public self-instruct precursor:
+    * FAQ-style pages ARE instruction data): consecutive line pairs
+    * where the first trims to a '?' ending and the second trims
+    * non-empty and is NOT itself a question (a question chained to
+    * another question carries no answer). Pure whole-plan HOFs —
+    * rides the scan; the array is filtered BEFORE posexplode, so
+    * pair indices are contiguous per document.
+    */
+  def qaPairs(text: Column): Column =
+    when(size(split(text, "\n", -1)) >= 2, {
+      val ls = split(text, "\n", -1)
+      filter(
+        transform(sequence(lit(0), size(ls) - 2), i =>
+          struct(trim(element_at(ls, i + 1)).as("question"),
+            trim(element_at(ls, i + 2)).as("answer"))),
+        s => s.getField("question").endsWith("?") &&
+          length(s.getField("answer")) > 0 &&
+          !s.getField("answer").endsWith("?"))
+    }).otherwise(array())
+
+  /** Explode [[qaPairs]] to (idCol, pair_idx, question, answer). */
+  def withQaPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), posexplode(qaPairs(col(textCol))))
+      .select(col(idCol), col("pos").cast("int").as("pair_idx"),
+        col("col.question").as("question"),
+        col("col.answer").as("answer"))
+
   /** Outlink extraction from raw HTML (r12): href values in double
     * then single quotes, in document order within each quote class —
     * the edge-list producer for the crawl link graph

@@ -78,4 +78,42 @@ object Fim {
     df.withColumn("fim_applied", eligible)
       .withColumn(textCol, when(eligible, rewritten).otherwise(t))
   }
+
+  /** T5/UL2-style SPAN CORRUPTION (Raffel et al. 2020, public): two
+    * deterministic char spans (one per outer third of the document,
+    * 1-8 chars, id-derived) are replaced by `<extra_id_0>` /
+    * `<extra_id_1>` in the INPUT; the TARGET is the sentinel-joined
+    * span contents terminated by `<extra_id_2>` — the
+    * denoising-objective rewrite, as one pure projection with the
+    * same oracle-replayable integer arithmetic as [[withFim]].
+    * Documents under `minChars` (or null) pass through uncorrupted
+    * with a null target.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 30): DataFrame = {
+    require(minChars >= 27, s"minChars $minChars — thirds must exceed " +
+      "the 8-char max span plus one")
+    val id = col(idCol).cast("long")
+    val t = col(textCol)
+    val n = length(t)
+    val eligible = t.isNotNull && n >= minChars
+    val third = floor(n / 3).cast("int")
+    val s1 = pmod(id * 7919L, (third - 8).cast("long")).cast("int")
+    val l1 = (pmod(id, lit(8L)) + 1L).cast("int")
+    val s2 = (third * 2 +
+      pmod(id * 104729L, (third - 8).cast("long")).cast("int"))
+    val l2 = (pmod(id * 13L, lit(8L)) + 1L).cast("int")
+    val span1 = t.substr(s1 + 1, l1)
+    val span2 = t.substr(s2 + 1, l2)
+    val input = concat(
+      t.substr(lit(1), s1), lit("<extra_id_0>"),
+      t.substr(s1 + l1 + 1, s2 - s1 - l1), lit("<extra_id_1>"),
+      t.substr(s2 + l2 + 1, n - s2 - l2))
+    val target = concat(lit("<extra_id_0>"), span1,
+      lit("<extra_id_1>"), span2, lit("<extra_id_2>"))
+    df.withColumn("corrupted", eligible)
+      .withColumn("input", when(eligible, input).otherwise(t))
+      .withColumn("target",
+        when(eligible, target).otherwise(lit(null).cast("string")))
+  }
 }

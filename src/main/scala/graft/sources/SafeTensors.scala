@@ -1,0 +1,371 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** safetensors tensor-file export/ingest (r15 wave 5) — the
+  * HuggingFace checkpoint/dataset interchange format, implemented
+  * from scratch against the PUBLIC layout (huggingface/safetensors,
+  * Apache-2.0; the format doc in that repo's README):
+  *
+  *  - **8 bytes**: `uint64 LE` — byte length N of the JSON header.
+  *  - **N bytes**: UTF-8 JSON object mapping tensor name →
+  *    `{"dtype": "F32", "shape": [r, c], "data_offsets": [b, e]}`
+  *    with offsets RELATIVE to the data section, plus an optional
+  *    `"__metadata__"` string→string object.
+  *  - **data section**: the tensor bytes, little-endian, C-order,
+  *    contiguous — the reference validator requires the offsets to
+  *    tile the section exactly (begin at 0, no gaps/overlaps), and
+  *    so does this reader.
+  *
+  * Fail-closed (the TfRecord/TokBin discipline): unknown dtypes,
+  * non-contiguous offsets, shape/byte-count disagreement, truncated
+  * headers and trailing junk all REFUSE at read time; writes refuse
+  * null ids/vectors and ragged vector dims rather than guessing.
+  *
+  * Scale shape: one `.safetensors` shard per partition with
+  * task-attempt-rename commits; reads are file-per-task (the header
+  * is self-describing, so a 100 TB corpus parallelizes by shard with
+  * zero cross-file state).
+  */
+object SafeTensors {
+
+  /** Supported dtype codes → bytes per element (the subset an
+    * embedding corpus carries; the public table is wider).
+    */
+  private val DtypeBytes: Map[String, Int] =
+    Map("F32" -> 4, "F64" -> 8, "I64" -> 8, "I32" -> 4)
+
+  /** One tensor: dtype, shape, raw little-endian bytes. */
+  final case class Tensor(dtype: String, shape: Seq[Long], data: Array[Byte]) {
+    def nElems: Long = if (shape.isEmpty) 1L else shape.product
+  }
+
+  // ------------------------------------------------- header JSON
+
+  /** Serialize the header for `tensors` in NAME-SORTED order (the
+    * deterministic-shard discipline — byte-identical output for
+    * identical content), metadata first per the public convention.
+    */
+  private[sources] def encodeHeader(tensors: Seq[(String, Tensor)],
+      meta: Seq[(String, String)]): Array[Byte] = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sb = new StringBuilder("{")
+    var first = true
+    if (meta.nonEmpty) {
+      sb.append(js("__metadata__")).append(":{")
+      sb.append(meta.sortBy(_._1).map { case (k, v) =>
+        s"${js(k)}:${js(v)}" }.mkString(","))
+      sb.append("}")
+      first = false
+    }
+    var off = 0L
+    tensors.sortBy(_._1).foreach { case (name, t) =>
+      if (!first) sb.append(",")
+      first = false
+      sb.append(js(name)).append(":{")
+      sb.append(js("dtype")).append(":").append(js(t.dtype)).append(",")
+      sb.append(js("shape")).append(":[")
+        .append(t.shape.mkString(",")).append("],")
+      sb.append(js("data_offsets")).append(":[")
+        .append(off).append(",").append(off + t.data.length).append("]}")
+      off += t.data.length
+    }
+    sb.append("}")
+    sb.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Minimal STRICT JSON reader for safetensors headers: objects,
+    * arrays, strings (with escapes) and non-negative integers only —
+    * anything else in a header is not a valid safetensors file, so
+    * it refuses (fail-closed) rather than guessing.
+    */
+  private[sources] final class HeaderParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      require(i < s.length && s(i) == c,
+        s"safetensors header: expected '$c' at $i")
+      i += 1
+    }
+    def obj(): Vector[(String, Any)] = {
+      expect('{'); ws()
+      val out = Vector.newBuilder[(String, Any)]
+      if (i < s.length && s(i) == '}') { i += 1; return out.result() }
+      var done = false
+      while (!done) {
+        val k = str(); expect(':'); out += (k -> value()); ws()
+        require(i < s.length, "safetensors header: unterminated object")
+        s(i) match {
+          case ',' => i += 1
+          case '}' => i += 1; done = true
+          case c => throw new IllegalArgumentException(
+            s"safetensors header: unexpected '$c' at $i")
+        }
+      }
+      out.result()
+    }
+    private def arr(): Vector[Any] = {
+      expect('['); ws()
+      val out = Vector.newBuilder[Any]
+      if (i < s.length && s(i) == ']') { i += 1; return out.result() }
+      var done = false
+      while (!done) {
+        out += value(); ws()
+        require(i < s.length, "safetensors header: unterminated array")
+        s(i) match {
+          case ',' => i += 1
+          case ']' => i += 1; done = true
+          case c => throw new IllegalArgumentException(
+            s"safetensors header: unexpected '$c' at $i")
+        }
+      }
+      out.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s(i) != '"') {
+        if (s(i) == '\\') {
+          require(i + 1 < s.length, "safetensors header: dangling escape")
+          s(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'u' =>
+              require(i + 6 <= s.length, "safetensors header: short \\u")
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => throw new IllegalArgumentException(
+              s"safetensors header: unsupported escape \\$c")
+          }
+        } else { sb.append(s(i)); i += 1 }
+      }
+      expect('"')
+      sb.toString
+    }
+    private def num(): Long = {
+      ws()
+      val start = i
+      while (i < s.length && s(i).isDigit) i += 1
+      require(i > start, s"safetensors header: expected integer at $start")
+      s.substring(start, i).toLong
+    }
+    private def value(): Any = {
+      ws()
+      require(i < s.length, "safetensors header: truncated value")
+      s(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case c if c.isDigit => num()
+        case c => throw new IllegalArgumentException(
+          s"safetensors header: unsupported value start '$c' — " +
+            "headers carry objects/arrays/strings/integers only")
+      }
+    }
+    def parseAll(): Vector[(String, Any)] = {
+      val o = obj(); ws()
+      require(i == s.length, "safetensors header: trailing junk")
+      o
+    }
+  }
+
+  // ------------------------------------------------- file encode/decode
+
+  /** Assemble one .safetensors file. */
+  def encodeFile(tensors: Seq[(String, Tensor)],
+      meta: Seq[(String, String)] = Nil): Array[Byte] = {
+    tensors.foreach { case (name, t) =>
+      val bp = DtypeBytes.getOrElse(t.dtype, throw new
+          IllegalArgumentException(s"unsupported safetensors dtype ${t.dtype}"))
+      require(t.nElems * bp == t.data.length,
+        s"tensor $name: shape ${t.shape.mkString("x")} (${t.nElems} elems " +
+          s"of $bp B) disagrees with ${t.data.length} data bytes")
+    }
+    val header = encodeHeader(tensors, meta)
+    val dataLen = tensors.iterator.map(_._2.data.length.toLong).sum
+    require(8L + header.length + dataLen <= Int.MaxValue - 64,
+      "safetensors shard too large — repartition upstream")
+    val bb = ByteBuffer.allocate(8 + header.length + dataLen.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(header.length.toLong)
+    bb.put(header)
+    tensors.sortBy(_._1).foreach(t => bb.put(t._2.data))
+    bb.array()
+  }
+
+  /** Parse one .safetensors file → (tensors by name, metadata).
+    * Refuses on truncation, unknown dtypes, byte-count mismatches
+    * and offsets that do not tile the data section exactly.
+    */
+  def decodeFile(bytes: Array[Byte]): (Map[String, Tensor], Map[String, String]) = {
+    require(bytes.length >= 8, "truncated safetensors: no header length")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val hlen = bb.getLong
+    require(hlen > 0 && hlen <= bytes.length - 8,
+      s"safetensors header length $hlen outside file of ${bytes.length}")
+    val header = new String(bytes, 8, hlen.toInt, StandardCharsets.UTF_8)
+    val dataStart = 8 + hlen.toInt
+    val dataLen = bytes.length - dataStart
+    val fields = new HeaderParser(header).parseAll()
+    var meta = Map.empty[String, String]
+    val entries = Vector.newBuilder[(String, String, Seq[Long], Long, Long)]
+    fields.foreach {
+      case ("__metadata__", m: Vector[_]) =>
+        meta = m.collect { case (k: String, v: String) => k -> v }.toMap
+        require(meta.size == m.size,
+          "safetensors __metadata__ must be string->string")
+      case (name, f: Vector[_]) =>
+        val fm = f.collect { case (k: String, v: Any) => k -> v }.toMap
+        val dtype = fm.get("dtype") match {
+          case Some(d: String) => d
+          case _ => throw new IllegalArgumentException(
+            s"safetensors tensor $name: missing dtype")
+        }
+        val shape = fm.get("shape") match {
+          case Some(v: Vector[_]) => v.map {
+            case l: Long => l
+            case x => throw new IllegalArgumentException(
+              s"safetensors tensor $name: non-integer shape $x")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"safetensors tensor $name: missing shape")
+        }
+        val offs = fm.get("data_offsets") match {
+          case Some(Vector(b: Long, e: Long)) => (b, e)
+          case _ => throw new IllegalArgumentException(
+            s"safetensors tensor $name: data_offsets must be [begin, end]")
+        }
+        entries += ((name, dtype, shape, offs._1, offs._2))
+      case (name, _) => throw new IllegalArgumentException(
+        s"safetensors header: $name is not an object")
+    }
+    val es = entries.result()
+    // offsets must tile the data section exactly (the reference
+    // validator's contiguity rule)
+    val sorted = es.sortBy(_._4)
+    var expect = 0L
+    sorted.foreach { case (name, _, _, b, e) =>
+      require(b == expect && e >= b,
+        s"safetensors tensor $name: offsets [$b,$e) leave a gap/overlap " +
+          s"at $expect")
+      expect = e
+    }
+    require(expect == dataLen,
+      s"safetensors data section is $dataLen B but offsets cover $expect")
+    val tensors = es.iterator.map { case (name, dtype, shape, b, e) =>
+      val bp = DtypeBytes.getOrElse(dtype, throw new
+          IllegalArgumentException(s"unsupported safetensors dtype $dtype"))
+      val nel = if (shape.isEmpty) 1L else shape.product
+      require(nel * bp == e - b,
+        s"safetensors tensor $name: shape ${shape.mkString("x")} needs " +
+          s"${nel * bp} B but offsets carry ${e - b}")
+      val data = java.util.Arrays.copyOfRange(
+        bytes, dataStart + b.toInt, dataStart + e.toInt)
+      name -> Tensor(dtype, shape, data)
+    }.toMap
+    require(tensors.size == es.size,
+      "safetensors header: duplicate tensor names")
+    (tensors, meta)
+  }
+
+  // --------------------------------------------------------- API
+
+  /** Write `(idCol: long, vecCol: array<float>)` as one
+    * `part-NNNNN.safetensors` shard per non-empty partition under
+    * `path`: tensor `"vec_id"` I64 `[n]` + tensor `"embedding"` F32
+    * `[n, dim]`. Refuses null ids/vectors and ragged dims.
+    */
+  def writeVectors(df: DataFrame, idCol: String, vecCol: String,
+      path: String, meta: Seq[(String, String)] = Nil): Unit = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val rows = it.map { r =>
+            require(!r.isNullAt(0) && !r.isNullAt(1),
+              "null vec_id/embedding — filter upstream")
+            (r.getLong(0), r.getSeq[Float](1).toArray)
+          }.toVector
+          val dim = rows.head._2.length
+          require(rows.forall(_._2.length == dim),
+            s"ragged embedding dims in shard (expected $dim)")
+          val ids = ByteBuffer.allocate(8 * rows.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          rows.foreach(r => ids.putLong(r._1))
+          val vecs = ByteBuffer.allocate(4 * rows.length * dim)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          rows.foreach(_._2.foreach(vecs.putFloat))
+          val bytes = encodeFile(Seq(
+            "vec_id" -> Tensor("I64", Seq(rows.length.toLong), ids.array()),
+            "embedding" -> Tensor("F32",
+              Seq(rows.length.toLong, dim.toLong), vecs.array())), meta)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(
+            f"$base/part-$pid%05d.safetensors")
+          val (raw, commit) = Containers.createCommitted(hconf.value, p)
+          raw.write(bytes)
+          raw.close()
+          commit()
+        }
+      }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Read every shard under `base` back to (vec_id, embedding) —
+    * file-per-task; each file's `vec_id`/`embedding` pair is zipped
+    * by row with the shape cross-checked.
+    */
+  def readVectors(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$base/*.safetensors")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val (tensors, _) = decodeFile(bytes)
+        val idT = tensors.getOrElse("vec_id", throw new
+            IllegalArgumentException("safetensors shard missing vec_id"))
+        val vecT = tensors.getOrElse("embedding", throw new
+            IllegalArgumentException("safetensors shard missing embedding"))
+        require(idT.dtype == "I64" && vecT.dtype == "F32",
+          s"unexpected dtypes ${idT.dtype}/${vecT.dtype}")
+        val (n, dim) = vecT.shape match {
+          case Seq(r, c) => (r.toInt, c.toInt)
+          case s => throw new IllegalArgumentException(
+            s"embedding tensor must be rank 2, got ${s.mkString("x")}")
+        }
+        require(idT.shape == Seq(n.toLong),
+          s"vec_id shape ${idT.shape.mkString("x")} disagrees with $n rows")
+        val ib = ByteBuffer.wrap(idT.data).order(ByteOrder.LITTLE_ENDIAN)
+        val vb = ByteBuffer.wrap(vecT.data).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).iterator.map { _ =>
+          val id = ib.getLong
+          val v = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { v(j) = vb.getFloat; j += 1 }
+          (id, v)
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
+}

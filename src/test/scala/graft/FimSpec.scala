@@ -75,4 +75,57 @@ class FimSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(!plan.toLowerCase.contains("batchevalpython"))
   }
+
+  private def corruptOf(id: Long, text: String): (Boolean, String, String) = {
+    val r = Fim.spanCorrupt(Seq((id, text)).toDF("doc_id", "text"),
+      "doc_id", "text", minChars = 30)
+      .select("corrupted", "input", "target").head()
+    (r.getBoolean(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getString(2))
+  }
+
+  test("spanCorrupt: splicing the target spans back into the input " +
+      "sentinel slots reproduces the original (r15w4)") {
+    val text = ('a' to 'z').mkString + "0123456789" // n=36
+    for (id <- Seq(0L, 1L, 5L, 13L, 97L)) {
+      val (c, input, target) = corruptOf(id, text)
+      assert(c)
+      // parse target: <extra_id_0>S1<extra_id_1>S2<extra_id_2>
+      val t = target.stripPrefix("<extra_id_0>").stripSuffix("<extra_id_2>")
+      val Array(s1, s2) = t.split(
+        java.util.regex.Pattern.quote("<extra_id_1>"), 2)
+      assert(s1.length >= 1 && s1.length <= 8)
+      assert(s2.length >= 1 && s2.length <= 8)
+      val restored = input
+        .replace("<extra_id_0>", s1).replace("<extra_id_1>", s2)
+      assert(restored === text, s"id=$id")
+    }
+  }
+
+  test("spanCorrupt: spans live in their outer thirds") {
+    val text = "x" * 90 + "Y" * 8 // third=32; span2 start >= 64
+    val (c, _, target) = corruptOf(7L, text)
+    assert(c)
+    // span1 from [0, third-8) of an all-x prefix: all x's
+    val t = target.stripPrefix("<extra_id_0>").stripSuffix("<extra_id_2>")
+    val Array(s1, _) = t.split(
+      java.util.regex.Pattern.quote("<extra_id_1>"), 2)
+    assert(s1.forall(_ == 'x'), s"span1 must come from the first third: $s1")
+  }
+
+  test("spanCorrupt: short and null docs pass through, target null") {
+    val (c1, in1, tg1) = corruptOf(3L, "too short")
+    assert(!c1 && in1 === "too short" && tg1 === null)
+    val r = Fim.spanCorrupt(Seq((4L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").select("corrupted", "input", "target").head()
+    assert(!r.getBoolean(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("spanCorrupt: one projection, no shuffle (plan pin)") {
+    val df = Fim.spanCorrupt(
+      Seq((1L, "abcdefghijklmnopqrstuvwxyz0123456789")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

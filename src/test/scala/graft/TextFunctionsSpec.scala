@@ -627,4 +627,39 @@ class TextFunctionsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(2L, 4L))
   }
+
+  test("qaPairs: consecutive Q->A lines mined, chained questions and " +
+      "empty answers skipped, indices contiguous (r15w4)") {
+    val text = Seq(
+      "Intro line.",
+      "What is graft?",          // Q0 -> answered
+      "A Spark-native engine.",
+      "Is it fast?",             // Q -> next is also a question: skip
+      "Does it scale?",          // Q1 -> answered (trimmed)
+      "  Yes, to 100 TB.  ",
+      "Orphan question at end?", // Q -> empty next line: skip
+      "").mkString("\n")
+    val rows = TextFunctions.withQaPairs(
+      Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("pair_idx").collect()
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 1))
+    assert(rows(0).getString(2) === "What is graft?")
+    assert(rows(0).getString(3) === "A Spark-native engine.")
+    assert(rows(1).getString(2) === "Does it scale?")
+    assert(rows(1).getString(3) === "Yes, to 100 TB.", "answers are trimmed")
+  }
+
+  test("qaPairs: single-line, empty and null docs yield no pairs") {
+    val rows = TextFunctions.withQaPairs(
+      Seq((1L, "just one line?"), (2L, ""), (3L, null: String))
+        .toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(rows.isEmpty)
+  }
+
+  test("qaPairs: no shuffle (generate over one projection, plan pin)") {
+    val df = TextFunctions.withQaPairs(
+      Seq((1L, "q?\na")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
