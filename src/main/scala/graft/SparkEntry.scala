@@ -2966,6 +2966,34 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // --- safetensors round trip (r15 wave 5 — the HuggingFace
+    //     tensor-interchange format): vec_id I64 + embedding F32
+    //     [n, dim] shards written per-partition, read back file-per-
+    //     task, and compared element-wise against the raw parquet.
+    //     Scalar result columns only (the vec_tfrecord lesson);
+    //     n_exact = dim proves every float bit survived.
+    "vec_safetensors" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val path = gateIndexPath(dir, "safetensors_vec_gate")
+      graft.sources.SafeTensors.writeVectors(vecs, "vec_id", "embedding",
+        path, meta = Seq("source" -> "graft_gate"))
+      graft.sources.SafeTensors.readVectors(s, path).alias("rt")
+        .join(vecs.alias("orig"), Seq("vec_id"))
+        .select(col("vec_id"),
+          size(col("rt.embedding")).cast("long").as("dim"),
+          aggregate(
+            zip_with(col("rt.embedding"), col("orig.embedding"),
+              (a, b) => when(a <=> b, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("n_exact"),
+          aggregate(col("rt.embedding"), lit(0L),
+            (acc, x) => acc +
+              floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+            .as("checksum"))
+        .orderBy(col("vec_id"))
+    }),
+
     "docs_jsonl_gz" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("doc_id") < 300)
@@ -7888,6 +7916,19 @@ object SparkEntry {
     // the floor(x*1e6) checksum from the raw floats with the same
     // exact IEEE double arithmetic
     "vec_tfrecord" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(len(embedding) AS BIGINT) AS n_exact,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |    AS BIGINT) AS checksum
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
+    // the vec_safetensors oracle: identical to vec_tfrecord's — the
+    // safetensors F32 payload must round-trip bit-exactly, so
+    // n_exact = dim and the floor(x*1e6) checksum recomputes from
+    // the raw parquet with the same exact IEEE double arithmetic
+    "vec_safetensors" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
         |  CAST(len(embedding) AS BIGINT) AS n_exact,

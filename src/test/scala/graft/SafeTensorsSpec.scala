@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import graft.sources.SafeTensors
+import graft.sources.SafeTensors.Tensor
+
+class SafeTensorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-assemble a file (independent of encodeFile) so the decoder
+    * is proven against the PUBLIC layout, not our own writer.
+    */
+  private def handFile(header: String, data: Array[Byte]): Array[Byte] = {
+    val h = header.getBytes(StandardCharsets.UTF_8)
+    val bb = ByteBuffer.allocate(8 + h.length + data.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(h.length.toLong).put(h).put(data)
+    bb.array()
+  }
+
+  private def f32(vs: Float*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
+    vs.foreach(bb.putFloat)
+    bb.array()
+  }
+
+  test("decodeFile: hand-assembled two-tensor file with metadata " +
+      "(r15w5, public layout)") {
+    val data = f32(1.5f, -2.0f, 3.25f) ++
+      { val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+        b.putLong(7L).putLong(-9L); b.array() }
+    val header =
+      """{"__metadata__":{"format":"pt"},
+        |"emb":{"dtype":"F32","shape":[3],"data_offsets":[0,12]},
+        |"ids":{"dtype":"I64","shape":[2],"data_offsets":[12,28]}}"""
+        .stripMargin.replace("\n", " ")
+    val (tensors, meta) = SafeTensors.decodeFile(handFile(header, data))
+    assert(meta === Map("format" -> "pt"))
+    assert(tensors("emb").dtype === "F32")
+    assert(tensors("emb").shape === Seq(3L))
+    val eb = ByteBuffer.wrap(tensors("emb").data).order(ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(eb.getFloat, eb.getFloat, eb.getFloat) === Seq(1.5f, -2.0f, 3.25f))
+    val ib = ByteBuffer.wrap(tensors("ids").data).order(ByteOrder.LITTLE_ENDIAN)
+    assert((ib.getLong, ib.getLong) === ((7L, -9L)))
+  }
+
+  test("decodeFile: fail-closed on every damage class") {
+    val ok = handFile(
+      """{"t":{"dtype":"F32","shape":[2],"data_offsets":[0,8]}}""",
+      f32(1f, 2f))
+    SafeTensors.decodeFile(ok) // sanity: the base case parses
+    // truncated header length
+    intercept[IllegalArgumentException](
+      SafeTensors.decodeFile(Array[Byte](1, 2, 3)))
+    // header length beyond the file
+    val bad = ok.clone(); bad(0) = 127
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(bad))
+    // unknown dtype
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"Q4","shape":[2],"data_offsets":[0,8]}}""",
+      f32(1f, 2f))))
+    // shape/byte disagreement
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"F32","shape":[3],"data_offsets":[0,8]}}""",
+      f32(1f, 2f))))
+    // offsets leave a gap (do not tile the data section)
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"F32","shape":[1],"data_offsets":[4,8]}}""",
+      f32(1f, 2f))))
+    // offsets do not cover the whole section
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"F32","shape":[1],"data_offsets":[0,4]}}""",
+      f32(1f, 2f))))
+    // non-integer (float) number in header → strict parser refuses
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"F32","shape":[2.0],"data_offsets":[0,8]}}""",
+      f32(1f, 2f))))
+    // trailing junk after the header object
+    intercept[IllegalArgumentException](SafeTensors.decodeFile(handFile(
+      """{"t":{"dtype":"F32","shape":[2],"data_offsets":[0,8]}} x""",
+      f32(1f, 2f))))
+  }
+
+  test("encodeFile/decodeFile round-trip is bit-exact and name-sorted " +
+      "deterministic") {
+    val t1 = "b_vecs" -> Tensor("F32", Seq(2L, 2L), f32(1f, 2f, 3f, 4f))
+    val t2 = "a_ids" -> Tensor("I64", Seq(1L),
+      { val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.putLong(42L); b.array() })
+    val enc1 = SafeTensors.encodeFile(Seq(t1, t2), Seq("k" -> "v"))
+    val enc2 = SafeTensors.encodeFile(Seq(t2, t1), Seq("k" -> "v"))
+    assert(enc1.sameElements(enc2), "input order must not change bytes")
+    val (ts, meta) = SafeTensors.decodeFile(enc1)
+    assert(meta === Map("k" -> "v"))
+    assert(ts("b_vecs").data.sameElements(t1._2.data))
+    assert(ts("a_ids").shape === Seq(1L))
+    // encode refuses a shape/byte mismatch
+    intercept[IllegalArgumentException](SafeTensors.encodeFile(
+      Seq("x" -> Tensor("F32", Seq(3L), f32(1f, 2f)))))
+  }
+
+  test("writeVectors/readVectors: distributed round-trip preserves " +
+      "ids and float bits across shards") {
+    val dir = java.nio.file.Files.createTempDirectory("stspec").toString
+    val df = (0L until 97L).map(i =>
+        (i, Array.tabulate(8)(j => (i * 31 + j).toFloat / 7f)))
+      .toDF("vec_id", "embedding").repartition(5)
+    SafeTensors.writeVectors(df, "vec_id", "embedding", dir,
+      meta = Seq("source" -> "spec"))
+    val back = SafeTensors.readVectors(spark, dir)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(back.length === 97)
+    back.foreach { case (id, v) =>
+      val want = Array.tabulate(8)(j => (id * 31 + j).toFloat / 7f)
+      assert(v.toSeq === want.toSeq, s"id=$id")
+    }
+    // shard files are self-describing: every part parses standalone
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".safetensors"))
+    assert(parts.length > 1, "expected multiple shards")
+    val (ts, meta) = SafeTensors.decodeFile(
+      java.nio.file.Files.readAllBytes(parts.head.toPath))
+    assert(meta === Map("source" -> "spec"))
+    assert(ts.contains("vec_id") && ts.contains("embedding"))
+  }
+}
