@@ -2618,6 +2618,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- CDXJ capture-index ingest + freshest-capture dedup (r15
+    //     wave 5 — the pywb/Common Crawl index convention): planted
+    //     capture lines (%3 ids re-crawled a month later with a new
+    //     digest and a 304; %11 ids also emit a junk line that must
+    //     degrade to null fields and be DROPPED, never grouped into
+    //     a fake key), parsed with pure Catalyst regex + from_json,
+    //     then ONE map-side-combining max_by per SURT key. The
+    //     oracle restates the plants closed-form, including the
+    //     timestamp→capture-day parse.
+    "crawl_cdx" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = id % 37
+      val dd = lpad((id % 28 + 1).cast("string"), 2, "0")
+      val hh = lpad((id % 24).cast("string"), 2, "0")
+      val mi = lpad((id % 60).cast("string"), 2, "0")
+      val ss = lpad((id * 7 % 60).cast("string"), 2, "0")
+      val urlkey = concat(lit("com,ex,h"), host, lit(")/p/"), id)
+      def block(status: String, digestPre: String) = concat(
+        lit("{\"url\": \"https://h"), host, lit(".ex.com/p/"), id,
+        lit("\", \"mime\": \"text/html\", \"status\": \"" + status +
+          "\", \"digest\": \"" + digestPre), id,
+        lit("\", \"length\": \""), id + 100,
+        lit("\", \"offset\": \""), id * 13,
+        lit("\", \"filename\": \"crawl-"), id % 5, lit(".warc.gz\"}"))
+      val base = Tables.documents(s, dir).filter(id < 400).select(id)
+      val cap1 = base.select(concat(urlkey, lit(" "),
+        concat(lit("202401"), dd, hh, mi, ss), lit(" "),
+        block("200", "sha1:G")).as("line"))
+      val cap2 = base.filter(id % 3 === 0).select(concat(urlkey, lit(" "),
+        concat(lit("202402"), dd, hh, mi, ss), lit(" "),
+        block("304", "sha1:H")).as("line"))
+      val junk = base.filter(id % 11 === 0)
+        .select(concat(lit("not a capture "), id).as("line"))
+      val parsed = graft.sources.Cdx.withCaptures(
+        cap1.union(cap2).union(junk), "line")
+      graft.sources.Cdx.latestCaptures(parsed)
+        .orderBy(col("urlkey"))
+    }),
+
     // --- Crawl-to-corpus composition (r12 — the whole ingestion
     //     chain as ONE lazy plan): WARC walk → HTTP strip →
     //     stripHtml → PII redaction → exact corpus dedup. Plants:
@@ -7784,6 +7823,34 @@ object SparkEntry {
     // formula (independent derivation from the canonicalization
     // rules), the attribute CTE chain for gopher + langid, the
     // min-id same-page window
+    // the crawl_cdx oracle: every output field restated closed-form
+    // from the id lattice — the %3 re-crawl wins the max_by (month
+    // 02, digest H, status 304), junk lines contribute nothing, and
+    // the capture_day replays the yyyyMMddHHmmss parse
+    "crawl_cdx" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd,
+        |    lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') AS hh,
+        |    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS mi,
+        |    lpad(CAST(doc_id * 7 % 60 AS VARCHAR), 2, '0') AS ss
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT 'com,ex,h' || (doc_id % 37) || ')/p/' || doc_id AS urlkey,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_captures,
+        |  CAST((CASE WHEN doc_id % 3 = 0 THEN '202402' ELSE '202401' END)
+        |    || dd || hh || mi || ss AS BIGINT) AS ts_latest,
+        |  (CASE WHEN doc_id % 3 = 0 THEN '2024-02-' ELSE '2024-01-' END)
+        |    || dd AS capture_day,
+        |  'https://h' || (doc_id % 37) || '.ex.com/p/' || doc_id AS url,
+        |  'text/html' AS mime,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 304 ELSE 200 END AS INT)
+        |    AS status,
+        |  CAST(doc_id + 100 AS BIGINT) AS warc_length,
+        |  CAST(doc_id * 13 AS BIGINT) AS warc_offset,
+        |  'crawl-' || (doc_id % 5) || '.warc.gz' AS warc_file
+        |FROM d ORDER BY urlkey""".stripMargin,
+
     "pipeline_wet" -> {
       val base = "SELECT doc_id, text FROM documents WHERE text IS " +
         "NOT NULL AND doc_id < 150 AND doc_id % 19 <> 0"

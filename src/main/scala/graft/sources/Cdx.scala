@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDX(J) web-archive capture index (r15 wave 5) — the line format
+  * every WARC-backed archive keys its captures by (the PUBLIC
+  * pywb/OpenWayback "cdxj" convention, also Common Crawl's
+  * `cc-index`): one line per capture,
+  *
+  *   `<urlkey> <timestamp14> {json}`
+  *
+  * where `urlkey` is the SURT form of the captured URL
+  * ([[graft.functions.TextFunctions.surtKey]]), `timestamp14` is
+  * `yyyyMMddHHmmss`, and the JSON block carries the capture fields
+  * as STRINGS (`url`, `mime`, `status`, `digest`, `length`,
+  * `offset`, `filename` — offset/filename point into the WARC the
+  * bytes live in).
+  *
+  * Pure Catalyst all the way down: the line splits on the first two
+  * spaces by regex (the JSON block itself contains spaces), the
+  * block parses with `from_json`, and malformed lines degrade to
+  * null fields (total function — one bad line must never kill a
+  * 100 TB index scan). The index is the join surface between crawl
+  * scheduling (what do we have, and how fresh) and fetch planning;
+  * [[latestCaptures]] is the dedup-to-freshest step both sides key
+  * on, a single map-side-combining aggregate on the SURT key.
+  */
+object Cdx {
+
+  /** JSON block schema — capture fields carry as strings per the
+    * public convention; numeric casts are applied after parse.
+    */
+  val BlockSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("mime", StringType),
+    StructField("status", StringType),
+    StructField("digest", StringType),
+    StructField("length", StringType),
+    StructField("offset", StringType),
+    StructField("filename", StringType)))
+
+  private val LineRe = "^(\\S+) (\\d{14}) (\\{.*\\})$"
+
+  /** Parse a CDXJ line column → typed capture columns. Malformed
+    * lines (bad shape, non-14-digit timestamp, unparsable JSON)
+    * yield null fields, never errors.
+    */
+  def withCaptures(df: DataFrame, lineCol: String): DataFrame = {
+    val line = col(lineCol)
+    val key = regexp_extract(line, LineRe, 1)
+    val ts = regexp_extract(line, LineRe, 2)
+    val blk = from_json(regexp_extract(line, LineRe, 3), BlockSchema)
+    df.withColumn("urlkey", when(length(key) > 0, key))
+      .withColumn("cdx_ts", when(length(ts) > 0, ts.cast("long")))
+      .withColumn("capture_day", date_format(
+        to_timestamp(when(length(ts) > 0, ts), "yyyyMMddHHmmss"),
+        "yyyy-MM-dd"))
+      .withColumn("url", blk.getField("url"))
+      .withColumn("mime", blk.getField("mime"))
+      .withColumn("status", blk.getField("status").cast("int"))
+      .withColumn("digest", blk.getField("digest"))
+      .withColumn("warc_length", blk.getField("length").cast("long"))
+      .withColumn("warc_offset", blk.getField("offset").cast("long"))
+      .withColumn("warc_file", blk.getField("filename"))
+  }
+
+  /** Freshest capture per urlkey: ONE map-side-combining aggregate
+    * (`max_by` on the 14-digit timestamp with the digest as a
+    * deterministic tie-break), plus the capture count — the
+    * re-crawl-frequency signal scheduling reads. Null-keyed rows
+    * (malformed lines) are dropped, never grouped into a fake key.
+    */
+  def latestCaptures(parsed: DataFrame): DataFrame = {
+    val pick = struct(col("cdx_ts"), col("digest"), col("capture_day"),
+      col("url"), col("mime"), col("status"),
+      col("warc_length"), col("warc_offset"), col("warc_file"))
+    parsed.filter(col("urlkey").isNotNull && col("cdx_ts").isNotNull)
+      .groupBy(col("urlkey"))
+      .agg(count(lit(1)).as("n_captures"),
+        max_by(pick, struct(col("cdx_ts"), col("digest"))).as("c"))
+      .select(col("urlkey"), col("n_captures"),
+        col("c.cdx_ts").as("ts_latest"),
+        col("c.capture_day").as("capture_day"),
+        col("c.url").as("url"), col("c.mime").as("mime"),
+        col("c.status").as("status"),
+        col("c.warc_length").as("warc_length"),
+        col("c.warc_offset").as("warc_offset"),
+        col("c.warc_file").as("warc_file"))
+  }
+
+  /** Render capture columns back to a CDXJ line (the export side —
+    * key-sorted shards are the archive convention; sort upstream
+    * with `repartitionByRange(urlkey).sortWithinPartitions`). JSON
+    * field order is fixed, values escaped by `to_json`.
+    */
+  def toCdxjLine(urlkey: Column, ts: Column, url: Column, mime: Column,
+      status: Column, digest: Column, length: Column, offset: Column,
+      filename: Column): Column =
+    concat(urlkey, lit(" "), lpad(ts.cast("string"), 14, "0"), lit(" "),
+      to_json(struct(url.as("url"), mime.as("mime"),
+        status.cast("string").as("status"), digest.as("digest"),
+        length.cast("string").as("length"),
+        offset.cast("string").as("offset"), filename.as("filename"))))
+}

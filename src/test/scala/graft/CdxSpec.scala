@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.Cdx
+import org.apache.spark.sql.functions._
+
+class CdxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    """com,example)/page 20240315123045 {"url": "https://example.com/page", """ +
+      """"mime": "text/html", "status": "200", "digest": "sha1:AB", """ +
+      """"length": "512", "offset": "2048", "filename": "c-00.warc.gz"}"""
+
+  test("withCaptures: parses key, timestamp, day and every JSON " +
+      "field; numerics typed (r15w5)") {
+    val r = Cdx.withCaptures(Seq(good).toDF("line"), "line").head()
+    assert(r.getAs[String]("urlkey") === "com,example)/page")
+    assert(r.getAs[Long]("cdx_ts") === 20240315123045L)
+    assert(r.getAs[String]("capture_day") === "2024-03-15")
+    assert(r.getAs[String]("url") === "https://example.com/page")
+    assert(r.getAs[Int]("status") === 200)
+    assert(r.getAs[Long]("warc_length") === 512L)
+    assert(r.getAs[Long]("warc_offset") === 2048L)
+    assert(r.getAs[String]("warc_file") === "c-00.warc.gz")
+  }
+
+  test("withCaptures: malformed lines degrade to null fields, never " +
+      "errors (total function)") {
+    val rows = Cdx.withCaptures(Seq(
+      "not a cdx line",
+      "key)/x 2024031512 {\"url\": \"u\"}",        // 10-digit ts
+      "key)/y 20240315123045 not-json").toDF("line"), "line")
+      .select("urlkey", "cdx_ts", "url").collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0), "short timestamp must fail the whole line")
+    // shape matches but the block is junk → regex refuses (no brace)
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(2))
+  }
+
+  test("latestCaptures: freshest wins, count kept, null keys dropped") {
+    val lines = Seq(
+      good,
+      good.replace("20240315123045", "20240401000000")
+        .replace("sha1:AB", "sha1:CD").replace("\"status\": \"200\"",
+          "\"status\": \"304\""),
+      "junk that parses to nulls").toDF("line")
+    val out = Cdx.latestCaptures(Cdx.withCaptures(lines, "line")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_captures") === 2L)
+    assert(r.getAs[Long]("ts_latest") === 20240401000000L)
+    assert(r.getAs[String]("capture_day") === "2024-04-01")
+    assert(r.getAs[Int]("status") === 304)
+  }
+
+  test("toCdxjLine round-trips through withCaptures") {
+    val df = Seq(("com,ex)/p", 20240102030405L, "https://ex.com/p",
+        "text/html", 200, "sha1:ZZ", 99L, 7L, "w.warc.gz"))
+      .toDF("k", "ts", "u", "m", "st", "dg", "len", "off", "fn")
+      .select(Cdx.toCdxjLine(col("k"), col("ts"), col("u"), col("m"),
+        col("st"), col("dg"), col("len"), col("off"), col("fn")).as("line"))
+    val r = Cdx.withCaptures(df, "line").head()
+    assert(r.getAs[String]("urlkey") === "com,ex)/p")
+    assert(r.getAs[Long]("cdx_ts") === 20240102030405L)
+    assert(r.getAs[String]("url") === "https://ex.com/p")
+    assert(r.getAs[Int]("status") === 200)
+    assert(r.getAs[Long]("warc_length") === 99L)
+  }
+
+  test("latestCaptures plan: one map-side-combining aggregate, no " +
+      "window, no join") {
+    val df = Cdx.latestCaptures(
+      Cdx.withCaptures(Seq(good).toDF("line"), "line"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    // struct-typed max_by lands in SortAggregate; the scale property
+    // is the PARTIAL (map-side) aggregate before the one exchange
+    assert(plan.contains("partial_max_by"), plan)
+  }
+}
