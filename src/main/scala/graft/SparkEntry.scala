@@ -538,6 +538,23 @@ object SparkEntry {
         qs, "query_id", "q_vec", "q_label", k = 3, metric = "cosine")
     }),
 
+    // --- Margin-based bitext mining (r15 wave 5 — the LASER/
+    //     CCMatrix parallel-pair recipe): even vec_ids < 40 as the
+    //     source side, odd < 400 as the target; forward+backward
+    //     4-NN candidates scored by the integer ratio margin and
+    //     filtered to margin >= 1e6 (above-neighborhood-average).
+    //     The oracle replays ranks, micro sims, order-free sums and
+    //     the integral division exactly.
+    "emb_bitext" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("vec_id") < 40 && col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") < 400 && col("vec_id") % 2 === 1)
+      graft.operators.Bitext.minePairs(
+          src, "vec_id", "embedding", tgt, "vec_id", "embedding",
+          k = 4, minMarginMicro = 1000000L)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
     // --- F6/F4/F5: verdict-label extraction over synthetic answers —
     //     distribution of extracted labels (exercises the
     //     both-labels-present SUPPORTS-first order quirk,
@@ -6542,6 +6559,43 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the emb_bitext oracle: brute-force cosine ranks per direction
+    // (rounded distance + id tie order — knnJoin's exact semantics),
+    // micro sims, order-free neighborhood sums, the UNION-distinct
+    // candidate set and the integral margin division replayed
+    "emb_bitext" ->
+      """WITH s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 40 AND vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 400 AND vec_id % 2 = 1),
+        |d AS (SELECT sid, tid,
+        |        round(1.0 - list_cosine_similarity(t.v, s.v), 6) AS dist
+        |      FROM s CROSS JOIN t),
+        |d2 AS (SELECT sid, tid, dist,
+        |         2000000 - CAST(round(dist * 1000000) AS BIGINT) AS sim
+        |       FROM d),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY sid
+        |        ORDER BY dist, tid) AS rk FROM d2),
+        |b AS (SELECT *, row_number() OVER (PARTITION BY tid
+        |        ORDER BY dist, sid) AS rk FROM d2),
+        |fk AS (SELECT sid, tid, sim FROM f WHERE rk <= 4),
+        |bk AS (SELECT sid, tid, sim FROM b WHERE rk <= 4),
+        |sf AS (SELECT sid, SUM(sim) AS sumf, COUNT(*) AS nf
+        |       FROM fk GROUP BY sid),
+        |sb AS (SELECT tid, SUM(sim) AS sumb, COUNT(*) AS nb
+        |       FROM bk GROUP BY tid),
+        |c AS (SELECT sid, tid, sim FROM fk
+        |      UNION SELECT sid, tid, sim FROM bk),
+        |m AS (SELECT c.sid, c.tid, c.sim,
+        |        c.sim * (sf.nf + sb.nb) * 1000000 // (sf.sumf + sb.sumb)
+        |          AS margin
+        |      FROM c JOIN sf ON c.sid = sf.sid JOIN sb ON c.tid = sb.tid)
+        |SELECT sid AS src_id, tid AS tgt_id,
+        |  CAST(sim AS BIGINT) AS sim_micro,
+        |  CAST(margin AS BIGINT) AS margin_micro
+        |FROM m WHERE margin >= 1000000
+        |ORDER BY src_id, tgt_id""".stripMargin,
 
     "pipeline_labels" ->
       s"""WITH a AS (SELECT ${synthAnswerSql(0)} AS answer FROM embeddings)

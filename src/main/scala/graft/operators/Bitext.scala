@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext (parallel-corpus) mining (r15 wave 5) — the
+  * public LASER/CCMatrix recipe (Artetxe & Schwenk 2019, "Margin-based
+  * Parallel Corpus Mining"): a candidate translation pair scores by
+  * its similarity RELATIVE to each side's k-NN neighborhood, not by
+  * raw cosine — the margin kills hubs (sentences near everything)
+  * that a plain threshold would flood on.
+  *
+  * Deterministic integer form (the Dsir/KneserNey micro-unit
+  * discipline, so the DuckDB twin replays it exactly):
+  *
+  *  - `sim_micro = 2_000_000 − round(1e6 · round6(cosine distance))`
+  *    — the distance-complement `1e6·(1 + cos)` in micro units,
+  *    nonnegative by construction (cos ∈ [−1, 1]).
+  *  - forward/backward k-NN via [[Knn.knnJoin]] (rounded-distance +
+  *    id tie order — the oracle's exact rank semantics).
+  *  - `margin_micro = sim_micro · (n_f + n_b) · 1e6 div
+  *    (Σ_fwd sim + Σ_bwd sim)` — the RATIO margin over the shifted
+  *    similarity, all-integer (sums are order-free, the division is
+  *    integral), ≈ 1e6 for a pair exactly as similar as its
+  *    neighborhoods' average, higher for a standout pair.
+  *
+  * Scale shape: one side bounded/broadcast per direction (the
+  * knnJoin contract — mine in query blocks at 100 TB, or swap the
+  * exact joins for [[Ann]] probes); the neighborhood sums are
+  * query-side-sized aggregates broadcast back onto the candidates,
+  * so nothing shuffles the corpus.
+  */
+object Bitext {
+
+  /** Score candidate pairs between `src` and `tgt` embeddings: the
+    * union of forward and backward k-NN pairs, each with `sim_micro`
+    * and `margin_micro`, filtered to `margin_micro >= minMarginMicro`.
+    * Output: (src_id, tgt_id, sim_micro, margin_micro).
+    */
+  def minePairs(
+      src: DataFrame, srcIdCol: String, srcVecCol: String,
+      tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+      k: Int,
+      minMarginMicro: Long = 0L,
+      maxSide: Int = 65536): DataFrame = {
+    require(k >= 1, s"k $k")
+    val s = src.select(col(srcIdCol).cast("long").as("src_id"),
+      col(srcVecCol).as("src_vec"))
+    val t = tgt.select(col(tgtIdCol).cast("long").as("tgt_id"),
+      col(tgtVecCol).as("tgt_vec"))
+    val simM = (d: org.apache.spark.sql.Column) =>
+      (lit(2000000L) - round(d * 1000000).cast("long")).as("sim_micro")
+    val fwd = Knn.knnJoin(t, "tgt_id", "tgt_vec", s, "src_id", "src_vec",
+        k, metric = "cosine", maxQueries = maxSide)
+      .select(col("src_id"), col("tgt_id"), simM(col("distance")))
+    val bwd = Knn.knnJoin(s, "src_id", "src_vec", t, "tgt_id", "tgt_vec",
+        k, metric = "cosine", maxQueries = maxSide)
+      .select(col("src_id"), col("tgt_id"), simM(col("distance")))
+    // cosine is exactly symmetric in the kernel (commutative dot /
+    // norm product), so a pair surfacing in BOTH directions carries
+    // the same sim_micro and distinct() dedups it
+    val sf = fwd.groupBy("src_id")
+      .agg(sum("sim_micro").as("sum_f"), count(lit(1)).as("n_f"))
+    val sb = bwd.groupBy("tgt_id")
+      .agg(sum("sim_micro").as("sum_b"), count(lit(1)).as("n_b"))
+    fwd.union(bwd).distinct()
+      .join(broadcast(sf), "src_id")
+      .join(broadcast(sb), "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        when(col("sum_f") + col("sum_b") > 0,
+          expr("sim_micro * (n_f + n_b) * 1000000 div (sum_f + sum_b)"))
+          .as("margin_micro"))
+      .filter(col("margin_micro") >= minMarginMicro)
+  }
+
+  /** The alignment step: keep each source's single best candidate
+    * (highest margin, tgt_id as the deterministic tie-break) — one
+    * map-side-combining max_by, the "max" retrieval strategy of the
+    * public recipe.
+    */
+  def bestPerSource(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("src_id"))
+      .agg(max_by(
+          struct(col("tgt_id"), col("sim_micro"), col("margin_micro")),
+          struct(col("margin_micro"), -col("tgt_id"))).as("c"))
+      .select(col("src_id"), col("c.tgt_id").as("tgt_id"),
+        col("c.sim_micro").as("sim_micro"),
+        col("c.margin_micro").as("margin_micro"))
+}

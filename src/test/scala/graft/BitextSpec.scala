@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Bitext
+
+class BitextSpec extends SparkSpec {
+  import spark.implicits._
+
+  // src s0=(1,0); tgt t1=(1,0) (exact match), t3=(0,1) (orthogonal).
+  // k=2: fwd sims 2e6 + 1e6 (sum 3e6, n 2); bwd t1: 2e6 (n 1);
+  // bwd t3: 1e6 (n 1).
+  private val src = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+  private val tgt = Seq((1L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+    .toDF("vec_id", "embedding")
+
+  test("minePairs: integer ratio margin replays by hand (r15w5)") {
+    val m = Bitext.minePairs(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(m.size === 2, "forward and backward candidates dedup")
+    // margin(s0,t1) = 2e6 * (2+1) * 1e6 / (3e6 + 2e6) = 1_200_000
+    assert(m((0L, 1L)) === ((2000000L, 1200000L)))
+    // margin(s0,t3) = 1e6 * (2+1) * 1e6 / (3e6 + 1e6) = 750_000
+    assert(m((0L, 3L)) === ((1000000L, 750000L)))
+  }
+
+  test("minePairs: minMarginMicro filters below-average pairs; " +
+      "the exact match scores above 1e6") {
+    val kept = Bitext.minePairs(src, "vec_id", "embedding",
+        tgt, "vec_id", "embedding", k = 2, minMarginMicro = 1000000L)
+      .collect()
+    assert(kept.length === 1)
+    assert(kept.head.getLong(1) === 1L)
+  }
+
+  test("minePairs: the margin demotes a hub that raw cosine would " +
+      "rank equally") {
+    // two sources, one hub target near both, one target aligned to
+    // s0 only. The hub's neighborhoods are rich, so its margins sit
+    // at/below the aligned pair's.
+    val s2 = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val half = (math.sqrt(0.5)).toFloat
+    val t2 = Seq((1L, Array(1f, 0f)), (5L, Array(half, half)))
+      .toDF("vec_id", "embedding")
+    val m = Bitext.minePairs(s2, "vec_id", "embedding",
+        t2, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(m((0L, 1L)) > m((0L, 5L)),
+      s"aligned pair must out-margin the hub: $m")
+    assert(m((0L, 1L)) > m((2L, 5L)), s"hub pairs stay below: $m")
+  }
+
+  test("bestPerSource: one row per source, highest margin wins") {
+    val pairs = Bitext.minePairs(src, "vec_id", "embedding",
+      tgt, "vec_id", "embedding", k = 2)
+    val best = Bitext.bestPerSource(pairs).collect()
+    assert(best.length === 1)
+    assert(best.head.getLong(0) === 0L && best.head.getLong(1) === 1L)
+    assert(best.head.getLong(3) === 1200000L)
+  }
+}
