@@ -2896,6 +2896,25 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- Stats-optimized parquet round trip (r15 wave 5): documents
+    //     rewritten range-sorted on doc_id with bloom filters on
+    //     doc_id+source, then point (IN) and range predicates read
+    //     BACK off the optimized layout — losslessness is the gate;
+    //     the pruning geometry (disjoint row-group min/max, blooms
+    //     attached) is pinned in LayoutSpec.
+    "docs_bloom_scan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val path = gateIndexPath(dir, "bloom_scan_gate")
+      graft.operators.Layout.writeStatsOptimized(docs, path, "doc_id",
+        bloomCols = Seq("doc_id", "source"), ndv = 100000L,
+        numPartitions = 8)
+      val back = s.read.parquet(path)
+      back.filter(col("doc_id").isin(7L, 77L, 177L, 477L) ||
+          (col("doc_id") >= 300L && col("doc_id") < 330L))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Cross-snapshot diff (r14 — the incremental-crawl scheduler
     //     input): two snapshots derived from the fixture (%11 ids
     //     absent from OLD → added, %7 absent from NEW → removed,
@@ -8072,6 +8091,14 @@ object SparkEntry {
          |  (doc_id * 37) % 256 AS b FROM documents)
          |SELECT doc_id, a, b, $z AS z FROM d ORDER BY doc_id""".stripMargin
     },
+
+    // the docs_bloom_scan oracle: the same point/range predicate over
+    // the raw table — the optimized layout must be lossless
+    "docs_bloom_scan" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id IN (7, 77, 177, 477)
+        |   OR (doc_id >= 300 AND doc_id < 330)
+        |ORDER BY doc_id""".stripMargin,
 
     // the docs_snapshot_diff oracle: the planted lattice restated —
     // added (%11 missing from old), removed (%7 missing from new),

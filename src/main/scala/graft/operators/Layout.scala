@@ -84,4 +84,69 @@ object Layout {
       else withZ.repartitionByRange(col("__z"))
     parts.sortWithinPartitions(col("__z")).drop("__z")
   }
+
+  /** Stats-optimized parquet write (r15 wave 5): range-sort on
+    * `sortCol` (disjoint per-row-group min/max → range predicates
+    * prune whole row groups) and attach parquet BLOOM FILTERS to
+    * `bloomCols` (split-block blooms per the parquet spec — point
+    * predicates on non-sorted columns prune row groups the min/max
+    * stats cannot). At 100 TB this is the difference between a
+    * point lookup scanning one row group and scanning the table;
+    * the cost is one range shuffle at write time plus ~1 bit/row/ndv
+    * of footer metadata. `ndv` sizes the blooms (expected distinct
+    * values per row group — overshooting wastes bytes, undershooting
+    * inflates the false-positive rate).
+    */
+  def writeStatsOptimized(df: DataFrame, path: String, sortCol: String,
+      bloomCols: Seq[String], ndv: Long = 100000L,
+      numPartitions: Int = 0): Unit = {
+    val parts =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(sortCol))
+      else df.repartitionByRange(col(sortCol))
+    var w = parts.sortWithinPartitions(col(sortCol)).write
+      .mode("overwrite")
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(path)
+  }
+
+  /** Footer inspection (driver-side, metadata-only — reads KBs of
+    * footers, never data pages): per (file, row group) the long-typed
+    * `column`'s min/max statistics and whether a bloom filter is
+    * attached. This is the PROOF surface for layout claims — specs
+    * and scale probes pin pruning geometry on it instead of trusting
+    * the writer options took effect.
+    */
+  def rowGroupStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      column: String): Seq[(String, Int, Long, Long, Boolean)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    files.toIndexedSeq.flatMap { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.toArray.zipWithIndex.map {
+          case (b: org.apache.parquet.hadoop.metadata.BlockMetaData, i) =>
+            val cc = b.getColumns.toArray
+              .map(_.asInstanceOf[
+                org.apache.parquet.hadoop.metadata.ColumnChunkMetaData])
+              .find(_.getPath.toDotString == column)
+              .getOrElse(throw new IllegalArgumentException(
+                s"column $column not in ${p.getName}"))
+            val st = cc.getStatistics
+            (p.getName, i,
+              st.genericGetMin.asInstanceOf[Number].longValue(),
+              st.genericGetMax.asInstanceOf[Number].longValue(),
+              cc.getBloomFilterOffset >= 0)
+          case x => throw new IllegalStateException(s"unexpected $x")
+        }.toIndexedSeq
+      } finally reader.close()
+    }
+  }
 }

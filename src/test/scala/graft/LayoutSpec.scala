@@ -81,4 +81,32 @@ class LayoutSpec extends SparkSpec {
     assert(touching(zs.toSeq, "x", 0.0, 7.0) <= 8,
       s"z layout must prune x slices: ${zs.toSeq}")
   }
+
+  test("writeStatsOptimized: disjoint row-group min/max on the sort " +
+      "key, bloom filters attached, data lossless (r15w5)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    val df = (0L until 20000L).map(i => (i, s"src${i % 7}", i * 3))
+      .toDF("id", "source", "payload")
+      // unsorted input — the writer must impose the layout
+      .orderBy(org.apache.spark.sql.functions.rand(42))
+    Layout.writeStatsOptimized(df, dir, "id",
+      bloomCols = Seq("id", "source"), ndv = 20000L, numPartitions = 4)
+    val stats = Layout.rowGroupStats(spark, dir, "id")
+    assert(stats.size >= 4)
+    // sorted layout ⇒ row-group [min,max] ranges are disjoint
+    val ranges = stats.map(s => (s._3, s._4)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"row-group ranges must be disjoint: $ranges")
+      case _ =>
+    }
+    // blooms actually attached (writer options took effect)
+    assert(stats.forall(_._5), s"bloom filter missing: $stats")
+    // round trip is lossless
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20000L)
+    assert(back.filter($"id" === 12345L).select("payload")
+      .head().getLong(0) === 12345L * 3)
+  }
 }
