@@ -689,4 +689,70 @@ class StreamingSpec extends SparkSpec {
         prRows.toDF("doc_id", "json"), "json")
         .orderBy("doc_id").collect().toSeq)
   }
+
+  test("streaming span-corrupt / QA-pair explode / CDXJ parse == batch " +
+      "(r15w4-5): the stateless-op discipline for the new projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // span corruption across micro-batch boundaries
+    val scRows = (1L to 20L).map(id =>
+      (id, s"document $id " + ("body characters " * 4) + "tail"))
+    val ss = MemoryStream[(Long, String)]
+    val sq = graft.operators.Fim.spanCorrupt(
+        ss.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("sc_st")
+      .outputMode(OutputMode.Append).start()
+    ss.addData(scRows.take(8): _*)
+    sq.processAllAvailable()
+    ss.addData(scRows.drop(8): _*)
+    sq.processAllAvailable()
+    sq.stop()
+    assert(spark.table("sc_st").orderBy("doc_id").collect().toSeq ===
+      graft.operators.Fim.spanCorrupt(
+        scRows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+
+    // QA-pair mining (posexplode is stateless — row-local generate)
+    val qaRows = (1L to 15L).map(id =>
+      (id, s"Intro $id.\nIs item $id useful?\nYes, answer $id."))
+    val qs = MemoryStream[(Long, String)]
+    val qq = graft.functions.TextFunctions.withQaPairs(
+        qs.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("qa_st")
+      .outputMode(OutputMode.Append).start()
+    qs.addData(qaRows.take(6): _*)
+    qq.processAllAvailable()
+    qs.addData(qaRows.drop(6): _*)
+    qq.processAllAvailable()
+    qq.stop()
+    assert(spark.table("qa_st").orderBy("doc_id", "pair_idx")
+      .collect().toSeq ===
+      graft.functions.TextFunctions.withQaPairs(
+        qaRows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id", "pair_idx").collect().toSeq)
+
+    // CDXJ capture parse (latestCaptures is an aggregate — batch/
+    // foreachBatch territory; the PARSE is the streaming surface)
+    val cdxRows = (1L to 12L).map { id =>
+      if (id % 4 == 0) (id, s"junk line $id")
+      else (id, s"com,ex)/p/$id 2024010${id % 9 + 1}000000 " +
+        s"""{"url": "https://ex.com/p/$id", "mime": "text/html", """ +
+        s""""status": "200", "digest": "sha1:$id", "length": "9", """ +
+        s""""offset": "0", "filename": "w.warc.gz"}""")
+    }
+    val cs = MemoryStream[(Long, String)]
+    val cq = graft.sources.Cdx.withCaptures(
+        cs.toDF().toDF("row_id", "line"), "line")
+      .writeStream.format("memory").queryName("cdx_st")
+      .outputMode(OutputMode.Append).start()
+    cs.addData(cdxRows.take(5): _*)
+    cq.processAllAvailable()
+    cs.addData(cdxRows.drop(5): _*)
+    cq.processAllAvailable()
+    cq.stop()
+    assert(spark.table("cdx_st").orderBy("row_id").collect().toSeq ===
+      graft.sources.Cdx.withCaptures(
+        cdxRows.toDF("row_id", "line"), "line")
+        .orderBy("row_id").collect().toSeq)
+  }
 }
