@@ -2979,6 +2979,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- MLM whole-word masking (r15 wave 6 — the BERT recipe as a
+    //     deterministic rewrite): 15% of words selected by the
+    //     id-derived lattice, 80/10/10 mask/random-in-doc/unchanged
+    //     arms, labels = the original selected words in order. One
+    //     pure projection; the oracle replays selection, arms and
+    //     the in-doc replacement index verbatim.
+    "text_mlm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Mlm.withMlmMask(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_masked"),
+          col("masked_text"), col("mlm_labels"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Q/A pair mining (r15 wave 4 — the FAQ-page SFT bootstrap:
     //     naturally-occurring question/answer line pairs ARE
     //     instruction data): %5 ids get a clean planted pair, %7 a
@@ -7699,6 +7715,33 @@ object SparkEntry {
         |    '<extra_id_0>' || substr(text, s1 + 1, l1) ||
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_mlm oracle: the same word split (empties dropped), the
+    // id-derived 15% selection, the 80/10/10 arms and the in-doc
+    // replacement index replayed 1-based; wordless docs null
+    "text_mlm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |e AS (SELECT doc_id, ws, len(ws) AS n FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN CAST(n AS BIGINT) END AS n_words,
+        |  CASE WHEN n > 0 THEN CAST(len(list_filter(range(1, n + 1),
+        |    i -> (doc_id * 31 + (i - 1)) % 20 < 3)) AS BIGINT) END
+        |    AS n_masked,
+        |  CASE WHEN n > 0 THEN array_to_string(
+        |    list_transform(range(1, n + 1), i ->
+        |      CASE WHEN (doc_id * 31 + (i - 1)) % 20 >= 3 THEN ws[i]
+        |           WHEN (doc_id * 7 + (i - 1)) % 10 < 8 THEN '[MASK]'
+        |           WHEN (doc_id * 7 + (i - 1)) % 10 = 8
+        |             THEN ws[CAST(((i - 1) * 13 + doc_id) % n AS INT) + 1]
+        |           ELSE ws[i] END), ' ') END AS masked_text,
+        |  CASE WHEN n > 0 THEN array_to_string(
+        |    list_transform(list_filter(range(1, n + 1),
+        |      i -> (doc_id * 31 + (i - 1)) % 20 < 3), i -> ws[i]), ' ')
+        |    END AS mlm_labels
         |FROM e ORDER BY doc_id""".stripMargin,
 
     // the text_qa_pairs oracle: the plants restated, the same

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Masked-language-model data prep (r15 wave 6) — the BERT masking
+  * recipe (Devlin et al. 2018, public) as a DETERMINISTIC rewrite,
+  * the [[Fim]]/spanCorrupt discipline applied token-wise:
+  *
+  *  - 15% of whitespace words are SELECTED — word `i` of doc `id`
+  *    iff `(id·31 + i) mod 20 < 3` (id-derived, oracle-replayable —
+  *    no RNG, so re-runs and the DuckDB twin reproduce every mask);
+  *  - of the selected: 80% become `[MASK]`
+  *    (`(id·7 + i) mod 10 < 8`), 10% are replaced by another word of
+  *    the SAME document (position `(i·13 + id) mod n` — the "random
+  *    token" arm without a corpus-wide vocab broadcast), 10% stay
+  *    unchanged (the model must still predict them);
+  *  - the label stream is the ORIGINAL selected words in position
+  *    order — what the loss is computed against.
+  *
+  * One pure projection (split → HOF transform/filter → join), no
+  * shuffle: the rewrite rides the scan at any corpus size.
+  */
+object Mlm {
+
+  /** Append `masked_text`, `n_words`, `n_masked`, `mlm_labels` to
+    * `df`. Docs with no words (empty/null text) pass through with
+    * null mask columns.
+    */
+  def withMlmMask(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val ws = filter(split(col(textCol), " ", -1), w => length(w) > 0)
+    val n = size(ws)
+    def sel(i: Column): Column = pmod(id * 31L + i, lit(20L)) < 3
+    def role(i: Column): Column = pmod(id * 7L + i, lit(10L))
+    val masked = transform(ws, (w, i) =>
+      when(!sel(i), w).otherwise(
+        when(role(i) < 8, lit("[MASK]"))
+          .when(role(i) === 8,
+            element_at(ws, pmod(i * 13L + id, n.cast("long")).cast("int") + 1))
+          .otherwise(w)))
+    val labels = filter(transform(ws, (w, i) =>
+      when(sel(i), w).otherwise(lit(null))), w => w.isNotNull)
+    val hasWords = col(textCol).isNotNull && n > 0
+    df.withColumn("masked_text",
+        when(hasWords, array_join(masked, " ")))
+      .withColumn("n_words", when(hasWords, n.cast("long")))
+      .withColumn("n_masked", when(hasWords, size(labels).cast("long")))
+      .withColumn("mlm_labels", // no selected words → null, not ""
+        when(hasWords && size(labels) > 0, array_join(labels, " ")))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Mlm
+
+class MlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def maskOf(id: Long, text: String) =
+    Mlm.withMlmMask(Seq((id, text)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("masked_text", "n_words", "n_masked", "mlm_labels").head()
+
+  test("withMlmMask: selection lattice, arms and labels replay by " +
+      "hand (r15w6)") {
+    // id=0: word i selected iff (31·0 + i) % 20 < 3 → i ∈ {0,1,2}
+    // arms: (0·7 + i) % 10 = i → i<8 ⇒ [MASK] for all three
+    val r = maskOf(0L, "a b c d e f")
+    assert(r.getString(0) === "[MASK] [MASK] [MASK] d e f")
+    assert(r.getLong(1) === 6L && r.getLong(2) === 3L)
+    assert(r.getString(3) === "a b c")
+  }
+
+  test("withMlmMask: the random arm replaces with an IN-DOC word at " +
+      "the derived position") {
+    // find (id, i) hitting the random arm: role = (id*7 + i) % 10 == 8
+    // and selected: (id*31 + i) % 20 < 3. id=4: sel i: (124+i)%20<3 →
+    // i ∈ {16,17,18, 36,...}; role(16) = (28+16)%10 = 4; role(17)=5;
+    // role(18)=6 → none random. id=6: sel: (186+i)%20<3 → i∈{14,15,16}
+    // role = (42+i)%10 → 6,7,8 → i=16 is the random arm.
+    val words = (0 until 20).map(i => s"w$i")
+    val r = maskOf(6L, words.mkString(" "))
+    val out = r.getString(0).split(" ")
+    assert(out(14) === "[MASK]" && out(15) === "[MASK]")
+    // replacement index: (16*13 + 6) % 20 = 214 % 20 = 14 → ws[14]
+    assert(out(16) === "w14", s"random arm must pick the derived word: $r")
+    assert(r.getString(3) === "w14 w15 w16")
+  }
+
+  test("withMlmMask: the unchanged arm keeps the word but still " +
+      "labels it") {
+    // role == 9: id=6, i=17? not selected. id=1: sel (31+i)%20<3 →
+    // i ∈ {9,10,11}; role = (7+i)%10 → 6,7,8 → random at 11.
+    // id=3: sel (93+i)%20<3 → i∈{7,8,9}; role=(21+i)%10 → 8,9,0 →
+    // i=7 random, i=8 UNCHANGED, i=9 masked.
+    val words = (0 until 12).map(i => s"t$i")
+    val r = maskOf(3L, words.mkString(" "))
+    val out = r.getString(0).split(" ")
+    assert(out(8) === "t8", "unchanged arm keeps the original word")
+    assert(out(9) === "[MASK]")
+    assert(r.getString(3) === "t7 t8 t9", "unchanged words are still labels")
+  }
+
+  test("withMlmMask: wordless and null docs pass through with null " +
+      "mask columns") {
+    for (t <- Seq("", "   ", null: String)) {
+      val r = maskOf(5L, t)
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"text=$t")
+    }
+  }
+
+  test("withMlmMask: one projection, no shuffle (plan pin)") {
+    val df = Mlm.withMlmMask(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
