@@ -2271,7 +2271,7 @@ object SparkEntry {
     //     cycling terminators ("." "!" "?" "..."); the marker-insert
     //     split keeps punctuation with its sentence and consumes the
     //     whitespace. The oracle restates the plant.
-    "text_sentences" -> ((s, dir) => {
+    "text_sentences_plant" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
       val id = col("doc_id")
       val nS = id % 4 + 1
@@ -7488,10 +7488,12 @@ object SparkEntry {
         |      '<|im_end|>' || chr(10), '') || ptext END AS text
         |FROM r ORDER BY doc_id""".stripMargin,
 
-    // the text_sentences oracle: the planted sentences restated —
-    // punctuation stays with its sentence, inter-sentence
-    // whitespace is consumed by the split
-    "text_sentences" ->
+    // the text_sentences_plant oracle: the planted sentences
+    // restated — punctuation stays with its sentence, inter-sentence
+    // whitespace is consumed by the split (the r13 splitSentences
+    // gate keeps the bare text_sentences key; this is sentencesOf's
+    // own plant, un-shadowed r15w6)
+    "text_sentences_plant" ->
       """WITH ids AS (
         |  SELECT doc_id, CAST(doc_id % 4 + 1 AS INT) AS n
         |  FROM documents WHERE doc_id < 150),
@@ -11033,58 +11035,6 @@ object SparkEntry {
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // the mm_audio_pairs_banded oracle: closed-form samples per
-    // (base, variant) with the trim riding the effective index, 80-
-    // sample window energies, one sub-fingerprint per anchor (same
-    // bit-63 BIGINT-min trick), min hamming over every anchor pair
-    "mm_audio_pairs_banded" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
-        |  FROM documents WHERE doc_id < 40 AND doc_id % 19 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000, doc_id, 1 FROM documents
-        |  WHERE doc_id < 40 AND doc_id % 19 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000, doc_id, 2 FROM documents
-        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
-        |meta AS (
-        |  SELECT media_id, base,
-        |    CASE variant WHEN 0 THEN 0 ELSE 160 END AS off,
-        |    CASE variant WHEN 2 THEN 3 ELSE 1 END AS gain,
-        |    CASE variant WHEN 0 THEN 5360 ELSE 5200 END AS n
-        |  FROM ids),
-        |smp AS (
-        |  SELECT m.media_id, s.i // 80 AS w,
-        |    m.gain * (200 * (2 * ((m.base*421 + m.base*m.base*113
-        |        + ((s.i + m.off)//80)*((s.i + m.off)//80)*31
-        |        + ((s.i + m.off)//80)*19
-        |        + ((s.i + m.off)//80)*m.base*11) % 991 % 4)
-        |      + ((s.i + m.off)//80) % 2 + 1)
-        |      + (m.base + (s.i + m.off)*17) % 7) AS v
-        |  FROM meta m, generate_series(0, 5359) AS s(i) WHERE s.i < m.n),
-        |en AS (
-        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
-        |anch AS (
-        |  SELECT m.media_id, g.g AS k
-        |  FROM meta m, generate_series(0, 2) AS g(g)
-        |  WHERE g.g <= m.n // 80 - 65),
-        |fp AS (
-        |  SELECT a.media_id, a.k,
-        |    CAST(sum(CASE WHEN ea.e >= eb.e THEN 0
-        |        WHEN ea.w - a.k = 63 THEN -9223372036854775807 - 1
-        |        ELSE CAST(1 AS BIGINT) << (ea.w - a.k) END) AS BIGINT) AS f
-        |  FROM anch a
-        |  JOIN en ea ON ea.media_id = a.media_id
-        |    AND ea.w BETWEEN a.k AND a.k + 63
-        |  JOIN en eb ON eb.media_id = a.media_id AND eb.w = ea.w + 1
-        |  GROUP BY a.media_id, a.k),
-        |p AS (
-        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
-        |    min(bit_count(xor(x.f, y.f))) AS h
-        |  FROM fp x JOIN fp y ON x.media_id < y.media_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(h AS INT) AS hamming
-        |FROM p WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_frames oracle: per-frame mean luma recomputed from the
     // closed-form plane formula (dims / frame count / fps are id
@@ -11255,58 +11205,6 @@ object SparkEntry {
         |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // the mm_audio_pairs_banded oracle: closed-form samples per
-    // (base, variant) with the trim riding the effective index, 80-
-    // sample window energies, one sub-fingerprint per anchor (same
-    // bit-63 BIGINT-min trick), min hamming over every anchor pair
-    "mm_audio_pairs_banded" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS media_id, doc_id AS base, 0 AS variant
-        |  FROM documents WHERE doc_id < 40 AND doc_id % 19 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000, doc_id, 1 FROM documents
-        |  WHERE doc_id < 40 AND doc_id % 19 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 2000, doc_id, 2 FROM documents
-        |  WHERE doc_id < 40 AND doc_id % 19 <> 0),
-        |meta AS (
-        |  SELECT media_id, base,
-        |    CASE variant WHEN 0 THEN 0 ELSE 160 END AS off,
-        |    CASE variant WHEN 2 THEN 3 ELSE 1 END AS gain,
-        |    CASE variant WHEN 0 THEN 5360 ELSE 5200 END AS n
-        |  FROM ids),
-        |smp AS (
-        |  SELECT m.media_id, s.i // 80 AS w,
-        |    m.gain * (200 * (2 * ((m.base*421 + m.base*m.base*113
-        |        + ((s.i + m.off)//80)*((s.i + m.off)//80)*31
-        |        + ((s.i + m.off)//80)*19
-        |        + ((s.i + m.off)//80)*m.base*11) % 991 % 4)
-        |      + ((s.i + m.off)//80) % 2 + 1)
-        |      + (m.base + (s.i + m.off)*17) % 7) AS v
-        |  FROM meta m, generate_series(0, 5359) AS s(i) WHERE s.i < m.n),
-        |en AS (
-        |  SELECT media_id, w, sum(v * v) AS e FROM smp GROUP BY media_id, w),
-        |anch AS (
-        |  SELECT m.media_id, g.g AS k
-        |  FROM meta m, generate_series(0, 2) AS g(g)
-        |  WHERE g.g <= m.n // 80 - 65),
-        |fp AS (
-        |  SELECT a.media_id, a.k,
-        |    CAST(sum(CASE WHEN ea.e >= eb.e THEN 0
-        |        WHEN ea.w - a.k = 63 THEN -9223372036854775807 - 1
-        |        ELSE CAST(1 AS BIGINT) << (ea.w - a.k) END) AS BIGINT) AS f
-        |  FROM anch a
-        |  JOIN en ea ON ea.media_id = a.media_id
-        |    AND ea.w BETWEEN a.k AND a.k + 63
-        |  JOIN en eb ON eb.media_id = a.media_id AND eb.w = ea.w + 1
-        |  GROUP BY a.media_id, a.k),
-        |p AS (
-        |  SELECT x.media_id AS id_a, y.media_id AS id_b,
-        |    min(bit_count(xor(x.f, y.f))) AS h
-        |  FROM fp x JOIN fp y ON x.media_id < y.media_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(h AS INT) AS hamming
-        |FROM p WHERE h <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // the mm_pixels oracle with the PNG corrupt-id predicate: the
     // pixel formulas are identical (same synth grid), only the
