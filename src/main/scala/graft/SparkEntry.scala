@@ -2995,6 +2995,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- NSP pair prep (r15 wave 6 — BERT's second objective,
+    //     deterministic): even ids pair sentence 1 with its actual
+    //     successor, odd ids with the first sentence of partner
+    //     (id·17+1) mod 300; partnerless/self-partner odd rows drop.
+    //     The oracle replays the RE2 sentence split, the parity
+    //     lattice and the partner join.
+    "text_nsp" -> ((s, dir) => {
+      val id = col("doc_id")
+      // fixture text carries no terminators — plant a 2-3 sentence
+      // page (%3 ids get the third) so both NSP arms exercise
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300 && col("text").isNotNull)
+        .select(id, concat(col("text"), lit(". Tail "), id,
+          lit(" follows! "),
+          when(id % 3 === 0, concat(lit("Third part "), id, lit("?")))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.Mlm.nspPairs(docs, "doc_id", "text", modBound = 300L)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Q/A pair mining (r15 wave 4 — the FAQ-page SFT bootstrap:
     //     naturally-occurring question/answer line pairs ARE
     //     instruction data): %5 ids get a clean planted pair, %7 a
@@ -7745,6 +7765,39 @@ object SparkEntry {
         |      i -> (doc_id * 31 + (i - 1)) % 20 < 3), i -> ws[i]), ' ')
         |    END AS mlm_labels
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_nsp oracle: the IDENTICAL RE2 sentence extraction,
+    // the even/odd lattice, and the partner join with the same
+    // drop rules (missing/sentence-less/self partners)
+    "text_nsp" -> {
+      val pat = TextFunctions.sentencePattern
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    text || '. Tail ' || doc_id || ' follows! ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Third part ' || doc_id || '?'
+        |      ELSE '' END AS page
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300),
+        |l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(page, '$pat'), x -> trim(x)),
+        |      x -> length(x) > 0) AS ss
+        |  FROM d),
+        |base AS (
+        |  SELECT doc_id, ss[1] AS sent_a, ss[2] AS next_b,
+        |    doc_id % 2 = 0 AS is_next,
+        |    (doc_id * 17 + 1) % 300 AS partner
+        |  FROM l WHERE len(ss) >= 2),
+        |firsts AS (
+        |  SELECT doc_id AS pid, ss[1] AS rand_b FROM l WHERE len(ss) >= 1)
+        |SELECT doc_id, sent_a, next_b AS sent_b, is_next
+        |FROM base WHERE is_next
+        |UNION ALL
+        |SELECT b.doc_id, b.sent_a, f.rand_b AS sent_b, b.is_next
+        |FROM base b JOIN firsts f ON b.partner = f.pid
+        |WHERE NOT b.is_next AND b.partner <> b.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // the text_qa_pairs oracle: the plants restated, the same
     // consecutive-line-pair lattice (question trims to '?', answer

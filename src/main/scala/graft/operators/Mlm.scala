@@ -49,4 +49,43 @@ object Mlm {
       .withColumn("mlm_labels", // no selected words → null, not ""
         when(hasWords && size(labels) > 0, array_join(labels, " ")))
   }
+
+  /** Next-sentence-prediction pair prep (the other BERT objective,
+    * same paper) — DETERMINISTIC: each doc with ≥ 2 sentences
+    * ([[graft.functions.TextFunctions.splitSentences]], whose RE2
+    * pattern the oracle replays) contributes ONE (sent_a, sent_b,
+    * is_next) row: even ids pair sentence 1 with its ACTUAL
+    * successor (is_next = true); odd ids pair it with the FIRST
+    * sentence of partner doc `(id·17 + 1) mod modBound` (is_next =
+    * false — the "random document" arm without an RNG). Odd rows
+    * whose partner is missing, sentence-less, or the doc itself are
+    * DROPPED (a fabricated fallback would poison the negative
+    * class). Scale shape: the negative arm is one keyed hash join
+    * on the computed partner id — the only shuffle.
+    */
+  def nspPairs(df: DataFrame, idCol: String, textCol: String,
+      modBound: Long): DataFrame = {
+    require(modBound >= 2, s"modBound $modBound")
+    val id = col(idCol).cast("long")
+    val sents = df.filter(col(textCol).isNotNull)
+      .select(id.as("doc_id"),
+        graft.functions.TextFunctions.splitSentences(col(textCol)).as("ss"))
+    val base = sents.filter(size(col("ss")) >= 2)
+      .select(col("doc_id"),
+        element_at(col("ss"), 1).as("sent_a"),
+        element_at(col("ss"), 2).as("next_b"),
+        (pmod(col("doc_id"), lit(2L)) === 0).as("is_next"),
+        pmod(col("doc_id") * 17L + 1L, lit(modBound)).as("partner"))
+    val firsts = sents.filter(size(col("ss")) >= 1)
+      .select(col("doc_id").as("partner"),
+        element_at(col("ss"), 1).as("rand_b"))
+    val pos = base.filter(col("is_next"))
+      .select(col("doc_id"), col("sent_a"),
+        col("next_b").as("sent_b"), col("is_next"))
+    val neg = base.filter(!col("is_next") && col("partner") =!= col("doc_id"))
+      .join(firsts, "partner")
+      .select(col("doc_id"), col("sent_a"),
+        col("rand_b").as("sent_b"), col("is_next"))
+    pos.union(neg)
+  }
 }

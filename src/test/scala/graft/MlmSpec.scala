@@ -65,4 +65,47 @@ class MlmSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("nspPairs: even ids pair true successors, odd ids join their " +
+      "derived partner's first sentence, self/missing partners drop") {
+    // modBound 10: partner(id) = (17·id + 1) % 10
+    val docs = Seq(
+      (0L, "Zero one. Zero two. Zero three."),   // even → positive
+      (1L, "One one. One two."),                  // partner (18)%10=8 → doc 8
+      (3L, "Three one. Three two."),              // partner 52%10=2 → missing
+      (5L, "Five one. Five two."),                // partner 86%10=6 → no sents
+      (6L, ""),                                   // sentence-less
+      (7L, "Seven one. Seven two."),              // partner 120%10=0 → doc 0
+      (8L, "Eight first. Eight second."),         // even → positive
+      (9L, "Nine one. Nine two."))                // partner 154%10=4 → missing
+      .toDF("doc_id", "text")
+    val rows = Mlm.nspPairs(docs, "doc_id", "text", modBound = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3)))
+    assert(rows.toSeq === Seq(
+      (0L, "Zero one.", "Zero two.", true),
+      (1L, "One one.", "Eight first.", false),
+      (7L, "Seven one.", "Zero one.", false),
+      (8L, "Eight first.", "Eight second.", true)))
+  }
+
+  test("nspPairs: a doc with one sentence contributes nothing but " +
+      "can still serve as a partner") {
+    val docs = Seq(
+      (1L, "Solo sentence here."),   // 1 sentence: no pair of its own
+      (3L, "A one. A two."))         // partner (52)%4=0 → missing; mod 4
+      .toDF("doc_id", "text")
+    // with modBound 4: partner(3) = 52 % 4 = 0 → missing → dropped
+    assert(Mlm.nspPairs(docs, "doc_id", "text", 4L).count() === 0)
+    // with modBound 2: partner(3) = 52 % 2 = 0 → missing still; use
+    // ids where the solo doc IS the partner: partner(3) mod 10 = 2
+    val docs2 = Seq(
+      (2L, "Solo sentence here."),
+      (3L, "A one. A two.")).toDF("doc_id", "text")
+    val rows = Mlm.nspPairs(docs2, "doc_id", "text", 10L).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(2) === "Solo sentence here.")
+    assert(!rows.head.getBoolean(3))
+  }
 }
