@@ -2995,6 +2995,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- fastText supervised-file round trip (r15 wave 6 — the
+    //     classifier-data handoff format): source-labeled lines
+    //     written as gz text shards, read back through the leading-
+    //     label parse, and inventoried per label. The oracle
+    //     recomputes the inventory from the raw table, so any
+    //     label/text corruption in the line format goes red.
+    "docs_fasttext" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("source"), col("text"))
+      val path = gateIndexPath(dir, "fasttext_gate")
+      graft.sources.Sources.writeFastText(docs, "source", "text", path,
+        gzip = true, numFiles = Some(3))
+      graft.sources.Sources.readFastText(s, path)
+        .select(element_at(col("labels"), 1).as("label"), col("text"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(octet_length(col("text"))).cast("bigint").as("text_bytes"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+        .orderBy(col("label"))
+    }),
+
+    // --- Sequence-length histogram (r15 wave 6 — the packing
+    //     planner's input): docs bucketed by token count into
+    //     8-token bins, one partial-aggregated groupBy. The oracle
+    //     replays the token split and the floor-bucket arithmetic.
+    "docs_length_hist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+      graft.operators.CorpusReport.lengthHistogram(docs, "text", width = 8)
+        .orderBy(col("bucket_start"))
+    }),
+
     // --- NSP pair prep (r15 wave 6 — BERT's second objective,
     //     deterministic): even ids pair sentence 1 with its actual
     //     successor, odd ids with the first sentence of partner
@@ -7765,6 +7799,28 @@ object SparkEntry {
         |      i -> (doc_id * 31 + (i - 1)) % 20 < 3), i -> ws[i]), ' ')
         |    END AS mlm_labels
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the docs_fasttext oracle: the per-label inventory recomputed
+    // from the raw table (fixture text is newline-free, so the
+    // write-side fold is the identity here; folding is unit-covered)
+    "docs_fasttext" ->
+      """SELECT source AS label, count(*) AS n_lines,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the docs_length_hist oracle: the same token split (lowered,
+    // single-space, empties dropped) and floor-bucket arithmetic
+    "docs_length_hist" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS n
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(floor(n / 8) * 8 AS BIGINT) AS bucket_start,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the text_nsp oracle: the IDENTICAL RE2 sentence extraction,
     // the even/odd lattice, and the partner join with the same

@@ -87,6 +87,28 @@ object CorpusReport {
         round(sum(col("sum_quality")) /
           sum(col("n_scoreable")), 6).as("mean_quality"))
 
+  /** Sequence-length histogram (r15 wave 6) — the packing planner's
+    * input: docs bucketed by token count into `width`-token bins,
+    * each bin carrying its doc count and token volume. Whether a
+    * `maxLen` context window holds a doc whole, how much a packer
+    * ([[Pack]]) can co-locate, and where truncation losses
+    * concentrate all read off this table. ONE partial-aggregated
+    * groupBy — the exchange is bin-count-sized, never corpus-sized;
+    * cumulative views are the consumer's fold over ≤ a few hundred
+    * bins.
+    */
+  def lengthHistogram(df: DataFrame, textCol: String,
+      width: Int = 128): DataFrame = {
+    require(width >= 1, s"width $width")
+    val n = size(graft.functions.TextFunctions.tokens(col(textCol)))
+    df.filter(col(textCol).isNotNull)
+      .select((floor(n.cast("long") / width) * width).cast("long")
+          .as("bucket_start"), n.as("nt"))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("bigint").as("sum_tokens"))
+  }
+
   /** The language-mix rows of the card: (source, lang, n_docs) —
     * lang is null for unscoreable (null/empty text) docs, which stay
     * countable. Computes ONLY the language signal (the same

@@ -52,6 +52,47 @@ object Sources {
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** fastText supervised training-file export (r15 wave 6) — the
+    * PUBLIC `__label__<l> <text>` line convention (facebookresearch/
+    * fastText docs): the classifier-data handoff format quality/
+    * language classifiers train from. Line-based, so embedded
+    * newlines fold to spaces at write time; null labels/texts are
+    * refused rows (a label-less line silently becomes unlabeled
+    * training data — fail-closed instead). Same 100 TB shape as
+    * [[writeJsonl]]: file-per-task text shards.
+    */
+  def writeFastText(df: DataFrame, labelCol: String, textCol: String,
+      outPath: String, gzip: Boolean = false,
+      numFiles: Option[Int] = None): Unit = {
+    val rows = df
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(concat(lit("__label__"), col(labelCol).cast("string"),
+        lit(" "),
+        regexp_replace(col(textCol), "[\\r\\n]+", " ")).as("value"))
+    numFiles.map(rows.repartition).getOrElse(rows)
+      .write.mode("overwrite")
+      .option("compression", if (gzip) "gzip" else "none")
+      .text(outPath)
+  }
+
+  /** Read a fastText supervised file back: (labels array — the
+    * format allows several leading `__label__` tokens — and the
+    * remaining text). Lines with no leading label parse to null
+    * fields (total function), never errors.
+    */
+  def readFastText(spark: SparkSession, path: String): DataFrame = {
+    val line = col("value")
+    val head = regexp_extract(line, "^((?:__label__\\S+ )+)", 1)
+    val labels = transform(
+      filter(split(trim(head), " "), t => length(t) > 0),
+      t => regexp_replace(t, "^__label__", ""))
+    spark.read.text(path)
+      .select(
+        when(length(head) > 0, labels).as("labels"),
+        when(length(head) > 0,
+          line.substr(length(head) + 1, lit(Int.MaxValue))).as("text"))
+  }
+
   /** Write a frame as `.jsonl.zst` shards (r13 — how modern corpora
     * actually ship: Dolma, RedPajama-v2). Spark's JSON sink has no
     * zstd codec, so rows serialize through `Dataset.toJSON` and

@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.Sources
+
+class FastTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fastText round trip: labels and text survive, newlines fold " +
+      "to spaces, null labels/texts refused (r15w6)") {
+    val dir = java.nio.file.Files.createTempDirectory("ftspec").toString
+    val df = Seq(
+      ("en", "clean line"),
+      ("de", "line\nwith\r\nbreaks"),
+      (null: String, "labelless is refused"),
+      ("fr", null: String)).toDF("lang", "text")
+    Sources.writeFastText(df, "lang", "text", dir)
+    val back = Sources.readFastText(spark, dir)
+      .collect().map(r => (r.getSeq[String](0).head, r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(back === Seq(("de", "line with breaks"), ("en", "clean line")))
+  }
+
+  test("readFastText: multi-label lines parse every leading label; " +
+      "label-less lines null out (total function)") {
+    val dir = java.nio.file.Files.createTempDirectory("ftspec2")
+    java.nio.file.Files.writeString(dir.resolve("f.txt"),
+      "__label__a __label__b two-label text\nno label here\n" +
+        "__label__solo tail text\n")
+    val rows = Sources.readFastText(spark, dir.toString)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getSeq[String](0).toList,
+          r.getString(1))).toSet
+    assert(rows === Set(
+      (List("a", "b"), "two-label text"),
+      (null, null),
+      (List("solo"), "tail text")))
+  }
+}
