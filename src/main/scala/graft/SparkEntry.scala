@@ -1443,6 +1443,32 @@ object SparkEntry {
             .as("avg_ratio"))
         .orderBy(col("source"))),
 
+    // --- BPE artifact round trip (r15 wave 7 — the GPT-2
+    //     merges.txt convention): train 60 merges, ship the artifact,
+    //     reload it, and re-encode the corpus under BOTH tables —
+    //     n_mismatch must be 0 per source (the oracle restates the
+    //     invariant closed-form), so a rank shift, symbol mangling
+    //     or line-order loss anywhere in the file goes red.
+    "text_bpe_artifact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("text"))
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      val path = gateIndexPath(dir, "bpe_merges_gate") + "/merges.txt"
+      graft.sources.TokenizerIo.writeMerges(merges, path)
+      val reloaded = graft.sources.TokenizerIo.readMerges(s, path)
+      val r1 = graft.operators.Bpe.rankMap(merges)
+      val r2 = graft.operators.Bpe.rankMap(reloaded)
+      val e1 = graft.operators.Bpe.withBpeTokens(docs, "text", r1, "t1")
+      val both = graft.operators.Bpe.withBpeTokens(e1, "text", r2, "t2")
+      both.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+        .orderBy(col("source"))
+    }),
+
     // --- TF-IDF: the classic term-weighting composition — per-doc
     //     term frequencies (one doc-term shuffle), document
     //     frequencies (one term agg, |vocab|-sized → BROADCAST back
@@ -6784,6 +6810,15 @@ object SparkEntry {
         |      '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]|[^a-z0-9\s'']+')) AS BIGINT) AS bpe
         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
         |WHERE ws > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the text_bpe_artifact oracle: the invariant restated — the
+    // reloaded artifact must re-encode every doc identically, so
+    // n_mismatch is closed-form 0 per source
+    "text_bpe_artifact" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // same tokenize law as text_tokens; idf over the FULL corpus, top

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tokenizer-artifact interchange (r15 wave 7) — the PUBLIC GPT-2 /
+  * HuggingFace `merges.txt` convention (openai/gpt-2 `encoder.py`,
+  * huggingface/tokenizers docs): a `#version:` comment line, then
+  * one merge per line — `left<SP>right` — in RANK order; the line
+  * position IS the rank. This is the artifact a trained BPE
+  * ([[graft.operators.Bpe.train]]) ships to every consumer that
+  * re-encodes with it.
+  *
+  * Both directions are DRIVER-side by design: a merge table is
+  * vocab-sized (KBs–MBs — the `Bpe.rankMap` precedent), and the
+  * file's LINE ORDER is semantic, which a distributed text scan
+  * does not guarantee. Fail-closed: merge lines with other than two
+  * space-separated symbols, or symbols containing whitespace,
+  * refuse at write AND read time (a malformed merge silently shifts
+  * every later rank).
+  */
+object TokenizerIo {
+
+  val VersionLine = "#version: 0.2"
+
+  /** Write a [[graft.operators.Bpe.train]] result (rank, left,
+    * right, …) as `merges.txt` at `path` (a file, not a directory).
+    */
+  def writeMerges(merges: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = merges.select(col("rank").cast("long"), col("left"),
+        col("right"))
+      .collect().sortBy(_.getLong(0))
+    val sb = new StringBuilder(VersionLine).append('\n')
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i, s"merge ranks must be dense 0..n-1, " +
+        s"got ${r.getLong(0)} at position $i")
+      val (l, rr) = (r.getString(1), r.getString(2))
+      require(l != null && rr != null && l.nonEmpty && rr.nonEmpty &&
+        !l.exists(_.isWhitespace) && !rr.exists(_.isWhitespace),
+        s"merge symbols must be non-empty and whitespace-free: '$l' '$rr'")
+      sb.append(l).append(' ').append(rr).append('\n')
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `merges.txt` back → DataFrame (rank, left, right) — line
+    * position is the rank; `#` comment lines and blank lines are
+    * skipped (the public loaders' behavior); malformed merge lines
+    * refuse.
+    */
+  def readMerges(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val merges = text.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"malformed merge line '$l' — expected 'left right'")
+        (parts(0), parts(1))
+      }.toSeq
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+  }
+}

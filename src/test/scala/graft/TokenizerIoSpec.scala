@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.TokenizerIo
+
+class TokenizerIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("tokio").resolve(name).toString
+
+  test("readMerges: hand-written GPT-2-convention file — comments and " +
+      "blanks skipped, line position is the rank, CRLF tolerated (r15w7)") {
+    val p = tmp("merges.txt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "#version: 0.2\nt h\r\nth e\n\nthe w\n")
+    val rows = TokenizerIo.readMerges(spark, p)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq === Seq((0, "t", "h"), (1, "th", "e"), (2, "the", "w")))
+  }
+
+  test("readMerges: malformed merge lines refuse (rank-shift poison)") {
+    val p = tmp("bad.txt")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "#version: 0.2\na b c\n")
+    intercept[Exception](TokenizerIo.readMerges(spark, p).collect())
+  }
+
+  test("writeMerges/readMerges round trip preserves ranks and symbols; " +
+      "writer refuses sparse ranks and whitespace symbols") {
+    val merges = Seq((0, "a", "b"), (1, "ab", "c"), (2, "abc", "d"))
+      .toDF("rank", "left", "right")
+    val p = tmp("rt.txt")
+    TokenizerIo.writeMerges(merges, p)
+    val back = TokenizerIo.readMerges(spark, p)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(back.toSeq === Seq((0, "a", "b"), (1, "ab", "c"), (2, "abc", "d")))
+    intercept[IllegalArgumentException](TokenizerIo.writeMerges(
+      Seq((0, "a", "b"), (2, "ab", "c")).toDF("rank", "left", "right"),
+      tmp("sparse.txt")))
+    intercept[IllegalArgumentException](TokenizerIo.writeMerges(
+      Seq((0, "a b", "c")).toDF("rank", "left", "right"), tmp("ws.txt")))
+  }
+
+  test("the shipped artifact re-encodes identically to the trained " +
+      "table (the gate invariant, in miniature)") {
+    val docs = Seq((1L, "the cat sat on the mat"),
+      (2L, "the hat that the cat wore")).toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 10,
+      minCount = 1L)
+    val p = tmp("mini.txt")
+    TokenizerIo.writeMerges(merges, p)
+    val r1 = graft.operators.Bpe.rankMap(merges)
+    val r2 = graft.operators.Bpe.rankMap(TokenizerIo.readMerges(spark, p))
+    assert(r1 === r2)
+  }
+}
