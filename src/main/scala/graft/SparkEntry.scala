@@ -3021,6 +3021,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Cross-source overlap matrix (r15 wave 7 — the double-
+    //     counting / split-leakage card view): contents planted so
+    //     every doc carries the text of doc (id % 50) — 50 distinct
+    //     contents spread across the sources — then the distinct
+    //     (source, md5) self-join counts shared contents per source
+    //     pair. The oracle replays plant, hashing and the pair join.
+    "docs_source_overlap" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val planted = base.alias("a")
+        .join(base.filter(col("text").isNotNull).alias("b"),
+          col("b.doc_id") === pmod(col("a.doc_id"), lit(50L)))
+        .select(col("a.source").as("source"), col("b.text").as("text"))
+      graft.operators.CorpusReport.sourceOverlap(planted, "source", "text")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // --- Vocabulary growth / type-token ratio per source (r15
+    //     wave 7 — the Heaps-law card row): one explode + aggregate;
+    //     the oracle replays the token law and the round-6 ratio.
+    "docs_vocab_growth" -> ((s, dir) => {
+      graft.operators.CorpusReport.vocabularyGrowth(
+          Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // --- fastText supervised-file round trip (r15 wave 6 — the
     //     classifier-data handoff format): source-labeled lines
     //     written as gz text shards, read back through the leading-
@@ -7834,6 +7859,33 @@ object SparkEntry {
         |      i -> (doc_id * 31 + (i - 1)) % 20 < 3), i -> ws[i]), ' ')
         |    END AS mlm_labels
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the docs_source_overlap oracle: same plant (text of id % 50),
+    // same distinct (source, md5) relation, same ordered pair join
+    "docs_source_overlap" ->
+      """WITH d0 AS (
+        |  SELECT a.source AS src, b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 50
+        |  WHERE b.text IS NOT NULL),
+        |d AS (SELECT DISTINCT src, md5(text) AS h FROM d0)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  count(DISTINCT a.h) AS n_shared
+        |FROM d a JOIN d b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the docs_vocab_growth oracle: the same token law and round-6
+    // type-token ratio per source
+    "docs_vocab_growth" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS term
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(DISTINCT term) AS n_terms,
+        |  count(*) AS n_tokens,
+        |  round(CAST(count(DISTINCT term) AS DOUBLE) / count(*), 6)
+        |    AS type_token_ratio
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // the docs_fasttext oracle: the per-label inventory recomputed
     // from the raw table (fixture text is newline-free, so the

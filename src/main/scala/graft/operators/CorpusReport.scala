@@ -109,6 +109,46 @@ object CorpusReport {
         sum(col("nt")).cast("bigint").as("sum_tokens"))
   }
 
+  /** Cross-source duplicate-overlap matrix (r15 wave 7) — the
+    * dataset-card view de-dup decisions read: for every unordered
+    * source pair, how many DISTINCT texts appear in both (mirrored
+    * content between two crawls/sources means double-counting in the
+    * mixture and leakage across intended splits). Shape: distinct
+    * (source, hash) → self-equi-join on the hash (keyed shuffle) →
+    * pair aggregate; the join never touches text bytes, only md5
+    * keys, and per-hash fan-out is bounded by the SOURCE count, not
+    * the corpus.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val d = df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("src"), md5(col(textCol)).as("h"))
+      .distinct()
+    d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(countDistinct(col("a.h")).as("n_shared"))
+  }
+
+  /** Per-source vocabulary-growth row (r15 wave 7): distinct terms,
+    * token volume and the round-6 type-token ratio — the Heaps-law
+    * card view that flags template-generated sources (tiny TTR at
+    * large volume) and OCR noise (TTR near 1). One explode + one
+    * two-level aggregate; the exchange carries (source, term) pairs.
+    */
+  def vocabularyGrowth(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("term"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        round(col("n_terms").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+
   /** The language-mix rows of the card: (source, lang, n_docs) —
     * lang is null for unscoreable (null/empty text) docs, which stay
     * countable. Computes ONLY the language signal (the same

@@ -49,4 +49,35 @@ class CorpusReportSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(plan.contains("partial"))
   }
+
+  test("sourceOverlap: distinct shared contents per unordered source " +
+      "pair; within-source dups and unique texts contribute nothing " +
+      "(r15w7)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "shared one"), ("b", "shared one"), ("c", "shared one"),
+      ("a", "shared two"), ("b", "shared two"),
+      ("a", "shared two"),            // within-source dup: still 1
+      ("a", "only in a"), ("c", null: String))
+      .toDF("source", "text")
+    val m = CorpusReport.sourceOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("vocabularyGrowth: distinct terms, token volume, round-6 TTR") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "the cat the mat"),        // 4 tokens, 3 terms
+      ("a", "the dog"),                // 2 tokens, 1 new term
+      ("b", "x x x"), ("b", null: String))
+      .toDF("source", "text")
+    val rows = CorpusReport.vocabularyGrowth(df, "source", "text")
+      .orderBy("source").collect()
+    assert(rows(0).getLong(1) === 4L && rows(0).getLong(2) === 6L)
+    assert(rows(0).getDouble(3) === 0.666667)
+    assert(rows(1).getLong(1) === 1L && rows(1).getLong(2) === 3L)
+    assert(rows(1).getDouble(3) === 0.333333)
+  }
 }
