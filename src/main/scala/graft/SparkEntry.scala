@@ -3021,6 +3021,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- BLEU-style bigram overlap (r15 wave 7 — the eval-prep /
+    //     paraphrase metric): each doc scored against the text of
+    //     its group-of-3 leader (the leader against itself → exact
+    //     1.0 precision/recall rows among partial overlaps). The
+    //     oracle replays grams, clipped multiset intersection and
+    //     the round-6 ratios.
+    "text_ngram_overlap" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val pairs = base.alias("a")
+        .join(base.alias("b"), col("b.doc_id") ===
+          col("a.doc_id") - pmod(col("a.doc_id"), lit(3L)))
+        .filter(col("a.doc_id") < 300)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      val m = TextFunctions.ngramOverlap(col("cand"), col("ref"), 2)
+      pairs.select(col("doc_id"),
+          m.getField("n_cand").as("n_cand"),
+          m.getField("n_ref").as("n_ref"),
+          m.getField("n_common").as("n_common"),
+          m.getField("precision").as("prec"),
+          m.getField("recall").as("rec"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Cross-source overlap matrix (r15 wave 7 — the double-
     //     counting / split-leakage card view): contents planted so
     //     every doc carries the text of doc (id % 50) — 50 distinct
@@ -7859,6 +7883,47 @@ object SparkEntry {
         |      i -> (doc_id * 31 + (i - 1)) % 20 < 3), i -> ws[i]), ' ')
         |    END AS mlm_labels
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_ngram_overlap oracle: the same token law, bigram
+    // construction, clipped multiset intersection (list_distinct +
+    // least of per-gram counts) and round-6 ratios
+    "text_ngram_overlap" ->
+      """WITH p AS (
+        |  SELECT a.doc_id AS doc_id, a.text AS cand, b.text AS ref
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3)
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+        |    AND a.doc_id < 300),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(cand), ' '),
+        |      x -> length(x) > 0) AS wa,
+        |    list_filter(string_split(lower(ref), ' '),
+        |      x -> length(x) > 0) AS wb
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wa) >= 2 THEN list_transform(range(1, len(wa)),
+        |      i -> wa[i] || ' ' || wa[i + 1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS ga,
+        |    CASE WHEN len(wb) >= 2 THEN list_transform(range(1, len(wb)),
+        |      i -> wb[i] || ' ' || wb[i + 1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS gb
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, CAST(len(ga) AS BIGINT) AS n_cand,
+        |    CAST(len(gb) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(ga),
+        |      x -> least(len(list_filter(ga, y -> y = x)),
+        |                 len(list_filter(gb, y -> y = x))))), 0)
+        |      AS BIGINT) AS n_common
+        |  FROM g)
+        |SELECT doc_id, n_cand, n_ref, n_common,
+        |  CASE WHEN n_cand > 0
+        |    THEN round(CAST(n_common AS DOUBLE) / n_cand, 6) END AS prec,
+        |  CASE WHEN n_ref > 0
+        |    THEN round(CAST(n_common AS DOUBLE) / n_ref, 6) END AS rec
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the docs_source_overlap oracle: same plant (text of id % 50),
     // same distinct (source, md5) relation, same ordered pair join

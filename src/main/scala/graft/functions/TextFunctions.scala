@@ -1114,4 +1114,50 @@ object TextFunctions {
       (length(col(textCol)) - length(cleaned)) * 100 <=
         length(col(textCol)) * maxRatioPct)
   }
+
+  /** Word n-grams of a text column (the [[tokens]] law, joined with
+    * single spaces); fewer than `n` words → empty array, null →
+    * null.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n $n")
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(when(text.isNotNull, array().cast("array<string>")))
+  }
+
+  /** BLEU-style n-gram overlap between a candidate and a reference
+    * (r15 wave 7) — the eval-prep / paraphrase-mining metric:
+    * MULTISET intersection of word n-grams (clipped counts, the BLEU
+    * convention — a candidate repeating one reference gram does not
+    * farm precision), with round-6 precision (|∩| / candidate grams)
+    * and recall (|∩| / reference grams). Pure whole-plan HOFs —
+    * per-row work is quadratic in the DISTINCT gram count of one
+    * document, bounded by doc size, never corpus size. Returns a
+    * struct (n_cand, n_ref, n_common, precision, recall); either
+    * side null → null struct fields ride the `when` guards.
+    */
+  def ngramOverlap(cand: Column, ref: Column, n: Int = 2): Column = {
+    val ga = wordNgrams(cand, n)
+    val gb = wordNgrams(ref, n)
+    val common = coalesce(
+      aggregate(array_distinct(ga), lit(0L), (acc, g) =>
+        acc + least(
+          size(filter(ga, x => x === g)).cast("long"),
+          size(filter(gb, x => x === g)).cast("long"))),
+      lit(0L))
+    val na = size(ga).cast("long")
+    val nb = size(gb).cast("long")
+    val ok = cand.isNotNull && ref.isNotNull
+    struct(
+      when(ok, na).as("n_cand"),
+      when(ok, nb).as("n_ref"),
+      when(ok, common).as("n_common"),
+      when(ok && na > 0,
+        round(common.cast("double") / na, 6)).as("precision"),
+      when(ok && nb > 0,
+        round(common.cast("double") / nb, 6)).as("recall"))
+  }
 }

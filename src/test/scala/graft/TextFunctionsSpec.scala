@@ -662,4 +662,34 @@ class TextFunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("ngramOverlap: clipped multiset intersection, round-6 ratios, " +
+      "identity pair scores 1.0 (r15w7)") {
+    def m(c: String, r: String) = Seq((c, r)).toDF("c", "r")
+      .select(TextFunctions.ngramOverlap(col("c"), col("r"), 2).as("m"))
+      .select("m.*").head()
+    // identical texts: full overlap
+    val id = m("the cat sat here", "the cat sat here")
+    assert(id.getLong(2) === 3L && id.getDouble(3) === 1.0 &&
+      id.getDouble(4) === 1.0)
+    // clipping: candidate repeats a reference bigram — counts clip
+    // to the reference's single occurrence
+    val clip = m("a b a b a b", "a b c")
+    // cand bigrams: [a b, b a, a b, b a, a b] (5); ref: [a b, b c]
+    assert(clip.getLong(0) === 5L && clip.getLong(2) === 1L)
+    assert(clip.getDouble(3) === 0.2)
+    // disjoint: zero common, defined ratios
+    val dj = m("x y z", "p q r")
+    assert(dj.getLong(2) === 0L && dj.getDouble(3) === 0.0)
+    // single-word candidate: no bigrams → precision null, recall 0
+    val short = m("solo", "a b c")
+    assert(short.getLong(0) === 0L && short.isNullAt(3) &&
+      short.getDouble(4) === 0.0)
+    // null side → all-null struct fields
+    val r = Seq((Option.empty[String], Option("a b")))
+      .toDF("c", "r")
+      .select(TextFunctions.ngramOverlap(col("c"), col("r"), 2).as("m"))
+      .select("m.*").head()
+    assert((0 until 5).forall(r.isNullAt))
+  }
 }
