@@ -1450,11 +1450,15 @@ object SparkEntry {
     //     invariant closed-form), so a rank shift, symbol mangling
     //     or line-order loss anywhere in the file goes red.
     "text_bpe_artifact" -> ((s, dir) => {
+      // the gate proves ARTIFACT fidelity, not training throughput —
+      // a 100-doc slice and 40 merges exercise every format path at
+      // a fraction of the train cost (training itself is gated by
+      // text_wordpiece/text_unigram/text_tokens_bpe)
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
-          col("doc_id") < 300)
+          col("doc_id") < 100)
         .select(col("doc_id"), col("source"), col("text"))
-      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 40)
       val path = gateIndexPath(dir, "bpe_merges_gate") + "/merges.txt"
       graft.sources.TokenizerIo.writeMerges(merges, path)
       val reloaded = graft.sources.TokenizerIo.readMerges(s, path)
@@ -6867,7 +6871,7 @@ object SparkEntry {
     "text_bpe_artifact" ->
       """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
         |FROM documents
-        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 100
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // same tokenize law as text_tokens; idf over the FULL corpus, top
