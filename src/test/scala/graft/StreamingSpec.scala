@@ -755,4 +755,47 @@ class StreamingSpec extends SparkSpec {
         cdxRows.toDF("row_id", "line"), "line")
         .orderBy("row_id").collect().toSeq)
   }
+
+  test("streaming MLM mask / n-gram overlap == batch (r15w6-7): " +
+      "stateless projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 18L).map(id =>
+      (id, (0 until 12).map(j => s"w${(id * 3 + j) % 9}").mkString(" ")))
+    val ms = MemoryStream[(Long, String)]
+    val mq = graft.operators.Mlm.withMlmMask(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("mlm_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(7): _*)
+    mq.processAllAvailable()
+    ms.addData(rows.drop(7): _*)
+    mq.processAllAvailable()
+    mq.stop()
+    assert(spark.table("mlm_st").orderBy("doc_id").collect().toSeq ===
+      graft.operators.Mlm.withMlmMask(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+
+    val pairRows = (1L to 12L).map(id =>
+      (id, s"alpha beta gamma $id", "alpha beta delta"))
+    val os = MemoryStream[(Long, String, String)]
+    val oq = os.toDF().toDF("doc_id", "cand", "ref")
+      .select($"doc_id", graft.functions.TextFunctions.ngramOverlap(
+        $"cand", $"ref", 2).as("m"))
+      .select($"doc_id", $"m.n_common", $"m.precision")
+      .writeStream.format("memory").queryName("ov_st")
+      .outputMode(OutputMode.Append).start()
+    os.addData(pairRows.take(5): _*)
+    oq.processAllAvailable()
+    os.addData(pairRows.drop(5): _*)
+    oq.processAllAvailable()
+    oq.stop()
+    assert(spark.table("ov_st").orderBy("doc_id").collect().toSeq ===
+      pairRows.toDF("doc_id", "cand", "ref")
+        .select($"doc_id", graft.functions.TextFunctions.ngramOverlap(
+          $"cand", $"ref", 2).as("m"))
+        .select($"doc_id", $"m.n_common", $"m.precision")
+        .orderBy("doc_id").collect().toSeq)
+  }
 }

@@ -692,4 +692,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select("m.*").head()
     assert((0 until 5).forall(r.isNullAt))
   }
+
+  test("withNgramOverlap (explode+agg corpus form) == ngramOverlap " +
+      "(HOF column form) on every edge class (r15w7)") {
+    val df = Seq(
+      (1L, "the cat sat here", "the cat sat here"),    // identity
+      (2L, "a b a b a b", "a b c"),                    // clipping
+      (3L, "x y z", "p q r"),                          // disjoint
+      (4L, "solo", "a b c"),                           // no cand grams
+      (5L, null: String, "a b"),                       // null cand
+      (6L, "a b", null: String))                       // null ref
+      .toDF("id", "cand", "ref")
+    val fast = TextFunctions.withNgramOverlap(df, "id", "cand", "ref", 2)
+      .select("id", "n_cand", "n_ref", "n_common", "precision", "recall")
+      .orderBy("id").collect().toSeq
+    val slow = df.select(col("id"),
+        TextFunctions.ngramOverlap(col("cand"), col("ref"), 2).as("m"))
+      .select(col("id"), col("m.n_cand"), col("m.n_ref"),
+        col("m.n_common"), col("m.precision"), col("m.recall"))
+      .orderBy("id").collect().toSeq
+    assert(fast === slow)
+  }
 }
