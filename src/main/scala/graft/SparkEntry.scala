@@ -2704,6 +2704,49 @@ object SparkEntry {
         .orderBy(col("urlkey"))
     }),
 
+    // --- Pretraining-data factory composition (r15 wave 7 — the
+    //     curation chain DOWNSTREAM of ingestion, as ONE lazy plan):
+    //     plants (%9 shared boilerplate → exact dedup keeps the min
+    //     id; %10==7 docs carry an appended eval probe → the
+    //     2-shingle containment decontamination pass must drop them)
+    //     → gopher+langid quality filter → exact dedup →
+    //     decontamination anti-join. The oracle composes the per-
+    //     stage twins, so a regression in ANY stage — or in how the
+    //     stages hand off — hash-mismatches here even while each
+    //     stage's own gate stays green.
+    "pipeline_factory" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val probeTexts = Seq(
+        "secret eval question alpha beta gamma",
+        "hidden benchmark answer delta epsilon zeta",
+        "withheld test item eta theta iota")
+      val boiler = "the shared boilerplate body text appears on " +
+        "every page of this site and it repeats the same words here"
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && id < 240)
+      val planted = base.select(id,
+        when(id % 9 === 0, lit(boiler))
+          .otherwise(concat(col("text"),
+            when(id % 10 === 7, concat(lit(" "), element_at(
+              array(probeTexts.map(lit): _*), (id % 3).cast("int") + 1)))
+              .otherwise(lit("")))).as("text"))
+      val quality = graft.operators.Attributes.qualityAttributesTable(
+          planted, "text", minWords = 10)
+        .filter(col("gopher_pass") && col("lang") === "en")
+        .select(id, col("text"), col("n_tokens"))
+      val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+      val probes = probeTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("probe_id", "text")
+      val contaminated = Dedup.containmentJoin(deduped, "doc_id", "text",
+          probes, "probe_id", "text", shingleLen = 2,
+          minContainment = 0.5)
+        .select(col("doc_id")).distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(id, col("n_tokens"))
+        .orderBy(id)
+    }),
+
     // --- Crawl-to-corpus composition (r12 — the whole ingestion
     //     chain as ONE lazy plan): WARC walk → HTTP strip →
     //     stripHtml → PII redaction → exact corpus dedup. Plants:
@@ -8263,6 +8306,57 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY target_uri""".stripMargin,
+
+    // the pipeline_factory oracle: the quality twin
+    // (attributeSignalCtes), the min-id exact-dedup window, and the
+    // 2-shingle containment decontamination composed over the same
+    // plants — round-then-filter at 0.5 like the engine
+    "pipeline_factory" -> {
+      val boiler = "the shared boilerplate body text appears on " +
+        "every page of this site and it repeats the same words here"
+      val p0 = "secret eval question alpha beta gamma"
+      val p1 = "hidden benchmark answer delta epsilon zeta"
+      val p2 = "withheld test item eta theta iota"
+      val base = s"""SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        THEN '$boiler'
+        ELSE text || CASE WHEN doc_id % 10 = 7 THEN ' ' ||
+          CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN '$p0' WHEN 1 THEN '$p1' ELSE '$p2' END
+          ELSE '' END END AS text
+        FROM documents WHERE text IS NOT NULL AND doc_id < 240"""
+      s"""${attributeSignalCtes(base)},
+         |flt AS (
+         |  SELECT d.doc_id, d.text, r.n_toks
+         |  FROM d JOIN r USING (doc_id)
+         |  WHERE (NOT r.f_words AND NOT r.f_mlen AND NOT r.f_alpha
+         |    AND NOT r.f_sym AND NOT r.f_bullet AND NOT r.f_ell
+         |    AND NOT r.f_sw) AND r.lang = 'en'),
+         |w AS (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+         |      FROM flt),
+         |dd AS (SELECT doc_id, text, n_toks FROM w WHERE doc_id = keeper),
+         |dt AS (SELECT doc_id, n_toks,
+         |  list_filter(string_split(lower(text), ' '),
+         |    x -> length(x) > 0) AS toks FROM dd),
+         |ds AS (SELECT doc_id, n_toks,
+         |  CASE WHEN len(toks) >= 2 THEN
+         |    list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1]))
+         |  ELSE [list_aggregate(toks, 'string_agg', ' ')] END AS sh
+         |  FROM dt),
+         |pr AS (SELECT pid,
+         |  list_filter(string_split(lower(ptext), ' '),
+         |    x -> length(x) > 0) AS ptoks
+         |  FROM (VALUES (0, '$p0'), (1, '$p1'), (2, '$p2')) v(pid, ptext)),
+         |prs AS (SELECT pid,
+         |  list_distinct(list_transform(range(1, len(ptoks)),
+         |    i -> ptoks[i] || ' ' || ptoks[i+1])) AS psh FROM pr),
+         |bad AS (SELECT DISTINCT ds.doc_id FROM ds JOIN prs
+         |  ON round(len(list_intersect(prs.psh, ds.sh))::DOUBLE
+         |       / len(prs.psh), 6) >= 0.5)
+         |SELECT doc_id, CAST(n_toks AS INT) AS n_tokens
+         |FROM ds WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the pipeline_crawl oracle: every stage twin composed — content
     // plants, the WARC fixture's HTML wrapper through stripHtmlSql,
