@@ -1088,6 +1088,28 @@ object SparkEntry {
         excludeSelf = true)
     }),
 
+    // --- ANN recall@k evaluation (r15 wave 7 — the harness every
+    //     ANN config ships with): probe-ALL IVF vs the exact kernel
+    //     KNN — the IVF plumbing provably loses nothing, so recall
+    //     is closed-form 1.0 per query and the oracle restates it;
+    //     fractional-recall behavior is pinned in AnnSpec on
+    //     clustered data. A recall regression ANYWHERE in the IVF
+    //     path (assignment, probe union, top-k) goes red here.
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (assigned, centers) = Ann.ivfAssign(emb, "vec_id", "embedding",
+        nlist = 8, seed = 42, maxIter = 2)
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val approx = Ann.ivfProbeJoin(assigned, centers, "vec_id",
+        "embedding", qs, "query_id", "q_vec", k = 3, nprobe = 8,
+        metric = "l2", excludeSelf = true)
+      val exact = Knn.knnJoin(emb, "vec_id", "embedding", qs,
+        "query_id", "q_vec", k = 3, metric = "l2", excludeSelf = true)
+      Ann.recallAtK(approx, exact, "query_id", "vec_id", k = 3)
+        .orderBy(col("query_id"))
+    }),
+
     // --- ANN/LSH under the genuinely APPROXIMATE configuration
     //     (8 planes / 256 buckets, multi-probe), promoted out of
     //     rows-only (VERDICT r3 #1) with planted queries whose recall
@@ -9757,6 +9779,13 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the ann_recall oracle: probe-all IVF == exact KNN, so every
+    // query's recall is closed-form 1.0 with all k=3 hits
+    "ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_hit,
+        |  CAST(1.0 AS DOUBLE) AS recall
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     // the APPROXIMATE LSH config vs a genuine exact-NN search over the
     // planted scale-perturbed queries: sign-based bucketing makes the

@@ -1954,4 +1954,29 @@ object Ann {
 
     Knn.finishTopKPerGroup(candidates, queryIdCol, corpusIdCol, k)
   }
+
+  /** Recall@k of an approximate result against the exact one (r15
+    * wave 7) — the evaluation every ANN configuration ships with:
+    * per query, |approx ∩ exact-top-k| / k (round-6), queries the
+    * approximate path returned NOTHING for scoring 0, never
+    * vanishing. One semi-join on (query, neighbor) + a query-sized
+    * aggregate — both sides are k·queries-sized result relations,
+    * so this costs nothing next to the searches it evaluates.
+    */
+  def recallAtK(approx: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame, queryIdCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, s"k $k")
+    val hits = approx.select(col(queryIdCol), col(idCol))
+      .join(exact.select(col(queryIdCol), col(idCol)),
+        Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("n_hit"))
+    exact.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
 }

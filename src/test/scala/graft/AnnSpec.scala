@@ -757,4 +757,18 @@ class AnnSpec extends SparkSpec {
       .select("vec_id", "distance").collect().toSeq
     assert(bin2 === exact)
   }
+
+  test("recallAtK: fractional recalls, zero-result queries score 0 " +
+      "instead of vanishing (r15w7)") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("query_id", "vec_id")
+    // query 1: 2 of 3 right, 1 spurious; query 2: approx returned nothing
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L))
+      .toDF("query_id", "vec_id")
+    val r = Ann.recallAtK(approx, exact, "query_id", "vec_id", 3)
+      .orderBy("query_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
 }
