@@ -3283,6 +3283,29 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // --- Dictionary-trained zstd shards (r15 wave 8 — the small-
+    //     record compression path): dictionary trained on the first
+    //     150 docs (deterministic slice), every doc < 300 compressed
+    //     against it, read back through the fail-closed frame and
+    //     inventoried. The oracle recomputes the inventory from the
+    //     raw table — a single corrupted byte anywhere in dict or
+    //     frames flips the md5 checksum.
+    "docs_zstd_dict" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val dict = graft.sources.ZstdDict.trainTextDictionary(
+        docs.filter(col("doc_id") < 150), "text", dictSize = 4096)
+      val path = gateIndexPath(dir, "zstd_dict_gate")
+      graft.sources.ZstdDict.writeDocs(docs, "doc_id", "text", path, dict)
+      graft.sources.ZstdDict.readDocs(s, path)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("text"))).cast("bigint").as("text_bytes"),
+          sum(conv(substring(md5(concat_ws(":",
+            col("doc_id").cast("string"), col("text"))), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+    }),
+
     "docs_jsonl_gz" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("doc_id") < 300)
@@ -8551,6 +8574,15 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // the fixture rows — count, UTF-8 byte volume, id:text checksum
+    // the docs_zstd_dict oracle: the jsonl_gz inventory discipline
+    // over the same slice — dict round trips must be byte-lossless
+    "docs_zstd_dict" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS checksum
+        |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
     "docs_jsonl_gz" ->
       """SELECT count(*) AS n_docs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS text_bytes,

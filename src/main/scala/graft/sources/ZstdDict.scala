@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dictionary-trained zstd document shards (r15 wave 8) — the
+  * small-record compression path (RFC 8878 §5 dictionaries, trained
+  * with zstd's own ZDICT via the platform's zstd-jni, which Spark
+  * ships for shuffle/parquet): plain per-record compression can't
+  * exploit cross-record redundancy on sub-KB documents, a shared
+  * dictionary can — the classic 2-5× win on short web text, crawl
+  * metadata and chat turns.
+  *
+  * Layout under `path`:
+  *  - `dictionary.dict` — the trained dictionary, once (zstd's own
+  *    magic `0xEC30A437` leads it);
+  *  - `part-NNNNN.zdc` shards — magic `GZDC`, version 1, record
+  *    count, then per record: id (i64 LE), rawLen, compLen, the
+  *    dict-compressed bytes. Raw length travels in the frame and is
+  *    VERIFIED against the decompressed size (fail-closed).
+  *
+  * Scale shape: the dictionary trains on a BOUNDED deterministic
+  * sample (driver-side, KBs–MBs — the rankMap/centroid precedent),
+  * then broadcasts; shards write one-per-partition with
+  * task-attempt-rename commits and read file-per-task.
+  */
+object ZstdDict {
+
+  val Magic: Array[Byte] = "GZDC".getBytes(StandardCharsets.US_ASCII)
+
+  /** Train a dictionary from `textCol` of a BOUNDED sample frame —
+    * pass a deterministic slice (a filter, not a limit); refuses
+    * over-budget samples rather than silently truncating.
+    */
+  def trainTextDictionary(sample: DataFrame, textCol: String,
+      maxSampleBytes: Int = 8 << 20, dictSize: Int = 65536): Array[Byte] = {
+    val texts = sample.filter(col(textCol).isNotNull)
+      .select(col(textCol)).collect().map(_.getString(0))
+    val total = texts.iterator.map(_.length.toLong).sum
+    require(total <= maxSampleBytes,
+      s"dictionary sample is ~$total B > budget $maxSampleBytes — " +
+        "narrow the sample slice")
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      maxSampleBytes, dictSize)
+    texts.foreach(t => trainer.addSample(t.getBytes(StandardCharsets.UTF_8)))
+    trainer.trainSamples()
+  }
+
+  /** Write `(idCol: long, textCol: string)` as dict-compressed
+    * shards + the dictionary file. Null ids/texts are refused rows.
+    */
+  def writeDocs(df: DataFrame, idCol: String, textCol: String,
+      path: String, dict: Array[Byte], level: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val dictPath = new org.apache.hadoop.fs.Path(s"$base/dictionary.dict")
+    val out = fs.create(dictPath, true)
+    try out.write(dict) finally out.close()
+    val bcDict = spark.sparkContext.broadcast(dict)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val cdict = new com.github.luben.zstd.ZstdDictCompress(
+            bcDict.value, level)
+          val recs = it.map { r =>
+            require(!r.isNullAt(0) && !r.isNullAt(1),
+              "null id/text — filter upstream")
+            val raw = r.getString(1).getBytes(StandardCharsets.UTF_8)
+            val bound = com.github.luben.zstd.Zstd.compressBound(
+              raw.length.toLong).toInt
+            val dst = new Array[Byte](bound)
+            val n = com.github.luben.zstd.Zstd.compress(dst, raw, cdict)
+            require(com.github.luben.zstd.Zstd.isError(n) == false,
+              s"zstd compress failed: ${com.github.luben.zstd.Zstd.getErrorName(n)}")
+            (r.getLong(0), raw.length, java.util.Arrays.copyOf(dst, n.toInt))
+          }.toVector
+          val size = Magic.length + 1 + 4 +
+            recs.iterator.map(r => 8 + 4 + 4 + r._3.length.toLong).sum
+          require(size <= Int.MaxValue - 64, "shard too large — repartition")
+          val bb = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(Magic).put(1.toByte).putInt(recs.length)
+          recs.foreach { case (id, rawLen, comp) =>
+            bb.putLong(id).putInt(rawLen).putInt(comp.length).put(comp)
+          }
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(f"$base/part-$pid%05d.zdc")
+          val (rawOut, commit) = Containers.createCommitted(hconf.value, p)
+          rawOut.write(bb.array())
+          rawOut.close()
+          commit()
+        }
+      }
+    Containers.cleanInProgress(spark, base)
+  }
+
+  /** Decode one shard against `dict` → (id, text) pairs. Refuses on
+    * bad magic/version, truncated records, or a decompressed size
+    * disagreeing with the frame's rawLen.
+    */
+  def decodeShard(bytes: Array[Byte], dict: Array[Byte]): Seq[(Long, String)] = {
+    require(bytes.length >= Magic.length + 1 + 4 &&
+      Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "bad zdc magic — not a graft dict-compressed shard")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(Magic.length)
+    val version = bb.get().toInt
+    require(version == 1, s"unsupported zdc version $version")
+    val n = bb.getInt
+    require(n >= 0, s"implausible zdc record count $n")
+    (0 until n).map { _ =>
+      require(bb.remaining() >= 16, "truncated zdc record header")
+      val id = bb.getLong
+      val rawLen = bb.getInt
+      val compLen = bb.getInt
+      require(rawLen >= 0 && compLen >= 0 && bb.remaining() >= compLen,
+        s"truncated zdc record (raw $rawLen comp $compLen)")
+      val comp = new Array[Byte](compLen)
+      bb.get(comp)
+      val dst = new Array[Byte](rawLen)
+      val got = com.github.luben.zstd.Zstd.decompressUsingDict(
+        dst, 0, comp, 0, compLen, dict)
+      require(!com.github.luben.zstd.Zstd.isError(got) && got == rawLen,
+        s"zdc record decompressed to $got B, frame claims $rawLen")
+      (id, new String(dst, StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Read every shard under `base` → (doc_id, text) — the dictionary
+    * loads once driver-side (KBs) and broadcasts; shards decode
+    * file-per-task.
+    */
+  def readDocs(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$base/dictionary.dict")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val dict = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    val bc = spark.sparkContext.broadcast(dict)
+    spark.read.format("binaryFile").load(s"$base/*.zdc")
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(bytes => decodeShard(bytes, bc.value))
+      .toDF("doc_id", "text")
+  }
+}

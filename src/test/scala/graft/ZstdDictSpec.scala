@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.sources.ZstdDict
+
+class ZstdDictSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0L until n.toLong).map(i =>
+    (i, s"user record $i: status=active plan=basic region=eu " +
+      s"payload item ${i % 7} of the shared template"))
+    .toDF("doc_id", "text")
+
+  test("dict round trip is byte-lossless across shards, including " +
+      "unicode and empty docs (r15w8)") {
+    val dir = java.nio.file.Files.createTempDirectory("zdspec").toString
+    val df = docs(80).union(Seq(
+      (900L, "unicode: ünïcödé ≠ plain"), (901L, "")).toDF("doc_id", "text"))
+      .repartition(4)
+    val dict = ZstdDict.trainTextDictionary(df, "text", dictSize = 2048)
+    ZstdDict.writeDocs(df, "doc_id", "text", dir, dict)
+    val back = ZstdDict.readDocs(spark, dir)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val want = df.as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq === want.toSeq)
+    val parts = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".zdc"))
+    assert(parts > 1, "expected multiple shards")
+  }
+
+  test("the trained dictionary beats dict-less zstd on small " +
+      "templated records (the reason this module exists)") {
+    val texts = (0 until 500).map(i =>
+      s"user record $i: status=active plan=basic region=eu " +
+        s"payload item ${i % 7} of the shared template")
+    val dict = ZstdDict.trainTextDictionary(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "text", dictSize = 2048)
+    val cdict = new com.github.luben.zstd.ZstdDictCompress(dict, 3)
+    val (withDict, without) = texts.map { t =>
+      val raw = t.getBytes(StandardCharsets.UTF_8)
+      val dst = new Array[Byte](
+        com.github.luben.zstd.Zstd.compressBound(raw.length.toLong).toInt)
+      val a = com.github.luben.zstd.Zstd.compress(dst, raw, cdict)
+      val b = com.github.luben.zstd.Zstd.compress(raw, 3).length.toLong
+      (a, b)
+    }.unzip match { case (as, bs) => (as.sum, bs.sum) }
+    assert(withDict * 2 < without,
+      s"dict $withDict B should be <50% of dict-less $without B")
+  }
+
+  test("decodeShard: fail-closed on magic, version, truncation and " +
+      "raw-length lies") {
+    val df = docs(40) // ZDICT refuses tiny sample sets ("nb of samples too low")
+    val dict = ZstdDict.trainTextDictionary(df, "text", dictSize = 1024)
+    val dir = java.nio.file.Files.createTempDirectory("zdbad").toString
+    ZstdDict.writeDocs(df.coalesce(1), "doc_id", "text", dir, dict)
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zdc")).head
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    ZstdDict.decodeShard(bytes, dict) // sanity
+    val badMagic = bytes.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](ZstdDict.decodeShard(badMagic, dict))
+    val badVer = bytes.clone(); badVer(4) = 9.toByte
+    intercept[IllegalArgumentException](ZstdDict.decodeShard(badVer, dict))
+    intercept[IllegalArgumentException](
+      ZstdDict.decodeShard(bytes.take(bytes.length - 3), dict))
+    // lie about rawLen of the first record (offset: magic4+ver1+cnt4 → +8 id)
+    val lie = bytes.clone()
+    val rawLenOff = 4 + 1 + 4 + 8
+    lie(rawLenOff) = (lie(rawLenOff) + 1).toByte
+    intercept[IllegalArgumentException](ZstdDict.decodeShard(lie, dict))
+  }
+}
