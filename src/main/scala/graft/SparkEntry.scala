@@ -3074,6 +3074,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Deterministic word dropout (r15 wave 8 — the augmentation
+    //     rewrite): 10% id-derived drops, whole-doc drops refused
+    //     (pass through unchanged). The oracle replays the drop
+    //     lattice and the keep-at-least-one rule.
+    "text_dropout" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Mlm.withTokenDropout(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_dropped"), col("dropped_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- MLM whole-word masking (r15 wave 6 — the BERT recipe as a
     //     deterministic rewrite): 15% of words selected by the
     //     id-derived lattice, 80/10/10 mask/random-in-doc/unchanged
@@ -7947,6 +7960,27 @@ object SparkEntry {
         |    '<extra_id_0>' || substr(text, s1 + 1, l1) ||
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_dropout oracle: the same split, the (id·13+i) mod 20
+    // drop lattice 1-based-replayed, and the keep-at-least-one rule
+    "text_dropout" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |e AS (SELECT doc_id, ws, len(ws) AS n,
+        |    list_filter(range(1, len(ws) + 1),
+        |      i -> (doc_id * 13 + (i - 1)) % 20 >= 2) AS keep
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN
+        |    CASE WHEN len(keep) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(n - len(keep) AS BIGINT) END END AS n_dropped,
+        |  CASE WHEN n > 0 THEN
+        |    CASE WHEN len(keep) = 0 THEN array_to_string(ws, ' ')
+        |      ELSE array_to_string(list_transform(keep, i -> ws[i]), ' ')
+        |      END END AS dropped_text
         |FROM e ORDER BY doc_id""".stripMargin,
 
     // the text_mlm oracle: the same word split (empties dropped), the

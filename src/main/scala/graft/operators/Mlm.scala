@@ -50,6 +50,35 @@ object Mlm {
         when(hasWords && size(labels) > 0, array_join(labels, " ")))
   }
 
+  /** Deterministic word dropout (r15 wave 8) — the input-robustness
+    * augmentation (word-dropout regularization, Iyyer et al. 2015,
+    * public): word `i` of doc `id` drops iff
+    * `(id·13 + i) mod 20 < rate20` (default 10% at rate20 = 2) —
+    * id-derived like every rewrite in this family, so re-runs and
+    * the twin replay each drop. Documents keep at least ONE word: a
+    * doc whose every word would drop passes through unchanged
+    * (dropping a whole doc silently changes corpus stats). One
+    * projection, no shuffle.
+    */
+  def withTokenDropout(df: DataFrame, idCol: String, textCol: String,
+      rate20: Int = 2): DataFrame = {
+    require(rate20 >= 0 && rate20 <= 20, s"rate20 $rate20")
+    val id = col(idCol).cast("long")
+    val ws = filter(split(col(textCol), " ", -1), w => length(w) > 0)
+    val n = size(ws)
+    val kept = filter(transform(ws, (w, i) =>
+      when(pmod(id * 13L + i, lit(20L)) >= rate20, w)
+        .otherwise(lit(null))), w => w.isNotNull)
+    val hasWords = col(textCol).isNotNull && n > 0
+    val allDropped = size(kept) === 0
+    df.withColumn("dropped_text", when(hasWords,
+        when(allDropped, array_join(ws, " "))
+          .otherwise(array_join(kept, " "))))
+      .withColumn("n_dropped", when(hasWords,
+        when(allDropped, lit(0L))
+          .otherwise((n - size(kept)).cast("long"))))
+  }
+
   /** Next-sentence-prediction pair prep (the other BERT objective,
     * same paper) — DETERMINISTIC: each doc with ≥ 2 sentences
     * ([[graft.functions.TextFunctions.splitSentences]], whose RE2

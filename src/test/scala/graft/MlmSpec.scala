@@ -90,6 +90,28 @@ class MlmSpec extends SparkSpec {
       (8L, "Eight first.", "Eight second.", true)))
   }
 
+  test("withTokenDropout: id-derived drops, keep-at-least-one rule, " +
+      "null/empty pass-through (r15w8)") {
+    import graft.operators.Mlm
+    def d(id: Long, text: String) = Mlm.withTokenDropout(
+      Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text", rate20 = 2)
+      .select("dropped_text", "n_dropped").head()
+    // id=0: word i drops iff (0·13 + i) % 20 < 2 → i ∈ {0, 1}
+    val r = d(0L, (0 until 10).map(i => s"w$i").mkString(" "))
+    assert(r.getString(0) === (2 until 10).map(i => s"w$i").mkString(" "))
+    assert(r.getLong(1) === 2L)
+    // rate20=20 would drop everything → keep-at-least-one: unchanged
+    val all = Mlm.withTokenDropout(
+      Seq((3L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      rate20 = 20).select("dropped_text", "n_dropped").head()
+    assert(all.getString(0) === "a b c" && all.getLong(1) === 0L)
+    // wordless/null → nulls
+    for (t <- Seq("", null: String)) {
+      val x = d(1L, t)
+      assert(x.isNullAt(0) && x.isNullAt(1))
+    }
+  }
+
   test("nspPairs: a doc with one sentence contributes nothing but " +
       "can still serve as a partner") {
     val docs = Seq(
