@@ -3074,6 +3074,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Conversation-tree flattening (r15 wave 8 — regeneration/
+    //     preference forks to linear SFT paths): planted trees (every
+    //     doc a root+answer, %2 ids fork a second answer, %3 ids a
+    //     follow-up under answer A) flattened breadth-first to every
+    //     root-to-leaf path. The oracle is WITH RECURSIVE verbatim,
+    //     so path multiplication, leaf detection and render order
+    //     all replay.
+    "chat_threads" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = Tables.documents(s, dir).filter(id < 80).select(id)
+      val root = base.select((id * 100).as("msg_id"),
+        lit(null).cast("long").as("parent_id"), lit("user").as("role"),
+        concat(lit("question "), id).as("content"))
+      val childA = base.select((id * 100 + 1).as("msg_id"),
+        (id * 100).as("parent_id"), lit("assistant").as("role"),
+        concat(lit("answer A "), id).as("content"))
+      val childB = base.filter(id % 2 === 0)
+        .select((id * 100 + 2).as("msg_id"), (id * 100).as("parent_id"),
+          lit("assistant").as("role"),
+          concat(lit("answer B "), id).as("content"))
+      val grand = base.filter(id % 3 === 0)
+        .select((id * 100 + 3).as("msg_id"),
+          (id * 100 + 1).as("parent_id"), lit("user").as("role"),
+          concat(lit("follow-up "), id).as("content"))
+      graft.operators.Chat.flattenThreads(
+          root.union(childA).union(childB).union(grand))
+        .orderBy(col("root_id"), col("leaf_id"))
+    }),
+
     // --- Deterministic word dropout (r15 wave 8 — the augmentation
     //     rewrite): 10% id-derived drops, whole-doc drops refused
     //     (pass through unchanged). The oracle replays the drop
@@ -7961,6 +7990,37 @@ object SparkEntry {
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the chat_threads oracle: the same planted trees walked by
+    // WITH RECURSIVE — leaves are messages never named as a parent
+    "chat_threads" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id * 100 AS msg_id, CAST(NULL AS BIGINT) AS parent_id,
+        |    'user' AS role, 'question ' || doc_id AS content
+        |  FROM documents WHERE doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id * 100 + 1, doc_id * 100, 'assistant',
+        |    'answer A ' || doc_id FROM documents WHERE doc_id < 80
+        |  UNION ALL
+        |  SELECT doc_id * 100 + 2, doc_id * 100, 'assistant',
+        |    'answer B ' || doc_id
+        |  FROM documents WHERE doc_id < 80 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id * 100 + 3, doc_id * 100 + 1, 'user',
+        |    'follow-up ' || doc_id
+        |  FROM documents WHERE doc_id < 80 AND doc_id % 3 = 0),
+        |p AS (
+        |  SELECT msg_id AS root_id, msg_id AS leaf_id, 1 AS depth,
+        |    role || ': ' || content AS text
+        |  FROM m WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT p.root_id, c.msg_id, p.depth + 1,
+        |    p.text || chr(10) || c.role || ': ' || c.content
+        |  FROM p JOIN m c ON c.parent_id = p.leaf_id)
+        |SELECT root_id, leaf_id, CAST(depth AS INT) AS depth, text
+        |FROM p WHERE leaf_id NOT IN
+        |  (SELECT parent_id FROM m WHERE parent_id IS NOT NULL)
+        |ORDER BY root_id, leaf_id""".stripMargin,
 
     // the text_dropout oracle: the same split, the (id·13+i) mod 20
     // drop lattice 1-based-replayed, and the keep-at-least-one rule

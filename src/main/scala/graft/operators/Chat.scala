@@ -139,4 +139,61 @@ object Chat {
       .withColumn("loss", col("role") === "assistant")
       .drop("content")
   }
+
+  /** Conversation-TREE flattening (r15 wave 8) — branched threads
+    * (regenerations, preference forks: each message points at its
+    * parent, roots have a null parent) flattened to every
+    * root-to-leaf LINEAR path, the form SFT/DPO consumers train on.
+    * Input: (msg_id, parent_id, role, content). Output: one row per
+    * leaf — (root_id, leaf_id, depth, text) with turns rendered
+    * `role: content` newline-joined root→leaf.
+    *
+    * Shape: breadth-first frontier extension — one keyed hash join
+    * per LEVEL (depth-bounded, `maxDepth` refuses runaway/cyclic
+    * graphs rather than looping forever), frontier localCheckpointed
+    * per level so the plan stays flat (the Bpe/CC iteration
+    * discipline). Branching multiplies paths in the join itself —
+    * no explode, no window, no driver-side tree walk. The DuckDB
+    * twin is `WITH RECURSIVE` verbatim.
+    */
+  def flattenThreads(msgs: DataFrame, maxDepth: Int = 16): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth $maxDepth")
+    val m = msgs.select(col("msg_id").cast("long"),
+      col("parent_id").cast("long"), col("role"), col("content"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parents = m.filter(col("parent_id").isNotNull)
+      .select(col("parent_id").as("__p")).distinct()
+    def finish(paths: DataFrame): (DataFrame, DataFrame) = {
+      // a path is FINAL when its leaf has no children
+      val tagged = paths.join(parents, paths("leaf_id") === col("__p"),
+        "left")
+      (tagged.filter(col("__p").isNull).drop("__p"),
+        tagged.filter(col("__p").isNotNull).drop("__p"))
+    }
+    var frontier = m.filter(col("parent_id").isNull)
+      .select(col("msg_id").as("root_id"), col("msg_id").as("leaf_id"),
+        lit(1).as("depth"),
+        concat(col("role"), lit(": "), col("content")).as("text"))
+    var (done, live) = finish(frontier)
+    var out = done
+    var level = 1
+    while (level < maxDepth && !live.isEmpty) {
+      val next = live.alias("p")
+        .join(m.alias("c"), col("c.parent_id") === col("p.leaf_id"))
+        .select(col("p.root_id"), col("c.msg_id").as("leaf_id"),
+          (col("p.depth") + 1).as("depth"),
+          concat(col("p.text"), lit("\n"), col("c.role"), lit(": "),
+            col("c.content")).as("text"))
+        .localCheckpoint(true)
+      val (d2, l2) = finish(next)
+      out = out.union(d2)
+      live = l2
+      level += 1
+    }
+    require(live.isEmpty,
+      s"thread deeper than maxDepth=$maxDepth (or cyclic) — refuse " +
+        "rather than truncate")
+    m.unpersist()
+    out
+  }
 }

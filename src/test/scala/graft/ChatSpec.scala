@@ -122,4 +122,36 @@ class ChatSpec extends SparkSpec {
       Seq((1L, "junk")).toDF("doc_id", "json"), "doc_id", "json")
       .count() === 0L)
   }
+
+  test("flattenThreads: forks multiply paths, deep chains render in " +
+      "order, single-node trees are their own leaf (r15w8)") {
+    // tree: 1(user q) -> 2(asst a), 1 -> 3(asst b), 2 -> 4(user f)
+    // plus isolated root 9
+    val msgs = Seq(
+      (1L, None, "user", "q"),
+      (2L, Some(1L), "assistant", "a"),
+      (3L, Some(1L), "assistant", "b"),
+      (4L, Some(2L), "user", "f"),
+      (9L, None, "user", "solo"))
+      .toDF("msg_id", "parent_id", "role", "content")
+    val rows = Chat.flattenThreads(msgs)
+      .orderBy("root_id", "leaf_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 3L, 2, "user: q\nassistant: b"),
+      (1L, 4L, 3, "user: q\nassistant: a\nuser: f"),
+      (9L, 9L, 1, "user: solo")))
+  }
+
+  test("flattenThreads: refuses trees deeper than maxDepth instead " +
+      "of truncating") {
+    val chain = (1L to 5L).map(i =>
+      (i, if (i == 1) None else Some(i - 1), "user", s"m$i"))
+      .toDF("msg_id", "parent_id", "role", "content")
+    intercept[IllegalArgumentException](
+      Chat.flattenThreads(chain, maxDepth = 3))
+    // and succeeds at sufficient depth
+    val ok = Chat.flattenThreads(chain, maxDepth = 5).collect()
+    assert(ok.length === 1 && ok.head.getInt(2) === 5)
+  }
 }
