@@ -3074,6 +3074,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Listwise → pairwise preference expansion (r15 wave 8 —
+    //     ranking annotations to DPO pairs): %3-cycled list sizes
+    //     (2-4 responses), %19 ids broken JSON, %13 ids a planted
+    //     TIE (duplicate response) — both must contribute NOTHING.
+    //     The oracle restates the i<j pair lattice with rank gaps
+    //     and the flatten order's pair indices.
+    "chat_ranked_pairs" -> ((s, dir) => {
+      val id = col("doc_id")
+      val nResp = (id % 3 + 2).cast("int")
+      val respK = (k: org.apache.spark.sql.Column) =>
+        concat(lit("\"resp "), id, lit(" "),
+          when(id % 13 === 0 && k === 1, lit(0)).otherwise(k), lit("\""))
+      val json = when(id % 19 === 0, lit("not json"))
+        .otherwise(concat(lit("{\"prompt\": \"prompt "), id,
+          lit("\", \"ranked\": ["),
+          concat_ws(",", transform(sequence(lit(0), nResp - 1), respK)),
+          lit("]}")))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, json.as("json"))
+      graft.operators.Preference.rankedToPairs(docs, "doc_id", "json")
+        .orderBy(id, col("pair_idx"))
+    }),
+
     // --- Conversation-tree flattening (r15 wave 8 — regeneration/
     //     preference forks to linear SFT paths): planted trees (every
     //     doc a root+answer, %2 ids fork a second answer, %3 ids a
@@ -7990,6 +8013,27 @@ object SparkEntry {
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the chat_ranked_pairs oracle: the i<j lattice over the valid
+    // ids (ties %13 and broken JSON %19 excluded), rank gap = j−i,
+    // pair_idx = the flatten order (i asc, then j asc)
+    "chat_ranked_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS n
+        |  FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 19 <> 0 AND doc_id % 13 <> 0),
+        |pairs AS (
+        |  SELECT doc_id, n, i.g AS i, j.g AS j,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i.g, j.g) - 1
+        |      AS pidx
+        |  FROM d, generate_series(0, 3) i(g), generate_series(1, 4) j(g)
+        |  WHERE i.g < j.g AND j.g < n)
+        |SELECT doc_id, 'prompt ' || doc_id AS prompt,
+        |  CAST(pidx AS INT) AS pair_idx,
+        |  'resp ' || doc_id || ' ' || i AS chosen,
+        |  'resp ' || doc_id || ' ' || j AS rejected,
+        |  CAST(j - i AS INT) AS rank_gap
+        |FROM pairs ORDER BY doc_id, pair_idx""".stripMargin,
 
     // the chat_threads oracle: the same planted trees walked by
     // WITH RECURSIVE — leaves are messages never named as a parent

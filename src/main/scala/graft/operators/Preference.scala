@@ -66,4 +66,49 @@ object Preference {
   def dedupByPrompt(df: DataFrame, idCol: String,
       promptCol: String = "prompt"): DataFrame =
     Dedup.exactDedup(df, idCol, promptCol)
+
+  /** Listwise → pairwise expansion (r15 wave 8) — ranking-annotation
+    * JSONL (`{"prompt": …, "ranked": ["best", …, "worst"]}`, the
+    * best-first convention) expanded to every ordered
+    * (chosen, rejected) pair a DPO/reward trainer consumes:
+    * n ranked responses → n·(n−1)/2 pairs, `rank_gap` carrying how
+    * far apart the pair sat (margin-weighting trainers read it).
+    * Pure Catalyst: ONE from_json (staged — the Secrets fold
+    * lesson), pair construction as a flattened transform over index
+    * sequences, posexploded. Invalid rows (not JSON, missing
+    * fields, fewer than 2 ranked, a tie — the same response twice)
+    * contribute NOTHING: a fabricated pair poisons a preference
+    * corpus.
+    */
+  def rankedToPairs(df: DataFrame, idCol: String,
+      jsonCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("prompt", StringType),
+      StructField("ranked", ArrayType(StringType))))
+    // stage the parse ONCE behind a projection boundary (the Secrets
+    // fold lesson), then derive everything from the staged column
+    val staged = df.select(col(idCol),
+      from_json(col(jsonCol), schema).as("__p"))
+    val p = col("__p")
+    val ranked = p.getField("ranked")
+    val n = size(ranked)
+    val valid = p.isNotNull && p.getField("prompt").isNotNull &&
+      length(p.getField("prompt")) > 0 && n >= 2 &&
+      !exists(ranked, r => r.isNull || length(r) === 0) &&
+      size(array_distinct(ranked)) === n
+    // pairs (i, j) with i < j: chosen = ranked[i], rejected = ranked[j]
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(ranked, i + 1).as("chosen"),
+          element_at(ranked, j + 1).as("rejected"),
+          (j - i).cast("int").as("rank_gap")))))
+    staged.filter(valid)
+      .select(col(idCol), p.getField("prompt").as("prompt"),
+        posexplode(pairs))
+      .select(col(idCol), col("prompt"),
+        col("pos").cast("int").as("pair_idx"),
+        col("col.chosen").as("chosen"),
+        col("col.rejected").as("rejected"),
+        col("col.rank_gap").as("rank_gap"))
+  }
 }

@@ -61,4 +61,22 @@ class PreferenceSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("batchevalpython"))
   }
+
+  test("rankedToPairs: n ranked responses -> n(n-1)/2 ordered pairs " +
+      "with rank gaps; ties, short lists and junk drop (r15w8)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, """{"prompt": "p1", "ranked": ["a", "b", "c"]}"""),
+      (2L, """{"prompt": "p2", "ranked": ["x", "x"]}"""),   // tie
+      (3L, """{"prompt": "p3", "ranked": ["only"]}"""),     // short
+      (4L, "junk"),
+      (5L, """{"prompt": "", "ranked": ["a", "b"]}"""))      // empty prompt
+      .toDF("doc_id", "json")
+    val out = graft.operators.Preference.rankedToPairs(rows, "doc_id", "json")
+      .orderBy("doc_id", "pair_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3),
+        r.getString(4), r.getInt(5)))
+    assert(out.toSeq === Seq(
+      (1L, 0, "a", "b", 1), (1L, 1, "a", "c", 2), (1L, 2, "b", "c", 1)))
+  }
 }
