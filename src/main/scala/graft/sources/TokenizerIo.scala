@@ -79,4 +79,72 @@ object TokenizerIo {
       .map { case ((l, r), i) => (i, l, r) }
       .toDF("rank", "left", "right")
   }
+
+  // ------------------------------------------------- vocab.json
+
+  /** Derive the GPT-2-convention vocab from a merge table + corpus
+    * alphabet: base symbols first (sorted — deterministic ids), then
+    * each merge's produced token in rank order. This is the id
+    * mapping `vocab.json` ships next to `merges.txt`.
+    */
+  def vocabFromMerges(alphabet: Seq[String],
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    require(alphabet.nonEmpty, "empty alphabet")
+    val base = alphabet.distinct.sorted
+    val merged = merges.map { case (l, r) => l + r }
+    val all = base ++ merged
+    require(all.distinct.size == all.size,
+      "merge-produced token collides with the alphabet/another merge")
+    all.zipWithIndex
+  }
+
+  /** Write `vocab.json` — a single JSON object token → id. Escaping
+    * matches the Verify dump's discipline (all control chars). */
+  def writeVocabJson(vocab: Seq[(String, Int)], path: String): Unit = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ids = vocab.map(_._2)
+    require(ids == ids.indices.toList.map(identity),
+      s"vocab ids must be dense 0..n-1")
+    val body = vocab.map { case (t, i) => s"${js(t)}: $i" }
+      .mkString("{", ", ", "}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `vocab.json` back (driver-side, vocab-sized — the
+    * merges.txt stance); refuses non-integer ids, duplicate ids and
+    * sparse id spaces.
+    */
+  def readVocabJson(spark: SparkSession, path: String): Seq[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val fields = new SafeTensors.HeaderParser(text).parseAll()
+    val vocab = fields.map {
+      case (tok, id: Long) =>
+        require(id >= 0 && id <= Int.MaxValue, s"implausible id $id")
+        (tok, id.toInt)
+      case (tok, x) => throw new IllegalArgumentException(
+        s"vocab entry $tok carries non-integer id $x")
+    }
+    val ids = vocab.map(_._2).sorted
+    require(ids == ids.indices.toList.map(identity),
+      "vocab ids must be dense 0..n-1 with no duplicates")
+    vocab
+  }
 }

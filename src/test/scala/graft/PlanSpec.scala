@@ -407,4 +407,38 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q grew a window:\n${p.take(900)}")
     }
   }
+
+  test("r15 wave 4-8 rewrites are pure projections: span corruption, " +
+      "QA mining, MLM, dropout, ranked pairs — beyond the one " +
+      "presentation sort, no shuffle, no join, no window") {
+    for (q <- Seq("text_span_corrupt", "text_qa_pairs", "text_mlm",
+        "text_dropout", "chat_ranked_pairs")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q grew shuffles:\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(900)}")
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(900)}")
+    }
+  }
+
+  test("emb_bitext: neighborhood sums broadcast back onto candidates " +
+      "— no corpus-sized shuffle join, no cartesian") {
+    val p = plan("emb_bitext")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p.take(900))
+  }
+
+  test("docs_source_overlap: the self-join is hash-keyed on the md5, " +
+      "never a cartesian") {
+    val p = plan("docs_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
+  test("pipeline_factory: quality, dedup and decontamination compose " +
+      "without a cartesian or a corpus-sized nested loop") {
+    val p = plan("pipeline_factory")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
 }

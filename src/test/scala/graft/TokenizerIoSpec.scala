@@ -41,6 +41,32 @@ class TokenizerIoSpec extends SparkSpec {
       Seq((0, "a b", "c")).toDF("rank", "left", "right"), tmp("ws.txt")))
   }
 
+  test("vocab.json: derive from alphabet+merges, write, reload — " +
+      "dense ids, unicode keys, refusals on sparse/duplicate ids " +
+      "and collisions (r15w9)") {
+    val vocab = TokenizerIo.vocabFromMerges(
+      Seq("a", "b", "c", "ü"), Seq(("a", "b"), ("ab", "c")))
+    // base sorted first, merge products after in rank order
+    assert(vocab.map(_._1) === Seq("a", "b", "c", "ü", "ab", "abc"))
+    assert(vocab.map(_._2) === (0 until 6))
+    val p = tmp("vocab.json")
+    TokenizerIo.writeVocabJson(vocab, p)
+    assert(TokenizerIo.readVocabJson(spark, p) === vocab)
+    // a merge product colliding with the alphabet refuses
+    intercept[IllegalArgumentException](TokenizerIo.vocabFromMerges(
+      Seq("a", "b", "ab"), Seq(("a", "b"))))
+    // sparse ids refuse at read
+    val bad = tmp("bad_vocab.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad),
+      """{"a": 0, "b": 2}""")
+    intercept[IllegalArgumentException](TokenizerIo.readVocabJson(spark, bad))
+    // non-integer ids refuse
+    val bad2 = tmp("bad2_vocab.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad2),
+      """{"a": "zero"}""")
+    intercept[IllegalArgumentException](TokenizerIo.readVocabJson(spark, bad2))
+  }
+
   test("the shipped artifact re-encodes identically to the trained " +
       "table (the gate invariant, in miniature)") {
     val docs = Seq((1L, "the cat sat on the mat"),
