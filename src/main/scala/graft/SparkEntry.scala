@@ -3074,6 +3074,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Duplicate-paragraph signals (r15 wave 9 — the Gopher/Dolma
+    //     repetition pair, per doc): %4 ids repeat their first
+    //     paragraph, %6 ids repeat their second twice; fractions are
+    //     occurrence-based (repeats of an EARLIER identical
+    //     paragraph). The oracle replays split, the earlier-
+    //     occurrence rule and both round-6 fractions.
+    "text_dup_paras" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pa = concat(lit("para a "), id)
+      val pb = concat(lit("para b "), id)
+      val page = concat(pa, lit("\n\n"), pb,
+        when(id % 4 === 0, concat(lit("\n\n"), pa)).otherwise(lit("")),
+        when(id % 6 === 0,
+          concat(lit("\n\n"), pb, lit("\n\n"), pb)).otherwise(lit("")))
+      val docs = Tables.documents(s, dir).filter(id < 300)
+        .select(id, page.as("text"))
+      val m = TextFunctions.dupParagraphStats(col("text"))
+      docs.select(id,
+          m.getField("n_paras").as("n_paras"),
+          m.getField("n_dup_paras").as("n_dup_paras"),
+          m.getField("dup_chars").as("dup_chars"),
+          m.getField("total_chars").as("total_chars"),
+          m.getField("dup_para_frac").as("dup_para_frac"),
+          m.getField("dup_char_frac").as("dup_char_frac"))
+        .orderBy(id)
+    }),
+
     // --- Listwise → pairwise preference expansion (r15 wave 8 —
     //     ranking annotations to DPO pairs): %3-cycled list sizes
     //     (2-4 responses), %19 ids broken JSON, %13 ids a planted
@@ -8013,6 +8040,42 @@ object SparkEntry {
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_dup_paras oracle: the same plants, the same split on
+    // the literal blank-line delimiter, the earlier-occurrence rule
+    // via list slices, round-6 fractions
+    "text_dup_paras" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'para a ' || doc_id || chr(10) || chr(10) ||
+        |    'para b ' || doc_id ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) ||
+        |      'para a ' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10) ||
+        |      'para b ' || doc_id || chr(10) || chr(10) ||
+        |      'para b ' || doc_id ELSE '' END AS text
+        |  FROM documents WHERE doc_id < 300),
+        |l AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10) || chr(10)),
+        |      p -> length(trim(p)) > 0) AS ps
+        |  FROM d),
+        |s AS (SELECT doc_id, ps, len(ps) AS n,
+        |    list_transform(range(1, len(ps) + 1),
+        |      i -> CASE WHEN list_contains(ps[1:i-1], ps[i])
+        |        THEN length(ps[i]) ELSE 0 END) AS dupc
+        |  FROM l)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_paras,
+        |  CAST(len(list_filter(dupc, x -> x > 0)) AS BIGINT)
+        |    AS n_dup_paras,
+        |  CAST(coalesce(list_sum(dupc), 0) AS BIGINT) AS dup_chars,
+        |  CAST(list_sum(list_transform(ps, p -> length(p))) AS BIGINT)
+        |    AS total_chars,
+        |  round(CAST(len(list_filter(dupc, x -> x > 0)) AS DOUBLE) / n, 6)
+        |    AS dup_para_frac,
+        |  round(CAST(coalesce(list_sum(dupc), 0) AS DOUBLE) /
+        |    list_sum(list_transform(ps, p -> length(p))), 6)
+        |    AS dup_char_frac
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the chat_ranked_pairs oracle: the i<j lattice over the valid
     // ids (ties %13 and broken JSON %19 excluded), rank gap = j−i,

@@ -1115,6 +1115,48 @@ object TextFunctions {
         length(col(textCol)) * maxRatioPct)
   }
 
+  /** Per-document duplicate-paragraph signals (r15 wave 9) — the
+    * Gopher/Dolma repetition pair: the fraction of paragraph
+    * OCCURRENCES that repeat an earlier identical paragraph of the
+    * same doc, and the fraction of characters those occurrences
+    * carry. High values mark pagination chrome, scraper echo and
+    * looping generations that the corpus-wide paragraph dedup
+    * should not have to absorb. Struct (n_paras, n_dup_paras,
+    * dup_chars, total_chars, dup_para_frac, dup_char_frac) —
+    * round-6 fractions, null text → null fields, a doc with no
+    * non-empty paragraphs likewise. Per-row quadratic in PARAGRAPH
+    * count (small — tens, not the 40+ gram arrays that moved
+    * ngramOverlap to explode form); rides the scan.
+    */
+  def dupParagraphStats(text: Column, delim: String = "\n\n"): Column = {
+    val ps = filter(split(text, delim, -1), p => length(trim(p)) > 0)
+    val n = size(ps)
+    // occurrence i repeats iff an identical paragraph precedes it
+    // (slice length i = exactly the paragraphs before 0-based i —
+    // the dedupLinesWithin idiom)
+    val dupChars = aggregate(
+      transform(ps, (p, i) =>
+        when(array_position(slice(ps, lit(1), i), p) > 0, length(p))
+          .otherwise(lit(0))),
+      lit(0L), (a, x) => a + x)
+    val nDup = aggregate(
+      transform(ps, (p, i) =>
+        when(array_position(slice(ps, lit(1), i), p) > 0, 1L)
+          .otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+    val totalChars = aggregate(ps, lit(0L), (a, p) => a + length(p))
+    val ok = text.isNotNull && n > 0
+    struct(
+      when(ok, n.cast("long")).as("n_paras"),
+      when(ok, nDup).as("n_dup_paras"),
+      when(ok, dupChars).as("dup_chars"),
+      when(ok, totalChars).as("total_chars"),
+      when(ok, round(nDup.cast("double") / n, 6)).as("dup_para_frac"),
+      when(ok && totalChars > 0,
+        round(dupChars.cast("double") / totalChars, 6))
+        .as("dup_char_frac"))
+  }
+
   /** Word n-grams of a text column (the [[tokens]] law, joined with
     * single spaces); fewer than `n` words → empty array, null →
     * null.

@@ -693,6 +693,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert((0 until 5).forall(r.isNullAt))
   }
 
+  test("dupParagraphStats: earlier-occurrence rule, char accounting, " +
+      "empty paragraphs ignored, null text nulls out (r15w9)") {
+    def m(t: String) = Seq(Option(t)).toDF("t")
+      .select(TextFunctions.dupParagraphStats(col("t")).as("m"))
+      .select("m.*").head()
+    // A, B, A, B, B → occurrences 3,4,5 repeat (A at 3, B at 4, B at 5)
+    val r = m("aaaa\n\nbb\n\naaaa\n\nbb\n\nbb")
+    assert(r.getLong(0) === 5L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 8L && r.getLong(3) === 14L) // 4+2+2 dup of 4+2+4+2+2
+    assert(r.getDouble(4) === 0.6)
+    assert(r.getDouble(5) === 0.571429)
+    // no repeats → zeros, defined fractions
+    val clean = m("one\n\ntwo")
+    assert(clean.getLong(1) === 0L && clean.getDouble(4) === 0.0)
+    // blank paragraphs don't count as duplicates of each other
+    val blanks = m("x\n\n  \n\nx")
+    assert(blanks.getLong(0) === 2L && blanks.getLong(1) === 1L)
+    // null text → all-null struct
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(TextFunctions.dupParagraphStats(col("t")).as("m"))
+      .select("m.*").head()
+    assert((0 until 6).forall(nr.isNullAt))
+  }
+
   test("withNgramOverlap (explode+agg corpus form) == ngramOverlap " +
       "(HOF column form) on every edge class (r15w7)") {
     val df = Seq(
