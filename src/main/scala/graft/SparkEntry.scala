@@ -3074,6 +3074,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Field-completeness profile (r15 wave 9 — the schema-drift
+    //     tripwire): null counts and exact distinct cardinality per
+    //     events field, one aggregate pass. The oracle recomputes
+    //     each counter directly.
+    "events_field_profile" -> ((s, dir) => {
+      graft.operators.CorpusReport.fieldProfile(
+          Tables.events(s, dir),
+          Seq("event_id", "user_id", "event_type", "value"))
+        .orderBy(col("field"))
+    }),
+
     // --- Duplicate-paragraph signals (r15 wave 9 — the Gopher/Dolma
     //     repetition pair, per doc): %4 ids repeat their first
     //     paragraph, %6 ids repeat their second twice; fractions are
@@ -8040,6 +8051,24 @@ object SparkEntry {
         |    '<extra_id_1>' || substr(text, s2 + 1, l2) || '<extra_id_2>'
         |  END AS target
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the events_field_profile oracle: each counter recomputed
+    // directly per field (count DISTINCT ignores nulls both sides)
+    "events_field_profile" ->
+      """SELECT field, n_rows, n_null, n_distinct FROM (
+        |  SELECT 'event_id' AS field, count(*) AS n_rows,
+        |    count(*) - count(event_id) AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(*), count(*) - count(user_id),
+        |    count(DISTINCT user_id) FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', count(*), count(*) - count(event_type),
+        |    count(DISTINCT event_type) FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(*), count(*) - count(value),
+        |    count(DISTINCT value) FROM events)
+        |ORDER BY field""".stripMargin,
 
     // the text_dup_paras oracle: the same plants, the same split on
     // the literal blank-line delimiter, the earlier-occurrence rule

@@ -109,6 +109,34 @@ object CorpusReport {
         sum(col("nt")).cast("bigint").as("sum_tokens"))
   }
 
+  /** Field-completeness profile (r15 wave 9) — the schema-drift
+    * tripwire a 100 TB ingestion runs per batch: one row per field
+    * with null count and distinct cardinality. A field whose null
+    * rate jumps between crawl batches is an upstream extractor
+    * regression; a cardinality collapse is a constant-fill bug.
+    * ONE aggregate pass over the data (every field's counters in the
+    * same agg); the melt to rows reuses that single-row result per
+    * field, so the data is read once. `exact = false` swaps
+    * countDistinct for the HLL++ approx form — at corpus scale the
+    * exact distinct of a high-cardinality field is itself a shuffle,
+    * and the tripwire only needs magnitude.
+    */
+  def fieldProfile(df: DataFrame, fields: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(fields.nonEmpty, "no fields to profile")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ fields.flatMap { f =>
+      Seq(sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"__null_$f"),
+        (if (exact) countDistinct(col(f))
+         else approx_count_distinct(col(f))).as(s"__dist_$f"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    fields.map { f =>
+      row.select(lit(f).as("field"), col("__n").as("n_rows"),
+        col(s"__null_$f").as("n_null"),
+        col(s"__dist_$f").as("n_distinct"))
+    }.reduce(_.union(_))
+  }
+
   /** Cross-source duplicate-overlap matrix (r15 wave 7) — the
     * dataset-card view de-dup decisions read: for every unordered
     * source pair, how many DISTINCT texts appear in both (mirrored

