@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 /** Preference-pair (RLHF / DPO) dataset operators (r15 wave 3) —
   * the post-SFT slice of a training-data pipeline. Preference
   * corpora arrive as JSONL `{"prompt":…,"chosen":…,"rejected":…}`
-  * (the public DPO/Anthropic-HH convention), and before a trainer
+  * (the public DPO / HH-RLHF dataset convention), and before a trainer
   * sees them the pipeline must (a) validate the pair protocol —
   * all three fields present and non-empty, chosen ≠ rejected (a
   * tie carries zero preference signal and a degenerate DPO loss),
