@@ -1480,7 +1480,10 @@ object SparkEntry {
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
           col("doc_id") < 100)
         .select(col("doc_id"), col("source"), col("text"))
-      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 40)
+      // 24 merges: deep enough for multi-character merge products
+      // (the format path that matters), and the train loop is one
+      // aggregation per merge, so rounds dominate the gate's cost
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 24)
       val path = gateIndexPath(dir, "bpe_merges_gate") + "/merges.txt"
       graft.sources.TokenizerIo.writeMerges(merges, path)
       val reloaded = graft.sources.TokenizerIo.readMerges(s, path)
@@ -3207,13 +3210,13 @@ object SparkEntry {
         .filter(col("a.doc_id") < 300)
         .select(col("a.doc_id").as("doc_id"),
           col("a.text").as("cand"), col("b.text").as("ref"))
-      val m = TextFunctions.ngramOverlap(col("cand"), col("ref"), 2)
-      pairs.select(col("doc_id"),
-          m.getField("n_cand").as("n_cand"),
-          m.getField("n_ref").as("n_ref"),
-          m.getField("n_common").as("n_common"),
-          m.getField("precision").as("prec"),
-          m.getField("recall").as("rec"))
+      // the corpus-scale explode form — the HOF column form is
+      // CodegenFallback-interpreted and cost 119 s here at sf0.1;
+      // equivalence of the two forms is spec-pinned
+      TextFunctions.withNgramOverlap(pairs, "doc_id", "cand", "ref", 2)
+        .select(col("doc_id"), col("n_cand"), col("n_ref"),
+          col("n_common"), col("precision").as("prec"),
+          col("recall").as("rec"))
         .orderBy(col("doc_id"))
     }),
 
