@@ -137,6 +137,38 @@ object CorpusReport {
     }.reduce(_.union(_))
   }
 
+  /** MERGEABLE per-batch partials of [[fieldProfile]] — the
+    * streaming/incremental form (the dataset-card partials
+    * discipline): null counters fold by sum; distinct cardinality
+    * folds through DataSketches HLL (Spark's own `hll_sketch_agg` /
+    * `hll_union_agg`), which is exactly what makes cross-batch
+    * distinct counting possible without re-reading history. Each
+    * batch aggregates only its own rows into a fields-sized frame.
+    */
+  def fieldProfilePartials(df: DataFrame,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "no fields to profile")
+    fields.map { f =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(f).isNull, 1L).otherwise(0L)).as("n_null"),
+          hll_sketch_agg(col(f).cast("string")).as("sketch"))
+        .select(lit(f).as("field"), col("n_rows"), col("n_null"),
+          col("sketch"))
+    }.reduce(_.union(_))
+  }
+
+  /** Fold any number of [[fieldProfilePartials]] frames into the
+    * current profile; `n_distinct` is the HLL estimate (±~2% at the
+    * default lgk), which is the tripwire-grade answer the streaming
+    * form trades exactness for.
+    */
+  def rollupFieldProfiles(parts: DataFrame): DataFrame =
+    parts.groupBy(col("field"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_null")).as("n_null"),
+        hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("n_distinct"))
+
   /** Cross-source duplicate-overlap matrix (r15 wave 7) — the
     * dataset-card view de-dup decisions read: for every unordered
     * source pair, how many DISTINCT texts appear in both (mirrored

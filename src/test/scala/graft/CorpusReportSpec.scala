@@ -95,6 +95,33 @@ class CorpusReportSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(600))
   }
 
+  test("fieldProfilePartials/rollup: per-batch sketches fold to the " +
+      "whole-corpus profile — counts exact, distinct within HLL " +
+      "error (r15w9)") {
+    import spark.implicits._
+    val batch1 = (1L to 500L).map(i => (Some(i), Some(s"v${i % 37}")))
+      .toDF("k", "v")
+    val batch2 = (400L to 900L).map(i =>
+        (if (i % 10 == 0) None else Some(i), Some(s"v${i % 37}")))
+      .toDF("k", "v")
+    val rolled = CorpusReport.rollupFieldProfiles(
+        CorpusReport.fieldProfilePartials(batch1, Seq("k", "v"))
+          .union(CorpusReport.fieldProfilePartials(batch2, Seq("k", "v"))))
+      .orderBy("field").collect()
+    val k = rolled(0); val v = rolled(1)
+    assert(k.getString(0) === "k" && k.getLong(1) === 1001L)
+    assert(k.getLong(2) === 51L, "null counters fold exactly")
+    // exact distinct k = 900 - 51 nulls in batch2's overlap... the
+    // true distinct non-null k values: 1..900 minus the 51 nulled
+    // ids (i%10==0 in 400..900) that ALSO appear in batch1 for
+    // i<=500 → distinct = 900 - 40 (410..900 step 10 not in batch1)
+    val exactK = ((1L to 500L) ++ (400L to 900L).filter(_ % 10 != 0))
+      .distinct.size
+    assert(math.abs(k.getLong(3) - exactK) <= exactK / 20,
+      s"HLL estimate ${k.getLong(3)} vs exact $exactK")
+    assert(v.getLong(3) === 37L || math.abs(v.getLong(3) - 37L) <= 2)
+  }
+
   test("vocabularyGrowth: distinct terms, token volume, round-6 TTR") {
     import spark.implicits._
     val df = Seq(
