@@ -1480,10 +1480,11 @@ object SparkEntry {
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
           col("doc_id") < 100)
         .select(col("doc_id"), col("source"), col("text"))
-      // 24 merges: deep enough for multi-character merge products
+      // 12 merges: enough for chained multi-character merge products
       // (the format path that matters), and the train loop is one
-      // aggregation per merge, so rounds dominate the gate's cost
-      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 24)
+      // aggregation per merge, so ROUNDS dominate the gate's cost —
+      // training depth itself is text_tokens_bpe/WordPiece territory
+      val merges = graft.operators.Bpe.train(docs, "text", numMerges = 12)
       val path = gateIndexPath(dir, "bpe_merges_gate") + "/merges.txt"
       graft.sources.TokenizerIo.writeMerges(merges, path)
       val reloaded = graft.sources.TokenizerIo.readMerges(s, path)
