@@ -798,4 +798,47 @@ class StreamingSpec extends SparkSpec {
         .select($"doc_id", $"m.n_common", $"m.precision")
         .orderBy("doc_id").collect().toSeq)
   }
+
+  test("streaming dropout / ranked-pair explode == batch (r15w8): " +
+      "stateless rewrites") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dRows = (1L to 16L).map(id =>
+      (id, (0 until 10).map(j => s"w$j").mkString(" ")))
+    val ds2 = MemoryStream[(Long, String)]
+    val dq = graft.operators.Mlm.withTokenDropout(
+        ds2.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("drop_st")
+      .outputMode(OutputMode.Append).start()
+    ds2.addData(dRows.take(7): _*)
+    dq.processAllAvailable()
+    ds2.addData(dRows.drop(7): _*)
+    dq.processAllAvailable()
+    dq.stop()
+    assert(spark.table("drop_st").orderBy("doc_id").collect().toSeq ===
+      graft.operators.Mlm.withTokenDropout(
+        dRows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+
+    val rRows = (1L to 12L).map { id =>
+      val json = if (id % 5 == 0) "junk"
+        else s"""{"prompt": "p$id", "ranked": ["a$id", "b$id", "c$id"]}"""
+      (id, json)
+    }
+    val rs = MemoryStream[(Long, String)]
+    val rq = graft.operators.Preference.rankedToPairs(
+        rs.toDF().toDF("doc_id", "json"), "doc_id", "json")
+      .writeStream.format("memory").queryName("rank_st")
+      .outputMode(OutputMode.Append).start()
+    rs.addData(rRows.take(5): _*)
+    rq.processAllAvailable()
+    rs.addData(rRows.drop(5): _*)
+    rq.processAllAvailable()
+    rq.stop()
+    assert(spark.table("rank_st").orderBy("doc_id", "pair_idx")
+      .collect().toSeq ===
+      graft.operators.Preference.rankedToPairs(
+        rRows.toDF("doc_id", "json"), "doc_id", "json")
+        .orderBy("doc_id", "pair_idx").collect().toSeq)
+  }
 }
