@@ -128,4 +128,31 @@ class FimSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("spanCorrupt restore property over 300 seeded random docs: " +
+      "splicing targets back reproduces every original (r15w9)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij KLMNOP.?!\nxyz"
+    val rows = (0L until 300L).map { id =>
+      val n = 30 + rnd.nextInt(120)
+      (id * 7 + 3, (0 until n).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val out = Fim.spanCorrupt(rows.toDF("doc_id", "text"),
+        "doc_id", "text", minChars = 30)
+      .select("doc_id", "corrupted", "input", "target").collect()
+    val byId = rows.toMap
+    assert(out.forall(_.getBoolean(1)), "all docs >= 30 chars eligible")
+    out.foreach { r =>
+      val t = r.getString(3)
+        .stripPrefix("<extra_id_0>").stripSuffix("<extra_id_2>")
+      val Array(s1, s2) = t.split(
+        java.util.regex.Pattern.quote("<extra_id_1>"), 2)
+      val restored = r.getString(2)
+        .replace("<extra_id_0>", s1).replace("<extra_id_1>", s2)
+      assert(restored === byId(r.getLong(0)), s"id=${r.getLong(0)}")
+      assert(s1.length >= 1 && s1.length <= 8 &&
+        s2.length >= 1 && s2.length <= 8)
+    }
+  }
 }

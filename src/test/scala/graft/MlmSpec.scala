@@ -66,6 +66,33 @@ class MlmSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("withTokenDropout conservation over 300 seeded random docs: " +
+      "kept + dropped == n, kept words are an order-preserving " +
+      "subsequence (r15w9)") {
+    import graft.operators.Mlm
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      (id * 3 + 1, (0 until n).map(j => s"w${rnd.nextInt(9)}_$j")
+        .mkString(" "))
+    }
+    val out = Mlm.withTokenDropout(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "text", "dropped_text", "n_dropped").collect()
+    out.foreach { r =>
+      val orig = r.getString(1).split(" ").toSeq
+      val kept = r.getString(2).split(" ").toSeq
+      assert(kept.size + r.getLong(3) === orig.size, s"id=${r.getLong(0)}")
+      // order-preserving subsequence check
+      var i = 0
+      kept.foreach { w =>
+        val j = orig.indexOf(w, i)
+        assert(j >= 0, s"kept word $w out of order for id=${r.getLong(0)}")
+        i = j + 1
+      }
+    }
+  }
+
   test("nspPairs: even ids pair true successors, odd ids join their " +
       "derived partner's first sentence, self/missing partners drop") {
     // modBound 10: partner(id) = (17·id + 1) % 10
