@@ -2457,6 +2457,40 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("turn_idx"))
     }),
 
+    // --- SFT factory composition (r15 wave 9 — the chat sibling of
+    //     pipeline_factory): conversations planted PER GROUP g=id/2
+    //     so every json appears twice (exact dedup must keep the
+    //     even id), %19 groups are junk (the validity gate inside
+    //     the loss-mask op must drop them AFTER dedup), then the
+    //     per-turn loss-mask spans over the survivors — validate →
+    //     dedup → mask as one lazy plan, oracle = the loss-mask twin
+    //     re-keyed to the group lattice.
+    "pipeline_sft" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 240)
+        .select(col("doc_id")).as[Long].map { id =>
+          val g = id / 2
+          val json =
+            if (g % 19 == 0) s"not chat json $g"
+            else {
+              val sys =
+                if (g % 3 == 0)
+                  Seq(s"""{"role":"system","content":"be concise $g"}""")
+                else Seq.empty
+              val pairs = (0 until (g % 2 + 1).toInt).flatMap { p =>
+                Seq(
+                  s"""{"role":"user","content":"ask $g q$p about item${(g * 7 + p) % 43}"}""",
+                  s"""{"role":"assistant","content":"ans $g a$p value ${(g * 11 + p) % 37}"}""")
+              }
+              s"""{"messages":[${(sys ++ pairs).mkString(",")}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      val deduped = Dedup.exactDedup(convs, "doc_id", "json")
+      graft.operators.Chat.lossMaskSpans(deduped, "doc_id", "json")
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
     // --- Token-window chunking (r15 — the context-window prep step
     //     of every LM data loader): 40-token windows, 10-token
     //     overlap (stride 30); redundant tails drop (a start past
@@ -7929,6 +7963,49 @@ object SparkEntry {
         |  FROM (SELECT * FROM sys UNION ALL SELECT * FROM u
         |        UNION ALL SELECT * FROM a))
         |SELECT id AS doc_id, CAST(turn_idx AS INT) AS turn_idx, role,
+        |  CAST(COALESCE(sum(rlen) OVER (PARTITION BY id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start_char,
+        |  CAST(sum(rlen) OVER (PARTITION BY id ORDER BY turn_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS end_char,
+        |  role = 'assistant' AS loss
+        |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    // the pipeline_sft oracle: the loss-mask twin re-keyed to the
+    // group lattice — dedup keeps 2g (the min of each identical
+    // pair), junk groups (%19) vanish at the validity gate
+    "pipeline_sft" ->
+      """WITH ids0 AS (
+        |  SELECT DISTINCT doc_id // 2 AS g FROM documents
+        |  WHERE doc_id < 240),
+        |ids AS (
+        |  SELECT g AS id, g % 2 + 1 AS k,
+        |    CASE WHEN g % 3 = 0 THEN 1 ELSE 0 END AS so
+        |  FROM ids0 WHERE g % 19 <> 0),
+        |sys AS (
+        |  SELECT id, 0 AS turn_idx, 'system' AS role,
+        |    'be concise ' || id AS content
+        |  FROM ids WHERE so = 1),
+        |pairs AS (
+        |  SELECT i.id, i.so + p.g * 2 AS uidx, p.g AS p
+        |  FROM ids i, generate_series(0, 1) AS p(g) WHERE p.g < i.k),
+        |u AS (
+        |  SELECT id, uidx AS turn_idx, 'user' AS role,
+        |    'ask ' || id || ' q' || p || ' about item' ||
+        |      ((id * 7 + p) % 43) AS content
+        |  FROM pairs),
+        |a AS (
+        |  SELECT id, uidx + 1 AS turn_idx, 'assistant' AS role,
+        |    'ans ' || id || ' a' || p || ' value ' ||
+        |      ((id * 11 + p) % 37) AS content
+        |  FROM pairs),
+        |t AS (
+        |  SELECT id, turn_idx, role,
+        |    24 + length(role) + length(content) AS rlen
+        |  FROM (SELECT * FROM sys UNION ALL SELECT * FROM u
+        |        UNION ALL SELECT * FROM a))
+        |SELECT 2 * id AS doc_id, CAST(turn_idx AS INT) AS turn_idx, role,
         |  CAST(COALESCE(sum(rlen) OVER (PARTITION BY id ORDER BY turn_idx
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) AS start_char,
