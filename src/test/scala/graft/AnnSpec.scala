@@ -758,6 +758,30 @@ class AnnSpec extends SparkSpec {
     assert(bin2 === exact)
   }
 
+  test("recallAtK sweep on clustered data: mean recall is monotone " +
+      "non-decreasing in nprobe and exactly 1.0 at probe-all (r15w9)") {
+    import spark.implicits._
+    val qs = clustered.filter($"vec_id" % 30 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    val exact = Knn.knnJoin(clustered, "vec_id", "embedding", qs,
+      "query_id", "q_vec", k = 5, metric = "l2", excludeSelf = true)
+    val (assigned, centers) = Ann.ivfAssign(clustered, "vec_id",
+      "embedding", nlist = 10, seed = 42, maxIter = 5)
+    val means = Seq(1, 3, 10).map { np =>
+      val approx = Ann.ivfProbeJoin(assigned, centers, "vec_id",
+        "embedding", qs, "query_id", "q_vec", k = 5, nprobe = np,
+        metric = "l2", excludeSelf = true)
+      Ann.recallAtK(approx, exact, "query_id", "vec_id", 5)
+        .agg(org.apache.spark.sql.functions.avg($"recall"))
+        .head().getDouble(0)
+    }
+    assert(means(0) <= means(1) + 1e-9 && means(1) <= means(2) + 1e-9,
+      s"recall must not degrade as nprobe grows: $means")
+    assert(means(2) === 1.0, s"probe-all must be exact: $means")
+    assert(means(0) > 0.5,
+      s"tight clusters: even nprobe=1 should find most neighbors: $means")
+  }
+
   test("recallAtK: fractional recalls, zero-result queries score 0 " +
       "instead of vanishing (r15w7)") {
     import spark.implicits._
