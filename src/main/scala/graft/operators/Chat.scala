@@ -155,6 +155,13 @@ object Chat {
     * discipline). Branching multiplies paths in the join itself —
     * no explode, no window, no driver-side tree walk. The DuckDB
     * twin is `WITH RECURSIVE` verbatim.
+    *
+    * Malformed graphs refuse, never truncate: paths deeper than
+    * `maxDepth` (root-reachable cycles included) refuse via the
+    * depth bound, and messages the frontier never visits — dangling
+    * parent_id, orphan cycles with no null-parent ancestor — refuse
+    * via a final reachability anti-join (they are not on any
+    * root-to-leaf path, so silently dropping them would lose turns).
     */
   def flattenThreads(msgs: DataFrame, maxDepth: Int = 16): DataFrame = {
     require(maxDepth >= 1, s"maxDepth $maxDepth")
@@ -174,6 +181,7 @@ object Chat {
       .select(col("msg_id").as("root_id"), col("msg_id").as("leaf_id"),
         lit(1).as("depth"),
         concat(col("role"), lit(": "), col("content")).as("text"))
+    var visited = frontier.select(col("leaf_id").as("__v"))
     var (done, live) = finish(frontier)
     var out = done
     var level = 1
@@ -186,6 +194,7 @@ object Chat {
             col("c.content")).as("text"))
         .localCheckpoint(true)
       val (d2, l2) = finish(next)
+      visited = visited.union(next.select(col("leaf_id").as("__v")))
       out = out.union(d2)
       live = l2
       level += 1
@@ -193,6 +202,11 @@ object Chat {
     require(live.isEmpty,
       s"thread deeper than maxDepth=$maxDepth (or cyclic) — refuse " +
         "rather than truncate")
+    val unreachable = m.select(col("msg_id").as("__v"))
+      .join(visited.distinct(), Seq("__v"), "left_anti")
+    require(unreachable.isEmpty,
+      "messages unreachable from any root (dangling parent_id or " +
+        "orphan cycle) — refuse rather than drop turns")
     m.unpersist()
     out
   }

@@ -193,6 +193,13 @@ object Knn {
     * aggregate. Self-pairs are excluded by id as well — a duplicate
     * of the query with a different label must still surface, but
     * the query itself never does.
+    *
+    * Null handling mirrors the null-vector stance: rows with a null
+    * id or null label (either side) carry no usable identity /
+    * class signal for mining, so they are filtered by predicate
+    * before the kernel rather than surfacing as Spark's opaque
+    * "Null value appeared in non-nullable field" deserialization
+    * error.
     */
   def hardNegatives(
       corpus: DataFrame,
@@ -214,6 +221,7 @@ object Knn {
       queries.select(col(queryIdCol).cast("long"),
         col(queryVecCol).cast("array<double>"),
         col(queryLabelCol).cast("long"))
+        .filter(col(queryIdCol).isNotNull && col(queryLabelCol).isNotNull)
         .as[(Long, Array[Double], Long)], maxQueries, "hardNegatives")
     val bc = spark.sparkContext.broadcast(qArr)
     val dist = scalaDistance(metric)
@@ -223,6 +231,7 @@ object Knn {
       .select(col(corpusIdCol).cast("long"),
         col(corpusVecCol).cast("array<double>"),
         col(corpusLabelCol).cast("long"))
+      .filter(col(corpusIdCol).isNotNull && col(corpusLabelCol).isNotNull)
       .as[(Long, Array[Double], Long)]
       .mapPartitions { it =>
         val qs = bc.value

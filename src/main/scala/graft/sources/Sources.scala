@@ -58,14 +58,17 @@ object Sources {
     * language classifiers train from. Line-based, so embedded
     * newlines fold to spaces at write time; null labels/texts are
     * refused rows (a label-less line silently becomes unlabeled
-    * training data — fail-closed instead). Same 100 TB shape as
-    * [[writeJsonl]]: file-per-task text shards.
+    * training data — fail-closed instead), and labels containing
+    * whitespace are refused too (`__label__foo bar` would reparse as
+    * label `foo` with `bar` leaking into the text). Same 100 TB
+    * shape as [[writeJsonl]]: file-per-task text shards.
     */
   def writeFastText(df: DataFrame, labelCol: String, textCol: String,
       outPath: String, gzip: Boolean = false,
       numFiles: Option[Int] = None): Unit = {
     val rows = df
-      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull &&
+        !col(labelCol).cast("string").rlike("\\s"))
       .select(concat(lit("__label__"), col(labelCol).cast("string"),
         lit(" "),
         regexp_replace(col(textCol), "[\\r\\n]+", " ")).as("value"))

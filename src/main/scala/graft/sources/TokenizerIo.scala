@@ -43,7 +43,10 @@ object TokenizerIo {
       sb.append(l).append(' ').append(rr).append('\n')
     }
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // Resolve through the session's hadoopConfiguration (as the
+    // readers do) so spark.hadoop.* settings apply on the write side.
+    val fs = p.getFileSystem(
+      merges.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -99,7 +102,9 @@ object TokenizerIo {
   }
 
   /** Write `vocab.json` — a single JSON object token → id. Escaping
-    * matches the Verify dump's discipline (all control chars). */
+    * matches the Verify dump's discipline (all control chars).
+    * Filesystem resolves through the active session's
+    * hadoopConfiguration (matching [[readVocabJson]]). */
   def writeVocabJson(vocab: Seq[(String, Int)], path: String): Unit = {
     def js(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -113,7 +118,8 @@ object TokenizerIo {
     val body = vocab.map { case (t, i) => s"${js(t)}: $i" }
       .mkString("{", ", ", "}")
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(SparkSession.active.sparkContext
+      .hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()

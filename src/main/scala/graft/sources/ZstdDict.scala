@@ -37,15 +37,17 @@ object ZstdDict {
     */
   def trainTextDictionary(sample: DataFrame, textCol: String,
       maxSampleBytes: Int = 8 << 20, dictSize: Int = 65536): Array[Byte] = {
-    val texts = sample.filter(col(textCol).isNotNull)
-      .select(col(textCol)).collect().map(_.getString(0))
-    val total = texts.iterator.map(_.length.toLong).sum
+    val bytes = sample.filter(col(textCol).isNotNull)
+      .select(col(textCol)).collect()
+      .map(_.getString(0).getBytes(StandardCharsets.UTF_8))
+    val total = bytes.iterator.map(_.length.toLong).sum
     require(total <= maxSampleBytes,
-      s"dictionary sample is ~$total B > budget $maxSampleBytes — " +
+      s"dictionary sample is $total B > budget $maxSampleBytes — " +
         "narrow the sample slice")
     val trainer = new com.github.luben.zstd.ZstdDictTrainer(
       maxSampleBytes, dictSize)
-    texts.foreach(t => trainer.addSample(t.getBytes(StandardCharsets.UTF_8)))
+    bytes.foreach(b => require(trainer.addSample(b),
+      "trainer refused a within-budget sample — capacity accounting bug"))
     trainer.trainSamples()
   }
 

@@ -154,4 +154,24 @@ class ChatSpec extends SparkSpec {
     val ok = Chat.flattenThreads(chain, maxDepth = 5).collect()
     assert(ok.length === 1 && ok.head.getInt(2) === 5)
   }
+
+  test("flattenThreads: refuses orphan cycles and dangling parent_ids " +
+      "instead of silently dropping them (ADVICE r15)") {
+    // 5 <-> 6 is a cycle with no null-parent ancestor: never enters
+    // the frontier, so without the reachability check it would vanish
+    val orphanCycle = Seq(
+      (1L, None, "user", "q"),
+      (5L, Some(6L), "user", "x"),
+      (6L, Some(5L), "user", "y"))
+      .toDF("msg_id", "parent_id", "role", "content")
+    intercept[IllegalArgumentException](
+      Chat.flattenThreads(orphanCycle))
+    // dangling parent_id (parent 99 does not exist)
+    val dangling = Seq(
+      (1L, None, "user", "q"),
+      (2L, Some(99L), "user", "lost"))
+      .toDF("msg_id", "parent_id", "role", "content")
+    intercept[IllegalArgumentException](
+      Chat.flattenThreads(dangling))
+  }
 }

@@ -20,6 +20,20 @@ class FastTextSpec extends SparkSpec {
     assert(back === Seq(("de", "line with breaks"), ("en", "clean line")))
   }
 
+  test("writeFastText: whitespace-bearing labels are refused rows — " +
+      "'__label__foo bar' would reparse as label foo + leaked text " +
+      "(ADVICE r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("ftspec3").toString
+    val df = Seq(
+      ("ok", "kept"),
+      ("two words", "refused"),
+      ("tab\there", "refused too")).toDF("lang", "text")
+    Sources.writeFastText(df, "lang", "text", dir)
+    val back = Sources.readFastText(spark, dir)
+      .collect().map(r => (r.getSeq[String](0).head, r.getString(1)))
+    assert(back.toSeq === Seq(("ok", "kept")))
+  }
+
   test("readFastText: multi-label lines parse every leading label; " +
       "label-less lines null out (total function)") {
     val dir = java.nio.file.Files.createTempDirectory("ftspec2")

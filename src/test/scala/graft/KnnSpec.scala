@@ -187,6 +187,23 @@ class KnnSpec extends SparkSpec {
     assert(wide === Set(2L, 3L, 4L))
   }
 
+  test("hardNegatives: null ids/labels are filtered by predicate, not " +
+      "surfaced as Spark's opaque non-nullable-field error (ADVICE r15)") {
+    val labeled = Seq(
+      (java.lang.Long.valueOf(0L), Array(1.0f, 0.0f), java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(2L), Array(1.0f, 0.0f), null: java.lang.Long),
+      (null: java.lang.Long, Array(0.9f, 0.1f), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(3L), Array(0.8f, 0.2f), java.lang.Long.valueOf(2L))
+    ).toDF("vec_id", "embedding", "label")
+    val qs = labeled.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"),
+        $"label".as("q_label"))
+    val got = Knn.hardNegatives(labeled, "vec_id", "embedding", "label",
+        qs, "query_id", "q_vec", "q_label", k = 5, metric = "cosine")
+      .collect().map(_.getLong(1)).toSet
+    assert(got === Set(3L)) // null-label id 2 and null-id row skipped
+  }
+
   test("smoke on fixtures: flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

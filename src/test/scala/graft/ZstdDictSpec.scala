@@ -29,6 +29,20 @@ class ZstdDictSpec extends SparkSpec {
     assert(parts > 1, "expected multiple shards")
   }
 
+  test("trainTextDictionary budgets in UTF-8 BYTES, not chars: a " +
+      "multi-byte-heavy sample that fits in chars but not bytes " +
+      "refuses loudly (ADVICE r15)") {
+    // 3 bytes per char in UTF-8, so 500 chars/doc = 1500 B/doc;
+    // 40 docs = 60 kB > 50 kB budget, while the char count (20 k)
+    // would have passed the old `_.length` check.
+    val wide = (0L until 40L).map(i => (i, "世" * 500))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      ZstdDict.trainTextDictionary(wide, "text",
+        maxSampleBytes = 50 << 10, dictSize = 2048))
+    assert(e.getMessage.contains("budget"))
+  }
+
   test("the trained dictionary beats dict-less zstd on small " +
       "templated records (the reason this module exists)") {
     val texts = (0 until 500).map(i =>
