@@ -907,7 +907,7 @@ object Ann {
     */
   def ivfPqReadModel(spark: SparkSession, path: String): IvfPqModel = {
     import spark.implicits._
-    val raw = spark.read.parquet(path.stripSuffix("/") + "/_pq")
+    val raw = graft.Tables.metaParquet(spark, path.stripSuffix("/") + "/_pq")
     val metric =
       if (raw.columns.contains("metric"))
         raw.select(col("metric")).limit(1).as[String].collect().headOption.getOrElse("l2")
@@ -1824,7 +1824,7 @@ object Ann {
     */
   def ivfReadCenters(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
-    spark.read.parquet(path.stripSuffix("/") + "/_centroids")
+    graft.Tables.metaParquet(spark, path.stripSuffix("/") + "/_centroids")
       .select(col("cluster_id").cast("int"), col("centroid").cast("array<double>"))
       .as[(Int, Array[Double])]
       .collect().sortBy(_._1).map(_._2)

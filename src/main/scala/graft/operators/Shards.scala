@@ -123,7 +123,7 @@ object Shards {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
       }
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
-    spark.read.parquet(s"$base/_manifest")
+    graft.Tables.metaParquet(spark, s"$base/_manifest")
   }
 
   /** Read the shard data back. Refuses a layout with no manifest —
@@ -186,9 +186,9 @@ object Shards {
       .toDF("n_files_in", "n_files_out", "n_rows")
   }
 
-  /** The manifest as written. */
+  /** The manifest as written; fails loudly when absent. */
   def manifest(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path.stripSuffix("/") + "/_manifest")
+    graft.Tables.metaParquet(spark, path.stripSuffix("/") + "/_manifest")
 
   /** Integrity check: recompute every manifest fact from the shard
     * files and compare. Output: one row per shard id present on

@@ -399,14 +399,14 @@ object Containers {
           sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
             .as("checksum"))
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
-    spark.read.parquet(s"$base/_manifest")
+    graft.Tables.metaParquet(spark, s"$base/_manifest")
   }
 
   /** The tar-shard manifest as written; fails loudly when absent (a
     * layout without one never committed).
     */
   def tarManifest(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path.stripSuffix("/") + "/_manifest")
+    graft.Tables.metaParquet(spark, path.stripSuffix("/") + "/_manifest")
 
   // ---------------------------------------------------------------- zip
 
@@ -612,6 +612,6 @@ object Containers {
           sum(graft.operators.Shards.rowChecksum(Seq("name", "size")))
             .as("checksum"))
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
-    spark.read.parquet(s"$base/_manifest")
+    graft.Tables.metaParquet(spark, s"$base/_manifest")
   }
 }

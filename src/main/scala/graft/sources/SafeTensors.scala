@@ -87,8 +87,14 @@ object SafeTensors {
     * arrays, strings (with escapes) and non-negative integers only —
     * anything else in a header is not a valid safetensors file, so
     * it refuses (fail-closed) rather than guessing.
+    *
+    * `allowLiterals` (off for safetensors) additionally accepts
+    * `null`/`true`/`false` — the HF `tokenizer.json` artifact
+    * ([[TokenizerIo.readHfTokenizerJson]]) carries them; nothing else
+    * changes, so the safetensors path stays as strict as before.
     */
-  private[sources] final class HeaderParser(s: String) {
+  private[sources] final class HeaderParser(s: String,
+      allowLiterals: Boolean = false) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def expect(c: Char): Unit = {
@@ -163,6 +169,12 @@ object SafeTensors {
       require(i > start, s"safetensors header: expected integer at $start")
       s.substring(start, i).toLong
     }
+    private def lit(): Any =
+      if (s.startsWith("null", i)) { i += 4; null }
+      else if (s.startsWith("true", i)) { i += 4; java.lang.Boolean.TRUE }
+      else if (s.startsWith("false", i)) { i += 5; java.lang.Boolean.FALSE }
+      else throw new IllegalArgumentException(
+        s"json: malformed literal at $i")
     private def value(): Any = {
       ws()
       require(i < s.length, "safetensors header: truncated value")
@@ -171,6 +183,7 @@ object SafeTensors {
         case '[' => arr()
         case '"' => str()
         case c if c.isDigit => num()
+        case 'n' | 't' | 'f' if allowLiterals => lit()
         case c => throw new IllegalArgumentException(
           s"safetensors header: unsupported value start '$c' — " +
             "headers carry objects/arrays/strings/integers only")

@@ -57,18 +57,34 @@ object TokenizerIo {
     * skipped (the public loaders' behavior); malformed merge lines
     * refuse.
     */
-  def readMerges(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  /** Slurp a whole (vocab-sized) artifact file through the session's
+    * hadoopConfiguration — shared by every driver-side reader here.
+    */
+  private def slurp(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val text = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  /** JSON string literal with the Verify dump's escaping discipline
+    * (all control chars) — shared by the JSON artifact writers. */
+  private def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def readMerges(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val text = slurp(spark, path)
     val merges = text.split("\n", -1).iterator
       .map(_.stripSuffix("\r"))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -106,12 +122,6 @@ object TokenizerIo {
     * Filesystem resolves through the active session's
     * hadoopConfiguration (matching [[readVocabJson]]). */
   def writeVocabJson(vocab: Seq[(String, Int)], path: String): Unit = {
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val ids = vocab.map(_._2)
     require(ids == ids.indices.toList.map(identity),
       s"vocab ids must be dense 0..n-1")
@@ -130,16 +140,7 @@ object TokenizerIo {
     * sparse id spaces.
     */
   def readVocabJson(spark: SparkSession, path: String): Seq[(String, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val text = slurp(spark, path)
     val fields = new SafeTensors.HeaderParser(text).parseAll()
     val vocab = fields.map {
       case (tok, id: Long) =>
@@ -152,5 +153,177 @@ object TokenizerIo {
     require(ids == ids.indices.toList.map(identity),
       "vocab ids must be dense 0..n-1 with no duplicates")
     vocab
+  }
+
+  // ------------------------------------------- tokenizer.json (HF)
+
+  /** In-memory form of the single-file HuggingFace FAST-tokenizer
+    * artifact (`tokenizer.json`, huggingface/tokenizers serialization
+    * docs) for the subset this engine trains: a BPE model (vocab map
+    * + merges array), added/special tokens, and the fixed
+    * normalizer/pre_tokenizer pair that matches [[graft.operators
+    * .Bpe]]'s semantics (Lowercase + regex split on
+    * [[graft.functions.TextFunctions.bpePattern]]).
+    *
+    * Added tokens follow the loaders' convention for tokens added
+    * AFTER training: ids continue densely past the model vocab and
+    * the contents never collide with it.
+    */
+  final case class HfTokenizer(
+      vocab: Seq[(String, Int)],
+      merges: Seq[(String, String)],
+      addedTokens: Seq[(String, Int)] = Nil)
+
+  /** Structural invariants of [[HfTokenizer]] — enforced at write AND
+    * read time (a malformed artifact must refuse on whichever side
+    * first sees it): dense vocab ids, whitespace-free merge symbols,
+    * every merge's operands AND product present in the vocab (a
+    * missing product means the file cannot reproduce the training
+    * run), added-token ids a dense continuation with no vocab
+    * collisions.
+    */
+  def validateHf(tok: HfTokenizer): Unit = {
+    val ids = tok.vocab.map(_._2).sorted
+    require(ids == ids.indices.toList.map(identity),
+      "tokenizer.json: vocab ids must be dense 0..n-1 with no duplicates")
+    val vset = tok.vocab.map(_._1).toSet
+    require(vset.size == tok.vocab.size,
+      "tokenizer.json: duplicate vocab tokens")
+    tok.merges.foreach { case (l, r) =>
+      require(l != null && r != null && l.nonEmpty && r.nonEmpty &&
+        !l.exists(_.isWhitespace) && !r.exists(_.isWhitespace),
+        s"tokenizer.json: merge symbols must be non-empty and " +
+          s"whitespace-free: '$l' '$r'")
+      require(vset(l) && vset(r) && vset(l + r),
+        s"tokenizer.json: merge '$l $r' references a token missing " +
+          "from the vocab (operands and product must all have ids)")
+    }
+    val aIds = tok.addedTokens.map(_._2)
+    require(aIds == (tok.vocab.size until tok.vocab.size +
+        tok.addedTokens.size),
+      "tokenizer.json: added-token ids must continue densely past the vocab")
+    val aSet = tok.addedTokens.map(_._1).toSet
+    require(aSet.size == tok.addedTokens.size && !aSet.exists(vset),
+      "tokenizer.json: added tokens must be distinct and absent from the vocab")
+    tok.addedTokens.foreach { case (t, _) =>
+      require(t != null && t.nonEmpty, "tokenizer.json: empty added token") }
+  }
+
+  /** Write the single-file `tokenizer.json` artifact. Vocab entries
+    * serialize in ID ORDER and merges in RANK ORDER (both orders are
+    * semantic to the loaders); merges use the string `"left right"`
+    * form (the widely-shipped GPT-2-lineage serialization — the
+    * reader also accepts the newer `["left","right"]` pair form).
+    */
+  def writeHfTokenizerJson(tok: HfTokenizer, path: String): Unit = {
+    validateHf(tok)
+    val sb = new StringBuilder
+    sb.append("{\"version\": \"1.0\", \"truncation\": null, " +
+      "\"padding\": null, \"added_tokens\": [")
+    sb.append(tok.addedTokens.map { case (t, i) =>
+      s"""{"id": $i, "content": ${js(t)}, "single_word": false, """ +
+        "\"lstrip\": false, \"rstrip\": false, \"normalized\": false, " +
+        "\"special\": true}"
+    }.mkString(", "))
+    sb.append("], \"normalizer\": {\"type\": \"Lowercase\"}, ")
+    sb.append("\"pre_tokenizer\": {\"type\": \"Split\", \"pattern\": " +
+      s"{${js("Regex")}: ${js(graft.functions.TextFunctions.bpePattern)}}, " +
+      "\"behavior\": \"Isolated\", \"invert\": false}, ")
+    sb.append("\"post_processor\": null, \"decoder\": null, ")
+    sb.append("\"model\": {\"type\": \"BPE\", \"dropout\": null, " +
+      "\"unk_token\": null, \"continuing_subword_prefix\": null, " +
+      "\"end_of_word_suffix\": null, \"fuse_unk\": false, " +
+      "\"byte_fallback\": false, \"vocab\": ")
+    sb.append(tok.vocab.sortBy(_._2).map { case (t, i) => s"${js(t)}: $i" }
+      .mkString("{", ", ", "}"))
+    sb.append(", \"merges\": ")
+    sb.append(tok.merges.map { case (l, r) => js(s"$l $r") }
+      .mkString("[", ", ", "]"))
+    sb.append("}}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext
+      .hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `tokenizer.json` back (driver-side — the artifact is
+    * vocab-sized). Fail-closed: refuses non-"1.0" versions, non-BPE
+    * models, malformed merges (either serialization generation:
+    * `"left right"` strings or `["left","right"]` pairs), added-token
+    * rows without integer id + string content, and everything
+    * [[validateHf]] refuses. Unknown top-level/model fields are
+    * IGNORED (the loaders' behavior — the format grows fields).
+    */
+  def readHfTokenizerJson(spark: SparkSession, path: String): HfTokenizer = {
+    val text = slurp(spark, path)
+    val fields = new SafeTensors.HeaderParser(text, allowLiterals = true)
+      .parseAll()
+    val top = fields.toMap
+    require(top.get("version").contains("1.0"),
+      s"tokenizer.json: version must be \"1.0\", got ${top.get("version")}")
+    val model = top.get("model") match {
+      case Some(m: Vector[_]) =>
+        m.map {
+          case (k: String, v) => (k, v)
+          case x => throw new IllegalArgumentException(
+            s"tokenizer.json: malformed model entry $x")
+        }.toMap
+      case x => throw new IllegalArgumentException(
+        s"tokenizer.json: missing/malformed model object ($x)")
+    }
+    require(model.get("type").contains("BPE"),
+      s"tokenizer.json: model.type must be BPE, got ${model.get("type")}")
+    val vocab = model.get("vocab") match {
+      case Some(v: Vector[_]) => v.map {
+        case (t: String, id: Long) =>
+          require(id >= 0 && id <= Int.MaxValue,
+            s"tokenizer.json: implausible id $id")
+          (t, id.toInt)
+        case x => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed vocab entry $x")
+      }
+      case x => throw new IllegalArgumentException(
+        s"tokenizer.json: missing/malformed model.vocab ($x)")
+    }
+    val merges = model.get("merges") match {
+      case Some(v: Vector[_]) => v.map {
+        case s: String =>
+          val parts = s.split(" ", -1)
+          require(parts.length == 2 && parts.forall(_.nonEmpty),
+            s"tokenizer.json: malformed merge '$s' — expected 'left right'")
+          (parts(0), parts(1))
+        case p: Vector[_] =>
+          require(p.length == 2 && p.forall(_.isInstanceOf[String]),
+            s"tokenizer.json: malformed merge pair $p")
+          (p(0).asInstanceOf[String], p(1).asInstanceOf[String])
+        case x => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed merge $x")
+      }
+      case x => throw new IllegalArgumentException(
+        s"tokenizer.json: missing/malformed model.merges ($x)")
+    }
+    val added = top.get("added_tokens") match {
+      case None => Vector.empty[(String, Int)]
+      case Some(v: Vector[_]) => v.map {
+        case o: Vector[_] =>
+          val om = o.collect { case (k: String, vv) => (k, vv) }.toMap
+          (om.get("content"), om.get("id")) match {
+            case (Some(c: String), Some(id: Long))
+                if id >= 0 && id <= Int.MaxValue => (c, id.toInt)
+            case _ => throw new IllegalArgumentException(
+              s"tokenizer.json: added_tokens row needs string content " +
+                s"+ integer id, got $o")
+          }
+        case x => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed added_tokens row $x")
+      }
+      case x => throw new IllegalArgumentException(
+        s"tokenizer.json: malformed added_tokens ($x)")
+    }
+    val tok = HfTokenizer(vocab, merges, added.sortBy(_._2))
+    validateHf(tok)
+    tok
   }
 }

@@ -425,6 +425,6 @@ object Warc {
           sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
             .as("checksum"))
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
-    spark.read.parquet(s"$base/_manifest")
+    graft.Tables.metaParquet(spark, s"$base/_manifest")
   }
 }

@@ -92,7 +92,7 @@ class ShardsSpec extends SparkSpec {
     // simulate a writer dying between data and manifest: manifest gone
     val mfDir = new java.io.File(s"$path/_manifest")
     mfDir.listFiles().foreach(_.delete()); mfDir.delete()
-    intercept[org.apache.spark.sql.AnalysisException] {
+    intercept[java.io.FileNotFoundException] {
       Shards.readShards(spark, path).collect()
     }
     // a fresh write recommits; read works again

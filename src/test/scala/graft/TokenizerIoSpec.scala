@@ -67,6 +67,65 @@ class TokenizerIoSpec extends SparkSpec {
     intercept[IllegalArgumentException](TokenizerIo.readVocabJson(spark, bad2))
   }
 
+  test("tokenizer.json: write/reload round trip preserves vocab ids, " +
+      "merge ranks and added tokens exactly (r16)") {
+    import graft.sources.TokenizerIo.HfTokenizer
+    val vocab = TokenizerIo.vocabFromMerges(
+      Seq("a", "b", "c", "ü"), Seq(("a", "b"), ("ab", "c")))
+    val tok = HfTokenizer(vocab, Seq(("a", "b"), ("ab", "c")),
+      addedTokens = Seq(("<|endoftext|>", vocab.size)))
+    val p = tmp("tokenizer.json")
+    TokenizerIo.writeHfTokenizerJson(tok, p)
+    assert(TokenizerIo.readHfTokenizerJson(spark, p) === tok)
+  }
+
+  test("tokenizer.json: reads a hand-written loader-shaped file — " +
+      "null/bool literals, unknown fields ignored, BOTH merge " +
+      "serialization generations (string and pair)") {
+    val p = tmp("hand.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      """{"version": "1.0", "truncation": null, "padding": null,
+        | "added_tokens": [{"id": 4, "content": "<s>", "special": true,
+        |   "lstrip": false}],
+        | "normalizer": null, "pre_tokenizer": {"type": "Whitespace"},
+        | "some_future_field": [1, 2],
+        | "model": {"type": "BPE", "dropout": null, "fuse_unk": false,
+        |   "vocab": {"a": 0, "b": 1, "ab": 2, "abb": 3},
+        |   "merges": ["a b", ["ab", "b"]]}}""".stripMargin)
+    val tok = TokenizerIo.readHfTokenizerJson(spark, p)
+    assert(tok.vocab === Seq(("a", 0), ("b", 1), ("ab", 2), ("abb", 3)))
+    assert(tok.merges === Seq(("a", "b"), ("ab", "b")))
+    assert(tok.addedTokens === Seq(("<s>", 4)))
+  }
+
+  test("tokenizer.json: fail-closed refusals — non-BPE model, merge " +
+      "whose product is missing from the vocab, added-token id " +
+      "colliding with the vocab, sparse vocab ids") {
+    import graft.sources.TokenizerIo.HfTokenizer
+    def bad(name: String, body: String): Unit = {
+      val p = tmp(name)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
+      intercept[IllegalArgumentException](
+        TokenizerIo.readHfTokenizerJson(spark, p))
+    }
+    bad("nonbpe.json",
+      """{"version": "1.0", "model": {"type": "WordPiece",
+        | "vocab": {"a": 0}, "merges": []}}""".stripMargin)
+    bad("noprod.json",
+      """{"version": "1.0", "model": {"type": "BPE",
+        | "vocab": {"a": 0, "b": 1}, "merges": ["a b"]}}""".stripMargin)
+    bad("sparse.json",
+      """{"version": "1.0", "model": {"type": "BPE",
+        | "vocab": {"a": 0, "b": 2}, "merges": []}}""".stripMargin)
+    bad("badver.json",
+      """{"version": "2.0", "model": {"type": "BPE",
+        | "vocab": {"a": 0}, "merges": []}}""".stripMargin)
+    // writer-side: added token id inside the vocab range refuses
+    intercept[IllegalArgumentException](TokenizerIo.writeHfTokenizerJson(
+      HfTokenizer(Seq(("a", 0), ("b", 1)), Nil,
+        addedTokens = Seq(("<s>", 1))), tmp("collide.json")))
+  }
+
   test("the shipped artifact re-encodes identically to the trained " +
       "table (the gate invariant, in miniature)") {
     val docs = Seq((1L, "the cat sat on the mat"),
