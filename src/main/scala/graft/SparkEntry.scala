@@ -3706,6 +3706,39 @@ object SparkEntry {
     //     written as DEFLATED zip shards (fixed local timestamp — no
     //     timezone dependence) and read back through the streaming
     //     ZipInputStream walk; same per-member round-trip check.
+    // --- Arrow IPC / Feather v2 interchange (r16 — VERDICT r15 #4):
+    //     a documents slice (with planted null scores — the validity
+    //     bitmap path) writes as shard-per-partition .arrow files
+    //     through the from-scratch flatbuffer framing, reads back
+    //     file-per-task, and per-source scalar checksums (exact long
+    //     sums + the md5 idiom; score quarters are exact in binary,
+    //     so the double sum is order-independent) must equal the
+    //     oracle's recomputation from the raw fixture — any id/value/
+    //     null/encoding drift through the format goes red.
+    "docs_arrow" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 300)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(7L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(col("n_chars").cast("double") / 4).as("score"),
+          col("text"))
+      val base = gateIndexPath(dir, "arrow_gate")
+      graft.sources.ArrowIpc.writeArrow(docs.repartition(4), base,
+        batchRows = 64)
+      graft.sources.ArrowIpc.readArrow(s, base + "/*.arrow")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(when(col("score").isNull, 1L).otherwise(0L))
+            .as("n_null_scores"),
+          round(sum(col("score")), 6).as("sum_score"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long")).as("text_checksum"))
+        .orderBy(col("source"))
+    }),
+
     "docs_zip_shards" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
@@ -9077,6 +9110,21 @@ object SparkEntry {
 
     // the docs_zip_shards oracle: the tar oracle with the .zip shard
     // naming — the member inventory is container-independent
+    // the docs_arrow oracle: the interchange must be value-lossless,
+    // so every aggregate recomputes from the raw fixture
+    "docs_arrow" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_scores,
+        |  round(sum(CASE WHEN doc_id % 7 = 0 THEN NULL
+        |    ELSE n_chars / 4.0 END), 6) AS sum_score,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+        |    AS UBIGINT)) AS BIGINT) AS text_checksum
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "docs_zip_shards" ->
       """SELECT 'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0') || '.zip' AS shard,
         |  'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,

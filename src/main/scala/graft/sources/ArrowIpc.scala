@@ -1,0 +1,703 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Arrow IPC **file** format (a.k.a. Feather v2) interchange (r16 —
+  * VERDICT r15 #4), from scratch per the PUBLIC Arrow columnar
+  * spec (arrow.apache.org/docs/format/Columnar.html — serialization
+  * section; Message.fbs / Schema.fbs / File.fbs in apache/arrow):
+  * the zero-copy interchange layout every dataloader, DuckDB and
+  * pandas speak. The reference ships rows over a psycopg2 wire
+  * (fever_multi_agent.py:61-78); at 100 TB the interchange IS files,
+  * so the engine reads and writes the layout natively.
+  *
+  * Scope (the fixed types this engine's tables need): int64,
+  * float64 and utf8 columns, nullable via validity bitmaps, one or
+  * more record batches per file. Everything else refuses loudly at
+  * write AND read — a silently-miscast column is corrupted training
+  * data.
+  *
+  * File layout (File.fbs):
+  * {{{
+  *   "ARROW1\0\0"
+  *   <schema message><record batch message>*   (encapsulated stream)
+  *   [0xFFFFFFFF 0x00000000]                   (end-of-stream)
+  *   <footer flatbuffer> <int32 footer len> "ARROW1"
+  * }}}
+  * Each encapsulated message: 0xFFFFFFFF continuation, int32
+  * metadata length (flatbuffer + padding to 8), the Message
+  * flatbuffer, then the 8-aligned body. The READ path is
+  * footer-driven (the random-access point of the format): parse the
+  * trailing footer, then decode each batch at its Block offset —
+  * never a linear scan of the stream section.
+  *
+  * Flatbuffers are hand-rolled here (builder + reader below) for
+  * exactly the vtable/table/vector/struct subset these three
+  * flatbuffer schemas use — the wire format is public and frozen
+  * (google.github.io/flatbuffers/flatbuffers_internals.html).
+  *
+  * Scale shape: shard-per-partition write with task-attempt temp +
+  * rename commits (the Containers discipline), file-per-task read
+  * via binaryFile — the standard "thousands of ~100 MB–1 GB shards"
+  * interchange unit; batches within a file bound per-batch memory.
+  */
+object ArrowIpc {
+
+  private val Magic = "ARROW1".getBytes(StandardCharsets.US_ASCII)
+
+  // MessageHeader union members (Message.fbs)
+  private val HeaderSchema = 1
+  private val HeaderRecordBatch = 3
+  // Type union members (Schema.fbs)
+  private val TypeInt = 2
+  private val TypeFloatingPoint = 3
+  private val TypeUtf8 = 5
+  // MetadataVersion.V5 / Precision.DOUBLE
+  private val VersionV5 = 4
+  private val PrecisionDouble = 2
+
+  // ------------------------------------------------ flatbuffer builder
+
+  /** Minimal back-to-front flatbuffer builder — the standard
+    * algorithm: the buffer grows by PREPENDING, object offsets are
+    * measured from the buffer END, `finish` slices the tail. Supports
+    * what Message/Schema/File need: scalars, strings, tables (with
+    * vtables), vectors of scalars/offsets/structs.
+    */
+  private[sources] final class FbBuilder(initial: Int = 1024) {
+    private var buf = new Array[Byte](initial)
+    private var space = initial // next write ends here (exclusive)
+    private var minalign = 1
+
+    private def written: Int = buf.length - space
+
+    private def grow(need: Int): Unit =
+      if (space < need) {
+        val nb = new Array[Byte](math.max(buf.length * 2, buf.length + need))
+        System.arraycopy(buf, space, nb, nb.length - written, written)
+        space = nb.length - written
+        buf = nb
+      }
+
+    /** Pad so that (written + additional) is `size`-aligned. */
+    private def prep(size: Int, additional: Int): Unit = {
+      if (size > minalign) minalign = size
+      grow(size + additional + size) // headroom
+      while ((written + additional) % size != 0) { space -= 1; buf(space) = 0 }
+    }
+
+    private def put8(v: Int): Unit = { space -= 1; buf(space) = v.toByte }
+    private def put16(v: Int): Unit = {
+      space -= 2
+      buf(space) = (v & 0xff).toByte; buf(space + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def put32(v: Int): Unit = {
+      space -= 4
+      var i = 0
+      while (i < 4) { buf(space + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    private def put64(v: Long): Unit = {
+      space -= 8
+      var i = 0
+      while (i < 8) { buf(space + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+
+    def prependInt8(v: Int): Unit = { prep(1, 0); put8(v) }
+    def prependInt16(v: Int): Unit = { prep(2, 0); put16(v) }
+    def prependInt32(v: Int): Unit = { prep(4, 0); put32(v) }
+    def prependInt64(v: Long): Unit = { prep(8, 0); put64(v) }
+
+    /** End-relative offset of the most recent write (an object's
+      * handle). */
+    def offset: Int = written
+
+    /** Prepend a uoffset FIELD pointing at the object handle `off`. */
+    def prependUOffset(off: Int): Unit = {
+      prep(4, 0)
+      require(off <= offset, "flatbuffer: forward reference")
+      put32(offset - off + 4)
+    }
+
+    def createString(s: String): Int = {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      prep(1, 0); put8(0) // null terminator
+      prep(4, bytes.length)
+      grow(bytes.length)
+      space -= bytes.length
+      System.arraycopy(bytes, 0, buf, space, bytes.length)
+      put32(bytes.length)
+      offset
+    }
+
+    /** Begin a vector of `count` elements of `elemSize` bytes with
+      * `align`ment; elements must then be prepended in REVERSE order;
+      * call [[endVector]] after.
+      */
+    def startVector(elemSize: Int, count: Int, align: Int): Unit = {
+      prep(4, elemSize * count)
+      prep(align, elemSize * count)
+    }
+    def endVector(count: Int): Int = { put32(count); offset }
+
+    // ---- tables
+    private var slots: Array[Int] = _
+    private var tableStartOffset = 0
+
+    def startTable(numSlots: Int): Unit = {
+      slots = new Array[Int](numSlots) // 0 = absent
+      tableStartOffset = offset
+    }
+    def slotInt8(i: Int, v: Int, default: Int): Unit =
+      if (v != default) { prependInt8(v); slots(i) = offset }
+    def slotInt16(i: Int, v: Int, default: Int): Unit =
+      if (v != default) { prependInt16(v); slots(i) = offset }
+    def slotInt32(i: Int, v: Int, default: Int): Unit =
+      if (v != default) { prependInt32(v); slots(i) = offset }
+    def slotInt64(i: Int, v: Long, default: Long): Unit =
+      if (v != default) { prependInt64(v); slots(i) = offset }
+    def slotBool(i: Int, v: Boolean, default: Boolean): Unit =
+      if (v != default) { prependInt8(if (v) 1 else 0); slots(i) = offset }
+    def slotUOffset(i: Int, off: Int): Unit =
+      if (off != 0) { prependUOffset(off); slots(i) = offset }
+
+    def endTable(): Int = {
+      // placeholder soffset → table start
+      prependInt32(0)
+      val tableOff = offset
+      // vtable: [u16 vtable bytes][u16 table bytes][u16 voffset...]
+      var n = slots.length
+      while (n > 0 && slots(n - 1) == 0) n -= 1 // trim absent tail
+      var i = n - 1
+      while (i >= 0) {
+        prependInt16(if (slots(i) == 0) 0 else tableOff - slots(i))
+        i -= 1
+      }
+      prependInt16(tableOff - tableStartOffset + 4) // inline table bytes
+      prependInt16(4 + 2 * n)
+      val vtOff = offset
+      // patch the placeholder: soffset = vtable offset - table offset
+      val pos = buf.length - tableOff
+      val s = vtOff - tableOff
+      var j = 0
+      while (j < 4) { buf(pos + j) = ((s >> (8 * j)) & 0xff).toByte; j += 1 }
+      slots = null
+      tableOff
+    }
+
+    /** Finish with root table `off`; total size padded to minalign so
+      * every end-relative alignment holds absolutely.
+      */
+    def finish(off: Int): Array[Byte] = {
+      prep(minalign, 4)
+      prependUOffset(off)
+      java.util.Arrays.copyOfRange(buf, space, buf.length)
+    }
+  }
+
+  // ------------------------------------------------ flatbuffer reader
+
+  /** Minimal fail-closed flatbuffer reader over the same subset. All
+    * accesses bounds-checked by ByteBuffer; malformed offsets surface
+    * as exceptions, never silent zeros.
+    */
+  private[sources] final class FbTable(val bb: ByteBuffer, val pos: Int) {
+    private val vt = pos - bb.getInt(pos) // soffset
+    private val vtBytes = bb.getShort(vt) & 0xffff
+
+    private def voff(slot: Int): Int = {
+      val o = 4 + 2 * slot
+      if (o >= vtBytes) 0 else bb.getShort(vt + o) & 0xffff
+    }
+    def has(slot: Int): Boolean = voff(slot) != 0
+    def i8(slot: Int, default: Int): Int = {
+      val o = voff(slot); if (o == 0) default else bb.get(pos + o).toInt
+    }
+    def i16(slot: Int, default: Int): Int = {
+      val o = voff(slot); if (o == 0) default else bb.getShort(pos + o).toInt
+    }
+    def i32(slot: Int, default: Int): Int = {
+      val o = voff(slot); if (o == 0) default else bb.getInt(pos + o)
+    }
+    def i64(slot: Int, default: Long): Long = {
+      val o = voff(slot); if (o == 0) default else bb.getLong(pos + o)
+    }
+    def bool(slot: Int, default: Boolean): Boolean = {
+      val o = voff(slot); if (o == 0) default else bb.get(pos + o) != 0
+    }
+    private def indirect(p: Int): Int = p + bb.getInt(p)
+    def table(slot: Int): Option[FbTable] = {
+      val o = voff(slot)
+      if (o == 0) None else Some(new FbTable(bb, indirect(pos + o)))
+    }
+    def string(slot: Int): Option[String] = {
+      val o = voff(slot)
+      if (o == 0) None
+      else {
+        val sp = indirect(pos + o)
+        val len = bb.getInt(sp)
+        val out = new Array[Byte](len)
+        var i = 0
+        while (i < len) { out(i) = bb.get(sp + 4 + i); i += 1 }
+        Some(new String(out, StandardCharsets.UTF_8))
+      }
+    }
+    /** (element count, position of element 0) of the vector at
+      * `slot`, or None when absent. */
+    def vector(slot: Int): Option[(Int, Int)] = {
+      val o = voff(slot)
+      if (o == 0) None
+      else {
+        val vp = indirect(pos + o)
+        Some((bb.getInt(vp), vp + 4))
+      }
+    }
+    /** Table element `i` of an offset-vector starting at `elem0`. */
+    def tableElem(elem0: Int, i: Int): FbTable =
+      new FbTable(bb, indirect(elem0 + 4 * i))
+  }
+
+  private[sources] def fbRoot(bytes: Array[Byte], off: Int, len: Int): FbTable = {
+    val bb = ByteBuffer.wrap(bytes, off, len).slice().order(ByteOrder.LITTLE_ENDIAN)
+    new FbTable(bb, bb.getInt(0))
+  }
+
+  // ------------------------------------------------ schema encoding
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case LongType | DoubleType | StringType => true
+    case _ => false
+  }
+
+  private def requireSupported(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      require(supported(f.dataType),
+        s"arrow interchange: unsupported column type ${f.dataType} " +
+          s"for '${f.name}' — int64/float64/utf8 only (cast upstream)")
+    }
+
+  /** Field slots (Schema.fbs Field): name(0) nullable(1) type_type(2)
+    * type(3) dictionary(4) children(5) custom_metadata(6).
+    */
+  private def buildField(b: FbBuilder, f: StructField): Int = {
+    val nameOff = b.createString(f.name)
+    val (typeTag, typeOff) = f.dataType match {
+      case LongType =>
+        b.startTable(2)
+        b.slotInt32(0, 64, 0) // bitWidth
+        b.slotBool(1, v = true, default = false) // is_signed
+        (TypeInt, b.endTable())
+      case DoubleType =>
+        b.startTable(1)
+        b.slotInt16(0, PrecisionDouble, 0)
+        (TypeFloatingPoint, b.endTable())
+      case StringType =>
+        b.startTable(0)
+        (TypeUtf8, b.endTable())
+      case dt => throw new IllegalArgumentException(s"unsupported $dt")
+    }
+    b.startTable(7)
+    b.slotUOffset(0, nameOff)
+    b.slotBool(1, f.nullable, default = false)
+    b.slotInt8(2, typeTag, 0)
+    b.slotUOffset(3, typeOff)
+    b.endTable()
+  }
+
+  /** Schema table (endianness(0)=little default, fields(1)). */
+  private def buildSchema(b: FbBuilder, schema: StructType): Int = {
+    val fieldOffs = schema.fields.map(f => buildField(b, f))
+    b.startVector(4, fieldOffs.length, 4)
+    fieldOffs.reverseIterator.foreach(b.prependUOffset)
+    val vec = b.endVector(fieldOffs.length)
+    b.startTable(4)
+    b.slotUOffset(1, vec)
+    b.endTable()
+  }
+
+  /** Message table: version(0) header_type(1) header(2) bodyLength(3). */
+  private def buildMessage(headerTag: Int, buildHeader: FbBuilder => Int,
+      bodyLength: Long): Array[Byte] = {
+    val b = new FbBuilder()
+    val h = buildHeader(b)
+    b.startTable(5)
+    b.slotInt16(0, VersionV5, 0)
+    b.slotInt8(1, headerTag, 0)
+    b.slotUOffset(2, h)
+    b.slotInt64(3, bodyLength, 0L)
+    b.finish(b.endTable())
+  }
+
+  // ------------------------------------------------ column vectors
+
+  /** One encoded column: validity bitmap (empty when no nulls),
+    * optional int32 offsets (utf8), data — plus the field-node facts.
+    */
+  private final case class ColBufs(nullCount: Long, buffers: Seq[Array[Byte]])
+
+  private def validityBitmap(isNull: Array[Boolean]): Array[Byte] = {
+    val out = new Array[Byte]((isNull.length + 7) / 8)
+    var i = 0
+    while (i < isNull.length) {
+      if (!isNull(i)) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def encodeColumn(dt: DataType, rows: IndexedSeq[Row],
+      idx: Int): ColBufs = {
+    val n = rows.length
+    val isNull = Array.tabulate(n)(i => rows(i).isNullAt(idx))
+    val nullCount = isNull.count(identity).toLong
+    val validity = if (nullCount == 0L) Array.emptyByteArray
+      else validityBitmap(isNull)
+    dt match {
+      case LongType =>
+        val data = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { data.putLong(if (isNull(i)) 0L else rows(i).getLong(idx)); i += 1 }
+        ColBufs(nullCount, Seq(validity, data.array()))
+      case DoubleType =>
+        val data = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { data.putDouble(if (isNull(i)) 0.0 else rows(i).getDouble(idx)); i += 1 }
+        ColBufs(nullCount, Seq(validity, data.array()))
+      case StringType =>
+        val bytes = Array.tabulate(n)(i =>
+          if (isNull(i)) Array.emptyByteArray
+          else rows(i).getString(idx).getBytes(StandardCharsets.UTF_8))
+        val offsets = ByteBuffer.allocate(4 * (n + 1)).order(ByteOrder.LITTLE_ENDIAN)
+        var acc = 0L
+        offsets.putInt(0)
+        bytes.foreach { bs =>
+          acc += bs.length
+          require(acc <= Int.MaxValue, "arrow: utf8 column exceeds 2 GiB " +
+            "in one batch — lower batchRows")
+          offsets.putInt(acc.toInt)
+        }
+        val data = new Array[Byte](acc.toInt)
+        var off = 0
+        bytes.foreach { bs =>
+          System.arraycopy(bs, 0, data, off, bs.length); off += bs.length
+        }
+        ColBufs(nullCount, Seq(validity, offsets.array(), data))
+      case x => throw new IllegalArgumentException(s"unsupported $x")
+    }
+  }
+
+  private def pad8(n: Long): Long = (n + 7) & ~7L
+
+  /** Encapsulate one message: continuation, padded metadata length,
+    * flatbuffer, padding. */
+  private def encapsulate(out: java.io.ByteArrayOutputStream,
+      meta: Array[Byte]): Unit = {
+    val padded = pad8(meta.length.toLong + 8L).toInt - 8
+    val head = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    head.putInt(-1) // 0xFFFFFFFF continuation
+    head.putInt(padded)
+    out.write(head.array())
+    out.write(meta)
+    var i = meta.length
+    while (i < padded) { out.write(0); i += 1 }
+  }
+
+  /** Assemble one Arrow IPC file from row batches. */
+  def encodeFile(schema: StructType, batches: Seq[IndexedSeq[Row]]): Array[Byte] = {
+    requireSupported(schema)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic); out.write(0); out.write(0) // pad to 8
+    // schema message
+    val schemaMsg = buildMessage(HeaderSchema, b => buildSchema(b, schema), 0L)
+    encapsulate(out, schemaMsg)
+    // record batches
+    val blocks = batches.map { rows =>
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        (f, encodeColumn(f.dataType, rows, i))
+      }
+      // body: buffers in field order, each 8-aligned
+      val body = new java.io.ByteArrayOutputStream()
+      val bufFacts = Vector.newBuilder[(Long, Long)] // (offset, length)
+      cols.foreach { case (_, cb) =>
+        cb.buffers.foreach { b =>
+          val off = body.size.toLong
+          body.write(b)
+          while (body.size % 8 != 0) body.write(0)
+          bufFacts += ((off, b.length.toLong))
+        }
+      }
+      val bodyBytes = body.toByteArray
+      // RecordBatch table: length(0) nodes(1) buffers(2)
+      val msg = buildMessage(HeaderRecordBatch, { b =>
+        val facts = bufFacts.result()
+        b.startVector(16, facts.length, 8)
+        facts.reverseIterator.foreach { case (o, l) =>
+          b.prependInt64(l); b.prependInt64(o) // struct Buffer{offset,length}
+        }
+        val bufVec = b.endVector(facts.length)
+        b.startVector(16, cols.length, 8)
+        cols.reverseIterator.foreach { case (_, cb) =>
+          b.prependInt64(cb.nullCount); b.prependInt64(rows.length.toLong)
+        }
+        val nodeVec = b.endVector(cols.length)
+        b.startTable(3)
+        b.slotInt64(0, rows.length.toLong, 0L)
+        b.slotUOffset(1, nodeVec)
+        b.slotUOffset(2, bufVec)
+        b.endTable()
+      }, bodyBytes.length.toLong)
+      val blockOffset = out.size.toLong
+      encapsulate(out, msg)
+      val metaLen = out.size.toLong - blockOffset // incl. prefix + padding
+      out.write(bodyBytes)
+      (blockOffset, metaLen.toInt, bodyBytes.length.toLong)
+    }
+    // end-of-stream marker
+    val eos = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    eos.putInt(-1); eos.putInt(0)
+    out.write(eos.array())
+    // footer: version(0) schema(1) dictionaries(2) recordBatches(3)
+    val fb = new FbBuilder()
+    val schemaOff = buildSchema(fb, schema)
+    fb.startVector(24, blocks.length, 8)
+    blocks.reverseIterator.foreach { case (o, m, l) =>
+      // struct Block{offset: long, metaDataLength: int (+pad), bodyLength: long}
+      fb.prependInt64(l); fb.prependInt32(0); fb.prependInt32(m); fb.prependInt64(o)
+    }
+    val blockVec = fb.endVector(blocks.length)
+    fb.startTable(5)
+    fb.slotInt16(0, VersionV5, 0)
+    fb.slotUOffset(1, schemaOff)
+    fb.slotUOffset(3, blockVec)
+    val footer = fb.finish(fb.endTable())
+    out.write(footer)
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(footer.length)
+    out.write(tail.array())
+    out.write(Magic)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ decode
+
+  private def parseFieldType(f: FbTable): DataType = {
+    val tag = f.i8(2, 0)
+    tag match {
+      case TypeInt =>
+        val t = f.table(3).getOrElse(throw new IllegalArgumentException(
+          "arrow: Int field without type table"))
+        require(t.i32(0, 0) == 64 && t.bool(1, default = false),
+          s"arrow: only signed int64 supported, got bitWidth ${t.i32(0, 0)}")
+        LongType
+      case TypeFloatingPoint =>
+        val t = f.table(3).getOrElse(throw new IllegalArgumentException(
+          "arrow: FloatingPoint field without type table"))
+        require(t.i16(0, 0) == PrecisionDouble,
+          "arrow: only float64 supported")
+        DoubleType
+      case TypeUtf8 => StringType
+      case x => throw new IllegalArgumentException(
+        s"arrow: unsupported field type tag $x — int64/float64/utf8 only")
+    }
+  }
+
+  private def parseSchema(t: FbTable): StructType = {
+    require(t.i16(0, 0) == 0, "arrow: big-endian files not supported")
+    val (n, e0) = t.vector(1).getOrElse(throw new IllegalArgumentException(
+      "arrow: schema without fields"))
+    StructType((0 until n).map { i =>
+      val f = t.tableElem(e0, i)
+      val name = f.string(0).getOrElse(throw new IllegalArgumentException(
+        "arrow: field without name"))
+      StructField(name, parseFieldType(f), f.bool(1, default = false))
+    })
+  }
+
+  /** Decode one Arrow IPC file → (schema, rows). Fail-closed on both
+    * magics, footer structure, unsupported types, node/buffer
+    * arithmetic and utf8 offset monotonicity.
+    */
+  def decodeFile(bytes: Array[Byte]): (StructType, Vector[Row]) = {
+    require(bytes.length >= 8 + 8 + 10, s"arrow: ${bytes.length} B — truncated")
+    require(Magic.indices.forall(i => bytes(i) == Magic(i)),
+      "arrow: leading magic mismatch")
+    require(Magic.indices.forall(i =>
+        bytes(bytes.length - 6 + i) == Magic(i)),
+      "arrow: trailing magic mismatch")
+    val footerLen = ByteBuffer.wrap(bytes, bytes.length - 10, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt
+    val footerStart = bytes.length - 10 - footerLen
+    require(footerLen > 0 && footerStart >= 8,
+      s"arrow: implausible footer length $footerLen")
+    val footer = fbRoot(bytes, footerStart, footerLen)
+    val schema = footer.table(1).map(parseSchema)
+      .getOrElse(throw new IllegalArgumentException("arrow: footer without schema"))
+    val rows = Vector.newBuilder[Row]
+    footer.vector(3).foreach { case (nBlocks, e0) =>
+      val bb = footer.bb
+      (0 until nBlocks).foreach { i =>
+        // struct Block is 24 bytes inline: offset, metaDataLength(+pad), bodyLength
+        val p = e0 + 24 * i
+        val blockOff = bb.getLong(p)
+        val metaLen = bb.getInt(p + 8)
+        val bodyLen = bb.getLong(p + 16)
+        decodeBatch(bytes, schema, blockOff, metaLen, bodyLen, rows)
+      }
+    }
+    (schema, rows.result())
+  }
+
+  private def decodeBatch(bytes: Array[Byte], schema: StructType,
+      blockOff: Long, metaLen: Int, bodyLen: Long,
+      out: scala.collection.mutable.Builder[Row, Vector[Row]]): Unit = {
+    require(blockOff >= 8 && blockOff + metaLen + bodyLen <= bytes.length,
+      s"arrow: block at $blockOff ($metaLen + $bodyLen B) outside file")
+    val head = ByteBuffer.wrap(bytes, blockOff.toInt, 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    require(head.getInt == -1, "arrow: message without continuation marker")
+    val fbLen = head.getInt
+    require(fbLen > 0 && 8 + fbLen <= metaLen,
+      s"arrow: metadata length $fbLen inconsistent with block $metaLen")
+    val msg = fbRoot(bytes, blockOff.toInt + 8, fbLen)
+    require(msg.i8(1, 0) == HeaderRecordBatch,
+      s"arrow: block points at a non-RecordBatch message (${msg.i8(1, 0)})")
+    require(msg.i64(3, 0L) == bodyLen,
+      "arrow: message bodyLength disagrees with footer block")
+    val rb = msg.table(2).getOrElse(throw new IllegalArgumentException(
+      "arrow: RecordBatch message without header table"))
+    val nRows = rb.i64(0, 0L)
+    require(nRows >= 0 && nRows <= Int.MaxValue, s"arrow: batch length $nRows")
+    val (nNodes, nodes0) = rb.vector(1).getOrElse((0, 0))
+    require(nNodes == schema.fields.length,
+      s"arrow: $nNodes field nodes for ${schema.fields.length} columns")
+    val (nBufs, bufs0) = rb.vector(2).getOrElse((0, 0))
+    val bodyStart = blockOff + metaLen
+    val bb = rb.bb
+    var bufIdx = 0
+    def nextBuf(): (Long, Long) = {
+      require(bufIdx < nBufs, "arrow: batch declares too few buffers")
+      val p = bufs0 + 16 * bufIdx
+      bufIdx += 1
+      val off = bb.getLong(p); val len = bb.getLong(p + 8)
+      require(off >= 0 && len >= 0 && off + len <= bodyLen,
+        s"arrow: buffer ($off, $len) outside body of $bodyLen")
+      (bodyStart + off, len)
+    }
+    val n = nRows.toInt
+    val cols: Array[Int => Any] = schema.fields.zipWithIndex.map { case (f, ci) =>
+      val nodeP = nodes0 + 16 * ci
+      require(bb.getLong(nodeP) == nRows,
+        s"arrow: field node ${f.name} length ${bb.getLong(nodeP)} != $nRows")
+      val nullCount = bb.getLong(nodeP + 8)
+      val (vOff, vLen) = nextBuf()
+      require(nullCount == 0 || vLen >= (n + 7) / 8,
+        s"arrow: validity buffer too short for ${f.name}")
+      val isValid: Int => Boolean =
+        if (nullCount == 0L) _ => true
+        else i => (bytes((vOff + i / 8).toInt) & (1 << (i % 8))) != 0
+      f.dataType match {
+        case LongType =>
+          val (dOff, dLen) = nextBuf()
+          require(dLen >= 8L * n, s"arrow: int64 data buffer short for ${f.name}")
+          val db = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          (i: Int) => if (isValid(i)) java.lang.Long.valueOf(
+            db.getLong((dOff + 8L * i).toInt)) else null
+        case DoubleType =>
+          val (dOff, dLen) = nextBuf()
+          require(dLen >= 8L * n, s"arrow: float64 data buffer short for ${f.name}")
+          val db = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          (i: Int) => if (isValid(i)) java.lang.Double.valueOf(
+            db.getDouble((dOff + 8L * i).toInt)) else null
+        case StringType =>
+          val (oOff, oLen) = nextBuf()
+          require(oLen >= 4L * (n + 1), s"arrow: offsets buffer short for ${f.name}")
+          val (dOff, dLen) = nextBuf()
+          val ob = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          var prev = 0
+          (0 to n).foreach { i =>
+            val o = ob.getInt((oOff + 4L * i).toInt)
+            require(o >= prev && o <= dLen,
+              s"arrow: non-monotonic utf8 offsets in ${f.name}")
+            prev = o
+          }
+          (i: Int) => if (!isValid(i)) null else {
+            val s = ob.getInt((oOff + 4L * i).toInt)
+            val e = ob.getInt((oOff + 4L * (i + 1)).toInt)
+            new String(bytes, (dOff + s).toInt, e - s, StandardCharsets.UTF_8)
+          }
+        case x => throw new IllegalArgumentException(s"unsupported $x")
+      }
+    }
+    var i = 0
+    while (i < n) {
+      out += Row.fromSeq(cols.toIndexedSeq.map(_.apply(i)))
+      i += 1
+    }
+  }
+
+  // ------------------------------------------------ Spark write/read
+
+  /** Write `df` as one `.arrow` file per partition under `path`
+    * (task-attempt temp + rename commits; empty partitions write no
+    * file). `batchRows` bounds per-batch memory — the record-batch
+    * unit a dataloader streams.
+    */
+  def writeArrow(df: DataFrame, path: String, batchRows: Int = 8192,
+      numFiles: Option[Int] = None): Unit = {
+    requireSupported(df.schema)
+    require(batchRows >= 1, s"batchRows $batchRows")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    val shaped = numFiles.map(df.repartition).getOrElse(df)
+    shaped.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fsx = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(hconf.value)
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$base/.part-$pid%05d-attempt-${tc.taskAttemptId()}.tmp")
+        val dst = new org.apache.hadoop.fs.Path(f"$base/part-$pid%05d.arrow")
+        val batches = it.grouped(batchRows).map(_.toIndexedSeq).toSeq
+        val bytes = encodeFile(schema, batches)
+        val out = fsx.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        if (!fsx.rename(tmp, dst)) {
+          fsx.delete(tmp, false)
+          require(fsx.exists(dst), s"arrow shard commit failed for $dst")
+        }
+      }
+    }
+  }
+
+  /** Read `.arrow` shards back — one file per task via binaryFile;
+    * every file's schema must match the first (fail-closed: a mixed
+    * layout is corruption, not a union).
+    */
+  def readArrow(spark: SparkSession, pathGlob: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+    val first = files.select(col("content")).head(1)
+    require(first.nonEmpty, s"arrow: no files match $pathGlob")
+    val schema = decodeFile(first.head.getAs[Array[Byte]](0))._1
+    val enc = RowEncoder.encoderFor(schema)
+    files.flatMap { r =>
+      val (s, rows) = decodeFile(r.getAs[Array[Byte]](1))
+      require(s == schema,
+        s"arrow: ${r.getString(0)} schema $s != layout schema $schema")
+      rows
+    }(enc)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.ArrowIpc
+
+class ArrowIpcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema3 = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("txt", StringType, nullable = true)))
+
+  private val rows3 = Vector(
+    Row(1L, 1.5, "hello"),
+    Row(2L, null, "w\u00f6rld \u2713"),
+    Row(null, 3.25, null),
+    Row(4L, -0.5, ""))
+
+  test("encode/decode round trip: nulls, unicode, empty strings, " +
+      "multiple batches (r16)") {
+    val bytes = ArrowIpc.encodeFile(schema3, Seq(rows3.take(2), rows3.drop(2)))
+    val (s, back) = ArrowIpc.decodeFile(bytes)
+    assert(s === schema3)
+    assert(back === rows3)
+    // zero batches: schema survives, no rows
+    val empty = ArrowIpc.encodeFile(schema3, Nil)
+    val (s2, r2) = ArrowIpc.decodeFile(empty)
+    assert(s2 === schema3 && r2.isEmpty)
+  }
+
+  test("decodes a file written by a REFERENCE implementation (pyarrow " +
+      "21) — bytes assembled independently of this writer (the " +
+      "CfbSpec discipline)") {
+    // pyarrow.ipc.new_file over the same 4 rows in 2 batches
+    val b64 =
+      "QVJST1cxAAD/////2AAAABAAAAAAAAoADAAGAAUACAAKAAAAAAEEAAwAAAAIAAgAAAAEAAgAAAAE" +
+      "AAAAAwAAAHQAAAAwAAAABAAAAKj///8AAAEFEAAAABgAAAAEAAAAAAAAAAMAAAB0eHQABAAEAAQA" +
+      "AADQ////AAABAxAAAAAcAAAABAAAAAAAAAAFAAAAc2NvcmUABgAIAAYABgAAAAAAAgAQABQACAAG" +
+      "AAcADAAAABAAEAAAAAAAAQIQAAAAHAAAAAQAAAAAAAAAAgAAAGlkAAAIAAwACAAHAAgAAAAAAAAB" +
+      "QAAAAP/////4AAAAFAAAAAAAAAAMABYABgAFAAgADAAMAAAAAAMEABgAAABIAAAAAAAAAAAACgAY" +
+      "AAwABAAIAAoAAACMAAAAEAAAAAIAAAAAAAAAAAAAAAcAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA" +
+      "AAAQAAAAAAAAABAAAAAAAAAAAQAAAAAAAAAYAAAAAAAAABAAAAAAAAAAKAAAAAAAAAAAAAAAAAAA" +
+      "ACgAAAAAAAAADAAAAAAAAAA4AAAAAAAAAA8AAAAAAAAAAAAAAAMAAAACAAAAAAAAAAAAAAAAAAAA" +
+      "AgAAAAAAAAABAAAAAAAAAAIAAAAAAAAAAAAAAAAAAAABAAAAAAAAAAIAAAAAAAAAAQAAAAAAAAAA" +
+      "AAAAAAD4PwAAAAAAAAAAAAAAAAUAAAAPAAAAAAAAAGhlbGxvd8O2cmxkIOKckwD/////+AAAABQA" +
+      "AAAAAAAADAAWAAYABQAIAAwADAAAAAADBAAYAAAAQAAAAAAAAAAAAAoAGAAMAAQACAAKAAAAjAAA" +
+      "ABAAAAACAAAAAAAAAAAAAAAHAAAAAAAAAAAAAAABAAAAAAAAAAgAAAAAAAAAEAAAAAAAAAAYAAAA" +
+      "AAAAAAAAAAAAAAAAGAAAAAAAAAAQAAAAAAAAACgAAAAAAAAAAQAAAAAAAAAwAAAAAAAAAAwAAAAA" +
+      "AAAAQAAAAAAAAAAAAAAAAAAAAAAAAAADAAAAAgAAAAAAAAABAAAAAAAAAAIAAAAAAAAAAAAAAAAA" +
+      "AAACAAAAAAAAAAEAAAAAAAAAAgAAAAAAAAAAAAAAAAAAAAQAAAAAAAAAAAAAAAAACkAAAAAAAADg" +
+      "vwIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAP////8AAAAAEAAAAAwAFAAGAAgADAAQAAwAAAAAAAQA" +
+      "TAAAADwAAAAEAAAAAgAAAOgAAAAAAAAAAAEAAAAAAABIAAAAAAAAADACAAAAAAAAAAEAAAAAAABA" +
+      "AAAAAAAAAAAAAAAIAAgAAAAEAAgAAAAEAAAAAwAAAHQAAAAwAAAABAAAAKj///8AAAEFEAAAABgA" +
+      "AAAEAAAAAAAAAAMAAAB0eHQABAAEAAQAAADQ////AAABAxAAAAAcAAAABAAAAAAAAAAFAAAAc2Nv" +
+      "cmUABgAIAAYABgAAAAAAAgAQABQACAAGAAcADAAAABAAEAAAAAAAAQIQAAAAHAAAAAQAAAAAAAAA" +
+      "AgAAAGlkAAAIAAwACAAHAAgAAAAAAAABQAAAABgBAABBUlJPVzE="
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val (s, back) = ArrowIpc.decodeFile(bytes)
+    assert(s === schema3)
+    assert(back === rows3)
+  }
+
+  test("fail-closed: magic mismatches, truncation, implausible footer, " +
+      "unsupported write types refuse") {
+    val good = ArrowIpc.encodeFile(schema3, Seq(rows3))
+    intercept[IllegalArgumentException](
+      ArrowIpc.decodeFile(good.take(40))) // truncated
+    val badHead = good.clone(); badHead(0) = 'X'.toByte
+    intercept[IllegalArgumentException](ArrowIpc.decodeFile(badHead))
+    val badTail = good.clone(); badTail(badTail.length - 1) = 'X'.toByte
+    intercept[IllegalArgumentException](ArrowIpc.decodeFile(badTail))
+    // footer length field poisoned
+    val badLen = good.clone()
+    badLen(badLen.length - 10) = 0x7f.toByte
+    badLen(badLen.length - 9) = 0x7f.toByte
+    intercept[IllegalArgumentException](ArrowIpc.decodeFile(badLen))
+    // unsupported column type refuses at write
+    val df = Seq((1, "x")).toDF("i", "t") // IntegerType
+    intercept[IllegalArgumentException](
+      ArrowIpc.writeArrow(df, "/tmp/arrow_spec_refuse"))
+  }
+
+  test("Spark shard write + read round trip across partitions; " +
+      "mixed-schema layouts refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowspec").toString
+    val df = spark.range(0, 100).toDF("id")
+      .selectExpr("id", "cast(id as double) / 4 as score",
+        "case when id % 7 = 0 then null else concat('doc-', id) end as txt")
+    ArrowIpc.writeArrow(df.repartition(4), dir)
+    val back = ArrowIpc.readArrow(spark, dir + "/*.arrow")
+    assert(back.schema === df.schema)
+    assert(back.count() === 100L)
+    val a = back.orderBy("id").collect().toSeq
+    val b = df.orderBy("id").collect().toSeq
+    assert(a === b)
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow"))
+    assert(files === 4, "expected one shard per partition")
+    // a shard of a DIFFERENT schema in the same glob refuses
+    val other = java.nio.file.Files.createTempDirectory("arrowspec2").toString
+    ArrowIpc.writeArrow(
+      spark.range(0, 5).toDF("id").selectExpr("id", "'x' as only"),
+      other, numFiles = Some(1))
+    val f = new java.io.File(other).listFiles()
+      .filter(_.getName.endsWith(".arrow")).head
+    java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(dir, "part-99999.arrow"))
+    val e = intercept[org.apache.spark.SparkException](
+      ArrowIpc.readArrow(spark, dir + "/*.arrow").count())
+    assert(String.valueOf(e.getMessage).contains("schema") ||
+      String.valueOf(e.getCause).contains("schema"))
+  }
+}
