@@ -5508,6 +5508,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- XLSX date-serial semantics (r16 — VERDICT r15 #5): planted
+    //     workbooks whose styles.xml maps cells to date/time number
+    //     formats; extraction must render serials as ISO dates —
+    //     1900 epoch with the leap-year-bug offset, fractional time,
+    //     time-only formats, custom formatCode, the 1904 flag on odd
+    //     ids — while General-styled and unstyled numerics stay raw.
+    //     The oracle recomputes every date closed-form from the
+    //     serial formulas.
+    "mm_xlsx_dates" -> ((s, dir) => {
+      val media = Multimodal.synthesizeXlsxDatesBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withXlsxText(media, "payload", "xx")
+        .select(col("media_id"), col("xx.n_cells").as("n_cells"),
+          col("xx.text").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Modern PowerPoint .pptx text extraction (r15, VERDICT):
     //     1-3 slides by id%3 written in REVERSE package order (the
     //     numeric slide ordering is on the hashed path), two
@@ -11473,6 +11490,28 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE m.md END AS md
         |FROM md m JOIN bad b USING (media_id)
         |ORDER BY m.media_id""".stripMargin,
+
+    // the mm_xlsx_dates oracle: every rendered date recomputed
+    // closed-form from the planted serials — 1900 base 1899-12-30
+    // (all serials sit above the leap-bug region), 1904 base on odd
+    // ids, the fixed hour lattice for the time cell
+    "mm_xlsx_dates" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |d AS (SELECT media_id,
+        |  CASE WHEN media_id % 2 = 1
+        |    THEN strftime(DATE '1904-01-01'
+        |      + CAST(45000 + media_id AS INTEGER), '%Y-%m-%d')
+        |    ELSE strftime(DATE '1899-12-30'
+        |      + CAST(45000 + media_id AS INTEGER), '%Y-%m-%d') END AS iso,
+        |  printf('%02d:00:00',
+        |    6 + CAST(media_id % 4 AS INTEGER) * 3) AS tm,
+        |  CAST(45000 + media_id AS VARCHAR) AS raw
+        |  FROM ids)
+        |SELECT media_id, CAST(6 AS INT) AS n_cells,
+        |  iso || chr(9) || iso || ' 12:00:00' || chr(9) || tm ||
+        |    chr(10) || iso || chr(9) || raw || chr(9) || '7' AS text
+        |FROM d ORDER BY media_id""".stripMargin,
 
     // the mm_pptx_text oracle: slides rebuilt closed-form in slide-
     // NUMBER order (the package wrote them reversed), two paragraphs

@@ -4360,6 +4360,39 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic date-bearing `.xlsx` payload (r16 — VERDICT r15
+    * #5): six numeric cells exercising every date-serial path —
+    * builtin date format (14), fractional datetime, builtin time
+    * (20), a custom `formatCode`, a General-styled serial that must
+    * STAY raw, and an unstyled numeric. Odd ids flip the workbook to
+    * the 1904 epoch, so the same serial renders 4 years later.
+    */
+  def synthXlsxDatesPayload(id: Long): Array[Byte] = {
+    val serial = 45000 + id
+    Xlsx.buildXlsx(
+      Seq.empty,
+      Seq((0, 0, Xlsx.NumStyled(serial.toString, 1)),
+        (0, 1, Xlsx.NumStyled(s"$serial.5", 1)),
+        (0, 2, Xlsx.NumStyled((0.25 + (id % 4) * 0.125).toString, 2)),
+        (1, 0, Xlsx.NumStyled(serial.toString, 3)),
+        (1, 1, Xlsx.NumStyled(serial.toString, 0)),
+        (1, 2, Xlsx.Num("7"))),
+      cellXfs = Seq(0, 14, 20, 164),
+      numFmts = Seq((164, "dd \"of\" mmmm yyyy")),
+      date1904 = id % 2 == 1)
+  }
+
+  /** Synthesize the date-workbook media table (no degrade plants —
+    * malformed-payload coverage is [[synthesizeXlsxBytes]]'). */
+  def synthesizeXlsxDatesBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map(r => Row(r.getLong(0), synthXlsxDatesPayload(r.getLong(0))))
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic `.xlsx` payload (r15): the `.xls` fixture's grid
     * re-expressed in OOXML — three shared strings (the middle one in
     * the RICH two-run form with a phonetic span extraction must

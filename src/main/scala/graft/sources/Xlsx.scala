@@ -15,8 +15,16 @@ package graft.sources
   *    are furigana hints, not cell content);
   *  - cell text by `t`: `s` → shared-string index, `inlineStr` → the
   *    inner `<is>` `<t>` runs, `str`/`b`/`e`/absent (numeric) → the
-  *    raw `<v>` text verbatim (the stored value IS the text — no
-  *    number formatting is applied, documented);
+  *    raw `<v>` text verbatim — EXCEPT date-formatted numerics
+  *    (r16, VERDICT r15 #5): when `xl/styles.xml` maps the cell's
+  *    `s` style index to a date/time number format (built-in ids
+  *    14–22/27–36/45–47/50–58 or a custom `formatCode` with
+  *    unquoted y/m/d/h tokens — the public POI `isADateFormat`
+  *    heuristic), the serial renders as ISO `yyyy-MM-dd`
+  *    (+ ` HH:mm:ss` for fractional serials; time-only formats
+  *    render `HH:mm:ss`), honoring the 1900 system's leap-year-bug
+  *    offset (serial 60 is Excel's fictitious 1900-02-29 — kept as
+  *    the raw serial, documented) and the `date1904` workbook flag;
   *  - layout: cells tab-joined within a `<row>` in document order,
   *    rows newline-joined, sheets (ordered by their number)
   *    newline-joined — the `.xls` extractor's grid convention, so
@@ -67,6 +75,140 @@ object Xlsx {
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
 
+  // ------------------------------------------- date-serial support
+
+  private val StyleAttr = java.util.regex.Pattern.compile(
+    "\\bs\\s*=\\s*\"(\\d+)\"")
+  private val CellXfsPat = java.util.regex.Pattern.compile(
+    "<cellXfs(?:\\s[^>]*)?>(.*?)</cellXfs>", java.util.regex.Pattern.DOTALL)
+  private val XfPat = java.util.regex.Pattern.compile(
+    "<xf(\\s[^>]*)?/?>")
+  private val NumFmtIdAttr = java.util.regex.Pattern.compile(
+    "\\bnumFmtId\\s*=\\s*\"(\\d+)\"")
+  private val NumFmtPat = java.util.regex.Pattern.compile(
+    "<numFmt\\s([^>]*)/?>")
+  private val FormatCodeAttr = java.util.regex.Pattern.compile(
+    "\\bformatCode\\s*=\\s*\"([^\"]*)\"")
+  private val Date1904Pat = java.util.regex.Pattern.compile(
+    "\\bdate1904\\s*=\\s*\"(1|true)\"")
+
+  private val BuiltinDateIds: Set[Int] =
+    (Set(14, 15, 16, 17, 22) ++ (27 to 36) ++ (50 to 58))
+  private val BuiltinTimeIds: Set[Int] = Set(18, 19, 20, 21, 45, 46, 47)
+
+  /** Unquoted content of a format code: `"…"` literals, `[…]`
+    * sections (colors, locales, elapsed-time brackets) and
+    * backslash-escaped chars removed — the part where y/m/d/h tokens
+    * are semantic.
+    */
+  private[graft] def stripFormatCode(code: String): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < code.length) {
+      code.charAt(i) match {
+        case '"' =>
+          i += 1
+          while (i < code.length && code.charAt(i) != '"') i += 1
+          i += 1
+        case '[' =>
+          while (i < code.length && code.charAt(i) != ']') i += 1
+          i += 1
+        case '\\' => i += 2
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** The public POI-style heuristic: a custom format is a date/time
+    * format iff its unquoted part carries y/m/d/h tokens. */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    val s = stripFormatCode(code).toLowerCase(java.util.Locale.ROOT)
+    s.exists(c => c == 'y' || c == 'm' || c == 'd' || c == 'h')
+  }
+
+  /** Time-only: hours present, no year/day tokens. */
+  private[graft] def isTimeOnlyFormatCode(code: String): Boolean = {
+    val s = stripFormatCode(code).toLowerCase(java.util.Locale.ROOT)
+    s.contains('h') && !s.contains('y') && !s.contains('d')
+  }
+
+  /** Per-xf (isDate, isTimeOnly) flags from styles.xml, indexed by
+    * the cell `s` attribute; empty when no styles part exists.
+    */
+  private def parseStyles(stylesXml: String): IndexedSeq[(Boolean, Boolean)] = {
+    if (stylesXml == null) return IndexedSeq.empty
+    val custom = scala.collection.mutable.Map.empty[Int, String]
+    val nm = NumFmtPat.matcher(stylesXml)
+    while (nm.find()) {
+      val attrs = nm.group(1)
+      val idm = NumFmtIdAttr.matcher(attrs)
+      val cm = FormatCodeAttr.matcher(attrs)
+      if (idm.find() && cm.find())
+        custom(idm.group(1).toInt) = decodeEntities(cm.group(1))
+    }
+    val xfs = scala.collection.immutable.IndexedSeq
+      .newBuilder[(Boolean, Boolean)]
+    val cx = CellXfsPat.matcher(stylesXml)
+    if (cx.find()) {
+      val xm = XfPat.matcher(cx.group(1))
+      while (xm.find()) {
+        val attrs = if (xm.group(1) == null) "" else xm.group(1)
+        val idm = NumFmtIdAttr.matcher(attrs)
+        val fmtId = if (idm.find()) idm.group(1).toInt else 0
+        val flags =
+          if (BuiltinTimeIds(fmtId)) (true, true)
+          else if (BuiltinDateIds(fmtId)) (true, false)
+          else custom.get(fmtId) match {
+            case Some(code) if isDateFormatCode(code) =>
+              (true, isTimeOnlyFormatCode(code))
+            case _ => (false, false)
+          }
+        xfs += flags
+      }
+    }
+    xfs.result()
+  }
+
+  /** Render an Excel date serial as ISO text, or null when the
+    * serial has no well-defined calendar day (the 1900 system's
+    * fictitious Feb 29 at serial 60, non-positive day serials) — the
+    * caller keeps the raw stored value for those, so nothing is
+    * silently invented.
+    *
+    * 1900 system: serial 1 = 1900-01-01, but Excel (inheriting
+    * Lotus 1-2-3's bug) counts a 1900-02-29 that never existed, so
+    * serials ≥ 61 sit one day further from the epoch than the real
+    * calendar — hence the split base (1899-12-31 below the bug,
+    * 1899-12-30 above it). 1904 system: serial 0 = 1904-01-01.
+    */
+  private[graft] def dateSerialToIso(serial: Double, date1904: Boolean,
+      timeOnly: Boolean): String = {
+    if (serial.isNaN || serial.isInfinite) return null
+    if (timeOnly) {
+      if (serial < 0) return null
+      val frac = serial - math.floor(serial)
+      val secs0 = math.round(frac * 86400.0)
+      val secs = if (secs0 >= 86400L) 0L else secs0
+      return f"${secs / 3600}%02d:${secs / 60 % 60}%02d:${secs % 60}%02d"
+    }
+    var day = math.floor(serial).toLong
+    val frac = serial - day
+    var secs = math.round(frac * 86400.0)
+    if (secs >= 86400L) { secs -= 86400L; day += 1 }
+    val date =
+      if (date1904) {
+        if (day < 0) return null
+        java.time.LocalDate.of(1904, 1, 1).plusDays(day)
+      } else {
+        if (day <= 0 || day == 60) return null // no day-0 / leap bug
+        if (day < 60) java.time.LocalDate.of(1899, 12, 31).plusDays(day)
+        else java.time.LocalDate.of(1899, 12, 30).plusDays(day)
+      }
+    if (secs == 0L) date.toString
+    else f"$date ${secs / 3600}%02d:${secs / 60 % 60}%02d:${secs % 60}%02d"
+  }
+
   /** All `<t>` run contents of `xml`, phonetic spans removed. */
   private def tRuns(xml: String): String = {
     val clean = RphPat.matcher(xml).replaceAll("")
@@ -88,10 +230,16 @@ object Xlsx {
     if (b == null || b.length < 22 || b.length > MaxBytes) return null
     if (!(b(0) == 'P' && b(1) == 'K')) return null
     var sstXml: String = null
+    var stylesXml: String = null
+    var workbookXml: String = null
     val sheets = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     try Containers.parseZipBytes(b).foreach { e =>
       if (e.name == "xl/sharedStrings.xml")
         sstXml = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      else if (e.name == "xl/styles.xml")
+        stylesXml = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
+      else if (e.name == "xl/workbook.xml")
+        workbookXml = new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)
       else {
         val m = SheetName.matcher(e.name)
         if (m.matches())
@@ -99,6 +247,9 @@ object Xlsx {
             new String(e.bytes, java.nio.charset.StandardCharsets.UTF_8)))
       }
     } catch { case scala.util.control.NonFatal(_) => return null }
+    val xfFlags = parseStyles(stylesXml)
+    val date1904 = workbookXml != null &&
+      Date1904Pat.matcher(workbookXml).find()
     if (sheets.isEmpty) return null // not a workbook: some other OOXML
     val sst: IndexedSeq[String] =
       if (sstXml == null) IndexedSeq.empty
@@ -135,6 +286,21 @@ object Xlsx {
             case "inlineStr" =>
               val im = IsPat.matcher(inner)
               if (im.find()) tRuns(im.group(1)) else null
+            case "" | "n" =>
+              val vm = VPat.matcher(inner)
+              if (!vm.find()) null
+              else {
+                val raw = decodeEntities(vm.group(1))
+                val sa = StyleAttr.matcher(attrs)
+                val sIdx = if (sa.find()) sa.group(1).toInt else -1
+                if (sIdx >= 0 && sIdx < xfFlags.length && xfFlags(sIdx)._1) {
+                  val iso =
+                    try dateSerialToIso(raw.trim.toDouble, date1904,
+                      xfFlags(sIdx)._2)
+                    catch { case _: NumberFormatException => null }
+                  if (iso != null) iso else raw // bug region: keep serial
+                } else raw
+              }
             case _ =>
               val vm = VPat.matcher(inner)
               if (vm.find()) decodeEntities(vm.group(1)) else null
@@ -160,9 +326,18 @@ object Xlsx {
   final case class Shared(idx: Int) extends Cell
   final case class Inline(s: String) extends Cell
   final case class Num(v: String) extends Cell
+  /** Numeric cell carrying a style index into `cellXfs`. */
+  final case class NumStyled(v: String, style: Int) extends Cell
 
+  /** `cellXfs`: numFmtId per style index (emits `xl/styles.xml` when
+    * non-empty); `numFmts`: custom (id, formatCode) pairs;
+    * `date1904`: the workbookPr epoch flag.
+    */
   def buildXlsx(strings: Seq[String],
-      cells: Seq[(Int, Int, Cell)]): Array[Byte] = {
+      cells: Seq[(Int, Int, Cell)],
+      cellXfs: Seq[Int] = Nil,
+      numFmts: Seq[(Int, String)] = Nil,
+      date1904: Boolean = false): Array[Byte] = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val bos = new java.io.ByteArrayOutputStream()
@@ -190,8 +365,24 @@ object Xlsx {
     put("xl/workbook.xml",
       """<?xml version="1.0"?>""" +
         """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        (if (date1904) """<workbookPr date1904="1"/>""" else "") +
         """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1" """ +
         """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/></sheets></workbook>""")
+    if (cellXfs.nonEmpty) {
+      val fmts = numFmts.map { case (id, code) =>
+        // attribute context: quoted literals in the code need &quot;
+        s"""<numFmt numFmtId="$id" formatCode="${esc(code)
+          .replace("\"", "&quot;")}"/>"""
+      }.mkString
+      val xfs = cellXfs.map(id =>
+        s"""<xf numFmtId="$id" applyNumberFormat="1"/>""").mkString
+      put("xl/styles.xml",
+        s"""<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          (if (numFmts.nonEmpty)
+            s"""<numFmts count="${numFmts.length}">$fmts</numFmts>"""
+          else "") +
+          s"""<cellXfs count="${cellXfs.length}">$xfs</cellXfs></styleSheet>""")
+    }
     put("xl/_rels/workbook.xml.rels",
       """<?xml version="1.0"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -223,6 +414,8 @@ object Xlsx {
             case Inline(s) =>
               s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(s)}</t></is></c>"""
             case Num(v) => s"""<c r="$ref"><v>${esc(v)}</v></c>"""
+            case NumStyled(v, st) =>
+              s"""<c r="$ref" s="$st"><v>${esc(v)}</v></c>"""
           }
         }.mkString
         s"""<row r="${r + 1}">$cellsXml</row>"""

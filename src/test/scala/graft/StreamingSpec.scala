@@ -799,6 +799,41 @@ class StreamingSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming duplicate-paragraph stats == batch (r16): the " +
+      "wave-9 repetition signal is a stateless per-row projection " +
+      "(VERDICT r15 #7; withNgramOverlap's explode form is the BATCH " +
+      "corpus shape — its streaming twin is the column form, pinned " +
+      "above)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 14L).map { id =>
+      val para = s"para ${id % 3} text"
+      val text =
+        if (id % 7 == 0) null
+        else if (id % 5 == 0) "  \n\n  " // only-empty paragraphs
+        else Seq(para, s"unique $id", para, "tail").mkString("\n\n")
+      (id, text)
+    }
+    val ms = MemoryStream[(Long, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", graft.functions.TextFunctions
+          .dupParagraphStats($"text").as("m"))
+        .select($"doc_id", $"m.n_paras", $"m.n_dup_paras",
+          $"m.dup_chars", $"m.total_chars", $"m.dup_para_frac",
+          $"m.dup_char_frac")
+    val q = proj(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dup_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(6): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(6): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dup_st").orderBy("doc_id").collect().toSeq ===
+      proj(rows.toDF("doc_id", "text")).orderBy("doc_id")
+        .collect().toSeq)
+  }
+
   test("streaming dropout / ranked-pair explode == batch (r15w8): " +
       "stateless rewrites") {
     implicit val sqlCtx = spark.sqlContext

@@ -81,4 +81,57 @@ class XlsxSpec extends SparkSpec {
       }
     }
   }
+
+  test("date serials (r16): 1900 epoch, the Lotus leap-year-bug " +
+      "offset, serial 60 keeps the raw value, 1904 flag, fractional " +
+      "time, time-only formats, unstyled numerics stay raw") {
+    // pure conversion first
+    assert(Xlsx.dateSerialToIso(1, date1904 = false, timeOnly = false)
+      === "1900-01-01")
+    assert(Xlsx.dateSerialToIso(59, date1904 = false, timeOnly = false)
+      === "1900-02-28")
+    assert(Xlsx.dateSerialToIso(60, date1904 = false, timeOnly = false)
+      === null) // the fictitious Feb 29
+    assert(Xlsx.dateSerialToIso(61, date1904 = false, timeOnly = false)
+      === "1900-03-01")
+    assert(Xlsx.dateSerialToIso(45658, date1904 = false, timeOnly = false)
+      === "2025-01-01")
+    assert(Xlsx.dateSerialToIso(0, date1904 = true, timeOnly = false)
+      === "1904-01-01")
+    assert(Xlsx.dateSerialToIso(45658 - 1462, date1904 = true,
+      timeOnly = false) === "2025-01-01") // 1462-day system offset
+    assert(Xlsx.dateSerialToIso(45658.5, date1904 = false,
+      timeOnly = false) === "2025-01-01 12:00:00")
+    assert(Xlsx.dateSerialToIso(0.75, date1904 = false, timeOnly = true)
+      === "18:00:00")
+    // format-code heuristic
+    assert(Xlsx.isDateFormatCode("yyyy-mm-dd"))
+    assert(Xlsx.isDateFormatCode("[$-409]d-mmm;@"))
+    assert(!Xlsx.isDateFormatCode("0.00"))
+    assert(!Xlsx.isDateFormatCode("\"day\" 0")) // quoted d is literal
+    assert(Xlsx.isTimeOnlyFormatCode("hh:mm"))
+    assert(!Xlsx.isTimeOnlyFormatCode("yyyy-mm-dd hh:mm"))
+    // end-to-end through a workbook with styles
+    val b = Xlsx.buildXlsx(
+      Seq.empty,
+      Seq((0, 0, Xlsx.NumStyled("45658", 1)),       // builtin 14 → date
+        (0, 1, Xlsx.NumStyled("45658.25", 1)),      // fraction → +time
+        (0, 2, Xlsx.NumStyled("45658", 0)),         // General → raw
+        (1, 0, Xlsx.NumStyled("0.5", 2)),           // builtin 20 → time
+        (1, 1, Xlsx.NumStyled("45658", 3)),         // custom date fmt
+        (1, 2, Xlsx.NumStyled("60", 1)),            // bug region → raw
+        (2, 0, Xlsx.Num("45658"))),                 // unstyled → raw
+      cellXfs = Seq(0, 14, 20, 164),
+      numFmts = Seq((164, "dd \"of\" mmmm yyyy")))
+    val t = Xlsx.extractText(b)
+    assert(t != null)
+    assert(t.text ===
+      "2025-01-01\t2025-01-01 06:00:00\t45658\n" +
+        "12:00:00\t2025-01-01\t60\n45658")
+    // 1904 workbook: the flag shifts the epoch by 1462 days
+    val b4 = Xlsx.buildXlsx(Seq.empty,
+      Seq((0, 0, Xlsx.NumStyled("44196", 1))),
+      cellXfs = Seq(0, 14), date1904 = true)
+    assert(Xlsx.extractText(b4).text === "2025-01-01")
+  }
 }
