@@ -1597,6 +1597,141 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- SentencePiece .model artifact round trip (r16 — the third
+    //     tokenizer-artifact family next to merges.txt/tokenizer.json
+    //     and vocab.txt): the trained Unigram table ships as a REAL
+    //     protobuf ModelProto (from-scratch wire format — see
+    //     SpmModel.scala), reloads fail-closed, must equal the
+    //     parquet twin structurally (specials + pieces + scores +
+    //     normalizer name), and must re-encode identically to the
+    //     trained table. Scores float32-cast ONCE at train time so
+    //     both serializations carry bit-identical values. Planted
+    //     training text (the text_unigram fixture) keeps EM cost out
+    //     of the artifact gate; train+write is stamped.
+    "text_spm_model" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).filter(id < 100)
+        .select(id, col("source"),
+          concat(lit("ababab cdcd"),
+            when(pmod(id, lit(2L)) === 0, lit(" wxyzwxyz"))
+              .otherwise(lit("")),
+            lit(" q")).as("text"))
+      val base = gateIndexPath(dir, "spm_gate")
+      val file = base + "/spm.model"
+      val (n, fp) = gateSourceStats(docs, "doc_id", "text")
+      val specials = Seq(
+        graft.sources.SpmModel.SpmPiece("<unk>", 0f,
+          graft.sources.SpmModel.Unknown),
+        graft.sources.SpmModel.SpmPiece("<s>", 0f,
+          graft.sources.SpmModel.Control),
+        graft.sources.SpmModel.SpmPiece("</s>", 0f,
+          graft.sources.SpmModel.Control))
+      if (!gateIndexReady(s, base + "_stamp", n, fp)) {
+        val model = graft.operators.Unigram.train(docs, "text",
+          vocabSize = 24, maxPieceLen = 6, emIters = 2)
+        val pieces = model.select(col("piece"),
+            col("logprob").cast("float")).collect()
+          .map(r => (r.getString(0), r.getFloat(1)))
+        graft.sources.SpmModel.writeModel(
+          specials ++ pieces.map { case (p, sc) =>
+            graft.sources.SpmModel.SpmPiece(p, sc,
+              graft.sources.SpmModel.Normal) },
+          file)
+        pieces.zipWithIndex
+          .map { case ((p, sc), i) => (i, p, sc) }.toSeq
+          .toDF("idx", "piece", "score").coalesce(1)
+          .write.mode("overwrite").parquet(base + "/_trained")
+        gateIndexStamp(s, base + "_stamp", n, fp)
+      }
+      val twin = Tables.metaParquet(s, base + "/_trained")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getFloat(2)))
+        .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+      val (back, norm) = graft.sources.SpmModel.readModel(s, file)
+      require(norm.contains("identity") &&
+        back.take(3) == specials &&
+        back.drop(3).map(p => (p.piece, p.score)) == twin &&
+        back.drop(3).forall(_.pieceType == graft.sources.SpmModel.Normal),
+        "spm.model drifted from the trained artifacts")
+      val m1 = twin.toDF("piece", "score")
+        .select(col("piece"), col("score").cast("double").as("logprob"))
+      val m2 = back.drop(3).map(p => (p.piece, p.score))
+        .toDF("piece", "score")
+        .select(col("piece"), col("score").cast("double").as("logprob"))
+      val e1 = graft.operators.Unigram.withUnigramTokens(
+        docs, "text", m1, "t1")
+      val both = graft.operators.Unigram.withUnigramTokens(
+        e1, "text", m2, "t2")
+      both.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+        .orderBy(col("source"))
+    }),
+
+    // --- WordPiece vocab.txt artifact round trip (r16 — the BERT
+    //     line-per-token convention; line number IS the id): the
+    //     trained piece set ships as vocab.txt (specials first, then
+    //     the pieces sorted — a deterministic id assignment), reloads
+    //     fail-closed, must equal the parquet twin line-for-line, and
+    //     must re-encode identically. Train+write stamped (the
+    //     text_bpe_artifact discipline); planted training/eval text
+    //     (the text_wordpiece fixture) keeps every encode path
+    //     closed-form.
+    "text_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          concat(expr("repeat('ab ', CAST(doc_id % 2 + 4 AS INT))"),
+            lit("cd ef eg")).as("text"))
+      val base = gateIndexPath(dir, "wp_vocab_gate")
+      val file = base + "/vocab.txt"
+      val (n, fp) = gateSourceStats(corpus, "doc_id", "text")
+      val specials = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+      if (!gateIndexReady(s, base + "_stamp", n, fp)) {
+        val merges = graft.operators.WordPiece.train(corpus, "text",
+          numMerges = 4)
+        val pieces = graft.operators.WordPiece.vocab(corpus, "text", merges)
+        // whitespace-bearing char pieces (the corpus' space symbol)
+        // are not vocab.txt-expressible AND unreachable by encoding —
+        // pre-tokens ([[TextFunctions.bpePattern]]) never contain
+        // \s — so the artifact ships without them; the gate proves
+        // the harmlessness below by re-encoding raw-set vs file-set
+        val lines = specials ++
+          pieces.toSeq.filterNot(_.exists(_.isWhitespace)).sorted
+        graft.sources.TokenizerIo.writeVocabTxt(lines, file)
+        lines.zipWithIndex.map { case (t, i) => (i, t) }.toSeq
+          .toDF("idx", "token").coalesce(1)
+          .write.mode("overwrite").parquet(base + "/_trained")
+        pieces.toSeq.toDF("token").coalesce(1)
+          .write.mode("overwrite").parquet(base + "/_raw")
+        gateIndexStamp(s, base + "_stamp", n, fp)
+      }
+      val twin = Tables.metaParquet(s, base + "/_trained")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+        .sortBy(_._1).map(_._2).toSeq
+      val lines = graft.sources.TokenizerIo.readVocabTxt(s, file)
+      require(lines == twin && lines.take(5) == specials,
+        "vocab.txt drifted from the trained artifacts")
+      val eval = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"),
+          concat(lit("ab cd cdc abd dcba xq"),
+            when(pmod(col("doc_id"), lit(2L)) === 0, lit(" eg ef"))
+              .otherwise(lit(" qqq"))).as("text"))
+      val v1 = Tables.metaParquet(s, base + "/_raw")
+        .collect().map(_.getString(0)).toSet // the UNFILTERED set
+      val v2 = lines.drop(5).toSet
+      val e1 = graft.operators.WordPiece.withWordpieceTokens(
+        eval, "text", v1, "t1")
+      val both = graft.operators.WordPiece.withWordpieceTokens(
+        e1, "text", v2, "t2")
+      both.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+        .orderBy(col("source"))
+    }),
+
     // --- TF-IDF: the classic term-weighting composition — per-doc
     //     term frequencies (one doc-term shuffle), document
     //     frequencies (one term agg, |vocab|-sized → BROADCAST back
@@ -3350,6 +3485,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_cand"), col("n_ref"),
           col("n_common"), col("precision").as("prec"),
           col("recall").as("rec"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- ROUGE-L (r16 — the LCS eval metric, Lin 2004): each doc
+    //     scored against a reference built by DROPPING every third
+    //     token, so the reference is a subsequence of the candidate
+    //     and the LCS is closed-form (n - n//3) — the oracle restates
+    //     lengths, precision = lcs/n, recall = 1 and the F1 law
+    //     exactly, while the DP itself is pinned on classic cases in
+    //     TextFunctionsSpec (a LCS is not DuckDB-expressible).
+    "text_rouge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 300)
+        .select(col("doc_id"), col("text").as("cand"),
+          array_join(filter(TextFunctions.tokens(col("text")),
+            (t, i) => pmod(i, lit(3)) =!= 2), " ").as("ref"))
+      TextFunctions.withRougeL(docs, "cand", "ref", "m")
+        .select(col("doc_id"), col("m.n_cand").as("n_cand"),
+          col("m.n_ref").as("n_ref"), col("m.lcs").as("lcs"),
+          col("m.precision").as("prec"), col("m.recall").as("rec"),
+          col("m.f1").as("f1"))
         .orderBy(col("doc_id"))
     }),
 
@@ -7267,6 +7424,20 @@ object SparkEntry {
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 100
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // the spm.model invariant closed-form: the protobuf artifact
+    // re-encodes identically to the trained table (planted corpus —
+    // every doc_id < 100 row participates)
+    "text_spm_model" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents WHERE doc_id < 100
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the vocab.txt invariant closed-form (same shape)
+    "text_wordpiece_vocab" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents WHERE doc_id < 100
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // same tokenize law as text_tokens; idf over the FULL corpus, top
     // terms reported for the sampled docs
     "text_tfidf" ->
@@ -8491,6 +8662,28 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0
         |    THEN round(CAST(n_common AS DOUBLE) / n_ref, 6) END AS rec
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the text_rouge oracle: the reference is a subsequence of the
+    // candidate by construction, so lcs = |ref| = n - n//3 exactly;
+    // f1 from the UNROUNDED ratios (2p/(p+1)) then round-6 — the same
+    // IEEE ops the kernel runs
+    "text_rouge" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300),
+        |d AS (SELECT doc_id, n AS n_cand,
+        |  CAST(n - n // 3 AS BIGINT) AS n_ref FROM t)
+        |SELECT doc_id, n_cand, n_ref, n_ref AS lcs,
+        |  CASE WHEN n_cand > 0
+        |    THEN round(CAST(n_ref AS DOUBLE) / n_cand, 6) END AS prec,
+        |  CASE WHEN n_ref > 0 THEN CAST(1.0 AS DOUBLE) END AS rec,
+        |  CASE WHEN n_cand > 0 AND n_ref > 0
+        |    THEN round(2.0 * (CAST(n_ref AS DOUBLE) / n_cand)
+        |      / (CAST(n_ref AS DOUBLE) / n_cand + 1.0), 6) END AS f1
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the docs_source_overlap oracle: same plant (text of id % 50),
     // same distinct (source, md5) relation, same ordered pair join

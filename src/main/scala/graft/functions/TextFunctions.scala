@@ -1207,6 +1207,81 @@ object TextFunctions {
         round(common.cast("double") / nb, 6)).as("recall"))
   }
 
+  /** Longest common subsequence length of two token arrays — the
+    * two-row DP kernel of [[withRougeL]]. O(n·m) time, O(min) space.
+    */
+  private[graft] def lcsLen(a: Array[String], b: Array[String]): Int = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (s.isEmpty) return 0
+    val prev = new Array[Int](s.length + 1)
+    val cur = new Array[Int](s.length + 1)
+    var i = 0
+    while (i < l.length) {
+      var j = 0
+      while (j < s.length) {
+        cur(j + 1) =
+          if (l(i) == s(j)) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(s.length)
+  }
+
+  /** ROUGE-L between a candidate and a reference column (r16) — the
+    * summarization/eval-prep metric (Lin 2004): LCS of the [[tokens]]
+    * streams, precision = LCS/|cand|, recall = LCS/|ref|, F1 =
+    * 2pr/(p+r), round-6. Appends `outCol` as a struct (n_cand,
+    * n_ref, lcs, precision, recall, f1); either side null → null
+    * fields (the [[ngramOverlap]] surface).
+    *
+    * LCS is an O(n·m) DP with carried state — not expressible in
+    * codegen'd expressions — so this is a broadcast-free
+    * mapPartitions kernel (the Knn discipline): per-row work bounded
+    * by the two documents' token counts, embarrassingly parallel,
+    * rides the scan.
+    */
+  def withRougeL(df: org.apache.spark.sql.DataFrame, candCol: String,
+      refCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("n_cand", LongType),
+      StructField("n_ref", LongType),
+      StructField("lcs", LongType),
+      StructField("precision", DoubleType),
+      StructField("recall", DoubleType),
+      StructField("f1", DoubleType))), nullable = true)
+    val ci = df.schema.fieldIndex(candCol)
+    val ri = df.schema.fieldIndex(refCol)
+    def toks(s: String): Array[String] =
+      s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.mapPartitions { it =>
+      it.map { r =>
+        val c = r.get(ci).asInstanceOf[String]
+        val f = r.get(ri).asInstanceOf[String]
+        val m =
+          if (c == null || f == null) Row(null, null, null, null, null, null)
+          else {
+            val ct = toks(c); val rt = toks(f)
+            val lcs = lcsLen(ct, rt).toLong
+            val p = if (ct.length > 0) lcs.toDouble / ct.length else 0.0
+            val rr = if (rt.length > 0) lcs.toDouble / rt.length else 0.0
+            val f1 = if (p + rr > 0) 2.0 * p * rr / (p + rr) else 0.0
+            Row(ct.length.toLong, rt.length.toLong, lcs,
+              if (ct.length > 0) r6(p) else null,
+              if (rt.length > 0) r6(rr) else null,
+              if (ct.length > 0 && rt.length > 0) r6(f1) else null)
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** The CORPUS-SCALE form of [[ngramOverlap]]: identical semantics
     * via explode + counting aggregates instead of per-row HOF scans.
     * Spark's higher-order array functions are CodegenFallback

@@ -47,6 +47,19 @@ object Containers {
 
   final val BlockSize = 512
 
+  /** Salvage stops are EXPECTED on crawl-grade input; one WARN per
+    * JVM is signal, one per task per bench iteration is a log flood
+    * (the Warc.salvageStops discipline, r15→r16). First stop warns,
+    * repeats go to debug.
+    */
+  private val salvageStops = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def salvageWarn(msg: String): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(Containers.getClass)
+    if (salvageStops.getAndIncrement() == 0L)
+      log.warn(s"$msg (further salvage stops logged at debug)")
+    else log.debug(msg)
+  }
+
   /** One parsed tar member. */
   final case class TarEntry(name: String, bytes: Array[Byte])
 
@@ -124,8 +137,7 @@ object Containers {
 
       private def fail(msg: String): Unit =
         if (lenient) {
-          org.slf4j.LoggerFactory.getLogger(Containers.getClass)
-            .warn(s"tar salvage stop: $msg")
+          salvageWarn(s"tar salvage stop: $msg")
           done = true
         } else throw new IllegalArgumentException(s"corrupt tar: $msg")
 
@@ -437,8 +449,7 @@ object Containers {
           case ex @ (_: java.util.zip.ZipException | _: EOFException |
               _: java.io.IOException) =>
             if (lenient) {
-              org.slf4j.LoggerFactory.getLogger(Containers.getClass)
-                .warn(s"zip salvage stop: ${ex.getMessage}")
+              salvageWarn(s"zip salvage stop: ${ex.getMessage}")
               done = true
             } else throw new IllegalArgumentException(
               s"corrupt zip: ${ex.getMessage}")
@@ -491,9 +502,8 @@ object Containers {
       } finally f.close()
     } catch {
       case ex: Exception if lenient =>
-        org.slf4j.LoggerFactory.getLogger(Containers.getClass)
-          .warn(s"7z salvage stop: ${String.valueOf(ex.getMessage)
-            .map(c => if (c >= ' ' && c < 127) c else '?').take(120)}")
+        salvageWarn(s"7z salvage stop: ${String.valueOf(ex.getMessage)
+          .map(c => if (c >= ' ' && c < 127) c else '?').take(120)}")
         Seq.empty
       case ex: Exception =>
         throw new IllegalArgumentException(s"corrupt 7z: ${ex.getMessage}")

@@ -1,0 +1,233 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+
+/** SentencePiece `.model` artifact IO (r16) — the serialized
+  * `ModelProto` every SentencePiece/LLaMA-family tokenizer ships,
+  * written and parsed from scratch per the PUBLIC specs: the
+  * protobuf wire format (protobuf.dev/programming-guides/encoding —
+  * varints, tags, length-delimited fields) and the
+  * `sentencepiece_model.proto` schema (google/sentencepiece,
+  * Apache-2.0): `ModelProto.pieces` is repeated field 1, each
+  * `SentencePiece` carrying `piece` (field 1, string), `score`
+  * (field 2, float32) and `type` (field 3, enum — NORMAL=1,
+  * UNKNOWN=2, CONTROL=3, USER_DEFINED=4, UNUSED=5, BYTE=6);
+  * `normalizer_spec` is field 3 with `name` at field 1. This pairs
+  * with [[graft.operators.Unigram]] the way `merges.txt` pairs with
+  * [[graft.operators.Bpe]] — the trained unigram table IS the piece
+  * list.
+  *
+  * Both directions are DRIVER-side (a model is vocab-sized — the
+  * merges.txt stance) and fail-closed: unknown wire types, truncated
+  * fields, duplicate/empty pieces, non-finite scores and unknown
+  * piece types refuse. Unknown FIELDS are skipped by wire type — the
+  * protobuf forward-compatibility contract, same stance as
+  * tokenizer.json's ignored fields.
+  */
+object SpmModel {
+
+  // SentencePiece.Type enum values (sentencepiece_model.proto)
+  val Normal = 1
+  val Unknown = 2
+  val Control = 3
+  val UserDefined = 4
+  val Unused = 5
+  val Byte = 6
+  private val KnownTypes = Set(Normal, Unknown, Control, UserDefined,
+    Unused, Byte)
+
+  /** One vocab entry; `id` is the piece's POSITION in the list. */
+  final case class SpmPiece(piece: String, score: Float, pieceType: Int)
+
+  /** Structural invariants, enforced at write AND read: non-empty
+    * unique pieces, finite scores, known types, exactly one UNKNOWN
+    * piece (the encoder's fallback id must be well-defined).
+    */
+  def validate(pieces: Seq[SpmPiece]): Unit = {
+    require(pieces.nonEmpty, "spm model: no pieces")
+    require(pieces.map(_.piece).distinct.size == pieces.size,
+      "spm model: duplicate pieces")
+    pieces.foreach { p =>
+      require(p.piece != null && p.piece.nonEmpty, "spm model: empty piece")
+      require(!p.score.isNaN && !p.score.isInfinite,
+        s"spm model: non-finite score for '${p.piece}'")
+      require(KnownTypes(p.pieceType),
+        s"spm model: unknown piece type ${p.pieceType} for '${p.piece}'")
+    }
+    require(pieces.count(_.pieceType == Unknown) == 1,
+      "spm model: exactly one UNKNOWN piece required")
+  }
+
+  // ------------------------------------------------ wire encode
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeTag(out: java.io.ByteArrayOutputStream, field: Int,
+      wire: Int): Unit = writeVarint(out, (field.toLong << 3) | wire)
+
+  private def writeLenDelim(out: java.io.ByteArrayOutputStream, field: Int,
+      bytes: Array[Byte]): Unit = {
+    writeTag(out, field, 2)
+    writeVarint(out, bytes.length.toLong)
+    out.write(bytes)
+  }
+
+  /** Serialize a ModelProto: the pieces (repeated field 1) in id
+    * order plus a minimal `normalizer_spec.name` (field 3 → 1) so
+    * loaders see an explicit normalizer instead of guessing.
+    */
+  def encodeModel(pieces: Seq[SpmPiece],
+      normalizerName: String = "identity"): Array[Byte] = {
+    validate(pieces)
+    val out = new java.io.ByteArrayOutputStream()
+    pieces.foreach { p =>
+      val pb = new java.io.ByteArrayOutputStream()
+      writeLenDelim(pb, 1, p.piece.getBytes(StandardCharsets.UTF_8))
+      writeTag(pb, 2, 5) // score: fixed32 float
+      val f = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      f.putFloat(p.score)
+      pb.write(f.array())
+      writeTag(pb, 3, 0) // type: varint enum
+      writeVarint(pb, p.pieceType.toLong)
+      writeLenDelim(out, 1, pb.toByteArray)
+    }
+    val ns = new java.io.ByteArrayOutputStream()
+    writeLenDelim(ns, 1, normalizerName.getBytes(StandardCharsets.UTF_8))
+    writeLenDelim(out, 3, ns.toByteArray)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ wire decode
+
+  private final class Reader(b: Array[Byte], from: Int, until: Int) {
+    var pos: Int = from
+    def atEnd: Boolean = pos >= until
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      while (true) {
+        require(pos < until && shift < 64, "spm model: truncated varint")
+        val x = b(pos); pos += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v // unreachable
+    }
+    def fixed32(): Int = {
+      require(pos + 4 <= until, "spm model: truncated fixed32")
+      val v = ByteBuffer.wrap(b, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      require(pos + 8 <= until, "spm model: truncated fixed64")
+      val v = ByteBuffer.wrap(b, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+      pos += 8; v
+    }
+    def lenDelim(): (Int, Int) = {
+      val len = varint()
+      require(len >= 0 && pos + len <= until, "spm model: length field " +
+        s"$len overruns the message")
+      val r = (pos, pos + len.toInt); pos += len.toInt; r
+    }
+    /** Skip one field of the given wire type — the proto
+      * unknown-field contract; wire types 3/4 (groups) are ancient
+      * and refuse. */
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => fixed64()
+      case 2 => lenDelim()
+      case 5 => fixed32()
+      case w => throw new IllegalArgumentException(
+        s"spm model: unsupported wire type $w")
+    }
+  }
+
+  private def parsePiece(b: Array[Byte], from: Int, until: Int): SpmPiece = {
+    val r = new Reader(b, from, until)
+    var piece: String = null
+    var score = 0.0f
+    var tpe = Normal // proto default when absent
+    while (!r.atEnd) {
+      val tag = r.varint()
+      val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      (field, wire) match {
+        case (1, 2) =>
+          val (s, e) = r.lenDelim()
+          piece = new String(b, s, e - s, StandardCharsets.UTF_8)
+        case (2, 5) => score = java.lang.Float.intBitsToFloat(r.fixed32())
+        case (3, 0) => tpe = r.varint().toInt
+        case (_, w) => r.skip(w)
+      }
+    }
+    require(piece != null, "spm model: SentencePiece without a piece string")
+    SpmPiece(piece, score, tpe)
+  }
+
+  /** Parse a serialized ModelProto → (pieces in id order, normalizer
+    * name if present). Unknown fields skip; malformed wire refuses.
+    */
+  def decodeModel(bytes: Array[Byte]): (Seq[SpmPiece], Option[String]) = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val pieces = Vector.newBuilder[SpmPiece]
+    var normalizer: Option[String] = None
+    while (!r.atEnd) {
+      val tag = r.varint()
+      val (field, wire) = ((tag >>> 3).toInt, (tag & 7).toInt)
+      (field, wire) match {
+        case (1, 2) =>
+          val (s, e) = r.lenDelim()
+          pieces += parsePiece(bytes, s, e)
+        case (3, 2) =>
+          val (s, e) = r.lenDelim()
+          val nr = new Reader(bytes, s, e)
+          while (!nr.atEnd) {
+            val t2 = nr.varint()
+            ((t2 >>> 3).toInt, (t2 & 7).toInt) match {
+              case (1, 2) =>
+                val (ns, ne) = nr.lenDelim()
+                normalizer = Some(new String(bytes, ns, ne - ns,
+                  StandardCharsets.UTF_8))
+              case (_, w) => nr.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    val ps = pieces.result()
+    validate(ps)
+    (ps, normalizer)
+  }
+
+  // ------------------------------------------------ file IO
+
+  def writeModel(pieces: Seq[SpmPiece], path: String,
+      normalizerName: String = "identity"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(TokenizerIo.writeConf())
+    val out = fs.create(p, true)
+    try out.write(encodeModel(pieces, normalizerName))
+    finally out.close()
+  }
+
+  def readModel(spark: SparkSession, path: String): (Seq[SpmPiece], Option[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    decodeModel(bytes)
+  }
+}

@@ -73,6 +73,16 @@ object TokenizerIo {
     } finally in.close()
   }
 
+  /** Hadoop config for the WRITE side: the session's (so
+    * `spark.hadoop.*` settings apply — ADVICE r15), falling back to
+    * a default Configuration only when no session exists at all
+    * (driver-side artifact writes before/without Spark).
+    */
+  private[sources] def writeConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** JSON string literal with the Verify dump's escaping discipline
     * (all control chars) — shared by the JSON artifact writers. */
   private def js(s: String): String = "\"" + s.flatMap {
@@ -128,8 +138,7 @@ object TokenizerIo {
     val body = vocab.map { case (t, i) => s"${js(t)}: $i" }
       .mkString("{", ", ", "}")
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(SparkSession.active.sparkContext
-      .hadoopConfiguration)
+    val fs = p.getFileSystem(writeConf())
     val out = fs.create(p, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -153,6 +162,43 @@ object TokenizerIo {
     require(ids == ids.indices.toList.map(identity),
       "vocab ids must be dense 0..n-1 with no duplicates")
     vocab
+  }
+
+  // ------------------------------------------------- vocab.txt
+
+  /** Write the BERT-convention `vocab.txt` (google-research/bert:
+    * one token per line, the LINE NUMBER is the id). Fail-closed:
+    * empty, duplicate or whitespace-bearing tokens refuse — a space
+    * inside a line would silently shift every later id on reload.
+    */
+  def writeVocabTxt(vocab: Seq[String], path: String): Unit = {
+    require(vocab.nonEmpty, "empty vocab")
+    require(vocab.distinct.size == vocab.size, "duplicate vocab tokens")
+    vocab.foreach(t => require(t != null && t.nonEmpty &&
+      !t.exists(_.isWhitespace),
+      s"vocab.txt token must be non-empty and whitespace-free: '$t'"))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(writeConf())
+    val out = fs.create(p, true)
+    try out.write(vocab.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `vocab.txt` back in line (= id) order. CRLF tolerated; a
+    * trailing newline does not create a phantom token; interior
+    * blank or duplicate lines refuse (both corrupt the id space).
+    */
+  def readVocabTxt(spark: SparkSession, path: String): Seq[String] = {
+    val lines = slurp(spark, path).split("\n", -1).toSeq
+      .map(_.stripSuffix("\r"))
+    val body = if (lines.nonEmpty && lines.last.isEmpty) lines.init
+      else lines
+    body.foreach(t => require(t.nonEmpty && !t.exists(_.isWhitespace),
+      "vocab.txt: blank or whitespace-bearing line corrupts the id space"))
+    require(body.distinct.size == body.size, "vocab.txt: duplicate tokens")
+    require(body.nonEmpty, "vocab.txt: empty vocab")
+    body
   }
 
   // ------------------------------------------- tokenizer.json (HF)
@@ -241,8 +287,7 @@ object TokenizerIo {
       .mkString("[", ", ", "]"))
     sb.append("}}")
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(SparkSession.active.sparkContext
-      .hadoopConfiguration)
+    val fs = p.getFileSystem(writeConf())
     val out = fs.create(p, true)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()

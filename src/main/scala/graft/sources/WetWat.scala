@@ -211,7 +211,7 @@ object WetWat {
           sum(graft.operators.Shards.rowChecksum(Seq("target_uri")))
             .as("checksum"))
     mf.coalesce(1).write.mode("overwrite").parquet(s"$base/_manifest")
-    spark.read.parquet(s"$base/_manifest")
+    graft.Tables.metaParquet(spark, s"$base/_manifest")
   }
 
   // ---------------------------------------------------------------- WAT

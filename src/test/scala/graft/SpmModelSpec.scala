@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.SpmModel
+import graft.sources.SpmModel.SpmPiece
+
+class SpmModelSpec extends SparkSpec {
+
+  test("encode/decode round trip: unicode pieces, negative scores, " +
+      "all piece types, normalizer name (r16)") {
+    val pieces = Seq(
+      SpmPiece("<unk>", 0.0f, SpmModel.Unknown),
+      SpmPiece("<s>", 0.0f, SpmModel.Control),
+      SpmPiece("</s>", 0.0f, SpmModel.Control),
+      SpmPiece("▁the", -1.25f, SpmModel.Normal),
+      SpmPiece("ü", -7.5f, SpmModel.Normal),
+      SpmPiece("<0xFF>", -10.0f, SpmModel.Byte))
+    val bytes = SpmModel.encodeModel(pieces, "nfkc")
+    val (back, norm) = SpmModel.decodeModel(bytes)
+    assert(back === pieces)
+    assert(norm === Some("nfkc"))
+    // file round trip through the FS layer
+    val p = java.nio.file.Files.createTempDirectory("spm")
+      .resolve("m.model").toString
+    SpmModel.writeModel(pieces, p, "identity")
+    val (back2, norm2) = SpmModel.readModel(spark, p)
+    assert(back2 === pieces && norm2 === Some("identity"))
+  }
+
+  test("decodes HAND-ASSEMBLED protobuf wire bytes independent of the " +
+      "writer: absent type defaults to NORMAL (the proto2 schema " +
+      "default), unknown fields of every wire type skip") {
+    val bytes = Array[Int](
+      // pieces[0]: <unk>, score 0.0, type UNKNOWN(2)
+      0x0A, 0x0E,
+      0x0A, 0x05, '<', 'u', 'n', 'k', '>',
+      0x15, 0x00, 0x00, 0x00, 0x00,
+      0x18, 0x02,
+      // unknown varint field 99 = 7 (must skip)
+      0x98, 0x06, 0x07,
+      // trainer_spec (field 2, len-delim) — content skipped wholesale
+      0x12, 0x03, 0x01, 0x02, 0x03,
+      // pieces[1]: "ab", score -1.5, type ABSENT -> NORMAL
+      0x0A, 0x09,
+      0x0A, 0x02, 'a', 'b',
+      0x15, 0x00, 0x00, 0xC0, 0xBF,
+      // normalizer_spec { name: "nmt" }
+      0x1A, 0x05, 0x0A, 0x03, 'n', 'm', 't'
+    ).map(_.toByte)
+    val (pieces, norm) = SpmModel.decodeModel(bytes)
+    assert(pieces === Seq(
+      SpmPiece("<unk>", 0.0f, SpmModel.Unknown),
+      SpmPiece("ab", -1.5f, SpmModel.Normal)))
+    assert(norm === Some("nmt"))
+  }
+
+  test("fail-closed: duplicate pieces, zero/two UNKNOWNs, non-finite " +
+      "scores, truncation, group wire type refuse") {
+    val ok = Seq(SpmPiece("<unk>", 0f, SpmModel.Unknown),
+      SpmPiece("a", -1f, SpmModel.Normal))
+    intercept[IllegalArgumentException](SpmModel.encodeModel(
+      Seq(SpmPiece("a", -1f, SpmModel.Normal)))) // no UNKNOWN
+    intercept[IllegalArgumentException](SpmModel.encodeModel(
+      ok :+ SpmPiece("a", -2f, SpmModel.Normal))) // duplicate
+    intercept[IllegalArgumentException](SpmModel.encodeModel(
+      ok :+ SpmPiece("b", Float.NaN, SpmModel.Normal)))
+    intercept[IllegalArgumentException](SpmModel.encodeModel(
+      ok :+ SpmPiece("c", 0f, SpmModel.Unknown))) // two UNKNOWNs
+    val good = SpmModel.encodeModel(ok)
+    intercept[IllegalArgumentException](
+      SpmModel.decodeModel(good.dropRight(1))) // truncated
+    intercept[IllegalArgumentException](
+      SpmModel.decodeModel(Array[Byte](0x0B))) // group wire type
+    // length field overrunning the buffer
+    intercept[IllegalArgumentException](
+      SpmModel.decodeModel(Array[Byte](0x0A, 0x7F, 0x01)))
+  }
+
+  test("vocab.txt (BERT convention): line order is the id, CRLF and " +
+      "trailing newline tolerated; blanks/dups/whitespace refuse (r16)") {
+    import graft.sources.TokenizerIo
+    val dir = java.nio.file.Files.createTempDirectory("vtxt")
+    val p = dir.resolve("vocab.txt").toString
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "a", "##a", "ü")
+    TokenizerIo.writeVocabTxt(vocab, p)
+    assert(TokenizerIo.readVocabTxt(spark, p) === vocab)
+    intercept[IllegalArgumentException](
+      TokenizerIo.writeVocabTxt(Seq("a", "a"), p + "2"))
+    intercept[IllegalArgumentException](
+      TokenizerIo.writeVocabTxt(Seq("a b"), p + "3"))
+    val crlf = dir.resolve("crlf.txt")
+    java.nio.file.Files.writeString(crlf, "x\r\ny\r\n")
+    assert(TokenizerIo.readVocabTxt(spark, crlf.toString) === Seq("x", "y"))
+    val blank = dir.resolve("blank.txt")
+    java.nio.file.Files.writeString(blank, "x\n\ny\n")
+    intercept[IllegalArgumentException](
+      TokenizerIo.readVocabTxt(spark, blank.toString))
+  }
+}

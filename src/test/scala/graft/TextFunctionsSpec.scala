@@ -1,4 +1,5 @@
 package graft
+// (withRougeL tests appended r16)
 
 import org.apache.spark.sql.functions._
 
@@ -736,5 +737,44 @@ class TextFunctionsSpec extends SparkSpec {
         col("m.n_common"), col("m.precision"), col("m.recall"))
       .orderBy("id").collect().toSeq
     assert(fast === slow)
+  }
+
+  test("withRougeL (r16): LCS DP on classic cases, precision/recall/" +
+      "F1 law, null and empty sides, case folding") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b c d e", "a c e"),          // lcs 3: p=.6 r=1
+      (2L, "x y z", "p q r"),              // lcs 0
+      (3L, "the cat sat", "THE CAT SAT"),  // case folds: lcs 3
+      (4L, "a b a b a", "b a b"),          // repeats: lcs 3
+      (5L, null, "ref here"),              // null cand
+      (6L, "cand here", null),             // null ref
+      (7L, "", "a b"),                     // empty cand: p null
+      (8L, "a  b", "a b"))                 // double space collapses
+      .toDF("id", "cand", "ref")
+    val got = graft.functions.TextFunctions
+      .withRougeL(rows, "cand", "ref", "m")
+      .select($"id", $"m.n_cand", $"m.n_ref", $"m.lcs",
+        $"m.precision", $"m.recall", $"m.f1")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6)))
+    assert(got(0) === ((1L, 5L, 3L, 0.6, 1.0, 0.75)))
+    assert(got(1) === ((2L, 3L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(2) === ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    assert(got(3) === ((4L, 5L, 3L, 0.6, 1.0, 0.75)))
+    assert(got(4) === ((5L, null, null, null, null, null)))
+    assert(got(5) === ((6L, null, null, null, null, null)))
+    assert(got(6) === ((7L, 0L, 0L, null, 0.0, null)))
+    assert(got(7) === ((8L, 2L, 2L, 1.0, 1.0, 1.0)))
+    // kernel-level classics
+    import graft.functions.TextFunctions.lcsLen
+    assert(lcsLen("abcbdab".split("").filter(_.nonEmpty),
+      "bdcaba".split("").filter(_.nonEmpty)) === 4) // the CLRS example
+    assert(lcsLen(Array.empty[String], Array("a")) === 0)
   }
 }
