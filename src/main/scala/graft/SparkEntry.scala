@@ -2231,6 +2231,37 @@ object SparkEntry {
           max(col("split_k")).as("max_k"))
         .orderBy(col("split"), col("source"))),
 
+    // --- Contamination-safe split (r16): the docs_source_overlap
+    //     plant (every doc carries the text of doc id%50 → 50 exact-
+    //     dup groups spanning sources) grouped by content, the group
+    //     representative = min doc_id, and the split band keyed on
+    //     the GROUP — so no duplicate cluster can straddle
+    //     train/eval. The oracle recomputes grouping, representative
+    //     and band; any row-keyed assignment (the leakage bug this
+    //     operator closes) lands group members in different splits
+    //     and diverges immediately.
+    "docs_split_safe" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val docs = base.alias("a")
+        .join(base.filter(col("text").isNotNull).alias("b"),
+          col("b.doc_id") === pmod(col("a.doc_id"), lit(50L)))
+        .select(col("a.doc_id").as("doc_id"), col("a.source").as("source"),
+          col("b.text").as("text"))
+      val groups = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("group_id"))
+      val keyed = docs.withColumn("__h", md5(col("text")))
+        .join(groups, "__h")
+      graft.operators.TrainingOrder.assignSplitByGroup(keyed, "group_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 42L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("split_k")).as("min_k"),
+          max(col("split_k")).as("max_k"))
+        .orderBy(col("split"))
+    }),
+
     // --- Per-source token-budget selection (r9): walk each source in
     //     seeded-shuffle order, keep docs while the EXCLUSIVE running
     //     token total is under budget (crossing doc kept — the
@@ -3485,6 +3516,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_cand"), col("n_ref"),
           col("n_common"), col("precision").as("prec"),
           col("recall").as("rec"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- chrF (r16 — Popović 2015, the character-n-gram F-β eval
+    //     metric): each doc scored against its group-of-3 leader
+    //     (the text_ngram_overlap pairing). maxN = 3 here so the
+    //     DuckDB twin's per-order char-gram recomputation stays
+    //     oracle-tractable (the kernel defaults to the standard 6);
+    //     β = 2. The oracle replays whitespace stripping, per-order
+    //     clipped counts, the F-β law and the fixed-order mean.
+    "text_chrf" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val pairs = base.alias("a")
+        .join(base.alias("b"), col("b.doc_id") ===
+          col("a.doc_id") - pmod(col("a.doc_id"), lit(3L)))
+        .filter(col("a.doc_id") < 200)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      TextFunctions.withChrF(pairs, "cand", "ref", "m", maxN = 3)
+        .select(col("doc_id"), col("m.n_orders").as("n_orders"),
+          col("m.chrf").as("chrf"))
         .orderBy(col("doc_id"))
     }),
 
@@ -7928,6 +7980,33 @@ object SparkEntry {
         |  min(split_k) AS min_k, max(split_k) AS max_k
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin,
 
+    // the docs_split_safe oracle: same plant, same content grouping,
+    // same group-keyed band law — integer thresholds of the 0.9/0.05/
+    // 0.05 bands over the group representative's seeded key
+    "docs_split_safe" ->
+      """WITH p AS (
+        |  SELECT a.doc_id, a.source, b.text FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id % 50
+        |  WHERE b.text IS NOT NULL),
+        |g AS (SELECT md5(text) AS h, min(doc_id) AS group_id
+        |  FROM p GROUP BY 1),
+        |k AS (
+        |  SELECT p.doc_id, g.group_id,
+        |    CAST(CAST(concat('0x', substr(md5(g.group_id || ':42'), 1, 8))
+        |      AS UBIGINT) AS BIGINT) AS split_k
+        |  FROM p JOIN g ON md5(p.text) = g.h),
+        |s AS (
+        |  SELECT doc_id, group_id, split_k,
+        |    CASE WHEN split_k < 3865470566 THEN 'train'
+        |         WHEN split_k < 4080218931 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM k)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  min(split_k) AS min_k, max(split_k) AS max_k
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
     // exclusive per-source running token sum (window form at oracle
     // scale); CAST keeps DuckDB's window-SUM HUGEINT off the output
     "docs_budget" ->
@@ -8662,6 +8741,63 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0
         |    THEN round(CAST(n_common AS DOUBLE) / n_ref, 6) END AS rec
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the text_chrf oracle: char grams per order via substr windows,
+    // the clipped-multiset idiom of text_ngram_overlap, the F-β=2
+    // law with the SAME double-op shapes (5p·r/(4p+r)), and an
+    // EXPLICIT left-associative (f1+f2)+f3 mean — never an aggregate
+    // SUM whose float order is unspecified
+    "text_chrf" ->
+      """WITH p AS (
+        |  SELECT a.doc_id,
+        |    regexp_replace(lower(a.text), '\s+', '', 'g') AS c,
+        |    regexp_replace(lower(b.text), '\s+', '', 'g') AS r
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3)
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+        |    AND a.doc_id < 200),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN length(c) >= n THEN list_transform(
+        |      range(1, length(c) - n + 2), i -> substr(c, i, n))
+        |      ELSE CAST([] AS VARCHAR[]) END AS ga,
+        |    CASE WHEN length(r) >= n THEN list_transform(
+        |      range(1, length(r) - n + 2), i -> substr(r, i, n))
+        |      ELSE CAST([] AS VARCHAR[]) END AS gb
+        |  FROM p, (SELECT unnest([1, 2, 3]) AS n)),
+        |m AS (
+        |  SELECT doc_id, n,
+        |    CAST(len(ga) AS BIGINT) AS nc, CAST(len(gb) AS BIGINT) AS nr,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(ga),
+        |      x -> least(len(list_filter(ga, y -> y = x)),
+        |                 len(list_filter(gb, y -> y = x))))), 0)
+        |      AS BIGINT) AS mm
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN nc > 0 OR nr > 0 THEN 1 ELSE 0 END AS counted,
+        |    CASE WHEN nc > 0 THEN CAST(mm AS DOUBLE) / nc
+        |      ELSE 0.0 END AS p2,
+        |    CASE WHEN nr > 0 THEN CAST(mm AS DOUBLE) / nr
+        |      ELSE 0.0 END AS r2
+        |  FROM m),
+        |f2 AS (
+        |  SELECT doc_id, n, counted,
+        |    CASE WHEN 4.0 * p2 + r2 > 0
+        |      THEN 5.0 * p2 * r2 / (4.0 * p2 + r2)
+        |      ELSE 0.0 END AS fn
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 1 THEN fn ELSE 0 END) AS f1,
+        |    max(CASE WHEN n = 2 THEN fn ELSE 0 END) AS f2x,
+        |    max(CASE WHEN n = 3 THEN fn ELSE 0 END) AS f3,
+        |    CAST(sum(counted) AS INT) AS n_orders
+        |  FROM f2 GROUP BY doc_id)
+        |SELECT doc_id, n_orders,
+        |  CASE WHEN n_orders > 0
+        |    THEN round((f1 + f2x + f3) / n_orders, 6) END AS chrf
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // the text_rouge oracle: the reference is a subsequence of the
     // candidate by construction, so lcs = |ref| = n - n//3 exactly;

@@ -1282,6 +1282,89 @@ object TextFunctions {
     }(Encoders.row(schema))
   }
 
+  /** chrF (Popović 2015) between a candidate and a reference column
+    * (r16) — the character-n-gram F-β MT/eval metric, robust to
+    * tokenization differences where [[ngramOverlap]]/[[withRougeL]]
+    * are word-bound. Semantics (each pinned in the spec and replayed
+    * by the gate oracle):
+    *  - the char stream is the LOWERCASED text with ALL whitespace
+    *    removed (the public sacrebleu default);
+    *  - per order n = 1..maxN: clipped-multiset precision P_n and
+    *    recall R_n over char n-grams, F_n = (1+β²)·P·R/(β²·P+R)
+    *    (0 when the denominator is 0); orders where NEITHER side has
+    *    grams are skipped (short strings);
+    *  - chrF = the mean of the non-skipped F_n, round-6. β defaults
+    *    to 2 (recall-weighted, the standard).
+    * Appends `outCol` as a struct (n_orders, chrf); either side null
+    * → null fields. Per-row hash-map counting in a mapPartitions
+    * kernel (the [[withRougeL]] stance): O(len·maxN) per row, no
+    * shuffle, rides the scan.
+    */
+  def withChrF(df: org.apache.spark.sql.DataFrame, candCol: String,
+      refCol: String, outCol: String, maxN: Int = 6,
+      beta: Double = 2.0): org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1, s"maxN $maxN")
+    require(beta > 0, s"beta $beta")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("n_orders", IntegerType),
+      StructField("chrf", DoubleType))), nullable = true)
+    val ci = df.schema.fieldIndex(candCol)
+    val ri = df.schema.fieldIndex(refCol)
+    val b2 = beta * beta
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def counts(s: String, n: Int): scala.collection.mutable.HashMap[String, Int] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i + n <= s.length) {
+        val g = s.substring(i, i + n)
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    df.mapPartitions { it =>
+      it.map { r =>
+        val c0 = r.get(ci).asInstanceOf[String]
+        val f0 = r.get(ri).asInstanceOf[String]
+        val m =
+          if (c0 == null || f0 == null) Row(null, null)
+          else {
+            val c = c0.toLowerCase(java.util.Locale.ROOT)
+              .filterNot(_.isWhitespace)
+            val f = f0.toLowerCase(java.util.Locale.ROOT)
+              .filterNot(_.isWhitespace)
+            var sum = 0.0
+            var orders = 0
+            var n = 1
+            while (n <= maxN) {
+              val nc = math.max(0, c.length - n + 1)
+              val nr = math.max(0, f.length - n + 1)
+              if (nc > 0 || nr > 0) {
+                val ca = counts(c, n)
+                val cb = counts(f, n)
+                var matches = 0L
+                ca.foreach { case (g, k) =>
+                  matches += math.min(k, cb.getOrElse(g, 0)) }
+                val p = if (nc > 0) matches.toDouble / nc else 0.0
+                val rr = if (nr > 0) matches.toDouble / nr else 0.0
+                val fn = if (b2 * p + rr > 0)
+                  (1.0 + b2) * p * rr / (b2 * p + rr) else 0.0
+                sum += fn
+                orders += 1
+              }
+              n += 1
+            }
+            if (orders == 0) Row(0, null)
+            else Row(orders, r6(sum / orders))
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** The CORPUS-SCALE form of [[ngramOverlap]]: identical semantics
     * via explode + counting aggregates instead of per-row HOF scans.
     * Spark's higher-order array functions are CodegenFallback

@@ -373,7 +373,28 @@ object TrainingOrder {
     * per-source dispatch the broadcast join replaced.)
     */
   def assignSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame =
+    assignSplitKeyed(df, col(idCol), splits, seed)
+
+  /** Contamination-safe split (r16): the band comes from a GROUP key
+    * — a near-dup component id, a url host, a document family —
+    * instead of the row id, so every member of a group lands in the
+    * SAME split by construction. Splitting duplicated/near-duplicated
+    * content row-wise leaks training content into eval (the
+    * train-test contamination failure the dedup family exists to
+    * prevent); keying the band on the group closes it with zero
+    * extra shuffles — still a pure map over the scan once the group
+    * column is present. Same integer-threshold band law and output
+    * columns as [[assignSplit]]; the realized per-split row fractions
+    * now track GROUP mass, not row mass (a giant duplicate cluster
+    * moves wholesale — that is the point).
+    */
+  def assignSplitByGroup(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Double)], seed: Long = 42L): DataFrame =
+    assignSplitKeyed(df, col(groupCol), splits, seed)
+
+  private def assignSplitKeyed(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], seed: Long): DataFrame = {
     require(splits.nonEmpty, "assignSplit needs at least one split")
     require(splits.forall(_._2 > 0),
       s"split fractions must be positive, got $splits")
@@ -383,7 +404,7 @@ object TrainingOrder {
     require(reserved.isEmpty,
       s"assignSplit outputs ${reserved.mkString(", ")}; the input " +
         "already has such column(s) — rename them first")
-    val kcol = conv(substring(shuffleKey(col(idCol), seed), 1, 8), 16, 10)
+    val kcol = conv(substring(shuffleKey(key, seed), 1, 8), 16, 10)
       .cast("long")
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => math.round(c * 4294967296.0))

@@ -335,4 +335,34 @@ class PackSpec extends SparkSpec {
         maxSources = 1)
     }
   }
+
+  test("assignSplitByGroup (r16): every member of a group lands in " +
+      "ONE split — the contamination-safe law — and the band equals " +
+      "assignSplit of the group key") {
+    import graft.operators.TrainingOrder
+    import spark.implicits._
+    // 200 rows in 40 groups of 5
+    val df = (0L until 200L).map(i => (i, i % 40)).toDF("doc_id", "grp")
+    val got = TrainingOrder.assignSplitByGroup(df, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+    // no group spans two splits
+    val spans = got.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .filter($"n" > 1).count()
+    assert(spans === 0L)
+    // the group's band IS assignSplit of the group key itself
+    val byKey = TrainingOrder.assignSplit(
+        (0L until 40L).toDF("grp"), "grp",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+      .select($"grp", $"split".as("expect"))
+    val diff = got.select($"grp", $"split").distinct()
+      .join(byKey, "grp").filter($"split" =!= $"expect").count()
+    assert(diff === 0L)
+    // row-keyed assignment WOULD span (the leakage failure this closes)
+    val rowKeyed = TrainingOrder.assignSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7L)
+    assert(rowKeyed.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .filter($"n" > 1).count() > 0L)
+  }
 }

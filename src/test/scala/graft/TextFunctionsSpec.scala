@@ -777,4 +777,32 @@ class TextFunctionsSpec extends SparkSpec {
       "bdcaba".split("").filter(_.nonEmpty)) === 4) // the CLRS example
     assert(lcsLen(Array.empty[String], Array("a")) === 0)
   }
+
+  test("withChrF (r16): identity 1.0, whitespace-insensitive, " +
+      "hand-computed clipped case, disjoint 0, short/null edges") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Hello World", "hello world"),  // identity after fold: 1.0
+      (2L, "a b", "ab"),                   // ws stripped: identity
+      (3L, "abab", "ab"),                  // hand-computed below
+      (4L, "xyz", "qqq"),                  // disjoint: 0.0
+      (5L, null, "ref"),                   // null cand
+      (6L, "  ", " "))                     // both empty after strip
+      .toDF("id", "cand", "ref")
+    val got = graft.functions.TextFunctions
+      .withChrF(rows, "cand", "ref", "m", maxN = 3)
+      .select($"id", $"m.n_orders", $"m.chrf")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got(0) === ((1L, 3, 1.0)))
+    assert(got(1) === ((2L, 2, 1.0))) // "ab": orders 1-2 only
+    // n=1: P=2/4 R=1 -> F=5/6; n=2: P=1/3 R=1 -> F=5/7; n=3: cand
+    // grams only -> F=0, still counted; mean = (5/6 + 5/7 + 0)/3
+    assert(got(2) === ((3L, 3, 0.515873)))
+    assert(got(3) === ((4L, 3, 0.0)))
+    assert(got(4) === ((5L, null, null)))
+    assert(got(5) === ((6L, 0, null)))
+  }
 }
