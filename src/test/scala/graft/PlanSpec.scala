@@ -441,4 +441,38 @@ class PlanSpec extends SparkSpec {
     val p = plan("pipeline_factory")
     assert(!p.contains("CartesianProduct"), p.take(900))
   }
+
+  test("r16 eval kernels stay NARROW: text_rouge is scan → projection " +
+      "→ kernel (one presentation sort, no join/window); mm_xlsx_dates " +
+      "is a pure extraction projection") {
+    for (q <- Seq("text_rouge", "mm_xlsx_dates")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q grew shuffles:\n${p.take(900)}")
+      assert(!p.contains("Join"), s"$q grew a join:\n${p.take(900)}")
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(900)}")
+    }
+  }
+
+  test("r16 paired/grouped gates never cross-product: text_chrf's " +
+      "leader join and docs_split_safe's content-group join are " +
+      "hash-keyed") {
+    for (q <- Seq("text_chrf", "docs_split_safe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(900)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(900)}")
+      assert(!p.contains("SinglePartition") || q == "docs_split_safe",
+        s"$q single-reducer stage:\n${p.take(900)}")
+    }
+  }
+
+  test("docs_arrow: the interchange read is file-per-task scan → " +
+      "decode → PARTIAL-aggregated rollup — no cartesian, no window, " +
+      "map-side combine before the one exchange") {
+    val p = plan("docs_arrow")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(900)}")
+  }
 }

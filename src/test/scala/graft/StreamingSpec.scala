@@ -834,6 +834,35 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("streaming ROUGE-L / chrF == batch (r16): the eval kernels are " +
+      "stateless per-row mapPartitions projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 12L).map { id =>
+      val cand = s"alpha beta gamma delta $id"
+      val ref = if (id % 4 == 0) null else s"alpha gamma $id extra"
+      (id, cand, ref)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) = {
+      val r = graft.functions.TextFunctions
+        .withRougeL(df, "cand", "ref", "rl")
+      graft.functions.TextFunctions.withChrF(r, "cand", "ref", "cf", 3)
+        .select($"doc_id", $"rl.lcs", $"rl.f1", $"cf.n_orders", $"cf.chrf")
+    }
+    val q = proj(ms.toDF().toDF("doc_id", "cand", "ref"))
+      .writeStream.format("memory").queryName("eval_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("eval_st").orderBy("doc_id").collect().toSeq ===
+      proj(rows.toDF("doc_id", "cand", "ref")).orderBy("doc_id")
+        .collect().toSeq)
+  }
+
   test("streaming dropout / ranked-pair explode == batch (r15w8): " +
       "stateless rewrites") {
     implicit val sqlCtx = spark.sqlContext
