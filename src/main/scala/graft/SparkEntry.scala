@@ -5717,6 +5717,95 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- MP4 / ISO-BMFF container metadata (r16 — the video wrapper
+    //     of crawled video corpora): planted movies — one video
+    //     track on the id size lattice, audio on even ids, a text
+    //     track on %5 ids (counts as a track, neither video nor
+    //     audio), mvhd duration (id+1)·500 ms — walked through the
+    //     from-scratch box parser. Degrades: %19 ftyp corruption,
+    //     %13 mid-moov truncation (a box size overrun refuses the
+    //     whole payload). The oracle restates every fact from the id
+    //     formulas.
+    "mm_mp4_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMp4Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withMp4Meta(media, "payload", "m")
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.major_brand").as("major_brand"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.n_video").as("n_video"),
+          col("m.n_audio").as("n_audio"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- Video corpus report (r16 — the budget/routing rollup a
+    //     multimodal mix designer reads): BOTH container families
+    //     (mp4 + webm/matroska) metadata-extracted and rolled up per
+    //     format — clip counts, total/min/max duration, pixel-sum
+    //     evidence — ONE partial-aggregated groupBy over the
+    //     extraction projections. Unknowns stay countable (the
+    //     langBreakdown stance).
+    "mm_video_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+      val mp4 = Multimodal.withMp4Meta(
+          Multimodal.synthesizeMp4Bytes(docs), "payload", "m")
+        .select(col("m.format").as("format"),
+          col("m.duration_ms").as("d"),
+          col("m.width").as("w"), col("m.height").as("h"))
+      val webm = Multimodal.withWebmMeta(
+          Multimodal.synthesizeWebmBytes(docs), "payload", "m")
+        .select(col("m.format").as("format"),
+          col("m.duration_ms").as("d"),
+          col("m.width").as("w"), col("m.height").as("h"))
+      mp4.union(webm)
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("d")).as("total_ms"),
+          min(col("d")).as("min_ms"), max(col("d")).as("max_ms"),
+          sum(col("w").cast("long") * col("h")).as("pixel_sum"))
+        .orderBy(col("format"))
+    }),
+
+    // --- Fragmented-MP4 facts (r16 — the DASH/streamed-upload form,
+    //     where mvhd.duration is 0 and the real totals live in the
+    //     moof fragments): id%3+1 fragments × 3 samples, per-sample
+    //     trun durations on even fragments and the tfhd default on
+    //     odd — both 100+id%7 per sample, so the oracle restates
+    //     totals closed-form while both duration paths execute.
+    //     Degrades: %19 ftyp, %13 tail truncation (a trun table cut
+    //     mid-sample refuses).
+    "mm_mp4_fragments" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFmp4Bytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withMp4Fragments(media, "payload", "m")
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.n_fragments").as("n_fragments"),
+          col("m.n_samples").as("n_samples"),
+          col("m.duration_ticks").as("duration_ticks"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- WebM/Matroska EBML metadata (r16 — the vint-framed sibling
+    //     of mm_mp4_meta): planted movies — doc type matroska on %4
+    //     ids, f64 duration (id+1)·250 ms at the default scale, one
+    //     video track on the size lattice, audio on %3 ids — walked
+    //     through the from-scratch RFC 8794 parser. Degrades: %19
+    //     magic, %13 mid-Segment truncation. Oracle: the id formulas.
+    "mm_webm_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWebmBytes(
+        Tables.documents(s, dir).filter(col("doc_id") < 60))
+      Multimodal.withWebmMeta(media, "payload", "m")
+        .select(col("media_id"), col("m.format").as("format"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"),
+          col("m.n_video").as("n_video"),
+          col("m.n_audio").as("n_audio"),
+          col("m.width").as("width"), col("m.height").as("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- XLSX date-serial semantics (r16 — VERDICT r15 #5): planted
     //     workbooks whose styles.xml maps cells to date/time number
     //     formats; extraction must render serials as ISO dates —
@@ -11819,6 +11908,113 @@ object SparkEntry {
         |  CASE WHEN b.c THEN NULL ELSE m.md END AS md
         |FROM md m JOIN bad b USING (media_id)
         |ORDER BY m.media_id""".stripMargin,
+
+    // the mm_video_report oracle: both planted tables rebuilt from
+    // the id formulas, unioned, rolled up per format
+    "mm_video_report" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |mp4 AS (SELECT
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0
+        |    THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE (media_id + 1) * 500 END AS d,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE 320 + 16 * (media_id % 8) END AS w,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE 240 + 16 * (media_id % 5) END AS h
+        |  FROM ids),
+        |webm AS (SELECT
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0
+        |      THEN 'unknown'
+        |    WHEN media_id % 4 = 0 THEN 'matroska' ELSE 'webm' END
+        |    AS format,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE (media_id + 1) * 250 END AS d,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE 640 + 8 * (media_id % 6) END AS w,
+        |  CASE WHEN media_id % 19 = 0 OR media_id % 13 = 0 THEN NULL
+        |    ELSE 480 + 8 * (media_id % 3) END AS h
+        |  FROM ids),
+        |u AS (SELECT * FROM mp4 UNION ALL SELECT * FROM webm)
+        |SELECT format, count(*) AS n_clips,
+        |  CAST(sum(d) AS BIGINT) AS total_ms,
+        |  CAST(min(d) AS BIGINT) AS min_ms,
+        |  CAST(max(d) AS BIGINT) AS max_ms,
+        |  CAST(sum(w * h) AS BIGINT) AS pixel_sum
+        |FROM u GROUP BY format ORDER BY format""".stripMargin,
+
+    // the mm_mp4_fragments oracle: the id formulas of the fragments
+    "mm_mp4_fragments" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(i.media_id % 3 + 1 AS INT) END AS n_fragments,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(3 * (i.media_id % 3 + 1) AS BIGINT) END AS n_samples,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST((i.media_id % 3 + 1) * 3 * (100 + i.media_id % 7)
+        |      AS BIGINT) END AS duration_ticks
+        |FROM ids i JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_webm_meta oracle: the id formulas of the planted movies
+    "mm_webm_meta" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown'
+        |    WHEN i.media_id % 4 = 0 THEN 'matroska' ELSE 'webm' END
+        |    AS format,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST((i.media_id + 1) * 250 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(1
+        |    + CASE WHEN i.media_id % 3 = 0 THEN 1 ELSE 0 END AS INT) END
+        |    AS n_tracks,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(1 AS INT) END AS n_video,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(
+        |    CASE WHEN i.media_id % 3 = 0 THEN 1 ELSE 0 END AS INT) END
+        |    AS n_audio,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(640 + 8 * (i.media_id % 6) AS INT) END AS width,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(480 + 8 * (i.media_id % 3) AS INT) END AS height
+        |FROM ids i JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
+
+    // the mm_mp4_meta oracle: the id formulas of the planted movies
+    "mm_mp4_meta" ->
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 60),
+        |bad AS (SELECT media_id,
+        |  media_id % 19 = 0 OR media_id % 13 = 0 AS c FROM ids)
+        |SELECT i.media_id,
+        |  CASE WHEN b.c THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN b.c THEN NULL
+        |    WHEN i.media_id % 3 = 0 THEN 'isom' ELSE 'mp42' END
+        |    AS major_brand,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST((i.media_id + 1) * 500 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(1
+        |    + CASE WHEN i.media_id % 2 = 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN i.media_id % 5 = 0 THEN 1 ELSE 0 END AS INT) END
+        |    AS n_tracks,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(1 AS INT) END AS n_video,
+        |  CASE WHEN b.c THEN NULL ELSE CAST(
+        |    CASE WHEN i.media_id % 2 = 0 THEN 1 ELSE 0 END AS INT) END
+        |    AS n_audio,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(320 + 16 * (i.media_id % 8) AS INT) END AS width,
+        |  CASE WHEN b.c THEN NULL
+        |    ELSE CAST(240 + 16 * (i.media_id % 5) AS INT) END AS height
+        |FROM ids i JOIN bad b USING (media_id)
+        |ORDER BY i.media_id""".stripMargin,
 
     // the mm_xlsx_dates oracle: every rendered date recomputed
     // closed-form from the planted serials — 1900 base 1899-12-30

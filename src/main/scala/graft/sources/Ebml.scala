@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** WebM / Matroska (EBML) container metadata (r16) — the other
+  * dominant crawled-video wrapper next to [[Mp4]]. Parsed from
+  * scratch per the PUBLIC specs (RFC 8794 EBML; the Matroska/WebM
+  * element registry at matroska.org):
+  *
+  *  - EBML elements are `[ID vint][size vint][payload]`; the ID
+  *    keeps its marker bits (the registry convention), the SIZE
+  *    strips them; an all-ones size is "unknown" (streamed files) —
+  *    such an element extends to its parent's end;
+  *  - `EBML` header (0x1A45DFA3) → `DocType` (0x4282);
+  *  - `Segment` (0x18538067) → `Info` (0x1549A966) →
+  *    `TimestampScale` (0x2AD7B1, uint ns/tick, default 1e6) and
+  *    `Duration` (0x4489, float32/64 in ticks) → duration_ms;
+  *  - `Tracks` (0x1654AE6B) → `TrackEntry` (0xAE) → `TrackType`
+  *    (0x83: 1 video, 2 audio) and `Video` (0xE0) →
+  *    `PixelWidth`/`PixelHeight` (0xB0/0xBA).
+  *
+  * Clusters (the media payload) skip by size — the [[Mp4]] boundary
+  * stance. Total function: malformed/truncated/non-EBML payloads
+  * return null; a vint or size overrunning its parent refuses the
+  * whole payload.
+  */
+object Ebml {
+
+  private val MaxBytes = 512 << 20
+
+  final case class WebmMeta(
+      docType: String,
+      durationMs: Long, // -1 when the Info carries no Duration
+      nTracks: Int,
+      nVideo: Int,
+      nAudio: Int,
+      width: Int,  // -1 when no video track
+      height: Int)
+
+  /** (value, bytesRead) of the vint at `p`; `keepMarker` keeps the
+    * length-marker bits (element IDs) or strips them (sizes).
+    * Returns value -1 for an all-ones (unknown) SIZE.
+    */
+  private def vint(b: Array[Byte], p: Int, until: Int,
+      keepMarker: Boolean): (Long, Int) = {
+    require(p < until, "ebml: truncated vint")
+    val first = b(p) & 0xff
+    require(first != 0, "ebml: vint with >8-byte length")
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    require(p + len <= until, "ebml: truncated vint body")
+    var v = if (keepMarker) first.toLong
+      else first.toLong & ((1 << (8 - len)) - 1)
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(p + i) & 0xffL); i += 1 }
+    if (!keepMarker) {
+      // all data bits set = reserved "unknown size"
+      val allOnes = (1L << (7 * len)) - 1
+      if (v == allOnes) return (-1L, len)
+    }
+    (v, len)
+  }
+
+  private def uint(b: Array[Byte], from: Int, until: Int): Long = {
+    require(until - from >= 1 && until - from <= 8, "ebml: uint width")
+    var v = 0L
+    var i = from
+    while (i < until) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def float(b: Array[Byte], from: Int, until: Int): Double =
+    (until - from) match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(b, from, until).toInt)
+        .toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(b, from, until))
+      case w => throw new IllegalArgumentException(
+        s"ebml: float of width $w")
+    }
+
+  /** Walk the child elements of `[from, until)`, calling
+    * `f(id, payloadFrom, payloadUntil)`. Unknown-size elements run
+    * to the parent's end (and must be last).
+    */
+  private def walk(b: Array[Byte], from: Int, until: Int)(
+      f: (Long, Int, Int) => Unit): Unit = {
+    var p = from
+    while (p < until) {
+      val (id, idLen) = vint(b, p, until, keepMarker = true)
+      val (size, szLen) = vint(b, p + idLen, until, keepMarker = false)
+      val payload = p + idLen + szLen
+      val end = if (size < 0) until else payload + size.toInt
+      require(size < 0 || payload + size <= until,
+        f"ebml: element 0x$id%X size $size overruns parent at $p")
+      f(id, payload, end)
+      p = end
+    }
+  }
+
+  def extractMeta(b: Array[Byte]): WebmMeta = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): WebmMeta = {
+    if (b == null || b.length < 8 || b.length > MaxBytes) return null
+    if ((b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
+        (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return null
+    var docType: String = null
+    var scale = 1000000L // spec default: 1 ms ticks
+    var durationTicks = -1.0
+    var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+    var width = -1
+    var height = -1
+    walk(b, 0, b.length) {
+      case (0x1A45DFA3L, s, e) => // EBML header
+        walk(b, s, e) {
+          case (0x4282L, ds, de) =>
+            docType = new String(b, ds, de - ds, StandardCharsets.US_ASCII)
+              .takeWhile(_ != 0)
+          case _ => ()
+        }
+      case (0x18538067L, ss, se) => // Segment
+        walk(b, ss, se) {
+          case (0x1549A966L, is, ie) => // Info
+            walk(b, is, ie) {
+              case (0x2AD7B1L, fs, fe) => scale = uint(b, fs, fe)
+              case (0x4489L, fs, fe) => durationTicks = float(b, fs, fe)
+              case _ => ()
+            }
+          case (0x1654AE6BL, ts, te) => // Tracks
+            walk(b, ts, te) {
+              case (0xAEL, es, ee) => // TrackEntry
+                nTracks += 1
+                var tpe = -1L
+                var w = -1
+                var h = -1
+                walk(b, es, ee) {
+                  case (0x83L, fs, fe) => tpe = uint(b, fs, fe)
+                  case (0xE0L, vs, ve) => // Video
+                    walk(b, vs, ve) {
+                      case (0xB0L, fs, fe) => w = uint(b, fs, fe).toInt
+                      case (0xBAL, fs, fe) => h = uint(b, fs, fe).toInt
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                if (tpe == 1L) {
+                  nVideo += 1
+                  if (width < 0) { width = w; height = h }
+                } else if (tpe == 2L) nAudio += 1
+              case _ => ()
+            }
+          case _ => () // Cluster / SeekHead / Cues: skip
+        }
+      case _ => ()
+    }
+    if (docType == null) return null
+    require(scale > 0, "ebml: non-positive timestamp scale")
+    val durMs =
+      if (durationTicks < 0) -1L
+      else math.round(durationTicks * scale / 1e6)
+    WebmMeta(docType, durMs, nTracks, nVideo, nAudio, width, height)
+  }
+
+  // ============================================== fixture encoder
+
+  private def idBytes(id: Long): Array[Byte] = {
+    // IDs serialize with their marker bits as-registered (1-4 bytes)
+    val len = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    (0 until len).map(i => ((id >> (8 * (len - 1 - i))) & 0xff).toByte)
+      .toArray
+  }
+
+  private def sizeBytes(n: Long): Array[Byte] = {
+    require(n >= 0 && n < (1L << 49), s"ebml size $n")
+    var len = 1
+    while (n >= (1L << (7 * len)) - 1) len += 1 // avoid the all-ones value
+    val out = new Array[Byte](len)
+    var v = n | (1L << (7 * len))
+    var i = len - 1
+    while (i >= 0) { out(i) = (v & 0xff).toByte; v >>= 8; i -= 1 }
+    out
+  }
+
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    idBytes(id) ++ sizeBytes(payload.length.toLong) ++ payload
+
+  private def uintBytes(v: Long): Array[Byte] = {
+    var len = 1
+    while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+    (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xff).toByte)
+      .toArray
+  }
+
+  private def f64Bytes(v: Double): Array[Byte] = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xff).toByte).toArray
+  }
+
+  /** Minimal standard-layout WebM for fixtures: EBML header with the
+    * doc type, Segment(Info(scale, f64 duration), Tracks(entries),
+    * one small Cluster). Tracks are (type, width, height) — width/
+    * height emitted only for video (type 1).
+    */
+  def buildWebm(docType: String, scale: Long, durationTicks: Double,
+      tracks: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, docType.getBytes(StandardCharsets.US_ASCII)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBytes(scale)) ++
+        el(0x4489L, f64Bytes(durationTicks)))
+    val trackEntries = tracks.map { case (tpe, w, h) =>
+      val video = if (tpe == 1)
+        el(0xE0L, el(0xB0L, uintBytes(w.toLong)) ++
+          el(0xBAL, uintBytes(h.toLong)))
+      else Array.emptyByteArray
+      el(0xAEL, el(0x83L, uintBytes(tpe.toLong)) ++
+        el(0xD7L, uintBytes(1L)) ++ video) // TrackNumber for realism
+    }
+    val trks = el(0x1654AE6BL, trackEntries.foldLeft(
+      Array.emptyByteArray)(_ ++ _))
+    val cluster = el(0x1F43B675L, el(0xE7L, uintBytes(0L)))
+    val segment = el(0x18538067L, info ++ trks ++ cluster)
+    header ++ segment
+  }
+}

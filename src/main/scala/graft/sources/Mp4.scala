@@ -1,0 +1,327 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+/** MP4 / ISO-BMFF container metadata (r16) — the video wrapper of
+  * essentially every crawled video/short-form corpus (and `.m4a`
+  * audio). Parsed from scratch per the PUBLIC ISO/IEC 14496-12 box
+  * model: a file is a sequence of boxes `[u32 size][4cc type]
+  * [payload]` (size 1 → a u64 largesize follows; size 0 → box runs
+  * to EOF), containers nest, unknown boxes skip by size — the
+  * walk contract that makes the format forward-compatible.
+  *
+  * Extracted (the training-pipeline routing facts, not a decoder):
+  *  - `ftyp`: major brand;
+  *  - `moov/mvhd`: movie timescale + duration (v0 u32s / v1 u64s)
+  *    → duration_ms;
+  *  - per `moov/trak`: the `mdia/hdlr` handler type counts video
+  *    (`vide`) and audio (`soun`) tracks;
+  *  - the FIRST video track's `tkhd` width/height (16.16 fixed
+  *    point, the spec's presentation size).
+  *
+  * Pixels/samples stay opaque (`mdat` skips) — the parseHeader
+  * boundary stance: dims/duration/track layout route and budget a
+  * corpus; decoding is the GPU stage's job.
+  *
+  * Total function: malformed, truncated or non-BMFF payloads return
+  * null; a box whose declared size overruns its parent refuses the
+  * whole payload (sizes are load-bearing — a corrupt size silently
+  * misparses every later box).
+  */
+object Mp4 {
+
+  private val MaxBytes = 512 << 20
+
+  final case class Mp4Meta(
+      majorBrand: String,
+      timescale: Long,
+      durationMs: Long,
+      nTracks: Int,
+      nVideo: Int,
+      nAudio: Int,
+      width: Int,    // -1 when no video track
+      height: Int)
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], p: Int): Long =
+    (u32(b, p) << 32) | u32(b, p + 4)
+
+  private def fourcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, StandardCharsets.US_ASCII)
+
+  /** Walk the boxes of `b[from, until)`, calling `f(type, payloadFrom,
+    * payloadUntil)` per box. Refuses on truncated headers and sizes
+    * that overrun the parent.
+    */
+  private def walk(b: Array[Byte], from: Int, until: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var p = from
+    while (p < until) {
+      require(p + 8 <= until, s"mp4: truncated box header at $p")
+      val size0 = u32(b, p)
+      val tpe = fourcc(b, p + 4)
+      var payload = p + 8
+      val size =
+        if (size0 == 1L) {
+          require(p + 16 <= until, "mp4: truncated largesize")
+          payload = p + 16
+          u64(b, p + 8)
+        } else if (size0 == 0L) (until - p).toLong
+        else size0
+      require(size >= (payload - p).toLong && p + size <= until,
+        s"mp4: box '$tpe' size $size overruns parent at $p")
+      f(tpe, payload, p + size.toInt)
+      p += size.toInt
+    }
+  }
+
+  def extractMeta(b: Array[Byte]): Mp4Meta = {
+    try extractInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def extractInner(b: Array[Byte]): Mp4Meta = {
+    if (b == null || b.length < 16 || b.length > MaxBytes) return null
+    // sniff: the first box must be well-formed and a known BMFF
+    // signature type (ftyp in practice; moov/mdat/free for raw
+    // fragments) — otherwise this is some other format
+    if (fourcc(b, 4) != "ftyp") return null
+    var major: String = null
+    var timescale = 0L
+    var duration = -1L
+    var nTracks = 0
+    var nVideo = 0
+    var nAudio = 0
+    var width = -1
+    var height = -1
+    walk(b, 0, b.length) {
+      case ("ftyp", s, e) =>
+        require(e - s >= 8, "mp4: ftyp too short")
+        major = fourcc(b, s)
+      case ("moov", ms, me) =>
+        walk(b, ms, me) {
+          case ("mvhd", s, e) =>
+            val v = b(s) & 0xff
+            if (v == 1) {
+              require(e - s >= 4 + 8 + 8 + 4 + 8, "mp4: mvhd v1 short")
+              timescale = u32(b, s + 20)
+              duration = u64(b, s + 24)
+            } else {
+              require(e - s >= 4 + 4 + 4 + 4 + 4, "mp4: mvhd v0 short")
+              timescale = u32(b, s + 12)
+              duration = u32(b, s + 16)
+            }
+          case ("trak", ts, te) =>
+            nTracks += 1
+            var handler: String = null
+            var w = -1
+            var h = -1
+            walk(b, ts, te) {
+              case ("tkhd", s, e) =>
+                val v = b(s) & 0xff
+                // v0 payload is 84 B, v1 (u64 times/duration) 96 B;
+                // width/height are the LAST 8 bytes (16.16 fixed)
+                require(e - s >= (if (v == 1) 96 else 84),
+                  "mp4: tkhd short")
+                w = (u32(b, e - 8) >> 16).toInt
+                h = (u32(b, e - 4) >> 16).toInt
+              case ("mdia", ds, de) =>
+                walk(b, ds, de) {
+                  case ("hdlr", s, e) =>
+                    require(e - s >= 12, "mp4: hdlr short")
+                    handler = fourcc(b, s + 8)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            if (handler == "vide") {
+              nVideo += 1
+              if (width < 0) { width = w; height = h }
+            } else if (handler == "soun") nAudio += 1
+          case _ => ()
+        }
+      case _ => () // mdat / free / unknown: skip by size
+    }
+    if (major == null || timescale <= 0 || duration < 0) return null
+    val durMs = duration * 1000L / timescale
+    Mp4Meta(major, timescale, durMs, nTracks, nVideo, nAudio,
+      width, height)
+  }
+
+  // ------------------------------------------- fragmented MP4
+
+  /** Fragment facts of a STREAMED (fMP4/DASH) file: fragment count,
+    * total sample count, and the summed sample durations in movie
+    * ticks — the duration evidence when `mvhd.duration` is 0 (the
+    * fragmented convention; the real total lives in the fragments).
+    */
+  final case class FragStats(nFragments: Int, nSamples: Long,
+      sampleDurationTicks: Long)
+
+  /** Walk `moof/traf` boxes: `tfhd`'s default_sample_duration (flag
+    * 0x000008, after the optional base_data_offset 0x1 and
+    * sample_description_index 0x2) and `trun`'s sample table (flags
+    * 0x000001 data offset, 0x000004 first-sample flags; per-sample
+    * duration 0x000100, size 0x000200, flags 0x000400, cts 0x000800)
+    * — ISO 14496-12 §8.8. Returns null for non-BMFF/malformed input
+    * (the [[extractMeta]] stance); a file with no `moof` returns
+    * (0, 0, 0) — a valid unfragmented movie.
+    */
+  def fragmentStats(b: Array[Byte]): FragStats = {
+    try fragmentInner(b)
+    catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private def fragmentInner(b: Array[Byte]): FragStats = {
+    if (b == null || b.length < 16 || b.length > MaxBytes) return null
+    if (fourcc(b, 4) != "ftyp") return null
+    var nFrags = 0
+    var nSamples = 0L
+    var durTicks = 0L
+    walk(b, 0, b.length) {
+      case ("moof", ms, me) =>
+        nFrags += 1
+        walk(b, ms, me) {
+          case ("traf", ts, te) =>
+            var defaultDur = -1L
+            walk(b, ts, te) {
+              case ("tfhd", s, e) =>
+                val flags = u32(b, s).toInt & 0xffffff
+                var p = s + 4 + 4 // fullbox header + track_ID
+                if ((flags & 0x1) != 0) p += 8 // base_data_offset
+                if ((flags & 0x2) != 0) p += 4 // sample_description_idx
+                if ((flags & 0x8) != 0) {
+                  require(p + 4 <= e, "mp4: tfhd short")
+                  defaultDur = u32(b, p)
+                }
+              case ("trun", s, e) =>
+                val flags = u32(b, s).toInt & 0xffffff
+                val count = u32(b, s + 4)
+                require(count <= Int.MaxValue, "mp4: trun count")
+                nSamples += count
+                var p = s + 8
+                if ((flags & 0x1) != 0) p += 4 // data_offset
+                if ((flags & 0x4) != 0) p += 4 // first_sample_flags
+                val perDur = (flags & 0x100) != 0
+                val width = Seq(0x100, 0x200, 0x400, 0x800)
+                  .count(f => (flags & f) != 0) * 4
+                if (perDur) {
+                  var i = 0L
+                  while (i < count) {
+                    val sp = p + (i * width).toInt
+                    require(sp + 4 <= e, "mp4: trun sample table short")
+                    durTicks += u32(b, sp)
+                    i += 1
+                  }
+                } else if (defaultDur >= 0) durTicks += defaultDur * count
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    FragStats(nFrags, nSamples, durTicks)
+  }
+
+  // ============================================== fixture encoder
+
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + payload.length)
+    val size = out.length.toLong
+    out(0) = ((size >> 24) & 0xff).toByte
+    out(1) = ((size >> 16) & 0xff).toByte
+    out(2) = ((size >> 8) & 0xff).toByte
+    out(3) = (size & 0xff).toByte
+    System.arraycopy(tpe.getBytes(StandardCharsets.US_ASCII), 0, out, 4, 4)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def concat(parts: Array[Byte]*): Array[Byte] = {
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var o = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+    out
+  }
+
+  /** Minimal standard-layout MP4 for fixtures: ftyp + moov(mvhd v0 +
+    * one trak per (handler, w, h)) + a small mdat. Width/height in
+    * PIXELS (encoded 16.16).
+    */
+  def buildMp4(majorBrand: String, timescale: Long, duration: Long,
+      tracks: Seq[(String, Int, Int)]): Array[Byte] = {
+    val ftyp = box("ftyp", concat(
+      majorBrand.getBytes(StandardCharsets.US_ASCII), be32(0),
+      "isom".getBytes(StandardCharsets.US_ASCII)))
+    val mvhd = box("mvhd", concat(
+      be32(0), // version 0 + flags
+      be32(3600), be32(3600), // creation, modification
+      be32(timescale), be32(duration),
+      be32(0x00010000L), // rate 1.0
+      Array.fill[Byte](2 + 2 + 8)(0), // volume + reserved
+      Array.fill[Byte](36)(0), // matrix
+      Array.fill[Byte](24)(0), // pre_defined
+      be32(tracks.length + 1L))) // next_track_ID
+    val traks = tracks.zipWithIndex.map { case ((handler, w, h), i) =>
+      val tkhd = box("tkhd", concat(
+        be32(7), // version 0 + flags (enabled)
+        be32(3600), be32(3600), be32(i + 1L), be32(0),
+        be32(duration),
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2)(0),
+        Array.fill[Byte](36)(0), // matrix
+        be32(w.toLong << 16), be32(h.toLong << 16)))
+      val hdlr = box("hdlr", concat(
+        be32(0), be32(0),
+        handler.getBytes(StandardCharsets.US_ASCII),
+        Array.fill[Byte](12)(0), Array[Byte](0))) // name: ""
+      val mdhd = box("mdhd", concat(
+        be32(0), be32(3600), be32(3600),
+        be32(timescale), be32(duration),
+        Array[Byte](0x55, ((0xc4 & 0xff)).toByte), // language "und"
+        Array[Byte](0, 0)))
+      val mdia = box("mdia", concat(mdhd, hdlr))
+      box("trak", concat(tkhd, mdia))
+    }
+    val moov = box("moov", concat((mvhd +: traks): _*))
+    val mdat = box("mdat", Array[Byte](1, 2, 3, 4))
+    concat(ftyp, moov, mdat)
+  }
+
+  /** Fragmented fixture: the [[buildMp4]] head (mvhd duration 0 —
+    * the fragmented convention) plus `frags` moof+mdat pairs. Each
+    * fragment is (sampleCount, perSampleDur: Option[Seq[Long]],
+    * defaultDur: Long) — per-sample durations exercise the trun
+    * sample table, None exercises the tfhd default path.
+    */
+  def buildFmp4(timescale: Long,
+      frags: Seq[(Int, Option[Seq[Long]], Long)]): Array[Byte] = {
+    val head = buildMp4("mp42", timescale, 0L, Seq(("vide", 320, 240)))
+      .dropRight(12) // drop the trailing mdat; fragments carry media
+    val moofs = frags.zipWithIndex.map { case ((count, per, dflt), i) =>
+      val mfhd = box("mfhd", concat(be32(0), be32(i + 1L)))
+      val tfhd = box("tfhd", concat(
+        be32(0x000008), // flags: default_sample_duration present
+        be32(1), // track_ID
+        be32(dflt)))
+      val trun = per match {
+        case Some(ds) =>
+          require(ds.length == count, "fixture: per-sample length")
+          box("trun", concat((Seq(
+            be32(0x000101), // flags: data_offset + sample durations
+            be32(count.toLong), be32(0)) ++ ds.map(be32)): _*))
+        case None =>
+          box("trun", concat(be32(0x000001), be32(count.toLong), be32(0)))
+      }
+      concat(box("moof", concat(mfhd, box("traf", concat(tfhd, trun)))),
+        box("mdat", Array[Byte](9, 9)))
+    }
+    concat((head +: moofs): _*)
+  }
+}

@@ -3831,6 +3831,206 @@ object Multimodal {
     * decode); malformed / non-Vorbis-non-Opus payloads yield
     * 'unknown'.
     */
+  /** MP4 / ISO-BMFF container metadata column (r16 — see [[Mp4]]):
+    * (format, major_brand, duration_ms, n_tracks, n_video, n_audio,
+    * width, height); malformed/non-BMFF payloads degrade to
+    * 'unknown'.
+    */
+  def withMp4Meta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("major_brand", StringType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("n_video", IntegerType),
+      StructField("n_audio", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Mp4.extractMeta(p)
+            if (m == null) Row("unknown", null, null, null, null, null,
+              null, null)
+            else Row("mp4", m.majorBrand, m.durationMs, m.nTracks,
+              m.nVideo, m.nAudio,
+              if (m.width >= 0) m.width else null,
+              if (m.height >= 0) m.height else null)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic MP4 payload (r16): one video track sized by the
+    * id lattice, an audio track on even ids, a text track on %5 ids
+    * (counts toward n_tracks, neither video nor audio), duration
+    * (id+1)·500 ms at timescale 1000.
+    */
+  def synthMp4Payload(id: Long): Array[Byte] = {
+    val tracks = Seq(
+      ("vide", (320 + 16 * (id % 8)).toInt, (240 + 16 * (id % 5)).toInt)) ++
+      (if (id % 2 == 0) Seq(("soun", 0, 0)) else Nil) ++
+      (if (id % 5 == 0) Seq(("text", 0, 0)) else Nil)
+    Mp4.buildMp4(if (id % 3 == 0) "isom" else "mp42",
+      timescale = 1000L, duration = (id + 1) * 500L, tracks)
+  }
+
+  /** Synthesize the `.mp4` media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeMp4Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthMp4Payload(id)
+        val out =
+          if (id % 19 == 0) { bytes(4) = 'X'.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOf(bytes, bytes.length / 2)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** WebM/Matroska EBML metadata column (r16 — see [[Ebml]]):
+    * (format = the EBML DocType, duration_ms, n_tracks, n_video,
+    * n_audio, width, height); malformed/non-EBML payloads degrade
+    * to 'unknown'.
+    */
+  def withWebmMeta(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("duration_ms", LongType),
+      StructField("n_tracks", IntegerType),
+      StructField("n_video", IntegerType),
+      StructField("n_audio", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Ebml.extractMeta(p)
+            if (m == null) Row("unknown", null, null, null, null, null,
+              null)
+            else Row(m.docType,
+              if (m.durationMs >= 0) m.durationMs else null,
+              m.nTracks, m.nVideo, m.nAudio,
+              if (m.width >= 0) m.width else null,
+              if (m.height >= 0) m.height else null)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Fragment-facts column for STREAMED fMP4 (r16 — see
+    * [[Mp4.fragmentStats]]): (format, n_fragments, n_samples,
+    * duration_ticks); malformed payloads degrade to 'unknown'.
+    */
+  def withMp4Fragments(df: DataFrame, payloadCol: String,
+      outCol: String): DataFrame = {
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_fragments", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ticks", LongType))), nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val stats = if (p == null) null
+          else {
+            val m = Mp4.fragmentStats(p)
+            if (m == null) Row("unknown", null, null, null)
+            else Row("mp4", m.nFragments, m.nSamples,
+              m.sampleDurationTicks)
+          }
+        Row.fromSeq(r.toSeq :+ stats)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic fMP4 payload (r16): id%3+1 fragments of 3 samples
+    * each; even fragments carry PER-SAMPLE durations, odd the tfhd
+    * default — both equal to 100+id%7 per sample, so the total is
+    * closed-form while both duration paths are exercised.
+    */
+  def synthFmp4Payload(id: Long): Array[Byte] = {
+    val per = 100L + id % 7
+    val frags = (0 until (id % 3 + 1).toInt).map { j =>
+      if (j % 2 == 0) (3, Some(Seq(per, per, per)), 0L)
+      else (3, None, per)
+    }
+    Mp4.buildFmp4(1000L, frags)
+  }
+
+  /** Synthesize the fMP4 media table: %19 magic, %13 truncation →
+    * 'unknown'. */
+  def synthesizeFmp4Bytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthFmp4Payload(id)
+        val out =
+          if (id % 19 == 0) { bytes(4) = 'X'.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOf(bytes, bytes.length - 7)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic WebM payload (r16): doc type matroska on %4 ids
+    * (else webm), f64 duration (id+1)·250 ticks at the default
+    * 1 ms scale, one video track on the id size lattice, audio on
+    * %3 ids.
+    */
+  def synthWebmPayload(id: Long): Array[Byte] = {
+    val tracks = Seq((1, (640 + 8 * (id % 6)).toInt,
+      (480 + 8 * (id % 3)).toInt)) ++
+      (if (id % 3 == 0) Seq((2, 0, 0)) else Nil)
+    Ebml.buildWebm(if (id % 4 == 0) "matroska" else "webm",
+      scale = 1000000L, durationTicks = (id + 1) * 250.0, tracks)
+  }
+
+  /** Synthesize the `.webm` media table: %19 magic, %13 truncation →
+    * 'unknown'.
+    */
+  def synthesizeWebmBytes(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = synthWebmPayload(id)
+        val out =
+          if (id % 19 == 0) { bytes(0) = 'X'.toByte; bytes }
+          else if (id % 13 == 0)
+            java.util.Arrays.copyOf(bytes, bytes.length / 2)
+          else bytes
+        Row(id, out)
+      }
+    }(Encoders.row(schema))
+  }
+
   def withOggMeta(df: DataFrame, payloadCol: String,
       outCol: String): DataFrame = {
     val schema = df.schema.add(outCol, StructType(Seq(

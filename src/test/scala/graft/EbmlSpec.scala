@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{Ebml, Multimodal}
+
+class EbmlSpec extends SparkSpec {
+
+  test("WebM round trip: doc type, f64 duration at default scale, " +
+      "track/type counts, first video track's pixel dims (r16)") {
+    val b = Ebml.buildWebm("webm", 1000000L, 1500.0,
+      Seq((1, 1280, 720), (2, 0, 0)))
+    val m = Ebml.extractMeta(b)
+    assert(m != null)
+    assert(m.docType === "webm")
+    assert(m.durationMs === 1500L)
+    assert(m.nTracks === 2 && m.nVideo === 1 && m.nAudio === 1)
+    assert(m.width === 1280 && m.height === 720)
+    // a non-default TimestampScale rescales the duration
+    val ns = Ebml.extractMeta(Ebml.buildWebm("matroska", 500000L,
+      2000.0, Seq((2, 0, 0))))
+    assert(ns.docType === "matroska" && ns.durationMs === 1000L)
+    assert(ns.nVideo === 0 && ns.width === -1)
+  }
+
+  test("HAND-ASSEMBLED EBML independent of the builder: unknown-SIZE " +
+      "Segment (the streamed-file form) runs to EOF, unknown elements " +
+      "skip, float32 duration reads") {
+    def e(id: Seq[Int], size: Seq[Int], payload: Array[Byte]) =
+      (id ++ size).map(_.toByte).toArray ++ payload
+    val header = e(Seq(0x1a, 0x45, 0xdf, 0xa3), Seq(0x87),
+      e(Seq(0x42, 0x82), Seq(0x84), "webm".getBytes("US-ASCII")))
+    val dur32 = java.lang.Float.floatToIntBits(750.0f)
+    val info = e(Seq(0x15, 0x49, 0xa9, 0x66), Seq(0x87),
+      e(Seq(0x44, 0x89), Seq(0x84), Array(
+        ((dur32 >> 24) & 0xff).toByte, ((dur32 >> 16) & 0xff).toByte,
+        ((dur32 >> 8) & 0xff).toByte, (dur32 & 0xff).toByte)))
+    // an unknown element (Void 0xEC) inside the segment
+    val voidEl = e(Seq(0xec), Seq(0x83), Array[Byte](0, 0, 0))
+    // Segment with UNKNOWN size: 0x01 + 7 bytes of 0xFF
+    val segBody = info ++ voidEl
+    val segment = (Seq(0x18, 0x53, 0x80, 0x67, 0x01) ++
+      Seq.fill(7)(0xff)).map(_.toByte).toArray ++ segBody
+    val m = Ebml.extractMeta(header ++ segment)
+    assert(m != null)
+    assert(m.docType === "webm" && m.durationMs === 750L)
+    assert(m.nTracks === 0)
+  }
+
+  test("fail-closed boundaries: non-EBML, magic corruption, size " +
+      "overrun via truncation, duration-less Info, fuzz never throws") {
+    assert(Ebml.extractMeta(null) === null)
+    assert(Ebml.extractMeta(Array.fill[Byte](30)(5)) === null)
+    val good = Multimodal.synthWebmPayload(7L)
+    assert(Ebml.extractMeta(good) != null)
+    val bad = good.clone(); bad(0) = 'X'
+    assert(Ebml.extractMeta(bad) === null)
+    assert(Ebml.extractMeta(
+      java.util.Arrays.copyOf(good, good.length / 2)) === null)
+    // Info without a Duration element → durationMs = -1, still parses
+    val noDur = Ebml.buildWebm("webm", 1000000L, 100.0, Nil)
+    // (builder always writes Duration; assemble an Info-less file)
+    val headerOnly = noDur.take(
+      4 + 1 + 2 + 1 + 4) // EBML header element only
+    val m2 = Ebml.extractMeta(headerOnly)
+    assert(m2 != null && m2.durationMs === -1L && m2.nTracks === 0)
+    val rnd = new scala.util.Random(0xEB31)
+    for (_ <- 0 until 200) {
+      val s = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          Ebml.extractMeta(s)
+        case 1 => Ebml.extractMeta(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Ebml.extractMeta(
+          Array.fill(rnd.nextInt(100) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.{Mp4, Multimodal}
+
+class Mp4Spec extends SparkSpec {
+
+  test("MP4 round trip: brand, mvhd duration->ms, track/handler " +
+      "counts, first video track's 16.16 dims; text tracks count as " +
+      "tracks only (r16)") {
+    val b = Mp4.buildMp4("mp42", timescale = 600L, duration = 1800L,
+      Seq(("vide", 640, 360), ("soun", 0, 0), ("text", 0, 0)))
+    val m = Mp4.extractMeta(b)
+    assert(m != null)
+    assert(m.majorBrand === "mp42")
+    assert(m.timescale === 600L && m.durationMs === 3000L)
+    assert(m.nTracks === 3 && m.nVideo === 1 && m.nAudio === 1)
+    assert(m.width === 640 && m.height === 360)
+    // audio-only (.m4a shape): no video dims
+    val a = Mp4.extractMeta(Mp4.buildMp4("M4A ", 1000L, 2500L,
+      Seq(("soun", 0, 0))))
+    assert(a.nVideo === 0 && a.width === -1 && a.durationMs === 2500L)
+  }
+
+  test("HAND-ASSEMBLED boxes independent of the builder: unknown " +
+      "boxes skip by size, a 64-bit largesize box walks, mvhd v1 " +
+      "u64 duration reads") {
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def box(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ cc(t) ++ p
+    val ftyp = box("ftyp", cc("isom") ++ be32(0))
+    // an unknown box with a LARGESIZE header (size=1 + u64)
+    val weirdPayload = Array.fill[Byte](5)(9)
+    val weird = be32(1L) ++ cc("wxyz") ++ be64(16L + 5) ++ weirdPayload
+    // mvhd VERSION 1: u64 creation/modification, u32 timescale,
+    // u64 duration
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(90000L) ++ be64(450000L) ++
+      Array.fill[Byte](80)(0))
+    val moov = box("moov", mvhd)
+    val m = Mp4.extractMeta(ftyp ++ weird ++ moov)
+    assert(m != null)
+    assert(m.timescale === 90000L && m.durationMs === 5000L)
+    assert(m.nTracks === 0)
+  }
+
+  test("fragmentStats (r16): per-sample trun durations and tfhd " +
+      "defaults both sum; unfragmented movies are (0,0,0); a trun " +
+      "table cut mid-sample refuses") {
+    val b = Mp4.buildFmp4(1000L, Seq(
+      (3, Some(Seq(100L, 110L, 120L)), 0L), // per-sample path
+      (2, None, 250L)))                     // default path
+    val f = Mp4.fragmentStats(b)
+    assert(f != null)
+    assert(f.nFragments === 2 && f.nSamples === 5L)
+    assert(f.sampleDurationTicks === 330L + 500L)
+    // unfragmented: valid movie, zero fragments
+    val plain = Mp4.buildMp4("isom", 1000L, 800L, Seq(("vide", 64, 48)))
+    assert(Mp4.fragmentStats(plain) === Mp4.FragStats(0, 0L, 0L))
+    // truncation inside the sample table refuses
+    assert(Mp4.fragmentStats(
+      java.util.Arrays.copyOf(b, b.length - 14)) === null)
+    // a gate-lattice payload parses to its closed form
+    val g = Mp4.fragmentStats(Multimodal.synthFmp4Payload(8L))
+    assert(g === Mp4.FragStats(3, 9L, 9L * 101L)) // id%3+1=3, 100+8%7=101
+  }
+
+  test("fail-closed boundaries: non-BMFF, corrupt ftyp, overrunning " +
+      "box size, truncation, fuzz never throws") {
+    assert(Mp4.extractMeta(null) === null)
+    assert(Mp4.extractMeta(Array.fill[Byte](40)(7)) === null)
+    val good = Multimodal.synthMp4Payload(7L)
+    assert(Mp4.extractMeta(good) != null)
+    val badMagic = good.clone(); badMagic(4) = 'X'
+    assert(Mp4.extractMeta(badMagic) === null)
+    assert(Mp4.extractMeta(
+      java.util.Arrays.copyOf(good, good.length / 2)) === null)
+    // poison the moov size field to overrun the file
+    val overrun = good.clone()
+    overrun(24 + 0) = 0x7f // ftyp is 24 B in the fixture; moov size MSB
+    assert(Mp4.extractMeta(overrun) === null)
+    val rnd = new scala.util.Random(0x3417)
+    for (_ <- 0 until 200) {
+      val s = good.clone()
+      rnd.nextInt(3) match {
+        case 0 =>
+          for (_ <- 0 to rnd.nextInt(8))
+            s(rnd.nextInt(s.length)) = rnd.nextInt(256).toByte
+          Mp4.extractMeta(s)
+        case 1 => Mp4.extractMeta(s.take(rnd.nextInt(s.length + 1)))
+        case _ => Mp4.extractMeta(
+          Array.fill(rnd.nextInt(100) + 1)(rnd.nextInt(256).toByte))
+      }
+    }
+  }
+}
