@@ -1597,6 +1597,68 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // --- tiktoken rank-file artifact + rank-driven encode (r16 —
+    //     the GPT-4-lineage artifact, completing the byte-level
+    //     family): the trained byte-BPE table ships as base64 token
+    //     ranks (256 raw bytes + merge products at 256+rank), reloads
+    //     fail-closed, must equal the parquet twin, and the
+    //     RANK-DRIVEN tiktoken encoder (no merge list in the file!)
+    //     must reproduce the merge-list encoder token-for-token over
+    //     the corpus — n_mismatch = 0. Planted corpus (the
+    //     text_bpe_bytes fixture, case + multibyte UTF-8); train
+    //     stamped.
+    "text_tiktoken" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("source"),
+          concat(expr("repeat('Ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('éé ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("Abé X")).as("text"))
+      val base = gateIndexPath(dir, "tiktoken_gate")
+      val file = base + "/ranks.tiktoken"
+      val (n, fp) = gateSourceStats(corpus, "doc_id", "text")
+      if (!gateIndexReady(s, base + "_stamp", n, fp)) {
+        val merges = graft.operators.Bpe.trainBytes(corpus, "text",
+          numMerges = 4)
+        val prods = merges
+          .select(col("rank").cast("int"), col("left"), col("right"))
+          .collect().sortBy(_.getInt(0))
+          .map(r => r.getString(1) + r.getString(2))
+        val baseTokens = (0 until 256).map(b =>
+          (Array(b.toByte), b))
+        val prodTokens = prods.zipWithIndex.map { case (p, i) =>
+          (p.map(graft.operators.Bpe.charToByte).toArray, 256 + i) }
+        graft.sources.TokenizerIo.writeTiktoken(
+          baseTokens ++ prodTokens, file)
+        merges.coalesce(1).write.mode("overwrite").parquet(base + "/_trained")
+        gateIndexStamp(s, base + "_stamp", n, fp)
+      }
+      val trained = Tables.metaParquet(s, base + "/_trained")
+      val fileRanks = graft.sources.TokenizerIo.readTiktoken(s, file)
+      // bytes → the mapped char space the encoders run in
+      val charRanks = fileRanks.map { case (b, r) =>
+        (b.map(x => graft.operators.Bpe.byteToChar(x & 0xff)).mkString, r)
+      }.toMap
+      val expectProds = trained
+        .select(col("rank").cast("int"), col("left"), col("right"))
+        .collect().sortBy(_.getInt(0))
+        .map(r => r.getString(1) + r.getString(2)).toSeq
+      require(fileRanks.size == 256 + expectProds.size &&
+        expectProds.zipWithIndex.forall { case (p, i) =>
+          charRanks.get(p).contains(256 + i) },
+        "ranks.tiktoken drifted from the trained table")
+      val r1 = graft.operators.Bpe.rankMap(trained)
+      val e1 = graft.operators.Bpe.withBpeByteTokens(
+        corpus, "text", r1, "t1")
+      val both = graft.operators.Bpe.withTiktokenTokens(
+        e1, "text", charRanks, "t2")
+      both.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("t1") === col("t2"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+        .orderBy(col("source"))
+    }),
+
     // --- SentencePiece .model artifact round trip (r16 — the third
     //     tokenizer-artifact family next to merges.txt/tokenizer.json
     //     and vocab.txt): the trained Unigram table ships as a REAL
@@ -3537,6 +3599,36 @@ object SparkEntry {
       TextFunctions.withChrF(pairs, "cand", "ref", "m", maxN = 3)
         .select(col("doc_id"), col("m.n_orders").as("n_orders"),
           col("m.chrf").as("chrf"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- BLEU sufficient statistics (r16 — Papineni 2002): per-pair
+    //     clipped n-gram matches and totals for orders 1..4 plus the
+    //     token lengths — the INTEGER decomposition corpus BLEU sums
+    //     before its transcendental last step (bleuFromStats, which
+    //     is unit-pinned rather than oracle-hashed: exp/log are not
+    //     bit-specified across engines). Same leader pairing as
+    //     text_ngram_overlap; the oracle replays all four orders'
+    //     clipped counts.
+    "text_bleu_stats" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val pairs = base.alias("a")
+        .join(base.alias("b"), col("b.doc_id") ===
+          col("a.doc_id") - pmod(col("a.doc_id"), lit(3L)))
+        .filter(col("a.doc_id") < 120)
+        .select(col("a.doc_id").as("doc_id"),
+          col("a.text").as("cand"), col("b.text").as("ref"))
+      TextFunctions.withBleuStats(pairs, "cand", "ref", "m")
+        .select(col("doc_id"),
+          col("m.n_cand").as("n_cand"), col("m.n_ref").as("n_ref"),
+          element_at(col("m.matches"), 1).as("m1"),
+          element_at(col("m.matches"), 2).as("m2"),
+          element_at(col("m.matches"), 3).as("m3"),
+          element_at(col("m.matches"), 4).as("m4"),
+          element_at(col("m.totals"), 1).as("t1"),
+          element_at(col("m.totals"), 2).as("t2"),
+          element_at(col("m.totals"), 3).as("t3"),
+          element_at(col("m.totals"), 4).as("t4"))
         .orderBy(col("doc_id"))
     }),
 
@@ -7565,6 +7657,13 @@ object SparkEntry {
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 100
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // the tiktoken invariant closed-form: the rank-driven encoder
+    // reproduces the merge-list encoder over the planted corpus
+    "text_tiktoken" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents WHERE doc_id < 60
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // the spm.model invariant closed-form: the protobuf artifact
     // re-encodes identically to the trained table (planted corpus —
     // every doc_id < 100 row participates)
@@ -8830,6 +8929,55 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0
         |    THEN round(CAST(n_common AS DOUBLE) / n_ref, 6) END AS rec
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the text_bleu_stats oracle: word n-grams per order 1..4 via
+    // list_slice windows, the clipped-multiset idiom, pivoted back
+    // to one row per pair — integers only, no transcendentals
+    "text_bleu_stats" ->
+      """WITH p AS (
+        |  SELECT a.doc_id, a.text AS cand, b.text AS ref
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 3)
+        |  WHERE a.text IS NOT NULL AND b.text IS NOT NULL
+        |    AND a.doc_id < 120),
+        |w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(cand), ' '),
+        |      x -> length(x) > 0) AS wa,
+        |    list_filter(string_split(lower(ref), ' '),
+        |      x -> length(x) > 0) AS wb
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, n, len(wa) AS la, len(wb) AS lb,
+        |    CASE WHEN len(wa) >= n THEN list_transform(
+        |      range(1, len(wa) - n + 2),
+        |      i -> array_to_string(list_slice(wa, i, i + n - 1), ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END AS ga,
+        |    CASE WHEN len(wb) >= n THEN list_transform(
+        |      range(1, len(wb) - n + 2),
+        |      i -> array_to_string(list_slice(wb, i, i + n - 1), ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END AS gb
+        |  FROM w, (SELECT unnest([1, 2, 3, 4]) AS n)),
+        |c AS (
+        |  SELECT doc_id, n, la, lb,
+        |    CAST(coalesce(list_sum(list_transform(list_distinct(ga),
+        |      x -> least(len(list_filter(ga, y -> y = x)),
+        |                 len(list_filter(gb, y -> y = x))))), 0)
+        |      AS BIGINT) AS mm,
+        |    CAST(len(ga) AS BIGINT) AS tt
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(max(la) AS BIGINT) AS n_cand,
+        |  CAST(max(lb) AS BIGINT) AS n_ref,
+        |  max(CASE WHEN n = 1 THEN mm END) AS m1,
+        |  max(CASE WHEN n = 2 THEN mm END) AS m2,
+        |  max(CASE WHEN n = 3 THEN mm END) AS m3,
+        |  max(CASE WHEN n = 4 THEN mm END) AS m4,
+        |  max(CASE WHEN n = 1 THEN tt END) AS t1,
+        |  max(CASE WHEN n = 2 THEN tt END) AS t2,
+        |  max(CASE WHEN n = 3 THEN tt END) AS t3,
+        |  max(CASE WHEN n = 4 THEN tt END) AS t4
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the text_chrf oracle: char grams per order via substr windows,
     // the clipped-multiset idiom of text_ngram_overlap, the F-β=2

@@ -1282,6 +1282,88 @@ object TextFunctions {
     }(Encoders.row(schema))
   }
 
+  /** BLEU sufficient statistics per (candidate, reference) row (r16)
+    * — the Papineni 2002 corpus metric decomposes into per-pair
+    * integers (clipped n-gram matches m_n and candidate gram totals
+    * t_n for n = 1..maxN, plus the two token lengths), summed
+    * corpus-wide and only THEN pushed through BP·exp(Σ log p_n / N).
+    * This op emits the integers (struct n_cand, n_ref, matches[],
+    * totals[]) — engine-exact and oracle-hashable; the transcendental
+    * final step lives in [[bleuFromStats]] (unit-pinned, not
+    * oracle-hashed: exp/log are not bit-specified across engines).
+    * Same per-row hash-count kernel stance as [[withChrF]].
+    */
+  def withBleuStats(df: org.apache.spark.sql.DataFrame, candCol: String,
+      refCol: String, outCol: String, maxN: Int = 4):
+      org.apache.spark.sql.DataFrame = {
+    require(maxN >= 1, s"maxN $maxN")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("n_cand", LongType),
+      StructField("n_ref", LongType),
+      StructField("matches", ArrayType(LongType)),
+      StructField("totals", ArrayType(LongType)))), nullable = true)
+    val ci = df.schema.fieldIndex(candCol)
+    val ri = df.schema.fieldIndex(refCol)
+    def toks(s: String): Array[String] =
+      s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+    def grams(a: Array[String], n: Int): scala.collection.mutable.HashMap[String, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + n <= a.length) {
+        val g = a.slice(i, i + n).mkString(" ")
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    df.mapPartitions { it =>
+      it.map { r =>
+        val c0 = r.get(ci).asInstanceOf[String]
+        val f0 = r.get(ri).asInstanceOf[String]
+        val m =
+          if (c0 == null || f0 == null) Row(null, null, null, null)
+          else {
+            val ct = toks(c0); val rt = toks(f0)
+            val ms = new Array[Long](maxN)
+            val ts = new Array[Long](maxN)
+            var n = 1
+            while (n <= maxN) {
+              val ca = grams(ct, n)
+              val cb = grams(rt, n)
+              var mm = 0L
+              ca.foreach { case (g, k) =>
+                mm += math.min(k, cb.getOrElse(g, 0L)) }
+              ms(n - 1) = mm
+              ts(n - 1) = math.max(0, ct.length - n + 1).toLong
+              n += 1
+            }
+            Row(ct.length.toLong, rt.length.toLong, ms.toSeq, ts.toSeq)
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Corpus BLEU from summed [[withBleuStats]] integers: brevity
+    * penalty exp(1 − r/c) when c < r, geometric mean of the order
+    * precisions (0 when any order has zero matches — the unsmoothed
+    * convention).
+    */
+  def bleuFromStats(candLen: Long, refLen: Long,
+      matches: Seq[Long], totals: Seq[Long]): Double = {
+    require(matches.length == totals.length && matches.nonEmpty,
+      "bleu: mismatched stats")
+    if (candLen == 0 || matches.exists(_ == 0L) ||
+      totals.exists(_ == 0L)) return 0.0
+    val logSum = matches.zip(totals).map { case (m, t) =>
+      math.log(m.toDouble / t) }.sum
+    val bp = if (candLen < refLen)
+      math.exp(1.0 - refLen.toDouble / candLen) else 1.0
+    bp * math.exp(logSum / matches.length)
+  }
+
   /** chrF (Popović 2015) between a candidate and a reference column
     * (r16) — the character-n-gram F-β MT/eval metric, robust to
     * tokenization differences where [[ngramOverlap]]/[[withRougeL]]

@@ -316,6 +316,63 @@ object Bpe {
     }(Encoders.row(schema))
   }
 
+  /** tiktoken-style encode of one byteized word (r16): the rank file
+    * carries TOKEN ranks, not merges, so the loop repeatedly merges
+    * the leftmost adjacent pair whose CONCATENATED token has the
+    * lowest rank in the table (openai/tiktoken's `byte_pair_merge`).
+    * For ranks derived from a BPE training run the two encoders
+    * agree whenever no product's byte string is ALSO splittable into
+    * two other vocab tokens at a boundary the training never merged
+    * (the tiktoken-vocab convention; real trained vocabs satisfy it
+    * because the training loop itself merges by min rank) — the
+    * `text_tiktoken` gate pins the equivalence corpus-wide for the
+    * shipped table rather than assuming it. Symbols are the
+    * mapped-char byte space ([[byteize]]); single-byte tokens always
+    * exist, so encoding is total.
+    */
+  private[graft] def encodeTiktoken(word: String,
+      ranks: Map[String, Int]): Array[String] = {
+    var parts = word.map(_.toString).toArray
+    var done = false
+    while (!done && parts.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        ranks.get(parts(i) + parts(i + 1)) match {
+          case Some(r) if r < bestRank => bestRank = r; bestI = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else parts = mergePair(parts, parts(bestI), parts(bestI + 1))
+    }
+    parts
+  }
+
+  /** [[withBpeByteTokens]] driven by a tiktoken RANK table (mapped
+    * char space) instead of a merge list. */
+  def withTiktokenTokens(df: DataFrame, textCol: String,
+      ranks: Map[String, Int], outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema.add(outCol, ArrayType(StringType), nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    val bc = spark.sparkContext.broadcast(ranks)
+    val pattern = bpeBytePattern.r
+    df.mapPartitions { it =>
+      val rk = bc.value
+      it.map { r =>
+        val t = r.get(idx)
+        val toks: Seq[String] =
+          if (t == null) null
+          else pattern.findAllIn(t.asInstanceOf[String])
+            .flatMap(w => encodeTiktoken(byteize(w), rk)).toSeq
+        Row.fromSeq(r.toSeq :+ toks)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Append `outCol` = [[decodeTokens]] of the token array in
     * `toksCol` (null → null) — the library decode path, and what the
     * `text_bpe_bytes` gate uses to hash-check the round trip.

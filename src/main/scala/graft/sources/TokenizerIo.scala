@@ -201,6 +201,65 @@ object TokenizerIo {
     body
   }
 
+  // ------------------------------------------------- .tiktoken
+
+  /** Write the tiktoken rank file (openai/tiktoken
+    * `load_tiktoken_bpe`, the GPT-4-lineage artifact): one line per
+    * token — `base64(token BYTES) <SP> rank` — written in rank
+    * order. The file carries NO merge list; encoders recover merge
+    * behavior from the ranks alone ([[graft.operators.Bpe
+    * .encodeTiktoken]]). Fail-closed: empty/duplicate token byte
+    * strings and non-dense ranks refuse.
+    */
+  def writeTiktoken(tokens: Seq[(Array[Byte], Int)], path: String): Unit = {
+    require(tokens.nonEmpty, "tiktoken: no tokens")
+    val ranks = tokens.map(_._2).sorted
+    require(ranks == ranks.indices.toList.map(identity),
+      "tiktoken: ranks must be dense 0..n-1")
+    tokens.foreach { case (b, _) =>
+      require(b != null && b.nonEmpty, "tiktoken: empty token bytes") }
+    val keys = tokens.map(t => new String(java.util.Base64.getEncoder
+      .encode(t._1), StandardCharsets.US_ASCII))
+    require(keys.distinct.size == keys.size,
+      "tiktoken: duplicate token byte strings")
+    val body = tokens.sortBy(_._2).map { case (b, r) =>
+      new String(java.util.Base64.getEncoder.encode(b),
+        StandardCharsets.US_ASCII) + " " + r
+    }.mkString("", "\n", "\n")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(writeConf())
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a `.tiktoken` rank file back (driver-side, vocab-sized).
+    * Line order is NOT semantic (the rank column is) — but dense
+    * ranks, parseable base64 and unique tokens are required.
+    */
+  def readTiktoken(spark: SparkSession, path: String): Seq[(Array[Byte], Int)] = {
+    val lines = slurp(spark, path).split("\n", -1).toSeq
+      .map(_.stripSuffix("\r")).filter(_.nonEmpty)
+    val tokens = lines.map { l =>
+      val parts = l.split(" ", -1)
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"tiktoken: malformed line '$l' — expected 'base64 rank'")
+      val bytes = try java.util.Base64.getDecoder.decode(parts(0))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"tiktoken: bad base64 in '$l'", e) }
+      require(bytes.nonEmpty, s"tiktoken: empty token in '$l'")
+      (bytes, parts(1).toInt)
+    }
+    val ranks = tokens.map(_._2).sorted
+    require(ranks == ranks.indices.toList.map(identity),
+      "tiktoken: ranks must be dense 0..n-1")
+    val keys = tokens.map(t => t._1.toSeq)
+    require(keys.distinct.size == keys.size,
+      "tiktoken: duplicate token byte strings")
+    tokens.sortBy(_._2)
+  }
+
   // ------------------------------------------- tokenizer.json (HF)
 
   /** In-memory form of the single-file HuggingFace FAST-tokenizer

@@ -144,4 +144,56 @@ class BpeSpec extends SparkSpec {
     assert(rows(0).getString(0) === "hi")
     assert(rows(1).isNullAt(0))
   }
+
+  test("encodeTiktoken (r16): rank-driven merging reproduces the " +
+      "merge-list encoder on trained ranks; the alternative-split " +
+      "divergence is REAL and documented") {
+    // trained-shape ranks: (a,b)->ab rank 256, (ab,c)->abc rank 257
+    val ranks = Map("a" -> 97, "b" -> 98, "c" -> 99,
+      "ab" -> 256, "abc" -> 257)
+    assert(Bpe.encodeTiktoken("abc", ranks).toSeq === Seq("abc"))
+    assert(Bpe.encodeTiktoken("cab", ranks).toSeq === Seq("c", "ab"))
+    assert(Bpe.encodeTiktoken("bca", ranks).toSeq ===
+      Seq("b", "c", "a")) // no pair in table
+    // merge-list agreement on the same derivation
+    val mergeRanks = Map(("a", "b") -> 0, ("ab", "c") -> 1)
+    assert(Bpe.encodeWord("abc", mergeRanks).toSeq ===
+      Bpe.encodeTiktoken("abc", ranks).toSeq)
+    // the divergence case the scaladoc documents: token "abc" trained
+    // as (a,bc), but the bytes ALSO split as ab+c — the rank table
+    // cannot tell, the merge list can
+    val altMerges = Map(("a", "b") -> 0, ("b", "c") -> 1,
+      ("a", "bc") -> 2)
+    val altRanks = Map("ab" -> 256, "bc" -> 257, "abc" -> 258)
+    assert(Bpe.encodeWord("abc", altMerges).toSeq === Seq("ab", "c"))
+    assert(Bpe.encodeTiktoken("abc", altRanks).toSeq === Seq("abc"))
+  }
+
+  test("tiktoken rank-file IO (r16): base64 byte round trip, line " +
+      "order non-semantic, dense-rank/duplicate/garbage refusals") {
+    import graft.sources.TokenizerIo
+    val dir = java.nio.file.Files.createTempDirectory("tik")
+    val p = dir.resolve("r.tiktoken").toString
+    val toks = Seq(
+      (Array[Byte](0x41), 0), (Array[Byte](0x42), 1),
+      (Array[Byte](0x41, 0x42), 2),
+      (Array[Byte](0xc3.toByte, 0xa9.toByte), 3)) // e-acute bytes
+    TokenizerIo.writeTiktoken(toks, p)
+    val back = TokenizerIo.readTiktoken(spark, p)
+    assert(back.map(t => (t._1.toSeq, t._2)) ===
+      toks.map(t => (t._1.toSeq, t._2)))
+    // shuffled line order still reads (ranks are the truth)
+    val shuffled = dir.resolve("s.tiktoken")
+    java.nio.file.Files.writeString(shuffled, "QUI= 2\nQQ== 0\nQg== 1\n")
+    assert(TokenizerIo.readTiktoken(spark, shuffled.toString)
+      .map(_._2) === Seq(0, 1, 2))
+    intercept[IllegalArgumentException](TokenizerIo.writeTiktoken(
+      Seq((Array[Byte](1), 0), (Array[Byte](2), 2)), p + "2")) // sparse
+    intercept[IllegalArgumentException](TokenizerIo.writeTiktoken(
+      Seq((Array[Byte](1), 0), (Array[Byte](1), 1)), p + "3")) // dup
+    val bad = dir.resolve("bad.tiktoken")
+    java.nio.file.Files.writeString(bad, "!!notbase64!! 0\n")
+    intercept[IllegalArgumentException](
+      TokenizerIo.readTiktoken(spark, bad.toString))
+  }
 }

@@ -805,4 +805,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(4) === ((5L, null, null)))
     assert(got(5) === ((6L, 0, null)))
   }
+
+  test("withBleuStats + bleuFromStats (r16): clipped counts by hand, " +
+      "identity pair scores 1.0, brevity penalty, zero-match floor") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "the the the the", "the cat"),   // clipping: m1 = 1
+      (3L, "a b", "a b c d"),               // short cand -> BP
+      (4L, null, "x"))
+      .toDF("id", "cand", "ref")
+    val got = graft.functions.TextFunctions
+      .withBleuStats(rows, "cand", "ref", "m")
+      .select($"id", $"m.n_cand", $"m.matches", $"m.totals")
+      .orderBy("id").collect()
+    // identity: every order fully matches
+    assert(got(0).getSeq[Long](2) === Seq(6L, 5L, 4L, 3L))
+    assert(got(0).getSeq[Long](3) === Seq(6L, 5L, 4L, 3L))
+    assert(graft.functions.TextFunctions.bleuFromStats(6L, 6L,
+      Seq(6L, 5L, 4L, 3L), Seq(6L, 5L, 4L, 3L)) === 1.0)
+    // clipping: "the" appears once in the ref -> m1 = 1, m2+ = 0
+    assert(got(1).getSeq[Long](2) === Seq(1L, 0L, 0L, 0L))
+    assert(graft.functions.TextFunctions.bleuFromStats(4L, 2L,
+      Seq(1L, 0L, 0L, 0L), Seq(4L, 3L, 2L, 1L)) === 0.0)
+    // brevity penalty: c=2 r=4 perfect bigram prefix
+    val bp = graft.functions.TextFunctions.bleuFromStats(2L, 4L,
+      Seq(2L, 1L), Seq(2L, 1L))
+    assert(math.abs(bp - math.exp(1.0 - 2.0)) < 1e-12)
+    // null side -> null struct
+    assert(got(3).isNullAt(1))
+  }
 }
