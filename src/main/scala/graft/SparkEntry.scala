@@ -3374,6 +3374,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Line-level diff of changed revisions (r16 — the
+    //     wiki-dump/re-crawl edit-extraction step downstream of
+    //     docs_snapshot_diff): old = the doc's tokens one per line,
+    //     new = old with every 4th line removed and two planted
+    //     lines appended, so kept/added/removed are closed-form
+    //     (the appended lines match nothing, the survivors are a
+    //     subsequence — the text_rouge LCS argument at line
+    //     granularity). The LCS DP itself is unit-pinned; the oracle
+    //     restates the count lattice and the round-6 change ratio.
+    "docs_line_diff" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 120)
+        .select(col("doc_id"), toks.as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"),
+          array_join(col("__t"), "\n").as("old_text"),
+          array_join(concat(
+            filter(col("__t"), (t, i) => pmod(i, lit(4)) =!= 3),
+            array(concat(lit("v2a-"), col("doc_id")),
+              concat(lit("v2b-"), col("doc_id")))), "\n").as("new_text"))
+      graft.operators.SnapshotDiff.withLineDiff(
+          docs, "old_text", "new_text", "m")
+        .select(col("doc_id"), col("m.n_old").as("n_old"),
+          col("m.n_new").as("n_new"), col("m.n_kept").as("n_kept"),
+          col("m.n_added").as("n_added"),
+          col("m.n_removed").as("n_removed"),
+          col("m.change_ratio").as("change_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Cross-snapshot diff (r14 — the incremental-crawl scheduler
     //     input): two snapshots derived from the fixture (%11 ids
     //     absent from OLD → added, %7 absent from NEW → removed,
@@ -9589,6 +9621,24 @@ object SparkEntry {
         |WHERE doc_id IN (7, 77, 177, 477)
         |   OR (doc_id >= 300 AND doc_id < 330)
         |ORDER BY doc_id""".stripMargin,
+
+    // the docs_line_diff oracle: the planted edit lattice closed-form
+    "docs_line_diff" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 120),
+        |d AS (SELECT doc_id, n FROM t WHERE n > 0)
+        |SELECT doc_id, n AS n_old,
+        |  CAST(n - n // 4 + 2 AS BIGINT) AS n_new,
+        |  CAST(n - n // 4 AS BIGINT) AS n_kept,
+        |  CAST(2 AS BIGINT) AS n_added,
+        |  CAST(n // 4 AS BIGINT) AS n_removed,
+        |  round(CAST(n // 4 + 2 AS DOUBLE) / (n + n - n // 4 + 2), 6)
+        |    AS change_ratio
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the docs_snapshot_diff oracle: the planted lattice restated —
     // added (%11 missing from old), removed (%7 missing from new),

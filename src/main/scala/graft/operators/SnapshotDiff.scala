@@ -67,4 +67,59 @@ object SnapshotDiff {
         changes.filter(col("status") =!= "removed")
           .select(col(keyCol), col(contentCol)))
   }
+
+  /** Line-level diff facts of a CHANGED document pair (r16) — what a
+    * revision-history pipeline (wiki dumps, code commits, re-crawled
+    * pages) derives edits from once [[diffSnapshots]] has flagged
+    * the pair: kept = the line-LCS of old vs new (the diff
+    * algorithms' common core), removed = old − kept, added = new −
+    * kept. Appends `outCol` as a struct (n_old, n_new, n_kept,
+    * n_added, n_removed, change_ratio) where change_ratio =
+    * round-6 (added+removed)/(old+new) (0 for two empty docs);
+    * either side null → null fields.
+    *
+    * Same kernel stance as [[graft.functions.TextFunctions
+    * .withRougeL]]: an O(n·m) DP is per-row bounded work on the scan
+    * — only the CHANGED slice of a snapshot pair ever reaches it.
+    * Lines split on '\n' with trailing '\r' stripped (CRLF
+    * tolerated); empty lines are real lines (blank-line edits are
+    * edits).
+    */
+  def withLineDiff(df: DataFrame, oldCol: String, newCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("n_old", LongType),
+      StructField("n_new", LongType),
+      StructField("n_kept", LongType),
+      StructField("n_added", LongType),
+      StructField("n_removed", LongType),
+      StructField("change_ratio", DoubleType))), nullable = true)
+    val oi = df.schema.fieldIndex(oldCol)
+    val ni = df.schema.fieldIndex(newCol)
+    def lines(s: String): Array[String] =
+      s.split("\n", -1).map(_.stripSuffix("\r"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.mapPartitions { it =>
+      it.map { r =>
+        val o0 = r.get(oi).asInstanceOf[String]
+        val n0 = r.get(ni).asInstanceOf[String]
+        val m =
+          if (o0 == null || n0 == null) Row(null, null, null, null, null, null)
+          else {
+            val ol = lines(o0); val nl = lines(n0)
+            val kept = graft.functions.TextFunctions.lcsLen(ol, nl).toLong
+            val added = nl.length - kept
+            val removed = ol.length - kept
+            val denom = ol.length.toLong + nl.length
+            Row(ol.length.toLong, nl.length.toLong, kept, added, removed,
+              if (denom > 0) r6((added + removed).toDouble / denom)
+              else 0.0)
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -61,4 +61,30 @@ class SnapshotDiffSpec extends SparkSpec {
     exchanges.foreach(l => assert(!l.contains("content#"),
       s"content crossed a shuffle: ${l.take(200)}"))
   }
+
+  test("withLineDiff (r16): kept/added/removed by hand, CRLF " +
+      "tolerated, blank-line edits count, null sides null out") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a\nb\nc", "a\nc\nd"),       // kept a,c; -b; +d
+      (2L, "same\nlines", "same\nlines"), // identical
+      (3L, "x\r\ny", "x\ny"),            // CRLF == LF
+      (4L, "p\n\nq", "p\nq"),            // blank line removed
+      (5L, null, "z"))
+      .toDF("id", "old", "new")
+    val got = graft.operators.SnapshotDiff
+      .withLineDiff(rows, "old", "new", "m")
+      .select($"id", $"m.n_old", $"m.n_new", $"m.n_kept",
+        $"m.n_added", $"m.n_removed", $"m.change_ratio")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 3L)
+    assert(got(0).getLong(3) === 2L && got(0).getLong(4) === 1L &&
+      got(0).getLong(5) === 1L)
+    assert(got(0).getDouble(6) === 0.333333)
+    assert(got(1).getLong(3) === 2L && got(1).getDouble(6) === 0.0)
+    assert(got(2).getLong(3) === 2L && got(2).getLong(4) === 0L)
+    assert(got(3).getLong(1) === 3L && got(3).getLong(3) === 2L &&
+      got(3).getLong(5) === 1L)
+    assert(got(4).isNullAt(1))
+  }
 }

@@ -863,6 +863,33 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("streaming video-container extraction == batch (r16): the " +
+      "mp4/webm metadata walks are stateless per-row projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (0L until 12L).map(id =>
+      (id, graft.sources.Multimodal.synthMp4Payload(id),
+        graft.sources.Multimodal.synthWebmPayload(id)))
+    val ms = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    def proj(df: org.apache.spark.sql.DataFrame) = {
+      val a = graft.sources.Multimodal.withMp4Meta(df, "mp4", "a")
+      graft.sources.Multimodal.withWebmMeta(a, "webm", "b")
+        .select($"media_id", $"a.duration_ms", $"a.width",
+          $"b.format", $"b.duration_ms".as("webm_ms"))
+    }
+    val q = proj(ms.toDF().toDF("media_id", "mp4", "webm"))
+      .writeStream.format("memory").queryName("vid_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("vid_st").orderBy("media_id").collect().toSeq ===
+      proj(rows.toDF("media_id", "mp4", "webm")).orderBy("media_id")
+        .collect().toSeq)
+  }
+
   test("streaming dropout / ranked-pair explode == batch (r15w8): " +
       "stateless rewrites") {
     implicit val sqlCtx = spark.sqlContext
