@@ -3833,6 +3833,35 @@ object SparkEntry {
     //     task, and compared element-wise against the raw parquet.
     //     Scalar result columns only (the vec_tfrecord lesson);
     //     n_exact = dim proves every float bit survived.
+    // --- GGUF vector shards (r16 — the llama.cpp-lineage artifact
+    //     next to safetensors/tfrecord/tokbin): embeddings shipped as
+    //     per-partition .gguf files through the from-scratch v3
+    //     framing (typed metadata kv + I64/F32 tensors, ggml
+    //     column-first dims, 32-byte aligned offsets), read back and
+    //     proven value-lossless against the source rows — the
+    //     vec_safetensors discipline.
+    "vec_gguf" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val path = gateIndexPath(dir, "gguf_vec_gate")
+      graft.sources.Gguf.writeVectors(vecs, "vec_id", "embedding",
+        path, meta = Seq("source" -> "graft_gate"))
+      graft.sources.Gguf.readVectors(s, path).alias("rt")
+        .join(vecs.alias("orig"), Seq("vec_id"))
+        .select(col("vec_id"),
+          size(col("rt.embedding")).cast("long").as("dim"),
+          aggregate(
+            zip_with(col("rt.embedding"), col("orig.embedding"),
+              (a, b) => when(a <=> b, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("n_exact"),
+          aggregate(col("rt.embedding"), lit(0L),
+            (acc, x) => acc +
+              floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+            .as("checksum"))
+        .orderBy(col("vec_id"))
+    }),
+
     "vec_safetensors" -> ((s, dir) => {
       val vecs = Tables.embeddings(s, dir)
         .filter(col("vec_id") < 200)
@@ -9590,6 +9619,17 @@ object SparkEntry {
     // safetensors F32 payload must round-trip bit-exactly, so
     // n_exact = dim and the floor(x*1e6) checksum recomputes from
     // the raw parquet with the same exact IEEE double arithmetic
+    // the vec_gguf oracle: same value-losslessness restatement as
+    // vec_safetensors — every element exact, scaled-floor checksum
+    "vec_gguf" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(len(embedding) AS BIGINT) AS n_exact,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+        |    AS BIGINT) AS checksum
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+
     "vec_safetensors" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,

@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** GGUF artifact IO (r16) — the llama.cpp-lineage single-file model
+  * format, written and parsed from scratch per the PUBLIC spec
+  * (ggml-org/ggml `docs/gguf.md`, version 3):
+  *
+  * {{{
+  *   "GGUF" | u32 version | u64 tensor_count | u64 metadata_kv_count
+  *   metadata kv*: string key | u32 value_type | value
+  *   tensor info*: string name | u32 n_dims | u64 dims[n_dims]
+  *                 | u32 ggml_type | u64 offset (into the data region)
+  *   padding to `general.alignment` (default 32) | tensor data
+  * }}}
+  *
+  * Strings are `u64 length + UTF-8 bytes`; everything little-endian.
+  * Supported here: the metadata value types a data artifact needs
+  * (string, bool, u32/u64/i64, f32/f64, arrays of i64/string) and
+  * F32/I64 tensor payloads — same scope stance as [[SafeTensors]];
+  * quantized ggml types are MODEL-side and refuse loudly. GGML dim
+  * order is ne[0] = innermost (columns first) — the writer converts
+  * from row-major [rows, cols] and the reader converts back.
+  *
+  * Fail-closed: bad magic, versions ≠ 3, unknown value/tensor types,
+  * truncation, counts/offsets that overrun, and tensors whose
+  * byte size disagrees with their dims all refuse.
+  */
+object Gguf {
+
+  private val Version = 3
+  // gguf metadata value types
+  private val TU32 = 4
+  private val TF32 = 6
+  private val TBool = 7
+  private val TStr = 8
+  private val TArr = 9
+  private val TU64 = 10
+  private val TI64 = 11
+  private val TF64 = 12
+  // ggml tensor types (subset)
+  val GgmlF32 = 0
+  val GgmlI64 = 27
+
+  final case class GTensor(ggmlType: Int, dims: Seq[Long],
+      data: Array[Byte]) {
+    def nElems: Long = dims.product
+  }
+
+  private def elemBytes(t: Int): Int = t match {
+    case GgmlF32 => 4
+    case GgmlI64 => 8
+    case x => throw new IllegalArgumentException(
+      s"gguf: unsupported ggml tensor type $x (F32/I64 only)")
+  }
+
+  // ------------------------------------------------ encode
+
+  private final class W {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v.toInt); out.write(b.array())
+    }
+    def u64(v: Long): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); out.write(b.array())
+    }
+    def f32(v: Float): Unit = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putFloat(v); out.write(b.array())
+    }
+    def f64(v: Double): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putDouble(v); out.write(b.array())
+    }
+    def str(s: String): Unit = {
+      val bytes = s.getBytes(StandardCharsets.UTF_8)
+      u64(bytes.length.toLong); out.write(bytes)
+    }
+  }
+
+  private def writeValue(w: W, v: Any): Unit = v match {
+    case s: String => w.u32(TStr); w.str(s)
+    case b: Boolean => w.u32(TBool); w.out.write(if (b) 1 else 0)
+    case i: Int => w.u32(TU32); w.u32(i.toLong)
+    case l: Long => w.u32(TI64); w.u64(l)
+    case f: Float => w.u32(TF32); w.f32(f)
+    case d: Double => w.u32(TF64); w.f64(d)
+    case a: Seq[_] if a.forall(_.isInstanceOf[Long]) =>
+      w.u32(TArr); w.u32(TI64); w.u64(a.length.toLong)
+      a.foreach(x => w.u64(x.asInstanceOf[Long]))
+    case a: Seq[_] if a.forall(_.isInstanceOf[String]) =>
+      w.u32(TArr); w.u32(TStr); w.u64(a.length.toLong)
+      a.foreach(x => w.str(x.asInstanceOf[String]))
+    case x => throw new IllegalArgumentException(
+      s"gguf: unsupported metadata value $x")
+  }
+
+  /** Assemble one GGUF file. `meta` keys must be unique; the
+    * `general.alignment` kv (u32 32) is added automatically.
+    */
+  def encodeFile(meta: Seq[(String, Any)],
+      tensors: Seq[(String, GTensor)]): Array[Byte] = {
+    val align = 32L
+    val kvs = ("general.alignment" -> Int.box(32)) +: meta
+    require(kvs.map(_._1).distinct.size == kvs.size,
+      "gguf: duplicate metadata keys")
+    tensors.foreach { case (n, t) =>
+      require(t.nElems * elemBytes(t.ggmlType) == t.data.length,
+        s"gguf: tensor $n dims ${t.dims.mkString("x")} disagree with " +
+          s"${t.data.length} data bytes")
+      require(n.nonEmpty, "gguf: empty tensor name")
+    }
+    require(tensors.map(_._1).distinct.size == tensors.size,
+      "gguf: duplicate tensor names")
+    val w = new W
+    w.out.write("GGUF".getBytes(StandardCharsets.US_ASCII))
+    w.u32(Version.toLong)
+    w.u64(tensors.length.toLong)
+    w.u64(kvs.length.toLong)
+    kvs.foreach { case (k, v) => w.str(k); writeValue(w, v) }
+    // tensor infos with 32-aligned offsets into the data region
+    var off = 0L
+    val offsets = tensors.map { case (_, t) =>
+      val o = off
+      off = ((off + t.data.length + align - 1) / align) * align
+      o
+    }
+    tensors.zip(offsets).foreach { case ((n, t), o) =>
+      w.str(n)
+      w.u32(t.dims.length.toLong)
+      t.dims.foreach(w.u64)
+      w.u32(t.ggmlType.toLong)
+      w.u64(o)
+    }
+    // pad header to alignment, then the data region
+    while (w.out.size % align != 0) w.out.write(0)
+    tensors.zip(offsets).foreach { case ((_, t), o) =>
+      // seek-free: offsets are monotone by construction
+      w.out.write(t.data)
+      val next = offsets.indexWhere(_ > o) match {
+        case -1 => ((o + t.data.length + align - 1) / align) * align
+        case i => offsets(i)
+      }
+      var pad = next - o - t.data.length
+      while (pad > 0) { w.out.write(0); pad -= 1 }
+    }
+    w.out.toByteArray
+  }
+
+  // ------------------------------------------------ decode
+
+  private final class R(b: Array[Byte]) {
+    var pos = 0
+    private def need(n: Int): Unit =
+      require(pos + n <= b.length, s"gguf: truncated at $pos (+$n)")
+    def u32(): Long = {
+      need(4)
+      val v = ByteBuffer.wrap(b, pos, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt.toLong & 0xffffffffL
+      pos += 4; v
+    }
+    def u64(): Long = {
+      need(8)
+      val v = ByteBuffer.wrap(b, pos, 8).order(ByteOrder.LITTLE_ENDIAN)
+        .getLong
+      pos += 8; v
+    }
+    def f32(): Float = {
+      need(4)
+      val v = ByteBuffer.wrap(b, pos, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getFloat
+      pos += 4; v
+    }
+    def f64(): Double = {
+      need(8)
+      val v = ByteBuffer.wrap(b, pos, 8).order(ByteOrder.LITTLE_ENDIAN)
+        .getDouble
+      pos += 8; v
+    }
+    def u8(): Int = { need(1); val v = b(pos) & 0xff; pos += 1; v }
+    def str(): String = {
+      val len = u64()
+      require(len >= 0 && len <= Int.MaxValue && pos + len <= b.length,
+        s"gguf: string length $len overruns")
+      val s = new String(b, pos, len.toInt, StandardCharsets.UTF_8)
+      pos += len.toInt; s
+    }
+  }
+
+  private def readValue(r: R, tpe: Long): Any = tpe match {
+    case TStr => r.str()
+    case TBool => r.u8() != 0
+    case TU32 => r.u32()
+    case TU64 | TI64 => r.u64()
+    case TF32 => r.f32()
+    case TF64 => r.f64()
+    case TArr =>
+      val et = r.u32()
+      val n = r.u64()
+      require(n >= 0 && n <= Int.MaxValue, s"gguf: array count $n")
+      Vector.fill(n.toInt)(readValue(r, et))
+    case x => throw new IllegalArgumentException(
+      s"gguf: unsupported metadata value type $x")
+  }
+
+  /** Parse one GGUF file → (metadata in file order, tensors by name).
+    */
+  def decodeFile(bytes: Array[Byte]): (Vector[(String, Any)], Map[String, GTensor]) = {
+    require(bytes.length >= 4 + 4 + 8 + 8, "gguf: truncated header")
+    require(new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "GGUF",
+      "gguf: magic mismatch")
+    val r = new R(bytes)
+    r.pos = 4
+    val version = r.u32()
+    require(version == Version, s"gguf: unsupported version $version")
+    val nTensors = r.u64()
+    val nKv = r.u64()
+    require(nTensors >= 0 && nTensors <= 1000000 && nKv >= 0 &&
+      nKv <= 1000000, "gguf: implausible counts")
+    val meta = Vector.newBuilder[(String, Any)]
+    var i = 0L
+    while (i < nKv) {
+      val k = r.str()
+      meta += (k -> readValue(r, r.u32()))
+      i += 1
+    }
+    val metaV = meta.result()
+    val align = metaV.collectFirst {
+      case ("general.alignment", a: Long) => a
+    }.getOrElse(32L)
+    require(align > 0 && (align & (align - 1)) == 0,
+      s"gguf: alignment $align not a power of two")
+    val infos = Vector.newBuilder[(String, Int, Seq[Long], Long)]
+    i = 0L
+    while (i < nTensors) {
+      val name = r.str()
+      val nd = r.u32()
+      require(nd >= 1 && nd <= 4, s"gguf: tensor $name rank $nd")
+      val dims = Vector.fill(nd.toInt)(r.u64())
+      require(dims.forall(d => d > 0 && d <= Int.MaxValue),
+        s"gguf: tensor $name dims ${dims.mkString("x")}")
+      val tpe = r.u32().toInt
+      val off = r.u64()
+      infos += ((name, tpe, dims, off))
+      i += 1
+    }
+    val dataStart = ((r.pos + align - 1) / align) * align
+    val tensors = infos.result().map { case (name, tpe, dims, off) =>
+      val nBytes = dims.product * elemBytes(tpe)
+      val from = dataStart + off
+      require(off % align == 0, s"gguf: tensor $name offset unaligned")
+      require(from + nBytes <= bytes.length,
+        s"gguf: tensor $name data overruns the file")
+      name -> GTensor(tpe, dims,
+        java.util.Arrays.copyOfRange(bytes, from.toInt,
+          (from + nBytes).toInt))
+    }.toMap
+    require(tensors.size == infos.result().size,
+      "gguf: duplicate tensor names")
+    (metaV, tensors)
+  }
+
+  // ------------------------------------------------ Spark write/read
+
+  /** Write `(idCol: long, vecCol: array<float>)` as one `.gguf` file
+    * per partition: tensors `vec_id` (I64, ggml dims [n]) and
+    * `embedding` (F32, ggml dims [dim, n] — ne[0] innermost), plus
+    * string metadata. The [[SafeTensors.writeVectors]] layout
+    * discipline (delete-first, shard-per-partition, empty partitions
+    * write nothing).
+    */
+  def writeVectors(df: DataFrame, idCol: String, vecCol: String,
+      path: String, meta: Seq[(String, String)] = Nil): Unit = {
+    val spark = df.sparkSession
+    val base = path.stripSuffix("/")
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(base))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val rows = it.map { r =>
+            require(!r.isNullAt(0) && !r.isNullAt(1),
+              "null vec_id/embedding — filter upstream")
+            (r.getLong(0), r.getSeq[Float](1).toArray)
+          }.toVector
+          val dim = rows.head._2.length
+          require(rows.forall(_._2.length == dim),
+            s"ragged embedding dims in shard (expected $dim)")
+          val ids = ByteBuffer.allocate(8 * rows.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          rows.foreach(r => ids.putLong(r._1))
+          val vecs = ByteBuffer.allocate(4 * rows.length * dim)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          rows.foreach(_._2.foreach(vecs.putFloat))
+          val bytes = encodeFile(
+            meta.map { case (k, v) => (k, v: Any) },
+            Seq(
+              "vec_id" -> GTensor(GgmlI64, Seq(rows.length.toLong),
+                ids.array()),
+              "embedding" -> GTensor(GgmlF32,
+                Seq(dim.toLong, rows.length.toLong), vecs.array())))
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fsx = new org.apache.hadoop.fs.Path(base)
+            .getFileSystem(hconf.value)
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$base/.part-$pid%05d-attempt-${tc.taskAttemptId()}.tmp")
+          val dst = new org.apache.hadoop.fs.Path(
+            f"$base/part-$pid%05d.gguf")
+          val out = fsx.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          if (!fsx.rename(tmp, dst)) {
+            fsx.delete(tmp, false)
+            require(fsx.exists(dst), s"gguf shard commit failed for $dst")
+          }
+        }
+      }
+  }
+
+  /** Read `.gguf` vector shards back → (vec_id, embedding). */
+  def readVectors(spark: SparkSession, base: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$base/*.gguf")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val (_, tensors) = decodeFile(bytes)
+        val idT = tensors.getOrElse("vec_id", throw new
+            IllegalArgumentException("gguf shard missing vec_id"))
+        val vecT = tensors.getOrElse("embedding", throw new
+            IllegalArgumentException("gguf shard missing embedding"))
+        require(idT.ggmlType == GgmlI64 && vecT.ggmlType == GgmlF32,
+          s"unexpected ggml types ${idT.ggmlType}/${vecT.ggmlType}")
+        val (dim, n) = vecT.dims match {
+          case Seq(c, r) => (c.toInt, r.toInt) // ggml order: ne[0]=cols
+          case s => throw new IllegalArgumentException(
+            s"embedding tensor must be rank 2, got ${s.mkString("x")}")
+        }
+        require(idT.dims == Seq(n.toLong),
+          s"vec_id dims ${idT.dims.mkString("x")} disagree with $n rows")
+        val ib = ByteBuffer.wrap(idT.data).order(ByteOrder.LITTLE_ENDIAN)
+        val vb = ByteBuffer.wrap(vecT.data).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).iterator.map { _ =>
+          val id = ib.getLong
+          val v = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { v(j) = vb.getFloat; j += 1 }
+          (id, v)
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.Gguf
+import graft.sources.Gguf.GTensor
+
+class GgufSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode/decode round trip: every supported metadata value " +
+      "type, F32+I64 tensors, 32-byte aligned offsets (r16)") {
+    val vecs = java.nio.ByteBuffer.allocate(4 * 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.5f, -2.25f, 0f, 4f, 5f, 6f).foreach(vecs.putFloat)
+    val ids = java.nio.ByteBuffer.allocate(8 * 3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(7L, 8L, 9L).foreach(ids.putLong)
+    val meta = Seq(
+      ("general.name", "graft-test": Any),
+      ("graft.flag", true: Any),
+      ("graft.count", 42: Any),
+      ("graft.big", 1234567890123L: Any),
+      ("graft.ratio", 0.5f: Any),
+      ("graft.exact", 0.25: Any),
+      ("graft.ids", Seq(1L, 2L, 3L): Any),
+      ("graft.names", Seq("a", "b"): Any))
+    val bytes = Gguf.encodeFile(meta, Seq(
+      "vec_id" -> GTensor(Gguf.GgmlI64, Seq(3L), ids.array()),
+      "embedding" -> GTensor(Gguf.GgmlF32, Seq(2L, 3L), vecs.array())))
+    val (m, t) = Gguf.decodeFile(bytes)
+    val mm = m.toMap
+    assert(mm("general.alignment") === 32L)
+    assert(mm("general.name") === "graft-test")
+    assert(mm("graft.flag") === true)
+    assert(mm("graft.count") === 42L)
+    assert(mm("graft.big") === 1234567890123L)
+    assert(mm("graft.ratio") === 0.5f)
+    assert(mm("graft.exact") === 0.25)
+    assert(mm("graft.ids") === Vector(1L, 2L, 3L))
+    assert(mm("graft.names") === Vector("a", "b"))
+    assert(t("vec_id").dims === Seq(3L))
+    assert(t("embedding").dims === Seq(2L, 3L))
+    assert(t("embedding").data.toSeq === vecs.array().toSeq)
+  }
+
+  test("HAND-ASSEMBLED minimal GGUF independent of the writer") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int) = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def u64(v: Long) = (0 until 8).foreach(i =>
+      bos.write(((v >> (8 * i)) & 0xff).toInt))
+    def str(s: String) = { u64(s.length.toLong); bos.write(s.getBytes("UTF-8")) }
+    bos.write("GGUF".getBytes("US-ASCII"))
+    u32(3) // version
+    u64(1) // one tensor
+    u64(2) // two kvs
+    str("general.alignment"); u32(4); u32(32)
+    str("hello"); u32(8); str("world")
+    str("t"); u32(1); u64(4); u32(0); u64(0) // F32 [4] at offset 0
+    while (bos.size % 32 != 0) bos.write(0)
+    (0 until 16).foreach(bos.write) // 4 floats of junk bytes
+    val (m, t) = Gguf.decodeFile(bos.toByteArray)
+    val mm = m.toMap[String, Any]
+    assert(mm("hello") === "world")
+    assert(t("t").ggmlType === Gguf.GgmlF32 && t("t").dims === Seq(4L))
+    assert(t("t").data.length === 16)
+  }
+
+  test("fail-closed: magic, version, quantized tensor types, " +
+      "truncated strings, overrunning tensor data refuse") {
+    val good = Gguf.encodeFile(Seq("k" -> "v"), Seq(
+      "t" -> GTensor(Gguf.GgmlF32, Seq(2L),
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))))
+    intercept[IllegalArgumentException](
+      Gguf.decodeFile("XXXX".getBytes("US-ASCII") ++ good.drop(4)))
+    val badVer = good.clone(); badVer(4) = 9
+    intercept[IllegalArgumentException](Gguf.decodeFile(badVer))
+    intercept[IllegalArgumentException](
+      Gguf.decodeFile(good.dropRight(28))) // cut into the data region
+    intercept[IllegalArgumentException](Gguf.encodeFile(Nil, Seq(
+      "q" -> GTensor(2 /* Q4_0 */, Seq(2L), Array[Byte](0, 0)))))
+    intercept[IllegalArgumentException](Gguf.encodeFile(Nil, Seq(
+      "t" -> GTensor(Gguf.GgmlF32, Seq(3L), Array[Byte](0, 0, 0, 0)))))
+  }
+
+  test("Spark vector shards: write per partition, read back " +
+      "value-lossless across shards") {
+    val dir = java.nio.file.Files.createTempDirectory("gguf").toString
+    val df = spark.range(0, 50).selectExpr("id as vec_id",
+      "transform(sequence(0, 7), i -> cast(id * 8 + i as float) / 4) " +
+        "as embedding")
+    Gguf.writeVectors(df.repartition(4), "vec_id", "embedding", dir,
+      meta = Seq("source" -> "graft_gate"))
+    val back = Gguf.readVectors(spark, dir)
+    assert(back.count() === 50L)
+    val a = back.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    val b = df.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    assert(a === b)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".gguf")) === 4)
+  }
+}
