@@ -863,6 +863,34 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("streaming line diff == batch (r16): the revision-edit kernel " +
+      "is a stateless per-row projection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 10L).map { id =>
+      val old = (0 until 6).map(j => s"line${(id + j) % 4}").mkString("\n")
+      val nw = if (id % 5 == 0) null
+        else old.linesIterator.zipWithIndex
+          .filter(_._2 % 3 != 2).map(_._1).mkString("\n") + s"\nnew$id"
+      (id, old, nw)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.SnapshotDiff.withLineDiff(df, "old", "new", "m")
+        .select($"id", $"m.n_kept", $"m.n_added", $"m.n_removed",
+          $"m.change_ratio")
+    val q = proj(ms.toDF().toDF("id", "old", "new"))
+      .writeStream.format("memory").queryName("diff_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("diff_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "old", "new")).orderBy("id").collect().toSeq)
+  }
+
   test("streaming video-container extraction == batch (r16): the " +
       "mp4/webm metadata walks are stateless per-row projections") {
     implicit val sqlCtx = spark.sqlContext
