@@ -3833,6 +3833,29 @@ object SparkEntry {
     //     task, and compared element-wise against the raw parquet.
     //     Scalar result columns only (the vec_tfrecord lesson);
     //     n_exact = dim proves every float bit survived.
+    // --- Matryoshka truncation (r16 — Kusupati et al. 2022, the
+    //     MRL serving trick): first-16-dims prefix renormalized;
+    //     the gate pins value-exactness — prefix norm (round-6) and
+    //     the scaled-floor checksum of the renormalized elements —
+    //     against the oracle recomputing the SAME fold shapes
+    //     (explicit left folds both sides: float sums are
+    //     order-sensitive, so the order is part of the contract).
+    "vec_matryoshka" -> ((s, dir) => {
+      val k = 16
+      val vecs = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val pre = slice(col("embedding").cast("array<double>"), 1, k)
+      val nn = sqrt(aggregate(pre, lit(0.0d), (a, x) => a + x * x))
+      val tn = graft.functions.VectorFunctions.truncateNormalize(
+        col("embedding"), k)
+      vecs.select(col("vec_id"),
+          size(tn).cast("long").as("dim"),
+          round(nn, 6).as("prefix_norm"),
+          aggregate(tn, lit(0L),
+            (a, x) => a + floor(x * lit(1000000.0d)).cast("long"))
+            .as("checksum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- GGUF vector shards (r16 — the llama.cpp-lineage artifact
     //     next to safetensors/tfrecord/tokbin): embeddings shipped as
     //     per-partition .gguf files through the from-scratch v3
@@ -9619,6 +9642,26 @@ object SparkEntry {
     // safetensors F32 payload must round-trip bit-exactly, so
     // n_exact = dim and the floor(x*1e6) checksum recomputes from
     // the raw parquet with the same exact IEEE double arithmetic
+    // the vec_matryoshka oracle: the same prefix, the same explicit
+    // left folds (list_reduce — never an order-unspecified SUM over
+    // doubles), the same division and scaled floor
+    "vec_matryoshka" ->
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS pre
+        |  FROM embeddings WHERE vec_id < 200),
+        |n AS (
+        |  SELECT vec_id, pre,
+        |    sqrt(list_reduce(list_transform(pre, x -> x * x),
+        |      (a, b) -> a + b)) AS nn
+        |  FROM t)
+        |SELECT vec_id, CAST(len(pre) AS BIGINT) AS dim,
+        |  round(nn, 6) AS prefix_norm,
+        |  CAST(list_reduce(list_transform(pre,
+        |    x -> CAST(floor(x / nn * 1000000) AS BIGINT)),
+        |    (a, b) -> a + b) AS BIGINT) AS checksum
+        |FROM n ORDER BY vec_id""".stripMargin,
+
     // the vec_gguf oracle: same value-losslessness restatement as
     // vec_safetensors — every element exact, scaled-floor checksum
     "vec_gguf" ->

@@ -96,4 +96,22 @@ object VectorFunctions {
     * vector type; dim mismatches must be caught by a cheap check).
     */
   def hasDim(a: Column, dim: Int): Column = size(a) === dim
+
+  /** Matryoshka truncation (r16 — Kusupati et al. 2022, the
+    * MRL-embedding serving trick): keep the first `k` dims and
+    * L2-renormalize, trading recall for a k/dim storage/compute cut
+    * at query time. Vectors shorter than `k` are null (a silent
+    * short prefix would fake a valid embedding); a zero-norm prefix
+    * normalizes to itself (the [[normalize]] stance). Element order
+    * is the fold order, so an oracle recomputes bit-identical
+    * doubles.
+    */
+  def truncateNormalize(a: Column, k: Int): Column = {
+    require(k >= 1, s"k $k")
+    val pre = slice(toDouble(a), 1, k)
+    val n = sqrt(aggregate(pre, lit(0.0d), (acc, x) => acc + x * x))
+    when(size(a) < k, lit(null).cast("array<double>"))
+      .otherwise(when(n === 0.0, pre)
+        .otherwise(transform(pre, x => x / n)))
+  }
 }

@@ -51,4 +51,21 @@ class VectorFunctionsSpec extends SparkSpec {
       if (!cos.isNaN) assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
     }
   }
+
+  test("truncateNormalize (r16): prefix renormalizes to unit norm, " +
+      "short vectors null, zero prefix passes through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 9.0f)),   // prefix-2 (3,4) -> (.6,.8)
+      (2L, Seq(1.0f)),               // shorter than k -> null
+      (3L, Seq(0.0f, 0.0f, 7.0f)))   // zero prefix -> unchanged
+      .toDF("id", "v")
+    val got = df.select($"id",
+        graft.functions.VectorFunctions.truncateNormalize($"v", 2).as("t"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Double](1) === Seq(0.6, 0.8))
+    assert(got(1).isNullAt(1))
+    assert(got(2).getSeq[Double](1) === Seq(0.0, 0.0))
+  }
 }
