@@ -3538,6 +3538,57 @@ object SparkEntry {
     //     root-to-leaf path. The oracle is WITH RECURSIVE verbatim,
     //     so path multiplication, leaf detection and render order
     //     all replay.
+    // --- Agent-trace tool-call protocol validation (r16 — the
+    //     curation gate agentic SFT data passes before training):
+    //     planted traces on the id%4 lattice — valid call/answer
+    //     pair, an orphan result (answers a call that never
+    //     happened, leaving the real call unanswered), a
+    //     two-call/one-answer turn, duplicate call ids — plus %19
+    //     junk JSON that must null out, not invent. The oracle
+    //     restates the lattice.
+    "chat_tool_calls" -> ((s, dir) => {
+      val id = col("doc_id")
+      val cid = id.cast("string")
+      def call(idExpr: org.apache.spark.sql.Column) = concat(
+        lit("""{"id":""""), idExpr, lit("""","name":"search"}"""))
+      def toolMsg(idExpr: org.apache.spark.sql.Column) = concat(
+        lit("""{"role":"tool","tool_call_id":""""), idExpr,
+        lit("""","content":"r"}"""))
+      val user = lit("""{"role":"user","content":"q"}""")
+      val fin = lit("""{"role":"assistant","content":"a"}""")
+      def trace(calls: org.apache.spark.sql.Column,
+          tool: org.apache.spark.sql.Column) = concat(
+        lit("""{"messages":["""), user, lit(","),
+        lit("""{"role":"assistant","tool_calls":["""), calls,
+        lit("]},"), tool, lit(","), fin, lit("]}"))
+      val js =
+        when(pmod(id, lit(19L)) === 0, lit("junk"))
+          .when(pmod(id, lit(4L)) === 0,
+            trace(call(concat(lit("c"), cid)),
+              toolMsg(concat(lit("c"), cid))))
+          .when(pmod(id, lit(4L)) === 1,
+            trace(call(concat(lit("c"), cid)), toolMsg(lit("missing"))))
+          .when(pmod(id, lit(4L)) === 2,
+            trace(concat(call(concat(lit("a"), cid)), lit(","),
+              call(concat(lit("b"), cid))),
+              toolMsg(concat(lit("a"), cid))))
+          .otherwise(
+            trace(concat(call(concat(lit("d"), cid)), lit(","),
+              call(concat(lit("d"), cid))),
+              toolMsg(concat(lit("d"), cid))))
+      val docs = Tables.documents(s, dir).filter(id < 80)
+        .select(id, js.as("json"))
+      graft.operators.Chat.toolCallStats(docs, "doc_id", "json", "m")
+        .select(id, col("m.n_turns").as("n_turns"),
+          col("m.n_calls").as("n_calls"),
+          col("m.n_results").as("n_results"),
+          col("m.n_orphans").as("n_orphans"),
+          col("m.n_unanswered").as("n_unanswered"),
+          col("m.n_dup_ids").as("n_dup_ids"),
+          col("m.valid").as("valid"))
+        .orderBy(id)
+    }),
+
     "chat_threads" -> ((s, dir) => {
       val id = col("doc_id")
       val base = Tables.documents(s, dir).filter(id < 80).select(id)
@@ -8896,6 +8947,31 @@ object SparkEntry {
 
     // the chat_threads oracle: the same planted trees walked by
     // WITH RECURSIVE — leaves are messages never named as a parent
+    // the chat_tool_calls oracle: the id%4 lattice restated; %19
+    // junk rows carry NULL facts
+    "chat_tool_calls" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |k AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN -1
+        |    ELSE CAST(doc_id % 4 AS INT) END AS v FROM ids)
+        |SELECT doc_id,
+        |  CASE WHEN v = -1 THEN NULL ELSE CAST(4 AS INT) END AS n_turns,
+        |  CASE WHEN v = -1 THEN NULL
+        |    WHEN v IN (0, 1) THEN CAST(1 AS INT)
+        |    ELSE CAST(2 AS INT) END AS n_calls,
+        |  CASE WHEN v = -1 THEN NULL ELSE CAST(1 AS INT) END AS n_results,
+        |  CASE WHEN v = -1 THEN NULL
+        |    WHEN v = 1 THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END
+        |    AS n_orphans,
+        |  CASE WHEN v = -1 THEN NULL
+        |    WHEN v IN (1, 2) THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END
+        |    AS n_unanswered,
+        |  CASE WHEN v = -1 THEN NULL
+        |    WHEN v = 3 THEN CAST(1 AS INT) ELSE CAST(0 AS INT) END
+        |    AS n_dup_ids,
+        |  CASE WHEN v = -1 THEN NULL ELSE v = 0 END AS valid
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "chat_threads" ->
       """WITH RECURSIVE m AS (
         |  SELECT doc_id * 100 AS msg_id, CAST(NULL AS BIGINT) AS parent_id,

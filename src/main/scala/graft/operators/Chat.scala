@@ -140,6 +140,84 @@ object Chat {
       .drop("content")
   }
 
+  /** Agent-trace message schema (r16): the tool-calling convention
+    * of agentic SFT data (the public chat-completions shape) —
+    * assistant turns may carry `tool_calls` [{id, name}], tool turns
+    * answer by `tool_call_id`. Extra keys ignored (partial-result
+    * parsing, the [[turnSchema]] stance).
+    */
+  val toolTurnSchema: StructType = new StructType()
+    .add("role", StringType).add("content", StringType)
+    .add("tool_call_id", StringType)
+    .add("tool_calls", ArrayType(new StructType()
+      .add("id", StringType).add("name", StringType)))
+
+  private val toolConvSchema: StructType =
+    new StructType().add("messages", ArrayType(toolTurnSchema))
+
+  /** Per-conversation tool-call protocol facts (r16) — the validator
+    * agentic-SFT curation runs before training on traces: every tool
+    * result must answer a PENDING call (else it is an orphan), every
+    * call must be answered by the end of the conversation (else
+    * unanswered), call ids must be unique conversation-wide. Appends
+    * `outCol` as a struct (n_turns, n_calls, n_results, n_orphans,
+    * n_unanswered, n_dup_ids, valid); unparseable/null JSON → null
+    * fields (the [[lossMaskSpans]] stance — junk is surfaced, not
+    * invented). One pure projection + a row-local kernel: rides the
+    * scan, streaming-safe.
+    */
+  def toolCallStats(df: DataFrame, idCol: String,
+      jsonCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val parsed = df.withColumn("__msgs",
+      from_json(col(jsonCol), toolConvSchema).getField("messages"))
+    val schema = parsed.schema.add(outCol, new StructType()
+      .add("n_turns", IntegerType).add("n_calls", IntegerType)
+      .add("n_results", IntegerType).add("n_orphans", IntegerType)
+      .add("n_unanswered", IntegerType).add("n_dup_ids", IntegerType)
+      .add("valid", BooleanType), nullable = true)
+    val mi = parsed.schema.fieldIndex("__msgs")
+    parsed.mapPartitions { it =>
+      it.map { r =>
+        val m =
+          if (r.isNullAt(mi)) Row(null, null, null, null, null, null, null)
+          else {
+            val msgs = r.getSeq[Row](mi)
+            val pending = scala.collection.mutable.Set.empty[String]
+            val seen = scala.collection.mutable.Set.empty[String]
+            var nCalls = 0
+            var nResults = 0
+            var nOrphans = 0
+            var nDup = 0
+            msgs.foreach { msg =>
+              if (msg != null) {
+                val role = msg.getString(0)
+                if (role == "assistant" && !msg.isNullAt(3)) {
+                  msg.getSeq[Row](3).foreach { c =>
+                    if (c != null && !c.isNullAt(0)) {
+                      val id = c.getString(0)
+                      nCalls += 1
+                      if (seen(id)) nDup += 1
+                      else { seen += id; pending += id }
+                    }
+                  }
+                } else if (role == "tool") {
+                  nResults += 1
+                  val id = if (msg.isNullAt(2)) null else msg.getString(2)
+                  if (id != null && pending(id)) pending -= id
+                  else nOrphans += 1
+                }
+              }
+            }
+            val nUn = pending.size
+            Row(msgs.length, nCalls, nResults, nOrphans, nUn, nDup,
+              nOrphans == 0 && nUn == 0 && nDup == 0)
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema)).drop("__msgs")
+  }
+
   /** Conversation-TREE flattening (r15 wave 8) — branched threads
     * (regenerations, preference forks: each message points at its
     * parent, roots have a null parent) flattened to every

@@ -155,6 +155,48 @@ class ChatSpec extends SparkSpec {
     assert(ok.length === 1 && ok.head.getInt(2) === 5)
   }
 
+  test("toolCallStats (r16): pairing, orphans, unanswered calls, " +
+      "duplicate ids, junk JSON nulls out") {
+    def conv(msgs: String) = s"""{"messages":[$msgs]}"""
+    val u = """{"role":"user","content":"q"}"""
+    val fin = """{"role":"assistant","content":"a"}"""
+    val rows = Seq(
+      // 1: two calls, both answered out of order — valid
+      (1L, conv(u + "," +
+        """{"role":"assistant","tool_calls":[{"id":"x","name":"s"},{"id":"y","name":"s"}]},""" +
+        """{"role":"tool","tool_call_id":"y","content":"r"},""" +
+        """{"role":"tool","tool_call_id":"x","content":"r"},""" + fin)),
+      // 2: orphan result + the real call stays unanswered
+      (2L, conv(u + "," +
+        """{"role":"assistant","tool_calls":[{"id":"x","name":"s"}]},""" +
+        """{"role":"tool","tool_call_id":"zzz","content":"r"},""" + fin)),
+      // 3: tool result with NO id — orphan
+      (3L, conv(u + "," +
+        """{"role":"tool","content":"r"},""" + fin)),
+      // 4: duplicate call ids across TURNS
+      (4L, conv(u + "," +
+        """{"role":"assistant","tool_calls":[{"id":"x","name":"s"}]},""" +
+        """{"role":"tool","tool_call_id":"x","content":"r"},""" +
+        """{"role":"assistant","tool_calls":[{"id":"x","name":"s"}]},""" +
+        """{"role":"tool","tool_call_id":"x","content":"r"},""" + fin)),
+      // 5: junk
+      (5L, "not json"))
+      .toDF("doc_id", "json")
+    val got = Chat.toolCallStats(rows, "doc_id", "json", "m")
+      .select($"doc_id", $"m.n_calls", $"m.n_results", $"m.n_orphans",
+        $"m.n_unanswered", $"m.n_dup_ids", $"m.valid")
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(1) === 2 && got(0).getBoolean(6))
+    assert(got(1).getInt(3) === 1 && got(1).getInt(4) === 1 &&
+      !got(1).getBoolean(6))
+    assert(got(2).getInt(3) === 1 && !got(2).getBoolean(6))
+    // dup id: second registration refused; its result re-answers an
+    // already-cleared id -> orphan too
+    assert(got(3).getInt(5) === 1 && got(3).getInt(3) === 1 &&
+      !got(3).getBoolean(6))
+    assert(got(4).isNullAt(1))
+  }
+
   test("flattenThreads: refuses orphan cycles and dangling parent_ids " +
       "instead of silently dropping them (ADVICE r15)") {
     // 5 <-> 6 is a cycle with no null-parent ancestor: never enters
