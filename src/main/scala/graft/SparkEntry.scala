@@ -2293,6 +2293,26 @@ object SparkEntry {
           max(col("split_k")).as("max_k"))
         .orderBy(col("split"), col("source"))),
 
+    // --- Length-bucketed batch assignment (r16 — dynamic-batching
+    //     prep): docs bucket by token-count bit length (integer-exact
+    //     magnitude buckets — padding waste within a batch < 2×),
+    //     rank within a bucket by the seeded shuffle key through the
+    //     TWO-PHASE distributed rank (never a per-bucket single
+    //     reducer — plan-pinned), batch id and position from the
+    //     0-based rank. The oracle replays bucket, order and the
+    //     rank arithmetic with a plain window (fine at oracle scale).
+    "docs_length_batches" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      graft.operators.TrainingOrder.assignLengthBatches(
+          docs, "doc_id", col("tok"), batchSize = 8, seed = 42L)
+        .select(col("doc_id"), col("len_bucket"), col("batch_idx"),
+          col("batch_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Contamination-safe split (r16): the docs_source_overlap
     //     plant (every doc carries the text of doc id%50 → 50 exact-
     //     dup groups spanning sources) grouped by content, the group
@@ -8302,6 +8322,27 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  min(split_k) AS min_k, max(split_k) AS max_k
         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    // the docs_length_batches oracle: same bucket/order/arithmetic,
+    // plain per-bucket window at oracle scale
+    "docs_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS tok,
+        |    md5(doc_id || ':42') AS sk
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, sk,
+        |  CAST(length(bin(tok)) AS INT) AS len_bucket
+        |  FROM t WHERE tok > 0),
+        |r AS (SELECT doc_id, len_bucket,
+        |  row_number() OVER (PARTITION BY len_bucket
+        |    ORDER BY sk, doc_id) - 1 AS rk
+        |  FROM k)
+        |SELECT doc_id, len_bucket,
+        |  CAST(rk // 8 AS BIGINT) AS batch_idx,
+        |  CAST(rk % 8 AS INT) AS batch_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the docs_split_safe oracle: same plant, same content grouping,
     // same group-keyed band law — integer thresholds of the 0.9/0.05/

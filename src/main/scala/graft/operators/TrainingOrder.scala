@@ -376,6 +376,57 @@ object TrainingOrder {
       splits: Seq[(String, Double)], seed: Long = 42L): DataFrame =
     assignSplitKeyed(df, col(idCol), splits, seed)
 
+  /** Length-bucketed batch assignment (r16) — the dynamic-batching
+    * prep step of training dataloaders: batching docs of similar
+    * length bounds padding waste (a 2-token doc padded to a
+    * 2048-token batch is ~99.9% wasted compute). Docs bucket by
+    * token-count MAGNITUDE — `len_bucket` = the bit length of the
+    * count (⌊log2 n⌋+1, integer-exact on every engine as
+    * `length(bin(n))` — never a float log2) — so within a batch the
+    * longest row pads the rest by < 2×. Within a bucket, rows order
+    * by the seeded shuffle key (epoch-reshuffleable) and
+    * `batch_idx` = 0-based-rank / batchSize, `batch_pos` = rank %
+    * batchSize. Rows with null or non-positive token counts are
+    * filtered (documented predicate — they carry nothing to batch).
+    *
+    * Scale shape: the [[interleaveByWeight]] two-phase rank —
+    * (bucket, shuffle-key-prefix sub-bucket)-partitioned window plus
+    * broadcast exclusive offsets; the sub-bucket is a PREFIX of the
+    * shuffle key, so the two-phase rank equals the per-bucket global
+    * rank while no bucket ever funnels through one reducer.
+    */
+  def assignLengthBatches(df: DataFrame, idCol: String, tokens: Column,
+      batchSize: Int, seed: Long = 42L,
+      bucketHexDigits: Int = 2): DataFrame = {
+    require(batchSize >= 1, s"batchSize $batchSize")
+    requireHexDigits(bucketHexDigits)
+    val reserved = Seq("shuffle_key", "len_bucket", "batch_idx",
+      "batch_pos").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"assignLengthBatches outputs ${reserved.mkString(", ")}; the " +
+        "input already has such column(s) — rename them first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.filter(tokens.isNotNull && tokens > 0)
+      .withColumn("len_bucket",
+        length(bin(tokens.cast("long"))).cast("int"))
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("__src", col("len_bucket").cast("string"))
+      .withColumn("__b", bucketCol(bucketHexDigits))
+    val offDf = broadcast(
+      bucketOffsets(keyed, count(lit(1))).toDF("__src", "__b", "__off"))
+    val wloc = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.join(offDf, Seq("__src", "__b"))
+      .withColumn("__rank",
+        col("__off") + row_number().over(wloc) - 1)
+      .withColumn("batch_idx",
+        floor(col("__rank") / batchSize).cast("long"))
+      .withColumn("batch_pos",
+        pmod(col("__rank"), lit(batchSize.toLong)).cast("int"))
+      .drop("__src", "__b", "__off", "__rank")
+  }
+
   /** Contamination-safe split (r16): the band comes from a GROUP key
     * — a near-dup component id, a url host, a document family —
     * instead of the row id, so every member of a group lands in the

@@ -365,4 +365,48 @@ class PackSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
       .filter($"n" > 1).count() > 0L)
   }
+
+  test("assignLengthBatches (r16): magnitude buckets, batches never " +
+      "mix buckets, full batches are exactly batchSize, two-phase " +
+      "rank == plain rank") {
+    import graft.operators.TrainingOrder
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i % 37) + 1)).toDF("doc_id", "tok")
+    val got = TrainingOrder.assignLengthBatches(df, "doc_id", $"tok",
+      batchSize = 8, seed = 7L)
+    // bucket = bit length of tok
+    val bad = got.filter(
+      $"len_bucket" =!= length(bin($"tok".cast("long"))).cast("int"))
+      .count()
+    assert(bad === 0L)
+    // batch ids are per-bucket; no batch exceeds batchSize
+    val sizes = got.groupBy("len_bucket", "batch_idx")
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sizes.forall(_.getLong(2) <= 8L))
+    val perBucket = got.groupBy("len_bucket")
+      .agg(max($"batch_idx").as("mx"), count(lit(1)).as("n")).collect()
+    perBucket.foreach { r =>
+      val full = r.getLong(2) / 8
+      val partial = r.getLong(2) % 8
+      assert(r.getLong(1) === (if (partial == 0) full - 1 else full))
+    }
+    // two-phase rank equals a plain per-bucket window rank
+    import org.apache.spark.sql.expressions.Window
+    val plain = df.filter($"tok" > 0)
+      .withColumn("len_bucket", length(bin($"tok".cast("long"))).cast("int"))
+      .withColumn("sk", md5(concat($"doc_id".cast("string"), lit(":7"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"len_bucket").orderBy($"sk", $"doc_id")) - 1)
+      .select($"doc_id", ($"rk" / 8).cast("long").as("e_idx"),
+        pmod($"rk", lit(8)).cast("int").as("e_pos"))
+    val diff = got.join(plain, "doc_id")
+      .filter($"batch_idx" =!= $"e_idx" || $"batch_pos" =!= $"e_pos")
+      .count()
+    assert(diff === 0L)
+    // non-positive/null token rows are filtered
+    val withJunk = df.union(Seq((999L, 0L), (998L, -3L))
+      .toDF("doc_id", "tok"))
+    assert(TrainingOrder.assignLengthBatches(withJunk, "doc_id", $"tok",
+      batchSize = 8, seed = 7L).filter($"doc_id" > 900L).count() === 0L)
+  }
 }

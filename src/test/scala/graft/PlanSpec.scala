@@ -466,6 +466,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("docs_length_batches: the rank window is sub-bucket-partitioned " +
+      "— no per-length-bucket single reducer (r16, the docs_interleave " +
+      "discipline)") {
+    val p = plan("docs_length_batches")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "expected the rank window in the plan")
+    winLines.foreach(l => assert(l.contains("__b"),
+      s"window not partitioned by the key bucket: ${l.take(300)}"))
+    assert(!p.contains("SinglePartition"),
+      s"global single-reducer stage found:\n${p.take(800)}")
+  }
+
   test("docs_arrow: the interchange read is file-per-task scan → " +
       "decode → PARTIAL-aggregated rollup — no cartesian, no window, " +
       "map-side combine before the one exchange") {
