@@ -4220,6 +4220,36 @@ object SparkEntry {
         .orderBy(col("name"))
     }),
 
+    // --- WebDataset sample grouping (r16 — the consumption half of
+    //     the tar-shard convention): members <key>.{txt,json} plus a
+    //     multi-dot <key>.seg.png on even ids written as tar shards,
+    //     read back member-wise, grouped to one row per SAMPLE by the
+    //     first-dot key rule. The oracle recomputes membership,
+    //     sorted ext lists, byte totals and the md5 checksum from the
+    //     planted contents.
+    "docs_webdataset" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 200)
+        .select(col("doc_id"))
+      val id = col("doc_id")
+      val keyBase = lpad(id.cast("string"), 6, "0")
+      def member(ext: String, content: org.apache.spark.sql.Column) =
+        docs.select(pmod(id, lit(4L)).as("shard_id"),
+          concat(keyBase, lit("." + ext)).as("name"),
+          encode(content, "UTF-8").as("content"))
+      val members = member("txt", concat(lit("t"), id.cast("string")))
+        .union(member("json",
+          concat(lit("""{"id":"""), id.cast("string"), lit("}"))))
+        .union(member("seg.png", concat(lit("s"), id.cast("string")))
+          .filter(pmod(id, lit(8L)) === 0))
+      val base = gateIndexPath(dir, "wds_gate")
+      graft.sources.Containers.writeTarShards(members, "shard_id",
+        "name", "content", base)
+      graft.sources.Containers.groupWebdatasetSamples(
+          graft.sources.Containers.readTarShards(s, s"$base/data/*.tar"))
+        .orderBy(col("key"))
+    }),
+
     // --- Tar shard manifest (r12): committed LAST, computed FROM the
     //     written tars — per-shard member count, payload bytes, and
     //     the engine-portable name:size checksum, all recomputable by
@@ -9966,6 +9996,35 @@ object SparkEntry {
         |FROM documents
         |WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200
         |ORDER BY name""".stripMargin,
+
+    // the docs_webdataset oracle: sample membership, sorted exts,
+    // byte totals and the summed md5 checksum from the plants
+    "docs_webdataset" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 200),
+        |m AS (
+        |  SELECT doc_id,
+        |    'shard-' || lpad(CAST(doc_id % 4 AS VARCHAR), 5, '0')
+        |      || '.tar' AS shard,
+        |    lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+        |    't' || doc_id AS c1,
+        |    '{"id":' || doc_id || '}' AS c2,
+        |    's' || doc_id AS c3,
+        |    doc_id % 8 = 0 AS has_seg
+        |  FROM ids)
+        |SELECT shard, key,
+        |  CAST(CASE WHEN has_seg THEN 3 ELSE 2 END AS INT) AS n_members,
+        |  CASE WHEN has_seg THEN 'json,seg.png,txt'
+        |    ELSE 'json,txt' END AS exts,
+        |  CAST(octet_length(encode(c1)) + octet_length(encode(c2)) +
+        |    CASE WHEN has_seg THEN octet_length(encode(c3)) ELSE 0 END
+        |    AS BIGINT) AS total_bytes,
+        |  CAST(CAST(concat('0x', substr(md5(c1), 1, 8)) AS UBIGINT)
+        |    + CAST(concat('0x', substr(md5(c2), 1, 8)) AS UBIGINT)
+        |    + CASE WHEN has_seg THEN
+        |        CAST(concat('0x', substr(md5(c3), 1, 8)) AS UBIGINT)
+        |      ELSE 0 END AS BIGINT) AS checksum
+        |FROM m ORDER BY key""".stripMargin,
 
     // the docs_tar_manifest oracle: per-shard facts of the attested
     // layout (member count, payload bytes, name:size checksum — the

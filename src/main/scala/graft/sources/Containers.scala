@@ -229,6 +229,38 @@ object Containers {
     }
   }
 
+  /** WebDataset SAMPLE grouping (r16) — the consumption semantics of
+    * the tar-shard convention (webdataset/webdataset docs): members
+    * named `<key>.<ext>` belong to ONE training sample per key
+    * ("000001.jpg" + "000001.txt" + "000001.json"), where the key is
+    * the basename up to the FIRST dot — everything after it is the
+    * extension, so "x.seg.png" carries ext "seg.png" (the documented
+    * multi-dot rule); directory prefixes stay in the key. Members
+    * without a dot carry ext "" and still group.
+    *
+    * Input: a [[readTarShards]]/[[readZipShards]]-shaped frame
+    * (shard, name, size, content). Output: one row per (shard, key)
+    * — n_members, the sorted ext list, total bytes, and an
+    * engine-portable content checksum (the md5-conv idiom, summed —
+    * order-insensitive). One partial-aggregated groupBy; payload
+    * bytes reduce map-side into the checksum, so the exchange
+    * carries sample-sized partials, not media bytes.
+    */
+  def groupWebdatasetSamples(members: DataFrame): DataFrame = {
+    val ext = regexp_extract(col("name"), "^(?:.*/)?[^/.]+\\.(.*)$", 1)
+    val key = when(ext === "", col("name"))
+      .otherwise(expr("substring(name, 1, length(name) - length(ext) - 1)"))
+    members
+      .withColumn("ext", ext)
+      .withColumn("__key", key)
+      .groupBy(col("shard"), col("__key").as("key"))
+      .agg(count(lit(1)).cast("int").as("n_members"),
+        array_join(array_sort(collect_list(col("ext"))), ",").as("exts"),
+        sum(col("size")).as("total_bytes"),
+        sum(conv(substring(md5(col("content")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+  }
+
   // ---------------------------------------------------------------- write
 
   private def octal(v: Long, width: Int): Array[Byte] = {

@@ -164,4 +164,27 @@ class ContainersSpec extends SparkSpec {
     assert(Containers.writeZipShards(df.limit(0), "shard_id", "name",
       "content", zipBase).count() === 0)
   }
+
+  test("groupWebdatasetSamples (r16): first-dot key rule, multi-dot " +
+      "extensions, no-dot members, directory prefixes stay in the key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val members = Seq(
+      ("s0.tar", "000001.txt", "a"),
+      ("s0.tar", "000001.json", "bb"),
+      ("s0.tar", "000001.seg.png", "ccc"),   // ext = seg.png
+      ("s0.tar", "train/000002.txt", "d"),   // dir prefix in key
+      ("s0.tar", "train/000002.json", "ee"),
+      ("s1.tar", "README", "ff"))            // no dot: ext ""
+      .map { case (sh, n, c) => (sh, n, c.length.toLong, c.getBytes("UTF-8")) }
+      .toDF("shard", "name", "size", "content")
+    val got = graft.sources.Containers.groupWebdatasetSamples(members)
+      .orderBy("key")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("s0.tar", "000001", 3, "json,seg.png,txt", 6L),
+      ("s1.tar", "README", 1, "", 2L),
+      ("s0.tar", "train/000002", 2, "json,txt", 3L)))
+  }
 }

@@ -960,4 +960,33 @@ class StreamingSpec extends SparkSpec {
         rRows.toDF("doc_id", "json"), "doc_id", "json")
         .orderBy("doc_id", "pair_idx").collect().toSeq)
   }
+
+  test("streaming tool-call validation == batch (r16): the agent-trace " +
+      "protocol kernel is a stateless per-row projection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 8L).map { id =>
+      val js = if (id % 4 == 3) "junk"
+        else s"""{"messages":[{"role":"user","content":"q"},""" +
+          s"""{"role":"assistant","tool_calls":[{"id":"c$id","name":"s"}]},""" +
+          s"""{"role":"tool","tool_call_id":"${if (id % 2 == 0) s"c$id" else "zz"}","content":"r"}]}"""
+      (id, js)
+    }
+    val ms = MemoryStream[(Long, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Chat.toolCallStats(df, "doc_id", "json", "m")
+        .select($"doc_id", $"m.n_calls", $"m.n_orphans",
+          $"m.n_unanswered", $"m.valid")
+    val q = proj(ms.toDF().toDF("doc_id", "json"))
+      .writeStream.format("memory").queryName("tool_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tool_st").orderBy("doc_id").collect().toSeq ===
+      proj(rows.toDF("doc_id", "json")).orderBy("doc_id")
+        .collect().toSeq)
+  }
 }
