@@ -252,7 +252,15 @@ object Gguf {
     }
     val dataStart = ((r.pos + align - 1) / align) * align
     val tensors = infos.result().map { case (name, tpe, dims, off) =>
-      val nBytes = dims.product * elemBytes(tpe)
+      // overflow-safe element count: a hostile header with four
+      // 2^31-sized dims would wrap a naive product into a small (or
+      // negative) byte count and mis-slice the data region
+      val nElems = dims.foldLeft(1L) { (a, d) =>
+        require(a <= (1L << 40) / d,
+          s"gguf: tensor $name element count overflows plausibility")
+        a * d
+      }
+      val nBytes = nElems * elemBytes(tpe)
       val from = dataStart + off
       require(off % align == 0, s"gguf: tensor $name offset unaligned")
       require(from + nBytes <= bytes.length,
