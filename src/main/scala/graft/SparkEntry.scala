@@ -4646,6 +4646,25 @@ object SparkEntry {
     //     expected fold closed-form from the public Unicode
     //     compatibility tables — two independent statements of the
     //     same mapping.
+    // --- Confusable skeleton (r16 — the UTS #39-subset homoglyph
+    //     fold): planted spam strings mixing Cyrillic and Greek
+    //     lookalikes must key IDENTICALLY to their ASCII twins — the
+    //     dedup/blocklist evasion this closes. The oracle writes the
+    //     expected skeletons closed-form (the text_nfkc discipline).
+    "text_confusables" -> ((s, dir) => {
+      val id = col("doc_id")
+      // "рαураl sеcurе lоgіn": Cyrillic р/у/а/е/о/і + Greek α
+      val planted = concat(
+        lit("рαураl sеcurе " +
+          "lоgіn "), id.cast("string"))
+      val skel = TextFunctions.confusableSkeleton(planted)
+      Tables.documents(s, dir).filter(id < 200).select(id,
+          skel.as("skeleton"),
+          (skel === concat(lit("paypal secure login "),
+            id.cast("string"))).cast("int").as("matches_ascii"))
+        .orderBy(id)
+    }),
+
     "text_nfkc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val id = col("doc_id")
@@ -10338,6 +10357,13 @@ object SparkEntry {
         |  CASE WHEN doc_id % 19 = 0 THEN NULL
         |    ELSE CAST(2 + doc_id % 3 AS INT) END AS n_cols
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the text_confusables oracle: the expected skeleton literally
+    "text_confusables" ->
+      """SELECT doc_id,
+        |  'paypal secure login ' || doc_id AS skeleton,
+        |  CAST(1 AS INT) AS matches_ascii
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // the text_nfkc oracle: expected folds written closed-form from
     // the public Unicode compatibility tables — ligatures expand,

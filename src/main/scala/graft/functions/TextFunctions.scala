@@ -40,6 +40,29 @@ object TextFunctions {
       graft.functions.expressions.NfkcFold(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** High-confidence single-char Cyrillic/Greek → Latin lookalikes
+    * (a pragmatic subset of the public UTS #39 confusables data):
+    * the characters homoglyph spam actually swaps. Lowercase-only —
+    * [[confusableSkeleton]] lowercases first, which folds the
+    * capital lookalikes onto these.
+    */
+  private[graft] val confusableFrom =
+    "аеорсухіјѕ" + // аеорсухіјѕ
+      "ԛԝкнмтв" +                 // ԛԝкнмтв
+      "οανικρυ"                   // οανικρυ
+  private[graft] val confusableTo = "aeopcyxijsqwkhmtboavikpu"
+
+  /** UTS #39-style confusable SKELETON (r16, subset): NFKC fold +
+    * lowercase + the [[confusableFrom]] lookalike map — the dedup /
+    * blocklist KEY that catches homoglyph evasion ("раураl" with
+    * Cyrillic а/р/у keys identically to "paypal"). Lossy by design
+    * (the [[nfkcFold]] stance): use for keys and matching, never as
+    * corpus text. Null-total; pure codegen'd expressions
+    * (translate), rides the scan.
+    */
+  def confusableSkeleton(text: Column): Column =
+    translate(lower(nfkcFold(text)), confusableFrom, confusableTo)
+
   /** Token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -835,4 +835,21 @@ class TextFunctionsSpec extends SparkSpec {
     // null side -> null struct
     assert(got(3).isNullAt(1))
   }
+
+  test("confusableSkeleton (r16): Cyrillic/Greek lookalikes fold to " +
+      "their Latin twins, capitals fold via lowercase, ASCII is a " +
+      "fixed point, NFKC composes") {
+    def skel(x: String) =
+      one[String](TextFunctions.confusableSkeleton(col("t")), x)
+    // Cyrillic \u0440\u0430\u0443 + Greek \u03b1
+    assert(skel("\u0440\u03b1\u0443\u0440\u0430l") === "paypal")
+    // capital Cyrillic lookalikes fold via the lowercase step
+    assert(skel("\u0420\u0410\u0423\u0420\u0410L") === "paypal")
+    // ASCII is untouched
+    assert(skel("paypal secure") === "paypal secure")
+    // NFKC composes: fullwidth + homoglyph in one string
+    assert(skel("\uFF41\u0440") === "ap")
+    // the dedup payoff: homoglyph spam keys with its ASCII twin
+    assert(skel("\u0440\u0430\u0443\u0440\u0430l") === skel("paypal"))
+  }
 }
