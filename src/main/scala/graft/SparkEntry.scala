@@ -4001,6 +4001,39 @@ object SparkEntry {
             .cast("long")).as("checksum"))
     }),
 
+    // --- JSONL dead-letter quarantine (r16): planted shards where
+    //     every 7th line is malformed JSON — the quarantine reader
+    //     must surface each bad line VERBATIM in _corrupt_record
+    //     (null fields, never a dropped row, never a failed job)
+    //     while good rows parse. One aggregate attests counts, good
+    //     ids and the corrupt-line checksum; the oracle recomputes
+    //     all four from the plant formulas.
+    "docs_jsonl_deadletter" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val line = when(pmod(id, lit(7L)) === 0,
+          concat(lit("{broken"), id.cast("string")))
+        .otherwise(concat(lit("""{"doc_id":"""), id.cast("string"),
+          lit(""","text":"t"""), id.cast("string"), lit("\"}")))
+      val base = gateIndexPath(dir, "jsonl_dlq_gate")
+      Tables.documents(s, dir).filter(id < 200)
+        .select(line.as("value")).coalesce(1)
+        .write.mode("overwrite").text(base)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.readJsonlQuarantine(s, base, schema)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("doc_id")))
+            .as("sum_good_ids"),
+          sum(conv(substring(md5(col("_corrupt_record")), 1, 8), 16, 10)
+            .cast("long")).as("corrupt_checksum"))
+    }),
+
     "docs_jsonl_gz" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("doc_id") < 300)
@@ -9922,6 +9955,20 @@ object SparkEntry {
         |  CAST(sum(CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 8))
         |    AS UBIGINT)) AS BIGINT) AS checksum
         |FROM documents WHERE text IS NOT NULL AND doc_id < 300""".stripMargin,
+
+    // the docs_jsonl_deadletter oracle: counts, good-id sum and the
+    // corrupt-line checksum from the plant formulas
+    "docs_jsonl_deadletter" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE doc_id END)
+        |    AS BIGINT) AS sum_good_ids,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN
+        |    CAST(concat('0x', substr(md5('{broken' || doc_id), 1, 8))
+        |      AS UBIGINT) END) AS BIGINT) AS corrupt_checksum
+        |FROM ids""".stripMargin,
 
     "docs_jsonl_gz" ->
       """SELECT count(*) AS n_docs,

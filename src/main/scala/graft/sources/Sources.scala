@@ -414,6 +414,23 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JSONL ingest with a DEAD-LETTER channel (r16): PERMISSIVE mode
+    * + a corrupt-record column — malformed lines arrive as rows with
+    * null fields and the RAW line in `_corrupt_record` for
+    * quarantine and inspection, never silently dropped and never
+    * failing the job (the 100 TB stance: one bad shard must not
+    * kill a 1000-executor ingest; the [[readCsv]] discipline for
+    * the JSON front door). Explicit schema for the same reasons as
+    * [[readJsonl]].
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** CSV ingest with an EXPLICIT schema — the delimited-file front
     * door (the reference restores a SQL dump; flat files arrive as
     * CSV/TSV in practice). Schema inference is refused for the same
