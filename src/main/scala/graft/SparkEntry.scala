@@ -4679,6 +4679,31 @@ object SparkEntry {
     //     expected fold closed-form from the public Unicode
     //     compatibility tables — two independent statements of the
     //     same mapping.
+    // --- IDN homograph detection (r16 — punycode decode composed
+    //     with the confusable skeleton): planted hosts on the id%4
+    //     lattice — a Cyrillic-а paypal homograph, a benign accented
+    //     IDN (café.fr — decodes but folds to itself), plain ASCII,
+    //     and a Cyrillic-о login homograph. homograph = is_idn AND
+    //     the skeleton differs from the decoded host. The oracle
+    //     restates decode + fold closed-form.
+    "url_idn_homograph" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = when(pmod(id, lit(4L)) === 0, lit("xn--pypal-4ve.com"))
+        .when(pmod(id, lit(4L)) === 1, lit("xn--caf-dma.fr"))
+        .when(pmod(id, lit(4L)) === 2,
+          concat(lit("example"), id.cast("string"), lit(".com")))
+        .otherwise(lit("xn--secure-lgin-ynj.net"))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, host.as("host"))
+      val dec = graft.operators.UrlPolicy.withIdnDecoded(docs, "host", "u")
+      dec.select(id, col("host"), col("u_host"), col("u_is_idn"),
+          TextFunctions.confusableSkeleton(col("u_host")).as("skeleton"),
+          (col("u_is_idn") &&
+            TextFunctions.confusableSkeleton(col("u_host")) =!=
+              lower(col("u_host"))).cast("int").as("homograph"))
+        .orderBy(id)
+    }),
+
     // --- Confusable skeleton (r16 — the UTS #39-subset homoglyph
     //     fold): planted spam strings mixing Cyrillic and Greek
     //     lookalikes must key IDENTICALLY to their ASCII twins — the
@@ -10404,6 +10429,29 @@ object SparkEntry {
         |  CASE WHEN doc_id % 19 = 0 THEN NULL
         |    ELSE CAST(2 + doc_id % 3 AS INT) END AS n_cols
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the url_idn_homograph oracle: decode + fold restated literally
+    // (the decoded hosts carry REAL Cyrillic а/о — the point)
+    "url_idn_homograph" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |k AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS v FROM ids)
+        |SELECT doc_id,
+        |  CASE v WHEN 0 THEN 'xn--pypal-4ve.com'
+        |    WHEN 1 THEN 'xn--caf-dma.fr'
+        |    WHEN 2 THEN 'example' || doc_id || '.com'
+        |    ELSE 'xn--secure-lgin-ynj.net' END AS host,
+        |  CASE v WHEN 0 THEN 'pаypal.com'
+        |    WHEN 1 THEN 'café.fr'
+        |    WHEN 2 THEN 'example' || doc_id || '.com'
+        |    ELSE 'secure-lоgin.net' END AS u_host,
+        |  v <> 2 AS u_is_idn,
+        |  CASE v WHEN 0 THEN 'paypal.com'
+        |    WHEN 1 THEN 'café.fr'
+        |    WHEN 2 THEN 'example' || doc_id || '.com'
+        |    ELSE 'secure-login.net' END AS skeleton,
+        |  CAST(CASE WHEN v IN (0, 3) THEN 1 ELSE 0 END AS INT)
+        |    AS homograph
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // the text_confusables oracle: the expected skeleton literally
     "text_confusables" ->

@@ -247,4 +247,47 @@ object UrlPolicy {
       .withColumn("robots_allow", coalesce(col("__allow"), lit(true)))
       .drop("__host", "__path", "__allow")
   }
+
+  /** IDN host decoding (r16): `xn--` A-labels → Unicode U-labels via
+    * the JDK's RFC 3490 codec (platform-codec status, the
+    * gzip/zstd-jni stance). Total function: hosts whose punycode is
+    * malformed keep the RAW host with `is_idn` still true — a
+    * fail-open KEY (decode-or-keep) so dedup never loses the row,
+    * while the flag marks it for inspection. Appends
+    * (`<out>_host`, `<out>_is_idn`).
+    *
+    * The point for curation: IDN HOMOGRAPH hosts
+    * ("xn--pypal-4ve.com" = "pаypal.com" with a Cyrillic а) decode
+    * to Unicode and then fall to
+    * [[graft.functions.TextFunctions.confusableSkeleton]] — the
+    * composed pipeline the `url_idn_homograph` gate pins.
+    */
+  def withIdnDecoded(df: DataFrame, hostCol: String,
+      outPrefix: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    val schema = df.schema
+      .add(outPrefix + "_host", StringType)
+      .add(outPrefix + "_is_idn", BooleanType)
+    val hi = df.schema.fieldIndex(hostCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val h = r.get(hi).asInstanceOf[String]
+        val out: (String, Any) =
+          if (h == null) (null, null)
+          else {
+            val isIdn = h.split('.')
+              .exists(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("xn--"))
+            if (!isIdn) (h, false)
+            else {
+              val dec = try java.net.IDN.toUnicode(h)
+                catch { case _: IllegalArgumentException => h }
+              (dec, true)
+            }
+          }
+        Row.fromSeq(r.toSeq :+ out._1 :+ out._2)
+      }
+    }(Encoders.row(schema))
+  }
 }

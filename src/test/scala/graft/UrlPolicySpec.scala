@@ -68,4 +68,30 @@ class UrlPolicySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, false), (2L, false), (3L, false),
       (4L, false), (5L, true), (6L, true)))
   }
+
+  test("withIdnDecoded (r16): xn-- labels decode, ASCII passes, " +
+      "malformed punycode keeps the raw host flagged, null-total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "xn--pypal-4ve.com"),
+      (2L, "plain.example.com"),
+      (3L, "xn--caf-dma.fr"),
+      (4L, "xn--!!!bogus!!!.com"), // malformed: keep raw, flag true
+      (5L, null: String))
+      .toDF("id", "host")
+    val got = graft.operators.UrlPolicy.withIdnDecoded(rows, "host", "u")
+      .orderBy("id").collect()
+      .map(r => (if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getBoolean(3)))
+    assert(got(0)._1 === "p\u0430ypal.com" && got(0)._2 === true)
+    assert(got(1) === (("plain.example.com", false)))
+    assert(got(2)._1 === "caf\u00e9.fr" && got(2)._2 === true)
+    assert(got(3)._2 === true) // flagged, host kept decodable-or-raw
+    assert(got(4) === ((null, null)))
+    // the composed homograph check
+    val skel = Seq(got(0)._1).toDF("h")
+      .select(graft.functions.TextFunctions.confusableSkeleton($"h"))
+      .head().getString(0)
+    assert(skel === "paypal.com")
+  }
 }
