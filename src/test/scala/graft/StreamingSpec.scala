@@ -989,4 +989,34 @@ class StreamingSpec extends SparkSpec {
       proj(rows.toDF("doc_id", "json")).orderBy("doc_id")
         .collect().toSeq)
   }
+
+  test("streaming IDN decode + confusable skeleton == batch (r16): " +
+      "the homograph pipeline is a stateless per-row projection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 8L).map { id =>
+      val host = (id % 3) match {
+        case 0 => "xn--pypal-4ve.com"
+        case 1 => s"plain$id.example.com"
+        case _ => "xn--caf-dma.fr"
+      }
+      (id, host)
+    }
+    val ms = MemoryStream[(Long, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.UrlPolicy.withIdnDecoded(df, "host", "u")
+        .select($"id", $"u_host", $"u_is_idn",
+          graft.functions.TextFunctions.confusableSkeleton($"u_host")
+            .as("skel"))
+    val q = proj(ms.toDF().toDF("id", "host"))
+      .writeStream.format("memory").queryName("idn_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("idn_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "host")).orderBy("id").collect().toSeq)
+  }
 }
