@@ -4679,6 +4679,27 @@ object SparkEntry {
     //     expected fold closed-form from the public Unicode
     //     compatibility tables — two independent statements of the
     //     same mapping.
+    // --- Percent-encoding normalization (r16 — RFC 3986 §6.2.2):
+    //     planted urls on the id%3 lattice — unreserved escapes that
+    //     must DECODE (%7E/%41), reserved escapes that must keep
+    //     UPPERCASE hex (%2f→%2F, %2a→%2A), a malformed trailing %
+    //     that must pass verbatim, and a plain url fixed point. The
+    //     oracle restates the rewrites literally.
+    "url_percent_norm" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(3L)) === 0,
+          concat(lit("https://ex"), id.cast("string"),
+            lit(".com/%7Euser/%41b%2fc?x=%2a")))
+        .when(pmod(id, lit(3L)) === 1,
+          concat(lit("https://ex"), id.cast("string"), lit(".com/a%")))
+        .otherwise(concat(lit("https://ex"), id.cast("string"),
+          lit(".com/plain?q=1")))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, url.as("url"))
+      TextFunctions.withNormalizedPercent(docs, "url", "norm")
+        .orderBy(id)
+    }),
+
     // --- IDN homograph detection (r16 — punycode decode composed
     //     with the confusable skeleton): planted hosts on the id%4
     //     lattice — a Cyrillic-а paypal homograph, a benign accented
@@ -10429,6 +10450,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 19 = 0 THEN NULL
         |    ELSE CAST(2 + doc_id % 3 AS INT) END AS n_cols
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the url_percent_norm oracle: the rewrites restated literally
+    "url_percent_norm" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'https://ex' || doc_id ||
+        |      '.com/%7Euser/%41b%2fc?x=%2a'
+        |    WHEN 1 THEN 'https://ex' || doc_id || '.com/a%'
+        |    ELSE 'https://ex' || doc_id || '.com/plain?q=1' END AS url,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'https://ex' || doc_id ||
+        |      '.com/~user/Ab%2Fc?x=%2A'
+        |    WHEN 1 THEN 'https://ex' || doc_id || '.com/a%'
+        |    ELSE 'https://ex' || doc_id || '.com/plain?q=1' END AS norm
+        |FROM ids ORDER BY doc_id""".stripMargin,
 
     // the url_idn_homograph oracle: decode + fold restated literally
     // (the decoded hosts carry REAL Cyrillic а/о — the point)

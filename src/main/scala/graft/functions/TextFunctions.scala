@@ -644,6 +644,61 @@ object TextFunctions {
     regexp_replace(noWww, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
   }
 
+  /** Percent-encoding normalization (r16 — RFC 3986 §6.2.2, the
+    * canonicalization step [[canonicalUrl]] declares out of its
+    * regex scope): `%XX` escapes of UNRESERVED chars (ALPHA / DIGIT
+    * / `-._~`) decode ("%7Euser" → "~user" — the same resource, a
+    * different byte string, a dedup miss), every other escape keeps
+    * its encoding with UPPERCASE hex ("%2f" → "%2F" — case-variant
+    * escapes are equivalent per the RFC and must key identically).
+    * Malformed escapes (a `%` not followed by two hex digits) pass
+    * through verbatim — a total function over crawl-grade input,
+    * never an error. Appends `outCol`; null → null. mapPartitions
+    * kernel (per-char conditional rewriting has no regexp form),
+    * rides the scan.
+    */
+  def withNormalizedPercent(df: org.apache.spark.sql.DataFrame,
+      urlCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StringType
+    val schema = df.schema.add(outCol, StringType)
+    val ui = df.schema.fieldIndex(urlCol)
+    def unreserved(b: Int): Boolean =
+      (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+        (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' ||
+        b == '~'
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    df.mapPartitions { it =>
+      it.map { r =>
+        val u = r.get(ui).asInstanceOf[String]
+        val out =
+          if (u == null) null
+          else {
+            val sb = new java.lang.StringBuilder(u.length)
+            var i = 0
+            while (i < u.length) {
+              val c = u.charAt(i)
+              if (c == '%' && i + 2 < u.length &&
+                  hex(u.charAt(i + 1)) >= 0 && hex(u.charAt(i + 2)) >= 0) {
+                val b = hex(u.charAt(i + 1)) * 16 + hex(u.charAt(i + 2))
+                if (unreserved(b)) sb.append(b.toChar)
+                else sb.append('%')
+                  .append(Character.toUpperCase(u.charAt(i + 1)))
+                  .append(Character.toUpperCase(u.charAt(i + 2)))
+                i += 3
+              } else { sb.append(c); i += 1 }
+            }
+            sb.toString
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Registered domain-ish host of a canonicalized URL (lowercased,
     * port stripped) — the per-domain grouping key quota/blocklist
     * policies join on.

@@ -852,4 +852,25 @@ class TextFunctionsSpec extends SparkSpec {
     // the dedup payoff: homoglyph spam keys with its ASCII twin
     assert(skel("\u0440\u0430\u0443\u0440\u0430l") === skel("paypal"))
   }
+
+  test("withNormalizedPercent (r16): unreserved escapes decode, " +
+      "reserved escapes uppercase, malformed escapes pass verbatim, " +
+      "null-total") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "/%7Euser/%41%62-%2e%5f"),   // ~ A b - . _ all unreserved
+      (2L, "/a%2fb%3Fq%3d1"),           // reserved: uppercase only
+      (3L, "/bad%zz%1"),                // malformed: verbatim
+      (4L, "/plain"),
+      (5L, null: String))
+      .toDF("id", "url")
+    val got = TextFunctions.withNormalizedPercent(rows, "url", "n")
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.getString(2))
+    assert(got(0) === "/~user/Ab-._")
+    assert(got(1) === "/a%2Fb%3Fq%3D1")
+    assert(got(2) === "/bad%zz%1")
+    assert(got(3) === "/plain")
+    assert(got(4) === null)
+  }
 }
