@@ -4283,6 +4283,45 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // --- WebDataset sample EXPORT (r17 — VERDICT r16 #1, the
+    //     production half of the convention): sample rows (key,
+    //     members array of (ext, content)) compose through
+    //     size-targeted shard packing + key.ext member naming +
+    //     writeTarShards, then round-trip back through readTarShards
+    //     + groupWebdatasetSamples. The oracle recomputes the SHARD
+    //     ASSIGNMENT itself — floor(exclusive-prefix-bytes / budget)
+    //     in doc_id order — plus membership, sorted exts, byte
+    //     totals and the md5 checksum from the plants, so any
+    //     packing, naming, or payload drift goes red. Write-once-
+    //     per-fixture stamp: steady-state runs time the
+    //     shard-parallel READ path (the docs_zip_shards precedent).
+    "docs_webdataset_write" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("doc_id") < 200)
+        .select(col("doc_id"))
+      val id = col("doc_id")
+      def mem(ext: String, content: org.apache.spark.sql.Column) =
+        struct(lit(ext).as("ext"), encode(content, "UTF-8").as("content"))
+      val txt = mem("txt", concat(lit("t"), id.cast("string")))
+      val jsn = mem("json",
+        concat(lit("""{"id":"""), id.cast("string"), lit("}")))
+      val seg = mem("seg.png", concat(lit("s"), id.cast("string")))
+      val samples = docs.select(id.as("doc_id"),
+        lpad(id.cast("string"), 6, "0").as("key"),
+        when(pmod(id, lit(8L)) === 0, array(txt, jsn, seg))
+          .otherwise(array(txt, jsn)).as("members"))
+      val base = gateIndexPath(dir, "wdsw_gate")
+      val (n, fp) = gateSourceStats(docs, "doc_id", "doc_id")
+      if (!gateIndexReady(s, base + "_stamp", n, fp)) {
+        graft.sources.Containers.writeWebdatasetSamples(samples,
+          "doc_id", "key", "members", base, targetShardBytes = 200L)
+        gateIndexStamp(s, base + "_stamp", n, fp)
+      }
+      graft.sources.Containers.groupWebdatasetSamples(
+          graft.sources.Containers.readTarShards(s, s"$base/data/*.tar"))
+        .orderBy(col("key"))
+    }),
+
     // --- Tar shard manifest (r12): committed LAST, computed FROM the
     //     written tars — per-shard member count, payload bytes, and
     //     the engine-portable name:size checksum, all recomputable by
@@ -10137,6 +10176,46 @@ object SparkEntry {
         |        CAST(concat('0x', substr(md5(c3), 1, 8)) AS UBIGINT)
         |      ELSE 0 END AS BIGINT) AS checksum
         |FROM m ORDER BY key""".stripMargin,
+
+    // the docs_webdataset_write oracle: recomputes the size-targeted
+    // shard assignment (floor of the exclusive byte prefix sum in
+    // doc_id order over the 200-byte budget) AND the per-sample
+    // round-trip facts from the planted member formulas alone
+    "docs_webdataset_write" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |  WHERE text IS NOT NULL AND doc_id < 200),
+        |m AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+        |    't' || doc_id AS c1,
+        |    '{"id":' || doc_id || '}' AS c2,
+        |    's' || doc_id AS c3,
+        |    doc_id % 8 = 0 AS has_seg
+        |  FROM ids),
+        |sized AS (
+        |  SELECT *, CAST(octet_length(encode(c1))
+        |    + octet_length(encode(c2))
+        |    + CASE WHEN has_seg THEN octet_length(encode(c3))
+        |      ELSE 0 END AS BIGINT) AS bytes
+        |  FROM m),
+        |packed AS (
+        |  SELECT *, COALESCE(SUM(bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS pre
+        |  FROM sized)
+        |SELECT 'shard-' || lpad(CAST(pre // 200 AS VARCHAR), 5, '0')
+        |    || '.tar' AS shard,
+        |  key,
+        |  CAST(CASE WHEN has_seg THEN 3 ELSE 2 END AS INT) AS n_members,
+        |  CASE WHEN has_seg THEN 'json,seg.png,txt'
+        |    ELSE 'json,txt' END AS exts,
+        |  bytes AS total_bytes,
+        |  CAST(CAST(concat('0x', substr(md5(c1), 1, 8)) AS UBIGINT)
+        |    + CAST(concat('0x', substr(md5(c2), 1, 8)) AS UBIGINT)
+        |    + CASE WHEN has_seg THEN
+        |        CAST(concat('0x', substr(md5(c3), 1, 8)) AS UBIGINT)
+        |      ELSE 0 END AS BIGINT) AS checksum
+        |FROM packed ORDER BY key""".stripMargin,
 
     // the docs_tar_manifest oracle: per-shard facts of the attested
     // layout (member count, payload bytes, name:size checksum — the

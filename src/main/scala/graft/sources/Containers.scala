@@ -261,6 +261,98 @@ object Containers {
           .cast("long")).as("checksum"))
   }
 
+  /** WebDataset sample EXPORT (r17 — the production half of the
+    * convention [[groupWebdatasetSamples]] consumes): sample rows
+    * (`keyCol`, `membersCol` = array of (ext, content)) become
+    * size-targeted tar shards whose members are named `key.ext`, so
+    * `readTarShards` → [[groupWebdatasetSamples]] round-trips every
+    * sample. A training-set exporter is the first thing anyone
+    * shipping a multimodal corpus writes; the reference stores rows
+    * in one PostgreSQL table (fever_multi_agent.py:61-78) — at
+    * 100 TB the corpus IS shard files.
+    *
+    * Contract (refused loudly, one bounded validation aggregate —
+    * never a silent drop):
+    *  - `orderCol` numeric non-null distinct — the total order shard
+    *    packing runs over ([[graft.operators.Pack.packByBudget]]'s
+    *    contract); sample order in the layout is this order.
+    *  - keys non-null, non-empty, unique, and DOT-FREE in the final
+    *    path segment — a dot there would shift the first-dot
+    *    boundary and the sample would re-group under a different
+    *    key. Directory prefixes (`a/b/key`) are allowed and stay in
+    *    the key, the documented WebDataset rule.
+    *  - exts non-null, non-empty, no '/' and no leading dot; unique
+    *    within a sample (duplicates would collide member names);
+    *    contents non-null.
+    *
+    * Scale shape: shard ASSIGNMENT is interval packing of per-sample
+    * payload bytes over the distributed two-phase prefix sum
+    * (`packByBudget` — no SinglePartition window); a sample never
+    * splits across shards, so a shard holds `targetShardBytes` plus
+    * at most one crossing sample. The WRITE is [[writeTarShards]]'s
+    * one hash shuffle on the shard id; member-name sorting keeps
+    * each sample's members CONTIGUOUS in its tar (all names of key k
+    * share the `k.` prefix, and any other key's names diverge from
+    * it before that dot — samples can interleave only if keys
+    * collide, which is refused). Validation is ONE tiny aggregate
+    * (counts only); the exchange carries member bytes exactly once.
+    * Returns the tar manifest (committed LAST, computed FROM the
+    * written shards). `gzip = true` writes `.tar.gz` shards.
+    */
+  def writeWebdatasetSamples(df: DataFrame, orderCol: String,
+      keyCol: String, membersCol: String, path: String,
+      targetShardBytes: Long, gzip: Boolean = false): DataFrame = {
+    require(targetShardBytes > 0,
+      s"targetShardBytes must be positive, got $targetShardBytes")
+    val m = col(membersCol)
+    val keyBase = element_at(split(col(keyCol), "/"), -1)
+    val badKey = col(keyCol).isNull || length(col(keyCol)) === 0 ||
+      keyBase.contains(".") || length(keyBase) === 0
+    val badMember = m.isNull || exists(m, e =>
+      e.getField("ext").isNull || length(e.getField("ext")) === 0 ||
+        e.getField("ext").contains("/") ||
+        e.getField("ext").startsWith(".") ||
+        e.getField("content").isNull)
+    val dupExt = size(m) =!=
+      size(array_distinct(transform(m, e => e.getField("ext"))))
+    val v = df.agg(
+      count(lit(1)), count_distinct(col(keyCol)),
+      sum(when(badKey, 1L).otherwise(0L)),
+      sum(when(badMember || dupExt, 1L).otherwise(0L))).head()
+    val (nRows, nKeys) = (v.getLong(0), v.getLong(1))
+    val nBadKey = if (v.isNullAt(2)) 0L else v.getLong(2)
+    val nBadMember = if (v.isNullAt(3)) 0L else v.getLong(3)
+    require(nBadKey == 0,
+      s"writeWebdatasetSamples: $nBadKey sample(s) with a null/empty " +
+        "key or a dot in the key's final path segment — the first-dot " +
+        "rule would re-group them under a different key")
+    require(nBadMember == 0,
+      s"writeWebdatasetSamples: $nBadMember sample(s) with an invalid " +
+        "member (null/empty ext, '/' or leading dot in ext, duplicate " +
+        "ext within the sample, or null content)")
+    require(nKeys == nRows,
+      s"writeWebdatasetSamples: ${nRows - nKeys} duplicate key(s) — " +
+        "members of colliding keys would merge into one sample")
+    // raw payload bytes — shard id is EXACTLY
+    // floor(exclusive_prefix_sum(bytes in orderCol order) / budget),
+    // recomputable by any engine (the gate's DuckDB twin does)
+    val sized = df.withColumn("__bytes",
+      aggregate(m, lit(0L),
+        (acc, e) => acc + length(e.getField("content")).cast("long")))
+    val packed = graft.operators.Pack.packByBudget(sized, orderCol,
+      col("__bytes"), targetShardBytes,
+      seqCol = "__wds_shard", offsetCol = "__wds_off")
+    val members = packed
+      .select(col("__wds_shard"), col(keyCol).as("__key"),
+        explode(m).as("__m"))
+      .select(col("__wds_shard"),
+        concat(col("__key"), lit("."), col("__m").getField("ext"))
+          .as("__name"),
+        col("__m").getField("content").as("__content"))
+    writeTarShards(members, "__wds_shard", "__name", "__content",
+      path, gzip)
+  }
+
   // ---------------------------------------------------------------- write
 
   private def octal(v: Long, width: Int): Array[Byte] = {

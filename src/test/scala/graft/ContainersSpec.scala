@@ -187,4 +187,93 @@ class ContainersSpec extends SparkSpec {
       ("s1.tar", "README", 1, "", 2L),
       ("s0.tar", "train/000002", 2, "json,txt", 3L)))
   }
+
+  test("webdataset export: size-targeted shard packing, key.ext naming, " +
+      "byte-lossless sample round trip, contiguous members (r17)") {
+    val samples = (0 until 40).map { i =>
+      val ms = Seq(WdsMember("txt", s"t$i".getBytes("UTF-8")),
+        WdsMember("json", s"""{"i":$i}""".getBytes("UTF-8"))) ++
+        (if (i % 4 == 0) Seq(WdsMember("seg.png", payload(i))) else Nil)
+      WdsSample(i.toLong, f"s/$i%04d", ms)
+    }
+    val base = Files.createTempDirectory("graft_wds").toString
+    val mf = Containers.writeWebdatasetSamples(samples.toDS.toDF(),
+      "ord", "key", "members", base, targetShardBytes = 400L)
+    // shard assignment = floor(exclusive byte prefix sum / budget),
+    // recomputed locally
+    val bytes = samples.map(_.members.map(_.content.length.toLong).sum)
+    val expShard = bytes.scanLeft(0L)(_ + _).init.map(_ / 400L)
+    assert(mf.count() === expShard.distinct.length.toLong)
+    assert(expShard.distinct.length > 2, "budget too large to exercise packing")
+    val grouped = Containers.groupWebdatasetSamples(
+        Containers.readTarShards(spark, s"$base/data/*.tar"))
+      .orderBy($"key").collect()
+    assert(grouped.length === 40)
+    grouped.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(1) === f"s/$i%04d")
+      assert(r.getString(0) === f"shard-${expShard(i)}%05d.tar", s"sample $i shard")
+      assert(r.getInt(2) === samples(i).members.length)
+      assert(r.getString(3) ===
+        samples(i).members.map(_.ext).sorted.mkString(","))
+      assert(r.getLong(4) === bytes(i))
+    }
+    // byte-lossless: every member's payload round-trips exactly
+    val back = Containers.readTarShards(spark, s"$base/data/*.tar")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](3)))
+    val byName = back.map(e => e._2 -> e._3).toMap
+    samples.foreach(sm => sm.members.foreach(m =>
+      assert(java.util.Arrays.equals(byName(s"${sm.key}.${m.ext}"), m.content),
+        s"payload mismatch ${sm.key}.${m.ext}")))
+    // a sample's members are CONTIGUOUS within its shard (the
+    // WebDataset sequential-consumption contract)
+    back.groupBy(_._1).foreach { case (sh, es) =>
+      val keys = es.map(_._2.takeWhile(_ != '.')) // first-dot key rule
+      assert(keys === keys.sorted, s"interleaved samples in $sh")
+    }
+  }
+
+  test("webdataset export refusals: dotted key basename, duplicate key, " +
+      "duplicate ext, empty ext, null content; dotted DIRECTORY ok (r17)") {
+    def w(df: org.apache.spark.sql.DataFrame): Unit = {
+      val d = Files.createTempDirectory("graft_wds_bad").toString
+      Containers.writeWebdatasetSamples(df, "ord", "key", "members", d, 100L)
+    }
+    def s1(ord: Long, key: String, ms: Seq[WdsMember]) = WdsSample(ord, key, ms)
+    val tm = WdsMember("txt", "x".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { // dot in the key's final segment
+      w(Seq(s1(0L, "a.b", Seq(tm))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // duplicate key
+      w(Seq(s1(0L, "k", Seq(tm)),
+        s1(1L, "k", Seq(WdsMember("json", "y".getBytes("UTF-8"))))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // duplicate ext within a sample
+      w(Seq(s1(0L, "k", Seq(tm, WdsMember("txt", "y".getBytes("UTF-8"))))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // empty ext
+      w(Seq(s1(0L, "k", Seq(WdsMember("", "x".getBytes("UTF-8"))))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // leading-dot ext
+      w(Seq(s1(0L, "k", Seq(WdsMember(".txt", "x".getBytes("UTF-8"))))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // '/' in ext
+      w(Seq(s1(0L, "k", Seq(WdsMember("a/b", "x".getBytes("UTF-8"))))).toDS.toDF()) }
+    intercept[IllegalArgumentException] { // null content
+      w(Seq(s1(0L, "k", Seq(WdsMember("txt", null)))).toDS.toDF()) }
+    // a dot in a DIRECTORY segment of the key is legal and round-trips
+    val okDir = Files.createTempDirectory("graft_wds_dir").toString
+    Containers.writeWebdatasetSamples(
+      Seq(s1(0L, "v1.2/k0", Seq(tm))).toDS.toDF(),
+      "ord", "key", "members", okDir, 100L)
+    val g = Containers.groupWebdatasetSamples(
+      Containers.readTarShards(spark, s"$okDir/data/*.tar")).collect()
+    assert(g.length === 1 && g(0).getString(1) === "v1.2/k0")
+  }
+
+  test("webdataset export: empty input attests an empty manifest (r17)") {
+    val base = Files.createTempDirectory("graft_wds_empty").toString
+    val mf = Containers.writeWebdatasetSamples(
+      Seq.empty[WdsSample].toDS.toDF(), "ord", "key", "members", base, 100L)
+    assert(mf.count() === 0)
+  }
 }
+
+/** WebDataset export fixtures — top-level for the Dataset encoder. */
+case class WdsMember(ext: String, content: Array[Byte])
+case class WdsSample(ord: Long, key: String, members: Seq[WdsMember])
