@@ -3120,6 +3120,17 @@ object SparkEntry {
     //     stage twins, so a regression in ANY stage — or in how the
     //     stages hand off — hash-mismatches here even while each
     //     stage's own gate stays green.
+    //     STAGED at the dedup output (r17, VERDICT-r16 #2): `deduped`
+    //     feeds BOTH sides of the decontamination anti-join, so as
+    //     one lazy plan the whole upstream tree (plant → 17-signal
+    //     quality table → dedup shuffle) was duplicated into each
+    //     side — recomputed twice AND serialized twice into every
+    //     downstream task binary (the 1–2 MiB DAGScheduler WARNs in
+    //     the r16 bench tail, all six from this gate). A
+    //     localCheckpoint materializes the dedup survivors once and
+    //     truncates lineage — at 100 TB this boundary is exactly
+    //     where a factory pipeline persists its post-dedup corpus
+    //     before fan-out (the docs_pagerank iterative precedent).
     "pipeline_factory" -> ((s, dir) => {
       import s.implicits._
       val id = col("doc_id")
@@ -3142,6 +3153,7 @@ object SparkEntry {
         .filter(col("gopher_pass") && col("lang") === "en")
         .select(id, col("text"), col("n_tokens"))
       val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+        .localCheckpoint()
       val probes = probeTexts.zipWithIndex
         .map { case (t, i) => (i.toLong, t) }.toDF("probe_id", "text")
       val contaminated = Dedup.containmentJoin(deduped, "doc_id", "text",
@@ -3607,6 +3619,44 @@ object SparkEntry {
           col("m.n_dup_ids").as("n_dup_ids"),
           col("m.valid").as("valid"))
         .orderBy(id)
+    }),
+
+    // --- Chat-template conventions (r17 — VERDICT-r16 "What's
+    //     missing" #2, the bounded three-convention cut): the SAME
+    //     planted conversation rendered under chatml / llama3 /
+    //     mistral, dispatched by a template-id COLUMN through
+    //     Chat.renderTemplate (so the gate exercises the dispatcher,
+    //     not three separate calls). Plants reuse the chat_assemble
+    //     content strings (all VALID here — validity is
+    //     chat_assemble's gate); %3 ids carry a system turn, which
+    //     llama3 renders as a header turn and mistral FOLDS into the
+    //     first user turn (the pinned conventions). n_chars is the
+    //     per-convention token-boundary evidence.
+    "chat_template" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 90)
+        .select(col("doc_id")).as[Long].map { id =>
+          val sys =
+            if (id % 3 == 0)
+              Seq(s"""{"role":"system","content":"be concise $id"}""")
+            else Seq.empty
+          val pairs = (0 until (id % 2 + 1).toInt).flatMap { p =>
+            Seq(
+              s"""{"role":"user","content":"ask $id q$p about item${(id * 7 + p) % 43}"}""",
+              s"""{"role":"assistant","content":"ans $id a$p value ${(id * 11 + p) % 37}"}""")
+          }
+          (id, s"""{"messages":[${(sys ++ pairs).mkString(",")}]}""")
+        }.toDF("doc_id", "json")
+      convs
+        .select(col("doc_id"),
+          graft.operators.Chat.parseTurns(col("json")).as("t"),
+          explode(array(lit("chatml"), lit("llama3"), lit("mistral")))
+            .as("template"))
+        .select(col("doc_id"), col("template"),
+          graft.operators.Chat.renderTemplate(col("t"), col("template"))
+            .as("text"))
+        .withColumn("n_chars", length(col("text")))
+        .orderBy(col("doc_id"), col("template"))
     }),
 
     "chat_threads" -> ((s, dir) => {
@@ -9179,6 +9229,60 @@ object SparkEntry {
         |    AS n_dup_ids,
         |  CASE WHEN v = -1 THEN NULL ELSE v = 0 END AS valid
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // the chat_template oracle: all three convention renderings
+    // rebuilt closed-form from the plant — chatml's im_start blocks,
+    // llama3's header turns (system as a native header turn),
+    // mistral's [INST] pairs with the system FOLDED into the first
+    // user turn and NO space after [/INST] (the pinned v1 template)
+    "chat_template" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, doc_id % 2 + 1 AS k,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'be concise ' || doc_id END
+        |      AS sysc
+        |  FROM documents WHERE doc_id < 90),
+        |pc AS (
+        |  SELECT i.id,
+        |    string_agg('<|im_start|>user' || chr(10) || 'ask ' || i.id ||
+        |      ' q' || p.g || ' about item' || ((i.id * 7 + p.g) % 43) ||
+        |      '<|im_end|>' || chr(10) || '<|im_start|>assistant' ||
+        |      chr(10) || 'ans ' || i.id || ' a' || p.g || ' value ' ||
+        |      ((i.id * 11 + p.g) % 37) || '<|im_end|>' || chr(10),
+        |      '' ORDER BY p.g) AS cp,
+        |    string_agg('<|start_header_id|>user<|end_header_id|>' ||
+        |      chr(10) || chr(10) || 'ask ' || i.id || ' q' || p.g ||
+        |      ' about item' || ((i.id * 7 + p.g) % 43) || '<|eot_id|>' ||
+        |      '<|start_header_id|>assistant<|end_header_id|>' ||
+        |      chr(10) || chr(10) || 'ans ' || i.id || ' a' || p.g ||
+        |      ' value ' || ((i.id * 11 + p.g) % 37) || '<|eot_id|>',
+        |      '' ORDER BY p.g) AS lp,
+        |    string_agg('[INST] ' ||
+        |      CASE WHEN p.g = 0 AND i.sysc IS NOT NULL
+        |        THEN i.sysc || chr(10) || chr(10) ELSE '' END ||
+        |      'ask ' || i.id || ' q' || p.g || ' about item' ||
+        |      ((i.id * 7 + p.g) % 43) || ' [/INST]' ||
+        |      'ans ' || i.id || ' a' || p.g || ' value ' ||
+        |      ((i.id * 11 + p.g) % 37) || '</s>',
+        |      '' ORDER BY p.g) AS mp
+        |  FROM ids i, generate_series(0, 1) AS p(g) WHERE p.g < i.k
+        |  GROUP BY i.id),
+        |r AS (
+        |  SELECT i.id,
+        |    COALESCE('<|im_start|>system' || chr(10) || i.sysc ||
+        |      '<|im_end|>' || chr(10), '') || pc.cp AS chatml,
+        |    '<|begin_of_text|>' ||
+        |      COALESCE('<|start_header_id|>system<|end_header_id|>' ||
+        |        chr(10) || chr(10) || i.sysc || '<|eot_id|>', '') ||
+        |      pc.lp AS llama3,
+        |    '<s>' || pc.mp AS mistral
+        |  FROM ids i JOIN pc ON pc.id = i.id),
+        |u AS (
+        |  SELECT id, 'chatml' AS template, chatml AS text FROM r
+        |  UNION ALL SELECT id, 'llama3', llama3 FROM r
+        |  UNION ALL SELECT id, 'mistral', mistral FROM r)
+        |SELECT id AS doc_id, template, text,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM u ORDER BY doc_id, template""".stripMargin,
 
     "chat_threads" ->
       """WITH RECURSIVE m AS (

@@ -190,64 +190,44 @@ object TextFunctions {
 
   /** N-gram-profile language ID heuristic: score each candidate
     * language by hits of its most frequent function words / character
-    * patterns; highest score wins, ties broken by language code. Tiny
-    * profile set — enough for the fixture's {en,de,es,fr,zh}.
+    * patterns; highest score wins, ties broken to the earlier
+    * profile. Tiny profile set — enough for the fixture's
+    * {en,de,es,fr,zh}. The marker table is owned by the kernel
+    * expression (single source of truth); SQL oracles replay it via
+    * the replace-length trick this heuristic is defined by:
+    * hits(m) = (len(padded) - len(replace(padded, m, ''))) / len(m)
+    * over padded = ' ' || lower(text) || ' '.
     */
-  val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq(" der ", " und ", " die ", " ist ", " nicht ", " das "),
-    "en" -> Seq(" the ", " and ", " of ", " is ", " that ", " with "),
-    "es" -> Seq(" el ", " los ", " las ", " es ", " una ", " que "),
-    "fr" -> Seq(" le ", " les ", " est ", " une ", " dans ", " qui "))
-
-  /** Marker hit count via the replace-length trick (plain substring
-    * replace, no regex — byte-for-byte replicable in any SQL engine).
-    */
-  private def markerHits(padded: Column, m: String): Column =
-    (length(padded) - length(replace(padded, lit(m), lit("")))) / m.length
+  val langProfiles: Seq[(String, Seq[String])] =
+    graft.functions.expressions.LanguageIdExpr.profiles
 
   /** CJK character count (BMP unified-ideograph block). */
   def cjkCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[一-鿿]", ""))
 
-  /** The (score, priority, lang) argmax struct — evaluated as ONE
-    * greatest(): a when-chain fold would re-embed every earlier score
-    * tree in each later branch (measured 2.6× the marker-scan cost).
-    * Priority gives score ties to the earlier profile, matching a
-    * first-strictly-greater fold.
+  /** Language ID as the single-node codegen kernel (r17 — replaces
+    * the greatest(struct(...)) Column composition, whose 24
+    * replace-length marker trees serialized to ~215 KiB of plan per
+    * use site and bloated every downstream task binary; see
+    * [[graft.functions.expressions.LanguageIdExpr]]). Semantics are
+    * byte-identical, oracle-pinned: CJK-majority → "zh", best marker
+    * score → its lang (ties to the earlier profile), zero hits →
+    * "und", null text → "und".
     */
-  private def langBest(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    val n = langProfiles.length
-    greatest(langProfiles.zipWithIndex.map { case ((lang, markers), i) =>
-      struct(
-        markers.map(m => markerHits(padded, m)).reduce(_ + _).as("s"),
-        lit(n - i).as("pri"),
-        lit(lang).as("lang"))
-    }: _*)
-  }
+  def languageId(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.LanguageIdExpr(
+          org.apache.spark.sql.GraftBridge.expression(text))),
+      lit("und"))
 
-  private def langPick(text: Column, best: Column): Column =
-    // CJK characters dominating the text wins outright; no profile hit
-    // at all stays unidentified
-    when(cjkCount(text) * 2 > length(text), "zh")
-      .otherwise(when(best.getField("s") > 0, best.getField("lang"))
-        .otherwise("und"))
-
-  def languageId(text: Column): Column = langPick(text, langBest(text))
-
-  /** DataFrame-level language ID: stages the argmax struct as its own
-    * column so the 24-marker scoring evaluates ONCE per row — inside a
-    * single Column expression `best` is referenced twice (condition +
-    * value) and the whole scoring tree is duplicated; a staged column
-    * referenced twice survives CollapseProject. ~1.7× at 200k docs;
-    * use this form on the scan-heavy path, `languageId` where a single
-    * Column is needed.
+  /** DataFrame-level language ID — kept for source compatibility
+    * with the staged-argmax era; with the kernel expression the
+    * single-Column form already evaluates the scoring once.
     */
   def withLanguageId(df: org.apache.spark.sql.DataFrame, textCol: String,
       outCol: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__lang_best", langBest(col(textCol)))
-      .withColumn(outCol, langPick(col(textCol), col("__lang_best")))
-      .drop("__lang_best")
+    df.withColumn(outCol, languageId(col(textCol)))
 
   /** Fixed-size character chunker — the generator-shaped op implied by
     * the reference's `chunk_id` column (its corpus was chunked before

@@ -88,6 +88,81 @@ object Chat {
             lit("<|im_end|>\n"))),
         ""))
 
+  /** Render the Llama-3-header-convention training text of a turns
+    * array (r17 — the second of the three-convention renderer cut,
+    * VERDICT-r16 "What's missing" #2): `<|begin_of_text|>` once,
+    * then `<|start_header_id|>role<|end_header_id|>\n\ncontent
+    * <|eot_id|>` per turn, in order. System turns render as regular
+    * header turns (the convention carries a system role natively).
+    * Null for null turns. Pure codegen'd projection, no UDF.
+    */
+  def renderLlama3(turns: Column): Column =
+    when(turns.isNull, lit(null).cast(StringType)).otherwise(
+      concat(lit("<|begin_of_text|>"),
+        array_join(
+          transform(turns, m =>
+            concat(lit("<|start_header_id|>"), m.getField("role"),
+              lit("<|end_header_id|>\n\n"),
+              coalesce(m.getField("content"), lit("")),
+              lit("<|eot_id|>"))),
+          "")))
+
+  /** Render the Mistral-[INST]-convention training text (r17, the
+    * third convention): `<s>` once, then per user/assistant pair
+    * `[INST] user [/INST]assistant</s>` (the published v1 template —
+    * NO space between `[/INST]` and the assistant text). The
+    * convention has no system role: an optional leading system turn
+    * is folded into the FIRST user turn as `system\n\nuser` (the
+    * widely-documented fold), pinned here explicitly.
+    *
+    * REFUSAL stance: the [INST]/[/INST] pairing is meaningless
+    * unless the turns strictly alternate, so a conversation failing
+    * [[validAlternation]] renders NULL (data refusal surfaced as
+    * null, the [[parseTurns]] stance) rather than emitting a
+    * mis-paired template that would silently train wrong.
+    */
+  def renderMistral(turns: Column): Column = {
+    val hasSys = size(turns) > 0 &&
+      turns.getItem(0).getField("role") === "system"
+    val sys = turns.getItem(0).getField("content")
+    val body =
+      when(hasSys, slice(turns, lit(2), size(turns))).otherwise(turns)
+    val rendered = array_join(
+      transform(body, (m, i) =>
+        when(m.getField("role") === "user",
+          concat(lit("[INST] "),
+            when(i === 0 && hasSys,
+              concat(coalesce(sys, lit("")), lit("\n\n")))
+              .otherwise(lit("")),
+            coalesce(m.getField("content"), lit("")),
+            lit(" [/INST]")))
+          .otherwise(concat(coalesce(m.getField("content"), lit("")),
+            lit("</s>")))),
+      "")
+    when(turns.isNull || !validAlternation(turns),
+      lit(null).cast(StringType))
+      .otherwise(concat(lit("<s>"), rendered))
+  }
+
+  /** Convention dispatcher (r17): render `turns` under the template
+    * named by `template` — `"chatml"` ([[renderChatML]]), `"llama3"`
+    * ([[renderLlama3]]), `"mistral"` ([[renderMistral]]). Anything
+    * else REFUSES LOUDLY at execution (raise_error naming the bad id
+    * and the supported set): an unknown template id is a pipeline
+    * CONFIG error, not a data condition to null through — rendering
+    * a corpus under the wrong template poisons every row. NOT a
+    * Jinja engine by design (the bounded cut): conventions are
+    * pinned implementations, not interpreted template strings.
+    */
+  def renderTemplate(turns: Column, template: Column): Column =
+    when(template === "chatml", renderChatML(turns))
+      .when(template === "llama3", renderLlama3(turns))
+      .when(template === "mistral", renderMistral(turns))
+      .otherwise(raise_error(concat(
+        lit("graft.Chat.renderTemplate: unknown chat template '"),
+        coalesce(template, lit("NULL")),
+        lit("' (supported: chatml, llama3, mistral)"))).cast(StringType))
+
   /** Per-conversation stats struct: n_turns, n_user, n_assistant,
     * n_system, content_chars. Null for null turns.
     */

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftExtensions, SparkEntry}
+
+/** Diagnostic: attribute stray WARN log lines to the gate that emits
+  * them. Runs every `SparkEntry.queries` entry through the same noop
+  * sink as [[graft.Bench]], printing a `[gate] <name>` marker to
+  * STDERR before each, so the interleaved stderr stream (log4j WARNs
+  * also land there) pins each WARN to its query. Used to chase the
+  * VERDICT-r16 tail findings (DAGScheduler "Broadcasting large task
+  * binary", CacheManager "already cached").
+  *
+  * Usage: runMain graft.tools.WarnHunt [namePrefix ...]
+  *        (no args = the full suite)
+  */
+object WarnHunt {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.exists(n.startsWith))
+    names.foreach { name =>
+      // twice, like Bench's warmup+timed pair: a gate that leaks a
+      // cached plan only warns ("already cached") on its SECOND run
+      (1 to 2).foreach { pass =>
+        System.err.println(s"[gate] $name pass$pass")
+        System.err.flush()
+        try SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[gate-err] $name ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -76,6 +76,81 @@ class ChatSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("renderLlama3: bos once, header turns incl. system, eot per " +
+      "turn; null turns render null (r17)") {
+    val got = turnsOf(
+      """{"messages":[{"role":"system","content":"s"},""" +
+        """{"role":"user","content":"q"},""" +
+        """{"role":"assistant","content":"aa"}]}""")
+      .select(Chat.renderLlama3(col("t"))).collect()(0).getString(0)
+    assert(got ===
+      "<|begin_of_text|>" +
+        "<|start_header_id|>system<|end_header_id|>\n\ns<|eot_id|>" +
+        "<|start_header_id|>user<|end_header_id|>\n\nq<|eot_id|>" +
+        "<|start_header_id|>assistant<|end_header_id|>\n\naa<|eot_id|>")
+    assert(turnsOf("junk").select(Chat.renderLlama3(col("t")))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("renderMistral: [INST] pairs with the v1 no-space-after-" +
+      "[/INST] shape, system FOLDED into the first user turn, " +
+      "multi-pair </s> resets; invalid alternation renders NULL " +
+      "(the refusal stance) (r17)") {
+    def render(json: String) =
+      turnsOf(json).select(Chat.renderMistral(col("t"))).collect()(0)
+    // no system, two pairs
+    val two = render(
+      """{"messages":[{"role":"user","content":"q1"},""" +
+        """{"role":"assistant","content":"a1"},""" +
+        """{"role":"user","content":"q2"},""" +
+        """{"role":"assistant","content":"a2"}]}""").getString(0)
+    assert(two === "<s>[INST] q1 [/INST]a1</s>[INST] q2 [/INST]a2</s>")
+    // system folds into the FIRST user turn only
+    val sys = render(
+      """{"messages":[{"role":"system","content":"be brief"},""" +
+        """{"role":"user","content":"q1"},""" +
+        """{"role":"assistant","content":"a1"},""" +
+        """{"role":"user","content":"q2"},""" +
+        """{"role":"assistant","content":"a2"}]}""").getString(0)
+    assert(sys === "<s>[INST] be brief\n\nq1 [/INST]a1</s>" +
+      "[INST] q2 [/INST]a2</s>")
+    // refusals: double-user, assistant-first, dangling user, junk
+    assert(render("""{"messages":[{"role":"user","content":"q1"},""" +
+      """{"role":"user","content":"q2"},""" +
+      """{"role":"assistant","content":"a"}]}""").isNullAt(0))
+    assert(render("""{"messages":[{"role":"user","content":"q"}]}""")
+      .isNullAt(0))
+    assert(render("junk").isNullAt(0))
+  }
+
+  test("renderTemplate dispatches by the template-id COLUMN and " +
+      "REFUSES LOUDLY on an unknown id (r17)") {
+    val json = """{"messages":[{"role":"user","content":"q"},""" +
+      """{"role":"assistant","content":"a"}]}"""
+    val base = Seq(("chatml", json), ("llama3", json), ("mistral", json))
+      .toDF("template", "j")
+      .select(col("template"),
+        Chat.renderTemplate(Chat.parseTurns(col("j")), col("template"))
+          .as("r"))
+      .orderBy("template")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(base(0) === ("chatml",
+      "<|im_start|>user\nq<|im_end|>\n<|im_start|>assistant\na<|im_end|>\n"))
+    assert(base(1) === ("llama3",
+      "<|begin_of_text|><|start_header_id|>user<|end_header_id|>\n\nq" +
+        "<|eot_id|><|start_header_id|>assistant<|end_header_id|>\n\na<|eot_id|>"))
+    assert(base(2) === ("mistral", "<s>[INST] q [/INST]a</s>"))
+    val err = intercept[Exception] {
+      Seq(("alpaca", json)).toDF("template", "j")
+        .select(Chat.renderTemplate(Chat.parseTurns(col("j")),
+          col("template")))
+        .collect()
+    }
+    assert(err.getMessage.contains("unknown chat template") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("unknown chat template")))
+  }
+
   test("filterValid keeps exactly the protocol-clean conversations; " +
       "the projection stays codegen (no UDF in the plan) (r15)") {
     val rows = Seq(

@@ -1019,4 +1019,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("idn_st").orderBy("id").collect().toSeq ===
       proj(rows.toDF("id", "host")).orderBy("id").collect().toSeq)
   }
+
+  test("streaming matryoshka truncation / percent-normalization / " +
+      "confusable skeleton == batch (r17, VERDICT-r16 #7): the r16 " +
+      "tail projections are stateless per-row twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 9L).map { id =>
+      val vec = (0 until (if (id % 3 == 0) 2 else 8))
+        .map(j => (id + j).toFloat).toArray
+      val url = id % 3 match {
+        case 0 => s"https://ex.com/a%2Fb%41?q=%7Ev$id"
+        case 1 => s"https://ex.com/plain$id"
+        case _ => s"https://ex.com/%zz$id" // malformed escape keeps raw
+      }
+      (id, vec, url, s"р${id}аypal") // Cyrillic confusables
+    }
+    val ms = MemoryStream[(Long, Array[Float], String, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.TextFunctions
+        .withNormalizedPercent(df, "url", "u_norm")
+        .select($"id",
+          graft.functions.VectorFunctions.truncateNormalize($"vec", 4)
+            .as("mat"),
+          $"u_norm",
+          graft.functions.TextFunctions.confusableSkeleton($"brand")
+            .as("skel"))
+    val q = proj(ms.toDF().toDF("id", "vec", "url", "brand"))
+      .writeStream.format("memory").queryName("tail_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tail_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "vec", "url", "brand")).orderBy("id")
+        .collect().toSeq)
+  }
 }

@@ -23,6 +23,44 @@ class UnigramSpec extends SparkSpec {
         Map("m" -> -1.0, "i" -> -1.0), 4).mkString === w)
   }
 
+  test("viterbi vs an ADVERSARIAL planted piece table (VERDICT-r16 " +
+      "#5): overlapping pieces resolve by likelihood; exact " +
+      "score+token ties break to the LONGER TRAILING piece; a " +
+      "deep-negative real piece still beats the UNK floor; pieces " +
+      "over maxPieceLen are unreachable; multi-byte unknown chars " +
+      "copy through as CHARS (byte-fallback deliberately absent — " +
+      "the documented divergence from sentencepiece) (r17)") {
+    // overlapping pieces: [ab, c] = -2.0 vs [a, bc] = -1.5 → likelihood
+    val pOverlap = Map("ab" -> -1.0, "bc" -> -0.5, "a" -> -1.0,
+      "b" -> -1.0, "c" -> -1.0)
+    assert(Unigram.encodeWord("abc", pOverlap, 6).toSeq === Seq("a", "bc"))
+    // score tie AND token-count tie: [ab, c] vs [a, bc], both -3.0 /
+    // 2 tokens → the longer TRAILING piece ("bc", len 2) wins
+    val pTrail = Map("ab" -> -1.0, "c" -> -2.0, "a" -> -2.0, "bc" -> -1.0)
+    assert(Unigram.encodeWord("abc", pTrail, 6).toSeq === Seq("a", "bc"))
+    // and mirrored scores so the len-1 trailing path is the only
+    // OTHER tie candidate — the pin is on trailing length, not luck
+    val pTrail2 = Map("ab" -> -2.0, "c" -> -1.0, "a" -> -1.0, "bc" -> -2.0)
+    assert(Unigram.encodeWord("abc", pTrail2, 6).toSeq === Seq("a", "bc"))
+    // a real piece at -50 still beats two UNK-floor chars (2 × -100)
+    assert(Unigram.encodeWord("qq", Map("qq" -> -50.0), 6).toSeq ===
+      Seq("qq"))
+    // a piece longer than maxPieceLen exists in the table but is
+    // UNREACHABLE: the lattice never proposes it
+    val pLong = Map("abcdefg" -> -0.1, "a" -> -1.0, "b" -> -1.0,
+      "c" -> -1.0, "d" -> -1.0, "e" -> -1.0, "f" -> -1.0, "g" -> -1.0)
+    assert(Unigram.encodeWord("abcdefg", pLong, 6).toSeq ===
+      Seq("a", "b", "c", "d", "e", "f", "g"))
+    assert(Unigram.encodeWord("abcdefg", pLong, 7).toSeq ===
+      Seq("abcdefg"))
+    // byte-fallback ABSENT: an unknown multi-byte char copies
+    // through as ONE char token, never as UTF-8 byte pieces
+    assert(Unigram.encodeWord("aé", Map("a" -> -1.0), 6).toSeq ===
+      Seq("a", "é"))
+    // all-unknown word still round-trips by concatenation
+    assert(Unigram.encodeWord("ü人x", Map.empty, 6).mkString === "ü人x")
+  }
+
   test("training converges to the motif pieces: frequent whole words " +
       "become single tokens, an over-length word splits at its motif, " +
       "and training is deterministic") {
