@@ -3807,6 +3807,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- WER / word edit distance (r17 — the ASR/translation edit
+    //     metric next to ROUGE/chrF/BLEU): ref = hyp with every
+    //     third token dropped, so ref is a SUBSEQUENCE of hyp and
+    //     the edit distance is exactly the deletion count n/3 —
+    //     closed-form for the oracle, adversarial DP cases are
+    //     spec-pinned.
+    "text_wer" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 300)
+        .select(col("doc_id"), col("text").as("hyp"),
+          array_join(filter(TextFunctions.tokens(col("text")),
+            (t, i) => pmod(i, lit(3)) =!= 2), " ").as("ref"))
+      TextFunctions.withWerStats(docs, "hyp", "ref", "m")
+        .select(col("doc_id"), col("m.n_hyp").as("n_hyp"),
+          col("m.n_ref").as("n_ref"), col("m.edits").as("edits"),
+          col("m.wer").as("wer"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- SQuAD-style QA eval (r17): EM + token F1 over the official
+    //     normalization (lowercase, ASCII punct stripped, articles
+    //     dropped). The %4 lattice plants every branch — punct/
+    //     article-only divergence (EM via normalize), a one-token
+    //     surplus (F1 6/7), zero overlap, and an all-articles pred
+    //     that normalizes EMPTY (the edge rule f1 = em). The oracle
+    //     restates each branch closed-form.
+    "text_qa_match" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = pmod(id * 7, lit(43L))
+      val b = pmod(id * 11, lit(37L))
+      val gold = concat(lit("item"), a, lit(" value "), b)
+      val pred = when(pmod(id, lit(4L)) === 0,
+          concat(lit("The item"), a, lit(", value "), b, lit("!")))
+        .when(pmod(id, lit(4L)) === 1,
+          concat(lit("item"), a, lit(" value "), b, lit(" extra")))
+        .when(pmod(id, lit(4L)) === 2, lit("an unrelated thing"))
+        .otherwise(lit("a the an"))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, pred.as("pred"), gold.as("gold"))
+      TextFunctions.withQaMatch(docs, "pred", "gold", "m")
+        .select(id, col("m.em").as("em"), col("m.n_same").as("n_same"),
+          col("m.n_pred").as("n_pred"), col("m.n_gold").as("n_gold"),
+          col("m.f1").as("f1"))
+        .orderBy(id)
+    }),
+
+    // --- pass@k (r17): the code-eval estimator over planted
+    //     (n, c, k) rows — 1 − Π (n−c−i)/(n−i) as the EXPLICIT
+    //     left-to-right fold, bit-replayable in SQL (each step one
+    //     correctly-rounded multiply and divide in fixed order; the
+    //     chrF oracle stance). k ≤ 3 so the oracle expands the fold
+    //     per k. n−c < k rows hit a zero factor → exactly 1.0.
+    "text_pass_at_k" -> ((s, dir) => {
+      val id = col("doc_id")
+      val n = pmod(id, lit(6L)) + 4
+      val c = pmod(id, n + 1)
+      val k = pmod(id, lit(3L)) + 1
+      Tables.documents(s, dir).filter(id < 200)
+        .select(id, n.as("n"), c.as("c"), k.as("k"))
+        .withColumn("pass_at_k",
+          TextFunctions.passAtK(col("n"), col("c"), col("k")))
+        .orderBy(id)
+    }),
+
     // --- Cross-source overlap matrix (r15 wave 7 — the double-
     //     counting / split-leakage card view): contents planted so
     //     every doc carries the text of doc (id % 50) — 50 distinct
@@ -9529,6 +9594,66 @@ object SparkEntry {
         |    THEN round(2.0 * (CAST(n_ref AS DOUBLE) / n_cand)
         |      / (CAST(n_ref AS DOUBLE) / n_cand + 1.0), 6) END AS f1
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_wer oracle: ref is a subsequence of hyp (every third
+    // token dropped), so the word edit distance is exactly the
+    // deletion count n // 3
+    "text_wer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300),
+        |d AS (SELECT doc_id, n AS n_hyp,
+        |  CAST(n - n // 3 AS BIGINT) AS n_ref,
+        |  CAST(n // 3 AS BIGINT) AS edits FROM t)
+        |SELECT doc_id, n_hyp, n_ref, edits,
+        |  CASE WHEN n_ref > 0
+        |    THEN round(CAST(edits AS DOUBLE) / n_ref, 6) END AS wer
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_qa_match oracle: the %4 plant lattice restated
+    // closed-form — branch 0 normalizes to the gold exactly (EM 1),
+    // branch 1 has one surplus token (P 3/4, R 1 -> f1 6/7), branch
+    // 2 shares nothing, branch 3 normalizes empty (f1 = em = 0)
+    "text_qa_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CASE WHEN v = 0 THEN 1 ELSE 0 END AS em,
+        |  CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 0 END AS BIGINT)
+        |    AS n_same,
+        |  CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 2
+        |    ELSE 0 END AS BIGINT) AS n_pred,
+        |  CAST(3 AS BIGINT) AS n_gold,
+        |  CASE v WHEN 0 THEN CAST(1.0 AS DOUBLE)
+        |    WHEN 1 THEN round(2.0 * 0.75 * 1.0 / 1.75, 6)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS f1
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_pass_at_k oracle: the SAME explicit left-to-right
+    // fold, expanded per k (1..3) — multiply then divide per step in
+    // fixed order, so doubles agree bitwise across engines
+    "text_pass_at_k" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    doc_id % 6 + 4 AS n0,
+        |    doc_id % (doc_id % 6 + 5) AS c0,
+        |    doc_id % 3 + 1 AS k0
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT doc_id, n0 AS n, c0 AS c, k0 AS k,
+        |  CAST(n0 AS DOUBLE) AS nd, CAST(c0 AS DOUBLE) AS cd FROM d)
+        |SELECT doc_id, n, c, k,
+        |  round(1.0 - CASE k
+        |    WHEN 1 THEN 1.0 * (nd - cd) / nd
+        |    WHEN 2 THEN 1.0 * (nd - cd) / nd
+        |      * (nd - cd - 1) / (nd - 1)
+        |    ELSE 1.0 * (nd - cd) / nd
+        |      * (nd - cd - 1) / (nd - 1)
+        |      * (nd - cd - 2) / (nd - 2) END, 6) AS pass_at_k
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // the docs_source_overlap oracle: same plant (text of id % 50),
     // same distinct (source, md5) relation, same ordered pair join

@@ -1505,6 +1505,176 @@ object TextFunctions {
     }(Encoders.row(schema))
   }
 
+  /** Word-level Levenshtein distance (substitution/insert/delete,
+    * unit costs) — two-row DP, O(n·m) like [[lcsLen]].
+    */
+  private[graft] def editDistance(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 0
+    while (i < a.length) {
+      cur(0) = i + 1
+      j = 0
+      while (j < b.length) {
+        val sub = prev(j) + (if (a(i) == b(j)) 0 else 1)
+        cur(j + 1) = math.min(sub, math.min(prev(j + 1), cur(j)) + 1)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** WER sufficient statistics per (hypothesis, reference) row (r17)
+    * — word error rate, the ASR/translation edit metric: word-level
+    * Levenshtein edits (substitutions + insertions + deletions, unit
+    * costs — deliberately WITHOUT TER's block shifts, and named WER
+    * accordingly) over whitespace tokens of the lowercased texts.
+    * Appends `outCol` struct (n_hyp, n_ref, edits, wer) — edits is
+    * the engine-exact integer the gate hashes; wer = edits/n_ref
+    * round-6 (null when n_ref = 0: WER against an empty reference is
+    * undefined, surfaced as null rather than invented). Either side
+    * null → null fields. Per-row two-row DP in a mapPartitions
+    * kernel (the [[withRougeL]] stance): rides the scan, no shuffle.
+    */
+  def withWerStats(df: org.apache.spark.sql.DataFrame, hypCol: String,
+      refCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("n_hyp", LongType),
+      StructField("n_ref", LongType),
+      StructField("edits", LongType),
+      StructField("wer", DoubleType))), nullable = true)
+    val hi = df.schema.fieldIndex(hypCol)
+    val ri = df.schema.fieldIndex(refCol)
+    def toks(s: String): Array[String] =
+      s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.mapPartitions { it =>
+      it.map { r =>
+        val h = r.get(hi).asInstanceOf[String]
+        val f = r.get(ri).asInstanceOf[String]
+        val m =
+          if (h == null || f == null) Row(null, null, null, null)
+          else {
+            val ht = toks(h); val rt = toks(f)
+            val ed = editDistance(ht, rt).toLong
+            Row(ht.length.toLong, rt.length.toLong, ed,
+              if (rt.length > 0) r6(ed.toDouble / rt.length) else null)
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** SQuAD-convention answer normalization (r17) — the QA-eval
+    * preprocessing pinned by the public evaluation script: lowercase,
+    * strip ASCII punctuation, drop article tokens (a/an/the),
+    * collapse whitespace. Exposed as a Column so the gate oracle can
+    * replay it in SQL (regexp + token filter, no kernel needed).
+    */
+  def squadNormalize(text: Column): Column = {
+    val noPunct = regexp_replace(lower(text), "[!-/:-@\\[-`{-~]", "")
+    array_join(
+      filter(split(noPunct, " "), t =>
+        length(t) > 0 && t =!= "a" && t =!= "an" && t =!= "the"),
+      " ")
+  }
+
+  /** SQuAD-style QA match per (prediction, gold) row (r17): exact
+    * match and token-multiset F1 over [[squadNormalize]]d answers —
+    * the reading-comprehension eval every QA harness reports.
+    * Appends `outCol` struct (em, n_same, n_pred, n_gold, f1):
+    *  - em = 1 iff the normalized strings are equal;
+    *  - n_same = Σ_tok min(count_pred, count_gold) (clipped multiset
+    *    intersection, the BLEU-style integer the gate hashes);
+    *  - f1 = 2PR/(P+R) round-6 with P = n_same/n_pred,
+    *    R = n_same/n_gold; when EITHER normalized side is empty,
+    *    f1 = em (the official script's edge rule — credit only for
+    *    matching emptiness). Either input null → null fields.
+    * Pure-kernel mapPartitions like the other eval ops.
+    */
+  def withQaMatch(df: org.apache.spark.sql.DataFrame, predCol: String,
+      goldCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = df.schema.add(outCol, StructType(Seq(
+      StructField("em", IntegerType),
+      StructField("n_same", LongType),
+      StructField("n_pred", LongType),
+      StructField("n_gold", LongType),
+      StructField("f1", DoubleType))), nullable = true)
+    val pi = df.schema.fieldIndex(predCol)
+    val gi = df.schema.fieldIndex(goldCol)
+    def norm(s: String): Array[String] = s
+      .toLowerCase(java.util.Locale.ROOT)
+      .filterNot(c => c >= '!' && c <= '~' && !c.isLetterOrDigit)
+      .split(" ").filter(t =>
+        t.nonEmpty && t != "a" && t != "an" && t != "the")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(pi).asInstanceOf[String]
+        val g = r.get(gi).asInstanceOf[String]
+        val m =
+          if (p == null || g == null) Row(null, null, null, null, null)
+          else {
+            val pt = norm(p); val gt = norm(g)
+            val em = if (pt.sameElements(gt)) 1 else 0
+            val gc = scala.collection.mutable.HashMap.empty[String, Long]
+            gt.foreach(t => gc.update(t, gc.getOrElse(t, 0L) + 1L))
+            var same = 0L
+            pt.foreach { t =>
+              val c = gc.getOrElse(t, 0L)
+              if (c > 0) { same += 1; gc.update(t, c - 1) }
+            }
+            val f1 =
+              if (pt.isEmpty || gt.isEmpty) em.toDouble
+              else if (same == 0) 0.0
+              else {
+                val pr = same.toDouble / pt.length
+                val rc = same.toDouble / gt.length
+                2.0 * pr * rc / (pr + rc)
+              }
+            Row(em, same, pt.length.toLong, gt.length.toLong, r6(f1))
+          }
+        Row.fromSeq(r.toSeq :+ m)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** pass@k (r17) — the code-eval estimator (Chen et al. 2021):
+    * given n samples of which c are correct, the unbiased estimate
+    * of P(≥1 correct in k draws) is 1 − C(n−c, k)/C(n, k), computed
+    * as the EXPLICIT left-to-right fold
+    * Π_{i=0..k−1} (n−c−i)/(n−i) — one multiply and one divide per
+    * step, each correctly rounded, so a SQL oracle replaying the
+    * same fold is bit-identical (the chrF/matryoshka oracle stance).
+    * Round-6. Null when any input is null, or when the
+    * configuration is invalid per row (k < 1, n < k, c < 0, c > n)
+    * — surfaced rather than clamped. n − c < k ⇒ a zero factor ⇒
+    * exactly 1.0.
+    */
+  def passAtK(n: Column, c: Column, k: Column): Column = {
+    val invalid = k < 1 || n < k || c < 0 || c > n
+    val prod = aggregate(
+      sequence(lit(0L), k.cast("long") - 1L),
+      lit(1.0d),
+      (acc, i) => acc * (n.cast("double") - c.cast("double") - i.cast("double")) /
+        (n.cast("double") - i.cast("double")))
+    when(n.isNull || c.isNull || k.isNull || invalid,
+      lit(null).cast("double"))
+      .otherwise(round(lit(1.0d) - prod, 6))
+  }
+
   /** The CORPUS-SCALE form of [[ngramOverlap]]: identical semantics
     * via explode + counting aggregates instead of per-row HOF scans.
     * Spark's higher-order array functions are CodegenFallback

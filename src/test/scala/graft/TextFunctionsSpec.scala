@@ -836,6 +836,90 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(3).isNullAt(1))
   }
 
+  test("withWerStats (r17): classic edit distances by hand, identity " +
+      "0, empty-ref wer null, null side nulls out") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat sat", "the cat sat"),           // identity: 0
+      (2L, "the fat cat sat", "the cat sat"),       // 1 insertion
+      (3L, "the dog sat", "the cat sat"),           // 1 substitution
+      (4L, "cat sat", "the cat sat"),               // 1 deletion
+      (5L, "x y z", "a b"),                         // 2 sub + 1 ins
+      (6L, "some words", ""),                       // empty ref
+      (7L, null, "x"))
+      .toDF("id", "hyp", "ref")
+    val got = graft.functions.TextFunctions
+      .withWerStats(rows, "hyp", "ref", "m")
+      .select($"id", $"m.n_hyp", $"m.n_ref", $"m.edits", $"m.wer")
+      .orderBy("id").collect()
+    assert(got(0).getLong(3) === 0L && got(0).getDouble(4) === 0.0)
+    assert(got(1).getLong(3) === 1L)
+    assert(got(2).getLong(3) === 1L)
+    assert(got(3).getLong(3) === 1L)
+    assert(got(4).getLong(3) === 3L && got(4).getDouble(4) === 1.5)
+    assert(got(5).getLong(2) === 0L && got(5).isNullAt(4)) // wer null
+    assert(got(6).isNullAt(1))
+    // kernel sanity straight on the helper: kitten/sitting word-level
+    assert(graft.functions.TextFunctions.editDistance(
+      "k i t t e n".split(" "), "s i t t i n g".split(" ")) === 3)
+  }
+
+  test("withQaMatch (r17): SQuAD normalization (punct stripped, " +
+      "articles dropped, case-folded), EM vs token F1, clipped " +
+      "multiset overlap, empty-side edge rule, null nulls out") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "The Eiffel Tower!", "eiffel tower"),    // em via normalize
+      (2L, "an apple pie", "apple tart"),           // partial overlap
+      (3L, "a a the an", ""),                       // both normalize empty
+      (4L, "something", ""),                        // pred vs empty gold
+      (5L, "b b b", "b c"),                         // clipping: same=1
+      (6L, null, "x"))
+      .toDF("id", "pred", "gold")
+    val got = graft.functions.TextFunctions
+      .withQaMatch(rows, "pred", "gold", "m")
+      .select($"id", $"m.em", $"m.n_same", $"m.n_pred", $"m.n_gold",
+        $"m.f1")
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) === 1 && got(0).getDouble(5) === 1.0)
+    // "apple" the only common token: P=1/2, R=1/2 -> f1 = 0.5
+    assert(got(1).getInt(1) === 0 && got(1).getLong(2) === 1L &&
+      got(1).getDouble(5) === 0.5)
+    // both empty after normalization: em = 1, f1 = em
+    assert(got(2).getInt(1) === 1 && got(2).getDouble(5) === 1.0)
+    assert(got(3).getInt(1) === 0 && got(3).getDouble(5) === 0.0)
+    // clipped: pred {b:3} vs gold {b:1, c:1} -> same = 1
+    assert(got(4).getLong(2) === 1L &&
+      got(4).getDouble(5) === 0.4) // P=1/3 R=1/2 -> 2*(1/6)/(5/6)
+    assert(got(5).isNullAt(1))
+    // the Column-form normalizer agrees with the kernel
+    assert(one[String](TextFunctions.squadNormalize(col("t")),
+      "  The  Quick, (brown) Fox's an A!  ") === "quick brown foxs")
+  }
+
+  test("passAtK (r17): closed-form cases, zero-factor exact 1.0, " +
+      "invalid configs null, explicit-fold determinism") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 0L, 5L),   // c = 0 -> 0.0
+      (2L, 10L, 10L, 3L),  // all correct -> 1.0
+      (3L, 10L, 6L, 5L),   // n-c=4 < k=5 -> zero factor -> exactly 1.0
+      (4L, 2L, 1L, 1L),    // C(1,1)/C(2,1) = 1/2 -> 0.5
+      (5L, 4L, 2L, 2L),    // C(2,2)/C(4,2) = 1/6 -> 1 - 1/6
+      (6L, 3L, 1L, 5L),    // k > n -> null
+      (7L, 3L, 4L, 1L))    // c > n -> null
+      .toDF("id", "n", "c", "k")
+    val got = rows.select($"id",
+        graft.functions.TextFunctions.passAtK($"n", $"c", $"k").as("p"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) === 0.0)
+    assert(got(1).getDouble(1) === 1.0)
+    assert(got(2).getDouble(1) === 1.0)
+    assert(got(3).getDouble(1) === 0.5)
+    assert(math.abs(got(4).getDouble(1) - (1.0 - 1.0 / 6)) < 1e-6)
+    assert(got(5).isNullAt(1) && got(6).isNullAt(1))
+  }
+
   test("confusableSkeleton (r16): Cyrillic/Greek lookalikes fold to " +
       "their Latin twins, capitals fold via lowercase, ASCII is a " +
       "fixed point, NFKC composes") {
