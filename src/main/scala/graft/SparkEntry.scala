@@ -2134,6 +2134,31 @@ object SparkEntry {
           sum(col("doc_id")).as("sum_ids"))
     }),
 
+    // --- Quality-aware cluster survivor (r17): dedupNearBest — the
+    //     curation rule where the highest-quality duplicate wins
+    //     instead of the arbitrary min-id. Plant: 15 SEPARATED
+    //     clusters (triple-letter group key, inter-group distance 3,
+    //     intra-group v-suffix variants at distance 1), quality
+    //     (id·13)%101, so each cluster's argmax (ties → min id) is
+    //     closed-form. The oracle replays the transitive closure and
+    //     the same window.
+    "dedup_keep_best" -> ((s, dir) => {
+      val strs = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(
+            expr("repeat(substr('abcdefghijklmno', " +
+              "cast(doc_id % 15 as int) + 1, 1), 3)"),
+            lit("-v"), (col("doc_id") % 3).cast("string")).as("str"),
+          pmod(col("doc_id") * 13, lit(101L)).as("quality"))
+      val pairs = Dedup.fuzzyPairs(
+        strs.select(col("doc_id"), col("str")), "doc_id", "str",
+        maxDistance = 1)
+      Dedup.dedupNearBest(strs, "doc_id", pairs, "id_a", "id_b",
+          col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Encoding-damage scan (r8): U+FFFD / stray-control ratio —
     //     the drop-or-repair signal for crawled corpora. The fixture
     //     is clean, so deterministic damage is planted in-plan on
@@ -3869,6 +3894,28 @@ object SparkEntry {
         .select(id, n.as("n"), c.as("c"), k.as("k"))
         .withColumn("pass_at_k",
           TextFunctions.passAtK(col("n"), col("c"), col("k")))
+        .orderBy(id)
+    }),
+
+    // --- Script-consistency signals (r17): the single-pass
+    //     ScriptCounts kernel through withScriptRatios on a %5 plant
+    //     covering pure-Latin, Latin+Cyrillic (ratio tie → the
+    //     earlier class wins dominance), CJK, Greek+digits, Arabic —
+    //     each with a trailing id-digit so counts vary per row. The
+    //     oracle restates the plant closed-form.
+    "text_scripts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = when(pmod(id, lit(5L)) === 0, lit("abcdef"))
+        .when(pmod(id, lit(5L)) === 1, lit("abcабв"))
+        .when(pmod(id, lit(5L)) === 2, lit("一二三"))
+        .when(pmod(id, lit(5L)) === 3, lit("αβγ123"))
+        .otherwise(lit("سلام"))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, concat(base, pmod(id, lit(10L))).as("text"))
+      TextFunctions.withScriptRatios(docs, "text")
+        .select(id, col("n_chars"), col("r_latin"), col("r_cyrillic"),
+          col("r_greek"), col("r_arabic"), col("r_cjk"),
+          col("r_digit"), col("dominant"))
         .orderBy(id)
     }),
 
@@ -8449,6 +8496,37 @@ object SparkEntry {
         |SELECT count(*) AS n_survivors,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM surv""".stripMargin,
 
+    // the dedup_keep_best oracle: the same transitive closure as
+    // dedup_fuzzy_apply, survivor = per-cluster argmax quality
+    // (ties to min id) via the identical window
+    "dedup_keep_best" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    repeat(substr('abcdefghijklmno',
+        |      CAST(doc_id % 15 AS INT) + 1, 1), 3) ||
+        |      '-v' || (doc_id % 3) AS str,
+        |    doc_id * 13 % 101 AS quality
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE levenshtein(a.str, b.str) <= 1),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |reach(u, v) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |m AS (SELECT u, min(v) AS mn FROM reach GROUP BY u),
+        |rep AS (SELECT u AS doc_id, least(u, mn) AS rep_id FROM m),
+        |j AS (SELECT s.doc_id, s.str, s.quality,
+        |        COALESCE(rep.rep_id, s.doc_id) AS cluster
+        |      FROM s LEFT JOIN rep USING (doc_id)),
+        |r AS (SELECT doc_id, str, quality, row_number() OVER
+        |        (PARTITION BY cluster ORDER BY quality DESC, doc_id ASC)
+        |        AS rn FROM j)
+        |SELECT doc_id, str, quality FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     // the fixture is control-char-free (verified), so the planted
     // U+FFFD chars are the only damage — counted with the
     // replace-length trick, same per-row round
@@ -9612,6 +9690,36 @@ object SparkEntry {
         |  CASE WHEN n_ref > 0
         |    THEN round(CAST(edits AS DOUBLE) / n_ref, 6) END AS wer
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_scripts oracle: the %5 plant restated closed-form —
+    // counts per class (each text carries one trailing id digit),
+    // ratios as round-6 double divisions, dominance ties to the
+    // earlier class (v1: latin==cyrillic 3 → latin)
+    "text_scripts" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS v
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT doc_id, v,
+        |  CAST(CASE v WHEN 2 THEN 4 WHEN 4 THEN 5 ELSE 7 END AS BIGINT)
+        |    AS n,
+        |  CASE v WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 0 END AS lat,
+        |  CASE v WHEN 1 THEN 3 ELSE 0 END AS cyr,
+        |  CASE v WHEN 3 THEN 3 ELSE 0 END AS grk,
+        |  CASE v WHEN 4 THEN 4 ELSE 0 END AS arb,
+        |  CASE v WHEN 2 THEN 3 ELSE 0 END AS cjk,
+        |  CASE v WHEN 3 THEN 4 ELSE 1 END AS dig
+        |  FROM d)
+        |SELECT doc_id, n AS n_chars,
+        |  round(CAST(lat AS DOUBLE) / n, 6) AS r_latin,
+        |  round(CAST(cyr AS DOUBLE) / n, 6) AS r_cyrillic,
+        |  round(CAST(grk AS DOUBLE) / n, 6) AS r_greek,
+        |  round(CAST(arb AS DOUBLE) / n, 6) AS r_arabic,
+        |  round(CAST(cjk AS DOUBLE) / n, 6) AS r_cjk,
+        |  round(CAST(dig AS DOUBLE) / n, 6) AS r_digit,
+        |  CASE v WHEN 0 THEN 'latin' WHEN 1 THEN 'latin'
+        |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
+        |    ELSE 'arabic' END AS dominant
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // the text_qa_match oracle: the %4 plant lattice restated
     // closed-form — branch 0 normalizes to the gold exactly (EM 1),

@@ -29,6 +29,22 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // two once-per-JVM advisories demoted (r17, zero-noise-tail
+    // discipline): the netlib InstanceBuilder "Failed to load
+    // implementation" pair (no native BLAS ships in this zero-egress
+    // container — MLlib's pure-JVM fallback is the intended path
+    // here) and SparkStringUtils' "Truncated the string
+    // representation of a plan" (log-verbosity truncation of a wide
+    // plan's treeString, not an execution condition).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "dev.ludovic.netlib.blas.InstanceBuilder",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "dev.ludovic.netlib.InstanceBuilder",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

@@ -1675,6 +1675,46 @@ object TextFunctions {
       .otherwise(round(lit(1.0d) - prod, 6))
   }
 
+  /** Unicode-script character counts as ARRAY<LONG> — see
+    * [[graft.functions.expressions.ScriptCounts]] for the classes
+    * (index 8 = total code points). Null text → null.
+    */
+  def scriptCounts(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.ScriptCounts(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Script-consistency signals (r17) — flat columns appended:
+    * `n_chars` (code points), `r_<class>` round-6 ratio per script
+    * class (null when the text is empty), and `dominant` — the
+    * highest-count class, ties to the earlier class in the
+    * [[graft.functions.expressions.ScriptCounts.classNames]] order,
+    * `"none"` when no class fires (whitespace/punct-only). The
+    * CCNet/Dolma-style attribute mixed-script spam and mislabeled-
+    * language docs fail. Single-pass kernel staged once; everything
+    * else is element_at arithmetic on the staged array.
+    */
+  def withScriptRatios(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val names = graft.functions.expressions.ScriptCounts.classNames
+    val staged = df.withColumn("__sc", scriptCounts(col(textCol)))
+    val n = element_at(col("__sc"), 9)
+    def cnt(i: Int) = element_at(col("__sc"), i + 1)
+    val best = greatest(names.zipWithIndex.map { case (nm, i) =>
+      struct(cnt(i).as("c"), lit(names.length - i).as("pri"),
+        lit(nm).as("nm"))
+    }: _*)
+    val ratios = names.zipWithIndex.map { case (nm, i) =>
+      when(n > 0, round(cnt(i) / n, 6)).as(s"r_$nm")
+    }
+    staged.select(
+      df.columns.map(col) ++
+        (n.as("n_chars") +: ratios) :+
+        when(col("__sc").isNull, lit(null).cast("string"))
+          .otherwise(when(best.getField("c") > 0, best.getField("nm"))
+            .otherwise("none")).as("dominant"): _*)
+  }
+
   /** The CORPUS-SCALE form of [[ngramOverlap]]: identical semantics
     * via explode + counting aggregates instead of per-row HOF scans.
     * Spark's higher-order array functions are CodegenFallback

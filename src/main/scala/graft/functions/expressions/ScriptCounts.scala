@@ -1,0 +1,80 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode-script character counts in ONE pass (r17) — the
+  * CCNet/Dolma-style script-consistency signal: how much of a doc is
+  * Latin vs Cyrillic vs CJK etc. Fixed BMP ranges (deliberately
+  * range-literal, not \\p{Script} property classes, so a SQL oracle
+  * counts the IDENTICAL classes with range regexes — Java and RE2
+  * property tables drift across Unicode versions, ranges do not):
+  *
+  *   0 latin    [A-Za-z] + Latin-1/Extended [À-ɏ]
+  *   1 cyrillic [Ѐ-ӿ]
+  *   2 greek    [Ͱ-Ͽ]
+  *   3 arabic   [؀-ۿ]
+  *   4 hangul   [가-힯]
+  *   5 cjk      [一-鿿]  (the languageId block)
+  *   6 kana     [぀-ヿ]
+  *   7 digit    [0-9]
+  *   8 total code points
+  *
+  * Returns ARRAY<LONG> of the 9 counts (the Column wrapper names
+  * them); null text → null. One tree node, codegen'd via the
+  * kernel-reference pattern ([[LanguageIdExpr]]) — the composition
+  * alternative (8 replace-length regex trees) is exactly the
+  * serialized-plan/codegen bloat the langid rewrite removed.
+  */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "script_counts"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"script_counts needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ScriptCounts.count(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ScriptCounts.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
+object ScriptCounts {
+
+  val classNames: Seq[String] = Seq("latin", "cyrillic", "greek",
+    "arabic", "hangul", "cjk", "kana", "digit")
+
+  /** One pass over code points; called from generated code. */
+  def count(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val c = new Array[Long](9)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x24F)) c(0) += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) c(1) += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) c(2) += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) c(3) += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) c(4) += 1
+      else if (cp >= 0x4E00 && cp <= 0x9FFF) c(5) += 1
+      else if (cp >= 0x3040 && cp <= 0x30FF) c(6) += 1
+      else if (cp >= '0' && cp <= '9') c(7) += 1
+      c(8) += 1
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(c)
+  }
+}

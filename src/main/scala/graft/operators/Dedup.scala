@@ -760,6 +760,35 @@ object Dedup {
       .drop("rep_id")
   }
 
+  /** Quality-aware cluster resolution (r17): keep the BEST row of
+    * each near-dup cluster instead of [[dedupNear]]'s min-id — the
+    * curation rule real pipelines want (the longest / highest-
+    * quality-score duplicate survives, boilerplate-trimmed recrawls
+    * lose). `pairs` is a (aCol, bCol) near-dup pair table (from
+    * [[nearDuplicates]], [[simhashPairs]], [[fuzzyPairs]] — any of
+    * the family); `quality` is evaluated against `df`'s columns.
+    * Survivor per cluster = argmax quality, ties to the SMALLEST id
+    * (deterministic; equal-quality exact copies degrade to the
+    * min-id rule). Never-paired rows pass through untouched.
+    *
+    * Scale shape: one component resolution over the PAIR set (tiny
+    * vs the corpus), one keyed join back, one window partitioned by
+    * cluster — cluster sizes are near-dup cluster sizes (bounded in
+    * practice by the bucket caps upstream), so no skewed window.
+    */
+  def dedupNearBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, quality: Column): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed(aCol, idCol)
+    val w = Window
+      .partitionBy(coalesce(col("rep_id"), col(idCol)))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "rep_id")
+  }
+
   // -------------------------------------------------------------
   // Incremental near-dedup (the living-corpus path, like ivfAppend)
   // -------------------------------------------------------------

@@ -71,9 +71,18 @@ object KneserNey {
     // a count and the scoring join all read it — persist the
     // vocab-bounded result instead of re-exploding the corpus per
     // consumer (the r14 IVF train-feature-persist lesson)
-    val bigrams = bi.groupBy(col("w"), col("v"))
+    val grouped = bi.groupBy(col("w"), col("v"))
       .agg(count(lit(1)).as("c_wv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the Model keeps this table alive for its scoring joins, so a
+    // RE-train over the same input in one session (bench warmup +
+    // timed run) sees its plan already cached — re-persisting would
+    // only log CacheManager's "already cached" WARN (the r16 bench
+    // tail finding) and then reuse the same entry anyway; check first
+    // and ride the existing cache
+    val bigrams =
+      if (grouped.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grouped
     val contexts = bigrams.groupBy(col("w"))
       .agg(sum(col("c_wv")).as("c_w"), count(lit(1)).as("n1w"))
     val cont = bigrams.groupBy(col("v"))

@@ -25,6 +25,31 @@ object WarnHunt {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
+    // same benign-class demotions as Bench/Verify (k-bounded
+    // single-partition windows; glob-path streaming-metadata probes)
+    // so this tool surfaces exactly what the driver's bench tail would
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
+    // two once-per-JVM advisories demoted (r17, zero-noise-tail
+    // discipline): the netlib InstanceBuilder "Failed to load
+    // implementation" pair (no native BLAS ships in this zero-egress
+    // container — MLlib's pure-JVM fallback is the intended path
+    // here) and SparkStringUtils' "Truncated the string
+    // representation of a plan" (log-verbosity truncation of a wide
+    // plan's treeString, not an execution condition).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "dev.ludovic.netlib.blas.InstanceBuilder",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "dev.ludovic.netlib.InstanceBuilder",
+      org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.util.SparkStringUtils",
+      org.apache.logging.log4j.Level.ERROR)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     names.foreach { name =>

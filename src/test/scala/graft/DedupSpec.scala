@@ -846,4 +846,22 @@ class DedupSpec extends SparkSpec {
       "doc_id", "text", k = 4).as[(Long, String)].collect()
     assert(e.toSeq === Seq((9L, "")))
   }
+
+  test("dedupNearBest (r17): argmax quality survives per cluster, " +
+      "ties break to the min id, singletons pass through, transitive " +
+      "chains resolve to ONE survivor") {
+    val rows = Seq(
+      // cluster {1,2,3} via chain pairs (1-2, 2-3): quality peaks at 2
+      (1L, "a", 10L), (2L, "b", 30L), (3L, "c", 20L),
+      // cluster {4,5}: equal quality -> min id 4 survives
+      (4L, "d", 7L), (5L, "e", 7L),
+      // singleton 6 passes through untouched
+      (6L, "f", 1L)
+    ).toDF("doc_id", "str", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupNearBest(rows, "doc_id", pairs, "id_a", "id_b",
+        $"quality")
+      .orderBy($"doc_id").as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq((2L, "b", 30L), (4L, "d", 7L), (6L, "f", 1L)))
+  }
 }

@@ -920,6 +920,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(5).isNullAt(1) && got(6).isNullAt(1))
   }
 
+  test("withScriptRatios (r17): single-pass script counts, ratio " +
+      "arithmetic, dominance ties to the earlier class, none/empty/" +
+      "null edges, supplementary chars count one code point") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abcабв7"),      // latin 3, cyrillic 3, digit 1 -> tie: latin
+      (2L, "一二三"),        // cjk only
+      (3L, "!!! ..."),       // no class fires -> none
+      (4L, ""),              // empty: n 0, ratios null, none
+      (5L, null.asInstanceOf[String]),
+      (6L, "😀a")) // emoji = ONE code point, latin 1
+      .toDF("id", "text")
+    val got = graft.functions.TextFunctions.withScriptRatios(rows, "text")
+      .select($"id", $"n_chars", $"r_latin", $"r_cyrillic", $"dominant")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 7L &&
+      got(0).getDouble(2) === 0.428571 &&
+      got(0).getDouble(3) === 0.428571 &&
+      got(0).getString(4) === "latin")
+    assert(got(1).getString(4) === "cjk")
+    assert(got(2).getString(4) === "none" && got(2).getDouble(2) === 0.0)
+    assert(got(3).getLong(1) === 0L && got(3).isNullAt(2) &&
+      got(3).getString(4) === "none")
+    assert(got(4).isNullAt(1) && got(4).isNullAt(4))
+    assert(got(5).getLong(1) === 2L && got(5).getDouble(2) === 0.5)
+  }
+
   test("confusableSkeleton (r16): Cyrillic/Greek lookalikes fold to " +
       "their Latin twins, capitals fold via lowercase, ASCII is a " +
       "fixed point, NFKC composes") {
