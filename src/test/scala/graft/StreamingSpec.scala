@@ -1057,4 +1057,43 @@ class StreamingSpec extends SparkSpec {
       proj(rows.toDF("id", "vec", "url", "brand")).orderBy("id")
         .collect().toSeq)
   }
+
+  test("streaming r17 ops == batch: template render, WER, QA match, " +
+      "pass@k, script ratios are stateless per-row twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 9L).map { id =>
+      val json = if (id % 4 == 0) "junk"
+        else s"""{"messages":[{"role":"user","content":"q $id"},""" +
+          s"""{"role":"assistant","content":"a $id"}]}"""
+      val tpl = Seq("chatml", "llama3", "mistral")((id % 3).toInt)
+      val hyp = s"alpha beta gamma id$id"
+      val ref = if (id % 5 == 0) null else s"alpha gamma id$id"
+      (id, json, tpl, hyp, ref)
+    }
+    val ms = MemoryStream[(Long, String, String, String, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) = {
+      val t = graft.functions.TextFunctions
+      val wer = t.withWerStats(df, "hyp", "ref", "w")
+      val qa = t.withQaMatch(wer, "hyp", "ref", "q")
+      t.withScriptRatios(qa, "hyp")
+        .select($"id",
+          graft.operators.Chat.renderTemplate(
+            graft.operators.Chat.parseTurns($"json"), $"tpl").as("text"),
+          $"w.edits", $"w.wer", $"q.em", $"q.f1",
+          t.passAtK(lit(10L), $"id", lit(3L)).as("pass"),
+          $"r_latin", $"dominant")
+    }
+    val q = proj(ms.toDF().toDF("id", "json", "tpl", "hyp", "ref"))
+      .writeStream.format("memory").queryName("r17_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(4): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("r17_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "json", "tpl", "hyp", "ref")).orderBy("id")
+        .collect().toSeq)
+  }
 }
