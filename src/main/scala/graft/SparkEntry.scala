@@ -501,6 +501,30 @@ object SparkEntry {
         k = 3, metric = "l2", excludeSelf = true)
     }),
 
+    // --- Late-interaction (ColBERT-style) MaxSim retrieval (r17):
+    //     40 planted multi-vector docs (4 tokens × dim 8,
+    //     INTEGER-valued components so every dot product, max and
+    //     sum is exact and the oracle replays them in SQL), 3
+    //     queries; query 0's token set equals doc 0's, so its rank-1
+    //     hit at the self-score is part of the evidence. Top-3 per
+    //     query via the map-side boundedTopK path inside maxSimJoin.
+    "knn_maxsim" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      def tokenVecs(seedMul: Int, rowId: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(3)), t =>
+          transform(sequence(lit(0), lit(7)), j =>
+            (pmod(rowId * seedMul + t * 3 + j, lit(11L)) - 5)
+              .cast("double")))
+      val docs = emb.filter(col("vec_id") < 40)
+        .select(col("vec_id").as("doc_id"),
+          tokenVecs(7, col("vec_id")).as("vecs"))
+      val qs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          tokenVecs(5, col("vec_id")).as("qvecs"))
+      Knn.maxSimJoin(docs, "doc_id", "vecs", qs, "query_id", "qvecs",
+        k = 3)
+    }),
+
     // --- Batch SQ8: the compressed-scan twin of knn_join — same
     //     oracle, so passing proves batch-KNN parity on codes+rerank
     "knn_join_sq8" -> ((s, dir) => {
@@ -7965,6 +7989,31 @@ object SparkEntry {
         |SELECT query_id, vec_id, distance, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the knn_maxsim oracle: the planted integer token vectors
+    // rebuilt with generate_series, dot = exact integer sum per
+    // (q-token, d-token) pair, max per q-token, sum per (q, doc),
+    // top-3 by (score DESC, doc_id ASC) — every value exact, so the
+    // double cast is bit-identical to the kernel's sums
+    "knn_maxsim" ->
+      """WITH d AS (SELECT vec_id AS m FROM embeddings WHERE vec_id < 40),
+        |q AS (SELECT vec_id AS qq FROM embeddings WHERE vec_id < 3),
+        |dots AS (
+        |  SELECT q.qq, d.m, t.t, e.e,
+        |    sum(((q.qq * 5 + t.t * 3 + j.j) % 11 - 5) *
+        |        ((d.m * 7 + e.e * 3 + j.j) % 11 - 5)) AS dot
+        |  FROM q, d, generate_series(0, 3) t(t),
+        |    generate_series(0, 3) e(e), generate_series(0, 7) j(j)
+        |  GROUP BY q.qq, d.m, t.t, e.e),
+        |mx AS (SELECT qq, m, t, max(dot) AS mdot
+        |       FROM dots GROUP BY qq, m, t),
+        |sc AS (SELECT qq, m, CAST(sum(mdot) AS DOUBLE) AS score
+        |       FROM mx GROUP BY qq, m),
+        |r AS (SELECT qq, m, score, row_number() OVER
+        |        (PARTITION BY qq ORDER BY score DESC, m ASC) AS rn
+        |      FROM sc)
+        |SELECT qq AS query_id, m AS doc_id, score, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // the emb_hard_negatives oracle: brute-force cosine with the
     // label-mismatch predicate — the kernel's skipped pairs must

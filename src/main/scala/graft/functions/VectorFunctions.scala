@@ -106,6 +106,19 @@ object VectorFunctions {
     * is the fold order, so an oracle recomputes bit-identical
     * doubles.
     */
+  /** Late-interaction MaxSim score between two multi-vector columns
+    * (ARRAY of token vectors): Σ_q max_d q·d — see
+    * [[graft.functions.expressions.MaxSim]] for the pinned null/
+    * empty/mismatch semantics.
+    */
+  def maxSim(qvecs: Column, dvecs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.MaxSim(
+        org.apache.spark.sql.GraftBridge.expression(
+          qvecs.cast("array<array<double>>")),
+        org.apache.spark.sql.GraftBridge.expression(
+          dvecs.cast("array<array<double>>"))))
+
   def truncateNormalize(a: Column, k: Int): Column = {
     require(k >= 1, s"k $k")
     val pre = slice(toDouble(a), 1, k)

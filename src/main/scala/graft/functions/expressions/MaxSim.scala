@@ -1,0 +1,86 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Late-interaction (ColBERT-style) MaxSim score as one codegen
+  * expression (r17): score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} q·d over
+  * two ARRAY<ARRAY<DOUBLE>> token-vector columns — the multi-vector
+  * retrieval scoring the single-vector KNN family can't express
+  * (each query token independently picks its best document token).
+  * Khattab & Zaharia 2020 (SIGIR), public formulation.
+  *
+  * One tree node, primitive nested loops via the kernel-reference
+  * pattern — the HOF composition (transform + aggregate over nested
+  * arrays) would be interpreted per element AND serialize a wall of
+  * lambda plan (the languageId lesson).
+  *
+  * Null semantics (loud, like [[VectorDistance]]): null input, EMPTY
+  * either side (no tokens → no meaningful score), any null token
+  * vector, any null element, or a dimension mismatch between any
+  * (q, d) token pair → null. Summation order: q tokens in array
+  * order, dot products in index order — deterministic, SQL-replayable
+  * on integer-valued vectors.
+  */
+case class MaxSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "maxsim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MaxSim.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("maxsimBoxed")
+    nullSafeCodeGen(ctx, ev, (q, d) => {
+      s"""java.lang.Double $boxed =
+         |  graft.functions.expressions.MaxSim.score($q, $d);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MaxSim = copy(left = newLeft, right = newRight)
+}
+
+object MaxSim {
+
+  /** Null-boxed kernel; called from generated code. */
+  def score(q: ArrayData, d: ArrayData): java.lang.Double = {
+    val nq = q.numElements()
+    val nd = d.numElements()
+    if (nq == 0 || nd == 0) return null
+    var total = 0.0
+    var qi = 0
+    while (qi < nq) {
+      if (q.isNullAt(qi)) return null
+      val qv = q.getArray(qi)
+      val dim = qv.numElements()
+      var best = Double.NegativeInfinity
+      var di = 0
+      while (di < nd) {
+        if (d.isNullAt(di)) return null
+        val dv = d.getArray(di)
+        if (dv.numElements() != dim) return null
+        var dot = 0.0
+        var j = 0
+        while (j < dim) {
+          if (qv.isNullAt(j) || dv.isNullAt(j)) return null
+          dot += qv.getDouble(j) * dv.getDouble(j)
+          j += 1
+        }
+        if (dot > best) best = dot
+        di += 1
+      }
+      total += best
+      qi += 1
+    }
+    java.lang.Double.valueOf(total)
+  }
+}

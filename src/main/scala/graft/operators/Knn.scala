@@ -201,6 +201,57 @@ object Knn {
     * "Null value appeared in non-nullable field" deserialization
     * error.
     */
+  /** Top-k late-interaction retrieval (r17): rank corpus documents
+    * for each multi-vector query by [[graft.functions.expressions.MaxSim]]
+    * score (Σ_q max_d q·d, descending; ties to the smaller doc id).
+    * Returns (queryIdCol, corpusIdCol, score, rank), rank 1..k.
+    *
+    * Scale shape — the [[knnJoin]] discipline, plan-first: the query
+    * side is size-guarded LOUDLY (a broadcast of Q multi-vector rows
+    * is only sane for a bounded query batch), the corpus never
+    * leaves the executors (broadcast cross join + the codegen MaxSim
+    * kernel ride the scan), and the per-query top-k is the
+    * map-side-partial [[boundedTopK]] aggregate, never a window.
+    * Null-scored pairs (empty/mismatched token sets) drop — surfaced
+    * by their absence from the ranking, not invented as zeros.
+    */
+  def maxSimJoin(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecsCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecsCol: String,
+      k: Int,
+      maxQueries: Int = 4096): DataFrame = {
+    require(k >= 1, s"maxSimJoin: k $k")
+    val qn = queries.limit(maxQueries + 1).count()
+    require(qn <= maxQueries,
+      s"maxSimJoin: query side has > $maxQueries rows — this operator " +
+        "broadcasts the query batch; chunk the queries or raise " +
+        "maxQueries deliberately")
+    val q = queries.select(col(queryIdCol).cast("long").as("__qid"),
+      col(queryVecsCol).cast("array<array<double>>").as("__qvecs"))
+    val scored = corpus
+      .select(col(corpusIdCol).cast("long").as("__cid"),
+        col(corpusVecsCol).cast("array<array<double>>").as("__cvecs"))
+      .crossJoin(broadcast(q))
+      .select(col("__qid").as(queryIdCol), col("__cid").as(corpusIdCol),
+        graft.functions.VectorFunctions.maxSim(col("__qvecs"),
+          col("__cvecs")).as("__score"))
+    // no isNotNull filter: Catalyst would push it into the join
+    // condition and re-inline the kernel (two maxsim evals per
+    // pair); BoundedTopK.update already skips null values, which is
+    // the same drop with one eval
+    finishTopKPerGroup(
+        scored.withColumn("distance", negate(col("__score")))
+          .drop("__score"),
+        queryIdCol, corpusIdCol, k)
+      .select(col(queryIdCol), col(corpusIdCol),
+        negate(col("distance")).as("score"), col("rank"))
+      .orderBy(col(queryIdCol), col("rank"))
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       corpusIdCol: String,

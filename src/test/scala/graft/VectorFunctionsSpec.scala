@@ -68,4 +68,50 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(1).isNullAt(1))
     assert(got(2).getSeq[Double](1) === Seq(0.0, 0.0))
   }
+
+  test("maxSim (r17): per-query-token best document token, hand " +
+      "case; empty/mismatched/null sides null out loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vf = graft.functions.VectorFunctions
+    // q tokens: (1,0) picks d(2,0)=2 over d(0,3)=0; (0,1) picks
+    // d(0,3)=3 over d(2,0)=0 -> score 5 (each q token independent)
+    val q = Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val d = Seq(Seq(Seq(2.0, 0.0), Seq(0.0, 3.0)))
+    def run(qs: Seq[Seq[Seq[Double]]], ds: Seq[Seq[Seq[Double]]]) =
+      qs.zip(ds).toDF("q", "d")
+        .select(vf.maxSim($"q", $"d")).collect()(0)
+    assert(run(q, d).getDouble(0) === 5.0)
+    // negative dots still pick the max (least negative)
+    assert(run(Seq(Seq(Seq(1.0))), Seq(Seq(Seq(-2.0), Seq(-1.0))))
+      .getDouble(0) === -1.0)
+    // empty doc side, empty query side, dim mismatch -> null
+    assert(run(q, Seq(Seq.empty)).isNullAt(0))
+    assert(run(Seq(Seq.empty), d).isNullAt(0))
+    assert(run(q, Seq(Seq(Seq(1.0)))).isNullAt(0))
+    // null column -> null
+    val nulled = Seq((Option.empty[Seq[Seq[Double]]], d.head))
+      .toDF("q", "d").select(vf.maxSim($"q", $"d")).collect()(0)
+    assert(nulled.isNullAt(0))
+  }
+
+  test("maxSimJoin (r17): ranks by descending score with id " +
+      "tie-break, identity query ranks its source doc first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // docs: doc 0 = the query's tokens; doc 1 orthogonal; doc 2 a
+    // scaled-up copy (beats the identity)
+    val docs = Seq(
+      (0L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
+      (1L, Seq(Seq(0.0, 0.0))),
+      (2L, Seq(Seq(3.0, 0.0), Seq(0.0, 3.0)))).toDF("doc_id", "vecs")
+    val qs = Seq((7L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))))
+      .toDF("query_id", "qvecs")
+    val got = graft.operators.Knn.maxSimJoin(docs, "doc_id", "vecs",
+        qs, "query_id", "qvecs", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(got.toSeq === Seq((7L, 2L, 6.0, 1), (7L, 0L, 2.0, 2),
+      (7L, 1L, 0.0, 3)))
+  }
 }
