@@ -3595,6 +3595,26 @@ object SparkEntry {
     //     TIE (duplicate response) — both must contribute NOTHING.
     //     The oracle restates the i<j pair lattice with rank gaps
     //     and the flatten order's pair indices.
+    // --- Bradley–Terry leaderboard (r17): a full round-robin plant
+    //     where player i beats each opponent exactly (8−i) times —
+    //     the empirical win fractions EQUAL the BT model at
+    //     strengths s=(8−i), so the MM fit's ranking is closed-form
+    //     (rank = i+1) and the integer sufficient statistics
+    //     (n_wins, n_games) are restated directly. Float weights are
+    //     deliberately not emitted (partition-order sums); ranks of
+    //     separated strengths are stable.
+    "pref_bt_rank" -> ((s, dir) => {
+      val players = Tables.documents(s, dir).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("i"))
+      val games = players.crossJoin(players.select(col("i").as("j")))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          explode(sequence(lit(1), lit(8) - col("i"))).as("g"))
+        .select(col("i").as("winner"), col("j").as("loser"))
+      operators.Preference.bradleyTerryRanks(games, "winner", "loser",
+        iters = 30)
+    }),
+
     "chat_ranked_pairs" -> ((s, dir) => {
       val id = col("doc_id")
       val nResp = (id % 3 + 2).cast("int")
@@ -9377,6 +9397,16 @@ object SparkEntry {
     // the chat_ranked_pairs oracle: the i<j lattice over the valid
     // ids (ties %13 and broken JSON %19 excluded), rank gap = j−i,
     // pair_idx = the flatten order (i asc, then j asc)
+    // the pref_bt_rank oracle: the round-robin plant's closed form —
+    // player i wins (8−i) against each of 7 opponents, plays
+    // 6·(8−i)+36 games, and the BT MLE ranks by strength 8−i
+    "pref_bt_rank" ->
+      """SELECT doc_id AS player,
+        |  CAST((8 - doc_id) * 7 AS BIGINT) AS n_wins,
+        |  CAST(6 * (8 - doc_id) + 36 AS BIGINT) AS n_games,
+        |  CAST(doc_id + 1 AS INT) AS rank
+        |FROM documents WHERE doc_id < 8 ORDER BY rank""".stripMargin,
+
     "chat_ranked_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id % 3 + 2 AS INT) AS n

@@ -111,4 +111,92 @@ object Preference {
         col("col.rejected").as("rejected"),
         col("col.rank_gap").as("rank_gap"))
   }
+
+  /** Bradley–Terry strength RANKING from pairwise outcomes (r17) —
+    * the arena/RLHF leaderboard op: given one row per game
+    * (winner, loser), fit BT strengths by the standard MM iteration
+    * (Hunter 2004, public): w_i ← W_i / Σ_j n_ij/(w_i + w_j), then
+    * rank by fitted strength. Returns (player, n_wins, n_games,
+    * rank) — the INTEGER sufficient statistics plus the ordinal
+    * rank (strength desc, ties to the smaller player id). The float
+    * weights themselves are deliberately NOT emitted — ranks of
+    * separated strengths are the stable surface (the kn_score /
+    * recall-flag stance).
+    *
+    * Zero-win players have a degenerate MLE (w → 0); they are
+    * floored at 1e-12 and rank last among themselves by id.
+    * Self-games and null ids are dropped.
+    *
+    * Scale shape: ONE distributed aggregation collapses the game
+    * log (the only corpus-scale input) to the (i, j, n, wins_i)
+    * pair-count table; the MM fit itself runs on the DRIVER over
+    * that leaderboard-bounded table (players are models/annotators
+    * — the tokenizer-vocab bounded-collect precedent), guarded
+    * LOUDLY by `maxPairs`. A DataFrame-iteration alternative was
+    * measured and rejected: Dataset.localCheckpoint PRESERVES the
+    * origin plan's size statistics, so join-size products compound
+    * across iterations and Catalyst's stats estimation ends up
+    * multiplying million-digit BigInts on the driver. The driver
+    * fold also fixes the summation order (pairs sorted by (i, j)),
+    * making the fit deterministic across runs and partitionings.
+    */
+  def bradleyTerryRanks(games: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 30,
+      maxPairs: Int = 1 << 20): DataFrame = {
+    require(iters >= 1, s"bradleyTerryRanks: iters $iters")
+    val spark = games.sparkSession
+    import spark.implicits._
+    val g = games.select(col(winnerCol).cast("long").as("w"),
+        col(loserCol).cast("long").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+    val pairCounts = g
+      .select(least(col("w"), col("l")).as("i"),
+        greatest(col("w"), col("l")).as("j"),
+        when(col("w") < col("l"), 1L).otherwise(0L).as("wi"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("wins_i"))
+    val pc = pairCounts.limit(maxPairs + 1)
+      .as[(Long, Long, Long, Long)].collect()
+    require(pc.length <= maxPairs,
+      s"bradleyTerryRanks: > $maxPairs distinct player pairs — the MM " +
+        "fit runs driver-side over the leaderboard-bounded pair table; " +
+        "raise maxPairs deliberately if the player set is really this big")
+    val pairs = pc.sortBy(p => (p._1, p._2)) // deterministic fold order
+    val players = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = players.zipWithIndex.toMap
+    val np = players.length
+    val wins = new Array[Long](np)
+    val total = new Array[Long](np)
+    pairs.foreach { case (i, j, n, wi) =>
+      val ii = idx(i); val jj = idx(j)
+      wins(ii) += wi; wins(jj) += n - wi
+      total(ii) += n; total(jj) += n
+    }
+    val weight = Array.fill(np)(1.0)
+    var it = 0
+    while (it < iters) {
+      val den = new Array[Double](np)
+      pairs.foreach { case (i, j, n, _) =>
+        val ii = idx(i); val jj = idx(j)
+        val d = n.toDouble / (weight(ii) + weight(jj))
+        den(ii) += d; den(jj) += d
+      }
+      var p = 0
+      while (p < np) {
+        weight(p) =
+          if (wins(p) > 0 && den(p) > 0) wins(p) / den(p) else 1e-12
+        p += 1
+      }
+      it += 1
+    }
+    val ranked = players.indices
+      .sortBy(p => (-weight(p), players(p)))
+      .zipWithIndex
+      .map { case (p, r) => (players(p), wins(p), total(p), r + 1) }
+    ranked.toSeq.toDF("player", "n_wins", "n_games", "rank")
+      .select(col("player"), col("n_wins"), col("n_games"),
+        col("rank").cast("int").as("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -79,4 +79,30 @@ class PreferenceSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 0, "a", "b", 1), (1L, 1, "a", "c", 2), (1L, 2, "b", "c", 1)))
   }
+
+  test("bradleyTerryRanks (r17): transitive strengths recover the " +
+      "order, integer stats exact, zero-win player ranks last, " +
+      "self-games and nulls drop") {
+    import org.apache.spark.sql.functions._
+    // 1 beats 2 three times, 2 beats 1 once; 2 beats 3 3:1;
+    // 1 beats 3 3:1; player 4 loses everything (2 games);
+    // plus a self-game and a null row that must be ignored
+    val games = (
+      Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+        Seq.fill(3)((2L, 3L)) ++ Seq((3L, 2L)) ++
+        Seq.fill(3)((1L, 3L)) ++ Seq((3L, 1L)) ++
+        Seq((1L, 4L), (3L, 4L), (5L, 5L))
+      ).toDF("winner", "loser")
+      .union(Seq((Option.empty[Long], Option(9L))).toDF("winner", "loser"))
+    val got = graft.operators.Preference
+      .bradleyTerryRanks(games, "winner", "loser", iters = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    // order: 1 (7 wins) > 2 > 3 > 4 (0 wins); 5/9 never played a
+    // real game -> absent
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_._4).toSeq === Seq(1, 2, 3, 4))
+    assert(got(0) === ((1L, 7L, 9L, 1)))  // wins 3+3+1, games 4+4+1
+    assert(got(3) === ((4L, 0L, 2L, 4)))
+  }
 }
