@@ -3963,6 +3963,49 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- N-gram novelty / memorization audit (r17): candidate docs
+    //     scored for 5-gram occurrences ABSENT from a 200-doc
+    //     reference corpus. The %4 plant covers exact copy (novelty
+    //     0), half-copied prefix (grams spanning the seam are novel
+    //     → 6/8), fully fresh (1.0), and too-short (0 grams → null).
+    //     The oracle restates each class closed-form.
+    "text_novelty" -> ((s, dir) => {
+      val id = col("doc_id")
+      def ctoks(g: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(11)), k =>
+          concat(lit("c"), g, lit("k"), k))
+      def xtoks(from: Int) =
+        transform(sequence(lit(from), lit(11)), k =>
+          concat(lit("x"), id, lit("k"), k))
+      val corpus = Tables.documents(s, dir)
+        .filter(id >= 100 && id < 300)
+        .select(id, concat_ws(" ", ctoks(id)).as("text"))
+      val g = id + 100
+      val gen = Tables.documents(s, dir).filter(id < 100)
+        .select(id,
+          when(pmod(id, lit(4L)) === 0, concat_ws(" ", ctoks(g)))
+            .when(pmod(id, lit(4L)) === 1, concat_ws(" ",
+              concat(slice(ctoks(g), 1, 6), xtoks(6))))
+            .when(pmod(id, lit(4L)) === 2, concat_ws(" ", xtoks(0)))
+            .otherwise(concat(lit("s"), id, lit(" end"))).as("text"))
+      Dedup.ngramNovelty(gen, "doc_id", "text", corpus, "text", n = 5)
+        .orderBy(id)
+    }),
+
+    // --- Greenlist watermark detection (r17): the Kirchenbauer-
+    //     style z-statistic over the md5 green rule — organic
+    //     fixture text scores near 0, and the rule/stat pipeline is
+    //     fully SQL-replayable (md5 + integer counts + one sqrt).
+    //     The planted HIGH-z case is spec-pinned (greedy green
+    //     generation is sequential — a unit concern, not a gate's).
+    "text_watermark" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0 &&
+          col("doc_id") < 200)
+      TextFunctions.withWatermarkStats(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Cross-source overlap matrix (r15 wave 7 — the double-
     //     counting / split-leakage card view): contents planted so
     //     every doc carries the text of doc (id % 50) — 50 distinct
@@ -9799,6 +9842,48 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the text_novelty oracle: the %4 plant restated closed-form —
+    // copy 0/8, half-copy 6/8 (two prefix grams survive in-corpus),
+    // fresh 8/8, short null
+    "text_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v = 3 THEN 0 ELSE 8 END AS BIGINT) AS n_grams,
+        |  CAST(CASE v WHEN 0 THEN 0 WHEN 1 THEN 6 WHEN 2 THEN 8
+        |    ELSE 0 END AS BIGINT) AS n_novel,
+        |  CASE v WHEN 0 THEN CAST(0.0 AS DOUBLE)
+        |    WHEN 1 THEN CAST(0.75 AS DOUBLE)
+        |    WHEN 2 THEN CAST(1.0 AS DOUBLE) END AS novelty
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the text_watermark oracle: the SAME md5 green rule (first hex
+    // digit < '8'), integer counts, and the one-proportion z with a
+    // single correctly-rounded sqrt/divide — bit-replayable
+    "text_watermark" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0) AS ts
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 200),
+        |e AS (SELECT doc_id,
+        |        unnest(generate_series(1, len(ts) - 1)) AS i, ts
+        |      FROM t WHERE len(ts) >= 2),
+        |g AS (SELECT doc_id, count(*) AS n,
+        |        sum(CASE WHEN substr(md5(ts[i] || ' ' || ts[i + 1]), 1, 1)
+        |          < '8' THEN 1 ELSE 0 END) AS green
+        |      FROM e GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(COALESCE(g.n, 0) AS BIGINT) AS n_scored,
+        |  CAST(COALESCE(g.green, 0) AS BIGINT) AS n_green,
+        |  CASE WHEN g.n > 0
+        |    THEN round((2 * g.green - g.n) / sqrt(CAST(g.n AS DOUBLE)), 6)
+        |  END AS wm_z
+        |FROM t LEFT JOIN g ON t.doc_id = g.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // the text_qa_match oracle: the %4 plant lattice restated
     // closed-form — branch 0 normalizes to the gold exactly (EM 1),

@@ -1675,6 +1675,43 @@ object TextFunctions {
       .otherwise(round(lit(1.0d) - prod, 6))
   }
 
+  /** Greenlist watermark detection statistics (r17) — the
+    * Kirchenbauer et al. 2023 detector shape over WORD tokens: a
+    * token is "green" given its predecessor iff the first hex digit
+    * of md5(prev ++ " " ++ token) is below '8' (γ = 1/2 — md5 so a
+    * SQL engine replays the rule byte-identically; the published
+    * scheme hashes model-vocab ids, which this word-level cut
+    * deliberately does not depend on). Watermarked generations pick
+    * green continuations, so their green fraction is biased high;
+    * organic text sits at γ. Returns per-doc (idCol, n_scored,
+    * n_green, wm_z) with z = (2·n_green − T)/√T (the γ=1/2 one-
+    * proportion z), round-6, null when T = 0 (fewer than 2 tokens).
+    *
+    * Scale shape: one explode of adjacent pairs (codegen md5 on the
+    * exploded rows), one partially-aggregated per-doc count — rides
+    * the scan, no joins.
+    */
+  def withWatermarkStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode_outer(pairs).as("__p"))
+      .select(col(idCol),
+        when(col("__p").isNotNull, substring(md5(col("__p")), 1, 1) < "8")
+          .as("__green"))
+      .groupBy(col(idCol))
+      .agg(count(col("__green")).as("n_scored"),
+        sum(when(col("__green"), 1L).otherwise(0L)).as("n_green"))
+      .withColumn("wm_z",
+        when(col("n_scored") > 0,
+          round((lit(2L) * col("n_green") - col("n_scored")) /
+            sqrt(col("n_scored")), 6)))
+  }
+
   /** Unicode-script character counts as ARRAY<LONG> — see
     * [[graft.functions.expressions.ScriptCounts]] for the classes
     * (index 8 = total code points). Null text → null.

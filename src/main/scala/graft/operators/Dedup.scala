@@ -760,6 +760,47 @@ object Dedup {
       .drop("rep_id")
   }
 
+  /** N-gram NOVELTY against a reference corpus (r17) — the
+    * memorization audit (Carlini et al.'s verbatim-copy window, run
+    * in reverse): for each generated/candidate doc, how many of its
+    * word n-gram occurrences do NOT appear anywhere in the corpus.
+    * Returns (idCol, n_grams, n_novel, novelty round-6; docs shorter
+    * than n grams carry n_grams = 0 and a null novelty — unscoreable,
+    * not perfectly-novel).
+    *
+    * Scale shape: corpus grams collapse to a DISTINCT hashed-gram
+    * relation (one aggregation of the only corpus-scale input); the
+    * candidate side is an explode + one hash-keyed LEFT join + one
+    * per-doc aggregate. Gram identity is xxhash64 (the contentKey
+    * injectivity stance — 64-bit collisions are negligible and the
+    * join never ships gram text).
+    */
+  def ngramNovelty(gen: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusTextCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n $n")
+    val corpusGrams = corpus
+      .select(explode(TextFunctions.wordNgrams(col(corpusTextCol), n))
+        .as("__g"))
+      .select(xxhash64(col("__g")).as("__gh"))
+      .distinct()
+      .withColumn("__hit", lit(true))
+    val occs = gen
+      .select(col(idCol),
+        explode_outer(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
+      // xxhash64 hashes NULL to the seed (never returns null) — an
+      // unguarded hash would count gram-less docs as one novel gram
+      .select(col(idCol),
+        when(col("__g").isNotNull, xxhash64(col("__g"))).as("__gh"))
+    occs.join(corpusGrams, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__gh")).as("n_grams"),
+        sum(when(col("__gh").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          round(col("n_novel") / col("n_grams"), 6)))
+  }
+
   /** Quality-aware cluster resolution (r17): keep the BEST row of
     * each near-dup cluster instead of [[dedupNear]]'s min-id — the
     * curation rule real pipelines want (the longest / highest-

@@ -847,6 +847,26 @@ class DedupSpec extends SparkSpec {
     assert(e.toSeq === Seq((9L, "")))
   }
 
+  test("ngramNovelty (r17): copied grams hit the corpus, seam grams " +
+      "are novel, short docs are unscoreable nulls, gram COUNTS are " +
+      "occurrences not types") {
+    val corpus = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val gen = Seq(
+      (1L, "a b c d e f"),      // all 4 trigrams in corpus
+      (2L, "a b c x y z"),      // 1 hit (a b c), 3 novel
+      (3L, "p q"),              // no trigrams
+      (4L, "a b c a b c a")     // occurrences: 5 grams, hits: "a b c"×2 -> 3 novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(gen, "doc_id", "text", corpus, "text",
+        n = 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 0L, 0.0), (2L, 4L, 3L, 0.75), (3L, 0L, 0L, -1.0),
+      (4L, 5L, 3L, 0.6)))
+  }
+
   test("dedupNearBest (r17): argmax quality survives per cluster, " +
       "ties break to the min id, singletons pass through, transitive " +
       "chains resolve to ONE survivor") {

@@ -920,6 +920,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(5).isNullAt(1) && got(6).isNullAt(1))
   }
 
+  test("withWatermarkStats (r17): the md5 green rule matches a hand " +
+      "replay, a greedy-green generation scores z = sqrt(T), short " +
+      "docs are unscoreable") {
+    import spark.implicits._
+    def isGreen(prev: String, cur: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$prev $cur".getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xF) < 8
+    }
+    // greedy watermarked generation: always continue with a green
+    // token from a candidate pool (the sequential step a gate can't
+    // plant in-plan — exactly why this case lives in the spec)
+    val pool = (0 until 50).map(i => s"w$i")
+    val wm = Iterator.iterate(List("start")) { acc =>
+      pool.find(c => isGreen(acc.head, c)).get :: acc
+    }.drop(40).next().reverse
+    val organic = "the quick brown fox jumps over the lazy dog again"
+    val rows = Seq((1L, wm.mkString(" ")), (2L, organic), (3L, "one"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .withWatermarkStats(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: every scored pair green -> z = (2T - T)/sqrt(T) = sqrt(T)
+    val t1 = got(0).getLong(1)
+    assert(t1 === 40L && got(0).getLong(2) === 40L)
+    assert(math.abs(got(0).getDouble(3) - math.sqrt(40.0)) < 1e-6)
+    // doc 2: counts match the hand replay of the same rule
+    val toks = organic.split(" ")
+    val expGreen = toks.sliding(2).count(p => isGreen(p(0), p(1)))
+    assert(got(1).getLong(1) === (toks.length - 1).toLong)
+    assert(got(1).getLong(2) === expGreen.toLong)
+    // doc 3: one token -> zero pairs, null z
+    assert(got(2).getLong(1) === 0L && got(2).isNullAt(3))
+  }
+
   test("withScriptRatios (r17): single-pass script counts, ratio " +
       "arithmetic, dominance ties to the earlier class, none/empty/" +
       "null edges, supplementary chars count one code point") {
