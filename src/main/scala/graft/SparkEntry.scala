@@ -4006,6 +4006,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Distinct-n diversity card (r17): distinct/total word
+    //     n-grams per source for n = 1..3 — the mode-collapse flag
+    //     for synthetic corpora, here over the organic fixture. The
+    //     oracle rebuilds every gram order with list slices.
+    "docs_distinct_ngrams" -> ((s, dir) =>
+      operators.CorpusReport.distinctNgrams(
+          Tables.documents(s, dir), "source", "text", maxN = 3)
+        .orderBy(col("source"), col("n"))),
+
     // --- Cross-source overlap matrix (r15 wave 7 — the double-
     //     counting / split-leakage card view): contents planted so
     //     every doc carries the text of doc (id % 50) — 50 distinct
@@ -9842,6 +9851,28 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the docs_distinct_ngrams oracle: gram orders 1..3 rebuilt with
+    // 1-based inclusive list slices over the token law
+    "docs_distinct_ngrams" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0) AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT * FROM (VALUES (1), (2), (3)) v(n)),
+        |e AS (SELECT source, n, ts,
+        |        unnest(generate_series(1, len(ts) - n + 1)) AS i
+        |      FROM t, o),
+        |g AS (SELECT source, n,
+        |        array_to_string(ts[i : i + n - 1], ' ') AS gram
+        |      FROM e)
+        |SELECT source, CAST(n AS INT) AS n,
+        |  count(DISTINCT gram) AS n_distinct,
+        |  count(gram) AS n_total,
+        |  round(CAST(count(DISTINCT gram) AS DOUBLE) / count(gram), 6)
+        |    AS distinct_ratio
+        |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin,
 
     // the text_novelty oracle: the %4 plant restated closed-form —
     // copy 0/8, half-copy 6/8 (two prefix grams survive in-corpus),

@@ -209,6 +209,35 @@ object CorpusReport {
         round(col("n_terms").cast("double") / col("n_tokens"), 6)
           .as("type_token_ratio"))
 
+  /** Distinct-n diversity per source (r17) — the standard
+    * synthetic-data diversity card (Li et al. 2016's distinct-1/2
+    * generalized): distinct word n-grams / total n-gram occurrences
+    * within each source, for n = 1..maxN. Low distinct-n flags mode
+    * collapse in generated corpora; organic text sits high. One
+    * explode per order unioned (n rides as a key), one
+    * partially-aggregated groupBy — the vocabularyGrowth shape.
+    * Returns (source, n, n_distinct, n_total, distinct_ratio) with
+    * a null ratio when a source has no grams of that order.
+    */
+  def distinctNgrams(df: DataFrame, sourceCol: String,
+      textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"distinctNgrams: maxN $maxN")
+    val base = df.filter(col(textCol).isNotNull)
+    val perOrder = (1 to maxN).map { n =>
+      base.select(col(sourceCol).as("source"), lit(n).as("n"),
+        explode_outer(graft.functions.TextFunctions
+          .wordNgrams(col(textCol), n)).as("gram"))
+    }.reduce(_.union(_))
+    perOrder
+      .groupBy(col("source"), col("n"))
+      .agg(countDistinct(col("gram")).as("n_distinct"),
+        count(col("gram")).as("n_total"))
+      .select(col("source"), col("n"), col("n_distinct"), col("n_total"),
+        when(col("n_total") > 0,
+          round(col("n_distinct").cast("double") / col("n_total"), 6))
+          .as("distinct_ratio"))
+  }
+
   /** The language-mix rows of the card: (source, lang, n_docs) —
     * lang is null for unscoreable (null/empty text) docs, which stay
     * countable. Computes ONLY the language signal (the same

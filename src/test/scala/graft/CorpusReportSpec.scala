@@ -136,4 +136,26 @@ class CorpusReportSpec extends SparkSpec {
     assert(rows(1).getLong(1) === 1L && rows(1).getLong(2) === 3L)
     assert(rows(1).getDouble(3) === 0.333333)
   }
+
+  test("distinctNgrams (r17): mode-collapsed source scores low, " +
+      "diverse source high, gram-less order keeps its group with a " +
+      "null ratio") {
+    import spark.implicits._
+    val df = Seq(
+      ("collapsed", "yes yes yes yes yes yes"),
+      ("diverse", "one two three four five six"),
+      ("tiny", "lone")) // no bigrams/trigrams
+      .toDF("source", "text")
+    val got = CorpusReport.distinctNgrams(df, "source", "text", maxN = 2)
+      .orderBy("source", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("collapsed", 1, 1L, 6L, 0.166667),
+      ("collapsed", 2, 1L, 5L, 0.2),
+      ("diverse", 1, 6L, 6L, 1.0),
+      ("diverse", 2, 5L, 5L, 1.0),
+      ("tiny", 1, 1L, 1L, 1.0),
+      ("tiny", 2, 0L, 0L, -1.0)))
+  }
 }
