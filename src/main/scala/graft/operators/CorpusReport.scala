@@ -229,9 +229,15 @@ object CorpusReport {
           .wordNgrams(col(textCol), n)).as("gram"))
     }.reduce(_.union(_))
     perOrder
+      // distinct runs on the 8-byte gram hash, not the gram string —
+      // the count-distinct exchange carries longs (the contentKey
+      // injectivity stance); NULL grams are guarded (xxhash64 hashes
+      // null to the seed instead of returning null)
+      .select(col("source"), col("n"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("gh"))
       .groupBy(col("source"), col("n"))
-      .agg(countDistinct(col("gram")).as("n_distinct"),
-        count(col("gram")).as("n_total"))
+      .agg(countDistinct(col("gh")).as("n_distinct"),
+        count(col("gh")).as("n_total"))
       .select(col("source"), col("n"), col("n_distinct"), col("n_total"),
         when(col("n_total") > 0,
           round(col("n_distinct").cast("double") / col("n_total"), 6))
