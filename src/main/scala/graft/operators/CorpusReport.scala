@@ -223,6 +223,12 @@ object CorpusReport {
       textCol: String, maxN: Int = 3): DataFrame = {
     require(maxN >= 1, s"distinctNgrams: maxN $maxN")
     val base = df.filter(col(textCol).isNotNull)
+    // one codegen'd scan PER ORDER, unioned. Measured alternatives at
+    // sf0.1 / maxN 3: a single-scan nested-HOF form that emits all
+    // orders from one staged token array ran 8.3 s (higher-order
+    // array lambdas are interpreted per element — the r15
+    // ngram-overlap lesson), this union form ~3 s, i.e. ~1 s per
+    // order — the same floor text_top_ngrams pays for one order.
     val perOrder = (1 to maxN).map { n =>
       base.select(col(sourceCol).as("source"), lit(n).as("n"),
         explode_outer(graft.functions.TextFunctions
