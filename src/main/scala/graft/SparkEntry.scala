@@ -4006,6 +4006,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Score-based pruning (r17): keep the best 30% per source by
+    //     a planted score — the SemDeDup/DSIR-style curation cut;
+    //     the oracle replays the same rank/count windows.
+    "docs_keep_top" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("source"),
+          pmod(col("doc_id") * 13, lit(101L)).as("score"))
+      operators.TrainingOrder.keepTopFraction(docs, "source", "doc_id",
+          col("score"), 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Distinct-n diversity card (r17): distinct/total word
     //     n-grams per source for n = 1..3 — the mode-collapse flag
     //     for synthetic corpora, here over the organic fixture. The
@@ -9851,6 +9863,20 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the docs_keep_top oracle: the same per-stratum rank and count
+    // windows, kept iff rn <= ceil(0.3 n)
+    "docs_keep_top" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, doc_id * 13 % 101 AS score
+        |  FROM documents WHERE doc_id < 500),
+        |r AS (SELECT doc_id, source, score,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY score DESC, doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM d)
+        |SELECT doc_id, source, score FROM r
+        |WHERE rn <= ceil(n * 0.3) ORDER BY doc_id""".stripMargin,
 
     // the docs_distinct_ngrams oracle: gram orders 1..3 rebuilt with
     // 1-based inclusive list slices over the token law

@@ -372,6 +372,34 @@ object TrainingOrder {
     * |splits| ≈ 3 named bands — config-bounded and tiny, unlike the
     * per-source dispatch the broadcast join replaced.)
     */
+  /** Score-based corpus pruning (r17) — the SemDeDup/DSIR-style
+    * "keep the best X% per stratum" curation cut: within each
+    * stratum (source, language, …) keep the `fraction` highest-
+    * scoring rows, ties to the SMALLER id (deterministic; the
+    * exactDedup total-order stance). Kept count per stratum =
+    * ceil(fraction · n) so a non-empty stratum always keeps ≥ 1 row.
+    *
+    * Scale shape: one window per STRATUM (rank + the stratum count
+    * via the same partition — no second aggregate pass or join).
+    * Strata are mixture components (sources/languages), so the
+    * per-partition sort is bounded by stratum size; for a single
+    * giant stratum at 100 TB, cut by a THRESHOLD from a quantile
+    * sketch instead — this exact form is for bounded strata where
+    * hash-exact reproducibility of the kept set matters.
+    */
+  def keepTopFraction(df: DataFrame, strataCol: String, idCol: String,
+      score: Column, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1,
+      s"keepTopFraction: fraction $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    val wOrd = w.orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .drop("__rn", "__n")
+  }
+
   def assignSplit(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)], seed: Long = 42L): DataFrame =
     assignSplitKeyed(df, col(idCol), splits, seed)

@@ -409,4 +409,23 @@ class PackSpec extends SparkSpec {
     assert(TrainingOrder.assignLengthBatches(withJunk, "doc_id", $"tok",
       batchSize = 8, seed = 7L).filter($"doc_id" > 900L).count() === 0L)
   }
+
+  test("keepTopFraction (r17): ceil quota per stratum, score ties to " +
+      "the smaller id, singleton strata always keep their row") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TrainingOrder
+    val rows = Seq(
+      // stratum a: 4 rows, frac 0.5 -> keep 2: scores 9,7(,7),1 —
+      // the 7-tie keeps id 2 over id 3
+      (1L, "a", 9L), (2L, "a", 7L), (3L, "a", 7L), (4L, "a", 1L),
+      // stratum b: 3 rows -> ceil(1.5) = 2 kept
+      (5L, "b", 5L), (6L, "b", 4L), (7L, "b", 3L),
+      // singleton stratum: ceil(0.5) = 1 -> survives
+      (8L, "c", 0L)
+    ).toDF("doc_id", "source", "score")
+    val got = TrainingOrder.keepTopFraction(rows, "source", "doc_id",
+        col("score"), 0.5)
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 5L, 6L, 8L))
+  }
 }
