@@ -4006,6 +4006,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Function-level code chunking (r17): the brace-depth
+    //     top-level block splitter on planted C-style sources — k
+    //     functions per doc, %5 docs carry a string literal holding
+    //     a brace (must not split), %4 docs a trailing line comment
+    //     holding a brace (must not split; becomes its own trailing
+    //     chunk). The oracle restates every chunk closed-form.
+    "code_functions" -> ((s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(3L)) + 1
+      def fn(j: org.apache.spark.sql.Column) = concat(
+        lit("int f"), j, lit("(int x) { "),
+        when(pmod(id, lit(5L)) === 0 && j === 0,
+          lit("char* s = \"{\"; ")).otherwise(lit("")),
+        lit("if (x > "), pmod(id * 7 + j, lit(43L)),
+        lit(") { return x + "), pmod(id * 11 + j, lit(37L)),
+        lit("; } return 0; }"))
+      val text = concat(
+        concat_ws("\n", transform(sequence(lit(0), k - 1), j => fn(j))),
+        when(pmod(id, lit(4L)) === 0,
+          concat(lit("\n// tail of "), id, lit(" }"))).otherwise(lit("")))
+      operators.CodeQuality.splitFunctions(
+          Tables.documents(s, dir).filter(id < 200)
+            .select(id, text.as("text")),
+          "doc_id", "text")
+        .orderBy(id, col("chunk_idx"))
+    }),
+
     // --- Score-based pruning (r17): keep the best 30% per source by
     //     a planted score — the SemDeDup/DSIR-style curation cut;
     //     the oracle replays the same rank/count windows.
@@ -9863,6 +9890,28 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the code_functions oracle: the planted functions restated —
+    // the in-string and in-comment braces never split, the trailing
+    // comment is its own chunk at index k
+    "code_functions" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, CAST(doc_id % 3 + 1 AS INT) AS k
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT id, j.g AS j,
+        |    'int f' || j.g || '(int x) { ' ||
+        |    CASE WHEN id % 5 = 0 AND j.g = 0
+        |      THEN 'char* s = "{"; ' ELSE '' END ||
+        |    'if (x > ' || ((id * 7 + j.g) % 43) ||
+        |    ') { return x + ' || ((id * 11 + j.g) % 37) ||
+        |    '; } return 0; }' AS chunk
+        |  FROM d, generate_series(0, 2) j(g) WHERE j.g < k),
+        |t AS (SELECT id, k AS j, '// tail of ' || id || ' }' AS chunk
+        |      FROM d WHERE id % 4 = 0),
+        |u AS (SELECT * FROM f UNION ALL SELECT * FROM t)
+        |SELECT id AS doc_id, CAST(j AS INT) AS chunk_idx, chunk,
+        |  CAST(1 AS INT) AS n_chunk_lines
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the docs_keep_top oracle: the same per-stratum rank and count
     // windows, kept iff rn <= ceil(0.3 n)

@@ -1,0 +1,104 @@
+package graft.functions.expressions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Top-level brace-block splitter for code text (r17) — the
+  * function-level chunker code-corpus pipelines use instead of blind
+  * token windows: a source file splits into its top-level `{…}`
+  * groups, each carried WITH its leading header text (signature,
+  * modifiers, doc comment), so a chunk is a whole function/class.
+  *
+  * Pinned rules (each spec-pinned):
+  *  - split points are immediately AFTER a `}` that returns the
+  *    brace depth to zero; the text since the previous split is one
+  *    chunk — so headers travel with their block;
+  *  - braces inside `//` line comments, `/* */` block comments and
+  *    double-quoted strings (with backslash escapes) do NOT count;
+  *    single-quote char literals are deliberately NOT special-cased
+  *    (apostrophes in prose would derail the scan; a `'{'` literal
+  *    mis-splitting is the accepted residual and is documented);
+  *  - chunks are TRIMMED and blank chunks drop; trailing text after
+  *    the last top-level block (e.g. a file-ending comment) is its
+  *    own chunk;
+  *  - stray `}` at depth zero ends a chunk (clamped, never negative);
+  *    an unclosed `{` leaves the remainder as the final chunk;
+  *  - brace-less text (Python, prose) comes back as ONE chunk —
+  *    indentation-scoped languages belong to the token chunker.
+  *
+  * One tree node via the kernel-reference pattern; null → null.
+  */
+case class CodeBlocks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "code_blocks"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"code_blocks needs a string column, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    CodeBlocks.split(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.CodeBlocks.split($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CodeBlocks =
+    copy(child = newChild)
+}
+
+object CodeBlocks {
+
+  /** The scanner; called from generated code. */
+  def split(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = ArrayBuffer.empty[UTF8String]
+    def emit(from: Int, until: Int): Unit = {
+      val t = s.substring(from, until).trim
+      if (t.nonEmpty) out += UTF8String.fromString(t)
+    }
+    var depth = 0
+    var start = 0
+    var i = 0
+    val n = s.length
+    var mode = 0 // 0 code, 1 line comment, 2 block comment, 3 string
+    while (i < n) {
+      val c = s.charAt(i)
+      mode match {
+        case 1 => if (c == '\n') mode = 0
+        case 2 =>
+          if (c == '*' && i + 1 < n && s.charAt(i + 1) == '/') {
+            mode = 0; i += 1
+          }
+        case 3 =>
+          if (c == '\\') i += 1
+          else if (c == '"') mode = 0
+        case _ =>
+          c match {
+            case '/' if i + 1 < n && s.charAt(i + 1) == '/' =>
+              mode = 1; i += 1
+            case '/' if i + 1 < n && s.charAt(i + 1) == '*' =>
+              mode = 2; i += 1
+            case '"' => mode = 3
+            case '{' => depth += 1
+            case '}' =>
+              if (depth > 0) depth -= 1
+              if (depth == 0) { emit(start, i + 1); start = i + 1 }
+            case _ =>
+          }
+      }
+      i += 1
+    }
+    emit(start, n)
+    new GenericArrayData(out.toArray[Any])
+  }
+}
