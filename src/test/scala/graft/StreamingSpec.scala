@@ -1096,4 +1096,33 @@ class StreamingSpec extends SparkSpec {
       proj(rows.toDF("id", "json", "tpl", "hyp", "ref")).orderBy("id")
         .collect().toSeq)
   }
+
+  test("streaming code-block split / maxsim score == batch (r17): " +
+      "both kernels are stateless per-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 8L).map { id =>
+      val src = s"int f$id() { return $id; } // tail }" +
+        (if (id % 2 == 0) "\nint g() { char* s = \"}\"; }" else "")
+      val q = Seq(Seq(1.0, 0.0), Seq(0.0, id.toDouble))
+      val d = Seq(Seq(2.0, 0.0), Seq(0.0, 3.0), Seq(1.0, 1.0))
+      (id, src, q, d)
+    }
+    val ms = MemoryStream[(Long, String, Seq[Seq[Double]], Seq[Seq[Double]])]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id",
+        graft.operators.CodeQuality.codeBlocks($"src").as("blocks"),
+        graft.functions.VectorFunctions.maxSim($"q", $"d").as("score"))
+    val q = proj(ms.toDF().toDF("id", "src", "q", "d"))
+      .writeStream.format("memory").queryName("code_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("code_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "src", "q", "d")).orderBy("id")
+        .collect().toSeq)
+  }
 }
