@@ -4006,6 +4006,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Near-dup cluster-size histogram (r17): 15 planted clusters
+    //     (the dedup_keep_best separated-group plant — members of a
+    //     group share v = id%3 since 15k ≡ 0 mod 3, so groups are
+    //     identical-string clusters of 21 (g<10) or 20) plus 10
+    //     planted singletons with pairwise-distance-≥2 strings. The
+    //     histogram must read (1,10),(20,5),(21,10), with singletons
+    //     INCLUDED so sizes sum to the corpus.
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val id = col("doc_id")
+      val strs = Tables.documents(s, dir).filter(id < 320)
+        .select(id,
+          when(id < 310, concat(
+            expr("repeat(substr('abcdefghijklmno', " +
+              "cast(doc_id % 15 as int) + 1, 1), 3)"),
+            lit("-v"), (id % 3).cast("string")))
+            .otherwise(concat(lit("s"), id, lit("q"), id)).as("str"))
+      val pairs = Dedup.fuzzyPairs(strs, "doc_id", "str", maxDistance = 1)
+      Dedup.clusterSizeHistogram(strs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("cluster_size"))
+    }),
+
+    // --- Code-switch language segmentation (r17): 6 planted
+    //     sentences per doc in two alternating en/de run patterns;
+    //     the gaps-and-islands collapse must recover the runs. The
+    //     oracle restates the segment table closed-form.
+    "text_lang_segments" -> ((s, dir) => {
+      val id = col("doc_id")
+      def en(k: Int) =
+        concat(lit("the cat "), id, lit(s" is here now$k. "))
+      def de(k: Int) =
+        concat(lit("der hund "), id, lit(s" ist gut da$k. "))
+      val text = when(pmod(id, lit(2L)) === 0,
+        concat(en(0), en(1), de(2), de(3), en(4), en(5)))
+        .otherwise(concat(de(0), en(1), en(2), en(3), de(4), de(5)))
+      TextFunctions.withLangSegments(
+          Tables.documents(s, dir).filter(id < 150)
+            .select(id, text.as("text")),
+          "doc_id", "text")
+        .orderBy(id, col("seg_idx"))
+    }),
+
     // --- Function-level code chunking (r17): the brace-depth
     //     top-level block splitter on planted C-style sources — k
     //     functions per doc, %5 docs carry a string literal holding
@@ -9890,6 +9931,46 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the dedup_cluster_sizes oracle: group sizes recomputed from the
+    // plant law (doc_id % 15 over the clustered range, singletons as
+    // size-1 rows), then the histogram of sizes
+    "dedup_cluster_sizes" ->
+      """WITH c AS (
+        |  SELECT doc_id % 15 AS g, count(*) AS size
+        |  FROM documents WHERE doc_id < 310 GROUP BY 1),
+        |h AS (
+        |  SELECT size AS cluster_size, count(*) AS n_clusters
+        |  FROM c GROUP BY 1
+        |  UNION ALL
+        |  SELECT 1, count(*) FROM documents
+        |  WHERE doc_id >= 310 AND doc_id < 320)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM h GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    // the text_lang_segments oracle: the two planted run patterns
+    // restated closed-form
+    "text_lang_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 2 AS INT) AS v
+        |  FROM documents WHERE doc_id < 150),
+        |s AS (
+        |  SELECT doc_id, 0 AS seg_idx,
+        |    CASE WHEN v = 0 THEN 'en' ELSE 'de' END AS lang,
+        |    CASE WHEN v = 0 THEN 2 ELSE 1 END AS n_sents,
+        |    0 AS start_idx FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1, CASE WHEN v = 0 THEN 'de' ELSE 'en' END,
+        |    CASE WHEN v = 0 THEN 2 ELSE 3 END,
+        |    CASE WHEN v = 0 THEN 2 ELSE 1 END FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2, CASE WHEN v = 0 THEN 'en' ELSE 'de' END,
+        |    2, 4 FROM d)
+        |SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx, lang,
+        |  CAST(n_sents AS INT) AS n_sents,
+        |  CAST(start_idx AS INT) AS start_idx
+        |FROM s ORDER BY doc_id, seg_idx""".stripMargin,
 
     // the code_functions oracle: the planted functions restated —
     // the in-string and in-comment braces never split, the trailing

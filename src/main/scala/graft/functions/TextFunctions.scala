@@ -1675,6 +1675,33 @@ object TextFunctions {
       .otherwise(round(lit(1.0d) - prod, 6))
   }
 
+  /** Code-switch language segmentation (r17) — per-sentence language
+    * ID collapsed into maximal CONSECUTIVE same-language runs (the
+    * gaps-and-islands shape): multilingual cleaning routes segments
+    * to per-language pipelines instead of dropping whole mixed docs.
+    * Returns (idCol, seg_idx, lang, n_sents, start_idx) per segment,
+    * ordered within each doc. One window per DOCUMENT (bounded by
+    * its sentence count) — partition-parallel across docs.
+    */
+  def withLangSegments(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sents = df
+      .select(col(idCol), posexplode(splitSentences(col(textCol)))
+        .as(Seq("sent_idx", "sentence")))
+      .withColumn("lang", languageId(col("sentence")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sent_idx"))
+    val prev = lag(col("lang"), 1).over(w)
+    sents
+      .withColumn("__new",
+        when(prev.isNull || prev =!= col("lang"), 1L).otherwise(0L))
+      .withColumn("seg_idx", (sum(col("__new")).over(w) - 1).cast("int"))
+      .groupBy(col(idCol), col("seg_idx"))
+      .agg(min(col("lang")).as("lang"), // constant within a segment
+        count(lit(1)).cast("int").as("n_sents"),
+        min(col("sent_idx")).cast("int").as("start_idx"))
+  }
+
   /** Greenlist watermark detection statistics (r17) — the
     * Kirchenbauer et al. 2023 detector shape over WORD tokens: a
     * token is "green" given its predecessor iff the first hex digit

@@ -801,6 +801,33 @@ object Dedup {
           round(col("n_novel") / col("n_grams"), 6)))
   }
 
+  /** Near-dup cluster-size histogram (r17) — the dedup-rate card: how
+    * big are the duplicate clusters (a heavy tail means template spam
+    * or a mirror; all-2s means benign recrawls). Returns
+    * (cluster_size, n_clusters) INCLUDING the never-paired rows as
+    * size-1 clusters, so Σ size·n = |corpus| and the dedup rate reads
+    * straight off the histogram. Components resolve over the PAIR
+    * set; the singleton count is one anti-join.
+    */
+  def clusterSizeHistogram(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed(aCol, idCol)
+    val clustered = comps.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val nSingle = df.select(col(idCol))
+      .join(comps.select(col(idCol)), Seq(idCol), "left_anti")
+      .count()
+    val single = df.sparkSession.range(1)
+      .select(lit(1L).as("cluster_size"), lit(nSingle).as("n_clusters"))
+      .filter(lit(nSingle) > 0)
+    clustered.unionByName(single)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).as("n_clusters"))
+  }
+
   /** Quality-aware cluster resolution (r17): keep the BEST row of
     * each near-dup cluster instead of [[dedupNear]]'s min-id — the
     * curation rule real pipelines want (the longest / highest-

@@ -847,6 +847,19 @@ class DedupSpec extends SparkSpec {
     assert(e.toSeq === Seq((9L, "")))
   }
 
+  test("clusterSizeHistogram (r17): transitive chains count as one " +
+      "cluster, singletons appear as size-1 rows, sizes sum to the " +
+      "corpus") {
+    val rows = (1L to 8L).map(i => (i, s"r$i")).toDF("doc_id", "str")
+    // chain {1,2,3}, pair {4,5}; 6,7,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterSizeHistogram(rows, "doc_id", pairs,
+        "id_a", "id_b")
+      .orderBy($"cluster_size").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+    assert(got.map(p => p._1 * p._2).sum === 8L)
+  }
+
   test("ngramNovelty (r17): copied grams hit the corpus, seam grams " +
       "are novel, short docs are unscoreable nulls, gram COUNTS are " +
       "occurrences not types") {

@@ -920,6 +920,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(5).isNullAt(1) && got(6).isNullAt(1))
   }
 
+  test("withLangSegments (r17): runs collapse, single-language doc " +
+      "is one segment, und sentences segment too, empty/null docs " +
+      "contribute no rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the cat is big. der hund ist gut. das ist der hund. " +
+        "the dog is here."),
+      (2L, "the cat is big. the dog is here."),
+      (3L, "zzz qqq. the cat is big."), // und then en
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextFunctions
+      .withLangSegments(rows, "doc_id", "text")
+      .orderBy($"doc_id", $"seg_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      (1L, 0, "en", 1, 0), (1L, 1, "de", 2, 1), (1L, 2, "en", 1, 3),
+      (2L, 0, "en", 2, 0),
+      (3L, 0, "und", 1, 0), (3L, 1, "en", 1, 1)))
+  }
+
   test("withWatermarkStats (r17): the md5 green rule matches a hand " +
       "replay, a greedy-green generation scores z = sqrt(T), short " +
       "docs are unscoreable") {
