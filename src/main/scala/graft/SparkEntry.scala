@@ -4006,27 +4006,6 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // --- Perceptual-hash image dedup (r17): 200 BMP payloads over 40
-    //     pixel patterns (payload keyed by id % 40) — byte-identical
-    //     pixels must collapse to one dHash group apiece (here 5
-    //     copies each); the %19-corrupted patterns decode null and
-    //     drop. The oracle restates the plant law; a cross-pattern
-    //     dHash collision would merge groups and hash-mismatch.
-    "mm_phash_dedup" -> ((s, dir) => {
-      val id = col("doc_id")
-      val media = graft.sources.Multimodal.synthesizeBmpBytesSized(
-        Tables.documents(s, dir).filter(id < 200)
-          .select(pmod(id, lit(40L)).as("doc_id")), w = 36, h = 24)
-      graft.sources.Multimodal
-        .withPerceptualHash(media, "payload", "m")
-        .filter(col("m.dhash").isNotNull)
-        .groupBy(col("m.dhash"))
-        .agg(min(col("media_id")).as("pattern_id"),
-          count(lit(1)).as("n_copies"))
-        .select(col("pattern_id"), col("n_copies"))
-        .orderBy(col("pattern_id"))
-    }),
-
     // --- Near-dup cluster-size histogram (r17): 15 planted clusters
     //     (the dedup_keep_best separated-group plant — members of a
     //     group share v = id%3 since 15k ≡ 0 mod 3, so groups are
@@ -9952,14 +9931,6 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
-
-    // the mm_phash_dedup oracle: the plant law — one group per
-    // uncorrupted pattern, copies = ids sharing id % 40
-    "mm_phash_dedup" ->
-      """SELECT doc_id % 40 AS pattern_id, count(*) AS n_copies
-        |FROM documents
-        |WHERE doc_id < 200 AND (doc_id % 40) % 19 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the dedup_cluster_sizes oracle: group sizes recomputed from the
     // plant law (doc_id % 15 over the clustered range, singletons as

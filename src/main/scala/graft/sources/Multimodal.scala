@@ -499,40 +499,6 @@ object Multimodal {
       ((id * 5 + 3L * x + 17L * y) % 256).toInt))
   }
 
-  /** [[synthesizeBmpBytes]] at a CHOSEN size with grid-cell-keyed
-    * brightness (r17) — the perceptual-hash plant: the default 2–7 px
-    * gradient thumbnails collapse to a handful of dHash values, so
-    * this variant paints each 9×8-grid cell an id-mixed constant
-    * gray, giving every id ~64 independent fingerprint bits. Same
-    * %19 corruption plant as [[synthesizeBmpBytes]].
-    */
-  def synthesizeBmpBytesSized(docs: DataFrame, w: Int,
-      h: Int): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = true)))
-    docs.select(col("doc_id")).mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = buildBmp(w, h, (x, y) => {
-          val cx = x * 9 / w; val cy = y * 8 / h
-          // splitmix64 finalizer per (id, cell): an affine-in-id
-          // formula makes ids differ by a CONSTANT offset mod 251
-          // across all cells — fingerprints degenerate to rotations
-          // and collide (measured: 40 ids -> 33 hashes)
-          var z = id * 72L + cy * 9L + cx + 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= z >>> 31
-          val v = ((z & 0x7FFFFFFFL) % 251L).toInt
-          (v, v, v)
-        })
-        if (id % 19 == 0) bytes(0) = 0x00.toByte
-        Row(id, bytes)
-      }
-    }(Encoders.row(schema))
-  }
-
   /** Synthesize a BMP media table from doc ids; every 19th payload has
     * its magic overwritten so the corrupt path is exercised in-gate.
     */
@@ -794,96 +760,6 @@ object Multimodal {
     * [[withBmpPixelStats]]; same narrow per-partition boundary, one
     * map stage over the scan, no shuffle.
     */
-  /** Difference-hash (dHash) of a decoded raster — the embedding-free
-    * perceptual fingerprint image near-dup runs on (the public 9×8
-    * gradient-hash construction): grayscale box-average the image to
-    * a 9×8 grid, compare horizontal neighbors, pack 64 bits
-    * (row-major, bit 63 first). EXACT integer arithmetic end-to-end —
-    * cell values are (r+g+b) SUMS and the neighbor comparison
-    * cross-multiplies by cell pixel counts instead of dividing — so
-    * the hash is bit-stable across partitionings and runs. Identical
-    * pixels (across container formats / re-encodes) hash identically;
-    * small edits flip few bits (hamming-bucket near-dup rides the
-    * simhash machinery). Images narrower than 9 or shorter than 8
-    * pixels return MinValue-free null (too small to fingerprint).
-    */
-  private[graft] def dhashOf(img: RasterImage): java.lang.Long = {
-    val w = img.width; val h = img.height
-    if (w < 1 || h < 1) return null
-    // INVERSE-mapped cells: grid cell (gx, gy) averages the source
-    // rect [gx·w/9, (gx+1)·w/9) × [gy·h/8, (gy+1)·h/8), widened to at
-    // least one pixel — for images smaller than the 9×8 grid the
-    // cells OVERLAP (nearest-pixel behavior), so any ≥1×1 image
-    // fingerprints; for larger images the rects partition exactly.
-    val sums = new Array[Long](72) // 8 rows x 9 cols
-    val cnts = new Array[Long](72)
-    var gy = 0
-    while (gy < 8) {
-      val y0 = (gy.toLong * h / 8).toInt
-      val y1 = math.max(((gy + 1).toLong * h / 8).toInt, y0 + 1)
-      var gx = 0
-      while (gx < 9) {
-        val x0 = (gx.toLong * w / 9).toInt
-        val x1 = math.max(((gx + 1).toLong * w / 9).toInt, x0 + 1)
-        val c = gy * 9 + gx
-        var y = y0
-        while (y < y1) {
-          var x = x0
-          var i = (y * w + x) * 3
-          while (x < x1) {
-            sums(c) += (img.rgb(i) & 0xFF) + (img.rgb(i + 1) & 0xFF) +
-              (img.rgb(i + 2) & 0xFF)
-            x += 1; i += 3
-          }
-          y += 1
-        }
-        cnts(c) = (y1 - y0).toLong * (x1 - x0)
-        gx += 1
-      }
-      gy += 1
-    }
-    var bits = 0L
-    gy = 0
-    while (gy < 8) {
-      var gx = 0
-      while (gx < 8) {
-        val l = gy * 9 + gx
-        bits <<= 1
-        if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l)) bits |= 1L
-        gx += 1
-      }
-      gy += 1
-    }
-    java.lang.Long.valueOf(bits)
-  }
-
-  /** Append `outCol` struct (format, dhash) — the perceptual
-    * fingerprint of each payload through the raster decode family;
-    * undecodable/too-small payloads carry a null dhash (format kept
-    * where the header identified one). The multimodal sibling of the
-    * text content-key: groupBy dhash is exact-pixel dedup across
-    * byte-level re-encodes, hamming buckets give near-dup.
-    */
-  def withPerceptualHash(df: DataFrame, payloadCol: String,
-      outCol: String): DataFrame = {
-    val schema = df.schema.add(outCol, StructType(Seq(
-      StructField("format", StringType),
-      StructField("dhash", LongType))), nullable = true)
-    val idx = df.schema.fieldIndex(payloadCol)
-    df.mapPartitions { it =>
-      it.map { r =>
-        val p = r.get(idx).asInstanceOf[Array[Byte]]
-        val m = if (p == null) null
-          else {
-            val (fmt, img) = decodeRasterTagged(p)
-            if (img == null) Row(fmt, null)
-            else Row(fmt, dhashOf(img))
-          }
-        Row.fromSeq(r.toSeq :+ m)
-      }
-    }(Encoders.row(schema))
-  }
-
   def withPixelStats(df: DataFrame, payloadCol: String,
       outCol: String): DataFrame = {
     val schema = df.schema.add(outCol, StructType(Seq(

@@ -1963,43 +1963,4 @@ class MultimodalSpec extends SparkSpec {
     assert(decodePnm("P2\n2 1\n255\n300 1\n".getBytes) === null)
     assert(decodePnm(null) === null)
   }
-
-  test("dhash (r17): identical pixels across CONTAINERS hash " +
-      "identically, a localized edit flips few bits, tiny images " +
-      "fingerprint via overlapping cells, gradient sanity") {
-    import Multimodal.RasterImage
-    def img(w: Int, h: Int, f: (Int, Int) => Int): RasterImage = {
-      val rgb = new Array[Byte](w * h * 3)
-      for (y <- 0 until h; x <- 0 until w) {
-        val v = f(x, y).toByte
-        val i = (y * w + x) * 3
-        rgb(i) = v; rgb(i + 1) = v; rgb(i + 2) = v
-      }
-      RasterImage(w, h, rgb)
-    }
-    // same pixels, different container: decode BMP and PNG of the
-    // same 18x16 pattern and compare fingerprints
-    val viaBmp = Multimodal.decodeBmp(Multimodal.buildBmp(18, 16,
-      (x, y) => { val v = (x * 37 + y * 11) % 251; (v, v, v) }))
-    val viaPng = Multimodal.decodePng(Multimodal.buildPngChannels(18, 16, 2,
-      (x, y) => { val v = (x * 37 + y * 11) % 251; Array(v, v, v) }))
-    assert(viaBmp != null && viaPng != null)
-    assert(Multimodal.dhashOf(viaBmp) === Multimodal.dhashOf(viaPng))
-    // a one-cell brightness change flips a BOUNDED number of bits
-    val a = img(36, 24, (x, y) => (x * 31 + y * 17) % 251)
-    val b = img(36, 24, (x, y) =>
-      if (x < 4 && y < 3) 250 else (x * 31 + y * 17) % 251)
-    val d = java.lang.Long.bitCount(
-      Multimodal.dhashOf(a).longValue ^ Multimodal.dhashOf(b).longValue)
-    assert(d >= 1 && d <= 4, s"hamming $d")
-    // left-to-right increasing gradient -> all-zero bits is wrong;
-    // avg(left) < avg(right) everywhere -> bits all 0 under ">"
-    val g = img(27, 16, (x, _) => x * 9)
-    assert(Multimodal.dhashOf(g).longValue === 0L)
-    val gDec = img(27, 16, (x, _) => 240 - x * 8)
-    assert(Multimodal.dhashOf(gDec).longValue === -1L) // 64 ones
-    // tiny images still fingerprint (overlapping cells)
-    assert(Multimodal.dhashOf(img(2, 2, (x, y) => x * 100 + y)) != null)
-    assert(Multimodal.dhashOf(img(1, 1, (_, _) => 7)).longValue === 0L)
-  }
 }
