@@ -4006,6 +4006,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Classifier-eval harness (r17): the decision card for the
+    //     quality/filter classifiers — per-class PRF over a %5
+    //     mislabel plant, EXACT AUC via the doubled Mann–Whitney U
+    //     (integer under ties — the %101 scores tie on purpose), and
+    //     calibration/Brier over DYADIC probabilities (k/16 — sums
+    //     are exact in any order, the one division per metric is
+    //     correctly rounded in both engines).
+    "eval_prf" -> ((s, dir) => {
+      val id = col("doc_id")
+      val y = concat(lit("c"), pmod(id, lit(4L)))
+      val p = when(pmod(id, lit(5L)) === 0,
+        concat(lit("c"), pmod(pmod(id, lit(4L)) + 1, lit(4L))))
+        .otherwise(y)
+      operators.ClassifierEval.perClassPrf(
+          Tables.documents(s, dir).filter(id < 300)
+            .select(y.as("label"), p.as("pred")),
+          "label", "pred")
+        .orderBy(col("label_class"))
+    }),
+
+    "eval_auc" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.ClassifierEval.aucRoc(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(pmod(id * 13, lit(101L)).cast("double").as("score"),
+            when(pmod(id * 7, lit(10L)) < 5, 1L).otherwise(0L)
+              .as("label")),
+        "score", "label")
+    }),
+
+    "eval_calibration" -> ((s, dir) => {
+      val id = col("doc_id")
+      val p = pmod(id, lit(17L)).cast("double") / 16.0
+      val y = when(pmod(id * 11, lit(16L)) < pmod(id, lit(17L)), 1L)
+        .otherwise(0L)
+      operators.ClassifierEval.calibrationBins(
+          Tables.documents(s, dir).filter(id < 400)
+            .select(p.as("prob"), y.as("label")),
+          "prob", "label", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
+    "eval_brier" -> ((s, dir) => {
+      val id = col("doc_id")
+      val p = pmod(id, lit(17L)).cast("double") / 16.0
+      val y = when(pmod(id * 11, lit(16L)) < pmod(id, lit(17L)), 1L)
+        .otherwise(0L)
+      operators.ClassifierEval.brier(
+        Tables.documents(s, dir).filter(id < 400)
+          .select(p.as("prob"), y.as("label")),
+        "prob", "label")
+    }),
+
     // --- Near-dup cluster-size histogram (r17): 15 planted clusters
     //     (the dedup_keep_best separated-group plant — members of a
     //     group share v = id%3 since 15k ≡ 0 mod 3, so groups are
@@ -9931,6 +9984,87 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the eval_prf oracle: the same class-union + per-side joins
+    "eval_prf" ->
+      """WITH b AS (
+        |  SELECT 'c' || (doc_id % 4) AS y,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'c' || ((doc_id % 4 + 1) % 4)
+        |      ELSE 'c' || (doc_id % 4) END AS p
+        |  FROM documents WHERE doc_id < 300),
+        |cls AS (SELECT y AS c FROM b UNION SELECT p FROM b),
+        |t AS (SELECT y AS c, count(*) AS n_true,
+        |        sum(CASE WHEN y = p THEN 1 ELSE 0 END) AS tp
+        |      FROM b GROUP BY 1),
+        |pr AS (SELECT p AS c, count(*) AS n_pred FROM b GROUP BY 1)
+        |SELECT cls.c AS label_class,
+        |  CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(pr.n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+        |  CASE WHEN COALESCE(pr.n_pred, 0) > 0
+        |    THEN round(CAST(COALESCE(t.tp, 0) AS DOUBLE) / pr.n_pred, 6)
+        |  END AS prec,
+        |  CASE WHEN COALESCE(t.n_true, 0) > 0
+        |    THEN round(CAST(COALESCE(t.tp, 0) AS DOUBLE) / t.n_true, 6)
+        |  END AS recall,
+        |  CASE WHEN COALESCE(pr.n_pred, 0) > 0
+        |      AND COALESCE(t.n_true, 0) > 0 THEN
+        |    CASE WHEN COALESCE(t.tp, 0) > 0
+        |      THEN round(2.0 * t.tp / (pr.n_pred + t.n_true), 6)
+        |      ELSE CAST(0.0 AS DOUBLE) END
+        |  END AS f1
+        |FROM cls LEFT JOIN t ON t.c = cls.c
+        |LEFT JOIN pr ON pr.c = cls.c
+        |ORDER BY label_class""".stripMargin,
+
+    // the eval_auc oracle: identical rank/tie windows, the doubled-U
+    // integer, one division
+    "eval_auc" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id * 13 % 101 AS DOUBLE) AS s,
+        |    CASE WHEN doc_id * 7 % 10 < 5 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id < 300),
+        |r AS (SELECT y, rank() OVER (ORDER BY s) AS mr,
+        |        count(*) OVER (PARTITION BY s) AS t FROM b),
+        |a AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |        sum(CASE WHEN y = 1 THEN 2 * mr + t - 1 ELSE 0 END)
+        |          AS rsum
+        |      FROM r)
+        |SELECT n_pos, n_neg,
+        |  CAST(rsum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(CAST(rsum - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg), 6) END AS auc
+        |FROM a""".stripMargin,
+
+    // the eval_calibration oracle: dyadic k/16 probabilities — exact
+    // bin sums in any order, single divisions mirrored
+    "eval_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id % 17 AS DOUBLE) / 16.0 AS p,
+        |    CASE WHEN doc_id * 11 % 16 < doc_id % 17 THEN 1 ELSE 0 END
+        |      AS y
+        |  FROM documents WHERE doc_id < 400),
+        |g AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |        count(*) AS n, sum(p) AS sp,
+        |        CAST(sum(y) AS BIGINT) AS sy
+        |      FROM b GROUP BY 1)
+        |SELECT bin, n, round(sp / n, 6) AS avg_conf,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS frac_pos,
+        |  round(sp / n - CAST(sy AS DOUBLE) / n, 6) AS gap
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // the eval_brier oracle: same dyadic plant, one division
+    "eval_brier" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id % 17 AS DOUBLE) / 16.0 AS p,
+        |    CASE WHEN doc_id * 11 % 16 < doc_id % 17 THEN 1 ELSE 0 END
+        |      AS y
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum((p - y) * (p - y)) / count(*), 6) AS brier
+        |FROM b""".stripMargin,
 
     // the dedup_cluster_sizes oracle: group sizes recomputed from the
     // plant law (doc_id % 15 over the clustered range, singletons as

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation harness (r17) — the metrics every
+  * quality/filter classifier in a data pipeline is judged by before
+  * its threshold ships: per-class precision/recall/F1, exact AUC-ROC,
+  * and calibration (reliability bins + Brier). The scoring ops
+  * ([[TextClassifier.withNbScore]], [[NgramLm.withLogProb]], DSIR)
+  * produce the (score, label) pairs; this object turns them into the
+  * decision card.
+  *
+  * Determinism stances:
+  *  - PRF and the calibration card are integer counts and
+  *    exact-dyadic sums pushed through SINGLE correctly-rounded
+  *    divisions — SQL-replayable;
+  *  - AUC is computed as an INTEGER statistic (doubled Mann–Whitney
+  *    U via midranks, `u2`) plus one division — exact under ties,
+  *    any ordering, any engine;
+  *  - ECE needs an ordered fold over bins (repeated rounded adds),
+  *    so it ships as a driver-side helper over the bins card
+  *    ([[eceFromBins]], the bleuFromStats stance) rather than a
+  *    hashed column.
+  *
+  * Scale: evaluation sets are BOUNDED BY CONSTRUCTION (they are
+  * labeled samples, not the corpus); the AUC rank window is global
+  * over that eval set — fine at eval-set size, and the documented
+  * contract. PRF/calibration are plain partial aggregates.
+  */
+object ClassifierEval {
+
+  /** Per-class precision/recall/F1: (label_class, n_true, n_pred,
+    * tp, precision, recall, f1) — a class appears if it occurs in
+    * EITHER column; zero-denominator metrics are null (unscoreable,
+    * not zero). Null labels/predictions are dropped.
+    */
+  def perClassPrf(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("string").as("__y"),
+        col(predCol).cast("string").as("__p"))
+      .filter(col("__y").isNotNull && col("__p").isNotNull)
+    val classes = base.select(col("__y").as("label_class")).union(
+        base.select(col("__p"))).distinct()
+    val byTrue = base.groupBy(col("__y").as("label_class"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__y") === col("__p"), 1L).otherwise(0L)).as("tp"))
+    val byPred = base.groupBy(col("__p").as("label_class"))
+      .agg(count(lit(1)).as("n_pred"))
+    classes
+      .join(byTrue, Seq("label_class"), "left")
+      .join(byPred, Seq("label_class"), "left")
+      .select(col("label_class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec", // not "precision": reserved in some engines
+        when(col("n_pred") > 0, round(col("tp") / col("n_pred"), 6)))
+      .withColumn("recall",
+        when(col("n_true") > 0, round(col("tp") / col("n_true"), 6)))
+      .withColumn("f1",
+        when(col("n_pred") > 0 && col("n_true") > 0 && col("tp") > 0,
+          round(lit(2.0) * col("tp") /
+            (col("n_pred") + col("n_true")), 6))
+          .otherwise(when(col("n_pred") > 0 && col("n_true") > 0,
+            lit(0.0))))
+  }
+
+  /** Exact AUC-ROC as one row (n_pos, n_neg, u2, auc): u2 is the
+    * DOUBLED Mann–Whitney U from midranks — ties contribute half
+    * wins, and doubling keeps the statistic an exact integer:
+    * u2 = Σ_pos (2·minrank + tiesize − 1) − n_pos·(n_pos + 1), and
+    * auc = u2 / (2·n_pos·n_neg) (one division, round-6). Degenerate
+    * inputs (no positives or no negatives) carry a null auc. Labels
+    * are 0/1 longs; null score or label rows are dropped.
+    */
+  def aucRoc(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val w = Window.orderBy(col("__s"))
+    val tie = Window.partitionBy(col("__s"))
+    val ranked = base
+      .withColumn("__minrank", rank().over(w))
+      .withColumn("__ties", count(lit(1)).over(tie))
+    ranked.agg(
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(col("__y") === 1L,
+          lit(2L) * col("__minrank") + col("__ties") - 1L)
+          .otherwise(0L)).as("__rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("__rsum") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+  }
+
+  /** Reliability bins: (bin, n, avg_conf, frac_pos, gap) over
+    * `bins` equal-width probability bins (p = 1.0 folds into the
+    * last bin); gap = avg_conf − frac_pos, round-6. Rows with null
+    * or out-of-[0,1] probabilities are dropped LOUDLY by count — a
+    * miscalibrated-INPUT probability is a pipeline bug, so the
+    * caller can compare Σn to its row count.
+    */
+  def calibrationBins(df: DataFrame, probCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"calibrationBins: bins $bins")
+    val base = df.select(col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull &&
+        col("__p") >= 0.0 && col("__p") <= 1.0)
+    base
+      .withColumn("bin",
+        least(floor(col("__p") * bins), lit(bins - 1L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        round(col("__sp") / col("n"), 6).as("avg_conf"),
+        round(col("__sy") / col("n"), 6).as("frac_pos"),
+        round(col("__sp") / col("n") - col("__sy") / col("n"), 6)
+          .as("gap"))
+  }
+
+  /** Brier score as one row (n, brier): mean squared error of the
+    * probability against the 0/1 label, round-6.
+    */
+  def brier(df: DataFrame, probCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(probCol).cast("double").as("__p"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+    base.agg(count(lit(1)).as("n"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y")))
+          .as("__se"))
+      .select(col("n"),
+        when(col("n") > 0, round(col("__se") / col("n"), 6)).as("brier"))
+  }
+
+  /** Expected calibration error from a collected [[calibrationBins]]
+    * card — an ORDERED fold (bin ascending), driver-side like
+    * bleuFromStats: Σ |gap_b| · n_b / N.
+    */
+  def eceFromBins(rows: Seq[(Int, Long, Double)]): Double = {
+    // rows: (bin, n, gap)
+    val n = rows.map(_._2).sum
+    if (n == 0) return 0.0
+    rows.sortBy(_._1)
+      .map { case (_, nb, gap) => math.abs(gap) * nb / n }.sum
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ClassifierEval
+
+class ClassifierEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perClassPrf: tp/fp/fn by hand, pred-only class appears with " +
+      "zero recall denominator null, f1 harmonic") {
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: 2/3 recalled
+      ("b", "b"),                         // b: tp 1
+      ("c", "b"),                         // c never predicted
+      ("a", "z"))                         // z never true
+      .toDF("label", "pred")
+    val got = ClassifierEval.perClassPrf(rows, "label", "pred")
+      .orderBy("label_class").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))
+    // a: n_true 4, n_pred 2, tp 2 -> P 1.0 R 0.5 F1 2*2/(2+4)=0.666667
+    assert(got(0) === (("a", 4L, 2L, 2L, 1.0, 0.5, 0.666667)))
+    // b: n_true 1, n_pred 3, tp 1 -> P 1/3 R 1 F1 2/(3+1)=0.5
+    assert(got(1) === (("b", 1L, 3L, 1L, 0.333333, 1.0, 0.5)))
+    // c: never predicted -> prec null, recall 0, f1 0
+    assert(got(2) === (("c", 1L, 0L, 0L, -1.0, 0.0, -1.0)))
+    // z: never true -> recall null
+    assert(got(3) === (("z", 0L, 1L, 0L, 0.0, -1.0, -1.0)))
+  }
+
+  test("aucRoc: perfect separation 1.0, reversed 0.0, all-tied " +
+      "scores exactly 0.5, degenerate null") {
+    def auc(rows: Seq[(Double, Long)]): (Long, Long, Long, Double) = {
+      val r = ClassifierEval.aucRoc(rows.toDF("s", "y"), "s", "y")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+    }
+    assert(auc(Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L)))
+      === ((2L, 2L, 8L, 1.0)))
+    assert(auc(Seq((4.0, 0L), (3.0, 0L), (2.0, 1L), (1.0, 1L)))._4
+      === 0.0)
+    // every score tied: midranks make AUC exactly 1/2
+    assert(auc(Seq((5.0, 1L), (5.0, 0L), (5.0, 1L), (5.0, 0L)))._4
+      === 0.5)
+    assert(auc(Seq((1.0, 1L), (2.0, 1L)))._4 === -1.0) // no negatives
+  }
+
+  test("calibrationBins + brier + eceFromBins: dyadic hand case, " +
+      "p = 1.0 folds into the last bin, out-of-range rows drop") {
+    val rows = Seq(
+      (0.25, 0L), (0.25, 1L),  // bin 2: avg_conf .25, frac_pos .5
+      (1.0, 1L),               // bin 9 (folded)
+      (1.5, 1L), (-0.1, 0L))   // dropped
+      .toDF("p", "y")
+    val bins = ClassifierEval.calibrationBins(rows, "p", "y", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(bins.toSeq === Seq((2, 2L, 0.25, 0.5, -0.25),
+      (9, 1L, 1.0, 1.0, 0.0)))
+    val b = ClassifierEval.brier(
+      Seq((0.25, 0L), (0.25, 1L), (1.0, 1L)).toDF("p", "y"), "p", "y")
+      .collect()(0)
+    // (0.0625 + 0.5625 + 0) / 3 = 0.208333
+    assert(b.getLong(0) === 3L && b.getDouble(1) === 0.208333)
+    val ece = ClassifierEval.eceFromBins(
+      bins.map(t => (t._1, t._2, t._5)).toSeq)
+    assert(math.abs(ece - (0.25 * 2 / 3.0)) < 1e-9)
+  }
+}
