@@ -4139,6 +4139,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Exact length percentiles per source (r17): token-count
+    //     p50/p90/p99 via rank-at-ceil(q·n) — the discrete lower
+    //     quantile, bit-reproducible where sketches are not; the
+    //     oracle replays the same windows.
+    "docs_length_percentiles" -> ((s, dir) =>
+      operators.CorpusReport.lengthPercentiles(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull),
+          "source", TextFunctions.tokenCount(col("text")).cast("long"))
+        .orderBy(col("stratum"))),
+
     // --- Distinct-n diversity card (r17): distinct/total word
     //     n-grams per source for n = 1..3 — the mode-collapse flag
     //     for synthetic corpora, here over the organic fixture. The
@@ -10141,6 +10152,25 @@ object SparkEntry {
         |      FROM d)
         |SELECT doc_id, source, score FROM r
         |WHERE rn <= ceil(n * 0.3) ORDER BY doc_id""".stripMargin,
+
+    // the docs_length_percentiles oracle: same rank/count windows,
+    // value at ceil(q·n)
+    "docs_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source AS stratum,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> length(x) > 0)) AS BIGINT) AS v
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT stratum, v,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY v)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY stratum) AS n
+        |      FROM t)
+        |SELECT stratum, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
+        |  max(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
+        |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
 
     // the docs_distinct_ngrams oracle: gram orders 1..3 rebuilt with
     // 1-based inclusive list slices over the token law

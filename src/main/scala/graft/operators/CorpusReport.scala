@@ -250,6 +250,36 @@ object CorpusReport {
           .as("distinct_ratio"))
   }
 
+  /** EXACT per-stratum percentiles (r17) — the length-distribution
+    * card row (p50/p90/p99 of doc/token lengths per source): the
+    * value at rank ceil(q·n) in ascending order, the discrete
+    * lower-quantile convention — deterministic regardless of tie
+    * order, reproducible bit-for-bit where approx-quantile sketches
+    * (fine for [[Layout]] bucket BOUNDARIES) are not. One rank
+    * window per stratum (bounded by stratum size; a single giant
+    * stratum belongs to the sketch path). Output: (stratum, n, one
+    * column per requested q, named p50/p90/p99/p99_9...).
+    */
+  def lengthPercentiles(df: DataFrame, strataCol: String,
+      value: org.apache.spark.sql.Column, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"lengthPercentiles: qs $qs")
+    def nameOf(q: Double): String = "p" + BigDecimal(q * 100)
+      .bigDecimal.stripTrailingZeros.toPlainString.replace(".", "_")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+    val base = df.filter(value.isNotNull)
+      .select(col(strataCol).as("stratum"), value.as("__v"))
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+    val picks = qs.map { q =>
+      max(when(col("__rn") === ceil(col("__n") * q), col("__v")))
+        .as(nameOf(q))
+    }
+    base.groupBy(col("stratum"))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
   /** The language-mix rows of the card: (source, lang, n_docs) —
     * lang is null for unscoreable (null/empty text) docs, which stay
     * countable. Computes ONLY the language signal (the same
