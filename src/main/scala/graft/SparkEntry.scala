@@ -4059,6 +4059,50 @@ object SparkEntry {
         "prob", "label")
     }),
 
+    // --- Content-defined chunking dedup (r17): 200 blobs over 40
+    //     byte patterns (5 copies each); groups with g%5==0 carry 5
+    //     DIFFERENT 7-byte inserted prefixes. Flag gate (boundaries
+    //     are gear-table-derived, not SQL-replayable): per group,
+    //     identical payloads must yield IDENTICAL chunk sets
+    //     (identical_sets) and every prefixed copy must re-share ≥
+    //     half its chunks with the unprefixed base (resync_ok — the
+    //     property fixed-size chunking cannot have). The oracle
+    //     restates the plant law closed-form.
+    "mm_cdc_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id.as("media_id"), pmod(id, lit(40L)).as("group"),
+          (pmod(id, lit(5L)) === 0).as("prefixed"))
+      val bases = Tables.documents(s, dir)
+        .filter(id < 40)
+        .select((id + 10000L).as("media_id"), id.as("group"),
+          lit(false).as("prefixed"))
+      val blobs = graft.sources.Cdc.synthesizeCdcBlobs(
+        rows.unionByName(bases), blobBytes = 8192)
+      val chunked = graft.sources.Cdc.withCdcChunks(blobs, "payload",
+        "c", minSize = 256, avgSize = 1024, maxSize = 4096)
+      val perChunk = chunked.select(col("media_id"), col("group"),
+        explode(col("c")).as("ch")).select(col("media_id"),
+        col("group"), col("ch.md5").as("md5"))
+      val baseChunks = perChunk.filter(col("media_id") >= 10000L)
+        .select(col("group"), col("md5")).distinct()
+        .withColumn("__base", lit(true))
+      val members = perChunk.filter(col("media_id") < 10000L)
+        .join(baseChunks, Seq("group", "md5"), "left")
+      val perMember = members.groupBy(col("media_id"), col("group"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__base"), 1L).otherwise(0L)).as("n_shared"),
+          md5(concat_ws(",", sort_array(collect_list(col("md5")))))
+            .as("set_fp"))
+      perMember.groupBy(col("group").as("pattern_id"))
+        .agg(count(lit(1)).as("n_copies"),
+          when(countDistinct(col("set_fp")) === 1, 1).otherwise(0)
+            .as("identical_sets"),
+          min(when(col("n_shared") * 2 >= col("n_chunks"), 1)
+            .otherwise(0)).as("resync_ok"))
+        .orderBy(col("pattern_id"))
+    }),
+
     // --- Near-dup cluster-size histogram (r17): 15 planted clusters
     //     (the dedup_keep_best separated-group plant — members of a
     //     group share v = id%3 since 15k ≡ 0 mod 3, so groups are
@@ -9995,6 +10039,18 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the mm_cdc_dedup oracle: the plant law — identical sets iff the
+    // group carries no prefixes (prefixed iff id%5==0 ⇔ g%5==0, since
+    // member ids differ by 40 ≡ 0 mod 5), resync always holds
+    "mm_cdc_dedup" ->
+      """SELECT doc_id % 40 AS pattern_id,
+        |  count(*) AS n_copies,
+        |  CAST(CASE WHEN (doc_id % 40) % 5 = 0 THEN 0 ELSE 1 END
+        |    AS INT) AS identical_sets,
+        |  CAST(1 AS INT) AS resync_ok
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY doc_id % 40 ORDER BY pattern_id""".stripMargin,
 
     // the eval_prf oracle: the same class-union + per-side joins
     "eval_prf" ->

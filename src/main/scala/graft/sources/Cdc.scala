@@ -1,0 +1,144 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Content-defined chunking (r17) — gear rolling-hash CDC (the core
+  * of FastCDC, Xia et al. 2016 USENIX ATC, without the normalized-
+  * chunking refinement): split a binary payload at content-derived
+  * boundaries so that IDENTICAL SEGMENTS of different blobs produce
+  * identical chunks — the storage-level dedup a 100 TB multimodal
+  * corpus runs below the document level (shared media segments,
+  * re-uploaded archives with edited headers, shifted containers).
+  * Fixed-size chunking loses all alignment after a one-byte insert;
+  * gear boundaries RESYNC within ~one average chunk.
+  *
+  * Pinned semantics (spec-pinned invariants — boundaries depend on
+  * the gear table, so the oracle surface is flag-style, not
+  * value-replay):
+  *  - the rolling hash is h = (h << 1) + gear(byte) with h reset to
+  *    0 at each chunk start; a boundary fires when
+  *    (h & (avgSize−1)) == 0 AND the current chunk has ≥ minSize
+  *    bytes; a cut is FORCED at maxSize; the final partial chunk
+  *    always emits;
+  *  - the gear table is 256 splitmix64 values of the byte index —
+  *    fixed forever (changing it re-chunks every corpus);
+  *  - chunk identity is the md5 hex of the chunk bytes;
+  *  - empty payload → empty array; null → null.
+  */
+object Cdc {
+
+  private val gear: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Chunk END offsets (exclusive) of `bytes` under (min, avg, max);
+    * avgSize must be a power of two.
+    */
+  def chunkEnds(bytes: Array[Byte], minSize: Int, avgSize: Int,
+      maxSize: Int): Array[Int] = {
+    require(avgSize >= 2 && (avgSize & (avgSize - 1)) == 0,
+      s"cdc: avgSize $avgSize must be a power of two")
+    require(minSize >= 1 && minSize <= avgSize && avgSize <= maxSize,
+      s"cdc: need 1 <= min($minSize) <= avg($avgSize) <= max($maxSize)")
+    val mask = (avgSize - 1).toLong
+    val out = ArrayBuffer.empty[Int]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      if ((len >= minSize && (h & mask) == 0L) || len >= maxSize) {
+        out += i + 1
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += bytes.length
+    out.toArray
+  }
+
+  /** (offset, size, md5) triples of the chunks. */
+  def chunksOf(bytes: Array[Byte], minSize: Int, avgSize: Int,
+      maxSize: Int): Array[(Int, Int, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var start = 0
+    chunkEnds(bytes, minSize, avgSize, maxSize).map { end =>
+      md.reset()
+      md.update(bytes, start, end - start)
+      val hex = md.digest().map(b => f"$b%02x").mkString
+      val t = (start, end - start, hex)
+      start = end
+      t
+    }
+  }
+
+  /** Deterministic blob fixture for the CDC gate: payload bytes are
+    * splitmix64 of (group, i) — identical across copies of a group —
+    * and rows flagged `prefixed` get a 7-byte media_id-keyed header
+    * INSERTED in front (the shift a CDC chunker must resync after,
+    * and exactly what defeats fixed-size chunking). Input columns:
+    * (media_id LONG, group LONG, prefixed BOOLEAN).
+    */
+  def synthesizeCdcBlobs(rows: DataFrame, blobBytes: Int): DataFrame = {
+    require(blobBytes >= 1, s"cdc blobBytes $blobBytes")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("group", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    rows.select(col("media_id").cast("long"), col("group").cast("long"),
+        col("prefixed").cast("boolean"))
+      .mapPartitions { it =>
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        it.map { r =>
+          val id = r.getLong(0); val g = r.getLong(1)
+          val pre = if (r.getBoolean(2))
+            Array.tabulate(7)(i => mix(id * 31 + i).toByte)
+          else Array.emptyByteArray
+          val blob = Array.tabulate(blobBytes)(i =>
+            mix(g * 1000003L + i).toByte)
+          Row(id, g, pre ++ blob)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Append `outCol`: ARRAY<STRUCT<offset INT, size INT, md5 STRING>>
+    * of the payload's content-defined chunks — one narrow map over
+    * the scan (the decode-family shape); chunk-level dedup is then a
+    * plain explode + groupBy over md5.
+    */
+  def withCdcChunks(df: DataFrame, payloadCol: String, outCol: String,
+      minSize: Int = 2048, avgSize: Int = 8192,
+      maxSize: Int = 65536): DataFrame = {
+    require(avgSize >= 2 && (avgSize & (avgSize - 1)) == 0,
+      s"cdc: avgSize $avgSize must be a power of two")
+    val schema = df.schema.add(outCol, ArrayType(StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("size", IntegerType),
+      StructField("md5", StringType))), containsNull = false),
+      nullable = true)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val p = r.get(idx).asInstanceOf[Array[Byte]]
+        val chunks = if (p == null) null
+          else chunksOf(p, minSize, avgSize, maxSize)
+            .map { case (o, s, h) => Row(o, s, h) }.toSeq
+        Row.fromSeq(r.toSeq :+ chunks)
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Cdc
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def blob(seed: Long, n: Int): Array[Byte] =
+    Array.tabulate(n) { i =>
+      var z = seed * 1000003L + i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)).toByte
+    }
+
+  test("chunkEnds invariants: sizes within [min, max] except the " +
+      "final partial, ends strictly increasing to length, " +
+      "deterministic, empty input chunks to nothing") {
+    val b = blob(7, 50000)
+    val ends = Cdc.chunkEnds(b, 256, 1024, 4096)
+    assert(ends.last === b.length)
+    assert(ends.toSeq === ends.sorted.toSeq && ends.distinct.length === ends.length)
+    val sizes = ends.zip(0 +: ends.dropRight(1).toSeq).map(p => p._1 - p._2)
+    sizes.dropRight(1).foreach(s => assert(s >= 256 && s <= 4096, s))
+    assert(sizes.last <= 4096)
+    assert(sizes.length > 5) // ~avg 1k over 50k bytes
+    assert(Cdc.chunkEnds(b, 256, 1024, 4096).toSeq === ends.toSeq)
+    assert(Cdc.chunkEnds(Array.emptyByteArray, 256, 1024, 4096).isEmpty)
+    intercept[IllegalArgumentException](Cdc.chunkEnds(b, 256, 1000, 4096))
+    intercept[IllegalArgumentException](Cdc.chunkEnds(b, 0, 1024, 4096))
+  }
+
+  test("chunksOf: concatenation reconstructs the input, md5s are the " +
+      "chunk digests; a prefix insert resyncs — the shifted blob " +
+      "re-shares most chunks (what fixed-size chunking cannot do)") {
+    val base = blob(11, 32768)
+    val chunks = Cdc.chunksOf(base, 256, 1024, 4096)
+    assert(chunks.map(_._2).sum === base.length)
+    assert(chunks.head._1 === 0)
+    // digest check on the first chunk
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(base, 0, chunks.head._2)
+    assert(chunks.head._3 === md.digest().map(b => f"$b%02x").mkString)
+    // shift: 7 inserted bytes; chunk SETS re-converge
+    val shifted = blob(99, 7) ++ base
+    val sChunks = Cdc.chunksOf(shifted, 256, 1024, 4096)
+    val shared = chunks.map(_._3).toSet
+      .intersect(sChunks.map(_._3).toSet).size
+    assert(shared * 2 >= chunks.length,
+      s"resync too weak: $shared of ${chunks.length}")
+    // fixed-size chunking under the same shift shares NOTHING
+    def fixed(b: Array[Byte]) = b.grouped(1024).map { c =>
+      val m = java.security.MessageDigest.getInstance("MD5")
+      m.digest(c).map(x => f"$x%02x").mkString
+    }.toSet
+    assert(fixed(base).intersect(fixed(shifted)).isEmpty)
+  }
+
+  test("withCdcChunks: null payload -> null array, empty -> empty, " +
+      "identical payloads yield identical chunk structs") {
+    val rows = Seq(
+      (1L, blob(3, 5000)), (2L, blob(3, 5000)),
+      (3L, Array.emptyByteArray), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Cdc.withCdcChunks(rows, "payload", "c", 256, 1024, 4096)
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Any](2) === got(1).getSeq[Any](2))
+    assert(got(2).getSeq[Any](2).isEmpty)
+    assert(got(3).isNullAt(2))
+  }
+}
