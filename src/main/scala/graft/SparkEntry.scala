@@ -5901,6 +5901,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Tokenizer fertility card (r17): tokens-per-word and
+    //     chars-per-token per stratum for the text_bpe merge table —
+    //     the multilingual-tokenizer audit row. Same plant as
+    //     text_bpe, so every token count is the hand-derived ladder;
+    //     sums are integers, ratios single round-6 divisions.
+    "text_fertility" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(2L))).as("stratum"),
+          concat(expr("repeat('ab ', CAST(doc_id % 3 + 1 AS INT))"),
+            expr("repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT))"),
+            lit("ef abd cdc fe")).as("text"))
+      val ranks = operators.Bpe.rankMap(
+        operators.Bpe.train(corpus, "text", numMerges = 4))
+      operators.Bpe.fertilityBySource(corpus, "stratum", "text", ranks)
+        .orderBy(col("stratum"))
+    }),
+
     // --- Byte-level BPE training (r13 — the GPT-2-class tokenizer:
     //     byte-alphabet symbols through the public byte↔unicode
     //     bijection, NO case folding, leading space rides as Ġ).
@@ -12058,6 +12076,26 @@ object SparkEntry {
         |    repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT)) ||
         |    'e f abd cd c f e' AS tokens
         |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // the text_fertility oracle: the text_bpe token ladder summed per
+    // parity stratum — tokens m3+m2+7, words m3+m2+4, non-space chars
+    // 2·m3+4·m2+10 per doc
+    "text_fertility" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS m3, doc_id % 2 + 1 AS m2
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (SELECT 's' || (doc_id % 2) AS stratum,
+        |        CAST(m3 + m2 + 7 AS BIGINT) AS t,
+        |        CAST(m3 + m2 + 4 AS BIGINT) AS w,
+        |        CAST(2 * m3 + 4 * m2 + 10 AS BIGINT) AS c
+        |      FROM d)
+        |SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(w) AS BIGINT) AS sum_words,
+        |  CAST(sum(c) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(t) AS DOUBLE) / sum(w), 6) AS tokens_per_word,
+        |  round(CAST(sum(c) AS DOUBLE) / sum(t), 6) AS chars_per_token
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the text_wordpiece_merges oracle: every count and likelihood
     // score from the id formulas — the rarer exclusive pair (c,##d)

@@ -389,4 +389,35 @@ object Bpe {
       }
     }(Encoders.row(schema))
   }
+
+  /** Tokenizer FERTILITY card (r17) — the standard tokenizer-eval
+    * row: per stratum (source/language), tokens-per-word and
+    * chars-per-token of a trained merge table over that slice. High
+    * fertility on a language means the vocabulary under-serves it
+    * (the multilingual-tokenizer audit); chars-per-token is the
+    * compression rate capacity planning reads. Integer sums through
+    * single round-6 divisions (hash-stable); one encode pass + one
+    * partial-aggregated groupBy.
+    */
+  def fertilityBySource(df: DataFrame, strataCol: String,
+      textCol: String, ranks: Map[(String, String), Int]): DataFrame = {
+    val toks = withBpeTokens(
+      df.filter(col(textCol).isNotNull), textCol, ranks, "__ftoks")
+    toks.select(col(strataCol).as("stratum"),
+        size(col("__ftoks")).cast("long").as("__t"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__w"),
+        length(regexp_replace(col(textCol), " ", "")).cast("long")
+          .as("__c"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"),
+        sum(col("__w")).as("sum_words"),
+        sum(col("__c")).as("sum_chars"))
+      .withColumn("tokens_per_word",
+        when(col("sum_words") > 0,
+          round(col("sum_tokens") / col("sum_words"), 6)))
+      .withColumn("chars_per_token",
+        when(col("sum_tokens") > 0,
+          round(col("sum_chars") / col("sum_tokens"), 6)))
+  }
 }
