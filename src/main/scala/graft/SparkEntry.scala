@@ -4059,6 +4059,30 @@ object SparkEntry {
         "prob", "label")
     }),
 
+    // --- Trojan-Source scan (r17): planted RLO...PDF early-return
+    //     attack (%7 — the CVE-2021-42574 signature) and ZWSP-hidden
+    //     identifiers (%11) in otherwise-clean code lines; counts
+    //     are the replace-length trick in both engines.
+    "code_bidi_scan" -> ((s, dir) => {
+      val id = col("doc_id")
+      val clean = concat(lit("if (ok) { return "), id, lit("; }"))
+      // escape form, not raw literals (the text_encoding stance): a
+      // non-UTF-8 compile-time default would silently mangle raw
+      // bidi controls. u202E = RLO, u202C = PDF, u200B = ZWSP.
+      val text = when(pmod(id, lit(7L)) === 0,
+        concat(lit("if (ok \u202E) { \u202C return "), id,
+          lit("; }")))
+        .when(pmod(id, lit(11L)) === 0,
+          concat(lit("user\u200Bname = "), id))
+        .otherwise(clean)
+      TextFunctions.withBidiScan(
+          Tables.documents(s, dir).filter(id < 300)
+            .select(id, text.as("text")), "text")
+        .select(id, col("n_bidi"), col("n_invisible"),
+          col("bidi_suspicious"))
+        .orderBy(id)
+    }),
+
     // --- Content-defined chunking dedup (r17): 200 blobs over 40
     //     byte patterns (5 copies each); groups with g%5==0 carry 5
     //     DIFFERENT 7-byte inserted prefixes. Flag gate (boundaries
@@ -10057,6 +10081,18 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the code_bidi_scan oracle: the plant law — %7 carries RLO+PDF
+    // (2 bidi controls), %11 (not already %7) one ZWSP
+    "code_bidi_scan" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END AS INT)
+        |    AS n_bidi,
+        |  CAST(CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |    THEN 1 ELSE 0 END AS INT) AS n_invisible,
+        |  (doc_id % 7 = 0 OR (doc_id % 7 <> 0 AND doc_id % 11 = 0))
+        |    AS bidi_suspicious
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // the mm_cdc_dedup oracle: the plant law — identical sets iff the
     // group carries no prefixes (prefixed iff id%5==0 ⇔ g%5==0, since

@@ -1702,6 +1702,35 @@ object TextFunctions {
         min(col("sent_idx")).cast("int").as("start_idx"))
   }
 
+  /** Trojan-Source / invisible-character scan (r17 — Boucher &
+    * Anderson 2021, CVE-2021-42574): Unicode BIDI control characters
+    * (LRE/RLE/LRO/RLO/PDF, the isolate quartet LRI/RLI/FSI/PDI, the
+    * marks LRM/RLM/ALM) reorder rendered source so reviewed code and
+    * compiled code differ — a code corpus must count them before
+    * training on crawled repos. Invisible joiners/spaces (ZWSP, WORD
+    * JOINER, in-text BOM) hide in identifiers the same way. Appends
+    * n_bidi, n_invisible (replace-length counts — SQL-replayable)
+    * and bidi_suspicious. ZWJ/ZWNJ are deliberately NOT flagged
+    * (legitimate in emoji and Indic text); this is the CODE-corpus
+    * cut.
+    */
+  val bidiControlClass: String =
+    "[\\u061C\\u200E\\u200F\\u202A-\\u202E\\u2066-\\u2069]"
+  val invisibleCharClass: String = "[\\u200B\\u2060\\uFEFF]"
+
+  def withBidiScan(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_bidi",
+        when(t.isNotNull,
+          length(t) - length(regexp_replace(t, bidiControlClass, ""))))
+      .withColumn("n_invisible",
+        when(t.isNotNull,
+          length(t) - length(regexp_replace(t, invisibleCharClass, ""))))
+      .withColumn("bidi_suspicious",
+        when(t.isNotNull, col("n_bidi") > 0 || col("n_invisible") > 0))
+  }
+
   /** Greenlist watermark detection statistics (r17) — the
     * Kirchenbauer et al. 2023 detector shape over WORD tokens: a
     * token is "green" given its predecessor iff the first hex digit

@@ -942,6 +942,29 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 0, "und", 1, 0), (3L, 1, "en", 1, 1)))
   }
 
+  test("withBidiScan (r17): the full control repertoire counts, " +
+      "ZWJ/ZWNJ deliberately pass (emoji/Indic), clean and null " +
+      "rows behave") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "if (x \u202E) { \u202C }"), // RLO + PDF
+      (2L, "a\u2066b\u2069c\u200Fd"),  // LRI + PDI + RLM
+      (3L, "user\u200Bname\uFEFFx"),   // ZWSP + in-text BOM
+      (4L, "family: \uD83D\uDC68\u200D\uD83D\uDC69"), // emoji ZWJ: clean
+      (5L, "plain code"), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.functions.TextFunctions.withBidiScan(rows, "text")
+      .select("id", "n_bidi", "n_invisible", "bidi_suspicious")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2, 0, true), (2L, 3, 0, true), (3L, 0, 2, true),
+      (4L, 0, 0, false), (5L, 0, 0, false), (6L, -1, -1, null)))
+  }
+
   test("withWatermarkStats (r17): the md5 green rule matches a hand " +
       "replay, a greedy-green generation scores z = sqrt(T), short " +
       "docs are unscoreable") {
