@@ -4059,6 +4059,33 @@ object SparkEntry {
         "prob", "label")
     }),
 
+    // --- SVG metadata + threat scan (r17): the %4 plant covers a
+    //     clean sized SVG (element count varied by id), a scripted
+    //     one (<script> + on*= handler), an external-href fetch, and
+    //     non-SVG text (all-null). The oracle restates each class.
+    "mm_svg_meta" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = when(pmod(id, lit(4L)) === 0,
+        concat(lit("<svg width=\"100\" height=\"50\" " +
+          "viewBox=\"0 0 100 50\">"),
+          expr("repeat('<g>', CAST(doc_id % 3 AS INT))"),
+          lit("<rect/><circle/></svg>")))
+        .when(pmod(id, lit(4L)) === 1,
+          lit("<svg width=\"10\"><script>alert(1)</script>" +
+            "<rect onload=\"x()\"/></svg>"))
+        .when(pmod(id, lit(4L)) === 2,
+          lit("<svg height=\"20.5\">" +
+            "<image href=\"https://ex.example/x.png\"/></svg>"))
+        .otherwise(concat(lit("plain text "), id))
+      graft.sources.Svg.withSvgMeta(
+          Tables.documents(s, dir).filter(id < 200)
+            .select(id, text.as("text")), "text")
+        .select(id, col("svg_width"), col("svg_height"),
+          col("svg_has_viewbox"), col("svg_n_elements"),
+          col("svg_has_script"), col("svg_has_external"))
+        .orderBy(id)
+    }),
+
     // --- Trojan-Source scan (r17): planted RLO...PDF early-return
     //     attack (%7 — the CVE-2021-42574 signature) and ZWSP-hidden
     //     identifiers (%11) in otherwise-clean code lines; counts
@@ -10081,6 +10108,23 @@ object SparkEntry {
         |    WHEN 2 THEN 'cjk' WHEN 3 THEN 'digit'
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the mm_svg_meta oracle: the %4 plant restated closed-form
+    "mm_svg_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  CASE v WHEN 0 THEN CAST(100.0 AS DOUBLE)
+        |    WHEN 1 THEN CAST(10.0 AS DOUBLE) END AS svg_width,
+        |  CASE v WHEN 0 THEN CAST(50.0 AS DOUBLE)
+        |    WHEN 2 THEN CAST(20.5 AS DOUBLE) END AS svg_height,
+        |  CASE WHEN v = 3 THEN NULL ELSE v = 0 END AS svg_has_viewbox,
+        |  CASE v WHEN 0 THEN CAST(3 + doc_id % 3 AS INT)
+        |    WHEN 1 THEN 3 WHEN 2 THEN 2 END AS svg_n_elements,
+        |  CASE WHEN v = 3 THEN NULL ELSE v = 1 END AS svg_has_script,
+        |  CASE WHEN v = 3 THEN NULL ELSE v = 2 END AS svg_has_external
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the code_bidi_scan oracle: the plant law — %7 carries RLO+PDF
     // (2 bidi controls), %11 (not already %7) one ZWSP

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SVG metadata + threat scan (r17) — the one major web image format
+  * the raster family can't cover (it is XML, not pixels), and the
+  * one that can carry JAVASCRIPT: crawled SVG must be size-profiled
+  * and script-scanned before a multimodal corpus keeps it. Pure
+  * Catalyst regex projections (RE2-safe — no lookarounds — so the
+  * oracle replays the identical patterns):
+  *
+  *  - `svg_width` / `svg_height`: the root element's numeric
+  *    width/height attribute values (unit suffixes like "px" are
+  *    stripped by the numeric capture; percentage or missing → null);
+  *  - `svg_has_viewbox`: a viewBox attribute exists;
+  *  - `svg_n_elements`: count of element OPENINGS (`<` followed by a
+  *    letter — closings and the `<!--`/`<!DOCTYPE`/`<?xml` markers
+  *    themselves don't count; markup INSIDE a comment still does —
+  *    this is a profiling cut, not an XML parser, and a commented-out
+  *    `<script` is still flagged, which is the safe direction);
+  *  - `svg_has_script`: `<script` element, an `on*=` event-handler
+  *    attribute, or a `javascript:` URL — the XSS/active-content
+  *    surface;
+  *  - `svg_has_external`: an `href`/`xlink:href` pointing at an
+  *    http(s) URL (tracking/remote-content fetch);
+  *  - non-SVG text (no `<svg` root) → all fields null.
+  */
+object Svg {
+
+  def withSvgMeta(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val isSvg = t.isNotNull && t.rlike("<svg[ >]")
+    def num(attr: String) =
+      when(regexp_extract(t, attr + "=\"([0-9]+\\.?[0-9]*)\"", 1) =!= "",
+        regexp_extract(t, attr + "=\"([0-9]+\\.?[0-9]*)\"", 1)
+          .cast("double"))
+    df.withColumn("svg_width", when(isSvg, num("width")))
+      .withColumn("svg_height", when(isSvg, num("height")))
+      .withColumn("svg_has_viewbox",
+        when(isSvg, t.rlike("viewBox=\"")))
+      .withColumn("svg_n_elements",
+        when(isSvg, (size(split(t, "<[A-Za-z]")) - 1).cast("int")))
+      .withColumn("svg_has_script",
+        when(isSvg, t.rlike("<script") ||
+          t.rlike(" on[a-z]+=\"") || t.rlike("javascript:")))
+      .withColumn("svg_has_external",
+        when(isSvg, t.rlike("href=\"https?://")))
+  }
+}

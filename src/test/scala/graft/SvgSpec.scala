@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Svg
+
+class SvgSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withSvgMeta (r17): attribute extraction, unit/percent widths " +
+      "null, case-sensitive root, commented script still flags (the " +
+      "safe direction), non-SVG and null rows all-null") {
+    val rows = Seq(
+      (1L, "<svg width=\"64\" height=\"32.5\"><rect/></svg>"),
+      (2L, "<svg width=\"100%\"><g><g><rect/></g></g></svg>"),
+      (3L, "<svg><!-- <script>x</script> --><rect/></svg>"),
+      (4L, "<SVG width=\"9\"></SVG>"), // XML is case-sensitive: not svg
+      (5L, "just text"), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = Svg.withSvgMeta(rows, "text")
+      .select($"id", $"svg_width", $"svg_height", $"svg_n_elements",
+        $"svg_has_script")
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) === 64.0 && got(0).getDouble(2) === 32.5)
+    assert(got(0).getInt(3) === 2 && !got(0).getBoolean(4))
+    assert(got(1).isNullAt(1)) // percent width is not a number
+    assert(got(1).getInt(3) === 4)
+    assert(got(2).getBoolean(4), "commented script must still flag")
+    assert(got(3).isNullAt(1) && got(3).isNullAt(3))
+    assert(got(4).isNullAt(3) && got(5).isNullAt(3))
+  }
+}
