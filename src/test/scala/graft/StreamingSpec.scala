@@ -1125,4 +1125,35 @@ class StreamingSpec extends SparkSpec {
       proj(rows.toDF("id", "src", "q", "d")).orderBy("id")
         .collect().toSeq)
   }
+
+  test("streaming bidi scan / svg meta == batch (r17): both are " +
+      "stateless regex projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 6L).map { id =>
+      val code = if (id % 2 == 0) s"if (x \u202E) { $id \u202C }"
+        else s"clean line $id"
+      val svg = if (id % 3 == 0)
+        s"""<svg width="$id"><script>x</script></svg>"""
+      else s"<svg height=\"$id\"><rect/></svg>"
+      (id, code, svg)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Svg.withSvgMeta(
+        graft.functions.TextFunctions.withBidiScan(df, "code"), "svg")
+        .select($"id", $"n_bidi", $"bidi_suspicious", $"svg_width",
+          $"svg_height", $"svg_n_elements", $"svg_has_script")
+    val q = proj(ms.toDF().toDF("id", "code", "svg"))
+      .writeStream.format("memory").queryName("scan_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("scan_st").orderBy("id").collect().toSeq ===
+      proj(rows.toDF("id", "code", "svg")).orderBy("id")
+        .collect().toSeq)
+  }
 }
