@@ -4006,6 +4006,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Rater agreement (r17): Cohen's kappa over a %4 mislabel
+    //     plant (chance-corrected categorical agreement) and Kendall
+    //     tau-b over correlated-with-noise scores WITH ties on both
+    //     sides — the integer pair counts are exact, and the oracle
+    //     replays them by brute-force self-join at gate size.
+    "eval_kappa" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = concat(lit("c"), pmod(id, lit(3L)))
+      val b = when(pmod(id, lit(4L)) === 0,
+        concat(lit("c"), pmod(pmod(id, lit(3L)) + 1, lit(3L))))
+        .otherwise(a)
+      operators.Agreement.cohenKappa(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(a.as("rater_a"), b.as("rater_b")),
+        "rater_a", "rater_b")
+    }),
+
+    "eval_tau" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.Agreement.kendallTauB(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(pmod(id * 13, lit(101L)).cast("double").as("x"),
+            (pmod(id * 13, lit(101L)) + pmod(id, lit(5L)) - 2)
+              .cast("double").as("y")),
+        "x", "y")
+    }),
+
     // --- Classifier-eval harness (r17): the decision card for the
     //     quality/filter classifiers — per-class PRF over a %5
     //     mislabel plant, EXACT AUC via the doubled Mann–Whitney U
@@ -10149,6 +10176,64 @@ object SparkEntry {
         |  CAST(1 AS INT) AS resync_ok
         |FROM documents WHERE doc_id < 200
         |GROUP BY doc_id % 40 ORDER BY pattern_id""".stripMargin,
+
+    // the eval_kappa oracle: marginal product sum + the same rounded
+    // po/pe feeding kappa (ratio steps mirrored on the ROUNDED values)
+    "eval_kappa" ->
+      """WITH b AS (
+        |  SELECT 'c' || (doc_id % 3) AS a,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'c' || ((doc_id % 3 + 1) % 3)
+        |      ELSE 'c' || (doc_id % 3) END AS bb
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (SELECT COALESCE(sum(COALESCE(na, 0) * COALESCE(nb, 0)), 0)
+        |        AS margsum
+        |      FROM (SELECT a AS c, count(*) AS na FROM b GROUP BY 1) x
+        |      FULL JOIN (SELECT bb AS c, count(*) AS nb FROM b
+        |        GROUP BY 1) y USING (c)),
+        |g AS (SELECT count(*) AS n,
+        |        sum(CASE WHEN a = bb THEN 1 ELSE 0 END) AS n_agree
+        |      FROM b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+        |  CAST(margsum AS BIGINT) AS margsum,
+        |  round(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+        |  round(CAST(margsum AS DOUBLE) / (n * n), 6) AS pe,
+        |  CASE WHEN round(CAST(margsum AS DOUBLE) / (n * n), 6) < 1.0
+        |    THEN round((round(CAST(n_agree AS DOUBLE) / n, 6)
+        |      - round(CAST(margsum AS DOUBLE) / (n * n), 6))
+        |      / (1.0 - round(CAST(margsum AS DOUBLE) / (n * n), 6)), 6)
+        |  END AS kappa
+        |FROM g, m""".stripMargin,
+
+    // the eval_tau oracle: brute-force pair classification at gate
+    // size — exact integers, the same tau-b denominator product
+    "eval_tau" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id * 13 % 101 AS DOUBLE) AS x,
+        |    CAST(doc_id * 13 % 101 + doc_id % 5 - 2 AS DOUBLE) AS y
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT a.x AS xa, a.y AS ya, c.x AS xb, c.y AS yb
+        |      FROM b a JOIN b c ON a.doc_id < c.doc_id),
+        |s AS (SELECT
+        |  sum(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+        |    THEN 1 ELSE 0 END) AS conc,
+        |  sum(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+        |    THEN 1 ELSE 0 END) AS disc,
+        |  sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END) AS tx,
+        |  sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END) AS ty
+        |  FROM p)
+        |SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n,
+        |  CAST(conc AS BIGINT) AS n_concordant,
+        |  CAST(disc AS BIGINT) AS n_discordant,
+        |  CAST(tx AS BIGINT) AS n_tied_x,
+        |  CAST(ty AS BIGINT) AS n_tied_y,
+        |  CASE WHEN conc + disc + tx > 0 AND conc + disc + ty > 0
+        |    THEN round((conc - disc) /
+        |      sqrt(CAST(conc + disc + tx AS DOUBLE) *
+        |        (conc + disc + ty)), 6)
+        |  END AS tau_b
+        |FROM s""".stripMargin,
 
     // the eval_prf oracle: the same class-union + per-side joins
     "eval_prf" ->

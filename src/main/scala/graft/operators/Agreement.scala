@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Annotator / judge agreement (r17) — the QA layer over labeled and
+  * judged data: before preference pairs or quality labels train
+  * anything, the pipeline measures whether the raters (human or
+  * LLM-judge) agree above chance. Two standard statistics:
+  *
+  *  - [[cohenKappa]] — categorical label agreement corrected for
+  *    chance (Cohen 1960): κ = (p_o − p_e)/(1 − p_e) with p_e from
+  *    the marginals. Distributed (two aggregations over the pair
+  *    table); the integer sufficient statistics (n, n_agree, the
+  *    marginal product sum) ride in the output so the ratio steps
+  *    are single mirrored IEEE ops — SQL-replayable.
+  *  - [[kendallTauB]] — ordinal score agreement (Kendall 1938, the
+  *    tau-b tie correction): concordant/discordant/tied pair COUNTS
+  *    — exact integers — plus τ_b. Pair counting is O(n log n) via
+  *    merge-sort inversion counting on the DRIVER over a
+  *    loudly-capped collect: agreement sets are RATED SAMPLES,
+  *    bounded by construction (the aucRoc eval-set contract; a
+  *    corpus-sized τ over 10¹² pairs is not a meaningful quantity).
+  */
+object Agreement {
+
+  /** One row: (n, n_agree, po, pe, kappa) — null labels drop; a
+    * degenerate p_e = 1 (both raters constant and equal) carries a
+    * null kappa (undefined, surfaced not invented).
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val marg = base.groupBy(col("__a").as("c"))
+      .agg(count(lit(1)).as("na"))
+      .join(base.groupBy(col("__b").as("c"))
+        .agg(count(lit(1)).as("nb")), Seq("c"), "full")
+      .agg(sum(coalesce(col("na"), lit(0L)) *
+        coalesce(col("nb"), lit(0L))).as("margsum"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L))
+        .as("n_agree"))
+    agg.crossJoin(marg) // both are 1-row frames
+      .select(col("n"), col("n_agree"),
+        coalesce(col("margsum"), lit(0L)).as("margsum"))
+      .withColumn("po",
+        when(col("n") > 0, round(col("n_agree") / col("n"), 6)))
+      .withColumn("pe",
+        when(col("n") > 0,
+          round(col("margsum") / (col("n") * col("n")), 6)))
+      .withColumn("kappa",
+        when(col("n") > 0 && col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+  }
+
+  /** One row: (n, n_concordant, n_discordant, n_tied_x, n_tied_y,
+    * tau_b) over (x, y) score pairs. Ties only in x (or only in y)
+    * count toward that side's tie total; pairs tied in BOTH count in
+    * neither (the tau-b convention). τ_b = (C − D) / √((C+D+Tx)(C+D+Ty)),
+    * null when either denominator factor is 0. `maxRows` guards the
+    * driver collect loudly.
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+      maxRows: Int = 1 << 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(xCol).cast("double"), col(yCol).cast("double"))
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .limit(maxRows + 1).as[(Double, Double)].collect()
+    require(rows.length <= maxRows,
+      s"kendallTauB: > $maxRows rated rows — agreement runs on rated " +
+        "SAMPLES; sample upstream or raise maxRows deliberately")
+    val n = rows.length.toLong
+    // sort by (x, y); D = inversions of the y sequence; ties via
+    // run-length sums on x, y, and (x, y)
+    val sorted = rows.sortBy(p => (p._1, p._2))
+    def pairs2(k: Long): Long = k * (k - 1) / 2
+    def tieSum(keys: Seq[Any]): Long =
+      keys.groupBy(identity).valuesIterator
+        .map(g => pairs2(g.size.toLong)).sum
+    val tieX = tieSum(sorted.map(_._1).toSeq)
+    val tieY = tieSum(sorted.map(_._2).toSeq)
+    val tieXY = tieSum(sorted.toSeq)
+    // merge-sort inversion count over y (pairs with x strictly
+    // ordered but y reversed); pairs tied in x never count as
+    // inversions because their y's are sorted ascending within the
+    // x-run (so subtract nothing extra)
+    def inversions(a: Array[Double]): Long = {
+      val buf = a.clone(); val tmp = new Array[Double](a.length)
+      def rec(lo: Int, hi: Int): Long = {
+        if (hi - lo < 2) return 0L
+        val mid = (lo + hi) >>> 1
+        var inv = rec(lo, mid) + rec(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (buf(i) <= buf(j)) { tmp(k) = buf(i); i += 1 }
+          else { tmp(k) = buf(j); j += 1; inv += mid - i }
+          k += 1
+        }
+        while (i < mid) { tmp(k) = buf(i); i += 1; k += 1 }
+        while (j < hi) { tmp(k) = buf(j); j += 1; k += 1 }
+        System.arraycopy(tmp, lo, buf, lo, hi - lo)
+        inv
+      }
+      rec(0, a.length)
+    }
+    val disc = inversions(sorted.map(_._2))
+    val total = pairs2(n)
+    val tx = tieX - tieXY // tied in x only
+    val ty = tieY - tieXY // tied in y only
+    val conc = total - disc - tieX - ty
+    val denX = conc + disc + tx
+    val denY = conc + disc + ty
+    val tau: java.lang.Double =
+      if (denX > 0 && denY > 0)
+        BigDecimal((conc - disc).toDouble /
+          math.sqrt(denX.toDouble * denY.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else null
+    Seq((n, conc, disc, tx, ty, Option(tau).map(_.toDouble)))
+      .toDF("n", "n_concordant", "n_discordant", "n_tied_x",
+        "n_tied_y", "tau_b")
+      .select(col("n"), col("n_concordant"), col("n_discordant"),
+        col("n_tied_x"), col("n_tied_y"),
+        col("tau_b").cast("double").as("tau_b"))
+  }
+}

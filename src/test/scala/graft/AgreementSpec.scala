@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Agreement
+
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohenKappa: perfect agreement 1.0, constant-disagreeing " +
+      "raters negative, degenerate identical-constant raters null") {
+    def k(rows: Seq[(String, String)]) = {
+      val r = Agreement.cohenKappa(rows.toDF("a", "b"), "a", "b")
+        .collect()(0)
+      if (r.isNullAt(5)) null else java.lang.Double.valueOf(r.getDouble(5))
+    }
+    assert(k(Seq(("x", "x"), ("y", "y"), ("x", "x"))) === 1.0)
+    // balanced two-class, always disagree -> kappa = -1
+    assert(k(Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x")))
+      === -1.0)
+    // both raters constant and equal: pe = 1 -> undefined -> null
+    assert(k(Seq(("x", "x"), ("x", "x"))) === null)
+  }
+
+  test("kendallTauB: perfect order 1.0, reversed -1.0, hand-counted " +
+      "ties match the tau-b convention, constant side null, cap " +
+      "guard refuses loudly") {
+    def t(rows: Seq[(Double, Double)], cap: Int = 1 << 20) = {
+      val r = Agreement.kendallTauB(rows.toDF("x", "y"), "x", "y", cap)
+        .collect()(0)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null
+        else java.lang.Double.valueOf(r.getDouble(5)))
+    }
+    assert(t(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)))
+      === ((3L, 0L, 0L, 0L, 1.0)))
+    assert(t(Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)))._5 === -1.0)
+    // hand case with ties: pairs of (1,1),(1,2),(2,1):
+    //  (1,1)-(1,2): x tied only -> tx; (1,1)-(2,1): y tied only -> ty;
+    //  (1,2)-(2,1): discordant
+    val h = t(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0)))
+    assert(h === ((0L, 1L, 1L, 1L,
+      BigDecimal(-1.0 / 2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // a pair tied in BOTH counts in neither tie total
+    val hb = t(Seq((1.0, 1.0), (1.0, 1.0), (2.0, 2.0)))
+    assert(hb._3 === 0L && hb._4 === 0L && hb._1 === 2L)
+    // constant x -> denominator zero -> null
+    assert(t(Seq((5.0, 1.0), (5.0, 2.0)))._5 === null)
+    intercept[IllegalArgumentException] {
+      Agreement.kendallTauB(
+        (1 to 10).map(i => (i.toDouble, i.toDouble)).toDF("x", "y"),
+        "x", "y", maxRows = 5).collect()
+    }
+  }
+}
