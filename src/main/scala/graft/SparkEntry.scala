@@ -4033,6 +4033,19 @@ object SparkEntry {
         "x", "y")
     }),
 
+    // --- Spearman rho (r17, the distributed ordinal sibling of
+    //     eval_tau): same tied plant; doubled-midrank integer sums
+    //     hash-exact, rho's double sequence mirrored in the oracle.
+    "eval_spearman" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.Agreement.spearmanRho(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(pmod(id * 13, lit(101L)).cast("double").as("x"),
+            (pmod(id * 13, lit(101L)) + pmod(id, lit(5L)) - 2)
+              .cast("double").as("y")),
+        "x", "y")
+    }),
+
     // --- Classifier-eval harness (r17): the decision card for the
     //     quality/filter classifiers — per-class PRF over a %5
     //     mislabel plant, EXACT AUC via the doubled Mann–Whitney U
@@ -10233,6 +10246,38 @@ object SparkEntry {
         |      sqrt(CAST(conc + disc + tx AS DOUBLE) *
         |        (conc + disc + ty)), 6)
         |  END AS tau_b
+        |FROM s""".stripMargin,
+
+    // the eval_spearman oracle: the same doubled-midrank windows,
+    // integer sums, and double rho sequence
+    "eval_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id * 13 % 101 AS DOUBLE) AS x,
+        |    CAST(doc_id * 13 % 101 + doc_id % 5 - 2 AS DOUBLE) AS y
+        |  FROM documents WHERE doc_id < 300),
+        |r AS (SELECT
+        |  2 * rank() OVER (ORDER BY x) +
+        |    count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |  2 * rank() OVER (ORDER BY y) +
+        |    count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM b),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rx) AS BIGINT) AS s_x, CAST(sum(ry) AS BIGINT) AS s_y,
+        |  CAST(sum(rx * rx) AS BIGINT) AS s_xx,
+        |  CAST(sum(ry * ry) AS BIGINT) AS s_yy,
+        |  CAST(sum(rx * ry) AS BIGINT) AS s_xy FROM r)
+        |SELECT n, s_x, s_y, s_xx, s_yy, s_xy,
+        |  CASE WHEN CAST(n AS DOUBLE) * s_xx
+        |        - CAST(s_x AS DOUBLE) * s_x > 0
+        |      AND CAST(n AS DOUBLE) * s_yy
+        |        - CAST(s_y AS DOUBLE) * s_y > 0
+        |    THEN round((CAST(n AS DOUBLE) * s_xy
+        |        - CAST(s_x AS DOUBLE) * s_y) /
+        |      sqrt((CAST(n AS DOUBLE) * s_xx
+        |          - CAST(s_x AS DOUBLE) * s_x) *
+        |        (CAST(n AS DOUBLE) * s_yy
+        |          - CAST(s_y AS DOUBLE) * s_y)), 6)
+        |  END AS rho
         |FROM s""".stripMargin,
 
     // the eval_prf oracle: the same class-union + per-side joins

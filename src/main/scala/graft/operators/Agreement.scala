@@ -54,6 +54,49 @@ object Agreement {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
 
+  /** Spearman rank correlation (r17) — the DISTRIBUTED member of the
+    * ordinal pair (tau-b's exact pair counts need a bounded set;
+    * Spearman is Pearson over MIDRANKS and scales as two rank
+    * windows + one aggregation). Midranks are half-integers, so the
+    * doubled ranks are exact integers: the output carries the five
+    * integer sufficient sums over 2·rank (s_x, s_y, s_xx, s_yy,
+    * s_xy — hash-exact on any input) and rho via the textbook
+    * formula on those integers — a factor-16 scale cancels, so
+    * using doubled ranks changes nothing:
+    * ρ = (n·s_xy − s_x·s_y) / √((n·s_xx − s_x²)·(n·s_yy − s_y²)).
+    * Constant sides carry a null rho. Output: one row
+    * (n, s_x, s_y, s_xx, s_yy, s_xy, rho).
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def mid2(c: String) = // doubled midrank = 2·minrank + ties − 1
+      lit(2L) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1L
+    val ranked = base
+      .withColumn("__rx", mid2("__x"))
+      .withColumn("__ry", mid2("__y"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("s_x"), sum(col("__ry")).as("s_y"),
+        sum(col("__rx") * col("__rx")).as("s_xx"),
+        sum(col("__ry") * col("__ry")).as("s_yy"),
+        sum(col("__rx") * col("__ry")).as("s_xy"))
+      .withColumn("rho", {
+        // the rho arithmetic runs in DOUBLE (n·s_xy is ~4n⁴ — long
+        // products overflow past n ≈ 4·10⁴); the integer sums in the
+        // output stay exact, and the SQL oracle mirrors the same
+        // double op sequence
+        def d(c: String) = col(c).cast("double")
+        val vx = d("n") * d("s_xx") - d("s_x") * d("s_x")
+        val vy = d("n") * d("s_yy") - d("s_y") * d("s_y")
+        when(vx > 0.0 && vy > 0.0,
+          round((d("n") * d("s_xy") - d("s_x") * d("s_y")) /
+            sqrt(vx * vy), 6))
+      })
+  }
+
   /** One row: (n, n_concordant, n_discordant, n_tied_x, n_tied_y,
     * tau_b) over (x, y) score pairs. Ties only in x (or only in y)
     * count toward that side's tie total; pairs tied in BOTH count in

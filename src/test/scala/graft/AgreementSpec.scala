@@ -20,6 +20,28 @@ class AgreementSpec extends SparkSpec {
     assert(k(Seq(("x", "x"), ("x", "x"))) === null)
   }
 
+  test("spearmanRho: monotone 1.0 even when nonlinear, reversed " +
+      "-1.0, ties via midranks match the textbook value, constant " +
+      "side null") {
+    def rho(rows: Seq[(Double, Double)]) = {
+      val r = Agreement.spearmanRho(rows.toDF("x", "y"), "x", "y")
+        .collect()(0)
+      if (r.isNullAt(6)) null else java.lang.Double.valueOf(r.getDouble(6))
+    }
+    // monotone but nonlinear: rank correlation is exactly 1
+    assert(rho(Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 1000.0)))
+      === 1.0)
+    assert(rho(Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0))) === -1.0)
+    // tie case, textbook midranks: x = 1,2,2,4; y = 1,3,3,4 -> rho =
+    // (n·Σxy − ΣxΣy)/... with midranks (1, 2.5, 2.5, 4) both sides = 1
+    assert(rho(Seq((1.0, 1.0), (2.0, 3.0), (2.0, 3.0), (4.0, 4.0)))
+      === 1.0)
+    // x ties against untied y: midranks (1.5, 1.5, 3) vs (1, 2, 3)
+    // -> rho = sqrt(3)/2 = 0.866025
+    assert(rho(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 3.0))) === 0.866025)
+    assert(rho(Seq((5.0, 1.0), (5.0, 2.0))) === null)
+  }
+
   test("kendallTauB: perfect order 1.0, reversed -1.0, hand-counted " +
       "ties match the tau-b convention, constant side null, cap " +
       "guard refuses loudly") {
