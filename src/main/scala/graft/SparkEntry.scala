@@ -3883,17 +3883,24 @@ object SparkEntry {
     //     closed-form for the oracle, adversarial DP cases are
     //     spec-pinned.
     "text_wer" -> ((s, dir) => {
+      // r18: the hypothesis carries a planted newline/tab/space tail
+      // so the \s+ tokenization (ADVICE-r17) is exercised — a
+      // single-space split would fuse "…\nzz1\tzz2" into one token
+      // and break the subsequence law the oracle restates
+      val id = col("doc_id")
+      val hyp = concat(col("text"), lit("\nzz1\tzz2 zz3"))
+      val hypToks = filter(split(hyp, "\\s+"), t => length(t) > 0)
       val docs = Tables.documents(s, dir)
         .filter(col("text").isNotNull && length(col("text")) > 0 &&
-          col("doc_id") < 300)
-        .select(col("doc_id"), col("text").as("hyp"),
-          array_join(filter(TextFunctions.tokens(col("text")),
+          id < 300)
+        .select(id, hyp.as("hyp"),
+          array_join(filter(hypToks,
             (t, i) => pmod(i, lit(3)) =!= 2), " ").as("ref"))
       TextFunctions.withWerStats(docs, "hyp", "ref", "m")
-        .select(col("doc_id"), col("m.n_hyp").as("n_hyp"),
+        .select(id, col("m.n_hyp").as("n_hyp"),
           col("m.n_ref").as("n_ref"), col("m.edits").as("edits"),
           col("m.wer").as("wer"))
-        .orderBy(col("doc_id"))
+        .orderBy(id)
     }),
 
     // --- SQuAD-style QA eval (r17): EM + token F1 over the official
@@ -4099,23 +4106,34 @@ object SparkEntry {
         "prob", "label")
     }),
 
-    // --- SVG metadata + threat scan (r17): the %4 plant covers a
-    //     clean sized SVG (element count varied by id), a scripted
-    //     one (<script> + on*= handler), an external-href fetch, and
-    //     non-SVG text (all-null). The oracle restates each class.
+    // --- SVG metadata + threat scan (r17; fixture hardened r18 with
+    //     the ADVICE-r17 evasion classes): the %6 plant covers a
+    //     clean sized SVG with a stroke-width/child-width DISTRACTOR
+    //     (root anchoring must win), a scripted one (<script> + on*=
+    //     handler), a root WITHOUT width whose child carries one
+    //     (must be null — the unanchored-regex failure case), an
+    //     uppercase <SCRIPT> evasion, a single-quoted/tab-preceded
+    //     handler + mixed-case javascript: URL, and non-SVG text
+    //     (all-null). The oracle restates each class.
     "mm_svg_meta" -> ((s, dir) => {
       val id = col("doc_id")
-      val text = when(pmod(id, lit(4L)) === 0,
+      val text = when(pmod(id, lit(6L)) === 0,
         concat(lit("<svg width=\"100\" height=\"50\" " +
           "viewBox=\"0 0 100 50\">"),
           expr("repeat('<g>', CAST(doc_id % 3 AS INT))"),
-          lit("<rect/><circle/></svg>")))
-        .when(pmod(id, lit(4L)) === 1,
+          lit("<rect stroke-width=\"2\" width=\"9\"/><circle/></svg>")))
+        .when(pmod(id, lit(6L)) === 1,
           lit("<svg width=\"10\"><script>alert(1)</script>" +
             "<rect onload=\"x()\"/></svg>"))
-        .when(pmod(id, lit(4L)) === 2,
-          lit("<svg height=\"20.5\">" +
+        .when(pmod(id, lit(6L)) === 2,
+          lit("<svg height=\"20.5\">\n<rect width=\"7\" " +
+            "stroke-width=\"3\"/>\n" +
             "<image href=\"https://ex.example/x.png\"/></svg>"))
+        .when(pmod(id, lit(6L)) === 3,
+          lit("<svg><SCRIPT>alert(2)</SCRIPT></svg>"))
+        .when(pmod(id, lit(6L)) === 4,
+          lit("<svg>\n<rect\tonload='x()'/>" +
+            "<a href='JavaScript:alert(3)'>k</a></svg>"))
         .otherwise(concat(lit("plain text "), id))
       graft.sources.Svg.withSvgMeta(
           Tables.documents(s, dir).filter(id < 200)
@@ -10103,12 +10121,14 @@ object SparkEntry {
 
     // the text_wer oracle: ref is a subsequence of hyp (every third
     // token dropped), so the word edit distance is exactly the
-    // deletion count n // 3
+    // deletion count n // 3; n counts \s+ whitespace-run tokens of
+    // the text plus the 3 planted tail tokens (r18 — the fused-token
+    // law a single-space split cannot reproduce)
     "text_wer" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split(lower(text), ' '),
-        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0)) + 3 AS BIGINT) AS n
         |  FROM documents
         |  WHERE text IS NOT NULL AND length(text) > 0 AND doc_id < 300),
         |d AS (SELECT doc_id, n AS n_hyp,
@@ -10149,21 +10169,26 @@ object SparkEntry {
         |    ELSE 'arabic' END AS dominant
         |FROM e ORDER BY doc_id""".stripMargin,
 
-    // the mm_svg_meta oracle: the %4 plant restated closed-form
+    // the mm_svg_meta oracle: the %6 plant restated closed-form —
+    // v0 clean+distractor (root width wins), v1 scripted, v2 rootless
+    // width (null) + external href, v3 uppercase <SCRIPT>, v4
+    // single-quote/tab handler + JavaScript: URL, v5 non-SVG
     "mm_svg_meta" ->
       """WITH d AS (
-        |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS v
+        |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS v
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id,
         |  CASE v WHEN 0 THEN CAST(100.0 AS DOUBLE)
         |    WHEN 1 THEN CAST(10.0 AS DOUBLE) END AS svg_width,
         |  CASE v WHEN 0 THEN CAST(50.0 AS DOUBLE)
         |    WHEN 2 THEN CAST(20.5 AS DOUBLE) END AS svg_height,
-        |  CASE WHEN v = 3 THEN NULL ELSE v = 0 END AS svg_has_viewbox,
+        |  CASE WHEN v = 5 THEN NULL ELSE v = 0 END AS svg_has_viewbox,
         |  CASE v WHEN 0 THEN CAST(3 + doc_id % 3 AS INT)
-        |    WHEN 1 THEN 3 WHEN 2 THEN 2 END AS svg_n_elements,
-        |  CASE WHEN v = 3 THEN NULL ELSE v = 1 END AS svg_has_script,
-        |  CASE WHEN v = 3 THEN NULL ELSE v = 2 END AS svg_has_external
+        |    WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 2 WHEN 4 THEN 3
+        |    END AS svg_n_elements,
+        |  CASE WHEN v = 5 THEN NULL
+        |    ELSE v IN (1, 3, 4) END AS svg_has_script,
+        |  CASE WHEN v = 5 THEN NULL ELSE v = 2 END AS svg_has_external
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // the code_bidi_scan oracle: the plant law — %7 carries RLO+PDF
@@ -10435,7 +10460,7 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY source) AS n
         |      FROM d)
         |SELECT doc_id, source, score FROM r
-        |WHERE rn <= ceil(n * 0.3) ORDER BY doc_id""".stripMargin,
+        |WHERE rn <= ceil(round(n * 0.3, 9)) ORDER BY doc_id""".stripMargin,
 
     // the docs_length_percentiles oracle: same rank/count windows,
     // value at ceil(q·n)
@@ -10451,9 +10476,9 @@ object SparkEntry {
         |        count(*) OVER (PARTITION BY stratum) AS n
         |      FROM t)
         |SELECT stratum, CAST(max(n) AS BIGINT) AS n,
-        |  max(CASE WHEN rn = ceil(n * 0.5) THEN v END) AS p50,
-        |  max(CASE WHEN rn = ceil(n * 0.9) THEN v END) AS p90,
-        |  max(CASE WHEN rn = ceil(n * 0.99) THEN v END) AS p99
+        |  max(CASE WHEN rn = ceil(round(n * 0.5, 9)) THEN v END) AS p50,
+        |  max(CASE WHEN rn = ceil(round(n * 0.9, 9)) THEN v END) AS p90,
+        |  max(CASE WHEN rn = ceil(round(n * 0.99, 9)) THEN v END) AS p99
         |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
 
     // the docs_distinct_ngrams oracle: gram orders 1..3 rebuilt with

@@ -1535,6 +1535,10 @@ object TextFunctions {
     * Levenshtein edits (substitutions + insertions + deletions, unit
     * costs — deliberately WITHOUT TER's block shifts, and named WER
     * accordingly) over whitespace tokens of the lowercased texts.
+    * Tokenization splits on ANY whitespace run (`\s+`, r18
+    * ADVICE-r17): hypothesis/reference text routinely carries
+    * newlines and tabs, and a single-space split fused those into
+    * one token, distorting both the edit count and n_ref.
     * Appends `outCol` struct (n_hyp, n_ref, edits, wer) — edits is
     * the engine-exact integer the gate hashes; wer = edits/n_ref
     * round-6 (null when n_ref = 0: WER against an empty reference is
@@ -1554,7 +1558,7 @@ object TextFunctions {
     val hi = df.schema.fieldIndex(hypCol)
     val ri = df.schema.fieldIndex(refCol)
     def toks(s: String): Array[String] =
-      s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+      s.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     df.mapPartitions { it =>

@@ -54,24 +54,38 @@ object Agreement {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
 
-  /** Spearman rank correlation (r17) — the DISTRIBUTED member of the
-    * ordinal pair (tau-b's exact pair counts need a bounded set;
-    * Spearman is Pearson over MIDRANKS and scales as two rank
-    * windows + one aggregation). Midranks are half-integers, so the
-    * doubled ranks are exact integers: the output carries the five
-    * integer sufficient sums over 2·rank (s_x, s_y, s_xx, s_yy,
-    * s_xy — hash-exact on any input) and rho via the textbook
-    * formula on those integers — a factor-16 scale cancels, so
-    * using doubled ranks changes nothing:
+  /** Spearman rank correlation (r17) — Pearson over MIDRANKS.
+    * Midranks are half-integers, so the doubled ranks are exact
+    * integers: the output carries the five integer sufficient sums
+    * over 2·rank (s_x, s_y, s_xx, s_yy, s_xy — hash-exact on any
+    * input) and rho via the textbook formula on those integers — a
+    * factor-16 scale cancels, so using doubled ranks changes nothing:
     * ρ = (n·s_xy − s_x·s_y) / √((n·s_xx − s_x²)·(n·s_yy − s_y²)).
     * Constant sides carry a null rho. Output: one row
     * (n, s_x, s_y, s_xx, s_yy, s_xy, rho).
+    *
+    * Same bounded-eval-set contract as [[kendallTauB]] and
+    * [[ClassifierEval.aucRoc]], ENFORCED (r18, VERDICT-r17 #2): the
+    * two unpartitioned rank windows are single-task global sorts —
+    * Spark moves the whole input onto one reducer — so `maxRows`
+    * count-guards the input with a loud refusal. Agreement runs on
+    * rated SAMPLES; for a corpus-sized rank correlation, rank each
+    * side distributedly first (the TrainingOrder two-phase rank) and
+    * feed the ranks to a plain Pearson aggregation.
     */
-  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String,
+      maxRows: Int = 1 << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // limit short-circuits: the guard never scans past maxRows+1
+    val guardN = base
+      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
+    require(guardN <= maxRows,
+      s"spearmanRho: > $maxRows rated rows — agreement runs on rated " +
+        "SAMPLES (the rank windows are single-task global sorts); " +
+        "sample upstream or raise maxRows deliberately")
     def mid2(c: String) = // doubled midrank = 2·minrank + ties − 1
       lit(2L) * rank().over(Window.orderBy(col(c))) +
         count(lit(1)).over(Window.partitionBy(col(c))) - 1L

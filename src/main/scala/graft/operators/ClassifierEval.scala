@@ -74,12 +74,29 @@ object ClassifierEval {
     * auc = u2 / (2·n_pos·n_neg) (one division, round-6). Degenerate
     * inputs (no positives or no negatives) carry a null auc. Labels
     * are 0/1 longs; null score or label rows are dropped.
+    *
+    * The eval-set contract is ENFORCED, not just documented (r18,
+    * VERDICT-r17 #2): the global rank window is a single-task sort,
+    * so `maxRows` count-guards the input with a loud refusal
+    * (mirroring [[Agreement.kendallTauB]]'s cap) before the window
+    * can silently collapse a corpus-sized score column onto one
+    * reducer. Raise it deliberately, or rank distributedly (the
+    * TrainingOrder two-phase rank) if corpus-sized AUC is truly
+    * wanted.
     */
-  def aucRoc(df: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxRows: Int = 1 << 22): DataFrame = {
     val base = df.select(col(scoreCol).cast("double").as("__s"),
         col(labelCol).cast("long").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
+    // the guard reads at most maxRows+1 rows (limit short-circuits),
+    // so the refusal itself can't become the corpus-sized scan
+    val guardN = base
+      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
+    require(guardN <= maxRows,
+      s"aucRoc: > $maxRows scored rows — AUC runs on labeled eval " +
+        "SAMPLES (the global rank window is a single-task sort); " +
+        "sample upstream or raise maxRows deliberately")
     val w = Window.orderBy(col("__s"))
     val tie = Window.partitionBy(col("__s"))
     val ranked = base

@@ -272,8 +272,11 @@ object CorpusReport {
       .select(col(strataCol).as("stratum"), value.as("__v"))
       .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
       .withColumn("__n", count(lit(1)).over(w))
+    // round-9 before the ceil (r18, ADVICE-r17): raw IEEE q·n can
+    // exceed the mathematical product by an ulp (187·(3/187) →
+    // 3.000…04) and ceil then picks the rank ABOVE the documented one
     val picks = qs.map { q =>
-      max(when(col("__rn") === ceil(col("__n") * q), col("__v")))
+      max(when(col("__rn") === ceil(round(col("__n") * q, 9)), col("__v")))
         .as(nameOf(q))
     }
     base.groupBy(col("stratum"))

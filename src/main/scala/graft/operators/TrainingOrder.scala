@@ -378,6 +378,12 @@ object TrainingOrder {
     * scoring rows, ties to the SMALLER id (deterministic; the
     * exactDedup total-order stance). Kept count per stratum =
     * ceil(fraction · n) so a non-empty stratum always keeps ≥ 1 row.
+    * The product is rounded (9 places) BEFORE the ceil (r18,
+    * ADVICE-r17): raw IEEE n·fraction can exceed the mathematical
+    * product by an ulp — e.g. 187·(3.0/187) = 3.0000000000000004, so
+    * a "keep 3 of 187" fraction kept 4 — and the round kills the
+    * sub-nano excess while leaving every genuine fractional bound
+    * (e.g. 0.3·11 = 3.3) to ceil up as intended.
     *
     * Scale shape: one window per STRATUM (rank + the stratum count
     * via the same partition — no second aggregate pass or join).
@@ -396,7 +402,7 @@ object TrainingOrder {
     val wOrd = w.orderBy(score.desc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__rn") <= ceil(col("__n") * fraction))
+      .filter(col("__rn") <= ceil(round(col("__n") * fraction, 9)))
       .drop("__rn", "__n")
   }
 

@@ -3,17 +3,23 @@ package graft.sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** SVG metadata + threat scan (r17) — the one major web image format
-  * the raster family can't cover (it is XML, not pixels), and the
-  * one that can carry JAVASCRIPT: crawled SVG must be size-profiled
-  * and script-scanned before a multimodal corpus keeps it. Pure
-  * Catalyst regex projections (RE2-safe — no lookarounds — so the
-  * oracle replays the identical patterns):
+/** SVG metadata + threat scan (r17; hardened r18) — the one major
+  * web image format the raster family can't cover (it is XML, not
+  * pixels), and the one that can carry JAVASCRIPT: crawled SVG must
+  * be size-profiled and script-scanned before a multimodal corpus
+  * keeps it. Pure Catalyst regex projections (RE2-safe — no
+  * lookarounds — so the oracle replays the identical patterns):
   *
-  *  - `svg_width` / `svg_height`: the root element's numeric
-  *    width/height attribute values (unit suffixes like "px" are
-  *    stripped by the numeric capture; percentage or missing → null);
-  *  - `svg_has_viewbox`: a viewBox attribute exists;
+  *  - `svg_width` / `svg_height`: the ROOT element's numeric
+  *    width/height attribute values — extracted from the `<svg ...>`
+  *    tag itself (first match of `<svg[^>]*`), with a whitespace
+  *    boundary before the attribute name, so a child's `width=` or
+  *    any `stroke-width=` can never win (r18: the unanchored form
+  *    reported a child `<rect width>` when the root had no width).
+  *    Unit suffixes like "px" are stripped by the numeric capture;
+  *    percentage or missing → null. Both quote styles accepted;
+  *  - `svg_has_viewbox`: a viewBox attribute exists (either quote
+  *    style);
   *  - `svg_n_elements`: count of element OPENINGS (`<` followed by a
   *    letter — closings and the `<!--`/`<!DOCTYPE`/`<?xml` markers
   *    themselves don't count; markup INSIDE a comment still does —
@@ -21,30 +27,41 @@ import org.apache.spark.sql.functions._
   *    `<script` is still flagged, which is the safe direction);
   *  - `svg_has_script`: `<script` element, an `on*=` event-handler
   *    attribute, or a `javascript:` URL — the XSS/active-content
-  *    surface;
+  *    surface. CASE-INSENSITIVE and quote-agnostic (r18): SVG
+  *    embedded in HTML is parsed case-insensitively by browsers, so
+  *    `<SCRIPT`, `OnLoad='x()'`, a tab/newline before the handler,
+  *    and `JavaScript:` URLs are all realistic payloads the scan
+  *    must flag;
   *  - `svg_has_external`: an `href`/`xlink:href` pointing at an
-  *    http(s) URL (tracking/remote-content fetch);
+  *    http(s) URL (tracking/remote-content fetch), either quote
+  *    style, scheme case-insensitive;
   *  - non-SVG text (no `<svg` root) → all fields null.
   */
 object Svg {
 
   def withSvgMeta(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val isSvg = t.isNotNull && t.rlike("<svg[ >]")
-    def num(attr: String) =
-      when(regexp_extract(t, attr + "=\"([0-9]+\\.?[0-9]*)\"", 1) =!= "",
-        regexp_extract(t, attr + "=\"([0-9]+\\.?[0-9]*)\"", 1)
-          .cast("double"))
+    val isSvg = t.isNotNull && t.rlike("<svg[\\s>]")
+    // the root tag's attribute region: everything between `<svg` and
+    // the first `>` (first occurrence = the root, since a nested
+    // `<svg` can only come later in the byte stream)
+    val rootAttrs = regexp_extract(t, "<svg([^>]*)", 1)
+    def num(attr: String) = {
+      val pat = "[\\s\"']" + attr + "\\s*=\\s*[\"']([0-9]+\\.?[0-9]*)[\"']"
+      when(regexp_extract(rootAttrs, pat, 1) =!= "",
+        regexp_extract(rootAttrs, pat, 1).cast("double"))
+    }
     df.withColumn("svg_width", when(isSvg, num("width")))
       .withColumn("svg_height", when(isSvg, num("height")))
       .withColumn("svg_has_viewbox",
-        when(isSvg, t.rlike("viewBox=\"")))
+        when(isSvg, t.rlike("viewBox\\s*=\\s*[\"']")))
       .withColumn("svg_n_elements",
         when(isSvg, (size(split(t, "<[A-Za-z]")) - 1).cast("int")))
       .withColumn("svg_has_script",
-        when(isSvg, t.rlike("<script") ||
-          t.rlike(" on[a-z]+=\"") || t.rlike("javascript:")))
+        when(isSvg, t.rlike("(?i)<script") ||
+          t.rlike("(?i)[\\s\"']on[a-z]+\\s*=") ||
+          t.rlike("(?i)javascript:")))
       .withColumn("svg_has_external",
-        when(isSvg, t.rlike("href=\"https?://")))
+        when(isSvg, t.rlike("(?i)href\\s*=\\s*[\"']https?://")))
   }
 }

@@ -42,6 +42,21 @@ class AgreementSpec extends SparkSpec {
     assert(rho(Seq((5.0, 1.0), (5.0, 2.0))) === null)
   }
 
+  test("spearmanRho (r18, VERDICT-r17 #2): the bounded-eval contract " +
+      "is enforced — over-cap input refuses loudly before the " +
+      "single-task rank windows run") {
+    intercept[IllegalArgumentException] {
+      Agreement.spearmanRho(
+        (1 to 10).map(i => (i.toDouble, i.toDouble)).toDF("x", "y"),
+        "x", "y", maxRows = 5)
+    }
+    // at-cap input still computes
+    val ok = Agreement.spearmanRho(
+      (1 to 5).map(i => (i.toDouble, i.toDouble)).toDF("x", "y"),
+      "x", "y", maxRows = 5).collect()(0)
+    assert(ok.getDouble(6) === 1.0)
+  }
+
   test("kendallTauB: perfect order 1.0, reversed -1.0, hand-counted " +
       "ties match the tau-b convention, constant side null, cap " +
       "guard refuses loudly") {

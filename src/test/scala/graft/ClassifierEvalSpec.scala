@@ -49,6 +49,22 @@ class ClassifierEvalSpec extends SparkSpec {
     assert(auc(Seq((1.0, 1L), (2.0, 1L)))._4 === -1.0) // no negatives
   }
 
+  test("aucRoc (r18, VERDICT-r17 #2): the bounded-eval contract is " +
+      "enforced — over-cap input refuses loudly before the " +
+      "single-task rank window runs") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      ClassifierEval.aucRoc(
+        (1 to 10).map(i => (i.toDouble, (i % 2).toLong)).toDF("s", "y"),
+        "s", "y", maxRows = 5)
+    }
+    // at-cap input still computes
+    val ok = ClassifierEval.aucRoc(
+      (1 to 4).map(i => (i.toDouble, (i / 3).toLong)).toDF("s", "y"),
+      "s", "y", maxRows = 4).collect()(0)
+    assert(ok.getDouble(3) === 1.0)
+  }
+
   test("calibrationBins + brier + eceFromBins: dyadic hand case, " +
       "p = 1.0 folds into the last bin, out-of-range rows drop") {
     val rows = Seq(

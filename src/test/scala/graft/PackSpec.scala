@@ -428,4 +428,41 @@ class PackSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().map(_.getLong(0))
     assert(got.toSeq === Seq(1L, 2L, 5L, 6L, 8L))
   }
+
+  test("keepTopFraction (r18, ADVICE-r17): the FP-ceil excess is " +
+      "killed — fraction 3/187 of a 187-row stratum keeps exactly 3 " +
+      "rows (187 * (3.0/187) = 3.0000000000000004 in IEEE; raw ceil " +
+      "kept 4), while genuine fractional bounds still ceil up") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TrainingOrder
+    assert(187.0 * (3.0 / 187.0) > 3.0,
+      "precondition: this ratio must exhibit the IEEE excess")
+    val rows = (1L to 187L).map(i => (i, "s", 1000L - i))
+      .toDF("doc_id", "source", "score")
+    val got = TrainingOrder.keepTopFraction(rows, "source", "doc_id",
+        col("score"), 3.0 / 187.0)
+      .orderBy(col("doc_id")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 3L),
+      s"ceil(round(187*(3/187))) must keep 3, got ${got.length} rows")
+    // and a genuinely fractional bound still ceils UP: 0.3 of 11 -> 4
+    val rows11 = (1L to 11L).map(i => (i, "s", 100L - i))
+      .toDF("doc_id", "source", "score")
+    assert(TrainingOrder.keepTopFraction(rows11, "source", "doc_id",
+      col("score"), 0.3).count() === 4L)
+  }
+
+  test("lengthPercentiles (r18, ADVICE-r17): FP-ceil rank pick — " +
+      "q = 3/187 over 187 ascending values picks the rank-3 value, " +
+      "not rank 4") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.CorpusReport
+    val rows = (1L to 187L).map(i => ("s", i * 10L)).toDF("src", "v")
+    val got = CorpusReport.lengthPercentiles(rows, "src", col("v"),
+      qs = Seq(3.0 / 187.0, 0.5)).collect()(0)
+    // q-derived column names carry FP digits for this adversarial q;
+    // address by position: (stratum, n, p_q, p50)
+    assert(got.getLong(2) === 30L,
+      "rank ceil(round(187*(3/187))) = 3 -> value 30")
+    assert(got.getLong(3) === 940L, "p50: rank ceil(93.5) = 94 -> 940")
+  }
 }

@@ -29,4 +29,40 @@ class SvgSpec extends SparkSpec {
     assert(got(3).isNullAt(1) && got(3).isNullAt(3))
     assert(got(4).isNullAt(3) && got(5).isNullAt(3))
   }
+
+  test("withSvgMeta (r18 hardening): size extraction is ROOT-anchored " +
+      "(stroke-width / child width never win), threat scan is case- " +
+      "and quote-insensitive (the ADVICE-r17 evasion classes)") {
+    val rows = Seq(
+      // root has no width; child rect does, plus a stroke-width
+      // distractor — width must be NULL, not 7 and not 3
+      (1L, "<svg height=\"20\">\n<rect width=\"7\" stroke-width=\"3\"/></svg>"),
+      // root width present WITH a stroke-width earlier in the root
+      // attrs — boundary must skip the -width suffix match
+      (2L, "<svg stroke-width=\"4\" width=\"64\"><rect/></svg>"),
+      // uppercase script element
+      (3L, "<svg><SCRIPT>alert(1)</SCRIPT></svg>"),
+      // single-quoted, tab-preceded event handler
+      (4L, "<svg>\n<rect\tonload='x()'/></svg>"),
+      // mixed-case javascript: URL
+      (5L, "<svg><a href='JavaScript:alert(2)'>k</a></svg>"),
+      // single-quoted root attributes + viewBox
+      (6L, "<svg width='12' viewBox='0 0 12 12'><rect/></svg>"),
+      // clean: on-prefixed word in TEXT content must not flag (no
+      // '=' after it)
+      (7L, "<svg><text>only once</text></svg>"))
+      .toDF("id", "text")
+    val got = Svg.withSvgMeta(rows, "text")
+      .select($"id", $"svg_width", $"svg_has_script",
+        $"svg_has_viewbox", $"svg_has_external")
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1), "child width must not leak to root")
+    assert(got(1).getDouble(1) === 64.0, "stroke-width must not shadow")
+    assert(got(2).getBoolean(2), "<SCRIPT evades a case-sensitive scan")
+    assert(got(3).getBoolean(2), "tab + single-quote handler")
+    assert(got(4).getBoolean(2), "JavaScript: URL")
+    assert(!got(4).getBoolean(4), "javascript: href is not external http")
+    assert(got(5).getDouble(1) === 12.0 && got(5).getBoolean(3))
+    assert(!got(6).getBoolean(2), "prose 'only once' must not flag")
+  }
 }

@@ -864,6 +864,24 @@ class TextFunctionsSpec extends SparkSpec {
       "k i t t e n".split(" "), "s i t t i n g".split(" ")) === 3)
   }
 
+  test("withWerStats (r18, ADVICE-r17): tokenization splits on ANY " +
+      "whitespace run — newline/tab-separated words are not fused") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the\ncat\tsat", "the cat sat"),   // identical under \s+
+      (2L, "a  b\r\nc", "a b c"),             // runs collapse
+      (3L, "x\ny", "x z"))                    // 1 substitution
+      .toDF("id", "hyp", "ref")
+    val got = graft.functions.TextFunctions
+      .withWerStats(rows, "hyp", "ref", "m")
+      .select($"id", $"m.n_hyp", $"m.edits")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 0L,
+      "newline/tab words must not fuse into one token")
+    assert(got(1).getLong(1) === 3L && got(1).getLong(2) === 0L)
+    assert(got(2).getLong(2) === 1L)
+  }
+
   test("withQaMatch (r17): SQuAD normalization (punct stripped, " +
       "articles dropped, case-folded), EM vs token F1, clipped " +
       "multiset overlap, empty-side edge rule, null nulls out") {
