@@ -8214,7 +8214,21 @@ object SparkEntry {
         .groupBy(col("label"))
         .agg(round(avg(VectorFunctions.norm(col("embedding"))), 6).as("avg_norm"),
           count(lit(1)).as("n"))
-        .orderBy(col("label")))
+        .orderBy(col("label"))),
+
+    // --- bench MACHINE calibration (r18, VERDICT-r17 #1): a FIXED
+    //     synthetic workload — 32M generated rows through one
+    //     multiply-mod projection, one 97-key shuffle agg, one tiny
+    //     sort — touching NO fixture table and NO repo operator, so
+    //     its bench time moves ONLY with the machine. Cross-round
+    //     comparisons divide this query's drift out of the headline
+    //     (the r17 215.75s-vs-157.88s adjudication, made measurable).
+    "perf_calibration" -> ((s, _) =>
+      s.range(0L, 32L * 1000 * 1000, 1L, 32)
+        .select((col("id") * 2654435761L % 1000003L).as("k"))
+        .groupBy(pmod(col("k"), lit(97L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("bucket")))
   )
 
   /** Queries intentionally WITHOUT a DuckDB oracle (approx/ML ops the
@@ -15501,6 +15515,15 @@ object SparkEntry {
       """SELECT label,
         |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
         |  count(*) AS n
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // the perf_calibration oracle: the same closed-form generated
+    // workload — integer multiply-mod over range(32M), 97 buckets
+    "perf_calibration" ->
+      """SELECT (id * 2654435761 % 1000003) % 97 AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(id * 2654435761 % 1000003) AS BIGINT) AS sum_k
+        |FROM range(32000000) t(id)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
