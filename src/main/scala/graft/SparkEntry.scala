@@ -4030,6 +4030,24 @@ object SparkEntry {
         "rater_a", "rater_b")
     }),
 
+    // --- Fleiss' kappa (r18, VERDICT-r17 missing #1): 3-rater panel
+    //     per item; rater r dissents by +r categories on items where
+    //     (id + r) % 5 == 0, so 2/5 of items carry one dissent. The
+    //     oracle replays the cell-count aggregations; degenerate
+    //     all-agree / all-constant / variable-panel cases are
+    //     spec-pinned.
+    "eval_fleiss" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(array(lit(0L), lit(1L), lit(2L)))
+          .as("rater"))
+      val lbl = concat(lit("c"),
+        pmod(id + when(pmod(id + col("rater"), lit(5L)) === 0,
+          col("rater")).otherwise(lit(0L)), lit(3L)))
+      operators.Agreement.fleissKappa(rows.withColumn("label", lbl),
+        "doc_id", "rater", "label")
+    }),
+
     "eval_tau" -> ((s, dir) => {
       val id = col("doc_id")
       operators.Agreement.kendallTauB(
@@ -10256,6 +10274,38 @@ object SparkEntry {
         |      / (1.0 - round(CAST(margsum AS DOUBLE) / (n * n), 6)), 6)
         |  END AS kappa
         |FROM g, m""".stripMargin,
+
+    // the eval_fleiss oracle: the same cell-count aggregations —
+    // integer s2/c2 sufficient stats, ratio steps on rounded values
+    "eval_fleiss" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200),
+        |b AS (SELECT doc_id AS i,
+        |        'c' || ((doc_id + CASE WHEN (doc_id + rater) % 5 = 0
+        |          THEN rater ELSE 0 END) % 3) AS l
+        |      FROM r),
+        |cell AS (SELECT i, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |item AS (SELECT i, sum(c) AS m, sum(c * c) AS s
+        |         FROM cell GROUP BY 1),
+        |ia AS (SELECT count(*) AS n_items, max(m) AS n_raters,
+        |         sum(s) AS s2 FROM item),
+        |la AS (SELECT sum(cj * cj) AS c2 FROM
+        |         (SELECT l, sum(c) AS cj FROM cell GROUP BY 1) t),
+        |f AS (SELECT CAST(n_items AS BIGINT) AS n_items,
+        |        CAST(n_raters AS BIGINT) AS n_raters,
+        |        CAST(s2 AS BIGINT) AS s2, CAST(c2 AS BIGINT) AS c2,
+        |        round((CAST(s2 AS DOUBLE) - n_items * n_raters)
+        |          / (n_items * n_raters * (n_raters - 1)), 6) AS pbar,
+        |        round(CAST(c2 AS DOUBLE)
+        |          / (CAST(n_items AS DOUBLE) * n_raters
+        |             * n_items * n_raters), 6) AS pe
+        |      FROM ia, la)
+        |SELECT n_items, n_raters, s2, c2, pbar, pe,
+        |  CASE WHEN pe < 1.0
+        |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM f""".stripMargin,
 
     // the eval_tau oracle: brute-force pair classification at gate
     // size — exact integers, the same tau-b denominator product

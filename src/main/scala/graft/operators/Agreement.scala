@@ -54,6 +54,72 @@ object Agreement {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
 
+  /** Fleiss' kappa (r18, VERDICT-r17 missing #1) — MULTI-rater
+    * categorical agreement (Fleiss 1971): real LLM-judge ensembles
+    * and crowd-label audits have ≥ 3 raters per item, which the
+    * 2-rater [[cohenKappa]] cannot score. Input is the long (item,
+    * rater, label) table, one row per rating. With N items, a FIXED
+    * panel of m raters per item, and per-(item,label) counts n_il:
+    *
+    *   P̄  = (Σ_i Σ_l n_il² − N·m) / (N·m·(m−1))   observed agreement
+    *   P̄e = Σ_l (Σ_i n_il)² / (N·m)²              chance agreement
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Distributed as two hash aggregations over the cell counts — the
+    * [[cohenKappa]] machinery generalized; the INTEGER sufficient
+    * statistics s2 = Σ n_il² and c2 = Σ (Σ_i n_il)² ride in the
+    * output (hash-exact on any engine) and the ratio steps are
+    * single mirrored IEEE ops on the rounded values. Output: one row
+    * (n_items, n_raters, s2, c2, pbar, pe, kappa); κ is null when
+    * P̄e = 1 (every rating one category — undefined, surfaced not
+    * invented).
+    *
+    * The fixed-panel precondition is ENFORCED loudly (the
+    * bounded-contract discipline): variable ratings-per-item, or
+    * fewer than 2, refuse with the remedy named — Fleiss is not
+    * defined there (filter to the common panel, or use a variable-m
+    * statistic). A rater rating the same item twice counts as an
+    * extra panel seat and trips the same guard unless uniform.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__l").isNotNull)
+    val cell = base.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cell.groupBy(col("__i"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s"))
+    val g = perItem.agg(count(lit(1)).as("n"), min(col("m")),
+      max(col("m"))).head()
+    require(g.getLong(0) > 0, "fleissKappa: no rated items")
+    val (mMin, mMax) = (g.getLong(1), g.getLong(2))
+    require(mMin == mMax,
+      s"fleissKappa: variable panel size ($mMin..$mMax ratings per " +
+        "item) — Fleiss' kappa is defined for a FIXED rater count " +
+        "per item; filter to the common panel or use a variable-m " +
+        "statistic")
+    require(mMin >= 2,
+      s"fleissKappa: $mMin rating per item — agreement needs >= 2")
+    val itemAgg = perItem.agg(count(lit(1)).as("n_items"),
+      max(col("m")).as("n_raters"), sum(col("s")).as("s2"))
+    val labelAgg = cell.groupBy(col("__l"))
+      .agg(sum(col("c")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("c2"))
+    itemAgg.crossJoin(labelAgg) // both are 1-row frames
+      .withColumn("pbar",
+        round((col("s2") - col("n_items") * col("n_raters")) /
+          (col("n_items") * col("n_raters") * (col("n_raters") - 1)), 6))
+      .withColumn("pe",
+        round(col("c2") / (col("n_items") * col("n_raters") *
+          col("n_items") * col("n_raters")), 6))
+      .withColumn("kappa",
+        when(col("pe") < 1.0,
+          round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)))
+  }
+
   /** Spearman rank correlation (r17) — Pearson over MIDRANKS.
     * Midranks are half-integers, so the doubled ranks are exact
     * integers: the output carries the five integer sufficient sums

@@ -20,6 +20,40 @@ class AgreementSpec extends SparkSpec {
     assert(k(Seq(("x", "x"), ("x", "x"))) === null)
   }
 
+  test("fleissKappa (r18): textbook hand case, all-agree 1.0, " +
+      "single-category degenerate null, variable panel and " +
+      "single-rating panels refuse loudly") {
+    def fk(rows: Seq[(Long, Long, String)]) =
+      Agreement.fleissKappa(rows.toDF("i", "r", "l"), "i", "r", "l")
+        .collect()(0)
+    // hand case: item 1 rated (a, a), item 2 rated (a, b):
+    // s2 = 4 + 2 = 6, pbar = (6 - 4)/4 = 0.5; marginals a=3 b=1 ->
+    // c2 = 10, pe = 10/16 = 0.625; kappa = -0.125/0.375 = -1/3
+    val h = fk(Seq((1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b")))
+    assert(h.getLong(0) === 2L && h.getLong(1) === 2L)
+    assert(h.getLong(2) === 6L && h.getLong(3) === 10L)
+    assert(h.getDouble(4) === 0.5 && h.getDouble(5) === 0.625)
+    assert(h.getDouble(6) === -0.333333)
+    // perfect 3-rater agreement over 2 categories: kappa = 1
+    val p = fk(Seq((1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "x"),
+      (2L, 1L, "y"), (2L, 2L, "y"), (2L, 3L, "y")))
+    assert(p.getDouble(4) === 1.0 && p.getDouble(6) === 1.0)
+    // every rating one category: pe = 1 -> undefined -> null
+    val d = fk(Seq((1L, 1L, "x"), (1L, 2L, "x"),
+      (2L, 1L, "x"), (2L, 2L, "x")))
+    assert(d.isNullAt(6))
+    // variable panel size refuses with the remedy named
+    val eVar = intercept[IllegalArgumentException] {
+      fk(Seq((1L, 1L, "a"), (1L, 2L, "a"), (2L, 1L, "a")))
+    }
+    assert(eVar.getMessage.contains("FIXED rater count"))
+    // a 1-rating panel refuses
+    intercept[IllegalArgumentException] {
+      fk(Seq((1L, 1L, "a"), (2L, 1L, "b")))
+    }
+  }
+
   test("spearmanRho: monotone 1.0 even when nonlinear, reversed " +
       "-1.0, ties via midranks match the textbook value, constant " +
       "side null") {
