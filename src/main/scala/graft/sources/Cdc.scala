@@ -115,6 +115,84 @@ object Cdc {
       }(Encoders.row(schema))
   }
 
+  /** Corpus-level chunk manifest (r18, VERDICT-r17 missing #2) —
+    * the APPLY step the r17 chunker kernel was awaiting: per distinct
+    * chunk content, (md5, size, n_blobs, n_refs, owner_blob) where
+    * `owner_blob` is the MIN blob id carrying it (the canonical copy
+    * a content-addressed store keeps) and n_refs counts occurrences
+    * (internal duplicates included). Capped-bucket discipline
+    * (deliberate): the manifest carries COUNTS and the min-owner,
+    * never a collected blob list — a degenerate high-frequency chunk
+    * (the all-zero block of sparse files) appears in millions of
+    * blobs, and any per-chunk list would be an unbounded straggler
+    * row; the counts are the decision signal, and blob membership
+    * stays queryable by joining the exploded chunk rows on md5.
+    * Scale shape: one explode riding the scan + two hash
+    * aggregations, both partial-aggregated; no window, no collect.
+    */
+  def chunkManifest(chunked: DataFrame, idCol: String,
+      chunksCol: String): DataFrame =
+    chunked.select(col(idCol).as("blob_id"),
+        explode(col(chunksCol)).as("ch"))
+      .select(col("blob_id"), col("ch.md5").as("md5"),
+        col("ch.size").as("size"))
+      .groupBy(col("blob_id"), col("md5"), col("size"))
+      .agg(count(lit(1)).as("n_local"))
+      .groupBy(col("md5"), col("size"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_local")).as("n_refs"),
+        min(col("blob_id")).as("owner_blob"))
+
+  /** Per-blob storage-dedup decision card (r18) — bytes LOGICAL vs
+    * bytes STORED under content-addressed chunk dedup, the numbers a
+    * 100 TB multimodal corpus reads before deciding the store is
+    * worth it:
+    *
+    *  - `n_chunks` / `n_distinct_chunks`: occurrences vs distinct
+    *    contents within the blob (internal duplication);
+    *  - `logical_bytes`: Σ size over occurrences (= payload length);
+    *  - `stored_bytes`: Σ size over distinct chunks whose canonical
+    *    owner (min blob id corpus-wide) is THIS blob — summing
+    *    stored_bytes over all blobs gives exactly the store's size,
+    *    each content counted once;
+    *  - `shared_bytes`: Σ occurrence bytes of chunks present in > 1
+    *    blob (the cross-blob sharing evidence);
+    *  - `dedup_ratio` = stored/logical round-6: 1.0 = nothing
+    *    saved, 0.0 = fully deduplicated away. (Blobs with an empty
+    *    or null chunk array have no bytes to account and are absent
+    *    from the card — explode drops them.)
+    *
+    * Keyed on chunk md5 end to end (never all-pairs): two hash
+    * aggregations plus one md5-keyed join of per-chunk stats back to
+    * per-blob rows — each (blob, chunk) row joins 1:1, so a
+    * degenerate million-blob chunk costs its row count, not a
+    * pairwise blowup.
+    */
+  def blobDedupCard(chunked: DataFrame, idCol: String,
+      chunksCol: String): DataFrame = {
+    val local = chunked.select(col(idCol).as("blob_id"),
+        explode(col(chunksCol)).as("ch"))
+      .select(col("blob_id"), col("ch.md5").as("md5"),
+        col("ch.size").as("size"))
+      .groupBy(col("blob_id"), col("md5"), col("size"))
+      .agg(count(lit(1)).as("n_local"))
+    val stats = local.groupBy(col("md5"), col("size"))
+      .agg(count(lit(1)).as("n_blobs"), min(col("blob_id")).as("owner"))
+    local.join(stats, Seq("md5", "size"))
+      .groupBy(col("blob_id"))
+      .agg(sum(col("n_local")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("size").cast("long") * col("n_local"))
+          .as("logical_bytes"),
+        sum(when(col("owner") === col("blob_id"),
+          col("size").cast("long")).otherwise(0L)).as("stored_bytes"),
+        sum(when(col("n_blobs") > 1,
+          col("size").cast("long") * col("n_local")).otherwise(0L))
+          .as("shared_bytes"))
+      .withColumn("dedup_ratio",
+        when(col("logical_bytes") > 0,
+          round(col("stored_bytes") / col("logical_bytes"), 6)))
+  }
+
   /** Append `outCol`: ARRAY<STRUCT<offset INT, size INT, md5 STRING>>
     * of the payload's content-defined chunks — one narrow map over
     * the scan (the decode-family shape); chunk-level dedup is then a

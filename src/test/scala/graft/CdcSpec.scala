@@ -68,4 +68,41 @@ class CdcSpec extends SparkSpec {
     assert(got(2).getSeq[Any](2).isEmpty)
     assert(got(3).isNullAt(2))
   }
+
+  test("chunkManifest + blobDedupCard (r18): identical blobs dedup " +
+      "to the min-id owner, stored sums to the store size, internal " +
+      "duplicates counted once stored / n_local times logical, " +
+      "unique blob keeps ratio 1.0") {
+    // blobs 1,2: identical 5000-byte content; blob 3: unique — the
+    // exact byte laws (logical = payload length, owner stores all,
+    // twin stores none, conservation of the store size) hold
+    // regardless of where the gear boundaries land
+    val rows = Seq(
+      (1L, blob(3, 5000)), (2L, blob(3, 5000)), (3L, blob(9, 5000)))
+      .toDF("id", "payload")
+    val chunked = Cdc.withCdcChunks(rows, "payload", "c", 256, 1024, 4096)
+    val card = Cdc.blobDedupCard(chunked, "id", "c")
+      .orderBy("blob_id").collect()
+    assert(card.length === 3)
+    // logical bytes = payload length for every blob
+    assert(card.forall(_.getAs[Long]("logical_bytes") === 5000L))
+    // owner (min id = 1) stores all its bytes; the twin stores none
+    assert(card(0).getAs[Long]("stored_bytes") === 5000L)
+    assert(card(0).getAs[Double]("dedup_ratio") === 1.0)
+    assert(card(1).getAs[Long]("stored_bytes") === 0L)
+    assert(card(1).getAs[Double]("dedup_ratio") === 0.0)
+    assert(card(1).getAs[Long]("shared_bytes") === 5000L)
+    // the unique blob owns everything, shares nothing
+    assert(card(2).getAs[Long]("stored_bytes") === 5000L)
+    assert(card(2).getAs[Long]("shared_bytes") === 0L)
+    // store-size conservation: sum(stored) = bytes of distinct contents
+    assert(card.map(_.getAs[Long]("stored_bytes")).sum === 10000L)
+    // manifest view: every chunk of the identical pair has n_blobs=2
+    // and owner 1; blob 3's chunks have n_blobs=1
+    val man = Cdc.chunkManifest(chunked, "id", "c").collect()
+    val pairChunks = man.filter(_.getAs[Long]("n_blobs") === 2L)
+    assert(pairChunks.nonEmpty &&
+      pairChunks.forall(_.getAs[Long]("owner_blob") === 1L))
+    assert(pairChunks.map(_.getAs[Int]("size").toLong).sum === 5000L)
+  }
 }
