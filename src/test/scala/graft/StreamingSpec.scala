@@ -1126,6 +1126,36 @@ class StreamingSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("streaming Cohen's kappa == batch (r18, VERDICT-r17 #5): the " +
+      "(a, b) cell counts are incrementally-maintainable streaming " +
+      "state (Complete-mode groupBy), and cohenKappaFromCells " +
+      "finishes each snapshot to the identical batch card; Spearman " +
+      "deliberately has no twin (global rank windows re-rank all " +
+      "history — documented in-code)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 60L).map { id =>
+      val a = s"c${id % 3}"
+      val b = if (id % 4 == 0) s"c${(id % 3 + 1) % 3}" else a
+      (id, a, b)
+    }
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("id", "a", "b")
+      .groupBy($"a", $"b").count()
+      .writeStream.format("memory").queryName("kappa_cells_st")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(25): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.Agreement.cohenKappaFromCells(
+      spark.table("kappa_cells_st"), "a", "b", "count").collect().toSeq
+    val batch = graft.operators.Agreement.cohenKappa(
+      rows.toDF("id", "a", "b"), "a", "b").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming bidi scan / svg meta == batch (r17): both are " +
       "stateless regex projections") {
     implicit val sqlCtx = spark.sqlContext
