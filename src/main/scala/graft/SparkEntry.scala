@@ -6077,6 +6077,33 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // --- Fertility × dominant-script cross-card (r18, VERDICT-r17
+    //     #8): ranks train on the SAME 60-doc latin ladder as
+    //     text_fertility, but every 5th doc is REPLACED by a
+    //     digit-only text the merge table has never seen — so the
+    //     digit script rows surface char-level fertility (1 token
+    //     per char, the under-served-script signal) while the latin
+    //     rows keep the hand-derived ladder. Composed from the
+    //     ScriptCounts dominance kernel + the BPE encode with one
+    //     two-key groupBy; the oracle restates both branches.
+    "text_fertility_scripts" -> ((s, dir) => {
+      val id = col("doc_id")
+      val ladder = concat(
+        expr("repeat('ab ', CAST(doc_id % 3 + 1 AS INT))"),
+        expr("repeat('cdcd ', CAST(doc_id % 2 + 1 AS INT))"),
+        lit("ef abd cdc fe"))
+      val train = Tables.documents(s, dir).filter(id < 60)
+        .select(id, ladder.as("text"))
+      val ranks = operators.Bpe.rankMap(
+        operators.Bpe.train(train, "text", numMerges = 4))
+      val scored = Tables.documents(s, dir).filter(id < 60)
+        .select(id, concat(lit("s"), pmod(id, lit(2L))).as("stratum"),
+          when(pmod(id, lit(5L)) === 0, lit("12 345 6"))
+            .otherwise(ladder).as("text"))
+      operators.Bpe.fertilityByScript(scored, "stratum", "text", ranks)
+        .orderBy(col("stratum"), col("script"))
+    }),
+
     // --- Byte-level BPE training (r13 — the GPT-2-class tokenizer:
     //     byte-alphabet symbols through the public byte↔unicode
     //     bijection, NO case folding, leading space rides as Ġ).
@@ -12443,6 +12470,32 @@ object SparkEntry {
         |  round(CAST(sum(t) AS DOUBLE) / sum(w), 6) AS tokens_per_word,
         |  round(CAST(sum(c) AS DOUBLE) / sum(t), 6) AS chars_per_token
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the text_fertility_scripts oracle: the same ladder sums for the
+    // latin rows; digit rows (every 5th doc, text '12 345 6' encoded
+    // by a latin-trained table) are char-level — 6 tokens, 3 words,
+    // 6 chars per doc, closed-form
+    "text_fertility_scripts" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS m3, doc_id % 2 + 1 AS m2,
+        |    's' || (doc_id % 2) AS stratum, doc_id % 5 = 0 AS dig
+        |  FROM documents WHERE doc_id < 60),
+        |s AS (SELECT stratum,
+        |        CASE WHEN dig THEN 'digit' ELSE 'latin' END AS script,
+        |        CAST(CASE WHEN dig THEN 6 ELSE m3 + m2 + 7 END
+        |          AS BIGINT) AS t,
+        |        CAST(CASE WHEN dig THEN 3 ELSE m3 + m2 + 4 END
+        |          AS BIGINT) AS w,
+        |        CAST(CASE WHEN dig THEN 6 ELSE 2 * m3 + 4 * m2 + 10 END
+        |          AS BIGINT) AS c
+        |      FROM d)
+        |SELECT stratum, script, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(w) AS BIGINT) AS sum_words,
+        |  CAST(sum(c) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(t) AS DOUBLE) / sum(w), 6) AS tokens_per_word,
+        |  round(CAST(sum(c) AS DOUBLE) / sum(t), 6) AS chars_per_token
+        |FROM s GROUP BY 1, 2 ORDER BY stratum, script""".stripMargin,
 
     // the text_wordpiece_merges oracle: every count and likelihood
     // score from the id formulas — the rarer exclusive pair (c,##d)

@@ -1791,25 +1791,37 @@ object TextFunctions {
     * language docs fail. Single-pass kernel staged once; everything
     * else is element_at arithmetic on the staged array.
     */
+  /** The dominant-script projection over a STAGED [[scriptCounts]]
+    * array column (factored r18 so the fertility cross-card composes
+    * the same dominance rule): highest-count class, ties to the
+    * earlier class in classNames order, "none" when no class fires,
+    * null on null counts.
+    */
+  def dominantFromCounts(sc: Column): Column = {
+    val names = graft.functions.expressions.ScriptCounts.classNames
+    def cnt(i: Int) = element_at(sc, i + 1)
+    val best = greatest(names.zipWithIndex.map { case (nm, i) =>
+      struct(cnt(i).as("c"), lit(names.length - i).as("pri"),
+        lit(nm).as("nm"))
+    }: _*)
+    when(sc.isNull, lit(null).cast("string"))
+      .otherwise(when(best.getField("c") > 0, best.getField("nm"))
+        .otherwise("none"))
+  }
+
   def withScriptRatios(df: org.apache.spark.sql.DataFrame,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val names = graft.functions.expressions.ScriptCounts.classNames
     val staged = df.withColumn("__sc", scriptCounts(col(textCol)))
     val n = element_at(col("__sc"), 9)
     def cnt(i: Int) = element_at(col("__sc"), i + 1)
-    val best = greatest(names.zipWithIndex.map { case (nm, i) =>
-      struct(cnt(i).as("c"), lit(names.length - i).as("pri"),
-        lit(nm).as("nm"))
-    }: _*)
     val ratios = names.zipWithIndex.map { case (nm, i) =>
       when(n > 0, round(cnt(i) / n, 6)).as(s"r_$nm")
     }
     staged.select(
       df.columns.map(col) ++
         (n.as("n_chars") +: ratios) :+
-        when(col("__sc").isNull, lit(null).cast("string"))
-          .otherwise(when(best.getField("c") > 0, best.getField("nm"))
-            .otherwise("none")).as("dominant"): _*)
+        dominantFromCounts(col("__sc")).as("dominant"): _*)
   }
 
   /** The CORPUS-SCALE form of [[ngramOverlap]]: identical semantics

@@ -420,4 +420,40 @@ object Bpe {
         when(col("sum_tokens") > 0,
           round(col("sum_chars") / col("sum_tokens"), 6)))
   }
+
+  /** Per-(stratum × dominant-script) fertility cross-card (r18,
+    * VERDICT-r17 #8) — the multilingual tokenizer-audit table real
+    * pipelines print: fertility BY SOURCE hides a vocabulary that
+    * under-serves one script inside a mixed-script source; crossing
+    * the strata with the [[graft.functions.expressions.ScriptCounts]]
+    * dominance class surfaces it. Composed from the two existing
+    * kernels — the script-counts kernel and the BPE encode both ride
+    * the scan as projections, and the ONLY shuffle is the final
+    * two-key groupBy (same exchange count as [[fertilityBySource]]).
+    * Docs with no text drop; whitespace/punct-only docs land in the
+    * "none" script row.
+    */
+  def fertilityByScript(df: DataFrame, strataCol: String,
+      textCol: String, ranks: Map[(String, String), Int]): DataFrame = {
+    val staged = df.filter(col(textCol).isNotNull)
+      .withColumn("__sc", TextFunctions.scriptCounts(col(textCol)))
+    val toks = withBpeTokens(staged, textCol, ranks, "__ftoks")
+    toks.select(col(strataCol).as("stratum"),
+        TextFunctions.dominantFromCounts(col("__sc")).as("script"),
+        size(col("__ftoks")).cast("long").as("__t"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__w"),
+        length(regexp_replace(col(textCol), " ", "")).cast("long")
+          .as("__c"))
+      .groupBy(col("stratum"), col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"),
+        sum(col("__w")).as("sum_words"),
+        sum(col("__c")).as("sum_chars"))
+      .withColumn("tokens_per_word",
+        when(col("sum_words") > 0,
+          round(col("sum_tokens") / col("sum_words"), 6)))
+      .withColumn("chars_per_token",
+        when(col("sum_tokens") > 0,
+          round(col("sum_chars") / col("sum_tokens"), 6)))
+  }
 }

@@ -196,4 +196,30 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TokenizerIo.readTiktoken(spark, bad.toString))
   }
+
+  test("fertilityByScript (r18): the cross-card splits a mixed-script " +
+      "stratum by dominance -- digit docs encoded by a latin-trained " +
+      "table go char-level; whitespace-only docs land in 'none'") {
+    val corpus = Seq(
+      (1L, "s0", "ab ab cd cd"), // latin: trained merges apply
+      (2L, "s0", "12 345 6"),   // digit: no merges -> 6 char tokens
+      (3L, "s0", "   "))        // no class fires -> 'none' row
+      .toDF("id", "stratum", "text")
+    val train = Seq((1L, "ab ab cd cd")).toDF("id", "text")
+    val ranks = Bpe.rankMap(Bpe.train(train, "text", numMerges = 2))
+    val got = Bpe.fertilityByScript(corpus, "stratum", "text", ranks)
+      .orderBy("script").collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("digit", "latin", "none"))
+    val dig = got(0)
+    assert(dig.getAs[Long]("sum_tokens") === 6L &&
+      dig.getAs[Long]("sum_words") === 3L,
+      "digit text must encode char-level under a latin merge table")
+    val lat = got(1)
+    // 'ab ab cd cd' with merges (a,b) and (c,d): 4 tokens, 4 words
+    assert(lat.getAs[Long]("sum_tokens") === 4L &&
+      lat.getAs[Long]("sum_words") === 4L)
+    val none = got(2)
+    assert(none.getAs[Long]("n_docs") === 1L &&
+      none.getAs[Long]("sum_words") === 0L)
+  }
 }
