@@ -4048,6 +4048,42 @@ object SparkEntry {
         "doc_id", "rater", "label")
     }),
 
+    // --- Per-item agreement card (r18): the fleiss plant viewed
+    //     item-by-item — items with id%5 in {3,4} carry one dissent
+    //     (majority 2/3, two labels), the rest are unanimous. The
+    //     oracle restates the card closed-form.
+    "eval_item_agreement" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(array(lit(0L), lit(1L), lit(2L)))
+          .as("rater"))
+      val lbl = concat(lit("c"),
+        pmod(id + when(pmod(id + col("rater"), lit(5L)) === 0,
+          col("rater")).otherwise(lit(0L)), lit(3L)))
+      operators.Agreement.itemAgreement(rows.withColumn("label", lbl),
+          "doc_id", "rater", "label")
+        .orderBy(col("item"))
+    }),
+
+    // --- Krippendorff's alpha (r18): the VARIABLE-panel plant Fleiss
+    //     refuses — even items get 2 raters, odd get 3, one +1-class
+    //     dissent where (id + r) % 7 == 0. Panel sizes {2, 3} keep
+    //     the per-m rational terms exact halves, so the oracle
+    //     restates the fold closed-form over the replayed cell
+    //     aggregations.
+    "eval_kripp" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(
+          when(pmod(id, lit(2L)) === 0, array(lit(0L), lit(1L)))
+            .otherwise(array(lit(0L), lit(1L), lit(2L)))).as("rater"))
+      val lbl = concat(lit("c"),
+        pmod(id + when(pmod(id + col("rater"), lit(7L)) === 0, 1L)
+          .otherwise(0L), lit(3L)))
+      operators.Agreement.krippendorffAlpha(
+        rows.withColumn("label", lbl), "doc_id", "rater", "label")
+    }),
+
     "eval_tau" -> ((s, dir) => {
       val id = col("doc_id")
       operators.Agreement.kendallTauB(
@@ -10381,6 +10417,55 @@ object SparkEntry {
         |  CASE WHEN pe < 1.0
         |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
         |FROM f""".stripMargin,
+
+    // the eval_item_agreement oracle: the per-item plant law — one
+    // dissent iff id%5 in {3,4} (rater 1 or 2 fires the (id+r)%5
+    // rule), majority always c(id%3) at 2-of-3, else unanimous
+    "eval_item_agreement" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS item,
+        |  CAST(3 AS BIGINT) AS n_ratings,
+        |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 2 ELSE 1 END
+        |    AS BIGINT) AS n_labels,
+        |  'c' || (doc_id % 3) AS majority_label,
+        |  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 2 ELSE 3 END
+        |    AS BIGINT) AS majority_n,
+        |  round(CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 2 ELSE 3 END
+        |    AS DOUBLE) / 3, 6) AS majority_frac,
+        |  doc_id % 5 NOT IN (3, 4) AS unanimous
+        |FROM documents WHERE doc_id < 200 ORDER BY item""".stripMargin,
+
+    // the eval_kripp oracle: cell aggregations replayed; with panel
+    // sizes {2, 3} the exact rational fold collapses to
+    // D_o = (2·A_2 + A_3)/(2n) and alpha to one double sequence
+    "eval_kripp" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200 AND (doc_id % 2 = 1 OR v.rater < 2)),
+        |b AS (SELECT doc_id AS i,
+        |        'c' || ((doc_id + CASE WHEN (doc_id + rater) % 7 = 0
+        |          THEN 1 ELSE 0 END) % 3) AS l
+        |      FROM r),
+        |cell AS (SELECT i, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |item AS (SELECT i, sum(c) AS m, sum(c * c) AS s
+        |         FROM cell GROUP BY 1),
+        |pm AS (SELECT
+        |    sum(CASE WHEN m = 2 THEN m * m - s ELSE 0 END) AS a2,
+        |    sum(CASE WHEN m = 3 THEN m * m - s ELSE 0 END) AS a3,
+        |    count(*) AS n_items, sum(m) AS n
+        |  FROM item),
+        |la AS (SELECT sum(cj * cj) AS c2 FROM
+        |         (SELECT l, sum(c) AS cj FROM cell GROUP BY 1) t)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n AS BIGINT) AS n_pairable,
+        |  CAST(0 AS BIGINT) AS n_items_dropped,
+        |  CAST(c2 AS BIGINT) AS c2,
+        |  round((2 * a2 + a3) / (2.0 * n), 6) AS d_o,
+        |  round((CAST(n AS DOUBLE) * n - c2)
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) AS d_e,
+        |  round(1.0 - (2 * a2 + a3) * (n - 1)
+        |    / (2.0 * (CAST(n AS DOUBLE) * n - c2)), 6) AS alpha
+        |FROM pm, la""".stripMargin,
 
     // the eval_tau oracle: brute-force pair classification at gate
     // size — exact integers, the same tau-b denominator product

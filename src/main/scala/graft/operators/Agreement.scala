@@ -145,6 +145,135 @@ object Agreement {
           round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
 
+  /** Per-item agreement card (r18) — the item-DIFFICULTY view of a
+    * multi-rater table, the row-level companion of the corpus-level
+    * [[fleissKappa]]/[[krippendorffAlpha]] statistics: items with low
+    * majority fraction are the ones a labeling pipeline routes to
+    * re-adjudication, and the unanimity rate is the quick-read
+    * header of every annotation QA report. Output per item:
+    * (item, n_ratings, n_labels, majority_label, majority_n,
+    * majority_frac, unanimous); majority ties break to the
+    * lexicographically SMALLER label (the [[graft.pipeline.Fever]]
+    * modePerKey convention — deterministic, engine-replayable).
+    *
+    * Scale shape: one cell-count aggregation (map-side combined — the
+    * shuffle carries one row per distinct (item, label)) + windows
+    * partitioned BY ITEM, each partition bounded by the label
+    * cardinality of one item. No global window, no collect.
+    */
+  def itemAgreement(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__l").isNotNull)
+    val cell = base.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val wi = Window.partitionBy(col("__i"))
+    val w = wi.orderBy(col("__c").desc, col("__l").asc)
+    cell.withColumn("__rn", row_number().over(w))
+      .withColumn("__m", sum(col("__c")).over(wi))
+      .withColumn("__k", count(lit(1)).over(wi))
+      .filter(col("__rn") === 1)
+      .select(col("__i").as("item"), col("__m").as("n_ratings"),
+        col("__k").as("n_labels"), col("__l").as("majority_label"),
+        col("__c").as("majority_n"),
+        round(col("__c") / col("__m"), 6).as("majority_frac"),
+        (col("__c") === col("__m")).as("unanimous"))
+  }
+
+  /** Krippendorff's alpha, nominal metric (r18) — the VARIABLE-panel
+    * member of the multi-rater family: [[fleissKappa]] refuses when
+    * items carry different rater counts, which is the NORM in crowd
+    * and LLM-judge data (raters time out, ensembles disagree on
+    * refusals). α = 1 − D_o/D_e over the (item, rater, label) table
+    * (Krippendorff 1970/2004, nominal distance):
+    *
+    *   D_o = (1/n) Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1)   n = Σ m_i
+    *   D_e = (n² − Σ_c n_c²)/(n(n−1))
+    *
+    * over PAIRABLE items only (m_i ≥ 2 — singly-rated items carry no
+    * agreement evidence and drop, counted in n_items_dropped).
+    *
+    * Determinism: the per-item terms are rationals with denominator
+    * (m_i − 1), so a naive double sum would be order-dependent. The
+    * distributed part therefore reduces to INTEGER statistics per
+    * distinct panel size m — A_m = Σ (m² − s_i) and the item count —
+    * and the driver finishes the fold EXACTLY over BigInt rationals
+    * (common denominator = lcm of the m−1), rounding once at the
+    * end. The per-m table is bounded by the number of DISTINCT panel
+    * sizes (loudly capped at `maxDistinctM`), not by items — the
+    * bleuFromStats stance: heavy aggregation distributed, tiny exact
+    * arithmetic on the driver. Output: one row (n_items, n_pairable,
+    * n_items_dropped, c2, d_o, d_e, alpha), α null when D_e = 0
+    * (fewer than 2 pairable ratings, or every rating one category).
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      raterCol: String, labelCol: String,
+      maxDistinctM: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__l").isNotNull)
+    val cell = base.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cell.groupBy(col("__i"))
+      .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s"))
+    val pairable = perItem.filter(col("m") >= 2)
+    // integer sufficient statistics per DISTINCT panel size — the
+    // only collect, bounded by panel-size diversity, not items
+    val perM = pairable.groupBy(col("m"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("m") * col("m") - col("s")).as("a_m"))
+      .limit(maxDistinctM + 1)
+      .as[(Long, Long, Long)].collect()
+    require(perM.length <= maxDistinctM,
+      s"krippendorffAlpha: > $maxDistinctM distinct panel sizes — " +
+        "that is not a rated eval set; check the item key")
+    val nDropped = perItem.count() - pairable.count()
+    val nItems = perM.map(_._2).sum
+    val n = perM.map(p => p._1 * p._2).sum // pairable ratings
+    // c2 over pairable items only
+    val c2 = cell.join(pairable.select(col("__i")), Seq("__i"))
+      .groupBy(col("__l")).agg(sum(col("c")).as("cj"))
+      .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)))
+      .head().getLong(0)
+    // exact rational finish: D_o = Num/(D·n) with D = lcm(m−1),
+    // Num = Σ A_m·(D/(m−1)); α = 1 − (n−1)·Num / (D·(n² − c2))
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val dens = perM.map(p => BigInt(p._1 - 1))
+    val lcm = dens.sorted.foldLeft(BigInt(1))((l, d) => l / gcd(l, d) * d)
+    val num = perM.sortBy(_._1)
+      .map(p => BigInt(p._3) * (lcm / BigInt(p._1 - 1)))
+      .foldLeft(BigInt(0))(_ + _)
+    def r6(q: BigInt, d: BigInt): java.lang.Double =
+      if (d == 0) null
+      else (BigDecimal(q) / BigDecimal(d)) // DECIMAL128 default — 34
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dO = r6(num, lcm * BigInt(n))
+    val deNum = BigInt(n) * BigInt(n) - BigInt(c2)
+    val dE = r6(deNum, BigInt(n) * BigInt(n - 1))
+    val alpha: java.lang.Double =
+      if (n < 2 || deNum == 0) null
+      else r6(lcm * deNum * BigInt(n) - BigInt(n - 1) * num * BigInt(n),
+        lcm * deNum * BigInt(n)) // 1 − (n−1)·Num/(D·(n²−c2)) exactly
+    Seq((nItems, n, nDropped, c2,
+        Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
+        Option(alpha).map(_.toDouble)))
+      .toDF("n_items", "n_pairable", "n_items_dropped", "c2",
+        "d_o", "d_e", "alpha")
+      .select(col("n_items"), col("n_pairable"),
+        col("n_items_dropped"), col("c2"),
+        col("d_o").cast("double").as("d_o"),
+        col("d_e").cast("double").as("d_e"),
+        col("alpha").cast("double").as("alpha"))
+  }
+
   /** Spearman rank correlation (r17) — Pearson over MIDRANKS.
     * Midranks are half-integers, so the doubled ranks are exact
     * integers: the output carries the five integer sufficient sums

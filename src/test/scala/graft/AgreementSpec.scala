@@ -54,6 +54,57 @@ class AgreementSpec extends SparkSpec {
     }
   }
 
+  test("itemAgreement (r18): majority with lexicographic tie-break, " +
+      "unanimity flag, variable panels, null ratings drop") {
+    val rows = Seq(
+      (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "x"),   // unanimous
+      (2L, 1L, "a"), (2L, 2L, "b"),                  // 1-1 tie -> a
+      (3L, 1L, "z"), (3L, 2L, "y"), (3L, 3L, "z"),   // 2/3 z
+      (4L, 1L, "q"), (4L, 2L, null))                 // null drops -> m=1
+      .toDF("i", "r", "l")
+    val got = Agreement.itemAgreement(rows, "i", "r", "l")
+      .orderBy("item").collect()
+    assert(got.map(_.getString(3)).toSeq === Seq("x", "a", "z", "q"))
+    assert(got(0).getBoolean(6) && !got(1).getBoolean(6))
+    assert(got(1).getLong(1) === 2L && got(1).getLong(4) === 1L &&
+      got(1).getDouble(5) === 0.5, "tie breaks to the smaller label")
+    assert(got(2).getLong(2) === 2L && got(2).getDouble(5) === 0.666667)
+    assert(got(3).getLong(1) === 1L && got(3).getBoolean(6))
+  }
+
+  test("krippendorffAlpha (r18): hand case over a VARIABLE panel " +
+      "(where fleissKappa refuses), exact rational finish, " +
+      "singly-rated items drop, all-agree 1.0, one-category null, " +
+      "panel-diversity cap refuses") {
+    def ka(rows: Seq[(Long, Long, String)], cap: Int = 4096) =
+      Agreement.krippendorffAlpha(rows.toDF("i", "r", "l"),
+        "i", "r", "l", maxDistinctM = cap).collect()(0)
+    // items: A=(a,a) m=2, B=(a,b,b) m=3, C=(b,b) m=2 -> n=7,
+    // D_o = (1/7)((4-4)/1 + (9-5)/2 + (4-4)/1) = 2/7,
+    // c2 = 3^2 + 4^2 = 25, D_e = (49-25)/42 = 4/7, alpha = 1/2
+    val hand = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "b"),
+      (3L, 1L, "b"), (3L, 2L, "b"))
+    val h = ka(hand)
+    assert(h.getLong(0) === 3L && h.getLong(1) === 7L &&
+      h.getLong(2) === 0L && h.getLong(3) === 25L)
+    assert(h.getDouble(4) === 0.285714 && h.getDouble(5) === 0.571429)
+    assert(h.getDouble(6) === 0.5)
+    // a singly-rated item carries no pair evidence: drops, counted
+    val d = ka(hand :+ ((4L, 1L, "a")))
+    assert(d.getLong(2) === 1L && d.getDouble(6) === 0.5)
+    // perfect agreement across a variable panel
+    val p = ka(Seq((1L, 1L, "x"), (1L, 2L, "x"),
+      (2L, 1L, "y"), (2L, 2L, "y"), (2L, 3L, "y")))
+    assert(p.getDouble(6) === 1.0)
+    // every rating one category: D_e = 0 -> undefined -> null
+    assert(ka(Seq((1L, 1L, "x"), (1L, 2L, "x"),
+      (2L, 1L, "x"), (2L, 2L, "x"))).isNullAt(6))
+    // loud refusal when panel-size diversity exceeds the cap
+    intercept[IllegalArgumentException] { ka(hand, cap = 1) }
+  }
+
   test("spearmanRho: monotone 1.0 even when nonlinear, reversed " +
       "-1.0, ties via midranks match the textbook value, constant " +
       "side null") {
