@@ -4048,6 +4048,24 @@ object SparkEntry {
         "doc_id", "rater", "label")
     }),
 
+    // --- Ranked-retrieval eval (r18): 5 ranked results per query,
+    //     one relevant planted at position id%3+1 and (even ids) a
+    //     second at position 5 — every DCG is one or two pinned
+    //     1/log2 terms the oracle restates with the same ln-ratio op
+    //     sequence; ideal ordering and the k cutoff are spec-pinned.
+    "eval_ndcg" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(sequence(lit(1), lit(5))).as("rank"))
+        .withColumn("rel",
+          when(col("rank") === pmod(id, lit(3L)) + 1, 1.0)
+            .when(col("rank") === 5 && pmod(id, lit(2L)) === 0, 1.0)
+            .otherwise(0.0))
+      operators.RetrievalEval.rankedEval(rows, "doc_id", "rank",
+          "rel", k = 5)
+        .orderBy(col("query"))
+    }),
+
     // --- Per-item agreement card (r18): the fleiss plant viewed
     //     item-by-item — items with id%5 in {3,4} carry one dissent
     //     (majority 2/3, two labels), the rest are unanimous. The
@@ -10417,6 +10435,32 @@ object SparkEntry {
         |  CASE WHEN pe < 1.0
         |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
         |FROM f""".stripMargin,
+
+    // the eval_ndcg oracle: the plant law — DCG is one 1/log2 term
+    // at position p1 = id%3+1 (+ one at position 5 on even ids),
+    // with log2 written as ln(x)/ln(2) to mirror the kernel's exact
+    // op sequence; ndcg divides the ROUNDED dcg/idcg (kappa stance)
+    "eval_ndcg" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS p1,
+        |    doc_id % 2 = 0 AS ev
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (SELECT CAST(doc_id AS VARCHAR) AS query,
+        |    CAST(5 AS BIGINT) AS n_results,
+        |    CAST(CASE WHEN ev THEN 2 ELSE 1 END AS BIGINT) AS n_rel,
+        |    p1 AS first_rel_rank,
+        |    round(1.0 / p1, 6) AS mrr,
+        |    round(1.0 / (ln(p1 + 1) / ln(2)) + CASE WHEN ev
+        |      THEN 1.0 / (ln(6) / ln(2)) ELSE 0.0 END, 6) AS dcg,
+        |    round(1.0 + CASE WHEN ev
+        |      THEN 1.0 / (ln(3) / ln(2)) ELSE 0.0 END, 6) AS idcg,
+        |    round(CAST(CASE WHEN ev THEN 2 ELSE 1 END AS DOUBLE) / 5, 6)
+        |      AS p_at_k,
+        |    CAST(1.0 AS DOUBLE) AS r_at_k
+        |  FROM d)
+        |SELECT query, n_results, n_rel, first_rel_rank, mrr,
+        |  dcg, idcg, round(dcg / idcg, 6) AS ndcg, p_at_k, r_at_k
+        |FROM m ORDER BY query""".stripMargin,
 
     // the eval_item_agreement oracle: the per-item plant law — one
     // dissent iff id%5 in {3,4} (rater 1 or 2 fires the (id+r)%5

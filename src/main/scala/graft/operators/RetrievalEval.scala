@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ranked-retrieval evaluation (r18) — the graded-judgment card every
+  * embedding/RAG pipeline reads before an index ships, completing the
+  * eval family next to [[ClassifierEval]] (score/label) and
+  * [[Ann.recallAtK]] (approx-vs-exact self-recall): given per-query
+  * RANKED results with graded relevance judgments, the standard IR
+  * metrics at cutoff k (Järvelin & Kekäläinen 2002 for NDCG):
+  *
+  *  - `first_rel_rank` / `mrr`: rank of the first relevant (rel > 0)
+  *    result within the top-k, and its reciprocal (0 when none);
+  *  - `dcg` / `idcg` / `ndcg`: DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1)
+  *    in rank order; IDCG@k is the same sum over the query's judged
+  *    relevances sorted descending (the ideal ordering, truncated at
+  *    k); ndcg = dcg/idcg round-6, null when idcg = 0 (no relevant
+  *    judgment — unscoreable, surfaced not invented);
+  *  - `p_at_k` = (# rel > 0 in top-k)/k and `r_at_k` = (# rel > 0 in
+  *    top-k)/(total judged rel > 0 for the query), the binary pair.
+  *
+  * Determinism stance: DCG is a float SUM, so term order matters at
+  * the ulp level — the kernel folds in ASCENDING RANK order (ties
+  * broken by descending relevance), a fixed op sequence an oracle can
+  * replay term-by-term. Each query's result list is collected to one
+  * row first (collect_list bounded by the ranked-list length — result
+  * lists are top-N by construction; this is the documented contract,
+  * NOT a corpus-sized collect) and the whole metric computes in one
+  * kernel pass per query — the ROUGE/chrF per-row-kernel stance.
+  */
+object RetrievalEval {
+
+  def rankedEval(df: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"rankedEval: k $k")
+    val grouped = df
+      .select(col(queryCol).cast("string").as("query"),
+        col(rankCol).cast("int").as("__rank"),
+        col(relCol).cast("double").as("__rel"))
+      .filter(col("query").isNotNull && col("__rank").isNotNull &&
+        col("__rel").isNotNull)
+      .groupBy(col("query"))
+      .agg(collect_list(struct(col("__rank"), col("__rel"))).as("__rs"))
+    val schema = StructType(Seq(
+      StructField("query", StringType),
+      StructField("n_results", LongType),
+      StructField("n_rel", LongType),
+      StructField("first_rel_rank", IntegerType),
+      StructField("mrr", DoubleType),
+      StructField("dcg", DoubleType),
+      StructField("idcg", DoubleType),
+      StructField("ndcg", DoubleType)))
+      .add("p_at_k", DoubleType).add("r_at_k", DoubleType)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gain(rel: Double): Double = math.pow(2.0, rel) - 1.0
+    def disc(pos: Int): Double = math.log(pos + 1.0) / math.log(2.0)
+    grouped.mapPartitions { it =>
+      it.map { r =>
+        val q = r.getString(0)
+        val rs = r.getSeq[Row](1)
+          .map(x => (x.getInt(0), x.getDouble(1)))
+          .sortBy { case (rank, rel) => (rank, -rel) }
+        val top = rs.take(k)
+        val nRel = rs.count(_._2 > 0.0).toLong
+        // ordered fold, ascending rank — the pinned op sequence;
+        // positions are 1-based list positions, not the rank VALUES
+        // (a gapped rank column still scores its list order)
+        var dcg = 0.0
+        var i = 0
+        while (i < top.length) {
+          dcg += gain(top(i)._2) / disc(i + 1); i += 1
+        }
+        val ideal = rs.map(_._2).sortBy(-_).take(k)
+        var idcg = 0.0
+        i = 0
+        while (i < ideal.length) {
+          idcg += gain(ideal(i)) / disc(i + 1); i += 1
+        }
+        val relInTop = top.count(_._2 > 0.0).toLong
+        val firstPos = top.indexWhere(_._2 > 0.0) // -1 when none
+        // the ratio steps run on the ROUNDED dcg/idcg (the kappa
+        // stance) so an oracle replays single mirrored ops
+        val dcg6 = r6(dcg); val idcg6 = r6(idcg)
+        Row(q, rs.length.toLong, nRel,
+          if (firstPos >= 0) firstPos + 1 else null,
+          if (firstPos >= 0) r6(1.0 / (firstPos + 1)) else 0.0,
+          dcg6, idcg6,
+          if (idcg6 > 0.0) r6(dcg6 / idcg6) else null,
+          r6(relInTop.toDouble / k),
+          if (nRel > 0) r6(relInTop.toDouble / nRel) else null)
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.RetrievalEval
+
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankedEval (r18): binary hand cases — perfect list ndcg 1, " +
+      "single hit at rank 3 halves DCG, no-relevant query is " +
+      "unscoreable (ndcg/r_at_k null, mrr 0)") {
+    val rows = Seq(
+      // q1: rel at ranks 1,2 of 3 -> ideal ordering
+      ("q1", 1, 1.0), ("q1", 2, 1.0), ("q1", 3, 0.0),
+      // q2: only rank 3 relevant -> dcg = 1/log2(4) = 0.5
+      ("q2", 1, 0.0), ("q2", 2, 0.0), ("q2", 3, 1.0),
+      // q3: nothing relevant
+      ("q3", 1, 0.0), ("q3", 2, 0.0))
+      .toDF("q", "rank", "rel")
+    val got = RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 3)
+      .orderBy("query").collect()
+    val q1 = got(0)
+    assert(q1.getLong(2) === 2L && q1.getInt(3) === 1 &&
+      q1.getDouble(4) === 1.0)
+    assert(q1.getDouble(5) === 1.63093 && q1.getDouble(7) === 1.0)
+    assert(q1.getDouble(8) === 0.666667 && q1.getDouble(9) === 1.0)
+    val q2 = got(1)
+    assert(q2.getInt(3) === 3 && q2.getDouble(4) === 0.333333)
+    assert(q2.getDouble(5) === 0.5 && q2.getDouble(7) === 0.5)
+    val q3 = got(2)
+    assert(q3.isNullAt(3) && q3.getDouble(4) === 0.0 &&
+      q3.isNullAt(7) && q3.isNullAt(9))
+  }
+
+  test("rankedEval (r18): graded gains (2^rel - 1), ideal ordering " +
+      "sorts judgments descending, cutoff k truncates both sides, " +
+      "positions are LIST positions (gapped rank values still score)") {
+    val rows = Seq(
+      // rel 1 at rank 1, rel 3 at rank 2: dcg = 1 + 7/log2(3)
+      ("g", 1, 1.0), ("g", 2, 3.0),
+      // gapped rank values 10,20: positions are still 1,2
+      ("h", 10, 1.0), ("h", 20, 3.0),
+      // k truncation: the rank-3 rel is outside k=2 for dcg but its
+      // judgment still counts in n_rel and r_at_k
+      ("t", 1, 1.0), ("t", 2, 0.0), ("t", 3, 1.0))
+      .toDF("q", "rank", "rel")
+    val got = RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 2)
+      .orderBy("query").collect()
+    val g = got(0)
+    assert(g.getDouble(5) === 5.416508 && g.getDouble(6) === 7.63093)
+    assert(g.getDouble(7) === 0.70981)
+    assert(got(1).getDouble(5) === 5.416508, "gapped ranks = same list")
+    val t = got(2)
+    assert(t.getLong(2) === 2L, "n_rel counts beyond the cutoff")
+    assert(t.getDouble(5) === 1.0, "rank-3 rel outside dcg@2")
+    assert(t.getDouble(6) === 1.63093, "ideal still truncates at k")
+    assert(t.getDouble(8) === 0.5 && t.getDouble(9) === 0.5)
+  }
+}
