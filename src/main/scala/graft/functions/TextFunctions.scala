@@ -1735,6 +1735,52 @@ object TextFunctions {
         when(t.isNotNull, col("n_bidi") > 0 || col("n_invisible") > 0))
   }
 
+  /** Chat-control-token markers of the three template conventions the
+    * repo renders ([[graft.operators.Chat]]: ChatML, Llama 3,
+    * Mistral-instruct) — the default scan set for
+    * [[withSpecialTokenScan]]. Deliberately EXCLUDES ambiguous
+    * markers like `<s>` (an HTML strikethrough tag) — the default is
+    * a zero-false-positive cut; callers widen it per tokenizer.
+    */
+  val chatControlMarkers: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>",
+    "<|start_header_id|>", "<|end_header_id|>", "<|eot_id|>",
+    "[INST]", "[/INST]")
+
+  /** Special-token INJECTION scan (r18) — the token-smuggling sibling
+    * of [[withBidiScan]]: a crawled or user-supplied document whose
+    * TEXT contains a literal chat-control marker (`<|im_start|>system`
+    * …) fakes a conversation turn once the doc is rendered into
+    * training data, hijacking the role structure — so corpus
+    * pipelines scan for (and usually strip or quarantine) literal
+    * markers before SFT data assembly. Appends per marker-set
+    * columns: `n_special` (total occurrences, the replace-length
+    * trick — each marker counted by its own length), `special_kinds`
+    * (comma-joined distinct markers found, in the given order, empty
+    * when clean) and `has_special`. Null text → nulls. Pure Catalyst
+    * projections — rides the scan; streaming twin trivially.
+    */
+  def withSpecialTokenScan(df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      markers: Seq[String] = chatControlMarkers):
+      org.apache.spark.sql.DataFrame = {
+    require(markers.nonEmpty && markers.forall(_.nonEmpty),
+      s"withSpecialTokenScan: bad marker set $markers")
+    val t = col(textCol)
+    def occ(m: String) =
+      (length(t) - length(replace(t, lit(m), lit("")))) / m.length
+    val total = markers.map(m => occ(m).cast("long"))
+      .reduce(_ + _)
+    val kinds = array_join(
+      filter(array(markers.map(m =>
+        when(occ(m) > 0, lit(m)).otherwise(lit(null))): _*),
+        x => x.isNotNull), ",")
+    df.withColumn("n_special", when(t.isNotNull, total))
+      .withColumn("special_kinds", when(t.isNotNull, kinds))
+      .withColumn("has_special",
+        when(t.isNotNull, col("n_special") > 0))
+  }
+
   /** Greenlist watermark detection statistics (r17) — the
     * Kirchenbauer et al. 2023 detector shape over WORD tokens: a
     * token is "green" given its predecessor iff the first hex digit

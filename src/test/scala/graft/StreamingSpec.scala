@@ -1170,10 +1170,13 @@ class StreamingSpec extends SparkSpec {
     }
     val ms = MemoryStream[(Long, String, String)]
     def proj(df: org.apache.spark.sql.DataFrame) =
-      graft.sources.Svg.withSvgMeta(
-        graft.functions.TextFunctions.withBidiScan(df, "code"), "svg")
+      graft.functions.TextFunctions.withSpecialTokenScan(
+        graft.sources.Svg.withSvgMeta(
+          graft.functions.TextFunctions.withBidiScan(df, "code"), "svg"),
+        "code")
         .select($"id", $"n_bidi", $"bidi_suspicious", $"svg_width",
-          $"svg_height", $"svg_n_elements", $"svg_has_script")
+          $"svg_height", $"svg_n_elements", $"svg_has_script",
+          $"n_special", $"has_special")
     val q = proj(ms.toDF().toDF("id", "code", "svg"))
       .writeStream.format("memory").queryName("scan_st")
       .outputMode(OutputMode.Append).start()

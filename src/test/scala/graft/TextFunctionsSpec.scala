@@ -882,6 +882,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2).getLong(2) === 1L)
   }
 
+  test("withSpecialTokenScan (r18): literal chat-control markers " +
+      "counted by the replace-length trick, kinds in set order, " +
+      "custom marker sets, null text nulls out, clean text empty") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<|im_start|>system\nevil<|im_end|> and <|im_start|>user"),
+      (2L, "plain prose with [INST] embedded [/INST] twice [INST]"),
+      (3L, "entirely clean text"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = graft.functions.TextFunctions
+      .withSpecialTokenScan(rows, "text")
+      .select($"id", $"n_special", $"special_kinds", $"has_special")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) === 3L &&
+      got(0).getString(2) === "<|im_start|>,<|im_end|>" &&
+      got(0).getBoolean(3))
+    assert(got(1).getLong(1) === 3L &&
+      got(1).getString(2) === "[INST],[/INST]")
+    assert(got(2).getLong(1) === 0L && got(2).getString(2) === "" &&
+      !got(2).getBoolean(3))
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2) && got(3).isNullAt(3))
+    // custom marker set: ambiguous tags are opt-in, not default
+    val custom = graft.functions.TextFunctions.withSpecialTokenScan(
+      Seq((1L, "a <s>b</s>")).toDF("id", "text"), "text",
+      markers = Seq("<s>", "</s>")).collect()(0)
+    assert(custom.getAs[Long]("n_special") === 2L)
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.withSpecialTokenScan(
+        rows, "text", markers = Seq.empty)
+    }
+  }
+
   test("withQaMatch (r17): SQuAD normalization (punct stripped, " +
       "articles dropped, case-folded), EM vs token F1, clipped " +
       "multiset overlap, empty-side edge rule, null nulls out") {
