@@ -488,4 +488,44 @@ class PlanSpec extends SparkSpec {
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregation:\n${p.take(900)}")
   }
+
+  test("r18 agreement/eval shapes: eval_fleiss is cell-count " +
+      "aggregations + 1-row-frame joins (no corpus cartesian, no " +
+      "window); eval_item_agreement windows are ITEM-partitioned " +
+      "(never SinglePartition); eval_ndcg has no window at all " +
+      "(per-query kernel)") {
+    val pf = plan("eval_fleiss")
+    assert(!pf.contains("CartesianProduct"), pf.take(900))
+    assert(!pf.contains("Window"), pf.take(900))
+    val pi = plan("eval_item_agreement")
+    assert(pi.contains("Window"), "item windows must exist")
+    assert(!pi.contains("SinglePartition"),
+      s"global single-reducer window found:\n${pi.take(900)}")
+    val pn = plan("eval_ndcg")
+    assert(!pn.contains("Window") && !pn.contains("CartesianProduct"),
+      pn.take(900))
+  }
+
+  test("mm_cdc_apply: the chunk-dedup card is explode → two hash " +
+      "aggregations → one md5-KEYED join — no cartesian, no " +
+      "nested-loop over blob pairs, no window") {
+    val p = plan("mm_cdc_apply")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("NestedLoopJoin"), p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected partial+final chains:\n${p.take(900)}")
+  }
+
+  test("text_fertility_scripts: the cross-card is scan-riding " +
+      "projections + ONE two-key aggregation — no join, no window " +
+      "(VERDICT-r17 #8's no-new-shuffle contract)") {
+    val p = plan("text_fertility_scripts")
+    assert(!p.contains("Window"), p.take(900))
+    // BPE training inside the gate joins its own tiny merge table;
+    // the CARD itself must not add a corpus join — so no cartesian
+    // and no nested loop anywhere
+    assert(!p.contains("CartesianProduct"), p.take(900))
+    assert(!p.contains("NestedLoopJoin"), p.take(900))
+  }
 }
