@@ -224,18 +224,21 @@ object Agreement {
       .agg(count(lit(1)).as("c"))
     val perItem = cell.groupBy(col("__i"))
       .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s"))
-    val pairable = perItem.filter(col("m") >= 2)
-    // integer sufficient statistics per DISTINCT panel size — the
-    // only collect, bounded by panel-size diversity, not items
-    val perM = pairable.groupBy(col("m"))
+    // integer sufficient statistics per DISTINCT panel size — ONE
+    // collect over a table bounded by panel-size diversity, not by
+    // items (singly-rated items ride along as the m=1 group so the
+    // dropped count needs no second pass over the lineage)
+    val perMAll = perItem.groupBy(col("m"))
       .agg(count(lit(1)).as("k"),
         sum(col("m") * col("m") - col("s")).as("a_m"))
       .limit(maxDistinctM + 1)
       .as[(Long, Long, Long)].collect()
-    require(perM.length <= maxDistinctM,
+    require(perMAll.length <= maxDistinctM,
       s"krippendorffAlpha: > $maxDistinctM distinct panel sizes — " +
         "that is not a rated eval set; check the item key")
-    val nDropped = perItem.count() - pairable.count()
+    val perM = perMAll.filter(_._1 >= 2)
+    val nDropped = perMAll.filter(_._1 < 2).map(_._2).sum
+    val pairable = perItem.filter(col("m") >= 2)
     val nItems = perM.map(_._2).sum
     val n = perM.map(p => p._1 * p._2).sum // pairable ratings
     // c2 over pairable items only
