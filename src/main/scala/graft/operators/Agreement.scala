@@ -107,14 +107,29 @@ object Agreement {
     * extra panel seat and trips the same guard unless uniform.
     */
   def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
-      labelCol: String): DataFrame = {
-    val base = df.select(col(itemCol).cast("string").as("__i"),
-        col(raterCol).cast("string").as("__r"),
-        col(labelCol).cast("string").as("__l"))
-      .filter(col("__i").isNotNull && col("__r").isNotNull &&
-        col("__l").isNotNull)
-    val cell = base.groupBy(col("__i"), col("__l"))
-      .agg(count(lit(1)).as("c"))
+      labelCol: String): DataFrame =
+    fleissKappaFromCells(
+      df.select(col(itemCol).cast("string").as("__i"),
+          col(raterCol).cast("string").as("__r"),
+          col(labelCol).cast("string").as("__l"))
+        .filter(col("__i").isNotNull && col("__r").isNotNull &&
+          col("__l").isNotNull)
+        .groupBy(col("__i"), col("__l")).agg(count(lit(1)).as("__n")),
+      "__i", "__l", "__n")
+
+  /** Assemble Fleiss' κ from a PRE-AGGREGATED (item, label, n) cell
+    * table — the same incremental sufficient statistic as
+    * [[cohenKappaFromCells]], so the STREAMING path (Complete-mode
+    * `groupBy(item, label).count()`) finishes each snapshot through
+    * identical arithmetic (r18 twin). Same output schema and
+    * fixed-panel guards as [[fleissKappa]].
+    */
+  def fleissKappaFromCells(cells: DataFrame, itemCol: String,
+      labelCol: String, nCol: String): DataFrame = {
+    val cell = cells.select(col(itemCol).cast("string").as("__i"),
+        col(labelCol).cast("string").as("__l"),
+        col(nCol).cast("long").as("c"))
+      .filter(col("__i").isNotNull && col("__l").isNotNull)
     val perItem = cell.groupBy(col("__i"))
       .agg(sum(col("c")).as("m"), sum(col("c") * col("c")).as("s"))
     val g = perItem.agg(count(lit(1)).as("n"), min(col("m")),

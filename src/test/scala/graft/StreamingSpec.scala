@@ -1156,6 +1156,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming Fleiss' kappa == batch (r18): the (item, label) " +
+      "cell counts are the same incrementally-maintainable state, " +
+      "finished per snapshot by fleissKappaFromCells") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = for (id <- 1L to 40L; r <- 0L to 2L) yield {
+      val l = s"c${(id + (if ((id + r) % 5 == 0) r else 0)) % 3}"
+      (id, r, l)
+    }
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = ms.toDF().toDF("i", "r", "l")
+      .groupBy($"i", $"l").count()
+      .writeStream.format("memory").queryName("fleiss_cells_st")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(60): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(60): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.Agreement.fleissKappaFromCells(
+      spark.table("fleiss_cells_st"), "i", "l", "count")
+      .collect().toSeq
+    val batch = graft.operators.Agreement.fleissKappa(
+      rows.toDF("i", "r", "l"), "i", "r", "l").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming bidi scan / svg meta == batch (r17): both are " +
       "stateless regex projections") {
     implicit val sqlCtx = spark.sqlContext
