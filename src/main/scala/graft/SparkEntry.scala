@@ -4145,6 +4145,40 @@ object SparkEntry {
         .orderBy(col("label_class"))
     }),
 
+    // --- Full confusion matrix (r18): the eval_prf plant's OFF-
+    //     DIAGONAL structure — every %5 mislabel lands in the next
+    //     class, so each truth row has exactly two cells. Oracle
+    //     replays the aggregation + row-share window.
+    "eval_confusion" -> ((s, dir) => {
+      val id = col("doc_id")
+      val y = concat(lit("c"), pmod(id, lit(4L)))
+      val p = when(pmod(id, lit(5L)) === 0,
+        concat(lit("c"), pmod(pmod(id, lit(4L)) + 1, lit(4L))))
+        .otherwise(y)
+      operators.ClassifierEval.confusionMatrix(
+          Tables.documents(s, dir).filter(id < 300)
+            .select(y.as("label"), p.as("pred")),
+          "label", "pred")
+        .orderBy(col("label_class"), col("pred_class"))
+    }),
+
+    // --- Accuracy subsampling CI (r18): 80%-accurate plant
+    //     (mislabeled iff id%10 in {8,9}), 50 md5-keyed half-
+    //     subsamples, rank-picked 95% interval — every resample
+    //     bit-replayable by the oracle (md5 membership, never a
+    //     random draw).
+    "eval_acc_ci" -> ((s, dir) => {
+      val id = col("doc_id")
+      val y = concat(lit("c"), pmod(id, lit(3L)))
+      val p = when(pmod(id, lit(10L)) >= 8,
+        concat(lit("c"), pmod(pmod(id, lit(3L)) + 1, lit(3L))))
+        .otherwise(y)
+      operators.ClassifierEval.accuracySubsampleCi(
+        Tables.documents(s, dir).filter(id < 400)
+          .select(id, y.as("label"), p.as("pred")),
+        "doc_id", "pred", "label", nResamples = 50, seed = 7L)
+    }),
+
     "eval_auc" -> ((s, dir) => {
       val id = col("doc_id")
       operators.ClassifierEval.aucRoc(
@@ -10610,6 +10644,49 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     // the eval_prf oracle: the same class-union + per-side joins
+    // the eval_confusion oracle: the same cell aggregation, row
+    // share via sum-over-label-partition
+    "eval_confusion" ->
+      """WITH b AS (
+        |  SELECT 'c' || (doc_id % 4) AS y,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'c' || ((doc_id % 4 + 1) % 4)
+        |      ELSE 'c' || (doc_id % 4) END AS p
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (SELECT y AS label_class, p AS pred_class,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT label_class, pred_class, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY label_class), 6) AS row_frac
+        |FROM m ORDER BY label_class, pred_class""".stripMargin,
+
+    // the eval_acc_ci oracle: 50 md5-keyed half-subsamples replayed
+    // bit-for-bit, interval picked at rank ceil(round(B·p, 9))
+    "eval_acc_ci" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CASE WHEN doc_id % 10 >= 8 THEN 0 ELSE 1 END AS ok
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS acc
+        |      FROM b),
+        |s AS (SELECT r.b AS rb,
+        |        round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS acc_b
+        |      FROM b, (SELECT unnest(generate_series(0, 49)) AS b) r
+        |      WHERE substr(md5(id || ':' || r.b || ':7'), 1, 1) < '8'
+        |      GROUP BY 1),
+        |rk AS (SELECT acc_b,
+        |         row_number() OVER (ORDER BY acc_b) AS rn,
+        |         count(*) OVER () AS bt
+        |       FROM s)
+        |SELECT f.n, f.acc,
+        |  CAST(bt AS BIGINT) AS n_resamples,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.025, 9)) THEN acc_b END)
+        |    AS ci_lo,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN acc_b END)
+        |    AS ci_hi
+        |FROM rk, f GROUP BY f.n, f.acc, bt""".stripMargin,
+
     "eval_prf" ->
       """WITH b AS (
         |  SELECT 'c' || (doc_id % 4) AS y,

@@ -170,4 +170,122 @@ object ClassifierEval {
     rows.sortBy(_._1)
       .map { case (_, nb, gap) => math.abs(gap) * nb / n }.sum
   }
+
+  /** Full confusion matrix (r18): (label_class, pred_class, n,
+    * row_frac) — every observed (truth, prediction) pair with its
+    * count and its share of the truth row (round-6; the per-row
+    * normalization every printed matrix uses). [[perClassPrf]] reads
+    * only the diagonal; mislabeling STRUCTURE (which class leaks
+    * into which) needs the off-diagonal cells. One map-side-combined
+    * aggregation + a label-partitioned window (bounded by class
+    * cardinality). Null rows drop, as in perClassPrf.
+    */
+  def confusionMatrix(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val base = df.select(col(labelCol).cast("string").as("label_class"),
+        col(predCol).cast("string").as("pred_class"))
+      .filter(col("label_class").isNotNull && col("pred_class").isNotNull)
+    val w = Window.partitionBy(col("label_class"))
+    base.groupBy(col("label_class"), col("pred_class"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_frac",
+        round(col("n") / sum(col("n")).over(w), 6))
+  }
+
+  /** Macro / weighted / micro summary from a COLLECTED
+    * [[perClassPrf]] card — driver-side over the class-bounded card
+    * (the eceFromBins stance; repeated rounded adds are not
+    * hash-stable as a column). Input tuples: (label_class, n_true,
+    * n_pred, tp). Returns (macro_p, macro_r, macro_f1, weighted_f1,
+    * micro_acc), each round-6 from an ordered fold (class-name
+    * ascending). Per-class metrics undefined by the perClassPrf
+    * rules (zero denominators) count as 0 in the macro average —
+    * the sklearn zero_division=0 convention, documented rather than
+    * silent.
+    */
+  def macroFromPrf(rows: Seq[(String, Long, Long, Long)])
+      : (Double, Double, Double, Double, Double) = {
+    require(rows.nonEmpty, "macroFromPrf: empty per-class card")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sorted = rows.sortBy(_._1)
+    def prf(nTrue: Long, nPred: Long, tp: Long): (Double, Double, Double) = {
+      val p = if (nPred > 0) tp.toDouble / nPred else 0.0
+      val r = if (nTrue > 0) tp.toDouble / nTrue else 0.0
+      val f = if (nPred > 0 && nTrue > 0) 2.0 * tp / (nPred + nTrue)
+        else 0.0
+      (p, r, f)
+    }
+    val k = sorted.length
+    var (sp, sr, sf, swf) = (0.0, 0.0, 0.0, 0.0)
+    var (support, tpSum) = (0L, 0L)
+    sorted.foreach { case (_, nTrue, nPred, tp) =>
+      val (p, r, f) = prf(nTrue, nPred, tp)
+      sp += p; sr += r; sf += f; swf += f * nTrue
+      support += nTrue; tpSum += tp
+    }
+    (r6(sp / k), r6(sr / k), r6(sf / k),
+      if (support > 0) r6(swf / support) else 0.0,
+      if (support > 0) r6(tpSum.toDouble / support) else 0.0)
+  }
+
+  /** Accuracy with a subsampling confidence interval (r18) — the
+    * error bar every eval report prints next to the point estimate.
+    * DELIBERATELY subsampling (each resample keeps the ~half of rows
+    * whose md5("<id>:<b>:<seed>") first hex digit < '8' — the
+    * Politis–Romano m≈n/2-out-of-n scheme), NOT the multinomial
+    * bootstrap: Poisson/multinomial draws are not engine-replayable,
+    * md5 bucket membership is, so the oracle reproduces every
+    * resample bit-for-bit. Output one row: (n, acc, n_resamples,
+    * ci_lo, ci_hi) with acc = round-6 full-set accuracy and the
+    * interval = the empirical (1∓q)/2 quantiles of the per-resample
+    * accuracies, picked at rank ceil(q·B) (the lengthPercentiles
+    * discrete convention, round-9 FP guard included). The B
+    * per-resample accuracies collect to the driver — bounded by
+    * `nResamples`, a parameter, never by data. Empty resamples (only
+    * possible on near-empty inputs) drop from the rank list.
+    */
+  def accuracySubsampleCi(df: DataFrame, idCol: String,
+      predCol: String, labelCol: String, nResamples: Int = 200,
+      seed: Long = 42L, q: Double = 0.95): DataFrame = {
+    require(nResamples >= 2 && nResamples <= 100000,
+      s"accuracySubsampleCi: nResamples $nResamples")
+    require(q > 0 && q < 1, s"accuracySubsampleCi: q $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("string").as("__id"),
+        when(col(predCol).cast("string") ===
+          col(labelCol).cast("string"), 1L).otherwise(0L).as("__ok"))
+      .filter(col("__id").isNotNull && col(predCol).isNotNull &&
+        col(labelCol).isNotNull)
+    val full = base.agg(count(lit(1)).as("n"),
+      sum(col("__ok")).as("__c")).head()
+    val n = full.getLong(0)
+    val acc: java.lang.Double = if (n > 0)
+      BigDecimal(full.getLong(1).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else null
+    val accs = base
+      .withColumn("b", explode(sequence(lit(0), lit(nResamples - 1))))
+      .filter(substring(md5(concat(col("__id"), lit(":"), col("b"),
+        lit(":" + seed))), 1, 1) < "8")
+      .groupBy(col("b"))
+      .agg(round(sum(col("__ok")) / count(lit(1)), 6).as("acc_b"))
+      .select(col("acc_b")).as[Double].collect().sorted
+    def pick(p: Double): java.lang.Double =
+      if (accs.isEmpty) null
+      else accs(math.min(accs.length - 1,
+        math.ceil(BigDecimal(accs.length * p)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .toInt - 1).max(0))
+    val lo = pick((1 - q) / 2)
+    val hi = pick(1 - (1 - q) / 2)
+    Seq((n, Option(acc).map(_.toDouble), accs.length.toLong,
+        Option(lo).map(_.toDouble), Option(hi).map(_.toDouble)))
+      .toDF("n", "acc", "n_resamples", "ci_lo", "ci_hi")
+      .select(col("n"), col("acc").cast("double").as("acc"),
+        col("n_resamples"),
+        col("ci_lo").cast("double").as("ci_lo"),
+        col("ci_hi").cast("double").as("ci_hi"))
+  }
 }

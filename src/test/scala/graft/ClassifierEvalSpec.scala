@@ -49,6 +49,69 @@ class ClassifierEvalSpec extends SparkSpec {
     assert(auc(Seq((1.0, 1L), (2.0, 1L)))._4 === -1.0) // no negatives
   }
 
+  test("confusionMatrix (r18): off-diagonal structure with row " +
+      "shares, dropped nulls, absent cells absent (sparse, not " +
+      "zero-filled)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", null))
+      .toDF("y", "p")
+    val got = ClassifierEval.confusionMatrix(rows, "y", "p")
+      .orderBy("label_class", "pred_class").collect()
+    assert(got.length === 3, "null row drops; absent cells absent")
+    assert(got(0).getString(0) === "a" && got(0).getString(1) === "a" &&
+      got(0).getLong(2) === 2L && got(0).getDouble(3) === 0.666667)
+    assert(got(1).getString(1) === "b" && got(1).getDouble(3) === 0.333333)
+    assert(got(2).getString(0) === "b" && got(2).getLong(2) === 1L &&
+      got(2).getDouble(3) === 1.0)
+  }
+
+  test("macroFromPrf (r18): ordered fold over the class card — " +
+      "macro vs weighted vs micro disagree exactly as designed on " +
+      "an imbalanced card; zero-denominator classes count as 0") {
+    // class a: 8 true, 8 pred, 8 tp (perfect, heavy);
+    // class b: 2 true, 2 pred, 0 tp (broken, light);
+    // class z: never true, once predicted (precision-only class)
+    val card = Seq(("a", 8L, 8L, 8L), ("b", 2L, 2L, 0L),
+      ("z", 0L, 1L, 0L))
+    val (mp, mr, mf, wf, micro) = ClassifierEval.macroFromPrf(card)
+    assert(mp === 0.333333, "p: (1 + 0 + 0)/3") // z: n_true=0 -> 0
+    assert(mr === 0.333333)
+    assert(mf === 0.333333)
+    assert(wf === 0.8, "weighted by support: (1*8 + 0*2 + 0*0)/10")
+    assert(micro === 0.8, "micro = sum tp / sum true")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.macroFromPrf(Seq.empty)
+    }
+  }
+
+  test("accuracySubsampleCi (r18): deterministic md5 resamples — " +
+      "identical calls identical intervals, interval brackets the " +
+      "point estimate on a symmetric plant, parameter guards") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i =>
+      (i, s"c${i % 3}", if (i % 10 >= 8) s"c${(i % 3 + 1) % 3}"
+        else s"c${i % 3}"))
+      .toDF("id", "y", "p")
+    def run() = ClassifierEval.accuracySubsampleCi(rows, "id", "p", "y",
+      nResamples = 40, seed = 11L).collect()(0)
+    val a = run(); val b = run()
+    assert(a === b, "md5 membership must be run-deterministic")
+    assert(a.getLong(0) === 300L && a.getLong(2) === 40L)
+    val (acc, lo, hi) = (a.getDouble(1), a.getDouble(3), a.getDouble(4))
+    assert(acc === 0.8)
+    assert(lo <= acc && acc <= hi, s"interval [$lo, $hi] vs $acc")
+    assert(lo > 0.6 && hi < 1.0, "half-samples of a 0.8 plant")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.accuracySubsampleCi(rows, "id", "p", "y",
+        nResamples = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.accuracySubsampleCi(rows, "id", "p", "y", q = 1.0)
+    }
+  }
+
   test("aucRoc (r18, VERDICT-r17 #2): the bounded-eval contract is " +
       "enforced — over-cap input refuses loudly before the " +
       "single-task rank window runs") {
