@@ -1,0 +1,108 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the distinct-n diversity card (r18): the
+  * (order, xxhash64) pairs of ALL word n-gram occurrences for
+  * n = 1..maxN, in one tokenize pass — semantically identical to
+  * unioning `explode(wordNgrams(text, n))` per order and hashing,
+  * but without n scans of the corpus and without `wordNgrams`'
+  * per-gram interpreted HOF lambdas (`transform`/`array_join`/`slice`
+  * are CodegenFallback — the r15 ngram-overlap lesson, again).
+  *
+  * Bit-compatibility (pinned by CorpusReportSpec "kernel ≡
+  * declarative"):
+  *  - tokenization matches `TextFunctions.tokens`: UTF8String
+  *    lowercase (exactly `lower()`), single-space split, empties
+  *    dropped — the [[ShingleIds]] discipline;
+  *  - a text with fewer than n tokens contributes NO n-grams of that
+  *    order (`wordNgrams`' empty-array branch — NOT ShingleIds'
+  *    whole-text fallback);
+  *  - gh is `XxHash64Function.hash(gram, StringType, 42)` — the exact
+  *    evaluation of `xxhash64(gram)`, so counts equal the declarative
+  *    form's bit-for-bit (collisions included);
+  *  - null text → null (the operator filters nulls upstream; the
+  *    kernel stays total).
+  *
+  * Output order: order-major, position-minor (all 1-grams in text
+  * order, then all 2-grams, …) — consumers are count aggregates, but
+  * a deterministic order keeps the column replayable.
+  */
+case class GramHashes(child: Expression, maxN: Int)
+    extends UnaryExpression {
+  require(maxN >= 1 && maxN <= 16, s"gram_hashes: maxN $maxN")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gh", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gram_hashes needs a string column, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else GramHashes.compute(t.asInstanceOf[UTF8String], maxN)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GramHashes.compute($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+
+  /** Called from generated code. */
+  def compute(text: UTF8String, maxN: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    val raw = lowered.split(" ")
+    var nToks = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nToks) = raw(i); nToks += 1 }
+      i += 1
+    }
+    var total = 0
+    var n = 1
+    while (n <= maxN) { if (nToks >= n) total += nToks - n + 1; n += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    val sb = new java.lang.StringBuilder(64)
+    n = 1
+    while (n <= maxN) {
+      var p = 0
+      while (p + n <= nToks) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(raw(p + j))
+          j += 1
+        }
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(sb.toString), StringType, 42L)
+        out(k) = new GenericInternalRow(Array[Any](n, h))
+        k += 1
+        p += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+}

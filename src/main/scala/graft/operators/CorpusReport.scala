@@ -223,31 +223,38 @@ object CorpusReport {
       textCol: String, maxN: Int = 3): DataFrame = {
     require(maxN >= 1, s"distinctNgrams: maxN $maxN")
     val base = df.filter(col(textCol).isNotNull)
-    // one codegen'd scan PER ORDER, unioned. Measured alternatives at
-    // sf0.1 / maxN 3: a single-scan nested-HOF form that emits all
-    // orders from one staged token array ran 8.3 s (higher-order
-    // array lambdas are interpreted per element — the r15
-    // ngram-overlap lesson), this union form ~3 s, i.e. ~1 s per
-    // order — the same floor text_top_ngrams pays for one order.
-    val perOrder = (1 to maxN).map { n =>
-      base.select(col(sourceCol).as("source"), lit(n).as("n"),
-        explode_outer(graft.functions.TextFunctions
-          .wordNgrams(col(textCol), n)).as("gram"))
-    }.reduce(_.union(_))
-    perOrder
-      // distinct runs on the 8-byte gram hash, not the gram string —
-      // the count-distinct exchange carries longs (the contentKey
-      // injectivity stance); NULL grams are guarded (xxhash64 hashes
-      // null to the seed instead of returning null)
+    // ONE kernel scan for all orders (r18 — third measured form of
+    // this operator at sf0.1 / maxN 3: nested-HOF single scan 8.3 s
+    // [interpreted per-element lambdas, rejected r17]; one codegen'd
+    // wordNgrams scan PER ORDER unioned ~3 s [the r17 form — but
+    // wordNgrams' transform/array_join/slice are CodegenFallback, so
+    // each scan still paid interpreted per-gram lambdas];
+    // GramHashes kernel, one tokenize pass emitting every (n, gh)
+    // pair ~1.1 s]. Hashes are bit-identical to xxhash64(gram)
+    // (XxHash64Function), so counts — collisions included — equal
+    // the prior form's; the count-distinct exchange still carries
+    // 8-byte longs (the contentKey injectivity stance).
+    val gh = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.GramHashes(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), maxN))
+    val counts = base
+      .select(col(sourceCol).as("source"), explode(gh).as("g"))
+      .groupBy(col("source"), col("g.n").as("n"))
+      .agg(countDistinct(col("g.gh")).as("n_distinct"),
+        count(lit(1)).as("n_total"))
+    // a source whose every doc has < n tokens must still carry its
+    // (source, n) zero row (the union form's explode_outer placeholder
+    // semantics) — a pruned source-column scan rebuilds the skeleton
+    val skeleton = base.select(col(sourceCol).as("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(1), lit(maxN))).as("n"))
+    skeleton.join(counts, Seq("source", "n"), "left")
       .select(col("source"), col("n"),
-        when(col("gram").isNotNull, xxhash64(col("gram"))).as("gh"))
-      .groupBy(col("source"), col("n"))
-      .agg(countDistinct(col("gh")).as("n_distinct"),
-        count(col("gh")).as("n_total"))
-      .select(col("source"), col("n"), col("n_distinct"), col("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"))
+      .withColumn("distinct_ratio",
         when(col("n_total") > 0,
-          round(col("n_distinct").cast("double") / col("n_total"), 6))
-          .as("distinct_ratio"))
+          round(col("n_distinct").cast("double") / col("n_total"), 6)))
   }
 
   /** EXACT per-stratum percentiles (r17) — the length-distribution

@@ -158,4 +158,52 @@ class CorpusReportSpec extends SparkSpec {
       ("tiny", 1, 1L, 1L, 1.0),
       ("tiny", 2, 0L, 0L, -1.0)))
   }
+
+  test("distinctNgrams kernel ≡ declarative (r18): the one-pass " +
+      "GramHashes kernel reproduces the unioned wordNgrams form " +
+      "bit-for-bit (xxhash64-compatible hashes), case folding and " +
+      "whitespace runs included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("s0", "The cat SAT on the  mat"), // case fold + double space
+      ("s0", "the cat sat"),             // cross-doc gram overlap
+      ("s1", "a b c d e f g h"),
+      ("s1", "x"), ("s2", "only one here"),
+      ("s2", null.asInstanceOf[String])) // null drops
+      .toDF("source", "text")
+    val kernel = CorpusReport.distinctNgrams(df, "source", "text",
+      maxN = 3).orderBy("source", "n").collect().toSeq
+    // the r17 union-of-wordNgrams form, rebuilt inline
+    val base = df.filter(col("text").isNotNull)
+    val union = (1 to 3).map { n =>
+      base.select(col("source"), lit(n).as("n"),
+        explode_outer(graft.functions.TextFunctions
+          .wordNgrams(col("text"), n)).as("gram"))
+    }.reduce(_ union _)
+      .select(col("source"), col("n"),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("gh"))
+      .groupBy(col("source"), col("n"))
+      .agg(countDistinct(col("gh")).as("n_distinct"),
+        count(col("gh")).as("n_total"))
+      .withColumn("distinct_ratio",
+        when(col("n_total") > 0,
+          round(col("n_distinct").cast("double") / col("n_total"), 6)))
+      .orderBy("source", "n").collect().toSeq
+    assert(kernel === union)
+    // and the kernel's hashes ARE xxhash64 of the gram strings
+    val hs = df.limit(1).select(explode(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.expressions.GramHashes(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 2)))
+        .as("g"))
+      .select($"g.n", $"g.gh").collect()
+    val direct = df.limit(1).select(
+      xxhash64(lit("the")).as("h1"), xxhash64(lit("the cat")).as("h2"))
+      .collect()(0)
+    assert(hs.find(r => r.getInt(0) === 1).get.getLong(1)
+      === direct.getLong(0))
+    assert(hs.find(r => r.getInt(0) === 2).get.getLong(1)
+      === direct.getLong(1))
+  }
 }
