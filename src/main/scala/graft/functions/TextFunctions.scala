@@ -1799,19 +1799,19 @@ object TextFunctions {
     */
   def withWatermarkStats(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = tokens(col(textCol))
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2), i =>
-        concat(element_at(toks, i + 1), lit(" "),
-          element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode_outer(pairs).as("__p"))
+    // r18: the whole statistic is ONE per-row kernel — the r17 form
+    // exploded pair strings (built by interpreted transform lambdas)
+    // and paid a per-doc aggregation shuffle; the kernel keeps the
+    // identical md5 green rule (spec-pinned) and rides the scan.
+    // Null text → (0, 0) with a null z — the explode_outer-era
+    // surface for unscoreable docs, preserved.
+    val stats = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.WatermarkStats(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol))))
+    df.select(col(idCol), stats.as("__w"))
       .select(col(idCol),
-        when(col("__p").isNotNull, substring(md5(col("__p")), 1, 1) < "8")
-          .as("__green"))
-      .groupBy(col(idCol))
-      .agg(count(col("__green")).as("n_scored"),
-        sum(when(col("__green"), 1L).otherwise(0L)).as("n_green"))
+        coalesce(col("__w.n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("__w.n_green"), lit(0L)).as("n_green"))
       .withColumn("wm_z",
         when(col("n_scored") > 0,
           round((lit(2L) * col("n_green") - col("n_scored")) /

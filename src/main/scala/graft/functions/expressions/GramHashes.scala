@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass kernel for the distinct-n diversity card (r18): the
   * (order, xxhash64) pairs of ALL word n-gram occurrences for
-  * n = 1..maxN, in one tokenize pass — semantically identical to
+  * n = minN..maxN, in one tokenize pass — semantically identical to
   * unioning `explode(wordNgrams(text, n))` per order and hashing,
   * but without n scans of the corpus and without `wordNgrams`'
   * per-gram interpreted HOF lambdas (`transform`/`array_join`/`slice`
@@ -34,9 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * order, then all 2-grams, …) — consumers are count aggregates, but
   * a deterministic order keeps the column replayable.
   */
-case class GramHashes(child: Expression, maxN: Int)
+case class GramHashes(child: Expression, maxN: Int, minN: Int = 1)
     extends UnaryExpression {
-  require(maxN >= 1 && maxN <= 16, s"gram_hashes: maxN $maxN")
+  require(minN >= 1 && maxN >= minN && maxN <= 64,
+    s"gram_hashes: need 1 <= minN($minN) <= maxN($maxN) <= 64")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("n", IntegerType, nullable = false),
@@ -55,12 +56,12 @@ case class GramHashes(child: Expression, maxN: Int)
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input)
     if (t == null) null
-    else GramHashes.compute(t.asInstanceOf[UTF8String], maxN)
+    else GramHashes.compute(t.asInstanceOf[UTF8String], minN, maxN)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expressions.GramHashes.compute($c, $maxN)")
+      s"graft.functions.expressions.GramHashes.compute($c, $minN, $maxN)")
 
   override protected def withNewChildInternal(newChild: Expression): GramHashes =
     copy(child = newChild)
@@ -69,7 +70,7 @@ case class GramHashes(child: Expression, maxN: Int)
 object GramHashes {
 
   /** Called from generated code. */
-  def compute(text: UTF8String, maxN: Int): ArrayData = {
+  def compute(text: UTF8String, minN: Int, maxN: Int): ArrayData = {
     val lowered = text.toLowerCase.toString
     val raw = lowered.split(" ")
     var nToks = 0
@@ -79,12 +80,12 @@ object GramHashes {
       i += 1
     }
     var total = 0
-    var n = 1
+    var n = minN
     while (n <= maxN) { if (nToks >= n) total += nToks - n + 1; n += 1 }
     val out = new Array[Any](total)
     var k = 0
     val sb = new java.lang.StringBuilder(64)
-    n = 1
+    n = minN
     while (n <= maxN) {
       var p = 0
       while (p + n <= nToks) {

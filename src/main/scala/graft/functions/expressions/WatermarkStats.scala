@@ -1,0 +1,97 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass kernel for the greenlist watermark statistics (r18): per
+  * document, (n_scored, n_green) over adjacent lowercase word-token
+  * pairs with the md5 green rule — semantically identical to the r17
+  * explode-pairs → md5 → per-doc groupBy form, but with NO explode
+  * and NO shuffle: the whole statistic is a per-row projection, so
+  * the detector rides the scan like every other signal column.
+  * (The r17 probe attributed its 7.9 s to "md5 IS the cost" — partly
+  * true, but the pair construction was an interpreted
+  * transform/element_at lambda per token, and the exploded pair rows
+  * paid a full per-doc aggregation exchange. The md5 stays; the
+  * lambdas and the shuffle go.)
+  *
+  * Bit-compatibility (pinned by TextFunctionsSpec "kernel ≡
+  * declarative"):
+  *  - tokens: UTF8String lowercase, single-space split, empties
+  *    dropped (`TextFunctions.tokens`);
+  *  - a pair is green iff the FIRST HEX DIGIT of md5(prev ++ " " ++
+  *    token) is < '8' — i.e. the top bit of digest byte 0 is clear,
+  *    exactly `substring(md5(p), 1, 1) < "8"` on the UTF-8 bytes;
+  *  - fewer than 2 tokens → (0, 0) (the explode_outer null row's
+  *    count semantics); null text → null struct.
+  */
+case class WatermarkStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_scored", LongType, nullable = false),
+    StructField("n_green", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "watermark_stats"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"watermark_stats needs a string column, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else WatermarkStats.compute(t.asInstanceOf[UTF8String])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WatermarkStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WatermarkStats =
+    copy(child = newChild)
+}
+
+object WatermarkStats {
+
+  /** Called from generated code. */
+  def compute(text: UTF8String): InternalRow = {
+    val lowered = text.toLowerCase.toString
+    val raw = lowered.split(" ")
+    var nToks = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nToks) = raw(i); nToks += 1 }
+      i += 1
+    }
+    if (nToks < 2) return new GenericInternalRow(Array[Any](0L, 0L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = ' '.toByte
+    // pre-encode each token's UTF-8 bytes once; each pair digest is
+    // then two updates + a space — no pair strings are built
+    val enc = new Array[Array[Byte]](nToks)
+    i = 0
+    while (i < nToks) {
+      enc(i) = raw(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    var green = 0L
+    i = 0
+    while (i < nToks - 1) {
+      md.reset()
+      md.update(enc(i))
+      md.update(space)
+      md.update(enc(i + 1))
+      // first hex digit < '8'  <=>  top bit of byte 0 clear
+      if ((md.digest()(0) & 0x80) == 0) green += 1
+      i += 1
+    }
+    new GenericInternalRow(Array[Any]((nToks - 1).toLong, green))
+  }
+}

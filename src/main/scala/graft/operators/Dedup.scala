@@ -778,19 +778,25 @@ object Dedup {
   def ngramNovelty(gen: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusTextCol: String, n: Int = 13): DataFrame = {
     require(n >= 1, s"ngramNovelty: n $n")
+    // gram hashing through the one-pass GramHashes kernel (r18 — the
+    // distinct-n lesson: wordNgrams' HOF lambdas are CodegenFallback,
+    // interpreted per gram; the kernel emits xxhash64-identical
+    // hashes with zero interpreted steps, so join keys are unchanged)
+    def gramHash(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.GramHashes(
+          org.apache.spark.sql.GraftBridge.expression(c), n, n))
     val corpusGrams = corpus
-      .select(explode(TextFunctions.wordNgrams(col(corpusTextCol), n))
-        .as("__g"))
-      .select(xxhash64(col("__g")).as("__gh"))
+      .select(explode(gramHash(col(corpusTextCol))).as("__g"))
+      .select(col("__g.gh").as("__gh"))
       .distinct()
       .withColumn("__hit", lit(true))
     val occs = gen
+      // explode_outer keeps gram-less docs as ONE null row (n_grams
+      // 0, null novelty — the unscoreable surface, as before)
       .select(col(idCol),
-        explode_outer(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
-      // xxhash64 hashes NULL to the seed (never returns null) — an
-      // unguarded hash would count gram-less docs as one novel gram
-      .select(col(idCol),
-        when(col("__g").isNotNull, xxhash64(col("__g"))).as("__gh"))
+        explode_outer(gramHash(col(textCol))).as("__g"))
+      .select(col(idCol), col("__g.gh").as("__gh"))
     occs.join(corpusGrams, Seq("__gh"), "left")
       .groupBy(col(idCol))
       .agg(count(col("__gh")).as("n_grams"),

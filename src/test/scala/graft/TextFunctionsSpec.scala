@@ -882,6 +882,44 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2).getLong(2) === 1L)
   }
 
+  test("withWatermarkStats kernel ≡ declarative (r18): the per-row " +
+      "kernel reproduces the r17 explode-pairs md5 form bit-for-bit, " +
+      "null and short docs included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "The quick Brown fox jumps over the lazy dog again and again"),
+      (2L, "one"), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "a  bé c a bé")) // runs + non-ASCII UTF-8 bytes
+      .toDF("doc_id", "text")
+    val kernel = graft.functions.TextFunctions
+      .withWatermarkStats(rows, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // the r17 declarative form, rebuilt inline
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        concat(element_at(toks, i + 1), lit(" "),
+          element_at(toks, i + 2))))
+      .otherwise(when(col("text").isNotNull,
+        array().cast("array<string>")))
+    val decl = rows.select(col("doc_id"), explode_outer(pairs).as("__p"))
+      .select(col("doc_id"),
+        when(col("__p").isNotNull, substring(md5(col("__p")), 1, 1) < "8")
+          .as("__green"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("__green")).as("n_scored"),
+        sum(when(col("__green"), 1L).otherwise(0L)).as("n_green"))
+      .select(col("doc_id"), col("n_scored"),
+        coalesce(col("n_green"), lit(0L)).as("n_green"))
+      .withColumn("wm_z",
+        when(col("n_scored") > 0,
+          round((lit(2L) * col("n_green") - col("n_scored")) /
+            sqrt(col("n_scored")), 6)))
+      .orderBy("doc_id").collect().toSeq
+    assert(kernel === decl)
+  }
+
   test("withSpecialTokenScan (r18): literal chat-control markers " +
       "counted by the replace-length trick, kinds in set order, " +
       "custom marker sets, null text nulls out, clean text empty") {
