@@ -1062,15 +1062,11 @@ object TextFunctions {
   def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
       n: Int, k: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1 && k >= 1, s"n=$n k=$k")
-    val toks = filter(split(lower(col(textCol)), " "),
-      t => length(t) > 0)
-    val grams =
-      if (n == 1) toks
-      else
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))
-    df.filter(col(textCol).isNotNull && size(toks) >= n)
-      .select(explode(grams).as("ngram"))
+    // r18: explode the kernel form — short docs emit empty arrays
+    // (explode drops them), so the old size(toks) >= n pre-filter is
+    // subsumed; only the null filter remains
+    df.filter(col(textCol).isNotNull)
+      .select(explode(wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
@@ -1221,11 +1217,13 @@ object TextFunctions {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n $n")
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " ")))
-      .otherwise(when(text.isNotNull, array().cast("array<string>")))
+    // r18: the one-pass WordNgramsExpr kernel — the declarative
+    // transform/array_join/slice form is CodegenFallback (interpreted
+    // per gram); semantics identical and spec-pinned (short text →
+    // empty array, null → null, lowercase single-space tokens)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expressions.WordNgramsExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
   }
 
   /** BLEU-style n-gram overlap between a candidate and a reference

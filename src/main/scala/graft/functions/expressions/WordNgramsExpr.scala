@@ -1,0 +1,95 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word n-gram STRINGS kernel (r18) — the string-emitting
+  * sibling of [[GramHashes]], backing `TextFunctions.wordNgrams` for
+  * every consumer that needs the gram text itself (top-n-gram cards,
+  * BLEU-style overlap): tokenize once, emit each n-gram join once.
+  * The declarative form it replaces (`transform(sequence(...), i =>
+  * array_join(slice(...)))`) is CodegenFallback — an interpreted
+  * lambda per gram plus three allocations per element (the
+  * distinct-n lesson, third appearance).
+  *
+  * Bit-compatibility (pinned by TextFunctionsSpec "wordNgrams kernel
+  * ≡ declarative"):
+  *  - tokens: UTF8String lowercase (exactly `lower()`), single-space
+  *    split, empties dropped — `TextFunctions.tokens`;
+  *  - fewer than n tokens → EMPTY array (never the ShingleIds
+  *    whole-text fallback);
+  *  - null text → null.
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1 && n <= 64, s"word_ngrams: n $n")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams needs a string column, got ${child.dataType.catalogString}")
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else WordNgramsExpr.compute(t.asInstanceOf[UTF8String], n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.WordNgramsExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+object WordNgramsExpr {
+
+  private val EMPTY = new GenericArrayData(Array.empty[Any])
+
+  /** Called from generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    val raw = lowered.split(" ")
+    var nToks = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(nToks) = raw(i); nToks += 1 }
+      i += 1
+    }
+    if (nToks < n) return EMPTY
+    val out = new Array[Any](nToks - n + 1)
+    if (n == 1) {
+      i = 0
+      while (i < nToks) {
+        out(i) = UTF8String.fromString(raw(i)); i += 1
+      }
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var p = 0
+      while (p + n <= nToks) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(raw(p + j))
+          j += 1
+        }
+        out(p) = UTF8String.fromString(sb.toString)
+        p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -882,6 +882,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2).getLong(2) === 1L)
   }
 
+  test("wordNgrams kernel ≡ declarative (r18): the one-pass string " +
+      "kernel reproduces the transform/array_join/slice form on " +
+      "case, whitespace runs, short, empty and null texts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq("The quick  Brown fox", "one two", "lone", "",
+      null.asInstanceOf[String], "a bé ç d")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = rows.select($"id", graft.functions.TextFunctions
+        .wordNgrams($"text", n).as("g")).orderBy("id").collect()
+      val ws = filter(split(lower($"text"), " "), t => length(t) > 0)
+      val decl = rows.select($"id",
+        when(size(ws) >= n,
+          transform(sequence(lit(0), size(ws) - n),
+            i => array_join(slice(ws, i + 1, lit(n)), " ")))
+          .otherwise(when($"text".isNotNull,
+            array().cast("array<string>"))).as("g"))
+        .orderBy("id").collect()
+      kernel.zip(decl).foreach { case (a, b) =>
+        if (a.isNullAt(1)) assert(b.isNullAt(1), s"n=$n id=${a.getLong(0)}")
+        else assert(a.getSeq[String](1) === b.getSeq[String](1),
+          s"n=$n id=${a.getLong(0)}")
+      }
+    }
+  }
+
   test("withWatermarkStats kernel ≡ declarative (r18): the per-row " +
       "kernel reproduces the r17 explode-pairs md5 form bit-for-bit, " +
       "null and short docs included") {
