@@ -4102,6 +4102,23 @@ object SparkEntry {
         rows.withColumn("label", lbl), "doc_id", "rater", "label")
     }),
 
+    // --- Interval Krippendorff's alpha (r18): the same variable
+    //     {2,3} panels over 1..5 Likert scores with a +1 dissent
+    //     where (id + r) % 7 == 0 — the adjacent-score squabble the
+    //     nominal metric over-punishes. Oracle restates the exact
+    //     fold closed-form for panel sizes {2, 3}.
+    "eval_kripp_interval" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(
+          when(pmod(id, lit(2L)) === 0, array(lit(0L), lit(1L)))
+            .otherwise(array(lit(0L), lit(1L), lit(2L)))).as("rater"))
+      val score = lit(1L) + pmod(id, lit(5L)) +
+        when(pmod(id + col("rater"), lit(7L)) === 0, 1L).otherwise(0L)
+      operators.Agreement.krippendorffAlphaInterval(
+        rows.withColumn("score", score), "doc_id", "rater", "score")
+    }),
+
     "eval_tau" -> ((s, dir) => {
       val id = col("doc_id")
       operators.Agreement.kendallTauB(
@@ -10579,6 +10596,41 @@ object SparkEntry {
         |    / (CAST(n AS DOUBLE) * (n - 1)), 6) AS d_e,
         |  round(1.0 - (2 * a2 + a3) * (n - 1)
         |    / (2.0 * (CAST(n AS DOUBLE) * n - c2)), 6) AS alpha
+        |FROM pm, la""".stripMargin,
+
+    // the eval_kripp_interval oracle: cell/moment aggregations
+    // replayed; panels {2,3} collapse the exact fold to
+    // D_o = (2·A2 + A3)/(2n), D_e = 2(n·T2 − T1²)/(n(n−1))
+    "eval_kripp_interval" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200 AND (doc_id % 2 = 1 OR v.rater < 2)),
+        |b AS (SELECT doc_id AS i,
+        |        1 + doc_id % 5 + CASE WHEN (doc_id + rater) % 7 = 0
+        |          THEN 1 ELSE 0 END AS s
+        |      FROM r),
+        |cell AS (SELECT i, s, count(*) AS c FROM b GROUP BY 1, 2),
+        |item AS (SELECT i, sum(c) AS m, sum(c * s) AS s1,
+        |           sum(c * s * s) AS s2
+        |         FROM cell GROUP BY 1),
+        |pm AS (SELECT
+        |    sum(CASE WHEN m = 2
+        |      THEN 2 * (m * s2 - s1 * s1) ELSE 0 END) AS a2,
+        |    sum(CASE WHEN m = 3
+        |      THEN 2 * (m * s2 - s1 * s1) ELSE 0 END) AS a3,
+        |    count(*) AS n_items, sum(m) AS n
+        |  FROM item),
+        |la AS (SELECT sum(c * s) AS t1, sum(c * s * s) AS t2 FROM cell)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n AS BIGINT) AS n_pairable,
+        |  CAST(0 AS BIGINT) AS n_items_dropped,
+        |  CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+        |  round((2 * a2 + a3) / (2.0 * n), 6) AS d_o,
+        |  round(2.0 * (n * t2 - t1 * t1)
+        |    / (CAST(n AS DOUBLE) * (n - 1)), 6) AS d_e,
+        |  round(1.0 - (2 * a2 + a3) * (n - 1)
+        |    / (4.0 * (n * t2 - t1 * t1)), 6) AS alpha
         |FROM pm, la""".stripMargin,
 
     // the eval_tau oracle: brute-force pair classification at gate

@@ -261,25 +261,10 @@ object Agreement {
       .groupBy(col("__l")).agg(sum(col("c")).as("cj"))
       .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)))
       .head().getLong(0)
-    // exact rational finish: D_o = Num/(D·n) with D = lcm(m−1),
-    // Num = Σ A_m·(D/(m−1)); α = 1 − (n−1)·Num / (D·(n² − c2))
-    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
-    val dens = perM.map(p => BigInt(p._1 - 1))
-    val lcm = dens.sorted.foldLeft(BigInt(1))((l, d) => l / gcd(l, d) * d)
-    val num = perM.sortBy(_._1)
-      .map(p => BigInt(p._3) * (lcm / BigInt(p._1 - 1)))
-      .foldLeft(BigInt(0))(_ + _)
-    def r6(q: BigInt, d: BigInt): java.lang.Double =
-      if (d == 0) null
-      else (BigDecimal(q) / BigDecimal(d)) // DECIMAL128 default — 34
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val dO = r6(num, lcm * BigInt(n))
-    val deNum = BigInt(n) * BigInt(n) - BigInt(c2)
-    val dE = r6(deNum, BigInt(n) * BigInt(n - 1))
-    val alpha: java.lang.Double =
-      if (n < 2 || deNum == 0) null
-      else r6(lcm * deNum * BigInt(n) - BigInt(n - 1) * num * BigInt(n),
-        lcm * deNum * BigInt(n)) // 1 − (n−1)·Num/(D·(n²−c2)) exactly
+    // exact rational finish — shared with the interval metric:
+    // A_m = Σ (m² − s), D_e numerator = n² − C2
+    val (dO, dE, alpha) =
+      finishAlphaFold(perM, n, BigInt(n) * BigInt(n) - BigInt(c2))
     Seq((nItems, n, nDropped, c2,
         Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
         Option(alpha).map(_.toDouble)))
@@ -290,6 +275,109 @@ object Agreement {
         col("d_o").cast("double").as("d_o"),
         col("d_e").cast("double").as("d_e"),
         col("alpha").cast("double").as("alpha"))
+  }
+
+  /** Krippendorff's alpha, INTERVAL metric (r18) — the numeric-score
+    * sibling of [[krippendorffAlpha]]: 1–5 Likert judge scores are
+    * ordered quantities, and the nominal metric scores a (4 vs 5)
+    * disagreement as harshly as (1 vs 5). With squared-difference
+    * distance δ²(c,k) = (c−k)² the per-item pair sums collapse to
+    * integer moments — Σ_{c,k} n_ic n_ik (c−k)² = 2(m_i·S2_i − S1_i²)
+    * with S1 = Σ n·score, S2 = Σ n·score² — so the same
+    * per-panel-size integer statistics + exact BigInt-rational
+    * driver fold apply verbatim:
+    *
+    *   D_o = (1/n) Σ_i 2(m_i·S2_i − S1_i²)/(m_i − 1)
+    *   D_e = 2(n·T2 − T1²)/(n(n−1))      T1/T2 = marginal moments
+    *
+    * Scores must be INTEGER-valued (cast to long; a fractional score
+    * refuses loudly — exactness is the contract; rescale 0.5-step
+    * scales by 2 upstream). Output: one row (n_items, n_pairable,
+    * n_items_dropped, t1, t2, d_o, d_e, alpha); α null when D_e = 0
+    * (every rating the same score).
+    */
+  def krippendorffAlphaInterval(df: DataFrame, itemCol: String,
+      raterCol: String, scoreCol: String,
+      maxDistinctM: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val raw = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(scoreCol).cast("double").as("__sd"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__sd").isNotNull)
+    val nonInt = raw.filter(col("__sd") =!= col("__sd").cast("long")
+      .cast("double")).limit(1).count()
+    require(nonInt == 0,
+      "krippendorffAlphaInterval: fractional score found — the " +
+        "interval fold is exact over INTEGER scores; rescale " +
+        "(e.g. ×2 for half-steps) upstream")
+    val base = raw.select(col("__i"), col("__r"),
+      col("__sd").cast("long").as("__s"))
+    val cell = base.groupBy(col("__i"), col("__s"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cell.groupBy(col("__i"))
+      .agg(sum(col("c")).as("m"),
+        sum(col("c") * col("__s")).as("s1"),
+        sum(col("c") * col("__s") * col("__s")).as("s2"))
+    val perMAll = perItem.groupBy(col("m"))
+      .agg(count(lit(1)).as("k"),
+        sum(lit(2L) * (col("m") * col("s2") - col("s1") * col("s1")))
+          .as("a_m"))
+      .limit(maxDistinctM + 1)
+      .as[(Long, Long, Long)].collect()
+    require(perMAll.length <= maxDistinctM,
+      s"krippendorffAlphaInterval: > $maxDistinctM distinct panel " +
+        "sizes — that is not a rated eval set; check the item key")
+    val perM = perMAll.filter(_._1 >= 2)
+    val nDropped = perMAll.filter(_._1 < 2).map(_._2).sum
+    val nItems = perM.map(_._2).sum
+    val n = perM.map(p => p._1 * p._2).sum
+    val pairable = perItem.filter(col("m") >= 2)
+    val tm = cell.join(pairable.select(col("__i")), Seq("__i"))
+      .agg(coalesce(sum(col("c") * col("__s")), lit(0L)).as("t1"),
+        coalesce(sum(col("c") * col("__s") * col("__s")), lit(0L))
+          .as("t2")).head()
+    val (t1, t2) = (tm.getLong(0), tm.getLong(1))
+    val deNum = BigInt(2) * (BigInt(n) * BigInt(t2) - BigInt(t1) * BigInt(t1))
+    val (dO, dE, alpha) = finishAlphaFold(perM, n, deNum)
+    Seq((nItems, n, nDropped, t1, t2,
+        Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
+        Option(alpha).map(_.toDouble)))
+      .toDF("n_items", "n_pairable", "n_items_dropped", "t1", "t2",
+        "d_o", "d_e", "alpha")
+      .select(col("n_items"), col("n_pairable"),
+        col("n_items_dropped"), col("t1"), col("t2"),
+        col("d_o").cast("double").as("d_o"),
+        col("d_e").cast("double").as("d_e"),
+        col("alpha").cast("double").as("alpha"))
+  }
+
+  /** The exact-rational α finish shared by the nominal and interval
+    * metrics: perM rows are (panel size m, item count, integer
+    * disagreement numerator A_m with per-item denominator m−1);
+    * D_o = Σ A_m/(m−1) / n over the lcm common denominator, D_e =
+    * deNum / (n(n−1)), α = 1 − D_o/D_e — one rounding at the end.
+    */
+  private def finishAlphaFold(perM: Array[(Long, Long, Long)], n: Long,
+      deNum: BigInt): (java.lang.Double, java.lang.Double, java.lang.Double) = {
+    def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
+    val dens = perM.map(p => BigInt(p._1 - 1))
+    val lcm = dens.sorted.foldLeft(BigInt(1))((l, d) => l / gcd(l, d) * d)
+    val num = perM.sortBy(_._1)
+      .map(p => BigInt(p._3) * (lcm / BigInt(p._1 - 1)))
+      .foldLeft(BigInt(0))(_ + _)
+    def r6(q: BigInt, d: BigInt): java.lang.Double =
+      if (d == 0) null
+      else (BigDecimal(q) / BigDecimal(d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dO = r6(num, lcm * BigInt(n))
+    val dE = r6(deNum, BigInt(n) * BigInt(n - 1))
+    val alpha: java.lang.Double =
+      if (n < 2 || deNum == 0) null
+      else r6(lcm * deNum * BigInt(n) - BigInt(n - 1) * num * BigInt(n),
+        lcm * deNum * BigInt(n))
+    (dO, dE, alpha)
   }
 
   /** Spearman rank correlation (r17) — Pearson over MIDRANKS.

@@ -105,6 +105,42 @@ class AgreementSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ka(hand, cap = 1) }
   }
 
+  test("krippendorffAlphaInterval (r18): hand case exact, adjacent-" +
+      "score disagreement forgiven relative to nominal, perfect 1.0, " +
+      "constant-score null, fractional scores refuse") {
+    def ki(rows: Seq[(Long, Long, Double)]) =
+      Agreement.krippendorffAlphaInterval(rows.toDF("i", "r", "s"),
+        "i", "r", "s").collect()(0)
+    // items A=(1,2) m=2, B=(1,1,3) m=3: A_2 = 2(2*5-9) = 2,
+    // A_3 = 2(3*11-25) = 16; n = 5, D_o = (2/1 + 16/2)/5 = 2;
+    // T1 = 8, T2 = 16, D_e = 2(5*16-64)/20 = 1.6; alpha = -0.25
+    val h = ki(Seq((1L, 1L, 1.0), (1L, 2L, 2.0),
+      (2L, 1L, 1.0), (2L, 2L, 1.0), (2L, 3L, 3.0)))
+    assert(h.getLong(0) === 2L && h.getLong(1) === 5L)
+    assert(h.getLong(3) === 8L && h.getLong(4) === 16L)
+    assert(h.getDouble(5) === 2.0 && h.getDouble(6) === 1.6)
+    assert(h.getDouble(7) === -0.25)
+    // a (4 vs 5) squabble next to unanimous 1s: interval alpha high
+    // (0.941176), nominal alpha for the SAME table only 0.4
+    val mixed = Seq((1L, 1L, 4.0), (1L, 2L, 5.0),
+      (2L, 1L, 1.0), (2L, 2L, 1.0))
+    assert(ki(mixed).getDouble(7) === 0.941176)
+    val nom = Agreement.krippendorffAlpha(
+      mixed.toDF("i", "r", "s").selectExpr("i", "r",
+        "CAST(s AS STRING) AS s"), "i", "r", "s").collect()(0)
+    assert(nom.getDouble(6) === 0.4,
+      "nominal must punish the adjacent-score squabble harder")
+    // perfect agreement across variable panels
+    assert(ki(Seq((1L, 1L, 2.0), (1L, 2L, 2.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0))).getDouble(7) === 1.0)
+    // every rating one score: D_e = 0 -> null
+    assert(ki(Seq((1L, 1L, 3.0), (1L, 2L, 3.0),
+      (2L, 1L, 3.0), (2L, 2L, 3.0))).isNullAt(7))
+    intercept[IllegalArgumentException] {
+      ki(Seq((1L, 1L, 1.5), (1L, 2L, 2.0)))
+    }
+  }
+
   test("spearmanRho: monotone 1.0 even when nonlinear, reversed " +
       "-1.0, ties via midranks match the textbook value, constant " +
       "side null") {
