@@ -1179,21 +1179,20 @@ object Dedup {
     val nProbes = probes.select(col(probeIdCol)).limit(maxProbes + 1).count()
     require(nProbes <= maxProbes,
       s"containmentEvidence probe side exceeds maxProbes=$maxProbes rows")
-    def posShingles(text: Column): Column = {
-      val toks = graft.functions.TextFunctions.tokens(text)
-      when(size(toks) >= shingleLen,
-          transform(sequence(lit(0), size(toks) - shingleLen), i =>
-            struct(i.as("pos"),
-              array_join(slice(toks, i + 1, lit(shingleLen)), " ").as("gram"))))
-        .otherwise(array())
-    }
+    // r18: positioned shingles are posexplode over the WordNgramsExpr
+    // kernel — the gram's array index IS its token position, and the
+    // interpreted struct-building transform lambda this replaces ran
+    // per window over the CORPUS side (the CodegenFallback hunt)
     val probeSh = probes
-      .select(col(probeIdCol), explode(posShingles(col(probeTextCol))).as("s"))
-      .select(col(probeIdCol), col("s.gram").as("__gram")).distinct()
+      .select(col(probeIdCol),
+        explode(graft.functions.TextFunctions
+          .wordNgrams(col(probeTextCol), shingleLen)).as("__gram"))
+      .distinct()
     val corpusSh = corpus
-      .select(col(corpusIdCol), explode(posShingles(col(corpusTextCol))).as("s"))
-      .select(col(corpusIdCol), col("s.pos").as("__pos"),
-        col("s.gram").as("__gram"))
+      .select(col(corpusIdCol),
+        posexplode(graft.functions.TextFunctions
+          .wordNgrams(col(corpusTextCol), shingleLen))
+          .as(Seq("__pos", "__gram")))
     corpusSh
       .join(broadcast(probeSh), "__gram")
       .groupBy(col(probeIdCol), col(corpusIdCol))
