@@ -55,4 +55,22 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(t.getDouble(6) === 1.63093, "ideal still truncates at k")
     assert(t.getDouble(8) === 0.5 && t.getDouble(9) === 0.5)
   }
+
+  test("rankedEval (r18 adversarial): DUPLICATE rank values order " +
+      "deterministically (rel desc within the tie), so the fold is " +
+      "run-stable; a rel-0-only judged query still reports its list") {
+    import org.apache.spark.sql.functions._
+    // two results share rank 1 with different rel: the tie sorts
+    // rel-desc, so the rel=1 result takes list position 1 — dcg = 1
+    // regardless of input row order (collect_list is unordered)
+    val rows = Seq(
+      ("q", 1, 0.0), ("q", 1, 1.0), ("q", 2, 0.0))
+      .toDF("q", "rank", "rel")
+    val a = RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 3)
+      .collect()(0)
+    val b = RetrievalEval.rankedEval(
+      rows.orderBy(col("rel")), "q", "rank", "rel", k = 3).collect()(0)
+    assert(a === b, "row order must not change the card")
+    assert(a.getDouble(5) === 1.0 && a.getInt(3) === 1)
+  }
 }

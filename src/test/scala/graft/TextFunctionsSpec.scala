@@ -888,7 +888,8 @@ class TextFunctionsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rows = Seq("The quick  Brown fox", "one two", "lone", "",
-      null.asInstanceOf[String], "a bé ç d")
+      null.asInstanceOf[String], "a bé ç d",
+      "😀 emoji cáfe İstanbul") // non-BMP, combining, dotted-I
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
     for (n <- Seq(1, 2, 3)) {
