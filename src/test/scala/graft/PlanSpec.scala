@@ -517,6 +517,24 @@ class PlanSpec extends SparkSpec {
     assert(aggs >= 4, s"expected partial+final chains:\n${p.take(900)}")
   }
 
+  test("r18 wave-2 eval shapes: eval_confusion's window is LABEL-" +
+      "partitioned (never SinglePartition); eval_acc_ci explodes " +
+      "membership then one grouped agg (no window, no cartesian); " +
+      "eval_kripp/eval_kripp_interval are cell aggregations (no " +
+      "corpus join, no window)") {
+    val pc = plan("eval_confusion")
+    assert(pc.contains("Window") && !pc.contains("SinglePartition"),
+      pc.take(900))
+    val pa = plan("eval_acc_ci")
+    assert(!pa.contains("Window") && !pa.contains("CartesianProduct"),
+      pa.take(900))
+    for (g <- Seq("eval_kripp", "eval_kripp_interval")) {
+      val p = plan(g)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$g:\n${p.take(900)}")
+    }
+  }
+
   test("text_fertility_scripts: the cross-card is scan-riding " +
       "projections + ONE two-key aggregation — no join, no window " +
       "(VERDICT-r17 #8's no-new-shuffle contract)") {
