@@ -4291,6 +4291,30 @@ object SparkEntry {
         .orderBy(id)
     }),
 
+    // --- Embedding-drift semantic chunking (r18): 6 units per doc
+    //     with planted orthogonal topic vectors — even ids run
+    //     AAABBB (two topic runs, the maxUnits=2 cap splits each),
+    //     odd ids alternate ABABAB (every edge breaks). The oracle
+    //     restates the chunk table closed-form.
+    "docs_semantic_chunks" -> ((s, dir) => {
+      val id = col("doc_id")
+      val units = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(sequence(lit(0), lit(5))).as("unit_idx"))
+        .withColumn("topic",
+          when(pmod(id, lit(2L)) === 0,
+            when(col("unit_idx") < 3, 0).otherwise(1))
+            .otherwise(pmod(col("unit_idx"), lit(2)).cast("int")))
+        .withColumn("embedding",
+          when(col("topic") === 0, array(lit(1.0f), lit(0.0f)))
+            .otherwise(array(lit(0.0f), lit(1.0f))))
+        .withColumn("unit_text",
+          concat(lit("u"), col("unit_idx"), lit("d"), id))
+        .drop("topic")
+      operators.Chunk.semanticChunks(units, "doc_id", "unit_idx",
+          "unit_text", "embedding", minSim = 0.5, maxUnits = 2)
+        .orderBy(id, col("chunk_idx"))
+    }),
+
     // --- Special-token injection scan (r18): the token-smuggling
     //     plant — ChatML role fake (%5==0), Mistral INST pair (%5==1),
     //     doubled endoftext (%5==2), clean otherwise. The oracle
@@ -10431,6 +10455,27 @@ object SparkEntry {
         |  CAST(1 AS INT) AS resync_ok
         |FROM documents WHERE doc_id < 200
         |GROUP BY doc_id % 40 ORDER BY pattern_id""".stripMargin,
+
+    // the docs_semantic_chunks oracle: the plant law — even ids'
+    // AAABBB runs split by maxUnits=2 into (0,2)(2,1)(3,2)(5,1);
+    // odd ids' ABABAB yields six singletons
+    "docs_semantic_chunks" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ev AS (SELECT doc_id, v.ci, v.st, v.nu
+        |       FROM d, (VALUES (0, 0, 2), (1, 2, 1), (2, 3, 2),
+        |         (3, 5, 1)) v(ci, st, nu)
+        |       WHERE doc_id % 2 = 0),
+        |od AS (SELECT doc_id, k.k AS ci, k.k AS st, 1 AS nu
+        |       FROM d, (SELECT unnest(generate_series(0, 5)) AS k) k
+        |       WHERE doc_id % 2 = 1),
+        |u AS (SELECT * FROM ev UNION ALL SELECT * FROM od)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(st AS INT) AS start_idx, CAST(nu AS INT) AS n_units,
+        |  CASE WHEN nu = 2
+        |    THEN 'u' || st || 'd' || doc_id || ' u' || (st + 1)
+        |      || 'd' || doc_id
+        |    ELSE 'u' || st || 'd' || doc_id END AS chunk_text
+        |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the text_special_tokens oracle: the injection plant law —
     // kinds listed in marker-set order, counts per class closed-form

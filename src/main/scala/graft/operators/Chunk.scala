@@ -53,4 +53,66 @@ object Chunk {
           col("col.n_tokens").as("n_tokens"),
           col("col.text").as("chunk_text"))): _*)
   }
+
+  /** Embedding-drift SEMANTIC chunking (r18) — the RAG-pipeline
+    * splitter [[chunkByTokens]]' fixed windows cannot express: a new
+    * chunk starts where the embedding of a unit (sentence/paragraph)
+    * DRIFTS from its predecessor — cosine(e_{i−1}, e_i) < `minSim` —
+    * so chunks follow topic boundaries instead of cutting through
+    * them. Input is the exploded unit table (id, unit_idx, unit_text,
+    * embedding) — embeddings come from the caller's embedder (the
+    * [[graft.pipeline.Boundary]] stance: the model call is a
+    * boundary, the chunking is engine work). Rules:
+    *
+    *  - a boundary also fires when the similarity is UNDEFINED (null
+    *    embedding or zero norm → NaN) — the conservative direction:
+    *    an unembeddable unit never silently glues two topics;
+    *  - runs longer than `maxUnits` split at multiples (the context-
+    *    budget cap every loader applies after the semantic cut);
+    *  - output: (idCol, chunk_idx, start_idx, n_units, chunk_text)
+    *    with units joined by `sep` in unit order; chunk_idx is
+    *    0-based in start order.
+    *
+    * Scale shape: two windows partitioned BY DOCUMENT (lag + running
+    * sum; bounded by units-per-doc) + one grouped aggregation; the
+    * in-chunk join sorts a CHUNK-bounded collected list. No corpus-
+    * wide window, no join.
+    */
+  def semanticChunks(df: DataFrame, idCol: String, unitIdxCol: String,
+      unitTextCol: String, embCol: String, minSim: Double,
+      maxUnits: Int = Int.MaxValue, sep: String = " "): DataFrame = {
+    require(minSim >= -1.0 && minSim <= 1.0,
+      s"semanticChunks: minSim $minSim")
+    require(maxUnits >= 1, s"semanticChunks: maxUnits $maxUnits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(unitIdxCol))
+    val prevEmb = lag(col(embCol), 1).over(w)
+    val sim = graft.functions.VectorFunctions
+      .cosineSim(prevEmb, col(embCol))
+    // NaN is GREATEST in Spark comparisons, so the keep-condition is
+    // guarded explicitly — an undefined similarity must break, not
+    // bind (zero-norm and null embeddings land here)
+    val continues = prevEmb.isNotNull && col(embCol).isNotNull &&
+      sim.isNotNull && !isnan(sim) && sim >= minSim
+    val staged = df
+      .withColumn("__new", when(continues, 0L).otherwise(1L))
+      .withColumn("__seg", sum(col("__new")).over(w))
+    val wSeg = Window.partitionBy(col(idCol), col("__seg"))
+      .orderBy(col(unitIdxCol))
+    val keyed = staged
+      .withColumn("__sub",
+        ((row_number().over(wSeg) - 1) / maxUnits).cast("long"))
+    keyed.groupBy(col(idCol), col("__seg"), col("__sub"))
+      .agg(min(col(unitIdxCol)).as("start_idx"),
+        count(lit(1)).cast("int").as("n_units"),
+        array_join(transform(
+          sort_array(collect_list(struct(col(unitIdxCol).as("i"),
+            col(unitTextCol).as("t")))), s => s.getField("t")), sep)
+          .as("chunk_text"))
+      .withColumn("chunk_idx",
+        (row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("start_idx"))) - 1).cast("int"))
+      .select(col(idCol), col("chunk_idx"), col("start_idx"),
+        col("n_units"), col("chunk_text"))
+  }
 }

@@ -48,4 +48,50 @@ class ChunkSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("UDF"), plan)
   }
+
+  test("semanticChunks (r18): drift boundaries at cosine < minSim, " +
+      "maxUnits cap splits long runs, undefined similarity (zero " +
+      "norm / null embedding) breaks conservatively, chunk text " +
+      "joins in unit order regardless of input row order") {
+    import org.apache.spark.sql.functions._
+    val a = Array(1.0f, 0.0f); val b = Array(0.0f, 1.0f)
+    val z = Array(0.0f, 0.0f)
+    def mk(rows: Seq[(Long, Int, String, Array[Float])]) =
+      rows.toDF("doc_id", "unit_idx", "unit_text", "emb")
+    // doc 1: AAABBB -> two topic runs; doc 2: ABAB -> singletons
+    val base = mk(Seq(
+      (1L, 0, "s0", a), (1L, 1, "s1", a), (1L, 2, "s2", a),
+      (1L, 3, "s3", b), (1L, 4, "s4", b), (1L, 5, "s5", b),
+      (2L, 0, "t0", a), (2L, 1, "t1", b), (2L, 2, "t2", a)))
+    val got = Chunk.semanticChunks(base, "doc_id", "unit_idx",
+        "unit_text", "emb", minSim = 0.5)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+      r.getInt(3), r.getString(4))).toSeq === Seq(
+      (1L, 0, 0, 3, "s0 s1 s2"), (1L, 1, 3, 3, "s3 s4 s5"),
+      (2L, 0, 0, 1, "t0"), (2L, 1, 1, 1, "t1"), (2L, 2, 2, 1, "t2")))
+    // maxUnits = 2 splits the 3-runs at multiples
+    val capped = Chunk.semanticChunks(base.filter(col("doc_id") === 1),
+        "doc_id", "unit_idx", "unit_text", "emb", minSim = 0.5,
+        maxUnits = 2)
+      .orderBy("chunk_idx").collect()
+    assert(capped.map(r => (r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((0, 2), (2, 1), (3, 2), (5, 1)))
+    // zero-norm and null embeddings break, never glue
+    val weird = mk(Seq((3L, 0, "w0", a), (3L, 1, "w1", z),
+      (3L, 2, "w2", a), (3L, 3, "w3", null)))
+    val wc = Chunk.semanticChunks(weird, "doc_id", "unit_idx",
+      "unit_text", "emb", minSim = 0.0).collect()
+    assert(wc.length === 4, "each undefined-similarity edge breaks")
+    // shuffled input order: the sort_array join restores unit order
+    val shuffled = mk(Seq((4L, 2, "c", a), (4L, 0, "a", a),
+      (4L, 1, "b", a)))
+    val sc = Chunk.semanticChunks(shuffled, "doc_id", "unit_idx",
+      "unit_text", "emb", minSim = 0.5).collect()(0)
+    assert(sc.getString(4) === "a b c")
+    intercept[IllegalArgumentException] {
+      Chunk.semanticChunks(base, "doc_id", "unit_idx", "unit_text",
+        "emb", minSim = 2.0)
+    }
+  }
 }
