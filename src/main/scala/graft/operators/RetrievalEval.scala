@@ -26,15 +26,17 @@ import org.apache.spark.sql.types._
   * broken by descending relevance), a fixed op sequence an oracle can
   * replay term-by-term. Each query's result list is collected to one
   * row first (collect_list bounded by the ranked-list length — result
-  * lists are top-N by construction; this is the documented contract,
-  * NOT a corpus-sized collect) and the whole metric computes in one
-  * kernel pass per query — the ROUGE/chrF per-row-kernel stance.
+  * lists are top-N by construction, and the bound is ENFORCED with a
+  * loud per-query `maxResults` refusal, the aucRoc/kendallTauB
+  * discipline) and the whole metric computes in one kernel pass per
+  * query — the ROUGE/chrF per-row-kernel stance.
   */
 object RetrievalEval {
 
   def rankedEval(df: DataFrame, queryCol: String, rankCol: String,
-      relCol: String, k: Int): DataFrame = {
+      relCol: String, k: Int, maxResults: Int = 100000): DataFrame = {
     require(k >= 1, s"rankedEval: k $k")
+    require(maxResults >= k, s"rankedEval: maxResults $maxResults < k $k")
     val grouped = df
       .select(col(queryCol).cast("string").as("query"),
         col(rankCol).cast("int").as("__rank"),
@@ -60,6 +62,14 @@ object RetrievalEval {
     grouped.mapPartitions { it =>
       it.map { r =>
         val q = r.getString(0)
+        // the bounded-list contract is ENFORCED, not just documented
+        // (the aucRoc/kendallTauB discipline): a query dragging a
+        // corpus-sized result list refuses loudly instead of
+        // silently materializing it on one row
+        require(r.getSeq[Row](1).length <= maxResults,
+          s"rankedEval: query '$q' has > $maxResults result rows — " +
+            "ranked lists are top-N by construction; cut upstream " +
+            "or raise maxResults deliberately")
         val rs = r.getSeq[Row](1)
           .map(x => (x.getInt(0), x.getDouble(1)))
           .sortBy { case (rank, rel) => (rank, -rel) }

@@ -73,4 +73,21 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(a === b, "row order must not change the card")
     assert(a.getDouble(5) === 1.0 && a.getInt(3) === 1)
   }
+
+  test("rankedEval (r18): the bounded-list contract is enforced — a " +
+      "query exceeding maxResults refuses loudly in the task") {
+    import spark.implicits._
+    val rows = Seq(("q", 1, 1.0), ("q", 2, 0.0), ("q", 3, 1.0))
+      .toDF("q", "rank", "rel")
+    val e = intercept[Exception] {
+      RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 2,
+        maxResults = 2).collect()
+    }
+    assert(e.getMessage.contains("maxResults") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxResults")))
+    intercept[IllegalArgumentException] {
+      RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 5,
+        maxResults = 2)
+    }
+  }
 }
