@@ -10557,8 +10557,10 @@ object SparkEntry {
         |f AS (SELECT CAST(n_items AS BIGINT) AS n_items,
         |        CAST(n_raters AS BIGINT) AS n_raters,
         |        CAST(s2 AS BIGINT) AS s2, CAST(c2 AS BIGINT) AS c2,
-        |        round((CAST(s2 AS DOUBLE) - n_items * n_raters)
-        |          / (n_items * n_raters * (n_raters - 1)), 6) AS pbar,
+        |        round((CAST(s2 AS DOUBLE)
+        |            - CAST(n_items AS DOUBLE) * n_raters)
+        |          / (CAST(n_items AS DOUBLE) * n_raters
+        |             * (n_raters - 1)), 6) AS pbar,
         |        round(CAST(c2 AS DOUBLE)
         |          / (CAST(n_items AS DOUBLE) * n_raters
         |             * n_items * n_raters), 6) AS pe

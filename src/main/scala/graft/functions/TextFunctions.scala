@@ -1220,10 +1220,21 @@ object TextFunctions {
     // r18: the one-pass WordNgramsExpr kernel — the declarative
     // transform/array_join/slice form is CodegenFallback (interpreted
     // per gram); semantics identical and spec-pinned (short text →
-    // empty array, null → null, lowercase single-space tokens)
-    org.apache.spark.sql.GraftBridge.column(
-      graft.functions.expressions.WordNgramsExpr(
-        org.apache.spark.sql.GraftBridge.expression(text), n))
+    // empty array, null → null, lowercase single-space tokens).
+    // r19 (ADVICE-r18 #4): the kernel caps n at 64; larger n (legal
+    // here since r15 — ngramNovelty exposes n publicly) falls back
+    // to the declarative twin instead of a silent require regression
+    if (n <= 64)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expressions.WordNgramsExpr(
+          org.apache.spark.sql.GraftBridge.expression(text), n))
+    else {
+      val ws = tokens(text)
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " ")))
+        .otherwise(when(text.isNotNull, array().cast("array<string>")))
+    }
   }
 
   /** BLEU-style n-gram overlap between a candidate and a reference
@@ -1753,7 +1764,9 @@ object TextFunctions {
     * pipelines scan for (and usually strip or quarantine) literal
     * markers before SFT data assembly. Appends per marker-set
     * columns: `n_special` (total occurrences, the replace-length
-    * trick — each marker counted by its own length), `special_kinds`
+    * trick — each marker counted by its own CODE-POINT length, and
+    * the marker set must be substring-free, enforced loudly),
+    * `special_kinds`
     * (comma-joined distinct markers found, in the given order, empty
     * when clean) and `has_special`. Null text → nulls. Pure Catalyst
     * projections — rides the scan; streaming twin trivially.
@@ -1764,9 +1777,22 @@ object TextFunctions {
       org.apache.spark.sql.DataFrame = {
     require(markers.nonEmpty && markers.forall(_.nonEmpty),
       s"withSpecialTokenScan: bad marker set $markers")
+    // r19 (ADVICE-r18 #2): the replace-length trick counts each
+    // marker INDEPENDENTLY, so a marker that is a substring of
+    // another would double-count its occurrences inside the longer
+    // one — refuse the ambiguous set loudly rather than miscount
+    for (a <- markers; b <- markers if a != b)
+      require(!b.contains(a),
+        s"withSpecialTokenScan: marker '$a' is a substring of '$b' " +
+          "— the per-marker replace-length counts would overlap; " +
+          "scan the longer marker in a separate pass")
     val t = col(textCol)
     def occ(m: String) =
-      (length(t) - length(replace(t, lit(m), lit("")))) / m.length
+      // Spark length() counts CODE POINTS, so the divisor must too
+      // (ADVICE-r18 #2: String.length is UTF-16 units and miscounts
+      // markers containing non-BMP characters)
+      (length(t) - length(replace(t, lit(m), lit("")))) /
+        m.codePointCount(0, m.length)
     val total = markers.map(m => occ(m).cast("long"))
       .reduce(_ + _)
     val kinds = array_join(

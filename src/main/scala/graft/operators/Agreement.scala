@@ -148,13 +148,21 @@ object Agreement {
     val labelAgg = cell.groupBy(col("__l"))
       .agg(sum(col("c")).as("cj"))
       .agg(sum(col("cj") * col("cj")).as("c2"))
+    // r19 (ADVICE-r18 #3): the denominators multiply in DOUBLE —
+    // the quartic (N·m)² overflows Long past N·m ≈ 3e9 ratings (and
+    // the oracle casts before multiplying, so Long products would
+    // also diverge from it exactly where they overflow); the values
+    // are identical below 2^53, so existing hashes are unchanged
     itemAgg.crossJoin(labelAgg) // both are 1-row frames
       .withColumn("pbar",
-        round((col("s2") - col("n_items") * col("n_raters")) /
-          (col("n_items") * col("n_raters") * (col("n_raters") - 1)), 6))
+        round((col("s2").cast("double") -
+            col("n_items").cast("double") * col("n_raters")) /
+          (col("n_items").cast("double") * col("n_raters") *
+            (col("n_raters") - 1)), 6))
       .withColumn("pe",
-        round(col("c2") / (col("n_items") * col("n_raters") *
-          col("n_items") * col("n_raters")), 6))
+        round(col("c2").cast("double") /
+          (col("n_items").cast("double") * col("n_raters") *
+            col("n_items") * col("n_raters")), 6))
       .withColumn("kappa",
         when(col("pe") < 1.0,
           round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 6)))

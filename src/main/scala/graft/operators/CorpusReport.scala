@@ -221,7 +221,13 @@ object CorpusReport {
     */
   def distinctNgrams(df: DataFrame, sourceCol: String,
       textCol: String, maxN: Int = 3): DataFrame = {
-    require(maxN >= 1, s"distinctNgrams: maxN $maxN")
+    // the bound is the GramHashes kernel's, re-stated here with THIS
+    // operator's name (ADVICE-r18 #4 — a failure deep in the kernel
+    // must not blame 'gram_hashes' for a distinctNgrams call)
+    require(maxN >= 1 && maxN <= 64,
+      s"distinctNgrams: maxN $maxN (the one-pass gram kernel " +
+        "supports n up to 64; distinct-64-gram counts beyond that " +
+        "are not a meaningful diversity signal)")
     val base = df.filter(col(textCol).isNotNull)
     // ONE kernel scan for all orders (r18 — third measured form of
     // this operator at sf0.1 / maxN 3: nested-HOF single scan 8.3 s

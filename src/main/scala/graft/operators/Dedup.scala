@@ -781,11 +781,19 @@ object Dedup {
     // gram hashing through the one-pass GramHashes kernel (r18 — the
     // distinct-n lesson: wordNgrams' HOF lambdas are CodegenFallback,
     // interpreted per gram; the kernel emits xxhash64-identical
-    // hashes with zero interpreted steps, so join keys are unchanged)
+    // hashes with zero interpreted steps, so join keys are unchanged).
+    // n > 64 exceeds the kernel's gram-length cap and falls back to
+    // the declarative xxhash64(wordNgrams) twin — bit-identical keys
+    // by the kernel's own contract (r19, ADVICE-r18 #4: the public n
+    // here predates the kernel and must not silently shrink)
     def gramHash(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftBridge.column(
-        graft.functions.expressions.GramHashes(
-          org.apache.spark.sql.GraftBridge.expression(c), n, n))
+      if (n <= 64)
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.expressions.GramHashes(
+            org.apache.spark.sql.GraftBridge.expression(c), n, n))
+      else
+        transform(graft.functions.TextFunctions.wordNgrams(c, n),
+          g => struct(lit(n).as("n"), xxhash64(g).as("gh")))
     val corpusGrams = corpus
       .select(explode(gramHash(col(corpusTextCol))).as("__g"))
       .select(col("__g.gh").as("__gh"))

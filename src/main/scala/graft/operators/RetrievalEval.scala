@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * RANKED results with graded relevance judgments, the standard IR
   * metrics at cutoff k (Järvelin & Kekäläinen 2002 for NDCG):
   *
-  *  - `first_rel_rank` / `mrr`: rank of the first relevant (rel > 0)
-  *    result within the top-k, and its reciprocal (0 when none);
+  *  - `first_rel_rank` / `mrr`: LIST position of the first relevant
+  *    (rel > 0) result over the FULL ranked list — not truncated at
+  *    k (r19, VERDICT-r18 #4: a query whose first hit sits at rank
+  *    k+1 reports that rank, not a silent 0) — and its reciprocal
+  *    (0 when the query has no relevant result at all);
   *  - `dcg` / `idcg` / `ndcg`: DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1)
   *    in rank order; IDCG@k is the same sum over the query's judged
   *    relevances sorted descending (the ideal ordering, truncated at
@@ -30,6 +33,14 @@ import org.apache.spark.sql.types._
   * loud per-query `maxResults` refusal, the aucRoc/kendallTauB
   * discipline) and the whole metric computes in one kernel pass per
   * query — the ROUGE/chrF per-row-kernel stance.
+  *
+  * The cap is enforced BEFORE the aggregation (r19, ADVICE-r18 #1):
+  * a query-partitioned `row_number` window — a streaming spill-safe
+  * sort on the SAME shuffle key as the groupBy, never a global
+  * window — drops rows past position maxResults+1, so a corpus-sized
+  * result list can no longer materialize on one reducer row before
+  * the refusal fires; the in-kernel require stays as the backstop
+  * (a list of exactly maxResults+1 rows proves the cap was hit).
   */
 object RetrievalEval {
 
@@ -37,12 +48,24 @@ object RetrievalEval {
       relCol: String, k: Int, maxResults: Int = 100000): DataFrame = {
     require(k >= 1, s"rankedEval: k $k")
     require(maxResults >= k, s"rankedEval: maxResults $maxResults < k $k")
+    import org.apache.spark.sql.expressions.Window
+    // pre-aggregation cap (ADVICE-r18 #1): the window shares the
+    // groupBy's shuffle key, sorts streaming (spills, never holds
+    // the group), and cuts at maxResults+1 so the collect_list row
+    // is bounded by construction; the sort matches the kernel's
+    // (rank asc, rel desc) so what survives IS the list prefix
+    val wq = Window.partitionBy(col("query"))
+      .orderBy(col("__rank").asc, col("__rel").desc)
+    val capPlusOne =
+      (math.min(maxResults.toLong, (Int.MaxValue - 1).toLong) + 1L).toInt
     val grouped = df
       .select(col(queryCol).cast("string").as("query"),
         col(rankCol).cast("int").as("__rank"),
         col(relCol).cast("double").as("__rel"))
       .filter(col("query").isNotNull && col("__rank").isNotNull &&
         col("__rel").isNotNull)
+      .withColumn("__pos", row_number().over(wq))
+      .filter(col("__pos") <= capPlusOne)
       .groupBy(col("query"))
       .agg(collect_list(struct(col("__rank"), col("__rel"))).as("__rs"))
     val schema = StructType(Seq(
@@ -62,15 +85,16 @@ object RetrievalEval {
     grouped.mapPartitions { it =>
       it.map { r =>
         val q = r.getString(0)
-        // the bounded-list contract is ENFORCED, not just documented
-        // (the aucRoc/kendallTauB discipline): a query dragging a
-        // corpus-sized result list refuses loudly instead of
-        // silently materializing it on one row
-        require(r.getSeq[Row](1).length <= maxResults,
+        val raw = r.getSeq[Row](1)
+        // the bounded-list contract's BACKSTOP (the upstream window
+        // already cut at maxResults+1, so a full-length list here
+        // proves the cap was exceeded — and the refusal fires on a
+        // bounded row, never an unbounded one)
+        require(raw.length <= maxResults,
           s"rankedEval: query '$q' has > $maxResults result rows — " +
             "ranked lists are top-N by construction; cut upstream " +
             "or raise maxResults deliberately")
-        val rs = r.getSeq[Row](1)
+        val rs = raw
           .map(x => (x.getInt(0), x.getDouble(1)))
           .sortBy { case (rank, rel) => (rank, -rel) }
         val top = rs.take(k)
@@ -90,7 +114,10 @@ object RetrievalEval {
           idcg += gain(ideal(i)) / disc(i + 1); i += 1
         }
         val relInTop = top.count(_._2 > 0.0).toLong
-        val firstPos = top.indexWhere(_._2 > 0.0) // -1 when none
+        // first relevant over the FULL list (r19, VERDICT-r18 #4):
+        // the list is already bounded by maxResults, so the extra
+        // indexWhere past k is cheap and the column names stop lying
+        val firstPos = rs.indexWhere(_._2 > 0.0) // -1 when none
         // the ratio steps run on the ROUNDED dcg/idcg (the kappa
         // stance) so an oracle replays single mirrored ops
         val dcg6 = r6(dcg); val idcg6 = r6(idcg)

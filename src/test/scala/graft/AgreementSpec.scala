@@ -54,6 +54,23 @@ class AgreementSpec extends SparkSpec {
     }
   }
 
+  test("fleissKappaFromCells (r19, ADVICE-r18 #3): the pe/pbar " +
+      "denominators multiply in DOUBLE — a 4-billion-rating panel " +
+      "whose (N·m)² overflows Long still lands on the algebraic " +
+      "value instead of garbage") {
+    // one item, two labels at 2e9 ratings each: m = 4e9, so
+    // (N·m)² = 1.6e19 > Long.MaxValue; algebraically pe -> 0.5,
+    // pbar -> 0.5 (minus vanishing 1/m terms), kappa -> ~0
+    val c = 2000000000L
+    val cells = Seq(("i1", "a", c), ("i1", "b", c))
+      .toDF("i", "l", "n")
+    val got = Agreement.fleissKappaFromCells(cells, "i", "l", "n")
+      .collect()(0)
+    assert(got.getAs[Double]("pe") === 0.5)
+    assert(got.getAs[Double]("pbar") === 0.5)
+    assert(math.abs(got.getAs[Double]("kappa")) < 1e-5)
+  }
+
   test("itemAgreement (r18): majority with lexicographic tie-break, " +
       "unanimity flag, variable panels, null ratings drop") {
     val rows = Seq(

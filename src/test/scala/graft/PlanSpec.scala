@@ -492,8 +492,8 @@ class PlanSpec extends SparkSpec {
   test("r18 agreement/eval shapes: eval_fleiss is cell-count " +
       "aggregations + 1-row-frame joins (no corpus cartesian, no " +
       "window); eval_item_agreement windows are ITEM-partitioned " +
-      "(never SinglePartition); eval_ndcg has no window at all " +
-      "(per-query kernel)") {
+      "(never SinglePartition); eval_ndcg's cap window is QUERY-" +
+      "partitioned (never SinglePartition — r19, the pre-agg cap)") {
     val pf = plan("eval_fleiss")
     assert(!pf.contains("CartesianProduct"), pf.take(900))
     assert(!pf.contains("Window"), pf.take(900))
@@ -502,8 +502,9 @@ class PlanSpec extends SparkSpec {
     assert(!pi.contains("SinglePartition"),
       s"global single-reducer window found:\n${pi.take(900)}")
     val pn = plan("eval_ndcg")
-    assert(!pn.contains("Window") && !pn.contains("CartesianProduct"),
-      pn.take(900))
+    assert(pn.contains("Window"), "the r19 pre-agg cap window")
+    assert(!pn.contains("SinglePartition") &&
+      !pn.contains("CartesianProduct"), pn.take(900))
   }
 
   test("mm_cdc_apply: the chunk-dedup card is explode → two hash " +

@@ -56,6 +56,21 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(t.getDouble(8) === 0.5 && t.getDouble(9) === 0.5)
   }
 
+  test("rankedEval (r19, VERDICT-r18 #4): first_rel_rank/mrr read " +
+      "the FULL list — a first hit at rank k+1 reports rank k+1 and " +
+      "1/(k+1), while dcg/p@k still truncate at k") {
+    val rows = Seq(
+      ("q", 1, 0.0), ("q", 2, 0.0), ("q", 3, 1.0))
+      .toDF("q", "rank", "rel")
+    val r = RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 2)
+      .collect()(0)
+    assert(r.getLong(2) === 1L, "n_rel sees the rank-3 hit")
+    assert(r.getInt(3) === 3, "first_rel_rank is NOT @k")
+    assert(r.getDouble(4) === 0.333333, "mrr is NOT @k")
+    assert(r.getDouble(5) === 0.0, "dcg@2 excludes it")
+    assert(r.getDouble(8) === 0.0 && r.getDouble(9) === 0.0)
+  }
+
   test("rankedEval (r18 adversarial): DUPLICATE rank values order " +
       "deterministically (rel desc within the tie), so the fold is " +
       "run-stable; a rel-0-only judged query still reports its list") {

@@ -982,6 +982,49 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("withSpecialTokenScan (r19, ADVICE-r18 #2): non-BMP markers " +
+      "count by CODE POINTS (length() parity), and a substring-" +
+      "ambiguous marker set refuses loudly instead of double-counting") {
+    import spark.implicits._
+    // the marker contains an emoji (2 UTF-16 units, 1 code point):
+    // a UTF-16 divisor would halve the count
+    val rows = Seq((1L, "x <|😀|>y<|😀|> z"), (2L, "clean"))
+      .toDF("id", "text")
+    val got = graft.functions.TextFunctions.withSpecialTokenScan(
+        rows, "text", markers = Seq("<|😀|>"))
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_special") === 2L)
+    assert(got(1).getAs[Long]("n_special") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.withSpecialTokenScan(
+        rows, "text", markers = Seq("<|im_start|>", "im_start"))
+    }
+    assert(e.getMessage.contains("substring"))
+  }
+
+  test("wordNgrams (r19, ADVICE-r18 #4): n > 64 falls back to the " +
+      "declarative twin instead of the kernel's require — same law " +
+      "(joined grams, short text empty, null null)") {
+    import spark.implicits._
+    val big = (1 to 70).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, big), (2L, "too short"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = rows.select($"id", graft.functions.TextFunctions
+      .wordNgrams($"text", 65).as("g")).orderBy("id").collect()
+    val g1 = got(0).getSeq[String](1)
+    assert(g1.length === 6 && g1.head.startsWith("w1 w2 ") &&
+      g1.head.endsWith(" w65"))
+    assert(got(1).getSeq[String](1).isEmpty)
+    assert(got(2).isNullAt(1))
+    // and ngramNovelty's public n survives > 64 (the regression
+    // ADVICE named): xxhash64-keyed fallback joins fine
+    val novel = graft.operators.Dedup.ngramNovelty(
+      rows.filter($"id" === 1L), "id", "text",
+      Seq(big).toDF("text"), "text", n = 65).collect()(0)
+    assert(novel.getAs[Long]("n_grams") === 6L &&
+      novel.getAs[Long]("n_novel") === 0L)
+  }
+
   test("withQaMatch (r17): SQuAD normalization (punct stripped, " +
       "articles dropped, case-folded), EM vs token F1, clipped " +
       "multiset overlap, empty-side edge rule, null nulls out") {
