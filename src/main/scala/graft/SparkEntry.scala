@@ -4119,6 +4119,45 @@ object SparkEntry {
         rows.withColumn("score", score), "doc_id", "rater", "score")
     }),
 
+    // --- Ordinal Krippendorff's alpha (r19, VERDICT-r18 #3): the
+    //     same variable {2,3} panels over 1..5 Likert scores with
+    //     the +1 dissent — but scored with the marginal-rank
+    //     distance (crossing a popular category costs more). The
+    //     oracle recomputes the δ² table from cumulative marginals
+    //     and replays the exact fold closed-form for panels {2, 3}.
+    "eval_kripp_ordinal" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(
+          when(pmod(id, lit(2L)) === 0, array(lit(0L), lit(1L)))
+            .otherwise(array(lit(0L), lit(1L), lit(2L)))).as("rater"))
+      val score = lit(1L) + pmod(id, lit(5L)) +
+        when(pmod(id + col("rater"), lit(7L)) === 0, 1L).otherwise(0L)
+      operators.Agreement.krippendorffAlphaOrdinal(
+        rows.withColumn("score", score), "doc_id", "rater", "score")
+    }),
+
+    // --- Judge-ensemble audit card (r19, VERDICT-r18 stretch): the
+    //     fleiss plant (3 raters, one dissent where (id+r)%5==0)
+    //     plus a gold column that disagrees with the majority on
+    //     id%7==0 — κ/s2/c2 replay the eval_fleiss law, unanimity is
+    //     1 − P(id%5 ∈ {3,4}) = 0.6, majority accuracy 171/200.
+    "eval_judge_card" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(array(lit(0L), lit(1L), lit(2L)))
+          .as("rater"))
+      val lbl = concat(lit("c"),
+        pmod(id + when(pmod(id + col("rater"), lit(5L)) === 0,
+          col("rater")).otherwise(lit(0L)), lit(3L)))
+      val gold = concat(lit("c"),
+        pmod(id + when(pmod(id, lit(7L)) === 0, 1L).otherwise(0L),
+          lit(3L)))
+      operators.Agreement.judgeCard(
+        rows.withColumn("label", lbl).withColumn("gold", gold),
+        "doc_id", "rater", "label", "gold")
+    }),
+
     "eval_tau" -> ((s, dir) => {
       val id = col("doc_id")
       operators.Agreement.kendallTauB(
@@ -4194,6 +4233,34 @@ object SparkEntry {
         Tables.documents(s, dir).filter(id < 400)
           .select(id, y.as("label"), p.as("pred")),
         "doc_id", "pred", "label", nResamples = 50, seed = 7L)
+    }),
+
+    // --- Paired-system significance test (r19, VERDICT-r18 #2):
+    //     two planted pairs over the same 200 items — `signal`
+    //     (A correct on id%10<8, B on id%10<5: 60 one-sided +1
+    //     deltas, no md5 sign vector reaches |T|=60, p = 1/1001)
+    //     and `null` (A and B correct on disjoint alternating
+    //     halves: deltas ±1 summing to 0, every |T_p| ≥ 0, p = 1.0
+    //     exactly — fails to reject, as it must). All 200k sign
+    //     draws replay in the oracle via the same md5 rule.
+    "eval_paired_test" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir).filter(id < 200)
+      def run(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column, name: String) =
+        operators.ClassifierEval.pairedPermutationTest(
+          docs.select(id, a.as("a_ok"), b.as("b_ok")),
+          "doc_id", "a_ok", "b_ok")
+          .withColumn("pair", lit(name))
+      run(when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L),
+          when(pmod(id, lit(10L)) < 5, 1L).otherwise(0L), "signal")
+        .unionByName(
+          run(when(pmod(id, lit(2L)) === 0, 1L).otherwise(0L),
+            when(pmod(id, lit(2L)) === 1, 1L).otherwise(0L), "null"))
+        .select(col("pair"), col("n"), col("sum_delta"),
+          col("mean_delta"), col("n_perms"), col("n_extreme"),
+          col("p_value"))
+        .orderBy(col("pair"))
     }),
 
     "eval_auc" -> ((s, dir) => {
@@ -10570,6 +10637,51 @@ object SparkEntry {
         |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
         |FROM f""".stripMargin,
 
+    // the eval_judge_card oracle: the eval_fleiss law verbatim plus
+    // the plant's closed-form audit columns — unanimity 1 − P(id%5 ∈
+    // {3,4}), majority accuracy 1 − P(id%7 = 0) (gold flips off the
+    // majority exactly there)
+    "eval_judge_card" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200),
+        |b AS (SELECT doc_id AS i,
+        |        'c' || ((doc_id + CASE WHEN (doc_id + rater) % 5 = 0
+        |          THEN rater ELSE 0 END) % 3) AS l
+        |      FROM r),
+        |cell AS (SELECT i, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |item AS (SELECT i, sum(c) AS m, sum(c * c) AS s
+        |         FROM cell GROUP BY 1),
+        |ia AS (SELECT count(*) AS n_items, max(m) AS n_raters,
+        |         sum(s) AS s2 FROM item),
+        |la AS (SELECT sum(cj * cj) AS c2 FROM
+        |         (SELECT l, sum(c) AS cj FROM cell GROUP BY 1) t),
+        |au AS (SELECT
+        |    round(CAST(sum(CASE WHEN doc_id % 5 IN (3, 4)
+        |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+        |      AS unanimous_frac,
+        |    round(CAST(sum(CASE WHEN doc_id % 7 = 0
+        |      THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6)
+        |      AS majority_acc
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT CAST(n_items AS BIGINT) AS n_items,
+        |        CAST(n_raters AS BIGINT) AS n_raters,
+        |        CAST(s2 AS BIGINT) AS s2, CAST(c2 AS BIGINT) AS c2,
+        |        round((CAST(s2 AS DOUBLE)
+        |            - CAST(n_items AS DOUBLE) * n_raters)
+        |          / (CAST(n_items AS DOUBLE) * n_raters
+        |             * (n_raters - 1)), 6) AS pbar,
+        |        round(CAST(c2 AS DOUBLE)
+        |          / (CAST(n_items AS DOUBLE) * n_raters
+        |             * n_items * n_raters), 6) AS pe
+        |      FROM ia, la)
+        |SELECT n_items, n_raters, s2, c2, pbar, pe,
+        |  CASE WHEN pe < 1.0
+        |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa,
+        |  unanimous_frac, majority_acc
+        |FROM f, au""".stripMargin,
+
     // the eval_ndcg oracle: the plant law — DCG is one 1/log2 term
     // at position p1 = id%3+1 (+ one at position 5 on even ids),
     // with log2 written as ln(x)/ln(2) to mirror the kernel's exact
@@ -10680,6 +10792,53 @@ object SparkEntry {
         |    / (4.0 * (n * t2 - t1 * t1)), 6) AS alpha
         |FROM pm, la""".stripMargin,
 
+    // the eval_kripp_ordinal oracle: δ² recomputed from cumulative
+    // marginals (2δ_ck = 2·Σ_{g=c..k} n_g − n_c − n_k, an exact
+    // integer), per-item pair sums via the within-item cell self-
+    // join, then the exact fold closed-form for panels {2, 3} with
+    // the ×4 scale divided out of d_o/d_e (it cancels in alpha)
+    "eval_kripp_ordinal" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200 AND (doc_id % 2 = 1 OR v.rater < 2)),
+        |b AS (SELECT doc_id AS i,
+        |        1 + doc_id % 5 + CASE WHEN (doc_id + rater) % 7 = 0
+        |          THEN 1 ELSE 0 END AS s
+        |      FROM r),
+        |cell AS (SELECT i, s, count(*) AS c FROM b GROUP BY 1, 2),
+        |item AS (SELECT i, sum(c) AS m FROM cell GROUP BY 1),
+        |marg AS (SELECT s, sum(c) AS ng FROM cell GROUP BY s),
+        |cum AS (SELECT s, ng, sum(ng) OVER (ORDER BY s) AS cs
+        |        FROM marg),
+        |d2 AS (SELECT lo.s AS sa, hi.s AS sb,
+        |         (2 * (hi.cs - lo.cs + lo.ng) - lo.ng - hi.ng)
+        |           * (2 * (hi.cs - lo.cs + lo.ng) - lo.ng - hi.ng)
+        |           AS dd
+        |       FROM cum lo, cum hi WHERE lo.s < hi.s),
+        |ai AS (SELECT x.i, sum(2 * x.c * y.c * d2.dd) AS a
+        |       FROM cell x JOIN cell y ON x.i = y.i AND x.s < y.s
+        |       JOIN d2 ON d2.sa = x.s AND d2.sb = y.s
+        |       GROUP BY x.i),
+        |pm AS (SELECT
+        |    sum(CASE WHEN m = 2 THEN COALESCE(a, 0) ELSE 0 END) AS a2,
+        |    sum(CASE WHEN m = 3 THEN COALESCE(a, 0) ELSE 0 END) AS a3,
+        |    count(*) AS n_items, sum(m) AS n
+        |  FROM item LEFT JOIN ai USING (i)),
+        |de AS (SELECT sum(2 * ma.ng * mb.ng * d2.dd) AS denum
+        |       FROM marg ma JOIN marg mb ON ma.s < mb.s
+        |       JOIN d2 ON d2.sa = ma.s AND d2.sb = mb.s),
+        |nc AS (SELECT count(*) AS n_categories FROM marg)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(n AS BIGINT) AS n_pairable,
+        |  CAST(0 AS BIGINT) AS n_items_dropped,
+        |  CAST(n_categories AS BIGINT) AS n_categories,
+        |  round((2 * a2 + a3) / (2.0 * n * 4), 6) AS d_o,
+        |  round(denum / (CAST(n AS DOUBLE) * (n - 1) * 4), 6) AS d_e,
+        |  round(1.0 - (2 * a2 + a3) * (n - 1) / (2.0 * denum), 6)
+        |    AS alpha
+        |FROM pm, de, nc""".stripMargin,
+
     // the eval_tau oracle: brute-force pair classification at gate
     // size — exact integers, the same tau-b denominator product
     "eval_tau" ->
@@ -10785,6 +10944,42 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN acc_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.acc, bt""".stripMargin,
+
+    // the eval_paired_test oracle: both planted pairs replayed — all
+    // 200k md5 sign draws re-drawn with the same rule, exact Long
+    // permutation sums, the add-one p on the effective perm count
+    "eval_paired_test" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, p.pair,
+        |    CASE p.pair
+        |      WHEN 'signal' THEN
+        |        (CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+        |          - (CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END)
+        |      ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          - (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    END AS dd
+        |  FROM documents, (VALUES ('signal'), ('null')) p(pair)
+        |  WHERE doc_id < 200),
+        |obs AS (SELECT pair, count(*) AS n, sum(dd) AS sd
+        |        FROM d GROUP BY pair),
+        |t AS (SELECT d.pair, r.b,
+        |        sum(CASE WHEN substr(md5(id || ':' || r.b || ':42'),
+        |            1, 1) < '8' THEN dd ELSE -dd END) AS tb
+        |      FROM d, (SELECT unnest(generate_series(0, 999)) AS b) r
+        |      GROUP BY d.pair, r.b),
+        |e AS (SELECT t.pair, count(*) AS np,
+        |        sum(CASE WHEN abs(tb) >= abs(obs.sd)
+        |          THEN 1 ELSE 0 END) AS ne
+        |      FROM t JOIN obs ON obs.pair = t.pair
+        |      GROUP BY t.pair)
+        |SELECT obs.pair, CAST(n AS BIGINT) AS n,
+        |  CAST(sd AS BIGINT) AS sum_delta,
+        |  round(CAST(sd AS DOUBLE) / n, 6) AS mean_delta,
+        |  CAST(np AS BIGINT) AS n_perms,
+        |  CAST(ne AS BIGINT) AS n_extreme,
+        |  round((ne + 1) / (np + 1.0), 6) AS p_value
+        |FROM obs JOIN e ON e.pair = obs.pair
+        |ORDER BY obs.pair""".stripMargin,
 
     "eval_prf" ->
       """WITH b AS (

@@ -207,6 +207,63 @@ object Agreement {
         (col("__c") === col("__m")).as("unanimous"))
   }
 
+  /** Judge-ensemble audit card (r19, VERDICT-r18 stretch) — the one
+    * row an LLM-judge audit actually prints, composed from the
+    * existing aggregation shapes over a single (item, rater, label,
+    * gold) table: Fleiss' κ (is the ensemble consistent above
+    * chance), the unanimity rate (how often does it even need
+    * adjudication), and majority-vote accuracy against gold (is the
+    * consensus RIGHT — agreement without accuracy is just shared
+    * bias). Output: the [[fleissKappaFromCells]] card (n_items,
+    * n_raters, s2, c2, pbar, pe, kappa) + `unanimous_frac` +
+    * `majority_acc`, all round-6.
+    *
+    * Composition discipline: ONE (item, label) cell aggregation is
+    * shared by the κ statistics and the majority view (the majority
+    * rides item-partitioned windows on those cells — the
+    * [[itemAgreement]] shape, lexicographic tie-break included);
+    * gold is folded through the same aggregations (max per cell,
+    * then max per item — gold must be constant per item, and max is
+    * the deterministic pick if it is not). No shuffle beyond the
+    * cell groupBy + item window + 1-row-frame joins; inherits the
+    * fixed-panel refusal from Fleiss.
+    */
+  def judgeCard(df: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String, goldCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(labelCol).cast("string").as("__l"),
+        col(goldCol).cast("string").as("__g"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__l").isNotNull && col("__g").isNotNull)
+    val cell = base.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__c"), max(col("__g")).as("__gc"))
+    val wi = Window.partitionBy(col("__i"))
+    val w = wi.orderBy(col("__c").desc, col("__l").asc)
+    val perItem = cell
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", sum(col("__c")).over(wi))
+      .withColumn("__gold", max(col("__gc")).over(wi))
+      .filter(col("__rn") === 1)
+    val itemStats = perItem.agg(
+      coalesce(sum(when(col("__l") === col("__gold"), 1L)
+        .otherwise(0L)), lit(0L)).as("__n_maj_ok"),
+      coalesce(sum(when(col("__c") === col("__m"), 1L)
+        .otherwise(0L)), lit(0L)).as("__n_unan"))
+    val fleiss = fleissKappaFromCells(
+      cell.select(col("__i"), col("__l"), col("__c")),
+      "__i", "__l", "__c")
+    fleiss.crossJoin(itemStats) // both are 1-row frames
+      .withColumn("unanimous_frac",
+        round(col("__n_unan") / col("n_items"), 6))
+      .withColumn("majority_acc",
+        round(col("__n_maj_ok") / col("n_items"), 6))
+      .select(col("n_items"), col("n_raters"), col("s2"), col("c2"),
+        col("pbar"), col("pe"), col("kappa"),
+        col("unanimous_frac"), col("majority_acc"))
+  }
+
   /** Krippendorff's alpha, nominal metric (r18) — the VARIABLE-panel
     * member of the multi-rater family: [[fleissKappa]] refuses when
     * items carry different rater counts, which is the NORM in crowd
@@ -271,8 +328,9 @@ object Agreement {
       .head().getLong(0)
     // exact rational finish — shared with the interval metric:
     // A_m = Σ (m² − s), D_e numerator = n² − C2
-    val (dO, dE, alpha) =
-      finishAlphaFold(perM, n, BigInt(n) * BigInt(n) - BigInt(c2))
+    val (dO, dE, alpha) = finishAlphaFold(
+      perM.map(p => (p._1, p._2, BigInt(p._3))), n,
+      BigInt(n) * BigInt(n) - BigInt(c2))
     Seq((nItems, n, nDropped, c2,
         Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
         Option(alpha).map(_.toDouble)))
@@ -348,7 +406,8 @@ object Agreement {
           .as("t2")).head()
     val (t1, t2) = (tm.getLong(0), tm.getLong(1))
     val deNum = BigInt(2) * (BigInt(n) * BigInt(t2) - BigInt(t1) * BigInt(t1))
-    val (dO, dE, alpha) = finishAlphaFold(perM, n, deNum)
+    val (dO, dE, alpha) = finishAlphaFold(
+      perM.map(p => (p._1, p._2, BigInt(p._3))), n, deNum)
     Seq((nItems, n, nDropped, t1, t2,
         Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
         Option(alpha).map(_.toDouble)))
@@ -361,26 +420,173 @@ object Agreement {
         col("alpha").cast("double").as("alpha"))
   }
 
-  /** The exact-rational α finish shared by the nominal and interval
-    * metrics: perM rows are (panel size m, item count, integer
-    * disagreement numerator A_m with per-item denominator m−1);
-    * D_o = Σ A_m/(m−1) / n over the lcm common denominator, D_e =
-    * deNum / (n(n−1)), α = 1 − D_o/D_e — one rounding at the end.
+  /** Krippendorff's alpha, ORDINAL metric (r19, VERDICT-r18 #3) —
+    * the Likert-native member: judge scales are ORDERED but not
+    * equidistant, and the textbook-recommended distance for them is
+    * rank-based (Krippendorff 2011): for categories c < k with
+    * pairable marginal counts n_g,
+    *
+    *   δ_ck = Σ_{g=c..k} n_g − (n_c + n_k)/2,   distance δ²_ck
+    *
+    * — disagreeing across a POPULAR middle category costs more than
+    * across a rare one. D_o/D_e are the usual coincidence sums over
+    * δ², pairable items (m ≥ 2) only.
+    *
+    * Determinism: 2δ is an exact integer (the marginals are counts),
+    * so per-item pair sums A_i = Σ_{c≠k} n_ic·n_ik·(2δ_ck)² are exact
+    * integers carrying a fixed ×4 scale that [[finishAlphaFold]]'s
+    * `denScale` divides back out of D_o/D_e (and that cancels in α).
+    * The sums can exceed Long ((2δ)² is quadratic in n), so the
+    * distributed aggregation rides DECIMAL(38,0) — still exact — and
+    * the driver finishes over BigInt rationals as in the nominal/
+    * interval metrics. The δ² lookup is built on the driver from the
+    * collected marginals (bounded by the category count, loudly
+    * capped at `maxCategories` — an ordinal scale with thousands of
+    * levels is not an ordinal scale) and broadcast-joined against the
+    * within-item cell pairs (per-item cells bounded by min(categories,
+    * panel size) — never a corpus blowup). Scores must be
+    * INTEGER-valued (the [[krippendorffAlphaInterval]] contract).
+    * Output: one row (n_items, n_pairable, n_items_dropped,
+    * n_categories, d_o, d_e, alpha); α null when D_e = 0.
+    *
+    * On a BINARY category set the ordinal δ is constant across the
+    * single unequal pair, so α coincides with the nominal and
+    * interval metrics — pinned in AgreementSpec (the three-metric
+    * consistency law).
     */
-  private def finishAlphaFold(perM: Array[(Long, Long, Long)], n: Long,
-      deNum: BigInt): (java.lang.Double, java.lang.Double, java.lang.Double) = {
+  def krippendorffAlphaOrdinal(df: DataFrame, itemCol: String,
+      raterCol: String, scoreCol: String,
+      maxDistinctM: Int = 4096, maxCategories: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val raw = df.select(col(itemCol).cast("string").as("__i"),
+        col(raterCol).cast("string").as("__r"),
+        col(scoreCol).cast("double").as("__sd"))
+      .filter(col("__i").isNotNull && col("__r").isNotNull &&
+        col("__sd").isNotNull)
+    val nonInt = raw.filter(col("__sd") =!= col("__sd").cast("long")
+      .cast("double")).limit(1).count()
+    require(nonInt == 0,
+      "krippendorffAlphaOrdinal: fractional score found — the " +
+        "ordinal fold is exact over INTEGER category codes; rescale " +
+        "upstream")
+    val base = raw.select(col("__i"), col("__r"),
+      col("__sd").cast("long").as("__s"))
+    val cell = base.groupBy(col("__i"), col("__s"))
+      .agg(count(lit(1)).as("c"))
+    val perItem = cell.groupBy(col("__i")).agg(sum(col("c")).as("m"))
+    val pairableIds = perItem.filter(col("m") >= 2).select(col("__i"))
+    // pairable marginals, collected — bounded by category count
+    val margAll = cell.join(pairableIds, Seq("__i"))
+      .groupBy(col("__s")).agg(sum(col("c")).as("ng"))
+      .orderBy(col("__s"))
+      .limit(maxCategories + 1)
+      .as[(Long, Long)].collect()
+    require(margAll.length <= maxCategories,
+      s"krippendorffAlphaOrdinal: > $maxCategories distinct score " +
+        "values — that is not an ordinal scale; check the score " +
+        "column (or use the interval metric)")
+    // driver δ² table over the marginals: 2δ_ck = 2·Σ_{g=c..k} n_g −
+    // n_c − n_k (integer); cumulative sums make each pair O(1)
+    val cum = margAll.scanLeft(0L) { case (acc, (_, ng)) => acc + ng }
+    val d2pairs = for {
+      ci <- margAll.indices
+      ki <- margAll.indices if ci < ki
+    } yield {
+      val twoDelta = BigInt(2) * BigInt(cum(ki + 1) - cum(ci)) -
+        BigInt(margAll(ci)._2) - BigInt(margAll(ki)._2)
+      (margAll(ci)._1, margAll(ki)._1, twoDelta * twoDelta)
+    }
+    // explicit DECIMAL(38,0) schema — the default Scala-BigDecimal
+    // encoder is (38,18), whose 20 integer digits would silently
+    // null out an extreme δ² instead of carrying it exactly
+    val d2Schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__sa",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__sb",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__d2",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    val d2df = spark.createDataFrame(
+      java.util.Arrays.asList(d2pairs.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2,
+          new java.math.BigDecimal(p._3.bigInteger))): _*),
+      d2Schema)
+    // per-item exact pair sums in DECIMAL(38,0): within-item cell
+    // self-join (c < k) ×2 for the symmetric convention
+    val a = cell.select(col("__i"), col("__s").as("__sa"),
+      col("c").as("__ca"))
+    val b = cell.select(col("__i"), col("__s").as("__sb"),
+      col("c").as("__cb"))
+    val perItemA = a.join(b, Seq("__i"))
+      .filter(col("__sa") < col("__sb"))
+      .join(broadcast(d2df), Seq("__sa", "__sb"))
+      .groupBy(col("__i"))
+      .agg(sum(lit(2).cast("decimal(38,0)") *
+        col("__ca").cast("decimal(38,0)") *
+        col("__cb").cast("decimal(38,0)") * col("__d2")).as("__ai"))
+    // per-panel-size integer statistics (single-category items have
+    // no cross pair and coalesce to 0 disagreement)
+    val perMAll = perItem.join(perItemA, Seq("__i"), "left")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("k"),
+        coalesce(sum(col("__ai")),
+          lit(0).cast("decimal(38,0)")).as("a_m"))
+      .limit(maxDistinctM + 1)
+      .as[(Long, Long, BigDecimal)].collect()
+    require(perMAll.length <= maxDistinctM,
+      s"krippendorffAlphaOrdinal: > $maxDistinctM distinct panel " +
+        "sizes — that is not a rated eval set; check the item key")
+    val perM = perMAll.filter(_._1 >= 2)
+      .map(p => (p._1, p._2,
+        Option(p._3).map(_.toBigInt).getOrElse(BigInt(0))))
+    val nDropped = perMAll.filter(_._1 < 2).map(_._2).sum
+    val nItems = perM.map(_._2).sum
+    val n = perM.map(p => p._1 * p._2).sum
+    // D_e numerator (same ×4 scale), exact on the driver from the
+    // marginals: 2·Σ_{c<k} n_c·n_k·(2δ_ck)²
+    val margMap = margAll.toMap
+    val deNum = d2pairs.map { case (sa, sb, d2) =>
+      BigInt(2) * BigInt(margMap(sa)) * BigInt(margMap(sb)) * d2
+    }.foldLeft(BigInt(0))(_ + _)
+    val (dO, dE, alpha) =
+      finishAlphaFold(perM, n, deNum, denScale = BigInt(4))
+    Seq((nItems, n, nDropped, margAll.length.toLong,
+        Option(dO).map(_.toDouble), Option(dE).map(_.toDouble),
+        Option(alpha).map(_.toDouble)))
+      .toDF("n_items", "n_pairable", "n_items_dropped", "n_categories",
+        "d_o", "d_e", "alpha")
+      .select(col("n_items"), col("n_pairable"),
+        col("n_items_dropped"), col("n_categories"),
+        col("d_o").cast("double").as("d_o"),
+        col("d_e").cast("double").as("d_e"),
+        col("alpha").cast("double").as("alpha"))
+  }
+
+  /** The exact-rational α finish shared by the nominal, interval and
+    * ordinal metrics: perM rows are (panel size m, item count, exact
+    * integer disagreement numerator A_m with per-item denominator
+    * m−1); D_o = Σ A_m/(m−1) / (n·denScale) over the lcm common
+    * denominator, D_e = deNum / (n(n−1)·denScale), α = 1 − D_o/D_e —
+    * one rounding at the end. `denScale` carries a metric's fixed
+    * integerizing factor (ordinal squares half-integer δ's, so its
+    * A_m/deNum ride ×4); it cancels in α by construction.
+    */
+  private def finishAlphaFold(perM: Array[(Long, Long, BigInt)], n: Long,
+      deNum: BigInt, denScale: BigInt = BigInt(1)):
+      (java.lang.Double, java.lang.Double, java.lang.Double) = {
     def gcd(a: BigInt, b: BigInt): BigInt = if (b == 0) a else gcd(b, a % b)
     val dens = perM.map(p => BigInt(p._1 - 1))
     val lcm = dens.sorted.foldLeft(BigInt(1))((l, d) => l / gcd(l, d) * d)
     val num = perM.sortBy(_._1)
-      .map(p => BigInt(p._3) * (lcm / BigInt(p._1 - 1)))
+      .map(p => p._3 * (lcm / BigInt(p._1 - 1)))
       .foldLeft(BigInt(0))(_ + _)
     def r6(q: BigInt, d: BigInt): java.lang.Double =
       if (d == 0) null
       else (BigDecimal(q) / BigDecimal(d))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val dO = r6(num, lcm * BigInt(n))
-    val dE = r6(deNum, BigInt(n) * BigInt(n - 1))
+    val dO = r6(num, lcm * BigInt(n) * denScale)
+    val dE = r6(deNum, BigInt(n) * BigInt(n - 1) * denScale)
     val alpha: java.lang.Double =
       if (n < 2 || deNum == 0) null
       else r6(lcm * deNum * BigInt(n) - BigInt(n - 1) * num * BigInt(n),

@@ -89,6 +89,40 @@ class AgreementSpec extends SparkSpec {
     assert(got(3).getLong(1) === 1L && got(3).getBoolean(6))
   }
 
+  test("judgeCard (r19): kappa + unanimity + majority-vote accuracy " +
+      "vs gold in one card — hand case, agreement-without-accuracy " +
+      "surfaces, fleiss' fixed-panel refusal inherited") {
+    def jc(rows: Seq[(Long, Long, String, String)]) =
+      Agreement.judgeCard(rows.toDF("i", "r", "l", "g"),
+        "i", "r", "l", "g").collect()(0)
+    // item1 (a,a,a) gold a; item2 (a,a,b) gold b — CONSENSUS WRONG;
+    // item3 (b,b,b) gold b. s2 = 9+5+9 = 23, pbar = 14/18; marginals
+    // a=5 b=4, c2 = 41, pe = 41/81; kappa = 0.55 on the rounded pair
+    val h = jc(Seq(
+      (1L, 1L, "a", "a"), (1L, 2L, "a", "a"), (1L, 3L, "a", "a"),
+      (2L, 1L, "a", "b"), (2L, 2L, "a", "b"), (2L, 3L, "b", "b"),
+      (3L, 1L, "b", "b"), (3L, 2L, "b", "b"), (3L, 3L, "b", "b")))
+    assert(h.getLong(0) === 3L && h.getLong(1) === 3L)
+    assert(h.getLong(2) === 23L && h.getLong(3) === 41L)
+    assert(h.getDouble(4) === 0.777778 && h.getDouble(5) === 0.506173)
+    assert(h.getDouble(6) === 0.55)
+    assert(h.getDouble(7) === 0.666667, "unanimous_frac")
+    assert(h.getDouble(8) === 0.666667,
+      "item2's unanimous-adjacent majority disagrees with gold")
+    // shared-bias ensemble: perfect agreement, zero accuracy — the
+    // card must show kappa 1.0 next to majority_acc 0.0
+    val bias = jc(Seq(
+      (1L, 1L, "x", "y"), (1L, 2L, "x", "y"),
+      (2L, 1L, "z", "w"), (2L, 2L, "z", "w")))
+    assert(bias.getDouble(6) === 1.0 && bias.getDouble(8) === 0.0 &&
+      bias.getDouble(7) === 1.0)
+    // fixed-panel refusal rides through from fleiss
+    intercept[IllegalArgumentException] {
+      jc(Seq((1L, 1L, "a", "a"), (1L, 2L, "a", "a"),
+        (2L, 1L, "a", "a")))
+    }
+  }
+
   test("krippendorffAlpha (r18): hand case over a VARIABLE panel " +
       "(where fleissKappa refuses), exact rational finish, " +
       "singly-rated items drop, all-agree 1.0, one-category null, " +
@@ -156,6 +190,76 @@ class AgreementSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ki(Seq((1L, 1L, 1.5), (1L, 2L, 2.0)))
     }
+  }
+
+  test("krippendorffAlphaOrdinal (r19, VERDICT-r18 #3): hand case " +
+      "exact over the marginal-rank distance, popular-middle " +
+      "crossings cost more, fractional scores refuse, category cap") {
+    def ko(rows: Seq[(Long, Long, Double)], cap: Int = 512) =
+      Agreement.krippendorffAlphaOrdinal(rows.toDF("i", "r", "s"),
+        "i", "r", "s", maxCategories = cap).collect()(0)
+    // items: A=(1,1) B=(1,2) C=(2,2,3) D=(3,3,3); marginals
+    // n1=3 n2=3 n3=4, 2δ(1,2)=6 2δ(2,3)=7 2δ(1,3)=13;
+    // A_2 = 2·1·1·36 = 72 (B), A_3 = 2·2·1·49 = 196 (C);
+    // num = 2·72 + 196 = 340, D_o = 340/80 = 4.25;
+    // deNum = 2(9·36 + 12·169 + 12·49) = 5880, D_e = 5880/360
+    // = 16.333333; alpha = 87000/117600 = 0.739796
+    val h = ko(Seq((1L, 1L, 1.0), (1L, 2L, 1.0),
+      (2L, 1L, 1.0), (2L, 2L, 2.0),
+      (3L, 1L, 2.0), (3L, 2L, 2.0), (3L, 3L, 3.0),
+      (4L, 1L, 3.0), (4L, 2L, 3.0), (4L, 3L, 3.0)))
+    assert(h.getLong(0) === 4L && h.getLong(1) === 10L &&
+      h.getLong(2) === 0L && h.getLong(3) === 3L)
+    assert(h.getDouble(4) === 4.25 && h.getDouble(5) === 16.333333)
+    assert(h.getDouble(6) === 0.739796)
+    // ordinal law: a 1-vs-3 squabble across a POPULAR middle
+    // category is worse than across a rare one — same cells, only
+    // the middle category's marginal mass moved
+    def squabble(midHeavy: Boolean) = {
+      val mid = if (midHeavy) Seq(
+        (10L, 1L, 2.0), (10L, 2L, 2.0), (11L, 1L, 2.0), (11L, 2L, 2.0))
+      else Seq(
+        (10L, 1L, 1.0), (10L, 2L, 1.0), (11L, 1L, 3.0), (11L, 2L, 3.0))
+      ko(Seq((1L, 1L, 1.0), (1L, 2L, 3.0)) ++ mid).getDouble(6)
+    }
+    assert(squabble(midHeavy = true) < squabble(midHeavy = false),
+      "crossing a popular middle category must cost more")
+    // perfect agreement across variable panels
+    assert(ko(Seq((1L, 1L, 2.0), (1L, 2L, 2.0),
+      (2L, 1L, 5.0), (2L, 2L, 5.0), (2L, 3L, 5.0))).getDouble(6) === 1.0)
+    // constant-score: D_e = 0 -> null; singly-rated items drop
+    assert(ko(Seq((1L, 1L, 3.0), (1L, 2L, 3.0),
+      (2L, 1L, 3.0), (2L, 2L, 3.0))).isNullAt(6))
+    assert(ko(Seq((1L, 1L, 1.0), (1L, 2L, 2.0),
+      (2L, 1L, 1.0))).getLong(2) === 1L)
+    intercept[IllegalArgumentException] {
+      ko(Seq((1L, 1L, 1.5), (1L, 2L, 2.0)))
+    }
+    intercept[IllegalArgumentException] {
+      ko(Seq((1L, 1L, 1.0), (1L, 2L, 2.0),
+        (2L, 1L, 3.0), (2L, 2L, 4.0)), cap = 2)
+    }
+  }
+
+  test("krippendorff three-metric consistency (r19): on a BINARY " +
+      "category set the nominal, interval and ordinal alphas " +
+      "coincide — the distances differ only by a constant factor") {
+    val rows = Seq(
+      (1L, 1L, 0.0), (1L, 2L, 0.0),
+      (2L, 1L, 0.0), (2L, 2L, 1.0), (2L, 3L, 1.0),
+      (3L, 1L, 1.0), (3L, 2L, 1.0),
+      (4L, 1L, 0.0), (4L, 2L, 0.0), (4L, 3L, 1.0))
+      .toDF("i", "r", "s")
+    val nom = Agreement.krippendorffAlpha(
+      rows.selectExpr("i", "r", "CAST(s AS STRING) AS s"),
+      "i", "r", "s").collect()(0).getDouble(6)
+    val itv = Agreement.krippendorffAlphaInterval(rows, "i", "r", "s")
+      .collect()(0).getDouble(7)
+    val ord = Agreement.krippendorffAlphaOrdinal(rows, "i", "r", "s")
+      .collect()(0).getDouble(6)
+    assert(nom === itv && itv === ord,
+      s"binary-panel alphas must agree: nominal $nom interval $itv " +
+        s"ordinal $ord")
   }
 
   test("spearmanRho: monotone 1.0 even when nonlinear, reversed " +

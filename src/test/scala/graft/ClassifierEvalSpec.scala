@@ -112,6 +112,47 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("pairedPermutationTest (r19, VERDICT-r18 #2): a planted " +
+      "A≻B pair rejects at p < 0.05, a sign-balanced null pair " +
+      "lands on p = 1.0 exactly, identical calls identical cards, " +
+      "fractional scores and bad P refuse") {
+    import spark.implicits._
+    // signal: A correct on 80%, B on 50% of 200 items — 60 one-sided
+    // +1 deltas; no random sign vector plausibly reaches |T| = 60
+    val sig = (0L until 200L).map(i =>
+      (i, if (i % 10 < 8) 1.0 else 0.0, if (i % 10 < 5) 1.0 else 0.0))
+      .toDF("id", "a", "b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ClassifierEval.pairedPermutationTest(df, "id", "a", "b",
+        nPermutations = 500, seed = 9L).collect()(0)
+    val s1 = run(sig); val s2 = run(sig)
+    assert(s1 === s2, "md5 sign vectors must be run-deterministic")
+    assert(s1.getLong(0) === 200L && s1.getLong(1) === 60L)
+    assert(s1.getDouble(2) === 0.3 && s1.getLong(3) === 500L)
+    assert(s1.getDouble(5) < 0.05, s"signal pair must reject: $s1")
+    // null: disjoint alternating halves — deltas ±1 summing to 0,
+    // so EVERY permutation is at least as extreme: p = 1.0 exactly
+    val nul = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 1) 1.0 else 0.0))
+      .toDF("id", "a", "b")
+    val n1 = run(nul)
+    assert(n1.getLong(1) === 0L && n1.getLong(4) === 500L &&
+      n1.getDouble(5) === 1.0, s"null pair must not reject: $n1")
+    // empty input: nothing to reject, p 1.0 on 0 effective perms
+    val e = run(sig.filter($"id" < 0))
+    assert(e.getLong(0) === 0L && e.getLong(3) === 0L &&
+      e.getDouble(5) === 1.0)
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPermutationTest(
+        Seq((1L, 0.5, 0.0)).toDF("id", "a", "b"), "id", "a", "b")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPermutationTest(sig, "id", "a", "b",
+        nPermutations = 0)
+    }
+  }
+
   test("aucRoc (r18, VERDICT-r17 #2): the bounded-eval contract is " +
       "enforced — over-cap input refuses loudly before the " +
       "single-task rank window runs") {
