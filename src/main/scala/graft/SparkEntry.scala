@@ -4479,6 +4479,39 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- CDC store ROUND TRIP (r19, VERDICT-r18 #7): chunkManifest
+    //     proved sharing; this proves RECONSTRUCTION. The 200-blob
+    //     plant is chunked, the content-addressed store of distinct
+    //     chunks is WRITTEN to parquet and read back, every blob is
+    //     rebuilt by ordered chunk join, and byte-identity is one
+    //     md5 comparison against the original payload — the oracle
+    //     pins all-true plus the exact byte counts.
+    "mm_cdc_restore" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id.as("media_id"), pmod(id, lit(40L)).as("group"),
+          (pmod(id, lit(5L)) === 0).as("prefixed"))
+      val blobs = graft.sources.Cdc.synthesizeCdcBlobs(rows,
+        blobBytes = 8192)
+      val chunked = graft.sources.Cdc.withCdcChunks(blobs, "payload",
+        "c", minSize = 256, avgSize = 1024, maxSize = 4096)
+      val storePath = gateIndexPath(dir, "cdc_store")
+      graft.sources.Cdc.chunkStore(chunked, "payload", "c")
+        .write.mode("overwrite").parquet(storePath)
+      val store = s.read.parquet(storePath)
+      // rename before the join: restored's lineage descends from
+      // blobs, so two `payload` attributes would be ambiguous
+      val restored = graft.sources.Cdc.restoreBlobs(chunked,
+          "media_id", "c", store)
+        .withColumnRenamed("payload", "r_payload")
+      restored.join(blobs,
+          restored("blob_id") === blobs("media_id"))
+        .select(col("media_id"), col("restored_bytes"),
+          (md5(col("r_payload")) === md5(col("payload")))
+            .as("byte_identical"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- Near-dup cluster-size histogram (r17): 15 planted clusters
     //     (the dedup_keep_best separated-group plant — members of a
     //     group share v = id%3 since 15k ≡ 0 mod 3, so groups are
@@ -8467,6 +8500,59 @@ object SparkEntry {
         .orderBy(col("pred_lang"))
     }),
 
+    // --- RAG-prep pipeline end-to-end (r19, VERDICT-r18 #6): the
+    //     four stages r18 built, COMPOSED as one lazy plan —
+    //     semanticChunks (the r18 drift plant: even ids AAABBB →
+    //     (0,2)(2,1)(3,2)(5,1) under maxUnits=2, odd ids ABABAB →
+    //     six singletons) → HashEmbedder chunk embedding (boundary)
+    //     → cosine knnJoin (each query is the EXACT text of its
+    //     doc's chunk 0, so the deterministic embedder puts that
+    //     chunk at distance 0 / rank 1) → rankedEval. The oracle is
+    //     the composition law: a perfect retrieval card for every
+    //     query — any drift in chunk text, embedding, ranking or
+    //     scoring breaks a column.
+    "pipeline_rag" -> ((s, dir) => {
+      val id = col("doc_id")
+      val units = Tables.documents(s, dir).filter(id < 120)
+        .select(id, explode(sequence(lit(0), lit(5))).as("unit_idx"))
+        .withColumn("topic",
+          when(pmod(id, lit(2L)) === 0,
+            when(col("unit_idx") < 3, 0).otherwise(1))
+            .otherwise(pmod(col("unit_idx"), lit(2)).cast("int")))
+        .withColumn("unit_emb",
+          when(col("topic") === 0, array(lit(1.0f), lit(0.0f)))
+            .otherwise(array(lit(0.0f), lit(1.0f))))
+        .withColumn("unit_text",
+          concat(lit("u"), col("unit_idx"), lit("d"), id))
+        .drop("topic")
+      val chunks = operators.Chunk.semanticChunks(units, "doc_id",
+          "unit_idx", "unit_text", "unit_emb", minSim = 0.5,
+          maxUnits = 2)
+        .withColumn("chunk_id", id * 8 + col("chunk_idx"))
+      val corpus = graft.pipeline.Boundary.withEmbedding(
+        chunks.select(col("chunk_id"), col("chunk_text")),
+        "chunk_text", "embedding",
+        () => new graft.pipeline.HashEmbedder(32))
+      // queries restate chunk 0's text law closed-form — if the
+      // chunker drifts, the corpus text no longer matches and the
+      // planted hit leaves rank 1
+      val qtext = when(pmod(id, lit(2L)) === 0,
+          concat(lit("u0d"), id, lit(" u1d"), id))
+        .otherwise(concat(lit("u0d"), id))
+      val queries = graft.pipeline.Boundary.withEmbedding(
+        Tables.documents(s, dir).filter(id < 20)
+          .select(id.as("query_id"), qtext.as("qt")),
+        "qt", "q_vec", () => new graft.pipeline.HashEmbedder(32))
+      val hits = operators.Knn.knnJoin(corpus, "chunk_id", "embedding",
+        queries, "query_id", "q_vec", k = 5, metric = "cosine")
+      val judged = hits.withColumn("rel",
+        when(col("chunk_id") === col("query_id") * 8, 1.0)
+          .otherwise(0.0))
+      operators.RetrievalEval.rankedEval(judged, "query_id", "rank",
+          "rel", k = 5)
+        .orderBy(col("query"))
+    }),
+
     // --- Salted two-phase aggregation (skew tool promoted into the
     //     gate): event_type is exactly the low-cardinality hot-key
     //     shape saltedAgg exists for; the oracle is the PLAIN GROUP BY
@@ -10575,6 +10661,16 @@ object SparkEntry {
         |    END AS DOUBLE) AS ratio_exact
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
 
+    // the mm_cdc_restore oracle: the round-trip law — every blob
+    // rebuilds byte-identically (TRUE across the board) and restored
+    // bytes equal logical bytes: 8192 + the 7-byte prefix iff id%5=0
+    "mm_cdc_restore" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8192 + CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 0 END
+        |    AS BIGINT) AS restored_bytes,
+        |  TRUE AS byte_identical
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+
     // the eval_kappa oracle: marginal product sum + the same rounded
     // po/pe feeding kappa (ratio steps mirrored on the ROUNDED values)
     "eval_kappa" ->
@@ -10681,6 +10777,23 @@ object SparkEntry {
         |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa,
         |  unanimous_frac, majority_acc
         |FROM f, au""".stripMargin,
+
+    // the pipeline_rag oracle: the composition law — the query IS
+    // its doc's chunk-0 text, the deterministic embedder maps equal
+    // text to the identical vector, so every query's card is the
+    // perfect retrieval card (hit at rank 1, one relevant in 5)
+    "pipeline_rag" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS query,
+        |  CAST(5 AS BIGINT) AS n_results,
+        |  CAST(1 AS BIGINT) AS n_rel,
+        |  CAST(1 AS INT) AS first_rel_rank,
+        |  CAST(1.0 AS DOUBLE) AS mrr,
+        |  CAST(1.0 AS DOUBLE) AS dcg,
+        |  CAST(1.0 AS DOUBLE) AS idcg,
+        |  CAST(1.0 AS DOUBLE) AS ndcg,
+        |  CAST(0.2 AS DOUBLE) AS p_at_k,
+        |  CAST(1.0 AS DOUBLE) AS r_at_k
+        |FROM documents WHERE doc_id < 20 ORDER BY query""".stripMargin,
 
     // the eval_ndcg oracle: the plant law — DCG is one 1/log2 term
     // at position p1 = id%3+1 (+ one at position 5 on even ids),

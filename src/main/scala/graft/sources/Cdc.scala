@@ -193,6 +193,62 @@ object Cdc {
           round(col("stored_bytes") / col("logical_bytes"), 6)))
   }
 
+  /** The content-addressed STORE itself (r19, VERDICT-r18 #7):
+    * one row per distinct chunk CONTENT — (md5, size, data BINARY) —
+    * extracted by declarative binary substring over the chunked
+    * payloads (no second hashing pass; the chunker already stamped
+    * offsets) and deduplicated by (md5, size) with a deterministic
+    * `min(data)` pick (all candidates are byte-identical by the md5
+    * key, so min is just the tie-breaking formality). This is what a
+    * dedup store WRITES; [[restoreBlobs]] proves the round trip.
+    *
+    * Durability discipline: write with mode("overwrite") to a
+    * dedicated path; for in-place refresh of a LIVE store, stage to
+    * a HIDDEN sibling and rename — the
+    * [[Maintenance.compactParquet]] crash-safe swap (a mid-write
+    * crash must leave either the old store or the new one, never a
+    * half store that silently fails restores).
+    */
+  def chunkStore(chunked: DataFrame, payloadCol: String,
+      chunksCol: String): DataFrame =
+    chunked.select(col(payloadCol).as("__p"),
+        explode(col(chunksCol)).as("ch"))
+      .select(col("ch.md5").as("md5"), col("ch.size").as("size"),
+        expr(s"substring(__p, ch.offset + 1, ch.size)").as("data"))
+      .groupBy(col("md5"), col("size"))
+      .agg(min(col("data")).as("data"))
+
+  /** Rebuild every blob from the content-addressed store by ordered
+    * chunk join (r19, VERDICT-r18 #7 — [[chunkManifest]] proves
+    * SHARING; this proves RECONSTRUCTION): explode each blob's
+    * manifest with its chunk sequence number, join the store on
+    * (md5, size) — 1:1 per chunk row, never all-pairs — and
+    * reassemble in chunk order with an in-row ordered binary fold
+    * (the per-blob list is bounded by one blob's chunk count, i.e.
+    * by the blob size the row already carried). Returns
+    * (blob_id, n_chunks, restored_bytes, payload BINARY); blobs
+    * with an empty or null chunk array have nothing to restore and
+    * are absent (explode drops them). Byte-identity is then one
+    * md5 comparison against the original — the `mm_cdc_restore`
+    * gate pins it end to end, store write + read-back included.
+    */
+  def restoreBlobs(chunked: DataFrame, idCol: String,
+      chunksCol: String, store: DataFrame): DataFrame = {
+    val manifest = chunked.select(col(idCol).as("blob_id"),
+        posexplode(col(chunksCol)).as(Seq("__seq", "ch")))
+      .select(col("blob_id"), col("__seq"),
+        col("ch.md5").as("md5"), col("ch.size").as("size"))
+    manifest.join(store.select(col("md5"), col("size"), col("data")),
+        Seq("md5", "size"))
+      .groupBy(col("blob_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("size").cast("long")).as("restored_bytes"),
+        aggregate(
+          array_sort(collect_list(struct(col("__seq"), col("data")))),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x.getField("data"))).as("payload"))
+  }
+
   /** Append `outCol`: ARRAY<STRUCT<offset INT, size INT, md5 STRING>>
     * of the payload's content-defined chunks — one narrow map over
     * the scan (the decode-family shape); chunk-level dedup is then a

@@ -105,4 +105,39 @@ class CdcSpec extends SparkSpec {
       pairChunks.forall(_.getAs[Long]("owner_blob") === 1L))
     assert(pairChunks.map(_.getAs[Int]("size").toLong).sum === 5000L)
   }
+
+  test("chunkStore + restoreBlobs (r19, VERDICT-r18 #7): the store " +
+      "holds each content once, every blob rebuilds BYTE-IDENTICAL " +
+      "through the ordered chunk join, prefix-shifted duplicates " +
+      "restore from shared chunks, empty blobs are absent") {
+    import org.apache.spark.sql.functions._
+    // blob 1 and blob 2 share a 5000-byte body; blob 2 carries a
+    // 7-byte prefix (the resync shift); blob 3 is empty
+    val body = blob(7L, 5000)
+    val pre = Array.tabulate(7)(i => (i * 31 + 5).toByte)
+    val rows = Seq((1L, body), (2L, pre ++ body),
+        (3L, Array.emptyByteArray))
+      .toDF("id", "payload")
+    val chunked = Cdc.withCdcChunks(rows, "payload", "c",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+    val store = Cdc.chunkStore(chunked, "payload", "c")
+    // each content exactly once, and stored bytes = data lengths
+    val st = store.collect()
+    assert(st.map(_.getAs[String]("md5")).distinct.length === st.length)
+    assert(st.forall(r =>
+      r.getAs[Array[Byte]]("data").length === r.getAs[Int]("size")))
+    val restored = Cdc.restoreBlobs(chunked, "id", "c", store)
+      .orderBy("blob_id").collect()
+    assert(restored.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "empty blob has nothing to restore and is absent")
+    assert(restored(0).getAs[Array[Byte]]("payload").toSeq === body.toSeq)
+    assert(restored(1).getAs[Array[Byte]]("payload").toSeq ===
+      (pre ++ body).toSeq)
+    assert(restored(0).getAs[Long]("restored_bytes") === 5000L &&
+      restored(1).getAs[Long]("restored_bytes") === 5007L)
+    // the sharing evidence: the union of both manifests references
+    // fewer distinct contents than the sum of their chunk counts
+    val nChunks = restored.map(_.getAs[Long]("n_chunks")).sum
+    assert(st.length < nChunks, "resynced duplicates must share")
+  }
 }

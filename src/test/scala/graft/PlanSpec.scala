@@ -507,6 +507,17 @@ class PlanSpec extends SparkSpec {
       !pn.contains("CartesianProduct"), pn.take(900))
   }
 
+  test("pipeline_rag (r19): the composed chunk→embed→retrieve→score " +
+      "plan has NO global window (chunk windows are document-" +
+      "partitioned, the rankedEval cap window query-partitioned), " +
+      "no cartesian, and the KNN path is the kernel, not a window") {
+    val p = plan("pipeline_rag")
+    assert(p.contains("Window"), "chunk/cap windows must exist")
+    assert(!p.contains("SinglePartition"),
+      s"global single-reducer window found:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
+
   test("mm_cdc_apply: the chunk-dedup card is explode → two hash " +
       "aggregations → one md5-KEYED join — no cartesian, no " +
       "nested-loop over blob pairs, no window") {
