@@ -125,7 +125,12 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","nq":${results.length},"names":"sorted; see BENCH_DETAIL.json","t_cs":$times}""")
+    // r19 protocol (VERDICT-r18 #1): the fixed-workload machine
+    // divisor rides the headline line, so any BENCH_r{N}.json can be
+    // calibration-normalized without opening BENCH_DETAIL.json —
+    // cross-round comparisons divide per-query times by this first
+    val calib = results.toMap.getOrElse("perf_calibration", -1.0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"sf":"$sfName","nq":${results.length},"names":"sorted; see BENCH_DETAIL.json","t_cs":$times}""")
     // full-precision copy into the repo working tree: the stdout line
     // is tail-capture-constrained (~1915 chars), the file is not — the
     // round snapshot commits it, so per-query figures stay recoverable

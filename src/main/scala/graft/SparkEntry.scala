@@ -4158,6 +4158,45 @@ object SparkEntry {
         "doc_id", "rater", "label", "gold")
     }),
 
+    // --- Per-rater bias card (r19): the fleiss plant viewed
+    //     rater-by-rater — rater 0's dissent rule is a no-op (adds
+    //     0), so it agrees with the majority on every item; raters
+    //     1/2 each dissent on their 40-id slice (rate 0.8). Label
+    //     concentration replays generically in the oracle.
+    "eval_rater_card" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(array(lit(0L), lit(1L), lit(2L)))
+          .as("rater"))
+      val lbl = concat(lit("c"),
+        pmod(id + when(pmod(id + col("rater"), lit(5L)) === 0,
+          col("rater")).otherwise(lit(0L)), lit(3L)))
+      operators.Agreement.raterCard(rows.withColumn("label", lbl),
+          "doc_id", "rater", "label")
+        .orderBy(col("rater"))
+    }),
+
+    // --- Pairwise win-rate matrix (r19): three systems scored on
+    //     the same 300 items — s2 beats the base on id%4==0, s3
+    //     loses on id%5==0, everything else ties; the ties-count-
+    //     half records are closed-form (0.375 / 0.6 / 0.7).
+    "eval_winrate" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = pmod(id, lit(10L)).cast("double")
+      val docs = Tables.documents(s, dir).filter(id < 300)
+      def sys(name: String, score: org.apache.spark.sql.Column) =
+        docs.select(id.as("item"), lit(name).as("system"),
+          score.as("score"))
+      sys("s1", base)
+        .unionByName(sys("s2",
+          base + when(pmod(id, lit(4L)) === 0, 1.0).otherwise(0.0)))
+        .unionByName(sys("s3",
+          base - when(pmod(id, lit(5L)) === 0, 1.0).otherwise(0.0)))
+        .transform(d => operators.Preference.winRateMatrix(d,
+          "item", "system", "score"))
+        .orderBy(col("system_a"), col("system_b"))
+    }),
+
     "eval_tau" -> ((s, dir) => {
       val id = col("doc_id")
       operators.Agreement.kendallTauB(
@@ -4233,6 +4272,24 @@ object SparkEntry {
         Tables.documents(s, dir).filter(id < 400)
           .select(id, y.as("label"), p.as("pred")),
         "doc_id", "pred", "label", nResamples = 50, seed = 7L)
+    }),
+
+    // --- McNemar's exact test (r19): the closed-form paired
+    //     companion — B loses A's correct answer on id%25==0 (12
+    //     ids), gains one on id%30==8 (10 ids, disjoint by CRT), so
+    //     the card is n01=10 / n10=12 and the exact binomial tail
+    //     is replayed in the oracle with a recursive-CTE Pascal
+    //     walk over exact integers.
+    "eval_mcnemar" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L)
+      val b = when(pmod(id, lit(25L)) === 0, 0L)
+        .when(pmod(id, lit(30L)) === 8, 1L)
+        .otherwise(a)
+      operators.ClassifierEval.mcnemarTest(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(a.as("a_ok"), b.as("b_ok")),
+        "a_ok", "b_ok")
     }),
 
     // --- Paired-system significance test (r19, VERDICT-r18 #2):
@@ -10792,7 +10849,8 @@ object SparkEntry {
         |  CAST(1.0 AS DOUBLE) AS idcg,
         |  CAST(1.0 AS DOUBLE) AS ndcg,
         |  CAST(0.2 AS DOUBLE) AS p_at_k,
-        |  CAST(1.0 AS DOUBLE) AS r_at_k
+        |  CAST(1.0 AS DOUBLE) AS r_at_k,
+        |  CAST(1.0 AS DOUBLE) AS ap_at_k
         |FROM documents WHERE doc_id < 20 ORDER BY query""".stripMargin,
 
     // the eval_ndcg oracle: the plant law — DCG is one 1/log2 term
@@ -10815,10 +10873,13 @@ object SparkEntry {
         |      THEN 1.0 / (ln(3) / ln(2)) ELSE 0.0 END, 6) AS idcg,
         |    round(CAST(CASE WHEN ev THEN 2 ELSE 1 END AS DOUBLE) / 5, 6)
         |      AS p_at_k,
-        |    CAST(1.0 AS DOUBLE) AS r_at_k
+        |    CAST(1.0 AS DOUBLE) AS r_at_k,
+        |    round((1.0 / p1 + CASE WHEN ev THEN 2.0 / 5 ELSE 0 END)
+        |      / CASE WHEN ev THEN 2 ELSE 1 END, 6) AS ap_at_k
         |  FROM d)
         |SELECT query, n_results, n_rel, first_rel_rank, mrr,
-        |  dcg, idcg, round(dcg / idcg, 6) AS ndcg, p_at_k, r_at_k
+        |  dcg, idcg, round(dcg / idcg, 6) AS ndcg, p_at_k, r_at_k,
+        |  ap_at_k
         |FROM m ORDER BY query""".stripMargin,
 
     // the eval_item_agreement oracle: the per-item plant law — one
@@ -10904,6 +10965,62 @@ object SparkEntry {
         |  round(1.0 - (2 * a2 + a3) * (n - 1)
         |    / (4.0 * (n * t2 - t1 * t1)), 6) AS alpha
         |FROM pm, la""".stripMargin,
+
+    // the eval_rater_card oracle: the fleiss label law replayed,
+    // majority via the same (count desc, label asc) windowed mode,
+    // concentration via the rater-partitioned twin
+    "eval_rater_card" ->
+      """WITH r AS (
+        |  SELECT doc_id, v.rater
+        |  FROM documents, (VALUES (0), (1), (2)) v(rater)
+        |  WHERE doc_id < 200),
+        |b AS (SELECT doc_id AS i, CAST(rater AS VARCHAR) AS rr,
+        |        'c' || ((doc_id + CASE WHEN (doc_id + rater) % 5 = 0
+        |          THEN rater ELSE 0 END) % 3) AS l
+        |      FROM r),
+        |cell AS (SELECT i, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |maj AS (SELECT i, l AS m FROM (
+        |          SELECT i, l, row_number() OVER (PARTITION BY i
+        |            ORDER BY c DESC, l ASC) AS rn
+        |          FROM cell) t WHERE rn = 1),
+        |ag AS (SELECT rr, count(*) AS n_ratings,
+        |         sum(CASE WHEN l = m THEN 1 ELSE 0 END)
+        |           AS n_majority_agree
+        |       FROM b JOIN maj USING (i) GROUP BY rr),
+        |rc AS (SELECT rr, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |cn AS (SELECT rr, k AS n_labels, l AS top_label,
+        |         round(CAST(c AS DOUBLE) / n, 6) AS top_label_share
+        |       FROM (SELECT rr, l, c,
+        |               row_number() OVER (PARTITION BY rr
+        |                 ORDER BY c DESC, l ASC) AS rn,
+        |               sum(c) OVER (PARTITION BY rr) AS n,
+        |               count(*) OVER (PARTITION BY rr) AS k
+        |             FROM rc) t WHERE rn = 1)
+        |SELECT ag.rr AS rater, CAST(n_ratings AS BIGINT) AS n_ratings,
+        |  CAST(n_majority_agree AS BIGINT) AS n_majority_agree,
+        |  round(CAST(n_majority_agree AS DOUBLE) / n_ratings, 6)
+        |    AS majority_agree_rate,
+        |  CAST(n_labels AS BIGINT) AS n_labels, top_label,
+        |  top_label_share
+        |FROM ag JOIN cn USING (rr) ORDER BY rater""".stripMargin,
+
+    // the eval_winrate oracle: the plant's head-to-head records are
+    // closed-form (75 wins on id%4, 60 losses on id%5, 15-id CRT
+    // overlap in the s2–s3 pair, everything else ties)
+    "eval_winrate" ->
+      """SELECT * FROM (VALUES
+        |  ('s1', 's2', CAST(300 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(75 AS BIGINT), CAST(225 AS BIGINT),
+        |   round((0 + 225 / 2.0) / 300, 6)),
+        |  ('s1', 's3', CAST(300 AS BIGINT), CAST(60 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(240 AS BIGINT),
+        |   round((60 + 240 / 2.0) / 300, 6)),
+        |  ('s2', 's3', CAST(300 AS BIGINT), CAST(120 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(180 AS BIGINT),
+        |   round((120 + 180 / 2.0) / 300, 6)))
+        |  t(system_a, system_b, n_common, wins_a, wins_b, ties,
+        |    win_rate_a)
+        |ORDER BY system_a, system_b""".stripMargin,
 
     // the eval_kripp_ordinal oracle: δ² recomputed from cumulative
     // marginals (2δ_ck = 2·Σ_{g=c..k} n_g − n_c − n_k, an exact
@@ -11057,6 +11174,44 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN acc_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.acc, bt""".stripMargin,
+
+    // the eval_mcnemar oracle: cells replayed, then the exact
+    // two-sided binomial tail via a recursive-CTE Pascal walk —
+    // C(nd,i+1) = C(nd,i)·(nd−i)//(i+1) stays an exact integer
+    // (HUGEINT), and the final division by 2^nd is a power-of-two
+    // double op that mirrors the engine's BigDecimal fold exactly
+    "eval_mcnemar" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN doc_id % 25 = 0 THEN 0
+        |         WHEN doc_id % 30 = 8 THEN 1
+        |         ELSE CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END
+        |    END AS bb
+        |  FROM documents WHERE doc_id < 300),
+        |cells AS (SELECT
+        |    count(*) AS n,
+        |    sum(CASE WHEN a = 0 AND bb = 0 THEN 1 ELSE 0 END) AS n00,
+        |    sum(CASE WHEN a = 0 AND bb = 1 THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN a = 1 AND bb = 0 THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END) AS n11
+        |  FROM b),
+        |t(i, c, acc) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    (c * ((SELECT n01 + n10 FROM cells) - i)) // (i + 1),
+        |    acc + (c * ((SELECT n01 + n10 FROM cells) - i)) // (i + 1)
+        |  FROM t WHERE i < (SELECT least(n01, n10) FROM cells)),
+        |tail AS (SELECT max(acc) AS acc FROM t)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n11 AS BIGINT) AS n11,
+        |  round(CAST(greatest(abs(n01 - n10) - 1, 0)
+        |      * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+        |    / (n01 + n10), 6) AS chi2_cc,
+        |  round(least(1.0,
+        |    2.0 * acc / pow(2.0, n01 + n10)), 6) AS p_exact
+        |FROM cells, tail""".stripMargin,
 
     // the eval_paired_test oracle: both planted pairs replayed — all
     // 200k md5 sign draws re-drawn with the same rule, exact Long

@@ -199,4 +199,54 @@ object Preference {
         col("rank").cast("int").as("rank"))
       .orderBy(col("rank"))
   }
+
+  /** Pairwise WIN-RATE matrix from per-item scores (r19) — the
+    * leaderboard view a multi-system eval prints before anyone fits
+    * [[bradleyTerryRanks]]: given (item, system, score) rows — N
+    * systems scored on a shared item set — every ORDERED system
+    * pair (system_a < system_b lexicographically) gets the head-to-
+    * head record over the items BOTH scored: (n_common, wins_a,
+    * wins_b, ties, win_rate_a) with the standard ties-count-half
+    * convention win_rate_a = (wins_a + ties/2) / n_common (one
+    * division, round-6; the numerator's ties/2 is exact — a dyadic
+    * half of an integer).
+    *
+    * Scale shape: one within-item self-join — per-item rows are
+    * bounded by the SYSTEM count, never the corpus — into one
+    * grouped aggregation over the system-pair table (bounded by
+    * N²). Duplicate (item, system) scores refuse loudly (a
+    * double-scored item would silently double-weight its item in
+    * every pair it touches).
+    */
+  def winRateMatrix(df: DataFrame, itemCol: String, systemCol: String,
+      scoreCol: String): DataFrame = {
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(systemCol).cast("string").as("__s"),
+        col(scoreCol).cast("double").as("__v"))
+      .filter(col("__i").isNotNull && col("__s").isNotNull &&
+        col("__v").isNotNull)
+    val dup = base.groupBy(col("__i"), col("__s"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      "winRateMatrix: duplicate (item, system) score — aggregate " +
+        "per item upstream; a double-scored item would double-weight")
+    val a = base.select(col("__i"), col("__s").as("system_a"),
+      col("__v").as("__va"))
+    val b = base.select(col("__i"), col("__s").as("system_b"),
+      col("__v").as("__vb"))
+    a.join(b, Seq("__i"))
+      .filter(col("system_a") < col("system_b"))
+      .groupBy(col("system_a"), col("system_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(when(col("__va") > col("__vb"), 1L).otherwise(0L))
+          .as("wins_a"),
+        sum(when(col("__vb") > col("__va"), 1L).otherwise(0L))
+          .as("wins_b"),
+        sum(when(col("__va") === col("__vb"), 1L).otherwise(0L))
+          .as("ties"))
+      .withColumn("win_rate_a",
+        round((col("wins_a") + col("ties") / lit(2.0)) /
+          col("n_common"), 6))
+  }
 }

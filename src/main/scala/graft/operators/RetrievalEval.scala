@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
   *    k); ndcg = dcg/idcg round-6, null when idcg = 0 (no relevant
   *    judgment — unscoreable, surfaced not invented);
   *  - `p_at_k` = (# rel > 0 in top-k)/k and `r_at_k` = (# rel > 0 in
-  *    top-k)/(total judged rel > 0 for the query), the binary pair.
+  *    top-k)/(total judged rel > 0 for the query), the binary pair;
+  *  - `ap_at_k` (r19): average precision at k — Σ_{i≤k, rel_i>0}
+  *    P@i divided by the TOTAL judged relevant n_rel (the trec_eval
+  *    convention, so AP is penalized for relevant results the
+  *    cutoff missed — matching `r_at_k`'s denominator); the P@i
+  *    terms fold in ascending position (the DCG op-sequence
+  *    stance); null when n_rel = 0 (unscoreable).
   *
   * Determinism stance: DCG is a float SUM, so term order matters at
   * the ulp level — the kernel folds in ASCENDING RANK order (ties
@@ -78,6 +84,7 @@ object RetrievalEval {
       StructField("idcg", DoubleType),
       StructField("ndcg", DoubleType)))
       .add("p_at_k", DoubleType).add("r_at_k", DoubleType)
+      .add("ap_at_k", DoubleType)
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     def gain(rel: Double): Double = math.pow(2.0, rel) - 1.0
@@ -118,6 +125,14 @@ object RetrievalEval {
         // the list is already bounded by maxResults, so the extra
         // indexWhere past k is cheap and the column names stop lying
         val firstPos = rs.indexWhere(_._2 > 0.0) // -1 when none
+        // AP@k: ordered fold of P@i at each relevant position
+        var apSum = 0.0
+        var hits = 0
+        i = 0
+        while (i < top.length) {
+          if (top(i)._2 > 0.0) { hits += 1; apSum += hits.toDouble / (i + 1) }
+          i += 1
+        }
         // the ratio steps run on the ROUNDED dcg/idcg (the kappa
         // stance) so an oracle replays single mirrored ops
         val dcg6 = r6(dcg); val idcg6 = r6(idcg)
@@ -127,7 +142,8 @@ object RetrievalEval {
           dcg6, idcg6,
           if (idcg6 > 0.0) r6(dcg6 / idcg6) else null,
           r6(relInTop.toDouble / k),
-          if (nRel > 0) r6(relInTop.toDouble / nRel) else null)
+          if (nRel > 0) r6(relInTop.toDouble / nRel) else null,
+          if (nRel > 0) r6(apSum / nRel) else null)
       }
     }(Encoders.row(schema))
   }

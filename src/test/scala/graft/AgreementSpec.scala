@@ -123,6 +123,30 @@ class AgreementSpec extends SparkSpec {
     }
   }
 
+  test("raterCard (r19): per-rater agreement with the shared " +
+      "majority, mode-label concentration with lexicographic " +
+      "tie-break — the degenerate judge surfaces at share 1.0") {
+    val rows = Seq(
+      // items 1-4: raters a/b label honestly (x for odd items, y
+      // for even); rater c always says "x" — the degenerate judge
+      (1L, "a", "x"), (1L, "b", "x"), (1L, "c", "x"),
+      (2L, "a", "y"), (2L, "b", "y"), (2L, "c", "x"),
+      (3L, "a", "x"), (3L, "b", "x"), (3L, "c", "x"),
+      (4L, "a", "y"), (4L, "b", "y"), (4L, "c", "x"))
+      .toDF("i", "r", "l")
+    val got = Agreement.raterCard(rows, "i", "r", "l")
+      .orderBy("rater").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(got(0).getDouble(3) === 1.0 && got(1).getDouble(3) === 1.0)
+    assert(got(2).getDouble(3) === 0.5,
+      "the constant judge agrees only on the x-majority items")
+    assert(got(2).getLong(4) === 1L && got(2).getString(5) === "x" &&
+      got(2).getDouble(6) === 1.0, "degenerate concentration")
+    assert(got(0).getLong(4) === 2L && got(0).getString(5) === "x" &&
+      got(0).getDouble(6) === 0.5,
+      "2-2 mode tie breaks to the lexicographically smaller label")
+  }
+
   test("krippendorffAlpha (r18): hand case over a VARIABLE panel " +
       "(where fleissKappa refuses), exact rational finish, " +
       "singly-rated items drop, all-agree 1.0, one-category null, " +

@@ -153,6 +153,40 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("mcnemarTest (r19): exact binomial tail on the discordant " +
+      "pairs — hand case, one-sided sweep rejects, balanced " +
+      "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
+      "path, non-binary scores refuse") {
+    import spark.implicits._
+    def mc(rows: Seq[(Long, Long)], cap: Int = 10000) =
+      ClassifierEval.mcnemarTest(rows.toDF("a", "b"), "a", "b",
+        maxExact = cap).collect()(0)
+    // hand case: n01 = 1, n10 = 5 (+ concordants): k = 1, n = 6,
+    // p = 2·(1 + 6)/64 = 0.21875; chi2_cc = (|1-5|-1)²/6 = 1.5
+    val h = mc(Seq.fill(3)((1L, 1L)) ++ Seq.fill(2)((0L, 0L)) ++
+      Seq((0L, 1L)) ++ Seq.fill(5)((1L, 0L)))
+    assert(h.getLong(0) === 11L && h.getLong(1) === 2L &&
+      h.getLong(2) === 1L && h.getLong(3) === 5L && h.getLong(4) === 3L)
+    assert(h.getDouble(5) === 1.5)
+    assert(h.getDouble(6) === 0.21875)
+    // 12-0 sweep: p = 2/4096
+    val s = mc(Seq.fill(12)((1L, 0L)))
+    assert(s.getDouble(6) === 0.000488 && s.getDouble(6) < 0.05)
+    // balanced 6-6: the two-sided tail caps at 1.0
+    val bal = mc(Seq.fill(6)((1L, 0L)) ++ Seq.fill(6)((0L, 1L)))
+    assert(bal.getDouble(6) === 1.0 && bal.getDouble(5) === 0.0,
+      "max-0 continuity correction keeps the balanced case at chi2 0")
+    // no discordant pairs: chi2 null, p 1.0
+    val none = mc(Seq((1L, 1L), (0L, 0L)))
+    assert(none.isNullAt(5) && none.getDouble(6) === 1.0)
+    // over the exact cap: p_exact null (chi2 is the intended path)
+    val capped = mc(Seq.fill(12)((1L, 0L)), cap = 5)
+    assert(capped.isNullAt(6) && capped.getDouble(5) === 10.083333)
+    intercept[IllegalArgumentException] {
+      mc(Seq((2L, 0L)))
+    }
+  }
+
   test("aucRoc (r18, VERDICT-r17 #2): the bounded-eval contract is " +
       "enforced — over-cap input refuses loudly before the " +
       "single-task rank window runs") {

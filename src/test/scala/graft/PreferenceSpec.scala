@@ -105,4 +105,37 @@ class PreferenceSpec extends SparkSpec {
     assert(got(0) === ((1L, 7L, 9L, 1)))  // wins 3+3+1, games 4+4+1
     assert(got(3) === ((4L, 0L, 2L, 4)))
   }
+
+  test("winRateMatrix (r19): head-to-head records with ties counting " +
+      "half, only co-scored items compare, duplicate (item, system) " +
+      "scores refuse loudly") {
+    import graft.operators.Preference
+    // items 1-4: a beats b on 1,2; ties on 3; b wins 4.
+    // c scored only items 1-2 (ties vs a, losses vs... a=5,6 c=5,6)
+    val rows = Seq(
+      ("i1", "a", 5.0), ("i1", "b", 3.0), ("i1", "c", 5.0),
+      ("i2", "a", 6.0), ("i2", "b", 1.0), ("i2", "c", 6.0),
+      ("i3", "a", 2.0), ("i3", "b", 2.0),
+      ("i4", "a", 1.0), ("i4", "b", 7.0))
+      .toDF("item", "sys", "score")
+    val got = Preference.winRateMatrix(rows, "item", "sys", "score")
+      .orderBy("system_a", "system_b").collect()
+    assert(got.length === 3)
+    val ab = got(0)
+    assert(ab.getString(0) === "a" && ab.getString(1) === "b")
+    assert(ab.getLong(2) === 4L && ab.getLong(3) === 2L &&
+      ab.getLong(4) === 1L && ab.getLong(5) === 1L)
+    assert(ab.getDouble(6) === 0.625, "(2 + 0.5)/4")
+    val ac = got(1)
+    assert(ac.getLong(2) === 2L && ac.getLong(5) === 2L &&
+      ac.getDouble(6) === 0.5, "all ties on the co-scored items")
+    val bc = got(2)
+    assert(bc.getLong(2) === 2L && bc.getLong(4) === 2L &&
+      bc.getDouble(6) === 0.0, "c wins both shared items")
+    intercept[IllegalArgumentException] {
+      Preference.winRateMatrix(
+        rows.unionAll(Seq(("i1", "a", 9.0)).toDF("item", "sys", "score")),
+        "item", "sys", "score").collect()
+    }
+  }
 }

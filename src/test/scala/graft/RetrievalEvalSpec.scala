@@ -23,12 +23,14 @@ class RetrievalEvalSpec extends SparkSpec {
       q1.getDouble(4) === 1.0)
     assert(q1.getDouble(5) === 1.63093 && q1.getDouble(7) === 1.0)
     assert(q1.getDouble(8) === 0.666667 && q1.getDouble(9) === 1.0)
+    assert(q1.getDouble(10) === 1.0, "perfect list AP 1")
     val q2 = got(1)
     assert(q2.getInt(3) === 3 && q2.getDouble(4) === 0.333333)
     assert(q2.getDouble(5) === 0.5 && q2.getDouble(7) === 0.5)
+    assert(q2.getDouble(10) === 0.333333, "AP = P@3 for one hit at 3")
     val q3 = got(2)
     assert(q3.isNullAt(3) && q3.getDouble(4) === 0.0 &&
-      q3.isNullAt(7) && q3.isNullAt(9))
+      q3.isNullAt(7) && q3.isNullAt(9) && q3.isNullAt(10))
   }
 
   test("rankedEval (r18): graded gains (2^rel - 1), ideal ordering " +
@@ -54,6 +56,8 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(t.getDouble(5) === 1.0, "rank-3 rel outside dcg@2")
     assert(t.getDouble(6) === 1.63093, "ideal still truncates at k")
     assert(t.getDouble(8) === 0.5 && t.getDouble(9) === 0.5)
+    assert(t.getDouble(10) === 0.5,
+      "AP@k sums P@i inside k but divides by TOTAL n_rel (trec)")
   }
 
   test("rankedEval (r19, VERDICT-r18 #4): first_rel_rank/mrr read " +
@@ -69,6 +73,8 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.333333, "mrr is NOT @k")
     assert(r.getDouble(5) === 0.0, "dcg@2 excludes it")
     assert(r.getDouble(8) === 0.0 && r.getDouble(9) === 0.0)
+    assert(r.getDouble(10) === 0.0,
+      "ap_at_k stays @k: the rank-3 hit is outside the cutoff")
   }
 
   test("rankedEval (r18 adversarial): DUPLICATE rank values order " +
