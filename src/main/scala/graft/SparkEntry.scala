@@ -4556,16 +4556,19 @@ object SparkEntry {
       graft.sources.Cdc.chunkStore(chunked, "payload", "c")
         .write.mode("overwrite").parquet(storePath)
       val store = s.read.parquet(storePath)
-      // rename before the join: restored's lineage descends from
-      // blobs, so two `payload` attributes would be ambiguous
-      val restored = graft.sources.Cdc.restoreBlobs(chunked,
+      // digests are projected BEFORE the verify join — the join
+      // ships 32-char strings, never payloads (a payload join
+      // invites a corpus-sized broadcast at scale; the digest
+      // columns also dodge the descends-from-blobs ambiguity)
+      val rd = graft.sources.Cdc.restoreBlobs(chunked,
           "media_id", "c", store)
-        .withColumnRenamed("payload", "r_payload")
-      restored.join(blobs,
-          restored("blob_id") === blobs("media_id"))
+        .select(col("blob_id"), col("restored_bytes"),
+          md5(col("payload")).as("r_md5"))
+      val od = blobs.select(col("media_id"),
+        md5(col("payload")).as("o_md5"))
+      rd.join(od, rd("blob_id") === od("media_id"))
         .select(col("media_id"), col("restored_bytes"),
-          (md5(col("r_payload")) === md5(col("payload")))
-            .as("byte_identical"))
+          (col("r_md5") === col("o_md5")).as("byte_identical"))
         .orderBy(col("media_id"))
     }),
 

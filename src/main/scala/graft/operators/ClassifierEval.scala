@@ -318,26 +318,42 @@ object ClassifierEval {
     * only driver work is the 4-integer card.
     */
   def mcnemarTest(df: DataFrame, scoreACol: String, scoreBCol: String,
-      maxExact: Int = 10000): DataFrame = {
+      maxExact: Int = 10000): DataFrame =
+    mcnemarFromCells(
+      df.select(col(scoreACol).cast("long").as("__a"),
+          col(scoreBCol).cast("long").as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull)
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n")),
+      "__a", "__b", "__n", maxExact)
+
+  /** Assemble McNemar's test from a PRE-AGGREGATED (a, b, n) cell
+    * table — the 4-cell sufficient statistic, so the STREAMING path
+    * (Complete-mode `groupBy(a, b).count()`) finishes each snapshot
+    * through identical arithmetic (the [[Agreement.cohenKappaFromCells]]
+    * twin discipline). Same guards and output as [[mcnemarTest]].
+    */
+  def mcnemarFromCells(cellsDf: DataFrame, aCol: String, bCol: String,
+      nCol: String, maxExact: Int = 10000): DataFrame = {
     require(maxExact >= 0, s"mcnemarTest: maxExact $maxExact")
-    val spark = df.sparkSession
+    val spark = cellsDf.sparkSession
     import spark.implicits._
-    val base = df.select(col(scoreACol).cast("long").as("__a"),
-        col(scoreBCol).cast("long").as("__b"))
+    val base = cellsDf.select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"),
+        col(nCol).cast("long").as("__n"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
     val bad = base.filter(!col("__a").isin(0L, 1L) ||
       !col("__b").isin(0L, 1L)).limit(1).count()
     require(bad == 0,
       "mcnemarTest: scores must be 0/1 correctness indicators")
     val cells = base.agg(
-      coalesce(sum(when(col("__a") === 0L && col("__b") === 0L, 1L)
-        .otherwise(0L)), lit(0L)).as("n00"),
-      coalesce(sum(when(col("__a") === 0L && col("__b") === 1L, 1L)
-        .otherwise(0L)), lit(0L)).as("n01"),
-      coalesce(sum(when(col("__a") === 1L && col("__b") === 0L, 1L)
-        .otherwise(0L)), lit(0L)).as("n10"),
-      coalesce(sum(when(col("__a") === 1L && col("__b") === 1L, 1L)
-        .otherwise(0L)), lit(0L)).as("n11")).head()
+      coalesce(sum(when(col("__a") === 0L && col("__b") === 0L,
+        col("__n")).otherwise(0L)), lit(0L)).as("n00"),
+      coalesce(sum(when(col("__a") === 0L && col("__b") === 1L,
+        col("__n")).otherwise(0L)), lit(0L)).as("n01"),
+      coalesce(sum(when(col("__a") === 1L && col("__b") === 0L,
+        col("__n")).otherwise(0L)), lit(0L)).as("n10"),
+      coalesce(sum(when(col("__a") === 1L && col("__b") === 1L,
+        col("__n")).otherwise(0L)), lit(0L)).as("n11")).head()
     val (n00, n01, n10, n11) = (cells.getLong(0), cells.getLong(1),
       cells.getLong(2), cells.getLong(3))
     val nd = n01 + n10

@@ -1183,6 +1183,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming McNemar cells == batch (r19): the 2x2 cells are " +
+      "Complete-mode state, finished per snapshot by " +
+      "mcnemarFromCells — exact tail included") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = (1L to 60L).map { id =>
+      (if (id % 10 < 8) 1L else 0L,
+        if (id % 25 == 0) 0L else if (id % 10 < 8) 1L else 0L)
+    }
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDF().toDF("a", "b")
+      .groupBy($"a", $"b").count()
+      .writeStream.format("memory").queryName("mcnemar_cells_st")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(rows.take(25): _*)
+    q.processAllAvailable()
+    ms.addData(rows.drop(25): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.ClassifierEval.mcnemarFromCells(
+      spark.table("mcnemar_cells_st"), "a", "b", "count")
+      .collect().toSeq
+    val batch = graft.operators.ClassifierEval.mcnemarTest(
+      rows.toDF("a", "b"), "a", "b").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming bidi scan / svg meta == batch (r17): both are " +
       "stateless regex projections") {
     implicit val sqlCtx = spark.sqlContext
