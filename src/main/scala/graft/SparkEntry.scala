@@ -4274,6 +4274,21 @@ object SparkEntry {
         "doc_id", "pred", "label", nResamples = 50, seed = 7L)
     }),
 
+    // --- Paired-delta subsample CI (r19): the signal pair's effect
+    //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
+    //     subsamples; the interval must sit strictly above 0
+    //     (agreeing with eval_paired_test's rejection). All
+    //     membership draws replay in the oracle.
+    "eval_paired_ci" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.ClassifierEval.pairedDeltaCi(
+        Tables.documents(s, dir).filter(id < 200)
+          .select(id,
+            when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L).as("a_ok"),
+            when(pmod(id, lit(10L)) < 5, 1L).otherwise(0L).as("b_ok")),
+        "doc_id", "a_ok", "b_ok", nResamples = 50, seed = 7L)
+    }),
+
     // --- McNemar's exact test (r19): the closed-form paired
     //     companion — B loses A's correct answer on id%25==0 (12
     //     ids), gains one on id%30==8 (10 ids, disjoint by CRT), so
@@ -11177,6 +11192,36 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN acc_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.acc, bt""".stripMargin,
+
+    // the eval_paired_ci oracle: the eval_acc_ci replay machinery
+    // over per-item deltas — same md5 membership rule, same
+    // ceil-rank percentile pick
+    "eval_paired_ci" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    (CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+        |      - (CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END) AS dd
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        round(CAST(sum(dd) AS DOUBLE) / count(*), 6)
+        |          AS mean_delta
+        |      FROM b),
+        |s AS (SELECT r.b AS rb,
+        |        round(CAST(sum(dd) AS DOUBLE) / count(*), 6) AS d_b
+        |      FROM b, (SELECT unnest(generate_series(0, 49)) AS b) r
+        |      WHERE substr(md5(id || ':' || r.b || ':7'), 1, 1) < '8'
+        |      GROUP BY 1),
+        |rk AS (SELECT d_b,
+        |         row_number() OVER (ORDER BY d_b) AS rn,
+        |         count(*) OVER () AS bt
+        |       FROM s)
+        |SELECT f.n, f.mean_delta,
+        |  CAST(bt AS BIGINT) AS n_resamples,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.025, 9)) THEN d_b END)
+        |    AS ci_lo,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN d_b END)
+        |    AS ci_hi
+        |FROM rk, f GROUP BY f.n, f.mean_delta, bt""".stripMargin,
 
     // the eval_mcnemar oracle: cells replayed, then the exact
     // two-sided binomial tail via a recursive-CTE Pascal walk —

@@ -536,8 +536,14 @@ object Agreement {
         "upstream")
     val base = raw.select(col("__i"), col("__r"),
       col("__sd").cast("long").as("__s"))
+    // the ONLY alpha variant that re-reads its cells four times
+    // (marginals, both self-join sides, panel stats) — persist the
+    // aggregated cell table across those actions, release at the end
+    // (the output row is driver-assembled, so nothing downstream
+    // holds the lineage)
     val cell = base.groupBy(col("__i"), col("__s"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perItem = cell.groupBy(col("__i")).agg(sum(col("c")).as("m"))
     val pairableIds = perItem.filter(col("m") >= 2).select(col("__i"))
     // pairable marginals, collected — bounded by category count
@@ -613,6 +619,7 @@ object Agreement {
     val deNum = d2pairs.map { case (sa, sb, d2) =>
       BigInt(2) * BigInt(margMap(sa)) * BigInt(margMap(sb)) * d2
     }.foldLeft(BigInt(0))(_ + _)
+    cell.unpersist()
     val (dO, dE, alpha) =
       finishAlphaFold(perM, n, deNum, denScale = BigInt(4))
     Seq((nItems, n, nDropped, margAll.length.toLong,

@@ -289,6 +289,72 @@ object ClassifierEval {
         col("ci_hi").cast("double").as("ci_hi"))
   }
 
+  /** Paired-delta subsample CI (r19) — the EFFECT-SIZE companion of
+    * [[pairedPermutationTest]]: the permutation test says WHETHER
+    * A beats B; this says BY HOW MUCH, with uncertainty — a
+    * percentile interval on the mean per-item delta over md5-keyed
+    * half-subsamples of ITEMS (Politis–Romano subsampling, the
+    * [[accuracySubsampleCi]] machinery verbatim: membership replays
+    * bit-for-bit in any SQL engine, per-resample means are single
+    * rounded divisions of exact Long sums, the percentile pick is
+    * the same ceil-rank rule). Scores must be INTEGER-valued (the
+    * paired-family exactness contract). Output: one row
+    * (n, mean_delta, n_resamples, ci_lo, ci_hi).
+    */
+  def pairedDeltaCi(df: DataFrame, idCol: String, scoreACol: String,
+      scoreBCol: String, nResamples: Int = 200, seed: Long = 42L,
+      q: Double = 0.95): DataFrame = {
+    require(nResamples >= 2 && nResamples <= 100000,
+      s"pairedDeltaCi: nResamples $nResamples")
+    require(q > 0 && q < 1, s"pairedDeltaCi: q $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val raw = df.select(col(idCol).cast("string").as("__id"),
+        col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+      .filter(col("__id").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+    val nonInt = raw.filter(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"))
+      .limit(1).count()
+    require(nonInt == 0,
+      "pairedDeltaCi: fractional score found — the delta sums are " +
+        "exact over INTEGER scores; rescale upstream")
+    val base = raw.select(col("__id"),
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
+    val full = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__d")), lit(0L)).as("__s")).head()
+    val n = full.getLong(0)
+    val mean: java.lang.Double = if (n > 0)
+      (BigDecimal(full.getLong(1)) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else null
+    val means = base
+      .withColumn("b", explode(sequence(lit(0), lit(nResamples - 1))))
+      .filter(substring(md5(concat(col("__id"), lit(":"), col("b"),
+        lit(":" + seed))), 1, 1) < "8")
+      .groupBy(col("b"))
+      .agg(round(sum(col("__d")) / count(lit(1)), 6).as("d_b"))
+      .select(col("d_b")).as[Double].collect().sorted
+    def pick(p: Double): java.lang.Double =
+      if (means.isEmpty) null
+      else means(math.min(means.length - 1,
+        math.ceil(BigDecimal(means.length * p)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .toInt - 1).max(0))
+    val lo = pick((1 - q) / 2)
+    val hi = pick(1 - (1 - q) / 2)
+    Seq((n, Option(mean).map(_.toDouble), means.length.toLong,
+        Option(lo).map(_.toDouble), Option(hi).map(_.toDouble)))
+      .toDF("n", "mean_delta", "n_resamples", "ci_lo", "ci_hi")
+      .select(col("n"),
+        col("mean_delta").cast("double").as("mean_delta"),
+        col("n_resamples"),
+        col("ci_lo").cast("double").as("ci_lo"),
+        col("ci_hi").cast("double").as("ci_hi"))
+  }
+
   /** McNemar's test (r19) — the closed-form member of the paired
     * family next to [[pairedPermutationTest]]: for BINARY per-item
     * correctness of two systems on the same items, only the

@@ -153,6 +153,28 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("pairedDeltaCi (r19): deterministic md5 half-subsamples, " +
+      "the interval brackets the mean delta and excludes 0 on the " +
+      "signal plant, fractional scores refuse") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i =>
+      (i, if (i % 10 < 8) 1.0 else 0.0, if (i % 10 < 5) 1.0 else 0.0))
+      .toDF("id", "a", "b")
+    def run() = ClassifierEval.pairedDeltaCi(rows, "id", "a", "b",
+      nResamples = 40, seed = 11L).collect()(0)
+    val x = run(); val y = run()
+    assert(x === y, "md5 membership must be run-deterministic")
+    assert(x.getLong(0) === 300L && x.getDouble(1) === 0.3)
+    val (lo, hi) = (x.getDouble(3), x.getDouble(4))
+    assert(lo <= 0.3 && 0.3 <= hi, s"[$lo, $hi] must bracket 0.3")
+    assert(lo > 0.0, "the signal pair's interval excludes 0")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedDeltaCi(
+        Seq((1L, 0.5, 0.0)).toDF("id", "a", "b"), "id", "a", "b")
+        .collect()
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
