@@ -4274,6 +4274,27 @@ object SparkEntry {
         "doc_id", "pred", "label", nResamples = 50, seed = 7L)
     }),
 
+    // --- Per-group paired test (r19): the sliced twin — one call
+    //     over a 400-item table whose two slices carry the signal
+    //     and null laws; per-group p must reproduce the standalone
+    //     gate's verdicts (reject on sig, 1.0 exactly on null)
+    //     with ZERO driver work.
+    "eval_paired_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val grp = when(id < 200, "sig").otherwise("null")
+      val a = when(id < 200,
+        when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L))
+        .otherwise(when(pmod(id, lit(2L)) === 0, 1L).otherwise(0L))
+      val b = when(id < 200,
+        when(pmod(id, lit(10L)) < 5, 1L).otherwise(0L))
+        .otherwise(when(pmod(id, lit(2L)) === 1, 1L).otherwise(0L))
+      operators.ClassifierEval.pairedPermutationTestByGroup(
+        Tables.documents(s, dir).filter(id < 400)
+          .select(id, grp.as("slice"), a.as("a_ok"), b.as("b_ok")),
+        "slice", "doc_id", "a_ok", "b_ok")
+        .orderBy(col("group"))
+    }),
+
     // --- Paired-delta subsample CI (r19): the signal pair's effect
     //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
     //     subsamples; the interval must sit strictly above 0
@@ -11192,6 +11213,42 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN acc_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.acc, bt""".stripMargin,
+
+    // the eval_paired_by_group oracle: the eval_paired_test replay
+    // keyed by slice — ids 0..199 carry the signal law, 200..399
+    // the null law; the sign draws key on the SAME (id, b, seed)
+    "eval_paired_by_group" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CASE WHEN doc_id < 200 THEN 'sig' ELSE 'null' END AS g,
+        |    CASE WHEN doc_id < 200 THEN
+        |      (CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+        |        - (CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END)
+        |    ELSE
+        |      (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |        - (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    END AS dd
+        |  FROM documents WHERE doc_id < 400),
+        |obs AS (SELECT g, count(*) AS n, sum(dd) AS sd
+        |        FROM d GROUP BY g),
+        |t AS (SELECT d.g, r.b,
+        |        sum(CASE WHEN substr(md5(id || ':' || r.b || ':42'),
+        |            1, 1) < '8' THEN dd ELSE -dd END) AS tb
+        |      FROM d, (SELECT unnest(generate_series(0, 999)) AS b) r
+        |      GROUP BY d.g, r.b),
+        |e AS (SELECT t.g, count(*) AS np,
+        |        sum(CASE WHEN abs(tb) >= abs(obs.sd)
+        |          THEN 1 ELSE 0 END) AS ne
+        |      FROM t JOIN obs ON obs.g = t.g
+        |      GROUP BY t.g)
+        |SELECT obs.g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(sd AS BIGINT) AS sum_delta,
+        |  round(CAST(sd AS DOUBLE) / n, 6) AS mean_delta,
+        |  CAST(np AS BIGINT) AS n_perms,
+        |  CAST(ne AS BIGINT) AS n_extreme,
+        |  round((ne + 1) / (np + 1.0), 6) AS p_value
+        |FROM obs JOIN e ON e.g = obs.g
+        |ORDER BY "group"""".stripMargin,
 
     // the eval_paired_ci oracle: the eval_acc_ci replay machinery
     // over per-item deltas — same md5 membership rule, same

@@ -355,6 +355,66 @@ object ClassifierEval {
         col("ci_hi").cast("double").as("ci_hi"))
   }
 
+  /** Per-GROUP paired permutation test (r19) — the sliced twin of
+    * [[pairedPermutationTest]], and the shape a corpus-scale eval
+    * actually runs: "B beats A overall, but does it regress on
+    * code / on German / on long documents?" Same md5-keyed
+    * sign-vector engine, same integer-exactness contract, but every
+    * aggregation keys on `groupCol`, so there is no driver work at
+    * all — per-group observed sums and per-(group, permutation)
+    * sums meet in one group-keyed join of a G-row frame against a
+    * G·P-row frame. Groups are data-defined and unbounded: the
+    * output is one row per group, exactly as distributed as the
+    * slicing itself. Output per group: (group, n, sum_delta,
+    * mean_delta, n_perms, n_extreme, p_value).
+    */
+  def pairedPermutationTestByGroup(df: DataFrame, groupCol: String,
+      idCol: String, scoreACol: String, scoreBCol: String,
+      nPermutations: Int = 1000, seed: Long = 42L): DataFrame = {
+    require(nPermutations >= 1 && nPermutations <= 100000,
+      s"pairedPermutationTestByGroup: nPermutations $nPermutations")
+    val raw = df.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("string").as("__id"),
+        col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+      .filter(col("group").isNotNull && col("__id").isNotNull &&
+        col("__a").isNotNull && col("__b").isNotNull)
+    val nonInt = raw.filter(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"))
+      .limit(1).count()
+    require(nonInt == 0,
+      "pairedPermutationTestByGroup: fractional score found — the " +
+        "permutation sums are exact over INTEGER scores; rescale " +
+        "upstream")
+    val base = raw.select(col("group"), col("__id"),
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
+    val obs = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__d")), lit(0L)).as("sum_delta"))
+    val perms = base
+      .withColumn("b", explode(sequence(lit(0), lit(nPermutations - 1))))
+      .select(col("group"), col("b"),
+        when(substring(md5(concat(col("__id"), lit(":"), col("b"),
+          lit(":" + seed))), 1, 1) < "8", col("__d"))
+          .otherwise(-col("__d")).as("__t"))
+      .groupBy(col("group"), col("b")).agg(sum(col("__t")).as("__tb"))
+    val ext = perms.join(obs.select(col("group"),
+        col("sum_delta").as("__obs")), Seq("group"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("__tb")) >= abs(col("__obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+    obs.join(ext, Seq("group"))
+      .withColumn("mean_delta",
+        when(col("n") > 0, round(col("sum_delta") / col("n"), 6)))
+      .withColumn("p_value",
+        round((col("n_extreme") + 1) / (col("n_perms") + lit(1.0)), 6))
+      .select(col("group"), col("n"), col("sum_delta"),
+        col("mean_delta"), col("n_perms"), col("n_extreme"),
+        col("p_value"))
+  }
+
   /** McNemar's test (r19) — the closed-form member of the paired
     * family next to [[pairedPermutationTest]]: for BINARY per-item
     * correctness of two systems on the same items, only the

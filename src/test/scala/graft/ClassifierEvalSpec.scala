@@ -175,6 +175,33 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("pairedPermutationTestByGroup (r19): per-slice verdicts " +
+      "reproduce the global op run per slice — no driver work, " +
+      "groups fully independent") {
+    import spark.implicits._
+    val rows = (0L until 400L).map { i =>
+      if (i < 200)
+        (i, "sig", if (i % 10 < 8) 1.0 else 0.0,
+          if (i % 10 < 5) 1.0 else 0.0)
+      else
+        (i, "nul", if (i % 2 == 0) 1.0 else 0.0,
+          if (i % 2 == 1) 1.0 else 0.0)
+    }.toDF("id", "g", "a", "b")
+    val got = ClassifierEval.pairedPermutationTestByGroup(rows,
+        "g", "id", "a", "b", nPermutations = 300, seed = 5L)
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("nul", "sig"))
+    assert(got(0).getDouble(6) === 1.0, "balanced slice never rejects")
+    assert(got(1).getDouble(6) < 0.05, "signal slice rejects")
+    // the sliced run must equal the global op applied to one slice
+    val solo = ClassifierEval.pairedPermutationTest(
+      rows.filter($"g" === "sig"), "id", "a", "b",
+      nPermutations = 300, seed = 5L).collect()(0)
+    assert(solo.getLong(4) === got(1).getLong(5) &&
+      solo.getDouble(5) === got(1).getDouble(6),
+      "grouped == global per slice (same md5 keys)")
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
