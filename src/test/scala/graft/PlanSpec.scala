@@ -507,6 +507,45 @@ class PlanSpec extends SparkSpec {
       !pn.contains("CartesianProduct"), pn.take(900))
   }
 
+  test("r19 eval shapes: the paired tests are explode → keyed aggs " +
+      "(no window, no cartesian beyond 1-row frames); eval_winrate's " +
+      "self-join is item-keyed (no cartesian); eval_rater_card " +
+      "windows stay partitioned; the ordinal δ² lookup broadcasts") {
+    // eval_mcnemar / eval_paired_ci / eval_kripp_ordinal return
+    // driver-assembled one-row cards (LocalRelation) — their
+    // distributed stages run during construction, so the shape pins
+    // live on the LAZY members of each family below
+    for (g <- Seq("eval_paired_test", "eval_paired_by_group")) {
+      val p = plan(g)
+      assert(!p.contains("Window"), s"$g:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$g:\n${p.take(600)}")
+    }
+    val pw = plan("eval_winrate")
+    assert(!pw.contains("CartesianProduct") &&
+      !pw.contains("NestedLoopJoin"), pw.take(900))
+    val pr = plan("eval_rater_card")
+    assert(pr.contains("Window") && !pr.contains("SinglePartition"),
+      pr.take(900))
+    // the ordinal metric's within-item pair join against the δ²
+    // lookup: pin on the INTERNAL frame (the returned card is a
+    // LocalRelation), broadcast side required, no cartesian
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 1L, 2.0),
+      (2L, 2L, 3.0), (2L, 3L, 3.0)).toDF("i", "r", "s")
+    val cell = rows.groupBy($"i", $"s").agg(count(lit(1)).as("c"))
+    val d2 = Seq((1L, 2L, 9L), (2L, 3L, 9L), (1L, 3L, 36L))
+      .toDF("__sa", "__sb", "__d2")
+    val a = cell.select($"i", $"s".as("__sa"), $"c".as("__ca"))
+    val b = cell.select($"i", $"s".as("__sb"), $"c".as("__cb"))
+    val joined = a.join(b, Seq("i")).filter($"__sa" < $"__sb")
+      .join(broadcast(d2), Seq("__sa", "__sb"))
+      .groupBy($"i").agg(sum($"__ca" * $"__cb" * $"__d2"))
+    val pj = joined.queryExecution.executedPlan.toString
+    assert(pj.contains("BroadcastHashJoin") &&
+      !pj.contains("CartesianProduct"), pj.take(900))
+  }
+
   test("pipeline_rag (r19): the composed chunk→embed→retrieve→score " +
       "plan has NO global window (chunk windows are document-" +
       "partitioned, the rankedEval cap window query-partitioned), " +
