@@ -8649,6 +8649,25 @@ object SparkEntry {
         .orderBy(col("query"))
     }),
 
+    // --- Category-distribution drift / PSI card (r19): snapshot B
+    //     shifts 20% of snapshot A's 4-way category mix one slot
+    //     (id%10<2) and adds a B-only category on ids 300..309 —
+    //     the one-sided row must surface a null term + flag, never
+    //     an epsilon-smoothed number. Oracle replays counts, round-6
+    //     shares and the (p_a−p_b)·ln(p_a/p_b) terms generically.
+    "corpus_drift" -> ((s, dir) => {
+      val id = col("doc_id")
+      val snapA = Tables.documents(s, dir).filter(id < 300)
+        .select(concat(lit("c"), pmod(id, lit(4L))).as("cat"))
+      val snapB = Tables.documents(s, dir).filter(id < 310)
+        .select(when(id >= 300, lit("x"))
+          .otherwise(concat(lit("c"),
+            pmod(id + when(pmod(id, lit(10L)) < 2, 1L).otherwise(0L),
+              lit(4L)))).as("cat"))
+      operators.CorpusReport.categoryDrift(snapA, snapB, "cat")
+        .orderBy(col("category"))
+    }),
+
     // --- Salted two-phase aggregation (skew tool promoted into the
     //     gate): event_type is exactly the low-cardinality hot-key
     //     shape saltedAgg exists for; the oracle is the PLAIN GROUP BY
@@ -10756,6 +10775,35 @@ object SparkEntry {
         |    CASE WHEN doc_id < 40 THEN 1.0 ELSE 0.0 END
         |    END AS DOUBLE) AS ratio_exact
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+
+    // the corpus_drift oracle: both snapshot category tables
+    // replayed, shares rounded FIRST, the PSI term on the rounded
+    // pair (single mirrored IEEE ops), one-sided rows null + flag
+    "corpus_drift" ->
+      """WITH a AS (
+        |  SELECT 'c' || (doc_id % 4) AS category, count(*) AS n_a
+        |  FROM documents WHERE doc_id < 300 GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN doc_id >= 300 THEN 'x'
+        |    ELSE 'c' || ((doc_id + CASE WHEN doc_id % 10 < 2
+        |      THEN 1 ELSE 0 END) % 4) END AS category,
+        |    count(*) AS n_b
+        |  FROM documents WHERE doc_id < 310 GROUP BY 1),
+        |t AS (SELECT (SELECT sum(n_a) FROM a) AS ta,
+        |             (SELECT sum(n_b) FROM b) AS tb),
+        |j AS (SELECT COALESCE(a.category, b.category) AS category,
+        |        COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |      FROM a FULL JOIN b USING (category)),
+        |m AS (SELECT category, CAST(n_a AS BIGINT) AS n_a,
+        |        CAST(n_b AS BIGINT) AS n_b,
+        |        round(CAST(n_a AS DOUBLE) / ta, 6) AS p_a,
+        |        round(CAST(n_b AS DOUBLE) / tb, 6) AS p_b,
+        |        n_a = 0 OR n_b = 0 AS one_sided
+        |      FROM j, t)
+        |SELECT category, n_a, n_b, p_a, p_b, one_sided,
+        |  CASE WHEN NOT one_sided AND p_a > 0 AND p_b > 0
+        |    THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term
+        |FROM m ORDER BY category""".stripMargin,
 
     // the mm_cdc_restore oracle: the round-trip law — every blob
     // rebuilds byte-identically (TRUE across the board) and restored

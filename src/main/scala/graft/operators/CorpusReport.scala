@@ -313,4 +313,88 @@ object CorpusReport {
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Category-distribution DRIFT between two corpus snapshots (r19)
+    * — the Population Stability Index card, the production answer
+    * to "did this crawl's language/source/domain mix move": per
+    * category, counts and shares on each side plus the PSI term
+    * (p_a − p_b)·ln(p_a / p_b), which sums (over categories) to
+    * the headline PSI (< 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * shifted — the standard reading). Determinism: shares round-6
+    * FIRST and the term computes on the rounded pair (the kappa
+    * stance — single mirrored IEEE ops per row); a category present
+    * on only one side has an INFINITE PSI term — surfaced as a null
+    * term with `one_sided` = true, never invented via epsilon
+    * smoothing (the caller decides the floor policy; the flag is
+    * the signal a new/vanished category IS drift). Row-wise
+    * deterministic by construction — no cross-row float sum ships
+    * in the card; use [[psiTotal]] for the headline number.
+    *
+    * Scale shape: one count aggregation per side (map-side
+    * combined), a full outer join on the category key, per-row
+    * projections. No window, no collect, category cardinality
+    * unbounded.
+    */
+  def categoryDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.select(col(catCol).cast("string").as("category"))
+        .filter(col("category").isNotNull)
+        .groupBy(col("category")).agg(count(lit(1)).as(n))
+    val ca = side(a, "n_a"); val cb = side(b, "n_b")
+    val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"))
+    val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
+    ca.join(cb, Seq("category"), "full")
+      .crossJoin(ta).crossJoin(tb) // 1-row total frames
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        col("__ta"), col("__tb"))
+      .withColumn("p_a",
+        when(col("__ta") > 0, round(col("n_a") / col("__ta"), 6)))
+      .withColumn("p_b",
+        when(col("__tb") > 0, round(col("n_b") / col("__tb"), 6)))
+      .withColumn("one_sided", col("n_a") === 0 || col("n_b") === 0)
+      .withColumn("psi_term",
+        when(!col("one_sided") && col("p_a") > 0 && col("p_b") > 0,
+          round((col("p_a") - col("p_b")) *
+            log(col("p_a") / col("p_b")), 6)))
+      .drop("__ta", "__tb")
+  }
+
+  /** Headline PSI from a [[categoryDrift]] card: ordered driver
+    * fold over the category-sorted terms (the bleuFromStats stance
+    * — the cross-row float sum happens ONCE, in a pinned order, on
+    * the driver; the distributed card stays row-wise exact),
+    * loudly capped by `maxCategories`. Returns (n_categories,
+    * n_one_sided, psi) — psi is null when any two-sided term is
+    * missing is impossible by construction, but a card that is ALL
+    * one-sided (disjoint category sets) carries psi null: there is
+    * no finite number to report.
+    */
+  def psiTotal(card: DataFrame, maxCategories: Int = 100000):
+      DataFrame = {
+    val spark = card.sparkSession
+    import spark.implicits._
+    val rows = card.select(col("category"),
+        col("psi_term").cast("double"),
+        col("one_sided").cast("boolean"))
+      .limit(maxCategories + 1)
+      .as[(String, Option[Double], Boolean)].collect()
+    require(rows.length <= maxCategories,
+      s"psiTotal: > $maxCategories categories — that is not a " +
+        "categorical mix; check the category column")
+    val sorted = rows.sortBy(_._1)
+    val nOneSided = sorted.count(_._3).toLong
+    val terms = sorted.flatMap(_._2)
+    val psi: java.lang.Double =
+      if (terms.isEmpty) null
+      else BigDecimal(terms.foldLeft(0.0)(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((rows.length.toLong, nOneSided,
+        Option(psi).map(_.toDouble)))
+      .toDF("n_categories", "n_one_sided", "psi")
+      .select(col("n_categories"), col("n_one_sided"),
+        col("psi").cast("double").as("psi"))
+  }
 }

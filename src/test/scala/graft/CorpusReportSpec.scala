@@ -206,4 +206,36 @@ class CorpusReportSpec extends SparkSpec {
     assert(hs.find(r => r.getInt(0) === 2).get.getLong(1)
       === direct.getLong(1))
   }
+
+  test("categoryDrift + psiTotal (r19): hand case — halved share " +
+      "carries 0.25·ln2, unmoved share 0, a one-sided category is a " +
+      "null term + flag (never epsilon-smoothed), headline PSI is " +
+      "the ordered fold, cap refuses") {
+    val a = Seq("a", "a", "b", "b").toDF("cat")
+    val b = Seq("a", "b", "b", "c").toDF("cat")
+    val card = CorpusReport.categoryDrift(a, b, "cat")
+      .orderBy("category").collect()
+    assert(card.length === 3)
+    val ra = card(0)
+    assert(ra.getLong(1) === 2L && ra.getLong(2) === 1L &&
+      ra.getDouble(3) === 0.5 && ra.getDouble(4) === 0.25)
+    assert(!ra.getBoolean(5) && ra.getDouble(6) === 0.173287,
+      "0.25 * ln 2")
+    assert(card(1).getDouble(6) === 0.0, "unmoved share is 0 drift")
+    val rc = card(2)
+    assert(rc.getLong(1) === 0L && rc.getBoolean(5) && rc.isNullAt(6),
+      "new category = one-sided flag, not an invented number")
+    val tot = CorpusReport.psiTotal(
+      CorpusReport.categoryDrift(a, b, "cat")).collect()(0)
+    assert(tot.getLong(0) === 3L && tot.getLong(1) === 1L &&
+      tot.getDouble(2) === 0.173287)
+    // disjoint category sets: no finite PSI exists — null, not 0
+    val dj = CorpusReport.psiTotal(CorpusReport.categoryDrift(
+      Seq("a").toDF("cat"), Seq("z").toDF("cat"), "cat")).collect()(0)
+    assert(dj.getLong(1) === 2L && dj.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      CorpusReport.psiTotal(
+        CorpusReport.categoryDrift(a, b, "cat"), maxCategories = 2)
+    }
+  }
 }
