@@ -8668,6 +8668,20 @@ object SparkEntry {
         .orderBy(col("category"))
     }),
 
+    // --- KS drift (r19): the numeric companion — snapshot B shifts
+    //     a third of A's 0..49 value mass up by 25; the exact
+    //     integer D_num (cross-multiplied cumulative counts, never
+    //     a float CDF) replays in the oracle's window cumsums.
+    "corpus_ks" -> ((s, dir) => {
+      val id = col("doc_id")
+      val snapA = Tables.documents(s, dir).filter(id < 300)
+        .select(pmod(id, lit(50L)).as("v"))
+      val snapB = Tables.documents(s, dir).filter(id < 300)
+        .select((pmod(id, lit(50L)) +
+          when(pmod(id, lit(3L)) === 0, 25L).otherwise(0L)).as("v"))
+      operators.CorpusReport.ksDrift(snapA, snapB, "v")
+    }),
+
     // --- Salted two-phase aggregation (skew tool promoted into the
     //     gate): event_type is exactly the low-cardinality hot-key
     //     shape saltedAgg exists for; the oracle is the PLAIN GROUP BY
@@ -10804,6 +10818,34 @@ object SparkEntry {
         |  CASE WHEN NOT one_sided AND p_a > 0 AND p_b > 0
         |    THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term
         |FROM m ORDER BY category""".stripMargin,
+
+    // the corpus_ks oracle: pooled distinct values, inclusive
+    // cumulative counts via window sums, the cross-multiplied
+    // integer gap, one rounded division
+    "corpus_ks" ->
+      """WITH av AS (
+        |  SELECT doc_id % 50 AS v, count(*) AS ca
+        |  FROM documents WHERE doc_id < 300 GROUP BY 1),
+        |bv AS (
+        |  SELECT doc_id % 50 + CASE WHEN doc_id % 3 = 0
+        |      THEN 25 ELSE 0 END AS v, count(*) AS cb
+        |  FROM documents WHERE doc_id < 300 GROUP BY 1),
+        |j AS (SELECT COALESCE(av.v, bv.v) AS v,
+        |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |      FROM av FULL JOIN bv USING (v)),
+        |c AS (SELECT v, ca, cb,
+        |        sum(ca) OVER (ORDER BY v) AS cuma,
+        |        sum(cb) OVER (ORDER BY v) AS cumb,
+        |        (SELECT sum(ca) FROM j) AS na,
+        |        (SELECT sum(cb) FROM j) AS nb
+        |      FROM j)
+        |SELECT CAST(max(na) AS BIGINT) AS n_a,
+        |  CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+        |    / (max(na) * max(nb)), 6) AS ks
+        |FROM c""".stripMargin,
 
     // the mm_cdc_restore oracle: the round-trip law — every blob
     // rebuilds byte-identically (TRUE across the board) and restored

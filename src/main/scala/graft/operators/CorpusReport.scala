@@ -362,6 +362,67 @@ object CorpusReport {
       .drop("__ta", "__tb")
   }
 
+  /** Kolmogorov–Smirnov drift between two NUMERIC snapshots (r19) —
+    * the continuous companion of [[categoryDrift]]: did the document
+    * LENGTH (score, token count, …) distribution move between
+    * crawls? D = max_v |F_a(v) − F_b(v)| over the pooled distinct
+    * values, computed EXACTLY as integers: with cumulative counts
+    * C_a/C_b (inclusive) and totals n_a/n_b,
+    *
+    *   D_num = max |C_a(v)·n_b − C_b(v)·n_a|,   D = D_num/(n_a·n_b)
+    *
+    * — cross-multiplied so no float CDF ever exists; one division,
+    * round-6 (exact while C·n < 2⁶³, i.e. both samples under ~3e9
+    * rows — corpus-scale KS runs on length COLUMNS whose distinct
+    * values are bounded, and the cums are counts, so the ceiling is
+    * the product of sample sizes, documented loudly here).
+    *
+    * Scale shape: one count aggregation per side, a full outer join
+    * on the value, then TWO two-phase distributed prefix sums
+    * ([[Pack.withPrefixSum]] — never a SinglePartition window) and
+    * a 1-row max. Output: one row (n_a, n_b, n_values, d_num, ks);
+    * ks null when either side is empty (no distribution to
+    * compare).
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String):
+      DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, n: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull && !isnan(col("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as(n))
+    val merged = side(a, "__ca").join(side(b, "__cb"), Seq("v"), "full")
+      .select(col("v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = merged.agg(coalesce(sum(col("__ca")), lit(0L)),
+      coalesce(sum(col("__cb")), lit(0L)),
+      count(lit(1))).head()
+    val (na, nb, nv) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val out = (dNum: java.lang.Long, ks: java.lang.Double) =>
+      Seq((na, nb, nv, Option(dNum).map(_.toLong),
+          Option(ks).map(_.toDouble)))
+        .toDF("n_a", "n_b", "n_values", "d_num", "ks")
+        .select(col("n_a"), col("n_b"), col("n_values"),
+          col("d_num").cast("long").as("d_num"),
+          col("ks").cast("double").as("ks"))
+    if (na == 0 || nb == 0) return out(null, null)
+    val withCums = Pack.withPrefixSum(
+      Pack.withPrefixSum(merged, "v", col("__ca"), "__pa"),
+      "v", col("__cb"), "__pb")
+    // inclusive CDF counts = exclusive prefix + own count; the KS
+    // gap is evaluated AT each pooled value (the right-continuous
+    // CDF convention — between values both CDFs are flat, so the
+    // max over values IS the sup)
+    val dNum = withCums.select(
+        abs((col("__pa") + col("__ca")) * nb -
+          (col("__pb") + col("__cb")) * na).as("__d"))
+      .agg(max(col("__d"))).head().getLong(0)
+    val ks = (BigDecimal(dNum) / (BigDecimal(na) * BigDecimal(nb)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(dNum, ks)
+  }
+
   /** Headline PSI from a [[categoryDrift]] card: ordered driver
     * fold over the category-sorted terms (the bleuFromStats stance
     * — the cross-row float sum happens ONCE, in a pinned order, on

@@ -207,6 +207,25 @@ class CorpusReportSpec extends SparkSpec {
       === direct.getLong(1))
   }
 
+  test("ksDrift (r19): exact integer KS — shifted sample reads 0.5, " +
+      "duplicates weight the CDF, identical samples 0, empty side " +
+      "null") {
+    def ks(a: Seq[Double], b: Seq[Double]) =
+      CorpusReport.ksDrift(a.toDF("v"), b.toDF("v"), "v").collect()(0)
+    val h = ks(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6))
+    assert(h.getLong(0) === 4L && h.getLong(1) === 4L &&
+      h.getLong(2) === 6L)
+    assert(h.getLong(3) === 8L && h.getDouble(4) === 0.5,
+      "max gap at v=2..4 is 2/4")
+    val t = ks(Seq(1, 1, 2), Seq(1, 2, 2))
+    assert(t.getLong(3) === 3L && t.getDouble(4) === 0.333333,
+      "tied values aggregate before the CDF")
+    assert(ks(Seq(1, 2, 3), Seq(1, 2, 3)).getDouble(4) === 0.0)
+    val e = ks(Seq(1.0, 2.0), Seq.empty[Double])
+    assert(e.isNullAt(3) && e.isNullAt(4),
+      "no distribution to compare — null, not 1")
+  }
+
   test("categoryDrift + psiTotal (r19): hand case — halved share " +
       "carries 0.25·ln2, unmoved share 0, a one-sided category is a " +
       "null term + flag (never epsilon-smoothed), headline PSI is " +
