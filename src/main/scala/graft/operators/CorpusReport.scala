@@ -341,7 +341,26 @@ object CorpusReport {
       df.select(col(catCol).cast("string").as("category"))
         .filter(col("category").isNotNull)
         .groupBy(col("category")).agg(count(lit(1)).as(n))
-    val ca = side(a, "n_a"); val cb = side(b, "n_b")
+    categoryDriftFromCounts(side(a, "n_a"), side(b, "n_b"),
+      "category", "n_a", "category", "n_b")
+  }
+
+  /** Assemble the PSI card from PRE-AGGREGATED per-category count
+    * tables — the streaming path (r19): per-category counts are
+    * Complete-mode `groupBy(cat).count()` state, so a live crawl's
+    * mix can be drift-scored against a reference snapshot on every
+    * trigger through this (tiny) arithmetic. Same output and
+    * null-term stance as [[categoryDrift]].
+    */
+  def categoryDriftFromCounts(countsA: DataFrame, countsB: DataFrame,
+      catColA: String, nColA: String, catColB: String,
+      nColB: String): DataFrame = {
+    val ca = countsA.select(col(catColA).cast("string").as("category"),
+        col(nColA).cast("long").as("n_a"))
+      .filter(col("category").isNotNull)
+    val cb = countsB.select(col(catColB).cast("string").as("category"),
+        col(nColB).cast("long").as("n_b"))
+      .filter(col("category").isNotNull)
     val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"))
     val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
     ca.join(cb, Seq("category"), "full")

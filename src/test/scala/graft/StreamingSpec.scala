@@ -1210,6 +1210,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming category drift == batch (r19): the live mix's " +
+      "per-category counts are Complete-mode state, PSI-scored " +
+      "against a reference snapshot by categoryDriftFromCounts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val live = (0L until 80L).map(i =>
+      "c" + ((i + (if (i % 10 < 2) 1 else 0)) % 4))
+    val ref = (0L until 80L).map(i => "c" + (i % 4)).toDF("cat")
+      .groupBy($"cat").agg(count(lit(1)).as("n"))
+    val ms = MemoryStream[String]
+    val q = ms.toDF().toDF("cat")
+      .groupBy($"cat").count()
+      .writeStream.format("memory").queryName("drift_cells_st")
+      .outputMode(OutputMode.Complete).start()
+    ms.addData(live.take(30): _*)
+    q.processAllAvailable()
+    ms.addData(live.drop(30): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = graft.operators.CorpusReport.categoryDriftFromCounts(
+        ref, spark.table("drift_cells_st"), "cat", "n", "cat", "count")
+      .orderBy("category").collect().toSeq
+    val batch = graft.operators.CorpusReport.categoryDrift(
+        (0L until 80L).map(i => "c" + (i % 4)).toDF("cat"),
+        live.toDF("cat"), "cat")
+      .orderBy("category").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming bidi scan / svg meta == batch (r17): both are " +
       "stateless regex projections") {
     implicit val sqlCtx = spark.sqlContext
