@@ -4310,6 +4310,40 @@ object SparkEntry {
         "doc_id", "a_ok", "b_ok", nResamples = 50, seed = 7L)
     }),
 
+    // --- Judge position-bias card (r19): every item judged in BOTH
+    //     orders; the planted judge picks the first slot on id%5==0,
+    //     ties on id%5==1, and judges honestly otherwise — the card
+    //     must read first_win_rate 0.6, bias +0.1, and the order-
+    //     swap consistency 160/200.
+    "eval_position_bias" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(array(lit("ab"), lit("ba"))).as("ord"))
+      val first = when(col("ord") === "ab", "m1").otherwise("m2")
+      val second = when(col("ord") === "ab", "m2").otherwise("m1")
+      val trueW = when(pmod(id, lit(4L)) < 2, "m1").otherwise("m2")
+      val winner = when(pmod(id, lit(5L)) === 0, first)
+        .when(pmod(id, lit(5L)) === 1, lit(null).cast("string"))
+        .otherwise(trueW)
+      operators.Preference.positionBias(
+        rows.select(id, first.as("first"), second.as("second"),
+          winner.as("winner")),
+        "doc_id", "first", "second", "winner")
+    }),
+
+    // --- Judge verbosity-bias card (r19): winners are longer on
+    //     id%10<6, shorter on {6,7,8}, equal on 9 — the card reads
+    //     longer_win_rate (180 + 30/2)/300 = 0.65.
+    "eval_verbosity_bias" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wlen = when(pmod(id, lit(10L)) < 6, 120L).otherwise(80L)
+      val llen = when(pmod(id, lit(10L)) === 9, wlen).otherwise(lit(100L))
+      operators.Preference.verbosityBias(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(wlen.as("w_len"), llen.as("l_len")),
+        "w_len", "l_len")
+    }),
+
     // --- McNemar's exact test (r19): the closed-form paired
     //     companion — B loses A's correct answer on id%25==0 (12
     //     ids), gains one on id%30==8 (10 ids, disjoint by CRT), so
@@ -11369,6 +11403,29 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN d_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.mean_delta, bt""".stripMargin,
+
+    // the eval_position_bias oracle: the plant law closed-form —
+    // 80 biased first-picks + 120 honest first-slot wins over 400
+    // comparisons, 80 ties; swaps disagree exactly on the biased
+    // 40 items
+    "eval_position_bias" ->
+      """SELECT CAST(400 AS BIGINT) AS n,
+        |  CAST(200 AS BIGINT) AS first_wins,
+        |  CAST(120 AS BIGINT) AS second_wins,
+        |  CAST(80 AS BIGINT) AS ties,
+        |  CAST(200 AS BIGINT) AS n_dual,
+        |  CAST(160 AS BIGINT) AS n_consistent,
+        |  round((200 + 80 / 2.0) / 400, 6) AS first_win_rate,
+        |  round((200 + 80 / 2.0) / 400 - 0.5, 6) AS position_bias,
+        |  round(160 / CAST(200 AS DOUBLE), 6) AS consistency_rate""".stripMargin,
+
+    // the eval_verbosity_bias oracle: the plant law closed-form
+    "eval_verbosity_bias" ->
+      """SELECT CAST(300 AS BIGINT) AS n,
+        |  CAST(180 AS BIGINT) AS longer_won,
+        |  CAST(90 AS BIGINT) AS shorter_won,
+        |  CAST(30 AS BIGINT) AS equal_len,
+        |  round((180 + 30 / 2.0) / 300, 6) AS longer_win_rate""".stripMargin,
 
     // the eval_mcnemar oracle: cells replayed, then the exact
     // two-sided binomial tail via a recursive-CTE Pascal walk —

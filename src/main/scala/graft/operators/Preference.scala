@@ -218,6 +218,109 @@ object Preference {
     * double-scored item would silently double-weight its item in
     * every pair it touches).
     */
+  /** Pairwise-judge POSITION-BIAS card (r19) — the first question a
+    * judge audit asks of A/B comparisons (LLM judges measurably
+    * favor the first-presented answer): over (item, first, second,
+    * winner) rows — `winner` must equal the first system, the
+    * second system, or NULL for a tie; anything else refuses loudly
+    * — one row:
+    *
+    *  - `first_win_rate` = (first_wins + ties/2)/n and
+    *    `position_bias` = first_win_rate − 0.5 (0 = order-blind,
+    *    positive = first-slot favoritism);
+    *  - the ORDER-SWAP consistency check over items judged in BOTH
+    *    orders (the standard debiasing protocol): `n_dual` pairs,
+    *    `n_consistent` (same system wins regardless of order — two
+    *    ties also agree), `consistency_rate`.
+    *
+    * Scale shape: one aggregation for the rates + one (item,
+    * unordered-pair)-keyed self-join for the swap check — per-key
+    * rows bounded by the orders-per-pair (≤ 2 in the protocol),
+    * never a corpus blowup. Duplicate (item, ordered-pair) rows
+    * refuse loudly (they would double-count the swap join).
+    */
+  def positionBias(df: DataFrame, itemCol: String, firstCol: String,
+      secondCol: String, winnerCol: String): DataFrame = {
+    val base = df.select(col(itemCol).cast("string").as("__i"),
+        col(firstCol).cast("string").as("__f"),
+        col(secondCol).cast("string").as("__s"),
+        col(winnerCol).cast("string").as("__w"))
+      .filter(col("__i").isNotNull && col("__f").isNotNull &&
+        col("__s").isNotNull)
+    val badW = base.filter(col("__w").isNotNull &&
+        col("__w") =!= col("__f") && col("__w") =!= col("__s"))
+      .limit(1).count()
+    require(badW == 0,
+      "positionBias: winner must be the first system, the second " +
+        "system, or null (tie)")
+    val dup = base.groupBy(col("__i"), col("__f"), col("__s"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      "positionBias: duplicate (item, first, second) comparison — " +
+        "aggregate or dedup upstream; duplicates double-count the " +
+        "order-swap join")
+    val rates = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("__w") === col("__f"), 1L).otherwise(0L)),
+        lit(0L)).as("first_wins"),
+      coalesce(sum(when(col("__w") === col("__s"), 1L).otherwise(0L)),
+        lit(0L)).as("second_wins"),
+      coalesce(sum(when(col("__w").isNull, 1L).otherwise(0L)),
+        lit(0L)).as("ties"))
+    // order-swap consistency: key on (item, unordered pair), join
+    // the 'ab' presentation against the 'ba' one
+    def keyed = base.select(col("__i"),
+      least(col("__f"), col("__s")).as("__lo"),
+      greatest(col("__f"), col("__s")).as("__hi"),
+      col("__f"), col("__w"))
+    val ab = keyed.filter(col("__f") === col("__lo"))
+      .select(col("__i"), col("__lo"), col("__hi"),
+        col("__w").as("__wab"))
+    val ba = keyed.filter(col("__f") === col("__hi"))
+      .select(col("__i"), col("__lo"), col("__hi"),
+        col("__w").as("__wba"))
+    val dual = ab.join(ba, Seq("__i", "__lo", "__hi"))
+      .agg(count(lit(1)).as("n_dual"),
+        coalesce(sum(when(col("__wab") <=> col("__wba"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_consistent"))
+    rates.crossJoin(dual) // both are 1-row frames
+      .withColumn("first_win_rate",
+        when(col("n") > 0,
+          round((col("first_wins") + col("ties") / lit(2.0)) /
+            col("n"), 6)))
+      .withColumn("position_bias",
+        when(col("n") > 0, round(col("first_win_rate") - 0.5, 6)))
+      .withColumn("consistency_rate",
+        when(col("n_dual") > 0,
+          round(col("n_consistent") / col("n_dual"), 6)))
+  }
+
+  /** Pairwise-judge VERBOSITY-BIAS card (r19) — the second standard
+    * judge audit: does the longer answer win more than chance? Over
+    * (winner length, loser length) rows — tie rows should be
+    * EXCLUDED upstream (there is no winner to measure): one row
+    * (n, longer_won, shorter_won, equal_len, longer_win_rate) with
+    * equal-length comparisons counting half (no length signal
+    * either way).
+    */
+  def verbosityBias(df: DataFrame, winnerLenCol: String,
+      loserLenCol: String): DataFrame = {
+    val base = df.select(col(winnerLenCol).cast("long").as("__w"),
+        col(loserLenCol).cast("long").as("__l"))
+      .filter(col("__w").isNotNull && col("__l").isNotNull)
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__w") > col("__l"), 1L).otherwise(0L)),
+          lit(0L)).as("longer_won"),
+        coalesce(sum(when(col("__w") < col("__l"), 1L).otherwise(0L)),
+          lit(0L)).as("shorter_won"),
+        coalesce(sum(when(col("__w") === col("__l"), 1L).otherwise(0L)),
+          lit(0L)).as("equal_len"))
+      .withColumn("longer_win_rate",
+        when(col("n") > 0,
+          round((col("longer_won") + col("equal_len") / lit(2.0)) /
+            col("n"), 6)))
+  }
+
   def winRateMatrix(df: DataFrame, itemCol: String, systemCol: String,
       scoreCol: String): DataFrame = {
     val base = df.select(col(itemCol).cast("string").as("__i"),

@@ -106,6 +106,51 @@ class PreferenceSpec extends SparkSpec {
     assert(got(3) === ((4L, 0L, 2L, 4)))
   }
 
+  test("positionBias (r19): hand case — biased first-picks inflate " +
+      "first_win_rate, order-swaps expose them as inconsistent, an " +
+      "order-blind judge reads bias 0 / consistency 1; bad winner " +
+      "values and duplicate comparisons refuse") {
+    import graft.operators.Preference
+    def pb(rows: Seq[(Long, String, String, String)]) =
+      Preference.positionBias(rows.toDF("i", "f", "s", "w"),
+        "i", "f", "s", "w").collect()(0)
+    // item 1: judged both orders, first always wins -> inconsistent;
+    // item 2: both orders, a wins regardless -> consistent;
+    // item 3: both orders, both ties -> consistent
+    val h = pb(Seq(
+      (1L, "a", "b", "a"), (1L, "b", "a", "b"),
+      (2L, "a", "b", "a"), (2L, "b", "a", "a"),
+      (3L, "a", "b", null), (3L, "b", "a", null)))
+    assert(h.getLong(0) === 6L && h.getLong(1) === 3L &&
+      h.getLong(2) === 1L && h.getLong(3) === 2L)
+    assert(h.getDouble(6) === 0.666667, "(3 + 1)/6")
+    assert(h.getDouble(7) === 0.166667)
+    assert(h.getLong(4) === 3L && h.getLong(5) === 2L &&
+      h.getDouble(8) === 0.666667)
+    // order-blind judge: zero bias, full consistency
+    val blind = pb(Seq(
+      (1L, "a", "b", "a"), (1L, "b", "a", "a"),
+      (2L, "a", "b", "b"), (2L, "b", "a", "b")))
+    assert(blind.getDouble(7) === 0.0 && blind.getDouble(8) === 1.0)
+    intercept[IllegalArgumentException] {
+      pb(Seq((1L, "a", "b", "zz")))
+    }
+    intercept[IllegalArgumentException] {
+      pb(Seq((1L, "a", "b", "a"), (1L, "a", "b", "b")))
+    }
+  }
+
+  test("verbosityBias (r19): longer/shorter/equal split with the " +
+      "equal-half convention") {
+    import graft.operators.Preference
+    val got = Preference.verbosityBias(
+      Seq((120L, 100L), (130L, 90L), (80L, 100L), (70L, 70L))
+        .toDF("w", "l"), "w", "l").collect()(0)
+    assert(got.getLong(0) === 4L && got.getLong(1) === 2L &&
+      got.getLong(2) === 1L && got.getLong(3) === 1L)
+    assert(got.getDouble(4) === 0.625, "(2 + 0.5)/4")
+  }
+
   test("winRateMatrix (r19): head-to-head records with ties counting " +
       "half, only co-scored items compare, duplicate (item, system) " +
       "scores refuse loudly") {
