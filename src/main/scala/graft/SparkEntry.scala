@@ -2672,6 +2672,62 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("turn_idx"))
     }),
 
+    // --- Readability card (r19): texts built from two fixed
+    //     sentences with hand-counted syllables ("the cat runs." =
+    //     3W/3Y, "a tiny rabbit hops." = 4W/6Y) repeated by id law —
+    //     W/S/Y are closed-form and the two formulas replay as the
+    //     same mirrored double ops.
+    "text_readability" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(
+        expr("repeat('the cat runs. ', cast(doc_id % 3 as int) + 1)"),
+        when(pmod(id, lit(2L)) === 0, lit("a tiny rabbit hops."))
+          .otherwise(lit("")))
+      Tables.documents(s, dir).filter(id < 300)
+        .select(id, TextFunctions.readability(text).as("r"))
+        .select(id, col("r.n_sentences").as("n_sentences"),
+          col("r.n_words").as("n_words"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.flesch").as("flesch"),
+          col("r.fk_grade").as("fk_grade"))
+        .orderBy(id)
+    }),
+
+    // --- SFT refusal scan (r19): two-assistant-turn convs where
+    //     id%4==0 plants a refusal opener in turn 1 and id%8==1
+    //     plants a MID-sentence "I cannot" that must NOT fire
+    //     (prefix-anchored contract); id%19==0 is unparseable →
+    //     null struct. Oracle restates the law closed-form.
+    "chat_refusal_scan" -> ((s, dir) => {
+      import s.implicits._
+      val convs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long].map { id =>
+          val json =
+            if (id % 19 == 0) s"not chat json $id"
+            else {
+              val a0 =
+                if (id % 4 == 0)
+                  s"I cannot help with that request $id."
+                else if (id % 8 == 1)
+                  s"Sure $id: note that I cannot verify dates."
+                else s"here is the answer $id"
+              s"""{"messages":[{"role":"user","content":"q $id"},""" +
+                s"""{"role":"assistant","content":"$a0"},""" +
+                s"""{"role":"user","content":"more $id"},""" +
+                s"""{"role":"assistant","content":"done $id"}]}"""
+            }
+          (id, json)
+        }.toDF("doc_id", "json")
+      convs.select(col("doc_id"),
+          graft.operators.Chat.refusalStats(
+            graft.operators.Chat.parseTurns(col("json"))).as("r"))
+        .select(col("doc_id"), col("r.n_assistant").as("n_assistant"),
+          col("r.n_refusal").as("n_refusal"),
+          col("r.refusal_frac").as("refusal_frac"),
+          col("r.has_refusal").as("has_refusal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Chat validation + ChatML assembly (r15): the renderer's
     //     precondition (optional system, strict user/assistant
     //     alternation, non-empty contents) and the template text
@@ -11403,6 +11459,43 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN d_b END)
         |    AS ci_hi
         |FROM rk, f GROUP BY f.n, f.mean_delta, bt""".stripMargin,
+
+    // the text_readability oracle: the plant law — W/S/Y closed-form
+    // from the two hand-counted sentences, formulas mirrored op-for-op
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id % 3 + 1) + CASE WHEN doc_id % 2 = 0
+        |      THEN 1 ELSE 0 END AS s,
+        |    3 * (doc_id % 3 + 1) + CASE WHEN doc_id % 2 = 0
+        |      THEN 4 ELSE 0 END AS w,
+        |    3 * (doc_id % 3 + 1) + CASE WHEN doc_id % 2 = 0
+        |      THEN 6 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, CAST(s AS INT) AS n_sentences,
+        |  CAST(w AS INT) AS n_words,
+        |  CAST(y AS BIGINT) AS n_syllables,
+        |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |    - 84.6 * (CAST(y AS DOUBLE) / w), 6) AS flesch,
+        |  round(0.39 * (CAST(w AS DOUBLE) / s)
+        |    + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6) AS fk_grade
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the chat_refusal_scan oracle: the plant law — refusal opener
+    // on id%4==0 only (the mid-sentence "I cannot" on id%8==1 must
+    // not fire), unparseable id%19==0 rows carry nulls
+    "chat_refusal_scan" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL ELSE 2 END
+        |    AS INT) AS n_assistant,
+        |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_refusal,
+        |  CAST(CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    WHEN doc_id % 4 = 0 THEN 0.5 ELSE 0.0 END AS DOUBLE)
+        |    AS refusal_frac,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL
+        |    ELSE doc_id % 4 = 0 END AS has_refusal
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // the eval_position_bias oracle: the plant law closed-form —
     // 80 biased first-picks + 120 honest first-slot wins over 400

@@ -253,6 +253,50 @@ object TextFunctions {
         s => trim(s)),
       s => length(s) > 0)
 
+  /** Readability card (r19) — Flesch reading ease + Flesch–Kincaid
+    * grade (Kincaid et al. 1975), the classic human-facing quality
+    * signals corpus analyses stratify by:
+    *
+    *   flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    *   fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+    *
+    * with S from [[splitSentences]], W from [[tokens]], and Y a
+    * DECLARED-RULE syllable count (heuristic, not phonology): vowel
+    * groups ([aeiouy]+ runs) per word, minus one for a silent
+    * trailing 'e' when more than one group remains, floored at 1.
+    * The per-word counts fold over the token array IN ORDER (exact
+    * Long sum); the two formulas are single mirrored double ops on
+    * the integer triple, round-6. Returns a struct (n_sentences,
+    * n_words, n_syllables, flesch, fk_grade); zero sentences or
+    * words → null scores (unscoreable); null text → null fields.
+    */
+  def readability(text: Column): Column = {
+    def sylOf(w: Column): Column = {
+      val groups = size(filter(split(w, "[^aeiouy]+"),
+        g => length(g) > 0))
+      greatest(lit(1),
+        when(w.endsWith("e") && groups > 1, groups - 1)
+          .otherwise(groups))
+    }
+    val toks = tokens(text)
+    val nS = size(splitSentences(text))
+    val nW = size(toks)
+    val nY = aggregate(toks, lit(0L), (acc, w) => acc + sylOf(w))
+    val ok = text.isNotNull
+    val scoreable = ok && nS > 0 && nW > 0
+    def d(c: Column) = c.cast("double")
+    struct(
+      when(ok, nS).as("n_sentences"),
+      when(ok, nW).as("n_words"),
+      when(ok, nY).as("n_syllables"),
+      when(scoreable,
+        round(lit(206.835) - lit(1.015) * (d(nW) / d(nS)) -
+          lit(84.6) * (d(nY) / d(nW)), 6)).as("flesch"),
+      when(scoreable,
+        round(lit(0.39) * (d(nW) / d(nS)) +
+          lit(11.8) * (d(nY) / d(nW)) - lit(15.59), 6)).as("fk_grade"))
+  }
+
   /** Overlapping TOKEN-window chunker (r13) — the RAG/embedding
     * convention the char [[chunk]] cannot express: windows of
     * `window` whitespace tokens starting every `stride` tokens

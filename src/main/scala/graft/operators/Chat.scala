@@ -189,6 +189,50 @@ object Chat {
   def filterValid(df: DataFrame, jsonCol: String): DataFrame =
     df.filter(validAlternation(parseTurns(col(jsonCol))))
 
+  /** Default refusal markers for [[refusalStats]] — the boilerplate
+    * openers a distilled SFT corpus scrubs before training (training
+    * on refusals of BENIGN requests degrades helpfulness; the scan
+    * surfaces candidates, a human policy decides). Matched
+    * case-insensitively against the START of an assistant turn —
+    * prefix-anchored deliberately: "I cannot" mid-sentence is
+    * usually content, as an opener it is usually boilerplate.
+    */
+  val refusalMarkers: Seq[String] = Seq(
+    "i cannot", "i can't", "i can not", "i won't", "i will not",
+    "i'm sorry", "i am sorry", "i apologize",
+    "as an ai", "as a language model", "i'm unable", "i am unable",
+    "i'm not able", "i am not able", "unfortunately, i")
+
+  /** Per-conversation REFUSAL scan (r19) — appends a struct column
+    * over the turns array: `n_assistant`, `n_refusal` (assistant
+    * turns whose content OPENS with a marker, case-insensitive),
+    * `refusal_frac` (round-6, null when no assistant turns) and
+    * `has_refusal`. Null/unparseable turns → null struct (the
+    * unscoreable surface). Pure whole-plan HOF projections — rides
+    * the scan; streaming twin trivially.
+    */
+  def refusalStats(turns: Column,
+      markers: Seq[String] = refusalMarkers): Column = {
+    require(markers.nonEmpty && markers.forall(_.nonEmpty),
+      s"refusalStats: bad marker set $markers")
+    def isRefusal(m: Column) = {
+      val c = lower(ltrim(coalesce(m.getField("content"), lit(""))))
+      markers.map(p => c.startsWith(p)).reduce(_ || _)
+    }
+    val assistants = filter(turns, m => m.getField("role") === "assistant")
+    val nA = size(assistants)
+    val nR = size(filter(assistants, isRefusal _))
+    when(turns.isNull, lit(null).cast(new StructType()
+      .add("n_assistant", IntegerType).add("n_refusal", IntegerType)
+      .add("refusal_frac", DoubleType).add("has_refusal", BooleanType)))
+      .otherwise(struct(
+        nA.as("n_assistant"),
+        nR.as("n_refusal"),
+        when(nA > 0, round(nR.cast("double") / nA, 6))
+          .as("refusal_frac"),
+        (nR > 0).as("has_refusal")))
+  }
+
   /** Per-turn LOSS-MASK spans within the [[renderChatML]] output —
     * the offsets an SFT loader needs to zero the loss everywhere
     * except assistant turns: (idCol, turn_idx, role, start_char,

@@ -291,4 +291,47 @@ class ChatSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Chat.flattenThreads(dangling))
   }
+
+  test("refusalStats (r19): prefix-anchored case-insensitive " +
+      "openers fire, mid-sentence mentions don't, leading " +
+      "whitespace ltrims, no-assistant convs are unscoreable, " +
+      "unparseable null, custom markers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def conv(turns: String) = s"""{"messages":[$turns]}"""
+    val rows = Seq(
+      (1L, conv("""{"role":"user","content":"q"},
+        {"role":"assistant","content":"  I CANNOT do that."},
+        {"role":"user","content":"q2"},
+        {"role":"assistant","content":"sure thing"}""")),
+      (2L, conv("""{"role":"user","content":"q"},
+        {"role":"assistant","content":"note that I cannot verify"}""")),
+      (3L, conv("""{"role":"user","content":"only a user"}""")),
+      (4L, "not json"))
+      .toDF("id", "json")
+    val got = rows.select($"id",
+        graft.operators.Chat.refusalStats(
+          graft.operators.Chat.parseTurns($"json")).as("r"))
+      .select($"id", $"r.n_assistant", $"r.n_refusal",
+        $"r.refusal_frac", $"r.has_refusal")
+      .orderBy("id").collect()
+    assert(got(0).getInt(1) === 2 && got(0).getInt(2) === 1 &&
+      got(0).getDouble(3) === 0.5 && got(0).getBoolean(4),
+      "case-insensitive opener after whitespace fires")
+    assert(got(1).getInt(2) === 0 && !got(1).getBoolean(4),
+      "mid-sentence mention must not fire (prefix-anchored)")
+    assert(got(2).getInt(1) === 0 && got(2).isNullAt(3) &&
+      !got(2).getBoolean(4), "no assistant turns: frac unscoreable")
+    assert(got(3).isNullAt(1) && got(3).isNullAt(4))
+    // custom markers replace the default set
+    val custom = rows.filter($"id" === 2L).select(
+      graft.operators.Chat.refusalStats(
+        graft.operators.Chat.parseTurns($"json"),
+        markers = Seq("note that")).as("r"))
+      .select($"r.n_refusal").collect()(0)
+    assert(custom.getInt(0) === 1)
+    intercept[IllegalArgumentException] {
+      graft.operators.Chat.refusalStats(lit(null), markers = Seq.empty)
+    }
+  }
 }

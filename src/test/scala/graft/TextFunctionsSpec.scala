@@ -1025,6 +1025,36 @@ class TextFunctionsSpec extends SparkSpec {
       novel.getAs[Long]("n_novel") === 0L)
   }
 
+  test("readability (r19): hand-counted syllables (vowel groups, " +
+      "silent-e, floor 1), the Flesch pair on the integer triple, " +
+      "empty/null unscoreable") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "The cat runs. A tiny rabbit hops."), // S2 W7 Y9
+      (2L, "Fine code here"),                    // fine=1 (silent e)
+      (3L, "e"),                                 // floor 1
+      (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        graft.functions.TextFunctions.readability($"text").as("r"))
+      .select($"id", $"r.n_sentences", $"r.n_words", $"r.n_syllables",
+        $"r.flesch", $"r.fk_grade")
+      .orderBy("id").collect()
+    val h = got(0)
+    assert(h.getInt(1) === 2 && h.getInt(2) === 7 && h.getLong(3) === 9L)
+    // flesch = 206.835 - 1.015*3.5 - 84.6*(9/7.0)
+    assert(h.getDouble(4) ===
+      BigDecimal(206.835 - 1.015 * 3.5 - 84.6 * (9 / 7.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val f = got(1)
+    assert(f.getLong(3) === 3L, "fine(1) + code(1) + here(1)")
+    assert(got(2).getLong(3) === 1L, "single vowel floors at 1")
+    assert(got(3).getInt(1) === 0 && got(3).isNullAt(4),
+      "empty text is unscoreable, not score 206.835")
+    assert(got(4).isNullAt(1) && got(4).isNullAt(4))
+  }
+
   test("withQaMatch (r17): SQuAD normalization (punct stripped, " +
       "articles dropped, case-folded), EM vs token F1, clipped " +
       "multiset overlap, empty-side edge rule, null nulls out") {
