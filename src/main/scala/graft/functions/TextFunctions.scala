@@ -272,10 +272,14 @@ object TextFunctions {
     */
   def readability(text: Column): Column = {
     def sylOf(w: Column): Column = {
-      val groups = size(filter(split(w, "[^aeiouy]+"),
+      // trailing punctuation would mask the silent-e rule ("fine."
+      // ends '.') — stem it off first; it carries no vowels, so the
+      // group count is unchanged either way
+      val stem = regexp_replace(w, "[^a-z]+$", "")
+      val groups = size(filter(split(stem, "[^aeiouy]+"),
         g => length(g) > 0))
       greatest(lit(1),
-        when(w.endsWith("e") && groups > 1, groups - 1)
+        when(stem.endsWith("e") && groups > 1, groups - 1)
           .otherwise(groups))
     }
     val toks = tokens(text)

@@ -613,6 +613,16 @@ object Agreement {
     val nDropped = perMAll.filter(_._1 < 2).map(_._2).sum
     val nItems = perM.map(_._2).sum
     val n = perM.map(p => p._1 * p._2).sum
+    // DECIMAL(38,0) overflow nulls SILENTLY under the same coalesce
+    // that absorbs single-category items, so the exactness claim is
+    // guarded by construction: Σ A_i ≤ 4·n³·m_max must fit 38 digits
+    // (it does for any rateable sample — 1e12 ratings × panel 25 —
+    // and refuses loudly instead of zeroing disagreement beyond)
+    val mMax = perM.map(_._1).foldLeft(1L)(math.max)
+    require(BigInt(4) * BigInt(n).pow(3) * BigInt(mMax) <
+      BigInt(10).pow(38),
+      s"krippendorffAlphaOrdinal: $n ratings × panel $mMax exceeds " +
+        "the exact DECIMAL(38,0) bound — sample the rated set")
     // D_e numerator (same ×4 scale), exact on the driver from the
     // marginals: 2·Σ_{c<k} n_c·n_k·(2δ_ck)²
     val margMap = margAll.toMap

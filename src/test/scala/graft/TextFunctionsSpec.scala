@@ -1032,7 +1032,7 @@ class TextFunctionsSpec extends SparkSpec {
     import spark.implicits._
     val rows = Seq(
       (1L, "The cat runs. A tiny rabbit hops."), // S2 W7 Y9
-      (2L, "Fine code here"),                    // fine=1 (silent e)
+      (2L, "Fine code here, fine."), // silent-e through trailing punct
       (3L, "e"),                                 // floor 1
       (4L, ""), (5L, null.asInstanceOf[String]))
       .toDF("id", "text")
@@ -1048,7 +1048,9 @@ class TextFunctionsSpec extends SparkSpec {
       BigDecimal(206.835 - 1.015 * 3.5 - 84.6 * (9 / 7.0))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val f = got(1)
-    assert(f.getLong(3) === 3L, "fine(1) + code(1) + here(1)")
+    assert(f.getLong(3) === 4L,
+      "fine(1) + code(1) + here(1) + fine.(1 — the silent-e rule " +
+        "sees through trailing punctuation)")
     assert(got(2).getLong(3) === 1L, "single vowel floors at 1")
     assert(got(3).getInt(1) === 0 && got(3).isNullAt(4),
       "empty text is unscoreable, not score 206.835")
