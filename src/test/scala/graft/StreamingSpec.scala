@@ -1240,6 +1240,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming refusal scan == batch (r19): a stateless " +
+      "projection over parsed turns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 30L).map { id =>
+      val a = if (id % 4 == 0) "I cannot do that" else s"answer $id"
+      (id, s"""{"messages":[{"role":"user","content":"q"},""" +
+        s"""{"role":"assistant","content":"$a"}]}""")
+    }
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "json")
+      .select($"id", graft.operators.Chat.refusalStats(
+        graft.operators.Chat.parseTurns($"json")).as("r"))
+      .writeStream.format("memory").queryName("refusal_st")
+      .outputMode(OutputMode.Append).start()
+    ms.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("refusal_st")
+      .orderBy("id").collect().toSeq
+    val batch = rows.toDF("id", "json")
+      .select($"id", graft.operators.Chat.refusalStats(
+        graft.operators.Chat.parseTurns($"json")).as("r"))
+      .orderBy("id").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming bidi scan / svg meta == batch (r17): both are " +
       "stateless regex projections") {
     implicit val sqlCtx = spark.sqlContext
