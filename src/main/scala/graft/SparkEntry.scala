@@ -10906,7 +10906,14 @@ object SparkEntry {
         |      FROM j, t)
         |SELECT category, n_a, n_b, p_a, p_b, one_sided,
         |  CASE WHEN NOT one_sided AND p_a > 0 AND p_b > 0
-        |    THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term
+        |    THEN round((p_a - p_b) * ln(p_a / p_b), 6) END AS psi_term,
+        |  CASE WHEN p_a IS NOT NULL AND p_b IS NOT NULL THEN round(
+        |    (CASE WHEN p_a > 0
+        |       THEN p_a * ln(p_a / ((p_a + p_b) / 2)) / 2
+        |       ELSE 0.0 END)
+        |    + (CASE WHEN p_b > 0
+        |       THEN p_b * ln(p_b / ((p_a + p_b) / 2)) / 2
+        |       ELSE 0.0 END), 6) END AS jsd_term
         |FROM m ORDER BY category""".stripMargin,
 
     // the corpus_ks oracle: pooled distinct values, inclusive

@@ -320,7 +320,11 @@ object CorpusReport {
     * category, counts and shares on each side plus the PSI term
     * (p_a − p_b)·ln(p_a / p_b), which sums (over categories) to
     * the headline PSI (< 0.1 stable, 0.1–0.25 drifting, > 0.25
-    * shifted — the standard reading). Determinism: shares round-6
+    * shifted — the standard reading), plus the Jensen–Shannon term
+    * (½-mixture KL halves, nats) which stays FINITE on one-sided
+    * categories and totals to a bounded [0, ln 2] divergence —
+    * carrying both is deliberate: PSI refuses to price a new
+    * category, JSD prices it at ½ln2·p. Determinism: shares round-6
     * FIRST and the term computes on the rounded pair (the kappa
     * stance — single mirrored IEEE ops per row); a category present
     * on only one side has an INFINITE PSI term — surfaced as a null
@@ -378,6 +382,18 @@ object CorpusReport {
         when(!col("one_sided") && col("p_a") > 0 && col("p_b") > 0,
           round((col("p_a") - col("p_b")) *
             log(col("p_a") / col("p_b")), 6)))
+      // Jensen–Shannon term (r19): ½p_a·ln(p_a/m) + ½p_b·ln(p_b/m)
+      // with m = (p_a+p_b)/2 — FINITE on one-sided categories (the
+      // 0·ln0 = 0 convention), which is exactly why the card carries
+      // both: PSI refuses to price a new category, JSD prices it at
+      // ½ln2·p. Natural-log nats, rounded-p ops, round-6.
+      .withColumn("jsd_term", {
+        val m = (col("p_a") + col("p_b")) / 2
+        def half(p: org.apache.spark.sql.Column) =
+          when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0))
+        when(col("p_a").isNotNull && col("p_b").isNotNull,
+          round(half(col("p_a")) + half(col("p_b")), 6))
+      })
       .drop("__ta", "__tb")
   }
 
@@ -442,15 +458,15 @@ object CorpusReport {
     out(dNum, ks)
   }
 
-  /** Headline PSI from a [[categoryDrift]] card: ordered driver
-    * fold over the category-sorted terms (the bleuFromStats stance
-    * — the cross-row float sum happens ONCE, in a pinned order, on
-    * the driver; the distributed card stays row-wise exact),
-    * loudly capped by `maxCategories`. Returns (n_categories,
-    * n_one_sided, psi) — psi is null when any two-sided term is
-    * missing is impossible by construction, but a card that is ALL
-    * one-sided (disjoint category sets) carries psi null: there is
-    * no finite number to report.
+  /** Headline PSI and JSD from a [[categoryDrift]] card: ordered
+    * driver fold over the category-sorted terms (the bleuFromStats
+    * stance — the cross-row float sum happens ONCE, in a pinned
+    * order, on the driver; the distributed card stays row-wise
+    * exact), loudly capped by `maxCategories`. Returns
+    * (n_categories, n_one_sided, psi, jsd) — a card that is ALL
+    * one-sided (disjoint category sets) carries psi null (no finite
+    * PSI exists) while jsd still totals (ln 2 in the limit; the
+    * bounded metric is exactly the one that survives disjointness).
     */
   def psiTotal(card: DataFrame, maxCategories: Int = 100000):
       DataFrame = {
@@ -458,23 +474,26 @@ object CorpusReport {
     import spark.implicits._
     val rows = card.select(col("category"),
         col("psi_term").cast("double"),
+        col("jsd_term").cast("double"),
         col("one_sided").cast("boolean"))
       .limit(maxCategories + 1)
-      .as[(String, Option[Double], Boolean)].collect()
+      .as[(String, Option[Double], Option[Double], Boolean)].collect()
     require(rows.length <= maxCategories,
       s"psiTotal: > $maxCategories categories — that is not a " +
         "categorical mix; check the category column")
     val sorted = rows.sortBy(_._1)
-    val nOneSided = sorted.count(_._3).toLong
-    val terms = sorted.flatMap(_._2)
-    val psi: java.lang.Double =
+    val nOneSided = sorted.count(_._4).toLong
+    def fold(terms: Array[Double]): java.lang.Double =
       if (terms.isEmpty) null
       else BigDecimal(terms.foldLeft(0.0)(_ + _))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val psi = fold(sorted.flatMap(_._2))
+    val jsd = fold(sorted.flatMap(_._3))
     Seq((rows.length.toLong, nOneSided,
-        Option(psi).map(_.toDouble)))
-      .toDF("n_categories", "n_one_sided", "psi")
+        Option(psi).map(_.toDouble), Option(jsd).map(_.toDouble)))
+      .toDF("n_categories", "n_one_sided", "psi", "jsd")
       .select(col("n_categories"), col("n_one_sided"),
-        col("psi").cast("double").as("psi"))
+        col("psi").cast("double").as("psi"),
+        col("jsd").cast("double").as("jsd"))
   }
 }

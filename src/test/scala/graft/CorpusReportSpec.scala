@@ -240,18 +240,27 @@ class CorpusReportSpec extends SparkSpec {
       ra.getDouble(3) === 0.5 && ra.getDouble(4) === 0.25)
     assert(!ra.getBoolean(5) && ra.getDouble(6) === 0.173287,
       "0.25 * ln 2")
-    assert(card(1).getDouble(6) === 0.0, "unmoved share is 0 drift")
+    assert(ra.getDouble(7) === 0.021237,
+      ".25*ln(4/3) + .125*ln(2/3)")
+    assert(card(1).getDouble(6) === 0.0 && card(1).getDouble(7) === 0.0,
+      "unmoved share is 0 drift on both metrics")
     val rc = card(2)
     assert(rc.getLong(1) === 0L && rc.getBoolean(5) && rc.isNullAt(6),
-      "new category = one-sided flag, not an invented number")
+      "new category = one-sided flag, not an invented PSI")
+    assert(rc.getDouble(7) === 0.086643,
+      "JSD prices the new category finitely: .125*ln2")
     val tot = CorpusReport.psiTotal(
       CorpusReport.categoryDrift(a, b, "cat")).collect()(0)
     assert(tot.getLong(0) === 3L && tot.getLong(1) === 1L &&
       tot.getDouble(2) === 0.173287)
-    // disjoint category sets: no finite PSI exists — null, not 0
+    assert(tot.getDouble(3) === 0.10788, "ordered fold of jsd terms")
+    // disjoint category sets: no finite PSI exists — null, not 0 —
+    // while JSD saturates at ln 2
     val dj = CorpusReport.psiTotal(CorpusReport.categoryDrift(
       Seq("a").toDF("cat"), Seq("z").toDF("cat"), "cat")).collect()(0)
     assert(dj.getLong(1) === 2L && dj.isNullAt(2))
+    assert(dj.getDouble(3) === 0.693148,
+      "ln 2 up to the card's per-row rounding (two 0.346574 halves)")
     intercept[IllegalArgumentException] {
       CorpusReport.psiTotal(
         CorpusReport.categoryDrift(a, b, "cat"), maxCategories = 2)
