@@ -4351,6 +4351,19 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- Wilcoxon signed-rank (r19): deltas (id%21 − 8) ∈ [−8, 12]
+    //     with zeros at id%21==8 and heavy |d| ties — the doubled
+    //     midranks, the exact tie sum and the z replay in the
+    //     oracle's window ranks.
+    "eval_wilcoxon" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.ClassifierEval.wilcoxonSignedRank(
+        Tables.documents(s, dir).filter(id < 300)
+          .select((pmod(id, lit(21L)) - 8L).as("a"),
+            lit(0L).as("b")),
+        "a", "b")
+    }),
+
     // --- Paired-delta subsample CI (r19): the signal pair's effect
     //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
     //     subsamples; the interval must sit strictly above 0
@@ -11436,6 +11449,36 @@ object SparkEntry {
         |  round((ne + 1) / (np + 1.0), 6) AS p_value
         |FROM obs JOIN e ON e.g = obs.g
         |ORDER BY "group"""".stripMargin,
+
+    // the eval_wilcoxon oracle: doubled |d| midranks via the
+    // spearman window idiom, exact tie sum, the z formula mirrored
+    "eval_wilcoxon" ->
+      """WITH d AS (
+        |  SELECT doc_id % 21 - 8 AS dd
+        |  FROM documents WHERE doc_id < 300),
+        |z0 AS (SELECT count(*) AS n_zero FROM d WHERE dd = 0),
+        |nz AS (SELECT dd, abs(dd) AS ad FROM d WHERE dd <> 0),
+        |r AS (SELECT dd,
+        |        2 * rank() OVER (ORDER BY ad) +
+        |          count(*) OVER (PARTITION BY ad) - 1 AS r2
+        |      FROM nz),
+        |m AS (SELECT count(*) AS n,
+        |        sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS w2
+        |      FROM r),
+        |t AS (SELECT COALESCE(sum(t * t * t - t), 0) AS ts FROM
+        |        (SELECT count(*) AS t FROM nz GROUP BY ad) g)
+        |SELECT CAST(n AS BIGINT) AS n_nonzero,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CAST(w2 AS BIGINT) AS w2_plus,
+        |  CAST(ts AS BIGINT) AS tie_sum,
+        |  CASE WHEN n > 0 AND CAST(n AS DOUBLE) * (n + 1)
+        |      * (2.0 * n + 1) / 24.0 - CAST(ts AS DOUBLE) / 48.0 > 0.0
+        |    THEN round((CAST(w2 AS DOUBLE) / 2.0
+        |        - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
+        |        - CAST(ts AS DOUBLE) / 48.0), 6)
+        |  END AS z
+        |FROM m, z0, t""".stripMargin,
 
     // the eval_paired_ci oracle: the eval_acc_ci replay machinery
     // over per-item deltas — same md5 membership rule, same

@@ -355,6 +355,85 @@ object ClassifierEval {
         col("ci_hi").cast("double").as("ci_hi"))
   }
 
+  /** Wilcoxon signed-rank test (r19) — the rank-based member of the
+    * paired family (Wilcoxon 1945): where [[pairedPermutationTest]]
+    * weighs deltas by MAGNITUDE (one outlier item can dominate),
+    * the signed-rank statistic weighs them by RANK of |d| — the
+    * robust default when per-item score deltas are heavy-tailed.
+    * Zero deltas carry no sign evidence and drop (counted in
+    * `n_zero`, the standard convention); |d| ties take midranks.
+    *
+    * Exactness (the spearman doubled-midrank trick): 2·midrank is
+    * an integer, so `w2_plus` = Σ_{d>0} 2r_i is an exact Long, and
+    * the tie-correction sum Σ(t³−t) rides DECIMAL(38,0) (t³ can
+    * pass Long under one giant tie group). The normal
+    * approximation
+    *
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    *
+    * is single mirrored double ops on those exact integers,
+    * round-6 (null when n = 0). No exact p ships — the permutation
+    * test IS this family's exact member; z is the classic report.
+    *
+    * The |d| rank window is a single-task global sort, so the
+    * bounded-eval contract is ENFORCED with the usual loud `maxRows`
+    * count-guard. Output: one row (n_nonzero, n_zero, w2_plus,
+    * tie_sum, z).
+    */
+  def wilcoxonSignedRank(df: DataFrame, scoreACol: String,
+      scoreBCol: String, maxRows: Int = 1 << 22): DataFrame = {
+    val raw = df.select(col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val nonInt = raw.filter(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"))
+      .limit(1).count()
+    require(nonInt == 0,
+      "wilcoxonSignedRank: fractional score found — the rank " +
+        "statistics are exact over INTEGER scores; rescale upstream")
+    val deltas = raw.select(
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
+    val guardN = deltas
+      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
+    require(guardN <= maxRows,
+      s"wilcoxonSignedRank: > $maxRows rated rows — the |d| rank " +
+        "window is a single-task global sort; sample upstream or " +
+        "raise maxRows deliberately")
+    val nZeroRow = deltas.agg(
+      coalesce(sum(when(col("__d") === 0L, 1L).otherwise(0L)), lit(0L))
+        .as("n_zero"))
+    val nz = deltas.filter(col("__d") =!= 0L)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.orderBy(col("__ad"))
+    val tie = Window.partitionBy(col("__ad"))
+    val main = nz
+      .withColumn("__r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
+      .agg(count(lit(1)).as("n_nonzero"),
+        coalesce(sum(when(col("__d") > 0L, col("__r2")).otherwise(0L)),
+          lit(0L)).as("w2_plus"))
+    val ties = nz.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") *
+          col("__t") * col("__t") - col("__t")),
+        lit(0).cast("decimal(38,0)")).as("tie_sum"))
+    main.crossJoin(nZeroRow).crossJoin(ties) // 1-row frames
+      .withColumn("z", {
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = d(col("n_nonzero"))
+        val variance = n * (n + 1) * (lit(2.0) * n + 1) / 24.0 -
+          d(col("tie_sum")) / 48.0
+        when(col("n_nonzero") > 0 && variance > 0.0,
+          round((d(col("w2_plus")) / 2.0 - n * (n + 1) / 4.0) /
+            sqrt(variance), 6))
+      })
+      .select(col("n_nonzero"), col("n_zero"), col("w2_plus"),
+        // z above consumed the EXACT decimal; the card's copy is
+        // informational and rides as long (null past Long range)
+        col("tie_sum").cast("long").as("tie_sum"), col("z"))
+  }
+
   /** Per-GROUP paired permutation test (r19) — the sliced twin of
     * [[pairedPermutationTest]], and the shape a corpus-scale eval
     * actually runs: "B beats A overall, but does it regress on

@@ -202,6 +202,34 @@ class ClassifierEvalSpec extends SparkSpec {
       "grouped == global per slice (same md5 keys)")
   }
 
+  test("wilcoxonSignedRank (r19): doubled midranks exact, zero " +
+      "deltas drop and count, |d| ties midrank with the exact " +
+      "tie-correction, fractional scores and over-cap refuse") {
+    import spark.implicits._
+    def wx(rows: Seq[(Long, Long)], cap: Int = 1 << 22) =
+      ClassifierEval.wilcoxonSignedRank(rows.toDF("a", "b"), "a", "b",
+        maxRows = cap).collect()(0)
+    // deltas {1, -2, 3}: 2r = 2,4,6; W2+ = 8; var = 3.5
+    val h = wx(Seq((1L, 0L), (-2L, 0L), (3L, 0L), (0L, 0L)))
+    assert(h.getLong(0) === 3L && h.getLong(1) === 1L &&
+      h.getLong(2) === 8L && h.getLong(3) === 0L)
+    assert(h.getDouble(4) === 0.534522, "(4-3)/sqrt(3.5)")
+    // all |d| tied: midranks 4 each, tie sum 24, var 3
+    val t = wx(Seq((2L, 0L), (-2L, 0L), (2L, 0L)))
+    assert(t.getLong(2) === 8L && t.getLong(3) === 24L)
+    assert(t.getDouble(4) === 0.57735, "(4-3)/sqrt(3)")
+    // all-zero deltas: nothing to rank, z null
+    val z = wx(Seq((5L, 5L), (7L, 7L)))
+    assert(z.getLong(0) === 0L && z.getLong(1) === 2L && z.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.wilcoxonSignedRank(
+        Seq((0.5, 0.0)).toDF("a", "b"), "a", "b").collect()
+    }
+    intercept[IllegalArgumentException] {
+      wx(Seq((1L, 0L), (2L, 0L), (3L, 0L)), cap = 2)
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
