@@ -4122,6 +4122,23 @@ object SparkEntry {
         .orderBy(col("query"))
     }),
 
+    // --- Corpus-level retrieval summary (r19): MAP/mean-NDCG/MRR
+    //     over the eval_ndcg plant — per-query round-6 metrics
+    //     aggregate as EXACT decimal sums (order-free, no driver
+    //     fold, no cap), one mirrored double division each.
+    "eval_map" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(sequence(lit(1), lit(5))).as("rank"))
+        .withColumn("rel",
+          when(col("rank") === pmod(id, lit(3L)) + 1, 1.0)
+            .when(col("rank") === 5 && pmod(id, lit(2L)) === 0, 1.0)
+            .otherwise(0.0))
+      operators.RetrievalEval.rankedEvalSummary(
+        operators.RetrievalEval.rankedEval(rows, "doc_id", "rank",
+          "rel", k = 5))
+    }),
+
     // --- Per-item agreement card (r18): the fleiss plant viewed
     //     item-by-item — items with id%5 in {3,4} carry one dissent
     //     (majority 2/3, two labels), the rest are unanimous. The
@@ -11120,6 +11137,42 @@ object SparkEntry {
         |  dcg, idcg, round(dcg / idcg, 6) AS ndcg, p_at_k, r_at_k,
         |  ap_at_k
         |FROM m ORDER BY query""".stripMargin,
+
+    // the eval_map oracle: the eval_ndcg per-query law re-derived,
+    // then the decimal-sum means mirrored (CAST to DECIMAL(18,6),
+    // exact SUM, one double division, round 6)
+    "eval_map" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS p1,
+        |    doc_id % 2 = 0 AS ev
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (SELECT
+        |    round(1.0 / p1, 6) AS mrr,
+        |    round(1.0 / (ln(p1 + 1) / ln(2)) + CASE WHEN ev
+        |      THEN 1.0 / (ln(6) / ln(2)) ELSE 0.0 END, 6) AS dcg,
+        |    round(1.0 + CASE WHEN ev
+        |      THEN 1.0 / (ln(3) / ln(2)) ELSE 0.0 END, 6) AS idcg,
+        |    round(CAST(CASE WHEN ev THEN 2 ELSE 1 END AS DOUBLE) / 5, 6)
+        |      AS p_at_k,
+        |    CAST(1.0 AS DOUBLE) AS r_at_k,
+        |    round((1.0 / p1 + CASE WHEN ev THEN 2.0 / 5 ELSE 0 END)
+        |      / CASE WHEN ev THEN 2 ELSE 1 END, 6) AS ap_at_k
+        |  FROM d),
+        |n AS (SELECT mrr, round(dcg / idcg, 6) AS ndcg, p_at_k,
+        |        r_at_k, ap_at_k FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_scoreable,
+        |  round(CAST(sum(CAST(ap_at_k AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS map,
+        |  round(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_ndcg,
+        |  round(CAST(sum(CAST(mrr AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_mrr,
+        |  round(CAST(sum(CAST(p_at_k AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_p_at_k,
+        |  round(CAST(sum(CAST(r_at_k AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_r_at_k
+        |FROM n""".stripMargin,
 
     // the eval_item_agreement oracle: the per-item plant law — one
     // dissent iff id%5 in {3,4} (rater 1 or 2 fires the (id+r)%5

@@ -147,4 +147,31 @@ object RetrievalEval {
       }
     }(Encoders.row(schema))
   }
+
+  /** Corpus-level summary of a [[rankedEval]] card (r19) — the
+    * headline numbers a retrieval eval quotes: MAP (mean of the
+    * per-query `ap_at_k`), mean NDCG@k, MRR (mean of per-query
+    * reciprocal ranks), mean P@k / R@k, over scoreable queries
+    * (nulls — unscoreable queries — are excluded per metric and
+    * counted).
+    *
+    * Determinism WITHOUT a driver fold: the per-query metrics are
+    * round-6 by construction, i.e. EXACT DECIMAL(18,6) values — so
+    * each SUM aggregates in decimal (exact, order-free, fully
+    * distributed; no float-sum order hazard and no bounded-collect
+    * cap needed: this scales to any query count), and only the
+    * final mean is one mirrored double division + round (the
+    * decimal→double cast is exact below 2⁵³ µ-units, ~9e9 queries).
+    */
+  def rankedEvalSummary(card: DataFrame): DataFrame = {
+    def mean(c: String, out: String) =
+      when(count(col(c)) > 0,
+        round(sum(col(c).cast("decimal(18,6)")).cast("double") /
+          count(col(c)), 6)).as(out)
+    card.agg(count(lit(1)).as("n_queries"),
+      count(col("ndcg")).as("n_scoreable"),
+      mean("ap_at_k", "map"),
+      mean("ndcg", "mean_ndcg"), mean("mrr", "mean_mrr"),
+      mean("p_at_k", "mean_p_at_k"), mean("r_at_k", "mean_r_at_k"))
+  }
 }

@@ -95,6 +95,29 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(a.getDouble(5) === 1.0 && a.getInt(3) === 1)
   }
 
+  test("rankedEvalSummary (r19): MAP and the mean card as exact " +
+      "decimal sums — unscoreable queries excluded per metric and " +
+      "counted, all-unscoreable cards null out") {
+    val rows = Seq(
+      ("q1", 1, 1.0), ("q1", 2, 1.0), ("q1", 3, 0.0), // ndcg 1, ap 1
+      ("q2", 1, 0.0), ("q2", 2, 0.0), ("q2", 3, 1.0), // ap 1/3
+      ("q3", 1, 0.0), ("q3", 2, 0.0))                 // unscoreable
+      .toDF("q", "rank", "rel")
+    val s = RetrievalEval.rankedEvalSummary(
+      RetrievalEval.rankedEval(rows, "q", "rank", "rel", k = 3))
+      .collect()(0)
+    assert(s.getLong(0) === 3L && s.getLong(1) === 2L)
+    assert(s.getDouble(2) === 0.666667, "MAP over scoreable: (1+1/3)/2")
+    assert(s.getDouble(3) === 0.75, "(1 + 0.5)/2")
+    assert(s.getDouble(4) === 0.444444, "mrr mean includes the 0")
+    val none = RetrievalEval.rankedEvalSummary(
+      RetrievalEval.rankedEval(
+        Seq(("q", 1, 0.0)).toDF("q", "rank", "rel"), "q", "rank",
+        "rel", k = 1)).collect()(0)
+    assert(none.getLong(1) === 0L && none.isNullAt(2) &&
+      none.isNullAt(3))
+  }
+
   test("rankedEval (r18): the bounded-list contract is enforced — a " +
       "query exceeding maxResults refuses loudly in the task") {
     import spark.implicits._
