@@ -4368,6 +4368,20 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- PR-curve threshold sweep (r19): the eval_auc score plant
+    //     ((id·13)%101 scores, (id·7)%10<5 labels) swept at four
+    //     thresholds — counts replay generically in the oracle.
+    "eval_pr_curve" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.ClassifierEval.prCurve(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(pmod(id * 13, lit(101L)).cast("double").as("score"),
+            when(pmod(id * 7, lit(10L)) < 5, 1L).otherwise(0L)
+              .as("label")),
+        "score", "label", thresholds = Seq(10.0, 25.0, 50.0, 75.0))
+        .orderBy(col("threshold"))
+    }),
+
     // --- Wilcoxon signed-rank (r19): deltas (id%21 − 8) ∈ [−8, 12]
     //     with zeros at id%21==8 and heavy |d| ties — the doubled
     //     midranks, the exact tie sum and the z replay in the
@@ -11502,6 +11516,34 @@ object SparkEntry {
         |  round((ne + 1) / (np + 1.0), 6) AS p_value
         |FROM obs JOIN e ON e.g = obs.g
         |ORDER BY "group"""".stripMargin,
+
+    // the eval_pr_curve oracle: the score/label plant replayed at
+    // each threshold — integer counts, single rounded divisions
+    "eval_pr_curve" ->
+      """WITH b AS (
+        |  SELECT CAST(doc_id * 13 % 101 AS DOUBLE) AS s,
+        |    CASE WHEN doc_id * 7 % 10 < 5 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id < 300),
+        |tt AS (SELECT CAST(unnest([10.0, 25.0, 50.0, 75.0]) AS DOUBLE)
+        |         AS threshold),
+        |np AS (SELECT sum(y) AS npos FROM b),
+        |g AS (SELECT threshold,
+        |        sum(CASE WHEN s >= threshold THEN 1 ELSE 0 END)
+        |          AS n_pred_pos,
+        |        sum(CASE WHEN s >= threshold AND y = 1
+        |          THEN 1 ELSE 0 END) AS tp
+        |      FROM b, tt GROUP BY threshold)
+        |SELECT threshold, CAST(n_pred_pos AS BIGINT) AS n_pred_pos,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST(n_pred_pos - tp AS BIGINT) AS fp,
+        |  CAST(npos - tp AS BIGINT) AS fn,
+        |  CASE WHEN n_pred_pos > 0
+        |    THEN round(CAST(tp AS DOUBLE) / n_pred_pos, 6) END AS prec,
+        |  CASE WHEN npos > 0
+        |    THEN round(CAST(tp AS DOUBLE) / npos, 6) END AS recall,
+        |  CASE WHEN n_pred_pos > 0 AND npos > 0
+        |    THEN round(2.0 * tp / (n_pred_pos + npos), 6) END AS f1
+        |FROM g, np ORDER BY threshold""".stripMargin,
 
     // the eval_wilcoxon oracle: doubled |d| midranks via the
     // spearman window idiom, exact tie sum, the z formula mirrored

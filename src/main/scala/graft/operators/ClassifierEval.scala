@@ -355,6 +355,53 @@ object ClassifierEval {
         col("ci_hi").cast("double").as("ci_hi"))
   }
 
+  /** Threshold sweep / PR-curve card (r19) — the table a filter
+    * classifier's DEPLOYMENT decision is read from: for each
+    * candidate threshold t, the confusion counts and P/R/F1 of the
+    * rule `score ≥ t`. [[aucRoc]] summarizes ranking quality in one
+    * number; shipping a filter requires picking t, and this is the
+    * evidence. One pass: the (small, ≤ `maxThresholds`) threshold
+    * list explodes against the scored rows into one grouped
+    * aggregation — integer counts, single rounded divisions,
+    * zero-denominator metrics null (unscoreable, not zero). Labels
+    * are 0/1 longs; null rows drop. Output per threshold:
+    * (threshold, n_pred_pos, tp, fp, fn, prec, recall, f1).
+    */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double], maxThresholds: Int = 1024): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.length <= maxThresholds,
+      s"prCurve: ${thresholds.length} thresholds (max $maxThresholds)")
+    require(thresholds.distinct.length == thresholds.length,
+      "prCurve: duplicate thresholds")
+    val base = df.select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val totals = base.agg(coalesce(sum(col("__y")), lit(0L)).as("__npos"))
+    val swept = base
+      .withColumn("threshold",
+        explode(array(thresholds.map(lit): _*)))
+      .groupBy(col("threshold"))
+      .agg(
+        coalesce(sum(when(col("__s") >= col("threshold"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_pred_pos"),
+        coalesce(sum(when(col("__s") >= col("threshold") &&
+          col("__y") === 1L, 1L).otherwise(0L)), lit(0L)).as("tp"))
+    swept.crossJoin(totals) // 1-row totals frame
+      .withColumn("fp", col("n_pred_pos") - col("tp"))
+      .withColumn("fn", col("__npos") - col("tp"))
+      .withColumn("prec",
+        when(col("n_pred_pos") > 0,
+          round(col("tp") / col("n_pred_pos"), 6)))
+      .withColumn("recall",
+        when(col("__npos") > 0, round(col("tp") / col("__npos"), 6)))
+      .withColumn("f1",
+        when(col("n_pred_pos") > 0 && col("__npos") > 0,
+          round(lit(2.0) * col("tp") /
+            (col("n_pred_pos") + col("__npos")), 6)))
+      .select(col("threshold"), col("n_pred_pos"), col("tp"),
+        col("fp"), col("fn"), col("prec"), col("recall"), col("f1"))
+  }
+
   /** Wilcoxon signed-rank test (r19) — the rank-based member of the
     * paired family (Wilcoxon 1945): where [[pairedPermutationTest]]
     * weighs deltas by MAGNITUDE (one outlier item can dominate),

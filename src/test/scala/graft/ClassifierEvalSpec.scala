@@ -202,6 +202,36 @@ class ClassifierEvalSpec extends SparkSpec {
       "grouped == global per slice (same md5 keys)")
   }
 
+  test("prCurve (r19): hand case — monotone recall, unscoreable " +
+      "nulls at an empty-prediction threshold, duplicate/oversized " +
+      "threshold lists refuse") {
+    import spark.implicits._
+    // scores 1..4, positives at 3,4
+    val rows = Seq((1.0, 0L), (2.0, 0L), (3.0, 1L), (4.0, 1L))
+      .toDF("s", "y")
+    val got = ClassifierEval.prCurve(rows, "s", "y",
+      thresholds = Seq(0.0, 3.0, 4.5)).orderBy("threshold").collect()
+    val t0 = got(0)
+    assert(t0.getLong(1) === 4L && t0.getLong(2) === 2L &&
+      t0.getDouble(5) === 0.5 && t0.getDouble(6) === 1.0,
+      "threshold below all scores: recall 1, precision = base rate")
+    val t3 = got(1)
+    assert(t3.getLong(1) === 2L && t3.getLong(2) === 2L &&
+      t3.getLong(3) === 0L && t3.getLong(4) === 0L &&
+      t3.getDouble(5) === 1.0 && t3.getDouble(7) === 1.0)
+    val t45 = got(2)
+    assert(t45.getLong(1) === 0L && t45.isNullAt(5) &&
+      t45.getDouble(6) === 0.0,
+      "no predictions: precision unscoreable, recall 0")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.prCurve(rows, "s", "y", Seq(1.0, 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.prCurve(rows, "s", "y",
+        (1 to 2000).map(_.toDouble))
+    }
+  }
+
   test("wilcoxonSignedRank (r19): doubled midranks exact, zero " +
       "deltas drop and count, |d| ties midrank with the exact " +
       "tie-correction, fractional scores and over-cap refuse") {
