@@ -1825,6 +1825,13 @@ object TextFunctions {
       org.apache.spark.sql.DataFrame = {
     require(markers.nonEmpty && markers.forall(_.nonEmpty),
       s"withSpecialTokenScan: bad marker set $markers")
+    // r20 (ADVICE-r19): the substring guard below compares by VALUE
+    // (a != b), so a duplicated marker string would skip it and its
+    // occurrences would be double-counted in n_special — refuse
+    // duplicates first
+    require(markers.distinct.length == markers.length,
+      s"withSpecialTokenScan: duplicate marker in $markers — each " +
+        "occurrence would be counted once per copy")
     // r19 (ADVICE-r18 #2): the replace-length trick counts each
     // marker INDEPENDENTLY, so a marker that is a substring of
     // another would double-count its occurrences inside the longer

@@ -31,6 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object ClassifierEval {
 
+  /** Loud duplicate-id refusal shared by the md5-keyed paired family
+    * (r20, ADVICE-r19): a duplicated item shares the same md5
+    * sign/membership draw across its copies, so its deltas always
+    * flip (or enter a resample) TOGETHER — silently double-weighting
+    * the item in every permutation, exactly the hazard
+    * [[Preference.winRateMatrix]]/[[Preference.positionBias]] refuse.
+    * One limit-1-count probe, the established guard shape.
+    */
+  private def requireUniqueIds(df: DataFrame, what: String,
+      keys: Seq[String]): Unit = {
+    val dup = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      s"$what: duplicate ${keys.mkString("(", ", ", ")")} row — " +
+        "copies of an item share one md5 draw and double-weight it " +
+        "in every permutation/resample; aggregate or dedup upstream")
+  }
+
   /** Per-class precision/recall/F1: (label_class, n_true, n_pred,
     * tp, precision, recall, f1) — a class appears if it occurs in
     * EITHER column; zero-denominator metrics are null (unscoreable,
@@ -258,6 +277,7 @@ object ClassifierEval {
           col(labelCol).cast("string"), 1L).otherwise(0L).as("__ok"))
       .filter(col("__id").isNotNull && col(predCol).isNotNull &&
         col(labelCol).isNotNull)
+    requireUniqueIds(base, "accuracySubsampleCi", Seq("__id"))
     val full = base.agg(count(lit(1)).as("n"),
       sum(col("__ok")).as("__c")).head()
     val n = full.getLong(0)
@@ -321,6 +341,7 @@ object ClassifierEval {
     require(nonInt == 0,
       "pairedDeltaCi: fractional score found — the delta sums are " +
         "exact over INTEGER scores; rescale upstream")
+    requireUniqueIds(raw, "pairedDeltaCi", Seq("__id"))
     val base = raw.select(col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val full = base.agg(count(lit(1)).as("n"),
@@ -366,6 +387,12 @@ object ClassifierEval {
     * zero-denominator metrics null (unscoreable, not zero). Labels
     * are 0/1 longs; null rows drop. Output per threshold:
     * (threshold, n_pred_pos, tp, fp, fn, prec, recall, f1).
+    *
+    * Every requested threshold ALWAYS emits a row (r20, ADVICE-r19):
+    * the threshold list is its own 1-column frame that the swept
+    * counts LEFT-join onto, so a filtered-to-empty eval set yields
+    * zero-count rows with null metrics — a visible "nothing was
+    * scored", never a silently empty card.
     */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
       thresholds: Seq[Double], maxThresholds: Int = 1024): DataFrame = {
@@ -377,15 +404,21 @@ object ClassifierEval {
         col(labelCol).cast("long").as("__y"))
       .filter(col("__s").isNotNull && col("__y").isNotNull)
     val totals = base.agg(coalesce(sum(col("__y")), lit(0L)).as("__npos"))
-    val swept = base
+    val frame = df.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val counts = base
       .withColumn("threshold",
         explode(array(thresholds.map(lit): _*)))
       .groupBy(col("threshold"))
       .agg(
         coalesce(sum(when(col("__s") >= col("threshold"), 1L)
-          .otherwise(0L)), lit(0L)).as("n_pred_pos"),
+          .otherwise(0L)), lit(0L)).as("__npp"),
         coalesce(sum(when(col("__s") >= col("threshold") &&
-          col("__y") === 1L, 1L).otherwise(0L)), lit(0L)).as("tp"))
+          col("__y") === 1L, 1L).otherwise(0L)), lit(0L)).as("__tp"))
+    val swept = frame.join(counts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__npp"), lit(0L)).as("n_pred_pos"),
+        coalesce(col("__tp"), lit(0L)).as("tp"))
     swept.crossJoin(totals) // 1-row totals frame
       .withColumn("fp", col("n_pred_pos") - col("tp"))
       .withColumn("fn", col("__npos") - col("tp"))
@@ -513,6 +546,11 @@ object ClassifierEval {
       "pairedPermutationTestByGroup: fractional score found — the " +
         "permutation sums are exact over INTEGER scores; rescale " +
         "upstream")
+    // within a group a duplicate id double-weights (one md5 draw);
+    // the same id in DIFFERENT groups is fine — each group's test is
+    // marginally valid on its own items
+    requireUniqueIds(raw, "pairedPermutationTestByGroup",
+      Seq("group", "__id"))
     val base = raw.select(col("group"), col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val obs = base.groupBy(col("group"))
@@ -691,6 +729,7 @@ object ClassifierEval {
         "permutation sums are exact over INTEGER scores (a float " +
         "sum could flip the ≥ comparison on an ulp); rescale " +
         "upstream")
+    requireUniqueIds(raw, "pairedPermutationTest", Seq("__id"))
     val base = raw.select(col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val obs = base.agg(count(lit(1)).as("n"),

@@ -253,6 +253,16 @@ object Preference {
     require(badW == 0,
       "positionBias: winner must be the first system, the second " +
         "system, or null (tie)")
+    // r20 (VERDICT-r19 #1 / ADVICE-r19): a self-comparison row
+    // (first == second) passes both guards above, matches BOTH legs
+    // of the order-swap self-join (__lo == __hi) and joins with
+    // itself — inflating n_dual/n_consistent by a pair that was
+    // never judged twice. Refuse it loudly, like the winner guard.
+    val selfCmp = base.filter(col("__f") === col("__s"))
+      .limit(1).count()
+    require(selfCmp == 0,
+      "positionBias: self-comparison row (first == second) — a " +
+        "system cannot be judged against itself; filter upstream")
     val dup = base.groupBy(col("__i"), col("__f"), col("__s"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .limit(1).count()

@@ -226,11 +226,22 @@ object Cdc {
     * reassemble in chunk order with an in-row ordered binary fold
     * (the per-blob list is bounded by one blob's chunk count, i.e.
     * by the blob size the row already carried). Returns
-    * (blob_id, n_chunks, restored_bytes, payload BINARY); blobs
-    * with an empty or null chunk array have nothing to restore and
-    * are absent (explode drops them). Byte-identity is then one
-    * md5 comparison against the original — the `mm_cdc_restore`
-    * gate pins it end to end, store write + read-back included.
+    * (blob_id, n_chunks, missing_chunks, restored_bytes,
+    * payload BINARY); blobs with an empty or null chunk array have
+    * nothing to restore and are absent (explode drops them).
+    * Byte-identity is then one md5 comparison against the original —
+    * the `mm_cdc_restore` gate pins it end to end, store write +
+    * read-back included.
+    *
+    * SELF-CHECKING against store corruption (r20, VERDICT-r19 #2 /
+    * ADVICE-r19): the store join is a LEFT join, so a manifest chunk
+    * with no store row is COUNTED (`missing_chunks`) instead of
+    * silently dropped — the old inner join reassembled a SHORTER
+    * payload with a plausible-looking n_chunks, and only a caller
+    * who diffed digests would notice. A blob with any missing chunk
+    * carries a NULL payload and NULL restored_bytes (refused, not
+    * truncated — at 100 TB nobody diffs every blob); n_chunks always
+    * reports the manifest's expectation.
     */
   def restoreBlobs(chunked: DataFrame, idCol: String,
       chunksCol: String, store: DataFrame): DataFrame = {
@@ -239,14 +250,21 @@ object Cdc {
       .select(col("blob_id"), col("__seq"),
         col("ch.md5").as("md5"), col("ch.size").as("size"))
     manifest.join(store.select(col("md5"), col("size"), col("data")),
-        Seq("md5", "size"))
+        Seq("md5", "size"), "left")
       .groupBy(col("blob_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(col("size").cast("long")).as("restored_bytes"),
+        sum(when(col("data").isNull, 1L).otherwise(0L))
+          .as("missing_chunks"),
+        sum(col("size").cast("long")).as("__bytes"),
         aggregate(
           array_sort(collect_list(struct(col("__seq"), col("data")))),
           lit(Array.emptyByteArray),
-          (acc, x) => concat(acc, x.getField("data"))).as("payload"))
+          (acc, x) => concat(acc, x.getField("data"))).as("__payload"))
+      .select(col("blob_id"), col("n_chunks"), col("missing_chunks"),
+        when(col("missing_chunks") === 0L, col("__bytes"))
+          .as("restored_bytes"),
+        when(col("missing_chunks") === 0L, col("__payload"))
+          .as("payload"))
   }
 
   /** Append `outCol`: ARRAY<STRUCT<offset INT, size INT, md5 STRING>>

@@ -139,5 +139,43 @@ class CdcSpec extends SparkSpec {
     // fewer distinct contents than the sum of their chunk counts
     val nChunks = restored.map(_.getAs[Long]("n_chunks")).sum
     assert(st.length < nChunks, "resynced duplicates must share")
+    assert(restored.forall(_.getAs[Long]("missing_chunks") === 0L),
+      "an intact store restores with zero missing chunks")
+  }
+
+  test("restoreBlobs (r20, VERDICT-r19 #2): a chunk missing from " +
+      "the store is COUNTED and the blob's payload refused (null), " +
+      "never silently reassembled shorter; intact blobs restore " +
+      "unchanged through the same corrupted store") {
+    import org.apache.spark.sql.functions._
+    val b1 = blob(3L, 4000)
+    val b2 = blob(4L, 4000)
+    val rows = Seq((1L, b1), (2L, b2)).toDF("id", "payload")
+    val chunked = Cdc.withCdcChunks(rows, "payload", "c",
+      minSize = 64, avgSize = 256, maxSize = 1024)
+    val store = Cdc.chunkStore(chunked, "payload", "c")
+    // corrupt the store: drop one chunk that belongs ONLY to blob 1
+    val only1 = chunked.filter(col("id") === 1L)
+      .select(explode(col("c")).as("ch")).select(col("ch.md5"))
+      .except(chunked.filter(col("id") === 2L)
+        .select(explode(col("c")).as("ch")).select(col("ch.md5")))
+      .limit(1).collect()(0).getString(0)
+    val corrupted = store.filter(col("md5") =!= only1)
+    val restored = Cdc.restoreBlobs(chunked, "id", "c", corrupted)
+      .orderBy("blob_id").collect()
+    val r1 = restored(0)
+    assert(r1.getAs[Long]("missing_chunks") === 1L,
+      "the dropped chunk must be counted, not dropped from the join")
+    assert(r1.isNullAt(r1.fieldIndex("payload")) &&
+      r1.isNullAt(r1.fieldIndex("restored_bytes")),
+      "a short blob must refuse, not truncate")
+    // n_chunks still reports the manifest's EXPECTATION
+    val expected1 = chunked.filter(col("id") === 1L)
+      .select(size(col("c"))).collect()(0).getInt(0).toLong
+    assert(r1.getAs[Long]("n_chunks") === expected1)
+    val r2 = restored(1)
+    assert(r2.getAs[Long]("missing_chunks") === 0L &&
+      r2.getAs[Array[Byte]]("payload").toSeq === b2.toSeq,
+      "blobs untouched by the corruption restore byte-identical")
   }
 }

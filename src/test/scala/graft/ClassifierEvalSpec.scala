@@ -232,6 +232,53 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("prCurve (r20, ADVICE-r19): a filtered-to-empty eval set " +
+      "still emits one zero-count row per requested threshold — a " +
+      "visible 'nothing was scored', never a silently empty card") {
+    import spark.implicits._
+    val empty = Seq((1.0, 0L)).toDF("s", "y").filter($"s" < 0)
+    val got = ClassifierEval.prCurve(empty, "s", "y",
+      thresholds = Seq(1.0, 2.0)).orderBy("threshold").collect()
+    assert(got.length === 2, "every threshold must emit a row")
+    assert(got.forall(r => r.getLong(1) === 0L && r.getLong(2) === 0L &&
+      r.getLong(3) === 0L && r.getLong(4) === 0L))
+    assert(got.forall(r => r.isNullAt(5) && r.isNullAt(6) &&
+      r.isNullAt(7)), "zero-denominator metrics stay null")
+  }
+
+  test("paired family (r20, ADVICE-r19): duplicate ids refuse " +
+      "loudly in all md5-keyed entry points — copies of an item " +
+      "share one sign/membership draw and double-weight it") {
+    import spark.implicits._
+    val dup = Seq((1L, 1.0, 0.0), (1L, 1.0, 0.0), (2L, 0.0, 1.0))
+      .toDF("id", "a", "b")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPermutationTest(dup, "id", "a", "b",
+        nPermutations = 10).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedDeltaCi(dup, "id", "a", "b",
+        nResamples = 5).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.accuracySubsampleCi(
+        dup.select($"id", $"a".as("p"), $"b".as("y")), "id", "p", "y",
+        nResamples = 5).collect()
+    }
+    // within-group duplicate refuses; the SAME id in two different
+    // groups is fine (each group's test is marginally valid alone)
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPermutationTestByGroup(
+        dup.withColumn("g", org.apache.spark.sql.functions.lit("x")),
+        "g", "id", "a", "b", nPermutations = 10).collect()
+    }
+    val crossGroup = Seq((1L, "g1", 1.0, 0.0), (1L, "g2", 1.0, 0.0),
+        (2L, "g1", 0.0, 1.0), (2L, "g2", 0.0, 1.0))
+      .toDF("id", "g", "a", "b")
+    assert(ClassifierEval.pairedPermutationTestByGroup(crossGroup,
+      "g", "id", "a", "b", nPermutations = 10).count() === 2L)
+  }
+
   test("wilcoxonSignedRank (r19): doubled midranks exact, zero " +
       "deltas drop and count, |d| ties midrank with the exact " +
       "tie-correction, fractional scores and over-cap refuse") {

@@ -138,6 +138,12 @@ class PreferenceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       pb(Seq((1L, "a", "b", "a"), (1L, "a", "b", "b")))
     }
+    // r20 (VERDICT-r19 #1): a self-comparison row passes the winner
+    // and duplicate guards, matches BOTH order-swap legs and joins
+    // with itself — refuse it loudly instead
+    intercept[IllegalArgumentException] {
+      pb(Seq((1L, "a", "a", "a")))
+    }
   }
 
   test("verbosityBias (r19): longer/shorter/equal split with the " +

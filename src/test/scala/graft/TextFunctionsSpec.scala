@@ -1000,6 +1000,13 @@ class TextFunctionsSpec extends SparkSpec {
         rows, "text", markers = Seq("<|im_start|>", "im_start"))
     }
     assert(e.getMessage.contains("substring"))
+    // r20 (ADVICE-r19): a DUPLICATED marker slips past the value-
+    // inequality substring guard and would double-count — refuse
+    val d = intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.withSpecialTokenScan(
+        rows, "text", markers = Seq("[INST]", "[INST]"))
+    }
+    assert(d.getMessage.contains("duplicate marker"))
   }
 
   test("wordNgrams (r19, ADVICE-r18 #4): n > 64 falls back to the " +
