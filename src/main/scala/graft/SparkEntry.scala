@@ -4368,6 +4368,32 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- BH FDR over the per-group paired test (r20, VERDICT-r19
+    //     #1): 20 slices of 25 items — g00 carries a 15-delta
+    //     signal (raw p = 1/1001), and the 19 noise slices' square/
+    //     cube parity laws make FOUR of them raw-p false positives
+    //     at α = 0.05 (g04/g05/g09/g16, p 0.011–0.040); BH keeps
+    //     exactly the signal (q 0.02) and kills all four (q ≥ 0.11)
+    //     — the multiple-testing mistake the raw card invites,
+    //     caught. Rank + suffix-min replayed in the oracle.
+    "eval_paired_fdr" -> ((s, dir) => {
+      val id = col("doc_id")
+      val grp = format_string("g%02d", (id / 25).cast("int"))
+      val a = when(id < 25,
+        when(pmod(id, lit(25L)) < 20, 1L).otherwise(0L))
+        .otherwise(pmod(pmod(id * id, lit(11L)), lit(2L)))
+      val b = when(id < 25,
+        when(pmod(id, lit(25L)) < 5, 1L).otherwise(0L))
+        .otherwise(pmod(pmod(id * id * id, lit(13L)), lit(2L)))
+      operators.ClassifierEval.withBhFdr(
+        operators.ClassifierEval.pairedPermutationTestByGroup(
+          Tables.documents(s, dir).filter(id < 500)
+            .select(id, grp.as("slice"), a.as("a_ok"), b.as("b_ok")),
+          "slice", "doc_id", "a_ok", "b_ok"),
+        "p_value", "group")
+        .orderBy(col("group"))
+    }),
+
     // --- PR-curve threshold sweep (r19): the eval_auc score plant
     //     ((id·13)%101 scores, (id·7)%10<5 labels) swept at four
     //     thresholds — counts replay generically in the oracle.
@@ -11516,6 +11542,51 @@ object SparkEntry {
         |  round((ne + 1) / (np + 1.0), 6) AS p_value
         |FROM obs JOIN e ON e.g = obs.g
         |ORDER BY "group"""".stripMargin,
+
+    // the eval_paired_fdr oracle: the by-group replay over the 20-
+    // slice plant, then BH mirrored — row_number rank by (p, group),
+    // suffix running min of p·m/rank, capped at 1, round-6
+    "eval_paired_fdr" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    'g' || lpad(CAST(doc_id // 25 AS VARCHAR), 2, '0') AS g,
+        |    CASE WHEN doc_id < 25 THEN
+        |      (CASE WHEN doc_id % 25 < 20 THEN 1 ELSE 0 END)
+        |        - (CASE WHEN doc_id % 25 < 5 THEN 1 ELSE 0 END)
+        |    ELSE ((doc_id * doc_id) % 11) % 2
+        |        - ((doc_id * doc_id * doc_id) % 13) % 2
+        |    END AS dd
+        |  FROM documents WHERE doc_id < 500),
+        |obs AS (SELECT g, count(*) AS n, sum(dd) AS sd
+        |        FROM d GROUP BY g),
+        |t AS (SELECT d.g, r.b,
+        |        sum(CASE WHEN substr(md5(id || ':' || r.b || ':42'),
+        |            1, 1) < '8' THEN dd ELSE -dd END) AS tb
+        |      FROM d, (SELECT unnest(generate_series(0, 999)) AS b) r
+        |      GROUP BY d.g, r.b),
+        |e AS (SELECT t.g, count(*) AS np,
+        |        sum(CASE WHEN abs(tb) >= abs(obs.sd)
+        |          THEN 1 ELSE 0 END) AS ne
+        |      FROM t JOIN obs ON obs.g = t.g
+        |      GROUP BY t.g),
+        |card AS (SELECT obs.g, n, sd, np, ne,
+        |           round((ne + 1) / (np + 1.0), 6) AS p
+        |         FROM obs JOIN e ON e.g = obs.g),
+        |rk AS (SELECT g, n, sd, np, ne, p,
+        |         row_number() OVER (ORDER BY p ASC, g ASC) AS p_rank,
+        |         count(*) OVER () AS m
+        |       FROM card)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(sd AS BIGINT) AS sum_delta,
+        |  round(CAST(sd AS DOUBLE) / n, 6) AS mean_delta,
+        |  CAST(np AS BIGINT) AS n_perms,
+        |  CAST(ne AS BIGINT) AS n_extreme,
+        |  p AS p_value,
+        |  CAST(p_rank AS INT) AS p_rank,
+        |  round(least(min(p * m / p_rank) OVER (
+        |    ORDER BY p DESC, g DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 1.0), 6) AS q_value
+        |FROM rk ORDER BY "group"""".stripMargin,
 
     // the eval_pr_curve oracle: the score/label plant replayed at
     // each threshold — integer counts, single rounded divisions

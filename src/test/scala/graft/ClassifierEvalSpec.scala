@@ -279,6 +279,55 @@ class ClassifierEvalSpec extends SparkSpec {
       "g", "id", "a", "b", nPermutations = 10).count() === 2L)
   }
 
+  test("withBhFdr (r20, VERDICT-r19 #1): the textbook BH ladder — " +
+      "suffix running min repairs non-monotone raw steps, ties " +
+      "break by key, q caps at 1, null p and over-cap refuse") {
+    import spark.implicits._
+    val card = Seq(("a", 0.01), ("b", 0.02), ("c", 0.02),
+        ("d", 0.03), ("e", 1.0)).toDF("g", "p")
+    val got = ClassifierEval.withBhFdr(card, "p", "g")
+      .orderBy("g").collect()
+    // m=5: raws 0.05, 0.05, 0.033333, 0.0375, 1.0 → suffix mins
+    assert(got.map(_.getInt(2)).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(got.map(_.getDouble(3)).toSeq ===
+      Seq(0.033333, 0.033333, 0.033333, 0.0375, 1.0))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.withBhFdr(
+        Seq(("a", Option.empty[Double]), ("b", Option(0.5)))
+          .toDF("g", "p"), "p", "g").collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.withBhFdr(card, "p", "g", maxRows = 3).collect()
+    }
+  }
+
+  test("withBhFdr (r20): the 20-slice gate plant — the signal slice " +
+      "survives BH at q=0.05 while the raw-p FALSE POSITIVES among " +
+      "the 19 noise slices (p ≤ 0.05 by chance) are all killed") {
+    import spark.implicits._
+    val rows = (0L until 500L).map { i =>
+      val g = f"g${i / 25}%02d"
+      if (i < 25)
+        (i, g, if (i % 25 < 20) 1.0 else 0.0, if (i % 25 < 5) 1.0 else 0.0)
+      else
+        (i, g, ((i * i) % 11 % 2).toDouble, ((i * i * i) % 13 % 2).toDouble)
+    }.toDF("id", "g", "a", "b")
+    val got = ClassifierEval.withBhFdr(
+      ClassifierEval.pairedPermutationTestByGroup(rows,
+        "g", "id", "a", "b"), "p_value", "group")
+      .collect().map(r => (r.getString(0),
+        r.getAs[Double]("p_value"), r.getAs[Double]("q_value"))).toSeq
+    val sig = got.find(_._1 == "g00").get
+    assert(sig._2 === 0.000999 && sig._3 <= 0.05,
+      s"the true effect must survive BH: $sig")
+    val rawFps = got.filter(x => x._1 != "g00" && x._2 <= 0.05)
+    assert(rawFps.nonEmpty,
+      "the plant must manufacture raw-p false positives (the " +
+        "mistake BH exists to catch)")
+    assert(rawFps.forall(_._3 > 0.05),
+      s"BH must kill every noise-slice false positive: $rawFps")
+  }
+
   test("wilcoxonSignedRank (r19): doubled midranks exact, zero " +
       "deltas drop and count, |d| ties midrank with the exact " +
       "tie-correction, fractional scores and over-cap refuse") {
