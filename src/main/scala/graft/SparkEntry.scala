@@ -4421,6 +4421,22 @@ object SparkEntry {
         "a", "b")
     }),
 
+    // --- Mann–Whitney U (r20, VERDICT-r19 #2): the UNPAIRED member
+    //     — side A is the 0..19 value mix, side B the same mix with
+    //     a +6 shift on every fifth id (disjoint id ranges, heavy
+    //     cross-side ties); the doubled midranks, exact tie sum and
+    //     tie-corrected z replay in the oracle's window ranks.
+    "eval_mannwhitney" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      operators.ClassifierEval.mannWhitneyU(
+        docs.filter(id < 250).select(pmod(id, lit(20L)).as("v")),
+        docs.filter(id >= 250 && id < 500)
+          .select((pmod(id, lit(20L)) +
+            when(pmod(id, lit(5L)) === 0, 6L).otherwise(0L)).as("v")),
+        "v")
+    }),
+
     // --- Paired-delta subsample CI (r19): the signal pair's effect
     //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
     //     subsamples; the interval must sit strictly above 0
@@ -11645,6 +11661,46 @@ object SparkEntry {
         |        - CAST(ts AS DOUBLE) / 48.0), 6)
         |  END AS z
         |FROM m, z0, t""".stripMargin,
+
+    // the eval_mannwhitney oracle: pooled doubled midranks via the
+    // wilcoxon window idiom, exact tie sum, the tie-corrected z
+    // formula mirrored op-for-op
+    "eval_mannwhitney" ->
+      """WITH p AS (
+        |  SELECT CAST(doc_id % 20 AS DOUBLE) AS v, 0 AS s
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT CAST(doc_id % 20 + CASE WHEN doc_id % 5 = 0
+        |      THEN 6 ELSE 0 END AS DOUBLE) AS v, 1 AS s
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 500),
+        |r AS (SELECT s,
+        |        2 * rank() OVER (ORDER BY v) +
+        |          count(*) OVER (PARTITION BY v) - 1 AS r2
+        |      FROM p),
+        |m AS (SELECT
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN s = 0 THEN r2 ELSE 0 END) AS r2a
+        |  FROM r),
+        |t AS (SELECT COALESCE(sum(t * t * t - t), 0) AS ts FROM
+        |        (SELECT count(*) AS t FROM p GROUP BY v) g)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(r2a AS BIGINT) AS r2_a,
+        |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |  CAST(ts AS BIGINT) AS tie_sum,
+        |  CASE WHEN na > 0 AND nb > 0 AND
+        |      CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((CAST(na AS DOUBLE) + nb + 1)
+        |          - CAST(ts AS DOUBLE) / ((CAST(na AS DOUBLE) + nb)
+        |            * (CAST(na AS DOUBLE) + nb - 1))) > 0.0
+        |    THEN round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+        |        - CAST(na AS DOUBLE) * nb / 2.0)
+        |      / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((CAST(na AS DOUBLE) + nb + 1)
+        |          - CAST(ts AS DOUBLE) / ((CAST(na AS DOUBLE) + nb)
+        |            * (CAST(na AS DOUBLE) + nb - 1)))), 6)
+        |  END AS z
+        |FROM m, t""".stripMargin,
 
     // the eval_paired_ci oracle: the eval_acc_ci replay machinery
     // over per-item deltas — same md5 membership rule, same

@@ -514,6 +514,87 @@ object ClassifierEval {
         col("tie_sum").cast("long").as("tie_sum"), col("z"))
   }
 
+  /** Mann–Whitney U / rank-sum test (r20, VERDICT-r19 #2) — the
+    * UNPAIRED member of the significance family: the paired tests
+    * ([[pairedPermutationTest]]/[[wilcoxonSignedRank]]/[[mcnemarTest]])
+    * require shared items; comparing the score distributions of two
+    * DISJOINT corpora or crawl snapshots (the [[CorpusReport.ksDrift]]
+    * shape) previously got the exact D effect size but no test. MWU
+    * (Mann & Whitney 1947): pool both samples, rank once, sum side
+    * A's ranks — under H₀ (same distribution) R_A concentrates at
+    * n_a(n+1)/2.
+    *
+    * Exactness (the [[wilcoxonSignedRank]]/spearman doubled-midrank
+    * machinery verbatim): 2·midrank is an integer, so
+    * `r2_a` = Σ_A 2r_i is an exact Long and
+    * `u2_a` = r2_a − n_a(n_a+1) is the exact DOUBLED U statistic;
+    * the tie sum Σ(t³−t) rides DECIMAL(38,0). No arithmetic touches
+    * the VALUES themselves (ranks only compare), so fractional
+    * scores are fine here — unlike the paired family, which sums
+    * deltas. The tie-corrected normal approximation
+    *
+    *   z = (U_A − n_a·n_b/2) /
+    *       √(n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+    *
+    * is single mirrored double ops on the exact integers, round-6
+    * (null when either side is empty or the variance degenerates —
+    * all values tied). Output: one row (n_a, n_b, r2_a, u2_a,
+    * tie_sum, z).
+    *
+    * The pooled rank window is a single-task global sort, so the
+    * bounded-eval contract is ENFORCED with the usual loud `maxRows`
+    * count-guard (rank distributedly via the TrainingOrder two-phase
+    * rank if corpus-sized MWU is truly wanted).
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+      maxRows: Int = 1 << 22): DataFrame = {
+    def side(df: DataFrame, s: Int) =
+      df.select(col(valueCol).cast("double").as("__v"),
+          lit(s).as("__side"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val pooled = side(a, 0).unionAll(side(b, 1))
+    val guardN = pooled
+      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
+    require(guardN <= maxRows,
+      s"mannWhitneyU: > $maxRows pooled rows — the rank window is a " +
+        "single-task global sort; sample upstream or raise maxRows " +
+        "deliberately")
+    val w = Window.orderBy(col("__v"))
+    val tie = Window.partitionBy(col("__v"))
+    val main = pooled
+      .withColumn("__r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
+      .agg(
+        coalesce(sum(when(col("__side") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("__side") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_b"),
+        coalesce(sum(when(col("__side") === 0, col("__r2"))
+          .otherwise(0L)), lit(0L)).as("r2_a"))
+    val ties = pooled.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") *
+          col("__t") * col("__t") - col("__t")),
+        lit(0).cast("decimal(38,0)")).as("tie_sum"))
+    main.crossJoin(ties) // 1-row frames
+      .withColumn("u2_a",
+        col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("z", {
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val na = d(col("n_a")); val nb = d(col("n_b"))
+        val n = na + nb
+        val variance = na * nb / 12.0 *
+          ((n + 1) - d(col("tie_sum")) / (n * (n - 1)))
+        when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
+          round((d(col("u2_a")) / 2.0 - na * nb / 2.0) /
+            sqrt(variance), 6))
+      })
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
+        // z above consumed the EXACT decimal; the card's copy is
+        // informational and rides as long (null past Long range)
+        col("tie_sum").cast("long").as("tie_sum"), col("z"))
+  }
+
   /** Per-GROUP paired permutation test (r19) — the sliced twin of
     * [[pairedPermutationTest]], and the shape a corpus-scale eval
     * actually runs: "B beats A overall, but does it regress on

@@ -356,6 +356,40 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitneyU (r20, VERDICT-r19 #2): textbook hand case, " +
+      "tie-heavy midranks with the exact tie correction, empty or " +
+      "all-tied sides null the z, over-cap refuses; fractional " +
+      "values are FINE (ranks only compare)") {
+    import spark.implicits._
+    def mw(av: Seq[Double], bv: Seq[Double], cap: Int = 1 << 22) =
+      ClassifierEval.mannWhitneyU(av.toDF("v"), bv.toDF("v"), "v",
+        maxRows = cap).collect()(0)
+    // textbook: A={1,2,3} fully below B={4,5,6} — R_A=6 (r2=12),
+    // U_A=0, var = 9/12·7 = 5.25, z = −4.5/√5.25
+    val h = mw(Seq(1, 2, 3), Seq(4, 5, 6))
+    assert(h.getLong(0) === 3L && h.getLong(1) === 3L &&
+      h.getLong(2) === 12L && h.getLong(3) === 0L &&
+      h.getLong(4) === 0L)
+    assert(h.getDouble(5) === -1.963961)
+    // tie-heavy: A={1,1}, B={1,2} — the pooled 1s midrank to 2
+    // (r2=4), r2_a=8, U_A=1; ts=24, var = (4/12)·(5−2) = 1, z = −1
+    val t = mw(Seq(1, 1), Seq(1, 2))
+    assert(t.getLong(2) === 8L && t.getLong(3) === 2L &&
+      t.getLong(4) === 24L && t.getDouble(5) === -1.0)
+    // fractional values rank fine (no delta arithmetic here)
+    val f = mw(Seq(0.5, 1.5), Seq(2.5, 3.5))
+    assert(f.getLong(3) === 0L)
+    // all values tied: variance degenerates, z null
+    val at = mw(Seq(7, 7), Seq(7, 7))
+    assert(at.isNullAt(5))
+    // one empty side: nothing to compare
+    val e = mw(Seq(1, 2), Seq.empty[Double])
+    assert(e.getLong(1) === 0L && e.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      mw(Seq(1, 2, 3), Seq(4, 5), cap = 4)
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
