@@ -4139,6 +4139,25 @@ object SparkEntry {
           "rel", k = 5))
     }),
 
+    // --- MAP subsample CI (r20, VERDICT-r19 #3): the eval_map
+    //     plant's per-query AP card under 50 md5-keyed half-
+    //     subsamples of query ids — the interval must bracket the
+    //     full-set MAP; every membership draw and both quantile
+    //     picks replay in the oracle.
+    "eval_map_ci" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rows = Tables.documents(s, dir).filter(id < 200)
+        .select(id, explode(sequence(lit(1), lit(5))).as("rank"))
+        .withColumn("rel",
+          when(col("rank") === pmod(id, lit(3L)) + 1, 1.0)
+            .when(col("rank") === 5 && pmod(id, lit(2L)) === 0, 1.0)
+            .otherwise(0.0))
+      operators.RetrievalEval.rankedEvalMapCi(
+        operators.RetrievalEval.rankedEval(rows, "doc_id", "rank",
+          "rel", k = 5),
+        nResamples = 50, seed = 7L)
+    }),
+
     // --- Per-item agreement card (r18): the fleiss plant viewed
     //     item-by-item — items with id%5 in {3,4} carry one dissent
     //     (majority 2/3, two labels), the rest are unanimous. The
@@ -11229,6 +11248,40 @@ object SparkEntry {
         |  round(CAST(sum(CAST(r_at_k AS DECIMAL(18,6))) AS DOUBLE)
         |    / count(*), 6) AS mean_r_at_k
         |FROM n""".stripMargin,
+
+    // the eval_map_ci oracle: the eval_map per-query AP law plus the
+    // eval_acc_ci resample machinery — same md5 membership rule over
+    // query ids, same decimal-sum means, same ceil-rank picks
+    "eval_map_ci" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(doc_id % 3 + 1 AS INT) AS p1, doc_id % 2 = 0 AS ev
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (SELECT id,
+        |    round((1.0 / p1 + CASE WHEN ev THEN 2.0 / 5 ELSE 0 END)
+        |      / CASE WHEN ev THEN 2 ELSE 1 END, 6) AS ap
+        |  FROM d),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS nq,
+        |        CAST(count(ap) AS BIGINT) AS ns,
+        |        round(CAST(sum(CAST(ap AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(ap), 6) AS map
+        |      FROM m),
+        |s AS (SELECT r.b AS rb,
+        |        round(CAST(sum(CAST(ap AS DECIMAL(18,6))) AS DOUBLE)
+        |          / count(*), 6) AS m_b
+        |      FROM m, (SELECT unnest(generate_series(0, 49)) AS b) r
+        |      WHERE substr(md5(id || ':' || r.b || ':7'), 1, 1) < '8'
+        |      GROUP BY 1),
+        |rk AS (SELECT m_b, row_number() OVER (ORDER BY m_b) AS rn,
+        |         count(*) OVER () AS bt
+        |       FROM s)
+        |SELECT f.nq AS n_queries, f.ns AS n_scoreable, f.map,
+        |  CAST(bt AS BIGINT) AS n_resamples,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.025, 9)) THEN m_b END)
+        |    AS ci_lo,
+        |  max(CASE WHEN rn = ceil(round(bt * 0.975, 9)) THEN m_b END)
+        |    AS ci_hi
+        |FROM rk, f GROUP BY f.nq, f.ns, f.map, bt""".stripMargin,
 
     // the eval_item_agreement oracle: the per-item plant law — one
     // dissent iff id%5 in {3,4} (rater 1 or 2 fires the (id+r)%5

@@ -174,4 +174,79 @@ object RetrievalEval {
       mean("ndcg", "mean_ndcg"), mean("mrr", "mean_mrr"),
       mean("p_at_k", "mean_p_at_k"), mean("r_at_k", "mean_r_at_k"))
   }
+
+  /** MAP with a subsampling confidence interval (r20, VERDICT-r19
+    * #3) — the error bar [[rankedEvalSummary]] quotes its point
+    * estimate without: eval reports print MAP ± CI, and a MAP moved
+    * by less than its interval is noise, not a regression. The
+    * [[ClassifierEval.accuracySubsampleCi]] engine-replayable
+    * discipline VERBATIM over the per-query card: each resample
+    * keeps the ~half of QUERIES whose md5("<query>:<b>:<seed>")
+    * first hex digit < '8' (Politis–Romano m≈n/2 subsampling — md5
+    * membership replays bit-for-bit in any SQL engine, a
+    * multinomial bootstrap draw does not), the per-resample MAP is
+    * one double division of an exact DECIMAL(18,6) sum (the card's
+    * round-6 metrics aggregate exactly), and the interval is the
+    * ceil-rank empirical quantile pick. Unscoreable queries (null
+    * metric — no relevant judgment) are excluded and counted, the
+    * rankedEvalSummary stance. Duplicate query ids refuse loudly
+    * (copies share one membership draw and double-weight).
+    *
+    * Output one row: (n_queries, n_scoreable, map, n_resamples,
+    * ci_lo, ci_hi). The B per-resample MAPs collect to the driver —
+    * bounded by `nResamples`, a parameter, never by data.
+    */
+  def rankedEvalMapCi(card: DataFrame, queryCol: String = "query",
+      metricCol: String = "ap_at_k", nResamples: Int = 200,
+      seed: Long = 42L, q: Double = 0.95): DataFrame = {
+    require(nResamples >= 2 && nResamples <= 100000,
+      s"rankedEvalMapCi: nResamples $nResamples")
+    require(q > 0 && q < 1, s"rankedEvalMapCi: q $q")
+    val spark = card.sparkSession
+    import spark.implicits._
+    val all = card.select(col(queryCol).cast("string").as("__q"),
+        col(metricCol).cast("double").as("__m"))
+      .filter(col("__q").isNotNull)
+    val dup = all.groupBy(col("__q")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).limit(1).count()
+    require(dup == 0,
+      "rankedEvalMapCi: duplicate query row — copies share one md5 " +
+        "membership draw and double-weight; this is a PER-QUERY card")
+    val scoreable = all.filter(col("__m").isNotNull)
+    // the point estimate rides the ENGINE through the identical
+    // decimal-sum + single-rounded-division shape as
+    // rankedEvalSummary — one mirrored op sequence, no driver fold
+    val full = all.agg(count(lit(1)).as("nq"),
+      count(col("__m")).as("ns"),
+      when(count(col("__m")) > 0,
+        round(sum(col("__m").cast("decimal(18,6)")).cast("double") /
+          count(col("__m")), 6)).as("map")).head()
+    val (nq, ns) = (full.getLong(0), full.getLong(1))
+    val map: java.lang.Double =
+      if (full.isNullAt(2)) null else full.getDouble(2)
+    val maps = scoreable
+      .withColumn("b", explode(sequence(lit(0), lit(nResamples - 1))))
+      .filter(substring(md5(concat(col("__q"), lit(":"), col("b"),
+        lit(":" + seed))), 1, 1) < "8")
+      .groupBy(col("b"))
+      .agg(round(sum(col("__m").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("m_b"))
+      .select(col("m_b")).as[Double].collect().sorted
+    def pick(p: Double): java.lang.Double =
+      if (maps.isEmpty) null
+      else maps(math.min(maps.length - 1,
+        math.ceil(BigDecimal(maps.length * p)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .toInt - 1).max(0))
+    val lo = pick((1 - q) / 2)
+    val hi = pick(1 - (1 - q) / 2)
+    Seq((nq, ns, Option(map).map(_.toDouble), maps.length.toLong,
+        Option(lo).map(_.toDouble), Option(hi).map(_.toDouble)))
+      .toDF("n_queries", "n_scoreable", "map", "n_resamples",
+        "ci_lo", "ci_hi")
+      .select(col("n_queries"), col("n_scoreable"),
+        col("map").cast("double").as("map"), col("n_resamples"),
+        col("ci_lo").cast("double").as("ci_lo"),
+        col("ci_hi").cast("double").as("ci_hi"))
+  }
 }

@@ -118,6 +118,39 @@ class RetrievalEvalSpec extends SparkSpec {
       none.isNullAt(3))
   }
 
+  test("rankedEvalMapCi (r20, VERDICT-r19 #3): deterministic md5 " +
+      "half-subsamples of query ids, the interval brackets the " +
+      "full-set MAP, unscoreable queries excluded and counted, " +
+      "duplicate queries and bad params refuse") {
+    import org.apache.spark.sql.functions._
+    // 60 queries: first relevant at position (i%3)+1 → ap 1, 0.5,
+    // 0.333333; one unscoreable query appended
+    val rows = (0 until 60).flatMap(i => (1 to 3).map(r =>
+        (f"q$i%02d", r, if (r == i % 3 + 1) 1.0 else 0.0))) ++
+      Seq(("zz_unscoreable", 1, 0.0))
+    val card = RetrievalEval.rankedEval(rows.toDF("q", "rank", "rel"),
+      "q", "rank", "rel", k = 3)
+    def run() = RetrievalEval.rankedEvalMapCi(card,
+      nResamples = 40, seed = 11L).collect()(0)
+    val x = run(); val y = run()
+    assert(x === y, "md5 membership must be run-deterministic")
+    assert(x.getLong(0) === 61L && x.getLong(1) === 60L)
+    val map = x.getDouble(2)
+    assert(map === 0.611111, "(20·1 + 20·0.5 + 20·0.333333)/60")
+    val (lo, hi) = (x.getDouble(4), x.getDouble(5))
+    assert(lo <= map && map <= hi, s"[$lo, $hi] must bracket $map")
+    assert(lo > 0.4 && hi < 0.8, "half-samples of a 0.61 plant")
+    intercept[IllegalArgumentException] {
+      RetrievalEval.rankedEvalMapCi(card.unionAll(card)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalEval.rankedEvalMapCi(card, nResamples = 1)
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalEval.rankedEvalMapCi(card, q = 1.0)
+    }
+  }
+
   test("rankedEval (r18): the bounded-list contract is enforced — a " +
       "query exceeding maxResults refuses loudly in the task") {
     import spark.implicits._
