@@ -8877,6 +8877,63 @@ object SparkEntry {
       operators.CorpusReport.ksDrift(snapA, snapB, "v")
     }),
 
+    // --- χ² drift significance (r20, VERDICT-r19 #4): the question
+    //     PSI/JSD can't answer — is the drift bigger than sampling
+    //     noise? Two pairs: `shift` moves 40 of snapshot A's c0 docs
+    //     to c1 (χ² ≈ 16.7, df 2, p ≈ 2.4e-4 — rejects) and `same`
+    //     splits one law across disjoint id ranges (χ² ≈ 0.012,
+    //     p ≈ 0.994 — sampling noise, correctly not rejected). The
+    //     exact integer d² terms, the even-df closed-form p
+    //     (e^{−x/2} at df 2) and Wilson–Hilferty z replay in the
+    //     oracle.
+    "corpus_chi2" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def cat(c: org.apache.spark.sql.Column) = concat(lit("c"), c)
+      def run(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, name: String) =
+        operators.CorpusReport.chiSquareDrift(a, b, "cat")
+          .withColumn("pair", lit(name))
+      run(docs.filter(id < 300).select(cat(pmod(id, lit(3L))).as("cat")),
+          docs.filter(id < 300).select(cat(pmod(id +
+            when(pmod(id, lit(3L)) === 0 && pmod(id, lit(10L)) < 4, 1L)
+              .otherwise(0L), lit(3L))).as("cat")), "shift")
+        .unionByName(run(
+          docs.filter(id < 250).select(cat(pmod(id, lit(3L))).as("cat")),
+          docs.filter(id >= 250 && id < 500)
+            .select(cat(pmod(id, lit(3L))).as("cat")), "same"))
+        .select(col("pair"), col("n_a"), col("n_b"),
+          col("n_categories"), col("df"), col("chi2"), col("p_value"),
+          col("z_wh"))
+        .orderBy(col("pair"))
+    }),
+
+    // --- KS drift significance (r20, VERDICT-r19 #4): the corpus_ks
+    //     shifted plant now carries Smirnov's asymptotic p (λ ≈ 4.1,
+    //     p → 0 — rejects) next to a `same` pair whose disjoint id
+    //     ranges realize the IDENTICAL value law (D = 0, p = 1.0
+    //     exactly). λ, the 100-term alternating series and the
+    //     λ < 0.2 cutoff replay in the oracle's recursive CTE.
+    "corpus_ks_p" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      def run(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame, name: String) =
+        operators.CorpusReport.ksDriftTest(a, b, "v")
+          .withColumn("pair", lit(name))
+      run(docs.filter(id < 300).select(pmod(id, lit(50L)).as("v")),
+          docs.filter(id < 300).select((pmod(id, lit(50L)) +
+            when(pmod(id, lit(3L)) === 0, 25L).otherwise(0L)).as("v")),
+          "shift")
+        .unionByName(run(
+          docs.filter(id < 250).select(pmod(id, lit(50L)).as("v")),
+          docs.filter(id >= 250 && id < 500)
+            .select(pmod(id, lit(50L)).as("v")), "same"))
+        .select(col("pair"), col("n_a"), col("n_b"), col("n_values"),
+          col("d_num"), col("ks"), col("lambda"), col("p_value"))
+        .orderBy(col("pair"))
+    }),
+
     // --- Salted two-phase aggregation (skew tool promoted into the
     //     gate): event_type is exactly the low-cardinality hot-key
     //     shape saltedAgg exists for; the oracle is the PLAIN GROUP BY
@@ -11048,6 +11105,117 @@ object SparkEntry {
         |  round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
         |    / (max(na) * max(nb)), 6) AS ks
         |FROM c""".stripMargin,
+
+    // the corpus_chi2 oracle: both pairs' category counts replayed,
+    // the exact HUGEINT d² terms round-9 summed in DECIMAL(38,9),
+    // the even-df closed-form p (exp(−x/2) at df 2) and the
+    // Wilson–Hilferty z mirrored op-for-op
+    "corpus_chi2" ->
+      """WITH u AS (
+        |  SELECT 'shift' AS pair, 'c' || (doc_id % 3) AS cat,
+        |    1 AS sa, 0 AS sb
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 'shift', 'c' || ((doc_id + CASE WHEN doc_id % 3 = 0
+        |      AND doc_id % 10 < 4 THEN 1 ELSE 0 END) % 3), 0, 1
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 'same', 'c' || (doc_id % 3), 1, 0
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT 'same', 'c' || (doc_id % 3), 0, 1
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 500),
+        |cnt AS (SELECT pair, cat, sum(sa) AS oa, sum(sb) AS ob
+        |        FROM u GROUP BY pair, cat),
+        |tot AS (SELECT pair, sum(oa) AS ta, sum(ob) AS tb
+        |        FROM cnt GROUP BY pair),
+        |tm AS (SELECT c.pair,
+        |         round(CAST((CAST(oa AS HUGEINT) * tb
+        |               - CAST(ob AS HUGEINT) * ta)
+        |             * (CAST(oa AS HUGEINT) * tb
+        |               - CAST(ob AS HUGEINT) * ta) AS DOUBLE)
+        |           / (CAST(oa + ob AS DOUBLE) * CAST(ta AS DOUBLE)
+        |             * CAST(tb AS DOUBLE)), 9) AS term,
+        |         ta, tb
+        |       FROM cnt c JOIN tot t ON t.pair = c.pair),
+        |chi AS (SELECT pair, max(ta) AS ta, max(tb) AS tb,
+        |          count(*) AS k,
+        |          round(CAST(sum(CAST(term AS DECIMAL(38,9)))
+        |            AS DOUBLE), 6) AS chi2
+        |        FROM tm GROUP BY pair)
+        |SELECT pair, CAST(ta AS BIGINT) AS n_a,
+        |  CAST(tb AS BIGINT) AS n_b,
+        |  CAST(k AS BIGINT) AS n_categories,
+        |  CAST(k - 1 AS BIGINT) AS df, chi2,
+        |  round(greatest(0.0, least(1.0, exp(-(chi2 / 2.0)))), 6)
+        |    AS p_value,
+        |  round((cbrt(chi2 / (k - 1))
+        |      - (1.0 - 2.0 / (9.0 * (k - 1))))
+        |    / sqrt(2.0 / (9.0 * (k - 1))), 6) AS z_wh
+        |FROM chi ORDER BY pair""".stripMargin,
+
+    // the corpus_ks_p oracle: the corpus_ks cumsum replay per pair,
+    // λ from the exact d_num, the 100-term alternating Smirnov
+    // series as a recursive CTE (sequential adds, the engine's own
+    // fold order), the λ < 0.2 cutoff mirrored
+    "corpus_ks_p" ->
+      """WITH RECURSIVE av1 AS (
+        |  SELECT doc_id % 50 AS v, count(*) AS ca
+        |  FROM documents WHERE doc_id < 300 GROUP BY 1),
+        |bv1 AS (
+        |  SELECT doc_id % 50 + CASE WHEN doc_id % 3 = 0
+        |      THEN 25 ELSE 0 END AS v, count(*) AS cb
+        |  FROM documents WHERE doc_id < 300 GROUP BY 1),
+        |av2 AS (SELECT doc_id % 50 AS v, count(*) AS ca
+        |        FROM documents WHERE doc_id < 250 GROUP BY 1),
+        |bv2 AS (SELECT doc_id % 50 AS v, count(*) AS cb
+        |        FROM documents WHERE doc_id >= 250 AND doc_id < 500
+        |        GROUP BY 1),
+        |j AS (
+        |  SELECT 'shift' AS pair, COALESCE(av1.v, bv1.v) AS v,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM av1 FULL JOIN bv1 USING (v)
+        |  UNION ALL
+        |  SELECT 'same', COALESCE(av2.v, bv2.v),
+        |    COALESCE(ca, 0), COALESCE(cb, 0)
+        |  FROM av2 FULL JOIN bv2 USING (v)),
+        |c AS (SELECT pair, v, ca, cb,
+        |        sum(ca) OVER (PARTITION BY pair ORDER BY v) AS cuma,
+        |        sum(cb) OVER (PARTITION BY pair ORDER BY v) AS cumb
+        |      FROM j),
+        |tot AS (SELECT pair, sum(ca) AS na, sum(cb) AS nb,
+        |          count(*) AS nv
+        |        FROM j GROUP BY pair),
+        |dm AS (SELECT c.pair,
+        |         max(abs(cuma * t.nb - cumb * t.na)) AS dnum
+        |       FROM c JOIN tot t ON t.pair = c.pair GROUP BY c.pair),
+        |lam AS (SELECT t.pair, t.na, t.nb, t.nv, d.dnum,
+        |          sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+        |            / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE)))
+        |          * (CAST(d.dnum AS DOUBLE)
+        |            / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)))
+        |          AS lm
+        |        FROM tot t JOIN dm d ON d.pair = t.pair),
+        |ser(pair, jj, acc) AS (
+        |  SELECT pair, 1, exp(-2.0 * 1 * 1 * lm * lm) FROM lam
+        |  UNION ALL
+        |  SELECT s.pair, jj + 1,
+        |    acc + CASE WHEN (jj + 1) % 2 = 1
+        |      THEN exp(-2.0 * (jj + 1) * (jj + 1) * l.lm * l.lm)
+        |      ELSE -exp(-2.0 * (jj + 1) * (jj + 1) * l.lm * l.lm) END
+        |  FROM ser s JOIN lam l ON l.pair = s.pair WHERE jj < 100),
+        |fin AS (SELECT pair, acc FROM ser WHERE jj = 100)
+        |SELECT l.pair, CAST(l.na AS BIGINT) AS n_a,
+        |  CAST(l.nb AS BIGINT) AS n_b,
+        |  CAST(l.nv AS BIGINT) AS n_values,
+        |  CAST(l.dnum AS BIGINT) AS d_num,
+        |  round(CAST(l.dnum AS DOUBLE) / (l.na * l.nb), 6) AS ks,
+        |  round(l.lm, 6) AS lambda,
+        |  CASE WHEN l.lm < 0.2 THEN 1.0
+        |    ELSE round(greatest(0.0, least(1.0, 2.0 * f.acc)), 6)
+        |  END AS p_value
+        |FROM lam l JOIN fin f ON f.pair = l.pair
+        |ORDER BY l.pair""".stripMargin,
 
     // the mm_cdc_restore oracle: the round-trip law — every blob
     // rebuilds byte-identically (TRUE across the board) and restored

@@ -458,6 +458,263 @@ object CorpusReport {
     out(dNum, ks)
   }
 
+  /** χ² homogeneity test over two category-count snapshots (r20,
+    * VERDICT-r19 #4) — the SIGNIFICANCE companion of
+    * [[categoryDrift]]: PSI/JSD price the drift's SIZE but never say
+    * whether it exceeds sampling noise, so a small snapshot pair
+    * reads "drift!" off pure chance. Pearson's χ² for the 2×K
+    * homogeneity table, via the algebraic collapse
+    *
+    *   χ² = Σ_i d_i² / (c_i · n_a · n_b),
+    *   d_i = O_ai·n_b − O_bi·n_a,  c_i = O_ai + O_bi
+    *
+    * (the standard (O−E)²/E summed over both rows, simplified — d_i
+    * is the integer cross-count gap, the [[ksDrift]] discipline).
+    * Exactness stance: d_i and d_i² ride DECIMAL(38,0) (exact while
+    * count·total < 10¹⁹ — both snapshots under ~3·10⁹ rows, the
+    * ksDrift ceiling, documented loudly); each term is ONE double
+    * division rounded to 9 places; the cross-category sum aggregates
+    * the rounded terms in DECIMAL(38,9) (exact, order-free), and χ²
+    * is the round-6 headline.
+    *
+    * p-value from the ROUNDED χ² (so an oracle replays from its own
+    * rounded statistic): even df uses the EXACT closed-form survival
+    * e^{−x/2}·Σ_{k<df/2}(x/2)^k/k! ([[chiSquarePValueEvenDf]] — a
+    * pinned sequential fold a SQL engine mirrors term-by-term); odd
+    * df falls back to the regularized-gamma helper
+    * [[chiSquarePValue]] (deterministic driver math, spec-pinned,
+    * not oracle-mirrored — the even path is the one gates hash).
+    * `z_wh` (Wilson–Hilferty 1931) is the classic normal-score
+    * report next to it, single mirrored ops (cbrt + sqrt).
+    *
+    * Output one row: (n_a, n_b, n_categories, df, chi2, p_value,
+    * z_wh); an empty side or a single category carries nulls (no
+    * comparison / no degrees of freedom — surfaced, not invented).
+    */
+  def chiSquareDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.select(col(catCol).cast("string").as("category"))
+        .filter(col("category").isNotNull)
+        .groupBy(col("category")).agg(count(lit(1)).as(n))
+    chiSquareDriftFromCounts(side(a, "n_a"), side(b, "n_b"),
+      "category", "n_a", "category", "n_b")
+  }
+
+  /** [[chiSquareDrift]] from PRE-AGGREGATED per-category counts —
+    * the streaming-state path, the [[categoryDriftFromCounts]] twin.
+    */
+  def chiSquareDriftFromCounts(countsA: DataFrame, countsB: DataFrame,
+      catColA: String, nColA: String, catColB: String,
+      nColB: String): DataFrame = {
+    val spark = countsA.sparkSession
+    import spark.implicits._
+    val ca = countsA.select(col(catColA).cast("string").as("category"),
+        col(nColA).cast("long").as("n_a"))
+      .filter(col("category").isNotNull)
+    val cb = countsB.select(col(catColB).cast("string").as("category"),
+        col(nColB).cast("long").as("n_b"))
+      .filter(col("category").isNotNull)
+    val na = ca.agg(coalesce(sum(col("n_a")), lit(0L))).head().getLong(0)
+    val nb = cb.agg(coalesce(sum(col("n_b")), lit(0L))).head().getLong(0)
+    val cells = ca.join(cb, Seq("category"), "full")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") > 0)
+    val d = col("n_a").cast("decimal(38,0)") * lit(nb) -
+      col("n_b").cast("decimal(38,0)") * lit(na)
+    val term = round((d * d).cast("double") /
+      ((col("n_a") + col("n_b")).cast("double") *
+        lit(na.toDouble) * lit(nb.toDouble)), 9)
+    // branch BEFORE the term aggregation: with an empty side the
+    // denominator is literally zero and ANSI mode (correctly)
+    // refuses the division — there is no comparison to price
+    val (k, chi2): (Long, java.lang.Double) =
+      if (na == 0 || nb == 0)
+        (cells.agg(count(lit(1))).head().getLong(0), null)
+      else {
+        val agg = cells.agg(count(lit(1)).as("n_categories"),
+          round(sum(term.cast("decimal(38,9)")).cast("double"), 6)
+            .as("chi2")).head()
+        (agg.getLong(0),
+          if (agg.isNullAt(1)) null else agg.getDouble(1))
+      }
+    val df = k - 1
+    val p: java.lang.Double =
+      if (chi2 == null || df < 1) null
+      else if (df % 2 == 0) chiSquarePValueEvenDf(chi2, df)
+      else chiSquarePValue(chi2, df)
+    val z: java.lang.Double =
+      if (chi2 == null || df < 1) null else wilsonHilfertyZ(chi2, df)
+    Seq((na, nb, k, df, Option(chi2).map(_.toDouble),
+        Option(p).map(_.toDouble), Option(z).map(_.toDouble)))
+      .toDF("n_a", "n_b", "n_categories", "df", "chi2", "p_value",
+        "z_wh")
+      .select(col("n_a"), col("n_b"), col("n_categories"), col("df"),
+        col("chi2").cast("double").as("chi2"),
+        col("p_value").cast("double").as("p_value"),
+        col("z_wh").cast("double").as("z_wh"))
+  }
+
+  /** Exact χ² survival for EVEN df — the closed form
+    * Q(x; 2m) = e^{−x/2} · Σ_{k=0}^{m−1} (x/2)^k / k!, computed as a
+    * PINNED sequential fold (term_k = term_{k−1}·(x/2)/k, add in
+    * ascending k) so a SQL engine replays it op-for-op (a recursive
+    * CTE, or literally e^{−x/2}·(1 + x/2 + …) for small df).
+    * Round-6.
+    */
+  def chiSquarePValueEvenDf(chi2: Double, df: Long): Double = {
+    require(df >= 2 && df % 2 == 0,
+      s"chiSquarePValueEvenDf: df $df is not even")
+    require(chi2 >= 0, s"chiSquarePValueEvenDf: chi2 $chi2")
+    val h = chi2 / 2.0
+    var term = 1.0
+    var acc = 1.0
+    var k = 1L
+    while (k < df / 2) {
+      term = term * h / k
+      acc += term
+      k += 1
+    }
+    val p = math.exp(-h) * acc
+    BigDecimal(math.max(0.0, math.min(1.0, p)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** χ² survival for ANY df ≥ 1 via the regularized upper incomplete
+    * gamma Q(df/2, x/2) — series for x < a+1, Lentz continued
+    * fraction otherwise, Lanczos lgamma (all published numerical
+    * methods; Press et al. formulas). DETERMINISTIC driver math
+    * (fixed iteration schedule), spec-pinned against textbook
+    * quantiles — but not SQL-mirrored: gates hash the even-df closed
+    * form; this helper serves odd-df callers. Round-6.
+    */
+  def chiSquarePValue(chi2: Double, df: Long): Double = {
+    require(df >= 1, s"chiSquarePValue: df $df")
+    require(chi2 >= 0, s"chiSquarePValue: chi2 $chi2")
+    val a = df / 2.0
+    val x = chi2 / 2.0
+    def lgamma(z: Double): Double = {
+      // Lanczos g=5, n=6 (Press et al., public coefficients)
+      val c = Array(76.18009172947146, -86.50532032941677,
+        24.01409824083091, -1.231739572450155,
+        0.1208650973866179e-2, -0.5395239384953e-5)
+      val xx = z
+      var y = z
+      var tmp = xx + 5.5
+      tmp -= (xx + 0.5) * math.log(tmp)
+      var ser = 1.000000000190015
+      var j = 0
+      while (j < 6) { y += 1.0; ser += c(j) / y; j += 1 }
+      -tmp + math.log(2.5066282746310005 * ser / xx)
+    }
+    val q =
+      if (x == 0.0) 1.0
+      else if (x < a + 1.0) {
+        // P by series, Q = 1 − P
+        var ap = a
+        var sum = 1.0 / a
+        var del = sum
+        var n = 0
+        while (n < 200) {
+          ap += 1.0; del *= x / ap; sum += del; n += 1
+        }
+        1.0 - sum * math.exp(-x + a * math.log(x) - lgamma(a))
+      } else {
+        // Q by modified Lentz continued fraction
+        val fpmin = 1e-300
+        var b = x + 1.0 - a
+        var c = 1.0 / fpmin
+        var d = 1.0 / b
+        var h = d
+        var i = 1
+        while (i <= 200) {
+          val an = -i * (i - a)
+          b += 2.0
+          d = an * d + b; if (math.abs(d) < fpmin) d = fpmin
+          c = b + an / c; if (math.abs(c) < fpmin) c = fpmin
+          d = 1.0 / d
+          h *= d * c
+          i += 1
+        }
+        math.exp(-x + a * math.log(x) - lgamma(a)) * h
+      }
+    BigDecimal(math.max(0.0, math.min(1.0, q)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Wilson–Hilferty (1931) normal score of a χ² statistic:
+    * z = ((x/df)^{1/3} − (1 − 2/(9df))) / √(2/(9df)) — the classic
+    * approximate-normal report, single mirrored ops (cbrt, sqrt),
+    * round-6.
+    */
+  def wilsonHilfertyZ(chi2: Double, df: Long): Double = {
+    require(df >= 1, s"wilsonHilfertyZ: df $df")
+    require(chi2 >= 0, s"wilsonHilfertyZ: chi2 $chi2")
+    val v = 2.0 / (9.0 * df)
+    val z = (math.cbrt(chi2 / df) - (1.0 - v)) / math.sqrt(v)
+    BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** [[ksDrift]] plus the asymptotic two-sample significance (r20,
+    * VERDICT-r19 #4): λ = √(n_a·n_b/(n_a+n_b))·D and
+    *
+    *   p = Q_KS(λ) = 2 Σ_{j≥1} (−1)^{j−1} e^{−2j²λ²}
+    *
+    * (Smirnov's limit law), truncated at a FIXED 100 terms in a
+    * pinned sequential fold (term j = e^{−2·j·j·λ·λ}, alternating
+    * adds in ascending j — a SQL recursive CTE replays it op-for-op)
+    * and clamped to [0, 1]. For λ < 0.2 the series has not decayed
+    * within the pinned horizon and Q is 1 to ~8 decimals anyway, so
+    * p pins to EXACTLY 1.0 there (a deterministic cutoff both
+    * engines apply identically, never a truncation artifact). D
+    * enters as the full-precision d_num/(n_a·n_b) — one division of
+    * the exact integers. Output: ksDrift's card + (lambda round-6,
+    * p_value round-6), both null when either side is empty.
+    */
+  def ksDriftTest(a: DataFrame, b: DataFrame, valueCol: String):
+      DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val r = ksDrift(a, b, valueCol).head()
+    val (na, nb, nv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val dNum: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
+    val ks: java.lang.Double = if (r.isNullAt(4)) null else r.getDouble(4)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (lambda, p): (java.lang.Double, java.lang.Double) =
+      if (dNum == null) (null, null)
+      else {
+        val d = dNum.toDouble / (na.toDouble * nb.toDouble)
+        val ne = na.toDouble * nb.toDouble / (na.toDouble + nb.toDouble)
+        val lam = math.sqrt(ne) * d
+        val pv =
+          if (lam < 0.2) 1.0
+          else {
+            var acc = 0.0
+            var j = 1
+            while (j <= 100) {
+              val t = math.exp(-2.0 * j * j * lam * lam)
+              acc += (if (j % 2 == 1) t else -t)
+              j += 1
+            }
+            r6(math.max(0.0, math.min(1.0, 2.0 * acc)))
+          }
+        (r6(lam), pv)
+      }
+    Seq((na, nb, nv, Option(dNum).map(_.toLong),
+        Option(ks).map(_.toDouble), Option(lambda).map(_.toDouble),
+        Option(p).map(_.toDouble)))
+      .toDF("n_a", "n_b", "n_values", "d_num", "ks", "lambda",
+        "p_value")
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        col("d_num").cast("long").as("d_num"),
+        col("ks").cast("double").as("ks"),
+        col("lambda").cast("double").as("lambda"),
+        col("p_value").cast("double").as("p_value"))
+  }
+
   /** Headline PSI and JSD from a [[categoryDrift]] card: ordered
     * driver fold over the category-sorted terms (the bleuFromStats
     * stance — the cross-row float sum happens ONCE, in a pinned

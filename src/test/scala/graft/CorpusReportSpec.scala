@@ -266,4 +266,67 @@ class CorpusReportSpec extends SparkSpec {
         CorpusReport.categoryDrift(a, b, "cat"), maxCategories = 2)
     }
   }
+
+  test("chiSquareDrift (r20, VERDICT-r19 #4): hand 2×2 case, " +
+      "identical snapshots read χ² 0 / p 1, empty side and single " +
+      "category null out; the p helpers pin textbook quantiles and " +
+      "the even-df closed form agrees with the gamma path") {
+    import graft.operators.CorpusReport
+    // hand 2×2: A = 30×x + 10×y, B = 10×x + 30×y →
+    // d_x = 30·40 − 10·40 = 800, c_x = 40; χ² = 2·800²/(40·40·40)
+    // = 20.0 exactly; df 1 (odd → gamma path), p ≈ 7.7e-6
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("cat")
+    val b = (Seq.fill(10)("x") ++ Seq.fill(30)("y")).toDF("cat")
+    val h = CorpusReport.chiSquareDrift(a, b, "cat").collect()(0)
+    assert(h.getLong(0) === 40L && h.getLong(1) === 40L &&
+      h.getLong(2) === 2L && h.getLong(3) === 1L)
+    assert(h.getDouble(4) === 20.0)
+    assert(h.getDouble(5) < 0.0001, s"χ²=20 at df 1 must reject: $h")
+    assert(h.getDouble(6) > 3.0, "Wilson–Hilferty agrees")
+    // identical snapshots: zero drift, p exactly 1
+    val same = CorpusReport.chiSquareDrift(a, a, "cat").collect()(0)
+    assert(same.getDouble(4) === 0.0 && same.getDouble(5) === 1.0)
+    // empty side: no comparison — nulls, not zeros
+    val e = CorpusReport.chiSquareDrift(a,
+      a.filter(col("cat") === "zz"), "cat").collect()(0)
+    assert(e.getLong(1) === 0L && e.isNullAt(4) && e.isNullAt(5))
+    // single category: df 0, no test
+    val one = CorpusReport.chiSquareDrift(
+      Seq("x", "x").toDF("cat"), Seq("x").toDF("cat"), "cat")
+      .collect()(0)
+    assert(one.getLong(3) === 0L && one.isNullAt(5))
+    // textbook quantiles: the canonical α = 0.05 critical values
+    assert(CorpusReport.chiSquarePValue(3.841459, 1) === 0.05)
+    assert(CorpusReport.chiSquarePValue(5.991465, 2) === 0.05)
+    assert(CorpusReport.chiSquarePValue(0.0, 3) === 1.0)
+    // even df: the closed-form fold and the gamma path agree
+    assert(CorpusReport.chiSquarePValueEvenDf(5.991465, 2) === 0.05)
+    assert(CorpusReport.chiSquarePValueEvenDf(9.487729, 4) ===
+      CorpusReport.chiSquarePValue(9.487729, 4))
+    intercept[IllegalArgumentException] {
+      CorpusReport.chiSquarePValueEvenDf(1.0, 3)
+    }
+    // Wilson–Hilferty at the df=2 critical value ≈ z_0.95
+    assert(math.abs(CorpusReport.wilsonHilfertyZ(5.991465, 2) -
+      1.645) < 0.03)
+  }
+
+  test("ksDriftTest (r20, VERDICT-r19 #4): identical-law snapshots " +
+      "read D 0 / p exactly 1 (the λ < 0.2 cutoff), a gross shift " +
+      "rejects, empty sides stay null") {
+    import graft.operators.CorpusReport
+    val a = (0 until 200).map(i => (i % 50).toDouble).toDF("v")
+    val b = (0 until 200).map(i =>
+      (i % 50).toDouble + (if (i % 2 == 0) 25 else 0)).toDF("v")
+    val shifted = CorpusReport.ksDriftTest(a, b, "v").collect()(0)
+    assert(shifted.getLong(3) > 0L)
+    assert(shifted.getDouble(5) > 0.1, "λ on a half-shifted sample")
+    assert(shifted.getDouble(6) < 0.05,
+      s"the shifted pair must reject: $shifted")
+    val same = CorpusReport.ksDriftTest(a, a, "v").collect()(0)
+    assert(same.getLong(3) === 0L && same.getDouble(6) === 1.0)
+    val empty = CorpusReport.ksDriftTest(a,
+      a.filter(col("v") < 0), "v").collect()(0)
+    assert(empty.isNullAt(4) && empty.isNullAt(5) && empty.isNullAt(6))
+  }
 }
