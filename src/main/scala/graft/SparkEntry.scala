@@ -4551,6 +4551,23 @@ object SparkEntry {
         .orderBy(col("pair"))
     }),
 
+    // --- Paired power / MDE card (r20, VERDICT-r19 stretch): the
+    //     signal plant's sizing card — 60 one-sided +1 deltas over
+    //     200 items give sd 0.459408 and MDE ≈ 0.091 at α=0.05 /
+    //     power 0.8, well under the measured mean delta 0.3: the
+    //     eval was adequately powered, and the card is how a report
+    //     shows it. Exact integer moments; the z constants and the
+    //     double op chain replay in the oracle.
+    "eval_power" -> ((s, dir) => {
+      val id = col("doc_id")
+      operators.ClassifierEval.pairedPowerCard(
+        Tables.documents(s, dir).filter(id < 200)
+          .select(id,
+            when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L).as("a_ok"),
+            when(pmod(id, lit(10L)) < 5, 1L).otherwise(0L).as("b_ok")),
+        "doc_id", "a_ok", "b_ok")
+    }),
+
     "eval_auc" -> ((s, dir) => {
       val id = col("doc_id")
       operators.ClassifierEval.aucRoc(
@@ -12086,6 +12103,32 @@ object SparkEntry {
         |  round((ne + 1) / (np + 1.0), 6) AS p_value
         |FROM obs JOIN e ON e.pair = obs.pair
         |ORDER BY obs.pair""".stripMargin,
+
+    // the eval_power oracle: exact integer delta moments, the exact
+    // variance numerator n·Σd²−(Σd)² in HUGEINT, the z-constant SUM
+    // as a double add of the same literals (never a pre-folded
+    // 2.801585 — the engine adds the two doubles, so must we)
+    "eval_power" ->
+      """WITH d AS (
+        |  SELECT (CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+        |    - (CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END) AS dd
+        |  FROM documents WHERE doc_id < 200),
+        |m AS (SELECT count(*) AS n, sum(dd) AS sd,
+        |        sum(CAST(dd AS HUGEINT) * dd) AS sd2
+        |      FROM d)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(sd AS DOUBLE) / n, 6) AS mean_delta,
+        |  round(sqrt(CAST(sd2 * n - CAST(sd AS HUGEINT) * sd
+        |      AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+        |    AS sd_delta,
+        |  CAST(1.959964 AS DOUBLE) AS z_alpha,
+        |  CAST(0.841621 AS DOUBLE) AS z_power,
+        |  round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+        |    * sqrt(CAST(sd2 * n - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / n), 6)
+        |    AS mde
+        |FROM m""".stripMargin,
 
     "eval_prf" ->
       """WITH b AS (

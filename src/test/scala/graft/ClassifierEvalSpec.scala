@@ -279,6 +279,50 @@ class ClassifierEvalSpec extends SparkSpec {
       "g", "id", "a", "b", nPermutations = 10).count() === 2L)
   }
 
+  test("pairedPowerCard (r20): exact delta moments, the textbook " +
+      "MDE chain, n<2 carries no variance estimate, unsupported " +
+      "quantiles / fractional scores / duplicate ids refuse") {
+    import spark.implicits._
+    // {+1, −1}: mean 0, s_d = √2, MDE = (1.959964+0.841621)·√(2/2)
+    val h = ClassifierEval.pairedPowerCard(
+      Seq((1L, 1.0, 0.0), (2L, 0.0, 1.0)).toDF("id", "a", "b"),
+      "id", "a", "b").collect()(0)
+    assert(h.getLong(0) === 2L && h.getDouble(1) === 0.0)
+    assert(h.getDouble(2) === 1.414214 && h.getDouble(5) === 2.801585)
+    // the signal plant: 60 one-sided +1 deltas over 200 items —
+    // var = (200·60 − 3600)/(200·199), MDE well under the mean
+    val sig = (0L until 200L).map(i =>
+      (i, if (i % 10 < 8) 1.0 else 0.0, if (i % 10 < 5) 1.0 else 0.0))
+      .toDF("id", "a", "b")
+    val s = ClassifierEval.pairedPowerCard(sig, "id", "a", "b")
+      .collect()(0)
+    assert(s.getDouble(1) === 0.3 && s.getDouble(2) === 0.459408)
+    assert(s.getDouble(5) < 0.1 && s.getDouble(5) > 0.08,
+      "adequately powered: MDE ≈ 0.091 << 0.3")
+    // stricter alpha and higher power both widen the MDE
+    val strict = ClassifierEval.pairedPowerCard(sig, "id", "a", "b",
+      alpha = 0.01, power = 0.95).collect()(0)
+    assert(strict.getDouble(5) > s.getDouble(5))
+    // a single item has no variance estimate
+    val one = ClassifierEval.pairedPowerCard(
+      Seq((1L, 1.0, 0.0)).toDF("id", "a", "b"), "id", "a", "b")
+      .collect()(0)
+    assert(one.getLong(0) === 1L && one.isNullAt(2) && one.isNullAt(5))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPowerCard(sig, "id", "a", "b", alpha = 0.07)
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPowerCard(
+        Seq((1L, 0.5, 0.0)).toDF("id", "a", "b"), "id", "a", "b")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPowerCard(
+        Seq((1L, 1.0, 0.0), (1L, 1.0, 0.0)).toDF("id", "a", "b"),
+        "id", "a", "b").collect()
+    }
+  }
+
   test("withBhFdr (r20, VERDICT-r19 #1): the textbook BH ladder — " +
       "suffix running min repairs non-monotone raw steps, ties " +
       "break by key, q caps at 1, null p and over-cap refuse") {
