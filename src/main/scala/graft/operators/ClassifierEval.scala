@@ -771,13 +771,17 @@ object ClassifierEval {
     */
   def withBhFdr(card: DataFrame, pCol: String, keyCol: String,
       maxRows: Int = 1 << 20): DataFrame = {
-    val nullP = card.filter(col(pCol).isNull).limit(1).count()
-    require(nullP == 0,
+    // ONE guard pass: the card is the output of a (possibly
+    // expensive) per-group test whose lineage re-executes per
+    // action, so both refusals share a single aggregation instead
+    // of two separate jobs each recomputing the upstream test
+    val g = card.agg(count(lit(1)),
+      coalesce(sum(when(col(pCol).isNull, 1L).otherwise(0L)),
+        lit(0L))).head()
+    require(g.getLong(1) == 0,
       s"withBhFdr: null $pCol — drop unscoreable groups deliberately " +
         "before adjusting (a silently ranked null corrupts every q)")
-    val guardN = card
-      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
-    require(guardN <= maxRows,
+    require(g.getLong(0) <= maxRows,
       s"withBhFdr: > $maxRows card rows — the rank windows are " +
         "single-task global sorts over the GROUP card; this is not " +
         "a per-group card, or raise maxRows deliberately")
