@@ -4456,6 +4456,29 @@ object SparkEntry {
         "v")
     }),
 
+    // --- Per-group Mann–Whitney U (r20): the sliced unpaired twin —
+    //     the `shift` slice's B side moves every fifth value up 6
+    //     (rejects with auc_a < 0.5), the `same` slice realizes one
+    //     law on disjoint id ranges (z ≈ 0). Every window keys on
+    //     the group, so the op distributes with the slicing; the
+    //     per-group doubled midranks, tie sums, z and the common-
+    //     language auc_a replay in the oracle.
+    "eval_mw_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      val grp = when(pmod(id, lit(250L)) < 125, "shift")
+        .otherwise("same")
+      val aSide = docs.filter(id < 250)
+        .select(grp.as("g"), pmod(id, lit(20L)).as("v"))
+      val bSide = docs.filter(id >= 250 && id < 500)
+        .select(grp.as("g"),
+          (pmod(id, lit(20L)) + when(pmod(id, lit(250L)) < 125 &&
+            pmod(id, lit(5L)) === 0, 6L).otherwise(0L)).as("v"))
+      operators.ClassifierEval.mannWhitneyUByGroup(aSide, bSide,
+          "g", "v")
+        .orderBy(col("group"))
+    }),
+
     // --- Paired-delta subsample CI (r19): the signal pair's effect
     //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
     //     subsamples; the interval must sit strictly above 0
@@ -11937,8 +11960,62 @@ object SparkEntry {
         |        * ((CAST(na AS DOUBLE) + nb + 1)
         |          - CAST(ts AS DOUBLE) / ((CAST(na AS DOUBLE) + nb)
         |            * (CAST(na AS DOUBLE) + nb - 1)))), 6)
-        |  END AS z
+        |  END AS z,
+        |  CASE WHEN na > 0 AND nb > 0
+        |    THEN round(CAST(r2a - na * (na + 1) AS DOUBLE)
+        |      / (2.0 * na * nb), 6)
+        |  END AS auc_a
         |FROM m, t""".stripMargin,
+
+    // the eval_mw_by_group oracle: the eval_mannwhitney replay with
+    // every window PARTITIONed by the slice — per-group doubled
+    // midranks, tie sums, the tie-corrected z and auc_a
+    "eval_mw_by_group" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN doc_id % 250 < 125 THEN 'shift'
+        |      ELSE 'same' END AS g,
+        |    CAST(doc_id % 20 AS DOUBLE) AS v, 0 AS s
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT CASE WHEN doc_id % 250 < 125 THEN 'shift'
+        |      ELSE 'same' END,
+        |    CAST(doc_id % 20 + CASE WHEN doc_id % 250 < 125
+        |      AND doc_id % 5 = 0 THEN 6 ELSE 0 END AS DOUBLE), 1
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 500),
+        |r AS (SELECT g, s,
+        |        2 * rank() OVER (PARTITION BY g ORDER BY v) +
+        |          count(*) OVER (PARTITION BY g, v) - 1 AS r2
+        |      FROM p),
+        |m AS (SELECT g,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN s = 0 THEN r2 ELSE 0 END) AS r2a
+        |  FROM r GROUP BY g),
+        |t AS (SELECT g, COALESCE(sum(t * t * t - t), 0) AS ts FROM
+        |        (SELECT g, count(*) AS t FROM p GROUP BY g, v) q
+        |      GROUP BY g)
+        |SELECT m.g AS "group", CAST(na AS BIGINT) AS n_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CAST(r2a AS BIGINT) AS r2_a,
+        |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+        |  CAST(ts AS BIGINT) AS tie_sum,
+        |  CASE WHEN na > 0 AND nb > 0 AND
+        |      CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((CAST(na AS DOUBLE) + nb + 1)
+        |          - CAST(ts AS DOUBLE) / ((CAST(na AS DOUBLE) + nb)
+        |            * (CAST(na AS DOUBLE) + nb - 1))) > 0.0
+        |    THEN round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0
+        |        - CAST(na AS DOUBLE) * nb / 2.0)
+        |      / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+        |        * ((CAST(na AS DOUBLE) + nb + 1)
+        |          - CAST(ts AS DOUBLE) / ((CAST(na AS DOUBLE) + nb)
+        |            * (CAST(na AS DOUBLE) + nb - 1)))), 6)
+        |  END AS z,
+        |  CASE WHEN na > 0 AND nb > 0
+        |    THEN round(CAST(r2a - na * (na + 1) AS DOUBLE)
+        |      / (2.0 * na * nb), 6)
+        |  END AS auc_a
+        |FROM m JOIN t ON t.g = m.g ORDER BY m.g""".stripMargin,
 
     // the eval_paired_ci oracle: the eval_acc_ci replay machinery
     // over per-item deltas — same md5 membership rule, same

@@ -538,13 +538,17 @@ object ClassifierEval {
     *
     * is single mirrored double ops on the exact integers, round-6
     * (null when either side is empty or the variance degenerates —
-    * all values tied). Output: one row (n_a, n_b, r2_a, u2_a,
-    * tie_sum, z).
+    * all values tied). `auc_a` = U_A/(n_a·n_b) is the
+    * common-language effect size (P(a > b) + ½P(a = b) — the
+    * [[aucRoc]] statistic generalized to two samples; rank-biserial
+    * r = 2·auc_a − 1), one division of the exact doubled U, round-6.
+    * Output: one row (n_a, n_b, r2_a, u2_a, tie_sum, z, auc_a).
     *
     * The pooled rank window is a single-task global sort, so the
     * bounded-eval contract is ENFORCED with the usual loud `maxRows`
     * count-guard (rank distributedly via the TrainingOrder two-phase
-    * rank if corpus-sized MWU is truly wanted).
+    * rank if corpus-sized MWU is truly wanted — or slice with
+    * [[mannWhitneyUByGroup]], whose per-group windows distribute).
     */
   def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
       maxRows: Int = 1 << 22): DataFrame = {
@@ -585,14 +589,101 @@ object ClassifierEval {
         val n = na + nb
         val variance = na * nb / 12.0 *
           ((n + 1) - d(col("tie_sum")) / (n * (n - 1)))
-        when(col("n_a") > 0 && col("n_b") > 0 && variance > 0.0,
-          round((d(col("u2_a")) / 2.0 - na * nb / 2.0) /
-            sqrt(variance), 6))
+        // NESTED when: the variance expression divides by n(n−1),
+        // so it may only evaluate once both sides are non-empty
+        // (ANSI mode refuses the 0/0 of a 1-row pool)
+        when(col("n_a") > 0 && col("n_b") > 0,
+          when(variance > 0.0,
+            round((d(col("u2_a")) / 2.0 - na * nb / 2.0) /
+              sqrt(variance), 6)))
       })
+      .withColumn("auc_a",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("u2_a") /
+            (lit(2.0) * col("n_a") * col("n_b")), 6)))
       .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
         // z above consumed the EXACT decimal; the card's copy is
         // informational and rides as long (null past Long range)
-        col("tie_sum").cast("long").as("tie_sum"), col("z"))
+        col("tie_sum").cast("long").as("tie_sum"), col("z"),
+        col("auc_a"))
+  }
+
+  /** Per-GROUP Mann–Whitney U (r20) — the sliced twin of
+    * [[mannWhitneyU]] and the unpaired analogue of
+    * [[pairedPermutationTestByGroup]]: "did the quality-score
+    * distribution move between crawls ON GERMAN / ON CODE / ON LONG
+    * DOCS?" Same doubled-midrank exactness, but every window keys
+    * on the GROUP — `rank` over (group → value) and tie counts over
+    * (group, value) are per-group partitions, so the op is as
+    * distributed as the slicing itself (the reason this twin exists:
+    * the global op's single-task sort contract disappears when the
+    * slices ARE the partitions). A single pathological group still
+    * sorts on one task (the Window.partitionBy execution model), so
+    * `maxRowsPerGroup` count-guards the LARGEST group loudly — one
+    * aggregation, not a per-row scan. Output one row per group:
+    * (group, n_a, n_b, r2_a, u2_a, tie_sum, z, auc_a); groups
+    * present on only one side carry null z/auc (nothing to compare
+    * — surfaced, not dropped).
+    */
+  def mannWhitneyUByGroup(a: DataFrame, b: DataFrame,
+      groupCol: String, valueCol: String,
+      maxRowsPerGroup: Int = 1 << 22): DataFrame = {
+    def side(df: DataFrame, s: Int) =
+      df.select(col(groupCol).cast("string").as("group"),
+          col(valueCol).cast("double").as("__v"), lit(s).as("__side"))
+        .filter(col("group").isNotNull && col("__v").isNotNull &&
+          !isnan(col("__v")))
+    val pooled = side(a, 0).unionAll(side(b, 1))
+    val biggest = pooled.groupBy(col("group"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
+    require(biggest <= maxRowsPerGroup,
+      s"mannWhitneyUByGroup: a group has $biggest rows (max " +
+        s"$maxRowsPerGroup) — each group's rank window sorts on one " +
+        "task; sample upstream or raise maxRowsPerGroup deliberately")
+    val w = Window.partitionBy(col("group")).orderBy(col("__v"))
+    val tie = Window.partitionBy(col("group"), col("__v"))
+    val main = pooled
+      .withColumn("__r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
+      .groupBy(col("group"))
+      .agg(
+        coalesce(sum(when(col("__side") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_a"),
+        coalesce(sum(when(col("__side") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_b"),
+        coalesce(sum(when(col("__side") === 0, col("__r2"))
+          .otherwise(0L)), lit(0L)).as("r2_a"))
+    val ties = pooled.groupBy(col("group"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("group"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") *
+          col("__t") * col("__t") - col("__t")),
+        lit(0).cast("decimal(38,0)")).as("tie_sum"))
+    main.join(ties, Seq("group")) // group-keyed 1:1
+      .withColumn("u2_a",
+        col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("z", {
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val na = d(col("n_a")); val nb = d(col("n_b"))
+        val n = na + nb
+        val variance = na * nb / 12.0 *
+          ((n + 1) - d(col("tie_sum")) / (n * (n - 1)))
+        // NESTED when: the variance expression divides by n(n−1),
+        // so it may only evaluate once both sides are non-empty
+        // (ANSI mode refuses the 0/0 of a 1-row pool)
+        when(col("n_a") > 0 && col("n_b") > 0,
+          when(variance > 0.0,
+            round((d(col("u2_a")) / 2.0 - na * nb / 2.0) /
+              sqrt(variance), 6)))
+      })
+      .withColumn("auc_a",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("u2_a") /
+            (lit(2.0) * col("n_a") * col("n_b")), 6)))
+      .select(col("group"), col("n_a"), col("n_b"), col("r2_a"),
+        col("u2_a"), col("tie_sum").cast("long").as("tie_sum"),
+        col("z"), col("auc_a"))
   }
 
   /** Per-GROUP paired permutation test (r19) — the sliced twin of

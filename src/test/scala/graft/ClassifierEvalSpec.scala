@@ -415,22 +415,58 @@ class ClassifierEvalSpec extends SparkSpec {
       h.getLong(2) === 12L && h.getLong(3) === 0L &&
       h.getLong(4) === 0L)
     assert(h.getDouble(5) === -1.963961)
+    assert(h.getDouble(6) === 0.0, "A fully below B: P(a > b) = 0")
     // tie-heavy: A={1,1}, B={1,2} — the pooled 1s midrank to 2
     // (r2=4), r2_a=8, U_A=1; ts=24, var = (4/12)·(5−2) = 1, z = −1
     val t = mw(Seq(1, 1), Seq(1, 2))
     assert(t.getLong(2) === 8L && t.getLong(3) === 2L &&
       t.getLong(4) === 24L && t.getDouble(5) === -1.0)
+    assert(t.getDouble(6) === 0.25, "U_A/(n_a·n_b) = 1/4")
     // fractional values rank fine (no delta arithmetic here)
     val f = mw(Seq(0.5, 1.5), Seq(2.5, 3.5))
     assert(f.getLong(3) === 0L)
-    // all values tied: variance degenerates, z null
+    // all values tied: variance degenerates, z null; auc still ½
     val at = mw(Seq(7, 7), Seq(7, 7))
-    assert(at.isNullAt(5))
+    assert(at.isNullAt(5) && at.getDouble(6) === 0.5)
     // one empty side: nothing to compare
     val e = mw(Seq(1, 2), Seq.empty[Double])
-    assert(e.getLong(1) === 0L && e.isNullAt(5))
+    assert(e.getLong(1) === 0L && e.isNullAt(5) && e.isNullAt(6))
+    // a single pooled row: n(n−1) = 0 — must null, never divide
+    val one = mw(Seq(5), Seq.empty[Double])
+    assert(one.getLong(0) === 1L && one.isNullAt(5))
     intercept[IllegalArgumentException] {
       mw(Seq(1, 2, 3), Seq(4, 5), cap = 4)
+    }
+  }
+
+  test("mannWhitneyUByGroup (r20): the sliced twin reproduces the " +
+      "global op per slice through group-keyed windows, one-sided " +
+      "and single-row groups null out, an oversized group refuses") {
+    import spark.implicits._
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 1.0), ("g2", 1.0)).toDF("g", "v")
+    val b = Seq(("g1", 4.0), ("g1", 5.0), ("g1", 6.0),
+      ("g2", 1.0), ("g2", 2.0), ("g3", 9.0)).toDF("g", "v")
+    val got = ClassifierEval.mannWhitneyUByGroup(a, b, "g", "v")
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("g1", "g2", "g3"))
+    // g1 == the textbook global case; g2 == the tie-heavy one
+    val solo1 = ClassifierEval.mannWhitneyU(
+      a.filter($"g" === "g1"), b.filter($"g" === "g1"), "v")
+      .collect()(0)
+    assert(got(0).toSeq.drop(1) === solo1.toSeq,
+      "grouped == global per slice")
+    val solo2 = ClassifierEval.mannWhitneyU(
+      a.filter($"g" === "g2"), b.filter($"g" === "g2"), "v")
+      .collect()(0)
+    assert(got(1).toSeq.drop(1) === solo2.toSeq)
+    // g3 exists only on side B: nothing to compare — null z/auc,
+    // the row SURFACED rather than dropped
+    assert(got(2).getLong(1) === 0L && got(2).isNullAt(6) &&
+      got(2).isNullAt(7))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.mannWhitneyUByGroup(a, b, "g", "v",
+        maxRowsPerGroup = 5).collect()
     }
   }
 

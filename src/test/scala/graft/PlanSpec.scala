@@ -586,6 +586,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("r20 significance shapes: eval_mw_by_group's rank windows " +
+      "are GROUP-partitioned (never SinglePartition — the property " +
+      "that justifies the sliced twin); eval_paired_fdr stays " +
+      "explode → keyed agg with only the bounded card's rank " +
+      "windows; corpus_chi2 is count aggregations + one category " +
+      "join (no window, no cartesian beyond 1-row frames)") {
+    val pm = plan("eval_mw_by_group")
+    assert(pm.contains("Window") && !pm.contains("SinglePartition"),
+      pm.take(900))
+    val pf = plan("eval_paired_fdr")
+    assert(!pf.contains("CartesianProduct"), pf.take(900))
+    val px = plan("corpus_chi2")
+    assert(!px.contains("Window"), px.take(900))
+  }
+
   test("text_fertility_scripts: the cross-card is scan-riding " +
       "projections + ONE two-key aggregation — no join, no window " +
       "(VERDICT-r17 #8's no-new-shuffle contract)") {
