@@ -4456,6 +4456,23 @@ object SparkEntry {
         "v")
     }),
 
+    // --- Two-proportion z-test (r20): the disjoint-set analogue of
+    //     McNemar — snapshot A passes 80% of 250 docs, snapshot B
+    //     60% of a DIFFERENT 250; z ≈ 4.88 rejects. Exact counts,
+    //     single rounded divisions, one mirrored z chain.
+    "eval_two_proportion" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      operators.ClassifierEval.twoProportionTest(
+        docs.filter(id < 250)
+          .select(when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L)
+            .as("hit")),
+        docs.filter(id >= 250 && id < 500)
+          .select(when(pmod(id, lit(10L)) < 6, 1L).otherwise(0L)
+            .as("hit")),
+        "hit")
+    }),
+
     // --- Per-group Mann–Whitney U (r20): the sliced unpaired twin —
     //     the `shift` slice's B side moves every fifth value up 6
     //     (rejects with auc_a < 0.5), the `same` slice realizes one
@@ -11966,6 +11983,29 @@ object SparkEntry {
         |      / (2.0 * na * nb), 6)
         |  END AS auc_a
         |FROM m, t""".stripMargin,
+
+    // the eval_two_proportion oracle: exact per-side counts, the
+    // pooled-variance z chain mirrored op-for-op
+    "eval_two_proportion" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS h
+        |  FROM documents WHERE doc_id < 250),
+        |b AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN doc_id % 10 < 6 THEN 1 ELSE 0 END) AS h
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 500)
+        |SELECT CAST(a.n AS BIGINT) AS n_a,
+        |  CAST(a.h AS BIGINT) AS hits_a,
+        |  CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(b.h AS BIGINT) AS hits_b,
+        |  round(CAST(a.h AS DOUBLE) / a.n, 6) AS p_a,
+        |  round(CAST(b.h AS DOUBLE) / b.n, 6) AS p_b,
+        |  round((CAST(a.h AS DOUBLE) / a.n - CAST(b.h AS DOUBLE) / b.n)
+        |    / sqrt(CAST(a.h + b.h AS DOUBLE) / (a.n + b.n)
+        |      * (1.0 - CAST(a.h + b.h AS DOUBLE) / (a.n + b.n))
+        |      * (1.0 / a.n + 1.0 / b.n)), 6) AS z
+        |FROM a, b""".stripMargin,
 
     // the eval_mw_by_group oracle: the eval_mannwhitney replay with
     // every window PARTITIONed by the slice — per-group doubled

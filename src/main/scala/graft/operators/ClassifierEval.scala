@@ -608,6 +608,63 @@ object ClassifierEval {
         col("auc_a"))
   }
 
+  /** Two-proportion z-test (r20) — the DISJOINT-set analogue of
+    * [[mcnemarTest]]: McNemar compares two systems on the SAME
+    * items; this compares a 0/1 rate across two DIFFERENT samples
+    * (v2 crawl's gopher-pass rate vs v1's, system accuracy on two
+    * disjoint eval sets). Classic pooled-variance form:
+    *
+    *   z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),
+    *   p̂ = (hits_a + hits_b)/(n_a + n_b)
+    *
+    * Counts are exact Longs from one aggregation per side; p̂_a/p̂_b
+    * are single rounded divisions; z is one mirrored double op
+    * chain on the UNROUNDED pooled terms, round-6 — null when a
+    * side is empty or the pooled rate is degenerate (all hits or
+    * all misses: zero variance, nothing to test). Values must be
+    * 0/1 (refused loudly, the mcnemarTest contract). Output one
+    * row: (n_a, hits_a, n_b, hits_b, p_a, p_b, z).
+    */
+  def twoProportionTest(a: DataFrame, b: DataFrame,
+      hitCol: String): DataFrame = {
+    def side(df: DataFrame) = {
+      val v = df.select(col(hitCol).cast("long").as("__h"))
+        .filter(col("__h").isNotNull)
+      val bad = v.filter(!col("__h").isin(0L, 1L)).limit(1).count()
+      require(bad == 0,
+        "twoProportionTest: values must be 0/1 hit indicators")
+      val r = v.agg(count(lit(1)), coalesce(sum(col("__h")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (na, ha) = side(a)
+    val (nb, hb) = side(b)
+    val spark = a.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pa: java.lang.Double = if (na > 0) r6(ha.toDouble / na) else null
+    val pb: java.lang.Double = if (nb > 0) r6(hb.toDouble / nb) else null
+    val z: java.lang.Double =
+      if (na == 0 || nb == 0) null
+      else {
+        val pooled = (ha + hb).toDouble / (na + nb)
+        val variance = pooled * (1.0 - pooled) *
+          (1.0 / na + 1.0 / nb)
+        if (variance > 0.0)
+          r6((ha.toDouble / na - hb.toDouble / nb) /
+            math.sqrt(variance))
+        else null
+      }
+    Seq((na, ha, nb, hb, Option(pa).map(_.toDouble),
+        Option(pb).map(_.toDouble), Option(z).map(_.toDouble)))
+      .toDF("n_a", "hits_a", "n_b", "hits_b", "p_a", "p_b", "z")
+      .select(col("n_a"), col("hits_a"), col("n_b"), col("hits_b"),
+        col("p_a").cast("double").as("p_a"),
+        col("p_b").cast("double").as("p_b"),
+        col("z").cast("double").as("z"))
+  }
+
   /** Per-GROUP Mann–Whitney U (r20) — the sliced twin of
     * [[mannWhitneyU]] and the unpaired analogue of
     * [[pairedPermutationTestByGroup]]: "did the quality-score

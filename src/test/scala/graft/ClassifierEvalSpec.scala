@@ -470,6 +470,31 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionTest (r20): hand case, degenerate pooled rate " +
+      "and empty sides null the z, non-binary values refuse") {
+    import spark.implicits._
+    def tp(av: Seq[Long], bv: Seq[Long]) =
+      ClassifierEval.twoProportionTest(av.toDF("h"), bv.toDF("h"), "h")
+        .collect()(0)
+    // A 8/10 vs B 2/10: pooled 0.5, var = 0.25·0.2 = 0.05,
+    // z = 0.6/√0.05
+    val h = tp(Seq.fill(8)(1L) ++ Seq.fill(2)(0L),
+      Seq.fill(2)(1L) ++ Seq.fill(8)(0L))
+    assert(h.getLong(0) === 10L && h.getLong(1) === 8L &&
+      h.getLong(3) === 2L)
+    assert(h.getDouble(4) === 0.8 && h.getDouble(5) === 0.2)
+    assert(h.getDouble(6) === 2.683282)
+    // all hits on both sides: zero pooled variance, nothing to test
+    val d = tp(Seq(1L, 1L), Seq(1L, 1L))
+    assert(d.getDouble(4) === 1.0 && d.isNullAt(6))
+    // empty side: no comparison
+    val e = tp(Seq(1L, 0L), Seq.empty[Long])
+    assert(e.getLong(2) === 0L && e.isNullAt(5) && e.isNullAt(6))
+    intercept[IllegalArgumentException] {
+      tp(Seq(2L), Seq(1L))
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
