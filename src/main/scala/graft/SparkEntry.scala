@@ -4473,6 +4473,30 @@ object SparkEntry {
         "hit")
     }),
 
+    // --- Per-group two-proportion z-test (r20): the crawl-ops
+    //     slice — source s0's pass rate collapses 0.8 → 0.4 between
+    //     snapshots (z ≈ 4.6 rejects), s1/s2 hold (z ≈ 0), s3
+    //     vanishes from B and s9 appears only in B — both SURFACE
+    //     with null z rather than dropping. Fully declarative:
+    //     two grouped counts + one outer join, replayed generically.
+    "eval_two_prop_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = Tables.documents(s, dir)
+      val aSide = docs.filter(id < 250)
+        .select(concat(lit("s"), pmod(id, lit(4L))).as("g"),
+          when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L).as("hit"))
+      val bSide = docs.filter(id >= 250 && id < 500)
+        .select(when(pmod(id, lit(4L)) === 3, lit("s9"))
+            .otherwise(concat(lit("s"), pmod(id, lit(4L)))).as("g"),
+          when(pmod(id, lit(4L)) === 0,
+            when(pmod(id, lit(10L)) < 4, 1L).otherwise(0L))
+            .otherwise(when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L))
+            .as("hit"))
+      operators.ClassifierEval.twoProportionTestByGroup(aSide, bSide,
+          "g", "hit")
+        .orderBy(col("group"))
+    }),
+
     // --- Per-group Mann–Whitney U (r20): the sliced unpaired twin —
     //     the `shift` slice's B side moves every fifth value up 6
     //     (rejects with auc_a < 0.5), the `same` slice realizes one
@@ -12006,6 +12030,47 @@ object SparkEntry {
         |      * (1.0 - CAST(a.h + b.h AS DOUBLE) / (a.n + b.n))
         |      * (1.0 / a.n + 1.0 / b.n)), 6) AS z
         |FROM a, b""".stripMargin,
+
+    // the eval_two_prop_by_group oracle: per-group counts through
+    // the identical pooled-variance z chain, one-sided groups null
+    "eval_two_prop_by_group" ->
+      """WITH a AS (
+        |  SELECT 's' || (doc_id % 4) AS g, count(*) AS n,
+        |    sum(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END) AS h
+        |  FROM documents WHERE doc_id < 250 GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN doc_id % 4 = 3 THEN 's9'
+        |      ELSE 's' || (doc_id % 4) END AS g,
+        |    count(*) AS n,
+        |    sum(CASE WHEN doc_id % 4 = 0
+        |      THEN CASE WHEN doc_id % 10 < 4 THEN 1 ELSE 0 END
+        |      ELSE CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END
+        |    END) AS h
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 500
+        |  GROUP BY 1),
+        |j AS (SELECT COALESCE(a.g, b.g) AS g,
+        |        COALESCE(a.n, 0) AS na, COALESCE(a.h, 0) AS ha,
+        |        COALESCE(b.n, 0) AS nb, COALESCE(b.h, 0) AS hb
+        |      FROM a FULL JOIN b ON b.g = a.g)
+        |SELECT g AS "group", CAST(na AS BIGINT) AS n_a,
+        |  CAST(ha AS BIGINT) AS hits_a,
+        |  CAST(nb AS BIGINT) AS n_b,
+        |  CAST(hb AS BIGINT) AS hits_b,
+        |  CASE WHEN na > 0
+        |    THEN round(CAST(ha AS DOUBLE) / na, 6) END AS p_a,
+        |  CASE WHEN nb > 0
+        |    THEN round(CAST(hb AS DOUBLE) / nb, 6) END AS p_b,
+        |  CASE WHEN na > 0 AND nb > 0 AND
+        |      CAST(ha + hb AS DOUBLE) / (na + nb)
+        |        * (1.0 - CAST(ha + hb AS DOUBLE) / (na + nb))
+        |        * (1.0 / na + 1.0 / nb) > 0.0
+        |    THEN round((CAST(ha AS DOUBLE) / na
+        |        - CAST(hb AS DOUBLE) / nb)
+        |      / sqrt(CAST(ha + hb AS DOUBLE) / (na + nb)
+        |        * (1.0 - CAST(ha + hb AS DOUBLE) / (na + nb))
+        |        * (1.0 / na + 1.0 / nb)), 6)
+        |  END AS z
+        |FROM j ORDER BY "group"""".stripMargin,
 
     // the eval_mw_by_group oracle: the eval_mannwhitney replay with
     // every window PARTITIONed by the slice — per-group doubled

@@ -665,6 +665,56 @@ object ClassifierEval {
         col("z").cast("double").as("z"))
   }
 
+  /** Per-GROUP two-proportion z-test (r20) — the sliced twin of
+    * [[twoProportionTest]] and THE crawl-ops question: "which
+    * SOURCE's pass rate moved between snapshots?" Fully declarative
+    * — one count aggregation per side, one group-keyed outer join,
+    * per-row projections: no window, no collect, group cardinality
+    * unbounded (as distributed as the slicing, the
+    * [[pairedPermutationTestByGroup]] stance). Groups present on
+    * only one side SURFACE with null z (a vanished source is a
+    * finding, not a dropped row). Same 0/1 contract and z formula
+    * as the global op. Output per group: (group, n_a, hits_a, n_b,
+    * hits_b, p_a, p_b, z).
+    */
+  def twoProportionTestByGroup(a: DataFrame, b: DataFrame,
+      groupCol: String, hitCol: String): DataFrame = {
+    def side(df: DataFrame, n: String, h: String) = {
+      val v = df.select(col(groupCol).cast("string").as("group"),
+          col(hitCol).cast("long").as("__h"))
+        .filter(col("group").isNotNull && col("__h").isNotNull)
+      val bad = v.filter(!col("__h").isin(0L, 1L)).limit(1).count()
+      require(bad == 0,
+        "twoProportionTestByGroup: values must be 0/1 hit indicators")
+      v.groupBy(col("group"))
+        .agg(count(lit(1)).as(n), sum(col("__h")).as(h))
+    }
+    side(a, "n_a", "hits_a")
+      .join(side(b, "n_b", "hits_b"), Seq("group"), "full")
+      .select(col("group"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("hits_a"), lit(0L)).as("hits_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("hits_b"), lit(0L)).as("hits_b"))
+      .withColumn("p_a",
+        when(col("n_a") > 0, round(col("hits_a") / col("n_a"), 6)))
+      .withColumn("p_b",
+        when(col("n_b") > 0, round(col("hits_b") / col("n_b"), 6)))
+      .withColumn("z", {
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val pooled = d(col("hits_a") + col("hits_b")) /
+          (col("n_a") + col("n_b"))
+        val variance = pooled * (lit(1.0) - pooled) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+        // nested when: the variance divides by per-side counts, so
+        // it may only evaluate once both sides are non-empty
+        when(col("n_a") > 0 && col("n_b") > 0,
+          when(variance > 0.0,
+            round((d(col("hits_a")) / col("n_a") -
+              d(col("hits_b")) / col("n_b")) / sqrt(variance), 6)))
+      })
+  }
+
   /** Per-GROUP Mann–Whitney U (r20) — the sliced twin of
     * [[mannWhitneyU]] and the unpaired analogue of
     * [[pairedPermutationTestByGroup]]: "did the quality-score

@@ -495,6 +495,31 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionTestByGroup (r20): the sliced twin reproduces " +
+      "the global op per slice, one-sided groups surface with null " +
+      "z, non-binary values refuse") {
+    import spark.implicits._
+    val a = Seq(("s0", 1L), ("s0", 1L), ("s0", 0L),
+      ("s1", 1L), ("s1", 0L), ("sA", 1L)).toDF("g", "h")
+    val b = Seq(("s0", 0L), ("s0", 0L), ("s0", 1L),
+      ("s1", 1L), ("s1", 0L), ("sB", 0L)).toDF("g", "h")
+    val got = ClassifierEval.twoProportionTestByGroup(a, b, "g", "h")
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("s0", "s1", "sA", "sB"))
+    val solo = ClassifierEval.twoProportionTest(
+      a.filter($"g" === "s0").select($"h"),
+      b.filter($"g" === "s0").select($"h"), "h").collect()(0)
+    assert(got(0).toSeq.drop(1) === solo.toSeq,
+      "grouped == global per slice")
+    // sA only in A, sB only in B: surfaced, z null
+    assert(got(2).getLong(3) === 0L && got(2).isNullAt(7))
+    assert(got(3).getLong(1) === 0L && got(3).isNullAt(7))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.twoProportionTestByGroup(
+        Seq(("s0", 2L)).toDF("g", "h"), b, "g", "h").collect()
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
