@@ -372,6 +372,63 @@ class ClassifierEvalSpec extends SparkSpec {
       s"BH must kill every noise-slice false positive: $rawFps")
   }
 
+  test("withBhFdr (r20, randomized pin): on seeded random cards the " +
+      "engine's q-values equal a plain-Scala reference BH fold, are " +
+      "non-decreasing along p_rank, and the q ≤ α rejection set " +
+      "matches the classic step-up procedure") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val card = (0 until 40).map(i =>
+        (f"g$i%02d", r6(rnd.nextDouble()))).toSeq
+      val got = ClassifierEval.withBhFdr(card.toDF("g", "p"), "p", "g")
+        .orderBy("p_rank").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+          r.getDouble(3)))
+      // reference: sort by (p, key), suffix-min of p·m/rank
+      val m = card.length
+      val sorted = card.sortBy { case (g, p) => (p, g) }
+      val raws = sorted.zipWithIndex.map { case ((_, p), i) =>
+        p * m / (i + 1) }
+      val qs = raws.scanRight(Double.MaxValue)(math.min).init
+        .map(q => r6(math.min(q, 1.0)))
+      assert(got.map(_._1).toSeq === sorted.map(_._1))
+      assert(got.map(_._4).toSeq === qs, s"seed $seed")
+      assert(got.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)), "q must be non-decreasing")
+      // classic step-up at α: largest k with p_(k) ≤ kα/m rejects
+      // 1..k — must equal {q ≤ α}
+      val alpha = 0.1
+      val kMax = (m to 1 by -1).find(k =>
+        sorted(k - 1)._2 <= k * alpha / m).getOrElse(0)
+      assert(got.count(_._4 <= alpha) === kMax, s"seed $seed step-up")
+    }
+  }
+
+  test("mannWhitneyU (r20, randomized pin): side-swap duality on " +
+      "seeded random integer samples — u2_a + u2_b = 2·n_a·n_b and " +
+      "auc_a + auc_b = 1, z flips sign") {
+    import spark.implicits._
+    for (seed <- Seq(5L, 6L)) {
+      val rnd = new scala.util.Random(seed)
+      val av = Seq.fill(40 + rnd.nextInt(20))(rnd.nextInt(15).toLong)
+      val bv = Seq.fill(40 + rnd.nextInt(20))(rnd.nextInt(15).toLong)
+      val ab = ClassifierEval.mannWhitneyU(av.toDF("v"), bv.toDF("v"),
+        "v").collect()(0)
+      val ba = ClassifierEval.mannWhitneyU(bv.toDF("v"), av.toDF("v"),
+        "v").collect()(0)
+      assert(ab.getLong(3) + ba.getLong(3) ===
+        2L * av.length * bv.length, s"seed $seed: doubled-U duality")
+      assert(ab.getDouble(6) + ba.getDouble(6) === 1.0,
+        s"seed $seed: auc duality")
+      assert(math.abs(ab.getDouble(5) + ba.getDouble(5)) <= 1e-6,
+        s"seed $seed: z antisymmetry")
+      assert(ab.getLong(4) === ba.getLong(4), "tie sum side-free")
+    }
+  }
+
   test("wilcoxonSignedRank (r19): doubled midranks exact, zero " +
       "deltas drop and count, |d| ties midrank with the exact " +
       "tie-correction, fractional scores and over-cap refuse") {

@@ -244,6 +244,31 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("chiSquare p helpers (r20): the even-df closed form and the " +
+      "regularized-gamma path agree to the rounding everywhere; p " +
+      "is monotone non-increasing in chi2, p(0) = 1; Wilson–" +
+      "Hilferty z is monotone in chi2") {
+    import graft.operators.CorpusReport
+    val dfGen = Gen.chooseNum(1L, 60L)
+    val evenDfGen = Gen.chooseNum(1L, 30L).map(_ * 2)
+    val x2Gen = Gen.chooseNum(0.0, 120.0)
+    check(Prop.forAll(evenDfGen, x2Gen) { (df, x) =>
+      math.abs(CorpusReport.chiSquarePValueEvenDf(x, df) -
+        CorpusReport.chiSquarePValue(x, df)) <= 1e-6 + 1e-12
+    })
+    check(Prop.forAll(dfGen, x2Gen, x2Gen) { (df, x1, x2) =>
+      val (lo, hi) = (math.min(x1, x2), math.max(x1, x2))
+      CorpusReport.chiSquarePValue(lo, df) >=
+        CorpusReport.chiSquarePValue(hi, df) &&
+        CorpusReport.chiSquarePValue(0.0, df) == 1.0
+    })
+    check(Prop.forAll(dfGen, x2Gen, x2Gen) { (df, x1, x2) =>
+      val (lo, hi) = (math.min(x1, x2), math.max(x1, x2))
+      CorpusReport.wilsonHilfertyZ(lo, df) <=
+        CorpusReport.wilsonHilfertyZ(hi, df)
+    })
+  }
+
   test("Bpe byteize/decodeTokens round-trips ANY string (r19), and " +
       "out-of-bijection tokens null-degrade") {
     import graft.operators.Bpe
