@@ -4312,6 +4312,26 @@ object SparkEntry {
         "x", "y")
     }),
 
+    // --- Per-group Spearman (r20): correlation per slice — g0
+    //     tracks x (rho ≈ 1), g1 reverses it (rho ≈ −1), g2 is
+    //     scrambled (rho ≈ 0); both rank windows key on the group,
+    //     so the op distributes with the slicing. Integer rank sums
+    //     and the rho chain replay per group in the oracle.
+    "eval_spearman_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val g = concat(lit("g"), pmod(id, lit(3L)))
+      val x = pmod(id * 13, lit(101L)).cast("double")
+      val y = when(pmod(id, lit(3L)) === 0,
+          x + pmod(id, lit(5L)) - 2)
+        .when(pmod(id, lit(3L)) === 1, lit(100.0) - x)
+        .otherwise(pmod(id * 37, lit(101L)).cast("double"))
+      operators.Agreement.spearmanRhoByGroup(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(g.as("g"), x.as("x"), y.as("y")),
+        "g", "x", "y")
+        .orderBy(col("group"))
+    }),
+
     // --- Classifier-eval harness (r17): the decision card for the
     //     quality/filter classifiers — per-class PRF over a %5
     //     mislabel plant, EXACT AUC via the doubled Mann–Whitney U
@@ -11780,6 +11800,45 @@ object SparkEntry {
         |          - CAST(s_y AS DOUBLE) * s_y)), 6)
         |  END AS rho
         |FROM s""".stripMargin,
+
+    // the eval_spearman_by_group oracle: the eval_spearman replay
+    // with every window PARTITIONed by the slice
+    "eval_spearman_by_group" ->
+      """WITH b AS (
+        |  SELECT 'g' || (doc_id % 3) AS g,
+        |    CAST(doc_id * 13 % 101 AS DOUBLE) AS x,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN CAST(doc_id * 13 % 101 AS DOUBLE) + (doc_id % 5) - 2
+        |      WHEN doc_id % 3 = 1
+        |      THEN 100.0 - CAST(doc_id * 13 % 101 AS DOUBLE)
+        |      ELSE CAST(doc_id * 37 % 101 AS DOUBLE) END AS y
+        |  FROM documents WHERE doc_id < 300),
+        |r AS (SELECT g,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY x) +
+        |    count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY y) +
+        |    count(*) OVER (PARTITION BY g, y) - 1 AS ry
+        |  FROM b),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rx) AS BIGINT) AS s_x,
+        |  CAST(sum(ry) AS BIGINT) AS s_y,
+        |  CAST(sum(rx * rx) AS BIGINT) AS s_xx,
+        |  CAST(sum(ry * ry) AS BIGINT) AS s_yy,
+        |  CAST(sum(rx * ry) AS BIGINT) AS s_xy
+        |  FROM r GROUP BY g)
+        |SELECT g AS "group", n, s_x, s_y, s_xx, s_yy, s_xy,
+        |  CASE WHEN CAST(n AS DOUBLE) * s_xx
+        |        - CAST(s_x AS DOUBLE) * s_x > 0
+        |      AND CAST(n AS DOUBLE) * s_yy
+        |        - CAST(s_y AS DOUBLE) * s_y > 0
+        |    THEN round((CAST(n AS DOUBLE) * s_xy
+        |        - CAST(s_x AS DOUBLE) * s_y) /
+        |      sqrt((CAST(n AS DOUBLE) * s_xx
+        |          - CAST(s_x AS DOUBLE) * s_x) *
+        |        (CAST(n AS DOUBLE) * s_yy
+        |          - CAST(s_y AS DOUBLE) * s_y)), 6)
+        |  END AS rho
+        |FROM s ORDER BY "group"""".stripMargin,
 
     // the eval_prf oracle: the same class-union + per-side joins
     // the eval_confusion oracle: the same cell aggregation, row

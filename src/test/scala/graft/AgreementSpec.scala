@@ -308,6 +308,39 @@ class AgreementSpec extends SparkSpec {
     assert(rho(Seq((5.0, 1.0), (5.0, 2.0))) === null)
   }
 
+  test("spearmanRhoByGroup (r20): the sliced twin reproduces the " +
+      "global op per slice through group-keyed windows, planted " +
+      "signs land, an oversized group refuses") {
+    val rows = (0 until 60).map { i =>
+      val g = s"g${i % 3}"
+      val x = (i * 13 % 101).toDouble
+      val y = i % 3 match {
+        case 0 => x + (i % 5) - 2         // tracks x: rho ≈ 1
+        case 1 => 100.0 - x               // reversed: rho = −1
+        case _ => (i * 37 % 101).toDouble // scrambled: |rho| small
+      }
+      (g, x, y)
+    }
+    val df = rows.toDF("g", "x", "y")
+    val got = Agreement.spearmanRhoByGroup(df, "g", "x", "y")
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("g0", "g1", "g2"))
+    for ((r, g) <- got.zip(Seq("g0", "g1", "g2"))) {
+      import org.apache.spark.sql.functions.col
+      val solo = Agreement.spearmanRho(
+        df.filter(col("g") === g).select(col("x"), col("y")),
+        "x", "y").collect()(0)
+      assert(r.toSeq.drop(1) === solo.toSeq,
+        s"$g: grouped == global per slice")
+    }
+    assert(got(0).getDouble(7) > 0.9 && got(1).getDouble(7) === -1.0)
+    assert(math.abs(got(2).getDouble(7)) < 0.5)
+    intercept[IllegalArgumentException] {
+      Agreement.spearmanRhoByGroup(df, "g", "x", "y",
+        maxRowsPerGroup = 10).collect()
+    }
+  }
+
   test("spearmanRho (r18, VERDICT-r17 #2): the bounded-eval contract " +
       "is enforced — over-cap input refuses loudly before the " +
       "single-task rank windows run") {
