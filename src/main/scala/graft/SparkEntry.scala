@@ -4652,6 +4652,26 @@ object SparkEntry {
         "doc_id", "a_ok", "b_ok")
     }),
 
+    // --- Per-group AUC (r20): ranking quality PER SLICE — g0's
+    //     classifier separates (AUC ≈ 0.94 with planted flips), g1
+    //     scores independently of its labels (AUC ≈ 0.5): the slice
+    //     incident a corpus-level AUC hides. Group-keyed windows;
+    //     doubled-U integers replay per group in the oracle.
+    "eval_auc_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(101L)).cast("double")
+      val label = when(pmod(id, lit(2L)) === 0,
+          when((score > 50) =!= (pmod(id, lit(11L)) === 0), 1L)
+            .otherwise(0L))
+        .otherwise(when(pmod(id * 7, lit(10L)) < 5, 1L).otherwise(0L))
+      operators.ClassifierEval.aucRocByGroup(
+        Tables.documents(s, dir).filter(id < 400)
+          .select(concat(lit("g"), pmod(id, lit(2L))).as("g"),
+            score.as("score"), label.as("label")),
+        "g", "score", "label")
+        .orderBy(col("group"))
+    }),
+
     "eval_auc" -> ((s, dir) => {
       val id = col("doc_id")
       operators.ClassifierEval.aucRoc(
@@ -12401,6 +12421,33 @@ object SparkEntry {
         |FROM cls LEFT JOIN t ON t.c = cls.c
         |LEFT JOIN pr ON pr.c = cls.c
         |ORDER BY label_class""".stripMargin,
+
+    // the eval_auc_by_group oracle: the eval_auc replay with the
+    // rank/tie windows PARTITIONed by the slice
+    "eval_auc_by_group" ->
+      """WITH b AS (
+        |  SELECT 'g' || (doc_id % 2) AS g,
+        |    CAST(doc_id * 13 % 101 AS DOUBLE) AS s,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN (doc_id * 13 % 101 > 50) != (doc_id % 11 = 0)
+        |        THEN 1 ELSE 0 END
+        |    ELSE CASE WHEN doc_id * 7 % 10 < 5 THEN 1 ELSE 0 END
+        |    END AS y
+        |  FROM documents WHERE doc_id < 400),
+        |r AS (SELECT g, y,
+        |        rank() OVER (PARTITION BY g ORDER BY s) AS mr,
+        |        count(*) OVER (PARTITION BY g, s) AS t FROM b),
+        |a AS (SELECT g, CAST(sum(y) AS BIGINT) AS n_pos,
+        |        CAST(sum(1 - y) AS BIGINT) AS n_neg,
+        |        sum(CASE WHEN y = 1 THEN 2 * mr + t - 1 ELSE 0 END)
+        |          AS rsum
+        |      FROM r GROUP BY g)
+        |SELECT g AS "group", n_pos, n_neg,
+        |  CAST(rsum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN round(CAST(rsum - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2.0 * n_pos * n_neg), 6) END AS auc
+        |FROM a ORDER BY "group"""".stripMargin,
 
     // the eval_auc oracle: identical rank/tie windows, the doubled-U
     // integer, one division

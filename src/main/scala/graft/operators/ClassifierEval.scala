@@ -135,6 +135,51 @@ object ClassifierEval {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
   }
 
+  /** Per-GROUP exact AUC-ROC (r20) — the sliced twin of [[aucRoc]]
+    * (same doubled-U integer statistic), because ranking quality is
+    * judged PER SLICE before a filter threshold ships: a classifier
+    * with corpus AUC 0.9 that ranks German at 0.6 is a German
+    * incident, invisible in the global number. Both windows key on
+    * the group ([[mannWhitneyUByGroup]] stance — the global op's
+    * single-task sort contract disappears when slices are the
+    * partitions); `maxRowsPerGroup` bounds the largest group
+    * loudly. Output per group: (group, n_pos, n_neg, u2, auc);
+    * one-class groups carry a null auc (unscoreable, surfaced).
+    */
+  def aucRocByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String, maxRowsPerGroup: Int = 1 << 22): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("group"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("group").isNotNull && col("__s").isNotNull &&
+        col("__y").isNotNull)
+    val biggest = base.groupBy(col("group"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
+    require(biggest <= maxRowsPerGroup,
+      s"aucRocByGroup: a group has $biggest rows (max " +
+        s"$maxRowsPerGroup) — each group's rank window sorts on one " +
+        "task; sample upstream or raise maxRowsPerGroup deliberately")
+    val w = Window.partitionBy(col("group")).orderBy(col("__s"))
+    val tie = Window.partitionBy(col("group"), col("__s"))
+    base
+      .withColumn("__minrank", rank().over(w))
+      .withColumn("__ties", count(lit(1)).over(tie))
+      .groupBy(col("group"))
+      .agg(
+        sum(col("__y")).as("n_pos"),
+        sum(lit(1L) - col("__y")).as("n_neg"),
+        sum(when(col("__y") === 1L,
+          lit(2L) * col("__minrank") + col("__ties") - 1L)
+          .otherwise(0L)).as("__rsum"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        (col("__rsum") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)))
+  }
+
   /** Reliability bins: (bin, n, avg_conf, frac_pos, gap) over
     * `bins` equal-width probability bins (p = 1.0 folds into the
     * last bin); gap = avg_conf − frac_pos, round-6. Rows with null

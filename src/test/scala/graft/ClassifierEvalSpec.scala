@@ -527,6 +527,40 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("aucRocByGroup (r20): the sliced twin reproduces the global " +
+      "op per slice, one-class slices null out, an oversized group " +
+      "refuses") {
+    import spark.implicits._
+    val rows = (0L until 200L).map { i =>
+      val g = s"g${i % 2}"
+      val s = (i * 13 % 101).toDouble
+      val y = if (i % 2 == 0) { if ((s > 50) != (i % 11 == 0)) 1L else 0L }
+        else { if (i * 7 % 10 < 5) 1L else 0L }
+      (g, s, y)
+    } ++ Seq(("g9", 1.0, 1L), ("g9", 2.0, 1L)) // one-class slice
+    val df = rows.toDF("g", "s", "y")
+    val got = ClassifierEval.aucRocByGroup(df, "g", "s", "y")
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("g0", "g1", "g9"))
+    for (g <- Seq("g0", "g1")) {
+      val solo = ClassifierEval.aucRoc(
+        df.filter($"g" === g).select($"s", $"y"), "s", "y")
+        .collect()(0)
+      val r = got.find(_.getString(0) == g).get
+      assert(r.toSeq.drop(1) === solo.toSeq,
+        s"$g: grouped == global per slice")
+    }
+    assert(got(0).getDouble(4) > 0.85, "separating slice ranks well")
+    assert(math.abs(got(1).getDouble(4) - 0.5) < 0.15,
+      "label-independent slice sits near chance")
+    assert(got(2).getLong(2) === 0L && got(2).isNullAt(4),
+      "one-class slice unscoreable, surfaced")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.aucRocByGroup(df, "g", "s", "y",
+        maxRowsPerGroup = 50).collect()
+    }
+  }
+
   test("twoProportionTest (r20): hand case, degenerate pooled rate " +
       "and empty sides null the z, non-binary values refuse") {
     import spark.implicits._
