@@ -4540,6 +4540,24 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- Per-group Wilcoxon signed-rank (r20): the rank-robust
+    //     paired member per slice — g0 carries the established
+    //     signed-delta law (z > 0), g1 is all-zero (nothing to rank:
+    //     surfaced with null z), g2 mirrors g0 (z flips sign). The
+    //     per-group midranks, tie sums and z replay in the oracle.
+    "eval_wilcoxon_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val a = when(pmod(id, lit(3L)) === 0, pmod(id, lit(21L)) - 8L)
+        .when(pmod(id, lit(3L)) === 1, lit(0L))
+        .otherwise(lit(8L) - pmod(id, lit(21L)))
+      operators.ClassifierEval.wilcoxonSignedRankByGroup(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(concat(lit("g"), pmod(id, lit(3L))).as("g"),
+            a.as("a"), lit(0L).as("b")),
+        "g", "a", "b")
+        .orderBy(col("group"))
+    }),
+
     // --- Paired-delta subsample CI (r19): the signal pair's effect
     //     size — mean delta 0.3 over 200 items, 50 md5-keyed half-
     //     subsamples; the interval must sit strictly above 0
@@ -12042,6 +12060,45 @@ object SparkEntry {
         |        - CAST(ts AS DOUBLE) / 48.0), 6)
         |  END AS z
         |FROM m, z0, t""".stripMargin,
+
+    // the eval_wilcoxon_by_group oracle: the eval_wilcoxon replay
+    // with every window PARTITIONed by the slice; the all-zero
+    // slice left-joins in with zero counts and a null z
+    "eval_wilcoxon_by_group" ->
+      """WITH d AS (
+        |  SELECT 'g' || (doc_id % 3) AS g,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 21 - 8
+        |         WHEN doc_id % 3 = 1 THEN 0
+        |         ELSE 8 - doc_id % 21 END AS dd
+        |  FROM documents WHERE doc_id < 300),
+        |z0 AS (SELECT g,
+        |         sum(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS n_zero
+        |       FROM d GROUP BY g),
+        |nz AS (SELECT g, dd, abs(dd) AS ad FROM d WHERE dd <> 0),
+        |r AS (SELECT g, dd,
+        |        2 * rank() OVER (PARTITION BY g ORDER BY ad) +
+        |          count(*) OVER (PARTITION BY g, ad) - 1 AS r2
+        |      FROM nz),
+        |m AS (SELECT g, count(*) AS n,
+        |        sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS w2
+        |      FROM r GROUP BY g),
+        |t AS (SELECT g, COALESCE(sum(t * t * t - t), 0) AS ts FROM
+        |        (SELECT g, count(*) AS t FROM nz GROUP BY g, ad) q
+        |      GROUP BY g)
+        |SELECT z0.g AS "group",
+        |  CAST(COALESCE(n, 0) AS BIGINT) AS n_nonzero,
+        |  CAST(n_zero AS BIGINT) AS n_zero,
+        |  CAST(COALESCE(w2, 0) AS BIGINT) AS w2_plus,
+        |  CAST(COALESCE(ts, 0) AS BIGINT) AS tie_sum,
+        |  CASE WHEN COALESCE(n, 0) > 0 AND CAST(n AS DOUBLE) * (n + 1)
+        |      * (2.0 * n + 1) / 24.0 - CAST(ts AS DOUBLE) / 48.0 > 0.0
+        |    THEN round((CAST(w2 AS DOUBLE) / 2.0
+        |        - CAST(n AS DOUBLE) * (n + 1) / 4.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24.0
+        |        - CAST(ts AS DOUBLE) / 48.0), 6)
+        |  END AS z
+        |FROM z0 LEFT JOIN m ON m.g = z0.g LEFT JOIN t ON t.g = z0.g
+        |ORDER BY "group"""".stripMargin,
 
     // the eval_mannwhitney oracle: pooled doubled midranks via the
     // wilcoxon window idiom, exact tie sum, the tie-corrected z

@@ -838,6 +838,91 @@ object ClassifierEval {
         col("z"), col("auc_a"))
   }
 
+  /** Per-GROUP Wilcoxon signed-rank (r20) — the rank-robust paired
+    * member PER SLICE, completing the sliced family next to
+    * [[pairedPermutationTestByGroup]] (exact, magnitude-weighted)
+    * and [[mannWhitneyUByGroup]] (unpaired): when per-item deltas
+    * are heavy-tailed, one outlier item can hand a slice's
+    * permutation verdict to a single document, and the signed-rank
+    * statistic is the standard defense. Same doubled-midrank
+    * exactness as [[wilcoxonSignedRank]] (w2_plus exact Long per
+    * group, tie sums in DECIMAL(38,0)), with the |d| rank window
+    * keyed on the GROUP — distributed with the slicing, the largest
+    * group loudly bounded by `maxRowsPerGroup`. Output per group:
+    * (group, n_nonzero, n_zero, w2_plus, tie_sum, z); all-zero
+    * slices surface with null z.
+    */
+  def wilcoxonSignedRankByGroup(df: DataFrame, groupCol: String,
+      scoreACol: String, scoreBCol: String,
+      maxRowsPerGroup: Int = 1 << 22): DataFrame = {
+    val raw = df.select(col(groupCol).cast("string").as("group"),
+        col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+      .filter(col("group").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+    val nonInt = raw.filter(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"))
+      .limit(1).count()
+    require(nonInt == 0,
+      "wilcoxonSignedRankByGroup: fractional score found — the rank " +
+        "statistics are exact over INTEGER scores; rescale upstream")
+    val deltas = raw.select(col("group"),
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
+    val biggest = deltas.groupBy(col("group"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
+    require(biggest <= maxRowsPerGroup,
+      s"wilcoxonSignedRankByGroup: a group has $biggest rows (max " +
+        s"$maxRowsPerGroup) — each group's |d| rank window sorts on " +
+        "one task; sample upstream or raise maxRowsPerGroup " +
+        "deliberately")
+    val zeros = deltas.groupBy(col("group"))
+      .agg(coalesce(sum(when(col("__d") === 0L, 1L).otherwise(0L)),
+        lit(0L)).as("n_zero"))
+    val nz = deltas.filter(col("__d") =!= 0L)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.partitionBy(col("group")).orderBy(col("__ad"))
+    val tie = Window.partitionBy(col("group"), col("__ad"))
+    val main = nz
+      .withColumn("__r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tie) - 1L)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_nonzero"),
+        coalesce(sum(when(col("__d") > 0L, col("__r2")).otherwise(0L)),
+          lit(0L)).as("w2_plus"))
+    val ties = nz.groupBy(col("group"), col("__ad"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("group"))
+      .agg(coalesce(sum(col("__t").cast("decimal(38,0)") *
+          col("__t") * col("__t") - col("__t")),
+        lit(0).cast("decimal(38,0)")).as("tie_sum"))
+    // zeros is the anchor side (every group appears there; a group
+    // whose deltas are ALL zero is absent from main/ties and
+    // surfaces with n_nonzero 0 and a null z)
+    zeros.join(main, Seq("group"), "left")
+      .join(ties, Seq("group"), "left")
+      .select(col("group"),
+        coalesce(col("n_nonzero"), lit(0L)).as("n_nonzero"),
+        col("n_zero"),
+        coalesce(col("w2_plus"), lit(0L)).as("w2_plus"),
+        coalesce(col("tie_sum"), lit(0).cast("decimal(38,0)"))
+          .as("__ts"))
+      .withColumn("z", {
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val n = d(col("n_nonzero"))
+        val variance = n * (n + 1) * (lit(2.0) * n + 1) / 24.0 -
+          d(col("__ts")) / 48.0
+        when(col("n_nonzero") > 0,
+          when(variance > 0.0,
+            round((d(col("w2_plus")) / 2.0 - n * (n + 1) / 4.0) /
+              sqrt(variance), 6)))
+      })
+      .select(col("group"), col("n_nonzero"), col("n_zero"),
+        col("w2_plus"), col("__ts").cast("long").as("tie_sum"),
+        col("z"))
+  }
+
   /** Per-GROUP paired permutation test (r19) — the sliced twin of
     * [[pairedPermutationTest]], and the shape a corpus-scale eval
     * actually runs: "B beats A overall, but does it regress on

@@ -611,6 +611,40 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("wilcoxonSignedRankByGroup (r20): the sliced twin reproduces " +
+      "the global op per slice, all-zero slices surface with null " +
+      "z, fractional scores and oversized groups refuse") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g0", 1L), ("g0", -2L), ("g0", 3L), ("g0", 0L),
+      ("g1", 2L), ("g1", -2L), ("g1", 2L),
+      ("gz", 0L), ("gz", 0L))
+      .map { case (g, d) => (g, d, 0L) }.toDF("g", "a", "b")
+    val got = ClassifierEval.wilcoxonSignedRankByGroup(rows,
+      "g", "a", "b").orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("g0", "g1", "gz"))
+    for (g <- Seq("g0", "g1")) {
+      val solo = ClassifierEval.wilcoxonSignedRank(
+        rows.filter($"g" === g).select($"a", $"b"), "a", "b")
+        .collect()(0)
+      val r = got.find(_.getString(0) == g).get
+      assert(r.toSeq.drop(1) === solo.toSeq,
+        s"$g: grouped == global per slice")
+    }
+    val gz = got(2)
+    assert(gz.getLong(1) === 0L && gz.getLong(2) === 2L &&
+      gz.isNullAt(5), "all-zero slice: nothing to rank, surfaced")
+    intercept[IllegalArgumentException] {
+      ClassifierEval.wilcoxonSignedRankByGroup(
+        Seq(("g", 0.5, 0.0)).toDF("g", "a", "b"), "g", "a", "b")
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.wilcoxonSignedRankByGroup(rows, "g", "a", "b",
+        maxRowsPerGroup = 3).collect()
+    }
+  }
+
   test("mcnemarTest (r19): exact binomial tail on the discordant " +
       "pairs — hand case, one-sided sweep rejects, balanced " +
       "discordance p 1.0, no-discordance 1.0, cap nulls the exact " +
