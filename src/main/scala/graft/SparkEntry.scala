@@ -4690,6 +4690,29 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- Per-group power / MDE card (r20): the sizing view of the
+    //     eval_paired_by_group plant — the sig slice's measured 0.3
+    //     clears its own MDE (~0.09, powered TRUE) while the null
+    //     slice's 0 sits under its ~0.199 (powered FALSE: that
+    //     slice's p=1.0 is absence of evidence at this n, not
+    //     evidence of parity). Exact per-group moments; the z
+    //     constants and the op chain replay in the oracle.
+    "eval_power_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val grp = when(id < 200, "sig").otherwise("null")
+      val a = when(id < 200,
+        when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L))
+        .otherwise(when(pmod(id, lit(2L)) === 0, 1L).otherwise(0L))
+      val b = when(id < 200,
+        when(pmod(id, lit(10L)) < 5, 1L).otherwise(0L))
+        .otherwise(when(pmod(id, lit(2L)) === 1, 1L).otherwise(0L))
+      operators.ClassifierEval.pairedPowerCardByGroup(
+        Tables.documents(s, dir).filter(id < 400)
+          .select(id, grp.as("slice"), a.as("a_ok"), b.as("b_ok")),
+        "slice", "doc_id", "a_ok", "b_ok")
+        .orderBy(col("group"))
+    }),
+
     "eval_auc" -> ((s, dir) => {
       val id = col("doc_id")
       operators.ClassifierEval.aucRoc(
@@ -12421,6 +12444,44 @@ object SparkEntry {
         |  round((ne + 1) / (np + 1.0), 6) AS p_value
         |FROM obs JOIN e ON e.pair = obs.pair
         |ORDER BY obs.pair""".stripMargin,
+
+    // the eval_power_by_group oracle: the eval_power moment chain
+    // keyed on the slice; `powered` compares the ROUNDED mean to
+    // the ROUNDED mde, as the engine does
+    "eval_power_by_group" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id < 200 THEN 'sig' ELSE 'null' END
+        |    AS g,
+        |    CASE WHEN doc_id < 200 THEN
+        |      (CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+        |        - (CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END)
+        |    ELSE (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |        - (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    END AS dd
+        |  FROM documents WHERE doc_id < 400),
+        |m AS (SELECT g, count(*) AS n, sum(dd) AS sd,
+        |        sum(CAST(dd AS HUGEINT) * dd) AS sd2
+        |      FROM d GROUP BY g)
+        |SELECT g AS "group", CAST(n AS BIGINT) AS n,
+        |  round(CAST(sd AS DOUBLE) / n, 6) AS mean_delta,
+        |  round(sqrt(CAST(sd2 * n - CAST(sd AS HUGEINT) * sd
+        |      AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+        |    AS sd_delta,
+        |  CAST(1.959964 AS DOUBLE) AS z_alpha,
+        |  CAST(0.841621 AS DOUBLE) AS z_power,
+        |  round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+        |    * sqrt(CAST(sd2 * n - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / n), 6)
+        |    AS mde,
+        |  abs(round(CAST(sd AS DOUBLE) / n, 6)) >=
+        |    round((CAST(1.959964 AS DOUBLE)
+        |        + CAST(0.841621 AS DOUBLE))
+        |      * sqrt(CAST(sd2 * n - CAST(sd AS HUGEINT) * sd
+        |          AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / n), 6)
+        |    AS powered
+        |FROM m ORDER BY "group"""".stripMargin,
 
     // the eval_power oracle: exact integer delta moments, the exact
     // variance numerator n·Σd²−(Σd)² in HUGEINT, the z-constant SUM

@@ -1074,6 +1074,74 @@ object ClassifierEval {
         col("z_alpha"), col("z_power"), col("mde"))
   }
 
+  /** Per-GROUP power / MDE card (r20) — the sizing companion of
+    * [[pairedPermutationTestByGroup]] + [[withBhFdr]]: the by-group
+    * test says which slices REJECT; this says which slices COULD
+    * NOT HAVE — a slice whose |mean delta| sits under its own MDE
+    * is under-powered, not at parity, and a report that shows
+    * per-slice p-values without per-slice MDEs invites exactly that
+    * misread. Same exact integer moments and quantile lookup as
+    * [[pairedPowerCard]], keyed on the group: ONE grouped
+    * aggregation, fully distributed, no windows, no collect.
+    * Output per group: (group, n, mean_delta, sd_delta, z_alpha,
+    * z_power, mde, powered) — `powered` = |mean_delta| ≥ mde, the
+    * headline flag (null when n < 2).
+    */
+  def pairedPowerCardByGroup(df: DataFrame, groupCol: String,
+      idCol: String, scoreACol: String, scoreBCol: String,
+      alpha: Double = 0.05, power: Double = 0.8): DataFrame = {
+    require(zAlphaTwoSided.contains(alpha),
+      s"pairedPowerCardByGroup: alpha $alpha — supported: " +
+        zAlphaTwoSided.keys.toSeq.sorted.mkString(", "))
+    require(zPower.contains(power),
+      s"pairedPowerCardByGroup: power $power — supported: " +
+        zPower.keys.toSeq.sorted.mkString(", "))
+    val za = zAlphaTwoSided(alpha)
+    val zp = zPower(power)
+    val raw = df.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("string").as("__id"),
+        col(scoreACol).cast("double").as("__a"),
+        col(scoreBCol).cast("double").as("__b"))
+      .filter(col("group").isNotNull && col("__id").isNotNull &&
+        col("__a").isNotNull && col("__b").isNotNull)
+    val nonInt = raw.filter(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"))
+      .limit(1).count()
+    require(nonInt == 0,
+      "pairedPowerCardByGroup: fractional score found — the delta " +
+        "moments are exact over INTEGER scores; rescale upstream")
+    requireUniqueIds(raw, "pairedPowerCardByGroup",
+      Seq("group", "__id"))
+    val base = raw.select(col("group"),
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
+    base.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__d")), lit(0L)).as("__sd"),
+        coalesce(sum(col("__d").cast("decimal(38,0)") * col("__d")),
+          lit(0).cast("decimal(38,0)")).as("__sd2"))
+      .withColumn("mean_delta",
+        when(col("n") > 0, round(col("__sd") / col("n"), 6)))
+      .withColumn("__var",
+        when(col("n") >= 2,
+          (col("__sd2") * col("n") -
+            col("__sd").cast("decimal(38,0)") * col("__sd"))
+            .cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double"))))
+      .withColumn("sd_delta",
+        when(col("n") >= 2, round(sqrt(col("__var")), 6)))
+      .withColumn("z_alpha", lit(za))
+      .withColumn("z_power", lit(zp))
+      .withColumn("mde",
+        when(col("n") >= 2,
+          round(lit(za + zp) * sqrt(col("__var") / col("n")), 6)))
+      .withColumn("powered",
+        when(col("n") >= 2, abs(col("mean_delta")) >= col("mde")))
+      .select(col("group"), col("n"), col("mean_delta"),
+        col("sd_delta"), col("z_alpha"), col("z_power"), col("mde"),
+        col("powered"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a per-group test card
     * (r20, VERDICT-r19 #1) — the multiple-comparisons control the
     * by-group paired test ships without: a real eval slices 30–100

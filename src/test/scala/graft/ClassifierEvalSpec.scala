@@ -323,6 +323,46 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("pairedPowerCardByGroup (r20): grouped == global per slice, " +
+      "the powered flag reads under-powered slices correctly, " +
+      "singleton and duplicate-id slices behave") {
+    import spark.implicits._
+    val rows = (0L until 400L).map { i =>
+      if (i < 200)
+        (i, "sig", if (i % 10 < 8) 1.0 else 0.0,
+          if (i % 10 < 5) 1.0 else 0.0)
+      else
+        (i, "nul", if (i % 2 == 0) 1.0 else 0.0,
+          if (i % 2 == 1) 1.0 else 0.0)
+    }.toDF("id", "g", "a", "b")
+    val got = ClassifierEval.pairedPowerCardByGroup(rows,
+      "g", "id", "a", "b").orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("nul", "sig"))
+    for (g <- Seq("nul", "sig")) {
+      val solo = ClassifierEval.pairedPowerCard(
+        rows.filter($"g" === g), "id", "a", "b").collect()(0)
+      val r = got.find(_.getString(0) == g).get
+      assert(r.toSeq.slice(1, 7) === solo.toSeq,
+        s"$g: grouped == global per slice")
+    }
+    assert(got(1).getBoolean(7),
+      "the sig slice's 0.3 clears its own MDE")
+    assert(!got(0).getBoolean(7),
+      "the null slice's 0 sits under its MDE: under-powered, " +
+        "not parity")
+    // a singleton slice has no variance estimate
+    val one = ClassifierEval.pairedPowerCardByGroup(
+      rows.unionByName(Seq((999L, "solo", 1.0, 0.0))
+        .toDF("id", "g", "a", "b")),
+      "g", "id", "a", "b").filter($"group" === "solo").collect()(0)
+    assert(one.getLong(1) === 1L && one.isNullAt(6) && one.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      ClassifierEval.pairedPowerCardByGroup(
+        rows.unionByName(rows.limit(1)), "g", "id", "a", "b")
+        .collect()
+    }
+  }
+
   test("withBhFdr (r20, VERDICT-r19 #1): the textbook BH ladder — " +
       "suffix running min repairs non-monotone raw steps, ties " +
       "break by key, q caps at 1, null p and over-cap refuse") {
