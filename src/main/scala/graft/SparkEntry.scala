@@ -4540,6 +4540,27 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    // --- Per-group McNemar (r20): the closed-form paired member per
+    //     slice — g0's B loses 30 of A's correct answers and gains
+    //     10 (exact p ≈ 0.002, rejects), g1's discordance is
+    //     balanced 10/10 (p = 1.0), g2 is fully concordant (chi2
+    //     null, p 1.0 — nothing to test, surfaced). The per-group
+    //     Pascal walks replay in the oracle's recursive CTE.
+    "eval_mcnemar_by_group" -> ((s, dir) => {
+      val id = col("doc_id")
+      val m30 = pmod(id, lit(30L))
+      val a = when(pmod(id, lit(10L)) < 8, 1L).otherwise(0L)
+      val b = when(m30.isin(0L, 6L, 12L, 10L), 0L)
+        .when(m30.isin(9L, 19L), 1L)
+        .otherwise(a)
+      operators.ClassifierEval.mcnemarTestByGroup(
+        Tables.documents(s, dir).filter(id < 300)
+          .select(concat(lit("g"), pmod(id, lit(3L))).as("g"),
+            a.as("a_ok"), b.as("b_ok")),
+        "g", "a_ok", "b_ok")
+        .orderBy(col("group"))
+    }),
+
     // --- Per-group Wilcoxon signed-rank (r20): the rank-robust
     //     paired member per slice — g0 carries the established
     //     signed-delta law (z > 0), g1 is all-zero (nothing to rank:
@@ -12083,6 +12104,50 @@ object SparkEntry {
         |        - CAST(ts AS DOUBLE) / 48.0), 6)
         |  END AS z
         |FROM m, z0, t""".stripMargin,
+
+    // the eval_mcnemar_by_group oracle: per-slice cells, then the
+    // exact binomial tail per group — the eval_mcnemar recursive-CTE
+    // Pascal walk keyed on the slice
+    "eval_mcnemar_by_group" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT 'g' || (doc_id % 3) AS g,
+        |    CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN doc_id % 30 IN (0, 6, 12, 10) THEN 0
+        |         WHEN doc_id % 30 IN (9, 19) THEN 1
+        |         ELSE CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END
+        |    END AS bb
+        |  FROM documents WHERE doc_id < 300),
+        |cells AS (SELECT g, count(*) AS n,
+        |    sum(CASE WHEN a = 0 AND bb = 0 THEN 1 ELSE 0 END) AS n00,
+        |    sum(CASE WHEN a = 0 AND bb = 1 THEN 1 ELSE 0 END) AS n01,
+        |    sum(CASE WHEN a = 1 AND bb = 0 THEN 1 ELSE 0 END) AS n10,
+        |    sum(CASE WHEN a = 1 AND bb = 1 THEN 1 ELSE 0 END) AS n11
+        |  FROM b GROUP BY g),
+        |t(g, i, c, acc) AS (
+        |  SELECT g, 0, CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT t.g, i + 1,
+        |    (c * ((SELECT n01 + n10 FROM cells c2 WHERE c2.g = t.g)
+        |      - i)) // (i + 1),
+        |    acc + (c * ((SELECT n01 + n10 FROM cells c2
+        |      WHERE c2.g = t.g) - i)) // (i + 1)
+        |  FROM t WHERE i < (SELECT least(n01, n10) FROM cells c2
+        |    WHERE c2.g = t.g)),
+        |tail AS (SELECT g, max(acc) AS acc FROM t GROUP BY g)
+        |SELECT cells.g AS "group", CAST(n AS BIGINT) AS n,
+        |  CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+        |  CASE WHEN n01 + n10 > 0
+        |    THEN round(CAST(greatest(abs(n01 - n10) - 1, 0)
+        |        * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+        |      / (n01 + n10), 6) END AS chi2_cc,
+        |  CASE WHEN n01 + n10 = 0 THEN 1.0
+        |    ELSE round(least(1.0,
+        |      2.0 * tail.acc / pow(2.0, n01 + n10)), 6)
+        |  END AS p_exact
+        |FROM cells JOIN tail ON tail.g = cells.g
+        |ORDER BY "group"""".stripMargin,
 
     // the eval_wilcoxon_by_group oracle: the eval_wilcoxon replay
     // with every window PARTITIONed by the slice; the all-zero

@@ -1260,6 +1260,22 @@ object ClassifierEval {
         col("__n")).otherwise(0L)), lit(0L)).as("n11")).head()
     val (n00, n01, n10, n11) = (cells.getLong(0), cells.getLong(1),
       cells.getLong(2), cells.getLong(3))
+    val (chi2, pExact) = mcnemarFinish(n01, n10, maxExact)
+    Seq((n00 + n01 + n10 + n11, n00, n01, n10, n11,
+        Option(chi2).map(_.toDouble), Option(pExact).map(_.toDouble)))
+      .toDF("n", "n00", "n01", "n10", "n11", "chi2_cc", "p_exact")
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        col("chi2_cc").cast("double").as("chi2_cc"),
+        col("p_exact").cast("double").as("p_exact"))
+  }
+
+  /** The McNemar driver math on one cell pair — continuity-corrected
+    * χ² and the exact two-sided binomial tail (BigInt Pascal walk,
+    * capped by maxExact) — shared verbatim by [[mcnemarFromCells]]
+    * and the per-group twin (r20 refactor, behavior unchanged).
+    */
+  private def mcnemarFinish(n01: Long, n10: Long, maxExact: Int):
+      (java.lang.Double, java.lang.Double) = {
     val nd = n01 + n10
     def r6(x: BigDecimal): Double =
       x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1285,10 +1301,56 @@ object ClassifierEval {
           BigDecimal(BigInt(2).pow(nd.toInt))
         r6(p.min(BigDecimal(1)))
       }
-    Seq((n00 + n01 + n10 + n11, n00, n01, n10, n11,
-        Option(chi2).map(_.toDouble), Option(pExact).map(_.toDouble)))
-      .toDF("n", "n00", "n01", "n10", "n11", "chi2_cc", "p_exact")
-      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+    (chi2, pExact)
+  }
+
+  /** Per-GROUP McNemar (r20) — the closed-form paired member PER
+    * SLICE, the last global-only test in the family: per-slice 2×2
+    * cells come from ONE grouped aggregation (fully distributed);
+    * the χ²/exact-tail arithmetic is 4 integers per group, finished
+    * on the DRIVER over the group-bounded card ([[psiTotal]] /
+    * bradleyTerryRanks precedent) behind a loud `maxGroups` cap and
+    * a deterministic group-sorted fold order. Same 0/1 contract,
+    * same per-group outputs as [[mcnemarTest]] plus the group key;
+    * `p_exact` nulls past `maxExact` discordants exactly as the
+    * global op documents.
+    */
+  def mcnemarTestByGroup(df: DataFrame, groupCol: String,
+      scoreACol: String, scoreBCol: String, maxExact: Int = 10000,
+      maxGroups: Int = 100000): DataFrame = {
+    require(maxExact >= 0, s"mcnemarTestByGroup: maxExact $maxExact")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("group"),
+        col(scoreACol).cast("long").as("__a"),
+        col(scoreBCol).cast("long").as("__b"))
+      .filter(col("group").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+    val bad = base.filter(!col("__a").isin(0L, 1L) ||
+      !col("__b").isin(0L, 1L)).limit(1).count()
+    require(bad == 0,
+      "mcnemarTestByGroup: scores must be 0/1 correctness indicators")
+    def cell(a: Long, b: Long) = coalesce(
+      sum(when(col("__a") === a && col("__b") === b, 1L)
+        .otherwise(0L)), lit(0L))
+    val cards = base.groupBy(col("group"))
+      .agg(cell(0L, 0L).as("n00"), cell(0L, 1L).as("n01"),
+        cell(1L, 0L).as("n10"), cell(1L, 1L).as("n11"))
+      .limit(maxGroups + 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+    require(cards.length <= maxGroups,
+      s"mcnemarTestByGroup: > $maxGroups groups — the exact-tail " +
+        "arithmetic finishes driver-side over the group-bounded " +
+        "card; raise maxGroups deliberately if the slicing is " +
+        "really this wide")
+    cards.sortBy(_._1).toSeq.map { case (g, n00, n01, n10, n11) =>
+      val (chi2, p) = mcnemarFinish(n01, n10, maxExact)
+      (g, n00 + n01 + n10 + n11, n00, n01, n10, n11,
+        Option(chi2).map(_.toDouble), Option(p).map(_.toDouble))
+    }.toDF("group", "n", "n00", "n01", "n10", "n11", "chi2_cc",
+        "p_exact")
+      .select(col("group"), col("n"), col("n00"), col("n01"),
+        col("n10"), col("n11"),
         col("chi2_cc").cast("double").as("chi2_cc"),
         col("p_exact").cast("double").as("p_exact"))
   }

@@ -175,6 +175,44 @@ class ClassifierEvalSpec extends SparkSpec {
     }
   }
 
+  test("mcnemarTestByGroup (r20): grouped == global per slice, " +
+      "concordant slices surface with null chi2 and p 1.0, the cap " +
+      "and non-binary values refuse") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g0", 1L, 0L), ("g0", 1L, 0L), ("g0", 1L, 0L), ("g0", 0L, 1L),
+      ("g0", 1L, 1L), ("g0", 0L, 0L),
+      ("g1", 1L, 1L), ("g1", 0L, 0L)) // concordant slice
+      .toDF("g", "a", "b")
+    val got = ClassifierEval.mcnemarTestByGroup(rows, "g", "a", "b")
+      .orderBy("group").collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("g0", "g1"))
+    for (g <- Seq("g0", "g1")) {
+      val solo = ClassifierEval.mcnemarTest(
+        rows.filter($"g" === g).select($"a", $"b"), "a", "b")
+        .collect()(0)
+      val r = got.find(_.getString(0) == g).get
+      assert(r.toSeq.drop(1) === solo.toSeq,
+        s"$g: grouped == global per slice")
+    }
+    assert(got(1).isNullAt(6) && got(1).getDouble(7) === 1.0,
+      "concordant slice: nothing to test, surfaced")
+    // the maxExact cap nulls the exact path per group (the global
+    // contract, sliced)
+    val capped = ClassifierEval.mcnemarTestByGroup(rows, "g", "a",
+      "b", maxExact = 2).orderBy("group").collect()
+    assert(capped(0).isNullAt(7) && capped(1).getDouble(7) === 1.0)
+    intercept[IllegalArgumentException] {
+      ClassifierEval.mcnemarTestByGroup(rows, "g", "a", "b",
+        maxGroups = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ClassifierEval.mcnemarTestByGroup(
+        Seq(("g", 2L, 0L)).toDF("g", "a", "b"), "g", "a", "b")
+        .collect()
+    }
+  }
+
   test("pairedPermutationTestByGroup (r19): per-slice verdicts " +
       "reproduce the global op run per slice — no driver work, " +
       "groups fully independent") {
