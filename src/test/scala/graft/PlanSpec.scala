@@ -599,6 +599,20 @@ class PlanSpec extends SparkSpec {
     assert(!pf.contains("CartesianProduct"), pf.take(900))
     val px = plan("corpus_chi2")
     assert(!px.contains("Window"), px.take(900))
+    // the late sliced members: group-keyed windows only (never
+    // SinglePartition) for wilcoxon/spearman/auc; the declarative
+    // two-proportion and power cards are pure grouped aggregations
+    for (g <- Seq("eval_wilcoxon_by_group", "eval_spearman_by_group",
+        "eval_auc_by_group")) {
+      val p = plan(g)
+      assert(p.contains("Window") && !p.contains("SinglePartition"),
+        s"$g:\n${p.take(900)}")
+    }
+    for (g <- Seq("eval_two_prop_by_group", "eval_power_by_group")) {
+      val p = plan(g)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+        s"$g:\n${p.take(900)}")
+    }
   }
 
   test("text_fertility_scripts: the cross-card is scan-riding " +
