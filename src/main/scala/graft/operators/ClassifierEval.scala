@@ -44,10 +44,36 @@ object ClassifierEval {
     val dup = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
       .limit(1).count()
-    require(dup == 0,
-      s"$what: duplicate ${keys.mkString("(", ", ", ")")} row — " +
-        "copies of an item share one md5 draw and double-weight it " +
-        "in every permutation/resample; aggregate or dedup upstream")
+    require(dup == 0, duplicateIdMsg(what, keys))
+  }
+
+  private def duplicateIdMsg(what: String, keys: Seq[String]): String =
+    s"$what: duplicate ${keys.mkString("(", ", ", ")")} row — " +
+      "copies of an item share one md5 draw and double-weight it " +
+      "in every permutation/resample; aggregate or dedup upstream"
+
+  /** The paired family's two entry guards — fractional-score refusal
+    * and duplicate-id refusal — folded into ONE job (r21, the
+    * withBhFdr one-guard-job discipline): the duplicate probe
+    * already pays a shuffle on `keys`, so the fractional flag rides
+    * the same aggregation instead of a second full pass over the
+    * (possibly expensive) upstream lineage. Expects the family's
+    * canonical `__a`/`__b` double columns; refusal order is pinned —
+    * fractional first, duplicates second (the pre-r21 order).
+    */
+  private def requireIntScoresAndUniqueIds(df: DataFrame, what: String,
+      keys: Seq[String], fracMsg: String): Unit = {
+    val frac = when(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"), 1L)
+      .otherwise(0L)
+    val g = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__c"), max(frac).as("__f"))
+      .agg(coalesce(max(col("__f")), lit(0L)),
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    require(g.getLong(0) == 0, s"$what: fractional score found — $fracMsg")
+    require(g.getLong(1) == 0, duplicateIdMsg(what, keys))
   }
 
   /** Per-class precision/recall/F1: (label_class, n_true, n_pred,
@@ -379,14 +405,8 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("__id").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
-      "pairedDeltaCi: fractional score found — the delta sums are " +
-        "exact over INTEGER scores; rescale upstream")
-    requireUniqueIds(raw, "pairedDeltaCi", Seq("__id"))
+    requireIntScoresAndUniqueIds(raw, "pairedDeltaCi", Seq("__id"),
+      "the delta sums are exact over INTEGER scores; rescale upstream")
     val base = raw.select(col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val full = base.agg(count(lit(1)).as("n"),
@@ -510,21 +530,23 @@ object ClassifierEval {
     val raw = df.select(col(scoreACol).cast("double").as("__a"),
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
+    // ONE guard job (r21): the fractional refusal and the maxRows
+    // count-guard share a single aggregation over the input instead
+    // of two separate passes
+    val g = raw.agg(count(lit(1)),
+      coalesce(sum(when(
+        col("__a") =!= col("__a").cast("long").cast("double") ||
+          col("__b") =!= col("__b").cast("long").cast("double"), 1L)
+        .otherwise(0L)), lit(0L))).head()
+    require(g.getLong(1) == 0,
       "wilcoxonSignedRank: fractional score found — the rank " +
         "statistics are exact over INTEGER scores; rescale upstream")
-    val deltas = raw.select(
-      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
-    val guardN = deltas
-      .limit(math.min(maxRows.toLong + 1, Int.MaxValue).toInt).count()
-    require(guardN <= maxRows,
+    require(g.getLong(0) <= maxRows,
       s"wilcoxonSignedRank: > $maxRows rated rows — the |d| rank " +
         "window is a single-task global sort; sample upstream or " +
         "raise maxRows deliberately")
+    val deltas = raw.select(
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val nZeroRow = deltas.agg(
       coalesce(sum(when(col("__d") === 0L, 1L).otherwise(0L)), lit(0L))
         .as("n_zero"))
@@ -675,11 +697,13 @@ object ClassifierEval {
     def side(df: DataFrame) = {
       val v = df.select(col(hitCol).cast("long").as("__h"))
         .filter(col("__h").isNotNull)
-      val bad = v.filter(!col("__h").isin(0L, 1L)).limit(1).count()
-      require(bad == 0,
+      // the 0/1 violation count rides the side's count aggregation
+      // (r21): one job per side instead of two
+      val r = v.agg(count(lit(1)), coalesce(sum(col("__h")), lit(0L)),
+        coalesce(sum(when(!col("__h").isin(0L, 1L), 1L).otherwise(0L)),
+          lit(0L))).head()
+      require(r.getLong(2) == 0,
         "twoProportionTest: values must be 0/1 hit indicators")
-      val r = v.agg(count(lit(1)), coalesce(sum(col("__h")), lit(0L)))
-        .head()
       (r.getLong(0), r.getLong(1))
     }
     val (na, ha) = side(a)
@@ -860,23 +884,28 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("group").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
+    // ONE guard job (r21): the fractional flag rides the per-group
+    // count aggregation the maxRowsPerGroup guard already pays,
+    // instead of a second full pass over the input
+    val g = raw.groupBy(col("group"))
+      .agg(count(lit(1)).as("__c"),
+        max(when(
+          col("__a") =!= col("__a").cast("long").cast("double") ||
+            col("__b") =!= col("__b").cast("long").cast("double"), 1L)
+          .otherwise(0L)).as("__f"))
+      .agg(coalesce(max(col("__c")), lit(0L)),
+        coalesce(max(col("__f")), lit(0L))).head()
+    require(g.getLong(1) == 0,
       "wilcoxonSignedRankByGroup: fractional score found — the rank " +
         "statistics are exact over INTEGER scores; rescale upstream")
-    val deltas = raw.select(col("group"),
-      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
-    val biggest = deltas.groupBy(col("group"))
-      .agg(count(lit(1)).as("__c"))
-      .agg(coalesce(max(col("__c")), lit(0L))).head().getLong(0)
+    val biggest = g.getLong(0)
     require(biggest <= maxRowsPerGroup,
       s"wilcoxonSignedRankByGroup: a group has $biggest rows (max " +
         s"$maxRowsPerGroup) — each group's |d| rank window sorts on " +
         "one task; sample upstream or raise maxRowsPerGroup " +
         "deliberately")
+    val deltas = raw.select(col("group"),
+      (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val zeros = deltas.groupBy(col("group"))
       .agg(coalesce(sum(when(col("__d") === 0L, 1L).otherwise(0L)),
         lit(0L)).as("n_zero"))
@@ -947,19 +976,13 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("group").isNotNull && col("__id").isNotNull &&
         col("__a").isNotNull && col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
-      "pairedPermutationTestByGroup: fractional score found — the " +
-        "permutation sums are exact over INTEGER scores; rescale " +
-        "upstream")
     // within a group a duplicate id double-weights (one md5 draw);
     // the same id in DIFFERENT groups is fine — each group's test is
     // marginally valid on its own items
-    requireUniqueIds(raw, "pairedPermutationTestByGroup",
-      Seq("group", "__id"))
+    requireIntScoresAndUniqueIds(raw, "pairedPermutationTestByGroup",
+      Seq("group", "__id"),
+      "the permutation sums are exact over INTEGER scores; rescale " +
+        "upstream")
     val base = raw.select(col("group"), col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val obs = base.groupBy(col("group"))
@@ -1039,14 +1062,9 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("__id").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
-      "pairedPowerCard: fractional score found — the delta moments " +
-        "are exact over INTEGER scores; rescale upstream")
-    requireUniqueIds(raw, "pairedPowerCard", Seq("__id"))
+    requireIntScoresAndUniqueIds(raw, "pairedPowerCard", Seq("__id"),
+      "the delta moments are exact over INTEGER scores; rescale " +
+        "upstream")
     val base = raw.select(
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     base.agg(count(lit(1)).as("n"),
@@ -1104,15 +1122,10 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("group").isNotNull && col("__id").isNotNull &&
         col("__a").isNotNull && col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
-      "pairedPowerCardByGroup: fractional score found — the delta " +
-        "moments are exact over INTEGER scores; rescale upstream")
-    requireUniqueIds(raw, "pairedPowerCardByGroup",
-      Seq("group", "__id"))
+    requireIntScoresAndUniqueIds(raw, "pairedPowerCardByGroup",
+      Seq("group", "__id"),
+      "the delta moments are exact over INTEGER scores; rescale " +
+        "upstream")
     val base = raw.select(col("group"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     base.groupBy(col("group"))
@@ -1167,11 +1180,16 @@ object ClassifierEval {
     */
   def withBhFdr(card: DataFrame, pCol: String, keyCol: String,
       maxRows: Int = 1 << 20): DataFrame = {
-    // ONE guard pass: the card is the output of a (possibly
-    // expensive) per-group test whose lineage re-executes per
-    // action, so both refusals share a single aggregation instead
-    // of two separate jobs each recomputing the upstream test
-    val g = card.agg(count(lit(1)),
+    // materialize the card ONCE (r21, guide §1.2/§5): it is the
+    // output of a (possibly expensive) per-group test whose lineage
+    // would otherwise re-execute per action — once for the guard
+    // aggregation and once more for the caller's action on the
+    // returned frame. The card is group-bounded by contract (and the
+    // guard enforces ≤ maxRows), so the checkpoint holds at most the
+    // bounded card, never the corpus.
+    val snap = card.localCheckpoint(true)
+    // ONE guard pass over the materialized card for both refusals
+    val g = snap.agg(count(lit(1)),
       coalesce(sum(when(col(pCol).isNull, 1L).otherwise(0L)),
         lit(0L))).head()
     require(g.getLong(1) == 0,
@@ -1181,16 +1199,18 @@ object ClassifierEval {
       s"withBhFdr: > $maxRows card rows — the rank windows are " +
         "single-task global sorts over the GROUP card; this is not " +
         "a per-group card, or raise maxRows deliberately")
-    val m = card.agg(count(lit(1)).as("__m"))
+    // m rides as a literal from the guard's count (r21, ADVICE-r20):
+    // the old 1-row count frame crossJoined a THIRD execution of the
+    // card lineage into the plan for a number the guard already holds
+    val m = g.getLong(0)
     val wRank = Window.orderBy(col(pCol).asc, col(keyCol).asc)
     val wSuffix = Window.orderBy(col(pCol).desc, col(keyCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    card.crossJoin(m) // 1-row count frame
+    snap
       .withColumn("p_rank", row_number().over(wRank))
       .withColumn("q_value",
-        round(least(min(col(pCol).cast("double") * col("__m") /
+        round(least(min(col(pCol).cast("double") * lit(m) /
           col("p_rank")).over(wSuffix), lit(1.0)), 6))
-      .drop("__m")
   }
 
   /** McNemar's test (r19) — the closed-form member of the paired
@@ -1245,10 +1265,9 @@ object ClassifierEval {
         col(bCol).cast("long").as("__b"),
         col(nCol).cast("long").as("__n"))
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-    val bad = base.filter(!col("__a").isin(0L, 1L) ||
-      !col("__b").isin(0L, 1L)).limit(1).count()
-    require(bad == 0,
-      "mcnemarTest: scores must be 0/1 correctness indicators")
+    // the 0/1-contract violation count rides the cell aggregation
+    // (r21, the withBhFdr one-guard-job discipline): one job over the
+    // upstream lineage instead of a separate guard pass
     val cells = base.agg(
       coalesce(sum(when(col("__a") === 0L && col("__b") === 0L,
         col("__n")).otherwise(0L)), lit(0L)).as("n00"),
@@ -1257,7 +1276,12 @@ object ClassifierEval {
       coalesce(sum(when(col("__a") === 1L && col("__b") === 0L,
         col("__n")).otherwise(0L)), lit(0L)).as("n10"),
       coalesce(sum(when(col("__a") === 1L && col("__b") === 1L,
-        col("__n")).otherwise(0L)), lit(0L)).as("n11")).head()
+        col("__n")).otherwise(0L)), lit(0L)).as("n11"),
+      coalesce(sum(when(!col("__a").isin(0L, 1L) ||
+        !col("__b").isin(0L, 1L), 1L).otherwise(0L)), lit(0L))
+        .as("__bad")).head()
+    require(cells.getLong(4) == 0,
+      "mcnemarTest: scores must be 0/1 correctness indicators")
     val (n00, n01, n10, n11) = (cells.getLong(0), cells.getLong(1),
       cells.getLong(2), cells.getLong(3))
     val (chi2, pExact) = mcnemarFinish(n01, n10, maxExact)
@@ -1326,24 +1350,33 @@ object ClassifierEval {
         col(scoreBCol).cast("long").as("__b"))
       .filter(col("group").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    val bad = base.filter(!col("__a").isin(0L, 1L) ||
-      !col("__b").isin(0L, 1L)).limit(1).count()
-    require(bad == 0,
-      "mcnemarTestByGroup: scores must be 0/1 correctness indicators")
     def cell(a: Long, b: Long) = coalesce(
       sum(when(col("__a") === a && col("__b") === b, 1L)
         .otherwise(0L)), lit(0L))
+    // the 0/1-contract violation count rides the card aggregation
+    // (r21, VERDICT-r20 #1 — the withBhFdr one-job fix): the guard
+    // and the cells previously ran as separate jobs over the same
+    // (possibly expensive) scoring lineage. A violation in a group
+    // past the limit window can only occur when the group count
+    // itself refuses first — coverage is unchanged.
     val cards = base.groupBy(col("group"))
       .agg(cell(0L, 0L).as("n00"), cell(0L, 1L).as("n01"),
-        cell(1L, 0L).as("n10"), cell(1L, 1L).as("n11"))
-      .limit(maxGroups + 1)
-      .as[(String, Long, Long, Long, Long)].collect()
+        cell(1L, 0L).as("n10"), cell(1L, 1L).as("n11"),
+        coalesce(sum(when(!col("__a").isin(0L, 1L) ||
+          !col("__b").isin(0L, 1L), 1L).otherwise(0L)), lit(0L))
+          .as("__bad"))
+      // clamp: maxGroups = Int.MaxValue must behave as an unbounded
+      // cap, not overflow to a negative limit (r21, ADVICE-r20)
+      .limit(math.min(maxGroups.toLong + 1, Int.MaxValue).toInt)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
     require(cards.length <= maxGroups,
       s"mcnemarTestByGroup: > $maxGroups groups — the exact-tail " +
         "arithmetic finishes driver-side over the group-bounded " +
         "card; raise maxGroups deliberately if the slicing is " +
         "really this wide")
-    cards.sortBy(_._1).toSeq.map { case (g, n00, n01, n10, n11) =>
+    require(cards.forall(_._6 == 0L),
+      "mcnemarTestByGroup: scores must be 0/1 correctness indicators")
+    cards.sortBy(_._1).toSeq.map { case (g, n00, n01, n10, n11, _) =>
       val (chi2, p) = mcnemarFinish(n01, n10, maxExact)
       (g, n00 + n01 + n10 + n11, n00, n01, n10, n11,
         Option(chi2).map(_.toDouble), Option(p).map(_.toDouble))
@@ -1396,16 +1429,11 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("__id").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    val nonInt = raw.filter(
-      col("__a") =!= col("__a").cast("long").cast("double") ||
-        col("__b") =!= col("__b").cast("long").cast("double"))
-      .limit(1).count()
-    require(nonInt == 0,
-      "pairedPermutationTest: fractional score found — the " +
-        "permutation sums are exact over INTEGER scores (a float " +
+    requireIntScoresAndUniqueIds(raw, "pairedPermutationTest",
+      Seq("__id"),
+      "the permutation sums are exact over INTEGER scores (a float " +
         "sum could flip the ≥ comparison on an ulp); rescale " +
         "upstream")
-    requireUniqueIds(raw, "pairedPermutationTest", Seq("__id"))
     val base = raw.select(col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
     val obs = base.agg(count(lit(1)).as("n"),

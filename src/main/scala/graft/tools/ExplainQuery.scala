@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.{GraftExtensions, SparkEntry}
+
+/** Dump `.explain("formatted")` for named queries into a directory —
+  * the r21 optimization round's plan-evidence artifact
+  * (`plans/r21/<query>_{before,after}.txt`).
+  *
+  * Usage: runMain graft.tools.ExplainQuery <outDir> <suffix> q1 q2 ...
+  * (suffix is "before" or "after"; the session mirrors Bench's.)
+  */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args.drop(2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"), plan)
+      println(s"[explain] wrote $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
