@@ -427,9 +427,15 @@ object CorpusReport {
       df.select(col(valueCol).cast("double").as("v"))
         .filter(col("v").isNotNull && !isnan(col("v")))
         .groupBy(col("v")).agg(count(lit(1)).as(n))
+    // materialize the merged per-value count table ONCE (r21): it is
+    // bounded by the pooled DISTINCT values, and every downstream job
+    // (totals, the prefix-sum bounds/partials, the final max) would
+    // otherwise re-execute both grouped sides and the full join —
+    // the r20 shape ran that lineage ~6× per call
     val merged = side(a, "__ca").join(side(b, "__cb"), Seq("v"), "full")
       .select(col("v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(true)
     val tot = merged.agg(coalesce(sum(col("__ca")), lit(0L)),
       coalesce(sum(col("__cb")), lit(0L)),
       count(lit(1))).head()
@@ -442,9 +448,11 @@ object CorpusReport {
           col("d_num").cast("long").as("d_num"),
           col("ks").cast("double").as("ks"))
     if (na == 0 || nb == 0) return out(null, null)
-    val withCums = Pack.withPrefixSum(
-      Pack.withPrefixSum(merged, "v", col("__ca"), "__pa"),
-      "v", col("__cb"), "__pb")
+    // both CDFs in ONE two-phase prefix pass (r21): the nested form
+    // paid two bounds jobs, two partials jobs and stacked windows,
+    // with the second call's guard re-executing the first's window
+    val withCums = Pack.withPrefixSums(merged, "v",
+      Seq(col("__ca") -> "__pa", col("__cb") -> "__pb"))
     // inclusive CDF counts = exclusive prefix + own count; the KS
     // gap is evaluated AT each pooled value (the right-continuous
     // CDF convention — between values both CDFs are flat, so the

@@ -72,16 +72,26 @@ object Graphs {
           (col("pr") / col("out_deg")).as("c"))
         .groupBy(col("id"))
         .agg(sum(col("c")).as("c")) // map-side partial on dst
-      val next = vertices.join(contribs, Seq("id"), "left")
-        .join(outDeg, vertices("id") === outDeg("src"), "left")
+      // the rank frame IS (vertices ⋈ outDeg) — it carries every
+      // vertex with its out_deg, so the next frame needs ONE
+      // id-keyed left join against the contributions instead of
+      // re-joining vertices and outDeg every iteration (r21: two
+      // joins per iteration dropped; rank values bit-identical)
+      val next = pr.select(col("id"), col("out_deg"))
+        .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("pr"),
           col("out_deg"))
       val prev = pr
-      // non-eager localCheckpoint: the dangling aggregate is what
-      // materializes it, same as the persist branch — still one job
-      pr = if (it % 5 == 4) next.localCheckpoint(false) else next.persist()
+      // non-eager localCheckpoint EVERY iteration (r21): the next
+      // frame reads the rank frame on BOTH branches (contributions
+      // and the carried vertex/out_deg side), so a persist-chained
+      // lineage would double per iteration and replanning would
+      // dominate; truncating keeps the per-iteration plan constant.
+      // The dangling aggregate below is what materializes it —
+      // still exactly one job per iteration.
+      pr = next.localCheckpoint(false)
       danglingMass = materializeAndDangling(pr)
       prev.unpersist() // next is materialized — the old ranks can go
       it += 1

@@ -49,46 +49,80 @@ object Pack {
     * still bounded by that bucket's rows, parallelism just degrades.
     */
   def withPrefixSum(df: DataFrame, orderCol: String, valCol: Column,
-      outCol: String, numParts: Int = 0): DataFrame = {
+      outCol: String, numParts: Int = 0): DataFrame =
+    withPrefixSums(df, orderCol, Seq(valCol -> outCol), numParts)
+
+  /** [[withPrefixSum]] for SEVERAL value columns in one pass (r21):
+    * callers needing cumulative sums of k columns over the SAME total
+    * order (the [[CorpusReport.ksDrift]] two-CDF shape) previously
+    * nested k calls, paying k bounds jobs, k partials jobs and k
+    * stacked windows — with call i+1's guard re-executing call i's
+    * whole window plan. One bounds job, one partials job and ONE
+    * bucket-partitioned window now serve all k columns.
+    */
+  def withPrefixSums(df: DataFrame, orderCol: String,
+      vals: Seq[(Column, String)], numParts: Int = 0): DataFrame = {
+    require(vals.nonEmpty, "Pack.withPrefixSums: no value columns")
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // nulls violate the distinct-numeric total-order contract; without
     // this guard they surface later as an opaque NPE in the partials
     // collect — fail loudly up front, piggybacked on the bounds action
-    val bounds = df.agg(
-      min(col(orderCol).cast("double")), max(col(orderCol).cast("double")),
-      sum(when(col(orderCol).isNull, 1L).otherwise(0L)),
-      sum(when(valCol.isNull, 1L).otherwise(0L))).head()
+    val boundAggs = Seq(
+      min(col(orderCol).cast("double")).as("__lo"),
+      max(col(orderCol).cast("double")).as("__hi"),
+      sum(when(col(orderCol).isNull, 1L).otherwise(0L)).as("__nk")) ++
+      vals.zipWithIndex.map { case ((v, _), i) =>
+        sum(when(v.isNull, 1L).otherwise(0L)).as(s"__nv$i") }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
     val nullKeys = if (bounds.isNullAt(2)) 0L else bounds.getLong(2)
-    val nullVals = if (bounds.isNullAt(3)) 0L else bounds.getLong(3)
+    val nullVals = vals.indices
+      .map(i => if (bounds.isNullAt(3 + i)) 0L else bounds.getLong(3 + i))
+      .sum
     require(nullKeys == 0 && nullVals == 0,
       s"Pack.withPrefixSum: orderCol '$orderCol' has $nullKeys null(s), " +
         s"valCol has $nullVals null(s) — both must be non-null " +
         "(the prefix sum needs a total order and summable values)")
-    if (bounds.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty input
+    if (bounds.isNullAt(0)) // empty input
+      return vals.foldLeft(df) { case (d, (_, out)) =>
+        d.withColumn(out, lit(0L)) }
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    val bucketed = df
-      .withColumn("__v", valCol.cast("long"))
+    val vNames = vals.indices.map(i => s"__v$i")
+    val bucketed = vals.zipWithIndex.foldLeft(df) {
+        case (d, ((v, _), i)) => d.withColumn(s"__v$i", v.cast("long"))
+      }
       .withColumn("__b",
         width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi + 1.0), lit(p)))
     // tiny: one row per occupied bucket; exclusive offsets driver-side
     val partials = bucketed.groupBy(col("__b"))
-      .agg(sum(col("__v")).as("__s"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .agg(sum(col(vNames.head)).as("__s0"),
+        vNames.tail.zipWithIndex.map { case (n, i) =>
+          sum(col(n)).as(s"__s${i + 1}") }: _*)
+      .collect()
+      .map(r => (r.getLong(0), vals.indices.map(i => r.getLong(1 + i))))
       .sortBy(_._1)
-    var acc = 0L
-    val prior = partials.map { case (b, s) => val off = acc; acc += s; (b, off) }
+    val acc = Array.fill(vals.length)(0L)
+    val prior = partials.map { case (b, ss) =>
+      val offs = acc.toSeq
+      vals.indices.foreach(i => acc(i) += ss(i))
+      (b, offs)
+    }
     import spark.implicits._
-    val offDf = broadcast(prior.toSeq.toDF("__b", "__off"))
+    val offDf = broadcast(
+      prior.toSeq.map { case (b, offs) => (b, offs.toArray) }
+        .toDF("__b", "__off"))
     // bucket-local EXCLUSIVE running sum: window partitioned by the
     // contiguous range bucket — per-group state bounded by bucket rows
     val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed
-      .join(offDf, "__b")
-      .withColumn(outCol, coalesce(sum(col("__v")).over(w), lit(0L)) + col("__off"))
-      .drop("__b", "__v", "__off")
+    val withOut = vals.zipWithIndex.foldLeft(bucketed.join(offDf, "__b")) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out,
+          coalesce(sum(col(s"__v$i")).over(w), lit(0L)) +
+            col("__off").getItem(i))
+    }
+    withOut.drop("__b" +: "__off" +: vNames: _*)
   }
 
   /** Interval packing: assign each document to sequence

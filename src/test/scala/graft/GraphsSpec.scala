@@ -34,11 +34,17 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
   }
 
-  test("pageRank: ONE driver action per iteration (r13 — the dangling " +
-      "aggregate IS the materializing action; pinned via SQL-execution " +
-      "count delta between 2 and 4 iterations)") {
+  test("pageRank: ONE job per iteration (r13/r21 — the dangling " +
+      "aggregate IS the materializing action and the per-iteration " +
+      "localCheckpoint rides it; pinned via job and SQL-execution " +
+      "count deltas between 2 and 4 iterations)") {
     class ExecCounter extends org.apache.spark.scheduler.SparkListener {
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
       override def onOtherEvent(
           e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
         case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
@@ -46,7 +52,7 @@ class GraphsSpec extends SparkSpec {
         case _ => ()
       }
     }
-    def execsFor(iters: Int): Int = {
+    def execsFor(iters: Int): (Int, Int) = {
       val c = new ExecCounter
       spark.sparkContext.addSparkListener(c)
       try {
@@ -58,17 +64,25 @@ class GraphsSpec extends SparkSpec {
         while (cur != prev && spins < 50) {
           prev = cur; Thread.sleep(100); cur = c.n.get(); spins += 1
         }
-        cur
+        (cur, c.jobs.get())
       } finally spark.sparkContext.removeSparkListener(c)
     }
-    // 2 vs 4 iterations keeps both runs off the every-5th
-    // localCheckpoint branch, whose checkpoint-marking wrapper posts
-    // a (zero-job) SQLExecutionStart of its own
-    val j2 = execsFor(2)
-    val j4 = execsFor(4)
-    assert(j4 - j2 === 2,
-      s"expected exactly 1 driver action per extra iteration: " +
-        s"$j2 executions at 2 iters, $j4 at 4")
+    val (e2, j2) = execsFor(2)
+    val (e4, j4) = execsFor(4)
+    // ONE materializing ACTION per iteration (the dangling
+    // aggregate), plus the checkpoint-marking wrapper's ZERO-JOB
+    // SQLExecutionStart — 2 executions per iteration, constant (the
+    // r21 per-iteration lineage truncation that keeps replanning
+    // O(1) per iteration). Jobs-per-iteration is AQE's business
+    // (stage materializations under the one action), so the pin is
+    // only that it stays CONSTANT across iterations — no
+    // per-iteration growth.
+    assert(e4 - e2 === 4,
+      s"expected exactly 2 SQL executions per extra iteration: " +
+        s"$e2 executions at 2 iters, $e4 at 4")
+    assert((j4 - j2) % 2 === 0 && (j4 - j2) / 2 <= j2,
+      s"per-iteration job count must stay constant: " +
+        s"$j2 jobs at 2 iters, $j4 at 4")
   }
 
   test("extractLinks: double then single quotes in document order, " +
