@@ -876,16 +876,23 @@ object SparkEntry {
       val bloomPath = gateIndexPath(dir, "bloom_gate_bloom")
       Dedup.writeExactDedupIndex(corpus, "text", idxPath)
       Dedup.writeBloomIndex(corpus, "text", bloomPath, parts = 8)
-      // invariant flags BEFORE the append mutates the bloom layer
-      val probed = Dedup.bloomProbe(batch, "text", bloomPath)
-        .select(col("doc_id"), col("text"), col("__maybe")).cache()
-      val inCorpus = probed.join(corpus.select(col("text")).distinct(),
-        Seq("text"), "left_semi")
-      val nBatch = probed.count()
-      val nMaybe = probed.filter(col("__maybe")).count()
-      val nDup = inCorpus.count()
-      val missedDup = inCorpus.filter(!col("__maybe")).count() // must be 0
-      probed.unpersist()
+      // invariant flags BEFORE the append mutates the bloom layer —
+      // ONE aggregation job (r21): the four counts previously ran as
+      // four separate actions over the probe/join lineage (corpus
+      // distinct has unique text, so the left join is 1:1 with the
+      // old left_semi counts)
+      val stats = Dedup.bloomProbe(batch, "text", bloomPath)
+        .select(col("doc_id"), col("text"), col("__maybe"))
+        .join(corpus.select(col("text")).distinct()
+          .withColumn("__inc", lit(1)), Seq("text"), "left")
+        .agg(count(lit(1)),
+          coalesce(sum(when(col("__maybe"), 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("__inc") === 1, 1L).otherwise(0L)),
+            lit(0L)),
+          coalesce(sum(when(col("__inc") === 1 && !col("__maybe"), 1L)
+            .otherwise(0L)), lit(0L))).head()
+      val (nBatch, nMaybe, nDup, missedDup) = (stats.getLong(0),
+        stats.getLong(1), stats.getLong(2), stats.getLong(3))
       val survivors = Dedup.appendExactDedupBloom(batch, "doc_id", "text",
         idxPath, bloomPath)
       val nSurvived = survivors.count()

@@ -722,13 +722,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("rep_id").as("__nrep")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("__nrep")).as("__nmin"))
+      // non-eager checkpoint + a full count as the materializing
+      // action (r21): ONE job per round instead of two — the eager
+      // checkpoint job plus a separate isEmpty probe. count() visits
+      // every partition, so the checkpoint is complete before the
+      // next round reads it.
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep_id"), coalesce(col("__nmin"), col("rep_id"))).as("rep_id"),
           (col("rep_id") > coalesce(col("__nmin"), col("rep_id"))).as("__chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__chg")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("__chg")).count() == 0L
       labels = next.select(col("id"), col("rep_id"))
       it += 1
     }
