@@ -95,8 +95,13 @@ object Bpe {
       numMerges: Int, minCount: Long): DataFrame = {
     require(numMerges > 0, s"numMerges $numMerges")
     import spark.implicits._
-    var words = words0.persist()
-    words.count() // materialize before the loop measures pairs
+    // non-eager checkpoint chain (r21): each round's pair-count argmax
+    // is an aggregation over EVERY partition of the current histogram,
+    // so it doubles as the materializing action for the previous
+    // round's remap — ONE job per merge instead of an argmax job plus
+    // a persist-count/eager-checkpoint job. Lineage is truncated at
+    // every step by construction, so no every-8 eager cut is needed.
+    var words = words0.localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -117,11 +122,8 @@ object Bpe {
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((rank, l, r, c))
           val prev = words
-          val mapped = prev.map { case (s, cnt) => (mergePair(s, l, r), cnt) }
-          // every 8 merges, cut the lineage chain (k can be large);
-          // localCheckpoint materializes eagerly, persist+count else
-          words = if (rank % 8 == 7) mapped.localCheckpoint(true)
-            else { val p = mapped.persist(); p.count(); p }
+          words = prev.map { case (s, cnt) => (mergePair(s, l, r), cnt) }
+            .localCheckpoint(false)
           prev.unpersist()
           rank += 1
         case _ => exhausted = true

@@ -114,6 +114,11 @@ object Unigram {
       } yield (w.substring(j, i), c)
     }.toDF("piece", "f")
       .groupBy(col("piece")).agg(sum(col("f")).as("freq"))
+      // the substring explode is the expensive pass; the top-k and
+      // the single-char collects below both read it — materialize it
+      // once (r21; the first job's TakeOrdered visits every
+      // partition, completing the checkpoint)
+      .localCheckpoint(false)
     val top = subs.orderBy(col("freq").desc, col("piece").asc)
       .limit(seedSize).as[(String, Long)].collect()
     val chars = subs.filter(length(col("piece")) === 1)

@@ -82,10 +82,15 @@ object WordPiece {
       if (sampleFraction >= 1.0) hist0
       else hist0.filter(pmod(xxhash64(col("word")), lit(1000000L)) <
         (sampleFraction * 1000000L).toLong)
+    // non-eager checkpoint chain (r21, the Bpe.trainOnSymbols shape):
+    // each round's argmax aggregation visits every partition of the
+    // words table, so it doubles as the materializing action for the
+    // previous round's remap — ONE job per merge, lineage truncated
+    // every step (the words table is read twice per round — symbol
+    // and pair counts — off the same checkpointed leaf)
     var words = hist.as[(String, Long)]
       .map { case (w, c) => (symbolize(w), c) }
-      .persist()
-    words.count()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Double)]
     var rank = 0
@@ -118,9 +123,8 @@ object WordPiece {
           merges += ((rank, l, r, mergedPiece(l, r), row.getLong(2),
             row.getDouble(3)))
           val prev = words
-          val mapped = prev.map { case (s, c) => (mergePair(s, l, r), c) }
-          words = if (rank % 8 == 7) mapped.localCheckpoint(true)
-            else { val p = mapped.persist(); p.count(); p }
+          words = prev.map { case (s, c) => (mergePair(s, l, r), c) }
+            .localCheckpoint(false)
           prev.unpersist()
           rank += 1
         case _ => exhausted = true
