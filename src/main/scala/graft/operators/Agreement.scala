@@ -528,22 +528,27 @@ object Agreement {
         col(scoreCol).cast("double").as("__sd"))
       .filter(col("__i").isNotNull && col("__r").isNotNull &&
         col("__sd").isNotNull)
-    val nonInt = raw.filter(col("__sd") =!= col("__sd").cast("long")
-      .cast("double")).limit(1).count()
-    require(nonInt == 0,
-      "krippendorffAlphaOrdinal: fractional score found — the " +
-        "ordinal fold is exact over INTEGER category codes; rescale " +
-        "upstream")
     val base = raw.select(col("__i"), col("__r"),
-      col("__sd").cast("long").as("__s"))
+      col("__sd").cast("long").as("__s"),
+      (col("__sd") =!= col("__sd").cast("long").cast("double"))
+        .cast("long").as("__f"))
     // the ONLY alpha variant that re-reads its cells four times
     // (marginals, both self-join sides, panel stats) — persist the
     // aggregated cell table across those actions, release at the end
     // (the output row is driver-assembled, so nothing downstream
-    // holds the lineage)
+    // holds the lineage). The fractional-score refusal rides the cell
+    // aggregation (r21, the one-guard-job discipline) and its probe
+    // is the action that warms the persisted cells.
     val cell = base.groupBy(col("__i"), col("__s"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"),
+        coalesce(max(col("__f")), lit(0L)).as("__f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nonInt = cell.agg(coalesce(max(col("__f")), lit(0L)))
+      .head().getLong(0)
+    require(nonInt == 0,
+      "krippendorffAlphaOrdinal: fractional score found — the " +
+        "ordinal fold is exact over INTEGER category codes; rescale " +
+        "upstream")
     val perItem = cell.groupBy(col("__i")).agg(sum(col("c")).as("m"))
     val pairableIds = perItem.filter(col("m") >= 2).select(col("__i"))
     // pairable marginals, collected — bounded by category count

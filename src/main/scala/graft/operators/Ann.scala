@@ -318,26 +318,34 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
-    val qIt = queries
+    val qProj = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-      .toLocalIterator()
-    val grouped = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
-      .grouped(chunkSize)
-    if (!grouped.hasNext)
+    // bounded single-chunk probe FIRST (r21): toLocalIterator runs one
+    // job per query partition, so a query set that fits one chunk (the
+    // common sub-10k-query case) previously paid ~#partitions tiny
+    // jobs just to discover that. A limit-(chunkSize+1) collect is one
+    // job and driver memory stays bounded at one chunk either way;
+    // chunk membership cannot affect results (per-query shortlists are
+    // independent and the final top-k re-aggregates the union).
+    val head = qProj.limit(chunkSize + 1).collect()
+    if (head.isEmpty)
       return Knn.finishTopKPerGroup(
         spark.emptyDataset[(Long, Long, Double)]
           .toDF(queryIdCol, corpusIdCol, "distance"),
         queryIdCol, corpusIdCol, k)
-    val first = grouped.next().toArray
-    if (!grouped.hasNext) {
+    if (head.length <= chunkSize) {
       // single chunk ≡ knnJoinSq8Quantized: one broadcast, lazy plan
-      val bc = spark.sparkContext.broadcast(first)
+      val bc = spark.sparkContext.broadcast(head)
       return Knn.finishTopKPerGroup(
         sq8RerankedBatch(quant, corpus, corpusIdCol, corpusVecCol,
           bc, queryIdCol, k * rerankFactor, metric, excludeSelf),
         queryIdCol, corpusIdCol, k)
     }
+    val qIt = qProj.toLocalIterator()
+    val grouped = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
+      .grouped(chunkSize)
+    val first = grouped.next().toArray
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // chunks run as SEQUENTIAL jobs, so each one must saturate the
     // cluster on its own: a filtered/concentrated input (few non-empty
