@@ -345,8 +345,7 @@ object CorpusReport {
       df.select(col(catCol).cast("string").as("category"))
         .filter(col("category").isNotNull)
         .groupBy(col("category")).agg(count(lit(1)).as(n))
-    categoryDriftFromCounts(side(a, "n_a"), side(b, "n_b"),
-      "category", "n_a", "category", "n_b")
+    driftCardFromSides(side(a, "n_a"), side(b, "n_b"))
   }
 
   /** Assemble the PSI card from PRE-AGGREGATED per-category count
@@ -355,6 +354,14 @@ object CorpusReport {
     * mix can be drift-scored against a reference snapshot on every
     * trigger through this (tiny) arithmetic. Same output and
     * null-term stance as [[categoryDrift]].
+    *
+    * Duplicate-category refusal (r21, ADVICE-r20 #2): a duplicated
+    * category row in pre-aggregated input inflates its side's total
+    * and fans out in the full join, silently corrupting p_a/p_b and
+    * every PSI/JSD term — ONE probe job covers both sides. Only this
+    * public pre-aggregated entry pays the probe; [[categoryDrift]]
+    * feeds freshly-grouped (duplicate-free by construction) sides and
+    * stays fully lazy.
     */
   def categoryDriftFromCounts(countsA: DataFrame, countsB: DataFrame,
       catColA: String, nColA: String, catColB: String,
@@ -365,6 +372,24 @@ object CorpusReport {
     val cb = countsB.select(col(catColB).cast("string").as("category"),
         col(nColB).cast("long").as("n_b"))
       .filter(col("category").isNotNull)
+    val dup = ca.select(lit("A").as("__side"), col("category"))
+      .unionAll(cb.select(lit("B").as("__side"), col("category")))
+      .groupBy(col("__side"), col("category"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      "categoryDriftFromCounts: duplicate category rows — " +
+        "pre-aggregated counts must be one row per category per " +
+        "side; aggregate upstream")
+    driftCardFromSides(ca, cb)
+  }
+
+  /** The PSI/JSD card arithmetic over duplicate-free per-category
+    * sides (`category`, `n_a`) / (`category`, `n_b`) — shared by the
+    * grouping wrapper (trusted, lazy) and the guarded pre-aggregated
+    * entry.
+    */
+  private def driftCardFromSides(ca: DataFrame, cb: DataFrame): DataFrame = {
     val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("__ta"))
     val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("__tb"))
     ca.join(cb, Seq("category"), "full")
@@ -505,24 +530,51 @@ object CorpusReport {
       df.select(col(catCol).cast("string").as("category"))
         .filter(col("category").isNotNull)
         .groupBy(col("category")).agg(count(lit(1)).as(n))
-    chiSquareDriftFromCounts(side(a, "n_a"), side(b, "n_b"),
-      "category", "n_a", "category", "n_b")
+    // trusted path: the sides are freshly grouped (duplicate-free by
+    // construction), so the pre-aggregated entry's duplicate probe is
+    // skipped (r21 — the probe costs a pass, and only caller-supplied
+    // state can violate the one-row-per-category contract)
+    chiSquareCardFromSides(side(a, "n_a"), side(b, "n_b"))
   }
 
   /** [[chiSquareDrift]] from PRE-AGGREGATED per-category counts —
     * the streaming-state path, the [[categoryDriftFromCounts]] twin.
+    * Duplicate-category rows refuse loudly (r21, ADVICE-r20 #2): the
+    * probe rides the totals aggregations this entry already pays
+    * (count vs distinct-count on the same job) — a duplicate would
+    * inflate the side total AND fan out in the full join, silently
+    * corrupting every term.
     */
   def chiSquareDriftFromCounts(countsA: DataFrame, countsB: DataFrame,
       catColA: String, nColA: String, catColB: String,
       nColB: String): DataFrame = {
-    val spark = countsA.sparkSession
-    import spark.implicits._
     val ca = countsA.select(col(catColA).cast("string").as("category"),
         col(nColA).cast("long").as("n_a"))
       .filter(col("category").isNotNull)
     val cb = countsB.select(col(catColB).cast("string").as("category"),
         col(nColB).cast("long").as("n_b"))
       .filter(col("category").isNotNull)
+    def checkDup(c: DataFrame, side: String): Unit = {
+      val r = c.agg(count(lit(1)), countDistinct(col("category"))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"chiSquareDriftFromCounts: duplicate category rows on side " +
+          s"$side — pre-aggregated counts must be one row per " +
+          "category (a duplicate inflates the totals and fans out in " +
+          "the join); aggregate upstream")
+    }
+    checkDup(ca, "A")
+    checkDup(cb, "B")
+    chiSquareCardFromSides(ca, cb)
+  }
+
+  /** The χ² card arithmetic over duplicate-free per-category sides —
+    * shared by the grouping wrapper (trusted) and the guarded
+    * pre-aggregated entry.
+    */
+  private def chiSquareCardFromSides(ca: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val spark = ca.sparkSession
+    import spark.implicits._
     val na = ca.agg(coalesce(sum(col("n_a")), lit(0L))).head().getLong(0)
     val nb = cb.agg(coalesce(sum(col("n_b")), lit(0L))).head().getLong(0)
     val cells = ca.join(cb, Seq("category"), "full")
@@ -585,7 +637,26 @@ object CorpusReport {
       acc += term
       k += 1
     }
-    val p = math.exp(-h) * acc
+    val p0 = math.exp(-h) * acc
+    // overflow guard (r21, ADVICE-r20 #3): at huge even df with huge
+    // chi2, acc overflows to Infinity while exp(−h) underflows to 0
+    // and 0·Inf is NaN (BigDecimal(NaN) then THROWS instead of
+    // returning a p). Recompute log Σ with a logsumexp fold and
+    // exponentiate once — ONLY on that degenerate path, so every
+    // previously-finite value stays bit-identical.
+    val p = if (p0.isNaN) {
+      var lterm = 0.0
+      var lacc = 0.0
+      var k2 = 1L
+      while (k2 < df / 2) {
+        lterm += math.log(h / k2)
+        lacc =
+          if (lacc >= lterm) lacc + math.log1p(math.exp(lterm - lacc))
+          else lterm + math.log1p(math.exp(lacc - lterm))
+        k2 += 1
+      }
+      math.exp(-h + lacc)
+    } else p0
     BigDecimal(math.max(0.0, math.min(1.0, p)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }

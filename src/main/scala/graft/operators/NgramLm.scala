@@ -89,19 +89,25 @@ object NgramLm {
     // (lower n, or train on a hash sample)
     require(maxModelRows > 0 && maxModelRows < Int.MaxValue,
       s"maxModelRows $maxModelRows")
-    val rows = lm.limit((maxModelRows + 1).toInt).count()
+    // materialize the model ONCE (r21): the row guard, the V read and
+    // the TWO broadcast builds below each re-executed the model's
+    // (training) lineage — five executions of the gram-count pipeline
+    // per call. The model is broadcast-bounded by contract (guarded
+    // right here), so the checkpoint holds model rows, never corpus.
+    val lmSnap = lm.localCheckpoint(true)
+    val rows = lmSnap.limit((maxModelRows + 1).toInt).count()
     require(rows <= maxModelRows,
       s"model has > $maxModelRows rows — too large to broadcast; " +
         "lower n or sample the training corpus")
-    val v = lm.select(col("v")).limit(1).head().getLong(0)
-    val ctxTable = lm.select(substring(col("gram"), 1, n - 1).as("ctx"),
+    val v = lmSnap.select(col("v")).limit(1).head().getLong(0)
+    val ctxTable = lmSnap.select(substring(col("gram"), 1, n - 1).as("ctx"),
         col("c_ctx")).distinct()
     val exploded = df.select(col(idCol).as("__id"),
         explode(charGrams(col(textCol), n)).as("gram"))
       .filter(length(col("gram")) === n)
       .withColumn("ctx", substring(col("gram"), 1, n - 1))
     val scored = exploded
-      .join(broadcast(lm.select(col("gram"), col("c_gram"))), Seq("gram"), "left")
+      .join(broadcast(lmSnap.select(col("gram"), col("c_gram"))), Seq("gram"), "left")
       .join(broadcast(ctxTable), Seq("ctx"), "left")
       .select(col("__id"),
         log((coalesce(col("c_gram"), lit(0L)) + 1).cast("double") /

@@ -329,4 +329,57 @@ class CorpusReportSpec extends SparkSpec {
       a.filter(col("v") < 0), "v").collect()(0)
     assert(empty.isNullAt(4) && empty.isNullAt(5) && empty.isNullAt(6))
   }
+
+  test("FromCounts duplicate-category refusal (r21, ADVICE-r20 #2): " +
+      "a duplicated category row in pre-aggregated input refuses " +
+      "loudly in both the χ² and the PSI/JSD entry points; clean " +
+      "pre-aggregated input passes") {
+    import graft.operators.CorpusReport
+    val clean = Seq(("x", 10L), ("y", 20L)).toDF("cat", "n")
+    val duped = Seq(("x", 10L), ("x", 5L), ("y", 20L)).toDF("cat", "n")
+    // clean inputs: both entry points produce a card
+    assert(CorpusReport.chiSquareDriftFromCounts(clean, clean,
+      "cat", "n", "cat", "n").collect().length === 1)
+    assert(CorpusReport.categoryDriftFromCounts(clean, clean,
+      "cat", "n", "cat", "n").collect().length === 2)
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusReport.chiSquareDriftFromCounts(duped, clean,
+        "cat", "n", "cat", "n")
+    }
+    assert(e1.getMessage.contains("duplicate category"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusReport.chiSquareDriftFromCounts(clean, duped,
+        "cat", "n", "cat", "n")
+    }
+    assert(e2.getMessage.contains("duplicate category"))
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusReport.categoryDriftFromCounts(clean, duped,
+        "cat", "n", "cat", "n")
+    }
+    assert(e3.getMessage.contains("duplicate category"))
+  }
+
+  test("chiSquarePValueEvenDf overflow guard (r21, ADVICE-r20 #3): " +
+      "huge even df with huge chi2 no longer NaNs into a BigDecimal " +
+      "throw; the log-space fallback lands in [0,1] and agrees with " +
+      "the regularized-gamma helper; finite-path values unchanged") {
+    import graft.operators.CorpusReport
+    // pre-fix: acc → Inf, exp(−h) → 0, p = NaN → NumberFormatException
+    val pBig = CorpusReport.chiSquarePValueEvenDf(4000.0, 2000L)
+    assert(pBig >= 0.0 && pBig <= 1.0)
+    val pGamma = CorpusReport.chiSquarePValue(4000.0, 2000L)
+    assert(math.abs(pBig - pGamma) < 1e-4,
+      s"log-space fallback $pBig vs gamma $pGamma")
+    // a rejected tail in the same regime: chi2 far above df
+    assert(CorpusReport.chiSquarePValueEvenDf(4000.0, 1000L) < 1e-6)
+    // a NON-degenerate fallback value: chi2 = df lands near ½, so the
+    // logsumexp path must be numerically right, not merely non-NaN
+    val pHalf = CorpusReport.chiSquarePValueEvenDf(2000.0, 2000L)
+    assert(math.abs(pHalf - CorpusReport.chiSquarePValue(2000.0, 2000L))
+      < 1e-3, s"fallback at chi2=df: $pHalf")
+    // finite path (no fallback) stays the pinned sequential fold
+    assert(CorpusReport.chiSquarePValueEvenDf(3.0, 2L) ===
+      BigDecimal(math.exp(-1.5)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
