@@ -382,21 +382,27 @@ object Chat {
     var (done, live) = finish(frontier)
     var out = done
     var level = 1
-    while (level < maxDepth && !live.isEmpty) {
+    // ONE job per level (r21, the connectedComponents shape): the
+    // live count doubles as the materializing action for the level's
+    // non-eager checkpoint (it joins every partition of `next`), so
+    // the eager-checkpoint job and the separate isEmpty probe fold
+    var liveCnt = live.count()
+    while (level < maxDepth && liveCnt > 0) {
       val next = live.alias("p")
         .join(m.alias("c"), col("c.parent_id") === col("p.leaf_id"))
         .select(col("p.root_id"), col("c.msg_id").as("leaf_id"),
           (col("p.depth") + 1).as("depth"),
           concat(col("p.text"), lit("\n"), col("c.role"), lit(": "),
             col("c.content")).as("text"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val (d2, l2) = finish(next)
       visited = visited.union(next.select(col("leaf_id").as("__v")))
       out = out.union(d2)
       live = l2
+      liveCnt = live.count()
       level += 1
     }
-    require(live.isEmpty,
+    require(liveCnt == 0,
       s"thread deeper than maxDepth=$maxDepth (or cyclic) — refuse " +
         "rather than truncate")
     val unreachable = m.select(col("msg_id").as("__v"))

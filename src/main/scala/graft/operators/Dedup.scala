@@ -836,12 +836,14 @@ object Dedup {
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
-    val nSingle = df.select(col(idCol))
+    // the never-paired singleton count stays IN the plan (r21): the
+    // old driver-side count was a separate job over the anti-join;
+    // the same aggregate now rides the caller's single action
+    val single = df.select(col(idCol))
       .join(comps.select(col(idCol)), Seq(idCol), "left_anti")
-      .count()
-    val single = df.sparkSession.range(1)
-      .select(lit(1L).as("cluster_size"), lit(nSingle).as("n_clusters"))
-      .filter(lit(nSingle) > 0)
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      .filter(col("n_clusters") > 0)
     clustered.unionByName(single)
       .groupBy(col("cluster_size"))
       .agg(sum(col("n_clusters")).as("n_clusters"))
