@@ -87,12 +87,17 @@ object KneserNey {
       .agg(sum(col("c_wv")).as("c_w"), count(lit(1)).as("n1w"))
     val cont = bigrams.groupBy(col("v"))
       .agg(count(lit(1)).as("n1rev"))
-    val totalsRow = df.filter(col(textCol).isNotNull)
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as("t"))
-      .agg(count_distinct(col("t")).as("v")).head()
-    val b = bigrams.count() // also materializes the persist
-    Model(bigrams, contexts, cont, b, totalsRow.getLong(0))
+    // ONE totals job (r21): the vocab count and the bigram-type count
+    // ride a single action — the bigram-side aggregate visits every
+    // partition, so it also materializes the persist
+    val totalsRow = bigrams.agg(count(lit(1)).as("b"))
+      .crossJoin(df.filter(col(textCol).isNotNull) // 1-row frames
+        .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("t"))
+        .agg(count_distinct(col("t")).as("v")))
+      .head()
+    Model(bigrams, contexts, cont, totalsRow.getLong(0),
+      totalsRow.getLong(1))
   }
 
   /** The per-bigram probability column, evaluated in the EXACT
