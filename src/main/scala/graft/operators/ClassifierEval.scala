@@ -348,12 +348,20 @@ object ClassifierEval {
           col(labelCol).cast("string"), 1L).otherwise(0L).as("__ok"))
       .filter(col("__id").isNotNull && col(predCol).isNotNull &&
         col(labelCol).isNotNull)
-    requireUniqueIds(base, "accuracySubsampleCi", Seq("__id"))
-    val full = base.agg(count(lit(1)).as("n"),
-      sum(col("__ok")).as("__c")).head()
-    val n = full.getLong(0)
+    // duplicate-id refusal AND the full-set totals in ONE job (r21):
+    // per-id counts feed both, so the guard pass is also the totals
+    // pass (n = Σ per-id counts, hits = Σ per-id hit sums — exact)
+    val full = base.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__c"), sum(col("__ok")).as("__k"))
+      .agg(
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("__c")), lit(0L)),
+        coalesce(sum(col("__k")), lit(0L))).head()
+    require(full.getLong(0) == 0,
+      duplicateIdMsg("accuracySubsampleCi", Seq("__id")))
+    val n = full.getLong(1)
     val acc: java.lang.Double = if (n > 0)
-      BigDecimal(full.getLong(1).toDouble / n)
+      BigDecimal(full.getLong(2).toDouble / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       else null
     val accs = base
@@ -405,15 +413,34 @@ object ClassifierEval {
         col(scoreBCol).cast("double").as("__b"))
       .filter(col("__id").isNotNull && col("__a").isNotNull &&
         col("__b").isNotNull)
-    requireIntScoresAndUniqueIds(raw, "pairedDeltaCi", Seq("__id"),
-      "the delta sums are exact over INTEGER scores; rescale upstream")
+    // both guards AND the full-set totals in ONE job (r21): the
+    // fractional flag and per-id counts ride the same grouped
+    // aggregation, and n / Σd are their exact second-level sums.
+    // Fractional rows keep the pre-cast __d out of the reported sum
+    // by refusal — the guard fires before any value is read.
+    val frac = when(
+      col("__a") =!= col("__a").cast("long").cast("double") ||
+        col("__b") =!= col("__b").cast("long").cast("double"), 1L)
+      .otherwise(0L)
+    val full = raw.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__c"), max(frac).as("__f"),
+        coalesce(sum(col("__a").cast("long") - col("__b").cast("long")),
+          lit(0L)).as("__d"))
+      .agg(
+        coalesce(max(col("__f")), lit(0L)),
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("__c")), lit(0L)),
+        coalesce(sum(col("__d")), lit(0L))).head()
+    require(full.getLong(0) == 0,
+      "pairedDeltaCi: fractional score found — the delta sums are " +
+        "exact over INTEGER scores; rescale upstream")
+    require(full.getLong(1) == 0,
+      duplicateIdMsg("pairedDeltaCi", Seq("__id")))
     val base = raw.select(col("__id"),
       (col("__a").cast("long") - col("__b").cast("long")).as("__d"))
-    val full = base.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__d")), lit(0L)).as("__s")).head()
-    val n = full.getLong(0)
+    val n = full.getLong(2)
     val mean: java.lang.Double = if (n > 0)
-      (BigDecimal(full.getLong(1)) / BigDecimal(n))
+      (BigDecimal(full.getLong(3)) / BigDecimal(n))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       else null
     val means = base
