@@ -125,6 +125,17 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName // basename: every char counts against the tail budget
+    // r22 (VERDICT-r21 "What's wrong" #1): the name-less t_cs contract
+    // left PERF's per-query comparator blind (per_query == {} two
+    // rounds running). Emit the full {name: sec} map as an ADDITIVE
+    // second metric line — printed BEFORE the headline so the ~1915-
+    // char stdout tail still ends with the intact "total" line (this
+    // line is ~10 KB and is for full-stdout consumers / logs; the
+    // tail-budget reasoning below is unchanged). Timing methodology
+    // untouched — this prints after all measurement.
+    val perQuery = results
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+    println(s"""{"metric":"per_query","sf":"$sfName","queries":{$perQuery}}""")
     // r19 protocol (VERDICT-r18 #1): the fixed-workload machine
     // divisor rides the headline line, so any BENCH_r{N}.json can be
     // calibration-normalized without opening BENCH_DETAIL.json —
