@@ -538,7 +538,11 @@ object Agreement {
     // (the output row is driver-assembled, so nothing downstream
     // holds the lineage). The fractional-score refusal rides the cell
     // aggregation (r21, the one-guard-job discipline) and its probe
-    // is the action that warms the persisted cells.
+    // is the action that warms the persisted cells. Accepted trade
+    // (r22 note): a fractional-score input now pays the full cell
+    // aggregation before refusing where a limit(1) probe would stop
+    // early — the failure path is the rare path; valid input does
+    // strictly fewer passes.
     val cell = base.groupBy(col("__i"), col("__s"))
       .agg(count(lit(1)).as("c"),
         coalesce(max(col("__f")), lit(0L)).as("__f"))

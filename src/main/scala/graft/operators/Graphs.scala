@@ -53,17 +53,29 @@ object Graphs {
     val base = (1.0 - damping) / n
     // the rank frame CARRIES out_deg (null = dangling) so each
     // iteration needs neither the outDeg join nor a second driver
-    // action: the dangling-mass aggregate below IS the materializing
-    // action on the persisted/checkpoint-marked frame — one job per
-    // iteration, not two (r12 review: 2k jobs for k iterations had
-    // scheduling latency dominating at high iteration counts).
-    def materializeAndDangling(frame: DataFrame): Double =
+    // action. r22 (VERDICT-r21 #4): the dangling mass now rides as a
+    // 1-ROW BROADCAST frame instead of a per-iteration head() — the
+    // loop body runs NO driver action at all. The same Spark
+    // aggregation produces the same double; it reaches the rank
+    // expression as `__dm / n` (double ÷ long, one IEEE division —
+    // exactly what the driver literal `danglingMass / n` was), so
+    // rank arithmetic is bit-identical to the collected form and the
+    // DuckDB twin. Execution stays one-step-behind: each iteration's
+    // non-eager localCheckpoint plans its frame, and AQE's stage
+    // materialization (the dm broadcast build + the contributions
+    // exchange) is what computes the PREVIOUS frame — no head()
+    // round-trip, no separate per-iteration SQL execution.
+    def danglingFrame(frame: DataFrame): DataFrame =
       frame.filter(col("out_deg").isNull)
-        .agg(coalesce(sum(col("pr")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
     var pr = vertices.join(outDeg, vertices("id") === outDeg("src"), "left")
       .select(col("id"), lit(1.0 / n).as("pr"), col("out_deg"))
-      .persist()
-    var danglingMass = materializeAndDangling(pr)
+      .localCheckpoint(false)
+    // every iteration's checkpoint must stay persisted until the
+    // final action has materialized the chain: with the loop now
+    // action-free, an eager in-loop unpersist could drop a frame the
+    // final computation still needs (re-execution would double work).
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](pr)
     var it = 0
     while (it < iterations) {
       val contribs = e.join(pr.filter(col("out_deg").isNotNull),
@@ -79,25 +91,23 @@ object Graphs {
       // joins per iteration dropped; rank values bit-identical)
       val next = pr.select(col("id"), col("out_deg"))
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(danglingFrame(pr)))
         .select(col("id"),
           (lit(base) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(danglingMass / n))).as("pr"),
+            (coalesce(col("c"), lit(0.0)) + col("__dm") / lit(n))).as("pr"),
           col("out_deg"))
-      val prev = pr
       // non-eager localCheckpoint EVERY iteration (r21): the next
-      // frame reads the rank frame on BOTH branches (contributions
-      // and the carried vertex/out_deg side), so a persist-chained
-      // lineage would double per iteration and replanning would
-      // dominate; truncating keeps the per-iteration plan constant.
-      // The dangling aggregate below is what materializes it —
-      // still exactly one job per iteration.
+      // frame reads the rank frame on THREE branches (contributions,
+      // the dangling aggregate, and the carried vertex/out_deg side),
+      // so a persist-chained lineage would compound per iteration and
+      // replanning would dominate; truncating keeps the per-iteration
+      // plan constant-size.
       pr = next.localCheckpoint(false)
-      danglingMass = materializeAndDangling(pr)
-      prev.unpersist() // next is materialized — the old ranks can go
+      frames += pr
       it += 1
     }
     val out = pr.select(col("id"), col("pr")).localCheckpoint(true)
-    pr.unpersist() // the last iteration's cache must not outlive the call
+    frames.foreach(_.unpersist()) // chain fully materialized into `out`
     e.unpersist(); vertices.unpersist(); outDeg.unpersist()
     out
   }

@@ -89,11 +89,16 @@ object Pack {
         d.withColumn(out, lit(0L)) }
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val vNames = vals.indices.map(i => s"__v$i")
+    // r22: `bucketed` feeds both the partials collect and the final
+    // windowed plan — a non-eager localCheckpoint (materialized by
+    // the collect, zero extra jobs) keeps the upstream lineage from
+    // executing a third time (the bounds job above is pass one)
     val bucketed = vals.zipWithIndex.foldLeft(df) {
         case (d, ((v, _), i)) => d.withColumn(s"__v$i", v.cast("long"))
       }
       .withColumn("__b",
         width_bucket(col(orderCol).cast("double"), lit(lo), lit(hi + 1.0), lit(p)))
+      .localCheckpoint(false)
     // tiny: one row per occupied bucket; exclusive offsets driver-side
     val partials = bucketed.groupBy(col("__b"))
       .agg(sum(col(vNames.head)).as("__s0"),

@@ -201,10 +201,13 @@ object TrainingOrder {
         "would silently replace them)")
     val spark = df.sparkSession
     import spark.implicits._
+    // r22: same two-consumer shape as quotaSample — the partials
+    // collect materializes the checkpoint, the returned plan reads it
     val keyed = joinConfig(df, sourceCol, weights.toSeq.toDF("__src", "__w"))
       .filter(col("__w") > 0)
       .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("__b", bucketCol(bucketHexDigits))
+      .localCheckpoint(false)
     // phase 1: per-(source, bucket) counts — ≤ |weights|×buckets rows
     val offDf = broadcast(
       bucketOffsets(keyed, count(lit(1))).toDF("__src", "__b", "__off"))
@@ -275,10 +278,15 @@ object TrainingOrder {
         "has one — rename it first (withColumn would silently replace it)")
     val spark = df.sparkSession
     import spark.implicits._
+    // r22: `keyed` feeds both the partials collect and the returned
+    // plan — a non-eager localCheckpoint (materialized by the collect,
+    // zero extra jobs) stops the upstream lineage (scan, tokenize,
+    // prior curation stages) from executing twice per call
     val keyed = joinConfig(df, sourceCol, quotas.toSeq.toDF("__src", "__q"))
       .filter(col("__q") > 0)
       .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("__b", bucketCol(bucketHexDigits))
+      .localCheckpoint(false)
     val offsets = bucketOffsets(keyed, count(lit(1)))
       .filter { case (s, _, off) => off < quotas(s) } // quota pruning
     val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
@@ -322,12 +330,15 @@ object TrainingOrder {
         "already has such column(s) — rename them first")
     val spark = df.sparkSession
     import spark.implicits._
+    // r22: same two-consumer shape as quotaSample — the partials
+    // collect materializes the checkpoint, the returned plan reads it
     val keyed =
       joinConfig(df, sourceCol, budgets.toSeq.toDF("__src", "__budget"))
       .filter(col("__budget") > 0)
       .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("__t", tokenCol.cast("long"))
       .withColumn("__b", bucketCol(bucketHexDigits))
+      .localCheckpoint(false)
     // bucket token sums + null-contract check on the SAME pass
     val partials = keyed.groupBy(col("__src"), col("__b"))
       .agg(sum(col("__t")).as("__m"),

@@ -34,10 +34,10 @@ class GraphsSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-9, s"mass leaked: $total")
   }
 
-  test("pageRank: ONE job per iteration (r13/r21 — the dangling " +
-      "aggregate IS the materializing action and the per-iteration " +
-      "localCheckpoint rides it; pinned via job and SQL-execution " +
-      "count deltas between 2 and 4 iterations)") {
+  test("pageRank: NO driver action inside the loop (r22 — the " +
+      "dangling mass rides as a 1-row broadcast; the only per-" +
+      "iteration SQL execution is the checkpoint wrapper; pinned via " +
+      "job and SQL-execution count deltas between 2 and 4 iterations)") {
     class ExecCounter extends org.apache.spark.scheduler.SparkListener {
       val n = new java.util.concurrent.atomic.AtomicInteger(0)
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -69,16 +69,16 @@ class GraphsSpec extends SparkSpec {
     }
     val (e2, j2) = execsFor(2)
     val (e4, j4) = execsFor(4)
-    // ONE materializing ACTION per iteration (the dangling
-    // aggregate), plus the checkpoint-marking wrapper's ZERO-JOB
-    // SQLExecutionStart — 2 executions per iteration, constant (the
-    // r21 per-iteration lineage truncation that keeps replanning
-    // O(1) per iteration). Jobs-per-iteration is AQE's business
-    // (stage materializations under the one action), so the pin is
-    // only that it stays CONSTANT across iterations — no
-    // per-iteration growth.
-    assert(e4 - e2 === 4,
-      s"expected exactly 2 SQL executions per extra iteration: " +
+    // r22: the loop runs NO driver action — the dangling mass is a
+    // 1-row broadcast inside the next frame's plan, so the ONLY
+    // per-iteration SQL execution is the checkpoint-marking wrapper
+    // (1 per iteration, down from 2 in r21 when the dangling
+    // aggregate was a separate head() action). Jobs-per-iteration is
+    // AQE's business (stage materializations under the wrappers), so
+    // the job pin is only that it stays CONSTANT across iterations —
+    // no per-iteration growth.
+    assert(e4 - e2 === 2,
+      s"expected exactly 1 SQL execution per extra iteration: " +
         s"$e2 executions at 2 iters, $e4 at 4")
     assert((j4 - j2) % 2 === 0 && (j4 - j2) / 2 <= j2,
       s"per-iteration job count must stay constant: " +
