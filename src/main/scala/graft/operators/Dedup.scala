@@ -711,11 +711,15 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // non-eager checkpoints (r22): round 1's count is the action that
+    // materializes BOTH — the pair lineage still executes exactly once
+    // (every later round reads the persisted blocks), but the two
+    // upfront checkpoint jobs fold into the first round
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true) // re-read every round: materialize once
+      .distinct().localCheckpoint(false) // re-read every round: materialize once
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -2161,7 +2165,12 @@ object Dedup {
         count(lit(1)).as("__cnt"))
       .join(corpus.withColumn("__inCorpus", lit(true)), Seq("__gh"), "left")
       .withColumn("__inCorpus", coalesce(col("__inCorpus"), lit(false)))
-      .localCheckpoint(true)
+      // non-eager (r22): the gram-commit WRITE below is the action
+      // that materializes it (the write scans every stats partition),
+      // so the separate checkpoint job folds away; the removal plan
+      // still reads materialized rows — stats reads only batches the
+      // token EXCLUDES, so riding the commit is overwrite-safe
+      .localCheckpoint(false)
     val losers = grams.join(
         stats.filter(col("__inCorpus") || col("__cnt") >= minCount),
         Seq("__gh"))

@@ -456,9 +456,12 @@ object TextRank {
       k: Int, minCosine: Double): DataFrame = {
       // the candidate set is ≤ pairs-above-threshold + boundary
       // noise — tiny; checkpointing it stops the verify join's
-      // broadcast build from re-executing the generation chain
+      // broadcast build from re-executing the generation chain.
+      // Non-eager (r22): the verify job below is the single consumer
+      // and materializes it while docv is still cached — one job for
+      // generation + verification instead of two
       val cand = prefixIndexedCandidates(docv, idCol, minCosine)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // exact verification on the FULL vectors: normalization happens
       // AT THE FOLD, per term, as (w_a/norm_a)·(w_b/norm_b) — the same
       // divide-then-multiply per (doc, term) as the unfiltered path
