@@ -8788,11 +8788,23 @@ object SparkEntry {
       // realized fpp stays ≤ the configured 0.01 at any scale.
       val bf = o.stat.bloomFilter("o_custkey", math.max(o.count(), 1000L), 0.01)
       val bc = s.sparkContext.broadcast(bf)
-      val nCust = c.count()
-      val nBloom = c.select(col("c_custkey").cast("long")).as[Long]
-        .mapPartitions { it => val f = bc.value; it.filter(f.mightContainLong) }
-        .count()
-      val nExact = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi").count()
+      // ONE invariant aggregation (r22, the dedup_bloom_index r21
+      // trick): customer count, bloom-pass count and exact semi count
+      // ride one pass of customer left-joined to the DISTINCT order
+      // keys (1:1 with the left_semi count) instead of three separate
+      // customer scans
+      val mightContain = udf((id: java.lang.Long) =>
+        id != null && bc.value.mightContainLong(id))
+      val stats = c.select(col("c_custkey").cast("long").as("__k"))
+        .join(o.select(col("o_custkey").cast("long").as("__k")).distinct()
+          .withColumn("__inc", lit(1)), Seq("__k"), "left")
+        .agg(count(lit(1)),
+          coalesce(sum(when(mightContain(col("__k")), 1L).otherwise(0L)),
+            lit(0L)),
+          coalesce(sum(when(col("__inc") === 1, 1L).otherwise(0L)),
+            lit(0L))).head()
+      val (nCust, nBloom, nExact) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       val fpBound = math.ceil((nCust - nExact) * 0.03).toLong
       Seq((nExact,
           if (nBloom >= nExact) 1 else 0,

@@ -575,13 +575,28 @@ object CorpusReport {
       cb: DataFrame): DataFrame = {
     val spark = ca.sparkSession
     import spark.implicits._
-    val na = ca.agg(coalesce(sum(col("n_a")), lit(0L))).head().getLong(0)
-    val nb = cb.agg(coalesce(sum(col("n_b")), lit(0L))).head().getLong(0)
-    val cells = ca.join(cb, Seq("category"), "full")
+    // r22: ONE pass per side. The unfiltered joined cell table is
+    // checkpointed (non-eager; the totals head materializes it), and
+    // both side totals ride that one action: over the FULL join each
+    // side's rows appear exactly once (both callers enforce
+    // duplicate-free categories — the grouping wrapper by
+    // construction, the pre-aggregated entry by its r21 refusal), so
+    // summing the coalesced per-category counts equals each side's
+    // own sum. Previously na, nb, the degenerate-branch count and the
+    // term aggregation each re-executed the (corpus-sized, for the
+    // grouping wrapper) side lineages — four heads, sides executed
+    // 2-3× each; now two heads, sides executed once.
+    val cells0 = ca.join(cb, Seq("category"), "full")
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-      .filter(col("n_a") + col("n_b") > 0)
+      .localCheckpoint(false)
+    val tot = cells0.agg(
+      coalesce(sum(col("n_a")), lit(0L)),
+      coalesce(sum(col("n_b")), lit(0L)),
+      count(when(col("n_a") + col("n_b") > 0, 1))).head()
+    val (na, nb, k) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val cells = cells0.filter(col("n_a") + col("n_b") > 0)
     val d = col("n_a").cast("decimal(38,0)") * lit(nb) -
       col("n_b").cast("decimal(38,0)") * lit(na)
     val term = round((d * d).cast("double") /
@@ -590,15 +605,13 @@ object CorpusReport {
     // branch BEFORE the term aggregation: with an empty side the
     // denominator is literally zero and ANSI mode (correctly)
     // refuses the division — there is no comparison to price
-    val (k, chi2): (Long, java.lang.Double) =
-      if (na == 0 || nb == 0)
-        (cells.agg(count(lit(1))).head().getLong(0), null)
+    val chi2: java.lang.Double =
+      if (na == 0 || nb == 0) null
       else {
-        val agg = cells.agg(count(lit(1)).as("n_categories"),
+        val agg = cells.agg(
           round(sum(term.cast("decimal(38,9)")).cast("double"), 6)
             .as("chi2")).head()
-        (agg.getLong(0),
-          if (agg.isNullAt(1)) null else agg.getDouble(1))
+        if (agg.isNullAt(0)) null else agg.getDouble(0)
       }
     val df = k - 1
     val p: java.lang.Double =

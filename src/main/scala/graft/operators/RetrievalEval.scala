@@ -204,14 +204,15 @@ object RetrievalEval {
     require(q > 0 && q < 1, s"rankedEvalMapCi: q $q")
     val spark = card.sparkSession
     import spark.implicits._
+    // r22: one pass of the card lineage instead of three — the
+    // duplicate-query refusal rides the point-estimate aggregation
+    // (duplicates exist iff count ≠ countDistinct; full scan before
+    // refusing is the documented folded-guard trade), and the
+    // checkpointed projection feeds the resample pass from storage
     val all = card.select(col(queryCol).cast("string").as("__q"),
         col(metricCol).cast("double").as("__m"))
       .filter(col("__q").isNotNull)
-    val dup = all.groupBy(col("__q")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).limit(1).count()
-    require(dup == 0,
-      "rankedEvalMapCi: duplicate query row — copies share one md5 " +
-        "membership draw and double-weight; this is a PER-QUERY card")
+      .localCheckpoint(false)
     val scoreable = all.filter(col("__m").isNotNull)
     // the point estimate rides the ENGINE through the identical
     // decimal-sum + single-rounded-division shape as
@@ -220,8 +221,12 @@ object RetrievalEval {
       count(col("__m")).as("ns"),
       when(count(col("__m")) > 0,
         round(sum(col("__m").cast("decimal(18,6)")).cast("double") /
-          count(col("__m")), 6)).as("map")).head()
+          count(col("__m")), 6)).as("map"),
+      countDistinct(col("__q")).as("ndq")).head()
     val (nq, ns) = (full.getLong(0), full.getLong(1))
+    require(full.getLong(3) == nq,
+      "rankedEvalMapCi: duplicate query row — copies share one md5 " +
+        "membership draw and double-weight; this is a PER-QUERY card")
     val map: java.lang.Double =
       if (full.isNullAt(2)) null else full.getDouble(2)
     val maps = scoreable
